@@ -1,0 +1,11 @@
+package graft
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    val df = SparkEntry.entry(spark)
+    val n = df.count()
+    println(s"ENTRY_ROWS=$n")
+    df.show(5)
+    spark.stop()
+  }
+}

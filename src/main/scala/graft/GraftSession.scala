@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession configuration for the engine.
+  *
+  * Tuned for the driver harness (`local[32]`, single JVM) but every knob is
+  * chosen as it would be on a real multi-executor cluster at 100 TB:
+  *  - AQE on: runtime partition coalescing + skew-join splitting replaces the
+  *    reference's hand-rolled skew-aware shuffle (mrblast.cpp:556-575).
+  *  - shuffle.partitions sized to the core count locally; on a cluster this
+  *    would be 2-3x total cores and AQE coalesces the rest.
+  *  - parquet ns timestamps read as longs (Spark 4 refuses TIMESTAMP(NANOS)
+  *    otherwise); [[Tables]] converts to microsecond timestamps.
+  */
+object GraftSession {
+  val cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.host", "localhost")
+    .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+
+  /** Local session for tests and ad-hoc mains. */
+  def local(): SparkSession = {
+    val s = tune(SparkSession.builder().master(s"local[$cpus]")).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,21 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Scratch main for quick schema/behavior probes during development. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    for (t <- Seq("events", "lineitem", "embeddings", "documents")) {
+      val df = spark.read.parquet(s"$dir/$t.parquet")
+      println(s"== $t ==")
+      df.printSchema()
+      df.show(2, 60)
+    }
+    spark.stop()
+  }
+}

@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the engine's public, oracle-checked surface: one entry per
+  * operator from SURVEY.md §2 plus the training-data-pipeline extensions
+  * (dedup, similarity search, text analysis, vector search, event streams).
+  * `oracleSql` holds the DuckDB-equivalent SQL with identical column names.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the mr-mpi-blast spine (similarity join + per-query top-K) over
+    * the documents table — the reference's whole plan in one DataFrame.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    TextQueries.queries("q38_simjoin_topk")(spark, "/root/testdata/sf0.001")
+
+  private val sets: Seq[QuerySet] =
+    Seq(RelationalQueries, TextQueries, VectorQueries, EventQueries, PipelineQueries)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    sets.flatMap(_.queries).toMap
+
+  def oracleSql: Map[String, String] =
+    sets.flatMap(_.oracleSql).toMap
 }

@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the harness testdata (`TESTDATA.md`): one parquet per table
+  * under `/root/testdata/sf*`/. All reads are plain parquet scans so Catalyst
+  * pushdown / pruning applies; callers should `.select` early.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it as a raw long
+    * (nanosAsLong, see [[GraftSession]]). Convert to a microsecond timestamp
+    * (truncating) and keep `ts_sec` (epoch seconds, truncating) for
+    * engine-agnostic time arithmetic in the oracle-checked queries.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_sec", expr("ts div 1000000000"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Query-block segmentation (reference A4, `mrblast.cpp:148-160`): partition
+  * an ordered sequence index into blocks of ~`blockSize` total length, then
+  * cross the blocks with the corpus partitions to form work items
+  * (A5, `mrblast.cpp:167-183`).
+  *
+  * Two implementations:
+  *  - [[greedyBlocks]]: exact reference semantics (running sum, reset when it
+  *    reaches blockSize). Inherently sequential — but the input is the
+  *    *metadata* index (one row per item, not per byte), so a single-pass
+  *    `mapPartitions` over a 1-partition sort is metadata-sized, exactly like
+  *    the reference doing it on the driver.
+  *  - [[bucketBlocks]]: scalable approximation — cumulative-sum / blockSize
+  *    bucketing via a window; fully parallel, blocks can exceed blockSize by
+  *    at most one item's length (same guarantee the greedy variant gives).
+  */
+object Segmentation {
+
+  case class IndexEntry(uid: Long, len: Long)
+  case class BlockAssignment(uid: Long, len: Long, blockId: Long)
+
+  /** Exact greedy segmentation. `index` must be small (metadata-sized). */
+  def greedyBlocks(spark: SparkSession, index: Dataset[IndexEntry], blockSize: Long): Dataset[BlockAssignment] = {
+    import spark.implicits._
+    index.orderBy("uid").coalesce(1).mapPartitions { it =>
+      var acc = 0L
+      var block = 0L
+      it.map { e =>
+        val a = BlockAssignment(e.uid, e.len, block)
+        acc += e.len
+        if (acc >= blockSize) { block += 1; acc = 0L }
+        a
+      }
+    }
+  }
+
+  /** Scalable cumulative-sum bucketing: blockId = floor(cumBefore/blockSize). */
+  def bucketBlocks(index: DataFrame, uidCol: String, lenCol: String, blockSize: Long): DataFrame = {
+    val w = Window.orderBy(uidCol).rowsBetween(Window.unboundedPreceding, -1)
+    index.withColumn("cum_before", coalesce(sum(col(lenCol)).over(w), lit(0L)))
+      .withColumn("block_id", (col("cum_before") / blockSize).cast("long"))
+      .drop("cum_before")
+  }
+
+  /** Work items = block summary x corpus partitions (A5 cross join). */
+  def workItems(blocks: DataFrame, partitions: DataFrame): DataFrame =
+    blocks.crossJoin(broadcast(partitions))
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over an `Array[Float]` embedding
+  * column.
+  *
+  * Brute force = broadcast(probes) x corpus map + per-probe top-k: one narrow
+  * pass over the corpus, no corpus shuffle — the right baseline at any scale
+  * when the probe set is small. The scale path is random-hyperplane LSH:
+  * probes and corpus are bucketed by sign patterns, candidates come from an
+  * equi-join on the bucket key, so cost ~ corpus/2^bits per probe.
+  * Vector math uses Catalyst higher-order functions (zip_with/aggregate) —
+  * codegen'd, no UDFs, columnar-friendly.
+  */
+object Similarity {
+
+  def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  def norm(a: String) =
+    sqrt(expr(s"aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+
+  /** Exact cosine top-k for each probe id in `probeIds`.
+    * Output: (probe_id, neighbor_id, cosim, rnk).
+    */
+  def bruteForceKnn(emb: DataFrame, idCol: String, vecCol: String,
+                    probeFilter: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val e = emb.select(col(idCol), col(vecCol)).withColumn("nrm", norm(vecCol))
+    val probes = e.where(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("p_emb"), col("nrm").as("p_nrm"))
+    val cand = e.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_emb"), col("nrm").as("n_nrm"))
+    val scored = broadcast(probes).crossJoin(cand)
+      .where(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cosim", round(dot("p_emb", "n_emb") / (col("p_nrm") * col("n_nrm")), 4))
+    val w = Window.partitionBy("probe_id").orderBy(col("cosim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("probe_id", "neighbor_id", "cosim", "rnk")
+  }
+
+  /** Deterministic random hyperplanes: `bits` x `dim`, components in [-1, 1],
+    * from a fixed-seed PRNG (driver-side, broadcast as a literal array —
+    * metadata-sized).
+    */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(bits, dim)(rng.nextDouble() * 2 - 1)
+  }
+
+  /** Sign-pattern LSH bucket id for each vector: sum_j (dot(v, H_j) > 0) << j. */
+  def lshBucket(emb: DataFrame, vecCol: String, planes: Array[Array[Double]]): DataFrame = {
+    val planesLit = array(planes.map(p => array(p.map(lit): _*)): _*)
+    emb.withColumn("_planes", planesLit)
+      .withColumn("bucket",
+        expr(s"""aggregate(
+                |  transform(_planes, (p, j) ->
+                |    IF(aggregate(zip_with(p, $vecCol, (a, b) -> a * CAST(b AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0,
+                |       CAST(1 AS BIGINT) << j, CAST(0 AS BIGINT))),
+                |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+      .drop("_planes")
+  }
+
+  /** ANN top-k: candidates restricted to the probe's LSH bucket.
+    * Trades recall for a 2^bits candidate reduction; recall is measured
+    * against [[bruteForceKnn]] in the test suite.
+    */
+  def lshKnn(emb: DataFrame, idCol: String, vecCol: String,
+             probeFilter: org.apache.spark.sql.Column, k: Int,
+             bits: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(bits, dim)
+    val e = lshBucket(emb.select(col(idCol), col(vecCol)), vecCol, planes)
+      .withColumn("nrm", norm(vecCol))
+    val probes = e.where(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("p_emb"), col("nrm").as("p_nrm"), col("bucket"))
+    val cand = e.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_emb"), col("nrm").as("n_nrm"), col("bucket"))
+    val scored = probes.join(cand, "bucket")
+      .where(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cosim", round(dot("p_emb", "n_emb") / (col("p_nrm") * col("n_nrm")), 4))
+    val w = Window.partitionBy("probe_id").orderBy(col("cosim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("probe_id", "neighbor_id", "cosim", "rnk")
+  }
+}

@@ -1,0 +1,25 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-group top-K (reference A15, `mrblast.cpp:1189-1244`): within each
+  * group, order by a sort key and keep the first K rows (all rows when
+  * K <= 0, matching NUMHITCUTOFF=0).
+  *
+  * The window form compiles to one shuffle on the group key + in-partition
+  * sort — the same physical shape as the reference's aggregate/sort/reduce,
+  * with Spark's external sort handling spill. Rank ties are broken by the
+  * caller's sort key list; pass a total order for deterministic output.
+  */
+object TopK {
+  def apply(df: DataFrame, groupCols: Seq[String], order: Seq[Column], k: Int,
+            rankCol: String = "rnk"): DataFrame = {
+    if (k <= 0) df
+    else {
+      val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+      df.withColumn(rankCol, row_number().over(w)).where(col(rankCol) <= k)
+    }
+  }
+}

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch queries over the `events` table — the stream-shaped workload
+  * (sessionization, event-time windowed aggregation, conditional pivots,
+  * JSON props extraction). The same logic runs incrementally in
+  * [[graft.streaming.EventStreams]] via Structured Streaming; these batch
+  * forms are the oracle-checked ground truth.
+  *
+  * Time arithmetic is done on `ts_sec` (epoch seconds, truncating — see
+  * [[graft.Tables.events]]) so Spark's microsecond timestamps and DuckDB's
+  * nanosecond timestamps agree bit-for-bit.
+  */
+object EventQueries extends QuerySet {
+
+  private val sessionGapSec = 1800L
+
+  val queries: Map[String, Q] = Map(
+    // Lag/lead window: per-user value delta in event order.
+    "q50_lag_delta" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+      t(s, dir, "events")
+        .withColumn("delta", round(col("value") - lag("value", 1).over(w), 2))
+        .select("event_id", "user_id", "delta")
+        .orderBy("event_id")
+    }),
+
+    // Sessionization: 30-min inactivity gap -> session ids -> session sizes.
+    "q51_sessionize" -> ((s, dir) => {
+      val order = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+      val brk = when(col("ts_sec") - lag("ts_sec", 1).over(order) > sessionGapSec, 1).otherwise(0)
+      t(s, dir, "events")
+        .withColumn("brk", brk)
+        .withColumn("sess", sum("brk").over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("user_id", "sess")
+    }),
+
+    // Event-time tumbling window aggregate (batch form of the streaming agg).
+    "q52_hourly_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"), expr("ts_sec div 3600").as("hour_id"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type", "hour_id")
+    }),
+
+    // Conditional aggregation (pivot-by-CASE) per user.
+    "q53_conditional_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("clicks"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("errors"),
+          sum(when(col("event_type") === "signup", 1).otherwise(0)).as("signups"),
+          round(sum("value"), 2).as("total_value"))
+        .orderBy("user_id")
+    }),
+
+    // JSON scalar extraction from the props column.
+    "q54_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q50_lag_delta" ->
+      """SELECT event_id, user_id,
+        |ROUND(value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id), 2) AS delta
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q51_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, value, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |g AS (SELECT user_id, event_id, value, sec,
+        |      CASE WHEN sec - LAG(sec, 1) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+        |           THEN 1 ELSE 0 END AS brk FROM e),
+        |s AS (SELECT user_id, value, SUM(brk) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM g)
+        |SELECT user_id, sess, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
+    "q52_hourly_agg" ->
+      """SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hour_id,
+        |COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_id""".stripMargin,
+    "q53_conditional_agg" ->
+      """SELECT user_id,
+        |SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+        |SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+        |SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signups,
+        |ROUND(SUM(value), 2) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q54_json_extract" ->
+      """SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |COUNT(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Segmentation, Similarity}
+
+/** The reference's application-plan operators (SURVEY.md §2.A) exposed as
+  * driver-checkable queries over the harness tables, plus the scale-path
+  * variants (MinHash-LSH, SimHash, LSH-ANN) that have no tractable SQL
+  * oracle and get rows-only checks (their correctness is pinned by ScalaTest
+  * property/recall tests instead).
+  */
+object PipelineQueries extends QuerySet {
+
+  private val BlockSize = 100000L
+
+  val queries: Map[String, Q] = Map(
+    // A4 block segmentation (scalable cumsum-bucket form) + block summary.
+    "q60_block_segmentation" -> ((s, dir) => {
+      Segmentation.bucketBlocks(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", BlockSize)
+        .groupBy("block_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("block_len"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("block_id")
+    }),
+
+    // A5 work-item generation: blocks x corpus partitions (sources).
+    "q61_work_items" -> ((s, dir) => {
+      val blocks = Segmentation.bucketBlocks(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", BlockSize)
+        .groupBy("block_id").agg(sum("n_chars").as("block_len"))
+      val parts = t(s, dir, "documents").select(col("source")).distinct()
+      Segmentation.workItems(blocks, parts)
+        .select("block_id", "source", "block_len")
+        .orderBy("block_id", "source")
+    }),
+
+    // MinHash-LSH near-dup pairs (scale path; rows-only driver check).
+    "q62_dedup_minhash" -> ((s, dir) => {
+      Dedup.minHashDupPairs(t(s, dir, "documents").where(col("doc_id") < 2000),
+          "text", "doc_id", shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // SimHash near-dup pairs (rows-only driver check).
+    "q63_dedup_simhash" -> ((s, dir) => {
+      Dedup.simHashDupPairs(t(s, dir, "documents").where(col("doc_id") < 2000),
+          "text", "doc_id", maxHamming = 3)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // LSH-bucketed approximate kNN (rows-only driver check; recall vs brute
+    // force asserted in SimilaritySpec).
+    "q64_knn_lsh" -> ((s, dir) => {
+      Similarity.lshKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5, bits = 6, dim = 64)
+        .orderBy("probe_id", "rnk")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q60_block_segmentation" ->
+      s"""WITH b AS (SELECT doc_id, n_chars,
+        |  CAST(FLOOR(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $BlockSize.0) AS BIGINT) AS block_id
+        |  FROM documents)
+        |SELECT block_id, COUNT(*) AS n_docs, SUM(n_chars) AS block_len,
+        |MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM b GROUP BY block_id ORDER BY block_id""".stripMargin,
+    "q61_work_items" ->
+      s"""WITH b AS (SELECT doc_id, n_chars,
+        |  CAST(FLOOR(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $BlockSize.0) AS BIGINT) AS block_id
+        |  FROM documents),
+        |blocks AS (SELECT block_id, SUM(n_chars) AS block_len FROM b GROUP BY block_id),
+        |parts AS (SELECT DISTINCT source FROM documents)
+        |SELECT block_id, source, block_len FROM blocks CROSS JOIN parts
+        |ORDER BY block_id, source""".stripMargin)
+}

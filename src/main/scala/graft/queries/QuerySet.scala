@@ -1,0 +1,20 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A named bundle of driver-checkable queries.
+  *
+  * Contract (driver harness): for every key in [[queries]] there should be a
+  * DuckDB-SQL equivalent in [[oracleSql]] with IDENTICAL output column names;
+  * keys absent from [[oracleSql]] get a weaker rows-only check. Every query
+  * ends in a deterministic total ORDER BY, and every float aggregate is
+  * ROUNDed identically on both sides so the value hashes match.
+  */
+trait QuerySet {
+  type Q = (SparkSession, String) => DataFrame
+  def queries: Map[String, Q]
+  def oracleSql: Map[String, String]
+
+  protected def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables.load(s, dir, name)
+}

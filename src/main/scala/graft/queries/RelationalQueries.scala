@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational operator surface of the engine, exercised over the
+  * TPC-H-ish harness tables. Each query is one operator family from
+  * SURVEY.md §2 (application plan A*, MR-MPI algebra 2.B, downstream OLAP
+  * shapes 2.C), expressed Spark-first so Catalyst handles pushdown, pruning,
+  * join selection and AQE handles skew/coalescing at scale.
+  */
+object RelationalQueries extends QuerySet {
+
+  val queries: Map[String, Q] = Map(
+    // 2.C pricing-summary agg: partial+final hash agg (reference A12 analog).
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // A10/O1: multi-predicate filter + projection; predicates reach the scan.
+    "q02_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")
+          && col("l_discount") > 0.05 && col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // A18: dimension broadcast hash join (customer is the small side).
+    "q03_join_broadcast" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Big-big shuffle join (sort-merge / shuffled-hash chosen by planner+AQE).
+    "q04_join_large" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Multi-way star join region-nation-customer-orders; dims broadcast.
+    "q05_join_multi" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("r_name")
+    }),
+
+    // Left-semi join (EXISTS).
+    "q06_semi_join" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem").where(col("l_quantity") >= 49),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // Left-anti join (NOT EXISTS).
+    "q07_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // Left-outer join preserving customers with zero orders.
+    "q08_outer_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("order_cnt"))
+        .orderBy("c_custkey")
+    }),
+
+    // A15: per-group top-K via ranked window (NUMHITCUTOFF semantics).
+    "q09_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy("o_custkey", "rnk")
+    }),
+
+    // A4 analog: running-sum window (block segmentation's cumulative length).
+    // RANGE frame, not ROWS: (l_orderkey, l_linenumber) has ties in the
+    // harness data, and a ROWS frame over ties is order-nondeterministic.
+    "q10_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .withColumn("run_qty", round(sum("l_quantity").over(w), 2))
+        .select("l_orderkey", "l_linenumber", "run_qty")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // 2.B sort_values analog: exact distinct counts (global agg).
+    "q12_count_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .agg(countDistinct(col("l_partkey")).as("pk_cnt"),
+          countDistinct(col("l_suppkey")).as("sk_cnt"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // 2.C histogram: bucketed counts (np.histogram analog).
+    "q13_histogram" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 20000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")
+    }),
+
+    // 2.B add() = UNION ALL, then agg over the union.
+    "q14_union_all" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val hi = l.where(col("l_quantity") >= 45).select(lit("hi").as("band"), col("l_extendedprice"))
+      val lo = l.where(col("l_quantity") <= 5).select(lit("lo").as("band"), col("l_extendedprice"))
+      hi.unionAll(lo).groupBy("band")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("band")
+    }),
+
+    // Set intersection (distinct semantics).
+    "q15_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.where(col("o_orderstatus") === "F").select("o_custkey")
+        .intersect(o.where(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    // Set difference (distinct semantics).
+    "q16_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.where(col("o_orderstatus") === "F").select("o_custkey")
+        .except(o.where(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    // Global order-by + limit: TakeOrderedAndProject, no full sort at scale.
+    "q17_top_global" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // A5: cross join (the reference's work-item generation).
+    "q18_cross_join" -> ((s, dir) => {
+      t(s, dir, "region").select("r_name")
+        .crossJoin(t(s, dir, "nation").select("n_name"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // 2.C min/max aggregate with predicate.
+    "q19_minmax" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .agg(min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+          min("l_extendedprice").as("min_price"), max("l_extendedprice").as("max_price"))
+    }),
+
+    // 2.C ident-plot shape: filter + group + count + order by count desc.
+    "q20_group_count_order" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_discount") >= 0.02 && col("l_tax") >= 0.02)
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l_suppkey"))
+    }),
+
+    // Rollup (multi-level aggregate; Spark-free extension over the reference).
+    "q21_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    // A9: derived-column projection (hit-record arithmetic analog).
+    // floor(x*100)/100 instead of round(x,2): Spark's round() on doubles
+    // goes through the shortest decimal string (BigDecimal.valueOf) while
+    // DuckDB rounds the raw binary double — they disagree when a product of
+    // three 2dp factors lands on the .xx5 grid. floor is pure double math,
+    // bit-identical in both engines.
+    "q22_derived_cols" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")) * 100) / 100).as("net"),
+          when(col("l_quantity") >= 25, "H").otherwise("L").as("qty_class"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Scalar subquery in predicate (deterministic: max-based threshold).
+    "q23_scalar_subquery" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val thr = o.agg((max("o_totalprice") / 2).as("thr"))
+      o.crossJoin(broadcast(thr))
+        .where(col("o_totalprice") > col("thr"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity),2) AS sum_qty,
+        |ROUND(SUM(l_extendedprice),2) AS sum_base_price,
+        |ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        |ROUND(AVG(l_quantity),4) AS avg_qty, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_discount > 0.05 AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_join_broadcast" ->
+      """SELECT c_mktsegment, COUNT(*) AS cnt, ROUND(SUM(o_totalprice),2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q04_join_large" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt, ROUND(SUM(l_extendedprice),2) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q05_join_multi" ->
+      """SELECT r_name, COUNT(*) AS cnt, ROUND(SUM(o_totalprice),2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q06_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_outer_join" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS order_cnt
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q09_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "q10_running_sum" ->
+      """SELECT l_orderkey, l_linenumber,
+        |ROUND(SUM(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS run_qty
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q12_count_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS pk_cnt, COUNT(DISTINCT l_suppkey) AS sk_cnt,
+        |COUNT(*) AS cnt FROM lineitem""".stripMargin,
+    "q13_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice/20000) AS BIGINT) AS bucket, COUNT(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q14_union_all" ->
+      """SELECT band, COUNT(*) AS cnt, ROUND(SUM(l_extendedprice),2) AS sum_price FROM (
+        |  SELECT 'hi' AS band, l_extendedprice FROM lineitem WHERE l_quantity >= 45
+        |  UNION ALL
+        |  SELECT 'lo' AS band, l_extendedprice FROM lineitem WHERE l_quantity <= 5)
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "q15_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "q16_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "q17_top_global" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q18_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name""",
+    "q19_minmax" ->
+      """SELECT MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+    "q20_group_count_order" ->
+      """SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem
+        |WHERE l_discount >= 0.02 AND l_tax >= 0.02
+        |GROUP BY l_suppkey ORDER BY cnt DESC, l_suppkey""".stripMargin,
+    "q21_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q22_derived_cols" ->
+      """SELECT l_orderkey, l_linenumber,
+        |FLOOR(l_extendedprice*(1-l_discount)*(1+l_tax)*100)/100 AS net,
+        |CASE WHEN l_quantity >= 25 THEN 'H' ELSE 'L' END AS qty_class
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q23_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT MAX(o_totalprice)/2 FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)
+}

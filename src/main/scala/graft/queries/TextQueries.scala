@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication surface over the `documents` table — the
+  * training-data-pipeline operators (token stats, language-ID heuristic,
+  * quality score, fingerprinting, exact + n-gram-Jaccard dedup, similarity
+  * join). All are pure `org.apache.spark.sql.functions` expressions (no UDFs)
+  * so they stay inside whole-stage codegen; shuffles only at the declared
+  * groupBy/join keys.
+  */
+object TextQueries extends QuerySet {
+
+  /** Upper bound on the query-side subset for the quadratic-ish checks
+    * (n-gram self-join): keeps the oracle tractable at any sf while the
+    * MinHash-LSH path in [[graft.operators.Dedup]] is the true scale path.
+    */
+  private val NgramDocLimit = 500
+
+  val queries: Map[String, Q] = Map(
+    // Token/char statistics per document (tokenization + arithmetic).
+    "q30_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          length(col("text")).as("len_chars"),
+          round(length(regexp_replace(col("text"), " ", "")).cast("double")
+            / size(split(col("text"), " ")), 4).as("avg_tok_len"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic language-ID heuristic: stopword ('the') density.
+    "q31_langid" -> ((s, dir) => {
+      val theCnt = ((length(col("text")) - length(regexp_replace(col("text"), "the", ""))) / 3).cast("long")
+      val nTok = size(split(col("text"), " "))
+      t(s, dir, "documents")
+        .select(col("doc_id"), theCnt.as("the_cnt"), nTok.as("n_tokens"),
+          when(theCnt.cast("double") / nTok > 0.04, "en").otherwise("xx").as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality score: 0.5*lexical-diversity + 0.5*length saturation.
+    "q32_quality_score" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val div = size(array_distinct(toks)).cast("double") / size(toks)
+      val lenScore = least(lit(1.0), size(toks).cast("double") / 50)
+      t(s, dir, "documents")
+        .select(col("doc_id"), round(div, 4).as("diversity"),
+          round(lenScore, 4).as("len_score"),
+          round(div * 0.5 + lenScore * 0.5, 4).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Content fingerprint (normalized md5 prefix) + duplicate cluster sizes.
+    "q33_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(substring(md5(lower(col("text"))), 1, 16).as("fp"))
+        .agg(count(lit(1)).as("cnt"), min("doc_id").as("keep_id"))
+        .orderBy("fp")
+    }),
+
+    // Exact dedup: keep min doc_id per identical content hash.
+    "q34_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+        .select("keep_id", "dup_cnt")
+        .orderBy("keep_id")
+    }),
+
+    // n-gram (3-shingle) Jaccard near-dup pairs over a bounded subset.
+    // The unbounded-scale variant is MinHash-LSH (graft.operators.Dedup).
+    "q35_dedup_ngram" -> ((s, dir) => {
+      val d = t(s, dir, "documents").where(col("doc_id") < NgramDocLimit)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val sh = d.where(size(col("t")) >= 3)
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(1, size(t)-2), i -> concat_ws(' ', slice(t, i, 3)))")).as("sh"))
+        .distinct()
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a")
+        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      val j = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
+      inter
+        .join(cnt.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+        .join(cnt.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+        .where(j >= 0.5)
+        .select(col("a_id"), col("b_id"), round(j, 4).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Word frequency: explode + group + global top-k.
+    "q36_word_freq" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(20)
+    }),
+
+    // Multimodal plumbing: opaque binary payload column + typed metadata.
+    // (Real pipelines carry image/audio bytes here; the byte-level schema,
+    //  length accounting and content hashing are what the engine owns.)
+    "q37_multimodal_meta" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"), col("source"))
+        .select(col("doc_id"), octet_length(col("blob")).as("n_bytes"),
+          md5(col("blob")).as("content_hash"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // The mr-mpi-blast spine as one query: query-block x corpus similarity
+    // join (A5 cross/equi join + A7 kernel) -> score -> per-query top-K
+    // (A15) -> ordered sink. Score = |distinct shared tokens|.
+    "q38_simjoin_topk" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val q = d.where(col("doc_id") < 100).select(col("doc_id").as("q_id"), col("tok"))
+      val c = d.where(col("doc_id") >= 100).select(col("doc_id").as("s_id"), col("tok"))
+      val scored = q.join(c, "tok")
+        .groupBy("q_id", "s_id")
+        .agg(count(lit(1)).as("score"))
+      val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("s_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select("q_id", "s_id", "score", "rnk")
+        .orderBy("q_id", "rnk")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_text_stats" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS len_chars,
+        |ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q31_langid" ->
+      """SELECT doc_id,
+        |CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) AS the_cnt,
+        |len(string_split(text, ' ')) AS n_tokens,
+        |CASE WHEN CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) * 1.0
+        |          / len(string_split(text, ' ')) > 0.04 THEN 'en' ELSE 'xx' END AS pred_lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q32_quality_score" ->
+      """SELECT doc_id,
+        |ROUND(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')), 4) AS diversity,
+        |ROUND(LEAST(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 50), 4) AS len_score,
+        |ROUND(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) * 0.5
+        |      + LEAST(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 50) * 0.5, 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q33_fingerprint" ->
+      """SELECT substring(md5(lower(text)), 1, 16) AS fp, COUNT(*) AS cnt, MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q34_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "q35_dedup_ngram" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < $NgramDocLimit),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh FROM (
+        |    SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM d WHERE len(t) >= 3))),
+        |c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id, ROUND(inter*1.0/(ca.n + cb.n - inter), 4) AS jaccard
+        |FROM inter JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
+        |WHERE inter*1.0/(ca.n + cb.n - inter) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q36_word_freq" ->
+      """SELECT tok, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
+    "q37_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash, source
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q38_simjoin_topk" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |q AS (SELECT doc_id AS q_id, tok FROM toks WHERE doc_id < 100),
+        |c AS (SELECT doc_id AS s_id, tok FROM toks WHERE doc_id >= 100),
+        |scored AS (SELECT q_id, s_id, COUNT(*) AS score FROM q JOIN c USING (tok) GROUP BY q_id, s_id),
+        |r AS (SELECT q_id, s_id, score,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, s_id) AS rnk FROM scored)
+        |SELECT q_id, s_id, score, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)
+}

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column).
+  * Brute-force cosine top-k is the oracle-checked baseline; the LSH-bucketed
+  * ANN variant (scale path: candidate generation prunes the cross join) is
+  * checked rows-only against the driver plus recall-tested in ScalaTest.
+  * All vector math is `zip_with`/`aggregate` higher-order functions — native
+  * Catalyst expressions, no UDFs.
+  */
+object VectorQueries extends QuerySet {
+
+  private val kNeighbors = 5
+  private val nProbes = 10
+
+  /** dot(a,b) on double-cast arrays; sequential fold keeps it deterministic. */
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def norm(a: String) =
+    sqrt(expr(s"aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+
+  val queries: Map[String, Q] = Map(
+    // Brute-force cosine kNN: broadcast the probe set against the corpus.
+    // At cluster scale this is one narrow map over the corpus + per-probe
+    // top-k (no shuffle of the corpus itself).
+    "q40_knn_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", norm("embedding"))
+      val probes = e.where(col("vec_id") < nProbes)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
+      val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+      val scored = broadcast(probes).crossJoin(cand)
+        .where(col("neighbor_id") =!= col("probe_id"))
+        .withColumn("cosim", round(dot("p_emb", "n_emb") / (col("p_nrm") * col("n_nrm")), 4))
+      val w = Window.partitionBy("probe_id").orderBy(col("cosim").desc, col("neighbor_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= kNeighbors)
+        .select("probe_id", "neighbor_id", "cosim", "rnk")
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Vector norms + global corpus stats (sanity surface for the ANN path).
+    "q41_vector_stats" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), round(norm("embedding"), 4).as("nrm"),
+          size(col("embedding")).as("dim"))
+        .orderBy("vec_id")
+    }),
+
+    // Per-label centroid-free aggregate: mean norm + count by label.
+    "q42_label_agg" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("label"), norm("embedding").as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("cnt"), round(avg("nrm"), 4).as("avg_nrm"))
+        .orderBy("label")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q40_knn_brute" ->
+      s"""WITH ex AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+        |            CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM ex GROUP BY vec_id),
+        |p AS (SELECT * FROM ex WHERE vec_id < $nProbes),
+        |dotp AS (SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, SUM(p.x*e.x) AS dp
+        |        FROM p JOIN ex e ON p.i = e.i AND e.vec_id <> p.vec_id GROUP BY 1, 2),
+        |cos AS (SELECT probe_id, neighbor_id, ROUND(dp/(np.nrm*ne.nrm), 4) AS cosim
+        |        FROM dotp JOIN n np ON np.vec_id = probe_id JOIN n ne ON ne.vec_id = neighbor_id),
+        |r AS (SELECT probe_id, neighbor_id, cosim,
+        |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosim DESC, neighbor_id) AS rnk FROM cos)
+        |SELECT probe_id, neighbor_id, cosim, rnk FROM r WHERE rnk <= $kNeighbors
+        |ORDER BY probe_id, rnk""".stripMargin,
+    "q41_vector_stats" ->
+      """SELECT vec_id, label,
+        |ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 4) AS nrm,
+        |len(embedding) AS dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q42_label_agg" ->
+      """SELECT label, COUNT(*) AS cnt,
+        |ROUND(AVG(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 4) AS avg_nrm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)
+}

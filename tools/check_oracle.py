@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Dev-side replica of the driver's t2 gate: run Verify's oracle_sql.json in
+DuckDB over the same parquet tables and diff against the Spark parquet dumps.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys, glob
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, bytes):
+        return v.hex()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()[:26]
+    if isinstance(v, int):
+        return float(v) if abs(v) < 2**52 else v
+    return v
+
+
+def rows_of(cur):
+    cols = [d[0] for d in cur.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    data = cur.fetchall()
+    return [cols[i] for i in order], [tuple(canon(r[i]) for i in order) for r in data]
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"MISSING-SPARK {name}")
+            n_bad += 1
+            continue
+        try:
+            ocols, orows = rows_of(con.execute(sql))
+        except Exception as e:
+            print(f"ORACLE-ERROR {name}: {e}")
+            n_bad += 1
+            continue
+        scols, srows = rows_of(con.execute(
+            f"SELECT * FROM read_parquet({files!r})"))
+        if ocols != scols:
+            print(f"SCHEMA-MISMATCH {name}: oracle={ocols} spark={scols}")
+            n_bad += 1
+            continue
+        if len(orows) != len(srows):
+            print(f"ROWCOUNT {name}: oracle={len(orows)} spark={len(srows)}")
+            n_bad += 1
+            continue
+        # compare as multisets (driver sorts before hashing) and in-order
+        bad = [i for i, (a, b) in enumerate(zip(orows, srows)) if a != b]
+        if bad:
+            if sorted(map(repr, orows)) == sorted(map(repr, srows)):
+                print(f"ORDER-ONLY {name}: {len(bad)} rows out of order")
+            else:
+                i = bad[0]
+                print(f"VALUE-MISMATCH {name}: {len(bad)}/{len(orows)} rows; first @{i}:\n  oracle={orows[i]}\n  spark ={srows[i]}")
+            n_bad += 1
+            continue
+        n_ok += 1
+        print(f"OK {name} ({len(orows)} rows)")
+    print(f"\n{n_ok} ok, {n_bad} bad")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
