@@ -1,0 +1,56 @@
+package graft.blast
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.model.SavedHit
+import graft.sources.BinHits
+
+/** Output sinks for the hit table (reference A16/A19/A20): parquet is the
+  * canonical columnar sink; CSV replicates the converter's `%.3g` float
+  * formatting (`load_csv.py:144-147`); the fixed-width binary writer lives
+  * in [[BinHits]] for byte parity with legacy consumers.
+  */
+object HitSinks {
+
+  /** C/Python-style "%.3g": 3 significant digits, trailing zeros trimmed —
+    * Java's %g keeps trailing zeros, so post-process. Used only at the sink
+    * (formatting, not compute).
+    */
+  def formatG3(x: Double): String = {
+    val s = "%.3g".format(x)
+    if (s.contains('e')) {
+      val Array(m, e) = s.split('e')
+      val m2 = if (m.contains('.')) m.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else m
+      s"${m2}e$e"
+    } else if (s.contains('.')) {
+      val t = s.reverse.dropWhile(_ == '0').reverse
+      if (t.endsWith(".")) t.dropRight(1) else t
+    } else s
+  }
+
+  private val g3 = udf(formatG3 _)
+
+  /** Tabular CSV of hits, floats as %.3g, integer columns verbatim
+    * (reference column order, `load_csv.py:134-151`).
+    */
+  def csvLines(hits: Dataset[SavedHit], keepQid: Boolean, delim: String = "\t"): DataFrame = {
+    val df = hits.toDF()
+    val cols = Seq(
+      col("subjectId"), g3(col("identity")), col("alignLen"), col("nMismatches"),
+      col("nGaps"), col("qStart"), col("qEnd"), col("sStart"), col("sEnd"),
+      g3(col("eValue")), g3(col("bitScore")))
+    val all = if (keepQid) col("queryId").cast("string") +: cols else cols
+    df.select(concat_ws(delim, all: _*).as("line"))
+  }
+
+  def writeCsv(hits: Dataset[SavedHit], path: String, keepQid: Boolean = true): Unit =
+    csvLines(hits, keepQid).write.mode("overwrite").text(path)
+
+  def writeParquet(hits: DataFrame, path: String): Unit =
+    hits.write.mode("overwrite").parquet(path)
+
+  def writeBin(hits: Dataset[SavedHit], dir: String, prefix: String,
+               iteration: Int, classifier: Boolean): Unit =
+    BinHits.write(hits, dir, prefix, iteration, classifier)
+}

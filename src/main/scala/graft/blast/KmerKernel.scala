@@ -1,0 +1,68 @@
+package graft.blast
+
+/** Deterministic test kernel (SURVEY.md §7 phase 1): scores query/subject
+  * pairs by shared k-mer count on both strands, so the whole pipeline runs
+  * with zero external dependencies while exercising every semantic the real
+  * BLAST kernel feeds the engine: multiple hits per query, strand flips
+  * (negative sFrame -> coordinate swap in A9), e-value/bit-score ordering,
+  * and per-partition index build (the A8 "DB handle": the k-mer inverted
+  * index is built once per corpus partition, then queries stream against
+  * it).
+  *
+  * Scoring (all deterministic):
+  *   shared   = |{k-mers of query} ∩ {k-mers of subject}| (strand-best)
+  *   bitScore = 2 * shared
+  *   eValue   = qLen * sLen * 2^-bitScore (underflows to 0 for strong hits,
+  *              like BLAST; ordering then falls to bitScore desc)
+  */
+class KmerKernel(k: Int = 8, minShared: Int = 1) extends SimilarityKernel {
+
+  private def kmers(s: String): Set[String] =
+    if (s.length < k) Set.empty
+    else (0 to s.length - k).view.map(i => s.substring(i, i + k)).toSet
+
+  private def revComp(s: String): String =
+    s.reverseIterator.map {
+      case 'A' => 'T'; case 'T' => 'A'; case 'C' => 'G'; case 'G' => 'C'
+      case 'a' => 't'; case 't' => 'a'; case 'c' => 'g'; case 'g' => 'c'
+      case c => c
+    }.mkString
+
+  override def search(queries: Iterator[Query], subjects: Seq[Subject]): Iterator[RawHit] = {
+    // "DB open" once per partition: inverted k-mer index over subjects.
+    val index = new scala.collection.mutable.HashMap[String, List[Int]]()
+    subjects.zipWithIndex.foreach { case (s, i) =>
+      kmers(s.seq.toUpperCase).foreach(km => index(km) = i :: index.getOrElse(km, Nil))
+    }
+    queries.flatMap { q =>
+      val qU = q.seq.toUpperCase
+      val fwd = kmers(qU)
+      val rev = kmers(revComp(qU))
+      def sharedCounts(qk: Set[String]): Map[Int, Int] =
+        qk.iterator.flatMap(km => index.getOrElse(km, Nil)).toSeq
+          .groupBy(identity).map { case (i, xs) => (i, xs.size) }
+      val f = sharedCounts(fwd)
+      val r = sharedCounts(rev)
+      (f.keySet ++ r.keySet).iterator.flatMap { i =>
+        val (shared, sFrame) =
+          if (r.getOrElse(i, 0) > f.getOrElse(i, 0)) (r(i), -1) else (f.getOrElse(i, 0), 1)
+        if (shared < minShared) Iterator.empty
+        else {
+          val s = subjects(i)
+          val alignLen = math.min(qU.length, s.seq.length)
+          val identityCount = math.min(shared + k - 1, alignLen)
+          val bitScore = 2.0 * shared
+          val eValue = qU.length.toDouble * s.seq.length * math.exp(-bitScore * math.log(2))
+          Iterator.single(RawHit(
+            queryId = q.uid, subjectId = s.subjectId,
+            identityCount = identityCount, alignLen = alignLen,
+            alignLenNoGaps = alignLen,
+            qStart0 = 0, qEnd0 = math.max(qU.length - 1, 0),
+            sStart0 = 0, sEnd0 = math.max(s.seq.length - 1, 0),
+            qFrame = 1, sFrame = sFrame,
+            eValue = eValue, bitScore = bitScore, queryLength = qU.length))
+        }
+      }
+    }
+  }
+}

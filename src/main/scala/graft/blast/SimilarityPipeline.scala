@@ -1,0 +1,129 @@
+package graft.blast
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.SavedHit
+import graft.operators.TopK
+
+/** One query sequence (uid from the Fasta index, reference D1+D2). */
+case class Query(uid: Long, defline: String, seq: String)
+
+/** One corpus ("database") sequence in partition `dbNo` (reference D4). */
+case class Subject(dbNo: Int, subjectId: String, seq: String)
+
+/** A kernel's raw emission, pre-derivation (reference's view of one
+  * CSeq_align, `mrblast.cpp:1005-1041`): counts and 0-based coordinates,
+  * frames signed (+/-) for strand.
+  */
+case class RawHit(
+    queryId: Long,
+    subjectId: String,
+    identityCount: Int,
+    alignLen: Int,        // with gaps
+    alignLenNoGaps: Int,
+    qStart0: Int, qEnd0: Int, // 0-based
+    sStart0: Int, sEnd0: Int,
+    qFrame: Int, sFrame: Int,
+    eValue: Double,
+    bitScore: Double,
+    queryLength: Int)
+
+/** The pluggable compute kernel (reference A7: `lcl_blast.Run()` behind a
+  * flatMap). One invocation gets a stream of queries and ONE materialized
+  * corpus partition — the per-partition "DB handle" (reference A8/O9): the
+  * kernel builds whatever index it needs for the partition once, then
+  * streams queries against it.
+  */
+trait SimilarityKernel extends Serializable {
+  def search(queries: Iterator[Query], subjects: Seq[Subject]): Iterator[RawHit]
+}
+
+/** The whole reference application plan (SURVEY.md §3.1) as one composable
+  * Spark pipeline:
+  *
+  *   queries x db_partitions (A5)  ->  kernel flatMap (A7, cogrouped so each
+  *   task holds one DB partition: A8/O2 cache affinity by construction)  ->
+  *   derived-column projection (A9)  ->  per-query top-K (A15)  ->
+  *   broadcast defline join (A18)  ->  sinks (A16/A19 via HitSinks).
+  *
+  * Scale notes: the cogroup shuffles the corpus once by dbNo and replicates
+  * only the (small) query block stream per partition — the same data
+  * movement as the reference's scatter of query blocks to workers holding
+  * DB partitions. Skew across queryIds in the top-K shuffle is AQE's job
+  * (reference O3's hand-rolled balancing).
+  */
+object SimilarityPipeline {
+
+  /** Run the kernel over every (query, dbPartition) pair. */
+  def runKernel(queries: Dataset[Query], corpus: Dataset[Subject],
+                kernel: SimilarityKernel): Dataset[RawHit] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val dbNos = corpus.select("dbNo").distinct().as[Int].collect().sorted
+    val qRep = queries.flatMap(q => dbNos.iterator.map(db => (db, q)))
+    qRep.groupByKey(_._1)
+      .cogroup(corpus.groupByKey(_.dbNo)) { (_, qs, ss) =>
+        kernel.search(qs.map(_._2), ss.toSeq)
+      }
+  }
+
+  /** A9 derived columns, exactly the reference arithmetic
+    * (`mrblast.cpp:1005-1090`): identity over gapped length, gap/mismatch
+    * counts, 1-based coordinates, subject start/end swapped when strands
+    * differ, classifier percentages over query length.
+    */
+  def derive(raw: Dataset[RawHit]): DataFrame = {
+    val strandsDiffer = (col("qFrame") < 0) =!= (col("sFrame") < 0)
+    raw.toDF()
+      .withColumn("identity",
+        when(col("alignLen") === 0, 0.0)
+          .otherwise(col("identityCount").cast("double") / col("alignLen") * 100))
+      .withColumn("nGaps", col("alignLen") - col("alignLenNoGaps"))
+      .withColumn("nMismatches", col("alignLen") - col("identityCount") - col("nGaps"))
+      .withColumn("qStart", col("qStart0") + 1)
+      .withColumn("qEnd", col("qEnd0") + 1)
+      .withColumn("sStart", when(strandsDiffer, col("sEnd0") + 1).otherwise(col("sStart0") + 1))
+      .withColumn("sEnd", when(strandsDiffer, col("sStart0") + 1).otherwise(col("sEnd0") + 1))
+      .withColumn("percIdent", col("identityCount").cast("double") / col("queryLength") * 100)
+      .withColumn("percCover", (col("qEnd0") - col("qStart0")).cast("double") / col("queryLength") * 100)
+      .select("queryId", "subjectId", "identity", "alignLen", "nMismatches", "nGaps",
+        "qStart", "qEnd", "sStart", "sEnd", "eValue", "bitScore", "percIdent", "percCover")
+  }
+
+  /** A15: within each queryId keep the best `numHitCutoff` hits by
+    * (eValue asc, bitScore desc, identity desc) — the reference comparator
+    * (`mrblast.cpp:1321-1334`) — with subjectId as a deterministic tiebreak
+    * (the reference's std::sort leaves tail ties unstable; we pin them).
+    * numHitCutoff <= 0 keeps everything (NUMHITCUTOFF=0 semantics).
+    */
+  def topK(hits: DataFrame, numHitCutoff: Int): DataFrame =
+    TopK(hits, Seq("queryId"),
+      Seq(col("eValue").asc, col("bitScore").desc, col("identity").desc, col("subjectId").asc),
+      numHitCutoff).drop("rnk")
+
+  /** A18: attach deflines via broadcast dimension join; inner, erroring-free
+    * analog of load_csv's ordered merge (missing uids simply drop, matching
+    * the SQL-converter behavior).
+    */
+  def joinDeflines(hits: DataFrame, deflines: DataFrame): DataFrame =
+    hits.join(broadcast(deflines.select(col("uid").as("queryId"), col("defline"))), "queryId")
+
+  /** Full spine. `deflines` optional; classifier columns always computed. */
+  def run(queries: Dataset[Query], corpus: Dataset[Subject], kernel: SimilarityKernel,
+          numHitCutoff: Int, deflines: Option[DataFrame] = None): DataFrame = {
+    val hits = topK(derive(runKernel(queries, corpus, kernel)), numHitCutoff)
+    deflines.fold(hits)(d => joinDeflines(hits, d))
+  }
+
+  /** Typed view of the final hit table. */
+  def asSavedHits(hits: DataFrame): Dataset[SavedHit] = {
+    val spark = hits.sparkSession
+    import spark.implicits._
+    hits.select(col("queryId"), col("subjectId"), col("identity"), col("alignLen"),
+      col("nMismatches"), col("nGaps"), col("qStart"), col("qEnd"), col("sStart"),
+      col("sEnd"), col("eValue"), col("bitScore"),
+      col("percIdent").cast("double"), col("percCover").cast("double"))
+      .as[SavedHit]
+  }
+}

@@ -1,0 +1,49 @@
+package graft.examples
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.blast._
+import graft.sources.{BinHits, Fasta}
+
+/** End-to-end example: the reference's whole workflow on its own test data.
+  *
+  *   seqindexer (A23) -> splitter (A22) -> block/work-item plan (A4/A5) ->
+  *   kernel search (A7) -> derive (A9) -> top-K (A15) -> defline join (A18)
+  *   -> parquet + %.3g CSV + fixed-width .bin sinks (A16/A19).
+  *
+  * Run: sbt "runMain graft.examples.BlastLikeRun [outDir]"
+  */
+object BlastLikeRun {
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0) else "/tmp/blastlike"
+    val fasta = "/root/reference/examples/test/generic-test/query/30_real_seqs.fa"
+    val spark = GraftSession.local()
+    import spark.implicits._
+
+    val records = Fasta.read(spark, fasta).cache()
+    val index = Fasta.index(records, startUid = 1, fullDefline = false).cache()
+
+    // split long sequences into 1000bp windows with 500bp overlap (A22)
+    val windows = Fasta.split(records, queryLen = 1000, overlap = 500)
+    println(s"records=${records.count()} windows=${windows.count()}")
+
+    val queries = records.map(r => Query(r.ord + 1, r.defline, r.sequence))
+    val corpus = records.map(r =>
+      Subject((r.ord % 3).toInt, r.defline.trim.split("\\s+")(0).drop(1), r.sequence))
+
+    val hits = SimilarityPipeline.run(queries, corpus, new KmerKernel(k = 12),
+      numHitCutoff = 10, deflines = Some(index))
+    val typed = SimilarityPipeline.asSavedHits(hits.drop("defline"))
+
+    HitSinks.writeParquet(hits, s"$out/hits_parquet")
+    HitSinks.writeCsv(typed, s"$out/hits_csv")
+    HitSinks.writeBin(typed, s"$out/hits_bin", "run", 0, classifier = true)
+
+    val back = BinHits.read(spark, s"$out/hits_bin", classifier = true)
+    println(s"hits=${typed.count()} binRoundtrip=${back.count()}")
+    println("sample hits (eValue-ordered):")
+    hits.orderBy(col("queryId"), col("eValue")).show(8, 60)
+    spark.stop()
+  }
+}

@@ -1,0 +1,37 @@
+package graft.model
+
+/** The canonical hit record (SURVEY.md §1.3; reference structs
+  * `mrblast.hpp:281-313`). One superset schema: `percIdent`/`percCover` are
+  * the classifier-mode extras (`mrblast.hpp:298-313`), `None` in generic
+  * mode — they are pure projections, so carrying them costs nothing.
+  *
+  * Unsigned-32 reference fields are Scala Ints (values are sequence
+  * coordinates, far below 2^31); `queryId` is u64 -> Long.
+  */
+case class SavedHit(
+    queryId: Long,
+    subjectId: String,
+    identity: Double,
+    alignLen: Int,
+    nMismatches: Int,
+    nGaps: Int,
+    qStart: Int,
+    qEnd: Int,
+    sStart: Int,
+    sEnd: Int,
+    eValue: Double,
+    bitScore: Double,
+    percIdent: Option[Double],
+    percCover: Option[Double])
+
+/** One FASTA record plus its byte-level index info (reference D1 + D2,
+  * `mrblast.hpp:173-177`): `offset` = byte position of the '>' in the source
+  * file, `bpLen` = base-pair length excluding newlines.
+  */
+case class FastaRecord(
+    file: String,
+    ord: Long,
+    defline: String,
+    sequence: String,
+    offset: Long,
+    bpLen: Int)

@@ -1,0 +1,106 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.model.SavedHit
+
+/** Byte-exact codec for the reference's fixed-width binary hit files
+  * (`PREFIX-hits-<iter>-<rank>.txt.bin`).
+  *
+  * Layout (FIXTURES.md A6; C struct `mrblast.hpp:281-313`, Python fmt
+  * `'L40sdIIIIIIIdd'(+dd)`, `tools/converter/load_csv.py:107-109`), all
+  * little-endian, native x86 alignment:
+  *
+  *   off 0:  u64 queryId
+  *   off 8:  char[40] subjectId, NUL-padded, truncated at 40 (the reference
+  *           quirk — replicated ONLY here, never in the logical model)
+  *   off 48: f64 identity
+  *   off 56: 7 x u32 alignLen..sEnd
+  *   off 84: 4 pad bytes (zero)
+  *   off 88: f64 eValue, f64 bitScore
+  *   off 104 (classifier only): f64 percIdent, f64 percCover
+  *
+  * Record size 104 generic / 120 classifier.
+  */
+object BinHits {
+  val GenericSize = 104
+  val ClassifierSize = 120
+
+  def recordSize(classifier: Boolean): Int = if (classifier) ClassifierSize else GenericSize
+
+  def decodeRecord(buf: ByteBuffer, classifier: Boolean): SavedHit = {
+    val queryId = buf.getLong
+    val sidBytes = new Array[Byte](40)
+    buf.get(sidBytes)
+    val nul = sidBytes.indexOf(0: Byte)
+    val sid = new String(sidBytes, 0, if (nul < 0) 40 else nul, "ISO-8859-1")
+    val identity = buf.getDouble
+    val u = Array.fill(7)(buf.getInt)
+    buf.getInt // struct padding
+    val eValue = buf.getDouble
+    val bitScore = buf.getDouble
+    val (pi, pc) =
+      if (classifier) (Some(buf.getDouble), Some(buf.getDouble)) else (None, None)
+    SavedHit(queryId, sid, identity, u(0), u(1), u(2), u(3), u(4), u(5), u(6),
+      eValue, bitScore, pi, pc)
+  }
+
+  def decode(bytes: Array[Byte], classifier: Boolean): Iterator[SavedHit] = {
+    val sz = recordSize(classifier)
+    require(bytes.length % sz == 0,
+      s"corrupt bin file: ${bytes.length} bytes is not a multiple of $sz")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    Iterator.fill(bytes.length / sz)(decodeRecord(buf, classifier))
+  }
+
+  def encodeRecord(h: SavedHit, classifier: Boolean): Array[Byte] = {
+    val buf = ByteBuffer.allocate(recordSize(classifier)).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putLong(h.queryId)
+    val sidBytes = h.subjectId.getBytes("ISO-8859-1")
+    val sid40 = java.util.Arrays.copyOf(sidBytes, 40) // truncate + NUL-pad
+    buf.put(sid40)
+    buf.putDouble(h.identity)
+    Seq(h.alignLen, h.nMismatches, h.nGaps, h.qStart, h.qEnd, h.sStart, h.sEnd)
+      .foreach(buf.putInt)
+    buf.putInt(0) // struct padding
+    buf.putDouble(h.eValue)
+    buf.putDouble(h.bitScore)
+    if (classifier) {
+      buf.putDouble(h.percIdent.getOrElse(0.0))
+      buf.putDouble(h.percCover.getOrElse(0.0))
+    }
+    buf.array()
+  }
+
+  /** Distributed read of a directory of .bin part files (reference A17).
+    * One task per file; files are whole-record aligned so no split logic is
+    * needed (they are sized by MEMSIZE pages, i.e. modest per-file).
+    */
+  def read(spark: SparkSession, dir: String, classifier: Boolean): Dataset[SavedHit] = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(s"$dir/*.bin")
+      .flatMap { case (_, pds) => decode(pds.toArray(), classifier) }
+      .toDS()
+  }
+
+  /** Byte-parity writer (reference A16): one part file per partition named
+    * `PREFIX-hits-<iter>-<rank%07d>.txt.bin`, records appended in partition
+    * order. Local-FS for the harness; a cluster deployment would swap the
+    * FileOutputStream for the Hadoop FileSystem API.
+    */
+  def write(ds: Dataset[SavedHit], outDir: String, prefix: String,
+            iteration: Int, classifier: Boolean): Unit = {
+    new java.io.File(outDir).mkdirs()
+    ds.rdd.mapPartitionsWithIndex { (rank, it) =>
+      val f = new java.io.File(outDir, f"$prefix-hits-$iteration-$rank%07d.txt.bin")
+      val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+      var n = 0L
+      try it.foreach { h => out.write(encodeRecord(h, classifier)); n += 1 }
+      finally out.close()
+      Iterator.single(n)
+    }.sum()
+    ()
+  }
+}

@@ -1,0 +1,129 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.FastaRecord
+
+/** FASTA ingestion, indexing and splitting (reference D1/A1/A22/A23).
+  *
+  * Read strategy mirrors the reference's: one sequential scan per FILE
+  * (the reference mmaps the whole query file, `mrblast.cpp:93-99`), with
+  * parallelism across files. Byte offsets are exact (position of each '>'),
+  * so downstream block reads can slice by (offset, length) ranges exactly
+  * like the reference's work items — this sidesteps the multi-line-record
+  * file-split problem (SURVEY.md §7 risk 1) the same way the reference does:
+  * index first, then read by range.
+  */
+object Fasta {
+
+  /** Parse one FASTA file's bytes into records with exact byte offsets.
+    * Offsets/lengths count bytes exactly as `seqindexer.py:171-185` does:
+    * offset = byte position of '>', bpLen = sequence chars excluding
+    * newlines.
+    */
+  def parseFile(file: String, bytes: Array[Byte]): Iterator[FastaRecord] = {
+    val text = new String(bytes, "ISO-8859-1")
+    new Iterator[FastaRecord] {
+      private var pos = text.indexOf('>')
+      private var ord = 0L
+      def hasNext: Boolean = pos >= 0
+      def next(): FastaRecord = {
+        val start = pos
+        val nextRec = text.indexOf("\n>", start) match {
+          case -1 => text.length
+          case i  => i + 1 // record ends after the newline
+        }
+        val defEnd = text.indexOf('\n', start) match {
+          case -1 => text.length
+          case i  => i
+        }
+        val defline = text.substring(start, defEnd)
+        val seq = text.substring(math.min(defEnd + 1, nextRec), nextRec)
+          .filterNot(c => c == '\n' || c == '\r')
+        val rec = FastaRecord(file, ord, defline, seq, start.toLong, seq.length)
+        ord += 1
+        pos = if (nextRec >= text.length) -1 else nextRec
+        rec
+      }
+    }
+  }
+
+  /** Distributed FASTA read: one task per file, sequential within. */
+  def read(spark: SparkSession, path: String): Dataset[FastaRecord] = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(path)
+      .flatMap { case (file, pds) => parseFile(file, pds.toArray()) }
+      .toDS()
+  }
+
+  /** Sequence index + defline dimension (reference A23, `seqindexer.py`):
+    * (uid, offset, length, defline). uid is serial from `startUid` in file
+    * order; `fullDefline=false` truncates at the first blank (keeping '>'),
+    * matching `seqindexer.py:188-192`.
+    */
+  def index(records: Dataset[FastaRecord], startUid: Long = 1L,
+            fullDefline: Boolean = false): DataFrame = {
+    val w = Window.orderBy("file", "ord")
+    val defline =
+      if (fullDefline) rtrim(col("defline"))
+      else org.apache.spark.sql.functions.split(rtrim(col("defline")), " ").getItem(0)
+    records
+      .withColumn("uid", row_number().over(w).cast("long") + (startUid - 1))
+      .select(col("uid"), col("offset"), col("bpLen").as("length"), defline.as("defline"))
+  }
+
+  /** Sliding-window splitter (reference A22, `splitter.py:144-182`):
+    * chunk each sequence into `queryLen`-bp windows advancing by
+    * `queryLen - overlap`, uppercased, with synthesized child deflines
+    * `>{name}_{cid}_{code}_{start}_{end}_{start}_{end}` where cid is a
+    * global serial and code is 0=first, 1=only, 2=middle, 3=last.
+    * Quirk preserved: a last chunk no longer than `overlap` bp is NOT
+    * uppercased (splitter.py's final-branch else).
+    */
+  def split(records: Dataset[FastaRecord], queryLen: Int, overlap: Int): Dataset[FastaRecord] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    require(queryLen > overlap, "queryLen must exceed overlap")
+    val step = queryLen - overlap
+    val windows = records.flatMap { r =>
+      val namePart = r.defline.trim.split("\\s+")(0).drop(1) // strip '>'
+      val seq = r.sequence.trim
+      val n = seq.length
+      // Reference loop: emit window at `start`, stop after the first window
+      // reaching the end, else advance by queryLen-overlap.
+      val starts = scala.collection.mutable.ArrayBuffer[Int]()
+      var st = 0
+      var done = false
+      while (!done) {
+        starts += st
+        if (st + queryLen >= n) done = true else st += step
+      }
+      starts.toSeq.zipWithIndex.map { case (start, i) =>
+        val end = math.min(start + queryLen, n)
+        val isLast = start + queryLen >= n
+        val code = (start, isLast) match {
+          case (0, false) => 0
+          case (0, true)  => 1
+          case (_, false) => 2
+          case (_, true)  => 3
+        }
+        val chunk0 = seq.substring(start, end)
+        val chunk = if (code == 3 && n - start <= overlap) chunk0 else chunk0.toUpperCase
+        val defline = s">${namePart}_CID_${code}_${start}_${end}_${start}_${end}"
+        (r.file, r.ord, i.toLong, defline, chunk)
+      }
+    }.toDF("file", "parentOrd", "winOrd", "deflineTpl", "sequence")
+    // global serial cid in (file, parent, window) order — reference assigns
+    // it sequentially during its single-process scan.
+    val w = Window.orderBy("file", "parentOrd", "winOrd")
+    windows
+      .withColumn("cid", row_number().over(w).cast("long"))
+      .withColumn("defline", regexp_replace(col("deflineTpl"), lit("_CID_"), concat(lit("_"), col("cid"), lit("_"))))
+      .withColumn("bpLen", length(col("sequence")).cast("int"))
+      .select(col("file"), (col("cid") - 1).as("ord"), col("defline"), col("sequence"),
+        lit(-1L).as("offset"), col("bpLen"))
+      .as[FastaRecord]
+  }
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface of the engine. The reference is strictly
+  * batch (SURVEY.md §2.10 "honest absences"), so this is a capability
+  * extension: the same event queries the batch layer answers
+  * ([[graft.queries.EventQueries]]) expressed incrementally — windowed
+  * aggregation with watermarks and stateful sessionization with
+  * processing-time-free event logic.
+  *
+  * Streams are DataFrames from `readStream` (file/kafka/memory source);
+  * everything here is source-agnostic.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionState(sessionStartSec: Long, lastSec: Long, nEvents: Long, sumValue: Double)
+
+  case class SessionOut(user_id: Long, sessionStartSec: Long, sessionEndSec: Long,
+                        n_events: Long, sum_value: Double)
+
+  /** Tumbling event-time window counts per event_type; late data beyond the
+    * watermark is dropped — the streaming form of q52_hourly_agg.
+    */
+  def hourlyAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Stateful sessionization (q51's incremental twin): a session closes when
+    * `gapSec` of event time passes without activity for the user; closed
+    * sessions are emitted. Uses event-time timeouts so results depend only
+    * on the data, not wall-clock.
+    */
+  def sessionize(events: Dataset[Event], gapSec: Long = 1800L): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val events = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          if (state.hasTimedOut && cur.isDefined) {
+            val s = cur.get
+            closed += SessionOut(userId, s.sessionStartSec, s.lastSec, s.nEvents, s.sumValue)
+            cur = None
+            state.remove()
+          }
+          events.foreach { e =>
+            val sec = e.ts.getTime / 1000
+            cur match {
+              case Some(s) if sec - s.lastSec <= gapSec =>
+                cur = Some(s.copy(lastSec = sec, nEvents = s.nEvents + 1, sumValue = s.sumValue + e.value))
+              case Some(s) =>
+                closed += SessionOut(userId, s.sessionStartSec, s.lastSec, s.nEvents, s.sumValue)
+                cur = Some(SessionState(sec, sec, 1, e.value))
+              case None =>
+                cur = Some(SessionState(sec, sec, 1, e.value))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp((s.lastSec + gapSec) * 1000)
+          }
+          closed.iterator
+      }
+  }
+}

@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (kept alive across suites; the forked
+  * test JVM tears it down at exit).
+  */
+object TestSession {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.tune(
+      SparkSession.builder().master("local[4]").appName("graft-test")).getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSession.spark
+  def sf(path: String = "sf0.001"): String = s"/root/testdata/$path"
+  val refDir = "/root/reference"
+}

@@ -1,0 +1,91 @@
+package graft.blast
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Fasta
+
+/** End-to-end spine on the reference's own 30-sequence query set:
+  * self-search with the deterministic k-mer kernel exercises scan, work-item
+  * cogroup, kernel flatMap, derivation, top-K, defline join and sinks.
+  */
+class PipelineSpec extends SparkSpec {
+  val query30 = s"$refDir/examples/test/generic-test/query/30_real_seqs.fa"
+
+  private lazy val records = Fasta.read(spark, query30).cache()
+
+  private def queriesDs = {
+    import spark.implicits._
+    records.map(r => Query(r.ord + 1, r.defline, r.sequence))
+  }
+
+  private def corpusDs = {
+    import spark.implicits._
+    records.map(r => Subject((r.ord % 3).toInt, r.defline.trim.split("\\s+")(0).drop(1), r.sequence))
+  }
+
+  test("self-search: every query's best hit is itself") {
+    val hits = SimilarityPipeline.run(queriesDs, corpusDs, new KmerKernel(k = 12), numHitCutoff = 5)
+      .cache()
+    assert(hits.select("queryId").distinct().count() == 30)
+    // per-query cutoff respected
+    val maxPerQ = hits.groupBy("queryId").count().agg(max("count")).head().getLong(0)
+    assert(maxPerQ <= 5)
+    // best hit per query = the query's own subject id, at 100% identity
+    import spark.implicits._
+    val best = hits.withColumn("r", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("queryId")
+          .orderBy(col("eValue").asc, col("bitScore").desc)))
+      .where(col("r") === 1)
+    val deflines = records.map(r => (r.ord + 1, r.defline.trim.split("\\s+")(0).drop(1)))
+      .toDF("queryId", "selfId")
+    val joined = best.join(deflines, "queryId")
+    assert(joined.where(col("subjectId") =!= col("selfId")).count() == 0)
+    // identity is distinct-kmer based, so repeats in real sequences pull it
+    // below 100; it must still be decisively high for self-hits.
+    assert(joined.where(col("identity") < 50.0).count() == 0)
+  }
+
+  test("derive: strand mismatch swaps subject coordinates (1-based)") {
+    import spark.implicits._
+    val raw = Seq(
+      RawHit(1, "s", 90, 100, 95, 4, 53, 9, 58, 1, 1, 1e-5, 50.0, 100),
+      RawHit(2, "s", 90, 100, 95, 4, 53, 9, 58, 1, -1, 1e-5, 50.0, 100)).toDS()
+    val d = SimilarityPipeline.derive(raw).collect().sortBy(_.getLong(0))
+    val fwd = d(0); val rev = d(1)
+    assert(fwd.getInt(6) == 5 && fwd.getInt(7) == 54)   // qStart/qEnd +1
+    assert(fwd.getInt(8) == 10 && fwd.getInt(9) == 59)  // sStart/sEnd +1
+    assert(rev.getInt(8) == 59 && rev.getInt(9) == 10)  // swapped
+    assert(fwd.getDouble(2) == 90.0)                    // identity = 90/100*100
+    assert(fwd.getInt(4) == 5 && fwd.getInt(5) == 5)    // nMismatches, nGaps
+    assert(fwd.getDouble(12) == 90.0 && fwd.getDouble(13) == 49.0) // percIdent/Cover
+  }
+
+  test("defline join attaches dimension values") {
+    val idx = Fasta.index(records, startUid = 1, fullDefline = false)
+    val hits = SimilarityPipeline.run(queriesDs, corpusDs, new KmerKernel(k = 12),
+      numHitCutoff = 3, deflines = Some(idx))
+    assert(hits.where(col("defline").isNull).count() == 0)
+    assert(hits.select("defline").distinct().count() == 30)
+  }
+
+  test("csv sink formats floats as C-style %.3g") {
+    import HitSinks.formatG3
+    assert(formatG3(0.0) == "0")
+    assert(formatG3(100.0) == "100")
+    assert(formatG3(84.72) == "84.7")
+    assert(formatG3(3166.0) == "3.17e+03")
+    assert(formatG3(1e-50) == "1e-50")
+    assert(formatG3(0.000123456) == "0.000123")
+    assert(formatG3(1714.0) == "1.71e+03")
+  }
+
+  test("bin sink roundtrips the hit table") {
+    val hits = SimilarityPipeline.run(queriesDs, corpusDs, new KmerKernel(k = 12), numHitCutoff = 2)
+    val typed = SimilarityPipeline.asSavedHits(hits)
+    val dir = java.nio.file.Files.createTempDirectory("pipehits").toString
+    HitSinks.writeBin(typed, dir, "t", 1, classifier = true)
+    val back = graft.sources.BinHits.read(spark, dir, classifier = true)
+    assert(back.count() == typed.count())
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  private def docs() = {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Seq(
+      (0L, base),
+      (1L, base),                                     // exact dup of 0
+      (2L, base + " nu"),                             // near dup of 0 (high jaccard)
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "completely different words entirely here now today folks indeed"),
+      (5L, "one two three four five six seven eight nine eleven") // near dup of 3
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact clusters group identical content") {
+    val c = Dedup.exactClusters(docs(), "text", "doc_id").collect()
+    val dup = c.filter(_.getLong(2) > 1)
+    assert(dup.length == 1 && dup.head.getLong(1) == 0L && dup.head.getLong(2) == 2L)
+  }
+
+  test("minhash-LSH finds planted near-duplicates, skips distinct docs") {
+    val pairs = Dedup.minHashDupPairs(docs(), "text", "doc_id",
+        shingleN = 3, numHashes = 32, bands = 16, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"exact pair missing from $pairs")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)), s"near pair missing from $pairs")
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) }, s"false positive with 4: $pairs")
+  }
+
+  test("jaccard values are exact on verified pairs") {
+    val sh = Dedup.shingles(docs(), "text", "doc_id", 3)
+    val cand = Seq((0L, 1L), (3L, 5L)).map(p => p)
+    import spark.implicits._
+    val out = Dedup.verifyJaccard(cand.toDF("a_id", "b_id"), sh, 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((0L, 1L)) == 1.0)
+    // doc3/doc5: 8 shingles each, 7 shared -> 7/9
+    assert(math.abs(out((3L, 5L)) - math.rint(7.0 / 9.0 * 10000) / 10000) < 1e-9)
+  }
+
+  test("simhash: identical docs collide, near docs within small hamming, distinct far") {
+    val sig = Dedup.simHash(docs(), "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sig(0L) == sig(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(0L), sig(2L)) <= 16)
+    assert(ham(sig(0L), sig(4L)) > 16)
+  }
+
+  test("simhash banded pairs find exact dups") {
+    val pairs = Dedup.simHashDupPairs(docs(), "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+}

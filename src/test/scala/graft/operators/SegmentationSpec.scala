@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SegmentationSpec extends SparkSpec {
+  import Segmentation._
+
+  /** Reference semantics (mrblast.cpp:148-160) as a plain fold. */
+  private def oracle(lens: Seq[Long], blockSize: Long): Seq[Long] = {
+    var acc = 0L; var block = 0L
+    lens.map { len =>
+      val b = block
+      acc += len
+      if (acc >= blockSize) { block += 1; acc = 0 }
+      b
+    }
+  }
+
+  test("greedyBlocks matches the sequential reference fold (randomized)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val lens = Seq.fill(1 + rng.nextInt(300))(1L + rng.nextInt(500))
+      val blockSize = 100L + rng.nextInt(1900)
+      val ds = lens.zipWithIndex.map { case (l, i) => IndexEntry(i.toLong, l) }.toDS()
+      val got = greedyBlocks(spark, ds, blockSize).collect().sortBy(_.uid).map(_.blockId).toSeq
+      assert(got == oracle(lens, blockSize), s"blockSize=$blockSize lens=${lens.take(20)}...")
+    }
+  }
+
+  test("greedy blocks reach blockSize except possibly the last") {
+    import spark.implicits._
+    val lens = (1 to 100).map(i => IndexEntry(i.toLong, (i % 7 + 1) * 10L))
+    val blocks = greedyBlocks(spark, lens.toDS(), 100L).collect().groupBy(_.blockId)
+    val sums = blocks.toSeq.sortBy(_._1).map(_._2.map(_.len).sum)
+    assert(sums.dropRight(1).forall(_ >= 100L))
+  }
+
+  test("bucketBlocks: every block at most blockSize + one item over") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i.toLong, (i % 13 + 1) * 10L)).toDF("uid", "len")
+    val blocks = bucketBlocks(df, "uid", "len", 100L)
+      .groupBy("block_id").sum("len").collect()
+    val maxItem = 140L
+    assert(blocks.forall(_.getLong(1) <= 100L + maxItem))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  /** Deterministic corpus: 200 random vectors + planted near-duplicates of
+    * the first 5 (ids 1000+i), cosine ~0.999.
+    */
+  private def corpus() = {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val base = (0 until 200).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val planted = (0 until 5).map { i =>
+      val v = base(i)._2.map(x => x + 0.01f * rng.nextGaussian().toFloat)
+      (1000L + i, v)
+    }
+    (base ++ planted).toDF("vec_id", "embedding")
+  }
+
+  test("brute-force knn: planted near-dup is rank-1 neighbor of its source") {
+    val knn = Similarity.bruteForceKnn(corpus(), "vec_id", "embedding", col("vec_id") < 5, k = 3)
+      .collect()
+    for (p <- 0 until 5) {
+      val top = knn.filter(r => r.getLong(0) == p && r.getInt(3) == 1).head
+      assert(top.getLong(1) == 1000L + p, s"probe $p top neighbor ${top.getLong(1)}")
+      assert(top.getDouble(2) > 0.99)
+    }
+  }
+
+  test("lsh knn: recall of planted near-dups vs brute force; candidates pruned") {
+    val got = Similarity.lshKnn(corpus(), "vec_id", "embedding", col("vec_id") < 5,
+        k = 3, bits = 6, dim = 16)
+      .collect()
+    val found = (0 until 5).count { p =>
+      got.exists(r => r.getLong(0) == p && r.getLong(1) == 1000L + p)
+    }
+    // near-identical vectors share all 6 hyperplane signs with high prob;
+    // deterministic seed makes this a fixed outcome
+    assert(found >= 4, s"planted recall too low: $found/5")
+  }
+
+  test("cosine of identical vector is 1") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1f, 2f, 3f)), (2L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val knn = Similarity.bruteForceKnn(df, "vec_id", "embedding", col("vec_id") === 1L, k = 1)
+      .collect()
+    assert(knn.head.getDouble(2) == 1.0)
+  }
+}

@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TopKSpec extends SparkSpec {
+
+  test("window top-K equals sort-then-take per group (randomized)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val data = Seq.fill(1 + rng.nextInt(500))(
+        (rng.nextInt(6), rng.nextInt(2001) - 1000, rng.nextInt(100000)))
+      val k = 1 + rng.nextInt(5)
+      val df = data.toDF("g", "v", "id")
+      val got = TopK(df, Seq("g"), Seq(col("v").desc, col("id").asc), k)
+        .select("g", "v", "id").collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+        .toSet
+      val want = data.groupBy(_._1).values.flatMap {
+        grp => grp.sortBy(t => (-t._2, t._3)).take(k)
+      }.toSet
+      assert(got == want)
+    }
+  }
+
+  test("k <= 0 keeps everything (NUMHITCUTOFF=0 semantics)") {
+    import spark.implicits._
+    val df = Seq((1, 10), (1, 20), (2, 5)).toDF("g", "v")
+    assert(TopK(df, Seq("g"), Seq(col("v").desc), 0).count() == 3)
+  }
+}

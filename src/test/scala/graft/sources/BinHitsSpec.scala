@@ -1,0 +1,56 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+/** Pins the binary hit codec byte-for-byte against the reference's
+  * checked-in golden outputs (SURVEY.md §5.2).
+  */
+class BinHitsSpec extends SparkSpec {
+  val genericDir = s"$refDir/tools/converter/examples/hits"
+  val classifierDir = s"$refDir/tools/converter/classifier/examples/hits"
+
+  test("golden generic files decode to whole 104-byte records") {
+    val f0 = Files.readAllBytes(Paths.get(s"$genericDir/30_real_seqs_output-hits-0-0.txt.bin"))
+    val hits = BinHits.decode(f0, classifier = false).toSeq
+    assert(hits.size == 99)
+    val h = hits.head
+    assert(h.queryId == 1L)
+    assert(h.subjectId == "gi|32140163|ref|NC_004908.1|")
+    assert(h.identity == 100.0)
+    assert(h.alignLen == 1714)
+    assert(h.bitScore > 3000)
+    assert(h.percIdent.isEmpty)
+  }
+
+  test("golden classifier files decode to whole 120-byte records") {
+    val f0 = Files.readAllBytes(Paths.get(s"$classifierDir/100_simul_seqs_output-hits-1-0000000.txt.bin"))
+    val hits = BinHits.decode(f0, classifier = true).toSeq
+    assert(hits.size == 30)
+    assert(hits.forall(_.percIdent.isDefined))
+    assert(hits.forall(h => h.percIdent.get >= 0 && h.percIdent.get <= 100.0001))
+  }
+
+  test("decode-encode roundtrip is byte-identical on all goldens") {
+    for ((dir, classifier) <- Seq((genericDir, false), (classifierDir, true));
+         f <- new java.io.File(dir).listFiles.filter(_.getName.endsWith(".bin")).sortBy(_.getName)) {
+      val bytes = Files.readAllBytes(f.toPath)
+      val rt = BinHits.decode(bytes, classifier)
+        .flatMap(h => BinHits.encodeRecord(h, classifier)).toArray
+      assert(java.util.Arrays.equals(bytes, rt), s"roundtrip mismatch in ${f.getName}")
+    }
+  }
+
+  test("distributed read + partitioned write roundtrip") {
+    val ds = BinHits.read(spark, genericDir, classifier = false)
+    assert(ds.count() == 99 + 227) // two golden part files
+    val out = Files.createTempDirectory("binhits").toString
+    BinHits.write(ds.repartition(3), out, "rt", 0, classifier = false)
+    val back = BinHits.read(spark, out, classifier = false)
+    assert(back.count() == 99 + 227)
+    // content equality as sets (partitioning reorders)
+    import spark.implicits._
+    assert(ds.except(back).isEmpty && back.except(ds).isEmpty)
+  }
+}

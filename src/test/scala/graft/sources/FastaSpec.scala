@@ -1,0 +1,84 @@
+package graft.sources
+
+import scala.io.Source
+
+import graft.SparkSpec
+
+/** FASTA reader/indexer/splitter pinned against the reference's own example
+  * inputs and documented outputs (USERGUIDE:177-214, seqindexer.py,
+  * splitter.py).
+  */
+class FastaSpec extends SparkSpec {
+  val query30 = s"$refDir/examples/test/generic-test/query/30_real_seqs.fa"
+  val query100 = s"$refDir/tools/seqindexer/examples/100.query"
+
+  test("reads all records with correct counts") {
+    assert(Fasta.read(spark, query30).count() == 30)
+    assert(Fasta.read(spark, query100).count() == 100)
+  }
+
+  test("index matches the USERGUIDE's documented offsets/lengths for 100.query") {
+    import spark.implicits._
+    val idx = Fasta.index(Fasta.read(spark, query100), startUid = 1, fullDefline = true)
+      .orderBy("uid").limit(5)
+      .select("offset", "length", "uid").as[(Long, Long, Long)].collect()
+    // USERGUIDE:179-186
+    assert(idx.toSeq == Seq((0L, 400L, 1L), (468L, 400L, 2L), (938L, 400L, 3L),
+      (1408L, 400L, 4L), (1878L, 400L, 5L)))
+  }
+
+  test("part deflines match the reference's checked-in .def for 30_real_seqs.fa") {
+    import spark.implicits._
+    val ours = Fasta.index(Fasta.read(spark, query30), startUid = 1, fullDefline = false)
+      .orderBy("uid").select("uid", "defline").as[(Long, String)].collect().toSeq
+    val golden = Source.fromFile(s"$refDir/tools/converter/examples/30_real_seqs.fa.def")
+      .getLines().map { l => val Array(u, d) = l.split("\t", 2); (u.toLong, d) }.toSeq
+    assert(ours == golden)
+  }
+
+  test("uid start offset (-s) shifts serial ids") {
+    import spark.implicits._
+    val idx = Fasta.index(Fasta.read(spark, query100), startUid = 100)
+      .orderBy("uid").limit(2).select("uid").as[Long].collect()
+    assert(idx.toSeq == Seq(100L, 101L))
+  }
+
+  test("splitter windows: codes, overlap, serial cids, uppercase quirk") {
+    import spark.implicits._
+    val rec = graft.model.FastaRecord("f", 0, ">seq1 desc", "acgtacgtacgtacgtacgtacg", 0, 23)
+    val out = Fasta.split(Seq(rec).toDS(), queryLen = 10, overlap = 4)
+      .orderBy("ord").collect()
+    // starts 0,6,12,18 -> ends 10,16,22,23; codes 0,2,2,3
+    assert(out.length == 4)
+    assert(out.map(_.defline).toSeq == Seq(
+      ">seq1_1_0_0_10_0_10", ">seq1_2_2_6_16_6_16", ">seq1_3_2_12_22_12_22", ">seq1_4_3_18_23_18_23"))
+    assert(out.take(3).forall(_.sequence.forall(_.isUpper)))
+    assert(out(3).sequence == "GTACG") // seq[18:23], 5 bp > overlap(4) -> uppercased
+    // quirk branch: last chunk <= overlap stays lowercase
+    val rec2 = graft.model.FastaRecord("f", 0, ">seq2", "acgtacgtacgtac", 0, 14)
+    val out2 = Fasta.split(Seq(rec2).toDS(), queryLen = 10, overlap = 4).orderBy("ord").collect()
+    // starts 0,6 -> ends 10,14; last chunk len 8 > 4 -> upper; then a 3rd? no: 6+10=16>=14 stops.
+    assert(out2.length == 2 && out2(1).sequence == "GTACGTAC") // seq[6:14]
+    val rec3 = graft.model.FastaRecord("f", 0, ">seq3", "acgtacgtacgt", 0, 12)
+    val out3 = Fasta.split(Seq(rec3).toDS(), queryLen = 10, overlap = 4).orderBy("ord").collect()
+    // starts 0,6 -> last chunk = seq[6:12] len 6 > overlap 4 -> upper
+    assert(out3.length == 2 && out3(1).sequence == "GTACGT")
+    // NOTE: splitter.py's lowercase branch (last chunk <= overlap bp) is
+    // unreachable: the last start s always has n - s > queryLen - step =
+    // overlap, because the previous window was not final. We replicate the
+    // branch for fidelity but it cannot fire with step = queryLen - overlap.
+    val rec4 = graft.model.FastaRecord("f", 0, ">seq4", "acgtacgtacgta", 0, 13)
+    val out4 = Fasta.split(Seq(rec4).toDS(), queryLen = 10, overlap = 7).orderBy("ord").collect()
+    assert(out4.length == 2 && out4.last.sequence == "TACGTACGTA") // seq[3:13], uppercased
+  }
+
+  test("splitter cid is a global serial across records") {
+    import spark.implicits._
+    val recs = Seq(
+      graft.model.FastaRecord("f", 0, ">a", "acgtacgtacgt", 0, 12),
+      graft.model.FastaRecord("f", 1, ">b", "acgtacgtacgt", 0, 12))
+    val out = Fasta.split(recs.toDS(), 10, 4).orderBy("ord").collect()
+    val cids = out.map(_.defline.split("_")(1).toInt).toSeq
+    assert(cids == Seq(1, 2, 3, 4))
+  }
+}

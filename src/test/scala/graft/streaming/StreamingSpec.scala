@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import EventStreams.Event
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(1700000000000L + minutes * 60000)
+
+  test("stateful sessionization emits closed sessions on event-time gaps") {
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart -> one session; then 3h later a new
+      // session; a far-future event pushes the watermark so timeouts fire.
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(180), 1, "click", 4.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(600), 2, "click", 8.0))
+      q.processAllAvailable()
+      input.addData(Event(5, ts(1200), 2, "click", 16.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_out").as[EventStreams.SessionOut].collect()
+      val u1 = out.filter(_.user_id == 1).sortBy(_.sessionStartSec)
+      assert(u1.length >= 2, s"expected both user-1 sessions closed, got ${u1.toSeq}")
+      assert(u1(0).n_events == 2 && u1(0).sum_value == 3.0)
+      assert(u1(1).n_events == 1 && u1(1).sum_value == 4.0)
+    } finally q.stop()
+  }
+
+  test("watermarked hourly aggregation matches the batch computation") {
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.hourlyAgg(input.toDS().toDF(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("hourly_out").outputMode("append").start()
+    try {
+      val evs = (0 until 120 by 7).map(m => Event(m.toLong, ts(m.toLong), m % 3, if (m % 2 == 0) "a" else "b", m * 1.0))
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      input.addData(Event(999, ts(2000), 9, "z", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val got = spark.table("hourly_out")
+        .select("hour_start", "event_type", "cnt", "sum_value")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .filter(_._2 != "z").toSet
+      val want = evs.groupBy(e => (e.ts.getTime / 3600000 * 3600000, e.event_type))
+        .map { case ((h, t), es) =>
+          (h, t, es.size.toLong, math.rint(es.map(_.value).sum * 100) / 100)
+        }.toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+}
