@@ -17,6 +17,7 @@ object GraftSession {
   val cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,15 @@
+package graft
+import graft.queries._
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    val dir = "/root/testdata/sf0.1"
+    val interesting = Seq("q02_filter_project", "q03_join_broadcast", "q04_join_large",
+      "q09_topk_per_group", "q40_knn_brute", "q38_simjoin_topk")
+    for (n <- interesting) {
+      println(s"########## $n")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

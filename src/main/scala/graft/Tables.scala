@@ -21,4 +21,13 @@ object Tables {
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts_sec", expr("ts div 1000000000"))
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** SQL surface: register every harness table as a temp view so users can
+    * `spark.sql(...)` directly against the engine session.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }

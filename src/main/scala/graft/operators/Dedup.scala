@@ -35,32 +35,32 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash signatures: (id, seed, mh) — k rows per doc.
-    * Each seed's hash family is xxhash64(seed, shingle); min over shingles.
-    * Map-side partial min keeps the shuffle at k rows/doc regardless of
-    * document size.
+  /** MinHash signatures: (id, sig: array[long] of length k), computed in ONE
+    * aggregation pass — k parallel `min(xxhash64(seed, shingle))` aggregates
+    * over the shingle rows. Map-side partial min means the shuffle carries
+    * one k-wide row per doc per map partition, NOT k x shingles rows (the
+    * naive explode-the-seeds formulation — at 100 TB that factor-k shuffle
+    * is the difference between feasible and not).
     */
   def minHash(sh: DataFrame, numHashes: Int): DataFrame =
-    sh.withColumn("seed", explode(expr(s"sequence(0, ${numHashes - 1})")))
-      .groupBy("id", "seed")
-      .agg(min(xxhash64(col("seed"), col("sh"))).as("mh"))
+    sh.groupBy("id").agg(
+      array((0 until numHashes).map(i => min(xxhash64(lit(i), col("sh")))): _*).as("sig"))
 
-  /** LSH candidate pairs via banding: docs sharing any band bucket.
-    * `maxBucketSize` drops degenerate hot buckets (skew guard: a bucket with
-    * B docs yields B^2 pairs; at scale a single hot bucket would dominate
-    * the stage exactly like a hot queryId in the reference).
+  /** LSH candidate pairs via banding: docs sharing any band's bucket
+    * (bucket = hash of that band's signature slice). Hot buckets above
+    * `maxBucketSize` are dropped (skew guard: a bucket with B docs yields
+    * B^2 pairs — the same hot-key pathology the reference rebalanced by
+    * hand, mrblast.cpp:562-575).
     */
   def lshCandidates(sig: DataFrame, numHashes: Int, bands: Int,
                     maxBucketSize: Int = 1000): DataFrame = {
     val rows = numHashes / bands
-    val banded = sig
-      .withColumn("band", col("seed") / rows cast "int")
-      .groupBy("id", "band")
-      .agg(xxhash64(to_json(sort_array(collect_list(struct(col("seed"), col("mh")))))).as("bucket"))
-    val pruned = banded
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .where(col("bsz") <= maxBucketSize)
+    val banded = sig.selectExpr("id",
+      s"posexplode(transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))) AS (band, bucket)")
+    val hot = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") > maxBucketSize)
+    val pruned = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
     pruned.as("a")
       .join(pruned.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
@@ -97,16 +97,20 @@ object Dedup {
 
   /** 64-bit SimHash per document from token hashes: (id, simhash).
     * bit b of simhash = majority vote of bit b across token xxhash64s.
+    * One aggregation pass: 64 parallel bit-vote sums per doc (vs exploding
+    * 64 bit rows per token — a 64x shuffle reduction, see [[minHash]]).
     */
-  def simHash(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+  def simHash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val votes = (0 until 64).map(b =>
+      sum(expr(s"((h >> $b) & 1) * 2 - 1")).as(s"v$b"))
+    val assemble = (0 until 64)
+      .map(b => s"IF(v$b > 0, CAST(1 AS BIGINT) << $b, CAST(0 AS BIGINT))")
+      .mkString(" + ")
     docs.select(col(idCol).as("id"), explode(array_distinct(split(col(textCol), " "))).as("tok"))
       .select(col("id"), xxhash64(col("tok")).as("h"))
-      .select(col("id"), explode(expr("sequence(0, 63)")).as("b"), col("h"))
-      .withColumn("vote", when(expr("(h >> b) & 1") === 1, 1).otherwise(-1))
-      .groupBy("id", "b")
-      .agg(sum("vote").as("v"))
-      .groupBy("id")
-      .agg(sum(when(col("v") > 0, expr("CAST(1 AS BIGINT) << b")).otherwise(0L)).as("simhash"))
+      .groupBy("id").agg(votes.head, votes.tail: _*)
+      .selectExpr("id", s"($assemble) AS simhash")
+  }
 
   /** SimHash near-dup candidates: Hamming distance <= maxHamming, found by
     * banding the 64-bit fingerprint into (maxHamming+1) 16-bit chunks

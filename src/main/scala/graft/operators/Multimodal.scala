@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video travel as opaque `binary`
+  * columns with a typed metadata struct, mirroring the reference's
+  * pointer-to-bytes data model (D1's mmap + (offset,len) index,
+  * `mrblast.cpp:93-99`) at the column level.
+  *
+  * The Spark-side mechanics here are real and tested — schema, batched
+  * per-partition processing (one decoder instance per partition, the A8
+  * handle pattern), deterministic outputs, frame sampling by byte ranges.
+  * The actual media decode is a STUB (`FakeDecoder`): this container has no
+  * image/audio codecs, so it derives deterministic pseudo-features from the
+  * bytes. Swapping in a real codec means replacing ONE function with the
+  * same signature.
+  */
+object Multimodal {
+
+  case class MediaMeta(mime: String, nBytes: Long, sha: String)
+
+  case class DecodedMeta(width: Int, height: Int, channels: Int, features: Array[Float])
+
+  /** Attach a payload column (binary) + metadata struct to any string/binary
+    * source column. Real pipelines read payloads from object storage; the
+    * harness synthesizes them from text so every stage downstream is
+    * exercised with realistic shapes.
+    */
+  def withPayload(df: DataFrame, srcCol: String, mime: String = "application/octet-stream"): DataFrame =
+    df.withColumn("payload", encode(col(srcCol).cast("string"), "UTF-8"))
+      .withColumn("meta", struct(
+        lit(mime).as("mime"),
+        octet_length(col("payload")).cast("long").as("nBytes"),
+        sha2(col("payload"), 256).as("sha")))
+
+  /** STUB decoder — deterministic pseudo-decode of a payload. A real
+    * deployment replaces this body with an actual codec call (e.g. JNI to
+    * libjpeg / ffmpeg); everything around it (batching, schema, partition
+    * lifecycle) is production-shaped.
+    */
+  object FakeDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): DecodedMeta = {
+      val h = bytes.foldLeft(1469598103934665603L)((a, b) => (a ^ (b & 0xff)) * 1099511628211L)
+      def mix(i: Int): Long = { val x = h + i * 0x9e3779b97f4a7c15L; x ^ (x >>> 31) }
+      DecodedMeta(
+        width = 16 + (mix(1) % 1024).toInt.abs,
+        height = 16 + (mix(2) % 1024).toInt.abs,
+        channels = 1 + (mix(3) % 4).toInt.abs,
+        features = Array.tabulate(8)(i => ((mix(4 + i) % 1000) / 1000.0f)))
+    }
+  }
+
+  /** Batched decode: one decoder "handle" per partition (constructed once,
+    * like the reference's per-worker DB handle, A8/O9), rows streamed
+    * through it. Output schema: input columns + width/height/channels/
+    * features.
+    */
+  def decodePartitioned(df: DataFrame, payloadCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val decoded: Dataset[(Long, Int, Int, Int, Array[Float])] =
+      df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val decoder = FakeDecoder // per-partition handle; real codecs init here
+          it.map { case (id, bytes) =>
+            val d = decoder.decode(bytes)
+            (id, d.width, d.height, d.channels, d.features)
+          }
+        }
+    df.join(decoded.toDF(idCol, "width", "height", "channels", "features"), idCol)
+  }
+
+  /** Frame sampling for "video" payloads: slice every `stride`-th
+    * `frameBytes`-sized byte range — the (offset,len) block-slicing pattern
+    * of the reference applied to a binary column. Pure Catalyst expressions.
+    */
+  def sampleFrames(df: DataFrame, payloadCol: String, frameBytes: Int, stride: Int): DataFrame =
+    df.withColumn("frame_idx",
+        explode(expr(s"sequence(0, greatest(cast(octet_length($payloadCol) / ($frameBytes * $stride) as int) - 1, 0))")))
+      .withColumn("frame",
+        expr(s"substring($payloadCol, frame_idx * $frameBytes * $stride + 1, $frameBytes)"))
+}

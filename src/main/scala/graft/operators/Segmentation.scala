@@ -50,4 +50,15 @@ object Segmentation {
   /** Work items = block summary x corpus partitions (A5 cross join). */
   def workItems(blocks: DataFrame, partitions: DataFrame): DataFrame =
     blocks.crossJoin(broadcast(partitions))
+
+  /** A6 iteration chunking (`mrblast.cpp:202-221`): split work items into
+    * `numIter` consecutive batches. The reference needed this to bound
+    * MR-MPI's collective memory; under Spark it survives as an optional
+    * driver loop to bound KERNEL memory (e.g. giant per-partition indexes),
+    * so batches are consecutive ranges like the original, via ntile.
+    */
+  def iterationBatches(workItems: DataFrame, numIter: Int, orderCols: Seq[String]): DataFrame = {
+    val w = Window.orderBy(orderCols.map(col): _*)
+    workItems.withColumn("iter", ntile(numIter).over(w) - 1)
+  }
 }

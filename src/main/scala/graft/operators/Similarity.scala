@@ -17,11 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+  /** Native codegen'd dot product ([[graft.functions.FloatDotProduct]],
+    * registered by GraftExtensions). Left-to-right accumulation order is
+    * identical to the higher-order-function formulation, so results are
+    * bit-equal to the DuckDB oracle's per-index sum at round(4).
+    */
+  def dot(a: String, b: String) = expr(s"graft_dot($a, $b)")
 
-  def norm(a: String) =
-    sqrt(expr(s"aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+  def norm(a: String) = sqrt(expr(s"graft_dot($a, $a)"))
 
   /** Exact cosine top-k for each probe id in `probeIds`.
     * Output: (probe_id, neighbor_id, cosim, rnk).

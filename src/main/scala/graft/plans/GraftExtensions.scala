@@ -1,0 +1,21 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.FloatDotProduct
+
+/** Engine extension point, registered via `spark.sql.extensions`
+  * (see [[graft.GraftSession]]): injects the engine's native expressions
+  * into the session's function registry so they are usable from both the
+  * DataFrame API (`expr("graft_dot(a, b)")`) and plain SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => FloatDotProduct(children(0), children(1))))
+  }
+}

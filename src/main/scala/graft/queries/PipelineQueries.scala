@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Segmentation, Similarity}
+import graft.operators.{Dedup, Multimodal, Segmentation, Similarity}
 
 /** The reference's application-plan operators (SURVEY.md §2.A) exposed as
   * driver-checkable queries over the harness tables, plus the scale-path
@@ -57,6 +57,30 @@ object PipelineQueries extends QuerySet {
       Similarity.lshKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
           col("vec_id") < 10, k = 5, bits = 6, dim = 64)
         .orderBy("probe_id", "rnk")
+    }),
+
+    // Multimodal decode plumbing: binary payload -> per-partition stub
+    // decoder -> typed features (rows-only; decode determinism is pinned in
+    // MultimodalSpec).
+    "q65_multimodal_decode" -> ((s, dir) => {
+      val withP = Multimodal.withPayload(
+        t(s, dir, "documents").where(col("doc_id") < 1000), "text", "text/plain")
+      Multimodal.decodePartitioned(withP, "payload", "doc_id")
+        .select("doc_id", "width", "height", "channels")
+        .orderBy("doc_id")
+    }),
+
+    // A6 iteration batches over work items (rows-only; ntile determinism).
+    "q66_iteration_batches" -> ((s, dir) => {
+      val blocks = Segmentation.bucketBlocks(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", BlockSize)
+        .groupBy("block_id").agg(sum("n_chars").as("block_len"))
+      val parts = t(s, dir, "documents").select(col("source")).distinct()
+      Segmentation.iterationBatches(
+          Segmentation.workItems(blocks, parts), numIter = 4, Seq("block_id", "source"))
+        .select("block_id", "source", "iter")
+        .orderBy("block_id", "source")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -74,5 +98,14 @@ object PipelineQueries extends QuerySet {
         |blocks AS (SELECT block_id, SUM(n_chars) AS block_len FROM b GROUP BY block_id),
         |parts AS (SELECT DISTINCT source FROM documents)
         |SELECT block_id, source, block_len FROM blocks CROSS JOIN parts
-        |ORDER BY block_id, source""".stripMargin)
+        |ORDER BY block_id, source""".stripMargin,
+    "q66_iteration_batches" ->
+      s"""WITH b AS (SELECT doc_id, n_chars,
+        |  CAST(FLOOR(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $BlockSize.0) AS BIGINT) AS block_id
+        |  FROM documents),
+        |blocks AS (SELECT block_id, SUM(n_chars) AS block_len FROM b GROUP BY block_id),
+        |parts AS (SELECT DISTINCT source FROM documents),
+        |wi AS (SELECT block_id, source FROM blocks CROSS JOIN parts)
+        |SELECT block_id, source, NTILE(4) OVER (ORDER BY block_id, source) - 1 AS iter
+        |FROM wi ORDER BY block_id, source""".stripMargin)
 }

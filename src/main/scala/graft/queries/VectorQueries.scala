@@ -15,12 +15,11 @@ object VectorQueries extends QuerySet {
   private val kNeighbors = 5
   private val nProbes = 10
 
-  /** dot(a,b) on double-cast arrays; sequential fold keeps it deterministic. */
-  private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-
-  private def norm(a: String) =
-    sqrt(expr(s"aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+  /** Native codegen'd vector math (graft_dot expression); left-to-right
+    * accumulation keeps results deterministic and oracle-stable.
+    */
+  private def dot(a: String, b: String) = graft.operators.Similarity.dot(a, b)
+  private def norm(a: String) = graft.operators.Similarity.norm(a)
 
   val queries: Map[String, Q] = Map(
     // Brute-force cosine kNN: broadcast the probe set against the corpus.

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  private def docs() = {
+    import spark.implicits._
+    Seq((0L, "hello world"), (1L, "second document"), (2L, "hello world"))
+      .toDF("doc_id", "text")
+  }
+
+  test("payload + metadata struct: byte counts and hashes are exact") {
+    val df = Multimodal.withPayload(docs(), "text", "text/plain")
+    val r = df.select(col("doc_id"), col("meta.nBytes"), col("meta.sha"), col("meta.mime"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 11L)
+    assert(r(0).getString(3) == "text/plain")
+    assert(r(0).getString(2) == r(2).getString(2)) // same content, same sha
+    assert(r(0).getString(2) != r(1).getString(2))
+  }
+
+  test("partitioned decode is deterministic and partition-count independent") {
+    val df = Multimodal.withPayload(docs(), "text")
+    val one = Multimodal.decodePartitioned(df.repartition(1), "payload", "doc_id")
+      .select("doc_id", "width", "height", "channels").orderBy("doc_id").collect()
+    val four = Multimodal.decodePartitioned(df.repartition(4), "payload", "doc_id")
+      .select("doc_id", "width", "height", "channels").orderBy("doc_id").collect()
+    assert(one.toSeq == four.toSeq)
+    assert(one(0).getInt(1) >= 16 && one(0).getInt(3) >= 1)
+    assert(one(0).toSeq.drop(1) == one(2).toSeq.drop(1)) // same bytes, same decode
+  }
+
+  test("frame sampling slices the expected byte ranges") {
+    import spark.implicits._
+    val payload = ("ab" * 50).getBytes("UTF-8") // 100 bytes
+    val df = Seq((1L, payload)).toDF("id", "payload")
+    val frames = Multimodal.sampleFrames(df, "payload", frameBytes = 10, stride = 2)
+      .select("frame_idx", "frame").orderBy("frame_idx").collect()
+    assert(frames.length == 5) // strides of 20 bytes over 100
+    assert(frames.forall(_.getAs[Array[Byte]](1).length == 10))
+    val f1 = new String(frames(1).getAs[Array[Byte]](1), "UTF-8")
+    assert(f1 == "ab" * 5)
+  }
+
+  test("iteration batches are consecutive near-equal ranges") {
+    import spark.implicits._
+    val wi = (0 until 10).map(i => (i.toLong, s"p$i")).toDF("block_id", "source")
+    val out = Segmentation.iterationBatches(wi, 4, Seq("block_id"))
+      .select("block_id", "iter").orderBy("block_id").collect()
+    val iters = out.map(_.getInt(1)).toSeq
+    assert(iters == Seq(0, 0, 0, 1, 1, 1, 2, 2, 3, 3))
+  }
+
+  test("sql surface: registered views answer spark.sql directly") {
+    graft.Tables.registerAll(spark, sf())
+    val n = spark.sql("SELECT count(*) c FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+      .head().getLong(0)
+    assert(n > 0)
+    val d = spark.sql("SELECT graft_dot(embedding, embedding) d FROM embeddings LIMIT 1")
+      .head().getDouble(0)
+    assert(d > 0)
+  }
+}
