@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.Partitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation (reference O3/A13, `mrblast.cpp:556-575`): the reference
+  * computed a runtime hit-count histogram, then greedily bin-packed queryIds
+  * onto ranks and drove a custom shuffle hash from the table.
+  *
+  * Under Spark the default answer is AQE (enabled in [[graft.GraftSession]]):
+  * skewed shuffle partitions are split at runtime from actual map output
+  * sizes — the same runtime-statistics idea, done by the framework. Two
+  * explicit tools remain for when the *keys themselves* are hot:
+  *
+  *  - [[saltedAgg]]: two-phase aggregation through a salted key; hot keys
+  *    fan out over `saltBuckets` reducers in phase 1, exact results restored
+  *    in phase 2. Works for any associative aggregate.
+  *  - [[WeightedPartitioner]]: exact parity with the reference's greedy
+  *    bin-packing — partition assignment from a measured per-key weight
+  *    table — for RDD-level pipelines that need it.
+  */
+object Skew {
+
+  /** Two-phase salted count/sum: groupBy (key, salt) -> partial agg ->
+    * groupBy key -> final agg. The salt column derives from a hash of the
+    * full row so it is deterministic, not random.
+    */
+  def saltedAgg(df: DataFrame, keyCols: Seq[String], saltBuckets: Int,
+                aggs: Seq[(Column, String)]): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
+    val phase1 = salted.groupBy((keyCols :+ "_salt").map(col): _*)
+      .agg(aggs.head._1.as("_p_" + aggs.head._2),
+        aggs.tail.map { case (c, n) => c.as("_p_" + n) }: _*)
+    // phase 2: combine partials; count -> sum of partial counts, sum -> sum.
+    val finals = aggs.map { case (_, n) => sum(col("_p_" + n)).as(n) }
+    phase1.groupBy(keyCols.map(col): _*)
+      .agg(finals.head, finals.tail: _*)
+  }
+
+  /** Greedy weighted partitioner (exact reference-parity experiment):
+    * heaviest keys first, each assigned to the currently lightest partition
+    * — `mrblast.cpp:562-575`'s balancing, minus its off-by-one (SURVEY.md
+    * §3.1 quirk note: we derive weights from a real aggregation).
+    */
+  class WeightedPartitioner(assignment: Map[Long, Int], val numPartitions: Int)
+      extends Partitioner {
+    override def getPartition(key: Any): Int = key match {
+      case l: Long => assignment.getOrElse(l, (l % numPartitions).toInt.abs)
+      case other   => other.hashCode.abs % numPartitions
+    }
+  }
+
+  object WeightedPartitioner {
+    /** Build the greedy assignment from measured (key, weight) pairs. */
+    def fromWeights(weights: Seq[(Long, Long)], numPartitions: Int): WeightedPartitioner = {
+      val load = Array.fill(numPartitions)(0L)
+      val assign = scala.collection.mutable.HashMap[Long, Int]()
+      weights.sortBy(-_._2).foreach { case (k, w) =>
+        val p = load.indices.minBy(load)
+        assign(k) = p
+        load(p) += w
+      }
+      new WeightedPartitioner(assign.toMap, numPartitions)
+    }
+  }
+
+  /** Partition an RDD of (queryId, row) by measured weights — the
+    * reference's whole balancing step as one call.
+    */
+  def partitionByWeight[V: scala.reflect.ClassTag](rdd: RDD[(Long, V)], numPartitions: Int): RDD[(Long, V)] = {
+    val weights = rdd.mapValues(_ => 1L).reduceByKey(_ + _).collect().toSeq
+    rdd.partitionBy(WeightedPartitioner.fromWeights(weights, numPartitions))
+  }
+}

@@ -208,6 +208,38 @@ object RelationalQueries extends QuerySet {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Exact percentiles (2.C histogram companion; interpolated like
+    // NumPy/DuckDB quantile_cont).
+    "q24_percentile" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Scalar string functions (reference's lexical casts + %07d rank pad,
+    // mrblast.cpp:615-617).
+    "q25_string_funcs" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          substring(col("c_name"), 1, 8).as("prefix"),
+          length(col("c_mktsegment")).as("seg_len"),
+          lpad(col("c_custkey").cast("string"), 7, "0").as("padded"),
+          concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"))
+        .orderBy("c_custkey")
+    }),
+
+    // Date part extraction + monthly rollup.
+    "q26_date_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("yr", "mo")
+    }),
+
     // Scalar subquery in predicate (deterministic: max-based threshold).
     "q23_scalar_subquery" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -313,5 +345,18 @@ object RelationalQueries extends QuerySet {
     "q23_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > (SELECT MAX(o_totalprice)/2 FROM orders)
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q24_percentile" ->
+      """SELECT o_orderstatus, ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90, COUNT(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q25_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS uname, substring(c_name, 1, 8) AS prefix,
+        |length(c_mktsegment) AS seg_len, lpad(CAST(c_custkey AS VARCHAR), 7, '0') AS padded,
+        |concat_ws('|', c_mktsegment, c_name) AS joined
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q26_date_funcs" ->
+      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin)
 }

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Line-by-line coverage of the MR-MPI generic operator algebra
+  * (SURVEY.md §2.B, `mrmpi/mapreduce.h:59-118`): every operation the
+  * reference library exposes, demonstrated with its Spark-native equivalent
+  * and an asserted result. Test names carry the MR-MPI op names.
+  */
+class AlgebraSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("map(nmap, fn): task-id map -> KV") {
+    val kv = spark.range(10).flatMap(i => Seq((i % 3, i))).collect()
+    assert(kv.length == 10 && kv.forall { case (k, _) => k >= 0 && k < 3 })
+  }
+
+  test("map(mr, fn): KV -> KV transform") {
+    val out = Seq((1L, "a"), (2L, "b")).toDS().map { case (k, v) => (k * 2, v.toUpperCase) }.collect()
+    assert(out.toSet == Set((2L, "A"), (4L, "B")))
+  }
+
+  test("reduce(fn): one call per (key, multivalue)") {
+    val out = Seq((1, 10), (1, 20), (2, 5)).toDS()
+      .groupByKey(_._1)
+      .flatMapGroups((k, it) => Iterator.single((k, it.map(_._2).sum)))
+      .collect().toSet
+    assert(out == Set((1, 30), (2, 5)))
+  }
+
+  test("aggregate(hash): co-locate all copies of a key on one partition") {
+    val df = (1 to 100).map(i => (i % 5, i)).toDF("k", "v").repartition(8, col("k"))
+    val placement = df.withColumn("p", spark_partition_id())
+      .groupBy("k").agg(countDistinct("p").as("np")).collect()
+    assert(placement.forall(_.getLong(1) == 1L))
+  }
+
+  test("convert()/collate(): group duplicate keys into multivalue") {
+    val mv = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+      .groupBy("k").agg(sort_array(collect_list("v")).as("mv"))
+      .collect().map(r => (r.getInt(0), r.getSeq[String](1))).toMap
+    assert(mv(1) == Seq("a", "b") && mv(2) == Seq("c"))
+  }
+
+  test("compress(fn): map-side combine of duplicate keys") {
+    val rdd = spark.sparkContext.parallelize((1 to 1000).map(i => (i % 10, 1)), 4)
+    val combined = rdd.reduceByKey(_ + _) // partial agg before shuffle
+    assert(combined.collect().toMap.values.sum == 1000)
+  }
+
+  test("clone(): KV -> one-to-one KMV") {
+    val out = Seq((1, "x")).toDS().map { case (k, v) => (k, Seq(v)) }.collect()
+    assert(out.head == ((1, Seq("x"))))
+  }
+
+  test("collapse(key): all pairs -> single KMV under given key") {
+    val out = Seq(1, 2, 3).toDF("v").groupBy(lit("all").as("k"))
+      .agg(sort_array(collect_list("v")).as("mv")).collect()
+    assert(out.head.getSeq[Int](1) == Seq(1, 2, 3))
+  }
+
+  test("gather(nprocs): concentrate onto fewer partitions") {
+    val ds = spark.range(100).repartition(8)
+    assert(ds.coalesce(2).rdd.getNumPartitions == 2)
+  }
+
+  test("broadcast(root): replicate a KV to all tasks") {
+    val small = Map(1 -> "one", 2 -> "two")
+    val b = spark.sparkContext.broadcast(small)
+    val out = spark.range(4).mapPartitions(it => it.map(i => b.value.getOrElse(i.toInt % 2 + 1, "?")))
+      .collect()
+    assert(out.forall(Set("one", "two")))
+  }
+
+  test("scrunch(n, key): gather + collapse") {
+    val out = spark.range(10).coalesce(1)
+      .groupBy(lit("k")).agg(sort_array(collect_list("id")).as("mv")).collect()
+    assert(out.head.getSeq[Long](1) == (0L to 9L))
+  }
+
+  test("add(mr): concatenate KVs (UNION ALL)") {
+    val a = Seq((1, "a")).toDF("k", "v"); val b = Seq((1, "b")).toDF("k", "v")
+    assert(a.unionAll(b).count() == 2)
+  }
+
+  test("copy(): immutable lineage makes deep copy free") {
+    val base = Seq((1, "a")).toDF("k", "v").cache()
+    val derived = base.withColumn("v", upper(col("v")))
+    assert(base.head().getString(1) == "a" && derived.head().getString(1) == "A")
+  }
+
+  test("sort_keys(flag): local per-partition key sort") {
+    val sorted = (100 to 1 by -1).toDF("k").repartition(4)
+      .sortWithinPartitions("k")
+      .mapPartitions { it => val s = it.map(_.getInt(0)).toSeq; Iterator.single(s == s.sorted) }
+      .collect()
+    assert(sorted.forall(identity))
+  }
+
+  test("sort_values(flag): local sort by value") {
+    val sorted = Seq((1, 9), (1, 3), (2, 7)).toDF("k", "v").repartition(1)
+      .sortWithinPartitions("v").select("v").as[Int].collect()
+    assert(sorted.toSeq == Seq(3, 7, 9))
+  }
+
+  test("sort_multivalues(flag): order values inside each multivalue") {
+    val mv = Seq((1, 9), (1, 3)).toDF("k", "v")
+      .groupBy("k").agg(sort_array(collect_list("v"), asc = false).as("mv")).collect()
+    assert(mv.head.getSeq[Int](1) == Seq(9, 3))
+  }
+
+  test("scan(fn): read-only traversal without producing a new KV") {
+    val acc = spark.sparkContext.longAccumulator("seen")
+    Seq(1, 2, 3).toDS().foreach(x => acc.add(x))
+    assert(acc.value == 6L)
+  }
+
+  test("multivalue_blocks: iterator-based access spills via the framework") {
+    // flatMapGroups receives the multivalue as a lazy iterator — the paged
+    // out-of-core access pattern without explicit paging.
+    val maxLen = Seq.tabulate(10000)(i => (i % 2, i)).toDS()
+      .groupByKey(_._1)
+      .flatMapGroups((k, it) => Iterator.single((k, it.length)))
+      .collect().toMap
+    assert(maxLen(0) == 5000 && maxLen(1) == 5000)
+  }
+
+  test("kv_stats/kmv_stats: counts and size stats") {
+    val df = Seq((1, "a"), (2, "bb")).toDF("k", "v")
+    val stats = df.agg(count(lit(1)), sum(length(col("v")))).head()
+    assert(stats.getLong(0) == 2 && stats.getLong(1) == 3)
+  }
+
+  test("mapstyle 0/1/2 (static/strided/master-worker): scheduler covers all") {
+    // Spark's scheduler assigns tasks dynamically; verify work completes
+    // regardless of uneven task costs (the reason mapstyle 2/3 exist).
+    val out = spark.range(64).repartition(8)
+      .mapPartitions { it => val s = it.toSeq; Thread.sleep(s.length % 3); s.iterator }
+      .count()
+    assert(out == 64)
+  }
+
+  test("hashlittle: default key partitioning hash is stable") {
+    val h1 = Seq((42L, "x")).toDF("k", "v").repartition(8, col("k"))
+      .withColumn("p", spark_partition_id()).head().getInt(2)
+    val h2 = Seq((42L, "y")).toDF("k", "v").repartition(8, col("k"))
+      .withColumn("p", spark_partition_id()).head().getInt(2)
+    assert(h1 == h2) // same key -> same partition, run to run
+  }
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SkewSpec extends SparkSpec {
+
+  test("salted aggregation is exact under heavy key skew") {
+    import spark.implicits._
+    // 90% of rows share one hot key
+    val data = (1 to 10000).map(i => (if (i % 10 == 0) i.toLong % 7 else 0L, i.toDouble))
+    val df = data.toDF("k", "v")
+    val got = Skew.saltedAgg(df, Seq("k"), saltBuckets = 16,
+        Seq((count(lit(1)), "cnt"), (sum("v"), "sv")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = data.groupBy(_._1).map { case (k, xs) =>
+      (k, xs.size.toLong, xs.map(_._2).sum)
+    }.toSet
+    assert(got == want)
+  }
+
+  test("weighted partitioner balances hot keys greedily") {
+    val weights = Seq((1L, 1000L), (2L, 10L), (3L, 10L), (4L, 10L), (5L, 970L))
+    val p = Skew.WeightedPartitioner.fromWeights(weights, 2)
+    // two heavy keys land on different partitions
+    assert(p.getPartition(1L) != p.getPartition(5L))
+    val load = weights.groupBy { case (k, _) => p.getPartition(k) }
+      .map { case (_, ws) => ws.map(_._2).sum }
+    assert(load.max <= 1010L)
+  }
+
+  test("partitionByWeight spreads a skewed RDD evenly") {
+    val rows = (1 to 20000).map(i => (if (i % 20 == 0) i.toLong % 5 else 99L, i))
+    val rdd = spark.sparkContext.parallelize(rows, 8)
+    val parted = Skew.partitionByWeight(rdd, 4)
+    val sizes = parted.mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(sizes.length == 4)
+    // the hot key (99, ~19k rows) caps the max; other partitions share the rest
+    assert(parted.count() == 20000)
+    assert(sizes.count(_ > 0) >= 2)
+  }
+}
