@@ -25,15 +25,20 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
-  /** Distinct word-n-gram shingles per document: (id, shingle). */
-  def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+  /** Word-n-gram shingles per document: (id, shingle), duplicates kept
+    * (narrow, no shuffle). Use [[shingles]] when set semantics are needed.
+    */
+  def rawShingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     val toks = split(col(textCol), " ")
     docs.select(col(idCol).as("id"), toks.as("t"))
       .where(size(col("t")) >= n)
       .select(col("id"),
         explode(expr(s"transform(sequence(1, size(t)-${n - 1}), i -> concat_ws(' ', slice(t, i, $n)))")).as("sh"))
-      .distinct()
   }
+
+  /** Distinct word-n-gram shingles per document: (id, shingle). */
+  def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    rawShingles(docs, textCol, idCol, n).distinct()
 
   /** MinHash signatures: (id, sig: array[long] of length k), computed in ONE
     * aggregation pass — k parallel `min(xxhash64(seed, shingle))` aggregates
@@ -86,13 +91,45 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(j, 4).as("jaccard"))
   }
 
-  /** Full MinHash-LSH near-dup pipeline: (a_id, b_id, jaccard). */
+  /** Candidate prefilter: estimate jaccard from the minhash signatures
+    * themselves (fraction of agreeing components) and drop pairs estimated
+    * well below threshold BEFORE the expensive exact shingle-join
+    * verification. Signature compare is a codegen'd array zip — O(k) per
+    * pair vs O(shingles) for exact verify.
+    */
+  def estimateFilter(candidates: DataFrame, sig: DataFrame, numHashes: Int,
+                     minEstimate: Double): DataFrame =
+    candidates
+      .join(sig.select(col("id").as("a_id"), col("sig").as("sa")), "a_id")
+      .join(sig.select(col("id").as("b_id"), col("sig").as("sb")), "b_id")
+      .where(expr(s"aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v)")
+        >= lit(minEstimate * numHashes))
+      .select("a_id", "b_id")
+
+  /** Full MinHash-LSH near-dup pipeline: (a_id, b_id, jaccard).
+    *
+    * Stage shape, chosen for 100 TB: signatures come from the RAW shingle
+    * stream (no distinct — min over a multiset equals min over its set, so
+    * the whole corpus sees exactly ONE wide-aggregation shuffle); banding
+    * candidates are an equi-join; exact verification re-shingles ONLY the
+    * documents that appear in some candidate pair (semi-join prune), so the
+    * expensive set-Jaccard stage is candidate-linear, not corpus-linear.
+    * `estimatePrefilter` adds a signature-agreement cull between banding and
+    * exact verify — worth one extra stage only when candidates are dense.
+    */
   def minHashDupPairs(docs: DataFrame, textCol: String, idCol: String,
                       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, textCol, idCol, shingleN).cache()
-    val cands = lshCandidates(minHash(sh, numHashes), numHashes, bands)
-    verifyJaccard(cands, sh, threshold)
+                      threshold: Double = 0.5,
+                      estimatePrefilter: Boolean = false): DataFrame = {
+    val sig = minHash(rawShingles(docs, textCol, idCol, shingleN), numHashes).cache()
+    val cands0 = lshCandidates(sig, numHashes, bands)
+    val cands = (if (estimatePrefilter)
+      estimateFilter(cands0, sig, numHashes,
+        math.max(0.0, threshold - 2.0 / math.sqrt(numHashes.toDouble)))
+    else cands0).cache() // consumed twice: id-prune + verify join
+    val candIds = cands.select(explode(array(col("a_id"), col("b_id"))).as(idCol)).distinct()
+    val candDocs = docs.join(candIds, Seq(idCol), "left_semi")
+    verifyJaccard(cands, shingles(candDocs, textCol, idCol, shingleN), threshold)
   }
 
   /** 64-bit SimHash per document from token hashes: (id, simhash).

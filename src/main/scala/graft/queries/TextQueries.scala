@@ -115,12 +115,15 @@ object TextQueries extends QuerySet {
 
     // The mr-mpi-blast spine as one query: query-block x corpus similarity
     // join (A5 cross/equi join + A7 kernel) -> score -> per-query top-K
-    // (A15) -> ordered sink. Score = |distinct shared tokens|.
+    // (A15) -> ordered sink. Score = |distinct shared tokens| via an
+    // inverted-index broadcast hash join on token (the probe side is
+    // blocks-sized, so the corpus streams through one narrow stage; the
+    // pair-count intermediate is inherent to the scoring semantics).
     "q38_simjoin_topk" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
       val q = d.where(col("doc_id") < 100).select(col("doc_id").as("q_id"), col("tok"))
       val c = d.where(col("doc_id") >= 100).select(col("doc_id").as("s_id"), col("tok"))
-      val scored = q.join(c, "tok")
+      val scored = c.join(broadcast(q), "tok")
         .groupBy("q_id", "s_id")
         .agg(count(lit(1)).as("score"))
       val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("s_id"))
