@@ -20,7 +20,8 @@ object SparkEntry {
     TextQueries.queries("q38_simjoin_topk")(spark, "/root/testdata/sf0.001")
 
   private val sets: Seq[QuerySet] =
-    Seq(RelationalQueries, TextQueries, VectorQueries, EventQueries, PipelineQueries)
+    Seq(RelationalQueries, TextQueries, VectorQueries, EventQueries,
+      PipelineQueries, AdvancedQueries)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     sets.flatMap(_.queries).toMap

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF join: for each left row (key, t), attach the latest right row with
+  * the same key and t' <= t. Spark has no native as-of operator; per the
+  * custom-operator preference order (compose > custom expression > custom
+  * plan) this composes from a union + ignore-nulls last_value window:
+  *
+  *   tag left/right -> union -> window over (key, ORDER BY t, right-first)
+  *   -> last(right payload, ignoreNulls) -> keep left rows.
+  *
+  * One shuffle on the key (the window), no range self-join, no per-key
+  * driver logic — the same cost shape as a groupBy, so it scales like one.
+  * Ties (equal t) resolve right-before-left, i.e. a right row AT t matches.
+  */
+object AsOfJoin {
+
+  /** `left`/`right` must share `keyCol`; `timeCol` must be numeric and
+    * unique within a key on the right side for deterministic results (embed
+    * a tiebreaker in it if needed). Right columns in `payloadCols` are
+    * attached to every left row (null when no right row precedes it).
+    */
+  def asOfLeft(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
+               payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val lTagged = payloadCols.foldLeft(left.withColumn("_side", lit(1))) {
+      (df, c) => df.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    }
+    val rTagged = leftCols.filterNot(c => c == keyCol || c == timeCol)
+      .foldLeft(right.withColumn("_side", lit(0))) {
+        (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    val u = lTagged.select((leftCols ++ payloadCols :+ "_side").map(col): _*)
+      .unionByName(rTagged.select((leftCols ++ payloadCols :+ "_side").map(col): _*))
+    val w = Window.partitionBy(keyCol).orderBy(col(timeCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attached = payloadCols.foldLeft(u) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    attached.where(col("_side") === 1).drop("_side")
+  }
+}

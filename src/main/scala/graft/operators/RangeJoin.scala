@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (band/interval) join: points joined to ranges containing them.
+  * Spark's planner turns a bare `ON p BETWEEN lo AND HI` into
+  * BroadcastNestedLoop/cartesian — quadratic. This composes the standard
+  * bucketization: both sides map to integer buckets of `bucketWidth`
+  * (ranges explode over the buckets they overlap), the join becomes an
+  * EQUI-join on the bucket id, and the exact predicate filters residuals.
+  * Cost: |ranges| x (span/bucketWidth) exploded rows + one hash join — the
+  * scale-safe shape as long as bucketWidth ~ typical range span.
+  */
+object RangeJoin {
+
+  /** Inner join of `points` (value in `pointCol`) with `ranges`
+    * ([loCol, hiCol] inclusive). All original columns from both sides kept.
+    */
+  def pointInRange(points: DataFrame, ranges: DataFrame,
+                   pointCol: String, loCol: String, hiCol: String,
+                   bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0)
+    val p = points.withColumn("_bucket",
+      floor(col(pointCol) / bucketWidth).cast("long"))
+    val r = ranges.withColumn("_bucket",
+      explode(expr(s"sequence(CAST(floor($loCol / $bucketWidth) AS BIGINT), CAST(floor($hiCol / $bucketWidth) AS BIGINT))")))
+    p.join(r, "_bucket")
+      .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_bucket")
+  }
+}

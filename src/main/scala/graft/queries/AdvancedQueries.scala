@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, RangeJoin}
+
+/** Operators Spark lacks natively, composed per the custom-operator
+  * preference order (SURVEY.md §4): as-of join, range/band join, and the
+  * approximate sketches (HLL distinct, quantile sketch) a 100 TB pipeline
+  * reaches for when exact answers stop being affordable.
+  */
+object AdvancedQueries extends QuerySet {
+
+  val queries: Map[String, Q] = Map(
+    // AS-OF join: for each error event, the user's latest click at or
+    // before it. Time key embeds event_id so right times are unique ->
+    // fully deterministic match.
+    "q55_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("k", col("ts_sec") * 1000000L + col("event_id"))
+      val l = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("k"))
+      val r = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("k"),
+          col("event_id").as("r_event"), col("value").as("r_value"))
+      AsOfJoin.asOfLeft(l, r, "user_id", "k", Seq("r_event", "r_value"))
+        .select("event_id", "user_id", "r_event", "r_value")
+        .orderBy("event_id")
+    }),
+
+    // Range/band join via bucketed equi-join: parts priced within +-5 of
+    // each supplier's account balance.
+    "q56_range_join" -> ((s, dir) => {
+      val ranges = t(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          (col("s_acctbal") - 5).as("lo"), (col("s_acctbal") + 5).as("hi"))
+      val points = t(s, dir, "part").select(col("p_partkey"), col("p_retailprice"))
+      RangeJoin.pointInRange(points, ranges, "p_retailprice", "lo", "hi", bucketWidth = 10.0)
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("cnt"), min("p_partkey").as("min_part"))
+        .orderBy("s_suppkey")
+    }),
+
+    // HLL sketch (rows-only: sketch estimates are engine-specific; the
+    // <2% error vs exact is asserted in AdvancedSpec).
+    "q57_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Quantile sketch (rows-only, same reasoning).
+    "q58_approx_quantile" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.95), 1000)").as("q"),
+          count(lit(1)).as("cnt"))
+        .select(col("o_orderstatus"), col("q").getItem(0).as("p50"),
+          col("q").getItem(1).as("p95"), col("cnt"))
+        .orderBy("o_orderstatus")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q55_asof_join" ->
+      """WITH ev AS (SELECT *, CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000 + event_id AS k FROM events),
+        |l AS (SELECT user_id, event_id, k FROM ev WHERE event_type = 'error'),
+        |r AS (SELECT user_id, k, event_id AS r_event, value AS r_value FROM ev WHERE event_type = 'click')
+        |SELECT l.event_id, l.user_id, r.r_event, r.r_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.k >= r.k
+        |ORDER BY l.event_id""".stripMargin,
+    "q56_range_join" ->
+      """SELECT s_suppkey, COUNT(*) AS cnt, MIN(p_partkey) AS min_part
+        |FROM supplier JOIN part ON p_retailprice BETWEEN s_acctbal - 5 AND s_acctbal + 5
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin)
+}

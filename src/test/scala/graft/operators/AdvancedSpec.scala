@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AdvancedSpec extends SparkSpec {
+
+  test("asOfLeft: latest right row at or before each left time, per key") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "e1"), (1L, 200L, "e2"), (2L, 50L, "e3"))
+      .toDF("k", "t", "lv")
+    val r = Seq((1L, 90L, "r90"), (1L, 150L, "r150"), (1L, 200L, "r200"), (2L, 60L, "r60"))
+      .toDF("k", "t", "rv")
+    val out = AsOfJoin.asOfLeft(l, r, "k", "t", Seq("rv"))
+      .select("k", "t", "lv", "rv").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getString(3))).toSet
+    assert(out == Set(
+      (1L, 100L, "e1", "r90"),
+      (1L, 200L, "e2", "r200"), // right AT t matches
+      (2L, 50L, "e3", null)))   // nothing precedes -> null
+  }
+
+  test("asOfLeft equals the naive per-row maximum (randomized)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val l = Seq.fill(300)((rng.nextInt(5).toLong, rng.nextInt(10000).toLong * 2 + 1)) // odd times
+    val r = Seq.fill(300)((rng.nextInt(5).toLong, rng.nextInt(10000).toLong * 2))     // even times
+    val lDf = l.toDF("k", "t"); val rDf = r.map { case (k, t) => (k, t, s"v$t") }.toDF("k", "t", "rv")
+    val got = AsOfJoin.asOfLeft(lDf, rDf, "k", "t", Seq("rv"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSet
+    val byKey = r.groupBy(_._1)
+    val want = l.map { case (k, t) =>
+      val best = byKey.getOrElse(k, Nil).map(_._2).filter(_ <= t).sorted.lastOption
+      (k, t, best.map(b => s"v$b").orNull)
+    }.toSet
+    assert(got == want)
+  }
+
+  test("pointInRange matches the naive BETWEEN join") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val points = Seq.fill(500)((rng.nextInt(100000).toLong, rng.nextDouble() * 1000 - 100))
+      .toDF("pid", "p")
+    val ranges = Seq.fill(100) {
+      val lo = rng.nextDouble() * 1000 - 120
+      (rng.nextInt(100000).toLong, lo, lo + rng.nextDouble() * 30)
+    }.toDF("rid", "lo", "hi")
+    val got = RangeJoin.pointInRange(points, ranges, "p", "lo", "hi", 25.0)
+      .select("pid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSorted
+    val want = points.join(ranges, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSorted
+    assert(got.sameElements(want))
+  }
+
+  test("approx sketches land within tolerance of exact") {
+    val li = graft.Tables.load(spark, sf(), "lineitem")
+    val row = li.agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("a"),
+      countDistinct(col("l_partkey")).as("e")).head()
+    val (a, e) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.05, s"approx $a vs exact $e")
+    val q = li.agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)"),
+      expr("percentile(l_extendedprice, 0.5)")).head()
+    assert(math.abs(q.getDouble(0) - q.getDouble(1)) / q.getDouble(1) < 0.05)
+  }
+
+  private implicit class Sortable(a: Array[(Long, Long)]) {
+    def toSorted: Array[(Long, Long)] = a.sortBy(identity)
+  }
+}
