@@ -1,0 +1,44 @@
+package graft.blast
+
+/** Second kernel, proving the A7 kernel interface generalizes beyond
+  * sequence search (SURVEY.md phase 4: "BLAST, n-gram, embedding
+  * dot-product all fit"): token n-gram Jaccard scoring for text corpora.
+  * Same per-partition index-build/stream-queries lifecycle as [[KmerKernel]].
+  *
+  * Scoring: jaccard over distinct token n-gram shingles; bitScore = 100*j,
+  * eValue = 1 - j (so the reference ordering eValue asc == best first),
+  * identityCount = |intersection|, alignLen = |union|.
+  */
+class NgramKernel(n: Int = 3, minJaccard: Double = 0.0) extends SimilarityKernel {
+
+  private def shingles(s: String): Set[String] = {
+    val toks = s.split("\\s+")
+    if (toks.length < n) Set.empty
+    else (0 to toks.length - n).view.map(i => toks.slice(i, i + n).mkString(" ")).toSet
+  }
+
+  override def search(queries: Iterator[Query], subjects: Seq[Subject]): Iterator[RawHit] = {
+    val index = new scala.collection.mutable.HashMap[String, List[Int]]()
+    val subjShingles = subjects.map(s => shingles(s.seq))
+    subjShingles.zipWithIndex.foreach { case (sh, i) =>
+      sh.foreach(g => index(g) = i :: index.getOrElse(g, Nil))
+    }
+    queries.flatMap { q =>
+      val qs = shingles(q.seq)
+      val counts = qs.iterator.flatMap(g => index.getOrElse(g, Nil)).toSeq
+        .groupBy(identity).map { case (i, xs) => (i, xs.size) }
+      counts.iterator.flatMap { case (i, inter) =>
+        val union = qs.size + subjShingles(i).size - inter
+        val j = if (union == 0) 0.0 else inter.toDouble / union
+        if (j < minJaccard) Iterator.empty
+        else Iterator.single(RawHit(
+          queryId = q.uid, subjectId = subjects(i).subjectId,
+          identityCount = inter, alignLen = union, alignLenNoGaps = union,
+          qStart0 = 0, qEnd0 = math.max(qs.size - 1, 0),
+          sStart0 = 0, sEnd0 = math.max(subjShingles(i).size - 1, 0),
+          qFrame = 1, sFrame = 1,
+          eValue = 1.0 - j, bitScore = 100.0 * j, queryLength = math.max(qs.size, 1)))
+      }
+    }
+  }
+}

@@ -116,6 +116,23 @@ object SimilarityPipeline {
     deflines.fold(hits)(d => joinDeflines(hits, d))
   }
 
+  /** A6 NUMITER driver loop: run the spine in `numIter` consecutive
+    * work-item batches (bounds per-iteration kernel memory, exactly why the
+    * reference had it — Spark spill covers shuffle memory already). Batches
+    * split the QUERY side; results are unioned, then cut to top-K globally
+    * per query (identical to single-pass because top-K is per-query).
+    */
+  def runIterations(queries: Dataset[Query], corpus: Dataset[Subject],
+                    kernel: SimilarityKernel, numHitCutoff: Int, numIter: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val batches = (0 until numIter).map { i =>
+      val batch = queries.filter(q => (q.uid % numIter) == i)
+      derive(runKernel(batch, corpus, kernel))
+    }
+    topK(batches.reduce(_ unionByName _), numHitCutoff)
+  }
+
   /** Typed view of the final hit table. */
   def asSavedHits(hits: DataFrame): Dataset[SavedHit] = {
     val spark = hits.sparkSession

@@ -240,6 +240,38 @@ object RelationalQueries extends QuerySet {
         .orderBy("yr", "mo")
     }),
 
+    // Regex extraction (the reference's defline/gi parsing shape).
+    "q27_regexp_extract" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          regexp_extract(col("c_name"), "(\\d+)", 1).cast("long").as("name_num"),
+          regexp_replace(col("c_name"), "[aeiou]", "").as("devoweled"))
+        .orderBy("c_custkey")
+    }),
+
+    // Moving-average window frame (ROWS n PRECEDING/FOLLOWING over a
+    // unique order key).
+    "q28_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        .rowsBetween(-1, 1)
+      // floor, not round: avg/3 is off the 2dp grid, where Spark's
+      // string-based round and DuckDB's binary round can disagree.
+      t(s, dir, "orders")
+        .withColumn("mavg", floor(avg("o_totalprice").over(w) * 100) / 100)
+        .select("o_custkey", "o_orderkey", "mavg")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Explicit GROUPING SETS (multi-granularity aggregate).
+    "q29_grouping_sets" -> ((s, dir) => {
+      val df = t(s, dir, "lineitem")
+      df.createOrReplaceTempView("gs_lineitem")
+      s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+              |FROM gs_lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
     // Scalar subquery in predicate (deterministic: max-based threshold).
     "q23_scalar_subquery" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -358,5 +390,18 @@ object RelationalQueries extends QuerySet {
     "q26_date_funcs" ->
       """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
         |COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
-        |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin)
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+    "q27_regexp_extract" ->
+      """SELECT c_custkey, CAST(regexp_extract(c_name, '(\d+)', 1) AS BIGINT) AS name_num,
+        |regexp_replace(c_name, '[aeiou]', '', 'g') AS devoweled
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q28_moving_avg" ->
+      """SELECT o_custkey, o_orderkey,
+        |FLOOR(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) * 100) / 100 AS mavg
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q29_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
 }

@@ -69,6 +69,29 @@ class PipelineSpec extends SparkSpec {
     assert(hits.select("defline").distinct().count() == 30)
   }
 
+  test("ngram kernel: same pipeline, text corpus, self-hit perfect jaccard") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, sf(), "documents").limit(50)
+      .select("doc_id", "text", "source").as[(Long, String, String)].collect()
+    val qs = docs.map { case (id, txt, _) => Query(id, s">doc$id", txt) }.toSeq.toDS()
+    val cs = docs.map { case (id, txt, src) => Subject(src.hashCode.abs % 3, s"doc$id", txt) }.toSeq.toDS()
+    val hits = SimilarityPipeline.run(qs, cs, new NgramKernel(n = 3), numHitCutoff = 3)
+    import org.apache.spark.sql.functions.{col, min => fmin}
+    // every query's minimum eValue is its self-match at jaccard 1 -> eValue 0
+    val best = hits.groupBy("queryId").agg(fmin("eValue").as("e"))
+    assert(best.where(col("e") > 1e-12).count() == 0)
+    assert(hits.groupBy("queryId").count().agg(org.apache.spark.sql.functions.max("count"))
+      .head().getLong(0) <= 3)
+  }
+
+  test("iteration batching yields identical hits to single-pass") {
+    val single = SimilarityPipeline.run(queriesDs, corpusDs, new KmerKernel(k = 12), 4)
+      .select("queryId", "subjectId", "bitScore")
+    val iterated = SimilarityPipeline.runIterations(queriesDs, corpusDs, new KmerKernel(k = 12), 4, numIter = 3)
+      .select("queryId", "subjectId", "bitScore")
+    assert(single.except(iterated).count() == 0 && iterated.except(single).count() == 0)
+  }
+
   test("csv sink formats floats as C-style %.3g") {
     import HitSinks.formatG3
     assert(formatG3(0.0) == "0")
