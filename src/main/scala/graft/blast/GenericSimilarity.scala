@@ -1,0 +1,59 @@
+package graft.blast
+
+import org.apache.spark.sql.{Dataset, Encoder}
+
+/** The A7 kernel interface generalized beyond the string data model
+  * (SURVEY.md phase 4: "(probe, corpusPartition) => Iterator[ScoredPair]" —
+  * BLAST, n-gram and embedding dot-product all fit). Typed end to end:
+  * the cogrouped execution is identical to [[SimilarityPipeline.runKernel]]
+  * (each task materializes ONE corpus partition, probes stream through),
+  * with caller-chosen probe/corpus/hit types.
+  */
+object GenericSimilarity {
+
+  trait Kernel[Q, S, H] extends Serializable {
+    def search(probes: Iterator[Q], corpus: Seq[S]): Iterator[H]
+  }
+
+  def run[Q, S, H: Encoder](probes: Dataset[Q], corpus: Dataset[S],
+                            corpusPart: S => Int, nParts: Int,
+                            kernel: Kernel[Q, S, H]): Dataset[H] = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    implicit val qEnc: Encoder[Q] = probes.encoder
+    implicit val iqEnc: Encoder[(Int, Q)] =
+      org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaInt, probes.encoder)
+    val qRep = probes.flatMap(q => (0 until nParts).iterator.map(p => (p, q)))
+    qRep.groupByKey(_._1)
+      .cogroup(corpus.groupByKey(corpusPart)) { (_, qs, ss) =>
+        kernel.search(qs.map(_._2), ss.toSeq)
+      }
+  }
+
+  /** Embedding probe/corpus row and scored pair for the cosine kernel. */
+  case class Vec(id: Long, v: Array[Float])
+  case class Scored(probeId: Long, neighborId: Long, cosim: Double)
+
+  /** Exact cosine scoring kernel: per corpus partition, precompute norms
+    * once (the per-partition "index"), then stream probes. Emits all pairs;
+    * compose with [[graft.operators.TopK]] for kNN.
+    */
+  class CosineKernel(minCosim: Double = -1.0) extends Kernel[Vec, Vec, Scored] {
+    private def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    override def search(probes: Iterator[Vec], corpus: Seq[Vec]): Iterator[Scored] = {
+      val norms = corpus.map(c => math.sqrt(dot(c.v, c.v))).toArray
+      probes.flatMap { p =>
+        val pn = math.sqrt(dot(p.v, p.v))
+        corpus.iterator.zipWithIndex.collect {
+          case (c, i) if c.id != p.id && pn > 0 && norms(i) > 0 =>
+            Scored(p.id, c.id, dot(p.v, c.v) / (pn * norms(i)))
+        }.filter(_.cosim >= minCosim)
+      }
+    }
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+/** Physical-plan regression guard: pins the properties that matter at
+  * 100 TB — filters reaching the scan, pruned read schemas, broadcast on
+  * dimension joins — so a refactor that silently loses them fails CI, not
+  * the cluster.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf()).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q02: predicates are pushed into the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters") &&
+      (p.contains("GreaterThan(l_discount") || p.contains("GreaterThan(l_discount,0.05)")),
+      s"missing pushdown in:\n${p.take(2000)}")
+  }
+
+  test("q02: scan reads only the referenced columns") {
+    val p = plan("q02_filter_project")
+    assert(!p.contains("l_returnflag"), "scan reads unreferenced column l_returnflag")
+  }
+
+  test("q03: dimension join is a broadcast hash join") {
+    assert(plan("q03_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q40: probe side of kNN is broadcast, corpus is not shuffled for the join") {
+    val p = plan("q40_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("q17: global top-n avoids a full sort (TakeOrderedAndProject)") {
+    assert(plan("q17_top_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("queries stay inside whole-stage codegen") {
+    // codegen spans appear in the final (post-AQE) executed plan
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf())
+    df.collect()
+    // compact plan notation: "*(n)" prefixes mark WholeStageCodegen spans
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+}

@@ -1,0 +1,30 @@
+package graft.blast
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{Similarity, TopK}
+import GenericSimilarity._
+
+/** The typed cosine kernel through the generic pipeline must agree exactly
+  * with the DataFrame-native brute-force kNN (which the DuckDB oracle
+  * already pins) — kernel-path and expression-path compute the same math.
+  */
+class GenericSimilaritySpec extends SparkSpec {
+
+  test("cosine kernel kNN == DataFrame brute-force kNN on harness embeddings") {
+    import spark.implicits._
+    val emb = graft.Tables.load(spark, sf(), "embeddings")
+    val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("v")).as[Vec]
+    val scored = GenericSimilarity.run[Vec, Vec, Scored](
+      vecs.filter(_.id < 10), vecs, (s: Vec) => (s.id % 4).toInt, 4, new CosineKernel())
+    val kernelTop = TopK(
+        scored.toDF().withColumn("cosim", round(col("cosim"), 4)),
+        Seq("probeId"), Seq(col("cosim").desc, col("neighborId").asc), 5)
+      .select(col("probeId"), col("neighborId"), col("cosim"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val dfTop = Similarity.bruteForceKnn(emb, "vec_id", "embedding", col("vec_id") < 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(kernelTop == dfTop)
+  }
+}
