@@ -15,7 +15,15 @@ package graft.blast
   *   eValue   = qLen * sLen * 2^-bitScore (underflows to 0 for strong hits,
   *              like BLAST; ordering then falls to bitScore desc)
   */
-class KmerKernel(k: Int = 8, minShared: Int = 1) extends SimilarityKernel {
+/** @param dbSize global corpus size statistic (reference O10,
+  *   `mrblast.cpp:408-433`): when set, e-values use the WHOLE-corpus
+  *   effective length instead of the local subject length, so scores are
+  *   identical no matter how the corpus is partitioned — the reference
+  *   computed this once on rank 0 and broadcast it for exactly this
+  *   invariant. Obtain via [[SimilarityPipeline.corpusSize]].
+  */
+class KmerKernel(k: Int = 8, minShared: Int = 1, dbSize: Option[Long] = None)
+    extends SimilarityKernel {
 
   private def kmers(s: String): Set[String] =
     if (s.length < k) Set.empty
@@ -52,7 +60,8 @@ class KmerKernel(k: Int = 8, minShared: Int = 1) extends SimilarityKernel {
           val alignLen = math.min(qU.length, s.seq.length)
           val identityCount = math.min(shared + k - 1, alignLen)
           val bitScore = 2.0 * shared
-          val eValue = qU.length.toDouble * s.seq.length * math.exp(-bitScore * math.log(2))
+          val searchSpace = dbSize.map(_.toDouble).getOrElse(s.seq.length.toDouble)
+          val eValue = qU.length.toDouble * searchSpace * math.exp(-bitScore * math.log(2))
           Iterator.single(RawHit(
             queryId = q.uid, subjectId = s.subjectId,
             identityCount = identityCount, alignLen = alignLen,

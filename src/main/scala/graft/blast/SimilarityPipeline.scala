@@ -55,6 +55,17 @@ trait SimilarityKernel extends Serializable {
   */
 object SimilarityPipeline {
 
+  /** Global corpus-size statistic (reference O10, `mrblast.cpp:408-433`):
+    * computed ONCE before planning and handed to kernels so per-partition
+    * execution scores against the whole corpus — e-values must not depend
+    * on how the corpus happens to be partitioned.
+    */
+  def corpusSize(corpus: Dataset[Subject]): Long = {
+    import org.apache.spark.sql.functions.{length => strlen, sum}
+    corpus.select(sum(strlen(org.apache.spark.sql.functions.col("seq"))))
+      .head().getLong(0)
+  }
+
   /** Run the kernel over every (query, dbPartition) pair. */
   def runKernel(queries: Dataset[Query], corpus: Dataset[Subject],
                 kernel: SimilarityKernel): Dataset[RawHit] = {

@@ -58,6 +58,24 @@ object Fasta {
       .toDS()
   }
 
+  /** Block-range read (reference A1's mmap slice, `mrblast.cpp:775-780`):
+    * parse only the records inside [offset, offset+length) of one file —
+    * the work-item execution path, where each task reads just its block's
+    * byte range as computed by the index + segmentation. Offsets must come
+    * from [[index]] (i.e. point at '>' characters).
+    */
+  def readRange(spark: SparkSession, file: String, offset: Long, length: Long): Dataset[FastaRecord] = {
+    import spark.implicits._
+    val slice = spark.sparkContext.binaryFiles(file).map { case (f, pds) =>
+      val bytes = pds.toArray()
+      val end = math.min(offset + length, bytes.length).toInt
+      (f, java.util.Arrays.copyOfRange(bytes, offset.toInt, end))
+    }
+    slice.flatMap { case (f, bytes) =>
+      parseFile(f, bytes).map(r => r.copy(offset = r.offset + offset))
+    }.toDS()
+  }
+
   /** Sequence index + defline dimension (reference A23, `seqindexer.py`):
     * (uid, offset, length, defline). uid is serial from `startUid` in file
     * order; `fullDefline=false` truncates at the first blank (keeping '>'),

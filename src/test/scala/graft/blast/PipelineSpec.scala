@@ -92,6 +92,18 @@ class PipelineSpec extends SparkSpec {
     assert(single.except(iterated).count() == 0 && iterated.except(single).count() == 0)
   }
 
+  test("global dbsize stat makes e-values invariant to corpus partitioning") {
+    import spark.implicits._
+    val dbSize = SimilarityPipeline.corpusSize(corpusDs)
+    def hits(parts: Int) = {
+      val corpus = corpusDs.map(s => s.copy(dbNo = (s.subjectId.hashCode.abs % parts)))
+      SimilarityPipeline.run(queriesDs, corpus, new KmerKernel(k = 12, dbSize = Some(dbSize)), 5)
+        .select("queryId", "subjectId", "eValue", "bitScore")
+    }
+    val a = hits(2); val b = hits(5)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
   test("csv sink formats floats as C-style %.3g") {
     import HitSinks.formatG3
     assert(formatG3(0.0) == "0")

@@ -36,6 +36,24 @@ class FastaSpec extends SparkSpec {
     assert(ours == golden)
   }
 
+  test("readRange slices exactly the records of one block") {
+    import spark.implicits._
+    val idx = Fasta.index(Fasta.read(spark, query100), startUid = 1, fullDefline = true)
+      .orderBy("uid").limit(3)
+      .select("offset", "length", "defline").as[(Long, Long, String)].collect()
+    // block = records 2..3 by byte range [off2, off3+reclen)
+    val off = idx(1)._1
+    val blockLen = idx(2)._1 - idx(1)._1 + 470 // covers record 3 fully
+    val recs = Fasta.readRange(spark, query100, off, blockLen)
+      .orderBy("offset").collect()
+    assert(recs.length == 2)
+    // index rtrims deflines (seqindexer parity); the raw reader preserves bytes
+    assert(recs(0).defline.replaceAll("\\s+$", "") == idx(1)._3
+      && recs(1).defline.replaceAll("\\s+$", "") == idx(2)._3)
+    assert(recs(0).offset == off) // offsets re-based to the file
+    assert(recs(0).bpLen == 400)
+  }
+
   test("uid start offset (-s) shifts serial ids") {
     import spark.implicits._
     val idx = Fasta.index(Fasta.read(spark, query100), startUid = 100)
