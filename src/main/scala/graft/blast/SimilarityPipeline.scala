@@ -61,9 +61,9 @@ object SimilarityPipeline {
     * on how the corpus happens to be partitioned.
     */
   def corpusSize(corpus: Dataset[Subject]): Long = {
-    import org.apache.spark.sql.functions.{length => strlen, sum}
-    corpus.select(sum(strlen(org.apache.spark.sql.functions.col("seq"))))
-      .head().getLong(0)
+    import org.apache.spark.sql.functions.{coalesce, length => strlen, lit, sum}
+    corpus.select(coalesce(sum(strlen(org.apache.spark.sql.functions.col("seq"))), lit(0L)))
+      .head().getLong(0) // coalesce: sum over zero rows is NULL, not 0
   }
 
   /** Run the kernel over every (query, dbPartition) pair. */
@@ -72,6 +72,17 @@ object SimilarityPipeline {
     val spark = queries.sparkSession
     import spark.implicits._
     val dbNos = corpus.select("dbNo").distinct().as[Int].collect().sorted
+    runKernel(queries, corpus, kernel, dbNos)
+  }
+
+  /** As above with the partition list precomputed — callers that loop
+    * (e.g. [[runIterations]]) pass it once instead of re-scanning the
+    * corpus for the same constant every iteration.
+    */
+  def runKernel(queries: Dataset[Query], corpus: Dataset[Subject],
+                kernel: SimilarityKernel, dbNos: Array[Int]): Dataset[RawHit] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
     val qRep = queries.flatMap(q => dbNos.iterator.map(db => (db, q)))
     qRep.groupByKey(_._1)
       .cogroup(corpus.groupByKey(_.dbNo)) { (_, qs, ss) =>
@@ -137,9 +148,10 @@ object SimilarityPipeline {
                     kernel: SimilarityKernel, numHitCutoff: Int, numIter: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
+    val dbNos = corpus.select("dbNo").distinct().as[Int].collect().sorted
     val batches = (0 until numIter).map { i =>
       val batch = queries.filter(q => (q.uid % numIter) == i)
-      derive(runKernel(batch, corpus, kernel))
+      derive(runKernel(batch, corpus, kernel, dbNos))
     }
     topK(batches.reduce(_ unionByName _), numHitCutoff)
   }

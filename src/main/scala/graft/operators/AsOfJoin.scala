@@ -21,25 +21,33 @@ object AsOfJoin {
   /** `left`/`right` must share `keyCol`; `timeCol` must be numeric and
     * unique within a key on the right side for deterministic results (embed
     * a tiebreaker in it if needed). Right columns in `payloadCols` are
-    * attached to every left row (null when no right row precedes it).
+    * attached to every left row (all null when no right row precedes it).
+    *
+    * The payload travels as ONE struct column (non-null exactly on right
+    * rows) so `last(ignoreNulls)` matches whole right ROWS: a right row
+    * whose individual payload field is null still wins if it is the latest
+    * — per-column lasts would skip it and stitch together a chimera of
+    * fields from different right rows.
     */
   def asOfLeft(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
                payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns
-    val lTagged = payloadCols.foldLeft(left.withColumn("_side", lit(1))) {
-      (df, c) => df.withColumn(c, lit(null).cast(right.schema(c).dataType))
-    }
+    val payload = struct(payloadCols.map(col): _*)
+    val lTagged = left.withColumn("_side", lit(1))
+      .withColumn("_payload", lit(null).cast(
+        right.select(payload).schema.head.dataType))
     val rTagged = leftCols.filterNot(c => c == keyCol || c == timeCol)
-      .foldLeft(right.withColumn("_side", lit(0))) {
+      .foldLeft(right.withColumn("_side", lit(0)).withColumn("_payload", payload)) {
         (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
-    val u = lTagged.select((leftCols ++ payloadCols :+ "_side").map(col): _*)
-      .unionByName(rTagged.select((leftCols ++ payloadCols :+ "_side").map(col): _*))
+    val cols = leftCols.toSeq :+ "_side" :+ "_payload"
+    val u = lTagged.select(cols.map(col): _*)
+      .unionByName(rTagged.select(cols.map(col): _*))
     val w = Window.partitionBy(keyCol).orderBy(col(timeCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached = payloadCols.foldLeft(u) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    attached.where(col("_side") === 1).drop("_side")
+    val attached = u.withColumn("_payload", last(col("_payload"), ignoreNulls = true).over(w))
+    payloadCols.foldLeft(attached.where(col("_side") === 1)) {
+      (df, c) => df.withColumn(c, col(s"_payload.$c"))
+    }.drop("_side", "_payload")
   }
 }

@@ -150,15 +150,20 @@ object Dedup {
   }
 
   /** SimHash near-dup candidates: Hamming distance <= maxHamming, found by
-    * banding the 64-bit fingerprint into (maxHamming+1) 16-bit chunks
-    * (pigeonhole: any pair within distance d shares at least one of d+1
-    * exact chunks) and equi-joining on chunks, then exact popcount filter.
+    * banding the 64-bit fingerprint into (maxHamming+1) chunks (pigeonhole:
+    * any pair within distance d shares at least one of d+1 exact chunks)
+    * and equi-joining on chunks, then exact popcount filter. Chunk widths
+    * derive from maxHamming, so the guarantee holds for any 0 <= d < 64.
     */
   def simHashDupPairs(docs: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    val nChunks = maxHamming + 1
+    val base = 64 / nChunks // last chunk absorbs the remainder bits
     val sig = simHash(docs, textCol, idCol)
-    val chunks = sig.withColumn("c", explode(expr("sequence(0, 3)")))
-      .withColumn("chunk", expr("(simhash >> (c * 16)) & 65535"))
+    val chunks = sig.withColumn("c", explode(expr(s"sequence(0, ${nChunks - 1})")))
+      .withColumn("chunk", expr(
+        s"IF(c < ${nChunks - 1}, (simhash >> (c * $base)) & ${(1L << base) - 1}, simhash >> (c * $base))"))
     val cands = chunks.as("a")
       .join(chunks.as("b"),
         col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))

@@ -23,19 +23,33 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Two-phase salted count/sum: groupBy (key, salt) -> partial agg ->
-    * groupBy key -> final agg. The salt column derives from a hash of the
-    * full row so it is deterministic, not random.
+  /** A decomposable aggregate: the phase-1 partial over (key, salt) and the
+    * phase-2 combiner over the partials. Constructors cover the associative
+    * aggregates where two-phase salting is exact.
+    */
+  case class SaltedSpec(partial: Column, combine: Column => Column, name: String)
+  object SaltedSpec {
+    def count(name: String): SaltedSpec =
+      SaltedSpec(org.apache.spark.sql.functions.count(lit(1)), sum, name)
+    def sumOf(c: Column, name: String): SaltedSpec = SaltedSpec(sum(c), sum, name)
+    def minOf(c: Column, name: String): SaltedSpec = SaltedSpec(min(c), min, name)
+    def maxOf(c: Column, name: String): SaltedSpec = SaltedSpec(max(c), max, name)
+  }
+
+  /** Two-phase salted aggregation: groupBy (key, salt) -> partial ->
+    * groupBy key -> combine. The salt spreads rows regardless of content
+    * (derived from the physical row position, so 100M byte-identical rows
+    * of one hot key still fan out over `saltBuckets` reducers — a
+    * content-hash salt would put them all in one bucket).
     */
   def saltedAgg(df: DataFrame, keyCols: Seq[String], saltBuckets: Int,
-                aggs: Seq[(Column, String)]): DataFrame = {
+                aggs: Seq[SaltedSpec]): DataFrame = {
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
     val phase1 = salted.groupBy((keyCols :+ "_salt").map(col): _*)
-      .agg(aggs.head._1.as("_p_" + aggs.head._2),
-        aggs.tail.map { case (c, n) => c.as("_p_" + n) }: _*)
-    // phase 2: combine partials; count -> sum of partial counts, sum -> sum.
-    val finals = aggs.map { case (_, n) => sum(col("_p_" + n)).as(n) }
+      .agg(aggs.head.partial.as("_p_" + aggs.head.name),
+        aggs.tail.map(a => a.partial.as("_p_" + a.name)): _*)
+    val finals = aggs.map(a => a.combine(col("_p_" + a.name)).as(a.name))
     phase1.groupBy(keyCols.map(col): _*)
       .agg(finals.head, finals.tail: _*)
   }
@@ -48,8 +62,8 @@ object Skew {
   class WeightedPartitioner(assignment: Map[Long, Int], val numPartitions: Int)
       extends Partitioner {
     override def getPartition(key: Any): Int = key match {
-      case l: Long => assignment.getOrElse(l, (l % numPartitions).toInt.abs)
-      case other   => other.hashCode.abs % numPartitions
+      case l: Long => assignment.getOrElse(l, Math.floorMod(l, numPartitions.toLong).toInt)
+      case other   => Math.floorMod(other.hashCode, numPartitions) // .abs breaks on MinValue
     }
   }
 

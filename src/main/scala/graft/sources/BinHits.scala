@@ -92,7 +92,13 @@ object BinHits {
     */
   def write(ds: Dataset[SavedHit], outDir: String, prefix: String,
             iteration: Int, classifier: Boolean): Unit = {
-    new java.io.File(outDir).mkdirs()
+    val dir = new java.io.File(outDir)
+    dir.mkdirs()
+    // overwrite semantics: a re-run with fewer partitions must not leave
+    // stale part files behind for read()'s *.bin glob to pick up
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(s"$prefix-hits-$iteration-") && f.getName.endsWith(".bin"))
+      .foreach(_.delete())
     ds.rdd.mapPartitionsWithIndex { (rank, it) =>
       val f = new java.io.File(outDir, f"$prefix-hits-$iteration-$rank%07d.txt.bin")
       val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))

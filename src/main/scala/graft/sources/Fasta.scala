@@ -58,22 +58,47 @@ object Fasta {
       .toDS()
   }
 
-  /** Block-range read (reference A1's mmap slice, `mrblast.cpp:775-780`):
-    * parse only the records inside [offset, offset+length) of one file —
-    * the work-item execution path, where each task reads just its block's
-    * byte range as computed by the index + segmentation. Offsets must come
-    * from [[index]] (i.e. point at '>' characters).
+  /** Byte extents of each record: (uid, offset, end_offset) where
+    * end_offset is the next record's offset (file size for the last) —
+    * exactly how the reference computes block byte ranges from consecutive
+    * index entries (`mrblast.cpp:167-183`). Compose consecutive uids to get
+    * a block's [startOffset, endOffset).
     */
-  def readRange(spark: SparkSession, file: String, offset: Long, length: Long): Dataset[FastaRecord] = {
+  def byteRanges(records: Dataset[FastaRecord]): DataFrame = {
+    val w = Window.partitionBy("file").orderBy("offset")
+    // last record of a file: extent = "to end of file" (Long.MaxValue;
+    // readRange clamps to the real length). Stored lengths are
+    // newline-stripped, so offset+len would undercount the true bytes.
+    records.toDF()
+      .withColumn("end_offset", coalesce(lead(col("offset"), 1).over(w), lit(Long.MaxValue)))
+      .select(col("file"), col("ord"), col("offset"), col("end_offset"))
+  }
+
+  /** Block-range read (reference A1's mmap slice, `mrblast.cpp:775-780`):
+    * parse only the records inside [offset, endOffset) of one file — the
+    * work-item execution path, where each task reads just its block's byte
+    * range. Ranges MUST lie on record boundaries: take offsets from
+    * [[index]] and ends from [[byteRanges]] (the reference derives block
+    * ends from the next record's offset the same way). The read seeks and
+    * streams only the requested range via the Hadoop filesystem — the file
+    * is never materialized whole, so multi-GB files and >2GB offsets work.
+    */
+  def readRange(spark: SparkSession, file: String, offset: Long, endOffset: Long): Dataset[FastaRecord] = {
     import spark.implicits._
-    val slice = spark.sparkContext.binaryFiles(file).map { case (f, pds) =>
-      val bytes = pds.toArray()
-      val end = math.min(offset + length, bytes.length).toInt
-      (f, java.util.Arrays.copyOfRange(bytes, offset.toInt, end))
+    require(endOffset >= offset, s"bad range [$offset, $endOffset)")
+    // flatMap over the single row (NOT mapPartitions: that closure runs on
+    // every partition, empty ones included, duplicating the read)
+    spark.range(1).flatMap { _ =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val path = new org.apache.hadoop.fs.Path(file)
+      val fs = path.getFileSystem(conf)
+      val end = math.min(endOffset, fs.getFileStatus(path).getLen)
+      val len = (end - offset).toInt // one BLOCK (~1 Mbp), not one file
+      val buf = new Array[Byte](math.max(len, 0))
+      val in = fs.open(path)
+      try in.readFully(offset, buf, 0, buf.length) finally in.close()
+      parseFile(file, buf).map(r => r.copy(offset = r.offset + offset))
     }
-    slice.flatMap { case (f, bytes) =>
-      parseFile(f, bytes).map(r => r.copy(offset = r.offset + offset))
-    }.toDS()
   }
 
   /** Sequence index + defline dimension (reference A23, `seqindexer.py`):

@@ -21,6 +21,18 @@ class AdvancedSpec extends SparkSpec {
       (2L, 50L, "e3", null)))   // nothing precedes -> null
   }
 
+  test("asOfLeft: a latest right row with NULL payload field wins whole (no chimera)") {
+    import spark.implicits._
+    val l = Seq((1L, 30L)).toDF("k", "t")
+    val r = Seq((1L, 10L, Option(5.0), Option("a")), (1L, 20L, None, Option("b")))
+      .toDF("k", "t", "rv", "rs")
+    val out = AsOfJoin.asOfLeft(l, r, "k", "t", Seq("rv", "rs")).head()
+    // latest right row is (t=20, rv=null, rs="b"): rv must be null, not the
+    // stale 5.0, and rs must come from the SAME row
+    assert(out.isNullAt(out.fieldIndex("rv")))
+    assert(out.getString(out.fieldIndex("rs")) == "b")
+  }
+
   test("asOfLeft equals the naive per-row maximum (randomized)") {
     import spark.implicits._
     val rng = new scala.util.Random(5)

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 class DedupSpec extends SparkSpec {
@@ -56,5 +58,24 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.simHashDupPairs(docs(), "text", "doc_id", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L)))
+  }
+
+  test("simhash banding honors maxHamming beyond 3 (pigeonhole holds)") {
+    import spark.implicits._
+    // signatures at exact Hamming distance d, one differing bit per chunk
+    for (d <- Seq(4, 7)) {
+      val nChunks = d + 1
+      val base = 64 / nChunks
+      val a = 0L
+      val b = (0 until d).map(i => 1L << (i * base)).reduce(_ | _) // d bits, d chunks
+      val sig = Seq((1L, a), (2L, b)).toDF("id", "simhash")
+      // replicate the banding from simHashDupPairs on raw signatures
+      val chunks = sig.withColumn("c", explode(expr(s"sequence(0, ${nChunks - 1})")))
+        .withColumn("chunk", expr(
+          s"IF(c < ${nChunks - 1}, (simhash >> (c * $base)) & ${(1L << base) - 1}, simhash >> (c * $base))"))
+      val cands = chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") && col("x.id") < col("y.id"))
+      assert(cands.count() > 0, s"pair at distance $d must share >=1 of ${d + 1} chunks")
+    }
   }
 }

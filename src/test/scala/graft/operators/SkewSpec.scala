@@ -6,18 +6,32 @@ import graft.SparkSpec
 
 class SkewSpec extends SparkSpec {
 
-  test("salted aggregation is exact under heavy key skew") {
+  test("salted aggregation is exact under heavy key skew (count/sum/min/max)") {
     import spark.implicits._
     // 90% of rows share one hot key
     val data = (1 to 10000).map(i => (if (i % 10 == 0) i.toLong % 7 else 0L, i.toDouble))
     val df = data.toDF("k", "v")
     val got = Skew.saltedAgg(df, Seq("k"), saltBuckets = 16,
-        Seq((count(lit(1)), "cnt"), (sum("v"), "sv")))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        Seq(Skew.SaltedSpec.count("cnt"), Skew.SaltedSpec.sumOf(col("v"), "sv"),
+          Skew.SaltedSpec.minOf(col("v"), "mn"), Skew.SaltedSpec.maxOf(col("v"), "mx")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
     val want = data.groupBy(_._1).map { case (k, xs) =>
-      (k, xs.size.toLong, xs.map(_._2).sum)
+      (k, xs.size.toLong, xs.map(_._2).sum, xs.map(_._2).min, xs.map(_._2).max)
     }.toSet
     assert(got == want)
+  }
+
+  test("salted aggregation fans out byte-identical rows of one hot key") {
+    import spark.implicits._
+    // identical rows: a content-derived salt would collapse them to 1 bucket
+    val df = spark.range(10000).select(lit(1L).as("k"), lit(2.5).as("v"))
+    val spread = df.withColumn("_salt",
+        pmod(monotonically_increasing_id(), lit(16L)))
+      .select("_salt").distinct().count()
+    assert(spread > 1, "salt must spread identical rows")
+    val got = Skew.saltedAgg(df, Seq("k"), 16, Seq(Skew.SaltedSpec.count("cnt")))
+      .head()
+    assert(got.getLong(1) == 10000L)
   }
 
   test("weighted partitioner balances hot keys greedily") {

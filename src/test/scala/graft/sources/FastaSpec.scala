@@ -36,22 +36,22 @@ class FastaSpec extends SparkSpec {
     assert(ours == golden)
   }
 
-  test("readRange slices exactly the records of one block") {
+  test("readRange slices exactly the records of one block (byteRanges extents)") {
     import spark.implicits._
-    val idx = Fasta.index(Fasta.read(spark, query100), startUid = 1, fullDefline = true)
-      .orderBy("uid").limit(3)
-      .select("offset", "length", "defline").as[(Long, Long, String)].collect()
-    // block = records 2..3 by byte range [off2, off3+reclen)
-    val off = idx(1)._1
-    val blockLen = idx(2)._1 - idx(1)._1 + 470 // covers record 3 fully
-    val recs = Fasta.readRange(spark, query100, off, blockLen)
+    val all = Fasta.read(spark, query100)
+    val ranges = Fasta.byteRanges(all).orderBy("ord")
+      .select("offset", "end_offset").as[(Long, Long)].collect()
+    // block = records 2..3: [offset(2), end_offset(3))
+    val recs = Fasta.readRange(spark, query100, ranges(1)._1, ranges(2)._2)
       .orderBy("offset").collect()
     assert(recs.length == 2)
-    // index rtrims deflines (seqindexer parity); the raw reader preserves bytes
-    assert(recs(0).defline.replaceAll("\\s+$", "") == idx(1)._3
-      && recs(1).defline.replaceAll("\\s+$", "") == idx(2)._3)
-    assert(recs(0).offset == off) // offsets re-based to the file
-    assert(recs(0).bpLen == 400)
+    val golden = all.orderBy("ord").collect()
+    assert(recs(0).defline == golden(1).defline && recs(1).defline == golden(2).defline)
+    assert(recs(0).offset == golden(1).offset) // offsets re-based to the file
+    assert(recs(0).sequence == golden(1).sequence && recs(1).sequence == golden(2).sequence)
+    // whole file as one range == full read
+    val whole = Fasta.readRange(spark, query100, 0, Long.MaxValue)
+    assert(whole.count() == 100)
   }
 
   test("uid start offset (-s) shifts serial ids") {
