@@ -92,6 +92,20 @@ object TextQueries extends QuerySet {
         .orderBy("a_id", "b_id")
     }),
 
+    // BPE-ish regex tokenization: letter runs / digit runs / single other
+    // chars, the shape subword tokenizers pre-split on — vs whitespace
+    // tokens (q30).
+    "q39_regex_tokens" -> ((s, dir) => {
+      // lit() pattern: embedding it in expr() would go through SQL string
+      // escaping and silently strip the \s
+      val pat = lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), pat, lit(0))).as("n_bpe_tokens"),
+          size(split(col("text"), " ")).as("n_ws_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Word frequency: explode + group + global top-k.
     "q36_word_freq" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -170,6 +184,11 @@ object TextQueries extends QuerySet {
         |FROM inter JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
         |WHERE inter*1.0/(ca.n + cb.n - inter) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    "q39_regex_tokens" ->
+      """SELECT doc_id,
+        |len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
+        |len(string_split(text, ' ')) AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q36_word_freq" ->
       """SELECT tok, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,

@@ -49,6 +49,21 @@ object VectorQueries extends QuerySet {
         .orderBy("vec_id")
     }),
 
+    // Embedding-cosine near-duplicate pairs (the vector-space dedup
+    // variant): all pairs above a cosine threshold within a bounded subset;
+    // the LSH-bucketed path (q64) is the unbounded-scale variant.
+    "q43_dedup_embedding" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").where(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding")).withColumn("nrm", norm("embedding"))
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("nrm").as("nb"))
+      a.crossJoin(b).where(col("a_id") < col("b_id"))
+        .withColumn("cosim", round(dot("ea", "eb") / (col("na") * col("nb")), 4))
+        .where(col("cosim") >= 0.8)
+        .select("a_id", "b_id", "cosim")
+        .orderBy("a_id", "b_id")
+    }),
+
     // Per-label centroid-free aggregate: mean norm + count by label.
     "q42_label_agg" -> ((s, dir) => {
       t(s, dir, "embeddings")
@@ -77,6 +92,15 @@ object VectorQueries extends QuerySet {
         |ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 4) AS nrm,
         |len(embedding) AS dim
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q43_dedup_embedding" ->
+      """WITH ex AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+        |            CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings WHERE vec_id < 500),
+        |n AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM ex GROUP BY vec_id),
+        |dotp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, SUM(a.x*b.x) AS dp
+        |         FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+        |cos AS (SELECT a_id, b_id, ROUND(dp/(na.nrm*nb.nrm), 4) AS cosim
+        |        FROM dotp JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id)
+        |SELECT a_id, b_id, cosim FROM cos WHERE cosim >= 0.8 ORDER BY a_id, b_id""".stripMargin,
     "q42_label_agg" ->
       """SELECT label, COUNT(*) AS cnt,
         |ROUND(AVG(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 4) AS avg_nrm
