@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Physical-layout operators for repeated large-scale joins: bucketing and
+  * partition pruning — the storage-side half of the shuffle story.
+  *
+  * At 100 TB, a fact-fact join's shuffle dominates everything. If both
+  * tables are written bucketed by the join key (same bucket count), Spark
+  * plans the join with ZERO Exchange on either side — the cluster-wide
+  * analog of the reference's "keep the DB partition resident and route
+  * matching work to it" (A8/A24 cache affinity), decided at write time
+  * instead of per query. Directory partitioning gives scan-level pruning
+  * for predicate columns (`PartitionFilters` in the plan).
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed managed table; joins between tables bucketed
+    * on the same key and count are shuffle-free.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int,
+                    sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
+  /** Write `df` directory-partitioned by a column; filters on it prune at
+    * the file listing, not the scan.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+
+  /** True when the physical plan of `df` contains no shuffle Exchange
+    * (broadcast exchanges don't count — they're not the quadratic cost).
+    */
+  def isShuffleFree(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.executedPlan.toString
+    !plan.contains("Exchange hashpartitioning") && !plan.contains("Exchange rangepartitioning")
+  }
+
+  def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
+}

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BucketingSpec extends SparkSpec {
+
+  test("co-bucketed fact-fact join plans with zero shuffle exchanges") {
+    val li = graft.Tables.load(spark, sf(), "lineitem")
+    val o = graft.Tables.load(spark, sf(), "orders")
+    Bucketing.writeBucketed(li, "b_lineitem", "l_orderkey", 8, Seq("l_orderkey"))
+    Bucketing.writeBucketed(o, "b_orders", "o_orderkey", 8, Seq("o_orderkey"))
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey").count()
+    // sanity: same result as the unbucketed join
+    val expect = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+    assert(joined.agg(sum("count")).head().getLong(0) == expect)
+    // the join itself introduced no shuffle (group-by reuses the bucketing)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should be shuffle-free:\n${plan.take(1500)}")
+  }
+
+  test("directory partitioning prunes at the file listing") {
+    val docs = graft.Tables.load(spark, sf(), "documents")
+    val dir = java.nio.file.Files.createTempDirectory("partdocs").toString
+    Bucketing.writePartitioned(docs, dir, "source")
+    val one = spark.read.parquet(dir).where(col("source") === "src1")
+    val plan = one.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") && plan.contains("src1"),
+      s"expected partition pruning:\n${plan.take(1500)}")
+    assert(one.count() == docs.where(col("source") === "src1").count())
+  }
+}
