@@ -124,6 +124,25 @@ object SimilarityPipeline {
       Seq(col("eValue").asc, col("bitScore").desc, col("identity").desc, col("subjectId").asc),
       numHitCutoff).drop("rnk")
 
+  /** A15 scale path: top-K via [[graft.operators.TopKAggregator]] — the
+    * shuffle carries at most k hits per query per map partition instead of
+    * every hit (partial/final top-K, like the reference's partial hit-count
+    * arrays). Same result set as [[topK]] under the same total order;
+    * asserted in PipelineSpec.
+    */
+  def topKAgg(hits: Dataset[SavedHit], numHitCutoff: Int): Dataset[SavedHit] = {
+    val spark = hits.sparkSession
+    import spark.implicits._
+    if (numHitCutoff <= 0) hits
+    else {
+      val ord = Ordering.by[SavedHit, (Double, Double, Double, String)](h =>
+        (h.eValue, -h.bitScore, -h.identity, h.subjectId))
+      val agg = new graft.operators.TopKAggregator[SavedHit](numHitCutoff, ord)
+      hits.groupByKey(_.queryId).agg(agg.toColumn.name("top"))
+        .flatMap(_._2)
+    }
+  }
+
   /** A18: attach deflines via broadcast dimension join; inner, erroring-free
     * analog of load_csv's ordered merge (missing uids simply drop, matching
     * the SQL-converter behavior).

@@ -1,0 +1,50 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed top-K as an `Aggregator` — the partial-aggregable form of A15.
+  *
+  * The window form ([[TopK]]) shuffles EVERY row to its group's reducer and
+  * sorts there. This Aggregator keeps a bounded worst-out buffer per group
+  * per map partition, so the shuffle carries at most k rows per group per
+  * partition and the reducer merges k-sized buffers — the same
+  * partial/final split the reference hand-rolled for its hit counts
+  * (`MPI_Allreduce`, mrblast.cpp:556) applied to its top-K reduce
+  * (mrblast.cpp:1189-1244). At 4.4M hits over 33k queries (the reference's
+  * measured 2048-core iteration) that is a large shuffle-volume cut for
+  * small k.
+  *
+  * `ord` ranks BEST FIRST (like sortBy); pass a total order so ties are
+  * deterministic.
+  */
+class TopKAggregator[T](k: Int, ord: Ordering[T])(implicit seqEnc: Encoder[Seq[T]])
+    extends Aggregator[T, mutable.PriorityQueue[T], Seq[T]] {
+  require(k > 0)
+
+  // PriorityQueue dequeues the MAX under its ordering; with `ord` (best
+  // first, i.e. best = smallest) the head is the current WORST kept row —
+  // O(log k) eviction.
+  override def zero: mutable.PriorityQueue[T] = new mutable.PriorityQueue[T]()(ord)
+
+  override def reduce(buf: mutable.PriorityQueue[T], a: T): mutable.PriorityQueue[T] = {
+    if (buf.size < k) buf.enqueue(a)
+    else if (ord.lt(a, buf.head)) { buf.dequeue(); buf.enqueue(a) }
+    buf
+  }
+
+  override def merge(b1: mutable.PriorityQueue[T], b2: mutable.PriorityQueue[T]): mutable.PriorityQueue[T] = {
+    b2.foreach(a => reduce(b1, a))
+    b1
+  }
+
+  override def finish(buf: mutable.PriorityQueue[T]): Seq[T] =
+    buf.dequeueAll.reverse // dequeue yields worst..best; reverse to best-first
+
+  override def bufferEncoder: Encoder[mutable.PriorityQueue[T]] =
+    Encoders.javaSerialization[mutable.PriorityQueue[T]]
+
+  override def outputEncoder: Encoder[Seq[T]] = seqEnc
+}

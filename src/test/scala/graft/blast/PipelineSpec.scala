@@ -104,6 +104,15 @@ class PipelineSpec extends SparkSpec {
     assert(a.except(b).count() == 0 && b.except(a).count() == 0)
   }
 
+  test("aggregator top-K equals window top-K on the hit table") {
+    val derived = SimilarityPipeline.derive(
+      SimilarityPipeline.runKernel(queriesDs, corpusDs, new KmerKernel(k = 12)))
+    val windowed = SimilarityPipeline.asSavedHits(SimilarityPipeline.topK(derived, 5))
+    val aggregated = SimilarityPipeline.topKAgg(SimilarityPipeline.asSavedHits(derived), 5)
+    assert(windowed.except(aggregated).count() == 0
+      && aggregated.except(windowed).count() == 0)
+  }
+
   test("csv sink formats floats as C-style %.3g") {
     import HitSinks.formatG3
     assert(formatG3(0.0) == "0")

@@ -24,6 +24,34 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("TopKAggregator matches window top-K (partial-aggregable A15)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val data = Seq.fill(2000)((rng.nextInt(40), rng.nextInt(10000), rng.nextInt(1000000)))
+    val k = 4
+    // best first: v desc, id asc (total order)
+    val ord = Ordering.by[(Int, Int, Int), (Int, Int)](t => (-t._2, t._3))
+    val agg = new TopKAggregator[(Int, Int, Int)](k, ord)
+    val got = data.toDS().groupByKey(_._1)
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (_, top) => top }
+      .collect().toSet
+    val want = TopK(data.toDF("g", "v", "id"), Seq("g"),
+        Seq(col("v").desc, col("id").asc), k)
+      .select("g", "v", "id").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == want)
+  }
+
+  test("TopKAggregator output is best-first within each group") {
+    import spark.implicits._
+    val ord = Ordering.by[(Int, Int, Int), Int](-_._2)
+    val agg = new TopKAggregator[(Int, Int, Int)](3, ord)
+    val rows = Seq((1, 5, 0), (1, 9, 1), (1, 7, 2), (1, 1, 3)).toDS()
+      .groupByKey(_._1).agg(agg.toColumn.name("top")).head()._2
+    assert(rows.map(_._2) == Seq(9, 7, 5))
+  }
+
   test("k <= 0 keeps everything (NUMHITCUTOFF=0 semantics)") {
     import spark.implicits._
     val df = Seq((1, 10), (1, 20), (2, 5)).toDF("g", "v")

@@ -39,6 +39,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization state survives a query restart from checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("sess_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("sess_out").toString
+    val input = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(input.toDS(), gapSec = 1800)
+    // memory sink can't recover; the parquet file sink can
+    def start() = sessions.writeStream.format("parquet").option("path", outDir)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    try {
+      input.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(5), 7, "click", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart from the same checkpoint: the open session for user 7 must
+    // still be in state and close on the later event
+    val q2 = start()
+    try {
+      input.addData(Event(3, ts(300), 7, "click", 4.0)) // 5h later -> closes session 1
+      q2.processAllAvailable()
+      input.addData(Event(4, ts(600), 7, "click", 8.0)) // closes session 2
+      q2.processAllAvailable()
+      val out = spark.read.parquet(outDir).as[EventStreams.SessionOut]
+        .collect().sortBy(_.sessionStartSec)
+      assert(out.length >= 2, s"expected 2 closed sessions, got ${out.toSeq}")
+      assert(out(0).n_events == 2 && out(0).sum_value == 3.0,
+        s"pre-restart events lost from state: ${out(0)}")
+      assert(out(1).n_events == 1 && out(1).sum_value == 4.0)
+    } finally q2.stop()
+  }
+
   test("watermarked hourly aggregation matches the batch computation") {
     import spark.implicits._
     implicit val sqlCtx: SQLContext = spark.sqlContext
