@@ -8,8 +8,12 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 object TestSession {
   lazy val spark: SparkSession = {
+    // per-JVM warehouse: managed tables from a previous test run would
+    // otherwise leave LOCATION_ALREADY_EXISTS landmines in ./spark-warehouse
+    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
     val s = GraftSession.tune(
-      SparkSession.builder().master("local[4]").appName("graft-test")).getOrCreate()
+      SparkSession.builder().master("local[4]").appName("graft-test")
+        .config("spark.sql.warehouse.dir", wh)).getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
