@@ -132,6 +132,23 @@ object Dedup {
     verifyJaccard(cands, shingles(candDocs, textCol, idCol, shingleN), threshold)
   }
 
+  /** Winnowing fingerprints (rolling-hash document fingerprinting, the
+    * MOSS scheme): hash every character k-gram, then keep the minimum hash
+    * of each w-wide window — guarantees any shared substring of length
+    * >= w + k - 1 yields at least one shared fingerprint, with ~2/(w+1)
+    * selection density. All codegen'd array expressions, exploded to
+    * (id, fp) rows for index-style joins.
+    */
+  def winnowingFingerprints(docs: DataFrame, textCol: String, idCol: String,
+                            kgram: Int = 8, window: Int = 4): DataFrame = {
+    val kg = s"transform(sequence(1, greatest(length($textCol) - ${kgram - 1}, 0)), i -> xxhash64(substring($textCol, i, $kgram)))"
+    val fps = s"""CASE WHEN size($kg) = 0 THEN array()
+                 |WHEN size($kg) <= $window THEN array(array_min($kg))
+                 |ELSE array_distinct(transform(sequence(1, size($kg) - ${window - 1}), j -> array_min(slice($kg, j, $window))))
+                 |END""".stripMargin
+    docs.select(col(idCol).as("id"), explode(expr(fps)).as("fp"))
+  }
+
   /** 64-bit SimHash per document from token hashes: (id, simhash).
     * bit b of simhash = majority vote of bit b across token xxhash64s.
     * One aggregation pass: 64 parallel bit-vote sums per doc (vs exploding

@@ -66,6 +66,50 @@ object Similarity {
       .drop("_planes")
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
+    * corpus into `nList` cells; each probe searches only its `nProbe`
+    * nearest cells. The other classic ANN scale path next to [[lshKnn]]:
+    * cost ~ corpus * nProbe / nList per probe, recall tunable via nProbe.
+    * Training cost is one KMeans fit over (a sample of) the corpus —
+    * amortized across all queries, exactly like building the reference's
+    * BLAST DB partitions offline.
+    */
+  def ivfKnn(emb: DataFrame, idCol: String, vecCol: String,
+             probeFilter: org.apache.spark.sql.Column, k: Int,
+             nList: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = emb.select(col(idCol), col(vecCol)).cache()
+    val feat = base.withColumn("features", array_to_vector(col(vecCol)))
+    val model = new KMeans().setK(nList).setSeed(seed).setFeaturesCol("features").fit(feat)
+    val assigned = model.transform(feat)
+      .select(col(idCol), col(vecCol), col("prediction").as("cell"))
+      .withColumn("nrm", norm(vecCol))
+    // centroid table (metadata-sized) -> each probe's nProbe nearest cells
+    val spark = emb.sparkSession
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
+    ).toDF("cell", "centroid")
+    val probes = assigned.where(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("p_emb"), col("nrm").as("p_nrm"))
+    val probeCells = broadcast(probes).crossJoin(broadcast(centroids))
+      .withColumn("cdist", dot("p_emb", "centroid"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cdist").desc, col("cell"))))
+      .where(col("crnk") <= nProbe)
+      .select("probe_id", "p_emb", "p_nrm", "cell")
+    val cand = assigned.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("n_emb"), col("nrm").as("n_nrm"), col("cell"))
+    val scored = probeCells.join(cand, "cell")
+      .where(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cosim", round(dot("p_emb", "n_emb") / (col("p_nrm") * col("n_nrm")), 4))
+    val w = Window.partitionBy("probe_id").orderBy(col("cosim").desc, col("neighbor_id"))
+    scored.dropDuplicates("probe_id", "neighbor_id")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("probe_id", "neighbor_id", "cosim", "rnk")
+  }
+
   /** ANN top-k: candidates restricted to the probe's LSH bucket.
     * Trades recall for a 2^bits candidate reduction; recall is measured
     * against [[bruteForceKnn]] in the test suite.

@@ -59,6 +59,24 @@ object PipelineQueries extends QuerySet {
         .orderBy("probe_id", "rnk")
     }),
 
+    // IVF ANN: KMeans coarse quantizer, nProbe nearest cells searched
+    // (rows-only; recall pinned in SimilaritySpec).
+    "q67_knn_ivf" -> ((s, dir) => {
+      Similarity.ivfKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5, nList = 16, nProbe = 4)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Winnowing rolling-hash fingerprints: shared-substring dup clusters
+    // (rows-only; the winnowing guarantee is pinned in DedupSpec).
+    "q68_winnow_fingerprints" -> ((s, dir) => {
+      Dedup.winnowingFingerprints(
+          t(s, dir, "documents").where(col("doc_id") < 1000), "text", "doc_id")
+        .groupBy("fp").agg(count(lit(1)).as("cnt"), min("id").as("keep_id"))
+        .where(col("cnt") > 1)
+        .orderBy("fp")
+    }),
+
     // Multimodal decode plumbing: binary payload -> per-partition stub
     // decoder -> typed features (rows-only; decode determinism is pinned in
     // MultimodalSpec).

@@ -186,6 +186,14 @@ object RelationalQueries extends QuerySet {
         .orderBy(col("cnt").desc, col("l_suppkey"))
     }),
 
+    // Cube (all grouping combinations).
+    "q11_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
     // Rollup (multi-level aggregate; Spark-free extension over the reference).
     "q21_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -365,6 +373,10 @@ object RelationalQueries extends QuerySet {
       """SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem
         |WHERE l_discount >= 0.02 AND l_tax >= 0.02
         |GROUP BY l_suppkey ORDER BY cnt DESC, l_suppkey""".stripMargin,
+    "q11_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q21_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)

@@ -60,6 +60,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("winnowing: shared substrings guarantee shared fingerprints") {
+    import spark.implicits._
+    val core = "the quick brown fox jumps over the lazy dog again and again"
+    val d = Seq(
+      (0L, core),
+      (1L, "PREFIX padding here " + core), // contains core verbatim
+      (2L, "totally unrelated content with different characters entirely"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.winnowingFingerprints(d, "text", "doc_id", kgram = 8, window = 4)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // identical text -> identical fingerprint set
+    val fp0again = Dedup.winnowingFingerprints(d.where($"doc_id" === 0), "text", "doc_id", 8, 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(fp(0L) == fp0again)
+    // winnowing guarantee: shared substring >= w+k-1 chars -> shared fp
+    assert((fp(0L) intersect fp(1L)).nonEmpty)
+    // unrelated docs share nothing
+    assert((fp(0L) intersect fp(2L)).isEmpty)
+  }
+
   test("simhash banding honors maxHamming beyond 3 (pigeonhole holds)") {
     import spark.implicits._
     // signatures at exact Hamming distance d, one differing bit per chunk

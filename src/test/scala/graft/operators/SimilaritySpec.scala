@@ -42,6 +42,17 @@ class SimilaritySpec extends SparkSpec {
     assert(found >= 4, s"planted recall too low: $found/5")
   }
 
+  test("ivf knn: planted near-dups recalled through the coarse quantizer") {
+    val got = Similarity.ivfKnn(corpus(), "vec_id", "embedding", col("vec_id") < 5,
+        k = 3, nList = 8, nProbe = 4)
+      .collect()
+    val found = (0 until 5).count { p =>
+      got.exists(r => r.getLong(0) == p && r.getLong(1) == 1000L + p)
+    }
+    // near-identical vectors quantize to the same cell (or a probed one)
+    assert(found >= 4, s"IVF planted recall too low: $found/5")
+  }
+
   test("cosine of identical vector is 1") {
     import spark.implicits._
     val df = Seq((1L, Array(1f, 2f, 3f)), (2L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
