@@ -36,6 +36,28 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Watermarked stream-stream interval join: for every error event, the
+    * same user's click events in the preceding `windowSec`. Both sides are
+    * watermarked so the join state is bounded — Spark drops buffered rows
+    * once they can no longer match (the streaming form of the as-of/range
+    * join family).
+    */
+  def errorsWithRecentClicks(events: DataFrame, windowSec: Long = 3600,
+                             watermark: String = "2 hours"): DataFrame = {
+    val errors = events.where(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts"))
+      .withWatermark("err_ts", watermark)
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+      .withWatermark("click_ts", watermark)
+    errors.join(clicks,
+      col("user_id") === col("c_user")
+        && col("click_ts") <= col("err_ts")
+        && col("click_ts") >= col("err_ts") - expr(s"INTERVAL $windowSec SECONDS"))
+      .select("err_id", "user_id", "click_id", "click_value")
+  }
+
   /** Stateful sessionization (q51's incremental twin): a session closes when
     * `gapSec` of event time passes without activity for the user; closed
     * sessions are emitted. Uses event-time timeouts so results depend only

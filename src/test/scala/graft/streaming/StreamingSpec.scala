@@ -73,6 +73,27 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("stream-stream interval join pairs errors with preceding clicks") {
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.errorsWithRecentClicks(input.toDS().toDF(), windowSec = 3600)
+      .writeStream.format("memory").queryName("err_clicks").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 10.0),   // within 1h of the error
+        Event(2, ts(30), 1, "error", 0.0),
+        Event(3, ts(0), 2, "click", 20.0),   // different user
+        Event(4, ts(200), 1, "click", 30.0), // AFTER the error
+        Event(5, ts(5000), 9, "click", 0.0)) // watermark push
+      q.processAllAvailable()
+      val out = spark.table("err_clicks")
+        .select("err_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out == Set((2L, 1L)), s"got $out")
+    } finally q.stop()
+  }
+
   test("watermarked hourly aggregation matches the batch computation") {
     import spark.implicits._
     implicit val sqlCtx: SQLContext = spark.sqlContext
