@@ -35,6 +35,13 @@ object StreamingRun {
       .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
 
+    // stream-stream interval join over the same file stream
+    val q2 = EventStreams.errorsWithRecentClicks(stream, windowSec = 3600)
+      .writeStream.format("memory").queryName("err_clicks").outputMode("append").start()
+    q2.processAllAvailable()
+    q2.stop()
+    println(s"stream-stream join rows=${spark.table("err_clicks").count()}")
+
     println(s"stream rows=${streamed.count()} batch rows=${batch.count()}")
     println("note: append-mode emits only watermark-closed windows; " +
       "the tail hour stays open by design")
