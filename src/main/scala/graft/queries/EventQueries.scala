@@ -78,8 +78,8 @@ object EventQueries extends QuerySet {
         |g AS (SELECT user_id, event_id, value, sec,
         |      CASE WHEN sec - LAG(sec, 1) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
         |           THEN 1 ELSE 0 END AS brk FROM e),
-        |s AS (SELECT user_id, value, SUM(brk) OVER (PARTITION BY user_id ORDER BY sec, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM g)
+        |s AS (SELECT user_id, value, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess FROM g)
         |SELECT user_id, sess, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
     "q52_hourly_agg" ->
@@ -88,12 +88,12 @@ object EventQueries extends QuerySet {
         |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_id""".stripMargin,
     "q53_conditional_agg" ->
       """SELECT user_id,
-        |SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-        |SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
-        |SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signups,
+        |CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        |CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+        |CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
         |ROUND(SUM(value), 2) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q54_json_extract" ->
-      """SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |COUNT(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -106,14 +106,14 @@ object PipelineQueries extends QuerySet {
       s"""WITH b AS (SELECT doc_id, n_chars,
         |  CAST(FLOOR(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $BlockSize.0) AS BIGINT) AS block_id
         |  FROM documents)
-        |SELECT block_id, COUNT(*) AS n_docs, SUM(n_chars) AS block_len,
+        |SELECT block_id, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS block_len,
         |MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM b GROUP BY block_id ORDER BY block_id""".stripMargin,
     "q61_work_items" ->
       s"""WITH b AS (SELECT doc_id, n_chars,
         |  CAST(FLOOR(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $BlockSize.0) AS BIGINT) AS block_id
         |  FROM documents),
-        |blocks AS (SELECT block_id, SUM(n_chars) AS block_len FROM b GROUP BY block_id),
+        |blocks AS (SELECT block_id, CAST(SUM(n_chars) AS BIGINT) AS block_len FROM b GROUP BY block_id),
         |parts AS (SELECT DISTINCT source FROM documents)
         |SELECT block_id, source, block_len FROM blocks CROSS JOIN parts
         |ORDER BY block_id, source""".stripMargin,

@@ -7,32 +7,37 @@ Usage: check_oracle.py <sfDir> <verifyOutDir>
 import json, math, sys, glob
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
 def canon(v):
+    # int stays int, float stays float ("3" != "3.0") — the driver's hash
+    # distinguishes them; integer WIDTH (int32 vs int64) must not matter.
     if v is None:
         return None
-    if isinstance(v, float):
+    import numpy as np
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return "nan"
-        return round(v, 6)
+        return repr(float(v))
+    if isinstance(v, (int, np.integer)):
+        return repr(int(v))
     if isinstance(v, bytes):
         return v.hex()
     if hasattr(v, "isoformat"):
         return v.isoformat()[:26]
-    if isinstance(v, int):
-        return float(v) if abs(v) < 2**52 else v
     return v
 
 
-def rows_of(cur):
-    cols = [d[0] for d in cur.description]
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    data = cur.fetchall()
-    return [cols[i] for i in order], [tuple(canon(r[i]) for i in order) for r in data]
+def rows_of(df):
+    # Driver-style: go through pandas so dtype coercions (e.g. DuckDB HUGEINT
+    # from SUM(int) -> float64 -> "3.0" vs Spark's int64 "3") are visible.
+    cols = sorted(df.columns)
+    data = [tuple(canon(v) for v in row) for row in df[cols].itertuples(index=False)]
+    return cols, data
 
 
 def main(sf_dir, out_dir):
@@ -49,13 +54,13 @@ def main(sf_dir, out_dir):
             n_bad += 1
             continue
         try:
-            ocols, orows = rows_of(con.execute(sql))
+            ocols, orows = rows_of(con.execute(sql).fetchdf())
         except Exception as e:
             print(f"ORACLE-ERROR {name}: {e}")
             n_bad += 1
             continue
-        scols, srows = rows_of(con.execute(
-            f"SELECT * FROM read_parquet({files!r})"))
+        scols, srows = rows_of(
+            pd.concat([pd.read_parquet(f) for f in sorted(files)]))
         if ocols != scols:
             print(f"SCHEMA-MISMATCH {name}: oracle={ocols} spark={scols}")
             n_bad += 1
