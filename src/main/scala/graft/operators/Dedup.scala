@@ -41,15 +41,20 @@ object Dedup {
     rawShingles(docs, textCol, idCol, n).distinct()
 
   /** MinHash signatures: (id, sig: array[long] of length k), computed in ONE
-    * aggregation pass — k parallel `min(xxhash64(seed, shingle))` aggregates
-    * over the shingle rows. Map-side partial min means the shuffle carries
-    * one k-wide row per doc per map partition, NOT k x shingles rows (the
-    * naive explode-the-seeds formulation — at 100 TB that factor-k shuffle
-    * is the difference between feasible and not).
+    * aggregation pass — k parallel `min(xxhash64(i, h))` aggregates over the
+    * shingle rows, where h = xxhash64(shingle) is computed ONCE per row and
+    * the k permutations re-hash that fixed-width long under seed i (affine
+    * `a_i*h+b_i` would be cheaper still but overflows under ANSI mode). Two
+    * scale properties: the variable-length shingle string is hashed once
+    * (not k times), and map-side partial min means the shuffle
+    * carries one k-wide row per doc per map partition, NOT k x shingles rows
+    * (the naive explode-the-seeds formulation — at 100 TB that factor-k
+    * shuffle is the difference between feasible and not).
     */
   def minHash(sh: DataFrame, numHashes: Int): DataFrame =
-    sh.groupBy("id").agg(
-      array((0 until numHashes).map(i => min(xxhash64(lit(i), col("sh")))): _*).as("sig"))
+    sh.select(col("id"), xxhash64(col("sh")).as("h"))
+      .groupBy("id").agg(
+        array((0 until numHashes).map(i => min(xxhash64(lit(i), col("h")))): _*).as("sig"))
 
   /** LSH candidate pairs via banding: docs sharing any band's bucket
     * (bucket = hash of that band's signature slice). Hot buckets above
@@ -62,15 +67,17 @@ object Dedup {
     val rows = numHashes / bands
     val banded = sig.selectExpr("id",
       s"posexplode(transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))) AS (band, bucket)")
-    val hot = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("bsz"))
-      .where(col("bsz") > maxBucketSize)
-    val pruned = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-    pruned.as("a")
-      .join(pruned.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
-          && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+    // ONE shuffle: gather each bucket's members, drop hot buckets by size
+    // (skew guard), expand the i<j pairs with a codegen'd nested transform.
+    // The former self-join formulation cost 4 scans of the banded rows plus
+    // a broadcast anti-join; this is groupBy + explode.
+    banded.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
       .distinct()
   }
 
@@ -121,7 +128,10 @@ object Dedup {
                       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5,
                       estimatePrefilter: Boolean = false): DataFrame = {
-    val sig = minHash(rawShingles(docs, textCol, idCol, shingleN), numHashes).cache()
+    val sig0 = minHash(rawShingles(docs, textCol, idCol, shingleN), numHashes)
+    // sig feeds one consumer unless the prefilter adds a second — only then
+    // is the materialization cost of cache() paid back.
+    val sig = if (estimatePrefilter) sig0.cache() else sig0
     val cands0 = lshCandidates(sig, numHashes, bands)
     val cands = (if (estimatePrefilter)
       estimateFilter(cands0, sig, numHashes,
@@ -178,7 +188,7 @@ object Dedup {
     * derive from maxHamming, so the guarantee holds for any 0 <= d < 64.
     */
   def simHashDupPairs(docs: DataFrame, textCol: String, idCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
     val nChunks = maxHamming + 1
     val base = 64 / nChunks // last chunk absorbs the remainder bits
@@ -186,14 +196,20 @@ object Dedup {
     val chunks = sig.withColumn("c", explode(expr(s"sequence(0, ${nChunks - 1})")))
       .withColumn("chunk", expr(
         s"IF(c < ${nChunks - 1}, (simhash >> (c * $base)) & ${(1L << base) - 1}, simhash >> (c * $base))"))
-    val cands = chunks.as("a")
-      .join(chunks.as("b"),
-        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .distinct()
-    cands.withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+    // Same one-shuffle bucket-gather pair expansion as [[lshCandidates]];
+    // the Hamming cut runs per generated pair (cheap bit_count) BEFORE the
+    // dedup shuffle so distinct() only sees surviving pairs.
+    chunks.groupBy("c", "chunk")
+      .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("xs"))
+      .where(size(col("xs")).between(2, maxBucketSize))
+      .select(explode(expr(
+        """flatten(transform(xs, (x, i) ->
+          |  transform(slice(xs, i + 2, size(xs)), y ->
+          |    struct(x.id AS a_id, y.id AS b_id, x.simhash AS sh_a, y.simhash AS sh_b))))""".stripMargin)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"),
+        expr("bit_count(p.sh_a ^ p.sh_b)").as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .distinct()
       .select("a_id", "b_id", "hamming")
   }
 }

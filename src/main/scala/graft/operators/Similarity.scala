@@ -79,9 +79,14 @@ object Similarity {
              nList: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val base = emb.select(col(idCol), col(vecCol)).cache()
-    val feat = base.withColumn("features", array_to_vector(col(vecCol)))
-    val model = new KMeans().setK(nList).setSeed(seed).setFeaturesCol("features").fit(feat)
+    val base = emb.select(col(idCol), col(vecCol))
+    val feat = base.withColumn("features", array_to_vector(col(vecCol))).cache()
+    // Coarse quantizer: random init (k-means|| costs ~5 extra passes over
+    // the corpus for little gain on a coarse codebook) and a bounded
+    // iteration count — the cells only need to be roughly balanced, recall
+    // comes from nProbe. At real scale, fit on a corpus sample instead.
+    val model = new KMeans().setK(nList).setSeed(seed).setFeaturesCol("features")
+      .setInitMode("random").setMaxIter(8).setTol(1e-3).fit(feat)
     val assigned = model.transform(feat)
       .select(col(idCol), col(vecCol), col("prediction").as("cell"))
       .withColumn("nrm", norm(vecCol))
