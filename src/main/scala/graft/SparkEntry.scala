@@ -21,7 +21,7 @@ object SparkEntry {
 
   private val sets: Seq[QuerySet] =
     Seq(RelationalQueries, TextQueries, VectorQueries, EventQueries,
-      PipelineQueries, AdvancedQueries)
+      PipelineQueries, AdvancedQueries, MlPrepQueries)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     sets.flatMap(_.queries).toMap

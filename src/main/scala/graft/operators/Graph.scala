@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Small-label-propagation connected components over an edge list — the
+  * cluster-assignment step that turns near-duplicate PAIRS (from
+  * [[Dedup.minHashDupPairs]] / [[Dedup.simHashDupPairs]] / n-gram Jaccard)
+  * into per-document cluster ids, so dedup can keep one representative per
+  * component rather than per pair.
+  *
+  * Algorithm: every vertex starts labeled with its own id; each round every
+  * vertex takes the min of its label and its neighbors' labels; converged
+  * when no label changes. Rounds = graph diameter (near-dup graphs are
+  * shallow — clusters are cliques-ish, so 2-4 rounds in practice). Each
+  * round is one join + one aggregation on the vertex id — both shuffles on
+  * the same key, so at scale the exchange reuses partitioning. No
+  * driver-side data beyond the per-round convergence count.
+  */
+object Graph {
+
+  /** Connected components of the undirected graph given by `edges(aCol,bCol)`.
+    * Returns (id, cluster_id) for every vertex that appears in an edge,
+    * cluster_id = min vertex id in the component.
+    *
+    * `maxIter` bounds the rounds (label propagation needs component-diameter
+    * rounds); if the bound is hit before convergence the labels are still a
+    * valid refinement (over-segmented), and callers that need certainty can
+    * check the returned round count via [[componentsWithRounds]].
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame =
+    componentsWithRounds(edges, aCol, bCol, maxIter)._1
+
+  def componentsWithRounds(edges: DataFrame, aCol: String, bCol: String,
+                           maxIter: Int): (DataFrame, Int) = {
+    val e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // localCheckpoint (not cache): each round's plan references the previous
+    // round's, so without lineage truncation the logical plan doubles every
+    // iteration and Catalyst re-optimization dominates after ~8 rounds. At
+    // cluster scale with lineage-based recovery requirements, swap for
+    // checkpoint() against a reliable dir — same call shape.
+    val bidir = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = bidir.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIter) {
+      // neighbor-min message pass: label(v) <- min(label(v), min_{u~v} label(u))
+      val msgs = bidir.join(labels, bidir("src") === labels("id"))
+        .select(col("dst").as("id"), col("label").as("nbr"))
+      val next = labels.join(msgs.groupBy("id").agg(min("nbr").as("nbr")), Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      rounds += 1
+      converged = changed == 0
+    }
+    (labels.select(col("id"), col("label").as("cluster_id")), rounds)
+  }
+}

@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Training-data-preparation operators beyond the text/dedup basics:
+  * TF-IDF term scoring, sliding-window document chunking, deterministic
+  * hash train/val/test splits, PII-style regex redaction, near-dup cluster
+  * assignment (connected components over Jaccard pairs), statistical
+  * moments, analytic window shapes, and per-group deterministic sampling.
+  *
+  * Float-parity conventions (see tools/check_oracle.py):
+  * - exact rational window stats (percent_rank/cume_dist) use
+  *   floor(x*1e6)/1e6 — round() diverges between Spark's
+  *   shortest-decimal-string rounding and DuckDB's binary rounding on
+  *   7-digit halves like 1/128;
+  * - irrational scores (ln-based TF-IDF, stddev/corr) use round(): they
+  *   never land on a decimal half.
+  */
+object MlPrepQueries extends QuerySet {
+
+  /** Query-side bound for the quadratic-ish n-gram pair generation (the
+    * unbounded scale path is MinHash-LSH in [[graft.operators.Dedup]]).
+    */
+  private val PairDocLimit = 500
+
+  val queries: Map[String, Q] = Map(
+    // TF-IDF: top-3 terms per document by tf * ln(N/df) over a bounded
+    // subset; inverted-index shape (token -> doc postings) throughout.
+    "q44_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 200)
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("nn"))
+      val scored = tf.join(df, "tok").crossJoin(broadcast(n))
+        .withColumn("score", round(col("tf") * log(col("nn").cast("double") / col("df")), 4))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+      scored.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"), col("rnk"))
+        .orderBy("doc_id", "rnk")
+    }),
+
+    // Sliding-window chunking: 64-token windows, stride 48 — the shape LLM
+    // pretraining corpora are cut with (and the reference's block slicing,
+    // mrblast.cpp:775-780, applied to token arrays).
+    "q45_doc_chunks" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), col("t"), size(col("t")).as("n"),
+          posexplode(sequence(lit(1), size(col("t")), lit(48))).as(Seq("chunk_idx", "s")))
+        .select(col("doc_id"), col("chunk_idx"),
+          least(lit(64), col("n") - col("s") + 1).as("chunk_len"),
+          element_at(col("t"), col("s")).as("first_tok"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Deterministic train/val/test split from the last hex digit of the
+    // content hash: 12/2/2 of 16 — content-stable across runs AND across
+    // engines, the property random() splits lack.
+    "q46_hash_split" -> ((s, dir) => {
+      val c = substring(md5(col("text")), 32, 1)
+      val split_ = when(c.between("0", "9") || c.isin("a", "b"), "train")
+        .when(c.isin("c", "d"), "val").otherwise("test")
+      t(s, dir, "documents")
+        .groupBy(col("source"), split_.as("split"))
+        .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
+        .orderBy("source", "split")
+    }),
+
+    // PII-style regex scrubbing: count email-shaped and long-digit-run
+    // matches, and measure the redacted length. Patterns stick to explicit
+    // character classes so Java regex (Spark) and RE2 (DuckDB) agree.
+    "q47_pii_redact" -> ((s, dir) => {
+      val email = lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+      val num = lit("[0-9]{3,}")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), email, lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("text"), num, lit(0))).as("n_nums"),
+          length(regexp_replace(regexp_replace(col("text"), email, lit("[EMAIL]")),
+            num, lit("[NUM]"))).as("red_len"))
+        .orderBy("doc_id")
+    }),
+
+    // Near-dup cluster assignment: exact n-gram Jaccard pairs (>= 0.5) as
+    // edges, connected components via distributed label propagation
+    // (graft.operators.Graph); cluster id = min doc_id in the component.
+    "q48_dup_clusters" -> ((s, dir) => {
+      val d = t(s, dir, "documents").where(col("doc_id") < PairDocLimit)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val sh = d.where(size(col("t")) >= 3)
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(1, size(t)-2), i -> concat_ws(' ', slice(t, i, 3)))")).as("sh"))
+        .distinct()
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a")
+        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      val j = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
+      val pairs = inter
+        .join(cnt.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+        .join(cnt.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+        .where(j >= 0.5)
+        .select("a_id", "b_id")
+      Graph.connectedComponents(pairs, "a_id", "b_id")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    // Statistical moments + correlation per group (data-quality profiling).
+    "q69_stat_moments" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Analytic window shapes: percent_rank / cume_dist / ntile per brand.
+    // floor-truncated to 6dp: these are exact rationals (k/(n-1)) where
+    // round() half-cases genuinely occur (e.g. odd/128).
+    "q70_window_shapes" -> ((s, dir) => {
+      val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice"), col("p_partkey"))
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"),
+          (floor(percent_rank().over(w) * 1e6) / 1e6).as("pr"),
+          (floor(cume_dist().over(w) * 1e6) / 1e6).as("cd"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("p_partkey")
+    }),
+
+    // Deterministic per-group sampling: first 20 docs per source in
+    // content-hash order — reproducible downsampling without random().
+    "q71_sample_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("source").orderBy(md5(col("text")), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 20)
+        .select("source", "doc_id", "rn")
+        .orderBy("source", "rn")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q44_tfidf" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |scored AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |  ROUND(tf.tf * ln((SELECT COUNT(*) FROM d) * 1.0 / df.df), 4) AS score
+        |  FROM tf JOIN df USING (tok)),
+        |r AS (SELECT doc_id, tok, tf, df, score,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk FROM scored)
+        |SELECT doc_id, tok, tf, df, score, rnk FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+    "q45_doc_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |c AS (SELECT doc_id, t, len(t) AS n, unnest(generate_series(1, len(t), 48)) AS s FROM d)
+        |SELECT doc_id, CAST((s - 1) / 48 AS BIGINT) AS chunk_idx,
+        |LEAST(64, n - s + 1) AS chunk_len, t[s] AS first_tok
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q46_hash_split" ->
+      """WITH d AS (SELECT source, doc_id,
+        |  CASE WHEN substring(md5(text), 32, 1) BETWEEN '0' AND '9'
+        |         OR substring(md5(text), 32, 1) IN ('a', 'b') THEN 'train'
+        |       WHEN substring(md5(text), 32, 1) IN ('c', 'd') THEN 'val'
+        |       ELSE 'test' END AS split FROM documents)
+        |SELECT source, split, COUNT(*) AS n, MIN(doc_id) AS first_doc
+        |FROM d GROUP BY source, split ORDER BY source, split""".stripMargin,
+    "q47_pii_redact" ->
+      """SELECT doc_id,
+        |len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |len(regexp_extract_all(text, '[0-9]{3,}')) AS n_nums,
+        |length(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |  '[0-9]{3,}', '[NUM]', 'g')) AS red_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q48_dup_clusters" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < $PairDocLimit),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh FROM (
+        |    SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM d WHERE len(t) >= 3))),
+        |c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id FROM inter
+        |          JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
+        |          WHERE inter*1.0/(ca.n + cb.n - inter) >= 0.5),
+        |edges AS (SELECT a_id AS s, b_id AS e FROM pairs UNION SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (SELECT s, s FROM edges
+        |  UNION SELECT reach.id, e.e FROM reach JOIN edges e ON e.s = reach.r)
+        |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+        |ORDER BY doc_id""".stripMargin,
+    "q69_stat_moments" ->
+      """SELECT l_returnflag,
+        |ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+        |ROUND(var_samp(l_discount), 6) AS var_disc,
+        |ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |ROUND(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q70_window_shapes" ->
+      """SELECT p_partkey, p_brand,
+        |FLOOR(percent_rank() OVER w * 1e6) / 1e6 AS pr,
+        |FLOOR(cume_dist() OVER w * 1e6) / 1e6 AS cd,
+        |NTILE(4) OVER w AS quartile
+        |FROM part WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+    "q71_sample_per_group" ->
+      """WITH r AS (SELECT source, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, doc_id, rn FROM r WHERE rn <= 20 ORDER BY source, rn""".stripMargin)
+}

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("chain, clique, and singleton-pair components all get min-id labels") {
+    // chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    // clique 10-11-12, isolated pair 20-21
+    val got = components(Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("long path converges within the diameter bound and labels everything") {
+    // path 0-1-2-...-9: worst case for label propagation (diameter 9)
+    val edges = (0L until 9L).map(i => (i, i + 1))
+    val (labels, rounds) = Graph.componentsWithRounds(edges.toDF("a", "b"), "a", "b", 20)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got == (0L to 9L).map(_ -> 0L).toMap)
+    assert(rounds <= 10, s"took $rounds rounds")
+  }
+
+  test("edge direction does not matter") {
+    assert(components(Seq((5L, 3L), (3L, 9L))) == Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
+  }
+
+  test("maxIter bound returns a valid refinement instead of hanging") {
+    val edges = (0L until 9L).map(i => (i, i + 1))
+    val (labels, rounds) = Graph.componentsWithRounds(edges.toDF("a", "b"), "a", "b", 2)
+    assert(rounds == 2)
+    val got = labels.as[(Long, Long)].collect().toMap
+    // every label must be a reachable (smaller-or-equal) vertex id
+    assert(got.forall { case (id, lbl) => lbl <= id })
+  }
+}
