@@ -17,5 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => FloatDotProduct(children(0), children(1))))
+    // rank-filter windows -> native partial/final top-K (see GroupTopK.scala)
+    ext.injectOptimizerRule(_ => GroupTopKRewrite)
+    ext.injectPlannerStrategy(_ => GroupTopKStrategy)
   }
 }

@@ -1,0 +1,100 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GroupTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def data: DataFrame = {
+    val rng = new scala.util.Random(7)
+    (1 to 5000).map(i => (rng.nextInt(40), rng.nextDouble(), i.toLong))
+      .toDF("g", "score", "id")
+  }
+
+  private def windowed(df: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    df.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
+  test("rank-filter window rewrites to GroupTopKFinal/Partial execs") {
+    val plan = windowed(data, 5).queryExecution.executedPlan.toString
+    assert(plan.contains("GroupTopKFinal"), s"no GroupTopKFinal in:\n$plan")
+    assert(plan.contains("GroupTopKPartial"), s"no GroupTopKPartial in:\n$plan")
+    assert(!plan.contains("Window"), s"Window survived in:\n$plan")
+  }
+
+  test("results match the window semantics exactly (values AND ranks)") {
+    val df = data
+    val got = windowed(df, 7)
+    // reference: compute without the rewrite by disabling excludable rule
+    val expected = df.as[(Int, Double, Long)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        rows.sortBy(r => (-r._2, r._3)).take(7).zipWithIndex
+          .map { case ((_, s, id), i) => (g, s, id, i + 1) }
+      }.sortBy(r => (r._1, r._4))
+    val gotRows = got.select("g", "score", "id", "rnk")
+      .as[(Int, Double, Long, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+    assert(gotRows == expected)
+  }
+
+  test("rnk = 1 (argmax per group) rewrites and is correct") {
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val got = data.withColumn("rnk", row_number().over(w)).where(col("rnk") === 1)
+    assert(got.queryExecution.executedPlan.toString.contains("GroupTopKFinal"))
+    assert(got.count() == data.select("g").distinct().count())
+  }
+
+  test("extra post-rank predicates are preserved above the top-k") {
+    val df = data
+    val got = windowed(df, 5).where(col("score") > 0.5)
+    assert(got.queryExecution.executedPlan.toString.contains("GroupTopKFinal"))
+    // filter AFTER ranking: a group whose rank-4 row scores < 0.5 yields < 4 rows
+    val viaWindow = df.as[(Int, Double, Long)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        rows.sortBy(r => (-r._2, r._3)).take(5).zipWithIndex
+          .collect { case ((_, s, id), i) if s > 0.5 => (g, s, id, i + 1) }
+      }.sortBy(r => (r._1, r._4))
+    val gotRows = got.select("g", "score", "id", "rnk")
+      .as[(Int, Double, Long, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+    assert(gotRows == viaWindow)
+  }
+
+  test("pagination (rnk >= 2) and large k keep the window form") {
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val paged = data.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5 && col("rnk") >= 2)
+    assert(!paged.queryExecution.executedPlan.toString.contains("GroupTopKFinal"))
+    val huge = windowed(data, GroupTopKRewrite.MaxK + 1)
+    assert(!huge.queryExecution.executedPlan.toString.contains("GroupTopKFinal"))
+  }
+
+  test("global row_number (no partition) keeps the window form") {
+    val w = Window.orderBy(col("score").desc, col("id"))
+    val got = data.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 5)
+    assert(!got.queryExecution.executedPlan.toString.contains("GroupTopKFinal"))
+    assert(got.count() == 5)
+  }
+
+  test("rank(), unlike row_number(), keeps the window form") {
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val got = data.withColumn("rnk", rank().over(w)).where(col("rnk") <= 5)
+    assert(!got.queryExecution.executedPlan.toString.contains("GroupTopKFinal"))
+  }
+
+  test("partial+final stay correct across a repartitioned (multi-partition) input") {
+    val got = windowed(data.repartition(4), 3)
+    assert(got.queryExecution.executedPlan.toString.contains("GroupTopKPartial"))
+    assert(got.count() == 40 * 3L)
+    // every group's top-3 by (score desc, id): same as single-partition run
+    val single = windowed(data.coalesce(1), 3)
+      .select("g", "score", "id", "rnk").as[(Int, Double, Long, Int)]
+      .collect().toSet
+    val multi = got.select("g", "score", "id", "rnk")
+      .as[(Int, Double, Long, Int)].collect().toSet
+    assert(multi == single)
+  }
+}
