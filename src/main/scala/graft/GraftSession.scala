@@ -22,6 +22,12 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // runtime row-level filtering: build a bloom filter on a selective join
+    // side and prune the other side's scan before the shuffle — the classic
+    // 100 TB fact-table join cut; creationSideThreshold raised so it also
+    // fires on mid-sized build sides
+    .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")

@@ -36,6 +36,37 @@ class PlanSpec extends SparkSpec {
     assert(plan("q17_top_global").contains("TakeOrderedAndProject"))
   }
 
+  test("selective fact-fact join gets a runtime bloom filter on the probe scan") {
+    import org.apache.spark.sql.functions._
+    // filter on a NON-join column: can't transfer across the join as a
+    // literal predicate, so pruning the probe side needs the runtime filter.
+    // The application-side threshold defaults to 10GB (right for clusters);
+    // drop it for the toy-sized test input so the injection path is exercised.
+    // ...and a toy-sized build side would be broadcast (which skips
+    // injection, correctly), so force the shuffle-join shape as well.
+    val key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    val oldB = spark.conf.get(bcast)
+    try {
+      spark.conf.set(key, "0")
+      spark.conf.set(bcast, "-1")
+      val o = Tables.load(spark, sf("sf0.01"), "orders")
+        .where(col("o_totalprice") > 400000)
+      val l = Tables.load(spark, sf("sf0.01"), "lineitem")
+      val j = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"no runtime bloom filter in optimized plan:\n${p.take(3000)}")
+    } finally { spark.conf.set(key, old); spark.conf.set(bcast, oldB) }
+  }
+
+  test("q09: rank-filter runs as native GroupTopK, not WindowExec") {
+    val p = plan("q09_topk_per_group")
+    assert(p.contains("GroupTopKFinal") && p.contains("GroupTopKPartial"),
+      s"q09 lost the GroupTopK rewrite:\n${p.take(2000)}")
+  }
+
   test("queries stay inside whole-stage codegen") {
     // codegen spans appear in the final (post-AQE) executed plan
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf())
