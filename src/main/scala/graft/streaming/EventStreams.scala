@@ -58,6 +58,18 @@ object EventStreams {
       .select("err_id", "user_id", "click_id", "click_value")
   }
 
+  /** Streaming exact dedup (q34's incremental twin): first occurrence of
+    * each key wins; duplicate arrivals within the watermark interval are
+    * suppressed and the dedup state is dropped once the watermark passes —
+    * bounded state, unlike a naive global dropDuplicates. This is the
+    * ingestion-time guard of the dedup family (MinHash/SimHash handle
+    * near-dups in batch).
+    */
+  def dedupByKey(events: DataFrame, keyCols: Seq[String],
+                 watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Stateful sessionization (q51's incremental twin): a session closes when
     * `gapSec` of event time passes without activity for the user; closed
     * sessions are emitted. Uses event-time timeouts so results depend only

@@ -94,6 +94,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup suppresses duplicate keys across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupByKey(input.toDS().toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(1), 1, "click", 1.0), // same batch dup
+        Event(2, ts(2), 2, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(1, ts(3), 1, "click", 1.0)) // cross-batch dup
+      q.processAllAvailable()
+      input.addData(Event(3, ts(9000), 9, "z", 0.0))  // watermark push
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("watermarked hourly aggregation matches the batch computation") {
     import spark.implicits._
     implicit val sqlCtx: SQLContext = spark.sqlContext
