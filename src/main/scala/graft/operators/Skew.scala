@@ -54,6 +54,27 @@ object Skew {
       .agg(finals.head, finals.tail: _*)
   }
 
+  /** Salted equi-join for hot join keys: the skewed (big) side gets a
+    * position-derived salt in [0, saltBuckets); the small side is replicated
+    * once per salt value (an explode of a literal range — `saltBuckets`x the
+    * SMALL side only). The join key becomes (key, salt), so one hot key's
+    * rows spread over `saltBuckets` reducers instead of one. Exact same
+    * result set as the plain inner join.
+    *
+    * AQE's skew-join split covers most cases at runtime; explicit salting
+    * remains for joins AQE can't re-plan (stream-static joins, or when a
+    * single key exceeds what partition-splitting can balance because the
+    * matching build rows must be co-located anyway).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keyCols: Seq[String],
+                 saltBuckets: Int): DataFrame = {
+    val bigS = big.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+    val smallS = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    bigS.join(smallS, keyCols :+ "_salt").drop("_salt")
+  }
+
   /** Greedy weighted partitioner (exact reference-parity experiment):
     * heaviest keys first, each assigned to the currently lightest partition
     * — `mrblast.cpp:562-575`'s balancing, minus its off-by-one (SURVEY.md

@@ -145,6 +145,30 @@ object TextQueries extends QuerySet {
         .where(col("rnk") <= 5)
         .select("q_id", "s_id", "score", "rnk")
         .orderBy("q_id", "rnk")
+    }),
+
+    // q38's 100 TB form: cut tokens with document frequency above N/10
+    // before the inverted-index join (the df-cut / prefix-filtering trick of
+    // the similarity-join literature) — a stopword token otherwise pairs
+    // every probe with every corpus doc and the pair-count intermediate
+    // explodes quadratically. Scoring then counts shared RARE tokens only.
+    "q49_simjoin_dfcap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val n = t(s, dir, "documents").agg(count(lit(1)).as("nn"))
+      val rare = d.groupBy("tok").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n)).where(col("df") <= col("nn") / 10).select("tok")
+      val dr = d.join(rare, "tok")
+      val q = dr.where(col("doc_id") < 100).select(col("doc_id").as("q_id"), col("tok"))
+      val c = dr.where(col("doc_id") >= 100).select(col("doc_id").as("s_id"), col("tok"))
+      val scored = c.join(broadcast(q), "tok")
+        .groupBy("q_id", "s_id")
+        .agg(count(lit(1)).as("score"))
+      val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("s_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select("q_id", "s_id", "score", "rnk")
+        .orderBy("q_id", "rnk")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -200,6 +224,18 @@ object TextQueries extends QuerySet {
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
         |q AS (SELECT doc_id AS q_id, tok FROM toks WHERE doc_id < 100),
         |c AS (SELECT doc_id AS s_id, tok FROM toks WHERE doc_id >= 100),
+        |scored AS (SELECT q_id, s_id, COUNT(*) AS score FROM q JOIN c USING (tok) GROUP BY q_id, s_id),
+        |r AS (SELECT q_id, s_id, score,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, s_id) AS rnk FROM scored)
+        |SELECT q_id, s_id, score, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "q49_simjoin_dfcap" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |rare AS (SELECT tok FROM (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok)
+        |         WHERE df <= (SELECT COUNT(*) FROM documents) / 10),
+        |tr AS (SELECT doc_id, tok FROM toks JOIN rare USING (tok)),
+        |q AS (SELECT doc_id AS q_id, tok FROM tr WHERE doc_id < 100),
+        |c AS (SELECT doc_id AS s_id, tok FROM tr WHERE doc_id >= 100),
         |scored AS (SELECT q_id, s_id, COUNT(*) AS score FROM q JOIN c USING (tok) GROUP BY q_id, s_id),
         |r AS (SELECT q_id, s_id, score,
         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, s_id) AS rnk FROM scored)

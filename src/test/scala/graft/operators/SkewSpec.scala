@@ -44,6 +44,21 @@ class SkewSpec extends SparkSpec {
     assert(load.max <= 1010L)
   }
 
+  test("saltedJoin equals the plain join on skewed data (dup keys included)") {
+    import spark.implicits._
+    // 90% of the big side is one hot key; small side has a duplicated key
+    val big = (1 to 10000).map(i => (if (i % 10 == 0) i.toLong else 7L, i))
+      .toDF("k", "v")
+    val small = Seq((7L, "hot"), (7L, "hot2"), (10L, "a"), (20L, "b"))
+      .toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "v", "name")
+      .as[(Long, Int, String)].collect().toSeq.sorted
+    val salted = Skew.saltedJoin(big, small, Seq("k"), saltBuckets = 8)
+      .select("k", "v", "name").as[(Long, Int, String)].collect().toSeq.sorted
+    assert(salted == plain)
+    assert(salted.nonEmpty)
+  }
+
   test("partitionByWeight spreads a skewed RDD evenly") {
     val rows = (1 to 20000).map(i => (if (i % 20 == 0) i.toLong % 5 else 99L, i))
     val rdd = spark.sparkContext.parallelize(rows, 8)
