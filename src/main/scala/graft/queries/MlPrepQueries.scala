@@ -136,6 +136,30 @@ object MlPrepQueries extends QuerySet {
         .orderBy("p_partkey")
     }),
 
+    // True pivot (long -> wide): event counts per user across the five
+    // event types, via Spark's pivot operator with explicit values (the
+    // explicit list keeps the plan single-pass; value discovery would add a
+    // distinct scan).
+    "q72_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+
+    // Unpivot (wide -> long): per-part numeric attributes melted to
+    // (key, attr, val) rows — Spark's unpivot/melt operator.
+    "q73_unpivot" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+          col("p_retailprice").cast("double").as("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "attr", "val")
+        .orderBy("p_partkey", "attr")
+    }),
+
     // Deterministic per-group sampling: first 20 docs per source in
     // content-hash order — reproducible downsampling without random().
     "q71_sample_per_group" -> ((s, dir) => {
@@ -211,6 +235,20 @@ object MlPrepQueries extends QuerySet {
         |NTILE(4) OVER w AS quartile
         |FROM part WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
         |ORDER BY p_partkey""".stripMargin,
+    "q72_pivot" ->
+      """SELECT user_id,
+        |CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q73_unpivot" ->
+      """SELECT p_partkey, attr, val FROM (
+        |  SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE) FROM part)
+        |ORDER BY p_partkey, attr""".stripMargin,
     "q71_sample_per_group" ->
       """WITH r AS (SELECT source, doc_id,
         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
