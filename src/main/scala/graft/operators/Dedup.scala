@@ -67,18 +67,34 @@ object Dedup {
     val rows = numHashes / bands
     val banded = sig.selectExpr("id",
       s"posexplode(transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))) AS (band, bucket)")
-    // ONE shuffle: gather each bucket's members, drop hot buckets by size
-    // (skew guard), expand the i<j pairs with a codegen'd nested transform.
-    // The former self-join formulation cost 4 scans of the banded rows plus
-    // a broadcast anti-join; this is groupBy + explode.
-    banded.groupBy("band", "bucket")
+    // hot buckets are removed with a constant-memory COUNT + broadcast
+    // anti-join BEFORE any member gathering: a degenerate bucket (millions
+    // of boilerplate docs) must never be materialized as one collect_list
+    // buffer just to be thrown away. The hot set itself is metadata-sized.
+    val cool = dropHotBuckets(banded, Seq("band", "bucket"), maxBucketSize)
+    // then ONE gather shuffle: bucket members -> codegen'd i<j pair
+    // expansion (the former self-join formulation re-scanned the banded
+    // rows four times).
+    cool.groupBy("band", "bucket")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .where(size(col("ids")).between(2, maxBucketSize))
+      .where(size(col("ids")) >= 2)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
       .select(col("p.a_id"), col("p.b_id"))
       .distinct()
+  }
+
+  /** Constant-memory skew guard: per-key partial-count aggregation, keys
+    * above `maxBucketSize` broadcast back as an anti-join. Never buffers
+    * bucket members.
+    */
+  private def dropHotBuckets(rows: DataFrame, keyCols: Seq[String],
+                             maxBucketSize: Int): DataFrame = {
+    val hot = rows.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bsz")).where(col("bsz") > maxBucketSize)
+      .select(keyCols.map(col): _*)
+    rows.join(broadcast(hot), keyCols, "left_anti")
   }
 
   /** Verify candidate pairs with exact shingle-set Jaccard; keep >= threshold. */
@@ -185,7 +201,12 @@ object Dedup {
     * banding the 64-bit fingerprint into (maxHamming+1) chunks (pigeonhole:
     * any pair within distance d shares at least one of d+1 exact chunks)
     * and equi-joining on chunks, then exact popcount filter. Chunk widths
-    * derive from maxHamming, so the guarantee holds for any 0 <= d < 64.
+    * derive from maxHamming, so the pigeonhole recall guarantee holds for
+    * any 0 <= d < 64 — EXCEPT for members of chunk buckets larger than
+    * `maxBucketSize`, which are dropped as a skew guard (a bucket of B docs
+    * yields B^2 candidate pairs; a boilerplate cluster of millions would
+    * otherwise dominate the job). Pass maxBucketSize = Int.MaxValue to
+    * trade skew safety back for completeness.
     */
   def simHashDupPairs(docs: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
@@ -196,12 +217,14 @@ object Dedup {
     val chunks = sig.withColumn("c", explode(expr(s"sequence(0, ${nChunks - 1})")))
       .withColumn("chunk", expr(
         s"IF(c < ${nChunks - 1}, (simhash >> (c * $base)) & ${(1L << base) - 1}, simhash >> (c * $base))"))
-    // Same one-shuffle bucket-gather pair expansion as [[lshCandidates]];
-    // the Hamming cut runs per generated pair (cheap bit_count) BEFORE the
-    // dedup shuffle so distinct() only sees surviving pairs.
-    chunks.groupBy("c", "chunk")
+    // Same guarded bucket-gather pair expansion as [[lshCandidates]]: hot
+    // chunks go first (constant-memory count + anti-join), then one gather
+    // shuffle; the Hamming cut runs per generated pair (cheap bit_count)
+    // BEFORE the dedup shuffle so distinct() only sees surviving pairs.
+    dropHotBuckets(chunks, Seq("c", "chunk"), maxBucketSize)
+      .groupBy("c", "chunk")
       .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("xs"))
-      .where(size(col("xs")).between(2, maxBucketSize))
+      .where(size(col("xs")) >= 2)
       .select(explode(expr(
         """flatten(transform(xs, (x, i) ->
           |  transform(slice(xs, i + 2, size(xs)), y ->

@@ -55,10 +55,15 @@ object Graph {
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .where(col("label") =!= col("old")).limit(1).count()
+      // next is materialized (localCheckpoint is eager) and the convergence
+      // check has consumed the old generation — release its storage blocks
+      // now, or R rounds pin R+1 full vertex-set copies in executor memory
+      labels.unpersist()
       labels = next
       rounds += 1
       converged = changed == 0
     }
+    bidir.unpersist()
     (labels.select(col("id"), col("label").as("cluster_id")), rounds)
   }
 }

@@ -44,6 +44,7 @@ object Skew {
     */
   def saltedAgg(df: DataFrame, keyCols: Seq[String], saltBuckets: Int,
                 aggs: Seq[SaltedSpec]): DataFrame = {
+    require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
     val salted = df.withColumn("_salt",
       pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
     val phase1 = salted.groupBy((keyCols :+ "_salt").map(col): _*)
@@ -68,6 +69,9 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keyCols: Seq[String],
                  saltBuckets: Int): DataFrame = {
+    // pmod(x, 0) is NULL under non-ANSI eval: without this check the join
+    // would silently return zero rows instead of failing
+    require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
     val bigS = big.withColumn("_salt",
       pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
     val smallS = small.withColumn("_salt",

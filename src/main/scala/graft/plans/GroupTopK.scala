@@ -54,7 +54,7 @@ case class GroupTopKNode(
   * -> `GroupTopKNode(p, o, k)`, preserving extra filter conjuncts above the
   * new node (they were evaluated after ranking, so they stay after).
   */
-object GroupTopKRewrite extends Rule[LogicalPlan] {
+object GroupTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   /** Rewrite bound: above this the bounded-heap buffers lose to the window
     * form's spillable external sort.
@@ -94,11 +94,6 @@ object GroupTopKRewrite extends Rule[LogicalPlan] {
         if (rest.isEmpty) topk
         else org.apache.spark.sql.catalyst.plans.logical.Filter(rest.reduce(And), topk)
       }
-  }
-
-  private def splitConjunctivePredicates(condition: Expression): Seq[Expression] = condition match {
-    case And(l, r) => splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
-    case other => other :: Nil
   }
 }
 

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.Graph
+import graft.operators.{Dedup, Graph}
 
 /** Training-data-preparation operators beyond the text/dedup basics:
   * TF-IDF term scoring, sliding-window document chunking, deterministic
@@ -90,12 +90,9 @@ object MlPrepQueries extends QuerySet {
     // edges, connected components via distributed label propagation
     // (graft.operators.Graph); cluster id = min doc_id in the component.
     "q48_dup_clusters" -> ((s, dir) => {
-      val d = t(s, dir, "documents").where(col("doc_id") < PairDocLimit)
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-      val sh = d.where(size(col("t")) >= 3)
-        .select(col("doc_id"),
-          explode(expr("transform(sequence(1, size(t)-2), i -> concat_ws(' ', slice(t, i, 3)))")).as("sh"))
-        .distinct()
+      val sh = Dedup.shingles(
+          t(s, dir, "documents").where(col("doc_id") < PairDocLimit), "text", "doc_id", 3)
+        .withColumnRenamed("id", "doc_id")
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a")
         .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

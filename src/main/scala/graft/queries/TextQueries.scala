@@ -72,12 +72,9 @@ object TextQueries extends QuerySet {
     // n-gram (3-shingle) Jaccard near-dup pairs over a bounded subset.
     // The unbounded-scale variant is MinHash-LSH (graft.operators.Dedup).
     "q35_dedup_ngram" -> ((s, dir) => {
-      val d = t(s, dir, "documents").where(col("doc_id") < NgramDocLimit)
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-      val sh = d.where(size(col("t")) >= 3)
-        .select(col("doc_id"),
-          explode(expr("transform(sequence(1, size(t)-2), i -> concat_ws(' ', slice(t, i, 3)))")).as("sh"))
-        .distinct()
+      val sh = graft.operators.Dedup.shingles(
+          t(s, dir, "documents").where(col("doc_id") < NgramDocLimit), "text", "doc_id", 3)
+        .withColumnRenamed("id", "doc_id")
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a")
         .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
