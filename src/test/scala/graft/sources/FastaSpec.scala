@@ -17,6 +17,30 @@ class FastaSpec extends SparkSpec {
     assert(Fasta.read(spark, query100).count() == 100)
   }
 
+  test("DataSource V2: spark.read.format(\"fasta\") equals Fasta.read") {
+    import spark.implicits._
+    val viaV2 = spark.read.format("fasta").load(query30)
+      .select("file", "ord", "defline", "sequence", "offset", "bpLen")
+      .as[graft.model.FastaRecord].collect().sortBy(_.ord).toSeq
+    val viaHelper = Fasta.read(spark, query30).collect().sortBy(_.ord).toSeq
+    assert(viaV2 == viaHelper)
+  }
+
+  test("DataSource V2: column pruning reaches the scan (ReadSchema)") {
+    val df = spark.read.format("fasta").load(query30).select("defline")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("defline") && !plan.contains("sequence"),
+      s"pruned scan still carries sequence:\n$plan")
+    assert(df.count() == 30)
+  }
+
+  test("DataSource V2: directory input yields one partition per file") {
+    val dir = s"$refDir/examples/test/generic-test/query"
+    val df = spark.read.format("fasta").load(dir)
+    assert(df.rdd.getNumPartitions >= 2)
+    assert(df.select("file").distinct().count() >= 2)
+  }
+
   test("index matches the USERGUIDE's documented offsets/lengths for 100.query") {
     import spark.implicits._
     val idx = Fasta.index(Fasta.read(spark, query100), startUid = 1, fullDefline = true)
