@@ -47,6 +47,46 @@ object Segmentation {
       .drop("cum_before")
   }
 
+  /** [[bucketBlocks]] semantics at cluster scale: the global-window
+    * formulation moves ALL rows to one partition for the cumulative sum
+    * (Spark warns "No Partition Defined for Window"); this is the classic
+    * two-phase distributed prefix sum instead —
+    *
+    *   1. range-repartition by uid and sort within partitions;
+    *   2. one pass collects each partition's length total (numPartitions
+    *      longs — metadata, like the reference's per-rank histograms);
+    *   3. offsets broadcast back; each partition computes exact global
+    *      cumulative sums locally in parallel.
+    *
+    * Output rows/values are identical to [[bucketBlocks]] (asserted in
+    * SegmentationSpec); the input stays materialized (cache) because both
+    * passes must observe the same range partitioning.
+    */
+  def distributedBlocks(index: DataFrame, uidCol: String, lenCol: String,
+                        blockSize: Long, numParts: Int = 0): DataFrame = {
+    val spark = index.sparkSession
+    val parts = if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = index.repartitionByRange(parts, col(uidCol))
+      .sortWithinPartitions(uidCol).cache()
+    val lenIdx = ranged.schema.fieldIndex(lenCol)
+    val perPart = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      Iterator.single(pid -> it.map(_.getAs[Number](lenIdx).longValue()).sum)
+    }.collect().toMap
+    val offsets = (0 until parts).scanLeft(0L)((acc, pid) => acc + perPart.getOrElse(pid, 0L))
+    val bOffsets = spark.sparkContext.broadcast(offsets.toArray)
+    val outSchema = ranged.schema.add("block_id", org.apache.spark.sql.types.LongType, nullable = false)
+    val rows = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bOffsets.value(pid)
+      it.map { row =>
+        val r = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (acc / blockSize))
+        acc += row.getAs[Number](lenIdx).longValue()
+        r
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** Work items = block summary x corpus partitions (A5 cross join). */
   def workItems(blocks: DataFrame, partitions: DataFrame): DataFrame =
     blocks.crossJoin(broadcast(partitions))

@@ -16,7 +16,7 @@ object PipelineQueries extends QuerySet {
   val queries: Map[String, Q] = Map(
     // A4 block segmentation (scalable cumsum-bucket form) + block summary.
     "q60_block_segmentation" -> ((s, dir) => {
-      Segmentation.bucketBlocks(
+      Segmentation.distributedBlocks(
           t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
           "doc_id", "n_chars", BlockSize)
         .groupBy("block_id")
@@ -27,7 +27,7 @@ object PipelineQueries extends QuerySet {
 
     // A5 work-item generation: blocks x corpus partitions (sources).
     "q61_work_items" -> ((s, dir) => {
-      val blocks = Segmentation.bucketBlocks(
+      val blocks = Segmentation.distributedBlocks(
           t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
           "doc_id", "n_chars", BlockSize)
         .groupBy("block_id").agg(sum("n_chars").as("block_len"))
@@ -90,7 +90,7 @@ object PipelineQueries extends QuerySet {
 
     // A6 iteration batches over work items (rows-only; ntile determinism).
     "q66_iteration_batches" -> ((s, dir) => {
-      val blocks = Segmentation.bucketBlocks(
+      val blocks = Segmentation.distributedBlocks(
           t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
           "doc_id", "n_chars", BlockSize)
         .groupBy("block_id").agg(sum("n_chars").as("block_len"))

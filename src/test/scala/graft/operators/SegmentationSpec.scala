@@ -36,6 +36,30 @@ class SegmentationSpec extends SparkSpec {
     assert(sums.dropRight(1).forall(_ >= 100L))
   }
 
+  test("distributedBlocks == bucketBlocks exactly (two-phase prefix sum)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val df = (1 to 5000).map(i => (i.toLong, (1 + rng.nextInt(400)).toLong, s"x$i"))
+      .toDF("uid", "len", "payload").repartition(8) // scrambled input order
+    val viaWindow = bucketBlocks(df, "uid", "len", 1000L)
+      .select("uid", "len", "payload", "block_id")
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1).toSeq
+    val viaDist = distributedBlocks(df, "uid", "len", 1000L, numParts = 7)
+      .select("uid", "len", "payload", "block_id")
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(viaDist == viaWindow)
+    assert(viaDist.map(_._4).distinct.size > 1)
+  }
+
+  test("distributedBlocks handles empty partitions and int length columns") {
+    import spark.implicits._
+    // 3 rows over 8 range partitions -> most partitions empty
+    val df = Seq((1L, 50), (2L, 60), (3L, 70)).toDF("uid", "len")
+    val got = distributedBlocks(df, "uid", "len", 100L, numParts = 8)
+      .select("uid", "block_id").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 0L), (2L, 0L), (3L, 1L)))
+  }
+
   test("bucketBlocks: every block at most blockSize + one item over") {
     import spark.implicits._
     val df = (1 to 200).map(i => (i.toLong, (i % 13 + 1) * 10L)).toDF("uid", "len")
