@@ -1,0 +1,176 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The reference's fixed-width binary hit files as a SPLITTABLE DataSource
+  * V2: `spark.read.format("binhits").option("classifier", "true")
+  * .load(dir)`.
+  *
+  * Because records are fixed-width (104/120 bytes, `mrblast.hpp:281-313`),
+  * byte-range task planning is exact: a file of N records splits into
+  * record-aligned ranges of ~`maxSplitBytes` — true intra-file parallelism,
+  * the contrast to [[FastaDataSource]]'s per-file tasks (variable-length
+  * records there need the index + range-read path instead). This is the
+  * same (offset, len) slicing discipline the reference uses for its own
+  * work items (`mrblast.cpp:167-183`), applied to its output format.
+  */
+class BinHitsDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "binhits"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BinHitsDataSource.schema(options.getBoolean("classifier", false))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new BinHitsTable(properties.get("path"),
+      "true".equalsIgnoreCase(properties.getOrDefault("classifier", "false")),
+      properties.asScala.get("maxSplitBytes").map(_.toLong).getOrElse(4L << 20))
+}
+
+object BinHitsDataSource {
+  def schema(classifier: Boolean): StructType = {
+    val base = StructType(Seq(
+      StructField("queryId", LongType, nullable = false),
+      StructField("subjectId", StringType, nullable = false),
+      StructField("identity", DoubleType, nullable = false),
+      StructField("alignLen", IntegerType, nullable = false),
+      StructField("nMismatches", IntegerType, nullable = false),
+      StructField("nGaps", IntegerType, nullable = false),
+      StructField("qStart", IntegerType, nullable = false),
+      StructField("qEnd", IntegerType, nullable = false),
+      StructField("sStart", IntegerType, nullable = false),
+      StructField("sEnd", IntegerType, nullable = false),
+      StructField("eValue", DoubleType, nullable = false),
+      StructField("bitScore", DoubleType, nullable = false)))
+    if (classifier)
+      base.add("percIdent", DoubleType, nullable = false)
+        .add("percCover", DoubleType, nullable = false)
+    else base
+  }
+}
+
+class BinHitsTable(path: String, classifier: Boolean, maxSplitBytes: Long)
+    extends Table with SupportsRead {
+  require(path != null, "binhits source requires a path")
+  override def name(): String = s"binhits:$path"
+  override def schema(): StructType = BinHitsDataSource.schema(classifier)
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new BinHitsScanBuilder(path, classifier, maxSplitBytes)
+}
+
+class BinHitsScanBuilder(path: String, classifier: Boolean, maxSplitBytes: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = BinHitsDataSource.schema(classifier)
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new BinHitsScan(path, classifier, maxSplitBytes, required)
+}
+
+class BinHitsScan(path: String, classifier: Boolean, maxSplitBytes: Long,
+                  required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val recSz = BinHits.recordSize(classifier)
+    // record-aligned split size: the largest multiple of recordSize under
+    // maxSplitBytes, so no record ever straddles two tasks
+    val split = math.max(recSz.toLong, maxSplitBytes / recSz * recSz)
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".bin"))
+      else Array(fs.getFileStatus(p))
+    files.sortBy(_.getPath.toString).flatMap { st =>
+      require(st.getLen % recSz == 0,
+        s"corrupt bin file ${st.getPath}: ${st.getLen} bytes not a multiple of $recSz")
+      (0L until st.getLen by split).map(off =>
+        BinHitsInputPartition(fs.makeQualified(st.getPath).toString, off,
+          math.min(split, st.getLen - off)): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BinHitsReaderFactory(classifier, required)
+}
+
+case class BinHitsInputPartition(file: String, offset: Long, length: Long)
+    extends InputPartition
+
+class BinHitsReaderFactory(classifier: Boolean, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[BinHitsInputPartition]
+    new BinHitsPartitionReader(p, classifier, required)
+  }
+}
+
+class BinHitsPartitionReader(part: BinHitsInputPartition, classifier: Boolean,
+                             required: StructType) extends PartitionReader[InternalRow] {
+  private val recSz = BinHits.recordSize(classifier)
+  private val buf: ByteBuffer = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val p = new Path(part.file)
+    val in = p.getFileSystem(conf).open(p)
+    val bytes = new Array[Byte](part.length.toInt)
+    try in.readFully(part.offset, bytes) finally in.close()
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+  }
+  private val total = part.length / recSz
+  private var done = 0L
+  private var current: graft.model.SavedHit = _
+
+  private val proj = UnsafeProjection.create(required)
+  private val row = new GenericInternalRow(required.length)
+  private val full = BinHitsDataSource.schema(classifier)
+  private val fieldIdx = required.fields.map(f => full.fieldIndex(f.name))
+
+  override def next(): Boolean =
+    if (done < total) {
+      current = BinHits.decodeRecord(buf, classifier)
+      done += 1
+      true
+    } else false
+
+  override def get(): InternalRow = {
+    var i = 0
+    while (i < fieldIdx.length) {
+      row.update(i, fieldIdx(i) match {
+        case 0  => current.queryId
+        case 1  => UTF8String.fromString(current.subjectId)
+        case 2  => current.identity
+        case 3  => current.alignLen
+        case 4  => current.nMismatches
+        case 5  => current.nGaps
+        case 6  => current.qStart
+        case 7  => current.qEnd
+        case 8  => current.sStart
+        case 9  => current.sEnd
+        case 10 => current.eValue
+        case 11 => current.bitScore
+        case 12 => current.percIdent.getOrElse(0.0)
+        case 13 => current.percCover.getOrElse(0.0)
+      })
+      i += 1
+    }
+    proj(row)
+  }
+
+  override def close(): Unit = ()
+}

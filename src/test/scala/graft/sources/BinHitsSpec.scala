@@ -42,6 +42,30 @@ class BinHitsSpec extends SparkSpec {
     }
   }
 
+  test("DataSource V2: format(\"binhits\") equals BinHits.read, record-aligned splits") {
+    import spark.implicits._
+    // 4KB split cap -> the 104-byte-record golden files (99 + 227 records)
+    // split into many record-aligned ranges; 4096/104*104 = 3952
+    val df = spark.read.format("binhits").option("maxSplitBytes", "4096").load(genericDir)
+    assert(df.rdd.getNumPartitions > 2, s"expected intra-file splits, got ${df.rdd.getNumPartitions}")
+    assert(df.count() == 99 + 227)
+    // SavedHit carries Option percents the generic schema lacks; compare
+    // the 12 generic fields as tuples
+    val viaHelper = BinHits.read(spark, genericDir, classifier = false)
+      .collect().map(h => (h.queryId, h.subjectId, h.identity, h.alignLen, h.nMismatches,
+        h.nGaps, h.qStart, h.qEnd, h.sStart, h.sEnd, h.eValue, h.bitScore)).toSet
+    val viaV2 = df.as[(Long, String, Double, Int, Int, Int, Int, Int, Int, Int, Double, Double)]
+      .collect().toSet
+    assert(viaV2 == viaHelper)
+  }
+
+  test("DataSource V2: classifier option widens the schema and reads percents") {
+    val df = spark.read.format("binhits").option("classifier", "true").load(classifierDir)
+    assert(df.columns.takeRight(2).toSeq == Seq("percIdent", "percCover"))
+    val percs = df.select("percIdent").collect().map(_.getDouble(0))
+    assert(percs.nonEmpty && percs.forall(p => p >= 0 && p <= 100.0001))
+  }
+
   test("distributed read + partitioned write roundtrip") {
     val ds = BinHits.read(spark, genericDir, classifier = false)
     assert(ds.count() == 99 + 227) // two golden part files
