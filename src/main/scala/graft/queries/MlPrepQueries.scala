@@ -157,6 +157,40 @@ object MlPrepQueries extends QuerySet {
         .orderBy("p_partkey", "attr")
     }),
 
+    // TPC-H Q3 shape: 3-table selective join -> revenue agg -> global top-10.
+    // Ordering uses the ROUNDED revenue: both engines sum doubles in
+    // different orders, so last-bit-sensitive ordering would be flaky.
+    "q74_order_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").where(to_date(col("o_orderdate")) < lit("1998-03-15"))
+      val l = t(s, dir, "lineitem").where(to_date(col("l_shipdate")) > lit("1998-03-15"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "o_orderpriority", "revenue")
+    }),
+
+    // TPC-H Q5 shape: snowflake join through two dimension hops
+    // (nation -> region), revenue per nation.
+    "q75_nation_revenue" -> ((s, dir) => {
+      val r = t(s, dir, "region").where(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val cRaw = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val dims = broadcast(n.join(broadcast(r), n("n_regionkey") === r("r_regionkey")))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(cRaw, o("o_custkey") === cRaw("c_custkey"))
+        .join(dims, cRaw("c_nationkey") === dims("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
     // Deterministic per-group sampling: first 20 docs per source in
     // content-hash order — reproducible downsampling without random().
     "q71_sample_per_group" -> ((s, dir) => {
@@ -246,6 +280,25 @@ object MlPrepQueries extends QuerySet {
         |  UNION ALL
         |  SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE) FROM part)
         |ORDER BY p_partkey, attr""".stripMargin,
+    "q74_order_revenue" ->
+      """SELECT l_orderkey, o_orderpriority,
+        |ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1998-03-15'
+        |GROUP BY l_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q75_nation_revenue" ->
+      """SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q71_sample_per_group" ->
       """WITH r AS (SELECT source, doc_id,
         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
