@@ -35,7 +35,7 @@ object EventQueries extends QuerySet {
         .withColumn("brk", brk)
         .withColumn("sess", sum("brk").over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy("user_id", "sess")
-        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
         .orderBy("user_id", "sess")
     }),
 
@@ -43,7 +43,7 @@ object EventQueries extends QuerySet {
     "q52_hourly_agg" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(col("event_type"), expr("ts_sec div 3600").as("hour_id"))
-        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("cnt"), moneySum(col("value")).as("sum_value"))
         .orderBy("event_type", "hour_id")
     }),
 
@@ -55,7 +55,7 @@ object EventQueries extends QuerySet {
           sum(when(col("event_type") === "click", 1).otherwise(0)).as("clicks"),
           sum(when(col("event_type") === "error", 1).otherwise(0)).as("errors"),
           sum(when(col("event_type") === "signup", 1).otherwise(0)).as("signups"),
-          round(sum("value"), 2).as("total_value"))
+          moneySum(col("value")).as("total_value"))
         .orderBy("user_id")
     }),
 
@@ -80,18 +80,19 @@ object EventQueries extends QuerySet {
         |           THEN 1 ELSE 0 END AS brk FROM e),
         |s AS (SELECT user_id, value, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY sec, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess FROM g)
-        |SELECT user_id, sess, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        |SELECT user_id, sess, COUNT(*) AS n_events,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
     "q52_hourly_agg" ->
       """SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hour_id,
-        |COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+        |COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_id""".stripMargin,
     "q53_conditional_agg" ->
       """SELECT user_id,
         |CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
         |CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
         |CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
-        |ROUND(SUM(value), 2) AS total_value
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q54_json_extract" ->
       """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

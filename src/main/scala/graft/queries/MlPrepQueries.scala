@@ -167,7 +167,7 @@ object MlPrepQueries extends QuerySet {
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "o_orderpriority", "revenue")
@@ -186,7 +186,7 @@ object MlPrepQueries extends QuerySet {
         .join(cRaw, o("o_custkey") === cRaw("c_custkey"))
         .join(dims, cRaw("c_nationkey") === dims("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     }),
@@ -282,7 +282,7 @@ object MlPrepQueries extends QuerySet {
         |ORDER BY p_partkey, attr""".stripMargin,
     "q74_order_revenue" ->
       """SELECT l_orderkey, o_orderpriority,
-        |ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -291,7 +291,8 @@ object MlPrepQueries extends QuerySet {
         |GROUP BY l_orderkey, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q75_nation_revenue" ->
-      """SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      """SELECT n_name,
+        |CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
         |COUNT(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** A named bundle of driver-checkable queries.
   *
@@ -8,7 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * DuckDB-SQL equivalent in [[oracleSql]] with IDENTICAL output column names;
   * keys absent from [[oracleSql]] get a weaker rows-only check. Every query
   * ends in a deterministic total ORDER BY, and every float aggregate is
-  * ROUNDed identically on both sides so the value hashes match.
+  * computed order-independently (see [[moneySum]]) so the value hashes match
+  * run-to-run and engine-to-engine.
   */
 trait QuerySet {
   type Q = (SparkSession, String) => DataFrame
@@ -17,4 +19,21 @@ trait QuerySet {
 
   protected def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables.load(s, dir, name)
+
+  /** Exact order-independent sum of a 2-decimal money column stored as
+    * double. Summing doubles directly is partition-order-dependent in the
+    * last ulp, so ROUND(SUM(x), 2) can flip between runs when a group total
+    * sits on the .xx5 grid; routing through decimal makes the sum exact in
+    * any order. Mirror in DuckDB: CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE).
+    */
+  protected def moneySum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Exact revenue sum: price*(1-disc), both 2-decimal doubles, computed in
+    * decimal (4-decimal exact products) then rounded to 2. Mirror in DuckDB:
+    * CAST(ROUND(SUM(CAST(p AS DECIMAL(18,2)) * (1 - CAST(d AS DECIMAL(4,2)))), 2) AS DOUBLE).
+    */
+  protected def revenueSum(price: Column, disc: Column): Column =
+    round(sum(price.cast("decimal(18,2)") * (lit(1) - disc.cast("decimal(4,2)"))), 2)
+      .cast("double")
 }

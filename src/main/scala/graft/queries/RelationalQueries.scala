@@ -18,10 +18,10 @@ object RelationalQueries extends QuerySet {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          revenueSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          round(moneySum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -40,7 +40,7 @@ object RelationalQueries extends QuerySet {
       t(s, dir, "orders")
         .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .agg(count(lit(1)).as("cnt"), moneySum(col("o_totalprice")).as("sum_price"))
         .orderBy("c_mktsegment")
     }),
 
@@ -49,7 +49,7 @@ object RelationalQueries extends QuerySet {
       t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("sum_price"))
+        .agg(count(lit(1)).as("cnt"), moneySum(col("l_extendedprice")).as("sum_price"))
         .orderBy("o_orderstatus")
     }),
 
@@ -60,7 +60,7 @@ object RelationalQueries extends QuerySet {
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
-        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .agg(count(lit(1)).as("cnt"), moneySum(col("o_totalprice")).as("sum_price"))
         .orderBy("r_name")
     }),
 
@@ -107,7 +107,7 @@ object RelationalQueries extends QuerySet {
       val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "lineitem")
-        .withColumn("run_qty", round(sum("l_quantity").over(w), 2))
+        .withColumn("run_qty", sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double"))
         .select("l_orderkey", "l_linenumber", "run_qty")
         .orderBy("l_orderkey", "l_linenumber")
     }),
@@ -134,7 +134,7 @@ object RelationalQueries extends QuerySet {
       val hi = l.where(col("l_quantity") >= 45).select(lit("hi").as("band"), col("l_extendedprice"))
       val lo = l.where(col("l_quantity") <= 5).select(lit("lo").as("band"), col("l_extendedprice"))
       hi.unionAll(lo).groupBy("band")
-        .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("sum_price"))
+        .agg(count(lit(1)).as("cnt"), moneySum(col("l_extendedprice")).as("sum_price"))
         .orderBy("band")
     }),
 
@@ -244,7 +244,7 @@ object RelationalQueries extends QuerySet {
     "q26_date_funcs" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
-        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .agg(count(lit(1)).as("cnt"), moneySum(col("o_totalprice")).as("sum_price"))
         .orderBy("yr", "mo")
     }),
 
@@ -292,10 +292,11 @@ object RelationalQueries extends QuerySet {
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity),2) AS sum_qty,
-        |ROUND(SUM(l_extendedprice),2) AS sum_base_price,
-        |ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        |ROUND(AVG(l_quantity),4) AS avg_qty, COUNT(*) AS cnt
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        |ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty, COUNT(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_filter_project" ->
@@ -303,15 +304,18 @@ object RelationalQueries extends QuerySet {
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_discount > 0.05 AND l_quantity < 10
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q03_join_broadcast" ->
-      """SELECT c_mktsegment, COUNT(*) AS cnt, ROUND(SUM(o_totalprice),2) AS sum_price
+      """SELECT c_mktsegment, COUNT(*) AS cnt,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q04_join_large" ->
-      """SELECT o_orderstatus, COUNT(*) AS cnt, ROUND(SUM(l_extendedprice),2) AS sum_price
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q05_join_multi" ->
-      """SELECT r_name, COUNT(*) AS cnt, ROUND(SUM(o_totalprice),2) AS sum_price
+      """SELECT r_name, COUNT(*) AS cnt,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -335,8 +339,8 @@ object RelationalQueries extends QuerySet {
         |  FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
     "q10_running_sum" ->
       """SELECT l_orderkey, l_linenumber,
-        |ROUND(SUM(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
-        |  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS run_qty
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q12_count_distinct" ->
       """SELECT COUNT(DISTINCT l_partkey) AS pk_cnt, COUNT(DISTINCT l_suppkey) AS sk_cnt,
@@ -345,7 +349,8 @@ object RelationalQueries extends QuerySet {
       """SELECT CAST(FLOOR(o_totalprice/20000) AS BIGINT) AS bucket, COUNT(*) AS cnt
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q14_union_all" ->
-      """SELECT band, COUNT(*) AS cnt, ROUND(SUM(l_extendedprice),2) AS sum_price FROM (
+      """SELECT band, COUNT(*) AS cnt,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM (
         |  SELECT 'hi' AS band, l_extendedprice FROM lineitem WHERE l_quantity >= 45
         |  UNION ALL
         |  SELECT 'lo' AS band, l_extendedprice FROM lineitem WHERE l_quantity <= 5)
@@ -401,7 +406,7 @@ object RelationalQueries extends QuerySet {
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q26_date_funcs" ->
       """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
-        |COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
+        |COUNT(*) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
     "q27_regexp_extract" ->
       """SELECT c_custkey, CAST(regexp_extract(c_name, '(\d+)', 1) AS BIGINT) AS name_num,
