@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Segmentation, Similarity}
+
+/** Dev-only profiling main: times sub-stages of the heavy bench queries so
+  * optimization targets the measured bottleneck, not the guessed one.
+  * Usage: runMain graft.ProfileMain [sfDir] [queryPrefix]
+  */
+object ProfileMain {
+  def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val only = if (args.length > 1) args(1) else ""
+    val spark = GraftSession.local()
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val docs = Tables.load(spark, sfDir, "documents").where(col("doc_id") < 2000).cache()
+    docs.count()
+
+    def run(name: String)(f: => DataFrame): Unit =
+      if (only.isEmpty || name.startsWith(only)) { time(name)(f.count()) ; () }
+
+    if (only.isEmpty || only.startsWith("q62")) {
+      // q62 minhash sub-stages
+      val sh = Dedup.rawShingles(docs, "text", "doc_id", 3)
+      time("q62.shingles")(sh.count())
+      val sig = Dedup.minHash(sh, 32).cache()
+      time("q62.minhash_sig")(sig.count())
+      val cands = Dedup.lshCandidates(sig, 32, 8).cache()
+      time("q62.lsh_candidates")(cands.count())
+      val candIds = cands.select(explode(array(col("a_id"), col("b_id"))).as("doc_id")).distinct()
+      val candDocs = docs.join(candIds, Seq("doc_id"), "left_semi")
+      println(s"[profile] q62 cands=${cands.count()} candDocs=${candDocs.count()}")
+      val setsC = Dedup.shingleHashSets(candDocs, "text", "doc_id", 3)
+      time("q62.verify")(Dedup.verifyJaccardSets(cands, setsC, 0.5).count())
+      run("q62_full")(Dedup.minHashDupPairs(docs, "text", "doc_id", 3, 32, 8, 0.5))
+      val docsUncached = Tables.load(spark, sfDir, "documents").where(col("doc_id") < 2000)
+      run("q62_full_nocache")(Dedup.minHashDupPairs(docsUncached, "text", "doc_id", 3, 32, 8, 0.5))
+    }
+
+    if (only.isEmpty || only.startsWith("q63")) {
+      val sig = Dedup.simHash(docs, "text", "doc_id").cache()
+      time("q63.simhash_sig")(sig.count())
+      run("q63_full")(Dedup.simHashDupPairs(docs, "text", "doc_id", 3))
+    }
+
+    if (only.isEmpty || only.startsWith("q67")) {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      run("q67_full")(Similarity.ivfKnn(emb, "vec_id", "embedding", col("vec_id") < 10, 5, 16, 4))
+    }
+
+    if (only.isEmpty || only.startsWith("q64")) {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val planes = Similarity.hyperplanes(6, 64)
+      time("q64.bucket")(Similarity.lshBucket(emb.select(col("vec_id"), col("embedding")), "embedding", planes).count())
+      run("q64_full")(Similarity.lshKnn(emb, "vec_id", "embedding", col("vec_id") < 10, 5, 6, 64))
+    }
+
+    if (only.isEmpty || only.startsWith("q38")) {
+      run("q38_full")(graft.queries.TextQueries.queries("q38_simjoin_topk")(spark, sfDir))
+    }
+    if (only.isEmpty || only.startsWith("q68")) {
+      run("q68_full")(Dedup.winnowingFingerprints(
+        Tables.load(spark, sfDir, "documents").where(col("doc_id") < 1000), "text", "doc_id")
+        .groupBy("fp").agg(count(lit(1)).as("cnt")).where(col("cnt") > 1))
+    }
+    if (only.isEmpty || only.startsWith("q33")) {
+      run("q33_full")(graft.queries.TextQueries.queries("q33_fingerprint")(spark, sfDir))
+    }
+    if (only.isEmpty || only.startsWith("q35")) {
+      run("q35_full")(graft.queries.TextQueries.queries("q35_dedup_ngram")(spark, sfDir))
+    }
+    spark.stop()
+  }
+}

@@ -97,22 +97,42 @@ object Dedup {
     rows.join(broadcast(hot), keyCols, "left_anti")
   }
 
-  /** Verify candidate pairs with exact shingle-set Jaccard; keep >= threshold. */
-  def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val cnt = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = candidates
-      .join(sh.select(col("id").as("a_id"), col("sh")), "a_id")
-      .join(sh.select(col("id").as("b_id"), col("sh").as("sh_b")), "b_id")
-      .where(col("sh") === col("sh_b"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("inter"))
+  /** Per-document shingle-hash SET as one narrow projection: (id, hs).
+    * No explode, no distinct shuffle, no aggregation — the whole set is one
+    * codegen'd array expression over the document row. Shingles are
+    * represented by xxhash64 (a 64-bit collision inside one document's set
+    * is ~1e-8 even at millions of shingles — far below the sampling error
+    * of the MinHash stage these sets verify).
+    */
+  def shingleHashSets(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("id"), expr(
+        s"array_distinct(transform(sequence(1, size(t)-${n - 1}), i -> xxhash64(concat_ws(' ', slice(t, i, $n)))))").as("hs"))
+
+  /** Verify candidate pairs against per-doc shingle-hash sets ((id, hs) from
+    * [[shingleHashSets]]); keep Jaccard >= threshold. Two id equi-joins carry
+    * one set array per doc; the overlap is a codegen'd `array_intersect` —
+    * no (pair x shingle) row blow-up.
+    */
+  def verifyJaccardSets(candidates: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
     val j = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
-    inter
-      .join(cnt.select(col("id").as("a_id"), col("n").as("na")), "a_id")
-      .join(cnt.select(col("id").as("b_id"), col("n").as("nb")), "b_id")
+    candidates
+      .join(sets.select(col("id").as("a_id"), col("hs").as("ha")), "a_id")
+      .join(sets.select(col("id").as("b_id"), col("hs").as("hb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("ha"), col("hb"))).as("inter"),
+        size(col("ha")).as("na"), size(col("hb")).as("nb"))
       .where(j >= threshold)
       .select(col("a_id"), col("b_id"), round(j, 4).as("jaccard"))
   }
+
+  /** Verify candidate pairs with exact shingle-set Jaccard from (id, shingle)
+    * rows; keep >= threshold. Row-stream form of [[verifyJaccardSets]].
+    */
+  def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    verifyJaccardSets(candidates,
+      sh.groupBy("id").agg(collect_set(xxhash64(col("sh"))).as("hs")), threshold)
 
   /** Candidate prefilter: estimate jaccard from the minhash signatures
     * themselves (fraction of agreeing components) and drop pairs estimated
@@ -155,7 +175,9 @@ object Dedup {
     else cands0).cache() // consumed twice: id-prune + verify join
     val candIds = cands.select(explode(array(col("a_id"), col("b_id"))).as(idCol)).distinct()
     val candDocs = docs.join(candIds, Seq(idCol), "left_semi")
-    verifyJaccard(cands, shingles(candDocs, textCol, idCol, shingleN), threshold)
+    // sets built as one projection over the pruned docs — the exact-verify
+    // stage costs two id joins, nothing per-shingle crosses a shuffle
+    verifyJaccardSets(cands, shingleHashSets(candDocs, textCol, idCol, shingleN), threshold)
   }
 
   /** Winnowing fingerprints (rolling-hash document fingerprinting, the

@@ -74,27 +74,89 @@ object Similarity {
     * amortized across all queries, exactly like building the reference's
     * BLAST DB partitions offline.
     */
+  /** Lloyd's iterations over a driver-held sample — the coarse-quantizer
+    * training step. At 100 TB the codebook is NEVER fit on the full corpus:
+    * a bounded uniform sample (FAISS trains IVF the same way) captures the
+    * cell structure, and the cluster only pays ONE assignment pass. Keeping
+    * the fit on the driver removes ~maxIter scheduled jobs over the corpus
+    * that an MLlib fit would cost; the sample is metadata-sized (<= maxSample
+    * vectors).
+    */
+  private[operators] def fitCentroids(sample: Array[Array[Float]], nList: Int,
+                                      maxIter: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    val n = sample.length
+    val dim = if (n == 0) 0 else sample(0).length
+    val centroids = Array.tabulate(math.min(nList, math.max(n, 1))) { i =>
+      if (n == 0) Array.fill(dim)(0.0)
+      else sample(rng.nextInt(n)).map(_.toDouble)
+    }
+    val assign = new Array[Int](n)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        val v = sample(i)
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < centroids.length) {
+          val ctr = centroids(c); var d = 0.0; var j = 0
+          while (j < dim) { val t = v(j) - ctr(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
+      }
+      val sums = Array.fill(centroids.length, dim)(0.0)
+      val cnts = new Array[Int](centroids.length)
+      var r = 0
+      while (r < n) {
+        val c = assign(r); cnts(c) += 1; val v = sample(r); var j = 0
+        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+        r += 1
+      }
+      var c = 0
+      while (c < centroids.length) {
+        if (cnts(c) > 0) { var j = 0; while (j < dim) { centroids(c)(j) = sums(c)(j) / cnts(c); j += 1 } }
+        c += 1
+      }
+      iter += 1
+    }
+    centroids
+  }
+
   def ivfKnn(emb: DataFrame, idCol: String, vecCol: String,
              probeFilter: org.apache.spark.sql.Column, k: Int,
-             nList: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val base = emb.select(col(idCol), col(vecCol))
-    val feat = base.withColumn("features", array_to_vector(col(vecCol))).cache()
-    // Coarse quantizer: random init (k-means|| costs ~5 extra passes over
-    // the corpus for little gain on a coarse codebook) and a bounded
-    // iteration count — the cells only need to be roughly balanced, recall
-    // comes from nProbe. At real scale, fit on a corpus sample instead.
-    val model = new KMeans().setK(nList).setSeed(seed).setFeaturesCol("features")
-      .setInitMode("random").setMaxIter(8).setTol(1e-3).fit(feat)
-    val assigned = model.transform(feat)
-      .select(col(idCol), col(vecCol), col("prediction").as("cell"))
-      .withColumn("nrm", norm(vecCol))
-    // centroid table (metadata-sized) -> each probe's nProbe nearest cells
+             nList: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+             maxSample: Int = 20000): DataFrame = {
     val spark = emb.sparkSession
+    val base = emb.select(col(idCol), col(vecCol))
+    // deterministic bounded sample (hash-ordered top-N, not random split:
+    // same rows at any partitioning) -> driver-side Lloyd's fit
+    val sample = base
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(maxSample)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val ctrs = fitCentroids(sample, nList, maxIter = 8, seed = seed)
+    // nearest-centroid assignment as one codegen-friendly expression pass
+    // (euclidean argmin == dot-product argmax on the -2*dot + |c|^2 form)
     val centroids = spark.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
+      ctrs.zipWithIndex.map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq
     ).toDF("cell", "centroid")
+    val ctrLit = array(ctrs.map(c => array(c.map(v => lit(v.toFloat)): _*)): _*)
+    val assigned = base
+      .withColumn("_ctrs", ctrLit)
+      .withColumn("cell", expr(
+        s"""CAST(aggregate(
+           |  transform(_ctrs, (c, i) -> named_struct(
+           |    'd', aggregate(zip_with(c, $vecCol, (a, b) -> CAST((a - b) AS DOUBLE) * (a - b)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v),
+           |    'i', i)),
+           |  named_struct('d', CAST('Infinity' AS DOUBLE), 'i', -1),
+           |  (best, x) -> IF(x.d < best.d, x, best)).i AS INT)""".stripMargin))
+      .drop("_ctrs")
+      .withColumn("nrm", norm(vecCol))
     val probes = assigned.where(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("p_emb"), col("nrm").as("p_nrm"))
     val probeCells = broadcast(probes).crossJoin(broadcast(centroids))
