@@ -280,6 +280,36 @@ object RelationalQueries extends QuerySet {
               |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
     }),
 
+    // Full-outer join with null-preserving sides: high-value order counts
+    // vs negative-balance customers, either side may be absent. Counts are
+    // cast to double on BOTH sides so the null-bearing column has one dtype
+    // (a nullable int lands as float in the driver's pandas compare anyway).
+    "q59_full_outer" -> ((s, dir) => {
+      val a = t(s, dir, "orders").where(col("o_totalprice") > 400000)
+        .groupBy("o_custkey").agg(count(lit(1)).cast("double").as("big_orders"))
+      val b = t(s, dir, "customer").where(col("c_acctbal") < 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      a.join(b, col("o_custkey") === col("c_custkey"), "full_outer")
+        .select(coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+          col("big_orders"), col("c_acctbal"))
+        .orderBy("custkey")
+    }),
+
+    // Window navigation: first/last value over the full partition frame,
+    // lead, and dense_rank over a low-cardinality ordering.
+    "q76_window_nav" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wPrio = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first("o_totalprice").over(w).as("first_tp"),
+          last("o_totalprice").over(wFull).as("last_tp"),
+          lead("o_orderkey", 1).over(w).cast("double").as("next_key"),
+          dense_rank().over(wPrio).as("prio_rank"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Scalar subquery in predicate (deterministic: max-based threshold).
     "q23_scalar_subquery" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -391,6 +421,23 @@ object RelationalQueries extends QuerySet {
         |FLOOR(l_extendedprice*(1-l_discount)*(1+l_tax)*100)/100 AS net,
         |CASE WHEN l_quantity >= 25 THEN 'H' ELSE 'L' END AS qty_class
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q59_full_outer" ->
+      """WITH a AS (SELECT o_custkey, CAST(COUNT(*) AS DOUBLE) AS big_orders
+        |           FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey),
+        |b AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0)
+        |SELECT COALESCE(o_custkey, c_custkey) AS custkey, big_orders, c_acctbal
+        |FROM a FULL JOIN b ON o_custkey = c_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q76_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |FIRST_VALUE(o_totalprice) OVER w AS first_tp,
+        |LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_tp,
+        |CAST(LEAD(o_orderkey, 1) OVER w AS DOUBLE) AS next_key,
+        |DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS prio_rank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q23_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > (SELECT MAX(o_totalprice)/2 FROM orders)

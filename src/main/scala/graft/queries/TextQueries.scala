@@ -89,6 +89,33 @@ object TextQueries extends QuerySet {
         .orderBy("a_id", "b_id")
     }),
 
+    // Edit-distance (Levenshtein) similarity over adjacent-id name pairs —
+    // the string-metric near-dup primitive (complement of the set-based
+    // Jaccard/MinHash family).
+    "q77_edit_distance" -> ((s, dir) => {
+      val a = t(s, dir, "customer").select(col("c_custkey").as("k"), col("c_name").as("name_a"))
+      val b = t(s, dir, "customer").select((col("c_custkey") - 1).as("k"), col("c_name").as("name_b"))
+      a.join(b, "k")
+        .select(col("k"), levenshtein(col("name_a"), col("name_b")).as("edit_dist"))
+        .orderBy("k")
+    }),
+
+    // Repetition-based quality signals (the Gopher-rule family): duplicate
+    // token fraction and most-frequent-token share per document. Two-level
+    // aggregation — token counts then per-doc stats — all map-side
+    // combinable.
+    "q78_repetition" -> ((s, dir) => {
+      val c = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      c.groupBy("doc_id")
+        .agg(sum("c").as("n_tok"), count(lit(1)).as("n_uniq"), max("c").as("max_freq"))
+        .select(col("doc_id"), col("n_tok"), col("n_uniq"), col("max_freq"),
+          round(lit(1) - col("n_uniq").cast("double") / col("n_tok"), 4).as("dup_frac"),
+          round(col("max_freq").cast("double") / col("n_tok"), 4).as("top_tok_frac"))
+        .orderBy("doc_id")
+    }),
+
     // BPE-ish regex tokenization: letter runs / digit runs / single other
     // chars, the shape subword tokenizers pre-split on — vs whitespace
     // tokens (q30).
@@ -205,6 +232,20 @@ object TextQueries extends QuerySet {
         |FROM inter JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
         |WHERE inter*1.0/(ca.n + cb.n - inter) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    "q77_edit_distance" ->
+      """SELECT a.c_custkey AS k, levenshtein(a.c_name, b.c_name) AS edit_dist
+        |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+        |ORDER BY k""".stripMargin,
+    "q78_repetition" ->
+      """WITH c AS (SELECT doc_id, tok, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok),
+        |s AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok, COUNT(*) AS n_uniq,
+        |      CAST(MAX(c) AS BIGINT) AS max_freq FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tok, n_uniq, max_freq,
+        |ROUND(1 - CAST(n_uniq AS DOUBLE) / n_tok, 4) AS dup_frac,
+        |ROUND(CAST(max_freq AS DOUBLE) / n_tok, 4) AS top_tok_frac
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q39_regex_tokens" ->
       """SELECT doc_id,
         |len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
