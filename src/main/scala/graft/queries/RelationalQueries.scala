@@ -310,6 +310,18 @@ object RelationalQueries extends QuerySet {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Ordered array aggregation: per-customer order history as a sorted
+    // key array (deterministic via sort_array, not collect order), plus a
+    // bounded slice — the nested-result shape feature stores emit.
+    "q80_order_history" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("all_keys"))
+        .select(col("o_custkey"), size(col("all_keys")).as("n_orders"),
+          concat_ws(",", slice(col("all_keys"), 1, 5)).as("first5"))
+        .orderBy("o_custkey")
+    }),
+
     // Scalar subquery in predicate (deterministic: max-based threshold).
     "q23_scalar_subquery" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -438,6 +450,11 @@ object RelationalQueries extends QuerySet {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q80_order_history" ->
+      """SELECT o_custkey, CAST(len(ks) AS INT) AS n_orders,
+        |array_to_string(ks[1:5], ',') AS first5 FROM (
+        |  SELECT o_custkey, list_sort(list(o_orderkey)) AS ks FROM orders GROUP BY o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
     "q23_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > (SELECT MAX(o_totalprice)/2 FROM orders)
