@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: matrix-vector dot products —
+  * `graft_matvec(rows: array<array<float>>, v: array<float>) ->
+  * array<double>` where `out[j] = rows[j] . v`.
+  *
+  * This is the per-row hot loop of LSH bucketing (dot against every
+  * hyperplane) and IVF cell assignment (dot against every centroid). The
+  * higher-order-function formulation (`transform` + nested `aggregate`)
+  * allocates lambda frames and boxes per element; this is a tight nested
+  * primitive loop over the unsafe array representation, one output
+  * allocation per row. At 100 TB the bucket/assignment pass runs once per
+  * corpus row, so per-row constants dominate the stage.
+  */
+case class FloatMatVec(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ArrayType(FloatType, _), _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_matvec requires (array<array<float>>, array<float>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def prettyName: String = "graft_matvec"
+
+  override def nullSafeEval(m: Any, v: Any): Any = {
+    val rows = m.asInstanceOf[ArrayData]
+    val x = v.asInstanceOf[ArrayData]
+    val out = new Array[Double](rows.numElements())
+    var j = 0
+    while (j < out.length) {
+      val r = rows.getArray(j)
+      val n = math.min(r.numElements(), x.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += r.getFloat(i).toDouble * x.getFloat(i).toDouble; i += 1 }
+      out(j) = s
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (m, v) => {
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val row = ctx.freshName("row")
+      val out = ctx.freshName("out")
+      s"""
+         |double[] $out = new double[$m.numElements()];
+         |for (int $j = 0; $j < $out.length; $j++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $row = $m.getArray($j);
+         |  int $n = java.lang.Math.min($row.numElements(), $v.numElements());
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double) $row.getFloat($i) * (double) $v.getFloat($i);
+         |  }
+         |  $out[$j] = $s;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -53,15 +53,18 @@ object Similarity {
     Array.fill(bits, dim)(rng.nextDouble() * 2 - 1)
   }
 
-  /** Sign-pattern LSH bucket id for each vector: sum_j (dot(v, H_j) > 0) << j. */
+  /** Sign-pattern LSH bucket id for each vector: sum_j (dot(v, H_j) > 0) << j.
+    * The per-row hot loop (dot against every plane) is the native codegen'd
+    * `graft_matvec`; only the `bits`-element sign fold stays a higher-order
+    * function.
+    */
   def lshBucket(emb: DataFrame, vecCol: String, planes: Array[Array[Double]]): DataFrame = {
-    val planesLit = array(planes.map(p => array(p.map(lit): _*)): _*)
+    val planesLit = array(planes.map(p => array(p.map(v => lit(v.toFloat)): _*)): _*)
     emb.withColumn("_planes", planesLit)
       .withColumn("bucket",
         expr(s"""aggregate(
-                |  transform(_planes, (p, j) ->
-                |    IF(aggregate(zip_with(p, $vecCol, (a, b) -> a * CAST(b AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0,
-                |       CAST(1 AS BIGINT) << j, CAST(0 AS BIGINT))),
+                |  transform(graft_matvec(_planes, $vecCol), (d, j) ->
+                |    IF(d > 0D, CAST(1 AS BIGINT) << j, CAST(0 AS BIGINT))),
                 |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
       .drop("_planes")
   }
@@ -145,17 +148,21 @@ object Similarity {
     val centroids = spark.createDataFrame(
       ctrs.zipWithIndex.map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq
     ).toDF("cell", "centroid")
-    val ctrLit = array(ctrs.map(c => array(c.map(v => lit(v.toFloat)): _*)): _*)
+    // nearest-centroid = argmax(v.c - |c|^2/2) (equivalent to euclidean
+    // argmin); the per-row centroid dots are one native graft_matvec call,
+    // the argmax folds a nList-element array. First-index tie-break keeps
+    // assignment deterministic.
+    val ctrF = ctrs.map(_.map(_.toFloat))
+    val ctrLit = array(ctrF.map(c => array(c.map(lit): _*)): _*)
+    val hnLit = array(ctrF.map(c => lit(c.map(x => x.toDouble * x).sum / 2.0)): _*)
     val assigned = base
-      .withColumn("_ctrs", ctrLit)
+      .withColumn("_ctrs", ctrLit).withColumn("_hn", hnLit)
       .withColumn("cell", expr(
         s"""CAST(aggregate(
-           |  transform(_ctrs, (c, i) -> named_struct(
-           |    'd', aggregate(zip_with(c, $vecCol, (a, b) -> CAST((a - b) AS DOUBLE) * (a - b)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v),
-           |    'i', i)),
-           |  named_struct('d', CAST('Infinity' AS DOUBLE), 'i', -1),
-           |  (best, x) -> IF(x.d < best.d, x, best)).i AS INT)""".stripMargin))
-      .drop("_ctrs")
+           |  transform(graft_matvec(_ctrs, $vecCol), (d, i) -> named_struct('s', d - _hn[i], 'i', i)),
+           |  named_struct('s', CAST('-Infinity' AS DOUBLE), 'i', -1),
+           |  (best, x) -> IF(x.s > best.s, x, best)).i AS INT)""".stripMargin))
+      .drop("_ctrs", "_hn")
       .withColumn("nrm", norm(vecCol))
     val probes = assigned.where(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("p_emb"), col("nrm").as("p_nrm"))

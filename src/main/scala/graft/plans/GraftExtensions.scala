@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.FloatDotProduct
+import graft.functions.{FloatDotProduct, FloatMatVec}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (see [[graft.GraftSession]]): injects the engine's native expressions
@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => FloatDotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_matvec"),
+      new ExpressionInfo(classOf[FloatMatVec].getName, "graft_matvec"),
+      (children: Seq[Expression]) => FloatMatVec(children(0), children(1))))
     // rank-filter windows -> native partial/final top-K (see GroupTopK.scala)
     ext.injectOptimizerRule(_ => GroupTopKRewrite)
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)

@@ -67,6 +67,24 @@ class PlanSpec extends SparkSpec {
       s"q09 lost the GroupTopK rewrite:\n${p.take(2000)}")
   }
 
+  test("minhash pipeline: equi-join shape (no cartesian/nested-loop), bounded exchanges") {
+    val p = plan("q62_dedup_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"minhash candidate generation degenerated to a product join:\n${p.take(2000)}")
+    // candidate generation + verify should cost a fixed number of shuffles
+    // regardless of corpus size; a regression to per-pair or per-shingle
+    // shuffling shows up as exchange count inflation
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 12, s"minhash pipeline exchange count grew to $exchanges:\n${p.take(1500)}")
+  }
+
+  test("lsh bucket + ivf assignment run the native graft_matvec, not HOF dots") {
+    val p64 = plan("q64_knn_lsh")
+    val p67 = plan("q67_knn_ivf")
+    assert(p64.contains("graft_matvec"), "q64 lost the native matvec bucket pass")
+    assert(p67.contains("graft_matvec"), "q67 lost the native matvec assignment pass")
+  }
+
   test("queries stay inside whole-stage codegen") {
     // codegen spans appear in the final (post-AQE) executed plan
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf())

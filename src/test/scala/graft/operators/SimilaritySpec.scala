@@ -60,4 +60,31 @@ class SimilaritySpec extends SparkSpec {
       .collect()
     assert(knn.head.getDouble(2) == 1.0)
   }
+
+  test("graft_matvec matches per-row graft_dot") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1f, 2f, 3f)), (2L, Array(-0.5f, 0f, 4f))).toDF("vec_id", "embedding")
+    val rows = df.selectExpr(
+      "graft_matvec(array(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT), CAST(0 AS FLOAT)), " +
+        "array(CAST(0.5 AS FLOAT), CAST(-1 AS FLOAT), CAST(2 AS FLOAT))), embedding) AS d",
+      "graft_dot(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT), CAST(0 AS FLOAT)), embedding) AS d0",
+      "graft_dot(array(CAST(0.5 AS FLOAT), CAST(-1 AS FLOAT), CAST(2 AS FLOAT)), embedding) AS d1")
+      .collect()
+    rows.foreach { r =>
+      val d = r.getSeq[Double](0)
+      assert(d(0) == r.getDouble(1) && d(1) == r.getDouble(2))
+    }
+  }
+
+  test("fitCentroids: deterministic, centroids near planted cluster means") {
+    val rng = new scala.util.Random(7)
+    val a = Array.fill(50)(Array.fill(4)(rng.nextGaussian().toFloat * 0.1f))
+    val b = Array.fill(50)(Array.fill(4)(10f + rng.nextGaussian().toFloat * 0.1f))
+    val ctrs = Similarity.fitCentroids(a ++ b, nList = 2, maxIter = 20, seed = 1L)
+    val ctrs2 = Similarity.fitCentroids(a ++ b, nList = 2, maxIter = 20, seed = 1L)
+    assert(ctrs.map(_.toSeq).toSeq == ctrs2.map(_.toSeq).toSeq, "fit not deterministic")
+    val means = ctrs.map(_.sum / 4)
+    assert(means.exists(m => math.abs(m) < 1) && means.exists(m => math.abs(m - 10) < 1),
+      s"centroids missed planted clusters: ${means.mkString(",")}")
+  }
 }
