@@ -31,7 +31,7 @@ object ProfileMain {
       // q62 minhash sub-stages
       val sh = Dedup.rawShingles(docs, "text", "doc_id", 3)
       time("q62.shingles")(sh.count())
-      val sig = Dedup.minHash(sh, 32).cache()
+      val sig = Dedup.minHashSignatures(docs, "text", "doc_id", 3, 32).cache()
       time("q62.minhash_sig")(sig.count())
       val cands = Dedup.lshCandidates(sig, 32, 8).cache()
       time("q62.lsh_candidates")(cands.count())

@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Static hash kernels shared by the interpreted and codegen paths of the
+  * signature expressions below. Keeping the loops in ordinary JVM methods
+  * (Scala objects emit static forwarders) means the generated code is one
+  * call — trivial for janino, hot for the JIT — while the whole signature
+  * computation stays NARROW: one expression per document row, no explode,
+  * no aggregation shuffle. Token/shingle hashing matches Spark's `xxhash64`
+  * on strings (XXH64 over UTF8 bytes, seed 42), so signatures are identical
+  * to the former explode + groupBy formulation.
+  */
+object HashKernels {
+
+  /** 64-bit SimHash: bit b = majority vote of bit b over element hashes. */
+  def simHash(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var j = 0
+    while (j < n) {
+      if (!tokens.isNullAt(j)) {
+        val h = XXH64.hashUTF8String(tokens.getUTF8String(j), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** k MinHash components: out(i) = min over elements of hashLong(h, i)
+    * where h is the element's string hash. Min over a multiset equals min
+    * over its set, so duplicate shingles need no dedup first.
+    */
+  def minHash(shingles: ArrayData, k: Int): ArrayData = {
+    val out = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var j = 0
+    while (j < n) {
+      if (!shingles.isNullAt(j)) {
+        val h = XXH64.hashUTF8String(shingles.getUTF8String(j), 42L)
+        var i = 0
+        while (i < k) {
+          val m = XXH64.hashLong(h, i.toLong)
+          if (m < out(i)) out(i) = m
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_simhash(tokens: array<string>) -> bigint` — whole-document SimHash
+  * as one narrow expression (see [[HashKernels]]).
+  */
+case class GraftSimHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash requires array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(a: Any): Any =
+    HashKernels.simHash(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.HashKernels.simHash($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_minhash(shingles: array<string>, k: int) -> array<bigint>` — the
+  * full k-component MinHash signature as one narrow expression (see
+  * [[HashKernels]]).
+  */
+case class GraftMinHash(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash requires (array<string>, int literal), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(a: Any, k: Any): Any =
+    HashKernels.minHash(a.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, k) => s"graft.functions.HashKernels.minHash($a, $k)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -40,21 +40,21 @@ object Dedup {
   def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     rawShingles(docs, textCol, idCol, n).distinct()
 
-  /** MinHash signatures: (id, sig: array[long] of length k), computed in ONE
-    * aggregation pass — k parallel `min(xxhash64(i, h))` aggregates over the
-    * shingle rows, where h = xxhash64(shingle) is computed ONCE per row and
-    * the k permutations re-hash that fixed-width long under seed i (affine
-    * `a_i*h+b_i` would be cheaper still but overflows under ANSI mode). Two
-    * scale properties: the variable-length shingle string is hashed once
-    * (not k times), and map-side partial min means the shuffle
-    * carries one k-wide row per doc per map partition, NOT k x shingles rows
-    * (the naive explode-the-seeds formulation — at 100 TB that factor-k
-    * shuffle is the difference between feasible and not).
+  /** MinHash signatures straight from the document row: (id, sig:
+    * array[long] of length k), ONE narrow expression per doc — shingle
+    * array -> native [[graft.functions.GraftMinHash]] kernel (each shingle
+    * hashed once, k cheap long re-hashes, running minima). ZERO shuffle:
+    * the former explode + k-wide partial-min aggregation still moved one
+    * k-wide row per doc per map partition through an exchange; this moves
+    * nothing — signature computation is embarrassingly parallel, exactly
+    * what 100 TB demands.
     */
-  def minHash(sh: DataFrame, numHashes: Int): DataFrame =
-    sh.select(col("id"), xxhash64(col("sh")).as("h"))
-      .groupBy("id").agg(
-        array((0 until numHashes).map(i => min(xxhash64(lit(i), col("h")))): _*).as("sig"))
+  def minHashSignatures(docs: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int, numHashes: Int): DataFrame =
+    docs.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+      .where(size(col("t")) >= shingleN)
+      .select(col("id"), expr(
+        s"graft_minhash(transform(sequence(1, size(t)-${shingleN - 1}), i -> concat_ws(' ', slice(t, i, $shingleN))), $numHashes)").as("sig"))
 
   /** LSH candidate pairs via banding: docs sharing any band's bucket
     * (bucket = hash of that band's signature slice). Hot buckets above
@@ -164,7 +164,7 @@ object Dedup {
                       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5,
                       estimatePrefilter: Boolean = false): DataFrame = {
-    val sig0 = minHash(rawShingles(docs, textCol, idCol, shingleN), numHashes)
+    val sig0 = minHashSignatures(docs, textCol, idCol, shingleN, numHashes)
     // sig feeds one consumer unless the prefilter adds a second — only then
     // is the materialization cost of cache() paid back.
     val sig = if (estimatePrefilter) sig0.cache() else sig0
@@ -202,22 +202,16 @@ object Dedup {
       .select(col("id"), explode(expr(fps)).as("fp"))
   }
 
-  /** 64-bit SimHash per document from token hashes: (id, simhash).
-    * bit b of simhash = majority vote of bit b across token xxhash64s.
-    * One aggregation pass: 64 parallel bit-vote sums per doc (vs exploding
-    * 64 bit rows per token — a 64x shuffle reduction, see [[minHash]]).
+  /** 64-bit SimHash per document: (id, simhash), bit b = majority vote of
+    * bit b across distinct-token hashes. ONE narrow expression per doc via
+    * the native [[graft.functions.GraftSimHash]] kernel — no token explode,
+    * no 64-wide aggregation, no shuffle. Bit-identical to the former
+    * explode + vote-sum formulation (same xxhash64 token hashes, same
+    * votes>0 rule).
     */
-  def simHash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val votes = (0 until 64).map(b =>
-      sum(expr(s"((h >> $b) & 1) * 2 - 1")).as(s"v$b"))
-    val assemble = (0 until 64)
-      .map(b => s"IF(v$b > 0, CAST(1 AS BIGINT) << $b, CAST(0 AS BIGINT))")
-      .mkString(" + ")
-    docs.select(col(idCol).as("id"), explode(array_distinct(split(col(textCol), " "))).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
-      .groupBy("id").agg(votes.head, votes.tail: _*)
-      .selectExpr("id", s"($assemble) AS simhash")
-  }
+  def simHash(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      expr(s"graft_simhash(array_distinct(split($textCol, ' ')))").as("simhash"))
 
   /** SimHash near-dup candidates: Hamming distance <= maxHamming, found by
     * banding the 64-bit fingerprint into (maxHamming+1) chunks (pigeonhole:

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, FloatMatVec}
+import graft.functions.{FloatDotProduct, FloatMatVec, GraftMinHash, GraftSimHash}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (see [[graft.GraftSession]]): injects the engine's native expressions
@@ -21,6 +21,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_matvec"),
       new ExpressionInfo(classOf[FloatMatVec].getName, "graft_matvec"),
       (children: Seq[Expression]) => FloatMatVec(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[GraftSimHash].getName, "graft_simhash"),
+      (children: Seq[Expression]) => GraftSimHash(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[GraftMinHash].getName, "graft_minhash"),
+      (children: Seq[Expression]) => GraftMinHash(children(0), children(1))))
     // rank-filter windows -> native partial/final top-K (see GroupTopK.scala)
     ext.injectOptimizerRule(_ => GroupTopKRewrite)
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)
