@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft_winnow(text, k, w) -> array<bigint>` — winnowing fingerprints
+  * (the MOSS scheme) as ONE narrow expression: hash every character k-gram,
+  * keep the minimum of each w-wide window, emit first-occurrence-distinct
+  * minima. Guarantees any shared substring of length >= w + k - 1 yields a
+  * shared fingerprint, at ~2/(w+1) selection density.
+  *
+  * The former formulation materialized the k-gram hash array and the
+  * window minima as interpreted higher-order functions — one substring
+  * allocation AND lambda frame per character, O(n*w) minima. The kernel is
+  * a static JVM loop (hash pass + O(n) monotonic-deque window minima) that
+  * generated code calls directly.
+  */
+object WinnowKernel {
+  private val Empty = new GenericArrayData(Array.empty[Long])
+
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val n = text.numChars() - k + 1
+    if (n <= 0) return Empty
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = XXH64.hashUTF8String(text.substring(i, i + k), 42L)
+      i += 1
+    }
+    if (n <= w) {
+      var m = hs(0); i = 1
+      while (i < n) { if (hs(i) < m) m = hs(i); i += 1 }
+      return new GenericArrayData(Array(m))
+    }
+    // O(n) sliding minima: indices of a monotonically increasing tail
+    val deque = new Array[Int](n)
+    var head = 0
+    var tail = 0 // [head, tail) holds candidate indices
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new java.util.ArrayList[java.lang.Long]()
+    i = 0
+    while (i < n) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val m = hs(deque(head))
+        if (seen.add(m)) out.add(m)
+      }
+      i += 1
+    }
+    val arr = new Array[Long](out.size())
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+case class GraftWinnow(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, IntegerType)
+        if second.foldable && third.foldable => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_winnow requires (string, int literal, int literal), got " +
+          s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, ${third.dataType.simpleString})")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override def nullSafeEval(t: Any, k: Any, w: Any): Any =
+    WinnowKernel.winnow(t.asInstanceOf[UTF8String], k.asInstanceOf[Int], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k, w) => s"graft.functions.WinnowKernel.winnow($t, $k, $w)")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}

@@ -188,19 +188,9 @@ object Dedup {
     * (id, fp) rows for index-style joins.
     */
   def winnowingFingerprints(docs: DataFrame, textCol: String, idCol: String,
-                            kgram: Int = 8, window: Int = 4): DataFrame = {
-    // materialize the k-gram hash array ONCE per row in its own projection:
-    // inlining it into the CASE below would re-evaluate the whole array per
-    // reference (and per window element inside the transform) — O(n^2) per
-    // document instead of O(n).
-    val kg = s"transform(sequence(1, greatest(length($textCol) - ${kgram - 1}, 0)), i -> xxhash64(substring($textCol, i, $kgram)))"
-    val fps = s"""CASE WHEN size(kg) = 0 THEN array()
-                 |WHEN size(kg) <= $window THEN array(array_min(kg))
-                 |ELSE array_distinct(transform(sequence(1, size(kg) - ${window - 1}), j -> array_min(slice(kg, j, $window))))
-                 |END""".stripMargin
-    docs.select(col(idCol).as("id"), expr(kg).as("kg"))
-      .select(col("id"), explode(expr(fps)).as("fp"))
-  }
+                            kgram: Int = 8, window: Int = 4): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(expr(s"graft_winnow($textCol, $kgram, $window)")).as("fp"))
 
   /** 64-bit SimHash per document: (id, simhash), bit b = majority vote of
     * bit b across distinct-token hashes. ONE narrow expression per doc via

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, FloatMatVec, GraftMinHash, GraftSimHash}
+import graft.functions.{FloatDotProduct, FloatMatVec, GraftMinHash, GraftSimHash, GraftWinnow}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (see [[graft.GraftSession]]): injects the engine's native expressions
@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[GraftMinHash].getName, "graft_minhash"),
       (children: Seq[Expression]) => GraftMinHash(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[GraftWinnow].getName, "graft_winnow"),
+      (children: Seq[Expression]) => GraftWinnow(children(0), children(1), children(2))))
     // rank-filter windows -> native partial/final top-K (see GroupTopK.scala)
     ext.injectOptimizerRule(_ => GroupTopKRewrite)
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)
