@@ -60,6 +60,37 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("hot-bucket guard drops boilerplate clusters, keeps normal pairs") {
+    import spark.implicits._
+    // 30 identical boilerplate docs (every band bucket has 30 members) +
+    // one planted near-dup pair of distinct content
+    val boiler = (0 until 30).map(i => (100L + i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"))
+    val pair = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"))
+    val d = (boiler ++ pair).toDF("doc_id", "text")
+    val sig = Dedup.minHashSignatures(d, "text", "doc_id", 3, 32)
+    val guarded = Dedup.lshCandidates(sig, 32, 16, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded.contains((0L, 1L)), s"normal pair lost: $guarded")
+    assert(!guarded.exists { case (a, b) => a >= 100L || b >= 100L },
+      s"boilerplate pairs survived the guard: ${guarded.take(5)}")
+    // guard off: the boilerplate cluster floods back in (29*30/2 pairs)
+    val open = Dedup.lshCandidates(sig, 32, 16, maxBucketSize = Int.MaxValue).count()
+    assert(open >= 435 + 1, s"expected full candidate set without guard, got $open")
+  }
+
+  test("estimate prefilter keeps the same verified pairs on planted corpus") {
+    val base = Dedup.minHashDupPairs(docs(), "text", "doc_id",
+        shingleN = 3, numHashes = 32, bands = 16, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pre = Dedup.minHashDupPairs(docs(), "text", "doc_id",
+        shingleN = 3, numHashes = 32, bands = 16, threshold = 0.4,
+        estimatePrefilter = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pre == base, s"prefilter changed results: base=$base pre=$pre")
+  }
+
   test("winnowing: shared substrings guarantee shared fingerprints") {
     import spark.implicits._
     val core = "the quick brown fox jumps over the lazy dog again and again"
