@@ -1,0 +1,42 @@
+package graft
+
+/** Plan lint across the ENTIRE query surface: every named query's physical
+  * plan is checked for the anti-patterns that kill jobs at 100 TB —
+  * accidental product joins and shuffle-count inflation. An explicit
+  * allowlist documents the few queries where a product join is the declared
+  * semantics (reference A5 work-item cross join, broadcast scalar
+  * subqueries, sketch probes) so any NEW occurrence fails the suite.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  // product joins that ARE the query's semantics (all broadcast one
+  // metadata-sized side):
+  //   q18 — the reference's block x db-partition work-item generation
+  //   q23 — broadcast single-row scalar-subquery threshold
+  //   q40/q43 — brute-force kNN / pairwise cosine: broadcast probe x corpus
+  //   q61/q66 — work items again (blocks x sources)
+  //   q44/q49 — broadcast corpus-count literal into the tf-idf / df-cut score
+  private val productAllowed = Set(
+    "q18_cross_join", "q23_scalar_subquery", "q40_knn_brute",
+    "q43_dedup_embedding", "q44_tfidf", "q49_simjoin_dfcap",
+    "q61_work_items", "q66_iteration_batches", "q67_knn_ivf", "q64_knn_lsh")
+
+  // iterative/multi-stage pipelines legitimately above the common bound
+  private val exchangeBound = 16
+  private val exchangeAllowed = Set("q48_dup_clusters")
+
+  test("no query plan contains an unexpected product join; exchanges bounded") {
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = fn(spark, sf()).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val product = plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")
+      if (product && !productAllowed.contains(name))
+        offenders += s"$name: product join"
+      val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(plan).size
+      if (exchanges > exchangeBound && !exchangeAllowed.contains(name))
+        offenders += s"$name: $exchanges exchanges"
+    }
+    assert(offenders.isEmpty, s"plan lint failures:\n${offenders.mkString("\n")}")
+  }
+}
