@@ -70,6 +70,23 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming NEAR-dup guard: the native zero-shuffle `graft_simhash`
+    * signature ([[graft.functions.GraftSimHash]]) is a stateless narrow
+    * projection, so it composes directly with bounded-state streaming
+    * dedup — documents whose token sets hash to the same 64-bit SimHash
+    * within the watermark are suppressed. Catches boilerplate/near-identical
+    * re-ingestions that exact-hash dedup ([[dedupByKey]]) misses; full
+    * Hamming-distance near-dup stays a batch job (MinHash/SimHash banding).
+    * `tsCol` must be the event-time column the stream is watermarked on.
+    */
+  def dedupNearBySimHash(docs: DataFrame, textCol: String, tsCol: String,
+                         watermark: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("_simhash", expr(s"graft_simhash(array_distinct(split($textCol, ' ')))"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_simhash")
+      .drop("_simhash")
+
   /** Stateful sessionization (q51's incremental twin): a session closes when
     * `gapSec` of event time passes without activity for the user; closed
     * sessions are emitted. Uses event-time timeouts so results depend only

@@ -116,6 +116,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming simhash near-dup guard suppresses near-identical re-ingestions") {
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDS().toDF("doc_id", "ts", "text")
+    val q = EventStreams.dedupNearBySimHash(docs, "text", "ts")
+      .writeStream.format("memory").queryName("neardup_out").outputMode("append").start()
+    try {
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      input.addData(
+        (1L, ts(0), base),
+        (2L, ts(1), base + " alpha"),                  // same token SET -> same simhash
+        (3L, ts(2), "one two three four five six seven"))
+      q.processAllAvailable()
+      input.addData((4L, ts(5), base))                 // cross-batch near-dup
+      q.processAllAvailable()
+      input.addData((5L, ts(9000), "totally different content entirely now"))
+      q.processAllAvailable()
+      val ids = spark.table("neardup_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids == Seq(1L, 3L, 5L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("watermarked hourly aggregation matches the batch computation") {
     import spark.implicits._
     implicit val sqlCtx: SQLContext = spark.sqlContext
