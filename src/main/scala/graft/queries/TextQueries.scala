@@ -116,6 +116,16 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     }),
 
+    // Corpus dashboard rollup: doc counts and size stats at (source, lang),
+    // per-source, and grand-total granularities in one pass.
+    "q81_source_rollup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .rollup("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+          round(sum("n_chars").cast("double") / count(lit(1)), 2).as("avg_chars"))
+        .orderBy(asc_nulls_first("source"), asc_nulls_first("lang"))
+    }),
+
     // BPE-ish regex tokenization: letter runs / digit runs / single other
     // chars, the shape subword tokenizers pre-split on — vs whitespace
     // tokens (q30).
@@ -246,6 +256,12 @@ object TextQueries extends QuerySet {
         |ROUND(1 - CAST(n_uniq AS DOUBLE) / n_tok, 4) AS dup_frac,
         |ROUND(CAST(max_freq AS DOUBLE) / n_tok, 4) AS top_tok_frac
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q81_source_rollup" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+        |CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars
+        |FROM documents GROUP BY ROLLUP (source, lang)
+        |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin,
     "q39_regex_tokens" ->
       """SELECT doc_id,
         |len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
