@@ -34,12 +34,37 @@ case class FloatMatVec(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_matvec"
 
-  override def nullSafeEval(m: Any, v: Any): Any = {
-    val rows = m.asInstanceOf[ArrayData]
-    val x = v.asInstanceOf[ArrayData]
+  override def nullable: Boolean = true
+
+  /** Shared kernel; a null matrix row makes the whole result null (standard
+    * Spark null propagation) rather than NPE-ing the task.
+    */
+  override def nullSafeEval(m: Any, v: Any): Any =
+    FloatMatVec.matvec(m.asInstanceOf[ArrayData], v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (m, v) => {
+      val tmp = ctx.freshName("tmp")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.FloatMatVec.matvec($m, $v);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object FloatMatVec {
+  /** Static kernel shared by interpreted and generated code; returns null
+    * when any matrix row is null.
+    */
+  def matvec(rows: ArrayData, x: ArrayData): ArrayData = {
     val out = new Array[Double](rows.numElements())
     var j = 0
     while (j < out.length) {
+      if (rows.isNullAt(j)) return null
       val r = rows.getArray(j)
       val n = math.min(r.numElements(), x.numElements())
       var s = 0.0
@@ -50,30 +75,4 @@ case class FloatMatVec(left: Expression, right: Expression)
     }
     new GenericArrayData(out)
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (m, v) => {
-      val j = ctx.freshName("j")
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val s = ctx.freshName("s")
-      val row = ctx.freshName("row")
-      val out = ctx.freshName("out")
-      s"""
-         |double[] $out = new double[$m.numElements()];
-         |for (int $j = 0; $j < $out.length; $j++) {
-         |  org.apache.spark.sql.catalyst.util.ArrayData $row = $m.getArray($j);
-         |  int $n = java.lang.Math.min($row.numElements(), $v.numElements());
-         |  double $s = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $s += (double) $row.getFloat($i) * (double) $v.getFloat($i);
-         |  }
-         |  $out[$j] = $s;
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-       """.stripMargin
-    })
-
-  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
 }

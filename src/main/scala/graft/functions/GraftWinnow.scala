@@ -23,6 +23,7 @@ object WinnowKernel {
   private val Empty = new GenericArrayData(Array.empty[Long])
 
   def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    require(k >= 1 && w >= 1, s"graft_winnow requires k >= 1 and w >= 1, got k=$k w=$w")
     val n = text.numChars() - k + 1
     if (n <= 0) return Empty
     val hs = new Array[Long](n)
@@ -66,7 +67,15 @@ case class GraftWinnow(first: Expression, second: Expression, third: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
       case (StringType, IntegerType, IntegerType)
-        if second.foldable && third.foldable => TypeCheckResult.TypeCheckSuccess
+        if second.foldable && third.foldable =>
+        // k/w are literals: reject non-positive values at analysis time so a
+        // bad SQL call fails the query, not the task (kernel would otherwise
+        // walk its deque out of bounds for w <= 0)
+        (second.eval(), third.eval()) match {
+          case (k: Int, w: Int) if k >= 1 && w >= 1 => TypeCheckResult.TypeCheckSuccess
+          case (k, w) => TypeCheckResult.TypeCheckFailure(
+            s"graft_winnow requires k >= 1 and w >= 1, got k=$k w=$w")
+        }
       case _ => TypeCheckResult.TypeCheckFailure(
         s"graft_winnow requires (string, int literal, int literal), got " +
           s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, ${third.dataType.simpleString})")

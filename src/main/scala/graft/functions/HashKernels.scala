@@ -12,8 +12,11 @@ import org.apache.spark.sql.types._
   * call — trivial for janino, hot for the JIT — while the whole signature
   * computation stays NARROW: one expression per document row, no explode,
   * no aggregation shuffle. Token/shingle hashing matches Spark's `xxhash64`
-  * on strings (XXH64 over UTF8 bytes, seed 42), so signatures are identical
-  * to the former explode + groupBy formulation.
+  * on strings (XXH64 over UTF8 bytes, seed 42): SimHash output is therefore
+  * bit-identical to an explode + 64-bit-vote aggregation over `xxhash64`
+  * token hashes. MinHash re-hashes with `hashLong(h, i)` — a DIFFERENT (but
+  * equally valid) permutation family than `xxhash64(i, h)`, so signatures
+  * are not comparable across that formulation change.
   */
 object HashKernels {
 
@@ -96,7 +99,11 @@ case class GraftMinHash(left: Expression, right: Expression) extends BinaryExpre
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), IntegerType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        right.eval() match {
+          case k: Int if k >= 1 => TypeCheckResult.TypeCheckSuccess
+          case k => TypeCheckResult.TypeCheckFailure(
+            s"graft_minhash requires k >= 1, got $k")
+        }
       case _ => TypeCheckResult.TypeCheckFailure(
         s"graft_minhash requires (array<string>, int literal), got " +
           s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")

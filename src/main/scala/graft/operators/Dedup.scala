@@ -25,16 +25,25 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
+  /** The ONE definition of a document's word-n-gram shingle array (as a SQL
+    * fragment over a token-array column `t`). Every signature/verify stage
+    * derives from this — they only stay mutually consistent because the
+    * shingle definition is shared, so do not inline copies.
+    */
+  private def shingleArrayExpr(n: Int): String =
+    s"transform(sequence(1, size(t)-${n - 1}), i -> concat_ws(' ', slice(t, i, $n)))"
+
+  /** (id, t=token array) for docs with at least `n` tokens. */
+  private def tokenized(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+      .where(size(col("t")) >= n)
+
   /** Word-n-gram shingles per document: (id, shingle), duplicates kept
     * (narrow, no shuffle). Use [[shingles]] when set semantics are needed.
     */
-  def rawShingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
-    docs.select(col(idCol).as("id"), toks.as("t"))
-      .where(size(col("t")) >= n)
-      .select(col("id"),
-        explode(expr(s"transform(sequence(1, size(t)-${n - 1}), i -> concat_ws(' ', slice(t, i, $n)))")).as("sh"))
-  }
+  def rawShingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    tokenized(docs, textCol, idCol, n)
+      .select(col("id"), explode(expr(shingleArrayExpr(n))).as("sh"))
 
   /** Distinct word-n-gram shingles per document: (id, shingle). */
   def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
@@ -51,10 +60,9 @@ object Dedup {
     */
   def minHashSignatures(docs: DataFrame, textCol: String, idCol: String,
                         shingleN: Int, numHashes: Int): DataFrame =
-    docs.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
-      .where(size(col("t")) >= shingleN)
-      .select(col("id"), expr(
-        s"graft_minhash(transform(sequence(1, size(t)-${shingleN - 1}), i -> concat_ws(' ', slice(t, i, $shingleN))), $numHashes)").as("sig"))
+    tokenized(docs, textCol, idCol, shingleN)
+      .select(col("id"),
+        expr(s"graft_minhash(${shingleArrayExpr(shingleN)}, $numHashes)").as("sig"))
 
   /** LSH candidate pairs via banding: docs sharing any band's bucket
     * (bucket = hash of that band's signature slice). Hot buckets above
@@ -105,10 +113,9 @@ object Dedup {
     * of the MinHash stage these sets verify).
     */
   def shingleHashSets(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
-      .where(size(col("t")) >= n)
+    tokenized(docs, textCol, idCol, n)
       .select(col("id"), expr(
-        s"array_distinct(transform(sequence(1, size(t)-${n - 1}), i -> xxhash64(concat_ws(' ', slice(t, i, $n)))))").as("hs"))
+        s"array_distinct(transform(${shingleArrayExpr(n)}, s -> xxhash64(s)))").as("hs"))
 
   /** Verify candidate pairs against per-doc shingle-hash sets ((id, hs) from
     * [[shingleHashSets]]); keep Jaccard >= threshold. Two id equi-joins carry

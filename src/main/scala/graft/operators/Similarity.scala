@@ -90,9 +90,19 @@ object Similarity {
     val rng = new scala.util.Random(seed)
     val n = sample.length
     val dim = if (n == 0) 0 else sample(0).length
-    val centroids = Array.tabulate(math.min(nList, math.max(n, 1))) { i =>
-      if (n == 0) Array.fill(dim)(0.0)
-      else sample(rng.nextInt(n)).map(_.toDouble)
+    // init WITHOUT replacement (partial Fisher-Yates): duplicate initial
+    // centroids would tie-break to the lower index forever and leave the
+    // duplicate a permanently dead cell
+    val idx = Array.tabulate(math.max(n, 1))(identity)
+    val nCtr = math.min(nList, math.max(n, 1))
+    var t = 0
+    while (t < nCtr && n > 0) {
+      val r = t + rng.nextInt(n - t)
+      val tmp = idx(t); idx(t) = idx(r); idx(r) = tmp
+      t += 1
+    }
+    val centroids = Array.tabulate(nCtr) { i =>
+      if (n == 0) Array.fill(dim)(0.0) else sample(idx(i)).map(_.toDouble)
     }
     val assign = new Array[Int](n)
     var iter = 0
@@ -145,9 +155,14 @@ object Similarity {
     val ctrs = fitCentroids(sample, nList, maxIter = 8, seed = seed)
     // nearest-centroid assignment as one codegen-friendly expression pass
     // (euclidean argmin == dot-product argmax on the -2*dot + |c|^2 form)
+    // centroid table carries |c|^2/2 so probe-cell ranking below uses the
+    // SAME euclidean score as assignment — ranking by raw dot would let a
+    // probe's own cell fall outside its nProbe searched cells when centroid
+    // norms differ
     val centroids = spark.createDataFrame(
-      ctrs.zipWithIndex.map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq
-    ).toDF("cell", "centroid")
+      ctrs.zipWithIndex.map { case (c, i) =>
+        (i, c.map(_.toFloat), c.map(x => x * x).sum / 2.0) }.toSeq
+    ).toDF("cell", "centroid", "half_norm")
     // nearest-centroid = argmax(v.c - |c|^2/2) (equivalent to euclidean
     // argmin); the per-row centroid dots are one native graft_matvec call,
     // the argmax folds a nList-element array. First-index tie-break keeps
@@ -167,7 +182,7 @@ object Similarity {
     val probes = assigned.where(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("p_emb"), col("nrm").as("p_nrm"))
     val probeCells = broadcast(probes).crossJoin(broadcast(centroids))
-      .withColumn("cdist", dot("p_emb", "centroid"))
+      .withColumn("cdist", dot("p_emb", "centroid") - col("half_norm"))
       .withColumn("crnk", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("cdist").desc, col("cell"))))
       .where(col("crnk") <= nProbe)

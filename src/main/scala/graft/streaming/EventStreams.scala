@@ -80,12 +80,16 @@ object EventStreams {
     * `tsCol` must be the event-time column the stream is watermarked on.
     */
   def dedupNearBySimHash(docs: DataFrame, textCol: String, tsCol: String,
-                         watermark: String = "2 hours"): DataFrame =
-    docs
+                         watermark: String = "2 hours"): DataFrame = {
+    // null-text docs can't be near-dups of anything: pass them through
+    // untouched instead of letting them all collapse onto the null dedup key
+    val deduped = docs.where(col(textCol).isNotNull)
       .withColumn("_simhash", expr(s"graft_simhash(array_distinct(split($textCol, ' ')))"))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("_simhash")
       .drop("_simhash")
+    docs.where(col(textCol).isNull).unionByName(deduped)
+  }
 
   /** Stateful sessionization (q51's incremental twin): a session closes when
     * `gapSec` of event time passes without activity for the user; closed
