@@ -21,8 +21,8 @@ object RelationalQueries extends QuerySet {
           moneySum(col("l_quantity")).as("sum_qty"),
           moneySum(col("l_extendedprice")).as("sum_base_price"),
           revenueSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
-          round(moneySum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
           count(lit(1)).as("cnt"))
+        .withColumn("avg_qty", round(col("sum_qty") / col("cnt"), 4))
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
