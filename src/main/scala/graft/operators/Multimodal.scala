@@ -71,6 +71,24 @@ object Multimodal {
     df.join(decoded.toDF(idCol, "width", "height", "channels", "features"), idCol)
   }
 
+  /** Resize step over decoded media rows: rescales the (width, height)
+    * metadata to fit `targetW` x `targetH` preserving aspect ratio, and
+    * downweights the feature vector by the area ratio — the STUB stands in
+    * for real pixel resampling, but the Spark-side contract (runs after
+    * [[decodePartitioned]], narrow per-row, schema in = schema out plus
+    * resized_* columns) is exactly what a libvips/PIL-backed version keeps.
+    */
+  def resizeDecoded(df: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dimensions must be positive")
+    val scale = least(lit(targetW) / col("width"), lit(targetH) / col("height"))
+    df.withColumn("_scale", scale)
+      .withColumn("resized_w", greatest(floor(col("width") * col("_scale")).cast("int"), lit(1)))
+      .withColumn("resized_h", greatest(floor(col("height") * col("_scale")).cast("int"), lit(1)))
+      .withColumn("resized_features",
+        expr("transform(features, f -> CAST(f * _scale AS FLOAT))"))
+      .drop("_scale")
+  }
+
   /** Frame sampling for "video" payloads: slice every `stride`-th
     * `frameBytes`-sized byte range — the (offset,len) block-slicing pattern
     * of the reference applied to a binary column. Pure Catalyst expressions.

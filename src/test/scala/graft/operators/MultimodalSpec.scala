@@ -33,6 +33,21 @@ class MultimodalSpec extends SparkSpec {
     assert(one(0).toSeq.drop(1) == one(2).toSeq.drop(1)) // same bytes, same decode
   }
 
+  test("resize preserves aspect ratio and fits the target box") {
+    val decoded = Multimodal.decodePartitioned(
+      Multimodal.withPayload(docs(), "text"), "payload", "doc_id")
+    val r = Multimodal.resizeDecoded(decoded, targetW = 64, targetH = 64)
+      .select("width", "height", "resized_w", "resized_h", "resized_features").collect()
+    r.foreach { row =>
+      val (w, h, rw, rh) = (row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3))
+      assert(rw <= 64 && rh <= 64 && rw >= 1 && rh >= 1, s"($w,$h)->($rw,$rh) out of box")
+      // aspect preserved within integer-floor tolerance
+      assert(math.abs(rw.toDouble / w - rh.toDouble / h) < math.max(1.0 / w, 1.0 / h) + 1e-9,
+        s"aspect broken: ($w,$h)->($rw,$rh)")
+      assert(row.getSeq[Float](4).length == 8)
+    }
+  }
+
   test("frame sampling slices the expected byte ranges") {
     import spark.implicits._
     val payload = ("ab" * 50).getBytes("UTF-8") // 100 bytes
