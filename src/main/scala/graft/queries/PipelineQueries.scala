@@ -77,14 +77,15 @@ object PipelineQueries extends QuerySet {
         .orderBy("fp")
     }),
 
-    // Multimodal decode plumbing: binary payload -> per-partition stub
-    // decoder -> typed features (rows-only; decode determinism is pinned in
-    // MultimodalSpec).
+    // Multimodal decode + resize plumbing: binary payload -> per-partition
+    // stub decoder -> typed features -> aspect-preserving resize (rows-only;
+    // decode determinism and resize invariants are pinned in MultimodalSpec).
     "q65_multimodal_decode" -> ((s, dir) => {
       val withP = Multimodal.withPayload(
         t(s, dir, "documents").where(col("doc_id") < 1000), "text", "text/plain")
-      Multimodal.decodePartitioned(withP, "payload", "doc_id")
-        .select("doc_id", "width", "height", "channels")
+      Multimodal.resizeDecoded(
+          Multimodal.decodePartitioned(withP, "payload", "doc_id"), 64, 64)
+        .select("doc_id", "width", "height", "channels", "resized_w", "resized_h")
         .orderBy("doc_id")
     }),
 
