@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized property tests for the native kernels — these pin the
+  * mathematical contracts (MinHash estimates Jaccard, winnowing's shared-
+  * substring guarantee, SimHash's locality) over hundreds of seeded random
+  * inputs, complementing the fixed planted-case specs. Pure JVM: no Spark
+  * session needed, so the full sweep runs in milliseconds.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private val rng = new scala.util.Random(20260812L)
+
+  private def utf8Array(xs: Seq[String]): GenericArrayData =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+
+  private def minhashSig(xs: Seq[String], k: Int): Seq[Long] = {
+    val a = HashKernels.minHash(utf8Array(xs), k)
+    (0 until k).map(a.getLong)
+  }
+
+  private def randWordSet(): Set[String] =
+    (0 until 1 + rng.nextInt(30)).map(_ => s"w${rng.nextInt(50)}").toSet
+
+  test("minhash: signature agreement tracks exact Jaccard within sampling error") {
+    val k = 128
+    for (_ <- 0 until 200) {
+      val (a, b) = (randWordSet(), randWordSet())
+      val j = a.intersect(b).size.toDouble / a.union(b).size
+      val (sa, sb) = (minhashSig(a.toSeq, k), minhashSig(b.toSeq, k))
+      val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / k
+      // 4.5 sigma of the binomial estimator (over 200 trials)
+      assert(math.abs(est - j) <= 4.5 * math.sqrt(j * (1 - j) / k) + 1e-9,
+        s"jaccard=$j estimate=$est a=$a b=$b")
+    }
+  }
+
+  test("minhash: permutation-invariant and duplicate-insensitive") {
+    val k = 16
+    for (_ <- 0 until 100) {
+      val xs = randWordSet().toList
+      val base = minhashSig(xs, k)
+      val shuffledDup = minhashSig(scala.util.Random.shuffle(xs ++ xs), k)
+      assert(base == shuffledDup)
+    }
+  }
+
+  test("simhash: identical sets collide; hamming symmetric and bounded") {
+    for (_ <- 0 until 200) {
+      val (a, b) = (randWordSet(), randWordSet())
+      val ha = HashKernels.simHash(utf8Array(a.toSeq))
+      val hb = HashKernels.simHash(utf8Array(b.toSeq))
+      val ham = java.lang.Long.bitCount(ha ^ hb)
+      assert(ham >= 0 && ham <= 64 && ham == java.lang.Long.bitCount(hb ^ ha))
+      if (a == b) assert(ham == 0)
+      // token order must not matter
+      assert(HashKernels.simHash(utf8Array(scala.util.Random.shuffle(a.toSeq))) == ha)
+    }
+  }
+
+  test("winnow: shared substring of length >= w+k-1 implies shared fingerprint") {
+    val k = 5
+    val w = 4
+    def randText(n: Int): String =
+      (0 until n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    def fps(t: String): Set[Long] = {
+      val a = WinnowKernel.winnow(UTF8String.fromString(t), k, w)
+      (0 until a.numElements()).map(a.getLong).toSet
+    }
+    for (_ <- 0 until 200) {
+      val core = randText(w + k - 1 + rng.nextInt(20))
+      val embedded = randText(rng.nextInt(15)) + core + randText(rng.nextInt(15))
+      assert(fps(embedded).intersect(fps(core)).nonEmpty,
+        s"no shared fp between '$core' and '$embedded'")
+    }
+  }
+
+  test("winnow: fingerprint density near 2/(w+1) on random text") {
+    val text = {
+      val r = new scala.util.Random(7)
+      (0 until 5000).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val a = WinnowKernel.winnow(UTF8String.fromString(text), 8, 4)
+    val density = a.numElements().toDouble / text.length
+    assert(density > 0.05 && density <= 0.5, s"density $density out of range")
+  }
+}
