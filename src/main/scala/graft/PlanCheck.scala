@@ -5,7 +5,8 @@ object PlanCheck {
     val spark = GraftSession.local()
     val dir = "/root/testdata/sf0.1"
     val interesting = Seq("q02_filter_project", "q03_join_broadcast", "q04_join_large",
-      "q09_topk_per_group", "q40_knn_brute", "q38_simjoin_topk")
+      "q09_topk_per_group", "q40_knn_brute", "q38_simjoin_topk",
+      "q62_dedup_minhash", "q74_order_revenue", "q75_nation_revenue")
     for (n <- interesting) {
       println(s"########## $n")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
