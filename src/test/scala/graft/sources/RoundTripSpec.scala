@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{SparkSpec, Tables}
+
+/** Sink -> source round-trips for the text formats the engine exports
+  * (reference A19's CSV plus JSONL): schema-stable, value-exact, and the
+  * read path must still prune/push down like any other source.
+  */
+class RoundTripSpec extends SparkSpec {
+
+  private def docs() = Tables.load(spark, sf(), "documents")
+    .select("doc_id", "lang", "source", "n_chars") // text kept out: delimiter-free compare
+
+  test("jsonl round-trip: values and schema survive, filters push to the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    docs().write.mode("overwrite").json(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    val back = spark.read.schema(schema).json(dir)
+    assert(back.count() == docs().count())
+    val a = docs().orderBy("doc_id").collect().toSeq
+    val b = back.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    val p = back.where(col("n_chars") > 500).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters") || p.contains("GreaterThan"), p.take(1000))
+  }
+
+  test("csv round-trip with explicit schema and custom separator") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    docs().write.mode("overwrite").option("sep", "\t").option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    val back = spark.read.schema(schema).option("sep", "\t").option("header", "true").csv(dir)
+    val a = docs().orderBy("doc_id").collect().toSeq
+    val b = back.orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+}
