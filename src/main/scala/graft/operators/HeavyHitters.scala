@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact top-k frequent values via the candidate + recount pattern:
+  *
+  *   1. per-partition Misra-Gries summaries of size `summarySize` (bounded
+  *      memory, one pass) emit a candidate set;
+  *   2. a semi-join prunes the stream to candidates and an exact count +
+  *      global top-k finishes.
+  *
+  * Guarantee: a Misra-Gries summary of size M retains every value whose
+  * partition count exceeds n_p/(M+1), so the union of candidates contains
+  * every value with GLOBAL count > n/(M+1). When the k-th most frequent
+  * value clears that bar (true for any heavy-hitter distribution with
+  * adequate M — and trivially when the vocabulary fits in M), the result is
+  * EXACTLY the top-k. The full groupBy over the raw stream — the thing that
+  * shuffles one row per distinct value per partition and melts at 100 TB
+  * vocabularies — never happens; only candidate rows (<= M x partitions)
+  * reach a shuffle.
+  */
+object HeavyHitters {
+
+  /** Exact top-k of `valueCol` (string) by frequency; ties broken by value.
+    * Output: (value, cnt), ordered cnt desc then value.
+    */
+  def topK(df: DataFrame, valueCol: String, k: Int, summarySize: Int = 4096): DataFrame = {
+    require(k >= 1 && summarySize >= k, "need summarySize >= k >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(valueCol).cast("string").as("value")).where(col("value").isNotNull)
+    val candidates = vals.as[String].mapPartitions { it =>
+      val m = new scala.collection.mutable.HashMap[String, Long]()
+      it.foreach { v =>
+        m.get(v) match {
+          case Some(c) => m.update(v, c + 1)
+          case None if m.size < summarySize => m.update(v, 1L)
+          case None => // decrement-all step: amortized O(1) per element
+            val dead = scala.collection.mutable.ArrayBuffer[String]()
+            m.keysIterator.foreach { key =>
+              val c = m(key) - 1
+              if (c == 0) dead += key else m.update(key, c)
+            }
+            dead.foreach(m.remove)
+        }
+      }
+      m.keysIterator
+    }.toDF("value").distinct()
+    vals.join(candidates, Seq("value"), "left_semi")
+      .groupBy("value")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("value"))
+      .limit(k)
+  }
+}

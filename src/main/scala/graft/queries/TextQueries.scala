@@ -150,6 +150,14 @@ object TextQueries extends QuerySet {
         .limit(20)
     }),
 
+    // q36's 100 TB form: exact top-k frequent tokens via Misra-Gries
+    // candidate + recount — bounded-memory per-partition summaries, only
+    // candidate rows reach a shuffle (operators/HeavyHitters).
+    "q82_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(explode(split(col("text"), " ")).as("tok"))
+      graft.operators.HeavyHitters.topK(toks, "tok", k = 20)
+    }),
+
     // Multimodal plumbing: opaque binary payload column + typed metadata.
     // (Real pipelines carry image/audio bytes here; the byte-level schema,
     //  length accounting and content hashing are what the engine owns.)
@@ -270,6 +278,10 @@ object TextQueries extends QuerySet {
     "q36_word_freq" ->
       """SELECT tok, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
+    "q82_heavy_hitters" ->
+      """SELECT tok AS value, COUNT(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY cnt DESC, value LIMIT 20""".stripMargin,
     "q37_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash, source
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class HeavyHittersSpec extends SparkSpec {
+
+  test("exact top-k under a summary far smaller than the vocabulary") {
+    import spark.implicits._
+    // 10 heavy tokens (500 each) + 20k singleton tokens; summary 64 << vocab.
+    // Heavy count 500 > n/(M+1) = 25000/65 ~ 385 -> guarantee holds.
+    val heavy = (0 until 10).flatMap(h => Seq.fill(500)(s"heavy$h"))
+    val light = (0 until 20000).map(i => s"light$i")
+    val df = spark.sparkContext.parallelize(
+      scala.util.Random.shuffle(heavy ++ light), 8).toDF("tok")
+    val got = HeavyHitters.topK(df, "tok", k = 10, summarySize = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = df.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("small-vocabulary case is exact for any k") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => s"t${i % 23}").toDF("tok")
+    val got = HeavyHitters.topK(df, "tok", k = 23, summarySize = 64)
+      .collect().map(_.getString(0)).toSeq
+    val want = df.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(23)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == want)
+  }
+}
