@@ -43,6 +43,9 @@ object ProfileMain {
       run("q62_full")(Dedup.minHashDupPairs(docs, "text", "doc_id", 3, 32, 8, 0.5))
       val docsUncached = Tables.load(spark, sfDir, "documents").where(col("doc_id") < 2000)
       run("q62_full_nocache")(Dedup.minHashDupPairs(docsUncached, "text", "doc_id", 3, 32, 8, 0.5))
+      val docsAll = Tables.load(spark, sfDir, "documents")
+      run("q62_full_corpus")(Dedup.minHashDupPairs(docsAll, "text", "doc_id", 3, 32, 8, 0.5))
+      run("q63_full_corpus")(Dedup.simHashDupPairs(docsAll, "text", "doc_id", 3))
     }
 
     if (only.isEmpty || only.startsWith("q63")) {

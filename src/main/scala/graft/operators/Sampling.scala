@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data curation.
+  *
+  * [[weightedTopKPerGroup]] is distributed Efraimidis-Spirakis weighted
+  * reservoir sampling: each row draws key = u^(1/w) where u is a
+  * hash-derived uniform in (0,1); the k largest keys per group are a
+  * weighted sample without replacement. Because u comes from a seeded hash
+  * of the row id — not rand() — the sample is reproducible across runs,
+  * retries, and repartitioning, which is what makes a 100 TB curation run
+  * auditable. One window pass, rewritten to the partial/final GroupTopK
+  * operator by the engine's optimizer rule — at most k rows per group per
+  * map partition cross the shuffle.
+  */
+object Sampling {
+
+  /** Weighted sample-without-replacement of up to `k` rows per group.
+    * `idCol` gives each row a stable identity (ties in the sampling key
+    * break on it, and it seeds the uniform); `weightCol` must be > 0.
+    * Output: input columns + `smp_rank` in 1..k.
+    */
+  def weightedTopKPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+                           weightCol: String, k: Int, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // u in (0, 1]: 53-bit mantissa of the row-id hash — identical on every
+    // run/partitioning, unlike rand()
+    val u = (pmod(xxhash64(col(idCol), lit(seed)), lit(1L << 53)) + 1).cast("double") /
+      lit((1L << 53).toDouble)
+    val key: Column = pow(u, lit(1.0) / col(weightCol))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(key.desc, col(idCol))
+    df.withColumn("smp_rank", row_number().over(w))
+      .where(col("smp_rank") <= k)
+  }
+}

@@ -89,6 +89,17 @@ object PipelineQueries extends QuerySet {
         .orderBy("doc_id")
     }),
 
+    // Deterministic weighted reservoir sample (Efraimidis-Spirakis), 10 docs
+    // per source weighted by length (rows-only: the u^(1/w) key uses pow,
+    // whose last-ulp differs across engines; determinism + GroupTopK rewrite
+    // are pinned in SamplingSpec).
+    "q83_weighted_sample" -> ((s, dir) => {
+      graft.operators.Sampling.weightedTopKPerGroup(
+          t(s, dir, "documents"), Seq("source"), "doc_id", "n_chars", k = 10)
+        .select("source", "doc_id", "smp_rank")
+        .orderBy("source", "smp_rank")
+    }),
+
     // A6 iteration batches over work items (rows-only; ntile determinism).
     "q66_iteration_batches" -> ((s, dir) => {
       val blocks = Segmentation.distributedBlocks(

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+
+  private def rows() = {
+    import spark.implicits._
+    (0 until 200).map(i => (i.toLong, s"g${i % 2}", if (i == 7 || i == 105) 1e6 else 1.0))
+      .toDF("id", "grp", "w")
+  }
+
+  test("weighted sample: deterministic across partitionings, k rows per group") {
+    val a = Sampling.weightedTopKPerGroup(rows().repartition(1), Seq("grp"), "id", "w", k = 5)
+      .select("grp", "id", "smp_rank").orderBy("grp", "smp_rank").collect().toSeq
+    val b = Sampling.weightedTopKPerGroup(rows().repartition(7), Seq("grp"), "id", "w", k = 5)
+      .select("grp", "id", "smp_rank").orderBy("grp", "smp_rank").collect().toSeq
+    assert(a == b, "sample depends on partitioning")
+    assert(a.count(_.getString(0) == "g0") == 5 && a.count(_.getString(0) == "g1") == 5)
+  }
+
+  test("weighted sample: overwhelming weight is selected; seed changes the rest") {
+    val s1 = Sampling.weightedTopKPerGroup(rows(), Seq("grp"), "id", "w", k = 3, seed = 1L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // ids 7 (g1) and 105 (g1)... 7 is odd -> g1, 105 odd -> g1; both heavy in g1
+    assert(s1.contains(7L) || s1.contains(105L), s"heavy items missed: $s1")
+    val s2 = Sampling.weightedTopKPerGroup(rows(), Seq("grp"), "id", "w", k = 3, seed = 2L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s1 != s2, "different seeds should give different samples")
+  }
+
+  test("weighted sample runs as native GroupTopK") {
+    val p = Sampling.weightedTopKPerGroup(rows(), Seq("grp"), "id", "w", k = 3)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("GroupTopKPartial") && p.contains("GroupTopKFinal"),
+      s"sampling window not rewritten to GroupTopK:\n${p.take(1500)}")
+  }
+}
