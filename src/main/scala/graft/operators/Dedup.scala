@@ -187,6 +187,56 @@ object Dedup {
     verifyJaccardSets(cands, shingleHashSets(candDocs, textCol, idCol, shingleN), threshold)
   }
 
+  /** EXACT threshold Jaccard self-join over token sets via prefix filtering
+    * (the All-Pairs/PPJoin family): order every token by global frequency
+    * (rarest first — any one global order works), give each document a
+    * prefix of its first `n - ceil(t*n) + 1` ordered tokens, and generate
+    * candidates only from docs sharing a PREFIX token. Guarantee: a pair
+    * with Jaccard >= t must share at least one prefix token — if all shared
+    * tokens sat in a's suffix (length ceil(t*n_a) - 1 < t*n_a <= |a inter b|)
+    * that would contradict the overlap bound — so candidates are a superset
+    * of the answer and the exact set-verify makes the result EXACT, not
+    * probabilistic like MinHash-LSH. Frequency ordering makes prefixes
+    * rare-token-heavy, so candidate lists stay short; the hot-bucket guard
+    * still caps degenerate tokens.
+    *
+    * Set elements are word n-grams (`shingleN` = 1 -> plain tokens; > 1 ->
+    * the same shingle universe as [[minHashDupPairs]], the right choice when
+    * the token vocabulary is small enough that token sets all collide).
+    *
+    * Output: (a_id, b_id, jaccard) for all pairs with Jaccard >= threshold.
+    */
+  def prefixJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+                         threshold: Double, shingleN: Int = 1,
+                         maxBucketSize: Int = 10000): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val toks =
+      if (shingleN == 1)
+        docs.select(col(idCol).as("id"), explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      else
+        shingles(docs, textCol, idCol, shingleN).withColumnRenamed("sh", "tok")
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // per doc: tokens sorted by (global df asc, tok) -> rarest-first array
+    val docArr = toks.join(freq, "tok")
+      .groupBy("id")
+      .agg(expr("transform(sort_array(collect_list(struct(df, tok))), s -> s.tok)").as("ts"))
+      .withColumn("n", size(col("ts")))
+      .withColumn("plen", col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
+    val pref = docArr.select(col("id"), explode(expr("slice(ts, 1, plen)")).as("tok"))
+    val cool = dropHotBuckets(pref, Seq("tok"), maxBucketSize)
+    val cands = cool.groupBy("tok")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
+      .distinct()
+    val sets = docArr.select(col("id"),
+      expr("array_distinct(transform(ts, t -> xxhash64(t)))").as("hs"))
+    verifyJaccardSets(cands, sets, threshold)
+  }
+
   /** Winnowing fingerprints (rolling-hash document fingerprinting, the
     * MOSS scheme): hash every character k-gram, then keep the minimum hash
     * of each w-wide window — guarantees any shared substring of length

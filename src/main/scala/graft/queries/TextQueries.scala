@@ -89,6 +89,18 @@ object TextQueries extends QuerySet {
         .orderBy("a_id", "b_id")
     }),
 
+    // q35's scalable-exact form: the same threshold-Jaccard self-join
+    // answered by prefix filtering (All-Pairs/PPJoin family) instead of a
+    // full shingle self-join — candidates only from shared rare-prefix
+    // shingles, then exact set verify. Same oracle as q35: two different
+    // algorithms, one answer.
+    "q84_prefix_jaccard" -> ((s, dir) => {
+      graft.operators.Dedup.prefixJaccardPairs(
+          t(s, dir, "documents").where(col("doc_id") < NgramDocLimit),
+          "text", "doc_id", threshold = 0.5, shingleN = 3)
+        .orderBy("a_id", "b_id")
+    }),
+
     // Edit-distance (Levenshtein) similarity over adjacent-id name pairs —
     // the string-metric near-dup primitive (complement of the set-based
     // Jaccard/MinHash family).
@@ -239,6 +251,18 @@ object TextQueries extends QuerySet {
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "q35_dedup_ngram" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < $NgramDocLimit),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh FROM (
+        |    SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM d WHERE len(t) >= 3))),
+        |c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id, ROUND(inter*1.0/(ca.n + cb.n - inter), 4) AS jaccard
+        |FROM inter JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
+        |WHERE inter*1.0/(ca.n + cb.n - inter) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q84_prefix_jaccard" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < $NgramDocLimit),
         |sh AS (SELECT DISTINCT doc_id, sh FROM (
         |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh FROM (

@@ -91,6 +91,24 @@ class DedupSpec extends SparkSpec {
     assert(pre == base, s"prefilter changed results: base=$base pre=$pre")
   }
 
+  test("prefix-filter jaccard join is EXACT vs brute force on random docs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(99)
+    val vocab = (0 until 40).map(i => s"v$i")
+    val d = (0L until 60L).map { i =>
+      (i, (0 until 5 + rng.nextInt(15)).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    def tokSet(t: String) = t.split(" ").toSet
+    val rows = d.collect().map(r => (r.getLong(0), tokSet(r.getString(1))))
+    val want = (for {
+      (a, sa) <- rows; (b, sb) <- rows if a < b
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size if j >= 0.5
+    } yield (a, b)).toSet
+    val got = Dedup.prefixJaccardPairs(d, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("winnowing: shared substrings guarantee shared fingerprints") {
     import spark.implicits._
     val core = "the quick brown fox jumps over the lazy dog again and again"
