@@ -232,8 +232,17 @@ object Dedup {
           |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
       .select(col("p.a_id"), col("p.b_id"))
       .distinct()
-    val sets = docArr.select(col("id"),
-      expr("array_distinct(transform(ts, t -> xxhash64(t)))").as("hs"))
+      .cache() // consumed twice: id-prune + verify join
+    // verify only the docs that appear in some candidate pair (semi-join
+    // prune, same shape as minHashDupPairs) — and build their element sets
+    // straight from the text, not by re-running the frequency-sort subtree
+    val candIds = cands.select(explode(array(col("a_id"), col("b_id"))).as(idCol)).distinct()
+    val candDocs = docs.join(candIds, Seq(idCol), "left_semi")
+    val sets =
+      if (shingleN == 1)
+        candDocs.select(col(idCol).as("id"),
+          expr(s"array_distinct(transform(array_distinct(split($textCol, ' ')), x -> xxhash64(x)))").as("hs"))
+      else shingleHashSets(candDocs, textCol, idCol, shingleN)
     verifyJaccardSets(cands, sets, threshold)
   }
 

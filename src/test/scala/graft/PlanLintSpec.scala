@@ -21,9 +21,13 @@ class PlanLintSpec extends SparkSpec {
     "q43_dedup_embedding", "q44_tfidf", "q49_simjoin_dfcap",
     "q61_work_items", "q66_iteration_batches", "q67_knn_ivf", "q64_knn_lsh")
 
-  // iterative/multi-stage pipelines legitimately above the common bound
+  // iterative/multi-stage pipelines legitimately above the common bound:
+  //   q48 — label-propagation rounds
+  //   q84 — prefix-filter join: frequency-order + candidate-gen + verify
+  //         stages (each individually bounded; the count is stage depth,
+  //         not per-row blow-up)
   private val exchangeBound = 16
-  private val exchangeAllowed = Set("q48_dup_clusters")
+  private val exchangeAllowed = Set("q48_dup_clusters", "q84_prefix_jaccard")
 
   test("no query plan contains an unexpected product join; exchanges bounded") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
