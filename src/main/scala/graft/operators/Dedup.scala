@@ -83,15 +83,23 @@ object Dedup {
     // then ONE gather shuffle: bucket members -> codegen'd i<j pair
     // expansion (the former self-join formulation re-scanned the banded
     // rows four times).
-    cool.groupBy("band", "bucket")
+    expandPairs(cool.groupBy("band", "bucket")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .where(size(col("ids")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
-      .select(col("p.a_id"), col("p.b_id"))
+      .where(size(col("ids")) >= 2))
       .distinct()
   }
+
+  /** Stream a bucket's sorted `ids` array into its C(B,2) ordered (a_id,
+    * b_id) pairs via NESTED generators: peak memory is O(B) per bucket row
+    * (the outer posexplode carries the array once; the inner explode walks a
+    * suffix slice). A single flattened transform-of-transforms array would
+    * materialize all C(B,2) structs in ONE expression evaluation — gigabytes
+    * for a 10k-member bucket — before the generator ever streams a row.
+    */
+  private def expandPairs(grouped: DataFrame): DataFrame =
+    grouped
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a_id")))
+      .select(col("a_id"), explode(expr("slice(ids, i + 2, size(ids))")).as("b_id"))
 
   /** Constant-memory skew guard: per-key partial-count aggregation, keys
     * above `maxBucketSize` broadcast back as an anti-join. Never buffers
@@ -204,11 +212,19 @@ object Dedup {
     * the same shingle universe as [[minHashDupPairs]], the right choice when
     * the token vocabulary is small enough that token sets all collide).
     *
+    * EXACT by default: `maxBucketSize` defaults to Int.MaxValue (no bucket
+    * ever dropped). Passing a finite cap opts into the hot-bucket skew guard
+    * and VOIDS the exactness guarantee — any pair whose only shared prefix
+    * tokens are capped-out loses its candidate, silently. Choose the cap
+    * only when a degenerate near-universal token would otherwise dominate
+    * the job, and treat the result as the same best-effort contract as
+    * [[simHashDupPairs]]'s guard.
+    *
     * Output: (a_id, b_id, jaccard) for all pairs with Jaccard >= threshold.
     */
   def prefixJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                          threshold: Double, shingleN: Int = 1,
-                         maxBucketSize: Int = 10000): DataFrame = {
+                         maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     val toks =
       if (shingleN == 1)
@@ -223,14 +239,13 @@ object Dedup {
       .withColumn("n", size(col("ts")))
       .withColumn("plen", col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
     val pref = docArr.select(col("id"), explode(expr("slice(ts, 1, plen)")).as("tok"))
-    val cool = dropHotBuckets(pref, Seq("tok"), maxBucketSize)
-    val cands = cool.groupBy("tok")
+    // guard only when the caller opted in — the exact default runs no
+    // count/anti-join pass at all
+    val cool = if (maxBucketSize == Int.MaxValue) pref
+               else dropHotBuckets(pref, Seq("tok"), maxBucketSize)
+    val cands = expandPairs(cool.groupBy("tok")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .where(size(col("ids")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
-      .select(col("p.a_id"), col("p.b_id"))
+      .where(size(col("ids")) >= 2))
       .distinct()
       .cache() // consumed twice: id-prune + verify join
     // verify only the docs that appear in some candidate pair (semi-join
@@ -293,16 +308,17 @@ object Dedup {
     // chunks go first (constant-memory count + anti-join), then one gather
     // shuffle; the Hamming cut runs per generated pair (cheap bit_count)
     // BEFORE the dedup shuffle so distinct() only sees surviving pairs.
+    // nested-generator pair streaming (see [[expandPairs]]): O(B) peak
+    // memory per bucket instead of one C(B,2)-struct array
     dropHotBuckets(chunks, Seq("c", "chunk"), maxBucketSize)
       .groupBy("c", "chunk")
       .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("xs"))
       .where(size(col("xs")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(xs, (x, i) ->
-          |  transform(slice(xs, i + 2, size(xs)), y ->
-          |    struct(x.id AS a_id, y.id AS b_id, x.simhash AS sh_a, y.simhash AS sh_b))))""".stripMargin)).as("p"))
-      .select(col("p.a_id"), col("p.b_id"),
-        expr("bit_count(p.sh_a ^ p.sh_b)").as("hamming"))
+      .select(col("xs"), posexplode(col("xs")).as(Seq("i", "x")))
+      .select(col("x.id").as("a_id"), col("x.simhash").as("sh_a"),
+        explode(expr("slice(xs, i + 2, size(xs))")).as("y"))
+      .select(col("a_id"), col("y.id").as("b_id"),
+        expr("bit_count(sh_a ^ y.simhash)").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
       .select("a_id", "b_id", "hamming")

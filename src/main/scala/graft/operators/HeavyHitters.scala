@@ -24,8 +24,17 @@ object HeavyHitters {
 
   /** Exact top-k of `valueCol` (string) by frequency; ties broken by value.
     * Output: (value, cnt), ordered cnt desc then value.
+    *
+    * With `certify = true` (default) the plan carries a runtime proof of the
+    * exactness precondition and FAILS the job instead of silently returning
+    * a wrong top-k on a flat distribution: the result is certified exact iff
+    * either the candidate set covered every input row (the recount was a
+    * full exact groupBy) or the result has k rows whose counts all exceed
+    * n/(summarySize+1) — the retention bar below which a value may have
+    * been evicted from every partition summary.
     */
-  def topK(df: DataFrame, valueCol: String, k: Int, summarySize: Int = 4096): DataFrame = {
+  def topK(df: DataFrame, valueCol: String, k: Int, summarySize: Int = 4096,
+           certify: Boolean = true): DataFrame = {
     require(k >= 1 && summarySize >= k, "need summarySize >= k >= 1")
     val spark = df.sparkSession
     import spark.implicits._
@@ -47,10 +56,30 @@ object HeavyHitters {
       }
       m.keysIterator
     }.toDF("value").distinct()
-    vals.join(candidates, Seq("value"), "left_semi")
+    val counted = vals.join(candidates, Seq("value"), "left_semi")
       .groupBy("value")
       .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("value"))
-      .limit(k)
+    val topk = counted.orderBy(col("cnt").desc, col("value")).limit(k)
+    if (!certify) topk
+    else {
+      // lazy certification: two metadata-sized aggregates cross-joined onto
+      // the (<= k)-row result; assert_true lives in a Filter so column
+      // pruning cannot drop the check. _candn == _n means every input row
+      // survived the semi-join => the recount was a full exact groupBy and
+      // the bar test is unnecessary (e.g. vocabulary fits the summaries).
+      val total = vals.agg(count(lit(1)).as("_n"))
+      val candStats = counted.agg(
+        sum(col("cnt")).as("_candn"), count(lit(1)).as("_nc"))
+      topk.crossJoin(broadcast(total)).crossJoin(broadcast(candStats))
+        .where(assert_true(
+          col("_candn") === col("_n") ||
+            (col("_nc") >= k && col("cnt") > col("_n") / lit(summarySize + 1.0)),
+          lit(s"HeavyHitters.topK(k=$k, summarySize=$summarySize): exactness " +
+            "precondition failed — the k-th candidate count does not exceed " +
+            "n/(summarySize+1), so a non-candidate value could outrank it. " +
+            "Raise summarySize or use an approximate sketch.")).isNull)
+        .select(col("value"), col("cnt"))
+        .orderBy(col("cnt").desc, col("value"))
+    }
   }
 }

@@ -26,6 +26,13 @@ object Sampling {
   def weightedTopKPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
                            weightCol: String, k: Int, seed: Long = 42L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // enforce the weight > 0 precondition at runtime: pow(u, 1/w) with a
+    // zero or negative w silently inverts the sampling order instead of
+    // erroring, which would corrupt the sample without any signal. The
+    // assert lives in a Filter so it cannot be pruned.
+    val checked = df.where(assert_true(col(weightCol) > 0,
+      lit(s"weightedTopKPerGroup: $weightCol must be > 0 for every row " +
+        "(Efraimidis-Spirakis key pow(u, 1/w) degenerates otherwise)")).isNull)
     // u in (0, 1]: 53-bit mantissa of the row-id hash — identical on every
     // run/partitioning, unlike rand()
     val u = (pmod(xxhash64(col(idCol), lit(seed)), lit(1L << 53)) + 1).cast("double") /
@@ -33,7 +40,7 @@ object Sampling {
     val key: Column = pow(u, lit(1.0) / col(weightCol))
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(key.desc, col(idCol))
-    df.withColumn("smp_rank", row_number().over(w))
+    checked.withColumn("smp_rank", row_number().over(w))
       .where(col("smp_rank") <= k)
   }
 }

@@ -158,18 +158,22 @@ object Similarity {
     // centroid table carries |c|^2/2 so probe-cell ranking below uses the
     // SAME euclidean score as assignment — ranking by raw dot would let a
     // probe's own cell fall outside its nProbe searched cells when centroid
-    // norms differ
+    // norms differ. Both the table and the assignment literals derive from
+    // the SAME float-cast centroids (ctrF), so the two scores are
+    // bit-identical — a double-precision half_norm here against a
+    // float-derived one in assignment can rank near-tie cells differently
+    // and make a probe miss its own cell.
+    val ctrF = ctrs.map(_.map(_.toFloat))
+    val halfNorm = (c: Array[Float]) => c.map(x => x.toDouble * x).sum / 2.0
     val centroids = spark.createDataFrame(
-      ctrs.zipWithIndex.map { case (c, i) =>
-        (i, c.map(_.toFloat), c.map(x => x * x).sum / 2.0) }.toSeq
+      ctrF.zipWithIndex.map { case (c, i) => (i, c, halfNorm(c)) }.toSeq
     ).toDF("cell", "centroid", "half_norm")
     // nearest-centroid = argmax(v.c - |c|^2/2) (equivalent to euclidean
     // argmin); the per-row centroid dots are one native graft_matvec call,
     // the argmax folds a nList-element array. First-index tie-break keeps
     // assignment deterministic.
-    val ctrF = ctrs.map(_.map(_.toFloat))
     val ctrLit = array(ctrF.map(c => array(c.map(lit): _*)): _*)
-    val hnLit = array(ctrF.map(c => lit(c.map(x => x.toDouble * x).sum / 2.0)): _*)
+    val hnLit = array(ctrF.map(c => lit(halfNorm(c))): _*)
     val assigned = base
       .withColumn("_ctrs", ctrLit).withColumn("_hn", hnLit)
       .withColumn("cell", expr(

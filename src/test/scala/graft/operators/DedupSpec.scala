@@ -109,6 +109,25 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("prefix jaccard: finite maxBucketSize is an explicit exactness opt-out") {
+    import spark.implicits._
+    // every doc shares token "common"; near-dup pairs exist only through it
+    val d = (0L until 30L).map(i => (i, s"common only$i u${i}a u${i}b"))
+      .toDF("doc_id", "text")
+    val dup = Seq((100L, "common shared alpha beta"), (101L, "common shared alpha beta"))
+      .toDF("doc_id", "text")
+    val all = d.union(dup)
+    // exact default finds the identical pair
+    val exact = Dedup.prefixJaccardPairs(all, "text", "doc_id", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((100L, 101L)), s"exact default missed the dup: $exact")
+    // a cap small enough to drop every prefix bucket loses the pair — the
+    // documented trade a caller makes when opting into the skew guard
+    val capped = Dedup.prefixJaccardPairs(all, "text", "doc_id", threshold = 0.9,
+      maxBucketSize = 1).count()
+    assert(capped == 0, "cap=1 should drop all buckets")
+  }
+
   test("winnowing: shared substrings guarantee shared fingerprints") {
     import spark.implicits._
     val core = "the quick brown fox jumps over the lazy dog again and again"

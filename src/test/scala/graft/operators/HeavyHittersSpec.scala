@@ -22,6 +22,22 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("flat distribution fails certification instead of silently lying") {
+    import spark.implicits._
+    // 5000 near-uniform tokens, summary 8: the k-th candidate count cannot
+    // clear n/(M+1), and candidates don't cover the stream -> must throw.
+    val df = (0 until 5000).map(i => s"t${i % 2500}").toDF("tok")
+    val ex = intercept[Exception] {
+      HeavyHitters.topK(df, "tok", k = 8, summarySize = 8).collect()
+    }
+    assert(ex.getMessage.contains("exactness precondition") ||
+      Option(ex.getCause).exists(_.getMessage.contains("exactness precondition")),
+      s"wrong failure: ${ex.getMessage}")
+    // certify = false opts back into best-effort output
+    assert(HeavyHitters.topK(df, "tok", k = 8, summarySize = 8, certify = false)
+      .collect().length == 8)
+  }
+
   test("small-vocabulary case is exact for any k") {
     import spark.implicits._
     val df = (0 until 1000).map(i => s"t${i % 23}").toDF("tok")

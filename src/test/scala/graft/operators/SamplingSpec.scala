@@ -31,6 +31,18 @@ class SamplingSpec extends SparkSpec {
     assert(s1 != s2, "different seeds should give different samples")
   }
 
+  test("non-positive weights are rejected, not silently inverted") {
+    import spark.implicits._
+    val bad = (0 until 10).map(i => (i.toLong, "g", if (i == 3) 0.0 else 1.0))
+      .toDF("id", "grp", "w")
+    val ex = intercept[Exception] {
+      Sampling.weightedTopKPerGroup(bad, Seq("grp"), "id", "w", k = 2).collect()
+    }
+    assert(ex.getMessage.contains("must be > 0") ||
+      Option(ex.getCause).exists(_.getMessage.contains("must be > 0")),
+      s"wrong failure: ${ex.getMessage}")
+  }
+
   test("weighted sample runs as native GroupTopK") {
     val p = Sampling.weightedTopKPerGroup(rows(), Seq("grp"), "id", "w", k = 3)
       .queryExecution.explainString(
