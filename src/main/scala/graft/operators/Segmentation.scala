@@ -50,41 +50,39 @@ object Segmentation {
   /** [[bucketBlocks]] semantics at cluster scale: the global-window
     * formulation moves ALL rows to one partition for the cumulative sum
     * (Spark warns "No Partition Defined for Window"); this is the classic
-    * two-phase distributed prefix sum instead —
+    * two-level distributed prefix sum, kept ENTIRELY in the DataFrame layer
+    * so every stage stays inside whole-stage codegen (a previous RDD
+    * formulation paid a cache() materialization, two RDD passes and a
+    * `createDataFrame` re-encode — 4x slower at sf0.1) —
     *
-    *   1. range-repartition by uid and sort within partitions;
-    *   2. one pass collects each partition's length total (numPartitions
-    *      longs — metadata, like the reference's per-rank histograms);
-    *   3. offsets broadcast back; each partition computes exact global
-    *      cumulative sums locally in parallel.
+    *   1. rows get a coarse ordered group `floor(uid / grpWidth)`; a window
+    *      PARTITIONED by group computes local prefix sums in parallel
+    *      (one equi-shuffle, no global sort);
+    *   2. per-group totals (metadata-sized: <= one row per grpWidth of uid
+    *      space, like the reference's per-rank histograms) take the lone
+    *      sequential scan as a window over that tiny aggregate;
+    *   3. group offsets broadcast-join back: global cum = offset + local.
     *
     * Output rows/values are identical to [[bucketBlocks]] (asserted in
-    * SegmentationSpec); the input stays materialized (cache) because both
-    * passes must observe the same range partitioning.
+    * SegmentationSpec). `grpWidth` only tunes parallelism: any value works;
+    * pick it so uid-range/grpWidth lands near the cluster's task count.
     */
   def distributedBlocks(index: DataFrame, uidCol: String, lenCol: String,
-                        blockSize: Long, numParts: Int = 0): DataFrame = {
-    val spark = index.sparkSession
-    val parts = if (numParts > 0) numParts
-      else spark.sessionState.conf.numShufflePartitions
-    val ranged = index.repartitionByRange(parts, col(uidCol))
-      .sortWithinPartitions(uidCol).cache()
-    val lenIdx = ranged.schema.fieldIndex(lenCol)
-    val perPart = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
-      Iterator.single(pid -> it.map(_.getAs[Number](lenIdx).longValue()).sum)
-    }.collect().toMap
-    val offsets = (0 until parts).scanLeft(0L)((acc, pid) => acc + perPart.getOrElse(pid, 0L))
-    val bOffsets = spark.sparkContext.broadcast(offsets.toArray)
-    val outSchema = ranged.schema.add("block_id", org.apache.spark.sql.types.LongType, nullable = false)
-    val rows = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var acc = bOffsets.value(pid)
-      it.map { row =>
-        val r = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (acc / blockSize))
-        acc += row.getAs[Number](lenIdx).longValue()
-        r
-      }
-    }
-    spark.createDataFrame(rows, outSchema)
+                        blockSize: Long, grpWidth: Long = 1L << 14): DataFrame = {
+    require(grpWidth > 0, s"grpWidth must be > 0, got $grpWidth")
+    val grp = floor(col(uidCol) / grpWidth).cast("long")
+    val withGrp = index.withColumn("_grp", grp)
+    val wLocal = Window.partitionBy("_grp").orderBy(uidCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = withGrp.withColumn("_lcum", coalesce(sum(col(lenCol)).over(wLocal), lit(0L)))
+    val offsets = withGrp.groupBy("_grp").agg(sum(col(lenCol)).as("_gsum"))
+      .withColumn("_goff", coalesce(
+        sum("_gsum").over(Window.orderBy("_grp").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("_grp", "_goff")
+    local.join(broadcast(offsets), "_grp")
+      .withColumn("block_id", ((col("_lcum") + col("_goff")) / blockSize).cast("long"))
+      .drop("_grp", "_lcum", "_goff")
   }
 
   /** Work items = block summary x corpus partitions (A5 cross join). */
@@ -95,10 +93,36 @@ object Segmentation {
     * `numIter` consecutive batches. The reference needed this to bound
     * MR-MPI's collective memory; under Spark it survives as an optional
     * driver loop to bound KERNEL memory (e.g. giant per-partition indexes),
-    * so batches are consecutive ranges like the original, via ntile.
+    * so batches are consecutive ranges like the original, with NTILE's exact
+    * tile-size rule (first `N % numIter` tiles take the extra row).
+    *
+    * No global window: the global row index is a two-level rank — a window
+    * PARTITIONED by the leading order column plus broadcast per-group
+    * offsets — the same shape as [[distributedBlocks]], so nothing ever
+    * single-partition-sorts the full work-item table.
     */
   def iterationBatches(workItems: DataFrame, numIter: Int, orderCols: Seq[String]): DataFrame = {
-    val w = Window.orderBy(orderCols.map(col): _*)
-    workItems.withColumn("iter", ntile(numIter).over(w) - 1)
+    require(numIter >= 1, s"numIter must be >= 1, got $numIter")
+    val grpCol = orderCols.head
+    val wLocal = Window.partitionBy(grpCol).orderBy(orderCols.map(col): _*)
+    val local = workItems.withColumn("_lrn", row_number().over(wLocal))
+    val offsets = workItems.groupBy(grpCol).agg(count(lit(1)).as("_gc"))
+      .withColumn("_goff", coalesce(
+        sum("_gc").over(Window.orderBy(grpCol).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("_tot", sum("_gc").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col(grpCol), col("_goff"), col("_tot"))
+    // NTILE(n) over N rows, 0-based row r: rem = N % n tiles of base+1 rows
+    // come first, then tiles of base = N / n rows.
+    val idx = col("_goff") + col("_lrn") - 1
+    val base = expr(s"_tot DIV $numIter")
+    val rem = col("_tot") % numIter
+    val cut = rem * (base + 1)
+    local.join(broadcast(offsets), grpCol)
+      .withColumn("iter",
+        when(idx < cut, floor(idx / (base + 1)))
+          .otherwise(rem + floor((idx - cut) / greatest(base, lit(1L)))).cast("int"))
+      .drop("_lrn", "_goff", "_tot")
   }
 }

@@ -44,20 +44,38 @@ class SegmentationSpec extends SparkSpec {
     val viaWindow = bucketBlocks(df, "uid", "len", 1000L)
       .select("uid", "len", "payload", "block_id")
       .as[(Long, Long, String, Long)].collect().sortBy(_._1).toSeq
-    val viaDist = distributedBlocks(df, "uid", "len", 1000L, numParts = 7)
+    val viaDist = distributedBlocks(df, "uid", "len", 1000L, grpWidth = 7)
       .select("uid", "len", "payload", "block_id")
       .as[(Long, Long, String, Long)].collect().sortBy(_._1).toSeq
     assert(viaDist == viaWindow)
     assert(viaDist.map(_._4).distinct.size > 1)
   }
 
-  test("distributedBlocks handles empty partitions and int length columns") {
+  test("distributedBlocks handles sparse groups and int length columns") {
     import spark.implicits._
-    // 3 rows over 8 range partitions -> most partitions empty
+    // 3 rows, grpWidth 2 -> groups {0,1} populated, offsets still exact
     val df = Seq((1L, 50), (2L, 60), (3L, 70)).toDF("uid", "len")
-    val got = distributedBlocks(df, "uid", "len", 100L, numParts = 8)
+    val got = distributedBlocks(df, "uid", "len", 100L, grpWidth = 2)
       .select("uid", "block_id").as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, 0L), (2L, 0L), (3L, 1L)))
+  }
+
+  test("iterationBatches == global NTILE, without a global window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val wi = (0L until 37L).flatMap(b => Seq("s1", "s2", "s3").map(s => (b, s)))
+      .toDF("block_id", "source").repartition(5)
+    for (n <- Seq(1, 3, 4, 8, 200)) { // 200 > row count: degenerate tiles
+      val got = iterationBatches(wi, n, Seq("block_id", "source"))
+        .select("block_id", "source", "iter")
+        .as[(Long, String, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val want = wi.withColumn("iter",
+          ntile(n).over(Window.orderBy("block_id", "source")) - 1)
+        .select("block_id", "source", "iter")
+        .as[(Long, String, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(got == want, s"numIter=$n diverges from NTILE")
+    }
   }
 
   test("bucketBlocks: every block at most blockSize + one item over") {
