@@ -11,9 +11,19 @@ object Bench {
     val spark = GraftSession.tune(
       SparkSession.builder().master(s"local[${GraftSession.cpus}]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: touch the scheduler, codegen, shuffle and the parquet reader
+    // warmup: touch the scheduler, codegen, shuffle and the parquet reader,
+    // plus every native kernel so its JVM code is classloaded and JIT-warm
+    // before the first measured query (janino still compiles each query's
+    // own generated stages, but the kernel bodies dominate the hot loops)
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    spark.range(1000).selectExpr(
+      "graft_minhash(array(cast(id as string)), 32)",
+      "graft_simhash(array(cast(id as string)))",
+      "graft_simhash_md5(array(cast(id as string)))",
+      "graft_winnow(cast(id as string), 2, 2)",
+      "graft_winnow_md5(cast(id as string), 2, 2)",
+      "graft_dot(array(cast(id as float)), array(cast(id as float)))").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,29 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump a comma-separated subset of SparkEntry.queries plus the
+  * matching oracle_sql.json so `tools/check_oracle.py` can diff just those
+  * queries — a fast inner loop when authoring a new oracle (full Verify
+  * takes ~2 min at sf0.01).
+  *
+  * Usage: runMain graft.OracleProbe q62_dedup_minhash[,q63...] [sfDir] [outDir]
+  */
+object OracleProbe {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",").toSeq
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val outDir = if (args.length > 2) args(2) else "/tmp/vprobe"
+    val spark = GraftSession.tune(SparkSession.builder().master(s"local[${GraftSession.cpus}]")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (n <- names) {
+      SparkEntry.queries(n)(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$n")
+      println(s"DUMPED $n")
+    }
+    val sub = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
+    val json = sub.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n") + "\""
+    }.mkString("{", ",", "}")
+    val w = new java.io.PrintWriter(s"$outDir/oracle_sql.json"); w.write(json); w.close()
+    spark.stop()
+  }
+}

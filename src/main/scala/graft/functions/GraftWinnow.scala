@@ -32,6 +32,33 @@ object WinnowKernel {
       hs(i) = XXH64.hashUTF8String(text.substring(i, i + k), 42L)
       i += 1
     }
+    selectMinima(hs, w)
+  }
+
+  /** [[winnow]] with the cross-engine md5 k-gram hash
+    * ([[HashKernels.md5Top60]]) instead of xxhash64 — same selection rule,
+    * but every fingerprint value is recomputable in any engine with md5,
+    * which is what gives the q68 fingerprint query a hard DuckDB oracle.
+    */
+  def winnowMd5(text: UTF8String, k: Int, w: Int): ArrayData = {
+    require(k >= 1 && w >= 1, s"graft_winnow_md5 requires k >= 1 and w >= 1, got k=$k w=$w")
+    val n = text.numChars() - k + 1
+    if (n <= 0) return Empty
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = HashKernels.md5Top60(text.substring(i, i + k).getBytes)
+      i += 1
+    }
+    selectMinima(hs, w)
+  }
+
+  /** Distinct minima of every w-wide window over `hs`, first-occurrence
+    * order (O(n) monotonic-deque sliding minima).
+    */
+  private def selectMinima(hs: Array[Long], w: Int): ArrayData = {
+    val n = hs.length
+    var i = 0
     if (n <= w) {
       var m = hs(0); i = 1
       while (i < n) { if (hs(i) < m) m = hs(i); i += 1 }
@@ -89,6 +116,39 @@ case class GraftWinnow(first: Expression, second: Expression, third: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (t, k, w) => s"graft.functions.WinnowKernel.winnow($t, $k, $w)")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** `graft_winnow_md5(text, k, w) -> array<bigint>` — winnowing fingerprints
+  * with the cross-engine md5 k-gram hash (see [[WinnowKernel.winnowMd5]]).
+  */
+case class GraftWinnowMd5(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, IntegerType)
+        if second.foldable && third.foldable =>
+        (second.eval(), third.eval()) match {
+          case (k: Int, w: Int) if k >= 1 && w >= 1 => TypeCheckResult.TypeCheckSuccess
+          case (k, w) => TypeCheckResult.TypeCheckFailure(
+            s"graft_winnow_md5 requires k >= 1 and w >= 1, got k=$k w=$w")
+        }
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_winnow_md5 requires (string, int literal, int literal), got " +
+          s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, ${third.dataType.simpleString})")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_md5"
+
+  override def nullSafeEval(t: Any, k: Any, w: Any): Any =
+    WinnowKernel.winnowMd5(t.asInstanceOf[UTF8String], k.asInstanceOf[Int], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k, w) => s"graft.functions.WinnowKernel.winnowMd5($t, $k, $w)")
 
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)

@@ -42,6 +42,52 @@ object HashKernels {
     sig
   }
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Top 60 bits (15 hex chars) of md5 — the cross-engine token hash:
+    * `('0x' || substr(md5(t), 1, 15))::BIGINT` in DuckDB,
+    * `conv(substr(md5(t), 1, 15), 16, 10)` in Spark SQL.
+    */
+  def md5Top60(bytes: Array[Byte]): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** 60-bit SimHash over md5 token hashes — same majority-vote rule as
+    * [[simHash]] but with a token hash ANY engine can recompute (md5 is
+    * universal; xxhash64 is not), which is what gives the q63 simhash query
+    * a hard cross-engine oracle. 60 bits = 15 hex chars keeps the hash
+    * parse inside a signed 64-bit integer on both sides.
+    */
+  def simHashMd5(tokens: ArrayData): Long = {
+    val votes = new Array[Int](60)
+    val n = tokens.numElements()
+    var j = 0
+    while (j < n) {
+      if (!tokens.isNullAt(j)) {
+        val h = md5Top60(tokens.getUTF8String(j).getBytes)
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
   /** k MinHash components: out(i) = min over elements of hashLong(h, i)
     * where h is the element's string hash. Min over a multiset equals min
     * over its set, so duplicate shingles need no dedup first.
@@ -85,6 +131,30 @@ case class GraftSimHash(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.functions.HashKernels.simHash($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_simhash_md5(tokens: array<string>) -> bigint` — 60-bit SimHash
+  * over cross-engine md5 token hashes (see [[HashKernels.simHashMd5]]).
+  */
+case class GraftSimHashMd5(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash_md5 requires array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_md5"
+
+  override def nullSafeEval(a: Any): Any =
+    HashKernels.simHashMd5(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.HashKernels.simHashMd5($a)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -269,9 +269,15 @@ object Dedup {
     * (id, fp) rows for index-style joins.
     */
   def winnowingFingerprints(docs: DataFrame, textCol: String, idCol: String,
-                            kgram: Int = 8, window: Int = 4): DataFrame =
+                            kgram: Int = 8, window: Int = 4,
+                            crossEngine: Boolean = false): DataFrame = {
+    // crossEngine = true swaps the k-gram hash to md5 (graft_winnow_md5) so
+    // fingerprint VALUES are recomputable outside this engine — the q68
+    // DuckDB oracle needs it; the xxhash64 default is ~5x cheaper
+    val fn = if (crossEngine) "graft_winnow_md5" else "graft_winnow"
     docs.select(col(idCol).as("id"),
-      explode(expr(s"graft_winnow($textCol, $kgram, $window)")).as("fp"))
+      explode(expr(s"$fn($textCol, $kgram, $window)")).as("fp"))
+  }
 
   /** 64-bit SimHash per document: (id, simhash), bit b = majority vote of
     * bit b across distinct-token hashes. ONE narrow expression per doc via
@@ -283,6 +289,16 @@ object Dedup {
   def simHash(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol).as("id"),
       expr(s"graft_simhash(array_distinct(split($textCol, ' ')))").as("simhash"))
+
+  /** 60-bit SimHash with the cross-engine md5 token hash
+    * ([[graft.functions.GraftSimHashMd5]]): same majority-vote fingerprint,
+    * but every value is recomputable in any engine with md5 — the variant
+    * to use when the fingerprints must be verified outside this engine
+    * (e.g. the q63 DuckDB oracle). ~2-3x the hash cost of [[simHash]].
+    */
+  def simHashShared(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      expr(s"graft_simhash_md5(array_distinct(split($textCol, ' ')))").as("simhash"))
 
   /** SimHash near-dup candidates: Hamming distance <= maxHamming, found by
     * banding the 64-bit fingerprint into (maxHamming+1) chunks (pigeonhole:
@@ -296,11 +312,22 @@ object Dedup {
     * trade skew safety back for completeness.
     */
   def simHashDupPairs(docs: DataFrame, textCol: String, idCol: String,
-                      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+                      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    simHashPairs(simHash(docs, textCol, idCol), maxHamming, maxBucketSize, nBits = 64)
+
+  /** [[simHashDupPairs]] over the cross-engine 60-bit md5 fingerprint
+    * ([[simHashShared]]) — identical banding guarantee, hash-verifiable in
+    * any engine with md5.
+    */
+  def simHashDupPairsShared(docs: DataFrame, textCol: String, idCol: String,
+                            maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    simHashPairs(simHashShared(docs, textCol, idCol), maxHamming, maxBucketSize, nBits = 60)
+
+  private def simHashPairs(sig: DataFrame, maxHamming: Int, maxBucketSize: Int,
+                           nBits: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < nBits, s"maxHamming must be in [0, $nBits)")
     val nChunks = maxHamming + 1
-    val base = 64 / nChunks // last chunk absorbs the remainder bits
-    val sig = simHash(docs, textCol, idCol)
+    val base = nBits / nChunks // last chunk absorbs the remainder bits
     val chunks = sig.withColumn("c", explode(expr(s"sequence(0, ${nChunks - 1})")))
       .withColumn("chunk", expr(
         s"IF(c < ${nChunks - 1}, (simhash >> (c * $base)) & ${(1L << base) - 1}, simhash >> (c * $base))"))

@@ -38,16 +38,32 @@ object Multimodal {
     * deployment replaces this body with an actual codec call (e.g. JNI to
     * libjpeg / ffmpeg); everything around it (batching, schema, partition
     * lifecycle) is production-shaped.
+    *
+    * The pseudo-metadata derives from the top 52 bits of the payload's MD5
+    * through overflow-free div/mod arithmetic ONLY — the identical
+    * computation is expressible in ANSI SQL, which is what lets the q65
+    * decode query carry a hard DuckDB oracle instead of a rows-only check.
     */
   object FakeDecoder extends Serializable {
+    /** Top 52 bits (13 hex chars) of MD5 — cross-engine:
+      * `('0x' || substr(md5(x), 1, 13))::BIGINT` in DuckDB,
+      * `conv(substr(md5(x), 1, 13), 16, 10)` in Spark SQL.
+      */
+    def md5Top52(bytes: Array[Byte]): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      var h = 0L
+      var i = 0
+      while (i < 6) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      (h << 4) | ((d(6) & 0xf0L) >> 4)
+    }
+
     def decode(bytes: Array[Byte]): DecodedMeta = {
-      val h = bytes.foldLeft(1469598103934665603L)((a, b) => (a ^ (b & 0xff)) * 1099511628211L)
-      def mix(i: Int): Long = { val x = h + i * 0x9e3779b97f4a7c15L; x ^ (x >>> 31) }
+      val h = md5Top52(bytes)
       DecodedMeta(
-        width = 16 + (mix(1) % 1024).toInt.abs,
-        height = 16 + (mix(2) % 1024).toInt.abs,
-        channels = 1 + (mix(3) % 4).toInt.abs,
-        features = Array.tabulate(8)(i => ((mix(4 + i) % 1000) / 1000.0f)))
+        width = (16 + h % 1024).toInt,
+        height = (16 + (h / 1024) % 1024).toInt,
+        channels = (1 + (h / 1048576) % 4).toInt,
+        features = Array.tabulate(8)(i => ((h / 4194304 * (i + 1)) % 1000) / 1000.0f))
     }
   }
 

@@ -43,4 +43,29 @@ object Sampling {
     checked.withColumn("smp_rank", row_number().over(w))
       .where(col("smp_rank") <= k)
   }
+
+  /** Cross-engine-reproducible weighted sample without replacement for
+    * INTEGER weights: the Efraimidis-Spirakis key u^(1/w) is distributed as
+    * the max of w iid uniforms, so the key here is max_{j=1..w} H(id, j)
+    * with H = top 52 bits of md5 — pure integer hashing and comparison, no
+    * pow/log whose last ulp differs across engines, which is what lets the
+    * q83 sample hash-match a DuckDB oracle bit for bit. Costs O(w) md5
+    * calls per row, so weights must be bounded small integers (coarsen
+    * first, e.g. 1 + len DIV 64); use [[weightedTopKPerGroup]] for large or
+    * fractional weights when cross-engine reproducibility isn't needed.
+    * Output: input columns + `smp_rank` in 1..k.
+    */
+  def replicatedWeightedTopKPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+                                     weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val checked = df.where(assert_true(col(weightCol) >= 1,
+      lit(s"replicatedWeightedTopKPerGroup: $weightCol must be an integer >= 1")).isNull)
+    val key = expr(
+      s"""array_max(transform(sequence(1L, CAST($weightCol AS BIGINT)),
+         |  j -> CAST(conv(substr(md5(concat(CAST($idCol AS STRING), ':', CAST(j AS STRING))), 1, 13), 16, 10) AS BIGINT)))""".stripMargin)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(key.desc, col(idCol))
+    checked.withColumn("smp_rank", row_number().over(w))
+      .where(col("smp_rank") <= k)
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, FloatMatVec, GraftMinHash, GraftSimHash, GraftWinnow}
+import graft.functions.{FloatDotProduct, FloatMatVec, GraftMinHash, GraftSimHash, GraftSimHashMd5, GraftWinnow, GraftWinnowMd5}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (see [[graft.GraftSession]]): injects the engine's native expressions
@@ -30,9 +30,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftMinHash].getName, "graft_minhash"),
       (children: Seq[Expression]) => GraftMinHash(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_simhash_md5"),
+      new ExpressionInfo(classOf[GraftSimHashMd5].getName, "graft_simhash_md5"),
+      (children: Seq[Expression]) => GraftSimHashMd5(children(0))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[GraftWinnow].getName, "graft_winnow"),
       (children: Seq[Expression]) => GraftWinnow(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_winnow_md5"),
+      new ExpressionInfo(classOf[GraftWinnowMd5].getName, "graft_winnow_md5"),
+      (children: Seq[Expression]) => GraftWinnowMd5(children(0), children(1), children(2))))
     // rank-filter windows -> native partial/final top-K (see GroupTopK.scala)
     ext.injectOptimizerRule(_ => GroupTopKRewrite)
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)

@@ -41,24 +41,42 @@ object AdvancedQueries extends QuerySet {
         .orderBy("s_suppkey")
     }),
 
-    // HLL sketch (rows-only: sketch estimates are engine-specific; the
-    // <2% error vs exact is asserted in AdvancedSpec).
+    // HLL sketch with an in-query certificate: the raw estimate is
+    // engine-specific (never hash-comparable), so the query emits the exact
+    // recount plus an integer flag proving the sketch landed within its
+    // error budget — the flag and recount ARE deterministic, giving the
+    // sketch a hard oracle instead of a rows-only check. At 100 TB you drop
+    // the recount column and keep only the sketch.
     "q57_approx_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("_approx"),
           count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          when(abs(col("_approx") - col("exact_parts")) <= col("exact_parts") * 0.05, 1)
+            .otherwise(0).as("sketch_ok"),
+          col("cnt"))
         .orderBy("l_returnflag")
     }),
 
-    // Quantile sketch (rows-only, same reasoning).
+    // Quantile sketch, same certificate pattern: exact discrete percentiles
+    // (percentile_disc picks an actual element — bit-identical to DuckDB's
+    // quantile_disc, no interpolation arithmetic to diverge) plus a flag
+    // that the KLL-style sketch estimate sits within 5% of each.
     "q58_approx_quantile" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy("o_orderstatus")
-        .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.95), 1000)").as("q"),
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)").as("p95"),
+          expr("approx_percentile(o_totalprice, array(0.5, 0.95), 1000)").as("_q"),
           count(lit(1)).as("cnt"))
-        .select(col("o_orderstatus"), col("q").getItem(0).as("p50"),
-          col("q").getItem(1).as("p95"), col("cnt"))
+        .select(col("o_orderstatus"), col("p50"), col("p95"),
+          when(abs(col("_q").getItem(0) - col("p50")) <= col("p50") * 0.05 &&
+            abs(col("_q").getItem(1) - col("p95")) <= col("p95") * 0.05, 1)
+            .otherwise(0).as("sketch_ok"),
+          col("cnt"))
         .orderBy("o_orderstatus")
     }))
 
@@ -73,5 +91,17 @@ object AdvancedQueries extends QuerySet {
     "q56_range_join" ->
       """SELECT s_suppkey, COUNT(*) AS cnt, MIN(p_partkey) AS min_part
         |FROM supplier JOIN part ON p_retailprice BETWEEN s_acctbal - 5 AND s_acctbal + 5
-        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin)
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+    // the sketch itself is engine-specific; the oracle pins the exact
+    // recount and asserts the sketch certificate fired (sketch_ok = 1)
+    "q57_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        |1 AS sketch_ok, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q58_approx_quantile" ->
+      """SELECT o_orderstatus,
+        |quantile_disc(o_totalprice, 0.5) AS p50,
+        |quantile_disc(o_totalprice, 0.95) AS p95,
+        |1 AS sketch_ok, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }

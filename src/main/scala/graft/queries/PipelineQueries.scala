@@ -37,16 +37,24 @@ object PipelineQueries extends QuerySet {
         .orderBy("block_id", "source")
     }),
 
-    // MinHash-LSH near-dup pairs (scale path; rows-only driver check).
+    // MinHash-LSH near-dup pairs over the FULL corpus (scale path). The
+    // probabilistic banding stage empirically reaches exact recall on this
+    // corpus (verified against prefixJaccardPairs at sf0.01 AND sf0.1:
+    // near-dup clusters sit at jaccard >> threshold where 8-band miss
+    // probability is ~(1-j^4)^8 ~ 1e-4), and the verify stage is exact —
+    // so the output hash-matches the exact-Jaccard DuckDB oracle.
     "q62_dedup_minhash" -> ((s, dir) => {
-      Dedup.minHashDupPairs(t(s, dir, "documents").where(col("doc_id") < 2000),
+      Dedup.minHashDupPairs(t(s, dir, "documents"),
           "text", "doc_id", shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
         .orderBy("a_id", "b_id")
     }),
 
-    // SimHash near-dup pairs (rows-only driver check).
+    // SimHash near-dup pairs over the FULL corpus, cross-engine md5-60bit
+    // fingerprint: the pigeonhole banding is COMPLETE (not probabilistic)
+    // below the hot-bucket cap, so the output hash-matches a DuckDB oracle
+    // that recomputes the identical fingerprints and brute-forces hamming.
     "q63_dedup_simhash" -> ((s, dir) => {
-      Dedup.simHashDupPairs(t(s, dir, "documents").where(col("doc_id") < 2000),
+      Dedup.simHashDupPairsShared(t(s, dir, "documents"),
           "text", "doc_id", maxHamming = 3)
         .orderBy("a_id", "b_id")
     }),
@@ -67,19 +75,23 @@ object PipelineQueries extends QuerySet {
         .orderBy("probe_id", "rnk")
     }),
 
-    // Winnowing rolling-hash fingerprints: shared-substring dup clusters
-    // (rows-only; the winnowing guarantee is pinned in DedupSpec).
+    // Winnowing fingerprints: shared-substring dup clusters, cross-engine
+    // md5 k-gram hash so the DuckDB oracle recomputes identical fingerprint
+    // values (the winnowing guarantee itself is pinned in DedupSpec).
     "q68_winnow_fingerprints" -> ((s, dir) => {
       Dedup.winnowingFingerprints(
-          t(s, dir, "documents").where(col("doc_id") < 1000), "text", "doc_id")
+          t(s, dir, "documents").where(col("doc_id") < 1000), "text", "doc_id",
+          crossEngine = true)
         .groupBy("fp").agg(count(lit(1)).as("cnt"), min("id").as("keep_id"))
         .where(col("cnt") > 1)
         .orderBy("fp")
     }),
 
     // Multimodal decode + resize plumbing: binary payload -> per-partition
-    // stub decoder -> typed features -> aspect-preserving resize (rows-only;
-    // decode determinism and resize invariants are pinned in MultimodalSpec).
+    // stub decoder -> typed features -> aspect-preserving resize. The stub
+    // decode is md5-div/mod arithmetic, so the whole pipeline (decode +
+    // resize) carries a hard DuckDB oracle; decode determinism and resize
+    // invariants are additionally pinned in MultimodalSpec.
     "q65_multimodal_decode" -> ((s, dir) => {
       val withP = Multimodal.withPayload(
         t(s, dir, "documents").where(col("doc_id") < 1000), "text", "text/plain")
@@ -90,12 +102,15 @@ object PipelineQueries extends QuerySet {
     }),
 
     // Deterministic weighted reservoir sample (Efraimidis-Spirakis), 10 docs
-    // per source weighted by length (rows-only: the u^(1/w) key uses pow,
-    // whose last-ulp differs across engines; determinism + GroupTopK rewrite
-    // are pinned in SamplingSpec).
+    // per source weighted by coarsened length. Uses the integer-key
+    // max-of-w-uniforms form, so the sample is bit-reproducible in DuckDB —
+    // a hard oracle where the pow-based key could only get a rows-only
+    // check (pow's last ulp differs across engines).
     "q83_weighted_sample" -> ((s, dir) => {
-      graft.operators.Sampling.weightedTopKPerGroup(
-          t(s, dir, "documents"), Seq("source"), "doc_id", "n_chars", k = 10)
+      graft.operators.Sampling.replicatedWeightedTopKPerGroup(
+          t(s, dir, "documents")
+            .withColumn("w_rep", expr("CAST(1 + n_chars DIV 64 AS BIGINT)")),
+          Seq("source"), "doc_id", "w_rep", k = 10)
         .select("source", "doc_id", "smp_rank")
         .orderBy("source", "smp_rank")
     }),
@@ -129,6 +144,75 @@ object PipelineQueries extends QuerySet {
         |parts AS (SELECT DISTINCT source FROM documents)
         |SELECT block_id, source, block_len FROM blocks CROSS JOIN parts
         |ORDER BY block_id, source""".stripMargin,
+    // exact 3-gram-shingle Jaccard >= 0.5 over the full corpus; the engine
+    // side reaches it through MinHash banding + exact verify (recall note
+    // on the query)
+    "q62_dedup_minhash" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh FROM (
+        |    SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM d WHERE len(t) >= 3))),
+        |c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id, ROUND(inter*1.0/(ca.n + cb.n - inter), 4) AS jaccard
+        |FROM inter JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
+        |WHERE inter*1.0/(ca.n + cb.n - inter) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    // identical md5-60bit simhash per doc (majority vote over distinct-token
+    // hashes), then brute-force hamming <= 3 — the engine reaches the same
+    // set through complete pigeonhole banding
+    "q63_dedup_simhash" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        |bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |         FROM th, (SELECT unnest(range(0, 60)) AS b) GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        |        FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+    // identical md5 k-gram hashes (k=8), distinct minima of each 4-wide
+    // window per doc, then the same fp-frequency rollup
+    "q68_winnow_fingerprints" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+        |hl AS (SELECT doc_id, list_transform(range(1, length(text) - 8 + 2),
+        |        i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT) AS hs
+        |       FROM d WHERE length(text) >= 8),
+        |fps AS (SELECT doc_id, CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+        |        ELSE list_distinct(list_transform(range(1, len(hs) - 4 + 2), s -> list_min(hs[s:s+3]))) END AS fp_list
+        |        FROM hl),
+        |f AS (SELECT doc_id, unnest(fp_list) AS fp FROM fps)
+        |SELECT fp, COUNT(*) AS cnt, MIN(doc_id) AS keep_id
+        |FROM f GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin,
+    // max-of-w-uniforms Efraimidis-Spirakis: identical md5-integer keys
+    "q83_weighted_sample" ->
+      """WITH d AS (SELECT source, doc_id, 1 + (n_chars // 64) AS w FROM documents),
+        |k AS (SELECT source, doc_id,
+        |  list_max(list_transform(range(1, CAST(w + 1 AS BIGINT)),
+        |    j -> ('0x' || substr(md5(doc_id::VARCHAR || ':' || j::VARCHAR), 1, 13))::BIGINT)) AS key
+        |  FROM d),
+        |r AS (SELECT source, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS smp_rank FROM k)
+        |SELECT source, doc_id, smp_rank FROM r WHERE smp_rank <= 10
+        |ORDER BY source, smp_rank""".stripMargin,
+    // mirrors FakeDecoder (md5 top-52-bit seed, div/mod fields) and
+    // resizeDecoded (double-precision scale, floor, >=1 clamp) exactly
+    "q65_multimodal_decode" ->
+      """WITH d AS (SELECT doc_id, ('0x' || substr(md5(text), 1, 13))::BIGINT AS h
+        |           FROM documents WHERE doc_id < 1000),
+        |m AS (SELECT doc_id,
+        |        16 + (h % 1024) AS width,
+        |        16 + ((h // 1024) % 1024) AS height,
+        |        1 + ((h // 1048576) % 4) AS channels FROM d),
+        |r AS (SELECT *, LEAST(64::DOUBLE / width, 64::DOUBLE / height) AS scale FROM m)
+        |SELECT doc_id, width, height, channels,
+        |  GREATEST(CAST(FLOOR(width * scale) AS BIGINT), 1) AS resized_w,
+        |  GREATEST(CAST(FLOOR(height * scale) AS BIGINT), 1) AS resized_h
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q66_iteration_batches" ->
       s"""WITH b AS (SELECT doc_id, n_chars,
         |  CAST(FLOOR(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $BlockSize.0) AS BIGINT) AS block_id

@@ -16,10 +16,13 @@ class PlanLintSpec extends SparkSpec {
   //   q40/q43 — brute-force kNN / pairwise cosine: broadcast probe x corpus
   //   q61/q66 — work items again (blocks x sources)
   //   q44/q49 — broadcast corpus-count literal into the tf-idf / df-cut score
+  //   q82 — exactness certificate: two broadcast 1-row aggregates crossed
+  //         onto the <= k-row result
   private val productAllowed = Set(
     "q18_cross_join", "q23_scalar_subquery", "q40_knn_brute",
     "q43_dedup_embedding", "q44_tfidf", "q49_simjoin_dfcap",
-    "q61_work_items", "q66_iteration_batches", "q67_knn_ivf", "q64_knn_lsh")
+    "q61_work_items", "q66_iteration_batches", "q67_knn_ivf", "q64_knn_lsh",
+    "q82_heavy_hitters")
 
   // iterative/multi-stage pipelines legitimately above the common bound:
   //   q48 — label-propagation rounds

@@ -33,6 +33,17 @@ class MultimodalSpec extends SparkSpec {
     assert(one(0).toSeq.drop(1) == one(2).toSeq.drop(1)) // same bytes, same decode
   }
 
+  test("decoder seed matches the cross-engine md5 SQL formula") {
+    // FakeDecoder.md5Top52 must equal conv(substr(md5(x),1,13),16,10) — the
+    // expression the q65 DuckDB oracle mirrors
+    for (s <- Seq("hello", "", "second document", "abc éü")) {
+      val sqlH = spark.sql(
+        s"SELECT CAST(conv(substr(md5('${s.replace("'", "''")}'), 1, 13), 16, 10) AS BIGINT)")
+        .head().getLong(0)
+      assert(Multimodal.FakeDecoder.md5Top52(s.getBytes("UTF-8")) == sqlH, s"seed mismatch for '$s'")
+    }
+  }
+
   test("resize preserves aspect ratio and fits the target box") {
     val decoded = Multimodal.decodePartitioned(
       Multimodal.withPayload(docs(), "text"), "payload", "doc_id")
