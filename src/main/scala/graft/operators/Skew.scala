@@ -108,9 +108,20 @@ object Skew {
 
   /** Partition an RDD of (queryId, row) by measured weights — the
     * reference's whole balancing step as one call.
+    *
+    * Only the `maxTrackedKeys` HEAVIEST keys reach the driver (bounded
+    * top-N over the distributed per-key counts); the cold tail falls
+    * through to the partitioner's hash fallback, which is already balanced
+    * for keys too light to matter. Collecting the full key-weight table —
+    * the obvious formulation — is a driver OOM at 100 TB key
+    * cardinalities, and buys nothing: greedy bin-packing below the top-N
+    * is indistinguishable from hashing.
     */
-  def partitionByWeight[V: scala.reflect.ClassTag](rdd: RDD[(Long, V)], numPartitions: Int): RDD[(Long, V)] = {
-    val weights = rdd.mapValues(_ => 1L).reduceByKey(_ + _).collect().toSeq
+  def partitionByWeight[V: scala.reflect.ClassTag](rdd: RDD[(Long, V)], numPartitions: Int,
+                                                   maxTrackedKeys: Int = 10000): RDD[(Long, V)] = {
+    require(maxTrackedKeys >= numPartitions, "track at least one key per partition")
+    val weights = rdd.mapValues(_ => 1L).reduceByKey(_ + _)
+      .top(maxTrackedKeys)(Ordering.by(_._2)).toSeq
     rdd.partitionBy(WeightedPartitioner.fromWeights(weights, numPartitions))
   }
 }

@@ -59,6 +59,20 @@ class SkewSpec extends SparkSpec {
     assert(salted.nonEmpty)
   }
 
+  test("partitionByWeight: high key cardinality stays off the driver") {
+    // 200k distinct cold keys + one hot key; only maxTrackedKeys weights may
+    // reach the driver. Correctness: rows preserved, hot key isolated from
+    // enough of the tail that no partition holds everything.
+    val rows = (1 to 200000).map(i => (if (i % 4 == 0) 7L else i.toLong, i))
+    val rdd = spark.sparkContext.parallelize(rows, 16)
+    val parted = Skew.partitionByWeight(rdd, 4, maxTrackedKeys = 64)
+    assert(parted.count() == 200000)
+    val sizes = parted.mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(sizes.length == 4 && sizes.count(_ > 0) >= 2)
+    // the hot key's partition is not also carrying the whole tail
+    assert(sizes.max < 150000, s"no balance: ${sizes.toSeq}")
+  }
+
   test("partitionByWeight spreads a skewed RDD evenly") {
     val rows = (1 to 20000).map(i => (if (i % 20 == 0) i.toLong % 5 else 99L, i))
     val rdd = spark.sparkContext.parallelize(rows, 8)
