@@ -53,4 +53,27 @@ object HitSinks {
   def writeBin(hits: Dataset[SavedHit], dir: String, prefix: String,
                iteration: Int, classifier: Boolean): Unit =
     BinHits.write(hits, dir, prefix, iteration, classifier)
+
+  /** SQLite artifact with the reference converter's exact `hits` schema and
+    * column order (`load_sql.py:98-115`: qId BIGINT, qIdDef VARCHAR, sId
+    * VARCHAR, dIdent DOUBLE, alignLen..sEnd INT, eValue/bitScore DOUBLE).
+    * `deflines` (queryId -> qIdDef), when given, replicates the converter's
+    * `bDefline` join; otherwise qIdDef is empty, as in its default mode.
+    * Single file via the driver — an export step, like the reference tool.
+    */
+  def writeSqlite(hits: Dataset[SavedHit], path: String,
+                  deflines: Option[DataFrame] = None): Long = {
+    val base = hits.toDF()
+    val withDef = deflines match {
+      case Some(d) => base.join(d.select(col("queryId"), col("qIdDef")), Seq("queryId"), "left")
+        .withColumn("qIdDef", coalesce(col("qIdDef"), lit("")))
+      case None => base.withColumn("qIdDef", lit(""))
+    }
+    val ordered = withDef.select(
+      col("queryId").as("qId"), col("qIdDef"), col("subjectId").as("sId"),
+      col("identity").as("dIdent"), col("alignLen"), col("nMismatches"),
+      col("nGaps"), col("qStart"), col("qEnd"), col("sStart"), col("sEnd"),
+      col("eValue"), col("bitScore"))
+    graft.sources.SqliteSink.write(ordered, path, "hits")
+  }
 }

@@ -1,0 +1,294 @@
+package graft.sources
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Minimal single-table SQLite 3 FILE writer — no JDBC driver, no native
+  * library: the format (sqlite.org/fileformat2) is encoded directly, so the
+  * engine can materialize the reference's `.sqlite` deliverable
+  * (`/root/reference/tools/converter/load_sql.py:93-161`, the `hits` table
+  * converter) in an environment with zero extra dependencies.
+  *
+  * Scope (all the converter needs, nothing more):
+  *  - one table per file, rowids 1..n, schema format 1, UTF-8, 4096B pages;
+  *  - column types NULL / all integer widths / float64 / TEXT;
+  *  - bottom-up bulk b-tree build (leaves, then interior levels);
+  *  - no overflow pages: a row's record must fit one leaf (~4KB) — hit rows
+  *    are ~100B; oversized rows fail loudly.
+  *
+  * Files open in stock sqlite3 ("PRAGMA integrity_check" passes — pinned in
+  * SqliteSinkSpec via the system python3).
+  */
+object SqliteFile {
+
+  private val PageSize = 4096
+  private val MaxLocalPayload = PageSize - 35 // leaf-cell spill threshold
+
+  private def varint(v: Long): Array[Byte] =
+    if ((v >>> 56) != 0) { // 9-byte form (also covers negatives)
+      val b = new Array[Byte](9)
+      b(8) = (v & 0xff).toByte
+      var x = v >>> 8
+      var i = 7
+      while (i >= 0) { b(i) = ((x & 0x7f) | 0x80).toByte; x >>>= 7; i -= 1 }
+      b
+    } else {
+      var out = List((v & 0x7f).toByte)
+      var x = v >>> 7
+      while (x != 0) { out = ((x & 0x7f) | 0x80).toByte :: out; x >>>= 7 }
+      out.toArray
+    }
+
+  /** SQLite record (header of serial types + body) for one row of cell
+    * values: null, Long, Double, or String.
+    */
+  private def record(values: Seq[Any]): Array[Byte] = {
+    val bodies = new ArrayBuffer[Array[Byte]](values.length)
+    val serials = values.map {
+      case null => bodies += Array.empty[Byte]; 0L
+      case v: Long =>
+        val (serial, width) =
+          if (v >= -128 && v <= 127) (1, 1)
+          else if (v >= -32768 && v <= 32767) (2, 2)
+          else if (v >= -8388608 && v <= 8388607) (3, 3)
+          else if (v >= Int.MinValue && v <= Int.MaxValue) (4, 4)
+          else if (v >= -140737488355328L && v <= 140737488355327L) (5, 6)
+          else (6, 8)
+        val b = new Array[Byte](width)
+        var i = width - 1; var x = v
+        while (i >= 0) { b(i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
+        bodies += b; serial.toLong
+      case v: Double =>
+        val bits = java.lang.Double.doubleToLongBits(v)
+        val b = new Array[Byte](8)
+        var i = 7; var x = bits
+        while (i >= 0) { b(i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
+        bodies += b; 7L
+      case v: String =>
+        val b = v.getBytes("UTF-8")
+        bodies += b; 13L + 2L * b.length
+      case other => throw new IllegalArgumentException(
+        s"SqliteFile: unsupported cell value class ${other.getClass}")
+    }
+    val serialBytes = serials.map(varint)
+    // header size varint includes itself; sizes <= 127 here never need the
+    // fixed-point iteration a general writer would
+    val headerLen = 1 + serialBytes.map(_.length).sum
+    require(headerLen <= 127, "record header too wide for minimal writer")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(headerLen)
+    serialBytes.foreach(out.write)
+    bodies.foreach(out.write)
+    out.toByteArray
+  }
+
+  private final class PageStore {
+    // index i holds page number i+1
+    val pages = new ArrayBuffer[Array[Byte]]()
+    def alloc(): (Int, Array[Byte]) = {
+      val p = new Array[Byte](PageSize)
+      pages += p
+      (pages.length, p)
+    }
+  }
+
+  private def putShort(p: Array[Byte], off: Int, v: Int): Unit = {
+    p(off) = ((v >> 8) & 0xff).toByte; p(off + 1) = (v & 0xff).toByte
+  }
+  private def putInt(p: Array[Byte], off: Int, v: Int): Unit = {
+    p(off) = ((v >> 24) & 0xff).toByte; p(off + 1) = ((v >> 16) & 0xff).toByte
+    p(off + 2) = ((v >> 8) & 0xff).toByte; p(off + 3) = (v & 0xff).toByte
+  }
+
+  /** Pack leaf cells (0x0d pages) greedily; returns (pageNo, maxKey) per
+    * page. Page 1 (header + sqlite_master) is hand-built by [[write]], so
+    * every page here has its b-tree header at offset 0.
+    */
+  private def packLeaves(store: PageStore, cells: Seq[(Long, Array[Byte])]): Seq[(Int, Long)] = {
+    val headerLen = 8
+    val out = new ArrayBuffer[(Int, Long)]()
+    var pending = new ArrayBuffer[(Long, Array[Byte])]()
+    var used = 0 // bytes of cell content + pointer array
+    def flush(): Unit = {
+      if (pending.isEmpty) return
+      val (no, p) = store.alloc()
+      p(0) = 0x0d
+      putShort(p, 3, pending.length)
+      var contentStart = PageSize
+      var ptrOff = headerLen
+      for ((_, cell) <- pending) {
+        contentStart -= cell.length
+        System.arraycopy(cell, 0, p, contentStart, cell.length)
+        putShort(p, ptrOff, contentStart); ptrOff += 2
+      }
+      putShort(p, 5, contentStart)
+      out += ((no, pending.last._1))
+      pending = new ArrayBuffer[(Long, Array[Byte])]()
+      used = 0
+    }
+    for ((key, cell) <- cells) {
+      require(cell.length <= MaxLocalPayload + 13,
+        s"cell of ${cell.length}B needs overflow pages (unsupported)")
+      if (used + cell.length + 2 > PageSize - headerLen) flush()
+      pending += ((key, cell)); used += cell.length + 2
+    }
+    flush()
+    out.toSeq
+  }
+
+  /** Build a table b-tree bottom-up from leaf cells; returns root page no. */
+  private def buildTree(store: PageStore, leafCells: Seq[(Long, Array[Byte])]): Int = {
+    if (leafCells.isEmpty) { // empty table: one empty leaf root
+      val (no, p) = store.alloc()
+      p(0) = 0x0d
+      putShort(p, 5, PageSize)
+      return no
+    }
+    var level = packLeaves(store, leafCells)
+    while (level.length > 1) {
+      // interior cells reference all children but the last, which becomes
+      // the page's rightmost pointer
+      val next = new ArrayBuffer[(Int, Long)]()
+      val groups = level.grouped(200).toSeq
+      for (g <- groups) {
+        val cells = g.dropRight(1).map { case (child, maxKey) =>
+          val b = new java.io.ByteArrayOutputStream()
+          val cb = new Array[Byte](4); putInt(cb, 0, child)
+          b.write(cb); b.write(varint(maxKey))
+          (maxKey, b.toByteArray)
+        }
+        val (no, p) = store.alloc()
+        p(0) = 0x05
+        putShort(p, 3, cells.length)
+        var contentStart = PageSize
+        var ptrOff = 12
+        for ((_, cell) <- cells) {
+          contentStart -= cell.length
+          System.arraycopy(cell, 0, p, contentStart, cell.length)
+          putShort(p, ptrOff, contentStart); ptrOff += 2
+        }
+        putShort(p, 5, contentStart)
+        putInt(p, 8, g.last._1) // rightmost child
+        next += ((no, g.last._2))
+      }
+      level = next.toSeq
+    }
+    level.head._1
+  }
+
+  /** Write `rows` (already mapped to null/Long/Double/String cells) as table
+    * `table` with the given column DDL into a new SQLite file at `path`.
+    * Returns the row count.
+    */
+  def write(path: String, table: String, columnDdl: Seq[String],
+            rows: Iterator[Seq[Any]]): Long = {
+    val store = new PageStore
+    store.alloc() // reserve page 1 for header + sqlite_master
+    var rowid = 0L
+    val leafCells = new ArrayBuffer[(Long, Array[Byte])]()
+    rows.foreach { r =>
+      rowid += 1
+      val payload = record(r)
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(varint(payload.length)); b.write(varint(rowid)); b.write(payload)
+      leafCells += ((rowid, b.toByteArray))
+    }
+    val root = buildTree(store, leafCells.toSeq)
+
+    // page 1: 100B header + sqlite_master leaf holding the single DDL row
+    val ddl = s"CREATE TABLE $table (${columnDdl.mkString(", ")})"
+    val masterPayload = record(Seq("table", table, table, root.toLong, ddl))
+    val mb = new java.io.ByteArrayOutputStream()
+    mb.write(varint(masterPayload.length)); mb.write(varint(1L)); mb.write(masterPayload)
+    val masterCell = mb.toByteArray
+    val p1 = store.pages(0)
+    "SQLite format 3\u0000".getBytes("ISO-8859-1").copyToArray(p1, 0)
+    putShort(p1, 16, PageSize)
+    p1(18) = 1; p1(19) = 1 // write/read version: legacy (rollback journal)
+    p1(21) = 64; p1(22) = 32; p1(23) = 32
+    putInt(p1, 24, 1) // file change counter
+    putInt(p1, 28, store.pages.length) // db size in pages
+    putInt(p1, 40, 1) // schema cookie
+    putInt(p1, 44, 1) // schema format 1
+    putInt(p1, 56, 1) // UTF-8
+    putInt(p1, 92, 1) // version-valid-for == change counter
+    putInt(p1, 96, 3040001) // sqlite version stamp
+    p1(100) = 0x0d
+    putShort(p1, 103, 1)
+    val contentStart = PageSize - masterCell.length
+    System.arraycopy(masterCell, 0, p1, contentStart, masterCell.length)
+    putShort(p1, 105, contentStart)
+    putShort(p1, 108, contentStart)
+
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(path))
+    try store.pages.foreach(out.write)
+    finally out.close()
+    rowid
+  }
+}
+
+/** DataFrame -> SQLite sink (reference A20). Mirrors the converter's shape:
+  * a SINGLE `.sqlite` artifact, written by streaming the DataFrame through
+  * the driver exactly like `load_sql.py` streams `.bin` files through one
+  * process — this is an EXPORT step for human-sized result sets, not a
+  * distributed operator. For cluster-scale output use [[writeSharded]]: one
+  * `.sqlite` shard per partition, written task-side in parallel, the same
+  * layout the reference campaign used for its per-rank outputs.
+  */
+object SqliteSink {
+
+  private def ddlFor(f: StructField): String = f.dataType match {
+    case LongType => s"${f.name} BIGINT"
+    case IntegerType | ShortType | ByteType => s"${f.name} INT"
+    case DoubleType | FloatType => s"${f.name} DOUBLE"
+    case StringType => s"${f.name} VARCHAR(40)"
+    case BooleanType => s"${f.name} INT"
+    case t => throw new IllegalArgumentException(
+      s"SqliteSink: unsupported column type ${t.simpleString} for ${f.name}")
+  }
+
+  private def cellMapper(schema: StructType): Row => Seq[Any] = {
+    val fns: Seq[(Row, Int) => Any] = schema.fields.zipWithIndex.map { case (f, i) =>
+      f.dataType match {
+        case LongType => (r: Row, j: Int) => r.getLong(j)
+        case IntegerType => (r: Row, j: Int) => r.getInt(j).toLong
+        case ShortType => (r: Row, j: Int) => r.getShort(j).toLong
+        case ByteType => (r: Row, j: Int) => r.getByte(j).toLong
+        case DoubleType => (r: Row, j: Int) => r.getDouble(j)
+        case FloatType => (r: Row, j: Int) => r.getFloat(j).toDouble
+        case StringType => (r: Row, j: Int) => r.getString(j)
+        case BooleanType => (r: Row, j: Int) => if (r.getBoolean(j)) 1L else 0L
+        case t => throw new IllegalArgumentException(t.simpleString)
+      }
+    }.toSeq
+    (r: Row) => fns.indices.map(i => if (r.isNullAt(i)) null else fns(i)(r, i))
+  }
+
+  /** Single-file export via the driver (toLocalIterator: one partition in
+    * memory at a time). Returns rows written.
+    */
+  def write(df: DataFrame, path: String, table: String): Long = {
+    val ddl = df.schema.fields.map(ddlFor).toSeq
+    val mapper = cellMapper(df.schema)
+    import scala.jdk.CollectionConverters._
+    SqliteFile.write(path, table, ddl, df.toLocalIterator().asScala.map(mapper))
+  }
+
+  /** One `.sqlite` shard per partition, written in parallel on the
+    * executors — the formulation that survives output sizes no single file
+    * should hold. Returns total rows written.
+    */
+  def writeSharded(df: DataFrame, dir: String, table: String): Long = {
+    val ddl = df.schema.fields.map(ddlFor).toSeq
+    val mapper = cellMapper(df.schema)
+    new java.io.File(dir).mkdirs()
+    val counts = df.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val path = f"$dir/part-$pid%05d.sqlite"
+      Iterator.single(SqliteFile.write(path, table, ddl, it.map(mapper)))
+    }.collect()
+    counts.sum
+  }
+}

@@ -1,0 +1,148 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-trip proof for the dependency-free SQLite writer: files are read
+  * back with the SYSTEM sqlite3 (python3 stdlib) — an independent
+  * implementation — and must pass integrity_check and return the exact
+  * rows. Mirrors how the reference validates its converter output by
+  * loading it in sqlite (`tools/converter/load_sql.py`).
+  */
+class SqliteSinkSpec extends SparkSpec {
+
+  /** Read `path` with system sqlite3 and diff against `expected` (one row
+    * per line, tab-separated; "\\N" = null; numerics compared by exact
+    * value, floats via shortest-repr round-trip). Returns (integrity, n).
+    */
+  private def compareWithSqlite(path: String, table: String,
+                                expected: Seq[Seq[String]]): (String, Int) = {
+    val expFile = Files.createTempFile("sqlexp", ".tsv")
+    Files.write(expFile, expected.map(_.mkString("\t")).mkString("\n").getBytes("UTF-8"))
+    val script =
+      s"""import sqlite3
+         |con = sqlite3.connect('$path')
+         |ok = con.execute('PRAGMA integrity_check').fetchone()[0]
+         |rows = con.execute('SELECT * FROM $table ORDER BY rowid').fetchall()
+         |exp = [l.split('\\t') for l in open('$expFile').read().split('\\n') if l != '']
+         |assert len(rows) == len(exp), f'rowcount {len(rows)} != {len(exp)}'
+         |for i, (r, e) in enumerate(zip(rows, exp)):
+         |    assert len(r) == len(e), f'width @{i}'
+         |    for v, x in zip(r, e):
+         |        if x == '\\\\N': assert v is None, f'@{i}: {v!r} != null'
+         |        elif isinstance(v, float): assert v == float(x), f'@{i}: {v!r} != {x}'
+         |        elif isinstance(v, int): assert v == int(x), f'@{i}: {v!r} != {x}'
+         |        else: assert v == x, f'@{i}: {v!r} != {x!r}'
+         |print(ok)
+         |print(len(rows))
+         |""".stripMargin
+    val f = Files.createTempFile("sqlread", ".py")
+    Files.write(f, script.getBytes("UTF-8"))
+    val proc = new ProcessBuilder("python3", f.toString).redirectErrorStream(true).start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+    assert(proc.waitFor() == 0, s"sqlite3 readback/diff failed:\n${out.mkString("\n")}")
+    (out.head, out(1).toInt)
+  }
+
+  private def expectedCells(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator().asScala.map { r =>
+      r.schema.fields.indices.map { i =>
+        if (r.isNullAt(i)) "\\N" else r.get(i).toString
+      }.toSeq
+    }.toSeq
+  }
+
+  private def hitsDf(n: Int) = {
+    import spark.implicits._
+    (1 to n).map { i =>
+      (i.toLong * 1000003L, s"query_$i", if (i % 17 == 0) null else s"subj_${i % 97}",
+        99.5 - (i % 50) * 0.25, i % 500, i % 7, i % 3,
+        i, i + (i % 200), 10 * i, 10 * i + 300, math.exp(-(i % 40)), 180.25 + i)
+    }.toDF("qId", "qIdDef", "sId", "dIdent", "alignLen", "nMismatches",
+      "nGaps", "qStart", "qEnd", "sStart", "sEnd", "eValue", "bitScore")
+  }
+
+  test("multi-page hits table: integrity_check ok, every row identical") {
+    val df = hitsDf(5000) // ~70B records -> ~100 leaf pages -> interior level
+    val path = Files.createTempDirectory("sqlite").resolve("hits.sqlite").toString
+    val written = SqliteSink.write(df, path, "hits")
+    assert(written == 5000L)
+    val (integrity, n) = compareWithSqlite(path, "hits", expectedCells(df))
+    assert(integrity == "ok" && n == 5000)
+  }
+
+  test("empty table and extreme values survive") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("sqlite").resolve("t.sqlite").toString
+    val df = Seq(
+      (Long.MaxValue, Long.MinValue, 0L, Double.MaxValue, ""),
+      (-1L, 127L, 128L, -0.0, "text with 'quotes' and é")
+    ).toDF("a", "b", "c", "d", "e")
+    SqliteSink.write(df, path, "t")
+    val (integrity, n) = compareWithSqlite(path, "t", expectedCells(df))
+    assert(integrity == "ok" && n == 2)
+
+    val empty = spark.emptyDataFrame.withColumn("x", lit(1L)).where(lit(false))
+    val p2 = Files.createTempDirectory("sqlite").resolve("e.sqlite").toString
+    assert(SqliteSink.write(empty, p2, "t") == 0L)
+    val (i2, n2) = compareWithSqlite(p2, "t", Seq.empty)
+    assert(i2 == "ok" && n2 == 0)
+  }
+
+  test("HitSinks.writeSqlite: reference hits schema round-trips with deflines") {
+    import spark.implicits._
+    import graft.model.SavedHit
+    val hits = (1 to 300).map { i =>
+      SavedHit(i.toLong, s"gi|${i * 7}", 98.5 - i % 10, 120 + i % 30, i % 5,
+        i % 3, i, i + 100, 10 * i, 10 * i + 100, math.exp(-i % 25), 200.5 + i,
+        None, None)
+    }.toDS()
+    val defs = (1 to 300 by 2).map(i => (i.toLong, s"def_$i")).toDF("queryId", "qIdDef")
+    val path = Files.createTempDirectory("sqlite").resolve("hits.sqlite").toString
+    assert(graft.blast.HitSinks.writeSqlite(hits, path, Some(defs)) == 300L)
+    // reload through system sqlite3 and check schema + the defline join
+    val script =
+      s"""import sqlite3
+         |con = sqlite3.connect('$path')
+         |cols = [r[1] for r in con.execute('PRAGMA table_info(hits)').fetchall()]
+         |assert cols == ['qId','qIdDef','sId','dIdent','alignLen','nMismatches',
+         |                'nGaps','qStart','qEnd','sStart','sEnd','eValue','bitScore'], cols
+         |n, = con.execute('SELECT COUNT(*) FROM hits').fetchone()
+         |odd, = con.execute("SELECT COUNT(*) FROM hits WHERE qIdDef LIKE 'def_%'").fetchone()
+         |even, = con.execute("SELECT COUNT(*) FROM hits WHERE qIdDef = ''").fetchone()
+         |print(n, odd, even)
+         |""".stripMargin
+    val f = Files.createTempFile("hitread", ".py")
+    Files.write(f, script.getBytes("UTF-8"))
+    val proc = new ProcessBuilder("python3", f.toString).redirectErrorStream(true).start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+    assert(proc.waitFor() == 0, s"hits readback failed:\n${out.mkString("\n")}")
+    assert(out.last == "300 150 150", s"defline join wrong: ${out.last}")
+  }
+
+  test("sharded write: one valid sqlite shard per partition, all rows kept") {
+    val df = hitsDf(1000).repartition(4)
+    val dir = Files.createTempDirectory("sqlite_shards").toString
+    val total = SqliteSink.writeSharded(df, dir, "hits")
+    assert(total == 1000L)
+    val shards = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".sqlite"))
+    assert(shards.length == 4)
+    // per-shard integrity + global multiset equality through one attached scan
+    val script = shards.map(f =>
+      s"""con = sqlite3.connect('${f}')
+         |assert con.execute('PRAGMA integrity_check').fetchone()[0] == 'ok'
+         |allrows.extend(con.execute('SELECT qId FROM hits').fetchall())
+         |""".stripMargin).mkString(
+      "import sqlite3\nallrows = []\n", "", "print(len(allrows), len(set(allrows)))")
+    val f = Files.createTempFile("shardread", ".py")
+    Files.write(f, script.getBytes("UTF-8"))
+    val proc = new ProcessBuilder("python3", f.toString).redirectErrorStream(true).start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+    assert(proc.waitFor() == 0, s"shard readback failed:\n${out.mkString("\n")}")
+    assert(out.last == "1000 1000", s"shard union wrong: ${out.last}")
+  }
+}
