@@ -44,5 +44,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rank-filter windows -> native partial/final top-K (see GroupTopK.scala)
     ext.injectOptimizerRule(_ => GroupTopKRewrite)
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)
+    // statement-level SIMILARITY JOIN syntax -> the Dataset-API spine's plan
+    ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
   }
 }

@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.blast.{SimilarityKernel, SimilarityPipeline}
+
+/** Name -> kernel registry backing the SQL `SIMILARITY JOIN` syntax: SQL
+  * text can only carry a kernel by NAME, so kernels register here (the
+  * built-ins are pre-registered; user kernels via [[register]]).
+  */
+object SimilarityKernels {
+  private val kernels = new java.util.concurrent.ConcurrentHashMap[String, SimilarityKernel]()
+
+  def register(name: String, kernel: SimilarityKernel): Unit =
+    kernels.put(name.toLowerCase, kernel)
+
+  def apply(name: String): SimilarityKernel =
+    Option(kernels.get(name.toLowerCase)).getOrElse(throw new IllegalArgumentException(
+      s"unknown similarity kernel '$name'; registered: ${kernels.keySet()}"))
+
+  register("ngram", new graft.blast.NgramKernel())
+  register("kmer", new graft.blast.KmerKernel())
+}
+
+/** SQL surface for the whole-operator similarity pipeline (SURVEY §7
+  * phase-4 stretch): a statement-level syntax
+  *
+  *   SIMILARITY JOIN <queriesTable> WITH <corpusTable>
+  *     USING KERNEL '<name>' TOP <k>
+  *
+  * planned by handing the resolved tables to the SAME Dataset-API spine
+  * ([[SimilarityPipeline.run]]) and returning ITS logical plan — so the SQL
+  * form compiles to the identical cogroup + top-K physical plan as the
+  * Dataset form (asserted in SqlSurfaceSpec), rather than a second
+  * implementation that could drift. Everything that is not this statement
+  * delegates to Spark's parser untouched.
+  *
+  * `<queriesTable>` must expose (uid, defline, seq); `<corpusTable>`
+  * (dbNo, subjectId, seq) — the reference's D1/D4 shapes.
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  private val SimJoin =
+    """(?is)^\s*SIMILARITY\s+JOIN\s+([\w.]+)\s+WITH\s+([\w.]+)\s+USING\s+KERNEL\s+'([\w.-]+)'\s+TOP\s+(\d+)\s*;?\s*$""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case SimJoin(qTable, cTable, kernelName, k) =>
+      val s = SparkSession.active
+      import s.implicits._
+      val queries = s.table(qTable).as[graft.blast.Query]
+      val corpus = s.table(cTable).as[graft.blast.Subject]
+      SimilarityPipeline.run(queries, corpus, SimilarityKernels(kernelName), k.toInt)
+        .queryExecution.logical
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseQuery(sqlText: String): LogicalPlan = parsePlan(sqlText)
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier = delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier = delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] = delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
+}

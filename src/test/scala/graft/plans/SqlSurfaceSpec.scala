@@ -1,0 +1,53 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.blast.{Query, SimilarityPipeline, Subject}
+
+/** The SQL `SIMILARITY JOIN` statement must be the SAME operator as the
+  * Dataset form: identical rows and an identical physical plan shape
+  * (cogrouped kernel + native GroupTopK), because the parser hands the
+  * resolved tables to the Dataset spine instead of re-implementing it.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private def fixtures(): Unit = {
+    import spark.implicits._
+    def words(seed: Long, n: Int) = (0 until n).map(j => s"w${(seed + j) % 7}").mkString(" ")
+    (0L until 12L).map(i => Query(i, s"q$i", words(i, 8)))
+      .toDS().createOrReplaceTempView("sim_queries")
+    (0 until 30).map(i => Subject(i % 4, s"s$i", words(i.toLong % 5, 6)))
+      .toDS().createOrReplaceTempView("sim_corpus")
+  }
+
+  test("SIMILARITY JOIN sql == Dataset pipeline (rows and plan)") {
+    import spark.implicits._
+    fixtures()
+    val sql = spark.sql(
+      "SIMILARITY JOIN sim_queries WITH sim_corpus USING KERNEL 'ngram' TOP 3")
+    val ds = SimilarityPipeline.run(
+      spark.table("sim_queries").as[Query], spark.table("sim_corpus").as[Subject],
+      SimilarityKernels("ngram"), numHitCutoff = 3)
+
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getString(1), r.getDouble(10), r.getDouble(11))
+    val a = sql.collect().map(key).toSeq.sorted
+    val b = ds.collect().map(key).toSeq.sorted
+    assert(a.nonEmpty && a == b, s"sql=${a.take(3)} ds=${b.take(3)}")
+
+    // identical physical plan SHAPE: cogrouped kernel + native top-K in both
+    for ((name, df) <- Seq("sql" -> sql, "ds" -> ds)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("CoGroup"), s"$name plan lost the cogroup:\n${plan.take(800)}")
+      assert(plan.contains("GroupTopKFinal"), s"$name plan lost GroupTopK:\n${plan.take(800)}")
+    }
+  }
+
+  test("non-matching statements fall through to the stock parser") {
+    fixtures()
+    assert(spark.sql("SELECT COUNT(*) c FROM sim_corpus").head().getLong(0) == 30L)
+    val err = intercept[Exception] {
+      spark.sql("SIMILARITY JOIN sim_queries WITH sim_corpus USING KERNEL 'nope' TOP 3")
+    }
+    assert(err.getMessage.contains("unknown similarity kernel"))
+  }
+}
