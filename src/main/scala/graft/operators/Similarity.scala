@@ -59,6 +59,10 @@ object Similarity {
     * function.
     */
   def lshBucket(emb: DataFrame, vecCol: String, planes: Array[Array[Double]]): DataFrame = {
+    // zero planes = one global bucket (the degenerate exhaustive mode the
+    // q86 exactness certificate runs); an empty literal array would type as
+    // array<void> and fail graft_matvec's check
+    if (planes.isEmpty) return emb.withColumn("bucket", lit(0L))
     val planesLit = array(planes.map(p => array(p.map(v => lit(v.toFloat)): _*)): _*)
     emb.withColumn("_planes", planesLit)
       .withColumn("bucket",

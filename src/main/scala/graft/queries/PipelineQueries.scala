@@ -13,6 +13,23 @@ object PipelineQueries extends QuerySet {
 
   private val BlockSize = 100000L
 
+  /** Brute-force cosine top-5 for probes vec_id < 10 — the shared oracle
+    * for the ANN exactness certificates (q85/q86).
+    */
+  private val knnOracle =
+    """WITH ex AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+      |            CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      |n AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM ex GROUP BY vec_id),
+      |p AS (SELECT * FROM ex WHERE vec_id < 10),
+      |dotp AS (SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, SUM(p.x*e.x) AS dp
+      |        FROM p JOIN ex e ON p.i = e.i AND e.vec_id <> p.vec_id GROUP BY 1, 2),
+      |cos AS (SELECT probe_id, neighbor_id, ROUND(dp/(np.nrm*ne.nrm), 4) AS cosim
+      |        FROM dotp JOIN n np ON np.vec_id = probe_id JOIN n ne ON ne.vec_id = neighbor_id),
+      |r AS (SELECT probe_id, neighbor_id, cosim,
+      |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosim DESC, neighbor_id) AS rnk FROM cos)
+      |SELECT probe_id, neighbor_id, cosim, rnk FROM r WHERE rnk <= 5
+      |ORDER BY probe_id, rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // A4 block segmentation (scalable cumsum-bucket form) + block summary.
     "q60_block_segmentation" -> ((s, dir) => {
@@ -72,6 +89,25 @@ object PipelineQueries extends QuerySet {
     "q67_knn_ivf" -> ((s, dir) => {
       Similarity.ivfKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
           col("vec_id") < 10, k = 5, nList = 16, nProbe = 4)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // IVF exactness certificate: nProbe = nList searches EVERY cell, so the
+    // ANN must return exactly the brute-force answer — a hard oracle over
+    // the full IVF machinery (codebook fit, expression assignment, cell
+    // join, ranking). q67 keeps the recall-probabilistic configuration.
+    "q85_knn_ivf_exact" -> ((s, dir) => {
+      Similarity.ivfKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5, nList = 16, nProbe = 16)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Same certificate for the LSH path: bits = 0 collapses every vector
+    // into one bucket, so the bucketed join + scoring must reproduce brute
+    // force exactly.
+    "q86_knn_lsh_exact" -> ((s, dir) => {
+      Similarity.lshKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5, bits = 0, dim = 64)
         .orderBy("probe_id", "rnk")
     }),
 
@@ -144,6 +180,10 @@ object PipelineQueries extends QuerySet {
         |parts AS (SELECT DISTINCT source FROM documents)
         |SELECT block_id, source, block_len FROM blocks CROSS JOIN parts
         |ORDER BY block_id, source""".stripMargin,
+    // both ANN exactness certificates share the brute-force oracle (the
+    // exhaustive configurations must return exactly this answer)
+    "q85_knn_ivf_exact" -> knnOracle,
+    "q86_knn_lsh_exact" -> knnOracle,
     // exact 3-gram-shingle Jaccard >= 0.5 over the full corpus; the engine
     // side reaches it through MinHash banding + exact verify (recall note
     // on the query)

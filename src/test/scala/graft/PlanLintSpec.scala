@@ -22,7 +22,7 @@ class PlanLintSpec extends SparkSpec {
     "q18_cross_join", "q23_scalar_subquery", "q40_knn_brute",
     "q43_dedup_embedding", "q44_tfidf", "q49_simjoin_dfcap",
     "q61_work_items", "q66_iteration_batches", "q67_knn_ivf", "q64_knn_lsh",
-    "q82_heavy_hitters")
+    "q82_heavy_hitters", "q85_knn_ivf_exact", "q86_knn_lsh_exact")
 
   // iterative/multi-stage pipelines legitimately above the common bound:
   //   q48 — label-propagation rounds
