@@ -23,17 +23,28 @@ trait QuerySet {
   /** Exact order-independent sum of a 2-decimal money column stored as
     * double. Summing doubles directly is partition-order-dependent in the
     * last ulp, so ROUND(SUM(x), 2) can flip between runs when a group total
-    * sits on the .xx5 grid; routing through decimal makes the sum exact in
-    * any order. Mirror in DuckDB: CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE).
+    * sits on the .xx5 grid. Exactness here comes from LONG CENTS — 2dp
+    * doubles are within an ulp of an integer number of cents, so
+    * round(x*100) recovers it exactly and the integer sum is exact in any
+    * order; n/100.0 then yields the nearest double of the exact rational,
+    * the SAME value a decimal(18,2) sum cast to double produces — which is
+    * what the DuckDB oracle computes
+    * (CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)) — at roughly half the
+    * aggregation cost of decimal hash-agg (measured at sf0.1).
     */
   protected def moneySum(c: Column): Column =
-    sum(c.cast("decimal(18,2)")).cast("double")
+    sum(round(c * 100).cast("long")) / 100.0
 
   /** Exact revenue sum: price*(1-disc), both 2-decimal doubles, computed in
-    * decimal (4-decimal exact products) then rounded to 2. Mirror in DuckDB:
+    * integer ten-thousandths (cents x (100 - disc_cents): exact in int64 up
+    * to ~9e14 in summed revenue) then rounded to 2. The final
+    * round(n/10000.0, 2) agrees with the oracle's decimal ROUND on .xx5
+    * ties because an exact <= 4dp rational round-trips through its double's
+    * shortest repr, which Spark's round half-ups just as DuckDB half-aways
+    * positive decimals. Mirror in DuckDB:
     * CAST(ROUND(SUM(CAST(p AS DECIMAL(18,2)) * (1 - CAST(d AS DECIMAL(4,2)))), 2) AS DOUBLE).
     */
   protected def revenueSum(price: Column, disc: Column): Column =
-    round(sum(price.cast("decimal(18,2)") * (lit(1) - disc.cast("decimal(4,2)"))), 2)
-      .cast("double")
+    round(sum(round(price * 100).cast("long") *
+      (lit(100L) - round(disc * 100).cast("long"))) / 10000.0, 2)
 }
