@@ -261,6 +261,27 @@ object Dedup {
     verifyJaccardSets(cands, sets, threshold)
   }
 
+  /** Benchmark decontamination — the training-data hygiene step every large
+    * pretraining run performs before training: flag corpus documents that
+    * share at least `minShared` distinct word n-gram shingles with an
+    * evaluation/benchmark corpus, so test material can be excluded from the
+    * training mix.
+    *
+    * Scale shape: the BENCHMARK shingle set is benchmark-sized (eval sets
+    * are tiny next to a 100 TB corpus) and broadcast; the corpus streams
+    * through one narrow hash join + per-doc count — the corpus itself never
+    * shuffles. Output: (id, n_shared) for flagged documents.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, textCol: String,
+                    idCol: String, shingleN: Int = 5, minShared: Int = 3): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val bench = shingles(benchmark, textCol, idCol, shingleN).select("sh").distinct()
+    shingles(docs, textCol, idCol, shingleN)
+      .join(broadcast(bench), "sh")
+      .groupBy("id").agg(count(lit(1)).as("n_shared")) // doc shingles are distinct
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Winnowing fingerprints (rolling-hash document fingerprinting, the
     * MOSS scheme): hash every character k-gram, then keep the minimum hash
     * of each w-wide window — guarantees any shared substring of length

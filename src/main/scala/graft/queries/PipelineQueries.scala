@@ -151,6 +151,19 @@ object PipelineQueries extends QuerySet {
         .orderBy("source", "smp_rank")
     }),
 
+    // Benchmark decontamination: docs from the training sources sharing >= 3
+    // distinct 5-gram shingles with the held-out 'src0' benchmark slice —
+    // the held-out set broadcast, the corpus streaming through one narrow
+    // join (the pre-training hygiene pass at any scale).
+    "q87_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"), "text", "doc_id",
+          shingleN = 5, minShared = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // A6 iteration batches over work items (rows-only; ntile determinism).
     "q66_iteration_batches" -> ((s, dir) => {
       val blocks = Segmentation.distributedBlocks(
@@ -180,6 +193,17 @@ object PipelineQueries extends QuerySet {
         |parts AS (SELECT DISTINCT source FROM documents)
         |SELECT block_id, source, block_len FROM blocks CROSS JOIN parts
         |ORDER BY block_id, source""".stripMargin,
+    // same distinct-5-gram overlap count against the src0 shingle set
+    "q87_decontaminate" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source, sh FROM (
+        |  SELECT doc_id, source, array_to_string(t[i:i+4], ' ') AS sh FROM (
+        |    SELECT doc_id, source, t, unnest(generate_series(1, len(t)-4)) AS i FROM d WHERE len(t) >= 5))),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0'),
+        |hits AS (SELECT doc_id, COUNT(*) AS n_shared
+        |         FROM sh JOIN bench USING (sh) WHERE source <> 'src0'
+        |         GROUP BY doc_id)
+        |SELECT doc_id, n_shared FROM hits WHERE n_shared >= 3 ORDER BY doc_id""".stripMargin,
     // both ANN exactness certificates share the brute-force oracle (the
     // exhaustive configurations must return exactly this answer)
     "q85_knn_ivf_exact" -> knnOracle,

@@ -109,6 +109,21 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("decontaminate flags benchmark leakage, spares clean docs") {
+    import spark.implicits._
+    val benchSentence = "the capital of france is paris and the capital of italy is rome"
+    val bench = Seq((1000L, benchSentence)).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, s"some prefix text $benchSentence and a suffix"), // verbatim leak
+      (2L, "totally unrelated words about completely different things here"),
+      (3L, "the capital of spain is madrid which is not leaked material"))
+      .toDF("doc_id", "text")
+    val flagged = Dedup.decontaminate(docs, bench, "text", "doc_id",
+      shingleN = 5, minShared = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L), s"flagged=$flagged")
+  }
+
   test("prefix jaccard: finite maxBucketSize is an explicit exactness opt-out") {
     import spark.implicits._
     // every doc shares token "common"; near-dup pairs exist only through it
