@@ -151,6 +151,23 @@ object PipelineQueries extends QuerySet {
         .orderBy("source", "smp_rank")
     }),
 
+    // The end-to-end dedup DELIVERABLE on the full corpus: near-dup pairs
+    // (minhash-LSH scale path) -> connected components -> drop every
+    // non-representative member -> per-source kept corpus stats. This is
+    // the query a curation run actually ships; q62/q48 pin its stages.
+    "q88_dedup_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashDupPairs(docs, "text", "doc_id",
+        shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      val clusters = graft.operators.Graph.connectedComponents(pairs, "a_id", "b_id")
+      val dropped = clusters.where(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"))
+      docs.join(dropped, Seq("doc_id"), "left_anti")
+        .groupBy("source")
+        .agg(count(lit(1)).as("kept_docs"), sum("n_chars").as("kept_chars"))
+        .orderBy("source")
+    }),
+
     // Benchmark decontamination: docs from the training sources sharing >= 3
     // distinct 5-gram shingles with the held-out 'src0' benchmark slice —
     // the held-out set broadcast, the corpus streaming through one narrow
@@ -193,6 +210,28 @@ object PipelineQueries extends QuerySet {
         |parts AS (SELECT DISTINCT source FROM documents)
         |SELECT block_id, source, block_len FROM blocks CROSS JOIN parts
         |ORDER BY block_id, source""".stripMargin,
+    // exact-Jaccard pairs -> recursive-CTE components -> min-id keepers ->
+    // per-source rollup (the engine reaches the same pair set through
+    // banding, see q62)
+    "q88_dedup_corpus" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh FROM (
+        |    SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM d WHERE len(t) >= 3))),
+        |c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id FROM inter
+        |          JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
+        |          WHERE inter*1.0/(ca.n + cb.n - inter) >= 0.5),
+        |edges AS (SELECT a_id AS s, b_id AS e FROM pairs UNION SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (SELECT s, s FROM edges
+        |  UNION SELECT reach.id, e.e FROM reach JOIN edges e ON e.s = reach.r),
+        |clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        |dropped AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+        |SELECT source, COUNT(*) AS kept_docs, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+        |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |GROUP BY source ORDER BY source""".stripMargin,
     // same distinct-5-gram overlap count against the src0 shingle set
     "q87_decontaminate" ->
       """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),

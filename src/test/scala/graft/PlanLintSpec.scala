@@ -29,8 +29,10 @@ class PlanLintSpec extends SparkSpec {
   //   q84 — prefix-filter join: frequency-order + candidate-gen + verify
   //         stages (each individually bounded; the count is stage depth,
   //         not per-row blow-up)
+  //   q88 — the full dedup pipeline (minhash + CC rounds + rollup)
   private val exchangeBound = 16
-  private val exchangeAllowed = Set("q48_dup_clusters", "q84_prefix_jaccard")
+  private val exchangeAllowed = Set("q48_dup_clusters", "q84_prefix_jaccard",
+    "q88_dedup_corpus")
 
   test("no query plan contains an unexpected product join; exchanges bounded") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
