@@ -29,13 +29,16 @@ class SqliteSinkSpec extends SparkSpec {
          |rows = con.execute('SELECT * FROM $table ORDER BY rowid').fetchall()
          |exp = [l.split('\\t') for l in open('$expFile').read().split('\\n') if l != '']
          |assert len(rows) == len(exp), f'rowcount {len(rows)} != {len(exp)}'
+         |import re
+         |def unesc(x):
+         |    return re.sub(r'\\\\(.)', lambda m: {'t': '\\t', 'n': '\\n'}.get(m.group(1), m.group(1)), x)
          |for i, (r, e) in enumerate(zip(rows, exp)):
          |    assert len(r) == len(e), f'width @{i}'
          |    for v, x in zip(r, e):
          |        if x == '\\\\N': assert v is None, f'@{i}: {v!r} != null'
          |        elif isinstance(v, float): assert v == float(x), f'@{i}: {v!r} != {x}'
          |        elif isinstance(v, int): assert v == int(x), f'@{i}: {v!r} != {x}'
-         |        else: assert v == x, f'@{i}: {v!r} != {x!r}'
+         |        else: assert v == unesc(x), f'@{i}: {v!r} != {x!r}'
          |print(ok)
          |print(len(rows))
          |""".stripMargin
@@ -49,9 +52,15 @@ class SqliteSinkSpec extends SparkSpec {
 
   private def expectedCells(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
     import scala.jdk.CollectionConverters._
+    def esc(s: String) =
+      s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
     df.toLocalIterator().asScala.map { r =>
       r.schema.fields.indices.map { i =>
-        if (r.isNullAt(i)) "\\N" else r.get(i).toString
+        if (r.isNullAt(i)) "\\N"
+        else r.schema.fields(i).dataType.typeName match {
+          case "string" => esc(r.getString(i))
+          case _ => r.get(i).toString
+        }
       }.toSeq
     }.toSeq
   }
@@ -122,6 +131,33 @@ class SqliteSinkSpec extends SparkSpec {
     val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
     assert(proc.waitFor() == 0, s"hits readback failed:\n${out.mkString("\n")}")
     assert(out.last == "300 150 150", s"defline join wrong: ${out.last}")
+  }
+
+  test("randomized round-trip: adversarial values survive the byte encoder") {
+    import spark.implicits._
+    // seeded adversarial generator: varint boundaries, serial-type width
+    // boundaries, subnormals, unicode, embedded quotes/newlines/tabs
+    val rng = new scala.util.Random(1234)
+    val boundary = Seq(0L, 1L, -1L, 127L, 128L, -128L, -129L, 32767L, 32768L,
+      8388607L, 8388608L, Int.MaxValue.toLong, Int.MaxValue + 1L,
+      140737488355327L, 140737488355328L, Long.MaxValue, Long.MinValue)
+    val chars = "ab\t\n'\"\\é☃x "
+    def randString(n: Int) = (0 until n).map(_ => chars(rng.nextInt(chars.length))).mkString
+    val rows = (1 to 400).map { i =>
+      (if (i <= boundary.size) boundary(i - 1) else rng.nextLong(),
+        rng.nextInt(4) match {
+          case 0 => rng.nextDouble() * math.pow(10, rng.nextInt(300) - 150)
+          case 1 => java.lang.Double.MIN_VALUE
+          case 2 => -0.0
+          case _ => rng.nextLong().toDouble
+        },
+        if (i % 11 == 0) null else randString(rng.nextInt(60)))
+    }
+    val df = rows.toDF("a", "b", "c")
+    val path = Files.createTempDirectory("sqlite").resolve("r.sqlite").toString
+    assert(SqliteSink.write(df, path, "t") == 400L)
+    val (integrity, n) = compareWithSqlite(path, "t", expectedCells(df))
+    assert(integrity == "ok" && n == 400)
   }
 
   test("sharded write: one valid sqlite shard per partition, all rows kept") {
