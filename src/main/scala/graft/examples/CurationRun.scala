@@ -1,0 +1,82 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.operators.{Dedup, Graph, Sampling}
+
+/** End-to-end training-data curation example — the LLM-pipeline side of the
+  * library composed the way a real curation run chains it:
+  *
+  *   corpus -> quality gate (length/repetition heuristics) ->
+  *   exact dedup (content hash) -> near-dup dedup (MinHash-LSH pairs ->
+  *   connected components -> keep cluster representative) ->
+  *   benchmark decontamination (broadcast eval-set shingles) ->
+  *   per-source weighted sample -> parquet + SQLite artifacts.
+  *
+  * Every stage is a DataFrame transformation: one job graph, Catalyst
+  * optimizes across stage boundaries, nothing collects to the driver.
+  *
+  * Run: sbt "runMain graft.examples.CurationRun [sfDir] [outDir]"
+  */
+object CurationRun {
+
+  /** The full curation flow; returns (kept corpus, per-stage counts). */
+  def curate(spark: SparkSession, docs: DataFrame, benchmark: DataFrame,
+             samplePerSource: Int = 100): (DataFrame, Map[String, Long]) = {
+    val stages = scala.collection.mutable.LinkedHashMap[String, Long]()
+    stages("input") = docs.count()
+
+    // 1. quality gate: drop empty/short docs and token-repetition spam
+    val toks = size(split(col("text"), " "))
+    val uniq = size(array_distinct(split(col("text"), " ")))
+    val quality = docs
+      .where(col("n_chars") >= 40 && toks >= 8)
+      .where(uniq.cast("double") / toks > 0.3)
+    stages("quality_gate") = quality.count()
+
+    // 2. exact dedup: keep min doc_id per identical content
+    val keepExact = Dedup.exactClusters(quality, "text", "doc_id")
+      .select(col("keep_id").as("doc_id"))
+    val exact = quality.join(keepExact, "doc_id")
+    stages("exact_dedup") = exact.count()
+
+    // 3. near-dup dedup: LSH pairs -> components -> drop non-representatives
+    val pairs = Dedup.minHashDupPairs(exact, "text", "doc_id",
+      shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
+    val dropNear = Graph.connectedComponents(pairs, "a_id", "b_id")
+      .where(col("id") =!= col("cluster_id")).select(col("id").as("doc_id"))
+    val nearDeduped = exact.join(dropNear, Seq("doc_id"), "left_anti")
+    stages("near_dedup") = nearDeduped.count()
+
+    // 4. decontamination against the benchmark slice
+    val contaminated = Dedup.decontaminate(nearDeduped, benchmark, "text", "doc_id",
+      shingleN = 5, minShared = 3).select(col("id").as("doc_id"))
+    val clean = nearDeduped.join(contaminated, Seq("doc_id"), "left_anti")
+    stages("decontaminated") = clean.count()
+
+    // 5. deterministic per-source weighted sample (longer docs favored)
+    val sampled = Sampling.weightedTopKPerGroup(
+      clean, Seq("source"), "doc_id", "n_chars", k = samplePerSource)
+    stages("sampled") = sampled.count()
+    (sampled, scala.collection.immutable.ListMap(stages.toSeq: _*))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val out = if (args.length > 1) args(1) else "/tmp/curation"
+    val spark = GraftSession.local()
+
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val benchmark = docs.where(col("source") === "src0")
+    val (kept, stages) = curate(spark, docs.where(col("source") =!= "src0"), benchmark)
+
+    stages.foreach { case (k, v) => println(f"[curate] $k%-16s $v%8d docs") }
+    kept.write.mode("overwrite").parquet(s"$out/corpus_parquet")
+    val n = graft.sources.SqliteSink.write(
+      kept.select("doc_id", "source", "n_chars", "smp_rank"), s"$out/corpus.sqlite", "corpus")
+    println(s"[curate] wrote $n rows to $out/corpus.sqlite + parquet")
+    spark.stop()
+  }
+}

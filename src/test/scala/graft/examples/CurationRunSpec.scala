@@ -1,0 +1,40 @@
+package graft.examples
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The curation example must actually curate: every stage monotonically
+  * shrinks the corpus, planted spam/dup/leak docs are removed, and clean
+  * docs survive to the sample.
+  */
+class CurationRunSpec extends SparkSpec {
+
+  test("stage funnel removes spam, dups, and benchmark leaks") {
+    import spark.implicits._
+    val benchSentence = "the held out benchmark sentence that must never leak into training"
+    // doc-unique token streams: no cross-doc shingle overlap except the
+    // planted duplicates below
+    def words(seed: Int, n: Int) = (0 until n).map(j => s"d${seed}w$j").mkString(" ")
+    val docs = (
+      (1 to 40).map(i => (i.toLong, words(i, 40), "srcA")) ++          // clean
+      Seq((101L, words(5, 40), "srcA")) ++                             // exact dup of doc 5
+      Seq((102L, words(7, 40) + " tok1", "srcB")) ++                   // near dup of doc 7
+      Seq((103L, ("spam " * 50).trim, "srcB")) ++                      // repetition spam
+      Seq((104L, "tiny", "srcB")) ++                                   // too short
+      Seq((105L, s"prefix $benchSentence suffix " + words(9, 20), "srcB")) // leak
+    ).toDF("doc_id", "text", "source").withColumn("n_chars", length(col("text")))
+    val bench = Seq((1000L, benchSentence)).toDF("doc_id", "text")
+
+    val (kept, stages) = CurationRun.curate(spark, docs, bench, samplePerSource = 1000)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    assert(stages("input") == 45L)
+    assert(stages("quality_gate") == 43L, s"spam/short not gated: $stages")
+    assert(stages("exact_dedup") == 42L, s"exact dup kept: $stages")
+    assert(stages("near_dedup") == 41L, s"near dup kept: $stages")
+    assert(stages("decontaminated") == 40L, s"leak kept: $stages")
+    assert(!keptIds.exists(Set(101L, 102L, 103L, 104L, 105L)), s"bad ids kept: $keptIds")
+    assert((1 to 40).map(_.toLong).toSet.subsetOf(keptIds))
+  }
+}
