@@ -20,9 +20,16 @@ object OracleProbe {
       println(s"DUMPED $n")
     }
     val sub = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
-    val json = sub.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n") + "\""
-    }.mkString("{", ",", "}")
+    // escape every control character, not just \n — one literal tab in an
+    // oracle string would otherwise emit invalid JSON
+    def jstr(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val json = sub.map { case (k, v) => "\"" + jstr(k) + "\":\"" + jstr(v) + "\"" }
+      .mkString("{", ",", "}")
     val w = new java.io.PrintWriter(s"$outDir/oracle_sql.json"); w.write(json); w.close()
     spark.stop()
   }

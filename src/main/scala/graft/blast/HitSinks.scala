@@ -65,8 +65,14 @@ object HitSinks {
                   deflines: Option[DataFrame] = None): Long = {
     val base = hits.toDF()
     val withDef = deflines match {
-      case Some(d) => base.join(d.select(col("queryId"), col("qIdDef")), Seq("queryId"), "left")
-        .withColumn("qIdDef", coalesce(col("qIdDef"), lit("")))
+      case Some(d) =>
+        // one defline per queryId, deterministically (min), mirroring the
+        // reference's dict lookup — a raw left join would DUPLICATE every
+        // hit of a queryId that appears twice in the defline source
+        val uniq = d.select(col("queryId"), col("qIdDef"))
+          .groupBy("queryId").agg(min("qIdDef").as("qIdDef"))
+        base.join(uniq, Seq("queryId"), "left")
+          .withColumn("qIdDef", coalesce(col("qIdDef"), lit("")))
       case None => base.withColumn("qIdDef", lit(""))
     }
     val ordered = withDef.select(

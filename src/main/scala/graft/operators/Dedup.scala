@@ -276,7 +276,13 @@ object Dedup {
                     idCol: String, shingleN: Int = 5, minShared: Int = 3): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val bench = shingles(benchmark, textCol, idCol, shingleN).select("sh").distinct()
-    shingles(docs, textCol, idCol, shingleN)
+    // corpus side: per-doc distinct via a NARROW array_distinct — a global
+    // (id, shingle) distinct would shuffle the whole exploded corpus, the
+    // exact cost this operator's contract rules out; per-doc distinct is
+    // the same set since the dedup key includes the id anyway
+    tokenized(docs, textCol, idCol, shingleN)
+      .select(col("id"),
+        explode(expr(s"array_distinct(${shingleArrayExpr(shingleN)})")).as("sh"))
       .join(broadcast(bench), "sh")
       .groupBy("id").agg(count(lit(1)).as("n_shared")) // doc shingles are distinct
       .where(col("n_shared") >= minShared)

@@ -61,6 +61,11 @@ object SqliteFile {
         while (i >= 0) { b(i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
         bodies += b; serial.toLong
       case v: Double =>
+        // SQLite stores NaN as NULL by design: a NaN written as serial-7
+        // bits reads back as NULL, indistinguishable from a true NULL.
+        // Reject loudly rather than corrupt silently.
+        require(!v.isNaN, "SqliteFile: NaN doubles read back as NULL in SQLite; " +
+          "filter or coalesce them before the sink")
         val bits = java.lang.Double.doubleToLongBits(v)
         val b = new Array[Byte](8)
         var i = 7; var x = bits
@@ -129,8 +134,6 @@ object SqliteFile {
       used = 0
     }
     for ((key, cell) <- cells) {
-      require(cell.length <= MaxLocalPayload + 13,
-        s"cell of ${cell.length}B needs overflow pages (unsupported)")
       if (used + cell.length + 2 > PageSize - headerLen) flush()
       pending += ((key, cell)); used += cell.length + 2
     }
@@ -138,8 +141,29 @@ object SqliteFile {
     out.toSeq
   }
 
-  /** Build a table b-tree bottom-up from leaf cells; returns root page no. */
-  private def buildTree(store: PageStore, leafCells: Seq[(Long, Array[Byte])]): Int = {
+  /** Split a b-tree level into interior-page groups of at most `fanout`
+    * children, never leaving a trailing group of ONE: an interior page's
+    * cells are all children but the last (the rightmost pointer), so a
+    * 1-child group would emit a ZERO-cell page, which sqlite3 rejects as a
+    * malformed database. When the level size is 1 mod fanout, the last
+    * child of the penultimate group moves to the final group instead.
+    */
+  private def interiorGroups[A](level: Seq[A], fanout: Int): Seq[Seq[A]] = {
+    val gs = level.grouped(fanout).toSeq
+    if (gs.length >= 2 && gs.last.length == 1) {
+      val penult = gs(gs.length - 2)
+      gs.dropRight(2) :+ penult.dropRight(1) :+ (penult.takeRight(1) ++ gs.last)
+    } else gs
+  }
+
+  /** Build a table b-tree bottom-up from leaf cells; returns root page no.
+    * `interiorFanout` is the max children per interior page (the default
+    * keeps pages comfortably under a 4096B page; tests shrink it to reach
+    * the multi-level grouping paths with small inputs).
+    */
+  private def buildTree(store: PageStore, leafCells: Seq[(Long, Array[Byte])],
+                        interiorFanout: Int): Int = {
+    require(interiorFanout >= 2, "interior pages need at least 2 children")
     if (leafCells.isEmpty) { // empty table: one empty leaf root
       val (no, p) = store.alloc()
       p(0) = 0x0d
@@ -151,7 +175,7 @@ object SqliteFile {
       // interior cells reference all children but the last, which becomes
       // the page's rightmost pointer
       val next = new ArrayBuffer[(Int, Long)]()
-      val groups = level.grouped(200).toSeq
+      val groups = interiorGroups(level, interiorFanout)
       for (g <- groups) {
         val cells = g.dropRight(1).map { case (child, maxKey) =>
           val b = new java.io.ByteArrayOutputStream()
@@ -183,7 +207,7 @@ object SqliteFile {
     * Returns the row count.
     */
   def write(path: String, table: String, columnDdl: Seq[String],
-            rows: Iterator[Seq[Any]]): Long = {
+            rows: Iterator[Seq[Any]], interiorFanout: Int = 200): Long = {
     val store = new PageStore
     store.alloc() // reserve page 1 for header + sqlite_master
     var rowid = 0L
@@ -191,11 +215,19 @@ object SqliteFile {
     rows.foreach { r =>
       rowid += 1
       val payload = record(r)
+      // SQLite's table-leaf spill rule: a PAYLOAD above usable-35 bytes
+      // must use overflow pages (unsupported here). The threshold is on
+      // the payload, not the whole cell — a cell-length check would let
+      // payloads of 4062..4071B through and sqlite3 would then read the
+      // cell's tail as an overflow-page pointer (malformed database).
+      require(payload.length <= MaxLocalPayload,
+        s"row $rowid: record payload of ${payload.length}B exceeds the " +
+          s"$MaxLocalPayload-byte no-overflow limit of this minimal writer")
       val b = new java.io.ByteArrayOutputStream()
       b.write(varint(payload.length)); b.write(varint(rowid)); b.write(payload)
       leafCells += ((rowid, b.toByteArray))
     }
-    val root = buildTree(store, leafCells.toSeq)
+    val root = buildTree(store, leafCells.toSeq, interiorFanout)
 
     // page 1: 100B header + sqlite_master leaf holding the single DDL row
     val ddl = s"CREATE TABLE $table (${columnDdl.mkString(", ")})"

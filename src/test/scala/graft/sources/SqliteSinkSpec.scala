@@ -160,6 +160,75 @@ class SqliteSinkSpec extends SparkSpec {
     assert(integrity == "ok" && n == 400)
   }
 
+  test("interior levels of size 1 mod fanout stay valid (no zero-cell pages)") {
+    // fanout 4: 5 and 9 leaf pages -> trailing 1-child groups without the
+    // rebalance; both must pass integrity_check and return every row
+    for (targetLeaves <- Seq(5, 9, 17)) {
+      val rows = (1 to targetLeaves * 38).map(i => Seq[Any](i.toLong, "x" * 90))
+      val path = Files.createTempDirectory("sqlite").resolve(s"l$targetLeaves.sqlite").toString
+      val n = SqliteFile.write(path, "t", Seq("a BIGINT", "b VARCHAR(90)"),
+        rows.iterator, interiorFanout = 4)
+      assert(n == targetLeaves * 38)
+      val script =
+        s"""import sqlite3
+           |con = sqlite3.connect('$path')
+           |print(con.execute('PRAGMA integrity_check').fetchone()[0])
+           |print(con.execute('SELECT COUNT(*), MIN(a), MAX(a) FROM t').fetchone())
+           |""".stripMargin
+      val f = Files.createTempFile("treeread", ".py")
+      Files.write(f, script.getBytes("UTF-8"))
+      val proc = new ProcessBuilder("python3", f.toString).redirectErrorStream(true).start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+      assert(proc.waitFor() == 0 && out.head == "ok",
+        s"leaves=$targetLeaves: ${out.mkString("\n")}")
+      assert(out(1) == s"(${targetLeaves * 38}, 1, ${targetLeaves * 38})")
+    }
+  }
+
+  test("payloads over the no-overflow limit and NaN doubles fail loudly") {
+    import spark.implicits._
+    val okPath = Files.createTempDirectory("sqlite").resolve("ok.sqlite").toString
+    // payload = header(3) + string; 4058 chars -> 4061B payload: max legal
+    SqliteFile.write(okPath, "t", Seq("s VARCHAR"), Iterator(Seq[Any]("x" * 4058)))
+    val (i1, n1) = compareWithSqlite(okPath, "t", Seq(Seq("x" * 4058)))
+    assert(i1 == "ok" && n1 == 1)
+    // one char more spills into overflow territory -> loud failure, and in
+    // particular NOT a silently corrupt file
+    val ex = intercept[IllegalArgumentException] {
+      SqliteFile.write(Files.createTempDirectory("sqlite").resolve("big.sqlite").toString,
+        "t", Seq("s VARCHAR"), Iterator(Seq[Any]("x" * 4059)))
+    }
+    assert(ex.getMessage.contains("no-overflow"), ex.getMessage)
+    val nan = intercept[IllegalArgumentException] {
+      SqliteFile.write(Files.createTempDirectory("sqlite").resolve("nan.sqlite").toString,
+        "t", Seq("d DOUBLE"), Iterator(Seq[Any](Double.NaN)))
+    }
+    assert(nan.getMessage.contains("NaN"), nan.getMessage)
+  }
+
+  test("duplicate deflines do not duplicate hits") {
+    import spark.implicits._
+    import graft.model.SavedHit
+    val hits = (1 to 10).map(i => SavedHit(i.toLong, s"s$i", 99.0, 100, 1, 1,
+      1, 10, 1, 10, 0.5, 50.0, None, None)).toDS()
+    val dupDefs = Seq((1L, "zz_late"), (1L, "aa_first"), (2L, "only"))
+      .toDF("queryId", "qIdDef")
+    val path = Files.createTempDirectory("sqlite").resolve("d.sqlite").toString
+    assert(graft.blast.HitSinks.writeSqlite(hits, path, Some(dupDefs)) == 10L)
+    val script =
+      s"""import sqlite3
+         |con = sqlite3.connect('$path')
+         |print(con.execute('SELECT COUNT(*) FROM hits').fetchone()[0])
+         |print(con.execute('SELECT qIdDef FROM hits WHERE qId = 1').fetchone()[0])
+         |""".stripMargin
+    val f = Files.createTempFile("defread", ".py")
+    Files.write(f, script.getBytes("UTF-8"))
+    val proc = new ProcessBuilder("python3", f.toString).redirectErrorStream(true).start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+    assert(proc.waitFor() == 0, out.mkString("\n"))
+    assert(out == List("10", "aa_first"), s"got $out") // deterministic min, no row blow-up
+  }
+
   test("sharded write: one valid sqlite shard per partition, all rows kept") {
     val df = hitsDf(1000).repartition(4)
     val dir = Files.createTempDirectory("sqlite_shards").toString
