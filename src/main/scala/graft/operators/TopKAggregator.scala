@@ -43,8 +43,12 @@ class TopKAggregator[T](k: Int, ord: Ordering[T])(implicit seqEnc: Encoder[Seq[T
   override def finish(buf: mutable.PriorityQueue[T]): Seq[T] =
     buf.dequeueAll.reverse // dequeue yields worst..best; reverse to best-first
 
+  // kryo, not javaSerialization: every map-side partial buffer crosses the
+  // shuffle, and java reflection-serializes the queue internals, the
+  // captured Ordering closure, and each T — several times the bytes and
+  // CPU, plus a quiet java-Serializable requirement on T and the Ordering
   override def bufferEncoder: Encoder[mutable.PriorityQueue[T]] =
-    Encoders.javaSerialization[mutable.PriorityQueue[T]]
+    Encoders.kryo[mutable.PriorityQueue[T]]
 
   override def outputEncoder: Encoder[Seq[T]] = seqEnc
 }

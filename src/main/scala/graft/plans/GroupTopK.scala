@@ -88,7 +88,22 @@ object GroupTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
         case _ => false
       }))
       val restReferencesRank = rest.exists(_.references.contains(rnk))
-      if (limits.isEmpty || restReferencesRank || limits.min > MaxK || limits.min < 1) f
+      // float/double group keys would be compared by raw UnsafeRow bytes
+      // here, splitting 0.0 from -0.0 (and NaN bit patterns): Spark's
+      // NormalizeFloatingNumbers rule normalizes Window partition keys but
+      // runs AFTER this batch and knows nothing about GroupTopKNode, so the
+      // rewrite keeps SQL group semantics by not firing on floating keys
+      def hasFloat(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+        case org.apache.spark.sql.types.FloatType |
+             org.apache.spark.sql.types.DoubleType => true
+        case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasFloat(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType => hasFloat(a.elementType)
+        case m: org.apache.spark.sql.types.MapType => hasFloat(m.keyType) || hasFloat(m.valueType)
+        case _ => false
+      }
+      val floatingKeys = partitionSpec.exists(e => hasFloat(e.dataType))
+      if (limits.isEmpty || restReferencesRank || floatingKeys ||
+          limits.min > MaxK || limits.min < 1) f
       else {
         val topk = GroupTopKNode(partitionSpec, orderSpec, limits.min, rnk, child)
         if (rest.isEmpty) topk
@@ -170,6 +185,11 @@ case class GroupTopKFinalExec(
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupExprs) :: Nil
+  // rows pass through grouped as they arrived: advertise the child's
+  // (hash-on-groupExprs) partitioning so a downstream same-key aggregate
+  // reuses the exchange instead of inserting a second full shuffle
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] = {
     val groupE = groupExprs
     val sortE = sortOrder

@@ -34,10 +34,16 @@ class BinHitsDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     BinHitsDataSource.schema(options.getBoolean("classifier", false))
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new BinHitsTable(properties.get("path"),
-      "true".equalsIgnoreCase(properties.getOrDefault("classifier", "false")),
-      properties.asScala.get("maxSplitBytes").map(_.toLong).getOrElse(4L << 20))
+                        properties: util.Map[String, String]): Table = {
+    // read through CaseInsensitiveStringMap, matching inferSchema — raw
+    // map lookups are case-SENSITIVE, so .option("CLASSIFIER", "true")
+    // would otherwise split the schema (classifier) from the decoder
+    // (generic) and misread 120-byte records as 104-byte ones
+    val opts = new CaseInsensitiveStringMap(properties)
+    new BinHitsTable(opts.get("path"),
+      opts.getBoolean("classifier", false),
+      Option(opts.get("maxSplitBytes")).map(_.toLong).getOrElse(4L << 20))
+  }
 }
 
 object BinHitsDataSource {
@@ -65,6 +71,11 @@ object BinHitsDataSource {
 class BinHitsTable(path: String, classifier: Boolean, maxSplitBytes: Long)
     extends Table with SupportsRead {
   require(path != null, "binhits source requires a path")
+  // readers buffer one split as a single Array[Byte]; a split at or above
+  // 2GB would overflow the array size (negative-size or short-buffer
+  // corruption), so reject it at table construction
+  require(maxSplitBytes > 0 && maxSplitBytes < Int.MaxValue,
+    s"maxSplitBytes must be in (0, ${Int.MaxValue}), got $maxSplitBytes")
   override def name(): String = s"binhits:$path"
   override def schema(): StructType = BinHitsDataSource.schema(classifier)
   override def capabilities(): util.Set[TableCapability] =
@@ -85,17 +96,22 @@ class BinHitsScan(path: String, classifier: Boolean, maxSplitBytes: Long,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  // captured at planning time so read tasks see the SAME session hadoop
+  // settings (credentials etc.) the driver planned with
+  private val serConf = new SerializableHadoopConf(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
   override def planInputPartitions(): Array[InputPartition] = {
     val recSz = BinHits.recordSize(classifier)
     // record-aligned split size: the largest multiple of recordSize under
     // maxSplitBytes, so no record ever straddles two tasks
     val split = math.max(recSz.toLong, maxSplitBytes / recSz * recSz)
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val p = new Path(path)
-    val fs = p.getFileSystem(conf)
+    val fs = p.getFileSystem(serConf.value)
     val files =
       if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".bin"))
+        fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".bin") &&
+          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
       else Array(fs.getFileStatus(p))
     files.sortBy(_.getPath.toString).flatMap { st =>
       require(st.getLen % recSz == 0,
@@ -107,27 +123,28 @@ class BinHitsScan(path: String, classifier: Boolean, maxSplitBytes: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BinHitsReaderFactory(classifier, required)
+    new BinHitsReaderFactory(classifier, required, serConf)
 }
 
 case class BinHitsInputPartition(file: String, offset: Long, length: Long)
     extends InputPartition
 
-class BinHitsReaderFactory(classifier: Boolean, required: StructType)
+class BinHitsReaderFactory(classifier: Boolean, required: StructType,
+                           conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BinHitsInputPartition]
-    new BinHitsPartitionReader(p, classifier, required)
+    new BinHitsPartitionReader(p, classifier, required, conf)
   }
 }
 
 class BinHitsPartitionReader(part: BinHitsInputPartition, classifier: Boolean,
-                             required: StructType) extends PartitionReader[InternalRow] {
+                             required: StructType, conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
   private val recSz = BinHits.recordSize(classifier)
   private val buf: ByteBuffer = {
-    val conf = new org.apache.hadoop.conf.Configuration()
     val p = new Path(part.file)
-    val in = p.getFileSystem(conf).open(p)
+    val in = p.getFileSystem(conf.value).open(p)
     val bytes = new Array[Byte](part.length.toInt)
     try in.readFully(part.offset, bytes) finally in.close()
     ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)

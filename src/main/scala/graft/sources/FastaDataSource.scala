@@ -24,8 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * arbitrary lines, so byte-split parallelism would cut records; the
   * reference solves this with an offline index + range reads — that path is
   * [[Fasta.index]] + [[Fasta.readRange]], and this source is the
-  * convenience full-scan). Column pruning is pushed into the reader: a
-  * `select(defline)` never materializes sequence strings.
+  * convenience full-scan). Column pruning skips the UTF8String conversion
+  * of unselected columns; the parse itself still assembles each record (so
+  * a defline-only scan saves row width, not parse work). Files are buffered
+  * whole per task and must be < 2 GB — the index + range-read path is the
+  * one that scales to the multi-GB databases the reference ships.
   */
 class FastaDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "fasta"
@@ -69,46 +72,61 @@ class FastaScan(path: String, required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  private val serConf = new SerializableHadoopConf(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
   override def planInputPartitions(): Array[InputPartition] = {
     // enumerate files on the driver (metadata-sized); one task per file —
-    // the same unit of sequential parse the reference's mmap gives it
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    // the same unit of sequential parse the reference's mmap gives it.
+    // Hidden/metadata names (_SUCCESS, dotfiles) are skipped, matching
+    // Spark's own FileIndex — they are not FASTA.
     val p = new Path(path)
-    val fs = p.getFileSystem(conf)
+    val fs = p.getFileSystem(serConf.value)
     // fully-qualified URIs ("file:/...") so the `file` column matches what
     // RDD-based readers (binaryFiles) report for the same input
     val files =
       if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.isFile).map(s => fs.makeQualified(s.getPath).toString).sorted
+        fs.listStatus(p).filter(s => s.isFile &&
+            !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+          .map(s => fs.makeQualified(s.getPath).toString).sorted
       else Array(fs.makeQualified(p).toString)
     files.map(f => FastaInputPartition(f): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FastaReaderFactory(required)
+    new FastaReaderFactory(required, serConf)
 }
 
 case class FastaInputPartition(file: String) extends InputPartition
 
-class FastaReaderFactory(required: StructType) extends PartitionReaderFactory {
+class FastaReaderFactory(required: StructType, conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new FastaPartitionReader(partition.asInstanceOf[FastaInputPartition].file, required)
+    new FastaPartitionReader(partition.asInstanceOf[FastaInputPartition].file,
+      required, conf)
 }
 
 /** Streams one file's records through the shared [[Fasta.parseFile]] parser,
   * projecting only the pruned columns.
   */
-class FastaPartitionReader(file: String, required: StructType)
+class FastaPartitionReader(file: String, required: StructType,
+                           conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private val records = {
-    val conf = new org.apache.hadoop.conf.Configuration()
     val p = new Path(file)
-    val fs = p.getFileSystem(conf)
+    val fs = p.getFileSystem(conf.value)
     val in = fs.open(p)
     val bytes = try {
-      val len = fs.getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](len)
+      val len = fs.getFileStatus(p).getLen
+      // whole-file buffering: a silent .toInt would TRUNCATE a >2GB file
+      // (or wrap negative) and drop records without any error — fail
+      // loudly and route big inputs to the index + range-read path
+      require(len <= Int.MaxValue - 8,
+        s"FASTA file $file is $len bytes; this full-scan source buffers " +
+          "whole files (< 2 GB). Use Fasta.index + Fasta.readRange for " +
+          "larger inputs — that is the scale path.")
+      val buf = new Array[Byte](len.toInt)
       in.readFully(0, buf)
       buf
     } finally in.close()

@@ -1,0 +1,24 @@
+package graft.sources
+
+import java.io.{ObjectInputStream, ObjectOutputStream}
+
+import org.apache.hadoop.conf.Configuration
+
+/** Executor-shippable Hadoop configuration. DSv2 readers must see the
+  * SESSION's `spark.hadoop.*` settings (object-store credentials,
+  * filesystem impls, timeouts) — a bare `new Configuration()` built on the
+  * executor reads only classpath XML, so a source that plans fine on the
+  * driver would fail (or silently use defaults) in every read task.
+  * Standard Hadoop write/readFields serialization proxy.
+  */
+class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}

@@ -72,6 +72,27 @@ class GroupTopKSpec extends SparkSpec {
     assert(!huge.queryExecution.executedPlan.toString.contains("GroupTopKFinal"))
   }
 
+  test("floating-point group keys keep the window form (0.0 vs -0.0)") {
+    // byte-equality grouping would split 0.0 from -0.0; Spark's
+    // NormalizeFloatingNumbers only fixes Window keys, so the rewrite must
+    // not fire — and the answer must treat them as ONE group
+    val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (1.5, 4L)).toDF("g", "id")
+    val w = Window.partitionBy("g").orderBy(col("id"))
+    val got = df.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 1)
+    assert(!got.queryExecution.executedPlan.toString.contains("GroupTopKFinal"),
+      "rewrite fired on a double group key")
+    assert(got.count() == 2, "0.0 and -0.0 must be one group")
+  }
+
+  test("final exec advertises its partitioning: same-key agg reuses the exchange") {
+    val agged = windowed(data, 3).groupBy("g").agg(count(lit(1)).as("c"))
+    val plan = agged.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupTopKFinal"), s"no rewrite in:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected ONE hash exchange (reused below the agg), got $exchanges:\n$plan")
+  }
+
   test("global row_number (no partition) keeps the window form") {
     val w = Window.orderBy(col("score").desc, col("id"))
     val got = data.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 5)

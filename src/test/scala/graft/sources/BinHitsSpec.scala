@@ -66,6 +66,20 @@ class BinHitsSpec extends SparkSpec {
     assert(percs.nonEmpty && percs.forall(p => p >= 0 && p <= 100.0001))
   }
 
+  test("DataSource V2: options are case-insensitive; bad maxSplitBytes fails loudly") {
+    // differently-cased option must select the SAME decoder as the schema —
+    // a case-sensitive lookup would decode 120-byte records as 104-byte ones
+    val upper = spark.read.format("binhits").option("CLASSIFIER", "true").load(classifierDir)
+    val lower = spark.read.format("binhits").option("classifier", "true").load(classifierDir)
+    assert(upper.columns.toSeq == lower.columns.toSeq)
+    assert(upper.count() == lower.count())
+    val ex = intercept[Exception] {
+      spark.read.format("binhits")
+        .option("maxSplitBytes", (3L << 30).toString).load(classifierDir).count()
+    }
+    assert(ex.getMessage.contains("maxSplitBytes"), ex.getMessage)
+  }
+
   test("distributed read + partitioned write roundtrip") {
     val ds = BinHits.read(spark, genericDir, classifier = false)
     assert(ds.count() == 99 + 227) // two golden part files

@@ -41,6 +41,17 @@ class FastaSpec extends SparkSpec {
     assert(df.select("file").distinct().count() >= 2)
   }
 
+  test("DataSource V2: hidden and metadata files in a directory are ignored") {
+    val src = s"$refDir/examples/test/generic-test/query/30_real_seqs.fa"
+    val dir = java.nio.file.Files.createTempDirectory("fasta_hidden")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src), dir.resolve("a.fa"))
+    java.nio.file.Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
+    java.nio.file.Files.write(dir.resolve(".hidden"), ">fake\nACGT\n".getBytes)
+    val df = spark.read.format("fasta").load(dir.toString)
+    assert(df.select("file").distinct().count() == 1, "metadata files parsed as FASTA")
+    assert(df.count() == spark.read.format("fasta").load(src).count())
+  }
+
   test("index matches the USERGUIDE's documented offsets/lengths for 100.query") {
     import spark.implicits._
     val idx = Fasta.index(Fasta.read(spark, query100), startUid = 1, fullDefline = true)
