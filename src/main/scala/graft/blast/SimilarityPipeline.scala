@@ -165,6 +165,8 @@ object SimilarityPipeline {
     */
   def runIterations(queries: Dataset[Query], corpus: Dataset[Subject],
                     kernel: SimilarityKernel, numHitCutoff: Int, numIter: Int): DataFrame = {
+    // numIter = 0 would otherwise surface as an opaque empty.reduce crash
+    require(numIter >= 1, s"numIter must be >= 1, got $numIter")
     val spark = queries.sparkSession
     import spark.implicits._
     val dbNos = corpus.select("dbNo").distinct().as[Int].collect().sorted

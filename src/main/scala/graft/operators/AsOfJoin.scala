@@ -32,6 +32,12 @@ object AsOfJoin {
   def asOfLeft(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
                payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    // a payload name that already exists on the left would silently
+    // OVERWRITE the left column with the matched right value (or null)
+    val clash = payloadCols.filter(leftCols.contains)
+    require(clash.isEmpty,
+      s"payloadCols ${clash.mkString(", ")} collide with left columns — " +
+        "rename the right-side payload (e.g. .withColumnRenamed) first")
     val payload = struct(payloadCols.map(col): _*)
     val lTagged = left.withColumn("_side", lit(1))
       .withColumn("_payload", lit(null).cast(

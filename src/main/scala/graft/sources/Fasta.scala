@@ -39,7 +39,10 @@ object Fasta {
           case -1 => text.length
           case i  => i
         }
-        val defline = text.substring(start, defEnd)
+        // CRLF files: the '\r' before the newline is line-ending, not
+        // defline content (the reference's text-mode readline strips it);
+        // keeping it would silently break defline equality joins
+        val defline = text.substring(start, defEnd).stripSuffix("\r")
         val seq = text.substring(math.min(defEnd + 1, nextRec), nextRec)
           .filterNot(c => c == '\n' || c == '\r')
         val rec = FastaRecord(file, ord, defline, seq, start.toLong, seq.length)
@@ -86,13 +89,22 @@ object Fasta {
   def readRange(spark: SparkSession, file: String, offset: Long, endOffset: Long): Dataset[FastaRecord] = {
     import spark.implicits._
     require(endOffset >= offset, s"bad range [$offset, $endOffset)")
+    // session hadoop conf captured DRIVER-side: an executor's bare
+    // Configuration() sees only classpath XML, not spark.hadoop.* settings
+    val serConf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     // flatMap over the single row (NOT mapPartitions: that closure runs on
     // every partition, empty ones included, duplicating the read)
     spark.range(1).flatMap { _ =>
-      val conf = new org.apache.hadoop.conf.Configuration()
       val path = new org.apache.hadoop.fs.Path(file)
-      val fs = path.getFileSystem(conf)
+      val fs = path.getFileSystem(serConf.value)
       val end = math.min(endOffset, fs.getFileStatus(path).getLen)
+      // blocks are ~1 Mbp by construction; a clamped range can still reach
+      // the end of a huge file, and a silent .toInt would return EMPTY (or
+      // truncated) data on > 2GB spans — fail loudly instead
+      require(end - offset <= Int.MaxValue - 8,
+        s"range [$offset, $end) of $file spans ${end - offset} bytes; " +
+          "one block read buffers its span whole (< 2 GB) — split the " +
+          "range on record boundaries from the index")
       val len = (end - offset).toInt // one BLOCK (~1 Mbp), not one file
       val buf = new Array[Byte](math.max(len, 0))
       val in = fs.open(path)
@@ -159,10 +171,21 @@ object Fasta {
       }
     }.toDF("file", "parentOrd", "winOrd", "deflineTpl", "sequence")
     // global serial cid in (file, parent, window) order — reference assigns
-    // it sequentially during its single-process scan.
-    val w = Window.orderBy("file", "parentOrd", "winOrd")
+    // it sequentially during its single-process scan. Two-level form (the
+    // Segmentation.distributedBlocks pattern): a global no-partition window
+    // here would single-partition-sort every row INCLUDING the sequence
+    // chunks; instead only the per-parent COUNTS (metadata-sized, one row
+    // per parent sequence) take the sequential scan, and the offsets
+    // broadcast-join back — chunk payloads never cross a global sort.
+    val counts = windows.groupBy("file", "parentOrd").agg(count(lit(1)).as("_wc"))
+    val offs = counts.withColumn("_poff", coalesce(
+        sum("_wc").over(Window.orderBy("file", "parentOrd")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("file"), col("parentOrd"), col("_poff"))
     windows
-      .withColumn("cid", row_number().over(w).cast("long"))
+      .join(broadcast(offs), Seq("file", "parentOrd"))
+      .withColumn("cid", (col("_poff") + col("winOrd") + 1).cast("long"))
+      .drop("_poff")
       .withColumn("defline", regexp_replace(col("deflineTpl"), lit("_CID_"), concat(lit("_"), col("cid"), lit("_"))))
       .withColumn("bpLen", length(col("sequence")).cast("int"))
       .select(col("file"), (col("cid") - 1).as("ord"), col("defline"), col("sequence"),

@@ -118,7 +118,14 @@ object EventStreams {
             val sec = e.ts.getTime / 1000
             cur match {
               case Some(s) if sec - s.lastSec <= gapSec =>
-                cur = Some(s.copy(lastSec = sec, nEvents = s.nEvents + 1, sumValue = s.sumValue + e.value))
+                // a LATE (within-watermark) event must not move lastSec
+                // backward — that would shorten the event-time timeout and
+                // split sessions the batch twin merges; it can however
+                // extend the session's recorded start backward
+                cur = Some(s.copy(
+                  sessionStartSec = math.min(s.sessionStartSec, sec),
+                  lastSec = math.max(s.lastSec, sec),
+                  nEvents = s.nEvents + 1, sumValue = s.sumValue + e.value))
               case Some(s) =>
                 closed += SessionOut(userId, s.sessionStartSec, s.lastSec, s.nEvents, s.sumValue)
                 cur = Some(SessionState(sec, sec, 1, e.value))
