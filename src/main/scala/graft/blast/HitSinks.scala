@@ -14,11 +14,21 @@ import graft.sources.BinHits
 object HitSinks {
 
   /** C/Python-style "%.3g": 3 significant digits, trailing zeros trimmed —
-    * Java's %g keeps trailing zeros, so post-process. Used only at the sink
-    * (formatting, not compute).
+    * Java's %g keeps trailing zeros, so post-process. Rounding parity:
+    * C/printf and Python round half-to-EVEN while Java's %g rounds
+    * HALF_UP, so exactly-representable ties at the 4th significant digit
+    * (93.25 -> "93.2", not "93.3") are resolved through an exact BigDecimal
+    * half-even round FIRST; Java then only formats an already-3-digit
+    * value. Used only at the sink (formatting, not compute).
     */
   def formatG3(x: Double): String = {
-    val s = "%.3g".format(x)
+    if (x.isNaN || x.isInfinite) return x.toString
+    val rounded =
+      if (x == 0.0) x
+      else new java.math.BigDecimal(x) // exact binary expansion, like printf sees
+        .round(new java.math.MathContext(3, java.math.RoundingMode.HALF_EVEN))
+        .doubleValue()
+    val s = "%.3g".format(rounded)
     if (s.contains('e')) {
       val Array(m, e) = s.split('e')
       val m2 = if (m.contains('.')) m.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else m

@@ -35,10 +35,15 @@ object Bucketing {
 
   /** True when the physical plan of `df` contains no shuffle Exchange
     * (broadcast exchanges don't count — they're not the quadratic cost).
+    * Matches EVERY ShuffleExchange partitioning (hash, range, single,
+    * round-robin): a check listing only hash/range would certify
+    * `repartition(n)` or a global aggregate as "shuffle-free".
     */
   def isShuffleFree(df: DataFrame): Boolean = {
     val plan = df.queryExecution.executedPlan.toString
-    !plan.contains("Exchange hashpartitioning") && !plan.contains("Exchange rangepartitioning")
+    // \bExchange\b matches "Exchange <any partitioning>" but NOT
+    // "BroadcastExchange" (no word boundary inside the compound name)
+    "\\bExchange\\b".r.findFirstIn(plan).isEmpty
   }
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)

@@ -27,12 +27,20 @@ object Multimodal {
     * harness synthesizes them from text so every stage downstream is
     * exercised with realistic shapes.
     */
-  def withPayload(df: DataFrame, srcCol: String, mime: String = "application/octet-stream"): DataFrame =
-    df.withColumn("payload", encode(col(srcCol).cast("string"), "UTF-8"))
+  def withPayload(df: DataFrame, srcCol: String, mime: String = "application/octet-stream"): DataFrame = {
+    // binary sources pass through UNTOUCHED: casting bytes through a Java
+    // String replaces invalid UTF-8 sequences with U+FFFD, so nBytes/sha
+    // would describe different bytes than the source
+    val payload = df.schema(srcCol).dataType match {
+      case org.apache.spark.sql.types.BinaryType => col(srcCol)
+      case _ => encode(col(srcCol).cast("string"), "UTF-8")
+    }
+    df.withColumn("payload", payload)
       .withColumn("meta", struct(
         lit(mime).as("mime"),
         octet_length(col("payload")).cast("long").as("nBytes"),
         sha2(col("payload"), 256).as("sha")))
+  }
 
   /** STUB decoder — deterministic pseudo-decode of a payload. A real
     * deployment replaces this body with an actual codec call (e.g. JNI to
@@ -70,22 +78,40 @@ object Multimodal {
   /** Batched decode: one decoder "handle" per partition (constructed once,
     * like the reference's per-worker DB handle, A8/O9), rows streamed
     * through it. Output schema: input columns + width/height/channels/
-    * features.
+    * features — one output row PER input row, appended in place (the former
+    * decode-then-rejoin formulation paid a shuffle, duplicated rows under
+    * non-unique ids, and crashed on non-numeric ids). NULL payloads decode
+    * to NULL metadata instead of failing the task.
     */
-  def decodePartitioned(df: DataFrame, payloadCol: String, idCol: String): DataFrame = {
+  def decodePartitioned(df: DataFrame, payloadCol: String): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
-    val decoded: Dataset[(Long, Int, Int, Int, Array[Float])] =
-      df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
-        .mapPartitions { it =>
-          val decoder = FakeDecoder // per-partition handle; real codecs init here
-          it.map { case (id, bytes) =>
-            val d = decoder.decode(bytes)
-            (id, d.width, d.height, d.channels, d.features)
-          }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val outSchema = df.schema
+      .add("width", IntegerType).add("height", IntegerType)
+      .add("channels", IntegerType)
+      .add("features", ArrayType(FloatType, containsNull = false))
+    val rows = df.rdd.mapPartitions { it =>
+      val decoder = FakeDecoder // per-partition handle; real codecs init here
+      it.map { r =>
+        val bytes = r.get(payloadIdx).asInstanceOf[Array[Byte]]
+        if (bytes == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
+        else {
+          val d = decoder.decode(bytes)
+          Row.fromSeq(r.toSeq ++ Seq(d.width, d.height, d.channels, d.features.toSeq))
         }
-    df.join(decoded.toDF(idCol, "width", "height", "channels", "features"), idCol)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
   }
+
+  /** Former signature; `idCol` is no longer needed (decode appends in
+    * place, no rejoin).
+    */
+  @deprecated("use decodePartitioned(df, payloadCol) — idCol is unused", "round 3")
+  def decodePartitioned(df: DataFrame, payloadCol: String, idCol: String): DataFrame =
+    decodePartitioned(df, payloadCol)
 
   /** Resize step over decoded media rows: rescales the (width, height)
     * metadata to fit `targetW` x `targetH` preserving aspect ratio, and
@@ -108,10 +134,18 @@ object Multimodal {
   /** Frame sampling for "video" payloads: slice every `stride`-th
     * `frameBytes`-sized byte range — the (offset,len) block-slicing pattern
     * of the reference applied to a binary column. Pure Catalyst expressions.
+    * Only FULL frames are emitted: the last index is the largest i with
+    * i*frameBytes*stride + frameBytes <= length (the former len/(fb*stride)
+    * bound dropped a valid tail frame whenever len mod (fb*stride) >= fb),
+    * and payloads shorter than one frame emit no rows at all rather than a
+    * phantom truncated frame.
     */
-  def sampleFrames(df: DataFrame, payloadCol: String, frameBytes: Int, stride: Int): DataFrame =
-    df.withColumn("frame_idx",
-        explode(expr(s"sequence(0, greatest(cast(octet_length($payloadCol) / ($frameBytes * $stride) as int) - 1, 0))")))
+  def sampleFrames(df: DataFrame, payloadCol: String, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    df.where(octet_length(col(payloadCol)) >= frameBytes)
+      .withColumn("frame_idx",
+        explode(expr(s"sequence(0, cast((octet_length($payloadCol) - $frameBytes) / ($frameBytes * $stride) as int))")))
       .withColumn("frame",
         expr(s"substring($payloadCol, frame_idx * $frameBytes * $stride + 1, $frameBytes)"))
+  }
 }

@@ -120,8 +120,14 @@ object Skew {
   def partitionByWeight[V: scala.reflect.ClassTag](rdd: RDD[(Long, V)], numPartitions: Int,
                                                    maxTrackedKeys: Int = 10000): RDD[(Long, V)] = {
     require(maxTrackedKeys >= numPartitions, "track at least one key per partition")
-    val weights = rdd.mapValues(_ => 1L).reduceByKey(_ + _)
+    // the weight survey AND the partitioning pass both read `rdd`: persist
+    // it (unless the caller already did) so an expensive upstream lineage
+    // isn't computed twice. Caller unpersists after materializing the
+    // result (or lets eviction handle it).
+    val input = if (rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else rdd
+    val weights = input.mapValues(_ => 1L).reduceByKey(_ + _)
       .top(maxTrackedKeys)(Ordering.by(_._2)).toSeq
-    rdd.partitionBy(WeightedPartitioner.fromWeights(weights, numPartitions))
+    input.partitionBy(WeightedPartitioner.fromWeights(weights, numPartitions))
   }
 }

@@ -132,7 +132,7 @@ object PipelineQueries extends QuerySet {
       val withP = Multimodal.withPayload(
         t(s, dir, "documents").where(col("doc_id") < 1000), "text", "text/plain")
       Multimodal.resizeDecoded(
-          Multimodal.decodePartitioned(withP, "payload", "doc_id"), 64, 64)
+          Multimodal.decodePartitioned(withP, "payload"), 64, 64)
         .select("doc_id", "width", "height", "channels", "resized_w", "resized_h")
         .orderBy("doc_id")
     }),

@@ -77,10 +77,23 @@ object BinHits {
   /** Distributed read of a directory of .bin part files (reference A17).
     * One task per file; files are whole-record aligned so no split logic is
     * needed (they are sized by MEMSIZE pages, i.e. modest per-file).
+    *
+    * `prefix`/`iteration` narrow the glob to ONE run's files — a bare
+    * directory read would silently union every run ever written there
+    * (write()'s stale-file cleanup is per-(prefix, iteration), so mixing is
+    * easy). Record-size mismatches usually fail the alignment check in
+    * decode; a file length divisible by both 104 and 120 cannot be told
+    * apart, which is exactly why scoping the glob to a known run matters.
     */
-  def read(spark: SparkSession, dir: String, classifier: Boolean): Dataset[SavedHit] = {
+  def read(spark: SparkSession, dir: String, classifier: Boolean,
+           prefix: Option[String] = None, iteration: Option[Int] = None): Dataset[SavedHit] = {
     import spark.implicits._
-    spark.sparkContext.binaryFiles(s"$dir/*.bin")
+    val glob = (prefix, iteration) match {
+      case (Some(p), Some(i)) => s"$dir/$p-hits-$i-*.bin"
+      case (Some(p), None) => s"$dir/$p-hits-*.bin"
+      case _ => s"$dir/*.bin"
+    }
+    spark.sparkContext.binaryFiles(glob)
       .flatMap { case (_, pds) => decode(pds.toArray(), classifier) }
       .toDS()
   }

@@ -122,6 +122,10 @@ class PipelineSpec extends SparkSpec {
     assert(formatG3(1e-50) == "1e-50")
     assert(formatG3(0.000123456) == "0.000123")
     assert(formatG3(1714.0) == "1.71e+03")
+    // half-to-EVEN ties, matching C/printf and python ('%.3g' % 93.25 ->
+    // '93.2'): Java's own %g would HALF_UP these to 93.3 / 93.8
+    assert(formatG3(93.25) == "93.2")
+    assert(formatG3(93.75) == "93.8")
   }
 
   test("bin sink roundtrips the hit table") {

@@ -24,9 +24,9 @@ class MultimodalSpec extends SparkSpec {
 
   test("partitioned decode is deterministic and partition-count independent") {
     val df = Multimodal.withPayload(docs(), "text")
-    val one = Multimodal.decodePartitioned(df.repartition(1), "payload", "doc_id")
+    val one = Multimodal.decodePartitioned(df.repartition(1), "payload")
       .select("doc_id", "width", "height", "channels").orderBy("doc_id").collect()
-    val four = Multimodal.decodePartitioned(df.repartition(4), "payload", "doc_id")
+    val four = Multimodal.decodePartitioned(df.repartition(4), "payload")
       .select("doc_id", "width", "height", "channels").orderBy("doc_id").collect()
     assert(one.toSeq == four.toSeq)
     assert(one(0).getInt(1) >= 16 && one(0).getInt(3) >= 1)
@@ -46,7 +46,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("resize preserves aspect ratio and fits the target box") {
     val decoded = Multimodal.decodePartitioned(
-      Multimodal.withPayload(docs(), "text"), "payload", "doc_id")
+      Multimodal.withPayload(docs(), "text"), "payload")
     val r = Multimodal.resizeDecoded(decoded, targetW = 64, targetH = 64)
       .select("width", "height", "resized_w", "resized_h", "resized_features").collect()
     r.foreach { row =>
@@ -69,6 +69,36 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Array[Byte]](1).length == 10))
     val f1 = new String(frames(1).getAs[Array[Byte]](1), "UTF-8")
     assert(f1 == "ab" * 5)
+  }
+
+  test("frame sampling: tail frame kept, short payloads emit no phantom rows") {
+    import spark.implicits._
+    // 110 bytes: full frames start at 0,20,...,100 — SIX of them (the old
+    // len/(fb*stride) bound dropped the one at offset 100)
+    val df = Seq((1L, ("ab" * 55).getBytes("UTF-8")),
+      (2L, "abc".getBytes("UTF-8")), // shorter than one frame
+      (3L, Array.empty[Byte]))
+      .toDF("id", "payload")
+    val frames = Multimodal.sampleFrames(df, "payload", frameBytes = 10, stride = 2)
+      .select("id", "frame").collect()
+    assert(frames.forall(_.getAs[Array[Byte]](1).length == 10), "partial frame emitted")
+    val byId = frames.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byId == Map(1L -> 6), s"got $byId")
+  }
+
+  test("decode: null payloads yield null metadata, binary sources pass through") {
+    import spark.implicits._
+    val df = Seq((1L, "ok"), (2L, null)).toDF("doc_id", "text")
+    val decoded = Multimodal.decodePartitioned(
+      Multimodal.withPayload(df, "text"), "payload")
+      .select("doc_id", "width").orderBy("doc_id").collect()
+    assert(!decoded(0).isNullAt(1) && decoded(1).isNullAt(1))
+    // a binary column with invalid-UTF8 bytes must survive byte-exact
+    val raw = Array[Byte](0x00, -1, -2, 0x41) // 0xFF 0xFE not valid UTF-8
+    val bdf = Seq((1L, raw)).toDF("doc_id", "blob")
+    val n = Multimodal.withPayload(bdf, "blob", "application/octet-stream")
+      .select(col("meta.nBytes")).head().getLong(0)
+    assert(n == 4L, s"binary payload re-encoded: $n bytes")
   }
 
   test("iteration batches are consecutive near-equal ranges") {
