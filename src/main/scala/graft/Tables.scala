@@ -14,13 +14,16 @@ object Tables {
 
   /** `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it as a raw long
     * (nanosAsLong, see [[GraftSession]]). Convert to a microsecond timestamp
-    * (truncating) and keep `ts_sec` (epoch seconds, truncating) for
-    * engine-agnostic time arithmetic in the oracle-checked queries.
+    * and keep `ts_sec` (epoch seconds) for engine-agnostic time arithmetic
+    * in the oracle-checked queries. FLOOR division, not `div`: `div`
+    * truncates toward zero, which rounds pre-epoch (negative) timestamps
+    * the wrong way — DuckDB's epoch() floors, so bucket membership would
+    * disagree on any pre-1970 row.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_sec", expr("ts div 1000000000"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts_sec", expr("(ts - pmod(ts, 1000000000)) div 1000000000"))
+      .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
 
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

@@ -32,34 +32,37 @@ case class FloatDotProduct(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_dot"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+  override def nullSafeEval(a: Any, b: Any): Any =
+    FloatDotProduct.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.FloatDotProduct.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object FloatDotProduct {
+  /** Shared eval/codegen kernel. FAILS LOUDLY on dimension mismatch and
+    * null components: a silent min-length truncation (or null-read-as-0.0,
+    * which both Unsafe and Generic ArrayData do) would turn one corrupt
+    * embedding partition into plausible-but-wrong similarity scores that
+    * quietly reorder top-K results — at 100 TB that corruption would never
+    * be noticed.
+    */
+  def dot(x: ArrayData, y: ArrayData): Double = {
+    val n = x.numElements()
+    if (n != y.numElements()) throw new IllegalArgumentException(
+      s"graft_dot: dimension mismatch ${n} vs ${y.numElements()} — corrupt embedding?")
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) throw new IllegalArgumentException(
+        s"graft_dot: null component at index $i — corrupt embedding?")
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
     s
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val s = ctx.freshName("s")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
-         |}
-         |${ev.value} = $s;
-       """.stripMargin
-    })
-
-  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
 }

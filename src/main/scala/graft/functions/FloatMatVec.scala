@@ -58,18 +58,28 @@ case class FloatMatVec(left: Expression, right: Expression)
 
 object FloatMatVec {
   /** Static kernel shared by interpreted and generated code; returns null
-    * when any matrix row is null.
+    * when any matrix row is null. Dimension mismatches and null COMPONENTS
+    * fail loudly (same contract as [[FloatDotProduct.dot]]): silently
+    * truncating to the shorter length would let one corrupt embedding
+    * produce a plausible-but-wrong bucket/cell assignment.
     */
   def matvec(rows: ArrayData, x: ArrayData): ArrayData = {
     val out = new Array[Double](rows.numElements())
+    val xn = x.numElements()
     var j = 0
     while (j < out.length) {
       if (rows.isNullAt(j)) return null
       val r = rows.getArray(j)
-      val n = math.min(r.numElements(), x.numElements())
+      if (r.numElements() != xn) throw new IllegalArgumentException(
+        s"graft_matvec: row $j has ${r.numElements()} components, vector has $xn — corrupt embedding?")
       var s = 0.0
       var i = 0
-      while (i < n) { s += r.getFloat(i).toDouble * x.getFloat(i).toDouble; i += 1 }
+      while (i < xn) {
+        if (r.isNullAt(i) || x.isNullAt(i)) throw new IllegalArgumentException(
+          s"graft_matvec: null component at row $j index $i — corrupt embedding?")
+        s += r.getFloat(i).toDouble * x.getFloat(i).toDouble
+        i += 1
+      }
       out(j) = s
       j += 1
     }

@@ -22,14 +22,39 @@ import org.apache.spark.unsafe.types.UTF8String
 object WinnowKernel {
   private val Empty = new GenericArrayData(Array.empty[Long])
 
+  /** Byte offset of each code point (plus the end offset): k-grams are then
+    * hashed as byte SLICES of the one materialized array. The obvious
+    * `text.substring(i, i + k)` per position rescans from byte 0 every call
+    * (UTF8String.substring walks code points from the start) AND allocates
+    * a copy per k-gram — an O(n^2) hash pass that defeats the kernel's
+    * whole reason to exist on long documents.
+    */
+  private def codePointOffsets(bytes: Array[Byte]): Array[Int] = {
+    var cnt = 0
+    var i = 0
+    while (i < bytes.length) { cnt += 1; i += UTF8String.numBytesForFirstByte(bytes(i)) }
+    val offs = new Array[Int](cnt + 1)
+    var j = 0
+    i = 0
+    while (i < bytes.length) { offs(j) = i; j += 1; i += UTF8String.numBytesForFirstByte(bytes(i)) }
+    offs(cnt) = bytes.length
+    offs
+  }
+
   def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
     require(k >= 1 && w >= 1, s"graft_winnow requires k >= 1 and w >= 1, got k=$k w=$w")
-    val n = text.numChars() - k + 1
+    val bytes = text.getBytes
+    val offs = codePointOffsets(bytes)
+    val n = offs.length - 1 - k + 1 // numChars - k + 1
     if (n <= 0) return Empty
     val hs = new Array[Long](n)
     var i = 0
     while (i < n) {
-      hs(i) = XXH64.hashUTF8String(text.substring(i, i + k), 42L)
+      // identical value to XXH64.hashUTF8String(text.substring(i, i+k), 42):
+      // both hash the slice's UTF-8 bytes with seed 42
+      hs(i) = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + offs(i),
+        offs(i + k) - offs(i), 42L)
       i += 1
     }
     selectMinima(hs, w)
@@ -42,12 +67,14 @@ object WinnowKernel {
     */
   def winnowMd5(text: UTF8String, k: Int, w: Int): ArrayData = {
     require(k >= 1 && w >= 1, s"graft_winnow_md5 requires k >= 1 and w >= 1, got k=$k w=$w")
-    val n = text.numChars() - k + 1
+    val bytes = text.getBytes
+    val offs = codePointOffsets(bytes)
+    val n = offs.length - 1 - k + 1
     if (n <= 0) return Empty
     val hs = new Array[Long](n)
     var i = 0
     while (i < n) {
-      hs(i) = HashKernels.md5Top60(text.substring(i, i + k).getBytes)
+      hs(i) = HashKernels.md5Top60(bytes, offs(i), offs(i + k) - offs(i))
       i += 1
     }
     selectMinima(hs, w)

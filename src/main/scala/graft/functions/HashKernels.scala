@@ -51,10 +51,14 @@ object HashKernels {
     * `('0x' || substr(md5(t), 1, 15))::BIGINT` in DuckDB,
     * `conv(substr(md5(t), 1, 15), 16, 10)` in Spark SQL.
     */
-  def md5Top60(bytes: Array[Byte]): Long = {
+  def md5Top60(bytes: Array[Byte]): Long = md5Top60(bytes, 0, bytes.length)
+
+  /** Slice form — hash `len` bytes at `off` without copying the slice. */
+  def md5Top60(bytes: Array[Byte], off: Int, len: Int): Long = {
     val md = md5Digest.get()
     md.reset()
-    val d = md.digest(bytes)
+    md.update(bytes, off, len)
+    val d = md.digest()
     var h = 0L
     var i = 0
     while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }

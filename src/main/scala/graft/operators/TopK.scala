@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions._
 object TopK {
   def apply(df: DataFrame, groupCols: Seq[String], order: Seq[Column], k: Int,
             rankCol: String = "rnk"): DataFrame = {
-    if (k <= 0) df
-    else {
-      val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
-      df.withColumn(rankCol, row_number().over(w)).where(col(rankCol) <= k)
-    }
+    // withColumn would silently REPLACE a pre-existing rank column
+    require(!df.columns.contains(rankCol),
+      s"input already has a '$rankCol' column; pass a different rankCol")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    val ranked = df.withColumn(rankCol, row_number().over(w))
+    // k <= 0 (NUMHITCUTOFF=0) keeps every row but MUST keep the same
+    // schema: an output whose columns depend on the VALUE of k is a trap
+    // for any caller that references the rank column
+    if (k <= 0) ranked else ranked.where(col(rankCol) <= k)
   }
 }
