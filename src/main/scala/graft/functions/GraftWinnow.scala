@@ -115,8 +115,15 @@ object WinnowKernel {
   }
 }
 
-case class GraftWinnow(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+/** Shared shape of the two winnow expressions: they differ ONLY in name and
+  * kernel entry point (xxhash64 vs the cross-engine md5 hash), so the type
+  * check, arity, and codegen wiring live once — a semantics fix applied to
+  * one variant cannot silently miss the other.
+  */
+abstract class WinnowExpression extends TernaryExpression {
+  /** Static kernel method name on [[WinnowKernel]] the generated code calls. */
+  protected def kernelMethod: String
+  protected def kernel(t: UTF8String, k: Int, w: Int): ArrayData
 
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
@@ -128,22 +135,28 @@ case class GraftWinnow(first: Expression, second: Expression, third: Expression)
         (second.eval(), third.eval()) match {
           case (k: Int, w: Int) if k >= 1 && w >= 1 => TypeCheckResult.TypeCheckSuccess
           case (k, w) => TypeCheckResult.TypeCheckFailure(
-            s"graft_winnow requires k >= 1 and w >= 1, got k=$k w=$w")
+            s"$prettyName requires k >= 1 and w >= 1, got k=$k w=$w")
         }
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"graft_winnow requires (string, int literal, int literal), got " +
+        s"$prettyName requires (string, int literal, int literal), got " +
           s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, ${third.dataType.simpleString})")
     }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "graft_winnow"
 
   override def nullSafeEval(t: Any, k: Any, w: Any): Any =
-    WinnowKernel.winnow(t.asInstanceOf[UTF8String], k.asInstanceOf[Int], w.asInstanceOf[Int])
+    kernel(t.asInstanceOf[UTF8String], k.asInstanceOf[Int], w.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (t, k, w) => s"graft.functions.WinnowKernel.winnow($t, $k, $w)")
+    defineCodeGen(ctx, ev, (t, k, w) => s"graft.functions.WinnowKernel.$kernelMethod($t, $k, $w)")
+}
 
+case class GraftWinnow(first: Expression, second: Expression, third: Expression)
+    extends WinnowExpression {
+  override def prettyName: String = "graft_winnow"
+  override protected def kernelMethod: String = "winnow"
+  override protected def kernel(t: UTF8String, k: Int, w: Int): ArrayData =
+    WinnowKernel.winnow(t, k, w)
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
 }
@@ -152,31 +165,11 @@ case class GraftWinnow(first: Expression, second: Expression, third: Expression)
   * with the cross-engine md5 k-gram hash (see [[WinnowKernel.winnowMd5]]).
   */
 case class GraftWinnowMd5(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    (first.dataType, second.dataType, third.dataType) match {
-      case (StringType, IntegerType, IntegerType)
-        if second.foldable && third.foldable =>
-        (second.eval(), third.eval()) match {
-          case (k: Int, w: Int) if k >= 1 && w >= 1 => TypeCheckResult.TypeCheckSuccess
-          case (k, w) => TypeCheckResult.TypeCheckFailure(
-            s"graft_winnow_md5 requires k >= 1 and w >= 1, got k=$k w=$w")
-        }
-      case _ => TypeCheckResult.TypeCheckFailure(
-        s"graft_winnow_md5 requires (string, int literal, int literal), got " +
-          s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, ${third.dataType.simpleString})")
-    }
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    extends WinnowExpression {
   override def prettyName: String = "graft_winnow_md5"
-
-  override def nullSafeEval(t: Any, k: Any, w: Any): Any =
-    WinnowKernel.winnowMd5(t.asInstanceOf[UTF8String], k.asInstanceOf[Int], w.asInstanceOf[Int])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (t, k, w) => s"graft.functions.WinnowKernel.winnowMd5($t, $k, $w)")
-
+  override protected def kernelMethod: String = "winnowMd5"
+  override protected def kernel(t: UTF8String, k: Int, w: Int): ArrayData =
+    WinnowKernel.winnowMd5(t, k, w)
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
 }

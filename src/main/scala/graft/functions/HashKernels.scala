@@ -116,26 +116,35 @@ object HashKernels {
   }
 }
 
-/** `graft_simhash(tokens: array<string>) -> bigint` — whole-document SimHash
-  * as one narrow expression (see [[HashKernels]]).
+/** Shared shape of the two simhash expressions — one type check and codegen
+  * wiring for both hash variants, so fixes cannot drift between them.
   */
-case class GraftSimHash(child: Expression) extends UnaryExpression {
+abstract class SimHashExpression extends UnaryExpression {
+  /** Static kernel method name on [[HashKernels]] the generated code calls. */
+  protected def kernelMethod: String
+  protected def kernel(tokens: ArrayData): Long
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"graft_simhash requires array<string>, got ${t.simpleString}")
+      s"$prettyName requires array<string>, got ${t.simpleString}")
   }
 
   override def dataType: DataType = LongType
-  override def prettyName: String = "graft_simhash"
 
-  override def nullSafeEval(a: Any): Any =
-    HashKernels.simHash(a.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any): Any = kernel(a.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.HashKernels.simHash($a)")
+    defineCodeGen(ctx, ev, a => s"graft.functions.HashKernels.$kernelMethod($a)")
+}
 
+/** `graft_simhash(tokens: array<string>) -> bigint` — whole-document SimHash
+  * as one narrow expression (see [[HashKernels]]).
+  */
+case class GraftSimHash(child: Expression) extends SimHashExpression {
+  override def prettyName: String = "graft_simhash"
+  override protected def kernelMethod: String = "simHash"
+  override protected def kernel(tokens: ArrayData): Long = HashKernels.simHash(tokens)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -143,23 +152,10 @@ case class GraftSimHash(child: Expression) extends UnaryExpression {
 /** `graft_simhash_md5(tokens: array<string>) -> bigint` — 60-bit SimHash
   * over cross-engine md5 token hashes (see [[HashKernels.simHashMd5]]).
   */
-case class GraftSimHashMd5(child: Expression) extends UnaryExpression {
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"graft_simhash_md5 requires array<string>, got ${t.simpleString}")
-  }
-
-  override def dataType: DataType = LongType
+case class GraftSimHashMd5(child: Expression) extends SimHashExpression {
   override def prettyName: String = "graft_simhash_md5"
-
-  override def nullSafeEval(a: Any): Any =
-    HashKernels.simHashMd5(a.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.HashKernels.simHashMd5($a)")
-
+  override protected def kernelMethod: String = "simHashMd5"
+  override protected def kernel(tokens: ArrayData): Long = HashKernels.simHashMd5(tokens)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
