@@ -23,9 +23,19 @@ object SparkEntry {
     Seq(RelationalQueries, TextQueries, VectorQueries, EventQueries,
       PipelineQueries, AdvancedQueries, MlPrepQueries)
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    sets.flatMap(_.queries).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = sets.flatMap(_.queries)
+    // toMap would silently keep only the LAST entry of a reused name —
+    // one query would vanish from the verified surface with no signal
+    val dups = all.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names across QuerySets: ${dups.mkString(", ")}")
+    all.toMap
+  }
 
-  def oracleSql: Map[String, String] =
-    sets.flatMap(_.oracleSql).toMap
+  def oracleSql: Map[String, String] = {
+    val all = sets.flatMap(_.oracleSql)
+    val dups = all.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate oracle names across QuerySets: ${dups.mkString(", ")}")
+    all.toMap
+  }
 }

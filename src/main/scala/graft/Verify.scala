@@ -15,6 +15,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failure BEFORE the write leaves the previous run's dump in a
+        // reused outDir and the oracle gate would silently pass stale
+        // results for a now-broken query — remove the stale dir so the
+        // gate reports MISSING-SPARK instead
+        val d = Paths.get(s"$outDir/$name")
+        if (Files.exists(d)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -49,6 +49,30 @@ object Dedup {
   def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     rawShingles(docs, textCol, idCol, n).distinct()
 
+  /** EXACT n-gram-shingle Jaccard pairs (a_id, b_id, jaccard) at or above
+    * `threshold`, via the full shared-shingle self-join — the
+    * oracle-shaped reference form. THE one definition shared by q35 and
+    * the q48 cluster edges (a drifted copy would let the two silently
+    * disagree). At scale use [[prefixJaccardPairs]] (same answer,
+    * prefix-filtered candidates) or [[minHashDupPairs]].
+    */
+  def exactJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(docs, textCol, idCol, n)
+    val cnt = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    val j = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
+    inter
+      .join(cnt.select(col("id").as("a_id"), col("n").as("na")), "a_id")
+      .join(cnt.select(col("id").as("b_id"), col("n").as("nb")), "b_id")
+      .where(j >= threshold)
+      .select(col("a_id"), col("b_id"),
+        (floor(j * 10000) / 10000).as("jaccard")) // floor: cross-engine-stable
+  }
+
   /** MinHash signatures straight from the document row: (id, sig:
     * array[long] of length k), ONE narrow expression per doc — shingle
     * array -> native [[graft.functions.GraftMinHash]] kernel (each shingle
@@ -139,7 +163,8 @@ object Dedup {
         size(array_intersect(col("ha"), col("hb"))).as("inter"),
         size(col("ha")).as("na"), size(col("hb")).as("nb"))
       .where(j >= threshold)
-      .select(col("a_id"), col("b_id"), round(j, 4).as("jaccard"))
+      .select(col("a_id"), col("b_id"),
+        (floor(j * 10000) / 10000).as("jaccard")) // floor, not round: cross-engine-stable on half-grid ratios
   }
 
   /** Verify candidate pairs with exact shingle-set Jaccard from (id, shingle)

@@ -90,21 +90,15 @@ object MlPrepQueries extends QuerySet {
     // edges, connected components via distributed label propagation
     // (graft.operators.Graph); cluster id = min doc_id in the component.
     "q48_dup_clusters" -> ((s, dir) => {
-      val sh = Dedup.shingles(
-          t(s, dir, "documents").where(col("doc_id") < PairDocLimit), "text", "doc_id", 3)
-        .withColumnRenamed("id", "doc_id")
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("a")
-        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("inter"))
-      val j = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
-      val pairs = inter
-        .join(cnt.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-        .join(cnt.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
-        .where(j >= 0.5)
+      val pairs = Dedup.exactJaccardPairs(
+          t(s, dir, "documents").where(col("doc_id") < PairDocLimit),
+          "text", "doc_id", n = 3, threshold = 0.5)
         .select("a_id", "b_id")
-      Graph.connectedComponents(pairs, "a_id", "b_id")
+      // unconverged label propagation would silently over-segment vs the
+      // oracle's exact recursive components — demand convergence
+      val (labels, rounds) = Graph.componentsWithRounds(pairs, "a_id", "b_id", maxIter = 50)
+      require(rounds < 50, s"connected components did not converge in $rounds rounds")
+      labels
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
     }),

@@ -258,7 +258,7 @@ object PipelineQueries extends QuerySet {
         |c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT a_id, b_id, ROUND(inter*1.0/(ca.n + cb.n - inter), 4) AS jaccard
+        |SELECT a_id, b_id, FLOOR(inter*1.0/(ca.n + cb.n - inter) * 10000) / 10000 AS jaccard
         |FROM inter JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
         |WHERE inter*1.0/(ca.n + cb.n - inter) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,

@@ -47,4 +47,17 @@ trait QuerySet {
   protected def revenueSum(price: Column, disc: Column): Column =
     round(sum(round(price * 100).cast("long") *
       (lit(100L) - round(disc * 100).cast("long"))) / 10000.0, 2)
+
+  /** Floor-truncate to `dp` decimals — the ONLY cross-engine-safe way to
+    * emit a derived ratio of exact integers. Spark's round() goes through
+    * the shortest-decimal-string HALF_UP while DuckDB rounds the raw
+    * double, and a ratio whose denominator is 5-smooth (800, 4000, ...)
+    * lands EXACTLY on the decimal half grid where the two disagree
+    * (57/800: Spark 0.0713, DuckDB 0.0712). floor of the identical double
+    * is identical everywhere. Mirror in DuckDB: FLOOR(x * 1eDP) / 1eDP.
+    */
+  protected def trunc(c: Column, dp: Int): Column = {
+    val scale = math.pow(10, dp)
+    floor(c * scale) / scale
+  }
 }

@@ -22,7 +22,7 @@ object RelationalQueries extends QuerySet {
           moneySum(col("l_extendedprice")).as("sum_base_price"),
           revenueSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
           count(lit(1)).as("cnt"))
-        .withColumn("avg_qty", round(col("sum_qty") / col("cnt"), 4))
+        .withColumn("avg_qty", trunc(col("sum_qty") / col("cnt"), 4))
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
@@ -338,7 +338,7 @@ object RelationalQueries extends QuerySet {
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
-        |ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty, COUNT(*) AS cnt
+        |FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 10000) / 10000 AS avg_qty, COUNT(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_filter_project" ->

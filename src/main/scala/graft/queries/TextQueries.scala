@@ -25,7 +25,7 @@ object TextQueries extends QuerySet {
         .select(col("doc_id"),
           size(split(col("text"), " ")).as("n_tokens"),
           length(col("text")).as("len_chars"),
-          round(length(regexp_replace(col("text"), " ", "")).cast("double")
+          trunc(length(regexp_replace(col("text"), " ", "")).cast("double")
             / size(split(col("text"), " ")), 4).as("avg_tok_len"))
         .orderBy("doc_id")
     }),
@@ -46,9 +46,9 @@ object TextQueries extends QuerySet {
       val div = size(array_distinct(toks)).cast("double") / size(toks)
       val lenScore = least(lit(1.0), size(toks).cast("double") / 50)
       t(s, dir, "documents")
-        .select(col("doc_id"), round(div, 4).as("diversity"),
-          round(lenScore, 4).as("len_score"),
-          round(div * 0.5 + lenScore * 0.5, 4).as("quality"))
+        .select(col("doc_id"), trunc(div, 4).as("diversity"),
+          trunc(lenScore, 4).as("len_score"),
+          trunc(div * 0.5 + lenScore * 0.5, 4).as("quality"))
         .orderBy("doc_id")
     }),
 
@@ -62,9 +62,7 @@ object TextQueries extends QuerySet {
 
     // Exact dedup: keep min doc_id per identical content hash.
     "q34_dedup_exact" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .groupBy(md5(col("text")).as("h"))
-        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+      graft.operators.Dedup.exactClusters(t(s, dir, "documents"), "text", "doc_id")
         .select("keep_id", "dup_cnt")
         .orderBy("keep_id")
     }),
@@ -72,20 +70,9 @@ object TextQueries extends QuerySet {
     // n-gram (3-shingle) Jaccard near-dup pairs over a bounded subset.
     // The unbounded-scale variant is MinHash-LSH (graft.operators.Dedup).
     "q35_dedup_ngram" -> ((s, dir) => {
-      val sh = graft.operators.Dedup.shingles(
-          t(s, dir, "documents").where(col("doc_id") < NgramDocLimit), "text", "doc_id", 3)
-        .withColumnRenamed("id", "doc_id")
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("a")
-        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("inter"))
-      val j = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
-      inter
-        .join(cnt.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-        .join(cnt.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
-        .where(j >= 0.5)
-        .select(col("a_id"), col("b_id"), round(j, 4).as("jaccard"))
+      graft.operators.Dedup.exactJaccardPairs(
+          t(s, dir, "documents").where(col("doc_id") < NgramDocLimit),
+          "text", "doc_id", n = 3, threshold = 0.5)
         .orderBy("a_id", "b_id")
     }),
 
@@ -123,8 +110,8 @@ object TextQueries extends QuerySet {
       c.groupBy("doc_id")
         .agg(sum("c").as("n_tok"), count(lit(1)).as("n_uniq"), max("c").as("max_freq"))
         .select(col("doc_id"), col("n_tok"), col("n_uniq"), col("max_freq"),
-          round(lit(1) - col("n_uniq").cast("double") / col("n_tok"), 4).as("dup_frac"),
-          round(col("max_freq").cast("double") / col("n_tok"), 4).as("top_tok_frac"))
+          trunc(lit(1) - col("n_uniq").cast("double") / col("n_tok"), 4).as("dup_frac"),
+          trunc(col("max_freq").cast("double") / col("n_tok"), 4).as("top_tok_frac"))
         .orderBy("doc_id")
     }),
 
@@ -134,7 +121,7 @@ object TextQueries extends QuerySet {
       t(s, dir, "documents")
         .rollup("source", "lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
-          round(sum("n_chars").cast("double") / count(lit(1)), 2).as("avg_chars"))
+          trunc(sum("n_chars").cast("double") / count(lit(1)), 2).as("avg_chars"))
         .orderBy(asc_nulls_first("source"), asc_nulls_first("lang"))
     }),
 
@@ -144,7 +131,10 @@ object TextQueries extends QuerySet {
     "q39_regex_tokens" -> ((s, dir) => {
       // lit() pattern: embedding it in expr() would go through SQL string
       // escaping and silently strip the \s
-      val pat = lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")
+      // explicit whitespace class, NOT \s: Java includes \x0B in \s, RE2
+      // (the oracle's regex engine) does not — spell out the union so both
+      // engines tokenize identically
+      val pat = lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]")
       t(s, dir, "documents")
         .select(col("doc_id"),
           size(regexp_extract_all(col("text"), pat, lit(0))).as("n_bpe_tokens"),
@@ -228,7 +218,7 @@ object TextQueries extends QuerySet {
   val oracleSql: Map[String, String] = Map(
     "q30_text_stats" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS len_chars,
-        |ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_tok_len
+        |FLOOR(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) * 10000) / 10000 AS avg_tok_len
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q31_langid" ->
       """SELECT doc_id,
@@ -239,10 +229,10 @@ object TextQueries extends QuerySet {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q32_quality_score" ->
       """SELECT doc_id,
-        |ROUND(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')), 4) AS diversity,
-        |ROUND(LEAST(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 50), 4) AS len_score,
-        |ROUND(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) * 0.5
-        |      + LEAST(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 50) * 0.5, 4) AS quality
+        |FLOOR(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) * 10000) / 10000 AS diversity,
+        |FLOOR(LEAST(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 50) * 10000) / 10000 AS len_score,
+        |FLOOR((CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) * 0.5
+        |      + LEAST(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 50) * 0.5) * 10000) / 10000 AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q33_fingerprint" ->
       """SELECT substring(md5(lower(text)), 1, 16) AS fp, COUNT(*) AS cnt, MIN(doc_id) AS keep_id
@@ -258,7 +248,7 @@ object TextQueries extends QuerySet {
         |c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT a_id, b_id, ROUND(inter*1.0/(ca.n + cb.n - inter), 4) AS jaccard
+        |SELECT a_id, b_id, FLOOR(inter*1.0/(ca.n + cb.n - inter) * 10000) / 10000 AS jaccard
         |FROM inter JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
         |WHERE inter*1.0/(ca.n + cb.n - inter) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
@@ -270,7 +260,7 @@ object TextQueries extends QuerySet {
         |c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT a_id, b_id, ROUND(inter*1.0/(ca.n + cb.n - inter), 4) AS jaccard
+        |SELECT a_id, b_id, FLOOR(inter*1.0/(ca.n + cb.n - inter) * 10000) / 10000 AS jaccard
         |FROM inter JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
         |WHERE inter*1.0/(ca.n + cb.n - inter) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
@@ -285,18 +275,18 @@ object TextQueries extends QuerySet {
         |s AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok, COUNT(*) AS n_uniq,
         |      CAST(MAX(c) AS BIGINT) AS max_freq FROM c GROUP BY doc_id)
         |SELECT doc_id, n_tok, n_uniq, max_freq,
-        |ROUND(1 - CAST(n_uniq AS DOUBLE) / n_tok, 4) AS dup_frac,
-        |ROUND(CAST(max_freq AS DOUBLE) / n_tok, 4) AS top_tok_frac
+        |FLOOR((1 - CAST(n_uniq AS DOUBLE) / n_tok) * 10000) / 10000 AS dup_frac,
+        |FLOOR(CAST(max_freq AS DOUBLE) / n_tok * 10000) / 10000 AS top_tok_frac
         |FROM s ORDER BY doc_id""".stripMargin,
     "q81_source_rollup" ->
       """SELECT source, lang, COUNT(*) AS n_docs,
         |CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-        |ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars
+        |FLOOR(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) * 100) / 100 AS avg_chars
         |FROM documents GROUP BY ROLLUP (source, lang)
         |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin,
     "q39_regex_tokens" ->
       """SELECT doc_id,
-        |len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
+        |len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')) AS n_bpe_tokens,
         |len(string_split(text, ' ')) AS n_ws_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q36_word_freq" ->

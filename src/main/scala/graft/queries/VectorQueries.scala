@@ -26,18 +26,11 @@ object VectorQueries extends QuerySet {
     // At cluster scale this is one narrow map over the corpus + per-probe
     // top-k (no shuffle of the corpus itself).
     "q40_knn_brute" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-        .withColumn("nrm", norm("embedding"))
-      val probes = e.where(col("vec_id") < nProbes)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
-      val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
-      val scored = broadcast(probes).crossJoin(cand)
-        .where(col("neighbor_id") =!= col("probe_id"))
-        .withColumn("cosim", round(dot("p_emb", "n_emb") / (col("p_nrm") * col("n_nrm")), 4))
-      val w = Window.partitionBy("probe_id").orderBy(col("cosim").desc, col("neighbor_id"))
-      scored.withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= kNeighbors)
-        .select("probe_id", "neighbor_id", "cosim", "rnk")
+      // THE operator, not a re-implementation: a semantics fix to
+      // bruteForceKnn must reach the oracled query automatically
+      graft.operators.Similarity.bruteForceKnn(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < nProbes, k = kNeighbors)
         .orderBy("probe_id", "rnk")
     }),
 

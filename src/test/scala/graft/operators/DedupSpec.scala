@@ -41,8 +41,9 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.verifyJaccard(cand.toDF("a_id", "b_id"), sh, 0.0)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(out((0L, 1L)) == 1.0)
-    // doc3/doc5: 8 shingles each, 7 shared -> 7/9
-    assert(math.abs(out((3L, 5L)) - math.rint(7.0 / 9.0 * 10000) / 10000) < 1e-9)
+    // doc3/doc5: 8 shingles each, 7 shared -> 7/9, floor-truncated to 4dp
+    // (floor, not round: the cross-engine-stable emission, see QuerySet.trunc)
+    assert(math.abs(out((3L, 5L)) - math.floor(7.0 / 9.0 * 10000) / 10000) < 1e-9)
   }
 
   test("simhash: identical docs collide, near docs within small hamming, distinct far") {
