@@ -50,14 +50,17 @@ object Graph {
       // neighbor-min message pass: label(v) <- min(label(v), min_{u~v} label(u))
       val msgs = bidir.join(labels, bidir("src") === labels("id"))
         .select(col("dst").as("id"), col("label").as("nbr"))
-      // carry the previous label alongside the new one: the convergence
-      // check then reads the materialized checkpoint directly instead of
-      // paying a join back against the old generation every round
+      // carry the previous label alongside the new one, checkpoint LAZILY,
+      // and let the convergence count be the materializing action: one job
+      // per round does both (an eager checkpoint + separate count paid two
+      // scheduled jobs per round — pure fixed cost at every scale). The
+      // count has no limit, so it scans every partition and the checkpoint
+      // persists completely.
       val next = labels.join(msgs.groupBy("id").agg(min("nbr").as("nbr")), Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .localCheckpoint()
-      val changed = next.where(col("label") =!= col("old")).limit(1).count()
+        .localCheckpoint(eager = false)
+      val changed = next.where(col("label") =!= col("old")).count()
       // next is materialized (localCheckpoint is eager) and the convergence
       // check has consumed the old generation — release its storage blocks
       // now, or R rounds pin R+1 full vertex-set copies in executor memory
