@@ -36,7 +36,19 @@ object Bench {
       .mkString("{", ",", "}")
     val failures = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
+    // the stdout capture around this main truncates long tails — persist the
+    // full per-query JSON to a file too, and announce its path first so the
+    // timings stay machine-readable even when the printed line is cut
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_RESULTS.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"BENCH_JSON_FILE=$outPath")
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"bench: could not write $outPath: $e")
+    }
+    println(json)
     spark.stop()
   }
 }

@@ -203,12 +203,13 @@ object Dedup {
   def minHashDupPairs(docs: DataFrame, textCol: String, idCol: String,
                       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5,
-                      estimatePrefilter: Boolean = false): DataFrame = {
+                      estimatePrefilter: Boolean = false,
+                      maxBucketSize: Int = 1000): DataFrame = {
     val sig0 = minHashSignatures(docs, textCol, idCol, shingleN, numHashes)
     // sig feeds one consumer unless the prefilter adds a second — only then
     // is the materialization cost of cache() paid back.
     val sig = if (estimatePrefilter) sig0.cache() else sig0
-    val cands0 = lshCandidates(sig, numHashes, bands)
+    val cands0 = lshCandidates(sig, numHashes, bands, maxBucketSize)
     val cands = (if (estimatePrefilter)
       estimateFilter(cands0, sig, numHashes,
         math.max(0.0, threshold - 2.0 / math.sqrt(numHashes.toDouble)))
@@ -251,13 +252,24 @@ object Dedup {
                          threshold: Double, shingleN: Int = 1,
                          maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
-    val toks =
-      if (shingleN == 1)
-        docs.select(col(idCol).as("id"), explode(array_distinct(split(col(textCol), " "))).as("tok"))
-      else
-        shingles(docs, textCol, idCol, shingleN).withColumnRenamed("sh", "tok")
+    // ONE tokenize pass for the whole operator: the per-doc element-hash SET
+    // (the same (id, hs) shape verifyJaccardSets consumes) is built narrowly
+    // and cached, then BOTH the prefix-candidate stage and the verify stage
+    // read it — the former plan re-derived the token stream from the text on
+    // each side. Elements are 8-byte xxhash64 values from here on, so the
+    // global-frequency shuffle, the sort-by-df gather and the candidate
+    // equi-join all move longs instead of n-gram strings. Any global total
+    // order of elements preserves the prefix-filter guarantee, so ordering
+    // by (df, hash) instead of (df, string) changes only which superset of
+    // candidates is generated — the exact verify keeps the output identical.
+    val hsets =
+      (if (shingleN == 1)
+        docs.select(col(idCol).as("id"),
+          expr(s"array_distinct(transform(split($textCol, ' '), x -> xxhash64(x)))").as("hs"))
+      else shingleHashSets(docs, textCol, idCol, shingleN)).cache()
+    val toks = hsets.select(col("id"), explode(col("hs")).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    // per doc: tokens sorted by (global df asc, tok) -> rarest-first array
+    // per doc: elements sorted by (global df asc, hash) -> rarest-first array
     val docArr = toks.join(freq, "tok")
       .groupBy("id")
       .agg(expr("transform(sort_array(collect_list(struct(df, tok))), s -> s.tok)").as("ts"))
@@ -274,16 +286,10 @@ object Dedup {
       .distinct()
       .cache() // consumed twice: id-prune + verify join
     // verify only the docs that appear in some candidate pair (semi-join
-    // prune, same shape as minHashDupPairs) — and build their element sets
-    // straight from the text, not by re-running the frequency-sort subtree
-    val candIds = cands.select(explode(array(col("a_id"), col("b_id"))).as(idCol)).distinct()
-    val candDocs = docs.join(candIds, Seq(idCol), "left_semi")
-    val sets =
-      if (shingleN == 1)
-        candDocs.select(col(idCol).as("id"),
-          expr(s"array_distinct(transform(array_distinct(split($textCol, ' ')), x -> xxhash64(x)))").as("hs"))
-      else shingleHashSets(candDocs, textCol, idCol, shingleN)
-    verifyJaccardSets(cands, sets, threshold)
+    // prune, same shape as minHashDupPairs), reading the SAME cached sets
+    // the candidates were generated from
+    val candIds = cands.select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
+    verifyJaccardSets(cands, hsets.join(candIds, Seq("id"), "left_semi"), threshold)
   }
 
   /** Benchmark decontamination — the training-data hygiene step every large

@@ -61,9 +61,10 @@ object Graph {
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
         .localCheckpoint(eager = false)
       val changed = next.where(col("label") =!= col("old")).count()
-      // next is materialized (localCheckpoint is eager) and the convergence
-      // check has consumed the old generation — release its storage blocks
-      // now, or R rounds pin R+1 full vertex-set copies in executor memory
+      // the count above just materialized next's lazy checkpoint, and the
+      // convergence check has consumed the old generation — release its
+      // storage blocks now, or R rounds pin R+1 full vertex-set copies in
+      // executor memory
       labels.unpersist()
       labels = next
       rounds += 1

@@ -39,9 +39,17 @@ object HeavyHitters {
     val spark = df.sparkSession
     import spark.implicits._
     val vals = df.select(col(valueCol).cast("string").as("value")).where(col("value").isNotNull)
-    val candidates = vals.as[String].mapPartitions { it =>
+    // ONE summary pass over the raw stream emits the per-partition candidate
+    // keys AND the partition row count (a null-keyed row): the certificate's
+    // total-n aggregate below reads this metadata-sized summary instead of
+    // rescanning the stream. Cached — it is consumed by the candidate set
+    // and (under certify) the total count, and is <= (summarySize+1) rows
+    // per partition.
+    val summary = vals.as[String].mapPartitions { it =>
       val m = new scala.collection.mutable.HashMap[String, Long]()
+      var n = 0L
       it.foreach { v =>
+        n += 1
         m.get(v) match {
           case Some(c) => m.update(v, c + 1)
           case None if m.size < summarySize => m.update(v, 1L)
@@ -54,11 +62,16 @@ object HeavyHitters {
             dead.foreach(m.remove)
         }
       }
-      m.keysIterator
-    }.toDF("value").distinct()
+      m.keysIterator.map(v => (v, 0L)) ++ Iterator.single((null: String, n))
+    }.toDF("value", "pn").cache()
+    val candidates = summary.where(col("value").isNotNull).select("value").distinct()
+    // candidate-sized (<= summarySize x partitions keys): cached so topk and
+    // the certificate stats share ONE semi-join + recount over the stream —
+    // the former plan ran that whole subtree twice
     val counted = vals.join(candidates, Seq("value"), "left_semi")
       .groupBy("value")
       .agg(count(lit(1)).as("cnt"))
+      .cache()
     val topk = counted.orderBy(col("cnt").desc, col("value")).limit(k)
     if (!certify) topk
     else {
@@ -67,7 +80,7 @@ object HeavyHitters {
       // pruning cannot drop the check. _candn == _n means every input row
       // survived the semi-join => the recount was a full exact groupBy and
       // the bar test is unnecessary (e.g. vocabulary fits the summaries).
-      val total = vals.agg(count(lit(1)).as("_n"))
+      val total = summary.agg(sum(col("pn")).as("_n")) // candidate rows carry pn = 0
       val candStats = counted.agg(
         sum(col("cnt")).as("_candn"), count(lit(1)).as("_nc"))
       topk.crossJoin(broadcast(total)).crossJoin(broadcast(candStats))

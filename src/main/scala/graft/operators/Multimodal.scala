@@ -75,6 +75,114 @@ object Multimodal {
     }
   }
 
+  /** REAL (non-stub) image metadata decode for the two ubiquitous container
+    * formats. No codec library exists in this environment, but the formats'
+    * HEADER layouts are public and fixed, so dimensions/channels/format come
+    * from the actual bytes, not from hash arithmetic:
+    *
+    *  - PNG: 8-byte signature, then the mandatory first chunk IHDR —
+    *    width/height as big-endian u32 at offsets 16/20, bit depth at 24,
+    *    color type at 25 (0 grey, 2 truecolor, 3 palette, 4 grey+alpha,
+    *    6 truecolor+alpha -> 1/3/1/2/4 channels).
+    *  - JPEG: SOI marker, then a marker-segment walk (each segment FF xx +
+    *    big-endian u16 length) to the first SOFn frame header (C0-CF minus
+    *    C4/C8/CC), which carries precision, height, width, and the
+    *    component count.
+    *
+    * Unparseable / truncated / non-image payloads yield None — callers map
+    * that to NULL columns, never a task failure.
+    */
+  object ImageHeaders extends Serializable {
+    final case class ImageMeta(format: String, width: Int, height: Int, channels: Int)
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    private def be32(b: Array[Byte], i: Int): Long =
+      (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+    private val PngSig: Array[Int] = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+    def decode(bytes: Array[Byte]): Option[ImageMeta] =
+      if (bytes == null || bytes.length < 4) None
+      else if (PngSig.indices.forall(i => bytes.length > i && u8(bytes, i) == PngSig(i)))
+        decodePng(bytes)
+      else if (u8(bytes, 0) == 0xff && u8(bytes, 1) == 0xd8) decodeJpeg(bytes)
+      else None
+
+    private def decodePng(b: Array[Byte]): Option[ImageMeta] = {
+      // signature(8) + chunk length(4) + "IHDR"(4) + w(4) h(4) depth(1) color(1)
+      if (b.length < 26) return None
+      if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')) return None
+      val w = be32(b, 16)
+      val h = be32(b, 20)
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return None
+      val channels = u8(b, 25) match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case _ => return None
+      }
+      Some(ImageMeta("png", w.toInt, h.toInt, channels))
+    }
+
+    private def isSof(m: Int): Boolean =
+      m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+
+    private def decodeJpeg(b: Array[Byte]): Option[ImageMeta] = {
+      var i = 2 // past SOI
+      while (i + 3 < b.length) {
+        if (u8(b, i) != 0xff) return None
+        var j = i + 1 // skip fill bytes (FF padding before a marker is legal)
+        while (j < b.length && u8(b, j) == 0xff) j += 1
+        if (j >= b.length) return None
+        val marker = u8(b, j)
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i = j + 1 // standalone
+        else if (marker == 0xd9 || marker == 0xda) return None // EOI / entropy data: no SOF seen
+        else {
+          if (j + 2 >= b.length) return None
+          val len = be16(b, j + 1)
+          if (len < 2) return None
+          if (isSof(marker)) {
+            // precision(1) height(2) width(2) nComponents(1) after the length
+            if (j + 8 >= b.length) return None
+            val h = be16(b, j + 4)
+            val w = be16(b, j + 6)
+            val nc = u8(b, j + 8)
+            if (w <= 0 || h <= 0 || nc < 1 || nc > 4) return None
+            return Some(ImageMeta("jpeg", w, h, nc))
+          }
+          i = j + 1 + len
+        }
+      }
+      None
+    }
+  }
+
+  /** Image-header decode over a binary payload column — the REAL-format
+    * sibling of [[decodePartitioned]], same per-partition-handle shape (the
+    * reference's per-worker handle, mrblast.cpp:838-845): appends
+    * format/width/height/channels parsed from the genuine PNG/JPEG bytes,
+    * NULLs for payloads that are neither.
+    */
+  def decodeImageHeaders(df: DataFrame, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val outSchema = df.schema
+      .add("format", StringType).add("width", IntegerType)
+      .add("height", IntegerType).add("channels", IntegerType)
+    val rows = df.rdd.mapPartitions { it =>
+      val decoder = ImageHeaders // per-partition handle; real codecs init here
+      it.map { r =>
+        val bytes = r.get(payloadIdx).asInstanceOf[Array[Byte]]
+        decoder.decode(bytes) match {
+          case Some(m) => Row.fromSeq(r.toSeq ++ Seq(m.format, m.width, m.height, m.channels))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** Batched decode: one decoder "handle" per partition (constructed once,
     * like the reference's per-worker DB handle, A8/O9), rows streamed
     * through it. Output schema: input columns + width/height/channels/

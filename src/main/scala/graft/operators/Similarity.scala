@@ -207,21 +207,89 @@ object Similarity {
       .select("probe_id", "neighbor_id", "cosim", "rnk")
   }
 
-  /** ANN top-k: candidates restricted to the probe's LSH bucket.
-    * Trades recall for a 2^bits candidate reduction; recall is measured
-    * against [[bruteForceKnn]] in the test suite.
+  /** Per-probe recall@k of an ANN result against the exact answer: both
+    * inputs are (probe_id, neighbor_id, ...) top-k tables; recall =
+    * |ANN ∩ exact| / k. Probe-count-sized everywhere — the joins carry only
+    * the two top-k outputs, never the corpus.
+    */
+  def recallAtK(ann: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val hits = ann.select("probe_id", "neighbor_id")
+      .join(exact.select("probe_id", "neighbor_id"), Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("_hits"))
+    ann.select("probe_id").distinct()
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        (coalesce(col("_hits"), lit(0L)) / lit(k.toDouble)).as("recall"))
+  }
+
+  /** Runtime recall certificate for a recall-probabilistic ANN
+    * configuration: appends each probe's measured recall@k (vs the exact
+    * result) to the ANN rows and FAILS the job — assert_true in a Filter,
+    * so column pruning cannot drop it — when the minimum per-probe recall
+    * falls below `minRecall`. An approximate configuration thus never
+    * silently degrades: the answer ships with its own proof obligation,
+    * the same pattern as [[graft.operators.HeavyHitters.topK]]'s
+    * exactness certificate.
+    */
+  def withRecallCertificate(ann: DataFrame, exact: DataFrame, k: Int,
+                            minRecall: Double): DataFrame = {
+    val recalls = recallAtK(ann, exact, k)
+    val worst = recalls.agg(min(col("recall")).as("_minr"))
+    ann.join(recalls, "probe_id")
+      .crossJoin(broadcast(worst))
+      .where(assert_true(col("_minr") >= minRecall,
+        lit(s"ANN recall certificate failed: a probe's recall@$k fell below " +
+          s"$minRecall — raise bits/nProbe or lower the threshold")).isNull)
+      .drop("_minr")
+  }
+
+  /** Per-table LSH bucket ids as ONE array column `tbs` (`tables` entries;
+    * entry t = table id in the high bits | that table's sign pattern): all
+    * `tables x bits` hyperplane dots come from a single native
+    * `graft_matvec` call, then each table folds its slice. Empty planes =
+    * the degenerate single global bucket (the q86 exactness certificate).
+    */
+  private def tableBuckets(df: DataFrame, vecCol: String,
+                           planes: Array[Array[Double]], tables: Int, bits: Int): DataFrame =
+    if (planes.isEmpty) df.withColumn("tbs", array(lit(0L)))
+    else {
+      val planesLit = array(planes.map(p => array(p.map(v => lit(v.toFloat)): _*)): _*)
+      df.withColumn("_planes", planesLit)
+        .withColumn("tbs", expr(
+          s"""transform(sequence(0, ${tables - 1}), t ->
+             |  (CAST(t AS BIGINT) << 48) + aggregate(
+             |    transform(slice(graft_matvec(_planes, $vecCol), t * $bits + 1, $bits), (d, j) ->
+             |      IF(d > 0D, CAST(1 AS BIGINT) << j, CAST(0 AS BIGINT))),
+             |    CAST(0 AS BIGINT), (acc, v) -> acc + v))""".stripMargin))
+        .drop("_planes")
+    }
+
+  /** ANN top-k via multi-table sign-LSH: `tables` independent `bits`-wide
+    * hash tables; candidates are the union of the probe's buckets across
+    * tables (the standard recall amplifier — one table's miss probability
+    * p becomes p^tables), deduplicated BEFORE scoring. Per-table cost ~
+    * corpus/2^bits per probe, so the knobs trade recall against candidate
+    * volume explicitly; recall is measured against [[bruteForceKnn]] in
+    * the test suite and certifiable at runtime via
+    * [[withRecallCertificate]].
     */
   def lshKnn(emb: DataFrame, idCol: String, vecCol: String,
              probeFilter: org.apache.spark.sql.Column, k: Int,
-             bits: Int = 8, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(bits, dim)
-    val e = lshBucket(emb.select(col(idCol), col(vecCol)), vecCol, planes)
+             bits: Int = 8, dim: Int = 64, tables: Int = 1): DataFrame = {
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    require(tables == 1 || bits >= 1, "multi-table LSH needs bits >= 1")
+    val planes = hyperplanes(bits * tables, dim)
+    val e = tableBuckets(emb.select(col(idCol), col(vecCol)), vecCol, planes, tables, bits)
       .withColumn("nrm", norm(vecCol))
     val probes = e.where(probeFilter)
-      .select(col(idCol).as("probe_id"), col(vecCol).as("p_emb"), col("nrm").as("p_nrm"), col("bucket"))
-    val cand = e.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_emb"), col("nrm").as("n_nrm"), col("bucket"))
-    val scored = probes.join(cand, "bucket")
+      .select(col(idCol).as("probe_id"), col(vecCol).as("p_emb"), col("nrm").as("p_nrm"),
+        explode(col("tbs")).as("tb"))
+    val cand = e.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_emb"),
+      col("nrm").as("n_nrm"), explode(col("tbs")).as("tb"))
+    val scored = probes.join(cand, "tb")
       .where(col("neighbor_id") =!= col("probe_id"))
+      // union of tables: a pair sharing several buckets must score ONCE
+      .dropDuplicates("probe_id", "neighbor_id")
       .withColumn("cosim", round(dot("p_emb", "n_emb") / (col("p_nrm") * col("n_nrm")), 4))
     val w = Window.partitionBy("probe_id").orderBy(col("cosim").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))

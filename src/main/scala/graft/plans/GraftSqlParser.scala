@@ -51,7 +51,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case SimJoin(qTable, cTable, kernelName, k) =>
-      val s = SparkSession.active
+      // resolve against the session this parser was constructed for, not
+      // whatever session happens to be thread-active at parse time
+      val s = session
       import s.implicits._
       val queries = s.table(qTable).as[graft.blast.Query]
       val corpus = s.table(cTable).as[graft.blast.Subject]

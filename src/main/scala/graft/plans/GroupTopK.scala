@@ -42,7 +42,8 @@ case class GroupTopKNode(
     sortOrder: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    withTies: Boolean = false) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
   override def maxRows: Option[Long] = child.maxRows
@@ -53,6 +54,14 @@ case class GroupTopKNode(
 /** Optimizer rule: `Filter(rnk <= k, Window(row_number() as rnk over (p, o)))`
   * -> `GroupTopKNode(p, o, k)`, preserving extra filter conjuncts above the
   * new node (they were evaluated after ranking, so they stay after).
+  *
+  * `rank()` is rewritten too (`withTies = true`): ranks then carry SQL rank
+  * semantics — ties share a rank, the next distinct value skips — and the
+  * k-th rank's FULL tie group is kept, so a group may emit more than k rows
+  * exactly like the window form. The bounded buffers hold every row whose
+  * running rank is <= k (at most k distinct sort keys per group, plus their
+  * ties); a degenerate all-tied group therefore buffers its whole rank-k
+  * tie group — the same rows the operator must output anyway.
   */
 object GroupTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -73,10 +82,12 @@ object GroupTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ org.apache.spark.sql.catalyst.plans.logical.Filter(cond,
-        w @ LogicalWindow(Seq(alias @ Alias(WindowExpression(_: RowNumber, spec), _)),
+        w @ LogicalWindow(Seq(alias @ Alias(WindowExpression(rankFn, spec), _)),
           partitionSpec, orderSpec, child, _))
-        if partitionSpec.nonEmpty && orderSpec.nonEmpty &&
+        if (rankFn.isInstanceOf[RowNumber] || rankFn.isInstanceOf[Rank]) &&
+           partitionSpec.nonEmpty && orderSpec.nonEmpty &&
            spec.partitionSpec == partitionSpec && spec.orderSpec == orderSpec =>
+      val withTies = rankFn.isInstanceOf[Rank]
       val rnk = alias.toAttribute
       val conjuncts = splitConjunctivePredicates(cond)
       val limits = conjuncts.flatMap(rankLimit(_, rnk))
@@ -105,7 +116,7 @@ object GroupTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
       if (limits.isEmpty || restReferencesRank || floatingKeys ||
           limits.min > MaxK || limits.min < 1) f
       else {
-        val topk = GroupTopKNode(partitionSpec, orderSpec, limits.min, rnk, child)
+        val topk = GroupTopKNode(partitionSpec, orderSpec, limits.min, rnk, child, withTies)
         if (rest.isEmpty) topk
         else org.apache.spark.sql.catalyst.plans.logical.Filter(rest.reduce(And), topk)
       }
@@ -115,8 +126,8 @@ object GroupTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 object GroupTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case g: GroupTopKNode =>
-      val partial = GroupTopKPartialExec(g.groupExprs, g.sortOrder, g.k, planLater(g.child))
-      GroupTopKFinalExec(g.groupExprs, g.sortOrder, g.k, g.rankAttr, partial) :: Nil
+      val partial = GroupTopKPartialExec(g.groupExprs, g.sortOrder, g.k, planLater(g.child), g.withTies)
+      GroupTopKFinalExec(g.groupExprs, g.sortOrder, g.k, g.rankAttr, partial, g.withTies) :: Nil
     case _ => Nil
   }
 }
@@ -145,6 +156,52 @@ private[plans] object GroupTopKBuffers {
     }
     heaps.iterator.map { case (key, h) => (key: InternalRow, h) }
   }
+
+  /** rank()-semantics variant: per group, keep every row whose running rank
+    * (1 + count of strictly better rows) is <= k. Buckets are tie groups
+    * keyed by sort key in a TreeMap (best-first); after each insert the
+    * worst bucket is dropped while the rows before it already fill rank k.
+    * Yields each group's tie buckets best-first.
+    */
+  def topKPerGroupTies(
+      it: Iterator[InternalRow],
+      groupProj: UnsafeProjection,
+      ord: Ordering[InternalRow],
+      k: Int): Iterator[(InternalRow, java.util.TreeMap[InternalRow, mutable.ArrayBuffer[InternalRow]])] = {
+    val groups = mutable.LinkedHashMap.empty[UnsafeRow,
+      (java.util.TreeMap[InternalRow, mutable.ArrayBuffer[InternalRow]], Array[Long])]
+    while (it.hasNext) {
+      val row = it.next()
+      val key = groupProj(row)
+      val (tm, total) = groups.getOrElseUpdate(key.copy(),
+        (new java.util.TreeMap[InternalRow, mutable.ArrayBuffer[InternalRow]](ord), Array(0L)))
+      val bucket = tm.get(row)
+      if (bucket != null) {
+        bucket += row.copy()
+        total(0) += 1
+      } else {
+        // rank of a new key = 1 + rows strictly better = 1 + (total - rows
+        // at-or-after it); count the better side via headMap (<= k buckets)
+        var better = 0L
+        val hm = tm.headMap(row, false).values().iterator()
+        while (hm.hasNext) better += hm.next().size
+        if (better < k) {
+          val c = row.copy()
+          tm.put(c, mutable.ArrayBuffer(c))
+          total(0) += 1
+        }
+      }
+      // drop worst buckets whose rank now exceeds k (rank of the worst
+      // bucket = total - its size + 1)
+      var last = tm.lastEntry()
+      while (last != null && total(0) - last.getValue.size >= k) {
+        total(0) -= last.getValue.size
+        tm.remove(last.getKey)
+        last = tm.lastEntry()
+      }
+    }
+    groups.iterator.map { case (key, (tm, _)) => (key: InternalRow, tm) }
+  }
 }
 
 /** Map-side partial: emits at most k rows per group per input partition
@@ -154,18 +211,26 @@ case class GroupTopKPartialExec(
     groupExprs: Seq[Expression],
     sortOrder: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    withTies: Boolean = false) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] = UnspecifiedDistribution :: Nil
   override protected def doExecute(): RDD[InternalRow] = {
     val groupE = groupExprs
     val sortE = sortOrder
     val kk = k
+    val ties = withTies
     val childOut = child.output
     child.execute().mapPartitions({ it =>
       val proj = UnsafeProjection.create(groupE, childOut)
       val ord = GenerateOrdering.generate(sortE, childOut)
-      GroupTopKBuffers.topKPerGroup(it, proj, ord, kk).flatMap(_._2)
+      if (ties)
+        GroupTopKBuffers.topKPerGroupTies(it, proj, ord, kk).flatMap { case (_, tm) =>
+          import scala.jdk.CollectionConverters._
+          tm.values().asScala.iterator.flatten
+        }
+      else
+        GroupTopKBuffers.topKPerGroup(it, proj, ord, kk).flatMap(_._2)
     }, preservesPartitioning = true)
   }
   override protected def withNewChildInternal(newChild: SparkPlan): GroupTopKPartialExec =
@@ -181,7 +246,8 @@ case class GroupTopKFinalExec(
     sortOrder: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    withTies: Boolean = false) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupExprs) :: Nil
@@ -194,6 +260,7 @@ case class GroupTopKFinalExec(
     val groupE = groupExprs
     val sortE = sortOrder
     val kk = k
+    val ties = withTies
     val childOut = child.output
     val outAttrs = output
     child.execute().mapPartitions({ it =>
@@ -202,14 +269,30 @@ case class GroupTopKFinalExec(
       val outProj = UnsafeProjection.create(outAttrs, childOut :+ rankAttr)
       val joined = new JoinedRow
       val rankRow = new SpecificInternalRow(IntegerType :: Nil)
-      GroupTopKBuffers.topKPerGroup(it, proj, ord, kk).flatMap { case (_, h) =>
-        // dequeueAll yields worst..best under the reversed heap order
-        val best = h.dequeueAll.reverseIterator
-        best.zipWithIndex.map { case (row, i) =>
-          rankRow.setInt(0, i + 1)
-          outProj(joined(row, rankRow))
+      if (ties)
+        GroupTopKBuffers.topKPerGroupTies(it, proj, ord, kk).flatMap { case (_, tm) =>
+          import scala.jdk.CollectionConverters._
+          // buckets arrive best-first; a whole tie bucket shares one rank
+          // and the next bucket's rank skips past it (SQL rank semantics)
+          var cum = 0
+          tm.values().asScala.iterator.flatMap { bucket =>
+            val r = cum + 1
+            cum += bucket.size
+            bucket.iterator.map { row =>
+              rankRow.setInt(0, r)
+              outProj(joined(row, rankRow))
+            }
+          }
         }
-      }
+      else
+        GroupTopKBuffers.topKPerGroup(it, proj, ord, kk).flatMap { case (_, h) =>
+          // dequeueAll yields worst..best under the reversed heap order
+          val best = h.dequeueAll.reverseIterator
+          best.zipWithIndex.map { case (row, i) =>
+            rankRow.setInt(0, i + 1)
+            outProj(joined(row, rankRow))
+          }
+        }
     }, preservesPartitioning = true)
   }
   override protected def withNewChildInternal(newChild: SparkPlan): GroupTopKFinalExec =

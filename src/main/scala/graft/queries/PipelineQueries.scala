@@ -60,9 +60,13 @@ object PipelineQueries extends QuerySet {
     // near-dup clusters sit at jaccard >> threshold where 8-band miss
     // probability is ~(1-j^4)^8 ~ 1e-4), and the verify stage is exact —
     // so the output hash-matches the exact-Jaccard DuckDB oracle.
+    // maxBucketSize = MaxValue: the oracled run opts OUT of the hot-bucket
+    // skew guard, so no candidate is ever silently dropped — the exactness
+    // claim holds unconditionally, not just below an implicit bucket cap.
     "q62_dedup_minhash" -> ((s, dir) => {
       Dedup.minHashDupPairs(t(s, dir, "documents"),
-          "text", "doc_id", shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
+          "text", "doc_id", shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5,
+          maxBucketSize = Int.MaxValue)
         .orderBy("a_id", "b_id")
     }),
 
@@ -70,9 +74,11 @@ object PipelineQueries extends QuerySet {
     // fingerprint: the pigeonhole banding is COMPLETE (not probabilistic)
     // below the hot-bucket cap, so the output hash-matches a DuckDB oracle
     // that recomputes the identical fingerprints and brute-forces hamming.
+    // maxBucketSize = MaxValue (see q62): pigeonhole banding is COMPLETE
+    // with no silent drop path, so the brute-force oracle holds exactly.
     "q63_dedup_simhash" -> ((s, dir) => {
       Dedup.simHashDupPairsShared(t(s, dir, "documents"),
-          "text", "doc_id", maxHamming = 3)
+          "text", "doc_id", maxHamming = 3, maxBucketSize = Int.MaxValue)
         .orderBy("a_id", "b_id")
     }),
 
@@ -116,7 +122,7 @@ object PipelineQueries extends QuerySet {
     // values (the winnowing guarantee itself is pinned in DedupSpec).
     "q68_winnow_fingerprints" -> ((s, dir) => {
       Dedup.winnowingFingerprints(
-          t(s, dir, "documents").where(col("doc_id") < 1000), "text", "doc_id",
+          t(s, dir, "documents"), "text", "doc_id",
           crossEngine = true)
         .groupBy("fp").agg(count(lit(1)).as("cnt"), min("id").as("keep_id"))
         .where(col("cnt") > 1)
@@ -130,10 +136,41 @@ object PipelineQueries extends QuerySet {
     // invariants are additionally pinned in MultimodalSpec.
     "q65_multimodal_decode" -> ((s, dir) => {
       val withP = Multimodal.withPayload(
-        t(s, dir, "documents").where(col("doc_id") < 1000), "text", "text/plain")
+        t(s, dir, "documents"), "text", "text/plain")
       Multimodal.resizeDecoded(
           Multimodal.decodePartitioned(withP, "payload"), 64, 64)
         .select("doc_id", "width", "height", "channels", "resized_w", "resized_h")
+        .orderBy("doc_id")
+    }),
+
+    // REAL image decode: per-doc payloads are built as genuine PNG
+    // (signature + IHDR) and JPEG (SOI + APP0/JFIF + SOF0) byte streams with
+    // doc-derived dimensions, then parsed back by the dependency-free
+    // ImageHeaders decoder — the actual big-endian header bytes round-trip
+    // through the real format layouts, so a mis-parsed offset or endianness
+    // bug breaks the hash. The oracle recomputes the dimension arithmetic
+    // directly (it never needs to build bytes).
+    "q89_image_headers" -> ((s, dir) => {
+      val withPayload = t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("CAST(16 + doc_id % 512 AS INT)").as("w0"),
+          expr("CAST(16 + (doc_id * 7) % 512 AS INT)").as("h0"))
+        .withColumn("payload", when(col("doc_id") % 2 === 0,
+          // PNG: sig, IHDR len 13, 'IHDR', w/h be32, depth 8, color type 6
+          // (RGBA), compression/filter/interlace 0, then a CRC field
+          expr("""concat(unhex('89504E470D0A1A0A'), unhex('0000000D'),
+                 unhex('49484452'), unhex(lpad(hex(w0), 8, '0')),
+                 unhex(lpad(hex(h0), 8, '0')), unhex('0806000000'),
+                 unhex('00000000'))"""))
+          .otherwise(
+          // JPEG: SOI, 16-byte APP0/JFIF, SOF0 len 17: precision 8, h/w
+          // be16, 3 components (id, sampling, qtable) x3
+          expr("""concat(unhex('FFD8'),
+                 unhex('FFE000104A46494600010100000100010000'),
+                 unhex('FFC00011'), unhex('08'), unhex(lpad(hex(h0), 4, '0')),
+                 unhex(lpad(hex(w0), 4, '0')), unhex('03011100021101031101'))""")))
+      Multimodal.decodeImageHeaders(withPayload, "payload")
+        .select("doc_id", "format", "width", "height", "channels")
         .orderBy("doc_id")
     }),
 
@@ -157,8 +194,10 @@ object PipelineQueries extends QuerySet {
     // the query a curation run actually ships; q62/q48 pin its stages.
     "q88_dedup_corpus" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // exact configuration (no hot-bucket drop), matching the oracle
       val pairs = Dedup.minHashDupPairs(docs, "text", "doc_id",
-        shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5,
+        maxBucketSize = Int.MaxValue)
       val clusters = graft.operators.Graph.connectedComponents(pairs, "a_id", "b_id")
       val dropped = clusters.where(col("id") =!= col("cluster_id"))
         .select(col("id").as("doc_id"))
@@ -281,7 +320,7 @@ object PipelineQueries extends QuerySet {
     // identical md5 k-gram hashes (k=8), distinct minima of each 4-wide
     // window per doc, then the same fp-frequency rollup
     "q68_winnow_fingerprints" ->
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+      """WITH d AS (SELECT doc_id, text FROM documents),
         |hl AS (SELECT doc_id, list_transform(range(1, length(text) - 8 + 2),
         |        i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT) AS hs
         |       FROM d WHERE length(text) >= 8),
@@ -306,7 +345,7 @@ object PipelineQueries extends QuerySet {
     // resizeDecoded (double-precision scale, floor, >=1 clamp) exactly
     "q65_multimodal_decode" ->
       """WITH d AS (SELECT doc_id, ('0x' || substr(md5(text), 1, 13))::BIGINT AS h
-        |           FROM documents WHERE doc_id < 1000),
+        |           FROM documents),
         |m AS (SELECT doc_id,
         |        16 + (h % 1024) AS width,
         |        16 + ((h // 1024) % 1024) AS height,
@@ -316,6 +355,15 @@ object PipelineQueries extends QuerySet {
         |  GREATEST(CAST(FLOOR(width * scale) AS BIGINT), 1) AS resized_w,
         |  GREATEST(CAST(FLOOR(height * scale) AS BIGINT), 1) AS resized_h
         |FROM r ORDER BY doc_id""".stripMargin,
+    // the engine must recover these values from real format bytes; the
+    // oracle only re-derives the arithmetic that generated the dimensions
+    "q89_image_headers" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  CAST(16 + doc_id % 512 AS INT) AS width,
+        |  CAST(16 + (doc_id * 7) % 512 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INT) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q66_iteration_batches" ->
       s"""WITH b AS (SELECT doc_id, n_chars,
         |  CAST(FLOOR(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $BlockSize.0) AS BIGINT) AS block_id

@@ -208,6 +208,17 @@ object SqliteFile {
     */
   def write(path: String, table: String, columnDdl: Seq[String],
             rows: Iterator[Seq[Any]], interiorFanout: Int = 200): Long = {
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
+    try write(out, table, columnDdl, rows, interiorFanout)
+    finally out.close()
+  }
+
+  /** Stream-variant of [[write]]: the whole file image goes to `out` (NOT
+    * closed here — the caller owns the stream), so shards can land on any
+    * Hadoop FileSystem, not just local disk.
+    */
+  def write(out: java.io.OutputStream, table: String, columnDdl: Seq[String],
+            rows: Iterator[Seq[Any]], interiorFanout: Int): Long = {
     val store = new PageStore
     store.alloc() // reserve page 1 for header + sqlite_master
     var rowid = 0L
@@ -250,14 +261,17 @@ object SqliteFile {
     p1(100) = 0x0d
     putShort(p1, 103, 1)
     val contentStart = PageSize - masterCell.length
+    // page 1's usable area starts after the 100B file header + 8B leaf
+    // b-tree header + one 2B cell pointer = offset 110; a longer DDL (very
+    // wide table / long names) would silently overwrite those headers
+    require(contentStart >= 110,
+      s"sqlite_master cell of ${masterCell.length}B (CREATE TABLE DDL too " +
+        s"long) exceeds page 1's ${PageSize - 110}B usable space")
     System.arraycopy(masterCell, 0, p1, contentStart, masterCell.length)
     putShort(p1, 105, contentStart)
     putShort(p1, 108, contentStart)
 
-    val out = new java.io.BufferedOutputStream(
-      new java.io.FileOutputStream(path))
-    try store.pages.foreach(out.write)
-    finally out.close()
+    store.pages.foreach(out.write)
     rowid
   }
 }
@@ -311,15 +325,23 @@ object SqliteSink {
 
   /** One `.sqlite` shard per partition, written in parallel on the
     * executors — the formulation that survives output sizes no single file
-    * should hold. Returns total rows written.
+    * should hold. Shards go through the Hadoop FileSystem API (like
+    * [[BinHits]]), so `dir` may be any configured filesystem (HDFS, s3a,
+    * file:) — not only a driver-local path. Returns total rows written.
     */
   def writeSharded(df: DataFrame, dir: String, table: String): Long = {
     val ddl = df.schema.fields.map(ddlFor).toSeq
     val mapper = cellMapper(df.schema)
-    new java.io.File(dir).mkdirs()
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(conf.value).mkdirs(dirPath)
     val counts = df.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val path = f"$dir/part-$pid%05d.sqlite"
-      Iterator.single(SqliteFile.write(path, table, ddl, it.map(mapper)))
+      val shard = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.sqlite")
+      val out = shard.getFileSystem(conf.value).create(shard, true)
+      val n = try SqliteFile.write(out, table, ddl, it.map(mapper), interiorFanout = 200)
+              finally out.close()
+      Iterator.single(n)
     }.collect()
     counts.sum
   }

@@ -101,6 +101,60 @@ class MultimodalSpec extends SparkSpec {
     assert(n == 4L, s"binary payload re-encoded: $n bytes")
   }
 
+  // checked-in REAL images (generated once with javax.imageio, a genuine
+  // PNG/JPEG encoder): name -> (format, width, height, channels)
+  private val golden = Map(
+    "rgb_64x48.png" -> ("png", 64, 48, 3), // color type 2
+    "argb_33x17.png" -> ("png", 33, 17, 4), // color type 6
+    "gray_10x250.png" -> ("png", 10, 250, 1), // color type 0
+    "rgb_64x48.jpg" -> ("jpeg", 64, 48, 3),
+    "gray_10x250.jpg" -> ("jpeg", 10, 250, 1))
+
+  private def imageBytes(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/graft/images/$name")
+    assert(in != null, s"missing test resource $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("ImageHeaders decodes real checked-in PNG/JPEG bytes (golden + ImageIO cross-check)") {
+    golden.foreach { case (name, (fmt, w, h, ch)) =>
+      val bytes = imageBytes(name)
+      val m = Multimodal.ImageHeaders.decode(bytes)
+      assert(m.contains(Multimodal.ImageHeaders.ImageMeta(fmt, w, h, ch)),
+        s"$name: got $m, want ($fmt, $w, $h, $ch)")
+      // independent validator: the JDK's own codec must agree on dimensions
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img.getWidth == w && img.getHeight == h, s"$name: ImageIO disagrees")
+    }
+  }
+
+  test("ImageHeaders rejects junk, truncation, and non-image bytes as None") {
+    val png = imageBytes("rgb_64x48.png")
+    assert(Multimodal.ImageHeaders.decode(null).isEmpty)
+    assert(Multimodal.ImageHeaders.decode(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.ImageHeaders.decode("plain text payload".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.ImageHeaders.decode(png.take(20)).isEmpty) // cut inside IHDR
+    // JPEG cut before any SOF marker
+    assert(Multimodal.ImageHeaders.decode(imageBytes("rgb_64x48.jpg").take(6)).isEmpty)
+  }
+
+  test("decodeImageHeaders appends parsed columns, NULLs for non-images") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, imageBytes("argb_33x17.png")),
+      (2L, imageBytes("gray_10x250.jpg")),
+      (3L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload").repartition(2)
+    val out = Multimodal.decodeImageHeaders(df, "payload")
+      .select("doc_id", "format", "width", "height", "channels")
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "png" && out(0).getInt(2) == 33 &&
+      out(0).getInt(3) == 17 && out(0).getInt(4) == 4)
+    assert(out(1).getString(1) == "jpeg" && out(1).getInt(2) == 10 &&
+      out(1).getInt(3) == 250 && out(1).getInt(4) == 1)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2) && out(2).isNullAt(3) && out(2).isNullAt(4))
+  }
+
   test("iteration batches are consecutive near-equal ranges") {
     import spark.implicits._
     val wi = (0 until 10).map(i => (i.toLong, s"p$i")).toDF("block_id", "source")

@@ -100,10 +100,46 @@ class GroupTopKSpec extends SparkSpec {
     assert(got.count() == 5)
   }
 
-  test("rank(), unlike row_number(), keeps the window form") {
-    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
-    val got = data.withColumn("rnk", rank().over(w)).where(col("rnk") <= 5)
-    assert(!got.queryExecution.executedPlan.toString.contains("GroupTopKFinal"))
+  // tie-heavy: ~6 distinct scores per 20 groups, so rank() gaps and
+  // boundary tie groups occur constantly
+  private def tieData: DataFrame = {
+    val rng = new scala.util.Random(11)
+    (1 to 4000).map(i => (rng.nextInt(20), rng.nextInt(6).toDouble, i.toLong))
+      .toDF("g", "score", "id")
+  }
+
+  private def rankReference(df: DataFrame, k: Int): Set[(Int, Double, Long, Int)] =
+    df.as[(Int, Double, Long)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        val sorted = rows.sortBy(-_._2)
+        sorted.map { case (_, s, id) =>
+          (g, s, id, sorted.indexWhere(_._2 == s) + 1) // rank = 1 + strictly better
+        }.filter(_._4 <= k)
+      }.toSet
+
+  test("rank() rewrites too and matches window rank semantics (ties share, gaps skip)") {
+    val df = tieData
+    val w = Window.partitionBy("g").orderBy(col("score").desc)
+    val got = df.withColumn("rnk", rank().over(w)).where(col("rnk") <= 3)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupTopKFinal"), s"rank() did not rewrite:\n$plan")
+    assert(!plan.contains("Window"), s"Window survived:\n$plan")
+    val gotRows = got.select("g", "score", "id", "rnk")
+      .as[(Int, Double, Long, Int)].collect().toSet
+    assert(gotRows == rankReference(df, 3))
+    // the k-th rank's FULL tie group is kept: some group emits > k rows
+    assert(got.groupBy("g").agg(count(lit(1)).as("n")).where(col("n") > 3).count() > 0,
+      "tie-heavy data should overflow k in at least one group")
+  }
+
+  test("rank() partial+final stay correct across a multi-partition input") {
+    val df = tieData
+    val w = Window.partitionBy("g").orderBy(col("score").desc)
+    val got = df.repartition(5).withColumn("rnk", rank().over(w)).where(col("rnk") <= 4)
+    assert(got.queryExecution.executedPlan.toString.contains("GroupTopKPartial"))
+    val gotRows = got.select("g", "score", "id", "rnk")
+      .as[(Int, Double, Long, Int)].collect().toSet
+    assert(gotRows == rankReference(df, 4))
   }
 
   test("partial+final stay correct across a repartitioned (multi-partition) input") {
