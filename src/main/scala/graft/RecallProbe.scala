@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+// temporary: measure real recall of candidate q64/q67 ANN configs per SF
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.tune(
+      SparkSession.builder().master(s"local[${GraftSession.cpus}]")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val exact = Similarity.bruteForceKnn(emb, "vec_id", "embedding", col("vec_id") < 10, k = 5)
+      def report(tag: String, ann: org.apache.spark.sql.DataFrame): Unit = {
+        val r = Similarity.recallAtK(ann, exact, 5).agg(min("recall"), avg("recall")).head()
+        println(s"PROBE $sf $tag min=${r.get(0)} avg=${r.get(1)}")
+      }
+      for ((bits, tables) <- Seq((6, 1), (6, 8), (4, 8), (4, 16), (3, 16)))
+        report(s"lsh b=$bits t=$tables",
+          Similarity.lshKnn(emb, "vec_id", "embedding", col("vec_id") < 10, k = 5,
+            bits = bits, dim = 64, tables = tables))
+      for (nProbe <- Seq(4, 8, 12))
+        report(s"ivf p=$nProbe",
+          Similarity.ivfKnn(emb, "vec_id", "embedding", col("vec_id") < 10, k = 5,
+            nList = 16, nProbe = nProbe))
+    }
+    spark.stop()
+  }
+}

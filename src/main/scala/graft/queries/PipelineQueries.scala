@@ -82,19 +82,39 @@ object PipelineQueries extends QuerySet {
         .orderBy("a_id", "b_id")
     }),
 
-    // LSH-bucketed approximate kNN (rows-only driver check; recall vs brute
-    // force asserted in SimilaritySpec).
+    // LSH-bucketed approximate kNN, shipped WITH its recall certificate:
+    // every output row carries the probe's measured recall@5 vs brute force,
+    // and an assert_true fails the whole job if any probe's recall drops
+    // below 0.4 — an approximate config can never silently degrade. The
+    // 16-table x 4-bit union config measures min recall 0.6 (sf0.01) / 0.8
+    // (sf0.1) on the harness embeddings; these are near-isotropic random
+    // vectors (the adversarial case for sign-LSH — real embedding corpora
+    // cluster, and fewer tables suffice), so the certificate, not the knob
+    // setting, is what carries the guarantee. Rows-only driver check: the
+    // bucketing itself has no tractable SQL twin (exactness certificate =
+    // q86; certificate arithmetic oracled by q90).
     "q64_knn_lsh" -> ((s, dir) => {
-      Similarity.lshKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
-          col("vec_id") < 10, k = 5, bits = 6, dim = 64)
+      val emb = t(s, dir, "embeddings")
+      val ann = Similarity.lshKnn(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 5, bits = 4, dim = 64, tables = 16)
+      val exact = Similarity.bruteForceKnn(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 5)
+      Similarity.withRecallCertificate(ann, exact, 5, minRecall = 0.4)
         .orderBy("probe_id", "rnk")
     }),
 
-    // IVF ANN: KMeans coarse quantizer, nProbe nearest cells searched
-    // (rows-only; recall pinned in SimilaritySpec).
+    // IVF ANN: KMeans coarse quantizer, nProbe nearest cells searched —
+    // also certified: recall@5 column per probe + job-failing floor at 0.4
+    // (measured min 0.8 sf0.01 / 0.6 sf0.1 at nProbe=12; see q64 for why
+    // the harness's random vectors are the worst case). Rows-only driver
+    // check; exactness certificate = q85, certificate arithmetic = q90.
     "q67_knn_ivf" -> ((s, dir) => {
-      Similarity.ivfKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
-          col("vec_id") < 10, k = 5, nList = 16, nProbe = 4)
+      val emb = t(s, dir, "embeddings")
+      val ann = Similarity.ivfKnn(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 5, nList = 16, nProbe = 12)
+      val exact = Similarity.bruteForceKnn(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 5)
+      Similarity.withRecallCertificate(ann, exact, 5, minRecall = 0.4)
         .orderBy("probe_id", "rnk")
     }),
 
@@ -172,6 +192,25 @@ object PipelineQueries extends QuerySet {
       Multimodal.decodeImageHeaders(withPayload, "payload")
         .select("doc_id", "format", "width", "height", "channels")
         .orderBy("doc_id")
+    }),
+
+    // Oracle for the recall-certificate arithmetic itself (the piece of
+    // q64/q67 a SQL engine CAN check): two deterministic top-5 lists per
+    // probe group — orders ranked by price vs by date — run through the
+    // very recallAtK join/agg the ANN certificates use, against DuckDB
+    // recomputing |ANN ∩ exact| / k directly.
+    "q90_recall_certificate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+        .select((col("o_custkey") % 10).as("probe_id"),
+          col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      def top5(first: org.apache.spark.sql.Column) = {
+        val w = Window.partitionBy("probe_id").orderBy(first, col("o_orderkey"))
+        o.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 5)
+          .select(col("probe_id"), col("o_orderkey").as("neighbor_id"))
+      }
+      Similarity.recallAtK(top5(col("o_totalprice").desc), top5(col("o_orderdate")), 5)
+        .orderBy("probe_id")
     }),
 
     // Deterministic weighted reservoir sample (Efraimidis-Spirakis), 10 docs
@@ -364,6 +403,23 @@ object PipelineQueries extends QuerySet {
         |  CAST(16 + (doc_id * 7) % 512 AS INT) AS height,
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INT) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // recomputes recall@5 = |ann ∩ exact| / 5 per probe group directly
+    "q90_recall_certificate" ->
+      """WITH o AS (SELECT o_custkey % 10 AS probe_id, o_orderkey, o_totalprice, o_orderdate
+        |           FROM orders),
+        |ann AS (SELECT probe_id, o_orderkey AS neighbor_id FROM (
+        |  SELECT probe_id, o_orderkey, ROW_NUMBER() OVER (
+        |    PARTITION BY probe_id ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM o)
+        |  WHERE rnk <= 5),
+        |ex AS (SELECT probe_id, o_orderkey AS neighbor_id FROM (
+        |  SELECT probe_id, o_orderkey, ROW_NUMBER() OVER (
+        |    PARTITION BY probe_id ORDER BY o_orderdate, o_orderkey) AS rnk FROM o)
+        |  WHERE rnk <= 5),
+        |hits AS (SELECT ann.probe_id, COUNT(*) AS h FROM ann
+        |         JOIN ex USING (probe_id, neighbor_id) GROUP BY 1)
+        |SELECT p.probe_id, COALESCE(h, 0) / 5.0 AS recall
+        |FROM (SELECT DISTINCT probe_id FROM ann) p LEFT JOIN hits USING (probe_id)
+        |ORDER BY probe_id""".stripMargin,
     "q66_iteration_batches" ->
       s"""WITH b AS (SELECT doc_id, n_chars,
         |  CAST(FLOOR(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $BlockSize.0) AS BIGINT) AS block_id
