@@ -1,0 +1,21 @@
+
+package graft
+import graft.queries._
+object AnnPlanCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    val dir = "/root/testdata/sf0.1"
+    for (n <- Seq("q64_knn_lsh", "q67_knn_ivf")) {
+      val df = SparkEntry.queries(n)(spark, dir)
+      val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val ex = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(plan).size
+      val scans = "(?m)Scan parquet".r.findAllIn(plan).size
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime
+        val rows = df.collect().length
+        println(s"===== $n run$i: exchanges=$ex parquetScans=$scans rows=$rows time=${(System.nanoTime-t0)/1e9}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -30,18 +30,45 @@ object Similarity {
     * Output: (probe_id, neighbor_id, cosim, rnk).
     */
   def bruteForceKnn(emb: DataFrame, idCol: String, vecCol: String,
-                    probeFilter: org.apache.spark.sql.Column, k: Int): DataFrame = {
-    val e = emb.select(col(idCol), col(vecCol)).withColumn("nrm", norm(vecCol))
-    val probes = e.where(probeFilter)
-      .select(col(idCol).as("probe_id"), col(vecCol).as("p_emb"), col("nrm").as("p_nrm"))
-    val cand = e.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_emb"), col("nrm").as("n_nrm"))
-    val scored = broadcast(probes).crossJoin(cand)
+                    probeFilter: org.apache.spark.sql.Column, k: Int): DataFrame =
+    bruteForceKnnProbes(emb, idCol, vecCol,
+      emb.where(probeFilter).select(col(idCol), col(vecCol)), k)
+
+  /** [[bruteForceKnn]] against an explicit probe table (same `idCol`/`vecCol`
+    * schema as the corpus) — the form the bounded recall certificate uses:
+    * the probe side can be a fixed-size sample instead of a filter over the
+    * corpus, so the exact pass costs O(|probes| x corpus) with |probes|
+    * chosen by the caller, not by the data.
+    */
+  def bruteForceKnnProbes(emb: DataFrame, idCol: String, vecCol: String,
+                          probes: DataFrame, k: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("p_emb"))
+      .withColumn("p_nrm", norm("p_emb"))
+    val cand = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_emb"))
+      .withColumn("n_nrm", norm("n_emb"))
+    val scored = broadcast(p).crossJoin(cand)
       .where(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cosim", round(dot("p_emb", "n_emb") / (col("p_nrm") * col("n_nrm")), 4))
     val w = Window.partitionBy("probe_id").orderBy(col("cosim").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select("probe_id", "neighbor_id", "cosim", "rnk")
+  }
+
+  /** Deterministic fixed-size probe sample for certification: the
+    * hash-ordered top-`sampleN` of the probe set (same rows at any
+    * partitioning — a per-partition top-N + driver merge, no shuffle).
+    * Recall is a per-probe statistic, so a fixed-size sample bounds the
+    * certificate's exact-kNN cost at O(sampleN x corpus) regardless of how
+    * many probes the ANN query itself serves — the analog of the reference
+    * computing its global dbsize statistic once up front
+    * (`mrblast.cpp:408-433`) instead of re-deriving it per query.
+    */
+  def certProbes(emb: DataFrame, idCol: String, vecCol: String,
+                 probeFilter: org.apache.spark.sql.Column, sampleN: Int): DataFrame = {
+    require(sampleN >= 1, s"sampleN must be >= 1, got $sampleN")
+    emb.where(probeFilter).select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleN)
   }
 
   /** Deterministic random hyperplanes: `bits` x `dim`, components in [-1, 1],
@@ -178,7 +205,12 @@ object Similarity {
     // assignment deterministic.
     val ctrLit = array(ctrF.map(c => array(c.map(lit): _*)): _*)
     val hnLit = array(ctrF.map(c => lit(halfNorm(c))): _*)
-    val assigned = base
+    // cell assignment runs on the CANDIDATE side only: the probe-cell
+    // ranking below scores every centroid per probe anyway, so probes never
+    // need their own argmax assignment — the corpus takes exactly one
+    // matvec+norm pass, and the probe side is a pruned scan (the filter
+    // sits below any computed column, so it reaches the parquet reader).
+    val cand = base
       .withColumn("_ctrs", ctrLit).withColumn("_hn", hnLit)
       .withColumn("cell", expr(
         s"""CAST(aggregate(
@@ -186,23 +218,28 @@ object Similarity {
            |  named_struct('s', CAST('-Infinity' AS DOUBLE), 'i', -1),
            |  (best, x) -> IF(x.s > best.s, x, best)).i AS INT)""".stripMargin))
       .drop("_ctrs", "_hn")
-      .withColumn("nrm", norm(vecCol))
-    val probes = assigned.where(probeFilter)
-      .select(col(idCol).as("probe_id"), col(vecCol).as("p_emb"), col("nrm").as("p_nrm"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("n_emb"),
+        norm(vecCol).as("n_nrm"), col("cell"))
+    val probes = base.where(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("p_emb"), norm(vecCol).as("p_nrm"))
     val probeCells = broadcast(probes).crossJoin(broadcast(centroids))
       .withColumn("cdist", dot("p_emb", "centroid") - col("half_norm"))
       .withColumn("crnk", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("cdist").desc, col("cell"))))
       .where(col("crnk") <= nProbe)
       .select("probe_id", "p_emb", "p_nrm", "cell")
-    val cand = assigned.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("n_emb"), col("nrm").as("n_nrm"), col("cell"))
-    val scored = probeCells.join(cand, "cell")
+    // each neighbor lives in exactly ONE cell (argmax assignment) and
+    // probeCells holds distinct cells per probe (row_number over the
+    // distinct centroid table), so the cell equi-join emits each
+    // (probe, neighbor) pair at most once — no dedup pass is needed.
+    // probeCells is |probes| x nProbe rows — broadcast explicitly so the
+    // corpus side streams through the cell join without a shuffle (and the
+    // planner can never pick the corpus as the build side)
+    val scored = broadcast(probeCells).join(cand, "cell")
       .where(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cosim", round(dot("p_emb", "n_emb") / (col("p_nrm") * col("n_nrm")), 4))
     val w = Window.partitionBy("probe_id").orderBy(col("cosim").desc, col("neighbor_id"))
-    scored.dropDuplicates("probe_id", "neighbor_id")
-      .withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select("probe_id", "neighbor_id", "cosim", "rnk")
   }
@@ -213,34 +250,61 @@ object Similarity {
     * the two top-k outputs, never the corpus.
     */
   def recallAtK(ann: DataFrame, exact: DataFrame, k: Int): DataFrame = {
-    val hits = ann.select("probe_id", "neighbor_id")
-      .join(exact.select("probe_id", "neighbor_id"), Seq("probe_id", "neighbor_id"), "left_semi")
+    // probe set comes from the EXACT side: a probe whose ANN candidate set
+    // is empty (possible when its buckets/cells hold no other vectors) must
+    // surface as recall 0, not vanish — deriving probes from the ANN output
+    // would silently hide exactly the degradation this measures
+    val hits = exact.select("probe_id", "neighbor_id")
+      .join(ann.select("probe_id", "neighbor_id"), Seq("probe_id", "neighbor_id"), "left_semi")
       .groupBy("probe_id").agg(count(lit(1)).as("_hits"))
-    ann.select("probe_id").distinct()
+    exact.select("probe_id").distinct()
       .join(hits, Seq("probe_id"), "left")
       .select(col("probe_id"),
         (coalesce(col("_hits"), lit(0L)) / lit(k.toDouble)).as("recall"))
   }
 
   /** Runtime recall certificate for a recall-probabilistic ANN
-    * configuration: appends each probe's measured recall@k (vs the exact
-    * result) to the ANN rows and FAILS the job — assert_true in a Filter,
-    * so column pruning cannot drop it — when the minimum per-probe recall
-    * falls below `minRecall`. An approximate configuration thus never
-    * silently degrades: the answer ships with its own proof obligation,
-    * the same pattern as [[graft.operators.HeavyHitters.topK]]'s
-    * exactness certificate.
+    * configuration: appends each certified probe's measured recall@k (vs
+    * the exact result) to the ANN rows and FAILS the job — assert_true in
+    * a Filter, so column pruning cannot drop it — when any certified
+    * probe's recall falls below `minRecall`. An approximate configuration
+    * thus never silently degrades: the answer ships with its own proof
+    * obligation, the same pattern as
+    * [[graft.operators.HeavyHitters.topK]]'s exactness certificate.
+    *
+    * Scale shape: `exact` covers the CERTIFIED probe subset (build it with
+    * [[bruteForceKnnProbes]] over a [[certProbes]] fixed-size sample), so
+    * the exact pass is bounded by the sample, never by the probe count.
+    * The whole certificate is ONE plan tree — ann and exact each appear
+    * exactly once, unioned, with pair-membership and per-probe recall
+    * computed by two windows over the (probes x k)-sized top-k rows; the
+    * floor check is per-row, so no global aggregate, no second traversal
+    * of the ANN subtree, no driver round-trip. Probes outside the
+    * certified sample carry a null recall and are exempt from the floor; a
+    * certified probe with an EMPTY ANN result still trips it (its exact
+    * rows carry recall 0 through the assert before being dropped).
     */
   def withRecallCertificate(ann: DataFrame, exact: DataFrame, k: Int,
                             minRecall: Double): DataFrame = {
-    val recalls = recallAtK(ann, exact, k)
-    val worst = recalls.agg(min(col("recall")).as("_minr"))
-    ann.join(recalls, "probe_id")
-      .crossJoin(broadcast(worst))
-      .where(assert_true(col("_minr") >= minRecall,
-        lit(s"ANN recall certificate failed: a probe's recall@$k fell below " +
-          s"$minRecall — raise bits/nProbe or lower the threshold")).isNull)
-      .drop("_minr")
+    val annCols = ann.columns.toSeq
+    val u = ann.withColumn("_is_ann", lit(1))
+      .unionByName(
+        exact.select(col("probe_id"), col("neighbor_id")).withColumn("_is_ann", lit(0)),
+        allowMissingColumns = true)
+    val wPair = Window.partitionBy("probe_id", "neighbor_id")
+    val wProbe = Window.partitionBy("probe_id")
+    u.withColumn("_pair", count(lit(1)).over(wPair)) // 2 = pair in ann AND exact
+      .withColumn("_nex", sum(lit(1) - col("_is_ann")).over(wProbe))
+      .withColumn("_hits",
+        sum(when(col("_pair") === 2 && col("_is_ann") === 1, 1).otherwise(0)).over(wProbe))
+      .withColumn("recall",
+        when(col("_nex") > 0, col("_hits") / lit(k.toDouble)))
+      .where(assert_true(col("recall").isNull || col("recall") >= minRecall,
+        lit(s"ANN recall certificate failed: a certified probe's recall@$k " +
+          s"fell below $minRecall — raise bits/tables/nProbe or lower the " +
+          "threshold")).isNull)
+      .where(col("_is_ann") === 1)
+      .select(annCols.map(col) :+ col("recall"): _*)
   }
 
   /** Per-table LSH bucket ids as ONE array column `tbs` (`tables` entries;
@@ -253,12 +317,20 @@ object Similarity {
                            planes: Array[Array[Double]], tables: Int, bits: Int): DataFrame =
     if (planes.isEmpty) df.withColumn("tbs", array(lit(0L)))
     else {
-      val planesLit = array(planes.map(p => array(p.map(v => lit(v.toFloat)): _*)): _*)
+      // one bits x dim plane matrix PER TABLE: the matvec inside the
+      // per-table lambda then computes only that table's slice, so the
+      // total hyperplane-dot work per row is exactly one full
+      // (tables x bits)-plane matvec. A single stacked matrix sliced
+      // inside the lambda would re-run the WHOLE matvec once per table
+      // (lambda bodies re-evaluate their subtrees per element) — a silent
+      // tables-fold blow-up of the hot loop.
+      val planesLit = array(planes.grouped(bits).map(tp =>
+        array(tp.map(p => array(p.map(v => lit(v.toFloat)): _*)): _*)).toSeq: _*)
       df.withColumn("_planes", planesLit)
         .withColumn("tbs", expr(
           s"""transform(sequence(0, ${tables - 1}), t ->
              |  (CAST(t AS BIGINT) << 48) + aggregate(
-             |    transform(slice(graft_matvec(_planes, $vecCol), t * $bits + 1, $bits), (d, j) ->
+             |    transform(graft_matvec(_planes[t], $vecCol), (d, j) ->
              |      IF(d > 0D, CAST(1 AS BIGINT) << j, CAST(0 AS BIGINT))),
              |    CAST(0 AS BIGINT), (acc, v) -> acc + v))""".stripMargin))
         .drop("_planes")
@@ -278,19 +350,43 @@ object Similarity {
              bits: Int = 8, dim: Int = 64, tables: Int = 1): DataFrame = {
     require(tables >= 1, s"tables must be >= 1, got $tables")
     require(tables == 1 || bits >= 1, "multi-table LSH needs bits >= 1")
+    // the table id packs at bit 48 of the bucket key; wider sign patterns
+    // would alias buckets across tables (and 1L << j would overflow into
+    // the table-id bits), silently corrupting candidate generation
+    require(bits <= 48, s"bits must be <= 48, got $bits")
     val planes = hyperplanes(bits * tables, dim)
-    val e = tableBuckets(emb.select(col(idCol), col(vecCol)), vecCol, planes, tables, bits)
-      .withColumn("nrm", norm(vecCol))
-    val probes = e.where(probeFilter)
+    // the corpus takes ONE matvec+norm pass (cand); the probe side applies
+    // the same bucketing to the FILTERED rows, so its filter sits below the
+    // computed columns and reaches the parquet reader — a pruned scan, not
+    // a second corpus pass
+    def bucketed(df: DataFrame) =
+      tableBuckets(df.select(col(idCol), col(vecCol)), vecCol, planes, tables, bits)
+        .withColumn("nrm", norm(vecCol))
+    val probes = bucketed(emb.where(probeFilter))
       .select(col(idCol).as("probe_id"), col(vecCol).as("p_emb"), col("nrm").as("p_nrm"),
         explode(col("tbs")).as("tb"))
-    val cand = e.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_emb"),
-      col("nrm").as("n_nrm"), explode(col("tbs")).as("tb"))
-    val scored = probes.join(cand, "tb")
+    val cand = bucketed(emb)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("n_emb"),
+        col("nrm").as("n_nrm"), explode(col("tbs")).as("tb"))
+    // union of tables: a pair sharing several buckets must rank ONCE.
+    // Score FIRST, dedup on the resulting (probe, neighbor, cosim) triple:
+    // cosim is a pure function of the pair, so duplicates are identical
+    // full rows and distinct() removes them with a plain hash aggregate
+    // over three scalar columns. Deduping before scoring would instead
+    // drag the embedding arrays through the exchange under first()
+    // aggregates (arrays hash-aggregate poorly -> sort aggregate over
+    // vector payloads — measured 2.5x slower at sf0.1). The re-scored
+    // duplicates cost one extra dot product per shared bucket, far below
+    // the shuffle bytes they save.
+    // the probe side is |probes| x tables rows — broadcast it EXPLICITLY:
+    // the corpus side's pre-explode parquet size estimate undercounts the
+    // exploded width, so the planner can otherwise pick the corpus as the
+    // build side and ship corpus x tables vector rows to every executor
+    val scored = broadcast(probes).join(cand, "tb")
       .where(col("neighbor_id") =!= col("probe_id"))
-      // union of tables: a pair sharing several buckets must score ONCE
-      .dropDuplicates("probe_id", "neighbor_id")
       .withColumn("cosim", round(dot("p_emb", "n_emb") / (col("p_nrm") * col("n_nrm")), 4))
+      .select("probe_id", "neighbor_id", "cosim")
+      .distinct()
     val w = Window.partitionBy("probe_id").orderBy(col("cosim").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)

@@ -83,28 +83,34 @@ object PipelineQueries extends QuerySet {
     }),
 
     // LSH-bucketed approximate kNN, shipped WITH its recall certificate:
-    // every output row carries the probe's measured recall@5 vs brute force,
-    // and an assert_true fails the whole job if any probe's recall drops
+    // certified probes carry their measured recall@5 vs brute force, and an
+    // assert_true fails the whole job if any certified probe's recall drops
     // below 0.4 — an approximate config can never silently degrade. The
-    // 16-table x 4-bit union config measures min recall 0.6 (sf0.01) / 0.8
-    // (sf0.1) on the harness embeddings; these are near-isotropic random
-    // vectors (the adversarial case for sign-LSH — real embedding corpora
-    // cluster, and fewer tables suffice), so the certificate, not the knob
-    // setting, is what carries the guarantee. Rows-only driver check: the
-    // bucketing itself has no tractable SQL twin (exactness certificate =
-    // q86; certificate arithmetic oracled by q90).
+    // certificate is BOUNDED: exact kNN runs only for a fixed-size
+    // hash-sampled probe subset (4 probes here), so its cost is
+    // O(sample x corpus) by construction, not O(probes x corpus) — the ANN
+    // path never pays for the audit at scale. The 16-table x 4-bit union
+    // config measures min recall 0.6 (sf0.01) / 0.8 (sf0.1) on the harness
+    // embeddings; these are near-isotropic random vectors (the adversarial
+    // case for sign-LSH — real embedding corpora cluster, and fewer tables
+    // suffice), so the certificate, not the knob setting, is what carries
+    // the guarantee. Rows-only driver check: the bucketing itself has no
+    // tractable SQL twin (exactness certificate = q86; certificate
+    // arithmetic oracled by q90).
     "q64_knn_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val ann = Similarity.lshKnn(emb, "vec_id", "embedding",
         col("vec_id") < 10, k = 5, bits = 4, dim = 64, tables = 16)
-      val exact = Similarity.bruteForceKnn(emb, "vec_id", "embedding",
-        col("vec_id") < 10, k = 5)
+      val exact = Similarity.bruteForceKnnProbes(emb, "vec_id", "embedding",
+        Similarity.certProbes(emb, "vec_id", "embedding", col("vec_id") < 10, sampleN = 4),
+        k = 5)
       Similarity.withRecallCertificate(ann, exact, 5, minRecall = 0.4)
         .orderBy("probe_id", "rnk")
     }),
 
     // IVF ANN: KMeans coarse quantizer, nProbe nearest cells searched —
-    // also certified: recall@5 column per probe + job-failing floor at 0.4
+    // also certified with the same bounded probe-sample audit as q64:
+    // recall@5 for the 4 sampled probes + job-failing floor at 0.4
     // (measured min 0.8 sf0.01 / 0.6 sf0.1 at nProbe=12; see q64 for why
     // the harness's random vectors are the worst case). Rows-only driver
     // check; exactness certificate = q85, certificate arithmetic = q90.
@@ -112,8 +118,9 @@ object PipelineQueries extends QuerySet {
       val emb = t(s, dir, "embeddings")
       val ann = Similarity.ivfKnn(emb, "vec_id", "embedding",
         col("vec_id") < 10, k = 5, nList = 16, nProbe = 12)
-      val exact = Similarity.bruteForceKnn(emb, "vec_id", "embedding",
-        col("vec_id") < 10, k = 5)
+      val exact = Similarity.bruteForceKnnProbes(emb, "vec_id", "embedding",
+        Similarity.certProbes(emb, "vec_id", "embedding", col("vec_id") < 10, sampleN = 4),
+        k = 5)
       Similarity.withRecallCertificate(ann, exact, 5, minRecall = 0.4)
         .orderBy("probe_id", "rnk")
     }),
@@ -415,10 +422,10 @@ object PipelineQueries extends QuerySet {
         |  SELECT probe_id, o_orderkey, ROW_NUMBER() OVER (
         |    PARTITION BY probe_id ORDER BY o_orderdate, o_orderkey) AS rnk FROM o)
         |  WHERE rnk <= 5),
-        |hits AS (SELECT ann.probe_id, COUNT(*) AS h FROM ann
-        |         JOIN ex USING (probe_id, neighbor_id) GROUP BY 1)
+        |hits AS (SELECT ex.probe_id, COUNT(*) AS h FROM ex
+        |         JOIN ann USING (probe_id, neighbor_id) GROUP BY 1)
         |SELECT p.probe_id, COALESCE(h, 0) / 5.0 AS recall
-        |FROM (SELECT DISTINCT probe_id FROM ann) p LEFT JOIN hits USING (probe_id)
+        |FROM (SELECT DISTINCT probe_id FROM ex) p LEFT JOIN hits USING (probe_id)
         |ORDER BY probe_id""".stripMargin,
     "q66_iteration_batches" ->
       s"""WITH b AS (SELECT doc_id, n_chars,
