@@ -266,6 +266,32 @@ object PipelineQueries extends QuerySet {
         .orderBy("doc_id")
     }),
 
+    // A1/A23 FASTA scan + sequence index under a HARD oracle: a
+    // deterministic FASTA fixture (20 records, generator-defined defline
+    // and sequence lengths) is written to the build dir, read back through
+    // the real byte-level FASTA parser, and indexed — (uid, offset,
+    // length, defline) exactly as the reference's seqindexer emits them
+    // (doc/USERGUIDE:177-214). The DuckDB oracle never sees the file: it
+    // recomputes every byte offset arithmetically from the generator
+    // constants, so a mis-parsed '>' position, an off-by-one in record
+    // extents, or a defline-truncation bug breaks the hash.
+    "q92_fasta_index" -> ((s, dir) => {
+      val fixDir = new java.io.File("target/fixtures")
+      fixDir.mkdirs()
+      val f = new java.io.File(fixDir, "fasta_oracle.fa")
+      val sb = new StringBuilder
+      for (i <- 0 until 20) {
+        sb.append(s">seq$i sample description $i\n")
+        val len = 10 + (i * 7) % 50
+        for (j <- 0 until len) sb.append("ACGT".charAt((i + j) % 4))
+        sb.append('\n')
+      }
+      java.nio.file.Files.write(f.toPath,
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      graft.sources.Fasta.index(graft.sources.Fasta.read(s, f.getAbsolutePath))
+        .orderBy("uid")
+    }),
+
     // A6 iteration batches over work items (rows-only; ntile determinism).
     "q66_iteration_batches" -> ((s, dir) => {
       val blocks = Segmentation.distributedBlocks(
@@ -427,6 +453,23 @@ object PipelineQueries extends QuerySet {
         |SELECT p.probe_id, COALESCE(h, 0) / 5.0 AS recall
         |FROM (SELECT DISTINCT probe_id FROM ex) p LEFT JOIN hits USING (probe_id)
         |ORDER BY probe_id""".stripMargin,
+    // re-derives the fixture's byte layout: offset(i) = running sum of
+    // (defline bytes + '\n' + sequence bytes + '\n') over earlier records;
+    // the engine must recover the same numbers from the actual file bytes
+    "q92_fasta_index" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 19)) AS i),
+        |d AS (SELECT i,
+        |        '>seq' || i AS defline,
+        |        length('>seq' || i || ' sample description ' || i) AS dlen,
+        |        10 + (i * 7) % 50 AS slen
+        |      FROM r),
+        |o AS (SELECT i, defline, slen,
+        |        COALESCE(SUM(dlen + 1 + slen + 1) OVER (ORDER BY i
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |      FROM d)
+        |SELECT CAST(i + 1 AS BIGINT) AS uid, CAST(off AS BIGINT) AS offset,
+        |       CAST(slen AS INT) AS length, defline
+        |FROM o ORDER BY uid""".stripMargin,
     "q66_iteration_batches" ->
       s"""WITH b AS (SELECT doc_id, n_chars,
         |  CAST(FLOOR(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $BlockSize.0) AS BIGINT) AS block_id

@@ -100,6 +100,22 @@ object RelationalQueries extends QuerySet {
         .orderBy("o_custkey", "rnk")
     }),
 
+    // rank()-with-ties top-k: the 3 earliest distinct order dates per
+    // priority, keeping EVERY order on a tied date (SQL RANK semantics —
+    // a group can emit more than k rows). Served by the same native
+    // GroupTopK operator as q09 in withTies mode: bounded per-group tie
+    // buffers instead of a full partition sort (GroupTopKRewrite fires on
+    // Filter(rank() <= k, Window)).
+    "q91_rank_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority").orderBy(col("o_orderdate"))
+      t(s, dir, "orders")
+        .withColumn("rnk", rank().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"), col("rnk"))
+        .orderBy("o_orderpriority", "rnk", "o_orderkey")
+    }),
+
     // A4 analog: running-sum window (block segmentation's cumulative length).
     // RANGE frame, not ROWS: (l_orderkey, l_linenumber) has ties in the
     // harness data, and a ROWS frame over ties is order-nondeterministic.
@@ -379,6 +395,11 @@ object RelationalQueries extends QuerySet {
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |  FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "q91_rank_topk" ->
+      """SELECT o_orderpriority, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_orderdate,
+        |         RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate) AS rnk
+        |  FROM orders) WHERE rnk <= 3 ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin,
     "q10_running_sum" ->
       """SELECT l_orderkey, l_linenumber,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber

@@ -67,6 +67,15 @@ class PlanSpec extends SparkSpec {
       s"q09 lost the GroupTopK rewrite:\n${p.take(2000)}")
   }
 
+  test("q91: rank()-with-ties runs as native GroupTopK in withTies mode") {
+    val p = plan("q91_rank_topk")
+    assert(p.contains("GroupTopKFinal") && p.contains("GroupTopKPartial"),
+      s"q91 lost the GroupTopK rewrite:\n${p.take(2000)}")
+    // the exec prints its withTies flag last: `..., rnk#N: int, true`
+    assert(p.contains(": int, true"),
+      s"q91 GroupTopK is not in withTies (rank) mode:\n${p.take(2000)}")
+  }
+
   test("minhash pipeline: equi-join shape (no cartesian/nested-loop), bounded exchanges") {
     val p = plan("q62_dedup_minhash")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
