@@ -1,19 +1,35 @@
-
 package graft
+
 import graft.queries._
+
+/** Dev-only ANN plan audit (see PROFILES.md): counts shuffle exchanges,
+  * parquet scan nodes and filter-pruned scans in the certified ANN
+  * queries, then times three runs each to separate codegen warmup from
+  * steady state. The scale contract it checks: at most TWO full corpus
+  * scans per ANN query (bucketed/assigned candidate side + the bounded
+  * certificate's exact side) — probe-side scans must carry pushed
+  * filters.
+  *
+  * Usage: runMain graft.AnnPlanCheck [sfDir]
+  */
 object AnnPlanCheck {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
-    val dir = "/root/testdata/sf0.1"
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     for (n <- Seq("q64_knn_lsh", "q67_knn_ivf")) {
       val df = SparkEntry.queries(n)(spark, dir)
-      val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       val ex = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(plan).size
-      val scans = "(?m)Scan parquet".r.findAllIn(plan).size
+      val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+      val pruned = "PushedFilters: \\[[^\\]]*LessThan".r.findAllIn(plan).size
+      require(scans - pruned <= 2,
+        s"$n: ${scans - pruned} unpruned corpus scans — the ANN budget is 2")
       for (i <- 1 to 3) {
         val t0 = System.nanoTime
         val rows = df.collect().length
-        println(s"===== $n run$i: exchanges=$ex parquetScans=$scans rows=$rows time=${(System.nanoTime-t0)/1e9}")
+        println(s"===== $n run$i: exchanges=$ex parquetScans=$scans " +
+          s"prunedScans=$pruned rows=$rows time=${(System.nanoTime - t0) / 1e9}")
       }
     }
     spark.stop()

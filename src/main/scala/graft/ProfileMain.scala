@@ -77,6 +77,18 @@ object ProfileMain {
     if (only.isEmpty || only.startsWith("q33")) {
       run("q33_full")(graft.queries.TextQueries.queries("q33_fingerprint")(spark, sfDir))
     }
+    if (only.isEmpty || only.startsWith("q82")) {
+      // sub-stages of HeavyHitters.topK at the q82 configuration, then
+      // repeated full runs to separate codegen warmup from steady state
+      val toksQ = Tables.load(spark, sfDir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      time("q82.explode_only")(toksQ.count())
+      time("q82.summary_pass")(
+        graft.operators.HeavyHitters.topK(toksQ, "tok", k = 20, certify = false).count())
+      for (i <- 1 to 3)
+        time(s"q82_full_run$i")(
+          graft.queries.TextQueries.queries("q82_heavy_hitters")(spark, sfDir).count())
+    }
     if (only.isEmpty || only.startsWith("q35")) {
       run("q35_full")(graft.queries.TextQueries.queries("q35_dedup_ngram")(spark, sfDir))
     }

@@ -262,6 +262,15 @@ object Dedup {
     // order of elements preserves the prefix-filter guarantee, so ordering
     // by (df, hash) instead of (df, string) changes only which superset of
     // candidates is generated — the exact verify keeps the output identical.
+    // Cache lifetime: this operator RETURNS a lazy plan, so it cannot
+    // unpersist after "the" action — there is none yet, and the caller may
+    // run several. Both caches stay pinned for the session by design:
+    // hsets is (id, hashed-set) shaped — one 8-byte hash per distinct
+    // shingle, the operator's working set, spilled via the default
+    // MEMORY_AND_DISK level when it outgrows executor memory — and cands
+    // is candidate-pair-sized. A caller that embeds this in a longer
+    // session can df.unpersist() the returned plan's caches via
+    // spark.sharedState.cacheManager once its own action has run.
     val hsets =
       (if (shingleN == 1)
         docs.select(col(idCol).as("id"),

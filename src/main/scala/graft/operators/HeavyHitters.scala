@@ -45,25 +45,49 @@ object HeavyHitters {
     // rescanning the stream. Cached — it is consumed by the candidate set
     // and (under certify) the total count, and is <= (summarySize+1) rows
     // per partition.
-    val summary = vals.as[String].mapPartitions { it =>
-      val m = new scala.collection.mutable.HashMap[String, Long]()
-      var n = 0L
-      it.foreach { v =>
-        n += 1
-        m.get(v) match {
-          case Some(c) => m.update(v, c + 1)
-          case None if m.size < summarySize => m.update(v, 1L)
-          case None => // decrement-all step: amortized O(1) per element
-            val dead = scala.collection.mutable.ArrayBuffer[String]()
-            m.keysIterator.foreach { key =>
-              val c = m(key) - 1
-              if (c == 0) dead += key else m.update(key, c)
+    //
+    // Cache lifetime: topK returns a lazy plan, so neither cache below can
+    // be unpersisted here (no action has run yet; the caller may run
+    // several). Both stay pinned for the session by design and are
+    // metadata-sized — summary <= (summarySize+1) rows per partition,
+    // counted <= the candidate set — so the pinned footprint is bounded by
+    // the operator's own memory contract, not by the data.
+    //
+    // The pass runs at the InternalRow/UTF8String level (queryExecution
+    // .toRdd), NOT through Dataset[String]: the typed path materializes a
+    // Java String per input token just to probe the summary map, and at
+    // q82's ~9M tokens that decode+allocation was ~25% of the whole query
+    // (ProfileMain q82). UTF8String compares/hashes raw bytes in place;
+    // only the <= summarySize survivors are decoded. Keys must be cloned
+    // on first insert — unsafe-row iterators reuse their buffers.
+    val summary = {
+      import org.apache.spark.unsafe.types.UTF8String
+      // single-cell Array[Long] counters keep the hot loop box-free: the
+      // increment mutates in place instead of re-boxing a java.lang.Long
+      val rdd = vals.queryExecution.toRdd.mapPartitions { it =>
+        val m = new java.util.HashMap[UTF8String, Array[Long]](summarySize * 2)
+        var n = 0L
+        while (it.hasNext) {
+          val v = it.next().getUTF8String(0)
+          n += 1
+          val c = m.get(v)
+          if (c != null) c(0) += 1
+          else if (m.size < summarySize) m.put(v.clone(), Array(1L))
+          else { // decrement-all step: amortized O(1) per element
+            val iter = m.entrySet().iterator()
+            while (iter.hasNext) {
+              val e = iter.next()
+              if (e.getValue()(0) == 1L) iter.remove() else e.getValue()(0) -= 1
             }
-            dead.foreach(m.remove)
+          }
         }
+        val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+        m.keySet().forEach(v => out += ((v.toString, 0L)))
+        out += ((null: String, n))
+        out.iterator
       }
-      m.keysIterator.map(v => (v, 0L)) ++ Iterator.single((null: String, n))
-    }.toDF("value", "pn").cache()
+      spark.createDataset(rdd).toDF("value", "pn").cache()
+    }
     val candidates = summary.where(col("value").isNotNull).select("value").distinct()
     // candidate-sized (<= summarySize x partitions keys): cached so topk and
     // the certificate stats share ONE semi-join + recount over the stream —
