@@ -77,6 +77,15 @@ object ProfileMain {
     if (only.isEmpty || only.startsWith("q33")) {
       run("q33_full")(graft.queries.TextQueries.queries("q33_fingerprint")(spark, sfDir))
     }
+    if (only.startsWith("heavy")) {
+      // warm steady-state of the bench's slowest queries: 3 runs each so
+      // codegen warmup separates from the structural cost
+      for (q <- Seq("q62_dedup_minhash", "q88_dedup_corpus", "q48_dup_clusters",
+                    "q35_dedup_ngram", "q38_simjoin_topk", "q84_prefix_jaccard")) {
+        for (i <- 1 to 3)
+          time(s"$q run$i")(SparkEntry.queries(q)(spark, sfDir).count())
+      }
+    }
     if (only.isEmpty || only.startsWith("q82")) {
       // sub-stages of HeavyHitters.topK at the q82 configuration, then
       // repeated full runs to separate codegen warmup from steady state

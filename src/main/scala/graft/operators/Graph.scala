@@ -32,8 +32,19 @@ object Graph {
                           maxIter: Int = 20): DataFrame =
     componentsWithRounds(edges, aCol, bCol, maxIter)._1
 
+  /** `maxDriverEdges` gates a driver-side union-find fast path: once the
+    * deduplicated bidirectional edge list is materialized (the checkpoint
+    * the distributed loop needs anyway), its COUNT is known, and an edge
+    * set below the gate is solved exactly on the driver in one pass —
+    * near-dup graphs are pair-output-sized, usually thousands of edges,
+    * and label propagation would spend diameter x (join + agg) scheduled
+    * jobs on data that fits in a few MB. The gate bounds driver memory by
+    * construction (the same pattern as the IVF codebook's bounded sample
+    * fit); graphs above it take the distributed loop unchanged. Pass 0 to
+    * force the distributed path (specs exercising round behavior do).
+    */
   def componentsWithRounds(edges: DataFrame, aCol: String, bCol: String,
-                           maxIter: Int): (DataFrame, Int) = {
+                           maxIter: Int, maxDriverEdges: Long = 1L << 20): (DataFrame, Int) = {
     val e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
     // localCheckpoint (not cache): each round's plan references the previous
     // round's, so without lineage truncation the logical plan doubles every
@@ -42,6 +53,11 @@ object Graph {
     // checkpoint() against a reliable dir — same call shape.
     val bidir = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
+    if (bidir.count() <= maxDriverEdges) {
+      val out = (driverComponents(bidir), 0)
+      bidir.unpersist()
+      return out
+    }
     var labels = bidir.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     var rounds = 0
@@ -72,5 +88,45 @@ object Graph {
     }
     bidir.unpersist()
     (labels.select(col("id"), col("label").as("cluster_id")), rounds)
+  }
+
+  /** Exact driver-side solve of a gate-bounded edge list: union-find with
+    * path compression, then cluster_id = min vertex id per component —
+    * bit-identical to what converged label propagation returns. Vertex ids
+    * must be Comparable (longs/ints/strings — every id type the dedup
+    * operators emit).
+    */
+  private def driverComponents(bidir: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val spark = bidir.sparkSession
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+      r
+    }
+    bidir.collect().foreach { row =>
+      val a = row.get(0); val b = row.get(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(ra, rb)
+    }
+    def lt(x: Any, y: Any): Boolean = x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    val minOf = new java.util.HashMap[Any, Any]()
+    parent.keySet().forEach { v =>
+      val r = find(v)
+      val m = minOf.get(r)
+      if (m == null || lt(v, m)) minOf.put(r, v)
+    }
+    val rows = new scala.collection.mutable.ArrayBuffer[Row](parent.size())
+    parent.keySet().forEach(v => rows += Row(v, minOf.get(find(v))))
+    val dt = bidir.schema.head.dataType
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(StructField("id", dt), StructField("cluster_id", dt))))
   }
 }

@@ -19,12 +19,24 @@ class GraphSpec extends SparkSpec {
   }
 
   test("long path converges within the diameter bound and labels everything") {
-    // path 0-1-2-...-9: worst case for label propagation (diameter 9)
+    // path 0-1-2-...-9: worst case for label propagation (diameter 9).
+    // maxDriverEdges = 0 forces the DISTRIBUTED path — the default gate
+    // would solve this driver-side and the round behavior would go untested
     val edges = (0L until 9L).map(i => (i, i + 1))
-    val (labels, rounds) = Graph.componentsWithRounds(edges.toDF("a", "b"), "a", "b", 20)
+    val (labels, rounds) = Graph.componentsWithRounds(edges.toDF("a", "b"), "a", "b", 20, maxDriverEdges = 0)
     val got = labels.as[(Long, Long)].collect().toMap
     assert(got == (0L to 9L).map(_ -> 0L).toMap)
     assert(rounds <= 10, s"took $rounds rounds")
+  }
+
+  test("driver union-find path and distributed label propagation agree") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L), (7L, 7L))
+    val driver = Graph.componentsWithRounds(edges.toDF("a", "b"), "a", "b", 20)
+    val dist = Graph.componentsWithRounds(edges.toDF("a", "b"), "a", "b", 20, maxDriverEdges = 0)
+    assert(driver._2 == 0 && dist._2 > 0)
+    assert(driver._1.as[(Long, Long)].collect().toMap ==
+      dist._1.as[(Long, Long)].collect().toMap)
   }
 
   test("edge direction does not matter") {
@@ -33,7 +45,7 @@ class GraphSpec extends SparkSpec {
 
   test("maxIter bound returns a valid refinement instead of hanging") {
     val edges = (0L until 9L).map(i => (i, i + 1))
-    val (labels, rounds) = Graph.componentsWithRounds(edges.toDF("a", "b"), "a", "b", 2)
+    val (labels, rounds) = Graph.componentsWithRounds(edges.toDF("a", "b"), "a", "b", 2, maxDriverEdges = 0)
     assert(rounds == 2)
     val got = labels.as[(Long, Long)].collect().toMap
     // every label must be a reachable (smaller-or-equal) vertex id
