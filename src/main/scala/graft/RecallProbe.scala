@@ -25,6 +25,10 @@ object RecallProbe {
         report(s"ivf p=$nProbe",
           Similarity.ivfKnn(emb, "vec_id", "embedding", col("vec_id") < 10, k = 5,
             nList = 16, nProbe = nProbe))
+      for ((m, cells, rr) <- Seq((8, 16, 32), (8, 16, 64), (8, 32, 64), (16, 16, 64)))
+        report(s"pq m=$m c=$cells r=$rr",
+          Similarity.pqKnn(emb, "vec_id", "embedding", col("vec_id") < 10, k = 5,
+            m = m, nCells = cells, dim = 64, rerank = rr))
     }
     spark.stop()
   }

@@ -307,6 +307,108 @@ object Similarity {
       .select(annCols.map(col) :+ col("recall"): _*)
   }
 
+  /** Product-quantization kNN (ADC + exact rerank) — the MEMORY-scale ANN
+    * path next to [[lshKnn]]/[[ivfKnn]]: the corpus is compressed to `m`
+    * small codes per vector (one per subspace, codebooks driver-fit on a
+    * bounded sample exactly like [[ivfKnn]]'s coarse quantizer), so the
+    * candidate scan moves `m` bytes-ish of codes instead of `dim` floats —
+    * 32x fewer bytes at the default shape (64-dim float -> 8 codes). Stage
+    * 1 scores EVERY neighbor against a per-probe lookup table
+    * (asymmetric-distance: LUT[j][code_j] = dot(probe_j, centroid_{j,c}))
+    * — m array lookups per pair instead of a dim-wide dot — and keeps a
+    * `rerank`-sized shortlist per probe. Stage 2 re-scores ONLY the
+    * shortlist against the raw vectors (a broadcast semi-join prune of the
+    * corpus — candidate-linear, never corpus x probes), so the output
+    * carries TRUE cosines and approximation affects recall only, which
+    * [[withRecallCertificate]] then measures and asserts at runtime.
+    *
+    * Output: (probe_id, neighbor_id, cosim, rnk) — same contract as the
+    * other kNN operators.
+    */
+  def pqKnn(emb: DataFrame, idCol: String, vecCol: String,
+            probeFilter: org.apache.spark.sql.Column, k: Int,
+            m: Int = 8, nCells: Int = 16, dim: Int = 64, rerank: Int = 32,
+            seed: Long = 42L, maxSample: Int = 20000): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    require(nCells >= 1 && rerank >= k, s"need nCells >= 1 and rerank >= k")
+    val sub = dim / m
+    val base = emb.select(col(idCol), col(vecCol))
+    // one bounded deterministic sample feeds every subspace's Lloyd's fit
+    // (same hash-ordered top-N device as ivfKnn — identical rows at any
+    // partitioning)
+    val sample = base
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(maxSample)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val books: Array[Array[Array[Float]]] = Array.tabulate(m) { j =>
+      val subSample = sample.map(v => v.slice(j * sub, (j + 1) * sub))
+      fitCentroids(subSample, nCells, maxIter = 8, seed = seed + j).map(_.map(_.toFloat))
+    }
+    // fitCentroids returns min(nCells, sample size) centroids — the flat
+    // LUT/norm tables must stride by the ACTUAL per-subspace cell count
+    // (uniform across subspaces: same sample, same bound)
+    val cells = books(0).length
+    // literals: per-subspace codebook matrices (for one matvec per
+    // subspace-slice — the tableBuckets lesson: never put a full-width
+    // matvec inside a per-element lambda), their half-norms (assignment),
+    // and the flat |centroid|^2 table (reconstructed-norm accumulation)
+    val half = (c: Array[Float]) => c.map(x => x.toDouble * x).sum / 2.0
+    val cbLit = array(books.map(b => array(b.map(c => array(c.map(lit): _*)): _*)): _*)
+    val hnLit = array(books.map(b => array(b.map(c => lit(half(c))): _*)): _*)
+    val n2Lit = array(books.flatMap(b => b.map(c => lit(2.0 * half(c)))): _*)
+    val subExpr = (j: String) => s"slice($vecCol, $j * $sub + 1, $sub)"
+    // encode: per subspace, nearest centroid by the same argmax(dot-|c|^2/2)
+    // form as ivfKnn; codes and the reconstructed norm are ONE narrow
+    // projection over the corpus — this is the operator's only full scan
+    val encoded = base
+      .withColumn("_cb", cbLit).withColumn("_hn", hnLit).withColumn("_n2", n2Lit)
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${m - 1}), j ->
+           |  CAST(aggregate(
+           |    transform(graft_matvec(_cb[j], ${subExpr("j")}), (d, i) -> named_struct('s', d - _hn[j][i], 'i', i)),
+           |    named_struct('s', CAST('-Infinity' AS DOUBLE), 'i', -1),
+           |    (best, x) -> IF(x.s > best.s, x, best)).i AS INT))""".stripMargin))
+      .withColumn("n_nrm", sqrt(expr(
+        s"aggregate(transform(codes, (c, j) -> _n2[j * $cells + c]), 0D, (a, v) -> a + v)")))
+      .select(col(idCol).as("neighbor_id"), col("codes"), col("n_nrm"))
+    // per-probe ADC lookup table: dot(probe subvector, every centroid of
+    // every subspace) — m x nCells doubles per probe, flat-indexed
+    val probes = base.where(probeFilter)
+      .withColumn("_cb", cbLit)
+      .withColumn("lut", expr(
+        s"""flatten(transform(sequence(0, ${m - 1}), j ->
+           |  graft_matvec(_cb[j], ${subExpr("j")})))""".stripMargin))
+      .select(col(idCol).as("probe_id"), col(vecCol).as("p_emb"),
+        norm(vecCol).as("p_nrm"), col("lut"))
+    // stage 1: approximate cosine from codes alone; bounded per-probe
+    // shortlist via the native GroupTopK rewrite (row_number <= rerank)
+    val adc = broadcast(probes.drop("p_emb")).crossJoin(encoded)
+      .where(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("adc", expr(
+        s"aggregate(transform(codes, (c, j) -> lut[j * $cells + c]), 0D, (a, v) -> a + v)")
+        / (col("p_nrm") * col("n_nrm")))
+    val wAdc = Window.partitionBy("probe_id").orderBy(col("adc").desc, col("neighbor_id"))
+    val shortlist = adc.withColumn("srnk", row_number().over(wAdc))
+      .where(col("srnk") <= rerank)
+      .select("probe_id", "neighbor_id")
+    // stage 2: exact rerank of the (probes x rerank)-sized shortlist — the
+    // raw-vector join is a broadcast semi-prune of the corpus, so true
+    // cosines cost candidate-linear work and the output ranks by REAL
+    // similarity (PQ distortion affects recall, not reported scores)
+    val nvec = base.join(broadcast(shortlist.select(col("neighbor_id").as(idCol)).distinct()),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("n_emb"))
+      .withColumn("n_nrm", norm("n_emb"))
+    val scored = broadcast(
+        shortlist.join(probes.select("probe_id", "p_emb", "p_nrm"), "probe_id"))
+      .join(nvec, "neighbor_id")
+      .withColumn("cosim", round(dot("p_emb", "n_emb") / (col("p_nrm") * col("n_nrm")), 4))
+    val w = Window.partitionBy("probe_id").orderBy(col("cosim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("probe_id", "neighbor_id", "cosim", "rnk")
+  }
+
   /** Per-table LSH bucket ids as ONE array column `tbs` (`tables` entries;
     * entry t = table id in the high bits | that table's sign pattern): all
     * `tables x bits` hyperplane dots come from a single native

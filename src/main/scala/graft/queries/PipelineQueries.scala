@@ -14,7 +14,7 @@ object PipelineQueries extends QuerySet {
   private val BlockSize = 100000L
 
   /** Brute-force cosine top-5 for probes vec_id < 10 — the shared oracle
-    * for the ANN exactness certificates (q85/q86).
+    * for the ANN exactness certificates (q85/q86/q94).
     */
   private val knnOracle =
     """WITH ex AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
@@ -125,6 +125,25 @@ object PipelineQueries extends QuerySet {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Product-quantization kNN (ADC + exact rerank) — the MEMORY-scale ANN:
+    // the corpus scan moves 16 one-byte-ish codes per vector instead of 64
+    // floats (16x), stage-1 scoring is m lookup-adds per pair, and the
+    // exact rerank of the bounded shortlist means reported cosines are
+    // TRUE — quantization affects recall only, which the same bounded
+    // probe-sample certificate as q64/q67 measures and asserts (floor 0.4;
+    // measured min 0.8 sf0.01 / 0.6 sf0.1, avg 0.96/0.88, RecallProbe).
+    // Rows-only driver check; certificate arithmetic oracled by q90.
+    "q93_knn_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ann = Similarity.pqKnn(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 5, m = 16, nCells = 16, dim = 64, rerank = 64)
+      val exact = Similarity.bruteForceKnnProbes(emb, "vec_id", "embedding",
+        Similarity.certProbes(emb, "vec_id", "embedding", col("vec_id") < 10, sampleN = 4),
+        k = 5)
+      Similarity.withRecallCertificate(ann, exact, 5, minRecall = 0.4)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // IVF exactness certificate: nProbe = nList searches EVERY cell, so the
     // ANN must return exactly the brute-force answer — a hard oracle over
     // the full IVF machinery (codebook fit, expression assignment, cell
@@ -132,6 +151,18 @@ object PipelineQueries extends QuerySet {
     "q85_knn_ivf_exact" -> ((s, dir) => {
       Similarity.ivfKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
           col("vec_id") < 10, k = 5, nList = 16, nProbe = 16)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // PQ exactness certificate: an unbounded rerank shortlist covers every
+    // neighbor, so the full PQ machinery (per-subspace codebook fit,
+    // expression encoding, ADC lookup scoring, exact rerank) must
+    // reproduce brute force exactly — the q85/q86 pattern for the third
+    // ANN family. q93 keeps the recall-probabilistic configuration.
+    "q94_knn_pq_exact" -> ((s, dir) => {
+      Similarity.pqKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5, m = 16, nCells = 16, dim = 64,
+          rerank = Int.MaxValue)
         .orderBy("probe_id", "rnk")
     }),
 
@@ -358,6 +389,7 @@ object PipelineQueries extends QuerySet {
     // exhaustive configurations must return exactly this answer)
     "q85_knn_ivf_exact" -> knnOracle,
     "q86_knn_lsh_exact" -> knnOracle,
+    "q94_knn_pq_exact" -> knnOracle,
     // exact 3-gram-shingle Jaccard >= 0.5 over the full corpus; the engine
     // side reaches it through MinHash banding + exact verify (recall note
     // on the query)

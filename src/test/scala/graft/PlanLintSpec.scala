@@ -18,11 +18,16 @@ class PlanLintSpec extends SparkSpec {
   //   q44/q49 — broadcast corpus-count literal into the tf-idf / df-cut score
   //   q82 — exactness certificate: two broadcast 1-row aggregates crossed
   //         onto the <= k-row result
+  //   q64/q67/q93 — the bounded recall certificate's brute-force exact side
+  //         (broadcast fixed-size probe sample x corpus); q93's ADC stage
+  //         additionally broadcasts its per-probe LUTs against the code
+  //         table by design
   private val productAllowed = Set(
     "q18_cross_join", "q23_scalar_subquery", "q40_knn_brute",
     "q43_dedup_embedding", "q44_tfidf", "q49_simjoin_dfcap",
     "q61_work_items", "q66_iteration_batches", "q67_knn_ivf", "q64_knn_lsh",
-    "q82_heavy_hitters", "q85_knn_ivf_exact", "q86_knn_lsh_exact")
+    "q82_heavy_hitters", "q85_knn_ivf_exact", "q86_knn_lsh_exact",
+    "q93_knn_pq", "q94_knn_pq_exact")
 
   // iterative/multi-stage pipelines legitimately above the common bound:
   //   q48 — label-propagation rounds

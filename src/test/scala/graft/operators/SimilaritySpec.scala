@@ -53,6 +53,31 @@ class SimilaritySpec extends SparkSpec {
     assert(found >= 4, s"IVF planted recall too low: $found/5")
   }
 
+  test("pq knn: planted near-dups survive coded ADC + exact rerank; scores are true cosines") {
+    val got = Similarity.pqKnn(corpus(), "vec_id", "embedding", col("vec_id") < 5,
+        k = 3, m = 8, nCells = 16, dim = 16, rerank = 32)
+      .collect()
+    val found = (0 until 5).count { p =>
+      got.exists(r => r.getLong(0) == p && r.getLong(1) == 1000L + p)
+    }
+    // a near-identical vector quantizes to (nearly) the same codes, tops
+    // the ADC shortlist, and the exact rerank scores it with its REAL
+    // cosine — so the planted pair must surface with cosim > 0.99
+    assert(found >= 4, s"PQ planted recall too low: $found/5")
+    got.filter(r => r.getLong(1) >= 1000L && r.getInt(3) == 1)
+      .foreach(r => assert(r.getDouble(2) > 0.99, s"rerank lost the true cosine: $r"))
+  }
+
+  test("pq knn with rerank = corpus size equals brute force (quantization affects recall only)") {
+    val exact = Similarity.bruteForceKnn(corpus(), "vec_id", "embedding",
+        col("vec_id") < 5, k = 3).collect().toSet
+    // shortlist covers every neighbor -> the exact rerank IS brute force
+    val pq = Similarity.pqKnn(corpus(), "vec_id", "embedding", col("vec_id") < 5,
+        k = 3, m = 8, nCells = 16, dim = 16, rerank = 1000)
+      .collect().toSet
+    assert(pq == exact, s"diff: ${(pq diff exact) ++ (exact diff pq)}")
+  }
+
   test("cosine of identical vector is 1") {
     import spark.implicits._
     val df = Seq((1L, Array(1f, 2f, 3f)), (2L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
