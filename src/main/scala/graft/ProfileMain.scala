@@ -60,10 +60,24 @@ object ProfileMain {
     }
 
     if (only.isEmpty || only.startsWith("q64")) {
+      // served configuration (bits=4, tables=16) decomposed: ANN subtree
+      // alone, exact certificate side alone, then the full served query —
+      // cold, in THIS order, so each line's first-compile cost is its own
       val emb = Tables.load(spark, sfDir, "embeddings")
-      val planes = Similarity.hyperplanes(6, 64)
-      time("q64.bucket")(Similarity.lshBucket(emb.select(col("vec_id"), col("embedding")), "embedding", planes).count())
-      run("q64_full")(Similarity.lshKnn(emb, "vec_id", "embedding", col("vec_id") < 10, 5, 6, 64))
+      println(s"[profile] q64 corpus rows = ${emb.count()}")
+      val planes = Similarity.hyperplanes(4 * 16, 64)
+      val tbs = Similarity.tableBuckets(
+        emb.select(col("vec_id"), col("embedding")), "embedding", planes, 16, 4)
+      time("q64.bucket_pass")(tbs.select(col("vec_id"), col("tbs")).count())
+      println(s"[profile] q64 exploded cand rows = " +
+        tbs.select(explode(col("tbs"))).count())
+      time("q64.ann_only")(Similarity.lshKnn(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 5, bits = 4, dim = 64, tables = 16).count())
+      time("q64.exact_side")(Similarity.bruteForceKnnProbes(emb, "vec_id", "embedding",
+        Similarity.certProbes(emb, "vec_id", "embedding", col("vec_id") < 10, sampleN = 4),
+        k = 5).count())
+      time("q64.full_served")(SparkEntry.queries("q64_knn_lsh")(spark, sfDir).count())
+      time("q64.full_served_warm")(SparkEntry.queries("q64_knn_lsh")(spark, sfDir).count())
     }
 
     if (only.isEmpty || only.startsWith("q38")) {
@@ -100,6 +114,15 @@ object ProfileMain {
     }
     if (only.isEmpty || only.startsWith("q35")) {
       run("q35_full")(graft.queries.TextQueries.queries("q35_dedup_ngram")(spark, sfDir))
+    }
+    if (only.startsWith("ann")) {
+      // full served ANN queries (certificate included) 3x each: the bench
+      // showed run-to-run swings (q64 1.6-5.0s across bench invocations) —
+      // separate codegen/JIT warmup from structural cost
+      for (q <- Seq("q64_knn_lsh", "q67_knn_ivf", "q93_knn_pq", "q94_knn_pq_exact")) {
+        for (i <- 1 to 3)
+          time(s"$q run$i")(SparkEntry.queries(q)(spark, sfDir).count())
+      }
     }
     spark.stop()
   }

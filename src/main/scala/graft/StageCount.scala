@@ -1,0 +1,18 @@
+package graft
+object StageCount {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    val dir = "/root/testdata/sf0.1"
+    for (n <- Seq("q64_knn_lsh", "q67_knn_ivf", "q93_knn_pq")) {
+      val df = SparkEntry.queries(n)(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val wsc = "(?m)^\\(\\d+\\) WholeStageCodegen".r.findAllIn(plan).size
+      val ex = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(plan).size
+      val win = "(?m)^\\(\\d+\\) Window".r.findAllIn(plan).size
+      val sorts = "(?m)^\\(\\d+\\) Sort".r.findAllIn(plan).size
+      println(s"===== $n: codegenStages=$wsc exchanges=$ex windows=$win sorts=$sorts")
+    }
+    spark.stop()
+  }
+}

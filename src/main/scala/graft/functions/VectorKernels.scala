@@ -1,0 +1,219 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+
+/** Native Catalyst kernels for the ANN hot loops. Spark's higher-order
+  * functions (`transform`/`aggregate`) are evaluated INTERPRETED — every
+  * lambda application allocates frames and boxes per element — so the
+  * per-corpus-row folds the ANN operators run (multi-table sign fold, cell
+  * argmax, ADC lookup sum) pay object churn exactly where row count is
+  * highest. These expressions move each fold into one tight primitive loop
+  * over the unsafe array representation, sharing the [[FloatMatVec]]
+  * null/contract conventions: a null array input yields null (standard
+  * propagation), a null COMPONENT or dimension mismatch fails loudly —
+  * silently truncating would turn one corrupt embedding into a
+  * plausible-but-wrong bucket/cell/score.
+  */
+object VectorKernels {
+
+  private def dotRow(row: ArrayData, x: ArrayData, j: Int): Double = {
+    val xn = x.numElements()
+    if (row.numElements() != xn) throw new IllegalArgumentException(
+      s"vector kernel: row $j has ${row.numElements()} components, vector has $xn — corrupt embedding?")
+    var s = 0.0
+    var i = 0
+    while (i < xn) {
+      if (row.isNullAt(i) || x.isNullAt(i)) throw new IllegalArgumentException(
+        s"vector kernel: null component at row $j index $i — corrupt embedding?")
+      s += row.getFloat(i).toDouble * x.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  /** Multi-table sign-LSH fold: `planes` is the flat (tables*bits) x dim
+    * hyperplane matrix; out(t) = (t << 48) | sum_j (dot(plane_{t,j}, x) > 0) << j.
+    * One pass over all planes — the whole bucketing of one corpus row.
+    */
+  def lshBuckets(planes: ArrayData, x: ArrayData, bits: Int): ArrayData = {
+    val nPlanes = planes.numElements()
+    if (bits < 1 || bits > 48 || nPlanes % bits != 0) throw new IllegalArgumentException(
+      s"graft_lsh_buckets: need 1 <= bits <= 48 dividing plane count, got bits=$bits planes=$nPlanes")
+    val tables = nPlanes / bits
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var acc = t.toLong << 48
+      var j = 0
+      while (j < bits) {
+        val r = t * bits + j
+        if (planes.isNullAt(r)) return null
+        if (dotRow(planes.getArray(r), x, r) > 0) acc |= 1L << j
+        j += 1
+      }
+      out(t) = acc
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Biased-dot argmax: index j maximizing dot(rows(j), x) - bias(j), first
+    * index winning ties (strict >) — the IVF cell assignment / PQ subspace
+    * encoding step (euclidean argmin == this argmax with bias = |c|^2 / 2).
+    */
+  def argmax(rows: ArrayData, x: ArrayData, bias: ArrayData): Any = {
+    val n = rows.numElements()
+    if (bias.numElements() != n) throw new IllegalArgumentException(
+      s"graft_argmax: ${n} rows but ${bias.numElements()} bias entries")
+    var best = Double.NegativeInfinity
+    var idx = -1
+    var j = 0
+    while (j < n) {
+      if (rows.isNullAt(j) || bias.isNullAt(j)) return null
+      val s = dotRow(rows.getArray(j), x, j) - bias.getDouble(j)
+      if (s > best) { best = s; idx = j }
+      j += 1
+    }
+    if (idx < 0) throw new IllegalArgumentException("graft_argmax: empty row matrix")
+    idx
+  }
+
+  /** ADC lookup sum: sum_j lut(j * cells + codes(j)) — the per-pair scoring
+    * step of PQ search (m array reads instead of a dim-wide dot).
+    */
+  def lutSum(lut: ArrayData, codes: ArrayData, cells: Int): Any = {
+    val m = codes.numElements()
+    if (cells < 1 || lut.numElements() != m * cells) throw new IllegalArgumentException(
+      s"graft_lut_sum: ${lut.numElements()} LUT entries != $m codes x $cells cells")
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j)) return null
+      val c = codes.getInt(j)
+      if (c < 0 || c >= cells) throw new IllegalArgumentException(
+        s"graft_lut_sum: code $c at position $j outside [0, $cells) — corrupt encoding?")
+      if (lut.isNullAt(j * cells + c)) return null
+      s += lut.getDouble(j * cells + c)
+      j += 1
+    }
+    s
+  }
+}
+
+/** `graft_lsh_buckets(planes: array<array<float>>, v: array<float>, bits: int)
+  * -> array<long>` — see [[VectorKernels.lshBuckets]].
+  */
+case class GraftLshBuckets(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(ArrayType(FloatType, _), _), ArrayType(FloatType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_lsh_buckets requires (array<array<float>>, array<float>, int), got " +
+          s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, ${third.dataType.simpleString})")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_buckets"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(p: Any, v: Any, b: Any): Any =
+    VectorKernels.lshBuckets(p.asInstanceOf[ArrayData], v.asInstanceOf[ArrayData],
+      b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, v, b) => {
+      val tmp = ctx.freshName("tmp")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.VectorKernels.lshBuckets($p, $v, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `graft_argmax(rows: array<array<float>>, v: array<float>, bias: array<double>)
+  * -> int` — see [[VectorKernels.argmax]].
+  */
+case class GraftArgmax(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(ArrayType(FloatType, _), _), ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_argmax requires (array<array<float>>, array<float>, array<double>), got " +
+          s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, ${third.dataType.simpleString})")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_argmax"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(r: Any, v: Any, b: Any): Any =
+    VectorKernels.argmax(r.asInstanceOf[ArrayData], v.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, v, b) => {
+      val tmp = ctx.freshName("tmp")
+      s"""
+         |Object $tmp = graft.functions.VectorKernels.argmax($r, $v, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Integer) $tmp).intValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `graft_lut_sum(lut: array<double>, codes: array<int>, cells: int)
+  * -> double` — see [[VectorKernels.lutSum]].
+  */
+case class GraftLutSum(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(IntegerType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_lut_sum requires (array<double>, array<int>, int), got " +
+          s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, ${third.dataType.simpleString})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_lut_sum"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, c: Any, n: Any): Any =
+    VectorKernels.lutSum(l.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+      n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, c, n) => {
+      val tmp = ctx.freshName("tmp")
+      s"""
+         |Object $tmp = graft.functions.VectorKernels.lutSum($l, $c, $n);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) $tmp).doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

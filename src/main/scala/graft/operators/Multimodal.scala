@@ -156,6 +156,125 @@ object Multimodal {
     }
   }
 
+  /** REAL (non-stub) audio metadata decode — the audio sibling of
+    * [[ImageHeaders]], same rules: container HEADER layouts are public and
+    * fixed, so every output field comes from the actual bytes.
+    *
+    *  - WAV: RIFF container — "RIFF" + chunk size + "WAVE", then a chunk
+    *    walk (4-byte id + little-endian u32 size, data padded to even) to
+    *    the mandatory "fmt " chunk (PCM/IEEE-float: audio format, channel
+    *    count, sample rate, byte rate, block align, bits per sample) and
+    *    the "data" chunk whose size gives the frame count. The walk skips
+    *    unknown chunks (LIST/INFO metadata is common in the wild) and
+    *    tolerates a "data" header with the sample bytes truncated away —
+    *    header-only prefixes are exactly what a metadata scan reads.
+    *  - MP3: first frame header (4 bytes) — 11-bit sync, then version /
+    *    layer / bitrate index / sample-rate index / channel mode bit
+    *    fields. Only MPEG-1 Layer III (the overwhelmingly common case) is
+    *    decoded; other version/layer combinations yield None rather than a
+    *    wrong answer from the wrong bitrate table. Frame count needs a
+    *    whole-file walk, so `nFrames` is None for MP3.
+    *
+    * Unparseable / truncated / non-audio payloads yield None — callers map
+    * that to NULL columns, never a task failure.
+    */
+  object AudioHeaders extends Serializable {
+    final case class AudioMeta(format: String, channels: Int, sampleRate: Int,
+                               bitsPerSample: Option[Int], bitRate: Int,
+                               nFrames: Option[Long])
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    def decode(bytes: Array[Byte]): Option[AudioMeta] =
+      if (bytes == null || bytes.length < 4) None
+      else if (tag(bytes, 0) == "RIFF") decodeWav(bytes)
+      else if (u8(bytes, 0) == 0xff && (u8(bytes, 1) & 0xe0) == 0xe0) decodeMp3(bytes)
+      else None
+
+    private def decodeWav(b: Array[Byte]): Option[AudioMeta] = {
+      if (b.length < 12 || tag(b, 8) != "WAVE") return None
+      var i = 12
+      var fmtOk = false
+      var channels = 0; var rate = 0L; var byteRate = 0L
+      var blockAlign = 0; var bits = 0
+      var dataSize = -1L
+      while (i + 8 <= b.length && (!fmtOk || dataSize < 0)) {
+        val id = tag(b, i)
+        val sz = le32(b, i + 4)
+        if (id == "fmt " && sz >= 16 && i + 8 + 16 <= b.length) {
+          val audioFormat = le16(b, i + 8)
+          // 1 = PCM, 3 = IEEE float; anything else (ADPCM, extensible...)
+          // would need its own fact table — refuse rather than guess
+          if (audioFormat != 1 && audioFormat != 3) return None
+          channels = le16(b, i + 10)
+          rate = le32(b, i + 12)
+          byteRate = le32(b, i + 16)
+          blockAlign = le16(b, i + 20)
+          bits = le16(b, i + 22)
+          fmtOk = true
+        } else if (id == "data") {
+          dataSize = sz // sample bytes may be truncated away: size is the header's claim
+        }
+        i += 8 + sz.toInt + (sz.toInt & 1) // chunks are even-aligned
+      }
+      if (!fmtOk || dataSize < 0) return None
+      if (channels < 1 || rate <= 0 || blockAlign <= 0 || bits < 1) return None
+      Some(AudioMeta("wav", channels, rate.toInt, Some(bits),
+        (byteRate * 8).toInt, Some(dataSize / blockAlign)))
+    }
+
+    // MPEG-1 Layer III tables (ISO/IEC 11172-3): bitrate index 1-14 in
+    // kbit/s (0 = free-format, 15 = invalid), sample-rate index 0-2
+    private val Mp3BitrateKbps =
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    private val Mp3SampleRate = Array(44100, 48000, 32000)
+
+    private def decodeMp3(b: Array[Byte]): Option[AudioMeta] = {
+      if (b.length < 4) return None
+      val b1 = u8(b, 1); val b2 = u8(b, 2); val b3 = u8(b, 3)
+      if ((b1 >> 3 & 0x3) != 3 || (b1 >> 1 & 0x3) != 1) return None // MPEG-1 Layer III only
+      val bidx = b2 >> 4 & 0xf
+      val sidx = b2 >> 2 & 0x3
+      if (bidx == 0 || bidx == 15 || sidx == 3) return None
+      val channels = if ((b3 >> 6 & 0x3) == 3) 1 else 2 // 3 = mono
+      Some(AudioMeta("mp3", channels, Mp3SampleRate(sidx), None,
+        Mp3BitrateKbps(bidx) * 1000, None))
+    }
+  }
+
+  /** Audio-header decode over a binary payload column — same
+    * per-partition-handle shape as [[decodeImageHeaders]]: appends
+    * format/channels/sample_rate/bits_per_sample/bit_rate/n_frames parsed
+    * from the genuine WAV/MP3 bytes, NULLs for payloads that are neither.
+    */
+  def decodeAudioHeaders(df: DataFrame, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val outSchema = df.schema
+      .add("format", StringType).add("channels", IntegerType)
+      .add("sample_rate", IntegerType).add("bits_per_sample", IntegerType)
+      .add("bit_rate", IntegerType).add("n_frames", LongType)
+    val rows = df.rdd.mapPartitions { it =>
+      val decoder = AudioHeaders // per-partition handle; real codecs init here
+      it.map { r =>
+        val bytes = r.get(payloadIdx).asInstanceOf[Array[Byte]]
+        decoder.decode(bytes) match {
+          case Some(m) => Row.fromSeq(r.toSeq ++ Seq(m.format, m.channels,
+            m.sampleRate, m.bitsPerSample.orNull, m.bitRate, m.nFrames.orNull))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null))
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** Image-header decode over a binary payload column — the REAL-format
     * sibling of [[decodePartitioned]], same per-partition-handle shape (the
     * reference's per-worker handle, mrblast.cpp:838-845): appends

@@ -24,6 +24,22 @@ object Similarity {
     */
   def dot(a: String, b: String) = expr(s"graft_dot($a, $b)")
 
+  /** Constant hyperplane/centroid/codebook tables as ONE Literal node each.
+    * The former `array(array(lit(...)))` construction built thousand-node
+    * CreateArray trees (16 tables x 4 bits x 64 dims = 4096 leaf literals)
+    * that every Catalyst rule pass re-walked — at 2k-row corpora the bench
+    * queries were spending more time OPTIMIZING the plan than running it.
+    * `typedLit` folds the whole table to a single leaf up front.
+    */
+  private[graft] def litFloatMat(m: Array[Array[Float]]) =
+    typedLit[Seq[Seq[Float]]](m.map(_.toSeq).toSeq)
+  private[graft] def litFloatCube(c: Array[Array[Array[Float]]]) =
+    typedLit[Seq[Seq[Seq[Float]]]](c.map(_.map(_.toSeq).toSeq).toSeq)
+  private[graft] def litDoubleArr(a: Array[Double]) =
+    typedLit[Seq[Double]](a.toSeq)
+  private[graft] def litDoubleMat(m: Array[Array[Double]]) =
+    typedLit[Seq[Seq[Double]]](m.map(_.toSeq).toSeq)
+
   def norm(a: String) = sqrt(expr(s"graft_dot($a, $a)"))
 
   /** Exact cosine top-k for each probe id in `probeIds`.
@@ -90,13 +106,12 @@ object Similarity {
     // q86 exactness certificate runs); an empty literal array would type as
     // array<void> and fail graft_matvec's check
     if (planes.isEmpty) return emb.withColumn("bucket", lit(0L))
-    val planesLit = array(planes.map(p => array(p.map(v => lit(v.toFloat)): _*)): _*)
+    val planesLit = litFloatMat(planes.map(_.map(_.toFloat)))
+    // single-table call of the native multi-table kernel: table id 0 packs
+    // to zero high bits, so element 0 IS the bare sign pattern
     emb.withColumn("_planes", planesLit)
       .withColumn("bucket",
-        expr(s"""aggregate(
-                |  transform(graft_matvec(_planes, $vecCol), (d, j) ->
-                |    IF(d > 0D, CAST(1 AS BIGINT) << j, CAST(0 AS BIGINT))),
-                |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+        expr(s"graft_lsh_buckets(_planes, $vecCol, ${planes.length})[0]"))
       .drop("_planes")
   }
 
@@ -203,8 +218,8 @@ object Similarity {
     // argmin); the per-row centroid dots are one native graft_matvec call,
     // the argmax folds a nList-element array. First-index tie-break keeps
     // assignment deterministic.
-    val ctrLit = array(ctrF.map(c => array(c.map(lit): _*)): _*)
-    val hnLit = array(ctrF.map(c => lit(halfNorm(c))): _*)
+    val ctrLit = litFloatMat(ctrF)
+    val hnLit = litDoubleArr(ctrF.map(halfNorm))
     // cell assignment runs on the CANDIDATE side only: the probe-cell
     // ranking below scores every centroid per probe anyway, so probes never
     // need their own argmax assignment — the corpus takes exactly one
@@ -212,11 +227,9 @@ object Similarity {
     // sits below any computed column, so it reaches the parquet reader).
     val cand = base
       .withColumn("_ctrs", ctrLit).withColumn("_hn", hnLit)
-      .withColumn("cell", expr(
-        s"""CAST(aggregate(
-           |  transform(graft_matvec(_ctrs, $vecCol), (d, i) -> named_struct('s', d - _hn[i], 'i', i)),
-           |  named_struct('s', CAST('-Infinity' AS DOUBLE), 'i', -1),
-           |  (best, x) -> IF(x.s > best.s, x, best)).i AS INT)""".stripMargin))
+      // native biased-dot argmax (first index wins ties, same as the former
+      // interpreted fold): one tight loop per corpus row
+      .withColumn("cell", expr(s"graft_argmax(_ctrs, $vecCol, _hn)"))
       .drop("_ctrs", "_hn")
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("n_emb"),
         norm(vecCol).as("n_nrm"), col("cell"))
@@ -348,28 +361,28 @@ object Similarity {
     // LUT/norm tables must stride by the ACTUAL per-subspace cell count
     // (uniform across subspaces: same sample, same bound)
     val cells = books(0).length
-    // literals: per-subspace codebook matrices (for one matvec per
-    // subspace-slice — the tableBuckets lesson: never put a full-width
-    // matvec inside a per-element lambda), their half-norms (assignment),
-    // and the flat |centroid|^2 table (reconstructed-norm accumulation)
+    // literals: per-subspace codebook matrices (each lambda iteration works
+    // only its own subspace slice — never put a full-width pass inside a
+    // per-element lambda, lambda bodies re-evaluate their subtrees per
+    // element), their half-norms (assignment), and the flat |centroid|^2
+    // table (reconstructed-norm accumulation)
     val half = (c: Array[Float]) => c.map(x => x.toDouble * x).sum / 2.0
-    val cbLit = array(books.map(b => array(b.map(c => array(c.map(lit): _*)): _*)): _*)
-    val hnLit = array(books.map(b => array(b.map(c => lit(half(c))): _*)): _*)
-    val n2Lit = array(books.flatMap(b => b.map(c => lit(2.0 * half(c)))): _*)
+    val cbLit = litFloatCube(books)
+    val hnLit = litDoubleMat(books.map(_.map(half)))
+    val n2Lit = litDoubleArr(books.flatMap(_.map(c => 2.0 * half(c))))
     val subExpr = (j: String) => s"slice($vecCol, $j * $sub + 1, $sub)"
     // encode: per subspace, nearest centroid by the same argmax(dot-|c|^2/2)
     // form as ivfKnn; codes and the reconstructed norm are ONE narrow
     // projection over the corpus — this is the operator's only full scan
     val encoded = base
       .withColumn("_cb", cbLit).withColumn("_hn", hnLit).withColumn("_n2", n2Lit)
+      // per-subspace native argmax (the outer transform is m iterations of
+      // a kernel call, not m interpreted dim-wide folds); reconstructed
+      // norm accumulates via the native LUT-sum kernel
       .withColumn("codes", expr(
         s"""transform(sequence(0, ${m - 1}), j ->
-           |  CAST(aggregate(
-           |    transform(graft_matvec(_cb[j], ${subExpr("j")}), (d, i) -> named_struct('s', d - _hn[j][i], 'i', i)),
-           |    named_struct('s', CAST('-Infinity' AS DOUBLE), 'i', -1),
-           |    (best, x) -> IF(x.s > best.s, x, best)).i AS INT))""".stripMargin))
-      .withColumn("n_nrm", sqrt(expr(
-        s"aggregate(transform(codes, (c, j) -> _n2[j * $cells + c]), 0D, (a, v) -> a + v)")))
+           |  graft_argmax(_cb[j], ${subExpr("j")}, _hn[j]))""".stripMargin))
+      .withColumn("n_nrm", sqrt(expr(s"graft_lut_sum(_n2, codes, $cells)")))
       .select(col(idCol).as("neighbor_id"), col("codes"), col("n_nrm"))
     // per-probe ADC lookup table: dot(probe subvector, every centroid of
     // every subspace) — m x nCells doubles per probe, flat-indexed
@@ -384,8 +397,7 @@ object Similarity {
     // shortlist via the native GroupTopK rewrite (row_number <= rerank)
     val adc = broadcast(probes.drop("p_emb")).crossJoin(encoded)
       .where(col("neighbor_id") =!= col("probe_id"))
-      .withColumn("adc", expr(
-        s"aggregate(transform(codes, (c, j) -> lut[j * $cells + c]), 0D, (a, v) -> a + v)")
+      .withColumn("adc", expr(s"graft_lut_sum(lut, codes, $cells)")
         / (col("p_nrm") * col("n_nrm")))
     val wAdc = Window.partitionBy("probe_id").orderBy(col("adc").desc, col("neighbor_id"))
     val shortlist = adc.withColumn("srnk", row_number().over(wAdc))
@@ -415,26 +427,18 @@ object Similarity {
     * `graft_matvec` call, then each table folds its slice. Empty planes =
     * the degenerate single global bucket (the q86 exactness certificate).
     */
-  private def tableBuckets(df: DataFrame, vecCol: String,
+  private[graft] def tableBuckets(df: DataFrame, vecCol: String,
                            planes: Array[Array[Double]], tables: Int, bits: Int): DataFrame =
     if (planes.isEmpty) df.withColumn("tbs", array(lit(0L)))
     else {
-      // one bits x dim plane matrix PER TABLE: the matvec inside the
-      // per-table lambda then computes only that table's slice, so the
-      // total hyperplane-dot work per row is exactly one full
-      // (tables x bits)-plane matvec. A single stacked matrix sliced
-      // inside the lambda would re-run the WHOLE matvec once per table
-      // (lambda bodies re-evaluate their subtrees per element) — a silent
-      // tables-fold blow-up of the hot loop.
-      val planesLit = array(planes.grouped(bits).map(tp =>
-        array(tp.map(p => array(p.map(v => lit(v.toFloat)): _*)): _*)).toSeq: _*)
+      // the whole tables x bits x dim fold is ONE native kernel call per
+      // row (graft_lsh_buckets packs t << 48 internally) — the former
+      // per-table transform/aggregate lambdas were evaluated interpreted,
+      // paying boxed allocations per plane per row exactly where row count
+      // is highest
+      val planesLit = litFloatMat(planes.map(_.map(_.toFloat)))
       df.withColumn("_planes", planesLit)
-        .withColumn("tbs", expr(
-          s"""transform(sequence(0, ${tables - 1}), t ->
-             |  (CAST(t AS BIGINT) << 48) + aggregate(
-             |    transform(graft_matvec(_planes[t], $vecCol), (d, j) ->
-             |      IF(d > 0D, CAST(1 AS BIGINT) << j, CAST(0 AS BIGINT))),
-             |    CAST(0 AS BIGINT), (acc, v) -> acc + v))""".stripMargin))
+        .withColumn("tbs", expr(s"graft_lsh_buckets(_planes, $vecCol, $bits)"))
         .drop("_planes")
     }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, FloatMatVec, GraftMinHash, GraftSimHash, GraftSimHashMd5, GraftWinnow, GraftWinnowMd5}
+import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftLshBuckets, GraftLutSum, GraftMinHash, GraftSimHash, GraftSimHashMd5, GraftWinnow, GraftWinnowMd5}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (see [[graft.GraftSession]]): injects the engine's native expressions
@@ -21,6 +21,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_matvec"),
       new ExpressionInfo(classOf[FloatMatVec].getName, "graft_matvec"),
       (children: Seq[Expression]) => FloatMatVec(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_lsh_buckets"),
+      new ExpressionInfo(classOf[GraftLshBuckets].getName, "graft_lsh_buckets"),
+      (children: Seq[Expression]) => GraftLshBuckets(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_argmax"),
+      new ExpressionInfo(classOf[GraftArgmax].getName, "graft_argmax"),
+      (children: Seq[Expression]) => GraftArgmax(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_lut_sum"),
+      new ExpressionInfo(classOf[GraftLutSum].getName, "graft_lut_sum"),
+      (children: Seq[Expression]) => GraftLutSum(children(0), children(1), children(2))))
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[GraftSimHash].getName, "graft_simhash"),

@@ -87,11 +87,14 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 12, s"minhash pipeline exchange count grew to $exchanges:\n${p.take(1500)}")
   }
 
-  test("lsh bucket + ivf assignment run the native graft_matvec, not HOF dots") {
+  test("lsh bucket + ivf/pq assignment run native kernels, not HOF dots") {
     val p64 = plan("q64_knn_lsh")
     val p67 = plan("q67_knn_ivf")
-    assert(p64.contains("graft_matvec"), "q64 lost the native matvec bucket pass")
-    assert(p67.contains("graft_matvec"), "q67 lost the native matvec assignment pass")
+    val p93 = plan("q93_knn_pq")
+    assert(p64.contains("graft_lsh_buckets"), "q64 lost the native bucket fold")
+    assert(p67.contains("graft_argmax"), "q67 lost the native cell argmax")
+    assert(p93.contains("graft_argmax"), "q93 lost the native subspace encode")
+    assert(p93.contains("graft_lut_sum"), "q93 lost the native ADC lookup sum")
   }
 
   test("queries stay inside whole-stage codegen") {

@@ -87,4 +87,76 @@ class KernelPropertySpec extends AnyFunSuite {
     val density = a.numElements().toDouble / text.length
     assert(density > 0.05 && density <= 0.5, s"density $density out of range")
   }
+
+  private def floatArr(xs: Seq[Float]): GenericArrayData =
+    new GenericArrayData(xs.map(Float.box).toArray[Any])
+  private def floatMat(m: Seq[Seq[Float]]): GenericArrayData =
+    new GenericArrayData(m.map(floatArr).toArray[Any])
+  private def randVec(dim: Int): Seq[Float] = Seq.fill(dim)(rng.nextFloat() * 2 - 1)
+
+  test("lsh buckets: kernel equals the per-table sign-fold reference") {
+    for (_ <- 0 until 100) {
+      val dim = 1 + rng.nextInt(16)
+      val bits = 1 + rng.nextInt(6)
+      val tables = 1 + rng.nextInt(5)
+      val planes = Seq.fill(tables * bits)(randVec(dim))
+      val v = randVec(dim)
+      val got = VectorKernels.lshBuckets(floatMat(planes), floatArr(v), bits)
+      val want = (0 until tables).map { t =>
+        (t.toLong << 48) | (0 until bits).map { j =>
+          val d = planes(t * bits + j).zip(v).map { case (a, b) => a.toDouble * b.toDouble }.sum
+          if (d > 0) 1L << j else 0L
+        }.sum
+      }
+      assert((0 until tables).map(got.getLong) == want)
+    }
+  }
+
+  test("argmax: kernel equals naive biased argmax with first-index ties") {
+    for (_ <- 0 until 100) {
+      val dim = 1 + rng.nextInt(16)
+      val n = 1 + rng.nextInt(20)
+      val rows = Seq.fill(n)(randVec(dim))
+      val bias = Seq.fill(n)(rng.nextDouble())
+      val v = randVec(dim)
+      val scores = rows.zip(bias).map { case (r, b) =>
+        r.zip(v).map { case (a, x) => a.toDouble * x.toDouble }.sum - b
+      }
+      val want = scores.indexOf(scores.max)
+      val biasArr = new GenericArrayData(bias.map(Double.box).toArray[Any])
+      assert(VectorKernels.argmax(floatMat(rows), floatArr(v), biasArr) == want)
+    }
+    // explicit tie: identical rows and biases -> index 0 wins
+    val rows = floatMat(Seq(Seq(1f, 2f), Seq(1f, 2f)))
+    val bias = new GenericArrayData(Array[Any](Double.box(0.5), Double.box(0.5)))
+    assert(VectorKernels.argmax(rows, floatArr(Seq(3f, 4f)), bias) == 0)
+  }
+
+  test("lut sum: kernel equals naive lookup accumulation; bad codes fail loudly") {
+    for (_ <- 0 until 100) {
+      val m = 1 + rng.nextInt(8)
+      val cells = 1 + rng.nextInt(8)
+      val lut = Seq.fill(m * cells)(rng.nextDouble())
+      val codes = Seq.fill(m)(rng.nextInt(cells))
+      val want = codes.zipWithIndex.map { case (c, j) => lut(j * cells + c) }.sum
+      val got = VectorKernels.lutSum(
+        new GenericArrayData(lut.map(Double.box).toArray[Any]),
+        new GenericArrayData(codes.map(Int.box).toArray[Any]), cells)
+      assert(math.abs(got.asInstanceOf[Double] - want) < 1e-12)
+    }
+    val lut = new GenericArrayData(Array[Any](Double.box(1.0), Double.box(2.0)))
+    val codes = new GenericArrayData(Array[Any](Int.box(2)))
+    intercept[IllegalArgumentException](VectorKernels.lutSum(lut, codes, 2))
+  }
+
+  test("lsh buckets / argmax: dimension mismatches fail loudly, bad bits rejected") {
+    val planes = floatMat(Seq(Seq(1f, 2f)))
+    intercept[IllegalArgumentException](
+      VectorKernels.lshBuckets(planes, floatArr(Seq(1f, 2f, 3f)), 1))
+    intercept[IllegalArgumentException](
+      VectorKernels.lshBuckets(planes, floatArr(Seq(1f, 2f)), 2)) // 1 plane % 2 bits
+    val bias = new GenericArrayData(Array[Any](Double.box(0.0), Double.box(0.0)))
+    intercept[IllegalArgumentException](
+      VectorKernels.argmax(planes, floatArr(Seq(1f, 2f)), bias)) // 1 row, 2 biases
+  }
 }
