@@ -232,6 +232,55 @@ object PipelineQueries extends QuerySet {
         .orderBy("doc_id")
     }),
 
+    // REAL audio decode — the q89 pattern for the audio column type:
+    // per-doc payloads are genuine WAV (RIFF/WAVE + "fmt " + "data" chunk
+    // headers, little-endian fields) and MP3 (MPEG-1 Layer III first frame
+    // header bit fields) byte streams with doc-derived parameters, parsed
+    // back by the dependency-free AudioHeaders decoder. The WAV side
+    // round-trips channel count, sample rate, bit depth, byte rate and the
+    // data-chunk frame count through the actual little-endian layout; the
+    // MP3 side round-trips the bitrate/sample-rate table indices and the
+    // channel mode through the 4-byte header. The oracle recomputes the
+    // parameter arithmetic directly from doc_id.
+    "q95_audio_headers" -> ((s, dir) => {
+      def le32(x: String) =
+        s"unhex(concat(substr(lpad(hex($x), 8, '0'), 7, 2), substr(lpad(hex($x), 8, '0'), 5, 2), " +
+          s"substr(lpad(hex($x), 8, '0'), 3, 2), substr(lpad(hex($x), 8, '0'), 1, 2)))"
+      def le16(x: String) =
+        s"unhex(concat(substr(lpad(hex($x), 4, '0'), 3, 2), substr(lpad(hex($x), 4, '0'), 1, 2)))"
+      val params = t(s, dir, "documents")
+        .select(col("doc_id"),
+          // WAV parameters from the even ids' halves
+          expr("CAST(1 + (doc_id DIV 2) % 2 AS INT)").as("ch"),
+          expr("CAST(CASE (doc_id DIV 2) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 22050 ELSE 44100 END AS INT)").as("rate"),
+          expr("CAST(CASE WHEN (doc_id DIV 2) % 4 < 2 THEN 8 ELSE 16 END AS INT)").as("bits"),
+          expr("CAST(100 + (doc_id DIV 2) % 1000 AS INT)").as("nfrm"),
+          // MP3 header fields from the odd ids' halves
+          expr("CAST(1 + ((doc_id - 1) DIV 2) % 14 AS INT)").as("bidx"),
+          expr("CAST(((doc_id - 1) DIV 2) % 3 AS INT)").as("sidx"),
+          expr("CAST(((doc_id - 1) DIV 2) % 4 AS INT)").as("mode"))
+        .withColumn("blk", expr("ch * bits DIV 8"))
+        .withColumn("dsz", expr("nfrm * blk"))
+      val withPayload = params.withColumn("payload",
+        when(col("doc_id") % 2 === 0,
+          // "RIFF" size "WAVE" | "fmt " 16 PCM ch rate byteRate blockAlign
+          // bits | "data" size — a header-only prefix, sample bytes absent
+          expr(s"""concat(unhex('52494646'), ${le32("36 + dsz")}, unhex('57415645'),
+                 |unhex('666D7420'), ${le32("16")}, ${le16("1")}, ${le16("ch")},
+                 |${le32("rate")}, ${le32("rate * blk")}, ${le16("blk")}, ${le16("bits")},
+                 |unhex('64617461'), ${le32("dsz")})""".stripMargin))
+        .otherwise(
+          // FF FB = sync + MPEG-1 + Layer III; then bitrate idx | sample
+          // rate idx | padding/private zeros; then channel mode in the top
+          // two bits
+          expr("""concat(unhex('FFFB'), unhex(lpad(hex(bidx * 16 + sidx * 4), 2, '0')),
+                 |unhex(lpad(hex(mode * 64), 2, '0')))""".stripMargin)))
+      Multimodal.decodeAudioHeaders(withPayload, "payload")
+        .select("doc_id", "format", "channels", "sample_rate",
+          "bits_per_sample", "bit_rate", "n_frames")
+        .orderBy("doc_id")
+    }),
+
     // Oracle for the recall-certificate arithmetic itself (the piece of
     // q64/q67 a SQL engine CAN check): two deterministic top-5 lists per
     // probe group — orders ranked by price vs by date — run through the
@@ -468,6 +517,37 @@ object PipelineQueries extends QuerySet {
         |  CAST(16 + (doc_id * 7) % 512 AS INT) AS height,
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INT) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // re-derives the WAV/MP3 parameter arithmetic the engine must recover
+    // from the actual header bytes (MP3 bitrate table = ISO/IEC 11172-3
+    // MPEG-1 Layer III)
+    "q95_audio_headers" ->
+      """WITH p AS (SELECT doc_id, doc_id // 2 AS i2, (doc_id - 1) // 2 AS j FROM documents),
+        |w AS (SELECT doc_id,
+        |        1 + i2 % 2 AS ch,
+        |        CASE i2 % 3 WHEN 0 THEN 8000 WHEN 1 THEN 22050 ELSE 44100 END AS rate,
+        |        CASE WHEN i2 % 4 < 2 THEN 8 ELSE 16 END AS bits,
+        |        100 + i2 % 1000 AS nfrm
+        |      FROM p WHERE doc_id % 2 = 0),
+        |m AS (SELECT doc_id, 1 + j % 14 AS bidx, j % 3 AS sidx, j % 4 AS mode
+        |      FROM p WHERE doc_id % 2 = 1)
+        |SELECT doc_id, 'wav' AS format,
+        |  CAST(ch AS INT) AS channels,
+        |  CAST(rate AS INT) AS sample_rate,
+        |  CAST(bits AS INT) AS bits_per_sample,
+        |  CAST(rate * ch * bits AS INT) AS bit_rate,
+        |  CAST(nfrm AS BIGINT) AS n_frames
+        |FROM w
+        |UNION ALL
+        |SELECT doc_id, 'mp3' AS format,
+        |  CAST(CASE WHEN mode = 3 THEN 1 ELSE 2 END AS INT) AS channels,
+        |  CAST(CASE sidx WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS INT) AS sample_rate,
+        |  CAST(NULL AS INT) AS bits_per_sample,
+        |  CAST(1000 * CASE bidx WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56
+        |    WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+        |    WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224 WHEN 13 THEN 256 ELSE 320 END AS INT) AS bit_rate,
+        |  CAST(NULL AS BIGINT) AS n_frames
+        |FROM m
+        |ORDER BY doc_id""".stripMargin,
     // recomputes recall@5 = |ann ∩ exact| / 5 per probe group directly
     "q90_recall_certificate" ->
       """WITH o AS (SELECT o_custkey % 10 AS probe_id, o_orderkey, o_totalprice, o_orderdate

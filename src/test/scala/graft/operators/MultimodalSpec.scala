@@ -155,6 +155,82 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).isNullAt(1) && out(2).isNullAt(2) && out(2).isNullAt(3) && out(2).isNullAt(4))
   }
 
+  test("AudioHeaders decodes a REAL WAV written by javax.sound.sampled (independent encoder)") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 2-channel 22050 Hz 16-bit PCM, 500 frames, written by the JDK's own
+    // genuine WAV encoder — the decoder must recover every fmt-chunk field
+    val fmt = new AudioFormat(22050f, 16, 2, true, false)
+    val nFrames = 500L
+    val pcm = new Array[Byte](nFrames.toInt * fmt.getFrameSize)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames),
+      AudioFileFormat.Type.WAVE, out)
+    val m = Multimodal.AudioHeaders.decode(out.toByteArray)
+    assert(m.contains(Multimodal.AudioHeaders.AudioMeta(
+      "wav", 2, 22050, Some(16), 22050 * 4 * 8, Some(nFrames))), s"got $m")
+  }
+
+  test("AudioHeaders: chunk walk skips LIST metadata; header-only prefixes parse") {
+    def le16(v: Int) = Array((v & 0xff).toByte, (v >> 8 & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, (v >> 8 & 0xff).toByte,
+      (v >> 16 & 0xff).toByte, (v >> 24 & 0xff).toByte)
+    val fmtChunk = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8)
+    val list = "LIST".getBytes ++ le32(4) ++ "INFO".getBytes // metadata noise
+    val dataHdr = "data".getBytes ++ le32(1234) // sample bytes truncated away
+    val wav = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++ list ++ fmtChunk ++ dataHdr
+    val m = Multimodal.AudioHeaders.decode(wav)
+    assert(m.contains(Multimodal.AudioHeaders.AudioMeta(
+      "wav", 1, 8000, Some(8), 8000 * 8, Some(1234L))), s"got $m")
+    // odd-sized chunk: the walk must pad to even alignment to find fmt/data
+    val odd = "junk".getBytes ++ le32(3) ++ Array[Byte](1, 2, 3, 0)
+    val wav2 = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++ odd ++ fmtChunk ++ dataHdr
+    assert(Multimodal.AudioHeaders.decode(wav2) == m)
+  }
+
+  test("AudioHeaders: MP3 frame-header bit fields; non-MPEG1/LayerIII rejected") {
+    // FF FB = MPEG-1 Layer III no-CRC; bitrate idx 9 (128k), rate idx 0
+    // (44100), mono mode
+    val mono128 = Array(0xff, 0xfb, 0x90, 0xc0).map(_.toByte)
+    assert(Multimodal.AudioHeaders.decode(mono128).contains(
+      Multimodal.AudioHeaders.AudioMeta("mp3", 1, 44100, None, 128000, None)))
+    // stereo, idx 14 (320k), rate idx 2 (32000)
+    val stereo320 = Array(0xff, 0xfb, 0xe8, 0x00).map(_.toByte)
+    assert(Multimodal.AudioHeaders.decode(stereo320).contains(
+      Multimodal.AudioHeaders.AudioMeta("mp3", 2, 32000, None, 320000, None)))
+    // MPEG-2 (version bits 10) and free-format/invalid bitrates -> None
+    assert(Multimodal.AudioHeaders.decode(Array(0xff, 0xf3, 0x90, 0x00).map(_.toByte)).isEmpty)
+    assert(Multimodal.AudioHeaders.decode(Array(0xff, 0xfb, 0x00, 0x00).map(_.toByte)).isEmpty)
+    assert(Multimodal.AudioHeaders.decode(Array(0xff, 0xfb, 0xf0, 0x00).map(_.toByte)).isEmpty)
+  }
+
+  test("AudioHeaders rejects junk and truncation; decodeAudioHeaders appends NULLs") {
+    import spark.implicits._
+    assert(Multimodal.AudioHeaders.decode(null).isEmpty)
+    assert(Multimodal.AudioHeaders.decode("RIF".getBytes).isEmpty)
+    assert(Multimodal.AudioHeaders.decode("RIFFxxxxWAVE".getBytes).isEmpty) // no chunks
+    assert(Multimodal.AudioHeaders.decode("plain text".getBytes).isEmpty)
+    val wav = {
+      def le16(v: Int) = Array((v & 0xff).toByte, (v >> 8 & 0xff).toByte)
+      def le32(v: Int) = Array((v & 0xff).toByte, (v >> 8 & 0xff).toByte,
+        (v >> 16 & 0xff).toByte, (v >> 24 & 0xff).toByte)
+      "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+        ("fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+          le32(176400) ++ le16(4) ++ le16(16)) ++
+        "data".getBytes ++ le32(400)
+    }
+    val df = Seq((1L, wav), (2L, "noise".getBytes)).toDF("doc_id", "payload")
+    val out = Multimodal.decodeAudioHeaders(df, "payload")
+      .select("doc_id", "format", "channels", "sample_rate", "bits_per_sample",
+        "bit_rate", "n_frames")
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "wav" && out(0).getInt(2) == 2 &&
+      out(0).getInt(3) == 44100 && out(0).getInt(4) == 16 &&
+      out(0).getInt(5) == 176400 * 8 && out(0).getLong(6) == 100L)
+    assert((1 to 6).forall(out(1).isNullAt), s"junk row not all-null: ${out(1)}")
+  }
+
   test("iteration batches are consecutive near-equal ranges") {
     import spark.implicits._
     val wi = (0 until 10).map(i => (i.toLong, s"p$i")).toDF("block_id", "source")
