@@ -281,6 +281,57 @@ object PipelineQueries extends QuerySet {
         .orderBy("doc_id")
     }),
 
+    // REAL video decode — the third leg of the image/audio/video triple:
+    // per-doc payloads are genuine ISO BMFF (MP4) byte streams — ftyp with
+    // a doc-derived major brand, then moov wrapping a spec-complete
+    // 108-byte version-0 mvhd (timescale/duration + rate/volume/matrix
+    // tail) and one or two 100-byte trak/tkhd boxes (a video track with
+    // 16.16 fixed-point dimensions; odd docs add an audio track with zero
+    // dimensions that the decoder must skip). The box walk recovers brand,
+    // timescale, duration, track count and the video dimensions from the
+    // actual big-endian box layout; the oracle recomputes the arithmetic.
+    "q96_video_headers" -> ((s, dir) => {
+      def be32(x: String) = s"unhex(lpad(hex($x), 8, '0'))"
+      // 16.16 fixed point: integer part in the high half-word
+      def fix1616(x: String) = s"unhex(concat(lpad(hex($x), 4, '0'), '0000'))"
+      // mvhd content after duration: rate 1.0, volume 1.0, 10 reserved
+      // bytes, identity matrix, 24 predefined bytes, next_track_id 2
+      val mvhdTail = "00010000" + "0100" + "0" * 20 +
+        "000100000000000000000000000000000001000000000000000000000000000040000000" +
+        "0" * 48 + "00000002"
+      val matrix =
+        "000100000000000000000000000000000001000000000000000000000000000040000000"
+      // tkhd v0: flags 7 (enabled|in-movie|in-preview), zero times/duration,
+      // layer/group/volume/reserved zeros, identity matrix, then w/h
+      def tkhd(trackId: Int, w: String, h: String) =
+        s"concat(${be32("92")}, unhex('746B6864'), unhex('00000007')," +
+          s" ${be32("0")}, ${be32("0")}, ${be32(trackId.toString)}, ${be32("0")}, ${be32("0")}," +
+          s" unhex('${"0" * 16}'), unhex('${"0" * 16}'), unhex('$matrix')," +
+          s" ${fix1616(w)}, ${fix1616(h)})"
+      def trak(trackId: Int, w: String, h: String) =
+        s"concat(${be32("100")}, unhex('7472616B'), ${tkhd(trackId, w, h)})"
+      val params = t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("CASE WHEN doc_id % 2 = 0 THEN '69736F6D' ELSE '6D703432' END").as("brandhex"),
+          expr("CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS BIGINT)").as("tsc"),
+          expr("CAST((doc_id % 5000) * 100 + 600 AS BIGINT)").as("dur"),
+          expr("CAST(1 + doc_id % 2 AS INT)").as("ntrk"),
+          expr("CAST(16 + doc_id % 1920 AS INT)").as("w"),
+          expr("CAST(16 + (doc_id * 3) % 1080 AS INT)").as("h"))
+      val withPayload = params.withColumn("payload", expr(
+        s"""concat(
+           |  ${be32("16")}, unhex('66747970'), unhex(brandhex), ${be32("0")},
+           |  ${be32("116 + 100 * ntrk")}, unhex('6D6F6F76'),
+           |  ${be32("108")}, unhex('6D766864'), ${be32("0")}, ${be32("0")}, ${be32("0")},
+           |  ${be32("tsc")}, ${be32("dur")}, unhex('$mvhdTail'),
+           |  ${trak(1, "w", "h")},
+           |  IF(ntrk = 2, ${trak(2, "0", "0")}, unhex('')))""".stripMargin))
+      Multimodal.decodeVideoHeaders(withPayload, "payload")
+        .select("doc_id", "brand", "timescale", "duration_ms", "n_tracks",
+          "width", "height")
+        .orderBy("doc_id")
+    }),
+
     // Oracle for the recall-certificate arithmetic itself (the piece of
     // q64/q67 a SQL engine CAN check): two deterministic top-5 lists per
     // probe group — orders ranked by price vs by date — run through the
@@ -548,6 +599,18 @@ object PipelineQueries extends QuerySet {
         |  CAST(NULL AS BIGINT) AS n_frames
         |FROM m
         |ORDER BY doc_id""".stripMargin,
+    // re-derives the MP4 parameter arithmetic; duration_ms floors exactly
+    // like the engine's integer division
+    "q96_video_headers" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS BIGINT) AS timescale,
+        |  CAST(((doc_id % 5000) * 100 + 600) * 1000
+        |    // CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS BIGINT) AS duration_ms,
+        |  CAST(1 + doc_id % 2 AS INT) AS n_tracks,
+        |  CAST(16 + doc_id % 1920 AS INT) AS width,
+        |  CAST(16 + (doc_id * 3) % 1080 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // recomputes recall@5 = |ann ∩ exact| / 5 per probe group directly
     "q90_recall_certificate" ->
       """WITH o AS (SELECT o_custkey % 10 AS probe_id, o_orderkey, o_totalprice, o_orderdate

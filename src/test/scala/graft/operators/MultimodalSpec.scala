@@ -231,6 +231,61 @@ class MultimodalSpec extends SparkSpec {
     assert((1 to 6).forall(out(1).isNullAt), s"junk row not all-null: ${out(1)}")
   }
 
+  // hand-built ISO BMFF boxes (big-endian) for the video decoder
+  private def beBox(typ: String, content: Array[Byte]): Array[Byte] = {
+    val sz = content.length + 8
+    Array((sz >> 24).toByte, (sz >> 16).toByte, (sz >> 8).toByte, sz.toByte) ++
+      typ.getBytes ++ content
+  }
+  private def be32b(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def be64b(v: Long) = be32b(v >> 32) ++ be32b(v & 0xffffffffL)
+  private def tkhdBytes(w: Int, h: Int) = beBox("tkhd",
+    be32b(0) ++ Array.fill(20)(0.toByte) ++ Array.fill(16)(0.toByte) ++
+      Array.fill(36)(0.toByte) ++ be32b(w.toLong << 16) ++ be32b(h.toLong << 16))
+
+  test("VideoHeaders: mvhd v0/v1, multi-trak, audio-track skip, 64-bit sizes") {
+    val ftyp = beBox("ftyp", "isom".getBytes ++ be32b(0))
+    val mvhdV0 = beBox("mvhd", be32b(0) ++ be32b(0) ++ be32b(0) ++
+      be32b(1000) ++ be32b(5500) ++ Array.fill(80)(0.toByte))
+    val audio = beBox("trak", tkhdBytes(0, 0))
+    val video = beBox("trak", tkhdBytes(640, 360))
+    val m = Multimodal.VideoHeaders.decode(
+      ftyp ++ beBox("moov", mvhdV0 ++ audio ++ video))
+    assert(m.contains(Multimodal.VideoHeaders.VideoMeta("isom", 1000, 5500, 2, 640, 360)),
+      s"got $m")
+    // v1 mvhd: 64-bit times/duration
+    val mvhdV1 = beBox("mvhd", Array[Byte](1, 0, 0, 0) ++ be64b(0) ++ be64b(0) ++
+      be32b(90000) ++ be64b(450000L) ++ Array.fill(80)(0.toByte))
+    val m1 = Multimodal.VideoHeaders.decode(ftyp ++ beBox("moov", mvhdV1 ++ video))
+    assert(m1.contains(Multimodal.VideoHeaders.VideoMeta("isom", 90000, 5000, 1, 640, 360)),
+      s"got $m1")
+    // a box with a 64-bit extended size between ftyp and moov must be walked
+    val content = Array.fill(4)(0.toByte)
+    val big = be32b(1) ++ "free".getBytes ++ be64b(16 + content.length) ++ content
+    val m2 = Multimodal.VideoHeaders.decode(ftyp ++ big ++ beBox("moov", mvhdV0 ++ video))
+    assert(m2.exists(_.durationMs == 5500), s"got $m2")
+  }
+
+  test("VideoHeaders rejects junk and truncation; decodeVideoHeaders appends NULLs") {
+    import spark.implicits._
+    val ftyp = beBox("ftyp", "mp42".getBytes ++ be32b(0))
+    val mvhd = beBox("mvhd", be32b(0) ++ be32b(0) ++ be32b(0) ++
+      be32b(600) ++ be32b(1200) ++ Array.fill(80)(0.toByte))
+    val good = ftyp ++ beBox("moov", mvhd ++ beBox("trak", tkhdBytes(320, 240)))
+    assert(Multimodal.VideoHeaders.decode(null).isEmpty)
+    assert(Multimodal.VideoHeaders.decode("not mp4 bytes".getBytes).isEmpty)
+    assert(Multimodal.VideoHeaders.decode(good.take(30)).isEmpty) // cut inside moov
+    assert(Multimodal.VideoHeaders.decode(ftyp).isEmpty) // no moov at all
+    val df = Seq((1L, good), (2L, "noise".getBytes)).toDF("doc_id", "payload")
+    val out = Multimodal.decodeVideoHeaders(df, "payload")
+      .select("doc_id", "brand", "timescale", "duration_ms", "n_tracks", "width", "height")
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "mp42" && out(0).getLong(2) == 600 &&
+      out(0).getLong(3) == 2000 && out(0).getInt(4) == 1 &&
+      out(0).getInt(5) == 320 && out(0).getInt(6) == 240)
+    assert((1 to 6).forall(out(1).isNullAt), s"junk row not all-null: ${out(1)}")
+  }
+
   test("iteration batches are consecutive near-equal ranges") {
     import spark.implicits._
     val wi = (0 until 10).map(i => (i.toLong, s"p$i")).toDF("block_id", "source")
