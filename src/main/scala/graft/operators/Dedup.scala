@@ -103,7 +103,10 @@ object Dedup {
     // anti-join BEFORE any member gathering: a degenerate bucket (millions
     // of boilerplate docs) must never be materialized as one collect_list
     // buffer just to be thrown away. The hot set itself is metadata-sized.
-    val cool = dropHotBuckets(banded, Seq("band", "bucket"), maxBucketSize)
+    // An infinite cap (the exact configurations) skips the guard outright —
+    // no count pass, no anti-join, for an always-empty hot set.
+    val cool = if (maxBucketSize == Int.MaxValue) banded
+               else dropHotBuckets(banded, Seq("band", "bucket"), maxBucketSize)
     // then ONE gather shuffle: bucket members -> codegen'd i<j pair
     // expansion (the former self-join formulation re-scanned the banded
     // rows four times).
@@ -404,7 +407,8 @@ object Dedup {
     // BEFORE the dedup shuffle so distinct() only sees surviving pairs.
     // nested-generator pair streaming (see [[expandPairs]]): O(B) peak
     // memory per bucket instead of one C(B,2)-struct array
-    dropHotBuckets(chunks, Seq("c", "chunk"), maxBucketSize)
+    (if (maxBucketSize == Int.MaxValue) chunks
+     else dropHotBuckets(chunks, Seq("c", "chunk"), maxBucketSize))
       .groupBy("c", "chunk")
       .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("xs"))
       .where(size(col("xs")) >= 2)
