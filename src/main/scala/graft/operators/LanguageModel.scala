@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed n-gram language-model scoring — the workhorse quality
+  * filter of large-scale training-data pipelines (heuristic ratios catch
+  * junk; LM perplexity catches fluent-looking but out-of-distribution
+  * text). Everything is relational: counts are aggregations, the model
+  * "lookup" is an equi-join on the n-gram key, so the same plan that
+  * scores 500 documents scores a 100 TB corpus — no model ever sits on
+  * the driver.
+  *
+  * Reference analog: the engine's global dbsize statistic is computed once
+  * over the whole corpus and then applied per work item
+  * (`mrblast.cpp:408-433`); here the corpus-wide bigram/unigram tables
+  * play that role for per-document scoring.
+  */
+object LanguageModel {
+
+  /** Per-document ordered bigrams: (id, w1, w2), one row per adjacent
+    * token pair. Documents with fewer than two tokens emit nothing.
+    */
+  def bigrams(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** Bigram-LM perplexity per document, trained on the corpus itself with
+    * add-`k` smoothing: P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k*V).
+    *
+    * Stage shape for 100 TB: ONE bigram-key aggregation builds the model
+    * (c(w1) derives from c(w1,w2) by a second, vocabulary-sized
+    * aggregation — never a second corpus pass); scoring joins the
+    * corpus bigram stream against the model on its natural key; V is a
+    * broadcast scalar. Three shuffles total (model, unigram margin,
+    * per-doc average), all on declared keys, no driver-side model.
+    *
+    * Output: (id, n_bigrams, avg_logp, ppl) — avg_logp is the mean
+    * ln-probability, ppl = exp(-avg_logp); both round(4) (irrational,
+    * never on a decimal half — see MlPrepQueries float-parity notes).
+    */
+  def bigramPerplexity(docs: DataFrame, textCol: String, idCol: String,
+                       k: Double = 1.0): DataFrame = {
+    require(k > 0, s"smoothing k must be > 0, got $k")
+    val bg = bigrams(docs, textCol, idCol)
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // unigram margin from the bigram table: c(w1) = sum_w2 c(w1, w2)
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp", log((col("c12") + lit(k)) / (col("c1") + lit(k) * col("v"))))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), avg("logp").as("_avg"))
+      .select(col("id"), col("n_bigrams"),
+        round(col("_avg"), 4).as("avg_logp"),
+        round(exp(-col("_avg")), 4).as("ppl"))
+  }
+}

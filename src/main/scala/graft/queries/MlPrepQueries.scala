@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Graph}
+import graft.operators.{Dedup, Graph, LanguageModel}
 
 /** Training-data-preparation operators beyond the text/dedup basics:
   * TF-IDF term scoring, sliding-window document chunking, deterministic
@@ -194,6 +194,16 @@ object MlPrepQueries extends QuerySet {
         .where(col("rn") <= 20)
         .select("source", "doc_id", "rn")
         .orderBy("source", "rn")
+    }),
+
+    // Bigram-LM perplexity quality scoring: the model is corpus-trained
+    // aggregations (bigram counts + unigram margins + vocab scalar), the
+    // "lookup" an equi-join on the bigram key — the relational form of the
+    // standard LM quality filter, same plan at any corpus size.
+    "q97_lm_perplexity" -> ((s, dir) => {
+      LanguageModel.bigramPerplexity(t(s, dir, "documents"), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -298,5 +308,23 @@ object MlPrepQueries extends QuerySet {
       """WITH r AS (SELECT source, doc_id,
         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
         |  FROM documents)
-        |SELECT source, doc_id, rn FROM r WHERE rn <= 20 ORDER BY source, rn""".stripMargin)
+        |SELECT source, doc_id, rn FROM r WHERE rn <= 20 ORDER BY source, rn""".stripMargin,
+    // add-1-smoothed bigram LM trained on the corpus itself; ln/exp values
+    // are irrational so ROUND(4) is cross-engine-stable (float-parity notes
+    // at the top of this file)
+    "q97_lm_perplexity" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |  FROM tk WHERE len(t) >= 2)),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS v FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |sc AS (SELECT doc_id, ln((c12.c12 + 1.0) / (c1.c1 + 1.0 * v.v)) AS logp
+        |       FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(AVG(logp), 4) AS avg_logp,
+        |  ROUND(EXP(-AVG(logp)), 4) AS ppl
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

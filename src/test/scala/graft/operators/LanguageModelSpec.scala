@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LanguageModelSpec extends SparkSpec {
+
+  test("bigrams: ordered adjacent pairs; sub-2-token docs emit nothing") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    val bg = LanguageModel.bigrams(docs, "text", "doc_id")
+      .orderBy("id", "w1", "w2").collect()
+    assert(bg.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1L, "a", "b"), (1L, "b", "c")))
+  }
+
+  test("perplexity: formulaic text scores lower than novel-bigram text") {
+    import spark.implicits._
+    // 20 documents of the same repeated phrase + one document whose bigrams
+    // appear nowhere else: the LM (trained on this corpus) must find the
+    // formulaic docs far more predictable
+    val formula = (1 to 20).map(i => (i.toLong, "the quick brown fox jumps"))
+    val novel = Seq((99L, "zeta omega kappa lambda sigma"))
+    val docs = (formula ++ novel).toDF("doc_id", "text")
+    val out = LanguageModel.bigramPerplexity(docs, "text", "doc_id")
+      .select(col("id"), col("ppl"), col("n_bigrams")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out(1L)._2 == 4L && out(99L)._2 == 4L) // 5 tokens -> 4 bigrams
+    assert(out(1L)._1 < out(99L)._1 / 2,
+      s"formulaic ppl ${out(1L)._1} not well below novel ppl ${out(99L)._1}")
+    // all formulaic docs identical text -> identical score
+    assert((2 to 20).forall(i => out(i.toLong) == out(1L)))
+  }
+
+  test("perplexity matches the closed-form add-1 model on a tiny corpus") {
+    import spark.implicits._
+    // corpus: "a b" x2 and "a c" x1 -> c(a,b)=2 c(a,c)=1 c1(a)=3, V=3
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = LanguageModel.bigramPerplexity(docs, "text", "doc_id")
+      .select("id", "avg_logp", "ppl").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val pAB = math.log((2.0 + 1.0) / (3.0 + 3.0)) // = ln 1/2
+    val pAC = math.log((1.0 + 1.0) / (3.0 + 3.0)) // = ln 1/3
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == (r4(pAB), r4(math.exp(-pAB))))
+    assert(out(3L) == (r4(pAC), r4(math.exp(-pAC))))
+  }
+}
