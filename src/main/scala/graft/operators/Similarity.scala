@@ -403,22 +403,127 @@ object Similarity {
     val shortlist = adc.withColumn("srnk", row_number().over(wAdc))
       .where(col("srnk") <= rerank)
       .select("probe_id", "neighbor_id")
-    // stage 2: exact rerank of the (probes x rerank)-sized shortlist — the
-    // raw-vector join is a broadcast semi-prune of the corpus, so true
-    // cosines cost candidate-linear work and the output ranks by REAL
-    // similarity (PQ distortion affects recall, not reported scores)
+    // stage 2: exact rerank of the (probes x rerank)-sized shortlist
+    exactRerank(base, idCol, vecCol, shortlist,
+      probes.select("probe_id", "p_emb", "p_nrm"), k)
+  }
+
+  /** Exact top-k rerank of a bounded (probe_id, neighbor_id) shortlist —
+    * the shared stage 2 of the compressed-scoring ANN operators: the
+    * raw-vector join is a broadcast semi-prune of the corpus, so true
+    * cosines cost candidate-linear work and the output ranks by REAL
+    * similarity (code/cell distortion affects recall, not reported
+    * scores). `probes` carries (probe_id, p_emb, p_nrm).
+    */
+  private def exactRerank(base: DataFrame, idCol: String, vecCol: String,
+                          shortlist: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val nvec = base.join(broadcast(shortlist.select(col("neighbor_id").as(idCol)).distinct()),
         Seq(idCol), "left_semi")
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("n_emb"))
       .withColumn("n_nrm", norm("n_emb"))
-    val scored = broadcast(
-        shortlist.join(probes.select("probe_id", "p_emb", "p_nrm"), "probe_id"))
+    val scored = broadcast(shortlist.join(probes, "probe_id"))
       .join(nvec, "neighbor_id")
       .withColumn("cosim", round(dot("p_emb", "n_emb") / (col("p_nrm") * col("n_nrm")), 4))
     val w = Window.partitionBy("probe_id").orderBy(col("cosim").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select("probe_id", "neighbor_id", "cosim", "rnk")
+  }
+
+  /** IVF-PQ kNN — the composition that serves billion-vector corpora: the
+    * coarse quantizer bounds WHICH rows are scanned (nProbe of nList
+    * inverted cells, the [[ivfKnn]] candidate restriction) while product
+    * quantization bounds HOW MUCH each scanned row costs (m code lookups
+    * against a per-probe ADC table, the [[pqKnn]] scoring compression),
+    * and the exact rerank of the bounded shortlist keeps reported cosines
+    * TRUE. Per-probe cost ~ (corpus * nProbe / nList) code-lookups plus
+    * `rerank` real dot products — both knobs explicit.
+    *
+    * Codebooks encode RAW vectors, shared across cells (the classic
+    * residual encoding — fitting books on v - c_cell — buys more recall
+    * per code byte but needs per-(probe, cell) LUT bias terms; the
+    * raw-vector form keeps ONE corpus-wide code table, ONE bias-free LUT
+    * per probe, and the exhaustive-mode == brute-force guarantee that
+    * q99's hash oracle checks). Both stages fit on the same bounded
+    * deterministic sample; one narrow pass encodes the corpus.
+    *
+    * Output: (probe_id, neighbor_id, cosim, rnk) — same contract as the
+    * other kNN operators; certify recall with [[withRecallCertificate]].
+    */
+  def ivfPqKnn(emb: DataFrame, idCol: String, vecCol: String,
+               probeFilter: org.apache.spark.sql.Column, k: Int,
+               nList: Int = 16, nProbe: Int = 4,
+               m: Int = 8, nCells: Int = 16, dim: Int = 64, rerank: Int = 32,
+               seed: Long = 42L, maxSample: Int = 20000): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    require(nList >= 1 && nProbe >= 1 && nProbe <= nList,
+      s"need 1 <= nProbe <= nList, got nProbe=$nProbe nList=$nList")
+    require(nCells >= 1 && rerank >= k, s"need nCells >= 1 and rerank >= k")
+    val spark = emb.sparkSession
+    val sub = dim / m
+    val base = emb.select(col(idCol), col(vecCol))
+    val sample = base
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(maxSample)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val half = (c: Array[Float]) => c.map(x => x.toDouble * x).sum / 2.0
+    // coarse quantizer (see ivfKnn: assignment and probe-cell ranking use
+    // the SAME float-derived euclidean score, so a probe never misses its
+    // own cell on a near-tie)
+    val ctrs = fitCentroids(sample, nList, maxIter = 8, seed = seed).map(_.map(_.toFloat))
+    val ctrLit = litFloatMat(ctrs)
+    val chnLit = litDoubleArr(ctrs.map(half))
+    // per-subspace PQ codebooks
+    val books: Array[Array[Array[Float]]] = Array.tabulate(m) { j =>
+      val subSample = sample.map(v => v.slice(j * sub, (j + 1) * sub))
+      fitCentroids(subSample, nCells, maxIter = 8, seed = seed + j).map(_.map(_.toFloat))
+    }
+    val cells = books(0).length
+    val cbLit = litFloatCube(books)
+    val hnLit = litDoubleMat(books.map(_.map(half)))
+    val n2Lit = litDoubleArr(books.flatMap(_.map(c => 2.0 * half(c))))
+    val subExpr = (j: String) => s"slice($vecCol, $j * $sub + 1, $sub)"
+    // ONE narrow corpus pass: inverted-cell assignment + codes +
+    // reconstructed norm — everything downstream touches codes, never the
+    // raw vectors, until the bounded rerank
+    val encoded = base
+      .withColumn("_ctrs", ctrLit).withColumn("_chn", chnLit)
+      .withColumn("_cb", cbLit).withColumn("_hn", hnLit).withColumn("_n2", n2Lit)
+      .withColumn("cell", expr(s"graft_argmax(_ctrs, $vecCol, _chn)"))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${m - 1}), j ->
+           |  graft_argmax(_cb[j], ${subExpr("j")}, _hn[j]))""".stripMargin))
+      .withColumn("n_nrm", sqrt(expr(s"graft_lut_sum(_n2, codes, $cells)")))
+      .select(col(idCol).as("neighbor_id"), col("cell"), col("codes"), col("n_nrm"))
+    val probes = base.where(probeFilter)
+      .withColumn("_cb", cbLit)
+      .withColumn("lut", expr(
+        s"""flatten(transform(sequence(0, ${m - 1}), j ->
+           |  graft_matvec(_cb[j], ${subExpr("j")})))""".stripMargin))
+      .select(col(idCol).as("probe_id"), col(vecCol).as("p_emb"),
+        norm(vecCol).as("p_nrm"), col("lut"))
+    val centroids = spark.createDataFrame(
+      ctrs.zipWithIndex.map { case (c, i) => (i, c, half(c)) }.toSeq
+    ).toDF("cell", "centroid", "half_norm")
+    val probeCells = broadcast(probes).crossJoin(broadcast(centroids))
+      .withColumn("cdist", dot("p_emb", "centroid") - col("half_norm"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cdist").desc, col("cell"))))
+      .where(col("crnk") <= nProbe)
+      .select("probe_id", "p_nrm", "lut", "cell")
+    // each neighbor lives in exactly one cell and probeCells holds distinct
+    // cells per probe, so the equi-join emits each (probe, neighbor) pair
+    // at most once — no dedup pass (the ivfKnn argument)
+    val adc = broadcast(probeCells).join(encoded, "cell")
+      .where(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("adc", expr(s"graft_lut_sum(lut, codes, $cells)")
+        / (col("p_nrm") * col("n_nrm")))
+    val wAdc = Window.partitionBy("probe_id").orderBy(col("adc").desc, col("neighbor_id"))
+    val shortlist = adc.withColumn("srnk", row_number().over(wAdc))
+      .where(col("srnk") <= rerank)
+      .select("probe_id", "neighbor_id")
+    exactRerank(base, idCol, vecCol, shortlist,
+      probes.select("probe_id", "p_emb", "p_nrm"), k)
   }
 
   /** Per-table LSH bucket ids as ONE array column `tbs` (`tables` entries;

@@ -14,7 +14,7 @@ object PipelineQueries extends QuerySet {
   private val BlockSize = 100000L
 
   /** Brute-force cosine top-5 for probes vec_id < 10 — the shared oracle
-    * for the ANN exactness certificates (q85/q86/q94).
+    * for the ANN exactness certificates (q85/q86/q94/q99).
     */
   private val knnOracle =
     """WITH ex AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
@@ -163,6 +163,39 @@ object PipelineQueries extends QuerySet {
       Similarity.pqKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
           col("vec_id") < 10, k = 5, m = 16, nCells = 16, dim = 64,
           rerank = Int.MaxValue)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // IVF-PQ: the billion-vector composition — coarse cells bound WHICH
+    // rows are scanned, PQ codes bound WHAT each row costs, exact rerank
+    // keeps reported cosines true. Floor 0.2: the synthetic near-uniform
+    // embeddings are the worst case for cell restriction (true neighbors
+    // sit across cell boundaries — measured min 0.6 sf0.01 / 0.2 sf0.1,
+    // avg 0.88/0.68, RecallProbe); the certificate's job here is catching
+    // catastrophic degradation (a broken codebook or assignment scores
+    // recall 0), not promising clustered-corpus recall the data cannot
+    // exhibit. Rows-only driver check; certificate arithmetic oracled by
+    // q90, exhaustive mode hash-oracled by q99.
+    "q98_knn_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ann = Similarity.ivfPqKnn(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 5, nList = 16, nProbe = 8,
+        m = 16, nCells = 16, dim = 64, rerank = 128)
+      val exact = Similarity.bruteForceKnnProbes(emb, "vec_id", "embedding",
+        Similarity.certProbes(emb, "vec_id", "embedding", col("vec_id") < 10, sampleN = 4),
+        k = 5)
+      Similarity.withRecallCertificate(ann, exact, 5, minRecall = 0.2)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // IVF-PQ exactness certificate: nProbe = nList searches every cell AND
+    // the unbounded rerank covers every candidate, so the whole composition
+    // (coarse fit + assignment + codebooks + ADC + rerank) must reproduce
+    // brute force exactly.
+    "q99_knn_ivfpq_exact" -> ((s, dir) => {
+      Similarity.ivfPqKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5, nList = 16, nProbe = 16,
+          m = 16, nCells = 16, dim = 64, rerank = Int.MaxValue)
         .orderBy("probe_id", "rnk")
     }),
 
@@ -490,6 +523,7 @@ object PipelineQueries extends QuerySet {
     "q85_knn_ivf_exact" -> knnOracle,
     "q86_knn_lsh_exact" -> knnOracle,
     "q94_knn_pq_exact" -> knnOracle,
+    "q99_knn_ivfpq_exact" -> knnOracle,
     // exact 3-gram-shingle Jaccard >= 0.5 over the full corpus; the engine
     // side reaches it through MinHash banding + exact verify (recall note
     // on the query)

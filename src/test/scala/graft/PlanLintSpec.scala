@@ -24,12 +24,15 @@ class PlanLintSpec extends SparkSpec {
   //         table by design
   //   q97 — broadcast 1-row vocabulary-size scalar into the smoothing
   //         denominator (the q44 corpus-count pattern)
+  //   q98/q99 — IVF-PQ: probe x centroid cell ranking (the q67 pattern) +
+  //         the bounded certificate's brute-force exact side
   private val productAllowed = Set(
     "q18_cross_join", "q23_scalar_subquery", "q40_knn_brute",
     "q43_dedup_embedding", "q44_tfidf", "q49_simjoin_dfcap",
     "q61_work_items", "q66_iteration_batches", "q67_knn_ivf", "q64_knn_lsh",
     "q82_heavy_hitters", "q85_knn_ivf_exact", "q86_knn_lsh_exact",
-    "q93_knn_pq", "q94_knn_pq_exact", "q97_lm_perplexity")
+    "q93_knn_pq", "q94_knn_pq_exact", "q97_lm_perplexity",
+    "q98_knn_ivfpq", "q99_knn_ivfpq_exact")
 
   // iterative/multi-stage pipelines legitimately above the common bound:
   //   q48 — label-propagation rounds
