@@ -410,19 +410,22 @@ object Similarity {
 
   /** Exact top-k rerank of a bounded (probe_id, neighbor_id) shortlist —
     * the shared stage 2 of the compressed-scoring ANN operators: the
-    * raw-vector join is a broadcast semi-prune of the corpus, so true
-    * cosines cost candidate-linear work and the output ranks by REAL
+    * corpus streams ONCE through a broadcast hash join whose build side is
+    * the (probes x rerank)-sized shortlist joined to the probe vectors, so
+    * true cosines cost candidate-linear work and the output ranks by REAL
     * similarity (code/cell distortion affects recall, not reported
-    * scores). `probes` carries (probe_id, p_emb, p_nrm).
+    * scores). The shortlist subtree is referenced exactly once — an
+    * earlier semi-prune-then-join formulation referenced it twice, which
+    * re-executed the whole encode+ADC pipeline because the subtree ends in
+    * a window, not a reusable exchange. `probes` carries
+    * (probe_id, p_emb, p_nrm).
     */
   private def exactRerank(base: DataFrame, idCol: String, vecCol: String,
                           shortlist: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val nvec = base.join(broadcast(shortlist.select(col("neighbor_id").as(idCol)).distinct()),
-        Seq(idCol), "left_semi")
+    val scored = base
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("n_emb"))
+      .join(broadcast(shortlist.join(probes, "probe_id")), "neighbor_id")
       .withColumn("n_nrm", norm("n_emb"))
-    val scored = broadcast(shortlist.join(probes, "probe_id"))
-      .join(nvec, "neighbor_id")
       .withColumn("cosim", round(dot("p_emb", "n_emb") / (col("p_nrm") * col("n_nrm")), 4))
     val w = Window.partitionBy("probe_id").orderBy(col("cosim").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))
