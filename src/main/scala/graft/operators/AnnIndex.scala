@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity.{dot, litDoubleArr, litDoubleMat, litFloatCube, litFloatMat, norm}
+
+/** Persisted IVF-PQ index: the vector-age analog of the reference's
+  * offline-built BLAST DB partitions (`formatdb` writes partition files
+  * once, `mrblast.cpp:838-845` reopens them per work item) — training
+  * cost is paid at BUILD time, never per query.
+  *
+  * On-disk layout under `path/`:
+  *  - `params.parquet` — one row: (nList, m, cells, dim)
+  *  - `codebooks.parquet` — coarse centroids (kind='coarse', j=0) and
+  *    per-subspace PQ codebooks (kind='pq', j=subspace): (kind, j, cell,
+  *    vec). Metadata-sized; collected to plan literals at query time.
+  *  - `encoded.parquet/cell=N/...` — the corpus, one narrow row per
+  *    vector: (id, vec, codes, n_nrm), **partitioned by coarse cell**.
+  *    Cell-partitioned parquet IS the inverted file: a query that probes
+  *    nProbe of nList cells prunes the rest at the FILE LISTING — the
+  *    scan never opens them — so query-time I/O is corpus * nProbe/nList
+  *    plus the metadata-sized codebooks, with no full scan anywhere.
+  *
+  * Query-time plan: codebooks -> literals, probe cells ranked by the same
+  * float-derived euclidean score as assignment (the [[Similarity.ivfKnn]]
+  * near-tie invariant), candidates from the cell-pruned read scored by
+  * native ADC lookups, then the exact rerank re-reads ONLY the probed
+  * cells' (id, vec) columns. True cosines out; recall governed by
+  * (nProbe, rerank) exactly as in [[Similarity.ivfPqKnn]].
+  */
+object AnnIndex {
+
+  /** Fit quantizers on a bounded deterministic sample and persist the
+    * index. One narrow encode pass over the corpus; the cell-partitioned
+    * write is the only shuffle-ish cost (file-per-cell-per-task, same as
+    * any partitioned table write).
+    */
+  def buildIvfPq(emb: DataFrame, idCol: String, vecCol: String, path: String,
+                 nList: Int = 16, m: Int = 8, nCells: Int = 16, dim: Int = 64,
+                 seed: Long = 42L, maxSample: Int = 20000): Unit = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    require(nList >= 1 && nCells >= 1, "need nList >= 1 and nCells >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    val base = emb.select(col(idCol), col(vecCol))
+    val sample = base
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(maxSample)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val ctrs = Similarity.fitCentroids(sample, nList, maxIter = 8, seed = seed)
+      .map(_.map(_.toFloat))
+    val books: Array[Array[Array[Float]]] = Array.tabulate(m) { j =>
+      val subSample = sample.map(v => v.slice(j * sub, (j + 1) * sub))
+      Similarity.fitCentroids(subSample, nCells, maxIter = 8, seed = seed + j)
+        .map(_.map(_.toFloat))
+    }
+    val cells = books(0).length
+    Seq((ctrs.length, m, cells, dim)).toDF("nList", "m", "cells", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params.parquet")
+    val cbRows: Seq[(String, Int, Int, Seq[Float])] =
+      ctrs.zipWithIndex.toSeq.map { case (c, i) => ("coarse", 0, i, c.toSeq) } ++
+        books.zipWithIndex.toSeq.flatMap { case (b, j) =>
+          b.zipWithIndex.map { case (c, i) => ("pq", j, i, c.toSeq) }
+        }
+    cbRows.toDF("kind", "j", "cell", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks.parquet")
+    val half = (c: Array[Float]) => c.map(x => x.toDouble * x).sum / 2.0
+    val subExpr = (j: String) => s"slice($vecCol, $j * $sub + 1, $sub)"
+    base
+      .withColumn("_ctrs", litFloatMat(ctrs)).withColumn("_chn", litDoubleArr(ctrs.map(half)))
+      .withColumn("_cb", litFloatCube(books))
+      .withColumn("_hn", litDoubleMat(books.map(_.map(half))))
+      .withColumn("_n2", litDoubleArr(books.flatMap(_.map(c => 2.0 * half(c)))))
+      .withColumn("cell", expr(s"graft_argmax(_ctrs, $vecCol, _chn)"))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${m - 1}), j ->
+           |  graft_argmax(_cb[j], ${subExpr("j")}, _hn[j]))""".stripMargin))
+      .withColumn("n_nrm", sqrt(expr(s"graft_lut_sum(_n2, codes, $cells)")))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cell"),
+        col("codes"), col("n_nrm"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/encoded.parquet")
+  }
+
+  /** Top-k cosine neighbors of `probes` (`(idCol, vecCol)` rows) from a
+    * persisted index. Only the ranked cells' partitions are read — twice,
+    * column-pruned each time: (codes, n_nrm) for ADC scoring, (id, vec)
+    * for the exact rerank.
+    *
+    * Output: (probe_id, neighbor_id, cosim, rnk) — the family contract.
+    */
+  def ivfPqKnnIndexed(spark: SparkSession, path: String, probes: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      nProbe: Int = 4, rerank: Int = 32): DataFrame = {
+    require(nProbe >= 1 && rerank >= k, s"need nProbe >= 1 and rerank >= k")
+    val p = spark.read.parquet(s"$path/params.parquet").head()
+    val (nList, m, cells, dim) = (p.getInt(0), p.getInt(1), p.getInt(2), p.getInt(3))
+    val sub = dim / m
+    val cb = spark.read.parquet(s"$path/codebooks.parquet").collect()
+    val ctrs = cb.filter(_.getString(0) == "coarse").sortBy(_.getInt(2))
+      .map(_.getSeq[Float](3).toArray)
+    val books = Array.tabulate(m) { j =>
+      cb.filter(r => r.getString(0) == "pq" && r.getInt(1) == j).sortBy(_.getInt(2))
+        .map(_.getSeq[Float](3).toArray)
+    }
+    val half = (c: Array[Float]) => c.map(x => x.toDouble * x).sum / 2.0
+    val subExpr = (j: String) => s"slice($vecCol, $j * $sub + 1, $sub)"
+    val pr = probes
+      .withColumn("_cb", litFloatCube(books))
+      .withColumn("lut", expr(
+        s"""flatten(transform(sequence(0, ${m - 1}), j ->
+           |  graft_matvec(_cb[j], ${subExpr("j")})))""".stripMargin))
+      .select(col(idCol).as("probe_id"), col(vecCol).as("p_emb"),
+        norm(vecCol).as("p_nrm"), col("lut"))
+    val centroids = spark.createDataFrame(
+      ctrs.zipWithIndex.map { case (c, i) => (i, c, half(c)) }.toSeq
+    ).toDF("cell", "centroid", "half_norm")
+    val probeCells = broadcast(pr).crossJoin(broadcast(centroids))
+      .withColumn("cdist", dot("p_emb", "centroid") - col("half_norm"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cdist").desc, col("cell"))))
+      .where(col("crnk") <= math.min(nProbe, nList))
+      .select("probe_id", "p_nrm", "lut", "cell")
+    // the probed-cell set is metadata-sized (<= nList ints) — collected so
+    // the IN filter below prunes unprobed cell directories at the file
+    // listing, the partition-pruning read that makes the index an
+    // inverted file
+    val usedCells = probeCells.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val enc = spark.read.parquet(s"$path/encoded.parquet")
+      .where(col("cell").isin(usedCells.map(Integer.valueOf).toSeq: _*))
+    val adc = broadcast(probeCells)
+      .join(enc.select(col("id").as("neighbor_id"), col("cell"), col("codes"), col("n_nrm")), "cell")
+      .where(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("adc", expr(s"graft_lut_sum(lut, codes, $cells)")
+        / (col("p_nrm") * col("n_nrm")))
+    val wAdc = Window.partitionBy("probe_id").orderBy(col("adc").desc, col("neighbor_id"))
+    val shortlist = adc.withColumn("srnk", row_number().over(wAdc))
+      .where(col("srnk") <= rerank)
+      .select("probe_id", "neighbor_id")
+    // exact rerank from the index's own (id, vec) columns — same pruned
+    // partitions, different column set; single shortlist reference (see
+    // Similarity.exactRerank)
+    val scored = enc.select(col("id").as("neighbor_id"), col("vec").as("n_emb"))
+      .join(broadcast(shortlist.join(pr.select("probe_id", "p_emb", "p_nrm"), "probe_id")),
+        "neighbor_id")
+      .withColumn("n_nrm", norm("n_emb"))
+      .withColumn("cosim", round(dot("p_emb", "n_emb") / (col("p_nrm") * col("n_nrm")), 4))
+    val w = Window.partitionBy("probe_id").orderBy(col("cosim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("probe_id", "neighbor_id", "cosim", "rnk")
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Segmentation, Similarity}
+import graft.operators.{AnnIndex, Dedup, Multimodal, Segmentation, Similarity}
 
 /** The reference's application-plan operators (SURVEY.md §2.A) exposed as
   * driver-checkable queries over the harness tables, plus the scale-path
@@ -196,6 +196,25 @@ object PipelineQueries extends QuerySet {
       Similarity.ivfPqKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
           col("vec_id") < 10, k = 5, nList = 16, nProbe = 16,
           m = 16, nCells = 16, dim = 64, rerank = Int.MaxValue)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Persisted-index round trip — the reference's offline DB-partition
+    // model (formatdb builds once, mrblast reopens per work item,
+    // mrblast.cpp:838-845): BUILD writes the cell-partitioned inverted
+    // file + codebooks to disk, the QUERY plans purely from those files
+    // (codebooks -> literals, cell-pruned parquet reads, ADC + exact
+    // rerank), and the exhaustive configuration must still reproduce brute
+    // force — proving the on-disk round trip loses nothing. AnnIndexSpec
+    // proves the nProbe < nList case prunes cell DIRECTORIES at the file
+    // listing.
+    "q100_knn_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_${math.abs(dir.hashCode)}"
+      AnnIndex.buildIvfPq(emb, "vec_id", "embedding", path,
+        nList = 16, m = 16, nCells = 16, dim = 64)
+      AnnIndex.ivfPqKnnIndexed(s, path, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 16, rerank = Int.MaxValue)
         .orderBy("probe_id", "rnk")
     }),
 
@@ -524,6 +543,7 @@ object PipelineQueries extends QuerySet {
     "q86_knn_lsh_exact" -> knnOracle,
     "q94_knn_pq_exact" -> knnOracle,
     "q99_knn_ivfpq_exact" -> knnOracle,
+    "q100_knn_indexed" -> knnOracle,
     // exact 3-gram-shingle Jaccard >= 0.5 over the full corpus; the engine
     // side reaches it through MinHash banding + exact verify (recall note
     // on the query)

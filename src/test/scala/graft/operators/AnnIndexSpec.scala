@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AnnIndexSpec extends SparkSpec {
+
+  private def corpus() = {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val base = (0 until 200).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val planted = (0 until 5).map { i =>
+      val v = base(i)._2.map(x => x + 0.01f * rng.nextGaussian().toFloat)
+      (1000L + i, v)
+    }
+    (base ++ planted).toDF("vec_id", "embedding")
+  }
+
+  private def tmpIndex(): String =
+    java.nio.file.Files.createTempDirectory("graft_annidx").toString
+
+  test("indexed exhaustive mode equals brute force (build once, query the files)") {
+    val docs = corpus()
+    val path = tmpIndex()
+    AnnIndex.buildIvfPq(docs, "vec_id", "embedding", path,
+      nList = 4, m = 8, nCells = 16, dim = 16)
+    val exact = Similarity.bruteForceKnn(docs, "vec_id", "embedding",
+        col("vec_id") < 5, k = 3).collect().toSet
+    val got = AnnIndex.ivfPqKnnIndexed(spark, path,
+        docs.where(col("vec_id") < 5), "vec_id", "embedding", k = 3,
+        nProbe = 4, rerank = 1000)
+      .collect().toSet
+    assert(got == exact, s"diff: ${(got diff exact) ++ (exact diff got)}")
+  }
+
+  test("pruned query reads only the probed cell partitions (file-listing pruning)") {
+    val docs = corpus()
+    val path = tmpIndex()
+    AnnIndex.buildIvfPq(docs, "vec_id", "embedding", path,
+      nList = 4, m = 8, nCells = 16, dim = 16)
+    val df = AnnIndex.ivfPqKnnIndexed(spark, path,
+      docs.where(col("vec_id") === 0), "vec_id", "embedding", k = 3,
+      nProbe = 1, rerank = 32)
+    val plan = df.queryExecution.executedPlan.toString
+    // the cell IN-filter must reach the scan as a partition filter, not a
+    // post-scan predicate — that is what makes the layout an inverted file
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no partition filter on cell in plan:\n${plan.take(2000)}")
+    // single probe, nProbe=1 -> exactly one cell directory survives listing
+    val parts = "cell#\\d+L? IN \\(([^)]*)\\)".r.findFirstMatchIn(plan)
+      .orElse("cell.* IN \\(([^)]*)\\)".r.findFirstMatchIn(plan))
+    assert(parts.forall(_.group(1).split(",").length == 1),
+      s"expected 1 probed cell, plan filter: ${parts.map(_.group(1))}")
+    // and the planted near-dup still comes back through the pruned read
+    // (it quantizes into its source's cell)
+    val got = df.collect()
+    assert(got.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1000L),
+      s"planted dup lost through pruning: ${got.mkString(",")}")
+  }
+
+  test("index round-trip: params and codebooks reload exactly") {
+    val docs = corpus()
+    val path = tmpIndex()
+    AnnIndex.buildIvfPq(docs, "vec_id", "embedding", path,
+      nList = 4, m = 2, nCells = 8, dim = 16)
+    val p = spark.read.parquet(s"$path/params.parquet").head()
+    assert(p.getInt(0) == 4 && p.getInt(1) == 2 && p.getInt(2) == 8 && p.getInt(3) == 16)
+    val cb = spark.read.parquet(s"$path/codebooks.parquet")
+    assert(cb.where(col("kind") === "coarse").count() == 4)
+    assert(cb.where(col("kind") === "pq").count() == 2 * 8)
+    val enc = spark.read.parquet(s"$path/encoded.parquet")
+    assert(enc.count() == 205)
+    assert(enc.select("cell").distinct().count() <= 4)
+    // every corpus row carries its codes and a positive reconstructed norm
+    assert(enc.where(size(col("codes")) =!= 2 || col("n_nrm") <= 0).count() == 0)
+  }
+}
