@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity.{dot, litDoubleArr, litFloatMat, norm}
+
+/** Streaming retrieval against a persisted ANN index
+  * ([[graft.operators.AnnIndex]]): every probe vector arriving on the
+  * stream is matched against the static cell-partitioned inverted file and
+  * its above-threshold true-cosine neighbors emit immediately — the online
+  * form of decontamination / near-dup screening (check each incoming
+  * document's embedding against a frozen benchmark or corpus index).
+  *
+  * Two structural points make this stream-safe:
+  *  - per-probe cell ranking is a pure ROW EXPRESSION (sort a
+  *    (distance, cell) struct array and slice nProbe entries) — streaming
+  *    DataFrames forbid the window-function ranking the batch operator
+  *    uses, and need none;
+  *  - the index side is STATIC, so this is a stateless stream-static
+  *    equi-join on the cell key: append mode, no watermark, no state
+  *    store. Matching is exact-cosine over the probed cells (the nProbe
+  *    knob bounds work per probe exactly as in batch).
+  */
+object AnnStreams {
+
+  /** (probe_id, neighbor_id, cosim) rows with cosim >= threshold, probing
+    * `nProbe` cells per streamed vector. Works identically on a batch
+    * DataFrame (the spec's twin check).
+    */
+  def annMatchStream(spark: SparkSession, indexPath: String, probes: DataFrame,
+                     idCol: String, vecCol: String,
+                     threshold: Double, nProbe: Int = 4): DataFrame = {
+    require(threshold >= -1 && threshold <= 1, s"cosine threshold in [-1,1], got $threshold")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val cb = spark.read.parquet(s"$indexPath/codebooks.parquet").collect()
+    val ctrs = cb.filter(_.getString(0) == "coarse").sortBy(_.getInt(2))
+      .map(_.getSeq[Float](3).toArray)
+    val half = (c: Array[Float]) => c.map(x => x.toDouble * x).sum / 2.0
+    // top-nProbe cells as an expression: negate the euclidean score so the
+    // lexicographic struct sort puts best cells first, ties by cell id —
+    // the same (cdist desc, cell) order as the batch operator's window
+    val pr = probes
+      .withColumn("_ctrs", litFloatMat(ctrs))
+      .withColumn("_chn", litDoubleArr(ctrs.map(half)))
+      .withColumn("_sc", expr(s"graft_matvec(_ctrs, $vecCol)"))
+      .withColumn("cell", explode(expr(
+        s"""slice(transform(array_sort(
+           |  transform(_sc, (s, i) -> struct(_chn[i] - s AS d, i AS i))),
+           |  x -> x.i), 1, ${nProbe})""".stripMargin)))
+      .select(col(idCol).as("probe_id"), col(vecCol).as("p_emb"),
+        norm(vecCol).as("p_nrm"), col("cell"))
+    val enc = spark.read.parquet(s"$indexPath/encoded.parquet")
+      .select(col("id").as("neighbor_id"), col("vec").as("n_emb"), col("cell"))
+      .withColumn("n_nrm", norm("n_emb"))
+    pr.join(enc, "cell")
+      .where(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cosim", round(dot("p_emb", "n_emb") / (col("p_nrm") * col("n_nrm")), 4))
+      .where(col("cosim") >= threshold)
+      .select("probe_id", "neighbor_id", "cosim")
+  }
+}

@@ -163,4 +163,54 @@ class StreamingSpec extends SparkSpec {
       assert(got == want)
     } finally q.stop()
   }
+
+  import StreamingSpec.Probe
+
+  test("streaming ANN match against a persisted index equals the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    // static index over a deterministic corpus with planted near-dups
+    val rng = new scala.util.Random(13)
+    val base = (0 until 200).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val planted = (0 until 5).map { i =>
+      (1000L + i, base(i)._2.map(x => x + 0.01f * rng.nextGaussian().toFloat))
+    }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_annidx_s").toString
+    graft.operators.AnnIndex.buildIvfPq(corpus, "vec_id", "embedding", path,
+      nList = 4, m = 8, nCells = 16, dim = 16)
+
+    // probes arrive on a stream in two batches; matches append per batch
+    val probes = (0 until 5).map(i => Probe(5000L + i, base(i)._2))
+    val input = MemoryStream[Probe]
+    val q = AnnStreams.annMatchStream(spark, path, input.toDS().toDF(),
+        "vec_id", "embedding", threshold = 0.9, nProbe = 4)
+      .writeStream.format("memory").queryName("ann_out").outputMode("append").start()
+    try {
+      input.addData(probes.take(2): _*)
+      q.processAllAvailable()
+      input.addData(probes.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("ann_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // batch twin: the SAME function over the probes as a batch DataFrame
+      val want = AnnStreams.annMatchStream(spark, path,
+          probes.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          threshold = 0.9, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want, s"stream/batch diff: ${(got diff want) ++ (want diff got)}")
+      // every probe is a copy of a corpus vector with a planted near-dup:
+      // both the original and the dup must surface above 0.9
+      for (i <- 0 until 5) {
+        assert(got.exists(m => m._1 == 5000L + i && m._2 == i.toLong && m._3 > 0.99),
+          s"probe $i missed its identical source")
+        assert(got.exists(m => m._1 == 5000L + i && m._2 == 1000L + i),
+          s"probe $i missed the planted near-dup")
+      }
+    } finally q.stop()
+  }
+}
+
+object StreamingSpec {
+  case class Probe(vec_id: Long, embedding: Array[Float])
 }
