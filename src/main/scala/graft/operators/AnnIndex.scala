@@ -81,6 +81,12 @@ object AnnIndex {
       .withColumn("n_nrm", sqrt(expr(s"graft_lut_sum(_n2, codes, $cells)")))
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cell"),
         col("codes"), col("n_nrm"))
+      // co-locate each cell's rows before the partitioned write: without
+      // this, every input task opens a file in every cell directory —
+      // tasks x nList small files (hundreds even at test scale, and a
+      // small-file explosion at cluster scale). One shuffle on the cell
+      // key bounds it at one file per cell per shuffle partition.
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/encoded.parquet")
   }
 
@@ -126,11 +132,15 @@ object AnnIndex {
     // the probed-cell set is metadata-sized (<= nList ints) — collected so
     // the IN filter below prunes unprobed cell directories at the file
     // listing, the partition-pruning read that makes the index an
-    // inverted file
-    val usedCells = probeCells.select("cell").distinct()
-      .collect().map(_.getInt(0)).sorted
-    val enc = spark.read.parquet(s"$path/encoded.parquet")
-      .where(col("cell").isin(usedCells.map(Integer.valueOf).toSeq: _*))
+    // inverted file. When every cell is probed (nProbe >= nList — the
+    // exhaustive configurations) no pruning is possible, so the extra
+    // cell-ranking job is skipped outright.
+    val enc0 = spark.read.parquet(s"$path/encoded.parquet")
+    val enc = if (nProbe >= nList) enc0 else {
+      val usedCells = probeCells.select("cell").distinct()
+        .collect().map(_.getInt(0)).sorted
+      enc0.where(col("cell").isin(usedCells.map(Integer.valueOf).toSeq: _*))
+    }
     val adc = broadcast(probeCells)
       .join(enc.select(col("id").as("neighbor_id"), col("cell"), col("codes"), col("n_nrm")), "cell")
       .where(col("neighbor_id") =!= col("probe_id"))
