@@ -421,4 +421,47 @@ object Dedup {
       .distinct()
       .select("a_id", "b_id", "hamming")
   }
+
+  /** Embedding-cosine near-dup pairs at corpus scale — the vector-space
+    * member of the dedup family, with the [[minHashDupPairs]] staging:
+    * candidates from an equi-join on multi-table sign-LSH bucket keys
+    * carrying ONLY (id, bucket) longs, then a candidate-linear exact
+    * verify that fetches each side's vector by id and keeps true cosine
+    * >= `threshold`. Never all-pairs (bits > 0), never a vector through
+    * the candidate shuffle.
+    *
+    * Recall: a pair at angle θ shares one table's bucket with probability
+    * (1 - θ/π)^bits, amplified across `tables` — at real near-dup
+    * thresholds (cosine >= 0.9, θ <= 26°) the default 6x4 configuration
+    * misses a pair with probability < 1e-5. `bits = 0` is the degenerate
+    * exhaustive mode (one global bucket -> candidates = all pairs ->
+    * output EXACTLY equals the brute-force join), which is what the
+    * full-corpus DuckDB oracle checks; a probabilistic configuration's
+    * recall is pinned on planted near-dups in SimilaritySpec.
+    *
+    * Output: (a_id, b_id, cosim) with a_id < b_id.
+    */
+  def embeddingDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, bits: Int = 6, tables: Int = 4,
+                        dim: Int = 64, seed: Long = 42L): DataFrame = {
+    require(threshold >= -1 && threshold <= 1, s"cosine threshold in [-1,1], got $threshold")
+    require(bits >= 0 && tables >= 1, s"need bits >= 0 and tables >= 1")
+    val base = emb.select(col(idCol), col(vecCol))
+    val planes = Similarity.hyperplanes(bits * tables, dim, seed)
+    val tbs = Similarity.tableBuckets(base, vecCol, planes, tables, bits)
+      .select(col(idCol).as("id"), explode(col("tbs")).as("tb"))
+    val cands = tbs.select(col("id").as("a_id"), col("tb"))
+      .join(tbs.select(col("id").as("b_id"), col("tb")), "tb")
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+    val va = base.select(col(idCol).as("a_id"), col(vecCol).as("ea"))
+      .withColumn("na", Similarity.norm("ea"))
+    val vb = base.select(col(idCol).as("b_id"), col(vecCol).as("eb"))
+      .withColumn("nb", Similarity.norm("eb"))
+    cands.join(va, "a_id").join(vb, "b_id")
+      .withColumn("cosim", round(Similarity.dot("ea", "eb") / (col("na") * col("nb")), 4))
+      .where(col("cosim") >= threshold)
+      .select("a_id", "b_id", "cosim")
+  }
 }

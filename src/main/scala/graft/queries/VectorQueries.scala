@@ -64,6 +64,23 @@ object VectorQueries extends QuerySet {
         .groupBy("label")
         .agg(count(lit(1)).as("cnt"), round(avg("nrm"), 4).as("avg_nrm"))
         .orderBy("label")
+    }),
+
+    // FULL-CORPUS embedding near-dup via Dedup.embeddingDupPairs — the
+    // candidate-prune-verify staging (narrow bucket-key candidate join +
+    // candidate-linear exact verify) that replaces q43's bounded cross
+    // join. bits = 0 here is the degenerate exhaustive mode (one global
+    // bucket), so the DuckDB all-pairs oracle checks the WHOLE operator
+    // pipeline exactly; a probabilistic bucketed configuration's recall is
+    // pinned on planted near-dups in DedupSpec. Threshold 0.4 because the
+    // synthetic gaussian embeddings top out at cosine ~0.51 — a realistic
+    // 0.9 threshold would make every configuration vacuously exact on 0
+    // rows.
+    "q101_dedup_embedding_full" -> ((s, dir) => {
+      graft.operators.Dedup.embeddingDupPairs(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, bits = 0, tables = 1)
+        .orderBy("a_id", "b_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -85,6 +102,15 @@ object VectorQueries extends QuerySet {
         |ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 4) AS nrm,
         |len(embedding) AS dim
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q101_dedup_embedding_full" ->
+      """WITH ex AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+        |            CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM ex GROUP BY vec_id),
+        |dotp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, SUM(a.x*b.x) AS dp
+        |         FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+        |cos AS (SELECT a_id, b_id, ROUND(dp/(na.nrm*nb.nrm), 4) AS cosim
+        |        FROM dotp JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id)
+        |SELECT a_id, b_id, cosim FROM cos WHERE cosim >= 0.4 ORDER BY a_id, b_id""".stripMargin,
     "q43_dedup_embedding" ->
       """WITH ex AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
         |            CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings WHERE vec_id < 500),

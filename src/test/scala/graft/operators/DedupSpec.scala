@@ -182,4 +182,36 @@ class DedupSpec extends SparkSpec {
       assert(cands.count() > 0, s"pair at distance $d must share >=1 of ${d + 1} chunks")
     }
   }
+
+  test("embedding dup pairs: bucketed config finds planted near-dups; bits=0 is exact") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val base = (0 until 200).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val planted = (0 until 5).map { i =>
+      (1000L + i, base(i)._2.map(x => x + 0.01f * rng.nextGaussian().toFloat))
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    // bucketed scale config: every planted pair (cosine ~0.999) must share
+    // a bucket in some table — the miss probability at theta ~ 2.5 degrees
+    // is ~(1 - 0.953)^4 ~ 5e-6 per pair
+    val lsh = Dedup.embeddingDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.9, bits = 6, tables = 4, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (i <- 0 until 5)
+      assert(lsh.contains((i.toLong, 1000L + i)), s"planted pair $i lost in bucketing")
+    // exhaustive mode == brute-force reference, computed independently
+    val ex = Dedup.embeddingDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.5, bits = 0, tables = 1, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val all = (base ++ planted)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val want = (for {
+      x <- all; y <- all if x._1 < y._1
+      c = math.rint(cos(x._2, y._2) * 10000) / 10000 if c >= 0.5
+    } yield (x._1, y._1, c)).toSet
+    assert(ex == want, s"diff: ${(ex diff want) ++ (want diff ex)}")
+  }
 }
