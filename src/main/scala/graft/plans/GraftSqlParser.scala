@@ -49,6 +49,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val SimJoin =
     """(?is)^\s*SIMILARITY\s+JOIN\s+([\w.]+)\s+WITH\s+([\w.]+)\s+USING\s+KERNEL\s+'([\w.-]+)'\s+TOP\s+(\d+)\s*;?\s*$""".r
 
+  // KNN <method> JOIN <corpusTable> PROBES (<predicate>) TOP <k>
+  // — the ANN family's statement form. <corpusTable> must expose
+  // (vec_id, embedding); the parenthesized predicate (parsed by the stock
+  // expression parser, so any SQL boolean over the table's columns works)
+  // selects the probe rows. Methods map to the SAME Similarity operators
+  // the Dataset form serves — served defaults, not a re-implementation.
+  private val KnnJoin =
+    """(?is)^\s*KNN\s+(BRUTE|LSH|IVF|PQ|IVFPQ)\s+JOIN\s+([\w.]+)\s+PROBES\s*\((.+)\)\s*TOP\s+(\d+)\s*;?\s*$""".r
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case SimJoin(qTable, cTable, kernelName, k) =>
       // resolve against the session this parser was constructed for, not
@@ -59,8 +68,32 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       val corpus = s.table(cTable).as[graft.blast.Subject]
       SimilarityPipeline.run(queries, corpus, SimilarityKernels(kernelName), k.toInt)
         .queryExecution.logical
+    case KnnJoin(method, cTable, predicate, k) =>
+      import graft.operators.Similarity
+      val emb = session.table(cTable)
+      val probeFilter = org.apache.spark.sql.functions.expr(predicate)
+      val df = method.toUpperCase match {
+        case "BRUTE" => Similarity.bruteForceKnn(emb, "vec_id", "embedding", probeFilter, k.toInt)
+        case "LSH" => Similarity.lshKnn(emb, "vec_id", "embedding", probeFilter, k.toInt,
+          bits = 4, dim = embDim(emb), tables = 16)
+        case "IVF" => Similarity.ivfKnn(emb, "vec_id", "embedding", probeFilter, k.toInt,
+          nList = 16, nProbe = 4)
+        case "PQ" => Similarity.pqKnn(emb, "vec_id", "embedding", probeFilter, k.toInt,
+          m = 16, nCells = 16, dim = embDim(emb), rerank = math.max(64, k.toInt))
+        case "IVFPQ" => Similarity.ivfPqKnn(emb, "vec_id", "embedding", probeFilter, k.toInt,
+          nList = 16, nProbe = 8, m = 16, nCells = 16, dim = embDim(emb),
+          rerank = math.max(128, k.toInt))
+      }
+      df.queryExecution.logical
     case _ => delegate.parsePlan(sqlText)
   }
+
+  /** Embedding width from the table's first row — the quantized methods
+    * need it to slice subspaces; metadata-sized probe of one row.
+    */
+  private def embDim(emb: org.apache.spark.sql.DataFrame): Int =
+    emb.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("embedding"))).head().getInt(0)
 
   override def parseQuery(sqlText: String): LogicalPlan = parsePlan(sqlText)
   override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)

@@ -50,4 +50,25 @@ class SqlSurfaceSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("unknown similarity kernel"))
   }
+
+  test("KNN JOIN sql == Dataset operator for every method; predicate is real SQL") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val base = (0 until 120).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    base.toDF("vec_id", "embedding").createOrReplaceTempView("knn_corpus")
+    // brute via SQL == brute via the Dataset API, including a non-trivial
+    // probe predicate handled by the stock expression parser
+    val sql = spark.sql("KNN BRUTE JOIN knn_corpus PROBES (vec_id % 40 = 1) TOP 3")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val ds = graft.operators.Similarity.bruteForceKnn(
+        spark.table("knn_corpus"), "vec_id", "embedding",
+        org.apache.spark.sql.functions.expr("vec_id % 40 = 1"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(sql.nonEmpty && sql == ds, s"diff: ${(sql diff ds) ++ (ds diff sql)}")
+    // the quantized methods parse, plan and return k rows per probe
+    for (m <- Seq("LSH", "IVF", "PQ", "IVFPQ")) {
+      val out = spark.sql(s"KNN $m JOIN knn_corpus PROBES (vec_id < 2) TOP 3").collect()
+      assert(out.map(_.getLong(0)).distinct.length == 2, s"$m: ${out.length} rows")
+    }
+  }
 }
