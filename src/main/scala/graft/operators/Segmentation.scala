@@ -85,6 +85,46 @@ object Segmentation {
       .drop("_grp", "_lcum", "_goff")
   }
 
+  /** Concat-and-chunk sequence packing — the pretraining-corpus form of
+    * block segmentation: documents concatenate in `idCol` order into one
+    * global token stream, which is sliced into fixed `seqLen`-token
+    * training sequences; documents cross sequence boundaries (the standard
+    * packing that wastes zero tokens, vs. bin-packing's padding). Output:
+    * one row per (sequence, document-span) overlap —
+    * (seq_id, id, start_in_seq, n_toks).
+    *
+    * The global exclusive prefix sum uses the same two-level distributed
+    * shape as [[distributedBlocks]] (parallel per-group windows + a
+    * metadata-sized group-offset broadcast), so no stage moves all rows to
+    * one partition. Zero-length documents pack nowhere and emit nothing.
+    */
+  def packSequences(docs: DataFrame, idCol: String, lenCol: String, seqLen: Long,
+                    grpWidth: Long = 1L << 14): DataFrame = {
+    require(seqLen > 0, s"seqLen must be > 0, got $seqLen")
+    require(grpWidth > 0, s"grpWidth must be > 0, got $grpWidth")
+    val withGrp = docs
+      .select(col(idCol), col(lenCol).cast("long").as("_len"))
+      .withColumn("_grp", floor(col(idCol) / grpWidth).cast("long"))
+    val wLocal = Window.partitionBy("_grp").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = withGrp.withColumn("_lcum", coalesce(sum(col("_len")).over(wLocal), lit(0L)))
+    val offsets = withGrp.groupBy("_grp").agg(sum(col("_len")).as("_gsum"))
+      .withColumn("_goff", coalesce(
+        sum("_gsum").over(Window.orderBy("_grp").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("_grp", "_goff")
+    local.join(broadcast(offsets), "_grp")
+      .withColumn("off", col("_lcum") + col("_goff"))
+      .where(col("_len") > 0)
+      .withColumn("seq_id", explode(expr(
+        s"sequence(off DIV ${seqLen}L, (off + _len - 1) DIV ${seqLen}L)")))
+      .withColumn("_ss", col("seq_id") * seqLen)
+      .withColumn("start_in_seq", greatest(col("off"), col("_ss")) - col("_ss"))
+      .withColumn("n_toks",
+        least(col("off") + col("_len"), col("_ss") + seqLen) - greatest(col("off"), col("_ss")))
+      .select(col("seq_id"), col(idCol), col("start_in_seq"), col("n_toks"))
+  }
+
   /** Work items = block summary x corpus partitions (A5 cross join). */
   def workItems(blocks: DataFrame, partitions: DataFrame): DataFrame =
     blocks.crossJoin(broadcast(partitions))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Graph, LanguageModel}
+import graft.operators.{Dedup, Graph, LanguageModel, Segmentation}
 
 /** Training-data-preparation operators beyond the text/dedup basics:
   * TF-IDF term scoring, sliding-window document chunking, deterministic
@@ -204,6 +204,18 @@ object MlPrepQueries extends QuerySet {
       LanguageModel.bigramPerplexity(t(s, dir, "documents"), "text", "doc_id")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    // Sequence packing: concatenate the corpus in doc_id order and slice
+    // into 256-token training sequences (documents cross boundaries — the
+    // zero-padding packing pretraining corpora use). The global token
+    // offset comes from the same two-level distributed prefix sum as
+    // q60's block segmentation — no all-rows-to-one-partition window.
+    "q102_sequence_packing" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok_cnt"))
+      Segmentation.packSequences(d, "doc_id", "tok_cnt", seqLen = 256)
+        .orderBy("seq_id", "doc_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -326,5 +338,18 @@ object MlPrepQueries extends QuerySet {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |  ROUND(AVG(logp), 4) AS avg_logp,
         |  ROUND(EXP(-AVG(logp)), 4) AS ppl
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // re-derives the concat-and-chunk packing with a plain window cumsum;
+    // all-integer arithmetic, exact hash match
+    "q102_sequence_packing" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS cnt FROM documents),
+        |o AS (SELECT doc_id, cnt, CAST(COALESCE(SUM(cnt) OVER (ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off FROM d),
+        |s AS (SELECT doc_id, cnt, off,
+        |        unnest(generate_series(off // 256, (off + cnt - 1) // 256)) AS seq_id
+        |      FROM o WHERE cnt > 0)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+        |  CAST(GREATEST(off, seq_id * 256) - seq_id * 256 AS BIGINT) AS start_in_seq,
+        |  CAST(LEAST(off + cnt, (seq_id + 1) * 256) - GREATEST(off, seq_id * 256) AS BIGINT) AS n_toks
+        |FROM s ORDER BY seq_id, doc_id""".stripMargin)
 }

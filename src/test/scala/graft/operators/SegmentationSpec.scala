@@ -86,4 +86,32 @@ class SegmentationSpec extends SparkSpec {
     val maxItem = 140L
     assert(blocks.forall(_.getLong(1) <= 100L + maxItem))
   }
+
+  test("packSequences: lossless cover, full sequences, sequential reference equality") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val docs = (0 until 300).map(i => (i.toLong, rng.nextInt(40).toLong)) // incl. zero-length
+    val out = packSequences(docs.toDF("doc_id", "tok_cnt"), "doc_id", "tok_cnt",
+        seqLen = 64, grpWidth = 32) // several groups -> the two-level sum is exercised
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // sequential reference: walk docs in id order, slice at 64-token marks
+    var off = 0L
+    val want = docs.flatMap { case (id, cnt) =>
+      val spans = (off / 64 to (off + cnt - 1) / 64)
+        .filter(_ => cnt > 0)
+        .map { s =>
+          val st = math.max(off, s * 64); val en = math.min(off + cnt, (s + 1) * 64)
+          (s, id, st - s * 64, en - st)
+        }
+      off += cnt
+      spans
+    }.sortBy(r => (r._1, r._2))
+    assert(out.toSeq == want.toSeq)
+    // every sequence except the last carries exactly seqLen tokens; the
+    // total equals the corpus token count (nothing lost, nothing padded)
+    val bySeq = out.groupBy(_._1).map { case (s, rs) => (s, rs.map(_._4).sum) }
+    val last = bySeq.keys.max
+    assert(bySeq.filter(_._1 != last).values.forall(_ == 64L))
+    assert(bySeq.values.sum == docs.map(_._2).sum)
+  }
 }
