@@ -68,4 +68,33 @@ object Sampling {
     checked.withColumn("smp_rank", row_number().over(w))
       .where(col("smp_rank") <= k)
   }
+
+  /** Deterministic source mixing: keep each row with its source's target
+    * rate (per-mille), decided by a content-independent hash of
+    * (source, id) — the corpus-mixing step of training-data curation
+    * (upsample high-quality sources, downsample boilerplate-heavy ones)
+    * made reproducible across runs, retries and repartitioning, and
+    * auditable row by row (the keep decision is a pure function of the
+    * row's identity). Sources absent from `ratesPerMille` fall back to
+    * `defaultPerMille`.
+    *
+    * Scale shape: the rate table is metadata-sized and broadcast; the
+    * decision is one narrow filter pass — no shuffle, no state. The hash
+    * is the engine's cross-engine md5 device (top 52 bits), so a DuckDB
+    * oracle reproduces the exact sample.
+    */
+  def mixSources(docs: DataFrame, idCol: String, srcCol: String,
+                 ratesPerMille: Map[String, Int],
+                 defaultPerMille: Int = 0): DataFrame = {
+    require((ratesPerMille.values ++ Seq(defaultPerMille)).forall(r => r >= 0 && r <= 1000),
+      "rates are per-mille: every value must be in [0, 1000]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rates = ratesPerMille.toSeq.toDF(srcCol, "_rate")
+    val h = expr(s"CAST(conv(substr(md5(concat($srcCol, '|', CAST($idCol AS STRING))), 1, 13), 16, 10) AS BIGINT) % 1000")
+    docs.join(broadcast(rates), Seq(srcCol), "left")
+      .withColumn("_rate", coalesce(col("_rate"), lit(defaultPerMille)))
+      .where(h < col("_rate"))
+      .drop("_rate")
+  }
 }

@@ -417,6 +417,22 @@ object PipelineQueries extends QuerySet {
         .orderBy("source", "smp_rank")
     }),
 
+    // Deterministic corpus mixing: per-source target rates (upsampled src0,
+    // partial src1/src2, trickle for everything else), the keep decision a
+    // pure hash of (source, doc_id) — reproducible and row-auditable. The
+    // per-source achieved counts are the mixing report a curation run
+    // ships.
+    "q103_source_mixing" -> ((s, dir) => {
+      graft.operators.Sampling.mixSources(t(s, dir, "documents"),
+          "doc_id", "source",
+          Map("src0" -> 900, "src1" -> 600, "src2" -> 300),
+          defaultPerMille = 100)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"))
+        .orderBy("source")
+    }),
+
     // The end-to-end dedup DELIVERABLE on the full corpus: near-dup pairs
     // (minhash-LSH scale path) -> connected components -> drop every
     // non-representative member -> per-source kept corpus stats. This is
@@ -599,6 +615,16 @@ object PipelineQueries extends QuerySet {
         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS smp_rank FROM k)
         |SELECT source, doc_id, smp_rank FROM r WHERE smp_rank <= 10
         |ORDER BY source, smp_rank""".stripMargin,
+    // identical (source, doc_id) md5 keep decision, per-source report
+    "q103_source_mixing" ->
+      """WITH d AS (SELECT source, doc_id,
+        |  ('0x' || substr(md5(source || '|' || doc_id::VARCHAR), 1, 13))::BIGINT % 1000 AS h,
+        |  CASE source WHEN 'src0' THEN 900 WHEN 'src1' THEN 600 WHEN 'src2' THEN 300
+        |       ELSE 100 END AS rate
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM d WHERE h < rate GROUP BY source ORDER BY source""".stripMargin,
     // mirrors FakeDecoder (md5 top-52-bit seed, div/mod fields) and
     // resizeDecoded (double-precision scale, floor, >=1 clamp) exactly
     "q65_multimodal_decode" ->

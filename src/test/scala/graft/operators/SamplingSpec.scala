@@ -50,4 +50,27 @@ class SamplingSpec extends SparkSpec {
     assert(p.contains("GroupTopKPartial") && p.contains("GroupTopKFinal"),
       s"sampling window not rewritten to GroupTopK:\n${p.take(1500)}")
   }
+
+  test("source mixing: rates hit within tolerance, deterministic, partitioning-independent") {
+    import spark.implicits._
+    val docs = (0 until 4000).map(i => (i.toLong, s"src${i % 4}")).toDF("doc_id", "source")
+    val rates = Map("src0" -> 1000, "src1" -> 500, "src2" -> 0)
+    val kept = Sampling.mixSources(docs, "doc_id", "source", rates, defaultPerMille = 250)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("src0") == 1000L, s"rate 1000 must keep everything: $kept")
+    assert(!kept.contains("src2"), s"rate 0 must keep nothing: $kept")
+    // hash-thresholded rates land near target on 1000 rows (3-sigma)
+    assert(math.abs(kept("src1") - 500L) < 50, s"src1: ${kept("src1")}")
+    assert(math.abs(kept("src3") - 250L) < 45, s"default: ${kept("src3")}")
+    // decision is a pure row function: identical under any partitioning
+    val again = Sampling.mixSources(docs.repartition(17), "doc_id", "source", rates, 250)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = Sampling.mixSources(docs, "doc_id", "source", rates, 250)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == first)
+    // out-of-range rates rejected
+    intercept[IllegalArgumentException](
+      Sampling.mixSources(docs, "doc_id", "source", Map("src0" -> 1001)))
+  }
 }
