@@ -94,11 +94,18 @@ object Dedup {
     * B^2 pairs — the same hot-key pathology the reference rebalanced by
     * hand, mrblast.cpp:562-575).
     */
+  /** Per-band bucket ids for a (id, sig) signature table: (id, band,
+    * bucket), bucket = hash of that band's signature slice.
+    */
+  private def bandBuckets(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sig.selectExpr("id",
+      s"posexplode(transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))) AS (band, bucket)")
+  }
+
   def lshCandidates(sig: DataFrame, numHashes: Int, bands: Int,
                     maxBucketSize: Int = 1000): DataFrame = {
-    val rows = numHashes / bands
-    val banded = sig.selectExpr("id",
-      s"posexplode(transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))) AS (band, bucket)")
+    val banded = bandBuckets(sig, numHashes, bands)
     // hot buckets are removed with a constant-memory COUNT + broadcast
     // anti-join BEFORE any member gathering: a degenerate bucket (millions
     // of boilerplate docs) must never be materialized as one collect_list
@@ -222,6 +229,51 @@ object Dedup {
     // sets built as one projection over the pruned docs — the exact-verify
     // stage costs two id joins, nothing per-shingle crosses a shuffle
     verifyJaccardSets(cands, shingleHashSets(candDocs, textCol, idCol, shingleN), threshold)
+  }
+
+  /** Incremental near-dup screen — the recurring-ingest shape: flag
+    * documents in `incoming` that near-duplicate the EXISTING kept corpus.
+    * Same staging as [[minHashDupPairs]] but the banding candidate join is
+    * CROSS-corpus (incoming buckets against existing buckets — never
+    * incoming x incoming or existing x existing), so each ingest batch
+    * costs O(batch) signatures plus a candidate-linear verify; the
+    * existing side's signatures are recomputed here from its documents,
+    * and at production scale would instead be read from the previous run's
+    * persisted signature table (the same artifact-reuse pattern as
+    * [[graft.operators.AnnIndex]]).
+    *
+    * Id spaces must be disjoint between the two inputs (true of any real
+    * ingest keying). Exactness follows [[lshCandidates]]'s contract: an
+    * infinite `maxBucketSize` plus the exact verify makes the output a
+    * function of banding recall only, and banding is exhaustively verified
+    * against the brute-force oracle at the served configuration.
+    *
+    * Output: (a_id = existing doc, b_id = incoming doc, jaccard >= threshold).
+    */
+  def incrementalDupPairs(existing: DataFrame, incoming: DataFrame,
+                          textCol: String, idCol: String,
+                          shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                          threshold: Double = 0.5,
+                          maxBucketSize: Int = 1000): DataFrame = {
+    val bE = bandBuckets(minHashSignatures(existing, textCol, idCol, shingleN, numHashes),
+      numHashes, bands)
+    val bI = bandBuckets(minHashSignatures(incoming, textCol, idCol, shingleN, numHashes),
+      numHashes, bands)
+    val coolE = if (maxBucketSize == Int.MaxValue) bE
+                else dropHotBuckets(bE, Seq("band", "bucket"), maxBucketSize)
+    val cands = coolE.select(col("id").as("a_id"), col("band"), col("bucket"))
+      .join(bI.select(col("id").as("b_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("a_id", "b_id")
+      .distinct()
+      .cache() // consumed twice: id-prune + verify join
+    val aIds = cands.select(col("a_id").as(idCol)).distinct()
+    val bIds = cands.select(col("b_id").as(idCol)).distinct()
+    val sets = shingleHashSets(existing.join(aIds, Seq(idCol), "left_semi"),
+        textCol, idCol, shingleN)
+      .unionByName(shingleHashSets(incoming.join(bIds, Seq(idCol), "left_semi"),
+        textCol, idCol, shingleN))
+    verifyJaccardSets(cands, sets, threshold)
   }
 
   /** EXACT threshold Jaccard self-join over token sets via prefix filtering

@@ -433,6 +433,20 @@ object PipelineQueries extends QuerySet {
         .orderBy("source")
     }),
 
+    // Incremental ingest screen: every fifth document arrives as the NEW
+    // batch and is checked against the rest (the existing kept corpus) —
+    // cross-corpus banding candidates only, exact-verified. Exact config
+    // (infinite bucket cap); the oracle recomputes the cross-corpus
+    // Jaccard join brute force.
+    "q104_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalDupPairs(
+          docs.where(col("doc_id") % 5 =!= 0), docs.where(col("doc_id") % 5 === 0),
+          "text", "doc_id", shingleN = 3, numHashes = 32, bands = 8,
+          threshold = 0.5, maxBucketSize = Int.MaxValue)
+        .orderBy("a_id", "b_id")
+    }),
+
     // The end-to-end dedup DELIVERABLE on the full corpus: near-dup pairs
     // (minhash-LSH scale path) -> connected components -> drop every
     // non-representative member -> per-source kept corpus stats. This is
@@ -571,6 +585,21 @@ object PipelineQueries extends QuerySet {
         |c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id, FLOOR(inter*1.0/(ca.n + cb.n - inter) * 10000) / 10000 AS jaccard
+        |FROM inter JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
+        |WHERE inter*1.0/(ca.n + cb.n - inter) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    // q62's shingle machinery with a CROSS-corpus pair universe: existing
+    // (doc_id % 5 > 0) x incoming (doc_id % 5 = 0)
+    "q104_incremental_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh FROM (
+        |    SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM d WHERE len(t) >= 3))),
+        |c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b ON a.sh = b.sh
+        |          WHERE a.doc_id % 5 > 0 AND b.doc_id % 5 = 0 GROUP BY 1, 2)
         |SELECT a_id, b_id, FLOOR(inter*1.0/(ca.n + cb.n - inter) * 10000) / 10000 AS jaccard
         |FROM inter JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
         |WHERE inter*1.0/(ca.n + cb.n - inter) >= 0.5

@@ -183,6 +183,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: cross-corpus pairs only, equals per-pair exact jaccard") {
+    import spark.implicits._
+    val mk = (id: Long, words: Seq[String]) => (id, words.mkString(" "))
+    val w = (0 until 12).map(i => s"w$i")
+    val existing = Seq(
+      mk(1L, w.take(8)), mk(2L, w.drop(4)), mk(3L, w.take(5))).toDF("doc_id", "text")
+    val incoming = Seq(
+      mk(100L, w.take(8)),           // exact dup of doc 1
+      mk(101L, w.take(7) :+ "zz"),   // near-dup of doc 1
+      mk(102L, Seq("a", "b", "c", "d", "e"))) // unrelated
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalDupPairs(existing, incoming, "text", "doc_id",
+        shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5,
+        maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 100L)), s"exact dup not flagged: $got")
+    assert(got.contains((1L, 101L)), s"near dup not flagged: $got")
+    // no incoming x incoming or existing x existing pair can appear
+    assert(got.forall { case (a, b) => a < 100 && b >= 100 }, s"non-cross pair: $got")
+    assert(!got.exists(_._2 == 102L), s"unrelated doc flagged: $got")
+  }
+
   test("embedding dup pairs: bucketed config finds planted near-dups; bits=0 is exact") {
     import spark.implicits._
     val rng = new scala.util.Random(13)
