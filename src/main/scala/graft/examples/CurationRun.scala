@@ -4,16 +4,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.operators.{Dedup, Graph, Sampling}
+import graft.operators.{Dedup, Graph, LanguageModel, Sampling, Segmentation}
 
 /** End-to-end training-data curation example — the LLM-pipeline side of the
   * library composed the way a real curation run chains it:
   *
-  *   corpus -> quality gate (length/repetition heuristics) ->
-  *   exact dedup (content hash) -> near-dup dedup (MinHash-LSH pairs ->
-  *   connected components -> keep cluster representative) ->
-  *   benchmark decontamination (broadcast eval-set shingles) ->
-  *   per-source weighted sample -> parquet + SQLite artifacts.
+  *   corpus -> quality gate (length/repetition heuristics + bigram-LM
+  *   perplexity cut) -> exact dedup (content hash) -> near-dup dedup
+  *   (MinHash-LSH pairs -> connected components -> keep cluster
+  *   representative) -> benchmark decontamination (broadcast eval-set
+  *   shingles) -> deterministic source mixing -> per-source weighted
+  *   sample -> packed training sequences + parquet + SQLite artifacts.
   *
   * Every stage is a DataFrame transformation: one job graph, Catalyst
   * optimizes across stage boundaries, nothing collects to the driver.
@@ -28,12 +29,21 @@ object CurationRun {
     val stages = scala.collection.mutable.LinkedHashMap[String, Long]()
     stages("input") = docs.count()
 
-    // 1. quality gate: drop empty/short docs and token-repetition spam
+    // 1. quality gate: drop empty/short docs and token-repetition spam,
+    // then the LM cut — documents whose bigram perplexity (under the
+    // corpus's own model) exceeds 3x the median are out-of-distribution
+    // noise the heuristics can't see. A relative cut, not a fixed
+    // percentile: a clean corpus loses nothing, a noisy one sheds its
+    // outliers. The median is one metadata-sized aggregate.
     val toks = size(split(col("text"), " "))
     val uniq = size(array_distinct(split(col("text"), " ")))
-    val quality = docs
+    val heur = docs
       .where(col("n_chars") >= 40 && toks >= 8)
       .where(uniq.cast("double") / toks > 0.3)
+    val ppl = LanguageModel.bigramPerplexity(heur, "text", "doc_id")
+    val pplCut = 3.0 * ppl.agg(expr("percentile_approx(ppl, 0.5)")).head().getDouble(0)
+    val quality = heur.join(
+      ppl.where(col("ppl") <= pplCut).select(col("id").as("doc_id")), "doc_id")
     stages("quality_gate") = quality.count()
 
     // 2. exact dedup: keep min doc_id per identical content
@@ -56,9 +66,15 @@ object CurationRun {
     val clean = nearDeduped.join(contaminated, Seq("doc_id"), "left_anti")
     stages("decontaminated") = clean.count()
 
-    // 5. deterministic per-source weighted sample (longer docs favored)
+    // 5. deterministic source mixing: trim over-represented sources to
+    // target rates before the sample (reproducible: pure hash of identity)
+    val mixed = Sampling.mixSources(clean, "doc_id", "source",
+      Map("src1" -> 800, "src2" -> 800), defaultPerMille = 1000)
+    stages("mixed") = mixed.count()
+
+    // 6. deterministic per-source weighted sample (longer docs favored)
     val sampled = Sampling.weightedTopKPerGroup(
-      clean, Seq("source"), "doc_id", "n_chars", k = samplePerSource)
+      mixed, Seq("source"), "doc_id", "n_chars", k = samplePerSource)
     stages("sampled") = sampled.count()
     (sampled, scala.collection.immutable.ListMap(stages.toSeq: _*))
   }
@@ -74,6 +90,13 @@ object CurationRun {
 
     stages.foreach { case (k, v) => println(f"[curate] $k%-16s $v%8d docs") }
     kept.write.mode("overwrite").parquet(s"$out/corpus_parquet")
+    // packed training sequences: the kept corpus concatenated and sliced
+    // into fixed 256-token windows — what actually feeds a trainer
+    val packed = Segmentation.packSequences(
+      kept.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok_cnt")),
+      "doc_id", "tok_cnt", seqLen = 256)
+    packed.write.mode("overwrite").parquet(s"$out/packed_sequences")
+    println(s"[curate] packed ${packed.select("seq_id").distinct().count()} training sequences")
     val n = graft.sources.SqliteSink.write(
       kept.select("doc_id", "source", "n_chars", "smp_rank"), s"$out/corpus.sqlite", "corpus")
     println(s"[curate] wrote $n rows to $out/corpus.sqlite + parquet")
