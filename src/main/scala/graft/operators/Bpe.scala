@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding subword tokenizer — the learned counterpart of the
+  * regex token counter (q39): every LLM pipeline tokenizes with a LEARNED
+  * subword vocabulary, and the vocabulary's training is part of the data
+  * pipeline itself.
+  *
+  * Split of labor follows the engine's quantizer-fit pattern
+  * ([[Similarity.ivfKnn]]'s Lloyd's, [[AnnIndex.buildIvfPq]]): the merge
+  * table is LEARNED driver-side from a bounded deterministic sample (the
+  * classic Sennrich agglomerative loop over a word-frequency table —
+  * vocabulary-sized state, pure Scala, reproducible), then APPLIED
+  * distributed as one narrow expression pass (`graft_bpe_encode`, a native
+  * kernel: per-word greedy lowest-rank merging). Training cost is
+  * amortized exactly like a codebook fit; the corpus-wide encode never
+  * shuffles anything.
+  *
+  * `numMerges = 0` is the degenerate exhaustive-oracle mode of the house
+  * pattern: zero merges means every token is a single character, which a
+  * SQL oracle recomputes arithmetically (q106), proving the whole apply
+  * machinery; the learned configuration (q105) is then rows-only with its
+  * semantics pinned by BpeSpec's hand-computed merges.
+  */
+object Bpe {
+
+  /** Learn `numMerges` BPE merges from a bounded deterministic sample of
+    * the corpus. Returns ranked merge pairs, most frequent first; ties
+    * break lexicographically so the table is stable across runs and
+    * platforms. Words are whitespace tokens; symbols start as 1-character
+    * strings (no end-of-word marker — the harness corpus is plain ASCII
+    * words).
+    */
+  def learn(docs: DataFrame, textCol: String, idCol: String, numMerges: Int,
+            maxSample: Int = 20000): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    if (numMerges == 0) return Seq.empty
+    // bounded deterministic sample (hash-ordered top-N, the codebook-fit
+    // device) -> driver-side word-frequency table
+    val sample = docs.select(col(idCol), col(textCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(maxSample)
+      .select(col(textCol)).collect().map(_.getString(0))
+    val wordFreq = scala.collection.mutable.HashMap[List[String], Long]()
+    for (t <- sample; w <- t.split(" ") if w.nonEmpty)
+      wordFreq.updateWith(w.map(_.toString).toList)(c => Some(c.getOrElse(0L) + 1))
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var words = wordFreq.toVector
+    var i = 0
+    var exhausted = false
+    while (i < numMerges && !exhausted) {
+      val pairFreq = scala.collection.mutable.HashMap[(String, String), Long]()
+      for ((syms, f) <- words; p <- syms.zip(syms.tail))
+        pairFreq.updateWith(p)(c => Some(c.getOrElse(0L) + f))
+      if (pairFreq.isEmpty) exhausted = true
+      else {
+        // max frequency, lexicographic tie-break: deterministic everywhere
+        val best = pairFreq.toSeq.minBy { case ((a, b), f) => (-f, a, b) }._1
+        merges += best
+        val merged = best._1 + best._2
+        words = words.map { case (syms, f) =>
+          val out = scala.collection.mutable.ListBuffer[String]()
+          var rest = syms
+          while (rest.nonEmpty) rest match {
+            case a :: b :: tail if (a, b) == best => out += merged; rest = tail
+            case a :: tail => out += a; rest = tail
+            case Nil =>
+          }
+          (out.toList, f)
+        }
+        i += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Encode a text column with a learned merge table: appends
+    * `tokens: array<string>` (per-word greedy lowest-rank BPE merging via
+    * the native `graft_bpe_encode` kernel) and `n_tokens`. The merge table
+    * enters the plan as ONE literal.
+    */
+  def encode(docs: DataFrame, textCol: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    val mergesLit = typedLit[Seq[Seq[String]]](merges.map(m => Seq(m._1, m._2)))
+    docs.withColumn("_merges", mergesLit)
+      .withColumn("tokens", expr(s"graft_bpe_encode($textCol, _merges)"))
+      .withColumn("n_tokens", size(col("tokens")))
+      .drop("_merges")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftLshBuckets, GraftLutSum, GraftMinHash, GraftSimHash, GraftSimHashMd5, GraftWinnow, GraftWinnowMd5}
+import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftBpeEncode, GraftLshBuckets, GraftLutSum, GraftMinHash, GraftSimHash, GraftSimHashMd5, GraftWinnow, GraftWinnowMd5}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (see [[graft.GraftSession]]): injects the engine's native expressions
@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_argmax"),
       new ExpressionInfo(classOf[GraftArgmax].getName, "graft_argmax"),
       (children: Seq[Expression]) => GraftArgmax(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_encode"),
+      new ExpressionInfo(classOf[GraftBpeEncode].getName, "graft_bpe_encode"),
+      (children: Seq[Expression]) => GraftBpeEncode(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_lut_sum"),
       new ExpressionInfo(classOf[GraftLutSum].getName, "graft_lut_sum"),

@@ -168,14 +168,16 @@ object PipelineQueries extends QuerySet {
 
     // IVF-PQ: the billion-vector composition — coarse cells bound WHICH
     // rows are scanned, PQ codes bound WHAT each row costs, exact rerank
-    // keeps reported cosines true. Floor 0.2: the synthetic near-uniform
-    // embeddings are the worst case for cell restriction (true neighbors
-    // sit across cell boundaries — measured min 0.6 sf0.01 / 0.2 sf0.1,
-    // avg 0.88/0.68, RecallProbe); the certificate's job here is catching
-    // catastrophic degradation (a broken codebook or assignment scores
-    // recall 0), not promising clustered-corpus recall the data cannot
-    // exhibit. Rows-only driver check; certificate arithmetic oracled by
-    // q90, exhaustive mode hash-oracled by q99.
+    // keeps reported cosines true. Floor 0.15, below the measured worst
+    // probe (min 0.6 sf0.01 / 0.2 sf0.1, avg 0.88/0.68, RecallProbe): the
+    // synthetic near-uniform embeddings are the worst case for cell
+    // restriction (true neighbors sit across cell boundaries), and a
+    // floor AT the measured min would leave zero margin — the
+    // certificate's job here is catching catastrophic degradation (a
+    // broken codebook or assignment scores recall 0), not promising
+    // clustered-corpus recall the data cannot exhibit. Rows-only driver
+    // check; certificate arithmetic oracled by q90, exhaustive mode
+    // hash-oracled by q99.
     "q98_knn_ivfpq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val ann = Similarity.ivfPqKnn(emb, "vec_id", "embedding",
@@ -184,7 +186,7 @@ object PipelineQueries extends QuerySet {
       val exact = Similarity.bruteForceKnnProbes(emb, "vec_id", "embedding",
         Similarity.certProbes(emb, "vec_id", "embedding", col("vec_id") < 10, sampleN = 4),
         k = 5)
-      Similarity.withRecallCertificate(ann, exact, 5, minRecall = 0.2)
+      Similarity.withRecallCertificate(ann, exact, 5, minRecall = 0.15)
         .orderBy("probe_id", "rnk")
     }),
 

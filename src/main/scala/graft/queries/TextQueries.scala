@@ -142,6 +142,31 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     }),
 
+    // LEARNED subword tokenization: 50 BPE merges fit driver-side on the
+    // bounded deterministic sample (the codebook-fit pattern), applied
+    // corpus-wide by the native graft_bpe_encode kernel — one narrow pass,
+    // merge table a single plan literal. Rows-only: the learned merges are
+    // the output of an iterative algorithm SQL cannot replay; the apply
+    // machinery is hash-oracled by q106's zero-merge mode and the learner
+    // by BpeSpec's hand-computed merges.
+    "q105_bpe_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.learn(docs, "text", "doc_id", numMerges = 50)
+      graft.operators.Bpe.encode(docs, "text", merges)
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
+    // Degenerate-mode oracle for the BPE apply machinery (the house
+    // exhaustive-mode pattern): zero merges encodes every word as its
+    // characters, so n_tokens must equal the non-space character count —
+    // recomputed arithmetically by DuckDB.
+    "q106_bpe_chars" -> ((s, dir) => {
+      graft.operators.Bpe.encode(t(s, dir, "documents"), "text", Seq.empty)
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
     // Word frequency: explode + group + global top-k.
     "q36_word_freq" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -288,6 +313,9 @@ object TextQueries extends QuerySet {
       """SELECT doc_id,
         |len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')) AS n_bpe_tokens,
         |len(string_split(text, ' ')) AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q106_bpe_chars" ->
+      """SELECT doc_id, CAST(length(replace(text, ' ', '')) AS INT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q36_word_freq" ->
       """SELECT tok, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)

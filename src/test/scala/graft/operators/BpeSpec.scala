@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+
+  test("learn: merges follow frequency with lexicographic ties (hand-computed)") {
+    import spark.implicits._
+    // corpus: "abab" x3, "abc" x2 -> pair counts: (a,b)=8, (b,a)=3, (b,c)=2
+    val docs = Seq((1L, "abab abab abab abc abc")).toDF("doc_id", "text")
+    val merges = Bpe.learn(docs, "text", "doc_id", numMerges = 3)
+    // merge 1: (a,b) -> "ab"; then words are [ab ab]x3, [ab c]x2:
+    // pairs (ab,ab)=3, (ab,c)=2 -> merge 2: (ab,ab); merge 3: (ab,c)
+    assert(merges == Seq(("a", "b"), ("ab", "ab"), ("ab", "c")), s"got $merges")
+  }
+
+  test("learn is deterministic and bounded by available pairs") {
+    import spark.implicits._
+    val docs = Seq((1L, "xy xy")).toDF("doc_id", "text")
+    // only one pair exists; asking for more merges must not loop forever
+    val merges = Bpe.learn(docs, "text", "doc_id", numMerges = 10)
+    assert(merges == Seq(("x", "y")))
+    assert(Bpe.learn(docs, "text", "doc_id", 0).isEmpty)
+  }
+
+  test("encode: greedy lowest-rank merging, all occurrences per round") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab abc zq")).toDF("doc_id", "text")
+    val merges = Seq(("a", "b"), ("ab", "ab"), ("ab", "c"))
+    val out = Bpe.encode(docs, "text", merges)
+      .select("tokens", "n_tokens").head()
+    // "abab" -> [ab, ab] -> [abab]; "abc" -> [ab, c] -> [abc]; "zq" stays chars
+    assert(out.getSeq[String](0) == Seq("abab", "abc", "z", "q"), s"got $out")
+    assert(out.getInt(1) == 4)
+  }
+
+  test("encode with zero merges yields per-character tokens (the oracle mode)") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab c"), (2L, "")).toDF("doc_id", "text")
+    val out = Bpe.encode(docs, "text", Seq.empty)
+      .select("doc_id", "tokens").collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("a", "b", "c"))
+    assert(out(2L).isEmpty)
+  }
+
+  test("learned vocab compresses the corpus it was trained on") {
+    import spark.implicits._
+    // repetitive corpus: learned merges must cut the token count well below
+    // character count while never splitting across words
+    val docs = (0 until 50).map(i => (i.toLong, "hello world " * 5 + s"tail$i"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.learn(docs, "text", "doc_id", numMerges = 20)
+    val enc = Bpe.encode(docs, "text", merges)
+    val chars = docs.select(sum(length(regexp_replace(col("text"), " ", "")))).head().getLong(0)
+    val toks = enc.select(sum("n_tokens")).head().getLong(0)
+    assert(toks < chars / 3, s"poor compression: $toks tokens vs $chars chars")
+    // "hello" and "world" should each have become single tokens
+    val t0 = enc.where(col("doc_id") === 0).select("tokens").head().getSeq[String](0)
+    assert(t0.contains("hello") && t0.contains("world"), s"got ${t0.take(10)}")
+  }
+}
