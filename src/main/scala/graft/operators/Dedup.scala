@@ -267,12 +267,15 @@ object Dedup {
       .select("a_id", "b_id")
       .distinct()
       .cache() // consumed twice: id-prune + verify join
-    val aIds = cands.select(col("a_id").as(idCol)).distinct()
-    val bIds = cands.select(col("b_id").as(idCol)).distinct()
-    val sets = shingleHashSets(existing.join(aIds, Seq(idCol), "left_semi"),
-        textCol, idCol, shingleN)
-      .unionByName(shingleHashSets(incoming.join(bIds, Seq(idCol), "left_semi"),
-        textCol, idCol, shingleN))
+    // one semi-prune + one set build over the unioned corpus (id spaces are
+    // disjoint by contract, so the union is a disjoint concatenation)
+    val candIds = cands
+      .select(explode(array(col("a_id"), col("b_id"))).as(idCol)).distinct()
+    val sets = shingleHashSets(
+      existing.select(col(idCol), col(textCol))
+        .unionByName(incoming.select(col(idCol), col(textCol)))
+        .join(candIds, Seq(idCol), "left_semi"),
+      textCol, idCol, shingleN)
     verifyJaccardSets(cands, sets, threshold)
   }
 
