@@ -42,6 +42,33 @@ object StreamingRun {
     q2.stop()
     println(s"stream-stream join rows=${spark.table("err_clicks").count()}")
 
+    // streaming ANN retrieval: embeddings arrive as a file stream and are
+    // screened against a persisted index of the same corpus — every vector
+    // must at least rediscover itself at cosine 1.0 (identity floor), plus
+    // whatever true near-neighbors clear the threshold
+    val idxPath = java.nio.file.Files.createTempDirectory("streamrun_idx").toString
+    graft.operators.AnnIndex.buildIvfPq(
+      spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding"),
+      "vec_id", "embedding", idxPath, nList = 8, m = 8, nCells = 16, dim = 64)
+    val embSchema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val embStream = spark.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+      .where(col("vec_id") < 50)
+    // shifted probe ids: the matcher excludes identical ids (self-pairs),
+    // so a distinct id space lets each streamed vector rediscover its
+    // corpus original at cosine 1.0
+    val q3 = graft.streaming.AnnStreams.annMatchStream(spark, idxPath,
+        embStream.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", threshold = 0.95, nProbe = 8)
+      .writeStream.format("memory").queryName("ann_matches").outputMode("append").start()
+    q3.processAllAvailable()
+    q3.stop()
+    val matches = spark.table("ann_matches")
+    println(s"streaming ANN matches rows=${matches.count()} " +
+      s"(identity floor: ${matches.where(col("cosim") >= 0.9999).count()} of 50 probes)")
+
     println(s"stream rows=${streamed.count()} batch rows=${batch.count()}")
     println("note: append-mode emits only watermark-closed windows; " +
       "the tail hour stays open by design")
