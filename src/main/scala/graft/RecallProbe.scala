@@ -29,10 +29,12 @@ object RecallProbe {
         report(s"pq m=$m c=$cells r=$rr",
           Similarity.pqKnn(emb, "vec_id", "embedding", col("vec_id") < 10, k = 5,
             m = m, nCells = cells, dim = 64, rerank = rr))
-      for ((nl, np, rr) <- Seq((16, 4, 64), (16, 8, 64), (8, 4, 64), (16, 8, 128)))
-        report(s"ivfpq L=$nl p=$np r=$rr",
+      for ((nl, np, rr) <- Seq((16, 4, 64), (16, 8, 64), (8, 4, 64), (16, 8, 128));
+           res <- Seq(false, true))
+        report(s"ivfpq L=$nl p=$np r=$rr res=$res",
           Similarity.ivfPqKnn(emb, "vec_id", "embedding", col("vec_id") < 10, k = 5,
-            nList = nl, nProbe = np, m = 16, nCells = 16, dim = 64, rerank = rr))
+            nList = nl, nProbe = np, m = 16, nCells = 16, dim = 64, rerank = rr,
+            residual = res))
     }
     spark.stop()
   }

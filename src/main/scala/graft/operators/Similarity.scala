@@ -442,12 +442,16 @@ object Similarity {
     * TRUE. Per-probe cost ~ (corpus * nProbe / nList) code-lookups plus
     * `rerank` real dot products — both knobs explicit.
     *
-    * Codebooks encode RAW vectors, shared across cells (the classic
-    * residual encoding — fitting books on v - c_cell — buys more recall
-    * per code byte but needs per-(probe, cell) LUT bias terms; the
-    * raw-vector form keeps ONE corpus-wide code table, ONE bias-free LUT
-    * per probe, and the exhaustive-mode == brute-force guarantee that
-    * q99's hash oracle checks). Both stages fit on the same bounded
+    * `residual = true` is the canonical IVF-PQ: codebooks fit and codes
+    * assign on v - c_cell (the residual distribution concentrates around
+    * zero, buying recall per code byte); ADC scoring then adds the
+    * per-(probe, cell) dot(q, c) bias probeCells already carries, and the
+    * reconstructed norm reads a precomputed (cell, subspace, code)
+    * cross-term table. `residual = false` quantizes raw vectors — one
+    * corpus-wide code table, bias-free ADC. EITHER way the exhaustive
+    * mode (nProbe = nList, unbounded rerank) equals brute force — the
+    * rerank scores true cosines regardless of code quality — which is
+    * what q99's hash oracle checks. Both stages fit on the same bounded
     * deterministic sample; one narrow pass encodes the corpus.
     *
     * Output: (probe_id, neighbor_id, cosim, rnk) — same contract as the
@@ -457,7 +461,8 @@ object Similarity {
                probeFilter: org.apache.spark.sql.Column, k: Int,
                nList: Int = 16, nProbe: Int = 4,
                m: Int = 8, nCells: Int = 16, dim: Int = 64, rerank: Int = 32,
-               seed: Long = 42L, maxSample: Int = 20000): DataFrame = {
+               seed: Long = 42L, maxSample: Int = 20000,
+               residual: Boolean = false): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
     require(nList >= 1 && nProbe >= 1 && nProbe <= nList,
       s"need 1 <= nProbe <= nList, got nProbe=$nProbe nList=$nList")
@@ -476,51 +481,97 @@ object Similarity {
     val ctrs = fitCentroids(sample, nList, maxIter = 8, seed = seed).map(_.map(_.toFloat))
     val ctrLit = litFloatMat(ctrs)
     val chnLit = litDoubleArr(ctrs.map(half))
-    // per-subspace PQ codebooks
+    // per-subspace PQ codebooks. residual = true is the canonical IVF-PQ:
+    // codebooks fit (and codes assigned) on v - c_cell, which concentrates
+    // the quantized distribution around zero and buys recall per code byte;
+    // the cost is a per-cell reconstructed-norm table and a per-(probe,
+    // cell) dot term in ADC scoring — both precomputed below, neither
+    // touching the per-pair hot loop's shape. residual = false quantizes
+    // raw vectors: one corpus-wide code table, bias-free ADC.
+    val fitSample: Array[Array[Float]] =
+      if (!residual) sample
+      else sample.map { v =>
+        var best = Double.NegativeInfinity; var bi = 0
+        for (i <- ctrs.indices) {
+          var s = 0.0
+          var d = 0
+          while (d < v.length) { s += ctrs(i)(d).toDouble * v(d); d += 1 }
+          if (s - half(ctrs(i)) > best) { best = s - half(ctrs(i)); bi = i }
+        }
+        v.zip(ctrs(bi)).map { case (x, c) => x - c }
+      }
     val books: Array[Array[Array[Float]]] = Array.tabulate(m) { j =>
-      val subSample = sample.map(v => v.slice(j * sub, (j + 1) * sub))
+      val subSample = fitSample.map(v => v.slice(j * sub, (j + 1) * sub))
       fitCentroids(subSample, nCells, maxIter = 8, seed = seed + j).map(_.map(_.toFloat))
     }
     val cells = books(0).length
     val cbLit = litFloatCube(books)
     val hnLit = litDoubleMat(books.map(_.map(half)))
-    val n2Lit = litDoubleArr(books.flatMap(_.map(c => 2.0 * half(c))))
-    val subExpr = (j: String) => s"slice($vecCol, $j * $sub + 1, $sub)"
+    val subExpr = (v: String, j: String) => s"slice($v, $j * $sub + 1, $sub)"
     // ONE narrow corpus pass: inverted-cell assignment + codes +
     // reconstructed norm — everything downstream touches codes, never the
     // raw vectors, until the bounded rerank
-    val encoded = base
+    val assigned = base
       .withColumn("_ctrs", ctrLit).withColumn("_chn", chnLit)
-      .withColumn("_cb", cbLit).withColumn("_hn", hnLit).withColumn("_n2", n2Lit)
+      .withColumn("_cb", cbLit).withColumn("_hn", hnLit)
       .withColumn("cell", expr(s"graft_argmax(_ctrs, $vecCol, _chn)"))
-      .withColumn("codes", expr(
-        s"""transform(sequence(0, ${m - 1}), j ->
-           |  graft_argmax(_cb[j], ${subExpr("j")}, _hn[j]))""".stripMargin))
-      .withColumn("n_nrm", sqrt(expr(s"graft_lut_sum(_n2, codes, $cells)")))
-      .select(col(idCol).as("neighbor_id"), col("cell"), col("codes"), col("n_nrm"))
+    val encoded = (if (!residual) {
+      // raw vectors: |v_hat|^2 = sum_j |b_{j,code}|^2, one flat table
+      val n2Lit = litDoubleArr(books.flatMap(_.map(c => 2.0 * half(c))))
+      assigned.withColumn("_n2", n2Lit)
+        .withColumn("codes", expr(
+          s"""transform(sequence(0, ${m - 1}), j ->
+             |  graft_argmax(_cb[j], ${subExpr(vecCol, "j")}, _hn[j]))""".stripMargin))
+        .withColumn("n_nrm", sqrt(expr(s"graft_lut_sum(_n2, codes, $cells)")))
+    } else {
+      // residual: codes quantize v - c_cell; |v_hat|^2 = |c|^2 +
+      // sum_j (2 dot(c_j, b_{j,code}) + |b_{j,code}|^2) — the cross-term
+      // table is (nList x m x nCells) doubles, flat-indexed by cell
+      val tTab = litDoubleArr(ctrs.flatMap { c =>
+        (0 until m).flatMap { j =>
+          val cj = c.slice(j * sub, (j + 1) * sub)
+          books(j).map { b =>
+            2.0 * cj.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum + 2.0 * half(b)
+          }
+        }
+      })
+      val cn2 = litDoubleArr(ctrs.map(c => 2.0 * half(c)))
+      assigned.withColumn("_t", tTab).withColumn("_cn2", cn2)
+        .withColumn("_res", expr(s"zip_with($vecCol, _ctrs[cell], (x, y) -> x - y)"))
+        .withColumn("codes", expr(
+          s"""transform(sequence(0, ${m - 1}), j ->
+             |  graft_argmax(_cb[j], ${subExpr("_res", "j")}, _hn[j]))""".stripMargin))
+        .withColumn("n_nrm", sqrt(col("_cn2")(col("cell")) + expr(
+          s"graft_lut_sum(slice(_t, cell * ${m * cells} + 1, ${m * cells}), codes, $cells)")))
+    }).select(col(idCol).as("neighbor_id"), col("cell"), col("codes"), col("n_nrm"))
     val probes = base.where(probeFilter)
       .withColumn("_cb", cbLit)
       .withColumn("lut", expr(
         s"""flatten(transform(sequence(0, ${m - 1}), j ->
-           |  graft_matvec(_cb[j], ${subExpr("j")})))""".stripMargin))
+           |  graft_matvec(_cb[j], ${subExpr(vecCol, "j")})))""".stripMargin))
       .select(col(idCol).as("probe_id"), col(vecCol).as("p_emb"),
         norm(vecCol).as("p_nrm"), col("lut"))
     val centroids = spark.createDataFrame(
       ctrs.zipWithIndex.map { case (c, i) => (i, c, half(c)) }.toSeq
     ).toDF("cell", "centroid", "half_norm")
     val probeCells = broadcast(probes).crossJoin(broadcast(centroids))
-      .withColumn("cdist", dot("p_emb", "centroid") - col("half_norm"))
+      .withColumn("cdot", dot("p_emb", "centroid"))
+      .withColumn("cdist", col("cdot") - col("half_norm"))
       .withColumn("crnk", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("cdist").desc, col("cell"))))
       .where(col("crnk") <= nProbe)
-      .select("probe_id", "p_nrm", "lut", "cell")
+      .select("probe_id", "p_nrm", "lut", "cdot", "cell")
     // each neighbor lives in exactly one cell and probeCells holds distinct
     // cells per probe, so the equi-join emits each (probe, neighbor) pair
-    // at most once — no dedup pass (the ivfKnn argument)
+    // at most once — no dedup pass (the ivfKnn argument). Residual ADC
+    // adds the per-(probe, cell) dot(q, c) bias already carried by
+    // probeCells: dot(q, c + r_hat) = cdot + LUT sum over residual codes.
+    val adcDot =
+      if (residual) col("cdot") + expr(s"graft_lut_sum(lut, codes, $cells)")
+      else expr(s"graft_lut_sum(lut, codes, $cells)")
     val adc = broadcast(probeCells).join(encoded, "cell")
       .where(col("neighbor_id") =!= col("probe_id"))
-      .withColumn("adc", expr(s"graft_lut_sum(lut, codes, $cells)")
-        / (col("p_nrm") * col("n_nrm")))
+      .withColumn("adc", adcDot / (col("p_nrm") * col("n_nrm")))
     val wAdc = Window.partitionBy("probe_id").orderBy(col("adc").desc, col("neighbor_id"))
     val shortlist = adc.withColumn("srnk", row_number().over(wAdc))
       .where(col("srnk") <= rerank)

@@ -182,7 +182,7 @@ object PipelineQueries extends QuerySet {
       val emb = t(s, dir, "embeddings")
       val ann = Similarity.ivfPqKnn(emb, "vec_id", "embedding",
         col("vec_id") < 10, k = 5, nList = 16, nProbe = 8,
-        m = 16, nCells = 16, dim = 64, rerank = 128)
+        m = 16, nCells = 16, dim = 64, rerank = 128, residual = true)
       val exact = Similarity.bruteForceKnnProbes(emb, "vec_id", "embedding",
         Similarity.certProbes(emb, "vec_id", "embedding", col("vec_id") < 10, sampleN = 4),
         k = 5)
@@ -197,7 +197,7 @@ object PipelineQueries extends QuerySet {
     "q99_knn_ivfpq_exact" -> ((s, dir) => {
       Similarity.ivfPqKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
           col("vec_id") < 10, k = 5, nList = 16, nProbe = 16,
-          m = 16, nCells = 16, dim = 64, rerank = Int.MaxValue)
+          m = 16, nCells = 16, dim = 64, rerank = Int.MaxValue, residual = true)
         .orderBy("probe_id", "rnk")
     }),
 

@@ -86,10 +86,27 @@ class SimilaritySpec extends SparkSpec {
   test("ivf-pq knn exhaustive mode (nProbe = nList, unbounded rerank) equals brute force") {
     val exact = Similarity.bruteForceKnn(corpus(), "vec_id", "embedding",
         col("vec_id") < 5, k = 3).collect().toSet
-    val ivfpq = Similarity.ivfPqKnn(corpus(), "vec_id", "embedding", col("vec_id") < 5,
-        k = 3, nList = 4, nProbe = 4, m = 8, nCells = 16, dim = 16, rerank = 1000)
-      .collect().toSet
-    assert(ivfpq == exact, s"diff: ${(ivfpq diff exact) ++ (exact diff ivfpq)}")
+    for (res <- Seq(false, true)) {
+      val ivfpq = Similarity.ivfPqKnn(corpus(), "vec_id", "embedding", col("vec_id") < 5,
+          k = 3, nList = 4, nProbe = 4, m = 8, nCells = 16, dim = 16, rerank = 1000,
+          residual = res)
+        .collect().toSet
+      assert(ivfpq == exact,
+        s"residual=$res diff: ${(ivfpq diff exact) ++ (exact diff ivfpq)}")
+    }
+  }
+
+  test("ivf-pq residual encoding: planted near-dups recalled, true cosines out") {
+    val got = Similarity.ivfPqKnn(corpus(), "vec_id", "embedding", col("vec_id") < 5,
+        k = 3, nList = 4, nProbe = 2, m = 8, nCells = 16, dim = 16, rerank = 32,
+        residual = true)
+      .collect()
+    val found = (0 until 5).count { p =>
+      got.exists(r => r.getLong(0) == p && r.getLong(1) == 1000L + p)
+    }
+    assert(found >= 4, s"residual IVF-PQ planted recall too low: $found/5")
+    got.filter(r => r.getLong(1) >= 1000L && r.getInt(3) == 1)
+      .foreach(r => assert(r.getDouble(2) > 0.99, s"rerank lost the true cosine: $r"))
   }
 
   test("pq knn with rerank = corpus size equals brute force (quantization affects recall only)") {
