@@ -90,6 +90,44 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/encoded.parquet")
   }
 
+  /** Append a batch of NEW vectors to an existing index without
+    * rebuilding: the batch is encoded with the PERSISTED codebooks (read
+    * back, never refit — quantizers are frozen at build time, exactly like
+    * the reference's DB partitions between formatdb runs) and appended to
+    * the cell-partitioned layout. Ingest cost is O(batch): one narrow
+    * encode pass over the new rows plus the partitioned append. Id spaces
+    * must be disjoint with the existing corpus.
+    */
+  def appendIvfPq(emb: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val spark = emb.sparkSession
+    val p = spark.read.parquet(s"$path/params.parquet").head()
+    val (m, cells, dim) = (p.getInt(1), p.getInt(2), p.getInt(3))
+    val sub = dim / m
+    val cb = spark.read.parquet(s"$path/codebooks.parquet").collect()
+    val ctrs = cb.filter(_.getString(0) == "coarse").sortBy(_.getInt(2))
+      .map(_.getSeq[Float](3).toArray)
+    val books = Array.tabulate(m) { j =>
+      cb.filter(r => r.getString(0) == "pq" && r.getInt(1) == j).sortBy(_.getInt(2))
+        .map(_.getSeq[Float](3).toArray)
+    }
+    val half = (c: Array[Float]) => c.map(x => x.toDouble * x).sum / 2.0
+    val subExpr = (j: String) => s"slice($vecCol, $j * $sub + 1, $sub)"
+    emb.select(col(idCol), col(vecCol))
+      .withColumn("_ctrs", litFloatMat(ctrs)).withColumn("_chn", litDoubleArr(ctrs.map(half)))
+      .withColumn("_cb", litFloatCube(books))
+      .withColumn("_hn", litDoubleMat(books.map(_.map(half))))
+      .withColumn("_n2", litDoubleArr(books.flatMap(_.map(c => 2.0 * half(c)))))
+      .withColumn("cell", expr(s"graft_argmax(_ctrs, $vecCol, _chn)"))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${m - 1}), j ->
+           |  graft_argmax(_cb[j], ${subExpr("j")}, _hn[j]))""".stripMargin))
+      .withColumn("n_nrm", sqrt(expr(s"graft_lut_sum(_n2, codes, $cells)")))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cell"),
+        col("codes"), col("n_nrm"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/encoded.parquet")
+  }
+
   /** Top-k cosine neighbors of `probes` (`(idCol, vecCol)` rows) from a
     * persisted index. Only the ranked cells' partitions are read — twice,
     * column-pruned each time: (codes, n_nrm) for ADC scoring, (id, vec)

@@ -14,7 +14,7 @@ object PipelineQueries extends QuerySet {
   private val BlockSize = 100000L
 
   /** Brute-force cosine top-5 for probes vec_id < 10 — the shared oracle
-    * for the ANN exactness certificates (q85/q86/q94/q99).
+    * for the ANN exactness certificates (q85/q86/q94/q99/q100/q107).
     */
   private val knnOracle =
     """WITH ex AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
@@ -222,6 +222,32 @@ object PipelineQueries extends QuerySet {
       if (!new java.io.File(s"$path/encoded.parquet/_SUCCESS").exists)
         AnnIndex.buildIvfPq(emb, "vec_id", "embedding", path,
           nList = 16, m = 16, nCells = 16, dim = 64)
+      AnnIndex.ivfPqKnnIndexed(s, path, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 16, rerank = Int.MaxValue)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Incremental ingest for the persisted index — the reference's
+    // formatdb-once model extended with batch arrival: BUILD fits the
+    // quantizers on the even-id half only, APPEND encodes the odd-id half
+    // with the FROZEN codebooks (read back from disk, never refit) and
+    // appends to the cell partitions, and the exhaustive query over the
+    // unioned index must still reproduce brute force over the FULL corpus
+    // — proving appended rows are first-class index members. Ingest cost
+    // is O(batch): one narrow encode pass, no rebuild.
+    "q107_knn_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_app_" +
+        s"${math.abs(dir.hashCode)}_${src.lastModified}"
+      val done = new java.io.File(s"$path/_APPEND_DONE")
+      if (!done.exists) {
+        AnnIndex.buildIvfPq(emb.where(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", path, nList = 16, m = 16, nCells = 16, dim = 64)
+        AnnIndex.appendIvfPq(emb.where(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", path)
+        done.createNewFile()
+      }
       AnnIndex.ivfPqKnnIndexed(s, path, emb.where(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, nProbe = 16, rerank = Int.MaxValue)
         .orderBy("probe_id", "rnk")
@@ -583,6 +609,7 @@ object PipelineQueries extends QuerySet {
     "q94_knn_pq_exact" -> knnOracle,
     "q99_knn_ivfpq_exact" -> knnOracle,
     "q100_knn_indexed" -> knnOracle,
+    "q107_knn_append" -> knnOracle,
     // exact 3-gram-shingle Jaccard >= 0.5 over the full corpus; the engine
     // side reaches it through MinHash banding + exact verify (recall note
     // on the query)

@@ -32,7 +32,8 @@ class PlanLintSpec extends SparkSpec {
     "q61_work_items", "q66_iteration_batches", "q67_knn_ivf", "q64_knn_lsh",
     "q82_heavy_hitters", "q85_knn_ivf_exact", "q86_knn_lsh_exact",
     "q93_knn_pq", "q94_knn_pq_exact", "q97_lm_perplexity",
-    "q98_knn_ivfpq", "q99_knn_ivfpq_exact", "q100_knn_indexed")
+    "q98_knn_ivfpq", "q99_knn_ivfpq_exact", "q100_knn_indexed",
+    "q107_knn_append")
 
   // iterative/multi-stage pipelines legitimately above the common bound:
   //   q48 — label-propagation rounds

@@ -59,6 +59,29 @@ class AnnIndexSpec extends SparkSpec {
       s"planted dup lost through pruning: ${got.mkString(",")}")
   }
 
+  test("append: batch encoded with the frozen codebooks; queries see the union") {
+    import org.apache.spark.sql.functions.col
+    val docs = corpus()
+    val path = tmpIndex()
+    // build on the base vectors only; the planted near-dups arrive later
+    AnnIndex.buildIvfPq(docs.where(col("vec_id") < 1000), "vec_id", "embedding", path,
+      nList = 4, m = 8, nCells = 16, dim = 16)
+    AnnIndex.appendIvfPq(docs.where(col("vec_id") >= 1000), "vec_id", "embedding", path)
+    // exhaustive query over the appended index must equal brute force over
+    // the FULL corpus — the appended rows are first-class index members
+    val exact = Similarity.bruteForceKnn(docs, "vec_id", "embedding",
+        col("vec_id") < 5, k = 3).collect().toSet
+    val got = AnnIndex.ivfPqKnnIndexed(spark, path,
+        docs.where(col("vec_id") < 5), "vec_id", "embedding", k = 3,
+        nProbe = 4, rerank = 1000)
+      .collect().toSet
+    assert(got == exact, s"diff: ${(got diff exact) ++ (exact diff got)}")
+    // and the planted near-dups (append-batch members) top their sources
+    assert((0 until 5).forall { p =>
+      got.exists(r => r.getLong(0) == p && r.getLong(1) == 1000L + p && r.getInt(3) == 1)
+    }, s"appended near-dups not rank-1: $got")
+  }
+
   test("index round-trip: params and codebooks reload exactly") {
     val docs = corpus()
     val path = tmpIndex()
