@@ -69,6 +69,19 @@ object StreamingRun {
     println(s"streaming ANN matches rows=${matches.count()} " +
       s"(identity floor: ${matches.where(col("cosim") >= 0.9999).count()} of 50 probes)")
 
+    // streaming ingest INTO the same index: a stream of new vectors (id
+    // space shifted to stay disjoint) is appended micro-batch by
+    // micro-batch with the frozen codebooks; the index grows in place
+    val before = spark.read.parquet(s"$idxPath/encoded.parquet").count()
+    val ckpt = java.nio.file.Files.createTempDirectory("streamrun_ck").toString
+    val q4 = graft.streaming.AnnStreams.annIngestStream(
+      embStream.select((col("vec_id") + 2000000).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", idxPath, ckpt)
+    q4.processAllAvailable()
+    q4.stop()
+    val after = spark.read.parquet(s"$idxPath/encoded.parquet").count()
+    println(s"streaming ingest: index grew $before -> $after rows (no rebuild)")
+
     println(s"stream rows=${streamed.count()} batch rows=${batch.count()}")
     println("note: append-mode emits only watermark-closed windows; " +
       "the tail hour stays open by design")

@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
+import graft.operators.AnnIndex
 import graft.operators.Similarity.{dot, litDoubleArr, litFloatMat, norm}
 
 /** Streaming retrieval against a persisted ANN index
@@ -58,5 +60,48 @@ object AnnStreams {
       .withColumn("cosim", round(dot("p_emb", "n_emb") / (col("p_nrm") * col("n_nrm")), 4))
       .where(col("cosim") >= threshold)
       .select("probe_id", "neighbor_id", "cosim")
+  }
+
+  /** Streaming ingest INTO the persisted index: each micro-batch of new
+    * vectors is encoded with the index's frozen codebooks
+    * ([[AnnIndex.appendIvfPq]]) and appended to the cell partitions — the
+    * online form of the reference's DB growing between formatdb runs,
+    * without ever re-running the build. Retrieval streams
+    * ([[annMatchStream]]) and batch queries pick the new rows up on their
+    * next trigger/run because they plan from the files.
+    *
+    * Replay safety: foreachBatch re-runs a micro-batch with the SAME
+    * batchId after a failure/restart, and a plain parquet append would
+    * double-ingest it. A per-batchId marker committed AFTER the append
+    * makes replays idempotent (the replay sees the marker and skips). The
+    * marker-after-append ordering means the one crash window left is
+    * "append committed, marker not yet written" — the standard residual
+    * for non-transactional sinks; closing it needs a table format with
+    * atomic commit, which this layout deliberately avoids (plain parquet
+    * is readable by everything).
+    */
+  def annIngestStream(vectors: DataFrame, idCol: String, vecCol: String,
+                      indexPath: String, checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, idCol, vecCol, indexPath, batchId)
+      }
+      .start()
+
+  /** The foreachBatch body, exposed for direct (re)play in tests: append
+    * `batch` to the index unless this batchId's marker already exists.
+    * Markers live under the index root via the Hadoop FS API so the same
+    * code runs against HDFS/object stores, not just local disk.
+    */
+  def ingestBatch(batch: DataFrame, idCol: String, vecCol: String,
+                  indexPath: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(s"$indexPath/_ingested/batch_$batchId")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker) && !batch.isEmpty) {
+      AnnIndex.appendIvfPq(batch, idCol, vecCol, indexPath)
+      fs.create(marker, true).close()
+    }
   }
 }

@@ -209,6 +209,47 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming ingest appends to the index; replayed batchIds are no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    val rng = new scala.util.Random(29)
+    val base = (0 until 200).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val late = (0 until 5).map { i =>
+      (1000L + i, base(i)._2.map(x => x + 0.01f * rng.nextGaussian().toFloat))
+    }
+    val path = java.nio.file.Files.createTempDirectory("graft_annidx_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_annidx_ck").toString
+    graft.operators.AnnIndex.buildIvfPq(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path, nList = 4, m = 8, nCells = 16, dim = 16)
+
+    val input = MemoryStream[Probe]
+    val q = AnnStreams.annIngestStream(input.toDS().toDF(),
+      "vec_id", "embedding", path, ckpt)
+    try {
+      input.addData(late.map(p => Probe(p._1, p._2)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the streamed-in near-dups are first-class: exhaustive query over the
+    // index equals brute force over the full (base ++ late) corpus
+    val full = (base ++ late).toDF("vec_id", "embedding")
+    val exact = graft.operators.Similarity.bruteForceKnn(full, "vec_id", "embedding",
+      org.apache.spark.sql.functions.col("vec_id") < 5, k = 3).collect().toSet
+    val got = graft.operators.AnnIndex.ivfPqKnnIndexed(spark, path,
+        full.where(org.apache.spark.sql.functions.col("vec_id") < 5),
+        "vec_id", "embedding", k = 3, nProbe = 4, rerank = 1000)
+      .collect().toSet
+    assert(got == exact, s"diff: ${(got diff exact) ++ (exact diff got)}")
+
+    // replaying an already-committed batchId (what foreachBatch does after
+    // a crash-restart) must not double-ingest
+    val before = spark.read.parquet(s"$path/encoded.parquet").count()
+    AnnStreams.ingestBatch(late.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path, batchId = 0L)
+    val after = spark.read.parquet(s"$path/encoded.parquet").count()
+    assert(after == before, s"replayed batch double-ingested: $before -> $after")
+  }
 }
 
 object StreamingSpec {
