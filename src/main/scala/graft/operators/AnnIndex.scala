@@ -128,6 +128,31 @@ object AnnIndex {
       .write.mode("append").partitionBy("cell").parquet(s"$path/encoded.parquet")
   }
 
+  /** Rewrite the inverted file back to one file per cell. Each
+    * [[appendIvfPq]] (and each streamed micro-batch) adds a file per
+    * touched cell, so a long-lived index accumulates small files — the
+    * read side stays CORRECT (cell pruning is directory-level) but pays
+    * per-file open cost. Compaction is one shuffle on the cell key plus a
+    * rewrite of corpus-sized data, the same cost as the original encode
+    * pass minus encoding. The swap is two directory renames (atomic on
+    * HDFS/posix; object stores approximate), with the old layout kept
+    * until the new one is fully committed.
+    */
+  def compactIndex(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val enc = s"$path/encoded.parquet"
+    spark.read.parquet(enc)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/encoded.compact.tmp")
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val old = new Path(s"$path/encoded.old")
+    fs.delete(old, true)
+    require(fs.rename(new Path(enc), old), s"compact: could not retire $enc")
+    require(fs.rename(new Path(s"$path/encoded.compact.tmp"), new Path(enc)),
+      s"compact: could not install compacted layout at $enc")
+    fs.delete(old, true)
+  }
+
   /** Top-k cosine neighbors of `probes` (`(idCol, vecCol)` rows) from a
     * persisted index. Only the ranked cells' partitions are read — twice,
     * column-pruned each time: (codes, n_nrm) for ADC scoring, (id, vec)

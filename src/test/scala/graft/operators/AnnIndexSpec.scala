@@ -82,6 +82,36 @@ class AnnIndexSpec extends SparkSpec {
     }, s"appended near-dups not rank-1: $got")
   }
 
+  test("compact: appended small files collapse to one per cell; results unchanged") {
+    import org.apache.spark.sql.functions.col
+    val docs = corpus()
+    val path = tmpIndex()
+    AnnIndex.buildIvfPq(docs.where(col("vec_id") < 1000), "vec_id", "embedding", path,
+      nList = 4, m = 8, nCells = 16, dim = 16)
+    AnnIndex.appendIvfPq(docs.where(col("vec_id") >= 1000), "vec_id", "embedding", path)
+    def filesPerCell: Map[String, Int] = {
+      val root = new java.io.File(s"$path/encoded.parquet")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    }
+    val before = filesPerCell
+    assert(before.values.exists(_ > 1),
+      s"append should have produced multi-file cells, got $before")
+    AnnIndex.compactIndex(spark, path)
+    val after = filesPerCell
+    assert(after.values.forall(_ == 1), s"cells not compacted to one file: $after")
+    assert(after.keySet == before.keySet, "compaction lost or invented cells")
+    // and the compacted index still reproduces brute force exhaustively
+    val exact = Similarity.bruteForceKnn(docs, "vec_id", "embedding",
+        col("vec_id") < 5, k = 3).collect().toSet
+    val got = AnnIndex.ivfPqKnnIndexed(spark, path,
+        docs.where(col("vec_id") < 5), "vec_id", "embedding", k = 3,
+        nProbe = 4, rerank = 1000)
+      .collect().toSet
+    assert(got == exact, s"diff: ${(got diff exact) ++ (exact diff got)}")
+  }
+
   test("index round-trip: params and codebooks reload exactly") {
     val docs = corpus()
     val path = tmpIndex()
