@@ -153,6 +153,35 @@ object AnnIndex {
     fs.delete(old, true)
   }
 
+  /** Per-cell occupancy of the inverted file: (cell, n_rows, n_files) plus
+    * each cell's share of the corpus. The operational skew monitor — a
+    * cell holding far more than corpus/nList rows makes every query that
+    * probes it pay the imbalance (the IVF analog of a hot shuffle key), and
+    * a cell with many files signals append accumulation ([[compactIndex]]).
+    * Row counts come from parquet footer metadata (a count over the
+    * partitioned scan), not a data read.
+    */
+  def describeIndex(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val enc = s"$path/encoded.parquet"
+    val fs = new Path(enc).getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(new Path(enc))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .map { d =>
+        val cell = d.getPath.getName.stripPrefix("cell=").toInt
+        cell -> fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet"))
+      }.toMap
+    import spark.implicits._
+    val nFiles = files.toSeq.toDF("cell", "n_files")
+    val total = sum("n_rows").over(Window.partitionBy())
+    spark.read.parquet(enc)
+      .groupBy("cell").agg(count(lit(1)).as("n_rows"))
+      .join(broadcast(nFiles), Seq("cell"), "full")
+      .na.fill(0, Seq("n_rows", "n_files"))
+      .withColumn("share", round(col("n_rows") / total, 4))
+      .orderBy(desc("n_rows"))
+  }
+
   /** Top-k cosine neighbors of `probes` (`(idCol, vecCol)` rows) from a
     * persisted index. Only the ranked cells' partitions are read — twice,
     * column-pruned each time: (codes, n_nrm) for ADC scoring, (id, vec)

@@ -112,6 +112,25 @@ class AnnIndexSpec extends SparkSpec {
     assert(got == exact, s"diff: ${(got diff exact) ++ (exact diff got)}")
   }
 
+  test("describe: per-cell occupancy accounts for every row and file") {
+    import org.apache.spark.sql.functions.col
+    val docs = corpus()
+    val path = tmpIndex()
+    AnnIndex.buildIvfPq(docs.where(col("vec_id") < 1000), "vec_id", "embedding", path,
+      nList = 4, m = 8, nCells = 16, dim = 16)
+    AnnIndex.appendIvfPq(docs.where(col("vec_id") >= 1000), "vec_id", "embedding", path)
+    val d = AnnIndex.describeIndex(spark, path).collect()
+    assert(d.map(_.getLong(1)).sum == docs.count(), "row counts must cover the corpus")
+    val root = new java.io.File(s"$path/encoded.parquet")
+    val wantFiles = root.listFiles().filter(_.getName.startsWith("cell="))
+      .map(dir => dir.getName.stripPrefix("cell=").toInt ->
+        dir.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(d.map(r => r.getInt(0) -> r.getInt(2)).toMap == wantFiles,
+      "per-cell file counts must match the directory listing")
+    assert(math.abs(d.map(_.getDouble(3)).sum - 1.0) < 0.01,
+      "shares must sum to ~1")
+  }
+
   test("index round-trip: params and codebooks reload exactly") {
     val docs = corpus()
     val path = tmpIndex()
