@@ -66,9 +66,14 @@ object AnnStreams {
     * vectors is encoded with the index's frozen codebooks
     * ([[AnnIndex.appendIvfPq]]) and appended to the cell partitions — the
     * online form of the reference's DB growing between formatdb runs,
-    * without ever re-running the build. Retrieval streams
-    * ([[annMatchStream]]) and batch queries pick the new rows up on their
-    * next trigger/run because they plan from the files.
+    * without ever re-running the build. Visibility contract (pinned in
+    * StreamingSpec): batch queries and NEWLY STARTED retrieval streams see
+    * appended rows because they list the files at plan time; an
+    * already-RUNNING [[annMatchStream]] holds the file listing captured
+    * when it started (Spark caches the static side's InMemoryFileIndex)
+    * and must be restarted to pick appends up — the retrieval analog of
+    * the reference reopening DB partitions per work item rather than
+    * mid-scan.
     *
     * Replay safety: foreachBatch re-runs a micro-batch with the SAME
     * batchId after a failure/restart, and a plain parquet append would

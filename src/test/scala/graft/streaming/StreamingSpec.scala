@@ -250,6 +250,51 @@ class StreamingSpec extends SparkSpec {
     val after = spark.read.parquet(s"$path/encoded.parquet").count()
     assert(after == before, s"replayed batch double-ingested: $before -> $after")
   }
+
+  test("append visibility: invisible to a running retrieval stream, visible to a new one") {
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    val rng = new scala.util.Random(7)
+    val base = (0 until 100).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val path = java.nio.file.Files.createTempDirectory("graft_annidx_v").toString
+    graft.operators.AnnIndex.buildIvfPq(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path, nList = 4, m = 8, nCells = 16, dim = 16)
+
+    // stream 1 starts BEFORE the append: its static-side file listing is
+    // captured at plan time (InMemoryFileIndex), so the appended vector
+    // must NOT surface on a later trigger — the documented contract, not a
+    // bug: restart to refresh, like the reference reopening DB partitions
+    // per work item
+    val input = MemoryStream[Probe]
+    val q = AnnStreams.annMatchStream(spark, path, input.toDS().toDF(),
+        "vec_id", "embedding", threshold = 0.99, nProbe = 4)
+      .writeStream.format("memory").queryName("vis_running").outputMode("append").start()
+    try {
+      input.addData(Probe(5000L, base(0)._2))
+      q.processAllAvailable()
+      graft.operators.AnnIndex.appendIvfPq(
+        Seq((9999L, base(1)._2)).toDF("vec_id", "embedding"), "vec_id", "embedding", path)
+      input.addData(Probe(5001L, base(1)._2))
+      q.processAllAvailable()
+      assert(spark.table("vis_running").where($"neighbor_id" === 5000L).isEmpty,
+        "sanity: probes are not index members")
+      assert(spark.table("vis_running").where($"neighbor_id" === 9999L).isEmpty,
+        "a RUNNING stream saw files appended after it started — the " +
+          "visibility contract (and its scaladoc) no longer hold")
+    } finally q.stop()
+
+    // a stream started AFTER the append lists the new files and finds it
+    val input2 = MemoryStream[Probe]
+    val q2 = AnnStreams.annMatchStream(spark, path, input2.toDS().toDF(),
+        "vec_id", "embedding", threshold = 0.99, nProbe = 4)
+      .writeStream.format("memory").queryName("vis_fresh").outputMode("append").start()
+    try {
+      input2.addData(Probe(5001L, base(1)._2))
+      q2.processAllAvailable()
+      assert(spark.table("vis_fresh").where($"neighbor_id" === 9999L).count() == 1,
+        "a freshly started stream must see the appended vector")
+    } finally q2.stop()
+  }
 }
 
 object StreamingSpec {
