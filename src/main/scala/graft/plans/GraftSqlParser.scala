@@ -58,6 +58,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val KnnJoin =
     """(?is)^\s*KNN\s+(BRUTE|LSH|IVF|PQ|IVFPQ)\s+JOIN\s+([\w.]+)\s+PROBES\s*\((.+)\)\s*TOP\s+(\d+)\s*;?\s*$""".r
 
+  // CREATE ANN INDEX AT '<path>' ON <table> — the offline build of the
+  // persisted IVF-PQ index ([[graft.operators.AnnIndex.buildIvfPq]]) as a
+  // proper lazily-planned DDL command (LeafRunnableCommand, executed when
+  // the statement runs — never at parse time).
+  private val CreateAnnIndex =
+    """(?is)^\s*CREATE\s+ANN\s+INDEX\s+AT\s+'([^']+)'\s+ON\s+([\w.]+)\s*;?\s*$""".r
+
+  // KNN INDEX JOIN '<path>' WITH <table> PROBES (<predicate>) TOP <k>
+  // — retrieval against a PERSISTED index: plans purely from the on-disk
+  // codebooks + cell partitions (served defaults nProbe=8, rerank>=128).
+  private val KnnIndexJoin =
+    """(?is)^\s*KNN\s+INDEX\s+JOIN\s+'([^']+)'\s+WITH\s+([\w.]+)\s+PROBES\s*\((.+)\)\s*TOP\s+(\d+)\s*;?\s*$""".r
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case SimJoin(qTable, cTable, kernelName, k) =>
       // resolve against the session this parser was constructed for, not
@@ -85,6 +98,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           rerank = math.max(128, k.toInt))
       }
       df.queryExecution.logical
+    case CreateAnnIndex(path, table) =>
+      BuildAnnIndexCommand(table, path)
+    case KnnIndexJoin(path, table, predicate, k) =>
+      val probes = session.table(table)
+        .where(org.apache.spark.sql.functions.expr(predicate))
+      graft.operators.AnnIndex.ivfPqKnnIndexed(session, path, probes,
+        "vec_id", "embedding", k.toInt, nProbe = 8,
+        rerank = math.max(128, k.toInt)).queryExecution.logical
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -96,6 +117,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       org.apache.spark.sql.functions.col("embedding"))).head().getInt(0)
 
   override def parseQuery(sqlText: String): LogicalPlan = parsePlan(sqlText)
+
   override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier = delegate.parseTableIdentifier(sqlText)
   override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier = delegate.parseFunctionIdentifier(sqlText)
@@ -103,4 +125,22 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
   override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
   override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
+}
+
+/** `CREATE ANN INDEX` as Spark DDL: a leaf command the session executes
+  * eagerly when the statement runs, like every built-in CREATE. Serving
+  * defaults: nList=16 cells, nCells=16 codes per subspace, and the widest
+  * m in {16,8,4,2,1} dividing the embedding width (PQ needs m | dim).
+  */
+case class BuildAnnIndexCommand(table: String, path: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.{col, size}
+    val emb = spark.table(table)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val m = Seq(16, 8, 4, 2, 1).find(dim % _ == 0).get
+    graft.operators.AnnIndex.buildIvfPq(emb, "vec_id", "embedding", path,
+      nList = 16, m = m, nCells = 16, dim = dim)
+    Seq.empty
+  }
 }

@@ -71,4 +71,26 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(out.map(_.getLong(0)).distinct.length == 2, s"$m: ${out.length} rows")
     }
   }
+
+  test("CREATE ANN INDEX + KNN INDEX JOIN == the Dataset index operators") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val base = (0 until 120).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    base.toDF("vec_id", "embedding").createOrReplaceTempView("idx_corpus")
+    val path = java.nio.file.Files.createTempDirectory("graft_sqlidx").toString
+    // DDL builds the persisted index (executed eagerly by sql(), like any
+    // CREATE); the files must actually land
+    spark.sql(s"CREATE ANN INDEX AT '$path' ON idx_corpus")
+    assert(new java.io.File(s"$path/encoded.parquet/_SUCCESS").exists,
+      "CREATE ANN INDEX did not write the inverted file")
+    // retrieval via SQL == retrieval via the Dataset API at the served
+    // defaults (nProbe=8, rerank=128) — same files, same plan spine
+    val sql = spark.sql(s"KNN INDEX JOIN '$path' WITH idx_corpus PROBES (vec_id < 2) TOP 3")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val ds = graft.operators.AnnIndex.ivfPqKnnIndexed(spark, path,
+        spark.table("idx_corpus").where(org.apache.spark.sql.functions.expr("vec_id < 2")),
+        "vec_id", "embedding", k = 3, nProbe = 8, rerank = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(sql.nonEmpty && sql == ds, s"diff: ${(sql diff ds) ++ (ds diff sql)}")
+  }
 }
