@@ -134,22 +134,34 @@ object AnnIndex {
     * read side stays CORRECT (cell pruning is directory-level) but pays
     * per-file open cost. Compaction is one shuffle on the cell key plus a
     * rewrite of corpus-sized data, the same cost as the original encode
-    * pass minus encoding. The swap is two directory renames (atomic on
-    * HDFS/posix; object stores approximate), with the old layout kept
-    * until the new one is fully committed.
+    * pass minus encoding. The swap is two directory renames (each atomic
+    * on HDFS/posix; object stores approximate), so there is a window
+    * between them where no live layout exists and a concurrently PLANNED
+    * query fails with path-not-found — single-writer maintenance, like the
+    * reference's formatdb runs, not an online swap. If the install rename
+    * fails the retired layout is rolled back to the live path, so the
+    * index is never left with nothing installed; the compacted layout
+    * stays at `encoded.compact.tmp` for a retry.
     */
   def compactIndex(spark: SparkSession, path: String): Unit = {
     import org.apache.hadoop.fs.Path
     val enc = s"$path/encoded.parquet"
+    val tmp = s"$path/encoded.compact.tmp"
     spark.read.parquet(enc)
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/encoded.compact.tmp")
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val old = new Path(s"$path/encoded.old")
     fs.delete(old, true)
     require(fs.rename(new Path(enc), old), s"compact: could not retire $enc")
-    require(fs.rename(new Path(s"$path/encoded.compact.tmp"), new Path(enc)),
-      s"compact: could not install compacted layout at $enc")
+    if (!fs.rename(new Path(tmp), new Path(enc))) {
+      val rolledBack = fs.rename(old, new Path(enc))
+      require(rolledBack,
+        s"compact: could not install $tmp at $enc AND rollback failed — live layout is at $old")
+      throw new IllegalStateException(
+        s"compact: could not install compacted layout at $enc; previous layout rolled back, " +
+          s"compacted files left at $tmp")
+    }
     fs.delete(old, true)
   }
 

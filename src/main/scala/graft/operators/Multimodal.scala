@@ -198,29 +198,39 @@ object Multimodal {
 
     private def decodeWav(b: Array[Byte]): Option[AudioMeta] = {
       if (b.length < 12 || tag(b, 8) != "WAVE") return None
-      var i = 12
+      // Cursor and step stay Long: sz is an unsigned u32 read as Long, and a
+      // corrupt size near 0xFFFFFFFF would overflow an Int step to zero or
+      // negative (an infinite loop / negative offset). The contract is that
+      // unparseable payloads yield None, never a hung task, so any chunk
+      // whose advance does not strictly move forward within Int range ends
+      // the walk.
+      var i = 12L
       var fmtOk = false
       var channels = 0; var rate = 0L; var byteRate = 0L
       var blockAlign = 0; var bits = 0
       var dataSize = -1L
-      while (i + 8 <= b.length && (!fmtOk || dataSize < 0)) {
-        val id = tag(b, i)
-        val sz = le32(b, i + 4)
+      var walkOk = true
+      while (walkOk && i + 8 <= b.length && (!fmtOk || dataSize < 0)) {
+        val at = i.toInt
+        val id = tag(b, at)
+        val sz = le32(b, at + 4)
         if (id == "fmt " && sz >= 16 && i + 8 + 16 <= b.length) {
-          val audioFormat = le16(b, i + 8)
+          val audioFormat = le16(b, at + 8)
           // 1 = PCM, 3 = IEEE float; anything else (ADPCM, extensible...)
           // would need its own fact table — refuse rather than guess
           if (audioFormat != 1 && audioFormat != 3) return None
-          channels = le16(b, i + 10)
-          rate = le32(b, i + 12)
-          byteRate = le32(b, i + 16)
-          blockAlign = le16(b, i + 20)
-          bits = le16(b, i + 22)
+          channels = le16(b, at + 10)
+          rate = le32(b, at + 12)
+          byteRate = le32(b, at + 16)
+          blockAlign = le16(b, at + 20)
+          bits = le16(b, at + 22)
           fmtOk = true
         } else if (id == "data") {
           dataSize = sz // sample bytes may be truncated away: size is the header's claim
         }
-        i += 8 + sz.toInt + (sz.toInt & 1) // chunks are even-aligned
+        val next = i + 8L + sz + (sz & 1L) // chunks are even-aligned
+        if (next <= i || next > Int.MaxValue) walkOk = false
+        else i = next
       }
       if (!fmtOk || dataSize < 0) return None
       if (channels < 1 || rate <= 0 || blockAlign <= 0 || bits < 1) return None

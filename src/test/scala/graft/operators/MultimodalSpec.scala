@@ -189,6 +189,23 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.AudioHeaders.decode(wav2) == m)
   }
 
+  test("AudioHeaders: corrupt u32 chunk sizes terminate the walk (no hang, no throw)") {
+    def le16(v: Int) = Array((v & 0xff).toByte, (v >> 8 & 0xff).toByte)
+    def le32(v: Long) = Array((v & 0xff).toByte, (v >> 8 & 0xff).toByte,
+      (v >> 16 & 0xff).toByte, (v >> 24 & 0xff).toByte)
+    val fmtChunk = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8)
+    // sz = 0xFFFFFFF8: as a truncated Int step this used to advance by
+    // 8 + (-8) + 0 = 0 — an infinite loop. The Long walk must bail to None.
+    val evil = "junk".getBytes ++ le32(0xFFFFFFF8L)
+    val wav = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++ evil ++ fmtChunk
+    assert(Multimodal.AudioHeaders.decode(wav).isEmpty)
+    // sz = 0xFFFFFFFF: truncated-Int step was negative (backwards cursor)
+    val evil2 = "junk".getBytes ++ le32(0xFFFFFFFFL)
+    val wav2 = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++ evil2 ++ fmtChunk
+    assert(Multimodal.AudioHeaders.decode(wav2).isEmpty)
+  }
+
   test("AudioHeaders: MP3 frame-header bit fields; non-MPEG1/LayerIII rejected") {
     // FF FB = MPEG-1 Layer III no-CRC; bitrate idx 9 (128k), rate idx 0
     // (44100), mono mode
