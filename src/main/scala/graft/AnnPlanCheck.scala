@@ -15,9 +15,45 @@ import graft.queries._
   *            for never carrying raw vectors through candidate scoring)
   *   q94/q99: 2 (encode + rerank; exhaustive modes carry no certificate)
   *
+  * Second section: MEASURED candidate volume. "Bucketed, not all-pairs"
+  * is asserted, not just commented — each ANN/dedup family's executed
+  * plan is walked for its largest join output (the rows that entered a
+  * scoring/verify stage) and checked against a budget derived from the
+  * family's own knobs (see [[candidateBudget]]). A config or code
+  * regression toward effective brute force fails the audit even though
+  * correctness gates would still pass.
+  *
   * Usage: runMain graft.AnnPlanCheck [sfDir]
   */
 object AnnPlanCheck {
+
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => p.children
+    }
+    p +: kids.flatMap(flatten)
+  }
+
+  /** Largest numOutputRows over all join nodes of the EXECUTED plan —
+    * the candidate volume: every family scores or verifies exactly the
+    * rows its generation join emits.
+    */
+  private def maxJoinOutputRows(df: DataFrame): Long = {
+    df.collect()
+    flatten(df.queryExecution.executedPlan)
+      .filter(_.nodeName.contains("Join"))
+      .flatMap(_.metrics.get("numOutputRows").map(_.value))
+      .foldLeft(0L)(_ max _)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -40,6 +76,39 @@ object AnnPlanCheck {
           s"prunedScans=$pruned rows=$rows time=${(System.nanoTime - t0) / 1e9}")
       }
     }
+
+    // ---- candidate-volume audit ----
+    val nEmb = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    val P = 10L // every ANN query's probe filter is vec_id < 10
+    // (query, budget, formula text). c covers hashing variance / cell
+    // skew on the finite corpus; intrinsic full-scan stages (PQ's ADC,
+    // the exhaustive indexed config) get P*N with slack, which still
+    // catches a cross-join over tables/cells (x16).
+    val candBudgets: Seq[(String, Long, String)] = Seq(
+      ("q64_knn_lsh", 2 * P * 16 * nEmb / 16, "2 * P * tables * N / 2^bits"),
+      ("q67_knn_ivf", 4 * P * 12 * nEmb / 16, "4 * P * nProbe * N / nList"),
+      ("q93_knn_pq", 3 * P * nEmb / 2, "1.5 * P * N (ADC scans the corpus; compression, not pruning)"),
+      ("q98_knn_ivfpq", 4 * P * 8 * nEmb / 16, "4 * P * nProbe * N / nList"),
+      ("q100_knn_indexed", 3 * P * nEmb / 2, "1.5 * P * N (exhaustive nProbe=nList config)"),
+      ("q62_dedup_minhash", nDocs * 40, "40 * N docs: banding candidates stay corpus-linear"),
+      ("q63_dedup_simhash", nDocs * 40, "40 * N docs: pigeonhole candidates stay corpus-linear"),
+      ("q84_prefix_jaccard", 500L * 500, "bounded subset; prefix candidates << allpairs"),
+      ("q101_dedup_embedding", nEmb * 40, "40 * N: sign-LSH bucket candidates stay corpus-linear"),
+      ("q104_incremental_dedup", nDocs * 40, "40 * N docs: incoming x existing banding only"))
+    var candFail = 0
+    for ((n, budget, formula) <- candBudgets) {
+      SparkEntry.queries.get(n) match {
+        case None => println(s"===== cand $n: SKIPPED (no such query)")
+        case Some(q) =>
+          val measured = maxJoinOutputRows(q(spark, dir))
+          val ok = measured <= budget
+          if (!ok) candFail += 1
+          println(f"===== cand $n: measured=$measured%d budget=$budget%d " +
+            s"[$formula] ${if (ok) "OK" else "OVER"}")
+      }
+    }
+    require(candFail == 0, s"$candFail families exceed their candidate-volume budget")
     spark.stop()
   }
 }

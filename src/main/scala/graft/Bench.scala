@@ -4,10 +4,24 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: every SparkEntry query timed at SPARK_GRAFT_SF_DIR,
   * one JSON line on stdout. A small warmup job runs first so the first
   * measured query doesn't absorb JVM/codegen/session initialization.
+  *
+  * Contention hygiene (both on by default, env-overridable):
+  *  - `SPARK_GRAFT_BENCH_RUNS=N` (default 1) times each query N times and
+  *    reports the per-query MIN — the standard way to strip scheduler /
+  *    hypervisor noise from a shared box; the committed artifact should be
+  *    produced with N >= 2.
+  *  - Before every timed run the session's cache manager is cleared so
+  *    session-pinned operator caches (Dedup/HeavyHitters pin candidate
+  *    tables for their own multi-action plans) cannot accumulate across a
+  *    100+-query session and amplify memory-pressure noise. The caches
+  *    still serve their purpose WITHIN a run (one query's own repeated
+  *    subtrees); repeat runs of the same query re-pay the cache build, so
+  *    min-of-N measures the query, not a warm cache.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt.max(1)
     val spark = GraftSession.tune(
       SparkSession.builder().master(s"local[${GraftSession.cpus}]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -25,9 +39,16 @@ object Bench {
       "graft_winnow_md5(cast(id as string), 2, 2)",
       "graft_dot(array(cast(id as float)), array(cast(id as float)))").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val times = (1 to runs).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      // min over successful runs: the least-contended observation of the
+      // same deterministic work; any failed run fails the query
+      val allOk = times.forall(_._2)
+      (name, if (allOk) times.map(_._1).min else -1.0, allOk)
     }
     // a failing query must NOT masquerade as a fast success: its entry is
     // the sentinel -1 and it is excluded from the total, plus an explicit
@@ -36,7 +57,7 @@ object Bench {
       .mkString("{", ",", "}")
     val failures = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir","runs":$runs}"""
     // the stdout capture around this main truncates long tails — persist the
     // full per-query JSON to a file too, and announce its path first so the
     // timings stay machine-readable even when the printed line is cut

@@ -32,6 +32,11 @@ object Bpe {
     * platforms. Words are whitespace tokens; symbols start as 1-character
     * strings (no end-of-word marker — the harness corpus is plain ASCII
     * words).
+    *
+    * The sample ordering is the house md5 cross-engine device (q83/q103):
+    * `md5(CAST(id AS STRING))` yields the identical hex string in Spark
+    * and DuckDB, so an oracle can reproduce the exact sample — and
+    * therefore the exact learned merges — even when `maxSample` binds.
     */
   def learn(docs: DataFrame, textCol: String, idCol: String, numMerges: Int,
             maxSample: Int = 20000): Seq[(String, String)] = {
@@ -40,7 +45,7 @@ object Bpe {
     // bounded deterministic sample (hash-ordered top-N, the codebook-fit
     // device) -> driver-side word-frequency table
     val sample = docs.select(col(idCol), col(textCol))
-      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(maxSample)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(maxSample)
       .select(col(textCol)).collect().map(_.getString(0))
     val wordFreq = scala.collection.mutable.HashMap[List[String], Long]()
     for (t <- sample; w <- t.split(" ") if w.nonEmpty)

@@ -18,6 +18,53 @@ object TextQueries extends QuerySet {
     */
   private val NgramDocLimit = 500
 
+  /** Merge count for the hash-oracled BPE config (q108): small enough that
+    * the chained-CTE oracle stays readable, large enough that several
+    * stages compound (stage i's pair table depends on stages 0..i-1).
+    */
+  private val BpeOracleMerges = 8
+
+  /** DuckDB replay of [[graft.operators.Bpe.learn]] + encode, generated as
+    * one chained-CTE statement: `samp` is the identical md5-ordered sample,
+    * `sw` its word-frequency table, `enc0` every corpus word as character
+    * symbols; then per merge stage i, `pf_i` recomputes pair frequencies
+    * over the sample's evolving symbols, `best_i` takes the
+    * (freq DESC, a, b) argmax, and `enc_{i+1}` applies the merge to every
+    * word with a greedy left-to-right `list_reduce` (top-of-accumulator
+    * match consumes both symbols — exactly the learner's apply loop, and
+    * the kernel's merge pass). Final stage: token count per doc = sum of
+    * its words' symbol counts.
+    */
+  private def bpeOracleSql(numMerges: Int, maxSample: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH samp AS (SELECT text FROM documents ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $maxSample),
+              |sw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+              |  SELECT unnest(string_split(text, ' ')) AS w FROM samp) WHERE w <> '' GROUP BY w),
+              |dw AS (SELECT doc_id, w FROM (
+              |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''),
+              |vocab AS (SELECT DISTINCT w FROM dw),
+              |enc0 AS (SELECT w, list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) AS syms FROM vocab)""".stripMargin
+    for (i <- 0 until numMerges) {
+      sb ++= s""",
+                |pf$i AS (SELECT a, b, CAST(SUM(f) AS BIGINT) AS pf FROM (
+                |  SELECT syms[i] AS a, syms[i + 1] AS b, f FROM (
+                |    SELECT e.syms, s.f, unnest(generate_series(1, len(e.syms) - 1)) AS i
+                |    FROM enc$i e JOIN sw s USING (w) WHERE len(e.syms) >= 2)) GROUP BY a, b),
+                |best$i AS (SELECT a, b FROM pf$i ORDER BY pf DESC, a, b LIMIT 1),
+                |enc${i + 1} AS (SELECT e.w, CASE WHEN len(e.syms) < 2 THEN e.syms ELSE
+                |    list_reduce(list_transform(e.syms, s -> [s]),
+                |      (acc, x) -> CASE WHEN acc[len(acc)] = b.a AND x[1] = b.b
+                |                  THEN list_concat(acc[1:len(acc) - 1], [b.a || b.b])
+                |                  ELSE list_concat(acc, x) END) END AS syms
+                |  FROM enc$i e CROSS JOIN best$i b)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT d.doc_id, CAST(SUM(len(e.syms)) AS INT) AS n_tokens
+              |FROM dw d JOIN enc$numMerges e USING (w)
+              |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+    sb.toString
+  }
+
   val queries: Map[String, Q] = Map(
     // Token/char statistics per document (tokenization + arithmetic).
     "q30_text_stats" -> ((s, dir) => {
@@ -163,6 +210,23 @@ object TextQueries extends QuerySet {
     // recomputed arithmetically by DuckDB.
     "q106_bpe_chars" -> ((s, dir) => {
       graft.operators.Bpe.encode(t(s, dir, "documents"), "text", Seq.empty)
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
+    // Hash-oracled learn+apply composition: a small-numMerges BPE config
+    // whose DuckDB oracle REPLAYS THE LEARNER — chained CTE stages, each
+    // recomputing pair frequencies over the evolving symbol tables, taking
+    // the (freq DESC, pair ASC) argmax, and applying the merge with a
+    // greedy left-to-right list_reduce — then re-encodes the corpus and
+    // counts tokens. With the md5 sample device in Bpe.learn the two
+    // engines draw the identical sample, so the merges, not just the apply
+    // machinery (q106), are verified end to end. q105 keeps the served
+    // 50-merge config; this is its exactness twin.
+    "q108_bpe_learned_oracle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.learn(docs, "text", "doc_id", numMerges = BpeOracleMerges)
+      graft.operators.Bpe.encode(docs, "text", merges)
         .select("doc_id", "n_tokens")
         .orderBy("doc_id")
     }),
@@ -317,6 +381,7 @@ object TextQueries extends QuerySet {
     "q106_bpe_chars" ->
       """SELECT doc_id, CAST(length(replace(text, ' ', '')) AS INT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q108_bpe_learned_oracle" -> bpeOracleSql(BpeOracleMerges, maxSample = 20000),
     "q36_word_freq" ->
       """SELECT tok, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
