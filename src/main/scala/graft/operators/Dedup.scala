@@ -97,7 +97,7 @@ object Dedup {
   /** Per-band bucket ids for a (id, sig) signature table: (id, band,
     * bucket), bucket = hash of that band's signature slice.
     */
-  private def bandBuckets(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private[operators] def bandBuckets(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     sig.selectExpr("id",
       s"posexplode(transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))) AS (band, bucket)")
@@ -139,7 +139,7 @@ object Dedup {
     * above `maxBucketSize` broadcast back as an anti-join. Never buffers
     * bucket members.
     */
-  private def dropHotBuckets(rows: DataFrame, keyCols: Seq[String],
+  private[operators] def dropHotBuckets(rows: DataFrame, keyCols: Seq[String],
                              maxBucketSize: Int): DataFrame = {
     val hot = rows.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("bsz")).where(col("bsz") > maxBucketSize)
@@ -220,10 +220,22 @@ object Dedup {
     // is the materialization cost of cache() paid back.
     val sig = if (estimatePrefilter) sig0.cache() else sig0
     val cands0 = lshCandidates(sig, numHashes, bands, maxBucketSize)
+    // Consumed twice by the RETURNED lazy plan: id-prune + verify join.
+    // Unpersist-after-verify is not expressible here — the operator never
+    // runs an action (the caller does, possibly several), and there is no
+    // "after the verify join has consumed it" point that exists before the
+    // caller's action runs. Decision (round 7, revisited after the bench's
+    // per-run cacheManager clear landed): the pin stays. The cache is
+    // candidate-pair-sized (three longs per row, bounded by the
+    // candidate-volume audit in AnnPlanCheck), spills via
+    // MEMORY_AND_DISK, and a long-lived session that wants the memory
+    // back clears it through spark.sharedState.cacheManager — which the
+    // bench now does before every timed run, so the one place the pins
+    // compounded (a 106-query bench session) no longer exists.
     val cands = (if (estimatePrefilter)
       estimateFilter(cands0, sig, numHashes,
         math.max(0.0, threshold - 2.0 / math.sqrt(numHashes.toDouble)))
-    else cands0).cache() // consumed twice: id-prune + verify join
+    else cands0).cache()
     val candIds = cands.select(explode(array(col("a_id"), col("b_id"))).as(idCol)).distinct()
     val candDocs = docs.join(candIds, Seq(idCol), "left_semi")
     // sets built as one projection over the pruned docs — the exact-verify
@@ -266,7 +278,8 @@ object Dedup {
         Seq("band", "bucket"))
       .select("a_id", "b_id")
       .distinct()
-      .cache() // consumed twice: id-prune + verify join
+      .cache() // consumed twice: id-prune + verify join; pin rationale at
+               // the minHashDupPairs candidate cache (same decision)
     // one semi-prune + one set build over the unioned corpus (id spaces are
     // disjoint by contract, so the union is a disjoint concatenation)
     val candIds = cands
@@ -351,7 +364,8 @@ object Dedup {
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")) >= 2))
       .distinct()
-      .cache() // consumed twice: id-prune + verify join
+      .cache() // consumed twice: id-prune + verify join; pin rationale at
+               // the minHashDupPairs candidate cache (same decision)
     // verify only the docs that appear in some candidate pair (semi-join
     // prune, same shape as minHashDupPairs), reading the SAME cached sets
     // the candidates were generated from

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash signature index — the dedup analog of [[AnnIndex]],
+  * and the artifact [[Dedup.incrementalDupPairs]]'s scaladoc promised: "at
+  * production scale [the existing side's signatures] would instead be read
+  * from the previous run's persisted signature table". This makes the
+  * recurring-ingest loop truly O(batch): the existing corpus is never
+  * re-shingled, re-hashed, or re-banded — its banding buckets AND its
+  * verify-stage shingle-hash sets live on disk, written once at build time
+  * (the reference's formatdb model again: `mrblast.cpp:838-845` reopens
+  * prebuilt partitions per work item, never rebuilds them).
+  *
+  * On-disk layout under `path/`:
+  *  - `params.parquet` — one row (shingleN, numHashes, bands): the frozen
+  *    hashing configuration; every append/screen re-reads it so a batch can
+  *    NEVER be encoded with drifted knobs.
+  *  - `buckets.parquet` — (id, band, bucket): the banding join side,
+  *    bands rows per member document.
+  *  - `sets.parquet` — (id, hs): per-document shingle-hash sets (one
+  *    8-byte xxhash64 per distinct shingle) for the exact verify stage.
+  *
+  * Screening cost per batch: one narrow signature pass over the batch, a
+  * cross-corpus bucket equi-join (incoming x persisted — never a
+  * self-join), and a candidate-linear verify whose existing-side sets are
+  * READ (column-pruned, candidate-semi-joined) instead of recomputed.
+  * Output semantics are IDENTICAL to [[Dedup.incrementalDupPairs]] on the
+  * same inputs — q113 pins that under q104's brute-force DuckDB oracle.
+  */
+object DedupIndex {
+
+  /** Build the signature index over the kept corpus: one tokenize+hash
+    * pass produces both artifacts (buckets and sets); nothing data-sized
+    * touches the driver.
+    */
+  def build(docs: DataFrame, textCol: String, idCol: String, path: String,
+            shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8): Unit = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((shingleN, numHashes, bands)).toDF("shingleN", "numHashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params.parquet")
+    writeMembers(docs, textCol, idCol, path, shingleN, numHashes, bands,
+      mode = "overwrite")
+  }
+
+  /** Append a batch of NEW documents (disjoint ids) to the index with the
+    * FROZEN persisted parameters — O(batch): one narrow encode pass plus
+    * two parquet appends. The recurring-ingest loop screens a batch first
+    * ([[screen]]), then appends the accepted survivors.
+    */
+  def append(docs: DataFrame, textCol: String, idCol: String, path: String): Unit = {
+    val (shingleN, numHashes, bands) = params(docs.sparkSession, path)
+    writeMembers(docs, textCol, idCol, path, shingleN, numHashes, bands,
+      mode = "append")
+  }
+
+  /** Flag incoming documents that near-duplicate the indexed corpus:
+    * (a_id = indexed doc, b_id = incoming doc, jaccard >= threshold).
+    * Candidates come from the cross-corpus bucket equi-join only; the
+    * exact verify reads the indexed side's persisted sets and computes the
+    * batch side's sets in the same narrow pass that banded it.
+    */
+  def screen(spark: SparkSession, path: String, incoming: DataFrame,
+             textCol: String, idCol: String, threshold: Double,
+             maxBucketSize: Int = 1000): DataFrame = {
+    val (shingleN, numHashes, bands) = params(spark, path)
+    val bI = Dedup.bandBuckets(
+      Dedup.minHashSignatures(incoming, textCol, idCol, shingleN, numHashes),
+      numHashes, bands)
+    val bE0 = spark.read.parquet(s"$path/buckets.parquet")
+    // the skew guard drops hot buckets on the INDEXED side (same contract
+    // as incrementalDupPairs: Int.MaxValue opts out and makes the output a
+    // function of banding recall only)
+    val bE = if (maxBucketSize == Int.MaxValue) bE0
+             else Dedup.dropHotBuckets(bE0, Seq("band", "bucket"), maxBucketSize)
+    val cands = bE.select(col("id").as("a_id"), col("band"), col("bucket"))
+      .join(bI.select(col("id").as("b_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("a_id", "b_id")
+      .distinct()
+      .cache() // consumed twice (id-prune + verify join); pin rationale at
+               // Dedup.minHashDupPairs's candidate cache (same decision)
+    // verify sets: indexed side READ from disk (column-pruned to (id, hs),
+    // candidate-semi-joined so only flagged members decode), batch side
+    // computed — ids are disjoint by contract, so the union is a disjoint
+    // concatenation exactly as in incrementalDupPairs
+    val aIds = cands.select(col("a_id").as("id")).distinct()
+    val bIds = cands.select(col("b_id").as("id")).distinct()
+    val sets = spark.read.parquet(s"$path/sets.parquet")
+      .join(aIds, Seq("id"), "left_semi")
+      .unionByName(
+        Dedup.shingleHashSets(incoming, textCol, idCol, shingleN)
+          .join(bIds, Seq("id"), "left_semi"))
+    Dedup.verifyJaccardSets(cands, sets, threshold)
+  }
+
+  /** Per-member-count / file-count report, the [[AnnIndex.describeIndex]]
+    * analog: append accumulation shows up as file growth.
+    */
+  def describe(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val nFiles = fs.listStatus(new Path(s"$path/sets.parquet"))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    spark.read.parquet(s"$path/sets.parquet")
+      .agg(count(lit(1)).as("n_members"),
+        sum(size(col("hs"))).as("n_set_entries"))
+      .withColumn("n_files", lit(nFiles))
+  }
+
+  private def params(spark: SparkSession, path: String): (Int, Int, Int) = {
+    val p = spark.read.parquet(s"$path/params.parquet").head()
+    (p.getInt(0), p.getInt(1), p.getInt(2))
+  }
+
+  /** One tokenize+hash pass over `docs` writes both artifacts. */
+  private def writeMembers(docs: DataFrame, textCol: String, idCol: String,
+                           path: String, shingleN: Int, numHashes: Int,
+                           bands: Int, mode: String): Unit = {
+    val sig = Dedup.minHashSignatures(docs, textCol, idCol, shingleN, numHashes)
+    Dedup.bandBuckets(sig, numHashes, bands)
+      .write.mode(mode).parquet(s"$path/buckets.parquet")
+    Dedup.shingleHashSets(docs, textCol, idCol, shingleN)
+      .write.mode(mode).parquet(s"$path/sets.parquet")
+  }
+}

@@ -51,7 +51,10 @@ object HeavyHitters {
     // several). Both stay pinned for the session by design and are
     // metadata-sized — summary <= (summarySize+1) rows per partition,
     // counted <= the candidate set — so the pinned footprint is bounded by
-    // the operator's own memory contract, not by the data.
+    // the operator's own memory contract, not by the data. (Round 7: the
+    // bench clears the cache manager before every timed run, so pins no
+    // longer accumulate across a bench session; see the decision note at
+    // Dedup.minHashDupPairs's candidate cache.)
     //
     // The pass runs at the InternalRow/UTF8String level (queryExecution
     // .toRdd), NOT through Dataset[String]: the typed path materializes a

@@ -65,11 +65,28 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val CreateAnnIndex =
     """(?is)^\s*CREATE\s+ANN\s+INDEX\s+AT\s+'([^']+)'\s+ON\s+([\w.]+)\s*;?\s*$""".r
 
+  // APPEND TO ANN INDEX AT '<path>' FROM <table> /
+  // COMPACT ANN INDEX AT '<path>' / DESCRIBE ANN INDEX AT '<path>' —
+  // the rest of the index lifecycle as statements: ingest with the frozen
+  // codebooks, collapse accumulated append files, and the per-cell
+  // occupancy report (DESCRIBE returns the skew-monitor rows like any
+  // DESCRIBE). Same operators as the Dataset surface, never a re-impl.
+  private val AppendAnnIndex =
+    """(?is)^\s*APPEND\s+TO\s+ANN\s+INDEX\s+AT\s+'([^']+)'\s+FROM\s+([\w.]+)\s*;?\s*$""".r
+  private val CompactAnnIndex =
+    """(?is)^\s*COMPACT\s+ANN\s+INDEX\s+AT\s+'([^']+)'\s*;?\s*$""".r
+  private val DescribeAnnIndex =
+    """(?is)^\s*DESCRIBE\s+ANN\s+INDEX\s+AT\s+'([^']+)'\s*;?\s*$""".r
+
   // KNN INDEX JOIN '<path>' WITH <table> PROBES (<predicate>) TOP <k>
+  //   [NPROBE <n>] [RERANK <n|ALL>]
   // — retrieval against a PERSISTED index: plans purely from the on-disk
-  // codebooks + cell partitions (served defaults nProbe=8, rerank>=128).
+  // codebooks + cell partitions. Served defaults nProbe=8, rerank>=128;
+  // the optional clauses expose the recall knobs (NPROBE >= nList with
+  // RERANK ALL is the exhaustive configuration that must reproduce brute
+  // force — the oracle-able form, q109).
   private val KnnIndexJoin =
-    """(?is)^\s*KNN\s+INDEX\s+JOIN\s+'([^']+)'\s+WITH\s+([\w.]+)\s+PROBES\s*\((.+)\)\s*TOP\s+(\d+)\s*;?\s*$""".r
+    """(?is)^\s*KNN\s+INDEX\s+JOIN\s+'([^']+)'\s+WITH\s+([\w.]+)\s+PROBES\s*\((.+)\)\s*TOP\s+(\d+)(?:\s+NPROBE\s+(\d+))?(?:\s+RERANK\s+(\d+|ALL))?\s*;?\s*$""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case SimJoin(qTable, cTable, kernelName, k) =>
@@ -100,12 +117,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       df.queryExecution.logical
     case CreateAnnIndex(path, table) =>
       BuildAnnIndexCommand(table, path)
-    case KnnIndexJoin(path, table, predicate, k) =>
+    case AppendAnnIndex(path, table) =>
+      AppendAnnIndexCommand(table, path)
+    case CompactAnnIndex(path) =>
+      CompactAnnIndexCommand(path)
+    case DescribeAnnIndex(path) =>
+      graft.operators.AnnIndex.describeIndex(session, path).queryExecution.logical
+    case KnnIndexJoin(path, table, predicate, k, nProbeOpt, rerankOpt) =>
       val probes = session.table(table)
         .where(org.apache.spark.sql.functions.expr(predicate))
+      val nProbe = Option(nProbeOpt).map(_.toInt).getOrElse(8)
+      val rerank = Option(rerankOpt) match {
+        case Some(r) if r.equalsIgnoreCase("ALL") => Int.MaxValue
+        case Some(r) => math.max(r.toInt, k.toInt)
+        case None => math.max(128, k.toInt)
+      }
       graft.operators.AnnIndex.ivfPqKnnIndexed(session, path, probes,
-        "vec_id", "embedding", k.toInt, nProbe = 8,
-        rerank = math.max(128, k.toInt)).queryExecution.logical
+        "vec_id", "embedding", k.toInt, nProbe = nProbe,
+        rerank = rerank).queryExecution.logical
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -141,6 +170,28 @@ case class BuildAnnIndexCommand(table: String, path: String)
     val m = Seq(16, 8, 4, 2, 1).find(dim % _ == 0).get
     graft.operators.AnnIndex.buildIvfPq(emb, "vec_id", "embedding", path,
       nList = 16, m = m, nCells = 16, dim = dim)
+    Seq.empty
+  }
+}
+
+/** `APPEND TO ANN INDEX` — incremental ingest with the index's frozen
+  * codebooks ([[graft.operators.AnnIndex.appendIvfPq]]): O(batch), no refit.
+  */
+case class AppendAnnIndexCommand(table: String, path: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    graft.operators.AnnIndex.appendIvfPq(spark.table(table), "vec_id", "embedding", path)
+    Seq.empty
+  }
+}
+
+/** `COMPACT ANN INDEX` — collapse accumulated append files to one per cell
+  * ([[graft.operators.AnnIndex.compactIndex]]).
+  */
+case class CompactAnnIndexCommand(path: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    graft.operators.AnnIndex.compactIndex(spark, path)
     Seq.empty
   }
 }

@@ -30,6 +30,23 @@ object PipelineQueries extends QuerySet {
       |SELECT probe_id, neighbor_id, cosim, rnk FROM r WHERE rnk <= 5
       |ORDER BY probe_id, rnk""".stripMargin
 
+  /** Brute-force cross-corpus (existing x incoming) 3-shingle Jaccard >=
+    * 0.5 — shared by q104 (direct operator) and q113 (persisted index).
+    */
+  private val incrementalDedupOracle =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, sh FROM (
+      |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh FROM (
+      |    SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM d WHERE len(t) >= 3))),
+      |c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      |          FROM sh a JOIN sh b ON a.sh = b.sh
+      |          WHERE a.doc_id % 5 > 0 AND b.doc_id % 5 = 0 GROUP BY 1, 2)
+      |SELECT a_id, b_id, FLOOR(inter*1.0/(ca.n + cb.n - inter) * 10000) / 10000 AS jaccard
+      |FROM inter JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
+      |WHERE inter*1.0/(ca.n + cb.n - inter) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // A4 block segmentation (scalable cumsum-bucket form) + block summary.
     "q60_block_segmentation" -> ((s, dir) => {
@@ -251,6 +268,92 @@ object PipelineQueries extends QuerySet {
       AnnIndex.ivfPqKnnIndexed(s, path, emb.where(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, nProbe = 16, rerank = Int.MaxValue)
         .orderBy("probe_id", "rnk")
+    }),
+
+    // The SQL DDL surface end to end, hash-oracled: the whole round trip —
+    // CREATE ANN INDEX (the BuildAnnIndexCommand DDL) then KNN INDEX JOIN
+    // with the exhaustive knobs (NPROBE >= nList, RERANK ALL) — runs as
+    // spark.sql STATEMENTS through GraftSqlParser against a temp view, and
+    // must reproduce brute force exactly (same oracle as q100). Proves the
+    // parser path serves the identical operator, not a drifted twin.
+    "q109_sql_knn_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      emb.createOrReplaceTempView("embeddings_sql")
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_sql_" +
+        s"${math.abs(dir.hashCode)}_${src.lastModified}"
+      if (!new java.io.File(s"$path/encoded.parquet/_SUCCESS").exists)
+        s.sql(s"CREATE ANN INDEX AT '$path' ON embeddings_sql")
+      s.sql(s"KNN INDEX JOIN '$path' WITH embeddings_sql " +
+          "PROBES (vec_id < 10) TOP 5 NPROBE 16 RERANK ALL")
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Index lifecycle under oracle: build on the even half, APPEND the odd
+    // half (file-per-cell accumulation), COMPACT back to one file per
+    // cell, then query exhaustively — compaction must be INVISIBLE to
+    // results (same brute-force oracle), while AnnIndexSpec pins the
+    // file-count collapse it exists for. describeIndex's occupancy report
+    // is the rows-only q111.
+    "q110_knn_compacted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_cpt_" +
+        s"${math.abs(dir.hashCode)}_${src.lastModified}"
+      val done = new java.io.File(s"$path/_COMPACT_DONE")
+      if (!done.exists) {
+        AnnIndex.buildIvfPq(emb.where(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", path, nList = 16, m = 16, nCells = 16, dim = 64)
+        AnnIndex.appendIvfPq(emb.where(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", path)
+        AnnIndex.compactIndex(s, path)
+        done.createNewFile()
+      }
+      AnnIndex.ivfPqKnnIndexed(s, path, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 16, rerank = Int.MaxValue)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Occupancy report over the compacted q110 index — the skew monitor as
+    // a driver query. Rows-only (cells come from the KMeans fit, which SQL
+    // cannot replay), but the row itself carries its own hard checks: after
+    // compactIndex every cell must hold EXACTLY ONE file (compaction's
+    // contract), and assert_true fails the job if any n_files differs —
+    // so a compaction regression cannot hide behind the weaker check.
+    "q111_index_occupancy" -> ((s, dir) => {
+      // same mtime-keyed path as q110; build+append+compact if needed
+      // (self-reference resolves at run time, after the map is built)
+      queries("q110_knn_compacted")(s, dir).limit(1).collect()
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_cpt_" +
+        s"${math.abs(dir.hashCode)}_${src.lastModified}"
+      AnnIndex.describeIndex(s, path)
+        .withColumn("_one_file", assert_true(col("n_files") === 1,
+          concat(lit("compacted cell has n_files != 1: cell "), col("cell"))))
+        .select(col("cell"), col("n_rows"), col("n_files"), col("share"))
+        .orderBy("cell")
+    }),
+
+    // Streaming retrieval's batch twin under a hard oracle: the EXACT
+    // dataframe [[graft.streaming.AnnStreams.annMatchStream]] runs on a
+    // stream (StreamingSpec proves stream == batch on the same frame) is
+    // here run on a batch probe set against the persisted q100 index with
+    // nProbe = nList — every cell probed, so above-threshold true-cosine
+    // matching must reproduce the brute-force cosine-threshold join that
+    // DuckDB recomputes. The served streaming config differs only in
+    // nProbe, the recall knob the batch family already certifies.
+    "q112_ann_threshold_retrieval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_" +
+        s"${math.abs(dir.hashCode)}_${src.lastModified}"
+      if (!new java.io.File(s"$path/encoded.parquet/_SUCCESS").exists)
+        AnnIndex.buildIvfPq(emb, "vec_id", "embedding", path,
+          nList = 16, m = 16, nCells = 16, dim = 64)
+      graft.streaming.AnnStreams.annMatchStream(s, path,
+          emb.where(col("vec_id") < 10), "vec_id", "embedding",
+          threshold = 0.3, nProbe = 16)
+        .orderBy("probe_id", "neighbor_id")
     }),
 
     // Same certificate for the LSH path: bits = 0 collapses every vector
@@ -482,6 +585,26 @@ object PipelineQueries extends QuerySet {
         .orderBy("a_id", "b_id")
     }),
 
+    // The PERSISTED form of q104: build the signature index over the
+    // existing corpus once (mtime-keyed, the formatdb model — q100's
+    // pattern), then screen the incoming batch against the on-disk buckets
+    // + sets. Same knobs, same brute-force cross-corpus oracle: the
+    // index round trip must be invisible to results. DedupIndexSpec pins
+    // screen == incrementalDupPairs and append/describe besides.
+    "q113_dedup_index_screen" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedupidx_" +
+        s"${math.abs(dir.hashCode)}_${src.lastModified}"
+      if (!new java.io.File(s"$path/sets.parquet/_SUCCESS").exists)
+        graft.operators.DedupIndex.build(docs.where(col("doc_id") % 5 =!= 0),
+          "text", "doc_id", path, shingleN = 3, numHashes = 32, bands = 8)
+      graft.operators.DedupIndex.screen(s, path,
+          docs.where(col("doc_id") % 5 === 0), "text", "doc_id",
+          threshold = 0.5, maxBucketSize = Int.MaxValue)
+        .orderBy("a_id", "b_id")
+    }),
+
     // The end-to-end dedup DELIVERABLE on the full corpus: near-dup pairs
     // (minhash-LSH scale path) -> connected components -> drop every
     // non-representative member -> per-source kept corpus stats. This is
@@ -610,6 +733,19 @@ object PipelineQueries extends QuerySet {
     "q99_knn_ivfpq_exact" -> knnOracle,
     "q100_knn_indexed" -> knnOracle,
     "q107_knn_append" -> knnOracle,
+    "q109_sql_knn_indexed" -> knnOracle,
+    "q110_knn_compacted" -> knnOracle,
+    "q112_ann_threshold_retrieval" ->
+      """WITH ex AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+        |            CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM ex GROUP BY vec_id),
+        |p AS (SELECT * FROM ex WHERE vec_id < 10),
+        |dotp AS (SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, SUM(p.x*e.x) AS dp
+        |        FROM p JOIN ex e ON p.i = e.i AND e.vec_id <> p.vec_id GROUP BY 1, 2),
+        |cos AS (SELECT probe_id, neighbor_id, ROUND(dp/(np.nrm*ne.nrm), 4) AS cosim
+        |        FROM dotp JOIN n np ON np.vec_id = probe_id JOIN n ne ON ne.vec_id = neighbor_id)
+        |SELECT probe_id, neighbor_id, cosim FROM cos WHERE cosim >= 0.3
+        |ORDER BY probe_id, neighbor_id""".stripMargin,
     // exact 3-gram-shingle Jaccard >= 0.5 over the full corpus; the engine
     // side reaches it through MinHash banding + exact verify (recall note
     // on the query)
@@ -627,19 +763,9 @@ object PipelineQueries extends QuerySet {
         |ORDER BY a_id, b_id""".stripMargin,
     // q62's shingle machinery with a CROSS-corpus pair universe: existing
     // (doc_id % 5 > 0) x incoming (doc_id % 5 = 0)
-    "q104_incremental_dedup" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, sh FROM (
-        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh FROM (
-        |    SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM d WHERE len(t) >= 3))),
-        |c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-        |          FROM sh a JOIN sh b ON a.sh = b.sh
-        |          WHERE a.doc_id % 5 > 0 AND b.doc_id % 5 = 0 GROUP BY 1, 2)
-        |SELECT a_id, b_id, FLOOR(inter*1.0/(ca.n + cb.n - inter) * 10000) / 10000 AS jaccard
-        |FROM inter JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
-        |WHERE inter*1.0/(ca.n + cb.n - inter) >= 0.5
-        |ORDER BY a_id, b_id""".stripMargin,
+    "q104_incremental_dedup" -> incrementalDedupOracle,
+    // identical semantics served from the persisted signature index
+    "q113_dedup_index_screen" -> incrementalDedupOracle,
     // identical md5-60bit simhash per doc (majority vote over distinct-token
     // hashes), then brute-force hamming <= 3 — the engine reaches the same
     // set through complete pigeonhole banding

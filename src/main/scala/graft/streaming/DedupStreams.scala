@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.DedupIndex
+
+/** Streaming near-dup screening over the persisted signature index
+  * ([[graft.operators.DedupIndex]]) — the online form of the recurring
+  * dedup-ingest loop: every micro-batch of arriving documents is screened
+  * against the kept corpus, flagged pairs are appended to a parquet audit
+  * sink, and the batch's NON-duplicate survivors join the index — so the
+  * next batch is screened against a corpus that already includes them.
+  * This is the curation loop every growing pretraining corpus runs; the
+  * batch semantics of each step are oracled by q113 (screen) and pinned by
+  * DedupIndexSpec (append/screen composition).
+  *
+  * Replay safety follows [[AnnStreams.annIngestStream]] exactly: a
+  * per-batchId marker committed AFTER the append makes crash-replayed
+  * micro-batches idempotent; the one crash window left (append committed,
+  * marker not yet written) is the standard residual for non-transactional
+  * sinks.
+  */
+object DedupStreams {
+
+  def screenAndIngestStream(docs: DataFrame, textCol: String, idCol: String,
+                            indexPath: String, flaggedPath: String,
+                            checkpoint: String, threshold: Double,
+                            maxBucketSize: Int = 1000): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        screenAndIngestBatch(batch, textCol, idCol, indexPath, flaggedPath,
+          threshold, maxBucketSize, batchId)
+      }
+      .start()
+
+  /** The foreachBatch body, exposed for direct (re)play in tests. */
+  def screenAndIngestBatch(batch: DataFrame, textCol: String, idCol: String,
+                           indexPath: String, flaggedPath: String,
+                           threshold: Double, maxBucketSize: Int,
+                           batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(s"$indexPath/_screened/batch_$batchId")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker) && !batch.isEmpty) {
+      val flagged = DedupIndex.screen(spark, indexPath, batch, textCol, idCol,
+        threshold, maxBucketSize)
+      flagged.write.mode("append").parquet(flaggedPath)
+      // survivors (not near-duplicating the indexed corpus) join the index;
+      // the flagged side is read back from the sink just written, so the
+      // anti-join prunes on exactly what was recorded
+      val dupIds = spark.read.parquet(flaggedPath)
+        .select(col("b_id").as(idCol)).distinct()
+      val survivors = batch.join(dupIds, Seq(idCol), "left_anti")
+      if (!survivors.isEmpty) DedupIndex.append(survivors, textCol, idCol, indexPath)
+      fs.create(marker, true).close()
+    }
+  }
+}

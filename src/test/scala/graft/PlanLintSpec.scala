@@ -26,6 +26,9 @@ class PlanLintSpec extends SparkSpec {
   //         denominator (the q44 corpus-count pattern)
   //   q98/q99 — IVF-PQ: probe x centroid cell ranking (the q67 pattern) +
   //         the bounded certificate's brute-force exact side
+  //   q109/q110 — ivfPqKnnIndexed's probe x centroid cell ranking (both
+  //         sides broadcast, metadata-sized — the q100/q107 pattern via
+  //         the SQL statement / compaction lifecycle respectively)
   private val productAllowed = Set(
     "q18_cross_join", "q23_scalar_subquery", "q40_knn_brute",
     "q43_dedup_embedding", "q44_tfidf", "q49_simjoin_dfcap",
@@ -33,7 +36,7 @@ class PlanLintSpec extends SparkSpec {
     "q82_heavy_hitters", "q85_knn_ivf_exact", "q86_knn_lsh_exact",
     "q93_knn_pq", "q94_knn_pq_exact", "q97_lm_perplexity",
     "q98_knn_ivfpq", "q99_knn_ivfpq_exact", "q100_knn_indexed",
-    "q107_knn_append")
+    "q107_knn_append", "q109_sql_knn_indexed", "q110_knn_compacted")
 
   // iterative/multi-stage pipelines legitimately above the common bound:
   //   q48 — label-propagation rounds

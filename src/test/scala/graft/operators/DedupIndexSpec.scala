@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupIndexSpec extends SparkSpec {
+
+  private def corpus() = {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Seq(
+      (0L, base),
+      (2L, base + " nu"),                                           // near dup of 0
+      (4L, "one two three four five six seven eight nine ten"),
+      (6L, "completely different words entirely here now today folks indeed"),
+      (8L, "red orange yellow green blue indigo violet pink brown black")
+    ).toDF("doc_id", "text")
+  }
+
+  private def incoming() = {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"), // dup of 0
+      (3L, "one two three four five six seven eight nine eleven"),  // near dup of 4
+      (5L, "fresh unrelated content with no overlap to anything whatsoever truly")
+    ).toDF("doc_id", "text")
+  }
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft_dedupidx").toString
+
+  test("screen over the persisted index == incrementalDupPairs on the same inputs") {
+    val path = tmp()
+    DedupIndex.build(corpus(), "text", "doc_id", path,
+      shingleN = 3, numHashes = 32, bands = 16)
+    val fromIndex = DedupIndex.screen(spark, path, incoming(), "text", "doc_id",
+        threshold = 0.4, maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = Dedup.incrementalDupPairs(corpus(), incoming(), "text", "doc_id",
+        shingleN = 3, numHashes = 32, bands = 16, threshold = 0.4,
+        maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromIndex == direct,
+      s"diff: ${(fromIndex diff direct) ++ (direct diff fromIndex)}")
+    assert(fromIndex.exists(p => p._1 == 0L && p._2 == 1L), s"planted dup missing: $fromIndex")
+    assert(fromIndex.exists(p => p._1 == 4L && p._2 == 3L), s"planted near-dup missing: $fromIndex")
+    assert(!fromIndex.exists(_._2 == 5L), s"false positive: $fromIndex")
+  }
+
+  test("appended members are first-class: a later batch near-duplicating them is flagged") {
+    import spark.implicits._
+    val path = tmp()
+    DedupIndex.build(corpus(), "text", "doc_id", path,
+      shingleN = 3, numHashes = 32, bands = 16)
+    // batch 1 survives screening (all novel) and joins the index
+    val b1 = Seq((10L, "quantum flux capacitor resonates with tachyon particle streams nicely today")).toDF("doc_id", "text")
+    assert(DedupIndex.screen(spark, path, b1, "text", "doc_id", 0.4, Int.MaxValue).isEmpty)
+    DedupIndex.append(b1, "text", "doc_id", path)
+    // batch 2 near-duplicates the APPENDED doc, not the built corpus
+    val b2 = Seq((11L, "quantum flux capacitor resonates with tachyon particle streams nicely tomorrow")).toDF("doc_id", "text")
+    val flagged = DedupIndex.screen(spark, path, b2, "text", "doc_id", 0.4, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged == Set((10L, 11L)), s"got $flagged")
+    // describe sees every member exactly once
+    val d = DedupIndex.describe(spark, path).head()
+    assert(d.getLong(0) == corpus().count() + 1)
+  }
+
+  test("params are frozen: screen and append read the persisted configuration") {
+    val path = tmp()
+    // non-default knobs at build time; screen must still agree with the
+    // direct operator AT THOSE KNOBS (a drifted default would diverge)
+    DedupIndex.build(corpus(), "text", "doc_id", path,
+      shingleN = 2, numHashes = 16, bands = 8)
+    val fromIndex = DedupIndex.screen(spark, path, incoming(), "text", "doc_id",
+        threshold = 0.4, maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = Dedup.incrementalDupPairs(corpus(), incoming(), "text", "doc_id",
+        shingleN = 2, numHashes = 16, bands = 8, threshold = 0.4,
+        maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromIndex == direct,
+      s"diff: ${(fromIndex diff direct) ++ (direct diff fromIndex)}")
+  }
+
+  test("streaming screen-and-ingest: flags against a growing corpus; replays are idempotent") {
+    import spark.implicits._
+    val path = tmp()
+    val flaggedPath = s"${tmp()}/flagged"
+    // bands=16 (rows of 2): banding recall at the planted pairs' jaccard
+    // (~0.45 for the 20/22 pair) is ~0.98 vs ~0.29 at the bands=8 default
+    DedupIndex.build(corpus(), "text", "doc_id", path,
+      shingleN = 3, numHashes = 32, bands = 16)
+    val b1 = Seq(
+      (20L, "streamside willow bends over quiet water under morning fog banks"),
+      (21L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu") // dup of 0
+    ).toDF("doc_id", "text")
+    graft.streaming.DedupStreams.screenAndIngestBatch(
+      b1, "text", "doc_id", path, flaggedPath, 0.4, Int.MaxValue, batchId = 0L)
+    // 21 duplicates BOTH 0 (exact) and 2 (near: corpus doc 2 is 0's text
+    // plus one word, jaccard 10/11)
+    val f1 = spark.read.parquet(flaggedPath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(f1 == Set((0L, 21L), (2L, 21L)), s"got $f1")
+    // survivor 20 joined the index, dup 21 did not
+    val members = spark.read.parquet(s"$path/sets.parquet")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(members.contains(20L) && !members.contains(21L), s"got $members")
+    // batch 2 near-duplicates the batch-1 SURVIVOR
+    val b2 = Seq(
+      (22L, "streamside willow bends over quiet water under evening fog banks")
+    ).toDF("doc_id", "text")
+    graft.streaming.DedupStreams.screenAndIngestBatch(
+      b2, "text", "doc_id", path, flaggedPath, 0.4, Int.MaxValue, batchId = 1L)
+    val f2 = spark.read.parquet(flaggedPath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(f2 == Set((0L, 21L), (2L, 21L), (20L, 22L)), s"got $f2")
+    // crash-replay of batch 1: marker makes it a no-op (no double flags, no
+    // double membership)
+    graft.streaming.DedupStreams.screenAndIngestBatch(
+      b1, "text", "doc_id", path, flaggedPath, 0.4, Int.MaxValue, batchId = 0L)
+    assert(spark.read.parquet(flaggedPath).count() == 3)
+    assert(spark.read.parquet(s"$path/sets.parquet")
+      .where(col("id") === 20L).count() == 1)
+  }
+}

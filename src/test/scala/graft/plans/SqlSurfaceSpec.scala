@@ -92,5 +92,42 @@ class SqlSurfaceSpec extends SparkSpec {
         "vec_id", "embedding", k = 3, nProbe = 8, rerank = 128)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     assert(sql.nonEmpty && sql == ds, s"diff: ${(sql diff ds) ++ (ds diff sql)}")
+    // the optional recall knobs: NPROBE 16 RERANK ALL is the exhaustive
+    // configuration, which must reproduce brute force exactly (the same
+    // invariant q109 carries under the DuckDB oracle)
+    val exh = spark.sql(s"KNN INDEX JOIN '$path' WITH idx_corpus " +
+        "PROBES (vec_id < 2) TOP 3 NPROBE 16 RERANK ALL")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val brute = graft.operators.Similarity.bruteForceKnn(
+        spark.table("idx_corpus"), "vec_id", "embedding",
+        org.apache.spark.sql.functions.expr("vec_id < 2"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(exh == brute, s"diff: ${(exh diff brute) ++ (brute diff exh)}")
+  }
+
+  test("APPEND TO / COMPACT / DESCRIBE ANN INDEX statements run the lifecycle") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val all = (0 until 100).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    all.filter(_._1 % 2 == 0).toDF("vec_id", "embedding").createOrReplaceTempView("lc_even")
+    all.filter(_._1 % 2 == 1).toDF("vec_id", "embedding").createOrReplaceTempView("lc_odd")
+    all.toDF("vec_id", "embedding").createOrReplaceTempView("lc_all")
+    val path = java.nio.file.Files.createTempDirectory("graft_sqllc").toString
+    spark.sql(s"CREATE ANN INDEX AT '$path' ON lc_even")
+    spark.sql(s"APPEND TO ANN INDEX AT '$path' FROM lc_odd")
+    spark.sql(s"COMPACT ANN INDEX AT '$path'")
+    // DESCRIBE: every cell one file after compaction, rows sum to corpus
+    val occ = spark.sql(s"DESCRIBE ANN INDEX AT '$path'").collect()
+    assert(occ.map(_.getLong(1)).sum == 100, "occupancy rows must sum to the corpus")
+    assert(occ.forall(_.getInt(2) == 1), "compaction must leave one file per cell")
+    // appended + compacted rows are first-class: exhaustive == brute force
+    val exh = spark.sql(s"KNN INDEX JOIN '$path' WITH lc_all " +
+        "PROBES (vec_id < 2) TOP 3 NPROBE 16 RERANK ALL")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val brute = graft.operators.Similarity.bruteForceKnn(
+        spark.table("lc_all"), "vec_id", "embedding",
+        org.apache.spark.sql.functions.expr("vec_id < 2"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(exh == brute, s"diff: ${(exh diff brute) ++ (brute diff exh)}")
   }
 }
