@@ -508,17 +508,27 @@ object Dedup {
     * full-corpus DuckDB oracle checks; a probabilistic configuration's
     * recall is pinned on planted near-dups in SimilaritySpec.
     *
+    * `maxBucketSize` is the same skew guard every other candidate
+    * generator in this file carries: a degenerate sign-LSH bucket — a
+    * large cluster of near-identical embeddings, exactly the near-dup-heavy
+    * corpora this targets — would otherwise expand to B² candidate pairs
+    * in the self-join. Skipped in the bits = 0 exhaustive mode (whose
+    * single global bucket is the point) or at Int.MaxValue.
+    *
     * Output: (a_id, b_id, cosim) with a_id < b_id.
     */
   def embeddingDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, bits: Int = 6, tables: Int = 4,
-                        dim: Int = 64, seed: Long = 42L): DataFrame = {
+                        dim: Int = 64, seed: Long = 42L,
+                        maxBucketSize: Int = 1000): DataFrame = {
     require(threshold >= -1 && threshold <= 1, s"cosine threshold in [-1,1], got $threshold")
     require(bits >= 0 && tables >= 1, s"need bits >= 0 and tables >= 1")
     val base = emb.select(col(idCol), col(vecCol))
     val planes = Similarity.hyperplanes(bits * tables, dim, seed)
-    val tbs = Similarity.tableBuckets(base, vecCol, planes, tables, bits)
+    val tbs0 = Similarity.tableBuckets(base, vecCol, planes, tables, bits)
       .select(col(idCol).as("id"), explode(col("tbs")).as("tb"))
+    val tbs = if (bits == 0 || maxBucketSize == Int.MaxValue) tbs0
+              else dropHotBuckets(tbs0, Seq("tb"), maxBucketSize)
     val cands = tbs.select(col("id").as("a_id"), col("tb"))
       .join(tbs.select(col("id").as("b_id"), col("tb")), "tb")
       .where(col("a_id") < col("b_id"))

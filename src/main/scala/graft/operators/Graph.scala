@@ -53,7 +53,19 @@ object Graph {
     // checkpoint() against a reliable dir — same call shape.
     val bidir = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
-    if (bidir.count() <= maxDriverEdges) {
+    // the fast path is gated on the id datatype as well as the edge count:
+    // driverComponents orders ids via Comparable (with the UTF8String
+    // special case for strings), so types whose external rows aren't
+    // Comparable (structs, arrays, binary) take the distributed loop
+    // instead of throwing
+    val driverOrderable = bidir.schema.head.dataType match {
+      case _: org.apache.spark.sql.types.StructType |
+           _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType |
+           org.apache.spark.sql.types.BinaryType => false
+      case _ => true
+    }
+    if (driverOrderable && bidir.count() <= maxDriverEdges) {
       val out = (driverComponents(bidir), 0)
       bidir.unpersist()
       return out
@@ -115,7 +127,17 @@ object Graph {
       val ra = find(a); val rb = find(b)
       if (ra != rb) parent.put(ra, rb)
     }
-    def lt(x: Any, y: Any): Boolean = x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    // Strings must compare as UTF-8 BYTES (Spark's UTF8String ordering),
+    // not UTF-16 code units (java.lang.String) — the two disagree on
+    // supplementary-plane characters, and the distributed path's min()
+    // runs under Spark's ordering. Everything else the dedup operators
+    // emit (longs/ints) orders identically under Comparable.
+    def lt(x: Any, y: Any): Boolean = (x, y) match {
+      case (a: String, b: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+      case _ => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    }
     val minOf = new java.util.HashMap[Any, Any]()
     parent.keySet().forEach { v =>
       val r = find(v)

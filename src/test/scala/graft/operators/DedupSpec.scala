@@ -236,4 +236,27 @@ class DedupSpec extends SparkSpec {
     } yield (x._1, y._1, c)).toSet
     assert(ex == want, s"diff: ${(ex diff want) ++ (want diff ex)}")
   }
+
+  test("embedding dup pairs: hot-bucket guard bounds a degenerate cluster") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val v = Array.fill(16)(rng.nextGaussian().toFloat)
+    // 50 near-identical vectors: one sign-LSH bucket of size 50 in EVERY
+    // table -> 1225 candidate pairs with no guard
+    val emb = (0 until 50)
+      .map(i => (i.toLong, v.map(x => x + 0.001f * rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val guarded = Dedup.embeddingDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.9, bits = 6, tables = 4, dim = 16, maxBucketSize = 10)
+    assert(guarded.count() == 0, "hot buckets must be dropped, not expanded")
+    // opting out restores the pairs; bits = 0 exhaustive mode ignores the
+    // guard by design (its single global bucket is the point)
+    val optOut = Dedup.embeddingDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.9, bits = 6, tables = 4, dim = 16,
+      maxBucketSize = Int.MaxValue)
+    assert(optOut.count() == 50L * 49 / 2)
+    val exhaustive = Dedup.embeddingDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.9, bits = 0, tables = 1, dim = 16, maxBucketSize = 10)
+    assert(exhaustive.count() == 50L * 49 / 2)
+  }
 }

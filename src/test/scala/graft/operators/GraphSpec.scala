@@ -43,6 +43,32 @@ class GraphSpec extends SparkSpec {
     assert(components(Seq((5L, 3L), (3L, 9L))) == Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
   }
 
+  test("string ids order as UTF-8 bytes on both paths (supplementary plane)") {
+    // U+FFFF vs U+1F600: UTF-16 code units order the emoji FIRST (surrogate
+    // 0xD83D < 0xFFFF) while UTF-8 bytes order it LAST (F0 9F .. > EF BF
+    // BF) — Spark's min() uses the latter, so the driver fast path must too
+    val emoji = "\uD83D\uDE00"; val ffff = "\uFFFF"
+    val e = Seq((emoji, ffff), (ffff, "zz")).toDF("a", "b")
+    val driver = Graph.componentsWithRounds(e, "a", "b", 20)
+    val dist = Graph.componentsWithRounds(e, "a", "b", 20, maxDriverEdges = 0)
+    assert(driver._2 == 0 && dist._2 > 0)
+    val d1 = driver._1.as[(String, String)].collect().toMap
+    val d2 = dist._1.as[(String, String)].collect().toMap
+    assert(d1 == d2, s"driver $d1 != distributed $d2")
+    assert(d1.values.toSet == Set("zz"), s"expected min-UTF8-byte label zz: $d1")
+  }
+
+  test("non-Comparable id types fall back to the distributed loop") {
+    // array ids: external rows are WrappedArray, not Comparable — the
+    // datatype gate must route around driverComponents instead of throwing
+    val e = Seq((Array(2L), Array(1L)), (Array(1L), Array(0L))).toDF("a", "b")
+    val (labels, rounds) = Graph.componentsWithRounds(e, "a", "b", 20)
+    assert(rounds > 0, "expected the distributed path")
+    val got = labels.as[(Array[Long], Array[Long])].collect()
+      .map { case (id, l) => (id.toSeq, l.toSeq) }.toMap
+    assert(got == Map(Seq(0L) -> Seq(0L), Seq(1L) -> Seq(0L), Seq(2L) -> Seq(0L)))
+  }
+
   test("maxIter bound returns a valid refinement instead of hanging") {
     val edges = (0L until 9L).map(i => (i, i + 1))
     val (labels, rounds) = Graph.componentsWithRounds(edges.toDF("a", "b"), "a", "b", 2, maxDriverEdges = 0)
