@@ -1,0 +1,12 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.tune(
+      SparkSession.builder().master("local[8]")).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.queries(args(0))(spark, args(1))
+    df.explain("formatted")
+    spark.stop()
+  }
+}

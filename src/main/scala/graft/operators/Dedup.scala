@@ -400,6 +400,53 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Corpus-level duplicated-span coverage (the ExactSubstr signal of Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better",
+    * approximated at the token-n-gram grain): for every document, how many
+    * of its tokens sit inside some length-`spanLen` token n-gram that
+    * occurs at least `minCount` times ACROSS the corpus. The per-doc
+    * `dup_frac` is the drop/trim signal a pretraining pipeline thresholds
+    * on (boilerplate, licenses, templated spans survive document-level
+    * dedup but light up here).
+    *
+    * Plan shape at scale: one narrow pass emits (doc, pos, gramHash) — the
+    * hash, never the gram text, rides every shuffle — then ONE aggregation
+    * keyed on the hash finds corpus-wide duplicates, one equi-join marks
+    * the duplicated instances, and a per-doc positional-coverage distinct
+    * collapses overlapping spans. Everything is corpus-linear: candidates
+    * are gram INSTANCES (= total tokens), never pairs, so there is no B²
+    * blow-up to guard — the frequency cut happens before the join.
+    *
+    * Output: (doc_id, n_tokens, n_dup_tokens, dup_frac) per document.
+    * Reference analog: the hit-coverage statistics the reference derives
+    * per query sequence (`mrblast.cpp` hit postprocessing), re-aimed at
+    * corpus curation.
+    */
+  def duplicateSpanStats(docs: DataFrame, textCol: String, idCol: String,
+                         spanLen: Int = 8, minCount: Int = 2): DataFrame = {
+    require(spanLen >= 1 && minCount >= 2, s"need spanLen >= 1, minCount >= 2")
+    val toks = split(col(textCol), " ")
+    // (doc, pos, gh) for every span instance; docs shorter than spanLen
+    // emit nothing (the where guard also keeps sequence() ascending)
+    val grams = docs.where(size(toks) >= spanLen)
+      .select(col(idCol).as("id"), posexplode(expr(
+        s"transform(sequence(0, size(split($textCol, ' ')) - $spanLen), " +
+        s"i -> xxhash64(concat_ws(' ', slice(split($textCol, ' '), i + 1, $spanLen))))"
+      )).as(Seq("pos", "gh")))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("c"))
+      .where(col("c") >= minCount).select("gh")
+    val covered = grams.join(dup, "gh")
+      .select(col("id"), explode(expr(s"sequence(pos, pos + ${spanLen - 1})")).as("tp"))
+      .distinct()
+      .groupBy("id").agg(count(lit(1)).as("n_dup_tokens"))
+    docs.select(col(idCol).as("id"), size(toks).as("n_tokens"))
+      .join(covered, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        floor(coalesce(col("n_dup_tokens"), lit(0L)).cast("double")
+          / col("n_tokens") * 10000) / 10000 as "dup_frac")
+  }
+
   /** Winnowing fingerprints (rolling-hash document fingerprinting, the
     * MOSS scheme): hash every character k-gram, then keep the minimum hash
     * of each w-wide window — guarantees any shared substring of length

@@ -591,6 +591,17 @@ object PipelineQueries extends QuerySet {
     // + sets. Same knobs, same brute-force cross-corpus oracle: the
     // index round trip must be invisible to results. DedupIndexSpec pins
     // screen == incrementalDupPairs and append/describe besides.
+    // Corpus-level duplicated-span coverage (ExactSubstr signal at the
+    // token-8-gram grain): tokens inside any 8-gram occurring >= 2 times
+    // across the corpus. Candidates are gram INSTANCES (corpus-linear,
+    // hash-keyed), never pairs — see [[Dedup.duplicateSpanStats]].
+    "q115_dup_span_coverage" -> ((s, dir) => {
+      Dedup.duplicateSpanStats(t(s, dir, "documents"), "text", "doc_id",
+          spanLen = 8, minCount = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q113_dedup_index_screen" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val src = new java.io.File(s"$dir/documents.parquet")
@@ -766,6 +777,23 @@ object PipelineQueries extends QuerySet {
     "q104_incremental_dedup" -> incrementalDedupOracle,
     // identical semantics served from the persisted signature index
     "q113_dedup_index_screen" -> incrementalDedupOracle,
+    // duplicated-span coverage recomputed by exact gram STRINGS (the
+    // engine shuffles xxhash64 of the same grams — sets coincide absent a
+    // 64-bit collision, the established q62-family convention)
+    "q115_dup_span_coverage" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |gi AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS g
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-7)) AS i
+        |             FROM d WHERE len(t) >= 8)),
+        |dup AS (SELECT g FROM gi GROUP BY g HAVING COUNT(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, tp FROM (
+        |        SELECT doc_id, unnest(generate_series(pos, pos+7)) AS tp
+        |        FROM gi JOIN dup USING (g))),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_tokens FROM cov GROUP BY doc_id)
+        |SELECT d.doc_id, len(t) AS n_tokens,
+        |  CAST(COALESCE(cnt.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+        |  FLOOR(CAST(COALESCE(cnt.n_dup_tokens, 0) AS DOUBLE) / len(t) * 10000) / 10000 AS dup_frac
+        |FROM d LEFT JOIN cnt ON cnt.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin,
     // identical md5-60bit simhash per doc (majority vote over distinct-token
     // hashes), then brute-force hamming <= 3 — the engine reaches the same
     // set through complete pigeonhole banding

@@ -99,6 +99,29 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     }),
 
+    // Intra-document repetition stats (the Gopher-rules quality filter):
+    // per doc, the duplicate-n-gram fraction 1 - distinct/total for
+    // n = 2, 3, 4 — the standard signal for templated / machine-generated
+    // repetitive text. Pure narrow array expressions (transform over a
+    // token-index sequence): ZERO shuffles, one corpus pass, trivially
+    // 100 TB-safe. Cost is O(tokens * n) per doc with no per-doc
+    // quadratics (array_distinct is hash-based).
+    "q114_repetition_stats" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      def dupFrac(n: Int) = {
+        val grams = expr(
+          s"transform(sequence(0, size(split(text, ' ')) - $n), " +
+          s"i -> concat_ws(' ', slice(split(text, ' '), i + 1, $n)))")
+        when(size(toks) < n, lit(0.0)).otherwise(
+          trunc(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 4))
+      }
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(toks).as("n_tokens"),
+          dupFrac(2).as("dup2_frac"), dupFrac(3).as("dup3_frac"),
+          dupFrac(4).as("dup4_frac"))
+        .orderBy("doc_id")
+    }),
+
     // Content fingerprint (normalized md5 prefix) + duplicate cluster sizes.
     "q33_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -323,6 +346,20 @@ object TextQueries extends QuerySet {
         |FLOOR((CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) * 0.5
         |      + LEAST(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 50) * 0.5) * 10000) / 10000 AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // per-doc duplicate-n-gram fractions, recomputed independently via
+    // DuckDB list comprehensions over the same whitespace tokens
+    "q114_repetition_stats" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, len(t) AS n_tokens,
+        |  [array_to_string(t[i:i+1], ' ') for i in generate_series(1, len(t)-1)] AS g2,
+        |  [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)] AS g3,
+        |  [array_to_string(t[i:i+3], ' ') for i in generate_series(1, len(t)-3)] AS g4
+        |  FROM d)
+        |SELECT doc_id, n_tokens,
+        |  CASE WHEN n_tokens < 2 THEN 0.0 ELSE FLOOR((1 - CAST(len(list_distinct(g2)) AS DOUBLE)/len(g2)) * 10000) / 10000 END AS dup2_frac,
+        |  CASE WHEN n_tokens < 3 THEN 0.0 ELSE FLOOR((1 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3)) * 10000) / 10000 END AS dup3_frac,
+        |  CASE WHEN n_tokens < 4 THEN 0.0 ELSE FLOOR((1 - CAST(len(list_distinct(g4)) AS DOUBLE)/len(g4)) * 10000) / 10000 END AS dup4_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q33_fingerprint" ->
       """SELECT substring(md5(lower(text)), 1, 16) AS fp, COUNT(*) AS cnt, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,

@@ -237,6 +237,32 @@ class DedupSpec extends SparkSpec {
     assert(ex == want, s"diff: ${(ex diff want) ++ (want diff ex)}")
   }
 
+  test("duplicate span coverage: planted cross-doc span is counted, overlaps collapse") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"s$i").mkString(" ") // 8 tokens
+    val docs = Seq(
+      // span at positions 0-7 AND 9-16: overlapping coverage would
+      // double-count without the positional distinct? (no overlap here,
+      // but the two instances in one doc must both count, once each)
+      (0L, span + " x " + span),
+      (1L, "lead " + span + " tail"),                   // span at 1-8
+      (2L, (1 to 20).map(i => s"u$i").mkString(" ")),   // all unique
+      (3L, "short doc")                                 // < spanLen
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpanStats(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    assert(got(0L) == (17, 16), s"got ${got(0L)}")  // both instances, 16 tokens
+    assert(got(1L) == (10, 8), s"got ${got(1L)}")
+    assert(got(2L) == (20, 0), s"got ${got(2L)}")
+    assert(got(3L) == (2, 0), s"got ${got(3L)}")    // shorter than spanLen
+    // a doc whose span overlaps ITSELF: 'a a a a a a a a a' has dup 8-grams
+    // at pos 0 and 1 covering positions 0-8 — distinct coverage, not 16
+    val selfOverlap = Seq((9L, Array.fill(9)("a").mkString(" "))).toDF("doc_id", "text")
+    val so = Dedup.duplicateSpanStats(selfOverlap, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(so(9L) == 9L, s"got $so")
+  }
+
   test("embedding dup pairs: hot-bucket guard bounds a degenerate cluster") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
