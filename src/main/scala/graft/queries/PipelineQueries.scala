@@ -591,6 +591,33 @@ object PipelineQueries extends QuerySet {
     // + sets. Same knobs, same brute-force cross-corpus oracle: the
     // index round trip must be invisible to results. DedupIndexSpec pins
     // screen == incrementalDupPairs and append/describe besides.
+    // WARC ingestion end to end (the Common Crawl container — A1's byte
+    // source re-aimed at web corpora): a deterministic fixture is rendered
+    // to REAL WARC bytes, read back through the DSv2 `warc` source (real
+    // CRLF/Content-Length framing walk, per-file tasks, pruned columns),
+    // and the DuckDB oracle re-derives every byte offset arithmetically
+    // from the record layout — the q92 FASTA-index pattern for the web.
+    "q116_warc_ingest" -> ((s, dir) => {
+      val fixDir = new java.io.File("target/fixtures")
+      fixDir.mkdirs()
+      val f = new java.io.File(fixDir, "warc_oracle.warc")
+      val recs = (0 until 20).map { i =>
+        val L = 10 + (i * 7) % 50
+        (Seq(
+          "WARC-Type" -> "response",
+          "WARC-Record-ID" -> s"<urn:uuid:rec-$i>",
+          "WARC-Target-URI" -> s"http://example.com/doc/$i",
+          "WARC-Date" -> "2026-01-01T00:00:00Z"),
+          "x" * L getBytes "US-ASCII")
+      }
+      java.nio.file.Files.write(f.toPath, graft.sources.Warc.render(recs))
+      graft.sources.Warc.read(s, f.getAbsolutePath)
+        .select(col("ord"), col("offset"), col("rec_len"), col("warc_type"),
+          col("record_id"), col("target_uri"), col("warc_date"),
+          col("content_length"), col("payload").cast("string").as("payload_text"))
+        .orderBy("ord")
+    }),
+
     // Corpus-level duplicated-span coverage (ExactSubstr signal at the
     // token-8-gram grain): tokens inside any 8-gram occurring >= 2 times
     // across the corpus. Candidates are gram INSTANCES (corpus-linear,
@@ -927,6 +954,33 @@ object PipelineQueries extends QuerySet {
         |SELECT p.probe_id, COALESCE(h, 0) / 5.0 AS recall
         |FROM (SELECT DISTINCT probe_id FROM ex) p LEFT JOIN hits USING (probe_id)
         |ORDER BY probe_id""".stripMargin,
+    // re-derives the WARC fixture's byte layout: each record's bytes are
+    // reconstructed as a string (all ASCII, so length == bytes) and
+    // offset(i) = running sum of earlier record lengths; the engine must
+    // recover identical numbers from the actual file framing
+    "q116_warc_ingest" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 19)) AS i),
+        |d AS (SELECT i, 10 + (i * 7) % 50 AS L FROM r),
+        |s AS (SELECT i, L,
+        |  'WARC/1.0' || chr(13) || chr(10) ||
+        |  'WARC-Type: response' || chr(13) || chr(10) ||
+        |  'WARC-Record-ID: <urn:uuid:rec-' || i || '>' || chr(13) || chr(10) ||
+        |  'WARC-Target-URI: http://example.com/doc/' || i || chr(13) || chr(10) ||
+        |  'WARC-Date: 2026-01-01T00:00:00Z' || chr(13) || chr(10) ||
+        |  'Content-Length: ' || L || chr(13) || chr(10) || chr(13) || chr(10) ||
+        |  repeat('x', L) || chr(13) || chr(10) || chr(13) || chr(10) AS rec
+        |  FROM d)
+        |SELECT CAST(i AS BIGINT) AS ord,
+        |  CAST(COALESCE(SUM(length(rec)) OVER (ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+        |  CAST(length(rec) AS BIGINT) AS rec_len,
+        |  'response' AS warc_type,
+        |  '<urn:uuid:rec-' || i || '>' AS record_id,
+        |  'http://example.com/doc/' || i AS target_uri,
+        |  '2026-01-01T00:00:00Z' AS warc_date,
+        |  CAST(L AS BIGINT) AS content_length,
+        |  repeat('x', L) AS payload_text
+        |FROM s ORDER BY ord""".stripMargin,
     // re-derives the fixture's byte layout: offset(i) = running sum of
     // (defline bytes + '\n' + sequence bytes + '\n') over earlier records;
     // the engine must recover the same numbers from the actual file bytes

@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WARC as a DataSource V2: `spark.read.format("warc").load(path)`.
+  * Planning is one InputPartition per FILE (see [[Warc]] for why — the
+  * offset/rec_len columns are the range-read index for the scale path).
+  * Column pruning skips UTF8String/binary materialization of unselected
+  * columns — a metadata-only scan (uri + offsets) never copies payloads
+  * into rows.
+  */
+class WarcDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "warc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarcDataSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new WarcTable(properties.get("path"))
+}
+
+object WarcDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("ord", LongType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("rec_len", LongType, nullable = false),
+    StructField("warc_type", StringType, nullable = false),
+    StructField("record_id", StringType, nullable = false),
+    StructField("target_uri", StringType, nullable = false),
+    StructField("warc_date", StringType, nullable = false),
+    StructField("content_length", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+}
+
+class WarcTable(path: String) extends Table with SupportsRead {
+  require(path != null, "warc source requires a path")
+  override def name(): String = s"warc:$path"
+  override def schema(): StructType = WarcDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcScanBuilder(path)
+}
+
+class WarcScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = WarcDataSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new WarcScan(path, required)
+}
+
+class WarcScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  private val serConf = new SerializableHadoopConf(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(serConf.value)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.isFile &&
+            !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+          .map(s => fs.makeQualified(s.getPath).toString).sorted
+      else Array(fs.makeQualified(p).toString)
+    files.map(f => WarcInputPartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required, serConf)
+}
+
+case class WarcInputPartition(file: String) extends InputPartition
+
+class WarcReaderFactory(required: StructType, conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition].file,
+      required, conf)
+}
+
+class WarcPartitionReader(file: String, required: StructType,
+                          conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+
+  private val records = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(conf.value)
+    val in = fs.open(p)
+    val bytes = try {
+      val len = fs.getFileStatus(p).getLen
+      require(len <= Int.MaxValue - 8,
+        s"WARC file $file is $len bytes; this full-scan source buffers " +
+          "whole files (< 2 GB). Range-read via the offset/rec_len index " +
+          "for larger inputs — that is the scale path.")
+      val buf = new Array[Byte](len.toInt)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+    Warc.parseFile(file, bytes)
+  }
+
+  private val proj = UnsafeProjection.create(required)
+  private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.length)
+  private val fieldIdx = required.fields.map(f => WarcDataSource.schema.fieldIndex(f.name))
+  private var current: Warc.WarcRecord = _
+
+  override def next(): Boolean = {
+    if (records.hasNext) { current = records.next(); true } else false
+  }
+
+  override def get(): InternalRow = {
+    var i = 0
+    while (i < fieldIdx.length) {
+      row.update(i, fieldIdx(i) match {
+        case 0 => UTF8String.fromString(current.file)
+        case 1 => current.ord
+        case 2 => current.offset
+        case 3 => current.recLen
+        case 4 => UTF8String.fromString(current.warcType)
+        case 5 => UTF8String.fromString(current.recordId)
+        case 6 => UTF8String.fromString(current.targetUri)
+        case 7 => UTF8String.fromString(current.warcDate)
+        case 8 => current.contentLength
+        case 9 => current.payload
+      })
+      i += 1
+    }
+    proj(row)
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class WarcSpec extends SparkSpec {
+
+  private def rec(i: Int, payload: String, extra: Seq[(String, String)] = Nil) =
+    (Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> s"<urn:uuid:rec-$i>",
+      "WARC-Target-URI" -> s"http://example.com/doc/$i",
+      "WARC-Date" -> "2026-01-01T00:00:00Z") ++ extra,
+      payload.getBytes("US-ASCII"))
+
+  test("render/parse round trip: every field and offset recovered") {
+    val bytes = Warc.render(Seq(rec(0, "hello world"), rec(1, ""), rec(2, "abc")))
+    val got = Warc.parseFile("f.warc", bytes).toSeq
+    assert(got.map(_.ord) == Seq(0L, 1L, 2L))
+    assert(got.map(_.contentLength) == Seq(11L, 0L, 3L))
+    assert(got.map(r => new String(r.payload, "US-ASCII")) == Seq("hello world", "", "abc"))
+    assert(got.map(_.targetUri) == (0 to 2).map(i => s"http://example.com/doc/$i"))
+    assert(got.head.offset == 0L)
+    // offsets chain exactly: each record starts where the previous ended
+    assert(got.sliding(2).forall { case Seq(a, b) => a.offset + a.recLen == b.offset })
+    assert(got.last.offset + got.last.recLen == bytes.length)
+  }
+
+  test("header names are case-insensitive; unknown headers are ignored") {
+    val raw = ("WARC/1.0\r\n" +
+      "warc-type: request\r\n" +
+      "X-Custom-Header: whatever\r\n" +
+      "CONTENT-LENGTH: 2\r\n" +
+      "\r\nhi\r\n\r\n").getBytes("US-ASCII")
+    val got = Warc.parseFile("f", raw).toSeq
+    assert(got.size == 1 && got.head.warcType == "request" &&
+      got.head.contentLength == 2L)
+  }
+
+  test("malformed framing stops cleanly, never throws: prior records survive") {
+    val good = Warc.render(Seq(rec(0, "ok")))
+    // truncated payload (Content-Length past EOF)
+    val bad1 = good ++ "WARC/1.0\r\nContent-Length: 9999\r\n\r\nxx".getBytes("US-ASCII")
+    assert(Warc.parseFile("f", bad1).toSeq.map(_.ord) == Seq(0L))
+    // negative / unparseable Content-Length
+    val bad2 = good ++ "WARC/1.0\r\nContent-Length: -4\r\n\r\n\r\n\r\n".getBytes("US-ASCII")
+    assert(Warc.parseFile("f", bad2).toSeq.map(_.ord) == Seq(0L))
+    val bad3 = good ++ "WARC/1.0\r\nContent-Length: zz\r\n\r\n\r\n\r\n".getBytes("US-ASCII")
+    assert(Warc.parseFile("f", bad3).toSeq.map(_.ord) == Seq(0L))
+    // missing double-CRLF terminator after payload
+    val bad4 = good ++ "WARC/1.0\r\nContent-Length: 2\r\n\r\nhixx".getBytes("US-ASCII")
+    assert(Warc.parseFile("f", bad4).toSeq.map(_.ord) == Seq(0L))
+    // wrong magic
+    val bad5 = good ++ "HTTP/1.0\r\n\r\n".getBytes("US-ASCII")
+    assert(Warc.parseFile("f", bad5).toSeq.map(_.ord) == Seq(0L))
+    // unterminated header block
+    val bad6 = good ++ "WARC/1.0\r\nWARC-Type: response".getBytes("US-ASCII")
+    assert(Warc.parseFile("f", bad6).toSeq.map(_.ord) == Seq(0L))
+    // empty + garbage-only inputs
+    assert(Warc.parseFile("f", Array.emptyByteArray).isEmpty)
+    assert(Warc.parseFile("f", "garbage".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("DSv2 source reads a directory of files; pruned scan skips payload") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc")
+    java.nio.file.Files.write(dir.resolve("a.warc"),
+      Warc.render(Seq(rec(0, "alpha"), rec(1, "beta"))))
+    java.nio.file.Files.write(dir.resolve("b.warc"),
+      Warc.render(Seq(rec(2, "gamma"))))
+    java.nio.file.Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray)
+    val df = Warc.read(spark, dir.toString)
+    assert(df.count() == 3)
+    val got = df.select("target_uri", "content_length", "payload")
+      .collect().map(r => (r.getString(0), r.getLong(1), new String(r.getAs[Array[Byte]](2), "US-ASCII")))
+      .toSet
+    assert(got == Set(
+      ("http://example.com/doc/0", 5L, "alpha"),
+      ("http://example.com/doc/1", 4L, "beta"),
+      ("http://example.com/doc/2", 5L, "gamma")))
+    // pruned metadata-only scan: plan's read schema must not contain payload
+    val pruned = df.select("file", "ord", "offset", "rec_len")
+    val scanLine = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(!scanLine.contains("payload"), s"payload not pruned: $scanLine")
+    assert(pruned.count() == 3)
+  }
+}
