@@ -78,6 +78,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val DescribeAnnIndex =
     """(?is)^\s*DESCRIBE\s+ANN\s+INDEX\s+AT\s+'([^']+)'\s*;?\s*$""".r
 
+  // The text-dedup signature index's lifecycle as statements, symmetric
+  // with the ANN set: CREATE/APPEND build and grow the persisted banding
+  // buckets + shingle sets ([[graft.operators.DedupIndex]]); DEDUP SCREEN
+  // flags incoming near-duplicates of the indexed corpus. Same operators
+  // as the Dataset surface, never a re-impl. Tables must expose
+  // (doc_id, text).
+  private val CreateDedupIndex =
+    """(?is)^\s*CREATE\s+DEDUP\s+INDEX\s+AT\s+'([^']+)'\s+ON\s+([\w.]+)\s*;?\s*$""".r
+  private val AppendDedupIndex =
+    """(?is)^\s*APPEND\s+TO\s+DEDUP\s+INDEX\s+AT\s+'([^']+)'\s+FROM\s+([\w.]+)\s*;?\s*$""".r
+  private val DedupScreen =
+    """(?is)^\s*DEDUP\s+SCREEN\s+'([^']+)'\s+WITH\s+([\w.]+)\s+THRESHOLD\s+([0-9.]+)\s*;?\s*$""".r
+
   // KNN INDEX JOIN '<path>' WITH <table> PROBES (<predicate>) TOP <k>
   //   [NPROBE <n>] [RERANK <n|ALL>]
   // — retrieval against a PERSISTED index: plans purely from the on-disk
@@ -123,6 +136,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       CompactAnnIndexCommand(path)
     case DescribeAnnIndex(path) =>
       graft.operators.AnnIndex.describeIndex(session, path).queryExecution.logical
+    case CreateDedupIndex(path, table) =>
+      CreateDedupIndexCommand(table, path)
+    case AppendDedupIndex(path, table) =>
+      AppendDedupIndexCommand(table, path)
+    case DedupScreen(path, table, threshold) =>
+      graft.operators.DedupIndex.screen(session, path, session.table(table),
+        "text", "doc_id", threshold.toDouble).queryExecution.logical
     case KnnIndexJoin(path, table, predicate, k, nProbeOpt, rerankOpt) =>
       val probes = session.table(table)
         .where(org.apache.spark.sql.functions.expr(predicate))
@@ -192,6 +212,28 @@ case class CompactAnnIndexCommand(path: String)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
     graft.operators.AnnIndex.compactIndex(spark, path)
+    Seq.empty
+  }
+}
+
+/** `CREATE DEDUP INDEX` — offline build of the persisted MinHash signature
+  * index ([[graft.operators.DedupIndex.build]], default knobs).
+  */
+case class CreateDedupIndexCommand(table: String, path: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    graft.operators.DedupIndex.build(spark.table(table), "text", "doc_id", path)
+    Seq.empty
+  }
+}
+
+/** `APPEND TO DEDUP INDEX` — O(batch) ingest with the index's frozen
+  * persisted parameters ([[graft.operators.DedupIndex.append]]).
+  */
+case class AppendDedupIndexCommand(table: String, path: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    graft.operators.DedupIndex.append(spark.table(table), "text", "doc_id", path)
     Seq.empty
   }
 }

@@ -130,4 +130,32 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     assert(exh == brute, s"diff: ${(exh diff brute) ++ (brute diff exh)}")
   }
+
+  test("CREATE/APPEND/SCREEN DEDUP INDEX statements == the Dataset operators") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Seq((0L, base),
+        (2L, "one two three four five six seven eight nine ten"),
+        (4L, "red orange yellow green blue indigo violet pink brown black"))
+      .toDF("doc_id", "text").createOrReplaceTempView("ddx_corpus")
+    Seq((10L, "quantum flux capacitor resonates with tachyon particle streams"))
+      .toDF("doc_id", "text").createOrReplaceTempView("ddx_batch1")
+    Seq((1L, base),                                                       // dup of 0
+        (11L, "quantum flux capacitor resonates with tachyon particle beams"), // near dup of 10
+        (5L, "fresh unrelated content with no overlap to anything whatsoever"))
+      .toDF("doc_id", "text").createOrReplaceTempView("ddx_incoming")
+    val path = java.nio.file.Files.createTempDirectory("graft_sqlddx").toString
+    spark.sql(s"CREATE DEDUP INDEX AT '$path' ON ddx_corpus")
+    spark.sql(s"APPEND TO DEDUP INDEX AT '$path' FROM ddx_batch1")
+    val sql = spark.sql(s"DEDUP SCREEN '$path' WITH ddx_incoming THRESHOLD 0.4")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ds = graft.operators.DedupIndex.screen(spark, path,
+        spark.table("ddx_incoming"), "text", "doc_id", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sql == ds, s"sql $sql != dataset $ds")
+    // the exact dup AND the dup of the APPENDED member are both flagged
+    assert(sql.exists(p => p._1 == 0L && p._2 == 1L), s"got $sql")
+    assert(sql.exists(p => p._1 == 10L && p._2 == 11L), s"got $sql")
+    assert(!sql.exists(_._2 == 5L), s"false positive: $sql")
+  }
 }
