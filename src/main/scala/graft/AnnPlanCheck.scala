@@ -116,7 +116,13 @@ object AnnPlanCheck {
         () => Dedup.embeddingDupPairs(
           spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
           threshold = 0.4, bits = 6, tables = 4),
-        4 * 4 * nEmb * nEmb / (2 * 64), "4*tables*N^2/2^(bits+1): the q101 scale config"))
+        4 * 4 * nEmb * nEmb / (2 * 64), "4*tables*N^2/2^(bits+1): the q101 scale config"),
+      ("q113_dedup_index_screen", served("q113_dedup_index_screen"),
+        40 * nDocs, "40*N: index-served banding candidates stay corpus-linear"),
+      ("q115_dup_span_coverage", served("q115_dup_span_coverage"),
+        { val nTok = docsDf.selectExpr("sum(size(split(text, ' ')))").head.getLong(0)
+          2 * nTok },
+        "2*total_tokens: dup-span join-back is bounded by gram INSTANCES, never pairs"))
     var candFail = 0
     for ((label, plan, budget, formula) <- candBudgets) {
       val measured = maxJoinOutputRows(plan())
