@@ -1,0 +1,71 @@
+package graft.functions
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode normalization kernel for [[GraftNormalize]] — text cleaning's
+  * first step in any multilingual corpus pipeline (equivalent-but-distinct
+  * byte sequences like composed vs decomposed accents must unify BEFORE
+  * hashing/dedup/tokenization, or every exact-match stage silently treats
+  * them as different documents).
+  */
+object TextNormalize {
+
+  /** Normalize to `form` ("NFC"/"NFD"/"NFKC"/"NFKD"). ASCII inputs return
+    * the INPUT object unchanged (all four forms are identity on ASCII) —
+    * the dominant case in web corpora, so the common path allocates
+    * nothing and never leaves UTF8String.
+    */
+  def normalize(s: UTF8String, form: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) < 0) {
+        return UTF8String.fromString(Normalizer.normalize(
+          s.toString, Normalizer.Form.valueOf(form.toString)))
+      }
+      i += 1
+    }
+    s
+  }
+}
+
+/** `graft_normalize(text: string, form: string literal) -> string` —
+  * Unicode normalization (NFC/NFD/NFKC/NFKD) as a codegen'd narrow
+  * expression; Spark has no built-in for it. The form must be a foldable
+  * literal so an illegal form fails ANALYSIS, not a task at scale.
+  */
+case class GraftNormalize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) if right.foldable =>
+        right.eval() match {
+          case f: UTF8String if Set("NFC", "NFD", "NFKC", "NFKD")(f.toString) =>
+            TypeCheckResult.TypeCheckSuccess
+          case f => TypeCheckResult.TypeCheckFailure(
+            s"graft_normalize form must be one of NFC/NFD/NFKC/NFKD, got $f")
+        }
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_normalize requires (string, string literal), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_normalize"
+
+  override def nullSafeEval(s: Any, form: Any): Any =
+    TextNormalize.normalize(s.asInstanceOf[UTF8String], form.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, f) => s"graft.functions.TextNormalize.normalize($s, $f)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftBpeEncode, GraftLshBuckets, GraftLutSum, GraftMinHash, GraftSimHash, GraftSimHashMd5, GraftWinnow, GraftWinnowMd5}
+import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftBpeEncode, GraftLshBuckets, GraftLutSum, GraftMinHash, GraftNormalize, GraftSimHash, GraftSimHashMd5, GraftWinnow, GraftWinnowMd5}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (see [[graft.GraftSession]]): injects the engine's native expressions
@@ -53,6 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[GraftWinnow].getName, "graft_winnow"),
       (children: Seq[Expression]) => GraftWinnow(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[GraftNormalize].getName, "graft_normalize"),
+      (children: Seq[Expression]) => GraftNormalize(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_winnow_md5"),
       new ExpressionInfo(classOf[GraftWinnowMd5].getName, "graft_winnow_md5"),

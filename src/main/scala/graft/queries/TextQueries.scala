@@ -122,6 +122,22 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     }),
 
+    // Unicode normalization (native graft_normalize — Spark has no
+    // built-in): equivalent-but-distinct byte sequences must unify BEFORE
+    // any hash/dedup/tokenize stage. The corpus is ASCII, so the query
+    // plants non-ASCII deterministically — every 'a' decomposed into
+    // 'a' + COMBINING ACUTE (U+0301) — and NFC must recompose each pair to
+    // the single code point U+00E1, shrinking the length back and
+    // producing bytes DuckDB's nfc_normalize agrees with md5-exactly.
+    "q117_unicode_normalize" -> ((s, dir) => {
+      val dec = regexp_replace(col("text"), "a", "a\u0301")
+      val nrm = expr("graft_normalize(regexp_replace(text, 'a', 'a\u0301'), 'NFC')")
+      t(s, dir, "documents")
+        .select(col("doc_id"), length(dec).as("n_decomposed"),
+          length(nrm).as("n_composed"), md5(nrm).as("norm_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Content fingerprint (normalized md5 prefix) + duplicate cluster sizes.
     "q33_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -360,6 +376,15 @@ object TextQueries extends QuerySet {
         |  CASE WHEN n_tokens < 3 THEN 0.0 ELSE FLOOR((1 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3)) * 10000) / 10000 END AS dup3_frac,
         |  CASE WHEN n_tokens < 4 THEN 0.0 ELSE FLOOR((1 - CAST(len(list_distinct(g4)) AS DOUBLE)/len(g4)) * 10000) / 10000 END AS dup4_frac
         |FROM g ORDER BY doc_id""".stripMargin,
+    // the same decomposition planted via chr(769) = U+0301, recomposed by
+    // DuckDB's own (utf8proc) NFC — md5 agreement proves byte-identical
+    // normalization across two independent UAX #15 implementations
+    "q117_unicode_normalize" ->
+      """WITH d AS (SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS dec FROM documents),
+        |n AS (SELECT doc_id, dec, nfc_normalize(dec) AS nrm FROM d)
+        |SELECT doc_id, CAST(length(dec) AS INT) AS n_decomposed,
+        |       CAST(length(nrm) AS INT) AS n_composed, md5(nrm) AS norm_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
     "q33_fingerprint" ->
       """SELECT substring(md5(lower(text)), 1, 16) AS fp, COUNT(*) AS cnt, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextNormalizeSpec extends SparkSpec {
+
+  private def norm(s: String, form: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("t")
+      .selectExpr(s"graft_normalize(t, '$form')")
+      .head().getString(0)
+  }
+
+  test("NFC composes, NFD decomposes, both idempotent") {
+    val composed = "café"            // e-acute, one code point
+    val decomposed = "café"         // e + combining acute
+    assert(norm(decomposed, "NFC") == composed)
+    assert(norm(composed, "NFD") == decomposed)
+    assert(norm(composed, "NFC") == composed)
+    assert(norm(decomposed, "NFD") == decomposed)
+  }
+
+  test("NFKC folds compatibility forms (ligature, fullwidth)") {
+    assert(norm("ﬁle", "NFKC") == "file")       // fi ligature
+    assert(norm("ＡＢ", "NFKC") == "AB")     // fullwidth A B
+    // NFC preserves them (canonical, not compatibility)
+    assert(norm("ﬁle", "NFC") == "ﬁle")
+  }
+
+  test("ASCII fast path is identity and survives codegen over a corpus") {
+    import spark.implicits._
+    val docs = (0 until 100).map(i => s"plain ascii doc $i").toDF("t")
+    val out = docs.selectExpr("graft_normalize(t, 'NFC') AS n", "t")
+      .where(col("n") =!= col("t"))
+    assert(out.count() == 0)
+  }
+
+  test("kernel ASCII path returns the same object, no allocation") {
+    val s = org.apache.spark.unsafe.types.UTF8String.fromString("plain")
+    assert(TextNormalize.normalize(s, org.apache.spark.unsafe.types.UTF8String.fromString("NFC")) eq s)
+  }
+
+  test("illegal form fails analysis, not execution") {
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq("x").toDF("t").selectExpr("graft_normalize(t, 'NFX')").queryExecution.analyzed
+    }
+    assert(e.getMessage.toLowerCase.contains("nfc") ||
+      e.getMessage.toLowerCase.contains("nfx"), e.getMessage)
+  }
+
+  test("non-literal form fails analysis") {
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq(("x", "NFC")).toDF("t", "f")
+        .selectExpr("graft_normalize(t, f)").queryExecution.analyzed
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"), e.getMessage)
+  }
+}
