@@ -51,7 +51,7 @@ class WarcTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"warc:$path"
   override def schema(): StructType = WarcDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(path)
 }
@@ -85,6 +85,79 @@ class WarcScan(path: String, required: StructType) extends Scan with Batch {
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(required, serConf)
+
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new WarcMicroBatchStream(path, required, serConf)
+}
+
+/** Streaming offset = the SET of files already processed (serialized as a
+  * sorted JSON array of fully-qualified names). A micro-batch is "every
+  * file present now that was not in the previous offset" — arrival-order
+  * ingestion of a landing directory, the `readStream` twin of the batch
+  * scan (one task per new file, same reader). Files must be immutable
+  * once visible (the standard landing-zone contract; write elsewhere and
+  * rename in).
+  */
+class WarcMicroBatchStream(path: String, required: StructType,
+                           conf: SerializableHadoopConf)
+    extends streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def listing(): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf.value)
+    if (!fs.exists(p)) Seq.empty
+    else if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).filter(s => s.isFile &&
+          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        .map(s => fs.makeQualified(s.getPath).toString).sorted.toSeq
+    else Seq(fs.makeQualified(p).toString)
+  }
+
+  override def latestOffset(): Offset = WarcOffset(listing())
+  override def initialOffset(): Offset = WarcOffset(Seq.empty)
+  override def deserializeOffset(json: String): Offset = WarcOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[WarcOffset].files.toSet
+    end.asInstanceOf[WarcOffset].files.filterNot(seen)
+      .map(f => WarcInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required, conf)
+}
+
+case class WarcOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  // minimal JSON string-array codec (no JSON library on the unmanaged
+  // classpath's API surface we want to depend on): names are quoted with
+  // backslash escaping for the two structural characters
+  override def json(): String =
+    files.sorted.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+object WarcOffset {
+  def fromJson(json: String): WarcOffset = {
+    val s = json.trim
+    require(s.startsWith("[") && s.endsWith("]"), s"bad warc offset: $json")
+    val body = s.substring(1, s.length - 1)
+    if (body.trim.isEmpty) return WarcOffset(Seq.empty)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var inStr = false; var esc = false
+    body.foreach { c =>
+      if (esc) { cur.append(c); esc = false }
+      else if (inStr && c == '\\') esc = true
+      else if (c == '"') { if (inStr) { out += cur.toString; cur.clear() }; inStr = !inStr }
+      else if (inStr) cur.append(c)
+      // structural chars (commas, whitespace) outside strings are skipped
+    }
+    WarcOffset(out.toSeq)
+  }
 }
 
 case class WarcInputPartition(file: String) extends InputPartition

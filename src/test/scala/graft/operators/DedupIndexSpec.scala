@@ -83,6 +83,52 @@ class DedupIndexSpec extends SparkSpec {
       s"diff: ${(fromIndex diff direct) ++ (direct diff fromIndex)}")
   }
 
+  test("end-to-end curation loop: WARC stream -> screen -> survivors join the index") {
+    import graft.sources.Warc
+    val idxPath = tmp()
+    val flaggedPath = s"${tmp()}/flagged"
+    val landing = java.nio.file.Files.createTempDirectory("graft_warc_land")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_warc_cur_ckpt").toString
+    DedupIndex.build(corpus(), "text", "doc_id", idxPath,
+      shingleN = 3, numHashes = 32, bands = 16)
+    def warcRec(i: Int, text: String) = (Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> s"<urn:uuid:rec-$i>",
+      "WARC-Target-URI" -> s"http://example.com/doc/$i"),
+      text.getBytes("US-ASCII"))
+    // batch 1: one duplicate of corpus doc 0, one novel doc
+    java.nio.file.Files.write(landing.resolve("a.warc"), Warc.render(Seq(
+      warcRec(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      warcRec(101, "streamside willow bends over quiet water under morning fog banks"))))
+    val q = spark.readStream.format("warc").load(landing.toString)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val docs = batch.select(
+          expr("cast(regexp_extract(target_uri, '(\\\\d+)$', 1) as bigint)").as("doc_id"),
+          col("payload").cast("string").as("text"))
+        graft.streaming.DedupStreams.screenAndIngestBatch(
+          docs, "text", "doc_id", idxPath, flaggedPath, 0.4, Int.MaxValue, id)
+      }.start()
+    try {
+      q.processAllAvailable()
+      val f1 = spark.read.parquet(flaggedPath)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // 100 duplicates corpus docs 0 AND 2 (0's text plus one word)
+      assert(f1 == Set((0L, 100L), (2L, 100L)), s"got $f1")
+      // batch 2 arrives near-duplicating the batch-1 SURVIVOR
+      java.nio.file.Files.write(landing.resolve("b.warc"), Warc.render(Seq(
+        warcRec(102, "streamside willow bends over quiet water under evening fog banks"))))
+      q.processAllAvailable()
+      val f2 = spark.read.parquet(flaggedPath)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(f2 == Set((0L, 100L), (2L, 100L), (101L, 102L)), s"got $f2")
+      val members = spark.read.parquet(s"$idxPath/sets.parquet")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(members.contains(101L) && !members.contains(100L) &&
+        !members.contains(102L), s"got $members")
+    } finally q.stop()
+  }
+
   test("streaming screen-and-ingest: flags against a growing corpus; replays are idempotent") {
     import spark.implicits._
     val path = tmp()

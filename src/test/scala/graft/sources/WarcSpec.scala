@@ -62,6 +62,41 @@ class WarcSpec extends SparkSpec {
     assert(Warc.parseFile("f", "garbage".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("readStream ingests arriving files exactly once, in micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_warc_ckpt").toString
+    java.nio.file.Files.write(dir.resolve("a.warc"),
+      Warc.render(Seq(rec(0, "alpha"), rec(1, "beta"))))
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = spark.readStream.format("warc").load(dir.toString)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.select("target_uri").collect()
+          .foreach(r => seen.synchronized { seen += ((id, r.getString(0))) })
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.map(_._2).toSet ==
+        Set("http://example.com/doc/0", "http://example.com/doc/1"))
+      // a NEW file arrives: only ITS records appear, in a later batch
+      java.nio.file.Files.write(dir.resolve("b.warc"), Warc.render(Seq(rec(2, "gamma"))))
+      q.processAllAvailable()
+      assert(seen.map(_._2).toSet == Set(
+        "http://example.com/doc/0", "http://example.com/doc/1",
+        "http://example.com/doc/2"))
+      assert(seen.size == 3, s"re-delivered records: $seen")
+      val batchOf = seen.groupBy(_._2).view.mapValues(_.head._1)
+      assert(batchOf("http://example.com/doc/2") > batchOf("http://example.com/doc/0"))
+    } finally q.stop()
+  }
+
+  test("warc offset json round-trips names with quotes and backslashes") {
+    val o = WarcOffset(Seq("file:/a/plain.warc", "file:/we\"ird\\name.warc"))
+    assert(WarcOffset.fromJson(o.json()).files.sorted == o.files.sorted)
+    assert(WarcOffset.fromJson("[]").files.isEmpty)
+  }
+
   test("DSv2 source reads a directory of files; pruned scan skips payload") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc")
     java.nio.file.Files.write(dir.resolve("a.warc"),
