@@ -42,6 +42,26 @@ object VectorQueries extends QuerySet {
         .orderBy("vec_id")
     }),
 
+    // Symmetric int8 scalar quantization per vector (the standard
+    // embedding storage/serving compression: 4x smaller, scale recorded
+    // per vector for dequantize): scale = max|x|/127, code_i =
+    // floor(x_i/scale + 0.5) — round-half-up via floor because floor is
+    // the cross-engine-safe primitive (see QuerySet.trunc). All narrow
+    // codegen'd array lambdas over doubles (floats widened FIRST so both
+    // engines do identical IEEE double arithmetic); zero shuffles.
+    "q118_embedding_quantize" -> ((s, dir) => {
+      val scaleSql = "aggregate(transform(embedding, y -> abs(cast(y as double))), " +
+        "cast(0.0 as double), (acc, y) -> greatest(acc, y)) / 127"
+      val codesSql = s"transform(embedding, x -> " +
+        s"cast(floor(cast(x as double) / ($scaleSql) + 0.5) as int))"
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), trunc(expr(scaleSql), 6).as("scale"),
+          expr(s"aggregate($codesSql, cast(0 as bigint), (acc, c) -> acc + c)").as("sum_codes"),
+          expr(s"array_min($codesSql)").as("min_code"),
+          expr(s"array_max($codesSql)").as("max_code"))
+        .orderBy("vec_id")
+    }),
+
     // Embedding-cosine near-duplicate pairs (the vector-space dedup
     // variant): all pairs above a cosine threshold within a bounded subset;
     // the LSH-bucketed path (q64) is the unbounded-scale variant.
@@ -102,6 +122,19 @@ object VectorQueries extends QuerySet {
         |ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 4) AS nrm,
         |len(embedding) AS dim
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // identical double arithmetic: floats widened first, scale = max|x|/127,
+    // codes via floor(x/scale + 0.5) — deterministic IEEE ops both engines
+    "q118_embedding_quantize" ->
+      """WITH s AS (SELECT vec_id,
+        |    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127 AS scale,
+        |    embedding FROM embeddings),
+        |c AS (SELECT vec_id, scale,
+        |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS INT)) AS codes
+        |    FROM s)
+        |SELECT vec_id, FLOOR(scale * 1000000) / 1000000 AS scale,
+        |  CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+        |  CAST(list_min(codes) AS INT) AS min_code, CAST(list_max(codes) AS INT) AS max_code
+        |FROM c ORDER BY vec_id""".stripMargin,
     "q101_dedup_embedding_full" ->
       """WITH ex AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
         |            CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
