@@ -62,6 +62,26 @@ class WarcSpec extends SparkSpec {
     assert(Warc.parseFile("f", "garbage".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("length-based framing is immune to adversarial payload bytes") {
+    // payloads containing the record magic, CRLF runs, fake headers, and
+    // random binary must parse EXACTLY by Content-Length — seeded sweep
+    val rng = new scala.util.Random(20260813L)
+    val nasty = Seq(
+      "WARC/1.0\r\nContent-Length: 5\r\n\r\n",  // a fake record inside a payload
+      "\r\n\r\n\r\n\r\n",
+      "Content-Length: 0\r\n",
+      new String(Array.fill(64)(rng.nextInt(256).toByte).map(b => (b & 0x7f).toChar)))
+    val payloads = nasty ++ (0 until 50).map(_ =>
+      new String(Array.fill(rng.nextInt(200))((rng.nextInt(94) + 32).toChar)) +
+        (if (rng.nextBoolean()) "\r\nWARC/1.0\r\n" else ""))
+    val bytes = Warc.render(payloads.zipWithIndex.map { case (p, i) => rec(i, p) })
+    val got = Warc.parseFile("f", bytes).toSeq
+    assert(got.size == payloads.size, s"expected ${payloads.size}, got ${got.size}")
+    payloads.zip(got).foreach { case (want, r) =>
+      assert(new String(r.payload, "US-ASCII") == want)
+    }
+  }
+
   test("readStream ingests arriving files exactly once, in micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc_stream")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_warc_ckpt").toString
