@@ -144,23 +144,49 @@ object AnnIndex {
     * stays at `encoded.compact.tmp` for a retry.
     */
   def compactIndex(spark: SparkSession, path: String): Unit = {
-    import org.apache.hadoop.fs.Path
     val enc = s"$path/encoded.parquet"
     val tmp = s"$path/encoded.compact.tmp"
     spark.read.parquet(enc)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    swapIn(spark, path, enc, tmp, "compact")
+  }
+
+  /** Remove vectors from the index by id — the corpus-takedown path (the
+    * [[DedupIndex.remove]] twin for embeddings): the cell layout is
+    * rewritten without the removed rows and atomically swapped in with
+    * rollback. Codebooks are untouched (they are a FIT, not a membership
+    * list — removing members never invalidates them). Single writer, no
+    * concurrent planning during the swap.
+    */
+  def removeVectors(spark: SparkSession, path: String, removeIds: DataFrame): Unit = {
+    val enc = s"$path/encoded.parquet"
+    val tmp = s"$path/encoded.remove.tmp"
+    val ids = removeIds.select(col(removeIds.columns.head).as("id"))
+    spark.read.parquet(enc)
+      .join(ids, Seq("id"), "left_anti")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    swapIn(spark, path, enc, tmp, "remove")
+  }
+
+  /** Retire `live`, install `tmp` in its place; on a failed install the
+    * previous layout is rolled back so the index is never half-swapped.
+    */
+  private[operators] def swapIn(spark: SparkSession, path: String, live: String,
+                                tmp: String, op: String): Unit = {
+    import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    val old = new Path(s"$path/encoded.old")
+    val old = new Path(s"$live.old")
     fs.delete(old, true)
-    require(fs.rename(new Path(enc), old), s"compact: could not retire $enc")
-    if (!fs.rename(new Path(tmp), new Path(enc))) {
-      val rolledBack = fs.rename(old, new Path(enc))
+    require(fs.rename(new Path(live), old), s"$op: could not retire $live")
+    if (!fs.rename(new Path(tmp), new Path(live))) {
+      val rolledBack = fs.rename(old, new Path(live))
       require(rolledBack,
-        s"compact: could not install $tmp at $enc AND rollback failed — live layout is at $old")
+        s"$op: could not install $tmp at $live AND rollback failed — live layout is at $old")
       throw new IllegalStateException(
-        s"compact: could not install compacted layout at $enc; previous layout rolled back, " +
-          s"compacted files left at $tmp")
+        s"$op: could not install new layout at $live; previous layout rolled back, " +
+          s"new files left at $tmp")
     }
     fs.delete(old, true)
   }

@@ -97,6 +97,29 @@ object DedupIndex {
     Dedup.verifyJaccardSets(cands, sets, threshold)
   }
 
+  /** Remove members from the index — the corpus-takedown path (license
+    * revocations, PII deletions, right-to-be-forgotten requests against a
+    * training corpus must reach the DEDUP artifacts too, or future batches
+    * keep being screened against ghosts that are no longer in the corpus).
+    * `removeIds` is a one-column frame of member ids. Both artifacts are
+    * rewritten via anti-join into a fresh directory and atomically swapped
+    * in with rollback ([[AnnIndex.compactIndex]]'s discipline): a failed
+    * install never leaves the index half-deleted. Single writer, no
+    * concurrent query planning during the swap — same contract as
+    * compaction.
+    */
+  def remove(spark: SparkSession, path: String, removeIds: DataFrame): Unit = {
+    val ids = removeIds.select(col(removeIds.columns.head).as("id"))
+    for (art <- Seq("buckets.parquet", "sets.parquet")) {
+      val live = s"$path/$art"
+      val tmp = s"$path/$art.remove.tmp"
+      spark.read.parquet(live)
+        .join(ids, Seq("id"), "left_anti")
+        .write.mode("overwrite").parquet(tmp)
+      AnnIndex.swapIn(spark, path, live, tmp, "remove")
+    }
+  }
+
   /** Per-member-count / file-count report, the [[AnnIndex.describeIndex]]
     * analog: append accumulation shows up as file growth.
     */

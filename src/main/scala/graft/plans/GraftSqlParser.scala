@@ -91,6 +91,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val DedupScreen =
     """(?is)^\s*DEDUP\s+SCREEN\s+'([^']+)'\s+WITH\s+([\w.]+)\s+THRESHOLD\s+([0-9.]+)\s*;?\s*$""".r
 
+  // REMOVE FROM ANN|DEDUP INDEX AT '<path>' FROM <idTable> — the corpus
+  // takedown path (license revocation / PII deletion must reach the
+  // persisted index artifacts too); <idTable>'s first column is the ids.
+  private val RemoveFromAnnIndex =
+    """(?is)^\s*REMOVE\s+FROM\s+ANN\s+INDEX\s+AT\s+'([^']+)'\s+FROM\s+([\w.]+)\s*;?\s*$""".r
+  private val RemoveFromDedupIndex =
+    """(?is)^\s*REMOVE\s+FROM\s+DEDUP\s+INDEX\s+AT\s+'([^']+)'\s+FROM\s+([\w.]+)\s*;?\s*$""".r
+
   // KNN INDEX JOIN '<path>' WITH <table> PROBES (<predicate>) TOP <k>
   //   [NPROBE <n>] [RERANK <n|ALL>]
   // — retrieval against a PERSISTED index: plans purely from the on-disk
@@ -143,6 +151,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case DedupScreen(path, table, threshold) =>
       graft.operators.DedupIndex.screen(session, path, session.table(table),
         "text", "doc_id", threshold.toDouble).queryExecution.logical
+    case RemoveFromAnnIndex(path, table) =>
+      RemoveFromIndexCommand(table, path, ann = true)
+    case RemoveFromDedupIndex(path, table) =>
+      RemoveFromIndexCommand(table, path, ann = false)
     case KnnIndexJoin(path, table, predicate, k, nProbeOpt, rerankOpt) =>
       val probes = session.table(table)
         .where(org.apache.spark.sql.functions.expr(predicate))
@@ -223,6 +235,19 @@ case class CreateDedupIndexCommand(table: String, path: String)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
     graft.operators.DedupIndex.build(spark.table(table), "text", "doc_id", path)
+    Seq.empty
+  }
+}
+
+/** `REMOVE FROM ANN|DEDUP INDEX` — takedown by id
+  * ([[graft.operators.AnnIndex.removeVectors]] /
+  * [[graft.operators.DedupIndex.remove]]); atomic swap with rollback.
+  */
+case class RemoveFromIndexCommand(table: String, path: String, ann: Boolean)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    if (ann) graft.operators.AnnIndex.removeVectors(spark, path, spark.table(table))
+    else graft.operators.DedupIndex.remove(spark, path, spark.table(table))
     Seq.empty
   }
 }

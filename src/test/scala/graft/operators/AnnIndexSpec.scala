@@ -131,6 +131,27 @@ class AnnIndexSpec extends SparkSpec {
       "shares must sum to ~1")
   }
 
+  test("remove: taken-down vectors vanish from results; rest equals brute force") {
+    import spark.implicits._
+    val docs = corpus()
+    val path = tmpIndex()
+    AnnIndex.buildIvfPq(docs, "vec_id", "embedding", path,
+      nList = 4, m = 8, nCells = 16, dim = 16)
+    // the planted near-dups 1000..1004 rank first for probes 0..4 — remove
+    // them (SQL statement form) and exhaustive results must equal brute
+    // force over the REMAINING corpus
+    (1000L to 1004L).toDF("vec_id").createOrReplaceTempView("ann_rm_ids")
+    spark.sql(s"REMOVE FROM ANN INDEX AT '$path' FROM ann_rm_ids")
+    val remaining = docs.where(col("vec_id") < 1000L)
+    val got = AnnIndex.ivfPqKnnIndexed(spark, path,
+        docs.where(col("vec_id") < 5), "vec_id", "embedding", k = 3,
+        nProbe = 4, rerank = 1000).collect().toSet
+    val exact = Similarity.bruteForceKnn(remaining, "vec_id", "embedding",
+        col("vec_id") < 5, k = 3).collect().toSet
+    assert(got == exact, s"diff: ${(got diff exact) ++ (exact diff got)}")
+    assert(!got.exists(_.getLong(1) >= 1000L), "removed vectors must not match")
+  }
+
   test("index round-trip: params and codebooks reload exactly") {
     val docs = corpus()
     val path = tmpIndex()

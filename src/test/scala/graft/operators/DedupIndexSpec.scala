@@ -83,6 +83,31 @@ class DedupIndexSpec extends SparkSpec {
       s"diff: ${(fromIndex diff direct) ++ (direct diff fromIndex)}")
   }
 
+  test("remove: taken-down members stop matching; survivors unaffected") {
+    import spark.implicits._
+    val path = tmp()
+    DedupIndex.build(corpus(), "text", "doc_id", path,
+      shingleN = 3, numHashes = 32, bands = 16)
+    // doc 1 exactly duplicates corpus doc 0 — flagged before the takedown
+    val probe = Seq((1L,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+    assert(!DedupIndex.screen(spark, path, probe, "text", "doc_id", 0.4,
+      Int.MaxValue).isEmpty)
+    // remove docs 0 and 2 (both near-dup the probe); SQL statement form
+    Seq(0L, 2L).toDF("doc_id").createOrReplaceTempView("rm_ids")
+    spark.sql(s"REMOVE FROM DEDUP INDEX AT '$path' FROM rm_ids")
+    assert(DedupIndex.screen(spark, path, probe, "text", "doc_id", 0.4,
+      Int.MaxValue).isEmpty, "removed members must stop matching")
+    // untouched members still screen: doc 4's text still flags its dup
+    val probe2 = Seq((5L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val f = DedupIndex.screen(spark, path, probe2, "text", "doc_id", 0.4,
+      Int.MaxValue).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(f == Set((4L, 5L)), s"got $f")
+    assert(DedupIndex.describe(spark, path).head().getLong(0) == 3)
+  }
+
   test("end-to-end curation loop: WARC stream -> screen -> survivors join the index") {
     import graft.sources.Warc
     val idxPath = tmp()
