@@ -29,17 +29,29 @@ object CurationRun {
     val stages = scala.collection.mutable.LinkedHashMap[String, Long]()
     stages("input") = docs.count()
 
-    // 1. quality gate: drop empty/short docs and token-repetition spam,
-    // then the LM cut — documents whose bigram perplexity (under the
-    // corpus's own model) exceeds 3x the median are out-of-distribution
-    // noise the heuristics can't see. A relative cut, not a fixed
-    // percentile: a clean corpus loses nothing, a noisy one sheds its
-    // outliers. The median is one metadata-sized aggregate.
+    // 0. Unicode-normalize BEFORE anything hashes: composed and decomposed
+    // byte sequences must unify or every downstream exact-match stage
+    // (content hash, shingles, decontamination) silently treats them as
+    // different text. NFC via the native graft_normalize expression —
+    // identity (and allocation-free) on ASCII.
+    val normed = docs.withColumn("text", expr("graft_normalize(text, 'NFC')"))
+
+    // 1. quality gate: drop empty/short docs, token-repetition spam, and
+    // templated text (Gopher-style duplicate-bigram fraction), then the
+    // LM cut — documents whose bigram perplexity (under the corpus's own
+    // model) exceeds 3x the median are out-of-distribution noise the
+    // heuristics can't see. A relative cut, not a fixed percentile: a
+    // clean corpus loses nothing, a noisy one sheds its outliers. The
+    // median is one metadata-sized aggregate.
     val toks = size(split(col("text"), " "))
     val uniq = size(array_distinct(split(col("text"), " ")))
-    val heur = docs
+    val bigrams = expr("transform(sequence(0, size(split(text, ' ')) - 2), " +
+      "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))")
+    val dup2 = lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams)
+    val heur = normed
       .where(col("n_chars") >= 40 && toks >= 8)
       .where(uniq.cast("double") / toks > 0.3)
+      .where(dup2 < 0.5)
     val ppl = LanguageModel.bigramPerplexity(heur, "text", "doc_id")
     val pplCut = 3.0 * ppl.agg(expr("percentile_approx(ppl, 0.5)")).head().getDouble(0)
     val quality = heur.join(
@@ -100,6 +112,13 @@ object CurationRun {
     val n = graft.sources.SqliteSink.write(
       kept.select("doc_id", "source", "n_chars", "smp_rank"), s"$out/corpus.sqlite", "corpus")
     println(s"[curate] wrote $n rows to $out/corpus.sqlite + parquet")
+    // hand the kept corpus to the recurring-ingest loop: persist the
+    // MinHash signature index so FUTURE batches screen in O(batch) against
+    // it (DedupStreams.screenAndIngestStream consumes this artifact)
+    graft.operators.DedupIndex.build(kept, "text", "doc_id", s"$out/dedup_index")
+    val d = graft.operators.DedupIndex.describe(spark, s"$out/dedup_index").head()
+    println(s"[curate] dedup index: ${d.getLong(0)} members, " +
+      s"${d.getLong(1)} set entries at $out/dedup_index")
     spark.stop()
   }
 }

@@ -88,8 +88,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)^\s*CREATE\s+DEDUP\s+INDEX\s+AT\s+'([^']+)'\s+ON\s+([\w.]+)\s*;?\s*$""".r
   private val AppendDedupIndex =
     """(?is)^\s*APPEND\s+TO\s+DEDUP\s+INDEX\s+AT\s+'([^']+)'\s+FROM\s+([\w.]+)\s*;?\s*$""".r
+  // optional MAXBUCKET <n|NONE> exposes the skew-guard knob; NONE opts out
+  // (Int.MaxValue — the exactness configuration the oracle checks, q119)
   private val DedupScreen =
-    """(?is)^\s*DEDUP\s+SCREEN\s+'([^']+)'\s+WITH\s+([\w.]+)\s+THRESHOLD\s+([0-9.]+)\s*;?\s*$""".r
+    """(?is)^\s*DEDUP\s+SCREEN\s+'([^']+)'\s+WITH\s+([\w.]+)\s+THRESHOLD\s+([0-9.]+)(?:\s+MAXBUCKET\s+(\d+|NONE))?\s*;?\s*$""".r
 
   // REMOVE FROM ANN|DEDUP INDEX AT '<path>' FROM <idTable> — the corpus
   // takedown path (license revocation / PII deletion must reach the
@@ -148,9 +150,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       CreateDedupIndexCommand(table, path)
     case AppendDedupIndex(path, table) =>
       AppendDedupIndexCommand(table, path)
-    case DedupScreen(path, table, threshold) =>
+    case DedupScreen(path, table, threshold, maxBucketOpt) =>
+      val maxBucket = Option(maxBucketOpt) match {
+        case Some(m) if m.equalsIgnoreCase("NONE") => Int.MaxValue
+        case Some(m) => m.toInt
+        case None => 1000
+      }
       graft.operators.DedupIndex.screen(session, path, session.table(table),
-        "text", "doc_id", threshold.toDouble).queryExecution.logical
+        "text", "doc_id", threshold.toDouble, maxBucket).queryExecution.logical
     case RemoveFromAnnIndex(path, table) =>
       RemoveFromIndexCommand(table, path, ann = true)
     case RemoveFromDedupIndex(path, table) =>

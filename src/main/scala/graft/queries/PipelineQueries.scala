@@ -618,6 +618,24 @@ object PipelineQueries extends QuerySet {
         .orderBy("ord")
     }),
 
+    // The dedup index's SQL surface end to end (q109's pattern for text):
+    // CREATE DEDUP INDEX + DEDUP SCREEN run as spark.sql STATEMENTS
+    // through GraftSqlParser and must reproduce the same brute-force
+    // cross-corpus oracle as the Dataset path (q113) — the parser serves
+    // the identical operator, not a drifted twin.
+    "q119_sql_dedup_screen" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.where(col("doc_id") % 5 =!= 0).createOrReplaceTempView("ddx_existing_sql")
+      docs.where(col("doc_id") % 5 === 0).createOrReplaceTempView("ddx_incoming_sql")
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedupidx_sql_" +
+        s"${math.abs(dir.hashCode)}_${src.lastModified}"
+      if (!new java.io.File(s"$path/sets.parquet/_SUCCESS").exists)
+        s.sql(s"CREATE DEDUP INDEX AT '$path' ON ddx_existing_sql")
+      s.sql(s"DEDUP SCREEN '$path' WITH ddx_incoming_sql THRESHOLD 0.5 MAXBUCKET NONE")
+        .orderBy("a_id", "b_id")
+    }),
+
     // Corpus-level duplicated-span coverage (ExactSubstr signal at the
     // token-8-gram grain): tokens inside any 8-gram occurring >= 2 times
     // across the corpus. Candidates are gram INSTANCES (corpus-linear,
@@ -804,6 +822,8 @@ object PipelineQueries extends QuerySet {
     "q104_incremental_dedup" -> incrementalDedupOracle,
     // identical semantics served from the persisted signature index
     "q113_dedup_index_screen" -> incrementalDedupOracle,
+    // and once more through the SQL statement surface
+    "q119_sql_dedup_screen" -> incrementalDedupOracle,
     // duplicated-span coverage recomputed by exact gram STRINGS (the
     // engine shuffles xxhash64 of the same grams — sets coincide absent a
     // 64-bit collision, the established q62-family convention)
