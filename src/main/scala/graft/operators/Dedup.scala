@@ -509,8 +509,16 @@ object Dedup {
                             maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
     simHashPairs(simHashShared(docs, textCol, idCol), maxHamming, maxBucketSize, nBits = 60)
 
-  private def simHashPairs(sig: DataFrame, maxHamming: Int, maxBucketSize: Int,
-                           nBits: Int): DataFrame = {
+  /** Banded Hamming near-dup pairs over ANY precomputed `(id, simhash)`
+    * fingerprint table — SimHash, perceptual image aHash
+    * ([[Multimodal.aHashFromGray]]), any <= 64-bit locality-sensitive
+    * fingerprint. Complete pigeonhole banding: `maxHamming + 1` chunks, a
+    * pair within the cut shares at least one chunk exactly, so recall is 1
+    * BY CONSTRUCTION (no probabilistic miss) and the only approximation
+    * anywhere is the fingerprint itself.
+    */
+  def simHashPairs(sig: DataFrame, maxHamming: Int, maxBucketSize: Int,
+                   nBits: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < nBits, s"maxHamming must be in [0, $nBits)")
     val nChunks = maxHamming + 1
     val base = nBits / nChunks // last chunk absorbs the remainder bits

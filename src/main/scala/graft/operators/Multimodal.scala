@@ -27,6 +27,25 @@ object Multimodal {
     * harness synthesizes them from text so every stage downstream is
     * exercised with realistic shapes.
     */
+  /** Perceptual average-hash fingerprint from a grayscale pixel array
+    * column (`array<int>`, any length <= 60 used as the grid): bit j set
+    * iff pixel j exceeds the grid mean — the classic aHash, the cheapest
+    * perceptual image near-dup signal. 60 bits (not 64) to stay clear of
+    * the sign bit, matching the cross-engine md5-simhash convention; near
+    * duplicates then come from [[Dedup.simHashPairs]] with `nBits = 60`.
+    * One narrow codegen'd expression; replayable in any SQL engine (mean +
+    * comparisons + shifted sums), so fingerprints are oracle-checkable.
+    */
+  def aHashFromGray(df: DataFrame, pixelsCol: String, idCol: String): DataFrame = {
+    val n = s"size($pixelsCol)"
+    df.select(col(idCol).as("id"), expr(
+      s"aggregate(sequence(0, $n - 1), cast(0 as bigint), (acc, j) -> acc + " +
+      s"CASE WHEN element_at($pixelsCol, j + 1) * $n > " +
+      s"aggregate($pixelsCol, cast(0 as bigint), (a, x) -> a + x) " +
+      s"THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)"
+    ).as("simhash"))
+  }
+
   def withPayload(df: DataFrame, srcCol: String, mime: String = "application/octet-stream"): DataFrame = {
     // binary sources pass through UNTOUCHED: casting bytes through a Java
     // String replaces invalid UTF-8 sequences with U+FFFD, so nBytes/sha

@@ -618,6 +618,29 @@ object PipelineQueries extends QuerySet {
         .orderBy("ord")
     }),
 
+    // Perceptual image near-dup via aHash (the cheapest image-dedup
+    // signal): deterministic fake 60-cell grayscale grids with planted
+    // families — docs sharing doc_id DIV 10 are the "same image" except
+    // their first (doc_id % 3) cells, which are doc-salted — hashed by
+    // [[Multimodal.aHashFromGray]] (bit j = pixel j above the grid mean,
+    // pure integer arithmetic) and paired by the COMPLETE pigeonhole
+    // banding of [[Dedup.simHashPairs]]. Grid cells are md5 arithmetic
+    // (the q65/q89 fake-decode convention) so DuckDB replays fingerprints
+    // and brute-force hamming pairs exactly.
+    "q120_image_ahash_dedup" -> ((s, dir) => {
+      val grid = expr(
+        "transform(sequence(0, 59), j -> CAST(CAST(conv(substr(md5(concat(" +
+        "CAST(CASE WHEN j < doc_id % 3 THEN doc_id + 1000000 " +
+        "ELSE doc_id DIV 10 END AS STRING), ':', CAST(j AS STRING))), " +
+        "1, 13), 16, 10) AS BIGINT) % 256 AS INT))")
+      val sig = Multimodal.aHashFromGray(
+        t(s, dir, "documents").select(col("doc_id"), grid.as("gray")),
+        "gray", "doc_id")
+      Dedup.simHashPairs(sig, maxHamming = 6,
+          maxBucketSize = Int.MaxValue, nBits = 60)
+        .orderBy("a_id", "b_id")
+    }),
+
     // The dedup index's SQL surface end to end (q109's pattern for text):
     // CREATE DEDUP INDEX + DEDUP SCREEN run as spark.sql STATEMENTS
     // through GraftSqlParser and must reproduce the same brute-force
@@ -824,6 +847,21 @@ object PipelineQueries extends QuerySet {
     "q113_dedup_index_screen" -> incrementalDedupOracle,
     // and once more through the SQL statement surface
     "q119_sql_dedup_screen" -> incrementalDedupOracle,
+    // identical md5 grid arithmetic + mean-threshold hash, brute-force
+    // hamming pairs (the engine reaches the same set via complete
+    // pigeonhole banding — recall 1 by construction)
+    "q120_image_ahash_dedup" ->
+      """WITH g AS (SELECT doc_id, list_transform(range(0, 60), j ->
+        |    ('0x' || substr(md5(CAST(CASE WHEN j < doc_id % 3 THEN doc_id + 1000000
+        |        ELSE doc_id // 10 END AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 13))::BIGINT % 256) AS gray
+        |  FROM documents),
+        |sig AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), j ->
+        |    CASE WHEN gray[j + 1] * 60 > list_sum(gray) THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS h
+        |  FROM g)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, bit_count(xor(a.h, b.h)) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 6
+        |ORDER BY a_id, b_id""".stripMargin,
     // duplicated-span coverage recomputed by exact gram STRINGS (the
     // engine shuffles xxhash64 of the same grams — sets coincide absent a
     // 64-bit collision, the established q62-family convention)

@@ -312,6 +312,28 @@ class MultimodalSpec extends SparkSpec {
     assert(iters == Seq(0, 0, 0, 1, 1, 1, 2, 2, 3, 3))
   }
 
+  test("aHashFromGray: hand-computed bits; identical grids collide, one-pixel edits stay near") {
+    import spark.implicits._
+    // grid [10, 200, 10, 200]: mean 105 -> bits 1 and 3 set -> hash 0b1010
+    val tiny = Seq((1L, Seq(10, 200, 10, 200))).toDF("doc_id", "gray")
+    assert(Multimodal.aHashFromGray(tiny, "gray", "doc_id")
+      .head().getLong(1) == 0xAL)
+    // strictly-above-mean rule: a uniform grid hashes to 0, not all-ones
+    val flat = Seq((2L, Seq.fill(8)(77))).toDF("doc_id", "gray")
+    assert(Multimodal.aHashFromGray(flat, "gray", "doc_id").head().getLong(1) == 0L)
+    // 60-cell grids: identical grids -> hamming 0; a one-pixel edit moves
+    // few bits (the pixel's own bit + any mean-threshold flips)
+    val base = (0 until 60).map(j => (j * 37) % 256)
+    val edited = base.updated(30, 255)
+    val df = Seq((10L, base), (11L, base), (12L, edited)).toDF("doc_id", "gray")
+    val sig = Multimodal.aHashFromGray(df, "gray", "doc_id")
+    val pairs = Dedup.simHashPairs(sig, maxHamming = 6,
+        maxBucketSize = Int.MaxValue, nBits = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.exists(p => p._1 == 10L && p._2 == 11L && p._3 == 0), s"got $pairs")
+    assert(pairs.exists(p => p._1 == 10L && p._2 == 12L), s"edited grid too far: $pairs")
+  }
+
   test("sql surface: registered views answer spark.sql directly") {
     graft.Tables.registerAll(spark, sf())
     val n = spark.sql("SELECT count(*) c FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
