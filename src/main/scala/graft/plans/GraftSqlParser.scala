@@ -93,6 +93,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val DedupScreen =
     """(?is)^\s*DEDUP\s+SCREEN\s+'([^']+)'\s+WITH\s+([\w.]+)\s+THRESHOLD\s+([0-9.]+)(?:\s+MAXBUCKET\s+(\d+|NONE))?\s*;?\s*$""".r
 
+  // ASOF JOIN <left> WITH <right> ON <key> BY <time> PAYLOAD (c1, c2, ...)
+  // — last-right-row-at-or-before semantics ([[graft.operators.AsOfJoin
+  // .asOfLeft]]) as a statement; Spark SQL has no ASOF JOIN syntax.
+  private val AsOfJoinStmt =
+    """(?is)^\s*ASOF\s+JOIN\s+([\w.]+)\s+WITH\s+([\w.]+)\s+ON\s+(\w+)\s+BY\s+(\w+)\s+PAYLOAD\s*\(([\w\s,]+)\)\s*;?\s*$""".r
+
   // REMOVE FROM ANN|DEDUP INDEX AT '<path>' FROM <idTable> — the corpus
   // takedown path (license revocation / PII deletion must reach the
   // persisted index artifacts too); <idTable>'s first column is the ids.
@@ -158,6 +164,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       }
       graft.operators.DedupIndex.screen(session, path, session.table(table),
         "text", "doc_id", threshold.toDouble, maxBucket).queryExecution.logical
+    case AsOfJoinStmt(left, right, key, time, payload) =>
+      graft.operators.AsOfJoin.asOfLeft(session.table(left), session.table(right),
+        key, time, payload.split(',').map(_.trim).toSeq).queryExecution.logical
     case RemoveFromAnnIndex(path, table) =>
       RemoveFromIndexCommand(table, path, ann = true)
     case RemoveFromDedupIndex(path, table) =>

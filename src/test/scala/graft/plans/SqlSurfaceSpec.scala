@@ -131,6 +131,25 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(exh == brute, s"diff: ${(exh diff brute) ++ (brute diff exh)}")
   }
 
+  test("ASOF JOIN statement == the Dataset operator") {
+    import spark.implicits._
+    Seq((1L, 10L, "e1"), (1L, 25L, "e2"), (2L, 5L, "e3"))
+      .toDF("user_id", "k", "event_id").createOrReplaceTempView("asof_left")
+    Seq((1L, 8L, "c1", 1.5), (1L, 20L, "c2", 2.5), (3L, 1L, "c3", 9.9))
+      .toDF("user_id", "k", "r_event", "r_value").createOrReplaceTempView("asof_right")
+    val sql = spark.sql(
+        "ASOF JOIN asof_left WITH asof_right ON user_id BY k PAYLOAD (r_event, r_value)")
+      .select("event_id", "r_event").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    val ds = graft.operators.AsOfJoin.asOfLeft(
+        spark.table("asof_left"), spark.table("asof_right"),
+        "user_id", "k", Seq("r_event", "r_value"))
+      .select("event_id", "r_event").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(sql == ds, s"sql $sql != ds $ds")
+    assert(sql == Set(("e1", Some("c1")), ("e2", Some("c2")), ("e3", None)))
+  }
+
   test("CREATE/APPEND/SCREEN DEDUP INDEX statements == the Dataset operators") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
