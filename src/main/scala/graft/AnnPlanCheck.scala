@@ -122,7 +122,9 @@ object AnnPlanCheck {
       ("q115_dup_span_coverage", served("q115_dup_span_coverage"),
         { val nTok = docsDf.selectExpr("sum(size(split(text, ' ')))").head.getLong(0)
           2 * nTok },
-        "2*total_tokens: dup-span join-back is bounded by gram INSTANCES, never pairs"))
+        "2*total_tokens: dup-span join-back is bounded by gram INSTANCES, never pairs"),
+      ("q120_image_ahash_dedup", served("q120_image_ahash_dedup"),
+        30 * nDocs, "30*N: 7 pigeonhole chunks/doc + family-bounded pairs, never all-pairs"))
     var candFail = 0
     for ((label, plan, budget, formula) <- candBudgets) {
       val measured = maxJoinOutputRows(plan())
