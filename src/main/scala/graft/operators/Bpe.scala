@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding subword tokenizer — the learned counterpart of the
@@ -79,6 +79,24 @@ object Bpe {
     }
     merges.toSeq
   }
+
+  /** Persist a learned merge table as a parquet artifact — the tokenizer
+    * analog of the ANN codebooks and the dedup signature params: train
+    * once, ship the artifact, every consumer encodes with the FROZEN
+    * table (a drifted retrain would silently change token counts corpus
+    * wide). Rank order is the merge order, stored explicitly.
+    */
+  def save(spark: SparkSession, merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "a", "b")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted merge table in rank order. */
+  def load(spark: SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
 
   /** Encode a text column with a learned merge table: appends
     * `tokens: array<string>` (per-word greedy lowest-rank BPE merging via

@@ -270,6 +270,25 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     }),
 
+    // The persisted-tokenizer round trip under the SAME chained-CTE
+    // learner oracle as q108: learn once, SAVE the merge table as a
+    // parquet artifact (mtime-keyed — the codebook/params pattern), then
+    // encode with the LOADED table. Save/load must be invisible to token
+    // counts; a rank-order bug in the artifact would break the hash.
+    "q121_bpe_saved_tokenizer" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bpe_" +
+        s"${math.abs(dir.hashCode)}_${src.lastModified}"
+      if (!new java.io.File(s"$path/_SUCCESS").exists)
+        graft.operators.Bpe.save(s,
+          graft.operators.Bpe.learn(docs, "text", "doc_id", numMerges = BpeOracleMerges),
+          path)
+      graft.operators.Bpe.encode(docs, "text", graft.operators.Bpe.load(s, path))
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
     // Word frequency: explode + group + global top-k.
     "q36_word_freq" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -444,6 +463,9 @@ object TextQueries extends QuerySet {
       """SELECT doc_id, CAST(length(replace(text, ' ', '')) AS INT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q108_bpe_learned_oracle" -> bpeOracleSql(BpeOracleMerges, maxSample = 20000),
+    // identical oracle: the persisted-artifact round trip must not change
+    // a single token count
+    "q121_bpe_saved_tokenizer" -> bpeOracleSql(BpeOracleMerges, maxSample = 20000),
     "q36_word_freq" ->
       """SELECT tok, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,

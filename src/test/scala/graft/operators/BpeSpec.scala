@@ -60,4 +60,30 @@ class BpeSpec extends SparkSpec {
     val t0 = enc.where(col("doc_id") === 0).select("tokens").head().getSeq[String](0)
     assert(t0.contains("hello") && t0.contains("world"), s"got ${t0.take(10)}")
   }
+
+  test("save/load round-trips the merge table in rank order") {
+    import spark.implicits._
+    val docs = (0 until 30).map(i => (i.toLong, "abc abd " * 3 + s"x$i"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.learn(docs, "text", "doc_id", numMerges = 6)
+    assert(merges.nonEmpty)
+    val path = java.nio.file.Files.createTempDirectory("graft_bpe").toString + "/merges"
+    Bpe.save(spark, merges, path)
+    val loaded = Bpe.load(spark, path)
+    assert(loaded == merges, s"loaded $loaded != learned $merges")
+    // rank ORDER is semantics, not bookkeeping: with OVERLAPPING merges on
+    // a word that cannot fully merge, greedy lowest-rank-first picks
+    // different tokens under reversed ranks — a saved table that loses its
+    // order would encode "abc" as [a, bc] instead of [ab, c]
+    val word = Seq((0L, "abc")).toDF("doc_id", "text")
+    val overlap = Seq(("a", "b"), ("b", "c"))
+    def toks(d: org.apache.spark.sql.DataFrame, table: Seq[(String, String)]) =
+      Bpe.encode(d, "text", table).where(col("doc_id") === 0)
+        .select("tokens").head().getSeq[String](0).toList
+    assert(toks(docs, loaded) == toks(docs, merges))
+    val p2 = java.nio.file.Files.createTempDirectory("graft_bpe").toString + "/overlap"
+    Bpe.save(spark, overlap, p2)
+    assert(toks(word, Bpe.load(spark, p2)) == List("ab", "c"))
+    assert(toks(word, overlap.reverse) == List("a", "bc"))
+  }
 }
