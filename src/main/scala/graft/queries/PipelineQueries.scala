@@ -618,6 +618,26 @@ object PipelineQueries extends QuerySet {
         .orderBy("ord")
     }),
 
+    // WebDataset tar-shard ingestion (the q116 pattern for the third wire
+    // format): a deterministic fixture rendered to a REAL POSIX ustar
+    // archive (512-byte headers, octal sizes, checksums, zero-block
+    // terminator), read back through the DSv2 `tarshard` source, and the
+    // oracle re-derives every header offset from the block arithmetic —
+    // offset(i) = sum over j<i of (512 + ceil(size_j/512)*512).
+    "q122_tar_shard_ingest" -> ((s, dir) => {
+      val fixDir = new java.io.File("target/fixtures")
+      fixDir.mkdirs()
+      val f = new java.io.File(fixDir, "tar_oracle.tar")
+      val entries = (0 until 20).map { i =>
+        (f"sample$i%06d.txt", ("x" * (100 + (i * 97) % 900)).getBytes("US-ASCII"))
+      }
+      java.nio.file.Files.write(f.toPath, graft.sources.TarShards.render(entries))
+      graft.sources.TarShards.read(s, f.getAbsolutePath)
+        .select(col("ord"), col("offset"), col("name"), col("sample_key"),
+          col("ext"), col("size"), col("data").cast("string").as("payload_text"))
+        .orderBy("ord")
+    }),
+
     // Perceptual image near-dup via aHash (the cheapest image-dedup
     // signal): deterministic fake 60-cell grayscale grids with planted
     // families — docs sharing doc_id DIV 10 are the "same image" except
@@ -847,6 +867,20 @@ object PipelineQueries extends QuerySet {
     "q113_dedup_index_screen" -> incrementalDedupOracle,
     // and once more through the SQL statement surface
     "q119_sql_dedup_screen" -> incrementalDedupOracle,
+    // re-derives the ustar block layout: header offsets from cumulative
+    // 512-block arithmetic, names/keys/sizes from the fixture formulas
+    "q122_tar_shard_ingest" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 19)) AS i),
+        |d AS (SELECT i, 100 + (i * 97) % 900 AS L FROM r),
+        |o AS (SELECT i, L,
+        |  CAST(COALESCE(SUM(512 + CAST(CEIL(L / 512.0) AS BIGINT) * 512) OVER (ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM d)
+        |SELECT CAST(i AS BIGINT) AS ord, off AS offset,
+        |  'sample' || lpad(CAST(i AS VARCHAR), 6, '0') || '.txt' AS name,
+        |  'sample' || lpad(CAST(i AS VARCHAR), 6, '0') AS sample_key,
+        |  'txt' AS ext, CAST(L AS BIGINT) AS size, repeat('x', L) AS payload_text
+        |FROM o ORDER BY ord""".stripMargin,
     // identical md5 grid arithmetic + mean-threshold hash, brute-force
     // hamming pairs (the engine reaches the same set via complete
     // pigeonhole banding — recall 1 by construction)

@@ -1,0 +1,143 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WebDataset-style tar shards as a DataSource V2:
+  * `spark.read.format("tarshard").load(dir)` — one task per shard file
+  * (the training-time parallelism unit), column pruning skips member-byte
+  * materialization for listing scans. See [[TarShards]].
+  */
+class TarShardDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "tarshard"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TarShardDataSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new TarShardTable(properties.get("path"))
+}
+
+object TarShardDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("ord", LongType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("sample_key", StringType, nullable = false),
+    StructField("ext", StringType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("data", BinaryType, nullable = false)))
+}
+
+class TarShardTable(path: String) extends Table with SupportsRead {
+  require(path != null, "tarshard source requires a path")
+  override def name(): String = s"tarshard:$path"
+  override def schema(): StructType = TarShardDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TarShardScanBuilder(path)
+}
+
+class TarShardScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = TarShardDataSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new TarShardScan(path, required)
+}
+
+class TarShardScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  private val serConf = new SerializableHadoopConf(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(serConf.value)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.isFile &&
+            !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+          .map(s => fs.makeQualified(s.getPath).toString).sorted
+      else Array(fs.makeQualified(p).toString)
+    files.map(f => TarShardInputPartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TarShardReaderFactory(required, serConf)
+}
+
+case class TarShardInputPartition(file: String) extends InputPartition
+
+class TarShardReaderFactory(required: StructType, conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new TarShardPartitionReader(
+      partition.asInstanceOf[TarShardInputPartition].file, required, conf)
+}
+
+class TarShardPartitionReader(file: String, required: StructType,
+                              conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+
+  private val records = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(conf.value)
+    val in = fs.open(p)
+    val bytes = try {
+      val len = fs.getFileStatus(p).getLen
+      require(len <= Int.MaxValue - 8,
+        s"tar shard $file is $len bytes; this source buffers whole shards " +
+          "(< 2 GB) — the WebDataset convention sizes shards well below this.")
+      val buf = new Array[Byte](len.toInt)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+    TarShards.parseFile(file, bytes)
+  }
+
+  private val proj = UnsafeProjection.create(required)
+  private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.length)
+  private val fieldIdx = required.fields.map(f => TarShardDataSource.schema.fieldIndex(f.name))
+  private var current: TarShards.TarMember = _
+
+  override def next(): Boolean = {
+    if (records.hasNext) { current = records.next(); true } else false
+  }
+
+  override def get(): InternalRow = {
+    var i = 0
+    while (i < fieldIdx.length) {
+      row.update(i, fieldIdx(i) match {
+        case 0 => UTF8String.fromString(current.file)
+        case 1 => current.ord
+        case 2 => current.offset
+        case 3 => UTF8String.fromString(current.name)
+        case 4 => UTF8String.fromString(current.sampleKey)
+        case 5 => UTF8String.fromString(current.ext)
+        case 6 => current.size
+        case 7 => current.data
+      })
+      i += 1
+    }
+    proj(row)
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TarShardsSpec extends SparkSpec {
+
+  private def sample(i: Int): Seq[(String, Array[Byte])] = Seq(
+    (f"$i%06d.jpg", Array.fill(100 + i)(i.toByte)),
+    (f"$i%06d.txt", s"caption for sample $i".getBytes("US-ASCII")),
+    (f"$i%06d.json", s"""{"id":$i}""".getBytes("US-ASCII")))
+
+  test("render/parse round trip: names, keys, extensions, sizes, bytes, offsets") {
+    val bytes = TarShards.render(sample(1) ++ sample(2))
+    val got = TarShards.parseFile("s.tar", bytes).toSeq
+    assert(got.size == 6)
+    assert(got.map(_.sampleKey).distinct == Seq("000001", "000002"))
+    assert(got.map(_.ext) == Seq("jpg", "txt", "json", "jpg", "txt", "json"))
+    assert(got.map(_.size) == Seq(101L, 20L, 8L, 102L, 20L, 8L))
+    assert(new String(got(1).data, "US-ASCII") == "caption for sample 1")
+    // offsets are header starts: 512-block aligned and strictly increasing
+    assert(got.forall(_.offset % 512 == 0))
+    assert(got.map(_.offset) == got.map(_.offset).sorted)
+    // multi-dot names keep everything after the FIRST dot as the ext
+    // (WebDataset uses exts like "seg.png")
+    val multi = TarShards.parseFile("m.tar",
+      TarShards.render(Seq(("x/0009.seg.png", Array[Byte](1))))).toSeq
+    assert(multi.head.sampleKey == "0009" || multi.head.sampleKey == "0009")
+    assert(multi.head.ext == "seg.png")
+    assert(multi.head.name == "x/0009.seg.png")
+  }
+
+  test("malformed archives stop cleanly; directories and PAX entries are skipped") {
+    val good = TarShards.render(sample(3))
+    // truncated member data
+    val bad = java.util.Arrays.copyOf(good, good.length - 700)
+    assert(TarShards.parseFile("t", bad).size <= 3)
+    // corrupt size field (non-octal) after one good member
+    val oneGood = TarShards.render(sample(4)).dropRight(1024)
+    val hdr = TarShards.render(Seq(("zz.txt", Array[Byte](9, 9))))
+    hdr(124) = 'X'
+    assert(TarShards.parseFile("t", oneGood ++ hdr).size == 3)
+    // a directory entry (typeflag '5', size 0) between files is skipped
+    val dir = TarShards.render(Seq(("adir/", Array.emptyByteArray))).dropRight(1024)
+    dir(156) = '5'
+    val mixed = oneGood ++ dir ++ TarShards.render(sample(5))
+    val names = TarShards.parseFile("t", mixed).map(_.name).toSeq
+    assert(names.size == 6 && !names.contains("adir/"), s"got $names")
+    assert(TarShards.parseFile("t", Array.emptyByteArray).isEmpty)
+    assert(TarShards.parseFile("t", new Array[Byte](1024)).isEmpty)
+  }
+
+  test("DSv2 shard read + WebDataset sample grouping") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tar")
+    java.nio.file.Files.write(dir.resolve("shard-000.tar"),
+      TarShards.render(sample(1) ++ sample(2)))
+    java.nio.file.Files.write(dir.resolve("shard-001.tar"),
+      TarShards.render(sample(3)))
+    val df = TarShards.read(spark, dir.toString)
+    assert(df.count() == 9)
+    val s = TarShards.samples(df).orderBy("sample_key").collect()
+    assert(s.length == 3)
+    assert(s.forall(_.getLong(3) > 0))
+    val m = s.head.getMap[String, Array[Byte]](2)
+    assert(m.keys.toSet == Set("jpg", "txt", "json"))
+    assert(new String(m("txt"), "US-ASCII") == "caption for sample 1")
+    // pruned listing scan must not materialize member bytes
+    val pruned = df.select("file", "sample_key", "ext", "size")
+    val scanLine = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(!scanLine.contains("data"), s"data not pruned: $scanLine")
+  }
+}
