@@ -47,7 +47,7 @@ class TarShardTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"tarshard:$path"
   override def schema(): StructType = TarShardDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TarShardScanBuilder(path)
 }
@@ -81,6 +81,21 @@ class TarShardScan(path: String, required: StructType) extends Scan with Batch {
 
   override def createReaderFactory(): PartitionReaderFactory =
     new TarShardReaderFactory(required, serConf)
+
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new TarShardMicroBatchStream(path, required, serConf)
+}
+
+/** Arriving shards become micro-batches — see [[FileSetMicroBatchStream]];
+  * this is how a training job tails a shard landing directory.
+  */
+class TarShardMicroBatchStream(path: String, required: StructType,
+                               conf: SerializableHadoopConf)
+    extends FileSetMicroBatchStream(path, conf) {
+  override protected def partitionFor(file: String): InputPartition =
+    TarShardInputPartition(file)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TarShardReaderFactory(required, conf)
 }
 
 case class TarShardInputPartition(file: String) extends InputPartition

@@ -96,12 +96,15 @@ class WarcScan(path: String, required: StructType) extends Scan with Batch {
   * ingestion of a landing directory, the `readStream` twin of the batch
   * scan (one task per new file, same reader). Files must be immutable
   * once visible (the standard landing-zone contract; write elsewhere and
-  * rename in).
+  * rename in). Shared by every whole-file wire-format source (`warc`,
+  * `tarshard`): subclasses supply only the per-file partition + reader.
   */
-class WarcMicroBatchStream(path: String, required: StructType,
-                           conf: SerializableHadoopConf)
+abstract class FileSetMicroBatchStream(path: String,
+                                       conf: SerializableHadoopConf)
     extends streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
+
+  protected def partitionFor(file: String): InputPartition
 
   private def listing(): Seq[String] = {
     val p = new Path(path)
@@ -122,10 +125,15 @@ class WarcMicroBatchStream(path: String, required: StructType,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[WarcOffset].files.toSet
-    end.asInstanceOf[WarcOffset].files.filterNot(seen)
-      .map(f => WarcInputPartition(f): InputPartition).toArray
+    end.asInstanceOf[WarcOffset].files.filterNot(seen).map(partitionFor).toArray
   }
+}
 
+class WarcMicroBatchStream(path: String, required: StructType,
+                           conf: SerializableHadoopConf)
+    extends FileSetMicroBatchStream(path, conf) {
+  override protected def partitionFor(file: String): InputPartition =
+    WarcInputPartition(file)
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(required, conf)
 }

@@ -51,6 +51,27 @@ class TarShardsSpec extends SparkSpec {
     assert(TarShards.parseFile("t", new Array[Byte](1024)).isEmpty)
   }
 
+  test("readStream tails a shard landing directory, exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tar_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tar_ckpt").toString
+    java.nio.file.Files.write(dir.resolve("shard-000.tar"), TarShards.render(sample(1)))
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    val q = spark.readStream.format("tarshard").load(dir.toString)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("name").collect().foreach(r => seen.synchronized { seen += r.getString(0) })
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.toSet == sample(1).map(_._1).toSet)
+      java.nio.file.Files.write(dir.resolve("shard-001.tar"), TarShards.render(sample(2)))
+      q.processAllAvailable()
+      assert(seen.toSet == (sample(1) ++ sample(2)).map(_._1).toSet)
+      assert(seen.size == 6, s"re-delivered members: $seen")
+    } finally q.stop()
+  }
+
   test("DSv2 shard read + WebDataset sample grouping") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tar")
     java.nio.file.Files.write(dir.resolve("shard-000.tar"),
