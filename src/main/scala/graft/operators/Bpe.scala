@@ -93,10 +93,15 @@ object Bpe {
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  /** Load a persisted merge table in rank order. */
+  /** Load a persisted merge table in rank order. Columns are selected BY
+    * NAME before the collect — positional getString would silently return
+    * swapped (a, b) pairs if the artifact's column order ever drifted
+    * (schema evolution, a writer change), corrupting every consumer's
+    * tokenization with no error.
+    */
   def load(spark: SparkSession, path: String): Seq[(String, String)] =
-    spark.read.parquet(path).orderBy("rank")
-      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    spark.read.parquet(path).orderBy("rank").select("a", "b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
 
   /** Encode a text column with a learned merge table: appends
     * `tokens: array<string>` (per-word greedy lowest-rank BPE merging via

@@ -65,7 +65,20 @@ object DedupIndex {
     */
   def screen(spark: SparkSession, path: String, incoming: DataFrame,
              textCol: String, idCol: String, threshold: Double,
-             maxBucketSize: Int = 1000): DataFrame = {
+             maxBucketSize: Int = 1000): DataFrame =
+    screenCached(spark, path, incoming, textCol, idCol, threshold,
+      maxBucketSize)._1
+
+  /** [[screen]] plus a handle on the cached candidate table, for callers
+    * with a lifetime longer than one query (the streaming ingest loop must
+    * unpersist per micro-batch or pinned entries accumulate unboundedly —
+    * the batch-bench rationale "the cache manager is cleared between
+    * queries" does not hold for a long-running stream).
+    */
+  private[graft] def screenCached(spark: SparkSession, path: String,
+             incoming: DataFrame, textCol: String, idCol: String,
+             threshold: Double,
+             maxBucketSize: Int = 1000): (DataFrame, DataFrame) = {
     val (shingleN, numHashes, bands) = params(spark, path)
     val bI = Dedup.bandBuckets(
       Dedup.minHashSignatures(incoming, textCol, idCol, shingleN, numHashes),
@@ -94,7 +107,7 @@ object DedupIndex {
       .unionByName(
         Dedup.shingleHashSets(incoming, textCol, idCol, shingleN)
           .join(bIds, Seq("id"), "left_semi"))
-    Dedup.verifyJaccardSets(cands, sets, threshold)
+    (Dedup.verifyJaccardSets(cands, sets, threshold), cands)
   }
 
   /** Remove members from the index — the corpus-takedown path (license
@@ -102,22 +115,28 @@ object DedupIndex {
     * training corpus must reach the DEDUP artifacts too, or future batches
     * keep being screened against ghosts that are no longer in the corpus).
     * `removeIds` is a one-column frame of member ids. Both artifacts are
-    * rewritten via anti-join into a fresh directory and atomically swapped
-    * in with rollback ([[AnnIndex.compactIndex]]'s discipline): a failed
-    * install never leaves the index half-deleted. Single writer, no
-    * concurrent query planning during the swap — same contract as
-    * compaction.
+    * rewritten via anti-join into fresh directories FIRST, and only then
+    * swapped in ([[AnnIndex.swapIn]], rollback on a failed install) with
+    * the two renames back-to-back — so the long rewrite phase cannot leave
+    * the index half-deleted, and the inconsistency window shrinks to the
+    * instants between two renames. Atomicity is PER ARTIFACT (parquet
+    * directories under one path, no multi-directory transaction exists):
+    * a crash exactly between the renames leaves buckets rewritten and sets
+    * still holding removed members — screening stays CORRECT (no bucket ⇒
+    * never a candidate ⇒ the stale set rows are unreachable), but rerun
+    * remove to purge them. Single writer, no concurrent query planning
+    * during the swap — same contract as compaction.
     */
   def remove(spark: SparkSession, path: String, removeIds: DataFrame): Unit = {
     val ids = removeIds.select(col(removeIds.columns.head).as("id"))
-    for (art <- Seq("buckets.parquet", "sets.parquet")) {
-      val live = s"$path/$art"
-      val tmp = s"$path/$art.remove.tmp"
-      spark.read.parquet(live)
+    val arts = Seq("buckets.parquet", "sets.parquet")
+    for (art <- arts) { // rewrite phase: live artifacts untouched throughout
+      spark.read.parquet(s"$path/$art")
         .join(ids, Seq("id"), "left_anti")
-        .write.mode("overwrite").parquet(tmp)
-      AnnIndex.swapIn(spark, path, live, tmp, "remove")
+        .write.mode("overwrite").parquet(s"$path/$art.remove.tmp")
     }
+    for (art <- arts) // install phase: two renames, nothing heavy between
+      AnnIndex.swapIn(spark, path, s"$path/$art", s"$path/$art.remove.tmp", "remove")
   }
 
   /** Per-member-count / file-count report, the [[AnnIndex.describeIndex]]
@@ -139,14 +158,33 @@ object DedupIndex {
     (p.getInt(0), p.getInt(1), p.getInt(2))
   }
 
-  /** One tokenize+hash pass over `docs` writes both artifacts. */
+  /** One tokenize+hash pass over `docs` writes both artifacts.
+    *
+    * In append mode BOTH artifact frames are materialized (eager
+    * `localCheckpoint`, batch-sized by contract) BEFORE the first index
+    * write. This is load-bearing, not an optimization: in the streaming
+    * screen-and-ingest loop `docs` is the survivor set of a screen over
+    * THIS index, so its lineage reads `buckets.parquet` — and Spark's
+    * `CacheManager.recacheByPath` recomputes every cached plan reading a
+    * path the moment it is written. Without the checkpoint, appending the
+    * survivors' bucket rows makes the recomputed screen flag each survivor
+    * against its OWN just-appended buckets (jaccard 1.0 with itself), the
+    * survivor set silently collapses to empty, and `sets.parquet` gets no
+    * rows — a half-appended member. Build mode keeps plain lazy writes:
+    * the index does not exist yet, so no lineage can read it, and
+    * checkpointing a full corpus would pin corpus-sized blocks.
+    */
   private def writeMembers(docs: DataFrame, textCol: String, idCol: String,
                            path: String, shingleN: Int, numHashes: Int,
                            bands: Int, mode: String): Unit = {
     val sig = Dedup.minHashSignatures(docs, textCol, idCol, shingleN, numHashes)
-    Dedup.bandBuckets(sig, numHashes, bands)
-      .write.mode(mode).parquet(s"$path/buckets.parquet")
-    Dedup.shingleHashSets(docs, textCol, idCol, shingleN)
-      .write.mode(mode).parquet(s"$path/sets.parquet")
+    val buckets0 = Dedup.bandBuckets(sig, numHashes, bands)
+    val sets0 = Dedup.shingleHashSets(docs, textCol, idCol, shingleN)
+    val (buckets, sets) =
+      if (mode == "append") (buckets0.localCheckpoint(true), sets0.localCheckpoint(true))
+      else (buckets0, sets0)
+    buckets.write.mode(mode).parquet(s"$path/buckets.parquet")
+    sets.write.mode(mode).parquet(s"$path/sets.parquet")
+    if (mode == "append") { buckets.unpersist(); sets.unpersist() }
   }
 }

@@ -28,23 +28,32 @@ object Multimodal {
     * exercised with realistic shapes.
     */
   /** Perceptual average-hash fingerprint from a grayscale pixel array
-    * column (`array<int>`, any length <= 60 used as the grid): bit j set
+    * column (`array<int>`, length 1..60 used as the grid): bit j set
     * iff pixel j exceeds the grid mean — the classic aHash, the cheapest
     * perceptual image near-dup signal. 60 bits (not 64) to stay clear of
     * the sign bit, matching the cross-engine md5-simhash convention; near
     * duplicates then come from [[Dedup.simHashPairs]] with `nBits = 60`.
     * One narrow codegen'd expression; replayable in any SQL engine (mean +
     * comparisons + shifted sums), so fingerprints are oracle-checkable.
+    *
+    * Out-of-contract arrays yield NULL rather than a corrupt fingerprint:
+    * > 60 pixels would set the sign bit and wrap shiftleft mod 64
+    * (colliding bits, breaking the nBits=60 pairing contract), and an
+    * empty array has no mean. The grid-pixel sum is computed ONCE per row
+    * (`_psum`) and referenced from the bit lambda — recomputing it inside
+    * the per-element lambda would be O(n²) per row.
     */
-  def aHashFromGray(df: DataFrame, pixelsCol: String, idCol: String): DataFrame = {
-    val n = s"size($pixelsCol)"
-    df.select(col(idCol).as("id"), expr(
-      s"aggregate(sequence(0, $n - 1), cast(0 as bigint), (acc, j) -> acc + " +
-      s"CASE WHEN element_at($pixelsCol, j + 1) * $n > " +
-      s"aggregate($pixelsCol, cast(0 as bigint), (a, x) -> a + x) " +
-      s"THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)"
-    ).as("simhash"))
-  }
+  def aHashFromGray(df: DataFrame, pixelsCol: String, idCol: String): DataFrame =
+    df.withColumn("_n", size(col(pixelsCol)).cast("bigint"))
+      .withColumn("_psum",
+        expr(s"aggregate($pixelsCol, cast(0 as bigint), (a, x) -> a + x)"))
+      .select(col(idCol).as("id"), expr(
+        s"CASE WHEN _n BETWEEN 1 AND 60 THEN " +
+        s"aggregate(sequence(0, cast(_n as int) - 1), cast(0 as bigint), (acc, j) -> acc + " +
+        s"CASE WHEN cast(element_at($pixelsCol, j + 1) as bigint) * _n > _psum " +
+        s"THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END) " +
+        s"ELSE cast(null as bigint) END"
+      ).as("simhash"))
 
   def withPayload(df: DataFrame, srcCol: String, mime: String = "application/octet-stream"): DataFrame = {
     // binary sources pass through UNTOUCHED: casting bytes through a Java

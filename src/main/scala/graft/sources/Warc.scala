@@ -101,8 +101,11 @@ object Warc {
         }
         p += 2 // past the empty line's CRLF
         // framed payload + "\r\n\r\n" terminator; every bound checked in
-        // Long arithmetic BEFORE any toInt
-        if (contentLength < 0 || p + contentLength + 4 > bytes.length) {
+        // Long arithmetic BEFORE any toInt. Compare against the REMAINING
+        // room (bytes.length - p - 4) rather than summing with the
+        // attacker-controlled length: `p + contentLength + 4` wraps negative
+        // for Content-Length near Long.MaxValue and would pass the check.
+        if (contentLength < 0 || contentLength > bytes.length - p - 4) {
           done = true; return
         }
         val payload = java.util.Arrays.copyOfRange(bytes, p.toInt, (p + contentLength).toInt)

@@ -45,17 +45,29 @@ object DedupStreams {
     val marker = new org.apache.hadoop.fs.Path(s"$indexPath/_screened/batch_$batchId")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(marker) && !batch.isEmpty) {
-      val flagged = DedupIndex.screen(spark, indexPath, batch, textCol, idCol,
-        threshold, maxBucketSize)
-      flagged.write.mode("append").parquet(flaggedPath)
-      // survivors (not near-duplicating the indexed corpus) join the index;
-      // the flagged side is read back from the sink just written, so the
-      // anti-join prunes on exactly what was recorded
-      val dupIds = spark.read.parquet(flaggedPath)
-        .select(col("b_id").as(idCol)).distinct()
-      val survivors = batch.join(dupIds, Seq(idCol), "left_anti")
-      if (!survivors.isEmpty) DedupIndex.append(survivors, textCol, idCol, indexPath)
-      fs.create(marker, true).close()
+      val (flagged0, pinnedCands) = DedupIndex.screenCached(spark, indexPath,
+        batch, textCol, idCol, threshold, maxBucketSize)
+      // pin the flagged frame too: it is consumed twice (audit write +
+      // survivor anti-join). Both pins are released at the end of THIS
+      // micro-batch — a long-running stream cannot rely on the batch-bench
+      // convention of an externally cleared cache manager, so leaked pins
+      // would otherwise accumulate for the stream's lifetime.
+      val flagged = flagged0.cache()
+      try {
+        flagged.write.mode("append").parquet(flaggedPath)
+        // survivors (not near-duplicating the indexed corpus) join the
+        // index. b_ids are batch-unique, so the current batch's flagged
+        // frame (in hand, cached) is exactly the prune set — re-reading the
+        // whole audit sink would grow with total flagged HISTORY, not with
+        // the batch.
+        val dupIds = flagged.select(col("b_id").as(idCol)).distinct()
+        val survivors = batch.join(dupIds, Seq(idCol), "left_anti")
+        if (!survivors.isEmpty) DedupIndex.append(survivors, textCol, idCol, indexPath)
+        fs.create(marker, true).close()
+      } finally {
+        flagged.unpersist()
+        pinnedCands.unpersist()
+      }
     }
   }
 }
