@@ -704,6 +704,69 @@ object PipelineQueries extends QuerySet {
         .orderBy("a_id", "b_id")
     }),
 
+    // Corpus takedown under oracle — the compliance path (license
+    // revocation / PII deletion / right-to-be-forgotten must reach the
+    // dedup artifacts, or future batches keep screening against ghosts):
+    // q113's build, then REMOVE the members with doc_id % 7 IN (3, 5)
+    // through BOTH public forms — even ids via the Dataset API, odd ids
+    // via the REMOVE FROM DEDUP INDEX statement (both halves intersect
+    // the flagged a_ids at sf0.01, so each form is observable in the
+    // output, not just exercised) — then screen the incoming batch. The
+    // oracle is brute force over corpus-MINUS-removed: removed members
+    // must stop flagging anything, survivors must be untouched. Build +
+    // remove hide behind a done-marker in the mtime-keyed dir (the q107
+    // pattern) because remove MUTATES the index.
+    "q123_dedup_index_takedown" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedupidx_rm_" +
+        s"${math.abs(dir.hashCode)}_${src.lastModified}"
+      val done = new java.io.File(s"$path/_REMOVE_DONE")
+      if (!done.exists) {
+        graft.operators.DedupIndex.build(docs.where(col("doc_id") % 5 =!= 0),
+          "text", "doc_id", path, shingleN = 3, numHashes = 32, bands = 8)
+        val rm = docs.where(col("doc_id") % 5 =!= 0 &&
+          (col("doc_id") % 7 === 3 || col("doc_id") % 7 === 5)).select("doc_id")
+        graft.operators.DedupIndex.remove(s, path,
+          rm.where(col("doc_id") % 2 === 0))
+        rm.where(col("doc_id") % 2 === 1).createOrReplaceTempView("ddx_rm_ids")
+        s.sql(s"REMOVE FROM DEDUP INDEX AT '$path' FROM ddx_rm_ids")
+        done.createNewFile()
+      }
+      graft.operators.DedupIndex.screen(s, path,
+          docs.where(col("doc_id") % 5 === 0), "text", "doc_id",
+          threshold = 0.5, maxBucketSize = Int.MaxValue)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // The ANN-family takedown twin: build the IVF-PQ index over the full
+    // corpus, REMOVE vec_id % 9 == 2 (even ids via
+    // [[AnnIndex.removeVectors]], odd via the REMOVE FROM ANN INDEX
+    // statement), then query exhaustively (nProbe = nList, rerank ALL).
+    // The oracle is brute-force cosine top-5 over corpus-minus-removed;
+    // removed vectors must vanish from every neighbor list (probe 2 is
+    // itself removed and still queries — external probes are not index
+    // members). Same done-marker discipline as q123.
+    "q125_ann_index_takedown" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_rm_" +
+        s"${math.abs(dir.hashCode)}_${src.lastModified}"
+      val done = new java.io.File(s"$path/_REMOVE_DONE")
+      if (!done.exists) {
+        AnnIndex.buildIvfPq(emb, "vec_id", "embedding", path,
+          nList = 16, m = 16, nCells = 16, dim = 64)
+        val rm = emb.where(col("vec_id") % 9 === 2).select("vec_id")
+        AnnIndex.removeVectors(s, path, rm.where(col("vec_id") % 2 === 0))
+        rm.where(col("vec_id") % 2 === 1).createOrReplaceTempView("annx_rm_ids")
+        s.sql(s"REMOVE FROM ANN INDEX AT '$path' FROM annx_rm_ids")
+        done.createNewFile()
+      }
+      AnnIndex.ivfPqKnnIndexed(s, path, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 16, rerank = Int.MaxValue)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // The end-to-end dedup DELIVERABLE on the full corpus: near-dup pairs
     // (minhash-LSH scale path) -> connected components -> drop every
     // non-representative member -> per-source kept corpus stats. This is
@@ -865,6 +928,38 @@ object PipelineQueries extends QuerySet {
     "q104_incremental_dedup" -> incrementalDedupOracle,
     // identical semantics served from the persisted signature index
     "q113_dedup_index_screen" -> incrementalDedupOracle,
+    // q113's cross-corpus brute force MINUS the taken-down members: the
+    // removed a-side (doc_id % 7 in (3, 5)) must flag nothing
+    "q123_dedup_index_takedown" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh FROM (
+        |    SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM d WHERE len(t) >= 3))),
+        |c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b ON a.sh = b.sh
+        |          WHERE a.doc_id % 5 > 0 AND a.doc_id % 7 <> 3 AND a.doc_id % 7 <> 5
+        |            AND b.doc_id % 5 = 0 GROUP BY 1, 2)
+        |SELECT a_id, b_id, FLOOR(inter*1.0/(ca.n + cb.n - inter) * 10000) / 10000 AS jaccard
+        |FROM inter JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
+        |WHERE inter*1.0/(ca.n + cb.n - inter) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    // knnOracle over corpus-minus-removed: vec_id % 9 = 2 vanishes from
+    // every neighbor list (probes stay external, including removed probe 2)
+    "q125_ann_index_takedown" ->
+      """WITH ex AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+        |            CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM ex GROUP BY vec_id),
+        |p AS (SELECT * FROM ex WHERE vec_id < 10),
+        |dotp AS (SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, SUM(p.x*e.x) AS dp
+        |        FROM p JOIN ex e ON p.i = e.i AND e.vec_id <> p.vec_id AND e.vec_id % 9 <> 2
+        |        GROUP BY 1, 2),
+        |cos AS (SELECT probe_id, neighbor_id, ROUND(dp/(np.nrm*ne.nrm), 4) AS cosim
+        |        FROM dotp JOIN n np ON np.vec_id = probe_id JOIN n ne ON ne.vec_id = neighbor_id),
+        |r AS (SELECT probe_id, neighbor_id, cosim,
+        |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosim DESC, neighbor_id) AS rnk FROM cos)
+        |SELECT probe_id, neighbor_id, cosim, rnk FROM r WHERE rnk <= 5
+        |ORDER BY probe_id, rnk""".stripMargin,
     // and once more through the SQL statement surface
     "q119_sql_dedup_screen" -> incrementalDedupOracle,
     // re-derives the ustar block layout: header offsets from cumulative
