@@ -46,7 +46,7 @@ object AnnPlanCheck {
     * the candidate volume: every family scores or verifies exactly the
     * rows its generation join emits.
     */
-  private def maxJoinOutputRows(df: DataFrame): Long = {
+  private[graft] def maxJoinOutputRows(df: DataFrame): Long = {
     df.collect()
     flatten(df.queryExecution.executedPlan)
       .filter(_.nodeName.contains("Join"))
@@ -54,46 +54,30 @@ object AnnPlanCheck {
       .foldLeft(0L)(_ max _)
   }
 
-  def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local()
-    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val budgets = Seq("q64_knn_lsh" -> 2, "q67_knn_ivf" -> 2,
-      "q93_knn_pq" -> 3, "q94_knn_pq_exact" -> 2,
-      "q98_knn_ivfpq" -> 3, "q99_knn_ivfpq_exact" -> 2)
-    for ((n, budget) <- budgets) {
-      val df = SparkEntry.queries(n)(spark, dir)
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      val ex = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(plan).size
-      val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
-      val pruned = "PushedFilters: \\[[^\\]]*LessThan".r.findAllIn(plan).size
-      require(scans - pruned <= budget,
-        s"$n: ${scans - pruned} unpruned corpus scans — budget is $budget")
-      for (i <- 1 to 3) {
-        val t0 = System.nanoTime
-        val rows = df.collect().length
-        println(s"===== $n run$i: exchanges=$ex parquetScans=$scans " +
-          s"prunedScans=$pruned rows=$rows time=${(System.nanoTime - t0) / 1e9}")
-      }
-    }
-
-    // ---- candidate-volume audit ----
-    // The served queries whose configs are intentionally exhaustive-oracle
-    // (q101's bits=0, the ADC full scan) are audited at their SCALE
-    // configuration instead — the property under test is "bucketed, not
-    // all-pairs", which only the bucketed configs claim.
-    import org.apache.spark.sql.functions.col
-    import graft.operators.{Dedup, Similarity}
+  /** The per-family candidate-volume budget table: (label, plan thunk,
+    * budget in rows, formula note). Budgets derive from each family's own
+    * knobs and the corpus size at `dir`, so the SAME table serves the
+    * full-size manual audit (this main) and the per-commit test gate
+    * (CandidateBudgetSpec) — a config drift toward effective all-pairs
+    * fails `sbt test`, not just a manually-run main. The served queries
+    * whose configs are intentionally exhaustive-oracle (q101's bits=0, the
+    * ADC full scan) are audited at their SCALE configuration instead — the
+    * property under test is "bucketed, not all-pairs", which only the
+    * bucketed configs claim.
+    */
+  private[graft] def candidateBudgets(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, () => DataFrame, Long, String)] = {
+    import graft.operators.Dedup
     val docsDf = spark.read.parquet(s"$dir/documents.parquet")
     val nEmb = spark.read.parquet(s"$dir/embeddings.parquet").count()
     val nDocs = docsDf.count()
     val P = 10L // every ANN query's probe filter is vec_id < 10
-    // (label, plan, budget, formula). c covers hashing variance / cell
-    // skew on the finite corpus; intrinsic full-scan stages (PQ's ADC,
-    // the exhaustive indexed config) get P*N with slack, which still
-    // catches a cross-join over tables/cells (x16).
+    // c covers hashing variance / cell skew on the finite corpus;
+    // intrinsic full-scan stages (PQ's ADC, the exhaustive indexed config)
+    // get P*N with slack, which still catches a cross-join over
+    // tables/cells (x16).
     def served(n: String) = () => SparkEntry.queries(n)(spark, dir)
-    val candBudgets: Seq[(String, () => DataFrame, Long, String)] = Seq(
+    Seq(
       ("q64_knn_lsh", served("q64_knn_lsh"),
         2 * P * 16 * nEmb / 16, "2*P*tables*N/2^bits"),
       ("q67_knn_ivf", served("q67_knn_ivf"),
@@ -125,8 +109,35 @@ object AnnPlanCheck {
         "2*total_tokens: dup-span join-back is bounded by gram INSTANCES, never pairs"),
       ("q120_image_ahash_dedup", served("q120_image_ahash_dedup"),
         30 * nDocs, "30*N: 7 pigeonhole chunks/doc + family-bounded pairs, never all-pairs"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val budgets = Seq("q64_knn_lsh" -> 2, "q67_knn_ivf" -> 2,
+      "q93_knn_pq" -> 3, "q94_knn_pq_exact" -> 2,
+      "q98_knn_ivfpq" -> 3, "q99_knn_ivfpq_exact" -> 2)
+    for ((n, budget) <- budgets) {
+      val df = SparkEntry.queries(n)(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val ex = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(plan).size
+      val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+      val pruned = "PushedFilters: \\[[^\\]]*LessThan".r.findAllIn(plan).size
+      require(scans - pruned <= budget,
+        s"$n: ${scans - pruned} unpruned corpus scans — budget is $budget")
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime
+        val rows = df.collect().length
+        println(s"===== $n run$i: exchanges=$ex parquetScans=$scans " +
+          s"prunedScans=$pruned rows=$rows time=${(System.nanoTime - t0) / 1e9}")
+      }
+    }
+
+    // ---- candidate-volume audit (shared table; gated per-commit by
+    // CandidateBudgetSpec at sf0.001, printed at full size here) ----
     var candFail = 0
-    for ((label, plan, budget, formula) <- candBudgets) {
+    for ((label, plan, budget, formula) <- candidateBudgets(spark, dir)) {
       val measured = maxJoinOutputRows(plan())
       val ok = measured <= budget
       if (!ok) candFail += 1

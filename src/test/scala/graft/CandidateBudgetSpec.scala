@@ -1,0 +1,29 @@
+package graft
+
+/** Per-commit gate on the measured candidate volume of every ANN/dedup
+  * family (the scale contract "bucketed, not all-pairs" as a TEST, not a
+  * manually-run audit): each family's executed plan is walked for the
+  * largest join output — the rows that entered a scoring/verify stage —
+  * and checked against the budget derived from the family's own knobs.
+  * The budget table is SHARED with the full-size manual audit
+  * ([[AnnPlanCheck.candidateBudgets]]) so the gate and the audit cannot
+  * drift apart. A knob or code regression toward effective brute force
+  * (e.g. bands collapsing to one bucket, a lost semi-join prune, a
+  * candidate self-join) fails `sbt test` here even though the correctness
+  * oracles — which only look at final answers — would still pass.
+  *
+  * Runs at sf0.001: the budgets are formulas over the corpus measured at
+  * the same `dir`, so the contract is scale-free; AnnPlanCheck remains the
+  * place to read full-size numbers.
+  */
+class CandidateBudgetSpec extends SparkSpec {
+
+  for ((label, plan, budget, formula) <- AnnPlanCheck.candidateBudgets(
+      TestSession.spark, "/root/testdata/sf0.001"))
+    test(s"$label stays inside its candidate budget [$formula]") {
+      val measured = AnnPlanCheck.maxJoinOutputRows(plan())
+      assert(measured <= budget,
+        s"$label: measured candidate volume $measured exceeds budget $budget " +
+        s"[$formula] — a config or plan drifted toward effective all-pairs")
+    }
+}
