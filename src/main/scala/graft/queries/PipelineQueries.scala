@@ -30,6 +30,21 @@ object PipelineQueries extends QuerySet {
       |SELECT probe_id, neighbor_id, cosim, rnk FROM r WHERE rnk <= 5
       |ORDER BY probe_id, rnk""".stripMargin
 
+  /** The 20 deterministic WARC records whose layout both q116 (plain) and
+    * q126 (gzip members) render and whose byte/member offsets the DuckDB
+    * oracles re-derive arithmetically.
+    */
+  private def oracleWarcRecords: Seq[(Seq[(String, String)], Array[Byte])] =
+    (0 until 20).map { i =>
+      val L = 10 + (i * 7) % 50
+      (Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:uuid:rec-$i>",
+        "WARC-Target-URI" -> s"http://example.com/doc/$i",
+        "WARC-Date" -> "2026-01-01T00:00:00Z"),
+        "x" * L getBytes "US-ASCII")
+    }
+
   /** Brute-force cross-corpus (existing x incoming) 3-shingle Jaccard >=
     * 0.5 — shared by q104 (direct operator) and q113 (persisted index).
     */
@@ -598,20 +613,30 @@ object PipelineQueries extends QuerySet {
     // and the DuckDB oracle re-derives every byte offset arithmetically
     // from the record layout — the q92 FASTA-index pattern for the web.
     "q116_warc_ingest" -> ((s, dir) => {
-      val fixDir = new java.io.File("target/fixtures")
-      fixDir.mkdirs()
-      val f = new java.io.File(fixDir, "warc_oracle.warc")
-      val recs = (0 until 20).map { i =>
-        val L = 10 + (i * 7) % 50
-        (Seq(
-          "WARC-Type" -> "response",
-          "WARC-Record-ID" -> s"<urn:uuid:rec-$i>",
-          "WARC-Target-URI" -> s"http://example.com/doc/$i",
-          "WARC-Date" -> "2026-01-01T00:00:00Z"),
-          "x" * L getBytes "US-ASCII")
+      val f = fixture("warc_oracle.warc") {
+        graft.sources.Warc.render(oracleWarcRecords)
       }
-      java.nio.file.Files.write(f.toPath, graft.sources.Warc.render(recs))
-      graft.sources.Warc.read(s, f.getAbsolutePath)
+      graft.sources.Warc.read(s, f)
+        .select(col("ord"), col("offset"), col("rec_len"), col("warc_type"),
+          col("record_id"), col("target_uri"), col("warc_date"),
+          col("content_length"), col("payload").cast("string").as("payload_text"))
+        .orderBy("ord")
+    }),
+
+    // q116's gzip twin — the ACTUAL Common Crawl wire format: the same 20
+    // records, each its own gzip member, members concatenated. The writer
+    // emits stored deflate blocks so every member length is the rendered
+    // record length + 23 (RFC 1952 header 10 + stored-block framing 5 +
+    // CRC32/ISIZE trailer 8) and the oracle re-derives every member
+    // offset arithmetically; the parser is the fully general
+    // Inflater-based member walk (real-deflate interop pinned in
+    // WarcSpec), and offset/rec_len address whole members — the
+    // range-read unit an object store serves.
+    "q126_warc_gzip_ingest" -> ((s, dir) => {
+      val f = fixture("warc_oracle.warc.gz") {
+        graft.sources.Warc.renderGzip(oracleWarcRecords)
+      }
+      graft.sources.Warc.read(s, f)
         .select(col("ord"), col("offset"), col("rec_len"), col("warc_type"),
           col("record_id"), col("target_uri"), col("warc_date"),
           col("content_length"), col("payload").cast("string").as("payload_text"))
@@ -625,14 +650,12 @@ object PipelineQueries extends QuerySet {
     // oracle re-derives every header offset from the block arithmetic —
     // offset(i) = sum over j<i of (512 + ceil(size_j/512)*512).
     "q122_tar_shard_ingest" -> ((s, dir) => {
-      val fixDir = new java.io.File("target/fixtures")
-      fixDir.mkdirs()
-      val f = new java.io.File(fixDir, "tar_oracle.tar")
-      val entries = (0 until 20).map { i =>
-        (f"sample$i%06d.txt", ("x" * (100 + (i * 97) % 900)).getBytes("US-ASCII"))
+      val f = fixture("tar_oracle.tar") {
+        graft.sources.TarShards.render((0 until 20).map { i =>
+          (f"sample$i%06d.txt", ("x" * (100 + (i * 97) % 900)).getBytes("US-ASCII"))
+        })
       }
-      java.nio.file.Files.write(f.toPath, graft.sources.TarShards.render(entries))
-      graft.sources.TarShards.read(s, f.getAbsolutePath)
+      graft.sources.TarShards.read(s, f)
         .select(col("ord"), col("offset"), col("name"), col("sample_key"),
           col("ext"), col("size"), col("data").cast("string").as("payload_text"))
         .orderBy("ord")
@@ -809,19 +832,17 @@ object PipelineQueries extends QuerySet {
     // constants, so a mis-parsed '>' position, an off-by-one in record
     // extents, or a defline-truncation bug breaks the hash.
     "q92_fasta_index" -> ((s, dir) => {
-      val fixDir = new java.io.File("target/fixtures")
-      fixDir.mkdirs()
-      val f = new java.io.File(fixDir, "fasta_oracle.fa")
-      val sb = new StringBuilder
-      for (i <- 0 until 20) {
-        sb.append(s">seq$i sample description $i\n")
-        val len = 10 + (i * 7) % 50
-        for (j <- 0 until len) sb.append("ACGT".charAt((i + j) % 4))
-        sb.append('\n')
+      val f = fixture("fasta_oracle.fa") {
+        val sb = new StringBuilder
+        for (i <- 0 until 20) {
+          sb.append(s">seq$i sample description $i\n")
+          val len = 10 + (i * 7) % 50
+          for (j <- 0 until len) sb.append("ACGT".charAt((i + j) % 4))
+          sb.append('\n')
+        }
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
       }
-      java.nio.file.Files.write(f.toPath,
-        sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-      graft.sources.Fasta.index(graft.sources.Fasta.read(s, f.getAbsolutePath))
+      graft.sources.Fasta.index(graft.sources.Fasta.read(s, f))
         .orderBy("uid")
     }),
 
@@ -1161,6 +1182,34 @@ object PipelineQueries extends QuerySet {
         |  CAST(COALESCE(SUM(length(rec)) OVER (ORDER BY i
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
         |  CAST(length(rec) AS BIGINT) AS rec_len,
+        |  'response' AS warc_type,
+        |  '<urn:uuid:rec-' || i || '>' AS record_id,
+        |  'http://example.com/doc/' || i AS target_uri,
+        |  '2026-01-01T00:00:00Z' AS warc_date,
+        |  CAST(L AS BIGINT) AS content_length,
+        |  repeat('x', L) AS payload_text
+        |FROM s ORDER BY ord""".stripMargin,
+    // the gzip twin: identical record layout, but offsets/lengths address
+    // gzip MEMBERS — stored-block members make member length = rendered
+    // record length + 23 (10-byte RFC 1952 header + 5-byte stored-block
+    // framing + 8-byte CRC32/ISIZE trailer), so the cumulative-sum
+    // arithmetic carries over with one constant
+    "q126_warc_gzip_ingest" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 19)) AS i),
+        |d AS (SELECT i, 10 + (i * 7) % 50 AS L FROM r),
+        |s AS (SELECT i, L,
+        |  'WARC/1.0' || chr(13) || chr(10) ||
+        |  'WARC-Type: response' || chr(13) || chr(10) ||
+        |  'WARC-Record-ID: <urn:uuid:rec-' || i || '>' || chr(13) || chr(10) ||
+        |  'WARC-Target-URI: http://example.com/doc/' || i || chr(13) || chr(10) ||
+        |  'WARC-Date: 2026-01-01T00:00:00Z' || chr(13) || chr(10) ||
+        |  'Content-Length: ' || L || chr(13) || chr(10) || chr(13) || chr(10) ||
+        |  repeat('x', L) || chr(13) || chr(10) || chr(13) || chr(10) AS rec
+        |  FROM d)
+        |SELECT CAST(i AS BIGINT) AS ord,
+        |  CAST(COALESCE(SUM(length(rec) + 23) OVER (ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+        |  CAST(length(rec) + 23 AS BIGINT) AS rec_len,
         |  'response' AS warc_type,
         |  '<urn:uuid:rec-' || i || '>' AS record_id,
         |  'http://example.com/doc/' || i AS target_uri,

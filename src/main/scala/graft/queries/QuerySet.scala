@@ -48,6 +48,34 @@ trait QuerySet {
     round(sum(round(price * 100).cast("long") *
       (lit(100L) - round(disc * 100).cast("long"))) / 10000.0, 2)
 
+  /** Render-once deterministic fixture for the binary-source oracle
+    * queries (q92/q116/q122/q126 pattern): `render` produces the SAME
+    * bytes on every call (pure functions of the record formulas the
+    * DuckDB oracle replays arithmetically), so the file is written at most
+    * once per build dir and the query lambda is side-effect-free on every
+    * later run — including concurrent ones: the bytes land in a
+    * uniquely-named temp file first and an ATOMIC_MOVE installs them, so
+    * a half-written fixture is never visible to a reader and racing
+    * writers simply both install identical content.
+    */
+  protected def fixture(name: String)(render: => Array[Byte]): String = {
+    val dir = java.nio.file.Paths.get("target", "fixtures")
+    java.nio.file.Files.createDirectories(dir)
+    val f = dir.resolve(name)
+    if (!java.nio.file.Files.exists(f)) {
+      val tmp = java.nio.file.Files.createTempFile(dir, s".$name.", ".tmp")
+      java.nio.file.Files.write(tmp, render)
+      try
+        java.nio.file.Files.move(tmp, f,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { // lost the race: the winner's identical bytes are installed
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp)
+      }
+    }
+    f.toAbsolutePath.toString
+  }
+
   /** Floor-truncate to `dp` decimals — the ONLY cross-engine-safe way to
     * emit a derived ratio of exact integers. Spark's round() goes through
     * the shortest-decimal-string HALF_UP while DuckDB rounds the raw

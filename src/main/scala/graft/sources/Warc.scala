@@ -19,12 +19,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * lesson: an attacker-controlled length must not produce a zero or
   * negative step).
   *
-  * Scale path: files gzip per-record in the wild; uncompressed WARC is
-  * record-aligned-splittable only via an offset index. [[WarcDataSource]]
-  * plans one task per file (the convenience full scan, < 2 GB enforced);
-  * the `offset`/`rec_len` columns ARE the index for range reads at scale
-  * — the same two-tier design as [[Fasta]] (full scan vs index +
-  * readRange).
+  * Scale path: files gzip per-record in the wild ([[parseGzip]] walks the
+  * concatenated-member `.warc.gz` layout Common Crawl actually ships;
+  * uncompressed WARC is record-aligned-splittable only via an offset
+  * index). [[WarcDataSource]] plans one task per file (the convenience
+  * full scan, < 2 GB enforced) and sniffs the gzip magic per file; the
+  * `offset`/`rec_len` columns ARE the index for range reads at scale —
+  * for gzip files they address whole members, each independently
+  * inflatable — the same two-tier design as [[Fasta]] (full scan vs
+  * index + readRange).
   */
 object Warc {
 
@@ -129,6 +132,146 @@ object Warc {
       }
     }
 
+  /** Sniff-and-dispatch entry used by the DSv2 reader: gzip magic
+    * (0x1f 0x8b) routes to the member-walking [[parseGzip]]; anything else
+    * parses as uncompressed WARC. Sniffing bytes (not the filename) means
+    * a mislabeled `.warc` that is actually gzipped still reads.
+    */
+  def parse(file: String, bytes: Array[Byte]): Iterator[WarcRecord] =
+    if (bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte)
+      parseGzip(file, bytes)
+    else parseFile(file, bytes)
+
+  /** Guard against decompression bombs: one member may not inflate past
+    * 1 GiB (Common Crawl members are single records, typically < 1 MB
+    * compressed; a crafted 4 GB member would otherwise OOM the task).
+    */
+  private val MaxMemberBytes: Long = 1L << 30
+
+  /** Parse `.warc.gz` in the Common Crawl wire layout: the file is a
+    * CONCATENATION of independent gzip members, one WARC record per member
+    * (ISO 28500 Annex; `warc.paths` files on the public crawl all point at
+    * this shape). Members are walked with raw-deflate
+    * `java.util.zip.Inflater` under a hand-parsed RFC 1952 header — not
+    * `GZIPInputStream`, which transparently concatenates members and
+    * cannot report the per-member byte extents. Those extents ARE the
+    * point: each emitted record carries `offset` = member start and
+    * `rec_len` = member compressed length, the (offset, length) range-read
+    * index that lets the scale path fetch and inflate ONE record from an
+    * object store without touching the rest of the file.
+    *
+    * Same malformed-input contract as [[parseFile]]: a bad magic, a
+    * truncated deflate stream, a CRC32/ISIZE mismatch, an inflate past the
+    * member cap, or a member whose decompressed bytes frame no complete
+    * WARC record stops the walk (returning the records before it) — never
+    * a throw, never a non-advancing cursor. A member holding several
+    * records (legal if unusual) emits them all sharing the member's
+    * (offset, rec_len), since the member is the unit of range read.
+    */
+  def parseGzip(file: String, bytes: Array[Byte]): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private var pos = 0L
+      private var ord = 0L
+      private var inner: Iterator[WarcRecord] = Iterator.empty
+      private var memberOffset = 0L
+      private var memberLen = 0L
+      private var nextRec: WarcRecord = _
+      private var done = false
+
+      /** RFC 1952 header walk: returns the deflate-data start, or -1 if
+        * malformed. Every skip is bounds-checked in Long arithmetic.
+        */
+      private def headerEnd(start: Long): Long = {
+        if (start + 10 > bytes.length) return -1L
+        if (bytes(start.toInt) != 0x1f.toByte ||
+            bytes((start + 1).toInt) != 0x8b.toByte ||
+            bytes((start + 2).toInt) != 8) return -1L // CM must be deflate
+        val flg = bytes((start + 3).toInt) & 0xff
+        var p = start + 10
+        if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + payload
+          if (p + 2 > bytes.length) return -1L
+          val xlen = (bytes(p.toInt) & 0xff) | ((bytes((p + 1).toInt) & 0xff) << 8)
+          p += 2 + xlen
+          if (p > bytes.length) return -1L
+        }
+        for (bit <- Seq(8, 16)) if ((flg & bit) != 0) { // FNAME / FCOMMENT
+          while (p < bytes.length && bytes(p.toInt) != 0) p += 1
+          if (p >= bytes.length) return -1L
+          p += 1 // past the NUL
+        }
+        if ((flg & 2) != 0) { // FHCRC
+          p += 2
+          if (p > bytes.length) return -1L
+        }
+        p
+      }
+
+      /** Inflate one member starting at `start`; None on any malformation.
+        * On Some, returns (decompressed bytes, total member length).
+        */
+      private def inflateMember(start: Long): Option[(Array[Byte], Long)] = {
+        val dataStart = headerEnd(start)
+        if (dataStart < 0) return None
+        val inf = new java.util.zip.Inflater(true)
+        try {
+          inf.setInput(bytes, dataStart.toInt, (bytes.length - dataStart).toInt)
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](64 * 1024)
+          while (!inf.finished) {
+            val n = try inf.inflate(buf) catch {
+              case _: java.util.zip.DataFormatException => return None
+            }
+            if (n > 0) {
+              if (out.size.toLong + n > MaxMemberBytes) return None
+              out.write(buf, 0, n)
+            } else if (!inf.finished && inf.needsInput) return None // truncated
+          }
+          val dec = out.toByteArray
+          val trailer = dataStart + inf.getBytesRead
+          if (trailer + 8 > bytes.length) return None
+          def le4(o: Long): Long =
+            (bytes(o.toInt) & 0xffL) | ((bytes((o + 1).toInt) & 0xffL) << 8) |
+            ((bytes((o + 2).toInt) & 0xffL) << 16) | ((bytes((o + 3).toInt) & 0xffL) << 24)
+          val crc = new java.util.zip.CRC32(); crc.update(dec)
+          if (le4(trailer) != crc.getValue) return None
+          if (le4(trailer + 4) != (dec.length.toLong & 0xffffffffL)) return None
+          Some((dec, trailer + 8 - start))
+        } finally inf.end()
+      }
+
+      private def advance(): Unit = {
+        nextRec = null
+        while (!done) {
+          if (inner.hasNext) {
+            val r = inner.next()
+            // re-base onto the COMPRESSED file: the member is the
+            // addressable unit, ord stays globally monotonic
+            nextRec = WarcRecord(file, ord, memberOffset, memberLen,
+              r.warcType, r.recordId, r.targetUri, r.warcDate,
+              r.contentLength, r.payload)
+            ord += 1
+            return
+          }
+          if (pos >= bytes.length) { done = true; return }
+          inflateMember(pos) match {
+            case Some((dec, len)) if len > 0 =>
+              val recs = parseFile(file, dec)
+              if (!recs.hasNext) { done = true; return } // member frames no record
+              memberOffset = pos; memberLen = len
+              inner = recs
+              pos += len
+            case _ => done = true; return
+          }
+        }
+      }
+
+      advance()
+      override def hasNext: Boolean = nextRec != null
+      override def next(): WarcRecord = {
+        val r = nextRec; advance(); r
+      }
+    }
+
   /** Convenience full read through the DSv2 source. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.format("warc").load(path)
@@ -149,6 +292,44 @@ object Warc {
       out.write(CRLF)
       out.write(payload)
       out.write(CRLF); out.write(CRLF)
+    }
+    out.toByteArray
+  }
+
+  /** Serialize records into `.warc.gz` bytes in the Common Crawl layout —
+    * one gzip member per record, members concatenated. Each member's
+    * deflate stream is written as STORED blocks (RFC 1951 §3.2.4: BTYPE
+    * 00, 1-byte block header + LEN/NLEN + raw data), making every member
+    * length a pure function of its record length:
+    * `10 + 5*max(1, ceil(L/65535)) + L + 8` (header + stored-block framing
+    * + data + CRC32/ISIZE trailer). That determinism is what lets a SQL
+    * oracle re-derive member offsets arithmetically (the q116 pattern);
+    * real inflaters — including [[parseGzip]] — read stored blocks like
+    * any other deflate stream, so the parser under test stays fully
+    * general.
+    */
+  def renderGzip(records: Seq[(Seq[(String, String)], Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { rec =>
+      val raw = render(Seq(rec))
+      // RFC 1952 header: magic, CM=deflate, no flags, MTIME=0, XFL=0,
+      // OS=255 (unknown) — fixed 10 bytes, nothing filename-dependent
+      out.write(Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0,
+        0xff.toByte))
+      var off = 0
+      do {
+        val n = math.min(65535, raw.length - off)
+        val last = off + n == raw.length
+        out.write(if (last) 1 else 0) // BFINAL + BTYPE=00 (stored)
+        out.write(n & 0xff); out.write((n >> 8) & 0xff)
+        out.write(~n & 0xff); out.write((~n >> 8) & 0xff)
+        out.write(raw, off, n)
+        off += n
+      } while (off < raw.length)
+      val crc = new java.util.zip.CRC32(); crc.update(raw)
+      def le4(v: Long): Unit =
+        (0 until 4).foreach(k => out.write(((v >> (8 * k)) & 0xff).toInt))
+      le4(crc.getValue); le4(raw.length.toLong & 0xffffffffL)
     }
     out.toByteArray
   }

@@ -195,7 +195,9 @@ class WarcPartitionReader(file: String, required: StructType,
       in.readFully(0, buf)
       buf
     } finally in.close()
-    Warc.parseFile(file, bytes)
+    // sniffs gzip magic: .warc.gz (concatenated per-record members, the
+    // Common Crawl wire format) and uncompressed .warc both read here
+    Warc.parse(file, bytes)
   }
 
   private val proj = UnsafeProjection.create(required)

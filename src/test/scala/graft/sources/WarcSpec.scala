@@ -82,6 +82,82 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("gzip member round trip: offsets/lengths address whole members") {
+    val recs = Seq(rec(0, "hello world"), rec(1, ""), rec(2, "abc" * 100))
+    val bytes = Warc.renderGzip(recs)
+    val got = Warc.parseGzip("f.warc.gz", bytes).toSeq
+    assert(got.map(_.ord) == Seq(0L, 1L, 2L))
+    assert(got.map(r => new String(r.payload, "US-ASCII")) ==
+      Seq("hello world", "", "abc" * 100))
+    // stored-block members have arithmetic lengths: 23 + rendered length
+    recs.zip(got).foreach { case (r, g) =>
+      assert(g.recLen == Warc.render(Seq(r)).length + 23L, s"ord ${g.ord}")
+    }
+    assert(got.head.offset == 0L)
+    assert(got.sliding(2).forall { case Seq(a, b) => a.offset + a.recLen == b.offset })
+    assert(got.last.offset + got.last.recLen == bytes.length)
+  }
+
+  test("gzip members written by a REAL deflater parse identically") {
+    // the fixture writer uses stored blocks; the wild uses compressed
+    // deflate with FNAME headers etc. — prove the parser is general
+    val out = new java.io.ByteArrayOutputStream()
+    for (i <- 0 until 3) {
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(Warc.render(Seq(rec(i, s"payload number $i " * 20))))
+      gz.finish()
+    }
+    val got = Warc.parseGzip("f.warc.gz", out.toByteArray).toSeq
+    assert(got.map(_.targetUri) == (0 to 2).map(i => s"http://example.com/doc/$i"))
+    assert(got.sliding(2).forall { case Seq(a, b) => a.offset + a.recLen == b.offset })
+    assert(got.last.offset + got.last.recLen == out.size.toLong)
+    // and each (offset, rec_len) really is a range read: re-parse a slice
+    val mid = got(1)
+    val slice = java.util.Arrays.copyOfRange(out.toByteArray,
+      mid.offset.toInt, (mid.offset + mid.recLen).toInt)
+    val re = Warc.parseGzip("slice", slice).toSeq
+    assert(re.size == 1 && re.head.targetUri == mid.targetUri)
+  }
+
+  test("malformed gzip stops cleanly, never throws: prior members survive") {
+    val good = Warc.renderGzip(Seq(rec(0, "ok")))
+    // truncated second member
+    val bad1 = good ++ Warc.renderGzip(Seq(rec(1, "cut off"))).dropRight(10)
+    assert(Warc.parseGzip("f", bad1).toSeq.map(_.ord) == Seq(0L))
+    // corrupted CRC in the second member
+    val m2 = Warc.renderGzip(Seq(rec(1, "crc broken")))
+    m2(m2.length - 6) = (m2(m2.length - 6) ^ 0x55).toByte
+    assert(Warc.parseGzip("f", good ++ m2).toSeq.map(_.ord) == Seq(0L))
+    // second member is not gzip at all
+    assert(Warc.parseGzip("f", good ++ "garbage".getBytes("US-ASCII"))
+      .toSeq.map(_.ord) == Seq(0L))
+    // member inflates fine but frames no WARC record
+    val notWarc = {
+      val o = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(o)
+      gz.write("just text".getBytes("US-ASCII")); gz.finish()
+      o.toByteArray
+    }
+    assert(Warc.parseGzip("f", good ++ notWarc).toSeq.map(_.ord) == Seq(0L))
+    assert(Warc.parseGzip("f", Array.emptyByteArray).isEmpty)
+  }
+
+  test("DSv2 source sniffs gzip magic: mixed .warc/.warc.gz dirs read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_gz")
+    java.nio.file.Files.write(dir.resolve("a.warc"),
+      Warc.render(Seq(rec(0, "plain"))))
+    java.nio.file.Files.write(dir.resolve("b.warc.gz"),
+      Warc.renderGzip(Seq(rec(1, "gzipped"), rec(2, "also gzipped"))))
+    val got = Warc.read(spark, dir.toString)
+      .select("target_uri", "payload").collect()
+      .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1), "US-ASCII")))
+      .toSet
+    assert(got == Set(
+      ("http://example.com/doc/0", "plain"),
+      ("http://example.com/doc/1", "gzipped"),
+      ("http://example.com/doc/2", "also gzipped")))
+  }
+
   test("readStream ingests arriving files exactly once, in micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc_stream")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_warc_ckpt").toString
