@@ -55,6 +55,34 @@ object Multimodal {
         s"ELSE cast(null as bigint) END"
       ).as("simhash"))
 
+  /** REAL-pixel aHash: decode a PNG payload column ([[PngGray]] — full
+    * IDAT inflate + scanline unfilter, not just headers), block-mean
+    * downsample to a `gw` x `gh` grid, then fingerprint with
+    * [[aHashFromGray]]. Appends `gray: array<int>` (the grid) and emits
+    * (id, simhash); an undecodable payload or an image smaller than the
+    * grid yields a NULL hash (the decoder's None contract surfaced as a
+    * column, never a task failure). Decode runs per-partition — the only
+    * imperative stage; grid + hash stay in codegen'd expressions.
+    */
+  def aHashFromPng(df: DataFrame, pngCol: String, idCol: String,
+                   gw: Int = 10, gh: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val pngIdx = df.schema.fieldIndex(pngCol)
+    val outSchema = df.schema.add("gray", ArrayType(IntegerType))
+    val rows = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val grid = PngGray.decodeGray(r.get(pngIdx).asInstanceOf[Array[Byte]])
+          .filter(img => img.width >= gw && img.height >= gh)
+          .map(img => PngGray.blockMeanGrid(img, gw, gh).toSeq)
+          .orNull
+        Row.fromSeq(r.toSeq :+ grid)
+      }
+    }
+    aHashFromGray(spark.createDataFrame(rows, outSchema), "gray", idCol)
+  }
+
   def withPayload(df: DataFrame, srcCol: String, mime: String = "application/octet-stream"): DataFrame = {
     // binary sources pass through UNTOUCHED: casting bytes through a Java
     // String replaces invalid UTF-8 sequences with U+FFFD, so nBytes/sha

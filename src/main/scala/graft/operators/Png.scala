@@ -1,0 +1,265 @@
+package graft.operators
+
+/** Dependency-free grayscale PNG codec (RFC 2083 / ISO 15948) — the REAL
+  * pixel path behind the image near-dup family. [[Multimodal.ImageHeaders]]
+  * stops at IHDR; this walks the whole file: chunk CRCs, the zlib-wrapped
+  * concatenated IDAT stream (`java.util.zip.Inflater`), and the five
+  * scanline filters (None/Sub/Up/Average/Paeth) undone byte-exactly, then
+  * 8-bit color types 0/2/4/6 collapsed to integer luma
+  * ((299r + 587g + 114b) / 1000 — exact pass-through for achromatic
+  * pixels, which is what makes fixture oracles arithmetic).
+  *
+  * Same malformed-input contract as the other byte decoders
+  * ([[Multimodal.AudioHeaders]], [[graft.sources.Warc]]): truncation, bad
+  * magic, an interlaced/16-bit/palette image, an inflate error, or a
+  * pixel-count bomb all yield None — never a throw, never a hang.
+  *
+  * The encoder twin [[render]] applies REAL filters and writes the zlib
+  * stream as STORED deflate blocks, so fixture bytes are a pure function
+  * of the pixel formula — the q116/q126 discipline: a SQL oracle replays
+  * the pixels arithmetically while the engine earns them by decoding
+  * genuine PNG bytes (filters exercised, CRCs real).
+  */
+object PngGray extends Serializable {
+
+  final case class GrayImage(width: Int, height: Int, gray: Array[Int])
+
+  private val Sig: Array[Int] = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+  /** Pixel-count cap: a crafted 1 GB-pixel IHDR must not OOM the task. */
+  private val MaxPixels = 64L * 1024 * 1024
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+  private def channelsOf(colorType: Int): Int = colorType match {
+    case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => -1
+  }
+
+  /** Decode to integer grayscale. 8-bit depth, color types 0/2/4/6,
+    * no interlace (the overwhelmingly common shapes); anything else None.
+    */
+  def decodeGray(bytes: Array[Byte]): Option[GrayImage] = {
+    if (bytes == null || bytes.length < 8 ||
+        !Sig.indices.forall(i => u8(bytes, i) == Sig(i))) return None
+    var pos = 8L
+    var w = 0; var h = 0; var colorType = -1
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!seenIend) {
+      if (pos + 12 > bytes.length) return None // header + CRC must fit
+      val clen = be32(bytes, pos.toInt)
+      if (clen < 0 || clen > Int.MaxValue - 12 ||
+          pos + 12 + clen > bytes.length) return None
+      val ctype = new String(bytes, (pos + 4).toInt, 4, "US-ASCII")
+      val dataOff = (pos + 8).toInt
+      // chunk CRC (type + data) verified for the chunks we consume — a
+      // corrupted critical chunk is malformed input, not pixel data
+      if (ctype == "IHDR" || ctype == "IDAT" || ctype == "IEND") {
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes, (pos + 4).toInt, 4 + clen.toInt)
+        if (crc.getValue != be32(bytes, dataOff + clen.toInt)) return None
+      }
+      ctype match {
+        case "IHDR" =>
+          if (seenIhdr || clen != 13) return None
+          seenIhdr = true
+          val wL = be32(bytes, dataOff); val hL = be32(bytes, dataOff + 4)
+          val depth = u8(bytes, dataOff + 8); colorType = u8(bytes, dataOff + 9)
+          val interlace = u8(bytes, dataOff + 12)
+          if (wL <= 0 || hL <= 0 || wL * hL > MaxPixels) return None
+          if (depth != 8 || channelsOf(colorType) < 0 || interlace != 0) return None
+          w = wL.toInt; h = hL.toInt
+        case "IDAT" =>
+          if (!seenIhdr) return None
+          idat.write(bytes, dataOff, clen.toInt)
+        case "IEND" => seenIend = true
+        case _ => // ancillary chunks are legal; skipped
+      }
+      pos += 12 + clen
+    }
+    if (!seenIhdr) return None
+    val bpp = channelsOf(colorType)
+    val stride = w * bpp
+    val expected = h.toLong * (1 + stride)
+    if (expected > Int.MaxValue) return None
+    // zlib-wrapped inflate of the concatenated IDAT payloads
+    val raw = new Array[Byte](expected.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished) {
+        val n = try inf.inflate(raw, off, raw.length - off) catch {
+          case _: java.util.zip.DataFormatException => return None
+        }
+        if (n == 0 && (inf.finished || inf.needsInput || inf.needsDictionary)) {
+          if (off < raw.length) return None // truncated pixel stream
+        }
+        off += n
+      }
+      if (off < raw.length) return None
+    } finally inf.end()
+    // undo per-scanline filters in place (prev = reconstructed row above)
+    val img = new Array[Int](w * h)
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    java.util.Arrays.fill(prev, 0)
+    for (y <- 0 until h) {
+      val rowOff = y * (1 + stride)
+      val filter = u8(raw, rowOff)
+      if (filter > 4) return None
+      var x = 0
+      while (x < stride) {
+        val v = u8(raw, rowOff + 1 + x)
+        val a = if (x >= bpp) cur(x - bpp) else 0 // left
+        val b = prev(x)                           // up
+        val c = if (x >= bpp) prev(x - bpp) else 0 // up-left
+        cur(x) = filter match {
+          case 0 => v
+          case 1 => (v + a) & 0xff
+          case 2 => (v + b) & 0xff
+          case 3 => (v + (a + b) / 2) & 0xff
+          case 4 => (v + paeth(a, b, c)) & 0xff
+        }
+        x += 1
+      }
+      var px = 0
+      while (px < w) {
+        val o = px * bpp
+        img(y * w + px) = colorType match {
+          case 0 => cur(o)
+          case 4 => cur(o) // gray + alpha: alpha ignored
+          case _ => (299 * cur(o) + 587 * cur(o + 1) + 114 * cur(o + 2)) / 1000
+        }
+        px += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+    }
+    Some(GrayImage(w, h, img))
+  }
+
+  /** The Paeth predictor, verbatim from the spec (§6.6). */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Integer block-mean downsample to a `gw` x `gh` grid — the aHash
+    * pre-step. Blocks partition the image by index ranges
+    * [floor(k*dim/g), floor((k+1)*dim/g)); means floor-divide, so the grid
+    * is a pure integer function of the pixels (oracle-replayable).
+    */
+  def blockMeanGrid(img: GrayImage, gw: Int, gh: Int): Array[Int] = {
+    require(gw > 0 && gh > 0 && gw <= img.width && gh <= img.height,
+      s"grid ${gw}x$gh does not fit image ${img.width}x${img.height}")
+    Array.tabulate(gw * gh) { k =>
+      val gx = k % gw; val gy = k / gw
+      val x0 = gx * img.width / gw; val x1 = (gx + 1) * img.width / gw
+      val y0 = gy * img.height / gh; val y1 = (gy + 1) * img.height / gh
+      var s = 0L; var n = 0L
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) { s += img.gray(y * img.width + x); n += 1; x += 1 }
+        y += 1
+      }
+      (s / n).toInt
+    }
+  }
+
+  // ---- encoder twin (fixtures + tests; never the scale path) ----
+
+  /** Encode grayscale pixels as a real PNG: `colorType` 0/2/4/6 (chromatic
+    * types replicate the gray value into r=g=b, so luma round-trips
+    * EXACTLY), per-row filter chosen by `filterOf(y)` and genuinely
+    * applied, zlib stream in stored deflate blocks, CRC32 on every chunk.
+    */
+  def render(width: Int, height: Int, gray: Array[Int], colorType: Int,
+             filterOf: Int => Int): Array[Byte] = {
+    require(gray.length == width * height, "pixel count mismatch")
+    val bpp = channelsOf(colorType)
+    require(bpp > 0, s"unsupported color type $colorType")
+    val stride = width * bpp
+    // raw scanlines, then the real filter math applied per row
+    val raw = new java.io.ByteArrayOutputStream()
+    val prev = new Array[Int](stride)
+    val cur = new Array[Int](stride)
+    for (y <- 0 until height) {
+      for (x <- 0 until width) {
+        val v = gray(y * width + x) & 0xff
+        val o = x * bpp
+        colorType match {
+          case 0 => cur(o) = v
+          case 4 => cur(o) = v; cur(o + 1) = 255
+          case 2 => cur(o) = v; cur(o + 1) = v; cur(o + 2) = v
+          case 6 => cur(o) = v; cur(o + 1) = v; cur(o + 2) = v; cur(o + 3) = 255
+        }
+      }
+      val f = filterOf(y) % 5
+      raw.write(f)
+      for (x <- 0 until stride) {
+        val a = if (x >= bpp) cur(x - bpp) else 0
+        val b = prev(x)
+        val c = if (x >= bpp) prev(x - bpp) else 0
+        val filtered = f match {
+          case 0 => cur(x)
+          case 1 => (cur(x) - a) & 0xff
+          case 2 => (cur(x) - b) & 0xff
+          case 3 => (cur(x) - (a + b) / 2) & 0xff
+          case 4 => (cur(x) - paeth(a, b, c)) & 0xff
+        }
+        raw.write(filtered)
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    Sig.foreach(out.write)
+    val ihdr = new java.io.ByteArrayOutputStream()
+    def be(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    ihdr.write(be(width.toLong)); ihdr.write(be(height.toLong))
+    ihdr.write(8); ihdr.write(colorType); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    writeChunk(out, "IHDR", ihdr.toByteArray)
+    writeChunk(out, "IDAT", zlibStored(raw.toByteArray))
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  private def writeChunk(out: java.io.ByteArrayOutputStream, ctype: String,
+                         data: Array[Byte]): Unit = {
+    def be(v: Long): Unit =
+      (3 to 0 by -1).foreach(k => out.write(((v >> (8 * k)) & 0xff).toInt))
+    be(data.length.toLong)
+    val tb = ctype.getBytes("US-ASCII")
+    out.write(tb)
+    out.write(data, 0, data.length)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(data)
+    be(crc.getValue)
+  }
+
+  /** zlib wrapper around STORED deflate blocks (RFC 1950 header 78 01,
+    * RFC 1951 §3.2.4 blocks, Adler-32 trailer) — deterministic sizes, and
+    * any inflater reads it like compressed data.
+    */
+  private def zlibStored(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x78); out.write(0x01)
+    var off = 0
+    do {
+      val n = math.min(65535, data.length - off)
+      val last = off + n == data.length
+      out.write(if (last) 1 else 0)
+      out.write(n & 0xff); out.write((n >> 8) & 0xff)
+      out.write(~n & 0xff); out.write((~n >> 8) & 0xff)
+      out.write(data, off, n)
+      off += n
+    } while (off < data.length)
+    val ad = new java.util.zip.Adler32(); ad.update(data)
+    (3 to 0 by -1).foreach(k => out.write(((ad.getValue >> (8 * k)) & 0xff).toInt))
+    out.toByteArray
+  }
+}

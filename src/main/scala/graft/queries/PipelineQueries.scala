@@ -670,6 +670,38 @@ object PipelineQueries extends QuerySet {
     // banding of [[Dedup.simHashPairs]]. Grid cells are md5 arithmetic
     // (the q65/q89 fake-decode convention) so DuckDB replays fingerprints
     // and brute-force hamming pairs exactly.
+    // q120's REAL-pixel twin: the same planted near-dup families, but the
+    // engine EARNS the grid — each image's formula pixels (constant on
+    // 2x2 blocks, so the block means replay the cell formula exactly) are
+    // rendered to genuine PNG bytes (color types 0/2/4/6 round-robin, all
+    // five scanline filters applied, real chunk CRCs and zlib framing),
+    // then decoded by [[PngGray]] (inflate + unfilter + luma), block-mean
+    // downsampled, aHashed and banded. A mis-decoded byte anywhere —
+    // filter math, luma weights, chunk walk — breaks the hash against the
+    // pixel-formula oracle. PngSpec separately pins the decoder against
+    // ImageIO on real photos.
+    "q127_png_ahash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      def cell(img: Long, j: Int): Int = {
+        val key = s"${if (j < img % 3) img + 1000000 else img / 10}:$j"
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex.substring(0, 13), 16) % 256).toInt
+      }
+      val imgs = (0L until 40L).map { i =>
+        val px = Array.tabulate(20 * 12) { k =>
+          cell(i, (k / 20 / 2) * 10 + (k % 20) / 2)
+        }
+        (i, graft.operators.PngGray.render(20, 12, px,
+          Seq(0, 2, 4, 6)((i % 4).toInt), y => y % 5))
+      }
+      val sig = Multimodal.aHashFromPng(
+        imgs.toDF("img_id", "png"), "png", "img_id", gw = 10, gh = 6)
+      Dedup.simHashPairs(sig, maxHamming = 6,
+          maxBucketSize = Int.MaxValue, nBits = 60)
+        .orderBy("a_id", "b_id")
+    }),
+
     "q120_image_ahash_dedup" -> ((s, dir) => {
       val grid = expr(
         "transform(sequence(0, 59), j -> CAST(CAST(conv(substr(md5(concat(" +
@@ -1000,6 +1032,22 @@ object PipelineQueries extends QuerySet {
     // identical md5 grid arithmetic + mean-threshold hash, brute-force
     // hamming pairs (the engine reaches the same set via complete
     // pigeonhole banding — recall 1 by construction)
+    // the real-pixel twin replays the SAME cell formula (2x2-constant
+    // blocks make the engine's decoded block means equal the cells) over
+    // 40 image ids — the PNG encode/decode round trip must be invisible
+    "q127_png_ahash_dedup" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 39)) AS img_id),
+        |g AS (SELECT img_id, list_transform(range(0, 60), j ->
+        |    ('0x' || substr(md5(CAST(CASE WHEN j < img_id % 3 THEN img_id + 1000000
+        |        ELSE img_id // 10 END AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 13))::BIGINT % 256) AS gray
+        |  FROM ids),
+        |sig AS (SELECT img_id, CAST(list_sum(list_transform(range(0, 60), j ->
+        |    CASE WHEN gray[j + 1] * 60 > list_sum(gray) THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS h
+        |  FROM g)
+        |SELECT a.img_id AS a_id, b.img_id AS b_id, bit_count(xor(a.h, b.h)) AS hamming
+        |FROM sig a JOIN sig b ON a.img_id < b.img_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 6
+        |ORDER BY a_id, b_id""".stripMargin,
     "q120_image_ahash_dedup" ->
       """WITH g AS (SELECT doc_id, list_transform(range(0, 60), j ->
         |    ('0x' || substr(md5(CAST(CASE WHEN j < doc_id % 3 THEN doc_id + 1000000

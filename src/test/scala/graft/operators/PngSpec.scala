@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class PngSpec extends AnyFunSuite {
+
+  private def pixels(w: Int, h: Int, seed: Int): Array[Int] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(w * h)(rng.nextInt(256))
+  }
+
+  test("render/decode round trip: every color type, every filter") {
+    for (colorType <- Seq(0, 2, 4, 6); w <- Seq(1, 7, 33); h <- Seq(1, 5, 12)) {
+      val px = pixels(w, h, colorType * 1000 + w * 10 + h)
+      val bytes = PngGray.render(w, h, px, colorType, y => y % 5)
+      val got = PngGray.decodeGray(bytes)
+      assert(got.isDefined, s"type=$colorType ${w}x$h failed to decode")
+      assert(got.get.width == w && got.get.height == h)
+      assert(got.get.gray.toSeq == px.toSeq,
+        s"type=$colorType ${w}x$h filter-cycle pixels corrupted")
+    }
+  }
+
+  test("decoder agrees with ImageIO luma on the real test-resource photos") {
+    for (name <- Seq("gray_10x250.png", "rgb_64x48.png", "argb_33x17.png")) {
+      val bytes = {
+        val in = getClass.getResourceAsStream(s"/graft/images/$name")
+        try in.readAllBytes() finally in.close()
+      }
+      val got = PngGray.decodeGray(bytes)
+      assert(got.isDefined, s"$name failed to decode")
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(got.get.width == ref.getWidth && got.get.height == ref.getHeight, name)
+      val grayRef = ref.getColorModel.getColorSpace.getNumComponents == 1
+      for (y <- 0 until ref.getHeight; x <- 0 until ref.getWidth) {
+        // gray PNGs: raw raster sample (getRGB would run Java's gray->sRGB
+        // colorspace conversion, which is not identity); color PNGs: same
+        // integer luma formula over the sRGB bytes — exact either way
+        val want =
+          if (grayRef) ref.getRaster.getSample(x, y, 0)
+          else {
+            val rgb = ref.getRGB(x, y)
+            (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+          }
+        val mine = got.get.gray(y * got.get.width + x)
+        assert(mine == want, s"$name ($x,$y): got $mine want $want")
+      }
+    }
+  }
+
+  test("malformed input yields None, never a throw") {
+    val good = PngGray.render(8, 8, pixels(8, 8, 1), 2, _ => 0)
+    assert(PngGray.decodeGray(good).isDefined)
+    // truncations at every prefix length must not throw
+    for (n <- 0 until good.length by 7)
+      assert(PngGray.decodeGray(java.util.Arrays.copyOf(good, n)).isEmpty, s"len $n")
+    // corrupted IDAT byte -> chunk CRC mismatch
+    val bad = good.clone(); bad(good.length - 20) = (bad(good.length - 20) ^ 0x5a).toByte
+    assert(PngGray.decodeGray(bad).isEmpty)
+    // interlaced flag rejected
+    val inter = good.clone(); inter(28) = 1
+    assert(PngGray.decodeGray(inter).isEmpty) // (also breaks IHDR CRC)
+    // not a PNG at all
+    assert(PngGray.decodeGray("not a png".getBytes("US-ASCII")).isEmpty)
+    assert(PngGray.decodeGray(Array.emptyByteArray).isEmpty)
+    assert(PngGray.decodeGray(null).isEmpty)
+    // pixel-count bomb: huge IHDR dims (with a valid CRC) must be rejected
+    // before any allocation — build a real header claiming 2^30 x 2^30
+    val bomb = PngGray.render(1, 1, Array(0), 0, _ => 0).clone()
+    // overwrite w/h, then fix the IHDR CRC so the dimension guard (not the
+    // CRC check) is what rejects it
+    for (k <- 0 until 4) { bomb(16 + k) = 0x40; bomb(20 + k) = 0x40 }
+    val crc = new java.util.zip.CRC32(); crc.update(bomb, 12, 17)
+    for (k <- 0 until 4) bomb(29 + k) = ((crc.getValue >> (8 * (3 - k))) & 0xff).toByte
+    assert(PngGray.decodeGray(bomb).isEmpty)
+  }
+
+  test("blockMeanGrid: exact integer block means, index-range partition") {
+    val img = PngGray.GrayImage(4, 2, Array(10, 20, 30, 40, 50, 60, 70, 80))
+    assert(PngGray.blockMeanGrid(img, 2, 2).toSeq == Seq(15, 35, 55, 75))
+    // uneven split: 5 columns over 2 blocks -> [0,2) and [2,5); floor mean
+    val img2 = PngGray.GrayImage(5, 1, Array(1, 2, 3, 4, 6))
+    assert(PngGray.blockMeanGrid(img2, 2, 1).toSeq == Seq((1 + 2) / 2, (3 + 4 + 6) / 3))
+    // full-resolution grid is the identity
+    assert(PngGray.blockMeanGrid(img, 4, 2).toSeq == img.gray.toSeq)
+  }
+}
