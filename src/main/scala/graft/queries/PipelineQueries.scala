@@ -794,6 +794,41 @@ object PipelineQueries extends QuerySet {
         .orderBy("a_id", "b_id")
     }),
 
+    // The streaming screen-and-ingest LOOP under oracle (q112's replay
+    // pattern for the dedup side): two batches run through the exact
+    // foreachBatch body [[graft.streaming.DedupStreams.screenAndIngestBatch]]
+    // — batch 1 (doc_id % 5 = 1) screens against the built corpus
+    // (residues 2/3/4) and its survivors APPEND to the index; batch 2
+    // (doc_id % 5 = 0) must then flag against corpus + batch-1 survivors.
+    // The flagged sink is the result; the oracle recomputes both screens
+    // brute force, with batch 2's a-side universe = existing ∪ (batch 1
+    // minus its flagged ids). This split is chosen so the loop's defining
+    // property is OBSERVABLE at sf0.01, not just exercised: four planted
+    // pairs (26/455, 61/185, 301/285, 486/435) cross batch 1 survivors
+    // with batch 2, so they appear in the output IFF the survivors really
+    // joined the index between batches. Build + replay hide behind a
+    // done-marker in the mtime-keyed dir; the per-batch replay markers
+    // make reruns no-ops (idempotence pinned in DedupIndexSpec).
+    "q124_streaming_dedup_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedupidx_str_" +
+        s"${math.abs(dir.hashCode)}_${src.lastModified}"
+      val flagged = s"$path/flagged.parquet"
+      val done = new java.io.File(s"$path/_STREAM_DONE")
+      if (!done.exists) {
+        graft.operators.DedupIndex.build(docs.where(col("doc_id") % 5 >= 2),
+          "text", "doc_id", path, shingleN = 3, numHashes = 32, bands = 8)
+        for ((residue, batchId) <- Seq(1 -> 0L, 0 -> 1L))
+          graft.streaming.DedupStreams.screenAndIngestBatch(
+            docs.where(col("doc_id") % 5 === residue), "text", "doc_id",
+            path, flagged, threshold = 0.5, maxBucketSize = Int.MaxValue,
+            batchId = batchId)
+        done.createNewFile()
+      }
+      s.read.parquet(flagged).orderBy("a_id", "b_id")
+    }),
+
     // The ANN-family takedown twin: build the IVF-PQ index over the full
     // corpus, REMOVE vec_id % 9 == 2 (even ids via
     // [[AnnIndex.removeVectors]], odd via the REMOVE FROM ANN INDEX
@@ -981,6 +1016,27 @@ object PipelineQueries extends QuerySet {
     "q104_incremental_dedup" -> incrementalDedupOracle,
     // identical semantics served from the persisted signature index
     "q113_dedup_index_screen" -> incrementalDedupOracle,
+    // the two-batch streaming loop, brute force: batch 1 screens against
+    // existing; batch 2 against existing ∪ batch-1 survivors
+    "q124_streaming_dedup_ingest" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh FROM (
+        |    SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM d WHERE len(t) >= 3))),
+        |c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id GROUP BY 1, 2),
+        |jac AS (SELECT a_id, b_id, inter*1.0/(ca.n + cb.n - inter) AS j
+        |        FROM inter JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id),
+        |p1 AS (SELECT a_id, b_id, j FROM jac
+        |       WHERE a_id % 5 >= 2 AND b_id % 5 = 1 AND j >= 0.5),
+        |p2 AS (SELECT a_id, b_id, j FROM jac
+        |       WHERE b_id % 5 = 0 AND j >= 0.5
+        |         AND (a_id % 5 >= 2 OR (a_id % 5 = 1
+        |              AND a_id NOT IN (SELECT b_id FROM p1))))
+        |SELECT a_id, b_id, FLOOR(j * 10000) / 10000 AS jaccard
+        |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+        |ORDER BY a_id, b_id""".stripMargin,
     // q113's cross-corpus brute force MINUS the taken-down members: the
     // removed a-side (doc_id % 7 in (3, 5)) must flag nothing
     "q123_dedup_index_takedown" ->
