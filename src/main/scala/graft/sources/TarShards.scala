@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   * name prefix (`000123.jpg`, `000123.txt`, `000123.json` = one sample),
   * read sequentially shard-per-task. This is a REAL parser of the public
   * 512-byte header layout (name, octal size, typeflag, ustar magic,
-  * prefix field), no archive library.
+  * prefix field), no archive library. Long names are first-class: GNU
+  * 'L' members and pax 'x'/'g' extended headers override the next
+  * member's (or, for 'g', all later members') name, so >100-byte
+  * WebDataset sample keys survive.
   *
   * Contract matches [[Warc.parseFile]]: a malformed header (bad octal,
   * size past EOF, no terminating zero block) STOPS the walk cleanly and
@@ -41,6 +44,14 @@ object TarShards {
       private var ord = 0L
       private var nextRec: TarMember = _
       private var done = false
+      // long-name overrides: GNU 'L' and pax 'x' apply to the NEXT member
+      // only; pax 'g' ("global") applies to every later member unless
+      // overridden. WebDataset sample keys come from member names, so
+      // shards with >100-byte names would silently lose their keys if
+      // these were skipped (they were, before round 8).
+      private var pendingGnuName: String = null
+      private var pendingPaxName: String = null
+      private var globalPaxName: String = null
 
       private def str(off: Long, len: Int): String = {
         val start = off.toInt
@@ -61,6 +72,34 @@ object TarShards {
         v
       }
 
+      /** The `path` value of a pax extended-header block (records are
+        * "<len> <key>=<value>\n" where <len> counts the WHOLE record,
+        * digits included; values are UTF-8). None if no path record;
+        * null inside Some is never produced. A structurally bad record
+        * makes the whole block malformed (caller stops the walk).
+        */
+      private def paxPath(data: Array[Byte]): Either[Unit, Option[String]] = {
+        var p = 0
+        var path: Option[String] = None
+        while (p < data.length) {
+          var d = p
+          while (d < data.length && data(d) >= '0' && data(d) <= '9') d += 1
+          if (d == p || d >= data.length || data(d) != ' ') return Left(())
+          val len = try new String(data, p, d - p, "US-ASCII").toInt
+            catch { case _: NumberFormatException => return Left(()) }
+          // strict advance: the length covers the record from its first
+          // digit through its trailing newline
+          if (len <= d - p + 1 || p + len > data.length ||
+              data(p + len - 1) != '\n') return Left(())
+          val body = new String(data, d + 1, p + len - 1 - (d + 1), "UTF-8")
+          val eq = body.indexOf('=')
+          if (eq < 0) return Left(())
+          if (body.substring(0, eq) == "path") path = Some(body.substring(eq + 1))
+          p += len
+        }
+        Right(path)
+      }
+
       @annotation.tailrec
       private def advance(): Unit = {
         nextRec = null
@@ -78,7 +117,7 @@ object TarShards {
           done = true; return
         }
         val prefix = str(pos + 345, 155)
-        val name = if (prefix.isEmpty) name0 else s"$prefix/$name0"
+        val headerName = if (prefix.isEmpty) name0 else s"$prefix/$name0"
         val dataStart = pos + 512
         val dataEnd = dataStart + size
         if (dataEnd > bytes.length) { done = true; return }
@@ -86,10 +125,19 @@ object TarShards {
         if (step <= 0) { done = true; return }
         val recStart = pos
         pos += step
-        // regular file entries ('0' or NUL) become rows; everything else
-        // (directories '5', links, PAX headers 'x'/'g') is skipped but
-        // its data region was advanced over correctly above
+        // regular file entries ('0' or NUL) become rows; 'L'/'x'/'g'
+        // carry name overrides for later members; everything else
+        // (directories '5', links) is skipped but its data region was
+        // advanced over correctly above
         if (typeflag == '0' || typeflag == 0) {
+          // precedence per the pax spec: extended-header path beats the
+          // GNU longname beats a global default beats the header field
+          val name =
+            if (pendingPaxName != null) pendingPaxName
+            else if (pendingGnuName != null) pendingGnuName
+            else if (globalPaxName != null) globalPaxName
+            else headerName
+          pendingPaxName = null; pendingGnuName = null
           val base = name.substring(name.lastIndexOf('/') + 1)
           val dot = base.indexOf('.')
           val (key, ext) =
@@ -97,7 +145,28 @@ object TarShards {
           nextRec = TarMember(file, ord, recStart, name, key, ext, size,
             java.util.Arrays.copyOfRange(bytes, dataStart.toInt, dataEnd.toInt))
           ord += 1
-        } else advance()
+        } else if (typeflag == 'L') {
+          // GNU longname: the data blocks hold the NUL-terminated name of
+          // the next member
+          var end = dataStart
+          while (end < dataEnd && bytes(end.toInt) != 0) end += 1
+          pendingGnuName = new String(bytes, dataStart.toInt,
+            (end - dataStart).toInt, "UTF-8")
+          advance()
+        } else if (typeflag == 'x' || typeflag == 'g') {
+          paxPath(java.util.Arrays.copyOfRange(bytes, dataStart.toInt, dataEnd.toInt)) match {
+            case Left(_) => done = true; return // malformed pax block
+            case Right(p) =>
+              if (typeflag == 'x') p.foreach(pendingPaxName = _)
+              else p.foreach(globalPaxName = _)
+          }
+          advance()
+        } else {
+          // a skipped member still consumes any pending per-member
+          // override addressed to it
+          pendingPaxName = null; pendingGnuName = null
+          advance()
+        }
       }
 
       advance()
@@ -125,11 +194,14 @@ object TarShards {
 
   /** Serialize (name, bytes) pairs into a POSIX ustar archive — the writer
     * twin for tests and fixtures (header checksum computed exactly as
-    * parsed-back readers verify it).
+    * parsed-back readers verify it). Names longer than 100 bytes get a
+    * pax extended header ('x' member with a `path` record) before the
+    * member, the POSIX long-name mechanism; the member's own header
+    * carries the truncated name, as real tars do.
     */
   def render(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    for ((name, data) <- entries) {
+    def writeMember(name: String, typeflag: Char, data: Array[Byte]): Unit = {
       val h = new Array[Byte](512)
       def put(off: Int, s: String): Unit = {
         val b = s.getBytes("US-ASCII")
@@ -141,7 +213,7 @@ object TarShards {
       put(124, f"${data.length}%011o")               // size, octal
       put(136, "00000000000")                        // mtime
       java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum spaces
-      h(156) = '0'                                   // typeflag: regular
+      h(156) = typeflag.toByte
       put(257, "ustar"); h(262) = 0                  // magic
       put(263, "00")                                 // version
       val sum = h.map(b => b & 0xff).sum
@@ -151,6 +223,19 @@ object TarShards {
       out.write(data)
       val pad = (512 - data.length % 512) % 512
       out.write(new Array[Byte](pad))
+    }
+    for ((name, data) <- entries) {
+      if (name.getBytes("UTF-8").length > 100) {
+        // pax record "<len> path=<name>\n", <len> counting its own digits
+        // — the standard fixed point (at most one extra digit of slack)
+        val body = s" path=$name\n".getBytes("UTF-8")
+        var len = body.length + 1
+        while (len.toString.length + body.length > len)
+          len = len.toString.length + body.length
+        writeMember(s"./PaxHeaders/${name.take(80)}", 'x',
+          len.toString.getBytes("US-ASCII") ++ body)
+        writeMember(name.take(100), '0', data)
+      } else writeMember(name, '0', data)
     }
     out.write(new Array[Byte](1024)) // two zero blocks terminate
     out.toByteArray

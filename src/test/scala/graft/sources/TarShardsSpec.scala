@@ -51,6 +51,55 @@ class TarShardsSpec extends SparkSpec {
     assert(TarShards.parseFile("t", new Array[Byte](1024)).isEmpty)
   }
 
+  test("long names survive: pax 'x' (written by render), GNU 'L', pax 'g'") {
+    // render emits a pax header automatically past 100 bytes
+    val long1 = "deeply/nested/dataset/shard/component/" + ("a" * 70) + "/0001.flac"
+    assert(long1.length > 100)
+    val viaRender = TarShards.parseFile("t",
+      TarShards.render(Seq((long1, Array[Byte](1, 2)), ("short.txt", Array[Byte](3))))).toSeq
+    assert(viaRender.map(_.name) == Seq(long1, "short.txt"), viaRender.map(_.name))
+    assert(viaRender.head.sampleKey == "0001" && viaRender.head.ext == "flac")
+    assert(viaRender.head.size == 2L)
+    // hand-built GNU 'L' member: data blocks carry the NUL-terminated name
+    val long2 = "gnu/style/" + ("b" * 120) + "/0002.json"
+    val nameData = long2.getBytes("UTF-8") :+ 0.toByte
+    val gnuL = TarShards.render(Seq(("././@LongLink", nameData))).dropRight(1024)
+    gnuL(156) = 'L'
+    // re-fix the checksum after the typeflag edit
+    java.util.Arrays.fill(gnuL, 148, 156, ' '.toByte)
+    val sum = gnuL.take(512).map(b => b & 0xff).sum
+    System.arraycopy(f"$sum%06o".getBytes("US-ASCII"), 0, gnuL, 148, 6)
+    gnuL(154) = 0; gnuL(155) = ' '.toByte
+    val member = TarShards.render(Seq((long2.take(100), Array[Byte](7))))
+    val gotL = TarShards.parseFile("t", gnuL ++ member).toSeq
+    assert(gotL.map(_.name) == Seq(long2), gotL.map(_.name))
+    assert(gotL.head.sampleKey == "0002" && gotL.head.ext == "json")
+    // pax 'g' global default applies to later members until overridden
+    val gBody = { val b = s" path=global/name/0003.txt\n".getBytes("UTF-8")
+      var len = b.length + 1
+      while (len.toString.length + b.length > len) len = len.toString.length + b.length
+      len.toString.getBytes("US-ASCII") ++ b }
+    val gHdr = TarShards.render(Seq(("./PaxHeaders/g", gBody))).dropRight(1024)
+    gHdr(156) = 'g'
+    java.util.Arrays.fill(gHdr, 148, 156, ' '.toByte)
+    val gSum = gHdr.take(512).map(b => b & 0xff).sum
+    System.arraycopy(f"$gSum%06o".getBytes("US-ASCII"), 0, gHdr, 148, 6)
+    gHdr(154) = 0; gHdr(155) = ' '.toByte
+    val gotG = TarShards.parseFile("t",
+      gHdr ++ TarShards.render(Seq(("plain.txt", Array[Byte](1))))).toSeq
+    assert(gotG.map(_.name) == Seq("global/name/0003.txt"), gotG.map(_.name))
+    // malformed pax record (bad length) stops the walk cleanly
+    val badPax = gHdr.clone(); badPax(156) = 'x'
+    java.util.Arrays.fill(badPax, 148, 156, ' '.toByte)
+    val bSum = badPax.take(512).map(b => b & 0xff).sum
+    System.arraycopy(f"$bSum%06o".getBytes("US-ASCII"), 0, badPax, 148, 6)
+    badPax(154) = 0; badPax(155) = ' '.toByte
+    badPax(512) = 'Z' // length digits corrupted
+    assert(TarShards.parseFile("t",
+      TarShards.render(sample(6)).dropRight(1024) ++ badPax ++
+        TarShards.render(Seq(("after.txt", Array[Byte](1))))).size == 3)
+  }
+
   test("readStream tails a shard landing directory, exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tar_stream")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_tar_ckpt").toString
