@@ -120,12 +120,27 @@ object Fasta {
     */
   def index(records: Dataset[FastaRecord], startUid: Long = 1L,
             fullDefline: Boolean = false): DataFrame = {
-    val w = Window.orderBy("file", "ord")
     val defline =
       if (fullDefline) rtrim(col("defline"))
       else org.apache.spark.sql.functions.split(rtrim(col("defline")), " ").getItem(0)
+    // Two-level prefix sum (the split()/distributedBlocks shape): a global
+    // no-partition window here would funnel one row PER SEQUENCE RECORD
+    // through a single partition — at the reference's own campaign scale
+    // (24.5M sequences, examples/refseq-all-vs-all/README:36-39) that is a
+    // driver-of-one-task bottleneck. Instead the record rows only take a
+    // PARTITIONED window (per-file local serial, distributed), and the
+    // sequential scan runs over per-FILE counts (metadata-sized, one row
+    // per input file) whose cumulative offsets broadcast-join back.
+    val wf = Window.partitionBy("file").orderBy("ord")
+    val counts = records.groupBy("file").agg(count(lit(1)).as("_rc"))
+    val offs = counts.withColumn("_foff", coalesce(
+        sum("_rc").over(Window.orderBy("file")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("file"), col("_foff"))
     records
-      .withColumn("uid", row_number().over(w).cast("long") + (startUid - 1))
+      .withColumn("_rn", row_number().over(wf).cast("long"))
+      .join(broadcast(offs), Seq("file"))
+      .withColumn("uid", col("_foff") + col("_rn") + lit(startUid - 1L))
       .select(col("uid"), col("offset"), col("bpLen").as("length"), defline.as("defline"))
   }
 

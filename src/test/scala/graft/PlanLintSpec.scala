@@ -29,6 +29,9 @@ class PlanLintSpec extends SparkSpec {
   //   q109/q110 — ivfPqKnnIndexed's probe x centroid cell ranking (both
   //         sides broadcast, metadata-sized — the q100/q107 pattern via
   //         the SQL statement / compaction lifecycle respectively)
+  //   q125 — ANN-index takedown verification queries the post-remove index
+  //         via ivfPqKnnIndexed, i.e., the same broadcast probe x centroid
+  //         cell ranking as q100/q107/q109/q110 (AnnIndex.scala:257)
   private val productAllowed = Set(
     "q18_cross_join", "q23_scalar_subquery", "q40_knn_brute",
     "q43_dedup_embedding", "q44_tfidf", "q49_simjoin_dfcap",
@@ -36,7 +39,8 @@ class PlanLintSpec extends SparkSpec {
     "q82_heavy_hitters", "q85_knn_ivf_exact", "q86_knn_lsh_exact",
     "q93_knn_pq", "q94_knn_pq_exact", "q97_lm_perplexity",
     "q98_knn_ivfpq", "q99_knn_ivfpq_exact", "q100_knn_indexed",
-    "q107_knn_append", "q109_sql_knn_indexed", "q110_knn_compacted")
+    "q107_knn_append", "q109_sql_knn_indexed", "q110_knn_compacted",
+    "q125_ann_index_takedown")
 
   // iterative/multi-stage pipelines legitimately above the common bound:
   //   q48 — label-propagation rounds
