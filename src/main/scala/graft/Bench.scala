@@ -17,6 +17,10 @@ import org.apache.spark.sql.SparkSession
   *    still serve their purpose WITHIN a run (one query's own repeated
   *    subtrees); repeat runs of the same query re-pay the cache build, so
   *    min-of-N measures the query, not a warm cache.
+  *  - The JSON carries a per-query `t0` map (wall-clock start epoch,
+  *    seconds): a loaded window is self-evident from gaps/clusters in the
+  *    t0 series, so one anomalous reading can be adjudicated as machine
+  *    state vs plan regression from the artifact alone.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,6 +43,10 @@ object Bench {
       "graft_winnow_md5(cast(id as string), 2, 2)",
       "graft_dot(array(cast(id as float)), array(cast(id as float)))").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // wall-clock start epoch per query: a contended / loaded window shows
+      // up as a gap or cluster in the t0 series, so an anomalous reading is
+      // self-evidently machine state rather than a plan regression
+      val wallT0 = System.currentTimeMillis() / 1000.0
       val times = (1 to runs).map { _ =>
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
@@ -48,16 +56,18 @@ object Bench {
       // min over successful runs: the least-contended observation of the
       // same deterministic work; any failed run fails the query
       val allOk = times.forall(_._2)
-      (name, if (allOk) times.map(_._1).min else -1.0, allOk)
+      (name, if (allOk) times.map(_._1).min else -1.0, allOk, wallT0)
     }
     // a failing query must NOT masquerade as a fast success: its entry is
     // the sentinel -1 and it is excluded from the total, plus an explicit
     // failures list so regressions are visible in the JSON itself
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
+    val qs = results.map { case (k, v, ok, _) => "\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
-    val failures = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val t0s = results.map { case (k, _, _, t0) => "\"" + k + "\":" + t0 }
+      .mkString("{", ",", "}")
+    val failures = results.filter(!_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir","runs":$runs}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"t0":$t0s,"failures":$failures,"sf":"$sfDir","runs":$runs}"""
     // the stdout capture around this main truncates long tails — persist the
     // full per-query JSON to a file too, and announce its path first so the
     // timings stay machine-readable even when the printed line is cut

@@ -12,18 +12,33 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it as a raw long
-    * (nanosAsLong, see [[GraftSession]]). Convert to a microsecond timestamp
-    * and keep `ts_sec` (epoch seconds) for engine-agnostic time arithmetic
-    * in the oracle-checked queries. FLOOR division, not `div`: `div`
-    * truncates toward zero, which rounds pre-epoch (negative) timestamps
-    * the wrong way — DuckDB's epoch() floors, so bucket membership would
-    * disagree on any pre-1970 row.
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) — which Spark
+    * reads as a raw nanosecond long under nanosAsLong (see [[GraftSession]]) —
+    * and plain TIMESTAMP(MICROS), which reads as TimestampType. Branch on the
+    * type actually read and normalize both to a microsecond `ts` plus `ts_sec`
+    * (epoch seconds) for engine-agnostic time arithmetic in the oracle-checked
+    * queries. FLOOR semantics throughout, not truncate-toward-zero: DuckDB's
+    * epoch() floors, so bucket membership would disagree on any pre-1970 row.
+    * (Spark's timestamp→long cast is already floorDiv on micros.)
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_sec", expr("(ts - pmod(ts, 1000000000)) div 1000000000"))
-      .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw
+          .withColumn("ts_sec", expr("(ts - pmod(ts, 1000000000)) div 1000000000"))
+          .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      case _ =>
+        // TIMESTAMP(MICROS) arrives as TimestampType or (pandas-written,
+        // tz-naive) TimestampNTZType; session tz is UTC so casting NTZ to
+        // TimestampType is identity on the instant, and timestamp→long is
+        // floorDiv(micros, 1e6) — same FLOOR as DuckDB's epoch().
+        raw
+          .withColumn("ts_sec",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType).cast("long"))
+          .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+  }
 
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

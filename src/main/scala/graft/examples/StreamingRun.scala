@@ -18,12 +18,18 @@ object StreamingRun {
     val spark = GraftSession.local()
 
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream
+    val rawStream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "events.parquet") // file source wants a dir
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // ts has shipped as both TIMESTAMP(NANOS)-as-long and TIMESTAMP(MICROS);
+    // normalize like Tables.events does.
+    val stream = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        rawStream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => rawStream
+    }
 
     val q = EventStreams.hourlyAgg(stream)
       .writeStream.format("memory").queryName("hourly").outputMode("append").start()

@@ -120,6 +120,14 @@ object Fasta {
     */
   def index(records: Dataset[FastaRecord], startUid: Long = 1L,
             fullDefline: Boolean = false): DataFrame = {
+    // The two-level prefix sum below scans `records` twice (per-file counts
+    // feeding the broadcast offsets, then the main row-number path). An
+    // uncached input would re-read and re-parse every FASTA file per scan —
+    // and, worse, a file mutated between the scans would skew every uid
+    // after it. Pin one snapshot for both scans; callers that materialize
+    // the index can drop it via records.unpersist() afterwards.
+    if (records.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      records.persist()
     val defline =
       if (fullDefline) rtrim(col("defline"))
       else org.apache.spark.sql.functions.split(rtrim(col("defline")), " ").getItem(0)
