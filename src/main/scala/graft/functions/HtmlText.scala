@@ -1,0 +1,176 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTML main-text extraction kernel for [[GraftExtractText]] — the
+  * trafilatura role in a crawl-curation pipeline: turn a WARC `response`
+  * payload into training text (reference ingestion story's next stage after
+  * `sources/Warc`; the reference itself stops at sequence data, this is the
+  * LLM-corpus counterpart).
+  *
+  * Deterministic rule set, chosen so an oracle can replay results exactly:
+  *
+  *  1. `<!-- comments -->` and the non-content container elements
+  *     (`head`, `script`, `style`, `noscript`, `template`, `svg`) are
+  *     dropped wholesale, content included. An unterminated container drops
+  *     to end-of-input (a truncated crawl page yields no phantom text).
+  *  2. Block-level tags (`p div br li ul ol h1-h6 tr td th table section
+  *     article aside nav header footer main blockquote pre form hr dl dt
+  *     dd`) split the document into blocks.
+  *  3. Per block, the boilerplate screen is pure LINK DENSITY — a block is
+  *     kept iff its visible text is non-empty and at most half of it sits
+  *     inside `<a>` elements. Nav bars, footers, and related-links rails
+  *     die by their own density regardless of markup; no tag-name
+  *     allowlists to curate.
+  *  4. Remaining inline tags strip; entities decode AFTER tag stripping
+  *     (`&lt;tag&gt;` must yield literal text, never a strippable tag):
+  *     the five XML named entities + `&nbsp;` + decimal/hex numerics;
+  *     unknown entities pass through untouched.
+  *  5. Whitespace (incl. NBSP) collapses to single spaces per block; kept
+  *     blocks join with `\n`.
+  *
+  * Known limitation, documented not hidden: attribute values containing a
+  * raw `>` break the inline tag regex (real crawls escape these; the WARC
+  * fixture oracle pins the contract on well-formed markup).
+  */
+object HtmlText {
+
+  private val Containers = Seq("head", "script", "style", "noscript", "template", "svg")
+
+  private val BlockTag = java.util.regex.Pattern.compile(
+    "(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|section|article|aside|nav|header|footer|main|blockquote|pre|form|hr|dl|dt|dd)\\b[^>]*>")
+
+  private val Comment = java.util.regex.Pattern.compile("(?s)<!--.*?-->")
+  private val AnyTag = java.util.regex.Pattern.compile("(?s)<[^>]*>")
+  private val Anchor = java.util.regex.Pattern.compile("(?is)<a\\b[^>]*>(.*?)</a\\s*>")
+  private val Entity = java.util.regex.Pattern.compile("&(#[xX]?[0-9a-fA-F]+|[a-zA-Z]+);")
+  private val Ws = java.util.regex.Pattern.compile("[\\s\\u00A0]+")
+
+  /** Drop every `<name ...>...</name>` container, case-insensitive;
+    * unterminated containers drop to end-of-input.
+    */
+  private def dropContainer(html: String, name: String): String = {
+    val lower = html.toLowerCase(java.util.Locale.ROOT)
+    val open = "<" + name
+    val close = "</" + name
+    val out = new java.lang.StringBuilder(html.length)
+    var i = 0
+    while (i < html.length) {
+      val at = lower.indexOf(open, i)
+      // an open tag must be exactly `<name>` / `<name ...>`, not a prefix
+      // of a longer tag name (e.g. `<header>` is not a `<head>` container)
+      val isTag = at >= 0 && {
+        val after = at + open.length
+        after >= html.length || !Character.isLetterOrDigit(lower.charAt(after))
+      }
+      if (!isTag) {
+        if (at < 0) { out.append(html, i, html.length); i = html.length }
+        else { out.append(html, i, at + 1); i = at + 1 } // skip the '<', rescan
+      } else {
+        out.append(html, i, at)
+        val end = lower.indexOf(close, at)
+        i = if (end < 0) html.length
+        else {
+          val gt = html.indexOf('>', end)
+          if (gt < 0) html.length else gt + 1
+        }
+      }
+    }
+    out.toString
+  }
+
+  private def decodeEntities(s: String): String = {
+    val m = Entity.matcher(s)
+    if (!m.find()) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var last = 0
+    do {
+      sb.append(s, last, m.start())
+      val body = m.group(1)
+      val repl: String = body match {
+        case "amp" => "&"
+        case "lt" => "<"
+        case "gt" => ">"
+        case "quot" => "\""
+        case "apos" => "'"
+        case "nbsp" => " "
+        case b if b.startsWith("#") =>
+          try {
+            val cp = if (b.length > 1 && (b.charAt(1) == 'x' || b.charAt(1) == 'X'))
+              Integer.parseInt(b.substring(2), 16)
+            else Integer.parseInt(b.substring(1))
+            if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp))
+            else m.group(0)
+          } catch { case _: NumberFormatException => m.group(0) }
+        case _ => m.group(0) // unknown named entity: pass through
+      }
+      sb.append(repl)
+      last = m.end()
+    } while (m.find())
+    sb.append(s, last, s.length)
+    sb.toString
+  }
+
+  /** strip tags → decode entities → collapse whitespace: the visible text
+    * of a markup fragment.
+    */
+  private def visible(fragment: String): String =
+    Ws.matcher(decodeEntities(AnyTag.matcher(fragment).replaceAll(" ")))
+      .replaceAll(" ").trim
+
+  /** Extract main text per the rule set above. Null-safe at the expression
+    * layer; empty input yields empty output.
+    */
+  def extractText(html: String): String = {
+    var s = Comment.matcher(html).replaceAll(" ")
+    Containers.foreach { c => s = dropContainer(s, c) }
+    val blocks = BlockTag.split(s)
+    val kept = new scala.collection.mutable.ArrayBuffer[String](blocks.length)
+    var bi = 0
+    while (bi < blocks.length) {
+      val b = blocks(bi)
+      val vis = visible(b)
+      if (vis.nonEmpty) {
+        var linkLen = 0
+        val am = Anchor.matcher(b)
+        while (am.find()) linkLen += visible(am.group(1)).length
+        if (linkLen * 2 <= vis.length) kept += vis
+      }
+      bi += 1
+    }
+    kept.mkString("\n")
+  }
+
+  def extract(html: UTF8String): UTF8String =
+    UTF8String.fromString(extractText(html.toString))
+}
+
+/** `graft_extract_text(html: string) -> string` — deterministic HTML
+  * main-text extraction (see [[HtmlText]]) as a codegen'd narrow expression:
+  * stays inside whole-stage codegen, so the crawl-curation hot path
+  * (WARC scan → extract → quality filters → dedup) never leaves Tungsten.
+  */
+case class GraftExtractText(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_extract_text requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_extract_text"
+
+  override def nullSafeEval(html: Any): Any =
+    HtmlText.extract(html.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.HtmlText.extract($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

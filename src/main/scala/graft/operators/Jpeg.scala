@@ -1,0 +1,574 @@
+package graft.operators
+
+/** Dependency-free baseline-sequential JPEG (JFIF) decoder, LUMA channel
+  * only — the aHash family's real-pixel path for the format that dominates
+  * a web crawl (PNG landed in round 8 via [[PngGray]]; this closes the
+  * gap). Implements the ITU-T T.81 baseline process: marker walk, DQT
+  * (8/16-bit) tables, DHT canonical Huffman (MINCODE/MAXCODE/VALPTR),
+  * SOF0/SOF1 frames (1-3 components, sampling factors 1-2), interleaved
+  * and single-component scans, byte-stuffing-aware bit reader, DRI/RSTn
+  * restart intervals, dequantization, separable float IDCT, level shift +
+  * clamp. Chroma blocks are entropy-decoded (the bitstream demands it) but
+  * never dequantized or transformed — the luma plane is the product.
+  *
+  * Out-of-contract bytes (progressive SOF2, arithmetic coding, 12-bit
+  * precision, truncation, malformed tables) yield None, never a throw —
+  * the [[PngGray.decodeGray]] contract. Fixtures come from
+  * [[Jpeg.renderGrayDcOnly]], whose DC-only blocks with a unit quant table
+  * decode bit-exactly (constant blocks survive the float IDCT with zero
+  * rounding error), so driver oracles replay pixels arithmetically just
+  * like the PNG twin; lossy real-world interop is pinned against
+  * javax.imageio in JpegSpec with a +-2 tolerance (IDCT rounding differs
+  * legitimately between conformant decoders).
+  */
+object Jpeg {
+
+  import PngGray.GrayImage
+
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // cos((2x+1) u pi / 16) * (u == 0 ? 1/sqrt2 : 1) — the separable basis
+  private val Cos: Array[Double] = {
+    val t = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var x = 0
+      while (x < 8) {
+        t(u * 8 + x) = math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+          (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /** Canonical Huffman table in the T.81 F.2.2.3 decode shape. */
+  private final class Huff(counts: Array[Int], val symbols: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17) // -1 = no codes at this length
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += counts(l - 1)
+        k += counts(l - 1)
+        maxCode(l) = if (counts(l - 1) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+  }
+
+  /** Entropy-segment bit reader: 0xFF00 unstuffs to 0xFF; any other 0xFF
+    * marker ends the segment (pos is left ON the 0xFF for the caller).
+    */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nBits = 0
+    var hitMarker = false
+
+    def readBit(): Int = {
+      if (nBits == 0) {
+        if (pos >= b.length) { hitMarker = true; return -1 }
+        var byte = b(pos) & 0xff
+        if (byte == 0xff) {
+          if (pos + 1 >= b.length) { hitMarker = true; return -1 }
+          val next = b(pos + 1) & 0xff
+          if (next == 0x00) { pos += 2; byte = 0xff }
+          else { hitMarker = true; return -1 }
+        } else pos += 1
+        acc = byte
+        nBits = 8
+      }
+      nBits -= 1
+      (acc >> nBits) & 1
+    }
+
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val bit = readBit()
+        if (bit < 0) return Int.MinValue
+        v = (v << 1) | bit
+        i += 1
+      }
+      v
+    }
+
+    def decodeHuff(h: Huff): Int = {
+      var code = readBit()
+      if (code < 0) return -1
+      var l = 1
+      while (l <= 16) {
+        if (h.maxCode(l) >= 0 && code <= h.maxCode(l))
+          return h.symbols(h.valPtr(l) + code - h.minCode(l))
+        val bit = readBit()
+        if (bit < 0) return -1
+        code = (code << 1) | bit
+        l += 1
+      }
+      -1
+    }
+
+    /** Byte-align and consume an expected RSTn marker. False on anything
+      * else (caller aborts).
+      */
+    def consumeRst(n: Int): Boolean = {
+      nBits = 0
+      hitMarker = false
+      if (pos + 1 >= b.length) return false
+      if ((b(pos) & 0xff) != 0xff || (b(pos + 1) & 0xff) != 0xd0 + n) return false
+      pos += 2
+      true
+    }
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private final case class Component(id: Int, h: Int, v: Int, tq: Int) {
+    var dcTab: Huff = _
+    var acTab: Huff = _
+    var pred: Int = 0
+  }
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  /** Decode the luma plane. None on anything outside the baseline
+    * contract.
+    */
+  def decodeLuma(bytes: Array[Byte]): Option[GrayImage] = {
+    try decode0(bytes)
+    catch { case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException |
+                 _: NumberFormatException | _: ArithmeticException => None }
+  }
+
+  private def decode0(b: Array[Byte]): Option[GrayImage] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    val quant = Array.ofDim[Int](4, 64) // natural order
+    val quantSeen = new Array[Boolean](4)
+    val dcTabs = new Array[Huff](4)
+    val acTabs = new Array[Huff](4)
+    var comps: Array[Component] = null
+    var width = 0
+    var height = 0
+    var restartInterval = 0
+    var i = 2
+    while (i + 4 <= b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      val marker = b(i + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { i += 2 }
+      else if (marker == 0xd9) return None // EOI before any scan
+      else {
+        val len = u16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val seg = i + 4
+        val segEnd = i + 2 + len
+        marker match {
+          case 0xdb => // DQT: one or more (pq/tq, 64 entries) tables
+            var p = seg
+            while (p < segEnd) {
+              val pq = (b(p) & 0xf0) >> 4
+              val tq = b(p) & 0x0f
+              if (pq > 1 || tq > 3) return None
+              p += 1
+              var k = 0
+              while (k < 64) {
+                val v = if (pq == 0) b(p) & 0xff else { val x = u16(b, p); x }
+                quant(tq)(ZigZag(k)) = v
+                p += (if (pq == 0) 1 else 2)
+                k += 1
+              }
+              quantSeen(tq) = true
+            }
+            if (p != segEnd) return None
+          case 0xc4 => // DHT
+            var p = seg
+            while (p < segEnd) {
+              val tc = (b(p) & 0xf0) >> 4
+              val th = b(p) & 0x0f
+              if (tc > 1 || th > 3) return None
+              p += 1
+              val counts = new Array[Int](16)
+              var total = 0
+              var k = 0
+              while (k < 16) { counts(k) = b(p + k) & 0xff; total += counts(k); k += 1 }
+              p += 16
+              if (total > 256 || p + total > segEnd) return None
+              val syms = new Array[Int](total)
+              k = 0
+              while (k < total) { syms(k) = b(p + k) & 0xff; k += 1 }
+              p += total
+              val h = new Huff(counts, syms)
+              if (tc == 0) dcTabs(th) = h else acTabs(th) = h
+            }
+            if (p != segEnd) return None
+          case 0xc0 | 0xc1 => // SOF0/1: baseline / extended sequential
+            if ((b(seg) & 0xff) != 8) return None // 8-bit precision only
+            height = u16(b, seg + 1)
+            width = u16(b, seg + 3)
+            val nf = b(seg + 5) & 0xff
+            if (width == 0 || height == 0 || nf < 1 || nf > 3) return None
+            comps = Array.tabulate(nf) { c =>
+              val o = seg + 6 + c * 3
+              val comp = Component(b(o) & 0xff, (b(o + 1) & 0xf0) >> 4,
+                b(o + 1) & 0x0f, b(o + 2) & 0xff)
+              if (comp.h < 1 || comp.h > 2 || comp.v < 1 || comp.v > 2 ||
+                  comp.tq > 3) return None
+              comp
+            }
+          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+               0xcd | 0xce | 0xcf =>
+            return None // progressive / lossless / arithmetic: not baseline
+          case 0xdd => // DRI
+            restartInterval = u16(b, seg)
+          case 0xda => // SOS: scan header then entropy data
+            if (comps == null) return None
+            val ns = b(seg) & 0xff
+            if (ns < 1 || ns > comps.length) return None
+            var p = seg + 1
+            val scanComps = new Array[Component](ns)
+            var c = 0
+            while (c < ns) {
+              val cs = b(p) & 0xff
+              val comp = comps.find(_.id == cs).getOrElse(return None)
+              val td = (b(p + 1) & 0xf0) >> 4
+              val ta = b(p + 1) & 0x0f
+              if (td > 3 || ta > 3 || dcTabs(td) == null || acTabs(ta) == null)
+                return None
+              comp.dcTab = dcTabs(td)
+              comp.acTab = acTabs(ta)
+              scanComps(c) = comp
+              p += 2
+              c += 1
+            }
+            // Ss/Se/Ah-Al (3 bytes) trail the component specs; entropy
+            // data begins at segEnd regardless
+            if (scanComps.exists(sc => !quantSeen(sc.tq))) return None
+            return decodeScan(b, segEnd, scanComps, comps, quant, width,
+              height, restartInterval)
+          case _ => () // APPn / COM / unknown: skip
+        }
+        i = segEnd
+      }
+    }
+    None
+  }
+
+  private def decodeScan(b: Array[Byte], dataStart: Int,
+                         scanComps: Array[Component], frameComps: Array[Component],
+                         quant: Array[Array[Int]], width: Int, height: Int,
+                         restartInterval: Int): Option[GrayImage] = {
+    val luma = frameComps(0)
+    val interleaved = scanComps.length > 1
+    // in a non-interleaved scan the MCU is ONE block of the single
+    // component; in interleaved scans it is the h x v block cluster
+    val hMax = frameComps.map(_.h).max
+    val vMax = frameComps.map(_.v).max
+    val (mcusX, mcusY, lumaBw, lumaBh) =
+      if (interleaved) {
+        val mx = (width + 8 * hMax - 1) / (8 * hMax)
+        val my = (height + 8 * vMax - 1) / (8 * vMax)
+        (mx, my, mx * luma.h, my * luma.v)
+      } else {
+        val comp = scanComps(0)
+        // component dimensions scale by its sampling factors
+        val cw = (width * comp.h + hMax - 1) / hMax
+        val ch = (height * comp.v + vMax - 1) / vMax
+        val bw = (cw + 7) / 8
+        val bh = (ch + 7) / 8
+        (bw, bh, if (comp eq luma) bw else 0, if (comp eq luma) bh else 0)
+      }
+    if (lumaBw == 0 || lumaBh == 0) return None // scan without luma
+    val plane = new Array[Int](lumaBw * 8 * lumaBh * 8)
+    val planeW = lumaBw * 8
+    val reader = new BitReader(b, dataStart)
+    val coef = new Array[Int](64)
+    val block = new Array[Int](64)
+    var rstIdx = 0
+    var mcusSinceRst = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcusSinceRst == restartInterval) {
+          if (!reader.consumeRst(rstIdx)) return None
+          rstIdx = (rstIdx + 1) & 7
+          mcusSinceRst = 0
+          frameComps.foreach(_.pred = 0)
+        }
+        var ci = 0
+        while (ci < scanComps.length) {
+          val comp = scanComps(ci)
+          val bh = if (interleaved) comp.v else 1
+          val bw = if (interleaved) comp.h else 1
+          var by = 0
+          while (by < bh) {
+            var bx = 0
+            while (bx < bw) {
+              val isLuma = comp eq luma
+              if (!decodeBlock(reader, comp, quant(comp.tq), coef, isLuma))
+                return None
+              if (isLuma) {
+                idct(coef, block)
+                val blockX = if (interleaved) mx * comp.h + bx else mx
+                val blockY = if (interleaved) my * comp.v + by else my
+                var y = 0
+                while (y < 8) {
+                  val row = (blockY * 8 + y) * planeW + blockX * 8
+                  var x = 0
+                  while (x < 8) { plane(row + x) = block(y * 8 + x); x += 1 }
+                  y += 1
+                }
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcusSinceRst += 1
+        mx += 1
+      }
+      my += 1
+    }
+    // crop the padded plane to image dimensions, replicating to full
+    // resolution if luma is subsampled (legal but rare); the plane holds
+    // ceil-scaled component samples in BOTH scan shapes, so the same
+    // x * h / hMax mapping applies
+    val lw = luma.h
+    val lv = luma.v
+    val out = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val sy = y * lv / vMax
+      var x = 0
+      while (x < width) {
+        out(y * width + x) = plane(sy * planeW + x * lw / hMax)
+        x += 1
+      }
+      y += 1
+    }
+    Some(GrayImage(width, height, out))
+  }
+
+  /** One block's entropy decode; dequantizes into `coef` (natural order)
+    * only when `wantCoefs` — chroma just advances the bitstream.
+    */
+  private def decodeBlock(r: BitReader, comp: Component, q: Array[Int],
+                          coef: Array[Int], wantCoefs: Boolean): Boolean = {
+    if (wantCoefs) java.util.Arrays.fill(coef, 0)
+    val s = r.decodeHuff(comp.dcTab)
+    if (s < 0 || s > 11) return false
+    val diff = if (s == 0) 0 else {
+      val v = r.receive(s)
+      if (v == Int.MinValue) return false
+      extend(v, s)
+    }
+    comp.pred += diff
+    if (wantCoefs) coef(0) = comp.pred * q(0)
+    var k = 1
+    while (k < 64) {
+      val rs = r.decodeHuff(comp.acTab)
+      if (rs < 0) return false
+      val run = rs >> 4
+      val size = rs & 0x0f
+      if (size == 0) {
+        if (run == 15) k += 16 // ZRL
+        else return true       // EOB
+      } else {
+        k += run
+        if (k > 63) return false
+        val v = r.receive(size)
+        if (v == Int.MinValue) return false
+        if (wantCoefs) coef(ZigZag(k)) = extend(v, size) * q(ZigZag(k))
+        k += 1
+      }
+    }
+    true
+  }
+
+  /** Separable 2D inverse DCT + level shift + clamp. Constant (DC-only)
+    * blocks come out bit-exact: dc/8 is computed once and replicated, so
+    * the unit-quant fixture oracle can replay pixels with integer
+    * arithmetic.
+    */
+  private def idct(coef: Array[Int], out: Array[Int]): Unit = {
+    var ac = false
+    var k = 1
+    while (k < 64 && !ac) { ac = coef(k) != 0; k += 1 }
+    if (!ac) {
+      val v = clamp(math.round(coef(0) / 8.0 + 128.0).toInt)
+      java.util.Arrays.fill(out, v)
+      return
+    }
+    val tmp = new Array[Double](64)
+    // rows (over u): tmp(v, x) = 1/2 sum_u C(u) coef(v, u) cos[u][x]
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += coef(v * 8 + u) * Cos(u * 8 + x); u += 1 }
+        tmp(v * 8 + x) = s / 2.0
+        x += 1
+      }
+      v += 1
+    }
+    // columns (over v)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var vv = 0
+        while (vv < 8) { s += tmp(vv * 8 + x) * Cos(vv * 8 + y); vv += 1 }
+        out(y * 8 + x) = clamp(math.round(s / 2.0 + 128.0).toInt)
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  private def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  // ---- encoder twin (fixtures + tests; never the scale path) ----
+
+  // T.81 Annex K typical tables — realistic table parsing for fixtures
+  private val DcCounts = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcSyms = (0 to 11).toArray
+  private val AcCounts = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+  private val AcSyms: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** Canonical (symbol -> (code, length)) map from a counts/symbols pair. */
+  private def canonicalCodes(counts: Array[Int], syms: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val m = Map.newBuilder[Int, (Int, Int)]
+    var l = 1
+    while (l <= 16) {
+      var c = 0
+      while (c < counts(l - 1)) { m += syms(k) -> (code, l); code += 1; k += 1; c += 1 }
+      code <<= 1
+      l += 1
+    }
+    m.result()
+  }
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def write(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = { // pad with 1-bits per T.81
+      if (n > 0) { write(0xff, 8 - n) }
+    }
+  }
+
+  /** Encode a block-constant grayscale image as a REAL baseline JFIF:
+    * single component, unit quant table, Annex K Huffman tables, DC-only
+    * blocks (each 8x8 block holds one `blockVals` entry), optional restart
+    * interval in MCUs. Dimensions are blocks: the image is (bw*8) x
+    * (bh*8). Decodes bit-exactly on any conformant decoder — constant
+    * blocks have a single DC coefficient that survives quantization (q=1)
+    * and the IDCT without rounding.
+    */
+  def renderGrayDcOnly(bw: Int, bh: Int, blockVals: Array[Int],
+                       restartEvery: Int = 0): Array[Byte] = {
+    require(blockVals.length == bw * bh, s"need ${bw * bh} block values")
+    require(blockVals.forall(v => v >= 0 && v <= 255), "8-bit block values")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16o(v: Int): Unit = { u8(v >> 8); u8(v) }
+    u16o(0xffd8) // SOI
+    // DQT: all ones, 8-bit precision, table 0
+    u16o(0xffdb); u16o(2 + 1 + 64); u8(0x00)
+    (0 until 64).foreach(_ => u8(1))
+    // SOF0: 8-bit, one component, 1x1 sampling, quant table 0
+    u16o(0xffc0); u16o(2 + 6 + 3)
+    u8(8); u16o(bh * 8); u16o(bw * 8); u8(1)
+    u8(1); u8(0x11); u8(0)
+    // DHT: DC table 0 + AC table 0 (Annex K luminance)
+    u16o(0xffc4); u16o(2 + (1 + 16 + DcSyms.length) + (1 + 16 + AcSyms.length))
+    u8(0x00); DcCounts.foreach(u8); DcSyms.foreach(u8)
+    u8(0x10); AcCounts.foreach(u8); AcSyms.foreach(u8)
+    if (restartEvery > 0) { u16o(0xffdd); u16o(4); u16o(restartEvery) }
+    // SOS: one component, DC table 0, AC table 0
+    u16o(0xffda); u16o(2 + 1 + 2 + 3)
+    u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
+    val dcCodes = canonicalCodes(DcCounts, DcSyms)
+    val acCodes = canonicalCodes(AcCounts, AcSyms)
+    val (eobCode, eobLen) = acCodes(0x00)
+    var w = new BitWriter(out)
+    var pred = 0
+    var rstIdx = 0
+    var sinceRst = 0
+    var i = 0
+    while (i < blockVals.length) {
+      if (restartEvery > 0 && sinceRst == restartEvery) {
+        w.flush()
+        u16o(0xffd0 + rstIdx)
+        rstIdx = (rstIdx + 1) & 7
+        sinceRst = 0
+        pred = 0
+        w = new BitWriter(out)
+      }
+      val dc = 8 * (blockVals(i) - 128) // S00 of a constant block
+      var diff = dc - pred
+      pred = dc
+      // category + low bits (one's-complement form for negatives)
+      var s = 0
+      var a = math.abs(diff)
+      while (a > 0) { s += 1; a >>= 1 }
+      val (c, l) = dcCodes(s)
+      w.write(c, l)
+      if (s > 0) {
+        if (diff < 0) diff += (1 << s) - 1
+        w.write(diff, s)
+      }
+      w.write(eobCode, eobLen) // all-zero AC
+      sinceRst += 1
+      i += 1
+    }
+    w.flush()
+    u16o(0xffd9) // EOI
+    out.toByteArray
+  }
+}

@@ -83,6 +83,32 @@ object Multimodal {
     aHashFromGray(spark.createDataFrame(rows, outSchema), "gray", idCol)
   }
 
+  /** [[aHashFromPng]]'s twin for the format that dominates a crawl: decode
+    * the LUMA plane of a baseline JPEG ([[Jpeg.decodeLuma]] — full marker
+    * walk, Huffman entropy decode, dequant + IDCT; chroma advanced but
+    * never transformed), block-mean downsample, fingerprint. Same NULL
+    * contract for undecodable payloads (incl. progressive JPEGs, refused
+    * not mis-decoded) and too-small images.
+    */
+  def aHashFromJpeg(df: DataFrame, jpegCol: String, idCol: String,
+                    gw: Int = 10, gh: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val jpegIdx = df.schema.fieldIndex(jpegCol)
+    val outSchema = df.schema.add("gray", ArrayType(IntegerType))
+    val rows = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val grid = Jpeg.decodeLuma(r.get(jpegIdx).asInstanceOf[Array[Byte]])
+          .filter(img => img.width >= gw && img.height >= gh)
+          .map(img => PngGray.blockMeanGrid(img, gw, gh).toSeq)
+          .orNull
+        Row.fromSeq(r.toSeq :+ grid)
+      }
+    }
+    aHashFromGray(spark.createDataFrame(rows, outSchema), "gray", idCol)
+  }
+
   def withPayload(df: DataFrame, srcCol: String, mime: String = "application/octet-stream"): DataFrame = {
     // binary sources pass through UNTOUCHED: casting bytes through a Java
     // String replaces invalid UTF-8 sequences with U+FFFD, so nBytes/sha

@@ -45,6 +45,84 @@ object PipelineQueries extends QuerySet {
         "x" * L getBytes "US-ASCII")
     }
 
+  /** One shared persisted dedup-index fixture (corpus residues 1-4, default
+    * knobs) behind an mtime-keyed path — q113 (Dataset screen), q119 (SQL
+    * screen), q123 (takedown fork) and q124 (streaming fork) all serve from
+    * ONE build instead of re-shingling overlapping corpus slices four times
+    * (the formatdb model: build once, serve many; a cold driver run pays one
+    * build for the whole family). Whichever query reaches it first builds
+    * via ITS OWN surface — q119 issues `CREATE DEDUP INDEX`, the rest use
+    * the Dataset API — and the two build paths write the identical artifact
+    * (CreateDedupIndexCommand IS DedupIndex.build at default knobs; equality
+    * pinned by SqlSurfaceSpec).
+    */
+  private def dedupBasePath(dir: String): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    s"${System.getProperty("java.io.tmpdir")}/graft_dedupidx_base_" +
+      s"${math.abs(dir.hashCode)}_${src.lastModified}"
+  }
+
+  private def dedupBaseBuilt(path: String): Boolean =
+    new java.io.File(s"$path/sets.parquet/_SUCCESS").exists
+
+  private def ensureDedupBase(s: org.apache.spark.sql.SparkSession,
+                              dir: String): String = {
+    val path = dedupBasePath(dir)
+    if (!dedupBaseBuilt(path))
+      graft.operators.DedupIndex.build(
+        t(s, dir, "documents").where(col("doc_id") % 5 =!= 0),
+        "text", "doc_id", path, shingleN = 3, numHashes = 32, bands = 8)
+    path
+  }
+
+  /** Fork a mutable clone of the base index: takedown / ingest queries
+    * mutate THEIR copy, never the shared fixture. A directory copy of the
+    * parquet artifacts costs file IO only — no corpus re-shingle.
+    */
+  private def forkIndexDir(from: String, to: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val src = Paths.get(from)
+    val dst = Paths.get(to)
+    Files.walk(src).iterator().asScala.toSeq.sortBy(_.toString).foreach { p =>
+      val q = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(q)
+      else {
+        Files.createDirectories(q.getParent)
+        Files.copy(p, q, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
+  /** 20 deterministic HTML pages for the main-text-extraction oracle
+    * (q128): each exercises the full [[graft.functions.HtmlText]] rule set
+    * — head/style/script/comment drop, nav + footer + link-list death by
+    * link density, entity decode (named + numeric), NBSP + whitespace
+    * collapse, and a link kept INSIDE prose — and the DuckDB oracle
+    * rebuilds the expected extraction with string arithmetic.
+    */
+  private def htmlWarcRecords: Seq[(Seq[(String, String)], Array[Byte])] =
+    (0 until 20).map { i =>
+      val pad = "&nbsp;pad" * (i % 4 + 1)
+      val html =
+        s"""<html><head><title>Skip $i</title><style>p{color:red}</style>
+           |<script>var x = $i < 2 && 1 > 0;</script></head>
+           |<body><nav><a href="/">Home</a> <a href="/a">About</a><a href="/b">More</a></nav>
+           |<!-- hidden $i -->
+           |<div id="main"><h1>Title $i</h1>
+           |<p>Paragraph $i starts &amp; contains &lt;markup&gt; plus &#65; literal.</p>
+           |<p>Second$pad end.</p>
+           |<p>See <a href="/x">link $i</a> inside prose that is clearly longer than the anchor.</p></div>
+           |<ul><li><a href="/1">One</a></li><li><a href="/2">Two</a></li></ul>
+           |<footer><a href="/c">Contact</a> | <a href="/d">Terms</a></footer></body></html>""".stripMargin
+      (Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:uuid:html-$i>",
+        "WARC-Target-URI" -> s"http://example.com/page/$i",
+        "WARC-Date" -> "2026-01-01T00:00:00Z"),
+        html.getBytes("UTF-8"))
+    }
+
   /** Brute-force cross-corpus (existing x incoming) 3-shingle Jaccard >=
     * 0.5 — shared by q104 (direct operator) and q113 (persisted index).
     */
@@ -643,6 +721,56 @@ object PipelineQueries extends QuerySet {
         .orderBy("ord")
     }),
 
+    // The pax override-precedence matrix OBSERVABLE in the driver (q122's
+    // source with competing 'g'/'x'/'L' overrides): one archive exercises
+    // every precedence rule — x beats a pending L, L beats the global, g
+    // beats the header field, per-member overrides are consumed by exactly
+    // one member (including a SKIPPED directory), a later 'g' replaces the
+    // global. The oracle lists the effective names the POSIX rules demand.
+    "q129_tar_override_precedence" -> ((s, dir) => {
+      val f = fixture("tar_overrides.tar") {
+        import graft.sources.TarShards.{paxPathRecord => pax}
+        graft.sources.TarShards.renderMembers(Seq(
+          ("h0.txt", '0', Array[Byte](0)),
+          ("./pax/g1", 'g', pax("gdefault/g1.txt")),
+          ("h1.txt", '0', Array[Byte](1)),
+          ("./gnu/L2", 'L', "gnu/long2.txt".getBytes("UTF-8") :+ 0.toByte),
+          ("h2.txt", '0', Array[Byte](2)),
+          ("h3.txt", '0', Array[Byte](3)),
+          ("./pax/x4", 'x', pax("pax/x4.txt")),
+          ("./gnu/L4", 'L', "gnu/l4.txt".getBytes("UTF-8") :+ 0.toByte),
+          ("h4.txt", '0', Array[Byte](4)),
+          ("h5.txt", '0', Array[Byte](5)),
+          ("./pax/x6", 'x', pax("pax/x6.txt")),
+          ("skipdir/", '5', Array.emptyByteArray),
+          ("h6.txt", '0', Array[Byte](6)),
+          ("./pax/g7", 'g', pax("gnew/g7.txt")),
+          ("h7.txt", '0', Array[Byte](7)),
+          ("h8.txt", '0', Array[Byte](8))))
+      }
+      graft.sources.TarShards.read(s, f)
+        .select(col("ord"), col("name"), col("sample_key"), col("ext"),
+          col("size"))
+        .orderBy("ord")
+    }),
+
+    // The curation stage AFTER ingestion (the trafilatura role): gzip WARC
+    // response payloads -> graft_extract_text -> training text. The fixture
+    // pages carry real boilerplate (nav/footer/link lists die by link
+    // density, head/script/style/comments drop wholesale, entities decode)
+    // and the oracle rebuilds the expected extraction per page with string
+    // arithmetic — extraction must be EXACT, not approximately clean.
+    "q128_warc_extract_text" -> ((s, dir) => {
+      val f = fixture("warc_html.warc.gz") {
+        graft.sources.Warc.renderGzip(htmlWarcRecords)
+      }
+      graft.sources.Warc.read(s, f)
+        .select(col("ord"), col("target_uri"),
+          expr("graft_extract_text(cast(payload as string))").as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .orderBy("ord")
+    }),
+
     // WebDataset tar-shard ingestion (the q116 pattern for the third wire
     // format): a deterministic fixture rendered to a REAL POSIX ustar
     // archive (512-byte headers, octal sizes, checksums, zero-block
@@ -702,6 +830,35 @@ object PipelineQueries extends QuerySet {
         .orderBy("a_id", "b_id")
     }),
 
+    // q127's JPEG sibling — real pixels on the crawl-dominant format: the
+    // same planted families and cell formula, but each image is a genuine
+    // baseline JFIF (Annex K Huffman tables, unit quant, every third image
+    // carrying restart markers) whose 8x8 DC-only blocks decode BIT-EXACTLY
+    // (a constant block's single coefficient survives quantization and the
+    // IDCT with zero rounding), so block-mean pooling replays the cell
+    // formula and the SAME arithmetic oracle pins the full decode chain:
+    // marker walk, canonical Huffman, bitstream, RST resets, dequant, IDCT.
+    // Lossy real-world interop is JpegSpec's ImageIO cross-check.
+    "q130_jpeg_ahash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      def cell(img: Long, j: Int): Int = {
+        val key = s"${if (j < img % 3) img + 1000000 else img / 10}:$j"
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex.substring(0, 13), 16) % 256).toInt
+      }
+      val imgs = (0L until 40L).map { i =>
+        val blocks = Array.tabulate(10 * 6)(cell(i, _))
+        (i, graft.operators.Jpeg.renderGrayDcOnly(10, 6, blocks,
+          restartEvery = if (i % 3 == 0) 7 else 0))
+      }
+      val sig = Multimodal.aHashFromJpeg(
+        imgs.toDF("img_id", "jpeg"), "jpeg", "img_id", gw = 10, gh = 6)
+      Dedup.simHashPairs(sig, maxHamming = 6,
+          maxBucketSize = Int.MaxValue, nBits = 60)
+        .orderBy("a_id", "b_id")
+    }),
+
     "q120_image_ahash_dedup" -> ((s, dir) => {
       val grid = expr(
         "transform(sequence(0, 59), j -> CAST(CAST(conv(substr(md5(concat(" +
@@ -723,13 +880,15 @@ object PipelineQueries extends QuerySet {
     // the identical operator, not a drifted twin.
     "q119_sql_dedup_screen" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      docs.where(col("doc_id") % 5 =!= 0).createOrReplaceTempView("ddx_existing_sql")
       docs.where(col("doc_id") % 5 === 0).createOrReplaceTempView("ddx_incoming_sql")
-      val src = new java.io.File(s"$dir/documents.parquet")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedupidx_sql_" +
-        s"${math.abs(dir.hashCode)}_${src.lastModified}"
-      if (!new java.io.File(s"$path/sets.parquet/_SUCCESS").exists)
+      // serves the SHARED base fixture: if this query gets there first the
+      // build runs through the CREATE statement, otherwise the screen reads
+      // the artifact q113's Dataset build wrote — same bytes either way
+      val path = dedupBasePath(dir)
+      if (!dedupBaseBuilt(path)) {
+        docs.where(col("doc_id") % 5 =!= 0).createOrReplaceTempView("ddx_existing_sql")
         s.sql(s"CREATE DEDUP INDEX AT '$path' ON ddx_existing_sql")
+      }
       s.sql(s"DEDUP SCREEN '$path' WITH ddx_incoming_sql THRESHOLD 0.5 MAXBUCKET NONE")
         .orderBy("a_id", "b_id")
     }),
@@ -747,13 +906,7 @@ object PipelineQueries extends QuerySet {
 
     "q113_dedup_index_screen" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val src = new java.io.File(s"$dir/documents.parquet")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedupidx_" +
-        s"${math.abs(dir.hashCode)}_${src.lastModified}"
-      if (!new java.io.File(s"$path/sets.parquet/_SUCCESS").exists)
-        graft.operators.DedupIndex.build(docs.where(col("doc_id") % 5 =!= 0),
-          "text", "doc_id", path, shingleN = 3, numHashes = 32, bands = 8)
-      graft.operators.DedupIndex.screen(s, path,
+      graft.operators.DedupIndex.screen(s, ensureDedupBase(s, dir),
           docs.where(col("doc_id") % 5 === 0), "text", "doc_id",
           threshold = 0.5, maxBucketSize = Int.MaxValue)
         .orderBy("a_id", "b_id")
@@ -778,8 +931,9 @@ object PipelineQueries extends QuerySet {
         s"${math.abs(dir.hashCode)}_${src.lastModified}"
       val done = new java.io.File(s"$path/_REMOVE_DONE")
       if (!done.exists) {
-        graft.operators.DedupIndex.build(docs.where(col("doc_id") % 5 =!= 0),
-          "text", "doc_id", path, shingleN = 3, numHashes = 32, bands = 8)
+        // fork a mutable clone of the shared base — a file copy, not a
+        // corpus re-shingle; remove then mutates the clone only
+        forkIndexDir(ensureDedupBase(s, dir), path)
         val rm = docs.where(col("doc_id") % 5 =!= 0 &&
           (col("doc_id") % 7 === 3 || col("doc_id") % 7 === 5)).select("doc_id")
         graft.operators.DedupIndex.remove(s, path,
@@ -817,8 +971,15 @@ object PipelineQueries extends QuerySet {
       val flagged = s"$path/flagged.parquet"
       val done = new java.io.File(s"$path/_STREAM_DONE")
       if (!done.exists) {
-        graft.operators.DedupIndex.build(docs.where(col("doc_id") % 5 >= 2),
-          "text", "doc_id", path, shingleN = 3, numHashes = 32, bands = 8)
+        // fork the shared base (residues 1-4) and TAKE DOWN residue 1:
+        // member rows are independent per member, so remove(residue-1 ids)
+        // leaves an index identical to one built on residues 2-4 (the
+        // unchanged brute-force oracle pins this) — the fork costs a file
+        // copy + anti-join rewrite instead of a corpus re-shingle, and the
+        // streaming loop exercises takedown-then-reingest for free
+        forkIndexDir(ensureDedupBase(s, dir), path)
+        graft.operators.DedupIndex.remove(s, path,
+          docs.where(col("doc_id") % 5 === 1).select("doc_id"))
         for ((residue, batchId) <- Seq(1 -> 0L, 0 -> 1L))
           graft.streaming.DedupStreams.screenAndIngestBatch(
             docs.where(col("doc_id") % 5 === residue), "text", "doc_id",
@@ -1104,6 +1265,21 @@ object PipelineQueries extends QuerySet {
         |FROM sig a JOIN sig b ON a.img_id < b.img_id
         |WHERE bit_count(xor(a.h, b.h)) <= 6
         |ORDER BY a_id, b_id""".stripMargin,
+    // identical formula to q127: the JPEG DC-only blocks decode to the
+    // exact cell values, so the same replay pins the decoder
+    "q130_jpeg_ahash_dedup" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 39)) AS img_id),
+        |g AS (SELECT img_id, list_transform(range(0, 60), j ->
+        |    ('0x' || substr(md5(CAST(CASE WHEN j < img_id % 3 THEN img_id + 1000000
+        |        ELSE img_id // 10 END AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 13))::BIGINT % 256) AS gray
+        |  FROM ids),
+        |sig AS (SELECT img_id, CAST(list_sum(list_transform(range(0, 60), j ->
+        |    CASE WHEN gray[j + 1] * 60 > list_sum(gray) THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS h
+        |  FROM g)
+        |SELECT a.img_id AS a_id, b.img_id AS b_id, bit_count(xor(a.h, b.h)) AS hamming
+        |FROM sig a JOIN sig b ON a.img_id < b.img_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 6
+        |ORDER BY a_id, b_id""".stripMargin,
     "q120_image_ahash_dedup" ->
       """WITH g AS (SELECT doc_id, list_transform(range(0, 60), j ->
         |    ('0x' || substr(md5(CAST(CASE WHEN j < doc_id % 3 THEN doc_id + 1000000
@@ -1321,6 +1497,36 @@ object PipelineQueries extends QuerySet {
         |  CAST(L AS BIGINT) AS content_length,
         |  repeat('x', L) AS payload_text
         |FROM s ORDER BY ord""".stripMargin,
+    // the effective names the POSIX precedence rules demand, listed
+    // explicitly: each row is one rule's outcome (see the builder comment)
+    "q129_tar_override_precedence" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'h0.txt',          'h0',    'txt', CAST(1 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), 'gdefault/g1.txt', 'g1',    'txt', CAST(1 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'gnu/long2.txt',   'long2', 'txt', CAST(1 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), 'gdefault/g1.txt', 'g1',    'txt', CAST(1 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), 'pax/x4.txt',      'x4',    'txt', CAST(1 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), 'gdefault/g1.txt', 'g1',    'txt', CAST(1 AS BIGINT)),
+        |  (CAST(6 AS BIGINT), 'gdefault/g1.txt', 'g1',    'txt', CAST(1 AS BIGINT)),
+        |  (CAST(7 AS BIGINT), 'gnew/g7.txt',     'g7',    'txt', CAST(1 AS BIGINT)),
+        |  (CAST(8 AS BIGINT), 'gnew/g7.txt',     'g7',    'txt', CAST(1 AS BIGINT))
+        |) AS t(ord, name, sample_key, ext, size) ORDER BY ord""".stripMargin,
+    // rebuilds the EXPECTED extraction per page with string arithmetic:
+    // the kept blocks (h1 + three prose paragraphs, entities decoded,
+    // NBSP-runs collapsed) joined with \n — nav/footer/link-lists/head/
+    // script/style/comments must leave no trace
+    "q128_warc_extract_text" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 19)) AS i),
+        |t AS (SELECT i,
+        |  'Title ' || i || chr(10) ||
+        |  'Paragraph ' || i || ' starts & contains <markup> plus A literal.' || chr(10) ||
+        |  'Second' || repeat(' pad', (i % 4) + 1) || ' end.' || chr(10) ||
+        |  'See link ' || i || ' inside prose that is clearly longer than the anchor.' AS text
+        |  FROM r)
+        |SELECT CAST(i AS BIGINT) AS ord,
+        |  'http://example.com/page/' || i AS target_uri,
+        |  text, CAST(length(text) AS BIGINT) AS n_chars
+        |FROM t ORDER BY ord""".stripMargin,
     // re-derives the fixture's byte layout: offset(i) = running sum of
     // (defline bytes + '\n' + sequence bytes + '\n') over earlier records;
     // the engine must recover the same numbers from the actual file bytes

@@ -201,43 +201,63 @@ object TarShards {
     */
   def render(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    def writeMember(name: String, typeflag: Char, data: Array[Byte]): Unit = {
-      val h = new Array[Byte](512)
-      def put(off: Int, s: String): Unit = {
-        val b = s.getBytes("US-ASCII")
-        System.arraycopy(b, 0, h, off, math.min(b.length, 99))
-      }
-      put(0, name)
-      put(100, "0000644")                            // mode
-      put(108, "0000000"); put(116, "0000000")       // uid, gid
-      put(124, f"${data.length}%011o")               // size, octal
-      put(136, "00000000000")                        // mtime
-      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum spaces
-      h(156) = typeflag.toByte
-      put(257, "ustar"); h(262) = 0                  // magic
-      put(263, "00")                                 // version
-      val sum = h.map(b => b & 0xff).sum
-      put(148, f"$sum%06o")
-      h(154) = 0; h(155) = ' '
-      out.write(h)
-      out.write(data)
-      val pad = (512 - data.length % 512) % 512
-      out.write(new Array[Byte](pad))
-    }
     for ((name, data) <- entries) {
       if (name.getBytes("UTF-8").length > 100) {
-        // pax record "<len> path=<name>\n", <len> counting its own digits
-        // — the standard fixed point (at most one extra digit of slack)
-        val body = s" path=$name\n".getBytes("UTF-8")
-        var len = body.length + 1
-        while (len.toString.length + body.length > len)
-          len = len.toString.length + body.length
-        writeMember(s"./PaxHeaders/${name.take(80)}", 'x',
-          len.toString.getBytes("US-ASCII") ++ body)
-        writeMember(name.take(100), '0', data)
-      } else writeMember(name, '0', data)
+        writeMemberTo(out, s"./PaxHeaders/${name.take(80)}", 'x',
+          paxPathRecord(name))
+        writeMemberTo(out, name.take(100), '0', data)
+      } else writeMemberTo(out, name, '0', data)
     }
     out.write(new Array[Byte](1024)) // two zero blocks terminate
     out.toByteArray
+  }
+
+  /** Fully general member renderer — (headerName, typeflag, data) triples,
+    * fixture support for the override-precedence matrix: hand-placed GNU
+    * 'L' longnames, pax 'x' extended headers, and pax 'g' globals with
+    * chosen scopes ([[render]] is the WebDataset-shaped specialization).
+    */
+  def renderMembers(entries: Seq[(String, Char, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    for ((name, flag, data) <- entries) writeMemberTo(out, name, flag, data)
+    out.write(new Array[Byte](1024))
+    out.toByteArray
+  }
+
+  /** One pax extended-header `path` record: "<len> path=<value>\n" with
+    * <len> counting its own digits — the standard fixed point (at most one
+    * extra digit of slack).
+    */
+  def paxPathRecord(path: String): Array[Byte] = {
+    val body = s" path=$path\n".getBytes("UTF-8")
+    var len = body.length + 1
+    while (len.toString.length + body.length > len)
+      len = len.toString.length + body.length
+    len.toString.getBytes("US-ASCII") ++ body
+  }
+
+  private def writeMemberTo(out: java.io.ByteArrayOutputStream, name: String,
+                            typeflag: Char, data: Array[Byte]): Unit = {
+    val h = new Array[Byte](512)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes("US-ASCII")
+      System.arraycopy(b, 0, h, off, math.min(b.length, 99))
+    }
+    put(0, name)
+    put(100, "0000644")                            // mode
+    put(108, "0000000"); put(116, "0000000")       // uid, gid
+    put(124, f"${data.length}%011o")               // size, octal
+    put(136, "00000000000")                        // mtime
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum spaces
+    h(156) = typeflag.toByte
+    put(257, "ustar"); h(262) = 0                  // magic
+    put(263, "00")                                 // version
+    val sum = h.map(b => b & 0xff).sum
+    put(148, f"$sum%06o")
+    h(154) = 0; h(155) = ' '
+    out.write(h)
+    out.write(data)
+    val pad = (512 - data.length % 512) % 512
+    out.write(new Array[Byte](pad))
   }
 }

@@ -1,0 +1,87 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class HtmlTextSpec extends SparkSpec {
+
+  private def ext(html: String): String = HtmlText.extractText(html)
+
+  test("script/style/head/noscript/comments drop wholesale, content included") {
+    val html = "<html><head><title>T</title><style>p{x:1}</style></head>" +
+      "<body><script>if (1 < 2 && 3 > 0) alert('hi');</script>" +
+      "<noscript>enable js</noscript><!-- secret --><p>Keep me.</p></body></html>"
+    assert(ext(html) == "Keep me.")
+  }
+
+  test("unterminated script drops to end-of-input (truncated crawl page)") {
+    assert(ext("<p>Before.</p><script>var x = 'trunca") == "Before.")
+  }
+
+  test("header element is NOT eaten by the head container drop") {
+    assert(ext("<header>Site banner words here</header><p>Body.</p>") ==
+      "Site banner words here\nBody.")
+  }
+
+  test("block tags split; inline tags strip in place") {
+    assert(ext("<h1>A</h1><p>One <b>bold</b> word.</p><p>Two.</p>") ==
+      "A\nOne bold word.\nTwo.")
+  }
+
+  test("link-dense blocks die; links inside prose survive") {
+    val nav = "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>"
+    val prose = "<p>See <a href='/x'>this link</a> inside a clearly longer sentence.</p>"
+    assert(ext(nav + prose) == "See this link inside a clearly longer sentence.")
+    // boundary: link is 4 of 9 visible chars (tags strip to spaces) — and
+    // exactly half (5 of 10) — keep; 6 of 11 tips past half and drops
+    assert(ext("<p><a href='/'>abcd</a>efgh</p>") == "abcd efgh")
+    assert(ext("<p><a href='/'>abcde</a>efgh</p>") == "abcde efgh")
+    assert(ext("<p><a href='/'>abcdef</a>efgh</p>") == "")
+  }
+
+  test("entities decode AFTER tag strip: &lt;p&gt; is literal text, not a tag") {
+    assert(ext("<p>&lt;p&gt; is a tag &amp; so is &lt;/p&gt;</p>") ==
+      "<p> is a tag & so is </p>")
+    assert(ext("<p>&#65;&#x42;&nbsp;C &unknown; &#xZZ;</p>") ==
+      "AB C &unknown; &#xZZ;")
+  }
+
+  test("whitespace and NBSP collapse per block; blocks join with newline") {
+    assert(ext("<p>a\n\t  b&nbsp;&nbsp;c</p>\n\n<p>  d  </p>") == "a b c\nd")
+  }
+
+  test("the q128 fixture formula reproduces exactly (oracle contract)") {
+    val i = 7
+    val pad = "&nbsp;pad" * (i % 4 + 1)
+    val html =
+      s"""<html><head><title>Skip $i</title><style>p{color:red}</style>
+         |<script>var x = $i < 2 && 1 > 0;</script></head>
+         |<body><nav><a href="/">Home</a> <a href="/a">About</a><a href="/b">More</a></nav>
+         |<!-- hidden $i -->
+         |<div id="main"><h1>Title $i</h1>
+         |<p>Paragraph $i starts &amp; contains &lt;markup&gt; plus &#65; literal.</p>
+         |<p>Second$pad end.</p>
+         |<p>See <a href="/x">link $i</a> inside prose that is clearly longer than the anchor.</p></div>
+         |<ul><li><a href="/1">One</a></li><li><a href="/2">Two</a></li></ul>
+         |<footer><a href="/c">Contact</a> | <a href="/d">Terms</a></footer></body></html>""".stripMargin
+    val expected =
+      s"Title $i\n" +
+        s"Paragraph $i starts & contains <markup> plus A literal.\n" +
+        "Second" + (" pad" * (i % 4 + 1)) + " end.\n" +
+        s"See link $i inside prose that is clearly longer than the anchor."
+    assert(ext(html) == expected)
+  }
+
+  test("expression layer: codegen'd graft_extract_text matches the kernel") {
+    import spark.implicits._
+    val html = "<head><style>x</style></head><p>Hello &amp; bye.</p>" +
+      "<nav><a href='/'>A</a><a href='/b'>B</a></nav>"
+    val viaSql = Seq(html).toDF("h")
+      .selectExpr("graft_extract_text(h)").head().getString(0)
+    assert(viaSql == HtmlText.extractText(html))
+    assert(viaSql == "Hello & bye.")
+    // null-safe
+    val n = Seq[Option[String]](None).toDF("h")
+      .selectExpr("graft_extract_text(h)").head()
+    assert(n.isNullAt(0))
+  }
+}

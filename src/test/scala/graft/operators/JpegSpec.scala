@@ -1,0 +1,107 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+
+import graft.SparkSpec
+
+class JpegSpec extends SparkSpec {
+
+  private def toJpegBytes(img: BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(img, "jpg", out))
+    out.toByteArray
+  }
+
+  test("DC-only fixture decodes bit-exactly (the oracle contract)") {
+    val bw = 5; val bh = 3
+    val vals = Array.tabulate(bw * bh)(k => (k * 37 + 11) % 256)
+    val bytes = Jpeg.renderGrayDcOnly(bw, bh, vals)
+    val img = Jpeg.decodeLuma(bytes).get
+    assert(img.width == bw * 8 && img.height == bh * 8)
+    for (y <- 0 until img.height; x <- 0 until img.width)
+      assert(img.gray(y * img.width + x) == vals((y / 8) * bw + x / 8),
+        s"pixel ($x,$y)")
+    // pooling 8x8 returns the exact block values (the q130 oracle replay)
+    assert(PngGray.blockMeanGrid(img, bw, bh).toSeq == vals.toSeq)
+  }
+
+  test("DC-only fixture with restart markers decodes identically") {
+    val bw = 4; val bh = 4
+    val vals = Array.tabulate(bw * bh)(k => (k * 91 + 3) % 256)
+    val plain = Jpeg.decodeLuma(Jpeg.renderGrayDcOnly(bw, bh, vals)).get
+    val restarted = Jpeg.decodeLuma(
+      Jpeg.renderGrayDcOnly(bw, bh, vals, restartEvery = 3)).get
+    assert(plain.gray.toSeq == restarted.gray.toSeq)
+    // the restarted stream really contains RSTn bytes
+    val bytes = Jpeg.renderGrayDcOnly(bw, bh, vals, restartEvery = 3)
+    assert(bytes.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) >= 0xd0 && (p(1) & 0xff) <= 0xd7))
+  }
+
+  test("ImageIO-written GRAYSCALE jpeg: luma within IDCT rounding (+-2)") {
+    val w = 41; val h = 23 // deliberately not multiples of 8
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 7 + y * 13 + (x * y) % 31) % 256
+      img.getRaster.setSample(x, y, 0, v)
+    }
+    val bytes = toJpegBytes(img)
+    val got = Jpeg.decodeLuma(bytes).get
+    assert(got.width == w && got.height == h)
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = math.abs(got.gray(y * w + x) - ref.getRaster.getSample(x, y, 0))
+      maxDiff = math.max(maxDiff, d)
+    }
+    assert(maxDiff <= 2, s"max per-pixel diff $maxDiff vs platform decoder")
+  }
+
+  test("ImageIO-written RGB jpeg (subsampled chroma): luma tracks BT.601") {
+    val w = 48; val h = 32
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    // mid-range, gently varying colors: saturated patterns clamp in the
+    // encoder's YCbCr->RGB round trip and the clamp error would dominate
+    // what this test measures (luma fidelity of THIS decoder)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = 100 + (x * 3) % 40; val g = 110 + (y * 5) % 40
+      val b = 120 + ((x + y) * 2) % 40
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bytes = toJpegBytes(img)
+    val got = Jpeg.decodeLuma(bytes).get
+    assert(got.width == w && got.height == h)
+    // reference luma via the platform decoder's round-tripped RGB; both
+    // sides carry their own rounding, so the tolerance is wider but small
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var worst = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = ref.getRGB(x, y)
+      val luma = math.round(0.299 * ((rgb >> 16) & 0xff) +
+        0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)).toInt
+      worst = math.max(worst, math.abs(got.gray(y * w + x) - luma))
+    }
+    assert(worst <= 4, s"max luma drift $worst vs RGB round trip")
+  }
+
+  test("out-of-contract bytes yield None, never a throw") {
+    assert(Jpeg.decodeLuma(Array.emptyByteArray).isEmpty)
+    assert(Jpeg.decodeLuma("not a jpeg".getBytes("US-ASCII")).isEmpty)
+    val good = Jpeg.renderGrayDcOnly(2, 2, Array(1, 2, 3, 4))
+    assert(Jpeg.decodeLuma(good).isDefined)
+    // truncations at every prefix length parse to None or a valid image,
+    // never an exception
+    for (n <- 0 until good.length)
+      Jpeg.decodeLuma(java.util.Arrays.copyOf(good, n))
+    assert(Jpeg.decodeLuma(java.util.Arrays.copyOf(good, good.length - 5)).isEmpty)
+    // progressive (SOF2) is refused, not mis-decoded
+    val prog = good.clone()
+    val sofAt = prog.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(Jpeg.decodeLuma(prog).isEmpty)
+    // a PNG payload is cleanly refused by the magic check
+    val png = PngGray.render(8, 8, Array.fill(64)(7), 0, _ => 0)
+    assert(Jpeg.decodeLuma(png).isEmpty)
+  }
+}

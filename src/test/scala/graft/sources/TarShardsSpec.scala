@@ -100,6 +100,51 @@ class TarShardsSpec extends SparkSpec {
         TarShards.render(Seq(("after.txt", Array[Byte](1))))).size == 3)
   }
 
+  test("override precedence matrix: x > L > g > header, with correct scopes") {
+    import TarShards.{paxPathRecord => pax}
+    // one archive, every competing combination; file members carry plain
+    // header names h<i>.txt so any surviving override is unambiguous
+    val archive = TarShards.renderMembers(Seq(
+      ("h0.txt", '0', Array[Byte](0)),                    // header name only
+      ("./pax/g1", 'g', pax("gdefault/g1.txt")),          // set global
+      ("h1.txt", '0', Array[Byte](1)),                    // g beats header
+      ("./gnu/L2", 'L', ("gnu/long2.txt".getBytes("UTF-8") :+ 0.toByte)),
+      ("h2.txt", '0', Array[Byte](2)),                    // L beats g
+      ("h3.txt", '0', Array[Byte](3)),                    // L consumed; g persists
+      ("./pax/x4", 'x', pax("pax/x4.txt")),
+      ("./gnu/L4", 'L', ("gnu/l4.txt".getBytes("UTF-8") :+ 0.toByte)),
+      ("h4.txt", '0', Array[Byte](4)),                    // x beats pending L
+      ("h5.txt", '0', Array[Byte](5)),                    // both consumed -> g
+      ("./pax/x6", 'x', pax("pax/x6.txt")),
+      ("skipdir/", '5', Array.emptyByteArray),            // skipped member...
+      ("h6.txt", '0', Array[Byte](6)),                    // ...ate the x; g survives
+      ("./pax/g7", 'g', pax("gnew/g7.txt")),              // new g replaces old
+      ("h7.txt", '0', Array[Byte](7)),
+      ("h8.txt", '0', Array[Byte](8))))                   // g is sticky
+    val got = TarShards.parseFile("t", archive).toSeq
+    assert(got.map(_.name) == Seq(
+      "h0.txt", "gdefault/g1.txt", "gnu/long2.txt", "gdefault/g1.txt",
+      "pax/x4.txt", "gdefault/g1.txt", "gdefault/g1.txt",
+      "gnew/g7.txt", "gnew/g7.txt"), got.map(_.name))
+    // payload identity: overrides renamed members, never rerouted data
+    assert(got.map(_.data.head.toInt) == Seq(0, 1, 2, 3, 4, 5, 6, 7, 8))
+    // sample keys follow the EFFECTIVE name (the WebDataset contract)
+    assert(got(4).sampleKey == "x4" && got(4).ext == "txt")
+    // a 'g' block without a path record leaves the global untouched
+    val noPath = TarShards.renderMembers(Seq(
+      ("./pax/g", 'g', pax("sticky/s.txt")),
+      ("./pax/g2", 'g', {
+        val b = " comment=nothing\n".getBytes("UTF-8")
+        var len = b.length + 1
+        while (len.toString.length + b.length > len)
+          len = len.toString.length + b.length
+        len.toString.getBytes("US-ASCII") ++ b
+      }),
+      ("h.txt", '0', Array[Byte](9))))
+    assert(TarShards.parseFile("t", noPath).toSeq.map(_.name) ==
+      Seq("sticky/s.txt"))
+  }
+
   test("readStream tails a shard landing directory, exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tar_stream")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_tar_ckpt").toString
