@@ -23,6 +23,25 @@ import graft.operators.{Dedup, Graph, LanguageModel, Sampling, Segmentation}
   */
 object CurationRun {
 
+  /** Stage 0, the crawl front door: WARC response records (plain or gzip
+    * members — the source sniffs) → `graft_extract_text` → corpus rows
+    * `(doc_id, text, n_chars, source="web")`. Pages whose extraction comes
+    * back empty (pure boilerplate) drop here — there is nothing to curate.
+    * `doc_id` is `xxhash64(target_uri)`: stable across recrawls, disjoint
+    * from the harness tables' small serials. Everything downstream —
+    * exact dedup catching republished articles whose raw bytes all
+    * differ, near-dup, decontamination — operates on the EXTRACTED text,
+    * which is the whole point of extracting first.
+    */
+  def webIngest(spark: SparkSession, warcDir: String): DataFrame =
+    graft.sources.Warc.read(spark, warcDir)
+      .where(col("warc_type") === "response")
+      .select(xxhash64(col("target_uri")).as("doc_id"),
+        expr("graft_extract_text(cast(payload as string))").as("text"))
+      .where(length(col("text")) > 0)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("source", lit("web"))
+
   /** The full curation flow; returns (kept corpus, per-stage counts). */
   def curate(spark: SparkSession, docs: DataFrame, benchmark: DataFrame,
              samplePerSource: Int = 100): (DataFrame, Map[String, Long]) = {
@@ -97,8 +116,22 @@ object CurationRun {
     val spark = GraftSession.local()
 
     val docs = graft.Tables.load(spark, sfDir, "documents")
+    // the crawl front door: a WARC landing dir (arg 3) or, absent one, a
+    // self-contained demo shard — 30 pages incl. 10 republished articles
+    // whose raw bytes all differ but whose extracted text collides
+    val warcDir = if (args.length > 2) args(2) else {
+      val d = java.nio.file.Files.createTempDirectory("curation_warc")
+      java.nio.file.Files.write(d.resolve("crawl-000.warc.gz"),
+        graft.sources.Warc.renderGzip(graft.queries.PipelineQueries.htmlWarcRecordsDup))
+      d.toString
+    }
+    val web = webIngest(spark, warcDir)
+    println(s"[curate] web ingest: ${web.count()} extracted pages from $warcDir")
+    val corpus = docs.where(col("source") =!= "src0")
+      .select("doc_id", "text", "n_chars", "source")
+      .unionByName(web)
     val benchmark = docs.where(col("source") === "src0")
-    val (kept, stages) = curate(spark, docs.where(col("source") =!= "src0"), benchmark)
+    val (kept, stages) = curate(spark, corpus, benchmark)
 
     stages.foreach { case (k, v) => println(f"[curate] $k%-16s $v%8d docs") }
     kept.write.mode("overwrite").parquet(s"$out/corpus_parquet")

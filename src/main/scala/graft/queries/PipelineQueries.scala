@@ -94,33 +94,50 @@ object PipelineQueries extends QuerySet {
     }
   }
 
-  /** 20 deterministic HTML pages for the main-text-extraction oracle
-    * (q128): each exercises the full [[graft.functions.HtmlText]] rule set
-    * — head/style/script/comment drop, nav + footer + link-list death by
-    * link density, entity decode (named + numeric), NBSP + whitespace
-    * collapse, and a link kept INSIDE prose — and the DuckDB oracle
-    * rebuilds the expected extraction with string arithmetic.
+  /** Deterministic HTML page whose CHROME (title/nav/comment/footer — all
+    * dropped by extraction) salts from `chrome` while the ARTICLE BODY
+    * (the kept blocks) salts from `body`. Separating the two lets
+    * fixtures plant "same article republished under different chrome" —
+    * the duplication only extraction-then-dedup can catch. Exercises the
+    * full [[graft.functions.HtmlText]] rule set: head/style/script/comment
+    * drop, nav + footer + link-list death by link density, entity decode
+    * (named + numeric), NBSP + whitespace collapse, a link kept INSIDE
+    * prose. Public: the CurationRun example renders its crawl front door
+    * from the same formula.
     */
+  def htmlPage(chrome: Long, body: Long): String = {
+    val pad = "&nbsp;pad" * (body % 4 + 1).toInt
+    s"""<html><head><title>Skip $chrome</title><style>p{color:red}</style>
+       |<script>var x = $chrome < 2 && 1 > 0;</script></head>
+       |<body><nav><a href="/">Home</a> <a href="/a$chrome">About</a><a href="/b">More</a></nav>
+       |<!-- hidden $chrome -->
+       |<div id="main"><h1>Title $body</h1>
+       |<p>Paragraph $body starts &amp; contains &lt;markup&gt; plus &#65; literal.</p>
+       |<p>Second$pad end.</p>
+       |<p>See <a href="/x">link $body</a> inside prose that is clearly longer than the anchor.</p></div>
+       |<ul><li><a href="/1">One</a></li><li><a href="/2">Two</a></li></ul>
+       |<footer><a href="/c$chrome">Contact</a> | <a href="/d">Terms</a></footer></body></html>""".stripMargin
+  }
+
+  private def warcHeaders(i: Int): Seq[(String, String)] = Seq(
+    "WARC-Type" -> "response",
+    "WARC-Record-ID" -> s"<urn:uuid:html-$i>",
+    "WARC-Target-URI" -> s"http://example.com/page/$i",
+    "WARC-Date" -> "2026-01-01T00:00:00Z")
+
+  /** 20 distinct pages — the q128 extraction oracle fixture. */
   private def htmlWarcRecords: Seq[(Seq[(String, String)], Array[Byte])] =
-    (0 until 20).map { i =>
-      val pad = "&nbsp;pad" * (i % 4 + 1)
-      val html =
-        s"""<html><head><title>Skip $i</title><style>p{color:red}</style>
-           |<script>var x = $i < 2 && 1 > 0;</script></head>
-           |<body><nav><a href="/">Home</a> <a href="/a">About</a><a href="/b">More</a></nav>
-           |<!-- hidden $i -->
-           |<div id="main"><h1>Title $i</h1>
-           |<p>Paragraph $i starts &amp; contains &lt;markup&gt; plus &#65; literal.</p>
-           |<p>Second$pad end.</p>
-           |<p>See <a href="/x">link $i</a> inside prose that is clearly longer than the anchor.</p></div>
-           |<ul><li><a href="/1">One</a></li><li><a href="/2">Two</a></li></ul>
-           |<footer><a href="/c">Contact</a> | <a href="/d">Terms</a></footer></body></html>""".stripMargin
-      (Seq(
-        "WARC-Type" -> "response",
-        "WARC-Record-ID" -> s"<urn:uuid:html-$i>",
-        "WARC-Target-URI" -> s"http://example.com/page/$i",
-        "WARC-Date" -> "2026-01-01T00:00:00Z"),
-        html.getBytes("UTF-8"))
+    (0 until 20).map(i => (warcHeaders(i), htmlPage(i, i).getBytes("UTF-8")))
+
+  /** 30 pages: 20 distinct articles plus 10 REPUBLICATIONS — pages 20-29
+    * carry the articles of pages 0-9 under fresh chrome (different nav
+    * hrefs, title, comment). Raw payload bytes are all distinct; the
+    * extracted text collides exactly. Public for the CurationRun example.
+    */
+  def htmlWarcRecordsDup: Seq[(Seq[(String, String)], Array[Byte])] =
+    (0 until 30).map { i =>
+      val body = if (i < 20) i else i - 20
+      (warcHeaders(i), htmlPage(i, body).getBytes("UTF-8"))
     }
 
   /** Brute-force cross-corpus (existing x incoming) 3-shingle Jaccard >=
@@ -768,6 +785,28 @@ object PipelineQueries extends QuerySet {
         .select(col("ord"), col("target_uri"),
           expr("graft_extract_text(cast(payload as string))").as("text"))
         .withColumn("n_chars", length(col("text")).cast("long"))
+        .orderBy("ord")
+    }),
+
+    // The web-curation DELIVERABLE (q88's shape for the crawl door): 30
+    // gzip WARC pages of which 10 are REPUBLICATIONS — same article,
+    // different chrome (nav hrefs, title, comment), so every raw payload
+    // byte-differs and only extract-THEN-dedup can catch the dup. The
+    // pipeline is WARC scan -> graft_extract_text -> exact content dedup
+    // -> kept pages with cluster sizes; the oracle rebuilds extraction
+    // arithmetically and knows pages 20-29 must fold into 0-9.
+    "q131_web_curation" -> ((s, dir) => {
+      val f = fixture("warc_html_dup.warc.gz") {
+        graft.sources.Warc.renderGzip(htmlWarcRecordsDup)
+      }
+      val pages = graft.sources.Warc.read(s, f)
+        .select(col("ord"), col("target_uri"),
+          expr("graft_extract_text(cast(payload as string))").as("text"))
+      val clusters = Dedup.exactClusters(pages, "text", "ord")
+        .select(col("keep_id").as("ord"), col("dup_cnt"))
+      pages.join(clusters, "ord")
+        .select(col("ord"), col("target_uri"), col("dup_cnt"),
+          length(col("text")).cast("long").as("n_chars"))
         .orderBy("ord")
     }),
 
@@ -1511,6 +1550,21 @@ object PipelineQueries extends QuerySet {
         |  (CAST(7 AS BIGINT), 'gnew/g7.txt',     'g7',    'txt', CAST(1 AS BIGINT)),
         |  (CAST(8 AS BIGINT), 'gnew/g7.txt',     'g7',    'txt', CAST(1 AS BIGINT))
         |) AS t(ord, name, sample_key, ext, size) ORDER BY ord""".stripMargin,
+    // pages 0-19 survive (20-29 fold into 0-9 as exact extracted-text
+    // dups), so dup_cnt = 2 below ord 10; n_chars replays the q128 formula
+    "q131_web_curation" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 19)) AS i),
+        |t AS (SELECT i,
+        |  'Title ' || i || chr(10) ||
+        |  'Paragraph ' || i || ' starts & contains <markup> plus A literal.' || chr(10) ||
+        |  'Second' || repeat(' pad', (i % 4) + 1) || ' end.' || chr(10) ||
+        |  'See link ' || i || ' inside prose that is clearly longer than the anchor.' AS text
+        |  FROM r)
+        |SELECT CAST(i AS BIGINT) AS ord,
+        |  'http://example.com/page/' || i AS target_uri,
+        |  CAST(CASE WHEN i < 10 THEN 2 ELSE 1 END AS BIGINT) AS dup_cnt,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM t ORDER BY ord""".stripMargin,
     // rebuilds the EXPECTED extraction per page with string arithmetic:
     // the kept blocks (h1 + three prose paragraphs, entities decoded,
     // NBSP-runs collapsed) joined with \n — nav/footer/link-lists/head/

@@ -85,6 +85,20 @@ class JpegSpec extends SparkSpec {
     assert(worst <= 4, s"max luma drift $worst vs RGB round trip")
   }
 
+  test("aHashFromJpeg: NULL contract for undecodable / too-small payloads") {
+    import spark.implicits._
+    val good = Jpeg.renderGrayDcOnly(10, 6, Array.tabulate(60)(k => k * 4))
+    val prog = good.clone()
+    val sofAt = prog.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    prog(sofAt + 1) = 0xc2.toByte // progressive: refused, not mis-decoded
+    val tiny = Jpeg.renderGrayDcOnly(1, 1, Array(9)) // 8x8 < 10x6 grid
+    val df = Seq((0L, good), (1L, prog), (2L, tiny)).toDF("img_id", "jpeg")
+    val got = Multimodal.aHashFromJpeg(df, "jpeg", "img_id", gw = 10, gh = 6)
+      .orderBy("id").collect()
+    assert(!got(0).isNullAt(1))
+    assert(got(1).isNullAt(1) && got(2).isNullAt(1))
+  }
+
   test("out-of-contract bytes yield None, never a throw") {
     assert(Jpeg.decodeLuma(Array.emptyByteArray).isEmpty)
     assert(Jpeg.decodeLuma("not a jpeg".getBytes("US-ASCII")).isEmpty)
