@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** URL canonicalization kernel for [[GraftCanonUrl]] — the crawl-dedup key:
+  * the same page is fetched under dozens of URL spellings (tracking params,
+  * fragments, default ports, case-varied hosts, duplicate slashes), and
+  * canonical-URL dedup is the cheap first screen that runs BEFORE content
+  * hashing in every crawl pipeline (one string op per row vs a full fetch +
+  * extract + shingle).
+  *
+  * Deterministic rule set (RFC 3986 normalization plus the standard crawler
+  * extensions), chosen so an oracle can replay results exactly:
+  *
+  *  1. scheme and host lowercase; a missing scheme yields the input
+  *     unchanged (not a URL — garbage in, identity out, never a throw).
+  *  2. default ports drop (`:80` for http, `:443` for https).
+  *  3. the fragment (`#...`) drops entirely.
+  *  4. tracking query parameters drop: `utm_*`, `fbclid`, `gclid`,
+  *     `msclkid`, `mc_eid`, `igshid`, `ref`, `ref_src`. Remaining params
+  *     keep their ORDER (reordering would merge genuinely different query
+  *     semantics on servers that care); an emptied query drops its `?`.
+  *  5. duplicate slashes in the path collapse; `/./` segments drop; `/../`
+  *     segments resolve (never above root); an empty path becomes `/`.
+  *  6. a trailing `/index.html` / `/index.htm` / `/index.php` drops to its
+  *     directory (the classic mirror-spelling of the same resource).
+  *
+  * percent-encoding is left untouched: case-normalizing %XX or decoding
+  * unreserved characters changes bytes servers may distinguish, and the
+  * false-merge cost (losing a distinct page) is worse than the false-split
+  * cost (hashing one page twice — content dedup catches it anyway).
+  */
+object UrlCanon {
+
+  private val TrackingParams: Set[String] = Set(
+    "fbclid", "gclid", "msclkid", "mc_eid", "igshid", "ref", "ref_src")
+
+  private def isTracking(param: String): Boolean = {
+    val name = param.indexOf('=') match {
+      case -1 => param
+      case eq => param.substring(0, eq)
+    }
+    val lower = name.toLowerCase(java.util.Locale.ROOT)
+    lower.startsWith("utm_") || TrackingParams(lower)
+  }
+
+  def canonicalize(url: String): String = {
+    val schemeEnd = url.indexOf("://")
+    if (schemeEnd <= 0) return url
+    val scheme = url.substring(0, schemeEnd).toLowerCase(java.util.Locale.ROOT)
+    var rest = url.substring(schemeEnd + 3)
+    // split off fragment first: it never survives
+    val hash = rest.indexOf('#')
+    if (hash >= 0) rest = rest.substring(0, hash)
+    // authority = up to the first '/' or '?'
+    var authEnd = rest.length
+    var j = 0
+    while (j < rest.length && authEnd == rest.length) {
+      if (rest.charAt(j) == '/' || rest.charAt(j) == '?') authEnd = j
+      j += 1
+    }
+    var auth = rest.substring(0, authEnd).toLowerCase(java.util.Locale.ROOT)
+    if ((scheme == "http" && auth.endsWith(":80")) ||
+        (scheme == "https" && auth.endsWith(":443")))
+      auth = auth.substring(0, auth.lastIndexOf(':'))
+    val pathAndQuery = rest.substring(authEnd)
+    val qMark = pathAndQuery.indexOf('?')
+    val rawPath = if (qMark < 0) pathAndQuery else pathAndQuery.substring(0, qMark)
+    val rawQuery = if (qMark < 0) null else pathAndQuery.substring(qMark + 1)
+    // path: collapse //, resolve . and .., never above root
+    val segs = new scala.collection.mutable.ArrayBuffer[String]()
+    rawPath.split("/", -1).foreach {
+      case "" | "." => () // duplicate slash or self segment
+      case ".." => if (segs.nonEmpty) segs.remove(segs.length - 1)
+      case s => segs += s
+    }
+    // index.* drops to its directory
+    if (segs.nonEmpty) {
+      val last = segs.last.toLowerCase(java.util.Locale.ROOT)
+      if (last == "index.html" || last == "index.htm" || last == "index.php")
+        segs.remove(segs.length - 1)
+    }
+    val path = "/" + segs.mkString("/")
+    val query =
+      if (rawQuery == null) ""
+      else {
+        val kept = rawQuery.split("&", -1).filter(p => p.nonEmpty && !isTracking(p))
+        if (kept.isEmpty) "" else "?" + kept.mkString("&")
+      }
+    scheme + "://" + auth + path + query
+  }
+
+  def canon(url: UTF8String): UTF8String =
+    UTF8String.fromString(canonicalize(url.toString))
+}
+
+/** `graft_canon_url(url: string) -> string` — crawler URL canonicalization
+  * (see [[UrlCanon]]) as a codegen'd narrow expression; the key for
+  * URL-level dedup ahead of content dedup.
+  */
+case class GraftCanonUrl(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_canon_url requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_canon_url"
+
+  override def nullSafeEval(url: Any): Any =
+    UrlCanon.canon(url.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.UrlCanon.canon($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

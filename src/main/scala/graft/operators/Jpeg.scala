@@ -140,6 +140,14 @@ object Jpeg {
     var dcTab: Huff = _
     var acTab: Huff = _
     var pred: Int = 0
+    // progressive state: quantized coefficients accumulate across scans in
+    // the PADDED interleaved block grid (bwPad x bhPad); non-interleaved
+    // scans iterate only the real blocks (bwReal x bhReal)
+    var coefs: Array[Int] = _
+    var bwPad = 0
+    var bhPad = 0
+    var bwReal = 0
+    var bhReal = 0
   }
 
   private def u16(b: Array[Byte], i: Int): Int =
@@ -164,13 +172,21 @@ object Jpeg {
     var width = 0
     var height = 0
     var restartInterval = 0
+    var progressive = false
+    var progScans = 0
     var i = 2
-    while (i + 4 <= b.length) {
+    while (i + 2 <= b.length) {
       if ((b(i) & 0xff) != 0xff) return None
       val marker = b(i + 1) & 0xff
       if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { i += 2 }
-      else if (marker == 0xd9) return None // EOI before any scan
+      else if (marker == 0xd9) {
+        // EOI: a progressive frame assembles here, after all its scans
+        return if (progressive && progScans > 0)
+          assembleProgressive(comps, quant, width, height)
+        else None
+      }
       else {
+        if (i + 4 > b.length) return None
         val len = u16(b, i + 2)
         if (len < 2 || i + 2 + len > b.length) return None
         val seg = i + 4
@@ -214,8 +230,9 @@ object Jpeg {
               if (tc == 0) dcTabs(th) = h else acTabs(th) = h
             }
             if (p != segEnd) return None
-          case 0xc0 | 0xc1 => // SOF0/1: baseline / extended sequential
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 baseline, SOF2 progressive
             if ((b(seg) & 0xff) != 8) return None // 8-bit precision only
+            progressive = marker == 0xc2
             height = u16(b, seg + 1)
             width = u16(b, seg + 3)
             val nf = b(seg + 5) & 0xff
@@ -228,15 +245,33 @@ object Jpeg {
                   comp.tq > 3) return None
               comp
             }
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+            // padded (interleaved-MCU) and real block geometry per
+            // component — progressive scans address blocks directly
+            val hMax = comps.map(_.h).max
+            val vMax = comps.map(_.v).max
+            val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+            val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+            comps.foreach { c =>
+              c.bwPad = mcusX * c.h
+              c.bhPad = mcusY * c.v
+              c.bwReal = ((width * c.h + hMax - 1) / hMax + 7) / 8
+              c.bhReal = ((height * c.v + vMax - 1) / vMax + 7) / 8
+              if (progressive) c.coefs = new Array[Int](c.bwPad * c.bhPad * 64)
+            }
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
                0xcd | 0xce | 0xcf =>
-            return None // progressive / lossless / arithmetic: not baseline
+            return None // lossless / hierarchical / arithmetic coding
           case 0xdd => // DRI
             restartInterval = u16(b, seg)
           case 0xda => // SOS: scan header then entropy data
             if (comps == null) return None
             val ns = b(seg) & 0xff
             if (ns < 1 || ns > comps.length) return None
+            val ss = b(seg + 1 + ns * 2) & 0xff
+            val se = b(seg + 2 + ns * 2) & 0xff
+            val ahAl = b(seg + 3 + ns * 2) & 0xff
+            val ah = (ahAl & 0xf0) >> 4
+            val al = ahAl & 0x0f
             var p = seg + 1
             val scanComps = new Array[Component](ns)
             var c = 0
@@ -245,25 +280,283 @@ object Jpeg {
               val comp = comps.find(_.id == cs).getOrElse(return None)
               val td = (b(p + 1) & 0xf0) >> 4
               val ta = b(p + 1) & 0x0f
-              if (td > 3 || ta > 3 || dcTabs(td) == null || acTabs(ta) == null)
-                return None
+              if (td > 3 || ta > 3) return None
+              // a progressive scan only uses one table class: DC scans
+              // need a DC table only when Ah == 0 (refinement is raw
+              // bits), AC scans need their AC table; baseline needs both
+              val needDc = if (progressive) ss == 0 && ah == 0 else true
+              val needAc = if (progressive) ss > 0 else true
+              if (needDc && dcTabs(td) == null) return None
+              if (needAc && acTabs(ta) == null) return None
               comp.dcTab = dcTabs(td)
               comp.acTab = acTabs(ta)
               scanComps(c) = comp
               p += 2
               c += 1
             }
-            // Ss/Se/Ah-Al (3 bytes) trail the component specs; entropy
-            // data begins at segEnd regardless
             if (scanComps.exists(sc => !quantSeen(sc.tq))) return None
-            return decodeScan(b, segEnd, scanComps, comps, quant, width,
-              height, restartInterval)
+            if (!progressive)
+              return decodeScan(b, segEnd, scanComps, comps, quant, width,
+                height, restartInterval)
+            decodeProgScan(b, segEnd, scanComps, comps, ss, se, ah, al,
+              restartInterval) match {
+              case Some(next) => progScans += 1; i = next
+              case None => return None
+            }
           case _ => () // APPn / COM / unknown: skip
         }
-        i = segEnd
+        if (marker != 0xda) i = segEnd
       }
     }
     None
+  }
+
+  /** One progressive scan's entropy data; returns the position of the
+    * next marker's 0xFF on success.
+    */
+  private def decodeProgScan(b: Array[Byte], dataStart: Int,
+                             scanComps: Array[Component], frameComps: Array[Component],
+                             ss: Int, se: Int, ah: Int, al: Int,
+                             restartInterval: Int): Option[Int] = {
+    if (ss == 0 && se != 0) return None // DC scans carry only coefficient 0
+    if (ss > 0 && (scanComps.length != 1 || se > 63 || ss > se)) return None
+    if (al > 13 || (ah != 0 && ah != al + 1)) return None
+    val reader = new BitReader(b, dataStart)
+    var eobrun = 0
+    frameComps.foreach(_.pred = 0)
+    val interleaved = scanComps.length > 1
+    var rstIdx = 0
+    var sinceRst = 0
+    def maybeRestart(): Boolean = {
+      if (restartInterval > 0 && sinceRst == restartInterval) {
+        if (!reader.consumeRst(rstIdx)) return false
+        rstIdx = (rstIdx + 1) & 7
+        sinceRst = 0
+        eobrun = 0
+        frameComps.foreach(_.pred = 0)
+      }
+      true
+    }
+    if (ss == 0) {
+      // DC scan: interleaved MCU walk over the padded grid, or the single
+      // component's real blocks (bwPad / h == the frame's MCU count per
+      // row for every component, by construction at SOF)
+      val mcusX = if (interleaved) scanComps(0).bwPad / scanComps(0).h
+        else scanComps(0).bwReal
+      val mcusY = if (interleaved) scanComps(0).bhPad / scanComps(0).v
+        else scanComps(0).bhReal
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (!maybeRestart()) return None
+          var ci = 0
+          while (ci < scanComps.length) {
+            val comp = scanComps(ci)
+            val (bw, bh) = if (interleaved) (comp.h, comp.v) else (1, 1)
+            var by = 0
+            while (by < bh) {
+              var bx = 0
+              while (bx < bw) {
+                val blockX = if (interleaved) mx * comp.h + bx else mx
+                val blockY = if (interleaved) my * comp.v + by else my
+                val off = (blockY * comp.bwPad + blockX) * 64
+                if (ah == 0) {
+                  val s = reader.decodeHuff(comp.dcTab)
+                  if (s < 0 || s > 11) return None
+                  val diff = if (s == 0) 0 else {
+                    val v = reader.receive(s)
+                    if (v == Int.MinValue) return None
+                    extend(v, s)
+                  }
+                  comp.pred += diff
+                  comp.coefs(off) = comp.pred << al
+                } else {
+                  val bit = reader.readBit()
+                  if (bit < 0) return None
+                  if (bit == 1) comp.coefs(off) |= 1 << al
+                }
+                bx += 1
+              }
+              by += 1
+            }
+            ci += 1
+          }
+          sinceRst += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // AC scan: always single-component, real-block walk
+      val comp = scanComps(0)
+      var my = 0
+      while (my < comp.bhReal) {
+        var mx = 0
+        while (mx < comp.bwReal) {
+          if (!maybeRestart()) return None
+          val off = (my * comp.bwPad + mx) * 64
+          if (ah == 0) {
+            // AC first (G.1.2.2): bands of new coefficients + EOB runs
+            if (eobrun > 0) eobrun -= 1
+            else {
+              var k = ss
+              var done = false
+              while (k <= se && !done) {
+                val rs = reader.decodeHuff(comp.acTab)
+                if (rs < 0) return None
+                val r = rs >> 4
+                val sz = rs & 15
+                if (sz == 0) {
+                  if (r < 15) {
+                    eobrun = (1 << r) - 1
+                    if (r > 0) {
+                      val v = reader.receive(r)
+                      if (v == Int.MinValue) return None
+                      eobrun += v
+                    }
+                    done = true
+                  } else k += 16 // ZRL
+                } else {
+                  k += r
+                  if (k > se) return None
+                  val v = reader.receive(sz)
+                  if (v == Int.MinValue) return None
+                  comp.coefs(off + ZigZag(k)) = extend(v, sz) << al
+                  k += 1
+                }
+              }
+            }
+          } else {
+            // AC refinement (G.1.2.3): correction bits for known
+            // coefficients, newly-significant insertions, EOB runs
+            val p1 = 1 << al
+            val m1 = -1 << al
+            var k = ss
+            if (eobrun == 0) {
+              var brk = false
+              while (k <= se && !brk) {
+                val rs = reader.decodeHuff(comp.acTab)
+                if (rs < 0) return None
+                var r = rs >> 4
+                val sz = rs & 15
+                var newval = 0
+                if (sz == 0) {
+                  if (r < 15) {
+                    eobrun = 1 << r
+                    if (r > 0) {
+                      val v = reader.receive(r)
+                      if (v == Int.MinValue) return None
+                      eobrun += v
+                    }
+                    brk = true
+                  }
+                  // r == 15: ZRL — advance over 16 zero-history coefs
+                } else {
+                  if (sz != 1) return None
+                  val bit = reader.readBit()
+                  if (bit < 0) return None
+                  newval = if (bit == 1) p1 else m1
+                }
+                if (!brk) {
+                  // advance over r zero-history coefficients, refining
+                  // nonzero ones along the way
+                  var placed = false
+                  while (k <= se && !placed) {
+                    val idx = off + ZigZag(k)
+                    if (comp.coefs(idx) != 0) {
+                      val bit = reader.readBit()
+                      if (bit < 0) return None
+                      if (bit == 1 && (comp.coefs(idx) & p1) == 0)
+                        comp.coefs(idx) += (if (comp.coefs(idx) >= 0) p1 else m1)
+                    } else {
+                      r -= 1
+                      if (r < 0) {
+                        if (newval != 0) comp.coefs(idx) = newval
+                        placed = true
+                      }
+                    }
+                    k += 1
+                  }
+                  if (!placed && newval != 0) return None // ran off the band
+                }
+              }
+            }
+            if (eobrun > 0) {
+              // refine the remaining nonzero coefficients of this block
+              while (k <= se) {
+                val idx = off + ZigZag(k)
+                if (comp.coefs(idx) != 0) {
+                  val bit = reader.readBit()
+                  if (bit < 0) return None
+                  if (bit == 1 && (comp.coefs(idx) & p1) == 0)
+                    comp.coefs(idx) += (if (comp.coefs(idx) >= 0) p1 else m1)
+                }
+                k += 1
+              }
+              eobrun -= 1
+            }
+          }
+          sinceRst += 1
+          mx += 1
+        }
+        my += 1
+      }
+    }
+    // skip to the next marker (0xFF followed by a non-stuffing,
+    // non-restart byte)
+    var pos = reader.pos
+    while (pos + 1 < b.length &&
+        !((b(pos) & 0xff) == 0xff && (b(pos + 1) & 0xff) != 0x00 &&
+          ((b(pos + 1) & 0xff) < 0xd0 || (b(pos + 1) & 0xff) > 0xd7)))
+      pos += 1
+    if (pos + 1 >= b.length) None else Some(pos)
+  }
+
+  /** Dequantize + IDCT the accumulated luma coefficients into pixels. */
+  private def assembleProgressive(frameComps: Array[Component],
+                                  quant: Array[Array[Int]],
+                                  width: Int, height: Int): Option[GrayImage] = {
+    val luma = frameComps(0)
+    if (luma.coefs == null) return None
+    val q = quant(luma.tq)
+    val planeW = luma.bwPad * 8
+    val plane = new Array[Int](planeW * luma.bhPad * 8)
+    val coef = new Array[Int](64)
+    val block = new Array[Int](64)
+    var by = 0
+    while (by < luma.bhPad) {
+      var bx = 0
+      while (bx < luma.bwPad) {
+        val off = (by * luma.bwPad + bx) * 64
+        var k = 0
+        while (k < 64) { coef(k) = luma.coefs(off + k) * q(k); k += 1 }
+        idct(coef, block)
+        var y = 0
+        while (y < 8) {
+          val row = (by * 8 + y) * planeW + bx * 8
+          var x = 0
+          while (x < 8) { plane(row + x) = block(y * 8 + x); x += 1 }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val hMax = frameComps.map(_.h).max
+    val vMax = frameComps.map(_.v).max
+    val out = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val sy = y * luma.v / vMax
+      var x = 0
+      while (x < width) {
+        out(y * width + x) = plane(sy * planeW + x * luma.h / hMax)
+        x += 1
+      }
+      y += 1
+    }
+    Some(GrayImage(width, height, out))
   }
 
   private def decodeScan(b: Array[Byte], dataStart: Int,
@@ -567,6 +860,80 @@ object Jpeg {
       sinceRst += 1
       i += 1
     }
+    w.flush()
+    u16o(0xffd9) // EOI
+    out.toByteArray
+  }
+
+  /** [[renderGrayDcOnly]]'s PROGRESSIVE twin: the same block-constant
+    * image as a real SOF2 stream in three scans — DC first (Al=1, Annex K
+    * DC table), AC first over the full band (all-zero coefficients
+    * expressed as genuine EOB RUNS through a custom run-capable table:
+    * symbols 0x00/0x10/0x20/0x30 at two bits each), then DC refinement
+    * (Ah=1→Al=0, one raw bit per block). Decodes bit-exactly for the same
+    * reason the baseline twin does, so the same arithmetic oracle pins
+    * the progressive path: successive approximation really reassembles
+    * the DC, and EOBRUN bookkeeping really spans blocks.
+    */
+  def renderGrayDcOnlyProgressive(bw: Int, bh: Int, blockVals: Array[Int]): Array[Byte] = {
+    require(blockVals.length == bw * bh, s"need ${bw * bh} block values")
+    require(blockVals.forall(v => v >= 0 && v <= 255), "8-bit block values")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16o(v: Int): Unit = { u8(v >> 8); u8(v) }
+    u16o(0xffd8) // SOI
+    u16o(0xffdb); u16o(2 + 1 + 64); u8(0x00)
+    (0 until 64).foreach(_ => u8(1))
+    // SOF2: progressive, one component
+    u16o(0xffc2); u16o(2 + 6 + 3)
+    u8(8); u16o(bh * 8); u16o(bw * 8); u8(1)
+    u8(1); u8(0x11); u8(0)
+    // DC table 0 (Annex K) + custom AC table 0 with EOB-run symbols
+    val acRunCounts = Array(0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val acRunSyms = Array(0x00, 0x10, 0x20, 0x30) // EOBRUNs of 1..15
+    u16o(0xffc4); u16o(2 + (1 + 16 + DcSyms.length) + (1 + 16 + acRunSyms.length))
+    u8(0x00); DcCounts.foreach(u8); DcSyms.foreach(u8)
+    u8(0x10); acRunCounts.foreach(u8); acRunSyms.foreach(u8)
+    val dcCodes = canonicalCodes(DcCounts, DcSyms)
+    val acCodes = canonicalCodes(acRunCounts, acRunSyms)
+    val dcs = blockVals.map(v => 8 * (v - 128))
+    // scan 1: DC first, Al=1 — coefficients arrive halved
+    u16o(0xffda); u16o(2 + 1 + 2 + 3)
+    u8(1); u8(1); u8(0x00); u8(0); u8(0); u8(0x01) // Ss=0 Se=0 Ah=0 Al=1
+    var w = new BitWriter(out)
+    var pred = 0
+    dcs.foreach { dc =>
+      var diff = (dc >> 1) - pred // arithmetic shift: the decoder's <<1 twin
+      pred = dc >> 1
+      var s = 0
+      var a = math.abs(diff)
+      while (a > 0) { s += 1; a >>= 1 }
+      val (c, l) = dcCodes(s)
+      w.write(c, l)
+      if (s > 0) { if (diff < 0) diff += (1 << s) - 1; w.write(diff, s) }
+    }
+    w.flush()
+    // scan 2: AC first over the whole band — one EOB run per <= 15 blocks
+    u16o(0xffda); u16o(2 + 1 + 2 + 3)
+    u8(1); u8(1); u8(0x00); u8(1); u8(63); u8(0x00) // Ss=1 Se=63 Ah=0 Al=0
+    w = new BitWriter(out)
+    var n = blockVals.length
+    while (n > 0) {
+      // eobrun value v in [2^r, 2^(r+1)-1] encodes as symbol r<<4 + r bits
+      val v = math.min(n, 15)
+      var r = 0
+      while ((v >> (r + 1)) > 0) r += 1
+      val (c, l) = acCodes(r << 4)
+      w.write(c, l)
+      if (r > 0) w.write(v - (1 << r), r)
+      n -= v
+    }
+    w.flush()
+    // scan 3: DC refinement Ah=1 -> Al=0, one raw bit per block
+    u16o(0xffda); u16o(2 + 1 + 2 + 3)
+    u8(1); u8(1); u8(0x00); u8(0); u8(0); u8(0x10) // Ss=0 Se=0 Ah=1 Al=0
+    w = new BitWriter(out)
+    dcs.foreach(dc => w.write(dc & 1, 1))
     w.flush()
     u16o(0xffd9) // EOI
     out.toByteArray

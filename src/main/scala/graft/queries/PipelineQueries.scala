@@ -771,6 +771,29 @@ object PipelineQueries extends QuerySet {
         .orderBy("ord")
     }),
 
+    // URL-level dedup — the screen that runs BEFORE any content is even
+    // fetched at crawl scale: 60 URL spellings (tracking params, fragments,
+    // default ports, case-varied hosts, dot-segments, duplicate slashes,
+    // index.html) canonicalize onto 20 targets; the oracle rebuilds each
+    // canonical form arithmetically and demands exactly 3 variants per
+    // target. One narrow expression + one hash groupBy — O(corpus), no
+    // pairs, the cheapest dedup signal there is.
+    "q133_url_canon_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val urls = (0 until 60).map { i =>
+        val p = i / 3
+        i % 3 match {
+          case 0 => s"HTTP://Example$p.COM:80/a//b/./c/../page$p/index.html?x=1&utm_source=tw"
+          case 1 => s"http://example$p.com/a/b/page$p?x=1&fbclid=zzz#frag"
+          case _ => s"http://example$p.com/a/b/page$p?x=1"
+        }
+      }
+      urls.toDF("url")
+        .select(expr("graft_canon_url(url)").as("canon_url"))
+        .groupBy("canon_url").agg(count(lit(1)).as("n_variants"))
+        .orderBy("canon_url")
+    }),
+
     // The curation stage AFTER ingestion (the trafilatura role): gzip WARC
     // response payloads -> graft_extract_text -> training text. The fixture
     // pages carry real boilerplate (nav/footer/link lists die by link
@@ -890,6 +913,33 @@ object PipelineQueries extends QuerySet {
         val blocks = Array.tabulate(10 * 6)(cell(i, _))
         (i, graft.operators.Jpeg.renderGrayDcOnly(10, 6, blocks,
           restartEvery = if (i % 3 == 0) 7 else 0))
+      }
+      val sig = Multimodal.aHashFromJpeg(
+        imgs.toDF("img_id", "jpeg"), "jpeg", "img_id", gw = 10, gh = 6)
+      Dedup.simHashPairs(sig, maxHamming = 6,
+          maxBucketSize = Int.MaxValue, nBits = 60)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // q130's PROGRESSIVE twin: the same families and formula, but every
+    // image is a real SOF2 stream in three scans (DC first at Al=1, the
+    // all-zero AC band as genuine cross-block EOB RUNS through a custom
+    // run-capable table, then DC refinement Ah=1->Al=0). Bit-exact for
+    // the same DC-only reason, so the same oracle pins successive
+    // approximation + EOBRUN bookkeeping; lossy multi-scan interop
+    // (ImageIO's own progressive encoder, incl. AC refinement) is pinned
+    // in JpegSpec.
+    "q132_jpeg_progressive_ahash" -> ((s, dir) => {
+      import s.implicits._
+      def cell(img: Long, j: Int): Int = {
+        val key = s"${if (j < img % 3) img + 1000000 else img / 10}:$j"
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex.substring(0, 13), 16) % 256).toInt
+      }
+      val imgs = (0L until 40L).map { i =>
+        val blocks = Array.tabulate(10 * 6)(cell(i, _))
+        (i, graft.operators.Jpeg.renderGrayDcOnlyProgressive(10, 6, blocks))
       }
       val sig = Multimodal.aHashFromJpeg(
         imgs.toDF("img_id", "jpeg"), "jpeg", "img_id", gw = 10, gh = 6)
@@ -1304,6 +1354,19 @@ object PipelineQueries extends QuerySet {
         |FROM sig a JOIN sig b ON a.img_id < b.img_id
         |WHERE bit_count(xor(a.h, b.h)) <= 6
         |ORDER BY a_id, b_id""".stripMargin,
+    "q132_jpeg_progressive_ahash" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 39)) AS img_id),
+        |g AS (SELECT img_id, list_transform(range(0, 60), j ->
+        |    ('0x' || substr(md5(CAST(CASE WHEN j < img_id % 3 THEN img_id + 1000000
+        |        ELSE img_id // 10 END AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 13))::BIGINT % 256) AS gray
+        |  FROM ids),
+        |sig AS (SELECT img_id, CAST(list_sum(list_transform(range(0, 60), j ->
+        |    CASE WHEN gray[j + 1] * 60 > list_sum(gray) THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS h
+        |  FROM g)
+        |SELECT a.img_id AS a_id, b.img_id AS b_id, bit_count(xor(a.h, b.h)) AS hamming
+        |FROM sig a JOIN sig b ON a.img_id < b.img_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 6
+        |ORDER BY a_id, b_id""".stripMargin,
     // identical formula to q127: the JPEG DC-only blocks decode to the
     // exact cell values, so the same replay pins the decoder
     "q130_jpeg_ahash_dedup" ->
@@ -1550,6 +1613,12 @@ object PipelineQueries extends QuerySet {
         |  (CAST(7 AS BIGINT), 'gnew/g7.txt',     'g7',    'txt', CAST(1 AS BIGINT)),
         |  (CAST(8 AS BIGINT), 'gnew/g7.txt',     'g7',    'txt', CAST(1 AS BIGINT))
         |) AS t(ord, name, sample_key, ext, size) ORDER BY ord""".stripMargin,
+    // every spelling triple folds onto its arithmetic canonical form
+    "q133_url_canon_dedup" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 19)) AS p)
+        |SELECT 'http://example' || p || '.com/a/b/page' || p || '?x=1' AS canon_url,
+        |  CAST(3 AS BIGINT) AS n_variants
+        |FROM r ORDER BY canon_url""".stripMargin,
     // pages 0-19 survive (20-29 fold into 0-9 as exact extracted-text
     // dups), so dup_cnt = 2 below ord 10; n_chars replays the q128 formula
     "q131_web_curation" ->

@@ -1,0 +1,47 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class UrlCanonSpec extends SparkSpec {
+
+  private def c(u: String): String = UrlCanon.canonicalize(u)
+
+  test("scheme/host lowercase; default ports drop; non-default ports stay") {
+    assert(c("HTTP://Example.COM/Path") == "http://example.com/Path")
+    assert(c("http://example.com:80/a") == "http://example.com/a")
+    assert(c("https://example.com:443/a") == "https://example.com/a")
+    assert(c("http://example.com:8080/a") == "http://example.com:8080/a")
+    assert(c("https://example.com:80/a") == "https://example.com:80/a")
+  }
+
+  test("fragments drop; tracking params drop; real params keep their order") {
+    assert(c("http://e.com/a#section-2") == "http://e.com/a")
+    assert(c("http://e.com/a?utm_source=tw&x=1&fbclid=z&y=2") ==
+      "http://e.com/a?x=1&y=2")
+    assert(c("http://e.com/a?b=2&a=1") == "http://e.com/a?b=2&a=1") // no reorder
+    assert(c("http://e.com/a?utm_campaign=x") == "http://e.com/a") // emptied ? drops
+    assert(c("http://e.com/a?ref=home&q=k") == "http://e.com/a?q=k")
+  }
+
+  test("path normalization: //, /./, /../ resolve; never above root") {
+    assert(c("http://e.com/a//b/./c/../d") == "http://e.com/a/b/d")
+    assert(c("http://e.com/../../a") == "http://e.com/a")
+    assert(c("http://e.com") == "http://e.com/")
+    assert(c("http://e.com/a/index.html") == "http://e.com/a")
+    assert(c("http://e.com/index.php?x=1") == "http://e.com/?x=1")
+    // index.* is a FILE rule: a mid-path segment named index.html stays
+    assert(c("http://e.com/index.html/sub") == "http://e.com/index.html/sub")
+  }
+
+  test("percent-encoding untouched; garbage is identity; null-safe SQL") {
+    assert(c("http://e.com/a%2Fb?k=%20v") == "http://e.com/a%2Fb?k=%20v")
+    assert(c("not a url") == "not a url")
+    assert(c("mailto:x@y.z") == "mailto:x@y.z")
+    import spark.implicits._
+    val viaSql = Seq("HTTP://E.com:80/x/../y?utm_x=1&k=2#f").toDF("u")
+      .selectExpr("graft_canon_url(u)").head().getString(0)
+    assert(viaSql == "http://e.com/y?k=2")
+    assert(Seq[Option[String]](None).toDF("u")
+      .selectExpr("graft_canon_url(u)").head().isNullAt(0))
+  }
+}

@@ -85,12 +85,75 @@ class JpegSpec extends SparkSpec {
     assert(worst <= 4, s"max luma drift $worst vs RGB round trip")
   }
 
+  test("progressive DC-only fixture: successive approximation reassembles exactly") {
+    val bw = 5; val bh = 4
+    val vals = Array.tabulate(bw * bh)(k => (k * 53 + 2) % 256)
+    val prog = Jpeg.renderGrayDcOnlyProgressive(bw, bh, vals)
+    // it really is SOF2 with three scans
+    assert(prog.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2))
+    assert(prog.sliding(2).count(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xda) == 3)
+    val img = Jpeg.decodeLuma(prog).get
+    for (y <- 0 until img.height; x <- 0 until img.width)
+      assert(img.gray(y * img.width + x) == vals((y / 8) * bw + x / 8),
+        s"pixel ($x,$y)")
+    // identical pixels to the baseline twin of the same block values
+    val base = Jpeg.decodeLuma(Jpeg.renderGrayDcOnly(bw, bh, vals)).get
+    assert(img.gray.toSeq == base.gray.toSeq)
+  }
+
+  test("ImageIO-written PROGRESSIVE jpegs decode within the same tolerances") {
+    def writeProgressive(img: BufferedImage): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      out.toByteArray
+    }
+    // grayscale: platform decoder agreement within IDCT rounding
+    val w = 37; val h = 29
+    val gray = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gray.getRaster.setSample(x, y, 0, (x * 5 + y * 11 + (x * y) % 23) % 256)
+    val gBytes = writeProgressive(gray)
+    assert(gBytes.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2),
+      "ImageIO did not produce SOF2 — test premise broken")
+    val got = Jpeg.decodeLuma(gBytes).get
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(gBytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxDiff = math.max(maxDiff,
+        math.abs(got.gray(y * w + x) - ref.getRaster.getSample(x, y, 0)))
+    assert(maxDiff <= 2, s"max per-pixel diff $maxDiff vs platform decoder")
+    // subsampled RGB: luma tracks the round trip (exercises interleaved
+    // progressive DC scans + per-component AC scans + refinements)
+    val cw = 48; val ch = 32
+    val rgb = new BufferedImage(cw, ch, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until ch; x <- 0 until cw)
+      rgb.setRGB(x, y, ((100 + (x * 3) % 40) << 16) |
+        ((110 + (y * 5) % 40) << 8) | (120 + ((x + y) * 2) % 40))
+    val cBytes = writeProgressive(rgb)
+    val gotC = Jpeg.decodeLuma(cBytes).get
+    val refC = ImageIO.read(new java.io.ByteArrayInputStream(cBytes))
+    var worst = 0
+    for (y <- 0 until ch; x <- 0 until cw) {
+      val p = refC.getRGB(x, y)
+      val luma = math.round(0.299 * ((p >> 16) & 0xff) +
+        0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)).toInt
+      worst = math.max(worst, math.abs(gotC.gray(y * cw + x) - luma))
+    }
+    assert(worst <= 4, s"max luma drift $worst vs RGB round trip")
+  }
+
   test("aHashFromJpeg: NULL contract for undecodable / too-small payloads") {
     import spark.implicits._
     val good = Jpeg.renderGrayDcOnly(10, 6, Array.tabulate(60)(k => k * 4))
     val prog = good.clone()
     val sofAt = prog.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
-    prog(sofAt + 1) = 0xc2.toByte // progressive: refused, not mis-decoded
+    prog(sofAt + 1) = 0xc2.toByte // mislabeled SOF2: malformed, refused
     val tiny = Jpeg.renderGrayDcOnly(1, 1, Array(9)) // 8x8 < 10x6 grid
     val df = Seq((0L, good), (1L, prog), (2L, tiny)).toDF("img_id", "jpeg")
     val got = Multimodal.aHashFromJpeg(df, "jpeg", "img_id", gw = 10, gh = 6)
@@ -109,11 +172,19 @@ class JpegSpec extends SparkSpec {
     for (n <- 0 until good.length)
       Jpeg.decodeLuma(java.util.Arrays.copyOf(good, n))
     assert(Jpeg.decodeLuma(java.util.Arrays.copyOf(good, good.length - 5)).isEmpty)
-    // progressive (SOF2) is refused, not mis-decoded
+    // a baseline stream MISLABELED as SOF2 is malformed progressive (its
+    // scan header says Ss=0/Se=63, illegal for a DC scan) — refused
     val prog = good.clone()
     val sofAt = prog.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
     prog(sofAt + 1) = 0xc2.toByte
     assert(Jpeg.decodeLuma(prog).isEmpty)
+    // real progressive truncation: drop the final refinement scan's data —
+    // still malformed (no EOI), never a throw
+    val realProg = Jpeg.renderGrayDcOnlyProgressive(2, 2, Array(1, 2, 3, 4))
+    for (n <- 0 until realProg.length)
+      Jpeg.decodeLuma(java.util.Arrays.copyOf(realProg, n))
+    assert(Jpeg.decodeLuma(
+      java.util.Arrays.copyOf(realProg, realProg.length - 3)).isEmpty)
     // a PNG payload is cleanly refused by the magic check
     val png = PngGray.render(8, 8, Array.fill(64)(7), 0, _ => 0)
     assert(Jpeg.decodeLuma(png).isEmpty)
