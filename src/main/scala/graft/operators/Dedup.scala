@@ -447,6 +447,51 @@ object Dedup {
           / col("n_tokens") * 10000) / 10000 as "dup_frac")
   }
 
+  /** The TRANSFORM beside [[duplicateSpanStats]]'s measurement — ExactSubstr
+    * dedup (the Lee et al. "Deduplicating Training Data Makes Language
+    * Models Better" scrub, at the token-`spanLen`-gram grain): every token
+    * position covered by a corpus-duplicated gram is CUT from every
+    * document, and the survivors rejoin into `cleaned_text`. Memorized
+    * boilerplate (licenses, headers, templated spans) disappears from the
+    * corpus in one pass.
+    *
+    * Scale shape, same as the stats twin: gram instances ride the shuffle
+    * as xxhash64 longs, ONE hash-keyed frequency aggregate, join-back, and
+    * a per-doc covered-position set (bounded by doc length). The rebuild
+    * subtracts positions with `array_except` (hash-based, order-preserving)
+    * — no per-token membership scans. Candidates are instances, never
+    * pairs: corpus-linear end to end.
+    *
+    * Output: (id, n_tokens, n_kept, cleaned_text); untouched documents
+    * round-trip byte-identically (split/rejoin preserves even empty tokens
+    * from repeated spaces), fully-covered documents come back empty.
+    */
+  def removeDuplicateSpans(docs: DataFrame, textCol: String, idCol: String,
+                           spanLen: Int = 8, minCount: Int = 2): DataFrame = {
+    require(spanLen >= 1 && minCount >= 2, s"need spanLen >= 1, minCount >= 2")
+    val toks = split(col(textCol), " ")
+    val grams = docs.where(size(toks) >= spanLen)
+      .select(col(idCol).as("id"), posexplode(expr(
+        s"transform(sequence(0, size(split($textCol, ' ')) - $spanLen), " +
+        s"i -> xxhash64(concat_ws(' ', slice(split($textCol, ' '), i + 1, $spanLen))))"
+      )).as(Seq("pos", "gh")))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("c"))
+      .where(col("c") >= minCount).select("gh")
+    val cut = grams.join(dup, "gh")
+      .select(col("id"), explode(expr(s"sequence(pos, pos + ${spanLen - 1})")).as("tp"))
+      .distinct()
+      .groupBy("id").agg(collect_set("tp").as("_cut"))
+    docs.select(col(idCol).as("id"), toks.as("_t"))
+      .join(cut, Seq("id"), "left")
+      .select(col("id"), size(col("_t")).cast("long").as("n_tokens"),
+        when(col("_cut").isNull, size(col("_t")).cast("long"))
+          .otherwise(size(col("_t")) - size(col("_cut"))).cast("long").as("n_kept"),
+        when(col("_cut").isNull, concat_ws(" ", col("_t"))).otherwise(
+          expr("concat_ws(' ', transform(" +
+            "array_except(sequence(0, size(_t) - 1), _cut), " +
+            "i -> element_at(_t, i + 1)))")).as("cleaned_text"))
+  }
+
   /** Winnowing fingerprints (rolling-hash document fingerprinting, the
     * MOSS scheme): hash every character k-gram, then keep the minimum hash
     * of each w-wide window — guarantees any shared substring of length

@@ -993,6 +993,16 @@ object PipelineQueries extends QuerySet {
         .orderBy("doc_id")
     }),
 
+    // ExactSubstr REMOVAL (q115 measures; this cuts): corpus-duplicated
+    // token-8-gram spans scrubbed from every document in one corpus-linear
+    // pass; the oracle rebuilds every cleaned text relationally.
+    "q134_dup_span_removal" -> ((s, dir) => {
+      Dedup.removeDuplicateSpans(t(s, dir, "documents"), "text", "doc_id",
+          spanLen = 8, minCount = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q113_dedup_index_screen" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       graft.operators.DedupIndex.screen(s, ensureDedupBase(s, dir),
@@ -1394,6 +1404,29 @@ object PipelineQueries extends QuerySet {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 6
         |ORDER BY a_id, b_id""".stripMargin,
+    // the removal twin: kept positions = all minus covered; cleaned text
+    // re-joined in position order (same gram-string grain as q115)
+    "q134_dup_span_removal" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |gi AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS g
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-7)) AS i
+        |             FROM d WHERE len(t) >= 8)),
+        |dup AS (SELECT g FROM gi GROUP BY g HAVING COUNT(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, tp FROM (
+        |        SELECT doc_id, unnest(generate_series(pos, pos+7)) AS tp
+        |        FROM gi JOIN dup USING (g))),
+        |pos AS (SELECT doc_id, unnest(generate_series(0, len(t)-1)) AS p FROM d),
+        |keep AS (SELECT pos.doc_id, p FROM pos LEFT JOIN cov
+        |         ON cov.doc_id = pos.doc_id AND cov.tp = pos.p
+        |         WHERE cov.tp IS NULL),
+        |res AS (SELECT keep.doc_id,
+        |         string_agg(t[p + 1], ' ' ORDER BY p) AS cleaned_text,
+        |         COUNT(*) AS n_kept
+        |        FROM keep JOIN d ON d.doc_id = keep.doc_id GROUP BY keep.doc_id)
+        |SELECT d.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(res.n_kept, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(res.cleaned_text, '') AS cleaned_text
+        |FROM d LEFT JOIN res ON res.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin,
     // duplicated-span coverage recomputed by exact gram STRINGS (the
     // engine shuffles xxhash64 of the same grams — sets coincide absent a
     // 64-bit collision, the established q62-family convention)
