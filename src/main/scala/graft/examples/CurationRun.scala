@@ -10,7 +10,8 @@ import graft.operators.{Dedup, Graph, LanguageModel, Sampling, Segmentation}
   * library composed the way a real curation run chains it:
   *
   *   corpus -> quality gate (length/repetition heuristics + bigram-LM
-  *   perplexity cut) -> exact dedup (content hash) -> near-dup dedup
+  *   perplexity cut) -> exact dedup (content hash) -> ExactSubstr span
+  *   scrub (corpus-duplicated 8-grams cut) -> near-dup dedup
   *   (MinHash-LSH pairs -> connected components -> keep cluster
   *   representative) -> benchmark decontamination (broadcast eval-set
   *   shingles) -> deterministic source mixing -> per-source weighted
@@ -77,18 +78,37 @@ object CurationRun {
       ppl.where(col("ppl") <= pplCut).select(col("id").as("doc_id")), "doc_id")
     stages("quality_gate") = quality.count()
 
-    // 2. exact dedup: keep min doc_id per identical content
+    // 2. exact dedup: keep min doc_id per identical content. Runs BEFORE
+    // the span scrub on purpose: identical documents (e.g. the same
+    // article republished) should survive as ONE kept copy — scrubbing
+    // first would see their shared text as corpus-duplicated spans and
+    // erase every copy.
     val keepExact = Dedup.exactClusters(quality, "text", "doc_id")
       .select(col("keep_id").as("doc_id"))
     val exact = quality.join(keepExact, "doc_id")
     stages("exact_dedup") = exact.count()
 
+    // 2.5 ExactSubstr scrub on the deduped corpus: REMAINING cross-doc
+    // duplicated 8-gram spans are memorized boilerplate (license blocks,
+    // templated headers) — cut from every document before near-dup
+    // hashing, so boilerplate neither survives into training text nor
+    // glues unrelated documents into one near-dup cluster. Docs reduced
+    // below the length floor were boilerplate-only and drop here.
+    val scrub = Dedup.removeDuplicateSpans(exact, "text", "doc_id")
+      .select(col("id").as("doc_id"), col("cleaned_text"))
+    val scrubbed = exact.drop("text", "n_chars")
+      .join(scrub, "doc_id")
+      .withColumnRenamed("cleaned_text", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .where(col("n_chars") >= 40)
+    stages("span_scrub") = scrubbed.count()
+
     // 3. near-dup dedup: LSH pairs -> components -> drop non-representatives
-    val pairs = Dedup.minHashDupPairs(exact, "text", "doc_id",
+    val pairs = Dedup.minHashDupPairs(scrubbed, "text", "doc_id",
       shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
     val dropNear = Graph.connectedComponents(pairs, "a_id", "b_id")
       .where(col("id") =!= col("cluster_id")).select(col("id").as("doc_id"))
-    val nearDeduped = exact.join(dropNear, Seq("doc_id"), "left_anti")
+    val nearDeduped = scrubbed.join(dropNear, Seq("doc_id"), "left_anti")
     stages("near_dedup") = nearDeduped.count()
 
     // 4. decontamination against the benchmark slice
