@@ -449,22 +449,26 @@ object Dedup {
 
   /** The TRANSFORM beside [[duplicateSpanStats]]'s measurement — ExactSubstr
     * dedup (the Lee et al. "Deduplicating Training Data Makes Language
-    * Models Better" scrub, at the token-`spanLen`-gram grain): every token
-    * position covered by a corpus-duplicated gram is CUT from every
-    * document, and the survivors rejoin into `cleaned_text`. Memorized
-    * boilerplate (licenses, headers, templated spans) disappears from the
-    * corpus in one pass.
+    * Models Better" scrub, at the token-`spanLen`-gram grain) with the
+    * paper's KEEP-FIRST semantics: of every corpus-duplicated gram's
+    * instances, the lexicographically first (id, pos) occurrence SURVIVES
+    * and every later occurrence is cut. One copy of memorized boilerplate
+    * (licenses, headers, templated spans) stays in the corpus; the echoes
+    * disappear. (Remove-all semantics would make near-duplicate documents
+    * destroy each other — both copies scrubbed to nothing — instead of
+    * degrading to a kept representative.)
     *
     * Scale shape, same as the stats twin: gram instances ride the shuffle
-    * as xxhash64 longs, ONE hash-keyed frequency aggregate, join-back, and
-    * a per-doc covered-position set (bounded by doc length). The rebuild
+    * as xxhash64 longs, ONE hash-keyed frequency aggregate, a per-gram
+    * first-instance window on the same shuffle key, join-back, and a
+    * per-doc covered-position set (bounded by doc length). The rebuild
     * subtracts positions with `array_except` (hash-based, order-preserving)
     * — no per-token membership scans. Candidates are instances, never
     * pairs: corpus-linear end to end.
     *
     * Output: (id, n_tokens, n_kept, cleaned_text); untouched documents
     * round-trip byte-identically (split/rejoin preserves even empty tokens
-    * from repeated spaces), fully-covered documents come back empty.
+    * from repeated spaces), documents that were pure echo come back empty.
     */
   def removeDuplicateSpans(docs: DataFrame, textCol: String, idCol: String,
                            spanLen: Int = 8, minCount: Int = 2): DataFrame = {
@@ -477,7 +481,14 @@ object Dedup {
       )).as(Seq("pos", "gh")))
     val dup = grams.groupBy("gh").agg(count(lit(1)).as("c"))
       .where(col("c") >= minCount).select("gh")
+    // keep-first: rank each duplicated gram's instances and cut only the
+    // non-first ones — the window shuffles on the SAME key as the
+    // frequency aggregate, so this adds no new shuffle grain
+    val wFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy("gh").orderBy("id", "pos")
     val cut = grams.join(dup, "gh")
+      .withColumn("_rn", row_number().over(wFirst))
+      .where(col("_rn") > 1)
       .select(col("id"), explode(expr(s"sequence(pos, pos + ${spanLen - 1})")).as("tp"))
       .distinct()
       .groupBy("id").agg(collect_set("tp").as("_cut"))

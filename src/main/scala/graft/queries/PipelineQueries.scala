@@ -1404,17 +1404,23 @@ object PipelineQueries extends QuerySet {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 6
         |ORDER BY a_id, b_id""".stripMargin,
-    // the removal twin: kept positions = all minus covered; cleaned text
-    // re-joined in position order (same gram-string grain as q115)
+    // the removal twin with KEEP-FIRST semantics: each duplicated gram's
+    // lexicographically first (doc_id, pos) instance survives, later
+    // instances' positions are cut; cleaned text re-joins kept positions
+    // in order (same gram-string grain as q115)
     "q134_dup_span_removal" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |gi AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS g
         |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-7)) AS i
         |             FROM d WHERE len(t) >= 8)),
-        |dup AS (SELECT g FROM gi GROUP BY g HAVING COUNT(*) >= 2),
+        |ci AS (SELECT doc_id, pos FROM (
+        |        SELECT doc_id, pos,
+        |               ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+        |               COUNT(*) OVER (PARTITION BY g) AS c
+        |        FROM gi) WHERE c >= 2 AND rn > 1),
         |cov AS (SELECT DISTINCT doc_id, tp FROM (
         |        SELECT doc_id, unnest(generate_series(pos, pos+7)) AS tp
-        |        FROM gi JOIN dup USING (g))),
+        |        FROM ci)),
         |pos AS (SELECT doc_id, unnest(generate_series(0, len(t)-1)) AS p FROM d),
         |keep AS (SELECT pos.doc_id, p FROM pos LEFT JOIN cov
         |         ON cov.doc_id = pos.doc_id AND cov.tp = pos.p

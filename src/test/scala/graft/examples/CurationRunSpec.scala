@@ -32,6 +32,10 @@ class CurationRunSpec extends SparkSpec {
     assert(stages("input") == 45L)
     assert(stages("quality_gate") == 43L, s"spam/short not gated: $stages")
     assert(stages("exact_dedup") == 42L, s"exact dup kept: $stages")
+    // the ExactSubstr scrub cuts doc 102's 40 echoed tokens (doc 7, the
+    // first occurrence, survives INTACT — keep-first semantics); the
+    // leftover "tok1" shell fails the post-scrub length floor
+    assert(stages("span_scrub") == 41L, s"echo shell kept: $stages")
     assert(stages("near_dedup") == 41L, s"near dup kept: $stages")
     assert(stages("decontaminated") == 40L, s"leak kept: $stages")
     assert(!keptIds.exists(Set(101L, 102L, 103L, 104L, 105L)), s"bad ids kept: $keptIds")

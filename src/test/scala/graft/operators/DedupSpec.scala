@@ -263,26 +263,30 @@ class DedupSpec extends SparkSpec {
     assert(so(9L) == 9L, s"got $so")
   }
 
-  test("duplicate span removal: covered tokens cut, survivors rejoin in order") {
+  test("duplicate span removal: keep-first cuts echoes, survivors rejoin in order") {
     import spark.implicits._
     val span = (1 to 8).map(i => s"s$i").mkString(" ")
     val docs = Seq(
-      (0L, span + " x " + span),                       // keeps only "x"
-      (1L, "lead " + span + " tail"),                  // keeps "lead tail"
+      // first occurrence (0, 0) SURVIVES; the echo at (0, 9) is cut
+      (0L, span + " x " + span),
+      // (1, 1) is a later instance of the same gram: cut
+      (1L, "lead " + span + " tail"),
       (2L, (1 to 20).map(i => s"u$i").mkString(" ")),  // untouched
       (3L, "short doc")                                // < spanLen: untouched
     ).toDF("doc_id", "text")
     val got = Dedup.removeDuplicateSpans(docs, "text", "doc_id")
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
-    assert(got(0L) == (17L, 1L, "x"), s"got ${got(0L)}")
+    assert(got(0L) == (17L, 9L, span + " x"), s"got ${got(0L)}")
     assert(got(1L) == (10L, 2L, "lead tail"), s"got ${got(1L)}")
     assert(got(2L) == (20L, 20L, (1 to 20).map(i => s"u$i").mkString(" ")))
     assert(got(3L) == (2L, 2L, "short doc"))
-    // fully-covered doc comes back empty, not null
+    // identical docs: the first keeps its text whole, the echo empties —
+    // near-dup pairs degrade to a kept representative, never mutual
+    // destruction (empty string, not null)
     val all = Seq((7L, span), (8L, span)).toDF("doc_id", "text")
     val gotAll = Dedup.removeDuplicateSpans(all, "text", "doc_id")
       .collect().map(r => (r.getLong(0), r.getString(3))).toMap
-    assert(gotAll(7L) == "" && gotAll(8L) == "")
+    assert(gotAll(7L) == span && gotAll(8L) == "")
     // repeated-space tokenization round-trips byte-identically when untouched
     val spaced = Seq((5L, "a  b")).toDF("doc_id", "text")
     assert(Dedup.removeDuplicateSpans(spaced, "text", "doc_id")
