@@ -459,9 +459,12 @@ object Dedup {
     * degrading to a kept representative.)
     *
     * Scale shape, same as the stats twin: gram instances ride the shuffle
-    * as xxhash64 longs, ONE hash-keyed frequency aggregate, a per-gram
-    * first-instance window on the same shuffle key, join-back, and a
-    * per-doc covered-position set (bounded by doc length). The rebuild
+    * as xxhash64 longs, ONE hash-keyed aggregate computes BOTH the
+    * frequency cut and the surviving instance — `min(struct(id, pos))` is
+    * partial-aggregatable, so map-side combiners absorb even the hottest
+    * boilerplate gram (a window would funnel every instance of it through
+    * one task's sort) — then a join-back marks the echoes and a per-doc
+    * covered-position set (bounded by doc length). The rebuild
     * subtracts positions with `array_except` (hash-based, order-preserving)
     * — no per-token membership scans. Candidates are instances, never
     * pairs: corpus-linear end to end.
@@ -479,16 +482,16 @@ object Dedup {
         s"transform(sequence(0, size(split($textCol, ' ')) - $spanLen), " +
         s"i -> xxhash64(concat_ws(' ', slice(split($textCol, ' '), i + 1, $spanLen))))"
       )).as(Seq("pos", "gh")))
-    val dup = grams.groupBy("gh").agg(count(lit(1)).as("c"))
-      .where(col("c") >= minCount).select("gh")
-    // keep-first: rank each duplicated gram's instances and cut only the
-    // non-first ones — the window shuffles on the SAME key as the
-    // frequency aggregate, so this adds no new shuffle grain
-    val wFirst = org.apache.spark.sql.expressions.Window
-      .partitionBy("gh").orderBy("id", "pos")
+    // keep-first: min(struct(id, pos)) per gram IS the surviving instance
+    // (struct ordering = lexicographic (id, pos), identical to the former
+    // orderBy("id","pos") row_number ranking), and unlike a window it is
+    // partial-aggregatable — a boilerplate gram in 10^8 docs costs each
+    // map task one running min, not one task a 10^8-row sort
+    val dup = grams.groupBy("gh")
+      .agg(count(lit(1)).as("c"), min(struct(col("id"), col("pos"))).as("_first"))
+      .where(col("c") >= minCount).select("gh", "_first")
     val cut = grams.join(dup, "gh")
-      .withColumn("_rn", row_number().over(wFirst))
-      .where(col("_rn") > 1)
+      .where(struct(col("id"), col("pos")) =!= col("_first"))
       .select(col("id"), explode(expr(s"sequence(pos, pos + ${spanLen - 1})")).as("tp"))
       .distinct()
       .groupBy("id").agg(collect_set("tp").as("_cut"))
