@@ -20,8 +20,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *     unchanged (not a URL — garbage in, identity out, never a throw).
   *  2. default ports drop (`:80` for http, `:443` for https).
   *  3. the fragment (`#...`) drops entirely.
-  *  4. tracking query parameters drop: `utm_*`, `fbclid`, `gclid`,
-  *     `msclkid`, `mc_eid`, `igshid`, `ref`, `ref_src`. Remaining params
+  *  4. unambiguous tracking query parameters drop: `utm_*`, `fbclid`,
+  *     `gclid`, `msclkid`, `mc_eid`, `igshid`. (`ref` is deliberately
+  *     KEPT: it is functional on VCS/docs hosts.) Remaining params
   *     keep their ORDER (reordering would merge genuinely different query
   *     semantics on servers that care); an emptied query drops its `?`.
   *  5. duplicate slashes in the path collapse; `/./` segments drop; `/../`
@@ -36,8 +37,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object UrlCanon {
 
+  // Only UNAMBIGUOUS tracking params are stripped. Bare `ref` is NOT here:
+  // it is a functional parameter on a meaningful set of sites (VCS web UIs
+  // and docs hosts select a branch/version with it), so stripping it would
+  // canonicalize genuinely distinct pages onto one URL and drop them at
+  // the pre-fetch screen — the false-merge this file's contract forbids.
   private val TrackingParams: Set[String] = Set(
-    "fbclid", "gclid", "msclkid", "mc_eid", "igshid", "ref", "ref_src")
+    "fbclid", "gclid", "msclkid", "mc_eid", "igshid")
 
   private def isTracking(param: String): Boolean = {
     val name = param.indexOf('=') match {

@@ -25,6 +25,14 @@ object Jpeg {
 
   import PngGray.GrayImage
 
+  // Same decompression-bomb ceiling as [[PngGray]] (Png.scala MaxPixels):
+  // a crafted SOF declaring e.g. 40000x40000 would otherwise drive multi-GB
+  // plane/coefficient allocations before any entropy data is validated —
+  // and the resulting OutOfMemoryError is an Error, not an Exception, so
+  // decodeLuma's catch could never turn it into the None the contract
+  // promises for untrusted crawl bytes.
+  private val MaxPixels = 64L * 1024 * 1024
+
   private val ZigZag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -237,6 +245,7 @@ object Jpeg {
             width = u16(b, seg + 3)
             val nf = b(seg + 5) & 0xff
             if (width == 0 || height == 0 || nf < 1 || nf > 3) return None
+            if (width.toLong * height > MaxPixels) return None
             comps = Array.tabulate(nf) { c =>
               val o = seg + 6 + c * 3
               val comp = Component(b(o) & 0xff, (b(o + 1) & 0xf0) >> 4,
@@ -256,7 +265,11 @@ object Jpeg {
               c.bhPad = mcusY * c.v
               c.bwReal = ((width * c.h + hMax - 1) / hMax + 7) / 8
               c.bhReal = ((height * c.v + vMax - 1) / vMax + 7) / 8
-              if (progressive) c.coefs = new Array[Int](c.bwPad * c.bhPad * 64)
+              // padded-grid size in Long: Int arithmetic could silently
+              // wrap even under the pixel cap if sampling factors conspire
+              val padded = c.bwPad.toLong * c.bhPad * 64
+              if (padded > Int.MaxValue) return None
+              if (progressive) c.coefs = new Array[Int](padded.toInt)
             }
           case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
                0xcd | 0xce | 0xcf =>

@@ -124,10 +124,12 @@ object Fasta {
     // feeding the broadcast offsets, then the main row-number path). An
     // uncached input would re-read and re-parse every FASTA file per scan —
     // and, worse, a file mutated between the scans would skew every uid
-    // after it. Pin one snapshot for both scans; callers that materialize
-    // the index can drop it via records.unpersist() afterwards.
-    if (records.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      records.persist()
+    // after it. Pin one snapshot for both scans — and UNPIN it before
+    // returning (below): repeated index() calls over different corpora in
+    // one session must not accumulate caches this function never releases.
+    val ownPin = records.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (ownPin)
+      records.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val defline =
       if (fullDefline) rtrim(col("defline"))
       else org.apache.spark.sql.functions.split(rtrim(col("defline")), " ").getItem(0)
@@ -145,11 +147,23 @@ object Fasta {
         sum("_rc").over(Window.orderBy("file")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("file"), col("_foff"))
-    records
+    val out = records
       .withColumn("_rn", row_number().over(wf).cast("long"))
       .join(broadcast(offs), Seq("file"))
       .withColumn("uid", col("_foff") + col("_rn") + lit(startUid - 1L))
       .select(col("uid"), col("offset"), col("bpLen").as("length"), defline.as("defline"))
+    if (!ownPin) out
+    else {
+      // Materialize BOTH scans against the pinned snapshot now, persist the
+      // RESULT (index rows: 4 narrow columns per sequence — metadata-sized
+      // next to the sequence bytes), then release the input pin. The one
+      // cache that survives is the returned frame itself, whose lifecycle
+      // the caller owns — a second .cache() on it is a harmless no-op.
+      val pinned = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned.count()
+      records.unpersist()
+      pinned
+    }
   }
 
   /** Sliding-window splitter (reference A22, `splitter.py:144-182`):

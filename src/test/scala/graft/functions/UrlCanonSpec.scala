@@ -20,7 +20,10 @@ class UrlCanonSpec extends SparkSpec {
       "http://e.com/a?x=1&y=2")
     assert(c("http://e.com/a?b=2&a=1") == "http://e.com/a?b=2&a=1") // no reorder
     assert(c("http://e.com/a?utm_campaign=x") == "http://e.com/a") // emptied ? drops
-    assert(c("http://e.com/a?ref=home&q=k") == "http://e.com/a?q=k")
+    // bare `ref` is FUNCTIONAL on VCS/docs hosts (selects a branch or
+    // version) — stripping it would false-merge distinct pages, so it
+    // survives canonicalization
+    assert(c("http://e.com/a?ref=main&q=k") == "http://e.com/a?ref=main&q=k")
   }
 
   test("path normalization: //, /./, /../ resolve; never above root") {

@@ -189,4 +189,22 @@ class JpegSpec extends SparkSpec {
     val png = PngGray.render(8, 8, Array.fill(64)(7), 0, _ => 0)
     assert(Jpeg.decodeLuma(png).isEmpty)
   }
+
+  test("decompression bomb: huge SOF dimensions refused before allocating") {
+    val good = Jpeg.renderGrayDcOnly(2, 2, Array(1, 2, 3, 4))
+    val bomb = good.clone()
+    val sofAt = bomb.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    // patch height/width (marker 2 + len 2 + precision 1) to 65535x65535 —
+    // 4.3e9 declared pixels; must yield None (PngGray MaxPixels contract),
+    // not an OutOfMemoryError from plane/coefficient allocation
+    bomb(sofAt + 5) = 0xff.toByte; bomb(sofAt + 6) = 0xff.toByte
+    bomb(sofAt + 7) = 0xff.toByte; bomb(sofAt + 8) = 0xff.toByte
+    assert(Jpeg.decodeLuma(bomb).isEmpty)
+    // progressive twin: same guard ahead of the per-component coef arrays
+    val prog2 = Jpeg.renderGrayDcOnlyProgressive(2, 2, Array(1, 2, 3, 4))
+    val sof2 = prog2.indexOfSlice(Seq(0xff.toByte, 0xc2.toByte))
+    prog2(sof2 + 5) = 0xff.toByte; prog2(sof2 + 6) = 0xff.toByte
+    prog2(sof2 + 7) = 0xff.toByte; prog2(sof2 + 8) = 0xff.toByte
+    assert(Jpeg.decodeLuma(prog2).isEmpty)
+  }
 }
