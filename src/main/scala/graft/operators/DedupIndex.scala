@@ -139,6 +139,41 @@ object DedupIndex {
       AnnIndex.swapIn(spark, path, s"$path/$art", s"$path/$art.remove.tmp", "remove")
   }
 
+  /** Rewrite both accumulated artifacts into a compacted layout — the
+    * [[AnnIndex.compactIndex]] twin for the dedup index. Every [[append]]
+    * (and each streamed micro-batch through the ingest loop) adds parquet
+    * files to `buckets.parquet`/`sets.parquet`; reads stay CORRECT but a
+    * recurring-ingest index degenerates into a small-files problem — per-
+    * file open cost on every screen's bucket join and set fetch. Compaction
+    * is one round-robin rewrite of each artifact sized so output files
+    * approach `spark.sql.files.maxPartitionBytes` (the scan-split grain:
+    * bigger files would not add read parallelism, smaller ones re-create
+    * the problem), swapped in via the same two-rename
+    * tmp-build-then-install as [[remove]] ([[AnnIndex.swapIn]], rollback on
+    * a failed install). Both tmp layouts are fully written BEFORE the first
+    * swap, so the heavy phase touches nothing live; single-writer
+    * maintenance, like the reference's formatdb runs — not an online swap.
+    * Results are byte-for-byte unaffected: q135 pins a screen over a
+    * built→appended→compacted index against the same brute-force oracle as
+    * the never-compacted q113.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val arts = Seq("buckets.parquet", "sets.parquet")
+    for (art <- arts) { // rewrite phase: live artifacts untouched throughout
+      val live = s"$path/$art"
+      val bytes = fs.getContentSummary(new Path(live)).getLength
+      val nOut = math.max(1L, (bytes + maxBytes - 1) / maxBytes).toInt
+      spark.read.parquet(live)
+        .repartition(nOut)
+        .write.mode("overwrite").parquet(s"$path/$art.compact.tmp")
+    }
+    for (art <- arts) // install phase: two renames per artifact, nothing heavy between
+      AnnIndex.swapIn(spark, path, s"$path/$art", s"$path/$art.compact.tmp", "compact")
+  }
+
   /** Per-member-count / file-count report, the [[AnnIndex.describeIndex]]
     * analog: append accumulation shows up as file growth.
     */

@@ -84,6 +84,12 @@ object PipelineQueries extends QuerySet {
     import scala.jdk.CollectionConverters._
     val src = Paths.get(from)
     val dst = Paths.get(to)
+    // A prior run that crashed between fork and done-marker leaves behind
+    // UUID-named parquet part-files the copy would NOT overwrite — they'd
+    // silently merge with the fresh copy. Clear the destination first.
+    if (Files.exists(dst))
+      Files.walk(dst).iterator().asScala.toSeq.sortBy(_.toString).reverse
+        .foreach(Files.delete)
     Files.walk(src).iterator().asScala.toSeq.sortBy(_.toString).foreach { p =>
       val q = dst.resolve(src.relativize(p).toString)
       if (Files.isDirectory(p)) Files.createDirectories(q)
@@ -1047,6 +1053,39 @@ object PipelineQueries extends QuerySet {
         .orderBy("a_id", "b_id")
     }),
 
+    // The compaction LIFECYCLE under oracle (q110's shape for the dedup
+    // index): fork the shared base (residues 1-4), TAKE DOWN residues 3/4,
+    // re-APPEND each as its own batch — the recurring-ingest pattern that
+    // accumulates parquet files per batch — then COMPACT both artifacts
+    // down to the maxPartitionBytes grain and screen the incoming residue-0
+    // batch. The final member set is residues 1-4, exactly q113's index,
+    // so the SAME brute-force oracle pins that remove→append→compact is
+    // byte-for-byte invisible to screen results; DedupIndexSpec pins the
+    // file-count collapse itself. Done-marker discipline as q123 (the
+    // lifecycle MUTATES the fork).
+    "q135_dedup_index_compacted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedupidx_cmp_" +
+        s"${math.abs(dir.hashCode)}_${src.lastModified}"
+      val done = new java.io.File(s"$path/_COMPACT_DONE")
+      if (!done.exists) {
+        forkIndexDir(ensureDedupBase(s, dir), path)
+        graft.operators.DedupIndex.remove(s, path,
+          docs.where(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4)
+            .select("doc_id"))
+        for (residue <- Seq(3, 4))
+          graft.operators.DedupIndex.append(
+            docs.where(col("doc_id") % 5 === residue), "text", "doc_id", path)
+        graft.operators.DedupIndex.compact(s, path)
+        done.createNewFile()
+      }
+      graft.operators.DedupIndex.screen(s, path,
+          docs.where(col("doc_id") % 5 === 0), "text", "doc_id",
+          threshold = 0.5, maxBucketSize = Int.MaxValue)
+        .orderBy("a_id", "b_id")
+    }),
+
     // The streaming screen-and-ingest LOOP under oracle (q112's replay
     // pattern for the dedup side): two batches run through the exact
     // foreachBatch body [[graft.streaming.DedupStreams.screenAndIngestBatch]]
@@ -1276,6 +1315,9 @@ object PipelineQueries extends QuerySet {
     "q104_incremental_dedup" -> incrementalDedupOracle,
     // identical semantics served from the persisted signature index
     "q113_dedup_index_screen" -> incrementalDedupOracle,
+    // remove→append→compact must be invisible: same index membership as
+    // q113, same brute-force oracle
+    "q135_dedup_index_compacted" -> incrementalDedupOracle,
     // the two-batch streaming loop, brute force: batch 1 screens against
     // existing; batch 2 against existing ∪ batch-1 survivors
     "q124_streaming_dedup_ingest" ->

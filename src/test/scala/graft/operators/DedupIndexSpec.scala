@@ -108,6 +108,41 @@ class DedupIndexSpec extends SparkSpec {
     assert(DedupIndex.describe(spark, path).head().getLong(0) == 3)
   }
 
+  test("compact: append-accumulated files collapse; screen results identical") {
+    import spark.implicits._
+    val path = tmp()
+    DedupIndex.build(corpus(), "text", "doc_id", path,
+      shingleN = 3, numHashes = 32, bands = 16)
+    // three single-doc appends — the recurring-ingest accumulation pattern
+    for ((id, txt) <- Seq(
+        10L -> "quantum flux capacitor resonates with tachyon particle streams nicely today",
+        12L -> "solar panels convert photons into electrons across silicon junctions daily",
+        14L -> "mountain rivers carve canyons through sandstone over geological epochs slowly"))
+      DedupIndex.append(Seq((id, txt)).toDF("doc_id", "text"), "text", "doc_id", path)
+    def nFiles() = DedupIndex.describe(spark, path).head().getInt(2)
+    val before = DedupIndex.screen(spark, path, incoming(), "text", "doc_id",
+        threshold = 0.4, maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val filesBefore = nFiles()
+    assert(filesBefore >= 4, s"appends should accumulate files, got $filesBefore")
+    DedupIndex.compact(spark, path)
+    assert(nFiles() < filesBefore,
+      s"compaction must shrink the file count ($filesBefore -> ${nFiles()})")
+    // tiny artifacts land in ONE file at the maxPartitionBytes grain
+    assert(nFiles() == 1L, s"expected a single compacted file, got ${nFiles()}")
+    val after = DedupIndex.screen(spark, path, incoming(), "text", "doc_id",
+        threshold = 0.4, maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after == before, s"compaction changed results: ${(after diff before) ++ (before diff after)}")
+    // members appended before compaction still screen as first-class
+    val probe = Seq((11L,
+      "quantum flux capacitor resonates with tachyon particle streams nicely tomorrow"))
+      .toDF("doc_id", "text")
+    val f = DedupIndex.screen(spark, path, probe, "text", "doc_id", 0.4,
+      Int.MaxValue).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(f == Set((10L, 11L)), s"got $f")
+  }
+
   test("end-to-end curation loop: WARC stream -> screen -> survivors join the index") {
     import graft.sources.Warc
     val idxPath = tmp()
