@@ -44,16 +44,24 @@ object Multimodal {
     * the per-element lambda would be O(n²) per row.
     */
   def aHashFromGray(df: DataFrame, pixelsCol: String, idCol: String): DataFrame =
+    withAHash(df, pixelsCol).select(col(idCol).as("id"), col("simhash"))
+
+  /** Append the aHash fingerprint of `pixelsCol` as a `simhash` column,
+    * leaving every other column in place — the shared kernel behind
+    * [[aHashFromGray]] (per-image ids) and [[keyframeAHashFromMp4]]
+    * (per-frame rows that must keep their ord/offset metadata).
+    */
+  private[operators] def withAHash(df: DataFrame, pixelsCol: String): DataFrame =
     df.withColumn("_n", size(col(pixelsCol)).cast("bigint"))
       .withColumn("_psum",
         expr(s"aggregate($pixelsCol, cast(0 as bigint), (a, x) -> a + x)"))
-      .select(col(idCol).as("id"), expr(
+      .withColumn("simhash", expr(
         s"CASE WHEN _n BETWEEN 1 AND 60 THEN " +
         s"aggregate(sequence(0, cast(_n as int) - 1), cast(0 as bigint), (acc, j) -> acc + " +
         s"CASE WHEN cast(element_at($pixelsCol, j + 1) as bigint) * _n > _psum " +
         s"THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END) " +
-        s"ELSE cast(null as bigint) END"
-      ).as("simhash"))
+        s"ELSE cast(null as bigint) END"))
+      .drop("_n", "_psum")
 
   /** REAL-pixel aHash: decode a PNG payload column ([[PngGray]] — full
     * IDAT inflate + scanline unfilter, not just headers), block-mean
@@ -339,6 +347,160 @@ object Multimodal {
     }
   }
 
+  /** CONTENT-level WAV/PCM decode — the audio twin of [[PngGray]]/[[Jpeg]]
+    * real pixels: where [[AudioHeaders]] stops at the header fields, this
+    * reads the actual sample data of the "data" chunk (16-bit little-endian
+    * signed or 8-bit unsigned PCM — the two layouts RIFF defines for
+    * format 1; anything else already refused by the header contract) and
+    * derives the curation features a crawl audio pipeline thresholds on:
+    * per-window mean-amplitude fingerprint (the aHash formula over time
+    * windows instead of grid cells) and the zero-crossing count. Everything
+    * downstream of the byte walk is INTEGER arithmetic — abs-amplitude
+    * sums, sign comparisons — so fixtures replay arithmetically in any SQL
+    * engine, the q127/q130 oracle discipline.
+    *
+    * Multi-channel audio reads CHANNEL 0 (frame-leading bytes): a
+    * fingerprint needs one deterministic projection, and channel 0 is
+    * replayable without a mixdown convention. Truncated data chunks yield
+    * the samples actually present; unparseable bytes yield None.
+    */
+  object WavPcm extends Serializable {
+    final case class PcmFeatures(nSamples: Long, zcr: Long, winAbsSums: Array[Long])
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Channel-0 samples of a PCM WAV, 16-bit signed or 8-bit (centered to
+      * signed by -128). Same guarded Long chunk walk as
+      * [[AudioHeaders.decodeWav]]; the sample count honors BOTH the data
+      * chunk's claimed size and the bytes actually present.
+      */
+    def decodeChannel0(b: Array[Byte]): Option[Array[Int]] = {
+      if (b == null || b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+      var i = 12L
+      var fmtOk = false
+      var channels = 0; var blockAlign = 0; var bits = 0
+      var dataAt = -1; var dataLen = 0L
+      var walkOk = true
+      while (walkOk && i + 8 <= b.length && (!fmtOk || dataAt < 0)) {
+        val at = i.toInt
+        val id = tag(b, at)
+        val sz = le32(b, at + 4)
+        if (id == "fmt " && sz >= 16 && i + 8 + 16 <= b.length) {
+          if (le16(b, at + 8) != 1) return None // PCM integer only here
+          channels = le16(b, at + 10)
+          blockAlign = le16(b, at + 20)
+          bits = le16(b, at + 22)
+          fmtOk = true
+        } else if (id == "data") { dataAt = at + 8; dataLen = sz }
+        val next = i + 8L + sz + (sz & 1L)
+        if (next <= i || next > Int.MaxValue) walkOk = false
+        else i = next
+      }
+      if (!fmtOk || dataAt < 0) return None
+      if (channels < 1 || blockAlign < 1 || (bits != 8 && bits != 16)) return None
+      if (blockAlign < channels * bits / 8) return None
+      val avail = math.min(dataLen, (b.length - dataAt).toLong)
+      val n = (avail / blockAlign).toInt
+      val out = new Array[Int](n)
+      var s = 0
+      while (s < n) {
+        val off = dataAt + s * blockAlign
+        out(s) =
+          if (bits == 16) (le16(b, off) << 16) >> 16 // sign-extend
+          else u8(b, off) - 128
+        s += 1
+      }
+      Some(out)
+    }
+
+    /** Integer time-domain features: total count, zero crossings (sign(s)
+      * = s >= 0; a crossing is a sign change between adjacent samples), and
+      * per-window sums of |sample| with window(k) = k * nWindows / n — the
+      * same integer partition a SQL oracle replays with index arithmetic.
+      */
+    def features(samples: Array[Int], nWindows: Int): PcmFeatures = {
+      val n = samples.length
+      val ws = new Array[Long](nWindows)
+      var zcr = 0L
+      var k = 0
+      while (k < n) {
+        val v = samples(k)
+        ws(((k.toLong * nWindows) / n).toInt) += math.abs(v.toLong)
+        if (k > 0 && (v >= 0) != (samples(k - 1) >= 0)) zcr += 1
+        k += 1
+      }
+      PcmFeatures(n.toLong, zcr, ws)
+    }
+
+    /** Render a mono 16-bit PCM WAV — the fixture writer ([[
+      * graft.operators.Jpeg.renderGrayDcOnly]] discipline): real RIFF/fmt/
+      * data layout, so oracles replay the decode from the sample arithmetic
+      * alone while the engine walks genuine bytes.
+      */
+    def render16(samples: Array[Int], sampleRate: Int = 8000): Array[Byte] = {
+      require(samples.forall(s => s >= -32768 && s <= 32767), "16-bit samples")
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def w32(v: Long): Unit = { var i = 0; while (i < 4) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+      def ascii(s: String): Unit = out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val dataLen = samples.length * 2L
+      ascii("RIFF"); w32(36 + dataLen); ascii("WAVE")
+      ascii("fmt "); w32(16); w16(1); w16(1); w32(sampleRate)
+      w32(sampleRate * 2L); w16(2); w16(16)
+      ascii("data"); w32(dataLen)
+      samples.foreach(w16)
+      if (dataLen % 2 == 1) out.write(0) // even padding (never hit at 16-bit)
+      out.toByteArray
+    }
+  }
+
+  /** Audio fingerprint over a WAV payload column — the [[aHashFromJpeg]]
+    * shape for the audio modality: per-partition PCM decode
+    * ([[WavPcm.decodeChannel0]]) to `nWindows` abs-amplitude window sums +
+    * zero-crossing count (the only imperative stage), then the aHash
+    * threshold fingerprint — bit j set iff window j's abs-sum exceeds the
+    * per-window mean — as a codegen'd integer expression. Output:
+    * (id, n_samples, zcr, simhash); near-dups then come from
+    * [[Dedup.simHashPairs]] with `nBits = nWindows`, exactly like the
+    * image aHash family. Undecodable / empty payloads yield NULL features,
+    * never a task failure. `nWindows` <= 60 keeps clear of the sign bit
+    * (the cross-engine convention of [[aHashFromGray]]).
+    */
+  def audioFingerprintFromWav(df: DataFrame, wavCol: String, idCol: String,
+                              nWindows: Int = 60): DataFrame = {
+    require(nWindows >= 1 && nWindows <= 60, s"nWindows in [1, 60], got $nWindows")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val wavIdx = df.schema.fieldIndex(wavCol)
+    val outSchema = df.schema
+      .add("n_samples", LongType).add("zcr", LongType)
+      .add("wsum", ArrayType(LongType))
+    val rows = df.rdd.mapPartitions { it =>
+      val decoder = WavPcm // per-partition handle; real codecs init here
+      it.map { r =>
+        decoder.decodeChannel0(r.get(wavIdx).asInstanceOf[Array[Byte]])
+          .filter(_.nonEmpty).map(s => decoder.features(s, nWindows)) match {
+          case Some(f) => Row.fromSeq(r.toSeq ++ Seq(f.nSamples, f.zcr, f.winAbsSums.toSeq))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+      .withColumn("_wtot", expr("aggregate(wsum, cast(0 as bigint), (a, x) -> a + x)"))
+      .select(col(idCol).as("id"), col("n_samples"), col("zcr"), expr(
+        s"CASE WHEN wsum IS NULL THEN cast(null as bigint) ELSE " +
+        s"aggregate(sequence(0, $nWindows - 1), cast(0 as bigint), (acc, j) -> acc + " +
+        s"CASE WHEN element_at(wsum, j + 1) * $nWindows > _wtot " +
+        s"THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END) END"
+      ).as("simhash"))
+  }
+
   /** REAL (non-stub) video metadata decode — completes the
     * image/audio/video triple next to [[ImageHeaders]]/[[AudioHeaders]].
     * ISO BMFF (MP4) layout is public and fixed: a stream of boxes, each a
@@ -443,6 +605,233 @@ object Multimodal {
       if (timescale <= 0 || duration < 0) return None
       Some(VideoMeta(brand, timescale, duration * 1000 / timescale, nTracks, width, height))
     }
+  }
+
+  /** CONTENT-level MP4 sample access — where [[VideoHeaders]] stops at
+    * mvhd/tkhd, this walks the video track's SAMPLE TABLES (the part of
+    * ISO BMFF that actually locates media bytes): `stss` (sync/keyframe
+    * sample numbers), `stsz` (per-sample or constant sizes), `stsc`
+    * (sample-to-chunk runs: each entry covers chunks
+    * [first_chunk, next.first_chunk)), `stco` (absolute chunk offsets).
+    * The chunk mapping is the GENERAL one — samples assigned to chunks by
+    * the stsc run table, each sample's offset = its chunk's stco offset +
+    * the sizes of prior samples in that chunk — not a shortcut tuned to
+    * the fixture layout. Sync samples out of the payload's byte range (a
+    * truncated download) refuse the whole video: a keyframe set with
+    * silent holes would fingerprint as a different video, the one thing a
+    * dedup signal must never do.
+    *
+    * Containers without stss decode to None (no keyframe list — audio
+    * tracks, fragmented MP4); callers surface that as zero frames for the
+    * video, never a task failure.
+    */
+  object VideoKeyframes extends Serializable {
+    /** One sync sample: ordinal among keyframes (0-based), its 1-based
+      * sample number, absolute byte offset and size within the payload.
+      */
+    final case class SyncSample(ord: Int, sampleNo: Int, offset: Long, size: Int,
+                                bytes: Array[Byte])
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def be32(b: Array[Byte], i: Int): Long =
+      (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Find the payload range of the first `name` box inside [start, end). */
+    private def find(b: Array[Byte], start: Int, end: Int, name: String): Option[(Int, Int)] = {
+      var i = start
+      while (i + 8 <= end) {
+        val sz = be32(b, i)
+        if (sz < 8 || i + sz > end) return None
+        if (tag(b, i + 4) == name) return Some((i + 8, i + sz.toInt))
+        i += sz.toInt
+      }
+      None
+    }
+
+    /** u32 table with a leading version/flags word and entry count. */
+    private def table(b: Array[Byte], s: Int, e: Int, perEntry: Int): Option[Array[Long]] = {
+      if (s + 8 > e) return None
+      val n = be32(b, s + 4)
+      if (n < 0 || s + 8 + n * 4 * perEntry > e) return None
+      Some(Array.tabulate(n.toInt * perEntry)(k => be32(b, s + 8 + k * 4)))
+    }
+
+    def decode(bytes: Array[Byte]): Option[Seq[SyncSample]] = {
+      if (bytes == null || bytes.length < 12 || tag(bytes, 4) != "ftyp") return None
+      val (moovS, moovE) = find(bytes, 0, bytes.length, "moov").getOrElse(return None)
+      // first trak whose tkhd carries nonzero 16.16 dims = the video track
+      var trakAt = moovS
+      var stbl: Option[(Int, Int)] = None
+      while (stbl.isEmpty && trakAt < moovE) {
+        find(bytes, trakAt, moovE, "trak") match {
+          case None => trakAt = moovE
+          case Some((ts, te)) =>
+            val isVideo = find(bytes, ts, te, "tkhd").exists { case (ks, ke) =>
+              ke - ks >= 8 && (be32(bytes, ke - 8) >> 16) > 0 && (be32(bytes, ke - 4) >> 16) > 0
+            }
+            if (isVideo)
+              stbl = find(bytes, ts, te, "mdia")
+                .flatMap { case (ms, me) => find(bytes, ms, me, "minf") }
+                .flatMap { case (ms, me) => find(bytes, ms, me, "stbl") }
+            trakAt = te
+        }
+      }
+      val (ss, se) = stbl.getOrElse(return None)
+      val stss = find(bytes, ss, se, "stss").flatMap { case (s, e) => table(bytes, s, e, 1) }
+        .getOrElse(return None)
+      val stco = find(bytes, ss, se, "stco").flatMap { case (s, e) => table(bytes, s, e, 1) }
+        .getOrElse(return None)
+      val stsc = find(bytes, ss, se, "stsc").flatMap { case (s, e) => table(bytes, s, e, 3) }
+        .getOrElse(return None)
+      // stsz: version/flags, sample_size (0 = per-sample table), count, sizes
+      val (fixedSize, nSamples, sizeTab) = find(bytes, ss, se, "stsz") match {
+        case Some((s, e)) if s + 12 <= e =>
+          val fixed = be32(bytes, s + 4)
+          val n = be32(bytes, s + 8).toInt
+          if (fixed != 0) (fixed, n, null: Array[Long])
+          else if (s + 12 + n.toLong * 4 <= e)
+            (0L, n, Array.tabulate(n)(k => be32(bytes, s + 12 + k * 4)))
+          else return None
+        case _ => return None
+      }
+      def sizeOf(sample0: Int): Long = if (fixedSize != 0) fixedSize else sizeTab(sample0)
+      // walk chunks in order, assigning samples per the stsc runs, summing
+      // in-chunk offsets — the general mapping every conformant reader does
+      val nChunks = stco.length
+      val offsets = new Array[Long](nSamples)
+      var entry = 0
+      var sample = 0
+      var chunk = 1
+      while (chunk <= nChunks && sample < nSamples) {
+        while (entry + 1 < stsc.length / 3 && stsc((entry + 1) * 3) <= chunk) entry += 1
+        val perChunk = stsc(entry * 3 + 1).toInt
+        var off = stco(chunk - 1)
+        var k = 0
+        while (k < perChunk && sample < nSamples) {
+          offsets(sample) = off
+          off += sizeOf(sample)
+          sample += 1
+          k += 1
+        }
+        chunk += 1
+      }
+      if (sample < nSamples) return None // chunk tables don't cover the samples
+      val frames = stss.zipWithIndex.map { case (snoL, ord) =>
+        val sno = snoL.toInt
+        if (sno < 1 || sno > nSamples) return None
+        val off = offsets(sno - 1)
+        val sz = sizeOf(sno - 1)
+        if (off < 0 || sz < 0 || sz > Int.MaxValue || off + sz > bytes.length) return None
+        val fb = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt)
+        SyncSample(ord, sno, off, sz.toInt, fb)
+      }
+      Some(frames.toSeq)
+    }
+
+    /** Fixture writer: a REAL ISO BMFF container around MJPEG frames —
+      * ftyp, moov(mvhd + trak(tkhd + mdia(minf(stbl(stts/stsc/stsz/stco/
+      * stss))))), mdat — chunks of `samplesPerChunk` samples at a fixed
+      * per-chunk stride so every chunk offset is pure arithmetic for the
+      * oracle while the reader must still walk the genuine tables (samples
+      * within a chunk pack back-to-back, the real ISO BMFF contract the
+      * in-chunk size accumulation of [[decode]] depends on). `keyframes`
+      * are 1-based sample numbers into `frames`; non-listed samples are
+      * opaque inter-frame filler (a real reader never touches them). stsd
+      * is deliberately omitted: it carries codec config our walker does
+      * not consume, and the box walk skips unknown siblings by design.
+      */
+    def renderMjpegMp4(frames: Seq[Array[Byte]], keyframes: Seq[Int],
+                       width: Int, height: Int, stride: Int = 2048,
+                       samplesPerChunk: Int = 1): Array[Byte] = {
+      require(frames.forall(_.length <= stride), s"frames must fit the $stride-byte slot")
+      require(keyframes.forall(k => k >= 1 && k <= frames.length), "1-based keyframe numbers")
+      require(samplesPerChunk >= 1, "samplesPerChunk >= 1")
+      val n = frames.length
+      val chunks = frames.grouped(samplesPerChunk).toSeq
+      val chunkStride = stride.toLong * samplesPerChunk
+      val out = new java.io.ByteArrayOutputStream()
+      def w32(v: Long): Unit = { var i = 3; while (i >= 0) { out.write(((v >> (8 * i)) & 0xff).toInt); i -= 1 } }
+      def ascii(s: String): Unit = out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      def boxHdr(sz: Long, name: String): Unit = { w32(sz); ascii(name) }
+      val sttsSz = 24L; val stscSz = 28L
+      val stszSz = 20L + 4L * n; val stcoSz = 16L + 4L * chunks.length
+      val stssSz = 16L + 4L * keyframes.length
+      val stblSz = 8 + sttsSz + stscSz + stszSz + stcoSz + stssSz
+      val minfSz = 8 + stblSz; val mdiaSz = 8 + minfSz
+      val tkhdSz = 92L; val trakSz = 8 + tkhdSz + mdiaSz
+      val mvhdSz = 108L; val moovSz = 8 + mvhdSz + trakSz
+      val mdatAt = 16 + moovSz
+      val payloadAt = mdatAt + 8
+      boxHdr(16, "ftyp"); ascii("isom"); w32(0) // brand + minor version
+      boxHdr(moovSz, "moov")
+      boxHdr(mvhdSz, "mvhd"); w32(0); w32(0); w32(0); w32(600); w32(n * 600L)
+      w32(0x00010000L); w32(0x01000000L); w32(0); w32(0) // rate, volume+reserved
+      Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L).foreach(w32) // matrix
+      (0 until 6).foreach(_ => w32(0)) // pre_defined
+      w32(2) // next_track_id
+      boxHdr(trakSz, "trak")
+      boxHdr(tkhdSz, "tkhd"); w32(7); w32(0); w32(0); w32(1); w32(0); w32(0)
+      w32(0); w32(0); w32(0); w32(0) // reserved + layer/group + volume
+      Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L).foreach(w32)
+      w32(width.toLong << 16); w32(height.toLong << 16)
+      boxHdr(mdiaSz, "mdia"); boxHdr(minfSz, "minf"); boxHdr(stblSz, "stbl")
+      boxHdr(sttsSz, "stts"); w32(0); w32(1); w32(n.toLong); w32(600)
+      boxHdr(stscSz, "stsc"); w32(0); w32(1); w32(1); w32(samplesPerChunk.toLong); w32(1)
+      boxHdr(stszSz, "stsz"); w32(0); w32(0); w32(n.toLong)
+      frames.foreach(f => w32(f.length.toLong))
+      boxHdr(stcoSz, "stco"); w32(0); w32(chunks.length.toLong)
+      chunks.indices.foreach(c => w32(payloadAt + c * chunkStride))
+      boxHdr(stssSz, "stss"); w32(0); w32(keyframes.length.toLong)
+      keyframes.foreach(k => w32(k.toLong))
+      boxHdr(8 + chunks.length * chunkStride, "mdat")
+      chunks.foreach { ch => // samples pack back-to-back; chunk pads to its stride
+        ch.foreach(f => out.write(f))
+        out.write(new Array[Byte]((chunkStride - ch.map(_.length).sum).toInt))
+      }
+      out.toByteArray
+    }
+  }
+
+  /** Per-keyframe perceptual fingerprint over an MP4 payload column — the
+    * video member of the aHash family: [[VideoKeyframes.decode]] walks the
+    * genuine sample tables to the sync samples, [[Jpeg.decodeLuma]] turns
+    * each located keyframe into real pixels, block-mean downsample to a
+    * `gw` x `gh` grid, and the shared [[withAHash]] expression fingerprints
+    * it. One output row PER KEYFRAME: (id, frame_ord, sample_no,
+    * frame_offset, simhash) — the offset column is the box walk made
+    * visible, so an oracle can pin stco/stsc/stsz arithmetic, not just
+    * pixels. Unparseable containers emit zero rows (the [[sampleFrames]]
+    * convention); a keyframe whose bytes fail the JPEG contract emits its
+    * row with a NULL hash — the per-frame decode contract stays visible
+    * per frame, while a torn container never half-fingerprints.
+    */
+  def keyframeAHashFromMp4(df: DataFrame, mp4Col: String, idCol: String,
+                           gw: Int = 10, gh: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val mp4Idx = df.schema.fieldIndex(mp4Col)
+    val outSchema = df.schema
+      .add("frame_ord", IntegerType).add("sample_no", IntegerType)
+      .add("frame_offset", LongType).add("gray", ArrayType(IntegerType))
+    val rows = df.rdd.mapPartitions { it =>
+      val decoder = VideoKeyframes // per-partition handle; real codecs init here
+      it.flatMap { r =>
+        decoder.decode(r.get(mp4Idx).asInstanceOf[Array[Byte]])
+          .getOrElse(Seq.empty).map { f =>
+            val grid = Jpeg.decodeLuma(f.bytes)
+              .filter(img => img.width >= gw && img.height >= gh)
+              .map(img => PngGray.blockMeanGrid(img, gw, gh).toSeq)
+              .orNull
+            Row.fromSeq(r.toSeq ++ Seq(f.ord, f.sampleNo, f.offset, grid))
+          }
+      }
+    }
+    withAHash(spark.createDataFrame(rows, outSchema), "gray")
+      .select(col(idCol).as("id"), col("frame_ord"), col("sample_no"),
+        col("frame_offset"), col("simhash"))
   }
 
   /** Video-header decode over a binary payload column — same

@@ -927,6 +927,74 @@ object PipelineQueries extends QuerySet {
         .orderBy("a_id", "b_id")
     }),
 
+    // CONTENT-level audio (the q130 pattern for the WAV modality): 40
+    // clips rendered to REAL RIFF/PCM bytes — genuine fmt/data chunk
+    // layout, 16-bit little-endian samples — with md5-derived sample
+    // values in near-dup families (clips sharing a decade differ only in
+    // their first audio_id % 3 samples). The engine walks the actual
+    // bytes (WavPcm.decodeChannel0) and computes window abs-sums, zero
+    // crossings, and the aHash-style fingerprint in integer arithmetic;
+    // the oracle rebuilds all three from the sample arithmetic alone, so
+    // one mis-read byte, sign-extension slip, or window-boundary
+    // off-by-one breaks the hash. Near-dup PAIRS then ride the same
+    // simHashPairs banding as the image family (pinned in MultimodalSpec;
+    // the banding itself is oracled by q130/q120).
+    "q136_wav_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      def samp(a: Long, k: Int): Int = {
+        val key = s"${if (k < a % 3) a + 1000000 else a / 10}:$k"
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex.substring(0, 13), 16) % 4096).toInt - 2048
+      }
+      val clips = (0L until 40L).map { a =>
+        (a, Multimodal.WavPcm.render16(Array.tabulate(600)(samp(a, _))))
+      }
+      Multimodal.audioFingerprintFromWav(
+          clips.toDF("audio_id", "wav"), "wav", "audio_id", nWindows = 60)
+        .select(col("id").as("audio_id"), col("n_samples"), col("zcr"),
+          col("simhash"))
+        .orderBy("audio_id")
+    }),
+
+    // CONTENT-level video — the modality triple completed: 12 videos
+    // rendered as REAL ISO BMFF containers (moov/trak/mdia/minf/stbl with
+    // genuine stts/stsc/stsz/stco/stss tables, one chunk per sample at a
+    // fixed 2048-byte stride) holding MJPEG frames; samples 1/4/7 are
+    // keyframes (real renderGrayDcOnly JPEGs with md5-derived blocks),
+    // the rest opaque inter-frame filler a conformant reader never
+    // touches. The engine walks the sample tables to the sync samples,
+    // JPEG-decodes each keyframe, and aHash-fingerprints it; the oracle
+    // re-derives every frame OFFSET arithmetically from the fixed-stride
+    // layout (payload at 452 = ftyp 16 + moov 428 + mdat header 8) and
+    // every HASH from the block arithmetic — a misread stco entry, a
+    // broken stsc run walk, or one bad luma pixel breaks the match.
+    "q137_video_keyframe_ahash" -> ((s, dir) => {
+      import s.implicits._
+      def cell(v: Long, sno: Int, j: Int): Int = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$v:$sno:$j".getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex.substring(0, 13), 16) % 256).toInt
+      }
+      val vids = (0L until 12L).map { v =>
+        val frames = (1 to 9).map { sno =>
+          if ((sno - 1) % 3 == 0)
+            graft.operators.Jpeg.renderGrayDcOnly(10, 6,
+              Array.tabulate(60)(cell(v, sno, _)))
+          else Array.fill[Byte](64 + sno)(0x55.toByte) // inter-frame filler
+        }
+        (v, Multimodal.VideoKeyframes.renderMjpegMp4(frames, Seq(1, 4, 7),
+          width = 80, height = 48))
+      }
+      Multimodal.keyframeAHashFromMp4(
+          vids.toDF("video_id", "mp4"), "mp4", "video_id", gw = 10, gh = 6)
+        .select(col("id").as("video_id"),
+          col("frame_ord").cast("long").as("frame_ord"),
+          col("sample_no").cast("long").as("sample_no"),
+          col("frame_offset"), col("simhash"))
+        .orderBy("video_id", "frame_ord")
+    }),
+
     // q130's PROGRESSIVE twin: the same families and formula, but every
     // image is a real SOF2 stream in three scans (DC first at Al=1, the
     // all-zero AC band as genuine cross-block EOB RUNS through a custom
@@ -1434,6 +1502,49 @@ object PipelineQueries extends QuerySet {
         |FROM sig a JOIN sig b ON a.img_id < b.img_id
         |WHERE bit_count(xor(a.h, b.h)) <= 6
         |ORDER BY a_id, b_id""".stripMargin,
+    // the WAV content decode replayed from sample arithmetic: 600 16-bit
+    // samples per clip, window j = samples [10j, 10j+10), bit j set iff
+    // the window's abs-sum beats the per-window mean; zcr counts sign
+    // changes with sign(s) = s >= 0 — all integer, so any byte-walk error
+    // in the engine's RIFF/PCM decode breaks the hash
+    "q136_wav_fingerprint" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 39)) AS audio_id),
+        |s AS (SELECT audio_id, list_transform(range(0, 600), k ->
+        |    ('0x' || substr(md5(CAST(CASE WHEN k < audio_id % 3 THEN audio_id + 1000000
+        |        ELSE audio_id // 10 END AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 13))::BIGINT % 4096 - 2048) AS sm
+        |  FROM ids),
+        |z AS (SELECT audio_id, CAST(list_sum(list_transform(range(1, 600), k ->
+        |    CASE WHEN (sm[k + 1] >= 0) <> (sm[k] >= 0) THEN 1 ELSE 0 END)) AS BIGINT) AS zcr
+        |  FROM s),
+        |w AS (SELECT audio_id, list_transform(range(0, 60), j ->
+        |    list_sum(list_transform(range(0, 10), t -> abs(sm[j * 10 + t + 1])))) AS ws
+        |  FROM s),
+        |sig AS (SELECT audio_id, CAST(list_sum(list_transform(range(0, 60), j ->
+        |    CASE WHEN ws[j + 1] * 60 > list_sum(ws) THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
+        |  FROM w)
+        |SELECT s.audio_id, CAST(600 AS BIGINT) AS n_samples, z.zcr, sig.simhash
+        |FROM s JOIN z USING (audio_id) JOIN sig USING (audio_id)
+        |ORDER BY audio_id""".stripMargin,
+    // the MP4 keyframe walk replayed arithmetically: sync samples 1/4/7,
+    // payload base 452 (ftyp 16 + moov 428 + mdat header 8), one chunk
+    // per sample at stride 2048, keyframe pixels from the same md5 block
+    // arithmetic the JPEG DC-only fixtures pin bit-exactly
+    "q137_video_keyframe_ahash" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 11)) AS video_id),
+        |fr AS (SELECT video_id, unnest([1, 4, 7]) AS sample_no,
+        |              unnest([0, 1, 2]) AS frame_ord FROM ids),
+        |g AS (SELECT video_id, sample_no, frame_ord, list_transform(range(0, 60), j ->
+        |    ('0x' || substr(md5(CAST(video_id AS VARCHAR) || ':' || CAST(sample_no AS VARCHAR)
+        |        || ':' || CAST(j AS VARCHAR)), 1, 13))::BIGINT % 256) AS gray
+        |  FROM fr),
+        |sig AS (SELECT video_id, frame_ord, sample_no,
+        |    CAST(list_sum(list_transform(range(0, 60), j ->
+        |      CASE WHEN gray[j + 1] * 60 > list_sum(gray) THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
+        |  FROM g)
+        |SELECT video_id, CAST(frame_ord AS BIGINT) AS frame_ord,
+        |  CAST(sample_no AS BIGINT) AS sample_no,
+        |  CAST(452 + (sample_no - 1) * 2048 AS BIGINT) AS frame_offset, simhash
+        |FROM sig ORDER BY video_id, frame_ord""".stripMargin,
     "q120_image_ahash_dedup" ->
       """WITH g AS (SELECT doc_id, list_transform(range(0, 60), j ->
         |    ('0x' || substr(md5(CAST(CASE WHEN j < doc_id % 3 THEN doc_id + 1000000

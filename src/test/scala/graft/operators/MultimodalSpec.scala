@@ -334,6 +334,92 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 10L && p._2 == 12L), s"edited grid too far: $pairs")
   }
 
+  test("WavPcm: sample round-trip, features, fingerprint; near-dups band like aHash") {
+    import spark.implicits._
+    // render -> decode round-trips the exact 16-bit samples (incl. negatives)
+    val s1 = Array.tabulate(100)(k => (k * 997) % 3000 - 1500)
+    assert(Multimodal.WavPcm.decodeChannel0(Multimodal.WavPcm.render16(s1))
+      .get.sameElements(s1))
+    // hand-computed features: 4 samples, 2 windows, signs +--+ -> 2 crossings
+    val f = Multimodal.WavPcm.features(Array(5, -3, -7, 2), 2)
+    assert(f.nSamples == 4 && f.zcr == 2)
+    assert(f.winAbsSums.toSeq == Seq(8L, 9L))
+    // near-dup clips (one sample edited) pair at low hamming; an unrelated
+    // clip stays out — the image-family banding works unchanged on audio
+    val base = Array.tabulate(600)(k => ((k * 131) % 2048) - 1024)
+    val edited = base.clone(); edited(300) = 1023
+    val other = Array.tabulate(600)(k => if (k % 20 < 10) 2000 else -2000)
+    val clips = Seq(
+      (0L, Multimodal.WavPcm.render16(base)),
+      (1L, Multimodal.WavPcm.render16(edited)),
+      (2L, Multimodal.WavPcm.render16(other))).toDF("audio_id", "wav")
+    val sig = Multimodal.audioFingerprintFromWav(clips, "wav", "audio_id")
+    val pairs = Dedup.simHashPairs(sig, maxHamming = 6,
+        maxBucketSize = Int.MaxValue, nBits = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"edited clip should near-dup base: $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), s"false positive: $pairs")
+    // undecodable payloads yield NULL features, never a task failure:
+    // junk bytes, a float-PCM wav (format 3), and a truncated header
+    val floatWav = Multimodal.WavPcm.render16(base).clone()
+    floatWav(20) = 3 // fmt audioFormat byte: 1 -> 3 (IEEE float)
+    val bad = Seq((10L, "not audio".getBytes("US-ASCII")),
+      (11L, floatWav),
+      (12L, java.util.Arrays.copyOf(Multimodal.WavPcm.render16(base), 10)))
+      .toDF("audio_id", "wav")
+    val got = Multimodal.audioFingerprintFromWav(bad, "wav", "audio_id")
+      .orderBy("id").collect()
+    assert(got.forall(_.isNullAt(3)), "undecodable payloads must hash to NULL")
+  }
+
+  test("VideoKeyframes: general stsc/stco walk, sync-sample slicing, operator contracts") {
+    import spark.implicits._
+    def jpeg(seed: Int) = graft.operators.Jpeg.renderGrayDcOnly(10, 6,
+      Array.tabulate(60)(j => (seed * 31 + j * 7) % 256))
+    val frames = (1 to 6).map(s => if (s % 2 == 1) jpeg(s) else Array.fill[Byte](50 + s)(0x11))
+    // TWO samples per chunk: in-chunk offsets must accumulate the PRIOR
+    // sample's actual size, not a fixed slot — the general ISO BMFF rule
+    val mp4 = Multimodal.VideoKeyframes.renderMjpegMp4(frames, Seq(1, 3, 5),
+      width = 80, height = 48, stride = 1024, samplesPerChunk = 2)
+    val ks = Multimodal.VideoKeyframes.decode(mp4).get
+    assert(ks.map(_.sampleNo) == Seq(1, 3, 5))
+    // chunk c base = payload + c * 2048; sample 3 (0-based 2) leads chunk 1;
+    // sample 5 leads chunk 2 — and sample bytes round-trip exactly
+    val payloadAt = ks(0).offset
+    assert(ks(1).offset == payloadAt + 2048 && ks(2).offset == payloadAt + 4096)
+    assert(ks.zip(Seq(1, 3, 5)).forall { case (k, s) => k.bytes.sameElements(frames(s - 1)) })
+    // a keyframe that is NOT chunk-leading pays the in-chunk size sum
+    val ks2 = Multimodal.VideoKeyframes.decode(
+      Multimodal.VideoKeyframes.renderMjpegMp4(frames, Seq(2, 4),
+        width = 80, height = 48, stride = 1024, samplesPerChunk = 3)).get
+    // sample 4 leads chunk 1 (base + 3072); sample 2 sits frames(0).length
+    // into chunk 0 — the in-chunk accumulation, relative to that base
+    val base2 = ks2(1).offset - 3072
+    assert(ks2(0).offset == base2 + frames(0).length)
+    assert(ks2.zip(Seq(2, 4)).forall { case (k, s) => k.bytes.sameElements(frames(s - 1)) })
+    // truncated container refuses wholesale (no silent keyframe holes)
+    assert(Multimodal.VideoKeyframes.decode(
+      java.util.Arrays.copyOf(mp4, mp4.length - 3000)).isEmpty)
+    // operator: junk emits zero rows; a corrupt keyframe keeps its row
+    // with a NULL hash; good frames fingerprint identically across videos
+    val corrupt = frames.updated(2, "notajpeg".getBytes("US-ASCII"))
+    val df = Seq(
+      (0L, mp4),
+      (1L, Multimodal.VideoKeyframes.renderMjpegMp4(frames, Seq(1, 3, 5), 80, 48, 1024, 2)),
+      (2L, Multimodal.VideoKeyframes.renderMjpegMp4(corrupt, Seq(1, 3, 5), 80, 48, 1024, 2)),
+      (3L, "not an mp4 at all".getBytes("US-ASCII"))).toDF("video_id", "mp4")
+    val got = Multimodal.keyframeAHashFromMp4(df, "mp4", "video_id")
+      .orderBy("id", "frame_ord").collect()
+    assert(got.length == 9, s"expected 3 videos x 3 keyframes, got ${got.length}")
+    assert(!got.exists(_.getLong(0) == 3L), "junk container must emit zero rows")
+    val v0 = got.filter(_.getLong(0) == 0L).map(r => (r.getInt(1), r.getLong(4)))
+    val v1 = got.filter(_.getLong(0) == 1L).map(r => (r.getInt(1), r.getLong(4)))
+    assert(v0.sameElements(v1), "identical frames must fingerprint identically")
+    val v2 = got.filter(_.getLong(0) == 2L)
+    assert(v2.count(_.isNullAt(4)) == 1 && v2.filter(_.getInt(1) == 1).head.isNullAt(4),
+      "the corrupt middle keyframe alone hashes NULL")
+  }
+
   test("sql surface: registered views answer spark.sql directly") {
     graft.Tables.registerAll(spark, sf())
     val n = spark.sql("SELECT count(*) c FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
