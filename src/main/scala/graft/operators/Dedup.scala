@@ -422,16 +422,33 @@ object Dedup {
     * per query sequence (`mrblast.cpp` hit postprocessing), re-aimed at
     * corpus curation.
     */
+  /** The unit a duplicated span is measured in: `"token"` splits on single
+    * spaces (the cheap whitespace grain); `"char"` shingles characters —
+    * the grain the Lee et al. reference actually dedups at (byte
+    * suffixes), visible across tokenization differences a token grain
+    * cannot see (sub-token duplication, shifted word boundaries). Both
+    * grains share every downstream stage: only the split/rejoin separator
+    * differs.
+    */
+  private def spanSep(spanUnit: String): String = spanUnit match {
+    case "token" => " "
+    case "char" => ""
+    case other => throw new IllegalArgumentException(
+      s"spanUnit must be 'token' or 'char', got '$other'")
+  }
+
   def duplicateSpanStats(docs: DataFrame, textCol: String, idCol: String,
-                         spanLen: Int = 8, minCount: Int = 2): DataFrame = {
+                         spanLen: Int = 8, minCount: Int = 2,
+                         spanUnit: String = "token"): DataFrame = {
     require(spanLen >= 1 && minCount >= 2, s"need spanLen >= 1, minCount >= 2")
-    val toks = split(col(textCol), " ")
+    val sep = spanSep(spanUnit)
+    val toks = split(col(textCol), sep)
     // (doc, pos, gh) for every span instance; docs shorter than spanLen
     // emit nothing (the where guard also keeps sequence() ascending)
     val grams = docs.where(size(toks) >= spanLen)
       .select(col(idCol).as("id"), posexplode(expr(
-        s"transform(sequence(0, size(split($textCol, ' ')) - $spanLen), " +
-        s"i -> xxhash64(concat_ws(' ', slice(split($textCol, ' '), i + 1, $spanLen))))"
+        s"transform(sequence(0, size(split($textCol, '$sep')) - $spanLen), " +
+        s"i -> xxhash64(concat_ws('$sep', slice(split($textCol, '$sep'), i + 1, $spanLen))))"
       )).as(Seq("pos", "gh")))
     val dup = grams.groupBy("gh").agg(count(lit(1)).as("c"))
       .where(col("c") >= minCount).select("gh")
@@ -474,13 +491,15 @@ object Dedup {
     * from repeated spaces), documents that were pure echo come back empty.
     */
   def removeDuplicateSpans(docs: DataFrame, textCol: String, idCol: String,
-                           spanLen: Int = 8, minCount: Int = 2): DataFrame = {
+                           spanLen: Int = 8, minCount: Int = 2,
+                           spanUnit: String = "token"): DataFrame = {
     require(spanLen >= 1 && minCount >= 2, s"need spanLen >= 1, minCount >= 2")
-    val toks = split(col(textCol), " ")
+    val sep = spanSep(spanUnit)
+    val toks = split(col(textCol), sep)
     val grams = docs.where(size(toks) >= spanLen)
       .select(col(idCol).as("id"), posexplode(expr(
-        s"transform(sequence(0, size(split($textCol, ' ')) - $spanLen), " +
-        s"i -> xxhash64(concat_ws(' ', slice(split($textCol, ' '), i + 1, $spanLen))))"
+        s"transform(sequence(0, size(split($textCol, '$sep')) - $spanLen), " +
+        s"i -> xxhash64(concat_ws('$sep', slice(split($textCol, '$sep'), i + 1, $spanLen))))"
       )).as(Seq("pos", "gh")))
     // keep-first: min(struct(id, pos)) per gram IS the surviving instance
     // (struct ordering = lexicographic (id, pos), identical to the former
@@ -500,8 +519,8 @@ object Dedup {
       .select(col("id"), size(col("_t")).cast("long").as("n_tokens"),
         when(col("_cut").isNull, size(col("_t")).cast("long"))
           .otherwise(size(col("_t")) - size(col("_cut"))).cast("long").as("n_kept"),
-        when(col("_cut").isNull, concat_ws(" ", col("_t"))).otherwise(
-          expr("concat_ws(' ', transform(" +
+        when(col("_cut").isNull, concat_ws(sep, col("_t"))).otherwise(
+          expr(s"concat_ws('$sep', transform(" +
             "array_except(sequence(0, size(_t) - 1), _cut), " +
             "i -> element_at(_t, i + 1)))")).as("cleaned_text"))
   }

@@ -1077,6 +1077,19 @@ object PipelineQueries extends QuerySet {
         .orderBy("doc_id")
     }),
 
+    // q134 at the CHARACTER grain — the unit the Lee et al. reference
+    // transform actually dedups at (byte suffixes): character 40-shingles
+    // see sub-token duplication and shifted word boundaries the token
+    // 8-gram grain cannot. Same keep-first min-instance selection, same
+    // relational rebuild in the oracle, only the split/rejoin separator
+    // changes (both engines agree split('') is the char array).
+    "q138_dup_span_removal_chars" -> ((s, dir) => {
+      Dedup.removeDuplicateSpans(t(s, dir, "documents"), "text", "doc_id",
+          spanLen = 40, minCount = 2, spanUnit = "char")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q113_dedup_index_screen" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       graft.operators.DedupIndex.screen(s, ensureDedupBase(s, dir),
@@ -1561,6 +1574,33 @@ object PipelineQueries extends QuerySet {
     // lexicographically first (doc_id, pos) instance survives, later
     // instances' positions are cut; cleaned text re-joins kept positions
     // in order (same gram-string grain as q115)
+    // the char-grain twin: t is the CHARACTER array, grams are 40-char
+    // substrings, same keep-first rules relationally rebuilt
+    "q138_dup_span_removal_chars" ->
+      """WITH d AS (SELECT doc_id, string_split(text, '') AS t FROM documents),
+        |gi AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+39], '') AS g
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-39)) AS i
+        |             FROM d WHERE len(t) >= 40)),
+        |ci AS (SELECT doc_id, pos FROM (
+        |        SELECT doc_id, pos,
+        |               ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+        |               COUNT(*) OVER (PARTITION BY g) AS c
+        |        FROM gi) WHERE c >= 2 AND rn > 1),
+        |cov AS (SELECT DISTINCT doc_id, tp FROM (
+        |        SELECT doc_id, unnest(generate_series(pos, pos+39)) AS tp
+        |        FROM ci)),
+        |pos AS (SELECT doc_id, unnest(generate_series(0, len(t)-1)) AS p FROM d),
+        |keep AS (SELECT pos.doc_id, p FROM pos LEFT JOIN cov
+        |         ON cov.doc_id = pos.doc_id AND cov.tp = pos.p
+        |         WHERE cov.tp IS NULL),
+        |res AS (SELECT keep.doc_id,
+        |         string_agg(t[p + 1], '' ORDER BY p) AS cleaned_text,
+        |         COUNT(*) AS n_kept
+        |        FROM keep JOIN d ON d.doc_id = keep.doc_id GROUP BY keep.doc_id)
+        |SELECT d.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(res.n_kept, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(res.cleaned_text, '') AS cleaned_text
+        |FROM d LEFT JOIN res ON res.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin,
     "q134_dup_span_removal" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |gi AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS g

@@ -293,6 +293,42 @@ class DedupSpec extends SparkSpec {
       .head().getString(3) == "a  b")
   }
 
+  test("char-grain span removal: sub-token duplication the token grain cannot see") {
+    import spark.implicits._
+    val span = "abcdefgh" // one 8-char gram at spanLen = 8
+    val docs = Seq(
+      (0L, span + "XY" + span),   // echo at char 10 cut; (0, 0) survives
+      (1L, "QQ" + span + "ZZ"),   // later instance of the same gram: cut
+      (3L, "the licenseheader text"),  // first instances of the shared run
+      (4L, "a licenseheader! note")    // the run recurs INSIDE other tokens' context
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, "text", "doc_id",
+        spanLen = 8, minCount = 2, spanUnit = "char")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(0L) == (18L, 10L, span + "XY"), s"got ${got(0L)}")
+    assert(got(1L) == (12L, 4L, "QQZZ"), s"got ${got(1L)}")
+    assert(got(3L) == (22L, 22L, "the licenseheader text"), s"got ${got(3L)}")
+    // chars 1..14 (" licenseheader" — the leading-space gram is shared
+    // too) excised mid-token; the punctuation survives
+    assert(got(4L) == (21L, 7L, "a! note"), s"got ${got(4L)}")
+    // the TOKEN grain is blind to all of it: no doc has 8 tokens
+    val tok = Dedup.removeDuplicateSpans(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(tok(4L) == "a licenseheader! note", "token grain should not see sub-token dup")
+    // identical docs at char grain: doc 7 keeps ONE copy (its own second
+    // span is a later instance of the same gram — cut), doc 8 empties
+    val all = Seq((7L, span + span), (8L, span + span)).toDF("doc_id", "text")
+    val gotAll = Dedup.removeDuplicateSpans(all, "text", "doc_id",
+        spanLen = 8, minCount = 2, spanUnit = "char")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(gotAll(7L) == span && gotAll(8L) == "")
+    // the stats twin shares the grain switch
+    val st = Dedup.duplicateSpanStats(docs, "text", "doc_id",
+        spanLen = 8, minCount = 2, spanUnit = "char")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(st(0L) == 16L && st(3L) == 14L && st(4L) == 14L, s"got $st")
+  }
+
   test("embedding dup pairs: hot-bucket guard bounds a degenerate cluster") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
