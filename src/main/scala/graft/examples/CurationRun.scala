@@ -43,18 +43,39 @@ object CurationRun {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("source", lit("web"))
 
-  /** The full curation flow; returns (kept corpus, per-stage counts). */
+  /** The full curation flow; returns (kept corpus, per-stage counts).
+    *
+    * `funnel = true` (the demo/progress-report mode) counts every stage —
+    * but each boundary PERSISTS (memory-and-disk) before its count, so the
+    * funnel costs one materialization per stage instead of replaying the
+    * whole pipeline once per count (7 replays of the quality gate at crawl
+    * scale, quadratic work in stage depth). Intermediate pins release
+    * before returning; the returned frame keeps its own cache, which the
+    * caller owns. `funnel = false` is the production path: no counts, no
+    * pins, one lazy job graph end to end for Catalyst to optimize across
+    * stage boundaries.
+    */
   def curate(spark: SparkSession, docs: DataFrame, benchmark: DataFrame,
-             samplePerSource: Int = 100): (DataFrame, Map[String, Long]) = {
+             samplePerSource: Int = 100,
+             funnel: Boolean = true): (DataFrame, Map[String, Long]) = {
     val stages = scala.collection.mutable.LinkedHashMap[String, Long]()
-    stages("input") = docs.count()
+    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def stage(name: String, df: DataFrame): DataFrame =
+      if (!funnel) df
+      else {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pinned += p
+        stages(name) = p.count()
+        p
+      }
+    val input = stage("input", docs)
 
     // 0. Unicode-normalize BEFORE anything hashes: composed and decomposed
     // byte sequences must unify or every downstream exact-match stage
     // (content hash, shingles, decontamination) silently treats them as
     // different text. NFC via the native graft_normalize expression —
     // identity (and allocation-free) on ASCII.
-    val normed = docs.withColumn("text", expr("graft_normalize(text, 'NFC')"))
+    val normed = input.withColumn("text", expr("graft_normalize(text, 'NFC')"))
 
     // 1. quality gate: drop empty/short docs, token-repetition spam, and
     // templated text (Gopher-style duplicate-bigram fraction), then the
@@ -65,8 +86,12 @@ object CurationRun {
     // median is one metadata-sized aggregate.
     val toks = size(split(col("text"), " "))
     val uniq = size(array_distinct(split(col("text"), " ")))
-    val bigrams = expr("transform(sequence(0, size(split(text, ' ')) - 2), " +
-      "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))")
+    // guarded for < 2 tokens: predicates must be safe in ANY evaluation
+    // order (Catalyst reorders conjuncts across the stage-cache boundary),
+    // and sequence(0, -1) would step DOWN into a slice(…, 0) error
+    val bigrams = expr("IF(size(split(text, ' ')) < 2, array(), " +
+      "transform(sequence(0, size(split(text, ' ')) - 2), " +
+      "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2))))")
     val dup2 = lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams)
     val heur = normed
       .where(col("n_chars") >= 40 && toks >= 8)
@@ -74,9 +99,8 @@ object CurationRun {
       .where(dup2 < 0.5)
     val ppl = LanguageModel.bigramPerplexity(heur, "text", "doc_id")
     val pplCut = 3.0 * ppl.agg(expr("percentile_approx(ppl, 0.5)")).head().getDouble(0)
-    val quality = heur.join(
-      ppl.where(col("ppl") <= pplCut).select(col("id").as("doc_id")), "doc_id")
-    stages("quality_gate") = quality.count()
+    val quality = stage("quality_gate", heur.join(
+      ppl.where(col("ppl") <= pplCut).select(col("id").as("doc_id")), "doc_id"))
 
     // 2. exact dedup: keep min doc_id per identical content. Runs BEFORE
     // the span scrub on purpose: identical documents (e.g. the same
@@ -85,8 +109,7 @@ object CurationRun {
     // erase every copy.
     val keepExact = Dedup.exactClusters(quality, "text", "doc_id")
       .select(col("keep_id").as("doc_id"))
-    val exact = quality.join(keepExact, "doc_id")
-    stages("exact_dedup") = exact.count()
+    val exact = stage("exact_dedup", quality.join(keepExact, "doc_id"))
 
     // 2.5 ExactSubstr scrub on the deduped corpus: REMAINING cross-doc
     // duplicated 8-gram spans are memorized boilerplate (license blocks,
@@ -96,37 +119,34 @@ object CurationRun {
     // below the length floor were boilerplate-only and drop here.
     val scrub = Dedup.removeDuplicateSpans(exact, "text", "doc_id")
       .select(col("id").as("doc_id"), col("cleaned_text"))
-    val scrubbed = exact.drop("text", "n_chars")
+    val scrubbed = stage("span_scrub", exact.drop("text", "n_chars")
       .join(scrub, "doc_id")
       .withColumnRenamed("cleaned_text", "text")
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .where(col("n_chars") >= 40)
-    stages("span_scrub") = scrubbed.count()
+      .where(col("n_chars") >= 40))
 
     // 3. near-dup dedup: LSH pairs -> components -> drop non-representatives
     val pairs = Dedup.minHashDupPairs(scrubbed, "text", "doc_id",
       shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
     val dropNear = Graph.connectedComponents(pairs, "a_id", "b_id")
       .where(col("id") =!= col("cluster_id")).select(col("id").as("doc_id"))
-    val nearDeduped = scrubbed.join(dropNear, Seq("doc_id"), "left_anti")
-    stages("near_dedup") = nearDeduped.count()
+    val nearDeduped = stage("near_dedup", scrubbed.join(dropNear, Seq("doc_id"), "left_anti"))
 
     // 4. decontamination against the benchmark slice
     val contaminated = Dedup.decontaminate(nearDeduped, benchmark, "text", "doc_id",
       shingleN = 5, minShared = 3).select(col("id").as("doc_id"))
-    val clean = nearDeduped.join(contaminated, Seq("doc_id"), "left_anti")
-    stages("decontaminated") = clean.count()
+    val clean = stage("decontaminated", nearDeduped.join(contaminated, Seq("doc_id"), "left_anti"))
 
     // 5. deterministic source mixing: trim over-represented sources to
     // target rates before the sample (reproducible: pure hash of identity)
-    val mixed = Sampling.mixSources(clean, "doc_id", "source",
-      Map("src1" -> 800, "src2" -> 800), defaultPerMille = 1000)
-    stages("mixed") = mixed.count()
+    val mixed = stage("mixed", Sampling.mixSources(clean, "doc_id", "source",
+      Map("src1" -> 800, "src2" -> 800), defaultPerMille = 1000))
 
     // 6. deterministic per-source weighted sample (longer docs favored)
-    val sampled = Sampling.weightedTopKPerGroup(
-      mixed, Seq("source"), "doc_id", "n_chars", k = samplePerSource)
-    stages("sampled") = sampled.count()
+    val sampled = stage("sampled", Sampling.weightedTopKPerGroup(
+      mixed, Seq("source"), "doc_id", "n_chars", k = samplePerSource))
+    // intermediate pins release here; the final frame keeps its cache
+    pinned.dropRight(1).foreach(_.unpersist())
     (sampled, scala.collection.immutable.ListMap(stages.toSeq: _*))
   }
 

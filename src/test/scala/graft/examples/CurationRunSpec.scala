@@ -41,4 +41,34 @@ class CurationRunSpec extends SparkSpec {
     assert(!keptIds.exists(Set(101L, 102L, 103L, 104L, 105L)), s"bad ids kept: $keptIds")
     assert((1 to 40).map(_.toLong).toSet.subsetOf(keptIds))
   }
+
+  test("funnel persists stage boundaries: input partitions read once, not once per stage") {
+    import spark.implicits._
+    val reads = spark.sparkContext.longAccumulator("inputPartitionReads")
+    val base = (1 to 30).map(i =>
+      (i.toLong, (0 until 40).map(j => s"d${i}w$j").mkString(" "), "srcA"))
+    val rdd = spark.sparkContext.parallelize(base, 4)
+      .mapPartitions { it => reads.add(1); it }
+    val docs = rdd.toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+    val bench = Seq((1000L, "held out benchmark text nothing shares")).toDF("doc_id", "text")
+    val (kept, stages) = CurationRun.curate(spark, docs, bench, samplePerSource = 1000)
+    assert(kept.count() == 30 && stages("sampled") == 30L)
+    // the input-stage persist means its 4 partitions materialize ONCE; the
+    // 7 downstream counts serve from stage caches. Without the boundary
+    // pins every count replays the source: 8 actions x 4 partitions >= 32.
+    // (<= 8 tolerates a task retry, still far below the replay signature.)
+    assert(reads.value <= 8, s"input read ${reads.value} partition-times — funnel is replaying")
+    // funnel = false: no counts, no pins, same curated corpus
+    val reads2 = spark.sparkContext.longAccumulator("inputPartitionReads2")
+    val docs2 = spark.sparkContext.parallelize(base, 4)
+      .mapPartitions { it => reads2.add(1); it }
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+    val (kept2, stages2) = CurationRun.curate(spark, docs2, bench,
+      samplePerSource = 1000, funnel = false)
+    assert(stages2.isEmpty)
+    assert(kept2.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
 }
