@@ -175,7 +175,8 @@ object DedupIndex {
   }
 
   /** Per-member-count / file-count report, the [[AnnIndex.describeIndex]]
-    * analog: append accumulation shows up as file growth.
+    * analog: append accumulation shows up as file growth — the signal that
+    * schedules a [[compact]].
     */
   def describe(spark: SparkSession, path: String): DataFrame = {
     import org.apache.hadoop.fs.Path

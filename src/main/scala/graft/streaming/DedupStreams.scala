@@ -24,15 +24,28 @@ import graft.operators.DedupIndex
   */
 object DedupStreams {
 
+  /** `compactEvery = N` (0 = off) runs [[DedupIndex.compact]] after every
+    * N-th ingested micro-batch — the lifecycle maintenance a long-running
+    * ingest loop otherwise never gets (each appended batch adds a file per
+    * artifact; a stream that never compacts degenerates into the
+    * small-files problem q135 closes for the batch path). The stream's
+    * foreachBatch is the index's single writer, which is exactly the
+    * contract compact's two-rename swap requires. Compaction runs INSIDE
+    * the batch marker guard, so crash-replays never re-compact; a crash
+    * between marker and compact skips that cycle — harmless, the next
+    * cadence point catches up (compaction is maintenance, not
+    * correctness).
+    */
   def screenAndIngestStream(docs: DataFrame, textCol: String, idCol: String,
                             indexPath: String, flaggedPath: String,
                             checkpoint: String, threshold: Double,
-                            maxBucketSize: Int = 1000): StreamingQuery =
+                            maxBucketSize: Int = 1000,
+                            compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         screenAndIngestBatch(batch, textCol, idCol, indexPath, flaggedPath,
-          threshold, maxBucketSize, batchId)
+          threshold, maxBucketSize, batchId, compactEvery)
       }
       .start()
 
@@ -40,7 +53,7 @@ object DedupStreams {
   def screenAndIngestBatch(batch: DataFrame, textCol: String, idCol: String,
                            indexPath: String, flaggedPath: String,
                            threshold: Double, maxBucketSize: Int,
-                           batchId: Long): Unit = {
+                           batchId: Long, compactEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
     val marker = new org.apache.hadoop.fs.Path(s"$indexPath/_screened/batch_$batchId")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
@@ -64,6 +77,8 @@ object DedupStreams {
         val survivors = batch.join(dupIds, Seq(idCol), "left_anti")
         if (!survivors.isEmpty) DedupIndex.append(survivors, textCol, idCol, indexPath)
         fs.create(marker, true).close()
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          DedupIndex.compact(spark, indexPath)
       } finally {
         flagged.unpersist()
         pinnedCands.unpersist()

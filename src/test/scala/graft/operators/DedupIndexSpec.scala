@@ -212,15 +212,21 @@ class DedupIndexSpec extends SparkSpec {
     val members = spark.read.parquet(s"$path/sets.parquet")
       .select("id").collect().map(_.getLong(0)).toSet
     assert(members.contains(20L) && !members.contains(21L), s"got $members")
-    // batch 2 near-duplicates the batch-1 SURVIVOR
+    // batch 2 near-duplicates the batch-1 SURVIVOR; compactEvery = 2 fires
+    // the in-loop maintenance after this (second) ingested batch
     val b2 = Seq(
       (22L, "streamside willow bends over quiet water under evening fog banks")
     ).toDF("doc_id", "text")
     graft.streaming.DedupStreams.screenAndIngestBatch(
-      b2, "text", "doc_id", path, flaggedPath, 0.4, Int.MaxValue, batchId = 1L)
+      b2, "text", "doc_id", path, flaggedPath, 0.4, Int.MaxValue, batchId = 1L,
+      compactEvery = 2)
     val f2 = spark.read.parquet(flaggedPath)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(f2 == Set((0L, 21L), (2L, 21L), (20L, 22L)), s"got $f2")
+    // the cadence point compacted build + appends down to one file per
+    // artifact — the stream performs its own small-files maintenance
+    assert(DedupIndex.describe(spark, path).head().getInt(2) == 1,
+      "compactEvery should have collapsed the append accumulation")
     // crash-replay of batch 1: marker makes it a no-op (no double flags, no
     // double membership)
     graft.streaming.DedupStreams.screenAndIngestBatch(

@@ -291,6 +291,13 @@ class DedupSpec extends SparkSpec {
     val spaced = Seq((5L, "a  b")).toDF("doc_id", "text")
     assert(Dedup.removeDuplicateSpans(spaced, "text", "doc_id")
       .head().getString(3) == "a  b")
+    // PLAN SHAPE: keep-first selection must stay a partial-aggregatable
+    // min-struct aggregate, never a window — a window partitioned on the
+    // gram hash funnels every instance of a hot boilerplate gram through
+    // one task's sort (the single scale-killer the r10 review flagged)
+    val plan = Dedup.removeDuplicateSpans(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"keep-first regressed to a window:\n$plan")
   }
 
   test("char-grain span removal: sub-token duplication the token grain cannot see") {
