@@ -342,8 +342,83 @@ object Multimodal {
       val sidx = b2 >> 2 & 0x3
       if (bidx == 0 || bidx == 15 || sidx == 3) return None
       val channels = if ((b3 >> 6 & 0x3) == 3) 1 else 2 // 3 = mono
+      // nFrames from the whole-file frame walk when at least one COMPLETE
+      // frame is present; a bare header prefix (the metadata-scan case)
+      // keeps the None the header-only contract always reported
       Some(AudioMeta("mp3", channels, Mp3SampleRate(sidx), None,
-        Mp3BitrateKbps(bidx) * 1000, None))
+        Mp3BitrateKbps(bidx) * 1000, mp3Frames(b).map(_.nFrames)))
+    }
+
+    /** Whole-stream MP3 frame accounting (the walk [[decodeMp3]]'s
+      * header-only contract deferred): nFrames / byte total / duration /
+      * VBR flag. Each MPEG-1 Layer III frame is self-sizing —
+      * `144 * bitrate / sampleRate + padding` bytes — so the walk is pure
+      * header arithmetic, no entropy decode. The walk stops at the first
+      * malformed or INCOMPLETE frame (a truncated download's tail frame
+      * does not count); a stream whose frames disagree on sample rate is
+      * malformed (None — the bitrate may vary per frame, that is exactly
+      * VBR, but the clock may not). Duration uses the layer's fixed 1152
+      * samples per frame.
+      */
+    final case class Mp3Stream(nFrames: Long, totalFrameBytes: Long,
+                               durationMs: Long, vbr: Boolean)
+
+    def mp3Frames(b: Array[Byte]): Option[Mp3Stream] = {
+      if (b == null || b.length < 4) return None
+      var pos = 0
+      var n = 0L; var total = 0L
+      var rate = -1; var firstBidx = -1; var vbr = false
+      var walk = true
+      while (walk && pos + 4 <= b.length) {
+        val h0 = u8(b, pos); val h1 = u8(b, pos + 1); val h2 = u8(b, pos + 2)
+        if (h0 != 0xff || (h1 & 0xe0) != 0xe0 ||
+            (h1 >> 3 & 0x3) != 3 || (h1 >> 1 & 0x3) != 1) walk = false
+        else {
+          val bidx = h2 >> 4 & 0xf
+          val sidx = h2 >> 2 & 0x3
+          val pad = h2 >> 1 & 0x1
+          if (bidx == 0 || bidx == 15 || sidx == 3) walk = false
+          else if (rate >= 0 && Mp3SampleRate(sidx) != rate) return None // clock drift: malformed
+          else {
+            val r = Mp3SampleRate(sidx)
+            val size = 144 * (Mp3BitrateKbps(bidx) * 1000) / r + pad
+            if (pos + size > b.length) walk = false // incomplete tail frame
+            else {
+              if (rate < 0) rate = r
+              if (firstBidx < 0) firstBidx = bidx
+              else if (bidx != firstBidx) vbr = true
+              n += 1; total += size; pos += size
+            }
+          }
+        }
+      }
+      if (n == 0) None
+      else Some(Mp3Stream(n, total, n * 1152L * 1000 / rate, vbr))
+    }
+
+    /** Fixture writer: a REAL MPEG-1 Layer III frame sequence — each frame
+      * its genuine 4-byte header (sync, version/layer, bitrate index,
+      * sample-rate index, channel mode) followed by the
+      * `144 * bitrate / sampleRate + padding - 4` payload bytes the header
+      * declares (opaque filler: the walk is header arithmetic, like a real
+      * indexer). Per-frame bitrate indices make VBR streams renderable.
+      */
+    def renderMp3(frameBidx: Seq[Int], sidx: Int, mode: Int,
+                  padEvery: Int = 0): Array[Byte] = {
+      require(frameBidx.forall(i => i >= 1 && i <= 14), "bitrate index in [1, 14]")
+      require(sidx >= 0 && sidx <= 2 && mode >= 0 && mode <= 3, "valid sidx/mode")
+      val out = new java.io.ByteArrayOutputStream()
+      frameBidx.zipWithIndex.foreach { case (bidx, f) =>
+        val pad = if (padEvery > 0 && f % padEvery == padEvery - 1) 1 else 0
+        out.write(0xff); out.write(0xfb)
+        out.write((bidx << 4) | (sidx << 2) | (pad << 1))
+        out.write(mode << 6)
+        val size = 144 * (Mp3BitrateKbps(bidx) * 1000) / Mp3SampleRate(sidx) + pad
+        val fill = new Array[Byte](size - 4)
+        java.util.Arrays.fill(fill, 0xaa.toByte)
+        out.write(fill)
+      }
+      out.toByteArray
     }
   }
 
@@ -658,6 +733,15 @@ object Multimodal {
       Some(Array.tabulate(n.toInt * perEntry)(k => be32(b, s + 8 + k * 4)))
     }
 
+    /** u64 table (co64): version/flags + entry count + 8-byte offsets. */
+    private def table64(b: Array[Byte], s: Int, e: Int): Option[Array[Long]] = {
+      if (s + 8 > e) return None
+      val n = be32(b, s + 4)
+      if (n < 0 || s + 8 + n * 8 > e) return None
+      Some(Array.tabulate(n.toInt)(k =>
+        (be32(b, s + 8 + k * 8) << 32) | be32(b, s + 12 + k * 8)))
+    }
+
     def decode(bytes: Array[Byte]): Option[Seq[SyncSample]] = {
       if (bytes == null || bytes.length < 12 || tag(bytes, 4) != "ftyp") return None
       val (moovS, moovE) = find(bytes, 0, bytes.length, "moov").getOrElse(return None)
@@ -681,7 +765,10 @@ object Multimodal {
       val (ss, se) = stbl.getOrElse(return None)
       val stss = find(bytes, ss, se, "stss").flatMap { case (s, e) => table(bytes, s, e, 1) }
         .getOrElse(return None)
+      // chunk offsets: u32 stco or its 64-bit co64 twin (files > 4 GiB —
+      // the case a 100 TB crawl's video shards actually hit)
       val stco = find(bytes, ss, se, "stco").flatMap { case (s, e) => table(bytes, s, e, 1) }
+        .orElse(find(bytes, ss, se, "co64").flatMap { case (s, e) => table64(bytes, s, e) })
         .getOrElse(return None)
       val stsc = find(bytes, ss, se, "stsc").flatMap { case (s, e) => table(bytes, s, e, 3) }
         .getOrElse(return None)
@@ -744,7 +831,8 @@ object Multimodal {
       */
     def renderMjpegMp4(frames: Seq[Array[Byte]], keyframes: Seq[Int],
                        width: Int, height: Int, stride: Int = 2048,
-                       samplesPerChunk: Int = 1): Array[Byte] = {
+                       samplesPerChunk: Int = 1,
+                       co64: Boolean = false): Array[Byte] = {
       require(frames.forall(_.length <= stride), s"frames must fit the $stride-byte slot")
       require(keyframes.forall(k => k >= 1 && k <= frames.length), "1-based keyframe numbers")
       require(samplesPerChunk >= 1, "samplesPerChunk >= 1")
@@ -756,7 +844,8 @@ object Multimodal {
       def ascii(s: String): Unit = out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
       def boxHdr(sz: Long, name: String): Unit = { w32(sz); ascii(name) }
       val sttsSz = 24L; val stscSz = 28L
-      val stszSz = 20L + 4L * n; val stcoSz = 16L + 4L * chunks.length
+      val stszSz = 20L + 4L * n
+      val stcoSz = 16L + (if (co64) 8L else 4L) * chunks.length
       val stssSz = 16L + 4L * keyframes.length
       val stblSz = 8 + sttsSz + stscSz + stszSz + stcoSz + stssSz
       val minfSz = 8 + stblSz; val mdiaSz = 8 + minfSz
@@ -781,8 +870,11 @@ object Multimodal {
       boxHdr(stscSz, "stsc"); w32(0); w32(1); w32(1); w32(samplesPerChunk.toLong); w32(1)
       boxHdr(stszSz, "stsz"); w32(0); w32(0); w32(n.toLong)
       frames.foreach(f => w32(f.length.toLong))
-      boxHdr(stcoSz, "stco"); w32(0); w32(chunks.length.toLong)
-      chunks.indices.foreach(c => w32(payloadAt + c * chunkStride))
+      boxHdr(stcoSz, if (co64) "co64" else "stco"); w32(0); w32(chunks.length.toLong)
+      chunks.indices.foreach { c =>
+        val off = payloadAt + c * chunkStride
+        if (co64) { w32(off >> 32); w32(off & 0xffffffffL) } else w32(off)
+      }
       boxHdr(stssSz, "stss"); w32(0); w32(keyframes.length.toLong)
       keyframes.foreach(k => w32(k.toLong))
       boxHdr(8 + chunks.length * chunkStride, "mdat")
@@ -832,6 +924,40 @@ object Multimodal {
     withAHash(spark.createDataFrame(rows, outSchema), "gray")
       .select(col(idCol).as("id"), col("frame_ord"), col("sample_no"),
         col("frame_offset"), col("simhash"))
+  }
+
+  /** VIDEO-level near-dup pairs — the composition that makes the keyframe
+    * fingerprints a dedup signal rather than a per-frame curiosity: two
+    * videos are near-duplicates when at least `minMatchedFrames` of the
+    * first video's keyframes each have SOME keyframe of the second within
+    * `maxHamming` bits. Candidates come from the exact same pigeonhole
+    * banding as every other fingerprint in the engine
+    * ([[Dedup.simHashPairs]], recall 1 by construction at the frame
+    * level) — frames ride the banding shuffle keyed by a (video, ord)
+    * struct, so the frame-pair stage is corpus-linear with the standard
+    * hot-bucket guard, and the video-level vote is one aggregate on the
+    * surviving pairs. A re-encoded or re-containered copy (different
+    * byte stream, same content) pairs frame-by-frame; an unrelated video
+    * sharing one coincidental frame dies at the vote.
+    *
+    * Output: (a_id, b_id, n_matched) with a_id < b_id, n_matched =
+    * distinct a-side keyframes matched.
+    */
+  def videoDupPairs(df: DataFrame, mp4Col: String, idCol: String,
+                    gw: Int = 10, gh: Int = 6, maxHamming: Int = 6,
+                    minMatchedFrames: Int = 2,
+                    maxBucketSize: Int = 1000): DataFrame = {
+    val frames = keyframeAHashFromMp4(df, mp4Col, idCol, gw, gh)
+      .where(col("simhash").isNotNull)
+      .select(struct(col("id").as("vid"), col("frame_ord").as("ord")).as("id"),
+        col("simhash"))
+    // struct comparison is lexicographic, so a_id < b_id with distinct
+    // vids implies a.vid < b.vid — video pairs come out pre-canonicalized
+    Dedup.simHashPairs(frames, maxHamming, maxBucketSize, nBits = 60)
+      .where(col("a_id.vid") =!= col("b_id.vid"))
+      .groupBy(col("a_id.vid").as("a_id"), col("b_id.vid").as("b_id"))
+      .agg(countDistinct(col("a_id.ord")).as("n_matched"))
+      .where(col("n_matched") >= minMatchedFrames)
   }
 
   /** Video-header decode over a binary payload column — same
@@ -884,6 +1010,32 @@ object Multimodal {
           case Some(m) => Row.fromSeq(r.toSeq ++ Seq(m.format, m.channels,
             m.sampleRate, m.bitsPerSample.orNull, m.bitRate, m.nFrames.orNull))
           case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null))
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** MP3 whole-stream frame accounting over a binary payload column —
+    * [[AudioHeaders.mp3Frames]] as a per-partition decode: appends
+    * n_frames / total_frame_bytes / duration_ms / vbr, NULLs for payloads
+    * without at least one complete well-formed frame.
+    */
+  def decodeMp3Stream(df: DataFrame, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val outSchema = df.schema
+      .add("n_frames", LongType).add("total_frame_bytes", LongType)
+      .add("duration_ms", LongType).add("vbr", BooleanType)
+    val rows = df.rdd.mapPartitions { it =>
+      val decoder = AudioHeaders // per-partition handle; real codecs init here
+      it.map { r =>
+        decoder.mp3Frames(r.get(payloadIdx).asInstanceOf[Array[Byte]]) match {
+          case Some(m) => Row.fromSeq(r.toSeq ++ Seq(m.nFrames, m.totalFrameBytes,
+            m.durationMs, m.vbr))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
         }
       }
     }

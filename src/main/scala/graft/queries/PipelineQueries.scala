@@ -995,6 +995,62 @@ object PipelineQueries extends QuerySet {
         .orderBy("video_id", "frame_ord")
     }),
 
+    // MP3 whole-stream frame walk (the accounting q95's header-only
+    // contract deferred): per-doc payloads are REAL MPEG-1 Layer III frame
+    // SEQUENCES — each frame a genuine 4-byte header followed by exactly
+    // the 144*bitrate/rate + padding payload bytes it declares, odd docs
+    // VBR (per-frame bitrate indices), every third doc exercising the
+    // padding bit. The walk is pure header arithmetic (self-sizing
+    // frames), so the oracle re-derives frame count, byte total, duration
+    // and the VBR flag arithmetically — one wrong frame-size computation
+    // desynchronizes the walk and breaks every downstream row.
+    "q140_mp3_frame_walk" -> ((s, dir) => {
+      import s.implicits._
+      val clips = t(s, dir, "documents").select(col("doc_id")).as[Long].map { d =>
+        val nfrm = (3 + d % 5).toInt
+        val bidx = (0 until nfrm).map(f =>
+          (1 + (d * 7 + (if (d % 2 == 1) f else 0)) % 14).toInt)
+        (d, Multimodal.AudioHeaders.renderMp3(bidx, (d % 3).toInt, (d % 4).toInt,
+          padEvery = if (d % 3 == 0) 2 else 0))
+      }.toDF("doc_id", "mp3")
+      Multimodal.decodeMp3Stream(clips, "mp3")
+        .select("doc_id", "n_frames", "total_frame_bytes", "duration_ms", "vbr")
+        .orderBy("doc_id")
+    }),
+
+    // VIDEO-level near-dup — q137's fingerprints composed into the dedup
+    // deliverable: 12 videos in families of 3 (frames share their family's
+    // md5 grid except the first video_id % 3 cells of every frame — the
+    // re-encoded-copy model: same content, perturbed pixels, every byte
+    // different), HALF the containers using co64 64-bit chunk offsets.
+    // Two videos pair when >= 2 of the first's keyframes each have some
+    // keyframe of the second within hamming 6; the oracle recomputes
+    // frame fingerprints arithmetically, brute-forces frame-pair
+    // hammings, and replays the distinct-a-frame vote.
+    "q139_video_dedup" -> ((s, dir) => {
+      import s.implicits._
+      def cell(v: Long, sno: Int, j: Int): Int = {
+        val key = s"${if (j < v % 3) v + 1000000 else v / 3}:$sno:$j"
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex.substring(0, 13), 16) % 256).toInt
+      }
+      val vids = (0L until 12L).map { v =>
+        val frames = (1 to 9).map { sno =>
+          if ((sno - 1) % 3 == 0)
+            graft.operators.Jpeg.renderGrayDcOnly(10, 6,
+              Array.tabulate(60)(cell(v, sno, _)))
+          else Array.fill[Byte](64 + sno)(0x55.toByte)
+        }
+        (v, Multimodal.VideoKeyframes.renderMjpegMp4(frames, Seq(1, 4, 7),
+          width = 80, height = 48, co64 = v % 2 == 1))
+      }
+      Multimodal.videoDupPairs(vids.toDF("video_id", "mp4"), "mp4", "video_id",
+          gw = 10, gh = 6, maxHamming = 6, minMatchedFrames = 2,
+          maxBucketSize = Int.MaxValue)
+        .orderBy("a_id", "b_id")
+    }),
+
     // q130's PROGRESSIVE twin: the same families and formula, but every
     // image is a real SOF2 stream in three scans (DC first at Al=1, the
     // all-zero AC band as genuine cross-block EOB RUNS through a custom
@@ -1558,6 +1614,48 @@ object PipelineQueries extends QuerySet {
         |  CAST(sample_no AS BIGINT) AS sample_no,
         |  CAST(452 + (sample_no - 1) * 2048 AS BIGINT) AS frame_offset, simhash
         |FROM sig ORDER BY video_id, frame_ord""".stripMargin,
+    // the MP3 frame walk replayed arithmetically: per-frame size =
+    // 144 * bitrate / rate + pad (integer floor), duration from the
+    // layer's fixed 1152 samples per frame
+    "q140_mp3_frame_walk" ->
+      """WITH p AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS sidx,
+        |            CAST(3 + doc_id % 5 AS BIGINT) AS nfrm FROM documents),
+        |f AS (SELECT doc_id, sidx, nfrm,
+        |        unnest(generate_series(0, CAST(nfrm - 1 AS INT))) AS fr FROM p),
+        |b AS (SELECT doc_id, sidx, nfrm, fr,
+        |        CAST(1 + (doc_id * 7 + CASE WHEN doc_id % 2 = 1 THEN fr ELSE 0 END) % 14 AS INT) AS bidx,
+        |        CASE WHEN doc_id % 3 = 0 AND fr % 2 = 1 THEN 1 ELSE 0 END AS pad
+        |      FROM f),
+        |sz AS (SELECT doc_id, sidx, nfrm,
+        |        (144 * ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320][bidx + 1] * 1000))
+        |          // ([44100,48000,32000][sidx + 1]) + pad AS fsz FROM b),
+        |agg AS (SELECT doc_id, ANY_VALUE(sidx) AS sidx, ANY_VALUE(nfrm) AS nfrm,
+        |        CAST(SUM(fsz) AS BIGINT) AS total FROM sz GROUP BY doc_id)
+        |SELECT doc_id, nfrm AS n_frames, total AS total_frame_bytes,
+        |  CAST(nfrm * 1152 * 1000 // [44100,48000,32000][sidx + 1] AS BIGINT) AS duration_ms,
+        |  doc_id % 2 = 1 AS vbr
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // frame fingerprints from the family grid arithmetic, brute-force
+    // frame-pair hamming, then the distinct-a-frame vote per video pair
+    "q139_video_dedup" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 11)) AS video_id),
+        |fr AS (SELECT video_id, unnest([1, 4, 7]) AS sample_no FROM ids),
+        |g AS (SELECT video_id, sample_no, list_transform(range(0, 60), j ->
+        |    ('0x' || substr(md5(CAST(CASE WHEN j < video_id % 3 THEN video_id + 1000000
+        |        ELSE video_id // 3 END AS VARCHAR) || ':' || CAST(sample_no AS VARCHAR)
+        |        || ':' || CAST(j AS VARCHAR)), 1, 13))::BIGINT % 256) AS gray
+        |  FROM fr),
+        |sig AS (SELECT video_id, sample_no,
+        |    CAST(list_sum(list_transform(range(0, 60), j ->
+        |      CASE WHEN gray[j + 1] * 60 > list_sum(gray) THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS h
+        |  FROM g),
+        |fp AS (SELECT a.video_id AS av, a.sample_no AS ao, b.video_id AS bv,
+        |              bit_count(xor(a.h, b.h)) AS hm
+        |       FROM sig a JOIN sig b ON a.video_id < b.video_id),
+        |m AS (SELECT av AS a_id, bv AS b_id, COUNT(DISTINCT ao) AS n
+        |      FROM fp WHERE hm <= 6 GROUP BY 1, 2)
+        |SELECT a_id, b_id, CAST(n AS BIGINT) AS n_matched FROM m
+        |WHERE n >= 2 ORDER BY a_id, b_id""".stripMargin,
     "q120_image_ahash_dedup" ->
       """WITH g AS (SELECT doc_id, list_transform(range(0, 60), j ->
         |    ('0x' || substr(md5(CAST(CASE WHEN j < doc_id % 3 THEN doc_id + 1000000

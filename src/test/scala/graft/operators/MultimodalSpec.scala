@@ -420,6 +420,64 @@ class MultimodalSpec extends SparkSpec {
       "the corrupt middle keyframe alone hashes NULL")
   }
 
+  test("mp3Frames: self-sizing walk, VBR flag, truncation, clock-drift refusal") {
+    val A = Multimodal.AudioHeaders
+    // CBR: 3 frames at bidx 9 (128 kbps) / 44100 -> 144*128000/44100 = 417
+    val cbr = A.renderMp3(Seq(9, 9, 9), sidx = 0, mode = 3)
+    val m = A.mp3Frames(cbr).get
+    assert(m.nFrames == 3 && m.totalFrameBytes == 3 * 417 && !m.vbr)
+    assert(m.durationMs == 3L * 1152 * 1000 / 44100)
+    // padding bit adds exactly one byte to padded frames
+    val padded = A.mp3Frames(A.renderMp3(Seq(9, 9, 9), 0, 3, padEvery = 2)).get
+    assert(padded.totalFrameBytes == 3 * 417 + 1)
+    // VBR: differing bitrate indices flag it; sizes follow each header
+    val vbr = A.mp3Frames(A.renderMp3(Seq(9, 14, 9), 0, 3)).get
+    assert(vbr.vbr && vbr.nFrames == 3 &&
+      vbr.totalFrameBytes == 2 * 417 + 144 * 320000 / 44100)
+    // a truncated tail frame does not count; a bare header yields None
+    assert(A.mp3Frames(java.util.Arrays.copyOf(cbr, cbr.length - 10)).get.nFrames == 2)
+    assert(A.mp3Frames(java.util.Arrays.copyOf(cbr, 4)).isEmpty)
+    // frames disagreeing on sample rate = a broken clock: refused outright
+    val drift = A.renderMp3(Seq(9), 0, 3) ++ A.renderMp3(Seq(9), 1, 3)
+    assert(A.mp3Frames(drift).isEmpty)
+    // decode() integration: full streams report the walked count, header
+    // prefixes keep the header-only None
+    assert(A.decode(cbr).get.nFrames.contains(3L))
+    assert(A.decode(java.util.Arrays.copyOf(cbr, 4)).get.nFrames.isEmpty)
+  }
+
+  test("videoDupPairs: re-encoded copies pair on the frame vote, unrelated videos do not") {
+    import spark.implicits._
+    // md5-derived grids: families have independent above/below-mean
+    // patterns (a mere constant brightness shift would fingerprint
+    // identically — aHash is mean-relative by design)
+    def jpeg(family: Int, sno: Int, perturb: Int) =
+      graft.operators.Jpeg.renderGrayDcOnly(10, 6, Array.tabulate(60) { j =>
+        val key = if (j < perturb) s"p:$j" else s"$family:$sno:$j"
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex.substring(0, 13), 16) % 256).toInt
+      })
+    def video(family: Int, perturb: Int, co64: Boolean) = {
+      val frames = (1 to 6).map(s =>
+        if (s % 2 == 1) jpeg(family, s, perturb) else Array.fill[Byte](40)(0x22))
+      Multimodal.VideoKeyframes.renderMjpegMp4(frames, Seq(1, 3, 5), 80, 48,
+        stride = 1024, co64 = co64)
+    }
+    val df = Seq(
+      (0L, video(1, 0, co64 = false)),          // original
+      (1L, video(1, 2, co64 = true)),           // re-encoded copy, 2 cells off, co64 container
+      (2L, video(9, 0, co64 = false)),          // unrelated content
+      (3L, "junk".getBytes("US-ASCII"))).toDF("video_id", "mp4") // unparseable: zero frames
+    val pairs = Multimodal.videoDupPairs(df, "mp4", "video_id",
+        maxHamming = 6, minMatchedFrames = 2, maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 >= 2),
+      s"copy should pair on >= 2 frames: $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L || p._1 == 3L || p._2 == 3L),
+      s"unrelated/junk must not pair: $pairs")
+  }
+
   test("sql surface: registered views answer spark.sql directly") {
     graft.Tables.registerAll(spark, sf())
     val n = spark.sql("SELECT count(*) c FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
