@@ -283,8 +283,41 @@ object Multimodal {
     def decode(bytes: Array[Byte]): Option[AudioMeta] =
       if (bytes == null || bytes.length < 4) None
       else if (tag(bytes, 0) == "RIFF") decodeWav(bytes)
-      else if (u8(bytes, 0) == 0xff && (u8(bytes, 1) & 0xe0) == 0xe0) decodeMp3(bytes)
-      else None
+      else {
+        // real crawl MP3s overwhelmingly open with an ID3v2 tag — sync
+        // starts after it (0 when absent)
+        val off = id3Len(bytes)
+        if (off + 4 <= bytes.length && u8(bytes, off) == 0xff &&
+            (u8(bytes, off + 1) & 0xe0) == 0xe0) decodeMp3(bytes, off)
+        else None
+      }
+
+    /** ID3v2 prefix length, 0 when absent: "ID3" + version(2) + flags +
+      * 4 SYNCHSAFE size bytes (high bit clear — set bits mean not a tag),
+      * plus a 10-byte footer when flagged (v2.4 §3.1).
+      */
+    private def id3Len(b: Array[Byte]): Int = {
+      if (b.length < 10 || b(0) != 'I' || b(1) != 'D' || b(2) != '3') return 0
+      if ((u8(b, 6) | u8(b, 7) | u8(b, 8) | u8(b, 9)) >= 0x80) return 0
+      val size = (u8(b, 6) << 21) | (u8(b, 7) << 14) | (u8(b, 8) << 7) | u8(b, 9)
+      10 + size + (if ((u8(b, 5) & 0x10) != 0) 10 else 0)
+    }
+
+    /** Render an ID3v2.4 tag of `payload` filler bytes — the fixture side
+      * of the skip (real tags carry text frames; the walk only honors the
+      * header's synchsafe length, exactly like a real indexer).
+      */
+    def renderId3v2(payload: Int): Array[Byte] = {
+      require(payload >= 0 && payload < (1 << 28), "synchsafe payload size")
+      val out = new Array[Byte](10 + payload)
+      out(0) = 'I'; out(1) = 'D'; out(2) = '3'; out(3) = 4
+      out(6) = ((payload >> 21) & 0x7f).toByte
+      out(7) = ((payload >> 14) & 0x7f).toByte
+      out(8) = ((payload >> 7) & 0x7f).toByte
+      out(9) = (payload & 0x7f).toByte
+      java.util.Arrays.fill(out, 10, out.length, 0x20.toByte)
+      out
+    }
 
     private def decodeWav(b: Array[Byte]): Option[AudioMeta] = {
       if (b.length < 12 || tag(b, 8) != "WAVE") return None
@@ -334,9 +367,9 @@ object Multimodal {
       Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
     private val Mp3SampleRate = Array(44100, 48000, 32000)
 
-    private def decodeMp3(b: Array[Byte]): Option[AudioMeta] = {
-      if (b.length < 4) return None
-      val b1 = u8(b, 1); val b2 = u8(b, 2); val b3 = u8(b, 3)
+    private def decodeMp3(b: Array[Byte], off: Int = 0): Option[AudioMeta] = {
+      if (off + 4 > b.length) return None
+      val b1 = u8(b, off + 1); val b2 = u8(b, off + 2); val b3 = u8(b, off + 3)
       if ((b1 >> 3 & 0x3) != 3 || (b1 >> 1 & 0x3) != 1) return None // MPEG-1 Layer III only
       val bidx = b2 >> 4 & 0xf
       val sidx = b2 >> 2 & 0x3
@@ -365,7 +398,7 @@ object Multimodal {
 
     def mp3Frames(b: Array[Byte]): Option[Mp3Stream] = {
       if (b == null || b.length < 4) return None
-      var pos = 0
+      var pos = id3Len(b) // frames start after any ID3v2 tag
       var n = 0L; var total = 0L
       var rate = -1; var firstBidx = -1; var vbr = false
       var walk = true
@@ -702,10 +735,13 @@ object Multimodal {
     */
   object VideoKeyframes extends Serializable {
     /** One sync sample: ordinal among keyframes (0-based), its 1-based
-      * sample number, absolute byte offset and size within the payload.
+      * sample number, absolute byte offset and size within the payload,
+      * and its decode timestamp in milliseconds (stts durations summed in
+      * the mdhd media timescale — the time axis a real pipeline filters
+      * and samples frames by).
       */
     final case class SyncSample(ord: Int, sampleNo: Int, offset: Long, size: Int,
-                                bytes: Array[Byte])
+                                ptsMs: Long, bytes: Array[Byte])
 
     private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
     private def be32(b: Array[Byte], i: Int): Long =
@@ -747,22 +783,32 @@ object Multimodal {
       val (moovS, moovE) = find(bytes, 0, bytes.length, "moov").getOrElse(return None)
       // first trak whose tkhd carries nonzero 16.16 dims = the video track
       var trakAt = moovS
-      var stbl: Option[(Int, Int)] = None
-      while (stbl.isEmpty && trakAt < moovE) {
+      var mdia: Option[(Int, Int)] = None
+      while (mdia.isEmpty && trakAt < moovE) {
         find(bytes, trakAt, moovE, "trak") match {
           case None => trakAt = moovE
           case Some((ts, te)) =>
             val isVideo = find(bytes, ts, te, "tkhd").exists { case (ks, ke) =>
               ke - ks >= 8 && (be32(bytes, ke - 8) >> 16) > 0 && (be32(bytes, ke - 4) >> 16) > 0
             }
-            if (isVideo)
-              stbl = find(bytes, ts, te, "mdia")
-                .flatMap { case (ms, me) => find(bytes, ms, me, "minf") }
-                .flatMap { case (ms, me) => find(bytes, ms, me, "stbl") }
+            if (isVideo) mdia = find(bytes, ts, te, "mdia")
             trakAt = te
         }
       }
-      val (ss, se) = stbl.getOrElse(return None)
+      val (ms, me) = mdia.getOrElse(return None)
+      // media timescale from mdhd (v0: vf + ctime + mtime then u32
+      // timescale; v1: 64-bit times) — the clock stts durations tick in
+      val timescale = find(bytes, ms, me, "mdhd").flatMap { case (hs, he) =>
+        if (hs >= he) None
+        else if (u8(bytes, hs) == 0 && hs + 16 <= he) Some(be32(bytes, hs + 12))
+        else if (u8(bytes, hs) == 1 && hs + 24 <= he) Some(be32(bytes, hs + 20))
+        else None
+      }.filter(_ > 0).getOrElse(return None)
+      val (ss, se) = find(bytes, ms, me, "minf")
+        .flatMap { case (s, e) => find(bytes, s, e, "stbl") }
+        .getOrElse(return None)
+      val stts = find(bytes, ss, se, "stts").flatMap { case (s, e) => table(bytes, s, e, 2) }
+        .getOrElse(return None)
       val stss = find(bytes, ss, se, "stss").flatMap { case (s, e) => table(bytes, s, e, 1) }
         .getOrElse(return None)
       // chunk offsets: u32 stco or its 64-bit co64 twin (files > 4 GiB —
@@ -805,6 +851,19 @@ object Multimodal {
         chunk += 1
       }
       if (sample < nSamples) return None // chunk tables don't cover the samples
+      // decode timestamps: cumulative stts (count, delta) runs in media
+      // timescale ticks; sample n's pts is the sum of prior durations
+      val pts = new Array[Long](nSamples)
+      var run = 0; var inRun = 0L; var tick = 0L
+      var sm = 0
+      while (sm < nSamples) {
+        if (run >= stts.length / 2) return None // stts doesn't cover the samples
+        pts(sm) = tick
+        tick += stts(run * 2 + 1)
+        inRun += 1
+        if (inRun >= stts(run * 2)) { run += 1; inRun = 0 }
+        sm += 1
+      }
       val frames = stss.zipWithIndex.map { case (snoL, ord) =>
         val sno = snoL.toInt
         if (sno < 1 || sno > nSamples) return None
@@ -812,7 +871,7 @@ object Multimodal {
         val sz = sizeOf(sno - 1)
         if (off < 0 || sz < 0 || sz > Int.MaxValue || off + sz > bytes.length) return None
         val fb = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt)
-        SyncSample(ord, sno, off, sz.toInt, fb)
+        SyncSample(ord, sno, off, sz.toInt, pts(sno - 1) * 1000 / timescale, fb)
       }
       Some(frames.toSeq)
     }
@@ -832,10 +891,13 @@ object Multimodal {
     def renderMjpegMp4(frames: Seq[Array[Byte]], keyframes: Seq[Int],
                        width: Int, height: Int, stride: Int = 2048,
                        samplesPerChunk: Int = 1,
-                       co64: Boolean = false): Array[Byte] = {
+                       co64: Boolean = false,
+                       timescale: Long = 600,
+                       sampleDelta: Long = 600): Array[Byte] = {
       require(frames.forall(_.length <= stride), s"frames must fit the $stride-byte slot")
       require(keyframes.forall(k => k >= 1 && k <= frames.length), "1-based keyframe numbers")
       require(samplesPerChunk >= 1, "samplesPerChunk >= 1")
+      require(timescale > 0 && sampleDelta > 0, "positive media clock")
       val n = frames.length
       val chunks = frames.grouped(samplesPerChunk).toSeq
       val chunkStride = stride.toLong * samplesPerChunk
@@ -848,7 +910,8 @@ object Multimodal {
       val stcoSz = 16L + (if (co64) 8L else 4L) * chunks.length
       val stssSz = 16L + 4L * keyframes.length
       val stblSz = 8 + sttsSz + stscSz + stszSz + stcoSz + stssSz
-      val minfSz = 8 + stblSz; val mdiaSz = 8 + minfSz
+      val mdhdSz = 32L
+      val minfSz = 8 + stblSz; val mdiaSz = 8 + mdhdSz + minfSz
       val tkhdSz = 92L; val trakSz = 8 + tkhdSz + mdiaSz
       val mvhdSz = 108L; val moovSz = 8 + mvhdSz + trakSz
       val mdatAt = 16 + moovSz
@@ -865,8 +928,12 @@ object Multimodal {
       w32(0); w32(0); w32(0); w32(0) // reserved + layer/group + volume
       Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L).foreach(w32)
       w32(width.toLong << 16); w32(height.toLong << 16)
-      boxHdr(mdiaSz, "mdia"); boxHdr(minfSz, "minf"); boxHdr(stblSz, "stbl")
-      boxHdr(sttsSz, "stts"); w32(0); w32(1); w32(n.toLong); w32(600)
+      boxHdr(mdiaSz, "mdia")
+      // mdhd v0: the media clock (timescale) stts durations tick in
+      boxHdr(mdhdSz, "mdhd"); w32(0); w32(0); w32(0); w32(timescale)
+      w32(n * sampleDelta); w32(0x55C40000L) // duration; language 'und' + quality
+      boxHdr(minfSz, "minf"); boxHdr(stblSz, "stbl")
+      boxHdr(sttsSz, "stts"); w32(0); w32(1); w32(n.toLong); w32(sampleDelta)
       boxHdr(stscSz, "stsc"); w32(0); w32(1); w32(1); w32(samplesPerChunk.toLong); w32(1)
       boxHdr(stszSz, "stsz"); w32(0); w32(0); w32(n.toLong)
       frames.foreach(f => w32(f.length.toLong))
@@ -907,7 +974,8 @@ object Multimodal {
     val mp4Idx = df.schema.fieldIndex(mp4Col)
     val outSchema = df.schema
       .add("frame_ord", IntegerType).add("sample_no", IntegerType)
-      .add("frame_offset", LongType).add("gray", ArrayType(IntegerType))
+      .add("frame_offset", LongType).add("pts_ms", LongType)
+      .add("gray", ArrayType(IntegerType))
     val rows = df.rdd.mapPartitions { it =>
       val decoder = VideoKeyframes // per-partition handle; real codecs init here
       it.flatMap { r =>
@@ -917,13 +985,13 @@ object Multimodal {
               .filter(img => img.width >= gw && img.height >= gh)
               .map(img => PngGray.blockMeanGrid(img, gw, gh).toSeq)
               .orNull
-            Row.fromSeq(r.toSeq ++ Seq(f.ord, f.sampleNo, f.offset, grid))
+            Row.fromSeq(r.toSeq ++ Seq(f.ord, f.sampleNo, f.offset, f.ptsMs, grid))
           }
       }
     }
     withAHash(spark.createDataFrame(rows, outSchema), "gray")
       .select(col(idCol).as("id"), col("frame_ord"), col("sample_no"),
-        col("frame_offset"), col("simhash"))
+        col("frame_offset"), col("pts_ms"), col("simhash"))
   }
 
   /** VIDEO-level near-dup pairs — the composition that makes the keyframe

@@ -966,9 +966,11 @@ object PipelineQueries extends QuerySet {
     // touches. The engine walks the sample tables to the sync samples,
     // JPEG-decodes each keyframe, and aHash-fingerprints it; the oracle
     // re-derives every frame OFFSET arithmetically from the fixed-stride
-    // layout (payload at 452 = ftyp 16 + moov 428 + mdat header 8) and
+    // layout (payload at 484 = ftyp 16 + moov 460 + mdat header 8), every
+    // TIMESTAMP from the per-video stts delta over the mdhd clock, and
     // every HASH from the block arithmetic — a misread stco entry, a
-    // broken stsc run walk, or one bad luma pixel breaks the match.
+    // broken stsc run walk, a bad mdhd timescale, or one bad luma pixel
+    // breaks the match.
     "q137_video_keyframe_ahash" -> ((s, dir) => {
       import s.implicits._
       def cell(v: Long, sno: Int, j: Int): Int = {
@@ -984,14 +986,14 @@ object PipelineQueries extends QuerySet {
           else Array.fill[Byte](64 + sno)(0x55.toByte) // inter-frame filler
         }
         (v, Multimodal.VideoKeyframes.renderMjpegMp4(frames, Seq(1, 4, 7),
-          width = 80, height = 48))
+          width = 80, height = 48, sampleDelta = 100 + (v % 7) * 50))
       }
       Multimodal.keyframeAHashFromMp4(
           vids.toDF("video_id", "mp4"), "mp4", "video_id", gw = 10, gh = 6)
         .select(col("id").as("video_id"),
           col("frame_ord").cast("long").as("frame_ord"),
           col("sample_no").cast("long").as("sample_no"),
-          col("frame_offset"), col("simhash"))
+          col("frame_offset"), col("pts_ms"), col("simhash"))
         .orderBy("video_id", "frame_ord")
     }),
 
@@ -1010,8 +1012,16 @@ object PipelineQueries extends QuerySet {
         val nfrm = (3 + d % 5).toInt
         val bidx = (0 until nfrm).map(f =>
           (1 + (d * 7 + (if (d % 2 == 1) f else 0)) % 14).toInt)
-        (d, Multimodal.AudioHeaders.renderMp3(bidx, (d % 3).toInt, (d % 4).toInt,
-          padEvery = if (d % 3 == 0) 2 else 0))
+        val frames = Multimodal.AudioHeaders.renderMp3(bidx, (d % 3).toInt,
+          (d % 4).toInt, padEvery = if (d % 3 == 0) 2 else 0)
+        // every 7th clip opens with a real ID3v2 tag, as crawl MP3s do —
+        // the walk must skip it by the synchsafe length (frame accounting
+        // is unchanged, so the SAME oracle pins the skip: without it these
+        // clips would null out and hash-mismatch)
+        val tagged = if (d % 7 == 0)
+          Multimodal.AudioHeaders.renderId3v2((17 + d % 13).toInt) ++ frames
+        else frames
+        (d, tagged)
       }.toDF("doc_id", "mp3")
       Multimodal.decodeMp3Stream(clips, "mp3")
         .select("doc_id", "n_frames", "total_frame_bytes", "duration_ms", "vbr")
@@ -1612,7 +1622,9 @@ object PipelineQueries extends QuerySet {
         |  FROM g)
         |SELECT video_id, CAST(frame_ord AS BIGINT) AS frame_ord,
         |  CAST(sample_no AS BIGINT) AS sample_no,
-        |  CAST(452 + (sample_no - 1) * 2048 AS BIGINT) AS frame_offset, simhash
+        |  CAST(484 + (sample_no - 1) * 2048 AS BIGINT) AS frame_offset,
+        |  CAST((sample_no - 1) * (100 + video_id % 7 * 50) * 1000 // 600 AS BIGINT) AS pts_ms,
+        |  simhash
         |FROM sig ORDER BY video_id, frame_ord""".stripMargin,
     // the MP3 frame walk replayed arithmetically: per-frame size =
     // 144 * bitrate / rate + pad (integer floor), duration from the

@@ -412,11 +412,14 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("id", "frame_ord").collect()
     assert(got.length == 9, s"expected 3 videos x 3 keyframes, got ${got.length}")
     assert(!got.exists(_.getLong(0) == 3L), "junk container must emit zero rows")
-    val v0 = got.filter(_.getLong(0) == 0L).map(r => (r.getInt(1), r.getLong(4)))
-    val v1 = got.filter(_.getLong(0) == 1L).map(r => (r.getInt(1), r.getLong(4)))
+    val v0 = got.filter(_.getLong(0) == 0L).map(r => (r.getInt(1), r.getLong(5)))
+    val v1 = got.filter(_.getLong(0) == 1L).map(r => (r.getInt(1), r.getLong(5)))
     assert(v0.sameElements(v1), "identical frames must fingerprint identically")
+    // stts x mdhd timestamps: samples 1/3/5 at the default 600/600 clock
+    // land exactly one second apart
+    assert(got.filter(_.getLong(0) == 0L).map(_.getLong(4)).toSeq == Seq(0L, 2000L, 4000L))
     val v2 = got.filter(_.getLong(0) == 2L)
-    assert(v2.count(_.isNullAt(4)) == 1 && v2.filter(_.getInt(1) == 1).head.isNullAt(4),
+    assert(v2.count(_.isNullAt(5)) == 1 && v2.filter(_.getInt(1) == 1).head.isNullAt(5),
       "the corrupt middle keyframe alone hashes NULL")
   }
 
@@ -444,6 +447,17 @@ class MultimodalSpec extends SparkSpec {
     // prefixes keep the header-only None
     assert(A.decode(cbr).get.nFrames.contains(3L))
     assert(A.decode(java.util.Arrays.copyOf(cbr, 4)).get.nFrames.isEmpty)
+    // ID3v2-tagged streams (the crawl norm) skip by the synchsafe length:
+    // same accounting, and decode() dispatches through the tag too
+    val tagged = A.renderId3v2(137) ++ cbr
+    assert(A.mp3Frames(tagged).get == m)
+    assert(A.decode(tagged).get.nFrames.contains(3L))
+    // a tag with non-synchsafe size bytes is not a tag: refused, not
+    // mis-skipped into garbage
+    val badTag = tagged.clone(); badTag(6) = 0x80.toByte
+    assert(A.decode(badTag).isEmpty)
+    // a tag longer than the payload (truncated download) yields None
+    assert(A.mp3Frames(A.renderId3v2(100).take(50) ++ Array[Byte]()).isEmpty)
   }
 
   test("videoDupPairs: re-encoded copies pair on the frame vote, unrelated videos do not") {
