@@ -525,6 +525,57 @@ object Dedup {
             "i -> element_at(_t, i + 1)))")).as("cleaned_text"))
   }
 
+  /** Corpus-level LINE deduplication — the C4/CCNet curation stage: any
+    * line (text between `sep` occurrences) that appears verbatim more than
+    * `minCount - 1` times ACROSS THE CORPUS keeps its first occurrence and
+    * loses every echo. The grain web boilerplate actually repeats at —
+    * cookie banners, nav text, footer legalese recur as whole lines across
+    * millions of pages; ExactSubstr's fixed k-gram grain either misses a
+    * short line or shreds a long one, while the line grain cuts exactly
+    * the repeated unit and nothing else. Lines shorter than `minLineChars`
+    * are never eligible (blank lines and one-char separators would
+    * otherwise all collapse to their first instance corpus-wide).
+    *
+    * Same scale shape as [[removeDuplicateSpans]]: line instances ride the
+    * shuffle as xxhash64 longs; ONE hash-keyed aggregate computes both the
+    * frequency cut and the keep-first survivor — `min(struct(id, ln))` is
+    * partial-aggregatable, so the hottest boilerplate line (a cookie
+    * banner in 10^8 pages) costs each map task one running min instead of
+    * funneling through a single-partition sort. Join-back marks echoes;
+    * the per-doc rebuild subtracts cut line ordinals with `array_except`.
+    * Candidates are line INSTANCES, never pairs: corpus-linear end to end.
+    *
+    * Output: (id, n_lines, n_kept, cleaned_text); documents with no cut
+    * line round-trip byte-identically (split/rejoin preserves empty
+    * segments from consecutive separators).
+    */
+  def removeDuplicateLines(docs: DataFrame, textCol: String, idCol: String,
+                           sep: String = "\n", minCount: Int = 2,
+                           minLineChars: Int = 1): DataFrame = {
+    require(minCount >= 2 && minLineChars >= 0,
+      s"need minCount >= 2, minLineChars >= 0")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val lines = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), sepRe)).as(Seq("ln", "line")))
+    val eligible = lines.where(length(col("line")) >= minLineChars)
+      .select(col("id"), col("ln"), xxhash64(col("line")).as("lh"))
+    val dup = eligible.groupBy("lh")
+      .agg(count(lit(1)).as("c"), min(struct(col("id"), col("ln"))).as("_first"))
+      .where(col("c") >= minCount).select("lh", "_first")
+    val cut = eligible.join(dup, "lh")
+      .where(struct(col("id"), col("ln")) =!= col("_first"))
+      .groupBy("id").agg(collect_set("ln").as("_cut"))
+    docs.select(col(idCol).as("id"), split(col(textCol), sepRe).as("_l"))
+      .join(cut, Seq("id"), "left")
+      .select(col("id"), size(col("_l")).cast("long").as("n_lines"),
+        when(col("_cut").isNull, size(col("_l")).cast("long"))
+          .otherwise(size(col("_l")) - size(col("_cut"))).cast("long").as("n_kept"),
+        when(col("_cut").isNull, concat_ws(sep, col("_l"))).otherwise(
+          concat_ws(sep, expr("transform(" +
+            "array_except(sequence(0, size(_l) - 1), _cut), " +
+            "i -> element_at(_l, i + 1))"))).as("cleaned_text"))
+  }
+
   /** Winnowing fingerprints (rolling-hash document fingerprinting, the
     * MOSS scheme): hash every character k-gram, then keep the minimum hash
     * of each w-wide window — guarantees any shared substring of length

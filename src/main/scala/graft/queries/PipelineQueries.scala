@@ -1156,6 +1156,25 @@ object PipelineQueries extends QuerySet {
         .orderBy("doc_id")
     }),
 
+    // Corpus-level LINE dedup (the C4/CCNet boilerplate scrub): documents
+    // re-lined into 4-token lines (the synthetic corpus has no newlines;
+    // both engines replay the same deterministic chunking), then every
+    // corpus-duplicated line keeps its FIRST (doc_id, ln) instance and
+    // loses the echoes — the grain web boilerplate repeats at (cookie
+    // banners, nav text, footer legalese). Keep-first selection is the
+    // same partial-aggregatable min(struct) as q134 — no hot-line window,
+    // corpus-linear end to end; see [[Dedup.removeDuplicateLines]].
+    "q141_line_dedup" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val nLines = ceil(size(toks).cast("double") / 4.0).cast("int")
+      val lined = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", transform(sequence(lit(0), nLines - 1),
+          i => concat_ws(" ", slice(toks, i * 4 + 1, lit(4))))).as("text"))
+      Dedup.removeDuplicateLines(lined, "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q113_dedup_index_screen" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       graft.operators.DedupIndex.screen(s, ensureDedupBase(s, dir),
@@ -1736,6 +1755,24 @@ object PipelineQueries extends QuerySet {
         |  CAST(COALESCE(res.n_kept, 0) AS BIGINT) AS n_kept,
         |  COALESCE(res.cleaned_text, '') AS cleaned_text
         |FROM d LEFT JOIN res ON res.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin,
+    // the same 4-token re-lining, then keep-first line dedup recomputed
+    // by exact line STRINGS with a window (the oracle can afford the hot
+    // partition at sf-scale; the engine uses the partial-aggregatable
+    // min-instance selection)
+    "q141_line_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |l AS (SELECT doc_id, i AS ln, array_to_string(t[(i*4+1):(i*4+4)], ' ') AS line
+        |      FROM (SELECT doc_id, t, unnest(range(0, CAST(ceil(len(t)/4.0) AS BIGINT))) AS i
+        |            FROM d)),
+        |m AS (SELECT doc_id, ln, line,
+        |        ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, ln) AS rn,
+        |        COUNT(*) OVER (PARTITION BY line) AS c
+        |      FROM l)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(COUNT(*) FILTER (WHERE c < 2 OR rn = 1) AS BIGINT) AS n_kept,
+        |  COALESCE(string_agg(line, chr(10) ORDER BY ln)
+        |           FILTER (WHERE c < 2 OR rn = 1), '') AS cleaned_text
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // duplicated-span coverage recomputed by exact gram STRINGS (the
     // engine shuffles xxhash64 of the same grams — sets coincide absent a
     // 64-bit collision, the established q62-family convention)

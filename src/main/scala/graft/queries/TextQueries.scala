@@ -122,6 +122,51 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     }),
 
+    // The full Gopher rule set (Rae et al. 2021, Table A1) — the standard
+    // pre-training quality gate, evaluated per document as SEVEN explicit
+    // rule verdicts plus the conjunction: word-count bounds, mean word
+    // length in [3, 10], symbol-to-word ratio ('#' and '...') <= 0.1,
+    // bullet-started and ellipsis-ended line fractions, >= 80% of words
+    // containing an alphabetic character, and >= 2 distinct stopword hits.
+    // All pure narrow array/string expressions — ZERO shuffles, one corpus
+    // pass, 100 TB-safe by construction; rule thresholds compare the RAW
+    // doubles (both engines compute the same IEEE division), outputs are
+    // truncated to 4 decimals per house convention.
+    "q146_gopher_rules" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val nWords = size(toks)
+      val chars = expr(
+        "aggregate(transform(split(text, ' '), w -> length(w)), 0, (a, x) -> a + x)")
+      val meanLen = chars.cast("double") / nWords
+      val alphaFrac = size(expr(
+        "filter(split(text, ' '), w -> w rlike '[a-zA-Z]')")).cast("double") / nWords
+      val stops = Seq("the", "a", "to", "of", "and", "that", "have", "with")
+      val stopHits = size(array_intersect(array_distinct(toks),
+        array(stops.map(lit): _*)))
+      val nHash = length(col("text")) - length(expr("replace(text, '#', '')"))
+      val nEll = floor((length(col("text"))
+        - length(expr("replace(text, '...', '')"))).cast("double") / 3).cast("long")
+      val symRatio = (nHash + nEll).cast("double") / nWords
+      val lines = split(col("text"), "\n")
+      val bulletFrac = size(filter(lines,
+        l => ltrim(l).rlike("^[-*•]"))).cast("double") / size(lines)
+      val ellFrac = size(filter(lines,
+        l => rtrim(l).rlike("\\.\\.\\.$"))).cast("double") / size(lines)
+      val pass = nWords.between(10, 100000) && meanLen.between(3.0, 10.0) &&
+        (symRatio <= 0.1) && (bulletFrac <= 0.1) && (ellFrac <= 0.3) &&
+        (alphaFrac >= 0.8) && (stopHits >= 2)
+      t(s, dir, "documents")
+        .select(col("doc_id"), nWords.cast("long").as("n_words"),
+          trunc(meanLen, 4).as("mean_word_len"),
+          trunc(symRatio, 4).as("symbol_ratio"),
+          trunc(bulletFrac, 4).as("bullet_frac"),
+          trunc(ellFrac, 4).as("ellipsis_frac"),
+          trunc(alphaFrac, 4).as("alpha_frac"),
+          stopHits.cast("long").as("stop_hits"),
+          pass.cast("int").as("pass"))
+        .orderBy("doc_id")
+    }),
+
     // Unicode normalization (native graft_normalize — Spark has no
     // built-in): equivalent-but-distinct byte sequences must unify BEFORE
     // any hash/dedup/tokenize stage. The corpus is ASCII, so the query
@@ -343,6 +388,43 @@ object TextQueries extends QuerySet {
     // the similarity-join literature) — a stopword token otherwise pairs
     // every probe with every corpus doc and the pair-count intermediate
     // explodes quadratically. Scoring then counts shared RARE tokens only.
+    // BM25 keyword retrieval (Robertson/Okapi, the Lucene-default scoring
+    // curve): three fixed probe queries, top-10 documents each. The term
+    // explode is PRUNED by a broadcast semi-join against the probe
+    // vocabulary BEFORE any aggregation — tf/df shuffles touch only rows
+    // matching query terms (vocabulary-sized, not corpus-sized), corpus
+    // stats (N, avgdl) enter as a broadcast scalar. Per-term contributions
+    // are rounded to integer micro-units and SUMMED AS LONGS so the score
+    // and the rank are exactly order-independent — FP addition order
+    // across engines can never flip a tie.
+    "q142_bm25_search" -> ((s, dir) => {
+      import s.implicits._
+      val probes = Seq((0L, "table"), (0L, "scan"), (0L, "filter"),
+        (1L, "window"), (1L, "agg"), (1L, "stream"),
+        (2L, "customer"), (2L, "query"), (2L, "join"), (2L, "hash"))
+        .toDF("q_id", "tok")
+      val docs = t(s, dir, "documents")
+      val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("nn"), avg(col("dl")).as("avgdl"))
+      val matched = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .join(broadcast(probes.select("tok").distinct()), "tok")
+      val tf = matched.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val idf = log(lit(1.0) + (col("nn") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val norm = col("tf") + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / col("avgdl"))
+      val scored = tf.join(df, "tok").join(dl, "doc_id").crossJoin(broadcast(stats))
+        .join(broadcast(probes), "tok")
+        .select(col("q_id"), col("doc_id"),
+          round(idf * col("tf") * lit(2.2) / norm * lit(1000000.0)).cast("long").as("cu"))
+      val agg = scored.groupBy("q_id", "doc_id").agg(sum("cu").as("score_u"))
+      val w = Window.partitionBy("q_id").orderBy(col("score_u").desc, col("doc_id"))
+      agg.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 10)
+        .select(col("q_id"), col("doc_id"),
+          (col("score_u").cast("double") / lit(1000000.0)).as("score"), col("rnk"))
+        .orderBy("q_id", "rnk")
+    }),
+
     "q49_simjoin_dfcap" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
@@ -395,6 +477,33 @@ object TextQueries extends QuerySet {
         |  CASE WHEN n_tokens < 3 THEN 0.0 ELSE FLOOR((1 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3)) * 10000) / 10000 END AS dup3_frac,
         |  CASE WHEN n_tokens < 4 THEN 0.0 ELSE FLOOR((1 - CAST(len(list_distinct(g4)) AS DOUBLE)/len(g4)) * 10000) / 10000 END AS dup4_frac
         |FROM g ORDER BY doc_id""".stripMargin,
+    // every Gopher rule recomputed over the same tokens/lines with DuckDB
+    // list lambdas; rule verdicts compare the raw IEEE doubles, outputs
+    // floored to 4 decimals — the q32 convention
+    "q146_gopher_rules" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t,
+        |             string_split(text, chr(10)) AS ls FROM documents),
+        |m AS (SELECT doc_id, len(t) AS n_words,
+        |  CAST(list_sum(list_transform(t, w -> length(w))) AS DOUBLE) / len(t) AS mean_len,
+        |  CAST(len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(t) AS alpha_frac,
+        |  len(list_filter(['the','a','to','of','and','that','have','with'],
+        |      s -> list_contains(t, s))) AS stop_hits,
+        |  CAST((length(text) - length(replace(text, '#', '')))
+        |     + (length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE) / len(t) AS sym_ratio,
+        |  CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE) / len(ls) AS bullet_frac,
+        |  CAST(len(list_filter(ls, l -> regexp_matches(rtrim(l), '\.\.\.$'))) AS DOUBLE) / len(ls) AS ell_frac
+        |  FROM d)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  FLOOR(mean_len * 10000) / 10000 AS mean_word_len,
+        |  FLOOR(sym_ratio * 10000) / 10000 AS symbol_ratio,
+        |  FLOOR(bullet_frac * 10000) / 10000 AS bullet_frac,
+        |  FLOOR(ell_frac * 10000) / 10000 AS ellipsis_frac,
+        |  FLOOR(alpha_frac * 10000) / 10000 AS alpha_frac,
+        |  CAST(stop_hits AS BIGINT) AS stop_hits,
+        |  CAST(n_words BETWEEN 10 AND 100000 AND mean_len BETWEEN 3.0 AND 10.0
+        |   AND sym_ratio <= 0.1 AND bullet_frac <= 0.1 AND ell_frac <= 0.3
+        |   AND alpha_frac >= 0.8 AND stop_hits >= 2 AS INTEGER) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
     // the same decomposition planted via chr(769) = U+0301, recomposed by
     // DuckDB's own (utf8proc) NFC — md5 agreement proves byte-identical
     // normalization across two independent UAX #15 implementations
@@ -485,6 +594,32 @@ object TextQueries extends QuerySet {
         |r AS (SELECT q_id, s_id, score,
         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, s_id) AS rnk FROM scored)
         |SELECT q_id, s_id, score, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // identical Okapi BM25 (k1 = 1.2, b = 0.75, Lucene idf) with the SAME
+    // literal parenthesization — per-term contributions become integer
+    // micro-units before the SUM, so addition order can never flip a rank
+    "q142_bm25_search" ->
+      """WITH probes(q_id, tok) AS (SELECT * FROM (VALUES
+        |    (0, 'table'), (0, 'scan'), (0, 'filter'),
+        |    (1, 'window'), (1, 'agg'), (1, 'stream'),
+        |    (2, 'customer'), (2, 'query'), (2, 'join'), (2, 'hash'))),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |dl AS (SELECT doc_id, len(t) AS dl FROM d),
+        |st AS (SELECT COUNT(*) AS nn, AVG(dl) AS avgdl FROM dl),
+        |toks AS (SELECT doc_id, unnest(t) AS tok FROM d),
+        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+        |       WHERE tok IN (SELECT DISTINCT tok FROM probes) GROUP BY 1, 2),
+        |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |sc AS (SELECT p.q_id, tf.doc_id,
+        |         CAST(ROUND(ln(1.0 + (st.nn - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2
+        |           / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / st.avgdl)) * 1000000.0) AS BIGINT) AS cu
+        |       FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+        |            CROSS JOIN st JOIN probes p USING (tok)),
+        |ag AS (SELECT q_id, doc_id, SUM(cu) AS score_u FROM sc GROUP BY 1, 2),
+        |r AS (SELECT q_id, doc_id, score_u,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score_u DESC, doc_id) AS rnk FROM ag)
+        |SELECT CAST(q_id AS BIGINT) AS q_id, doc_id,
+        |  CAST(score_u AS DOUBLE) / 1000000.0 AS score, rnk
+        |FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
     "q49_simjoin_dfcap" ->
       """WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),

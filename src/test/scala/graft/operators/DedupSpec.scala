@@ -336,6 +336,48 @@ class DedupSpec extends SparkSpec {
     assert(st(0L) == 16L && st(3L) == 14L && st(4L) == 14L, s"got $st")
   }
 
+  test("line dedup: corpus-duplicated lines keep first instance, echoes cut") {
+    import spark.implicits._
+    val banner = "accept all cookies to continue"
+    val docs = Seq(
+      // first instance of the banner (0, 1) SURVIVES; within-doc echo at
+      // (0, 3) and cross-doc echoes are cut
+      (0L, s"intro\n$banner\nbody text\n$banner"),
+      (1L, s"$banner\nunique line one"),
+      (2L, s"unique line two\n$banner\nunique line three"),
+      (3L, "no dup lines\nhere at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateLines(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(0L) == (4L, 3L, s"intro\n$banner\nbody text"), s"got ${got(0L)}")
+    assert(got(1L) == (2L, 1L, "unique line one"), s"got ${got(1L)}")
+    assert(got(2L) == (3L, 2L, "unique line two\nunique line three"), s"got ${got(2L)}")
+    assert(got(3L) == (2L, 2L, "no dup lines\nhere at all"), s"got ${got(3L)}")
+    // blank lines are ineligible under minLineChars = 1: consecutive
+    // separators round-trip byte-identically instead of collapsing to the
+    // corpus-first blank
+    val blanks = Seq((5L, "a\n\nb"), (6L, "c\n\nd")).toDF("doc_id", "text")
+    val gotB = Dedup.removeDuplicateLines(blanks, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(gotB(5L) == "a\n\nb" && gotB(6L) == "c\n\nd", s"got $gotB")
+    // identical docs: first keeps its text whole, the echo empties
+    val all = Seq((7L, "same\nlines"), (8L, "same\nlines")).toDF("doc_id", "text")
+    val gotAll = Dedup.removeDuplicateLines(all, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(gotAll(7L) == "same\nlines" && gotAll(8L) == "")
+    // minCount = 3 spares a twice-repeated line
+    val sparse = Seq((9L, "x\ny"), (10L, "x\nz")).toDF("doc_id", "text")
+    val gotS = Dedup.removeDuplicateLines(sparse, "text", "doc_id", minCount = 3)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(gotS(9L) == "x\ny" && gotS(10L) == "x\nz")
+    // PLAN SHAPE: keep-first stays a partial-aggregatable min-struct
+    // aggregate — a window partitioned on the line hash would funnel a
+    // corpus-wide boilerplate line through one task's sort
+    val plan = Dedup.removeDuplicateLines(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"keep-first regressed to a window:\n$plan")
+  }
+
   test("embedding dup pairs: hot-bucket guard bounds a degenerate cluster") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
