@@ -147,6 +147,41 @@ object HtmlText {
 
   def extract(html: UTF8String): UTF8String =
     UTF8String.fromString(extractText(html.toString))
+
+  private val AnchorOpen = java.util.regex.Pattern.compile("(?is)<a\\b[^>]*>")
+  private val Href = java.util.regex.Pattern.compile(
+    "(?is)\\bhref\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+))")
+
+  /** Outgoing link targets in document order — the crawl-frontier /
+    * link-graph counterpart to [[extractText]]: every `href` of an `<a>`
+    * open tag, after the same comment/container pre-pass (a link inside
+    * `<script>` or a comment is not a link), double-/single-/unquoted
+    * attribute forms all accepted, entities decoded (`&amp;` is how a
+    * literal `&` in a query string is spelled in markup). Anchors without
+    * an href (`<a name=...>`) contribute nothing. Duplicates are KEPT —
+    * edge-level dedup is the graph builder's decision, not the parser's.
+    */
+  def extractLinkList(html: String): Seq[String] = {
+    var s = Comment.matcher(html).replaceAll(" ")
+    Containers.foreach { c => s = dropContainer(s, c) }
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    val m = AnchorOpen.matcher(s)
+    while (m.find()) {
+      val hm = Href.matcher(m.group(0))
+      if (hm.find()) {
+        val v = if (hm.group(2) != null) hm.group(2)
+        else if (hm.group(3) != null) hm.group(3)
+        else hm.group(4)
+        val dec = decodeEntities(v).trim
+        if (dec.nonEmpty) out += dec
+      }
+    }
+    out.toSeq
+  }
+
+  def links(html: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      extractLinkList(html.toString).map(UTF8String.fromString).toArray[Any])
 }
 
 /** `graft_extract_text(html: string) -> string` — deterministic HTML
@@ -170,6 +205,33 @@ case class GraftExtractText(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, s => s"graft.functions.HtmlText.extract($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_extract_links(html: string) -> array<string>` — outgoing link
+  * targets (see [[HtmlText.extractLinkList]]) as a codegen'd narrow
+  * expression: the crawl-frontier and link-graph feed, running beside
+  * `graft_extract_text` in the same Tungsten pass over a WARC scan.
+  */
+case class GraftExtractLinks(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_extract_links requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_extract_links"
+
+  override def nullSafeEval(html: Any): Any =
+    HtmlText.links(html.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.HtmlText.links($s)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

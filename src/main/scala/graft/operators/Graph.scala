@@ -102,6 +102,58 @@ object Graph {
     (labels.select(col("id"), col("label").as("cluster_id")), rounds)
   }
 
+  /** Fixed-point PageRank over a directed edge list — the crawl-curation
+    * quality prior (harmonic/PageRank-style URL ranking is the standard
+    * frontier-prioritization and quality-weighting signal in web-corpus
+    * pipelines). Ranks are INTEGER micro-units (`scale` = 1.0), every
+    * update is long arithmetic (`div`, never `/`), so the result is exactly
+    * reproducible in any engine — no FP addition-order dependence across
+    * partitions, which a double-valued PageRank cannot promise.
+    *
+    * Semantics (documented, oracle-replayable): multi-edges count once and
+    * self-loops drop; every node starts at `scale div N`; each iteration
+    *   rank'(v) = base + Σ_{u→v} (dampingPct * rank(u)) div (100 * outdeg(u))
+    * with base = ((100 - dampingPct) * (scale div N)) div 100. Dangling
+    * mass (nodes with no out-links) is dropped, not redistributed — ranks
+    * are a relative ordering signal, not a probability simplex.
+    *
+    * Scale shape: one distinct edge materialization; per iteration one
+    * equi-join on the src key and one sum keyed by dst — longs all the way,
+    * partial-aggregatable, no windows. Iteration count is a small constant
+    * (3-5 captures the ordering; this is a curation prior, not a power
+    * method run to convergence). N is the only driver-side scalar.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 3, dampingPct: Long = 85L,
+               scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100,
+      "need iterations >= 1 and dampingPct in [0, 100]")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    val r0 = scale / n
+    val base = ((100L - dampingPct) * r0) / 100L
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+    var ranks = nodes.withColumn("rank_u", lit(r0))
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(outdeg, "src")
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"),
+          expr(s"($dampingPct * rank_u) div (100 * odeg)").as("c"))
+        .groupBy("id").agg(sum("c").as("c"))
+      ranks = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"), (lit(base) + coalesce(col("c"), lit(0L))).as("rank_u"))
+    }
+    // materialize before releasing the checkpointed inputs: ranks' lineage
+    // ends at e/nodes' truncated checkpoints, so unpersisting them first
+    // would leave the lazy plan nothing to recompute from
+    val out = ranks.localCheckpoint()
+    e.unpersist(); nodes.unpersist()
+    out
+  }
+
   /** Exact driver-side solve of a gate-bounded edge list: union-find with
     * path compression, then cluster_id = min vertex id per component —
     * bit-identical to what converged label propagation returns. Vertex ids

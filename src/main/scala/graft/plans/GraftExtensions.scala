@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftBpeEncode, GraftCanonUrl, GraftExtractText, GraftLshBuckets, GraftLutSum, GraftMinHash, GraftNormalize, GraftSimHash, GraftSimHashMd5, GraftWinnow, GraftWinnowMd5}
+import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftBpeEncode, GraftCanonUrl, GraftExtractLinks, GraftExtractText, GraftLshBuckets, GraftLutSum, GraftMinHash, GraftNormalize, GraftSimHash, GraftSimHashMd5, GraftWinnow, GraftWinnowMd5}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (see [[graft.GraftSession]]): injects the engine's native expressions
@@ -65,6 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_extract_text"),
       new ExpressionInfo(classOf[GraftExtractText].getName, "graft_extract_text"),
       (children: Seq[Expression]) => GraftExtractText(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_extract_links"),
+      new ExpressionInfo(classOf[GraftExtractLinks].getName, "graft_extract_links"),
+      (children: Seq[Expression]) => GraftExtractLinks(children(0))))
     ext.injectFunction((
       new FunctionIdentifier("graft_canon_url"),
       new ExpressionInfo(classOf[GraftCanonUrl].getName, "graft_canon_url"),

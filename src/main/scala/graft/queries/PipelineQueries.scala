@@ -800,6 +800,54 @@ object PipelineQueries extends QuerySet {
         .orderBy("canon_url")
     }),
 
+    // Link graph + PageRank — the crawl-curation QUALITY PRIOR (frontier
+    // prioritization and per-URL quality weighting): 40 synthetic pages
+    // whose anchors follow a deterministic formula (quote style rotates
+    // through double/single/unquoted, half the hrefs carry tracking params
+    // and fragments), parsed by graft_extract_links, canonicalized by
+    // graft_canon_url, non-absolute targets (the nav link) dropped, then
+    // THREE iterations of fixed-point integer PageRank — every rank is a
+    // LONG in 1e-9 units, so the oracle re-derives the link formula AND
+    // the exact ranks arithmetically with no FP-order hazard. See
+    // [[graft.operators.Graph.pageRank]] for the 100 TB shape.
+    "q143_link_graph_rank" -> ((s, dir) => {
+      import s.implicits._
+      def url(i: Int) = s"https://site${i % 8}.example.com/p/$i"
+      val pages = (0 until 40).map { i =>
+        val anchors = (0 to i % 4).map { k =>
+          val raw = (i * 7 + k * 3 + 1) % 40
+          val d = if (raw == i) (raw + 1) % 40 else raw
+          val suffix = (if (k % 2 == 1) s"?utm_source=t$k" else "") +
+            (if (k % 3 == 2) s"#sec$k" else "")
+          val href = url(d) + suffix
+          val attr = if (k % 3 == 0) s"href=$href"
+          else if (k % 2 == 0) "href=\"" + href + "\""
+          else s"href='$href'"
+          s"<a $attr>link $k</a>"
+        }.mkString
+        (url(i),
+          s"<html><head><title>p$i</title><script>var x=$i;</script></head>" +
+          "<body><nav><a href=\"/local/nav\">home</a></nav>" +
+          s"<p>text $i</p>$anchors<a name=\"end\">end</a></body></html>")
+      }.toDF("url", "html")
+      val edges = pages
+        .select(col("url").as("src"),
+          explode(expr("graft_extract_links(html)")).as("href"))
+        .where(col("href").startsWith("http"))
+        .select(col("src"), expr("graft_canon_url(href)").as("dst"))
+      val ranks = graft.operators.Graph.pageRank(edges, "src", "dst",
+        iterations = 3)
+      val ec = edges.where(col("src") =!= col("dst")).distinct()
+      val od = ec.groupBy("src").agg(count(lit(1)).as("out_deg"))
+      val ind = ec.groupBy("dst").agg(count(lit(1)).as("in_deg"))
+      ranks.join(od.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .join(ind.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id").as("url"), col("rank_u"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"))
+        .orderBy("url")
+    }),
+
     // The curation stage AFTER ingestion (the trafilatura role): gzip WARC
     // response payloads -> graft_extract_text -> training text. The fixture
     // pages carry real boilerplate (nav/footer/link lists die by link
@@ -1998,6 +2046,49 @@ object PipelineQueries extends QuerySet {
         |SELECT 'http://example' || p || '.com/a/b/page' || p || '?x=1' AS canon_url,
         |  CAST(3 AS BIGINT) AS n_variants
         |FROM r ORDER BY canon_url""".stripMargin,
+    // the link formula re-derived arithmetically (tracking/fragment
+    // suffixes and quote styles vanish under canonicalization, so only
+    // the (i, d) targets matter), then the SAME fixed-point integer
+    // PageRank unrolled three iterations — `//` here is `div` there,
+    // long-for-long
+    "q143_link_graph_rank" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 39)) AS i),
+        |ks AS (SELECT i, unnest(generate_series(0, i % 4)) AS k FROM ids),
+        |raw AS (SELECT i, (i*7 + k*3 + 1) % 40 AS r FROM ks),
+        |tgt AS (SELECT i, CASE WHEN r = i THEN (r + 1) % 40 ELSE r END AS d FROM raw),
+        |lk AS (SELECT DISTINCT
+        |        'https://site' || CAST(i % 8 AS VARCHAR) || '.example.com/p/' || CAST(i AS VARCHAR) AS src,
+        |        'https://site' || CAST(d % 8 AS VARCHAR) || '.example.com/p/' || CAST(d AS VARCHAR) AS dst
+        |       FROM tgt WHERE d <> i),
+        |nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM lk UNION ALL SELECT dst AS id FROM lk)),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg FROM lk GROUP BY src),
+        |r0 AS (SELECT id, (SELECT 1000000000 // n FROM nn) AS rank_u FROM nodes),
+        |r1 AS (SELECT nodes.id,
+        |        (SELECT (15 * (1000000000 // n)) // 100 FROM nn) + COALESCE(m.s, 0) AS rank_u
+        |       FROM nodes LEFT JOIN (
+        |         SELECT lk.dst AS id, CAST(SUM((85 * r0.rank_u) // (100 * od.odeg)) AS BIGINT) AS s
+        |         FROM lk JOIN od USING (src) JOIN r0 ON r0.id = lk.src
+        |         GROUP BY lk.dst) m ON m.id = nodes.id),
+        |r2 AS (SELECT nodes.id,
+        |        (SELECT (15 * (1000000000 // n)) // 100 FROM nn) + COALESCE(m.s, 0) AS rank_u
+        |       FROM nodes LEFT JOIN (
+        |         SELECT lk.dst AS id, CAST(SUM((85 * r1.rank_u) // (100 * od.odeg)) AS BIGINT) AS s
+        |         FROM lk JOIN od USING (src) JOIN r1 ON r1.id = lk.src
+        |         GROUP BY lk.dst) m ON m.id = nodes.id),
+        |r3 AS (SELECT nodes.id,
+        |        (SELECT (15 * (1000000000 // n)) // 100 FROM nn) + COALESCE(m.s, 0) AS rank_u
+        |       FROM nodes LEFT JOIN (
+        |         SELECT lk.dst AS id, CAST(SUM((85 * r2.rank_u) // (100 * od.odeg)) AS BIGINT) AS s
+        |         FROM lk JOIN od USING (src) JOIN r2 ON r2.id = lk.src
+        |         GROUP BY lk.dst) m ON m.id = nodes.id)
+        |SELECT n.id AS url, r3.rank_u,
+        |  CAST(COALESCE(ind.c, 0) AS BIGINT) AS in_deg,
+        |  CAST(COALESCE(od.odeg, 0) AS BIGINT) AS out_deg
+        |FROM nodes n JOIN r3 ON r3.id = n.id
+        |LEFT JOIN (SELECT dst, CAST(COUNT(*) AS BIGINT) AS c FROM lk GROUP BY dst) ind ON ind.dst = n.id
+        |LEFT JOIN od ON od.src = n.id
+        |ORDER BY url""".stripMargin,
     // pages 0-19 survive (20-29 fold into 0-9 as exact extracted-text
     // dups), so dup_cnt = 2 below ord 10; n_chars replays the q128 formula
     "q131_web_curation" ->

@@ -84,4 +84,33 @@ class HtmlTextSpec extends SparkSpec {
       .selectExpr("graft_extract_text(h)").head()
     assert(n.isNullAt(0))
   }
+
+  test("extractLinkList: quote forms, entities, container exclusion, no-href anchors") {
+    val html =
+      """<html><head><script>var a = '<a href="/ghost">x</a>';</script></head>
+        |<body><!-- <a href="/commented">dead</a> -->
+        |<a href="/dq">one</a> <a href='/sq'>two</a> <a href=/uq>three</a>
+        |<A HREF="/CAPS">four</A>
+        |<a class="x" href="/attr?a=1&amp;b=2">five</a>
+        |<a name="anchor">no link</a>
+        |<a href="/dq">one again</a>
+        |<a href="">empty</a></body></html>""".stripMargin
+    val got = HtmlText.extractLinkList(html)
+    // duplicates KEPT in document order; script/comment links and
+    // href-less anchors contribute nothing; &amp; decodes
+    assert(got == Seq("/dq", "/sq", "/uq", "/CAPS", "/attr?a=1&b=2", "/dq"))
+  }
+
+  test("expression layer: codegen'd graft_extract_links matches the kernel") {
+    import spark.implicits._
+    val html = "<p><a href='https://x.example.com/a'>A</a>" +
+      "<a href=\"https://x.example.com/b?u=1\">B</a></p>"
+    val viaSql = Seq(html).toDF("h")
+      .selectExpr("graft_extract_links(h)").head().getSeq[String](0)
+    assert(viaSql == HtmlText.extractLinkList(html))
+    assert(viaSql == Seq("https://x.example.com/a", "https://x.example.com/b?u=1"))
+    val n = Seq[Option[String]](None).toDF("h")
+      .selectExpr("graft_extract_links(h)").head()
+    assert(n.isNullAt(0))
+  }
 }

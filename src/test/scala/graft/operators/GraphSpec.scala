@@ -77,4 +77,27 @@ class GraphSpec extends SparkSpec {
     // every label must be a reachable (smaller-or-equal) vertex id
     assert(got.forall { case (id, lbl) => lbl <= id })
   }
+
+  test("pageRank: fixed-point integer ranks match the hand-computed model") {
+    // 1 -> {2, 3}, 2 -> 3, 3 -> 1; N = 3, r0 = 333333333, base = 49999999.
+    // Every value below is long arithmetic replayed by hand (and by the
+    // q143 oracle's unrolled SQL) — exact equality, no FP tolerance.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    def ranks(it: Int, e: org.apache.spark.sql.DataFrame = edges): Map[Long, Long] =
+      Graph.pageRank(e, "s", "d", iterations = it)
+        .as[(Long, Long)].collect().toMap
+    assert(ranks(1) == Map(1L -> 333333332L, 2L -> 191666665L, 3L -> 474999998L))
+    assert(ranks(2) == Map(1L -> 453749997L, 2L -> 191666665L, 3L -> 354583330L))
+    assert(ranks(3) == Map(1L -> 351395829L, 2L -> 242843747L, 3L -> 405760412L))
+    // multi-edges count once, self-loops drop: same graph, same ranks
+    val noisy = (Seq((1L, 2L), (1L, 2L), (2L, 2L)) ++
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))).toDF("s", "d")
+    assert(ranks(3, noisy) == ranks(3))
+    // string ids work (the q143 URL-keyed graph)
+    val surl = Seq(("a", "b"), ("b", "a")).toDF("s", "d")
+    val su = Graph.pageRank(surl, "s", "d", iterations = 1)
+      .as[(String, Long)].collect().toMap
+    // N = 2: r0 = 500000000, base = 75000000, contrib = 425000000
+    assert(su == Map("a" -> 500000000L, "b" -> 500000000L))
+  }
 }
