@@ -1,0 +1,264 @@
+package graft.operators
+
+/** Dependency-free GIF codec (GIF87a/89a, the CompuServe spec) — the third
+  * real pixel path behind the image near-dup family, beside [[PngGray]]
+  * (RFC 2083) and [[Jpeg]] (ITU-T T.81). GIFs are the long tail of any
+  * crawl (icons, diagrams, memes); a curation pipeline that nulls them out
+  * loses a measurable slice of the image corpus.
+  *
+  * Decode walks the whole wire format: logical screen descriptor, global /
+  * local color tables (local wins, per spec), extension blocks skipped by
+  * their sub-block chain, the FIRST image frame's LZW stream decompressed
+  * with the GIF bit-order (LSB-first, variable code width 3..12 bits,
+  * clear/EOI codes, the KwKwK case, deferred-clear full-dictionary
+  * tail), and the optional 4-pass interlace undone. Palette entries
+  * collapse to integer luma ((299r + 587g + 114b) / 1000 — the [[PngGray]]
+  * constant, exact pass-through for achromatic palettes, which is what
+  * makes fixture oracles arithmetic).
+  *
+  * Same malformed-input contract as the other byte decoders: truncation,
+  * bad magic, a missing color table, an LZW error, or a pixel-count bomb
+  * all yield None — never a throw, never a hang.
+  *
+  * The encoder twin [[render]] writes real GIF bytes with an all-literal
+  * LZW stream (9-bit literal codes with a CLEAR every 254 symbols — the
+  * classic "uncompressed GIF" construction, fully valid LZW that any
+  * decoder reads), so fixture bytes are a pure function of the pixel
+  * formula; real-LZW interop is GifSpec's ImageIO cross-check.
+  */
+object GifGray extends Serializable {
+  import PngGray.GrayImage
+
+  /** Pixel-count cap: u16 dims allow a crafted 4G-pixel frame. */
+  private val MaxPixels = 64L * 1024 * 1024
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def u16le(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+
+  private def lumaTable(b: Array[Byte], off: Int, n: Int): Array[Int] =
+    Array.tabulate(n) { i =>
+      (299 * u8(b, off + 3 * i) + 587 * u8(b, off + 3 * i + 1) +
+        114 * u8(b, off + 3 * i + 2)) / 1000
+    }
+
+  /** Display-row order of the 4 interlace passes: element s = the display
+    * row carried by source row s of the stream (spec appendix E).
+    */
+  private[operators] def interlaceRows(h: Int): Array[Int] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[Int](h)
+    var y = 0
+    while (y < h) { buf += y; y += 8 }
+    y = 4; while (y < h) { buf += y; y += 8 }
+    y = 2; while (y < h) { buf += y; y += 4 }
+    y = 1; while (y < h) { buf += y; y += 2 }
+    buf.toArray
+  }
+
+  private def skipSubBlocks(b: Array[Byte], start: Int): Int = {
+    var pos = start
+    while (pos < b.length) {
+      val len = u8(b, pos)
+      if (len == 0) return pos + 1
+      pos += 1 + len
+    }
+    -1
+  }
+
+  private def concatSubBlocks(b: Array[Byte], start: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var pos = start
+    while (pos < b.length) {
+      val len = u8(b, pos)
+      if (len == 0) return out.toByteArray
+      if (pos + 1 + len > b.length) return null
+      out.write(b, pos + 1, len)
+      pos += 1 + len
+    }
+    null // ran off the end before the 0 terminator
+  }
+
+  /** Decode the first frame to integer grayscale via the color table. */
+  def decodeGray(bytes: Array[Byte]): Option[GrayImage] = {
+    if (bytes == null || bytes.length < 13) return None
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val packed = u8(bytes, 10)
+    var pos = 13
+    var gct: Array[Int] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (pos + 3 * n > bytes.length) return None
+      gct = lumaTable(bytes, pos, n)
+      pos += 3 * n
+    }
+    while (pos < bytes.length) {
+      u8(bytes, pos) match {
+        case 0x3b => return None // trailer before any image frame
+        case 0x21 => // extension: introducer + label, then sub-blocks
+          if (pos + 2 > bytes.length) return None
+          pos = skipSubBlocks(bytes, pos + 2)
+          if (pos < 0) return None
+        case 0x2c =>
+          if (pos + 10 > bytes.length) return None
+          val w = u16le(bytes, pos + 5); val h = u16le(bytes, pos + 7)
+          val ip = u8(bytes, pos + 9)
+          var table = gct
+          pos += 10
+          if ((ip & 0x80) != 0) { // local color table overrides global
+            val n = 2 << (ip & 7)
+            if (pos + 3 * n > bytes.length) return None
+            table = lumaTable(bytes, pos, n)
+            pos += 3 * n
+          }
+          if (table == null || w <= 0 || h <= 0 || w.toLong * h > MaxPixels)
+            return None
+          if (pos >= bytes.length) return None
+          val minCode = u8(bytes, pos)
+          if (minCode < 2 || minCode > 8) return None
+          val data = concatSubBlocks(bytes, pos + 1)
+          if (data == null) return None
+          val idx = lzwDecode(data, minCode, w * h)
+          if (idx == null) return None
+          val img = new Array[Int](w * h)
+          val order = if ((ip & 0x40) != 0) interlaceRows(h) else null
+          var s = 0
+          while (s < h) {
+            val dy = if (order == null) s else order(s)
+            var x = 0
+            while (x < w) {
+              val ci = idx(s * w + x)
+              if (ci >= table.length) return None
+              img(dy * w + x) = table(ci)
+              x += 1
+            }
+            s += 1
+          }
+          return Some(GrayImage(w, h, img))
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** GIF-variant LZW: LSB-first bitstream, code width grows from
+    * minCode+1 as the dictionary fills (12-bit ceiling, deferred clear),
+    * clear resets, EOI ends. Returns exactly `expected` pixel indices or
+    * null on any malformation.
+    */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+                        expected: Int): Array[Int] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    var codeSize = minCode + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    var dictSize = eoi + 1
+    val out = new Array[Int](expected)
+    var outPos = 0
+    var bitPos = 0
+    val nBits = data.length * 8
+    val stack = new Array[Int](4098)
+    var prev = -1
+    var prevFirst = 0
+    while (outPos < expected) {
+      if (bitPos + codeSize > nBits) return null
+      var code = 0
+      var i = 0
+      while (i < codeSize) {
+        val bp = bitPos + i
+        if (((data(bp >> 3) >> (bp & 7)) & 1) != 0) code |= 1 << i
+        i += 1
+      }
+      bitPos += codeSize
+      if (code == clear) {
+        codeSize = minCode + 1; dictSize = eoi + 1; prev = -1
+      } else if (code == eoi) {
+        return if (outPos == expected) out else null
+      } else {
+        var sp = 0
+        var cur = code
+        if (cur >= dictSize) { // KwKwK: only code == dictSize is legal
+          if (cur != dictSize || prev < 0) return null
+          stack(sp) = prevFirst; sp += 1
+          cur = prev
+        }
+        while (cur > eoi) { stack(sp) = suffix(cur); sp += 1; cur = prefix(cur) }
+        if (cur >= clear) return null // root must be a literal
+        val first = cur
+        stack(sp) = cur; sp += 1
+        if (outPos + sp > expected) return null
+        while (sp > 0) { sp -= 1; out(outPos) = stack(sp); outPos += 1 }
+        if (prev >= 0 && dictSize < 4096) {
+          prefix(dictSize) = prev; suffix(dictSize) = first; dictSize += 1
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code; prevFirst = first
+      }
+    }
+    out // stream may omit the trailing EOI once all pixels are present
+  }
+
+  // ---- encoder twin (fixtures + tests; never the scale path) ----
+
+  /** Encode grayscale pixels as a real GIF89a: 256-entry achromatic global
+    * color table (index i = (i,i,i), so luma round-trips EXACTLY), a
+    * graphic-control extension (exercises the skip path), optional 4-pass
+    * interlace genuinely applied, and an all-literal 9-bit LZW stream with
+    * a CLEAR every 254 symbols.
+    */
+  def render(width: Int, height: Int, gray: Array[Int],
+             interlaced: Boolean = false): Array[Byte] = {
+    require(gray.length == width * height, "pixel count mismatch")
+    require(width > 0 && width < 65536 && height > 0 && height < 65536,
+      "dims must fit u16")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"), 0, 6)
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(width); le16(height)
+    out.write(0x80 | 0x70 | 0x07) // GCT present, 8-bit color res, 256 entries
+    out.write(0); out.write(0)    // background index, aspect ratio
+    for (i <- 0 until 256) { out.write(i); out.write(i); out.write(i) }
+    // graphic control extension (89a): 4-byte body, zero delay/transparency
+    out.write(0x21); out.write(0xf9); out.write(4)
+    out.write(0); le16(0); out.write(0); out.write(0)
+    out.write(0x2c); le16(0); le16(0); le16(width); le16(height)
+    out.write(if (interlaced) 0x40 else 0)
+    out.write(8) // LZW minimum code size
+    // all-literal LZW, LSB-first bit packing
+    val lzw = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nb = 0
+    def put(v: Int, n: Int): Unit = {
+      acc |= v.toLong << nb; nb += n
+      while (nb >= 8) { lzw.write((acc & 0xff).toInt); acc >>= 8; nb -= 8 }
+    }
+    val clear = 256; val eoi = 257
+    put(clear, 9)
+    var since = 0
+    val order = if (interlaced) interlaceRows(height) else null
+    var s = 0
+    while (s < height) {
+      val dy = if (order == null) s else order(s)
+      var x = 0
+      while (x < width) {
+        if (since == 254) { put(clear, 9); since = 0 }
+        put(gray(dy * width + x) & 0xff, 9)
+        since += 1
+        x += 1
+      }
+      s += 1
+    }
+    put(eoi, 9)
+    if (nb > 0) lzw.write((acc & 0xff).toInt)
+    val body = lzw.toByteArray
+    var off = 0
+    while (off < body.length) {
+      val n = math.min(255, body.length - off)
+      out.write(n)
+      out.write(body, off, n)
+      off += n
+    }
+    out.write(0)    // sub-block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+}

@@ -91,6 +91,30 @@ object Multimodal {
     aHashFromGray(spark.createDataFrame(rows, outSchema), "gray", idCol)
   }
 
+  /** [[aHashFromPng]]'s twin for the crawl long tail (icons, diagrams,
+    * memes): full GIF decode — color tables, extension skip, LZW, interlace
+    * ([[GifGray.decodeGray]]) — then the same block-mean grid and NULL
+    * contract for undecodable payloads and too-small images.
+    */
+  def aHashFromGif(df: DataFrame, gifCol: String, idCol: String,
+                   gw: Int = 10, gh: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val gifIdx = df.schema.fieldIndex(gifCol)
+    val outSchema = df.schema.add("gray", ArrayType(IntegerType))
+    val rows = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val grid = GifGray.decodeGray(r.get(gifIdx).asInstanceOf[Array[Byte]])
+          .filter(img => img.width >= gw && img.height >= gh)
+          .map(img => PngGray.blockMeanGrid(img, gw, gh).toSeq)
+          .orNull
+        Row.fromSeq(r.toSeq :+ grid)
+      }
+    }
+    aHashFromGray(spark.createDataFrame(rows, outSchema), "gray", idCol)
+  }
+
   /** [[aHashFromPng]]'s twin for the format that dominates a crawl: decode
     * the LUMA plane of a baseline JPEG ([[Jpeg.decodeLuma]] — full marker
     * walk, Huffman entropy decode, dequant + IDCT; chroma advanced but

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GifSpec extends AnyFunSuite {
+
+  private def pixels(w: Int, h: Int, seed: Int): Array[Int] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(w * h)(rng.nextInt(256))
+  }
+
+  test("render/decode round trip: sequential and interlaced, odd sizes") {
+    for (interlaced <- Seq(false, true); w <- Seq(1, 7, 33); h <- Seq(1, 5, 12, 17)) {
+      val px = pixels(w, h, (if (interlaced) 1 else 0) * 1000 + w * 10 + h)
+      val bytes = GifGray.render(w, h, px, interlaced)
+      val got = GifGray.decodeGray(bytes)
+      assert(got.isDefined, s"interlaced=$interlaced ${w}x$h failed to decode")
+      assert(got.get.width == w && got.get.height == h)
+      assert(got.get.gray.toSeq == px.toSeq,
+        s"interlaced=$interlaced ${w}x$h pixels corrupted")
+    }
+    // big enough that the all-literal stream needs several CLEAR resets
+    // and multiple 255-byte sub-blocks
+    val w = 100; val h = 60
+    val px = pixels(w, h, 99)
+    assert(GifGray.decodeGray(GifGray.render(w, h, px)).get.gray.toSeq == px.toSeq)
+  }
+
+  test("ImageIO reads our bytes; we read ImageIO's real-LZW bytes") {
+    val w = 40; val h = 25
+    val px = pixels(w, h, 7)
+    // direction 1: a stock decoder accepts the all-literal stream
+    val ours = GifGray.render(w, h, px)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ours))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      assert((rgb & 0xff) == px(y * w + x) &&
+        ((rgb >> 8) & 0xff) == px(y * w + x),
+        s"ImageIO disagrees at ($x,$y)")
+    }
+    // direction 2: our LZW handles genuinely compressed output (dictionary
+    // growth, code-width increases — not just literals)
+    val buf = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = px(y * w + x)
+      buf.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(buf, "gif", bos))
+    val theirs = bos.toByteArray
+    val got = GifGray.decodeGray(theirs)
+    assert(got.isDefined, "failed to decode ImageIO-written GIF")
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(theirs))
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = ref.getRGB(x, y)
+      val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+        114 * (rgb & 0xff)) / 1000
+      assert(got.get.gray(y * w + x) == luma, s"luma mismatch at ($x,$y)")
+    }
+    // a highly repetitive image drives long dictionary chains (KwKwK
+    // territory) — decode must still match ImageIO exactly
+    val rep = Array.tabulate(w * h)(k => (k % 7) * 36)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = rep(y * w + x)
+      buf.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos2 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(buf, "gif", bos2))
+    val got2 = GifGray.decodeGray(bos2.toByteArray)
+    val ref2 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos2.toByteArray))
+    assert(got2.isDefined)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = ref2.getRGB(x, y)
+      val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+        114 * (rgb & 0xff)) / 1000
+      assert(got2.get.gray(y * w + x) == luma, s"repetitive mismatch ($x,$y)")
+    }
+  }
+
+  test("malformed inputs yield None, never a throw") {
+    val good = GifGray.render(8, 8, pixels(8, 8, 3))
+    assert(GifGray.decodeGray(null).isEmpty)
+    assert(GifGray.decodeGray(Array.emptyByteArray).isEmpty)
+    assert(GifGray.decodeGray("NOTAGIF_______".getBytes("US-ASCII")).isEmpty)
+    // truncations at every prefix length must not throw
+    for (n <- 0 until good.length by 7)
+      assert(GifGray.decodeGray(java.util.Arrays.copyOf(good, n)).isEmpty,
+        s"truncation at $n decoded")
+    // trailer with no frame. The image separator sits at a fixed offset in
+    // our encoding: 13 (header + LSD) + 768 (GCT) + 8 (GCE) — searching for
+    // the 0x2c byte would find palette entry 44 instead
+    val sep = 13 + 768 + 8
+    assert(good(sep) == 0x2c.toByte, "image separator not where expected")
+    val cut = java.util.Arrays.copyOf(good, sep + 1)
+    cut(sep) = 0x3b.toByte
+    assert(GifGray.decodeGray(cut).isEmpty)
+    // pixel-bomb dimensions: claimed 65535x65535 frame
+    val bomb = good.clone()
+    // image descriptor starts at sep: [0x2c][left][top][w][h][packed]
+    bomb(sep + 5) = 0xff.toByte; bomb(sep + 6) = 0xff.toByte
+    bomb(sep + 7) = 0xff.toByte; bomb(sep + 8) = 0xff.toByte
+    assert(GifGray.decodeGray(bomb).isEmpty)
+    // corrupt LZW: a code pointing past the dictionary
+    val junk = good.clone()
+    junk(junk.length - 10) = 0xff.toByte
+    junk(junk.length - 9) = 0xff.toByte
+    GifGray.decodeGray(junk) // any Option is fine; must not throw
+  }
+}
