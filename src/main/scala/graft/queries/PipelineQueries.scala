@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{AnnIndex, Dedup, Multimodal, Segmentation, Similarity}
+import graft.operators.{AnnIndex, Dedup, GifGray, Multimodal, Segmentation, Similarity}
 
 /** The reference's application-plan operators (SURVEY.md §2.A) exposed as
   * driver-checkable queries over the harness tables, plus the scale-path
@@ -777,6 +777,41 @@ object PipelineQueries extends QuerySet {
         .orderBy("ord")
     }),
 
+    // The tar shard SINK round-tripped through this engine's own reader —
+    // the write half of the WebDataset story (q122/q129 read it): every
+    // document becomes a two-member sample (.txt payload + .json
+    // metadata), shards assigned by an explicit doc_id % 4 (the
+    // caller-owned placement contract), written as real ustar bytes by
+    // [[graft.sources.TarShards.writeShards]], then read back. The oracle
+    // re-derives EVERYTHING relationally — including each member's BYTE
+    // OFFSET inside its shard from 512-block arithmetic — so the header
+    // layout, the (sample_key, ext) ordering, and the payload bytes are
+    // all pinned, not just row counts.
+    "q145_tar_shard_sink" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val members = docs.select(
+          (col("doc_id") % 4).cast("int").as("shard"),
+          format_string("doc%05d", col("doc_id")).as("k"),
+          explode(array(
+            struct(lit("txt").as("e"), col("text").cast("binary").as("d")),
+            struct(lit("json").as("e"),
+              concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+                lit(",\"lang\":\""), col("lang"), lit("\"}"))
+                .cast("binary").as("d")))).as("m"))
+        .select(col("shard"), col("k"), col("m.e").as("e"), col("m.d").as("d"))
+      val out = "/tmp/graft_q145_" + new java.io.File(dir).getName
+      // stale shards from a previous run at another row count would merge
+      // into the read-back glob: clear first
+      val outDir = new java.io.File(out)
+      if (outDir.exists()) outDir.listFiles().foreach(_.delete())
+      graft.sources.TarShards.writeShards(members, "shard", "k", "e", "d", out)
+      graft.sources.TarShards.read(s, out)
+        .select(regexp_extract(col("file"), "(shard-\\d{5}\\.tar)$", 1).as("file"),
+          col("ord"), col("offset"), col("sample_key"), col("ext"),
+          col("size"), md5(col("data")).as("content_md5"))
+        .orderBy("sample_key", "ext")
+    }),
+
     // URL-level dedup — the screen that runs BEFORE any content is even
     // fetched at crawl scale: 60 URL spellings (tracking params, fragments,
     // default ports, case-varied hosts, dot-segments, duplicate slashes,
@@ -941,6 +976,35 @@ object PipelineQueries extends QuerySet {
       }
       val sig = Multimodal.aHashFromPng(
         imgs.toDF("img_id", "png"), "png", "img_id", gw = 10, gh = 6)
+      Dedup.simHashPairs(sig, maxHamming = 6,
+          maxBucketSize = Int.MaxValue, nBits = 60)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // q127's GIF sibling — the crawl long tail: the same planted families
+    // and cell formula, but each image is a genuine GIF89a (256-entry
+    // achromatic palette, graphic-control extension, LZW stream with
+    // clear-code resets; every third image INTERLACED so the 4-pass
+    // reorder is exercised and must be undone exactly). Palette index i
+    // lumas to i, so the encode/decode round trip is invisible and the
+    // SAME arithmetic oracle as q127 pins the full decode chain. Real-LZW
+    // interop is GifSpec's ImageIO cross-check.
+    "q144_gif_ahash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      def cell(img: Long, j: Int): Int = {
+        val key = s"${if (j < img % 3) img + 1000000 else img / 10}:$j"
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex.substring(0, 13), 16) % 256).toInt
+      }
+      val imgs = (0L until 40L).map { i =>
+        val px = Array.tabulate(20 * 12) { k =>
+          cell(i, (k / 20 / 2) * 10 + (k % 20) / 2)
+        }
+        (i, GifGray.render(20, 12, px, interlaced = i % 3 == 0))
+      }
+      val sig = Multimodal.aHashFromGif(
+        imgs.toDF("img_id", "gif"), "gif", "img_id", gw = 10, gh = 6)
       Dedup.simHashPairs(sig, maxHamming = 6,
           maxBucketSize = Int.MaxValue, nBits = 60)
         .orderBy("a_id", "b_id")
@@ -1607,6 +1671,23 @@ object PipelineQueries extends QuerySet {
     // the real-pixel twin replays the SAME cell formula (2x2-constant
     // blocks make the engine's decoded block means equal the cells) over
     // 40 image ids — the PNG encode/decode round trip must be invisible
+    // the GIF round trip is invisible by construction (achromatic palette
+    // lumas index i back to i), so q127's arithmetic cell oracle applies
+    // verbatim — including for the interlaced images, whose reorder must
+    // cancel exactly
+    "q144_gif_ahash_dedup" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 39)) AS img_id),
+        |g AS (SELECT img_id, list_transform(range(0, 60), j ->
+        |    ('0x' || substr(md5(CAST(CASE WHEN j < img_id % 3 THEN img_id + 1000000
+        |        ELSE img_id // 10 END AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 13))::BIGINT % 256) AS gray
+        |  FROM ids),
+        |sig AS (SELECT img_id, CAST(list_sum(list_transform(range(0, 60), j ->
+        |    CASE WHEN gray[j + 1] * 60 > list_sum(gray) THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS h
+        |  FROM g)
+        |SELECT a.img_id AS a_id, b.img_id AS b_id, bit_count(xor(a.h, b.h)) AS hamming
+        |FROM sig a JOIN sig b ON a.img_id < b.img_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 6
+        |ORDER BY a_id, b_id""".stripMargin,
     "q127_png_ahash_dedup" ->
       """WITH ids AS (SELECT unnest(generate_series(0, 39)) AS img_id),
         |g AS (SELECT img_id, list_transform(range(0, 60), j ->
@@ -2041,6 +2122,26 @@ object PipelineQueries extends QuerySet {
         |  (CAST(8 AS BIGINT), 'gnew/g7.txt',     'g7',    'txt', CAST(1 AS BIGINT))
         |) AS t(ord, name, sample_key, ext, size) ORDER BY ord""".stripMargin,
     // every spelling triple folds onto its arithmetic canonical form
+    // every read-back column re-derived relationally: ord and offset from
+    // the (sample_key, ext) layout order and 512-block header arithmetic,
+    // sizes and md5s from the payload formulas
+    "q145_tar_shard_sink" ->
+      """WITH d AS (SELECT doc_id, printf('doc%05d', doc_id) AS k, doc_id % 4 AS shard,
+        |             text, lang FROM documents),
+        |m AS (SELECT shard, k, 'txt' AS ext, text AS payload FROM d
+        |      UNION ALL
+        |      SELECT shard, k, 'json' AS ext,
+        |        '{"doc_id":' || doc_id || ',"lang":"' || lang || '"}' AS payload FROM d),
+        |o AS (SELECT shard, k, ext, payload, octet_length(encode(payload)) AS size,
+        |        ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, ext) - 1 AS ord,
+        |        COALESCE(SUM(512 + ((octet_length(encode(payload)) + 511) // 512) * 512)
+        |          OVER (PARTITION BY shard ORDER BY k, ext
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |      FROM m)
+        |SELECT printf('shard-%05d.tar', shard) AS file, CAST(ord AS BIGINT) AS ord,
+        |  CAST(off AS BIGINT) AS "offset", k AS sample_key, ext,
+        |  CAST(size AS BIGINT) AS size, md5(payload) AS content_md5
+        |FROM o ORDER BY sample_key, ext""".stripMargin,
     "q133_url_canon_dedup" ->
       """WITH r AS (SELECT unnest(generate_series(0, 19)) AS p)
         |SELECT 'http://example' || p || '.com/a/b/page' || p || '?x=1' AS canon_url,

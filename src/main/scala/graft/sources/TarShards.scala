@@ -201,15 +201,81 @@ object TarShards {
     */
   def render(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    for ((name, data) <- entries) {
-      if (name.getBytes("UTF-8").length > 100) {
-        writeMemberTo(out, s"./PaxHeaders/${name.take(80)}", 'x',
-          paxPathRecord(name))
-        writeMemberTo(out, name.take(100), '0', data)
-      } else writeMemberTo(out, name, '0', data)
-    }
+    for ((name, data) <- entries) writeEntry(out, name, data)
     out.write(new Array[Byte](1024)) // two zero blocks terminate
     out.toByteArray
+  }
+
+  /** One file entry (pax long-name header included when needed), streamed —
+    * shared by [[render]] and the [[writeShards]] sink.
+    */
+  private def writeEntry(out: java.io.OutputStream, name: String,
+                         data: Array[Byte]): Unit = {
+    if (name.getBytes("UTF-8").length > 100) {
+      writeMemberTo(out, s"./PaxHeaders/${name.take(80)}", 'x',
+        paxPathRecord(name))
+      writeMemberTo(out, name.take(100), '0', data)
+    } else writeMemberTo(out, name, '0', data)
+  }
+
+  /** WebDataset-style shard SINK — the write half of this source: member
+    * rows (shard, sampleKey, ext, payload) become `shard-NNNNN.tar` files
+    * under `dir`, one tar per distinct shard id, members laid out in
+    * (sampleKey, ext) order so shard BYTES are a pure function of the
+    * data. The caller owns shard assignment (an explicit int column —
+    * `pmod(xxhash64(key), n)` for hash placement, a range rank for
+    * sequential packing); the sink never re-keys.
+    *
+    * Scale shape: one repartition on the shard id co-locates each shard's
+    * members, an in-partition sort fixes the layout, and each task STREAMS
+    * its shards member-by-member (tmp file + atomic rename, so a killed
+    * task never leaves a half-written shard under the final name) — shard
+    * bytes never accumulate in memory. Returns the metadata-sized manifest
+    * (shard, n_members, n_payload_bytes), collected to the driver; the
+    * write is EAGER. Local-filesystem paths; at cluster scale the same
+    * shape writes through the DFS client instead.
+    */
+  def writeShards(members: DataFrame, shardCol: String, keyCol: String,
+                  extCol: String, dataCol: String,
+                  dir: String): Seq[(Int, Long, Long)] = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val rows = members.select(col(shardCol).cast("int").as("shard"),
+        col(keyCol).cast("string").as("k"), col(extCol).cast("string").as("e"),
+        col(dataCol).cast("binary").as("d"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "k", "e")
+    rows.rdd.mapPartitions { it =>
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val acc = new scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+      var cur = Int.MinValue
+      var os: java.io.OutputStream = null
+      var tmp: java.nio.file.Path = null
+      var dst: java.nio.file.Path = null
+      var n = 0L; var payload = 0L
+      def close(): Unit = if (os != null) {
+        os.write(new Array[Byte](1024))
+        os.close()
+        Files.move(tmp, dst, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+        acc += ((cur, n, payload))
+        os = null
+      }
+      for (r <- it) {
+        val sh = r.getInt(0)
+        if (sh != cur || os == null) {
+          close()
+          cur = sh; n = 0L; payload = 0L
+          dst = Paths.get(dir, f"shard-$sh%05d.tar")
+          tmp = Paths.get(dir, f".shard-$sh%05d.tar.tmp")
+          os = new java.io.BufferedOutputStream(Files.newOutputStream(tmp))
+        }
+        val data = r.getAs[Array[Byte]](3)
+        writeEntry(os, r.getString(1) + "." + r.getString(2), data)
+        n += 1; payload += data.length
+      }
+      close()
+      acc.iterator
+    }.collect().toSeq.sortBy(_._1)
   }
 
   /** Fully general member renderer — (headerName, typeflag, data) triples,
@@ -236,7 +302,7 @@ object TarShards {
     len.toString.getBytes("US-ASCII") ++ body
   }
 
-  private def writeMemberTo(out: java.io.ByteArrayOutputStream, name: String,
+  private def writeMemberTo(out: java.io.OutputStream, name: String,
                             typeflag: Char, data: Array[Byte]): Unit = {
     val h = new Array[Byte](512)
     def put(off: Int, s: String): Unit = {

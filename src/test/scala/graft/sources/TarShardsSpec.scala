@@ -186,4 +186,42 @@ class TarShardsSpec extends SparkSpec {
       .linesIterator.find(_.contains("BatchScan")).getOrElse("")
     assert(!scanLine.contains("data"), s"data not pruned: $scanLine")
   }
+
+  test("writeShards sink: layout, atomic naming, long keys, manifest, rerun") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tarsink").toString
+    val longKey = "k" * 120 // > 100 bytes: must travel via a pax header
+    val rows = Seq(
+      (0, "b", "txt", "B".getBytes("US-ASCII")),
+      (0, "a", "txt", "A".getBytes("US-ASCII")),
+      (0, "a", "json", "{}".getBytes("US-ASCII")),
+      (1, longKey, "txt", "LONG".getBytes("US-ASCII")),
+      (3, "z", "bin", Array.tabulate(700)(_.toByte))
+    ).toDF("shard", "k", "e", "d")
+    val manifest = TarShards.writeShards(rows, "shard", "k", "e", "d", dir)
+    assert(manifest == Seq((0, 3L, 4L), (1, 1L, 4L), (3, 1L, 700L)))
+    // no tmp leftovers; only final shard names
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.toSeq == Seq("shard-00000.tar", "shard-00001.tar", "shard-00003.tar"))
+    val back = TarShards.read(spark, dir)
+      .select("file", "ord", "offset", "sample_key", "ext", "size")
+      .as[(String, Long, Long, String, String, Long)].collect()
+      .map { case (f, o, off, k, e, sz) => (f.substring(f.lastIndexOf('/') + 1), o, off, k, e, sz) }
+      .sortBy(t => (t._1, t._2))
+    // shard 0 lays out in (key, ext) order: (a,json), (a,txt), (b,txt) at
+    // 512-block offsets 0 / 1024 / 2048
+    assert(back(0) == ("shard-00000.tar", 0L, 0L, "a", "json", 2L))
+    assert(back(1) == ("shard-00000.tar", 1L, 1024L, "a", "txt", 1L))
+    assert(back(2) == ("shard-00000.tar", 2L, 2048L, "b", "txt", 1L))
+    // the 120-char key round-trips through the pax mechanism; its member
+    // sits after the pax header (offset 1024, ord still 0)
+    assert(back(3) == ("shard-00001.tar", 0L, 1024L, longKey, "txt", 4L))
+    // a 700-byte payload pads to two data blocks
+    assert(back(4) == ("shard-00003.tar", 0L, 0L, "z", "bin", 700L))
+    // rerun over the same dir replaces shards in place (atomic rename)
+    val manifest2 = TarShards.writeShards(rows.where(col("shard") === 0),
+      "shard", "k", "e", "d", dir)
+    assert(manifest2 == Seq((0, 3L, 4L)))
+    assert(TarShards.read(spark, dir).count() == 5) // shard 0 replaced (3), shards 1/3 untouched (1 + 1)
+  }
 }
