@@ -777,6 +777,40 @@ object PipelineQueries extends QuerySet {
         .orderBy("ord")
     }),
 
+    // The gzip-JSONL corpus door — the OTHER standard text-corpus wire
+    // format next to WARC and tar shards, read with Spark's own json
+    // source (schema projection + automatic .gz codec; Spark-first, no
+    // custom parser where a built-in is exact). The fixture plants JSON
+    // string escapes (\" in the note field) and corrupt lines every 13th
+    // record; PERMISSIVE mode nulls those rows out and the ingest filter
+    // drops them — the tolerance contract a crawl-side ingest actually
+    // needs. The oracle re-derives every surviving record from the
+    // generative formula.
+    "q147_jsonl_ingest" -> ((s, dir) => {
+      val f = fixture("docs.jsonl.gz") {
+        val sb = new StringBuilder
+        for (i <- 0 until 60) {
+          if (i % 13 == 7) sb.append("{not json at all\n")
+          else {
+            val words = (0 to i % 6 + 3).map(j => s"w${(i * 7 + j) % 13}").mkString(" ")
+            sb.append(s"""{"doc_id":$i,"source":"s${i % 5}","note":"q\\"$i\\"","text":"$words"}""")
+            sb.append('\n')
+          }
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(sb.toString.getBytes("UTF-8")); gz.close()
+        bos.toByteArray
+      }
+      s.read.schema("doc_id LONG, source STRING, note STRING, text STRING")
+        .json(f)
+        .where(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"), col("note"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // The tar shard SINK round-tripped through this engine's own reader —
     // the write half of the WebDataset story (q122/q129 read it): every
     // document becomes a two-member sample (.txt payload + .json
@@ -2122,6 +2156,17 @@ object PipelineQueries extends QuerySet {
         |  (CAST(8 AS BIGINT), 'gnew/g7.txt',     'g7',    'txt', CAST(1 AS BIGINT))
         |) AS t(ord, name, sample_key, ext, size) ORDER BY ord""".stripMargin,
     // every spelling triple folds onto its arithmetic canonical form
+    // surviving records re-derived from the generative formula, including
+    // the decoded \" escapes; corrupt lines (i % 13 = 7) never appear
+    "q147_jsonl_ingest" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 59)) AS i),
+        |ok AS (SELECT i FROM ids WHERE i % 13 <> 7),
+        |t AS (SELECT i, array_to_string(list_transform(generate_series(0, i % 6 + 3),
+        |        j -> 'w' || CAST((i * 7 + j) % 13 AS VARCHAR)), ' ') AS text FROM ok)
+        |SELECT CAST(i AS BIGINT) AS doc_id, 's' || CAST(i % 5 AS VARCHAR) AS source,
+        |  'q"' || CAST(i AS VARCHAR) || '"' AS note,
+        |  CAST(i % 6 + 4 AS INT) AS n_tokens, md5(text) AS text_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
     // every read-back column re-derived relationally: ord and offset from
     // the (sample_key, ext) layout order and 512-block header arithmetic,
     // sizes and md5s from the payload formulas

@@ -167,6 +167,26 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     }),
 
+    // Model-based quality scoring — the fasttext-classifier role in a
+    // curation pipeline, reduced to its data-engine shape: feature-hash
+    // every token to one of 256 buckets, look up an integer micro-unit
+    // weight per bucket, sum per document, threshold. The weights here are
+    // a pure md5 function of the bucket id so the oracle replays the whole
+    // model; a TRAINED model is just a different 256-row constant table
+    // (broadcast, or folded into the expression exactly like this). All
+    // arithmetic is long-exact — no FP, no addition-order hazard — and the
+    // scoring pass is one narrow expression: ZERO shuffles, 100 TB-safe.
+    "q148_quality_classifier" -> ((s, dir) => {
+      val logit = expr(
+        "aggregate(transform(split(text, ' '), tok -> " +
+        "CAST(conv(substr(md5(concat('w:', CAST(CAST(conv(substr(md5(tok), 1, 13), 16, 10) AS BIGINT) % 256 AS STRING))), 1, 13), 16, 10) AS BIGINT) % 2001 - 1000), " +
+        "CAST(0 AS BIGINT), (a, x) -> a + x)")
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"),
+          logit.as("logit_u"), (logit >= 0).cast("int").as("pass"))
+        .orderBy("doc_id")
+    }),
+
     // Unicode normalization (native graft_normalize — Spark has no
     // built-in): equivalent-but-distinct byte sequences must unify BEFORE
     // any hash/dedup/tokenize stage. The corpus is ASCII, so the query
@@ -477,6 +497,18 @@ object TextQueries extends QuerySet {
         |  CASE WHEN n_tokens < 3 THEN 0.0 ELSE FLOOR((1 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3)) * 10000) / 10000 END AS dup3_frac,
         |  CASE WHEN n_tokens < 4 THEN 0.0 ELSE FLOOR((1 - CAST(len(list_distinct(g4)) AS DOUBLE)/len(g4)) * 10000) / 10000 END AS dup4_frac
         |FROM g ORDER BY doc_id""".stripMargin,
+    // the identical md5 bucket hash and md5-derived integer weights, so
+    // the logit sums are the same longs in any summation order
+    "q148_quality_classifier" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |l AS (SELECT doc_id, len(t) AS n_tokens,
+        |  list_sum(list_transform(t, tok ->
+        |    ('0x' || substr(md5('w:' || CAST(('0x' || substr(md5(tok), 1, 13))::BIGINT % 256 AS VARCHAR)), 1, 13))::BIGINT % 2001 - 1000)) AS logit_u
+        |  FROM d)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST(logit_u AS BIGINT) AS logit_u,
+        |  CAST(logit_u >= 0 AS INT) AS pass
+        |FROM l ORDER BY doc_id""".stripMargin,
     // every Gopher rule recomputed over the same tokens/lines with DuckDB
     // list lambdas; rule verdicts compare the raw IEEE doubles, outputs
     // floored to 4 decimals — the q32 convention

@@ -101,6 +101,29 @@ object VectorQueries extends QuerySet {
           t(s, dir, "embeddings"), "vec_id", "embedding",
           threshold = 0.4, bits = 0, tables = 1)
         .orderBy("a_id", "b_id")
+    }),
+
+    // SemDeDup-shaped SEMANTIC dedup: q101's near-dup pairs promoted to a
+    // per-vector KEEP/DROP decision — connected components over the
+    // cosine-similarity graph, one representative (the min vec_id) kept
+    // per semantic cluster, every other member dropped. This is the
+    // transform a pipeline actually applies (q101 measures; this decides).
+    // bits = 0 keeps the pair stage exhaustive so the oracle (all-pairs +
+    // recursive transitive closure) checks the WHOLE chain; bucketed
+    // configs are the scale path, recall-pinned in DedupSpec, and the
+    // component pass is pair-output-sized either way.
+    "q149_semantic_dedup" -> ((s, dir) => {
+      val pairs = graft.operators.Dedup.embeddingDupPairs(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, bits = 0, tables = 1)
+      val comps = graft.operators.Graph.connectedComponents(pairs, "a_id", "b_id")
+      t(s, dir, "embeddings").select(col("vec_id"))
+        .join(comps.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"),
+          (coalesce(col("cluster_id"), col("vec_id")) === col("vec_id"))
+            .cast("int").as("keep"))
+        .orderBy("vec_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -144,6 +167,26 @@ object VectorQueries extends QuerySet {
         |cos AS (SELECT a_id, b_id, ROUND(dp/(na.nrm*nb.nrm), 4) AS cosim
         |        FROM dotp JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id)
         |SELECT a_id, b_id, cosim FROM cos WHERE cosim >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+    // q101's all-pairs edges, then recursive transitive closure for the
+    // components and min-id representative per cluster (the q48 pattern);
+    // vectors in no pair are their own singleton cluster and survive
+    "q149_semantic_dedup" ->
+      """WITH RECURSIVE ex AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+        |            CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM ex GROUP BY vec_id),
+        |dotp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, SUM(a.x*b.x) AS dp
+        |         FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+        |cos AS (SELECT a_id, b_id, ROUND(dp/(na.nrm*nb.nrm), 4) AS cosim
+        |        FROM dotp JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id),
+        |pairs AS (SELECT a_id, b_id FROM cos WHERE cosim >= 0.4),
+        |edges AS (SELECT a_id AS s, b_id AS e FROM pairs UNION SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (SELECT s, s FROM edges
+        |  UNION SELECT reach.id, e.e FROM reach JOIN edges e ON e.s = reach.r),
+        |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT v.vec_id, COALESCE(comp.cluster_id, v.vec_id) AS cluster_id,
+        |  CAST(COALESCE(comp.cluster_id, v.vec_id) = v.vec_id AS INT) AS keep
+        |FROM embeddings v LEFT JOIN comp ON comp.id = v.vec_id
+        |ORDER BY vec_id""".stripMargin,
     "q43_dedup_embedding" ->
       """WITH ex AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
         |            CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings WHERE vec_id < 500),

@@ -32,7 +32,10 @@ class PlanLintSpec extends SparkSpec {
   //   q125 — ANN-index takedown verification queries the post-remove index
   //         via ivfPqKnnIndexed, i.e., the same broadcast probe x centroid
   //         cell ranking as q100/q107/q109/q110 (AnnIndex.scala:257)
+  //   q142 — broadcast 1-row corpus-stats (N, avgdl) crossed into the BM25
+  //         score (the q44 corpus-count pattern)
   private val productAllowed = Set(
+    "q142_bm25_search",
     "q18_cross_join", "q23_scalar_subquery", "q40_knn_brute",
     "q43_dedup_embedding", "q44_tfidf", "q49_simjoin_dfcap",
     "q61_work_items", "q66_iteration_batches", "q67_knn_ivf", "q64_knn_lsh",
