@@ -111,15 +111,30 @@ object CurationRun {
       .select(col("keep_id").as("doc_id"))
     val exact = stage("exact_dedup", quality.join(keepExact, "doc_id"))
 
-    // 2.5 ExactSubstr scrub on the deduped corpus: REMAINING cross-doc
-    // duplicated 8-gram spans are memorized boilerplate (license blocks,
-    // templated headers) — cut from every document before near-dup
+    // 2.25 line-grain scrub FIRST (the C4 order: lines, then ExactSubstr):
+    // extracted web text carries its block structure as newlines, and web
+    // boilerplate repeats as WHOLE lines (cookie banners, nav text, footer
+    // legalese) — cut every corpus-duplicated line's echoes (keep-first)
+    // before the finer span grain runs. Lines under 8 chars are ineligible
+    // ("Home" should not collapse corpus-wide).
+    val lineScrub = Dedup.removeDuplicateLines(exact, "text", "doc_id",
+      minLineChars = 8)
+      .select(col("id").as("doc_id"), col("cleaned_text"))
+    val lined = stage("line_scrub", exact.drop("text", "n_chars")
+      .join(lineScrub, "doc_id")
+      .withColumnRenamed("cleaned_text", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .where(col("n_chars") >= 40))
+
+    // 2.5 ExactSubstr scrub on the line-scrubbed corpus: REMAINING
+    // cross-doc duplicated 8-gram spans are memorized boilerplate (license
+    // blocks, templated headers) — cut from every document before near-dup
     // hashing, so boilerplate neither survives into training text nor
     // glues unrelated documents into one near-dup cluster. Docs reduced
     // below the length floor were boilerplate-only and drop here.
-    val scrub = Dedup.removeDuplicateSpans(exact, "text", "doc_id")
+    val scrub = Dedup.removeDuplicateSpans(lined, "text", "doc_id")
       .select(col("id").as("doc_id"), col("cleaned_text"))
-    val scrubbed = stage("span_scrub", exact.drop("text", "n_chars")
+    val scrubbed = stage("span_scrub", lined.drop("text", "n_chars")
       .join(scrub, "doc_id")
       .withColumnRenamed("cleaned_text", "text")
       .withColumn("n_chars", length(col("text")).cast("long"))

@@ -22,24 +22,37 @@ class CurationRunSpec extends SparkSpec {
       Seq((102L, words(7, 40) + " tok1", "srcB")) ++                   // near dup of doc 7
       Seq((103L, ("spam " * 50).trim, "srcB")) ++                      // repetition spam
       Seq((104L, "tiny", "srcB")) ++                                   // too short
-      Seq((105L, s"prefix $benchSentence suffix " + words(9, 20), "srcB")) // leak
+      Seq((105L, s"prefix $benchSentence suffix " + words(9, 20), "srcB")) ++ // leak
+      // a shared cookie-banner LINE inside otherwise-unique multi-line
+      // docs: the line scrub must cut the echo (107) and keep both docs
+      Seq((106L, words(60, 20) + "\nACCEPT ALL COOKIES TO CONTINUE\n" + words(61, 12), "srcB")) ++
+      Seq((107L, words(62, 20) + "\nACCEPT ALL COOKIES TO CONTINUE\n" + words(63, 12), "srcB"))
     ).toDF("doc_id", "text", "source").withColumn("n_chars", length(col("text")))
     val bench = Seq((1000L, benchSentence)).toDF("doc_id", "text")
 
     val (kept, stages) = CurationRun.curate(spark, docs, bench, samplePerSource = 1000)
     val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
 
-    assert(stages("input") == 45L)
-    assert(stages("quality_gate") == 43L, s"spam/short not gated: $stages")
-    assert(stages("exact_dedup") == 42L, s"exact dup kept: $stages")
+    assert(stages("input") == 47L)
+    assert(stages("quality_gate") == 45L, s"spam/short not gated: $stages")
+    assert(stages("exact_dedup") == 44L, s"exact dup kept: $stages")
+    // the banner line is cut from doc 107 (106 keeps the first instance —
+    // keep-first) but BOTH documents survive the length floor
+    assert(stages("line_scrub") == 44L, s"line scrub dropped a doc: $stages")
     // the ExactSubstr scrub cuts doc 102's 40 echoed tokens (doc 7, the
     // first occurrence, survives INTACT — keep-first semantics); the
     // leftover "tok1" shell fails the post-scrub length floor
-    assert(stages("span_scrub") == 41L, s"echo shell kept: $stages")
-    assert(stages("near_dedup") == 41L, s"near dup kept: $stages")
-    assert(stages("decontaminated") == 40L, s"leak kept: $stages")
+    assert(stages("span_scrub") == 43L, s"echo shell kept: $stages")
+    assert(stages("near_dedup") == 43L, s"near dup kept: $stages")
+    assert(stages("decontaminated") == 42L, s"leak kept: $stages")
     assert(!keptIds.exists(Set(101L, 102L, 103L, 104L, 105L)), s"bad ids kept: $keptIds")
     assert((1 to 40).map(_.toLong).toSet.subsetOf(keptIds))
+    assert(Set(106L, 107L).subsetOf(keptIds), s"banner docs dropped: $keptIds")
+    val texts = kept.where(col("doc_id").isin(106L, 107L))
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(texts(106L).contains("ACCEPT ALL COOKIES"), "keep-first violated")
+    assert(!texts(107L).contains("ACCEPT ALL COOKIES"), "banner echo survived")
   }
 
   test("funnel persists stage boundaries: input partitions read once, not once per stage") {
