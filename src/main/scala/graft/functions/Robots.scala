@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** robots.txt (RFC 9309) rule extraction — the crawl POLITENESS screen, the
+  * gate that runs between frontier and fetch in every crawler. Parsing
+  * happens per (domain, robots body) — a metadata-sized table next to the
+  * URL corpus — and the decision join is a broadcast prefix match.
+  *
+  * Deterministic rule set, chosen so an oracle can replay decisions:
+  *
+  *  1. `#` comments strip to end-of-line; keys are case-insensitive;
+  *     whitespace around `:` and values trims.
+  *  2. Groups: consecutive `User-agent` lines open a group that the
+  *     following Allow/Disallow lines belong to; a `User-agent` line after
+  *     rules starts a NEW group (the RFC's record structure).
+  *  3. Group selection: a group listing the crawler's agent token
+  *     (case-insensitive exact match) wins; otherwise the `*` group. When
+  *     a specific group exists, `*` rules do NOT also apply (RFC 9309 §2.2.1
+  *     — groups are exclusive).
+  *  4. Rules are literal path PREFIXES (`Allow` / `Disallow`); an empty
+  *     `Disallow:` value means "no restriction" and contributes no rule.
+  *     Unknown directives (Crawl-delay, Sitemap) are ignored. Wildcard
+  *     (`*`/`$`) patterns are refused — the rule is SKIPPED, which errs
+  *     toward fetching; production use layers a matcher on top if needed.
+  *
+  * Decision semantics (applied by the caller's join, see q151): among
+  * matching prefixes the LONGEST wins; on equal length Allow wins; no
+  * match = allowed — the standard REP evaluation order.
+  */
+object Robots {
+
+  /** Rules of the selected group: (allow?, pathPrefix), document order. */
+  def rules(content: String, agent: String): Seq[(Boolean, String)] = {
+    val want = agent.toLowerCase(java.util.Locale.ROOT)
+    // groups: (agent tokens, rules)
+    val groups = new scala.collection.mutable.ArrayBuffer[
+      (scala.collection.mutable.ArrayBuffer[String],
+       scala.collection.mutable.ArrayBuffer[(Boolean, String)])]()
+    var inHeader = false
+    for (raw <- content.linesIterator) {
+      val line = {
+        val h = raw.indexOf('#')
+        (if (h >= 0) raw.substring(0, h) else raw).trim
+      }
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!inHeader || groups.isEmpty) {
+              groups += ((new scala.collection.mutable.ArrayBuffer[String](),
+                new scala.collection.mutable.ArrayBuffer[(Boolean, String)]()))
+              inHeader = true
+            }
+            groups.last._1 += value.toLowerCase(java.util.Locale.ROOT)
+          case "allow" | "disallow" =>
+            inHeader = false
+            if (groups.nonEmpty && value.nonEmpty &&
+                !value.contains('*') && !value.contains('$'))
+              groups.last._2 += ((key == "allow", value))
+          case _ => inHeader = false // Crawl-delay, Sitemap, unknown keys
+        }
+      }
+    }
+    groups.find(_._1.contains(want)).orElse(groups.find(_._1.contains("*")))
+      .map(_._2.toSeq).getOrElse(Seq.empty)
+  }
+
+  def rulesData(content: UTF8String, agent: UTF8String): ArrayData =
+    new GenericArrayData(rules(content.toString, agent.toString).map {
+      case (allow, prefix) =>
+        InternalRow(allow, UTF8String.fromString(prefix))
+    }.toArray[Any])
+}
+
+/** `graft_robots_rules(content: string, agent: string)
+  *   -> array<struct<allow: boolean, prefix: string>>` — the selected
+  * agent group's literal-prefix rules (see [[Robots]]); explode + join on
+  * domain for the fetch-gate decision.
+  */
+case class GraftRobotsRules(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_robots_rules requires (string, string), got $other")
+    }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("allow", BooleanType, nullable = false),
+    StructField("prefix", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_robots_rules"
+
+  override def nullSafeEval(content: Any, agent: Any): Any =
+    Robots.rulesData(content.asInstanceOf[UTF8String],
+      agent.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (c, a) => s"graft.functions.Robots.rulesData($c, $a)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftBpeEncode, GraftCanonUrl, GraftExtractLinks, GraftExtractText, GraftLshBuckets, GraftLutSum, GraftMinHash, GraftNormalize, GraftSimHash, GraftSimHashMd5, GraftWinnow, GraftWinnowMd5}
+import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftBpeEncode, GraftCanonUrl, GraftExtractLinks, GraftExtractText, GraftLshBuckets, GraftLutSum, GraftMinHash, GraftNormalize, GraftRobotsRules, GraftSimHash, GraftSimHashMd5, GraftWinnow, GraftWinnowMd5}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (see [[graft.GraftSession]]): injects the engine's native expressions
@@ -69,6 +69,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_extract_links"),
       new ExpressionInfo(classOf[GraftExtractLinks].getName, "graft_extract_links"),
       (children: Seq[Expression]) => GraftExtractLinks(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_robots_rules"),
+      new ExpressionInfo(classOf[GraftRobotsRules].getName, "graft_robots_rules"),
+      (children: Seq[Expression]) => GraftRobotsRules(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_canon_url"),
       new ExpressionInfo(classOf[GraftCanonUrl].getName, "graft_canon_url"),

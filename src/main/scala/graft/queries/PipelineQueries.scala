@@ -777,6 +777,66 @@ object PipelineQueries extends QuerySet {
         .orderBy("ord")
     }),
 
+    // The crawl POLITENESS screen (RFC 9309): per-domain robots.txt bodies
+    // — real text with comments, an evilbot group, multi-agent headers,
+    // empty-Disallow and wildcard rules that must be skipped — parsed by
+    // graft_robots_rules for agent 'graftbot' (specific group beats '*',
+    // and EXCLUDES it), then the fetch-gate decision as a broadcast prefix
+    // join: longest matching prefix wins, Allow wins ties, no match =
+    // allowed. The oracle re-derives every decision from the fixture
+    // formula — the parser must get groups, precedence, and skips exactly
+    // right or the verdict flips.
+    "q151_robots_screen" -> ((s, dir) => {
+      import s.implicits._
+      def robots(d: Int): String =
+        if (d % 2 == 0)
+          s"""# robots for site $d
+             |User-agent: evilbot
+             |Disallow: /
+             |
+             |User-agent: graftbot
+             |User-agent: friendbot
+             |Disallow: /p$d/
+             |Allow: /p$d/ok/
+             |Disallow:
+             |Crawl-delay: 10
+             |Disallow: /wild/*/x
+             |
+             |User-agent: *
+             |Disallow: /x/
+             |""".stripMargin
+        else
+          s"""User-agent: *
+             |Disallow: /x/
+             |Allow: /x/pub/
+             |""".stripMargin
+      val robotsDf = (0 until 5).map(d => (s"site$d.test", robots(d)))
+        .toDF("domain", "robots")
+      val rules = robotsDf.select(col("domain"),
+          explode(expr("graft_robots_rules(robots, 'graftbot')")).as("r"))
+        .select(col("domain"), col("r.allow").as("allow"),
+          col("r.prefix").as("prefix"))
+      val urls = (0 until 60).map { j =>
+        val d = j % 5
+        val path = j % 4 match {
+          case 0 => s"/p$d/a$j"
+          case 1 => s"/p$d/ok/b$j"
+          case 2 => s"/x/c$j"
+          case _ => s"/free/d$j"
+        }
+        (j.toLong, s"site$d.test", path)
+      }.toDF("url_id", "domain", "path")
+      urls.join(broadcast(rules), Seq("domain"), "left")
+        .withColumn("m", col("prefix").isNotNull &&
+          expr("startswith(path, prefix)"))
+        .groupBy("url_id", "domain", "path")
+        .agg(max(when(col("m"), struct(length(col("prefix")).as("l"),
+          col("allow").cast("int").as("a")))).as("best"))
+        .select(col("url_id"), col("domain"), col("path"),
+          coalesce(col("best.a"), lit(1)).as("allowed"))
+        .orderBy("url_id")
+    }),
+
     // The gzip-JSONL corpus door — the OTHER standard text-corpus wire
     // format next to WARC and tar shards, read with Spark's own json
     // source (schema projection + automatic .gz codec; Spark-first, no
@@ -2156,6 +2216,22 @@ object PipelineQueries extends QuerySet {
         |  (CAST(8 AS BIGINT), 'gnew/g7.txt',     'g7',    'txt', CAST(1 AS BIGINT))
         |) AS t(ord, name, sample_key, ext, size) ORDER BY ord""".stripMargin,
     // every spelling triple folds onto its arithmetic canonical form
+    // every decision re-derived from the fixture formula: even domains
+    // select the graftbot group (its /p{d}/ disallow and /p{d}/ok/ allow;
+    // the '*' /x/ rule must NOT leak in), odd domains fall back to '*'
+    "q151_robots_screen" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 59)) AS j),
+        |u AS (SELECT j, j % 5 AS d, j % 4 AS v FROM ids)
+        |SELECT CAST(j AS BIGINT) AS url_id,
+        |  'site' || CAST(d AS VARCHAR) || '.test' AS domain,
+        |  CASE v WHEN 0 THEN '/p' || d || '/a' || j
+        |         WHEN 1 THEN '/p' || d || '/ok/b' || j
+        |         WHEN 2 THEN '/x/c' || j
+        |         ELSE '/free/d' || j END AS path,
+        |  CASE WHEN d % 2 = 0 AND v = 0 THEN 0
+        |       WHEN d % 2 = 1 AND v = 2 THEN 0
+        |       ELSE 1 END AS allowed
+        |FROM u ORDER BY url_id""".stripMargin,
     // surviving records re-derived from the generative formula, including
     // the decoded \" escapes; corrupt lines (i % 13 = 7) never appear
     "q147_jsonl_ingest" ->

@@ -167,6 +167,41 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     }),
 
+    // The DATA CARD — the per-source corpus report every released training
+    // set ships with (counts, token volume, length spread, diversity,
+    // stopword-rule rate, language spread, exact-dup contamination), as
+    // ONE rollup: per-doc signals are narrow expressions, the card is a
+    // single groupBy(source), and the dup count is a hash semi-join. The
+    // only doubles are per-doc ratios converted to exact micro-unit longs
+    // BEFORE aggregation, so every card number is order-independent.
+    "q150_data_card" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val stops = Seq("the", "a", "to", "of", "and", "that", "have", "with")
+      val perDoc = t(s, dir, "documents").select(col("source"), col("lang"),
+        size(toks).as("n_tok"),
+        (size(array_intersect(array_distinct(toks),
+          array(stops.map(lit): _*))) >= 2).cast("int").as("stop_ok"),
+        floor((size(array_distinct(toks)).cast("double") / size(toks))
+          * 1000000.0).cast("long").as("div_u"),
+        md5(col("text")).as("fp"))
+      val dupFp = perDoc.groupBy("fp").agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2).select("fp")
+      val dups = perDoc.join(broadcast(dupFp), Seq("fp"), "left_semi")
+        .groupBy("source").agg(count(lit(1)).as("n_dup_docs"))
+      perDoc.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("total_tokens"),
+          min("n_tok").as("min_tokens"), max("n_tok").as("max_tokens"),
+          trunc(sum("div_u").cast("double") / count(lit(1)) / 1000000.0, 4)
+            .as("mean_diversity"),
+          trunc(sum("stop_ok").cast("double") / count(lit(1)), 4)
+            .as("stopword_rate"),
+          countDistinct("lang").as("n_langs"))
+        .join(dups, Seq("source"), "left")
+        .withColumn("n_dup_docs", coalesce(col("n_dup_docs"), lit(0L)))
+        .orderBy("source")
+    }),
+
     // Model-based quality scoring — the fasttext-classifier role in a
     // curation pipeline, reduced to its data-engine shape: feature-hash
     // every token to one of 256 buckets, look up an integer micro-unit
@@ -497,6 +532,26 @@ object TextQueries extends QuerySet {
         |  CASE WHEN n_tokens < 3 THEN 0.0 ELSE FLOOR((1 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3)) * 10000) / 10000 END AS dup3_frac,
         |  CASE WHEN n_tokens < 4 THEN 0.0 ELSE FLOOR((1 - CAST(len(list_distinct(g4)) AS DOUBLE)/len(g4)) * 10000) / 10000 END AS dup4_frac
         |FROM g ORDER BY doc_id""".stripMargin,
+    // the same micro-unit conversion per doc, the same single rollup
+    "q150_data_card" ->
+      """WITH d AS (SELECT source, lang, string_split(text, ' ') AS t, md5(text) AS fp FROM documents),
+        |pd AS (SELECT source, lang, fp, len(t) AS n_tok,
+        |  CASE WHEN len(list_filter(['the','a','to','of','and','that','have','with'],
+        |    s -> list_contains(t, s))) >= 2 THEN 1 ELSE 0 END AS stop_ok,
+        |  CAST(FLOOR(CAST(len(list_distinct(t)) AS DOUBLE) / len(t) * 1000000.0) AS BIGINT) AS div_u
+        |  FROM d),
+        |dupfp AS (SELECT fp FROM pd GROUP BY fp HAVING COUNT(*) >= 2),
+        |dups AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dup_docs
+        |         FROM pd JOIN dupfp USING (fp) GROUP BY source),
+        |card AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(MIN(n_tok) AS INT) AS min_tokens, CAST(MAX(n_tok) AS INT) AS max_tokens,
+        |  FLOOR(CAST(SUM(div_u) AS DOUBLE) / COUNT(*) / 1000000.0 * 10000) / 10000 AS mean_diversity,
+        |  FLOOR(CAST(SUM(stop_ok) AS DOUBLE) / COUNT(*) * 10000) / 10000 AS stopword_rate,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |  FROM pd GROUP BY source)
+        |SELECT card.*, COALESCE(dups.n_dup_docs, 0) AS n_dup_docs
+        |FROM card LEFT JOIN dups USING (source) ORDER BY source""".stripMargin,
     // the identical md5 bucket hash and md5-derived integer weights, so
     // the logit sums are the same longs in any summation order
     "q148_quality_classifier" ->

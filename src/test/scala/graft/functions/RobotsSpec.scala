@@ -1,0 +1,72 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class RobotsSpec extends SparkSpec {
+
+  test("group selection: specific agent beats and EXCLUDES the star group") {
+    val txt =
+      """User-agent: evilbot
+        |Disallow: /
+        |
+        |User-agent: graftbot
+        |Disallow: /private/
+        |Allow: /private/ok/
+        |
+        |User-agent: *
+        |Disallow: /everything/
+        |""".stripMargin
+    assert(Robots.rules(txt, "graftbot") ==
+      Seq((false, "/private/"), (true, "/private/ok/")))
+    // unknown agent falls back to the star group
+    assert(Robots.rules(txt, "somebot") == Seq((false, "/everything/")))
+    // the star group's rules never merge into a specific group's
+    assert(!Robots.rules(txt, "graftbot").exists(_._2 == "/everything/"))
+  }
+
+  test("comments, case, whitespace, multi-agent headers, record boundaries") {
+    val txt =
+      """# header comment
+        |USER-AGENT: GraftBot   # inline comment
+        |User-agent: friendbot
+        |DISALLOW:   /a/
+        |allow: /a/b/
+        |
+        |User-agent: graftbot-wannabe
+        |Disallow: /c/
+        |""".stripMargin
+    // case-insensitive keys and agent tokens; both agents share one group;
+    // a user-agent line AFTER rules starts a new record — and exact token
+    // match means 'graftbot-wannabe' is a different agent
+    assert(Robots.rules(txt, "GRAFTBOT") == Seq((false, "/a/"), (true, "/a/b/")))
+    assert(Robots.rules(txt, "friendbot") == Seq((false, "/a/"), (true, "/a/b/")))
+    assert(Robots.rules(txt, "graftbot-wannabe") == Seq((false, "/c/")))
+  }
+
+  test("empty Disallow, wildcard rules, and unknown directives contribute nothing") {
+    val txt =
+      """User-agent: *
+        |Disallow:
+        |Disallow: /wild/*/x
+        |Disallow: /end$
+        |Crawl-delay: 10
+        |Sitemap: https://x.test/map.xml
+        |Disallow: /real/
+        |""".stripMargin
+    assert(Robots.rules(txt, "anybot") == Seq((false, "/real/")))
+    // no groups at all -> no rules -> everything allowed downstream
+    assert(Robots.rules("# only comments\n", "anybot").isEmpty)
+    assert(Robots.rules("", "anybot").isEmpty)
+  }
+
+  test("expression layer: graft_robots_rules matches the kernel") {
+    import spark.implicits._
+    val txt = "User-agent: *\nDisallow: /no/\nAllow: /no/yes/\n"
+    val rows = Seq(txt).toDF("r")
+      .selectExpr("explode(graft_robots_rules(r, 'graftbot')) AS x")
+      .selectExpr("x.allow", "x.prefix")
+      .collect().map(r => (r.getBoolean(0), r.getString(1))).toSeq
+    assert(rows == Robots.rules(txt, "graftbot"))
+    assert(rows == Seq((false, "/no/"), (true, "/no/yes/")))
+  }
+}
