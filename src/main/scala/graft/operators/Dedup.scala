@@ -576,6 +576,42 @@ object Dedup {
             "i -> element_at(_l, i + 1))"))).as("cleaned_text"))
   }
 
+  /** Content-defined chunking (the CDC/LBFS idea, hash-boundary variant):
+    * cut AFTER any position whose trailing character k-gram hashes to
+    * 0 mod `divisor` — boundaries move WITH the content, so an insertion
+    * near the front of a document shifts only the chunk it lands in, and
+    * every later chunk still dedups against the unedited original
+    * (fixed-width chunking loses all alignment after one edit). Mean chunk
+    * length ≈ divisor. The storage/transfer dedup grain (rsync, LBFS,
+    * backup systems), applied to corpus text: chunk-level dedup sees
+    * shared document TAILS that whole-doc hashing misses and that
+    * span-grain scrubbing would cut rather than measure.
+    *
+    * The boundary hash is the cross-engine md5 prefix (not xxhash64), so
+    * chunk boundaries — and therefore every chunk — are replayable in any
+    * engine. One narrow expression computes the cut list and slices the
+    * chunks; no shuffle until the caller aggregates.
+    *
+    * Output: (id, chunk_ord, chunk, chunk_len) — empty chunks (a boundary
+    * at end-of-text) are dropped; docs shorter than `k` are one chunk.
+    */
+  def cdcChunks(docs: DataFrame, textCol: String, idCol: String,
+                k: Int = 8, divisor: Int = 64): DataFrame = {
+    require(k >= 1 && divisor >= 2, "need k >= 1, divisor >= 2")
+    val cuts =
+      s"filter(transform(sequence($k, greatest(length($textCol), $k)), " +
+      s"i -> IF(i <= length($textCol) AND " +
+      s"CAST(conv(substr(md5(substr($textCol, i - ${k - 1}, $k)), 1, 13), 16, 10) AS BIGINT) % $divisor = 0, i, -1)), " +
+      "x -> x > 0)"
+    val chunks =
+      s"filter(zip_with(concat(array(1), transform($cuts, b -> b + 1)), " +
+      s"concat($cuts, array(length($textCol))), " +
+      s"(s, e) -> substring($textCol, s, e - s + 1)), c -> length(c) > 0)"
+    docs.select(col(idCol).as("id"),
+        posexplode(expr(chunks)).as(Seq("chunk_ord", "chunk")))
+      .withColumn("chunk_len", length(col("chunk")))
+  }
+
   /** Winnowing fingerprints (rolling-hash document fingerprinting, the
     * MOSS scheme): hash every character k-gram, then keep the minimum hash
     * of each w-wide window — guarantees any shared substring of length

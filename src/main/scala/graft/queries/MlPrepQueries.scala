@@ -61,6 +61,28 @@ object MlPrepQueries extends QuerySet {
     // Deterministic train/val/test split from the last hex digit of the
     // content hash: 12/2/2 of 16 — content-stable across runs AND across
     // engines, the property random() splits lack.
+    // Split-leakage AUDIT — the check every data release needs before its
+    // eval numbers mean anything: near-duplicate pairs (exact n-gram
+    // Jaccard, q35's machinery) that STRADDLE the q46 hash-split
+    // boundaries. A train/test near-dup inflates eval; this query names
+    // each leaking pair with both split labels. Composition of two
+    // oracled stages; the split lookup joins twice on the pair ends
+    // (pair-output-sized, never corpus x corpus).
+    "q153_split_leakage" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val c = substring(md5(col("text")), 32, 1)
+      val split_ = when(c.between("0", "9") || c.isin("a", "b"), "train")
+        .when(c.isin("c", "d"), "val").otherwise("test")
+      val splits = d.select(col("doc_id"), split_.as("split"))
+      Dedup.exactJaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.5)
+        .join(splits.select(col("doc_id").as("a_id"), col("split").as("a_split")), "a_id")
+        .join(splits.select(col("doc_id").as("b_id"), col("split").as("b_split")), "b_id")
+        .where(col("a_split") =!= col("b_split"))
+        .select(col("a_id"), col("b_id"), col("a_split"), col("b_split"),
+          col("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
     "q46_hash_split" -> ((s, dir) => {
       val c = substring(md5(col("text")), 32, 1)
       val split_ = when(c.between("0", "9") || c.isin("a", "b"), "train")
@@ -237,6 +259,26 @@ object MlPrepQueries extends QuerySet {
         |SELECT doc_id, CAST((s - 1) / 48 AS BIGINT) AS chunk_idx,
         |LEAST(64, n - s + 1) AS chunk_len, t[s] AS first_tok
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q35's pair oracle over the WHOLE corpus plus the q46 split rule,
+    // keeping only pairs whose ends land in different splits
+    "q153_split_leakage" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |  CASE WHEN substring(md5(text), 32, 1) BETWEEN '0' AND '9'
+        |         OR substring(md5(text), 32, 1) IN ('a', 'b') THEN 'train'
+        |       WHEN substring(md5(text), 32, 1) IN ('c', 'd') THEN 'val'
+        |       ELSE 'test' END AS sp FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh FROM (
+        |    SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM d WHERE len(t) >= 3))),
+        |c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT a_id, b_id, FLOOR(inter*1.0/(ca.n + cb.n - inter) * 10000) / 10000 AS jaccard
+        |      FROM inter JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
+        |      WHERE inter*1.0/(ca.n + cb.n - inter) >= 0.5)
+        |SELECT a_id, b_id, da.sp AS a_split, db.sp AS b_split, jaccard
+        |FROM p JOIN d da ON da.doc_id = a_id JOIN d db ON db.doc_id = b_id
+        |WHERE da.sp <> db.sp ORDER BY a_id, b_id""".stripMargin,
     "q46_hash_split" ->
       """WITH d AS (SELECT source, doc_id,
         |  CASE WHEN substring(md5(text), 32, 1) BETWEEN '0' AND '9'

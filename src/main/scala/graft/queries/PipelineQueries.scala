@@ -1362,6 +1362,23 @@ object PipelineQueries extends QuerySet {
         .orderBy("doc_id")
     }),
 
+    // Content-defined chunking dedup (the CDC/LBFS grain): chunk
+    // boundaries cut where a character 8-gram hashes 0 mod 64, so
+    // boundaries move WITH the content — shared document tails dedup even
+    // after a front edit shifts every byte offset (fixed-width chunks
+    // lose all alignment after one insertion). Chunks, their boundary
+    // positions, and corpus-wide copy counts are all replayed by the
+    // oracle from the same md5 boundary rule. See [[Dedup.cdcChunks]].
+    "q152_cdc_chunk_dedup" -> ((s, dir) => {
+      val ch = Dedup.cdcChunks(t(s, dir, "documents"), "text", "doc_id")
+        .withColumn("chunk_md5", md5(col("chunk")))
+      val counts = ch.groupBy("chunk_md5").agg(count(lit(1)).as("n_copies"))
+      ch.join(counts, "chunk_md5")
+        .select(col("id").as("doc_id"), col("chunk_ord"), col("chunk_len"),
+          col("chunk_md5"), col("n_copies"))
+        .orderBy("doc_id", "chunk_ord")
+    }),
+
     // Corpus-level LINE dedup (the C4/CCNet boilerplate scrub): documents
     // re-lined into 4-token lines (the synthetic corpus has no newlines;
     // both engines replay the same deterministic chunking), then every
@@ -1978,6 +1995,32 @@ object PipelineQueries extends QuerySet {
         |  CAST(COALESCE(res.n_kept, 0) AS BIGINT) AS n_kept,
         |  COALESCE(res.cleaned_text, '') AS cleaned_text
         |FROM d LEFT JOIN res ON res.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin,
+    // the identical md5 boundary rule, slicing, and copy-count rollup
+    "q152_cdc_chunk_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |b AS (SELECT doc_id, text,
+        |  list_filter(list_transform(generate_series(8, greatest(length(text), 8)),
+        |    i -> CASE WHEN i <= length(text)
+        |              AND ('0x' || substr(md5(substr(text, i - 7, 8)), 1, 13))::BIGINT % 64 = 0
+        |              THEN i ELSE -1 END), x -> x > 0) AS cuts
+        |  FROM d),
+        |se AS (SELECT doc_id, text,
+        |  list_concat([1], list_transform(cuts, x -> x + 1)) AS starts,
+        |  list_concat(cuts, [length(text)]) AS ends FROM b),
+        |c AS (SELECT doc_id,
+        |  list_filter(list_transform(generate_series(1, len(starts)),
+        |    j -> substr(text, starts[j], ends[j] - starts[j] + 1)),
+        |    s -> length(s) > 0) AS chunks
+        |  FROM se),
+        |e AS (SELECT doc_id, j - 1 AS chunk_ord, chunks[j] AS chunk
+        |      FROM c, LATERAL unnest(generate_series(1, len(chunks))) AS g(j)),
+        |m AS (SELECT doc_id, chunk_ord, length(chunk) AS chunk_len,
+        |        md5(chunk) AS chunk_md5 FROM e),
+        |n AS (SELECT chunk_md5, CAST(COUNT(*) AS BIGINT) AS n_copies
+        |      FROM m GROUP BY chunk_md5)
+        |SELECT m.doc_id, CAST(chunk_ord AS INT) AS chunk_ord,
+        |  CAST(chunk_len AS INT) AS chunk_len, m.chunk_md5, n.n_copies
+        |FROM m JOIN n USING (chunk_md5) ORDER BY doc_id, chunk_ord""".stripMargin,
     // the same 4-token re-lining, then keep-first line dedup recomputed
     // by exact line STRINGS with a window (the oracle can afford the hot
     // partition at sf-scale; the engine uses the partial-aggregatable

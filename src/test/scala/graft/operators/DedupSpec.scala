@@ -378,6 +378,29 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"keep-first regressed to a window:\n$plan")
   }
 
+  test("cdc chunks: content-defined boundaries survive a front edit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.md5
+    val base = (1 to 200).map(i => s"t$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, "INSERTED PREFIX " + base),
+      (2L, "tiny")).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs, "text", "doc_id")
+      .withColumn("m", md5(col("chunk"))).collect()
+    // chunks reconstruct the text exactly, in order
+    val byDoc = ch.groupBy(_.getLong(0)).view.mapValues(
+      _.sortBy(_.getInt(1)).map(_.getString(2)).mkString).toMap
+    assert(byDoc(0L) == base && byDoc(1L) == "INSERTED PREFIX " + base)
+    assert(byDoc(2L) == "tiny") // shorter than k: one whole-doc chunk
+    // the front edit shifts every byte offset, but boundaries cut at the
+    // same CONTENT positions — all of doc 0's chunks except the first
+    // reappear verbatim in doc 1 (fixed-width chunking would share none)
+    val s0 = ch.filter(_.getLong(0) == 0L).map(_.getString(4)).toSet
+    val s1 = ch.filter(_.getLong(0) == 1L).map(_.getString(4)).toSet
+    assert(s0.size > 5, s"degenerate chunking: only ${s0.size} chunks")
+    assert((s0 & s1).size >= s0.size - 1,
+      s"tail chunks lost alignment: ${(s0 & s1).size} of ${s0.size} shared")
+  }
+
   test("embedding dup pairs: hot-bucket guard bounds a degenerate cluster") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
