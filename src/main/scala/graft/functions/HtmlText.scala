@@ -182,6 +182,100 @@ object HtmlText {
   def links(html: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       extractLinkList(html.toString).map(UTF8String.fromString).toArray[Any])
+
+  private val LinkTag = java.util.regex.Pattern.compile("(?is)<link\\b[^>]*>")
+  private val MetaTag = java.util.regex.Pattern.compile("(?is)<meta\\b[^>]*>")
+  private def attr(tag: String, name: String): String = {
+    val m = java.util.regex.Pattern.compile(
+      "(?is)\\b" + name + "\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+))").matcher(tag)
+    if (!m.find()) null
+    else if (m.group(2) != null) m.group(2)
+    else if (m.group(3) != null) m.group(3)
+    else m.group(4)
+  }
+
+  /** Page-level indexing directives — the two signals a crawl-curation
+    * pipeline must respect BEFORE a page enters the corpus: the canonical
+    * URL (`<link rel="canonical" href=...>` — the site's own dedup hint;
+    * first one wins, per the processing model search engines document) and
+    * the robots meta tokens (`<meta name="robots" content="noindex,
+    * nofollow">` — content split on commas, case-insensitive). Returns
+    * (canonical | empty, noindex?, nofollow?); same comment/container
+    * pre-pass as the other extractors.
+    */
+  def pageDirectives(html: String): (String, Boolean, Boolean) = {
+    var s = Comment.matcher(html).replaceAll(" ")
+    // only <script>/<template>-style containers hide markup from parsers;
+    // <head> must SURVIVE this pre-pass — canonical and robots meta live there
+    Seq("script", "style", "noscript", "template", "svg")
+      .foreach { c => s = dropContainer(s, c) }
+    var canonical: String = null
+    val lm = LinkTag.matcher(s)
+    while (lm.find() && canonical == null) {
+      val rel = attr(lm.group(0), "rel")
+      if (rel != null && rel.trim.toLowerCase(java.util.Locale.ROOT) == "canonical") {
+        val href = attr(lm.group(0), "href")
+        if (href != null && decodeEntities(href).trim.nonEmpty)
+          canonical = decodeEntities(href).trim
+      }
+    }
+    var noindex = false; var nofollow = false
+    val mm = MetaTag.matcher(s)
+    while (mm.find()) {
+      val name = attr(mm.group(0), "name")
+      if (name != null && name.trim.toLowerCase(java.util.Locale.ROOT) == "robots") {
+        val content = attr(mm.group(0), "content")
+        if (content != null) {
+          content.toLowerCase(java.util.Locale.ROOT).split(',').map(_.trim).foreach {
+            case "noindex" => noindex = true
+            case "nofollow" => nofollow = true
+            case _ =>
+          }
+        }
+      }
+    }
+    (if (canonical == null) "" else canonical, noindex, nofollow)
+  }
+
+  def directivesRow(html: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val (c, ni, nf) = pageDirectives(html.toString)
+    org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(c), ni, nf)
+  }
+
+  /** (href, visible anchor text) pairs in document order — the ANCHOR-TEXT
+    * corpus builder: the text other pages use to link to a target is a
+    * classic relevance/description signal for that target (and a training
+    * corpus in its own right). Same pre-pass and href forms as
+    * [[extractLinkList]]; anchors without an href contribute nothing; the
+    * text is the anchor's visible text (tags stripped, entities decoded,
+    * whitespace collapsed), possibly empty for image-only anchors.
+    */
+  def extractAnchorList(html: String): Seq[(String, String)] = {
+    var s = Comment.matcher(html).replaceAll(" ")
+    Containers.foreach { c => s = dropContainer(s, c) }
+    val out = new scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val m = Anchor.matcher(s)
+    while (m.find()) {
+      val open = s.substring(m.start(), s.indexOf('>', m.start()) + 1)
+      val hm = Href.matcher(open)
+      if (hm.find()) {
+        val v = if (hm.group(2) != null) hm.group(2)
+        else if (hm.group(3) != null) hm.group(3)
+        else hm.group(4)
+        val dec = decodeEntities(v).trim
+        if (dec.nonEmpty) out += ((dec, visible(m.group(1))))
+      }
+    }
+    out.toSeq
+  }
+
+  def anchors(html: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      extractAnchorList(html.toString).map { case (h, t) =>
+        InternalRow(UTF8String.fromString(h), UTF8String.fromString(t))
+      }.toArray[Any])
+  }
 }
 
 /** `graft_extract_text(html: string) -> string` — deterministic HTML
@@ -205,6 +299,66 @@ case class GraftExtractText(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, s => s"graft.functions.HtmlText.extract($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_page_directives(html: string)
+  *   -> struct<canonical: string, noindex: boolean, nofollow: boolean>` —
+  * the page's own indexing directives (see [[HtmlText.pageDirectives]]):
+  * canonical-URL dedup hint and robots meta verdicts, as one codegen'd
+  * narrow expression for the pre-corpus screen.
+  */
+case class GraftPageDirectives(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_page_directives requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("canonical", StringType, nullable = false),
+    StructField("noindex", BooleanType, nullable = false),
+    StructField("nofollow", BooleanType, nullable = false)))
+  override def prettyName: String = "graft_page_directives"
+
+  override def nullSafeEval(html: Any): Any =
+    HtmlText.directivesRow(html.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.HtmlText.directivesRow($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_extract_anchors(html: string)
+  *   -> array<struct<href: string, text: string>>` — (link target, visible
+  * anchor text) pairs (see [[HtmlText.extractAnchorList]]): the anchor-text
+  * corpus feed, running beside `graft_extract_links` in the same pass.
+  */
+case class GraftExtractAnchors(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_extract_anchors requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("href", StringType, nullable = false),
+    StructField("text", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_extract_anchors"
+
+  override def nullSafeEval(html: Any): Any =
+    HtmlText.anchors(html.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.HtmlText.anchors($s)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

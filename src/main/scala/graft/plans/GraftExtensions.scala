@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftBpeEncode, GraftCanonUrl, GraftExtractLinks, GraftExtractText, GraftLshBuckets, GraftLutSum, GraftMinHash, GraftNormalize, GraftRobotsRules, GraftSimHash, GraftSimHashMd5, GraftWinnow, GraftWinnowMd5}
+import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftBpeEncode, GraftCanonUrl, GraftExtractAnchors, GraftExtractLinks, GraftExtractText, GraftLshBuckets, GraftLutSum, GraftMinHash, GraftNormalize, GraftPageDirectives, GraftRobotsRules, GraftSimHash, GraftSimHashMd5, GraftWinnow, GraftWinnowMd5}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (see [[graft.GraftSession]]): injects the engine's native expressions
@@ -69,6 +69,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_extract_links"),
       new ExpressionInfo(classOf[GraftExtractLinks].getName, "graft_extract_links"),
       (children: Seq[Expression]) => GraftExtractLinks(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_page_directives"),
+      new ExpressionInfo(classOf[GraftPageDirectives].getName, "graft_page_directives"),
+      (children: Seq[Expression]) => GraftPageDirectives(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_extract_anchors"),
+      new ExpressionInfo(classOf[GraftExtractAnchors].getName, "graft_extract_anchors"),
+      (children: Seq[Expression]) => GraftExtractAnchors(children(0))))
     ext.injectFunction((
       new FunctionIdentifier("graft_robots_rules"),
       new ExpressionInfo(classOf[GraftRobotsRules].getName, "graft_robots_rules"),

@@ -777,6 +777,73 @@ object PipelineQueries extends QuerySet {
         .orderBy("ord")
     }),
 
+    // Page-level indexing directives — the pre-corpus screen a curation
+    // pipeline must respect: canonical-URL hints (first link rel=canonical
+    // wins; a planted SECOND canonical and copies inside <script> and
+    // comments must all be ignored) and robots meta verdicts (noindex /
+    // nofollow tokens, comma-split, case-insensitive). The oracle
+    // re-derives every verdict and resolved corpus URL from the fixture
+    // formula — parsing the traps wrong flips verdicts.
+    "q154_page_directives" -> ((s, dir) => {
+      import s.implicits._
+      def url(i: Int) = s"https://ex.test/p/$i"
+      val pages = (0 until 40).map { i =>
+        val canon =
+          if (i % 3 == 1) {
+            val real = if (i % 2 == 0) s"<link rel=\"canonical\" href=\"${url(i - 1)}\">"
+              else s"<link rel='canonical' href='${url(i - 1)}'>"
+            real + s"<link rel=\"canonical\" href=\"https://ex.test/WRONG\">"
+          } else ""
+        val meta =
+          if (i % 4 == 1) "<meta name=\"robots\" content=\"noindex, nofollow\">"
+          else if (i % 4 == 2) "<meta name='robots' content='nofollow'>"
+          else ""
+        (i.toLong,
+          s"<html><head><title>p$i</title>$canon$meta" +
+          "<script>var t = \"<link rel='canonical' href='/ghost'>\";</script>" +
+          s"</head><body><p>text $i</p>" +
+          "<!-- <meta name=\"robots\" content=\"noindex\"> --></body></html>")
+      }.toDF("page_id", "html")
+      pages.select(col("page_id"),
+          expr("graft_page_directives(html)").as("d"))
+        .select(col("page_id"),
+          (!col("d.noindex")).cast("int").as("indexable"),
+          col("d.nofollow").cast("int").as("nofollow"),
+          when(col("d.canonical") =!= "", expr("graft_canon_url(d.canonical)"))
+            .otherwise(concat(lit("https://ex.test/p/"), col("page_id")))
+            .as("corpus_url"))
+        .orderBy("page_id")
+    }),
+
+    // The ANCHOR-TEXT corpus — how the web describes each target page,
+    // the classic relevance signal (and a training corpus in itself):
+    // (href, visible text) pairs from every anchor, canonicalized,
+    // aggregated per target with a sorted join so the digest is
+    // order-independent. Image-only anchors contribute empty text;
+    // relative targets drop at the absolute-URL screen.
+    "q155_anchor_text" -> ((s, dir) => {
+      import s.implicits._
+      def url(d: Int) = s"https://ex${d % 4}.test/p/$d"
+      val pages = (0 until 30).map { i =>
+        val anchors = (0 to i % 3).map { k =>
+          val d = (i * 3 + k + 1) % 30
+          s"<a href='${url(d)}'>go to page $d from $i</a>"
+        }.mkString
+        val img = s"<a href=\"${url((i + 13) % 30)}\"><img src=x></a>"
+        (i.toLong,
+          s"<html><body><nav><a href='/rel/nav'>home</a></nav>" +
+          s"<p>body $i</p>$anchors$img</body></html>")
+      }.toDF("page_id", "html")
+      pages.select(explode(expr("graft_extract_anchors(html)")).as("a"))
+        .select(expr("graft_canon_url(a.href)").as("target"),
+          col("a.text").as("text"))
+        .where(col("target").startsWith("http"))
+        .groupBy("target")
+        .agg(count(lit(1)).as("n_anchors"),
+          concat_ws("|", array_sort(collect_list("text"))).as("texts"))
+        .orderBy("target")
+    }),
+
     // The crawl POLITENESS screen (RFC 9309): per-domain robots.txt bodies
     // — real text with comments, an evilbot group, multi-agent headers,
     // empty-Disallow and wildcard rules that must be skipped — parsed by
@@ -2259,6 +2326,30 @@ object PipelineQueries extends QuerySet {
         |  (CAST(8 AS BIGINT), 'gnew/g7.txt',     'g7',    'txt', CAST(1 AS BIGINT))
         |) AS t(ord, name, sample_key, ext, size) ORDER BY ord""".stripMargin,
     // every spelling triple folds onto its arithmetic canonical form
+    // verdicts and resolved corpus URLs re-derived from the fixture
+    // formula; the script/comment/second-canonical traps never surface
+    "q154_page_directives" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 39)) AS i)
+        |SELECT CAST(i AS BIGINT) AS page_id,
+        |  CASE WHEN i % 4 = 1 THEN 0 ELSE 1 END AS indexable,
+        |  CASE WHEN i % 4 = 1 OR i % 4 = 2 THEN 1 ELSE 0 END AS nofollow,
+        |  CASE WHEN i % 3 = 1 THEN 'https://ex.test/p/' || CAST(i - 1 AS VARCHAR)
+        |       ELSE 'https://ex.test/p/' || CAST(i AS VARCHAR) END AS corpus_url
+        |FROM ids ORDER BY page_id""".stripMargin,
+    // the anchor-pair formula replayed: k-indexed description anchors plus
+    // one empty-text image anchor per page; relative nav links never
+    // reach the rollup
+    "q155_anchor_text" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 29)) AS i),
+        |a1 AS (SELECT (i*3 + k + 1) % 30 AS d,
+        |         'go to page ' || CAST((i*3 + k + 1) % 30 AS VARCHAR) || ' from ' || CAST(i AS VARCHAR) AS text
+        |       FROM ids, LATERAL unnest(generate_series(0, i % 3)) AS t(k)),
+        |a2 AS (SELECT (i + 13) % 30 AS d, '' AS text FROM ids),
+        |pairs AS (SELECT d, text FROM a1 UNION ALL SELECT d, text FROM a2)
+        |SELECT 'https://ex' || CAST(d % 4 AS VARCHAR) || '.test/p/' || CAST(d AS VARCHAR) AS target,
+        |  CAST(COUNT(*) AS BIGINT) AS n_anchors,
+        |  string_agg(text, '|' ORDER BY text) AS texts
+        |FROM pairs GROUP BY d ORDER BY target""".stripMargin,
     // every decision re-derived from the fixture formula: even domains
     // select the graftbot group (its /p{d}/ disallow and /p{d}/ok/ allow;
     // the '*' /x/ rule must NOT leak in), odd domains fall back to '*'

@@ -113,4 +113,45 @@ class HtmlTextSpec extends SparkSpec {
       .selectExpr("graft_extract_links(h)").head()
     assert(n.isNullAt(0))
   }
+
+  test("pageDirectives: first canonical wins; script/comment copies ignored; robots tokens") {
+    val html =
+      """<html><head><title>t</title>
+        |<script>var x = "<link rel='canonical' href='/ghost'>";</script>
+        |<link rel="stylesheet" href="/css">
+        |<link rel='canonical' href='https://real.test/page'>
+        |<link rel="canonical" href="https://second.test/WRONG">
+        |<META NAME="Robots" CONTENT=" NOINDEX , nofollow ">
+        |</head><body><!-- <meta name="robots" content="none"> --></body></html>""".stripMargin
+    assert(HtmlText.pageDirectives(html) == ("https://real.test/page", true, true))
+    // no directives at all
+    assert(HtmlText.pageDirectives("<p>plain</p>") == ("", false, false))
+    // nofollow only; canonical entity-decodes
+    val h2 = "<head><link rel=canonical href=\"https://a.test/x?a=1&amp;b=2\">" +
+      "<meta name='robots' content='nofollow'></head>"
+    assert(HtmlText.pageDirectives(h2) == ("https://a.test/x?a=1&b=2", false, true))
+  }
+
+  test("extractAnchorList: visible text per target, empty for image-only anchors") {
+    val html =
+      """<body><a href="/a"><b>Bold</b> &amp; plain</a>
+        |<a href='/b'><img src=x></a>
+        |<a name="no-href">skip</a>
+        |<script><a href="/ghost">g</a></script>
+        |<a href=/c>spaced   text</a></body>""".stripMargin
+    assert(HtmlText.extractAnchorList(html) == Seq(
+      ("/a", "Bold & plain"), ("/b", ""), ("/c", "spaced text")))
+  }
+
+  test("expression layer: graft_page_directives and graft_extract_anchors") {
+    import spark.implicits._
+    val html = "<head><link rel=canonical href=/c><meta name=robots content=noindex></head>" +
+      "<body><a href='/t'>T</a></body>"
+    val r = Seq(html).toDF("h")
+      .selectExpr("graft_page_directives(h) AS d", "graft_extract_anchors(h) AS a")
+      .selectExpr("d.canonical", "d.noindex", "d.nofollow", "a[0].href", "a[0].text")
+      .head()
+    assert(r.getString(0) == "/c" && r.getBoolean(1) && !r.getBoolean(2))
+    assert(r.getString(3) == "/t" && r.getString(4) == "T")
+  }
 }
