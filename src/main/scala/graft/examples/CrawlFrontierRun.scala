@@ -1,0 +1,104 @@
+package graft.examples
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** One round of the crawl-frontier loop — the web-acquisition side of the
+  * library composed the way a crawler actually chains it, every stage an
+  * operator this engine already oracles one by one:
+  *
+  *   fetched pages -> page directives (nofollow pages contribute no
+  *   links) -> graft_extract_links -> graft_canon_url -> link graph ->
+  *   fixed-point PageRank (the priority prior) ; sitemap seeds join the
+  *   discovered set ; candidates dedup against the fetched set ; the
+  *   robots screen (graft_robots_rules + longest-prefix decision) gates
+  *   the fetch ; the surviving frontier ranks by PageRank.
+  *
+  * Everything is a DataFrame transformation: the only driver-side scalar
+  * is PageRank's node count. At crawl scale the fetched set is the big
+  * table; candidates are link-output-sized, robots rules are
+  * metadata-sized broadcasts, and the rank join is keyed on the candidate
+  * URL.
+  *
+  * Run: sbt "runMain graft.examples.CrawlFrontierRun"
+  */
+object CrawlFrontierRun {
+
+  /** The next fetch list: discovered + seeded candidate URLs, minus the
+    * fetched set, robots-screened for `agent`, ranked by link-graph
+    * PageRank (unknown URLs rank 0 — discovered-but-unlinked seeds sort
+    * last, which is the right prior absent any inlink evidence).
+    *
+    * `fetched`: (url, html). `robots`: (domain, robots) — one body per
+    * domain, the politeness cache. `seeds`: (loc) — sitemap output.
+    */
+  def nextFrontier(fetched: DataFrame, robots: DataFrame, seeds: DataFrame,
+                   agent: String = "graftbot", topK: Int = 100): DataFrame = {
+    val pages = fetched.select(expr("graft_canon_url(url)").as("src"),
+      col("html"), expr("graft_page_directives(html)").as("d"))
+    // nofollow pages contribute no outlinks; their URLs still count as
+    // fetched (we did fetch them)
+    val edges = pages.where(!col("d.nofollow"))
+      .select(col("src"), explode(expr("graft_extract_links(html)")).as("href"))
+      .where(col("href").startsWith("http"))
+      .select(col("src"), expr("graft_canon_url(href)").as("dst"))
+    val ranks = Graph.pageRank(edges, "src", "dst", iterations = 3)
+      .withColumnRenamed("id", "url")
+    val fetchedUrls = pages.select(col("src").as("url")).distinct()
+    val candidates = edges.select(col("dst").as("url"))
+      .union(seeds.select(expr("graft_canon_url(loc)").as("url")))
+      .distinct()
+      .join(fetchedUrls, Seq("url"), "left_anti")
+    // the politeness screen: longest matching prefix wins, Allow wins
+    // ties, no rule = allowed (the q151 decision, broadcast-sized)
+    val rules = robots.select(col("domain"),
+        explode(expr(s"graft_robots_rules(robots, '$agent')")).as("r"))
+      .select(col("domain"), col("r.allow").as("allow"),
+        col("r.prefix").as("prefix"))
+    val withDomain = candidates
+      .withColumn("domain", expr("parse_url(url, 'HOST')"))
+      .withColumn("path", coalesce(expr("parse_url(url, 'PATH')"), lit("/")))
+    val screened = withDomain.join(broadcast(rules), Seq("domain"), "left")
+      .withColumn("m", col("prefix").isNotNull &&
+        expr("startswith(path, prefix)"))
+      .groupBy("url", "domain")
+      .agg(max(when(col("m"), struct(length(col("prefix")).as("l"),
+        col("allow").cast("int").as("a")))).as("best"))
+      .where(coalesce(col("best.a"), lit(1)) === 1)
+      .select(col("url"), col("domain"))
+    screened.join(ranks, Seq("url"), "left")
+      .select(col("url"), col("domain"),
+        coalesce(col("rank_u"), lit(0L)).as("rank_u"))
+      .orderBy(col("rank_u").desc, col("url"))
+      .limit(topK)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local()
+    import spark.implicits._
+    // self-contained demo: 4 fetched pages over 2 domains linking into a
+    // small universe, per-domain robots, 2 sitemap seeds
+    def page(host: String, i: Int, links: Seq[String], nofollow: Boolean = false) =
+      (s"https://$host/p/$i",
+        "<html><head>" +
+        (if (nofollow) "<meta name=robots content=nofollow>" else "") +
+        "</head><body>" +
+        links.map(l => s"<a href='$l'>x</a>").mkString + "</body></html>")
+    val fetched = Seq(
+      page("a.test", 0, Seq("https://a.test/p/10", "https://b.test/p/11")),
+      page("a.test", 1, Seq("https://a.test/private/s", "https://b.test/p/11")),
+      page("b.test", 2, Seq("https://a.test/p/10#frag", "https://b.test/p/12?utm_source=x")),
+      page("b.test", 3, Seq("https://b.test/p/13"), nofollow = true)
+    ).toDF("url", "html")
+    val robots = Seq(
+      ("a.test", "User-agent: *\nDisallow: /private/\n"),
+      ("b.test", "User-agent: *\nDisallow: /x/\n")).toDF("domain", "robots")
+    val seeds = Seq("https://b.test/p/9", "https://a.test/p/0").toDF("loc")
+    val frontier = nextFrontier(fetched, robots, seeds, topK = 10)
+    frontier.collect().foreach(r =>
+      println(f"[frontier] ${r.getLong(2)}%12d  ${r.getString(0)}"))
+    spark.stop()
+  }
+}

@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** sitemaps.org XML parsing — the crawl-frontier SEED source beside
+  * [[Robots]]: sites publish their URL inventory as `<urlset>` documents
+  * (per-URL `<loc>`, optional `<lastmod>`/`<priority>`) and point at them
+  * from `<sitemapindex>` documents whose `<sitemap><loc>` children are
+  * MORE sitemaps to fetch. One entry row per `<url>`/`<sitemap>` block;
+  * `from_index = true` marks rows that are sitemap references (frontier
+  * fetches) rather than page URLs (frontier seeds).
+  *
+  * Deterministic scope, oracle-replayable: XML comments strip; tags and
+  * entities per the spec's own encoding rules (`&amp;` in a loc decodes);
+  * whitespace around values trims; blocks missing `<loc>` contribute
+  * nothing; `lastmod`/`priority` default to empty strings. CDATA sections
+  * are not interpreted (the sitemaps.org examples use entity escaping;
+  * a CDATA loc is skipped as malformed rather than mis-read).
+  */
+object Sitemap {
+
+  private val Comment = java.util.regex.Pattern.compile("(?s)<!--.*?-->")
+  private val Block = java.util.regex.Pattern.compile(
+    "(?is)<(url|sitemap)\\b[^>]*>(.*?)</\\1\\s*>")
+  private def tagValue(block: String, tag: String): String = {
+    val m = java.util.regex.Pattern.compile(
+      s"(?is)<$tag\\b[^>]*>(.*?)</$tag\\s*>").matcher(block)
+    if (!m.find()) null
+    else {
+      val v = m.group(1).trim
+      if (v.startsWith("<![CDATA[")) null else decode(v)
+    }
+  }
+
+  private def decode(s: String): String = {
+    // the five XML named entities + numeric refs; unknown pass through
+    val m = java.util.regex.Pattern.compile("&(#[xX]?[0-9a-fA-F]+|[a-zA-Z]+);").matcher(s)
+    if (!m.find()) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var last = 0
+    do {
+      sb.append(s, last, m.start())
+      val body = m.group(1)
+      val repl = body match {
+        case "amp" => "&"
+        case "lt" => "<"
+        case "gt" => ">"
+        case "quot" => "\""
+        case "apos" => "'"
+        case b if b.startsWith("#") =>
+          try {
+            val cp = if (b.length > 1 && (b.charAt(1) | 0x20) == 'x')
+              Integer.parseInt(b.substring(2), 16)
+            else Integer.parseInt(b.substring(1))
+            if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp))
+            else m.group(0)
+          } catch { case _: NumberFormatException => m.group(0) }
+        case _ => m.group(0)
+      }
+      sb.append(repl)
+      last = m.end()
+    } while (m.find())
+    sb.append(s, last, s.length)
+    sb.toString
+  }
+
+  /** (loc, lastmod, priority, fromIndex) per entry block, document order. */
+  def entries(xml: String): Seq[(String, String, String, Boolean)] = {
+    val s = Comment.matcher(xml).replaceAll(" ")
+    val out = new scala.collection.mutable.ArrayBuffer[(String, String, String, Boolean)]()
+    val m = Block.matcher(s)
+    while (m.find()) {
+      val fromIndex = m.group(1).equalsIgnoreCase("sitemap")
+      val body = m.group(2)
+      val loc = tagValue(body, "loc")
+      if (loc != null && loc.nonEmpty) {
+        val lastmod = Option(tagValue(body, "lastmod")).getOrElse("")
+        val priority = Option(tagValue(body, "priority")).getOrElse("")
+        out += ((loc, lastmod, priority, fromIndex))
+      }
+    }
+    out.toSeq
+  }
+
+  def entriesData(xml: UTF8String): ArrayData =
+    new GenericArrayData(entries(xml.toString).map {
+      case (loc, lastmod, priority, fromIndex) =>
+        InternalRow(UTF8String.fromString(loc), UTF8String.fromString(lastmod),
+          UTF8String.fromString(priority), fromIndex)
+    }.toArray[Any])
+}
+
+/** `graft_sitemap_entries(xml: string) -> array<struct<loc: string,
+  * lastmod: string, priority: string, from_index: boolean>>` — sitemap /
+  * sitemap-index entries (see [[Sitemap]]), the frontier seed feed.
+  */
+case class GraftSitemapEntries(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_sitemap_entries requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("loc", StringType, nullable = false),
+    StructField("lastmod", StringType, nullable = false),
+    StructField("priority", StringType, nullable = false),
+    StructField("from_index", BooleanType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_sitemap_entries"
+
+  override def nullSafeEval(xml: Any): Any =
+    Sitemap.entriesData(xml.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.Sitemap.entriesData($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

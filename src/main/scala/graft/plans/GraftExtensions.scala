@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftBpeEncode, GraftCanonUrl, GraftExtractAnchors, GraftExtractLinks, GraftExtractText, GraftLshBuckets, GraftLutSum, GraftMinHash, GraftNormalize, GraftPageDirectives, GraftRobotsRules, GraftSimHash, GraftSimHashMd5, GraftWinnow, GraftWinnowMd5}
+import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftBpeEncode, GraftCanonUrl, GraftExtractAnchors, GraftExtractLinks, GraftExtractText, GraftLshBuckets, GraftLutSum, GraftMinHash, GraftNormalize, GraftPageDirectives, GraftRobotsRules, GraftSimHash, GraftSimHashMd5, GraftSitemapEntries, GraftWinnow, GraftWinnowMd5}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (see [[graft.GraftSession]]): injects the engine's native expressions
@@ -77,6 +77,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_extract_anchors"),
       new ExpressionInfo(classOf[GraftExtractAnchors].getName, "graft_extract_anchors"),
       (children: Seq[Expression]) => GraftExtractAnchors(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sitemap_entries"),
+      new ExpressionInfo(classOf[GraftSitemapEntries].getName, "graft_sitemap_entries"),
+      (children: Seq[Expression]) => GraftSitemapEntries(children(0))))
     ext.injectFunction((
       new FunctionIdentifier("graft_robots_rules"),
       new ExpressionInfo(classOf[GraftRobotsRules].getName, "graft_robots_rules"),

@@ -777,6 +777,50 @@ object PipelineQueries extends QuerySet {
         .orderBy("ord")
     }),
 
+    // Sitemap ingestion — the frontier SEED feed beside the robots screen:
+    // a <sitemapindex> names three child sitemaps, each child's <url>
+    // entries carry loc/lastmod/priority. The query resolves the index
+    // (child rows must match fetched documents), then explodes the page
+    // seeds. Traps: a comment-wrapped url block, a loc-less block, a
+    // CDATA loc (skipped as malformed, never mis-read), and &amp;
+    // entities that must decode in the loc. The oracle re-derives every
+    // seed from the formula.
+    "q156_sitemap_ingest" -> ((s, dir) => {
+      import s.implicits._
+      def child(c: Int): String = {
+        val urls = (0 to 3 + c).map { j =>
+          val id = c * 10 + j
+          val loc = s"https://s.test/p/$id" + (if (j % 2 == 1) "?a=1&amp;b=2" else "")
+          val lastmod =
+            if (j % 3 == 0) s"<lastmod>2026-0${c + 1}-0${j + 1}</lastmod>" else ""
+          val pri = if (j % 2 == 0) s"<priority>0.$j</priority>" else ""
+          s"<url><loc>$loc</loc>$lastmod$pri</url>"
+        }.mkString
+        "<?xml version=\"1.0\"?>" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+        "<!-- <url><loc>https://s.test/ghost</loc></url> -->" +
+        "<url><lastmod>2026-01-01</lastmod></url>" +
+        "<url><loc><![CDATA[https://s.test/cdata]]></loc></url>" +
+        urls + "</urlset>"
+      }
+      val index = "<?xml version=\"1.0\"?><sitemapindex>" +
+        (0 until 3).map(c => s"<sitemap><loc>https://s.test/sm/$c.xml</loc>" +
+          s"<lastmod>2026-08-0${c + 1}</lastmod></sitemap>").mkString +
+        "</sitemapindex>"
+      val docs = (("https://s.test/sitemap.xml", index) +:
+        (0 until 3).map(c => (s"https://s.test/sm/$c.xml", child(c))))
+        .toDF("url", "xml")
+      val entries = docs.select(col("url"),
+        explode(expr("graft_sitemap_entries(xml)")).as("e"))
+      val children = entries.where(col("e.from_index"))
+        .select(col("e.loc").as("child_url"))
+      entries.where(!col("e.from_index"))
+        .join(children, col("url") === col("child_url"))
+        .select(col("url").as("sitemap_url"), col("e.loc").as("loc"),
+          col("e.lastmod").as("lastmod"), col("e.priority").as("priority"))
+        .orderBy("loc")
+    }),
+
     // Page-level indexing directives — the pre-corpus screen a curation
     // pipeline must respect: canonical-URL hints (first link rel=canonical
     // wins; a planted SECOND canonical and copies inside <script> and
@@ -2326,6 +2370,18 @@ object PipelineQueries extends QuerySet {
         |  (CAST(8 AS BIGINT), 'gnew/g7.txt',     'g7',    'txt', CAST(1 AS BIGINT))
         |) AS t(ord, name, sample_key, ext, size) ORDER BY ord""".stripMargin,
     // every spelling triple folds onto its arithmetic canonical form
+    // every seed re-derived from the formula: the traps (comment block,
+    // loc-less entry, CDATA loc) never surface, entities decode
+    "q156_sitemap_ingest" ->
+      """WITH cs AS (SELECT unnest(generate_series(0, 2)) AS c),
+        |js AS (SELECT c, unnest(generate_series(0, 3 + c)) AS j FROM cs)
+        |SELECT 'https://s.test/sm/' || CAST(c AS VARCHAR) || '.xml' AS sitemap_url,
+        |  'https://s.test/p/' || CAST(c * 10 + j AS VARCHAR) ||
+        |    CASE WHEN j % 2 = 1 THEN '?a=1&b=2' ELSE '' END AS loc,
+        |  CASE WHEN j % 3 = 0 THEN '2026-0' || CAST(c + 1 AS VARCHAR) || '-0' || CAST(j + 1 AS VARCHAR)
+        |       ELSE '' END AS lastmod,
+        |  CASE WHEN j % 2 = 0 THEN '0.' || CAST(j AS VARCHAR) ELSE '' END AS priority
+        |FROM js ORDER BY loc""".stripMargin,
     // verdicts and resolved corpus URLs re-derived from the fixture
     // formula; the script/comment/second-canonical traps never surface
     "q154_page_directives" ->

@@ -1,0 +1,58 @@
+package graft.examples
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The frontier round must actually gate: robots-disallowed candidates
+  * drop, nofollow pages contribute no links, fetched URLs never re-enter,
+  * seeds join the candidate set, and the ordering is the PageRank prior.
+  */
+class CrawlFrontierRunSpec extends SparkSpec {
+
+  test("frontier round: screens, dedups, seeds, and ranks") {
+    import spark.implicits._
+    def page(host: String, i: Int, links: Seq[String], nofollow: Boolean = false) =
+      (s"https://$host/p/$i",
+        "<html><head>" +
+        (if (nofollow) "<meta name=robots content=nofollow>" else "") +
+        "</head><body>" +
+        links.map(l => s"<a href='$l'>x</a>").mkString + "</body></html>")
+    val fetched = Seq(
+      // unfetched targets p/10 and p/11 each get two inlinks
+      page("a.test", 0, Seq("https://a.test/p/10", "https://b.test/p/11")),
+      // a robots-disallowed target and a second inlink to p/11
+      page("a.test", 1, Seq("https://a.test/private/s", "https://b.test/p/11")),
+      // fragment and tracking params must canonicalize away (p/10 again,
+      // and p/12 clean)
+      page("b.test", 2, Seq("https://a.test/p/10#frag",
+        "https://b.test/p/12?utm_source=x")),
+      // nofollow: p/13 must NOT be discovered through this page
+      page("b.test", 3, Seq("https://b.test/p/13"), nofollow = true)
+    ).toDF("url", "html")
+    val robots = Seq(
+      ("a.test", "User-agent: *\nDisallow: /private/\n"),
+      ("b.test", "User-agent: *\nDisallow: /x/\n")).toDF("domain", "robots")
+    // one unfetched seed, one ALREADY-fetched seed (must not re-enter)
+    val seeds = Seq("https://b.test/p/9", "https://a.test/p/0").toDF("loc")
+
+    val got = CrawlFrontierRun.nextFrontier(fetched, robots, seeds, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val urls = got.map(_._1).toSet
+    assert(urls == Set("https://a.test/p/10", "https://b.test/p/11",
+      "https://b.test/p/12", "https://b.test/p/9"),
+      s"frontier wrong: ${got.toSeq}")
+    // the disallowed, the nofollow-only, and the fetched never appear
+    assert(!urls.exists(_.contains("/private/")))
+    assert(!urls.contains("https://b.test/p/13"))
+    assert(!urls.contains("https://a.test/p/0"))
+    // linked candidates outrank the unlinked seed (rank 0)
+    val rank = got.toMap
+    assert(rank("https://b.test/p/9") == 0L)
+    assert(rank("https://a.test/p/10") > 0L && rank("https://b.test/p/11") > 0L)
+    // two inlinks from distinct pages beat one
+    assert(rank("https://b.test/p/11") >= rank("https://b.test/p/12"))
+    // ordering: rank desc, then url
+    assert(got.sortBy(t => (-t._2, t._1)).toSeq == got.toSeq)
+  }
+}
