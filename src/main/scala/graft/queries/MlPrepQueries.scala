@@ -61,6 +61,32 @@ object MlPrepQueries extends QuerySet {
     // Deterministic train/val/test split from the last hex digit of the
     // content hash: 12/2/2 of 16 — content-stable across runs AND across
     // engines, the property random() splits lack.
+    // Quality-aware representative selection — the upgrade real pipelines
+    // apply to near-dup clusters: keep the HIGHEST-QUALITY member, not
+    // the smallest id (a republished article often beats the mangled
+    // first crawl of it). Pairs -> components -> per-cluster argmax of
+    // the q32 quality blend in exact micro-unit longs;
+    // max(struct(q_u, -id)) is partial-aggregatable and breaks ties
+    // toward the smaller id. Reports dup clusters with their kept member.
+    "q158_quality_representative" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.exactJaccardPairs(d, "text", "doc_id", n = 3,
+        threshold = 0.5)
+      val comps = Graph.connectedComponents(pairs, "a_id", "b_id")
+      val toks = split(col("text"), " ")
+      val div = size(array_distinct(toks)).cast("double") / size(toks)
+      val lenScore = least(lit(1.0), size(toks).cast("double") / 50)
+      val qual = d.select(col("doc_id"),
+        floor((div * 0.5 + lenScore * 0.5) * 1000000.0).cast("long").as("q_u"))
+      comps.withColumnRenamed("id", "doc_id").join(qual, "doc_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"),
+          max(struct(col("q_u"), (-col("doc_id")).as("nid"))).as("best"))
+        .select(col("cluster_id"), col("cluster_size"),
+          (-col("best.nid")).as("keep_id"), col("best.q_u").as("keep_q_u"))
+        .orderBy("cluster_id")
+    }),
+
     // Split-leakage AUDIT — the check every data release needs before its
     // eval numbers mean anything: near-duplicate pairs (exact n-gram
     // Jaccard, q35's machinery) that STRADDLE the q46 hash-split
@@ -259,6 +285,34 @@ object MlPrepQueries extends QuerySet {
         |SELECT doc_id, CAST((s - 1) / 48 AS BIGINT) AS chunk_idx,
         |LEAST(64, n - s + 1) AS chunk_len, t[s] AS first_tok
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q35's pairs + recursive closure, then the argmax replayed with a
+    // window (quality desc, id asc); the same micro-unit quality blend
+    "q158_quality_representative" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh FROM (
+        |    SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM d WHERE len(t) >= 3))),
+        |c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT a_id, b_id FROM inter
+        |      JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
+        |      WHERE inter*1.0/(ca.n + cb.n - inter) >= 0.5),
+        |edges AS (SELECT a_id AS s, b_id AS e FROM p UNION SELECT b_id, a_id FROM p),
+        |reach(id, r) AS (SELECT s, s FROM edges
+        |  UNION SELECT reach.id, e.e FROM reach JOIN edges e ON e.s = reach.r),
+        |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        |q AS (SELECT doc_id, CAST(FLOOR((CAST(len(list_distinct(t)) AS DOUBLE) / len(t) * 0.5
+        |        + LEAST(1.0, CAST(len(t) AS DOUBLE) / 50) * 0.5) * 1000000.0) AS BIGINT) AS q_u
+        |      FROM d),
+        |g AS (SELECT comp.cluster_id, comp.id, q.q_u,
+        |        ROW_NUMBER() OVER (PARTITION BY comp.cluster_id
+        |                           ORDER BY q.q_u DESC, comp.id ASC) AS rn
+        |      FROM comp JOIN q ON q.doc_id = comp.id)
+        |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS keep_id,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN q_u END) AS BIGINT) AS keep_q_u
+        |FROM g GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     // q35's pair oracle over the WHOLE corpus plus the q46 split rule,
     // keeping only pairs whose ends land in different splits
     "q153_split_leakage" ->

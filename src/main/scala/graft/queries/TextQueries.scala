@@ -167,6 +167,29 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     }),
 
+    // Shannon-entropy quality signal — the information-density heuristic
+    // (low character entropy = templated/repetitive spam, the signal a
+    // compression-ratio filter approximates): per doc, character-level
+    // and token-level entropy over the SORTED distinct symbol sets. The
+    // sort is what makes the FP summation order identical in both
+    // engines, and the left-fold's running subtraction equals the negated
+    // sum bit-for-bit (IEEE negation symmetry) — so a double reduction
+    // hash-matches without micro-unit scaffolding. One narrow expression,
+    // zero shuffles.
+    "q157_entropy_signal" -> ((s, dir) => {
+      def ent(splitSql: String, nSql: String) = expr(
+        s"aggregate(array_sort(array_distinct($splitSql)), cast(0.0 as double), " +
+        s"(acc, u) -> acc - (size(filter($splitSql, x -> x = u)) / $nSql) " +
+        s"* ln(size(filter($splitSql, x -> x = u)) / $nSql))")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          trunc(ent("split(text, '')", "cast(length(text) as double)"), 4)
+            .as("char_entropy"),
+          trunc(ent("split(text, ' ')",
+            "cast(size(split(text, ' ')) as double)"), 4).as("token_entropy"))
+        .orderBy("doc_id")
+    }),
+
     // The DATA CARD — the per-source corpus report every released training
     // set ships with (counts, token volume, length spread, diversity,
     // stopword-rule rate, language spread, exact-dup contamination), as
@@ -532,6 +555,20 @@ object TextQueries extends QuerySet {
         |  CASE WHEN n_tokens < 3 THEN 0.0 ELSE FLOOR((1 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3)) * 10000) / 10000 END AS dup3_frac,
         |  CASE WHEN n_tokens < 4 THEN 0.0 ELSE FLOOR((1 - CAST(len(list_distinct(g4)) AS DOUBLE)/len(g4)) * 10000) / 10000 END AS dup4_frac
         |FROM g ORDER BY doc_id""".stripMargin,
+    // the same sorted-distinct order and -(sum) == fold(-) IEEE identity
+    "q157_entropy_signal" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, '') AS ch,
+        |             string_split(text, ' ') AS tk FROM documents)
+        |SELECT doc_id,
+        |  FLOOR(-(list_sum(list_transform(list_sort(list_distinct(ch)), u ->
+        |    (len(list_filter(ch, x -> x = u)) / CAST(length(text) AS DOUBLE))
+        |    * ln(len(list_filter(ch, x -> x = u)) / CAST(length(text) AS DOUBLE)))))
+        |    * 10000) / 10000 AS char_entropy,
+        |  FLOOR(-(list_sum(list_transform(list_sort(list_distinct(tk)), u ->
+        |    (len(list_filter(tk, x -> x = u)) / CAST(len(tk) AS DOUBLE))
+        |    * ln(len(list_filter(tk, x -> x = u)) / CAST(len(tk) AS DOUBLE)))))
+        |    * 10000) / 10000 AS token_entropy
+        |FROM d ORDER BY doc_id""".stripMargin,
     // the same micro-unit conversion per doc, the same single rollup
     "q150_data_card" ->
       """WITH d AS (SELECT source, lang, string_split(text, ' ') AS t, md5(text) AS fp FROM documents),
