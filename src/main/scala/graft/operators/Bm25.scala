@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 keyword retrieval (k1 = 1.2, b = 0.75, the Lucene idf curve)
+  * — the full-text search operator over a document corpus, serving BOTH
+  * the Dataset surface (q142) and the SQL `SEARCH <table> FOR '...' TOP k`
+  * statement (one implementation, two doors — the SIMILARITY JOIN
+  * discipline).
+  *
+  * Scale shape: the term explode is pruned by a broadcast semi-join
+  * against the probe vocabulary BEFORE any aggregation — tf/df shuffles
+  * touch only rows matching query terms; corpus stats (N, avgdl) enter as
+  * a broadcast 1-row cross. Per-term contributions round to integer
+  * micro-units and SUM AS LONGS, so scores and ranks are exactly
+  * reproducible in any engine and under any partition order.
+  */
+object Bm25 {
+
+  /** Top-`k` documents per probe query. `probes`: (q_id, tok) — one row
+    * per query term. Output: (q_id, doc_id, score, rnk).
+    */
+  def search(docs: DataFrame, textCol: String, idCol: String,
+             probes: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val dl = docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nn"), avg(col("dl")).as("avgdl"))
+    val matched = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
+      .join(broadcast(probes.select("tok").distinct()), "tok")
+    val tf = matched.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (col("nn") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / col("avgdl"))
+    val scored = tf.join(df, "tok").join(dl, "doc_id").crossJoin(broadcast(stats))
+      .join(broadcast(probes), "tok")
+      .select(col("q_id"), col("doc_id"),
+        round(idf * col("tf") * lit(2.2) / norm * lit(1000000.0)).cast("long").as("cu"))
+    val agg = scored.groupBy("q_id", "doc_id").agg(sum("cu").as("score_u"))
+    val w = Window.partitionBy("q_id").orderBy(col("score_u").desc, col("doc_id"))
+    agg.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("q_id"), col("doc_id"),
+        (col("score_u").cast("double") / lit(1000000.0)).as("score"), col("rnk"))
+  }
+}

@@ -117,7 +117,23 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val KnnIndexJoin =
     """(?is)^\s*KNN\s+INDEX\s+JOIN\s+'([^']+)'\s+WITH\s+([\w.]+)\s+PROBES\s*\((.+)\)\s*TOP\s+(\d+)(?:\s+NPROBE\s+(\d+))?(?:\s+RERANK\s+(\d+|ALL))?\s*;?\s*$""".r
 
+  // SEARCH <docsTable> FOR '<terms>' TOP <k> — BM25 full-text retrieval
+  // as a statement. Whitespace-split terms become the probe vocabulary;
+  // plans onto the SAME [[graft.operators.Bm25.search]] the Dataset form
+  // serves (q142/q159), q_id projected away for the single query.
+  // <docsTable> must expose (doc_id, text).
+  private val SearchStmt =
+    """(?is)^\s*SEARCH\s+([\w.]+)\s+FOR\s+'([^']+)'\s+TOP\s+(\d+)\s*;?\s*$""".r
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case SearchStmt(table, terms, k) =>
+      val s = session
+      import s.implicits._
+      val probes = terms.trim.split("\\s+").toSeq.distinct
+        .map(t => (0L, t)).toDF("q_id", "tok")
+      graft.operators.Bm25.search(s.table(table), "text", "doc_id",
+          probes, k.toInt)
+        .drop("q_id").queryExecution.logical
     case SimJoin(qTable, cTable, kernelName, k) =>
       // resolve against the session this parser was constructed for, not
       // whatever session happens to be thread-active at parse time

@@ -467,40 +467,31 @@ object TextQueries extends QuerySet {
     // every probe with every corpus doc and the pair-count intermediate
     // explodes quadratically. Scoring then counts shared RARE tokens only.
     // BM25 keyword retrieval (Robertson/Okapi, the Lucene-default scoring
-    // curve): three fixed probe queries, top-10 documents each. The term
-    // explode is PRUNED by a broadcast semi-join against the probe
-    // vocabulary BEFORE any aggregation — tf/df shuffles touch only rows
-    // matching query terms (vocabulary-sized, not corpus-sized), corpus
-    // stats (N, avgdl) enter as a broadcast scalar. Per-term contributions
-    // are rounded to integer micro-units and SUMMED AS LONGS so the score
-    // and the rank are exactly order-independent — FP addition order
-    // across engines can never flip a tie.
+    // curve): three fixed probe queries, top-10 documents each — served
+    // by [[graft.operators.Bm25.search]], the same operator behind the
+    // SQL `SEARCH ... FOR '...' TOP k` statement (q159). Probe-vocabulary
+    // broadcast pruning before any shuffle; integer micro-unit
+    // contributions summed as longs, so scores and ranks can never flip
+    // on FP addition order.
     "q142_bm25_search" -> ((s, dir) => {
       import s.implicits._
       val probes = Seq((0L, "table"), (0L, "scan"), (0L, "filter"),
         (1L, "window"), (1L, "agg"), (1L, "stream"),
         (2L, "customer"), (2L, "query"), (2L, "join"), (2L, "hash"))
         .toDF("q_id", "tok")
-      val docs = t(s, dir, "documents")
-      val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("nn"), avg(col("dl")).as("avgdl"))
-      val matched = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .join(broadcast(probes.select("tok").distinct()), "tok")
-      val tf = matched.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      val idf = log(lit(1.0) + (col("nn") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-      val norm = col("tf") + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / col("avgdl"))
-      val scored = tf.join(df, "tok").join(dl, "doc_id").crossJoin(broadcast(stats))
-        .join(broadcast(probes), "tok")
-        .select(col("q_id"), col("doc_id"),
-          round(idf * col("tf") * lit(2.2) / norm * lit(1000000.0)).cast("long").as("cu"))
-      val agg = scored.groupBy("q_id", "doc_id").agg(sum("cu").as("score_u"))
-      val w = Window.partitionBy("q_id").orderBy(col("score_u").desc, col("doc_id"))
-      agg.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 10)
-        .select(col("q_id"), col("doc_id"),
-          (col("score_u").cast("double") / lit(1000000.0)).as("score"), col("rnk"))
+      graft.operators.Bm25.search(t(s, dir, "documents"), "text", "doc_id",
+          probes, k = 10)
         .orderBy("q_id", "rnk")
+    }),
+
+    // The statement form of q142: `SEARCH <table> FOR '<terms>' TOP k`
+    // through GraftSqlParser must serve the IDENTICAL Bm25 operator (one
+    // implementation, two doors — the SIMILARITY JOIN discipline). The
+    // oracle is q142's single-probe restriction with q_id dropped.
+    "q159_sql_bm25" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("bm25_docs")
+      s.sql("SEARCH bm25_docs FOR 'customer query join hash' TOP 10")
+        .orderBy("rnk")
     }),
 
     "q49_simjoin_dfcap" -> ((s, dir) => {
@@ -744,6 +735,26 @@ object TextQueries extends QuerySet {
         |SELECT CAST(q_id AS BIGINT) AS q_id, doc_id,
         |  CAST(score_u AS DOUBLE) / 1000000.0 AS score, rnk
         |FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+    // the single-probe restriction of q142's oracle, q_id projected away
+    "q159_sql_bm25" ->
+      """WITH probes(tok) AS (SELECT * FROM (VALUES
+        |    ('customer'), ('query'), ('join'), ('hash'))),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |dl AS (SELECT doc_id, len(t) AS dl FROM d),
+        |st AS (SELECT COUNT(*) AS nn, AVG(dl) AS avgdl FROM dl),
+        |toks AS (SELECT doc_id, unnest(t) AS tok FROM d),
+        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+        |       WHERE tok IN (SELECT tok FROM probes) GROUP BY 1, 2),
+        |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |sc AS (SELECT tf.doc_id,
+        |         CAST(ROUND(ln(1.0 + (st.nn - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2
+        |           / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / st.avgdl)) * 1000000.0) AS BIGINT) AS cu
+        |       FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN st),
+        |ag AS (SELECT doc_id, SUM(cu) AS score_u FROM sc GROUP BY 1),
+        |r AS (SELECT doc_id, score_u,
+        |        ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id) AS rnk FROM ag)
+        |SELECT doc_id, CAST(score_u AS DOUBLE) / 1000000.0 AS score, rnk
+        |FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
     "q49_simjoin_dfcap" ->
       """WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),

@@ -32,10 +32,11 @@ class PlanLintSpec extends SparkSpec {
   //   q125 — ANN-index takedown verification queries the post-remove index
   //         via ivfPqKnnIndexed, i.e., the same broadcast probe x centroid
   //         cell ranking as q100/q107/q109/q110 (AnnIndex.scala:257)
-  //   q142 — broadcast 1-row corpus-stats (N, avgdl) crossed into the BM25
-  //         score (the q44 corpus-count pattern)
+  //   q142/q159 — broadcast 1-row corpus-stats (N, avgdl) crossed into the
+  //         BM25 score (the q44 corpus-count pattern; q159 is the SEARCH
+  //         statement serving the same Bm25 operator)
   private val productAllowed = Set(
-    "q142_bm25_search",
+    "q142_bm25_search", "q159_sql_bm25",
     "q18_cross_join", "q23_scalar_subquery", "q40_knn_brute",
     "q43_dedup_embedding", "q44_tfidf", "q49_simjoin_dfcap",
     "q61_work_items", "q66_iteration_batches", "q67_knn_ivf", "q64_knn_lsh",

@@ -177,4 +177,28 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sql.exists(p => p._1 == 10L && p._2 == 11L), s"got $sql")
     assert(!sql.exists(_._2 == 5L), s"false positive: $sql")
   }
+
+  test("SEARCH statement == the Bm25 Dataset operator") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spark runs fast queries on big data tables"),
+      (1L, "fast fast fast spark spark"),
+      (2L, "slow batch job with no relevant terms"),
+      (3L, "queries over tables need fast spark engines"),
+      (4L, "completely unrelated content here")
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("search_docs")
+    val sql = spark.sql("SEARCH search_docs FOR 'fast spark queries' TOP 3")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    val probes = Seq((0L, "fast"), (0L, "spark"), (0L, "queries")).toDF("q_id", "tok")
+    val ds = graft.operators.Bm25.search(docs, "text", "doc_id", probes, k = 3)
+      .drop("q_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(sql.sortBy(_._3) == ds.sortBy(_._3), s"sql $sql != dataset $ds")
+    assert(sql.size == 3 && sql.map(_._1).toSet.subsetOf(Set(0L, 1L, 3L)))
+    // duplicate terms in the statement collapse to one probe token
+    val dup = spark.sql("SEARCH search_docs FOR 'fast fast spark queries' TOP 3")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(dup.sortBy(_._3) == sql.sortBy(_._3))
+  }
 }
