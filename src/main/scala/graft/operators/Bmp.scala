@@ -1,0 +1,125 @@
+package graft.operators
+
+/** Dependency-free BMP codec (the Windows DIB format) — the fourth real
+  * pixel path behind the image near-dup family, beside [[PngGray]],
+  * [[Jpeg]], and [[GifGray]]. BMPs show up in crawls as clipboard dumps,
+  * screenshots, and legacy site assets; the format is trivially
+  * deterministic (no entropy coding), which also makes it the cheapest
+  * decoder to keep byte-exact.
+  *
+  * Scope (the shapes that occur in practice, everything else None):
+  * BITMAPFILEHEADER + BITMAPINFOHEADER (or larger V4/V5 headers — the
+  * leading 40 bytes read the same), uncompressed BI_RGB, 8-bit paletted /
+  * 24-bit BGR / 32-bit BGRx, bottom-up or top-down (negative height),
+  * rows padded to 4 bytes. Luma via the shared (299r + 587g + 114b)/1000
+  * constant. Same malformed-input contract as the other decoders:
+  * truncation, bad magic, unsupported bpp/compression, or a pixel bomb
+  * yield None — never a throw.
+  *
+  * The encoder twin [[render]] writes real 8-bit paletted bottom-up BMPs
+  * with an achromatic palette (index i = (i,i,i)), so luma round-trips
+  * exactly and fixture oracles stay arithmetic; cross-decoder interop is
+  * BmpSpec's ImageIO check in both directions.
+  */
+object Bmp extends Serializable {
+  import PngGray.GrayImage
+
+  private val MaxPixels = 64L * 1024 * 1024
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def u16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def u32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong) | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+  private def s32(b: Array[Byte], i: Int): Int = u32(b, i).toInt
+
+  def decodeGray(bytes: Array[Byte]): Option[GrayImage] = {
+    if (bytes == null || bytes.length < 54) return None
+    if (u8(bytes, 0) != 'B' || u8(bytes, 1) != 'M') return None
+    val pixelOff = u32(bytes, 10)
+    val hdrSize = u32(bytes, 14)
+    if (hdrSize < 40) return None // BITMAPCOREHEADER out of scope
+    val w = s32(bytes, 18)
+    val hRaw = s32(bytes, 22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val bpp = u16(bytes, 28)
+    val compression = u32(bytes, 30)
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
+    if (compression != 0 || (bpp != 8 && bpp != 24 && bpp != 32)) return None
+    // 8-bit: palette of BGRA quads right after the DIB header
+    var palette: Array[Int] = null
+    if (bpp == 8) {
+      val clrUsed = u32(bytes, 46)
+      val n = if (clrUsed == 0) 256 else clrUsed.toInt
+      val palOff = 14 + hdrSize.toInt
+      if (n <= 0 || n > 256 || palOff + 4L * n > bytes.length) return None
+      palette = Array.tabulate(n) { i =>
+        val o = palOff + 4 * i // B, G, R, reserved
+        (299 * u8(bytes, o + 2) + 587 * u8(bytes, o + 1) + 114 * u8(bytes, o)) / 1000
+      }
+    }
+    val bytesPerPx = bpp / 8
+    val stride = ((w.toLong * bytesPerPx + 3) / 4) * 4
+    if (pixelOff < 0 || pixelOff + stride * h > bytes.length) return None
+    val img = new Array[Int](w * h)
+    var row = 0
+    while (row < h) {
+      val dy = if (topDown) row else h - 1 - row
+      val ro = (pixelOff + stride * row).toInt
+      var x = 0
+      while (x < w) {
+        val o = ro + x * bytesPerPx
+        img(dy * w + x) =
+          if (bpp == 8) {
+            val ci = u8(bytes, o)
+            if (ci >= palette.length) return None
+            palette(ci)
+          } else { // BGR(x)
+            (299 * u8(bytes, o + 2) + 587 * u8(bytes, o + 1) + 114 * u8(bytes, o)) / 1000
+          }
+        x += 1
+      }
+      row += 1
+    }
+    Some(GrayImage(w, h, img))
+  }
+
+  /** Encode as an 8-bit paletted bottom-up BI_RGB BMP (achromatic palette,
+    * so luma round-trips exactly); `topDown` flips the height sign and row
+    * order to exercise that branch.
+    */
+  def render(width: Int, height: Int, gray: Array[Int],
+             topDown: Boolean = false): Array[Byte] = {
+    require(gray.length == width * height, "pixel count mismatch")
+    val stride = ((width + 3) / 4) * 4
+    val pixelOff = 14 + 40 + 4 * 256
+    val size = pixelOff + stride * height
+    val out = new Array[Byte](size)
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def le32(off: Int, v: Long): Unit =
+      (0 until 4).foreach(k => out(off + k) = ((v >> (8 * k)) & 0xff).toByte)
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, size); le32(10, pixelOff)
+    le32(14, 40) // BITMAPINFOHEADER
+    le32(18, width)
+    le32(22, (if (topDown) -height else height).toLong & 0xffffffffL)
+    le16(26, 1); le16(28, 8) // planes, bpp
+    le32(30, 0) // BI_RGB
+    le32(34, (stride * height).toLong)
+    le32(38, 2835); le32(42, 2835) // 72 DPI
+    le32(46, 256); le32(50, 0)
+    for (i <- 0 until 256) {
+      val o = 54 + 4 * i
+      out(o) = i.toByte; out(o + 1) = i.toByte; out(o + 2) = i.toByte
+    }
+    for (row <- 0 until height) {
+      val sy = if (topDown) row else height - 1 - row
+      val ro = pixelOff + stride * row
+      for (x <- 0 until width) out(ro + x) = (gray(sy * width + x) & 0xff).toByte
+    }
+    out
+  }
+}

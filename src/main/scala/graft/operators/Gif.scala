@@ -8,7 +8,8 @@ package graft.operators
   *
   * Decode walks the whole wire format: logical screen descriptor, global /
   * local color tables (local wins, per spec), extension blocks skipped by
-  * their sub-block chain, the FIRST image frame's LZW stream decompressed
+  * their sub-block chain (graphic-control delays READ, feeding frame
+  * timestamps), each image frame's LZW stream decompressed
   * with the GIF bit-order (LSB-first, variable code width 3..12 bits,
   * clear/EOI codes, the KwKwK case, deferred-clear full-dictionary
   * tail), and the optional 4-pass interlace undone. Palette entries
@@ -77,8 +78,18 @@ object GifGray extends Serializable {
     null // ran off the end before the 0 terminator
   }
 
-  /** Decode the first frame to integer grayscale via the color table. */
-  def decodeGray(bytes: Array[Byte]): Option[GrayImage] = {
+  /** One animation frame: `delayCs` from the frame's graphic-control
+    * extension (centiseconds), `ptsCs` the display timestamp on the
+    * player timeline (sum of preceding delays) — the axis a video-dedup
+    * pipeline samples and filters frames by, exactly like the MP4 walk's
+    * `pts_ms`.
+    */
+  final case class GifFrame(ord: Int, delayCs: Int, ptsCs: Int, img: GrayImage)
+
+  /** Global color table position + parsed luma table, or None on a
+    * malformed pre-frame region.
+    */
+  private def parseHeader(bytes: Array[Byte]): Option[(Int, Array[Int])] = {
     if (bytes == null || bytes.length < 13) return None
     val sig = new String(bytes, 0, 6, "US-ASCII")
     if (sig != "GIF87a" && sig != "GIF89a") return None
@@ -91,54 +102,117 @@ object GifGray extends Serializable {
       gct = lumaTable(bytes, pos, n)
       pos += 3 * n
     }
-    while (pos < bytes.length) {
-      u8(bytes, pos) match {
-        case 0x3b => return None // trailer before any image frame
-        case 0x21 => // extension: introducer + label, then sub-blocks
-          if (pos + 2 > bytes.length) return None
-          pos = skipSubBlocks(bytes, pos + 2)
-          if (pos < 0) return None
-        case 0x2c =>
-          if (pos + 10 > bytes.length) return None
-          val w = u16le(bytes, pos + 5); val h = u16le(bytes, pos + 7)
-          val ip = u8(bytes, pos + 9)
-          var table = gct
-          pos += 10
-          if ((ip & 0x80) != 0) { // local color table overrides global
-            val n = 2 << (ip & 7)
-            if (pos + 3 * n > bytes.length) return None
-            table = lumaTable(bytes, pos, n)
-            pos += 3 * n
-          }
-          if (table == null || w <= 0 || h <= 0 || w.toLong * h > MaxPixels)
-            return None
-          if (pos >= bytes.length) return None
-          val minCode = u8(bytes, pos)
-          if (minCode < 2 || minCode > 8) return None
-          val data = concatSubBlocks(bytes, pos + 1)
-          if (data == null) return None
-          val idx = lzwDecode(data, minCode, w * h)
-          if (idx == null) return None
-          val img = new Array[Int](w * h)
-          val order = if ((ip & 0x40) != 0) interlaceRows(h) else null
-          var s = 0
-          while (s < h) {
-            val dy = if (order == null) s else order(s)
-            var x = 0
-            while (x < w) {
-              val ci = idx(s * w + x)
-              if (ci >= table.length) return None
-              img(dy * w + x) = table(ci)
-              x += 1
-            }
-            s += 1
-          }
-          return Some(GrayImage(w, h, img))
-        case _ => return None
-      }
-    }
-    None
+    Some((pos, gct))
   }
+
+  /** Decode the frame whose image separator sits at `start`; returns the
+    * pixels and the position after the frame's data sub-blocks.
+    */
+  private def decodeFrameAt(bytes: Array[Byte], start: Int,
+                            gct: Array[Int]): Option[(GrayImage, Int)] = {
+    var pos = start
+    if (pos + 10 > bytes.length) return None
+    val w = u16le(bytes, pos + 5); val h = u16le(bytes, pos + 7)
+    val ip = u8(bytes, pos + 9)
+    var table = gct
+    pos += 10
+    if ((ip & 0x80) != 0) { // local color table overrides global
+      val n = 2 << (ip & 7)
+      if (pos + 3 * n > bytes.length) return None
+      table = lumaTable(bytes, pos, n)
+      pos += 3 * n
+    }
+    if (table == null || w <= 0 || h <= 0 || w.toLong * h > MaxPixels)
+      return None
+    if (pos >= bytes.length) return None
+    val minCode = u8(bytes, pos)
+    if (minCode < 2 || minCode > 8) return None
+    val data = concatSubBlocks(bytes, pos + 1)
+    if (data == null) return None
+    val end = skipSubBlocks(bytes, pos + 1)
+    if (end < 0) return None
+    val idx = lzwDecode(data, minCode, w * h)
+    if (idx == null) return None
+    val img = new Array[Int](w * h)
+    val order = if ((ip & 0x40) != 0) interlaceRows(h) else null
+    var s = 0
+    while (s < h) {
+      val dy = if (order == null) s else order(s)
+      var x = 0
+      while (x < w) {
+        val ci = idx(s * w + x)
+        if (ci >= table.length) return None
+        img(dy * w + x) = table(ci)
+        x += 1
+      }
+      s += 1
+    }
+    Some((GrayImage(w, h, img), end))
+  }
+
+  /** Decode the first frame to integer grayscale via the color table. */
+  def decodeGray(bytes: Array[Byte]): Option[GrayImage] =
+    parseHeader(bytes).flatMap { case (start, gct) =>
+      var pos = start
+      while (pos < bytes.length) {
+        u8(bytes, pos) match {
+          case 0x3b => return None // trailer before any image frame
+          case 0x21 => // extension: introducer + label, then sub-blocks
+            if (pos + 2 > bytes.length) return None
+            pos = skipSubBlocks(bytes, pos + 2)
+            if (pos < 0) return None
+          case 0x2c =>
+            return decodeFrameAt(bytes, pos, gct).map(_._1)
+          case _ => return None
+        }
+      }
+      None
+    }
+
+  /** EVERY frame of an animated GIF, each decoded STANDALONE (its own
+    * descriptor and color table; no compositing against prior frames —
+    * this is the fingerprinting model, not a player: frame-level dedup
+    * hashes what each frame's bitstream carries). Graphic-control delays
+    * accumulate into per-frame `ptsCs` timestamps. A malformation AFTER
+    * at least one good frame stops the walk cleanly and returns the
+    * frames before it (the [[graft.sources.TarShards]] contract); garbage
+    * before the first frame is None.
+    */
+  def decodeFrames(bytes: Array[Byte]): Option[Seq[GifFrame]] =
+    parseHeader(bytes).flatMap { case (start, gct) =>
+      val out = new scala.collection.mutable.ArrayBuffer[GifFrame]()
+      var pos = start
+      var pendingDelay = 0
+      var pts = 0
+      var done = false
+      while (!done && pos < bytes.length) {
+        u8(bytes, pos) match {
+          case 0x3b => done = true
+          case 0x21 =>
+            if (pos + 2 > bytes.length) done = true
+            else {
+              // graphic control: 4-byte body [packed, delayLo, delayHi,
+              // transparentIdx] — the delay applies to the NEXT frame
+              if (u8(bytes, pos + 1) == 0xf9 && pos + 6 <= bytes.length &&
+                  u8(bytes, pos + 2) >= 4)
+                pendingDelay = u16le(bytes, pos + 4)
+              val np = skipSubBlocks(bytes, pos + 2)
+              if (np < 0) done = true else pos = np
+            }
+          case 0x2c =>
+            decodeFrameAt(bytes, pos, gct) match {
+              case None => done = true
+              case Some((img, np)) =>
+                out += GifFrame(out.length, pendingDelay, pts, img)
+                pts += pendingDelay
+                pendingDelay = 0
+                pos = np
+            }
+          case _ => done = true
+        }
+      }
+      if (out.isEmpty) None else Some(out.toSeq)
+    }
 
   /** GIF-variant LZW: LSB-first bitstream, code width grows from
     * minCode+1 as the dictionary fills (12-bit ceiling, deferred clear),
@@ -207,10 +281,22 @@ object GifGray extends Serializable {
     * a CLEAR every 254 symbols.
     */
   def render(width: Int, height: Int, gray: Array[Int],
-             interlaced: Boolean = false): Array[Byte] = {
-    require(gray.length == width * height, "pixel count mismatch")
+             interlaced: Boolean = false): Array[Byte] =
+    renderAnimated(width, height, Seq((gray, 0, interlaced)))
+
+  /** The ANIMATED form: one full-screen frame per (pixels, delayCs,
+    * interlaced) triple, each preceded by a real graphic-control extension
+    * carrying its delay — the web's short-video format, fixture-grade.
+    */
+  def renderAnimated(width: Int, height: Int,
+                     frames: Seq[(Array[Int], Int, Boolean)]): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
     require(width > 0 && width < 65536 && height > 0 && height < 65536,
       "dims must fit u16")
+    frames.foreach { case (g, d, _) =>
+      require(g.length == width * height, "pixel count mismatch")
+      require(d >= 0 && d < 65536, "delay must fit u16")
+    }
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes("US-ASCII"), 0, 6)
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
@@ -218,46 +304,48 @@ object GifGray extends Serializable {
     out.write(0x80 | 0x70 | 0x07) // GCT present, 8-bit color res, 256 entries
     out.write(0); out.write(0)    // background index, aspect ratio
     for (i <- 0 until 256) { out.write(i); out.write(i); out.write(i) }
-    // graphic control extension (89a): 4-byte body, zero delay/transparency
-    out.write(0x21); out.write(0xf9); out.write(4)
-    out.write(0); le16(0); out.write(0); out.write(0)
-    out.write(0x2c); le16(0); le16(0); le16(width); le16(height)
-    out.write(if (interlaced) 0x40 else 0)
-    out.write(8) // LZW minimum code size
-    // all-literal LZW, LSB-first bit packing
-    val lzw = new java.io.ByteArrayOutputStream()
-    var acc = 0L; var nb = 0
-    def put(v: Int, n: Int): Unit = {
-      acc |= v.toLong << nb; nb += n
-      while (nb >= 8) { lzw.write((acc & 0xff).toInt); acc >>= 8; nb -= 8 }
-    }
-    val clear = 256; val eoi = 257
-    put(clear, 9)
-    var since = 0
-    val order = if (interlaced) interlaceRows(height) else null
-    var s = 0
-    while (s < height) {
-      val dy = if (order == null) s else order(s)
-      var x = 0
-      while (x < width) {
-        if (since == 254) { put(clear, 9); since = 0 }
-        put(gray(dy * width + x) & 0xff, 9)
-        since += 1
-        x += 1
+    for ((gray, delayCs, interlaced) <- frames) {
+      // graphic control extension (89a): 4-byte body, delay, no transparency
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0); le16(delayCs); out.write(0); out.write(0)
+      out.write(0x2c); le16(0); le16(0); le16(width); le16(height)
+      out.write(if (interlaced) 0x40 else 0)
+      out.write(8) // LZW minimum code size
+      // all-literal LZW, LSB-first bit packing
+      val lzw = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nb = 0
+      def put(v: Int, n: Int): Unit = {
+        acc |= v.toLong << nb; nb += n
+        while (nb >= 8) { lzw.write((acc & 0xff).toInt); acc >>= 8; nb -= 8 }
       }
-      s += 1
+      val clear = 256; val eoi = 257
+      put(clear, 9)
+      var since = 0
+      val order = if (interlaced) interlaceRows(height) else null
+      var s = 0
+      while (s < height) {
+        val dy = if (order == null) s else order(s)
+        var x = 0
+        while (x < width) {
+          if (since == 254) { put(clear, 9); since = 0 }
+          put(gray(dy * width + x) & 0xff, 9)
+          since += 1
+          x += 1
+        }
+        s += 1
+      }
+      put(eoi, 9)
+      if (nb > 0) lzw.write((acc & 0xff).toInt)
+      val body = lzw.toByteArray
+      var off = 0
+      while (off < body.length) {
+        val n = math.min(255, body.length - off)
+        out.write(n)
+        out.write(body, off, n)
+        off += n
+      }
+      out.write(0) // sub-block terminator
     }
-    put(eoi, 9)
-    if (nb > 0) lzw.write((acc & 0xff).toInt)
-    val body = lzw.toByteArray
-    var off = 0
-    while (off < body.length) {
-      val n = math.min(255, body.length - off)
-      out.write(n)
-      out.write(body, off, n)
-      off += n
-    }
-    out.write(0)    // sub-block terminator
     out.write(0x3b) // trailer
     out.toByteArray
   }

@@ -1018,6 +1018,61 @@ object Multimodal {
         col("frame_offset"), col("pts_ms"), col("simhash"))
   }
 
+  /** The BMP member of the family ([[Bmp.decodeGray]] — paletted / 24-bit
+    * / 32-bit DIBs, bottom-up or top-down): same block-mean grid, same
+    * NULL contract.
+    */
+  def aHashFromBmp(df: DataFrame, bmpCol: String, idCol: String,
+                   gw: Int = 10, gh: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val bmpIdx = df.schema.fieldIndex(bmpCol)
+    val outSchema = df.schema.add("gray", ArrayType(IntegerType))
+    val rows = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val grid = Bmp.decodeGray(r.get(bmpIdx).asInstanceOf[Array[Byte]])
+          .filter(img => img.width >= gw && img.height >= gh)
+          .map(img => PngGray.blockMeanGrid(img, gw, gh).toSeq)
+          .orNull
+        Row.fromSeq(r.toSeq :+ grid)
+      }
+    }
+    aHashFromGray(spark.createDataFrame(rows, outSchema), "gray", idCol)
+  }
+
+  /** [[keyframeAHashFromMp4]]'s twin for the web's OTHER short-video
+    * format: every frame of an animated GIF ([[GifGray.decodeFrames]] —
+    * standalone frame decode, graphic-control delays accumulated into
+    * `pts_cs` timestamps) block-mean-pooled and fingerprinted. Frames too
+    * small for the grid null out; undecodable payloads contribute no rows.
+    */
+  def frameAHashFromGif(df: DataFrame, gifCol: String, idCol: String,
+                        gw: Int = 10, gh: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val gifIdx = df.schema.fieldIndex(gifCol)
+    val outSchema = df.schema
+      .add("frame_ord", IntegerType).add("delay_cs", IntegerType)
+      .add("pts_cs", IntegerType).add("gray", ArrayType(IntegerType))
+    val rows = df.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        GifGray.decodeFrames(r.get(gifIdx).asInstanceOf[Array[Byte]])
+          .getOrElse(Seq.empty).map { f =>
+            val grid = Some(f.img)
+              .filter(img => img.width >= gw && img.height >= gh)
+              .map(img => PngGray.blockMeanGrid(img, gw, gh).toSeq)
+              .orNull
+            Row.fromSeq(r.toSeq ++ Seq(f.ord, f.delayCs, f.ptsCs, grid))
+          }
+      }
+    }
+    withAHash(spark.createDataFrame(rows, outSchema), "gray")
+      .select(col(idCol).as("id"), col("frame_ord"), col("delay_cs"),
+        col("pts_cs"), col("simhash"))
+  }
+
   /** VIDEO-level near-dup pairs — the composition that makes the keyframe
     * fingerprints a dedup signal rather than a per-frame curiosity: two
     * videos are near-duplicates when at least `minMatchedFrames` of the

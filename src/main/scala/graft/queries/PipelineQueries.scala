@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{AnnIndex, Dedup, GifGray, Multimodal, Segmentation, Similarity}
+import graft.operators.{AnnIndex, Bmp, Dedup, GifGray, Multimodal, Segmentation, Similarity}
 
 /** The reference's application-plan operators (SURVEY.md §2.A) exposed as
   * driver-checkable queries over the harness tables, plus the scale-path
@@ -1288,6 +1288,62 @@ object PipelineQueries extends QuerySet {
     // every HASH from the block arithmetic — a misread stco entry, a
     // broken stsc run walk, a bad mdhd timescale, or one bad luma pixel
     // breaks the match.
+    // q127's BMP sibling — the fourth real pixel path (clipboard dumps,
+    // screenshots, legacy assets): the same planted families and cell
+    // formula, each image a genuine 8-bit paletted DIB, every third one
+    // TOP-DOWN (negative height) so the row-order branch must cancel
+    // exactly. Achromatic palette lumas index i back to i, so the SAME
+    // arithmetic oracle as q127/q130/q144 pins the decode.
+    "q161_bmp_ahash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      def cell(img: Long, j: Int): Int = {
+        val key = s"${if (j < img % 3) img + 1000000 else img / 10}:$j"
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex.substring(0, 13), 16) % 256).toInt
+      }
+      val imgs = (0L until 40L).map { i =>
+        val px = Array.tabulate(20 * 12) { k =>
+          cell(i, (k / 20 / 2) * 10 + (k % 20) / 2)
+        }
+        (i, Bmp.render(20, 12, px, topDown = i % 3 == 0))
+      }
+      val sig = Multimodal.aHashFromBmp(
+        imgs.toDF("img_id", "bmp"), "bmp", "img_id", gw = 10, gh = 6)
+      Dedup.simHashPairs(sig, maxHamming = 6,
+          maxBucketSize = Int.MaxValue, nBits = 60)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // q137's sibling for the web's OTHER short-video format: ANIMATED
+    // GIFs — every frame (alternating interlaced/sequential) decodes
+    // standalone through the full LZW path, graphic-control delays follow
+    // a per-gif formula and accumulate into pts_cs timestamps, and the
+    // SAME arithmetic cell oracle pins frame pixels, per-frame hashes,
+    // delays, and the derived timeline in one statement.
+    "q160_gif_frame_ahash" -> ((s, dir) => {
+      import s.implicits._
+      def cell(g: Long, f: Int, j: Int): Int = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$g:$f:$j".getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex.substring(0, 13), 16) % 256).toInt
+      }
+      val gifs = (0L until 12L).map { g =>
+        val frames = (0 until 5).map { f =>
+          (Array.tabulate(20 * 12) { k =>
+            cell(g, f, (k / 20 / 2) * 10 + (k % 20) / 2)
+          }, (10 + (g % 4) * 5 + f).toInt, f % 2 == 1)
+        }
+        (g, GifGray.renderAnimated(20, 12, frames))
+      }.toDF("gif_id", "gif")
+      Multimodal.frameAHashFromGif(gifs, "gif", "gif_id", gw = 10, gh = 6)
+        .select(col("id").as("gif_id"),
+          col("frame_ord").cast("long").as("frame_ord"),
+          col("delay_cs").cast("long").as("delay_cs"),
+          col("pts_cs").cast("long").as("pts_cs"), col("simhash"))
+        .orderBy("gif_id", "frame_ord")
+    }),
+
     "q137_video_keyframe_ahash" -> ((s, dir) => {
       import s.implicits._
       def cell(v: Long, sno: Int, j: Int): Int = {
@@ -1978,6 +2034,38 @@ object PipelineQueries extends QuerySet {
     // payload base 452 (ftyp 16 + moov 428 + mdat header 8), one chunk
     // per sample at stride 2048, keyframe pixels from the same md5 block
     // arithmetic the JPEG DC-only fixtures pin bit-exactly
+    // the BMP round trip is invisible by construction (achromatic palette,
+    // top-down rows re-ordered back) — q127's arithmetic oracle verbatim
+    "q161_bmp_ahash_dedup" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 39)) AS img_id),
+        |g AS (SELECT img_id, list_transform(range(0, 60), j ->
+        |    ('0x' || substr(md5(CAST(CASE WHEN j < img_id % 3 THEN img_id + 1000000
+        |        ELSE img_id // 10 END AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 13))::BIGINT % 256) AS gray
+        |  FROM ids),
+        |sig AS (SELECT img_id, CAST(list_sum(list_transform(range(0, 60), j ->
+        |    CASE WHEN gray[j + 1] * 60 > list_sum(gray) THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS h
+        |  FROM g)
+        |SELECT a.img_id AS a_id, b.img_id AS b_id, bit_count(xor(a.h, b.h)) AS hamming
+        |FROM sig a JOIN sig b ON a.img_id < b.img_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 6
+        |ORDER BY a_id, b_id""".stripMargin,
+    // frame pixels, hashes, the delay formula, and the accumulated
+    // timeline all re-derived arithmetically; the interlace alternation
+    // must cancel exactly or the hashes flip
+    "q160_gif_frame_ahash" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 11)) AS g),
+        |fr AS (SELECT g, unnest(generate_series(0, 4)) AS f FROM ids),
+        |cells AS (SELECT g, f, list_transform(range(0, 60), j ->
+        |    ('0x' || substr(md5(CAST(g AS VARCHAR) || ':' || CAST(f AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 13))::BIGINT % 256) AS gray
+        |  FROM fr),
+        |sig AS (SELECT g, f, CAST(list_sum(list_transform(range(0, 60), j ->
+        |    CASE WHEN gray[j + 1] * 60 > list_sum(gray) THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS h
+        |  FROM cells)
+        |SELECT g AS gif_id, CAST(f AS BIGINT) AS frame_ord,
+        |  CAST(10 + (g % 4) * 5 + f AS BIGINT) AS delay_cs,
+        |  CAST(f * (10 + (g % 4) * 5) + f * (f - 1) // 2 AS BIGINT) AS pts_cs,
+        |  h AS simhash
+        |FROM sig ORDER BY gif_id, frame_ord""".stripMargin,
     "q137_video_keyframe_ahash" ->
       """WITH ids AS (SELECT unnest(generate_series(0, 11)) AS video_id),
         |fr AS (SELECT video_id, unnest([1, 4, 7]) AS sample_no,

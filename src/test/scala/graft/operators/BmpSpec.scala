@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class BmpSpec extends AnyFunSuite {
+
+  private def pixels(w: Int, h: Int, seed: Int): Array[Int] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(w * h)(rng.nextInt(256))
+  }
+
+  test("render/decode round trip: bottom-up and top-down, padded strides") {
+    for (topDown <- Seq(false, true); w <- Seq(1, 3, 7, 16); h <- Seq(1, 5, 12)) {
+      val px = pixels(w, h, (if (topDown) 1 else 0) * 100 + w * 10 + h)
+      val got = Bmp.decodeGray(Bmp.render(w, h, px, topDown))
+      assert(got.isDefined, s"topDown=$topDown ${w}x$h failed")
+      assert(got.get.gray.toSeq == px.toSeq,
+        s"topDown=$topDown ${w}x$h pixels corrupted")
+    }
+  }
+
+  test("ImageIO reads our bytes; we read ImageIO's 24-bit BGR bytes") {
+    val w = 21; val h = 13 // non-multiple-of-4 width: real row padding
+    val px = pixels(w, h, 5)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Bmp.render(w, h, px)))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    // the achromatic palette comes back as a gray raster; compare RAW
+    // samples (getRGB would push gray through a linear->sRGB conversion)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.getRaster.getSample(x, y, 0) == px(y * w + x), s"($x,$y)")
+    // ImageIO writes 24-bit BGR BMPs — the other decode branch
+    val buf = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = px(y * w + x)
+      buf.setRGB(x, y, (v << 16) | ((255 - v) << 8) | v) // chromatic on purpose
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(buf, "bmp", bos))
+    val got = Bmp.decodeGray(bos.toByteArray)
+    assert(got.isDefined, "failed to decode ImageIO-written BMP")
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = px(y * w + x)
+      val luma = (299 * v + 587 * (255 - v) + 114 * v) / 1000
+      assert(got.get.gray(y * w + x) == luma, s"BGR luma mismatch ($x,$y)")
+    }
+  }
+
+  test("malformed inputs yield None, never a throw") {
+    val good = Bmp.render(8, 8, pixels(8, 8, 2))
+    assert(Bmp.decodeGray(null).isEmpty)
+    assert(Bmp.decodeGray("NOTABMP______________".getBytes("US-ASCII")).isEmpty)
+    for (n <- 0 until good.length by 5)
+      assert(Bmp.decodeGray(java.util.Arrays.copyOf(good, n)).isEmpty,
+        s"truncation at $n decoded")
+    // pixel bomb: claimed 65535x65535
+    val bomb = good.clone()
+    bomb(18) = 0xff.toByte; bomb(19) = 0xff.toByte
+    bomb(22) = 0xff.toByte; bomb(23) = 0xff.toByte
+    assert(Bmp.decodeGray(bomb).isEmpty)
+    // unsupported compression (BI_RLE8 = 1)
+    val rle = good.clone(); rle(30) = 1
+    assert(Bmp.decodeGray(rle).isEmpty)
+    // unsupported bpp
+    val bpp = good.clone(); bpp(28) = 4
+    assert(Bmp.decodeGray(bpp).isEmpty)
+  }
+}

@@ -109,4 +109,27 @@ class GifSpec extends AnyFunSuite {
     junk(junk.length - 9) = 0xff.toByte
     GifGray.decodeGray(junk) // any Option is fine; must not throw
   }
+
+  test("animated: per-frame round trip, delays accumulate, truncation stops clean") {
+    val w = 12; val h = 10
+    val fs = (0 until 4).map(f => (pixels(w, h, 100 + f), 10 + f * 3, f % 2 == 1))
+    val bytes = GifGray.renderAnimated(w, h, fs)
+    val got = GifGray.decodeFrames(bytes).get
+    assert(got.size == 4)
+    for (f <- 0 until 4) {
+      assert(got(f).ord == f && got(f).delayCs == 10 + f * 3)
+      assert(got(f).img.gray.toSeq == fs(f)._1.toSeq, s"frame $f pixels corrupted")
+    }
+    // pts = sum of preceding delays: 0, 10, 23, 39
+    assert(got.map(_.ptsCs) == Seq(0, 10, 23, 39))
+    // decodeGray still returns exactly the first frame
+    assert(GifGray.decodeGray(bytes).get.gray.toSeq == fs(0)._1.toSeq)
+    // truncation mid-animation: the complete leading frames survive
+    val cut = java.util.Arrays.copyOf(bytes, bytes.length * 2 / 3)
+    val part = GifGray.decodeFrames(cut)
+    assert(part.isDefined && part.get.size < 4 && part.get.nonEmpty)
+    assert(part.get.head.img.gray.toSeq == fs(0)._1.toSeq)
+    // garbage before any frame is None, not an empty Some
+    assert(GifGray.decodeFrames("GIF89a".getBytes("US-ASCII")).isEmpty)
+  }
 }
