@@ -1107,6 +1107,26 @@ object Multimodal {
       .where(col("n_matched") >= minMatchedFrames)
   }
 
+  /** [[videoDupPairs]] for animated GIFs: two gifs are near-duplicates
+    * when at least `minMatchedFrames` of their frames fingerprint within
+    * `maxHamming` bits — the same banding join over
+    * [[frameAHashFromGif]]'s signatures.
+    */
+  def gifDupPairs(df: DataFrame, gifCol: String, idCol: String,
+                  gw: Int = 10, gh: Int = 6, maxHamming: Int = 6,
+                  minMatchedFrames: Int = 2,
+                  maxBucketSize: Int = 1000): DataFrame = {
+    val frames = frameAHashFromGif(df, gifCol, idCol, gw, gh)
+      .where(col("simhash").isNotNull)
+      .select(struct(col("id").as("vid"), col("frame_ord").as("ord")).as("id"),
+        col("simhash"))
+    Dedup.simHashPairs(frames, maxHamming, maxBucketSize, nBits = 60)
+      .where(col("a_id.vid") =!= col("b_id.vid"))
+      .groupBy(col("a_id.vid").as("a_id"), col("b_id.vid").as("b_id"))
+      .agg(countDistinct(col("a_id.ord")).as("n_matched"))
+      .where(col("n_matched") >= minMatchedFrames)
+  }
+
   /** Video-header decode over a binary payload column — same
     * per-partition-handle shape as [[decodeImageHeaders]]: appends
     * brand/timescale/duration_ms/n_tracks/width/height parsed from genuine

@@ -1410,6 +1410,33 @@ object PipelineQueries extends QuerySet {
     // keyframe of the second within hamming 6; the oracle recomputes
     // frame fingerprints arithmetically, brute-forces frame-pair
     // hammings, and replays the distinct-a-frame vote.
+    // q139's GIF sibling — CONTENT-level dedup of the web's short-video
+    // long tail: 12 animated gifs in planted near-dup triples (gif // 3
+    // shares frame content; per-gif salt cells differ), two gifs pair
+    // when >= 2 frames fingerprint within 6 bits. Same banding join as
+    // the MP4 path, same arithmetic oracle discipline.
+    "q162_gif_video_dedup" -> ((s, dir) => {
+      import s.implicits._
+      def cell(g: Long, f: Int, j: Int): Int = {
+        val key = s"${if (j < g % 3) g + 1000000 else g / 3}:$f:$j"
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex.substring(0, 13), 16) % 256).toInt
+      }
+      val gifs = (0L until 12L).map { g =>
+        val frames = (0 until 4).map { f =>
+          (Array.tabulate(20 * 12) { k =>
+            cell(g, f, (k / 20 / 2) * 10 + (k % 20) / 2)
+          }, 10, f % 2 == 1)
+        }
+        (g, GifGray.renderAnimated(20, 12, frames))
+      }.toDF("gif_id", "gif")
+      Multimodal.gifDupPairs(gifs, "gif", "gif_id", gw = 10, gh = 6,
+          maxHamming = 6, minMatchedFrames = 2,
+          maxBucketSize = Int.MaxValue)
+        .orderBy("a_id", "b_id")
+    }),
+
     "q139_video_dedup" -> ((s, dir) => {
       import s.implicits._
       def cell(v: Long, sno: Int, j: Int): Int = {
@@ -2107,6 +2134,24 @@ object PipelineQueries extends QuerySet {
         |FROM agg ORDER BY doc_id""".stripMargin,
     // frame fingerprints from the family grid arithmetic, brute-force
     // frame-pair hamming, then the distinct-a-frame vote per video pair
+    // q139's oracle shape over the gif frame formula
+    "q162_gif_video_dedup" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 11)) AS g),
+        |fr AS (SELECT g, unnest(generate_series(0, 3)) AS f FROM ids),
+        |gr AS (SELECT g, f, list_transform(range(0, 60), j ->
+        |    ('0x' || substr(md5(CAST(CASE WHEN j < g % 3 THEN g + 1000000
+        |        ELSE g // 3 END AS VARCHAR) || ':' || CAST(f AS VARCHAR)
+        |        || ':' || CAST(j AS VARCHAR)), 1, 13))::BIGINT % 256) AS gray
+        |  FROM fr),
+        |sig AS (SELECT g, f, CAST(list_sum(list_transform(range(0, 60), j ->
+        |      CASE WHEN gray[j + 1] * 60 > list_sum(gray) THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS h
+        |  FROM gr),
+        |fp AS (SELECT a.g AS ag, a.f AS ao, b.g AS bg, bit_count(xor(a.h, b.h)) AS hm
+        |       FROM sig a JOIN sig b ON a.g < b.g),
+        |m AS (SELECT ag AS a_id, bg AS b_id, COUNT(DISTINCT ao) AS n
+        |      FROM fp WHERE hm <= 6 GROUP BY 1, 2)
+        |SELECT a_id, b_id, CAST(n AS BIGINT) AS n_matched FROM m
+        |WHERE n >= 2 ORDER BY a_id, b_id""".stripMargin,
     "q139_video_dedup" ->
       """WITH ids AS (SELECT unnest(generate_series(0, 11)) AS video_id),
         |fr AS (SELECT video_id, unnest([1, 4, 7]) AS sample_no FROM ids),
