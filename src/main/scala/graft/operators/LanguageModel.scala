@@ -61,4 +61,52 @@ object LanguageModel {
         round(col("_avg"), 4).as("avg_logp"),
         round(exp(-col("_avg")), 4).as("ppl"))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * the log-likelihood ratio of its HASHED unigram bag under a target
+    * in-domain distribution vs the raw corpus distribution —
+    * `score(d) = sum_tok [ ln p_target(b(tok)) - ln p_raw(b(tok)) ]` with
+    * `b` a bucket hash and Laplace smoothing over `buckets` cells. High
+    * scores mark documents that look like the target domain; resampling
+    * by these weights IS the paper's data-selection step (compose with
+    * [[Sampling.weightedTopKPerGroup]]).
+    *
+    * Rows where `isTargetCol` is true define the target sample; the raw
+    * distribution is the whole input. The bucket hash is the engine's
+    * cross-engine md5 device, so a DuckDB oracle reproduces every bucket.
+    *
+    * Determinism discipline: the per-BUCKET log-ratio is quantized ONCE to
+    * integer micros (`floor(1e6 * lr)`, a metadata-sized `buckets`-row
+    * table), so the per-document aggregation sums exact integers — immune
+    * to float summation order, unlike summing raw doubles per doc.
+    *
+    * Scale shape: token explode is corpus-linear; both count tables are
+    * partial-aggregatable aggregations on the bucket key; the scored join
+    * is per-token against a broadcast `buckets`-row table; one final
+    * per-doc aggregation. No driver-side state beyond two scalar totals.
+    *
+    * Output: (id, n_tokens, score_micros) — score_micros is the summed
+    * quantized log-ratio in millionths of a nat.
+    */
+  def dsirWeights(docs: DataFrame, textCol: String, idCol: String,
+                  isTargetCol: String, buckets: Int = 256,
+                  alpha: Double = 1.0): DataFrame = {
+    require(buckets >= 2 && alpha > 0, s"need buckets >= 2, alpha > 0")
+    val toks = docs.select(col(idCol).as("id"), col(isTargetCol).as("_tgt"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("id"), col("_tgt"), expr(
+        s"CAST(conv(substr(md5(tok), 1, 13), 16, 10) AS BIGINT) % $buckets").as("bk"))
+    val rawC = toks.groupBy("bk").agg(count(lit(1)).as("rc"),
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("tc"))
+    val totals = rawC.agg(sum("rc").as("nr"), sum("tc").as("nt"))
+    val ratio = rawC.crossJoin(broadcast(totals))
+      .select(col("bk"), floor(lit(1e6) *
+        (log((col("tc") + alpha) / (col("nt") + alpha * buckets)) -
+         log((col("rc") + alpha) / (col("nr") + alpha * buckets)))).as("lr"))
+    toks.join(broadcast(ratio), Seq("bk"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lr").as("score_micros"))
+  }
 }

@@ -83,6 +83,42 @@ object Sampling {
     * is the engine's cross-engine md5 device (top 52 bits), so a DuckDB
     * oracle reproduces the exact sample.
     */
+  /** Deterministic global shuffle into training shards — the last step of
+    * every pretraining pipeline: the curated corpus must be read in an
+    * order UNCORRELATED with its storage order (crawl order clusters by
+    * host and time; feeding that to the model skews early training), and
+    * the order must be REPRODUCIBLE so a resumed or re-run job sees the
+    * identical stream. Both come from hashing row identity: `shard` is a
+    * keyed md5 of the id mod `numShards`, `pos` the rank of a SECOND
+    * independent keyed md5 within the shard — a random permutation that is
+    * a pure function of (id, seed), auditable row by row.
+    *
+    * Scale shape: shard assignment is one narrow pass; the per-shard
+    * position is a window partitioned by `shard` — `numShards` is sized so
+    * one shard fits one task (the WebDataset convention: shards ARE the
+    * training-time parallelism unit, typically 100 MB-1 GB each, so a
+    * 100 TB corpus wants ~10^5 shards), which makes the per-shard sort a
+    * bounded single-task sort, never a global one. Both hashes use the
+    * engine's cross-engine md5 device, so a DuckDB oracle reproduces the
+    * exact permutation.
+    *
+    * Output: input columns + `shard` (int) + `pos` (long, dense from 0
+    * within each shard). Compose with [[graft.sources.TarShards]]'s shard
+    * writer to materialize `shard-NNNNN.tar` training shards.
+    */
+  def shuffleIntoShards(docs: DataFrame, idCol: String, numShards: Int,
+                        seed: Long = 42L): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val shard = expr(
+      s"""CAST(CAST(conv(substr(md5(concat('shard:', CAST($seed AS STRING), ':',
+         |  CAST($idCol AS STRING))), 1, 13), 16, 10) AS BIGINT) % $numShards AS INT)""".stripMargin)
+    val key = expr(
+      s"substr(md5(concat('pos:', CAST($seed AS STRING), ':', CAST($idCol AS STRING))), 1, 16)")
+    val w = Window.partitionBy("shard").orderBy(key, col(idCol))
+    docs.withColumn("shard", shard)
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+  }
+
   def mixSources(docs: DataFrame, idCol: String, srcCol: String,
                  ratesPerMille: Map[String, Int],
                  defaultPerMille: Int = 0): DataFrame = {

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Graph, LanguageModel, Segmentation}
+import graft.operators.{Dedup, Graph, LanguageModel, Sampling, Segmentation}
 
 /** Training-data-preparation operators beyond the text/dedup basics:
   * TF-IDF term scoring, sliding-window document chunking, deterministic
@@ -264,6 +264,31 @@ object MlPrepQueries extends QuerySet {
         .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok_cnt"))
       Segmentation.packSequences(d, "doc_id", "tok_cnt", seqLen = 256)
         .orderBy("seq_id", "doc_id")
+    }),
+
+    // Deterministic global shuffle into training shards: the md5-keyed
+    // random permutation every pretraining run ends with — shard and
+    // within-shard position are pure functions of (doc_id, seed), so the
+    // oracle reproduces the exact permutation and a resumed job replays
+    // the identical stream.
+    "q165_train_shuffle" -> ((s, dir) => {
+      Sampling.shuffleIntoShards(t(s, dir, "documents"), "doc_id",
+          numShards = 8, seed = 42L)
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy("shard", "pos")
+    }),
+
+    // DSIR importance weights (Xie et al. 2023): hashed-unigram
+    // log-likelihood ratio of target domain (source 'src0') vs the raw
+    // corpus; per-bucket ratios quantized to integer micros so the
+    // per-doc sum is exact integer arithmetic (float-order-immune).
+    "q166_dsir_weights" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("_is_tgt", col("source") === "src0")
+      LanguageModel.dsirWeights(d, "text", "doc_id", "_is_tgt",
+          buckets = 256, alpha = 1.0)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -447,5 +472,35 @@ object MlPrepQueries extends QuerySet {
         |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
         |  CAST(GREATEST(off, seq_id * 256) - seq_id * 256 AS BIGINT) AS start_in_seq,
         |  CAST(LEAST(off + cnt, (seq_id + 1) * 256) - GREATEST(off, seq_id * 256) AS BIGINT) AS n_toks
-        |FROM s ORDER BY seq_id, doc_id""".stripMargin)
+        |FROM s ORDER BY seq_id, doc_id""".stripMargin,
+    // the exact md5 permutation: shard from one keyed hash, order within
+    // the shard from an independent second one
+    "q165_train_shuffle" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5('shard:42:' || doc_id::VARCHAR), 1, 13))::BIGINT % 8 AS INT) AS shard,
+        |  substr(md5('pos:42:' || doc_id::VARCHAR), 1, 16) AS k
+        |  FROM documents)
+        |SELECT shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1 AS BIGINT) AS pos,
+        |  doc_id
+        |FROM d ORDER BY shard, pos""".stripMargin,
+    // DSIR: identical hashed-unigram bucketing, Laplace-smoothed
+    // log-ratio per bucket quantized to micros, exact integer per-doc sum
+    "q166_dsir_weights" ->
+      """WITH b AS (SELECT doc_id, source,
+        |  ('0x' || substr(md5(tok), 1, 13))::BIGINT % 256 AS bk FROM (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents) WHERE tok <> ''),
+        |c AS (SELECT bk, COUNT(*) AS rc,
+        |  SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tc
+        |  FROM b GROUP BY bk),
+        |tot AS (SELECT SUM(rc) AS nr, SUM(tc) AS nt FROM c),
+        |r AS (SELECT c.bk, CAST(FLOOR(1000000 * (
+        |    ln((c.tc + 1.0) / (tot.nt + 256.0)) -
+        |    ln((c.rc + 1.0) / (tot.nr + 256.0)))) AS BIGINT) AS lr
+        |  FROM c CROSS JOIN tot)
+        |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(r.lr) AS BIGINT) AS score_micros
+        |FROM b JOIN r USING (bk)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)
 }

@@ -45,6 +45,37 @@ object PipelineQueries extends QuerySet {
         "x" * L getBytes "US-ASCII")
     }
 
+  /** The WET fixture (q163): the Common Crawl extracted-text sibling — a
+    * leading `warcinfo` metadata record (the door must SKIP it) followed by
+    * 20 `conversion` records whose payloads are deterministic plain text
+    * the DuckDB oracle rebuilds with the same string arithmetic. Rendered
+    * through [[graft.sources.Warc.renderGzip]] (one stored-block member
+    * per record) so member offsets stay SQL-derivable: len(member) =
+    * len(rendered record) + 23.
+    */
+  private def oracleWetRecords: Seq[(Seq[(String, String)], Array[Byte])] = {
+    val info = (Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> "<urn:uuid:wetinfo>",
+      "WARC-Date" -> "2026-01-01T00:00:00Z",
+      "Content-Type" -> "application/warc-fields"),
+      "software: graft-wet\r\n".getBytes("US-ASCII"))
+    val pages = (0 until 20).map { i =>
+      val k = 3 + (i * 5) % 9
+      val text = s"Page $i body: " +
+        (0 until k).map(j => s"w${(i + j) % 11}").mkString(" ") + "."
+      (Seq(
+        "WARC-Type" -> "conversion",
+        "WARC-Record-ID" -> s"<urn:uuid:wet-$i>",
+        "WARC-Refers-To" -> s"<urn:uuid:rec-$i>",
+        "WARC-Target-URI" -> s"http://example.com/page/$i",
+        "WARC-Date" -> "2026-01-02T00:00:00Z",
+        "Content-Type" -> "text/plain"),
+        text.getBytes("US-ASCII"))
+    }
+    info +: pages
+  }
+
   /** One shared persisted dedup-index fixture (corpus residues 1-4, default
     * knobs) behind an mtime-keyed path — q113 (Dataset screen), q119 (SQL
     * screen), q123 (takedown fork) and q124 (streaming fork) all serve from
@@ -741,6 +772,46 @@ object PipelineQueries extends QuerySet {
         .select(col("ord"), col("offset"), col("rec_len"), col("warc_type"),
           col("record_id"), col("target_uri"), col("warc_date"),
           col("content_length"), col("payload").cast("string").as("payload_text"))
+        .orderBy("ord")
+    }),
+
+    // The WET door: Common Crawl's extracted-text format — the corpus most
+    // pretraining pipelines actually ingest. Same framing as q126 (gzip
+    // members, real Inflater walk), but the READ is the wetText projection:
+    // the warcinfo metadata record must drop out, conversion payloads
+    // decode as text, and the member range-read index (offset/rec_len)
+    // survives into the text corpus. The oracle rebuilds every page's text
+    // AND every member offset with pure string arithmetic.
+    "q163_wet_ingest" -> ((s, dir) => {
+      val f = fixture("wet_oracle.warc.wet.gz") {
+        graft.sources.Warc.renderGzip(oracleWetRecords)
+      }
+      graft.sources.Warc.wetText(graft.sources.Warc.read(s, f))
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .orderBy("ord")
+    }),
+
+    // The ZIP shard door (PKWARE APPNOTE central-directory walk): 20 file
+    // members alternating stored / method-8 deflate plus a leading
+    // directory entry the reader must SKIP WITHOUT consuming an ord. The
+    // writer's stored-block deflate makes every compressed length (and so
+    // every local-header offset) a pure function of the payload length;
+    // the oracle re-derives offsets with one cumulative sum and payloads
+    // with the same string formula. Real-deflater interop (an archive
+    // written by java.util.zip.ZipOutputStream) is pinned in ZipShardsSpec
+    // so the parser under test stays fully general.
+    "q164_zip_shard_ingest" -> ((s, dir) => {
+      val f = fixture("zip_oracle.zip") {
+        val members = ("d/", false, Array.emptyByteArray) +: (0 until 20).map { i =>
+          val payload = s"zip member $i " + "y" * ((i * 3) % 40)
+          (s"d${i % 3}/m$i.txt", i % 2 == 1, payload.getBytes("US-ASCII"))
+        }
+        graft.sources.ZipShards.render(members)
+      }
+      graft.sources.ZipShards.read(s, f)
+        .select(col("ord"), col("name"), col("sample_key"), col("ext"),
+          col("method"), col("offset"), col("comp_size"), col("size"),
+          col("data").cast("string").as("payload_text"))
         .orderBy("ord")
     }),
 
@@ -2488,6 +2559,69 @@ object PipelineQueries extends QuerySet {
         |  CAST(L AS BIGINT) AS content_length,
         |  repeat('x', L) AS payload_text
         |FROM s ORDER BY ord""".stripMargin,
+    // the WET door: page texts rebuilt token-by-token with the same
+    // modular formula the fixture renders, member offsets re-derived from
+    // the rendered-record string lengths (stored-block member = record
+    // + 23); the warcinfo member contributes only its length to ord 1's
+    // offset — the door's filter must have dropped its row
+    "q163_wet_ingest" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 19)) AS i),
+        |t AS (SELECT i, 3 + (i * 5) % 9 AS k FROM r),
+        |b AS (SELECT i,
+        |  'Page ' || i || ' body: ' ||
+        |  array_to_string(list_transform(range(0, k), j -> 'w' || ((i + j) % 11)), ' ')
+        |  || '.' AS text FROM t),
+        |w AS (SELECT length(
+        |  'WARC/1.0' || chr(13) || chr(10) ||
+        |  'WARC-Type: warcinfo' || chr(13) || chr(10) ||
+        |  'WARC-Record-ID: <urn:uuid:wetinfo>' || chr(13) || chr(10) ||
+        |  'WARC-Date: 2026-01-01T00:00:00Z' || chr(13) || chr(10) ||
+        |  'Content-Type: application/warc-fields' || chr(13) || chr(10) ||
+        |  'Content-Length: 21' || chr(13) || chr(10) || chr(13) || chr(10) ||
+        |  'software: graft-wet' || chr(13) || chr(10) ||
+        |  chr(13) || chr(10) || chr(13) || chr(10)) + 23 AS info_len),
+        |s AS (SELECT i, text,
+        |  'WARC/1.0' || chr(13) || chr(10) ||
+        |  'WARC-Type: conversion' || chr(13) || chr(10) ||
+        |  'WARC-Record-ID: <urn:uuid:wet-' || i || '>' || chr(13) || chr(10) ||
+        |  'WARC-Refers-To: <urn:uuid:rec-' || i || '>' || chr(13) || chr(10) ||
+        |  'WARC-Target-URI: http://example.com/page/' || i || chr(13) || chr(10) ||
+        |  'WARC-Date: 2026-01-02T00:00:00Z' || chr(13) || chr(10) ||
+        |  'Content-Type: text/plain' || chr(13) || chr(10) ||
+        |  'Content-Length: ' || length(text) || chr(13) || chr(10) || chr(13) || chr(10) ||
+        |  text || chr(13) || chr(10) || chr(13) || chr(10) AS rec
+        |  FROM b)
+        |SELECT CAST(i + 1 AS BIGINT) AS ord,
+        |  CAST(w.info_len + COALESCE(SUM(length(rec) + 23) OVER (ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+        |  CAST(length(rec) + 23 AS BIGINT) AS rec_len,
+        |  'http://example.com/page/' || i AS target_uri,
+        |  '2026-01-02T00:00:00Z' AS warc_date,
+        |  CAST(length(text) AS BIGINT) AS content_length,
+        |  text,
+        |  CAST(6 + (i * 5) % 9 AS INT) AS n_tokens
+        |FROM s CROSS JOIN w ORDER BY ord""".stripMargin,
+    // the ZIP door: payloads rebuilt from the same formula; offsets from
+    // one cumulative sum over (30-byte local header + name + compressed
+    // length), where stored-block deflate pins clen = L + 5; the skipped
+    // directory entry contributes its fixed 32 bytes to every offset and
+    // no row — ords stay dense from 0
+    "q164_zip_shard_ingest" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 19)) AS i),
+        |d AS (SELECT i,
+        |  'zip member ' || i || ' ' || repeat('y', (i * 3) % 40) AS payload,
+        |  'd' || (i % 3) || '/m' || i || '.txt' AS name,
+        |  CASE WHEN i % 2 = 1 THEN 8 ELSE 0 END AS method FROM r),
+        |e AS (SELECT *, length(payload) AS L, length(name) AS nlen,
+        |  CASE WHEN method = 8 THEN length(payload) + 5
+        |       ELSE length(payload) END AS clen FROM d)
+        |SELECT CAST(i AS BIGINT) AS ord, name,
+        |  'm' || i AS sample_key, 'txt' AS ext, CAST(method AS INT) AS method,
+        |  CAST(32 + COALESCE(SUM(30 + nlen + clen) OVER (ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+        |  CAST(clen AS BIGINT) AS comp_size, CAST(L AS BIGINT) AS size,
+        |  payload AS payload_text
+        |FROM e ORDER BY ord""".stripMargin,
     // the effective names the POSIX precedence rules demand, listed
     // explicitly: each row is one rule's outcome (see the builder comment)
     "q129_tar_override_precedence" ->

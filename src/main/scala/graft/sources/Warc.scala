@@ -276,6 +276,29 @@ object Warc {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.format("warc").load(path)
 
+  /** The WET door: Common Crawl ships every `.warc.gz` crawl alongside a
+    * `.warc.wet.gz` sibling holding the EXTRACTED PLAIN TEXT of each page
+    * as `WARC-Type: conversion` records (same ISO 28500 framing, payload
+    * is UTF-8 text instead of an HTTP response) — the corpus most
+    * pretraining pipelines actually start from, skipping the HTML-
+    * extraction stage entirely. A WET file needs no new parser: this is a
+    * pure relational projection over [[read]]'s output — filter to
+    * conversion records (the leading `warcinfo` metadata record and any
+    * other type drop out), decode the payload as text. Columns:
+    * (ord, offset, rec_len, target_uri, warc_date, content_length, text).
+    *
+    * Scale shape: narrow (filter + projection over the one-task-per-shard
+    * scan); `offset`/`rec_len` still address the gzip member holding each
+    * record, so the range-read index survives into the text corpus.
+    */
+  def wetText(records: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    records.where(col("warc_type") === "conversion")
+      .select(col("ord"), col("offset"), col("rec_len"), col("target_uri"),
+        col("warc_date"), col("content_length"),
+        col("payload").cast("string").as("text"))
+  }
+
   /** Serialize records into WARC bytes — the writer twin used by tests and
     * fixture builders (payload framing exactly as parsed; headers emitted
     * in the given order, so byte offsets are deterministic).

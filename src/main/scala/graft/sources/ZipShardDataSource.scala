@@ -1,0 +1,160 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ZIP training shards as a DataSource V2:
+  * `spark.read.format("zipshard").load(dir)` — one task per shard file,
+  * column pruning skips member-byte materialization (and hence all
+  * inflation) for listing scans. See [[ZipShards]].
+  */
+class ZipShardDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "zipshard"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ZipShardDataSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ZipShardTable(properties.get("path"))
+}
+
+object ZipShardDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("ord", LongType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("sample_key", StringType, nullable = false),
+    StructField("ext", StringType, nullable = false),
+    StructField("method", IntegerType, nullable = false),
+    StructField("comp_size", LongType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("data", BinaryType, nullable = false)))
+}
+
+class ZipShardTable(path: String) extends Table with SupportsRead {
+  require(path != null, "zipshard source requires a path")
+  override def name(): String = s"zipshard:$path"
+  override def schema(): StructType = ZipShardDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ZipShardScanBuilder(path)
+}
+
+class ZipShardScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = ZipShardDataSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new ZipShardScan(path, required)
+}
+
+class ZipShardScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  private val serConf = new SerializableHadoopConf(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(serConf.value)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.isFile &&
+            !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+          .map(s => fs.makeQualified(s.getPath).toString).sorted
+      else Array(fs.makeQualified(p).toString)
+    files.map(f => ZipShardInputPartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ZipShardReaderFactory(required, serConf)
+
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new ZipShardMicroBatchStream(path, required, serConf)
+}
+
+/** Arriving shards become micro-batches — see [[FileSetMicroBatchStream]]. */
+class ZipShardMicroBatchStream(path: String, required: StructType,
+                               conf: SerializableHadoopConf)
+    extends FileSetMicroBatchStream(path, conf) {
+  override protected def partitionFor(file: String): InputPartition =
+    ZipShardInputPartition(file)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ZipShardReaderFactory(required, conf)
+}
+
+case class ZipShardInputPartition(file: String) extends InputPartition
+
+class ZipShardReaderFactory(required: StructType, conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ZipShardPartitionReader(
+      partition.asInstanceOf[ZipShardInputPartition].file, required, conf)
+}
+
+class ZipShardPartitionReader(file: String, required: StructType,
+                              conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+
+  private val records = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(conf.value)
+    val in = fs.open(p)
+    val bytes = try {
+      val len = fs.getFileStatus(p).getLen
+      require(len <= Int.MaxValue - 8,
+        s"zip shard $file is $len bytes; this source buffers whole shards " +
+          "(< 2 GB) — size shards for the task, like WebDataset tar shards.")
+      val buf = new Array[Byte](len.toInt)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+    ZipShards.parseFile(file, bytes)
+  }
+
+  private val proj = UnsafeProjection.create(required)
+  private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.length)
+  private val fieldIdx = required.fields.map(f => ZipShardDataSource.schema.fieldIndex(f.name))
+  private var current: ZipShards.ZipMember = _
+
+  override def next(): Boolean = {
+    if (records.hasNext) { current = records.next(); true } else false
+  }
+
+  override def get(): InternalRow = {
+    var i = 0
+    while (i < fieldIdx.length) {
+      row.update(i, fieldIdx(i) match {
+        case 0 => UTF8String.fromString(current.file)
+        case 1 => current.ord
+        case 2 => current.offset
+        case 3 => UTF8String.fromString(current.name)
+        case 4 => UTF8String.fromString(current.sampleKey)
+        case 5 => UTF8String.fromString(current.ext)
+        case 6 => current.method
+        case 7 => current.compSize
+        case 8 => current.size
+        case 9 => current.data
+      })
+      i += 1
+    }
+    proj(row)
+  }
+
+  override def close(): Unit = ()
+}

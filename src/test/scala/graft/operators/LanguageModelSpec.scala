@@ -46,4 +46,27 @@ class LanguageModelSpec extends SparkSpec {
     assert(out(1L) == (r4(pAB), r4(math.exp(-pAB))))
     assert(out(3L) == (r4(pAC), r4(math.exp(-pAC))))
   }
+
+  test("DSIR weights: target-domain docs score above off-domain docs") {
+    import spark.implicits._
+    // target domain speaks 'alpha beta'; off-domain speaks 'gamma delta';
+    // a mixed doc sits between
+    val docs = ((0 until 20).map(i => (i.toLong, "alpha beta alpha beta", true)) ++
+      (20 until 40).map(i => (i.toLong, "gamma delta gamma delta", false)) :+
+      ((40L, "alpha beta gamma delta", false)))
+      .toDF("doc_id", "text", "is_tgt")
+    val out = LanguageModel.dsirWeights(docs, "text", "doc_id", "is_tgt")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size == 41 && out.values.forall(_._1 == 4L))
+    val inDomain = out(0L)._2
+    val offDomain = out(20L)._2
+    val mixed = out(40L)._2
+    assert(inDomain > mixed && mixed > offDomain,
+      s"in=$inDomain mixed=$mixed off=$offDomain")
+    assert(inDomain > 0 && offDomain < 0)
+    // pure row/bucket function: identical under repartitioning
+    val again = LanguageModel.dsirWeights(docs.repartition(7), "text", "doc_id", "is_tgt")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == out)
+  }
 }

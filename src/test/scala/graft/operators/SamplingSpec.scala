@@ -73,4 +73,33 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.mixSources(docs, "doc_id", "source", Map("src0" -> 1001)))
   }
+
+  test("shard shuffle: a deterministic permutation, balanced, decorrelated") {
+    import spark.implicits._
+    val docs = (0 until 2000).map(_.toLong).toDF("doc_id")
+    val out = Sampling.shuffleIntoShards(docs, "doc_id", numShards = 8)
+      .select("shard", "pos", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // a permutation: every doc exactly once, positions dense from 0
+    assert(out.map(_._3).toSet == (0 until 2000).map(_.toLong).toSet)
+    out.groupBy(_._1).foreach { case (s, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (0L until rows.length).toSeq, s"shard $s")
+    }
+    // balanced within 4 sigma of 250 per shard
+    val sizes = out.groupBy(_._1).map(_._2.length)
+    assert(sizes.size == 8 && sizes.forall(n => math.abs(n - 250) < 70), s"$sizes")
+    // decorrelated from input order: consecutive ids land apart
+    val byId = out.map(r => r._3 -> r._1).toMap
+    val sameShardAdjacent = (0 until 1999).count(i => byId(i.toLong) == byId(i.toLong + 1))
+    assert(sameShardAdjacent < 2000 / 8 * 2, s"adjacent ids clustered: $sameShardAdjacent")
+    // reproducible under repartitioning; different seed = different order
+    val again = Sampling.shuffleIntoShards(docs.repartition(13), "doc_id", 8)
+      .select("shard", "pos", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == out.toSet)
+    val other = Sampling.shuffleIntoShards(docs, "doc_id", 8, seed = 7L)
+      .select("shard", "pos", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(other != out.toSet)
+  }
 }

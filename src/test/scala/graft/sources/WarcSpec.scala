@@ -216,4 +216,36 @@ class WarcSpec extends SparkSpec {
     assert(!scanLine.contains("payload"), s"payload not pruned: $scanLine")
     assert(pruned.count() == 3)
   }
+
+  test("wetText: conversion records surface as text, warcinfo drops out") {
+    val recs = Seq(
+      (Seq("WARC-Type" -> "warcinfo",
+        "WARC-Record-ID" -> "<urn:uuid:info>",
+        "WARC-Date" -> "2026-01-01T00:00:00Z",
+        "Content-Type" -> "application/warc-fields"),
+        "software: graft\r\n".getBytes("US-ASCII")),
+      (Seq("WARC-Type" -> "conversion",
+        "WARC-Record-ID" -> "<urn:uuid:wet-0>",
+        "WARC-Target-URI" -> "http://example.com/page/0",
+        "WARC-Date" -> "2026-01-02T00:00:00Z",
+        "Content-Type" -> "text/plain"),
+        "extracted body text".getBytes("UTF-8")),
+      // a stray response record in a WET file must ALSO drop out
+      (Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "http://example.com/raw"),
+        "<html></html>".getBytes("UTF-8")),
+      (Seq("WARC-Type" -> "conversion",
+        "WARC-Target-URI" -> "http://example.com/page/1",
+        "WARC-Date" -> "2026-01-02T00:00:00Z"),
+        "second page\nwith a newline".getBytes("UTF-8")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_wet")
+    java.nio.file.Files.write(dir.resolve("a.warc.wet.gz"), Warc.renderGzip(recs))
+    val got = Warc.wetText(Warc.read(spark, dir.toString))
+      .orderBy("ord")
+      .select("ord", "target_uri", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (1L, "http://example.com/page/0", "extracted body text"),
+      (3L, "http://example.com/page/1", "second page\nwith a newline")))
+  }
 }

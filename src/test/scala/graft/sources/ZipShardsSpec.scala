@@ -1,0 +1,106 @@
+package graft.sources
+
+import graft.SparkSpec
+
+class ZipShardsSpec extends SparkSpec {
+
+  private def m(name: String, deflate: Boolean, payload: String) =
+    (name, deflate, payload.getBytes("US-ASCII"))
+
+  test("render/parse round trip: stored + deflated members, dirs skipped") {
+    val bytes = ZipShards.render(Seq(
+      m("dir/", false, ""),
+      m("dir/a.txt", false, "alpha"),
+      m("dir/b.txt", true, "beta " * 50),
+      m("c.json", true, """{"k":1}"""),
+      m("noext", false, "x")))
+    val got = ZipShards.parseFile("f.zip", bytes).toSeq
+    assert(got.map(_.ord) == Seq(0L, 1L, 2L, 3L)) // dir consumed no ord
+    assert(got.map(_.name) == Seq("dir/a.txt", "dir/b.txt", "c.json", "noext"))
+    assert(got.map(r => new String(r.data, "US-ASCII")) ==
+      Seq("alpha", "beta " * 50, """{"k":1}""", "x"))
+    assert(got.map(_.method) == Seq(0, 8, 8, 0))
+    assert(got.map(_.sampleKey) == Seq("a", "b", "c", "noext"))
+    assert(got.map(_.ext) == Seq("txt", "txt", "json", ""))
+    // stored-block deflate: comp_size = L + 5 per 65535-byte block
+    assert(got(1).compSize == ("beta " * 50).length + 5L)
+    assert(got(0).compSize == 5L && got(0).size == 5L)
+    // offsets chain: each local record is 30 + name + comp bytes
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.offset + 30 + a.name.getBytes("UTF-8").length + a.compSize == b.offset)
+    }
+  }
+
+  test("archives written by java.util.zip (REAL deflate) parse identically") {
+    val out = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(out)
+    val entries = Seq("s0.txt" -> ("hello " * 100), "s0.json" -> """{"a":2}""",
+      "s1.txt" -> "short")
+    entries.foreach { case (n, p) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(n))
+      zos.write(p.getBytes("US-ASCII")); zos.closeEntry()
+    }
+    zos.close()
+    val got = ZipShards.parseFile("real.zip", out.toByteArray).toSeq
+    assert(got.map(_.name) == entries.map(_._1))
+    assert(got.map(r => new String(r.data, "US-ASCII")) == entries.map(_._2))
+    assert(got.map(_.method).forall(_ == 8)) // ZipOutputStream deflates
+    // and each member really deflated (comp < uncomp for the long one)
+    assert(got.head.compSize < got.head.size)
+  }
+
+  test("malformed archives stop cleanly, never throw") {
+    val good = ZipShards.render(Seq(m("a.txt", true, "ok payload")))
+    // no EOCD at all
+    assert(ZipShards.parseFile("f", "garbage".getBytes("US-ASCII")).isEmpty)
+    assert(ZipShards.parseFile("f", Array.emptyByteArray).isEmpty)
+    // truncated central directory: EOCD points past a chopped CEN
+    val chopped = {
+      val b = ZipShards.render(Seq(m("a.txt", false, "one"), m("b.txt", false, "two")))
+      // corrupt the first CEN signature
+      val cenOff = (0 until b.length - 3).find(i =>
+        (b(i) & 0xff) == 0x50 && (b(i + 1) & 0xff) == 0x4b &&
+        (b(i + 2) & 0xff) == 0x01 && (b(i + 3) & 0xff) == 0x02).get
+      b(cenOff + 2) = 0x7f.toByte
+      b
+    }
+    assert(ZipShards.parseFile("f", chopped).isEmpty)
+    // CRC mismatch: flip a payload byte inside the stored deflate block
+    // (local header 30 + name 5 + block framing 5 = payload at 40)
+    val crcBad = good.clone()
+    crcBad(41) = (crcBad(41) ^ 0x55).toByte
+    assert(ZipShards.parseFile("f", crcBad).isEmpty)
+    // unsupported method: patch method field in CEN (offset +10) and LOC (+8)
+    val meth = ZipShards.render(Seq(m("a.txt", false, "xx")))
+    meth(8) = 9 // LOC method
+    val cenOff2 = (0 until meth.length - 3).find(i =>
+      (meth(i) & 0xff) == 0x50 && (meth(i + 1) & 0xff) == 0x4b &&
+      (meth(i + 2) & 0xff) == 0x01 && (meth(i + 3) & 0xff) == 0x02).get
+    meth(cenOff2 + 10) = 9
+    assert(ZipShards.parseFile("f", meth).isEmpty)
+    // a good archive with trailing garbage BEFORE the EOCD scan window is
+    // untouched: good archives still parse after re-render
+    assert(ZipShards.parseFile("f", good).toSeq.map(_.name) == Seq("a.txt"))
+  }
+
+  test("DSv2 source: directory scan, member rows, pruning skips data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zip")
+    java.nio.file.Files.write(dir.resolve("a.zip"),
+      ZipShards.render(Seq(m("x.txt", true, "from a"))))
+    java.nio.file.Files.write(dir.resolve("b.zip"),
+      ZipShards.render(Seq(m("y.txt", false, "from b"), m("z.bin", true, "zz"))))
+    java.nio.file.Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray)
+    val df = ZipShards.read(spark, dir.toString)
+    assert(df.count() == 3)
+    val got = df.select("name", "size", "data").collect()
+      .map(r => (r.getString(0), r.getLong(1), new String(r.getAs[Array[Byte]](2), "US-ASCII")))
+      .toSet
+    assert(got == Set(("x.txt", 6L, "from a"), ("y.txt", 6L, "from b"),
+      ("z.bin", 2L, "zz")))
+    val pruned = df.select("file", "ord", "offset", "comp_size")
+    val scanLine = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(!scanLine.contains("data"), s"data not pruned: $scanLine")
+    assert(pruned.count() == 3)
+  }
+}
