@@ -1,0 +1,666 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** PDF text extraction — the document modality of a pretraining crawl
+  * (papers, reports, books overwhelmingly arrive as PDF; a curation
+  * pipeline that cannot open them loses its highest-quality text). This
+  * is a REAL dependency-free parser of the public ISO 32000 (PDF 1.x)
+  * COS object layer: a resynchronizing linear scan over `N G obj ...
+  * endobj` bodies (robust to broken/absent xref tables, the practice of
+  * every salvage-grade extractor), a recursive-descent value parser
+  * (dicts, arrays, names with `#xx` escapes, literal strings with octal
+  * escapes and nested parens, hex strings, indirect references), stream
+  * payloads framed by `/Length` with an `endstream`-scan fallback,
+  * FlateDecode through `java.util.zip.Inflater` (zlib wrapper, raw-
+  * deflate fallback), and the Catalog → Pages → Kids page-tree walk with
+  * a cycle guard.
+  *
+  * Text comes from the content-stream operator layer: show operators
+  * `Tj` `'` `"` `TJ` append their string operands (single-byte encodings
+  * read as Latin-1; multi-byte CID text is out of contract and yields
+  * whatever bytes the stream carries — never a throw); line-positioning
+  * operators `T*` `'` `"` and any `Td`/`TD` with a nonzero vertical move
+  * append a newline. That contract is deterministic and pinned by the
+  * q167 oracle; it matches what salvage extractors emit for the
+  * overwhelmingly common one-text-run-per-line PDF layout.
+  *
+  * Contract (the [[Multimodal]] discipline, same as [[Jpeg.decodeLuma]]):
+  * out-of-contract or malformed bytes return None — never a throw, never
+  * unbounded allocation (object/page/stream/text caps below); a crafted
+  * `/Length` cannot allocate past the actual buffer.
+  *
+  * Scale shape: decode is per-row JVM work inside a `mapPartitions` — no
+  * shuffle; a 100 TB PDF corpus decodes embarrassingly parallel, one
+  * shard per task, and the extracted text feeds the same dedup/quality
+  * operators as every other door.
+  */
+object Pdf {
+
+  private val MaxObjects = 100000
+  private val MaxPages = 10000
+  private val MaxStreamBytes = 64L << 20
+  private val MaxTextChars = 16 << 20
+  private val MaxRefDepth = 32
+
+  // ---- COS value model -------------------------------------------------
+
+  private sealed trait PVal
+  private case class PNum(v: Double) extends PVal { def int: Int = v.toInt }
+  private case class PName(v: String) extends PVal
+  private case class PStr(bytes: Array[Byte]) extends PVal
+  private case class PArr(items: Vector[PVal]) extends PVal
+  private case class PDict(m: Map[String, PVal]) extends PVal
+  private case class PRef(num: Int) extends PVal
+  private case class PBool(b: Boolean) extends PVal
+  private case object PNull extends PVal
+  private case class PObj(value: PVal, rawStream: Array[Byte])
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f' || b == 0
+  private def isDelim(b: Byte): Boolean =
+    b == '(' || b == ')' || b == '<' || b == '>' || b == '[' || b == ']' ||
+    b == '{' || b == '}' || b == '/' || b == '%'
+  private def isRegular(b: Byte): Boolean = !isWs(b) && !isDelim(b)
+
+  /** Tokenizer/parser cursor over a byte buffer. `contentMode` keeps `%`
+    * literal inside content streams is NOT needed — comments are legal
+    * there too; one lexer serves both layers.
+    */
+  private final class Lexer(val bytes: Array[Byte]) {
+    var pos: Int = 0
+    def eof: Boolean = pos >= bytes.length
+    def peek: Byte = bytes(pos)
+
+    def skipWs(): Unit = {
+      while (!eof) {
+        if (isWs(peek)) pos += 1
+        else if (peek == '%') { // comment to EOL
+          while (!eof && peek != '\n' && peek != '\r') pos += 1
+        } else return
+      }
+    }
+
+    /** The regular-character run at pos (keyword or number), not consumed. */
+    def peekToken(): String = {
+      val start = pos
+      var e = pos
+      while (e < bytes.length && isRegular(bytes(e))) e += 1
+      new String(bytes, start, e - start, "ISO-8859-1")
+    }
+
+    def tryKeyword(kw: String): Boolean = {
+      skipWs()
+      if (peekToken() == kw) { pos += kw.length; true } else false
+    }
+
+    private def parseName(): PName = {
+      pos += 1 // '/'
+      val sb = new StringBuilder
+      while (!eof && isRegular(peek)) {
+        if (peek == '#' && pos + 2 < bytes.length) {
+          val h = Character.digit(bytes(pos + 1), 16)
+          val l = Character.digit(bytes(pos + 2), 16)
+          if (h >= 0 && l >= 0) { sb.append(((h << 4) | l).toChar); pos += 3 }
+          else { sb.append(peek.toChar); pos += 1 }
+        } else { sb.append(peek.toChar); pos += 1 }
+      }
+      PName(sb.toString)
+    }
+
+    private def parseLiteralString(): PStr = {
+      pos += 1 // '('
+      val out = new java.io.ByteArrayOutputStream()
+      var depth = 1
+      while (!eof && depth > 0) {
+        val b = peek
+        if (b == '\\') {
+          pos += 1
+          if (!eof) {
+            val e = peek
+            e match {
+              case 'n' => out.write('\n'); pos += 1
+              case 'r' => out.write('\r'); pos += 1
+              case 't' => out.write('\t'); pos += 1
+              case 'b' => out.write('\b'); pos += 1
+              case 'f' => out.write('\f'); pos += 1
+              case '(' => out.write('('); pos += 1
+              case ')' => out.write(')'); pos += 1
+              case '\\' => out.write('\\'); pos += 1
+              case '\r' => // line continuation: swallow \r and optional \n
+                pos += 1; if (!eof && peek == '\n') pos += 1
+              case '\n' => pos += 1
+              case d if d >= '0' && d <= '7' =>
+                var v = 0; var k = 0
+                while (k < 3 && !eof && peek >= '0' && peek <= '7') {
+                  v = (v << 3) | (peek - '0'); pos += 1; k += 1
+                }
+                out.write(v & 0xff)
+              case other => out.write(other); pos += 1 // spec: drop backslash
+            }
+          }
+        } else if (b == '(') { depth += 1; out.write(b); pos += 1 }
+        else if (b == ')') {
+          depth -= 1
+          if (depth > 0) out.write(b)
+          pos += 1
+        } else { out.write(b); pos += 1 }
+      }
+      PStr(out.toByteArray)
+    }
+
+    private def parseHexString(): PStr = {
+      pos += 1 // '<'
+      val out = new java.io.ByteArrayOutputStream()
+      var hi = -1
+      var closed = false
+      while (!eof && !closed) {
+        val b = peek
+        if (b == '>') { closed = true; pos += 1 }
+        else {
+          val d = Character.digit(b, 16)
+          if (d >= 0) {
+            if (hi < 0) hi = d
+            else { out.write((hi << 4) | d); hi = -1 }
+          }
+          pos += 1
+        }
+      }
+      if (hi >= 0) out.write(hi << 4) // odd final nibble pads with 0
+      PStr(out.toByteArray)
+    }
+
+    private def parseNumberToken(tok: String): Option[Double] =
+      try {
+        if (tok.isEmpty) None else Some(java.lang.Double.parseDouble(tok))
+      } catch { case _: NumberFormatException => None }
+
+    /** Parse one value. Integer followed by integer + `R` folds into a
+      * PRef (two-token lookahead with rewind). Unknown keywords become
+      * PNull so content-stream operands never derail the dict layer.
+      */
+    def parseValue(depth: Int): Option[PVal] = {
+      if (depth > 64) return None
+      skipWs()
+      if (eof) return None
+      peek match {
+        case '/' => Some(parseName())
+        case '(' => Some(parseLiteralString())
+        case '[' =>
+          pos += 1
+          val items = Vector.newBuilder[PVal]
+          var n = 0
+          while ({ skipWs(); !eof && peek != ']' }) {
+            parseValue(depth + 1) match {
+              case Some(v) => items += v; n += 1
+              case None => return None
+            }
+            if (n > (1 << 20)) return None
+          }
+          if (eof) return None
+          pos += 1
+          Some(PArr(items.result()))
+        case '<' =>
+          if (pos + 1 < bytes.length && bytes(pos + 1) == '<') {
+            pos += 2
+            var m = Map.empty[String, PVal]
+            while ({ skipWs(); !eof && peek == '/' }) {
+              val k = parseName().v
+              parseValue(depth + 1) match {
+                case Some(v) => m = m.updated(k, v)
+                case None => return None
+              }
+              if (m.size > (1 << 16)) return None
+            }
+            skipWs()
+            if (pos + 1 < bytes.length && peek == '>' && bytes(pos + 1) == '>') {
+              pos += 2; Some(PDict(m))
+            } else None
+          } else Some(parseHexString())
+        case ']' | '>' | ')' | '{' | '}' => None
+        case _ =>
+          val tok = peekToken()
+          tok match {
+            case "true" => pos += 4; Some(PBool(true))
+            case "false" => pos += 5; Some(PBool(false))
+            case "null" => pos += 4; Some(PNull)
+            case _ =>
+              parseNumberToken(tok) match {
+                case Some(n) =>
+                  pos += tok.length
+                  // lookahead: "G R" makes this an indirect reference
+                  if (n >= 0 && n == math.floor(n)) {
+                    val save = pos
+                    skipWs()
+                    val t2 = peekToken()
+                    if (t2.nonEmpty && t2.forall(_.isDigit)) {
+                      pos += t2.length
+                      skipWs()
+                      if (peekToken() == "R") { pos += 1; return Some(PRef(n.toInt)) }
+                    }
+                    pos = save
+                  }
+                  Some(PNum(n))
+                case None =>
+                  if (tok.isEmpty) None
+                  else { pos += tok.length; Some(PNull) } // unknown keyword
+              }
+          }
+      }
+    }
+  }
+
+  // ---- document layer --------------------------------------------------
+
+  private def find(bytes: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    val limit = bytes.length - needle.length
+    while (i <= limit) {
+      var k = 0
+      while (k < needle.length && bytes(i + k) == needle(k)) k += 1
+      if (k == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  private val EndstreamBytes = "endstream".getBytes("US-ASCII")
+
+  /** Scan the whole buffer for `N G obj ... endobj` bodies, resyncing on
+    * anything malformed (the salvage discipline: a corrupt object loses
+    * itself, not the document). Later definitions of the same object
+    * number win — the incremental-update rule without needing the xref.
+    */
+  private def scanObjects(bytes: Array[Byte]): Map[Int, PObj] = {
+    var objects = Map.empty[Int, PObj]
+    val lx = new Lexer(bytes)
+    var guard = 0L
+    while (!lx.eof && objects.size < MaxObjects && guard < bytes.length.toLong * 2) {
+      guard += 1
+      lx.skipWs()
+      if (lx.eof) return objects
+      val start = lx.pos
+      var ok = false
+      if (lx.peek >= '0' && lx.peek <= '9') {
+        val t1 = lx.peekToken()
+        if (t1.nonEmpty && t1.forall(_.isDigit) && t1.length <= 9) {
+          lx.pos += t1.length
+          lx.skipWs()
+          val t2 = lx.peekToken()
+          if (t2.nonEmpty && t2.forall(_.isDigit) && t2.length <= 5) {
+            lx.pos += t2.length
+            if (lx.tryKeyword("obj")) {
+              lx.parseValue(0) match {
+                case Some(v) =>
+                  var raw: Array[Byte] = null
+                  if (lx.tryKeyword("stream")) {
+                    // EOL after 'stream': \r\n or \n
+                    if (!lx.eof && lx.peek == '\r') lx.pos += 1
+                    if (!lx.eof && lx.peek == '\n') lx.pos += 1
+                    val dataStart = lx.pos
+                    val declared = v match {
+                      case PDict(m) => m.get("Length") match {
+                        case Some(PNum(n)) if n >= 0 && n <= MaxStreamBytes => n.toInt
+                        case _ => -1 // absent or indirect: fall back to scan
+                      }
+                      case _ => -1
+                    }
+                    val end =
+                      if (declared >= 0 && dataStart.toLong + declared <= bytes.length &&
+                          endsAt(bytes, dataStart + declared)) dataStart + declared
+                      else {
+                        val e = find(bytes, EndstreamBytes, dataStart)
+                        if (e < 0) -1
+                        else { // trim the EOL that precedes endstream
+                          var t = e
+                          if (t > dataStart && bytes(t - 1) == '\n') t -= 1
+                          if (t > dataStart && bytes(t - 1) == '\r') t -= 1
+                          t
+                        }
+                      }
+                    if (end < 0) { lx.pos = bytes.length; ok = true }
+                    else {
+                      raw = java.util.Arrays.copyOfRange(bytes, dataStart, end)
+                      val es = find(bytes, EndstreamBytes, end)
+                      lx.pos = if (es < 0) bytes.length else es + EndstreamBytes.length
+                      lx.tryKeyword("endobj") // optional; resync handles absence
+                      objects = objects.updated(t1.toInt, PObj(v, raw))
+                      ok = true
+                    }
+                  } else {
+                    lx.tryKeyword("endobj")
+                    objects = objects.updated(t1.toInt, PObj(v, null))
+                    ok = true
+                  }
+                case None =>
+              }
+            }
+          }
+        }
+      }
+      if (!ok) {
+        // resync: skip this token (or byte) and try again
+        lx.pos = start
+        val t = lx.peekToken()
+        lx.pos = start + math.max(1, t.length)
+      }
+    }
+    objects
+  }
+
+  private def endsAt(bytes: Array[Byte], p: Int): Boolean = {
+    var t = p
+    if (t < bytes.length && bytes(t) == '\r') t += 1
+    if (t < bytes.length && bytes(t) == '\n') t += 1
+    t + EndstreamBytes.length <= bytes.length &&
+      (0 until EndstreamBytes.length).forall(k => bytes(t + k) == EndstreamBytes(k))
+  }
+
+  private def resolve(v: PVal, objects: Map[Int, PObj], depth: Int = 0): PVal =
+    v match {
+      case PRef(n) if depth < MaxRefDepth =>
+        objects.get(n).map(o => resolve(o.value, objects, depth + 1)).getOrElse(PNull)
+      case other => other
+    }
+
+  /** zlib-wrapped (RFC 1950) inflate with raw-deflate fallback — some
+    * writers omit the wrapper. None on malformed/oversized streams.
+    */
+  private def flate(data: Array[Byte]): Option[Array[Byte]] = {
+    def run(raw: Boolean): Option[Array[Byte]] = {
+      val inf = new java.util.zip.Inflater(raw)
+      try {
+        inf.setInput(data)
+        val out = new java.io.ByteArrayOutputStream(math.min(data.length * 4, 1 << 20))
+        val buf = new Array[Byte](64 * 1024)
+        while (!inf.finished) {
+          val n = try inf.inflate(buf) catch {
+            case _: java.util.zip.DataFormatException => return None
+          }
+          if (n > 0) {
+            if (out.size.toLong + n > MaxStreamBytes) return None
+            out.write(buf, 0, n)
+          } else if (!inf.finished) return Some(out.toByteArray) // tolerate missing trailer
+        }
+        Some(out.toByteArray)
+      } finally inf.end()
+    }
+    run(raw = false).orElse(run(raw = true))
+  }
+
+  /** Decoded bytes of a stream object: no filter → raw; FlateDecode
+    * (name or single-element array) → inflate; anything else → None.
+    */
+  private def streamBytes(obj: PObj, objects: Map[Int, PObj]): Option[Array[Byte]] = {
+    if (obj.rawStream == null) return None
+    val filter = obj.value match {
+      case PDict(m) => resolve(m.getOrElse("Filter", PNull), objects)
+      case _ => PNull
+    }
+    filter match {
+      case PNull => Some(obj.rawStream)
+      case PName("FlateDecode") => flate(obj.rawStream)
+      case PArr(Vector(PName("FlateDecode"))) => flate(obj.rawStream)
+      case PArr(Vector()) => Some(obj.rawStream)
+      case _ => None // out-of-contract filter chain
+    }
+  }
+
+  /** Page objects in page-tree order (Catalog → Pages → Kids, cycle-
+    * guarded); falls back to document order of /Type /Page objects when
+    * no intact catalog exists (the salvage path).
+    */
+  private def pageObjects(objects: Map[Int, PObj]): Seq[PObj] = {
+    val catalog = objects.values.collectFirst {
+      case o if (o.value match {
+        case PDict(m) => m.get("Type").contains(PName("Catalog"))
+        case _ => false
+      }) => o
+    }
+    val viaTree = catalog.flatMap { c =>
+      val root = c.value.asInstanceOf[PDict].m.getOrElse("Pages", PNull)
+      val out = Vector.newBuilder[PObj]
+      var seen = Set.empty[Int]
+      var count = 0
+      def walk(v: PVal): Unit = {
+        if (count >= MaxPages) return
+        val node = v match {
+          case PRef(n) =>
+            if (seen(n)) return
+            seen += n
+            objects.get(n).orNull
+          case d: PDict => PObj(d, null)
+          case _ => null
+        }
+        if (node == null) return
+        node.value match {
+          case PDict(m) => m.get("Type") match {
+            case Some(PName("Pages")) =>
+              resolve(m.getOrElse("Kids", PNull), objects) match {
+                case PArr(kids) => kids.foreach(walk)
+                case _ =>
+              }
+            case Some(PName("Page")) => out += node; count += 1
+            case _ =>
+          }
+          case _ =>
+        }
+      }
+      walk(root)
+      val pages = out.result()
+      if (pages.nonEmpty) Some(pages) else None
+    }
+    viaTree.getOrElse {
+      objects.toSeq.sortBy(_._1).map(_._2).filter(_.value match {
+        case PDict(m) => m.get("Type").contains(PName("Page"))
+        case _ => false
+      }).take(MaxPages)
+    }
+  }
+
+  // ---- content-stream text layer ---------------------------------------
+
+  /** Extract shown text from one decoded content stream per the contract
+    * in the object doc: show operators append, line moves newline.
+    */
+  private def contentText(content: Array[Byte], sb: StringBuilder): Boolean = {
+    val lx = new Lexer(content)
+    var operands = List.empty[PVal]
+    def show(v: PVal): Unit = v match {
+      case PStr(b) => sb.append(new String(b, "ISO-8859-1"))
+      case _ =>
+    }
+    def newline(): Unit =
+      if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
+    while (!lx.eof && sb.length < MaxTextChars) {
+      lx.skipWs()
+      if (lx.eof) return true
+      val b = lx.peek
+      if (b == '/' || b == '(' || b == '<' || b == '[' ||
+          b == '+' || b == '-' || b == '.' || (b >= '0' && b <= '9')) {
+        lx.parseValue(0) match {
+          case Some(v) => operands = v :: operands
+          case None => lx.pos += 1; operands = Nil // resync
+        }
+      } else if (b == ']' || b == '>' || b == ')' || b == '{' || b == '}') {
+        lx.pos += 1 // stray delimiter: drop
+        operands = Nil
+      } else {
+        val op = lx.peekToken()
+        if (op.isEmpty) { lx.pos += 1 }
+        else {
+          lx.pos += op.length
+          op match {
+            case "Tj" => operands.headOption.foreach(show)
+            case "'" => newline(); operands.headOption.foreach(show)
+            case "\"" => newline(); operands.headOption.foreach(show)
+            case "TJ" => operands.headOption.foreach {
+              case PArr(items) => items.foreach { case s: PStr => show(s); case _ => }
+              case _ =>
+            }
+            case "T*" => newline()
+            case "Td" | "TD" => operands match {
+              case PNum(ty) :: PNum(_) :: _ if ty != 0.0 => newline()
+              case _ =>
+            }
+            case _ => // every other operator: consume operands, no text
+          }
+          operands = Nil
+        }
+      }
+    }
+    true
+  }
+
+  // ---- public API ------------------------------------------------------
+
+  /** Extracted text per page, in page-tree order. None when the bytes are
+    * not a parseable PDF (no objects, no pages, or an out-of-contract
+    * stream filter on a content stream); never throws.
+    */
+  def extractText(bytes: Array[Byte]): Option[Seq[String]] =
+    try {
+      if (bytes == null || bytes.length < 8) return None
+      // magic: "%PDF-" within the first 1024 bytes (spec allows junk
+      // before it); search only that window, not the whole buffer
+      val head = java.util.Arrays.copyOfRange(bytes, 0,
+        math.min(bytes.length, 1024 + 5))
+      if (find(head, "%PDF-".getBytes("US-ASCII"), 0) < 0) return None
+      val objects = scanObjects(bytes)
+      if (objects.isEmpty) return None
+      val pages = pageObjects(objects)
+      if (pages.isEmpty) return None
+      val texts = pages.map { page =>
+        val contents = page.value match {
+          case PDict(m) => m.getOrElse("Contents", PNull) match {
+            case r: PRef => Vector(r)
+            case PArr(items) => items
+            case _ => Vector.empty
+          }
+          case _ => Vector.empty
+        }
+        val sb = new StringBuilder
+        var bad = false
+        contents.foreach {
+          case PRef(n) => objects.get(n) match {
+            case Some(o) if o.rawStream != null =>
+              streamBytes(o, objects) match {
+                case Some(c) =>
+                  if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
+                  contentText(c, sb)
+                case None => bad = true
+              }
+            case _ => // dangling ref: empty page content, legal
+          }
+          case _ =>
+        }
+        if (bad) return None
+        sb.toString
+      }
+      Some(texts)
+    } catch {
+      case _: ArrayIndexOutOfBoundsException | _: StackOverflowError |
+           _: NegativeArraySizeException | _: OutOfMemoryError => None
+    }
+
+  /** DataFrame door: one output row per page — (idCol, page, text).
+    * Undecodable payloads emit nothing (the aHash NULL contract, at the
+    * row grain). Per-row JVM work in mapPartitions; no shuffle.
+    */
+  def pagesOf(df: DataFrame, pdfCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val pdfIdx = df.schema.fieldIndex(pdfCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(
+      df.schema(idIdx),
+      StructField("page", IntegerType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    val rows = df.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        extractText(r.get(pdfIdx).asInstanceOf[Array[Byte]]) match {
+          case Some(texts) => texts.iterator.zipWithIndex.map {
+            case (t, p) => Row(r.get(idIdx), p, t)
+          }
+          case None => Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  // ---- writer twin -----------------------------------------------------
+
+  /** zlib wrapper (RFC 1950) over STORED deflate blocks + Adler-32 —
+    * deterministic compressed length `L + 5 * max(1, ceil(L / 65535)) +
+    * 6`, readable by any inflater.
+    */
+  def zlibStored(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x78); out.write(0x01) // CMF/FLG: deflate, 32K window, no dict
+    var off = 0
+    do {
+      val n = math.min(65535, data.length - off)
+      val last = off + n == data.length
+      out.write(if (last) 1 else 0)
+      out.write(n & 0xff); out.write((n >> 8) & 0xff)
+      out.write(~n & 0xff); out.write((~n >> 8) & 0xff)
+      out.write(data, off, n)
+      off += n
+    } while (off < data.length)
+    val ad = new java.util.zip.Adler32(); ad.update(data)
+    val v = ad.getValue
+    out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+    out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Serialize a complete single-font PDF — catalog, page tree, one
+    * content stream per page (optionally FlateDecode-compressed with the
+    * deterministic stored-block zlib), classic xref table and trailer.
+    * Used by tests and fixture builders; [[extractText]] stays fully
+    * general (real-Deflater interop pinned in PdfSpec).
+    */
+  def render(pageStreams: Seq[(String, Boolean)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val offsets = scala.collection.mutable.ArrayBuffer[Long]()
+    def obj(body: => Unit): Unit = {
+      offsets += out.size.toLong
+      body
+    }
+    val n = pageStreams.size
+    // object numbering: 1 catalog, 2 pages, 3 font, then (4+2i) page i,
+    // (5+2i) its content stream
+    w("%PDF-1.4\n%âãÏÓ\n")
+    obj { w(s"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n") }
+    obj {
+      val kids = (0 until n).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
+      w(s"2 0 obj\n<< /Type /Pages /Kids [ $kids ] /Count $n >>\nendobj\n")
+    }
+    obj { w("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n") }
+    pageStreams.zipWithIndex.foreach { case ((content, compress), i) =>
+      obj {
+        w(s"${4 + 2 * i} 0 obj\n<< /Type /Page /Parent 2 0 R " +
+          s"/MediaBox [ 0 0 612 792 ] " +
+          s"/Resources << /Font << /F1 3 0 R >> >> " +
+          s"/Contents ${5 + 2 * i} 0 R >>\nendobj\n")
+      }
+      obj {
+        val raw = content.getBytes("ISO-8859-1")
+        val data = if (compress) zlibStored(raw) else raw
+        val filter = if (compress) "/Filter /FlateDecode " else ""
+        w(s"${5 + 2 * i} 0 obj\n<< ${filter}/Length ${data.length} >>\nstream\n")
+        out.write(data)
+        w("\nendstream\nendobj\n")
+      }
+    }
+    val xrefOff = out.size.toLong
+    val total = offsets.size + 1
+    w(s"xref\n0 $total\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+}

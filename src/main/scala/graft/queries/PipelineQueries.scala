@@ -815,6 +815,30 @@ object PipelineQueries extends QuerySet {
         .orderBy("ord")
     }),
 
+    // The PDF door: real ISO 32000 COS parsing (object scan, page-tree
+    // walk, FlateDecode via Inflater) + content-stream text operators.
+    // One fixture exercises uncompressed and Flate pages, Tj / TJ-array /
+    // T* / vertical-Td newlines, escaped parens, and hex strings; the
+    // oracle pins each page's extracted text verbatim. Real-Deflater
+    // interop, indirect /Length, nested page trees, and the salvage
+    // paths are pinned in PdfSpec.
+    "q167_pdf_extract_text" -> ((s, dir) => {
+      val f = fixture("pdf_oracle.pdf") {
+        graft.operators.Pdf.render(Seq(
+          ("BT /F1 12 Tf 72 720 Td (Hello world) Tj 0 -14 Td (second line) Tj ET",
+            false),
+          ("BT /F1 12 Tf 72 720 Td [(kerned ) -120 (text) 3 ( runs)] TJ T* (after star) Tj ET",
+            true),
+          ("BT /F1 12 Tf 72 720 Td (paren \\(nested\\) ok) Tj 0 -14 Td <414243> Tj ET",
+            false)))
+      }
+      val bin = s.read.format("binaryFile").load(f)
+        .select(lit(0L).as("doc"), col("content"))
+      graft.operators.Pdf.pagesOf(bin, "content", "doc")
+        .select(col("page"), col("text"), length(col("text")).as("n_chars"))
+        .orderBy("page")
+    }),
+
     // The pax override-precedence matrix OBSERVABLE in the driver (q122's
     // source with competing 'g'/'x'/'L' overrides): one archive exercises
     // every precedence rule — x beats a pending L, L beats the global, g
@@ -2622,6 +2646,17 @@ object PipelineQueries extends QuerySet {
         |  CAST(clen AS BIGINT) AS comp_size, CAST(L AS BIGINT) AS size,
         |  payload AS payload_text
         |FROM e ORDER BY ord""".stripMargin,
+    // the PDF door: each page's extracted text pinned verbatim — the
+    // engine must recover these strings from real PDF bytes (Flate
+    // inflation, escape decoding, hex strings, newline operators)
+    "q167_pdf_extract_text" ->
+      """SELECT CAST(page AS INT) AS page, text,
+        |  CAST(length(text) AS INT) AS n_chars
+        |FROM (VALUES
+        |  (0, 'Hello world' || chr(10) || 'second line'),
+        |  (1, 'kerned text runs' || chr(10) || 'after star'),
+        |  (2, 'paren (nested) ok' || chr(10) || 'ABC')
+        |) AS t(page, text) ORDER BY page""".stripMargin,
     // the effective names the POSIX precedence rules demand, listed
     // explicitly: each row is one rule's outcome (see the builder comment)
     "q129_tar_override_precedence" ->

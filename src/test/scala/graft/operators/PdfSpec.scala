@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class PdfSpec extends SparkSpec {
+
+  private def bt(body: String): String = s"BT /F1 12 Tf 72 720 Td $body ET"
+
+  test("render/extract round trip: Tj, TJ, newlines, mixed compression") {
+    val pdf = Pdf.render(Seq(
+      (bt("(Hello world) Tj 0 -14 Td (second line) Tj"), false),
+      (bt("[(kerned ) -120 (text) 3 ( runs)] TJ T* (after star) Tj"), true),
+      (bt("(line A) Tj 0 -14 TD (line B) Tj 10 0 Td (same line B) Tj"), false)))
+    val got = Pdf.extractText(pdf).get
+    assert(got.size == 3)
+    assert(got(0) == "Hello world\nsecond line")
+    assert(got(1) == "kerned text runs\nafter star")
+    // horizontal Td (ty = 0) must NOT break the line
+    assert(got(2) == "line A\nline Bsame line B")
+  }
+
+  test("literal-string escapes, nested parens, hex strings, octal") {
+    val pdf = Pdf.render(Seq(
+      (bt("""(paren \(nested (deep) here\) end) Tj"""), false),
+      (bt("(octal \\101\\102\\103 tab\\there) Tj"), false),
+      (bt("<48656C6C6F> Tj ( ) Tj <4869216> Tj"), true))) // odd nibble pads 0x60
+    val got = Pdf.extractText(pdf).get
+    assert(got(0) == "paren (nested (deep) here) end")
+    assert(got(1) == "octal ABC tab\there")
+    assert(got(2) == "Hello Hi!`")
+  }
+
+  test("streams written by a REAL zlib Deflater parse identically") {
+    val content = bt("(real deflate content) Tj 0 -14 Td (line two) Tj")
+    // hand-assemble a PDF whose content stream is best-compression zlib
+    val raw = content.getBytes("ISO-8859-1")
+    val d = new java.util.zip.Deflater(9, false)
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length * 2 + 64)
+    val n = d.deflate(buf); d.end()
+    val data = java.util.Arrays.copyOf(buf, n)
+    val body = new StringBuilder
+    body.append("%PDF-1.4\n")
+    body.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    body.append("2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n")
+    body.append("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+    body.append(s"4 0 obj\n<< /Filter /FlateDecode /Length ${data.length} >>\nstream\n")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(body.toString.getBytes("ISO-8859-1"))
+    out.write(data)
+    out.write("\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1"))
+    val got = Pdf.extractText(out.toByteArray).get
+    assert(got == Seq("real deflate content\nline two"))
+  }
+
+  test("indirect /Length and nested page-tree nodes") {
+    val content = bt("(nested tree page) Tj")
+    val data = content.getBytes("ISO-8859-1")
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      // two-level tree: Pages -> Pages -> Page
+      "2 0 obj\n<< /Type /Pages /Kids [ 5 0 R ] /Count 1 >>\nendobj\n" +
+      "5 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 5 0 R /Contents 4 0 R >>\nendobj\n" +
+      // /Length is an indirect ref (forward-declared in 6 0 obj)
+      s"4 0 obj\n<< /Length 6 0 R >>\nstream\n$content\nendstream\nendobj\n" +
+      s"6 0 obj\n${data.length}\nendobj\n%%EOF\n").getBytes("ISO-8859-1")
+    assert(Pdf.extractText(pdf).get == Seq("nested tree page"))
+  }
+
+  test("salvage: no catalog falls back to document-order pages; junk resyncs") {
+    val pdf = ("%PDF-1.4\n" +
+      "garbage not an object << /Type /Page >>) ] junk\n" +
+      "3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n" +
+      "4 0 obj\n<< /Length 14 >>\nstream\n(orphan) Tj ET\nendstream\nendobj\n" +
+      "%%EOF\n").getBytes("ISO-8859-1")
+    assert(Pdf.extractText(pdf).get == Seq("orphan"))
+  }
+
+  test("malformed inputs return None, never throw") {
+    assert(Pdf.extractText(null).isEmpty)
+    assert(Pdf.extractText(Array.emptyByteArray).isEmpty)
+    assert(Pdf.extractText("not a pdf at all".getBytes("US-ASCII")).isEmpty)
+    assert(Pdf.extractText("%PDF-1.4\njust a header".getBytes("US-ASCII")).isEmpty)
+    // out-of-contract filter on a content stream
+    val badFilter = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n" +
+      "4 0 obj\n<< /Filter /DCTDecode /Length 4 >>\nstream\nabcd\nendstream\nendobj\n")
+      .getBytes("ISO-8859-1")
+    assert(Pdf.extractText(badFilter).isEmpty)
+    // crafted huge /Length must not allocate or crash: falls back to scan
+    val lying = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n" +
+      "4 0 obj\n<< /Length 999999999 >>\nstream\n(still read) Tj\nendstream\nendobj\n")
+      .getBytes("ISO-8859-1")
+    assert(Pdf.extractText(lying).get == Seq("still read"))
+    // truncated mid-stream: the document survives with its intact objects
+    val whole = Pdf.render(Seq((bt("(one) Tj"), false), (bt("(two) Tj"), false)))
+    val cut = java.util.Arrays.copyOf(whole, whole.length - 40)
+    Pdf.extractText(cut) // must not throw; content may be partial
+  }
+
+  test("pagesOf: one row per page, undecodable payloads emit nothing") {
+    import spark.implicits._
+    val good = Pdf.render(Seq((bt("(doc A page 0) Tj"), true),
+      (bt("(doc A page 1) Tj"), false)))
+    val good2 = Pdf.render(Seq((bt("(doc B only) Tj"), false)))
+    val df = Seq((1L, good), (2L, "junk".getBytes("US-ASCII")), (3L, good2))
+      .toDF("id", "pdf")
+    val got = Pdf.pagesOf(df, "pdf", "id").orderBy("id", "page")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 0, "doc A page 0"), (1L, 1, "doc A page 1"),
+      (3L, 0, "doc B only")))
+  }
+}
