@@ -1,0 +1,192 @@
+package graft.operators
+
+/** AVI (RIFF) container parsing for video-level dedup — the second video
+  * container beside the MP4 box walk ([[Multimodal.VideoKeyframes]]):
+  * surveillance exports, older camera rigs and a long tail of the crawl
+  * ship MJPEG-in-AVI, and the container is pure public RIFF layout
+  * (Microsoft "AVI RIFF File Reference"): little-endian `fourcc size
+  * data` chunks, `LIST` chunks with a type fourcc, the `avih` main
+  * header, a `movi` list holding `00dc` compressed-video frame chunks,
+  * and an optional `idx1` index whose AVIIF_KEYFRAME (0x10) flag marks
+  * sync frames.
+  *
+  * Contract (the [[Multimodal]] discipline): malformed bytes → None,
+  * never a throw; every chunk step is validated to strictly advance in
+  * Long arithmetic; a crafted size cannot read past the buffer. When no
+  * `idx1` exists every frame is treated as a keyframe — MJPEG is
+  * all-intra, so that is semantically exact, and containers written
+  * without an index stay usable.
+  *
+  * Scale shape: per-row JVM decode inside mapPartitions, no shuffle; the
+  * frame `offset`/`size` columns are the range-read index for refetching
+  * single frames from an object store.
+  */
+object Avi {
+
+  /** One selected (key)frame: `ord` indexes the SELECTED frames densely
+    * from 0; `frameNo` is the 0-based position among all video frames;
+    * `offset` is the absolute file offset of the frame bytes; `ptsMs`
+    * derives from the avih micro-seconds-per-frame.
+    */
+  final case class AviFrame(ord: Int, frameNo: Int, offset: Long, size: Int,
+                            ptsMs: Long, bytes: Array[Byte])
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+    (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  private val KeyframeFlag = 0x10L
+
+  /** Decode the stream-0 video frames, returning the keyframe-flagged
+    * subset (all frames when no idx1 index exists). None on malformed
+    * bytes.
+    */
+  def decode(bytes: Array[Byte]): Option[Seq[AviFrame]] =
+    try {
+      if (bytes == null || bytes.length < 24) return None
+      if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "AVI ") return None
+      val riffEnd = math.min(8L + le32(bytes, 4), bytes.length.toLong)
+
+      var usecPerFrame = 0L
+      // (frameNo, absolute data offset, size)
+      val frames = Vector.newBuilder[(Int, Long, Int)]
+      var nFrames = 0
+      var keyFlags: Array[Boolean] = null
+
+      def walkChunks(from: Long, end: Long, depth: Int): Boolean = {
+        if (depth > 8) return false
+        var p = from
+        while (p + 8 <= end) {
+          val id = tag(bytes, p.toInt)
+          val sz = le32(bytes, (p + 4).toInt)
+          val dataStart = p + 8
+          if (sz < 0 || dataStart + sz > end) return true // truncated: stop
+          id match {
+            case "LIST" =>
+              if (sz >= 4) {
+                val listType = tag(bytes, dataStart.toInt)
+                listType match {
+                  case "hdrl" | "strl" =>
+                    if (!walkChunks(dataStart + 4, dataStart + sz, depth + 1))
+                      return false
+                  case "movi" =>
+                    var q = dataStart + 4
+                    val moviEnd = dataStart + sz
+                    while (q + 8 <= moviEnd) {
+                      val cid = tag(bytes, q.toInt)
+                      val csz = le32(bytes, (q + 4).toInt)
+                      if (csz < 0 || q + 8 + csz > moviEnd) return true
+                      if (cid.startsWith("00") &&
+                          (cid.endsWith("dc") || cid.endsWith("db"))) {
+                        frames += ((nFrames, q + 8, csz.toInt))
+                        nFrames += 1
+                      }
+                      q += 8 + csz + (csz & 1) // chunks pad to even
+                    }
+                  case _ => // unknown list: skip whole
+                }
+              }
+            case "avih" =>
+              if (sz >= 56) usecPerFrame = le32(bytes, dataStart.toInt)
+            case "idx1" =>
+              val n = (sz / 16L).toInt
+              val flags = Array.newBuilder[Boolean]
+              var k = 0
+              var q = dataStart
+              while (k < n) {
+                val cid = tag(bytes, q.toInt)
+                if (cid.startsWith("00") &&
+                    (cid.endsWith("dc") || cid.endsWith("db")))
+                  flags += (le32(bytes, (q + 4).toInt) & KeyframeFlag) != 0
+                q += 16
+                k += 1
+              }
+              keyFlags = flags.result()
+            case _ => // junk chunk: skip
+          }
+          p = dataStart + sz + (sz & 1)
+        }
+        true
+      }
+
+      if (!walkChunks(12L, riffEnd, 0)) return None
+      val all = frames.result()
+      if (all.isEmpty) return None
+      val selected = all.filter { case (fn, _, _) =>
+        keyFlags == null || fn >= keyFlags.length || keyFlags(fn)
+      }
+      Some(selected.zipWithIndex.map { case ((fn, off, sz), ord) =>
+        AviFrame(ord, fn, off, sz,
+          if (usecPerFrame > 0) fn.toLong * usecPerFrame / 1000L else 0L,
+          java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt))
+      })
+    } catch {
+      case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException |
+           _: StringIndexOutOfBoundsException => None
+    }
+
+  /** Serialize an MJPEG AVI — the writer twin. Frame payloads pad to a
+    * fixed 2048-byte chunk (the renderMjpegMp4 convention) so every frame
+    * offset is a pure function of the frame number:
+    * `data_offset = 232 + frameNo * 2056` (12-byte RIFF header + 200-byte
+    * hdrl list + 12-byte movi list head, then 8-byte chunk header + 2048
+    * data per frame). `keyframes` lists 0-based frame numbers flagged
+    * AVIIF_KEYFRAME in the written idx1.
+    */
+  def renderMjpeg(frames: Seq[Array[Byte]], keyframes: Seq[Int],
+                  width: Int, height: Int, usecPerFrame: Long): Array[Byte] = {
+    require(frames.forall(_.length <= 2048), "frame payloads must fit 2048 B")
+    val FrameSlot = 2048
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit =
+      (0 until 4).foreach(k => out.write(((v >> (8 * k)) & 0xff).toInt))
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val key = keyframes.toSet
+
+    val strf = 40
+    val strh = 56
+    val avih = 56
+    val strlContent = 4 + (8 + strh) + (8 + strf)
+    val hdrlContent = 4 + (8 + avih) + (8 + strlContent)
+    val moviContent = 4 + frames.size * (8 + FrameSlot)
+    val idx1Size = frames.size * 16
+    val riffContent = 4 + (8 + hdrlContent) + (8 + moviContent) + (8 + idx1Size)
+
+    ascii("RIFF"); w32(riffContent.toLong); ascii("AVI ")
+    ascii("LIST"); w32(hdrlContent.toLong); ascii("hdrl")
+    ascii("avih"); w32(avih.toLong)
+    w32(usecPerFrame); w32(0); w32(0); w32(KeyframeFlag) // AVIF_HASINDEX
+    w32(frames.size.toLong); w32(0); w32(1); w32(FrameSlot.toLong)
+    w32(width.toLong); w32(height.toLong); w32(0); w32(0); w32(0); w32(0)
+    ascii("LIST"); w32(strlContent.toLong); ascii("strl")
+    ascii("strh"); w32(strh.toLong)
+    ascii("vids"); ascii("MJPG")
+    w32(0); w32(0); w32(0) // flags, prio/lang, initial frames
+    w32(usecPerFrame); w32(1000000L) // scale, rate
+    w32(0); w32(frames.size.toLong); w32(FrameSlot.toLong)
+    w32(0xffffffffL); w32(0) // quality, sample size
+    w32(0); w32((width.toLong & 0xffff) | ((height.toLong & 0xffff) << 16))
+    ascii("strf"); w32(strf.toLong)
+    w32(strf.toLong); w32(width.toLong); w32(height.toLong)
+    w32(1L | (24L << 16)) // planes | bitcount
+    ascii("MJPG"); w32(width.toLong * height * 3)
+    w32(0); w32(0); w32(0); w32(0)
+    ascii("LIST"); w32(moviContent.toLong); ascii("movi")
+    frames.foreach { f =>
+      ascii("00dc"); w32(FrameSlot.toLong)
+      out.write(f)
+      out.write(new Array[Byte](FrameSlot - f.length))
+    }
+    ascii("idx1"); w32(idx1Size.toLong)
+    frames.zipWithIndex.foreach { case (_, i) =>
+      ascii("00dc")
+      w32(if (key(i)) KeyframeFlag else 0L)
+      w32(4L + i.toLong * (8 + FrameSlot)) // offset from 'movi' fourcc
+      w32(FrameSlot.toLong)
+    }
+    out.toByteArray
+  }
+}

@@ -1107,6 +1107,39 @@ object Multimodal {
       .where(col("n_matched") >= minMatchedFrames)
   }
 
+  /** [[keyframeAHashFromMp4]] for the RIFF container: MJPEG-in-AVI frames
+    * located by the [[Avi]] chunk walk (idx1 keyframe flags; every frame
+    * when no index exists — MJPEG is all-intra), decoded by the same
+    * [[Jpeg.decodeLuma]], fingerprinted by the same block-mean aHash.
+    * Same NULL contract for undecodable frame payloads.
+    */
+  def keyframeAHashFromAvi(df: DataFrame, aviCol: String, idCol: String,
+                           gw: Int = 10, gh: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val aviIdx = df.schema.fieldIndex(aviCol)
+    val outSchema = df.schema
+      .add("frame_ord", IntegerType).add("frame_no", IntegerType)
+      .add("frame_offset", LongType).add("pts_ms", LongType)
+      .add("gray", ArrayType(IntegerType))
+    val rows = df.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        Avi.decode(r.get(aviIdx).asInstanceOf[Array[Byte]])
+          .getOrElse(Seq.empty).map { f =>
+            val grid = Jpeg.decodeLuma(f.bytes)
+              .filter(img => img.width >= gw && img.height >= gh)
+              .map(img => PngGray.blockMeanGrid(img, gw, gh).toSeq)
+              .orNull
+            Row.fromSeq(r.toSeq ++ Seq(f.ord, f.frameNo, f.offset, f.ptsMs, grid))
+          }
+      }
+    }
+    withAHash(spark.createDataFrame(rows, outSchema), "gray")
+      .select(col(idCol).as("id"), col("frame_ord"), col("frame_no"),
+        col("frame_offset"), col("pts_ms"), col("simhash"))
+  }
+
   /** [[videoDupPairs]] for animated GIFs: two gifs are near-duplicates
     * when at least `minMatchedFrames` of their frames fingerprint within
     * `maxHamming` bits — the same banding join over

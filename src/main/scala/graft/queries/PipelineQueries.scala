@@ -1465,6 +1465,39 @@ object PipelineQueries extends QuerySet {
         .orderBy("video_id", "frame_ord")
     }),
 
+    // q137's RIFF twin: MJPEG-in-AVI keyframes through the Avi chunk walk
+    // (avih timing, movi 00dc frames, idx1 keyframe flags), decoded by the
+    // same T.81 JPEG kernel. The writer's fixed 2048-byte frame slots make
+    // every frame offset a pure function of the frame number
+    // (232 + fn * 2056), and pts derives from the avih micro-seconds per
+    // frame — both re-derived arithmetically by the oracle alongside the
+    // md5-grid aHash.
+    "q168_avi_keyframe_ahash" -> ((s, dir) => {
+      import s.implicits._
+      def cell(v: Long, fn: Int, j: Int): Int = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"avi:$v:$fn:$j".getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex.substring(0, 13), 16) % 256).toInt
+      }
+      val vids = (0L until 12L).map { v =>
+        val frames = (0 until 9).map { fn =>
+          if (fn % 3 == 0)
+            graft.operators.Jpeg.renderGrayDcOnly(10, 6,
+              Array.tabulate(60)(cell(v, fn, _)))
+          else Array.fill[Byte](64 + fn)(0x55.toByte) // inter-frame filler
+        }
+        (v, graft.operators.Avi.renderMjpeg(frames, Seq(0, 3, 6),
+          width = 80, height = 48, usecPerFrame = 100000L + (v % 7) * 10000L))
+      }
+      Multimodal.keyframeAHashFromAvi(
+          vids.toDF("video_id", "avi"), "avi", "video_id", gw = 10, gh = 6)
+        .select(col("id").as("video_id"),
+          col("frame_ord").cast("long").as("frame_ord"),
+          col("frame_no").cast("long").as("frame_no"),
+          col("frame_offset"), col("pts_ms"), col("simhash"))
+        .orderBy("video_id", "frame_ord")
+    }),
+
     // MP3 whole-stream frame walk (the accounting q95's header-only
     // contract deferred): per-doc payloads are REAL MPEG-1 Layer III frame
     // SEQUENCES — each frame a genuine 4-byte header followed by exactly
@@ -2204,6 +2237,27 @@ object PipelineQueries extends QuerySet {
         |  CAST(sample_no AS BIGINT) AS sample_no,
         |  CAST(484 + (sample_no - 1) * 2048 AS BIGINT) AS frame_offset,
         |  CAST((sample_no - 1) * (100 + video_id % 7 * 50) * 1000 // 600 AS BIGINT) AS pts_ms,
+        |  simhash
+        |FROM sig ORDER BY video_id, frame_ord""".stripMargin,
+    // the AVI twin of q137's oracle: same md5-grid aHash arithmetic,
+    // offsets from the fixed 2048-byte frame slots, pts from the avih
+    // micro-seconds-per-frame formula
+    "q168_avi_keyframe_ahash" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 11)) AS video_id),
+        |fr AS (SELECT video_id, unnest([0, 3, 6]) AS frame_no,
+        |              unnest([0, 1, 2]) AS frame_ord FROM ids),
+        |g AS (SELECT video_id, frame_no, frame_ord, list_transform(range(0, 60), j ->
+        |    ('0x' || substr(md5('avi:' || CAST(video_id AS VARCHAR) || ':'
+        |        || CAST(frame_no AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 13))::BIGINT % 256) AS gray
+        |  FROM fr),
+        |sig AS (SELECT video_id, frame_ord, frame_no,
+        |    CAST(list_sum(list_transform(range(0, 60), j ->
+        |      CASE WHEN gray[j + 1] * 60 > list_sum(gray) THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
+        |  FROM g)
+        |SELECT video_id, CAST(frame_ord AS BIGINT) AS frame_ord,
+        |  CAST(frame_no AS BIGINT) AS frame_no,
+        |  CAST(232 + frame_no * 2056 AS BIGINT) AS frame_offset,
+        |  CAST(frame_no * (100000 + video_id % 7 * 10000) // 1000 AS BIGINT) AS pts_ms,
         |  simhash
         |FROM sig ORDER BY video_id, frame_ord""".stripMargin,
     // the MP3 frame walk replayed arithmetically: per-frame size =

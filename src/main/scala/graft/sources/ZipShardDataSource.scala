@@ -124,7 +124,10 @@ class ZipShardPartitionReader(file: String, required: StructType,
       in.readFully(0, buf)
       buf
     } finally in.close()
-    ZipShards.parseFile(file, bytes)
+    // listing fast path: when `data` is pruned away, skip all inflation
+    // and CRC work — the scan costs O(central directory)
+    ZipShards.parseFile(file, bytes,
+      withData = required.fieldNames.contains("data"))
   }
 
   private val proj = UnsafeProjection.create(required)

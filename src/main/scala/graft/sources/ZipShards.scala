@@ -74,8 +74,17 @@ object ZipShards {
 
   /** Parse every well-formed member in central-directory order, stopping
     * (not throwing) at the first malformed one.
+    *
+    * `withData = false` is the LISTING fast path the DSv2 column pruner
+    * takes when `data` is not required: member payloads are neither
+    * inflated nor CRC-verified — the scan trusts the central directory
+    * and costs O(directory), not O(archive). That asymmetry is
+    * observable: a member with corrupt payload bytes still LISTS (the
+    * directory is intact) but drops out of a full read (CRC fails) —
+    * pinned in ZipShardsSpec.
     */
-  def parseFile(file: String, bytes: Array[Byte]): Iterator[ZipMember] = {
+  def parseFile(file: String, bytes: Array[Byte],
+                withData: Boolean = true): Iterator[ZipMember] = {
     val eocd = findEocd(bytes)
     if (eocd < 0) return Iterator.empty
     val total = le2(bytes, eocd + 10)
@@ -146,16 +155,22 @@ object ZipShards {
             val data = method match {
               case 0 =>
                 if (compLen != uncompLen) { done = true; return }
-                java.util.Arrays.copyOfRange(bytes, dataOff.toInt,
+                if (!withData) Array.emptyByteArray
+                else java.util.Arrays.copyOfRange(bytes, dataOff.toInt,
                   (dataOff + compLen).toInt)
-              case 8 => inflate(dataOff, compLen, uncompLen)
+              case 8 =>
+                if (!withData) Array.emptyByteArray
+                else inflate(dataOff, compLen, uncompLen)
               case _ => done = true; return // unsupported method
             }
-            if (data == null || data.length.toLong != uncompLen) {
+            if (data == null ||
+                (withData && data.length.toLong != uncompLen)) {
               done = true; return
             }
-            val c = new java.util.zip.CRC32(); c.update(data)
-            if (c.getValue != crc) { done = true; return }
+            if (withData) {
+              val c = new java.util.zip.CRC32(); c.update(data)
+              if (c.getValue != crc) { done = true; return }
+            }
             val base = name.substring(name.lastIndexOf('/') + 1)
             val dot = base.indexOf('.')
             val (key, ext) =

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AviSpec extends SparkSpec {
+
+  private def jpeg(seed: Int) =
+    Jpeg.renderGrayDcOnly(10, 6, Array.tabulate(60)(j => (seed * 31 + j * 7) % 256))
+
+  test("render/decode round trip: keyframes selected, offsets/pts exact") {
+    val frames = (0 until 6).map(i =>
+      if (i % 2 == 0) jpeg(i) else Array.fill[Byte](100)(0x11.toByte))
+    val avi = Avi.renderMjpeg(frames, keyframes = Seq(0, 2, 4),
+      width = 80, height = 48, usecPerFrame = 40000L) // 25 fps
+    val got = Avi.decode(avi).get
+    assert(got.map(_.ord) == Seq(0, 1, 2))
+    assert(got.map(_.frameNo) == Seq(0, 2, 4))
+    assert(got.map(_.offset) == Seq(232L, 232L + 2 * 2056, 232L + 4 * 2056))
+    assert(got.map(_.ptsMs) == Seq(0L, 80L, 160L))
+    // frame bytes round-trip (the slot pads with zeros; JPEG decode stops
+    // at EOI so padding is invisible downstream)
+    got.foreach { f =>
+      assert(f.bytes.length == 2048)
+      assert(f.bytes.take(frames(f.frameNo).length).sameElements(frames(f.frameNo)))
+      assert(Jpeg.decodeLuma(f.bytes).isDefined)
+    }
+  }
+
+  test("no idx1: every frame is a keyframe (MJPEG is all-intra)") {
+    val frames = (0 until 3).map(jpeg)
+    val avi = Avi.renderMjpeg(frames, keyframes = Seq(0), width = 80,
+      height = 48, usecPerFrame = 40000L)
+    // strip the idx1 chunk (last 8 + 3*16 bytes) and shrink the RIFF size
+    val cut = java.util.Arrays.copyOf(avi, avi.length - (8 + 3 * 16))
+    def w32(b: Array[Byte], off: Int, v: Long): Unit =
+      (0 until 4).foreach(k => b(off + k) = ((v >> (8 * k)) & 0xff).toByte)
+    w32(cut, 4, cut.length - 8L)
+    val got = Avi.decode(cut).get
+    assert(got.map(_.frameNo) == Seq(0, 1, 2), "all frames without an index")
+  }
+
+  test("malformed inputs return None or stop cleanly, never throw") {
+    assert(Avi.decode(null).isEmpty)
+    assert(Avi.decode(Array.emptyByteArray).isEmpty)
+    assert(Avi.decode("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    assert(Avi.decode(Array.fill[Byte](64)(0x41)).isEmpty)
+    val good = Avi.renderMjpeg(Seq(jpeg(1)), Seq(0), 80, 48, 40000L)
+    // truncated mid-movi: no frames recoverable before the cut -> the
+    // walk stops cleanly (frame list may be empty -> None)
+    Avi.decode(java.util.Arrays.copyOf(good, 240))
+    // a crafted chunk size past the buffer stops the walk
+    val lying = good.clone()
+    lying(216) = 0xff.toByte; lying(217) = 0xff.toByte // movi LIST size
+    Avi.decode(lying)
+  }
+
+  test("keyframeAHashFromAvi: frame signatures via the JPEG kernel") {
+    import spark.implicits._
+    val avi = Avi.renderMjpeg(Seq(jpeg(5), Array.fill[Byte](80)(0x22.toByte),
+      jpeg(5)), Seq(0, 2), 80, 48, 40000L)
+    val df = Seq((7L, avi)).toDF("vid_id", "avi")
+    val got = Multimodal.keyframeAHashFromAvi(df, "avi", "vid_id")
+      .orderBy("frame_ord")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(5)))
+    assert(got.length == 2)
+    assert(got(0)._1 == 7L && got(0)._3 == 0 && got(1)._3 == 2)
+    // identical frames -> identical signatures
+    assert(got(0)._4 == got(1)._4)
+  }
+}

@@ -83,6 +83,19 @@ class ZipShardsSpec extends SparkSpec {
     assert(ZipShards.parseFile("f", good).toSeq.map(_.name) == Seq("a.txt"))
   }
 
+  test("listing scan skips inflation: corrupt payload lists but fails full read") {
+    val b = ZipShards.render(Seq(m("a.txt", true, "payload here"), m("b.txt", false, "fine")))
+    // corrupt a payload byte of the FIRST member (local 30 + name 5 +
+    // stored-block framing 5 = payload at 40) — central directory intact
+    b(40) = (b(40) ^ 0x55).toByte
+    val listed = ZipShards.parseFile("f", b, withData = false).toSeq
+    assert(listed.map(_.name) == Seq("a.txt", "b.txt"),
+      "listing must trust the central directory and skip CRC")
+    assert(listed.forall(_.data.isEmpty))
+    val full = ZipShards.parseFile("f", b).toSeq
+    assert(full.isEmpty, "full read must stop at the CRC mismatch")
+  }
+
   test("DSv2 source: directory scan, member rows, pruning skips data") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zip")
     java.nio.file.Files.write(dir.resolve("a.zip"),
