@@ -1107,6 +1107,29 @@ object Multimodal {
       .where(col("n_matched") >= minMatchedFrames)
   }
 
+  /** The TIFF member of the image family ([[Tiff.decodeGray]] — baseline
+    * uncompressed gray/RGB, both byte orders, multi-strip): same
+    * block-mean grid, same NULL contract.
+    */
+  def aHashFromTiff(df: DataFrame, tiffCol: String, idCol: String,
+                    gw: Int = 10, gh: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val tiffIdx = df.schema.fieldIndex(tiffCol)
+    val outSchema = df.schema.add("gray", ArrayType(IntegerType))
+    val rows = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val grid = Tiff.decodeGray(r.get(tiffIdx).asInstanceOf[Array[Byte]])
+          .filter(img => img.width >= gw && img.height >= gh)
+          .map(img => PngGray.blockMeanGrid(img, gw, gh).toSeq)
+          .orNull
+        Row.fromSeq(r.toSeq :+ grid)
+      }
+    }
+    aHashFromGray(spark.createDataFrame(rows, outSchema), "gray", idCol)
+  }
+
   /** [[keyframeAHashFromMp4]] for the RIFF container: MJPEG-in-AVI frames
     * located by the [[Avi]] chunk walk (idx1 keyframe flags; every frame
     * when no index exists — MJPEG is all-intra), decoded by the same

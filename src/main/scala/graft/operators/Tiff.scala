@@ -1,0 +1,215 @@
+package graft.operators
+
+/** Dependency-free baseline TIFF codec — the fifth real pixel path in the
+  * image near-dup family, beside [[PngGray]], [[Jpeg]], [[GifGray]] and
+  * [[Bmp]]. TIFFs reach a crawl as scans, faxes and publishing assets;
+  * the baseline profile (TIFF 6.0 Part 1) is deterministic byte layout:
+  * an endianness-tagged header, one IFD of 12-byte entries, strip-based
+  * pixel data.
+  *
+  * Scope (everything else None): both byte orders (`II`/`MM`),
+  * uncompressed (Compression=1) 8-bit samples, grayscale
+  * (SamplesPerPixel=1, PhotometricInterpretation 0 = WhiteIsZero —
+  * inverted — or 1 = BlackIsZero) and RGB (SamplesPerPixel=3,
+  * Photometric=2, luma via the shared (299r+587g+114b)/1000 constant),
+  * one or many strips. Same malformed-input contract as the siblings:
+  * truncation, bad magic, unsupported tags, strip bytes that do not
+  * cover the raster, or a pixel bomb yield None — never a throw.
+  *
+  * The encoder twin [[render]] writes real 8-bit grayscale TIFFs in
+  * either byte order with a chosen RowsPerStrip, so fixtures exercise
+  * multi-strip assembly and both endiannesses while luma round-trips
+  * exactly; cross-decoder interop is TiffSpec's ImageIO check.
+  */
+object Tiff extends Serializable {
+  import PngGray.GrayImage
+
+  private val MaxPixels = 64L * 1024 * 1024
+
+  private final class Rd(b: Array[Byte], le: Boolean) {
+    def u8(i: Int): Int = b(i) & 0xff
+    def u16(i: Int): Int =
+      if (le) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      if (le)
+        u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      else
+        (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+        (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+  }
+
+  def decodeGray(bytes: Array[Byte]): Option[GrayImage] =
+    try {
+      if (bytes == null || bytes.length < 16) return None
+      val le = bytes(0) == 'I' && bytes(1) == 'I'
+      val be = bytes(0) == 'M' && bytes(1) == 'M'
+      if (!le && !be) return None
+      val rd = new Rd(bytes, le)
+      if (rd.u16(2) != 42) return None
+      val ifd = rd.u32(4)
+      if (ifd < 8 || ifd + 2 > bytes.length) return None
+      val n = rd.u16(ifd.toInt)
+      if (n <= 0 || ifd + 2 + 12L * n > bytes.length) return None
+
+      // entry value(s) as longs: inline when typeSize*count <= 4, else
+      // via the offset field (TIFF 6.0 §2: left-justified value field)
+      def values(entry: Int): Option[Array[Long]] = {
+        val base = (ifd + 2 + 12L * entry).toInt
+        val typ = rd.u16(base + 2)
+        val count = rd.u32(base + 4)
+        val size = typ match {
+          case 1 => 1L // BYTE
+          case 3 => 2L // SHORT
+          case 4 => 4L // LONG
+          case _ => return None
+        }
+        if (count <= 0 || count > (1L << 20)) return None
+        val total = size * count
+        val off =
+          if (total <= 4) base + 8L
+          else {
+            val o = rd.u32(base + 8)
+            if (o + total > bytes.length) return None
+            o
+          }
+        if (off + total > bytes.length) return None
+        Some(Array.tabulate(count.toInt) { k =>
+          val p = (off + size * k).toInt
+          size match {
+            case 1L => rd.u8(p).toLong
+            case 2L => rd.u16(p).toLong
+            case _ => rd.u32(p)
+          }
+        })
+      }
+
+      var width = -1L; var height = -1L; var compression = 1L
+      var photometric = -1L; var spp = 1L; var rowsPerStrip = Long.MaxValue
+      var bits: Array[Long] = Array(8L)
+      var stripOffsets: Array[Long] = null
+      var stripCounts: Array[Long] = null
+      var i = 0
+      while (i < n) {
+        val base = (ifd + 2 + 12L * i).toInt
+        val tagId = rd.u16(base)
+        tagId match {
+          case 256 => width = values(i).flatMap(_.headOption).getOrElse(-1L)
+          case 257 => height = values(i).flatMap(_.headOption).getOrElse(-1L)
+          case 258 => bits = values(i).getOrElse(return None)
+          case 259 => compression = values(i).flatMap(_.headOption).getOrElse(-1L)
+          case 262 => photometric = values(i).flatMap(_.headOption).getOrElse(-1L)
+          case 273 => stripOffsets = values(i).getOrElse(return None)
+          case 277 => spp = values(i).flatMap(_.headOption).getOrElse(-1L)
+          case 278 => rowsPerStrip = values(i).flatMap(_.headOption).getOrElse(-1L)
+          case 279 => stripCounts = values(i).getOrElse(return None)
+          case _ => // baseline tags we don't need (resolution, software, ...)
+        }
+        i += 1
+      }
+      if (width <= 0 || height <= 0 || width * height > MaxPixels) return None
+      if (compression != 1L) return None
+      if (stripOffsets == null || stripCounts == null ||
+          stripOffsets.length != stripCounts.length) return None
+      if (!bits.forall(_ == 8L)) return None
+      val gray8 = spp == 1L && (photometric == 0L || photometric == 1L)
+      val rgb = spp == 3L && photometric == 2L
+      if (!gray8 && !rgb) return None
+      if (bits.length != spp) return None
+
+      val rowBytes = width * spp
+      val raster = new Array[Byte]((height * rowBytes).toInt)
+      var written = 0L
+      var s = 0
+      while (s < stripOffsets.length) {
+        val off = stripOffsets(s); val cnt = stripCounts(s)
+        if (off < 0 || cnt < 0 || off + cnt > bytes.length ||
+            written + cnt > raster.length) return None
+        System.arraycopy(bytes, off.toInt, raster, written.toInt, cnt.toInt)
+        written += cnt
+        s += 1
+      }
+      if (written != raster.length) return None
+
+      val npx = (width * height).toInt
+      val gray = new Array[Int](npx)
+      var k = 0
+      while (k < npx) {
+        gray(k) =
+          if (rgb) {
+            val o = k * 3
+            (299 * (raster(o) & 0xff) + 587 * (raster(o + 1) & 0xff) +
+              114 * (raster(o + 2) & 0xff)) / 1000
+          } else {
+            val v = raster(k) & 0xff
+            if (photometric == 0L) 255 - v else v
+          }
+        k += 1
+      }
+      Some(GrayImage(width.toInt, height.toInt, gray))
+    } catch {
+      case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException |
+           _: OutOfMemoryError => None
+    }
+
+  /** Writer twin: real 8-bit BlackIsZero grayscale, either byte order,
+    * strip size chosen by `rowsPerStrip` (strip data first, IFD after —
+    * offsets deterministic for a given geometry).
+    */
+  def render(width: Int, height: Int, gray: Array[Int],
+             bigEndian: Boolean = false, rowsPerStrip: Int = 0): Array[Byte] = {
+    require(gray.length == width * height, "gray must be width*height")
+    val rps = if (rowsPerStrip <= 0) height else math.min(rowsPerStrip, height)
+    val nStrips = (height + rps - 1) / rps
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit =
+      if (bigEndian) { w8(v >> 8); w8(v) } else { w8(v); w8(v >> 8) }
+    def w32(v: Long): Unit =
+      if (bigEndian) { w8((v >> 24).toInt); w8((v >> 16).toInt); w8((v >> 8).toInt); w8(v.toInt) }
+      else { w8(v.toInt); w8((v >> 8).toInt); w8((v >> 16).toInt); w8((v >> 24).toInt) }
+
+    // layout: 8-byte header | strip data | [strip tables if nStrips > 2] | IFD
+    val stripLens = Array.tabulate(nStrips)(s =>
+      math.min(rps, height - s * rps) * width)
+    val dataStart = 8L
+    val stripOffs = stripLens.scanLeft(dataStart)((a, l) => a + l).init
+    val tablesStart = dataStart + gray.length
+    val offTableAt = tablesStart
+    val cntTableAt = tablesStart + (if (nStrips > 1) 4L * nStrips else 0L)
+    val ifdAt =
+      if (nStrips == 1) tablesStart
+      else tablesStart + 8L * nStrips
+
+    // header
+    if (bigEndian) { w8('M'); w8('M') } else { w8('I'); w8('I') }
+    w16(42); w32(ifdAt)
+    // strip data
+    gray.foreach(v => w8(math.max(0, math.min(255, v))))
+    // strip tables (always materialized when nStrips > 1 — simpler than
+    // the 2-LONG inline special case, and readers must follow offsets)
+    if (nStrips > 1) {
+      stripOffs.foreach(w32)
+      stripLens.foreach(l => w32(l.toLong))
+    }
+    // IFD: 8 entries sorted by tag id (TIFF requires ascending order)
+    def entry(tagId: Int, typ: Int, count: Long, value: Long): Unit = {
+      w16(tagId); w16(typ); w32(count)
+      // left-justified inline value: SHORT occupies the first 2 bytes
+      if (typ == 3 && count == 1) { w16(value.toInt); w16(0) } else w32(value)
+    }
+    w16(8)
+    entry(256, 4, 1, width.toLong)
+    entry(257, 4, 1, height.toLong)
+    entry(258, 3, 1, 8)
+    entry(259, 3, 1, 1)
+    entry(262, 3, 1, 1) // BlackIsZero
+    if (nStrips == 1) entry(273, 4, 1, stripOffs(0))
+    else entry(273, 4, nStrips.toLong, offTableAt)
+    entry(278, 4, 1, rps.toLong)
+    if (nStrips == 1) entry(279, 4, 1, stripLens(0).toLong)
+    else entry(279, 4, nStrips.toLong, cntTableAt)
+    w32(0) // no next IFD
+    out.toByteArray
+  }
+}

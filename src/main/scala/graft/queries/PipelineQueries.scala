@@ -1465,6 +1465,34 @@ object PipelineQueries extends QuerySet {
         .orderBy("video_id", "frame_ord")
     }),
 
+    // The TIFF member of the image-dedup family (q127/q130/q144/q161's
+    // formula, real baseline-TIFF bytes): 40 images in near-dup families
+    // of 10, written alternating little/big endian and single/multi-strip
+    // so the decoder's IFD walk, value-field endianness, and strip
+    // assembly are all load-bearing for the hash match.
+    "q169_tiff_ahash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      def cell(img: Long, j: Int): Int = {
+        val key = s"${if (j < img % 3) img + 1000000 else img / 10}:$j"
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex.substring(0, 13), 16) % 256).toInt
+      }
+      val imgs = (0L until 40L).map { i =>
+        val px = Array.tabulate(20 * 12) { k =>
+          cell(i, (k / 20 / 2) * 10 + (k % 20) / 2)
+        }
+        (i, graft.operators.Tiff.render(20, 12, px,
+          bigEndian = i % 2 == 0,
+          rowsPerStrip = if (i % 3 == 0) 5 else 0))
+      }
+      val sig = Multimodal.aHashFromTiff(
+        imgs.toDF("img_id", "tiff"), "tiff", "img_id", gw = 10, gh = 6)
+      Dedup.simHashPairs(sig, maxHamming = 6,
+          maxBucketSize = Int.MaxValue, nBits = 60)
+        .orderBy("a_id", "b_id")
+    }),
+
     // q137's RIFF twin: MJPEG-in-AVI keyframes through the Avi chunk walk
     // (avih timing, movi 00dc frames, idx1 keyframe flags), decoded by the
     // same T.81 JPEG kernel. The writer's fixed 2048-byte frame slots make
@@ -2239,6 +2267,21 @@ object PipelineQueries extends QuerySet {
         |  CAST((sample_no - 1) * (100 + video_id % 7 * 50) * 1000 // 600 AS BIGINT) AS pts_ms,
         |  simhash
         |FROM sig ORDER BY video_id, frame_ord""".stripMargin,
+    // the TIFF twin of q161's oracle: identical family-grid arithmetic —
+    // the engine must recover it from real IFD/strip bytes
+    "q169_tiff_ahash_dedup" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 39)) AS img_id),
+        |g AS (SELECT img_id, list_transform(range(0, 60), j ->
+        |    ('0x' || substr(md5(CAST(CASE WHEN j < img_id % 3 THEN img_id + 1000000
+        |        ELSE img_id // 10 END AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 13))::BIGINT % 256) AS gray
+        |  FROM ids),
+        |sig AS (SELECT img_id, CAST(list_sum(list_transform(range(0, 60), j ->
+        |    CASE WHEN gray[j + 1] * 60 > list_sum(gray) THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS h
+        |  FROM g)
+        |SELECT a.img_id AS a_id, b.img_id AS b_id, bit_count(xor(a.h, b.h)) AS hamming
+        |FROM sig a JOIN sig b ON a.img_id < b.img_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 6
+        |ORDER BY a_id, b_id""".stripMargin,
     // the AVI twin of q137's oracle: same md5-grid aHash arithmetic,
     // offsets from the fixed 2048-byte frame slots, pts from the avih
     // micro-seconds-per-frame formula

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TiffSpec extends SparkSpec {
+
+  private def pixels(w: Int, h: Int, seed: Int): Array[Int] =
+    Array.tabulate(w * h)(k => (seed * 37 + k * 11) % 256)
+
+  test("round trip: both byte orders, single and multi strip") {
+    val w = 21; val h = 13
+    val px = pixels(w, h, 3)
+    for (be <- Seq(false, true); rps <- Seq(0, 4, 1)) {
+      val img = Tiff.decodeGray(Tiff.render(w, h, px, be, rps))
+      assert(img.isDefined, s"be=$be rps=$rps")
+      assert(img.get.width == w && img.get.height == h)
+      assert(img.get.gray.sameElements(px), s"be=$be rps=$rps")
+    }
+  }
+
+  test("WhiteIsZero photometric inverts") {
+    val w = 6; val h = 4
+    val px = pixels(w, h, 9)
+    val b = Tiff.render(w, h, px) // little-endian
+    // IFD entry for tag 262 (LE): 06 01 03 00 | count 1 | value 1
+    val pat = Array[Byte](0x06, 0x01, 0x03, 0x00, 0x01, 0x00, 0x00, 0x00, 0x01, 0x00)
+    val at = (0 to b.length - pat.length).find(i =>
+      pat.indices.forall(k => b(i + k) == pat(k))).get
+    b(at + 8) = 0 // photometric = WhiteIsZero
+    val img = Tiff.decodeGray(b).get
+    assert(img.gray.toSeq == px.map(255 - _).toSeq)
+  }
+
+  test("ImageIO reads our bytes; we read ImageIO's gray and RGB bytes") {
+    val w = 18; val h = 11
+    val px = pixels(w, h, 5)
+    for (be <- Seq(false, true)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Tiff.render(w, h, px, be, 4)))
+      assert(img != null && img.getWidth == w && img.getHeight == h, s"be=$be")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.getRaster.getSample(x, y, 0) == px(y * w + x), s"be=$be ($x,$y)")
+    }
+    // gray written by ImageIO (spp=1, BlackIsZero)
+    val gbuf = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gbuf.getRaster.setSample(x, y, 0, px(y * w + x))
+    val gos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gbuf, "tiff", gos))
+    val gotG = Tiff.decodeGray(gos.toByteArray)
+    assert(gotG.isDefined, "failed to decode ImageIO gray TIFF")
+    for (y <- 0 until h; x <- 0 until w)
+      assert(gotG.get.gray(y * w + x) == px(y * w + x), s"gray ($x,$y)")
+    // RGB written by ImageIO (spp=3, Photometric=2) -> luma branch
+    val cbuf = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = px(y * w + x)
+      cbuf.setRGB(x, y, (v << 16) | ((255 - v) << 8) | v) // chromatic on purpose
+    }
+    val cos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(cbuf, "tiff", cos))
+    val gotC = Tiff.decodeGray(cos.toByteArray)
+    assert(gotC.isDefined, "failed to decode ImageIO RGB TIFF")
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = px(y * w + x)
+      val want = (299 * v + 587 * (255 - v) + 114 * v) / 1000
+      assert(gotC.get.gray(y * w + x) == want, s"rgb ($x,$y)")
+    }
+  }
+
+  test("malformed inputs return None, never throw") {
+    assert(Tiff.decodeGray(null).isEmpty)
+    assert(Tiff.decodeGray(Array.emptyByteArray).isEmpty)
+    assert(Tiff.decodeGray("not a tiff".getBytes("US-ASCII")).isEmpty)
+    val good = Tiff.render(8, 8, pixels(8, 8, 1))
+    // truncated strip data
+    assert(Tiff.decodeGray(java.util.Arrays.copyOf(good, 30)).isEmpty)
+    // bad magic number (43)
+    val badMagic = good.clone(); badMagic(2) = 43
+    assert(Tiff.decodeGray(badMagic).isEmpty)
+    // IFD offset past EOF
+    val badIfd = good.clone(); badIfd(4) = 0xff.toByte; badIfd(5) = 0xff.toByte
+    assert(Tiff.decodeGray(badIfd).isEmpty)
+    // compression we don't support (LZW = 5)
+    val lzw = good.clone()
+    val pat = Array[Byte](0x03, 0x01, 0x03, 0x00, 0x01, 0x00, 0x00, 0x00, 0x01, 0x00)
+    val at = (0 to lzw.length - pat.length).find(i =>
+      pat.indices.forall(k => lzw(i + k) == pat(k))).get
+    lzw(at + 8) = 5
+    assert(Tiff.decodeGray(lzw).isEmpty)
+  }
+
+  test("aHashFromTiff: signatures flow into the shared dedup family") {
+    import spark.implicits._
+    val px = pixels(20, 12, 7)
+    val a = Tiff.render(20, 12, px, bigEndian = false)
+    val b = Tiff.render(20, 12, px, bigEndian = true, rowsPerStrip = 3)
+    val junk = "garbage".getBytes("US-ASCII")
+    val df = Seq((1L, a), (2L, b), (3L, junk)).toDF("img_id", "tiff")
+    val got = Multimodal.aHashFromTiff(df, "tiff", "img_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1L).isDefined && got(1L) == got(2L),
+      "same pixels, different layout -> identical signature")
+    assert(got(3L).isEmpty, "undecodable -> NULL signature")
+  }
+}
