@@ -289,6 +289,24 @@ object MlPrepQueries extends QuerySet {
           buckets = 256, alpha = 1.0)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    // The RESAMPLING step of DSIR: keep the top-20 most target-like
+    // documents per source by q166's importance score — the per-group
+    // top-K window rewrites to the engine's native GroupTopK operator,
+    // so at most k rows per group per map partition cross the shuffle.
+    "q171_dsir_resample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("_is_tgt", col("source") === "src0")
+      val w = LanguageModel.dsirWeights(d, "text", "doc_id", "_is_tgt",
+          buckets = 256, alpha = 1.0)
+        .withColumnRenamed("id", "doc_id")
+      d.select("doc_id", "source").join(w, Seq("doc_id"))
+        .withColumn("rnk", row_number().over(Window.partitionBy("source")
+          .orderBy(col("score_micros").desc, col("doc_id"))))
+        .where(col("rnk") <= 20)
+        .select("source", "doc_id", "score_micros", "rnk")
+        .orderBy("source", "rnk")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -502,5 +520,27 @@ object MlPrepQueries extends QuerySet {
         |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
         |  CAST(SUM(r.lr) AS BIGINT) AS score_micros
         |FROM b JOIN r USING (bk)
-        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    // q166's score pipeline + the per-source top-20 window
+    "q171_dsir_resample" ->
+      """WITH b AS (SELECT doc_id, source,
+        |  ('0x' || substr(md5(tok), 1, 13))::BIGINT % 256 AS bk FROM (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents) WHERE tok <> ''),
+        |c AS (SELECT bk, COUNT(*) AS rc,
+        |  SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tc
+        |  FROM b GROUP BY bk),
+        |tot AS (SELECT SUM(rc) AS nr, SUM(tc) AS nt FROM c),
+        |r AS (SELECT c.bk, CAST(FLOOR(1000000 * (
+        |    ln((c.tc + 1.0) / (tot.nt + 256.0)) -
+        |    ln((c.rc + 1.0) / (tot.nr + 256.0)))) AS BIGINT) AS lr
+        |  FROM c CROSS JOIN tot),
+        |s AS (SELECT b.doc_id, ANY_VALUE(b.source) AS source,
+        |  CAST(SUM(r.lr) AS BIGINT) AS score_micros
+        |  FROM b JOIN r USING (bk) GROUP BY b.doc_id),
+        |rk AS (SELECT source, doc_id, score_micros,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY score_micros DESC, doc_id) AS INT) AS rnk FROM s)
+        |SELECT source, doc_id, score_micros, rnk FROM rk
+        |WHERE rnk <= 20 ORDER BY source, rnk""".stripMargin)
 }

@@ -1465,6 +1465,33 @@ object PipelineQueries extends QuerySet {
         .orderBy("video_id", "frame_ord")
     }),
 
+    // FLAC audio-level EXACT dedup without decoding a sample: STREAMINFO
+    // carries the MD5 of the decoded PCM stream, so re-muxed / re-tagged /
+    // re-padded copies of the same audio collapse by a 42-byte header
+    // parse. 30 clips in families of 3 share their family's synthetic PCM
+    // (an ASCII formula, so the oracle computes the identical md5);
+    // rates/channels vary per clip to prove the bit-field unpack. The
+    // metadata-block chain (STREAMINFO + VORBIS_COMMENT + PADDING) makes
+    // the walk load-bearing.
+    "q170_flac_audio_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val clips = (0L until 30L).map { i =>
+        (i, graft.operators.Flac.render(
+          sampleRate = 8000 + (i % 4).toInt * 4000,
+          channels = 1 + (i % 2).toInt, bitsPerSample = 16,
+          totalSamples = 1000 + i * 37,
+          pcm = s"pcm:${i / 3}".getBytes("US-ASCII")))
+      }
+      val meta = graft.operators.Flac.decodeMeta(
+        clips.toDF("clip_id", "flac"), "flac").drop("flac")
+      val rep = meta.groupBy("audio_md5").agg(min("clip_id").as("rep_id"))
+      meta.join(rep, Seq("audio_md5"))
+        .select(col("clip_id"), col("sample_rate"), col("channels"),
+          col("bits_per_sample"), col("total_samples"), col("audio_md5"),
+          col("rep_id"))
+        .orderBy("clip_id")
+    }),
+
     // The TIFF member of the image-dedup family (q127/q130/q144/q161's
     // formula, real baseline-TIFF bytes): 40 images in near-dup families
     // of 10, written alternating little/big endian and single/multi-strip
@@ -2267,6 +2294,21 @@ object PipelineQueries extends QuerySet {
         |  CAST((sample_no - 1) * (100 + video_id % 7 * 50) * 1000 // 600 AS BIGINT) AS pts_ms,
         |  simhash
         |FROM sig ORDER BY video_id, frame_ord""".stripMargin,
+    // FLAC: field formulas replayed; the audio signature is DuckDB's own
+    // md5 of the same ASCII PCM formula — the engine must recover it from
+    // real STREAMINFO bit fields
+    "q170_flac_audio_dedup" ->
+      """WITH c AS (SELECT unnest(generate_series(0, 29)) AS clip_id),
+        |m AS (SELECT clip_id,
+        |  CAST(8000 + clip_id % 4 * 4000 AS INT) AS sample_rate,
+        |  CAST(1 + clip_id % 2 AS INT) AS channels,
+        |  CAST(16 AS INT) AS bits_per_sample,
+        |  CAST(1000 + clip_id * 37 AS BIGINT) AS total_samples,
+        |  md5('pcm:' || CAST(clip_id // 3 AS VARCHAR)) AS audio_md5 FROM c),
+        |r AS (SELECT audio_md5, MIN(clip_id) AS rep_id FROM m GROUP BY audio_md5)
+        |SELECT m.clip_id, m.sample_rate, m.channels, m.bits_per_sample,
+        |  m.total_samples, m.audio_md5, CAST(r.rep_id AS BIGINT) AS rep_id
+        |FROM m JOIN r USING (audio_md5) ORDER BY clip_id""".stripMargin,
     // the TIFF twin of q161's oracle: identical family-grid arithmetic —
     // the engine must recover it from real IFD/strip bytes
     "q169_tiff_ahash_dedup" ->

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class FlacSpec extends SparkSpec {
+
+  test("render/decode round trip: bit fields and the PCM md5 signature") {
+    val pcm = "some decoded audio bytes".getBytes("US-ASCII")
+    val b = Flac.render(44100, 2, 24, totalSamples = 123456789L, pcm = pcm)
+    val m = Flac.decode(b).get
+    assert(m.sampleRate == 44100 && m.channels == 2 && m.bitsPerSample == 24)
+    assert(m.totalSamples == 123456789L)
+    assert(m.nBlocks == 3) // STREAMINFO + VORBIS_COMMENT + PADDING
+    val want = java.security.MessageDigest.getInstance("MD5").digest(pcm)
+      .map(x => f"$x%02x").mkString
+    assert(m.audioMd5 == want)
+    // extreme fields: 20-bit rate, 8 channels, 32-bit samples, 36-bit total
+    val hi = Flac.decode(Flac.render(655350, 8, 32, (1L << 36) - 1, pcm)).get
+    assert(hi.sampleRate == 655350 && hi.channels == 8 && hi.bitsPerSample == 32)
+    assert(hi.totalSamples == (1L << 36) - 1)
+  }
+
+  test("same PCM, different metadata -> same signature (the dedup point)") {
+    val pcm = "identical audio".getBytes("US-ASCII")
+    val a = Flac.decode(Flac.render(8000, 1, 16, 100, pcm)).get
+    val b = Flac.decode(Flac.render(48000, 2, 24, 999, pcm)).get
+    assert(a.audioMd5 == b.audioMd5)
+    assert(Flac.decode(Flac.render(8000, 1, 16, 100,
+      "different audio".getBytes("US-ASCII"))).get.audioMd5 != a.audioMd5)
+  }
+
+  test("malformed inputs return None or stop cleanly, never throw") {
+    assert(Flac.decode(null).isEmpty)
+    assert(Flac.decode(Array.emptyByteArray).isEmpty)
+    assert(Flac.decode("OggS not flac".getBytes("US-ASCII")).isEmpty)
+    val good = Flac.render(8000, 1, 16, 10, "x".getBytes)
+    // truncated before STREAMINFO completes
+    assert(Flac.decode(java.util.Arrays.copyOf(good, 20)).isEmpty)
+    // truncated after STREAMINFO: the parsed info survives
+    val cut = java.util.Arrays.copyOf(good, 4 + 4 + 34 + 2)
+    assert(Flac.decode(cut).exists(_.sampleRate == 8000))
+    // a lying block length past EOF stops at the blocks before it
+    val lying = good.clone()
+    lying(4 + 4 + 34 + 1) = 0x7f.toByte // VORBIS_COMMENT length blows up
+    assert(Flac.decode(lying).exists(_.sampleRate == 8000))
+  }
+
+  test("decodeMeta: NULL columns for non-FLAC payloads") {
+    import spark.implicits._
+    val good = Flac.render(16000, 1, 16, 500, "pcm a".getBytes)
+    val df = Seq((1L, good), (2L, "junk".getBytes())).toDF("id", "payload")
+    val got = Flac.decodeMeta(df, "payload").orderBy("id")
+      .select("id", "sample_rate", "audio_md5").collect()
+    assert(got(0).getInt(1) == 16000 && !got(0).isNullAt(2))
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2))
+  }
+}
