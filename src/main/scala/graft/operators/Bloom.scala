@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sharded Bloom filter as a RELATION — the crawl-frontier "seen before"
+  * screen at the scale where a set of visited URLs no longer fits
+  * anywhere: the filter is a DataFrame of (shard, word_idx, bits) rows
+  * (32-bit words in BIGINT columns, OR-aggregated — bit 63 stays clear so neither engine's signed left-shift can overflow), built with one partial-aggregatable
+  * aggregation and probed with one equi-join — no driver-side bitset,
+  * no singleton state, and the artifact persists/unions/compacts like
+  * any other table. With k hash functions over B bits per shard the
+  * false-positive rate follows the textbook (1 - e^{-kn/B})^k; false
+  * NEGATIVES are impossible, which is the property a frontier screen
+  * needs (a "no" is always safe to fetch).
+  *
+  * Everything is the engine's cross-engine md5 device — shard choice and
+  * every probe position are pure functions of the key — so a DuckDB
+  * oracle reproduces the filter bit for bit, false positives included
+  * (deterministic, not sampled).
+  *
+  * Scale shape: the built filter is S * B / 8 bytes spread over at most
+  * S * B/32 rows — a 16-shard * 2^20-bit screen is 2 MB, broadcastable;
+  * a 10^10-URL screen at 1% FPR is ~12 GB, which is exactly when the
+  * shard column starts earning its keep as a co-partitioned join key
+  * instead of a broadcast. Build: explode k positions per key (narrow),
+  * one groupBy (shard, word) with bit_or — map-side combiners absorb hot
+  * words. Screen: explode k positions per probe, LEFT join the filter,
+  * per-probe AND-reduction.
+  */
+object Bloom {
+
+  private def h(j: Int, key: Column): Column =
+    conv(substring(md5(concat(lit(s"bloom:$j:"), key.cast("string"))), 1, 13),
+      16, 10).cast("long")
+
+  /** Build the filter relation (shard, word_idx, bits) from `df[keyCol]`.
+    * `bitsPerShard` must be a multiple of 32.
+    */
+  def build(df: DataFrame, keyCol: String, shards: Int = 16,
+            bitsPerShard: Long = 1L << 16, k: Int = 4): DataFrame = {
+    require(shards >= 1 && k >= 1 && bitsPerShard >= 32 && bitsPerShard % 32 == 0,
+      "need shards >= 1, k >= 1, bitsPerShard a positive multiple of 32")
+    val key = col(keyCol)
+    val shard = pmod(h(-1, key), lit(shards)).cast("int").as("shard")
+    val positions = array((0 until k).map(j => pmod(h(j, key), lit(bitsPerShard))): _*)
+    df.select(shard, explode(positions).as("pos"))
+      .groupBy(col("shard"), (col("pos") / 32).cast("long").as("word_idx"))
+      .agg(bit_or(expr("shiftleft(1L, CAST(pos % 32 AS INT))")).as("bits"))
+  }
+
+  /** Probe: append `maybe_seen` to every row of `probes` — true iff all k
+    * positions are set in the key's shard (no false negatives; false
+    * positives at the configured rate). Parameters must match the build.
+    */
+  def screen(filter: DataFrame, probes: DataFrame, keyCol: String,
+             shards: Int = 16, bitsPerShard: Long = 1L << 16,
+             k: Int = 4): DataFrame = {
+    val key = col(keyCol)
+    val shard = pmod(h(-1, key), lit(shards)).cast("int").as("shard")
+    val positions = array((0 until k).map(j => pmod(h(j, key), lit(bitsPerShard))): _*)
+    val exploded = probes.select(key.as("_k"), shard, explode(positions).as("pos"))
+      .select(col("_k"), col("shard"),
+        (col("pos") / 32).cast("long").as("word_idx"),
+        expr("shiftleft(1L, CAST(pos % 32 AS INT))").as("mask"))
+    val hit = exploded.join(filter, Seq("shard", "word_idx"), "left")
+      .groupBy("_k")
+      .agg(min(when(col("bits").isNotNull &&
+        (col("bits").bitwiseAND(col("mask")) === col("mask")), 1)
+        .otherwise(0)).as("_all_set"))
+    probes.join(hit.select(col("_k").as(keyCol), (col("_all_set") === 1).as("maybe_seen")),
+      Seq(keyCol), "left")
+      .withColumn("maybe_seen", coalesce(col("maybe_seen"), lit(false)))
+  }
+}

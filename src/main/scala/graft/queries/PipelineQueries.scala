@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{AnnIndex, Bmp, Dedup, GifGray, Multimodal, Segmentation, Similarity}
+import graft.operators.{AnnIndex, Bloom, Bmp, Dedup, GifGray, Multimodal, Segmentation, Similarity}
 
 /** The reference's application-plan operators (SURVEY.md §2.A) exposed as
   * driver-checkable queries over the harness tables, plus the scale-path
@@ -1465,6 +1465,22 @@ object PipelineQueries extends QuerySet {
         .orderBy("video_id", "frame_ord")
     }),
 
+    // The crawl-frontier Bloom screen as a RELATION: seen URLs (doc_id <
+    // 400) build a sharded bit-word table with one bit_or aggregation;
+    // probes (doc_id < 600) join it and AND-reduce their k positions.
+    // Every bit is the cross-engine md5 device, so the DuckDB oracle
+    // reproduces the filter exactly — false positives included, as
+    // deterministic facts rather than a tolerance.
+    "q172_bloom_url_screen" -> ((s, dir) => {
+      val urls = t(s, dir, "documents")
+        .select(concat(lit("https://ex.test/d/"),
+          col("doc_id").cast("string")).as("url"), col("doc_id"))
+      val filter = Bloom.build(urls.where(col("doc_id") < 400).select("url"), "url")
+      Bloom.screen(filter, urls.where(col("doc_id") < 600), "url")
+        .select(col("doc_id"), col("url"), col("maybe_seen"))
+        .orderBy("doc_id")
+    }),
+
     // FLAC audio-level EXACT dedup without decoding a sample: STREAMINFO
     // carries the MD5 of the decoded PCM stream, so re-muxed / re-tagged /
     // re-padded copies of the same audio collapse by a 42-byte header
@@ -2294,6 +2310,29 @@ object PipelineQueries extends QuerySet {
         |  CAST((sample_no - 1) * (100 + video_id % 7 * 50) * 1000 // 600 AS BIGINT) AS pts_ms,
         |  simhash
         |FROM sig ORDER BY video_id, frame_ord""".stripMargin,
+    // the Bloom filter rebuilt bit for bit from the same md5 positions;
+    // membership = all k bits set in the key's shard
+    "q172_bloom_url_screen" ->
+      """WITH u AS (SELECT doc_id, 'https://ex.test/d/' || CAST(doc_id AS VARCHAR) AS url
+        |           FROM documents),
+        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |sp AS (SELECT ('0x' || substr(md5('bloom:-1:' || url), 1, 13))::BIGINT % 16 AS shard,
+        |  ('0x' || substr(md5('bloom:' || CAST(j AS VARCHAR) || ':' || url), 1, 13))::BIGINT % 65536 AS p
+        |  FROM u CROSS JOIN js WHERE doc_id < 400),
+        |w AS (SELECT shard, p // 32 AS word_idx,
+        |  bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits FROM sp GROUP BY 1, 2),
+        |pr AS (SELECT doc_id, url,
+        |  ('0x' || substr(md5('bloom:-1:' || url), 1, 13))::BIGINT % 16 AS shard,
+        |  ('0x' || substr(md5('bloom:' || CAST(j AS VARCHAR) || ':' || url), 1, 13))::BIGINT % 65536 AS p
+        |  FROM u CROSS JOIN js WHERE doc_id < 600),
+        |hit AS (SELECT doc_id, url,
+        |  MIN(CASE WHEN w.bits IS NOT NULL
+        |    AND (w.bits & (1::BIGINT << CAST(pr.p % 32 AS INT))) = (1::BIGINT << CAST(pr.p % 32 AS INT))
+        |    THEN 1 ELSE 0 END) AS all_set
+        |  FROM pr LEFT JOIN w ON pr.shard = w.shard AND pr.p // 32 = w.word_idx
+        |  GROUP BY doc_id, url)
+        |SELECT doc_id, url, all_set = 1 AS maybe_seen FROM hit
+        |ORDER BY doc_id""".stripMargin,
     // FLAC: field formulas replayed; the audio signature is DuckDB's own
     // md5 of the same ASCII PCM formula — the engine must recover it from
     // real STREAMINFO bit fields

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BloomSpec extends SparkSpec {
+
+  test("no false negatives; FPR in the textbook ballpark; deterministic") {
+    import spark.implicits._
+    val seen = (0 until 2000).map(i => s"https://h$i.test/p").toDF("url")
+    val fresh = (2000 until 4000).map(i => s"https://h$i.test/p").toDF("url")
+    val filter = Bloom.build(seen, "url", shards = 16, bitsPerShard = 1L << 14, k = 4)
+    // every member must screen as maybe-seen
+    val members = Bloom.screen(filter, seen, "url", 16, 1L << 14, 4)
+    assert(members.where(!col("maybe_seen")).count() == 0, "false negative!")
+    // n=2000 over 16*2^14 bits, k=4: fpr = (1 - e^{-kn/B})^4 ~ 5e-5;
+    // on 2000 fresh probes expect ~0 false positives, allow a few
+    val fp = Bloom.screen(filter, fresh, "url", 16, 1L << 14, 4)
+      .where(col("maybe_seen")).count()
+    assert(fp <= 5, s"fpr too high: $fp / 2000")
+    // bit-for-bit deterministic under repartitioning
+    val again = Bloom.build(seen.repartition(13), "url", 16, 1L << 14, 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val first = filter.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == first)
+  }
+
+  test("a saturated filter says yes to everything (bits, not magic)") {
+    import spark.implicits._
+    val seen = (0 until 5000).map(i => s"k$i").toDF("url")
+    // 1 shard x 64 bits: 5000 keys saturate it
+    val filter = Bloom.build(seen, "url", shards = 1, bitsPerShard = 64, k = 2)
+    val fresh = (9000 until 9100).map(i => s"k$i").toDF("url")
+    val got = Bloom.screen(filter, fresh, "url", 1, 64, 2)
+    assert(got.where(!col("maybe_seen")).count() == 0)
+  }
+
+  test("parameter validation") {
+    import spark.implicits._
+    val df = Seq("a").toDF("url")
+    intercept[IllegalArgumentException](Bloom.build(df, "url", shards = 0))
+    intercept[IllegalArgumentException](Bloom.build(df, "url", bitsPerShard = 63))
+    intercept[IllegalArgumentException](Bloom.build(df, "url", k = 0))
+  }
+}

@@ -96,6 +96,29 @@ class ZipShardsSpec extends SparkSpec {
     assert(full.isEmpty, "full read must stop at the CRC mismatch")
   }
 
+  test("readStream tails a zip landing directory, exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zip_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_zip_ckpt").toString
+    java.nio.file.Files.write(dir.resolve("batch-0.zip"),
+      ZipShards.render(Seq(m("a.txt", true, "one"), m("b.txt", false, "two"))))
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    val q = spark.readStream.format("zipshard").load(dir.toString)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("name").collect().foreach(r => seen.synchronized { seen += r.getString(0) })
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.toSet == Set("a.txt", "b.txt"))
+      java.nio.file.Files.write(dir.resolve("batch-1.zip"),
+        ZipShards.render(Seq(m("c.txt", true, "three"))))
+      q.processAllAvailable()
+      assert(seen.toSet == Set("a.txt", "b.txt", "c.txt"))
+      assert(seen.size == 3, s"re-delivered members: $seen")
+    } finally q.stop()
+  }
+
   test("DSv2 source: directory scan, member rows, pruning skips data") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zip")
     java.nio.file.Files.write(dir.resolve("a.zip"),
