@@ -1,0 +1,156 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+
+/** The unified DOCUMENT DOOR — every wire format the engine ingests,
+  * normalized to one corpus schema and deduplicated ACROSS formats:
+  *
+  *   WARC responses (HTML -> graft_extract_text), WET conversion records
+  *   (pre-extracted text), WebDataset tar shards, ZIP shards, and PDFs
+  *   (ISO 32000 text extraction) each become rows of
+  *   `(doc_id, fmt, locator, text)`; a union + one exact-dedup groupBy
+  *   collapses the SAME article arriving through different containers —
+  *   the republication case only a format-spanning door can catch (the
+  *   bytes differ per container; the extracted text does not).
+  *
+  * Every door is a DataFrame transformation over a DSv2 source or a
+  * per-row decode; the union is schema-aligned; the dedup is one hash
+  * aggregation. At 100 TB each door scales independently (one task per
+  * shard/file) and the dedup shuffles only (text_hash, doc_id) pairs.
+  *
+  * Run: sbt "runMain graft.examples.IngestRun [outDir]"
+  */
+object IngestRun {
+
+  private def norm(fmt: String, locator: org.apache.spark.sql.Column,
+                   text: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    Seq(xxhash64(lit(fmt), locator).as("doc_id"), lit(fmt).as("fmt"),
+      locator.as("locator"), text.as("text"))
+
+  /** WARC response records -> extracted main text. */
+  def fromWarc(spark: SparkSession, path: String): DataFrame =
+    graft.sources.Warc.read(spark, path)
+      .where(col("warc_type") === "response")
+      .select(norm("warc", col("target_uri"),
+        expr("graft_extract_text(cast(payload as string))")): _*)
+      .where(length(col("text")) > 0)
+
+  /** WET conversion records: text is already extracted. */
+  def fromWet(spark: SparkSession, path: String): DataFrame =
+    graft.sources.Warc.wetText(graft.sources.Warc.read(spark, path))
+      .select(norm("wet", col("target_uri"), col("text")): _*)
+      .where(length(col("text")) > 0)
+
+  /** WebDataset tar shards: `.txt` members are documents. */
+  def fromTar(spark: SparkSession, path: String): DataFrame =
+    graft.sources.TarShards.read(spark, path)
+      .where(col("ext") === "txt")
+      .select(norm("tar", concat(col("file"), lit("#"), col("name")),
+        col("data").cast("string")): _*)
+
+  /** ZIP shards, same member convention. */
+  def fromZip(spark: SparkSession, path: String): DataFrame =
+    graft.sources.ZipShards.read(spark, path)
+      .where(col("ext") === "txt")
+      .select(norm("zip", concat(col("file"), lit("#"), col("name")),
+        col("data").cast("string")): _*)
+
+  /** PDFs: pages extracted and rejoined in page order per document. */
+  def fromPdf(spark: SparkSession, path: String): DataFrame = {
+    val bin = spark.read.format("binaryFile").load(path)
+      .select(col("path").as("locator"), col("content"))
+    graft.operators.Pdf.pagesOf(bin, "content", "locator")
+      .groupBy("locator")
+      .agg(concat_ws("\n", expr("transform(array_sort(collect_list(struct(page, text))), s -> s.text)"))
+        .as("text"))
+      .select(norm("pdf", col("locator"), col("text")): _*)
+      .where(length(col("text")) > 0)
+  }
+
+  /** Union the doors and collapse exact text duplicates across formats:
+    * one row per distinct text, represented by the lexicographically
+    * first (fmt, locator); `n_copies`/`fmts` record the collapse.
+    */
+  def ingest(doors: Seq[DataFrame]): DataFrame = {
+    val all = doors.reduce(_ unionByName _)
+    all.groupBy(md5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(struct(col("fmt"), col("locator"), col("doc_id"), col("text"))).as("rep"),
+        array_sort(collect_set(col("fmt"))).as("fmts"))
+      .select(col("rep.doc_id").as("doc_id"), col("rep.fmt").as("fmt"),
+        col("rep.locator").as("locator"), col("rep.text").as("text"),
+        col("n_copies"), col("fmts"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("/tmp/graft_ingest_out")
+    val spark = GraftSession.tune(SparkSession.builder()
+      .master(s"local[${GraftSession.cpus}]").appName("graft-ingest")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fx = IngestFixtures.writeAll()
+    val corpus = ingest(Seq(
+      fromWarc(spark, fx("warc")), fromWet(spark, fx("wet")),
+      fromTar(spark, fx("tar")), fromZip(spark, fx("zip")),
+      fromPdf(spark, fx("pdf"))))
+    corpus.cache()
+    val total = corpus.count()
+    val dups = corpus.where(col("n_copies") > 1).count()
+    println(s"INGEST docs=$total cross_format_dups=$dups")
+    corpus.write.mode("overwrite").parquet(s"$outDir/corpus.parquet")
+    spark.stop()
+  }
+}
+
+/** Deterministic multi-format fixture set for [[IngestRun]] and its spec:
+  * 6 distinct articles; article 0 appears through ALL five doors (the
+  * cross-format republication), articles 1-5 through one door each.
+  */
+object IngestFixtures {
+  private def article(i: Int): String =
+    s"Article $i body. " + (0 until 6).map(j => s"w${(i * 7 + j) % 11}").mkString(" ")
+
+  /** HTML page whose graft_extract_text yields exactly article(i) (a
+    * single long-enough paragraph survives extraction verbatim).
+    */
+  private def html(i: Int): String =
+    s"<html><head><title>t$i</title></head><body><p>${article(i)}</p></body></html>"
+
+  def writeAll(): Map[String, String] = {
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest_fx")
+    def sub(name: String): java.nio.file.Path = {
+      val d = base.resolve(name); java.nio.file.Files.createDirectories(d); d
+    }
+    val warcDir = sub("warc")
+    java.nio.file.Files.write(warcDir.resolve("a.warc"),
+      graft.sources.Warc.render(Seq(0, 1).map(i => (Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> s"http://ex.test/a$i"),
+        html(i).getBytes("UTF-8")))))
+    val wetDir = sub("wet")
+    java.nio.file.Files.write(wetDir.resolve("a.warc.wet.gz"),
+      graft.sources.Warc.renderGzip(Seq(0, 2).map(i => (Seq(
+        "WARC-Type" -> "conversion",
+        "WARC-Target-URI" -> s"http://ex.test/w$i"),
+        article(i).getBytes("UTF-8")))))
+    val tarDir = sub("tar")
+    java.nio.file.Files.write(tarDir.resolve("s.tar"),
+      graft.sources.TarShards.render(Seq(0, 3).map(i =>
+        (s"d$i.txt", article(i).getBytes("UTF-8")))))
+    val zipDir = sub("zip")
+    java.nio.file.Files.write(zipDir.resolve("s.zip"),
+      graft.sources.ZipShards.render(Seq(0, 4).map(i =>
+        (s"z$i.txt", i % 2 == 0, article(i).getBytes("UTF-8")))))
+    val pdfDir = sub("pdf")
+    Seq(0, 5).foreach { i =>
+      java.nio.file.Files.write(pdfDir.resolve(s"p$i.pdf"),
+        graft.operators.Pdf.render(Seq(
+          (s"BT /F1 12 Tf 72 720 Td (${article(i)}) Tj ET", i % 2 == 0))))
+    }
+    Map("warc" -> warcDir.toString, "wet" -> wetDir.toString,
+      "tar" -> tarDir.toString, "zip" -> zipDir.toString,
+      "pdf" -> pdfDir.toString)
+  }
+}

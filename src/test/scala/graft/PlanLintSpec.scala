@@ -35,8 +35,12 @@ class PlanLintSpec extends SparkSpec {
   //   q142/q159 — broadcast 1-row corpus-stats (N, avgdl) crossed into the
   //         BM25 score (the q44 corpus-count pattern; q159 is the SEARCH
   //         statement serving the same Bm25 operator)
+  //   q166/q171 — DSIR: broadcast 1-row (n_raw, n_target) totals crossed
+  //         into the per-bucket smoothing denominators (the q97 pattern;
+  //         q171 is the resample stage over the same weights)
   private val productAllowed = Set(
     "q142_bm25_search", "q159_sql_bm25",
+    "q166_dsir_weights", "q171_dsir_resample",
     "q18_cross_join", "q23_scalar_subquery", "q40_knn_brute",
     "q43_dedup_embedding", "q44_tfidf", "q49_simjoin_dfcap",
     "q61_work_items", "q66_iteration_batches", "q67_knn_ivf", "q64_knn_lsh",
