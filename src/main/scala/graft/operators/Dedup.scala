@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large text corpora.
@@ -23,6 +23,24 @@ object Dedup {
   /** Exact duplicate clusters: (content hash, keeper id, count). */
   def exactClusters(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** The canonical dedup key of C4/CCNet's "fuzzy exact" grain: Unicode
+    * NFC, lowercase, every non-[a-z0-9 ] character to a space, whitespace
+    * runs collapsed, trimmed. Case changes, punctuation edits, and
+    * decomposed-vs-composed accents all land on one key while genuinely
+    * different text never merges — the cheap normalization screen that
+    * runs BEFORE shingle-based near-dup at corpus scale (one narrow
+    * expression, one hash groupBy).
+    */
+  def canonicalTextKey(text: Column): Column =
+    trim(regexp_replace(regexp_replace(
+      lower(call_function("graft_normalize", text, lit("NFC"))),
+      "[^a-z0-9 ]", " "), " +", " "))
+
+  /** [[exactClusters]] at the canonical-text grain. */
+  def normalizedClusters(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(md5(canonicalTextKey(col(textCol))).as("canon_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
   /** The ONE definition of a document's word-n-gram shingle array (as a SQL

@@ -511,9 +511,34 @@ object TextQueries extends QuerySet {
         .where(col("rnk") <= 5)
         .select("q_id", "s_id", "score", "rnk")
         .orderBy("q_id", "rnk")
+    }),
+
+    // The C4/CCNet "fuzzy exact" grain: NFC + lowercase + punctuation-to-
+    // space + whitespace collapse, then one hash groupBy. The planted
+    // noisy twin of every document (leading spaces, uppercase, trailing
+    // bangs) MUST collapse onto its original — raw exact dedup cannot see
+    // through any of those edits.
+    "q173_normalized_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val noisy = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit(" !!! ")).as("text"))
+      graft.operators.Dedup.normalizedClusters(d.unionByName(noisy), "text", "doc_id")
+        .select("keep_id", "dup_cnt")
+        .orderBy("keep_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // identical canonicalization chain in DuckDB (nfc_normalize; RE2 needs
+    // the explicit 'g' flag where Java's replaceAll is global by default)
+    "q173_normalized_dedup" ->
+      """WITH a AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, '  ' || upper(text) || ' !!! ' FROM documents),
+        |c AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+        |  lower(nfc_normalize(text)), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS ck
+        |  FROM a)
+        |SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS dup_cnt
+        |FROM c GROUP BY ck ORDER BY keep_id""".stripMargin,
     "q30_text_stats" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS len_chars,
         |FLOOR(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) * 10000) / 10000 AS avg_tok_len

@@ -124,9 +124,58 @@ object VectorQueries extends QuerySet {
           (coalesce(col("cluster_id"), col("vec_id")) === col("vec_id"))
             .cast("int").as("keep"))
         .orderBy("vec_id")
+    }),
+
+    // Matryoshka-style dimension truncation: how much of the full-64-dim
+    // top-5 survives retrieval on the first 16 dims? Both sides are THE
+    // bruteForceKnn operator (one on a sliced embedding column); the
+    // output is the per-probe overlap count — the recall-vs-cost curve a
+    // pipeline consults before committing to truncated indexes at scale
+    // (a 16-dim scan costs a quarter of the bytes and flops).
+    "q174_truncated_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val full = graft.operators.Similarity.bruteForceKnn(
+          e, "vec_id", "embedding", col("vec_id") < 10, k = 5)
+        .select(col("probe_id"), col("neighbor_id"))
+      val trunc = graft.operators.Similarity.bruteForceKnn(
+          e.withColumn("embedding", expr("slice(embedding, 1, 16)")),
+          "vec_id", "embedding", col("vec_id") < 10, k = 5)
+        .select(col("probe_id").as("p2"), col("neighbor_id").as("n2"))
+      full.join(trunc, full("probe_id") === trunc("p2") &&
+          full("neighbor_id") === trunc("n2"), "left")
+        .groupBy("probe_id")
+        .agg(sum(when(col("n2").isNotNull, 1).otherwise(0)).as("n_overlap"))
+        .orderBy("probe_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // both rankings replayed exhaustively (the q40 shape, one on dims
+    // <= 16), then the per-probe set intersection
+    "q174_truncated_recall" ->
+      s"""WITH ex AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+        |            CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM ex GROUP BY vec_id),
+        |p AS (SELECT * FROM ex WHERE vec_id < 10),
+        |dotp AS (SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, SUM(p.x*e.x) AS dp
+        |        FROM p JOIN ex e ON p.i = e.i AND e.vec_id <> p.vec_id GROUP BY 1, 2),
+        |cosf AS (SELECT probe_id, neighbor_id, ROUND(dp/(np.nrm*ne.nrm), 4) AS cs
+        |        FROM dotp JOIN n np ON np.vec_id = probe_id JOIN n ne ON ne.vec_id = neighbor_id),
+        |rf AS (SELECT probe_id, neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rnk FROM cosf),
+        |tex AS (SELECT vec_id, i, x FROM ex WHERE i <= 16),
+        |tn AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM tex GROUP BY vec_id),
+        |tp AS (SELECT * FROM tex WHERE vec_id < 10),
+        |tdot AS (SELECT tp.vec_id AS probe_id, e.vec_id AS neighbor_id, SUM(tp.x*e.x) AS dp
+        |        FROM tp JOIN tex e ON tp.i = e.i AND e.vec_id <> tp.vec_id GROUP BY 1, 2),
+        |cost AS (SELECT probe_id, neighbor_id, ROUND(dp/(np.nrm*ne.nrm), 4) AS cs
+        |        FROM tdot JOIN tn np ON np.vec_id = probe_id JOIN tn ne ON ne.vec_id = neighbor_id),
+        |rt AS (SELECT probe_id, neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rnk FROM cost)
+        |SELECT f.probe_id, CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+        |FROM (SELECT * FROM rf WHERE rnk <= 5) f
+        |LEFT JOIN (SELECT * FROM rt WHERE rnk <= 5) t
+        |  ON f.probe_id = t.probe_id AND f.neighbor_id = t.neighbor_id
+        |GROUP BY f.probe_id ORDER BY f.probe_id""".stripMargin,
     "q40_knn_brute" ->
       s"""WITH ex AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
         |            CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),

@@ -423,4 +423,19 @@ class DedupSpec extends SparkSpec {
       threshold = 0.9, bits = 0, tables = 1, dim = 16, maxBucketSize = 10)
     assert(exhaustive.count() == 50L * 49 / 2)
   }
+
+  test("normalized clusters: case/punct/accent variants merge, distinct text does not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO WORLD."),
+      (4L, "he\u0301llo world"), // decomposed e+acute: NFC folds onto 5
+      (5L, "h\u00e9llo world"),   // composed é: same canonical form as 4
+      (6L, "goodbye world")).toDF("doc_id", "text")
+    val got = Dedup.normalizedClusters(docs, "text", "doc_id")
+      .select("keep_id", "dup_cnt").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 4L -> 2L, 6L -> 1L))
+  }
 }
