@@ -356,6 +356,66 @@ object Pdf {
       (0 until EndstreamBytes.length).forall(k => bytes(t + k) == EndstreamBytes(k))
   }
 
+  /** Expand PDF 1.5+ object streams: a `/Type /ObjStm` stream holds `/N`
+    * small objects (catalog, page dicts — the objects MODERN writers no
+    * longer emit at top level) packed after a header of `N` (objnum,
+    * offset) integer pairs, offsets relative to `/First`. Contained
+    * objects never carry streams (spec rule), so a value parse suffices.
+    * Top-level definitions win over ObjStm contents (the salvage
+    * counterpart of xref precedence); malformed headers lose the one
+    * stream, never the document.
+    */
+  private def expandObjectStreams(objects: Map[Int, PObj]): Map[Int, PObj] = {
+    var out = objects
+    objects.values.foreach { o =>
+      val isObjStm = o.value match {
+        case PDict(m) => m.get("Type").contains(PName("ObjStm"))
+        case _ => false
+      }
+      if (isObjStm && o.rawStream != null && out.size < MaxObjects) {
+        val m = o.value.asInstanceOf[PDict].m
+        streamBytes(o, objects).foreach { data =>
+          val n = resolve(m.getOrElse("N", PNull), objects) match {
+            case num: PNum => num.int
+            case _ => -1
+          }
+          val first = resolve(m.getOrElse("First", PNull), objects) match {
+            case num: PNum => num.int
+            case _ => -1
+          }
+          if (n > 0 && n <= MaxObjects && first >= 0 && first <= data.length) {
+            val hdr = new Lexer(java.util.Arrays.copyOfRange(data, 0, first))
+            val pairs = Vector.newBuilder[(Int, Int)]
+            var k = 0
+            var ok = true
+            while (ok && k < n) {
+              hdr.skipWs()
+              val t1 = hdr.peekToken()
+              if (t1.nonEmpty && t1.forall(_.isDigit) && t1.length <= 9) {
+                hdr.pos += t1.length
+                hdr.skipWs()
+                val t2 = hdr.peekToken()
+                if (t2.nonEmpty && t2.forall(_.isDigit) && t2.length <= 9) {
+                  hdr.pos += t2.length
+                  pairs += ((t1.toInt, t2.toInt))
+                } else ok = false
+              } else ok = false
+              k += 1
+            }
+            if (ok) pairs.result().foreach { case (num, off) =>
+              if (!out.contains(num) && first.toLong + off < data.length) {
+                val lx = new Lexer(data)
+                lx.pos = first + off
+                lx.parseValue(0).foreach(v => out = out.updated(num, PObj(v, null)))
+              }
+            }
+          }
+        }
+      }
+    }
+    out
+  }
+
   private def resolve(v: PVal, objects: Map[Int, PObj], depth: Int = 0): PVal =
     v match {
       case PRef(n) if depth < MaxRefDepth =>
@@ -526,7 +586,7 @@ object Pdf {
       val head = java.util.Arrays.copyOfRange(bytes, 0,
         math.min(bytes.length, 1024 + 5))
       if (find(head, "%PDF-".getBytes("US-ASCII"), 0) < 0) return None
-      val objects = scanObjects(bytes)
+      val objects = expandObjectStreams(scanObjects(bytes))
       if (objects.isEmpty) return None
       val pages = pageObjects(objects)
       if (pages.isEmpty) return None

@@ -68,6 +68,31 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.extractText(pdf).get == Seq("nested tree page"))
   }
 
+  test("PDF 1.5 object streams: catalog and page dicts inside an ObjStm") {
+    // the modern-writer layout: only the content stream and the ObjStm
+    // exist at top level; catalog, pages node and page dict are PACKED
+    // into the compressed object stream
+    val content = bt("(from an object stream) Tj")
+    val packed = "<< /Type /Catalog /Pages 2 0 R >> " +
+      "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >> " +
+      "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    val off2 = "<< /Type /Catalog /Pages 2 0 R >> ".length
+    val off3 = off2 + "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >> ".length
+    val header = s"1 0 2 $off2 3 $off3 "
+    val stmData = (header + packed).getBytes("ISO-8859-1")
+    val compressed = Pdf.zlibStored(stmData)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    w(s"5 0 obj\n<< /Type /ObjStm /N 3 /First ${header.length} " +
+      s"/Filter /FlateDecode /Length ${compressed.length} >>\nstream\n")
+    out.write(compressed)
+    w("\nendstream\nendobj\n")
+    w(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    w("%%EOF\n")
+    assert(Pdf.extractText(out.toByteArray).get == Seq("from an object stream"))
+  }
+
   test("salvage: no catalog falls back to document-order pages; junk resyncs") {
     val pdf = ("%PDF-1.4\n" +
       "garbage not an object << /Type /Page >>) ] junk\n" +
