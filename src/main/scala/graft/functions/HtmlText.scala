@@ -83,7 +83,7 @@ object HtmlText {
     out.toString
   }
 
-  private def decodeEntities(s: String): String = {
+  private[graft] def decodeEntities(s: String): String = {
     val m = Entity.matcher(s)
     if (!m.find()) return s
     val sb = new java.lang.StringBuilder(s.length)

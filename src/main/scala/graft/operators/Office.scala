@@ -1,0 +1,107 @@
+package graft.operators
+
+/** Packaged-XML document doors — DOCX (OOXML WordprocessingML) and EPUB
+  * (OCF/OPF), the two office/book formats a document crawl actually
+  * contains in volume. Both are ZIP containers ([[graft.sources.ZipShards
+  * .parseFile]] is the container layer; no second unzip implementation)
+  * holding XML whose TEXT layer is deterministically extractable without
+  * a DOM: WordprocessingML text lives only in `<w:t>` runs with `<w:p>`
+  * paragraph and `<w:tab/>`/`<w:br/>` whitespace structure (ECMA-376
+  * §17.3), and EPUB reading order is the OPF `<spine>`'s `idref` list
+  * resolved through the manifest (the container.xml → rootfile → OPF
+  * chain, OCF 3.x §3.5) with each chapter's XHTML going through the same
+  * [[graft.functions.HtmlText]] extraction as crawled web pages.
+  *
+  * Contract (the [[Multimodal]] discipline): malformed bytes → None,
+  * never a throw; a docx without `word/document.xml`, an epub whose
+  * container/OPF chain is broken, falls back (epub: spine-less zips
+  * extract their HTML members in archive order — the salvage path) or
+  * returns None.
+  *
+  * Scale shape: per-row JVM decode inside mapPartitions, no shuffle —
+  * the same embarrassingly parallel shape as every other decoder door.
+  */
+object Office {
+
+  private val WordToken = java.util.regex.Pattern.compile(
+    "(?s)</w:p>|<w:tab/>|<w:br/>|<w:t(?:\\s[^>]*)?>(.*?)</w:t>")
+
+  /** WordprocessingML → text: `<w:t>` runs concatenated (entities
+    * decoded), `<w:tab/>` → TAB, `<w:br/>` → newline, each closed
+    * paragraph → newline; trailing newline trimmed.
+    */
+  def wordXmlText(xml: String): String = {
+    val sb = new StringBuilder
+    val m = WordToken.matcher(xml)
+    while (m.find()) {
+      m.group() match {
+        case "</w:p>" => sb.append('\n')
+        case "<w:tab/>" => sb.append('\t')
+        case "<w:br/>" => sb.append('\n')
+        case _ => sb.append(graft.functions.HtmlText.decodeEntities(m.group(1)))
+      }
+    }
+    while (sb.nonEmpty && sb.charAt(sb.length - 1) == '\n') sb.setLength(sb.length - 1)
+    sb.toString
+  }
+
+  /** DOCX → document text: unzip, find `word/document.xml`, extract. */
+  def docxText(bytes: Array[Byte]): Option[String] =
+    try {
+      graft.sources.ZipShards.parseFile("", bytes)
+        .find(_.name == "word/document.xml")
+        .map(m => wordXmlText(new String(m.data, "UTF-8")))
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+
+  private def attr(tag: String, name: String): Option[String] = {
+    val p = java.util.regex.Pattern.compile(
+      "\\b" + name + "\\s*=\\s*\"([^\"]*)\"")
+    val m = p.matcher(tag)
+    if (m.find()) Some(m.group(1)) else None
+  }
+
+  private def tags(xml: String, tagName: String): Iterator[String] = {
+    val p = java.util.regex.Pattern.compile(s"(?s)<$tagName\\b[^>]*>")
+    val m = p.matcher(xml)
+    Iterator.continually(if (m.find()) m.group() else null).takeWhile(_ != null)
+  }
+
+  /** EPUB → chapters in SPINE order: (ord, href, extracted text). The
+    * container.xml → OPF rootfile → manifest/spine chain decides reading
+    * order (archive order is NOT reading order — OCF permits any member
+    * layout); zips without an intact chain fall back to their HTML
+    * members in archive order. None when the bytes are not a zip or hold
+    * no chapters.
+    */
+  def epubChapters(bytes: Array[Byte]): Option[Seq[(Int, String, String)]] =
+    try {
+      val members = graft.sources.ZipShards.parseFile("", bytes).toSeq
+      if (members.isEmpty) return None
+      def text(m: graft.sources.ZipShards.ZipMember): String =
+        graft.functions.HtmlText.extractText(new String(m.data, "UTF-8"))
+      val byName = members.map(m => m.name -> m).toMap
+      val viaSpine = for {
+        container <- byName.get("META-INF/container.xml")
+        opfPath <- attr(new String(container.data, "UTF-8"), "full-path")
+        opf <- byName.get(opfPath)
+      } yield {
+        val xml = new String(opf.data, "UTF-8")
+        val baseDir = opfPath.substring(0, opfPath.lastIndexOf('/') + 1)
+        val hrefById = tags(xml, "item").flatMap { t =>
+          for (id <- attr(t, "id"); href <- attr(t, "href")) yield id -> href
+        }.toMap
+        tags(xml, "itemref").flatMap(attr(_, "idref"))
+          .flatMap(hrefById.get)
+          .map(h => baseDir + h)
+          .flatMap(byName.get)
+          .zipWithIndex
+          .map { case (m, ord) => (ord, m.name, text(m)) }
+          .toSeq
+      }
+      val chapters = viaSpine.filter(_.nonEmpty).getOrElse {
+        members.filter(m => m.name.endsWith(".xhtml") || m.name.endsWith(".html"))
+          .zipWithIndex.map { case (m, ord) => (ord, m.name, text(m)) }
+      }
+      if (chapters.isEmpty) None else Some(chapters)
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+}

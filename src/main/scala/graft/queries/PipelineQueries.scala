@@ -1465,6 +1465,66 @@ object PipelineQueries extends QuerySet {
         .orderBy("video_id", "frame_ord")
     }),
 
+    // The DOCX door (ECMA-376 WordprocessingML over the ZIP container
+    // layer): <w:t> runs concatenated, <w:p> paragraphs and <w:tab/> as
+    // structure, entities decoded. Ten in-memory documents from a string
+    // formula; the oracle rebuilds every extracted text arithmetically —
+    // the engine must recover it from real zip + XML bytes.
+    "q175_docx_extract" -> ((s, dir) => {
+      import s.implicits._
+      def para(runs: String*) = "<w:p>" + runs.mkString + "</w:p>"
+      val docs = (0L until 10L).map { i =>
+        val xml = "<?xml version=\"1.0\"?><w:document><w:body>" +
+          para(s"<w:t>Doc $i </w:t>", "<w:t>heading</w:t>") +
+          para("<w:t>Body</w:t>", "<w:tab/>", s"<w:t>$i x${(i * 3) % 7}</w:t>",
+            if (i % 2 == 1) "<w:t> &amp; end</w:t>" else "") +
+          "</w:body></w:document>"
+        (i, graft.sources.ZipShards.render(Seq(
+          ("[Content_Types].xml", false, "<Types/>".getBytes("UTF-8")),
+          ("word/document.xml", true, xml.getBytes("UTF-8")))))
+      }
+      docs.toDF("doc_id", "docx").as[(Long, Array[Byte])]
+        .map { case (id, b) =>
+          (id, graft.operators.Office.docxText(b).getOrElse(""))
+        }.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), length(col("text")).as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // The EPUB door (OCF container chain): reading order comes from the
+    // OPF spine, NOT archive order — odd books list their chapters
+    // reversed in the spine, so a reader that walks the zip in member
+    // order hash-mismatches immediately. Chapters go through the same
+    // HtmlText extraction as crawled pages.
+    "q176_epub_extract" -> ((s, dir) => {
+      import s.implicits._
+      val books = (0L until 6L).map { i =>
+        def chapter(c: Int) =
+          s"<html><head><title>t</title></head><body><p>Chapter $c of book $i body text.</p></body></html>"
+        val spine = if (i % 2 == 1) Seq(1, 0) else Seq(0, 1)
+        val opf = "<package><manifest>" +
+          (0 to 1).map(c =>
+            s"""<item id="c$c" href="ch$c.xhtml" media-type="application/xhtml+xml"/>""").mkString +
+          "</manifest><spine>" +
+          spine.map(c => s"""<itemref idref="c$c"/>""").mkString +
+          "</spine></package>"
+        (i, graft.sources.ZipShards.render(Seq(
+          ("mimetype", false, "application/epub+zip".getBytes("UTF-8")),
+          ("META-INF/container.xml", true,
+            """<container><rootfiles><rootfile full-path="OEBPS/content.opf"/></rootfiles></container>"""
+              .getBytes("UTF-8")),
+          ("OEBPS/content.opf", true, opf.getBytes("UTF-8")),
+          ("OEBPS/ch0.xhtml", true, chapter(0).getBytes("UTF-8")),
+          ("OEBPS/ch1.xhtml", false, chapter(1).getBytes("UTF-8")))))
+      }
+      books.toDF("book_id", "epub").as[(Long, Array[Byte])]
+        .flatMap { case (id, b) =>
+          graft.operators.Office.epubChapters(b).getOrElse(Seq.empty)
+            .map { case (ord, href, text) => (id, ord, href, text) }
+        }.toDF("book_id", "ord", "href", "text")
+        .orderBy("book_id", "ord")
+    }),
+
     // The crawl-frontier Bloom screen as a RELATION: seen URLs (doc_id <
     // 400) build a sharded bit-word table with one bit_or aggregation;
     // probes (doc_id < 600) join it and AND-reduce their k positions.
@@ -2310,6 +2370,27 @@ object PipelineQueries extends QuerySet {
         |  CAST((sample_no - 1) * (100 + video_id % 7 * 50) * 1000 // 600 AS BIGINT) AS pts_ms,
         |  simhash
         |FROM sig ORDER BY video_id, frame_ord""".stripMargin,
+    // the docx text rebuilt from the same string formula (tab = chr(9),
+    // paragraph break = chr(10), the entity decoded)
+    "q175_docx_extract" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 9)) AS doc_id),
+        |t AS (SELECT doc_id,
+        |  'Doc ' || doc_id || ' heading' || chr(10) ||
+        |  'Body' || chr(9) || doc_id || ' x' || ((doc_id * 3) % 7) ||
+        |  CASE WHEN doc_id % 2 = 1 THEN ' & end' ELSE '' END AS text FROM r)
+        |SELECT doc_id, text, CAST(length(text) AS INT) AS n_chars
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // the epub chapters in SPINE order: odd books reverse, so ord -> ch
+    // is the conditional mapping
+    "q176_epub_extract" ->
+      """WITH b AS (SELECT unnest(generate_series(0, 5)) AS book_id),
+        |o AS (SELECT book_id, unnest([0, 1]) AS ord FROM b),
+        |c AS (SELECT book_id, ord,
+        |  CASE WHEN book_id % 2 = 1 THEN 1 - ord ELSE ord END AS ch FROM o)
+        |SELECT book_id, CAST(ord AS INT) AS ord,
+        |  'OEBPS/ch' || ch || '.xhtml' AS href,
+        |  'Chapter ' || ch || ' of book ' || book_id || ' body text.' AS text
+        |FROM c ORDER BY book_id, ord""".stripMargin,
     // the Bloom filter rebuilt bit for bit from the same md5 positions;
     // membership = all k bits set in the key's shard
     "q172_bloom_url_screen" ->

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class OfficeSpec extends SparkSpec {
+
+  private def zip(members: (String, String)*): Array[Byte] =
+    graft.sources.ZipShards.render(members.map { case (n, c) =>
+      (n, true, c.getBytes("UTF-8")) }.toSeq)
+
+  test("wordXmlText: runs, tabs, breaks, paragraphs, entities, attrs") {
+    val xml = """<w:document><w:body>
+      |<w:p><w:r><w:t>Hello </w:t></w:r><w:r><w:t xml:space="preserve">world</w:t></w:r></w:p>
+      |<w:p><w:r><w:t>A</w:t><w:tab/><w:t>B&amp;C</w:t><w:br/><w:t>&lt;tag&gt;</w:t></w:r></w:p>
+      |</w:body></w:document>""".stripMargin
+    assert(Office.wordXmlText(xml) == "Hello world\nA\tB&C\n<tag>")
+    assert(Office.wordXmlText("<w:document/>") == "")
+  }
+
+  test("docxText: document.xml found among other members; absent -> None") {
+    val docx = zip(
+      "[Content_Types].xml" -> "<Types/>",
+      "word/styles.xml" -> "<w:styles><w:t>NOT document text</w:t></w:styles>",
+      "word/document.xml" -> "<w:document><w:body><w:p><w:t>real text</w:t></w:p></w:body></w:document>")
+    assert(Office.docxText(docx).contains("real text"))
+    assert(Office.docxText(zip("other.xml" -> "<a/>")).isEmpty)
+    assert(Office.docxText("not a zip".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("epubChapters: spine order beats archive order; salvage without OPF") {
+    def ch(c: Int) = s"<html><body><p>chapter $c text here</p></body></html>"
+    // archive order ch0, ch1 — spine says 1 then 0
+    val epub = zip(
+      "mimetype" -> "application/epub+zip",
+      "META-INF/container.xml" ->
+        """<container><rootfiles><rootfile full-path="OEBPS/book.opf" media-type="application/oebps-package+xml"/></rootfiles></container>""",
+      "OEBPS/book.opf" ->
+        """<package><manifest><item href="c0.xhtml" id="a"/><item id="b" href="c1.xhtml"/></manifest><spine><itemref idref="b"/><itemref idref="a"/></spine></package>""",
+      "OEBPS/c0.xhtml" -> ch(0),
+      "OEBPS/c1.xhtml" -> ch(1))
+    val got = Office.epubChapters(epub).get
+    assert(got.map(_._2) == Seq("OEBPS/c1.xhtml", "OEBPS/c0.xhtml"))
+    assert(got.map(_._3) == Seq("chapter 1 text here", "chapter 0 text here"))
+    // attribute order differs between the two <item> tags above — both parse
+    // no container chain: html members in archive order
+    val bare = zip("x/c9.xhtml" -> ch(9), "x/c3.html" -> ch(3), "img.png" -> "junk")
+    val salvage = Office.epubChapters(bare).get
+    assert(salvage.map(_._2) == Seq("x/c9.xhtml", "x/c3.html"))
+    // no chapters at all -> None
+    assert(Office.epubChapters(zip("only.txt" -> "text")).isEmpty)
+  }
+
+  test("a docx written by java.util.zip (real deflate) reads identically") {
+    val out = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(out)
+    for ((n, c) <- Seq(
+      "[Content_Types].xml" -> "<Types/>",
+      "word/document.xml" -> "<w:document><w:body><w:p><w:t>via ZipOutputStream</w:t></w:p></w:body></w:document>")) {
+      zos.putNextEntry(new java.util.zip.ZipEntry(n))
+      zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+    }
+    zos.close()
+    assert(Office.docxText(out.toByteArray).contains("via ZipOutputStream"))
+  }
+}
