@@ -47,4 +47,72 @@ object Bucketing {
   }
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Morton (Z-order) interleave of two non-negative integer columns into
+    * one BIGINT sort key: bit i of `a` lands at position 2i, bit i of `b`
+    * at 2i+1, so points close in (a, b) space are close in key order and
+    * every parquet row group's min/max stats stay NARROW IN BOTH columns.
+    * That is the entire trick of [[writeZOrdered]]: a linear sort gives
+    * its one sort column pruning power and leaves every other column's
+    * per-row-group range full-width; the interleave splits the pruning
+    * power across both dimensions (each gets ~sqrt of the selectivity),
+    * which is what multi-dimensional scans at 100 TB actually need —
+    * the Delta/Iceberg OPTIMIZE ZORDER layout, expressed as one
+    * codegen-friendly higher-order expression.
+    */
+  def zOrderKey(aCol: String, bCol: String, bits: Int = 16): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    org.apache.spark.sql.functions.expr(
+      s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) ->
+         |  acc | shiftleft(shiftright(CAST($aCol AS BIGINT), i) & 1, 2 * i)
+         |      | shiftleft(shiftright(CAST($bCol AS BIGINT), i) & 1, 2 * i + 1))""".stripMargin)
+  }
+
+  /** Write `df` Z-ordered on (aCol, bCol): range-partition + sort on the
+    * Morton key, row groups capped small so min/max pruning has grain to
+    * work with. BucketingSpec proves the asymmetry from scan metrics: a
+    * filter on the SECOND dimension scans a fraction of the z-ordered
+    * layout and ALL of a linear one.
+    */
+  def writeZOrdered(df: DataFrame, path: String, aCol: String, bCol: String,
+                    bits: Int = 16, files: Int = 4,
+                    rowGroupBytes: Int = 64 * 1024): Unit = {
+    val key = zOrderKey(aCol, bCol, bits).as("_z")
+    df.withColumn("_z", key)
+      .repartitionByRange(files, org.apache.spark.sql.functions.col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(path)
+  }
+
+  /** The comparison layout: linear sort on one column, same row-group
+    * grain.
+    */
+  def writeLinearSorted(df: DataFrame, path: String, sortCol: String,
+                        files: Int = 4, rowGroupBytes: Int = 64 * 1024): Unit =
+    df.repartitionByRange(files, org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(path)
+
+  /** Rows the parquet scan actually MATERIALIZED for `df`'s last execution
+    * (after row-group/page pruning by pushed filters) — the number
+    * layout work exists to shrink. Executes the frame.
+    */
+  def scannedRows(df: DataFrame): Long = {
+    df.collect()
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan)
+      .map(_.metrics("numOutputRows").value).sum
+  }
 }
