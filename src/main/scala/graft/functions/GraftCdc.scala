@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft_cdc_chunks(text, k, divisor) -> array<string>` — content-defined
+  * chunking (the LBFS/rsync boundary rule) as ONE narrow kernel pass: cut
+  * AFTER any position whose trailing character k-gram's md5-prefix hash is
+  * 0 mod `divisor`; emit the non-empty chunks in order.
+  *
+  * Bit-identical to the former SQL formulation
+  * (`conv(substr(md5(substr(text, i-k+1, k)), 1, 13), 16, 10) % divisor`)
+  * — [[HashKernels.md5Top52]] IS that hash — so the DuckDB oracle replay
+  * is unchanged. What changed is the cost: the interpreted form built a
+  * substring, an md5 hex string, a conv parse and a lambda frame PER
+  * CHARACTER (it was the single most expensive query in the suite at 10x
+  * the median); the kernel hashes byte slices of one materialized array
+  * with a thread-local digest, no per-position allocation beyond the
+  * digest's own.
+  */
+object CdcKernel {
+  private val Empty = new GenericArrayData(Array.empty[Any])
+
+  def chunks(text: UTF8String, k: Int, divisor: Int): ArrayData = {
+    require(k >= 1 && divisor >= 2,
+      s"graft_cdc_chunks requires k >= 1 and divisor >= 2, got k=$k divisor=$divisor")
+    val bytes = text.getBytes
+    val offs = WinnowKernel.codePointOffsets(bytes)
+    val nChars = offs.length - 1
+    if (nChars == 0) return Empty
+    val out = new java.util.ArrayList[UTF8String]()
+    var start = 1 // 1-based char position of the current chunk's first char
+    var i = k
+    while (i <= nChars) {
+      // trailing k-gram of position i: chars [i-k+1 .. i] = bytes
+      // [offs(i-k), offs(i))
+      val h = HashKernels.md5Top52(bytes, offs(i - k), offs(i) - offs(i - k))
+      if (h % divisor == 0) { // boundary: cut AFTER i
+        if (i >= start) // non-empty chunk [start .. i]
+          out.add(UTF8String.fromBytes(bytes, offs(start - 1), offs(i) - offs(start - 1)))
+        start = i + 1
+      }
+      i += 1
+    }
+    if (start <= nChars)
+      out.add(UTF8String.fromBytes(bytes, offs(start - 1), offs(nChars) - offs(start - 1)))
+    if (out.isEmpty) Empty
+    else new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
+  }
+}
+
+case class GraftCdcChunks(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def prettyName: String = "graft_cdc_chunks"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, IntegerType)
+        if second.foldable && third.foldable =>
+        (second.eval(), third.eval()) match {
+          case (k: Int, d: Int) if k >= 1 && d >= 2 => TypeCheckResult.TypeCheckSuccess
+          case (k, d) => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires k >= 1 and divisor >= 2, got k=$k divisor=$d")
+        }
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int literal, int literal), got " +
+          s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, ${third.dataType.simpleString})")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(t: Any, k: Any, d: Any): Any =
+    CdcKernel.chunks(t.asInstanceOf[UTF8String], k.asInstanceOf[Int], d.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k, d) => s"graft.functions.CdcKernel.chunks($t, $k, $d)")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}

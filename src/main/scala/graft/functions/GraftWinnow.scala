@@ -29,7 +29,7 @@ object WinnowKernel {
     * a copy per k-gram — an O(n^2) hash pass that defeats the kernel's
     * whole reason to exist on long documents.
     */
-  private def codePointOffsets(bytes: Array[Byte]): Array[Int] = {
+  private[functions] def codePointOffsets(bytes: Array[Byte]): Array[Int] = {
     var cnt = 0
     var i = 0
     while (i < bytes.length) { cnt += 1; i += UTF8String.numBytesForFirstByte(bytes(i)) }

@@ -65,6 +65,22 @@ object HashKernels {
     (h << 4) | ((d(7) & 0xf0L) >> 4)
   }
 
+  /** Top 52 bits (13 hex chars) of md5 — the boundary-hash device of the
+    * CDC chunker: `('0x' || substr(md5(t), 1, 13))::BIGINT` in DuckDB,
+    * `conv(substr(md5(t), 1, 13), 16, 10)` in Spark SQL. Slice form, no
+    * copy.
+    */
+  def md5Top52(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    md.update(bytes, off, len)
+    val d = md.digest()
+    var h = 0L
+    var i = 0
+    while (i < 6) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(6) & 0xf0L) >> 4)
+  }
+
   /** 60-bit SimHash over md5 token hashes — same majority-vote rule as
     * [[simHash]] but with a token hash ANY engine can recompute (md5 is
     * universal; xxhash64 is not), which is what gives the q63 simhash query

@@ -72,4 +72,51 @@ object Bloom {
       Seq(keyCol), "left")
       .withColumn("maybe_seen", coalesce(col("maybe_seen"), lit(false)))
   }
+
+  // ---- persisted lifecycle (the AnnIndex/DedupIndex artifact pattern:
+  // params.parquet freezes the hash geometry, words.parquet is the
+  // filter, appends merge by bit_or and install via the two-rename
+  // tmp-build-then-swap) ------------------------------------------------
+
+  /** Build and persist the filter at `path`. */
+  def writeFilter(df: DataFrame, keyCol: String, path: String,
+                  shards: Int = 16, bitsPerShard: Long = 1L << 16,
+                  k: Int = 4): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((shards, bitsPerShard, k)).toDF("shards", "bitsPerShard", "k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params.parquet")
+    build(df, keyCol, shards, bitsPerShard, k)
+      .write.mode("overwrite").parquet(s"$path/words.parquet")
+  }
+
+  private def params(spark: org.apache.spark.sql.SparkSession,
+                     path: String): (Int, Long, Int) = {
+    val p = spark.read.parquet(s"$path/params.parquet").head()
+    (p.getInt(0), p.getLong(1), p.getInt(2))
+  }
+
+  /** Merge a batch of new keys into the persisted filter with its FROZEN
+    * geometry: one bit_or re-aggregation over (old words ∪ delta words),
+    * installed atomically with rollback. A Bloom filter only ever gains
+    * bits, so append is a pure monotone union — no tombstones, no
+    * compaction debt.
+    */
+  def appendKeys(df: DataFrame, keyCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val (s, b, k) = params(spark, path)
+    val live = s"$path/words.parquet"
+    val merged = spark.read.parquet(live)
+      .unionByName(build(df, keyCol, s, b, k))
+      .groupBy("shard", "word_idx").agg(bit_or(col("bits")).as("bits"))
+    merged.write.mode("overwrite").parquet(s"$live.append.tmp")
+    AnnIndex.swapIn(spark, path, live, s"$live.append.tmp", "bloom-append")
+  }
+
+  /** Probe the persisted filter (geometry from its params). */
+  def screenAt(spark: org.apache.spark.sql.SparkSession, path: String,
+               probes: DataFrame, keyCol: String): DataFrame = {
+    val (s, b, k) = params(spark, path)
+    screen(spark.read.parquet(s"$path/words.parquet"), probes, keyCol, s, b, k)
+  }
 }

@@ -616,17 +616,13 @@ object Dedup {
   def cdcChunks(docs: DataFrame, textCol: String, idCol: String,
                 k: Int = 8, divisor: Int = 64): DataFrame = {
     require(k >= 1 && divisor >= 2, "need k >= 1, divisor >= 2")
-    val cuts =
-      s"filter(transform(sequence($k, greatest(length($textCol), $k)), " +
-      s"i -> IF(i <= length($textCol) AND " +
-      s"CAST(conv(substr(md5(substr($textCol, i - ${k - 1}, $k)), 1, 13), 16, 10) AS BIGINT) % $divisor = 0, i, -1)), " +
-      "x -> x > 0)"
-    val chunks =
-      s"filter(zip_with(concat(array(1), transform($cuts, b -> b + 1)), " +
-      s"concat($cuts, array(length($textCol))), " +
-      s"(s, e) -> substring($textCol, s, e - s + 1)), c -> length(c) > 0)"
+    // ONE kernel pass per document ([[graft.functions.CdcKernel]]) —
+    // bit-identical to the interpreted conv(substr(md5(...))) per-position
+    // formulation it replaced (the DuckDB oracle is unchanged), at ~20x
+    // less cost: no per-character substring/hex-string/parse allocations
     docs.select(col(idCol).as("id"),
-        posexplode(expr(chunks)).as(Seq("chunk_ord", "chunk")))
+        posexplode(expr(s"graft_cdc_chunks($textCol, $k, $divisor)"))
+          .as(Seq("chunk_ord", "chunk")))
       .withColumn("chunk_len", length(col("chunk")))
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftBpeEncode, GraftCanonUrl, GraftExtractAnchors, GraftExtractLinks, GraftExtractText, GraftLshBuckets, GraftLutSum, GraftMinHash, GraftNormalize, GraftPageDirectives, GraftRobotsRules, GraftSimHash, GraftSimHashMd5, GraftSitemapEntries, GraftWinnow, GraftWinnowMd5}
+import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftBpeEncode, GraftCanonUrl, GraftCdcChunks, GraftExtractAnchors, GraftExtractLinks, GraftExtractText, GraftLshBuckets, GraftLutSum, GraftMinHash, GraftNormalize, GraftPageDirectives, GraftRobotsRules, GraftSimHash, GraftSimHashMd5, GraftSitemapEntries, GraftWinnow, GraftWinnowMd5}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (see [[graft.GraftSession]]): injects the engine's native expressions
@@ -61,6 +61,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_winnow_md5"),
       new ExpressionInfo(classOf[GraftWinnowMd5].getName, "graft_winnow_md5"),
       (children: Seq[Expression]) => GraftWinnowMd5(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cdc_chunks"),
+      new ExpressionInfo(classOf[GraftCdcChunks].getName, "graft_cdc_chunks"),
+      (children: Seq[Expression]) => GraftCdcChunks(children(0), children(1), children(2))))
     ext.injectFunction((
       new FunctionIdentifier("graft_extract_text"),
       new ExpressionInfo(classOf[GraftExtractText].getName, "graft_extract_text"),

@@ -93,6 +93,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val DedupScreen =
     """(?is)^\s*DEDUP\s+SCREEN\s+'([^']+)'\s+WITH\s+([\w.]+)\s+THRESHOLD\s+([0-9.]+)(?:\s+MAXBUCKET\s+(\d+|NONE))?\s*;?\s*$""".r
 
+  // The persisted Bloom frontier screen's lifecycle, symmetric with the
+  // two index families: CREATE builds (shard, word_idx, bits) words at a
+  // path; APPEND merges new keys by bit_or under the FROZEN hash geometry
+  // (a Bloom filter only gains bits — monotone union, no compaction
+  // debt); BLOOM SCREEN appends `maybe_seen` to the probe table. Same
+  // [[graft.operators.Bloom]] operators as the Dataset surface.
+  private val CreateBloomFilter =
+    """(?is)^\s*CREATE\s+BLOOM\s+FILTER\s+AT\s+'([^']+)'\s+ON\s+([\w.]+)\s*\((\w+)\)\s*;?\s*$""".r
+  private val AppendBloomFilter =
+    """(?is)^\s*APPEND\s+TO\s+BLOOM\s+FILTER\s+AT\s+'([^']+)'\s+FROM\s+([\w.]+)\s*\((\w+)\)\s*;?\s*$""".r
+  private val BloomScreenStmt =
+    """(?is)^\s*BLOOM\s+SCREEN\s+'([^']+)'\s+WITH\s+([\w.]+)\s*\((\w+)\)\s*;?\s*$""".r
+
   // ASOF JOIN <left> WITH <right> ON <key> BY <time> PAYLOAD (c1, c2, ...)
   // — last-right-row-at-or-before semantics ([[graft.operators.AsOfJoin
   // .asOfLeft]]) as a statement; Spark SQL has no ASOF JOIN syntax.
@@ -180,6 +193,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       }
       graft.operators.DedupIndex.screen(session, path, session.table(table),
         "text", "doc_id", threshold.toDouble, maxBucket).queryExecution.logical
+    case CreateBloomFilter(path, table, keyCol) =>
+      CreateBloomFilterCommand(table, keyCol, path)
+    case AppendBloomFilter(path, table, keyCol) =>
+      AppendBloomFilterCommand(table, keyCol, path)
+    case BloomScreenStmt(path, table, keyCol) =>
+      graft.operators.Bloom.screenAt(session, path, session.table(table), keyCol)
+        .queryExecution.logical
     case AsOfJoinStmt(left, right, key, time, payload) =>
       graft.operators.AsOfJoin.asOfLeft(session.table(left), session.table(right),
         key, time, payload.split(',').map(_.trim).toSeq).queryExecution.logical
@@ -291,6 +311,28 @@ case class AppendDedupIndexCommand(table: String, path: String)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
     graft.operators.DedupIndex.append(spark.table(table), "text", "doc_id", path)
+    Seq.empty
+  }
+}
+
+/** `CREATE BLOOM FILTER` — build + persist ([[graft.operators.Bloom
+  * .writeFilter]], default geometry).
+  */
+case class CreateBloomFilterCommand(table: String, keyCol: String, path: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    graft.operators.Bloom.writeFilter(spark.table(table), keyCol, path)
+    Seq.empty
+  }
+}
+
+/** `APPEND TO BLOOM FILTER` — monotone bit_or merge under the frozen
+  * geometry ([[graft.operators.Bloom.appendKeys]]), atomic install.
+  */
+case class AppendBloomFilterCommand(table: String, keyCol: String, path: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    graft.operators.Bloom.appendKeys(spark.table(table), keyCol, path)
     Seq.empty
   }
 }

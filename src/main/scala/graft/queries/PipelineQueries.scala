@@ -1541,6 +1541,30 @@ object PipelineQueries extends QuerySet {
         .orderBy("doc_id")
     }),
 
+    // q172's filter through the SQL lifecycle: CREATE on the first 300
+    // URLs, APPEND the next 100 (the monotone bit_or merge under frozen
+    // geometry, atomically installed), SCREEN 600 probes. The filter
+    // state equals q172's 400-key build, so the SAME oracle applies —
+    // and the APPEND is load-bearing: without it, probes 300-399 screen
+    // false and the hash mismatches.
+    "q177_sql_bloom_screen" -> ((s, dir) => {
+      val urls = t(s, dir, "documents")
+        .select(concat(lit("https://ex.test/d/"),
+          col("doc_id").cast("string")).as("url"), col("doc_id"))
+      urls.where(col("doc_id") < 300).select("url")
+        .createOrReplaceTempView("bloom_seen")
+      urls.where(col("doc_id") >= 300 && col("doc_id") < 400).select("url")
+        .createOrReplaceTempView("bloom_more")
+      urls.where(col("doc_id") < 600)
+        .createOrReplaceTempView("bloom_probes")
+      val path = java.nio.file.Files.createTempDirectory("graft_bloom_sql").toString
+      s.sql(s"CREATE BLOOM FILTER AT '$path' ON bloom_seen (url)")
+      s.sql(s"APPEND TO BLOOM FILTER AT '$path' FROM bloom_more (url)")
+      s.sql(s"BLOOM SCREEN '$path' WITH bloom_probes (url)")
+        .select(col("doc_id"), col("url"), col("maybe_seen"))
+        .orderBy("doc_id")
+    }),
+
     // FLAC audio-level EXACT dedup without decoding a sample: STREAMINFO
     // carries the MD5 of the decoded PCM stream, so re-muxed / re-tagged /
     // re-padded copies of the same audio collapse by a 42-byte header
@@ -2394,6 +2418,29 @@ object PipelineQueries extends QuerySet {
     // the Bloom filter rebuilt bit for bit from the same md5 positions;
     // membership = all k bits set in the key's shard
     "q172_bloom_url_screen" ->
+      """WITH u AS (SELECT doc_id, 'https://ex.test/d/' || CAST(doc_id AS VARCHAR) AS url
+        |           FROM documents),
+        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |sp AS (SELECT ('0x' || substr(md5('bloom:-1:' || url), 1, 13))::BIGINT % 16 AS shard,
+        |  ('0x' || substr(md5('bloom:' || CAST(j AS VARCHAR) || ':' || url), 1, 13))::BIGINT % 65536 AS p
+        |  FROM u CROSS JOIN js WHERE doc_id < 400),
+        |w AS (SELECT shard, p // 32 AS word_idx,
+        |  bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits FROM sp GROUP BY 1, 2),
+        |pr AS (SELECT doc_id, url,
+        |  ('0x' || substr(md5('bloom:-1:' || url), 1, 13))::BIGINT % 16 AS shard,
+        |  ('0x' || substr(md5('bloom:' || CAST(j AS VARCHAR) || ':' || url), 1, 13))::BIGINT % 65536 AS p
+        |  FROM u CROSS JOIN js WHERE doc_id < 600),
+        |hit AS (SELECT doc_id, url,
+        |  MIN(CASE WHEN w.bits IS NOT NULL
+        |    AND (w.bits & (1::BIGINT << CAST(pr.p % 32 AS INT))) = (1::BIGINT << CAST(pr.p % 32 AS INT))
+        |    THEN 1 ELSE 0 END) AS all_set
+        |  FROM pr LEFT JOIN w ON pr.shard = w.shard AND pr.p // 32 = w.word_idx
+        |  GROUP BY doc_id, url)
+        |SELECT doc_id, url, all_set = 1 AS maybe_seen FROM hit
+        |ORDER BY doc_id""".stripMargin,
+    // identical filter state as q172 (300 created + 100 appended = the
+    // same 400 keys), so the same bit-for-bit rebuild applies
+    "q177_sql_bloom_screen" ->
       """WITH u AS (SELECT doc_id, 'https://ex.test/d/' || CAST(doc_id AS VARCHAR) AS url
         |           FROM documents),
         |js AS (SELECT unnest([0, 1, 2, 3]) AS j),

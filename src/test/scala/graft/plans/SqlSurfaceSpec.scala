@@ -201,4 +201,31 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
     assert(dup.sortBy(_._3) == sql.sortBy(_._3))
   }
+
+  test("CREATE/APPEND/SCREEN BLOOM FILTER statements == the Dataset operators") {
+    import spark.implicits._
+    val seen = (0 until 500).map(i => s"u$i").toDF("url")
+    val more = (500 until 700).map(i => s"u$i").toDF("url")
+    val probes = (0 until 900).map(i => s"u$i").toDF("url")
+    seen.createOrReplaceTempView("bl_seen")
+    more.createOrReplaceTempView("bl_more")
+    probes.createOrReplaceTempView("bl_probes")
+    val path = java.nio.file.Files.createTempDirectory("graft_bloom_sqlspec").toString
+    spark.sql(s"CREATE BLOOM FILTER AT '$path' ON bl_seen (url)")
+    val preAppend = spark.sql(s"BLOOM SCREEN '$path' WITH bl_probes (url)")
+      .where(org.apache.spark.sql.functions.col("maybe_seen"))
+      .collect().map(_.getString(0)).toSet
+    spark.sql(s"APPEND TO BLOOM FILTER AT '$path' FROM bl_more (url)")
+    val sql = spark.sql(s"BLOOM SCREEN '$path' WITH bl_probes (url)")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // SQL == Dataset on the SAME persisted artifact
+    val ds = graft.operators.Bloom.screenAt(spark, path, probes, "url")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(sql == ds)
+    // no false negatives over created + appended keys; the append is
+    // visible (these keys were NOT all hits before it)
+    assert((0 until 700).forall(i => sql(s"u$i")), "false negative after append")
+    assert((500 until 700).exists(i => !preAppend(s"u$i")),
+      "append had nothing to add — test is vacuous")
+  }
 }
