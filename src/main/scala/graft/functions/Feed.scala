@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** RSS 2.0 / Atom feed parsing — the crawl-frontier DISCOVERY feed beside
+  * [[Sitemap]]: sites announce new content through feeds long before a
+  * recrawl would find it, so a frontier that tails feeds fetches fresh
+  * pages hours-to-days earlier. One entry row per RSS `<item>` / Atom
+  * `<entry>`, dialect auto-detected per block.
+  *
+  * Deterministic scope, oracle-replayable:
+  *  - RSS link = `<link>` element TEXT; Atom link = the `href` ATTRIBUTE
+  *    of the first `<link>` whose `rel` is absent or `alternate`
+  *    (RFC 4287 §4.2.7.2: that IS the entry's page; `self`/`edit` links
+  *    are protocol plumbing and must not enter a frontier).
+  *  - id: RSS `<guid>` / Atom `<id>`; published: RSS `<pubDate>` / Atom
+  *    `<published>` falling back to `<updated>`; both default "".
+  *  - Titles entity-decode; a CDATA title contributes its raw inner text
+  *    verbatim (feeds CDATA-wrap titles routinely — unlike sitemap locs,
+  *    where CDATA is malformed).
+  *  - XML comments strip first; an entry without a usable link
+  *    contributes nothing (it cannot enter the frontier).
+  */
+object Feed {
+
+  private val Comment = java.util.regex.Pattern.compile("(?s)<!--.*?-->")
+  private val Block = java.util.regex.Pattern.compile(
+    "(?is)<(item|entry)\\b[^>]*>(.*?)</\\1\\s*>")
+  private val AtomLink = java.util.regex.Pattern.compile(
+    "(?is)<link\\b[^>]*?/?>")
+  private val Cdata = java.util.regex.Pattern.compile(
+    "(?s)^<!\\[CDATA\\[(.*?)\\]\\]>$")
+
+  private def attr(tag: String, name: String): String = {
+    val m = java.util.regex.Pattern.compile(
+      "\\b" + name + "\\s*=\\s*\"([^\"]*)\"").matcher(tag)
+    if (m.find()) Sitemap.decode(m.group(1)) else null
+  }
+
+  private def tagValue(block: String, tag: String): String = {
+    val m = java.util.regex.Pattern.compile(
+      s"(?is)<$tag\\b[^>]*>(.*?)</$tag\\s*>").matcher(block)
+    if (!m.find()) null
+    else {
+      val v = m.group(1).trim
+      val cd = Cdata.matcher(v)
+      if (cd.matches()) cd.group(1) else Sitemap.decode(v)
+    }
+  }
+
+  /** (title, link, entryId, published, atom) per entry, document order;
+    * entries without a usable link are dropped.
+    */
+  def entries(xml: String): Seq[(String, String, String, String, Boolean)] = {
+    val s = Comment.matcher(xml).replaceAll(" ")
+    val out = new scala.collection.mutable.ArrayBuffer[(String, String, String, String, Boolean)]()
+    val m = Block.matcher(s)
+    while (m.find()) {
+      val atom = m.group(1).equalsIgnoreCase("entry")
+      val body = m.group(2)
+      val link =
+        if (!atom) tagValue(body, "link")
+        else {
+          val lm = AtomLink.matcher(body)
+          var found: String = null
+          while (found == null && lm.find()) {
+            val tag = lm.group()
+            val rel = attr(tag, "rel")
+            if (rel == null || rel.equalsIgnoreCase("alternate"))
+              found = attr(tag, "href")
+          }
+          found
+        }
+      if (link != null && link.nonEmpty) {
+        val title = Option(tagValue(body, "title")).getOrElse("")
+        val id = Option(tagValue(body, if (atom) "id" else "guid")).getOrElse("")
+        val published =
+          if (atom) Option(tagValue(body, "published"))
+            .orElse(Option(tagValue(body, "updated"))).getOrElse("")
+          else Option(tagValue(body, "pubDate")).getOrElse("")
+        out += ((title, link, id, published, atom))
+      }
+    }
+    out.toSeq
+  }
+
+  def entriesData(xml: UTF8String): ArrayData =
+    new GenericArrayData(entries(xml.toString).map {
+      case (title, link, id, published, atom) =>
+        InternalRow(UTF8String.fromString(title), UTF8String.fromString(link),
+          UTF8String.fromString(id), UTF8String.fromString(published), atom)
+    }.toArray[Any])
+}
+
+/** `graft_feed_entries(xml: string) -> array<struct<title: string,
+  * link: string, entry_id: string, published: string, atom: boolean>>`
+  * — RSS/Atom entries (see [[Feed]]), the frontier discovery feed.
+  */
+case class GraftFeedEntries(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_feed_entries requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("title", StringType, nullable = false),
+    StructField("link", StringType, nullable = false),
+    StructField("entry_id", StringType, nullable = false),
+    StructField("published", StringType, nullable = false),
+    StructField("atom", BooleanType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_feed_entries"
+
+  override def nullSafeEval(xml: Any): Any =
+    Feed.entriesData(xml.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.Feed.entriesData($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

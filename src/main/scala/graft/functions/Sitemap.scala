@@ -38,7 +38,7 @@ object Sitemap {
     }
   }
 
-  private def decode(s: String): String = {
+  private[functions] def decode(s: String): String = {
     // the five XML named entities + numeric refs; unknown pass through
     val m = java.util.regex.Pattern.compile("&(#[xX]?[0-9a-fA-F]+|[a-zA-Z]+);").matcher(s)
     if (!m.find()) return s

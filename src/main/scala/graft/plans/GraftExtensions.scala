@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftBpeEncode, GraftCanonUrl, GraftCdcChunks, GraftExtractAnchors, GraftExtractLinks, GraftExtractText, GraftLshBuckets, GraftLutSum, GraftMinHash, GraftNormalize, GraftPageDirectives, GraftRobotsRules, GraftSimHash, GraftSimHashMd5, GraftSitemapEntries, GraftWinnow, GraftWinnowMd5}
+import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftBpeEncode, GraftCanonUrl, GraftCdcChunks, GraftExtractAnchors, GraftExtractLinks, GraftExtractText, GraftFeedEntries, GraftLshBuckets, GraftLutSum, GraftMinHash, GraftNormalize, GraftPageDirectives, GraftRobotsRules, GraftSimHash, GraftSimHashMd5, GraftSitemapEntries, GraftWinnow, GraftWinnowMd5}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (see [[graft.GraftSession]]): injects the engine's native expressions
@@ -85,6 +85,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_sitemap_entries"),
       new ExpressionInfo(classOf[GraftSitemapEntries].getName, "graft_sitemap_entries"),
       (children: Seq[Expression]) => GraftSitemapEntries(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_feed_entries"),
+      new ExpressionInfo(classOf[GraftFeedEntries].getName, "graft_feed_entries"),
+      (children: Seq[Expression]) => GraftFeedEntries(children(0))))
     ext.injectFunction((
       new FunctionIdentifier("graft_robots_rules"),
       new ExpressionInfo(classOf[GraftRobotsRules].getName, "graft_robots_rules"),

@@ -1465,6 +1465,54 @@ object PipelineQueries extends QuerySet {
         .orderBy("video_id", "frame_ord")
     }),
 
+    // The feed DISCOVERY door beside q156's sitemap seeds: RSS 2.0 and
+    // Atom entries, dialect auto-detected. The traps are the spec rules —
+    // Atom links come from the href ATTRIBUTE with rel=self skipped in
+    // favor of alternate, published falls back to updated, CDATA titles
+    // contribute raw inner text, commented-out entries and linkless
+    // entries contribute nothing. Every surfaced field re-derived by the
+    // oracle's string formulas.
+    "q178_feed_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val feeds = (0L until 8L).map { f =>
+        val atom = f % 2 == 1
+        val n = 3 + (f % 3).toInt
+        def title(j: Int) =
+          if (j % 3 == 0) s"<title><![CDATA[T $f.$j <raw>]]></title>"
+          else s"<title>Title &amp; $f.$j</title>"
+        val entries = (0 until n).map { j =>
+          val link = s"https://f$f.test/p/$j?a=1&amp;b=2"
+          if (atom)
+            s"<entry>${title(j)}" + (if (j % 2 == 0)
+              s"""<link rel="self" href="https://ignore.test/self"/><link href="$link"/><published>D $f.$j</published>"""
+            else
+              s"""<link rel="alternate" href="$link"/><updated>D $f.$j</updated>""") +
+            s"<id>tag:$f,$j</id></entry>"
+          else
+            s"<item>${title(j)}<link>$link</link><guid>tag:$f,$j</guid><pubDate>D $f.$j</pubDate></item>"
+        }.mkString
+        val trap =
+          if (atom) "<entry><title>no link</title></entry>"
+          else "<item><title>no link</title></item>"
+        val ghost =
+          if (atom) "<!-- <entry><link href=\"https://ghost.test\"/></entry> -->"
+          else "<!-- <item><link>https://ghost.test</link></item> -->"
+        val xml =
+          if (atom)
+            s"""<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">$ghost$entries$trap</feed>"""
+          else
+            s"""<?xml version="1.0"?><rss version="2.0"><channel>$ghost$entries$trap</channel></rss>"""
+        (f, xml)
+      }
+      feeds.toDF("feed_id", "xml")
+        .select(col("feed_id"),
+          posexplode(expr("graft_feed_entries(xml)")).as(Seq("ord", "e")))
+        .select(col("feed_id"), col("ord"), col("e.title").as("title"),
+          col("e.link").as("link"), col("e.entry_id").as("entry_id"),
+          col("e.published").as("published"), col("e.atom").as("atom"))
+        .orderBy("feed_id", "ord")
+    }),
+
     // The DOCX door (ECMA-376 WordprocessingML over the ZIP container
     // layer): <w:t> runs concatenated, <w:p> paragraphs and <w:tab/> as
     // structure, entities decoded. Ten in-memory documents from a string
@@ -2394,6 +2442,21 @@ object PipelineQueries extends QuerySet {
         |  CAST((sample_no - 1) * (100 + video_id % 7 * 50) * 1000 // 600 AS BIGINT) AS pts_ms,
         |  simhash
         |FROM sig ORDER BY video_id, frame_ord""".stripMargin,
+    // feed entries from the same formulas: the traps (self links, ghost
+    // comments, linkless entries) never surface; entities decode, CDATA
+    // passes raw, Atom's published falls back to updated
+    "q178_feed_ingest" ->
+      """WITH f AS (SELECT unnest(generate_series(0, 7)) AS feed_id),
+        |e AS (SELECT feed_id,
+        |  unnest(generate_series(0, CAST(2 + feed_id % 3 AS INT))) AS j FROM f)
+        |SELECT feed_id, CAST(j AS INT) AS ord,
+        |  CASE WHEN j % 3 = 0 THEN 'T ' || feed_id || '.' || j || ' <raw>'
+        |       ELSE 'Title & ' || feed_id || '.' || j END AS title,
+        |  'https://f' || feed_id || '.test/p/' || j || '?a=1&b=2' AS link,
+        |  'tag:' || feed_id || ',' || j AS entry_id,
+        |  'D ' || feed_id || '.' || j AS published,
+        |  feed_id % 2 = 1 AS atom
+        |FROM e ORDER BY feed_id, ord""".stripMargin,
     // the docx text rebuilt from the same string formula (tab = chr(9),
     // paragraph break = chr(10), the entity decoded)
     "q175_docx_extract" ->

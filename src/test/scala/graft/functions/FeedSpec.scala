@@ -1,0 +1,56 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class FeedSpec extends SparkSpec {
+
+  test("RSS items: link text, guid, pubDate, entity and CDATA titles") {
+    val xml = """<rss version="2.0"><channel>
+      |<item><title>Plain &amp; simple</title><link>https://a.test/1?x=1&amp;y=2</link>
+      |  <guid>g1</guid><pubDate>Mon, 01 Jan</pubDate></item>
+      |<item><title><![CDATA[Raw <b>html</b> & all]]></title><link>https://a.test/2</link></item>
+      |<item><title>no link, dropped</title></item>
+      |</channel></rss>""".stripMargin
+    val got = Feed.entries(xml)
+    assert(got.size == 2)
+    assert(got(0) == ("Plain & simple", "https://a.test/1?x=1&y=2", "g1", "Mon, 01 Jan", false))
+    assert(got(1) == ("Raw <b>html</b> & all", "https://a.test/2", "", "", false))
+  }
+
+  test("Atom entries: href attribute, rel=self skipped, published falls back to updated") {
+    val xml = """<feed xmlns="http://www.w3.org/2005/Atom">
+      |<entry><title>first</title>
+      |  <link rel="self" href="https://api.test/self"/>
+      |  <link href="https://b.test/page1"/>
+      |  <id>tag:1</id><published>2026-01-01</published><updated>2026-02-02</updated></entry>
+      |<entry><title>second</title>
+      |  <link rel="alternate" href="https://b.test/page2"/>
+      |  <updated>2026-03-03</updated></entry>
+      |<entry><title>only self, dropped</title><link rel="self" href="https://api.test/s"/></entry>
+      |</feed>""".stripMargin
+    val got = Feed.entries(xml)
+    assert(got.size == 2)
+    assert(got(0) == ("first", "https://b.test/page1", "tag:1", "2026-01-01", true))
+    assert(got(1) == ("second", "https://b.test/page2", "", "2026-03-03", true))
+  }
+
+  test("comments strip; mixed dialects in one document; garbage is empty") {
+    val xml = """<x><!-- <item><link>https://ghost.test</link></item> -->
+      |<item><link>https://real.test/r</link></item>
+      |<entry><link href="https://real.test/a"/></entry></x>""".stripMargin
+    val got = Feed.entries(xml)
+    assert(got.map(e => (e._2, e._5)) ==
+      Seq(("https://real.test/r", false), ("https://real.test/a", true)))
+    assert(Feed.entries("not xml at all").isEmpty)
+    assert(Feed.entries("").isEmpty)
+  }
+
+  test("SQL surface: graft_feed_entries explodes in a query") {
+    val df = spark.sql(
+      """SELECT inline(graft_feed_entries(
+        |'<rss><channel><item><title>t</title><link>https://q.test/1</link></item></channel></rss>'))""".stripMargin)
+    val row = df.collect().head
+    assert(row.getString(0) == "t" && row.getString(1) == "https://q.test/1" &&
+      !row.getBoolean(4))
+  }
+}
