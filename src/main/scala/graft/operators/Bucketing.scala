@@ -98,6 +98,24 @@ object Bucketing {
       .option("parquet.block.size", rowGroupBytes)
       .parquet(path)
 
+  /** Write with a parquet BLOOM FILTER on `bloomCol` — row-group pruning
+    * for point lookups on HIGH-CARDINALITY, UNSORTED columns, exactly
+    * where min/max stats are useless (every group's range spans the whole
+    * domain when the column isn't the sort key). The reader consults the
+    * per-row-group bloom for `=` predicates and skips groups that cannot
+    * contain the value: the storage-side twin of [[graft.operators.Bloom]]'s
+    * relational frontier screen. `ndv` sizes the filter.
+    */
+  def writeWithBloomFilter(df: DataFrame, path: String, bloomCol: String,
+                           ndv: Long, files: Int = 4,
+                           rowGroupBytes: Int = 64 * 1024): Unit =
+    df.repartition(files)
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", rowGroupBytes)
+      .option(s"parquet.bloom.filter.enabled#$bloomCol", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$bloomCol", ndv.toString)
+      .parquet(path)
+
   /** Rows the parquet scan actually MATERIALIZED for `df`'s last execution
     * (after row-group/page pruning by pushed filters) — the number
     * layout work exists to shrink. Executes the frame.

@@ -71,4 +71,33 @@ class BucketingSpec extends SparkSpec {
     assert(zScan < lScan / 2,
       s"z-order should scan < half of linear: z=$zScan linear=$lScan")
   }
+
+  test("parquet bloom filter prunes point lookups where min/max cannot") {
+    import spark.implicits._
+    val n = 200000
+    // high-cardinality key in RANDOM order: every row group's min/max
+    // spans ~the whole domain, so stats-based pruning is useless
+    val rows = spark.range(n).select(
+      expr("CAST(conv(substr(md5(CAST(id AS STRING)), 1, 12), 16, 10) AS BIGINT)").as("key"),
+      col("id").as("payload"))
+    val bloomDir = java.nio.file.Files.createTempDirectory("pq_bloom").toString
+    val plainDir = java.nio.file.Files.createTempDirectory("pq_plain").toString
+    Bucketing.writeWithBloomFilter(rows, bloomDir, "key", ndv = n)
+    rows.repartition(4).write.mode("overwrite")
+      .option("parquet.block.size", 64 * 1024).parquet(plainDir)
+    // a key that EXISTS (derived the same way as row 12345's)
+    val probe = rows.where(col("payload") === 12345L).select("key").head().getLong(0)
+    val pred = col("key") === probe
+    val bScan = Bucketing.scannedRows(spark.read.parquet(bloomDir).where(pred))
+    val pScan = Bucketing.scannedRows(spark.read.parquet(plainDir).where(pred))
+    assert(spark.read.parquet(bloomDir).where(pred).count() == 1)
+    assert(pScan > n * 9L / 10, s"plain layout unexpectedly pruned: $pScan of $n")
+    assert(bScan < pScan / 2,
+      s"bloom layout should skip most row groups: bloom=$bScan plain=$pScan")
+    // an ABSENT key: bloom prunes everything (no false negatives needed —
+    // absence just means every group's filter says no, w.h.p.)
+    val absent = Bucketing.scannedRows(
+      spark.read.parquet(bloomDir).where(col("key") === -1L))
+    assert(absent < pScan / 2, s"absent-key scan not pruned: $absent")
+  }
 }
