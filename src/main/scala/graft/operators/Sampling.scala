@@ -119,6 +119,49 @@ object Sampling {
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
   }
 
+  /** Curriculum-staged training shards: split the corpus into `stages`
+    * quality bands (ascending — stage 0 is the lowest-quality quartile)
+    * and shuffle each band into its own shards, so a training run can
+    * schedule data quality over time (the curriculum/annealing recipe:
+    * e.g. save the cleanest band for the final tokens).
+    *
+    * Stages are VALUE thresholds, not NTILE: the per-distinct-quality
+    * cumulative count decides each value's stage, so ties share a stage
+    * and the assignment is a pure function of the quality value —
+    * reproducible across runs and engines, where NTILE would split tied
+    * rows by arbitrary row order. The cumulative table is
+    * distinct-quality-sized (metadata; the unpartitioned window over it
+    * is the Fasta-offsets pattern, benign). Shard and position within
+    * (stage, shard) are the [[shuffleIntoShards]] md5 device.
+    *
+    * Output: input columns + stage (int) + shard (int) + pos (long).
+    */
+  def curriculumShards(docs: DataFrame, idCol: String, qualityCol: String,
+                       stages: Int = 4, shardsPerStage: Int = 8,
+                       seed: Long = 42L): DataFrame = {
+    require(stages >= 2 && shardsPerStage >= 1,
+      s"need stages >= 2, shardsPerStage >= 1")
+    val counts = docs.groupBy(col(qualityCol).as("_q")).agg(count(lit(1)).as("_c"))
+    val wq = Window.orderBy("_q").rowsBetween(Window.unboundedPreceding, -1)
+    val total = counts.agg(sum("_c").as("_n"))
+    val stageOf = counts
+      .withColumn("_cb", coalesce(sum("_c").over(wq), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("_q"),
+        least(lit(stages - 1), floor(col("_cb") * stages / col("_n")))
+          .cast("int").as("stage"))
+    val shard = expr(
+      s"""CAST(CAST(conv(substr(md5(concat('cshard:', CAST($seed AS STRING), ':',
+         |  CAST($idCol AS STRING))), 1, 13), 16, 10) AS BIGINT) % $shardsPerStage AS INT)""".stripMargin)
+    val key = expr(
+      s"substr(md5(concat('cpos:', CAST($seed AS STRING), ':', CAST($idCol AS STRING))), 1, 16)")
+    val w = Window.partitionBy("stage", "shard").orderBy(key, col(idCol))
+    docs.join(broadcast(stageOf), docs(qualityCol) === stageOf("_q"))
+      .drop("_q")
+      .withColumn("shard", shard)
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+  }
+
   def mixSources(docs: DataFrame, idCol: String, srcCol: String,
                  ratesPerMille: Map[String, Int],
                  defaultPerMille: Int = 0): DataFrame = {

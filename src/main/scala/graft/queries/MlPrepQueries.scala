@@ -278,6 +278,23 @@ object MlPrepQueries extends QuerySet {
         .orderBy("shard", "pos")
     }),
 
+    // Curriculum-staged shards: the q32 quality blend decides 4 ascending
+    // quality bands by VALUE thresholds (ties share a stage — pure
+    // function of the value, unlike NTILE's row-order tie split), each
+    // band md5-shuffled into its own shards — the data-quality-over-time
+    // schedule of curriculum/annealing recipes.
+    "q179_curriculum_shards" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val div = size(array_distinct(toks)).cast("double") / size(toks)
+      val lenScore = least(lit(1.0), size(toks).cast("double") / 50)
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        trunc(div * 0.5 + lenScore * 0.5, 4).as("quality"))
+      Sampling.curriculumShards(d, "doc_id", "quality",
+          stages = 4, shardsPerStage = 4)
+        .select("stage", "shard", "pos", "doc_id", "quality")
+        .orderBy("stage", "shard", "pos")
+    }),
+
     // DSIR importance weights (Xie et al. 2023): hashed-unigram
     // log-likelihood ratio of target domain (source 'src0') vs the raw
     // corpus; per-bucket ratios quantized to integer micros so the
@@ -521,6 +538,30 @@ object MlPrepQueries extends QuerySet {
         |  CAST(SUM(r.lr) AS BIGINT) AS score_micros
         |FROM b JOIN r USING (bk)
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    // the stage thresholds replayed from the distinct-quality cumulative
+    // table; shard/pos from the md5 permutation device
+    "q179_curriculum_shards" ->
+      """WITH d AS (SELECT doc_id,
+        |  FLOOR((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) * 0.5
+        |    + LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50) * 0.5)
+        |    * 10000) / 10000 AS quality
+        |  FROM documents),
+        |qc AS (SELECT quality, COUNT(*) AS c FROM d GROUP BY quality),
+        |t AS (SELECT SUM(c) AS n FROM qc),
+        |cs AS (SELECT quality, COALESCE(SUM(c) OVER (ORDER BY quality
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM qc),
+        |st AS (SELECT cs.quality,
+        |  CAST(LEAST(3, FLOOR(cs.cb * 4 / t.n)) AS INT) AS stage
+        |  FROM cs CROSS JOIN t),
+        |a AS (SELECT d.doc_id, d.quality, st.stage,
+        |  CAST(('0x' || substr(md5('cshard:42:' || d.doc_id::VARCHAR), 1, 13))::BIGINT % 4 AS INT) AS shard,
+        |  substr(md5('cpos:42:' || d.doc_id::VARCHAR), 1, 16) AS k
+        |  FROM d JOIN st USING (quality))
+        |SELECT stage, shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY stage, shard ORDER BY k, doc_id) - 1 AS BIGINT) AS pos,
+        |  doc_id, quality
+        |FROM a ORDER BY stage, shard, pos""".stripMargin,
     // q166's score pipeline + the per-source top-20 window
     "q171_dsir_resample" ->
       """WITH b AS (SELECT doc_id, source,

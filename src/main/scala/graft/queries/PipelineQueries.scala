@@ -1465,6 +1465,29 @@ object PipelineQueries extends QuerySet {
         .orderBy("video_id", "frame_ord")
     }),
 
+    // The recrawl delta — what a scheduler consults between crawl rounds:
+    // full-outer join of two URL->content-hash snapshots classifies every
+    // URL as new / gone / modified / unchanged. Old snapshot = docs < 450;
+    // new = docs >= 50 with every 7th page's content edited — so all four
+    // classes are populated and the hash comparison is load-bearing.
+    "q180_recrawl_delta" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val old = d.where(col("doc_id") < 450)
+        .select(concat(lit("u"), col("doc_id")).as("url"),
+          md5(col("text")).as("old_hash"))
+      val nw = d.where(col("doc_id") >= 50)
+        .select(concat(lit("u"), col("doc_id")).as("url"),
+          when(col("doc_id") % 7 === 0, md5(concat(col("text"), lit("v2"))))
+            .otherwise(md5(col("text"))).as("new_hash"))
+      old.join(nw, Seq("url"), "full_outer")
+        .select(col("url"),
+          when(col("old_hash").isNull, "new")
+            .when(col("new_hash").isNull, "gone")
+            .when(col("old_hash") === col("new_hash"), "unchanged")
+            .otherwise("modified").as("status"))
+        .orderBy("url")
+    }),
+
     // The feed DISCOVERY door beside q156's sitemap seeds: RSS 2.0 and
     // Atom entries, dialect auto-detected. The traps are the spec rules —
     // Atom links come from the href ATTRIBUTE with rel=self skipped in
@@ -2442,6 +2465,20 @@ object PipelineQueries extends QuerySet {
         |  CAST((sample_no - 1) * (100 + video_id % 7 * 50) * 1000 // 600 AS BIGINT) AS pts_ms,
         |  simhash
         |FROM sig ORDER BY video_id, frame_ord""".stripMargin,
+    // the same two snapshots full-outer joined in DuckDB
+    "q180_recrawl_delta" ->
+      """WITH o AS (SELECT 'u' || doc_id AS url, md5(text) AS old_hash
+        |  FROM documents WHERE doc_id < 450),
+        |n AS (SELECT 'u' || doc_id AS url,
+        |  CASE WHEN doc_id % 7 = 0 THEN md5(text || 'v2') ELSE md5(text) END AS new_hash
+        |  FROM documents WHERE doc_id >= 50)
+        |SELECT COALESCE(o.url, n.url) AS url,
+        |  CASE WHEN o.old_hash IS NULL THEN 'new'
+        |       WHEN n.new_hash IS NULL THEN 'gone'
+        |       WHEN o.old_hash = n.new_hash THEN 'unchanged'
+        |       ELSE 'modified' END AS status
+        |FROM o FULL OUTER JOIN n ON o.url = n.url
+        |ORDER BY url""".stripMargin,
     // feed entries from the same formulas: the traps (self links, ghost
     // comments, linkless entries) never surface; entities decode, CDATA
     // passes raw, Atom's published falls back to updated

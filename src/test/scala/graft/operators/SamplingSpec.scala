@@ -102,4 +102,34 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     assert(other != out.toSet)
   }
+
+  test("curriculum shards: value-threshold stages, ties share a stage") {
+    import spark.implicits._
+    // 100 docs at quality 0.1, 100 at 0.2, 100 at 0.3, 100 at 0.4
+    val docs = (0 until 400).map(i => (i.toLong, 0.1 * (1 + i / 100))).toDF("doc_id", "q")
+    val out = Sampling.curriculumShards(docs, "doc_id", "q",
+        stages = 4, shardsPerStage = 2)
+      .select("doc_id", "q", "stage", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(out.length == 400)
+    // every tied quality value lands in ONE stage, ascending by value
+    val stageByQ = out.groupBy(_._2).map { case (q, rows) =>
+      val st = rows.map(_._3).distinct
+      assert(st.size == 1, s"quality $q split across stages $st")
+      q -> st.head
+    }
+    assert(stageByQ.toSeq.sortBy(_._1).map(_._2) == Seq(0, 1, 2, 3))
+    // positions dense within (stage, shard); permutation is total
+    out.groupBy(r => (r._3, r._4)).foreach { case (k, rows) =>
+      assert(rows.map(_._5).sorted.toSeq == (0L until rows.length).toSeq, s"$k")
+    }
+    // a skewed distribution cannot overflow the stage count: one value
+    // holding 90% of rows still maps to a single legal stage
+    val skew = ((0 until 360).map(i => (i.toLong, 0.5)) ++
+      (360 until 400).map(i => (i.toLong, 0.9))).toDF("doc_id", "q")
+    val st2 = Sampling.curriculumShards(skew, "doc_id", "q", stages = 4, shardsPerStage = 1)
+      .select("q", "stage").distinct().collect()
+      .map(r => r.getDouble(0) -> r.getInt(1)).toMap
+    assert(st2(0.5) == 0 && st2(0.9) == 3)
+  }
 }
