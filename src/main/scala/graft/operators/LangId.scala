@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Character-trigram language identification — the Cavnar & Trenkle (1994)
+  * n-gram profile method, the textbook LID every curation pipeline runs
+  * before language-specific filters (the fastText-LID role, at the
+  * accuracy a profile method buys). Each language owns a literal profile
+  * of its most frequent character trigrams (public linguistic facts);
+  * a document's predicted language is the argmax of profile-trigram HIT
+  * COUNTS over its own trigram stream.
+  *
+  * Everything is relational: trigram explode (corpus-linear), one
+  * broadcast equi-join against the ~100-row profile table, one
+  * (id, lang) aggregation, one per-id argmax — fully replayable in any
+  * engine, which is what gives q181 a hard DuckDB oracle. Compare
+  * `q31_langid`'s single-stopword screen: this distinguishes LANGUAGES,
+  * not just English-vs-other.
+  */
+object LangId {
+
+  /** Top character trigrams per language (space-padded word boundaries
+    * included — " th"/"he " carry most of English's signal).
+    */
+  val Profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" th", "the", "he ", "ing", "ng ", "and", " an", "nd ",
+      " to", "to ", "ion", "ed ", " of", "of ", "is ", " in", "er ",
+      "at ", "on ", "es "),
+    "de" -> Seq("en ", "er ", "der", " de", "ich", "sch", "ein", "che",
+      "die", "und", " un", "nd ", "ch ", "ung", " di", "das", "gen",
+      "ber", "cht", "ten"),
+    "fr" -> Seq(" de", "de ", "ent", "le ", "nt ", "la ", " la", " le",
+      "les", " pa", "et ", " et", "que", " qu", "ue ", "ur ", "re ",
+      "ais", "ons", "eur"),
+    "es" -> Seq(" de", "de ", "os ", "la ", " la", "el ", " el", "que",
+      " qu", "ue ", "en ", " en", "es ", "ado", "ar ", "con", " co",
+      "nte", "ndo", " es"),
+    "it" -> Seq(" di", "di ", "to ", "la ", " la", "re ", "che", " ch",
+      "no ", "del", "lla", "zio", "one", "ell", "a d", "ne ", "per",
+      " pe", "gli", "ato"))
+
+  /** Demo sentences, one per language — used by q181's fixture and
+    * replicated literally in its oracle.
+    */
+  val DemoTexts: Map[String, String] = Map(
+    "en" -> "the quick brown fox jumps over the lazy dog and runs to the green field of the north",
+    "de" -> "der schnelle braune fuchs springt ueber den faulen hund und laeuft in das gruene feld der berge",
+    "fr" -> "le rapide renard brun saute par dessus le chien paresseux et court dans les champs verts du pays",
+    "es" -> "el rapido zorro marron salta sobre el perro perezoso y corre en el campo verde de la montana",
+    "it" -> "la rapida volpe marrone salta sopra il cane pigro e corre nel campo verde della collina")
+
+  /** Predict a language per document: (id, pred_lang, hits). Documents
+    * shorter than 3 chars or with zero profile hits emit nothing (no
+    * evidence, no claim).
+    */
+  def classify(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prof = Profiles.toSeq.flatMap { case (l, tgs) => tgs.map(t => (l, t)) }
+      .toDF("lang", "tg")
+    val tgs = docs.where(length(col(textCol)) >= 3)
+      .select(col(idCol).as("id"), explode(expr(
+        s"transform(sequence(1, length(lower($textCol)) - 2), " +
+        s"j -> substr(lower($textCol), j, 3))")).as("tg"))
+    val scored = tgs.join(broadcast(prof), Seq("tg"))
+      .groupBy("id", "lang").agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy("id").orderBy(col("hits").desc, col("lang"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") === 1)
+      .select(col("id"), col("lang").as("pred_lang"), col("hits"))
+  }
+}

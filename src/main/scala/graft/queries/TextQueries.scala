@@ -513,6 +513,24 @@ object TextQueries extends QuerySet {
         .orderBy("q_id", "rnk")
     }),
 
+    // Trigram-profile language ID (Cavnar & Trenkle) — q31's single-
+    // stopword screen distinguishes English from noise; this
+    // distinguishes LANGUAGES: 30 samples cycling five languages, each
+    // classified by profile-trigram hit counts through a broadcast join +
+    // argmax. The oracle replays the identical profiles, texts, and
+    // ranking.
+    "q181_trigram_langid" -> ((s, dir) => {
+      import s.implicits._
+      val langs = Seq("en", "de", "fr", "es", "it")
+      val samples = (0 until 30).map { i =>
+        (i.toLong, graft.operators.LangId.DemoTexts(langs(i % 5)) + s" extra $i")
+      }
+      graft.operators.LangId.classify(
+          samples.toDF("sample_id", "text"), "text", "sample_id")
+        .withColumnRenamed("id", "sample_id")
+        .orderBy("sample_id")
+    }),
+
     // The C4/CCNet "fuzzy exact" grain: NFC + lowercase + punctuation-to-
     // space + whitespace collapse, then one hash groupBy. The planted
     // noisy twin of every document (leading spaces, uppercase, trailing
@@ -527,7 +545,36 @@ object TextQueries extends QuerySet {
         .orderBy("keep_id")
     }))
 
+  /** q181's oracle, generated from the SAME profile/text constants the
+    * operator uses (the bpeOracleSql pattern): a drifted copy cannot
+    * exist.
+    */
+  private def langidOracleSql: String = {
+    val profRows = graft.operators.LangId.Profiles.toSeq.sortBy(_._1)
+      .flatMap { case (l, tgs) => tgs.map(t => s"('$l', '$t')") }
+      .mkString(", ")
+    val langs = Seq("en", "de", "fr", "es", "it")
+    val demoCase = "CASE i % 5 " + langs.zipWithIndex.map { case (l, k) =>
+      s"WHEN $k THEN '${graft.operators.LangId.DemoTexts(l)}'"
+    }.mkString(" ") + " END"
+    s"""WITH prof AS (SELECT * FROM (VALUES $profRows) AS t(lang, tg)),
+       |s AS (SELECT i AS sample_id, $demoCase || ' extra ' || i AS text
+       |  FROM (SELECT unnest(generate_series(0, 29)) AS i)),
+       |tg AS (SELECT sample_id, unnest(list_transform(
+       |  generate_series(1, length(lower(text)) - 2),
+       |  j -> substr(lower(text), j, 3))) AS tg FROM s),
+       |sc AS (SELECT sample_id, lang, COUNT(*) AS hits
+       |  FROM tg JOIN prof USING (tg) GROUP BY 1, 2),
+       |r AS (SELECT sample_id, lang, hits,
+       |  ROW_NUMBER() OVER (PARTITION BY sample_id ORDER BY hits DESC, lang) AS rnk
+       |  FROM sc)
+       |SELECT CAST(sample_id AS BIGINT) AS sample_id, lang AS pred_lang,
+       |  CAST(hits AS BIGINT) AS hits
+       |FROM r WHERE rnk = 1 ORDER BY sample_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q181_trigram_langid" -> langidOracleSql,
     // identical canonicalization chain in DuckDB (nfc_normalize; RE2 needs
     // the explicit 'g' flag where Java's replaceAll is global by default)
     "q173_normalized_dedup" ->

@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class LangIdSpec extends SparkSpec {
+
+  test("demo sentences classify to their own language, all five") {
+    import spark.implicits._
+    val df = LangId.DemoTexts.toSeq.map { case (l, t) => (l, t) }.toDF("truth", "text")
+    val got = LangId.classify(df, "text", "truth")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    LangId.DemoTexts.keys.foreach { l =>
+      assert(got(l) == l, s"$l misclassified as ${got(l)}")
+    }
+  }
+
+  test("mixed and degenerate inputs: short texts emit nothing, no-hit texts drop") {
+    import spark.implicits._
+    val df = Seq((1L, "ab"), (2L, "zzzqqqxxx"), (3L, LangId.DemoTexts("en")))
+      .toDF("id", "text")
+    val got = LangId.classify(df, "text", "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!got.contains(1L) && !got.contains(2L))
+    assert(got(3L) == "en")
+  }
+
+  test("classification is case-insensitive and stable under repetition") {
+    import spark.implicits._
+    val loud = LangId.DemoTexts("de").toUpperCase
+    val df = Seq((1L, loud), (2L, (LangId.DemoTexts("fr") + " ") * 5)).toDF("id", "text")
+    val got = LangId.classify(df, "text", "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "de" && got(2L) == "fr")
+  }
+}
