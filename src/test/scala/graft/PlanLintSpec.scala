@@ -41,9 +41,12 @@ class PlanLintSpec extends SparkSpec {
   //   q174 — truncated-recall: TWO bruteForceKnn passes (full-dim and
   //         sliced), each the q40 broadcast-probe x corpus product that IS
   //         the exhaustive-baseline semantics
+  //   q179 — curriculum stages: broadcast 1-row corpus-count crossed into
+  //         the distinct-quality threshold table (the q97 scalar pattern)
   private val productAllowed = Set(
     "q142_bm25_search", "q159_sql_bm25",
     "q166_dsir_weights", "q171_dsir_resample", "q174_truncated_recall",
+    "q179_curriculum_shards",
     "q18_cross_join", "q23_scalar_subquery", "q40_knn_brute",
     "q43_dedup_embedding", "q44_tfidf", "q49_simjoin_dfcap",
     "q61_work_items", "q66_iteration_batches", "q67_knn_ivf", "q64_knn_lsh",
