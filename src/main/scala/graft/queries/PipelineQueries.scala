@@ -1465,6 +1465,28 @@ object PipelineQueries extends QuerySet {
         .orderBy("video_id", "frame_ord")
     }),
 
+    // The WRITE half of the WARC door (q145's tar-sink twin): documents
+    // become sharded `.warc.gz` archives — one stored-block gzip member
+    // per resource record, urls sorted within shard — then read back
+    // through the fully general member walk. The oracle re-derives every
+    // member offset and length from the record string arithmetic, so one
+    // framing byte wrong anywhere breaks every later row of that shard.
+    "q182_warc_shard_sink" -> ((s, dir) => {
+      val recs = t(s, dir, "documents").select(
+        (col("doc_id") % 3).cast("int").as("shard"),
+        concat(lit("https://ex.test/d/"), col("doc_id").cast("string")).as("url"),
+        lit("2026-01-01T00:00:00Z").as("dt"), col("text").cast("binary").as("p"))
+      val out = "/tmp/graft_q182_" + new java.io.File(dir).getName
+      val outDir = new java.io.File(out)
+      if (outDir.exists()) outDir.listFiles().foreach(_.delete())
+      graft.sources.Warc.writeShards(recs, "shard", "url", "dt", "p", out)
+      graft.sources.Warc.read(s, out)
+        .select(regexp_extract(col("file"), "(shard-\\d{5}\\.warc\\.gz)$", 1).as("file"),
+          col("ord"), col("offset"), col("rec_len"), col("target_uri"),
+          col("content_length"), md5(col("payload")).as("content_md5"))
+        .orderBy("target_uri")
+    }),
+
     // The recrawl delta — what a scheduler consults between crawl rounds:
     // full-outer join of two URL->content-hash snapshots classifies every
     // URL as new / gone / modified / unchanged. Old snapshot = docs < 450;
@@ -2465,6 +2487,34 @@ object PipelineQueries extends QuerySet {
         |  CAST((sample_no - 1) * (100 + video_id % 7 * 50) * 1000 // 600 AS BIGINT) AS pts_ms,
         |  simhash
         |FROM sig ORDER BY video_id, frame_ord""".stripMargin,
+    // the written shards replayed: record string arithmetic gives every
+    // member length (header + payload + terminator + 23-byte gzip member
+    // framing per stored block), cumulative sums give offsets, url order
+    // within shard gives ords
+    "q182_warc_shard_sink" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS shard,
+        |  'https://ex.test/d/' || doc_id AS url, text FROM documents),
+        |s AS (SELECT shard, url, text,
+        |  'WARC/1.0' || chr(13) || chr(10) ||
+        |  'WARC-Type: resource' || chr(13) || chr(10) ||
+        |  'WARC-Target-URI: ' || url || chr(13) || chr(10) ||
+        |  'WARC-Date: 2026-01-01T00:00:00Z' || chr(13) || chr(10) ||
+        |  'Content-Length: ' || strlen(text) || chr(13) || chr(10) || chr(13) || chr(10) AS hdr
+        |  FROM d),
+        |r AS (SELECT shard, url, text,
+        |  strlen(hdr) + strlen(text) + 4 AS rec_bytes,
+        |  strlen(hdr) + strlen(text) + 4 + 18 +
+        |    5 * CAST(CEIL((strlen(hdr) + strlen(text) + 4) / 65535.0) AS BIGINT) AS member_len
+        |  FROM s),
+        |o AS (SELECT shard, url, text, member_len,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY url) - 1 AS BIGINT) AS ord,
+        |  CAST(COALESCE(SUM(member_len) OVER (PARTITION BY shard ORDER BY url
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off_
+        |  FROM r)
+        |SELECT 'shard-' || lpad(CAST(shard AS VARCHAR), 5, '0') || '.warc.gz' AS file,
+        |  ord, off_ AS offset, CAST(member_len AS BIGINT) AS rec_len, url AS target_uri,
+        |  CAST(strlen(text) AS BIGINT) AS content_length, md5(text) AS content_md5
+        |FROM o ORDER BY target_uri""".stripMargin,
     // the same two snapshots full-outer joined in DuckDB
     "q180_recrawl_delta" ->
       """WITH o AS (SELECT 'u' || doc_id AS url, md5(text) AS old_hash

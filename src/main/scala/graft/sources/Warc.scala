@@ -299,6 +299,66 @@ object Warc {
         col("payload").cast("string").as("text"))
   }
 
+  /** The WRITE half of the WARC door — the archival-export sink beside
+    * [[TarShards.writeShards]]: rows (shard, url, date, payload) become
+    * `shard-NNNNN.warc.gz` files in the Common Crawl wire layout (one
+    * gzip member per `WARC-Type: resource` record, members concatenated),
+    * written per-task through tmp + atomic rename, records sorted by
+    * (shard, url) so a rerun reproduces byte-identical shards. Stored-
+    * block members keep every member length a pure function of the
+    * record, which is what lets the q182 oracle re-derive the read-back
+    * offsets arithmetically.
+    *
+    * Scale shape: one task per shard (the [[TarShards]] contract); the
+    * returned (shard, records, payloadBytes) manifest is shard-count-
+    * sized.
+    */
+  def writeShards(records: DataFrame, shardCol: String, urlCol: String,
+                  dateCol: String, payloadCol: String,
+                  dir: String): Seq[(Int, Long, Long)] = {
+    import org.apache.spark.sql.functions.col
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val rows = records.select(col(shardCol).cast("int").as("shard"),
+        col(urlCol).cast("string").as("u"), col(dateCol).cast("string").as("t"),
+        col(payloadCol).cast("binary").as("p"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "u")
+    rows.rdd.mapPartitions { it =>
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val acc = new scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+      var cur = Int.MinValue
+      var os: java.io.OutputStream = null
+      var tmp: java.nio.file.Path = null
+      var dst: java.nio.file.Path = null
+      var n = 0L; var payload = 0L
+      def close(): Unit = if (os != null) {
+        os.close()
+        Files.move(tmp, dst, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+        acc += ((cur, n, payload))
+        os = null
+      }
+      for (r <- it) {
+        val sh = r.getInt(0)
+        if (sh != cur || os == null) {
+          close()
+          cur = sh; n = 0L; payload = 0L
+          dst = Paths.get(dir, f"shard-$sh%05d.warc.gz")
+          tmp = Paths.get(dir, f".shard-$sh%05d.warc.gz.tmp")
+          os = new java.io.BufferedOutputStream(Files.newOutputStream(tmp))
+        }
+        val data = r.getAs[Array[Byte]](3)
+        os.write(renderGzip(Seq((Seq(
+          "WARC-Type" -> "resource",
+          "WARC-Target-URI" -> r.getString(1),
+          "WARC-Date" -> r.getString(2)), data))))
+        n += 1; payload += data.length
+      }
+      close()
+      acc.iterator
+    }.collect().toSeq.sortBy(_._1)
+  }
+
   /** Serialize records into WARC bytes — the writer twin used by tests and
     * fixture builders (payload framing exactly as parsed; headers emitted
     * in the given order, so byte offsets are deterministic).

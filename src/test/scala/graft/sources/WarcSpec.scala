@@ -217,6 +217,31 @@ class WarcSpec extends SparkSpec {
     assert(pruned.count() == 3)
   }
 
+  test("writeShards: sharded .warc.gz sink round-trips; rerun is byte-identical") {
+    import spark.implicits._
+    val recs = (0 until 20).map(i =>
+      ((i % 2), s"https://w.test/p/$i", "2026-01-01T00:00:00Z",
+        s"payload number $i".getBytes("UTF-8")))
+      .toDF("shard", "url", "dt", "p")
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_sink").toString
+    val manifest = Warc.writeShards(recs, "shard", "url", "dt", "p", dir)
+    assert(manifest.map(_._1) == Seq(0, 1))
+    assert(manifest.map(_._2).sum == 20L)
+    val back = Warc.read(spark, dir)
+    assert(back.count() == 20)
+    val got = back.select("target_uri", "warc_type", "payload").collect()
+      .map(r => (r.getString(0), r.getString(1), new String(r.getAs[Array[Byte]](2), "UTF-8")))
+    assert(got.forall(_._2 == "resource"))
+    assert(got.map(_._1).toSet == (0 until 20).map(i => s"https://w.test/p/$i").toSet)
+    // deterministic: a rerun writes byte-identical shards (atomic replace)
+    val before = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "shard-00000.warc.gz"))
+    Warc.writeShards(recs.repartition(7), "shard", "url", "dt", "p", dir)
+    val after = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "shard-00000.warc.gz"))
+    assert(before.sameElements(after))
+  }
+
   test("wetText: conversion records surface as text, warcinfo drops out") {
     val recs = Seq(
       (Seq("WARC-Type" -> "warcinfo",
