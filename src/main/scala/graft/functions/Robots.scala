@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -74,6 +74,34 @@ object Robots {
       .map(_._2.toSeq).getOrElse(Seq.empty)
   }
 
+  /** `Sitemap:` directives of a robots.txt (RFC 9309 §2.3 allows them
+    * anywhere — they are GROUP-INDEPENDENT, unlike Allow/Disallow, so
+    * they parse regardless of user-agent sections). This closes the
+    * discovery chain: robots.txt → sitemap URLs → [[Sitemap]] entries →
+    * frontier seeds (and feeds via [[Feed]]). Case-insensitive key,
+    * values trimmed, blank values and comment lines dropped; inline
+    * `#` comments strip per the robots convention.
+    */
+  def sitemaps(content: String): Seq[String] =
+    content.linesIterator.flatMap { raw =>
+      val line = raw.indexOf('#') match {
+        case -1 => raw
+        case h => raw.substring(0, h)
+      }
+      val c = line.indexOf(':')
+      if (c <= 0) None
+      else {
+        val key = line.substring(0, c).trim
+        val value = line.substring(c + 1).trim
+        if (key.equalsIgnoreCase("sitemap") && value.nonEmpty) Some(value)
+        else None
+      }
+    }.toSeq
+
+  def sitemapsData(content: UTF8String): ArrayData =
+    new GenericArrayData(sitemaps(content.toString)
+      .map(UTF8String.fromString).toArray[Any])
+
   def rulesData(content: UTF8String, agent: UTF8String): ArrayData =
     new GenericArrayData(rules(content.toString, agent.toString).map {
       case (allow, prefix) =>
@@ -112,4 +140,29 @@ case class GraftRobotsRules(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `graft_robots_sitemaps(content: string) -> array<string>` — the
+  * group-independent `Sitemap:` directives (see [[Robots.sitemaps]]):
+  * the discovery half of a robots.txt, feeding [[Sitemap]] fetches.
+  */
+case class GraftRobotsSitemaps(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_robots_sitemaps requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_robots_sitemaps"
+
+  override def nullSafeEval(content: Any): Any =
+    Robots.sitemapsData(content.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Robots.sitemapsData($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -1510,6 +1510,58 @@ object PipelineQueries extends QuerySet {
         .orderBy("url")
     }),
 
+    // robots.txt Sitemap: directives — the link that CLOSES the discovery
+    // chain (robots -> sitemap URLs -> q156 entries -> frontier seeds).
+    // RFC 9309 makes them group-independent: the fixture plants them
+    // inside and between agent groups, in three key spellings, with a
+    // commented-out ghost, an inline comment, and a blank value — only
+    // the real directives may surface.
+    "q183_robots_sitemaps" -> ((s, dir) => {
+      import s.implicits._
+      val bodies = (0L until 10L).map { h =>
+        val sm = (0 until (1 + h % 3).toInt).map(k =>
+          s"${Seq("Sitemap", "sitemap", "SITEMAP")(k % 3)}: https://h$h.test/sm/$k.xml" +
+            (if (k % 2 == 1) " # weekly" else ""))
+        val body = Seq(
+          s"# robots for host $h",
+          "User-agent: *",
+          "Disallow: /private",
+          sm.headOption.getOrElse(""),
+          "User-agent: graftbot",
+          "Allow: /",
+          "# Sitemap: https://ghost.test/never.xml",
+          "Sitemap:") ++ sm.drop(1)
+        (h, body.mkString("\n"))
+      }
+      bodies.toDF("host_id", "robots")
+        .select(col("host_id"),
+          posexplode(expr("graft_robots_sitemaps(robots)")).as(Seq("ord", "sitemap_url")))
+        .orderBy("host_id", "ord")
+    }),
+
+    // Unicode script mix — the multilingual-corpus triage signal (a page
+    // claiming lang=en that is 80% CJK is mislabeled; mixed-script tokens
+    // flag spam): per-sample character counts by script bucket, exact
+    // integers re-derived by the oracle from the same text formulas.
+    "q184_script_mix" -> ((s, dir) => {
+      import s.implicits._
+      val samples = (0L until 24L).map { i =>
+        (i, "ab" * (1 + i % 3).toInt + "12" + "аб" * (i % 2).toInt +
+          "中" * (i % 4).toInt + " end")
+      }
+      val cp = ascii(col("c"))
+      samples.toDF("sample_id", "text")
+        .select(col("sample_id"), explode(split(col("text"), "")).as("c"))
+        .where(col("c") =!= "")
+        .groupBy("sample_id").agg(
+          sum(when(cp.between(65, 90) || cp.between(97, 122), 1).otherwise(0)).as("n_latin"),
+          sum(when(cp.between(0x400, 0x4ff), 1).otherwise(0)).as("n_cyrillic"),
+          sum(when(cp.between(0x4e00, 0x9fff), 1).otherwise(0)).as("n_cjk"),
+          sum(when(cp.between(48, 57), 1).otherwise(0)).as("n_digit"),
+          sum(when(cp === 32, 1).otherwise(0)).as("n_space"))
+        .orderBy("sample_id")
+    }),
+
     // The feed DISCOVERY door beside q156's sitemap seeds: RSS 2.0 and
     // Atom entries, dialect auto-detected. The traps are the spec rules —
     // Atom links come from the href ATTRIBUTE with rel=self skipped in
@@ -2529,6 +2581,33 @@ object PipelineQueries extends QuerySet {
         |       ELSE 'modified' END AS status
         |FROM o FULL OUTER JOIN n ON o.url = n.url
         |ORDER BY url""".stripMargin,
+    // only the real directives: 1 + h%3 urls per host, positional spelling
+    // variations and comment/blank traps all invisible in the output
+    "q183_robots_sitemaps" ->
+      """WITH h AS (SELECT unnest(generate_series(0, 9)) AS host_id),
+        |k AS (SELECT host_id,
+        |  unnest(generate_series(0, CAST(host_id % 3 AS INT))) AS ord FROM h)
+        |SELECT host_id, CAST(ord AS INT) AS ord,
+        |  'https://h' || host_id || '.test/sm/' || ord || '.xml' AS sitemap_url
+        |FROM k ORDER BY host_id, ord""".stripMargin,
+    // per-script counts replayed with DuckDB's unicode() over the same
+    // generated texts
+    "q184_script_mix" ->
+      """WITH s AS (SELECT i AS sample_id,
+        |  repeat('ab', CAST(1 + i % 3 AS INT)) || '12' ||
+        |  repeat('аб', CAST(i % 2 AS INT)) ||
+        |  repeat('中', CAST(i % 4 AS INT)) || ' end' AS text
+        |  FROM (SELECT unnest(generate_series(0, 23)) AS i)),
+        |c AS (SELECT sample_id, unnest(list_transform(
+        |  generate_series(1, length(text)), j -> unicode(substr(text, j, 1)))) AS cp
+        |  FROM s)
+        |SELECT sample_id,
+        |  CAST(SUM(CASE WHEN (cp BETWEEN 65 AND 90) OR (cp BETWEEN 97 AND 122) THEN 1 ELSE 0 END) AS BIGINT) AS n_latin,
+        |  CAST(SUM(CASE WHEN cp BETWEEN 1024 AND 1279 THEN 1 ELSE 0 END) AS BIGINT) AS n_cyrillic,
+        |  CAST(SUM(CASE WHEN cp BETWEEN 19968 AND 40959 THEN 1 ELSE 0 END) AS BIGINT) AS n_cjk,
+        |  CAST(SUM(CASE WHEN cp BETWEEN 48 AND 57 THEN 1 ELSE 0 END) AS BIGINT) AS n_digit,
+        |  CAST(SUM(CASE WHEN cp = 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_space
+        |FROM c GROUP BY sample_id ORDER BY sample_id""".stripMargin,
     // feed entries from the same formulas: the traps (self links, ghost
     // comments, linkless entries) never surface; entities decode, CDATA
     // passes raw, Atom's published falls back to updated

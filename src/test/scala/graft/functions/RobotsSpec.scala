@@ -69,4 +69,23 @@ class RobotsSpec extends SparkSpec {
     assert(rows == Robots.rules(txt, "graftbot"))
     assert(rows == Seq((false, "/no/"), (true, "/no/yes/")))
   }
+
+  test("sitemaps: group-independent, case-insensitive, comments and blanks drop") {
+    val txt = Seq(
+      "User-agent: *",
+      "Disallow: /x",
+      "Sitemap: https://a.test/one.xml",
+      "User-agent: bot",
+      "SITEMAP: https://a.test/two.xml # inline note",
+      "# Sitemap: https://ghost.test/никогда.xml",
+      "sitemap:",
+      "sitemap : https://a.test/three.xml",
+      "NotSitemap: https://a.test/four.xml").mkString("\n")
+    assert(Robots.sitemaps(txt) == Seq(
+      "https://a.test/one.xml", "https://a.test/two.xml",
+      "https://a.test/three.xml"))
+    // rules parsing is unaffected by interleaved Sitemap lines
+    assert(Robots.rules(txt, "anyone") == Seq((false, "/x")))
+    assert(Robots.sitemaps("no directives here") == Seq.empty)
+  }
 }
