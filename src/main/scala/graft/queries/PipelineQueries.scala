@@ -1737,6 +1737,33 @@ object PipelineQueries extends QuerySet {
         .orderBy("clip_id")
     }),
 
+    // Cross-FORMAT image dedup — IngestRun's story at the pixel level:
+    // ten pixel families, each written once as BMP and once as TIFF
+    // (alternating endianness). Decode normalizes the container away, so
+    // each family's two images carry IDENTICAL aHash signatures and the
+    // hamming-0 banding join pairs exactly the (bmp, tiff) twins — a
+    // byte-level dedup sees twenty distinct files here.
+    "q185_cross_format_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      def cell(fam: Long, j: Int): Int = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"xf:$fam:$j".getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex.substring(0, 13), 16) % 256).toInt
+      }
+      def px(fam: Long) = Array.tabulate(20 * 12) { k =>
+        cell(fam, (k / 20 / 2) * 10 + (k % 20) / 2)
+      }
+      val bmps = (0L until 20L by 2).map(i => (i, Bmp.render(20, 12, px(i / 2),
+        topDown = i % 4 == 0)))
+      val tiffs = (1L until 20L by 2).map(i => (i, graft.operators.Tiff.render(
+        20, 12, px(i / 2), bigEndian = i % 4 == 1)))
+      val sig = Multimodal.aHashFromBmp(bmps.toDF("img_id", "b"), "b", "img_id")
+        .unionByName(Multimodal.aHashFromTiff(tiffs.toDF("img_id", "t"), "t", "img_id"))
+      Dedup.simHashPairs(sig, maxHamming = 0,
+          maxBucketSize = Int.MaxValue, nBits = 60)
+        .orderBy("a_id", "b_id")
+    }),
+
     // The TIFF member of the image-dedup family (q127/q130/q144/q161's
     // formula, real baseline-TIFF bytes): 40 images in near-dup families
     // of 10, written alternating little/big endian and single/multi-strip
@@ -2705,6 +2732,22 @@ object PipelineQueries extends QuerySet {
         |SELECT m.clip_id, m.sample_rate, m.channels, m.bits_per_sample,
         |  m.total_samples, m.audio_md5, CAST(r.rep_id AS BIGINT) AS rep_id
         |FROM m JOIN r USING (audio_md5) ORDER BY clip_id""".stripMargin,
+    // same family-grid arithmetic; the pairing is pure id arithmetic
+    // because signatures depend only on the family, never the container
+    "q185_cross_format_image_dedup" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 19)) AS img_id),
+        |g AS (SELECT img_id, list_transform(range(0, 60), j ->
+        |    ('0x' || substr(md5('xf:' || CAST(img_id // 2 AS VARCHAR) || ':'
+        |      || CAST(j AS VARCHAR)), 1, 13))::BIGINT % 256) AS gray
+        |  FROM ids),
+        |sig AS (SELECT img_id, CAST(list_sum(list_transform(range(0, 60), j ->
+        |    CASE WHEN gray[j + 1] * 60 > list_sum(gray) THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS h
+        |  FROM g)
+        |SELECT a.img_id AS a_id, b.img_id AS b_id,
+        |  bit_count(xor(a.h, b.h)) AS hamming
+        |FROM sig a JOIN sig b ON a.img_id < b.img_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 0
+        |ORDER BY a_id, b_id""".stripMargin,
     // the TIFF twin of q161's oracle: identical family-grid arithmetic —
     // the engine must recover it from real IFD/strip bytes
     "q169_tiff_ahash_dedup" ->
