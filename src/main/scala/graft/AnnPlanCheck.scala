@@ -108,7 +108,18 @@ object AnnPlanCheck {
           2 * nTok },
         "2*total_tokens: dup-span join-back is bounded by gram INSTANCES, never pairs"),
       ("q120_image_ahash_dedup", served("q120_image_ahash_dedup"),
-        30 * nDocs, "30*N: 7 pigeonhole chunks/doc + family-bounded pairs, never all-pairs"))
+        30 * nDocs, "30*N: 7 pigeonhole chunks/doc + family-bounded pairs, never all-pairs"),
+      // the two SERVED Jaccard audits now ride prefixJaccardPairs (r11
+      // directive): their largest join is the df-annotation pass, bounded
+      // by shingle INSTANCES — never the shared-shingle pair explosion
+      ("q153_split_leakage", served("q153_split_leakage"),
+        { val nTok = docsDf.selectExpr("sum(size(split(text, ' ')))").head.getLong(0)
+          2 * nTok },
+        "2*total_tokens: prefix-filtered candidates, df-join bounded by gram instances"),
+      ("q158_quality_representative", served("q158_quality_representative"),
+        { val nTok = docsDf.selectExpr("sum(size(split(text, ' ')))").head.getLong(0)
+          2 * nTok },
+        "2*total_tokens: prefix-filtered candidates, df-join bounded by gram instances"))
   }
 
   def main(args: Array[String]): Unit = {

@@ -38,9 +38,11 @@ object Feed {
     "(?s)^<!\\[CDATA\\[(.*?)\\]\\]>$")
 
   private def attr(tag: String, name: String): String = {
+    // XML allows either quote style (Extensible Markup Language 1.0 §2.3)
     val m = java.util.regex.Pattern.compile(
-      "\\b" + name + "\\s*=\\s*\"([^\"]*)\"").matcher(tag)
-    if (m.find()) Sitemap.decode(m.group(1)) else null
+      "\\b" + name + "\\s*=\\s*(\"([^\"]*)\"|'([^']*)')").matcher(tag)
+    if (m.find()) Sitemap.decode(if (m.group(2) != null) m.group(2) else m.group(3))
+    else null
   }
 
   private def tagValue(block: String, tag: String): String = {

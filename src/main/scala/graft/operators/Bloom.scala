@@ -56,19 +56,27 @@ object Bloom {
   def screen(filter: DataFrame, probes: DataFrame, keyCol: String,
              shards: Int = 16, bitsPerShard: Long = 1L << 16,
              k: Int = 4): DataFrame = {
+    // reserved working/output names: a probe frame carrying any of these
+    // would produce ambiguous columns in the final join-back — fail loudly
+    // rather than emit a silently-wrong frame
+    for (c <- Seq("__bloom_k", "maybe_seen"))
+      require(!probes.columns.contains(c),
+        s"Bloom.screen: probes already has a '$c' column — rename it first")
     val key = col(keyCol)
     val shard = pmod(h(-1, key), lit(shards)).cast("int").as("shard")
     val positions = array((0 until k).map(j => pmod(h(j, key), lit(bitsPerShard))): _*)
-    val exploded = probes.select(key.as("_k"), shard, explode(positions).as("pos"))
-      .select(col("_k"), col("shard"),
+    val exploded = probes.select(key.as("__bloom_k"), shard, explode(positions).as("pos"))
+      .select(col("__bloom_k"), col("shard"),
         (col("pos") / 32).cast("long").as("word_idx"),
         expr("shiftleft(1L, CAST(pos % 32 AS INT))").as("mask"))
     val hit = exploded.join(filter, Seq("shard", "word_idx"), "left")
-      .groupBy("_k")
+      .groupBy("__bloom_k")
       .agg(min(when(col("bits").isNotNull &&
         (col("bits").bitwiseAND(col("mask")) === col("mask")), 1)
-        .otherwise(0)).as("_all_set"))
-    probes.join(hit.select(col("_k").as(keyCol), (col("_all_set") === 1).as("maybe_seen")),
+        .otherwise(0)).as("__bloom_all_set"))
+    probes.join(
+      hit.select(col("__bloom_k").as(keyCol),
+        (col("__bloom_all_set") === 1).as("maybe_seen")),
       Seq(keyCol), "left")
       .withColumn("maybe_seen", coalesce(col("maybe_seen"), lit(false)))
   }

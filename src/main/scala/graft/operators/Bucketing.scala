@@ -121,7 +121,9 @@ object Bucketing {
     * layout work exists to shrink. Executes the frame.
     */
   def scannedRows(df: DataFrame): Long = {
-    df.collect()
+    // execute the SAME physical plan (so its scan metrics populate)
+    // without materializing results on the driver
+    df.queryExecution.toRdd.count()
     import org.apache.spark.sql.execution._
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {

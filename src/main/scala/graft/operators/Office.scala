@@ -54,10 +54,11 @@ object Office {
     } catch { case _: ArrayIndexOutOfBoundsException => None }
 
   private def attr(tag: String, name: String): Option[String] = {
+    // XML allows either quote style (Extensible Markup Language 1.0 §2.3)
     val p = java.util.regex.Pattern.compile(
-      "\\b" + name + "\\s*=\\s*\"([^\"]*)\"")
+      "\\b" + name + "\\s*=\\s*(\"([^\"]*)\"|'([^']*)')")
     val m = p.matcher(tag)
-    if (m.find()) Some(m.group(1)) else None
+    if (m.find()) Some(if (m.group(2) != null) m.group(2) else m.group(3)) else None
   }
 
   private def tags(xml: String, tagName: String): Iterator[String] = {

@@ -70,8 +70,11 @@ object MlPrepQueries extends QuerySet {
     // toward the smaller id. Reports dup clusters with their kept member.
     "q158_quality_representative" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val pairs = Dedup.exactJaccardPairs(d, "text", "doc_id", n = 3,
-        threshold = 0.5)
+      // prefixJaccardPairs: exact at threshold (q84≡q35), but candidates are
+      // prefix-filtered — no unguarded shared-shingle self-join in a SERVED
+      // audit (a hot 3-gram would make `a.sh === b.sh` quadratic in its df).
+      val pairs = Dedup.prefixJaccardPairs(d, "text", "doc_id",
+        threshold = 0.5, shingleN = 3)
       val comps = Graph.connectedComponents(pairs, "a_id", "b_id")
       val toks = split(col("text"), " ")
       val div = size(array_distinct(toks)).cast("double") / size(toks)
@@ -100,7 +103,9 @@ object MlPrepQueries extends QuerySet {
       val split_ = when(c.between("0", "9") || c.isin("a", "b"), "train")
         .when(c.isin("c", "d"), "val").otherwise("test")
       val splits = d.select(col("doc_id"), split_.as("split"))
-      Dedup.exactJaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.5)
+      // prefix-filtered exact pairs (see q158): same answer at threshold,
+      // scale-safe candidate stage.
+      Dedup.prefixJaccardPairs(d, "text", "doc_id", threshold = 0.5, shingleN = 3)
         .join(splits.select(col("doc_id").as("a_id"), col("split").as("a_split")), "a_id")
         .join(splits.select(col("doc_id").as("b_id"), col("split").as("b_split")), "b_id")
         .where(col("a_split") =!= col("b_split"))

@@ -304,7 +304,8 @@ object Warc {
     * `shard-NNNNN.warc.gz` files in the Common Crawl wire layout (one
     * gzip member per `WARC-Type: resource` record, members concatenated),
     * written per-task through tmp + atomic rename, records sorted by
-    * (shard, url) so a rerun reproduces byte-identical shards. Stored-
+    * (shard, url, date, payload-md5) so a rerun reproduces byte-identical
+    * shards even with duplicate URLs. Stored-
     * block members keep every member length a pure function of the
     * record, which is what lets the q182 oracle re-derive the read-back
     * offsets arithmetically.
@@ -322,7 +323,11 @@ object Warc {
         col(urlCol).cast("string").as("u"), col(dateCol).cast("string").as("t"),
         col(payloadCol).cast("binary").as("p"))
       .repartition(col("shard"))
-      .sortWithinPartitions("shard", "u")
+      // date + payload-md5 tiebreaks: duplicate URLs within a shard would
+      // otherwise leave record order (and shard bytes) nondeterministic,
+      // voiding the byte-identical-rerun guarantee q182 relies on
+      .withColumn("_tb", org.apache.spark.sql.functions.md5(col("p")))
+      .sortWithinPartitions("shard", "u", "t", "_tb")
     rows.rdd.mapPartitions { it =>
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val acc = new scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()

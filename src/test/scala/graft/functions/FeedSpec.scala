@@ -34,6 +34,15 @@ class FeedSpec extends SparkSpec {
     assert(got(1) == ("second", "https://b.test/page2", "", "2026-03-03", true))
   }
 
+  test("single-quoted attributes parse (XML allows either quote style)") {
+    val xml = """<feed><entry><title>sq</title>
+      |  <link rel='self' href='https://api.test/self'/>
+      |  <link href='https://b.test/sq1'/>
+      |  <updated>2026-04-04</updated></entry></feed>""".stripMargin
+    val got = Feed.entries(xml)
+    assert(got == Seq(("sq", "https://b.test/sq1", "", "2026-04-04", true)))
+  }
+
   test("comments strip; mixed dialects in one document; garbage is empty") {
     val xml = """<x><!-- <item><link>https://ghost.test</link></item> -->
       |<item><link>https://real.test/r</link></item>

@@ -43,4 +43,17 @@ class BloomSpec extends SparkSpec {
     intercept[IllegalArgumentException](Bloom.build(df, "url", bitsPerShard = 63))
     intercept[IllegalArgumentException](Bloom.build(df, "url", k = 0))
   }
+
+  test("screen rejects probe frames carrying reserved column names") {
+    import spark.implicits._
+    val filter = Bloom.build(Seq("a").toDF("url"), "url")
+    val clash1 = Seq(("a", true)).toDF("url", "maybe_seen")
+    intercept[IllegalArgumentException](Bloom.screen(filter, clash1, "url"))
+    val clash2 = Seq(("a", 1)).toDF("url", "__bloom_k")
+    intercept[IllegalArgumentException](Bloom.screen(filter, clash2, "url"))
+    // extra NON-reserved probe columns survive the screen untouched
+    val ok = Bloom.screen(filter, Seq(("a", 7), ("z", 9)).toDF("url", "extra"), "url")
+    assert(ok.columns.toSeq == Seq("url", "extra", "maybe_seen"))
+    assert(ok.where(col("url") === "a").head.getBoolean(2))
+  }
 }

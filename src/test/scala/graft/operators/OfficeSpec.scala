@@ -50,6 +50,20 @@ class OfficeSpec extends SparkSpec {
     assert(Office.epubChapters(zip("only.txt" -> "text")).isEmpty)
   }
 
+  test("epub with single-quoted XML attributes parses (container + OPF)") {
+    def ch(c: Int) = s"<html><body><p>sq chapter $c</p></body></html>"
+    val epub = zip(
+      "mimetype" -> "application/epub+zip",
+      "META-INF/container.xml" ->
+        """<container><rootfiles><rootfile full-path='OEBPS/book.opf' media-type='application/oebps-package+xml'/></rootfiles></container>""",
+      "OEBPS/book.opf" ->
+        """<package><manifest><item href='c0.xhtml' id='a'/><item id='b' href='c1.xhtml'/></manifest><spine><itemref idref='b'/><itemref idref='a'/></spine></package>""",
+      "OEBPS/c0.xhtml" -> ch(0),
+      "OEBPS/c1.xhtml" -> ch(1))
+    val got = Office.epubChapters(epub).get
+    assert(got.map(_._3) == Seq("sq chapter 1", "sq chapter 0"))
+  }
+
   test("a docx written by java.util.zip (real deflate) reads identically") {
     val out = new java.io.ByteArrayOutputStream()
     val zos = new java.util.zip.ZipOutputStream(out)

@@ -53,6 +53,34 @@ class PdfSpec extends SparkSpec {
     assert(got == Seq("real deflate content\nline two"))
   }
 
+  test("flate: missing zlib trailer tolerated, truncated deflate rejected") {
+    def assemble(data: Array[Byte]): Array[Byte] = {
+      val body = "%PDF-1.4\n" +
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n" +
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+        s"4 0 obj\n<< /Filter /FlateDecode /Length ${data.length} >>\nstream\n"
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(body.getBytes("ISO-8859-1"))
+      out.write(data)
+      out.write("\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1"))
+      out.toByteArray
+    }
+    val raw = bt("(trailer test content) Tj").getBytes("ISO-8859-1")
+    val d = new java.util.zip.Deflater(9, false)
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length * 2 + 64)
+    val n = d.deflate(buf); d.end()
+    val full = java.util.Arrays.copyOf(buf, n)
+    // writer omitted the 4-byte Adler32 trailer: still decodes (the
+    // deflate body is complete)
+    val noTrailer = java.util.Arrays.copyOf(full, n - 4)
+    assert(Pdf.extractText(assemble(noTrailer)).get == Seq("trailer test content"))
+    // stream truncated mid-deflate-block: malformed→None, NOT partial text
+    val cut = java.util.Arrays.copyOf(full, n / 2)
+    assert(Pdf.extractText(assemble(cut)).isEmpty)
+  }
+
   test("indirect /Length and nested page-tree nodes") {
     val content = bt("(nested tree page) Tj")
     val data = content.getBytes("ISO-8859-1")
