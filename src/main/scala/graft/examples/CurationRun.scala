@@ -25,20 +25,26 @@ import graft.operators.{Dedup, Graph, LanguageModel, Sampling, Segmentation}
 object CurationRun {
 
   /** Stage 0, the crawl front door: WARC response records (plain or gzip
-    * members — the source sniffs) → `graft_extract_text` → corpus rows
-    * `(doc_id, text, n_chars, source="web")`. Pages whose extraction comes
-    * back empty (pure boilerplate) drop here — there is nothing to curate.
-    * `doc_id` is `xxhash64(target_uri)`: stable across recrawls, disjoint
-    * from the harness tables' small serials. Everything downstream —
-    * exact dedup catching republished articles whose raw bytes all
-    * differ, near-dup, decontamination — operates on the EXTRACTED text,
-    * which is the whole point of extracting first.
+    * members — the source sniffs) → the HTTP message layer
+    * ([[graft.sources.Warc.httpResponses]]: status/header split, chunked
+    * transfer decoding, gzip/deflate content decoding, charset from
+    * Content-Type) → `graft_extract_text` → corpus rows
+    * `(doc_id, text, n_chars, source="web")`. Only `200 OK` pages enter
+    * the corpus (redirect stubs and error pages are not training text);
+    * records whose HTTP framing is malformed emit nothing upstream, and
+    * pages whose extraction comes back empty (pure boilerplate) drop
+    * here — there is nothing to curate. `doc_id` is
+    * `xxhash64(target_uri)`: stable across recrawls, disjoint from the
+    * harness tables' small serials. Everything downstream — exact dedup
+    * catching republished articles whose raw bytes all differ, near-dup,
+    * decontamination — operates on the EXTRACTED text, which is the
+    * whole point of extracting first.
     */
   def webIngest(spark: SparkSession, warcDir: String): DataFrame =
-    graft.sources.Warc.read(spark, warcDir)
-      .where(col("warc_type") === "response")
+    graft.sources.Warc.httpResponses(graft.sources.Warc.read(spark, warcDir))
+      .where(col("status") === 200)
       .select(xxhash64(col("target_uri")).as("doc_id"),
-        expr("graft_extract_text(cast(payload as string))").as("text"))
+        expr("graft_extract_text(text)").as("text"))
       .where(length(col("text")) > 0)
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("source", lit("web"))
@@ -177,7 +183,7 @@ object CurationRun {
     val warcDir = if (args.length > 2) args(2) else {
       val d = java.nio.file.Files.createTempDirectory("curation_warc")
       java.nio.file.Files.write(d.resolve("crawl-000.warc.gz"),
-        graft.sources.Warc.renderGzip(graft.queries.PipelineQueries.htmlWarcRecordsDup))
+        graft.sources.Warc.renderGzip(graft.queries.PipelineQueries.httpWarcRecordsDup))
       d.toString
     }
     val web = webIngest(spark, warcDir)

@@ -45,6 +45,49 @@ object PipelineQueries extends QuerySet {
         "x" * L getBytes "US-ASCII")
     }
 
+  /** The HTTP-layer fixture (q186): 24 `response` records whose payloads
+    * are HTTP/1.1 messages as captured from the wire — the format real
+    * Common Crawl `.warc.gz` files actually ship. Bodies rotate through
+    * the four wire framings (identity+Content-Length, gzip content
+    * coding, chunked transfer coding, deflate content coding), all
+    * rendered with stored-block compressors and fixed-size chunks so
+    * EVERY byte length — compressed body, HTTP message, WARC record,
+    * gzip member — is a pure function of the text length, which the
+    * DuckDB oracle re-derives arithmetically (the q126 pattern, one
+    * layer deeper).
+    */
+  private def httpOracleRecords: Seq[(Seq[(String, String)], Array[Byte])] =
+    (0 until 24).map { i =>
+      val k = 5 + (i * 3) % 11
+      val text = s"resp $i body: " +
+        (0 until k).map(j => "w" + ((i + j) % 7)).mkString(" ")
+      val body = text.getBytes("US-ASCII")
+      val status = if (i % 8 == 7) 404 else 200
+      val reason = if (status == 404) "Not Found" else "OK"
+      val ct = if (i % 2 == 0) "text/html; charset=utf-8"
+               else "text/plain; charset=iso-8859-1"
+      val (extra, payload) = i % 4 match {
+        case 0 => (Seq("Content-Length" -> body.length.toString), body)
+        case 1 =>
+          val gz = graft.sources.Warc.gzipStored(body)
+          (Seq("Content-Encoding" -> "gzip",
+            "Content-Length" -> gz.length.toString), gz)
+        case 2 => (Seq("Transfer-Encoding" -> "chunked"),
+          graft.sources.Warc.renderChunked(body, 16))
+        case _ =>
+          val zl = graft.operators.Pdf.zlibStored(body)
+          (Seq("Content-Encoding" -> "deflate",
+            "Content-Length" -> zl.length.toString), zl)
+      }
+      val msg = graft.sources.Warc.renderHttp(status, reason,
+        ("Content-Type" -> ct) +: extra, payload)
+      (Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:uuid:http-$i>",
+        "WARC-Target-URI" -> s"http://example.com/http/$i",
+        "WARC-Date" -> "2026-01-01T00:00:00Z"), msg)
+    }
+
   /** The WET fixture (q163): the Common Crawl extracted-text sibling — a
     * leading `warcinfo` metadata record (the door must SKIP it) followed by
     * 20 `conversion` records whose payloads are deterministic plain text
@@ -175,6 +218,34 @@ object PipelineQueries extends QuerySet {
     (0 until 30).map { i =>
       val body = if (i < 20) i else i - 20
       (warcHeaders(i), htmlPage(i, body).getBytes("UTF-8"))
+    }
+
+  /** [[htmlWarcRecordsDup]] wrapped in the HTTP message layer — the WIRE
+    * form a real crawl ships (status line + headers + coded body), with
+    * the framing rotating across identity / gzip / chunked / deflate so
+    * the CurationRun demo exercises every decode path of
+    * [[graft.sources.Warc.httpResponses]].
+    */
+  def httpWarcRecordsDup: Seq[(Seq[(String, String)], Array[Byte])] =
+    htmlWarcRecordsDup.zipWithIndex.map { case ((hdrs, html), i) =>
+      // republications (i >= 20) get a DIFFERENT wire framing than their
+      // originals ((i+1)%4 vs i%4): the text-level dedup downstream must
+      // collide them even though the captured bytes differ at every layer
+      val (extra, payload) = (i + i / 20) % 4 match {
+        case 0 => (Seq("Content-Length" -> html.length.toString), html)
+        case 1 =>
+          val gz = graft.sources.Warc.gzipStored(html)
+          (Seq("Content-Encoding" -> "gzip",
+            "Content-Length" -> gz.length.toString), gz)
+        case 2 => (Seq("Transfer-Encoding" -> "chunked"),
+          graft.sources.Warc.renderChunked(html, 256))
+        case _ =>
+          val zl = graft.operators.Pdf.zlibStored(html)
+          (Seq("Content-Encoding" -> "deflate",
+            "Content-Length" -> zl.length.toString), zl)
+      }
+      (hdrs, graft.sources.Warc.renderHttp(200, "OK",
+        ("Content-Type" -> "text/html; charset=utf-8") +: extra, payload))
     }
 
   /** Brute-force cross-corpus (existing x incoming) 3-shingle Jaccard >=
@@ -782,6 +853,24 @@ object PipelineQueries extends QuerySet {
     // decode as text, and the member range-read index (offset/rec_len)
     // survives into the text corpus. The oracle rebuilds every page's text
     // AND every member offset with pure string arithmetic.
+    // The HTTP message layer inside WARC response records — what real
+    // Common Crawl ships: status line + headers split from the body,
+    // chunked transfer coding removed, gzip/deflate content codings
+    // inflated, charset picked from Content-Type. Every framing length
+    // (chunk lines, stored-block gzip/zlib, HTTP header block, WARC
+    // record, gzip member) is a pure function of the text length, so the
+    // oracle re-derives member offsets AND decoded texts arithmetically.
+    "q186_http_ingest" -> ((s, dir) => {
+      val f = fixture("http_oracle.warc.gz") {
+        graft.sources.Warc.renderGzip(httpOracleRecords)
+      }
+      graft.sources.Warc.httpResponses(graft.sources.Warc.read(s, f))
+        .select(col("ord"), col("offset"), col("rec_len"), col("target_uri"),
+          col("status"), col("http_content_type"), col("charset"),
+          col("body_len"), col("text"))
+        .orderBy("ord")
+    }),
+
     "q163_wet_ingest" -> ((s, dir) => {
       val f = fixture("wet_oracle.warc.wet.gz") {
         graft.sources.Warc.renderGzip(oracleWetRecords)
@@ -3166,6 +3255,57 @@ object PipelineQueries extends QuerySet {
     // the rendered-record string lengths (stored-block member = record
     // + 23); the warcinfo member contributes only its length to ord 1's
     // offset — the door's filter must have dropped its row
+    // every wire length re-derived: hlen = status line + Content-Type
+    // line + per-mode framing lines/body (identity L; stored-gzip L+23;
+    // chunked 22/full-chunk + tail + 5; stored-zlib L+11); reclen = WARC
+    // framing around hlen; member = reclen + 23
+    "q186_http_ingest" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 23)) AS i),
+        |t AS (SELECT i, 5 + (i * 3) % 11 AS k FROM r),
+        |b AS (SELECT i,
+        |  'resp ' || i || ' body: ' ||
+        |  array_to_string(list_transform(range(0, k), j -> 'w' || ((i + j) % 7)), ' ')
+        |  AS text FROM t),
+        |m AS (SELECT i, text, length(text) AS L, i % 4 AS mode,
+        |  CASE WHEN i % 8 = 7 THEN 404 ELSE 200 END AS status,
+        |  CASE WHEN i % 2 = 0 THEN 'text/html; charset=utf-8'
+        |       ELSE 'text/plain; charset=iso-8859-1' END AS ct
+        |  FROM b),
+        |p AS (SELECT *,
+        |  CASE WHEN status = 404 THEN length('HTTP/1.1 404 Not Found') + 2
+        |       ELSE length('HTTP/1.1 200 OK') + 2 END
+        |  + length('Content-Type: ' || ct) + 2
+        |  + CASE mode
+        |      WHEN 0 THEN length('Content-Length: ' || L) + 2 + 2 + L
+        |      WHEN 1 THEN length('Content-Encoding: gzip') + 2
+        |        + length('Content-Length: ' || (L + 23)) + 2 + 2 + (L + 23)
+        |      WHEN 2 THEN length('Transfer-Encoding: chunked') + 2 + 2
+        |        + (L // 16) * 22
+        |        + CASE WHEN L % 16 > 0 THEN 1 + 2 + (L % 16) + 2 ELSE 0 END + 5
+        |      ELSE length('Content-Encoding: deflate') + 2
+        |        + length('Content-Length: ' || (L + 11)) + 2 + 2 + (L + 11)
+        |    END AS hlen
+        |  FROM m),
+        |rec AS (SELECT *,
+        |  length('WARC/1.0') + 2
+        |  + length('WARC-Type: response') + 2
+        |  + length('WARC-Record-ID: <urn:uuid:http-' || i || '>') + 2
+        |  + length('WARC-Target-URI: http://example.com/http/' || i) + 2
+        |  + length('WARC-Date: 2026-01-01T00:00:00Z') + 2
+        |  + length('Content-Length: ' || hlen) + 2 + 2 + hlen + 4 AS reclen
+        |  FROM p)
+        |SELECT CAST(i AS BIGINT) AS ord,
+        |  CAST(COALESCE(SUM(reclen + 23) OVER (ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+        |  CAST(reclen + 23 AS BIGINT) AS rec_len,
+        |  'http://example.com/http/' || i AS target_uri,
+        |  status,
+        |  ct AS http_content_type,
+        |  CASE WHEN i % 2 = 0 THEN 'UTF-8' ELSE 'ISO-8859-1' END AS charset,
+        |  CAST(L AS BIGINT) AS body_len,
+        |  text
+        |FROM rec ORDER BY ord""".stripMargin,
+
     "q163_wet_ingest" ->
       """WITH r AS (SELECT unnest(generate_series(0, 19)) AS i),
         |t AS (SELECT i, 3 + (i * 5) % 9 AS k FROM r),

@@ -299,6 +299,341 @@ object Warc {
         col("payload").cast("string").as("text"))
   }
 
+  // ---- the HTTP message layer inside `response` records ----------------
+  //
+  // Real Common Crawl WARCs are `WARC-Type: response` records whose
+  // payload IS an HTTP/1.x message as captured from the wire (RFC 9112
+  // framing): status line, header block, then a body that may be
+  // chunked-transfer-coded and/or content-coded (gzip/deflate) and whose
+  // charset lives in the Content-Type header. A door that casts the
+  // payload straight to string reads resource-style fixtures but garbles
+  // the first real crawl file. This layer is the decode: framing split,
+  // de-chunking, content-decoding, charset selection — same
+  // malformed→None contract as every other decoder in the repo.
+
+  /** One decoded HTTP response message. `headers` preserve wire order;
+    * lookups below are case-insensitive per RFC 9110 §5.1. `text` is the
+    * body decoded with the Content-Type charset (UTF-8 when absent or
+    * unsupported, malformed sequences replaced).
+    */
+  case class HttpResponse(status: Int, headers: Seq[(String, String)],
+                          contentType: String, charset: String,
+                          body: Array[Byte], text: String)
+
+  /** Total decoded-body cap — same bomb guard as [[MaxMemberBytes]]: a
+    * crafted tiny record must not inflate past 1 GiB in a task.
+    */
+  private val MaxBodyBytes: Long = 1L << 30
+
+  /** End of the line starting at `from`: (content end, next line start).
+    * Accepts CRLF and — because captured traffic contains servers that
+    * send them — bare LF line terminators. (-1, -1) when no terminator
+    * exists before end-of-input.
+    */
+  private def httpLineEnd(b: Array[Byte], from: Int): (Int, Int) = {
+    var i = from
+    while (i < b.length) {
+      if (b(i) == '\n') {
+        val e = if (i > from && b(i - 1) == '\r') i - 1 else i
+        return (e, i + 1)
+      }
+      i += 1
+    }
+    (-1, -1)
+  }
+
+  /** Decode one captured HTTP/1.x response message. None when the payload
+    * is not an HTTP message or its framing lies: no `HTTP/` magic, an
+    * unterminated header block, a chunk size that is not hex or runs past
+    * the captured bytes, a Content-Length larger than the bytes actually
+    * captured, an unknown Transfer-Encoding or Content-Encoding, or a
+    * body that inflates past the 1 GiB cap. Never throws.
+    *
+    * Order of operations per RFC 9112 §6: transfer coding (chunked) is
+    * removed first, then the content coding (gzip/deflate), then the
+    * charset decode.
+    */
+  def httpDecode(payload: Array[Byte]): Option[HttpResponse] = {
+    if (payload == null || payload.length < 12) return None
+    val magic = "HTTP/".getBytes("US-ASCII")
+    if (!magic.indices.forall(k => payload(k) == magic(k))) return None
+    val (sEnd, afterStatus) = httpLineEnd(payload, 0)
+    if (sEnd < 0) return None
+    val statusLine = new String(payload, 0, sEnd, "US-ASCII")
+    // "HTTP/1.1 200 OK" — version SP 3-digit-code [SP reason]
+    val parts = statusLine.split(" ", 3)
+    if (parts.length < 2 || !parts(1).matches("[0-9]{3}")) return None
+    val status = parts(1).toInt
+    // header block until the empty line
+    val headers = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var p = afterStatus
+    var bodyStart = -1
+    while (bodyStart < 0) {
+      val (e, next) = httpLineEnd(payload, p)
+      if (e < 0) return None // unterminated header block
+      if (e == p) bodyStart = next // empty line
+      else {
+        val line = new String(payload, p, e - p, "ISO-8859-1")
+        val c = line.indexOf(':')
+        if (c > 0) headers += ((line.substring(0, c).trim, line.substring(c + 1).trim))
+        // header lines without ':' (e.g. obs-fold continuations) are
+        // skipped — framing headers never fold in practice
+        p = next
+      }
+    }
+    def header(name: String): Option[String] =
+      headers.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+    val raw = java.util.Arrays.copyOfRange(payload, bodyStart, payload.length)
+    // 1. transfer coding
+    val transferred: Array[Byte] = header("Transfer-Encoding") match {
+      case Some(te) if te.trim.equalsIgnoreCase("chunked") =>
+        dechunk(raw) match { case Some(d) => d; case None => return None }
+      case Some(_) => return None // gzip/compress transfer codings: out of contract
+      case None => header("Content-Length") match {
+        case Some(cl) =>
+          val n = try cl.trim.toLong catch { case _: NumberFormatException => return None }
+          // a Content-Length past the captured bytes is a lie (truncated
+          // capture) — reject rather than silently emit a short body
+          if (n < 0 || n > raw.length) return None
+          java.util.Arrays.copyOfRange(raw, 0, n.toInt)
+        case None => raw
+      }
+    }
+    // 2. content coding
+    val body: Array[Byte] = header("Content-Encoding").map(_.trim.toLowerCase) match {
+      case None | Some("") | Some("identity") => transferred
+      case Some("gzip") | Some("x-gzip") =>
+        gunzipBody(transferred) match { case Some(d) => d; case None => return None }
+      case Some("deflate") =>
+        inflateBody(transferred) match { case Some(d) => d; case None => return None }
+      case Some(_) => return None // br/zstd/stacked codings: out of contract
+    }
+    // 3. charset from Content-Type (RFC 9110 §8.3); UTF-8 fallback
+    val contentType = header("Content-Type").getOrElse("")
+    val csName = {
+      val m = java.util.regex.Pattern
+        .compile("(?i)charset\\s*=\\s*\"?([A-Za-z0-9._:\\-]+)\"?").matcher(contentType)
+      if (m.find()) m.group(1) else "UTF-8"
+    }
+    val cs = try java.nio.charset.Charset.forName(csName)
+             catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
+    // CharsetDecoder default REPLACE-on-malformed via new String(bytes, cs)
+    Some(HttpResponse(status, headers.toSeq, contentType, cs.name(),
+      body, new String(body, cs)))
+  }
+
+  /** Remove the chunked transfer coding (RFC 9112 §7.1): hex size line
+    * (chunk extensions after ';' ignored), data, CRLF, repeating until the
+    * 0-size chunk; trailer fields after it are ignored. None on a non-hex
+    * size, a chunk running past the captured bytes, a missing terminator,
+    * or total size past the cap.
+    */
+  private[sources] def dechunk(b: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length, 1 << 20))
+    var p = 0
+    while (true) {
+      val (e, next) = httpLineEnd(b, p)
+      if (e < 0) return None
+      val sizeTok = {
+        val line = new String(b, p, e - p, "US-ASCII")
+        val semi = line.indexOf(';')
+        (if (semi >= 0) line.substring(0, semi) else line).trim
+      }
+      if (sizeTok.isEmpty || !sizeTok.forall(c => Character.digit(c, 16) >= 0) ||
+          sizeTok.length > 15) return None
+      val size = java.lang.Long.parseLong(sizeTok, 16)
+      if (size == 0) return Some(out.toByteArray) // trailers ignored
+      if (size > b.length - next - 2) return None // past captured bytes
+      if (out.size.toLong + size > MaxBodyBytes) return None
+      out.write(b, next, size.toInt)
+      val dEnd = next + size.toInt
+      // chunk data must be followed by its own CRLF (or bare LF)
+      val after =
+        if (b(dEnd) == '\r' && dEnd + 1 < b.length && b(dEnd + 1) == '\n') dEnd + 2
+        else if (b(dEnd) == '\n') dEnd + 1
+        else return None
+      p = after
+    }
+    None // unreachable
+  }
+
+  /** Inflate a single-member RFC 1952 gzip body: header walk, raw deflate,
+    * CRC32 + ISIZE verified, exactly one member spanning the whole input.
+    */
+  private[sources] def gunzipBody(b: Array[Byte]): Option[Array[Byte]] = {
+    if (b.length < 18 || b(0) != 0x1f.toByte || b(1) != 0x8b.toByte || b(2) != 8)
+      return None
+    val flg = b(3) & 0xff
+    var p = 10
+    if ((flg & 4) != 0) {
+      if (p + 2 > b.length) return None
+      p += 2 + ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8))
+      if (p > b.length) return None
+    }
+    for (bit <- Seq(8, 16)) if ((flg & bit) != 0) {
+      while (p < b.length && b(p) != 0) p += 1
+      if (p >= b.length) return None
+      p += 1
+    }
+    if ((flg & 2) != 0) { p += 2; if (p > b.length) return None }
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(b, p, b.length - p)
+      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
+      val buf = new Array[Byte](64 * 1024)
+      while (!inf.finished) {
+        val n = try inf.inflate(buf) catch {
+          case _: java.util.zip.DataFormatException => return None
+        }
+        if (n > 0) {
+          if (out.size.toLong + n > MaxBodyBytes) return None
+          out.write(buf, 0, n)
+        } else if (!inf.finished) return None // truncated
+      }
+      val dec = out.toByteArray
+      val trailer = p + inf.getBytesRead.toInt
+      if (trailer + 8 != b.length) return None // not one whole member
+      def le4(o: Int): Long =
+        (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      val crc = new java.util.zip.CRC32(); crc.update(dec)
+      if (le4(trailer) != crc.getValue) return None
+      if (le4(trailer + 4) != (dec.length.toLong & 0xffffffffL)) return None
+      Some(dec)
+    } finally inf.end()
+  }
+
+  /** Inflate a `deflate` content coding. RFC 9110 says zlib (RFC 1950),
+    * but the wild famously ships raw deflate under the same name — detect
+    * the zlib header by hand and decode the body with a RAW inflater
+    * either way, so a missing Adler trailer is tolerated while a stream
+    * truncated mid-block is rejected (the Pdf.flate line).
+    */
+  private[sources] def inflateBody(b: Array[Byte]): Option[Array[Byte]] = {
+    if (b.length < 2) return None
+    val h = ((b(0) & 0xff) << 8) | (b(1) & 0xff)
+    val zlibHeader = (b(0) & 0x0f) == 8 && h % 31 == 0
+    if (zlibHeader && (b(1) & 0x20) != 0) return None // FDICT out of contract
+    val off = if (zlibHeader) 2 else 0
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(b, off, b.length - off)
+      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
+      val buf = new Array[Byte](64 * 1024)
+      while (!inf.finished) {
+        val n = try inf.inflate(buf) catch {
+          case _: java.util.zip.DataFormatException => return None
+        }
+        if (n > 0) {
+          if (out.size.toLong + n > MaxBodyBytes) return None
+          out.write(buf, 0, n)
+        } else if (!inf.finished) return None // truncated mid-stream
+      }
+      Some(out.toByteArray)
+    } finally inf.end()
+  }
+
+  /** DataFrame door over [[read]]'s output: `response` records decoded
+    * through the HTTP message layer — one output row per decodable
+    * response, columns (ord, offset, rec_len, target_uri, warc_date,
+    * status, http_content_type, charset, body_len, text). Records whose
+    * payload is not a well-framed HTTP message emit nothing (the pagesOf
+    * NULL contract at the row grain); non-response records drop in the
+    * relational filter. Per-row JVM decode in mapPartitions — narrow, no
+    * shuffle; the member range-read index (offset/rec_len) survives into
+    * the decoded corpus exactly as in [[wetText]].
+    */
+  def httpResponses(records: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val spark = records.sparkSession
+    val in = records.where(col("warc_type") === "response")
+      .select("ord", "offset", "rec_len", "target_uri", "warc_date", "payload")
+    val outSchema = StructType(Seq(
+      StructField("ord", LongType, nullable = false),
+      StructField("offset", LongType, nullable = false),
+      StructField("rec_len", LongType, nullable = false),
+      StructField("target_uri", StringType, nullable = true),
+      StructField("warc_date", StringType, nullable = true),
+      StructField("status", IntegerType, nullable = false),
+      StructField("http_content_type", StringType, nullable = false),
+      StructField("charset", StringType, nullable = false),
+      StructField("body_len", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    val rows = in.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        httpDecode(r.getAs[Array[Byte]]("payload")).map { h =>
+          Row(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+            r.getString(4), h.status, h.contentType, h.charset,
+            h.body.length.toLong, h.text)
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Writer twin for tests/fixtures: serialize an HTTP response message
+    * with the given status/headers and ALREADY-ENCODED body bytes (the
+    * caller applies chunking/content-coding; this writes framing only).
+    */
+  def renderHttp(status: Int, reason: String, headers: Seq[(String, String)],
+                 body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val CRLF = "\r\n".getBytes("US-ASCII")
+    out.write(s"HTTP/1.1 $status $reason".getBytes("US-ASCII")); out.write(CRLF)
+    headers.foreach { case (k, v) =>
+      out.write(s"$k: $v".getBytes("ISO-8859-1")); out.write(CRLF)
+    }
+    out.write(CRLF)
+    out.write(body)
+    out.toByteArray
+  }
+
+  /** Chunked-transfer-code `data` with fixed `chunkSize` (RFC 9112 §7.1) —
+    * the writer twin of [[dechunk]]; framing is a pure function of the
+    * data length, which is what lets oracles re-derive member offsets.
+    */
+  def renderChunked(data: Array[Byte], chunkSize: Int): Array[Byte] = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    val out = new java.io.ByteArrayOutputStream()
+    val CRLF = "\r\n".getBytes("US-ASCII")
+    var off = 0
+    while (off < data.length) {
+      val n = math.min(chunkSize, data.length - off)
+      out.write(java.lang.Integer.toHexString(n).getBytes("US-ASCII")); out.write(CRLF)
+      out.write(data, off, n); out.write(CRLF)
+      off += n
+    }
+    out.write('0'); out.write(CRLF); out.write(CRLF)
+    out.toByteArray
+  }
+
+  /** Single-member stored-block gzip of `data` — deterministic length
+    * `10 + 5*max(1, ceil(L/65535)) + L + 8`, readable by any gunzip
+    * (the renderGzip member framing, exposed for HTTP body fixtures).
+    */
+  def gzipStored(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0,
+      0xff.toByte))
+    var off = 0
+    do {
+      val n = math.min(65535, data.length - off)
+      val last = off + n == data.length
+      out.write(if (last) 1 else 0)
+      out.write(n & 0xff); out.write((n >> 8) & 0xff)
+      out.write(~n & 0xff); out.write((~n >> 8) & 0xff)
+      out.write(data, off, n)
+      off += n
+    } while (off < data.length)
+    val crc = new java.util.zip.CRC32(); crc.update(data)
+    def le4(v: Long): Unit =
+      (0 until 4).foreach(k => out.write(((v >> (8 * k)) & 0xff).toInt))
+    le4(crc.getValue); le4(data.length.toLong & 0xffffffffL)
+    out.toByteArray
+  }
+
   /** The WRITE half of the WARC door — the archival-export sink beside
     * [[TarShards.writeShards]]: rows (shard, url, date, payload) become
     * `shard-NNNNN.warc.gz` files in the Common Crawl wire layout (one

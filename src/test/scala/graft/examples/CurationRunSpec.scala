@@ -84,4 +84,22 @@ class CurationRunSpec extends SparkSpec {
     assert(kept2.select("doc_id").collect().map(_.getLong(0)).toSet ==
       kept.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("webIngest decodes the HTTP wire layer; republished pages collide on text") {
+    // 30 response records in WIRE form: framings rotate across identity /
+    // gzip / chunked / deflate, and each republication (20-29) ships under
+    // a DIFFERENT framing than its original (0-9)
+    val d = java.nio.file.Files.createTempDirectory("webingest_http")
+    java.nio.file.Files.write(d.resolve("crawl-000.warc.gz"),
+      graft.sources.Warc.renderGzip(
+        graft.queries.PipelineQueries.httpWarcRecordsDup))
+    val web = CurationRun.webIngest(spark, d.toString)
+    val rows = web.select("doc_id", "text").collect()
+    assert(rows.length == 30, s"expected all 30 wire-framed pages, got ${rows.length}")
+    // the 10 republications collide with their originals on EXTRACTED
+    // text even though every captured byte layer differs
+    val byText = rows.groupBy(_.getString(1))
+    assert(byText.size == 20, s"expected 20 distinct texts, got ${byText.size}")
+    assert(byText.count(_._2.length == 2) == 10)
+  }
 }

@@ -273,4 +273,170 @@ class WarcSpec extends SparkSpec {
       (1L, "http://example.com/page/0", "extracted body text"),
       (3L, "http://example.com/page/1", "second page\nwith a newline")))
   }
+
+  // ---- the HTTP message layer ------------------------------------------
+
+  private def http(status: Int, reason: String, headers: Seq[(String, String)],
+                   body: Array[Byte]): Array[Byte] =
+    Warc.renderHttp(status, reason, headers, body)
+
+  test("httpDecode: identity body, Content-Length honored, headers kept") {
+    val body = "plain body text".getBytes("UTF-8")
+    val msg = http(200, "OK", Seq(
+      "Content-Type" -> "text/plain",
+      "Content-Length" -> body.length.toString,
+      "Server" -> "x/1.0"), body)
+    val h = Warc.httpDecode(msg).get
+    assert(h.status == 200)
+    assert(h.text == "plain body text")
+    assert(h.charset == "UTF-8")
+    assert(h.contentType == "text/plain")
+    assert(h.headers.map(_._1) == Seq("Content-Type", "Content-Length", "Server"))
+    // Content-Length SHORTER than captured bytes: trailing bytes cut
+    val padded = http(200, "OK", Seq("Content-Length" -> "5"),
+      "hellojunkjunk".getBytes("UTF-8"))
+    assert(Warc.httpDecode(padded).get.text == "hello")
+  }
+
+  test("httpDecode: chunked transfer coding removed, extensions ignored") {
+    val body = ("chunk me " * 7).getBytes("UTF-8") // 63 bytes: 3x16 + 15
+    val msg = http(200, "OK", Seq(
+      "Content-Type" -> "text/plain; charset=utf-8",
+      "Transfer-Encoding" -> "chunked"), Warc.renderChunked(body, 16))
+    val h = Warc.httpDecode(msg).get
+    assert(h.text == "chunk me " * 7)
+    assert(h.body.length == 63)
+    // chunk extension after ';' is legal and ignored
+    val ext = ("5;ext=1\r\nhello\r\n0\r\n\r\n").getBytes("US-ASCII")
+    val m2 = http(200, "OK", Seq("Transfer-Encoding" -> "chunked"), ext)
+    assert(Warc.httpDecode(m2).get.text == "hello")
+    // case-insensitive header name and value
+    val m3 = http(200, "OK", Seq("transfer-encoding" -> "CHUNKED"), ext)
+    assert(Warc.httpDecode(m3).get.text == "hello")
+  }
+
+  test("httpDecode: gzip and deflate content codings, incl. chunked+gzip") {
+    val body = ("compressed page body " * 9).getBytes("UTF-8")
+    val gz = http(200, "OK", Seq(
+      "Content-Encoding" -> "gzip",
+      "Content-Length" -> Warc.gzipStored(body).length.toString),
+      Warc.gzipStored(body))
+    assert(java.util.Arrays.equals(Warc.httpDecode(gz).get.body, body))
+    // a REAL Deflater-written gzip body (not just our stored blocks)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gos = new java.util.zip.GZIPOutputStream(bos)
+    gos.write(body); gos.close()
+    val gz2 = http(200, "OK", Seq("Content-Encoding" -> "gzip"), bos.toByteArray)
+    assert(java.util.Arrays.equals(Warc.httpDecode(gz2).get.body, body))
+    // deflate = zlib per the RFC
+    val d = new java.util.zip.Deflater(); d.setInput(body); d.finish()
+    val buf = new Array[Byte](body.length * 2 + 64)
+    val n = d.deflate(buf); d.end()
+    val zl = http(200, "OK", Seq("Content-Encoding" -> "deflate"),
+      java.util.Arrays.copyOf(buf, n))
+    assert(java.util.Arrays.equals(Warc.httpDecode(zl).get.body, body))
+    // ...and the wild's RAW deflate under the same name
+    val dr = new java.util.zip.Deflater(9, true); dr.setInput(body); dr.finish()
+    val nr = dr.deflate(buf); dr.end()
+    val rawDef = http(200, "OK", Seq("Content-Encoding" -> "deflate"),
+      java.util.Arrays.copyOf(buf, nr))
+    assert(java.util.Arrays.equals(Warc.httpDecode(rawDef).get.body, body))
+    // chunked applies BEFORE content decoding (RFC 9112 §6 order)
+    val both = http(200, "OK", Seq(
+      "Content-Encoding" -> "gzip", "Transfer-Encoding" -> "chunked"),
+      Warc.renderChunked(Warc.gzipStored(body), 16))
+    assert(java.util.Arrays.equals(Warc.httpDecode(both).get.body, body))
+  }
+
+  test("httpDecode: charset from Content-Type; UTF-8 fallback; LF-only lines") {
+    val latin = "café résumé".getBytes("ISO-8859-1")
+    val m = http(200, "OK", Seq(
+      "Content-Type" -> "text/html; charset=ISO-8859-1"), latin)
+    val h = Warc.httpDecode(m).get
+    assert(h.text == "café résumé")
+    assert(h.charset == "ISO-8859-1")
+    // quoted charset parameter
+    val q = http(200, "OK", Seq(
+      "Content-Type" -> "text/html; charset=\"iso-8859-1\""), latin)
+    assert(Warc.httpDecode(q).get.text == "café résumé")
+    // unsupported charset name falls back to UTF-8 (replacement chars ok)
+    val u = http(200, "OK", Seq(
+      "Content-Type" -> "text/html; charset=not-a-charset"),
+      "plain ascii".getBytes("UTF-8"))
+    assert(Warc.httpDecode(u).get.text == "plain ascii")
+    assert(Warc.httpDecode(u).get.charset == "UTF-8")
+    // bare-LF line terminators (seen in captured traffic) parse
+    val lf = ("HTTP/1.1 200 OK\nContent-Type: text/plain\n\nlf body"
+      ).getBytes("US-ASCII")
+    assert(Warc.httpDecode(lf).get.text == "lf body")
+    // 404s decode too — status is reported, not filtered
+    assert(Warc.httpDecode(http(404, "Not Found", Seq(), "gone".getBytes)).get.status == 404)
+  }
+
+  test("httpDecode: malformed framing returns None, never throws") {
+    // not an HTTP message at all
+    assert(Warc.httpDecode("<html>bare payload</html>".getBytes("UTF-8")).isEmpty)
+    assert(Warc.httpDecode(null).isEmpty)
+    assert(Warc.httpDecode(Array.emptyByteArray).isEmpty)
+    // status line without a numeric code
+    assert(Warc.httpDecode("HTTP/1.1 OK\r\n\r\nbody".getBytes).isEmpty)
+    // unterminated header block
+    assert(Warc.httpDecode("HTTP/1.1 200 OK\r\nHeader: v".getBytes).isEmpty)
+    // lying Content-Length: larger than the captured bytes
+    val lying = http(200, "OK", Seq("Content-Length" -> "9999"), "short".getBytes)
+    assert(Warc.httpDecode(lying).isEmpty)
+    // bad chunk size: not hex
+    val badHex = http(200, "OK", Seq("Transfer-Encoding" -> "chunked"),
+      "zz\r\nhello\r\n0\r\n\r\n".getBytes("US-ASCII"))
+    assert(Warc.httpDecode(badHex).isEmpty)
+    // chunk size past the captured bytes
+    val overrun = http(200, "OK", Seq("Transfer-Encoding" -> "chunked"),
+      "ffff\r\nhello\r\n0\r\n\r\n".getBytes("US-ASCII"))
+    assert(Warc.httpDecode(overrun).isEmpty)
+    // missing terminating 0-chunk
+    val noEnd = http(200, "OK", Seq("Transfer-Encoding" -> "chunked"),
+      "5\r\nhello\r\n".getBytes("US-ASCII"))
+    assert(Warc.httpDecode(noEnd).isEmpty)
+    // unknown codings are out of contract, not silently wrong
+    assert(Warc.httpDecode(http(200, "OK",
+      Seq("Content-Encoding" -> "br"), "xxxx".getBytes)).isEmpty)
+    assert(Warc.httpDecode(http(200, "OK",
+      Seq("Transfer-Encoding" -> "gzip, chunked"), "xxxx".getBytes)).isEmpty)
+    // truncated gzip body
+    val gz = Warc.gzipStored("some body".getBytes)
+    assert(Warc.httpDecode(http(200, "OK", Seq("Content-Encoding" -> "gzip"),
+      java.util.Arrays.copyOf(gz, gz.length - 6))).isEmpty)
+    // corrupted gzip CRC
+    val bad = gz.clone(); bad(gz.length - 5) = (bad(gz.length - 5) ^ 0x7f).toByte
+    assert(Warc.httpDecode(http(200, "OK",
+      Seq("Content-Encoding" -> "gzip"), bad)).isEmpty)
+  }
+
+  test("httpResponses door: undecodable rows emit nothing, index survives") {
+    val spark0 = spark
+    val body0 = "first page body".getBytes("UTF-8")
+    val body2 = "third page body after a bad one".getBytes("UTF-8")
+    val recs = Seq(
+      (Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "http://t/0", "WARC-Date" -> "2026-01-01T00:00:00Z"),
+        http(200, "OK", Seq("Content-Type" -> "text/plain"), body0)),
+      (Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "http://t/1", "WARC-Date" -> "2026-01-01T00:00:00Z"),
+        "not an http message".getBytes("UTF-8")), // undecodable: must drop
+      (Seq("WARC-Type" -> "warcinfo"), "meta".getBytes("UTF-8")), // non-response
+      (Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "http://t/3", "WARC-Date" -> "2026-01-01T00:00:00Z"),
+        http(200, "OK", Seq("Transfer-Encoding" -> "chunked",
+          "Content-Type" -> "text/plain; charset=utf-8"),
+          Warc.renderChunked(body2, 8))))
+    val dir = java.nio.file.Files.createTempDirectory("warc_http")
+    java.nio.file.Files.write(dir.resolve("f.warc.gz"), Warc.renderGzip(recs))
+    val got = Warc.httpResponses(Warc.read(spark0, dir.toString))
+      .orderBy("ord")
+      .select("ord", "target_uri", "status", "text", "body_len")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (0L, "http://t/0", 200, "first page body"),
+      (3L, "http://t/3", 200, "third page body after a bad one")))
+  }
 }
