@@ -91,6 +91,86 @@ object Multimodal {
     aHashFromGray(spark.createDataFrame(rows, outSchema), "gray", idCol)
   }
 
+  /** Source-index arithmetic for the 8 dihedral transforms of a k x k
+    * grid, as SQL over the flat index `j` (r = j div k, c = j % k): the
+    * identity, three rotations, two mirrors and two transposes. Shared
+    * by the Spark expression (`divOp = "div"`) and the generated DuckDB
+    * oracle (`divOp = "//"`) so the two index arithmetics cannot drift —
+    * only the engine's integer-division spelling differs.
+    */
+  private[graft] def dihedralPermSql(t: Int, k: Int, divOp: String): String = {
+    val d = s"(j $divOp $k)"
+    t match {
+      case 0 => "j"                                        // identity
+      case 1 => s"(${k - 1} - j % $k) * $k + $d"           // rot90 cw
+      case 2 => s"${k * k - 1} - j"                        // rot180
+      case 3 => s"(j % $k) * $k + (${k - 1} - $d)"         // rot270 cw
+      case 4 => s"$d * $k + (${k - 1} - j % $k)"           // mirror cols
+      case 5 => s"(${k - 1} - $d) * $k + j % $k"           // mirror rows
+      case 6 => s"(j % $k) * $k + $d"                      // transpose
+      case 7 => s"(${k - 1} - j % $k) * $k + (${k - 1} - $d)" // anti-transpose
+    }
+  }
+
+  /** Append a dihedral-CANONICAL aHash of a square k x k grid column as
+    * `simhash`: the minimum over the 8 dihedral transforms of the grid's
+    * aHash. A 90°/180°-rotated or mirrored duplicate — invisible to
+    * byte-level dedup AND to the plain aHash (rotation scrambles bit
+    * order; hamming lands near random ~k²/2) — produces the IDENTICAL
+    * canonical hash, because the 8-transform hash SET of any dihedral
+    * image of a grid is the same set (the group is closed under
+    * composition) and min is order-free. The grid mean is
+    * permutation-invariant, so all 8 hashes share one `_psum`.
+    *
+    * k <= 7 keeps k² <= 60 bits (the cross-engine convention); a grid
+    * whose size is not exactly k² yields NULL. Pure codegen'd
+    * expressions — no shuffle, oracle-replayable arithmetic.
+    */
+  private[operators] def withDihedralAHash(df: DataFrame, pixelsCol: String,
+                                           k: Int): DataFrame = {
+    require(k >= 2 && k * k <= 60, s"k must be in [2,7] (k^2 <= 60 bits), got $k")
+    val n = k * k
+    def hashExpr(t: Int): String =
+      s"aggregate(sequence(0, ${n - 1}), cast(0 as bigint), (acc, j) -> acc + " +
+      s"CASE WHEN cast(element_at($pixelsCol, cast(${dihedralPermSql(t, k, "div")} as int) + 1) as bigint) * $n > _psum " +
+      s"THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)"
+    df.withColumn("_psum",
+        expr(s"aggregate($pixelsCol, cast(0 as bigint), (a, x) -> a + x)"))
+      .withColumn("simhash", expr(
+        s"CASE WHEN size($pixelsCol) = $n THEN least(" +
+        (0 until 8).map(hashExpr).mkString(", ") +
+        ") ELSE cast(null as bigint) END"))
+      .drop("_psum")
+  }
+
+  /** Rotation/flip-invariant image fingerprint from a PNG payload column:
+    * [[PngGray]] decode, block-mean downsample to a SQUARE k x k grid,
+    * then the dihedral-canonical hash of [[withDihedralAHash]]. On images
+    * rendered at grid resolution the invariance is exact; on larger real
+    * images it is approximate at block boundaries (block pooling commutes
+    * with the transforms up to integer-division edges), which near-dup
+    * hamming thresholds absorb. Same NULL contract as [[aHashFromPng]].
+    */
+  def dihedralAHashFromPng(df: DataFrame, pngCol: String, idCol: String,
+                           k: Int = 7): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val pngIdx = df.schema.fieldIndex(pngCol)
+    val outSchema = df.schema.add("gray", ArrayType(IntegerType))
+    val rows = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val grid = PngGray.decodeGray(r.get(pngIdx).asInstanceOf[Array[Byte]])
+          .filter(img => img.width >= k && img.height >= k)
+          .map(img => PngGray.blockMeanGrid(img, k, k).toSeq)
+          .orNull
+        Row.fromSeq(r.toSeq :+ grid)
+      }
+    }
+    withDihedralAHash(spark.createDataFrame(rows, outSchema), "gray", k)
+      .select(col(idCol).as("id"), col("simhash"))
+  }
+
   /** [[aHashFromPng]]'s twin for the crawl long tail (icons, diagrams,
     * memes): full GIF decode — color tables, extension skip, LZW, interlace
     * ([[GifGray.decodeGray]]) — then the same block-mean grid and NULL

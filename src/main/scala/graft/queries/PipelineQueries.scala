@@ -1370,6 +1370,42 @@ object PipelineQueries extends QuerySet {
         .orderBy("a_id", "b_id")
     }),
 
+    // Rotation/flip-invariant image dedup: 10 families x 4 orientations
+    // (identity / 90° cw / 180° / column-mirror), each rendered as a REAL
+    // 7x7 PNG whose pixels are the md5-arithmetic base grid under that
+    // dihedral transform — duplicates byte-level dedup AND the plain
+    // aHash both miss (rotation scrambles bit order; hamming lands near
+    // random ~24, pinned in MultimodalSpec). The dihedral-CANONICAL hash
+    // (min over the 8 grid transforms) makes all 4 orientations collide
+    // exactly; the oracle replays pixels, all 8 transform hashes, the
+    // min, and the brute-force hamming pairs arithmetically.
+    "q187_dihedral_ahash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val k = 7
+      def cell(fam: Long, j: Int): Int = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$fam:$j".getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex.substring(0, 13), 16) % 256).toInt
+      }
+      // fixture-side orientation = oracle CASE img_id % 4 (see oracleSql)
+      def perm(v: Int, j: Int): Int = v match {
+        case 0 => j
+        case 1 => (k - 1 - j % k) * k + j / k // rot90 cw
+        case 2 => k * k - 1 - j               // rot180
+        case _ => (j / k) * k + (k - 1 - j % k) // mirror cols
+      }
+      val imgs = (0L until 40L).map { i =>
+        val px = Array.tabulate(k * k)(j => cell(i / 4, perm((i % 4).toInt, j)))
+        (i, graft.operators.PngGray.render(k, k, px,
+          Seq(0, 2, 4, 6)((i % 4).toInt), y => y % 5))
+      }
+      val sig = Multimodal.dihedralAHashFromPng(
+        imgs.toDF("img_id", "png"), "png", "img_id", k = k)
+      Dedup.simHashPairs(sig, maxHamming = 4,
+          maxBucketSize = Int.MaxValue, nBits = k * k)
+        .orderBy("a_id", "b_id")
+    }),
+
     // q127's GIF sibling — the crawl long tail: the same planted families
     // and cell formula, but each image is a genuine GIF89a (256-entry
     // achromatic palette, graphic-control extension, LZW stream with
@@ -2605,6 +2641,34 @@ object PipelineQueries extends QuerySet {
     // payload base 452 (ftyp 16 + moov 428 + mdat header 8), one chunk
     // per sample at stride 2048, keyframe pixels from the same md5 block
     // arithmetic the JPEG DC-only fixtures pin bit-exactly
+    // pixels, all 8 dihedral transform hashes, the canonical min, and the
+    // brute-force hamming pairs all replayed arithmetically; the transform
+    // index SQL is GENERATED from the same Multimodal.dihedralPermSql the
+    // engine compiles, so the two arithmetics cannot drift
+    "q187_dihedral_ahash_dedup" -> {
+      val k = 7
+      def hashSql(t: Int): String =
+        s"CAST(list_sum(list_transform(range(0, ${k * k}), j -> CASE WHEN " +
+        s"gray[${graft.operators.Multimodal.dihedralPermSql(t, k, "//")} + 1] * ${k * k} " +
+        s"> list_sum(gray) THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)"
+      s"""WITH ids AS (SELECT unnest(generate_series(0, 39)) AS img_id),
+        |g AS (SELECT img_id, list_transform(range(0, ${k * k}), j ->
+        |    ('0x' || substr(md5(CAST(img_id // 4 AS VARCHAR) || ':' || CAST(
+        |      CASE img_id % 4
+        |        WHEN 0 THEN j
+        |        WHEN 1 THEN (${k - 1} - j % $k) * $k + j // $k
+        |        WHEN 2 THEN ${k * k - 1} - j
+        |        ELSE (j // $k) * $k + (${k - 1} - j % $k) END AS VARCHAR)),
+        |      1, 13))::BIGINT % 256) AS gray
+        |  FROM ids),
+        |sig AS (SELECT img_id, LEAST(${(0 until 8).map(hashSql).mkString(", ")}) AS h
+        |  FROM g)
+        |SELECT a.img_id AS a_id, b.img_id AS b_id, bit_count(xor(a.h, b.h)) AS hamming
+        |FROM sig a JOIN sig b ON a.img_id < b.img_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 4
+        |ORDER BY a_id, b_id""".stripMargin
+    },
+
     // the BMP round trip is invisible by construction (achromatic palette,
     // top-down rows re-ordered back) — q127's arithmetic oracle verbatim
     "q161_bmp_ahash_dedup" ->

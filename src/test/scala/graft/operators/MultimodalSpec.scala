@@ -501,4 +501,47 @@ class MultimodalSpec extends SparkSpec {
       .head().getDouble(0)
     assert(d > 0)
   }
+
+  test("dihedral-canonical aHash: rotations/mirrors collide; plain aHash misses them") {
+    import spark.implicits._
+    val k = 7
+    val rnd = new scala.util.Random(42)
+    val base = Array.fill(k * k)(rnd.nextInt(256))
+    def rot90(px: Array[Int]): Array[Int] =
+      Array.tabulate(k * k)(j => px((k - 1 - j % k) * k + j / k))
+    def mirror(px: Array[Int]): Array[Int] =
+      Array.tabulate(k * k)(j => px((j / k) * k + (k - 1 - j % k)))
+    val variants = Seq(
+      0L -> base,
+      1L -> rot90(base),
+      2L -> rot90(rot90(base)),          // 180
+      3L -> rot90(rot90(rot90(base))),   // 270
+      4L -> mirror(base),
+      5L -> mirror(rot90(base)),
+      6L -> rnd.shuffle((0 until 256).toList).take(k * k).toArray) // unrelated
+    val pngs = variants.map { case (id, px) =>
+      (id, PngGray.render(k, k, px, 0, _ => 0))
+    }.toDF("img_id", "png")
+    val canon = Multimodal.dihedralAHashFromPng(pngs, "png", "img_id", k = k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // all 6 dihedral variants land on ONE canonical hash
+    assert((0L to 5L).map(canon).toSet.size == 1,
+      s"dihedral variants did not collide: $canon")
+    // the unrelated image does not
+    assert(canon(6L) != canon(0L))
+    // the PLAIN aHash sees the rotation as a far-away hash (the gap this
+    // operator closes): hamming lands near random ~k^2/2, far above any
+    // near-dup threshold
+    val plain = Multimodal.aHashFromPng(pngs, "png", "img_id", gw = k, gh = k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plainHam = java.lang.Long.bitCount(plain(0L) ^ plain(1L))
+    assert(plainHam > 4, s"plain aHash unexpectedly matched a rotation: $plainHam")
+    // NULL contract: undecodable payload and non-square-capable sizes
+    val bad = Seq((9L, "junk".getBytes)).toDF("img_id", "png")
+    assert(Multimodal.dihedralAHashFromPng(bad, "png", "img_id", k = k)
+      .where(col("simhash").isNotNull).count() == 0)
+    intercept[IllegalArgumentException] {
+      Multimodal.dihedralAHashFromPng(pngs, "png", "img_id", k = 8).collect()
+    }
+  }
 }
