@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Script-aware tokenization grain for the text-quality family.
+  *
+  * Every word-grain quality signal in the repo — Gopher rules, repetition
+  * fractions, token counts — tokenizes with `split(text, ' ')`. CJK
+  * scripts do not delimit words with spaces, so on CJK text every
+  * document is ONE "word": word-count floors silently reject clean
+  * Chinese/Japanese prose, and repetition rules cannot see a spam page
+  * that repeats one character ten thousand times inside its single
+  * "word". The standard fix from CJK information retrieval is to switch
+  * the unit to character BIGRAMS (overlapping 2-grams of the char
+  * stream) — the grain CJK search engines index at.
+  *
+  * This operator is the dispatcher: it measures the script-mix signal
+  * (the q184 CJK-codepoint fraction) per document and appends
+  *   - `cjk_frac`  — CJK chars / non-whitespace chars (double),
+  *   - `grain`     — 'char_bigram' when cjk_frac > threshold else 'word',
+  *   - `units`     — the dispatched token array (char bigrams over the
+  *                   whitespace-stripped char stream, or whitespace words).
+  * Downstream rules then score `units` identically for both scripts.
+  *
+  * Scale shape: pure narrow codegen'd expressions — zero shuffle, one
+  * corpus pass, arithmetic a SQL oracle replays exactly (q188).
+  */
+object TextGrain {
+
+  /** CJK Unified Ideographs block (the q184 script-mix band). */
+  private val CjkLo = 0x4e00
+  private val CjkHi = 0x9fff
+
+  /** Append `cjk_frac`, `grain`, and `units` (see object doc). */
+  def withUnits(df: DataFrame, textCol: String,
+                cjkThreshold: Double = 0.3): DataFrame = {
+    require(cjkThreshold > 0 && cjkThreshold < 1,
+      s"cjkThreshold in (0,1), got $cjkThreshold")
+    val t = col(textCol)
+    val isWs = (c: Column) => c === "" || c === " " || c === "\n" || c === "\t"
+    val chars = filter(split(t, ""), c => !isWs(c))
+    val nChars = size(chars)
+    val nCjk = size(filter(chars, c => ascii(c).between(CjkLo, CjkHi)))
+    val frac = when(nChars === 0, lit(0.0))
+      .otherwise(nCjk.cast("double") / nChars)
+    df.withColumn("_chars", chars)
+      .withColumn("cjk_frac", frac)
+      .withColumn("grain",
+        when(col("cjk_frac") > cjkThreshold, lit("char_bigram"))
+          .otherwise(lit("word")))
+      .withColumn("units",
+        when(col("grain") === "char_bigram",
+          // guard < 2 chars: sequence(0, -1) would step DOWN and error
+          when(size(col("_chars")) >= 2,
+            expr("transform(sequence(0, size(_chars) - 2), " +
+              "j -> concat(element_at(_chars, j + 1), element_at(_chars, j + 2)))"))
+            .otherwise(expr("array()").cast("array<string>")))
+          .otherwise(split(t, " ")))
+      .drop("_chars")
+  }
+}

@@ -2161,6 +2161,29 @@ object PipelineQueries extends QuerySet {
     // banners, nav text, footer legalese). Keep-first selection is the
     // same partial-aggregatable min(struct) as q134 — no hot-line window,
     // corpus-linear end to end; see [[Dedup.removeDuplicateLines]].
+    // q141's CJK twin: the line grain is script-independent by
+    // construction (lines are newline-framed, not space-tokenized), and
+    // the minLineChars eligibility floor counts CHARACTERS — so a
+    // repeated 8-char CJK cookie banner is cut corpus-wide (keep-first)
+    // while a 1-char CJK line below the floor survives everywhere even
+    // though it repeats. The oracle rebuilds every line with chr()
+    // codepoint arithmetic and states the expected cuts in closed form.
+    "q189_line_dedup_cjk" -> ((s, dir) => {
+      import s.implicits._
+      def cjkc(n: Int) = new String(Character.toChars(0x4e00 + n))
+      val docs = (0L until 16L).map { i =>
+        val la = (0 until 6).map(j => cjkc(((i * 11 + j * 3) % 200).toInt)).mkString
+        val banner = (0 until 8).map(j => cjkc(500 + j * 5)).mkString
+        val lb = (0 until 6).map(j => cjkc((300 + (i * 7 + j * 13) % 150).toInt)).mkString
+        val short = cjkc((i % 3).toInt)
+        (i, Seq(la, banner, lb, short).mkString("\n"))
+      }
+      Dedup.removeDuplicateLines(docs.toDF("doc_id", "text"), "text", "doc_id",
+          minLineChars = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q141_line_dedup" -> ((s, dir) => {
       val toks = split(col("text"), " ")
       val nLines = ceil(size(toks).cast("double") / 4.0).cast("int")
@@ -3091,6 +3114,26 @@ object PipelineQueries extends QuerySet {
         |SELECT m.doc_id, CAST(chunk_ord AS INT) AS chunk_ord,
         |  CAST(chunk_len AS INT) AS chunk_len, m.chunk_md5, n.n_copies
         |FROM m JOIN n USING (chunk_md5) ORDER BY doc_id, chunk_ord""".stripMargin,
+    // lines rebuilt from the chr() formulas; doc 0 keeps its banner
+    // (keep-first), every other doc cuts it; the 1-char line repeats but
+    // sits under the 4-char eligibility floor, so it survives everywhere
+    "q189_line_dedup_cjk" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 15)) AS doc_id),
+        |p AS (SELECT doc_id,
+        |  array_to_string(list_transform(range(0, 6),
+        |    j -> chr(CAST(19968 + (doc_id * 11 + j * 3) % 200 AS INT))), '') AS la,
+        |  array_to_string(list_transform(range(0, 8),
+        |    j -> chr(CAST(19968 + 500 + j * 5 AS INT))), '') AS banner,
+        |  array_to_string(list_transform(range(0, 6),
+        |    j -> chr(CAST(19968 + 300 + (doc_id * 7 + j * 13) % 150 AS INT))), '') AS lb,
+        |  chr(CAST(19968 + doc_id % 3 AS INT)) AS sh
+        |  FROM r)
+        |SELECT doc_id, CAST(4 AS BIGINT) AS n_lines,
+        |  CAST(CASE WHEN doc_id = 0 THEN 4 ELSE 3 END AS BIGINT) AS n_kept,
+        |  la || chr(10) ||
+        |  CASE WHEN doc_id = 0 THEN banner || chr(10) ELSE '' END ||
+        |  lb || chr(10) || sh AS cleaned_text
+        |FROM p ORDER BY doc_id""".stripMargin,
     // the same 4-token re-lining, then keep-first line dedup recomputed
     // by exact line STRINGS with a window (the oracle can afford the hot
     // partition at sf-scale; the engine uses the partial-aggregatable

@@ -167,6 +167,43 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     }),
 
+    // The CJK-aware twin of the Gopher gate: word-grain rules see any CJK
+    // document as ONE "word" — clean Chinese prose fails the word-count
+    // floor while single-character spam hides inside its one token.
+    // TextGrain dispatches on the q184 script-mix signal: cjk_frac > 0.3
+    // switches the unit to character bigrams (the CJK IR grain), then
+    // ONE rule set scores both scripts — planted: clean English (passes),
+    // clean CJK (passes AT THE CHAR GRAIN; its word-grain n_words=1
+    // would fail), CJK single-char spam (bigram dup_frac ~0.97, fails),
+    // latin-majority mixed (stays word grain). The oracle rebuilds the
+    // CJK fixture with chr() codepoint arithmetic and replays the
+    // dispatch, the bigram stream, and every verdict.
+    "q188_quality_cjk" -> ((s, dir) => {
+      import s.implicits._
+      def cjkc(n: Int) = new String(Character.toChars(0x4e00 + n))
+      val docs = (0L until 24L).map { i =>
+        val text = (i % 4).toInt match {
+          case 0 => "the a to of and " +
+            (0 until 12).map(j => s"w${(i + j) % 9}").mkString(" ")
+          case 1 => (0 until (24 + (i % 5) * 3).toInt)
+            .map(j => cjkc(((i * 13 + j * 7) % 300).toInt)).mkString
+          case 2 => cjkc((i % 5).toInt) * (30 + (i % 3) * 5).toInt
+          case _ => "mixed latin text with a few w1 w2 w3 w4 w5 w6 chars " +
+            cjkc(1) + cjkc(2)
+        }
+        (i, text)
+      }
+      val withU = graft.operators.TextGrain.withUnits(
+        docs.toDF("doc_id", "text"), "text")
+      val dup = lit(1.0) -
+        size(array_distinct(col("units"))).cast("double") / size(col("units"))
+      val pass = size(col("units")).between(10, 100000) && dup <= 0.5
+      withU.select(col("doc_id"), trunc(col("cjk_frac"), 4).as("cjk_frac"),
+          col("grain"), size(col("units")).cast("long").as("n_units"),
+          trunc(dup, 4).as("dup_frac"), pass.cast("int").as("pass"))
+        .orderBy("doc_id")
+    }),
+
     // Shannon-entropy quality signal — the information-density heuristic
     // (low character entropy = templated/repetitive spam, the signal a
     // compression-ratio filter approximates): per doc, character-level
@@ -664,6 +701,44 @@ object TextQueries extends QuerySet {
         |  CAST(logit_u AS BIGINT) AS logit_u,
         |  CAST(logit_u >= 0 AS INT) AS pass
         |FROM l ORDER BY doc_id""".stripMargin,
+    // the CJK fixture rebuilt with chr() codepoint arithmetic; the
+    // script-mix dispatch, the char-bigram stream, the repetition
+    // fraction, and every verdict replayed with list lambdas
+    "q188_quality_cjk" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 23)) AS doc_id),
+        |t AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'the a to of and ' || array_to_string(
+        |      list_transform(range(0, 12), j -> 'w' || ((doc_id + j) % 9)), ' ')
+        |    WHEN 1 THEN array_to_string(list_transform(
+        |      range(0, CAST(24 + (doc_id % 5) * 3 AS INT)),
+        |      j -> chr(CAST(19968 + (doc_id * 13 + j * 7) % 300 AS INT))), '')
+        |    WHEN 2 THEN repeat(chr(CAST(19968 + doc_id % 5 AS INT)),
+        |      CAST(30 + (doc_id % 3) * 5 AS INT))
+        |    ELSE 'mixed latin text with a few w1 w2 w3 w4 w5 w6 chars '
+        |      || chr(19969) || chr(19970)
+        |  END AS text FROM r),
+        |c AS (SELECT doc_id, text, list_filter(
+        |  list_transform(generate_series(1, length(text)), j -> substr(text, j, 1)),
+        |  ch -> ch NOT IN ('', ' ')) AS chars FROM t),
+        |m AS (SELECT doc_id, text, chars, len(chars) AS nch,
+        |  len(list_filter(chars, ch -> unicode(ch) BETWEEN 19968 AND 40959)) AS ncjk
+        |  FROM c),
+        |u AS (SELECT doc_id,
+        |  CASE WHEN nch = 0 THEN 0.0 ELSE ncjk * 1.0 / nch END AS fr,
+        |  CASE WHEN (CASE WHEN nch = 0 THEN 0.0 ELSE ncjk * 1.0 / nch END) > 0.3
+        |    THEN list_transform(range(0, nch - 1), j -> chars[j + 1] || chars[j + 2])
+        |    ELSE string_split(text, ' ') END AS units
+        |  FROM m),
+        |v AS (SELECT doc_id, fr, units,
+        |  1 - len(list_distinct(units)) * 1.0 / len(units) AS dup
+        |  FROM u)
+        |SELECT doc_id, FLOOR(fr * 10000) / 10000 AS cjk_frac,
+        |  CASE WHEN fr > 0.3 THEN 'char_bigram' ELSE 'word' END AS grain,
+        |  CAST(len(units) AS BIGINT) AS n_units,
+        |  FLOOR(dup * 10000) / 10000 AS dup_frac,
+        |  CAST(len(units) BETWEEN 10 AND 100000 AND dup <= 0.5 AS INT) AS pass
+        |FROM v ORDER BY doc_id""".stripMargin,
     // every Gopher rule recomputed over the same tokens/lines with DuckDB
     // list lambdas; rule verdicts compare the raw IEEE doubles, outputs
     // floored to 4 decimals — the q32 convention

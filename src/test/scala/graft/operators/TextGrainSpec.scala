@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextGrainSpec extends SparkSpec {
+
+  private def row(text: String) = {
+    import spark.implicits._
+    TextGrain.withUnits(Seq((1L, text)).toDF("id", "text"), "text")
+      .select("cjk_frac", "grain", "units").head()
+  }
+
+  test("dispatch: latin stays word grain, CJK switches to char bigrams") {
+    val latin = row("plain english words here")
+    assert(latin.getString(1) == "word")
+    assert(latin.getSeq[String](2) == Seq("plain", "english", "words", "here"))
+    val cjk = row("一二三四") // four distinct CJK chars
+    assert(cjk.getDouble(0) == 1.0)
+    assert(cjk.getString(1) == "char_bigram")
+    assert(cjk.getSeq[String](2) ==
+      Seq("一二", "二三", "三四"))
+  }
+
+  test("bigrams skip whitespace; threshold is a strict >") {
+    // spaces/newlines do not produce phantom bigram members
+    val spaced = row("一 二\n三")
+    assert(spaced.getSeq[String](2) == Seq("一二", "二三"))
+    // exactly at the threshold (3 cjk of 10 chars = 0.3): NOT above -> word
+    val atEdge = row("abcdefg" + "一二三")
+    assert(atEdge.getString(1) == "word")
+    // one char above
+    val above = row("abcdef" + "一二三四")
+    assert(above.getString(1) == "char_bigram")
+  }
+
+  test("degenerate inputs: empty text and single-char CJK never error") {
+    val empty = row("")
+    assert(empty.getDouble(0) == 0.0 && empty.getString(1) == "word")
+    val one = row("一")
+    assert(one.getString(1) == "char_bigram")
+    assert(one.getSeq[String](2).isEmpty) // < 2 chars -> no bigrams, no error
+    intercept[IllegalArgumentException] {
+      import spark.implicits._
+      TextGrain.withUnits(Seq((1L, "x")).toDF("id", "text"), "text",
+        cjkThreshold = 1.5)
+    }
+  }
+}
