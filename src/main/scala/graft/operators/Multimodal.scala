@@ -533,6 +533,126 @@ object Multimodal {
       else Some(Mp3Stream(n, total, n * 1152L * 1000 / rate, vbr))
     }
 
+    /** CONTENT-level MP3 signal envelope — the lossy-audio analog of
+      * [[WavPcm.decodeChannel0]]: per-granule `global_gain` values
+      * extracted from each frame's SIDE INFO (ISO/IEC 11172-3 §2.4.1.7).
+      * global_gain is the granule's quantizer step size — the encoder's
+      * own per-36ms loudness envelope — and it lives entirely in the
+      * fixed-layout side-info bits right after the header: no Huffman
+      * decode, no bit-reservoir chase, no IMDCT. Two re-encodes of the
+      * same audio (different bitrate, different padding, retagged) keep
+      * nearly identical gain envelopes even though every frame byte
+      * differs, which is exactly the signal the windowed fingerprint
+      * needs; a header-level walk ([[mp3Frames]]) can never see it.
+      *
+      * Bit layout (MPEG-1 Layer III): after the 4-byte header (+ 2 CRC
+      * bytes when the protection bit is 0), side info packs
+      * main_data_begin(9) + private(5 mono / 3 stereo) + scfsi(4/ch),
+      * then per (granule, channel): part2_3_length(12) big_values(9)
+      * global_gain(8) ... — 59 bits per granule-channel (both the
+      * window-switching and normal branches pack 22 bits of region
+      * fields, so the stride is constant). Channel 0 is read (the
+      * [[WavPcm]] projection convention). Returns the concatenated
+      * per-granule gains (2 per frame) over the same validated walk as
+      * [[mp3Frames]]; None when no complete frame parses.
+      */
+    def mp3GranuleGains(b: Array[Byte]): Option[Array[Int]] = {
+      if (b == null || b.length < 4) return None
+      def bits(base: Int, bitOff: Int, n: Int): Int = {
+        var v = 0; var k = 0
+        while (k < n) {
+          val p = bitOff + k
+          v = (v << 1) | ((b(base + (p >> 3)) >> (7 - (p & 7))) & 1)
+          k += 1
+        }
+        v
+      }
+      var pos = id3Len(b)
+      var rate = -1
+      val out = new scala.collection.mutable.ArrayBuffer[Int]()
+      var walk = true
+      while (walk && pos + 4 <= b.length) {
+        val h0 = u8(b, pos); val h1 = u8(b, pos + 1)
+        val h2 = u8(b, pos + 2); val h3 = u8(b, pos + 3)
+        if (h0 != 0xff || (h1 & 0xe0) != 0xe0 ||
+            (h1 >> 3 & 0x3) != 3 || (h1 >> 1 & 0x3) != 1) walk = false
+        else {
+          val bidx = h2 >> 4 & 0xf
+          val sidx = h2 >> 2 & 0x3
+          val pad = h2 >> 1 & 0x1
+          if (bidx == 0 || bidx == 15 || sidx == 3) walk = false
+          else if (rate >= 0 && Mp3SampleRate(sidx) != rate) return None
+          else {
+            val r = Mp3SampleRate(sidx)
+            val size = 144 * (Mp3BitrateKbps(bidx) * 1000) / r + pad
+            if (pos + size > b.length) walk = false // incomplete tail frame
+            else {
+              val mono = (h3 >> 6 & 0x3) == 3
+              val crc = if ((h1 & 1) == 0) 2 else 0
+              val siLen = if (mono) 17 else 32
+              val siOff = pos + 4 + crc
+              if (siOff + siLen > pos + size) walk = false // side info past frame
+              else {
+                val head = if (mono) 18 else 20 // 9 + priv + scfsi bits
+                val chans = if (mono) 1 else 2
+                // gr-ch stride 59 bits; global_gain 21 bits in (12 + 9)
+                out += bits(siOff, head + 21, 8)
+                out += bits(siOff, head + 59 * chans + 21, 8)
+                if (rate < 0) rate = r
+                pos += size
+              }
+            }
+          }
+        }
+      }
+      if (out.isEmpty) None else Some(out.toArray)
+    }
+
+    /** Fixture writer twin of [[mp3GranuleGains]]: REAL MPEG-1 Layer III
+      * frames whose side info carries the given per-granule channel-0
+      * `global_gain` values in the genuine bit layout (main_data_begin,
+      * region fields and channel 1 zeroed — the walk under test reads
+      * fixed offsets, like a real envelope scanner). Per-frame
+      * (bitrateIdx, gainGr0, gainGr1); `mono = false` writes the 32-byte
+      * two-channel layout.
+      */
+    def renderMp3Granules(frames: Seq[(Int, Int, Int)], sidx: Int,
+                          padEvery: Int = 0, mono: Boolean = true): Array[Byte] = {
+      require(frames.forall { case (bi, g0, g1) =>
+        bi >= 1 && bi <= 14 && g0 >= 0 && g0 <= 255 && g1 >= 0 && g1 <= 255 },
+        "bitrate index in [1,14], gains in [0,255]")
+      require(sidx >= 0 && sidx <= 2, "valid sidx")
+      val out = new java.io.ByteArrayOutputStream()
+      val siLen = if (mono) 17 else 32
+      val head = if (mono) 18 else 20
+      val chans = if (mono) 1 else 2
+      frames.zipWithIndex.foreach { case ((bidx, g0, g1), f) =>
+        val pad = if (padEvery > 0 && f % padEvery == padEvery - 1) 1 else 0
+        out.write(0xff); out.write(0xfb) // MPEG-1 L3, no CRC
+        out.write((bidx << 4) | (sidx << 2) | (pad << 1))
+        out.write(if (mono) 0xc0 else 0x00)
+        val si = new Array[Byte](siLen)
+        def put(bitOff: Int, n: Int, v: Int): Unit = {
+          var k = 0
+          while (k < n) {
+            if (((v >> (n - 1 - k)) & 1) != 0) {
+              val p = bitOff + k
+              si(p >> 3) = (si(p >> 3) | (1 << (7 - (p & 7)))).toByte
+            }
+            k += 1
+          }
+        }
+        put(head + 21, 8, g0)
+        put(head + 59 * chans + 21, 8, g1)
+        out.write(si)
+        val size = 144 * (Mp3BitrateKbps(bidx) * 1000) / Mp3SampleRate(sidx) + pad
+        val fill = new Array[Byte](size - 4 - siLen)
+        java.util.Arrays.fill(fill, 0xaa.toByte)
+        out.write(fill)
+      }
+      out.toByteArray
+    }
+
     /** Fixture writer: a REAL MPEG-1 Layer III frame sequence — each frame
       * its genuine 4-byte header (sync, version/layer, bitrate index,
       * sample-rate index, channel mode) followed by the
@@ -706,6 +826,54 @@ object Multimodal {
     spark.createDataFrame(rows, outSchema)
       .withColumn("_wtot", expr("aggregate(wsum, cast(0 as bigint), (a, x) -> a + x)"))
       .select(col(idCol).as("id"), col("n_samples"), col("zcr"), expr(
+        s"CASE WHEN wsum IS NULL THEN cast(null as bigint) ELSE " +
+        s"aggregate(sequence(0, $nWindows - 1), cast(0 as bigint), (acc, j) -> acc + " +
+        s"CASE WHEN element_at(wsum, j + 1) * $nWindows > _wtot " +
+        s"THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END) END"
+      ).as("simhash"))
+  }
+
+  /** Lossy-audio content fingerprint over an MP3 payload column — closes
+    * the gap [[audioFingerprintFromWav]] leaves: FLAC's embedded PCM-MD5
+    * and WAV's sample fingerprint don't transfer to lossy audio, so a
+    * re-encoded MP3 of the same recording was invisible to dedup. The
+    * signal is the encoder's own per-granule `global_gain` envelope
+    * ([[AudioHeaders.mp3GranuleGains]] — side-info bits only, no
+    * synthesis), windowed and thresholded by the same aHash kernel as
+    * the WAV path: bit j set iff window j's gain sum exceeds the
+    * per-window mean. Re-encodes at different bitrates/padding keep
+    * nearly identical envelopes — they band at low hamming — while
+    * byte-level and frame-walk signals see unrelated files. Output:
+    * (id, n_granules, simhash); pair with [[Dedup.simHashPairs]]
+    * (`nBits = nWindows`). Undecodable payloads yield NULLs.
+    */
+  def audioFingerprintFromMp3(df: DataFrame, mp3Col: String, idCol: String,
+                              nWindows: Int = 60): DataFrame = {
+    require(nWindows >= 1 && nWindows <= 60, s"nWindows in [1, 60], got $nWindows")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val mp3Idx = df.schema.fieldIndex(mp3Col)
+    val outSchema = df.schema
+      .add("n_granules", LongType).add("wsum", ArrayType(LongType))
+    val rows = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        AudioHeaders.mp3GranuleGains(r.get(mp3Idx).asInstanceOf[Array[Byte]]) match {
+          case Some(g) =>
+            val ws = new Array[Long](nWindows)
+            var k = 0
+            while (k < g.length) {
+              ws(((k.toLong * nWindows) / g.length).toInt) += g(k)
+              k += 1
+            }
+            Row.fromSeq(r.toSeq ++ Seq(g.length.toLong, ws.toSeq))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null))
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+      .withColumn("_wtot", expr("aggregate(wsum, cast(0 as bigint), (a, x) -> a + x)"))
+      .select(col(idCol).as("id"), col("n_granules"), expr(
         s"CASE WHEN wsum IS NULL THEN cast(null as bigint) ELSE " +
         s"aggregate(sequence(0, $nWindows - 1), cast(0 as bigint), (acc, j) -> acc + " +
         s"CASE WHEN element_at(wsum, j + 1) * $nWindows > _wtot " +

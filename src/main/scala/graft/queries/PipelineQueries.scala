@@ -1959,6 +1959,39 @@ object PipelineQueries extends QuerySet {
     // frames), so the oracle re-derives frame count, byte total, duration
     // and the VBR flag arithmetically — one wrong frame-size computation
     // desynchronizes the walk and breaks every downstream row.
+    // Lossy-audio CONTENT dedup — the gap q140's frame walk and q95's
+    // headers leave: a re-encoded MP3 of the same recording differs at
+    // every byte AND every frame boundary, so only a content envelope
+    // can band them. 10 recordings x 2 encodes (different bitrate,
+    // different padding cadence, every 7th granule's gain nudged +1 —
+    // the re-encode model); the engine extracts each granule's
+    // global_gain from REAL side-info bits and fingerprints the
+    // envelope; re-encodes pair at low hamming, unrelated recordings
+    // stay far apart. The oracle replays gains, window hash, and the
+    // brute-force pairs from the same md5 arithmetic.
+    "q190_mp3_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      def gain(fam: Long, t: Int): Int = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$fam:$t".getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+        60 + (java.lang.Long.parseLong(hex.substring(0, 13), 16) % 120).toInt
+      }
+      val clips = (0L until 20L).map { i =>
+        val fam = i / 2; val v = (i % 2).toInt
+        val gains = (0 until 60).map(t =>
+          gain(fam, t) + (if (v == 1 && t % 7 == 0) 1 else 0))
+        val frames = (0 until 30).map(f =>
+          (if (v == 0) 9 else 11, gains(2 * f), gains(2 * f + 1)))
+        (i, Multimodal.AudioHeaders.renderMp3Granules(frames, sidx = 0,
+          padEvery = if (v == 1) 7 else 0))
+      }
+      val sig = Multimodal.audioFingerprintFromMp3(
+        clips.toDF("audio_id", "mp3"), "mp3", "audio_id", nWindows = 60)
+      Dedup.simHashPairs(sig.select("id", "simhash"), maxHamming = 6,
+          maxBucketSize = Int.MaxValue, nBits = 60)
+        .orderBy("a_id", "b_id")
+    }),
+
     "q140_mp3_frame_walk" -> ((s, dir) => {
       import s.implicits._
       val clips = t(s, dir, "documents").select(col("doc_id")).as[Long].map { d =>
@@ -2960,6 +2993,26 @@ object PipelineQueries extends QuerySet {
         |  CAST(frame_no * (100000 + video_id % 7 * 10000) // 1000 AS BIGINT) AS pts_ms,
         |  simhash
         |FROM sig ORDER BY video_id, frame_ord""".stripMargin,
+    // granule gains, the 1-granule-per-window hash, and the brute-force
+    // hamming pairs all replayed from the same md5 arithmetic; the +1
+    // re-encode nudge and the bitrate/padding differences must be
+    // invisible at the envelope grain or the pair set breaks
+    "q190_mp3_fingerprint" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 19)) AS audio_id),
+        |g AS (SELECT audio_id, list_transform(range(0, 60), t ->
+        |    60 + ('0x' || substr(md5(CAST(audio_id // 2 AS VARCHAR) || ':' ||
+        |      CAST(t AS VARCHAR)), 1, 13))::BIGINT % 120
+        |    + CASE WHEN audio_id % 2 = 1 AND t % 7 = 0 THEN 1 ELSE 0 END) AS gains
+        |  FROM ids),
+        |sig AS (SELECT audio_id, CAST(list_sum(list_transform(range(0, 60), j ->
+        |    CASE WHEN gains[j + 1] * 60 > list_sum(gains) THEN (1::BIGINT << j)
+        |    ELSE 0 END)) AS BIGINT) AS h
+        |  FROM g)
+        |SELECT a.audio_id AS a_id, b.audio_id AS b_id,
+        |  bit_count(xor(a.h, b.h)) AS hamming
+        |FROM sig a JOIN sig b ON a.audio_id < b.audio_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 6
+        |ORDER BY a_id, b_id""".stripMargin,
     // the MP3 frame walk replayed arithmetically: per-frame size =
     // 144 * bitrate / rate + pad (integer floor), duration from the
     // layer's fixed 1152 samples per frame

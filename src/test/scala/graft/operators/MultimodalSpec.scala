@@ -502,6 +502,35 @@ class MultimodalSpec extends SparkSpec {
     assert(d > 0)
   }
 
+  test("mp3GranuleGains: side-info round trip — mono, stereo, CRC, ID3, truncation") {
+    val A = Multimodal.AudioHeaders
+    val gains = Seq((9, 100, 200), (11, 0, 255), (14, 60, 61), (1, 7, 133))
+    val flat = gains.flatMap { case (_, g0, g1) => Seq(g0, g1) }
+    // mono round trip
+    assert(A.mp3GranuleGains(A.renderMp3Granules(gains, sidx = 0)).get.toSeq == flat)
+    // stereo layout (32-byte side info, channel-0 offsets differ)
+    assert(A.mp3GranuleGains(
+      A.renderMp3Granules(gains, sidx = 1, mono = false)).get.toSeq == flat)
+    // padding cadence changes frame sizes, not gains
+    assert(A.mp3GranuleGains(
+      A.renderMp3Granules(gains, sidx = 0, padEvery = 2)).get.toSeq == flat)
+    // ID3v2 tag prefix is skipped
+    assert(A.mp3GranuleGains(
+      A.renderId3v2(23) ++ A.renderMp3Granules(gains, sidx = 0)).get.toSeq == flat)
+    // protection bit 0: 2 CRC bytes sit between header and side info
+    val one = A.renderMp3Granules(Seq((9, 42, 99)), sidx = 0)
+    val crc = new Array[Byte](one.length)
+    System.arraycopy(one, 0, crc, 0, 4)
+    crc(1) = 0xfa.toByte // protection bit 0
+    // dummy CRC bytes, then the side info shifted 2 bytes right
+    System.arraycopy(one, 4, crc, 6, one.length - 6)
+    assert(A.mp3GranuleGains(crc).get.toSeq == Seq(42, 99))
+    // truncation mid-side-info: no complete frame -> None
+    assert(A.mp3GranuleGains(one.take(15)).isEmpty)
+    assert(A.mp3GranuleGains("junk".getBytes).isEmpty)
+    assert(A.mp3GranuleGains(null).isEmpty)
+  }
+
   test("dihedral-canonical aHash: rotations/mirrors collide; plain aHash misses them") {
     import spark.implicits._
     val k = 7
