@@ -195,6 +195,31 @@ object Multimodal {
     aHashFromGray(spark.createDataFrame(rows, outSchema), "gray", idCol)
   }
 
+  /** [[aHashFromPng]]'s twin for WebP — the mainstream crawl format the
+    * family lacked: full VP8L lossless decode ([[Webp.decodeGray]] — RIFF
+    * walk, prefix codes, LZ77, cache, subtract-green/palette transforms),
+    * then the same block-mean grid and NULL contract (undecodable, lossy
+    * `VP8 `, animated, or too-small payloads).
+    */
+  def aHashFromWebp(df: DataFrame, webpCol: String, idCol: String,
+                    gw: Int = 10, gh: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val webpIdx = df.schema.fieldIndex(webpCol)
+    val outSchema = df.schema.add("gray", ArrayType(IntegerType))
+    val rows = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val grid = Webp.decodeGray(r.get(webpIdx).asInstanceOf[Array[Byte]])
+          .filter(img => img.width >= gw && img.height >= gh)
+          .map(img => PngGray.blockMeanGrid(img, gw, gh).toSeq)
+          .orNull
+        Row.fromSeq(r.toSeq :+ grid)
+      }
+    }
+    aHashFromGray(spark.createDataFrame(rows, outSchema), "gray", idCol)
+  }
+
   /** [[aHashFromPng]]'s twin for the format that dominates a crawl: decode
     * the LUMA plane of a baseline JPEG ([[Jpeg.decodeLuma]] — full marker
     * walk, Huffman entropy decode, dequant + IDCT; chroma advanced but

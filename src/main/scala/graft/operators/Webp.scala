@@ -1,0 +1,665 @@
+package graft.operators
+
+/** WebP lossless (VP8L) decode — the one mainstream crawl image format
+  * the dedup family lacked. Dependency-free implementation of the public
+  * "WebP Lossless Bitstream Specification" (the GIF-LZW discipline): RIFF
+  * container walk, LSB-first bit reader, simple + normal canonical prefix
+  * codes (code-length codes with 16/17/18 repeats and the max-symbol
+  * shortcut), optional meta-prefix entropy image, color cache, LZ77
+  * backward references with the 120-entry 2D distance map, and the
+  * SUBTRACT_GREEN and COLOR_INDEXING (palette, incl. sub-byte pixel
+  * bundling) transforms.
+  *
+  * Contract boundaries (the progressive-JPEG discipline — refused, never
+  * mis-decoded): lossy `VP8 ` payloads, animations, and the two
+  * pixel-prediction transforms (PREDICTOR / COLOR) return None. Malformed
+  * bytes — truncated streams, over-subscribed prefix codes, references
+  * before the first pixel, bombs past the pixel cap — return None, never
+  * throw.
+  *
+  * Reference behavior: `/root/reference` ingests pre-decoded artifacts
+  * (tools/converter/load_csv.py); the crawl door here must read the wire
+  * format images actually ship in, like the PNG/JPEG/GIF/BMP/TIFF
+  * siblings.
+  */
+object Webp extends Serializable {
+
+  import PngGray.GrayImage
+
+  /** Pixel-count bomb guard (a 14-bit x 14-bit header can claim 2^28). */
+  private val MaxPixels = 1 << 26
+
+  private final class Malformed extends RuntimeException
+
+  // ---- LSB-first bit reader ---------------------------------------------
+
+  private final class BitReader(b: Array[Byte], start: Int, end: Int) {
+    private var pos = start
+    private var bit = 0
+    def readBit(): Int = {
+      if (pos >= end) throw new Malformed
+      val v = (b(pos) >> bit) & 1
+      bit += 1
+      if (bit == 8) { bit = 0; pos += 1 }
+      v
+    }
+    /** n bits, first-read bit least significant (VP8L ReadBits). */
+    def readBits(n: Int): Int = {
+      var v = 0; var k = 0
+      while (k < n) { v |= readBit() << k; k += 1 }
+      v
+    }
+  }
+
+  // ---- canonical prefix codes -------------------------------------------
+
+  /** Decoder for one prefix code: either a 0/1-bit simple code or a
+    * canonical code (RFC 1951 assignment; code bits read MSB-first out of
+    * the LSB-first stream, the DEFLATE convention VP8L follows).
+    */
+  private final class PrefixCode(val simple: Array[Int],
+                                 val counts: Array[Int],
+                                 val firstCodes: Array[Int],
+                                 val firstIdx: Array[Int],
+                                 val syms: Array[Int]) {
+    def read(br: BitReader): Int = {
+      if (simple != null) {
+        if (simple.length == 1) return simple(0)
+        return simple(br.readBit())
+      }
+      var code = 0
+      var len = 1
+      while (len <= 15) {
+        code = (code << 1) | br.readBit()
+        val d = code - firstCodes(len)
+        if (d >= 0 && d < counts(len)) return syms(firstIdx(len) + d)
+        len += 1
+      }
+      throw new Malformed
+    }
+  }
+
+  private def buildCode(lengths: Array[Int]): PrefixCode = {
+    val counts = new Array[Int](16)
+    var n = 0
+    var only = -1
+    for (s <- lengths.indices; l = lengths(s)) {
+      if (l < 0 || l > 15) throw new Malformed
+      if (l > 0) { counts(l) += 1; n += 1; only = s }
+    }
+    if (n == 0) throw new Malformed
+    if (n == 1) return new PrefixCode(Array(only), null, null, null, null)
+    // canonical first codes per length; Kraft completeness enforced
+    val firstCodes = new Array[Int](16)
+    val firstIdx = new Array[Int](16)
+    var code = 0; var idx = 0
+    for (l <- 1 to 15) {
+      firstCodes(l) = code
+      firstIdx(l) = idx
+      code = (code + counts(l)) << 1
+      idx += counts(l)
+    }
+    if (code != (1 << 16)) throw new Malformed // incomplete/oversubscribed
+    val syms = new Array[Int](n)
+    val next = firstIdx.clone()
+    for (s <- lengths.indices; l = lengths(s)) if (l > 0) {
+      syms(next(l)) = s; next(l) += 1
+    }
+    new PrefixCode(null, counts, firstCodes, firstIdx, syms)
+  }
+
+  /** Spec §"Decoding of the code lengths": the 19-symbol order. */
+  private val ClcOrder =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  private def readPrefixCode(br: BitReader, alphabetSize: Int): PrefixCode = {
+    if (br.readBit() == 1) { // simple
+      val numSym = br.readBit() + 1
+      val first8 = br.readBit() == 1
+      val s0 = br.readBits(if (first8) 8 else 1)
+      if (numSym == 1) return new PrefixCode(Array(s0), null, null, null, null)
+      val s1 = br.readBits(8)
+      if (s0 >= alphabetSize || s1 >= alphabetSize) throw new Malformed
+      return new PrefixCode(Array(s0, s1), null, null, null, null)
+    }
+    val numClc = 4 + br.readBits(4)
+    if (numClc > 19) throw new Malformed
+    val clcLens = new Array[Int](19)
+    for (i <- 0 until numClc) clcLens(ClcOrder(i)) = br.readBits(3)
+    val clc = buildCode(clcLens)
+    var maxSymbol =
+      if (br.readBit() == 1) {
+        val nbits = 2 + 2 * br.readBits(3)
+        2 + br.readBits(nbits)
+      } else alphabetSize
+    val lengths = new Array[Int](alphabetSize)
+    var symbol = 0
+    var prev = 8
+    while (symbol < alphabetSize) {
+      if (maxSymbol == 0) { symbol = alphabetSize } // rest stay 0
+      else {
+        maxSymbol -= 1
+        val cl = clc.read(br)
+        if (cl < 16) {
+          lengths(symbol) = cl; symbol += 1
+          if (cl != 0) prev = cl
+        } else {
+          val (repeat, value) = cl match {
+            case 16 => (3 + br.readBits(2), prev)
+            case 17 => (3 + br.readBits(3), 0)
+            case 18 => (11 + br.readBits(7), 0)
+            case _ => throw new Malformed
+          }
+          if (symbol + repeat > alphabetSize) throw new Malformed
+          var k = 0
+          while (k < repeat) { lengths(symbol) = value; symbol += 1; k += 1 }
+        }
+      }
+    }
+    buildCode(lengths)
+  }
+
+  // ---- LZ77 helpers -----------------------------------------------------
+
+  /** Length/distance prefix value (spec: 4 direct codes then extra bits). */
+  private def lz77Value(br: BitReader, prefix: Int): Int = {
+    if (prefix < 4) return prefix + 1
+    val extra = (prefix - 2) >> 1
+    val offset = (2 + (prefix & 1)) << extra
+    offset + 1 + br.readBits(extra)
+  }
+
+  /** The 120-entry 2D near-pixel distance map (spec table, (dx, dy)). */
+  private val DistMap: Array[(Int, Int)] = Array(
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7))
+
+  private def planeToDist(code: Int, xsize: Int): Int = {
+    if (code > 120) return code - 120
+    val (dx, dy) = DistMap(code - 1)
+    math.max(1, dy * xsize + dx)
+  }
+
+  // ---- image-stream decode ----------------------------------------------
+
+  private final case class Transform(kind: Int, data: Array[Int],
+                                     bits: Int, size: Int)
+
+  /** Decode one entropy-coded image (spec §5): color cache bit, optional
+    * meta-prefix entropy image (level 0 only), prefix-code groups, pixel
+    * loop with literals / backward references / cache hits.
+    */
+  private def decodeImage(br: BitReader, xsize: Int, ysize: Int,
+                          level0: Boolean): Array[Int] = {
+    if (xsize <= 0 || ysize <= 0 || xsize.toLong * ysize > MaxPixels)
+      throw new Malformed
+    val cacheBits = if (br.readBit() == 1) br.readBits(4) else 0
+    if (cacheBits > 11) throw new Malformed
+    val cache = if (cacheBits > 0) new Array[Int](1 << cacheBits) else null
+    // meta prefix image (level-0 streams only, libwebp's allow_recursion)
+    var metaBits = 0
+    var meta: Array[Int] = null
+    if (level0 && br.readBit() == 1) {
+      metaBits = br.readBits(3) + 2
+      val mx = (xsize + (1 << metaBits) - 1) >> metaBits
+      val my = (ysize + (1 << metaBits) - 1) >> metaBits
+      meta = decodeImage(br, mx, my, level0 = false)
+    }
+    val numGroups =
+      if (meta == null) 1
+      else meta.foldLeft(0)((m, px) => math.max(m, (px >> 8) & 0xffff)) + 1
+    if (numGroups > 256) throw new Malformed // fixture-scale bound
+    val greenAlphabet = 256 + 24 + (if (cacheBits > 0) 1 << cacheBits else 0)
+    val groups = Array.fill(numGroups) {
+      Array(readPrefixCode(br, greenAlphabet), readPrefixCode(br, 256),
+        readPrefixCode(br, 256), readPrefixCode(br, 256),
+        readPrefixCode(br, 40))
+    }
+    val out = new Array[Int](xsize * ysize)
+    var pos = 0
+    val total = out.length
+    def insert(argb: Int): Unit = if (cache != null)
+      cache(((0x1e35a7bd * argb) >>> (32 - cacheBits)).toInt) = argb
+    while (pos < total) {
+      val g =
+        if (meta == null) groups(0)
+        else {
+          val mx = (pos % xsize) >> metaBits
+          val my = (pos / xsize) >> metaBits
+          groups((meta(my * ((xsize + (1 << metaBits) - 1) >> metaBits) + mx) >> 8) & 0xffff)
+        }
+      val s = g(0).read(br)
+      if (s < 256) {
+        val red = g(1).read(br)
+        val blue = g(2).read(br)
+        val alpha = g(3).read(br)
+        val argb = (alpha << 24) | (red << 16) | (s << 8) | blue
+        out(pos) = argb; insert(argb); pos += 1
+      } else if (s < 280) {
+        val len = lz77Value(br, s - 256)
+        val distPrefix = g(4).read(br)
+        val dist = planeToDist(lz77Value(br, distPrefix), xsize)
+        if (dist > pos || pos + len > total) throw new Malformed
+        var k = 0
+        while (k < len) {
+          val argb = out(pos - dist)
+          out(pos) = argb; insert(argb); pos += 1; k += 1
+        }
+      } else {
+        if (cache == null) throw new Malformed
+        val idx = s - 280
+        if (idx >= cache.length) throw new Malformed
+        out(pos) = cache(idx); pos += 1
+      }
+    }
+    out
+  }
+
+  /** Decode the ARGB pixels of a VP8L stream (the bytes INSIDE the VP8L
+    * chunk). None on malformation or out-of-contract features.
+    */
+  private[operators] def decodeVp8l(b: Array[Byte], off: Int, len: Int): Option[(Int, Int, Array[Int])] = {
+    try {
+      if (len < 5 || (b(off) & 0xff) != 0x2f) return None
+      val br = new BitReader(b, off + 1, off + len)
+      val width = br.readBits(14) + 1
+      val height = br.readBits(14) + 1
+      br.readBit() // alpha hint
+      if (br.readBits(3) != 0) return None // version must be 0
+      if (width.toLong * height > MaxPixels) return None
+      // transforms (level 0); each applies once, inverted in reverse order
+      var xsize = width
+      var transforms = List.empty[Transform]
+      var seen = 0
+      while (br.readBit() == 1) {
+        val kind = br.readBits(2)
+        if ((seen & (1 << kind)) != 0) return None // spec: at most once each
+        seen |= 1 << kind
+        kind match {
+          case 2 => // SUBTRACT_GREEN: no payload
+            transforms ::= Transform(2, null, 0, 0)
+          case 3 => // COLOR_INDEXING
+            val paletteSize = br.readBits(8) + 1
+            val pal = decodeImage(br, paletteSize, 1, level0 = false)
+            // palette entries are component-wise deltas from the previous
+            var i = 1
+            while (i < pal.length) {
+              val p = pal(i - 1); val d = pal(i)
+              pal(i) = (((p >>> 24) + (d >>> 24) & 0xff) << 24) |
+                (((p >> 16 & 0xff) + (d >> 16 & 0xff) & 0xff) << 16) |
+                (((p >> 8 & 0xff) + (d >> 8 & 0xff) & 0xff) << 8) |
+                ((p & 0xff) + (d & 0xff) & 0xff)
+              i += 1
+            }
+            val xbits =
+              if (paletteSize <= 2) 3
+              else if (paletteSize <= 4) 2
+              else if (paletteSize <= 16) 1
+              else 0
+            transforms ::= Transform(3, pal, xbits, paletteSize)
+            xsize = (xsize + (1 << xbits) - 1) >> xbits
+          case _ => return None // PREDICTOR / COLOR: out of contract
+        }
+      }
+      var pixels = decodeImage(br, xsize, height, level0 = true)
+      var curX = xsize
+      // invert in reverse-read order
+      transforms.foreach { t =>
+        t.kind match {
+          case 2 =>
+            var i = 0
+            while (i < pixels.length) {
+              val px = pixels(i)
+              val g = px >> 8 & 0xff
+              pixels(i) = (px & 0xff000000) |
+                ((px >> 16 & 0xff) + g & 0xff) << 16 | (px & 0xff00) |
+                ((px & 0xff) + g & 0xff)
+              i += 1
+            }
+          case 3 =>
+            val unpacked = new Array[Int](width * height)
+            val perPixel = 1 << t.bits
+            val ibits = 8 >> t.bits
+            val mask = (1 << ibits) - 1
+            var y = 0
+            while (y < height) {
+              var x = 0
+              while (x < width) {
+                val packed = pixels(y * curX + (x >> t.bits))
+                val idx = (packed >> 8 & 0xff) >> (ibits * (x & (perPixel - 1))) & mask
+                if (idx >= t.size) throw new Malformed
+                unpacked(y * width + x) = t.data(idx)
+                x += 1
+              }
+              y += 1
+            }
+            pixels = unpacked
+            curX = width
+        }
+      }
+      if (pixels.length != width * height) return None
+      Some((width, height, pixels))
+    } catch {
+      case _: Malformed | _: ArrayIndexOutOfBoundsException |
+           _: NegativeArraySizeException => None
+    }
+  }
+
+  // ---- container --------------------------------------------------------
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+    ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Decode a WebP file to ARGB: RIFF walk to the VP8L chunk (plain or
+    * behind a VP8X extended header). Lossy (`VP8 `) and animated (`ANIM`)
+    * files are out of contract → None.
+    */
+  def decodeArgb(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes == null || bytes.length < 20) return None
+    if (fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "WEBP") return None
+    var i = 12L
+    while (i + 8 <= bytes.length) {
+      val at = i.toInt
+      val cc = fourcc(bytes, at)
+      val sz = le32(bytes, at + 4)
+      if (sz < 0 || at + 8 + sz > bytes.length) return None
+      cc match {
+        case "VP8L" => return decodeVp8l(bytes, at + 8, sz.toInt)
+        case "VP8 " | "ANIM" | "ANMF" => return None // lossy/animation
+        case _ => // VP8X / ICCP / EXIF / XMP: skip
+      }
+      val next = i + 8 + sz + (sz & 1)
+      if (next <= i) return None
+      i = next
+    }
+    None
+  }
+
+  /** Gray decode for the aHash family: ARGB → integer luma
+    * ((299r + 587g + 114b) / 1000, the [[PngGray]] convention — exact
+    * pass-through for achromatic pixels).
+    */
+  def decodeGray(bytes: Array[Byte]): Option[GrayImage] =
+    decodeArgb(bytes).map { case (w, h, px) =>
+      val gray = new Array[Int](px.length)
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        gray(i) = (299 * (p >> 16 & 0xff) + 587 * (p >> 8 & 0xff) +
+          114 * (p & 0xff)) / 1000
+        i += 1
+      }
+      GrayImage(w, h, gray)
+    }
+
+  // ---- writer twin -------------------------------------------------------
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nbits = 0
+    def writeBit(v: Int): Unit = {
+      cur |= (v & 1) << nbits
+      nbits += 1
+      if (nbits == 8) { out.write(cur); cur = 0; nbits = 0 }
+    }
+    /** n bits, LSB of v first (ReadBits twin). */
+    def writeBits(n: Int, v: Int): Unit = {
+      var k = 0
+      while (k < n) { writeBit((v >> k) & 1); k += 1 }
+    }
+    /** a prefix CODE: MSB first (the DEFLATE/VP8L code convention). */
+    def writeCode(len: Int, code: Int): Unit = {
+      var k = len - 1
+      while (k >= 0) { writeBit((code >> k) & 1); k -= 1 }
+    }
+    def bytes(): Array[Byte] = {
+      if (nbits > 0) { out.write(cur); cur = 0; nbits = 0 }
+      out.toByteArray
+    }
+  }
+
+  private def riff(vp8l: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit =
+      (0 until 4).foreach(k => out.write(((v >> (8 * k)) & 0xff).toInt))
+    def ascii(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val pad = vp8l.length & 1
+    ascii("RIFF"); w32(4L + 8 + vp8l.length + pad); ascii("WEBP")
+    ascii("VP8L"); w32(vp8l.length.toLong)
+    out.write(vp8l)
+    if (pad == 1) out.write(0)
+    out.toByteArray
+  }
+
+  /** Emit a normal prefix-code declaration whose code-length code has the
+    * two 1-bit symbols `clcSyms` (ascending), followed by the given
+    * (clcSymbol, count) runs, optionally closing with an 18-repeat or a
+    * max-symbol header — shared by the writer's green/red/blue codes.
+    */
+  private def writeCodeDecl(bw: BitWriter, clcA: Int, clcB: Int,
+                            runs: Seq[(Int, Int)], maxSymbol: Int): Unit = {
+    bw.writeBit(0) // normal (not simple)
+    val need = math.max(ClcOrder.indexOf(clcA), ClcOrder.indexOf(clcB)) + 1
+    bw.writeBits(4, need - 4)
+    for (i <- 0 until need) {
+      val s = ClcOrder(i)
+      bw.writeBits(3, if (s == clcA || s == clcB) 1 else 0)
+    }
+    if (maxSymbol > 0) {
+      bw.writeBit(1)
+      // length_nbits = 2 + 2*3 -> use the smallest field holding the value
+      val field = maxSymbol - 2
+      val sel = Seq(0, 1, 2, 3, 4, 5, 6, 7).find(s => field < (1 << (2 + 2 * s))).get
+      bw.writeBits(3, sel)
+      bw.writeBits(2 + 2 * sel, field)
+    } else bw.writeBit(0)
+    // canonical 1-bit codes: smaller clc symbol -> 0, larger -> 1
+    runs.foreach { case (sym, count) =>
+      val bit = if (sym == math.min(clcA, clcB)) 0 else 1
+      var k = 0
+      while (k < count) { bw.writeBit(bit); k += 1 }
+    }
+  }
+
+  /** Invert the LZ77 value coding: value -> (prefixCode, extraBits, extra). */
+  private def lz77Prefix(value: Int): (Int, Int, Int) = {
+    require(value >= 1)
+    if (value <= 4) return (value - 1, 0, 0)
+    var extra = 1
+    while (true) {
+      val lo = (2 << extra) + 1          // (2 + 0) << extra, +1
+      val mid = (3 << extra) + 1         // (2 + 1) << extra, +1
+      val hi = (2 << (extra + 1)) + 1
+      if (value < mid) return (2 * extra + 2, extra, value - lo)
+      if (value < hi) return (2 * extra + 3, extra, value - mid)
+      extra += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Render a REAL VP8L lossless WebP of an achromatic image (r=g=b=gray,
+    * alpha 255): no transforms, no cache, one prefix group. Two genuine
+    * entropy layouts so both declaration paths decode under oracle:
+    *
+    *  - `withRuns = false`: green/red/blue are 256-symbol 8-bit canonical
+    *    codes (declared via a {8,18} code-length code, the 24 green length
+    *    codes zeroed by an 18-repeat); alpha and distance are 1-symbol
+    *    simple codes (zero bits per pixel).
+    *  - `withRuns = true`: green packs literals at 9 bits beside the first
+    *    8 LZ77 length codes at 4 bits (a complete Kraft tree), declared
+    *    with the max-symbol shortcut; any run of pixels repeating the
+    *    previous row (length 3..16) is emitted as a genuine backward
+    *    reference with distance code plane(0,1) -> dist = width.
+    */
+  def renderLossless(width: Int, height: Int, gray: Array[Int],
+                     withRuns: Boolean = false,
+                     subtractGreen: Boolean = false): Array[Byte] = {
+    require(gray.length == width * height, "pixel count mismatch")
+    require(width >= 1 && width <= 16384 && height >= 1 && height <= 16384)
+    require(gray.forall(v => v >= 0 && v <= 255), "8-bit gray")
+    val bw = new BitWriter()
+    bw.writeBits(8, 0x2f)
+    bw.writeBits(14, width - 1); bw.writeBits(14, height - 1)
+    bw.writeBit(0) // alpha hint
+    bw.writeBits(3, 0) // version
+    if (subtractGreen) {
+      // SUBTRACT_GREEN: achromatic pixels store r' = b' = 0 in the stream
+      bw.writeBit(1); bw.writeBits(2, 2)
+    }
+    bw.writeBit(0) // end of transforms
+    bw.writeBit(0) // no color cache
+    bw.writeBit(0) // no meta prefix
+    if (!withRuns) {
+      // green: 256 x len-8 literals, 24 length codes zeroed via 18-repeat
+      bw.writeBit(0); bw.writeBits(4, 12 - 4)
+      for (i <- 0 until 12)
+        bw.writeBits(3, if (ClcOrder(i) == 8 || ClcOrder(i) == 18) 1 else 0)
+      bw.writeBit(0) // no max-symbol
+      (0 until 256).foreach(_ => bw.writeBit(0)) // "8" = code 0
+      bw.writeBit(1) // "18" = code 1
+      bw.writeBits(7, 24 - 11)
+    } else {
+      // green: 256 x len-9 literals + 8 x len-4 length codes, max-symbol 264
+      writeCodeDecl(bw, 4, 9, Seq((9, 256), (4, 8)), maxSymbol = 264)
+    }
+    // red, blue: 256 x len-8 (18 declared in the clc but unused)
+    for (_ <- 0 until 2) {
+      bw.writeBit(0); bw.writeBits(4, 12 - 4)
+      for (i <- 0 until 12)
+        bw.writeBits(3, if (ClcOrder(i) == 8 || ClcOrder(i) == 18) 1 else 0)
+      bw.writeBit(0)
+      (0 until 256).foreach(_ => bw.writeBit(0))
+    }
+    // alpha: simple 1-symbol 255 (8-bit form); distance: simple 1-symbol 0
+    bw.writeBit(1); bw.writeBit(0); bw.writeBit(1); bw.writeBits(8, 255)
+    bw.writeBit(1); bw.writeBit(0); bw.writeBit(0); bw.writeBit(0)
+    // pixels
+    var pos = 0
+    val n = gray.length
+    while (pos < n) {
+      var run = 0
+      if (withRuns && pos >= width) {
+        while (run < 16 && pos + run < n &&
+               gray(pos + run) == gray(pos + run - width)) run += 1
+      }
+      if (run >= 3) {
+        val (code, extraBits, extra) = lz77Prefix(run)
+        // canonical: 8 x len-4 codes 0..7 for symbols 256..263
+        bw.writeCode(4, code)
+        if (extraBits > 0) bw.writeBits(extraBits, extra)
+        // distance: 1-symbol simple code = zero bits; plane 1 -> (0,1)
+        pos += run
+      } else {
+        val v = gray(pos)
+        if (withRuns) bw.writeCode(9, 256 + v) else bw.writeCode(8, v)
+        val rb = if (subtractGreen) 0 else v
+        bw.writeCode(8, rb) // red
+        bw.writeCode(8, rb) // blue
+        // alpha: zero bits (1-symbol simple)
+        pos += 1
+      }
+    }
+    riff(bw.bytes())
+  }
+
+  /** Render a palette (COLOR_INDEXING) VP8L file: achromatic `palette`
+    * gray levels (2-256 entries, distinct), pixels given as palette
+    * indices. Exercises the transform chain the crawl's icon/logo WebPs
+    * use: delta-coded palette subimage, sub-byte pixel bundling when the
+    * palette fits 16 entries, index lookup on decode.
+    *
+    * Entropy layout: the palette subimage encodes its (at most two
+    * distinct) per-channel delta symbols with simple codes; the packed
+    * main image uses the 256-symbol 8-bit green code with 1-symbol simple
+    * codes everywhere else. Palette deltas must stay two-valued, so the
+    * gray levels are required to be an arithmetic progression (first
+    * level, then a constant step) — fixtures choose e.g. 40, 104, 168, 232.
+    */
+  def renderPaletteGray(width: Int, height: Int, indices: Array[Int],
+                        levels: Array[Int]): Array[Byte] = {
+    require(indices.length == width * height, "pixel count mismatch")
+    require(levels.length >= 2 && levels.length <= 256, "2-256 levels")
+    require(levels.forall(v => v >= 0 && v <= 255), "8-bit levels")
+    val step = (levels(1) - levels(0)) & 0xff
+    require(levels.sliding(2).forall(p => ((p(1) - p(0)) & 0xff) == step),
+      "levels must be an arithmetic progression (two-valued deltas)")
+    require(indices.forall(i => i >= 0 && i < levels.length), "index range")
+    val bw = new BitWriter()
+    bw.writeBits(8, 0x2f)
+    bw.writeBits(14, width - 1); bw.writeBits(14, height - 1)
+    bw.writeBit(0); bw.writeBits(3, 0)
+    // COLOR_INDEXING transform
+    bw.writeBit(1); bw.writeBits(2, 3)
+    bw.writeBits(8, levels.length - 1)
+    // palette subimage (levels.length x 1, level0=false: no meta bit):
+    // entry 0 raw (a=255, r=g=b=levels(0)), then deltas (a=0, ch=step)
+    bw.writeBit(0) // no color cache
+    def simple2(s0: Int, s1: Int): Unit = {
+      bw.writeBit(1); bw.writeBit(1); bw.writeBit(1)
+      bw.writeBits(8, s0); bw.writeBits(8, s1)
+    }
+    def simple1(s0: Int): Unit = {
+      bw.writeBit(1); bw.writeBit(0); bw.writeBit(1); bw.writeBits(8, s0)
+    }
+    simple2(levels(0), step) // green
+    simple2(levels(0), step) // red
+    simple2(levels(0), step) // blue
+    simple2(255, 0)          // alpha
+    simple1(0)               // distance
+    for (k <- levels.indices) {
+      val bit = if (k == 0) 0 else 1 // raw first entry, then delta
+      bw.writeBit(bit) // green
+      bw.writeBit(bit) // red
+      bw.writeBit(bit) // blue
+      bw.writeBit(bit) // alpha
+    }
+    bw.writeBit(0) // end of transforms
+    // main image: packed indices in the green channel
+    val xbits =
+      if (levels.length <= 2) 3 else if (levels.length <= 4) 2
+      else if (levels.length <= 16) 1 else 0
+    val packedW = (width + (1 << xbits) - 1) >> xbits
+    val perPixel = 1 << xbits
+    val ibits = 8 >> xbits
+    bw.writeBit(0) // no color cache
+    bw.writeBit(0) // no meta prefix
+    // green: 256 x len-8 + 24 zeroed length codes (the {8,18} declaration)
+    bw.writeBit(0); bw.writeBits(4, 12 - 4)
+    for (i <- 0 until 12)
+      bw.writeBits(3, if (ClcOrder(i) == 8 || ClcOrder(i) == 18) 1 else 0)
+    bw.writeBit(0)
+    (0 until 256).foreach(_ => bw.writeBit(0))
+    bw.writeBit(1); bw.writeBits(7, 24 - 11)
+    simple1(0)   // red
+    simple1(0)   // blue
+    simple1(255) // alpha
+    simple1(0)   // distance
+    for (y <- 0 until height; px <- 0 until packedW) {
+      var packed = 0
+      for (k <- 0 until perPixel) {
+        val x = (px << xbits) + k
+        if (x < width) packed |= indices(y * width + x) << (ibits * k)
+      }
+      bw.writeCode(8, packed)
+    }
+    riff(bw.bytes())
+  }
+}

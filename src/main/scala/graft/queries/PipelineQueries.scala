@@ -1370,6 +1370,40 @@ object PipelineQueries extends QuerySet {
         .orderBy("a_id", "b_id")
     }),
 
+    // q127's WebP sibling — the one mainstream crawl format the family
+    // lacked: the same planted near-dup families, but each image is a
+    // genuine VP8L lossless WebP decoded by the full machinery (RIFF
+    // walk, canonical prefix codes, LZ77 with the 2D distance map,
+    // subtract-green). Rows 3/5 copy rows 2/4 so the run-layout encodes
+    // emit REAL backward references; entropy layouts rotate across the
+    // 8-bit literal, 9-bit + max-symbol + LZ77, and subtract-green
+    // declarations — a mis-read bit anywhere breaks the hash against the
+    // pixel-formula oracle.
+    "q191_webp_ahash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      def cell(img: Long, j: Int): Int = {
+        val key = s"${if (j < img % 3) img + 1000000 else img / 10}:$j"
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex.substring(0, 13), 16) % 256).toInt
+      }
+      val imgs = (0L until 40L).map { i =>
+        val px = Array.tabulate(10 * 6) { k =>
+          val r = k / 10
+          val src = if (r == 3) 2 else if (r == 5) 4 else r
+          cell(i, src * 10 + k % 10)
+        }
+        (i, graft.operators.Webp.renderLossless(10, 6, px,
+          withRuns = i % 4 == 1 || i % 4 == 3,
+          subtractGreen = i % 4 == 2))
+      }
+      val sig = Multimodal.aHashFromWebp(
+        imgs.toDF("img_id", "webp"), "webp", "img_id", gw = 10, gh = 6)
+      Dedup.simHashPairs(sig, maxHamming = 6,
+          maxBucketSize = Int.MaxValue, nBits = 60)
+        .orderBy("a_id", "b_id")
+    }),
+
     // Rotation/flip-invariant image dedup: 10 families x 4 orientations
     // (identity / 90° cw / 180° / column-mirror), each rendered as a REAL
     // 7x7 PNG whose pixels are the md5-arithmetic base grid under that
@@ -2697,6 +2731,27 @@ object PipelineQueries extends QuerySet {
     // payload base 452 (ftyp 16 + moov 428 + mdat header 8), one chunk
     // per sample at stride 2048, keyframe pixels from the same md5 block
     // arithmetic the JPEG DC-only fixtures pin bit-exactly
+    // q127's arithmetic oracle with the row remap (3<-2, 5<-4): pixels,
+    // hashes, and brute-force hamming pairs re-derived; the VP8L decode
+    // chain (prefix codes, LZ77, subtract-green) must be bit-perfect or
+    // the hashes break
+    "q191_webp_ahash_dedup" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 39)) AS img_id),
+        |g AS (SELECT img_id, list_transform(range(0, 60), j ->
+        |    ('0x' || substr(md5(CAST(CASE WHEN (CASE WHEN j // 10 = 3 THEN 2
+        |          WHEN j // 10 = 5 THEN 4 ELSE j // 10 END) * 10 + j % 10 < img_id % 3
+        |        THEN img_id + 1000000 ELSE img_id // 10 END AS VARCHAR) || ':' ||
+        |      CAST((CASE WHEN j // 10 = 3 THEN 2 WHEN j // 10 = 5 THEN 4
+        |        ELSE j // 10 END) * 10 + j % 10 AS VARCHAR)), 1, 13))::BIGINT % 256) AS gray
+        |  FROM ids),
+        |sig AS (SELECT img_id, CAST(list_sum(list_transform(range(0, 60), j ->
+        |    CASE WHEN gray[j + 1] * 60 > list_sum(gray) THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS h
+        |  FROM g)
+        |SELECT a.img_id AS a_id, b.img_id AS b_id, bit_count(xor(a.h, b.h)) AS hamming
+        |FROM sig a JOIN sig b ON a.img_id < b.img_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 6
+        |ORDER BY a_id, b_id""".stripMargin,
+
     // pixels, all 8 dihedral transform hashes, the canonical min, and the
     // brute-force hamming pairs all replayed arithmetically; the transform
     // index SQL is GENERATED from the same Multimodal.dihedralPermSql the

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class WebpSpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(7)
+
+  test("round trip: 8-bit literal layout, every gray value recovered") {
+    val w = 13; val h = 9
+    val gray = Array.fill(w * h)(rnd.nextInt(256))
+    val img = Webp.decodeGray(Webp.renderLossless(w, h, gray)).get
+    assert(img.width == w && img.height == h)
+    assert(img.gray.toSeq == gray.toSeq)
+  }
+
+  test("round trip: 9-bit + max-symbol layout with genuine LZ77 row runs") {
+    val w = 11; val h = 8
+    val gray = Array.tabulate(w * h) { k =>
+      val r = k / w
+      // rows 2,3 copy row 1; row 6 copies row 5 -> back-references fire
+      val src = if (r == 2 || r == 3) 1 else if (r == 6) 5 else r
+      (src * 37 + (k % w) * 11) % 256
+    }
+    val bytes = Webp.renderLossless(w, h, gray, withRuns = true)
+    val img = Webp.decodeGray(bytes).get
+    assert(img.gray.toSeq == gray.toSeq)
+    // the run layout must actually be smaller than the literal layout
+    // (i.e. references were emitted, not 9-bit literals for every pixel)
+    val literal = Webp.renderLossless(w, h, gray, withRuns = false)
+    assert(bytes.length < literal.length,
+      s"no refs emitted? runs=${bytes.length} literal=${literal.length}")
+  }
+
+  test("round trip: SUBTRACT_GREEN transform inverts exactly") {
+    val w = 10; val h = 6
+    val gray = Array.fill(w * h)(rnd.nextInt(256))
+    val img = Webp.decodeGray(Webp.renderLossless(w, h, gray,
+      subtractGreen = true)).get
+    assert(img.gray.toSeq == gray.toSeq)
+  }
+
+  test("round trip: COLOR_INDEXING palette with sub-byte bundling") {
+    // 4 levels -> 2 bits/index, 4 indices packed per green byte
+    val levels = Array(40, 104, 168, 232)
+    val w = 10; val h = 6
+    val idx = Array.tabulate(w * h)(k => (k * 7 + k / w) % 4)
+    val img = Webp.decodeGray(Webp.renderPaletteGray(w, h, idx, levels)).get
+    assert(img.width == w && img.height == h)
+    assert(img.gray.toSeq == idx.map(levels).toSeq)
+    // 2 levels -> 1 bit/index, 8 per byte; width not a multiple of 8
+    val lv2 = Array(0, 255)
+    val idx2 = Array.tabulate(w * h)(k => k % 2)
+    val img2 = Webp.decodeGray(Webp.renderPaletteGray(w, h, idx2, lv2)).get
+    assert(img2.gray.toSeq == idx2.map(lv2).toSeq)
+    // 17+ levels -> no bundling path
+    val lv17 = Array.tabulate(17)(k => (10 + k * 13) % 256)
+    // arithmetic progression mod 256 keeps the two-valued delta contract
+    val idx17 = Array.tabulate(w * h)(k => k % 17)
+    val img17 = Webp.decodeGray(Webp.renderPaletteGray(w, h, idx17, lv17)).get
+    assert(img17.gray.toSeq == idx17.map(lv17).toSeq)
+  }
+
+  test("out-of-contract and malformed inputs return None, never throw") {
+    assert(Webp.decodeGray(null).isEmpty)
+    assert(Webp.decodeGray(Array.emptyByteArray).isEmpty)
+    assert(Webp.decodeGray("not a riff container at all".getBytes).isEmpty)
+    val ok = Webp.renderLossless(6, 6, Array.fill(36)(128))
+    // truncations at every depth parse to None, not a throw
+    for (cut <- Seq(4, 12, 19, 21, ok.length - 3))
+      assert(Webp.decodeGray(java.util.Arrays.copyOf(ok, cut)).isEmpty)
+    // lossy VP8 chunk is out of contract
+    val lossy = ok.clone()
+    System.arraycopy("VP8 ".getBytes("US-ASCII"), 0, lossy, 12, 4)
+    assert(Webp.decodeGray(lossy).isEmpty)
+    // PREDICTOR transform (type 0) is out of contract: set the transform
+    // bit — the old cache/meta 0-bits become the type code 00
+    val pred = ok.clone()
+    pred(20 + 5) = (pred(20 + 5) | 1).toByte
+    assert(Webp.decodeGray(pred).isEmpty)
+    // bad version bits
+    val badVer = ok.clone()
+    badVer(20 + 4) = (badVer(20 + 4) | 0x80).toByte
+    assert(Webp.decodeGray(badVer).isEmpty)
+    // flipped byte mid-stream must not throw (None or wrong pixels, both
+    // acceptable for corruption — the contract is no task failure)
+    val flip = ok.clone()
+    flip(30) = (flip(30) ^ 0x55).toByte
+    Webp.decodeGray(flip)
+  }
+
+  test("dimension guards: header bomb and too-small images") {
+    // a 16384x16384 claim exceeds the pixel cap -> None without allocating
+    val bomb = Webp.renderLossless(2, 2, Array.fill(4)(1)).clone()
+    // width-1 = 16383, height-1 = 16383: bits 8..35 of the VP8L stream
+    bomb(20 + 1) = 0xff.toByte; bomb(20 + 2) = 0xff.toByte
+    bomb(20 + 3) = 0xff.toByte; bomb(20 + 4) = 0x0f.toByte
+    assert(Webp.decodeGray(bomb).isEmpty)
+  }
+
+  test("aHashFromWebp: fingerprints match the PNG door on identical pixels") {
+    import spark.implicits._
+    val imgs = (0L until 6L).map { i =>
+      val px = Array.tabulate(10 * 6)(j => ((i * 31 + j * 17) % 256).toInt)
+      (i, Webp.renderLossless(10, 6, px, withRuns = i % 2 == 1),
+        PngGray.render(10, 6, px, 0, _ => 0))
+    }
+    val webp = Multimodal.aHashFromWebp(
+      imgs.map(t => (t._1, t._2)).toDF("img_id", "webp"), "webp", "img_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val png = Multimodal.aHashFromPng(
+      imgs.map(t => (t._1, t._3)).toDF("img_id", "png"), "png", "img_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(webp == png) // same pixels, same fingerprints, format-independent
+  }
+}
