@@ -1,0 +1,335 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Ogg container parsing (Vorbis + Opus) — the open-container member of
+  * the audio family beside WAV/PCM fingerprints, the MP3 frame walk, and
+  * FLAC's embedded PCM-MD5. Podcast and speech corpora ship Ogg-heavy
+  * (Wikipedia media, Common Voice exports), and the container design
+  * hands dedup a lever FLAC doesn't: the logical stream is a sequence of
+  * PACKETS laid across pages, and a retag (new VorbisComment/OpusTags)
+  * or a remux (different pagination of the same packets) changes pages
+  * but not packets. Hashing the reassembled audio packets — skipping the
+  * codec's header packets — therefore yields a signature invariant to
+  * BOTH retagging and repagination, with no audio decode at all.
+  *
+  * This is a REAL parser of the public layout (RFC 3533 framing; Vorbis I
+  * spec §4.2 / RFC 7845 §5 for the header packets): `OggS` capture
+  * pattern, version 0, header-type flags (continuation / BOS / EOS),
+  * 64-bit LE granule position, serial, sequence, the page CRC (32-bit,
+  * polynomial 0x04c11db7, unreflected, zero init — VERIFIED per page;
+  * a corrupt page refuses the file), lacing-value packet reassembly
+  * including packets spanning pages (255-lacing continuation), Vorbis
+  * identification/comment headers and OpusHead/OpusTags.
+  *
+  * Contract (the [[Multimodal]] discipline): malformed bytes → None,
+  * never a throw. Strictly single-stream: a multiplexed file (second
+  * serial) refuses rather than mis-hash — no silent holes. The final
+  * page must carry EOS; a truncated file refuses.
+  *
+  * Scale shape: a per-row page walk inside mapPartitions (one pass, no
+  * allocation beyond the packet buffers); the dedup is one hash groupBy
+  * on the 32-hex-char signature.
+  */
+object Ogg extends Serializable {
+
+  final case class OggMeta(codec: String, sampleRate: Int, channels: Int,
+                           durationMs: Long, nPages: Int, nPackets: Int,
+                           vendor: String, title: String, audioSig: String)
+
+  // RFC 3533 §6: CRC-32, generator 0x04c11db7, unreflected, init 0, no
+  // final xor, computed over the page with the CRC field zeroed.
+  private val CrcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var r = i << 24
+      var k = 0
+      while (k < 8) {
+        r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04c11db7 else r << 1
+        k += 1
+      }
+      t(i) = r
+      i += 1
+    }
+    t
+  }
+
+  private[graft] def pageCrc(b: Array[Byte], off: Int, len: Int): Int = {
+    var crc = 0
+    var i = 0
+    while (i < len) {
+      // the CRC field itself (bytes 22..25 of the page) counts as zero
+      val v = if (i >= 22 && i < 26) 0 else b(off + i) & 0xff
+      crc = (crc << 8) ^ CrcTable(((crc >>> 24) ^ v) & 0xff)
+      i += 1
+    }
+    crc
+  }
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+  private def le64(b: Array[Byte], i: Int): Long =
+    (le32(b, i).toLong & 0xffffffffL) | (le32(b, i + 4).toLong << 32)
+
+  private def startsWith(b: Array[Byte], prefix: Array[Byte]): Boolean =
+    b.length >= prefix.length && {
+      var i = 0
+      while (i < prefix.length && b(i) == prefix(i)) i += 1
+      i == prefix.length
+    }
+
+  private val VorbisId = (Array(1.toByte) ++ "vorbis".getBytes("US-ASCII"))
+  private val VorbisComment = (Array(3.toByte) ++ "vorbis".getBytes("US-ASCII"))
+  private val OpusHead = "OpusHead".getBytes("US-ASCII")
+  private val OpusTags = "OpusTags".getBytes("US-ASCII")
+
+  /** Parse a whole single-stream Ogg file into metadata + the
+    * retag/repagination-invariant audio signature. None on any framing,
+    * CRC, codec, or comment-structure violation.
+    */
+  def decode(bytes: Array[Byte]): Option[OggMeta] =
+    try {
+      if (bytes == null || bytes.length < 28) return None
+      val packets = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      var pending: java.io.ByteArrayOutputStream = null
+      var p = 0
+      var nPages = 0
+      var serial = 0
+      var sawEos = false
+      var granuleEnd = 0L
+      while (p < bytes.length) {
+        if (sawEos) return None // trailing bytes after the EOS page
+        if (p + 27 > bytes.length) return None
+        if (bytes(p) != 'O' || bytes(p + 1) != 'g' || bytes(p + 2) != 'g' ||
+            bytes(p + 3) != 'S' || bytes(p + 4) != 0) return None
+        val flags = u8(bytes, p + 5)
+        val granule = le64(bytes, p + 6)
+        val pageSerial = le32(bytes, p + 14)
+        if (nPages == 0) serial = pageSerial
+        else if (pageSerial != serial) return None // multiplexed: refuse
+        val nSegs = u8(bytes, p + 26)
+        val segBase = p + 27
+        if (segBase + nSegs > bytes.length) return None
+        var payload = 0
+        var si = 0
+        while (si < nSegs) { payload += u8(bytes, segBase + si); si += 1 }
+        val dataBase = segBase + nSegs
+        if (dataBase + payload > bytes.length) return None
+        if (pageCrc(bytes, p, 27 + nSegs + payload) != le32(bytes, p + 22))
+          return None
+        val continued = (flags & 0x01) != 0
+        if (continued != (pending != null)) return None // lost data / bogus flag
+        var dp = dataBase
+        si = 0
+        while (si < nSegs) {
+          val lace = u8(bytes, segBase + si)
+          if (pending == null) pending = new java.io.ByteArrayOutputStream()
+          pending.write(bytes, dp, lace)
+          dp += lace
+          if (lace < 255) { packets += pending.toByteArray; pending = null }
+          si += 1
+        }
+        if (granule != -1L) granuleEnd = granule
+        if ((flags & 0x04) != 0) sawEos = true
+        nPages += 1
+        p = dataBase + payload
+      }
+      if (!sawEos || pending != null || packets.isEmpty) return None
+      val id = packets(0)
+      val (codec, rate, channels, preSkip, nHeaders) =
+        if (startsWith(id, VorbisId) && id.length >= 30)
+          ("vorbis", le32(id, 12), u8(id, 11), 0, 3)
+        else if (startsWith(id, OpusHead) && id.length >= 19)
+          ("opus", le32(id, 12), u8(id, 9), le16(id, 10), 2)
+        else return None
+      if (packets.length < nHeaders) return None
+      // the comment header is packet 1 in both codecs
+      val cm = packets(1)
+      val cBase =
+        if (codec == "vorbis") { if (!startsWith(cm, VorbisComment)) return None; 7 }
+        else { if (!startsWith(cm, OpusTags)) return None; 8 }
+      if (cBase + 4 > cm.length) return None
+      val vendorLen = le32(cm, cBase)
+      if (vendorLen < 0 || cBase + 4 + vendorLen + 4 > cm.length) return None
+      val vendor = new String(cm, cBase + 4, vendorLen, "UTF-8")
+      var cp = cBase + 4 + vendorLen
+      val nComments = le32(cm, cp)
+      cp += 4
+      if (nComments < 0 || nComments > 65536) return None
+      var title: String = ""
+      var ci = 0
+      while (ci < nComments) {
+        if (cp + 4 > cm.length) return None
+        val len = le32(cm, cp)
+        cp += 4
+        if (len < 0 || cp + len > cm.length) return None
+        val kv = new String(cm, cp, len, "UTF-8")
+        cp += len
+        val eq = kv.indexOf('=')
+        if (eq > 0 && kv.substring(0, eq).equalsIgnoreCase("TITLE") &&
+            title.isEmpty)
+          title = kv.substring(eq + 1)
+        ci += 1
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var pi = nHeaders
+      while (pi < packets.length) { md.update(packets(pi)); pi += 1 }
+      val sig = md.digest().map(b => f"$b%02x").mkString
+      val durationMs =
+        if (codec == "vorbis") { if (rate <= 0) return None else granuleEnd * 1000L / rate }
+        else math.max(0L, granuleEnd - preSkip) * 1000L / 48000L
+      Some(OggMeta(codec, rate, channels, durationMs, nPages, packets.length,
+        vendor, title, sig))
+    } catch {
+      case _: ArrayIndexOutOfBoundsException | _: IndexOutOfBoundsException |
+           _: NegativeArraySizeException => None
+    }
+
+  /** DataFrame door: append codec/sample_rate/channels/duration_ms/
+    * n_pages/n_packets/vendor/title/audio_sig columns (NULLs for
+    * non-Ogg payloads).
+    */
+  def decodeMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val idx = df.schema.fieldIndex(payloadCol)
+    val outSchema = df.schema
+      .add("codec", StringType).add("sample_rate", IntegerType)
+      .add("channels", IntegerType).add("duration_ms", LongType)
+      .add("n_pages", IntegerType).add("n_packets", IntegerType)
+      .add("vendor", StringType).add("title", StringType)
+      .add("audio_sig", StringType)
+    val rows = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val m = decode(r.get(idx).asInstanceOf[Array[Byte]]).orNull
+        Row.fromSeq(r.toSeq ++ (if (m == null)
+          Seq(null, null, null, null, null, null, null, null, null)
+        else Seq(m.codec, m.sampleRate, m.channels, m.durationMs, m.nPages,
+          m.nPackets, m.vendor, m.title, m.audioSig)))
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  // ---------------------------------------------------------------- writer
+
+  private def writeLe32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+  }
+
+  private def commentPacket(magic: Array[Byte], vendor: String,
+                            comments: Seq[(String, String)],
+                            framing: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(magic, 0, magic.length)
+    val v = vendor.getBytes("UTF-8")
+    writeLe32(out, v.length); out.write(v, 0, v.length)
+    writeLe32(out, comments.length)
+    comments.foreach { case (k, value) =>
+      val kv = s"$k=$value".getBytes("UTF-8")
+      writeLe32(out, kv.length); out.write(kv, 0, kv.length)
+    }
+    if (framing) out.write(1)
+    out.toByteArray
+  }
+
+  /** One rendered page. `lacings` must encode exactly the bytes of
+    * `data` (sum == data.length).
+    */
+  private def page(flags: Int, granule: Long, serial: Int, seq: Int,
+                   lacings: Seq[Int], data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("OggS".getBytes("US-ASCII"), 0, 4)
+    out.write(0); out.write(flags)
+    var g = granule
+    var i = 0
+    while (i < 8) { out.write((g & 0xff).toInt); g >>= 8; i += 1 }
+    writeLe32(out, serial); writeLe32(out, seq)
+    writeLe32(out, 0) // CRC placeholder
+    out.write(lacings.length)
+    lacings.foreach(out.write)
+    out.write(data, 0, data.length)
+    val b = out.toByteArray
+    val crc = pageCrc(b, 0, b.length)
+    b(22) = (crc & 0xff).toByte; b(23) = ((crc >> 8) & 0xff).toByte
+    b(24) = ((crc >> 16) & 0xff).toByte; b(25) = ((crc >> 24) & 0xff).toByte
+    b
+  }
+
+  /** Lacing encoding of a whole packet on one page:
+    * [255]*(len/255) ++ [len%255] (the trailing lacing may be 0).
+    */
+  private def laceAll(len: Int): Seq[Int] =
+    Seq.fill(len / 255)(255) :+ (len % 255)
+
+  /** Writer twin for fixtures: a spec-conformant single-stream file.
+    * Page 0 carries the identification header alone (BOS); page 1 the
+    * comment header (+ the Vorbis setup header); each audio packet gets
+    * its own page — EXCEPT packets longer than 255 bytes, which SPAN two
+    * pages (all full 255-lacings on the first, granule -1 since no packet
+    * ends there; the remainder on a continuation page) so reassembly is
+    * load-bearing. Audio-page granules step `totalSamples*(j+1)/n`; the
+    * final page carries EOS and granule exactly `totalSamples`.
+    */
+  def render(codec: String, sampleRate: Int, channels: Int,
+             totalSamples: Long, vendor: String,
+             comments: Seq[(String, String)],
+             audioPackets: Seq[Array[Byte]], serial: Int = 0x6772,
+             preSkip: Int = 312, spanOver: Int = 255): Array[Byte] = {
+    require(codec == "vorbis" || codec == "opus", s"codec $codec")
+    val out = new java.io.ByteArrayOutputStream()
+    var seq = 0
+    def emit(flags: Int, granule: Long, lacings: Seq[Int],
+             data: Array[Byte]): Unit = {
+      val b = page(flags, granule, serial, seq, lacings, data)
+      out.write(b, 0, b.length); seq += 1
+    }
+    val idPacket: Array[Byte] =
+      if (codec == "vorbis") {
+        val o = new java.io.ByteArrayOutputStream()
+        o.write(VorbisId, 0, VorbisId.length)
+        writeLe32(o, 0) // version
+        o.write(channels)
+        writeLe32(o, sampleRate)
+        writeLe32(o, 0); writeLe32(o, 0); writeLe32(o, 0) // bitrates
+        o.write(0xb8) // blocksizes
+        o.write(1) // framing
+        o.toByteArray
+      } else {
+        val o = new java.io.ByteArrayOutputStream()
+        o.write(OpusHead, 0, OpusHead.length)
+        o.write(1) // version
+        o.write(channels)
+        o.write(preSkip & 0xff); o.write((preSkip >> 8) & 0xff)
+        writeLe32(o, sampleRate) // input sample rate (informational)
+        o.write(0); o.write(0) // output gain
+        o.write(0) // mapping family
+        o.toByteArray
+      }
+    emit(0x02, 0L, laceAll(idPacket.length), idPacket) // BOS
+    val cmt =
+      if (codec == "vorbis") commentPacket(VorbisComment, vendor, comments, framing = true)
+      else commentPacket(OpusTags, vendor, comments, framing = false)
+    if (codec == "vorbis") {
+      val setup = (Array(5.toByte) ++ "vorbis".getBytes("US-ASCII")) ++
+        "setup-codebooks-0123456789abcdef".getBytes("US-ASCII")
+      emit(0x00, 0L, laceAll(cmt.length) ++ laceAll(setup.length), cmt ++ setup)
+    } else emit(0x00, 0L, laceAll(cmt.length), cmt)
+    val n = audioPackets.length
+    audioPackets.zipWithIndex.foreach { case (pkt, j) =>
+      val granule = totalSamples * (j + 1) / n
+      val eos = if (j == n - 1) 0x04 else 0x00
+      if (pkt.length > spanOver) {
+        val full = pkt.length / 255
+        emit(0x00, -1L, Seq.fill(full)(255), pkt.take(full * 255))
+        emit(0x01 | eos, granule, Seq(pkt.length % 255), pkt.drop(full * 255))
+      } else emit(eos, granule, laceAll(pkt.length), pkt)
+    }
+    out.toByteArray
+  }
+}

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Subtitle/caption parsing (SubRip `.srt` + WebVTT) — the text half of a
+  * video training pair. Speech/video corpora ship captions beside the
+  * media (the reference's ingestion story pairs sequence data with
+  * deflines; a multimodal pipeline pairs keyframes with cue text), and
+  * the cue timings are what alignment, per-second token-rate quality
+  * screens, and clip slicing all key on.
+  *
+  * Formats (public specs: SubRip de-facto grammar; W3C WebVTT):
+  *  - SRT: blank-line-separated blocks of `index \n HH:MM:SS,mmm -->
+  *    HH:MM:SS,mmm \n text...`.
+  *  - WebVTT: `WEBVTT` signature line; `NOTE`/`STYLE`/`REGION` blocks
+  *    skipped; cues with an OPTIONAL id line, `HH:MM:SS.mmm` or
+  *    `MM:SS.mmm` timestamps, cue settings after the end timestamp
+  *    ignored.
+  *
+  * Both: inline markup (`<i>`, `<c.class>`, ...) strips from cue text;
+  * multi-line cue text joins with a single space (token-stream view).
+  * Malformed input — non-numeric SRT index, bad timestamp, end before
+  * start — refuses the FILE (None), the door discipline everywhere else
+  * in this repo: a half-parsed caption track silently misaligns clips.
+  *
+  * Scale shape: a per-row parse inside mapPartitions; one pass over the
+  * lines, no backtracking.
+  */
+object Subtitles extends Serializable {
+
+  final case class Cue(ord: Int, startMs: Long, endMs: Long, text: String)
+
+  private val SrtTime =
+    java.util.regex.Pattern.compile("(\\d{1,2}):(\\d{2}):(\\d{2}),(\\d{3})")
+  private val VttTime = java.util.regex.Pattern.compile(
+    "(?:(\\d{1,2}):)?(\\d{2}):(\\d{2})\\.(\\d{3})")
+  private val Tag = java.util.regex.Pattern.compile("<[^>]*>")
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  private def ms(h: String, m: String, s: String, f: String): Long =
+    (if (h == null) 0L else h.toLong) * 3600000L + m.toLong * 60000L +
+      s.toLong * 1000L + f.toLong
+
+  private def cleanText(lines: Seq[String]): String =
+    Ws.matcher(Tag.matcher(lines.mkString(" ")).replaceAll(" "))
+      .replaceAll(" ").trim
+
+  private def blocksOf(body: String): Seq[Seq[String]] = {
+    val out = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+    var cur = scala.collection.mutable.ArrayBuffer[String]()
+    body.split("\r?\n", -1).foreach { line =>
+      if (line.trim.isEmpty) {
+        if (cur.nonEmpty) { out += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer() }
+      } else cur += line
+    }
+    if (cur.nonEmpty) out += cur.toSeq
+    out.toSeq
+  }
+
+  /** Parse a SubRip file. None on any malformed block. */
+  def parseSrt(s: String): Option[Seq[Cue]] = {
+    val cues = scala.collection.mutable.ArrayBuffer[Cue]()
+    for (block <- blocksOf(s)) {
+      if (block.length < 2) return None
+      val idx = block.head.trim
+      if (!idx.nonEmpty || !idx.forall(_.isDigit)) return None
+      val arrow = block(1).split("-->")
+      if (arrow.length != 2) return None
+      val sm = SrtTime.matcher(arrow(0).trim)
+      val em = SrtTime.matcher(arrow(1).trim)
+      if (!sm.matches() || !em.matches()) return None
+      val start = ms(sm.group(1), sm.group(2), sm.group(3), sm.group(4))
+      val end = ms(em.group(1), em.group(2), em.group(3), em.group(4))
+      if (end < start) return None
+      cues += Cue(cues.length, start, end, cleanText(block.drop(2)))
+    }
+    if (cues.isEmpty) None else Some(cues.toSeq)
+  }
+
+  /** Parse a WebVTT file. None unless the signature line is present or on
+    * any malformed cue.
+    */
+  def parseVtt(s: String): Option[Seq[Cue]] = {
+    val body = if (s.length > 0 && s.charAt(0) == '\uFEFF') s.substring(1) else s
+    if (!body.startsWith("WEBVTT")) return None
+    val afterHeader = {
+      val nl = body.indexOf('\n')
+      if (nl < 0) "" else body.substring(nl + 1)
+    }
+    val cues = scala.collection.mutable.ArrayBuffer[Cue]()
+    for (block <- blocksOf(afterHeader)) {
+      val head = block.head.trim
+      if (head.startsWith("NOTE") || head.startsWith("STYLE") ||
+          head.startsWith("REGION")) {
+        // metadata block: skipped wholesale
+      } else {
+        // optional cue-id line: the first line WITHOUT an arrow
+        val (timing, textLines) =
+          if (head.contains("-->")) (head, block.drop(1))
+          else if (block.length >= 2 && block(1).contains("-->"))
+            (block(1).trim, block.drop(2))
+          else return None
+        val arrow = timing.split("-->")
+        if (arrow.length != 2) return None
+        val sm = VttTime.matcher(arrow(0).trim)
+        // settings may follow the end timestamp: match a PREFIX there
+        val endStr = arrow(1).trim
+        val em = VttTime.matcher(endStr)
+        if (!sm.matches() || !em.lookingAt()) return None
+        val rest = endStr.substring(em.end())
+        if (rest.nonEmpty && !rest.startsWith(" ") && !rest.startsWith("\t"))
+          return None
+        val start = ms(sm.group(1), sm.group(2), sm.group(3), sm.group(4))
+        val end = ms(em.group(1), em.group(2), em.group(3), em.group(4))
+        if (end < start) return None
+        cues += Cue(cues.length, start, end, cleanText(textLines))
+      }
+    }
+    if (cues.isEmpty) None else Some(cues.toSeq)
+  }
+
+  /** Format dispatch: WebVTT by signature, SubRip otherwise. Returns the
+    * detected format with the cues.
+    */
+  def parse(s: String): Option[(String, Seq[Cue])] = {
+    if (s == null) return None
+    val body = if (s.length > 0 && s.charAt(0) == '\uFEFF') s.substring(1) else s
+    if (body.startsWith("WEBVTT")) parseVtt(s).map(("vtt", _))
+    else parseSrt(s).map(("srt", _))
+  }
+
+  /** DataFrame door: one output row per cue —
+    * (carried id column, format, cue_ord, start_ms, end_ms, text).
+    * Files that refuse to parse contribute no rows (screened, not
+    * silently half-read).
+    */
+  def cues(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val tIdx = df.schema.fieldIndex(textCol)
+    val iIdx = df.schema.fieldIndex(idCol)
+    val idField = df.schema(iIdx)
+    val outSchema = StructType(Seq(
+      idField,
+      StructField("format", StringType),
+      StructField("cue_ord", IntegerType, nullable = false),
+      StructField("start_ms", LongType, nullable = false),
+      StructField("end_ms", LongType, nullable = false),
+      StructField("text", StringType)))
+    val rows = df.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        parse(r.get(tIdx).asInstanceOf[String]).toSeq.flatMap {
+          case (fmt, cs) =>
+            cs.map(c => Row(r.get(iIdx), fmt, c.ord, c.startMs, c.endMs, c.text))
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  // ---------------------------------------------------------------- writers
+
+  private def srtStamp(t: Long): String =
+    f"${t / 3600000}%02d:${t / 60000 % 60}%02d:${t / 1000 % 60}%02d,${t % 1000}%03d"
+
+  private def vttStamp(t: Long): String =
+    f"${t / 3600000}%02d:${t / 60000 % 60}%02d:${t / 1000 % 60}%02d.${t % 1000}%03d"
+
+  /** Writer twin: a SubRip rendering of (startMs, endMs, text) cues. */
+  def renderSrt(cues: Seq[(Long, Long, String)]): String =
+    cues.zipWithIndex.map { case ((s, e, t), i) =>
+      s"${i + 1}\n${srtStamp(s)} --> ${srtStamp(e)}\n$t"
+    }.mkString("", "\n\n", "\n")
+
+  /** Writer twin: a WebVTT rendering, with a NOTE block and per-cue ids
+    * so the skip/id paths are load-bearing for fixtures.
+    */
+  def renderVtt(cues: Seq[(Long, Long, String)]): String = {
+    val body = cues.zipWithIndex.map { case ((s, e, t), i) =>
+      s"cue-${i + 1}\n${vttStamp(s)} --> ${vttStamp(e)} align:start\n$t"
+    }.mkString("\n\n")
+    s"WEBVTT\n\nNOTE generated fixture\n\n$body\n"
+  }
+}

@@ -1869,6 +1869,77 @@ object PipelineQueries extends QuerySet {
         .orderBy("doc_id")
     }),
 
+    // The Ogg container door (RFC 3533 + Vorbis I / RFC 7845 headers):
+    // retag- AND repagination-invariant audio dedup with no audio decode.
+    // 24 clips in 8 families of 3 share their family's audio PACKETS (an
+    // ASCII formula, so the oracle computes the identical md5) but every
+    // clip carries different tags and every third clip paginates
+    // differently (packets >255 bytes span two pages vs ride one) — page
+    // bytes differ, packet bytes don't, and the signature hashes packets
+    // after the codec's header packets. CRC verification, lacing
+    // reassembly across pages, both codecs' comment dialects, and the
+    // granule->duration arithmetic (Vorbis PCM samples vs Opus 48kHz
+    // granules minus pre-skip) are all load-bearing for the match.
+    // Subtitle/caption ingest (SubRip + WebVTT) — the text half of a
+    // video training pair: 12 caption files alternating SRT/VTT explode
+    // to per-cue rows. Comma vs dot timestamp grammars, the VTT
+    // NOTE-block skip, cue-id lines, cue settings after the end stamp,
+    // and inline-tag stripping (every 5th word ships wrapped in <i>) are
+    // all load-bearing; the oracle re-derives every timing and the
+    // stripped text from the cue formulas.
+    "q193_subtitle_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val files = (0L until 12L).map { i =>
+        val k = 3 + (i % 4).toInt
+        val cues = (0 until k).map { j =>
+          val words = (0 until (2 + ((i + j) % 3)).toInt).map { m =>
+            val w = s"w${(i * 7 + j * 3 + m) % 13}"
+            if ((i + j + m) % 5 == 0) s"<i>$w</i>" else w
+          }
+          val start = i * 10000 + j * 2000
+          (start, start + 1500 + (j * 37) % 400, words.mkString(" "))
+        }
+        (i, if (i % 2 == 0) graft.operators.Subtitles.renderSrt(cues)
+            else graft.operators.Subtitles.renderVtt(cues))
+      }
+      graft.operators.Subtitles.cues(
+          files.toDF("file_id", "body"), "body", "file_id")
+        .withColumn("dur_ms", col("end_ms") - col("start_ms"))
+        .withColumn("n_words", size(split(col("text"), " ")))
+        .select(col("file_id"), col("format"), col("cue_ord"),
+          col("start_ms"), col("end_ms"), col("dur_ms"), col("text"),
+          col("n_words"))
+        .orderBy("file_id", "cue_ord")
+    }),
+
+    "q192_ogg_audio_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val clips = (0L until 24L).map { i =>
+        val f = (i / 3).toInt
+        val codec = if (f % 2 == 0) "vorbis" else "opus"
+        val n = 4 + f % 3
+        val audio = (0 until n).map { j =>
+          (s"aud:$f:$j:" + "z" * (40 + (f * 53 + j * 29) % 260))
+            .getBytes("US-ASCII")
+        }
+        val rate = if (codec == "vorbis") 8000 + (f % 4) * 4000 else 48000
+        (i, graft.operators.Ogg.render(codec, rate, 1 + f % 2,
+          totalSamples = 48000L + f * 960,
+          vendor = "graft-ogg",
+          comments = Seq("TITLE" -> s"clip $i", "COPY" -> s"$i"),
+          audioPackets = audio,
+          spanOver = if (i % 3 == 0) 255 else 1000))
+      }
+      val meta = graft.operators.Ogg.decodeMeta(
+        clips.toDF("clip_id", "ogg"), "ogg").drop("ogg")
+      val rep = meta.groupBy("audio_sig").agg(min("clip_id").as("rep_id"))
+      meta.join(rep, Seq("audio_sig"))
+        .select(col("clip_id"), col("codec"), col("sample_rate"),
+          col("channels"), col("duration_ms"), col("n_pages"),
+          col("n_packets"), col("title"), col("audio_sig"), col("rep_id"))
+        .orderBy("clip_id")
+    }),
+
     // FLAC audio-level EXACT dedup without decoding a sample: STREAMINFO
     // carries the MD5 of the decoded PCM stream, so re-muxed / re-tagged /
     // re-padded copies of the same audio collapse by a 42-byte header
@@ -2984,6 +3055,63 @@ object PipelineQueries extends QuerySet {
     // FLAC: field formulas replayed; the audio signature is DuckDB's own
     // md5 of the same ASCII PCM formula — the engine must recover it from
     // real STREAMINFO bit fields
+    // the Ogg door: every surfaced field re-derived from the fixture
+    // formulas — durations from the granule arithmetic (Vorbis: PCM
+    // samples over the clip rate; Opus: 48kHz granules minus the 312
+    // pre-skip), page counts from the pagination rule (one page per
+    // audio packet, +1 per >255-byte packet on the spanning clips),
+    // packet counts from the codec's header-packet count, and the audio
+    // signature as md5 over the concatenated ASCII packet formulas
+    // the subtitle door: timings and stripped cue text re-derived from
+    // the cue formulas (the <i> wrapping strips to the bare word list,
+    // so the oracle's text is the unwrapped join)
+    "q193_subtitle_ingest" ->
+      """WITH f AS (SELECT unnest(generate_series(0, 11)) AS i),
+        |c AS (SELECT i, unnest(range(0, 3 + i % 4)) AS j FROM f),
+        |t AS (SELECT i, j,
+        |  array_to_string(list_transform(range(0, 2 + (i + j) % 3),
+        |    m -> 'w' || ((i * 7 + j * 3 + m) % 13)), ' ') AS text FROM c)
+        |SELECT CAST(i AS BIGINT) AS file_id,
+        |  CASE WHEN i % 2 = 0 THEN 'srt' ELSE 'vtt' END AS format,
+        |  CAST(j AS INT) AS cue_ord,
+        |  CAST(i * 10000 + j * 2000 AS BIGINT) AS start_ms,
+        |  CAST(i * 10000 + j * 2000 + 1500 + (j * 37) % 400 AS BIGINT) AS end_ms,
+        |  CAST(1500 + (j * 37) % 400 AS BIGINT) AS dur_ms,
+        |  text,
+        |  CAST(2 + (i + j) % 3 AS INT) AS n_words
+        |FROM t ORDER BY file_id, cue_ord""".stripMargin,
+
+    "q192_ogg_audio_dedup" ->
+      """WITH c AS (SELECT unnest(generate_series(0, 23)) AS i),
+        |f AS (SELECT i, i // 3 AS f FROM c),
+        |m AS (SELECT i, f,
+        |  CASE WHEN f % 2 = 0 THEN 'vorbis' ELSE 'opus' END AS codec,
+        |  CAST(4 + f % 3 AS INT) AS n,
+        |  CAST(48000 + f * 960 AS BIGINT) AS total FROM f),
+        |p AS (SELECT *,
+        |  array_to_string(list_transform(range(0, n),
+        |    j -> 'aud:' || f || ':' || j || ':' ||
+        |         repeat('z', 40 + (f * 53 + j * 29) % 260)), '') AS allpkts,
+        |  list_sum(list_transform(range(0, n),
+        |    j -> CASE WHEN length('aud:' || f || ':' || j || ':')
+        |              + 40 + (f * 53 + j * 29) % 260 > 255
+        |         THEN 1 ELSE 0 END)) AS nspan
+        |  FROM m)
+        |SELECT CAST(i AS BIGINT) AS clip_id,
+        |  codec,
+        |  CAST(CASE WHEN codec = 'vorbis' THEN 8000 + f % 4 * 4000
+        |       ELSE 48000 END AS INT) AS sample_rate,
+        |  CAST(1 + f % 2 AS INT) AS channels,
+        |  CAST(CASE WHEN codec = 'vorbis'
+        |       THEN total * 1000 // (8000 + f % 4 * 4000)
+        |       ELSE (total - 312) * 1000 // 48000 END AS BIGINT) AS duration_ms,
+        |  CAST(2 + n + CASE WHEN i % 3 = 0 THEN nspan ELSE 0 END AS INT) AS n_pages,
+        |  CAST(CASE WHEN codec = 'vorbis' THEN 3 ELSE 2 END + n AS INT) AS n_packets,
+        |  'clip ' || i AS title,
+        |  md5(allpkts) AS audio_sig,
+        |  CAST(MIN(i) OVER (PARTITION BY md5(allpkts)) AS BIGINT) AS rep_id
+        |FROM p ORDER BY clip_id""".stripMargin,
+
     "q170_flac_audio_dedup" ->
       """WITH c AS (SELECT unnest(generate_series(0, 29)) AS clip_id),
         |m AS (SELECT clip_id,

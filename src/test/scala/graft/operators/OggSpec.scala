@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class OggSpec extends SparkSpec {
+
+  private def pkts(n: Int, len: Int => Int): Seq[Array[Byte]] =
+    (0 until n).map(j => (s"aud:$j:" + "z" * len(j)).getBytes("US-ASCII"))
+
+  private def sigOf(packets: Seq[Array[Byte]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    packets.foreach(md.update)
+    md.digest().map(b => f"$b%02x").mkString
+  }
+
+  test("vorbis round trip: fields, packet counts, audio signature") {
+    val audio = pkts(4, j => 10 + j * 7)
+    val b = Ogg.render("vorbis", 44100, 2, totalSamples = 441000L,
+      vendor = "graft-ogg", comments = Seq("TITLE" -> "clip a", "X" -> "1"),
+      audioPackets = audio)
+    val m = Ogg.decode(b).get
+    assert(m.codec == "vorbis" && m.sampleRate == 44100 && m.channels == 2)
+    assert(m.durationMs == 441000L * 1000 / 44100)
+    assert(m.nPages == 2 + 4) // id page, comment+setup page, 4 audio pages
+    assert(m.nPackets == 3 + 4) // id + comment + setup + audio
+    assert(m.vendor == "graft-ogg" && m.title == "clip a")
+    assert(m.audioSig == sigOf(audio))
+  }
+
+  test("opus round trip: OpusTags, pre-skip duration, input rate surfaces") {
+    val audio = pkts(3, j => 20 + j)
+    val b = Ogg.render("opus", 48000, 1, totalSamples = 96312L,
+      vendor = "v2", comments = Seq("title" -> "lower key"),
+      audioPackets = audio, preSkip = 312)
+    val m = Ogg.decode(b).get
+    assert(m.codec == "opus" && m.sampleRate == 48000 && m.channels == 1)
+    assert(m.durationMs == (96312L - 312) * 1000 / 48000) // == 2000ms
+    assert(m.nPackets == 2 + 3) // OpusHead + OpusTags + audio
+    assert(m.title == "lower key") // TITLE key is case-insensitive
+    assert(m.audioSig == sigOf(audio))
+  }
+
+  test("retag + repagination leave the audio signature unchanged") {
+    val audio = pkts(3, j => 120 + j * 90) // 120, 210, 300 bytes
+    def f(vendor: String, title: String, spanOver: Int) =
+      Ogg.decode(Ogg.render("vorbis", 8000, 1, 8000L, vendor,
+        Seq("TITLE" -> title), audio, spanOver = spanOver)).get
+    val a = f("enc1", "original", 255) // 300-byte packet spans two pages
+    val b = f("enc2", "retagged copy", 1000) // same packet on one page
+    assert(a.nPages == b.nPages + 1) // pagination genuinely differed
+    assert(a.audioSig == b.audioSig)
+    assert(a.title == "original" && b.title == "retagged copy")
+    val c = f("enc1", "original", 255).copy()
+    assert(c.audioSig == a.audioSig)
+    // different audio -> different signature
+    val other = Ogg.decode(Ogg.render("vorbis", 8000, 1, 8000L, "enc1",
+      Nil, pkts(3, j => 121 + j * 90))).get
+    assert(other.audioSig != a.audioSig)
+  }
+
+  test("packet spanning: exact-255 lacing and 255-multiple payloads") {
+    val audio = Seq(
+      ("a" * 255).getBytes("US-ASCII"), // single page, lacing [255, 0]
+      ("b" * 510).getBytes("US-ASCII"), // spans: [255,255] then [0]
+      ("c" * 300).getBytes("US-ASCII")) // spans: [255] then [45]
+    val m = Ogg.decode(Ogg.render("opus", 48000, 1, 48000L, "v", Nil,
+      audio)).get
+    assert(m.nPackets == 2 + 3)
+    assert(m.nPages == 2 + 1 + 2 + 2)
+    assert(m.audioSig == sigOf(audio))
+  }
+
+  test("a corrupt page CRC refuses the file") {
+    val good = Ogg.render("vorbis", 8000, 1, 100L, "v", Nil, pkts(2, _ => 30))
+    val bad = good.clone()
+    bad(bad.length - 5) = (bad(bad.length - 5) ^ 0x01).toByte // audio byte
+    assert(Ogg.decode(good).isDefined)
+    assert(Ogg.decode(bad).isEmpty)
+  }
+
+  test("multiplexed second serial refuses (single-stream contract)") {
+    val good = Ogg.render("vorbis", 8000, 1, 100L, "v", Nil, pkts(2, _ => 30))
+    // patch the serial of the LAST page and re-CRC it: a second logical
+    // stream's page interleaved into the walk
+    val lastPage = {
+      var p = 0; var last = 0
+      while (p < good.length) {
+        last = p
+        val nSegs = good(p + 26) & 0xff
+        var payload = 0
+        (0 until nSegs).foreach(i => payload += good(p + 27 + i) & 0xff)
+        p += 27 + nSegs + payload
+      }
+      last
+    }
+    val bad = good.clone()
+    bad(lastPage + 14) = (bad(lastPage + 14) ^ 0x7f).toByte
+    val nSegs = bad(lastPage + 26) & 0xff
+    var payload = 0
+    (0 until nSegs).foreach(i => payload += bad(lastPage + 27 + i) & 0xff)
+    val crc = Ogg.pageCrc(bad, lastPage, 27 + nSegs + payload)
+    bad(lastPage + 22) = (crc & 0xff).toByte
+    bad(lastPage + 23) = ((crc >> 8) & 0xff).toByte
+    bad(lastPage + 24) = ((crc >> 16) & 0xff).toByte
+    bad(lastPage + 25) = ((crc >> 24) & 0xff).toByte
+    assert(Ogg.decode(bad).isEmpty)
+  }
+
+  test("malformed inputs refuse cleanly, never throw") {
+    assert(Ogg.decode(null).isEmpty)
+    assert(Ogg.decode(Array.emptyByteArray).isEmpty)
+    assert(Ogg.decode("fLaC not ogg".getBytes("US-ASCII")).isEmpty)
+    val good = Ogg.render("opus", 48000, 1, 4800L, "v", Nil, pkts(2, _ => 40))
+    // truncation anywhere refuses (missing EOS / cut page)
+    assert(Ogg.decode(java.util.Arrays.copyOf(good, good.length - 1)).isEmpty)
+    assert(Ogg.decode(java.util.Arrays.copyOf(good, 30)).isEmpty)
+    assert(Ogg.decode(java.util.Arrays.copyOf(good, good.length / 2)).isEmpty)
+    // trailing garbage after the EOS page refuses
+    assert(Ogg.decode(good ++ "OggS".getBytes("US-ASCII")).isEmpty)
+    // an unknown first packet (neither vorbis nor opus id) refuses: corrupt
+    // the id packet body and re-CRC page 0
+    val bad = good.clone()
+    val nSegs0 = bad(26) & 0xff
+    bad(27 + nSegs0) = 'X'.toByte // first payload byte of the id packet
+    var payload0 = 0
+    (0 until nSegs0).foreach(i => payload0 += bad(27 + i) & 0xff)
+    val crc0 = Ogg.pageCrc(bad, 0, 27 + nSegs0 + payload0)
+    bad(22) = (crc0 & 0xff).toByte
+    bad(23) = ((crc0 >> 8) & 0xff).toByte
+    bad(24) = ((crc0 >> 16) & 0xff).toByte
+    bad(25) = ((crc0 >> 24) & 0xff).toByte
+    assert(Ogg.decode(bad).isEmpty)
+  }
+
+  test("DataFrame door: meta columns land, non-ogg rows go NULL") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, Ogg.render("vorbis", 16000, 1, 16000L, "v", Seq("TITLE" -> "t1"),
+        pkts(2, _ => 25))),
+      (2L, "not an ogg at all".getBytes("US-ASCII")))
+    val out = Ogg.decodeMeta(rows.toDF("id", "payload"), "payload")
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("codec") == "vorbis")
+    assert(out(0).getAs[Long]("duration_ms") == 1000L)
+    assert(out(0).getAs[String]("title") == "t1")
+    assert(out(1).isNullAt(out(1).fieldIndex("codec")))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SubtitlesSpec extends SparkSpec {
+
+  test("SRT round trip: indices, comma timestamps, multi-line join, tags strip") {
+    val src = Subtitles.renderSrt(Seq(
+      (0L, 1500L, "hello there"),
+      (90061001L, 90062500L, "<i>styled</i> and\nwrapped")))
+    val cues = Subtitles.parseSrt(src).get
+    assert(cues.map(c => (c.ord, c.startMs, c.endMs, c.text)) == Seq(
+      (0, 0L, 1500L, "hello there"),
+      (1, 90061001L, 90062500L, "styled and wrapped")))
+  }
+
+  test("VTT: signature, NOTE skip, cue ids, settings, short timestamps") {
+    val src = "WEBVTT - title\n\nNOTE a comment\nspanning lines\n\n" +
+      "cue-1\n00:00.000 --> 00:02.500 align:start position:10%\nfirst <c.red>cue</c>\n\n" +
+      "01:02:03.004 --> 01:02:04.000\nno id line\n"
+    val cues = Subtitles.parseVtt(src).get
+    assert(cues.map(c => (c.startMs, c.endMs, c.text)) == Seq(
+      (0L, 2500L, "first cue"),
+      (3723004L, 3724000L, "no id line")))
+  }
+
+  test("format dispatch and malformed files refuse whole") {
+    assert(Subtitles.parse("WEBVTT\n\n00:01.000 --> 00:02.000\nx").get._1 == "vtt")
+    assert(Subtitles.parse("1\n00:00:01,000 --> 00:00:02,000\nx").get._1 == "srt")
+    assert(Subtitles.parse(null).isEmpty)
+    assert(Subtitles.parse("").isEmpty)
+    // end before start
+    assert(Subtitles.parseSrt("1\n00:00:05,000 --> 00:00:01,000\nx").isEmpty)
+    // non-numeric index
+    assert(Subtitles.parseSrt("one\n00:00:01,000 --> 00:00:02,000\nx").isEmpty)
+    // VTT dot-timestamps in an SRT refuse, and vice versa
+    assert(Subtitles.parseSrt("1\n00:00:01.000 --> 00:00:02.000\nx").isEmpty)
+    assert(Subtitles.parseVtt("WEBVTT\n\n00:00:01,000 --> 00:00:02,000\nx").isEmpty)
+    // junk after the end timestamp that is NOT a settings list
+    assert(Subtitles.parseVtt("WEBVTT\n\n00:01.000 --> 00:02.000junk\nx").isEmpty)
+    // missing arrow line entirely
+    assert(Subtitles.parseVtt("WEBVTT\n\njust text\nno timing").isEmpty)
+  }
+
+  test("DataFrame door: per-cue rows, refusing files contribute none") {
+    val s = spark
+    import s.implicits._
+    val files = Seq(
+      (1L, Subtitles.renderSrt(Seq((0L, 1000L, "a"), (1000L, 2000L, "b")))),
+      (2L, Subtitles.renderVtt(Seq((500L, 900L, "c")))),
+      (3L, "garbage that parses as neither"))
+    val out = Subtitles.cues(files.toDF("file_id", "body"), "body", "file_id")
+      .orderBy("file_id", "cue_ord").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[String]("format")).toSeq == Seq("srt", "srt", "vtt"))
+    assert(out.map(_.getAs[Long]("start_ms")).toSeq == Seq(0L, 1000L, 500L))
+  }
+}
