@@ -448,6 +448,122 @@ object Multimodal {
       out
     }
 
+    /** Text frames of an ID3v2.3/2.4 tag in document order — the MP3
+      * container-metadata counterpart of Ogg's VorbisComment/OpusTags and
+      * FLAC's VORBIS_COMMENT (id3.org ID3v2.3 §3.3 / ID3v2.4 §4): frame
+      * ids starting with 'T', sizes plain big-endian in v2.3 but
+      * SYNCHSAFE in v2.4 (the classic interop trap), text encodings 0
+      * (Latin-1), 1 (UTF-16 with BOM), 2 (UTF-16BE), 3 (UTF-8, v2.4
+      * only), trailing NULs stripped. A zero byte where a frame id should
+      * be is padding — the walk stops. None for files without a
+      * well-formed v2.3/v2.4 tag or with a frame overrunning the tag.
+      */
+    def id3TextFrames(b: Array[Byte]): Option[Seq[(String, String)]] = {
+      if (b == null || b.length < 10 || b(0) != 'I' || b(1) != 'D' ||
+          b(2) != '3') return None
+      val ver = u8(b, 3)
+      if (ver != 3 && ver != 4) return None
+      if ((u8(b, 6) | u8(b, 7) | u8(b, 8) | u8(b, 9)) >= 0x80) return None
+      val size = (u8(b, 6) << 21) | (u8(b, 7) << 14) | (u8(b, 8) << 7) | u8(b, 9)
+      val end = math.min(10L + size, b.length.toLong).toInt
+      val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      var p = 10
+      var inPadding = false
+      while (!inPadding && p + 10 <= end) {
+        if (b(p) == 0) inPadding = true
+        else {
+          val id = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          val fsz =
+            if (ver == 4) {
+              if ((u8(b, p + 4) | u8(b, p + 5) | u8(b, p + 6) | u8(b, p + 7)) >= 0x80)
+                return None
+              (u8(b, p + 4) << 21) | (u8(b, p + 5) << 14) |
+                (u8(b, p + 6) << 7) | u8(b, p + 7)
+            } else
+              (u8(b, p + 4) << 24) | (u8(b, p + 5) << 16) |
+                (u8(b, p + 6) << 8) | u8(b, p + 7)
+          if (fsz < 0 || p + 10 + fsz > end) return None
+          if (id.charAt(0) == 'T' && fsz >= 1) {
+            val cs = u8(b, p + 10) match {
+              case 0 => java.nio.charset.StandardCharsets.ISO_8859_1
+              case 1 => java.nio.charset.Charset.forName("UTF-16") // BOM-led
+              case 2 => java.nio.charset.StandardCharsets.UTF_16BE
+              case 3 => java.nio.charset.StandardCharsets.UTF_8
+              case _ => return None
+            }
+            val txt = new String(b, p + 11, fsz - 1, cs)
+            out += ((id, txt.replaceAll("\u0000+$", "")))
+          }
+          p += 10 + fsz
+        }
+      }
+      Some(out.toSeq)
+    }
+
+    /** DataFrame door: prepend-tag metadata columns id3_version (0 when
+      * untagged), title (TIT2), artist (TPE1), album (TALB) — empty
+      * strings when the frame is absent.
+      */
+    def id3Meta(df: DataFrame, payloadCol: String): DataFrame = {
+      val spark = df.sparkSession
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val idx = df.schema.fieldIndex(payloadCol)
+      val outSchema = df.schema
+        .add("id3_version", IntegerType).add("title", StringType)
+        .add("artist", StringType).add("album", StringType)
+      val rows = df.rdd.mapPartitions { it =>
+        it.map { r =>
+          val b = r.get(idx).asInstanceOf[Array[Byte]]
+          val frames = id3TextFrames(b)
+          def of(id: String): String =
+            frames.flatMap(_.find(_._1 == id)).map(_._2).getOrElse("")
+          val ver = if (frames.isEmpty) 0 else u8(b, 3)
+          Row.fromSeq(r.toSeq ++ Seq(ver, of("TIT2"), of("TPE1"), of("TALB")))
+        }
+      }
+      spark.createDataFrame(rows, outSchema)
+    }
+
+    /** Writer twin of [[id3TextFrames]]: a v2.3 (plain big-endian sizes)
+      * or v2.4 (synchsafe sizes) tag carrying real text frames plus
+      * `pad` bytes of padding. Encoding: Latin-1 for v2.3, UTF-8 for
+      * v2.4 (each version's idiomatic choice).
+      */
+    def renderId3v2Text(version: Int, frames: Seq[(String, String)],
+                        pad: Int = 16): Array[Byte] = {
+      require(version == 3 || version == 4, "ID3v2.3 or v2.4")
+      val body = new java.io.ByteArrayOutputStream()
+      frames.foreach { case (id, text) =>
+        require(id.length == 4, s"frame id $id")
+        val enc = if (version == 4) 3 else 0
+        val data = text.getBytes(if (version == 4) "UTF-8" else "ISO-8859-1")
+        body.write(id.getBytes("US-ASCII"), 0, 4)
+        val fsz = data.length + 1
+        if (version == 4) {
+          body.write((fsz >> 21) & 0x7f); body.write((fsz >> 14) & 0x7f)
+          body.write((fsz >> 7) & 0x7f); body.write(fsz & 0x7f)
+        } else {
+          body.write((fsz >> 24) & 0xff); body.write((fsz >> 16) & 0xff)
+          body.write((fsz >> 8) & 0xff); body.write(fsz & 0xff)
+        }
+        body.write(0); body.write(0) // frame flags
+        body.write(enc)
+        body.write(data, 0, data.length)
+      }
+      (0 until pad).foreach(_ => body.write(0))
+      val payload = body.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(version); out.write(0); out.write(0)
+      out.write((payload.length >> 21) & 0x7f)
+      out.write((payload.length >> 14) & 0x7f)
+      out.write((payload.length >> 7) & 0x7f)
+      out.write(payload.length & 0x7f)
+      out.write(payload, 0, payload.length)
+      out.toByteArray
+    }
+
     private def decodeWav(b: Array[Byte]): Option[AudioMeta] = {
       if (b.length < 12 || tag(b, 8) != "WAVE") return None
       // Cursor and step stay Long: sz is an unsigned u32 read as Long, and a

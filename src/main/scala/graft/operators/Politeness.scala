@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-host politeness scheduling for a crawl frontier — the piece between
+  * frontier ranking (PageRank prior, robots screen) and the fetcher fleet:
+  * RFC 9309 `Crawl-delay` obligations are PER HOST, so a distributed
+  * fetcher must (a) pin every URL of a host to ONE worker — two workers
+  * sharing a host can't coordinate delays — and (b) space that host's
+  * fetches `delay_ms` apart, in priority order.
+  *
+  * Both requirements map to Spark natively:
+  *  - worker pinning is an md5-prefix hash of the host (deterministic
+  *    cross-engine, the repo's q46/q165 device — NOT `hash()`, whose seed
+  *    is engine-private);
+  *  - in-host sequencing is `row_number` over a host-partitioned window —
+  *    the politeness constraint itself says this partitioning exists and
+  *    is the natural one, so the window never degenerates to a single
+  *    partition;
+  *  - crawl delays are a robots-derived dimension keyed by host — tiny
+  *    next to the frontier — and broadcast.
+  *
+  * 100 TB shape: one shuffle on host (the window), a broadcast join for
+  * delays, narrow projections for worker/fetch time. Hot hosts are
+  * bounded by per-host frontier caps upstream (the frontier example's
+  * top-K per host), not by this operator.
+  */
+object Politeness extends Serializable {
+
+  /** Deterministic host→worker pin: md5-prefix hash mod `nWorkers`.
+    * DuckDB mirror: `('0x' || substr(md5(host), 1, 13))::BIGINT % n`.
+    */
+  def workerOf(host: Column, nWorkers: Int): Column =
+    (conv(substring(md5(host), 1, 13), 16, 10).cast("long") % nWorkers)
+      .cast("int")
+
+  /** Schedule a frontier: assign each URL its host-pinned worker, its
+    * fetch sequence within the host (priority-desc, url tiebreak), and
+    * the earliest fetch offset `seq * delay_ms`.
+    *
+    * `delays` is a (host, delay_ms) dimension (e.g. parsed robots
+    * `Crawl-delay` lines); hosts absent from it get `defaultDelayMs`.
+    */
+  def schedule(frontier: DataFrame, hostCol: String, urlCol: String,
+               priorityCol: String, delays: DataFrame,
+               defaultDelayMs: Long, nWorkers: Int): DataFrame = {
+    val w = Window.partitionBy(hostCol)
+      .orderBy(col(priorityCol).desc, col(urlCol))
+    frontier
+      .join(broadcast(delays), Seq(hostCol), "left")
+      .withColumn("delay_ms",
+        coalesce(col("delay_ms"), lit(defaultDelayMs)))
+      .withColumn("seq", (row_number().over(w) - 1).cast("int"))
+      .withColumn("fetch_at_ms", col("seq").cast("long") * col("delay_ms"))
+      .withColumn("worker", workerOf(col(hostCol), nWorkers))
+  }
+}

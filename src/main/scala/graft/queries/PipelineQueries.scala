@@ -1880,6 +1880,67 @@ object PipelineQueries extends QuerySet {
     // reassembly across pages, both codecs' comment dialects, and the
     // granule->duration arithmetic (Vorbis PCM samples vs Opus 48kHz
     // granules minus pre-skip) are all load-bearing for the match.
+    // ID3v2 text frames — the MP3 container-metadata counterpart of
+    // Ogg/FLAC comment blocks, closing the audio family's metadata side:
+    // 18 clips in 6 families, each family's audio frames identical, one
+    // clip untagged, one tagged ID3v2.3 (plain big-endian frame sizes),
+    // one ID3v2.4 (synchsafe sizes + an extra TALB). The frame WALK must
+    // still skip the tag by its synchsafe length (frame counts and
+    // durations stay the family formula) while the tag door surfaces
+    // title/artist/album per version's grammar.
+    "q195_mp3_id3_tags" -> ((s, dir) => {
+      import s.implicits._
+      val clips = (0L until 18L).map { i =>
+        val fam = (i / 3).toInt; val v = (i % 3).toInt
+        val nfrm = 4 + fam % 5
+        val bidx = (0 until nfrm).map(j => 1 + (fam * 7 + j) % 14)
+        val audio = Multimodal.AudioHeaders.renderMp3(bidx, fam % 3, 0)
+        val tagged = v match {
+          case 0 => audio
+          case 1 => Multimodal.AudioHeaders.renderId3v2Text(3,
+            Seq("TIT2" -> s"take $i", "TPE1" -> s"artist $fam")) ++ audio
+          case _ => Multimodal.AudioHeaders.renderId3v2Text(4,
+            Seq("TIT2" -> s"take $i", "TPE1" -> s"artist $fam",
+              "TALB" -> s"album $fam")) ++ audio
+        }
+        (i, tagged)
+      }
+      Multimodal.AudioHeaders.id3Meta(
+          Multimodal.decodeMp3Stream(clips.toDF("clip_id", "mp3"), "mp3"),
+          "mp3")
+        .select(col("clip_id"), col("id3_version"), col("title"),
+          col("artist"), col("album"), col("n_frames"), col("duration_ms"))
+        .orderBy("clip_id")
+    }),
+
+    // Per-host politeness scheduling — the step between frontier ranking
+    // and the fetcher fleet: every URL pins to one worker by an
+    // md5-prefix host hash (two workers sharing a host could not
+    // coordinate Crawl-delay), sequences within its host by priority,
+    // and gets an earliest-fetch offset seq*delay. Hosts come 7-per-
+    // source off the documents table; delay dims exist for 5 of 7 host
+    // digits so the default-delay path is load-bearing. Runs at table
+    // scale: one host-partitioned window + one broadcast join.
+    "q194_polite_schedule" -> ((s, dir) => {
+      val f = t(s, dir, "documents")
+        .select(concat(col("source"), (col("doc_id") % 7).cast("string"),
+            lit(".example.com")).as("host"),
+          col("doc_id"), col("n_chars"))
+        .withColumn("url",
+          concat(lit("https://"), col("host"), lit("/doc/"), col("doc_id")))
+        .withColumn("d", (col("doc_id") % 7).cast("int"))
+      val delays = f.select(col("host"), col("d")).distinct()
+        .where(col("d") < 5)
+        .withColumn("delay_ms", ((col("d") + 1) * 200).cast("long"))
+        .drop("d")
+      graft.operators.Politeness
+        .schedule(f, "host", "url", "n_chars", delays,
+          defaultDelayMs = 1000L, nWorkers = 8)
+        .select(col("url"), col("host"), col("worker"), col("seq"),
+          col("delay_ms"), col("fetch_at_ms"))
+        .orderBy("host", "seq")
+    }),
+
     // Subtitle/caption ingest (SubRip + WebVTT) — the text half of a
     // video training pair: 12 caption files alternating SRT/VTT explode
     // to per-cue rows. Comma vs dot timestamp grammars, the VTT
@@ -3062,6 +3123,41 @@ object PipelineQueries extends QuerySet {
     // audio packet, +1 per >255-byte packet on the spanning clips),
     // packet counts from the codec's header-packet count, and the audio
     // signature as md5 over the concatenated ASCII packet formulas
+    // ID3: tag fields from the version formula; frame counts and
+    // durations unchanged by the tag prefix (the skip is what's pinned)
+    "q195_mp3_id3_tags" ->
+      """WITH c AS (SELECT unnest(generate_series(0, 17)) AS i),
+        |m AS (SELECT i, i // 3 AS fam, i % 3 AS v FROM c)
+        |SELECT CAST(i AS BIGINT) AS clip_id,
+        |  CAST(CASE v WHEN 0 THEN 0 WHEN 1 THEN 3 ELSE 4 END AS INT) AS id3_version,
+        |  CASE WHEN v = 0 THEN '' ELSE 'take ' || i END AS title,
+        |  CASE WHEN v = 0 THEN '' ELSE 'artist ' || fam END AS artist,
+        |  CASE WHEN v = 2 THEN 'album ' || fam ELSE '' END AS album,
+        |  CAST(4 + fam % 5 AS BIGINT) AS n_frames,
+        |  CAST((4 + fam % 5) * 1152 * 1000
+        |    // [44100,48000,32000][CAST(fam % 3 AS INT) + 1] AS BIGINT) AS duration_ms
+        |FROM m ORDER BY clip_id""".stripMargin,
+
+    // politeness: the same window + dimension join; the worker pin is
+    // the md5-prefix device in its DuckDB spelling
+    "q194_polite_schedule" ->
+      """WITH f AS (SELECT
+        |  source || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+        |  'https://' || source || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        |  n_chars, CAST(doc_id % 7 AS INT) AS d FROM documents),
+        |del AS (SELECT DISTINCT host, CAST((d + 1) * 200 AS BIGINT) AS delay_ms
+        |  FROM f WHERE d < 5),
+        |s AS (SELECT f.url, f.host,
+        |  COALESCE(del.delay_ms, 1000) AS delay_ms,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY f.host
+        |    ORDER BY f.n_chars DESC, f.url) - 1 AS INT) AS seq
+        |  FROM f LEFT JOIN del USING (host))
+        |SELECT url, host,
+        |  CAST(('0x' || substr(md5(host), 1, 13))::BIGINT % 8 AS INT) AS worker,
+        |  seq, delay_ms, CAST(seq AS BIGINT) * delay_ms AS fetch_at_ms
+        |FROM s ORDER BY host, seq""".stripMargin,
+
     // the subtitle door: timings and stripped cue text re-derived from
     // the cue formulas (the <i> wrapping strips to the bare word list,
     // so the oracle's text is the unwrapped join)

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.operators.Multimodal.AudioHeaders
+
+class Id3Spec extends SparkSpec {
+
+  test("v2.4 synchsafe sizes, UTF-8 text, padding stop") {
+    val tag = AudioHeaders.renderId3v2Text(4,
+      Seq("TIT2" -> "Grüße — titel", "TPE1" -> "artist x"), pad = 32)
+    val frames = AudioHeaders.id3TextFrames(tag).get
+    assert(frames == Seq("TIT2" -> "Grüße — titel", "TPE1" -> "artist x"))
+  }
+
+  test("v2.3 plain big-endian sizes, Latin-1 text") {
+    // a v2.3 frame of length >= 128 would mis-parse under a synchsafe
+    // read — make one long enough to prove the size branch
+    val long = "x" * 200
+    val tag = AudioHeaders.renderId3v2Text(3,
+      Seq("TALB" -> long, "TIT2" -> "after the long one"), pad = 0)
+    val frames = AudioHeaders.id3TextFrames(tag).get
+    assert(frames == Seq("TALB" -> long, "TIT2" -> "after the long one"))
+  }
+
+  test("UTF-16 BOM and UTF-16BE encodings decode") {
+    def frame(enc: Int, data: Array[Byte]): Array[Byte] = {
+      val fsz = data.length + 1
+      Array[Byte]('T', 'I', 'T', '2',
+        ((fsz >> 21) & 0x7f).toByte, ((fsz >> 14) & 0x7f).toByte,
+        ((fsz >> 7) & 0x7f).toByte, (fsz & 0x7f).toByte, 0, 0,
+        enc.toByte) ++ data
+    }
+    def tagOf(body: Array[Byte]): Array[Byte] =
+      Array[Byte]('I', 'D', '3', 4, 0, 0,
+        ((body.length >> 21) & 0x7f).toByte, ((body.length >> 14) & 0x7f).toByte,
+        ((body.length >> 7) & 0x7f).toByte, (body.length & 0x7f).toByte) ++ body
+    val bomLe = frame(1, Array[Byte](0xff.toByte, 0xfe.toByte) ++
+      "hi".getBytes("UTF-16LE"))
+    assert(AudioHeaders.id3TextFrames(tagOf(bomLe)).get ==
+      Seq("TIT2" -> "hi"))
+    val be = frame(2, "hé".getBytes("UTF-16BE"))
+    assert(AudioHeaders.id3TextFrames(tagOf(be)).get == Seq("TIT2" -> "hé"))
+    // trailing NUL terminator strips
+    val nulTerm = frame(3, "done\u0000".getBytes("UTF-8"))
+    assert(AudioHeaders.id3TextFrames(tagOf(nulTerm)).get ==
+      Seq("TIT2" -> "done"))
+  }
+
+  test("malformed tags refuse; absent tag is None; frame overrun refuses") {
+    assert(AudioHeaders.id3TextFrames(null).isEmpty)
+    assert(AudioHeaders.id3TextFrames("no tag here".getBytes).isEmpty)
+    val good = AudioHeaders.renderId3v2Text(4, Seq("TIT2" -> "t"), pad = 0)
+    // truncated: frame size overruns the synchsafe tag size
+    assert(AudioHeaders.id3TextFrames(
+      java.util.Arrays.copyOf(good, good.length - 2)).isEmpty)
+    // unsupported version byte
+    val v2 = good.clone(); v2(3) = 2
+    assert(AudioHeaders.id3TextFrames(v2).isEmpty)
+  }
+
+  test("id3Meta door composes with the frame walk on tagged MP3s") {
+    val s = spark
+    import s.implicits._
+    val audio = AudioHeaders.renderMp3(Seq(9, 9, 9), sidx = 0, mode = 0)
+    val rows = Seq(
+      (1L, AudioHeaders.renderId3v2Text(4,
+        Seq("TIT2" -> "take 1", "TPE1" -> "band")) ++ audio),
+      (2L, audio)) // untagged
+    val out = AudioHeaders.id3Meta(
+      Multimodal.decodeMp3Stream(rows.toDF("id", "mp3"), "mp3"), "mp3")
+      .orderBy("id").collect()
+    assert(out(0).getAs[Int]("id3_version") == 4)
+    assert(out(0).getAs[String]("title") == "take 1")
+    assert(out(0).getAs[String]("artist") == "band")
+    assert(out(0).getAs[String]("album") == "")
+    assert(out(0).getAs[Long]("n_frames") == 3L) // tag skipped by the walk
+    assert(out(1).getAs[Int]("id3_version") == 0)
+    assert(out(1).getAs[String]("title") == "")
+    assert(out(1).getAs[Long]("n_frames") == 3L)
+  }
+}

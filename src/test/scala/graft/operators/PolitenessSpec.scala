@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PolitenessSpec extends SparkSpec {
+
+  test("host pinning, priority order, delay spacing, default delay") {
+    val s = spark
+    import s.implicits._
+    val frontier = Seq(
+      ("a.com", "https://a.com/1", 10),
+      ("a.com", "https://a.com/2", 30),
+      ("a.com", "https://a.com/3", 20),
+      ("b.com", "https://b.com/1", 99),
+      ("b.com", "https://b.com/2", 99)) // tie: url breaks it
+      .toDF("host", "url", "prio")
+    val delays = Seq(("a.com", 100L)).toDF("host", "delay_ms")
+    val out = Politeness.schedule(frontier, "host", "url", "prio",
+      delays, defaultDelayMs = 500L, nWorkers = 4)
+      .orderBy("host", "seq").collect()
+
+    // every URL of a host lands on the SAME worker
+    assert(out.filter(_.getAs[String]("host") == "a.com")
+      .map(_.getAs[Int]("worker")).distinct.length == 1)
+    // a.com sequences by priority desc: /2 (30), /3 (20), /1 (10)
+    val a = out.filter(_.getAs[String]("host") == "a.com")
+    assert(a.map(_.getAs[String]("url")).toSeq ==
+      Seq("https://a.com/2", "https://a.com/3", "https://a.com/1"))
+    assert(a.map(_.getAs[Long]("fetch_at_ms")).toSeq == Seq(0L, 100L, 200L))
+    // b.com has no delay dim -> default, tie broken by url
+    val b = out.filter(_.getAs[String]("host") == "b.com")
+    assert(b.map(_.getAs[String]("url")).toSeq ==
+      Seq("https://b.com/1", "https://b.com/2"))
+    assert(b.map(_.getAs[Long]("fetch_at_ms")).toSeq == Seq(0L, 500L))
+    // worker is the md5-prefix hash, stable across runs/engines
+    val w = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("a.com".getBytes("US-ASCII")).map(x => f"$x%02x").mkString
+        .substring(0, 13), 16) % 4
+    assert(a.head.getAs[Int]("worker") == w.toInt)
+  }
+
+  test("plan shape: the delay dim joins broadcast") {
+    val s = spark
+    import s.implicits._
+    val frontier = (0 until 100).map(i => (s"h${i % 5}.com", s"u$i", i))
+      .toDF("host", "url", "prio")
+    val delays = Seq(("h0.com", 10L)).toDF("host", "delay_ms")
+    val plan = Politeness.schedule(frontier, "host", "url", "prio",
+      delays, 100L, 8).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
