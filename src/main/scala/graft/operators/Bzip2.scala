@@ -1,0 +1,646 @@
+package graft.operators
+
+/** Dependency-free bzip2 codec — the compression layer of the Wikipedia
+  * multistream dump door ([[graft.sources.Bz2Shards]]).
+  *
+  * The JDK ships inflate (gzip/zlib/deflate, used by the WARC/ZIP/PNG
+  * doors) but nothing for bzip2, and the single most famous public
+  * training corpus — the Wikipedia `pages-articles-multistream.xml.bz2`
+  * dump — is a concatenation of independent bzip2 streams. This is a full
+  * decoder for the public stream format (as implemented by the canonical
+  * `bzip2` tool and documented in its `decompress.c`; format recap in
+  * PAPERS.md terms: Burrows-Wheeler 1994 block sorting + MTF + Huffman),
+  * plus a small valid encoder used only to render deterministic fixtures,
+  * in the mold of [[graft.sources.ZipShards.render]] / `TarShards
+  * .renderMembers`.
+  *
+  * Decode path per stream: `BZh[1-9]` header; then per block (bit-packed,
+  * MSB first): 48-bit block magic, 32-bit block CRC, randomized bit
+  * (deprecated — rejected as malformed), 24-bit BWT origin pointer,
+  * two-level used-byte bitmap, 2..6 Huffman groups with delta-coded
+  * lengths, selector list (MTF over group ids, one per 50 symbols),
+  * Huffman+MTF+RLE2 symbol decode, inverse BWT, RLE1 decode, CRC verify;
+  * 48-bit footer magic + combined stream CRC, padded to a byte boundary.
+  *
+  * Contract matches the other binary doors ([[graft.sources.ZipShards]]):
+  * every malformed condition (bad magic, randomized block, over-long
+  * code, symbol overrun, CRC mismatch, truncated bits) returns None —
+  * never a throw, never an unbounded loop; output is capped by the
+  * header-declared block size so a corrupt stream cannot balloon.
+  *
+  * Reference analog: the reference's converters treat `formatdb` archive
+  * partitions as self-contained decode units (`mrblast.cpp` db-partition
+  * list); a multistream bz2 file is the same design on the public web —
+  * byte-aligned, independently decodable units inside one huge file.
+  */
+object Bzip2 {
+
+  /** Stream-level cap: one bzip2 stream may not decode past 1 GiB, the
+    * same decompression-bomb ceiling as [[graft.sources.Warc]] members.
+    */
+  private val MaxStreamBytes: Long = 1L << 30
+
+  private val BlockMagic = 0x314159265359L
+  private val FooterMagic = 0x177245385090L
+
+  // ---------------------------------------------------------------------
+  // bit I/O (MSB first, as the format demands)
+
+  private final class BitReader(bytes: Array[Byte], startByte: Int, endByte: Int) {
+    var pos: Long = startByte.toLong << 3 // absolute bit position
+    private val endBit: Long = endByte.toLong << 3
+    var failed: Boolean = false
+
+    /** Read `n` (<= 56) bits MSB-first; sets `failed` on underrun. */
+    def read(n: Int): Long = {
+      if (failed || pos + n > endBit) { failed = true; return 0L }
+      var v = 0L
+      var left = n
+      while (left > 0) {
+        val byteAt = (pos >>> 3).toInt
+        val bitInByte = (pos & 7).toInt
+        val avail = 8 - bitInByte
+        val take = math.min(avail, left)
+        val chunk = ((bytes(byteAt) & 0xff) >>> (avail - take)) & ((1 << take) - 1)
+        v = (v << take) | chunk
+        pos += take
+        left -= take
+      }
+      v
+    }
+
+    def read1(): Int = read(1).toInt
+
+    /** Byte offset of the next byte boundary at/after the cursor. */
+    def byteAligned: Int = ((pos + 7) >>> 3).toInt
+  }
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nbits = 0
+    def write(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | (((v >>> i) & 1L).toInt)
+        nbits += 1
+        if (nbits == 8) { out.write(cur); cur = 0; nbits = 0 }
+        i -= 1
+      }
+    }
+    def pad(): Unit = if (nbits > 0) { out.write(cur << (8 - nbits)); cur = 0; nbits = 0 }
+    def toBytes: Array[Byte] = out.toByteArray
+  }
+
+  // ---------------------------------------------------------------------
+  // bzip2's CRC-32: polynomial 0x04c11db7, MSB-first (NOT the reflected
+  // zlib crc32), init 0xffffffff, final complement.
+
+  private val CrcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var c = i << 24
+      var k = 0
+      while (k < 8) {
+        c = if ((c & 0x80000000) != 0) (c << 1) ^ 0x04c11db7 else c << 1
+        k += 1
+      }
+      t(i) = c
+      i += 1
+    }
+    t
+  }
+
+  private[graft] def blockCrc(data: Array[Byte], from: Int, until: Int): Int = {
+    var c = 0xffffffff
+    var i = from
+    while (i < until) {
+      c = (c << 8) ^ CrcTable(((c >>> 24) ^ (data(i) & 0xff)) & 0xff)
+      i += 1
+    }
+    ~c
+  }
+
+  // ---------------------------------------------------------------------
+  // decode
+
+  /** One decoded stream: `end` is the exclusive byte offset where the
+    * stream's footer finished (the next stream of a multistream file
+    * starts exactly there); `data` the decompressed bytes.
+    */
+  final case class DecodedStream(end: Int, data: Array[Byte])
+
+  /** Decode the single bzip2 stream starting at byte `off`. None on any
+    * malformed condition.
+    */
+  def decodeStream(bytes: Array[Byte], off: Int): Option[DecodedStream] = {
+    if (off + 4 > bytes.length) return None
+    if (bytes(off) != 'B' || bytes(off + 1) != 'Z' || bytes(off + 2) != 'h') return None
+    val level = bytes(off + 3) - '0'
+    if (level < 1 || level > 9) return None
+    val maxBlock = level * 100000
+
+    val br = new BitReader(bytes, off + 4, bytes.length)
+    val out = new java.io.ByteArrayOutputStream(64 * 1024)
+    var streamCrc = 0
+
+    while (true) {
+      val magic = br.read(48)
+      if (br.failed) return None
+      if (magic == FooterMagic) {
+        val crc = br.read(32).toInt
+        if (br.failed || crc != streamCrc) return None
+        return Some(DecodedStream(br.byteAligned, out.toByteArray))
+      }
+      if (magic != BlockMagic) return None
+      val declaredCrc = br.read(32).toInt
+      if (br.read1() != 0) return None // randomized blocks: deprecated, rejected
+      val origPtr = br.read(24).toInt
+
+      // two-level used-byte map
+      val used16 = br.read(16).toInt
+      val inUse = new Array[Boolean](256)
+      var nUsed = 0
+      var i = 0
+      while (i < 16) {
+        if ((used16 & (0x8000 >>> i)) != 0) {
+          val bits = br.read(16).toInt
+          var j = 0
+          while (j < 16) {
+            if ((bits & (0x8000 >>> j)) != 0) { inUse(i * 16 + j) = true; nUsed += 1 }
+            j += 1
+          }
+        }
+        i += 1
+      }
+      if (br.failed || nUsed == 0) return None
+      val seqToUnseq = new Array[Int](nUsed)
+      locally { var k = 0; var b = 0
+        while (b < 256) { if (inUse(b)) { seqToUnseq(k) = b; k += 1 }; b += 1 } }
+      val alphaSize = nUsed + 2
+
+      val nGroups = br.read(3).toInt
+      if (nGroups < 2 || nGroups > 6) return None
+      val nSelectors = br.read(15).toInt
+      if (nSelectors < 1) return None
+      val selectors = new Array[Int](nSelectors)
+      locally { // selectors are MTF-coded over the group list
+        val mtf = Array.tabulate(nGroups)(identity)
+        var s = 0
+        while (s < nSelectors) {
+          var j = 0
+          while (br.read1() == 1) { j += 1; if (j >= nGroups || br.failed) return None }
+          val g = mtf(j)
+          while (j > 0) { mtf(j) = mtf(j - 1); j -= 1 }
+          mtf(0) = g
+          selectors(s) = g
+          s += 1
+        }
+      }
+      if (br.failed) return None
+
+      // delta-coded code lengths, then canonical decode tables per group
+      val lens = Array.ofDim[Int](nGroups, alphaSize)
+      locally { var g = 0
+        while (g < nGroups) {
+          var cur = br.read(5).toInt
+          var s = 0
+          while (s < alphaSize) {
+            var cont = true
+            while (cont) {
+              if (cur < 1 || cur > 20 || br.failed) return None
+              if (br.read1() == 0) cont = false
+              else if (br.read1() == 0) cur += 1
+              else cur -= 1
+            }
+            lens(g)(s) = cur
+            s += 1
+          }
+          g += 1
+        }
+      }
+
+      // limit/base/perm tables (the canonical-by-length-then-symbol order
+      // bzip2 uses)
+      val limit = Array.ofDim[Int](nGroups, 25)
+      val base = Array.ofDim[Int](nGroups, 25)
+      val perm = Array.ofDim[Int](nGroups, alphaSize)
+      val minLens = new Array[Int](nGroups)
+      locally { var g = 0
+        while (g < nGroups) {
+          var minLen = 32; var maxLen = 0
+          locally { var s = 0
+            while (s < alphaSize) {
+              val l = lens(g)(s)
+              if (l < minLen) minLen = l
+              if (l > maxLen) maxLen = l
+              s += 1
+            } }
+          minLens(g) = minLen
+          var pp = 0
+          locally { var l = minLen
+            while (l <= maxLen) {
+              var s = 0
+              while (s < alphaSize) {
+                if (lens(g)(s) == l) { perm(g)(pp) = s; pp += 1 }
+                s += 1
+              }
+              l += 1
+            } }
+          java.util.Arrays.fill(base(g), 0)
+          java.util.Arrays.fill(limit(g), 0)
+          locally { var s = 0
+            while (s < alphaSize) { base(g)(lens(g)(s) + 1) += 1; s += 1 } }
+          locally { var l = 1
+            while (l < 25) { base(g)(l) += base(g)(l - 1); l += 1 } }
+          var vec = 0
+          locally { var l = minLen
+            while (l <= maxLen) {
+              vec += base(g)(l + 1) - base(g)(l)
+              limit(g)(l) = vec - 1
+              vec <<= 1
+              l += 1
+            } }
+          locally { var l = minLen + 1
+            while (l <= maxLen) {
+              base(g)(l) = ((limit(g)(l - 1) + 1) << 1) - base(g)(l)
+              l += 1
+            } }
+          g += 1
+        }
+      }
+
+      def huffDecode(g: Int): Int = {
+        // the canonical walk (bzip2 GET_MTF_VAL): start at the group's
+        // shortest length, extend one bit while the value exceeds that
+        // length's last code
+        var l = minLens(g)
+        var v = br.read(l).toInt
+        while (v > limit(g)(l)) {
+          l += 1
+          if (l > 23 || br.failed) { br.failed = true; return 0 }
+          v = (v << 1) | br.read1()
+        }
+        val p = v - base(g)(l)
+        if (br.failed || p < 0 || p >= alphaSize) { br.failed = true; return 0 }
+        perm(g)(p)
+      }
+
+      // Huffman + MTF + RLE2 decode into the BWT'd block
+      val tt = new Array[Int](maxBlock) // BWT output bytes (as ints), then T-vector reuse
+      var nblock = 0
+      val unzftab = new Array[Int](256)
+      val mtfByte = new Array[Int](nUsed)
+      locally { var k = 0; while (k < nUsed) { mtfByte(k) = k; k += 1 } }
+      var groupNo = -1
+      var groupPos = 0
+      val eob = alphaSize - 1
+      var runLen = 0L
+      var runBit = 0
+      var doneBlock = false
+      while (!doneBlock) {
+        if (groupPos == 0) {
+          groupNo += 1
+          if (groupNo >= nSelectors) return None
+          groupPos = 50
+        }
+        groupPos -= 1
+        val sym = huffDecode(selectors(groupNo))
+        if (br.failed) return None
+        if (sym <= 1) { // RUNA / RUNB: bijective base-2 run length
+          runLen += (sym + 1).toLong << runBit
+          runBit += 1
+          if (runLen > maxBlock) return None
+        } else {
+          if (runLen > 0) {
+            val b = seqToUnseq(mtfByte(0))
+            if (nblock + runLen > maxBlock) return None
+            var r = 0L
+            while (r < runLen) { tt(nblock) = b; nblock += 1; r += 1 }
+            unzftab(b) += runLen.toInt
+            runLen = 0; runBit = 0
+          }
+          if (sym == eob) doneBlock = true
+          else {
+            val idx = sym - 1
+            if (idx >= nUsed) return None
+            var j = idx
+            val v = mtfByte(j)
+            while (j > 0) { mtfByte(j) = mtfByte(j - 1); j -= 1 }
+            mtfByte(0) = v
+            val b = seqToUnseq(v)
+            if (nblock >= maxBlock) return None
+            tt(nblock) = b; nblock += 1
+            unzftab(b) += 1
+          }
+        }
+      }
+      if (runLen > 0) {
+        val b = seqToUnseq(mtfByte(0))
+        if (nblock + runLen > maxBlock) return None
+        var r = 0L
+        while (r < runLen) { tt(nblock) = b; nblock += 1; r += 1 }
+        unzftab(b) += runLen.toInt
+      }
+      if (origPtr >= nblock) return None
+
+      // inverse BWT: cumulative counts + T-vector walk
+      val cftab = new Array[Int](257)
+      locally { var b = 0; while (b < 256) { cftab(b + 1) = unzftab(b); b += 1 } }
+      locally { var b = 1; while (b <= 256) { cftab(b) += cftab(b - 1); b += 1 } }
+      val tnext = new Array[Int](nblock)
+      locally { var k = 0
+        while (k < nblock) {
+          val b = tt(k)
+          tnext(cftab(b)) = k
+          cftab(b) += 1
+          k += 1
+        } }
+
+      // walk + RLE1 decode + CRC in one pass
+      val blockOut = new java.io.ByteArrayOutputStream(nblock + (nblock >> 2) + 64)
+      var tpos = tnext(origPtr)
+      var k = 0
+      var prev = -1
+      var prevRun = 0
+      var crc = 0xffffffff
+      def emit(b: Int, times: Int): Boolean = {
+        if (blockOut.size.toLong + times > MaxStreamBytes ||
+            out.size.toLong + blockOut.size + times > MaxStreamBytes) return false
+        var r = 0
+        while (r < times) {
+          blockOut.write(b)
+          crc = (crc << 8) ^ CrcTable(((crc >>> 24) ^ b) & 0xff)
+          r += 1
+        }
+        true
+      }
+      var bad = false
+      while (k < nblock && !bad) {
+        val b = tt(tpos)
+        tpos = tnext(tpos)
+        k += 1
+        if (prevRun == 4) {
+          // the byte after 4 equal bytes is a REPEAT COUNT, not data
+          if (!emit(prev, b)) bad = true
+          prev = -1; prevRun = 0
+        } else {
+          if (b == prev) prevRun += 1 else { prev = b; prevRun = 1 }
+          if (!emit(b, 1)) bad = true
+        }
+      }
+      if (bad) return None
+      crc = ~crc
+      if (crc != declaredCrc) return None
+      blockOut.writeTo(out)
+      streamCrc = ((streamCrc << 1) | (streamCrc >>> 31)) ^ crc
+    }
+    None // unreachable
+  }
+
+  // ---------------------------------------------------------------------
+  // encode (fixture writer twin — a valid, deliberately simple encoder:
+  // one Huffman table sent twice, all selectors group 0, naive BWT)
+
+  /** RLE1-encode `data` (runs of 4..259 become 4 bytes + a count byte). */
+  private def rle1(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 8)
+    var i = 0
+    while (i < data.length) {
+      val b = data(i)
+      var run = 1
+      while (i + run < data.length && data(i + run) == b && run < 259) run += 1
+      if (run >= 4) {
+        var r = 0
+        while (r < 4) { out.write(b); r += 1 }
+        out.write(run - 4)
+      } else {
+        var r = 0
+        while (r < run) { out.write(b); r += 1 }
+      }
+      i += run
+    }
+    out.toByteArray
+  }
+
+  /** Naive BWT: sort rotation indices lexicographically. Fixture-sized
+    * inputs only (quadratic comparator bound).
+    */
+  private def bwt(block: Array[Byte]): (Int, Array[Int]) = {
+    val n = block.length
+    val idx = Array.tabulate(n)(identity)
+    val boxed: Array[Integer] = idx.map(Integer.valueOf)
+    java.util.Arrays.sort(boxed, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        var i = 0
+        val ai = a.intValue; val bi = b.intValue
+        while (i < n) {
+          val ca = block((ai + i) % n) & 0xff
+          val cb = block((bi + i) % n) & 0xff
+          if (ca != cb) return ca - cb
+          i += 1
+        }
+        0
+      }
+    })
+    var orig = 0
+    val order = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      order(k) = boxed(k).intValue
+      if (order(k) == 0) orig = k
+      k += 1
+    }
+    (orig, order)
+  }
+
+  /** Canonical Huffman code lengths (capped at 20) for `freq`; every
+    * symbol gets a code (bzip2 sends lengths for the whole alphabet).
+    */
+  private def huffLengths(freq: Array[Int]): Array[Int] = {
+    val n = freq.length
+    // simple pair-merge Huffman over (weight, set-of-symbols)
+    case class Node(w: Long, syms: List[Int])
+    val pq = new java.util.PriorityQueue[Node](math.max(1, n),
+      new java.util.Comparator[Node] {
+        // tie-break on the smallest symbol for determinism
+        override def compare(a: Node, b: Node): Int =
+          if (a.w != b.w) java.lang.Long.compare(a.w, b.w)
+          else Integer.compare(a.syms.min, b.syms.min)
+      })
+    var i = 0
+    while (i < n) { pq.add(Node(freq(i).toLong + 1, List(i))); i += 1 } // +1: no zero weights
+    val lens = new Array[Int](n)
+    if (n == 1) { lens(0) = 1; return lens }
+    while (pq.size > 1) {
+      val a = pq.poll(); val b = pq.poll()
+      (a.syms ++ b.syms).foreach(s => lens(s) += 1)
+      pq.add(Node(a.w + b.w, a.syms ++ b.syms))
+    }
+    // cap at 20 by flattening (valid prefix code preserved for the small
+    // alphabets fixtures use; assert rather than rebalance)
+    require(lens.forall(l => l >= 1 && l <= 20), "fixture alphabet too deep")
+    lens
+  }
+
+  /** Canonical codes from lengths, assigned by (length, symbol) order —
+    * the same order the decoder's perm tables assume.
+    */
+  private def huffCodes(lens: Array[Int]): Array[Int] = {
+    val n = lens.length
+    val codes = new Array[Int](n)
+    var code = 0
+    val maxLen = lens.max
+    val minLen = lens.min
+    var l = minLen
+    while (l <= maxLen) {
+      var s = 0
+      while (s < n) {
+        if (lens(s) == l) { codes(s) = code; code += 1 }
+        s += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    codes
+  }
+
+  /** Compress `data` as ONE bzip2 stream (level 9; blocks split at the
+    * 900k block size — fixtures never reach it). Deterministic: identical
+    * input bytes yield identical stream bytes on every call.
+    */
+  def encodeStream(data: Array[Byte]): Array[Byte] = {
+    val bw = new BitWriter
+    bw.write('B', 8); bw.write('Z', 8); bw.write('h', 8); bw.write('9', 8)
+    var streamCrc = 0
+    var start = 0
+    val maxRaw = 830000 // conservative: RLE1 can expand 4/5, keep post-RLE1 < 900k
+    while (start < data.length || (data.length == 0 && start == 0)) {
+      val until = math.min(data.length, start + maxRaw)
+      if (until > start) {
+        val crc = blockCrc(data, start, until)
+        streamCrc = ((streamCrc << 1) | (streamCrc >>> 31)) ^ crc
+        writeBlock(bw, java.util.Arrays.copyOfRange(data, start, until), crc)
+      }
+      start = if (until == start) data.length + 1 else until
+      if (start >= data.length) {
+        bw.write(FooterMagic, 48)
+        bw.write(streamCrc.toLong & 0xffffffffL, 32)
+        bw.pad()
+        return bw.toBytes
+      }
+    }
+    bw.pad()
+    bw.toBytes
+  }
+
+  private def writeBlock(bw: BitWriter, raw: Array[Byte], crc: Int): Unit = {
+    val block = rle1(raw)
+    val (origPtr, order) = bwt(block)
+    val n = block.length
+
+    // last column of the sorted rotation matrix
+    val lastCol = new Array[Int](n)
+    locally { var k = 0
+      while (k < n) { lastCol(k) = block((order(k) + n - 1) % n) & 0xff; k += 1 } }
+
+    val inUse = new Array[Boolean](256)
+    lastCol.foreach(b => inUse(b) = true)
+    val seq = (0 until 256).filter(inUse).toArray
+    val unseqToSeq = new Array[Int](256)
+    locally { var k = 0; while (k < seq.length) { unseqToSeq(seq(k)) = k; k += 1 } }
+    val nUsed = seq.length
+    val alphaSize = nUsed + 2
+    val eob = alphaSize - 1
+
+    // MTF + RLE2
+    val syms = new scala.collection.mutable.ArrayBuffer[Int](n + 8)
+    val mtf = Array.tabulate(nUsed)(identity)
+    var zeroRun = 0L
+    def flushZeros(): Unit = {
+      var r = zeroRun
+      while (r > 0) {
+        if ((r & 1L) == 1L) { syms += 0; r = (r - 1) >> 1 } // RUNA
+        else { syms += 1; r = (r - 2) >> 1 }                // RUNB
+      }
+      zeroRun = 0
+    }
+    locally { var k = 0
+      while (k < n) {
+        val v = unseqToSeq(lastCol(k))
+        var j = 0
+        while (mtf(j) != v) j += 1
+        if (j == 0) zeroRun += 1
+        else {
+          flushZeros()
+          syms += (j + 1)
+          while (j > 0) { mtf(j) = mtf(j - 1); j -= 1 }
+          mtf(0) = v
+        }
+        k += 1
+      } }
+    flushZeros()
+    syms += eob
+
+    val freq = new Array[Int](alphaSize)
+    syms.foreach(s => freq(s) += 1)
+    val lens = huffLengths(freq)
+    val codes = huffCodes(lens)
+    val nSelectors = (syms.length + 49) / 50
+
+    bw.write(BlockMagic, 48)
+    bw.write(crc.toLong & 0xffffffffL, 32)
+    bw.write(0, 1) // not randomized
+    bw.write(origPtr.toLong, 24)
+    // used map
+    var used16 = 0
+    locally { var i = 0
+      while (i < 16) {
+        var j = 0
+        var any = false
+        while (j < 16) { if (inUse(i * 16 + j)) any = true; j += 1 }
+        if (any) used16 |= (0x8000 >>> i)
+        i += 1
+      } }
+    bw.write(used16.toLong, 16)
+    locally { var i = 0
+      while (i < 16) {
+        if ((used16 & (0x8000 >>> i)) != 0) {
+          var bits = 0
+          var j = 0
+          while (j < 16) { if (inUse(i * 16 + j)) bits |= (0x8000 >>> j); j += 1 }
+          bw.write(bits.toLong, 16)
+        }
+        i += 1
+      } }
+    bw.write(2, 3) // nGroups = 2 (format minimum); both tables identical
+    bw.write(nSelectors.toLong, 15)
+    locally { var s = 0
+      while (s < nSelectors) { bw.write(0, 1); s += 1 } } // MTF(0) = group 0
+    locally { var g = 0
+      while (g < 2) {
+        var cur = lens(0)
+        bw.write(cur.toLong, 5)
+        var s = 0
+        while (s < alphaSize) {
+          val want = lens(s)
+          while (cur < want) { bw.write(2, 2); cur += 1 } // 10 = increment
+          while (cur > want) { bw.write(3, 2); cur -= 1 } // 11 = decrement
+          bw.write(0, 1)
+          s += 1
+        }
+        g += 1
+      } }
+    syms.foreach(s => bw.write(codes(s).toLong, lens(s)))
+  }
+
+  /** Render a multistream file: each element becomes one independent
+    * stream, concatenated byte-aligned — the Wikipedia dump layout.
+    */
+  def renderMultistream(parts: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    parts.foreach(p => out.write(encodeStream(p)))
+    out.toByteArray
+  }
+}

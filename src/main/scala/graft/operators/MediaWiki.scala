@@ -1,0 +1,260 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.functions.HtmlText
+
+/** MediaWiki dump parsing + wikitext cleanup — the page layer of the
+  * Wikipedia door, on top of [[graft.sources.Bz2Shards]]'s multistream
+  * decode. A dump stream holds `<page>` elements of the public export
+  * schema (title / ns / id / optional redirect / revision text in
+  * wikitext markup); training pipelines want (a) the page split, (b) the
+  * markup stripped to prose, (c) the internal link graph. All three are
+  * deterministic rule sets so an oracle can pin outputs verbatim, the
+  * same design bargain as [[graft.functions.HtmlText]].
+  *
+  * Wikitext cleanup rules, applied in this order (each is a bounded scan,
+  * malformed nesting drops to end-of-input rather than erroring):
+  *   1. `<!-- -->` comments out.
+  *   2. `<ref ...>...</ref>` and self-closing `<ref .../>` out (citation
+  *      apparatus, not prose).
+  *   3. `{{templates}}` out, nesting respected (infoboxes, citations).
+  *   4. `{| tables |}` out, nesting respected.
+  *   5. `[[File:...]]` / `[[Image:...]]` / `[[Category:...]]` out whole,
+  *      bracket nesting respected (captions embed links).
+  *   6. `[[target|label]]` keeps label, `[[target]]` keeps target.
+  *   7. `[url label]` keeps label, bare `[url]` out.
+  *   8. `'''`/`''` emphasis markers out.
+  *   9. Heading `== X ==` lines keep X.
+  *  10. Remaining inline tags stripped; entities decoded AFTER stripping;
+  *      leading list/indent markup (`* # : ;`) stripped per line; runs of
+  *      spaces collapsed, lines trimmed, blank lines dropped, joined
+  *      with `\n`.
+  */
+object MediaWiki {
+
+  /** One exported page. `pageId` is the page-level id (the first `<id>`
+    * before the revision), `redirect` the target title when the page is a
+    * redirect, `wikitext` the raw revision markup, XML-unescaped.
+    */
+  final case class WikiPage(title: String, ns: Int, pageId: Long,
+                            redirect: Option[String], wikitext: String)
+
+  private def tagBody(xml: String, from: Int, until: Int, tag: String): Option[(Int, Int)] = {
+    val open = xml.indexOf("<" + tag, from)
+    if (open < 0 || open >= until) return None
+    val gt = xml.indexOf('>', open)
+    if (gt < 0 || gt >= until) return None
+    if (xml.charAt(gt - 1) == '/') return Some((gt + 1, gt + 1)) // self-closing
+    val close = xml.indexOf("</" + tag + ">", gt + 1)
+    if (close < 0 || close > until) return None
+    Some((gt + 1, close))
+  }
+
+  /** Split one dump fragment into its pages. Tolerant of leading/trailing
+    * non-page XML (the dump's `<siteinfo>` header rides in the first
+    * stream); a page missing title or text is skipped, not an error.
+    */
+  def pages(xml: String): Seq[WikiPage] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WikiPage]
+    var i = 0
+    while (i < xml.length) {
+      val open = xml.indexOf("<page>", i)
+      if (open < 0) return out.toSeq
+      val close = xml.indexOf("</page>", open)
+      if (close < 0) return out.toSeq
+      val until = close
+      val title = tagBody(xml, open, until, "title")
+        .map(b => HtmlText.decodeEntities(xml.substring(b._1, b._2)))
+      val ns = tagBody(xml, open, until, "ns")
+        .flatMap(b => xml.substring(b._1, b._2).trim.toIntOption).getOrElse(0)
+      val pageId = tagBody(xml, open, until, "id")
+        .flatMap(b => xml.substring(b._1, b._2).trim.toLongOption).getOrElse(-1L)
+      // the redirect element is self-closing with a title attribute
+      val redirect = {
+        val r = xml.indexOf("<redirect", open)
+        if (r < 0 || r >= until) None
+        else {
+          val gt = xml.indexOf('>', r)
+          if (gt < 0 || gt >= until) None
+          else {
+            val tag = xml.substring(r, gt + 1)
+            val m = java.util.regex.Pattern
+              .compile("title\\s*=\\s*(\"([^\"]*)\"|'([^']*)')").matcher(tag)
+            if (m.find())
+              Some(HtmlText.decodeEntities(
+                if (m.group(2) != null) m.group(2) else m.group(3)))
+            else None
+          }
+        }
+      }
+      val text = tagBody(xml, open, until, "text")
+        .map(b => HtmlText.decodeEntities(xml.substring(b._1, b._2)))
+      (title, text) match {
+        case (Some(t), Some(w)) => out += WikiPage(t, ns, pageId, redirect, w)
+        case _ => ()
+      }
+      i = close + 7
+    }
+    out.toSeq
+  }
+
+  /** Drop `open`...`close` regions with nesting (templates, tables);
+    * an unclosed region drops to end-of-input.
+    */
+  private def dropNested(s: String, open: String, close: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.startsWith(open, i)) {
+        var depth = 1
+        var j = i + open.length
+        while (depth > 0 && j < s.length) {
+          if (s.startsWith(open, j)) { depth += 1; j += open.length }
+          else if (s.startsWith(close, j)) { depth -= 1; j += close.length }
+          else j += 1
+        }
+        i = j
+      } else { out.append(s.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
+
+  private val RefPair = java.util.regex.Pattern.compile(
+    "(?is)<ref\\b[^>/]*>.*?</ref\\s*>")
+  private val RefSelf = java.util.regex.Pattern.compile("(?is)<ref\\b[^>]*/>")
+  private val Comment = java.util.regex.Pattern.compile("(?s)<!--.*?-->")
+  private val ExtLink = java.util.regex.Pattern.compile(
+    "\\[(?:https?|ftp)://[^\\s\\]]+(\\s+([^\\]]*))?\\]")
+  private val Quotes = java.util.regex.Pattern.compile("'{2,}")
+  private val Heading = java.util.regex.Pattern.compile(
+    "(?m)^(={1,6})\\s*(.*?)\\s*\\1\\s*$")
+  private val AnyTag = java.util.regex.Pattern.compile("(?s)<[^>]*>")
+
+  private val MediaPrefixes = Seq("file:", "image:", "category:")
+
+  /** Resolve `[[...]]` internal links: media/category links drop whole
+    * (nesting respected — captions embed links), `[[t|label]]` keeps the
+    * label (the LAST pipe field, as captions pipe through options),
+    * `[[t]]` keeps t.
+    */
+  private def resolveWikiLinks(s: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.startsWith("[[", i)) {
+        var depth = 1
+        var j = i + 2
+        while (depth > 0 && j < s.length) {
+          if (s.startsWith("[[", j)) { depth += 1; j += 2 }
+          else if (s.startsWith("]]", j)) { depth -= 1; j += 2 }
+          else j += 1
+        }
+        val inner = s.substring(i + 2, math.max(i + 2, j - 2))
+        val lower = inner.toLowerCase(java.util.Locale.ROOT)
+        val isMedia = MediaPrefixes.exists(p =>
+          lower.startsWith(p) || lower.startsWith(":" + p))
+        if (!isMedia && depth == 0) {
+          // nested links only occur in media captions; a plain link's
+          // label is everything after the last pipe
+          val pipe = inner.lastIndexOf('|')
+          val kept = if (pipe >= 0) inner.substring(pipe + 1) else inner
+          out.append(kept)
+        }
+        i = j
+      } else { out.append(s.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
+
+  /** The rule-set cleanup documented on the object. */
+  def cleanWikitext(w: String): String = {
+    var s = Comment.matcher(w).replaceAll(" ")
+    s = RefPair.matcher(s).replaceAll(" ")
+    s = RefSelf.matcher(s).replaceAll(" ")
+    s = dropNested(s, "{{", "}}")
+    s = dropNested(s, "{|", "|}")
+    s = resolveWikiLinks(s)
+    s = {
+      val m = ExtLink.matcher(s)
+      val sb = new java.lang.StringBuilder(s.length)
+      var last = 0
+      while (m.find()) {
+        sb.append(s, last, m.start())
+        if (m.group(2) != null) sb.append(m.group(2))
+        last = m.end()
+      }
+      sb.append(s, last, s.length)
+      sb.toString
+    }
+    s = Quotes.matcher(s).replaceAll("")
+    s = Heading.matcher(s).replaceAll("$2")
+    s = AnyTag.matcher(s).replaceAll(" ")
+    s = HtmlText.decodeEntities(s)
+    s.split('\n').iterator
+      .map(_.replaceFirst("^\\s*[*#:;]+", "") // list/indent markup
+        .replaceAll("[ \\t\\u00A0]+", " ").trim)
+      .filter(_.nonEmpty).mkString("\n")
+  }
+
+  /** Internal-link TARGETS of a page (the link-graph edge list): media
+    * and category links excluded, anchors (`#...`) stripped, target
+    * first-char capitalized the way MediaWiki canonicalizes titles.
+    * Emitted in document order, duplicates preserved (the caller counts
+    * or distincts).
+    */
+  def wikiLinks(w: String): Seq[String] = {
+    // links inside templates/tables still count as links on the page —
+    // only comments and refs are stripped first
+    var s = Comment.matcher(w).replaceAll(" ")
+    s = RefPair.matcher(s).replaceAll(" ")
+    s = RefSelf.matcher(s).replaceAll(" ")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      val at = s.indexOf("[[", i)
+      if (at < 0) return out.toSeq
+      val end = s.indexOf("]]", at + 2)
+      if (end < 0) return out.toSeq
+      val inner = s.substring(at + 2, end)
+      val lower = inner.toLowerCase(java.util.Locale.ROOT)
+      val isMedia = MediaPrefixes.exists(p =>
+        lower.startsWith(p) || lower.startsWith(":" + p))
+      if (!isMedia) {
+        val pipe = inner.indexOf('|')
+        var target = (if (pipe >= 0) inner.substring(0, pipe) else inner).trim
+        val hash = target.indexOf('#')
+        if (hash >= 0) target = target.substring(0, hash).trim
+        if (target.nonEmpty)
+          out += (target.substring(0, 1).toUpperCase(java.util.Locale.ROOT)
+            + target.substring(1))
+      }
+      i = end + 2
+    }
+    out.toSeq
+  }
+
+  /** DataFrame surface: split a decoded-stream corpus (`textCol` holds
+    * dump XML) into pages. Per-row JVM parse inside mapPartitions, no
+    * shuffle — the [[Pdf.pagesOf]] shape.
+    */
+  def pagesOf(df: DataFrame, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val textIdx = df.schema.fieldIndex(textCol)
+    val outSchema = StructType(Seq(
+      StructField("title", StringType, nullable = false),
+      StructField("ns", IntegerType, nullable = false),
+      StructField("page_id", LongType, nullable = false),
+      StructField("redirect", StringType, nullable = true),
+      StructField("wikitext", StringType, nullable = false)))
+    val rows = df.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        pages(r.getString(textIdx)).iterator.map(p =>
+          Row(p.title, p.ns, p.pageId, p.redirect.orNull, p.wikitext))
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+}

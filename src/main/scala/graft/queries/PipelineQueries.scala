@@ -199,6 +199,42 @@ object PipelineQueries extends QuerySet {
        |<footer><a href="/c$chrome">Contact</a> | <a href="/d">Terms</a></footer></body></html>""".stripMargin
   }
 
+  /** One MediaWiki-export `<page>` element, XML-escaped the way the dump
+    * writer escapes (`& < >`), optional redirect element before the
+    * revision — the q197/q198 fixture grammar.
+    */
+  private def wikiPageXml(title: String, ns: Int, id: Long, text: String,
+                          redirect: Option[String] = None): String = {
+    def esc(s: String) =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    s"<page><title>${esc(title)}</title><ns>$ns</ns><id>$id</id>" +
+      redirect.map(r => s"""<redirect title="${esc(r)}" />""").getOrElse("") +
+      s"""<revision><id>${id * 10}</id><text xml:space="preserve">${
+        esc(text)}</text></revision></page>"""
+  }
+
+  /** Two dump streams (stream 0 carries the siteinfo header, as the real
+    * multistream layout does): six pages, one rule family each — the
+    * q197 verbatim-oracle fixture.
+    */
+  private def wikiDumpStreams: Seq[Array[Byte]] = Seq(
+    ("<mediawiki><siteinfo><sitename>W</sitename></siteinfo>" +
+      wikiPageXml("Alpha", 0, 1,
+        "{{Infobox|x=1}}\n'''Alpha''' is a [[term]] in " +
+        "[[logic|formal logic]].<ref>cite</ref>\n== History ==\n" +
+        "See [https://a.test/x the source] and more.") +
+      wikiPageXml("Beta", 0, 2,
+        "Beta begins.\n{| class=\"wikitable\"\n|-\n| cell\n|}\nBeta ends.") +
+      wikiPageXml("Gamma", 0, 3, "#REDIRECT [[Alpha]]",
+        redirect = Some("Alpha"))).getBytes("UTF-8"),
+    (wikiPageXml("Delta & Sons", 0, 4,
+        "Delta & Sons make [[File:D.png|logo]] fine things.") +
+      wikiPageXml("Template:Box", 10, 5, "{{doc}}") +
+      wikiPageXml("Epsilon", 0, 6,
+        "== Top ==\nEpsilon has <math>x^2</math> inline.\n" +
+        "* bullet one\n* bullet two") +
+      "</mediawiki>").getBytes("UTF-8"))
+
   private def warcHeaders(i: Int): Seq[(String, String)] = Seq(
     "WARC-Type" -> "response",
     "WARC-Record-ID" -> s"<urn:uuid:html-$i>",
@@ -1880,6 +1916,106 @@ object PipelineQueries extends QuerySet {
     // reassembly across pages, both codecs' comment dialects, and the
     // granule->duration arithmetic (Vorbis PCM samples vs Opus 48kHz
     // granules minus pre-skip) are all load-bearing for the match.
+    // The Wikipedia multistream door, container layer: a dependency-free
+    // bzip2 decode (operators/Bzip2.scala) behind Hadoop-style plan-time
+    // range splits — 16 independent streams, splitSize forced to 1 KiB so
+    // several cuts land INSIDE streams and the cross-range window growth
+    // is load-bearing. `contiguous` folds the byte-extent exactness into
+    // the hash oracle: every stream's offset must equal the previous
+    // stream's offset + comp_len (and 0 for the first) — a decoder that
+    // mis-sizes ANY stream flips a bit the oracle sees. Texts re-derive
+    // from the word formula; canonical-bzip2 interop is pinned in
+    // Bzip2Spec via embedded libbz2 goldens.
+    "q196_bz2_multistream_ingest" -> ((s, dir) => {
+      val f = fixture("wiki_oracle.bz2") {
+        graft.operators.Bzip2.renderMultistream((0 until 16).map { i =>
+          (0 until 40 + 10 * i).map(k => s"w${(i * 17 + k * 13) % 97}")
+            .mkString(" ").getBytes("UTF-8")
+        })
+      }
+      val w = org.apache.spark.sql.expressions.Window.orderBy("offset")
+      s.read.format("bz2multistream").option("splitSize", "1024").load(f)
+        .select(col("offset"), col("comp_len"),
+          col("data").cast("string").as("text"))
+        .withColumn("ord", row_number().over(w).cast("long") - 1)
+        .withColumn("contiguous", col("offset") ===
+          coalesce(lag(col("offset") + col("comp_len"), 1).over(w), lit(0L)))
+        .select(col("ord"), col("contiguous"), col("text"),
+          length(col("text")).as("n_chars"))
+        .orderBy("ord")
+    }),
+
+    // The Wikipedia door, page layer: MediaWiki export XML inside
+    // multistream bz2 (stream 0 carries the siteinfo header, as real
+    // dumps do), split into pages and the wikitext stripped to prose by
+    // the documented rule set — templates, tables, refs, media links with
+    // nested captions, piped links, external links, emphasis, headings,
+    // list markup, entities. Every cleaned text is pinned VERBATIM in the
+    // oracle (the q167 PDF pattern): six pages, each one rule family's
+    // proof.
+    "q197_wikipedia_pages" -> ((s, dir) => {
+      val f = fixture("wiki_pages.xml.bz2") {
+        graft.operators.Bzip2.renderMultistream(wikiDumpStreams)
+      }
+      val streams = graft.sources.Bz2Shards.streamText(
+        s.read.format("bz2multistream").load(f))
+      val pages = graft.operators.MediaWiki.pagesOf(streams, "text")
+      val cleanPages = pages.sparkSession.createDataFrame(
+        pages.select("title", "ns", "page_id", "redirect", "wikitext")
+          .rdd.map { r =>
+            org.apache.spark.sql.Row(r.getString(0), r.getInt(1), r.getLong(2),
+              r.getString(3), graft.operators.MediaWiki.cleanWikitext(r.getString(4)))
+          },
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("title",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("ns",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("page_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("redirect",
+            org.apache.spark.sql.types.StringType, nullable = true),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+      cleanPages
+        .select(col("title"), col("ns"), col("page_id"), col("redirect"),
+          col("text"), length(col("text")).as("n_chars"))
+        .orderBy("page_id")
+    }),
+
+    // The Wikipedia door, graph layer: [[wikilink]] targets become the
+    // page-graph edge list (media/category links excluded, anchors
+    // stripped, first-char canonical capitalization), counted into
+    // in-link degrees — the seed input of the existing integer-PageRank
+    // operator. 30 pages across 3 streams; each page links twice to page
+    // (2i+1)%30 and once to (3i+2)%30, so the oracle re-derives every
+    // degree from the formula.
+    "q198_wiki_link_graph" -> ((s, dir) => {
+      import s.implicits._
+      val f = fixture("wiki_links.xml.bz2") {
+        graft.operators.Bzip2.renderMultistream((0 until 3).map { g =>
+          ("<mediawiki>" + (0 until 10).map { j =>
+            val i = g * 10 + j
+            wikiPageXml(s"Page $i", 0, i + 1,
+              s"Linking [[Page ${(2 * i + 1) % 30}]] then " +
+              s"[[Page ${(3 * i + 2) % 30}|x]] and again " +
+              s"[[Page ${(2 * i + 1) % 30}]]. [[File:F$i.png|cap]] " +
+              "[[Category:Pages]]")
+          }.mkString + "</mediawiki>").getBytes("UTF-8")
+        })
+      }
+      val streams = graft.sources.Bz2Shards.streamText(
+        s.read.format("bz2multistream").load(f))
+      val pages = graft.operators.MediaWiki.pagesOf(streams, "text")
+      pages.select(col("title"), col("wikitext")).as[(String, String)]
+        .flatMap { case (t, w) =>
+          graft.operators.MediaWiki.wikiLinks(w).map(target => (t, target))
+        }
+        .toDF("src", "target")
+        .groupBy("target").agg(count(lit(1)).as("n_inlinks"))
+        .orderBy("target")
+    }),
+
     // ID3v2 text frames — the MP3 container-metadata counterpart of
     // Ogg/FLAC comment blocks, closing the audio family's metadata side:
     // 18 clips in 6 families, each family's audio frames identical, one
@@ -3123,6 +3259,47 @@ object PipelineQueries extends QuerySet {
     // audio packet, +1 per >255-byte packet on the spanning clips),
     // packet counts from the codec's header-packet count, and the audio
     // signature as md5 over the concatenated ASCII packet formulas
+    // the Wikipedia container layer: stream texts re-derived from the
+    // word formula; `contiguous` must be TRUE on every row — the byte
+    // extents (offset, comp_len) the decoder reports must tile the file
+    // exactly, folded into the hash as a boolean fact
+    "q196_bz2_multistream_ingest" ->
+      """WITH s AS (SELECT unnest(generate_series(0, 15)) AS i),
+        |t AS (SELECT i,
+        |  (SELECT string_agg('w' || ((i*17 + k*13) % 97), ' ' ORDER BY k)
+        |   FROM (SELECT unnest(generate_series(0, 40 + 10*i - 1)) AS k) u) AS text
+        |FROM s)
+        |SELECT CAST(i AS BIGINT) AS ord, TRUE AS contiguous, text,
+        |  CAST(length(text) AS INT) AS n_chars
+        |FROM t ORDER BY ord""".stripMargin,
+    // the Wikipedia page layer: each page's cleaned prose pinned verbatim
+    // — the engine must recover these strings through real bzip2 decode,
+    // page split, XML unescape, and the full wikitext rule set
+    "q197_wikipedia_pages" ->
+      """SELECT title, CAST(ns AS INT) AS ns, CAST(page_id AS BIGINT) AS page_id,
+        |  redirect, text, CAST(length(text) AS INT) AS n_chars
+        |FROM (VALUES
+        |  ('Alpha', 0, 1, NULL,
+        |   'Alpha is a term in formal logic.' || chr(10) || 'History' ||
+        |     chr(10) || 'See the source and more.'),
+        |  ('Beta', 0, 2, NULL, 'Beta begins.' || chr(10) || 'Beta ends.'),
+        |  ('Gamma', 0, 3, 'Alpha', 'REDIRECT Alpha'),
+        |  ('Delta & Sons', 0, 4, NULL, 'Delta & Sons make fine things.'),
+        |  ('Template:Box', 10, 5, NULL, ''),
+        |  ('Epsilon', 0, 6, NULL,
+        |   'Top' || chr(10) || 'Epsilon has x^2 inline.' || chr(10) ||
+        |     'bullet one' || chr(10) || 'bullet two')
+        |) AS t(title, ns, page_id, redirect, text) ORDER BY page_id""".stripMargin,
+    // the Wikipedia graph layer: in-link degrees replayed from the link
+    // formula — page i contributes 2 edges to (2i+1)%30 and 1 to
+    // (3i+2)%30 (media/category links must NOT count)
+    "q198_wiki_link_graph" ->
+      """WITH s AS (SELECT unnest(generate_series(0, 29)) AS i),
+        |e AS (SELECT 'Page ' || ((2*i+1) % 30) AS target, 2 AS c FROM s
+        |      UNION ALL
+        |      SELECT 'Page ' || ((3*i+2) % 30) AS target, 1 AS c FROM s)
+        |SELECT target, CAST(SUM(c) AS BIGINT) AS n_inlinks
+        |FROM e GROUP BY target ORDER BY target""".stripMargin,
     // ID3: tag fields from the version formula; frame counts and
     // durations unchanged by the tag prefix (the skip is what's pinned)
     "q195_mp3_id3_tags" ->

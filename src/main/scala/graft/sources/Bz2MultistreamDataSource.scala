@@ -1,0 +1,203 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.Bzip2
+
+/** Multistream bzip2 (the Wikipedia-dump layout) as a DataSource V2:
+  * `spark.read.format("bz2multistream").load(path)` — files are cut into
+  * `splitSize`-byte plan-time ranges (option, default 32 MiB); each task
+  * scans its range for stream starts and decodes the streams that start
+  * there, growing its read window past the range end only as far as its
+  * own last stream extends. See [[Bz2Shards]] for the format story.
+  */
+class Bz2MultistreamDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "bz2multistream"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Bz2MultistreamDataSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new Bz2MultistreamTable(properties.get("path"),
+      Option(properties.get("splitsize")).map(_.toLong)
+        .getOrElse(Bz2MultistreamDataSource.DefaultSplit))
+}
+
+object Bz2MultistreamDataSource {
+  val DefaultSplit: Long = 32L * 1024 * 1024
+
+  val schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("comp_len", LongType, nullable = false),
+    StructField("data", BinaryType, nullable = false)))
+}
+
+class Bz2MultistreamTable(path: String, splitSize: Long)
+    extends Table with SupportsRead {
+  require(path != null, "bz2multistream source requires a path")
+  require(splitSize >= 1024, s"splitSize $splitSize too small (>= 1 KiB)")
+  override def name(): String = s"bz2multistream:$path"
+  override def schema(): StructType = Bz2MultistreamDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new Bz2MultistreamScanBuilder(path, splitSize)
+}
+
+class Bz2MultistreamScanBuilder(path: String, splitSize: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = Bz2MultistreamDataSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new Bz2MultistreamScan(path, splitSize, required)
+}
+
+class Bz2MultistreamScan(path: String, splitSize: Long, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  private val serConf = new SerializableHadoopConf(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
+  /** One partition per `splitSize` byte range of each file — pure
+    * arithmetic over the file LISTING; no file content is read on the
+    * driver.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(serConf.value)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.isFile &&
+            !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+          .map(s => (fs.makeQualified(s.getPath).toString, s.getLen)).sortBy(_._1)
+      else {
+        val st = fs.getFileStatus(p)
+        Array((fs.makeQualified(p).toString, st.getLen))
+      }
+    files.flatMap { case (f, len) =>
+      val nSplits = math.max(1L, (len + splitSize - 1) / splitSize)
+      (0L until nSplits).map { i =>
+        Bz2RangeInputPartition(f, i * splitSize,
+          math.min(len, (i + 1) * splitSize), len): InputPartition
+      }
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new Bz2MultistreamReaderFactory(required, serConf)
+}
+
+case class Bz2RangeInputPartition(file: String, rangeStart: Long,
+                                  rangeEnd: Long, fileLen: Long)
+    extends InputPartition
+
+class Bz2MultistreamReaderFactory(required: StructType,
+                                  conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new Bz2MultistreamPartitionReader(
+      partition.asInstanceOf[Bz2RangeInputPartition], required, conf)
+}
+
+/** Positioned-read window decode: the task materializes
+  * `[rangeStart, rangeEnd + 9)` (the +9 catches a start pattern spanning
+  * the cut), then grows the window toward EOF only while a stream that
+  * starts in its range needs more bytes — a candidate that still fails
+  * at EOF is corrupt (or a payload false positive) and is skipped.
+  */
+class Bz2MultistreamPartitionReader(part: Bz2RangeInputPartition,
+                                    required: StructType,
+                                    conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+
+  private val records: Iterator[Bz2Shards.Bz2Stream] = {
+    val p = new Path(part.file)
+    val fs = p.getFileSystem(conf.value)
+    require(part.fileLen <= Int.MaxValue - 8,
+      s"bz2 shard ${part.file} is ${part.fileLen} bytes; this reader windows " +
+        "whole streams in memory — shard dumps below 2 GB per file.")
+    val in = fs.open(p)
+    try {
+      var windowEnd = math.min(part.fileLen, part.rangeEnd + 9)
+      var window = new Array[Byte]((windowEnd - part.rangeStart).toInt)
+      in.readFully(part.rangeStart, window, 0, window.length)
+
+      def grow(): Boolean = {
+        if (windowEnd >= part.fileLen) return false
+        val newEnd = math.min(part.fileLen,
+          math.max(windowEnd * 2 - part.rangeStart, windowEnd + (1L << 20)))
+        val grown = java.util.Arrays.copyOf(window, (newEnd - part.rangeStart).toInt)
+        in.readFully(windowEnd, grown, (windowEnd - part.rangeStart).toInt,
+          (newEnd - windowEnd).toInt)
+        window = grown
+        windowEnd = newEnd
+        true
+      }
+
+      // candidates are fixed by the initial range; decode with retries
+      val candAbs = Bz2Shards.candidates(window, 0,
+        math.min(part.rangeEnd, part.fileLen).toInt - part.rangeStart.toInt)
+        .map(_ + part.rangeStart)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Bz2Shards.Bz2Stream]
+      var cursor = part.rangeStart
+      candAbs.foreach { c =>
+        if (c >= cursor) {
+          var done = false
+          while (!done) {
+            Bzip2.decodeStream(window, (c - part.rangeStart).toInt) match {
+              case Some(d) =>
+                val endAbs = part.rangeStart + d.end
+                out += Bz2Shards.Bz2Stream(part.file, c, endAbs - c, d.data)
+                cursor = endAbs
+                done = true
+              case None =>
+                if (!grow()) done = true // corrupt / false positive: skip
+            }
+          }
+        }
+      }
+      out.iterator
+    } finally in.close()
+  }
+
+  private val proj = UnsafeProjection.create(required)
+  private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.length)
+  private val fieldIdx = required.fields.map(f =>
+    Bz2MultistreamDataSource.schema.fieldIndex(f.name))
+  private var current: Bz2Shards.Bz2Stream = _
+
+  override def next(): Boolean =
+    if (records.hasNext) { current = records.next(); true } else false
+
+  override def get(): InternalRow = {
+    var i = 0
+    while (i < fieldIdx.length) {
+      row.update(i, fieldIdx(i) match {
+        case 0 => UTF8String.fromString(current.file)
+        case 1 => current.offset
+        case 2 => current.compLen
+        case 3 => current.data
+      })
+      i += 1
+    }
+    proj(row)
+  }
+
+  override def close(): Unit = ()
+}

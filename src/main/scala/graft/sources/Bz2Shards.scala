@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Bzip2
+
+/** Multistream bzip2 — the Wikipedia-dump wire format — as a splittable
+  * source. A `pages-articles-multistream.xml.bz2` file is a byte-aligned
+  * concatenation of independent bzip2 streams (one per ~100 articles);
+  * unlike gzip members (WARC door) there is no per-member length header,
+  * so split planning uses the Hadoop-codec trick: cut the FILE into fixed
+  * byte ranges at plan time (no driver I/O beyond the listing), and let
+  * each task scan ITS range for the 10-byte stream-start pattern
+  * (`BZh[1-9]` + the 48-bit block or footer magic — always byte-aligned
+  * at a stream boundary) and decode every stream that STARTS in the
+  * range, reading past the range end as far as its own stream extends.
+  * Every stream is decoded by exactly one task; a pattern hit inside
+  * compressed payload bytes (probability ~2^-75 per position) is
+  * discarded by the decoder's structural+CRC checks.
+  *
+  * Scale shape: one task per `splitSize` bytes (default 32 MiB, option
+  * `splitSize`), positioned reads only — a 20 GB dump becomes ~600
+  * independent decode tasks with no index file required, the same
+  * unit-of-work design as the reference's db-partition list
+  * (`mrblast.cpp`) and this repo's WARC gzip-member walk.
+  *
+  * Malformed/truncated streams are DROPPED, never thrown: a candidate
+  * that fails to decode with the window extended to the next candidate
+  * boundary (and ultimately to EOF) is skipped and the scan resumes at
+  * the next candidate — the [[ZipShards]] stop-clean contract adapted to
+  * a format with no central directory.
+  */
+object Bz2Shards {
+
+  /** One decoded stream. `offset`/`compLen` are the byte extent — the
+    * range-read handle for refetching this stream independently, the same
+    * two-tier index role as [[ZipShards.ZipMember.offset]].
+    */
+  final case class Bz2Stream(file: String, offset: Long, compLen: Long,
+                             data: Array[Byte])
+
+  /** True iff `bytes[i..i+9]` is a plausible stream start: `BZh` +
+    * level digit + block magic (nonempty stream) or footer magic (empty
+    * stream).
+    */
+  private[sources] def isStreamStart(bytes: Array[Byte], i: Int): Boolean = {
+    if (i + 10 > bytes.length) return false
+    if (bytes(i) != 'B' || bytes(i + 1) != 'Z' || bytes(i + 2) != 'h') return false
+    val lvl = bytes(i + 3) - '0'
+    if (lvl < 1 || lvl > 9) return false
+    var magic = 0L
+    var k = 0
+    while (k < 6) { magic = (magic << 8) | (bytes(i + 4 + k) & 0xffL); k += 1 }
+    magic == 0x314159265359L || magic == 0x177245385090L
+  }
+
+  /** Candidate stream-start offsets in `bytes[from, until)`. */
+  private[sources] def candidates(bytes: Array[Byte], from: Int, until: Int): Seq[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = math.max(0, from)
+    val end = math.min(until, bytes.length)
+    while (i < end) {
+      if (bytes(i) == 'B' && isStreamStart(bytes, i)) out += i
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Decode every stream starting in `[rangeStart, rangeEnd)` of a fully
+    * materialized file — the in-memory core the DSv2 reader drives with
+    * positioned reads. Candidates inside an already-decoded stream's
+    * extent are payload false positives and are skipped; a failing
+    * candidate is skipped after the decoder has seen bytes through to
+    * the next candidate past its window (handled by the caller's window
+    * growth — here the window is the whole array).
+    */
+  def decodeRange(file: String, bytes: Array[Byte], rangeStart: Long,
+                  rangeEnd: Long): Iterator[Bz2Stream] = {
+    val cands = candidates(bytes, rangeStart.toInt,
+      math.min(rangeEnd, bytes.length.toLong).toInt)
+    var cursor = rangeStart
+    cands.iterator.flatMap { c =>
+      if (c < cursor) Iterator.empty
+      else Bzip2.decodeStream(bytes, c) match {
+        case Some(d) =>
+          cursor = d.end.toLong
+          Iterator.single(Bz2Stream(file, c.toLong, d.end.toLong - c, d.data))
+        case None => Iterator.empty // false positive or corrupt: skip
+      }
+    }
+  }
+
+  /** Full read through the DSv2 source:
+    * `spark.read.format("bz2multistream").load(path)`.
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("bz2multistream").load(path)
+
+  /** Decoded stream text as a corpus frame: one row per stream with the
+    * payload as UTF-8 `text` — the shape the MediaWiki page splitter
+    * ([[graft.operators.MediaWiki]]) consumes.
+    */
+  def streamText(streams: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    streams.select(col("file"), col("offset"), col("comp_len"),
+      col("data").cast("string").as("text"))
+  }
+}

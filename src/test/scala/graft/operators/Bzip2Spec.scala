@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Codec-level pins for the bzip2 layer of the Wikipedia door: encoder →
+  * decoder roundtrips, CANONICAL-IMPLEMENTATION interop (streams written
+  * by the reference `bzip2` implementation via CPython's bundled libbz2,
+  * embedded as golden bytes — the no-JDK-encoder counterpart of the
+  * real-Deflater interop pins in ZipShardsSpec), and the malformed→None
+  * contract.
+  */
+class Bzip2Spec extends AnyFunSuite {
+
+  private def b64(s: String): Array[Byte] = java.util.Base64.getDecoder.decode(s)
+
+  private def roundtrip(data: Array[Byte]): Unit = {
+    val enc = Bzip2.encodeStream(data)
+    val dec = Bzip2.decodeStream(enc, 0)
+    assert(dec.isDefined, s"decode failed for ${data.length} bytes")
+    assert(dec.get.end == enc.length, "stream end must land on the footer")
+    assert(java.util.Arrays.equals(dec.get.data, data))
+  }
+
+  test("roundtrip: empty, short, runs, full byte alphabet") {
+    roundtrip(Array.emptyByteArray)
+    roundtrip("x".getBytes("US-ASCII"))
+    roundtrip("Hello, block-sorted world.".getBytes("US-ASCII"))
+    roundtrip(("ab" * 300 + "z" * 500 + " tail").getBytes("US-ASCII"))
+    roundtrip(Array.tabulate[Byte](256 * 3)(i => i.toByte))
+    // RLE1 edge: runs of exactly 4 and of 259+ must survive
+    roundtrip(("aaaa" + "b" * 259 + "c" * 260 + "dd").getBytes("US-ASCII"))
+    // pseudo-random but deterministic payload
+    roundtrip(Array.tabulate[Byte](4096)(i => ((i * 1103515245 + 12345) >>> 16).toByte))
+  }
+
+  // python3: bz2.compress(b"Wikipedia multistream golden: " + b"ab"*30 +
+  //          b" " + b"z"*200 + b" end.\n", 9)
+  private val Golden1Text =
+    "Wikipedia multistream golden: " + "ab" * 30 + " " + "z" * 200 + " end.\n"
+  private val Golden1 = b64(
+    "QlpoOTFBWSZTWahYHt4AAARbhAAQQAEAEACANq/eEAQAIABQoAMRppo0GUmTZTGp6j1MTie+0Xp1" +
+    "ahBNsICTV5xFkEn9zj7TLcZqkm1CbA/F3JFOFCQqFge3gA==")
+
+  test("canonical-implementation golden decodes byte-exactly") {
+    val dec = Bzip2.decodeStream(Golden1, 0)
+    assert(dec.isDefined)
+    assert(dec.get.end == Golden1.length)
+    assert(new String(dec.get.data, "US-ASCII") == Golden1Text)
+  }
+
+  // python3: bz2.compress(t2a, 1) + bz2.compress(t2b, 9) where
+  //   t2a = b"first stream body with some text, and more text to encode.\n"*7
+  //   t2b = bytes(range(256))*3 + b"\x00"*7 + b"tail"
+  // — two levels, second stream starts at byte 108, uses all 256 symbols.
+  private val Golden2 = b64(
+    "QlpoMTFBWSZTWb1baPwAAGHRgAAQQAU/Y5zgIACQKBpoZGTEI/VIptJ6m0manpKlTB9LmDJiCTwk" +
+    "pB8g7g3gyXLlDY3gwSdmjouWOCpYyZNHJ7NjRc5JLHkFIPRJUk4g6P4u5IpwoSF6ttH4QlpoOTFB" +
+    "WSZTWUFVAnsAAAL/////////////////////////////////////////////sAFgAQ//1VUgamJi" +
+    "Y0CYCYAAAAAABMAAAAGjQaAAAAIyMATEwAAAAmCGAAAAAAAAAJMABMAATAAAAAAAAAAAAAAAAAAA" +
+    "AAAAAAAAAAAAAAAAAABJgAJgACYAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAfaBgIGAhIdAQ" +
+    "EPRBDoiiSCfgiaKIq/FFkXRh+SMo0jaDRxHUeR9IH5pCkSRpIkqTJO/RKEpSpK0sS1LkvTBMUyTN" +
+    "NE1TZN04TlOk7TxPU+T9QFBUJQ1EUVRlHUhSVKUtTFNU5T1QVFUlTfqqiqqsq6sKyrStq4rqvK+s" +
+    "CwrEsayLKsyGtC0rUta2Laty3oK4IRA3FCLkhVzXRdV2QsMg13XheV6XtfF9X5f2AYFgmDYRhWGY" +
+    "diGJYpi2MY1jmPZB+z92RZJ/D+WTZRlWWZdmGZZpm39M4zrPP7Z9oGhaJo2kaVpmnahqWqatrGta" +
+    "5r2wbFsmzbRtW2bduG5bp/jdt43rfN+/1/z/3AcFwnDcRxXGcdyHJcpy3Mc1znPdB0XSdN1HVdZ1" +
+    "3Ydl2nbdx3Xed94HheJ43keV5nneh6Xqet7Hte573wfF8nzfR9X2fcXckU4UJBBVQJ7A")
+
+  test("canonical multistream golden: both streams, exact boundary") {
+    val d1 = Bzip2.decodeStream(Golden2, 0)
+    assert(d1.isDefined)
+    assert(d1.get.end == 108) // python len(bz2.compress(t2a, 1)) == 108
+    val t2a = "first stream body with some text, and more text to encode.\n" * 7
+    assert(new String(d1.get.data, "US-ASCII") == t2a)
+    val d2 = Bzip2.decodeStream(Golden2, d1.get.end)
+    assert(d2.isDefined)
+    assert(d2.get.end == Golden2.length)
+    val t2b = Array.tabulate[Byte](256 * 3)(i => i.toByte) ++
+      Array.fill[Byte](7)(0) ++ "tail".getBytes("US-ASCII")
+    assert(java.util.Arrays.equals(d2.get.data, t2b))
+  }
+
+  test("malformed: bad magic, truncation, corrupt payload all → None") {
+    assert(Bzip2.decodeStream("not a bzip2 stream".getBytes, 0).isEmpty)
+    assert(Bzip2.decodeStream(Array[Byte]('B', 'Z', 'h'), 0).isEmpty)
+    assert(Bzip2.decodeStream(Array[Byte]('B', 'Z', 'h', '0'), 0).isEmpty)
+    // truncation at every prefix length must fail cleanly, never throw
+    (0 until Golden1.length).foreach { n =>
+      assert(Bzip2.decodeStream(java.util.Arrays.copyOf(Golden1, n), 0).isEmpty,
+        s"truncated at $n must not decode")
+    }
+    // flip one payload byte: the decoder must never yield WRONG data —
+    // either it rejects (structural parse or CRC), or the flip landed in
+    // bits that do not affect output (e.g. the unused second Huffman
+    // table libbz2 always sends) and the decode is still byte-identical
+    (10 until Golden1.length).foreach { i =>
+      val bad = Golden1.clone()
+      bad(i) = (bad(i) ^ 0x40).toByte
+      Bzip2.decodeStream(bad, 0) match {
+        case None => ()
+        case Some(d) =>
+          assert(new String(d.data, "US-ASCII") == Golden1Text,
+            s"bit flip at $i decoded to WRONG data")
+      }
+    }
+  }
+
+  test("block CRC kernel matches the published bzip2 CRC-32 variant") {
+    // bzip2's CRC of "123456789" (poly 0x04c11db7, MSB-first, init/final
+    // 0xffffffff) is the CRC-32/BZIP2 check value 0xfc891918
+    val v = Bzip2.blockCrc("123456789".getBytes("US-ASCII"), 0, 9)
+    assert(v == 0xfc891918)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Page-split and wikitext-cleanup pins for the Wikipedia door. */
+class MediaWikiSpec extends AnyFunSuite {
+
+  private def pageXml(title: String, ns: Int, id: Long, text: String,
+                      redirect: Option[String] = None): String = {
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    s"<page><title>${esc(title)}</title><ns>$ns</ns><id>$id</id>" +
+      redirect.map(r => s"""<redirect title="${esc(r)}" />""").getOrElse("") +
+      s"""<revision><id>${id * 10}</id><text xml:space="preserve">${esc(text)}</text></revision></page>"""
+  }
+
+  test("pages: split, ids, redirect, XML unescape; siteinfo ignored") {
+    val xml = "<mediawiki><siteinfo><sitename>W</sitename></siteinfo>" +
+      pageXml("Alpha & Beta", 0, 7, "Text with <ref>x</ref> & more") +
+      pageXml("Redirect page", 0, 8, "#REDIRECT [[Alpha & Beta]]",
+        redirect = Some("Alpha & Beta")) +
+      pageXml("Template:Infobox", 10, 9, "{{doc}}") +
+      "</mediawiki>"
+    val ps = MediaWiki.pages(xml)
+    assert(ps.map(_.title) == Seq("Alpha & Beta", "Redirect page", "Template:Infobox"))
+    assert(ps.map(_.pageId) == Seq(7L, 8L, 9L))
+    assert(ps.map(_.ns) == Seq(0, 0, 10))
+    assert(ps(0).redirect.isEmpty)
+    assert(ps(1).redirect.contains("Alpha & Beta"))
+    // the revision-level <id> must not shadow the page id
+    assert(ps(0).wikitext == "Text with <ref>x</ref> & more")
+    // a page missing its text element is skipped, not an error
+    assert(MediaWiki.pages("<page><title>T</title></page>").isEmpty)
+    assert(MediaWiki.pages("no pages at all").isEmpty)
+  }
+
+  test("cleanWikitext: each rule, in its documented order") {
+    assert(MediaWiki.cleanWikitext("a <!-- hidden --> b") == "a b")
+    // the line-level contract: collapse + trim + drop blanks + join
+    assert(MediaWiki.cleanWikitext("keep\n\n  spaced   out  \n") == "keep\nspaced out")
+    assert(MediaWiki.cleanWikitext("x {{infobox|a={{nested}}}} y") == "x y")
+    assert(MediaWiki.cleanWikitext("t {| class=x |cell {|inner|} |} u") == "t u")
+    assert(MediaWiki.cleanWikitext("s<ref name=a>cite</ref>e<ref b/>f") == "s e f")
+    assert(MediaWiki.cleanWikitext("see [[Page]] and [[Page|the label]].")
+      == "see Page and the label.")
+    assert(MediaWiki.cleanWikitext("[[File:Pic.png|thumb|A [[linked]] caption]]next")
+      == "next")
+    assert(MediaWiki.cleanWikitext("[[Category:Things]]tail") == "tail")
+    assert(MediaWiki.cleanWikitext("go [https://e.test/x the site] or [https://e.test/y]")
+      == "go the site or")
+    assert(MediaWiki.cleanWikitext("'''bold''' and ''italic''") == "bold and italic")
+    assert(MediaWiki.cleanWikitext("== Heading ==\nbody") == "Heading\nbody")
+    assert(MediaWiki.cleanWikitext("a<br/>b &amp; c") == "a b & c")
+    assert(MediaWiki.cleanWikitext("* bullet one\n## nested\n: indent")
+      == "bullet one\nnested\nindent")
+    // unterminated template drops to end-of-input, not an error
+    assert(MediaWiki.cleanWikitext("pre {{never closed") == "pre")
+  }
+
+  test("wikiLinks: targets, anchors, capitalization, media excluded") {
+    val w = "See [[alpha beta]] and [[Gamma|label]] and [[delta#sec|x]]; " +
+      "[[File:Pic.png|thumb|[[inside]]]] [[Category:C]] [[:File:listed]] " +
+      "again [[alpha beta]]."
+    val links = MediaWiki.wikiLinks(w)
+    // duplicates preserved (caller counts); media/category excluded. The
+    // flat scan consumes the media link through its FIRST ]], which
+    // swallows the caption's [[inside — caption links are media
+    // apparatus, not page edges, so that is the contract, pinned here.
+    assert(links == Seq("Alpha beta", "Gamma", "Delta", "Alpha beta"))
+    assert(MediaWiki.wikiLinks("<ref>[[cited]]</ref> none") == Seq.empty)
+  }
+}

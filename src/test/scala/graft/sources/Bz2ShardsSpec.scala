@@ -1,0 +1,95 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.Bzip2
+
+/** The multistream door: range-split planning must decode every stream
+  * exactly once regardless of where the plan-time cuts land, and the
+  * emitted (offset, comp_len) extents must tile the file exactly.
+  */
+class Bz2ShardsSpec extends SparkSpec {
+
+  private def mkFile(parts: Seq[Array[Byte]]): (java.io.File, Array[Byte]) = {
+    val bytes = Bzip2.renderMultistream(parts)
+    val f = java.io.File.createTempFile("bz2ms", ".bz2")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, bytes)
+    (f, bytes)
+  }
+
+  private def parts(n: Int): Seq[Array[Byte]] =
+    (0 until n).map(i =>
+      (s"stream $i " + ("wikipedia " * (20 + 13 * i)) + "end\n")
+        .getBytes("UTF-8"))
+
+  test("candidates finds exactly the real stream starts on this corpus") {
+    val ps = parts(5)
+    val bytes = Bzip2.renderMultistream(ps)
+    val cands = Bz2Shards.candidates(bytes, 0, bytes.length)
+    // every true boundary is a candidate (false positives are allowed in
+    // general; the decoder drops them — on this small corpus there are none)
+    var off = 0
+    val trueStarts = ps.map { p =>
+      val s = off; off += Bzip2.encodeStream(p).length; s
+    }
+    assert(trueStarts.forall(cands.contains))
+    assert(off == bytes.length)
+  }
+
+  test("decodeRange over the whole file yields every stream, tiling exactly") {
+    val ps = parts(6)
+    val bytes = Bzip2.renderMultistream(ps)
+    val streams = Bz2Shards.decodeRange("f", bytes, 0, bytes.length).toSeq
+    assert(streams.size == ps.size)
+    assert(streams.head.offset == 0L)
+    streams.sliding(2).foreach {
+      case Seq(a, b) => assert(a.offset + a.compLen == b.offset)
+      case _ => ()
+    }
+    assert(streams.last.offset + streams.last.compLen == bytes.length.toLong)
+    streams.zip(ps).foreach { case (s, p) =>
+      assert(java.util.Arrays.equals(s.data, p))
+    }
+  }
+
+  test("DSv2 range splits: small splitSize still decodes each stream once") {
+    val ps = parts(9) // streams are a few hundred bytes each
+    val (f, bytes) = mkFile(ps)
+    // 1 KiB ranges guarantee several cuts land INSIDE streams
+    val df = spark.read.format("bz2multistream")
+      .option("splitSize", "1024").load(f.getAbsolutePath)
+    assert(df.rdd.getNumPartitions == (bytes.length + 1023) / 1024)
+    val rows = df.selectExpr("offset", "comp_len", "cast(data as string) as text")
+      .orderBy("offset").collect()
+    assert(rows.length == ps.length)
+    rows.zip(ps).foreach { case (r, p) =>
+      assert(r.getString(2) == new String(p, "UTF-8"))
+    }
+    // extents tile the file: offset(0)=0, contiguous, sum == file size
+    assert(rows.head.getLong(0) == 0L)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(0) + a.getLong(1) == b.getLong(0))
+      case _ => ()
+    }
+    assert(rows.last.getLong(0) + rows.last.getLong(1) == bytes.length.toLong)
+  }
+
+  test("a corrupt middle stream is dropped; its neighbors still decode") {
+    val ps = parts(3)
+    val s0 = Bzip2.encodeStream(ps(0))
+    val s1 = Bzip2.encodeStream(ps(1))
+    val s2 = Bzip2.encodeStream(ps(2))
+    val bad = s1.clone()
+    bad(s1.length / 2) = (bad(s1.length / 2) ^ 0x55).toByte
+    val bytes = s0 ++ bad ++ s2
+    val f = java.io.File.createTempFile("bz2bad", ".bz2")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, bytes)
+    val rows = Bz2Shards.read(spark, f.getAbsolutePath)
+      .selectExpr("offset", "cast(data as string) as text")
+      .orderBy("offset").collect()
+    // stream 0 and stream 2 survive; the corrupt middle is skipped clean
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq(new String(ps(0), "UTF-8"), new String(ps(2), "UTF-8")))
+  }
+}
