@@ -37,7 +37,49 @@ import org.apache.spark.unsafe.types.UTF8String
 object Robots {
 
   /** Rules of the selected group: (allow?, pathPrefix), document order. */
-  def rules(content: String, agent: String): Seq[(Boolean, String)] = {
+  def rules(content: String, agent: String): Seq[(Boolean, String)] =
+    rules(content, agent, keepWildcards = false)
+
+  /** Rules of the selected group INCLUDING `*`/`$` wildcard patterns —
+    * the full RFC 9309 §2.2.3 grammar (most real robots.txt files use
+    * wildcards; the literal-prefix surface above skips them, erring
+    * toward fetching). Pair with [[matches]] / `graft_robots_match` for
+    * the decision join; precedence is pattern LENGTH (octets), the RFC's
+    * most-specific-match rule, Allow on ties.
+    */
+  def wildRules(content: String, agent: String): Seq[(Boolean, String)] =
+    rules(content, agent, keepWildcards = true)
+
+  /** RFC 9309 wildcard match: the pattern must match a PREFIX of `path`
+    * starting at its first byte; `*` matches any byte sequence (empty
+    * included, `/` included); a TRAILING `$` anchors the pattern at
+    * end-of-path (a `$` anywhere else is a literal byte). Greedy
+    * leftmost segment placement — correct for `*`-only patterns.
+    */
+  def matches(pattern: String, path: String): Boolean = {
+    val endAnchored = pattern.endsWith("$")
+    val pat = if (endAnchored) pattern.dropRight(1) else pattern
+    val parts = pat.split("\\*", -1)
+    if (!path.startsWith(parts(0))) return false
+    var i = parts(0).length
+    if (parts.length == 1) return !endAnchored || i == path.length
+    var k = 1
+    while (k < parts.length - 1) {
+      val seg = parts(k)
+      if (seg.nonEmpty) {
+        val at = path.indexOf(seg, i)
+        if (at < 0) return false
+        i = at + seg.length
+      }
+      k += 1
+    }
+    val last = parts(parts.length - 1)
+    if (endAnchored) path.length - last.length >= i && path.endsWith(last)
+    else last.isEmpty || path.indexOf(last, i) >= 0
+  }
+
+  private def rules(content: String, agent: String,
+                    keepWildcards: Boolean): Seq[(Boolean, String)] = {
     val want = agent.toLowerCase(java.util.Locale.ROOT)
     // groups: (agent tokens, rules)
     val groups = new scala.collection.mutable.ArrayBuffer[
@@ -64,7 +106,7 @@ object Robots {
           case "allow" | "disallow" =>
             inHeader = false
             if (groups.nonEmpty && value.nonEmpty &&
-                !value.contains('*') && !value.contains('$'))
+                (keepWildcards || (!value.contains('*') && !value.contains('$'))))
               groups.last._2 += ((key == "allow", value))
           case _ => inHeader = false // Crawl-delay, Sitemap, unknown keys
         }
@@ -107,6 +149,79 @@ object Robots {
       case (allow, prefix) =>
         InternalRow(allow, UTF8String.fromString(prefix))
     }.toArray[Any])
+
+  def wildRulesData(content: UTF8String, agent: UTF8String): ArrayData =
+    new GenericArrayData(wildRules(content.toString, agent.toString).map {
+      case (allow, pattern) =>
+        InternalRow(allow, UTF8String.fromString(pattern))
+    }.toArray[Any])
+
+  def matchesUtf8(pattern: UTF8String, path: UTF8String): Boolean =
+    matches(pattern.toString, path.toString)
+}
+
+/** `graft_robots_wild_rules(content, agent)
+  *   -> array<struct<allow: boolean, pattern: string>>` — the selected
+  * group's rules with the full wildcard grammar kept (see
+  * [[Robots.wildRules]]); pair with `graft_robots_match` in the
+  * decision join.
+  */
+case class GraftRobotsWildRules(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_robots_wild_rules requires (string, string), got $other")
+    }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("allow", BooleanType, nullable = false),
+    StructField("pattern", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_robots_wild_rules"
+
+  override def nullSafeEval(content: Any, agent: Any): Any =
+    Robots.wildRulesData(content.asInstanceOf[UTF8String],
+      agent.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (c, a) => s"graft.functions.Robots.wildRulesData($c, $a)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_robots_match(pattern, path) -> boolean` — the RFC 9309
+  * wildcard matcher ([[Robots.matches]]) as a codegen'd expression for
+  * the rules-x-urls decision join.
+  */
+case class GraftRobotsMatch(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_robots_match requires (string, string), got $other")
+    }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_robots_match"
+
+  override def nullSafeEval(pattern: Any, path: Any): Any =
+    Robots.matchesUtf8(pattern.asInstanceOf[UTF8String],
+      path.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (p, u) => s"graft.functions.Robots.matchesUtf8($p, $u)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_robots_rules(content: string, agent: string)

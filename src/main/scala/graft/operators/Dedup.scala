@@ -373,14 +373,38 @@ object Dedup {
       .agg(expr("transform(sort_array(collect_list(struct(df, tok))), s -> s.tok)").as("ts"))
       .withColumn("n", size(col("ts")))
       .withColumn("plen", col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
-    val pref = docArr.select(col("id"), explode(expr("slice(ts, 1, plen)")).as("tok"))
+    // candidate generation is a STREAMING tok-keyed self-join with the
+    // published PPJoin filters (Xiao et al. 2008) pushed into it — both
+    // are necessary conditions for J >= t, so the verified output is
+    // unchanged while the candidate volume (and the join's output metric
+    // the budget audit reads) shrinks:
+    //   length filter:     min(|a|,|b|) >= ceil(t * max(|a|,|b|))
+    //   positional filter: 1 + min(|a|-pa-1, |b|-pb-1) >= ceil(t/(1+t)
+    //                      * (|a|+|b|)) at the shared prefix element's
+    //                      0-based sorted positions (valid for ANY shared
+    //                      occurrence — verify keeps exactness either way)
+    // The earlier shape (collect_list per bucket + pair expansion)
+    // materialized bucket-quadratic arrays BEFORE any filter could run;
+    // the sf1 budget smoke caught it (PROFILES.md round 12).
+    val pref = docArr.select(col("id"), col("n"),
+      posexplode(expr("slice(ts, 1, plen)")).as(Seq("p", "tok")))
     // guard only when the caller opted in — the exact default runs no
     // count/anti-join pass at all
     val cool = if (maxBucketSize == Int.MaxValue) pref
                else dropHotBuckets(pref, Seq("tok"), maxBucketSize)
-    val cands = expandPairs(cool.groupBy("tok")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .where(size(col("ids")) >= 2))
+    val left = cool.select(col("tok"), col("id").as("a_id"),
+      col("n").as("na"), col("p").as("pa"))
+    val right = cool.select(col("tok"), col("id").as("b_id"),
+      col("n").as("nb"), col("p").as("pb"))
+    val minOverlap = ceil(lit(threshold / (1 + threshold)) *
+      (col("na") + col("nb")))
+    val cands = left.join(right,
+        left("tok") === right("tok") && col("a_id") < col("b_id") &&
+        least(col("na"), col("nb")) >=
+          ceil(lit(threshold) * greatest(col("na"), col("nb"))) &&
+        lit(1) + least(col("na") - col("pa") - 1, col("nb") - col("pb") - 1) >=
+          minOverlap)
+      .select("a_id", "b_id")
       .distinct()
       .cache() // consumed twice: id-prune + verify join; pin rationale at
                // the minHashDupPairs candidate cache (same decision)

@@ -1,0 +1,226 @@
+package graft.operators
+
+/** EXIF metadata door — the provenance/orientation side of the image
+  * family. A JPEG's APP1 segment carries a whole TIFF file (`Exif\0\0`
+  * preamble + byte-order header + IFDs, per the public EXIF 2.3 / TIFF
+  * 6.0 layout); curation pipelines read it for capture time (dataset
+  * dating/decontamination windows), camera make/model (source mixing and
+  * bias audits), and orientation (tag 274 — the reason a byte-identical
+  * sensor image can DISPLAY eight different ways; the dihedral-canonical
+  * aHash already matches those, this surfaces the declared value).
+  *
+  * Both byte orders, inline and offset value fields, IFD0 + the Exif
+  * sub-IFD (pointer tag 34665). Malformed anywhere → None fields, never
+  * a throw — the [[Tiff]] contract. A render twin builds real APP1
+  * segments and splices them after SOI for fixtures.
+  */
+object Exif {
+
+  /** Extracted fields; `orientation` defaults to 1 (top-left) when the
+    * tag is absent, as viewers do.
+    */
+  final case class ExifMeta(orientation: Int, make: Option[String],
+                            model: Option[String], dateTime: Option[String],
+                            pixelX: Option[Long], pixelY: Option[Long])
+
+  val Empty: ExifMeta = ExifMeta(1, None, None, None, None, None)
+
+  /** Walk JPEG segments for APP1/Exif and parse its TIFF body. None when
+    * the bytes are not a JPEG; a JPEG without EXIF yields `Empty`.
+    */
+  def fromJpeg(bytes: Array[Byte]): Option[ExifMeta] = {
+    if (bytes == null || bytes.length < 2) return None
+    if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 4 <= bytes.length) {
+      if ((bytes(i) & 0xff) != 0xff) return Some(Empty) // desynced: stop clean
+      val marker = bytes(i + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return Some(Empty) // EOI / SOS: no APP1 seen
+      if (marker >= 0xd0 && marker <= 0xd8) { i += 2 }
+      else {
+        val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+        if (len < 2 || i + 2 + len > bytes.length) return Some(Empty)
+        if (marker == 0xe1 && len >= 8 &&
+            bytes(i + 4) == 'E' && bytes(i + 5) == 'x' && bytes(i + 6) == 'i' &&
+            bytes(i + 7) == 'f' && bytes(i + 8) == 0 && bytes(i + 9) == 0) {
+          val tiff = java.util.Arrays.copyOfRange(bytes, i + 10, i + 2 + len)
+          return Some(parseTiff(tiff).getOrElse(Empty))
+        }
+        i += 2 + len
+      }
+    }
+    Some(Empty)
+  }
+
+  /** Parse the TIFF body of an APP1 segment (offsets relative to the
+    * TIFF header, as the spec demands).
+    */
+  def parseTiff(b: Array[Byte]): Option[ExifMeta] = {
+    if (b == null || b.length < 8) return None
+    val le = b(0) == 'I' && b(1) == 'I'
+    val be = b(0) == 'M' && b(1) == 'M'
+    if (!le && !be) return None
+    def u8(i: Int): Int = b(i) & 0xff
+    def u16(i: Int): Int =
+      if (le) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      if (le) u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      else (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+        (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    if (u16(2) != 42) return None
+
+    var orientation = 1
+    var make: Option[String] = None
+    var model: Option[String] = None
+    var dt: Option[String] = None
+    var dtOriginal: Option[String] = None
+    var px: Option[Long] = None
+    var py: Option[Long] = None
+    var exifIfd = -1L
+
+    // one IFD walk; `sub` routes tags to IFD0 vs Exif-IFD meaning
+    def walk(ifd: Long, sub: Boolean): Unit = {
+      if (ifd < 8 || ifd + 2 > b.length) return
+      val n = u16(ifd.toInt)
+      if (n <= 0 || ifd + 2 + 12L * n > b.length) return
+      var e = 0
+      while (e < n) {
+        val base = (ifd + 2 + 12L * e).toInt
+        val tag = u16(base)
+        val typ = u16(base + 2)
+        val count = u32(base + 4)
+        val size = typ match {
+          case 1 | 2 => 1L
+          case 3 => 2L
+          case 4 => 4L
+          case _ => 0L
+        }
+        val total = size * count
+        val ok = size > 0 && count > 0 && count <= 65536
+        val off: Long =
+          if (!ok) -1L
+          else if (total <= 4) base + 8L
+          else { val o = u32(base + 8); if (o + total > b.length) -1L else o }
+        if (ok && off >= 0 && off + total <= b.length) {
+          def firstLong: Long = size match {
+            case 1L => u8(off.toInt).toLong
+            case 2L => u16(off.toInt).toLong
+            case _ => u32(off.toInt)
+          }
+          def ascii: Option[String] =
+            if (typ != 2) None
+            else {
+              var end = (off + count).toInt
+              // NUL-terminated per spec; tolerate a missing terminator
+              var z = off.toInt
+              while (z < end && b(z) != 0) z += 1
+              Some(new String(b, off.toInt, z - off.toInt, "US-ASCII"))
+            }
+          tag match {
+            case 271 if !sub => make = ascii
+            case 272 if !sub => model = ascii
+            case 274 if !sub => orientation = firstLong.toInt
+            case 306 if !sub => dt = ascii
+            case 34665 if !sub => exifIfd = firstLong
+            case 36867 if sub => dtOriginal = ascii
+            case 40962 if sub => px = Some(firstLong)
+            case 40963 if sub => py = Some(firstLong)
+            case _ => ()
+          }
+        }
+        e += 1
+      }
+    }
+    walk(u32(4), sub = false)
+    if (exifIfd > 0) walk(exifIfd, sub = true)
+    if (orientation < 1 || orientation > 8) orientation = 1
+    Some(ExifMeta(orientation, make, model, dtOriginal.orElse(dt), px, py))
+  }
+
+  // ---- render twin -----------------------------------------------------
+
+  /** Build a real APP1/Exif segment (IFD0 with make/model/orientation/
+    * datetime + an Exif sub-IFD with original datetime and pixel dims),
+    * in either byte order. Values longer than 4 bytes go through offset
+    * fields, so both value layouts are exercised by construction.
+    */
+  def app1(orientation: Int, make: String, model: String, dateTime: String,
+           pixelX: Long, pixelY: Long, le: Boolean): Array[Byte] = {
+    // this writer always routes strings through offset fields; TIFF
+    // demands inline when a value fits 4 bytes, so keep strings >= 4
+    // chars (NUL included that is >= 5 bytes)
+    require(make.length >= 4 && model.length >= 4 && dateTime.length >= 4,
+      "render twin strings must be >= 4 chars (offset-field layout)")
+    val body = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = body.write(v & 0xff)
+    def w16(v: Int): Unit =
+      if (le) { w8(v); w8(v >> 8) } else { w8(v >> 8); w8(v) }
+    def w32(v: Long): Unit =
+      if (le) { w8(v.toInt); w8((v >> 8).toInt); w8((v >> 16).toInt); w8((v >> 24).toInt) }
+      else { w8((v >> 24).toInt); w8((v >> 16).toInt); w8((v >> 8).toInt); w8(v.toInt) }
+
+    // layout: header(8) | IFD0: count + 5 entries + next(4) | ExifIFD:
+    // count + 3 entries + next(4) | string heap
+    val ifd0Entries = 5
+    val ifd0 = 8L
+    val exifIfd = ifd0 + 2 + 12L * ifd0Entries + 4
+    val exifEntries = 3
+    val heap0 = exifIfd + 2 + 12L * exifEntries + 4
+    val mk = make.getBytes("US-ASCII") :+ 0.toByte
+    val md = model.getBytes("US-ASCII") :+ 0.toByte
+    val dtb = dateTime.getBytes("US-ASCII") :+ 0.toByte
+    val mkOff = heap0
+    val mdOff = mkOff + mk.length
+    val dtOff = mdOff + md.length
+
+    if (le) { w8('I'); w8('I') } else { w8('M'); w8('M') }
+    w16(42); w32(ifd0)
+    def entry(tag: Int, typ: Int, count: Long, inline: Option[Long],
+              off: Long = -1): Unit = {
+      w16(tag); w16(typ); w32(count)
+      inline match {
+        case Some(v) =>
+          // inline values are LEFT-justified in the 4-byte field
+          typ match {
+            case 3 => w16(v.toInt); w16(0)
+            case _ => w32(v)
+          }
+        case None => w32(off)
+      }
+    }
+    w16(ifd0Entries)
+    entry(271, 2, mk.length.toLong, None, mkOff)   // Make (offset ASCII)
+    entry(272, 2, md.length.toLong, None, mdOff)   // Model
+    entry(274, 3, 1, Some(orientation.toLong))     // Orientation (inline SHORT)
+    entry(306, 2, dtb.length.toLong, None, dtOff)  // DateTime
+    entry(34665, 4, 1, Some(exifIfd))              // Exif IFD pointer
+    w32(0)
+    w16(exifEntries)
+    entry(36867, 2, dtb.length.toLong, None, dtOff) // DateTimeOriginal
+    entry(40962, 4, 1, Some(pixelX))                // PixelXDimension
+    entry(40963, 4, 1, Some(pixelY))                // PixelYDimension
+    w32(0)
+    body.write(mk); body.write(md); body.write(dtb)
+
+    val tiff = body.toByteArray
+    val seg = new java.io.ByteArrayOutputStream()
+    val len = 2 + 6 + tiff.length
+    seg.write(0xff); seg.write(0xe1)
+    seg.write((len >> 8) & 0xff); seg.write(len & 0xff)
+    seg.write("Exif".getBytes("US-ASCII")); seg.write(0); seg.write(0)
+    seg.write(tiff)
+    seg.toByteArray
+  }
+
+  /** Splice an APP1 segment right after a JPEG's SOI. */
+  def spliceIntoJpeg(jpeg: Array[Byte], segment: Array[Byte]): Array[Byte] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8,
+      "not a JPEG")
+    val out = new Array[Byte](jpeg.length + segment.length)
+    out(0) = jpeg(0); out(1) = jpeg(1)
+    System.arraycopy(segment, 0, out, 2, segment.length)
+    System.arraycopy(jpeg, 2, out, 2 + segment.length, jpeg.length - 2)
+    out
+  }
+}

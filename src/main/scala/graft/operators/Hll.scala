@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HyperLogLog as a RELATION — the mergeable distinct-count sketch a
+  * 100 TB pipeline keeps NEXT TO its tables (distinct URLs per crawl,
+  * distinct documents per source, vocabulary growth per snapshot), the
+  * Flajolet et al. 2007 estimator in the same artifact design as
+  * [[Bloom]]: the sketch is a DataFrame of (reg, max_rho) rows built
+  * with ONE partial-aggregatable max-aggregation, merged with the same
+  * aggregation (HLL union = register-wise max — append is associative
+  * and idempotent, re-ingesting a shard cannot inflate the estimate),
+  * and persisted/estimated like any other table. Spark's own
+  * `approx_count_distinct` answers one query; the relational sketch is
+  * the artifact form — buildable per shard, unionable across days,
+  * queryable without rescanning the corpus.
+  *
+  * Everything is the engine's cross-engine md5 device: the 52-bit key
+  * hash is `conv(substr(md5('hll:' || key), 1, 13), 16, 10)`, the low
+  * `p` bits pick the register, and rho (the 1-based position of the
+  * first set bit in the remaining W = 52-p bits) comes from the BINARY
+  * STRING LENGTH of the remainder — integer-exact in both engines, so a
+  * DuckDB oracle reproduces every register bit for bit. The estimator
+  * keeps `2^(W+1) / 2^rho` terms as exact BIGINTs (sum < 2^53 for
+  * p <= 14) and divides once at the end; only the linear-counting
+  * branch's `ln` is floating, the q97 precedent.
+  *
+  * Scale shape: a p=14 sketch is <= 16384 rows (~200 KB) regardless of
+  * corpus size; build cost is one narrow projection + one groupBy(reg)
+  * whose map-side combiners absorb everything (at most m rows cross the
+  * exchange per map partition).
+  */
+object Hll {
+
+  /** Standard-error ~ 1.04/sqrt(2^p); p=11 → ~2.3%. */
+  val DefaultP = 11
+
+  private def h(key: Column): Column =
+    conv(substring(md5(concat(lit("hll:"), key.cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+
+  /** Register index + rho for a key column, as (reg, rho) columns. */
+  private def regRho(key: Column, p: Int): (Column, Column) = {
+    val m = 1L << p
+    val bigW = 52 - p
+    val hv = h(key)
+    val reg = pmod(hv, lit(m)).cast("int")
+    val w = (hv / m).cast("long") // floor-div: the W remaining bits
+    // rho = W - floor(log2(w)) for w > 0 (W+1 when w == 0), via binary
+    // string length — integer-exact in both engines
+    val rho = when(w > lit(0L), lit(bigW + 1) - length(conv(w, 10, 2)))
+      .otherwise(lit(bigW + 1)).cast("int")
+    (reg, rho)
+  }
+
+  /** Build the sketch relation (reg, max_rho) over `df[keyCol]`. One
+    * narrow projection + one partial-aggregatable max.
+    */
+  def build(df: DataFrame, keyCol: String, p: Int = DefaultP): DataFrame = {
+    require(p >= 4 && p <= 14, s"p=$p out of range 4..14")
+    val (reg, rho) = regRho(col(keyCol), p)
+    df.select(reg.as("reg"), rho.as("rho"))
+      .groupBy("reg").agg(max("rho").as("max_rho"))
+  }
+
+  /** Union sketches of the SAME p: register-wise max (associative,
+    * idempotent — the merge that makes the artifact shardable).
+    */
+  def merge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy("reg").agg(max("max_rho").as("max_rho"))
+
+  /** The Flajolet et al. estimate from a sketch relation: one row with
+    * the exact integer evidence (`n_set` registers, the scaled-power
+    * sum `s2`) and the floating estimate (raw or linear-counting by the
+    * published threshold). `s2 = sum 2^(W+1-rho)` over all m registers
+    * (absent rows count rho=0) — exact BIGINT, so the only float is the
+    * final division (and `ln` on the linear branch).
+    */
+  def estimate(sketch: DataFrame, p: Int = DefaultP): DataFrame = {
+    require(p >= 4 && p <= 14, s"p=$p out of range 4..14")
+    val m = 1L << p
+    val bigW = 52 - p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    sketch
+      .agg(count(lit(1)).as("n_set"),
+        coalesce(sum(expr(s"shiftleft(1L, ${bigW + 1} - max_rho)")), lit(0L))
+          .as("s2_set"))
+      .select(col("n_set"),
+        (col("s2_set") + (lit(m) - col("n_set")) * lit(1L << (bigW + 1))).as("s2"))
+      .withColumn("est_raw",
+        lit(alpha * m * m) * lit(math.pow(2.0, bigW + 1)) / col("s2"))
+      .withColumn("estimate", round(
+        when(col("est_raw") <= lit(2.5 * m) && col("n_set") < lit(m),
+          lit(m.toDouble) * log(lit(m.toDouble) / (lit(m) - col("n_set"))))
+          .otherwise(col("est_raw")), 2))
+      .select(col("n_set"), col("s2"), col("estimate"))
+  }
+
+  // ---- persisted lifecycle (the Bloom artifact pattern: params freeze
+  // the geometry, registers are the sketch, appends merge by max and
+  // install via tmp-build-then-swap) ------------------------------------
+
+  /** Build and persist the sketch at `path`. */
+  def writeSketch(df: DataFrame, keyCol: String, path: String,
+                  p: Int = DefaultP): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(p).toDF("p").coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/params.parquet")
+    build(df, keyCol, p).write.mode("overwrite")
+      .parquet(s"$path/registers.parquet")
+  }
+
+  private def readP(spark: SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/params.parquet").head().getInt(0)
+
+  /** Merge a batch of new keys into the persisted sketch under its
+    * FROZEN p: one max re-aggregation over (old ∪ delta), installed by
+    * the two-rename swap with rollback — register-wise max is monotone
+    * and idempotent, so a replayed append is a no-op.
+    */
+  def appendSketch(df: DataFrame, keyCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val p = readP(spark, path)
+    val merged = merge(spark.read.parquet(s"$path/registers.parquet"),
+      build(df, keyCol, p))
+    val tmp = s"$path/registers.parquet.tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val live = new org.apache.hadoop.fs.Path(s"$path/registers.parquet")
+    val old = new org.apache.hadoop.fs.Path(s"$path/registers.parquet.old")
+    fs.delete(old, true)
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"hll append: cannot stage $live")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), live)) {
+      fs.rename(old, live) // rollback
+      throw new java.io.IOException(s"hll append: cannot install $tmp")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Estimate from the persisted sketch. */
+  def estimateAt(spark: SparkSession, path: String): DataFrame =
+    estimate(spark.read.parquet(s"$path/registers.parquet"),
+      readP(spark, path))
+}

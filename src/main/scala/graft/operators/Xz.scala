@@ -1,0 +1,674 @@
+package graft.operators
+
+/** Dependency-free XZ (.xz) codec — the second dump/corpus container
+  * beside [[Bzip2]]: Wikipedia also publishes `.xz` dumps and many
+  * public corpora ship `.jsonl.xz` shards; the JDK has no LZMA. This is
+  * a full decoder of the public xz file format (stream header/footer,
+  * block headers with VLI fields, the LZMA2 chunk layer, the complete
+  * LZMA range decoder underneath, none/CRC32/CRC64/SHA-256 integrity
+  * checks, and the block INDEX — the format's built-in central
+  * directory), plus a writer twin that emits valid .xz built from
+  * UNCOMPRESSED LZMA2 chunks — the stored-deflate trick of
+  * [[graft.sources.ZipShards.render]]: every byte offset becomes a pure
+  * function of payload length, so the DuckDB oracle re-derives block
+  * extents arithmetically while real compressed interop is pinned by
+  * `xz`-CLI goldens in XzSpec.
+  *
+  * Scale story: the index at the end of a stream lists every block's
+  * (unpadded size, uncompressed size) — blocks are independently
+  * decodable range reads, exactly the ZIP central-directory design; the
+  * [[graft.sources.XzShards]] door surfaces those extents per block.
+  *
+  * Contract: malformed anywhere (bad magic, CRC/check mismatch, VLI
+  * overrun, unknown filter, reserved bits, truncation) → None, never a
+  * throw; output capped at 1 GiB per stream.
+  */
+object Xz {
+
+  private val MaxStreamBytes: Long = 1L << 30
+  private val HeaderMagic = Array[Byte](0xFD.toByte, '7', 'z', 'X', 'Z', 0)
+
+  // ---------------------------------------------------------------------
+  // CRC64-ECMA (the xz default check), reflected, init/final ~0
+
+  private val Crc64Table: Array[Long] = {
+    val poly = 0xC96C5795D7870F42L // reflected ECMA-182
+    val t = new Array[Long](256)
+    var i = 0
+    while (i < 256) {
+      var c = i.toLong
+      var k = 0
+      while (k < 8) {
+        c = if ((c & 1L) != 0) (c >>> 1) ^ poly else c >>> 1
+        k += 1
+      }
+      t(i) = c
+      i += 1
+    }
+    t
+  }
+
+  private[graft] def crc64(data: Array[Byte], from: Int, until: Int): Long = {
+    var c = ~0L
+    var i = from
+    while (i < until) {
+      c = (c >>> 8) ^ Crc64Table(((c ^ data(i)) & 0xff).toInt)
+      i += 1
+    }
+    ~c
+  }
+
+  private def crc32(data: Array[Byte], from: Int, until: Int): Long = {
+    val c = new java.util.zip.CRC32
+    c.update(data, from, until - from)
+    c.getValue
+  }
+
+  // ---------------------------------------------------------------------
+  // the LZMA range decoder (public LZMA spec layout: 11-bit adaptive
+  // probabilities, bit trees, the 12-state match machine)
+
+  private final class LzmaDecoder(src: Array[Byte], var pos: Int, val end: Int,
+                                  out: java.io.ByteArrayOutputStream,
+                                  dict: DictWindow) {
+    // range coder state
+    private var range = 0
+    private var code = 0
+    var failed = false
+
+    def initRange(): Unit = {
+      if (pos + 5 > end) { failed = true; return }
+      if (src(pos) != 0) { failed = true; return }
+      code = ((src(pos + 1) & 0xff) << 24) | ((src(pos + 2) & 0xff) << 16) |
+        ((src(pos + 3) & 0xff) << 8) | (src(pos + 4) & 0xff)
+      pos += 5
+      range = 0xFFFFFFFF
+    }
+
+    private def normalize(): Unit = {
+      if ((range & 0xFF000000) == 0) {
+        if (pos >= end) { failed = true; return }
+        range <<= 8
+        code = (code << 8) | (src(pos) & 0xff)
+        pos += 1
+      }
+    }
+
+    def decodeBit(probs: Array[Short], idx: Int): Int = {
+      if (failed) return 0
+      val p = probs(idx) & 0xffff
+      val bound = (range >>> 11) * p
+      if (java.lang.Integer.compareUnsigned(code, bound) < 0) {
+        range = bound
+        probs(idx) = (p + ((2048 - p) >>> 5)).toShort
+        normalize()
+        0
+      } else {
+        range -= bound
+        code -= bound
+        probs(idx) = (p - (p >>> 5)).toShort
+        normalize()
+        1
+      }
+    }
+
+    def decodeDirect(n: Int): Int = {
+      var result = 0
+      var i = n
+      while (i > 0 && !failed) {
+        range = range >>> 1
+        code -= range
+        val t = 0 - (code >>> 31)
+        code += range & t
+        normalize()
+        result = (result << 1) + (t.toInt + 1)
+        i -= 1
+      }
+      result
+    }
+
+    def bitTree(probs: Array[Short], off: Int, nBits: Int): Int = {
+      var m = 1
+      var i = 0
+      while (i < nBits && !failed) { m = (m << 1) | decodeBit(probs, off + m); i += 1 }
+      m - (1 << nBits)
+    }
+
+    def bitTreeReverse(probs: Array[Short], off: Int, nBits: Int): Int = {
+      var m = 1
+      var sym = 0
+      var i = 0
+      while (i < nBits && !failed) {
+        val b = decodeBit(probs, off + m)
+        m = (m << 1) | b
+        sym |= b << i
+        i += 1
+      }
+      sym
+    }
+
+    def isFinished: Boolean = code == 0
+  }
+
+  /** The LZMA "dictionary" over the growing output: matches copy from
+    * the bytes already emitted since the last dict reset.
+    */
+  private final class DictWindow(val out: java.io.ByteArrayOutputStream) {
+    private var buf = new Array[Byte](64 * 1024)
+    private var n = 0
+    var total: Long = 0 // bytes since dict reset (distance validity bound)
+    def reset(): Unit = { n = 0; total = 0 }
+    def put(b: Byte): Unit = {
+      if (n == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      buf(n) = b; n += 1; total += 1
+      out.write(b)
+    }
+    def byteBack(dist: Int): Byte = buf(n - dist)
+    def size: Int = n
+  }
+
+  /** Full LZMA chunk state (probabilities + machine state + reps),
+    * persistent across LZMA2 chunks unless a reset bit says otherwise.
+    */
+  private final class LzmaState(var lc: Int, var lp: Int, var pb: Int) {
+    var state = 0
+    var rep0 = 0; var rep1 = 0; var rep2 = 0; var rep3 = 0
+    var lit: Array[Short] = _
+    val isMatch = new Array[Short](12 << 4)
+    val isRep = new Array[Short](12)
+    val isRepG0 = new Array[Short](12)
+    val isRepG1 = new Array[Short](12)
+    val isRepG2 = new Array[Short](12)
+    val isRep0Long = new Array[Short](12 << 4)
+    val posSlot = new Array[Short](4 << 6)
+    val specPos = new Array[Short](115)
+    val align = new Array[Short](16)
+    // len coders: [choice, choice2, low 16*8, mid 16*8, high 256]
+    val len = new Array[Short](2 + (16 << 3) + (16 << 3) + 256)
+    val repLen = new Array[Short](2 + (16 << 3) + (16 << 3) + 256)
+
+    def resetProbs(): Unit = {
+      lit = new Array[Short]((0x300 << (lc + lp)))
+      def fill(a: Array[Short]): Unit = java.util.Arrays.fill(a, 1024.toShort)
+      fill(lit); fill(isMatch); fill(isRep); fill(isRepG0); fill(isRepG1)
+      fill(isRepG2); fill(isRep0Long); fill(posSlot); fill(specPos)
+      fill(align); fill(len); fill(repLen)
+      state = 0; rep0 = 0; rep1 = 0; rep2 = 0; rep3 = 0
+    }
+    resetProbs()
+
+    def setProps(props: Int): Boolean = {
+      if (props >= 9 * 5 * 5) return false
+      lc = props % 9
+      val r = props / 9
+      lp = r % 5
+      pb = r / 5
+      if (pb > 4) return false
+      true
+    }
+  }
+
+  private def decodeLen(rc: LzmaDecoder, probs: Array[Short], posState: Int): Int = {
+    val lowOff = 2
+    val midOff = 2 + (16 << 3)
+    val highOff = midOff + (16 << 3)
+    if (rc.decodeBit(probs, 0) == 0)
+      2 + rc.bitTree(probs, lowOff + (posState << 3), 3)
+    else if (rc.decodeBit(probs, 1) == 0)
+      10 + rc.bitTree(probs, midOff + (posState << 3), 3)
+    else
+      18 + rc.bitTree(probs, highOff, 8)
+  }
+
+  /** Decode ONE LZMA2 compressed chunk's `uncompSize` bytes. Returns
+    * false on any malformed condition.
+    */
+  private def lzmaChunk(rc: LzmaDecoder, st: LzmaState, dict: DictWindow,
+                        uncompSize: Int): Boolean = {
+    val limit = dict.total + uncompSize
+    val posMask = (1 << st.pb) - 1
+    val litPosMask = (1 << st.lp) - 1
+    while (dict.total < limit) {
+      if (rc.failed) return false
+      val posState = (dict.total & posMask).toInt
+      if (rc.decodeBit(st.isMatch, (st.state << 4) + posState) == 0) {
+        // literal
+        val prevByte = if (dict.total == 0) 0 else dict.byteBack(1) & 0xff
+        val litState = (((dict.total & litPosMask) << st.lc).toInt +
+          (prevByte >>> (8 - st.lc))) * 0x300
+        var sym = 1
+        if (st.state < 7) {
+          while (sym < 0x100 && !rc.failed)
+            sym = (sym << 1) | rc.decodeBit(st.lit, litState + sym)
+        } else {
+          if ((st.rep0 & 0xFFFFFFFFL) + 1 > dict.total) return false
+          var matchByte = (dict.byteBack(st.rep0 + 1) & 0xff).toInt
+          var broken = false
+          while (sym < 0x100 && !rc.failed) {
+            val matchBit = (matchByte >> 7) & 1
+            matchByte <<= 1
+            if (!broken) {
+              val bit = rc.decodeBit(st.lit, litState + ((1 + matchBit) << 8) + sym)
+              sym = (sym << 1) | bit
+              if (matchBit != bit) broken = true
+            } else sym = (sym << 1) | rc.decodeBit(st.lit, litState + sym)
+          }
+        }
+        if (rc.failed) return false
+        dict.put((sym & 0xff).toByte)
+        st.state = if (st.state < 4) 0 else if (st.state < 10) st.state - 3
+          else st.state - 6
+      } else {
+        var lenVal = 0
+        if (rc.decodeBit(st.isRep, st.state) == 0) {
+          // new match
+          st.rep3 = st.rep2; st.rep2 = st.rep1; st.rep1 = st.rep0
+          lenVal = decodeLen(rc, st.len, posState)
+          val lenState = math.min(lenVal - 2, 3)
+          val slot = rc.bitTree(st.posSlot, lenState << 6, 6)
+          if (slot < 4) st.rep0 = slot
+          else {
+            val numDirect = (slot >> 1) - 1
+            st.rep0 = (2 | (slot & 1)) << numDirect
+            if (slot < 14)
+              st.rep0 += rc.bitTreeReverse(st.specPos,
+                st.rep0 - slot - 1, numDirect)
+            else {
+              st.rep0 += rc.decodeDirect(numDirect - 4) << 4
+              st.rep0 += rc.bitTreeReverse(st.align, 0, 4)
+            }
+          }
+          if (rc.failed) return false
+          if (st.rep0 == -1) return false // end marker: invalid inside LZMA2
+          st.state = if (st.state < 7) 7 else 10
+        } else {
+          // repeated match
+          if (rc.decodeBit(st.isRepG0, st.state) == 0) {
+            if (rc.decodeBit(st.isRep0Long, (st.state << 4) + posState) == 0) {
+              // short rep: one byte at rep0
+              if ((st.rep0 & 0xFFFFFFFFL) + 1 > dict.total) return false
+              st.state = if (st.state < 7) 9 else 11
+              dict.put(dict.byteBack(st.rep0 + 1))
+              // continue main loop
+              if (rc.failed) return false
+              // no length copy
+              lenVal = 0
+            } else lenVal = -1 // marker: decode rep len below with rep0
+          } else {
+            val dist =
+              if (rc.decodeBit(st.isRepG1, st.state) == 0) st.rep1
+              else if (rc.decodeBit(st.isRepG2, st.state) == 0) {
+                val d = st.rep2; st.rep2 = st.rep1; d
+              } else {
+                val d = st.rep3; st.rep3 = st.rep2; st.rep2 = st.rep1; d
+              }
+            st.rep1 = st.rep0
+            st.rep0 = dist
+            lenVal = -1
+          }
+          if (lenVal == -1) {
+            lenVal = decodeLen(rc, st.repLen, posState)
+            st.state = if (st.state < 7) 8 else 11
+          }
+        }
+        if (lenVal > 0) {
+          // copy lenVal bytes from distance rep0+1; a match may not
+          // overshoot the chunk's declared uncompressed size
+          if ((st.rep0 & 0xFFFFFFFFL) + 1 > dict.total) return false
+          if (dict.total + lenVal > limit) return false
+          var i = 0
+          while (i < lenVal) { dict.put(dict.byteBack(st.rep0 + 1)); i += 1 }
+        }
+      }
+      if (dict.out.size.toLong > MaxStreamBytes) return false
+    }
+    dict.total == limit && !rc.failed
+  }
+
+  // ---------------------------------------------------------------------
+  // LZMA2 chunk layer
+
+  /** Decode an LZMA2 body at `src[pos, end)`; returns bytes consumed, or
+    * -1 on malformed. Output appends to `out`.
+    */
+  private def lzma2(src: Array[Byte], start: Int, end: Int,
+                    out: java.io.ByteArrayOutputStream): Int = {
+    val dict = new DictWindow(out)
+    var st: LzmaState = null
+    var pos = start
+    var needDictReset = true
+    var needProps = true
+    var needStateReset = false // set after an uncompressed chunk (spec rule)
+    while (pos < end) {
+      val control = src(pos) & 0xff
+      pos += 1
+      if (control == 0x00) return pos - start // end of LZMA2
+      else if (control == 0x01 || control == 0x02) {
+        // uncompressed chunk (0x01 resets the dict)
+        if (control == 0x01) { dict.reset(); needDictReset = false }
+        else if (needDictReset) return -1
+        if (pos + 2 > end) return -1
+        val size = (((src(pos) & 0xff) << 8) | (src(pos + 1) & 0xff)) + 1
+        pos += 2
+        if (pos + size > end) return -1
+        var i = 0
+        while (i < size) { dict.put(src(pos + i)); i += 1 }
+        pos += size
+        if (out.size.toLong > MaxStreamBytes) return -1
+        needStateReset = true // the next LZMA chunk must reset state
+      } else if (control >= 0x80) {
+        if (pos + 4 > end) return -1
+        val uncompSize = (((control & 0x1f) << 16) |
+          ((src(pos) & 0xff) << 8) | (src(pos + 1) & 0xff)) + 1
+        val compSize = (((src(pos + 2) & 0xff) << 8) | (src(pos + 3) & 0xff)) + 1
+        pos += 4
+        val resetBits = (control >> 5) & 3
+        if (resetBits == 0 && needStateReset) return -1
+        if (resetBits >= 2) {
+          if (pos >= end) return -1
+          val props = src(pos) & 0xff
+          pos += 1
+          if (st == null) st = new LzmaState(0, 0, 0)
+          if (!st.setProps(props)) return -1
+          st.resetProbs()
+          needProps = false
+        } else if (st == null || needProps) return -1
+        else if (resetBits == 1) st.resetProbs()
+        needStateReset = false
+        if (resetBits == 3) { dict.reset(); needDictReset = false }
+        else if (needDictReset) return -1
+        if (pos + compSize > end) return -1
+        val rc = new LzmaDecoder(src, pos, pos + compSize, out, dict)
+        rc.initRange()
+        if (rc.failed) return -1
+        if (!lzmaChunk(rc, st, dict, uncompSize)) return -1
+        if (rc.pos != pos + compSize) return -1 // chunk must consume exactly
+        pos += compSize
+      } else return -1
+    }
+    -1 // ran out of input before the 0x00 terminator
+  }
+
+  // ---------------------------------------------------------------------
+  // xz container
+
+  /** Variable-length integer (9 bytes max). Returns (value, newPos) or
+    * null on malformed.
+    */
+  private def vli(b: Array[Byte], pos: Int, end: Int): (Long, Int) = {
+    var v = 0L
+    var i = 0
+    var p = pos
+    while (p < end && i < 9) {
+      val byte = b(p) & 0xff
+      v |= (byte & 0x7fL) << (7 * i)
+      p += 1
+      if ((byte & 0x80) == 0) {
+        if (byte == 0 && i > 0) return null // non-minimal
+        return (v, p)
+      }
+      i += 1
+    }
+    null
+  }
+
+  /** One decoded block with its index-visible extents. */
+  final case class XzBlock(offset: Long, unpaddedSize: Long, uncompSize: Long,
+                           data: Array[Byte])
+
+  /** A decoded stream: blocks + the exclusive end offset. */
+  final case class XzStream(end: Int, blocks: Seq[XzBlock])
+
+  /** Decode the single xz stream starting at `off`. None on malformed. */
+  def decodeStream(bytes: Array[Byte], off: Int): Option[XzStream] = {
+    if (off + 12 > bytes.length) return None
+    var i = 0
+    while (i < 6) { if (bytes(off + i) != HeaderMagic(i)) return None; i += 1 }
+    if (bytes(off + 6) != 0) return None // stream flags byte 1 reserved
+    val checkType = bytes(off + 7) & 0xff
+    val checkSize = checkType match {
+      case 0x00 => 0
+      case 0x01 => 4  // CRC32
+      case 0x04 => 8  // CRC64
+      case 0x0A => 32 // SHA-256
+      case _ => return None
+    }
+    if (crc32(bytes, off + 6, off + 8) !=
+        le32(bytes, off + 8)) return None
+
+    var pos = off + 12
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[XzBlock]
+    var totalOut = 0L
+
+    while (true) {
+      if (pos >= bytes.length) return None
+      val first = bytes(pos) & 0xff
+      if (first == 0x00) {
+        // index: count, records, padding, CRC32
+        val idxStart = pos
+        pos += 1
+        val cnt = vli(bytes, pos, bytes.length) match {
+          case null => return None
+          case (v, p) => pos = p; v
+        }
+        if (cnt != blocks.length) return None
+        var k = 0
+        while (k < cnt) {
+          val up = vli(bytes, pos, bytes.length) match {
+            case null => return None
+            case (v, p) => pos = p; v
+          }
+          val un = vli(bytes, pos, bytes.length) match {
+            case null => return None
+            case (v, p) => pos = p; v
+          }
+          if (up != blocks(k).unpaddedSize || un != blocks(k).uncompSize)
+            return None
+          k += 1
+        }
+        while ((pos - idxStart) % 4 != 0) {
+          if (pos >= bytes.length || bytes(pos) != 0) return None
+          pos += 1
+        }
+        if (pos + 4 > bytes.length) return None
+        if (crc32(bytes, idxStart, pos) != le32(bytes, pos)) return None
+        pos += 4
+        val indexSize = pos - idxStart
+        // footer: CRC32(backward+flags), backward size, flags, "YZ"
+        if (pos + 12 > bytes.length) return None
+        val backward = le32(bytes, pos + 4)
+        if ((backward + 1) * 4 != indexSize) return None
+        if (bytes(pos + 8) != 0 || (bytes(pos + 9) & 0xff) != checkType)
+          return None
+        if (crc32(bytes, pos + 4, pos + 10) != le32(bytes, pos)) return None
+        if (bytes(pos + 10) != 'Y' || bytes(pos + 11) != 'Z') return None
+        return Some(XzStream(pos + 12, blocks.toSeq))
+      }
+
+      // block header
+      val blockStart = pos
+      val headerSize = (first + 1) * 4
+      if (pos + headerSize > bytes.length) return None
+      if (crc32(bytes, pos, pos + headerSize - 4) !=
+          le32(bytes, pos + headerSize - 4)) return None
+      val flags = bytes(pos + 1) & 0xff
+      val numFilters = (flags & 3) + 1
+      if ((flags & 0x3c) != 0) return None // reserved
+      var hp = pos + 2
+      var declaredComp = -1L
+      var declaredUncomp = -1L
+      if ((flags & 0x40) != 0) vli(bytes, hp, pos + headerSize) match {
+        case null => return None
+        case (v, p) => declaredComp = v; hp = p
+      }
+      if ((flags & 0x80) != 0) vli(bytes, hp, pos + headerSize) match {
+        case null => return None
+        case (v, p) => declaredUncomp = v; hp = p
+      }
+      if (numFilters != 1) return None // LZMA2 is always the last, sole filter here
+      val fid = vli(bytes, hp, pos + headerSize) match {
+        case null => return None
+        case (v, p) => hp = p; v
+      }
+      if (fid != 0x21) return None // only LZMA2
+      val propsSize = vli(bytes, hp, pos + headerSize) match {
+        case null => return None
+        case (v, p) => hp = p; v
+      }
+      if (propsSize != 1 || hp + 1 > pos + headerSize) return None
+      val dictByte = bytes(hp) & 0xff
+      if (dictByte > 40) return None
+      hp += 1
+      while (hp < pos + headerSize - 4) {
+        if (bytes(hp) != 0) return None
+        hp += 1
+      }
+      pos += headerSize
+
+      // compressed data (LZMA2 chunks)
+      val out = new java.io.ByteArrayOutputStream(64 * 1024)
+      val consumed = lzma2(bytes, pos, bytes.length, out)
+      if (consumed < 0) return None
+      // unpadded size (the index unit) = header + data + check, padding
+      // EXCLUDED (xz format §4.1)
+      val unpadded = headerSize.toLong + consumed + checkSize
+      val data = out.toByteArray
+      totalOut += data.length
+      if (totalOut > MaxStreamBytes) return None
+      if (declaredComp >= 0 && declaredComp != consumed) return None
+      if (declaredUncomp >= 0 && declaredUncomp != data.length) return None
+      pos += consumed
+      // block padding to 4
+      while ((pos - blockStart) % 4 != 0) {
+        if (pos >= bytes.length || bytes(pos) != 0) return None
+        pos += 1
+      }
+      // check
+      if (pos + checkSize > bytes.length) return None
+      checkType match {
+        case 0x00 => ()
+        case 0x01 =>
+          if (crc32(data, 0, data.length) != le32(bytes, pos)) return None
+        case 0x04 =>
+          if (crc64(data, 0, data.length) != le64(bytes, pos)) return None
+        case 0x0A =>
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          val dg = md.digest(data)
+          var k = 0
+          while (k < 32) {
+            if (dg(k) != bytes(pos + k)) return None
+            k += 1
+          }
+      }
+      pos += checkSize
+      blocks += XzBlock(blockStart.toLong - off, unpadded, data.length.toLong, data)
+    }
+    None // unreachable
+  }
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+    ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private def le64(b: Array[Byte], i: Int): Long = {
+    var v = 0L
+    var k = 7
+    while (k >= 0) { v = (v << 8) | (b(i + k) & 0xffL); k -= 1 }
+    v
+  }
+
+  // ---------------------------------------------------------------------
+  // writer twin: valid .xz from UNCOMPRESSED LZMA2 chunks, CRC32 check —
+  // every size a pure function of payload lengths (the arithmetic-oracle
+  // device). One block per part.
+
+  private def wVli(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while (v >= 0x80) { out.write(((v & 0x7f) | 0x80).toInt); v >>= 7 }
+    out.write(v.toInt)
+  }
+
+  /** Serialized VLI length — for the arithmetic-oracle size formulas. */
+  def vliLen(v: Long): Int = {
+    var n = 1
+    var x = v
+    while (x >= 0x80) { n += 1; x >>= 7 }
+    n
+  }
+
+  /** Render one xz stream with one block per part: block header (12
+    * bytes: no size fields, LZMA2 filter, dict byte 0, padding, CRC32),
+    * then ceil(L/65536) uncompressed chunks (first one resets the dict),
+    * the 0x00 terminator, padding to 4, CRC32 check of the payload.
+    */
+  def render(parts: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(HeaderMagic)
+    out.write(0); out.write(0x01) // check: CRC32
+    val flagCrc = crc32(out.toByteArray, 6, 8)
+    wLe32(out, flagCrc)
+
+    val records = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    parts.foreach { p =>
+      val blockStart = out.size
+      // header: size byte (12/4-1=2), flags (1 filter, no size fields),
+      // filter id 0x21, props size 1, dict byte 0, padding, CRC32
+      val hdr = new java.io.ByteArrayOutputStream()
+      hdr.write(2); hdr.write(0)
+      wVli(hdr, 0x21); wVli(hdr, 1); hdr.write(0)
+      while (hdr.size < 8) hdr.write(0)
+      val hb = hdr.toByteArray
+      out.write(hb)
+      wLe32(out, crc32(hb, 0, hb.length))
+      // LZMA2 uncompressed chunks
+      var o = 0
+      var firstChunk = true
+      while (o < p.length || (p.length == 0 && firstChunk && false)) {
+        val n = math.min(65536, p.length - o)
+        out.write(if (firstChunk) 0x01 else 0x02)
+        out.write(((n - 1) >> 8) & 0xff); out.write((n - 1) & 0xff)
+        out.write(p, o, n)
+        o += n
+        firstChunk = false
+      }
+      out.write(0x00) // LZMA2 end
+      while ((out.size - blockStart) % 4 != 0) out.write(0)
+      wLe32(out, crc32(p, 0, p.length))
+      val unpadded = { // header + chunks-with-terminator + check (no padding)
+        val chunks = {
+          var s = 0L; var rem = p.length
+          while (rem > 0) { val n = math.min(65536, rem); s += 3 + n; rem -= n }
+          s + 1
+        }
+        12 + chunks + 4
+      }
+      records += ((unpadded, p.length.toLong))
+    }
+
+    // index
+    val idx = new java.io.ByteArrayOutputStream()
+    idx.write(0x00)
+    wVli(idx, records.length.toLong)
+    records.foreach { case (up, un) => wVli(idx, up); wVli(idx, un) }
+    while ((idx.size % 4) != 0) idx.write(0)
+    val ib = idx.toByteArray
+    out.write(ib)
+    wLe32(out, crc32(ib, 0, ib.length))
+    val indexSize = ib.length + 4
+
+    // footer
+    val tail = new java.io.ByteArrayOutputStream()
+    wLe32(tail, indexSize / 4 - 1)
+    tail.write(0); tail.write(0x01)
+    val tb = tail.toByteArray
+    wLe32(out, crc32(tb, 0, tb.length))
+    out.write(tb)
+    out.write('Y'); out.write('Z')
+    out.toByteArray
+  }
+
+  private def wLe32(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+    out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+  }
+}

@@ -106,6 +106,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val BloomScreenStmt =
     """(?is)^\s*BLOOM\s+SCREEN\s+'([^']+)'\s+WITH\s+([\w.]+)\s*\((\w+)\)\s*;?\s*$""".r
 
+  // The persisted HyperLogLog sketch's lifecycle, the distinct-count twin
+  // of the Bloom trio: CREATE builds (reg, max_rho) registers at a path;
+  // APPEND merges new keys by register-wise max under the FROZEN
+  // precision (HLL union is monotone AND idempotent — a replayed batch
+  // is a no-op); HLL ESTIMATE reads the one-row estimate. Same
+  // [[graft.operators.Hll]] operators as the Dataset surface.
+  private val CreateHllSketch =
+    """(?is)^\s*CREATE\s+HLL\s+SKETCH\s+AT\s+'([^']+)'\s+ON\s+([\w.]+)\s*\((\w+)\)\s*;?\s*$""".r
+  private val AppendHllSketch =
+    """(?is)^\s*APPEND\s+TO\s+HLL\s+SKETCH\s+AT\s+'([^']+)'\s+FROM\s+([\w.]+)\s*\((\w+)\)\s*;?\s*$""".r
+  private val HllEstimateStmt =
+    """(?is)^\s*HLL\s+ESTIMATE\s+'([^']+)'\s*;?\s*$""".r
+
   // ASOF JOIN <left> WITH <right> ON <key> BY <time> PAYLOAD (c1, c2, ...)
   // — last-right-row-at-or-before semantics ([[graft.operators.AsOfJoin
   // .asOfLeft]]) as a statement; Spark SQL has no ASOF JOIN syntax.
@@ -200,6 +213,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case BloomScreenStmt(path, table, keyCol) =>
       graft.operators.Bloom.screenAt(session, path, session.table(table), keyCol)
         .queryExecution.logical
+    case CreateHllSketch(path, table, keyCol) =>
+      CreateHllSketchCommand(table, keyCol, path)
+    case AppendHllSketch(path, table, keyCol) =>
+      AppendHllSketchCommand(table, keyCol, path)
+    case HllEstimateStmt(path) =>
+      graft.operators.Hll.estimateAt(session, path).queryExecution.logical
     case AsOfJoinStmt(left, right, key, time, payload) =>
       graft.operators.AsOfJoin.asOfLeft(session.table(left), session.table(right),
         key, time, payload.split(',').map(_.trim).toSeq).queryExecution.logical
@@ -333,6 +352,28 @@ case class AppendBloomFilterCommand(table: String, keyCol: String, path: String)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
     graft.operators.Bloom.appendKeys(spark.table(table), keyCol, path)
+    Seq.empty
+  }
+}
+
+/** `CREATE HLL SKETCH` — build + persist ([[graft.operators.Hll
+  * .writeSketch]], default precision).
+  */
+case class CreateHllSketchCommand(table: String, keyCol: String, path: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    graft.operators.Hll.writeSketch(spark.table(table), keyCol, path)
+    Seq.empty
+  }
+}
+
+/** `APPEND TO HLL SKETCH` — register-wise max merge under the frozen
+  * precision ([[graft.operators.Hll.appendSketch]]), atomic install.
+  */
+case class AppendHllSketchCommand(table: String, keyCol: String, path: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    graft.operators.Hll.appendSketch(spark.table(table), keyCol, path)
     Seq.empty
   }
 }

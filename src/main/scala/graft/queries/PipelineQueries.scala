@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{AnnIndex, Bloom, Bmp, Dedup, GifGray, Multimodal, Segmentation, Similarity}
+import graft.operators.{AnnIndex, Bloom, Bmp, Dedup, GifGray, Hll, Multimodal, Segmentation, Similarity}
 
 /** The reference's application-plan operators (SURVEY.md §2.A) exposed as
   * driver-checkable queries over the harness tables, plus the scale-path
@@ -1916,6 +1916,164 @@ object PipelineQueries extends QuerySet {
     // reassembly across pages, both codecs' comment dialects, and the
     // granule->duration arithmetic (Vorbis PCM samples vs Opus 48kHz
     // granules minus pre-skip) are all load-bearing for the match.
+    // HyperLogLog as a relation — the distinct-count twin of the q172
+    // Bloom screen: the sketch IS a (reg, max_rho) table built with one
+    // partial-aggregatable max. Keys fold doc_id mod 300 so duplicates
+    // are load-bearing (a sketch that counts rows instead of distincts
+    // inflates max_rho coverage and hash-mismatches). Every register is
+    // the cross-engine md5 device with rho from binary-string length —
+    // integer-exact, so the oracle rebuilds the sketch bit for bit.
+    "q199_hll_registers" -> ((s, dir) => {
+      val keys = t(s, dir, "documents")
+        .select(concat(lit("https://ex.test/d/"),
+          (col("doc_id") % 300).cast("string")).as("url"))
+      Hll.build(keys, "url", p = 11).orderBy("reg")
+    }),
+
+    // The estimate over q199's sketch, with the exact integer evidence
+    // (n_set, the scaled power sum s2) in the hash and the accuracy
+    // CLAIM folded in as a deterministic fact: within_bounds must be
+    // true — |estimate - truth| / truth <= 0.1 (4x the p=11 standard
+    // error) — computed against the exact distinct count.
+    "q200_hll_estimate" -> ((s, dir) => {
+      val keys = t(s, dir, "documents")
+        .select(concat(lit("https://ex.test/d/"),
+          (col("doc_id") % 300).cast("string")).as("url"))
+      val est = Hll.estimate(Hll.build(keys, "url", p = 11), p = 11)
+      val truth = keys.agg(countDistinct(col("url")).as("true_distinct"))
+      est.crossJoin(broadcast(truth))
+        .select(col("n_set"), col("s2"), col("estimate"), col("true_distinct"),
+          (abs(col("estimate") - col("true_distinct")) /
+            col("true_distinct") <= 0.1).as("within_bounds"))
+    }),
+
+    // The persisted-sketch SQL lifecycle: CREATE on the first 300 URLs,
+    // APPEND the rest — TWICE: register-wise max is idempotent, and the
+    // replayed batch must leave the registers byte-identical or the hash
+    // (oracled as ONE single-pass build) catches it. The q177 pattern
+    // with the Bloom trio's statement grammar.
+    "q201_sql_hll_lifecycle" -> ((s, dir) => {
+      val urls = t(s, dir, "documents")
+        .select(concat(lit("https://ex.test/d/"),
+          col("doc_id").cast("string")).as("url"), col("doc_id"))
+      urls.where(col("doc_id") < 300).select("url")
+        .createOrReplaceTempView("hll_seen")
+      urls.where(col("doc_id") >= 300 && col("doc_id") < 500).select("url")
+        .createOrReplaceTempView("hll_more")
+      val path = java.nio.file.Files.createTempDirectory("graft_hll_sql").toString
+      s.sql(s"CREATE HLL SKETCH AT '$path' ON hll_seen (url)")
+      s.sql(s"APPEND TO HLL SKETCH AT '$path' FROM hll_more (url)")
+      s.sql(s"APPEND TO HLL SKETCH AT '$path' FROM hll_more (url)")
+      s.sql(s"HLL ESTIMATE '$path'")
+        .select(col("n_set"), col("s2"), col("estimate"))
+    }),
+
+    // RFC 9309 wildcard rules — the grammar most real robots.txt files
+    // actually use (q151's literal-prefix surface skips them, erring
+    // toward fetching): `*` matches any byte run, trailing `$` anchors
+    // end-of-path, precedence is pattern length (most-specific-match),
+    // Allow on ties. Fifteen URLs, each one rule-interaction's proof
+    // (anchored allow overriding a shorter disallow, $-exactness,
+    // unanchored mid-pattern, equal-length tie). Decision join: rules
+    // explode once, broadcast, `graft_robots_match` in the join — the
+    // q151 shape with the matcher swapped in.
+    "q204_robots_wildcards" -> ((s, dir) => {
+      import s.implicits._
+      val robots =
+        """User-agent: evilbot
+          |Disallow: /
+          |
+          |User-agent: graftbot
+          |Disallow: /private/*
+          |Allow: /private/*/public$
+          |Disallow: /*.pdf$
+          |Allow: /docs/
+          |Disallow: /docs/*/draft
+          |Disallow: /tmp$
+          |Allow: /a*b
+          |Allow: /eq/*z
+          |Disallow: /eq/a*
+          |
+          |User-agent: *
+          |Disallow: /
+          |""".stripMargin
+      val rules = Seq(("w.test", robots)).toDF("domain", "robots")
+        .select(col("domain"),
+          explode(expr("graft_robots_wild_rules(robots, 'graftbot')")).as("r"))
+        .select(col("domain"), col("r.allow").as("allow"),
+          col("r.pattern").as("pattern"))
+      val paths = Seq("/private/x/data", "/private/x/public",
+        "/private/x/publicity", "/report.pdf", "/report.pdf.html",
+        "/docs/guide", "/docs/v2/draft", "/docs/v2/drafting", "/tmp",
+        "/tmp/file", "/axxb/c", "/a", "/eq/az", "/eq/ab", "/free")
+      val urls = paths.zipWithIndex
+        .map { case (p, j) => (j.toLong, "w.test", p) }
+        .toDF("url_id", "domain", "path")
+      urls.join(broadcast(rules), Seq("domain"), "left")
+        .withColumn("m", expr("graft_robots_match(pattern, path)"))
+        .groupBy("url_id", "path")
+        .agg(max(when(col("m"), struct(length(col("pattern")).as("l"),
+          col("allow").cast("int").as("a")))).as("best"))
+        .select(col("url_id"), col("path"),
+          coalesce(col("best.a") === 1, lit(true)).as("allowed"),
+          coalesce(col("best.l"), lit(0)).as("rule_len"))
+        .orderBy("url_id")
+    }),
+
+    // The xz shard door: a from-scratch LZMA2/xz layer (canonical xz-CLI
+    // interop pinned in XzSpec) whose writer twin emits UNCOMPRESSED
+    // LZMA2 chunks — the stored-deflate trick — so every block extent is
+    // a pure function of payload length: unpadded = L + 20, offsets one
+    // cumulative sum over 4-aligned block sizes. The oracle re-derives
+    // offsets AND payloads arithmetically; the index listing fast path
+    // is pinned against the decoded walk in XzShardsSpec.
+    "q203_xz_shard_ingest" -> ((s, dir) => {
+      val f = fixture("xz_oracle.xz") {
+        graft.operators.Xz.render((0 until 20).map { i =>
+          (s"xz block $i " + "z" * ((i * 7) % 23)).getBytes("US-ASCII")
+        })
+      }
+      graft.sources.XzShards.read(s, f)
+        .select(col("block"), col("offset"), col("unpadded_size"),
+          col("size"), col("data").cast("string").as("payload_text"))
+        .orderBy("block")
+    }),
+
+    // The EXIF door — capture time, camera, declared orientation: real
+    // APP1/TIFF parsing (both byte orders, inline and offset value
+    // fields, IFD0 + the Exif sub-IFD) on real JPEG bytes the pixel walk
+    // still decodes. 12 images: every 4th untagged (defaults are
+    // load-bearing), byte order alternates, every field a formula the
+    // oracle replays. Per-row decode, no shuffle.
+    "q202_exif_metadata" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = (0L until 12L).map { i =>
+        val base = graft.operators.Jpeg.renderGrayDcOnly(2, 2,
+          Array.tabulate(4)(k => ((i * 37 + k * 13) % 256).toInt))
+        val bytes =
+          if (i % 4 == 3) base
+          else graft.operators.Exif.spliceIntoJpeg(base,
+            graft.operators.Exif.app1(
+              orientation = (1 + (i * 3) % 8).toInt,
+              make = s"CamCo $i", model = s"Model ${i % 5}",
+              dateTime = s"2026:0${(i % 9) + 1}:02 10:0${i % 6}:00",
+              pixelX = 640 + i * 16, pixelY = 480 + i * 9,
+              le = i % 2 == 0))
+        (i, bytes)
+      }
+      imgs.toDF("img_id", "jpeg").as[(Long, Array[Byte])]
+        .map { case (id, b) =>
+          val m = graft.operators.Exif.fromJpeg(b)
+            .getOrElse(graft.operators.Exif.Empty)
+          (id, m.orientation, m.make.orNull, m.model.orNull,
+            m.dateTime.orNull,
+            m.pixelX.map(java.lang.Long.valueOf).orNull,
+            m.pixelY.map(java.lang.Long.valueOf).orNull)
+        }
+        .toDF("img_id", "orientation", "make", "model", "datetime", "px", "py")
+        .orderBy("img_id")
+    }),
+
     // The Wikipedia multistream door, container layer: a dependency-free
     // bzip2 decode (operators/Bzip2.scala) behind Hadoop-style plan-time
     // range splits — 16 independent streams, splitSize forced to 1 KiB so
@@ -3259,6 +3417,121 @@ object PipelineQueries extends QuerySet {
     // audio packet, +1 per >255-byte packet on the spanning clips),
     // packet counts from the codec's header-packet count, and the audio
     // signature as md5 over the concatenated ASCII packet formulas
+    // the wildcard decision matrix, every outcome enumerated (the q129
+    // precedence-matrix pattern): rule_len pins WHICH rule won, not just
+    // the boolean
+    "q204_robots_wildcards" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0  AS BIGINT), '/private/x/data',      false, CAST(10 AS INT)),
+        |  (CAST(1  AS BIGINT), '/private/x/public',    true,  CAST(18 AS INT)),
+        |  (CAST(2  AS BIGINT), '/private/x/publicity', false, CAST(10 AS INT)),
+        |  (CAST(3  AS BIGINT), '/report.pdf',          false, CAST(7 AS INT)),
+        |  (CAST(4  AS BIGINT), '/report.pdf.html',     true,  CAST(0 AS INT)),
+        |  (CAST(5  AS BIGINT), '/docs/guide',          true,  CAST(6 AS INT)),
+        |  (CAST(6  AS BIGINT), '/docs/v2/draft',       false, CAST(13 AS INT)),
+        |  (CAST(7  AS BIGINT), '/docs/v2/drafting',    false, CAST(13 AS INT)),
+        |  (CAST(8  AS BIGINT), '/tmp',                 false, CAST(5 AS INT)),
+        |  (CAST(9  AS BIGINT), '/tmp/file',            true,  CAST(0 AS INT)),
+        |  (CAST(10 AS BIGINT), '/axxb/c',              true,  CAST(4 AS INT)),
+        |  (CAST(11 AS BIGINT), '/a',                   true,  CAST(0 AS INT)),
+        |  (CAST(12 AS BIGINT), '/eq/az',               true,  CAST(6 AS INT)),
+        |  (CAST(13 AS BIGINT), '/eq/ab',               false, CAST(6 AS INT)),
+        |  (CAST(14 AS BIGINT), '/free',                true,  CAST(0 AS INT))
+        |) AS t(url_id, path, allowed, rule_len) ORDER BY url_id""".stripMargin,
+    // the xz door: payloads rebuilt from the string formula; unpadded
+    // size pins the container framing (header 12 + chunk 3+L + terminator
+    // 1 + check 4); offsets from one cumulative sum over 4-aligned block
+    // sizes after the 12-byte stream header
+    "q203_xz_shard_ingest" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 19)) AS i),
+        |d AS (SELECT i, 'xz block ' || i || ' ' || repeat('z', (i * 7) % 23) AS payload
+        |      FROM r),
+        |e AS (SELECT i, payload, length(payload) AS L FROM d)
+        |SELECT CAST(i AS INT) AS block,
+        |  CAST(12 + COALESCE(SUM(20 + 4 * ((L + 3) // 4)) OVER (ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+        |  CAST(L + 20 AS BIGINT) AS unpadded_size,
+        |  CAST(L AS BIGINT) AS size,
+        |  payload AS payload_text
+        |FROM e ORDER BY block""".stripMargin,
+    // the EXIF door: every surfaced field replayed from the tag formula;
+    // the untagged rows pin the default path (orientation 1, NULLs)
+    "q202_exif_metadata" ->
+      """WITH s AS (SELECT unnest(generate_series(0, 11)) AS i)
+        |SELECT CAST(i AS BIGINT) AS img_id,
+        |  CAST(CASE WHEN i % 4 = 3 THEN 1 ELSE 1 + (i * 3) % 8 END AS INT) AS orientation,
+        |  CASE WHEN i % 4 = 3 THEN NULL ELSE 'CamCo ' || i END AS make,
+        |  CASE WHEN i % 4 = 3 THEN NULL ELSE 'Model ' || (i % 5) END AS model,
+        |  CASE WHEN i % 4 = 3 THEN NULL
+        |       ELSE '2026:0' || ((i % 9) + 1) || ':02 10:0' || (i % 6) || ':00'
+        |  END AS datetime,
+        |  CASE WHEN i % 4 = 3 THEN NULL ELSE CAST(640 + i * 16 AS BIGINT) END AS px,
+        |  CASE WHEN i % 4 = 3 THEN NULL ELSE CAST(480 + i * 9 AS BIGINT) END AS py
+        |FROM s ORDER BY img_id""".stripMargin,
+    // the HLL sketch: every register rebuilt from the md5 device; rho
+    // from binary-string length (42 - len(bin(w)) on the 41 remaining
+    // bits, 42 for w = 0) — integer-exact in both engines
+    "q199_hll_registers" ->
+      """WITH k AS (SELECT 'https://ex.test/d/' || CAST(doc_id % 300 AS VARCHAR) AS url
+        |           FROM documents),
+        |h AS (SELECT ('0x' || substr(md5('hll:' || url), 1, 13))::BIGINT AS hv FROM k),
+        |r AS (SELECT CAST(hv % 2048 AS INT) AS reg,
+        |  CASE WHEN hv // 2048 > 0
+        |       THEN 42 - length(ltrim(bin(hv // 2048), '0'))
+        |       ELSE 42 END AS rho FROM h)
+        |SELECT reg, CAST(MAX(rho) AS INT) AS max_rho
+        |FROM r GROUP BY reg ORDER BY reg""".stripMargin,
+    // the estimator replayed: s2 keeps 2^(42-rho) terms as exact BIGINTs
+    // (absent registers contribute 2^42), one float division at the end;
+    // arithmetic order matches the engine's constant folding exactly
+    "q200_hll_estimate" ->
+      """WITH k AS (SELECT 'https://ex.test/d/' || CAST(doc_id % 300 AS VARCHAR) AS url
+        |           FROM documents),
+        |h AS (SELECT ('0x' || substr(md5('hll:' || url), 1, 13))::BIGINT AS hv FROM k),
+        |r AS (SELECT CAST(hv % 2048 AS INT) AS reg,
+        |  CASE WHEN hv // 2048 > 0
+        |       THEN 42 - length(ltrim(bin(hv // 2048), '0'))
+        |       ELSE 42 END AS rho FROM h),
+        |sk AS (SELECT reg, MAX(rho) AS max_rho FROM r GROUP BY reg),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_set,
+        |  COALESCE(SUM(1::BIGINT << CAST(42 - max_rho AS INT)), 0)::BIGINT AS s2_set
+        |  FROM sk),
+        |s AS (SELECT n_set, s2_set + (2048 - n_set) * (1::BIGINT << 42) AS s2 FROM a),
+        |e AS (SELECT n_set, s2,
+        |  0.7213 / (1 + 1.079 / 2048) * 2048 * 2048 * power(2.0, 42) / s2 AS est_raw
+        |  FROM s),
+        |t AS (SELECT COUNT(DISTINCT url) AS true_distinct FROM k)
+        |SELECT n_set, s2,
+        |  ROUND(CASE WHEN est_raw <= 2.5 * 2048 AND n_set < 2048
+        |    THEN 2048 * ln(2048.0 / (2048 - n_set)) ELSE est_raw END, 2) AS estimate,
+        |  true_distinct,
+        |  abs(ROUND(CASE WHEN est_raw <= 2.5 * 2048 AND n_set < 2048
+        |    THEN 2048 * ln(2048.0 / (2048 - n_set)) ELSE est_raw END, 2)
+        |      - true_distinct) / true_distinct <= 0.1 AS within_bounds
+        |FROM e CROSS JOIN t""".stripMargin,
+    // the SQL lifecycle oracled as ONE single-pass build over the union
+    // of CREATE + APPEND keys — the double APPEND on the engine side
+    // must be invisible (register-wise max is idempotent)
+    "q201_sql_hll_lifecycle" ->
+      """WITH k AS (SELECT 'https://ex.test/d/' || CAST(doc_id AS VARCHAR) AS url
+        |           FROM documents WHERE doc_id < 500),
+        |h AS (SELECT ('0x' || substr(md5('hll:' || url), 1, 13))::BIGINT AS hv FROM k),
+        |r AS (SELECT CAST(hv % 2048 AS INT) AS reg,
+        |  CASE WHEN hv // 2048 > 0
+        |       THEN 42 - length(ltrim(bin(hv // 2048), '0'))
+        |       ELSE 42 END AS rho FROM h),
+        |sk AS (SELECT reg, MAX(rho) AS max_rho FROM r GROUP BY reg),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_set,
+        |  COALESCE(SUM(1::BIGINT << CAST(42 - max_rho AS INT)), 0)::BIGINT AS s2_set
+        |  FROM sk),
+        |s AS (SELECT n_set, s2_set + (2048 - n_set) * (1::BIGINT << 42) AS s2 FROM a),
+        |e AS (SELECT n_set, s2,
+        |  0.7213 / (1 + 1.079 / 2048) * 2048 * 2048 * power(2.0, 42) / s2 AS est_raw
+        |  FROM s)
+        |SELECT n_set, s2,
+        |  ROUND(CASE WHEN est_raw <= 2.5 * 2048 AND n_set < 2048
+        |    THEN 2048 * ln(2048.0 / (2048 - n_set)) ELSE est_raw END, 2) AS estimate
+        |FROM e""".stripMargin,
     // the Wikipedia container layer: stream texts re-derived from the
     // word formula; `contiguous` must be TRUE on every row — the byte
     // extents (offset, comp_len) the decoder reports must tile the file

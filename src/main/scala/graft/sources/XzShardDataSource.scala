@@ -1,0 +1,142 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** XZ shards as a DataSource V2: `spark.read.format("xzshard")
+  * .load(dir)` — one task per shard file; column pruning takes the
+  * footer-index LISTING fast path (zero LZMA work) when `data` is not
+  * required. See [[XzShards]].
+  */
+class XzShardDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "xzshard"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    XzShardDataSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new XzShardTable(properties.get("path"))
+}
+
+object XzShardDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("stream", IntegerType, nullable = false),
+    StructField("block", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("unpadded_size", LongType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("data", BinaryType, nullable = true)))
+}
+
+class XzShardTable(path: String) extends Table with SupportsRead {
+  require(path != null, "xzshard source requires a path")
+  override def name(): String = s"xzshard:$path"
+  override def schema(): StructType = XzShardDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new XzShardScanBuilder(path)
+}
+
+class XzShardScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = XzShardDataSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new XzShardScan(path, required)
+}
+
+class XzShardScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  private val serConf = new SerializableHadoopConf(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(serConf.value)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.isFile &&
+            !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+          .map(s => fs.makeQualified(s.getPath).toString).sorted
+      else Array(fs.makeQualified(p).toString)
+    files.map(f => XzShardInputPartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new XzShardReaderFactory(required, serConf)
+}
+
+case class XzShardInputPartition(file: String) extends InputPartition
+
+class XzShardReaderFactory(required: StructType, conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new XzShardPartitionReader(
+      partition.asInstanceOf[XzShardInputPartition].file, required, conf)
+}
+
+class XzShardPartitionReader(file: String, required: StructType,
+                             conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+
+  private val records = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(conf.value)
+    val in = fs.open(p)
+    val bytes = try {
+      val len = fs.getFileStatus(p).getLen
+      require(len <= Int.MaxValue - 8,
+        s"xz shard $file is $len bytes; this source buffers whole shards " +
+          "(< 2 GB) — size shards for the task.")
+      val buf = new Array[Byte](len.toInt)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+    XzShards.parseFile(file, bytes,
+      withData = required.fieldNames.contains("data"))
+  }
+
+  private val proj = UnsafeProjection.create(required)
+  private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.length)
+  private val fieldIdx = required.fields.map(f =>
+    XzShardDataSource.schema.fieldIndex(f.name))
+  private var current: XzShards.XzMember = _
+
+  override def next(): Boolean =
+    if (records.hasNext) { current = records.next(); true } else false
+
+  override def get(): InternalRow = {
+    var i = 0
+    while (i < fieldIdx.length) {
+      row.update(i, fieldIdx(i) match {
+        case 0 => UTF8String.fromString(current.file)
+        case 1 => current.stream
+        case 2 => current.block
+        case 3 => current.offset
+        case 4 => current.unpaddedSize
+        case 5 => current.size
+        case 6 => current.data
+      })
+      i += 1
+    }
+    proj(row)
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,143 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Xz
+
+/** XZ shards as a source — `.jsonl.xz` corpus shards and `.xz` dumps.
+  * Unlike bzip2 (no index, so [[Bz2Shards]] earns its keep with range
+  * scans), the xz format ends each stream with an INDEX of every block's
+  * (unpadded size, uncompressed size) — a built-in central directory.
+  * This door treats it exactly like [[ZipShards]] treats the ZIP
+  * directory: the authority for the member list, and a LISTING FAST PATH
+  * — when `data` is pruned away, blocks are enumerated from the footer +
+  * index alone, O(index) with zero LZMA work. With `data`, blocks decode
+  * through the full [[Xz]] layer (LZMA2, integrity checks).
+  *
+  * Concatenated streams (xz's multistream form, with 4-byte-aligned
+  * zero stream padding between them) are walked sequentially; the
+  * listing fast path covers the single-stream layout (the common shard
+  * shape) and falls back to the decoding walk otherwise.
+  *
+  * Scale shape: one task per shard file; `offset` + `unpadded_size` are
+  * the range-read handle — a block is refetchable and decodable
+  * independently, the ZIP two-tier design.
+  */
+object XzShards {
+
+  /** One xz block. `size` is the uncompressed byte count; `data` null
+    * on the listing fast path.
+    */
+  final case class XzMember(file: String, stream: Int, block: Int,
+                            offset: Long, unpaddedSize: Long, size: Long,
+                            data: Array[Byte])
+
+  /** Enumerate blocks of a SINGLE-stream file from footer + index alone
+    * (no decode, no check verification — the directory is the
+    * authority, the ZIP listing asymmetry). None if the layout is not
+    * single-stream or the index is malformed.
+    */
+  def listBlocks(bytes: Array[Byte]): Option[Seq[(Long, Long, Long)]] = {
+    if (bytes.length < 32) return None
+    val n = bytes.length
+    if (bytes(n - 2) != 'Y' || bytes(n - 1) != 'Z') return None
+    val crc = new java.util.zip.CRC32
+    crc.update(bytes, n - 8, 6)
+    if (crc.getValue != le32(bytes, n - 12)) return None
+    val backward = le32(bytes, n - 8)
+    val indexSize = (backward + 1) * 4
+    val idxStart = n - 12 - indexSize
+    if (idxStart < 12 || bytes(idxStart.toInt) != 0) return None
+    // stream header must sit at 0 for the single-stream fast path
+    if (bytes(0) != 0xFD.toByte || bytes(1) != '7' || bytes(2) != 'z') return None
+    var pos = idxStart.toInt + 1
+    val cnt = vli(bytes, pos) match {
+      case null => return None
+      case (v, p) => pos = p; v
+    }
+    if (cnt < 0 || cnt > (1 << 20)) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var off = 12L
+    var k = 0L
+    while (k < cnt) {
+      val up = vli(bytes, pos) match {
+        case null => return None
+        case (v, p) => pos = p; v
+      }
+      val un = vli(bytes, pos) match {
+        case null => return None
+        case (v, p) => pos = p; v
+      }
+      out += ((off, up, un))
+      off += ((up + 3) / 4) * 4
+      k += 1
+    }
+    if (off != idxStart) return None // extents must tile exactly to the index
+    Some(out.toSeq)
+  }
+
+  /** Parse every block of (possibly concatenated) streams; stops clean
+    * at the first malformed region. `withData = false` takes the index
+    * fast path when the file is single-stream.
+    */
+  def parseFile(file: String, bytes: Array[Byte],
+                withData: Boolean = true): Iterator[XzMember] = {
+    if (!withData) listBlocks(bytes) match {
+      case Some(blocks) =>
+        return blocks.iterator.zipWithIndex.map { case ((off, up, un), k) =>
+          XzMember(file, 0, k, off, up, un, null)
+        }
+      case None => () // not single-stream: fall through to the full walk
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[XzMember]
+    var pos = 0
+    var stream = 0
+    while (pos < bytes.length) {
+      // stream padding: 4-byte-aligned zeros between streams
+      if (bytes(pos) == 0) {
+        val from = pos
+        while (pos < bytes.length && bytes(pos) == 0) pos += 1
+        if ((pos - from) % 4 != 0) return out.iterator
+        if (pos >= bytes.length) return out.iterator
+      }
+      Xz.decodeStream(bytes, pos) match {
+        case Some(s) =>
+          s.blocks.zipWithIndex.foreach { case (b, k) =>
+            out += XzMember(file, stream, k, pos + b.offset, b.unpaddedSize,
+              b.uncompSize, if (withData) b.data else null)
+          }
+          pos = s.end
+          stream += 1
+        case None => return out.iterator // malformed: stop clean
+      }
+    }
+    out.iterator
+  }
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+    ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private def vli(b: Array[Byte], pos: Int): (Long, Int) = {
+    var v = 0L
+    var i = 0
+    var p = pos
+    while (p < b.length && i < 9) {
+      val byte = b(p) & 0xff
+      v |= (byte & 0x7fL) << (7 * i)
+      p += 1
+      if ((byte & 0x80) == 0) {
+        if (byte == 0 && i > 0) return null
+        return (v, p)
+      }
+      i += 1
+    }
+    null
+  }
+
+  /** Full read through the DSv2 source:
+    * `spark.read.format("xzshard").load(path)`.
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("xzshard").load(path)
+}

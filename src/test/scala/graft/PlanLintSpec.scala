@@ -43,7 +43,11 @@ class PlanLintSpec extends SparkSpec {
   //         the exhaustive-baseline semantics
   //   q179 — curriculum stages: broadcast 1-row corpus-count crossed into
   //         the distinct-quality threshold table (the q97 scalar pattern)
+  //   q200 — HLL estimate: broadcast 1-row exact-distinct truth crossed
+  //         onto the 1-row estimate for the accuracy fact (the q82
+  //         certificate pattern)
   private val productAllowed = Set(
+    "q200_hll_estimate",
     "q142_bm25_search", "q159_sql_bm25",
     "q166_dsir_weights", "q171_dsir_resample", "q174_truncated_recall",
     "q179_curriculum_shards",

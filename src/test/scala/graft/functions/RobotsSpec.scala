@@ -88,4 +88,31 @@ class RobotsSpec extends SparkSpec {
     assert(Robots.rules(txt, "anyone") == Seq((false, "/x")))
     assert(Robots.sitemaps("no directives here") == Seq.empty)
   }
+
+  test("wildcard matcher: RFC 9309 * and trailing-$ semantics") {
+    import Robots.matches
+    // plain prefix (no wildcards): unanchored prefix match
+    assert(matches("/a", "/a/b") && matches("/a", "/a"))
+    assert(!matches("/a/b", "/a"))
+    // * crosses path segments and matches empty
+    assert(matches("/p/*", "/p/"))
+    assert(matches("/p/*/q", "/p/x/y/q/tail"))
+    assert(!matches("/p/*/q", "/p/x/y"))
+    // trailing $ anchors end-of-path
+    assert(matches("/t$", "/t") && !matches("/t$", "/t/u"))
+    assert(matches("/*.pdf$", "/dir/file.pdf"))
+    assert(!matches("/*.pdf$", "/dir/file.pdf.html"))
+    // anchored last segment may not reuse bytes consumed by the prefix
+    assert(!matches("/ab*b$", "/ab"))
+    assert(matches("/ab*b$", "/abb") && matches("/ab*b$", "/abxb"))
+    // mid-pattern $ is a literal byte
+    assert(matches("/a$b", "/a$b/c") && !matches("/a$b", "/ab"))
+    // leading * and multiple stars
+    assert(matches("*x", "/prefix") && matches("/a*b*c", "/aXbYc"))
+    // wildRules keeps what rules skips; group selection unchanged
+    val txt = "User-agent: bot\nDisallow: /w/*\nAllow: /lit\n"
+    assert(Robots.rules(txt, "bot") == Seq((true, "/lit")))
+    assert(Robots.wildRules(txt, "bot") ==
+      Seq((false, "/w/*"), (true, "/lit")))
+  }
 }

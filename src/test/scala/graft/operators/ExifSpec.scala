@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** EXIF door pins: both byte orders round-trip, defaults, precedence,
+  * and the malformed→clean contract.
+  */
+class ExifSpec extends AnyFunSuite {
+
+  private def jpeg(): Array[Byte] =
+    Jpeg.renderGrayDcOnly(2, 2, Array(10, 20, 30, 40))
+
+  test("roundtrip through a real JPEG, both byte orders") {
+    for (le <- Seq(true, false)) {
+      val seg = Exif.app1(6, "CamCo", "Model X", "2026:01:02 03:04:05",
+        1024, 768, le)
+      val tagged = Exif.spliceIntoJpeg(jpeg(), seg)
+      val m = Exif.fromJpeg(tagged).get
+      assert(m.orientation == 6)
+      assert(m.make.contains("CamCo"))
+      assert(m.model.contains("Model X"))
+      assert(m.dateTime.contains("2026:01:02 03:04:05"))
+      assert(m.pixelX.contains(1024L))
+      assert(m.pixelY.contains(768L))
+      // the tagged image still DECODES — the splice is a real segment the
+      // pixel walk must skip
+      assert(Jpeg.decodeLuma(tagged).isDefined)
+    }
+  }
+
+  test("JPEG without EXIF yields defaults; non-JPEG yields None") {
+    val m = Exif.fromJpeg(jpeg()).get
+    assert(m == Exif.Empty && m.orientation == 1)
+    assert(Exif.fromJpeg("not a jpeg".getBytes).isEmpty)
+    assert(Exif.fromJpeg(Array[Byte](0xff.toByte, 0xd8.toByte)).get == Exif.Empty)
+  }
+
+  test("malformed TIFF bodies degrade to Empty, never throw") {
+    val good = Exif.app1(3, "CamCo", "Model X", "2026:01:02 03:04:05", 64, 48,
+      le = true)
+    // truncate the APP1 payload at every length: fromJpeg must return
+    // cleanly (either Empty or a successfully parsed prefix — and for a
+    // truncated TIFF, orientation stays in 1..8)
+    (4 until good.length).foreach { n =>
+      val seg = java.util.Arrays.copyOf(good, n)
+      // fix the segment length field so the walk stays in bounds
+      seg(2) = (((n - 2) >> 8) & 0xff).toByte
+      seg(3) = ((n - 2) & 0xff).toByte
+      val m = Exif.fromJpeg(Exif.spliceIntoJpeg(jpeg(), seg))
+      assert(m.isDefined)
+      assert(m.get.orientation >= 1 && m.get.orientation <= 8)
+    }
+    assert(Exif.parseTiff("XXbadheader".getBytes).isEmpty)
+    assert(Exif.parseTiff(null).isEmpty)
+  }
+
+  test("out-of-range orientation normalizes to 1") {
+    val seg = Exif.app1(9, "CamCo", "Model X", "2026:01:02 03:04:05", 1, 1,
+      le = true)
+    assert(Exif.fromJpeg(Exif.spliceIntoJpeg(jpeg(), seg)).get.orientation == 1)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The relational HyperLogLog: build/merge/persist properties and the
+  * accuracy envelope across cardinalities (the published 1.04/sqrt(m)
+  * standard error, checked at 4 sigma).
+  */
+class HllSpec extends SparkSpec {
+
+  private def keys(n: Int, salt: String = "k") = {
+    import spark.implicits._
+    (0 until n).map(i => s"$salt-$i").toDF("key")
+  }
+
+  test("duplicates are invisible: sketch of 10x-duplicated keys is identical") {
+    import spark.implicits._
+    val once = Hll.build(keys(500), "key", p = 9)
+    val dup = Hll.build(
+      (0 until 5000).map(i => s"k-${i % 500}").toDF("key"), "key", p = 9)
+    assert(once.orderBy("reg").collect().toSeq ==
+      dup.orderBy("reg").collect().toSeq)
+  }
+
+  test("merge is register-wise max: union == sketch of concatenated keys") {
+    val a = keys(400, "a"); val b = keys(300, "b")
+    val merged = Hll.merge(Hll.build(a, "key", p = 9), Hll.build(b, "key", p = 9))
+    val direct = Hll.build(a.unionByName(b), "key", p = 9)
+    assert(merged.orderBy("reg").collect().toSeq ==
+      direct.orderBy("reg").collect().toSeq)
+    // idempotent: merging a sketch with itself changes nothing
+    val twice = Hll.merge(Hll.build(a, "key", p = 9), Hll.build(a, "key", p = 9))
+    assert(twice.orderBy("reg").collect().toSeq ==
+      Hll.build(a, "key", p = 9).orderBy("reg").collect().toSeq)
+  }
+
+  test("estimates land inside 4 sigma across three decades") {
+    for (n <- Seq(80, 1000, 20000)) {
+      val p = 11
+      val sigma = 1.04 / math.sqrt(1 << p)
+      val est = Hll.estimate(Hll.build(keys(n), "key", p), p)
+        .select("estimate").head().getDouble(0)
+      assert(math.abs(est - n) <= 4 * sigma * n + 3,
+        s"n=$n estimated $est (allowed ±${4 * sigma * n + 3})")
+    }
+  }
+
+  test("empty input estimates zero") {
+    import spark.implicits._
+    val empty = Seq.empty[String].toDF("key")
+    val r = Hll.estimate(Hll.build(empty, "key", p = 9), p = 9).head()
+    assert(r.getLong(0) == 0L)        // n_set
+    assert(r.getDouble(2) == 0.0)     // estimate (linear branch at V = m)
+  }
+
+  test("persisted lifecycle: append under frozen p, replay is a no-op") {
+    val path = java.nio.file.Files.createTempDirectory("hll_spec").toString
+    Hll.writeSketch(keys(300, "x"), "key", path, p = 9)
+    Hll.appendSketch(keys(200, "y"), "key", path)
+    val after = spark.read.parquet(s"$path/registers.parquet")
+      .orderBy("reg").collect().toSeq
+    // replayed append: byte-identical registers
+    Hll.appendSketch(keys(200, "y"), "key", path)
+    val replayed = spark.read.parquet(s"$path/registers.parquet")
+      .orderBy("reg").collect().toSeq
+    assert(after == replayed)
+    // and the merged sketch equals a fresh single-pass build
+    val direct = Hll.build(keys(300, "x").unionByName(keys(200, "y")), "key", p = 9)
+      .orderBy("reg").collect().toSeq
+    assert(after == direct)
+  }
+
+  test("build is one narrow aggregation: a single exchange, no join") {
+    val plan = Hll.build(keys(100), "key", p = 9).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Join"), "sketch build must not join")
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$plan")
+  }
+}

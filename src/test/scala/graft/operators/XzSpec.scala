@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** XZ codec pins: writer-twin roundtrips, CANONICAL xz-CLI interop
+  * (compressed LZMA2 chunks at several presets, all three check types,
+  * multi-block), and the malformed→None contract. The goldens exercise
+  * the full LZMA machine: literals, matched literals, new matches, all
+  * rep variants, direct bits + align on far distances.
+  */
+class XzSpec extends AnyFunSuite {
+
+  private def b64(s: String): Array[Byte] = java.util.Base64.getDecoder.decode(s)
+
+  private def roundtrip(parts: Seq[Array[Byte]]): Unit = {
+    val enc = Xz.render(parts)
+    val dec = Xz.decodeStream(enc, 0)
+    assert(dec.isDefined, s"decode failed for ${parts.map(_.length)} parts")
+    assert(dec.get.end == enc.length)
+    assert(dec.get.blocks.size == parts.size)
+    dec.get.blocks.zip(parts).foreach { case (b, p) =>
+      assert(java.util.Arrays.equals(b.data, p))
+      assert(b.uncompSize == p.length.toLong)
+    }
+    // the index extents tile the block region exactly: offset of block
+    // k+1 = offset of block k + padded(unpaddedSize)
+    dec.get.blocks.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a.offset + ((a.unpaddedSize + 3) / 4) * 4 == b.offset)
+      case _ => ()
+    }
+  }
+
+  test("writer-twin roundtrip: one block, many blocks, empty, chunk split") {
+    roundtrip(Seq("hello xz container".getBytes))
+    roundtrip(Seq.empty)
+    roundtrip(Seq(Array.emptyByteArray))
+    roundtrip((0 until 5).map(i => s"part $i ${"x" * (i * 37)}".getBytes))
+    // > 65536 forces multiple uncompressed chunks in one block
+    roundtrip(Seq(Array.tabulate[Byte](70000)(i => (i % 251).toByte)))
+  }
+
+  // xz -9 (CRC64 default): t1 = "XZ golden one: " + "spark shuffle partition "*20 + "end.\n"
+  private val Golden1Text =
+    "XZ golden one: " + "spark shuffle partition " * 20 + "end.\n"
+  private val Golden1 = b64(
+    "/Td6WFoAAATm1rRGAgAhARwAAAAQz1jM4AHzADJdACwWgAVx+K9PbihIdLwQocO4/XZACFOME6Ns" +
+    "B01bebi5bFsiG7+2+Ov9GXhWy6zLA4AAAAAAW19aMg831T8AAU70AwAAALLmBlmxxGf7AgAAAAAE" +
+    "WVo=")
+
+  // xz -0 --check=crc32: t2 = bytes(0..255)*2 + 50 NULs + "tail two"
+  private val Golden2 = b64(
+    "/Td6WFoAAAFpIt42AgAhAQwAAACPmEGc4AI5APddAAAAUlAKhPmbsoAhqWnWJ+A+BlpfBI1T1AS6" +
+    "OVcFCcFVJN6duHFZMWChn/lvSXPyyOqMuhqLKWkhgP4zg2avRm3snomKC4PwPA6Jjj/tX+eekNkc" +
+    "/zL0suA5UbLSFBW0xXG62wbjeZqfuzjBsACskwuqBhkDEggVW5vISPAyLv4toIfI8KTg0lHrjWdW" +
+    "krJNhMXxhjHfamJbwnkt2fc8c7p0dAfYPKlWIiShZvhahF8wZ9L2S0kufyDr2/gQDpR4d8c/a++0" +
+    "zZXib/ZEbgbPC4Iay9t68FeNmP+QwD7mwRJBde4DKJbrE/oMqOC2SnjFC0CQ1AiklwAAAB8/TZMA" +
+    "AY8CugQAAJIntSM+MA2LAgAAAAABWVo=")
+
+  // xz -6 --check=sha256: t3 = "sha-checked stream "*11 + "!"
+  private val Golden3Text = "sha-checked stream " * 11 + "!"
+  private val Golden3 = b64(
+    "/Td6WFoAAArh+wyhAgAhARYAAAB0L+Wj4ADRABtdADmaCEMcTfKZr6UN/+Xg89uqG05OjTWQ95aA" +
+    "AAAA+J0B4m3OioVa5TMKq4GDtGLeIX1Lt7hRcghvL2ggoWUAAU/SAQAAADgn0na26d8cAgAAAAAK" +
+    "WVo=")
+
+  // xz -1 --block-size=256: t4 = "multi block corpus line\n"*40 → 4 blocks
+  private val Golden4Text = "multi block corpus line\n" * 40
+  private val Golden4 = b64(
+    "/Td6WFoAAATm1rRGAgAhARAAAACocI6G4AD/AB9dADadSb0C+HT9Mwy1q7TaRB5lcD1GynOQBrGq" +
+    "P9ACQAAAAPys5WRSaWHQAgAhARAAAACocI6G4AD/AB9dADqcwAXB4BYyFHAsZGiz5oqWtJ9zMNEC" +
+    "TT7JafNyEAAAAJWIXvkpPIYlAgAhARAAAACocI6G4AD/AB9dADeYybLriZvktnTTerMUar3P7o1X" +
+    "th9L9K5rI/5VwAAAAA2EqQwK0mCWAgAhARAAAACocI6G4AC/AB9dADadSb0C+HT9Mwy1q7TaRB5l" +
+    "cD1GynOQBrGmGfgCQAAAAOUCpIf++gG8AAQ7gAI7gAI7gAI7wAEAAEwOx7GsJz4tBAAAAAAEWVo=")
+
+  test("canonical xz goldens decode byte-exactly (CRC64, CRC32, SHA-256)") {
+    val d1 = Xz.decodeStream(Golden1, 0).get
+    assert(d1.end == Golden1.length && d1.blocks.size == 1)
+    assert(new String(d1.blocks.head.data, "US-ASCII") == Golden1Text)
+
+    val d2 = Xz.decodeStream(Golden2, 0).get
+    val t2 = Array.tabulate[Byte](512)(i => (i % 256).toByte) ++
+      Array.fill[Byte](50)(0) ++ "tail two".getBytes("US-ASCII")
+    assert(d2.end == Golden2.length)
+    assert(java.util.Arrays.equals(d2.blocks.head.data, t2))
+
+    val d3 = Xz.decodeStream(Golden3, 0).get
+    assert(new String(d3.blocks.head.data, "US-ASCII") == Golden3Text)
+  }
+
+  test("canonical multi-block golden: four blocks, index extents verified") {
+    val d = Xz.decodeStream(Golden4, 0).get
+    assert(d.end == Golden4.length)
+    assert(d.blocks.size == 4)
+    val whole = d.blocks.flatMap(_.data.toSeq)
+    assert(new String(whole.toArray, "US-ASCII") == Golden4Text)
+    // 256-byte block target: first three carry 264 bytes (11 lines), the
+    // remainder rides the last block — whatever the split, extents tile
+    d.blocks.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a.offset + ((a.unpaddedSize + 3) / 4) * 4 == b.offset)
+      case _ => ()
+    }
+  }
+
+  test("malformed: truncation and corruption → None, never a throw") {
+    assert(Xz.decodeStream("garbage not xz".getBytes, 0).isEmpty)
+    (0 until Golden1.length).foreach { n =>
+      assert(Xz.decodeStream(java.util.Arrays.copyOf(Golden1, n), 0).isEmpty,
+        s"truncated at $n must not decode")
+    }
+    (12 until Golden1.length).foreach { i =>
+      val bad = Golden1.clone()
+      bad(i) = (bad(i) ^ 0x20).toByte
+      Xz.decodeStream(bad, 0) match {
+        case None => ()
+        case Some(d) =>
+          assert(new String(d.blocks.flatMap(_.data.toSeq).toArray,
+            "US-ASCII") == Golden1Text, s"bit flip at $i decoded to WRONG data")
+      }
+    }
+  }
+
+  test("crc64 kernel matches the ECMA-182 check value") {
+    // CRC-64/XZ of "123456789" is 0x995DC9BBDF1939FA
+    assert(Xz.crc64("123456789".getBytes("US-ASCII"), 0, 9) ==
+      0x995DC9BBDF1939FAL)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.Xz
+
+/** The xz door: index listing fast path == decoded truth, concatenated
+  * streams walk, and DSv2 column pruning takes the no-decode path.
+  */
+class XzShardsSpec extends SparkSpec {
+
+  private def parts(n: Int): Seq[Array[Byte]] =
+    (0 until n).map(i => (s"member $i " + "pad" * (i % 7)).getBytes("UTF-8"))
+
+  test("listing fast path equals the decoded walk's extents") {
+    val bytes = Xz.render(parts(9))
+    val listed = XzShards.listBlocks(bytes).get
+    val decoded = XzShards.parseFile("f", bytes, withData = true).toSeq
+    assert(listed.size == decoded.size)
+    listed.zip(decoded).foreach { case ((off, up, un), m) =>
+      assert(off == m.offset && up == m.unpaddedSize && un == m.size)
+      assert(m.data != null)
+    }
+    // fast path emits no payloads
+    val fast = XzShards.parseFile("f", bytes, withData = false).toSeq
+    assert(fast.forall(_.data == null))
+    assert(fast.map(m => (m.offset, m.unpaddedSize, m.size)) ==
+      decoded.map(m => (m.offset, m.unpaddedSize, m.size)))
+  }
+
+  test("concatenated streams (multistream xz) walk sequentially") {
+    val a = Xz.render(parts(2))
+    val b = Xz.render(Seq("second stream".getBytes))
+    // with 4-byte stream padding between them
+    val bytes = a ++ Array.fill[Byte](4)(0) ++ b
+    val ms = XzShards.parseFile("f", bytes).toSeq
+    assert(ms.map(_.stream) == Seq(0, 0, 1))
+    assert(new String(ms.last.data, "UTF-8") == "second stream")
+    // the listing fast path refuses multistream (falls back to decode)
+    assert(XzShards.listBlocks(bytes).isEmpty)
+  }
+
+  test("a corrupt tail stops the walk clean with the good prefix") {
+    val good = Xz.render(parts(3))
+    val bytes = good ++ "trailing garbage".getBytes
+    val ms = XzShards.parseFile("f", bytes).toSeq
+    assert(ms.size == 3)
+  }
+
+  test("DSv2: full read decodes; pruned listing matches") {
+    val f = java.io.File.createTempFile("xzshard", ".xz")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, Xz.render(parts(6)))
+    val df = XzShards.read(spark, f.getAbsolutePath)
+    val full = df.selectExpr("block", "offset", "size",
+      "cast(data as string) as text").orderBy("block").collect()
+    assert(full.length == 6)
+    full.zip(parts(6)).foreach { case (r, p) =>
+      assert(r.getString(3) == new String(p, "UTF-8"))
+    }
+    val listed = df.selectExpr("block", "offset", "size")
+      .orderBy("block").collect()
+    assert(listed.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
+      full.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+}
