@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** robots.txt (RFC 9309) rule extraction — the crawl POLITENESS screen, the
@@ -78,13 +78,19 @@ object Robots {
     else last.isEmpty || path.indexOf(last, i) >= 0
   }
 
-  private def rules(content: String, agent: String,
-                    keepWildcards: Boolean): Seq[(Boolean, String)] = {
+  private final class Group {
+    val agents = new scala.collection.mutable.ArrayBuffer[String]()
+    val rules = new scala.collection.mutable.ArrayBuffer[(Boolean, String)]()
+    var delayMs: Long = -1L // first valid Crawl-delay of the group
+  }
+
+  /** The group selected for `agent` (specific beats `*`, groups are
+    * exclusive per RFC 9309 §2.2.1), or None.
+    */
+  private def selectedGroup(content: String, agent: String,
+                            keepWildcards: Boolean): Option[Group] = {
     val want = agent.toLowerCase(java.util.Locale.ROOT)
-    // groups: (agent tokens, rules)
-    val groups = new scala.collection.mutable.ArrayBuffer[
-      (scala.collection.mutable.ArrayBuffer[String],
-       scala.collection.mutable.ArrayBuffer[(Boolean, String)])]()
+    val groups = new scala.collection.mutable.ArrayBuffer[Group]()
     var inHeader = false
     for (raw <- content.linesIterator) {
       val line = {
@@ -98,23 +104,44 @@ object Robots {
         key match {
           case "user-agent" =>
             if (!inHeader || groups.isEmpty) {
-              groups += ((new scala.collection.mutable.ArrayBuffer[String](),
-                new scala.collection.mutable.ArrayBuffer[(Boolean, String)]()))
+              groups += new Group
               inHeader = true
             }
-            groups.last._1 += value.toLowerCase(java.util.Locale.ROOT)
+            groups.last.agents += value.toLowerCase(java.util.Locale.ROOT)
           case "allow" | "disallow" =>
             inHeader = false
             if (groups.nonEmpty && value.nonEmpty &&
                 (keepWildcards || (!value.contains('*') && !value.contains('$'))))
-              groups.last._2 += ((key == "allow", value))
-          case _ => inHeader = false // Crawl-delay, Sitemap, unknown keys
+              groups.last.rules += ((key == "allow", value))
+          case "crawl-delay" =>
+            // non-standard but ubiquitous; group-scoped like Allow.
+            // Fractional seconds accepted; a malformed value is ignored
+            inHeader = false
+            if (groups.nonEmpty && groups.last.delayMs < 0)
+              value.toDoubleOption.filter(d => d >= 0 && d <= 3600)
+                .foreach(d => groups.last.delayMs = math.round(d * 1000))
+          case _ => inHeader = false // Sitemap, unknown keys
         }
       }
     }
-    groups.find(_._1.contains(want)).orElse(groups.find(_._1.contains("*")))
-      .map(_._2.toSeq).getOrElse(Seq.empty)
+    groups.find(_.agents.contains(want))
+      .orElse(groups.find(_.agents.contains("*")))
   }
+
+  private def rules(content: String, agent: String,
+                    keepWildcards: Boolean): Seq[(Boolean, String)] =
+    selectedGroup(content, agent, keepWildcards)
+      .map(_.rules.toSeq).getOrElse(Seq.empty)
+
+  /** The SELECTED group's `Crawl-delay`, in milliseconds; -1 when the
+    * group has none (group exclusivity applies — a delay in the `*`
+    * group does NOT reach an agent with its own group). The per-host
+    * politeness dimension [[graft.operators.Politeness.schedule]]
+    * consumes this.
+    */
+  def crawlDelayMs(content: String, agent: String): Long =
+    selectedGroup(content, agent, keepWildcards = true)
+      .map(_.delayMs).getOrElse(-1L)
 
   /** `Sitemap:` directives of a robots.txt (RFC 9309 §2.3 allows them
     * anywhere — they are GROUP-INDEPENDENT, unlike Allow/Disallow, so
@@ -158,6 +185,40 @@ object Robots {
 
   def matchesUtf8(pattern: UTF8String, path: UTF8String): Boolean =
     matches(pattern.toString, path.toString)
+
+  def crawlDelayMsUtf8(content: UTF8String, agent: UTF8String): Long =
+    crawlDelayMs(content.toString, agent.toString)
+}
+
+/** `graft_robots_crawl_delay(content, agent) -> bigint` — the selected
+  * group's Crawl-delay in milliseconds, -1 when absent (see
+  * [[Robots.crawlDelayMs]]); the robots-derived input of the per-host
+  * politeness dimension.
+  */
+case class GraftRobotsCrawlDelay(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_robots_crawl_delay requires (string, string), got $other")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_robots_crawl_delay"
+
+  override def nullSafeEval(content: Any, agent: Any): Any =
+    Robots.crawlDelayMsUtf8(content.asInstanceOf[UTF8String],
+      agent.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (c, a) => s"graft.functions.Robots.crawlDelayMsUtf8($c, $a)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_robots_wild_rules(content, agent)

@@ -373,38 +373,35 @@ object Dedup {
       .agg(expr("transform(sort_array(collect_list(struct(df, tok))), s -> s.tok)").as("ts"))
       .withColumn("n", size(col("ts")))
       .withColumn("plen", col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
-    // candidate generation is a STREAMING tok-keyed self-join with the
-    // published PPJoin filters (Xiao et al. 2008) pushed into it — both
-    // are necessary conditions for J >= t, so the verified output is
-    // unchanged while the candidate volume (and the join's output metric
-    // the budget audit reads) shrinks:
+    // candidate generation: ONE gather shuffle per prefix token (the
+    // lshCandidates/simHashPairs bucket-gather shape — O(bucket) peak
+    // memory via the nested generators), with the published PPJoin
+    // filters (Xiao et al. 2008) applied PER GENERATED PAIR, before the
+    // dedup shuffle ever sees a candidate:
     //   length filter:     min(|a|,|b|) >= ceil(t * max(|a|,|b|))
     //   positional filter: 1 + min(|a|-pa-1, |b|-pb-1) >= ceil(t/(1+t)
     //                      * (|a|+|b|)) at the shared prefix element's
     //                      0-based sorted positions (valid for ANY shared
     //                      occurrence — verify keeps exactness either way)
-    // The earlier shape (collect_list per bucket + pair expansion)
-    // materialized bucket-quadratic arrays BEFORE any filter could run;
-    // the sf1 budget smoke caught it (PROFILES.md round 12).
+    // Both are necessary conditions for J >= t, so the verified output
+    // is unchanged; the unfiltered bucket-quadratic candidate stream the
+    // sf1 budget smoke caught (PROFILES.md round 12) is gone.
     val pref = docArr.select(col("id"), col("n"),
       posexplode(expr("slice(ts, 1, plen)")).as(Seq("p", "tok")))
     // guard only when the caller opted in — the exact default runs no
     // count/anti-join pass at all
     val cool = if (maxBucketSize == Int.MaxValue) pref
                else dropHotBuckets(pref, Seq("tok"), maxBucketSize)
-    val left = cool.select(col("tok"), col("id").as("a_id"),
-      col("n").as("na"), col("p").as("pa"))
-    val right = cool.select(col("tok"), col("id").as("b_id"),
-      col("n").as("nb"), col("p").as("pb"))
-    val minOverlap = ceil(lit(threshold / (1 + threshold)) *
-      (col("na") + col("nb")))
-    val cands = left.join(right,
-        left("tok") === right("tok") && col("a_id") < col("b_id") &&
-        least(col("na"), col("nb")) >=
-          ceil(lit(threshold) * greatest(col("na"), col("nb"))) &&
-        lit(1) + least(col("na") - col("pa") - 1, col("nb") - col("pb") - 1) >=
-          minOverlap)
-      .select("a_id", "b_id")
+    val tFrac = threshold / (1 + threshold)
+    val cands = cool.groupBy("tok")
+      .agg(sort_array(collect_list(struct(col("id"), col("n"), col("p"))))
+        .as("xs"))
+      .where(size(col("xs")) >= 2)
+      .select(col("xs"), posexplode(col("xs")).as(Seq("i", "x")))
+      .select(col("x"), explode(expr("slice(xs, i + 2, size(xs))")).as("y"))
+      .where(expr(s"least(x.n, y.n) >= ceil($threshold * greatest(x.n, y.n))") &&
+        expr(s"1 + least(x.n - x.p - 1, y.n - y.p - 1) >= ceil($tFrac * (x.n + y.n))"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .distinct()
       .cache() // consumed twice: id-prune + verify join; pin rationale at
                // the minHashDupPairs candidate cache (same decision)

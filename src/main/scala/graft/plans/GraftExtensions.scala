@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftBpeEncode, GraftCanonUrl, GraftCdcChunks, GraftExtractAnchors, GraftExtractLinks, GraftExtractText, GraftFeedEntries, GraftLshBuckets, GraftLutSum, GraftMinHash, GraftNormalize, GraftPageDirectives, GraftRobotsMatch, GraftRobotsRules, GraftRobotsSitemaps, GraftRobotsWildRules, GraftSimHash, GraftSimHashMd5, GraftSitemapEntries, GraftWinnow, GraftWinnowMd5}
+import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftBpeEncode, GraftCanonUrl, GraftCdcChunks, GraftExtractAnchors, GraftExtractLinks, GraftExtractText, GraftFeedEntries, GraftLshBuckets, GraftLutSum, GraftMinHash, GraftNormalize, GraftPageDirectives, GraftRobotsCrawlDelay, GraftRobotsMatch, GraftRobotsRules, GraftRobotsSitemaps, GraftRobotsWildRules, GraftSimHash, GraftSimHashMd5, GraftSitemapEntries, GraftWinnow, GraftWinnowMd5}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (see [[graft.GraftSession]]): injects the engine's native expressions
@@ -101,6 +101,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_robots_match"),
       new ExpressionInfo(classOf[GraftRobotsMatch].getName, "graft_robots_match"),
       (children: Seq[Expression]) => GraftRobotsMatch(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_robots_crawl_delay"),
+      new ExpressionInfo(classOf[GraftRobotsCrawlDelay].getName, "graft_robots_crawl_delay"),
+      (children: Seq[Expression]) => GraftRobotsCrawlDelay(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_robots_sitemaps"),
       new ExpressionInfo(classOf[GraftRobotsSitemaps].getName, "graft_robots_sitemaps"),

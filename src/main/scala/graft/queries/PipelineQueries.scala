@@ -1968,6 +1968,42 @@ object PipelineQueries extends QuerySet {
         .select(col("n_set"), col("s2"), col("estimate"))
     }),
 
+    // Crawl-delay closes the robots→politeness chain: the delay
+    // dimension q194 took as input is now PARSED from robots bodies —
+    // group-scoped like Allow (exclusivity: a delay in the `*` group
+    // does NOT reach an agent with its own group), fractional seconds,
+    // first-valid-wins, malformed values ignored. Eight hosts, one
+    // parsing rule each; four resolve to robots delays, four fall to
+    // the default — and the schedule replays end to end.
+    "q205_robots_delay_schedule" -> ((s, dir) => {
+      import s.implicits._
+      def robots(h: Int): String = h match {
+        case 0 => "User-agent: graftbot\nDisallow: /x/\nCrawl-delay: 2\n"
+        case 1 => "User-agent: *\nCrawl-delay: 0.5\nDisallow: /y/\n"
+        case 2 => "User-agent: graftbot\nDisallow: /a/\n\n" +
+          "User-agent: *\nCrawl-delay: 3\n" // exclusivity: not graftbot's
+        case 3 => "Sitemap: https://h3.test/s.xml\n" // no groups at all
+        case 4 => "User-agent: evilbot\nCrawl-delay: 10\nDisallow: /\n"
+        case 5 => "User-agent: *\nCrawl-delay: fast\nDisallow: /m/\n"
+        case 6 => "User-agent: graftbot\nUser-agent: otherbot\n" +
+          "Crawl-delay: 1.25\nDisallow: /z/\n"
+        case _ => "User-agent: *\nCrawl-delay: 4\nCrawl-delay: 9\n"
+      }
+      val delays = (0 until 8).map(h => (s"h$h.test", robots(h)))
+        .toDF("host", "robots")
+        .select(col("host"),
+          expr("graft_robots_crawl_delay(robots, 'graftbot')").as("delay_ms"))
+        .where(col("delay_ms") >= 0)
+      val urls = (0 until 24).map { j =>
+        (s"https://h${j % 8}.test/p/$j", s"h${j % 8}.test", (j * 7) % 24)
+      }.toDF("url", "host", "priority")
+      graft.operators.Politeness.schedule(urls, "host", "url", "priority",
+          delays, defaultDelayMs = 1000L, nWorkers = 4)
+        .select(col("url"), col("host"), col("worker"), col("seq"),
+          col("delay_ms"), col("fetch_at_ms"))
+        .orderBy("host", "seq")
+    }),
+
     // RFC 9309 wildcard rules — the grammar most real robots.txt files
     // actually use (q151's literal-prefix surface skips them, erring
     // toward fetching): `*` matches any byte run, trailing `$` anchors
@@ -3417,6 +3453,28 @@ object PipelineQueries extends QuerySet {
     // audio packet, +1 per >255-byte packet on the spanning clips),
     // packet counts from the codec's header-packet count, and the audio
     // signature as md5 over the concatenated ASCII packet formulas
+    // robots-derived delays: the four parsed values enumerated (2s,
+    // 0.5s, 1.25s shared-group, 4s first-wins), the four default cases
+    // (exclusivity, no groups, wrong agent, malformed) at 1000; then the
+    // q194 schedule replay over them
+    "q205_robots_delay_schedule" ->
+      """WITH u AS (SELECT unnest(generate_series(0, 23)) AS j),
+        |f AS (SELECT 'https://h' || (j % 8) || '.test/p/' || j AS url,
+        |  'h' || (j % 8) || '.test' AS host,
+        |  CAST((j * 7) % 24 AS INT) AS priority FROM u),
+        |del AS (SELECT * FROM (VALUES
+        |  ('h0.test', CAST(2000 AS BIGINT)),
+        |  ('h1.test', CAST(500 AS BIGINT)),
+        |  ('h6.test', CAST(1250 AS BIGINT)),
+        |  ('h7.test', CAST(4000 AS BIGINT))) AS d(host, delay_ms)),
+        |s AS (SELECT f.url, f.host, COALESCE(del.delay_ms, 1000) AS delay_ms,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY f.host
+        |    ORDER BY f.priority DESC, f.url) - 1 AS INT) AS seq
+        |  FROM f LEFT JOIN del USING (host))
+        |SELECT url, host,
+        |  CAST(('0x' || substr(md5(host), 1, 13))::BIGINT % 4 AS INT) AS worker,
+        |  seq, delay_ms, CAST(seq AS BIGINT) * delay_ms AS fetch_at_ms
+        |FROM s ORDER BY host, seq""".stripMargin,
     // the wildcard decision matrix, every outcome enumerated (the q129
     // precedence-matrix pattern): rule_len pins WHICH rule won, not just
     // the boolean

@@ -46,9 +46,21 @@ class XzShardTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"xzshard:$path"
   override def schema(): StructType = XzShardDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new XzShardScanBuilder(path)
+}
+
+/** Arriving `.xz` shards become micro-batches — the tar/zip streaming
+  * parity; see [[FileSetMicroBatchStream]].
+  */
+class XzShardMicroBatchStream(path: String, required: StructType,
+                              conf: SerializableHadoopConf)
+    extends FileSetMicroBatchStream(path, conf) {
+  override protected def partitionFor(file: String): InputPartition =
+    XzShardInputPartition(file)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new XzShardReaderFactory(required, conf)
 }
 
 class XzShardScanBuilder(path: String) extends ScanBuilder
@@ -80,6 +92,9 @@ class XzShardScan(path: String, required: StructType) extends Scan with Batch {
 
   override def createReaderFactory(): PartitionReaderFactory =
     new XzShardReaderFactory(required, serConf)
+
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new XzShardMicroBatchStream(path, required, serConf)
 }
 
 case class XzShardInputPartition(file: String) extends InputPartition

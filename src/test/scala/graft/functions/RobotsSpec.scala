@@ -115,4 +115,30 @@ class RobotsSpec extends SparkSpec {
     assert(Robots.wildRules(txt, "bot") ==
       Seq((false, "/w/*"), (true, "/lit")))
   }
+
+  test("crawl-delay: group-scoped, exclusive, fractional, first-wins") {
+    import Robots.crawlDelayMs
+    assert(crawlDelayMs("User-agent: bot\nCrawl-delay: 2\n", "bot") == 2000L)
+    assert(crawlDelayMs("User-agent: *\nCrawl-delay: 0.5\n", "bot") == 500L)
+    // exclusivity: the * group's delay does NOT reach an agent with its
+    // own group
+    assert(crawlDelayMs(
+      "User-agent: bot\nDisallow: /a\n\nUser-agent: *\nCrawl-delay: 3\n",
+      "bot") == -1L)
+    assert(crawlDelayMs("no groups", "bot") == -1L)
+    assert(crawlDelayMs("User-agent: other\nCrawl-delay: 9\n", "bot") == -1L)
+    // malformed / out-of-range values ignored
+    assert(crawlDelayMs("User-agent: *\nCrawl-delay: fast\n", "bot") == -1L)
+    assert(crawlDelayMs("User-agent: *\nCrawl-delay: -2\n", "bot") == -1L)
+    assert(crawlDelayMs("User-agent: *\nCrawl-delay: 999999\n", "bot") == -1L)
+    // first valid value of the group wins; delay before any group ignored
+    assert(crawlDelayMs(
+      "User-agent: *\nCrawl-delay: 4\nCrawl-delay: 9\n", "bot") == 4000L)
+    assert(crawlDelayMs("Crawl-delay: 7\nUser-agent: *\nDisallow: /x\n",
+      "bot") == -1L)
+    // shared group: both agents read the same delay
+    val shared = "User-agent: a\nUser-agent: b\nCrawl-delay: 1.25\n"
+    assert(crawlDelayMs(shared, "a") == 1250L)
+    assert(crawlDelayMs(shared, "b") == 1250L)
+  }
 }
