@@ -1,0 +1,289 @@
+package graft.operators
+
+/** `tf.Example` protobuf wire codec — dependency-free, the payload layer
+  * of the TFRecord door ([[graft.sources.TfRecords]]). The message
+  * shapes are the public tensorflow `example.proto` / `feature.proto`:
+  *
+  * ```
+  * Example  { Features features = 1; }
+  * Features { map<string, Feature> feature = 1; }   // repeated entries
+  * Feature  { oneof { BytesList bytes_list = 1;
+  *                    FloatList float_list = 2;
+  *                    Int64List int64_list = 3; } }
+  * BytesList { repeated bytes value = 1; }
+  * FloatList { repeated float value = 1 [packed]; }
+  * Int64List { repeated int64 value = 1 [packed]; }
+  * ```
+  *
+  * The decoder implements the protobuf wire grammar (varint / 64-bit /
+  * length-delimited / 32-bit field types, unknown fields skipped,
+  * packed AND unpacked repeated scalars) — malformed anywhere → None,
+  * never a throw. The encoder is the writer twin: deterministic
+  * (features sorted by name, packed scalars), so fixture bytes are pure
+  * functions of the feature values and every nested length is
+  * arithmetically derivable (the stored-deflate device for protobuf).
+  */
+object TfExample {
+
+  /** One decoded example: per feature name, exactly one of the three
+    * typed lists is non-empty.
+    */
+  final case class Example(features: Map[String, FeatureValue])
+  final case class FeatureValue(bytes: Seq[Array[Byte]], floats: Seq[Float],
+                                longs: Seq[Long])
+
+  // ---------------------------------------------------------------------
+  // wire reader
+
+  private final class Rd(b: Array[Byte], var pos: Int, val end: Int) {
+    var failed = false
+    def varint(): Long = {
+      var v = 0L
+      var shift = 0
+      while (shift < 64) {
+        if (pos >= end) { failed = true; return 0L }
+        val byte = b(pos) & 0xff
+        pos += 1
+        v |= (byte & 0x7fL) << shift
+        if ((byte & 0x80) == 0) return v
+        shift += 7
+      }
+      failed = true; 0L
+    }
+    def fixed32(): Int = {
+      if (pos + 4 > end) { failed = true; return 0 }
+      val v = (b(pos) & 0xff) | ((b(pos + 1) & 0xff) << 8) |
+        ((b(pos + 2) & 0xff) << 16) | ((b(pos + 3) & 0xff) << 24)
+      pos += 4
+      v
+    }
+    def fixed64(): Long = {
+      if (pos + 8 > end) { failed = true; return 0L }
+      var v = 0L
+      var k = 7
+      while (k >= 0) { v = (v << 8) | (b(pos + k) & 0xffL); k -= 1 }
+      pos += 8
+      v
+    }
+    /** Returns (fieldNo, wireType) or null at end-of-message. */
+    def tag(): (Int, Int) = {
+      if (pos >= end) return null
+      val t = varint()
+      if (failed || t < 0 || t > Int.MaxValue) { failed = true; return null }
+      ((t >>> 3).toInt, (t & 7).toInt)
+    }
+    /** Length-delimited sub-region; caller reads within [from, to). */
+    def lenDelim(): (Int, Int) = {
+      val n = varint()
+      if (failed || n < 0 || pos + n > end) { failed = true; return null }
+      val r = (pos, (pos + n).toInt)
+      pos = (pos + n).toInt
+      r
+    }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => varint()
+      case 1 => fixed64()
+      case 2 => lenDelim()
+      case 5 => fixed32()
+      case _ => failed = true
+    }
+  }
+
+  private def decodeScalarList(b: Array[Byte], from: Int, until: Int,
+                               wire: Int): Option[FeatureValue] = {
+    // BytesList/FloatList/Int64List body: field 1, packed or not
+    val bytesOut = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val floatOut = scala.collection.mutable.ArrayBuffer.empty[Float]
+    val longOut = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val rd = new Rd(b, from, until)
+    var t = rd.tag()
+    while (t != null) {
+      if (rd.failed) return None
+      (t._1, t._2, wire) match {
+        case (1, 2, 1) => // bytes value
+          val r = rd.lenDelim()
+          if (rd.failed) return None
+          bytesOut += java.util.Arrays.copyOfRange(b, r._1, r._2)
+        case (1, 2, 5) => // packed floats
+          val r = rd.lenDelim()
+          if (rd.failed || (r._2 - r._1) % 4 != 0) return None
+          var p = r._1
+          while (p < r._2) {
+            floatOut += java.lang.Float.intBitsToFloat(
+              (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
+              ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24))
+            p += 4
+          }
+        case (1, 5, 5) => // unpacked float
+          floatOut += java.lang.Float.intBitsToFloat(rd.fixed32())
+          if (rd.failed) return None
+        case (1, 2, 0) => // packed int64s
+          val r = rd.lenDelim()
+          if (rd.failed) return None
+          val inner = new Rd(b, r._1, r._2)
+          while (inner.pos < inner.end) {
+            longOut += inner.varint()
+            if (inner.failed) return None
+          }
+        case (1, 0, 0) => // unpacked int64
+          longOut += rd.varint()
+          if (rd.failed) return None
+        case _ => rd.skip(t._2); if (rd.failed) return None
+      }
+      t = rd.tag()
+    }
+    if (rd.failed) return None
+    Some(FeatureValue(bytesOut.toSeq, floatOut.toSeq, longOut.toSeq))
+  }
+
+  private def decodeFeature(b: Array[Byte], from: Int, until: Int): Option[FeatureValue] = {
+    val rd = new Rd(b, from, until)
+    var out: Option[FeatureValue] = Some(FeatureValue(Nil, Nil, Nil))
+    var t = rd.tag()
+    while (t != null) {
+      if (rd.failed) return None
+      t match {
+        case (1, 2) => // bytes_list
+          val r = rd.lenDelim()
+          if (rd.failed) return None
+          out = decodeScalarList(b, r._1, r._2, 1)
+        case (2, 2) => // float_list
+          val r = rd.lenDelim()
+          if (rd.failed) return None
+          out = decodeScalarList(b, r._1, r._2, 5)
+        case (3, 2) => // int64_list
+          val r = rd.lenDelim()
+          if (rd.failed) return None
+          out = decodeScalarList(b, r._1, r._2, 0)
+        case (_, w) => rd.skip(w); if (rd.failed) return None
+      }
+      if (out.isEmpty) return None
+      t = rd.tag()
+    }
+    if (rd.failed) None else out
+  }
+
+  /** Decode one tf.Example message. None on any malformed condition. */
+  def decode(bytes: Array[Byte]): Option[Example] = {
+    if (bytes == null) return None
+    val feats = scala.collection.mutable.LinkedHashMap.empty[String, FeatureValue]
+    val rd = new Rd(bytes, 0, bytes.length)
+    var t = rd.tag()
+    while (t != null) {
+      if (rd.failed) return None
+      t match {
+        case (1, 2) => // Features
+          val fr = rd.lenDelim()
+          if (rd.failed) return None
+          val frd = new Rd(bytes, fr._1, fr._2)
+          var ft = frd.tag()
+          while (ft != null) {
+            if (frd.failed) return None
+            ft match {
+              case (1, 2) => // one map entry
+                val er = frd.lenDelim()
+                if (frd.failed) return None
+                val erd = new Rd(bytes, er._1, er._2)
+                var key: String = null
+                var value: FeatureValue = null
+                var et = erd.tag()
+                while (et != null) {
+                  if (erd.failed) return None
+                  et match {
+                    case (1, 2) =>
+                      val kr = erd.lenDelim()
+                      if (erd.failed) return None
+                      key = new String(bytes, kr._1, kr._2 - kr._1, "UTF-8")
+                    case (2, 2) =>
+                      val vr = erd.lenDelim()
+                      if (erd.failed) return None
+                      value = decodeFeature(bytes, vr._1, vr._2).getOrElse(return None)
+                    case (_, w) => erd.skip(w); if (erd.failed) return None
+                  }
+                  et = erd.tag()
+                }
+                if (erd.failed || key == null) return None
+                feats(key) = if (value == null) FeatureValue(Nil, Nil, Nil) else value
+              case (_, w) => frd.skip(w); if (frd.failed) return None
+            }
+            ft = frd.tag()
+          }
+          if (frd.failed) return None
+        case (_, w) => rd.skip(w); if (rd.failed) return None
+      }
+      t = rd.tag()
+    }
+    if (rd.failed) None else Some(Example(feats.toMap))
+  }
+
+  // ---------------------------------------------------------------------
+  // writer twin (deterministic: features sorted by name, packed scalars)
+
+  private def wVarint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  /** Serialized varint length — for the oracle's size arithmetic. */
+  def varintLen(v: Long): Int = {
+    var n = 1
+    var x = v
+    while ((x & ~0x7fL) != 0) { n += 1; x >>>= 7 }
+    n
+  }
+
+  private def lenDelim(out: java.io.ByteArrayOutputStream, field: Int,
+                       body: Array[Byte]): Unit = {
+    wVarint(out, (field.toLong << 3) | 2)
+    wVarint(out, body.length.toLong)
+    out.write(body)
+  }
+
+  private def featureBytes(v: FeatureValue): Array[Byte] = {
+    val list = new java.io.ByteArrayOutputStream()
+    if (v.bytes.nonEmpty) {
+      v.bytes.foreach(b => lenDelim(list, 1, b))
+      val f = new java.io.ByteArrayOutputStream()
+      lenDelim(f, 1, list.toByteArray)
+      f.toByteArray
+    } else if (v.floats.nonEmpty) {
+      val packed = new java.io.ByteArrayOutputStream()
+      v.floats.foreach { fl =>
+        val bits = java.lang.Float.floatToIntBits(fl)
+        packed.write(bits & 0xff); packed.write((bits >> 8) & 0xff)
+        packed.write((bits >> 16) & 0xff); packed.write((bits >> 24) & 0xff)
+      }
+      lenDelim(list, 1, packed.toByteArray)
+      val f = new java.io.ByteArrayOutputStream()
+      lenDelim(f, 2, list.toByteArray)
+      f.toByteArray
+    } else {
+      val packed = new java.io.ByteArrayOutputStream()
+      v.longs.foreach(wVarint(packed, _))
+      lenDelim(list, 1, packed.toByteArray)
+      val f = new java.io.ByteArrayOutputStream()
+      lenDelim(f, 3, list.toByteArray)
+      f.toByteArray
+    }
+  }
+
+  /** Encode an example (writer twin + sink payload builder). */
+  def encode(features: Seq[(String, FeatureValue)]): Array[Byte] = {
+    val entries = new java.io.ByteArrayOutputStream()
+    features.sortBy(_._1).foreach { case (name, v) =>
+      val entry = new java.io.ByteArrayOutputStream()
+      lenDelim(entry, 1, name.getBytes("UTF-8"))
+      lenDelim(entry, 2, featureBytes(v))
+      lenDelim(entries, 1, entry.toByteArray)
+    }
+    val ex = new java.io.ByteArrayOutputStream()
+    lenDelim(ex, 1, entries.toByteArray)
+    ex.toByteArray
+  }
+
+  def text(s: String): FeatureValue =
+    FeatureValue(Seq(s.getBytes("UTF-8")), Nil, Nil)
+  def floats(fs: Seq[Float]): FeatureValue = FeatureValue(Nil, fs, Nil)
+  def longs(ls: Seq[Long]): FeatureValue = FeatureValue(Nil, Nil, ls)
+}

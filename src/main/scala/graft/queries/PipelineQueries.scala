@@ -1968,6 +1968,113 @@ object PipelineQueries extends QuerySet {
         .select(col("n_set"), col("s2"), col("estimate"))
     }),
 
+    // The Wikipedia graph, ranked: q198's wikilink edges (same fixture,
+    // through real bz2 decode + page split + link extraction) into the
+    // SAME fixed-point integer PageRank operator the crawl graph uses
+    // (q143) — three iterations, every rank a LONG in 1e-9 units, the
+    // oracle re-deriving edges from the link formula and unrolling the
+    // iterations arithmetically. Duplicate links (page i links its
+    // (2i+1)%30 target twice) must collapse; page 29's self-link must
+    // drop.
+    "q208_wiki_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val f = fixture("wiki_links.xml.bz2") {
+        graft.operators.Bzip2.renderMultistream((0 until 3).map { g =>
+          ("<mediawiki>" + (0 until 10).map { j =>
+            val i = g * 10 + j
+            wikiPageXml(s"Page $i", 0, i + 1,
+              s"Linking [[Page ${(2 * i + 1) % 30}]] then " +
+              s"[[Page ${(3 * i + 2) % 30}|x]] and again " +
+              s"[[Page ${(2 * i + 1) % 30}]]. [[File:F$i.png|cap]] " +
+              "[[Category:Pages]]")
+          }.mkString + "</mediawiki>").getBytes("UTF-8")
+        })
+      }
+      val pages = graft.operators.MediaWiki.pagesOf(
+        graft.sources.Bz2Shards.streamText(
+          s.read.format("bz2multistream").load(f)), "text")
+      val edges = pages.select(col("title"), col("wikitext"))
+        .as[(String, String)]
+        .flatMap { case (t, w) =>
+          graft.operators.MediaWiki.wikiLinks(w).map(target => (t, target))
+        }
+        .toDF("src", "dst")
+      val ranks = graft.operators.Graph.pageRank(edges, "src", "dst",
+        iterations = 3)
+      val ec = edges.where(col("src") =!= col("dst")).distinct()
+      val od = ec.groupBy("src").agg(count(lit(1)).as("out_deg"))
+      val ind = ec.groupBy("dst").agg(count(lit(1)).as("in_deg"))
+      ranks.join(od.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .join(ind.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id").as("title"), col("rank_u"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"))
+        .orderBy("title")
+    }),
+
+    // The TFRecord door, read half: 24 tf.Example records (bytes + packed
+    // int64 + packed float features) through real framing — 8-byte LE
+    // length, masked-CRC32C on length AND payload (check value pinned in
+    // TfRecordsSpec). Every feature value and every byte extent re-derive
+    // from the formulas: with all sub-messages < 128 bytes the protobuf
+    // length varints are all 1 byte, so rec_len = L + 48 exactly and
+    // offsets are one cumulative sum over (16 + rec_len).
+    "q206_tfrecord_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val f = fixture("tf_oracle.tfrecord") {
+        graft.sources.TfRecords.render((0 until 24).map { i =>
+          graft.operators.TfExample.encode(Seq(
+            "id" -> graft.operators.TfExample.longs(Seq(i.toLong)),
+            "score" -> graft.operators.TfExample.floats(Seq(i + 0.5f)),
+            "text" -> graft.operators.TfExample.text(
+              s"tfrecord doc $i " + "w" * ((i * 5) % 31))))
+        })
+      }
+      graft.sources.TfRecords.read(s, f)
+        .select("ord", "offset", "rec_len", "data")
+        .as[(Long, Long, Long, Array[Byte])]
+        .map { case (ord, off, len, data) =>
+          val ex = graft.operators.TfExample.decode(data).get
+          (ord, off, len, ex.features("id").longs.head,
+            ex.features("score").floats.head,
+            new String(ex.features("text").bytes.head, "UTF-8"))
+        }
+        .toDF("ord", "offset", "rec_len", "id", "score", "text")
+        .orderBy("ord")
+    }),
+
+    // The TFRecord door, write half: the documents table sharded into
+    // real .tfrecord training shards (one task per shard, tmp + atomic
+    // rename) and read back through the same door. Byte extents oracle
+    // through the protobuf length arithmetic with the varint-width CASE
+    // at every nesting level (doc texts straddle the 128-byte varint
+    // boundary, so both widths are load-bearing).
+    "q207_tfrecord_sink" -> ((s, dir) => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_tfsink").toString
+      val payloads = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          ((id % 4).toInt, id,
+            graft.operators.TfExample.encode(Seq(
+              "text" -> graft.operators.TfExample.text(text))))
+        }
+        .toDF("shard", "ord", "payload")
+      graft.sources.TfRecords.writeShards(payloads, "shard", "ord", "payload", out)
+      graft.sources.TfRecords.read(s, out)
+        .select(regexp_extract(col("file"), "shard-(\\d+)\\.tfrecord", 1)
+          .cast("int").as("shard"),
+          col("ord"), col("offset"), col("rec_len"), col("data"))
+        .as[(Int, Long, Long, Long, Array[Byte])]
+        .map { case (shard, ord, off, len, data) =>
+          (shard, ord, off, len, new String(graft.operators.TfExample
+            .decode(data).get.features("text").bytes.head, "UTF-8"))
+        }
+        .toDF("shard", "ord", "offset", "rec_len", "text")
+        .orderBy("shard", "ord")
+    }),
+
     // Crawl-delay closes the robots→politeness chain: the delay
     // dimension q194 took as input is now PARSED from robots bodies —
     // group-scoped like Allow (exclusivity: a delay in the `*` group
@@ -3453,6 +3560,85 @@ object PipelineQueries extends QuerySet {
     // audio packet, +1 per >255-byte packet on the spanning clips),
     // packet counts from the codec's header-packet count, and the audio
     // signature as md5 over the concatenated ASCII packet formulas
+    // wiki PageRank: the q143 unrolled integer iteration over the q198
+    // link formula (distinct edges, self-link dropped)
+    "q208_wiki_pagerank" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 29)) AS i),
+        |e0 AS (SELECT i, (2*i + 1) % 30 AS d FROM ids
+        |       UNION ALL SELECT i, (3*i + 2) % 30 FROM ids),
+        |lk AS (SELECT DISTINCT 'Page ' || i AS src, 'Page ' || d AS dst
+        |       FROM e0 WHERE d <> i),
+        |nodes AS (SELECT DISTINCT id FROM
+        |  (SELECT src AS id FROM lk UNION ALL SELECT dst AS id FROM lk)),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg FROM lk GROUP BY src),
+        |r0 AS (SELECT id, (SELECT 1000000000 // n FROM nn) AS rank_u FROM nodes),
+        |r1 AS (SELECT nodes.id,
+        |        (SELECT (15 * (1000000000 // n)) // 100 FROM nn) + COALESCE(m.s, 0) AS rank_u
+        |       FROM nodes LEFT JOIN (
+        |         SELECT lk.dst AS id, CAST(SUM((85 * r0.rank_u) // (100 * od.odeg)) AS BIGINT) AS s
+        |         FROM lk JOIN od USING (src) JOIN r0 ON r0.id = lk.src
+        |         GROUP BY lk.dst) m ON m.id = nodes.id),
+        |r2 AS (SELECT nodes.id,
+        |        (SELECT (15 * (1000000000 // n)) // 100 FROM nn) + COALESCE(m.s, 0) AS rank_u
+        |       FROM nodes LEFT JOIN (
+        |         SELECT lk.dst AS id, CAST(SUM((85 * r1.rank_u) // (100 * od.odeg)) AS BIGINT) AS s
+        |         FROM lk JOIN od USING (src) JOIN r1 ON r1.id = lk.src
+        |         GROUP BY lk.dst) m ON m.id = nodes.id),
+        |r3 AS (SELECT nodes.id,
+        |        (SELECT (15 * (1000000000 // n)) // 100 FROM nn) + COALESCE(m.s, 0) AS rank_u
+        |       FROM nodes LEFT JOIN (
+        |         SELECT lk.dst AS id, CAST(SUM((85 * r2.rank_u) // (100 * od.odeg)) AS BIGINT) AS s
+        |         FROM lk JOIN od USING (src) JOIN r2 ON r2.id = lk.src
+        |         GROUP BY lk.dst) m ON m.id = nodes.id),
+        |ind AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS c FROM lk GROUP BY dst)
+        |SELECT n.id AS title, r3.rank_u,
+        |  CAST(COALESCE(ind.c, 0) AS BIGINT) AS in_deg,
+        |  CAST(COALESCE(od.odeg, 0) AS BIGINT) AS out_deg
+        |FROM nodes n JOIN r3 ON r3.id = n.id
+        |LEFT JOIN ind ON ind.dst = n.id
+        |LEFT JOIN od ON od.src = n.id
+        |ORDER BY title""".stripMargin,
+    // the TFRecord read half: all-1-byte-varint layout pins rec_len =
+    // L + 48; offsets one cumulative sum over 16 + rec_len; features
+    // from the generation formulas (score = i + 0.5 is float-exact)
+    "q206_tfrecord_ingest" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 23)) AS i),
+        |d AS (SELECT i,
+        |  'tfrecord doc ' || i || ' ' || repeat('w', (i * 5) % 31) AS text
+        |  FROM r),
+        |e AS (SELECT i, text, strlen(text) + 48 AS rec_len FROM d)
+        |SELECT CAST(i AS BIGINT) AS ord,
+        |  CAST(COALESCE(SUM(16 + rec_len) OVER (ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+        |  CAST(rec_len AS BIGINT) AS rec_len,
+        |  CAST(i AS BIGINT) AS id,
+        |  CAST(i + 0.5 AS REAL) AS score,
+        |  text
+        |FROM e ORDER BY ord""".stripMargin,
+    // the TFRecord write half: protobuf length arithmetic with the
+    // varint-width CASE at every nesting level, replayed per shard
+    "q207_tfrecord_sink" ->
+      """WITH d AS (SELECT doc_id, text, CAST(doc_id % 4 AS INT) AS shard,
+        |  strlen(text) AS L FROM documents),
+        |s1 AS (SELECT *, 1 + (CASE WHEN L < 128 THEN 1
+        |  WHEN L < 16384 THEN 2 ELSE 3 END) + L AS bl FROM d),
+        |s2 AS (SELECT *, 1 + (CASE WHEN bl < 128 THEN 1
+        |  WHEN bl < 16384 THEN 2 ELSE 3 END) + bl AS f FROM s1),
+        |s3 AS (SELECT *, 6 + 1 + (CASE WHEN f < 128 THEN 1
+        |  WHEN f < 16384 THEN 2 ELSE 3 END) + f AS entry FROM s2),
+        |s4 AS (SELECT *, 1 + (CASE WHEN entry < 128 THEN 1
+        |  WHEN entry < 16384 THEN 2 ELSE 3 END) + entry AS fe FROM s3),
+        |s5 AS (SELECT *, 1 + (CASE WHEN fe < 128 THEN 1
+        |  WHEN fe < 16384 THEN 2 ELSE 3 END) + fe AS ex FROM s4),
+        |o AS (SELECT shard, text, ex,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) - 1
+        |    AS BIGINT) AS ord,
+        |  CAST(COALESCE(SUM(16 + ex) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset
+        |  FROM s5)
+        |SELECT shard, ord, "offset", CAST(ex AS BIGINT) AS rec_len, text
+        |FROM o ORDER BY shard, ord""".stripMargin,
     // robots-derived delays: the four parsed values enumerated (2s,
     // 0.5s, 1.25s shared-group, 4s first-wins), the four default cases
     // (exclusivity, no groups, wrong agent, malformed) at 1000; then the

@@ -1,0 +1,187 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** TFRecord shards — the TensorFlow training-shard wire format, the
+  * third shard convention beside WebDataset tar ([[TarShards]]) and
+  * `.warc.gz` ([[Warc]]): `length(8, LE) | maskedCrc32c(length) |
+  * payload | maskedCrc32c(payload)` per record, where the mask is the
+  * published `((crc >> 15) | (crc << 17)) + 0xa282ead8` rotation over
+  * CRC-32C (Castagnoli). Payloads are `tf.Example` protobuf messages
+  * ([[graft.operators.TfExample]]).
+  *
+  * Both halves: a parser (stop-clean on malformed framing or either CRC,
+  * never a throw — the [[ZipShards]] contract) behind a DSv2 source with
+  * a CRC-skipping listing fast path, and a sharded SINK in the tar/WARC
+  * sink mold (one task per shard, tmp + atomic rename, byte-identical
+  * reruns).
+  *
+  * Scale shape: one task per shard file; `offset` + `rec_len` are the
+  * range-read handle (a record refetches as `[offset, offset + 16 +
+  * rec_len)`); records are length-framed so the oracle re-derives every
+  * offset with one cumulative sum.
+  */
+object TfRecords {
+
+  // CRC-32C (Castagnoli): reflected poly 0x82F63B78, init/final ~0 —
+  // check value crc32c("123456789") = 0xE3069283 (pinned in spec)
+  private val CrcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var c = i
+      var k = 0
+      while (k < 8) {
+        c = if ((c & 1) != 0) (c >>> 1) ^ 0x82F63B78 else c >>> 1
+        k += 1
+      }
+      t(i) = c
+      i += 1
+    }
+    t
+  }
+
+  private[graft] def crc32c(data: Array[Byte], from: Int, until: Int): Int = {
+    var c = 0xFFFFFFFF
+    var i = from
+    while (i < until) {
+      c = (c >>> 8) ^ CrcTable((c ^ data(i)) & 0xff)
+      i += 1
+    }
+    ~c
+  }
+
+  /** TFRecord's CRC mask (the published rotation). */
+  private[graft] def mask(crc: Int): Int =
+    ((crc >>> 15) | (crc << 17)) + 0xa282ead8
+
+  final case class TfRecord(file: String, ord: Long, offset: Long,
+                            recLen: Long, data: Array[Byte])
+
+  /** Parse every well-formed record, stopping clean at the first
+    * malformed one (bad length CRC, bad payload CRC, truncation,
+    * absurd length). `withData = false` skips payload materialization
+    * AND the payload CRC — the length-framed listing fast path.
+    */
+  def parseFile(file: String, bytes: Array[Byte],
+                withData: Boolean = true): Iterator[TfRecord] = {
+    val MaxRecord = 1L << 30
+    new Iterator[TfRecord] {
+      private var pos = 0L
+      private var ord = 0L
+      private var nextRec: TfRecord = _
+      private def advance(): Unit = {
+        nextRec = null
+        if (pos + 12 > bytes.length) return
+        var len = 0L
+        var k = 0
+        while (k < 8) { len |= (bytes((pos + k).toInt) & 0xffL) << (8 * k); k += 1 }
+        if (len < 0 || len > MaxRecord) return
+        val lenCrc = leInt(bytes, pos + 8)
+        if (mask(crc32c(bytes, pos.toInt, (pos + 8).toInt)) != lenCrc) return
+        val dataStart = pos + 12
+        if (dataStart + len + 4 > bytes.length) return
+        if (withData) {
+          val dataCrc = leInt(bytes, dataStart + len)
+          if (mask(crc32c(bytes, dataStart.toInt, (dataStart + len).toInt)) != dataCrc)
+            return
+        }
+        nextRec = TfRecord(file, ord, pos, len,
+          if (withData)
+            java.util.Arrays.copyOfRange(bytes, dataStart.toInt, (dataStart + len).toInt)
+          else null)
+        ord += 1
+        pos = dataStart + len + 4
+      }
+      advance()
+      override def hasNext: Boolean = nextRec != null
+      override def next(): TfRecord = { val r = nextRec; advance(); r }
+    }
+  }
+
+  private def leInt(b: Array[Byte], i: Long): Int =
+    (b(i.toInt) & 0xff) | ((b(i.toInt + 1) & 0xff) << 8) |
+    ((b(i.toInt + 2) & 0xff) << 16) | ((b(i.toInt + 3) & 0xff) << 24)
+
+  /** Serialize payloads into TFRecord framing — the writer twin. */
+  def render(payloads: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    payloads.foreach(p => writeRecord(out, p))
+    out.toByteArray
+  }
+
+  private def writeRecord(out: java.io.ByteArrayOutputStream,
+                          p: Array[Byte]): Unit = {
+    val lenBytes = new Array[Byte](8)
+    var v = p.length.toLong
+    var k = 0
+    while (k < 8) { lenBytes(k) = (v & 0xff).toByte; v >>= 8; k += 1 }
+    out.write(lenBytes)
+    writeLeInt(out, mask(crc32c(lenBytes, 0, 8)))
+    out.write(p)
+    writeLeInt(out, mask(crc32c(p, 0, p.length)))
+  }
+
+  private def writeLeInt(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+  }
+
+  /** Full read through the DSv2 source:
+    * `spark.read.format("tfrecord").load(path)`.
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("tfrecord").load(path)
+
+  /** Sharded TFRecord sink — the WebDataset-tar/WARC sink design: the
+    * caller provides (shardCol, orderCol, payloadCol); each shard
+    * becomes `shard-NNNNN.tfrecord` written by ONE task (repartition on
+    * the shard id + in-partition sort), streamed record by record, tmp
+    * file + atomic rename so reruns are byte-identical and a crashed
+    * task never leaves a half shard visible.
+    */
+  def writeShards(df: DataFrame, shardCol: String, orderCol: String,
+                  payloadCol: String, dir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val conf = new SerializableHadoopConf(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    df.select(col(shardCol).cast("int").as("shard"),
+        col(orderCol).as("ord"), col(payloadCol).as("payload"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "ord")
+      .rdd.foreachPartition { it =>
+        var current = -1
+        var out: java.io.OutputStream = null
+        var buf: java.io.ByteArrayOutputStream = null
+        var tmp: org.apache.hadoop.fs.Path = null
+        var fs: org.apache.hadoop.fs.FileSystem = null
+        def close(): Unit = if (out != null) {
+          out.close()
+          val dst = new org.apache.hadoop.fs.Path(dir, f"shard-$current%05d.tfrecord")
+          fs.delete(dst, false)
+          if (!fs.rename(tmp, dst))
+            throw new java.io.IOException(s"tfrecord sink: cannot install $dst")
+          out = null
+        }
+        it.foreach { r =>
+          val shard = r.getInt(0)
+          if (shard != current) {
+            close()
+            current = shard
+            val p = new org.apache.hadoop.fs.Path(dir)
+            fs = p.getFileSystem(conf.value)
+            fs.mkdirs(p)
+            tmp = new org.apache.hadoop.fs.Path(dir,
+              f".shard-$current%05d.tfrecord.tmp")
+            out = fs.create(tmp, true)
+            buf = new java.io.ByteArrayOutputStream()
+          }
+          buf.reset()
+          writeRecord(buf, r.getAs[Array[Byte]](2))
+          out.write(buf.toByteArray)
+          buf.reset()
+        }
+        close()
+      }
+  }
+}

@@ -1,0 +1,106 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.TfExample
+
+/** TFRecord framing + tf.Example wire pins: the published CRC-32C check
+  * value and mask formula, roundtrips, malformed→stop-clean, the DSv2
+  * listing fast path, and the sharded sink's byte-identical rerun.
+  */
+class TfRecordsSpec extends SparkSpec {
+
+  test("crc32c matches the published Castagnoli check value and mask") {
+    // CRC-32/ISCSI check value for "123456789"
+    assert(TfRecords.crc32c("123456789".getBytes("US-ASCII"), 0, 9) == 0xE3069283)
+    // the TFRecord mask formula on a known value: rot-right-15 + magic
+    assert(TfRecords.mask(0) == 0xa282ead8)
+  }
+
+  test("framing roundtrip; corrupt length/payload CRC stops clean") {
+    val payloads = (0 until 7).map(i => s"record $i ${"z" * i}".getBytes("UTF-8"))
+    val bytes = TfRecords.render(payloads)
+    val recs = TfRecords.parseFile("f", bytes).toSeq
+    assert(recs.size == 7)
+    recs.zip(payloads).foreach { case (r, p) =>
+      assert(java.util.Arrays.equals(r.data, p))
+      assert(r.recLen == p.length.toLong)
+    }
+    // offsets tile: each record occupies 16 + len bytes
+    recs.sliding(2).foreach {
+      case Seq(a, b) => assert(a.offset + 16 + a.recLen == b.offset)
+      case _ => ()
+    }
+    // flip a byte in record 3's payload: records 0-2 survive, walk stops
+    val bad = bytes.clone()
+    val off3 = recs(3).offset.toInt + 12
+    bad(off3) = (bad(off3) ^ 1).toByte
+    assert(TfRecords.parseFile("f", bad).toSeq.size == 3)
+    // truncation mid-record: prior records survive
+    assert(TfRecords.parseFile("f",
+      java.util.Arrays.copyOf(bytes, recs(2).offset.toInt + 5)).toSeq.size == 2)
+  }
+
+  test("tf.Example wire roundtrip: all three list kinds, unknown fields skipped") {
+    val ex = TfExample.encode(Seq(
+      "text" -> TfExample.text("hello example"),
+      "ids" -> TfExample.longs(Seq(1L, 300L, 1L << 40)),
+      "emb" -> TfExample.floats(Seq(1.5f, -2.25f, 0f))))
+    val dec = TfExample.decode(ex).get
+    assert(new String(dec.features("text").bytes.head, "UTF-8") == "hello example")
+    assert(dec.features("ids").longs == Seq(1L, 300L, 1L << 40))
+    assert(dec.features("emb").floats == Seq(1.5f, -2.25f, 0f))
+    // unknown trailing field (field 9, varint) is skipped, not an error
+    val withUnknown = ex ++ Array[Byte]((9 << 3).toByte, 0x2a)
+    assert(TfExample.decode(withUnknown).isDefined)
+    // malformed: truncated at every prefix must never throw
+    (0 until ex.length).foreach { n =>
+      TfExample.decode(java.util.Arrays.copyOf(ex, n)) // Option either way
+    }
+    // unpacked int64 repeated encoding also decodes (proto2 writers)
+    val unpacked = Array[Byte](
+      0x0a, 14, // Features
+      0x0a, 12, // entry
+      0x0a, 1, 'k', // key "k"
+      0x12, 7, // Feature
+      0x1a, 5, // int64_list
+      0x08, 3, 0x08, (0x80 & 0xff).toByte, 1) // two unpacked values: 3, 128
+    val d2 = TfExample.decode(unpacked.map(_.toByte)).get
+    assert(d2.features("k").longs == Seq(3L, 128L))
+  }
+
+  test("DSv2 read + pruned listing; sink reruns byte-identical") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tfrec").toString
+    val rows = (0L until 40L).map { i =>
+      (i % 4, i, TfRecords.render(Seq.empty) ++ // empty prefix exercises nothing
+        TfExample.encode(Seq("text" -> TfExample.text(s"doc $i"),
+          "id" -> TfExample.longs(Seq(i)))))
+    }.toDF("shard", "ord", "payload")
+    TfRecords.writeShards(rows, "shard", "ord", "payload", dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tfrecord"))
+    assert(files.length == 4)
+    val read = TfRecords.read(spark, dir)
+    assert(read.count() == 40)
+    // ids decode back in shard/ord order within each file
+    val decoded = read.select("file", "ord", "data").as[(String, Long, Array[Byte])]
+      .collect().map { case (f, o, b) =>
+        (f, o, TfExample.decode(b).get.features("id").longs.head)
+      }
+    decoded.groupBy(_._1).foreach { case (_, rs) =>
+      val ids = rs.sortBy(_._2).map(_._3)
+      assert(ids.sameElements(ids.sorted), "in-shard order must follow ord")
+    }
+    // pruned listing path: same extents without payloads
+    val listed = read.select("file", "ord", "offset", "rec_len").collect()
+    assert(listed.length == 40)
+    // rerun: byte-identical shards
+    val before = files.map(f => (f.getName,
+      java.nio.file.Files.readAllBytes(f.toPath).toSeq)).toMap
+    TfRecords.writeShards(rows, "shard", "ord", "payload", dir)
+    files.foreach { f =>
+      assert(java.nio.file.Files.readAllBytes(f.toPath).toSeq == before(f.getName),
+        s"rerun changed ${f.getName}")
+    }
+  }
+}
