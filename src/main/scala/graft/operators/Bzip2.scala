@@ -511,6 +511,11 @@ object Bzip2 {
     * input bytes yield identical stream bytes on every call.
     */
   def encodeStream(data: Array[Byte]): Array[Byte] = {
+    // fixture writer twin only: the naive rotation-sort BWT is quadratic
+    // on repetitive input — refuse sizes where that bites rather than
+    // hang a test run
+    require(data.length <= (1 << 20),
+      s"Bzip2.encodeStream is the fixture twin (naive BWT); got ${data.length} bytes")
     val bw = new BitWriter
     bw.write('B', 8); bw.write('Z', 8); bw.write('h', 8); bw.write('9', 8)
     var streamCrc = 0

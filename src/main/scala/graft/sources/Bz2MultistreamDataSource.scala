@@ -53,9 +53,22 @@ class Bz2MultistreamTable(path: String, splitSize: Long)
   override def name(): String = s"bz2multistream:$path"
   override def schema(): StructType = Bz2MultistreamDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new Bz2MultistreamScanBuilder(path, splitSize)
+}
+
+/** Arriving multistream files become micro-batches (whole file per
+  * partition — range splits are a batch-planning concern); see
+  * [[FileSetMicroBatchStream]].
+  */
+class Bz2MultistreamMicroBatchStream(path: String, required: StructType,
+                                     conf: SerializableHadoopConf)
+    extends FileSetMicroBatchStream(path, conf) {
+  override protected def partitionFor(file: String): InputPartition =
+    Bz2RangeInputPartition(file, 0L, -1L, -1L)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new Bz2MultistreamReaderFactory(required, conf)
 }
 
 class Bz2MultistreamScanBuilder(path: String, splitSize: Long)
@@ -101,6 +114,9 @@ class Bz2MultistreamScan(path: String, splitSize: Long, required: StructType)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new Bz2MultistreamReaderFactory(required, serConf)
+
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new Bz2MultistreamMicroBatchStream(path, required, serConf)
 }
 
 case class Bz2RangeInputPartition(file: String, rangeStart: Long,
@@ -121,14 +137,20 @@ class Bz2MultistreamReaderFactory(required: StructType,
   * starts in its range needs more bytes — a candidate that still fails
   * at EOF is corrupt (or a payload false positive) and is skipped.
   */
-class Bz2MultistreamPartitionReader(part: Bz2RangeInputPartition,
+class Bz2MultistreamPartitionReader(part0: Bz2RangeInputPartition,
                                     required: StructType,
                                     conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private val records: Iterator[Bz2Shards.Bz2Stream] = {
-    val p = new Path(part.file)
+    val p = new Path(part0.file)
     val fs = p.getFileSystem(conf.value)
+    // a negative fileLen is the streaming path's whole-file sentinel
+    // (micro-batch partitions are planned from a bare listing)
+    val part = if (part0.fileLen >= 0) part0 else {
+      val len = fs.getFileStatus(p).getLen
+      Bz2RangeInputPartition(part0.file, 0L, len, len)
+    }
     require(part.fileLen <= Int.MaxValue - 8,
       s"bz2 shard ${part.file} is ${part.fileLen} bytes; this reader windows " +
         "whole streams in memory — shard dumps below 2 GB per file.")

@@ -68,6 +68,9 @@ object XzShards {
         case null => return None
         case (v, p) => pos = p; v
       }
+      // sanity: a block's unpadded size is at least its 12-byte minimum
+      // header and fits the file; sizes outside that are a lying index
+      if (up < 12 || up > n.toLong || un < 0 || un > (1L << 40)) return None
       out += ((off, up, un))
       off += ((up + 3) / 4) * 4
       k += 1

@@ -74,6 +74,30 @@ class Bz2ShardsSpec extends SparkSpec {
     assert(rows.last.getLong(0) + rows.last.getLong(1) == bytes.length.toLong)
   }
 
+  test("readStream tails a bz2 landing directory, exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bz2_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bz2_ckpt").toString
+    java.nio.file.Files.write(dir.resolve("batch-0.bz2"),
+      Bzip2.renderMultistream(Seq("one".getBytes, "two".getBytes)))
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    val q = spark.readStream.format("bz2multistream").load(dir.toString)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.selectExpr("cast(data as string) as t").collect()
+          .foreach(r => seen.synchronized { seen += r.getString(0) })
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.toSet == Set("one", "two"))
+      java.nio.file.Files.write(dir.resolve("batch-1.bz2"),
+        Bzip2.renderMultistream(Seq("three".getBytes)))
+      q.processAllAvailable()
+      assert(seen.toSet == Set("one", "two", "three"))
+      assert(seen.size == 3, s"re-delivered streams: $seen")
+    } finally q.stop()
+  }
+
   test("a corrupt middle stream is dropped; its neighbors still decode") {
     val ps = parts(3)
     val s0 = Bzip2.encodeStream(ps(0))
