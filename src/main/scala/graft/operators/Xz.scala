@@ -68,9 +68,7 @@ object Xz {
   // the LZMA range decoder (public LZMA spec layout: 11-bit adaptive
   // probabilities, bit trees, the 12-state match machine)
 
-  private final class LzmaDecoder(src: Array[Byte], var pos: Int, val end: Int,
-                                  out: java.io.ByteArrayOutputStream,
-                                  dict: DictWindow) {
+  private final class LzmaDecoder(src: Array[Byte], var pos: Int, val end: Int) {
     // range coder state
     private var range = 0
     private var code = 0
@@ -147,7 +145,6 @@ object Xz {
       sym
     }
 
-    def isFinished: Boolean = code == 0
   }
 
   /** The LZMA "dictionary" over the growing output: matches copy from
@@ -164,7 +161,6 @@ object Xz {
       out.write(b)
     }
     def byteBack(dist: Int): Byte = buf(n - dist)
-    def size: Int = n
   }
 
   /** Full LZMA chunk state (probabilities + machine state + reps),
@@ -378,7 +374,7 @@ object Xz {
         if (resetBits == 3) { dict.reset(); needDictReset = false }
         else if (needDictReset) return -1
         if (pos + compSize > end) return -1
-        val rc = new LzmaDecoder(src, pos, pos + compSize, out, dict)
+        val rc = new LzmaDecoder(src, pos, pos + compSize)
         rc.initRange()
         if (rc.failed) return -1
         if (!lzmaChunk(rc, st, dict, uncompSize)) return -1
