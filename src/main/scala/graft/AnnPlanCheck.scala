@@ -71,6 +71,8 @@ object AnnPlanCheck {
     val docsDf = spark.read.parquet(s"$dir/documents.parquet")
     val nEmb = spark.read.parquet(s"$dir/embeddings.parquet").count()
     val nDocs = docsDf.count()
+    // one scan for all three 2*total_tokens budgets
+    lazy val nTok = docsDf.selectExpr("sum(size(split(text, ' ')))").head.getLong(0)
     val P = 10L // every ANN query's probe filter is vec_id < 10
     // c covers hashing variance / cell skew on the finite corpus;
     // intrinsic full-scan stages (PQ's ADC, the exhaustive indexed config)
@@ -104,8 +106,7 @@ object AnnPlanCheck {
       ("q113_dedup_index_screen", served("q113_dedup_index_screen"),
         40 * nDocs, "40*N: index-served banding candidates stay corpus-linear"),
       ("q115_dup_span_coverage", served("q115_dup_span_coverage"),
-        { val nTok = docsDf.selectExpr("sum(size(split(text, ' ')))").head.getLong(0)
-          2 * nTok },
+        2 * nTok,
         "2*total_tokens: dup-span join-back is bounded by gram INSTANCES, never pairs"),
       ("q120_image_ahash_dedup", served("q120_image_ahash_dedup"),
         30 * nDocs, "30*N: 7 pigeonhole chunks/doc + family-bounded pairs, never all-pairs"),
@@ -113,12 +114,10 @@ object AnnPlanCheck {
       // directive): their largest join is the df-annotation pass, bounded
       // by shingle INSTANCES — never the shared-shingle pair explosion
       ("q153_split_leakage", served("q153_split_leakage"),
-        { val nTok = docsDf.selectExpr("sum(size(split(text, ' ')))").head.getLong(0)
-          2 * nTok },
+        2 * nTok,
         "2*total_tokens: prefix-filtered candidates, df-join bounded by gram instances"),
       ("q158_quality_representative", served("q158_quality_representative"),
-        { val nTok = docsDf.selectExpr("sum(size(split(text, ' ')))").head.getLong(0)
-          2 * nTok },
+        2 * nTok,
         "2*total_tokens: prefix-filtered candidates, df-join bounded by gram instances"))
   }
 

@@ -520,7 +520,9 @@ object Bzip2 {
     bw.write('B', 8); bw.write('Z', 8); bw.write('h', 8); bw.write('9', 8)
     var streamCrc = 0
     var start = 0
-    val maxRaw = 830000 // conservative: RLE1 can expand 4/5, keep post-RLE1 < 900k
+    // RLE1 can EXPAND by 5/4 (runs of exactly 4 gain a count byte), so
+    // the raw chunk must keep post-RLE1 <= 900000: 720000 * 5/4 = 900000
+    val maxRaw = 720000
     while (start < data.length || (data.length == 0 && start == 0)) {
       val until = math.min(data.length, start + maxRaw)
       if (until > start) {

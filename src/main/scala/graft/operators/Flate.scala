@@ -1,0 +1,37 @@
+package graft.operators
+
+/** Shared zlib-or-raw deflate decode — the one inflate contract three
+  * doors need (PDF FlateDecode streams, HTTP `Content-Encoding: deflate`
+  * bodies, and historically ZipShards' member inflate): detect an RFC
+  * 1950 zlib header (CM = 8, FCHECK word % 31 == 0) and skip it, REFUSE
+  * FDICT (a preset dictionary is out of contract everywhere it could
+  * appear here), inflate raw, distinguish a stream truncated mid-block
+  * (needsInput while unfinished → None) from a benignly missing trailer,
+  * and cap output at `cap` bytes (decompression-bomb guard).
+  */
+object Flate {
+
+  def inflate(data: Array[Byte], cap: Long = 1L << 30): Option[Array[Byte]] = {
+    if (data == null || data.length < 2) return None
+    val h = ((data(0) & 0xff) << 8) | (data(1) & 0xff)
+    val zlibHeader = (data(0) & 0x0f) == 8 && h % 31 == 0
+    if (zlibHeader && (data(1) & 0x20) != 0) return None // FDICT
+    val off = if (zlibHeader) 2 else 0
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(data, off, data.length - off)
+      val out = new java.io.ByteArrayOutputStream(math.min(data.length * 4, 1 << 20))
+      val buf = new Array[Byte](64 * 1024)
+      while (!inf.finished) {
+        val n = try inf.inflate(buf) catch {
+          case _: java.util.zip.DataFormatException => return None
+        }
+        if (n > 0) {
+          if (out.size.toLong + n > cap) return None
+          out.write(buf, 0, n)
+        } else if (!inf.finished) return None // truncated mid-stream
+      }
+      Some(out.toByteArray)
+    } finally inf.end()
+  }
+}

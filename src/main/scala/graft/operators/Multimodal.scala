@@ -463,11 +463,32 @@ object Multimodal {
           b(2) != '3') return None
       val ver = u8(b, 3)
       if (ver != 3 && ver != 4) return None
+      val flags = u8(b, 5)
+      // unsynchronised tags would need byte de-stuffing before any frame
+      // walk — refuse rather than misparse; an extended header (0x40) is
+      // SKIPPED below by its own declared size
+      if ((flags & 0x80) != 0) return None
       if ((u8(b, 6) | u8(b, 7) | u8(b, 8) | u8(b, 9)) >= 0x80) return None
       val size = (u8(b, 6) << 21) | (u8(b, 7) << 14) | (u8(b, 8) << 7) | u8(b, 9)
       val end = math.min(10L + size, b.length.toLong).toInt
       val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
       var p = 10
+      if ((flags & 0x40) != 0) {
+        // extended header: v2.3 stores (size excluding its own 4 size
+        // bytes, plain BE); v2.4 stores the WHOLE size synchsafe
+        if (p + 4 > end) return None
+        val ehSize =
+          if (ver == 4) {
+            if ((u8(b, p) | u8(b, p + 1) | u8(b, p + 2) | u8(b, p + 3)) >= 0x80)
+              return None
+            (u8(b, p) << 21) | (u8(b, p + 1) << 14) |
+              (u8(b, p + 2) << 7) | u8(b, p + 3)
+          } else
+            4 + ((u8(b, p) << 24) | (u8(b, p + 1) << 16) |
+              (u8(b, p + 2) << 8) | u8(b, p + 3))
+        if (ehSize < 4 || p.toLong + ehSize > end) return None
+        p += ehSize
+      }
       var inPadding = false
       while (!inPadding && p + 10 <= end) {
         if (b(p) == 0) inPadding = true

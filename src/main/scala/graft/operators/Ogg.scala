@@ -243,6 +243,12 @@ object Ogg extends Serializable {
     */
   private def page(flags: Int, granule: Long, serial: Int, seq: Int,
                    lacings: Seq[Int], data: Array[Byte]): Array[Byte] = {
+    // RFC 3533: at most 255 lacing values per page, each one byte — a
+    // fixture packet too large for one page must be split by the CALLER
+    // (the render loop's spanOver path); refuse loudly rather than emit
+    // a page whose header lies about its own layout
+    require(lacings.length <= 255 && lacings.forall(l => l >= 0 && l <= 255),
+      s"ogg page overflow: ${lacings.length} lacings (max 255/page)")
     val out = new java.io.ByteArrayOutputStream()
     out.write("OggS".getBytes("US-ASCII"), 0, 4)
     out.write(0); out.write(flags)

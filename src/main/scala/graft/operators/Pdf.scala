@@ -433,31 +433,8 @@ object Pdf {
     * wrapped inflater cannot (it can't tell "wants trailer" from "wants
     * more deflate data"). Mirrors ZipShards.inflate's truncation line.
     */
-  private def flate(data: Array[Byte]): Option[Array[Byte]] = {
-    if (data.length < 2) return None
-    // RFC 1950 header: CM=8, FCHECK makes the 16-bit word % 31 == 0;
-    // FDICT (preset dictionary) is out of contract for PDF streams.
-    val h = ((data(0) & 0xff) << 8) | (data(1) & 0xff)
-    val zlibHeader = (data(0) & 0x0f) == 8 && h % 31 == 0
-    if (zlibHeader && (data(1) & 0x20) != 0) return None // FDICT
-    val off = if (zlibHeader) 2 else 0
-    val inf = new java.util.zip.Inflater(true)
-    try {
-      inf.setInput(data, off, data.length - off)
-      val out = new java.io.ByteArrayOutputStream(math.min(data.length * 4, 1 << 20))
-      val buf = new Array[Byte](64 * 1024)
-      while (!inf.finished) {
-        val n = try inf.inflate(buf) catch {
-          case _: java.util.zip.DataFormatException => return None
-        }
-        if (n > 0) {
-          if (out.size.toLong + n > MaxStreamBytes) return None
-          out.write(buf, 0, n)
-        } else if (!inf.finished) return None // truncated mid-stream
-      }
-      Some(out.toByteArray)
-    } finally inf.end()
-  }
+  private def flate(data: Array[Byte]): Option[Array[Byte]] =
+    Flate.inflate(data, MaxStreamBytes)
 
   /** Decoded bytes of a stream object: no filter → raw; FlateDecode
     * (name or single-element array) → inflate; anything else → None.

@@ -38,7 +38,8 @@ object TextGrain {
     require(cjkThreshold > 0 && cjkThreshold < 1,
       s"cjkThreshold in (0,1), got $cjkThreshold")
     val t = col(textCol)
-    val isWs = (c: Column) => c === "" || c === " " || c === "\n" || c === "\t"
+    val isWs = (c: Column) =>
+      c === "" || c === " " || c === "\n" || c === "\t" || c === "\r"
     val chars = filter(split(t, ""), c => !isWs(c))
     val nChars = size(chars)
     val nCjk = size(filter(chars, c => ascii(c).between(CjkLo, CjkHi)))

@@ -117,9 +117,10 @@ object Webp extends Serializable {
       val numSym = br.readBit() + 1
       val first8 = br.readBit() == 1
       val s0 = br.readBits(if (first8) 8 else 1)
+      if (s0 >= alphabetSize) throw new Malformed // 1- AND 2-symbol forms
       if (numSym == 1) return new PrefixCode(Array(s0), null, null, null, null)
       val s1 = br.readBits(8)
-      if (s0 >= alphabetSize || s1 >= alphabetSize) throw new Malformed
+      if (s1 >= alphabetSize) throw new Malformed
       return new PrefixCode(Array(s0, s1), null, null, null, null)
     }
     val numClc = 4 + br.readBits(4)

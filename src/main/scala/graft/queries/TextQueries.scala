@@ -720,7 +720,7 @@ object TextQueries extends QuerySet {
         |  END AS text FROM r),
         |c AS (SELECT doc_id, text, list_filter(
         |  list_transform(generate_series(1, length(text)), j -> substr(text, j, 1)),
-        |  ch -> ch NOT IN ('', ' ')) AS chars FROM t),
+        |  ch -> ch NOT IN ('', ' ', chr(10), chr(9), chr(13))) AS chars FROM t),
         |m AS (SELECT doc_id, text, chars, len(chars) AS nch,
         |  len(list_filter(chars, ch -> unicode(ch) BETWEEN 19968 AND 40959)) AS ncjk
         |  FROM c),

@@ -145,10 +145,13 @@ object TfRecords {
     import org.apache.spark.sql.functions.col
     val conf = new SerializableHadoopConf(
       df.sparkSession.sparkContext.hadoopConfiguration)
+    // payload-md5 tiebreak: duplicate order keys within a shard must not
+    // make shard bytes nondeterministic (the Warc.writeShards lesson)
     df.select(col(shardCol).cast("int").as("shard"),
         col(orderCol).as("ord"), col(payloadCol).as("payload"))
       .repartition(col("shard"))
-      .sortWithinPartitions("shard", "ord")
+      .sortWithinPartitions(col("shard"), col("ord"),
+        org.apache.spark.sql.functions.md5(col("payload")))
       .rdd.foreachPartition { it =>
         var current = -1
         var out: java.io.OutputStream = null

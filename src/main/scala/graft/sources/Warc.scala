@@ -509,29 +509,8 @@ object Warc {
     * either way, so a missing Adler trailer is tolerated while a stream
     * truncated mid-block is rejected (the Pdf.flate line).
     */
-  private[sources] def inflateBody(b: Array[Byte]): Option[Array[Byte]] = {
-    if (b.length < 2) return None
-    val h = ((b(0) & 0xff) << 8) | (b(1) & 0xff)
-    val zlibHeader = (b(0) & 0x0f) == 8 && h % 31 == 0
-    if (zlibHeader && (b(1) & 0x20) != 0) return None // FDICT out of contract
-    val off = if (zlibHeader) 2 else 0
-    val inf = new java.util.zip.Inflater(true)
-    try {
-      inf.setInput(b, off, b.length - off)
-      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
-      val buf = new Array[Byte](64 * 1024)
-      while (!inf.finished) {
-        val n = try inf.inflate(buf) catch {
-          case _: java.util.zip.DataFormatException => return None
-        }
-        if (n > 0) {
-          if (out.size.toLong + n > MaxBodyBytes) return None
-          out.write(buf, 0, n)
-        } else if (!inf.finished) return None // truncated mid-stream
-      }
-      Some(out.toByteArray)
-    } finally inf.end()
-  }
+  private[sources] def inflateBody(b: Array[Byte]): Option[Array[Byte]] =
+    graft.operators.Flate.inflate(b, MaxBodyBytes)
 
   /** DataFrame door over [[read]]'s output: `response` records decoded
     * through the HTTP message layer — one output row per decodable

@@ -78,4 +78,35 @@ class Id3Spec extends SparkSpec {
     assert(out(1).getAs[String]("title") == "")
     assert(out(1).getAs[Long]("n_frames") == 3L)
   }
+
+  test("extended header skips by declared size; unsynchronisation refuses") {
+    // build a v2.3 tag, then splice an extended header after byte 10 and
+    // set flag 0x40: the frame walk must land on TIT2, not on EH bytes
+    val base = AudioHeaders.renderId3v2Text(3, Seq("TIT2" -> "ext ok"), pad = 4)
+    def withEh(ver: Int): Array[Byte] = {
+      val eh =
+        if (ver == 3) Array[Byte](0, 0, 0, 6, 0, 0, 0, 0, 0, 0) // size-excl-4 = 6
+        else Array[Byte](0, 0, 0, 6, 1, 0) // v2.4: whole size synchsafe = 6
+      val src = AudioHeaders.renderId3v2Text(ver, Seq("TIT2" -> "ext ok"), pad = 4)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(src, 0, 5)
+      out.write(0x40) // flags: extended header present
+      // grow the declared tag size by the EH length (synchsafe re-encode)
+      val oldSize = ((src(6) & 0x7f) << 21) | ((src(7) & 0x7f) << 14) |
+        ((src(8) & 0x7f) << 7) | (src(9) & 0x7f)
+      val ns = oldSize + eh.length
+      out.write((ns >> 21) & 0x7f); out.write((ns >> 14) & 0x7f)
+      out.write((ns >> 7) & 0x7f); out.write(ns & 0x7f)
+      out.write(eh)
+      out.write(src, 10, src.length - 10)
+      out.toByteArray
+    }
+    assert(AudioHeaders.id3TextFrames(withEh(3)).get == Seq("TIT2" -> "ext ok"))
+    val eh4 = withEh(4)
+    // v2.4 extended header size is the WHOLE header, synchsafe; rebuild
+    assert(AudioHeaders.id3TextFrames(eh4).get == Seq("TIT2" -> "ext ok"))
+    // unsynchronisation flag: refuse rather than misparse
+    val unsync = base.clone(); unsync(5) = 0x80.toByte
+    assert(AudioHeaders.id3TextFrames(unsync).isEmpty)
+  }
 }

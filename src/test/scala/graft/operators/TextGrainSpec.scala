@@ -47,4 +47,18 @@ class TextGrainSpec extends SparkSpec {
         cjkThreshold = 1.5)
     }
   }
+
+  test("line-ending invariance: CRLF and LF text score identically") {
+    import spark.implicits._
+    val cjk = "一丁丂七"
+    def row(t: String) =
+      TextGrain.withUnits(Seq((1L, t)).toDF("id", "text"), "text")
+        .select("cjk_frac", "grain", "units").head()
+    val lf = row(s"$cjk\n$cjk")
+    val crlf = row(s"$cjk\r\n$cjk")
+    assert(lf.getDouble(0) == crlf.getDouble(0))
+    assert(lf.getString(1) == crlf.getString(1))
+    assert(lf.getSeq[String](2) == crlf.getSeq[String](2),
+      "a carriage return must not become a bigram unit")
+  }
 }
