@@ -9,8 +9,10 @@ import graft.GraftSession
   * normalized to one corpus schema and deduplicated ACROSS formats:
   *
   *   WARC responses (HTML -> graft_extract_text), WET conversion records
-  *   (pre-extracted text), WebDataset tar shards, ZIP shards, and PDFs
-  *   (ISO 32000 text extraction) each become rows of
+  *   (pre-extracted text), WebDataset tar shards, ZIP shards, PDFs
+  *   (ISO 32000 text extraction), Wikipedia multistream bz2 dumps
+  *   (page split + wikitext -> prose), xz shards, and TFRecord shards
+  *   (tf.Example text features) each become rows of
   *   `(doc_id, fmt, locator, text)`; a union + one exact-dedup groupBy
   *   collapses the SAME article arriving through different containers —
   *   the republication case only a format-spanning door can catch (the
@@ -70,6 +72,51 @@ object IngestRun {
       .where(length(col("text")) > 0)
   }
 
+  /** Wikipedia multistream bz2: content pages (ns 0, non-redirect) with
+    * the wikitext stripped to prose.
+    */
+  def fromWiki(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val pages = graft.operators.MediaWiki.pagesOf(
+        graft.sources.Bz2Shards.streamText(
+          spark.read.format("bz2multistream").load(path)), "text")
+      .where(col("ns") === 0 && col("redirect").isNull)
+    val cleaned = spark.createDataFrame(
+      pages.select("title", "wikitext").rdd.map(r =>
+        Row(r.getString(0), graft.operators.MediaWiki.cleanWikitext(r.getString(1)))),
+      StructType(Seq(StructField("title", StringType, nullable = false),
+        StructField("text", StringType, nullable = false))))
+    cleaned.select(norm("wiki", col("title"), col("text")): _*)
+      .where(length(col("text")) > 0)
+  }
+
+  /** xz shards: each block is a document (the `.txt.xz` shard shape). */
+  def fromXz(spark: SparkSession, path: String): DataFrame =
+    graft.sources.XzShards.read(spark, path)
+      .select(norm("xz", concat(col("file"), lit("#"), col("block")),
+        col("data").cast("string")): _*)
+      .where(length(col("text")) > 0)
+
+  /** TFRecord shards: the `text` bytes feature of each tf.Example. */
+  def fromTfRecord(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val recs = graft.sources.TfRecords.read(spark, path)
+      .select("file", "ord", "data")
+    val decoded = spark.createDataFrame(
+      recs.rdd.flatMap { r =>
+        graft.operators.TfExample.decode(r.getAs[Array[Byte]](2))
+          .flatMap(_.features.get("text")).flatMap(_.bytes.headOption)
+          .map(b => Row(s"${r.getString(0)}#${r.getLong(1)}",
+            new String(b, "UTF-8")))
+      },
+      StructType(Seq(StructField("locator", StringType, nullable = false),
+        StructField("text", StringType, nullable = false))))
+    decoded.select(norm("tfrecord", col("locator"), col("text")): _*)
+      .where(length(col("text")) > 0)
+  }
+
   /** Union the doors and collapse exact text duplicates across formats:
     * one row per distinct text, represented by the lexicographically
     * first (fmt, locator); `n_copies`/`fmts` record the collapse.
@@ -94,7 +141,8 @@ object IngestRun {
     val corpus = ingest(Seq(
       fromWarc(spark, fx("warc")), fromWet(spark, fx("wet")),
       fromTar(spark, fx("tar")), fromZip(spark, fx("zip")),
-      fromPdf(spark, fx("pdf"))))
+      fromPdf(spark, fx("pdf")), fromWiki(spark, fx("wiki")),
+      fromXz(spark, fx("xz")), fromTfRecord(spark, fx("tfrecord"))))
     corpus.cache()
     val total = corpus.count()
     val dups = corpus.where(col("n_copies") > 1).count()
@@ -105,8 +153,8 @@ object IngestRun {
 }
 
 /** Deterministic multi-format fixture set for [[IngestRun]] and its spec:
-  * 6 distinct articles; article 0 appears through ALL five doors (the
-  * cross-format republication), articles 1-5 through one door each.
+  * 9 distinct articles; article 0 appears through ALL eight doors (the
+  * cross-format republication), articles 1-8 through one door each.
   */
 object IngestFixtures {
   private def article(i: Int): String =
@@ -149,8 +197,25 @@ object IngestFixtures {
         graft.operators.Pdf.render(Seq(
           (s"BT /F1 12 Tf 72 720 Td (${article(i)}) Tj ET", i % 2 == 0))))
     }
+    val wikiDir = sub("wiki")
+    def pageXml(title: String, text: String): String =
+      s"<page><title>$title</title><ns>0</ns><id>1</id><revision><id>10</id>" +
+        s"<text>$text</text></revision></page>"
+    java.nio.file.Files.write(wikiDir.resolve("dump.xml.bz2"),
+      graft.operators.Bzip2.renderMultistream(Seq(
+        ("<mediawiki>" + pageXml("A0", article(0)) +
+          pageXml("A6", article(6)) + "</mediawiki>").getBytes("UTF-8"))))
+    val xzDir = sub("xz")
+    java.nio.file.Files.write(xzDir.resolve("s.xz"),
+      graft.operators.Xz.render(Seq(0, 7).map(i => article(i).getBytes("UTF-8"))))
+    val tfDir = sub("tfrecord")
+    java.nio.file.Files.write(tfDir.resolve("s.tfrecord"),
+      graft.sources.TfRecords.render(Seq(0, 8).map(i =>
+        graft.operators.TfExample.encode(Seq(
+          "text" -> graft.operators.TfExample.text(article(i)))))))
     Map("warc" -> warcDir.toString, "wet" -> wetDir.toString,
       "tar" -> tarDir.toString, "zip" -> zipDir.toString,
-      "pdf" -> pdfDir.toString)
+      "pdf" -> pdfDir.toString, "wiki" -> wikiDir.toString,
+      "xz" -> xzDir.toString, "tfrecord" -> tfDir.toString)
   }
 }

@@ -6,35 +6,40 @@ import graft.SparkSpec
 
 class IngestRunSpec extends SparkSpec {
 
-  test("five doors, one corpus: cross-format republication collapses") {
+  test("eight doors, one corpus: cross-format republication collapses") {
     val fx = IngestFixtures.writeAll()
+    val names = Seq("warc", "wet", "tar", "zip", "pdf", "wiki", "xz", "tfrecord")
     val doors = Seq(
       IngestRun.fromWarc(spark, fx("warc")),
       IngestRun.fromWet(spark, fx("wet")),
       IngestRun.fromTar(spark, fx("tar")),
       IngestRun.fromZip(spark, fx("zip")),
-      IngestRun.fromPdf(spark, fx("pdf")))
+      IngestRun.fromPdf(spark, fx("pdf")),
+      IngestRun.fromWiki(spark, fx("wiki")),
+      IngestRun.fromXz(spark, fx("xz")),
+      IngestRun.fromTfRecord(spark, fx("tfrecord")))
     // every door contributes exactly its two articles
-    doors.zip(Seq("warc", "wet", "tar", "zip", "pdf")).foreach { case (d, n) =>
+    doors.zip(names).foreach { case (d, n) =>
       assert(d.count() == 2, s"door $n")
     }
     val corpus = IngestRun.ingest(doors).cache()
-    // 6 distinct articles: article 0 through all five doors, 1-5 once each
-    assert(corpus.count() == 6)
+    // 9 distinct articles: article 0 through all eight doors, 1-8 once each
+    assert(corpus.count() == 9)
     val dup = corpus.where(col("n_copies") > 1).collect()
     assert(dup.length == 1)
-    assert(dup.head.getAs[Long]("n_copies") == 5L)
+    assert(dup.head.getAs[Long]("n_copies") == 8L)
     assert(dup.head.getAs[scala.collection.Seq[String]]("fmts").toSeq ==
-      Seq("pdf", "tar", "warc", "wet", "zip"))
+      names.sorted)
     // the representative is the lexicographically first (fmt, locator)
     assert(dup.head.getAs[String]("fmt") == "pdf")
     // singletons each carry their own format
     val singles = corpus.where(col("n_copies") === 1)
       .select("fmts").collect().map(_.getAs[scala.collection.Seq[String]](0))
     assert(singles.forall(_.size == 1) && singles.flatten.sorted.toSeq ==
-      Seq("pdf", "tar", "warc", "wet", "zip"))
-    // and the collapse happened on EXTRACTED text: the five raw payloads
-    // of article 0 all differ at the byte level (html vs container framing)
+      names.sorted)
+    // and the collapse happened on EXTRACTED text: the eight raw payloads
+    // of article 0 all differ at the byte level (html vs wikitext vs
+    // container framing vs protobuf vs compression)
     corpus.unpersist()
   }
 }
