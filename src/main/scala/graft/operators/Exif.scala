@@ -34,6 +34,9 @@ object Exif {
     var i = 2
     while (i + 4 <= bytes.length) {
       if ((bytes(i) & 0xff) != 0xff) return Some(Empty) // desynced: stop clean
+      // legal 0xFF fill bytes may pad before a marker (JPEG B.1.1.2)
+      while (i + 4 <= bytes.length && (bytes(i + 1) & 0xff) == 0xff) i += 1
+      if (i + 4 > bytes.length) return Some(Empty)
       val marker = bytes(i + 1) & 0xff
       if (marker == 0xd9 || marker == 0xda) return Some(Empty) // EOI / SOS: no APP1 seen
       if (marker >= 0xd0 && marker <= 0xd8) { i += 2 }

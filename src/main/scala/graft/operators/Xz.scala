@@ -617,9 +617,12 @@ object Xz {
       out.write(hb)
       wLe32(out, crc32(hb, 0, hb.length))
       // LZMA2 uncompressed chunks
+      // an empty part emits a chunk-less block (header + 0x00 terminator
+      // only) — the in-repo decoder round-trips it; canonical xz instead
+      // skips empty blocks entirely, so this layout is writer-twin-only
       var o = 0
       var firstChunk = true
-      while (o < p.length || (p.length == 0 && firstChunk && false)) {
+      while (o < p.length) {
         val n = math.min(65536, p.length - o)
         out.write(if (firstChunk) 0x01 else 0x02)
         out.write(((n - 1) >> 8) & 0xff); out.write((n - 1) & 0xff)

@@ -151,9 +151,14 @@ class Bz2MultistreamPartitionReader(part0: Bz2RangeInputPartition,
       val len = fs.getFileStatus(p).getLen
       Bz2RangeInputPartition(part0.file, 0L, len, len)
     }
-    require(part.fileLen <= Int.MaxValue - 8,
-      s"bz2 shard ${part.file} is ${part.fileLen} bytes; this reader windows " +
-        "whole streams in memory — shard dumps below 2 GB per file.")
+    // only the task's window [rangeStart, windowEnd) is ever materialized
+    // (window arrays are range-relative), so the bound is PER TASK, not
+    // per file: a 20 GB dump with 128 MB ranges runs fine; a single
+    // stream needing a >2 GB window is skipped as corrupt.
+    val maxWindow = Int.MaxValue - 8
+    require(part.rangeEnd - part.rangeStart <= maxWindow - 9,
+      s"bz2 shard range [${part.rangeStart}, ${part.rangeEnd}) of " +
+        s"${part.file} exceeds the 2 GB per-task window")
     val in = fs.open(p)
     try {
       var windowEnd = math.min(part.fileLen, part.rangeEnd + 9)
@@ -162,8 +167,9 @@ class Bz2MultistreamPartitionReader(part0: Bz2RangeInputPartition,
 
       def grow(): Boolean = {
         if (windowEnd >= part.fileLen) return false
-        val newEnd = math.min(part.fileLen,
+        val newEnd = math.min(math.min(part.fileLen, part.rangeStart + maxWindow),
           math.max(windowEnd * 2 - part.rangeStart, windowEnd + (1L << 20)))
+        if (newEnd <= windowEnd) return false // per-task window cap hit
         val grown = java.util.Arrays.copyOf(window, (newEnd - part.rangeStart).toInt)
         in.readFully(windowEnd, grown, (windowEnd - part.rangeStart).toInt,
           (newEnd - windowEnd).toInt)
@@ -174,7 +180,7 @@ class Bz2MultistreamPartitionReader(part0: Bz2RangeInputPartition,
 
       // candidates are fixed by the initial range; decode with retries
       val candAbs = Bz2Shards.candidates(window, 0,
-        math.min(part.rangeEnd, part.fileLen).toInt - part.rangeStart.toInt)
+        (math.min(part.rangeEnd, part.fileLen) - part.rangeStart).toInt)
         .map(_ + part.rangeStart)
       val out = scala.collection.mutable.ArrayBuffer.empty[Bz2Shards.Bz2Stream]
       var cursor = part.rangeStart
