@@ -28,9 +28,18 @@ import org.apache.spark.sql.functions._
   */
 object TextGrain {
 
-  /** CJK Unified Ideographs block (the q184 script-mix band). */
-  private val CjkLo = 0x4e00
-  private val CjkHi = 0x9fff
+  /** The spaceless-script bands the bigram grain serves — not just CJK
+    * Unified Ideographs: a kana-heavy Japanese page (casual prose is
+    * often majority kana) and Korean hangul text are exactly as
+    * space-free as Chinese, and an ideograph-only band would silently
+    * route them back to the one-giant-word grain. Shared constants so
+    * the SQL oracles replay the same bands.
+    */
+  val Bands: Seq[(Int, Int)] = Seq(
+    (0x3040, 0x30ff), // Hiragana + Katakana
+    (0x3400, 0x4dbf), // CJK Unified Ideographs Extension A
+    (0x4e00, 0x9fff), // CJK Unified Ideographs
+    (0xac00, 0xd7af)) // Hangul syllables
 
   /** Append `cjk_frac`, `grain`, and `units` (see object doc). */
   def withUnits(df: DataFrame, textCol: String,
@@ -42,7 +51,10 @@ object TextGrain {
       c === "" || c === " " || c === "\n" || c === "\t" || c === "\r"
     val chars = filter(split(t, ""), c => !isWs(c))
     val nChars = size(chars)
-    val nCjk = size(filter(chars, c => ascii(c).between(CjkLo, CjkHi)))
+    val inBand = (c: Column) => Bands.map { case (lo, hi) =>
+      ascii(c).between(lo, hi)
+    }.reduce(_ || _)
+    val nCjk = size(filter(chars, inBand))
     val frac = when(nChars === 0, lit(0.0))
       .otherwise(nCjk.cast("double") / nChars)
     df.withColumn("_chars", chars)

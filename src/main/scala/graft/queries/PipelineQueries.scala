@@ -1742,7 +1742,8 @@ object PipelineQueries extends QuerySet {
       import s.implicits._
       val samples = (0L until 24L).map { i =>
         (i, "ab" * (1 + i % 3).toInt + "12" + "аб" * (i % 2).toInt +
-          "中" * (i % 4).toInt + " end")
+          "中" * (i % 4).toInt + "あナ" * (i % 3).toInt +
+          "한" * ((i + 1) % 2).toInt + " end")
       }
       val cp = ascii(col("c"))
       samples.toDF("sample_id", "text")
@@ -1752,6 +1753,8 @@ object PipelineQueries extends QuerySet {
           sum(when(cp.between(65, 90) || cp.between(97, 122), 1).otherwise(0)).as("n_latin"),
           sum(when(cp.between(0x400, 0x4ff), 1).otherwise(0)).as("n_cyrillic"),
           sum(when(cp.between(0x4e00, 0x9fff), 1).otherwise(0)).as("n_cjk"),
+          sum(when(cp.between(0x3040, 0x30ff), 1).otherwise(0)).as("n_kana"),
+          sum(when(cp.between(0xac00, 0xd7af), 1).otherwise(0)).as("n_hangul"),
           sum(when(cp.between(48, 57), 1).otherwise(0)).as("n_digit"),
           sum(when(cp === 32, 1).otherwise(0)).as("n_space"))
         .orderBy("sample_id")
@@ -3456,7 +3459,9 @@ object PipelineQueries extends QuerySet {
       """WITH s AS (SELECT i AS sample_id,
         |  repeat('ab', CAST(1 + i % 3 AS INT)) || '12' ||
         |  repeat('аб', CAST(i % 2 AS INT)) ||
-        |  repeat('中', CAST(i % 4 AS INT)) || ' end' AS text
+        |  repeat('中', CAST(i % 4 AS INT)) ||
+        |  repeat('あナ', CAST(i % 3 AS INT)) ||
+        |  repeat('한', CAST((i + 1) % 2 AS INT)) || ' end' AS text
         |  FROM (SELECT unnest(generate_series(0, 23)) AS i)),
         |c AS (SELECT sample_id, unnest(list_transform(
         |  generate_series(1, length(text)), j -> unicode(substr(text, j, 1)))) AS cp
@@ -3465,6 +3470,8 @@ object PipelineQueries extends QuerySet {
         |  CAST(SUM(CASE WHEN (cp BETWEEN 65 AND 90) OR (cp BETWEEN 97 AND 122) THEN 1 ELSE 0 END) AS BIGINT) AS n_latin,
         |  CAST(SUM(CASE WHEN cp BETWEEN 1024 AND 1279 THEN 1 ELSE 0 END) AS BIGINT) AS n_cyrillic,
         |  CAST(SUM(CASE WHEN cp BETWEEN 19968 AND 40959 THEN 1 ELSE 0 END) AS BIGINT) AS n_cjk,
+        |  CAST(SUM(CASE WHEN cp BETWEEN 12352 AND 12543 THEN 1 ELSE 0 END) AS BIGINT) AS n_kana,
+        |  CAST(SUM(CASE WHEN cp BETWEEN 44032 AND 55215 THEN 1 ELSE 0 END) AS BIGINT) AS n_hangul,
         |  CAST(SUM(CASE WHEN cp BETWEEN 48 AND 57 THEN 1 ELSE 0 END) AS BIGINT) AS n_digit,
         |  CAST(SUM(CASE WHEN cp = 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_space
         |FROM c GROUP BY sample_id ORDER BY sample_id""".stripMargin,

@@ -175,21 +175,31 @@ object TextQueries extends QuerySet {
     // ONE rule set scores both scripts — planted: clean English (passes),
     // clean CJK (passes AT THE CHAR GRAIN; its word-grain n_words=1
     // would fail), CJK single-char spam (bigram dup_frac ~0.97, fails),
-    // latin-majority mixed (stays word grain). The oracle rebuilds the
-    // CJK fixture with chr() codepoint arithmetic and replays the
-    // dispatch, the bigram stream, and every verdict.
+    // latin-majority mixed (stays word grain), majority-KANA Japanese and
+    // HANGUL Korean (both dispatch to char_bigram — the round-13 band
+    // extension; an ideograph-only band left them invisible). The oracle
+    // rebuilds the fixture with chr() codepoint arithmetic and replays
+    // the dispatch, the bigram stream, and every verdict.
     "q188_quality_cjk" -> ((s, dir) => {
       import s.implicits._
       def cjkc(n: Int) = new String(Character.toChars(0x4e00 + n))
+      def kana(n: Int) = new String(Character.toChars(0x3042 + n))
+      def hang(n: Int) = new String(Character.toChars(0xac00 + n))
       val docs = (0L until 24L).map { i =>
-        val text = (i % 4).toInt match {
+        val text = (i % 6).toInt match {
           case 0 => "the a to of and " +
             (0 until 12).map(j => s"w${(i + j) % 9}").mkString(" ")
           case 1 => (0 until (24 + (i % 5) * 3).toInt)
             .map(j => cjkc(((i * 13 + j * 7) % 300).toInt)).mkString
           case 2 => cjkc((i % 5).toInt) * (30 + (i % 3) * 5).toInt
-          case _ => "mixed latin text with a few w1 w2 w3 w4 w5 w6 chars " +
+          case 3 => "mixed latin text with a few w1 w2 w3 w4 w5 w6 chars " +
             cjkc(1) + cjkc(2)
+          // majority kana — the page an ideograph-only band mis-routes
+          // to the one-giant-word grain
+          case 4 => (0 until (26 + (i % 4) * 3).toInt)
+            .map(j => kana(((i * 11 + j * 5) % 71).toInt)).mkString
+          case _ => (0 until (22 + (i % 3) * 4).toInt)
+            .map(j => hang(((i * 13 + j * 7) % 500).toInt)).mkString
         }
         (i, text)
       }
@@ -707,7 +717,7 @@ object TextQueries extends QuerySet {
     "q188_quality_cjk" ->
       """WITH r AS (SELECT unnest(generate_series(0, 23)) AS doc_id),
         |t AS (SELECT doc_id,
-        |  CASE CAST(doc_id % 4 AS INT)
+        |  CASE CAST(doc_id % 6 AS INT)
         |    WHEN 0 THEN 'the a to of and ' || array_to_string(
         |      list_transform(range(0, 12), j -> 'w' || ((doc_id + j) % 9)), ' ')
         |    WHEN 1 THEN array_to_string(list_transform(
@@ -715,14 +725,23 @@ object TextQueries extends QuerySet {
         |      j -> chr(CAST(19968 + (doc_id * 13 + j * 7) % 300 AS INT))), '')
         |    WHEN 2 THEN repeat(chr(CAST(19968 + doc_id % 5 AS INT)),
         |      CAST(30 + (doc_id % 3) * 5 AS INT))
-        |    ELSE 'mixed latin text with a few w1 w2 w3 w4 w5 w6 chars '
+        |    WHEN 3 THEN 'mixed latin text with a few w1 w2 w3 w4 w5 w6 chars '
         |      || chr(19969) || chr(19970)
+        |    WHEN 4 THEN array_to_string(list_transform(
+        |      range(0, CAST(26 + (doc_id % 4) * 3 AS INT)),
+        |      j -> chr(CAST(12354 + (doc_id * 11 + j * 5) % 71 AS INT))), '')
+        |    ELSE array_to_string(list_transform(
+        |      range(0, CAST(22 + (doc_id % 3) * 4 AS INT)),
+        |      j -> chr(CAST(44032 + (doc_id * 13 + j * 7) % 500 AS INT))), '')
         |  END AS text FROM r),
         |c AS (SELECT doc_id, text, list_filter(
         |  list_transform(generate_series(1, length(text)), j -> substr(text, j, 1)),
         |  ch -> ch NOT IN ('', ' ', chr(10), chr(9), chr(13))) AS chars FROM t),
         |m AS (SELECT doc_id, text, chars, len(chars) AS nch,
-        |  len(list_filter(chars, ch -> unicode(ch) BETWEEN 19968 AND 40959)) AS ncjk
+        |  len(list_filter(chars, ch -> unicode(ch) BETWEEN 12352 AND 12543
+        |    OR unicode(ch) BETWEEN 13312 AND 19903
+        |    OR unicode(ch) BETWEEN 19968 AND 40959
+        |    OR unicode(ch) BETWEEN 44032 AND 55215)) AS ncjk
         |  FROM c),
         |u AS (SELECT doc_id,
         |  CASE WHEN nch = 0 THEN 0.0 ELSE ncjk * 1.0 / nch END AS fr,

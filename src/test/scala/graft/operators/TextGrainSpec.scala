@@ -35,6 +35,23 @@ class TextGrainSpec extends SparkSpec {
     assert(above.getString(1) == "char_bigram")
   }
 
+  test("kana and hangul dispatch to char bigrams like ideographs") {
+    // majority-kana Japanese (casual prose): no ideographs at all — an
+    // ideograph-only band would leave this at the one-giant-word grain
+    val kana = row("ひらがなとカタカナ")
+    assert(kana.getDouble(0) == 1.0)
+    assert(kana.getString(1) == "char_bigram")
+    val hangul = row("한국어텍스트")
+    assert(hangul.getDouble(0) == 1.0)
+    assert(hangul.getString(1) == "char_bigram")
+    // Ext-A ideographs count too
+    val extA = row("㐀㐁㐂㐃")
+    assert(extA.getString(1) == "char_bigram")
+    // mixed Japanese prose: kana + ideographs jointly clear the threshold
+    val mixed = row("abcdef" + "日本のひらがな")
+    assert(mixed.getString(1) == "char_bigram")
+  }
+
   test("degenerate inputs: empty text and single-char CJK never error") {
     val empty = row("")
     assert(empty.getDouble(0) == 0.0 && empty.getString(1) == "word")
