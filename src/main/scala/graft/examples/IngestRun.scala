@@ -11,8 +11,8 @@ import graft.GraftSession
   *   WARC responses (HTML -> graft_extract_text), WET conversion records
   *   (pre-extracted text), WebDataset tar shards, ZIP shards, PDFs
   *   (ISO 32000 text extraction), Wikipedia multistream bz2 dumps
-  *   (page split + wikitext -> prose), xz shards, and TFRecord shards
-  *   (tf.Example text features) each become rows of
+  *   (page split + wikitext -> prose), xz shards, zstd shards, and
+  *   TFRecord shards (tf.Example text features) each become rows of
   *   `(doc_id, fmt, locator, text)`; a union + one exact-dedup groupBy
   *   collapses the SAME article arriving through different containers —
   *   the republication case only a format-spanning door can catch (the
@@ -98,6 +98,15 @@ object IngestRun {
         col("data").cast("string")): _*)
       .where(length(col("text")) > 0)
 
+  /** zstd shards: each frame is a document (the `.jsonl.zst` /
+    * `.txt.zst` shard shape of the modern public-corpus releases).
+    */
+  def fromZstd(spark: SparkSession, path: String): DataFrame =
+    graft.sources.ZstdShards.read(spark, path)
+      .select(norm("zstd", concat(col("file"), lit("#"), col("frame")),
+        col("data").cast("string")): _*)
+      .where(length(col("text")) > 0)
+
   /** TFRecord shards: the `text` bytes feature of each tf.Example. */
   def fromTfRecord(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.Row
@@ -142,7 +151,8 @@ object IngestRun {
       fromWarc(spark, fx("warc")), fromWet(spark, fx("wet")),
       fromTar(spark, fx("tar")), fromZip(spark, fx("zip")),
       fromPdf(spark, fx("pdf")), fromWiki(spark, fx("wiki")),
-      fromXz(spark, fx("xz")), fromTfRecord(spark, fx("tfrecord"))))
+      fromXz(spark, fx("xz")), fromZstd(spark, fx("zstd")),
+      fromTfRecord(spark, fx("tfrecord"))))
     corpus.cache()
     val total = corpus.count()
     val dups = corpus.where(col("n_copies") > 1).count()
@@ -153,8 +163,8 @@ object IngestRun {
 }
 
 /** Deterministic multi-format fixture set for [[IngestRun]] and its spec:
-  * 9 distinct articles; article 0 appears through ALL eight doors (the
-  * cross-format republication), articles 1-8 through one door each.
+  * 10 distinct articles; article 0 appears through ALL nine doors (the
+  * cross-format republication), articles 1-9 through one door each.
   */
 object IngestFixtures {
   private def article(i: Int): String =
@@ -208,6 +218,9 @@ object IngestFixtures {
     val xzDir = sub("xz")
     java.nio.file.Files.write(xzDir.resolve("s.xz"),
       graft.operators.Xz.render(Seq(0, 7).map(i => article(i).getBytes("UTF-8"))))
+    val zstdDir = sub("zstd")
+    java.nio.file.Files.write(zstdDir.resolve("s.zst"),
+      graft.operators.Zstd.render(Seq(0, 9).map(i => article(i).getBytes("UTF-8"))))
     val tfDir = sub("tfrecord")
     java.nio.file.Files.write(tfDir.resolve("s.tfrecord"),
       graft.sources.TfRecords.render(Seq(0, 8).map(i =>
@@ -216,6 +229,7 @@ object IngestFixtures {
     Map("warc" -> warcDir.toString, "wet" -> wetDir.toString,
       "tar" -> tarDir.toString, "zip" -> zipDir.toString,
       "pdf" -> pdfDir.toString, "wiki" -> wikiDir.toString,
-      "xz" -> xzDir.toString, "tfrecord" -> tfDir.toString)
+      "xz" -> xzDir.toString, "zstd" -> zstdDir.toString,
+      "tfrecord" -> tfDir.toString)
   }
 }

@@ -1,0 +1,984 @@
+package graft.operators
+
+/** Dependency-free Zstandard (.zst) codec — the dominant shard
+  * compression of the modern public-corpus ecosystem (Dolma, RedPajama,
+  * OSCAR, Wikipedia's alternative dumps all ship `.jsonl.zst` /
+  * `.json.zst` shards); the JDK has no zstd. This is a full decoder of
+  * the public RFC 8878 frame format: frame headers (window descriptor,
+  * single-segment, frame content size, dictionary-ID fields), Raw / RLE
+  * / Compressed blocks, the complete literals section (Raw, RLE,
+  * Huffman-compressed with FSE- or direct-coded weights, 1- and 4-stream
+  * layouts, Treeless reuse), the sequences section (predefined / RLE /
+  * FSE-compressed / Repeat table modes for literal lengths, offsets and
+  * match lengths; the three repeat-offset slots with the litLen==0
+  * twist), backward-read bitstreams, skippable frames, and the XXH64
+  * content checksum.
+  *
+  * The writer twin emits valid .zst built from RAW blocks only — the
+  * stored-deflate trick of [[graft.sources.ZipShards.render]] and
+  * [[Xz.render]]: every byte offset becomes a pure function of payload
+  * length, so the DuckDB oracle re-derives frame extents arithmetically
+  * while real compressed interop is pinned by zstd-CLI goldens in
+  * ZstdSpec (both directions: the CLI decodes our frames, we decode the
+  * CLI's).
+  *
+  * Scale story: a `.jsonl.zst` corpus is a sequence of independent
+  * frames; each frame's compressed extent is walkable from block
+  * headers alone (no entropy work), so a listing pass is O(#blocks) and
+  * each frame is an independently decodable range-read unit — the same
+  * two-tier design as the ZIP central directory and the xz block index.
+  *
+  * Contract: malformed anywhere (bad magic, truncation, corrupt
+  * bitstream, reserved bits, checksum mismatch, non-zero dictionary ID)
+  * → None, never a throw; output capped at 1 GiB per frame.
+  */
+object Zstd {
+
+  private val MaxFrameBytes: Long = 1L << 30
+  private[graft] val Magic = 0xFD2FB528
+  private val SkippableMagicLo = 0x184D2A50
+  private val SkippableMagicHi = 0x184D2A5F
+
+  // ---------------------------------------------------------------------
+  // XXH64 (public xxHash spec; the RFC 8878 content checksum)
+
+  private val P1 = 0x9E3779B185EBCA87L
+  private val P2 = 0xC2B2AE3D27D4EB4FL
+  private val P3 = 0x165667B19E3779F9L
+  private val P4 = 0x85EBCA77C2B2AE63L
+  private val P5 = 0x27D4EB2F165667C5L
+
+  private def rotl(v: Long, n: Int): Long = (v << n) | (v >>> (64 - n))
+  private def round(acc: Long, in: Long): Long = rotl(acc + in * P2, 31) * P1
+  private def mergeRound(acc: Long, v: Long): Long =
+    (acc ^ round(0L, v)) * P1 + P4
+
+  private def le64b(b: Array[Byte], i: Int): Long = {
+    var v = 0L
+    var k = 7
+    while (k >= 0) { v = (v << 8) | (b(i + k) & 0xffL); k -= 1 }
+    v
+  }
+
+  private def le32b(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+    ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** XXH64 of `data[from, until)` with the given seed. */
+  private[graft] def xxh64(data: Array[Byte], from: Int, until: Int,
+                           seed: Long = 0L): Long = {
+    val len = until - from
+    var i = from
+    var acc =
+      if (len >= 32) {
+        var v1 = seed + P1 + P2
+        var v2 = seed + P2
+        var v3 = seed
+        var v4 = seed - P1
+        while (i + 32 <= until) {
+          v1 = round(v1, le64b(data, i))
+          v2 = round(v2, le64b(data, i + 8))
+          v3 = round(v3, le64b(data, i + 16))
+          v4 = round(v4, le64b(data, i + 24))
+          i += 32
+        }
+        var a = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+        a = mergeRound(a, v1); a = mergeRound(a, v2)
+        a = mergeRound(a, v3); a = mergeRound(a, v4)
+        a
+      } else seed + P5
+    acc += len.toLong
+    while (i + 8 <= until) {
+      acc ^= round(0L, le64b(data, i))
+      acc = rotl(acc, 27) * P1 + P4
+      i += 8
+    }
+    if (i + 4 <= until) {
+      acc ^= le32b(data, i) * P1
+      acc = rotl(acc, 23) * P2 + P3
+      i += 4
+    }
+    while (i < until) {
+      acc ^= (data(i) & 0xffL) * P5
+      acc = rotl(acc, 11) * P1
+      i += 1
+    }
+    acc ^= acc >>> 33
+    acc *= P2
+    acc ^= acc >>> 29
+    acc *= P3
+    acc ^= acc >>> 32
+    acc
+  }
+
+  // ---------------------------------------------------------------------
+  // Backward bitstream (RFC 8878 §3.1.1.4): bytes are read from the LAST
+  // byte toward the first; the last byte's highest set bit is a padding
+  // sentinel. Reads past the beginning pad with zero bits (legal only
+  // for final-symbol peeks; `underflowed` tracks it for validity gates).
+
+  private final class BackBits(src: Array[Byte], begin: Int, end: Int) {
+    var failed = false
+    /** Bits remaining below the sentinel. Negative after an underflow. */
+    var bitIndex: Int = {
+      if (end <= begin) { failed = true; 0 }
+      else {
+        val last = src(end - 1) & 0xff
+        if (last == 0) { failed = true; 0 }
+        else {
+          var hb = 7
+          while ((last & (1 << hb)) == 0) hb -= 1
+          (end - begin - 1) * 8 + hb
+        }
+      }
+    }
+
+    /** Bits [lowBit, lowBit + n) of the buffer as a little-endian
+      * integer (n <= 56, lowBit >= 0).
+      */
+    private def bitsAt(lowBit: Int, n: Int): Long = {
+      var v = 0L
+      val byteI = lowBit >>> 3
+      val shift = lowBit & 7
+      var k = 0
+      while (k * 8 < n + shift && k < 8) {
+        val idx = begin + byteI + k
+        if (idx < end) v |= (src(idx) & 0xffL) << (8 * k)
+        k += 1
+      }
+      (v >>> shift) & (if (n >= 64) -1L else (1L << n) - 1)
+    }
+
+    /** Read the next n (≤ 32) bits from the top of the stream. Missing
+      * low bits (past the start) read as zero.
+      */
+    def read(n: Int): Int = readLong(n).toInt
+
+    def readLong(n: Int): Long = {
+      if (n == 0) return 0L
+      bitIndex -= n
+      if (bitIndex >= 0) bitsAt(bitIndex, n)
+      else if (bitIndex + n <= 0) 0L
+      else bitsAt(0, n + bitIndex) << (-bitIndex)
+    }
+
+    def underflowed: Boolean = bitIndex < 0
+    def exhausted: Boolean = bitIndex <= 0
+  }
+
+  /** Forward bit reader for FSE table descriptions (§4.1.1 streams are
+    * read forward, least-significant bit first).
+    */
+  private final class FwdBits(src: Array[Byte], val begin: Int, end: Int) {
+    var bitPos = 0
+    var failed = false
+    def read(n: Int): Int = {
+      var v = 0
+      var k = 0
+      while (k < n) {
+        val bit = bitPos + k
+        val idx = begin + (bit >>> 3)
+        if (idx >= end) { failed = true; return 0 }
+        v |= ((src(idx) >> (bit & 7)) & 1) << k
+        k += 1
+      }
+      bitPos += n
+      v
+    }
+    def rewind(n: Int): Unit = bitPos -= n
+    def bytesConsumed: Int = (bitPos + 7) >>> 3
+  }
+
+  // ---------------------------------------------------------------------
+  // FSE (§4.1): decoding table = (symbol, nbBits, baseline) per state.
+
+  private final class FseTable(val accuracyLog: Int, val size: Int) {
+    val symbol = new Array[Int](size)
+    val nbBits = new Array[Int](size)
+    val baseline = new Array[Int](size)
+  }
+
+  private def highestBit(v: Int): Int = 31 - Integer.numberOfLeadingZeros(v)
+
+  /** Build a decoding table from normalized frequencies (−1 = "less
+    * than 1"). Returns null on malformed.
+    */
+  private def fseBuild(freqs: Array[Int], accuracyLog: Int): FseTable = {
+    val size = 1 << accuracyLog
+    val t = new FseTable(accuracyLog, size)
+    var highThreshold = size - 1
+    // -1 symbols get one cell each at the top of the table
+    var s = 0
+    while (s < freqs.length) {
+      if (freqs(s) == -1) {
+        if (highThreshold < 0) return null
+        t.symbol(highThreshold) = s
+        highThreshold -= 1
+      }
+      s += 1
+    }
+    val step = (size >> 1) + (size >> 3) + 3
+    val mask = size - 1
+    var pos = 0
+    s = 0
+    while (s < freqs.length) {
+      var i = 0
+      while (i < freqs(s)) {
+        t.symbol(pos) = s
+        do pos = (pos + step) & mask while (pos > highThreshold)
+        i += 1
+      }
+      s += 1
+    }
+    if (pos != 0) return null // spread must land back at zero
+    // per-symbol next-state counters seed baselines and bit counts
+    val next = new Array[Int](freqs.length)
+    s = 0
+    while (s < freqs.length) {
+      next(s) = if (freqs(s) == -1) 1 else freqs(s)
+      s += 1
+    }
+    var c = 0
+    while (c < size) {
+      val sym = t.symbol(c)
+      val ns = next(sym)
+      next(sym) += 1
+      if (ns <= 0) return null
+      val nb = accuracyLog - highestBit(ns)
+      if (nb < 0 || nb > accuracyLog) return null
+      t.nbBits(c) = nb
+      t.baseline(c) = (ns << nb) - size
+      c += 1
+    }
+    t
+  }
+
+  /** Read an FSE table description (§4.1.1) from a forward bitstream.
+    * Returns (table, bytesConsumed) or null on malformed.
+    */
+  private def fseReadTable(src: Array[Byte], begin: Int, end: Int,
+                           maxAccuracyLog: Int, maxSymbol: Int): (FseTable, Int) = {
+    val in = new FwdBits(src, begin, end)
+    val accuracyLog = 5 + in.read(4)
+    if (in.failed || accuracyLog > maxAccuracyLog) return null
+    var remaining = (1 << accuracyLog) + 1
+    val freqs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (remaining > 1 && freqs.length <= maxSymbol) {
+      val bits = highestBit(remaining) + 1
+      var v = in.read(bits)
+      if (in.failed) return null
+      val lowerMask = (1 << (bits - 1)) - 1
+      val threshold = (1 << bits) - 1 - remaining
+      if ((v & lowerMask) < threshold) {
+        in.rewind(1)
+        v &= lowerMask
+      } else if (v > lowerMask) v -= threshold
+      val proba = v - 1
+      if (proba < -1) return null
+      freqs += proba
+      remaining -= (if (proba < 0) 1 else proba)
+      if (proba == 0) {
+        var rep = in.read(2)
+        if (in.failed) return null
+        var n = rep
+        while (rep == 3) {
+          rep = in.read(2)
+          if (in.failed) return null
+          n += rep
+        }
+        var k = 0
+        while (k < n) {
+          if (freqs.length > maxSymbol) return null
+          freqs += 0
+          k += 1
+        }
+      }
+    }
+    if (remaining != 1) return null
+    val t = fseBuild(freqs.toArray, accuracyLog)
+    if (t == null) null else (t, in.bytesConsumed)
+  }
+
+  /** A degenerate 0-bit table for RLE symbol-compression mode. */
+  private def fseRle(sym: Int): FseTable = {
+    val t = new FseTable(0, 1)
+    t.symbol(0) = sym
+    t
+  }
+
+  // ---------------------------------------------------------------------
+  // Huffman literals (§4.2)
+
+  private final class HufTable(val maxBits: Int) {
+    val symbols = new Array[Byte](1 << maxBits)
+    val numBits = new Array[Int](1 << maxBits)
+  }
+
+  /** Build the max-bits-indexed table from per-symbol code lengths
+    * (0 = unused). Null on malformed.
+    */
+  private def hufBuild(bits: Array[Int], maxBits: Int): HufTable = {
+    if (maxBits > 11 || maxBits < 1) return null
+    val t = new HufTable(maxBits)
+    val rankCount = new Array[Int](maxBits + 1)
+    var i = 0
+    while (i < bits.length) {
+      if (bits(i) > maxBits) return null
+      rankCount(bits(i)) += (if (bits(i) > 0) 1 else 0)
+      i += 1
+    }
+    val rankIdx = new Array[Int](maxBits + 2)
+    rankIdx(maxBits) = 0
+    var r = maxBits
+    while (r >= 1) {
+      rankIdx(r - 1) = rankIdx(r) + rankCount(r) * (1 << (maxBits - r))
+      var j = rankIdx(r)
+      while (j < rankIdx(r - 1)) { t.numBits(j) = r; j += 1 }
+      r -= 1
+    }
+    if (rankIdx(0) != (1 << maxBits)) return null // lengths must fill the table
+    i = 0
+    while (i < bits.length) {
+      if (bits(i) != 0) {
+        val code = rankIdx(bits(i))
+        val len = 1 << (maxBits - bits(i))
+        java.util.Arrays.fill(t.symbols, code, code + len, i.toByte)
+        rankIdx(bits(i)) += len
+      }
+      i += 1
+    }
+    t
+  }
+
+  /** Read a Huffman tree description (§4.2.1). Returns (table,
+    * bytesConsumed) or null.
+    */
+  private def hufReadTree(src: Array[Byte], begin: Int, end: Int): (HufTable, Int) = {
+    if (begin >= end) return null
+    val head = src(begin) & 0xff
+    val weights = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var consumed = 1
+    if (head < 128) {
+      // FSE-compressed weights: `head` bytes, two interleaved states
+      val compEnd = begin + 1 + head
+      if (compEnd > end) return null
+      val (tbl, hdrBytes) = fseReadTable(src, begin + 1, compEnd, 6, 255) match {
+        case null => return null
+        case (t, n) => if (begin + 1 + n > compEnd) return null else (t, n)
+      }
+      val bb = new BackBits(src, begin + 1 + hdrBytes, compEnd)
+      if (bb.failed) return null
+      var stateA = bb.read(tbl.accuracyLog)
+      var stateB = bb.read(tbl.accuracyLog)
+      if (bb.underflowed) return null
+      var done = false
+      while (!done && weights.length <= 255) {
+        weights += tbl.symbol(stateA)
+        stateA = tbl.baseline(stateA) + bb.read(tbl.nbBits(stateA))
+        if (bb.underflowed) {
+          weights += tbl.symbol(stateB)
+          done = true
+        } else {
+          weights += tbl.symbol(stateB)
+          stateB = tbl.baseline(stateB) + bb.read(tbl.nbBits(stateB))
+          if (bb.underflowed) {
+            weights += tbl.symbol(stateA)
+            done = true
+          }
+        }
+      }
+      if (!done) return null // more than 255 weights: malformed
+      consumed = 1 + head
+    } else {
+      // direct 4-bit weights for (head - 127) symbols
+      val n = head - 127
+      val bytes = (n + 1) / 2
+      if (begin + 1 + bytes > end) return null
+      var i = 0
+      while (i < n) {
+        val b = src(begin + 1 + i / 2) & 0xff
+        weights += (if (i % 2 == 0) b >> 4 else b & 0xf)
+        i += 1
+      }
+      consumed = 1 + bytes
+    }
+    // the last symbol's weight is implicit: total must complete a power
+    // of two
+    var total = 0L
+    var i = 0
+    while (i < weights.length) {
+      if (weights(i) > 11) return null
+      if (weights(i) > 0) total += 1L << (weights(i) - 1)
+      i += 1
+    }
+    if (total == 0) return null
+    val maxBits = highestBit(total.toInt) + 1
+    val left = (1L << maxBits) - total
+    if (left <= 0 || (left & (left - 1)) != 0) return null // must be a power of 2
+    val lastWeight = highestBit(left.toInt) + 1
+    weights += lastWeight
+    val bits = weights.map(w => if (w > 0) maxBits + 1 - w else 0).toArray
+    val t = hufBuild(bits, maxBits)
+    if (t == null) null else (t, consumed)
+  }
+
+  /** Decode one Huffman bitstream into out[outPos, outPos+n). */
+  private def hufDecodeStream(t: HufTable, src: Array[Byte], begin: Int,
+                              end: Int, out: Array[Byte], outPos: Int,
+                              n: Int): Boolean = {
+    val bb = new BackBits(src, begin, end)
+    if (bb.failed) return false
+    var i = 0
+    while (i < n) {
+      if (bb.bitIndex < 0) return false
+      // peek maxBits (zero-padded past the start), consume entry bits
+      val save = bb.bitIndex
+      val idx = bb.read(t.maxBits).toInt
+      val nb = t.numBits(idx)
+      if (nb == 0) return false
+      bb.bitIndex = save - nb
+      out(outPos + i) = t.symbols(idx)
+      i += 1
+    }
+    bb.bitIndex == 0 // the stream must be fully consumed
+  }
+
+  // ---------------------------------------------------------------------
+  // sequences: predefined distributions and code tables (§3.1.1.3.2.2)
+
+  private val LlPredef = Array(4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1)
+  private val MlPredef = Array(1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1)
+  private val OfPredef = Array(1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1)
+
+  private val LlBase = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+    15, 16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024, 2048,
+    4096, 8192, 16384, 32768, 65536)
+  private val LlExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+  private val MlBase = Array(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
+    17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34,
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027, 2051,
+    4099, 8195, 16387, 32771, 65539)
+  private val MlExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3,
+    4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+
+  private lazy val LlPredefTable = fseBuild(LlPredef, 6)
+  private lazy val MlPredefTable = fseBuild(MlPredef, 6)
+  private lazy val OfPredefTable = fseBuild(OfPredef, 5)
+
+  /** Per-frame entropy state carried across blocks (Treeless literals,
+    * Repeat sequence-table modes, repeat offsets).
+    */
+  private final class FrameState {
+    var huf: HufTable = _
+    var llTable: FseTable = _
+    var mlTable: FseTable = _
+    var ofTable: FseTable = _
+    var rep1 = 1; var rep2 = 4; var rep3 = 8
+  }
+
+  // ---------------------------------------------------------------------
+  // literals section (§4.2)
+
+  /** Decode the literals section at src[pos, end). Returns
+    * (literals, bytesConsumed) or null.
+    */
+  private def literals(src: Array[Byte], pos: Int, end: Int,
+                       fs: FrameState): (Array[Byte], Int) = {
+    if (pos >= end) return null
+    val b0 = src(pos) & 0xff
+    val litType = b0 & 3
+    val sizeFormat = (b0 >> 2) & 3
+    if (litType <= 1) {
+      // Raw / RLE
+      var regen = 0
+      var hdr = 1
+      sizeFormat match {
+        case 0 | 2 => regen = b0 >> 3; hdr = 1
+        case 1 =>
+          if (pos + 2 > end) return null
+          regen = (b0 >> 4) | ((src(pos + 1) & 0xff) << 4); hdr = 2
+        case 3 =>
+          if (pos + 3 > end) return null
+          regen = (b0 >> 4) | ((src(pos + 1) & 0xff) << 4) |
+            ((src(pos + 2) & 0xff) << 12); hdr = 3
+      }
+      if (litType == 0) {
+        if (pos + hdr + regen > end) return null
+        (java.util.Arrays.copyOfRange(src, pos + hdr, pos + hdr + regen),
+          hdr + regen)
+      } else {
+        if (pos + hdr + 1 > end) return null
+        val out = new Array[Byte](regen)
+        java.util.Arrays.fill(out, src(pos + hdr))
+        (out, hdr + 1)
+      }
+    } else {
+      // Compressed (2) / Treeless (3)
+      var regen = 0
+      var comp = 0
+      var hdr = 0
+      var fourStreams = true
+      sizeFormat match {
+        case 0 | 1 =>
+          if (pos + 3 > end) return null
+          regen = (b0 >> 4) | ((src(pos + 1) & 0x3f) << 4)
+          comp = ((src(pos + 1) & 0xff) >> 6) | ((src(pos + 2) & 0xff) << 2)
+          hdr = 3
+          fourStreams = sizeFormat == 1
+        case 2 =>
+          if (pos + 4 > end) return null
+          regen = (b0 >> 4) | ((src(pos + 1) & 0xff) << 4) |
+            ((src(pos + 2) & 3) << 12)
+          comp = ((src(pos + 2) & 0xff) >> 2) | ((src(pos + 3) & 0xff) << 6)
+          hdr = 4
+        case 3 =>
+          if (pos + 5 > end) return null
+          regen = (b0 >> 4) | ((src(pos + 1) & 0xff) << 4) |
+            ((src(pos + 2) & 0x3f) << 12)
+          comp = ((src(pos + 2) & 0xff) >> 6) | ((src(pos + 3) & 0xff) << 2) |
+            ((src(pos + 4) & 0xff) << 10)
+          hdr = 5
+      }
+      if (pos + hdr + comp > end || regen > (1 << 20)) return null
+      var sPos = pos + hdr
+      val sEnd = pos + hdr + comp
+      if (litType == 2) {
+        hufReadTree(src, sPos, sEnd) match {
+          case null => return null
+          case (t, n) => fs.huf = t; sPos += n
+        }
+      } else if (fs.huf == null) return null // Treeless without a prior tree
+      val out = new Array[Byte](regen)
+      if (!fourStreams) {
+        if (!hufDecodeStream(fs.huf, src, sPos, sEnd, out, 0, regen)) return null
+      } else {
+        if (sPos + 6 > sEnd) return null
+        val s1 = ((src(sPos) & 0xff) | ((src(sPos + 1) & 0xff) << 8))
+        val s2 = ((src(sPos + 2) & 0xff) | ((src(sPos + 3) & 0xff) << 8))
+        val s3 = ((src(sPos + 4) & 0xff) | ((src(sPos + 5) & 0xff) << 8))
+        sPos += 6
+        val s4 = sEnd - sPos - s1 - s2 - s3
+        if (s4 < 0) return null
+        val r123 = (regen + 3) / 4
+        val r4 = regen - 3 * r123
+        if (r4 < 0) return null
+        var p = sPos
+        if (!hufDecodeStream(fs.huf, src, p, p + s1, out, 0, r123)) return null
+        p += s1
+        if (!hufDecodeStream(fs.huf, src, p, p + s2, out, r123, r123)) return null
+        p += s2
+        if (!hufDecodeStream(fs.huf, src, p, p + s3, out, 2 * r123, r123)) return null
+        p += s3
+        if (!hufDecodeStream(fs.huf, src, p, sEnd, out, 3 * r123, r4)) return null
+      }
+      (out, hdr + comp)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // sequences section (§4.3) + execution
+
+  /** Resolve one symbol-compression mode into a decoding table. Returns
+    * (table, bytesConsumed) or null. `prev` is the frame's sticky table
+    * for Repeat mode.
+    */
+  private def seqTable(mode: Int, src: Array[Byte], pos: Int, end: Int,
+                       predef: FseTable, maxAccuracy: Int, maxSymbol: Int,
+                       prev: FseTable): (FseTable, Int) = mode match {
+    case 0 => (predef, 0)
+    case 1 =>
+      if (pos >= end) return null
+      val sym = src(pos) & 0xff
+      if (sym > maxSymbol) return null
+      (fseRle(sym), 1)
+    case 2 => fseReadTable(src, pos, end, maxAccuracy, maxSymbol)
+    case _ => if (prev == null) null else (prev, 0)
+  }
+
+  /** Decode + execute a compressed block's sequences, appending to
+    * `out`. Returns false on malformed.
+    */
+  private def compressedBlock(src: Array[Byte], pos0: Int, end: Int,
+                              fs: FrameState, outArr: GrowBuf): Boolean = {
+    var pos = pos0
+    val lit = literals(src, pos, end, fs) match {
+      case null => return false
+      case (l, n) => pos += n; l
+    }
+    if (pos >= end) return false
+    // sequence count
+    val c0 = src(pos) & 0xff
+    pos += 1
+    var numSeq = 0
+    if (c0 == 0) numSeq = 0
+    else if (c0 < 128) numSeq = c0
+    else if (c0 < 255) {
+      if (pos >= end) return false
+      numSeq = ((c0 - 128) << 8) | (src(pos) & 0xff)
+      pos += 1
+    } else {
+      if (pos + 2 > end) return false
+      numSeq = (src(pos) & 0xff) | ((src(pos + 1) & 0xff) << 8) | 0x7f00
+      pos += 2
+    }
+    if (numSeq == 0) {
+      if (pos != end) return false // trailing garbage
+      outArr.append(lit, 0, lit.length)
+      return true
+    }
+    if (pos >= end) return false
+    val modes = src(pos) & 0xff
+    pos += 1
+    if ((modes & 3) != 0) return false // reserved bits
+    val llMode = (modes >> 6) & 3
+    val ofMode = (modes >> 4) & 3
+    val mlMode = (modes >> 2) & 3
+    val llT = seqTable(llMode, src, pos, end, LlPredefTable, 9, 35, fs.llTable) match {
+      case null => return false
+      case (t, n) => pos += n; t
+    }
+    val ofT = seqTable(ofMode, src, pos, end, OfPredefTable, 8, 31, fs.ofTable) match {
+      case null => return false
+      case (t, n) => pos += n; t
+    }
+    val mlT = seqTable(mlMode, src, pos, end, MlPredefTable, 9, 52, fs.mlTable) match {
+      case null => return false
+      case (t, n) => pos += n; t
+    }
+    fs.llTable = llT; fs.ofTable = ofT; fs.mlTable = mlT
+
+    val bb = new BackBits(src, pos, end)
+    if (bb.failed) return false
+    var llState = bb.read(llT.accuracyLog)
+    var ofState = bb.read(ofT.accuracyLog)
+    var mlState = bb.read(mlT.accuracyLog)
+    if (bb.underflowed) return false
+
+    var litPos = 0
+    var i = 0
+    while (i < numSeq) {
+      val ofCode = ofT.symbol(ofState)
+      if (ofCode > 31) return false
+      val ofValue = (1L << ofCode) + bb.readLong(ofCode)
+      val mlCode = mlT.symbol(mlState)
+      val matchLen = MlBase(mlCode) + bb.read(MlExtra(mlCode))
+      val llCode = llT.symbol(llState)
+      val litLen = LlBase(llCode) + bb.read(LlExtra(llCode))
+      if (bb.underflowed) return false
+      // repeat-offset resolution (§3.1.1.5) with the litLen==0 twist
+      var offset = 0L
+      if (ofValue > 3) {
+        offset = ofValue - 3
+        fs.rep3 = fs.rep2; fs.rep2 = fs.rep1; fs.rep1 = offset.toInt
+      } else {
+        var idx = ofValue.toInt
+        if (litLen == 0) idx += 1
+        idx match {
+          case 1 => offset = fs.rep1
+          case 2 =>
+            offset = fs.rep2; fs.rep2 = fs.rep1; fs.rep1 = offset.toInt
+          case 3 =>
+            offset = fs.rep3; fs.rep3 = fs.rep2; fs.rep2 = fs.rep1
+            fs.rep1 = offset.toInt
+          case _ =>
+            offset = fs.rep1 - 1L
+            if (offset <= 0) return false
+            fs.rep3 = fs.rep2; fs.rep2 = fs.rep1; fs.rep1 = offset.toInt
+        }
+      }
+      // execute: literals copy, then (possibly overlapping) match copy
+      if (litPos + litLen > lit.length) return false
+      outArr.append(lit, litPos, litLen)
+      litPos += litLen
+      if (offset > outArr.length || offset <= 0) return false
+      if (outArr.length + matchLen > MaxFrameBytes) return false
+      outArr.copyBack(offset.toInt, matchLen)
+      if (i != numSeq - 1) {
+        llState = llT.baseline(llState) + bb.read(llT.nbBits(llState))
+        mlState = mlT.baseline(mlState) + bb.read(mlT.nbBits(mlState))
+        ofState = ofT.baseline(ofState) + bb.read(ofT.nbBits(ofState))
+        if (bb.underflowed) return false
+      }
+      i += 1
+    }
+    if (bb.bitIndex != 0) return false // bitstream must be fully consumed
+    // last literals
+    outArr.append(lit, litPos, lit.length - litPos)
+    true
+  }
+
+  /** Growable output buffer supporting overlapping back-copies (the
+    * LZ77 match semantics RFC 8878 §3.1.1.4 requires byte-sequential).
+    */
+  private final class GrowBuf {
+    private var buf = new Array[Byte](64 * 1024)
+    var length = 0
+    private def ensure(n: Int): Unit = {
+      if (length + n > buf.length) {
+        var cap = buf.length
+        while (cap < length + n) cap *= 2
+        buf = java.util.Arrays.copyOf(buf, cap)
+      }
+    }
+    def append(src: Array[Byte], from: Int, n: Int): Unit = {
+      ensure(n)
+      System.arraycopy(src, from, buf, length, n)
+      length += n
+    }
+    def copyBack(dist: Int, n: Int): Unit = {
+      ensure(n)
+      var i = 0
+      while (i < n) { buf(length + i) = buf(length - dist + i); i += 1 }
+      length += n
+    }
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(buf, length)
+  }
+
+  // ---------------------------------------------------------------------
+  // frames
+
+  /** One decoded frame: exclusive end offset + content. */
+  final case class ZstdFrame(end: Int, data: Array[Byte])
+
+  private def le32i(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+    ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  /** Parsed frame header: position after it + metadata. */
+  private final case class FrameHeader(pos: Int, contentSize: Long,
+                                       hasChecksum: Boolean)
+
+  private def frameHeader(bytes: Array[Byte], off: Int): FrameHeader = {
+    if (off + 5 > bytes.length) return null
+    if (le32i(bytes, off) != Magic) return null
+    val desc = bytes(off + 4) & 0xff
+    if ((desc & 0x08) != 0) return null // reserved bit
+    val dictCode = desc & 3
+    val hasChecksum = (desc & 4) != 0
+    val single = (desc & 0x20) != 0
+    val fcsCode = (desc >> 6) & 3
+    var pos = off + 5
+    if (!single) {
+      if (pos >= bytes.length) return null
+      pos += 1 // window descriptor: bound only, content cap enforces scale
+    }
+    val dictBytes = dictCode match {
+      case 0 => 0
+      case 1 => 1
+      case 2 => 2
+      case _ => 4
+    }
+    if (pos + dictBytes > bytes.length) return null
+    var dictId = 0L
+    var k = 0
+    while (k < dictBytes) { dictId |= (bytes(pos + k) & 0xffL) << (8 * k); k += 1 }
+    if (dictId != 0) return null // dictionaries are out of contract
+    pos += dictBytes
+    val fcsBytes = fcsCode match {
+      case 0 => if (single) 1 else 0
+      case 1 => 2
+      case 2 => 4
+      case _ => 8
+    }
+    if (pos + fcsBytes > bytes.length) return null
+    var fcs = -1L
+    if (fcsBytes > 0) {
+      fcs = 0L
+      k = 0
+      while (k < fcsBytes) { fcs |= (bytes(pos + k) & 0xffL) << (8 * k); k += 1 }
+      if (fcsBytes == 2) fcs += 256
+      pos += fcsBytes
+    }
+    FrameHeader(pos, fcs, hasChecksum)
+  }
+
+  /** Decode the single data frame starting at `off`. None on malformed
+    * (including a skippable frame — use [[walk]] for mixed layouts).
+    */
+  def decodeFrame(bytes: Array[Byte], off: Int): Option[ZstdFrame] = {
+    val h = frameHeader(bytes, off)
+    if (h == null) return None
+    var pos = h.pos
+    val fs = new FrameState
+    val outArr = new GrowBuf
+    var last = false
+    while (!last) {
+      if (pos + 3 > bytes.length) return None
+      val bh = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |
+        ((bytes(pos + 2) & 0xff) << 16)
+      pos += 3
+      last = (bh & 1) != 0
+      val btype = (bh >> 1) & 3
+      val bsize = bh >> 3
+      btype match {
+        case 0 => // Raw
+          if (pos + bsize > bytes.length) return None
+          outArr.append(bytes, pos, bsize)
+          pos += bsize
+        case 1 => // RLE
+          if (pos + 1 > bytes.length) return None
+          if (bsize.toLong + outArr.length > MaxFrameBytes) return None
+          val run = new Array[Byte](bsize)
+          java.util.Arrays.fill(run, bytes(pos))
+          outArr.append(run, 0, bsize)
+          pos += 1
+        case 2 => // Compressed
+          if (pos + bsize > bytes.length || bsize == 0) return None
+          if (!compressedBlock(bytes, pos, pos + bsize, fs, outArr))
+            return None
+          pos += bsize
+        case _ => return None // Reserved
+      }
+      if (outArr.length > MaxFrameBytes) return None
+    }
+    val data = outArr.toArray
+    if (h.contentSize >= 0 && h.contentSize != data.length) return None
+    if (h.hasChecksum) {
+      if (pos + 4 > bytes.length) return None
+      val want = le32b(bytes, pos)
+      if ((xxh64(data, 0, data.length) & 0xffffffffL) != want) return None
+      pos += 4
+    }
+    Some(ZstdFrame(pos, data))
+  }
+
+  /** Walk a frame's extent WITHOUT entropy work: block headers give
+    * every compressed extent, so this is O(#blocks). Returns the frame's
+    * exclusive end, or -1 on malformed.
+    */
+  def skipFrame(bytes: Array[Byte], off: Int): Int = {
+    if (off + 8 <= bytes.length) {
+      val m = le32i(bytes, off)
+      if (m >= SkippableMagicLo && m <= SkippableMagicHi) {
+        val n = le32b(bytes, off + 4)
+        val end = off + 8 + n
+        return if (end > bytes.length) -1 else end.toInt
+      }
+    }
+    val h = frameHeader(bytes, off)
+    if (h == null) return -1
+    var pos = h.pos
+    var last = false
+    while (!last) {
+      if (pos + 3 > bytes.length) return -1
+      val bh = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |
+        ((bytes(pos + 2) & 0xff) << 16)
+      pos += 3
+      last = (bh & 1) != 0
+      val btype = (bh >> 1) & 3
+      val bsize = bh >> 3
+      val skip = btype match {
+        case 0 => bsize
+        case 1 => 1
+        case 2 => bsize
+        case _ => return -1
+      }
+      if (pos + skip > bytes.length) return -1
+      pos += skip
+    }
+    if (h.hasChecksum) {
+      if (pos + 4 > bytes.length) return -1
+      pos += 4
+    }
+    pos
+  }
+
+  /** Content size declared by the frame header at `off`, or -1 when the
+    * header carries none (the listing pass's size column).
+    */
+  def declaredContentSize(bytes: Array[Byte], off: Int): Long = {
+    val h = frameHeader(bytes, off)
+    if (h == null) -1L else h.contentSize
+  }
+
+  /** True when `off` starts a skippable frame. */
+  def isSkippable(bytes: Array[Byte], off: Int): Boolean =
+    off + 4 <= bytes.length && {
+      val m = le32i(bytes, off)
+      m >= SkippableMagicLo && m <= SkippableMagicHi
+    }
+
+  /** Decode ALL concatenated frames (skippable frames skipped), the
+    * `zstd -d` behavior. None on any malformed frame.
+    */
+  def decode(bytes: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var pos = 0
+    while (pos < bytes.length) {
+      if (isSkippable(bytes, pos)) {
+        val end = skipFrame(bytes, pos)
+        if (end < 0) return None
+        pos = end
+      } else decodeFrame(bytes, pos) match {
+        case Some(f) =>
+          out.write(f.data)
+          if (out.size.toLong > MaxFrameBytes) return None
+          pos = f.end
+        case None => return None
+      }
+    }
+    Some(out.toByteArray)
+  }
+
+  // ---------------------------------------------------------------------
+  // writer twin: valid .zst from RAW blocks — every offset a pure
+  // function of payload length (the arithmetic-oracle device). One frame
+  // per part, single-segment, FCS always present, XXH64 checksum.
+
+  /** FCS field byte count the writer uses for a payload of length L —
+    * exposed so oracles replay the frame-size formula:
+    * `frame_len = 5 + fcsLen(L) + 3 * max(1, ceil(L / 65536)) + L + 4`.
+    */
+  def fcsLen(len: Long): Int =
+    if (len < 256) 1 else if (len < 65536 + 256) 2 else 4
+
+  /** Render one single-segment frame of RAW blocks (≤ 64 KiB each) with
+    * an XXH64 content checksum.
+    */
+  def renderFrame(payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(payload.length + 16)
+    def w32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    w32(Magic)
+    val L = payload.length
+    val fcsB = fcsLen(L)
+    // descriptor: single-segment + checksum + FCS code
+    val fcsCode = fcsB match { case 1 => 0; case 2 => 1; case _ => 2 }
+    out.write(0x20 | 0x04 | (fcsCode << 6))
+    val fcsVal = if (fcsB == 2) L - 256 else L
+    var k = 0
+    while (k < fcsB) { out.write((fcsVal >> (8 * k)) & 0xff); k += 1 }
+    // raw blocks
+    var o = 0
+    var first = true
+    while (o < L || first) {
+      val n = math.min(65536, L - o)
+      val isLast = o + n >= L
+      val bh = (if (isLast) 1 else 0) | (n << 3) // type 0 = Raw
+      out.write(bh & 0xff); out.write((bh >> 8) & 0xff)
+      out.write((bh >> 16) & 0xff)
+      out.write(payload, o, n)
+      o += n
+      first = false
+    }
+    w32((xxh64(payload, 0, L) & 0xffffffffL).toInt)
+    out.toByteArray
+  }
+
+  /** Render concatenated frames, one per part — the `.jsonl.zst` shard
+    * layout.
+    */
+  def render(parts: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    parts.foreach(p => out.write(renderFrame(p)))
+    out.toByteArray
+  }
+}

@@ -2185,6 +2185,28 @@ object PipelineQueries extends QuerySet {
         .orderBy("block")
     }),
 
+    // The zstd shard door: a from-scratch RFC 8878 layer (canonical
+    // zstd-CLI interop pinned in ZstdSpec, both directions) whose writer
+    // twin emits RAW blocks — the stored-deflate trick — so every frame
+    // extent is a pure function of payload length: comp_len = L + 12 +
+    // fcs_bytes(L) (magic 4 + descriptor 1 + FCS + block header 3 +
+    // payload + XXH64 4), offsets one cumulative sum. Payload lengths
+    // straddle the 256 boundary so BOTH FCS widths are load-bearing.
+    // The oracle re-derives offsets AND payloads arithmetically; the
+    // block-walk listing fast path is pinned against the decoded walk in
+    // ZstdShardsSpec.
+    "q209_zstd_shard_ingest" -> ((s, dir) => {
+      val f = fixture("zstd_oracle.zst") {
+        graft.operators.Zstd.render((0 until 20).map { i =>
+          (s"zst frame $i " + "z" * (200 + (i * 37) % 120)).getBytes("US-ASCII")
+        })
+      }
+      graft.sources.ZstdShards.read(s, f)
+        .select(col("frame"), col("offset"), col("comp_len"),
+          col("size"), col("data").cast("string").as("payload_text"))
+        .orderBy("frame")
+    }),
+
     // The EXIF door — capture time, camera, declared orientation: real
     // APP1/TIFF parsing (both byte orders, inline and offset value
     // fields, IFD0 + the Exif sub-IFD) on real JPEG bytes the pixel walk
@@ -3705,6 +3727,23 @@ object PipelineQueries extends QuerySet {
         |  CAST(L AS BIGINT) AS size,
         |  payload AS payload_text
         |FROM e ORDER BY block""".stripMargin,
+    // the zstd door: payloads rebuilt from the string formula; comp_len
+    // pins the frame framing (magic 4 + descriptor 1 + FCS 1-or-2 +
+    // block header 3 + payload + checksum 4); offsets one cumulative sum
+    "q209_zstd_shard_ingest" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 19)) AS i),
+        |d AS (SELECT i, 'zst frame ' || i || ' ' ||
+        |        repeat('z', 200 + (i * 37) % 120) AS payload FROM r),
+        |e AS (SELECT i, payload, length(payload) AS L FROM d),
+        |f AS (SELECT i, payload, L,
+        |        L + 12 + (CASE WHEN L < 256 THEN 1 ELSE 2 END) AS flen FROM e)
+        |SELECT CAST(i AS INT) AS frame,
+        |  CAST(COALESCE(SUM(flen) OVER (ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+        |  CAST(flen AS BIGINT) AS comp_len,
+        |  CAST(L AS BIGINT) AS size,
+        |  payload AS payload_text
+        |FROM f ORDER BY frame""".stripMargin,
     // the EXIF door: every surfaced field replayed from the tag formula;
     // the untagged rows pin the default path (orientation 1, NULLs)
     "q202_exif_metadata" ->

@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Zstd
+
+/** Zstandard shards as a source — `.jsonl.zst` / `.json.zst` corpus
+  * shards, the dominant layout of the modern public-corpus ecosystem
+  * (Dolma, RedPajama, OSCAR). A shard is a sequence of independent
+  * frames (often one per record batch) with optional skippable frames
+  * between them; zstd has no trailing index, but every frame's
+  * compressed extent is walkable from its block headers alone — a
+  * LISTING FAST PATH that costs O(#blocks) with zero entropy work, the
+  * role the ZIP central directory and xz block index play in their
+  * doors. With `data` required, frames decode through the full
+  * [[Zstd]] layer (FSE, Huffman, sequences, XXH64).
+  *
+  * Scale shape: one task per shard file; `offset` + `comp_len` are the
+  * range-read handle — a frame is refetchable and decodable
+  * independently, the ZIP two-tier design. Skippable frames are walked
+  * (their bytes keep offsets honest) but emit no member.
+  */
+object ZstdShards {
+
+  /** One data frame. `size` is the uncompressed byte count (from the
+    * frame header's content-size field on the listing path, decoded
+    * length otherwise); `data` null on the listing fast path.
+    */
+  final case class ZstdMember(file: String, frame: Int, offset: Long,
+                              compLen: Long, size: Long, data: Array[Byte])
+
+  /** Parse every data frame of a (possibly concatenated) shard; stops
+    * clean at the first malformed region. `withData = false` walks
+    * block headers only — no entropy work — falling back to a decode
+    * for a frame whose header declares no content size.
+    */
+  def parseFile(file: String, bytes: Array[Byte],
+                withData: Boolean = true): Iterator[ZstdMember] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[ZstdMember]
+    var pos = 0
+    var frame = 0
+    while (pos < bytes.length) {
+      if (Zstd.isSkippable(bytes, pos)) {
+        val end = Zstd.skipFrame(bytes, pos)
+        if (end < 0) return out.iterator
+        pos = end
+      } else if (!withData) {
+        val end = Zstd.skipFrame(bytes, pos)
+        if (end < 0) return out.iterator
+        val declared = Zstd.declaredContentSize(bytes, pos)
+        val size =
+          if (declared >= 0) declared
+          else Zstd.decodeFrame(bytes, pos) match {
+            case Some(f) => f.data.length.toLong
+            case None => return out.iterator
+          }
+        out += ZstdMember(file, frame, pos.toLong, (end - pos).toLong, size, null)
+        pos = end
+        frame += 1
+      } else Zstd.decodeFrame(bytes, pos) match {
+        case Some(f) =>
+          out += ZstdMember(file, frame, pos.toLong, (f.end - pos).toLong,
+            f.data.length.toLong, f.data)
+          pos = f.end
+          frame += 1
+        case None => return out.iterator // malformed: stop clean
+      }
+    }
+    out.iterator
+  }
+
+  /** Full read through the DSv2 source:
+    * `spark.read.format("zstdshard").load(path)`.
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("zstdshard").load(path)
+}

@@ -6,9 +6,10 @@ import graft.SparkSpec
 
 class IngestRunSpec extends SparkSpec {
 
-  test("eight doors, one corpus: cross-format republication collapses") {
+  test("nine doors, one corpus: cross-format republication collapses") {
     val fx = IngestFixtures.writeAll()
-    val names = Seq("warc", "wet", "tar", "zip", "pdf", "wiki", "xz", "tfrecord")
+    val names = Seq("warc", "wet", "tar", "zip", "pdf", "wiki", "xz",
+      "zstd", "tfrecord")
     val doors = Seq(
       IngestRun.fromWarc(spark, fx("warc")),
       IngestRun.fromWet(spark, fx("wet")),
@@ -17,17 +18,18 @@ class IngestRunSpec extends SparkSpec {
       IngestRun.fromPdf(spark, fx("pdf")),
       IngestRun.fromWiki(spark, fx("wiki")),
       IngestRun.fromXz(spark, fx("xz")),
+      IngestRun.fromZstd(spark, fx("zstd")),
       IngestRun.fromTfRecord(spark, fx("tfrecord")))
     // every door contributes exactly its two articles
     doors.zip(names).foreach { case (d, n) =>
       assert(d.count() == 2, s"door $n")
     }
     val corpus = IngestRun.ingest(doors).cache()
-    // 9 distinct articles: article 0 through all eight doors, 1-8 once each
-    assert(corpus.count() == 9)
+    // 10 distinct articles: article 0 through all nine doors, 1-9 once each
+    assert(corpus.count() == 10)
     val dup = corpus.where(col("n_copies") > 1).collect()
     assert(dup.length == 1)
-    assert(dup.head.getAs[Long]("n_copies") == 8L)
+    assert(dup.head.getAs[Long]("n_copies") == 9L)
     assert(dup.head.getAs[scala.collection.Seq[String]]("fmts").toSeq ==
       names.sorted)
     // the representative is the lexicographically first (fmt, locator)
@@ -37,7 +39,7 @@ class IngestRunSpec extends SparkSpec {
       .select("fmts").collect().map(_.getAs[scala.collection.Seq[String]](0))
     assert(singles.forall(_.size == 1) && singles.flatten.sorted.toSeq ==
       names.sorted)
-    // and the collapse happened on EXTRACTED text: the eight raw payloads
+    // and the collapse happened on EXTRACTED text: the nine raw payloads
     // of article 0 all differ at the byte level (html vs wikitext vs
     // container framing vs protobuf vs compression)
     corpus.unpersist()

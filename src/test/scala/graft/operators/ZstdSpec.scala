@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RFC 8878 decoder + writer-twin contract.
+  *
+  * Canonical interop is pinned with zstd-CLI (v1.5.7) goldens embedded
+  * as base64: deterministic payloads rebuilt here by formula, compressed
+  * at authoring time at levels 3 and 19 (FSE-coded sequences, 1- and
+  * 4-stream Huffman literals, RLE blocks, raw literals, --no-check, a
+  * skippable frame between concatenated frames). The writer twin is
+  * pinned the OTHER way: for a small payload the CLI itself emits a raw
+  * single-segment frame, so `renderFrame` must reproduce the CLI's bytes
+  * EXACTLY — which also pins XXH64 against the canonical checksum.
+  * (At authoring time `zstd -d` round-tripped every `render` output;
+  * the byte-equality pins keep that contract without a CLI in CI.)
+  */
+class ZstdSpec extends AnyFunSuite {
+
+  private def b64(s: String): Array[Byte] = java.util.Base64.getDecoder.decode(s)
+
+  // deterministic payload formulas (the golden .zst files compress these)
+  private def detText: Array[Byte] = (0 until 4000).map { i =>
+    "w" + ((i * 7 + 3) % 97) + (if (i % 13 == 0) " the" else "")
+  }.mkString(" ").getBytes("US-ASCII")
+  private def detJsonl: Array[Byte] = ((0 until 500).map { i =>
+    s"""{"id":$i,"text":"doc $i body body body"}"""
+  }.mkString("\n") + "\n").getBytes("US-ASCII")
+  private def detRle: Array[Byte] = ("A" * 50000).getBytes("US-ASCII")
+  private def detTiny: Array[Byte] = "hello zstd world".getBytes("US-ASCII")
+
+  private val text_3 =
+    "KLUv/WSzQG0RAMZgOxKgJWkxYGNEVd1IJHJp5cT99xo3ADYANABhidZmh+zI1tYQYkVsuD3b" +
+    "wJZqLeygHdqaFbIiG8LYExuIpVuzHbVTW2EFrdCG2ZMNZAMAAdIBMjaIvQtuydZqR9gJW7Ri" +
+    "VmaD7G2wwViy22E7tlUrwkrYQHuzwSzJ2trYIUZs3QpbsQ21FzYIh8N1bct9t3iIazwtjTWx" +
+    "43Zuy2qlNoQ92oCWZk127OyMLbHiVs72aoNaCmu0Y3ZmS1asbMvzTNPhurbtWywevzzPNB2u" +
+    "a9u+xeLxy/JM0+Fwbdv3LR6/LM80HQ7Xtn3f4vF4WZ5nCoDCqEGSrf6zccBiRoRVBxKIgIAZ" +
+    "wT8DETQQARFe/Pob+iyXNhgnaKcosyL7inJSxDtRBijm9Z8IK0W7FWWQpB4nKYRTgh6XIATD" +
+    "qvkbiiY7ir5UlKkIN0W8E+WciHeijBRd8K3gzIo+JKmGkpSjEdRgBDGgVs2+VgSZVbRbEU6K" +
+    "eifCOdHnRFkp0q0osyJeinBIUh2SFAZHakEJKngn6AIatEjTVeQZFHVN1D0R70QwKaqtCGZF" +
+    "nxR1nch3og6JjsIag+AEVVhjGKSxiYaiyyfaMRHPRLEpoq0oY0XfFPGc6DsRzolo8JCJhQ54" +
+    "MinAM5tOqznkDPyVsJaZFtYBmcidpzKFTHmnm3JAJkznATLATIxOV10hk6LzgBogk9zpSlfI" +
+    "pOwMGBDMxP8Jq6eAof5ENa4qgKvQJCvdmF4FFeoVlg=="
+  private val text_19 =
+    "KLUv/WSzQFUMALIJFg/QtQHAsR6OZPfmyp5DZguWc4ZSBciM0jpgyzHWHbiX7DVX0YxkLcco" +
+    "dYAscYxSBkQpfp0o+NYBe8mv1dDrEal8D1+AL91r9qbf8et6UeiteU9eIG8Qo/SBW6gx45KU" +
+    "9lkDccgigUtr4hECRMF/Ahg8tvuzvwH6LJdSBs3qIRkFml2giXJ9qDITSmQmdLEyRIFGDGYz" +
+    "SWJAy20EPw9w4UYMBFkNAANcBHgOIpkUoRGyOkDJAgwzVhP6WTklO2EgZHWACGIi0FmACzdi" +
+    "IMhqABjg5UzYjIkBMDZBFsr1IM1kFCHZMSkWQQJk9aBTDp4wlQ1WNCR1A1IgQKa1sJNMKBGZ" +
+    "IyMOQgTI6kCrLB5hLA8OkVwdoGyGLspqQJrJKEKyY1IsggQwdl7tp8yjn68Q9vAw+Tocw2aO" +
+    "Y0tZTD3/wniAZ9+NSrwG287yOLfJo9iyhyknj8Z/Yxz3KaYbniiYA7e8BN3yOpz48b4GL33I" +
+    "dnKEO5OEmwdxjdH2CFmlGtNsIF2TrYrNpgYV6hWW"
+  private val jsonl_3 =
+    "KLUv/WQgUs0dALpDFAgYoCcZDoYJT0OwUaoqYpNSppRSAlzsOmzGhgBzAHQA27ZtIiIiIiIi" +
+    "IiIiERERERERERERIVVVVVVVVVVVVVVEREREREREREREMzMzMzMzMzMzM/////////9v27Zt" +
+    "27Zt223btm3btm1LkiRJkiRJktu2bdu2bdsmIiIiIiIiIiJSRTTz2y25iQBIMBwoGAggBGGA" +
+    "QWEoGA4MEDgYAkTBUCgwIAht27Zt27ZtSZIkSZIkSXLbtm3btm3bRERERERERERERGKxWCwW" +
+    "i8VisVgsFovFYrFYrKqqqqqqqqqqqoqIiIiIiIiIiIhoZmZmZmZmZmZm5v////////9t27Zt" +
+    "27Ztu23btm3btm1JkiRJkiRJctu2bdsCMzMzMzP/////////b9u2bdu2bdtt27Zt27ZtS5Ik" +
+    "SZIkSZLbtm3btm3bJiIiIiIiIiIiIhIMBoPBYDAYDAaDwWAwGAwGg1VVVVVVVVVVVVVERERE" +
+    "REREREREMzMzMzMzMzMzM/////////9v27Zt27Zt2w1VVVVVVVVVVVVVRERERERERERERDMz" +
+    "MzMzMzMzMzP/////////b9u2bdu2bdtt27Zt27ZtS5IkSZIkSZLbtm3btm3bJiIiIiIiIiIi" +
+    "IhKNRqPRaDQajUaj0Wg0Go1Go1VVVVVVVVVVVVVEREREREREREREMzMzMzMBg+ioIrC3/c+C" +
+    "TwpKLA8SUBBQEEgAaQlBQjAC5MclOUlkEplIcpKYJDKZTCQZSUwymUgmkpwkJolMJDNJTBKT" +
+    "TCaSiSQ2Xl5Pt8PxcHO9HO9ux8v1/njo///93//7///3//7v///f//3///f//u///+///f//" +
+    "93//9///7/++z3s53t0uL9f78XC5Xi7vbsfLE8dSkphEKpVMJClJTCqVSEaSliQmkUokK0lK" +
+    "IpNKJZKRJCWVSaQi3Z7r/fJwuV6Od7fjzfV+PFyuKU8729o2u+1utZ1tbdvdajfb7ra2zW61" +
+    "221rm9t2t9rNtrXtbbVrU8fuUoAOaLU4oCnQGkAf/kz7WavPJ59p96zV8ynPNJ617nzamVZn" +
+    "LTqf5kzLWSvOJ5xpyjdrJ3CziDR8x/SEdHjD9IRoeGP0iTR0xvSEVHjD9IRseGPoiTR4xvSM" +
+    "VHjD9IRoeGPoiTR5xvSIVHjG9IRseGPoiTR4xvSIkO104dzcDK+mW+YmZphLV8v9ypCUDiZ3" +
+    "JMNGukBuPobn6EZt3ACM4YtuihGgCdgEbAKagCagSaAJaALeTF6FBmjFtNIKWBv7gw=="
+  private val jsonl_nc =
+    "KLUv/WAgUn0dANpDFAgYoCcZDoYJT0OwUaoqYpNSppRSAlzsOmzGhwBzAHQA27ZNRERERERE" +
+    "REREJCIiIiIiIiIiIqSqqqqqqqqqqqqKiIiIiIiIiIiIaGZmZmZmZmZmZub/////////bdu2" +
+    "bdu2bbtt27Zt27ZtSZIkSZIkSXLbtm3btm3bREREREREREREqohmfrslNxEACYYDBQMBhCAM" +
+    "MCgMBcOBAQIHQ4AoGAoFBgQBbdu2bdu2bUmSJEmSJEly27Zt27Zt20RERERERERERERisVgs" +
+    "FovFYrFYLBaLxWKxWKyqqqqqqqqqqqqKiIiIiIiIiIiIaGZmZmZmZmZmZub/////////bdu2" +
+    "bdu2bbtt27Zt27ZtSZIkSZIkSXLbtm3bFjMzMzMz8/////////+2bdu2bdu23bZt27Zt27Yk" +
+    "SZIkSZIkuW3btm3btm0iIiIiIiIiIiIiwWAwGAwGg8FgMBgMBoPBYDBYVVVVVVVVVVVVRURE" +
+    "RERERERERDQzMzMzMzMzMzPz/////////7Zt27Zt27bdVVVVVVVVVVVVVUREREREREREREQz" +
+    "MzMzMzMzMzMz/////////2/btm3btm3bbdu2bdu2bUuSJEmSJEmS27Zt27Zt2yYiIiIiIiIi" +
+    "IiISjUaj0Wg0Go1Go9FoNBqNRqNVVVVVVVVVVVVVRERERERERERERDMzMzMTg+ioIrC3/c+i" +
+    "TwpKrQESUBBQEEgAcQlBQjAC9AMkMqEqKONIZpKIRJKcJDKRJCKZpCSRTCYJSSQZSWYSSUSS" +
+    "yUQSmYT9dL3f7kfXg9vxcjycrge3ywu91HASkUQyk0QmkYQkk4wkMckkIUlkIslMIolIMplI" +
+    "UpJIYpLIJOJ3Xe9399P14Ha8HA+n64Hb8UIvM5yMJJHIJDFJJCPJRCJJTDKZSBKRSHKSSCaS" +
+    "jCSSjCQymSQiifhd1/vb/XQ9uB0vx8PV9eB2vNCLDCcjSUwySUgSmUgyk0gikkwmkpQkkpgk" +
+    "MokkJ4lEIolMJhlJokfsEdAtf277uaXP7Xxu2XNbzy15buO55c5tO7eoc5vOLXNuy7klzm04" +
+    "t4Df3B7AzfUxjCqMIahgDEKFURIqjEOoYBhCBWMSKhhD6MIYggqjEFQYw9DCGIQKSyFUGIag" +
+    "wjGECpYhpDCGoYUxBBWMIagwBkOvnRQ4w20e1qTJDIl5cEllGbbyACWdyZCSJ5GUkCEejxxp" +
+    "qY0hAMZjkUIxP2mamCZNE9PENDExMU1Mk5HJqxwArZjuWgE="
+  private val rle_3 = "KLUv/WRQwlUAABBBQQEAS0MdYAEhbxKQ"
+  private val tiny_3 = "KLUv/SQQgQAAaGVsbG8genN0ZCB3b3JsZH+BaGA="
+  private val empty_3 = "KLUv/SQAAQAAmenYUQ=="
+  private val multi =
+    "KLUv/SQQgQAAaGVsbG8genN0ZCB3b3JsZH+BaGBTKk0YBQAAAEhFTExPKLUv/WRQwlUAABBB" +
+    "QQEAS0MdYAEhbxKQ"
+
+  private def check(name: String, golden: String, plain: Array[Byte]): Unit = {
+    val got = Zstd.decode(b64(golden))
+    assert(got.isDefined, s"$name: decode returned None")
+    assert(java.util.Arrays.equals(got.get, plain),
+      s"$name: got ${got.get.length} bytes, want ${plain.length}")
+  }
+
+  test("canonical goldens decode byte-exactly (levels 3 and 19)") {
+    check("text-3", text_3, detText)
+    check("text-19", text_19, detText)
+    check("jsonl-3", jsonl_3, detJsonl)
+    check("rle-3", rle_3, detRle)
+    check("tiny-3", tiny_3, detTiny)
+    check("empty-3", empty_3, Array.emptyByteArray)
+  }
+
+  test("a no-check frame (no content checksum) decodes") {
+    check("jsonl-nocheck", jsonl_nc, detJsonl)
+  }
+
+  test("concatenated frames with a skippable frame between decode in order") {
+    check("multi", multi, detTiny ++ detRle)
+  }
+
+  test("the writer twin reproduces the CLI's own frame bytes (small payloads)") {
+    // for small payloads the CLI emits exactly the raw single-segment
+    // layout the writer targets — byte equality pins the frame header,
+    // block framing, AND the XXH64 checksum against canonical zstd
+    assert(java.util.Arrays.equals(Zstd.renderFrame(detTiny), b64(tiny_3)))
+    assert(java.util.Arrays.equals(Zstd.renderFrame(Array.emptyByteArray),
+      b64(empty_3)))
+  }
+
+  test("writer twin roundtrip: multi-part, multi-block, all FCS widths") {
+    val parts = Seq(
+      Array.emptyByteArray,
+      "alpha".getBytes("US-ASCII"),                   // 1-byte FCS
+      ("b" * 300).getBytes("US-ASCII"),               // 2-byte FCS
+      ("c" * 70000).getBytes("US-ASCII"))             // 4-byte FCS, 2 blocks
+    val bytes = Zstd.render(parts)
+    assert(Zstd.decode(bytes).exists(
+      java.util.Arrays.equals(_, parts.toArray.flatten)))
+    // frame extents follow the arithmetic formula
+    var off = 0
+    parts.foreach { p =>
+      val L = p.length
+      val want = 5 + Zstd.fcsLen(L) + 3 * math.max(1, (L + 65535) / 65536) + L + 4
+      val end = Zstd.skipFrame(bytes, off)
+      assert(end - off == want, s"frame len for L=$L")
+      assert(Zstd.declaredContentSize(bytes, off) == L)
+      off = end
+    }
+    assert(off == bytes.length)
+  }
+
+  test("xxh64 matches the published empty-input vector") {
+    assert(Zstd.xxh64(Array.emptyByteArray, 0, 0) == 0xEF46DB3751D8E999L)
+  }
+
+  test("malformed inputs return None, never throw") {
+    val good = b64(tiny_3)
+    // bad magic
+    val badMagic = good.clone(); badMagic(0) = 0x29
+    assert(Zstd.decode(badMagic).isEmpty)
+    // truncations at every prefix
+    (0 until good.length).foreach { n =>
+      assert(Zstd.decode(java.util.Arrays.copyOf(good, n)).isEmpty ||
+        n == 0, s"truncation at $n")
+    }
+    // checksum flip
+    val badSum = good.clone(); badSum(good.length - 1) = (badSum(good.length - 1) ^ 1).toByte
+    assert(Zstd.decode(badSum).isEmpty)
+    // corrupt a Huffman/FSE byte mid-stream in a compressed golden
+    val comp = b64(text_3)
+    val corrupt = comp.clone(); corrupt(comp.length / 2) = (corrupt(comp.length / 2) ^ 0x55).toByte
+    assert(Zstd.decode(corrupt).isEmpty)
+    // reserved block type (set block-type bits to 3)
+    val resv = good.clone(); resv(6) = (resv(6) | 0x06).toByte
+    assert(Zstd.decode(resv).isEmpty)
+    // non-zero dictionary id is out of contract
+    val dict = good.clone(); dict(4) = (dict(4) | 0x01).toByte // dictID size 1
+    assert(Zstd.decode(dict).isEmpty)
+    // empty input decodes to empty output (zero frames)
+    assert(Zstd.decode(Array.emptyByteArray).exists(_.isEmpty))
+  }
+
+  test("a corrupt compressed golden never over-reads: every 1-byte corruption " +
+      "either decodes to the original or fails clean") {
+    val comp = b64(text_19)
+    val plain = detText
+    var i = 8
+    while (i < comp.length) {
+      val c = comp.clone(); c(i) = (c(i) ^ 0xA5).toByte
+      Zstd.decode(c) match {
+        case Some(out) => assert(java.util.Arrays.equals(out, plain),
+          s"corruption at $i silently changed content") // checksum would catch
+        case None => ()
+      }
+      i += 37
+    }
+  }
+}

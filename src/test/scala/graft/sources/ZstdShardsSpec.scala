@@ -1,0 +1,67 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.Zstd
+
+/** The zstd door: block-header listing fast path == decoded truth,
+  * skippable frames keep offsets honest without emitting members, and
+  * DSv2 column pruning takes the no-entropy path.
+  */
+class ZstdShardsSpec extends SparkSpec {
+
+  private def parts(n: Int): Seq[Array[Byte]] =
+    (0 until n).map(i => (s"frame $i " + "pad" * (i % 7)).getBytes("UTF-8"))
+
+  test("listing fast path equals the decoded walk's extents") {
+    val bytes = Zstd.render(parts(9))
+    val decoded = ZstdShards.parseFile("f", bytes, withData = true).toSeq
+    val fast = ZstdShards.parseFile("f", bytes, withData = false).toSeq
+    assert(decoded.size == 9 && fast.size == 9)
+    assert(fast.forall(_.data == null))
+    assert(decoded.forall(_.data != null))
+    assert(fast.map(m => (m.frame, m.offset, m.compLen, m.size)) ==
+      decoded.map(m => (m.frame, m.offset, m.compLen, m.size)))
+    // extents tile the file exactly
+    assert(decoded.head.offset == 0)
+    decoded.sliding(2).foreach { case Seq(a, b) =>
+      assert(b.offset == a.offset + a.compLen)
+    }
+    assert(decoded.last.offset + decoded.last.compLen == bytes.length)
+  }
+
+  test("skippable frames are walked but emit no member") {
+    val skip = Array[Byte](0x53, 0x2A, 0x4D, 0x18, 4, 0, 0, 0, 1, 2, 3, 4)
+    val a = Zstd.renderFrame("first".getBytes)
+    val b = Zstd.renderFrame("second".getBytes)
+    val bytes = a ++ skip ++ b
+    val ms = ZstdShards.parseFile("f", bytes).toSeq
+    assert(ms.size == 2)
+    assert(ms.map(_.frame) == Seq(0, 1))
+    assert(ms(1).offset == a.length + skip.length) // offsets stay honest
+    assert(new String(ms(1).data, "UTF-8") == "second")
+  }
+
+  test("a corrupt tail stops the walk clean with the good prefix") {
+    val good = Zstd.render(parts(3))
+    val bytes = good ++ "trailing garbage".getBytes
+    assert(ZstdShards.parseFile("f", bytes).size == 3)
+    assert(ZstdShards.parseFile("f", bytes, withData = false).size == 3)
+  }
+
+  test("DSv2: full read decodes; pruned listing matches") {
+    val f = java.io.File.createTempFile("zstdshard", ".zst")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, Zstd.render(parts(6)))
+    val df = ZstdShards.read(spark, f.getAbsolutePath)
+    val full = df.selectExpr("frame", "offset", "comp_len", "size",
+      "cast(data as string) as text").orderBy("frame").collect()
+    assert(full.length == 6)
+    full.zip(parts(6)).foreach { case (r, p) =>
+      assert(r.getString(4) == new String(p, "UTF-8"))
+    }
+    val listed = df.selectExpr("frame", "offset", "comp_len", "size")
+      .orderBy("frame").collect()
+    assert(listed.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      full.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq)
+  }
+}
