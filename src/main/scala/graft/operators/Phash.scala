@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DCT perceptual hash (pHash) — the near-dup signal the aHash family
+  * cannot give: aHash thresholds each grid cell against the global mean,
+  * so recompression noise, requantization, and mild resampling flip
+  * every cell that sits near the mean; the pHash thresholds the 8x8
+  * LOW-FREQUENCY block of a 32x32 DCT against its own median, and the
+  * low-frequency basis integrates each coefficient over all 1024 pixels
+  * — per-pixel noise cancels instead of flipping bits. The classic
+  * construction (32x32 gray → 2D DCT-II → 8x8 low block → median-sign
+  * bits), adapted to the repo's cross-engine conventions:
+  *
+  *   - FIXED-POINT arithmetic end to end: the cosine basis is rounded
+  *     once to 14-bit integers ([[cosTable]]) and every product/sum is
+  *     exact Long math, so a SQL oracle replays the hash bit-for-bit
+  *     from the same table (interpolated into the SQL as literals — no
+  *     cross-engine `cos()` in sight).
+  *   - 60 bits, not 64: the first 60 AC coefficients in raster order
+  *     (DC excluded — brightness lives there), thresholded against the
+  *     60-value median (2·c > lower+upper avoids division), matching
+  *     the `nBits = 60` contract of [[Dedup.simHashPairs]].
+  *   - the q187 dihedral canonicalization composes: hash all 8 dihedral
+  *     transforms of the GRID and keep the minimum — rotation/flip
+  *     invariance by group closure, independent of what the DCT does.
+  *
+  * Scale shape: per-row decode + two 8x32 matrix products (~10k integer
+  * multiplies per image), no shuffle; pairs come from the banded
+  * [[Dedup.simHashPairs]] join exactly like the aHash family.
+  */
+object Phash {
+
+  /** Grid edge: pHash operates on a 32x32 block-mean downsample. */
+  val N = 32
+
+  /** Fixed-point DCT-II basis, row u of the 8 low-frequency rows:
+    * round(cos(pi * (2x+1) * u / 64) * 2^14). StrictMath for
+    * platform-independent table generation; oracles interpolate these
+    * values as literals.
+    */
+  val cosTable: Array[Array[Long]] = Array.tabulate(8, N)((u, x) =>
+    math.round(StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / (2.0 * N))
+      * 16384.0))
+
+  /** The 8x8 low-frequency block of the 2D DCT-II of a 32x32 grid
+    * (raster order, index v*8+u), in exact fixed-point Long arithmetic
+    * (scale 2^28, un-normalized — thresholding is scale-free).
+    */
+  def dctLow8(gray: Array[Int]): Array[Long] = {
+    require(gray.length == N * N, s"need ${N * N} pixels, got ${gray.length}")
+    val tmp = Array.ofDim[Long](N, 8) // row pass: tmp(y)(u)
+    var y = 0
+    while (y < N) {
+      var u = 0
+      while (u < 8) {
+        var s = 0L
+        var x = 0
+        while (x < N) { s += gray(y * N + x) * cosTable(u)(x); x += 1 }
+        tmp(y)(u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val out = new Array[Long](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0L
+        var yy = 0
+        while (yy < N) { s += tmp(yy)(u) * cosTable(v)(yy); yy += 1 }
+        out(v * 8 + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    out
+  }
+
+  /** 60-bit median-sign hash of the low block: bit j set iff AC
+    * coefficient j (raster order, DC skipped) exceeds the median of the
+    * 60 (2·c > lower+upper — integer-exact, no halving).
+    */
+  def hashFromDct(d: Array[Long]): Long = {
+    val ac = new Array[Long](60)
+    var j = 0
+    while (j < 60) { ac(j) = d(j + 1); j += 1 }
+    val s = ac.clone()
+    java.util.Arrays.sort(s)
+    val m2 = s(29) + s(30)
+    var h = 0L
+    j = 0
+    while (j < 60) { if (2 * ac(j) > m2) h |= 1L << j; j += 1 }
+    h
+  }
+
+  /** pHash of a 32x32 grid. */
+  def phashGrid(grid: Array[Int]): Long = hashFromDct(dctLow8(grid))
+
+  /** Source index of flat cell `j` under dihedral transform `t` of a
+    * k x k grid — the same arithmetic as
+    * [[Multimodal.dihedralPermSql]], in Scala.
+    */
+  private[graft] def dihedralSrc(t: Int, j: Int, k: Int): Int = {
+    val r = j / k
+    val c = j % k
+    t match {
+      case 0 => j
+      case 1 => (k - 1 - c) * k + r           // rot90 cw
+      case 2 => k * k - 1 - j                 // rot180
+      case 3 => c * k + (k - 1 - r)           // rot270 cw
+      case 4 => r * k + (k - 1 - c)           // mirror cols
+      case 5 => (k - 1 - r) * k + c           // mirror rows
+      case 6 => c * k + r                     // transpose
+      case 7 => (k - 1 - c) * k + (k - 1 - r) // anti-transpose
+    }
+  }
+
+  /** Dihedral-canonical pHash: the minimum hash over the 8 dihedral
+    * transforms of the grid — invariant under rotation/flips by group
+    * closure (the q187 argument), regardless of the DCT's behavior.
+    */
+  def dihedralPhashGrid(grid: Array[Int]): Long = {
+    var best = Long.MaxValue
+    var t = 0
+    while (t < 8) {
+      val g = new Array[Int](N * N)
+      var j = 0
+      while (j < N * N) { g(j) = grid(dihedralSrc(t, j, N)); j += 1 }
+      val h = phashGrid(g)
+      if (h < best) best = h
+      t += 1
+    }
+    best
+  }
+
+  /** (id, simhash) from a PNG payload column: [[PngGray]] decode,
+    * block-mean to 32x32, fixed-point pHash (dihedral-canonical when
+    * `dihedral`). Undecodable or sub-32x32 payloads yield NULL — the
+    * aHash family's contract. Feeds [[Dedup.simHashPairs]] with
+    * `nBits = 60`.
+    */
+  def phashFromPng(df: DataFrame, pngCol: String, idCol: String,
+                   dihedral: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val pngIdx = df.schema.fieldIndex(pngCol)
+    val outSchema = df.schema.add("simhash", LongType)
+    val rows = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val h = PngGray.decodeGray(r.get(pngIdx).asInstanceOf[Array[Byte]])
+          .filter(img => img.width >= N && img.height >= N)
+          .map(img => PngGray.blockMeanGrid(img, N, N))
+          .map(g => if (dihedral) dihedralPhashGrid(g) else phashGrid(g))
+          .map(java.lang.Long.valueOf).orNull
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+      .select(col(idCol).as("id"), col("simhash"))
+  }
+}

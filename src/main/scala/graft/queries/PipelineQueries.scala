@@ -1476,6 +1476,54 @@ object PipelineQueries extends QuerySet {
         .orderBy("a_id", "b_id")
     }),
 
+    // The DCT perceptual hash beside the aHash family: 32x32 gray ->
+    // fixed-point 2D DCT (14-bit integer cosine table, exact Long math)
+    // -> 8x8 low-frequency block -> 60 median-sign bits. The planted
+    // transforms are the ones that defeat a mean-threshold hash —
+    // illumination tilt (moves ONLY the lowest AC coefficients but
+    // sweeps near-mean cells across the aHash threshold; PhashSpec
+    // pins the contrast), JPEG-blocky noise, affine requantization —
+    // and every family's three twins land within hamming 4 of the base
+    // while cross-family distances stay > 20. The oracle replays the
+    // ENTIRE chain arithmetically — md5 cell fixture, both transforms'
+    // clamps, the DCT from the SAME integer table (interpolated as
+    // literals, no cross-engine cos()), median threshold, banding cut.
+    "q210_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      def cell32(key: String): Int = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex.substring(0, 13), 16) % 256).toInt
+      }
+      val n = graft.operators.Phash.N
+      def base(f: Long): Array[Int] = Array.tabulate(n * n) { j =>
+        val cell = ((j / n) / 4) * 8 + (j % n) / 4
+        val raw = cell32(s"$f:$cell")
+        if (cell32(s"flat:$f:$cell") % 2 == 0) 118 + raw / 12 else raw
+      }
+      def clamp(v: Int) = math.max(0, math.min(255, v))
+      val imgs = (0L until 40L).map { i =>
+        val f = i / 4
+        val b = base(f)
+        val px = (i % 4) match {
+          case 0 => b
+          case 1 => Array.tabulate(n * n)(j => clamp(b(j) + ((j % n) - 16) * 2))
+          case 2 => Array.tabulate(n * n) { j =>
+            val cell = ((j / n) / 4) * 8 + (j % n) / 4
+            clamp(b(j) + cell32(s"b$f:$cell") % 15 - 7)
+          }
+          case _ => b.map(v => (v * 3) / 4 + 25)
+        }
+        (i, graft.operators.PngGray.render(n, n, px,
+          Seq(0, 2, 4, 6)((i % 4).toInt), y => y % 5))
+      }
+      val sig = graft.operators.Phash.phashFromPng(
+        imgs.toDF("img_id", "png"), "png", "img_id", dihedral = false)
+      Dedup.simHashPairs(sig, maxHamming = 4,
+          maxBucketSize = Int.MaxValue, nBits = 60)
+        .orderBy("a_id", "b_id")
+    }),
+
     // q127's GIF sibling — the crawl long tail: the same planted families
     // and cell formula, but each image is a genuine GIF89a (256-entry
     // achromatic palette, graphic-control extension, LZW stream with
@@ -3368,6 +3416,53 @@ object PipelineQueries extends QuerySet {
         |  FROM ids),
         |sig AS (SELECT img_id, LEAST(${(0 until 8).map(hashSql).mkString(", ")}) AS h
         |  FROM g)
+        |SELECT a.img_id AS a_id, b.img_id AS b_id, bit_count(xor(a.h, b.h)) AS hamming
+        |FROM sig a JOIN sig b ON a.img_id < b.img_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 4
+        |ORDER BY a_id, b_id""".stripMargin
+    },
+
+    // the pHash chain replayed end to end: md5 cell fixture, variant
+    // transforms with their clamps, the 2D DCT from the SAME 14-bit
+    // integer cosine table the Scala operator uses (interpolated below
+    // as literals — no cross-engine cos()), the 60-AC median-sign hash,
+    // and the hamming-4 pair cut
+    "q210_phash_dedup" -> {
+      val ct = graft.operators.Phash.cosTable.flatten.mkString("[", ", ", "]")
+      s"""WITH ids AS (SELECT unnest(generate_series(0, 39)) AS img_id),
+        |ctab AS (SELECT $ct::BIGINT[] AS ct),
+        |g0 AS (SELECT img_id, list_transform(range(0, 1024), j ->
+        |    CASE WHEN ('0x' || substr(md5('flat:' || (img_id // 4) || ':' ||
+        |        ((j // 32 // 4) * 8 + (j % 32) // 4)), 1, 13))::BIGINT % 256 % 2 = 0
+        |      THEN 118 + (('0x' || substr(md5((img_id // 4) || ':' ||
+        |        ((j // 32 // 4) * 8 + (j % 32) // 4)), 1, 13))::BIGINT % 256) // 12
+        |      ELSE ('0x' || substr(md5((img_id // 4) || ':' ||
+        |        ((j // 32 // 4) * 8 + (j % 32) // 4)), 1, 13))::BIGINT % 256
+        |    END) AS b FROM ids),
+        |g AS (SELECT img_id, list_transform(range(0, 1024), j ->
+        |    CASE CAST(img_id % 4 AS INT)
+        |      WHEN 0 THEN b[j + 1]
+        |      WHEN 1 THEN GREATEST(0, LEAST(255, b[j + 1] + ((j % 32) - 16) * 2))
+        |      WHEN 2 THEN GREATEST(0, LEAST(255, b[j + 1] +
+        |        ('0x' || substr(md5('b' || (img_id // 4) || ':' ||
+        |          ((j // 32 // 4) * 8 + (j % 32) // 4)), 1, 13))::BIGINT % 256 % 15 - 7))
+        |      ELSE (b[j + 1] * 3) // 4 + 25 END) AS gray FROM g0),
+        |t1 AS (SELECT img_id, list_transform(range(0, 32), y ->
+        |    list_transform(range(0, 8), u ->
+        |      list_sum(list_transform(range(0, 32), x ->
+        |        gray[y * 32 + x + 1] * ct[u * 32 + x + 1])))) AS tmp
+        |  FROM g CROSS JOIN ctab),
+        |d AS (SELECT img_id, flatten(list_transform(range(0, 8), v ->
+        |    list_transform(range(0, 8), u ->
+        |      list_sum(list_transform(range(0, 32), y ->
+        |        tmp[y + 1][u + 1] * ct[v * 32 + y + 1]))))) AS f64
+        |  FROM t1 CROSS JOIN ctab),
+        |ac AS (SELECT img_id, f64[2:61] AS ac FROM d),
+        |md AS (SELECT img_id, ac,
+        |    list_sort(ac)[30] + list_sort(ac)[31] AS m2 FROM ac),
+        |sig AS (SELECT img_id, CAST(list_sum(list_transform(range(0, 60), j ->
+        |    CASE WHEN 2 * ac[j + 1] > m2 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS h
+        |  FROM md)
         |SELECT a.img_id AS a_id, b.img_id AS b_id, bit_count(xor(a.h, b.h)) AS hamming
         |FROM sig a JOIN sig b ON a.img_id < b.img_id
         |WHERE bit_count(xor(a.h, b.h)) <= 4

@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class PhashSpec extends SparkSpec {
+
+  private val N = Phash.N
+
+  private def md5cell(key: String): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex.substring(0, 13), 16) % 256).toInt
+  }
+
+  /** Broadband base: 8x8 md5 cells upsampled x4, half the cells
+    * contrast-compressed toward 128 (the "flat" regions real photos
+    * have — and the cells a mean-threshold hash is fragile on).
+    */
+  private def base(f: Int): Array[Int] = Array.tabulate(N * N) { j =>
+    val cell = ((j / N) / 4) * 8 + (j % N) / 4
+    val raw = md5cell(s"$f:$cell")
+    // 118 + raw/12 stays in [118, 139]: near-mean "flat" cells without a
+    // negative division (Scala truncates, SQL // floors — keep it
+    // non-negative so the oracle replays exactly)
+    if (md5cell(s"flat:$f:$cell") % 2 == 0) 118 + raw / 12 else raw
+  }
+
+  /** Illumination tilt — the re-photograph/vignette/editing transform:
+    * a pure horizontal gradient. Moves ONLY the lowest AC coefficients
+    * of the DCT, but sweeps mean-relative cells across the aHash
+    * threshold.
+    */
+  private def tilt(g: Array[Int]): Array[Int] = Array.tabulate(N * N) { j =>
+    math.max(0, math.min(255, g(j) + ((j % N) - 16) * 2))
+  }
+
+  /** JPEG-blocky recompression noise: ±7, constant over 4x4 blocks. */
+  private def blockNoise(g: Array[Int], f: Int): Array[Int] =
+    Array.tabulate(N * N) { j =>
+      val cell = ((j / N) / 4) * 8 + (j % N) / 4
+      val d = (md5cell(s"b$f:$cell") % 15) - 7
+      math.max(0, math.min(255, g(j) + d))
+    }
+
+  /** Requantization: affine with truncation. */
+  private def requant(g: Array[Int]): Array[Int] = g.map(v => (v * 3) / 4 + 25)
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** The repo's aHash (10x6 block-mean grid, mean-threshold bits),
+    * recomputed here to contrast with pHash.
+    */
+  private def aHash60(gray: Array[Int]): Long = {
+    val grid = PngGray.blockMeanGrid(PngGray.GrayImage(N, N, gray), 10, 6)
+    val sum = grid.map(_.toLong).sum
+    var h = 0L
+    var j = 0
+    while (j < 60) { if (grid(j).toLong * 60 > sum) h |= 1L << j; j += 1 }
+    h
+  }
+
+  test("DCT pins: DC formula, linearity, constant image hashes to zero") {
+    val const = Array.fill(N * N)(77)
+    val d = Phash.dctLow8(const)
+    // DC = 16384^2 * sum(gray); every AC coefficient exactly zero
+    assert(d(0) == 16384L * 16384L * 77 * N * N)
+    assert((1 until 64).forall(d(_) == 0L))
+    assert(Phash.phashGrid(const) == 0L)
+    // linearity of the fixed-point transform
+    val a = base(1); val b = base(2)
+    val ab = Array.tabulate(N * N)(j => a(j) + b(j))
+    val da = Phash.dctLow8(a); val db = Phash.dctLow8(b)
+    val dab = Phash.dctLow8(ab)
+    assert((0 until 64).forall(i => dab(i) == da(i) + db(i)))
+  }
+
+  test("brightness shift leaves the pHash identical (DC-only change)") {
+    val g = base(3)
+    val shifted = g.map(v => math.min(255, v + 40))
+    // compare on the unclipped core: rebuild without clipping
+    val unclipped = g.map(_ + 40)
+    assert(Phash.phashGrid(g) == Phash.phashGrid(unclipped))
+    assert(Phash.dihedralPhashGrid(g) == Phash.dihedralPhashGrid(unclipped))
+    assert(shifted.length == N * N) // clipped variant only sanity-checked
+  }
+
+  test("illumination tilt: pHash <= 4 while aHash scatters (every family; " +
+      ">4 aHash bits on at least 8 of 10)") {
+    val hams = (0 until 10).map { f =>
+      val b = base(f)
+      val t = tilt(b)
+      val p = hamming(Phash.phashGrid(b), Phash.phashGrid(t))
+      val a = hamming(aHash60(b), aHash60(t))
+      assert(p <= 4, s"family $f: pHash hamming $p")
+      assert(a > p, s"family $f: aHash $a should exceed pHash $p")
+      a
+    }
+    assert(hams.count(_ > 4) >= 8, s"aHash hammings $hams")
+  }
+
+  test("blocky recompression noise and requantization stay within pHash threshold") {
+    (0 until 10).foreach { f =>
+      val b = base(f)
+      val pn = hamming(Phash.phashGrid(b), Phash.phashGrid(blockNoise(b, f)))
+      val pr = hamming(Phash.phashGrid(b), Phash.phashGrid(requant(b)))
+      assert(pn <= 4, s"family $f: noise hamming $pn")
+      assert(pr <= 4, s"family $f: requant hamming $pr")
+    }
+  }
+
+  test("mild resize: 64x64 render with a half-pixel crop stays close") {
+    (0 until 10).foreach { f =>
+      val b = base(f)
+      // render the same 8x8 cells at 64x64 (8-pixel cells), crop one
+      // pixel (a half-pixel phase shift at 32x32), block-mean back down
+      val fine = Array.tabulate(64 * 64) { j =>
+        val x = math.min(63, j % 64 + 1); val y = math.min(63, j / 64 + 1)
+        b((y / 2) * N + (x / 2))
+      }
+      val g32 = PngGray.blockMeanGrid(PngGray.GrayImage(64, 64, fine), N, N)
+      val p = hamming(Phash.phashGrid(b), Phash.phashGrid(g32))
+      // a half-pixel translation phase-shifts every basis function — the
+      // harshest of the planted transforms on block-constant content;
+      // still far inside the >22-bit cross-family gap
+      assert(p <= 10, s"family $f: resize hamming $p")
+    }
+  }
+
+  test("dihedral canonicalization: all 8 transforms share one hash") {
+    val g = base(5)
+    val want = Phash.dihedralPhashGrid(g)
+    (0 until 8).foreach { t =>
+      val tg = Array.tabulate(N * N)(j => g(Phash.dihedralSrc(t, j, N)))
+      assert(Phash.dihedralPhashGrid(tg) == want, s"transform $t")
+    }
+  }
+
+  test("distinct families stay far apart (no false collapse)") {
+    val hashes = (0 until 10).map(f => Phash.phashGrid(base(f)))
+    for (i <- hashes.indices; j <- hashes.indices if i < j) {
+      assert(hamming(hashes(i), hashes(j)) > 8,
+        s"families $i/$j too close: ${hamming(hashes(i), hashes(j))}")
+    }
+  }
+
+  test("phashFromPng: decode chain, NULL contract, simHashPairs wiring") {
+    import spark.implicits._
+    val imgs = (0L until 4L).map { i =>
+      val px = if (i == 3) Array.fill(8 * 8)(10) // sub-32x32 -> NULL
+        else if (i == 2) blockNoise(base(0), 0)
+        else base(i.toInt)
+      val edge = if (i == 3) 8 else N
+      (i, PngGray.render(edge, edge, px, Seq(0, 2, 4, 6)(i.toInt), y => y % 5))
+    }
+    val sig = Phash.phashFromPng(imgs.toDF("img_id", "png"), "png", "img_id",
+      dihedral = false)
+    val rows = sig.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows(3L).isEmpty)
+    assert(rows(0L).contains(Phash.phashGrid(base(0))))
+    assert(hamming(rows(0L).get, rows(2L).get) <= 4)
+    val pairs = Dedup.simHashPairs(sig.na.drop(), maxHamming = 4,
+      maxBucketSize = Int.MaxValue, nBits = 60).collect()
+    assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 2L))
+  }
+}
