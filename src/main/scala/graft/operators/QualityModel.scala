@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Learned quality classifier — the model-based filtering pillar of a
+  * curation pipeline (the fasttext-classifier role): hash every token
+  * into `dims` buckets (the q148 feature-hash convention, md5-based so
+  * any SQL engine replays it), fit a logistic regression driver-side on
+  * a BOUNDED deterministic sample (the BPE/codebook fit pattern), then
+  * serve inference as ONE narrow integer expression with the micro-unit
+  * weights folded in as plan literals — zero shuffles, no FP in the
+  * scoring path, 100 TB-safe.
+  *
+  * Two fit modes mirror the BPE two-tier oracle strategy:
+  *   - [[fitOneStep]] — the closed form of the FIRST full-batch
+  *     gradient step from zero weights (sigmoid(0) = 1/2 makes the
+  *     update 2·(y − 1/2)·x = (2y−1)·x): integer class-difference
+  *     weights a SQL oracle re-derives from token counts alone. The
+  *     exactness twin.
+  *   - [[fitLogistic]] — the served config: full-batch gradient descent
+  *     with the real sigmoid for `epochs` rounds, deterministic
+  *     (sample sorted by id, fixed iteration order), weights rounded to
+  *     micro-units at the end. The learner is pinned by
+  *     QualityModelSpec's hand-replayed tiny fit; served verdicts are
+  *     oracled through the separation contract (a planted-margin
+  *     fixture the trained model must classify perfectly, so the
+  *     oracle replays verdicts from the label formula).
+  */
+object QualityModel {
+
+  /** Micro-unit integer weights: `w(b)` per bucket + bias. */
+  final case class Weights(dims: Int, w: Array[Long], bias: Long)
+
+  /** The q148 feature-hash convention as SQL text: 13 md5 hex chars →
+    * 52-bit positive integer → modulo `dims`. Identical text works in
+    * Spark (`conv`) and is mirrored by the DuckDB oracles with
+    * `('0x' || substr(md5(tok), 1, 13))::BIGINT % dims`.
+    */
+  private def bucketSql(tok: String, dims: Int): String =
+    s"CAST(conv(substr(md5($tok), 1, 13), 16, 10) AS BIGINT) % $dims"
+
+  /** Driver-side bucket of one token — must match [[bucketSql]]. */
+  def bucketOf(tok: String, dims: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex.substring(0, 13), 16) % dims).toInt
+  }
+
+  /** Bounded deterministic (id, label, bucket counts) sample: the first
+    * `maxSample` rows by id, token counts bucketed driver-side.
+    */
+  private def sample(docs: DataFrame, textCol: String, labelCol: String,
+                     idCol: String, dims: Int,
+                     maxSample: Int): Array[(Long, Int, Array[Int])] =
+    docs.select(col(idCol).cast("long"), col(labelCol).cast("int"),
+        col(textCol))
+      .orderBy(idCol)
+      .limit(maxSample)
+      .collect()
+      .map { r =>
+        val x = new Array[Int](dims)
+        r.getString(2).split(' ').foreach { t =>
+          if (t.nonEmpty) x(bucketOf(t, dims)) += 1
+        }
+        (r.getLong(0), r.getInt(1), x)
+      }
+
+  /** Closed-form first gradient step from zero weights: w(b) =
+    * Σ (2y−1)·count_b, bias = Σ (2y−1). Pure integers — the SQL-
+    * replayable exactness twin.
+    */
+  def fitOneStep(docs: DataFrame, textCol: String, labelCol: String,
+                 idCol: String, dims: Int = 64,
+                 maxSample: Int = 20000): Weights = {
+    val s = sample(docs, textCol, labelCol, idCol, dims, maxSample)
+    val w = new Array[Long](dims)
+    var bias = 0L
+    s.foreach { case (_, y, x) =>
+      val sign = 2 * y - 1
+      var b = 0
+      while (b < dims) { w(b) += sign.toLong * x(b); b += 1 }
+      bias += sign
+    }
+    Weights(dims, w, bias)
+  }
+
+  /** Full-batch logistic-regression GD: `epochs` rounds over the
+    * deterministic sample, features = count/len (+ bias), learning rate
+    * `lr`, weights rounded to micro-units at the end. Deterministic:
+    * sample order and float-op order are fixed.
+    */
+  def fitLogistic(docs: DataFrame, textCol: String, labelCol: String,
+                  idCol: String, dims: Int = 64, epochs: Int = 50,
+                  lr: Double = 4.0, maxSample: Int = 20000): Weights = {
+    val s = sample(docs, textCol, labelCol, idCol, dims, maxSample)
+    require(s.nonEmpty, "empty training sample")
+    val n = s.length
+    val wd = new Array[Double](dims)
+    var bd = 0.0
+    var e = 0
+    while (e < epochs) {
+      val gw = new Array[Double](dims)
+      var gb = 0.0
+      s.foreach { case (_, y, x) =>
+        val len = math.max(1, x.sum)
+        var z = bd
+        var b = 0
+        while (b < dims) { z += wd(b) * x(b) / len; b += 1 }
+        val p = 1.0 / (1.0 + math.exp(-z))
+        val err = y - p
+        b = 0
+        while (b < dims) { gw(b) += err * x(b) / len; b += 1 }
+        gb += err
+      }
+      var b = 0
+      while (b < dims) { wd(b) += lr * gw(b) / n; b += 1 }
+      bd += lr * gb / n
+      e += 1
+    }
+    Weights(dims, wd.map(v => math.round(v * 1e6)), math.round(bd * 1e6))
+  }
+
+  /** Integer micro-unit logit as one narrow expression, weights as plan
+    * literals: Σ_tokens w(bucket(tok)) + bias·n_tokens (the normalized
+    * logit times len·10⁶ — sign-preserving, so thresholding at 0 equals
+    * thresholding the real logit). Zero shuffles.
+    */
+  def logitExpr(textCol: String, weights: Weights): Column = {
+    val arr = weights.w.mkString("array(", "L, ", "L)")
+    expr(
+      s"aggregate(filter(split($textCol, ' '), t -> t != ''), " +
+      s"CAST(${weights.bias} AS BIGINT) * " +
+      s"size(filter(split($textCol, ' '), t -> t != '')), " +
+      s"(acc, tok) -> acc + element_at($arr, " +
+      s"CAST(${bucketSql("tok", weights.dims)} AS INT) + 1))")
+  }
+
+  /** Score a corpus: appends `logit_u` (micro-unit integer) and `pred`
+    * (1 iff logit_u > 0).
+    */
+  def score(docs: DataFrame, textCol: String, weights: Weights): DataFrame =
+    docs.withColumn("logit_u", logitExpr(textCol, weights))
+      .withColumn("pred", (col("logit_u") > 0).cast("int"))
+}

@@ -24,6 +24,22 @@ object TextQueries extends QuerySet {
     */
   private val BpeOracleMerges = 8
 
+  /** Planted-margin labeled fixture for the learned quality classifier
+    * (q211-q213): disjoint clean/spam token families, label = id % 2 —
+    * the formula the oracles replay.
+    */
+  private def qmFixture(s: org.apache.spark.sql.SparkSession,
+                        n: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    (0L until n.toLong).map { i =>
+      val label = (i % 2).toInt
+      (i, label,
+        if (label == 1)
+          s"the a to of and prose w${i % 7} body w${(i * 3) % 11} solid text"
+        else s"buy now win${i % 9} casino$i click click free free $$$$$$ buy")
+    }.toDF("doc_id", "label", "text")
+  }
+
   /** DuckDB replay of [[graft.operators.Bpe.learn]] + encode, generated as
     * one chained-CTE statement: `samp` is the identical md5-ordered sample,
     * `sw` its word-frequency table, `enc0` every corpus word as character
@@ -290,6 +306,69 @@ object TextQueries extends QuerySet {
         .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"),
           logit.as("logit_u"), (logit >= 0).cast("int").as("pass"))
         .orderBy("doc_id")
+    }),
+
+    // q148 is a rule blend with md5-derived pseudo-weights; modern
+    // pipelines gate on a TRAINED model. These three close that gap with
+    // the fasttext-classifier shape: hashed-token features (the q148
+    // bucket convention), a bounded deterministic driver fit (the
+    // BPE/codebook pattern), integer micro-unit inference as one narrow
+    // expression with the weights as plan literals. q211 is the
+    // exactness twin: the closed-form FIRST gradient step from zero
+    // weights (sigmoid(0)=1/2 makes it the integer class-difference
+    // w(b) = sum (2y-1)·count_b), so the oracle replays the LEARNER from
+    // token counts alone — the q108 strategy. The served multi-epoch
+    // logistic fit is q212/q213's (spec-pinned learner, oracled through
+    // the separation contract).
+    "q211_quality_model_onestep" -> ((s, dir) => {
+      import s.implicits._
+      val docs = qmFixture(s, 48)
+      val w = graft.operators.QualityModel.fitOneStep(
+        docs, "text", "label", "doc_id", dims = 64)
+      graft.operators.QualityModel.score(docs, "text", w)
+        .select(col("doc_id"), col("label"), col("logit_u"), col("pred"))
+        .orderBy("doc_id")
+    }),
+
+    // The served config: full-batch logistic GD (50 epochs, normalized
+    // features, real sigmoid) on the FIRST HALF of the planted-margin
+    // fixture, verdicts on the held-out second half. The learner's
+    // arithmetic is pinned by QualityModelSpec's hand-replayed epoch;
+    // the oracle pins the SEPARATION CONTRACT — the trained model must
+    // classify every held-out document to its planted label, so the
+    // oracle re-derives verdicts from the label formula. A fit
+    // regression (bad lr, broken gradient, nondeterminism) flips a
+    // verdict and the hash catches it.
+    "q212_quality_model_eval" -> ((s, dir) => {
+      import s.implicits._
+      val docs = qmFixture(s, 60)
+      val w = graft.operators.QualityModel.fitLogistic(
+        docs.where(col("doc_id") < 30), "text", "label", "doc_id")
+      graft.operators.QualityModel.score(
+          docs.where(col("doc_id") >= 30), "text", w)
+        .select(col("doc_id"), col("label"), col("pred"),
+          (col("label") === col("pred")).cast("int").as("correct"))
+        .orderBy("doc_id")
+    }),
+
+    // The held-out evaluation card: confusion counts + micro-unit
+    // precision/recall/F1 against the planted labels — the report a
+    // model-gated pipeline ships with its classifier.
+    "q213_quality_model_prf" -> ((s, dir) => {
+      import s.implicits._
+      val docs = qmFixture(s, 60)
+      val w = graft.operators.QualityModel.fitLogistic(
+        docs.where(col("doc_id") < 30), "text", "label", "doc_id")
+      val scored = graft.operators.QualityModel.score(
+        docs.where(col("doc_id") >= 30), "text", w)
+      val agg = scored.agg(
+        sum(when(col("label") === 1 && col("pred") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("label") === 0 && col("pred") === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("label") === 1 && col("pred") === 0, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("label") === 0 && col("pred") === 0, 1L).otherwise(0L)).as("tn"))
+      agg.select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("tp * 1000000 div (tp + fp)").as("precision_u"),
+        expr("tp * 1000000 div (tp + fn)").as("recall_u"))
     }),
 
     // Unicode normalization (native graft_normalize — Spark has no
@@ -711,6 +790,53 @@ object TextQueries extends QuerySet {
         |  CAST(logit_u AS BIGINT) AS logit_u,
         |  CAST(logit_u >= 0 AS INT) AS pass
         |FROM l ORDER BY doc_id""".stripMargin,
+    // the one-step learner REPLAYED from token counts alone (the q108
+    // strategy): per-bucket class-difference weights, bias = label
+    // difference, the integer logit = sum of bucket weights +
+    // bias * n_tokens — every number re-derived from the fixture formula
+    "q211_quality_model_onestep" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 47)) AS i),
+        |d AS (SELECT i AS doc_id, CAST(i % 2 AS INT) AS label,
+        |  CASE WHEN i % 2 = 1
+        |    THEN 'the a to of and prose w' || (i % 7) || ' body w' || ((i * 3) % 11) || ' solid text'
+        |    ELSE 'buy now win' || (i % 9) || ' casino' || i || ' click click free free $$$ buy'
+        |  END AS text FROM r),
+        |tk AS (SELECT doc_id, label, unnest(string_split(text, ' ')) AS tok FROM d),
+        |bk AS (SELECT doc_id, label,
+        |  ('0x' || substr(md5(tok), 1, 13))::BIGINT % 64 AS bkt FROM tk),
+        |w AS (SELECT bkt, CAST(SUM(2 * label - 1) AS BIGINT) AS wv FROM bk GROUP BY bkt),
+        |bias AS (SELECT CAST(SUM(2 * label - 1) AS BIGINT) AS bv FROM d),
+        |sc AS (SELECT bk.doc_id, CAST(SUM(w.wv) AS BIGINT) AS sw,
+        |  CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM bk JOIN w USING (bkt) GROUP BY bk.doc_id)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.label,
+        |  CAST(sc.sw + bias.bv * sc.len AS BIGINT) AS logit_u,
+        |  CAST(sc.sw + bias.bv * sc.len > 0 AS INT) AS pred
+        |FROM d JOIN sc ON d.doc_id = sc.doc_id CROSS JOIN bias
+        |ORDER BY doc_id""".stripMargin,
+    // the separation contract: the trained model must classify every
+    // held-out document to its planted label, so verdicts re-derive from
+    // the label formula; any fit regression flips one and breaks the hash
+    "q212_quality_model_eval" ->
+      """WITH r AS (SELECT unnest(generate_series(30, 59)) AS i)
+        |SELECT CAST(i AS BIGINT) AS doc_id, CAST(i % 2 AS INT) AS label,
+        |  CAST(i % 2 AS INT) AS pred, CAST(1 AS INT) AS correct
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // confusion counts + micro-unit precision/recall from the same
+    // contract: 15 clean + 15 spam held out, all correct
+    "q213_quality_model_prf" ->
+      """WITH r AS (SELECT unnest(generate_series(30, 59)) AS i),
+        |s AS (SELECT CAST(i % 2 AS INT) AS label, CAST(i % 2 AS INT) AS pred FROM r),
+        |a AS (SELECT
+        |  CAST(SUM(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(SUM(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(SUM(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |  CAST(SUM(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM s)
+        |SELECT tp, fp, fn, tn,
+        |  CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_u,
+        |  CAST(tp * 1000000 // (tp + fn) AS BIGINT) AS recall_u
+        |FROM a""".stripMargin,
     // the CJK fixture rebuilt with chr() codepoint arithmetic; the
     // script-mix dispatch, the char-bigram stream, the repetition
     // fraction, and every verdict replayed with list lambdas

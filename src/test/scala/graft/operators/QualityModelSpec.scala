@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class QualityModelSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** The q212 fixture formulas: disjoint token families, planted margin. */
+  private def cleanText(i: Long): String =
+    s"the a to of and prose w${i % 7} body w${(i * 3) % 11} solid text"
+  private def spamText(i: Long): String =
+    s"buy now win${i % 9} casino$i click click free free $$$$$$ buy"
+
+  private def fixture(n: Int) = (0L until n.toLong).map { i =>
+    val label = (i % 2).toInt
+    (i, label, if (label == 1) cleanText(i) else spamText(i))
+  }.toDF("doc_id", "label", "text")
+
+  test("driver bucket matches the SQL feature-hash convention") {
+    val toks = Seq("the", "buy", "win3", "casino7", "w10", "$$$")
+    val sql = toks.map(t => s"CAST(conv(substr(md5('$t'), 1, 13), 16, 10) AS BIGINT) % 64")
+      .mkString("SELECT ", ", ", "")
+    val row = spark.sql(sql).head()
+    toks.zipWithIndex.foreach { case (t, i) =>
+      assert(QualityModel.bucketOf(t, 64) == row.getLong(i).toInt, t)
+    }
+  }
+
+  test("one-step fit: hand-computed class-difference weights") {
+    val df = Seq((0L, 0, "bad bad"), (1L, 1, "good")).toDF("doc_id", "label", "text")
+    val w = QualityModel.fitOneStep(df, "text", "label", "doc_id", dims = 64)
+    val bBad = QualityModel.bucketOf("bad", 64)
+    val bGood = QualityModel.bucketOf("good", 64)
+    assert(bBad != bGood) // fixture chosen collision-free
+    // w(b) = sum (2y-1) * count_b: "bad" twice with y=0 -> -2; "good" once +1
+    assert(w.w(bBad) == -2L)
+    assert(w.w(bGood) == 1L)
+    assert(w.bias == 0L) // one doc each way
+    assert(w.w.sum == -1L) // nothing else touched
+  }
+
+  test("logistic fit: one epoch replayed by hand to exact micro-units") {
+    val df = Seq((0L, 0, "bad bad"), (1L, 1, "good")).toDF("doc_id", "label", "text")
+    val w = QualityModel.fitLogistic(df, "text", "label", "doc_id",
+      dims = 64, epochs = 1, lr = 1.0)
+    // from zero weights: p = sigmoid(0) = 0.5 for both docs.
+    // doc0 (y=0, len 2): err = -0.5, gw[bad] += -0.5 * 2/2 = -0.5, gb -= 0.5
+    // doc1 (y=1, len 1): err = +0.5, gw[good] += 0.5,            gb += 0.5
+    // w = lr * g / n = g / 2 -> w[bad] = -0.25, w[good] = +0.25, bias = 0
+    assert(w.w(QualityModel.bucketOf("bad", 64)) == -250000L)
+    assert(w.w(QualityModel.bucketOf("good", 64)) == 250000L)
+    assert(w.bias == 0L)
+  }
+
+  test("fits are deterministic run to run") {
+    val df = fixture(40)
+    val a = QualityModel.fitLogistic(df, "text", "label", "doc_id")
+    val b = QualityModel.fitLogistic(df, "text", "label", "doc_id")
+    assert(a.w.toSeq == b.w.toSeq && a.bias == b.bias)
+  }
+
+  test("integer scoring expression equals the driver-side formula") {
+    val df = fixture(20)
+    val w = QualityModel.fitLogistic(df, "text", "label", "doc_id", epochs = 10)
+    val got = QualityModel.score(df, "text", w)
+      .select("doc_id", "logit_u").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    df.select("doc_id", "text").collect().foreach { r =>
+      val toks = r.getString(1).split(' ').filter(_.nonEmpty)
+      val want = toks.map(t => w.w(QualityModel.bucketOf(t, w.dims))).sum +
+        w.bias * toks.length
+      assert(got(r.getLong(0)) == want, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("separation contract: held-out verdicts match planted labels " +
+      "(train the first half, eval the second)") {
+    val df = fixture(60)
+    val train = df.where($"doc_id" < 30) // both classes: label = id % 2
+    val holdout = df.where($"doc_id" >= 30)
+    val w = QualityModel.fitLogistic(train, "text", "label", "doc_id")
+    val rows = QualityModel.score(holdout, "text", w)
+      .select("doc_id", "label", "pred").collect()
+    assert(rows.length == 30)
+    rows.foreach(r => assert(r.getInt(1) == r.getInt(2),
+      s"doc ${r.getLong(0)}: label ${r.getInt(1)} pred ${r.getInt(2)}"))
+    // the one-step twin separates this fixture too
+    val w1 = QualityModel.fitOneStep(train, "text", "label", "doc_id")
+    QualityModel.score(holdout, "text", w1)
+      .select("label", "pred").collect()
+      .foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("degenerate inputs: empty text scores zero, never errors") {
+    val df = Seq((0L, 1, ""), (1L, 0, "x")).toDF("doc_id", "label", "text")
+    val w = QualityModel.fitOneStep(df, "text", "label", "doc_id")
+    val r = QualityModel.score(df, "text", w)
+      .where($"doc_id" === 0).select("logit_u", "pred").head()
+    assert(r.getLong(0) == 0L && r.getInt(1) == 0)
+  }
+}
