@@ -907,6 +907,38 @@ object PipelineQueries extends QuerySet {
         .orderBy("ord")
     }),
 
+    // The CDX(J) range-read index over the WARC door — the lookup
+    // artifact a crawl archive serves beside its shards (reference
+    // analog: the (offset,len,uid) query index of seqindexer.py:177-193).
+    // URLs rotate through the canonicalization traps (mixed case, ports,
+    // https, missing path, multi-label hosts) so the SURT key is
+    // load-bearing; the oracle re-derives every index row — SURT key,
+    // 14-digit timestamp, member offsets (record length + 23 cumsum),
+    // md5 digest — from the fixture formulas. The sorted artifact +
+    // exact-extent probe are CdxSpec's.
+    "q214_warc_cdx_index" -> ((s, dir) => {
+      val f = fixture("cdx_oracle.warc.gz") {
+        graft.sources.Warc.renderGzip((0 until 20).map { i =>
+          val url = (i % 4) match {
+            case 0 => s"http://Example.COM/Doc/$i"
+            case 1 => s"https://sub.site$i.org:443/p/$i?a=$i"
+            case 2 => s"http://w$i.example.com:8080/x"
+            case _ => s"http://host$i.net"
+          }
+          (Seq(
+            "WARC-Type" -> "response",
+            "WARC-Record-ID" -> s"<urn:uuid:rec-$i>",
+            "WARC-Target-URI" -> url,
+            "WARC-Date" -> s"2026-01-02T03:0${i % 10}:05Z"),
+            ("payload " + i) getBytes "US-ASCII")
+        })
+      }
+      graft.sources.Cdx.index(graft.sources.Warc.read(s, f))
+        .select(col("urlkey"), col("ts"), col("url"), col("offset"),
+          col("rec_len"), col("digest"))
+        .orderBy("urlkey", "ts")
+    }),
+
     "q163_wet_ingest" -> ((s, dir) => {
       val f = fixture("wet_oracle.warc.wet.gz") {
         graft.sources.Warc.renderGzip(oracleWetRecords)
@@ -4524,6 +4556,41 @@ object PipelineQueries extends QuerySet {
         |  CAST(L AS BIGINT) AS content_length,
         |  repeat('x', L) AS payload_text
         |FROM s ORDER BY ord""".stripMargin,
+    // every CDX row re-derived: the SURT key constructed per URL case,
+    // the 14-digit digit-only timestamp, member offsets as the q126
+    // record+23 cumsum, the md5 digest of the payload formula
+    "q214_warc_cdx_index" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 19)) AS i),
+        |d AS (SELECT i,
+        |  CASE CAST(i % 4 AS INT)
+        |    WHEN 0 THEN 'http://Example.COM/Doc/' || i
+        |    WHEN 1 THEN 'https://sub.site' || i || '.org:443/p/' || i || '?a=' || i
+        |    WHEN 2 THEN 'http://w' || i || '.example.com:8080/x'
+        |    ELSE 'http://host' || i || '.net' END AS url,
+        |  CASE CAST(i % 4 AS INT)
+        |    WHEN 0 THEN 'com,example)/doc/' || i
+        |    WHEN 1 THEN 'org,site' || i || ',sub)/p/' || i || '?a=' || i
+        |    WHEN 2 THEN 'com,example,w' || i || ')/x'
+        |    ELSE 'net,host' || i || ')/' END AS urlkey,
+        |  '2026-01-02T03:0' || (i % 10) || ':05Z' AS date,
+        |  'payload ' || i AS payload
+        |  FROM r),
+        |s AS (SELECT i, urlkey, url, payload,
+        |  replace(replace(replace(replace(date, '-', ''), ':', ''), 'T', ''), 'Z', '') AS ts,
+        |  length('WARC/1.0' || chr(13) || chr(10) ||
+        |    'WARC-Type: response' || chr(13) || chr(10) ||
+        |    'WARC-Record-ID: <urn:uuid:rec-' || i || '>' || chr(13) || chr(10) ||
+        |    'WARC-Target-URI: ' || url || chr(13) || chr(10) ||
+        |    'WARC-Date: ' || date || chr(13) || chr(10) ||
+        |    'Content-Length: ' || length(payload) || chr(13) || chr(10) ||
+        |    chr(13) || chr(10)) + length(payload) + 4 AS rec_chars
+        |  FROM d)
+        |SELECT urlkey, ts, url,
+        |  CAST(COALESCE(SUM(rec_chars + 23) OVER (ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+        |  CAST(rec_chars + 23 AS BIGINT) AS rec_len,
+        |  md5(payload) AS digest
+        |FROM s ORDER BY urlkey, ts""".stripMargin,
     // the WET door: page texts rebuilt token-by-token with the same
     // modular formula the fixture renders, member offsets re-derived from
     // the rendered-record string lengths (stored-block member = record

@@ -1,0 +1,121 @@
+package graft.sources
+
+import graft.SparkSpec
+
+class CdxSpec extends SparkSpec {
+
+  private def records(n: Int): Seq[(Seq[(String, String)], Array[Byte])] =
+    (0 until n).map { i =>
+      val url = (i % 4) match {
+        case 0 => s"http://Example.COM/Doc/$i"
+        case 1 => s"https://sub.site$i.org:443/p/$i?a=$i"
+        case 2 => s"http://w$i.example.com:8080/x"
+        case _ => s"http://host$i.net"
+      }
+      (Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:uuid:rec-$i>",
+        "WARC-Target-URI" -> url,
+        "WARC-Date" -> s"2026-01-02T03:0${i % 10}:05Z"),
+        ("payload " + i) getBytes "US-ASCII")
+    }
+
+  test("SURT canonicalization: case, ports, default path, host reversal") {
+    assert(Cdx.surtKey("http://Example.COM/Doc/3").contains("com,example)/doc/3"))
+    assert(Cdx.surtKey("https://sub.site.org:443/p?a=1").contains("org,site,sub)/p?a=1"))
+    assert(Cdx.surtKey("http://w.example.com:8080/x").contains("com,example,w)/x"))
+    assert(Cdx.surtKey("http://host.net").contains("net,host)/"))
+    assert(Cdx.surtKey("ftp://").isEmpty || Cdx.surtKey("http://").isEmpty)
+    // the Column expression agrees with the driver-side twin
+    import spark.implicits._
+    val urls = Seq("http://Example.COM/Doc/3", "https://sub.site.org:443/p?a=1",
+      "http://w.example.com:8080/x", "http://host.net")
+    val got = urls.toDF("u")
+      .select(Cdx.urlKeyExpr(org.apache.spark.sql.functions.col("u")))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == urls.map(Cdx.surtKey(_).get))
+  }
+
+  test("index rows carry the member extents and house digest") {
+    val f = java.io.File.createTempFile("cdx", ".warc.gz")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, Warc.renderGzip(records(8)))
+    val idx = Cdx.index(Warc.read(spark, f.getAbsolutePath))
+      .orderBy("offset").collect()
+    val truth = Warc.parseGzip(f.getAbsolutePath,
+      java.nio.file.Files.readAllBytes(f.toPath)).toSeq
+    assert(idx.length == 8 && truth.length == 8)
+    idx.zip(truth).foreach { case (r, t) =>
+      assert(r.getAs[String]("urlkey") == Cdx.surtKey(t.targetUri).get)
+      assert(r.getAs[String]("ts") == "202601020" + (t.ord % 10) + "0" + "5"
+        || r.getAs[String]("ts").length == 14) // format pinned below
+      assert(r.getAs[Long]("offset") == t.offset)
+      assert(r.getAs[Long]("rec_len") == t.recLen)
+    }
+    // the 14-digit timestamp is the date's digits, truncated
+    assert(idx.head.getAs[String]("ts") ==
+      truth.head.warcDate.replaceAll("[^0-9]", "").take(14))
+  }
+
+  test("writeCdxj: sorted shards, tiled key ranges, atomic naming, round trip") {
+    val f = java.io.File.createTempFile("cdx", ".warc.gz")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, Warc.renderGzip(records(20)))
+    val dir = java.nio.file.Files.createTempDirectory("cdxj").toString
+    val shards = Cdx.writeCdxj(
+      Cdx.index(Warc.read(spark, f.getAbsolutePath)), dir, numShards = 3)
+    assert(shards.map(_._2).sum == 20)
+    val files = new java.io.File(dir).listFiles.map(_.getName).sorted
+    assert(files.forall(_.endsWith(".cdxj")), s"leftover temp: ${files.toSeq}")
+    // lines sorted within each shard; shard key ranges tile in file order
+    val perShard = shards.map { case (name, _) =>
+      val lines = scala.io.Source.fromFile(s"$dir/$name").getLines().toSeq
+      val keys = lines.map(l => l.substring(0, l.indexOf(' ')))
+      assert(keys == keys.sorted, s"$name not sorted")
+      (keys.head, keys.last)
+    }
+    perShard.sliding(2).foreach {
+      case Seq((_, lastA), (firstB, _)) => assert(lastA <= firstB)
+      case _ => ()
+    }
+    // every line parses back and its extent fetches the right record
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    shards.foreach { case (name, _) =>
+      scala.io.Source.fromFile(s"$dir/$name").getLines().foreach { line =>
+        val (urlkey, _, url, file, off, len, _) = Cdx.parseLine(line).get
+        var asked: (Long, Long) = null
+        val rec = Cdx.fetchOne((o, l) => {
+          asked = (o, l) // the probe must ask for EXACTLY the extent
+          java.util.Arrays.copyOfRange(bytes, o.toInt, (o + l).toInt)
+        }, file, off, len).get
+        assert(asked == ((off, len)), "probe read outside the member extent")
+        assert(rec.targetUri == url)
+        assert(Cdx.surtKey(rec.targetUri).get == urlkey)
+      }
+    }
+  }
+
+  test("fetchOne via the filesystem reads one member of plain AND gzip warcs") {
+    val plain = java.io.File.createTempFile("cdx", ".warc")
+    plain.deleteOnExit()
+    java.nio.file.Files.write(plain.toPath, Warc.render(records(5)))
+    val gz = java.io.File.createTempFile("cdx", ".warc.gz")
+    gz.deleteOnExit()
+    java.nio.file.Files.write(gz.toPath, Warc.renderGzip(records(5)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(plain, gz).foreach { f =>
+      val truth = Warc.parse(f.getAbsolutePath,
+        java.nio.file.Files.readAllBytes(f.toPath)).toSeq
+      val mid = truth(2)
+      val got = Cdx.fetchOne(conf, f.getAbsolutePath, mid.offset, mid.recLen)
+      assert(got.exists(_.targetUri == mid.targetUri), f.getName)
+      assert(got.exists(r => java.util.Arrays.equals(r.payload, mid.payload)))
+    }
+  }
+
+  test("malformed probe inputs return None, never throw") {
+    assert(Cdx.parseLine("not a cdxj line").isEmpty)
+    assert(Cdx.fetchOne((_, _) => Array[Byte](1, 2, 3), "f", 0, 99).isEmpty)
+    assert(Cdx.fetchOne((_, _) => "garbage bytes here".getBytes, "f", 0, 18).isEmpty)
+  }
+}
