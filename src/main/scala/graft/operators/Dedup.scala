@@ -339,7 +339,32 @@ object Dedup {
     */
   def prefixJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                          threshold: Double, shingleN: Int = 1,
-                         maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                         maxBucketSize: Int = Int.MaxValue): DataFrame =
+    prefixJaccardPairsWithCaches(docs, textCol, idCol, threshold, shingleN,
+      maxBucketSize)._1
+
+  /** [[prefixJaccardPairs]] in a cache-releasing scope: the operator's
+    * two pinned caches (the hashed-set working set and the candidate
+    * pairs — see the lifetime note inside) are unpersisted when `use`
+    * returns, so an embedding caller (CurationRun, a long-lived
+    * multi-tenant session) leaks nothing past its own action. Run every
+    * action that needs the pairs INSIDE the scope — the plan is lazy,
+    * and an action after release would silently recompute (and re-pin)
+    * both caches.
+    */
+  def withJaccardPairs[T](docs: DataFrame, textCol: String, idCol: String,
+                          threshold: Double, shingleN: Int = 1,
+                          maxBucketSize: Int = Int.MaxValue)
+                         (use: DataFrame => T): T = {
+    val (pairs, caches) = prefixJaccardPairsWithCaches(docs, textCol, idCol,
+      threshold, shingleN, maxBucketSize)
+    try use(pairs)
+    finally caches.foreach(_.unpersist(blocking = true))
+  }
+
+  private def prefixJaccardPairsWithCaches(
+      docs: DataFrame, textCol: String, idCol: String, threshold: Double,
+      shingleN: Int, maxBucketSize: Int): (DataFrame, Seq[DataFrame]) = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     // ONE tokenize pass for the whole operator: the per-doc element-hash SET
     // (the same (id, hs) shape verifyJaccardSets consumes) is built narrowly
@@ -358,8 +383,9 @@ object Dedup {
     // shingle, the operator's working set, spilled via the default
     // MEMORY_AND_DISK level when it outgrows executor memory — and cands
     // is candidate-pair-sized. A caller that embeds this in a longer
-    // session can df.unpersist() the returned plan's caches via
-    // spark.sharedState.cacheManager once its own action has run.
+    // session uses [[withJaccardPairs]], which unpersists both caches
+    // when its scope closes (or df.unpersist() via
+    // spark.sharedState.cacheManager by hand).
     val hsets =
       (if (shingleN == 1)
         docs.select(col(idCol).as("id"),
@@ -409,7 +435,8 @@ object Dedup {
     // prune, same shape as minHashDupPairs), reading the SAME cached sets
     // the candidates were generated from
     val candIds = cands.select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
-    verifyJaccardSets(cands, hsets.join(candIds, Seq("id"), "left_semi"), threshold)
+    (verifyJaccardSets(cands, hsets.join(candIds, Seq("id"), "left_semi"),
+      threshold), Seq(hsets, cands))
   }
 
   /** Benchmark decontamination — the training-data hygiene step every large

@@ -110,6 +110,28 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("withJaccardPairs: the scope's caches do not survive it") {
+    import spark.implicits._
+    val d = (0L until 20L).map { i =>
+      (i, (0 until 8).map(k => s"t${(i / 2 + k) % 12}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache() // isolate: other suites may have pinned plans
+    val n = Dedup.withJaccardPairs(d, "text", "doc_id", threshold = 0.5) {
+      pairs =>
+        val c = pairs.count()
+        assert(!cm.isEmpty, "the operator's caches should be live in-scope")
+        c
+    }
+    assert(n > 0) // the fixture plants near-dup neighbors
+    assert(cm.isEmpty, "caches leaked past the withJaccardPairs scope")
+    // and the scoped result equals the unscoped operator's
+    val unscoped = Dedup.prefixJaccardPairs(d, "text", "doc_id", threshold = 0.5)
+      .count()
+    assert(n == unscoped)
+    cm.clearCache()
+  }
+
   test("decontaminate flags benchmark leakage, spares clean docs") {
     import spark.implicits._
     val benchSentence = "the capital of france is paris and the capital of italy is rome"
