@@ -2275,6 +2275,29 @@ object PipelineQueries extends QuerySet {
     // The oracle re-derives offsets AND payloads arithmetically; the
     // block-walk listing fast path is pinned against the decoded walk in
     // ZstdShardsSpec.
+    // The .jsonl.zst LINE layer over the zstd door — the shape Dolma/
+    // RedPajama/OSCAR releases actually ship (many JSON documents per
+    // frame, newline-delimited). Real JSON-path extraction on the Spark
+    // side (get_json_object, codegen'd); traps planted per frame: a
+    // blank line and a text-less metadata line must drop WITHOUT
+    // consuming a doc, while line_no keeps the physical line number.
+    // The oracle rebuilds ids/texts and the line numbering from the
+    // fixture formula.
+    "q215_zstd_jsonl_ingest" -> ((s, dir) => {
+      val f = fixture("zstd_jsonl_oracle.zst") {
+        graft.operators.Zstd.render((0 until 4).map { fr =>
+          ((0 until 5).map { k =>
+            val id = fr * 5 + k
+            s"""{"id":"d$id","text":"doc $id body ${"w" * (1 + id % 7)}"}"""
+          } ++ Seq("", s"""{"meta":"frame $fr trailer"}"""))
+            .mkString("\n").getBytes("US-ASCII")
+        })
+      }
+      graft.sources.ZstdShards.jsonlDocs(graft.sources.ZstdShards.read(s, f))
+        .select(col("frame"), col("line_no"), col("doc_id"), col("text"))
+        .orderBy("frame", "line_no")
+    }),
+
     "q209_zstd_shard_ingest" -> ((s, dir) => {
       val f = fixture("zstd_oracle.zst") {
         graft.operators.Zstd.render((0 until 20).map { i =>
@@ -3854,6 +3877,17 @@ object PipelineQueries extends QuerySet {
         |  CAST(L AS BIGINT) AS size,
         |  payload AS payload_text
         |FROM e ORDER BY block""".stripMargin,
+    // the jsonl line layer: ids, texts, and the physical line numbering
+    // rebuilt from the fixture formula; the planted blank + metadata
+    // lines must be invisible
+    "q215_zstd_jsonl_ingest" ->
+      """WITH fr AS (SELECT unnest(generate_series(0, 3)) AS frame),
+        |k AS (SELECT frame, unnest(generate_series(0, 4)) AS k FROM fr)
+        |SELECT CAST(frame AS INT) AS frame, CAST(k AS INT) AS line_no,
+        |  'd' || (frame * 5 + k) AS doc_id,
+        |  'doc ' || (frame * 5 + k) || ' body ' ||
+        |    repeat('w', CAST(1 + (frame * 5 + k) % 7 AS INT)) AS text
+        |FROM k ORDER BY frame, line_no""".stripMargin,
     // the zstd door: payloads rebuilt from the string formula; comp_len
     // pins the frame framing (magic 4 + descriptor 1 + FCS 1-or-2 +
     // block header 3 + payload + checksum 4); offsets one cumulative sum

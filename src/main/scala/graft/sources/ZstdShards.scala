@@ -74,4 +74,24 @@ object ZstdShards {
     */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.format("zstdshard").load(path)
+
+  /** The `.jsonl.zst` LINE layer — the Dolma/RedPajama/OSCAR release
+    * shape: each frame holds many newline-delimited JSON documents.
+    * Splits decoded frames into lines and extracts `$.id` / `$.text`
+    * with Spark's built-in JSON path expressions (codegen'd, no UDF):
+    * (file, frame, line_no, doc_id, text). Blank lines and lines
+    * without a `text` field drop out — the malformed→None contract at
+    * the record grain.
+    */
+  def jsonlDocs(frames: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    frames.select(col("file"), col("frame"),
+        posexplode(split(col("data").cast("string"), "\n"))
+          .as(Seq("line_no", "line")))
+      .where(length(trim(col("line"))) > 0)
+      .select(col("file"), col("frame"), col("line_no"),
+        get_json_object(col("line"), "$.id").as("doc_id"),
+        get_json_object(col("line"), "$.text").as("text"))
+      .where(col("text").isNotNull)
+  }
 }

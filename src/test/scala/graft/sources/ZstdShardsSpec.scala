@@ -48,6 +48,26 @@ class ZstdShardsSpec extends SparkSpec {
     assert(ZstdShards.parseFile("f", bytes, withData = false).size == 3)
   }
 
+  test("jsonlDocs: line split, JSON extraction, trap lines invisible") {
+    val f = java.io.File.createTempFile("zstdjsonl", ".zst")
+    f.deleteOnExit()
+    val frame0 =
+      "{\"id\":\"a\",\"text\":\"first doc\"}\n" +
+      "\n" +                                       // blank: dropped
+      "{\"meta\":\"no text field\"}\n" +           // no $.text: dropped
+      "{\"id\":\"b\",\"text\":\"quote \\\" and backslash \\\\ survive\"}"
+    java.nio.file.Files.write(f.toPath,
+      Zstd.render(Seq(frame0.getBytes("UTF-8"))))
+    val rows = ZstdShards.jsonlDocs(ZstdShards.read(spark, f.getAbsolutePath))
+      .orderBy("line_no").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Int]("line_no") == 0)
+    assert(rows(0).getAs[String]("doc_id") == "a")
+    assert(rows(0).getAs[String]("text") == "first doc")
+    assert(rows(1).getAs[Int]("line_no") == 3) // physical line number kept
+    assert(rows(1).getAs[String]("text") == "quote \" and backslash \\ survive")
+  }
+
   test("DSv2: full read decodes; pruned listing matches") {
     val f = java.io.File.createTempFile("zstdshard", ".zst")
     f.deleteOnExit()
