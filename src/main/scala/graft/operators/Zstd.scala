@@ -388,6 +388,11 @@ object Zstd {
         }
       }
       if (!done) return null // more than 255 weights: malformed
+      // The loop body can push up to 3 symbols past the entry check, so
+      // re-validate the bound: >255 explicit weights is malformed
+      // (RFC 8878 §4.2.1 caps the alphabet at 256 incl. the implicit
+      // last symbol) and would wrap `i.toByte` in hufBuild.
+      if (weights.length > 255) return null
       consumed = 1 + head
     } else {
       // direct 4-bit weights for (head - 127) symbols
@@ -601,6 +606,17 @@ object Zstd {
     case _ => if (prev == null) null else (prev, 0)
   }
 
+  /** Number_of_Sequences from its 1-3 header bytes (RFC 8878
+    * §3.1.1.3.2.1). The long form (c0 == 255) is byte1 + (byte2 << 8)
+    * + 0x7F00 — ADDITION, not OR: byte2 values 0x01..0x7F carry into
+    * the 0x7F00 bits, so ≥0x8000-sequence blocks misdecode under OR.
+    */
+  private[operators] def seqCount(c0: Int, b1: Int, b2: Int): Int =
+    if (c0 == 0) 0
+    else if (c0 < 128) c0
+    else if (c0 < 255) ((c0 - 128) << 8) | b1
+    else (b1 | (b2 << 8)) + 0x7f00
+
   /** Decode + execute a compressed block's sequences, appending to
     * `out`. Returns false on malformed.
     */
@@ -620,11 +636,11 @@ object Zstd {
     else if (c0 < 128) numSeq = c0
     else if (c0 < 255) {
       if (pos >= end) return false
-      numSeq = ((c0 - 128) << 8) | (src(pos) & 0xff)
+      numSeq = seqCount(c0, src(pos) & 0xff, 0)
       pos += 1
     } else {
       if (pos + 2 > end) return false
-      numSeq = (src(pos) & 0xff) | ((src(pos + 1) & 0xff) << 8) | 0x7f00
+      numSeq = seqCount(c0, src(pos) & 0xff, src(pos + 1) & 0xff)
       pos += 2
     }
     if (numSeq == 0) {
@@ -710,7 +726,7 @@ object Zstd {
     if (bb.bitIndex != 0) return false // bitstream must be fully consumed
     // last literals
     outArr.append(lit, litPos, lit.length - litPos)
-    true
+    !outArr.overflowed
   }
 
   /** Growable output buffer supporting overlapping back-copies (the
@@ -719,20 +735,32 @@ object Zstd {
   private final class GrowBuf {
     private var buf = new Array[Byte](64 * 1024)
     var length = 0
-    private def ensure(n: Int): Unit = {
+    /** Set when an append would exceed the hard cap: the write is
+      * dropped and the caller must treat the frame as malformed — a
+      * crafted bomb must fail cleanly, never spin or OOM.
+      */
+    var overflowed = false
+    // MaxFrameBytes plus one max-size block of slack. Capacity math is
+    // in Long: doubling past 2^30 in Int wraps negative then sticks at
+    // 0, an infinite loop on attacker-sized output.
+    private val hardCap: Long = MaxFrameBytes + (1L << 22)
+    private def ensure(n: Int): Boolean = {
+      if (n < 0 || length.toLong + n > hardCap) { overflowed = true; return false }
       if (length + n > buf.length) {
-        var cap = buf.length
-        while (cap < length + n) cap *= 2
-        buf = java.util.Arrays.copyOf(buf, cap)
+        var cap = buf.length.toLong
+        while (cap < length.toLong + n) cap *= 2
+        if (cap > hardCap) cap = hardCap
+        buf = java.util.Arrays.copyOf(buf, cap.toInt)
       }
+      true
     }
     def append(src: Array[Byte], from: Int, n: Int): Unit = {
-      ensure(n)
+      if (!ensure(n)) return
       System.arraycopy(src, from, buf, length, n)
       length += n
     }
     def copyBack(dist: Int, n: Int): Unit = {
-      ensure(n)
+      if (!ensure(n)) return
       var i = 0
       while (i < n) { buf(length + i) = buf(length - dist + i); i += 1 }
       length += n
@@ -835,7 +863,7 @@ object Zstd {
           pos += bsize
         case _ => return None // Reserved
       }
-      if (outArr.length > MaxFrameBytes) return None
+      if (outArr.length > MaxFrameBytes || outArr.overflowed) return None
     }
     val data = outArr.toArray
     if (h.contentSize >= 0 && h.contentSize != data.length) return None

@@ -142,7 +142,13 @@ object Cdx {
         var i = from
         while (i < json.length && json.charAt(i) != '"') {
           if (json.charAt(i) == '\\' && i + 1 < json.length) {
-            sb += json.charAt(i + 1); i += 2
+            // Invert jsonEscape exactly: \uXXXX for control chars must
+            // decode back, not degrade to the literal text "uXXXX".
+            if (json.charAt(i + 1) == 'u' && i + 5 < json.length &&
+                json.substring(i + 2, i + 6).forall(c => Character.digit(c, 16) >= 0)) {
+              sb += Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar
+              i += 6
+            } else { sb += json.charAt(i + 1); i += 2 }
           } else { sb += json.charAt(i); i += 1 }
         }
         sb.toString

@@ -181,6 +181,52 @@ class ZstdSpec extends AnyFunSuite {
     assert(Zstd.decode(Array.emptyByteArray).exists(_.isEmpty))
   }
 
+  test("sequence-count header arithmetic: long form ADDS 0x7F00 (RFC 8878 §3.1.1.3.2.1)") {
+    assert(Zstd.seqCount(0, 0, 0) === 0)
+    assert(Zstd.seqCount(127, 0, 0) === 127)
+    // two-byte form: ((c0 - 128) << 8) + byte1
+    assert(Zstd.seqCount(128, 0, 0) === 0)
+    assert(Zstd.seqCount(130, 63, 0) === (2 << 8) + 63)
+    assert(Zstd.seqCount(254, 255, 0) === (126 << 8) + 255)
+    // long form: byte1 + (byte2 << 8) + 0x7F00. byte2 ≥ 1 carries into
+    // the 0x7F00 bits — OR would lose the carry (e.g. 0x0100 | 0x7F00
+    // == 0x7F00), silently truncating ≥0x8000-sequence blocks.
+    assert(Zstd.seqCount(255, 0, 0) === 0x7f00)
+    assert(Zstd.seqCount(255, 0, 1) === 0x8000)
+    assert(Zstd.seqCount(255, 5, 0x7f) === 0x7f00 + 0x7f00 + 5)
+  }
+
+  test("a crafted decompression bomb fails clean: expansion past the frame cap " +
+      "returns None in bounded time and memory") {
+    // Hand-built frame: 512 RLE blocks of 2^21-1 bytes reach length
+    // 2^30 - 512 (each passes the per-block cap pre-check), then one
+    // compressed block with numSeq == 0 appends 1024 raw literals,
+    // crossing 2^30. Before the Long-capacity fix the grow loop
+    // doubled 2^30 in Int — wrap to -2^31 then 0, an infinite loop.
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x28, 0xb5, 0x2f, 0xfd).map(_.toByte)) // magic LE
+    out.write(0x00) // desc: no single-segment, no checksum, no FCS
+    out.write(0x7f) // window descriptor (bound only)
+    val rleSize = (1 << 21) - 1
+    def bh3(bh: Int): Array[Byte] =
+      Array((bh & 0xff).toByte, ((bh >> 8) & 0xff).toByte, ((bh >> 16) & 0xff).toByte)
+    for (_ <- 0 until 512) {
+      out.write(bh3((rleSize << 3) | (1 << 1))) // RLE block, not last
+      out.write('z')
+    }
+    // last block: Compressed, bsize = 2 (lit hdr) + 1024 (raw lits) + 1 (numSeq=0)
+    out.write(bh3((1027 << 3) | (2 << 1) | 1))
+    out.write(0x04) // literals b0: Raw, sizeFormat 1, regen low nibble 0
+    out.write(0x40) // regen >> 4 = 64  →  regen = 1024
+    out.write(new Array[Byte](1024))
+    out.write(0x00) // Number_of_Sequences = 0
+    val frame = out.toByteArray
+    assert(frame.length < 4000)
+    val t0 = System.nanoTime()
+    assert(Zstd.decode(frame).isEmpty)
+    assert((System.nanoTime() - t0) < 60e9, "bomb decode did not bail promptly")
+  }
+
   test("a corrupt compressed golden never over-reads: every 1-byte corruption " +
       "either decodes to the original or fails clean") {
     val comp = b64(text_19)
