@@ -88,6 +88,50 @@ object PipelineQueries extends QuerySet {
         "WARC-Date" -> "2026-01-01T00:00:00Z"), msg)
     }
 
+  /** The zstd-coding fixture (q216): q186 one coding further — bodies
+    * rotate identity / `Content-Encoding: zstd` / zstd UNDER chunked
+    * transfer coding / `br`. The zstd bodies are the RAW-block writer
+    * twin's frames, so the wire length is a pure function of the text
+    * length (L + 13 for L < 256: magic 4 + descriptor 1 + FCS 1 +
+    * block header 3 + L + XXH64 4) and the DuckDB oracle re-derives
+    * every member offset arithmetically. The `br` records (mode 3) pin
+    * the drop contract: no brotli decoder exists here (decision record
+    * in COVERAGE.md), so those pages must vanish from the output while
+    * their members still count into every later offset.
+    */
+  private def httpZstdOracleRecords: Seq[(Seq[(String, String)], Array[Byte])] =
+    (0 until 20).map { i =>
+      val k = 5 + (i * 3) % 11
+      val text = s"resp $i body: " +
+        (0 until k).map(j => "w" + ((i + j) % 7)).mkString(" ")
+      val body = text.getBytes("US-ASCII")
+      val status = if (i % 8 == 2) 404 else 200
+      val reason = if (status == 404) "Not Found" else "OK"
+      val ct = if (i % 2 == 0) "text/html; charset=utf-8"
+               else "text/plain; charset=iso-8859-1"
+      val (extra, payload) = i % 4 match {
+        case 0 => (Seq("Content-Length" -> body.length.toString), body)
+        case 1 =>
+          val z = graft.operators.Zstd.renderFrame(body)
+          (Seq("Content-Encoding" -> "zstd",
+            "Content-Length" -> z.length.toString), z)
+        case 2 =>
+          val z = graft.operators.Zstd.renderFrame(body)
+          (Seq("Content-Encoding" -> "zstd",
+            "Transfer-Encoding" -> "chunked"),
+            graft.sources.Warc.renderChunked(z, 16))
+        case _ => (Seq("Content-Encoding" -> "br",
+          "Content-Length" -> body.length.toString), body)
+      }
+      val msg = graft.sources.Warc.renderHttp(status, reason,
+        ("Content-Type" -> ct) +: extra, payload)
+      (Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:uuid:httpz-$i>",
+        "WARC-Target-URI" -> s"http://example.com/z/$i",
+        "WARC-Date" -> "2026-01-01T00:00:00Z"), msg)
+    }
+
   /** The WET fixture (q163): the Common Crawl extracted-text sibling — a
     * leading `warcinfo` metadata record (the door must SKIP it) followed by
     * 20 `conversion` records whose payloads are deterministic plain text
@@ -899,6 +943,24 @@ object PipelineQueries extends QuerySet {
     "q186_http_ingest" -> ((s, dir) => {
       val f = fixture("http_oracle.warc.gz") {
         graft.sources.Warc.renderGzip(httpOracleRecords)
+      }
+      graft.sources.Warc.httpResponses(graft.sources.Warc.read(s, f))
+        .select(col("ord"), col("offset"), col("rec_len"), col("target_uri"),
+          col("status"), col("http_content_type"), col("charset"),
+          col("body_len"), col("text"))
+        .orderBy("ord")
+    }),
+
+    // q186 one content coding further: zstd (RFC 9659) bodies — plain
+    // and under chunked transfer coding — decode through the RFC 8878
+    // door; `br` bodies (no decoder in this container, decision record)
+    // must DROP from the output while their members still shift every
+    // later offset. Wire lengths stay pure functions of the text length
+    // (writer-twin zstd frame = L + 13), so the oracle re-derives
+    // offsets, body lengths and texts arithmetically.
+    "q216_http_zstd_ingest" -> ((s, dir) => {
+      val f = fixture("http_zstd_oracle.warc.gz") {
+        graft.sources.Warc.renderGzip(httpZstdOracleRecords)
       }
       graft.sources.Warc.httpResponses(graft.sources.Warc.read(s, f))
         .select(col("ord"), col("offset"), col("rec_len"), col("target_uri"),
@@ -4680,6 +4742,60 @@ object PipelineQueries extends QuerySet {
         |  CAST(L AS BIGINT) AS body_len,
         |  text
         |FROM rec ORDER BY ord""".stripMargin,
+
+    // the zstd content coding: wire body = writer-twin frame, length
+    // L + 13 (plain) or chunk-framed L + 13 (mode 2); br records are
+    // ABSENT from the rows but their member lengths still accumulate
+    // into every later offset — the window sum runs before the filter
+    "q216_http_zstd_ingest" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 19)) AS i),
+        |t AS (SELECT i, 5 + (i * 3) % 11 AS k FROM r),
+        |b AS (SELECT i,
+        |  'resp ' || i || ' body: ' ||
+        |  array_to_string(list_transform(range(0, k), j -> 'w' || ((i + j) % 7)), ' ')
+        |  AS text FROM t),
+        |m AS (SELECT i, text, length(text) AS L, i % 4 AS mode,
+        |  CASE WHEN i % 8 = 2 THEN 404 ELSE 200 END AS status,
+        |  CASE WHEN i % 2 = 0 THEN 'text/html; charset=utf-8'
+        |       ELSE 'text/plain; charset=iso-8859-1' END AS ct
+        |  FROM b),
+        |p AS (SELECT *,
+        |  CASE WHEN status = 404 THEN length('HTTP/1.1 404 Not Found') + 2
+        |       ELSE length('HTTP/1.1 200 OK') + 2 END
+        |  + length('Content-Type: ' || ct) + 2
+        |  + CASE mode
+        |      WHEN 0 THEN length('Content-Length: ' || L) + 2 + 2 + L
+        |      WHEN 1 THEN length('Content-Encoding: zstd') + 2
+        |        + length('Content-Length: ' || (L + 13)) + 2 + 2 + (L + 13)
+        |      WHEN 2 THEN length('Content-Encoding: zstd') + 2
+        |        + length('Transfer-Encoding: chunked') + 2 + 2
+        |        + ((L + 13) // 16) * 22
+        |        + CASE WHEN (L + 13) % 16 > 0 THEN 1 + 2 + ((L + 13) % 16) + 2 ELSE 0 END + 5
+        |      ELSE length('Content-Encoding: br') + 2
+        |        + length('Content-Length: ' || L) + 2 + 2 + L
+        |    END AS hlen
+        |  FROM m),
+        |rec AS (SELECT *,
+        |  length('WARC/1.0') + 2
+        |  + length('WARC-Type: response') + 2
+        |  + length('WARC-Record-ID: <urn:uuid:httpz-' || i || '>') + 2
+        |  + length('WARC-Target-URI: http://example.com/z/' || i) + 2
+        |  + length('WARC-Date: 2026-01-01T00:00:00Z') + 2
+        |  + length('Content-Length: ' || hlen) + 2 + 2 + hlen + 4 AS reclen
+        |  FROM p),
+        |o AS (SELECT *,
+        |  CAST(COALESCE(SUM(reclen + 23) OVER (ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset
+        |  FROM rec)
+        |SELECT CAST(i AS BIGINT) AS ord, "offset",
+        |  CAST(reclen + 23 AS BIGINT) AS rec_len,
+        |  'http://example.com/z/' || i AS target_uri,
+        |  status,
+        |  ct AS http_content_type,
+        |  CASE WHEN i % 2 = 0 THEN 'UTF-8' ELSE 'ISO-8859-1' END AS charset,
+        |  CAST(L AS BIGINT) AS body_len,
+        |  text
+        |FROM o WHERE mode <> 3 ORDER BY ord""".stripMargin,
 
     "q163_wet_ingest" ->
       """WITH r AS (SELECT unnest(generate_series(0, 19)) AS i),

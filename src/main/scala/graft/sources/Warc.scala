@@ -304,7 +304,7 @@ object Warc {
   // Real Common Crawl WARCs are `WARC-Type: response` records whose
   // payload IS an HTTP/1.x message as captured from the wire (RFC 9112
   // framing): status line, header block, then a body that may be
-  // chunked-transfer-coded and/or content-coded (gzip/deflate) and whose
+  // chunked-transfer-coded and/or content-coded (gzip/deflate/zstd) and whose
   // charset lives in the Content-Type header. A door that casts the
   // payload straight to string reads resource-style fixtures but garbles
   // the first real crawl file. This layer is the decode: framing split,
@@ -350,7 +350,7 @@ object Warc {
     * body that inflates past the 1 GiB cap. Never throws.
     *
     * Order of operations per RFC 9112 §6: transfer coding (chunked) is
-    * removed first, then the content coding (gzip/deflate), then the
+    * removed first, then the content coding (gzip/deflate/zstd), then the
     * charset decode.
     */
   def httpDecode(payload: Array[Byte]): Option[HttpResponse] = {
@@ -406,7 +406,15 @@ object Warc {
         gunzipBody(transferred) match { case Some(d) => d; case None => return None }
       case Some("deflate") =>
         inflateBody(transferred) match { case Some(d) => d; case None => return None }
-      case Some(_) => return None // br/zstd/stacked codings: out of contract
+      case Some("zstd") => // RFC 9659: the body is zstd frames. The RFC
+        // 8878 decoder carries its own 1 GiB expansion cap (same bound
+        // as MaxBodyBytes), so a crafted bomb fails clean here too.
+        graft.operators.Zstd.decode(transferred) match
+          { case Some(d) => d; case None => return None }
+      case Some(_) => return None // br/stacked codings: out of contract
+        // (brotli needs its RFC 7932 120 KB static dictionary; no
+        // encoder exists in this container to pin interop — decision
+        // record in COVERAGE.md, same shape as A21/Vorbis)
     }
     // 3. charset from Content-Type (RFC 9110 §8.3); UTF-8 fallback
     val contentType = header("Content-Type").getOrElse("")

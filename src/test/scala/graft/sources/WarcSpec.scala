@@ -348,6 +348,34 @@ class WarcSpec extends SparkSpec {
     assert(java.util.Arrays.equals(Warc.httpDecode(both).get.body, body))
   }
 
+  test("httpDecode: zstd content coding (RFC 9659), incl. chunked+zstd and a " +
+      "CLI golden; br stays out of contract and drops clean") {
+    val body = ("zstd coded page body " * 9).getBytes("UTF-8")
+    val zf = graft.operators.Zstd.renderFrame(body)
+    val z = http(200, "OK", Seq(
+      "Content-Encoding" -> "zstd",
+      "Content-Length" -> zf.length.toString), zf)
+    assert(java.util.Arrays.equals(Warc.httpDecode(z).get.body, body))
+    // a REAL zstd-CLI frame (v1.5.7, level 19) — compressed-block interop
+    val cliBody = "zstd coded page body " * 9
+    val cli = java.util.Base64.getDecoder.decode(
+      "KLUv/QRo7QAAsHpzdGQgY29kZWQgcGFnZSBib2R5IHoBAEhIzSZgNtaL")
+    val z2 = http(200, "OK", Seq("Content-Encoding" -> "zstd"), cli)
+    assert(Warc.httpDecode(z2).get.text == cliBody)
+    // chunked applies BEFORE content decoding (RFC 9112 §6 order)
+    val both = http(200, "OK", Seq(
+      "Content-Encoding" -> "zstd", "Transfer-Encoding" -> "chunked"),
+      Warc.renderChunked(zf, 16))
+    assert(java.util.Arrays.equals(Warc.httpDecode(both).get.body, body))
+    // garbage under the zstd label is malformed, not a crash
+    assert(Warc.httpDecode(http(200, "OK",
+      Seq("Content-Encoding" -> "zstd"), body)).isEmpty)
+    // brotli: no decoder in this container (COVERAGE.md decision
+    // record) — the page drops (None), it must not pass through raw
+    assert(Warc.httpDecode(http(200, "OK",
+      Seq("Content-Encoding" -> "br"), body)).isEmpty)
+  }
+
   test("httpDecode: charset from Content-Type; UTF-8 fallback; LF-only lines") {
     val latin = "café résumé".getBytes("ISO-8859-1")
     val m = http(200, "OK", Seq(
