@@ -126,6 +126,16 @@ object IngestRun {
       .where(length(col("text")) > 0)
   }
 
+  /** The WAT metadata door — tenth door, but a METADATA door, not a text
+    * door: WAT envelopes carry head/link metadata, no body text, so it
+    * feeds the link-graph side output (the [[graft.operators.Graph]]
+    * edge shape) instead of the dedup corpus. Link-graph users read
+    * this INSTEAD of parsing the WARC's HTML.
+    */
+  def watEdges(spark: SparkSession, path: String): DataFrame =
+    graft.sources.Warc.watLinks(graft.sources.Warc.read(spark, path))
+      .select(col("page_url").as("src"), col("link_url").as("dst"))
+
   /** Union the doors and collapse exact text duplicates across formats:
     * one row per distinct text, represented by the lexicographically
     * first (fmt, locator); `n_copies`/`fmts` record the collapse.
@@ -158,6 +168,9 @@ object IngestRun {
     val dups = corpus.where(col("n_copies") > 1).count()
     println(s"INGEST docs=$total cross_format_dups=$dups")
     corpus.write.mode("overwrite").parquet(s"$outDir/corpus.parquet")
+    val edges = watEdges(spark, fx("wat"))
+    println(s"WAT edges=${edges.count()}")
+    edges.write.mode("overwrite").parquet(s"$outDir/wat_edges.parquet")
     spark.stop()
   }
 }
@@ -226,10 +239,20 @@ object IngestFixtures {
       graft.sources.TfRecords.render(Seq(0, 8).map(i =>
         graft.operators.TfExample.encode(Seq(
           "text" -> graft.operators.TfExample.text(article(i)))))))
+    val watDir = sub("wat")
+    java.nio.file.Files.write(watDir.resolve("a.warc.wat.gz"),
+      graft.sources.Warc.renderGzip(Seq(0, 1).map { i =>
+        (Seq("WARC-Type" -> "metadata",
+          "WARC-Target-URI" -> s"http://ex.test/a$i",
+          "Content-Type" -> "application/json"),
+          (s"""{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"http://ex.test/a$i"},""" +
+           s""""Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":{"Head":{"Title":"t$i"},""" +
+           s""""Links":[{"path":"A@/href","url":"http://ex.test/a${1 - i}"}]}}}}}""").getBytes("UTF-8"))
+      }))
     Map("warc" -> warcDir.toString, "wet" -> wetDir.toString,
       "tar" -> tarDir.toString, "zip" -> zipDir.toString,
       "pdf" -> pdfDir.toString, "wiki" -> wikiDir.toString,
       "xz" -> xzDir.toString, "zstd" -> zstdDir.toString,
-      "tfrecord" -> tfDir.toString)
+      "tfrecord" -> tfDir.toString, "wat" -> watDir.toString)
   }
 }

@@ -19,6 +19,38 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object BpeKernel {
 
+  /** The GPT-2-family pre-tokenizer (house variant): contraction
+    * suffixes, optional-leading-space letter / digit / punctuation runs,
+    * then whitespace runs. Deliberately RE2-compatible — NO negative
+    * lookahead (GPT-2's `\s+(?!\S)` trailing-space rule), and explicit
+    * ASCII whitespace classes instead of `\s` (Java's includes \x0B,
+    * RE2's does not) — so a DuckDB `regexp_extract_all` replays the
+    * split byte-for-byte and the byte-grain learner stays oracled.
+    * Divergence from GPT-2 proper: a multi-space run before a word
+    * tokenizes as [spaces][word], not [spaces-1][space+word].
+    */
+  val PreTokenRegex: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\r\\f\\p{L}\\p{N}]+|[ \\t\\n\\r\\f]+"
+
+  private val preTokenPattern = java.util.regex.Pattern.compile(PreTokenRegex)
+
+  /** Pre-tokens of `text`; their concatenation restores the text. */
+  def preTokens(text: String): Seq[String] = {
+    val m = preTokenPattern.matcher(text)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    while (m.find()) out += m.group()
+    out.toSeq
+  }
+
+  /** UTF-8 bytes as uppercase-hex symbols (DuckDB `hex()` rendering). */
+  def byteSyms(tok: String): Array[String] = {
+    val bytes = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = f"${bytes(i) & 0xff}%02X"; i += 1 }
+    out
+  }
+
   private val tlCache = new ThreadLocal[(ArrayData, java.util.HashMap[String, Integer])]()
 
   private def rankMap(merges: ArrayData): java.util.HashMap[String, Integer] = {
@@ -37,8 +69,12 @@ object BpeKernel {
     m
   }
 
-  private def encodeWord(word: String, ranks: java.util.HashMap[String, Integer]): Seq[String] = {
-    var syms = word.map(_.toString).toArray
+  private def encodeWord(word: String, ranks: java.util.HashMap[String, Integer]): Seq[String] =
+    encodeSyms(word.map(_.toString).toArray, ranks)
+
+  private def encodeSyms(syms0: Array[String],
+                         ranks: java.util.HashMap[String, Integer]): Seq[String] = {
+    var syms = syms0
     if (ranks.isEmpty) return syms.toSeq
     var done = false
     while (!done && syms.length > 1) {
@@ -74,6 +110,17 @@ object BpeKernel {
       out += UTF8String.fromString(t)
     new GenericArrayData(out.toArray)
   }
+
+  /** Byte-grain encode: [[preTokens]] split, hex-byte alphabet, same
+    * greedy lowest-rank merge loop per pre-token.
+    */
+  def encodeBytes(text: UTF8String, merges: ArrayData): ArrayData = {
+    val ranks = rankMap(merges)
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    for (w <- preTokens(text.toString); t <- encodeSyms(byteSyms(w), ranks))
+      out += UTF8String.fromString(t)
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** `graft_bpe_encode(text: string, merges: array<array<string>>)
@@ -101,6 +148,39 @@ case class GraftBpeEncode(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (t, m) => {
       s"${ev.value} = graft.functions.BpeKernel.encode($t, $m);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_bpe_encode_bytes(text: string, merges: array<array<string>>)
+  * -> array<string>` — the byte-grain twin: GPT-2-family pre-tokenize,
+  * UTF-8 hex-byte alphabet, same greedy ranked merging. See
+  * [[BpeKernel.encodeBytes]].
+  */
+case class GraftBpeEncodeBytes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(ArrayType(StringType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_bpe_encode_bytes requires (string, array<array<string>>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_encode_bytes"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(t: Any, m: Any): Any =
+    BpeKernel.encodeBytes(t.asInstanceOf[UTF8String], m.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, m) => {
+      s"${ev.value} = graft.functions.BpeKernel.encodeBytes($t, $m);"
     })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

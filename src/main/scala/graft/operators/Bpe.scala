@@ -40,6 +40,52 @@ object Bpe {
     */
   def learn(docs: DataFrame, textCol: String, idCol: String, numMerges: Int,
             maxSample: Int = 20000): Seq[(String, String)] = {
+    learnWith(docs, textCol, idCol, numMerges, maxSample,
+      t => t.split(" ").iterator.filter(_.nonEmpty).map(w => w.map(_.toString).toList))
+  }
+
+  /** The GPT-2-family pre-tokenizer (house variant): contraction
+    * suffixes, optional-leading-space letter / digit / punctuation runs,
+    * then whitespace runs. Deliberately RE2-compatible — NO negative
+    * lookahead (GPT-2's `\s+(?!\S)` trailing-space rule), and explicit
+    * ASCII whitespace classes instead of `\s` (Java's includes \x0B,
+    * RE2's does not) — so a DuckDB `regexp_extract_all` replays the
+    * split byte-for-byte and the byte-grain learner stays oracled.
+    * Divergence from GPT-2 proper: a multi-space run before a word
+    * tokenizes as [spaces][word], not [spaces-1][space+word].
+    */
+  val PreTokenRegex: String = graft.functions.BpeKernel.PreTokenRegex
+
+  /** Split `text` into pre-tokens; concatenating them restores the text
+    * (the alternation covers every character class).
+    */
+  def preTokens(text: String): Seq[String] =
+    graft.functions.BpeKernel.preTokens(text)
+
+  /** UTF-8 bytes of a pre-token as uppercase-hex symbol strings — the
+    * byte alphabet. Uppercase hex is DuckDB's `hex()` rendering, which
+    * is what lets the oracle rebuild the identical symbol table.
+    */
+  private[graft] def byteSyms(tok: String): List[String] =
+    graft.functions.BpeKernel.byteSyms(tok).toList
+
+  /** Byte-level BPE learner (the GPT-2/cl100k shape): pre-tokenize with
+    * [[PreTokenRegex]], then merge over the UTF-8 BYTE alphabet — so
+    * multi-space runs, punctuation clusters and non-ASCII bytes all
+    * tokenize (word-internal space-split `learn` never sees them), and
+    * no byte sequence is out of vocabulary. Same bounded deterministic
+    * sample, same (freq DESC, pair ASC) argmax loop; symbols are
+    * uppercase-hex byte strings, so merges compose as hex strings and a
+    * DuckDB oracle replays the whole fit via `hex()`.
+    */
+  def learnBytes(docs: DataFrame, textCol: String, idCol: String, numMerges: Int,
+                 maxSample: Int = 20000): Seq[(String, String)] =
+    learnWith(docs, textCol, idCol, numMerges, maxSample,
+      t => preTokens(t).iterator.map(byteSyms))
+
+  private def learnWith(docs: DataFrame, textCol: String, idCol: String,
+                        numMerges: Int, maxSample: Int,
+                        split: String => Iterator[List[String]]): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     if (numMerges == 0) return Seq.empty
     // bounded deterministic sample (hash-ordered top-N, the codebook-fit
@@ -48,8 +94,8 @@ object Bpe {
       .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(maxSample)
       .select(col(textCol)).collect().map(_.getString(0))
     val wordFreq = scala.collection.mutable.HashMap[List[String], Long]()
-    for (t <- sample; w <- t.split(" ") if w.nonEmpty)
-      wordFreq.updateWith(w.map(_.toString).toList)(c => Some(c.getOrElse(0L) + 1))
+    for (t <- sample; syms <- split(t) if syms.nonEmpty)
+      wordFreq.updateWith(syms)(c => Some(c.getOrElse(0L) + 1))
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var words = wordFreq.toVector
     var i = 0
@@ -113,6 +159,20 @@ object Bpe {
     val mergesLit = typedLit[Seq[Seq[String]]](merges.map(m => Seq(m._1, m._2)))
     docs.withColumn("_merges", mergesLit)
       .withColumn("tokens", expr(s"graft_bpe_encode($textCol, _merges)"))
+      .withColumn("n_tokens", size(col("tokens")))
+      .drop("_merges")
+  }
+
+  /** Byte-grain twin of [[encode]]: pre-tokenize + hex-byte alphabet via
+    * the `graft_bpe_encode_bytes` kernel. Tokens are hex strings (a
+    * merge of "41","42" is "4142"); `n_tokens` at zero merges equals the
+    * text's UTF-8 byte length — the degenerate arithmetic oracle.
+    */
+  def encodeBytes(docs: DataFrame, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val mergesLit = typedLit[Seq[Seq[String]]](merges.map(m => Seq(m._1, m._2)))
+    docs.withColumn("_merges", mergesLit)
+      .withColumn("tokens", expr(s"graft_bpe_encode_bytes($textCol, _merges)"))
       .withColumn("n_tokens", size(col("tokens")))
       .drop("_merges")
   }

@@ -132,6 +132,41 @@ object PipelineQueries extends QuerySet {
         "WARC-Date" -> "2026-01-01T00:00:00Z"), msg)
     }
 
+  /** The WAT fixture (q218): Common Crawl's metadata sibling — a leading
+    * `warcinfo` record, then 12 `metadata` records whose payloads are
+    * the published JSON envelope (WARC-Header-Metadata target URI +
+    * HTML-Metadata Head.Title and Links). Rendered byte-deterministic:
+    * the JSON is a fixed-format string the DuckDB oracle rebuilds
+    * verbatim, so every member offset is string arithmetic (the q163
+    * pattern). The record-level WARC-Target-URI header deliberately
+    * DIFFERS from the envelope's — the door must prefer the envelope.
+    */
+  private def watOracleRecords: Seq[(Seq[(String, String)], Array[Byte])] = {
+    val info = (Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> "<urn:uuid:watinfo>",
+      "WARC-Date" -> "2026-01-03T00:00:00Z",
+      "Content-Type" -> "application/warc-fields"),
+      "software: graft-wat\r\n".getBytes("US-ASCII"))
+    val pages = (0 until 12).map { i =>
+      val links = (0 until 1 + i % 3).map { j =>
+        s"""{"path":"A@/href","url":"http://example.com/l/$i/$j"}"""
+      }.mkString(",")
+      val payload =
+        s"""{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"http://example.com/p/$i"},""" +
+        s""""Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":{"Head":{"Title":"Page $i"},""" +
+        s""""Links":[$links]}}}}}"""
+      (Seq(
+        "WARC-Type" -> "metadata",
+        "WARC-Record-ID" -> s"<urn:uuid:wat-$i>",
+        "WARC-Target-URI" -> s"http://hdr.example.com/p/$i",
+        "WARC-Date" -> "2026-01-03T00:00:00Z",
+        "Content-Type" -> "application/json"),
+        payload.getBytes("US-ASCII"))
+    }
+    info +: pages
+  }
+
   /** The WET fixture (q163): the Common Crawl extracted-text sibling — a
     * leading `warcinfo` metadata record (the door must SKIP it) followed by
     * 20 `conversion` records whose payloads are deterministic plain text
@@ -999,6 +1034,20 @@ object PipelineQueries extends QuerySet {
         .select(col("urlkey"), col("ts"), col("url"), col("offset"),
           col("rec_len"), col("digest"))
         .orderBy("urlkey", "ts")
+    }),
+
+    // The WAT door — the third member of Common Crawl's WARC/WET/WAT
+    // triple: JSON metadata envelopes decoded declaratively (from_json),
+    // exploded to the link-graph edge list with NO HTML parse. The
+    // oracle rebuilds every JSON payload verbatim, re-derives member
+    // offsets with the q163 cumsum, and emits the planted link rows;
+    // the envelope target URI (not the record header's decoy) must win.
+    "q218_wat_ingest" -> ((s, dir) => {
+      val f = fixture("wat_oracle.warc.wat.gz") {
+        graft.sources.Warc.renderGzip(watOracleRecords)
+      }
+      graft.sources.Warc.watLinks(graft.sources.Warc.read(s, f))
+        .orderBy("ord", "link_ord")
     }),
 
     "q163_wet_ingest" -> ((s, dir) => {
@@ -4796,6 +4845,52 @@ object PipelineQueries extends QuerySet {
         |  CAST(L AS BIGINT) AS body_len,
         |  text
         |FROM o WHERE mode <> 3 ORDER BY ord""".stripMargin,
+
+    // the WAT door: JSON payloads rebuilt VERBATIM in SQL (fixed-format
+    // envelope), member offsets re-derived via the q163 cumsum, link
+    // rows generated from the planted (i, j) formulas; page_url is the
+    // ENVELOPE's URI — emitting the record header's decoy would mismatch
+    "q218_wat_ingest" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 11)) AS i),
+        |pay AS (SELECT i,
+        |  '{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"http://example.com/p/' || i ||
+        |  '"},"Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":{"Head":{"Title":"Page ' || i ||
+        |  '"},"Links":[' ||
+        |  array_to_string(list_transform(range(0, 1 + i % 3),
+        |    j -> '{"path":"A@/href","url":"http://example.com/l/' || i || '/' || j || '"}'), ',') ||
+        |  ']}}}}}' AS payload FROM r),
+        |w AS (SELECT length(
+        |  'WARC/1.0' || chr(13) || chr(10) ||
+        |  'WARC-Type: warcinfo' || chr(13) || chr(10) ||
+        |  'WARC-Record-ID: <urn:uuid:watinfo>' || chr(13) || chr(10) ||
+        |  'WARC-Date: 2026-01-03T00:00:00Z' || chr(13) || chr(10) ||
+        |  'Content-Type: application/warc-fields' || chr(13) || chr(10) ||
+        |  'Content-Length: 21' || chr(13) || chr(10) || chr(13) || chr(10) ||
+        |  'software: graft-wat' || chr(13) || chr(10) ||
+        |  chr(13) || chr(10) || chr(13) || chr(10)) + 23 AS info_len),
+        |s AS (SELECT i, payload, length(
+        |  'WARC/1.0' || chr(13) || chr(10) ||
+        |  'WARC-Type: metadata' || chr(13) || chr(10) ||
+        |  'WARC-Record-ID: <urn:uuid:wat-' || i || '>' || chr(13) || chr(10) ||
+        |  'WARC-Target-URI: http://hdr.example.com/p/' || i || chr(13) || chr(10) ||
+        |  'WARC-Date: 2026-01-03T00:00:00Z' || chr(13) || chr(10) ||
+        |  'Content-Type: application/json' || chr(13) || chr(10) ||
+        |  'Content-Length: ' || length(payload) || chr(13) || chr(10) || chr(13) || chr(10))
+        |  + length(payload) + 4 AS reclen FROM pay),
+        |o AS (SELECT i, reclen,
+        |  w.info_len + COALESCE(SUM(reclen + 23) OVER (ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM s CROSS JOIN w),
+        |l AS (SELECT i, off, reclen, unnest(range(0, 1 + i % 3)) AS j FROM o)
+        |SELECT CAST(i + 1 AS BIGINT) AS ord,
+        |  CAST(off AS BIGINT) AS "offset",
+        |  CAST(reclen + 23 AS BIGINT) AS rec_len,
+        |  'http://example.com/p/' || i AS page_url,
+        |  'Page ' || i AS title,
+        |  CAST(j AS INT) AS link_ord,
+        |  'A@/href' AS link_path,
+        |  'http://example.com/l/' || i || '/' || j AS link_url
+        |FROM l ORDER BY ord, link_ord""".stripMargin,
 
     "q163_wet_ingest" ->
       """WITH r AS (SELECT unnest(generate_series(0, 19)) AS i),

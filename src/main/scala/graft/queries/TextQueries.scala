@@ -51,15 +51,43 @@ object TextQueries extends QuerySet {
     * the kernel's merge pass). Final stage: token count per doc = sum of
     * its words' symbol counts.
     */
-  private def bpeOracleSql(numMerges: Int, maxSample: Int): String = {
+  private def bpeOracleSql(numMerges: Int, maxSample: Int): String =
+    bpeMergeStages(
+      s"""WITH samp AS (SELECT text FROM documents ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $maxSample),
+         |sw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM samp) WHERE w <> '' GROUP BY w),
+         |dw AS (SELECT doc_id, w FROM (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''),
+         |vocab AS (SELECT DISTINCT w FROM dw),
+         |enc0 AS (SELECT w, list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) AS syms FROM vocab)""".stripMargin,
+      numMerges)
+
+  /** The byte-grain twin of [[bpeOracleSql]] — replays
+    * [[graft.operators.Bpe.learnBytes]] + `encodeBytes`: pre-tokens come
+    * from `regexp_extract_all` with the SAME RE2-compatible
+    * [[graft.operators.Bpe.PreTokenRegex]] (embedded from the constant,
+    * so no drifted copy can exist), and the symbol alphabet is the
+    * pre-token's UTF-8 bytes as uppercase hex — DuckDB's `hex()`
+    * rendering, split into 2-char symbols. Merge stages are the shared
+    * chained-CTE replay.
+    */
+  private def bpeBytesOracleSql(numMerges: Int, maxSample: Int): String = {
+    val re = graft.operators.Bpe.PreTokenRegex.replace("'", "''")
+    bpeMergeStages(
+      s"""WITH samp AS (SELECT text FROM documents ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $maxSample),
+         |sw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+         |  SELECT unnest(regexp_extract_all(text, '$re')) AS w FROM samp) WHERE w <> '' GROUP BY w),
+         |dw AS (SELECT doc_id, w FROM (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '$re')) AS w FROM documents) WHERE w <> ''),
+         |vocab AS (SELECT DISTINCT w FROM dw),
+         |enc0 AS (SELECT w, list_transform(generate_series(1, length(hex(w)) // 2),
+         |  i -> substr(hex(w), 2 * i - 1, 2)) AS syms FROM vocab)""".stripMargin,
+      numMerges)
+  }
+
+  private def bpeMergeStages(prefix: String, numMerges: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH samp AS (SELECT text FROM documents ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $maxSample),
-              |sw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
-              |  SELECT unnest(string_split(text, ' ')) AS w FROM samp) WHERE w <> '' GROUP BY w),
-              |dw AS (SELECT doc_id, w FROM (
-              |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''),
-              |vocab AS (SELECT DISTINCT w FROM dw),
-              |enc0 AS (SELECT w, list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) AS syms FROM vocab)""".stripMargin
+    sb ++= prefix
     for (i <- 0 until numMerges) {
       sb ++= s""",
                 |pf$i AS (SELECT a, b, CAST(SUM(f) AS BIGINT) AS pf FROM (
@@ -515,6 +543,23 @@ object TextQueries extends QuerySet {
       val docs = t(s, dir, "documents")
       val merges = graft.operators.Bpe.learn(docs, "text", "doc_id", numMerges = BpeOracleMerges)
       graft.operators.Bpe.encode(docs, "text", merges)
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
+    // The byte-level (GPT-2/cl100k-shape) q108 twin: pre-tokenize with
+    // the RE2-compatible GPT-2-family regex, then learn+apply over the
+    // UTF-8 BYTE alphabet (hex symbols) — multi-space runs, punctuation
+    // clusters and non-ASCII bytes all tokenize, where the word-internal
+    // mode never sees them. The DuckDB oracle replays the whole fit:
+    // same regexp split (embedded from the shared constant), hex() byte
+    // symbols, same chained-CTE merge stages. BpeSpec pins the concrete
+    // divergence from the word mode on "don't  stop!!"-style input.
+    "q217_bpe_bytes_learned" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.learnBytes(docs, "text", "doc_id",
+        numMerges = BpeOracleMerges)
+      graft.operators.Bpe.encodeBytes(docs, "text", merges)
         .select("doc_id", "n_tokens")
         .orderBy("doc_id")
     }),
@@ -979,6 +1024,7 @@ object TextQueries extends QuerySet {
       """SELECT doc_id, CAST(length(replace(text, ' ', '')) AS INT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q108_bpe_learned_oracle" -> bpeOracleSql(BpeOracleMerges, maxSample = 20000),
+    "q217_bpe_bytes_learned" -> bpeBytesOracleSql(BpeOracleMerges, maxSample = 20000),
     // identical oracle: the persisted-artifact round trip must not change
     // a single token count
     "q121_bpe_saved_tokenizer" -> bpeOracleSql(BpeOracleMerges, maxSample = 20000),

@@ -299,6 +299,61 @@ object Warc {
         col("payload").cast("string").as("text"))
   }
 
+  /** The WAT (web archive transformation) projection — Common Crawl's
+    * metadata sibling of WARC/WET: `metadata` records whose payload is a
+    * JSON envelope carrying the page's extracted head/link metadata, the
+    * file link-graph users read INSTEAD of parsing HTML. Pure
+    * composition: the framing is the WARC walk this module already does;
+    * the payload decodes declaratively with `from_json` against the
+    * published envelope shape (Envelope → WARC-Header-Metadata /
+    * Payload-Metadata → HTTP-Response-Metadata → HTML-Metadata →
+    * Head.Title + Links[{path, url}]). Columns: (ord, offset, rec_len,
+    * page_url, title, links); malformed JSON yields null title/links
+    * (from_json's contract), never a task failure. The leading
+    * `warcinfo` record and any non-metadata type drop out, but their
+    * members still shift `offset` — the range-read index survives.
+    *
+    * Scale shape: narrow filter + one codegen'd JSON parse per record;
+    * no shuffle, splits at gzip-member grain like every WARC read.
+    */
+  def watRecords(records: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val linkType = ArrayType(StructType(Seq(
+      StructField("path", StringType), StructField("url", StringType))))
+    val htmlMeta = StructType(Seq(
+      StructField("Head", StructType(Seq(StructField("Title", StringType)))),
+      StructField("Links", linkType)))
+    val envSchema = StructType(Seq(StructField("Envelope", StructType(Seq(
+      StructField("WARC-Header-Metadata", StructType(Seq(
+        StructField("WARC-Target-URI", StringType)))),
+      StructField("Payload-Metadata", StructType(Seq(
+        StructField("HTTP-Response-Metadata", StructType(Seq(
+          StructField("HTML-Metadata", htmlMeta))))))))))))
+    records.where(col("warc_type") === "metadata")
+      .withColumn("_env", from_json(col("payload").cast("string"), envSchema))
+      .select(col("ord"), col("offset"), col("rec_len"),
+        coalesce(col("_env.Envelope.`WARC-Header-Metadata`.`WARC-Target-URI`"),
+          col("target_uri")).as("page_url"),
+        col("_env.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`.Head.Title").as("title"),
+        col("_env.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`.Links").as("links"))
+  }
+
+  /** One row per outgoing link from a WAT file: (ord, offset, rec_len,
+    * page_url, title, link_ord, link_path, link_url) — the link-graph
+    * edge list ([[graft.operators.Graph]]'s input shape) without any
+    * HTML parse. Pages whose envelope carries no links emit nothing.
+    */
+  def watLinks(records: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    watRecords(records)
+      .select(col("ord"), col("offset"), col("rec_len"), col("page_url"),
+        col("title"), posexplode(col("links")).as(Seq("link_ord", "_l")))
+      .select(col("ord"), col("offset"), col("rec_len"), col("page_url"),
+        col("title"), col("link_ord"), col("_l.path").as("link_path"),
+        col("_l.url").as("link_url"))
+  }
+
   // ---- the HTTP message layer inside `response` records ----------------
   //
   // Real Common Crawl WARCs are `WARC-Type: response` records whose

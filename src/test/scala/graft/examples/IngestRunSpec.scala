@@ -42,6 +42,13 @@ class IngestRunSpec extends SparkSpec {
     // and the collapse happened on EXTRACTED text: the nine raw payloads
     // of article 0 all differ at the byte level (html vs wikitext vs
     // container framing vs protobuf vs compression)
+    // the tenth (metadata) door: WAT link edges without any HTML parse —
+    // the two fixture pages reference each other
+    val edges = IngestRun.watEdges(spark, fx("wat")).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(edges == Seq(
+      ("http://ex.test/a0", "http://ex.test/a1"),
+      ("http://ex.test/a1", "http://ex.test/a0")))
     corpus.unpersist()
   }
 }

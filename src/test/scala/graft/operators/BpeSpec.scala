@@ -86,4 +86,40 @@ class BpeSpec extends SparkSpec {
     assert(toks(word, Bpe.load(spark, p2)) == List("ab", "c"))
     assert(toks(word, overlap.reverse) == List("a", "bc"))
   }
+
+  test("byte mode: pre-tokenizer splits contractions/punct/space runs; " +
+      "zero merges = UTF-8 byte count; word mode diverges on the same input") {
+    import spark.implicits._
+    // the pre-tokenizer (house GPT-2-family variant, RE2-compatible)
+    assert(Bpe.preTokens("don't  stop!!") ==
+      Seq("don", "'t", "  ", "stop", "!!"))
+    assert(Bpe.preTokens(" 42 café") == Seq(" 42", " café"))
+    // concatenation restores the text (total cover, incl. tabs/newlines)
+    val tricky = "a\tb\n  c!?d's 12,3 éé"
+    assert(Bpe.preTokens(tricky).mkString == tricky)
+    val docs = Seq((0L, "don't  stop!!")).toDF("doc_id", "text")
+    // zero merges: one token per UTF-8 byte — 13 for this text, where
+    // the word-internal mode counts 11 non-space CHARS: multi-space
+    // runs and the apostrophe split tokenize differently by design
+    val byteToks = Bpe.encodeBytes(docs, "text", Seq.empty)
+      .select("tokens").head().getSeq[String](0)
+    assert(byteToks.length == "don't  stop!!".getBytes("UTF-8").length)
+    assert(byteToks.take(3) == Seq("64", "6F", "6E")) // d o n, uppercase hex
+    val wordToks = Bpe.encode(docs, "text", Seq.empty)
+      .select("tokens").head().getSeq[String](0)
+    assert(wordToks.length == 11)
+    assert(byteToks.length != wordToks.length)
+    // non-ASCII: é is TWO byte symbols (C3 A9) — no OOV, ever
+    val acc = Seq((0L, "café")).toDF("doc_id", "text")
+    assert(Bpe.encodeBytes(acc, "text", Seq.empty)
+      .select("tokens").head().getSeq[String](0) ==
+      Seq("63", "61", "66", "C3", "A9"))
+    // learnBytes merges hex symbols; encodeBytes applies them greedily
+    val corpus = (0 until 20).map(i => (i.toLong, "aa aa bb" + i)).toDF("doc_id", "text")
+    val m = Bpe.learnBytes(corpus, "text", "doc_id", numMerges = 1)
+    assert(m == Seq(("61", "61"))) // "aa" is the most frequent pair
+    val enc = Bpe.encodeBytes(Seq((0L, "aaaa")).toDF("doc_id", "text"), "text", m)
+      .select("tokens").head().getSeq[String](0)
+    assert(enc == Seq("6161", "6161"))
+  }
 }
