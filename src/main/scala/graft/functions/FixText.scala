@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mojibake repair (the ftfy `fix_encoding` shape): detect-and-undo the
+  * dominant web-corpus corruption — UTF-8 bytes read back through a
+  * single-byte codepage (cp1252 or its latin-1 subset) and re-emitted,
+  * possibly more than once ("Ã©" for é, "â€™" for ', "ÃƒÂ©" for a
+  * double round trip). The standard pre-dedup scrub: without it the
+  * clean and mojibake copies of a page hash apart.
+  *
+  * Algorithm, applied to the WHOLE string and iterated to a fixed point
+  * (bounded): map every char back to the byte a cp1252 reader saw —
+  * identity for ASCII and U+00A0..U+00FF, the cp1252 table inverse for
+  * the 27 remapped 0x80..0x9F graphics (€ ‚ ƒ „ … † ‡ ˆ ‰ Š ‹ Œ Ž ' '
+  * " " • – — ˜ ™ š › œ ž Ÿ), the C1 controls for cp1252's five holes.
+  * If EVERY char maps and the bytes are STRICTLY valid UTF-8 with at
+  * least one multi-byte sequence, the decode replaces the string;
+  * otherwise it is returned unchanged. One pass undoes one corruption
+  * round, iteration undoes stacked rounds, and genuinely clean text is
+  * a no-op (its cp1252 bytes are not valid multi-byte UTF-8).
+  * Idempotent by construction: a fixed string either has no full
+  * cp1252 mapping or fails UTF-8 validation. Known ftfy-shared
+  * tradeoff: text whose TRUE content is mojibake-shaped gets "fixed";
+  * whole-string validation keeps that rare (every char must conspire).
+  */
+object FixText {
+
+  /** char → the byte a cp1252 decode produced it from, or -1. */
+  private val inv: Array[Int] = {
+    val m = new Array[Int](0x2123) // up to U+2122 (™)
+    java.util.Arrays.fill(m, -1)
+    var i = 0
+    while (i < 0x80) { m(i) = i; i += 1 } // ASCII
+    i = 0xa0
+    while (i <= 0xff) { m(i) = i; i += 1 } // latin-1 high range
+    // cp1252 0x80..0x9F remaps (the Windows graphics); holes 0x81 0x8D
+    // 0x8F 0x90 0x9D fall back to the C1 controls lenient readers emit
+    val cp = Seq(
+      0x80 -> 0x20ac, 0x82 -> 0x201a, 0x83 -> 0x0192, 0x84 -> 0x201e,
+      0x85 -> 0x2026, 0x86 -> 0x2020, 0x87 -> 0x2021, 0x88 -> 0x02c6,
+      0x89 -> 0x2030, 0x8a -> 0x0160, 0x8b -> 0x2039, 0x8c -> 0x0152,
+      0x8e -> 0x017d, 0x91 -> 0x2018, 0x92 -> 0x2019, 0x93 -> 0x201c,
+      0x94 -> 0x201d, 0x95 -> 0x2022, 0x96 -> 0x2013, 0x97 -> 0x2014,
+      0x98 -> 0x02dc, 0x99 -> 0x2122, 0x9a -> 0x0161, 0x9b -> 0x203a,
+      0x9c -> 0x0153, 0x9e -> 0x017e, 0x9f -> 0x0178)
+    for ((b, c) <- cp) m(c) = b
+    for (b <- Seq(0x81, 0x8d, 0x8f, 0x90, 0x9d)) m(b) = b
+    m
+  }
+
+  /** One undo round: null when the string is not whole-string mojibake. */
+  private def undoOnce(s: String): String = {
+    val n = s.length
+    val bytes = new Array[Byte](n)
+    var i = 0
+    var multi = false
+    while (i < n) {
+      val c = s.charAt(i).toInt
+      val b = if (c < inv.length) inv(c) else -1
+      if (b < 0) return null
+      bytes(i) = b.toByte
+      if (b >= 0x80) multi = true
+      i += 1
+    }
+    if (!multi) return null // pure ASCII: nothing to undo
+    // strict UTF-8 validation + decode (REPORT, not replace: any
+    // malformed sequence means "not mojibake, leave it alone")
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try {
+      val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      if (out == s || out.length == n) null else out // must have shrunk: ≥1 multi-byte seq
+    } catch { case _: java.nio.charset.CharacterCodingException => null }
+  }
+
+  def fix(u: UTF8String): UTF8String = {
+    if (u == null) return null
+    var s = u.toString
+    var rounds = 0
+    var changed = false
+    while (rounds < 4) { // a stacked corruption deeper than 4 is noise
+      val next = undoOnce(s)
+      if (next == null) {
+        return if (changed) UTF8String.fromString(s) else u
+      }
+      s = next
+      changed = true
+      rounds += 1
+    }
+    UTF8String.fromString(s)
+  }
+}
+
+/** `graft_fix_text(text: string) -> string` — see [[FixText]]. */
+case class GraftFixText(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_fix_text requires string, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_fix_text"
+
+  override def nullSafeEval(s: Any): Any =
+    FixText.fix(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.FixText.fix($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

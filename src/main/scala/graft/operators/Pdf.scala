@@ -436,8 +436,148 @@ object Pdf {
   private def flate(data: Array[Byte]): Option[Array[Byte]] =
     Flate.inflate(data, MaxStreamBytes)
 
-  /** Decoded bytes of a stream object: no filter → raw; FlateDecode
-    * (name or single-element array) → inflate; anything else → None.
+  /** LZWDecode (ISO 32000 §7.4.4): the TIFF LZW variant — MSB-first bit
+    * packing (the GIF decoder's mirror image), 8-bit byte alphabet,
+    * code 256 = ClearTable, 257 = EOD, width grows 9→12 bits one code
+    * EARLY (EarlyChange 1, the spec default and what every mainstream
+    * writer emits). Returns None on a malformed stream: an out-of-range
+    * code, a width overrun without Clear, a truncated bitstream, or
+    * output past the stream cap. Same table-walk machinery as
+    * [[Gif]]'s decoder with the variant knobs flipped.
+    */
+  private[operators] def lzwDecode(data: Array[Byte],
+                                   earlyChange: Int = 1): Option[Array[Byte]] = {
+    val Clear = 256
+    val Eod = 257
+    var codeSize = 9
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    var dictSize = Eod + 1
+    val out = new java.io.ByteArrayOutputStream(data.length * 3 + 16)
+    var bitPos = 0
+    val nBits = data.length * 8
+    val stack = new Array[Int](4098)
+    var prev = -1
+    var prevFirst = 0
+    while (true) {
+      if (bitPos + codeSize > nBits) return None // no EOD before data ran out
+      var code = 0
+      var i = 0
+      while (i < codeSize) { // MSB-first: first bit is the code's high bit
+        val bp = bitPos + i
+        code = (code << 1) | ((data(bp >> 3) >> (7 - (bp & 7))) & 1)
+        i += 1
+      }
+      bitPos += codeSize
+      if (code == Clear) {
+        codeSize = 9; dictSize = Eod + 1; prev = -1
+      } else if (code == Eod) {
+        return Some(out.toByteArray)
+      } else {
+        var sp = 0
+        var cur = code
+        if (cur >= dictSize) { // KwKwK: only code == dictSize is legal
+          if (cur != dictSize || prev < 0) return None
+          stack(sp) = prevFirst; sp += 1
+          cur = prev
+        }
+        while (cur > Eod) { stack(sp) = suffix(cur); sp += 1; cur = prefix(cur) }
+        if (cur >= Clear) return None // root must be a literal byte
+        val first = cur
+        stack(sp) = cur; sp += 1
+        if (out.size.toLong + sp > MaxStreamBytes) return None
+        while (sp > 0) { sp -= 1; out.write(stack(sp)) }
+        if (prev >= 0 && dictSize < 4096) {
+          prefix(dictSize) = prev; suffix(dictSize) = first; dictSize += 1
+          // EarlyChange 1 (the default): widen one code early — at table
+          // sizes 511/1023/2047 rather than 512/1024/2048
+          if (dictSize >= (1 << codeSize) - earlyChange && codeSize < 12)
+            codeSize += 1
+        }
+        prev = code; prevFirst = first
+      }
+    }
+    None // unreachable
+  }
+
+  /** ASCIIHexDecode (ISO 32000 §7.4.2): hex pairs, PDF whitespace
+    * skipped, `>` is EOD (an odd trailing digit is padded with 0).
+    * None on a non-hex byte or a missing EOD marker.
+    */
+  private[operators] def asciiHexDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    while (i < data.length) {
+      val b = data(i)
+      if (b == '>') {
+        if (hi >= 0) out.write(hi << 4) // odd final digit: low nibble 0
+        return Some(out.toByteArray)
+      } else if (!isWs(b)) {
+        val d = Character.digit(b, 16)
+        if (d < 0) return None
+        if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+      }
+      i += 1
+    }
+    None // EOD marker required
+  }
+
+  /** ASCII85Decode (ISO 32000 §7.4.3): 5 chars `!`..`u` → 4 bytes base
+    * 85, `z` = four zero bytes (only between groups), PDF whitespace
+    * skipped, `~>` is EOD; a trailing group of n chars yields n-1 bytes.
+    * None on a bad character, a value overflowing 2^32, a 1-char final
+    * group, or a missing EOD.
+    */
+  private[operators] def ascii85Decode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    val grp = new Array[Int](5)
+    var n = 0
+    def flush(k: Int): Boolean = { // k chars of the group are real
+      var v = 0L
+      var i = 0
+      while (i < 5) { v = v * 85 + (if (i < k) grp(i) else 84); i += 1 }
+      if (v > 0xffffffffL) return false
+      var j = 0
+      while (j < k - 1) { out.write(((v >> (24 - 8 * j)) & 0xff).toInt); j += 1 }
+      true
+    }
+    var i = 0
+    while (i < data.length) {
+      val b = data(i)
+      if (b == '~') {
+        if (i + 1 >= data.length || data(i + 1) != '>') return None
+        if (n == 1) return None // a lone final char encodes nothing
+        if (n > 0 && !flush(n)) return None
+        return Some(out.toByteArray)
+      } else if (b == 'z') {
+        if (n != 0) return None // z inside a group is malformed
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (!isWs(b)) {
+        if (b < '!' || b > 'u') return None
+        grp(n) = b - '!'; n += 1
+        if (n == 5) { if (!flush(5)) return None; n = 0 }
+      }
+      i += 1
+    }
+    None // EOD marker required
+  }
+
+  /** Apply one named stream filter. */
+  private def applyFilter(name: String, data: Array[Byte]): Option[Array[Byte]] =
+    name match {
+      case "FlateDecode" => flate(data)
+      case "LZWDecode" => lzwDecode(data)
+      case "ASCIIHexDecode" => asciiHexDecode(data)
+      case "ASCII85Decode" => ascii85Decode(data)
+      case _ => None // out-of-contract filter (DCT/JBIG2/CCITT/RunLength)
+    }
+
+  /** Decoded bytes of a stream object: no filter → raw; a filter name or
+    * array of names (ISO 32000 §7.4: a chain, applied in ARRAY ORDER —
+    * the first name undoes the outermost, last-applied encoding) →
+    * Flate / LZW / ASCIIHex / ASCII85 decodes folded left; any unknown
+    * name in the chain → None.
     */
   private def streamBytes(obj: PObj, objects: Map[Int, PObj]): Option[Array[Byte]] = {
     if (obj.rawStream == null) return None
@@ -445,12 +585,20 @@ object Pdf {
       case PDict(m) => resolve(m.getOrElse("Filter", PNull), objects)
       case _ => PNull
     }
-    filter match {
-      case PNull => Some(obj.rawStream)
-      case PName("FlateDecode") => flate(obj.rawStream)
-      case PArr(Vector(PName("FlateDecode"))) => flate(obj.rawStream)
-      case PArr(Vector()) => Some(obj.rawStream)
-      case _ => None // out-of-contract filter chain
+    val names: Option[Seq[String]] = filter match {
+      case PNull => Some(Nil)
+      case PName(n) => Some(Seq(n))
+      case PArr(vs) =>
+        val ns = vs.collect { case PName(n) => n }
+        if (ns.length == vs.length) Some(ns) else None
+      case _ => None
+    }
+    names match {
+      case None => None
+      case Some(ns) =>
+        ns.foldLeft(Option(obj.rawStream)) {
+          (acc, n) => acc.flatMap(applyFilter(n, _))
+        }
     }
   }
 
@@ -664,13 +812,83 @@ object Pdf {
     out.toByteArray
   }
 
+  /** Literal-only LZW encode (TIFF/PDF variant, EarlyChange 1): Clear,
+    * one literal code per byte, EOD — fully valid LZW any conforming
+    * reader decodes, with the width schedule mirroring the decoder's
+    * dictionary growth. The encoder twin for LZWDecode fixtures (real
+    * multi-code interop is PdfSpec's ImageIO TIFF cross-check).
+    */
+  def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 3 / 2 + 8)
+    var acc = 0L
+    var nAcc = 0
+    def put(code: Int, width: Int): Unit = { // MSB-first packing
+      acc = (acc << width) | code
+      nAcc += width
+      while (nAcc >= 8) {
+        out.write(((acc >> (nAcc - 8)) & 0xff).toInt); nAcc -= 8
+      }
+    }
+    var codeSize = 9
+    var dictSize = 258
+    put(256, codeSize) // ClearTable
+    var i = 0
+    while (i < data.length) {
+      put(data(i) & 0xff, codeSize)
+      if (i > 0 && dictSize < 4096) { // decoder adds an entry per code after the first
+        dictSize += 1
+        if (dictSize >= (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+      }
+      i += 1
+    }
+    put(257, codeSize) // EOD
+    if (nAcc > 0) out.write(((acc << (8 - nAcc)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** ASCIIHexDecode's encoder twin: uppercase hex pairs + `>` EOD. */
+  def asciiHexEncode(data: Array[Byte]): Array[Byte] =
+    (data.map(b => f"${b & 0xff}%02X").mkString + ">").getBytes("US-ASCII")
+
+  /** ASCII85Decode's encoder twin: plain base-85 groups (no `z`
+    * shorthand), n-byte final group → n+1 chars, `~>` EOD.
+    */
+  def ascii85Encode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < data.length) {
+      val k = math.min(4, data.length - i)
+      var v = 0L
+      var j = 0
+      while (j < 4) {
+        v = (v << 8) | (if (j < k) data(i + j) & 0xffL else 0L); j += 1
+      }
+      val cs = new Array[Char](5)
+      var d = 4
+      while (d >= 0) { cs(d) = ('!' + (v % 85).toInt).toChar; v /= 85; d -= 1 }
+      sb ++= new String(cs, 0, k + 1)
+      i += k
+    }
+    (sb.toString + "~>").getBytes("US-ASCII")
+  }
+
   /** Serialize a complete single-font PDF — catalog, page tree, one
     * content stream per page (optionally FlateDecode-compressed with the
     * deterministic stored-block zlib), classic xref table and trailer.
     * Used by tests and fixture builders; [[extractText]] stays fully
     * general (real-Deflater interop pinned in PdfSpec).
     */
-  def render(pageStreams: Seq[(String, Boolean)]): Array[Byte] = {
+  def render(pageStreams: Seq[(String, Boolean)]): Array[Byte] =
+    renderFiltered(pageStreams.map { case (c, z) =>
+      (c, if (z) Seq("FlateDecode") else Nil)
+    })
+
+  /** [[render]] with an explicit filter CHAIN per page (ISO 32000 array
+    * order: first name = outermost encoding, so the encode pass applies
+    * the chain right-to-left). Supported names: FlateDecode, LZWDecode,
+    * ASCIIHexDecode, ASCII85Decode.
+    */
+  def renderFiltered(pageStreams: Seq[(String, Seq[String])]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
     val offsets = scala.collection.mutable.ArrayBuffer[Long]()
@@ -688,7 +906,14 @@ object Pdf {
       w(s"2 0 obj\n<< /Type /Pages /Kids [ $kids ] /Count $n >>\nendobj\n")
     }
     obj { w("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n") }
-    pageStreams.zipWithIndex.foreach { case ((content, compress), i) =>
+    def encodeOne(name: String, d: Array[Byte]): Array[Byte] = name match {
+      case "FlateDecode" => zlibStored(d)
+      case "LZWDecode" => lzwEncode(d)
+      case "ASCIIHexDecode" => asciiHexEncode(d)
+      case "ASCII85Decode" => ascii85Encode(d)
+      case other => throw new IllegalArgumentException(s"unsupported filter $other")
+    }
+    pageStreams.zipWithIndex.foreach { case ((content, filters), i) =>
       obj {
         w(s"${4 + 2 * i} 0 obj\n<< /Type /Page /Parent 2 0 R " +
           s"/MediaBox [ 0 0 612 792 ] " +
@@ -697,8 +922,13 @@ object Pdf {
       }
       obj {
         val raw = content.getBytes("ISO-8859-1")
-        val data = if (compress) zlibStored(raw) else raw
-        val filter = if (compress) "/Filter /FlateDecode " else ""
+        // array order = decode order, so encode right-to-left
+        val data = filters.reverseIterator.foldLeft(raw)((d, n) => encodeOne(n, d))
+        val filter = filters match {
+          case Nil => ""
+          case Seq(one) => s"/Filter /$one "
+          case many => many.mkString("/Filter [ /", " /", " ] ")
+        }
         w(s"${5 + 2 * i} 0 obj\n<< ${filter}/Length ${data.length} >>\nstream\n")
         out.write(data)
         w("\nendstream\nendobj\n")

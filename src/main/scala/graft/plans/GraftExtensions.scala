@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftBpeEncode, GraftBpeEncodeBytes, GraftCanonUrl, GraftCdcChunks, GraftExtractAnchors, GraftExtractLinks, GraftExtractText, GraftFeedEntries, GraftLshBuckets, GraftLutSum, GraftMinHash, GraftNormalize, GraftPageDirectives, GraftRobotsCrawlDelay, GraftRobotsMatch, GraftRobotsRules, GraftRobotsSitemaps, GraftRobotsWildRules, GraftSimHash, GraftSimHashMd5, GraftSitemapEntries, GraftWinnow, GraftWinnowMd5}
+import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftBpeEncode, GraftBpeEncodeBytes, GraftCanonUrl, GraftCdcChunks, GraftExtractAnchors, GraftExtractLinks, GraftExtractText, GraftFeedEntries, GraftFixText, GraftLshBuckets, GraftLutSum, GraftMinHash, GraftNormalize, GraftPageDirectives, GraftRobotsCrawlDelay, GraftRobotsMatch, GraftRobotsRules, GraftRobotsSitemaps, GraftRobotsWildRules, GraftSimHash, GraftSimHashMd5, GraftSitemapEntries, GraftWinnow, GraftWinnowMd5}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (see [[graft.GraftSession]]): injects the engine's native expressions
@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bpe_encode"),
       new ExpressionInfo(classOf[GraftBpeEncode].getName, "graft_bpe_encode"),
       (children: Seq[Expression]) => GraftBpeEncode(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_fix_text"),
+      new ExpressionInfo(classOf[GraftFixText].getName, "graft_fix_text"),
+      (children: Seq[Expression]) => GraftFixText(children(0))))
     ext.injectFunction((
       new FunctionIdentifier("graft_bpe_encode_bytes"),
       new ExpressionInfo(classOf[GraftBpeEncodeBytes].getName, "graft_bpe_encode_bytes"),

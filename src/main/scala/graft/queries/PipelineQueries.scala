@@ -1107,6 +1107,30 @@ object PipelineQueries extends QuerySet {
         .orderBy("page")
     }),
 
+    // q167's legacy-filter twin (ISO 32000 §7.4): one page per added
+    // stream filter — LZWDecode (TIFF variant, ImageIO-golden-pinned in
+    // PdfSpec), ASCIIHexDecode, ASCII85Decode — plus an
+    // [ASCII85Decode, FlateDecode] CHAIN (array order = decode order).
+    // Texts pinned verbatim in the oracle, the q167 pattern.
+    "q219_pdf_filters" -> ((s, dir) => {
+      val f = fixture("pdf_filters_oracle.pdf") {
+        graft.operators.Pdf.renderFiltered(Seq(
+          ("BT /F1 12 Tf 72 720 Td (lzw legacy stream) Tj 0 -14 Td (still reads) Tj ET",
+            Seq("LZWDecode")),
+          ("BT /F1 12 Tf 72 720 Td (hex armored) Tj ET",
+            Seq("ASCIIHexDecode")),
+          ("BT /F1 12 Tf 72 720 Td [(base) -120 (85 armored)] TJ ET",
+            Seq("ASCII85Decode")),
+          ("BT /F1 12 Tf 72 720 Td (chained a85 over flate) Tj ET",
+            Seq("ASCII85Decode", "FlateDecode"))))
+      }
+      val bin = s.read.format("binaryFile").load(f)
+        .select(lit(0L).as("doc"), col("content"))
+      graft.operators.Pdf.pagesOf(bin, "content", "doc")
+        .select(col("page"), col("text"), length(col("text")).as("n_chars"))
+        .orderBy("page")
+    }),
+
     // The pax override-precedence matrix OBSERVABLE in the driver (q122's
     // source with competing 'g'/'x'/'L' overrides): one archive exercises
     // every precedence rule — x beats a pending L, L beats the global, g
@@ -4960,6 +4984,15 @@ object PipelineQueries extends QuerySet {
         |  (0, 'Hello world' || chr(10) || 'second line'),
         |  (1, 'kerned text runs' || chr(10) || 'after star'),
         |  (2, 'paren (nested) ok' || chr(10) || 'ABC')
+        |) AS t(page, text) ORDER BY page""".stripMargin,
+    "q219_pdf_filters" ->
+      """SELECT CAST(page AS INT) AS page, text,
+        |  CAST(length(text) AS INT) AS n_chars
+        |FROM (VALUES
+        |  (0, 'lzw legacy stream' || chr(10) || 'still reads'),
+        |  (1, 'hex armored'),
+        |  (2, 'base85 armored'),
+        |  (3, 'chained a85 over flate')
         |) AS t(page, text) ORDER BY page""".stripMargin,
     // the effective names the POSIX precedence rules demand, listed
     // explicitly: each row is one rule's outcome (see the builder comment)

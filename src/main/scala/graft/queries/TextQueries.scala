@@ -583,6 +583,30 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     }),
 
+    // Mojibake repair (the ftfy fix_encoding shape) — the standard
+    // pre-dedup scrub: clean and mojibake copies of a page must hash
+    // together. Corruptions are PLANTED by literal (one and two rounds
+    // of UTF-8-read-as-cp1252, doc_id-rotated), graft_fix_text undoes
+    // them to a fixed point, and `restored` proves the undo reproduced
+    // the clean text derived independently. The oracle replays the
+    // corrupted column from its own literals (pinning the construction
+    // cross-engine) and emits the clean text as the expected fix.
+    "q220_fix_mojibake" -> ((s, dir) => {
+      val once = " cafÃ© â„–"          // " café №" through one cp1252 round trip
+      val twice = " cafÃƒÂ© Ã¢â€žâ€“" // ...and through two
+      val clean = " café №"
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("corrupted", concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(twice)).otherwise(lit(once)),
+          (col("doc_id") % 10).cast("string")))
+        .withColumn("fixed", expr("graft_fix_text(corrupted)"))
+        .select(col("doc_id"), col("corrupted"), col("fixed"),
+          (col("fixed") === concat(col("text"), lit(clean),
+            (col("doc_id") % 10).cast("string"))).as("restored"))
+        .orderBy("doc_id")
+    }),
+
     // Word frequency: explode + group + global top-k.
     "q36_word_freq" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1025,6 +1049,15 @@ object TextQueries extends QuerySet {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q108_bpe_learned_oracle" -> bpeOracleSql(BpeOracleMerges, maxSample = 20000),
     "q217_bpe_bytes_learned" -> bpeBytesOracleSql(BpeOracleMerges, maxSample = 20000),
+    // corrupted rebuilt from the oracle's own mojibake literals; fixed
+    // must equal the independently derived clean text, restored TRUE
+    "q220_fix_mojibake" ->
+      """SELECT doc_id,
+        |  text || CASE WHEN doc_id % 3 = 0 THEN ' cafÃƒÂ© Ã¢â€žâ€“'
+        |               ELSE ' cafÃ© â„–' END || (doc_id % 10) AS corrupted,
+        |  text || ' café №' || (doc_id % 10) AS fixed,
+        |  TRUE AS restored
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // identical oracle: the persisted-artifact round trip must not change
     // a single token count
     "q121_bpe_saved_tokenizer" -> bpeOracleSql(BpeOracleMerges, maxSample = 20000),

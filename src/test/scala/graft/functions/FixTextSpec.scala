@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.SparkSpec
+
+/** Mojibake repair contract: undo is byte arithmetic, so the cases are
+  * generated here by APPLYING the corruption (UTF-8 encode, then a
+  * lenient cp1252 read — the exact operation broken pipelines perform)
+  * rather than transcribed — no drifted literal can exist.
+  */
+class FixTextSpec extends SparkSpec {
+
+  private def fix(s: String): String =
+    FixText.fix(UTF8String.fromString(s)).toString
+
+  /** The corruption under repair: UTF-8 bytes read by a lenient cp1252
+    * decoder (cp1252's five holes read as the raw C1 control).
+    */
+  private def corrupt(s: String): String = {
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    s.getBytes("UTF-8").map { b =>
+      val d = new String(Array(b), cp1252)
+      if (d == "�") (b & 0xff).toChar else d.charAt(0)
+    }.mkString
+  }
+
+  test("one corruption round is undone; the result is the clean text") {
+    for (s <- Seq("café", "naïve — “quoted” résumé", "price €9.99",
+        "don’t™", "mixed ascii and é and №", "日本語テキスト")) {
+      assert(corrupt(s) != s)         // the round trip really corrupts
+      assert(fix(corrupt(s)) == s, s) // ...and fix really undoes it
+    }
+  }
+
+  test("stacked corruption (2 and 3 rounds) is undone to a fixed point") {
+    for (s <- Seq("café №", "—dash— and ‘quotes’")) {
+      assert(fix(corrupt(corrupt(s))) == s)
+      assert(fix(corrupt(corrupt(corrupt(s)))) == s)
+    }
+  }
+
+  test("idempotence: fix(fix(x)) == fix(x), clean text is untouched") {
+    val cases = Seq("plain ascii text", "café", "№ unmappable", "", "Ã©",
+      corrupt("café"), corrupt(corrupt("café")), "naïve Ã© mixed")
+    for (s <- cases) assert(fix(fix(s)) == fix(s), s)
+    // clean text with non-ASCII that is NOT valid-UTF-8-as-cp1252-bytes
+    // stays byte-identical
+    assert(fix("café") == "café")
+    assert(fix("plain") == "plain")
+    assert(fix("№") == "№")
+    // mixed genuine + corrupt: whole-string validation refuses to touch
+    // (the conservative ftfy tradeoff — never corrupt clean bytes)
+    assert(fix("naïve Ã© mixed") == "naïve Ã© mixed")
+  }
+
+  test("the SQL surface: graft_fix_text is registered and codegen-safe") {
+    import spark.implicits._
+    val rows = Seq((0L, corrupt("café")), (1L, "plain"), (2L, corrupt(corrupt("№"))))
+      .toDF("id", "t")
+      .selectExpr("id", "graft_fix_text(t) AS f").orderBy("id")
+      .collect().map(_.getString(1)).toSeq
+    assert(rows == Seq("café", "plain", "№"))
+  }
+}

@@ -169,4 +169,70 @@ class PdfSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 0, "doc A page 0"), (1L, 1, "doc A page 1"),
       (3L, 0, "doc B only")))
   }
+
+  test("LZWDecode: a REAL ImageIO-TIFF-written LZW strip decodes byte-exactly " +
+      "(TIFF variant: MSB-first, EarlyChange 1)") {
+    // golden: JDK ImageIO TIFF writer, compression LZW, no predictor, one
+    // strip of a 64x16 gray image whose pixels follow the formula below
+    val strip = java.util.Base64.getDecoder.decode(
+      "gAAA4OCocEYqGI4H5GJpULZiNJwO5+QqMSaaUKoV62XrEZbSbLgc7ueoBBAPCwdEgrGQ5IBH" +
+      "JxVLhjNRxPB/QyNSibUSpWC3XzIZ7WbrkdbyfIFBgTDQhFAvGw9IhLKRZMBnNx1PiDRSRTCf" +
+      "UytWi7YTJaDXbzldjzfQGBoUDYiFIwG4+IpMKZaMJoN52PqERaVTijVSxXC/YzNajbcTpeD3" +
+      "AYKCIYD4mFo0HZCJJQK5eMpsOZ6QKIR6WTqkVayXLAY7OarccbqeL4AgLCQZEAnFw1HhDJRR" +
+      "LEQiUUi0YjUcj0gkUkk0olUsl0wmU0m04nU8n1AYrMabacLod72AQJCAXDwlqFSqlWrFarle" +
+      "sFislmtFqtluuFyul2vF6vi/MASRMlAU5XFqXhhmUaJsG+cx2sgyTKMszDNM4zzQNE0jTNQ1" +
+      "TWNc2DZNo2zcN03jfOAL4zDaOg9kERJIEuTxSlYWZdOSkKRpKk6UpWlqXpimaapunKdp6n5f" +
+      "O27rvvC8byvOFgZh0IIkCeKwujINY5DyQBDvgsKxrKs60rWtq3riua6ruvK9r6v5FwFAkDQR" +
+      "BUGQceiBIIgyEIUhgqQu0LRtK07UtW1rXti2batu3Ldt634sRTFcWxfGMZxqYKhKIoykKUpg" +
+      "QuhH7pyE60iuzJDuO88DxPI8wSyhKUqStLEtS4RzBMIwzEMUxh0vvMz9TS/s2QBN8BwLA8Ew" +
+      "XBp2zugaCoOhKFoah6IomiqLoyjcPUPENFRJRsT0hFUWRdGEZRoXVMKGoqjqSpamqeqKpqqq" +
+      "6sq268jO1VEl1XJ1XSjKcqyvLMtkPWzBsKw7EsWxrHsiybKsuzLNv9NsA2NOVkzrZk8WfPdp" +
+      "Ic4VrOLbLkI/HDmR2DsS0dFFx0nc1LXTTN2U5d6nPTeb2Xs96vy++cxHLJlWSfgFY4HWmDVv" +
+      "hNdYYx0IYhCeJwsz9AQ1QZZICA==")
+    val px = Array.tabulate(64 * 16)(i => ((i * 7 + (i / 64) * 3) % 251).toByte)
+    val got = Pdf.lzwDecode(strip)
+    assert(got.isDefined && java.util.Arrays.equals(got.get, px))
+    // truncation fails clean at every prefix length
+    assert(Pdf.lzwDecode(java.util.Arrays.copyOf(strip, strip.length / 2)).isEmpty)
+    assert(Pdf.lzwDecode(Array.emptyByteArray).isEmpty)
+  }
+
+  test("ASCIIHex/ASCII85 decode: spec semantics and malformed→None") {
+    def hexD(s: String) = Pdf.asciiHexDecode(s.getBytes("US-ASCII"))
+    assert(hexD("48 65 6C\n6c 6F>").map(new String(_, "US-ASCII")) == Some("Hello"))
+    assert(hexD("41 4>").map(_.toSeq) == Some(Seq('A'.toByte, 0x40.toByte))) // odd digit pads 0
+    assert(hexD("4142").isEmpty)   // missing EOD
+    assert(hexD("4G>").isEmpty)    // non-hex
+    def a85D(s: String) = Pdf.ascii85Decode(s.getBytes("US-ASCII"))
+    // round trip through the encoder twin, all tail lengths
+    for (n <- 0 to 9) {
+      val data = Array.tabulate(n)(i => (i * 37 + 5).toByte)
+      val enc = Pdf.ascii85Encode(data)
+      assert(Pdf.ascii85Decode(enc).map(_.toSeq) == Some(data.toSeq), s"n=$n")
+    }
+    assert(a85D("z~>").map(_.toSeq) == Some(Seq[Byte](0, 0, 0, 0))) // z = 4 zeros
+    assert(a85D("87cUR~>").map(new String(_, "US-ASCII")) == Some("Hell")) // known vector
+    assert(a85D("a~>").isEmpty)    // lone final char
+    assert(a85D("v~>").isEmpty)    // out of alphabet
+    assert(a85D("s8W-!~>").map(_.toSeq) ==
+      Some(Seq(0xff, 0xff, 0xff, 0xff).map(_.toByte))) // exactly 2^32-1: legal
+    assert(a85D("s8W-\"~>").isEmpty) // group value 2^32: overflow
+    assert(a85D("abcde").isEmpty)  // missing EOD
+  }
+
+  test("filter chains: LZW / ASCIIHex / ASCII85 / [A85, Flate] pages all extract") {
+    val pdf = Pdf.renderFiltered(Seq(
+      ("BT /F1 12 Tf 72 720 Td (lzw page) Tj ET", Seq("LZWDecode")),
+      ("BT /F1 12 Tf 72 720 Td (hex page) Tj ET", Seq("ASCIIHexDecode")),
+      ("BT /F1 12 Tf 72 720 Td (a85 page) Tj ET", Seq("ASCII85Decode")),
+      ("BT /F1 12 Tf 72 720 Td (chained page) Tj ET",
+        Seq("ASCII85Decode", "FlateDecode"))))
+    assert(Pdf.extractText(pdf).map(_.toSeq) ==
+      Some(Seq("lzw page", "hex page", "a85 page", "chained page")))
+    // an unknown filter in a chain yields no page, not garbage
+    val bad = Pdf.renderFiltered(Seq(
+      ("BT (x) Tj ET", Seq("ASCIIHexDecode")))).clone()
+    val s = new String(bad, "ISO-8859-1").replace("ASCIIHexDecode", "DCTDecode    ")
+    assert(Pdf.extractText(s.getBytes("ISO-8859-1")).forall(_.isEmpty))
+  }
 }
