@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,17 +12,40 @@ import org.apache.spark.sql.functions._
   * a document's predicted language is the argmax of profile-trigram HIT
   * COUNTS over its own trigram stream.
   *
-  * Everything is relational: trigram explode (corpus-linear), one
-  * broadcast equi-join against the ~100-row profile table, one
-  * (id, lang) aggregation, one per-id argmax — fully replayable in any
-  * engine, which is what gives q181 a hard DuckDB oracle. Compare
+  * Single-script dispatch: a language whose script no other profiled
+  * language uses (hangul → ko, kana → ja, Arabic → ar, Devanagari → hi)
+  * needs ZERO trigram work — a strict majority of the document's
+  * non-whitespace codepoints inside the unique band decides the label
+  * with one narrow per-row pass, and only the remaining documents reach
+  * the trigram explode. At corpus scale that removes the 3×-amplifying
+  * explode for entire script families; the majority test is integer
+  * arithmetic (`2·band_count > n`), so any SQL engine replays it bit-
+  * for-bit.
+  *
+  * Everything else is relational: trigram explode (corpus-linear), one
+  * broadcast equi-join against the profile table, one (id, lang)
+  * aggregation, one per-id argmax — fully replayable in any engine,
+  * which is what gives q181/q221 hard DuckDB oracles. Compare
   * `q31_langid`'s single-stopword screen: this distinguishes LANGUAGES,
   * not just English-vs-other.
   */
 object LangId {
 
+  /** Unique-script codepoint bands: every codepoint here belongs to
+    * exactly one profiled language, so a strict majority in a band
+    * decides the document. Bands are pairwise disjoint — at most one
+    * can hold a strict majority, making the dispatch order-independent.
+    */
+  val ScriptBands: Seq[(String, Int, Int)] = Seq(
+    ("ar", 0x0600, 0x06ff), // Arabic
+    ("hi", 0x0900, 0x097f), // Devanagari
+    ("ja", 0x3040, 0x30ff), // Hiragana + Katakana
+    ("ko", 0xac00, 0xd7af)) // Hangul syllables
+
   /** Top character trigrams per language (space-padded word boundaries
-    * included — " th"/"he " carry most of English's signal).
+    * included — " th"/"he " carry most of English's signal). The ja/ko/
+    * ar/hi profiles serve MIXED-script documents that fall under the
+    * dispatch threshold; pure single-script pages never consult them.
     */
   val Profiles: Map[String, Seq[String]] = Map(
     "en" -> Seq(" th", "the", "he ", "ing", "ng ", "and", " an", "nd ",
@@ -39,35 +62,81 @@ object LangId {
       "nte", "ndo", " es"),
     "it" -> Seq(" di", "di ", "to ", "la ", " la", "re ", "che", " ch",
       "no ", "del", "lla", "zio", "one", "ell", "a d", "ne ", "per",
-      " pe", "gli", "ato"))
+      " pe", "gli", "ato"),
+    "pt" -> Seq("ão ", "ção", "não", " nã", "uma", " um", "em ", " em",
+      "do ", " do", "da ", " da", "com", " co", "os ", "ara", " pa",
+      "ent", "nte", "ade"),
+    "ar" -> Seq(" ال", "الم", "الع", "ية ", "ة ا", "ين ", "من ", " من",
+      "في ", " في", "ان ", "ات ", "لى ", " عل", "على", "ها ", "ون ",
+      "هم ", "ير ", "ري "),
+    "hi" -> Seq("है ", " है", "ें ", "का ", " का", "की ", " की", "ने ",
+      " ने", "ों ", "ता ", "या ", " के", "के ", "ार ", "ान ", " को",
+      "को ", "में", " मे"),
+    "ja" -> Seq("します", "ました", "ている", "のです", "という", "ことが",
+      "ません", "であり", "された", "ながら", "はしり", "ていた", "になる",
+      "ための", "それは", "ですが", "ないで", "たちは", "このよ", "うなこ"),
+    "ko" -> Seq("습니다", "합니다", "니다 ", "는 것", "하는 ", "에서 ",
+      "으로 ", "었다 ", "있는 ", "는다 ", "하고 ", "에게 ", "까지 ",
+      "부터 ", "것이 ", " 것이", "지만 ", "라는 ", "들이 ", "그리고"))
 
-  /** Demo sentences, one per language — used by q181's fixture and
-    * replicated literally in its oracle.
+  /** Demo sentences, one per language — used by the q181/q221 fixtures
+    * and replicated literally in their oracles.
     */
   val DemoTexts: Map[String, String] = Map(
     "en" -> "the quick brown fox jumps over the lazy dog and runs to the green field of the north",
     "de" -> "der schnelle braune fuchs springt ueber den faulen hund und laeuft in das gruene feld der berge",
     "fr" -> "le rapide renard brun saute par dessus le chien paresseux et court dans les champs verts du pays",
     "es" -> "el rapido zorro marron salta sobre el perro perezoso y corre en el campo verde de la montana",
-    "it" -> "la rapida volpe marrone salta sopra il cane pigro e corre nel campo verde della collina")
+    "it" -> "la rapida volpe marrone salta sopra il cane pigro e corre nel campo verde della collina",
+    "pt" -> "a raposa não corre numa direção comum mas salta com uma paixão enorme sobre o cão e segue em frente do campo verde da região",
+    "ar" -> "الثعلب البني السريع يقفز فوق الكلب الكسول ويجري في الحقل الاخضر من الصباح الى المساء",
+    "hi" -> "तेज भूरी लोमड़ी आलसी कुत्ते के ऊपर कूदती है और हरे मैदान में दौड़ती है",
+    "ja" -> "すばやいきつねはのろまないぬをとびこえてみどりのはらをはしります",
+    "ko" -> "빠른 갈색 여우가 게으른 개를 뛰어넘어 푸른 들판을 달립니다")
+
+  private val isWs = (c: Column) =>
+    c === "" || c === " " || c === "\n" || c === "\t" || c === "\r"
 
   /** Predict a language per document: (id, pred_lang, hits). Documents
     * shorter than 3 chars or with zero profile hits emit nothing (no
-    * evidence, no claim).
+    * evidence, no claim). Single-script documents (strict codepoint
+    * majority in a [[ScriptBands]] band) are decided by the band alone —
+    * `hits` is then the band's char count — and are filtered out BEFORE
+    * the trigram explode (plan-pinned in LangIdSpec).
     */
   def classify(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val counted = docs.where(length(col(textCol)) >= 3)
+      .select(col(idCol).as("id"), lower(col(textCol)).as("_t"))
+      .withColumn("_chars", filter(split(col("_t"), ""), c => !isWs(c)))
+      .withColumn("_n", size(col("_chars")))
+    val withBands = ScriptBands.foldLeft(counted) { case (d, (l, lo, hi)) =>
+      d.withColumn(s"_c_$l",
+        size(filter(col("_chars"), c => ascii(c).between(lo, hi))))
+    }
+    // strict majority (2·cnt > n) in a disjoint band → at most one hit
+    val dispatched = withBands.withColumn("_script", coalesce(
+      ScriptBands.map { case (l, _, _) =>
+        when(col(s"_c_$l") * 2 > col("_n"), lit(l))
+      }: _*))
+    val scripted = dispatched.where(col("_script").isNotNull)
+      .select(col("id"), col("_script").as("pred_lang"), coalesce(
+        ScriptBands.map { case (l, _, _) =>
+          when(col("_script") === l, col(s"_c_$l").cast("long"))
+        }: _*).as("hits"))
+
     val prof = Profiles.toSeq.flatMap { case (l, tgs) => tgs.map(t => (l, t)) }
       .toDF("lang", "tg")
-    val tgs = docs.where(length(col(textCol)) >= 3)
-      .select(col(idCol).as("id"), explode(expr(
-        s"transform(sequence(1, length(lower($textCol)) - 2), " +
-        s"j -> substr(lower($textCol), j, 3))")).as("tg"))
+    val tgs = dispatched.where(col("_script").isNull)
+      .select(col("id"), explode(expr(
+        "transform(sequence(1, length(_t) - 2), j -> substr(_t, j, 3))")).as("tg"))
     val scored = tgs.join(broadcast(prof), Seq("tg"))
       .groupBy("id", "lang").agg(count(lit(1)).as("hits"))
     val w = Window.partitionBy("id").orderBy(col("hits").desc, col("lang"))
-    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") === 1)
+    val trigram = scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1)
       .select(col("id"), col("lang").as("pred_lang"), col("hits"))
+    scripted.unionByName(trigram)
   }
 }

@@ -726,6 +726,23 @@ object TextQueries extends QuerySet {
         .orderBy("sample_id")
     }),
 
+    // q181's breadth twin: 40 samples cycling TEN languages. The five
+    // new ones (pt via trigrams; ar/hi/ja/ko via the unique-script
+    // strict-majority dispatch — integer arithmetic, zero trigram work)
+    // exercise both classify paths; the oracle is generated from the
+    // SAME band/profile/text constants, so no drifted copy can exist.
+    "q221_langid_breadth" -> ((s, dir) => {
+      import s.implicits._
+      val samples = (0 until 40).map { i =>
+        (i.toLong,
+          graft.operators.LangId.DemoTexts(BreadthLangs(i % 10)) + s" extra $i")
+      }
+      graft.operators.LangId.classify(
+          samples.toDF("sample_id", "text"), "text", "sample_id")
+        .withColumnRenamed("id", "sample_id")
+        .orderBy("sample_id")
+    }),
+
     // The C4/CCNet "fuzzy exact" grain: NFC + lowercase + punctuation-to-
     // space + whitespace collapse, then one hash groupBy. The planted
     // noisy twin of every document (leading spaces, uppercase, trailing
@@ -768,8 +785,64 @@ object TextQueries extends QuerySet {
        |FROM r WHERE rnk = 1 ORDER BY sample_id""".stripMargin
   }
 
+  /** q221's fixture cycle order — shared by the query and its oracle. */
+  private val BreadthLangs =
+    Seq("en", "de", "fr", "es", "it", "pt", "ar", "hi", "ja", "ko")
+
+  /** q221's oracle, generated from the SAME script-band, profile and text
+    * constants the operator uses: replays the strict-majority dispatch
+    * (integer `2·cnt > n`, whitespace-stripped codepoints via unicode())
+    * for single-script rows, the trigram argmax for the rest, and unions
+    * them exactly as [[graft.operators.LangId.classify]] does.
+    */
+  private def langidBreadthOracleSql: String = {
+    import graft.operators.LangId
+    val profRows = LangId.Profiles.toSeq.sortBy(_._1)
+      .flatMap { case (l, tgs) => tgs.map(t => s"('$l', '$t')") }
+      .mkString(", ")
+    val demoCase = "CASE i % 10 " + BreadthLangs.zipWithIndex.map { case (l, k) =>
+      s"WHEN $k THEN '${LangId.DemoTexts(l)}'"
+    }.mkString(" ") + " END"
+    val bandCols = LangId.ScriptBands.map { case (l, lo, hi) =>
+      s"len(list_filter(chars, c -> unicode(c) BETWEEN $lo AND $hi)) AS c_$l"
+    }.mkString(",\n       |  ")
+    val anyMaj = LangId.ScriptBands.map { case (l, _, _) => s"c_$l * 2 > n" }
+      .mkString(" OR ")
+    val langCase = "CASE " + LangId.ScriptBands.map { case (l, _, _) =>
+      s"WHEN c_$l * 2 > n THEN '$l'"
+    }.mkString(" ") + " END"
+    val hitsCase = "CASE " + LangId.ScriptBands.map { case (l, _, _) =>
+      s"WHEN c_$l * 2 > n THEN c_$l"
+    }.mkString(" ") + " END"
+    s"""WITH prof AS (SELECT * FROM (VALUES $profRows) AS t(lang, tg)),
+       |s AS (SELECT i AS sample_id, $demoCase || ' extra ' || i AS text
+       |  FROM (SELECT unnest(generate_series(0, 39)) AS i)),
+       |lc AS (SELECT sample_id, lower(text) AS t FROM s),
+       |ch AS (SELECT sample_id, t, list_filter(list_transform(
+       |  generate_series(1, length(t)), j -> substr(t, j, 1)),
+       |  c -> NOT c IN (' ', chr(10), chr(9), chr(13))) AS chars FROM lc),
+       |cnt AS (SELECT sample_id, t, len(chars) AS n,
+       |  $bandCols FROM ch),
+       |scripted AS (SELECT sample_id, $langCase AS pred_lang,
+       |  $hitsCase AS hits FROM cnt WHERE $anyMaj),
+       |tg AS (SELECT sample_id, unnest(list_transform(
+       |  generate_series(1, length(t) - 2), j -> substr(t, j, 3))) AS tg
+       |  FROM cnt WHERE NOT ($anyMaj)),
+       |sc AS (SELECT sample_id, lang, COUNT(*) AS hits
+       |  FROM tg JOIN prof USING (tg) GROUP BY 1, 2),
+       |r AS (SELECT sample_id, lang, hits,
+       |  ROW_NUMBER() OVER (PARTITION BY sample_id ORDER BY hits DESC, lang) AS rnk
+       |  FROM sc),
+       |u AS (SELECT sample_id, pred_lang, CAST(hits AS BIGINT) AS hits FROM scripted
+       |  UNION ALL
+       |  SELECT sample_id, lang, CAST(hits AS BIGINT) FROM r WHERE rnk = 1)
+       |SELECT CAST(sample_id AS BIGINT) AS sample_id, pred_lang, hits
+       |FROM u ORDER BY sample_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q181_trigram_langid" -> langidOracleSql,
+    "q221_langid_breadth" -> langidBreadthOracleSql,
     // identical canonicalization chain in DuckDB (nfc_normalize; RE2 needs
     // the explicit 'g' flag where Java's replaceAll is global by default)
     "q173_normalized_dedup" ->

@@ -1,10 +1,26 @@
 package graft.operators
 
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, LogicalPlan}
+
 import graft.SparkSpec
 
 class LangIdSpec extends SparkSpec {
 
-  test("demo sentences classify to their own language, all five") {
+  test("profile hygiene: every trigram is exactly 3 codepoints, no dups per language") {
+    LangId.Profiles.foreach { case (l, tgs) =>
+      tgs.foreach { t =>
+        assert(t.codePointCount(0, t.length) == 3, s"$l profile entry '$t' is not a trigram")
+      }
+      assert(tgs.distinct.size == tgs.size, s"$l profile has duplicate trigrams")
+    }
+    // script bands must be pairwise disjoint — the dispatch's order
+    // independence (at most one strict majority) depends on it
+    val bands = LangId.ScriptBands.map { case (_, lo, hi) => (lo, hi) }
+    for (Seq((a1, a2), (b1, b2)) <- bands.combinations(2))
+      assert(a2 < b1 || b2 < a1, "script bands overlap")
+  }
+
+  test("demo sentences classify to their own language, all ten") {
     import spark.implicits._
     val df = LangId.DemoTexts.toSeq.map { case (l, t) => (l, t) }.toDF("truth", "text")
     val got = LangId.classify(df, "text", "truth")
@@ -12,6 +28,37 @@ class LangIdSpec extends SparkSpec {
     LangId.DemoTexts.keys.foreach { l =>
       assert(got(l) == l, s"$l misclassified as ${got(l)}")
     }
+  }
+
+  test("single-script dispatch: hangul doc decided by band count, not trigrams") {
+    import spark.implicits._
+    // no ko profile trigram occurs in this text — only the script band
+    // can produce the label, and hits must equal the hangul char count
+    val df = Seq((1L, "나무 아래 고요한 강물")).toDF("id", "text")
+    val rows = LangId.classify(df, "text", "id").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(1) == "ko")
+    assert(rows(0).getLong(2) == "나무아래고요한강물".length)
+  }
+
+  test("plan pin: the script filter sits below the trigram explode") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    // a Range leaf, not a LocalRelation — Catalyst eagerly evaluates
+    // deterministic filters over local data, which would erase the very
+    // Filter this test pins
+    val df = spark.range(10).select(col("id"),
+      concat(lit("doc text "), col("id")).as("text"))
+    val plan: LogicalPlan =
+      LangId.classify(df, "text", "id").queryExecution.optimizedPlan
+    val gens = plan.collect { case g: Generate => g }
+    assert(gens.size == 1, s"expected exactly one explode, got ${gens.size}")
+    // the Generate's own subtree must filter single-script docs out
+    // FIRST: an isnull(<script dispatch>) Filter strictly below it
+    val filtersBelow = gens.head.child.collect {
+      case f: Filter if f.condition.toString.contains("isnull") => f
+    }
+    assert(filtersBelow.nonEmpty,
+      "trigram explode is not guarded by the script-dispatch filter:\n" + plan)
   }
 
   test("mixed and degenerate inputs: short texts emit nothing, no-hit texts drop") {
