@@ -67,7 +67,13 @@ object Bench {
       .mkString("{", ",", "}")
     val failures = results.filter(!_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"t0":$t0s,"failures":$failures,"sf":"$sfDir","runs":$runs}"""
+    // runs=1 artifacts manufacture phantom regressions on a contended box
+    // (see PROFILES.md); carry the violation IN the JSON so a stale or
+    // single-run committed artifact is self-describing
+    val warn = if (runs < 2)
+      ""","warning":"runs<2: single-run timings are machine-state noise; the committed artifact must be min-of-2 (SPARK_GRAFT_BENCH_RUNS=2)""""
+    else ""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"t0":$t0s,"failures":$failures,"sf":"$sfDir","runs":$runs$warn}"""
     // the stdout capture around this main truncates long tails — persist the
     // full per-query JSON to a file too, and announce its path first so the
     // timings stay machine-readable even when the printed line is cut

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch as a RELATION — the mergeable FREQUENCY sketch
+  * beside [[Hll]] (distinct counts) and Bloom (membership), completing
+  * the sketch family a 100 TB pipeline keeps next to its tables:
+  * per-token counts across a crawl, per-host fetch counts, per-n-gram
+  * frequencies for contamination screens — anywhere the true counter
+  * table would be corpus-sized but queries only need point estimates
+  * with a one-sided error bound (Cormode & Muthukrishnan 2005).
+  *
+  * Artifact design (the Bloom/Hll pattern): the sketch is a DataFrame of
+  * `(d, bucket, cnt)` rows — `depth` independent hash rows of `width`
+  * counters — built with ONE partial-aggregatable count, merged with the
+  * same aggregation (CMS union = counter-wise SUM — associative, so
+  * shard-built sketches equal the corpus-built one; NOT idempotent:
+  * replaying a shard double-counts it by the sketch's own semantics,
+  * which is why the persisted lifecycle appends DELTAS, unlike Hll's
+  * replay-safe max).
+  *
+  * Guarantees carried by construction: estimates never undercount
+  * (min over d of row counters >= true count), and overcount by at most
+  * `ceil(e * N / width)` with probability `1 - exp(-depth)`.
+  *
+  * Cross-engine hashing is the repo's md5 device:
+  * `conv(substr(md5('cms:' || d || ':' || key), 1, 13), 16, 10) % width`
+  * — integer-exact in Spark and DuckDB, so an oracle reproduces every
+  * counter bit for bit.
+  *
+  * Scale shape: a depth=4, width=4096 sketch is <= 16384 rows regardless
+  * of corpus size; the build explodes each key instance into `depth`
+  * rows but the groupBy's map-side combiners absorb them (at most
+  * depth*width rows cross the exchange per map partition).
+  */
+object Cms {
+
+  /** e/width overcount bound; width=4096 → ~0.066% of total mass. */
+  val DefaultDepth = 4
+  val DefaultWidth = 4096
+
+  private def bucket(key: Column, d: Int, width: Int): Column =
+    pmod(conv(substring(
+        md5(concat(lit(s"cms:$d:"), key.cast("string"))), 1, 13), 16, 10)
+      .cast("long"), lit(width.toLong)).cast("int")
+
+  /** Build the sketch relation (d, bucket, cnt) over `df[keyCol]`. One
+    * depth-way explode + one partial-aggregatable count.
+    */
+  def build(df: DataFrame, keyCol: String,
+            depth: Int = DefaultDepth, width: Int = DefaultWidth): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth=$depth out of range 1..8")
+    require(width >= 16 && width <= (1 << 20), s"width=$width out of range")
+    val rows = (0 until depth).map { d =>
+      df.select(lit(d).as("d"), bucket(col(keyCol), d, width).as("bucket"))
+    }
+    rows.reduce(_ unionByName _)
+      .groupBy("d", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Union sketches of the SAME geometry: counter-wise sum (associative
+    * — shard-parallel builds merge exactly; not idempotent by design).
+    */
+  def merge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy("d", "bucket").agg(sum("cnt").as("cnt"))
+
+  /** Point-estimate the frequency of every key in `probes[keyCol]`:
+    * min over the sketch's d rows of the addressed counters. A key the
+    * sketch never saw can still read > 0 (collisions) but never reads
+    * below its true count. The probe side is a small dimension —
+    * broadcast — and the sketch is <= depth*width rows; no corpus scan.
+    */
+  def estimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+               depth: Int = DefaultDepth, width: Int = DefaultWidth): DataFrame = {
+    val addressed = (0 until depth).map { d =>
+      probes.select(col(keyCol), lit(d).as("d"),
+        bucket(col(keyCol), d, width).as("bucket"))
+    }.reduce(_ unionByName _)
+    addressed.join(sketch, Seq("d", "bucket"), "left")
+      .groupBy(keyCol)
+      // an unset counter is 0; min over depth rows
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
+  }
+
+  // ---- persisted lifecycle (geometry frozen in params; appends SUM a
+  // delta sketch and install via the two-rename swap) -------------------
+
+  def writeSketch(df: DataFrame, keyCol: String, path: String,
+                  depth: Int = DefaultDepth, width: Int = DefaultWidth): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((depth, width)).toDF("depth", "width").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/params.parquet")
+    build(df, keyCol, depth, width).write.mode("overwrite")
+      .parquet(s"$path/counters.parquet")
+  }
+
+  private def readParams(spark: SparkSession, path: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$path/params.parquet")
+      .select("depth", "width").head()
+    (r.getInt(0), r.getInt(1))
+  }
+
+  /** Sum a DELTA batch into the persisted sketch under its frozen
+    * geometry. Append is associative but NOT idempotent — the caller
+    * owns batch-exactly-once (the streaming layer's per-batchId marker
+    * pattern); a replayed append double-counts by CMS semantics.
+    */
+  def appendSketch(df: DataFrame, keyCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val (depth, width) = readParams(spark, path)
+    val merged = merge(spark.read.parquet(s"$path/counters.parquet"),
+      build(df, keyCol, depth, width))
+    val tmp = s"$path/counters.parquet.tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val live = new org.apache.hadoop.fs.Path(s"$path/counters.parquet")
+    val old = new org.apache.hadoop.fs.Path(s"$path/counters.parquet.old")
+    fs.delete(old, true)
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"cms append: cannot stage $live")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), live)) {
+      fs.rename(old, live) // rollback
+      throw new java.io.IOException(s"cms append: cannot install $tmp")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Point estimates from the persisted sketch. */
+  def estimateAt(spark: SparkSession, path: String,
+                 probes: DataFrame, keyCol: String): DataFrame = {
+    val (depth, width) = readParams(spark, path)
+    estimate(spark.read.parquet(s"$path/counters.parquet"),
+      probes, keyCol, depth, width)
+  }
+}

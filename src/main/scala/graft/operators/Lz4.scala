@@ -1,0 +1,441 @@
+package graft.operators
+
+/** LZ4 Frame + Block format decoder and writer twin, dependency-free.
+  *
+  * Formats per the public specs (github.com/lz4/lz4/blob/dev/doc/):
+  *  - Frame format v1.6.x: magic 0x184D2204, FLG/BD descriptor, optional
+  *    content size and dictionary id, header checksum byte, 4-byte block
+  *    headers with a stored-vs-compressed high bit, EndMark, optional
+  *    block checksums and content checksum (all xxHash32, seed 0).
+  *  - Block format: token-driven literal/match sequences, 2-byte LE match
+  *    offsets, minmatch 4, 255-continuation length extension.
+  *  - Legacy frame (lz4 CLI `-l`): magic 0x184C2102, bare 4-byte
+  *    compressed block sizes, no end mark — ends at EOF or the next magic.
+  *  - Skippable frames 0x184D2A50..5F.
+  *
+  * Same contracts as the sibling [[Zstd]] decoder: malformed or truncated
+  * input → None (never a partial buffer), every declared checksum is
+  * verified, decompressed growth is hard-capped (decompression-bomb
+  * defense, capacity math in Long — the GrowBuf overflow class caught by
+  * round 13's advice stays fixed here), and for block-INDEPENDENT frames
+  * a match may not reach behind its own block's start (accepting it would
+  * decode corrupt frames "successfully").
+  *
+  * The writer twin emits stored (uncompressed) blocks with content size +
+  * content checksum set, so shard extents oracle arithmetically
+  * (`flen = L + 27` for one-block payloads) while canonical interop with
+  * real compressed frames is pinned live against lz4-java and embedded
+  * lz4-CLI goldens in Lz4Spec.
+  *
+  * Reference analog: the converter layer refuses no documented input
+  * (mr-mpi-blast load_csv.py:93-128); lz4 shards are a format the modern
+  * shard ecosystems actually ship.
+  */
+object Lz4 {
+
+  val Magic = 0x184d2204
+  val LegacyMagic = 0x184c2102
+  private val SkippableBase = 0x184d2a50
+
+  /** Hard cap on a single frame's decompressed size — decompression-bomb
+    * defense for untrusted corpus shards (same figure as Zstd's).
+    */
+  val MaxFrameBytes: Int = 1 << 30
+
+  // ---------------------------------------------------------------- xxHash32
+
+  private final val P1 = 0x9e3779b1
+  private final val P2 = 0x85ebca77
+  private final val P3 = 0xc2b2ae3d
+  private final val P4 = 0x27d4eb2f
+  private final val P5 = 0x165667b1
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  private def le64(b: Array[Byte], i: Int): Long =
+    (le32(b, i) & 0xffffffffL) | ((le32(b, i + 4) & 0xffffffffL) << 32)
+
+  /** xxHash32 over `b[off, off+len)` with `seed` — the frame format's
+    * header/block/content checksum primitive. Public algorithm
+    * (github.com/Cyan4973/xxHash/blob/dev/doc/xxhash_spec.md); pinned
+    * against lz4-java's canonical implementation in Lz4Spec.
+    */
+  def xxh32(b: Array[Byte], off: Int, len: Int, seed: Int = 0): Int = {
+    var i = off
+    val end = off + len
+    var h: Int =
+      if (len >= 16) {
+        var a1 = seed + P1 + P2
+        var a2 = seed + P2
+        var a3 = seed
+        var a4 = seed - P1
+        val limit = end - 16
+        while (i <= limit) {
+          a1 = Integer.rotateLeft(a1 + le32(b, i) * P2, 13) * P1
+          a2 = Integer.rotateLeft(a2 + le32(b, i + 4) * P2, 13) * P1
+          a3 = Integer.rotateLeft(a3 + le32(b, i + 8) * P2, 13) * P1
+          a4 = Integer.rotateLeft(a4 + le32(b, i + 12) * P2, 13) * P1
+          i += 16
+        }
+        Integer.rotateLeft(a1, 1) + Integer.rotateLeft(a2, 7) +
+          Integer.rotateLeft(a3, 12) + Integer.rotateLeft(a4, 18)
+      } else seed + P5
+    h += len
+    while (i + 4 <= end) {
+      h = Integer.rotateLeft(h + le32(b, i) * P3, 17) * P4
+      i += 4
+    }
+    while (i < end) {
+      h = Integer.rotateLeft(h + (b(i) & 0xff) * P5, 11) * P1
+      i += 1
+    }
+    h ^= h >>> 15
+    h *= P2
+    h ^= h >>> 13
+    h *= P3
+    h ^= h >>> 16
+    h
+  }
+
+  // ------------------------------------------------------------- output buf
+
+  /** Growable output with Long-math capacity and a hard byte cap: growth
+    * past the cap sets `overflow` instead of spinning or throwing (the
+    * round-13 GrowBuf lesson, applied from the start here).
+    */
+  private final class Out(cap: Int) {
+    var buf = new Array[Byte](8192)
+    var len = 0
+    var overflow = false
+    def ensure(n: Int): Boolean = {
+      val need = len.toLong + n
+      if (need > cap) { overflow = true; return false }
+      if (need > buf.length) {
+        var c = buf.length.toLong
+        while (c < need) c *= 2
+        buf = java.util.Arrays.copyOf(buf, math.min(c, cap.toLong).toInt)
+      }
+      true
+    }
+    def append(src: Array[Byte], off: Int, n: Int): Boolean = {
+      if (!ensure(n)) return false
+      System.arraycopy(src, off, buf, len, n)
+      len += n
+      true
+    }
+    /** Overlapping match copy from distance `d` — byte-at-a-time exactly
+      * because d < n repeats the window, the format's RLE idiom.
+      */
+    def copyMatch(d: Int, n: Int): Boolean = {
+      if (!ensure(n)) return false
+      var s = len - d
+      var i = 0
+      while (i < n) { buf(len + i) = buf(s + i); i += 1 }
+      len += n
+      true
+    }
+    def result: Array[Byte] = java.util.Arrays.copyOf(buf, len)
+  }
+
+  // ------------------------------------------------------------ block codec
+
+  /** Decode one LZ4 block from `src[sOff, sOff+sLen)` appending to `out`.
+    * `blockStart` is out.len at block entry; when `indep`, a match may not
+    * reach behind it. Returns false on any malformation (out may hold
+    * partial data — callers discard the whole frame).
+    */
+  private def decodeBlock(src: Array[Byte], sOff: Int, sLen: Int,
+                          out: Out, blockStart: Int, indep: Boolean): Boolean = {
+    var i = sOff
+    val end = sOff + sLen
+    while (i < end) {
+      val token = src(i) & 0xff
+      i += 1
+      // literal length: high nibble, 15 → 255-continuation bytes
+      var litLen = token >>> 4
+      if (litLen == 15) {
+        var b = 255
+        while (b == 255) {
+          if (i >= end) return false
+          b = src(i) & 0xff
+          i += 1
+          litLen += b
+          if (litLen < 0) return false // Int overflow on crafted lengths
+        }
+      }
+      if (i.toLong + litLen > end) return false
+      if (litLen > 0) {
+        if (!out.append(src, i, litLen)) return false
+        i += litLen
+      }
+      if (i == end) {
+        // the block's last sequence carries literals only
+        return (token & 0x0f) == 0
+      }
+      if (i + 2 > end) return false
+      val offset = (src(i) & 0xff) | ((src(i + 1) & 0xff) << 8)
+      i += 2
+      if (offset == 0 || offset > out.len) return false
+      if (indep && out.len - offset < blockStart) return false
+      var matchLen = (token & 0x0f) + 4
+      if (matchLen == 19) {
+        var b = 255
+        while (b == 255) {
+          if (i >= end) return false
+          b = src(i) & 0xff
+          i += 1
+          matchLen += b
+          if (matchLen < 0) return false
+        }
+      }
+      if (!out.copyMatch(offset, matchLen)) return false
+    }
+    true
+  }
+
+  // ------------------------------------------------------------ frame walk
+
+  def isSkippable(bytes: Array[Byte], off: Int): Boolean =
+    off + 4 <= bytes.length && (le32(bytes, off) & 0xfffffff0) == SkippableBase
+
+  /** End offset of the frame starting at `off` WITHOUT decompressing —
+    * walks explicit block sizes only. -1 on malformation/truncation.
+    * Handles modern, legacy and skippable frames.
+    */
+  def skipFrame(bytes: Array[Byte], off: Int): Int = {
+    if (off + 4 > bytes.length) return -1
+    val magic = le32(bytes, off)
+    if ((magic & 0xfffffff0) == SkippableBase) {
+      if (off + 8 > bytes.length) return -1
+      val n = le32(bytes, off + 4) & 0xffffffffL
+      val end = off + 8 + n
+      if (end > bytes.length) -1 else end.toInt
+    } else if (magic == LegacyMagic) {
+      var pos = off + 4
+      while (pos + 4 <= bytes.length && !atFrameMagic(bytes, pos)) {
+        val bs = le32(bytes, pos)
+        if (bs <= 0 || bs > LegacyBlockMax) return -1
+        if (pos.toLong + 4 + bs > bytes.length) return -1
+        pos += 4 + bs
+      }
+      pos
+    } else if (magic == Magic) {
+      parseDescriptor(bytes, off) match {
+        case None => -1
+        case Some(d) =>
+          var pos = d.blocksAt
+          var done = false
+          while (!done) {
+            if (pos + 4 > bytes.length) return -1
+            val bh = le32(bytes, pos)
+            pos += 4
+            if (bh == 0) done = true
+            else {
+              val n = bh & 0x7fffffff
+              if (n > d.blockMax) return -1
+              if (pos.toLong + n > bytes.length) return -1
+              pos += n
+              if (d.blockChecksum) {
+                if (pos + 4 > bytes.length) return -1
+                pos += 4
+              }
+            }
+          }
+          if (d.contentChecksum) {
+            if (pos + 4 > bytes.length) return -1
+            pos += 4
+          }
+          pos
+      }
+    } else -1
+  }
+
+  // legacy blocks hold up to 8 MB of content; the stored size is the
+  // COMPRESSED size, bounded by LZ4_compressBound(8 MB)
+  private val LegacyBlockMax = (8 << 20) + (8 << 20) / 255 + 16
+
+  private def atFrameMagic(b: Array[Byte], off: Int): Boolean =
+    off + 4 <= b.length && {
+      val m = le32(b, off)
+      m == Magic || m == LegacyMagic || (m & 0xfffffff0) == SkippableBase
+    }
+
+  private final case class Descriptor(indep: Boolean, blockChecksum: Boolean,
+      contentSize: Long, contentChecksum: Boolean, blockMax: Int, blocksAt: Int)
+
+  /** FLG/BD/HC parse for a modern frame at `off`; None on any reserved-bit
+    * or header-checksum violation.
+    */
+  private def parseDescriptor(bytes: Array[Byte], off: Int): Option[Descriptor] = {
+    if (off + 7 > bytes.length) return None
+    val flg = bytes(off + 4) & 0xff
+    if ((flg >>> 6) != 1) return None // version must be 01
+    if ((flg & 0x02) != 0) return None // reserved bit
+    val indep = (flg & 0x20) != 0
+    val bchk = (flg & 0x10) != 0
+    val hasSize = (flg & 0x08) != 0
+    val cchk = (flg & 0x04) != 0
+    val hasDict = (flg & 0x01) != 0
+    val bd = bytes(off + 5) & 0xff
+    if ((bd & 0x8f) != 0) return None // reserved bits
+    val bcode = (bd >>> 4) & 7
+    if (bcode < 4) return None
+    val bmax = 1 << (8 + 2 * bcode)
+    var pos = off + 6
+    var size = -1L
+    if (hasSize) {
+      if (pos + 8 > bytes.length) return None
+      size = le64(bytes, pos)
+      if (size < 0) return None
+      pos += 8
+    }
+    if (hasDict) {
+      if (pos + 4 > bytes.length) return None
+      pos += 4
+    }
+    if (pos + 1 > bytes.length) return None
+    val hc = bytes(pos) & 0xff
+    val expect = (xxh32(bytes, off + 4, pos - (off + 4)) >>> 8) & 0xff
+    if (hc != expect) return None
+    Some(Descriptor(indep, bchk, size, cchk, bmax, pos + 1))
+  }
+
+  /** Declared content size of the modern frame at `off`, or -1 when the
+    * frame omits it (the listing path then decodes). */
+  def declaredContentSize(bytes: Array[Byte], off: Int): Long =
+    if (off + 4 <= bytes.length && le32(bytes, off) == Magic)
+      parseDescriptor(bytes, off).map(_.contentSize).getOrElse(-1L)
+    else -1L
+
+  final case class Lz4Frame(data: Array[Byte], end: Int)
+
+  /** Decode the single frame at `off`: modern or legacy. None on any
+    * malformation, checksum mismatch, content-size lie, reserved bits,
+    * independence violation, truncation, or bomb-cap overflow.
+    */
+  def decodeFrame(bytes: Array[Byte], off: Int): Option[Lz4Frame] = {
+    if (off + 4 > bytes.length) return None
+    le32(bytes, off) match {
+      case LegacyMagic =>
+        val out = new Out(MaxFrameBytes)
+        var pos = off + 4
+        while (pos + 4 <= bytes.length && !atFrameMagic(bytes, pos)) {
+          val bs = le32(bytes, pos)
+          if (bs <= 0 || bs > LegacyBlockMax) return None
+          if (pos.toLong + 4 + bs > bytes.length) return None
+          // legacy blocks are always compressed and always independent of
+          // NOTHING — the format predates block independence; matches may
+          // span blocks (8 MB window inside one frame)
+          if (!decodeBlock(bytes, pos + 4, bs, out, 0, indep = false)) return None
+          pos += 4 + bs
+        }
+        if (pos == off + 4) return None // an empty legacy frame is not a thing
+        Some(Lz4Frame(out.result, pos))
+      case Magic =>
+        parseDescriptor(bytes, off).flatMap { d =>
+          val out = new Out(MaxFrameBytes)
+          var pos = d.blocksAt
+          var ok = true
+          var done = false
+          while (ok && !done) {
+            if (pos + 4 > bytes.length) ok = false
+            else {
+              val bh = le32(bytes, pos)
+              pos += 4
+              if (bh == 0) done = true
+              else {
+                val stored = (bh & 0x80000000) != 0
+                val n = bh & 0x7fffffff
+                if (n > d.blockMax || pos.toLong + n > bytes.length) ok = false
+                else {
+                  val blockStart = out.len
+                  ok = if (stored) out.append(bytes, pos, n)
+                  else decodeBlock(bytes, pos, n, out, blockStart, d.indep)
+                  // a decompressed block may not exceed the declared max
+                  if (ok && out.len - blockStart > d.blockMax) ok = false
+                  if (ok && d.blockChecksum) {
+                    if (pos + n + 4 > bytes.length) ok = false
+                    else ok = le32(bytes, pos + n) == xxh32(bytes, pos, n)
+                  }
+                  pos += n + (if (d.blockChecksum) 4 else 0)
+                }
+              }
+            }
+          }
+          if (!ok) None
+          else {
+            if (d.contentChecksum) {
+              if (pos + 4 > bytes.length) return None
+              if (le32(bytes, pos) != xxh32(out.buf, 0, out.len)) return None
+              pos += 4
+            }
+            if (d.contentSize >= 0 && d.contentSize != out.len.toLong) return None
+            Some(Lz4Frame(out.result, pos))
+          }
+        }
+      case _ => None
+    }
+  }
+
+  /** Decode a whole (possibly concatenated, possibly skippable-framed)
+    * buffer. None if ANY region is malformed.
+    */
+  def decode(bytes: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var pos = 0
+    while (pos < bytes.length) {
+      if (isSkippable(bytes, pos)) {
+        val end = skipFrame(bytes, pos)
+        if (end < 0) return None
+        pos = end
+      } else decodeFrame(bytes, pos) match {
+        case Some(f) => out.write(f.data); pos = f.end
+        case None => return None
+      }
+    }
+    Some(out.toByteArray)
+  }
+
+  // ------------------------------------------------------------ writer twin
+
+  /** Stored-block frame: content size + content checksum set, block-
+    * independent, 64 KB blocks with the stored bit — extents are pure
+    * length arithmetic (one-block payload: flen = 15 + 4 + L + 4 + 4 =
+    * L + 27), and every real decoder reads it (pinned live vs lz4-java).
+    */
+  def renderFrame(payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(payload.length + 32)
+    def w32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    w32(Magic)
+    val desc = new Array[Byte](10)
+    desc(0) = (0x40 | 0x20 | 0x08 | 0x04).toByte // v01, B.Indep, C.Size, C.Checksum
+    desc(1) = 0x40 // 64 KB blocks
+    val l = payload.length.toLong
+    var k = 0
+    while (k < 8) { desc(2 + k) = ((l >> (8 * k)) & 0xff).toByte; k += 1 }
+    out.write(desc, 0, 10)
+    out.write((xxh32(desc, 0, 10) >>> 8) & 0xff)
+    var o = 0
+    while (o < payload.length) {
+      val n = math.min(65536, payload.length - o)
+      w32(0x80000000 | n)
+      out.write(payload, o, n)
+      o += n
+    }
+    w32(0) // EndMark
+    w32(xxh32(payload, 0, payload.length))
+    out.toByteArray
+  }
+
+  /** Concatenated one-frame-per-part shard — the `.jsonl.lz4` layout. */
+  def render(parts: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    parts.foreach(p => out.write(renderFrame(p)))
+    out.toByteArray
+  }
+}

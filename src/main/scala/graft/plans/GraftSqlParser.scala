@@ -119,6 +119,20 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val HllEstimateStmt =
     """(?is)^\s*HLL\s+ESTIMATE\s+'([^']+)'\s*;?\s*$""".r
 
+  // The persisted Count-Min sketch's lifecycle — the FREQUENCY member of
+  // the sketch family (Bloom membership / HLL distinct / CMS counts):
+  // CREATE builds (d, bucket, cnt) counters at a path; APPEND sums a
+  // DELTA batch under the frozen geometry (associative, NOT idempotent —
+  // batch-exactly-once is the caller's contract, unlike HLL's replay-safe
+  // max); CMS ESTIMATE point-reads min-over-rows counts for a probe
+  // table. Same [[graft.operators.Cms]] operators as the Dataset surface.
+  private val CreateCmsSketch =
+    """(?is)^\s*CREATE\s+CMS\s+SKETCH\s+AT\s+'([^']+)'\s+ON\s+([\w.]+)\s*\((\w+)\)\s*;?\s*$""".r
+  private val AppendCmsSketch =
+    """(?is)^\s*APPEND\s+TO\s+CMS\s+SKETCH\s+AT\s+'([^']+)'\s+FROM\s+([\w.]+)\s*\((\w+)\)\s*;?\s*$""".r
+  private val CmsEstimateStmt =
+    """(?is)^\s*CMS\s+ESTIMATE\s+'([^']+)'\s+WITH\s+([\w.]+)\s*\((\w+)\)\s*;?\s*$""".r
+
   // ASOF JOIN <left> WITH <right> ON <key> BY <time> PAYLOAD (c1, c2, ...)
   // — last-right-row-at-or-before semantics ([[graft.operators.AsOfJoin
   // .asOfLeft]]) as a statement; Spark SQL has no ASOF JOIN syntax.
@@ -219,6 +233,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       AppendHllSketchCommand(table, keyCol, path)
     case HllEstimateStmt(path) =>
       graft.operators.Hll.estimateAt(session, path).queryExecution.logical
+    case CreateCmsSketch(path, table, keyCol) =>
+      CreateCmsSketchCommand(table, keyCol, path)
+    case AppendCmsSketch(path, table, keyCol) =>
+      AppendCmsSketchCommand(table, keyCol, path)
+    case CmsEstimateStmt(path, table, keyCol) =>
+      graft.operators.Cms.estimateAt(session, path, session.table(table), keyCol)
+        .queryExecution.logical
     case AsOfJoinStmt(left, right, key, time, payload) =>
       graft.operators.AsOfJoin.asOfLeft(session.table(left), session.table(right),
         key, time, payload.split(',').map(_.trim).toSeq).queryExecution.logical
@@ -374,6 +395,30 @@ case class AppendHllSketchCommand(table: String, keyCol: String, path: String)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
     graft.operators.Hll.appendSketch(spark.table(table), keyCol, path)
+    Seq.empty
+  }
+}
+
+/** `CREATE CMS SKETCH` — build + persist ([[graft.operators.Cms
+  * .writeSketch]], default geometry).
+  */
+case class CreateCmsSketchCommand(table: String, keyCol: String, path: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    graft.operators.Cms.writeSketch(spark.table(table), keyCol, path)
+    Seq.empty
+  }
+}
+
+/** `APPEND TO CMS SKETCH` — counter-wise sum of a DELTA batch under the
+  * frozen geometry ([[graft.operators.Cms.appendSketch]]), atomic
+  * install. Not idempotent: a replayed batch double-counts by CMS
+  * semantics — callers own batch-exactly-once.
+  */
+case class AppendCmsSketchCommand(table: String, keyCol: String, path: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    graft.operators.Cms.appendSketch(spark.table(table), keyCol, path)
     Seq.empty
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{AnnIndex, Bloom, Bmp, Dedup, GifGray, Hll, Multimodal, Segmentation, Similarity}
+import graft.operators.{AnnIndex, Bloom, Bmp, Cms, Dedup, GifGray, Hll, Multimodal, Segmentation, Similarity}
 
 /** The reference's application-plan operators (SURVEY.md §2.A) exposed as
   * driver-checkable queries over the harness tables, plus the scale-path
@@ -2445,6 +2445,90 @@ object PipelineQueries extends QuerySet {
         .orderBy("frame")
     }),
 
+    // The LZ4 door, q209's shape on the `.lz4` frame format: writer-twin
+    // stored-block shards (content size + content checksum declared, so
+    // the listing fast path never decompresses), read through the DSv2
+    // source; every extent is pure length arithmetic (flen = L + 27 for
+    // one-block payloads) the oracle replays. Canonical interop with real
+    // compressed frames (lz4 CLI at -9/-B4/-BX/-BD/legacy, plus live
+    // lz4-java both directions) is pinned in Lz4Spec.
+    "q222_lz4_shard_ingest" -> ((s, dir) => {
+      val f = fixture("lz4_oracle.lz4") {
+        graft.operators.Lz4.render((0 until 20).map { i =>
+          (s"lz4 frame $i " + "q" * (180 + (i * 41) % 140)).getBytes("US-ASCII")
+        })
+      }
+      graft.sources.Lz4Shards.read(s, f)
+        .select(col("frame"), col("offset"), col("comp_len"),
+          col("size"), col("data").cast("string").as("payload_text"))
+        .orderBy("frame")
+    }),
+
+    // The Count-Min sketch relation — the FREQUENCY member of the sketch
+    // family (q172 Bloom membership / q199 HLL distinct): (d, bucket,
+    // cnt) counters from one depth-way explode + one partial-aggregatable
+    // count, every counter integer-exact through the md5 device so the
+    // oracle replays the sketch bit for bit. width=256 over 300 distinct
+    // keys forces real collisions — the min-over-rows estimate (q224) has
+    // something to prove.
+    "q223_cms_registers" -> ((s, dir) => {
+      val keys = t(s, dir, "documents")
+        .select(concat(lit("https://ex.test/d/"),
+          (col("doc_id") % 300).cast("string")).as("url"))
+      Cms.build(keys, "url", depth = 4, width = 256).orderBy("d", "bucket")
+    }),
+
+    // Point estimates over q223's sketch with the one-sided error bound
+    // folded into the hash: cms_count >= exact_count must hold for every
+    // probe (never_under), including five never-inserted keys whose
+    // exact count is 0 — collisions may lift them but the floor claim
+    // stays. All integers; the oracle replays sketch, probes and exact
+    // counts.
+    "q224_cms_estimate" -> ((s, dir) => {
+      import s.implicits._
+      val keys = t(s, dir, "documents")
+        .select(concat(lit("https://ex.test/d/"),
+          (col("doc_id") % 300).cast("string")).as("url"))
+      val sketch = Cms.build(keys, "url", depth = 4, width = 256)
+      val probes = ((0 until 25).map(k => s"https://ex.test/d/$k") ++
+        (0 until 5).map(k => s"unseen-$k")).toDF("url")
+      val exact = keys.groupBy("url").agg(count(lit(1)).as("exact_count"))
+      Cms.estimate(sketch, probes, "url", depth = 4, width = 256)
+        .join(exact, Seq("url"), "left")
+        .select(col("url"), col("cms_count"),
+          coalesce(col("exact_count"), lit(0L)).as("exact_count"),
+          (col("cms_count") >= coalesce(col("exact_count"), lit(0L)))
+            .as("never_under"))
+        .orderBy("url")
+    }),
+
+    // The persisted-sketch SQL lifecycle: CREATE on the first 300 docs,
+    // APPEND two DISJOINT later batches — CMS append is associative but
+    // NOT idempotent (a replayed batch double-counts by the sketch's own
+    // semantics), so unlike q201's double-APPEND this lifecycle pins
+    // shard-associativity: the oracle replays ONE single-pass build over
+    // all 600 docs and the three-step artifact must match it exactly.
+    "q225_sql_cms_lifecycle" -> ((s, dir) => {
+      import s.implicits._
+      val urls = t(s, dir, "documents")
+        .select(concat(lit("https://ex.test/d/"),
+          (col("doc_id") % 300).cast("string")).as("url"), col("doc_id"))
+      urls.where(col("doc_id") < 300).select("url")
+        .createOrReplaceTempView("cms_seen")
+      urls.where(col("doc_id") >= 300 && col("doc_id") < 500).select("url")
+        .createOrReplaceTempView("cms_mid")
+      urls.where(col("doc_id") >= 500 && col("doc_id") < 600).select("url")
+        .createOrReplaceTempView("cms_late")
+      (0 until 20).map(k => s"https://ex.test/d/$k").toDF("url")
+        .createOrReplaceTempView("cms_probes")
+      val path = java.nio.file.Files.createTempDirectory("graft_cms_sql").toString
+      s.sql(s"CREATE CMS SKETCH AT '$path' ON cms_seen (url)")
+      s.sql(s"APPEND TO CMS SKETCH AT '$path' FROM cms_mid (url)")
+      s.sql(s"APPEND TO CMS SKETCH AT '$path' FROM cms_late (url)")
+      s.sql(s"CMS ESTIMATE '$path' WITH cms_probes (url)")
+        .orderBy("url")
+    }),
+
     // The EXIF door — capture time, camera, declared orientation: real
     // APP1/TIFF parsing (both byte orders, inline and offset value
     // fields, IFD0 + the Exif sub-IFD) on real JPEG bytes the pixel walk
@@ -4040,6 +4124,79 @@ object PipelineQueries extends QuerySet {
         |  CAST(L AS BIGINT) AS size,
         |  payload AS payload_text
         |FROM f ORDER BY frame""".stripMargin,
+    // the lz4 door: payloads rebuilt from the string formula; comp_len
+    // pins the frame framing (magic 4 + FLG/BD 2 + content size 8 + HC 1
+    // + block header 4 + payload + EndMark 4 + content checksum 4 =
+    // L + 27 for one-block payloads); offsets one cumulative sum
+    "q222_lz4_shard_ingest" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 19)) AS i),
+        |d AS (SELECT i, 'lz4 frame ' || i || ' ' ||
+        |        repeat('q', 180 + (i * 41) % 140) AS payload FROM r),
+        |f AS (SELECT i, payload, length(payload) AS L,
+        |        length(payload) + 27 AS flen FROM d)
+        |SELECT CAST(i AS INT) AS frame,
+        |  CAST(COALESCE(SUM(flen) OVER (ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+        |  CAST(flen AS BIGINT) AS comp_len,
+        |  CAST(L AS BIGINT) AS size,
+        |  payload AS payload_text
+        |FROM f ORDER BY frame""".stripMargin,
+    // the CMS sketch replayed counter for counter via the md5 device
+    "q223_cms_registers" ->
+      """WITH k AS (SELECT 'https://ex.test/d/' || CAST(doc_id % 300 AS VARCHAR) AS url
+        |           FROM documents),
+        |dd AS (SELECT unnest(generate_series(0, 3)) AS d),
+        |b AS (SELECT dd.d,
+        |        CAST(('0x' || substr(md5('cms:' || dd.d || ':' || url), 1, 13))::BIGINT
+        |             % 256 AS INT) AS bucket
+        |      FROM k CROSS JOIN dd)
+        |SELECT CAST(d AS INT) AS d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // probes (25 seen + 5 never inserted), min over the four addressed
+    // counters, exact counts, and the one-sided bound as a boolean fact
+    "q224_cms_estimate" ->
+      """WITH k AS (SELECT 'https://ex.test/d/' || CAST(doc_id % 300 AS VARCHAR) AS url
+        |           FROM documents),
+        |dd AS (SELECT unnest(generate_series(0, 3)) AS d),
+        |sk AS (SELECT dd.d,
+        |         CAST(('0x' || substr(md5('cms:' || dd.d || ':' || url), 1, 13))::BIGINT
+        |              % 256 AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM k CROSS JOIN dd GROUP BY 1, 2),
+        |p AS (SELECT 'https://ex.test/d/' || CAST(unnest(generate_series(0, 24)) AS VARCHAR) AS url
+        |      UNION ALL
+        |      SELECT 'unseen-' || CAST(unnest(generate_series(0, 4)) AS VARCHAR)),
+        |pb AS (SELECT p.url, dd.d,
+        |         CAST(('0x' || substr(md5('cms:' || dd.d || ':' || p.url), 1, 13))::BIGINT
+        |              % 256 AS INT) AS bucket
+        |       FROM p CROSS JOIN dd),
+        |est AS (SELECT pb.url, CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS cms_count
+        |        FROM pb LEFT JOIN sk ON pb.d = sk.d AND pb.bucket = sk.bucket
+        |        GROUP BY pb.url),
+        |ex AS (SELECT url, CAST(COUNT(*) AS BIGINT) AS exact_count FROM k GROUP BY url)
+        |SELECT est.url, est.cms_count,
+        |  CAST(COALESCE(ex.exact_count, 0) AS BIGINT) AS exact_count,
+        |  est.cms_count >= COALESCE(ex.exact_count, 0) AS never_under
+        |FROM est LEFT JOIN ex ON est.url = ex.url
+        |ORDER BY est.url""".stripMargin,
+    // three-step CREATE/APPEND/APPEND artifact == one single-pass build
+    // over all 600 docs (CMS append associativity), at the SQL layer's
+    // default geometry (depth 4, width 4096)
+    "q225_sql_cms_lifecycle" ->
+      """WITH k AS (SELECT 'https://ex.test/d/' || CAST(doc_id % 300 AS VARCHAR) AS url
+        |           FROM documents WHERE doc_id < 600),
+        |dd AS (SELECT unnest(generate_series(0, 3)) AS d),
+        |sk AS (SELECT dd.d,
+        |         CAST(('0x' || substr(md5('cms:' || dd.d || ':' || url), 1, 13))::BIGINT
+        |              % 4096 AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM k CROSS JOIN dd GROUP BY 1, 2),
+        |p AS (SELECT 'https://ex.test/d/' || CAST(unnest(generate_series(0, 19)) AS VARCHAR) AS url),
+        |pb AS (SELECT p.url, dd.d,
+        |         CAST(('0x' || substr(md5('cms:' || dd.d || ':' || p.url), 1, 13))::BIGINT
+        |              % 4096 AS INT) AS bucket
+        |       FROM p CROSS JOIN dd)
+        |SELECT pb.url, CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS cms_count
+        |FROM pb LEFT JOIN sk ON pb.d = sk.d AND pb.bucket = sk.bucket
+        |GROUP BY pb.url ORDER BY pb.url""".stripMargin,
     // the EXIF door: every surfaced field replayed from the tag formula;
     // the untagged rows pin the default path (orientation 1, NULLs)
     "q202_exif_metadata" ->

@@ -1,0 +1,156 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** LZ4 shards as a DataSource V2: `spark.read.format("lz4shard")
+  * .load(dir)` — one task per shard file; column pruning takes the
+  * block-header-walk LISTING fast path (zero decompression when the
+  * frame declares its content size) when `data` is not required.
+  * See [[Lz4Shards]].
+  */
+class Lz4ShardDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "lz4shard"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Lz4ShardDataSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new Lz4ShardTable(properties.get("path"))
+}
+
+object Lz4ShardDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("frame", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("comp_len", LongType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("data", BinaryType, nullable = true)))
+}
+
+class Lz4ShardTable(path: String) extends Table with SupportsRead {
+  require(path != null, "lz4shard source requires a path")
+  override def name(): String = s"lz4shard:$path"
+  override def schema(): StructType = Lz4ShardDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new Lz4ShardScanBuilder(path)
+}
+
+/** Arriving `.lz4` shards become micro-batches — the tar/zip/xz/zstd
+  * streaming parity; see [[FileSetMicroBatchStream]].
+  */
+class Lz4ShardMicroBatchStream(path: String, required: StructType,
+                               conf: SerializableHadoopConf)
+    extends FileSetMicroBatchStream(path, conf) {
+  override protected def partitionFor(file: String): InputPartition =
+    Lz4ShardInputPartition(file)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new Lz4ShardReaderFactory(required, conf)
+}
+
+class Lz4ShardScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = Lz4ShardDataSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new Lz4ShardScan(path, required)
+}
+
+class Lz4ShardScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  private val serConf = new SerializableHadoopConf(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(serConf.value)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.isFile &&
+            !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+          .map(s => fs.makeQualified(s.getPath).toString).sorted
+      else Array(fs.makeQualified(p).toString)
+    files.map(f => Lz4ShardInputPartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new Lz4ShardReaderFactory(required, serConf)
+
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new Lz4ShardMicroBatchStream(path, required, serConf)
+}
+
+case class Lz4ShardInputPartition(file: String) extends InputPartition
+
+class Lz4ShardReaderFactory(required: StructType, conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new Lz4ShardPartitionReader(
+      partition.asInstanceOf[Lz4ShardInputPartition].file, required, conf)
+}
+
+class Lz4ShardPartitionReader(file: String, required: StructType,
+                              conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+
+  private val records = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(conf.value)
+    val in = fs.open(p)
+    val bytes = try {
+      val len = fs.getFileStatus(p).getLen
+      require(len <= Int.MaxValue - 8,
+        s"lz4 shard $file is $len bytes; this source buffers whole shards " +
+          "(< 2 GB) — size shards for the task.")
+      val buf = new Array[Byte](len.toInt)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+    Lz4Shards.parseFile(file, bytes,
+      withData = required.fieldNames.contains("data"))
+  }
+
+  private val proj = UnsafeProjection.create(required)
+  private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.length)
+  private val fieldIdx = required.fields.map(f =>
+    Lz4ShardDataSource.schema.fieldIndex(f.name))
+  private var current: Lz4Shards.Lz4Member = _
+
+  override def next(): Boolean =
+    if (records.hasNext) { current = records.next(); true } else false
+
+  override def get(): InternalRow = {
+    var i = 0
+    while (i < fieldIdx.length) {
+      row.update(i, fieldIdx(i) match {
+        case 0 => UTF8String.fromString(current.file)
+        case 1 => current.frame
+        case 2 => current.offset
+        case 3 => current.compLen
+        case 4 => current.size
+        case 5 => current.data
+      })
+      i += 1
+    }
+    proj(row)
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Lz4
+
+/** LZ4 shard reading — the `.lz4` sibling of [[ZstdShards]]: one task per
+  * shard file, a listing fast path that walks explicit block sizes only
+  * (zero decompression when `data` is pruned and the frame declares its
+  * content size, as the writer twin always does), and the `.jsonl.lz4`
+  * line layer.
+  */
+object Lz4Shards {
+
+  /** One frame. `size` is the uncompressed byte count (declared content
+    * size on the listing path when present, decoded length otherwise);
+    * `data` null on the listing fast path.
+    */
+  final case class Lz4Member(file: String, frame: Int, offset: Long,
+                             compLen: Long, size: Long, data: Array[Byte])
+
+  /** Parse every data frame of a (possibly concatenated) shard; stops
+    * clean at the first malformed region. `withData = false` walks block
+    * headers only, falling back to a decode for a frame without a
+    * declared content size (the lz4 CLI default omits it).
+    */
+  def parseFile(file: String, bytes: Array[Byte],
+                withData: Boolean = true): Iterator[Lz4Member] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Lz4Member]
+    var pos = 0
+    var frame = 0
+    while (pos < bytes.length) {
+      if (Lz4.isSkippable(bytes, pos)) {
+        val end = Lz4.skipFrame(bytes, pos)
+        if (end < 0) return out.iterator
+        pos = end
+      } else if (!withData) {
+        val end = Lz4.skipFrame(bytes, pos)
+        if (end < 0) return out.iterator
+        val declared = Lz4.declaredContentSize(bytes, pos)
+        val size =
+          if (declared >= 0) declared
+          else Lz4.decodeFrame(bytes, pos) match {
+            case Some(f) => f.data.length.toLong
+            case None => return out.iterator
+          }
+        out += Lz4Member(file, frame, pos.toLong, (end - pos).toLong, size, null)
+        pos = end
+        frame += 1
+      } else Lz4.decodeFrame(bytes, pos) match {
+        case Some(f) =>
+          out += Lz4Member(file, frame, pos.toLong, (f.end - pos).toLong,
+            f.data.length.toLong, f.data)
+          pos = f.end
+          frame += 1
+        case None => return out.iterator // malformed: stop clean
+      }
+    }
+    out.iterator
+  }
+
+  /** Full read through the DSv2 source:
+    * `spark.read.format("lz4shard").load(path)`.
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("lz4shard").load(path)
+
+  /** The `.jsonl.lz4` line layer — identical contract to
+    * [[ZstdShards.jsonlDocs]]: (file, frame, line_no, doc_id, text),
+    * blank and text-less lines drop without consuming a doc.
+    */
+  def jsonlDocs(frames: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    frames.select(col("file"), col("frame"),
+        posexplode(split(col("data").cast("string"), "\n"))
+          .as(Seq("line_no", "line")))
+      .where(length(trim(col("line"))) > 0)
+      .select(col("file"), col("frame"), col("line_no"),
+        get_json_object(col("line"), "$.id").as("doc_id"),
+        get_json_object(col("line"), "$.text").as("text"))
+      .where(col("text").isNotNull)
+  }
+}

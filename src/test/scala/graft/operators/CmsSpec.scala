@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The relational Count-Min sketch: mass conservation, shard
+  * associativity, the one-sided error bound, and the persisted
+  * lifecycle (including the NOT-idempotent append contract that
+  * distinguishes it from Hll).
+  */
+class CmsSpec extends SparkSpec {
+
+  private def keys(n: Int, mod: Int, salt: String = "k") = {
+    import spark.implicits._
+    (0 until n).map(i => s"$salt-${i % mod}").toDF("key")
+  }
+
+  test("each depth row conserves total mass: sum(cnt) per d == n instances") {
+    val sk = Cms.build(keys(1000, 50), "key", depth = 4, width = 64)
+    val perRow = sk.groupBy("d").agg(sum("cnt").as("mass"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(perRow == Map(0 -> 1000L, 1 -> 1000L, 2 -> 1000L, 3 -> 1000L))
+  }
+
+  test("merge is counter-wise sum: shard-built == corpus-built, exactly") {
+    val a = keys(600, 40, "a"); val b = keys(400, 40, "a")
+    val merged = Cms.merge(
+      Cms.build(a, "key", depth = 3, width = 128),
+      Cms.build(b, "key", depth = 3, width = 128))
+    val direct = Cms.build(a.unionByName(b), "key", depth = 3, width = 128)
+    assert(merged.orderBy("d", "bucket").collect().toSeq ==
+      direct.orderBy("d", "bucket").collect().toSeq)
+  }
+
+  test("append is NOT idempotent: replaying a batch doubles its mass") {
+    val once = Cms.merge(
+      Cms.build(keys(500, 25), "key", depth = 2, width = 64))
+    val twice = Cms.merge(
+      Cms.build(keys(500, 25), "key", depth = 2, width = 64),
+      Cms.build(keys(500, 25), "key", depth = 2, width = 64))
+    val m1 = once.agg(sum("cnt")).head.getLong(0)
+    val m2 = twice.agg(sum("cnt")).head.getLong(0)
+    assert(m2 == 2 * m1)
+  }
+
+  test("estimates never undercount, and are exact when width kills collisions") {
+    import spark.implicits._
+    // 30 keys, multiplicity i+1 for key i
+    val data = (0 until 30).flatMap(i => Seq.fill(i + 1)(s"w-$i")).toDF("key")
+    val probes = (0 until 30).map(i => s"w-$i").toDF("key")
+    // tight width: collisions likely — one-sided bound must still hold
+    val tight = Cms.estimate(
+      Cms.build(data, "key", depth = 4, width = 16),
+      probes, "key", depth = 4, width = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    (0 until 30).foreach(i => assert(tight(s"w-$i") >= i + 1L, s"w-$i"))
+    // wide sketch: 30 keys in 4x65536 counters — exact with near-certainty
+    val wide = Cms.estimate(
+      Cms.build(data, "key", depth = 4, width = 65536),
+      probes, "key", depth = 4, width = 65536)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    (0 until 30).foreach(i => assert(wide(s"w-$i") == i + 1L, s"w-$i"))
+  }
+
+  test("unseen keys floor at their collision mass, never below zero") {
+    import spark.implicits._
+    val est = Cms.estimate(
+      Cms.build(keys(100, 10), "key", depth = 4, width = 4096),
+      Seq("never-1", "never-2").toDF("key"), "key", depth = 4, width = 4096)
+      .collect().map(_.getLong(1))
+    assert(est.forall(_ >= 0L))
+  }
+
+  test("persisted lifecycle: CREATE + two delta APPENDs == one-pass build") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cms_spec").toString
+    val all = keys(900, 60)
+    Cms.writeSketch(keys(300, 60), "key", dir, depth = 4, width = 512)
+    // two DISJOINT deltas (not replays): instances 300..599 and 600..899
+    Cms.appendSketch((300 until 600).map(i => s"k-${i % 60}").toDF("key"),
+      "key", dir)
+    Cms.appendSketch((600 until 900).map(i => s"k-${i % 60}").toDF("key"),
+      "key", dir)
+    val persisted = spark.read.parquet(s"$dir/counters.parquet")
+      .orderBy("d", "bucket").collect().toSeq
+    val direct = Cms.build(all, "key", depth = 4, width = 512)
+      .orderBy("d", "bucket").collect().toSeq
+    assert(persisted == direct)
+    // and the probe surface reads through the frozen geometry
+    val est = Cms.estimateAt(spark, dir, Seq("k-0").toDF("key"), "key")
+      .head.getLong(1)
+    assert(est >= 15L) // k-0 appears 900/60 = 15 times
+  }
+
+  test("SQL lifecycle statements drive the same operators") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cms_sql_spec").toString
+    keys(400, 20, "s").createOrReplaceTempView("cms_spec_a")
+    keys(200, 20, "s").createOrReplaceTempView("cms_spec_b")
+    Seq("s-0", "s-19").toDF("key").createOrReplaceTempView("cms_spec_p")
+    spark.sql(s"CREATE CMS SKETCH AT '$dir' ON cms_spec_a (key)")
+    spark.sql(s"APPEND TO CMS SKETCH AT '$dir' FROM cms_spec_b (key)")
+    val est = spark.sql(s"CMS ESTIMATE '$dir' WITH cms_spec_p (key)")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // s-0: 20 instances in a + 10 in b = 30 (width 4096 over 20 keys:
+    // collision-free with near-certainty)
+    assert(est("s-0") == 30L && est("s-19") == 30L)
+  }
+}

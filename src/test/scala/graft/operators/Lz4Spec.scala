@@ -1,0 +1,341 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LZ4 frame/block decoder + writer-twin contract.
+  *
+  * Interop is pinned two independent ways:
+  *  - LIVE against lz4-java 1.8.0 (on the Spark classpath): xxh32 against
+  *    its canonical XXHash32, our writer twin decoded by its
+  *    LZ4FrameInputStream, and its LZ4FrameOutputStream (real compressed
+  *    blocks) decoded by us — both directions, every run.
+  *  - EMBEDDED lz4-CLI (v1.9.4) goldens, base64, for the modes lz4-java's
+  *    frame writer cannot produce: `-9` default frame, `-B4 -BX
+  *    --content-size` (block checksums), `-l` legacy frames, and `-B4
+  *    -BD` block-DEPENDENT multi-block frames (matches spanning blocks).
+  *    Payloads are deterministic formulas rebuilt here.
+  */
+class Lz4Spec extends AnyFunSuite {
+
+  private def b64(s: String): Array[Byte] = java.util.Base64.getDecoder.decode(s)
+
+  // deterministic payload formulas (the golden .lz4 files compress these)
+  private def detText: Array[Byte] = (0 until 4000).map { i =>
+    "w" + ((i * 7 + 3) % 97) + (if (i % 13 == 0) " the" else "")
+  }.mkString(" ").getBytes("US-ASCII")
+  private def detJsonl: Array[Byte] = ((0 until 150).map { i =>
+    s"""{"id":$i,"text":"doc $i body body body"}"""
+  }.mkString("\n") + "\n").getBytes("US-ASCII")
+  private def detRle: Array[Byte] = ("A" * 50000).getBytes("US-ASCII")
+  private def detTiny: Array[Byte] = "hello lz4 world".getBytes("US-ASCII")
+  private def detBig: Array[Byte] = {
+    val t = detText
+    val out = new Array[Byte](t.length * 8)
+    (0 until 8).foreach(k => System.arraycopy(t, 0, out, k * t.length, t.length))
+    out
+  }
+
+  // lz4 -9 (default: 4 MB blocks, block-independent, content checksum)
+  private val text_9 =
+    "BCJNGGRAp9wEAADyK3czIHRoZSB3MTAgdzE3IHcyNCB3MzEgdzM4IHc0NSB3NTIgdzU5IHc2NiB3" +
+    "NzMgdzgwIHc4NyB3OTQ4APIiNCB3MTEgdzE4IHcyNSB3MzIgdzM5IHc0NiB3NTMgdzYwIHc2NyB3" +
+    "NzQgdzgxIHc4ODcAEDlbAPIdIHcxMiB3MTkgdzI2IHczMyB3NDAgdzQ3IHc1NCB3NjEgdzY4IHc3" +
+    "NSB3ODI3APMiODkgdzk2IHc2IHcxMyB3MjAgdzI3IHczNCB3NDEgdzQ4IHc1NSB3NjIgdzY5IHc3" +
+    "NjcA8BczIHc5MCB3MCB3NyB3MTQgdzIxIHcyOCB3MzUgdzQyIHc0OSB3NVkAUjMgdzcwNgCQNzcg" +
+    "dzg0IHc54ADzEyB3OCB3MTUgdzIyIHcyOSB3MzYgdzQzIHc1MCB3NTcgdzYRAdA3MSB3Nzggdzg1" +
+    "IHc5LADzDyB3OSB3MTYgdzIzIHczMCB3MzcgdzQ0IHc1MSB3NRAB8AI2NSB3NzIgdzc5IHc4NiB3" +
+    "OSwAD5YBCgE3AA+aAQQPlgEIAjcAD5oBAw+WAQgC7AEPmgEDD5YBCAI3AA+aAQMPlgEHATYAD5oB" +
+    "BA+WAQcBNgAPmgEED5YBBwI2AA+aAQMPlgEIAjQDDzADGxN3EAEPMAMcAJYBArYBDzADGgCWAQJr" +
+    "Aw8wAxojdzgRBA8wAxoAlgECagMPMAMZAJYBAjQDDzADGSN3NhABDzADGyN3NRABDzADGyN3NRAB" +
+    "DzADGyN3NBEBDzADGyN3NBIBDzADGiN3MxIBDzADGiN3MhEBDzADGiN3MhABDzADGyN3MRABDzAD" +
+    "GyN3MRABDzADHBN3EQEPMAMcI3c5EQQPMAMbI3c5EQQPMAMaI3c4EAQPMAMaI3c3IAUPMAMaI3c3" +
+    "IAUPMAMbI3c2EAEPMAMbI3c2EAEPMAMbI3c1EQEPMAMbI3c0EgEPMAMaI3c0EgEPMAMaI3czEQEP" +
+    "MAMaI3czEAEPMAMbI3cyEAEPMAMbI3cxEAEPMAMbI3cxEQEPMAMcE3cSAQ8wAxwUd2UJDzADGiR3" +
+    "ORAEDzADGSN3OA8EDzADGiN3NyAFDzADGyN3NyEFDzADGyN3NiEFDzADGyN3NhEBDzADGyN3NRIB" +
+    "DzADGiN3NBIBDzADGiN3NBEBDzADGiN3MxABDzADGyN3MxABDzADGyN3MhABDzADGyN3MREBDzAD" +
+    "GyN3MRIBDzADGxN3EgEPMAMcE3cSAQ8wAxskdzlSCw8wAxkjdzgOBA8wAxsjdzgOBA8wAxsjdzch" +
+    "BQ8wAxsjdzYhBQ8wAxsjdzYSAQ8wAxokdzVTCA8wAxkjdzURAQ8wAxojdzQQAQ8wAxsjdzMQAQ8w" +
+    "AxsjdzMQAQ8wAxsjdzIRAQ8wAxsjdzISAQ8wAxojdzESAQ8wAxsTdxEBDzADHBN3EQEPMAMbJHc5" +
+    "UgsPhhEeAm4AHzSGER0CNAMfOIYRHQI3AB8yhhEdAmsDHzaGERwCNgAfMIYRHAJqAx80hhEcAjQD" +
+    "HziGER0CNwAfMoYRHQJrAx82hhEdAjcAHzCGER0CWgIfNIYRHAI0Ax84hhEcAjYAHzKGERwCagMP" +
+    "MAMbD7YU////////////////////////////////////////////////////////////ElAzIHc2" +
+    "MAAAAACDqDCa"
+
+  // lz4 -1 -B4 -BX --content-size (64 KB blocks, block checksums)
+  private val jsonl_bx =
+    "BCJNGHxAVhgAAAAAAAA6ngUAAPYLeyJpZCI6MCwidGV4dCI6ImRvYyAwIGJvZHkFADIifQonABkx" +
+    "JwAWMSIAAQoABScAGTInABEyHQAGBQAFJwAZMycAFjMiAAEKAAUnABk0JwARNB0ABgUABScAGTUn" +
+    "ABY1IgABCgAFJwAZNicAETYdAAYFAAUnABk3JwAWNyIAAQoABScAGTgnABE4HQAGBQAFJwAZOScA" +
+    "FjkiAAEKAAUnABoxhwEfMYgBBwuJAQ+KAQYaMYsBHzGMAQYaMY0BHzGOAQYaMY8BHzGQAQYaMZEB" +
+    "HzGSAQYaMZMBHzGUAQYaMZUBHzGWAQYaMZcBHzGYAQYaMZkBHzGaAQYaMpoBHzKaAQYaMpoBHzKa" +
+    "AQYaMpoBHzKaAQYaMpoBHzKaAQYaMpoBHzKaAQYaMpoBHzKaAQYaMpoBHzKaAQYaMpoBHzKaAQYa" +
+    "MpoBHzKaAQYaMpoBHzKaAQYaM5oBHzOaAQYaM5oBHzOaAQYaM5oBHzOaAQYaM5oBHzOaAQYaM5oB" +
+    "HzOaAQYaM5oBHzOaAQYaM5oBHzOaAQYaM5oBHzOaAQYaM5oBHzOaAQYaM5oBHzOaAQYaNJoBHzSa" +
+    "AQYaNJoBHzSaAQYaNJoBHzSaAQYaNJoBHzSaAQYaNJoBHzSaAQYaNJoBHzSaAQYaNJoBHzSaAQYa" +
+    "NJoBHzSaAQYaNJoBHzSaAQYaNJoBHzSaAQYaNZoBHzWaAQYaNZoBHzWaAQYaNZoBHzWaAQYaNZoB" +
+    "HzWaAQYaNZoBHzWaAQYaNZoBHzWaAQYaNZoBHzWaAQYaNZoBHzWaAQYaNZoBHzWaAQYaNZoBHzWa" +
+    "AQYaNpoBHzaaAQYaNpoBHzaaAQYaNpoBHzaaAQYaNpoBHzaaAQYaNpoBHzaaAQYaNpoBHzaaAQYa" +
+    "NpoBHzaaAQYaNpoBHzaaAQYaNpoBHzaaAQYaNpoBHzaaAQYaN5oBHzeaAQYaN5oBHzeaAQYaN5oB" +
+    "HzeaAQYaN5oBHzeaAQYaN5oBHzeaAQYaN5oBHzeaAQYaN5oBHzeaAQYaN5oBHzeaAQYaN5oBHzea" +
+    "AQYaN5oBHzeaAQYaOJoBHziaAQYaOJoBHziaAQYaOJoBHziaAQYaOJoBHziaAQYaOJoBHziaAQYa" +
+    "OJoBHziaAQYaOJoBHziaAQYaOJoBHziaAQYaOJoBHziaAQYaOJoBHziaAQYaOZoBITkw7wwGBQAF" +
+    "+QwaOZoBHzmaAQYaOZoBHzmaAQYaOZoBHzmaAQYaOZoBHzmaAQYaOZoBHzmaAQYaOZoBHzmaAQYa" +
+    "OZoBHzmaAQYaOZoBHzmaAQYaOZoBHzmaAQYqMTCbAS8xMJwBBioxMJ0BNjEwMcIBAQoABccBKjEw" +
+    "nwEvMTCgAQYqMTChAS8xMKIBBioxMKMBLzEwpAEGKjEwpQEvMTCmAQYqMTCnAS8xMKgBBioxMKkB" +
+    "LzEwqgEGKjEwqwEvMTCsAQYqMTCtAS8xMK4BBwwZEA8aEAkLrgEfMa4BBwwdEA8eEAgMHxAPIBAI" +
+    "DCEQDyIQCAwjEA8kEAgMJRAPJhAIDCcQDygQCAwpEA8qEAgMKxAPLBAHGzEtEB8xLhAHGzEvEB8x" +
+    "MBAHGzExEB8xMhAHKzEyXAMPNBAHGzE1EB8xNhAHGzE3EB8xOBAHGzE5EB8xOhAHGzE7EB8xPBAH" +
+    "GzE9EB8xPhAHGzE/EB8xQBAHGzFBEB8xQhAHGzFDEB8xRBAHGzFFEB8xRhAHGzFHEB8xSBAHGzFJ" +
+    "EB8xShAHGzFLEB8xTBAHGzFNEB8xThAHGzFPEB8xUBAHGzFREB8xUhAHGzFTEB8xVBAHGzFVEB8x" +
+    "VhAHGzFXEB8xWBAHGzFZEB8xWhAHGzFbEB8xXBAHGzFdEB8xXhAHGzFfEB8xYBAHGzFhEB8xYhAH" +
+    "GzFjEB8xZBAHGzFlEB8xZhAHGzFnEBsxaBBQZHkifQqM6w06AAAAAGi9a9g="
+
+  // lz4 -9 -l (legacy frame)
+  private val rle_legacy =
+    "AiFMGM4AAAAfQQEA////////////////////////////////////////////////////////////" +
+    "////////////////////////////////////////////////////////////////////////////" +
+    "////////////////////////////////////////////////////////////////////////////" +
+    "////////////////////////////////////////////////+lBBQUFBQQ=="
+
+  // lz4 --content-size on a tiny (incompressible via stored path) payload
+  private val tiny_cs =
+    "BCJNGGxADwAAAAAAAACkDwAAgGhlbGxvIGx6NCB3b3JsZAAAAABYNj8e"
+
+  // lz4 -9 -B4 -BD: 64 KB block-DEPENDENT blocks — matches span blocks
+  private val big_bd =
+    "BCJNGERAXp4FAADyK3czIHRoZSB3MTAgdzE3IHcyNCB3MzEgdzM4IHc0NSB3NTIgdzU5IHc2NiB3" +
+    "NzMgdzgwIHc4NyB3OTQ4APIiNCB3MTEgdzE4IHcyNSB3MzIgdzM5IHc0NiB3NTMgdzYwIHc2NyB3" +
+    "NzQgdzgxIHc4ODcAEDlbAPIdIHcxMiB3MTkgdzI2IHczMyB3NDAgdzQ3IHc1NCB3NjEgdzY4IHc3" +
+    "NSB3ODI3APMiODkgdzk2IHc2IHcxMyB3MjAgdzI3IHczNCB3NDEgdzQ4IHc1NSB3NjIgdzY5IHc3" +
+    "NjcA8BczIHc5MCB3MCB3NyB3MTQgdzIxIHcyOCB3MzUgdzQyIHc0OSB3NVkAUjMgdzcwNgCQNzcg" +
+    "dzg0IHc54ADzEyB3OCB3MTUgdzIyIHcyOSB3MzYgdzQzIHc1MCB3NTcgdzYRAdA3MSB3Nzggdzg1" +
+    "IHc5LADzDyB3OSB3MTYgdzIzIHczMCB3MzcgdzQ0IHc1MSB3NRAB8AI2NSB3NzIgdzc5IHc4NiB3" +
+    "OSwAD5YBCgE3AA+aAQQPlgEIAjcAD5oBAw+WAQgC7AEPmgEDD5YBCAI3AA+aAQMPlgEHATYAD5oB" +
+    "BA+WAQcBNgAPmgEED5YBBwI2AA+aAQMPlgEIAjQDDzADGxN3EAEPMAMcAJYBArYBDzADGgCWAQJr" +
+    "Aw8wAxojdzgRBA8wAxoAlgECagMPMAMZAJYBAjQDDzADGSN3NhABDzADGyN3NRABDzADGyN3NRAB" +
+    "DzADGyN3NBEBDzADGyN3NBIBDzADGiN3MxIBDzADGiN3MhEBDzADGiN3MhABDzADGyN3MRABDzAD" +
+    "GyN3MRABDzADHBN3EQEPMAMcI3c5EQQPMAMbI3c5EQQPMAMaI3c4EAQPMAMaI3c3IAUPMAMaI3c3" +
+    "IAUPMAMbI3c2EAEPMAMbI3c2EAEPMAMbI3c1EQEPMAMbI3c0EgEPMAMaI3c0EgEPMAMaI3czEQEP" +
+    "MAMaI3czEAEPMAMbI3cyEAEPMAMbI3cxEAEPMAMbI3cxEQEPMAMcE3cSAQ8wAxwUd2UJDzADGiR3" +
+    "ORAEDzADGSN3OA8EDzADGiN3NyAFDzADGyN3NyEFDzADGyN3NiEFDzADGyN3NhEBDzADGyN3NRIB" +
+    "DzADGiN3NBIBDzADGiN3NBEBDzADGiN3MxABDzADGyN3MxABDzADGyN3MhABDzADGyN3MREBDzAD" +
+    "GyN3MRIBDzADGxN3EgEPMAMcE3cSAQ8wAxskdzlSCw8wAxkjdzgOBA8wAxsjdzgOBA8wAxsjdzch" +
+    "BQ8wAxsjdzYhBQ8wAxsjdzYSAQ8wAxokdzVTCA8wAxkjdzURAQ8wAxojdzQQAQ8wAxsjdzMQAQ8w" +
+    "AxsjdzMQAQ8wAxsjdzIRAQ8wAxsjdzISAQ8wAxojdzESAQ8wAxsTdxEBDzADHBN3EQEPMAMbJHc5" +
+    "UgsPhhEeAm4AHzSGER0CNAMfOIYRHQI3AB8yhhEdAmsDHzaGERwCNgAfMIYRHAJqAx80hhEcAjQD" +
+    "HziGER0CNwAfMoYRHQJrAx82hhEdAjcAHzCGER0CWgIfNIYRHAI0Ax84hhEcAjYAHzKGERwCagMP" +
+    "MAMbD7YU////////////////////////////////////////////////////////////Fw+zQf//" +
+    "////////////////////////////////////////////////////////////////////////////" +
+    "////////////////////////////////////////////////////////////////////////////" +
+    "////////////////////////////////////////////////////////////////////////////" +
+    "///////////////////////zUHc3MiB3CgEAAA+zQf//////////////////////////////////" +
+    "////////////////////////////////////////////////////////////////////////////" +
+    "////////////////////////////////////////////////////////////////////////////" +
+    "////////////////////////////////////////////////////////////////////////////" +
+    "////////////////////////////////////////////////////////////////////////////" +
+    "///oUHc4NCB3FwAAAA+2FP////////////////+NUDMgdzYwAAAAAJe06QM="
+
+  // ------------------------------------------------------------- xxHash32
+
+  test("xxh32 matches lz4-java's canonical XXHash32 across sizes and seeds") {
+    val f = net.jpountz.xxhash.XXHashFactory.fastestInstance().hash32()
+    val payloads = Seq(0, 1, 3, 4, 15, 16, 17, 50, 255, 1000, 65537).map { n =>
+      Array.tabulate(n)(i => ((i * 31 + 7) % 251).toByte)
+    } ++ Seq(detText, detRle, detTiny)
+    for (p <- payloads; seed <- Seq(0, 0x9747b28c)) {
+      assert(Lz4.xxh32(p, 0, p.length, seed) == f.hash(p, 0, p.length, seed),
+        s"len=${p.length} seed=$seed")
+    }
+    // offset windows too (the frame walk hashes sub-ranges)
+    val p = detText
+    assert(Lz4.xxh32(p, 5, 100, 0) == f.hash(p, 5, 100, 0))
+  }
+
+  // ------------------------------------------------------ CLI golden decode
+
+  test("lz4-CLI goldens decode byte-exactly (default, -B4 -BX, legacy, -BD)") {
+    assert(Lz4.decode(b64(text_9)).get.sameElements(detText))
+    assert(Lz4.decode(b64(jsonl_bx)).get.sameElements(detJsonl))
+    assert(Lz4.decode(b64(rle_legacy)).get.sameElements(detRle))
+    assert(Lz4.decode(b64(tiny_cs)).get.sameElements(detTiny))
+    assert(Lz4.decode(b64(big_bd)).get.sameElements(detBig))
+  }
+
+  test("declared content size surfaces; frames without it report -1") {
+    assert(Lz4.declaredContentSize(b64(tiny_cs), 0) == 15L)
+    assert(Lz4.declaredContentSize(b64(jsonl_bx), 0) == detJsonl.length.toLong)
+    assert(Lz4.declaredContentSize(b64(text_9), 0) == -1L) // CLI default omits it
+  }
+
+  // ------------------------------------------------------- live lz4-java
+
+  test("writer twin decodes through lz4-java's frame reader (live)") {
+    for (p <- Seq(Array.emptyByteArray, detTiny, detRle, detBig)) {
+      val in = new net.jpountz.lz4.LZ4FrameInputStream(
+        new java.io.ByteArrayInputStream(Lz4.renderFrame(p)))
+      val got = in.readAllBytes()
+      in.close()
+      assert(got.sameElements(p), s"len=${p.length}")
+    }
+  }
+
+  test("lz4-java-compressed frames (real compressed blocks) decode here (live)") {
+    import net.jpountz.lz4.LZ4FrameOutputStream
+    for (p <- Seq(detTiny, detText, detRle, detBig)) {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new LZ4FrameOutputStream(bos,
+        LZ4FrameOutputStream.BLOCKSIZE.SIZE_64KB, p.length.toLong,
+        LZ4FrameOutputStream.FLG.Bits.BLOCK_INDEPENDENCE,
+        LZ4FrameOutputStream.FLG.Bits.CONTENT_CHECKSUM)
+      out.write(p)
+      out.close()
+      assert(Lz4.decode(bos.toByteArray).get.sameElements(p), s"len=${p.length}")
+    }
+  }
+
+  // --------------------------------------------------------- writer round
+
+  test("render/decode round trip at block boundaries") {
+    for (n <- Seq(0, 1, 65535, 65536, 65537, 200000)) {
+      val p = Array.tabulate(n)(i => ((i * 17 + 11) % 256).toByte)
+      val f = Lz4.renderFrame(p)
+      assert(Lz4.decode(f).get.sameElements(p), s"n=$n")
+      // extent arithmetic for the shard oracle: 15-byte header + per-block
+      // 4 + data + EndMark 4 + checksum 4
+      val blocks = math.max(1, (n + 65535) / 65536)
+      assert(f.length == 15 + (if (n == 0) 0 else 4 * blocks + n) + 8, s"n=$n")
+    }
+  }
+
+  test("concatenated frames with a skippable frame between decode in order") {
+    val a = "part one".getBytes("US-ASCII")
+    val b = "part two".getBytes("US-ASCII")
+    val skip = Array[Byte](0x50, 0x2a, 0x4d, 0x18, 4, 0, 0, 0, 9, 9, 9, 9)
+    val buf = Lz4.renderFrame(a) ++ skip ++ Lz4.renderFrame(b)
+    assert(new String(Lz4.decode(buf).get, "US-ASCII") == "part onepart two")
+    // skippable-only input is an empty shard, not a malformed one
+    assert(Lz4.decode(skip).get.isEmpty)
+  }
+
+  // ----------------------------------------------------------- hard NOs
+
+  test("truncation sweep: every proper prefix fails clean") {
+    val f = Lz4.renderFrame(detTiny)
+    for (n <- 0 until f.length) {
+      assert(Lz4.decodeFrame(java.util.Arrays.copyOf(f, n), 0).isEmpty, s"n=$n")
+    }
+    // and on a CLI golden with block checksums
+    val g = b64(jsonl_bx)
+    for (n <- Seq(4, 6, 10, 20, g.length / 2, g.length - 1)) {
+      assert(Lz4.decodeFrame(java.util.Arrays.copyOf(g, n), 0).isEmpty, s"n=$n")
+    }
+  }
+
+  test("corrupt header checksum, block checksum, content checksum all fail") {
+    val hc = Lz4.renderFrame(detTiny)
+    hc(14) = (hc(14) ^ 1).toByte // HC byte (magic 4 + FLG/BD/size 10)
+    assert(Lz4.decodeFrame(hc, 0).isEmpty)
+
+    val cc = Lz4.renderFrame(detTiny)
+    cc(cc.length - 1) = (cc(cc.length - 1) ^ 1).toByte // content checksum tail
+    assert(Lz4.decodeFrame(cc, 0).isEmpty)
+
+    val bx = b64(jsonl_bx) // has per-block checksums: flip a data byte
+    bx(40) = (bx(40) ^ 1).toByte
+    assert(Lz4.decodeFrame(bx, 0).isEmpty)
+
+    val lie = Lz4.renderFrame(detTiny) // content-size lie
+    lie(6) = (detTiny.length + 1).toByte
+    // fix HC so only the SIZE lie is on trial
+    val descr = java.util.Arrays.copyOfRange(lie, 4, 14)
+    lie(14) = ((Lz4.xxh32(descr, 0, 10) >>> 8) & 0xff).toByte
+    assert(Lz4.decodeFrame(lie, 0).isEmpty)
+  }
+
+  test("reserved bits and bad version fail clean") {
+    val f = Lz4.renderFrame(detTiny)
+    val v = f.clone(); v(4) = (v(4) | 0x80).toByte // version 11
+    assert(Lz4.decodeFrame(v, 0).isEmpty)
+    val r = f.clone(); r(4) = (r(4) | 0x02).toByte // FLG reserved bit
+    assert(Lz4.decodeFrame(r, 0).isEmpty)
+    val bd = f.clone(); bd(5) = (bd(5) | 0x01).toByte // BD reserved bits
+    assert(Lz4.decodeFrame(bd, 0).isEmpty)
+  }
+
+  /** Hand-build a modern frame from raw block sections (stored or
+    * pre-encoded compressed bytes) for the independence/expansion tests.
+    */
+  private def frame(indep: Boolean,
+                    blocks: Seq[(Array[Byte], Boolean)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    w32(0x184d2204)
+    val desc = Array[Byte](((if (indep) 0x60 else 0x40)).toByte, 0x40.toByte)
+    out.write(desc, 0, 2)
+    out.write((Lz4.xxh32(desc, 0, 2) >>> 8) & 0xff)
+    blocks.foreach { case (data, stored) =>
+      w32((if (stored) 0x80000000 else 0) | data.length)
+      out.write(data, 0, data.length)
+    }
+    w32(0)
+    out.toByteArray
+  }
+
+  test("block-independence violations are rejected; dependent frames accept") {
+    val block1 = ("abcdefgh".getBytes("US-ASCII"), true)
+    // one literal 'x', then a 4-byte match at offset 9 — reaches into block1
+    val block2 = (Array[Byte](0x10, 'x'.toByte, 9, 0), false)
+    assert(Lz4.decodeFrame(frame(indep = true, Seq(block1, block2)), 0).isEmpty)
+    val dep = Lz4.decodeFrame(frame(indep = false, Seq(block1, block2)), 0)
+    assert(new String(dep.get.data, "US-ASCII") == "abcdefghxabcd")
+  }
+
+  test("a block expanding past the declared block max is rejected (bomb)") {
+    // literal 'A', then a match with a huge extended length: expands far
+    // past the 64 KB block max declared in BD — must fail, fast
+    val ext = Array.fill(400)(0xff.toByte) // 19 + 400*255 ≈ 102 KB match
+    val bomb = (Array[Byte](0x1f, 'A'.toByte, 1, 0) ++ ext :+ 0.toByte, false)
+    assert(Lz4.decodeFrame(frame(indep = true, Seq(bomb)), 0).isEmpty)
+  }
+
+  test("offset 0 and offset past output start are rejected") {
+    val z = (Array[Byte](0x10, 'x'.toByte, 0, 0), false) // offset 0
+    assert(Lz4.decodeFrame(frame(indep = true, Seq(z)), 0).isEmpty)
+    val far = (Array[Byte](0x10, 'x'.toByte, 2, 0), false) // offset 2 > out 1
+    assert(Lz4.decodeFrame(frame(indep = true, Seq(far)), 0).isEmpty)
+  }
+
+  // ------------------------------------------------------------- shards
+
+  test("parseFile listing fast path matches the data path (incl. no-size frames)") {
+    import net.jpountz.lz4.LZ4FrameOutputStream
+    // frame 0: writer twin (declares content size); frame 1: lz4-java
+    // without knownSize (no content size → listing decodes to size it)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Lz4.renderFrame(detTiny))
+    val out = new LZ4FrameOutputStream(bos,
+      LZ4FrameOutputStream.BLOCKSIZE.SIZE_64KB, -1L,
+      LZ4FrameOutputStream.FLG.Bits.BLOCK_INDEPENDENCE,
+      LZ4FrameOutputStream.FLG.Bits.CONTENT_CHECKSUM)
+    out.write(detText)
+    out.close()
+    val shard = bos.toByteArray
+    val full = graft.sources.Lz4Shards.parseFile("f", shard).toSeq
+    val listing = graft.sources.Lz4Shards.parseFile("f", shard, withData = false).toSeq
+    assert(full.map(m => (m.frame, m.offset, m.compLen, m.size)) ==
+      listing.map(m => (m.frame, m.offset, m.compLen, m.size)))
+    assert(listing.forall(_.data == null))
+    assert(full.map(_.size) == Seq(detTiny.length.toLong, detText.length.toLong))
+    assert(full(1).offset == full(0).compLen)
+  }
+
+  test("a malformed region stops the shard walk clean, keeping prior frames") {
+    val good = Lz4.renderFrame(detTiny)
+    val bad = good.clone(); bad(bad.length - 1) = (bad(bad.length - 1) ^ 1).toByte
+    val members = graft.sources.Lz4Shards.parseFile("f", good ++ bad).toSeq
+    assert(members.size == 1 && members.head.frame == 0)
+  }
+}
