@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Dev-only corpus scaler: builds an sf1-shaped dataset from sf0.1 by
+  * replicating every table `factor` times with consistent key shifting, so
+  * the wall-clock and candidate-volume smokes (PROFILES.md) run against a
+  * 10x corpus whose JOIN and CANDIDATE structure stays corpus-like:
+  *
+  *  - Fact/entity tables (customer/supplier/part/orders/lineitem/events):
+  *    copy k shifts every primary AND foreign key by `k * (maxKey+1)` —
+  *    join fan-outs per key are preserved exactly (each copy joins only
+  *    within itself), instead of every key gaining 10x matches.
+  *  - Dimension tables (region/nation) are copied as-is: TPC-H fixes their
+  *    cardinality at every scale factor, and the shifted facts still join
+  *    them by the unshifted nation/region keys.
+  *  - documents: copy k > 0 suffixes every whitespace token with `_k`, so
+  *    vocabularies are DISJOINT across copies — shingle/prefix candidate
+  *    structure scales like a larger crawl, not like a 10x-duplicated one
+  *    (a duplicated corpus would make every dedup query's candidate count
+  *    trivially quadratic in `factor`). n_chars is recomputed.
+  *  - embeddings: copy k > 0 jitters each component by a deterministic
+  *    hash-derived value in (-5e-4, 5e-4) — copies are near but not equal,
+  *    again mirroring a larger real corpus for the ANN cell/bucket stats.
+  *
+  * Everything is expression-level (no UDFs, no driver loops); output is
+  * one parquet dir per table, overwriting `dstDir`.
+  *
+  * Usage: runMain graft.GenScale [srcDir] [dstDir] [factor]
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("tmp/sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = GraftSession.local()
+    try run(spark, src, dst, factor) finally spark.stop()
+  }
+
+  def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    // cross-join each source row with the copy index k = 0..factor-1; the
+    // copies DataFrame is tiny so Catalyst broadcasts it (BNLJ) — one scan
+    // of the source per table, no shuffle
+    def replicated(df: DataFrame): DataFrame =
+      df.crossJoin(spark.range(factor).toDF("copy_k"))
+
+    // shift a key column by k * (max+1) so copies occupy disjoint key ranges
+    def shift(df: DataFrame, cols: Seq[String]): DataFrame = {
+      val offsets = cols.map { c =>
+        c -> (df.selectExpr(s"max($c)").head.getAs[Number](0).longValue + 1L)
+      }
+      offsets.foldLeft(replicated(df)) { case (d, (c, off)) =>
+        d.withColumn(c, org.apache.spark.sql.functions.expr(
+          s"$c + copy_k * ${off}L"))
+      }.drop("copy_k")
+    }
+
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+    write(shift(read("customer"), Seq("c_custkey")), "customer")
+    write(shift(read("supplier"), Seq("s_suppkey")), "supplier")
+    write(shift(read("part"), Seq("p_partkey")), "part")
+    // orders/lineitem share the o_orderkey space; compute both tables'
+    // shifts from their OWN max so the shared key shifts identically
+    val orders = read("orders")
+    val lineitem = read("lineitem")
+    val orderOff = (orders.selectExpr("max(o_orderkey)").head.getLong(0) max
+      lineitem.selectExpr("max(l_orderkey)").head.getLong(0)) + 1L
+    val custOff = read("customer").selectExpr("max(c_custkey)").head.getLong(0) + 1L
+    val partOff = read("part").selectExpr("max(p_partkey)").head.getLong(0) + 1L
+    val suppOff = read("supplier").selectExpr("max(s_suppkey)").head.getAs[Number](0).longValue + 1L
+    write(replicated(orders)
+      .selectExpr(s"o_orderkey + copy_k * ${orderOff}L as o_orderkey",
+        s"o_custkey + copy_k * ${custOff}L as o_custkey",
+        "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"),
+      "orders")
+    write(replicated(lineitem)
+      .selectExpr(s"l_orderkey + copy_k * ${orderOff}L as l_orderkey",
+        s"l_partkey + copy_k * ${partOff}L as l_partkey",
+        s"l_suppkey + copy_k * ${suppOff}L as l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+      "lineitem")
+    val events = read("events")
+    val evOff = events.selectExpr("max(event_id)").head.getLong(0) + 1L
+    val userOff = events.selectExpr("max(user_id)").head.getLong(0) + 1L
+    write(replicated(events)
+      .selectExpr(s"event_id + copy_k * ${evOff}L as event_id", "ts",
+        s"user_id + copy_k * ${userOff}L as user_id",
+        "event_type", "value", "props"),
+      "events")
+    val docs = read("documents")
+    val docOff = docs.selectExpr("max(doc_id)").head.getLong(0) + 1L
+    write(replicated(docs)
+      .selectExpr(s"doc_id + copy_k * ${docOff}L as doc_id",
+        // copy 0 keeps the original text byte-for-byte; copies suffix
+        // every token, keeping per-copy vocabularies disjoint
+        """CASE WHEN copy_k = 0 THEN text
+             ELSE array_join(transform(split(text, ' '),
+                    t -> concat(t, '_', cast(copy_k as string))), ' ')
+           END as text""",
+        "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source",
+        "cast(length(text) as bigint) as n_chars"),
+      "documents")
+    val emb = read("embeddings")
+    val vecOff = emb.selectExpr("max(vec_id)").head.getLong(0) + 1L
+    write(replicated(emb)
+      .selectExpr(s"vec_id + copy_k * ${vecOff}L as vec_id",
+        // deterministic per-(copy, vec, component) jitter in (-5e-4, 5e-4);
+        // copy 0 is exact
+        """CASE WHEN copy_k = 0 THEN embedding
+             ELSE transform(embedding, (x, i) ->
+                    x + cast(pmod(hash(vec_id, copy_k, i), 1000) - 500 as float) / 1000000.0f)
+           END as embedding""",
+        "label"),
+      "embeddings")
+  }
+}

@@ -11,7 +11,8 @@ import graft.GraftSession
   *   WARC responses (HTML -> graft_extract_text), WET conversion records
   *   (pre-extracted text), WebDataset tar shards, ZIP shards, PDFs
   *   (ISO 32000 text extraction), Wikipedia multistream bz2 dumps
-  *   (page split + wikitext -> prose), xz shards, zstd shards, and
+  *   (page split + wikitext -> prose), xz shards, zstd shards, lz4
+  *   shards, snappy-framed shards, Avro OCF shards, and
   *   TFRecord shards (tf.Example text features) each become rows of
   *   `(doc_id, fmt, locator, text)`; a union + one exact-dedup groupBy
   *   collapses the SAME article arriving through different containers —
@@ -107,6 +108,32 @@ object IngestRun {
         col("data").cast("string")): _*)
       .where(length(col("text")) > 0)
 
+  /** lz4 shards: each frame is a document (the `.jsonl.lz4` / `.txt.lz4`
+    * shard shape).
+    */
+  def fromLz4(spark: SparkSession, path: String): DataFrame =
+    graft.sources.Lz4Shards.read(spark, path)
+      .select(norm("lz4", concat(col("file"), lit("#"), col("frame")),
+        col("data").cast("string")): _*)
+      .where(length(col("text")) > 0)
+
+  /** snappy-framed shards: each data chunk is a document (the `.sz`
+    * shard shape).
+    */
+  def fromSnappy(spark: SparkSession, path: String): DataFrame =
+    graft.sources.SnappyShards.read(spark, path)
+      .select(norm("snappy", concat(col("file"), lit("#"), col("chunk")),
+        col("data").cast("string")): _*)
+      .where(length(col("text")) > 0)
+
+  /** Avro OCF shards carrying (locator, text) records — the schema is
+    * the file's own embedded avro.schema.
+    */
+  def fromAvro(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("avroshard").load(path)
+      .select(norm("avro", col("locator"), col("text")): _*)
+      .where(length(col("text")) > 0)
+
   /** TFRecord shards: the `text` bytes feature of each tf.Example. */
   def fromTfRecord(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.Row
@@ -162,6 +189,8 @@ object IngestRun {
       fromTar(spark, fx("tar")), fromZip(spark, fx("zip")),
       fromPdf(spark, fx("pdf")), fromWiki(spark, fx("wiki")),
       fromXz(spark, fx("xz")), fromZstd(spark, fx("zstd")),
+      fromLz4(spark, fx("lz4")), fromSnappy(spark, fx("snappy")),
+      fromAvro(spark, fx("avro")),
       fromTfRecord(spark, fx("tfrecord"))))
     corpus.cache()
     val total = corpus.count()
@@ -176,8 +205,8 @@ object IngestRun {
 }
 
 /** Deterministic multi-format fixture set for [[IngestRun]] and its spec:
-  * 10 distinct articles; article 0 appears through ALL nine doors (the
-  * cross-format republication), articles 1-9 through one door each.
+  * 13 distinct articles; article 0 appears through ALL twelve text doors
+  * (the cross-format republication), articles 1-12 through one door each.
   */
 object IngestFixtures {
   private def article(i: Int): String =
@@ -234,6 +263,20 @@ object IngestFixtures {
     val zstdDir = sub("zstd")
     java.nio.file.Files.write(zstdDir.resolve("s.zst"),
       graft.operators.Zstd.render(Seq(0, 9).map(i => article(i).getBytes("UTF-8"))))
+    val lz4Dir = sub("lz4")
+    java.nio.file.Files.write(lz4Dir.resolve("s.lz4"),
+      graft.operators.Lz4.render(Seq(0, 10).map(i => article(i).getBytes("UTF-8"))))
+    val snappyDir = sub("snappy")
+    java.nio.file.Files.write(snappyDir.resolve("s.sz"),
+      graft.operators.Snappy.renderFramed(
+        Seq(0, 11).map(i => article(i).getBytes("UTF-8"))))
+    val avroDir = sub("avro")
+    java.nio.file.Files.write(avroDir.resolve("s.avro"),
+      graft.operators.Avro.renderOcf(
+        """{"type":"record","name":"Doc","fields":[
+          |{"name":"locator","type":"string"},
+          |{"name":"text","type":"string"}]}""".stripMargin,
+        Seq(0, 12).map(i => Array[Any](s"avro-doc-$i", article(i)))))
     val tfDir = sub("tfrecord")
     java.nio.file.Files.write(tfDir.resolve("s.tfrecord"),
       graft.sources.TfRecords.render(Seq(0, 8).map(i =>
@@ -253,6 +296,8 @@ object IngestFixtures {
       "tar" -> tarDir.toString, "zip" -> zipDir.toString,
       "pdf" -> pdfDir.toString, "wiki" -> wikiDir.toString,
       "xz" -> xzDir.toString, "zstd" -> zstdDir.toString,
+      "lz4" -> lz4Dir.toString, "snappy" -> snappyDir.toString,
+      "avro" -> avroDir.toString,
       "tfrecord" -> tfDir.toString, "wat" -> watDir.toString)
   }
 }

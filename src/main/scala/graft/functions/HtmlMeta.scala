@@ -1,0 +1,186 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Structured-data extraction from HTML — the machine-readable layer a
+  * crawl-curation pipeline mines BESIDE the prose ([[HtmlText]]): JSON-LD
+  * blocks (schema.org — articles, products, datasets; the layer Common
+  * Crawl users extract instead of parsing body markup), OpenGraph/named
+  * `<meta>` properties (titles, descriptions, types — page metadata for
+  * data cards and dedup hints), and `hreflang` alternates (the site's own
+  * language-edition map, a langid prior and a cross-language dup signal).
+  *
+  * Deterministic rule set, one pass each, chosen so an oracle replays
+  * results exactly:
+  *
+  *  - JSON-LD: comments drop first, then every `<script>` whose `type`
+  *    attribute is `application/ld+json` (case-insensitive) yields its
+  *    RAW body, trimmed — script content is raw text per the HTML spec,
+  *    so NO entity decoding. The JSON itself stays uninterpreted here;
+  *    Spark's `get_json_object`/`from_json` take over declaratively
+  *    (the WAT-door pattern), keeping extraction codegen'd and schema
+  *    decisions in the plan.
+  *  - Meta properties: comments and the non-content containers
+  *    (`script`, `style`, `noscript`, `template`, `svg`) drop, then every
+  *    `<meta>` with BOTH a key (`property` first — the OpenGraph/RDFa
+  *    spelling — falling back to `name`) and a `content` yields
+  *    (lowercased key, entity-decoded content), in document order,
+  *    duplicates kept (og:image repeats legitimately).
+  *  - hreflang: same pre-pass; every `<link>` whose `rel` token list
+  *    contains `alternate` AND that carries both `hreflang` and a
+  *    non-empty `href` yields (lowercased lang tag, entity-decoded href).
+  *
+  * All three accept double-/single-/unquoted attribute forms, any
+  * attribute order ([[HtmlText.attr]]).
+  */
+object HtmlMeta {
+
+  private val ScriptBlock = java.util.regex.Pattern.compile(
+    "(?is)<script\\b([^>]*)>(.*?)</script\\s*>")
+  private val MetaTag = java.util.regex.Pattern.compile("(?is)<meta\\b[^>]*>")
+  private val LinkTag = java.util.regex.Pattern.compile("(?is)<link\\b[^>]*>")
+  private val MetaContainers = Seq("script", "style", "noscript", "template", "svg")
+
+  def jsonLdList(html: String): Seq[String] = {
+    val s = HtmlText.Comment.matcher(html).replaceAll(" ")
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    val m = ScriptBlock.matcher(s)
+    while (m.find()) {
+      val typ = HtmlText.attr("<script" + m.group(1) + ">", "type")
+      if (typ != null &&
+          typ.trim.equalsIgnoreCase("application/ld+json")) {
+        val body = m.group(2).trim
+        if (body.nonEmpty) out += body
+      }
+    }
+    out.toSeq
+  }
+
+  def metaPropsList(html: String): Seq[(String, String)] = {
+    var s = HtmlText.Comment.matcher(html).replaceAll(" ")
+    MetaContainers.foreach { c => s = HtmlText.dropContainer(s, c) }
+    val out = new scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val m = MetaTag.matcher(s)
+    while (m.find()) {
+      val tag = m.group(0)
+      val key = {
+        val p = HtmlText.attr(tag, "property")
+        if (p != null) p else HtmlText.attr(tag, "name")
+      }
+      val content = HtmlText.attr(tag, "content")
+      if (key != null && content != null) {
+        val k = HtmlText.decodeEntities(key).trim.toLowerCase(java.util.Locale.ROOT)
+        if (k.nonEmpty)
+          out += ((k, HtmlText.decodeEntities(content).trim))
+      }
+    }
+    out.toSeq
+  }
+
+  def hreflangList(html: String): Seq[(String, String)] = {
+    var s = HtmlText.Comment.matcher(html).replaceAll(" ")
+    MetaContainers.foreach { c => s = HtmlText.dropContainer(s, c) }
+    val out = new scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val m = LinkTag.matcher(s)
+    while (m.find()) {
+      val tag = m.group(0)
+      val rel = HtmlText.attr(tag, "rel")
+      val isAlt = rel != null && rel.trim.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").contains("alternate")
+      if (isAlt) {
+        val lang = HtmlText.attr(tag, "hreflang")
+        val href = HtmlText.attr(tag, "href")
+        if (lang != null && href != null) {
+          val h = HtmlText.decodeEntities(href).trim
+          if (h.nonEmpty)
+            out += ((lang.trim.toLowerCase(java.util.Locale.ROOT), h))
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  // ------------------------------------------- UTF8String/InternalRow glue
+
+  def jsonLd(html: UTF8String): ArrayData =
+    new GenericArrayData(
+      jsonLdList(html.toString).map(UTF8String.fromString).toArray[Any])
+
+  def metaProps(html: UTF8String): ArrayData =
+    new GenericArrayData(metaPropsList(html.toString).map { case (k, v) =>
+      InternalRow(UTF8String.fromString(k), UTF8String.fromString(v))
+    }.toArray[Any])
+
+  def hreflang(html: UTF8String): ArrayData =
+    new GenericArrayData(hreflangList(html.toString).map { case (l, h) =>
+      InternalRow(UTF8String.fromString(l), UTF8String.fromString(h))
+    }.toArray[Any])
+}
+
+/** `graft_jsonld(html: string) -> array<string>` — raw JSON-LD payloads
+  * in document order (see [[HtmlMeta.jsonLdList]]); pair with
+  * `get_json_object`/`from_json` downstream.
+  */
+case class GraftJsonLd(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_jsonld requires string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_jsonld"
+  override def nullSafeEval(html: Any): Any =
+    HtmlMeta.jsonLd(html.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.HtmlMeta.jsonLd($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_meta_props(html: string) -> array<struct<key, content>>` —
+  * OpenGraph/named meta properties (see [[HtmlMeta.metaPropsList]]).
+  */
+case class GraftMetaProps(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_meta_props requires string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("content", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_meta_props"
+  override def nullSafeEval(html: Any): Any =
+    HtmlMeta.metaProps(html.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.HtmlMeta.metaProps($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_hreflang(html: string) -> array<struct<lang, href>>` — the
+  * page's declared language alternates (see [[HtmlMeta.hreflangList]]).
+  */
+case class GraftHreflang(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_hreflang requires string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("lang", StringType, nullable = false),
+    StructField("href", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_hreflang"
+  override def nullSafeEval(html: Any): Any =
+    HtmlMeta.hreflang(html.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.HtmlMeta.hreflang($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -44,7 +44,7 @@ object HtmlText {
   private val BlockTag = java.util.regex.Pattern.compile(
     "(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|section|article|aside|nav|header|footer|main|blockquote|pre|form|hr|dl|dt|dd)\\b[^>]*>")
 
-  private val Comment = java.util.regex.Pattern.compile("(?s)<!--.*?-->")
+  private[functions] val Comment = java.util.regex.Pattern.compile("(?s)<!--.*?-->")
   private val AnyTag = java.util.regex.Pattern.compile("(?s)<[^>]*>")
   private val Anchor = java.util.regex.Pattern.compile("(?is)<a\\b[^>]*>(.*?)</a\\s*>")
   private val Entity = java.util.regex.Pattern.compile("&(#[xX]?[0-9a-fA-F]+|[a-zA-Z]+);")
@@ -53,7 +53,7 @@ object HtmlText {
   /** Drop every `<name ...>...</name>` container, case-insensitive;
     * unterminated containers drop to end-of-input.
     */
-  private def dropContainer(html: String, name: String): String = {
+  private[functions] def dropContainer(html: String, name: String): String = {
     val lower = html.toLowerCase(java.util.Locale.ROOT)
     val open = "<" + name
     val close = "</" + name
@@ -185,7 +185,7 @@ object HtmlText {
 
   private val LinkTag = java.util.regex.Pattern.compile("(?is)<link\\b[^>]*>")
   private val MetaTag = java.util.regex.Pattern.compile("(?is)<meta\\b[^>]*>")
-  private def attr(tag: String, name: String): String = {
+  private[functions] def attr(tag: String, name: String): String = {
     val m = java.util.regex.Pattern.compile(
       "(?is)\\b" + name + "\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+))").matcher(tag)
     if (!m.find()) null

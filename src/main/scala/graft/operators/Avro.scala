@@ -1,0 +1,477 @@
+package graft.operators
+
+/** Avro Object Container File (OCF) reader and writer twin, dependency-
+  * free, per the published specification (avro.apache.org/docs/1.12.1/
+  * specification/): magic `Obj\x01`, the file-metadata map (avro.schema
+  * JSON + avro.codec), a 16-byte sync marker, then data blocks of
+  * [zigzag-varint row count, byte size, payload, sync marker].
+  *
+  * Schema contract (documented, not hidden): a RECORD of primitive
+  * fields — null/boolean/int/long/float/double/bytes/string — each
+  * optionally nullable via the `["null", T]` / `[T, "null"]` union
+  * idiom. Nested records/arrays/maps/enums/fixed are out of contract:
+  * the reader returns None rather than guessing (the WebP-VP8 pattern).
+  * That subset covers the tabular event/feature shards data pipelines
+  * actually exchange as `.avro`.
+  *
+  * Codecs: `null`, `deflate` (raw RFC 1951, Inflater nowrap), and
+  * `snappy` (one raw snappy block + 4-byte big-endian CRC32 of the
+  * UNCOMPRESSED block — the spec's snappy framing), decoded by the
+  * sibling [[Snappy]] kernel.
+  *
+  * Contracts as everywhere in this repo: malformed/truncated/sync-
+  * mismatched input → None (never a partial table), growth capped.
+  * Interop is pinned LIVE in AvroSpec against avro-java 1.12 (on the
+  * Spark classpath) both directions, all three codecs.
+  */
+object Avro {
+
+  val MaxBytes: Int = 1 << 30
+
+  // --------------------------------------------------------- schema model
+
+  sealed trait PrimType
+  case object ANull extends PrimType
+  case object ABoolean extends PrimType
+  case object AInt extends PrimType
+  case object ALong extends PrimType
+  case object AFloat extends PrimType
+  case object ADouble extends PrimType
+  case object ABytes extends PrimType
+  case object AString extends PrimType
+
+  /** One record field: name, primitive type, nullable (via null union),
+    * and — when nullable — whether `null` is the FIRST union branch
+    * (branch indices are positional in the wire format).
+    */
+  final case class Field(name: String, tpe: PrimType, nullable: Boolean,
+                         nullFirst: Boolean)
+
+  final case class Schema(recordName: String, fields: Seq[Field])
+
+  // --------------------------------------------------- minimal JSON reader
+
+  /** Minimal JSON parser for schema documents (objects/arrays/strings/
+    * numbers/true/false/null) — the schema layer needs nothing more and
+    * the driver keeps zero parser dependencies.
+    */
+  private[operators] def parseJson(s: String): Option[Any] = {
+    val it = new JsonCursor(s)
+    val v = it.value()
+    it.ws()
+    if (v == JsonCursor.Bad || !it.atEnd) None else Some(v)
+  }
+
+  private object JsonCursor { val Bad = new Object }
+  private final class JsonCursor(s: String) {
+    private var i = 0
+    def atEnd: Boolean = i >= s.length
+    def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    private def fail: Any = { i = s.length + 1; JsonCursor.Bad }
+    def value(): Any = {
+      ws()
+      if (i >= s.length) return fail
+      s.charAt(i) match {
+        case '{' =>
+          i += 1
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+          ws()
+          if (i < s.length && s.charAt(i) == '}') { i += 1; return m }
+          var ok = true
+          while (ok) {
+            ws()
+            str() match {
+              case k: String =>
+                ws()
+                if (i >= s.length || s.charAt(i) != ':') return fail
+                i += 1
+                val v = value()
+                if (v == JsonCursor.Bad) return fail
+                m(k) = v
+                ws()
+                if (i < s.length && s.charAt(i) == ',') i += 1
+                else if (i < s.length && s.charAt(i) == '}') { i += 1; ok = false }
+                else return fail
+              case _ => return fail
+            }
+          }
+          m
+        case '[' =>
+          i += 1
+          val a = scala.collection.mutable.ArrayBuffer.empty[Any]
+          ws()
+          if (i < s.length && s.charAt(i) == ']') { i += 1; return a }
+          var ok = true
+          while (ok) {
+            val v = value()
+            if (v == JsonCursor.Bad) return fail
+            a += v
+            ws()
+            if (i < s.length && s.charAt(i) == ',') i += 1
+            else if (i < s.length && s.charAt(i) == ']') { i += 1; ok = false }
+            else return fail
+          }
+          a
+        case '"' => str()
+        case 't' =>
+          if (s.startsWith("true", i)) { i += 4; java.lang.Boolean.TRUE } else fail
+        case 'f' =>
+          if (s.startsWith("false", i)) { i += 5; java.lang.Boolean.FALSE } else fail
+        case 'n' =>
+          if (s.startsWith("null", i)) { i += 4; null } else fail
+        case c if c == '-' || c.isDigit =>
+          val start = i
+          if (c == '-') i += 1
+          while (i < s.length && (s.charAt(i).isDigit || "+-.eE".indexOf(s.charAt(i)) >= 0)) i += 1
+          try java.lang.Double.valueOf(s.substring(start, i))
+          catch { case _: NumberFormatException => fail }
+        case _ => fail
+      }
+    }
+    def str(): Any = {
+      if (i >= s.length || s.charAt(i) != '"') return fail
+      i += 1
+      val sb = new java.lang.StringBuilder()
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '"' => i += 1; return sb.toString
+          case '\\' =>
+            if (i + 1 >= s.length) return fail
+            s.charAt(i + 1) match {
+              case '"' => sb.append('"'); i += 2
+              case '\\' => sb.append('\\'); i += 2
+              case '/' => sb.append('/'); i += 2
+              case 'b' => sb.append('\b'); i += 2
+              case 'f' => sb.append('\f'); i += 2
+              case 'n' => sb.append('\n'); i += 2
+              case 'r' => sb.append('\r'); i += 2
+              case 't' => sb.append('\t'); i += 2
+              case 'u' =>
+                if (i + 6 > s.length) return fail
+                try sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+                catch { case _: NumberFormatException => return fail }
+                i += 6
+              case _ => return fail
+            }
+          case c => sb.append(c); i += 1
+        }
+      }
+      fail
+    }
+  }
+
+  private def primOf(name: String): Option[PrimType] = name match {
+    case "null" => Some(ANull)
+    case "boolean" => Some(ABoolean)
+    case "int" => Some(AInt)
+    case "long" => Some(ALong)
+    case "float" => Some(AFloat)
+    case "double" => Some(ADouble)
+    case "bytes" => Some(ABytes)
+    case "string" => Some(AString)
+    case _ => None
+  }
+
+  /** Parse the schema JSON into the supported subset; None when the
+    * document is not a flat record of (optionally null-union) primitives.
+    */
+  def parseSchema(json: String): Option[Schema] = parseJson(json).flatMap {
+    case m: scala.collection.mutable.LinkedHashMap[_, _] =>
+      val obj = m.asInstanceOf[scala.collection.mutable.LinkedHashMap[String, Any]]
+      if (obj.get("type") != Some("record")) return None
+      val name = obj.get("name") match { case Some(s: String) => s; case _ => return None }
+      val fieldsJson = obj.get("fields") match {
+        case Some(a: scala.collection.mutable.ArrayBuffer[_]) => a
+        case _ => return None
+      }
+      val fields = fieldsJson.map {
+        case fm: scala.collection.mutable.LinkedHashMap[_, _] =>
+          val f = fm.asInstanceOf[scala.collection.mutable.LinkedHashMap[String, Any]]
+          val fname = f.get("name") match { case Some(s: String) => s; case _ => return None }
+          f.get("type") match {
+            case Some(t: String) =>
+              primOf(t) match {
+                case Some(p) if p != ANull => Field(fname, p, nullable = false, nullFirst = false)
+                case Some(ANull) => Field(fname, ANull, nullable = false, nullFirst = false)
+                case _ => return None
+              }
+            case Some(u: scala.collection.mutable.ArrayBuffer[_]) =>
+              val names = u.map { case s: String => s; case _ => return None }.toSeq
+              if (names.length != 2 || !names.contains("null")) return None
+              val other = names.filter(_ != "null") match {
+                case Seq(o) => o; case _ => return None
+              }
+              primOf(other) match {
+                case Some(p) if p != ANull =>
+                  Field(fname, p, nullable = true, nullFirst = names.head == "null")
+                case _ => return None
+              }
+            case _ => return None // nested record/array/map/enum: out of contract
+          }
+        case _ => return None
+      }.toSeq
+      Some(Schema(name, fields))
+    case _ => None
+  }
+
+  // -------------------------------------------------------- wire decoding
+
+  private final class Reader(b: Array[Byte], var pos: Int, val end: Int) {
+    def ok: Boolean = pos <= end
+    def u8(): Int = { val v = b(pos) & 0xff; pos += 1; v }
+    def varLong(): Long = {
+      var v = 0L
+      var shift = 0
+      var more = true
+      while (more) {
+        if (pos >= end || shift > 63) { pos = end + 1; return 0L }
+        val x = b(pos) & 0xff
+        pos += 1
+        v |= (x & 0x7fL) << shift
+        shift += 7
+        more = (x & 0x80) != 0
+      }
+      (v >>> 1) ^ -(v & 1) // zigzag
+    }
+    def take(n: Int): Array[Byte] = {
+      if (n < 0 || pos + n > end) { pos = end + 1; Array.emptyByteArray }
+      else { val r = java.util.Arrays.copyOfRange(b, pos, pos + n); pos += n; r }
+    }
+  }
+
+  private def decodeValue(r: Reader, tpe: PrimType): Any = tpe match {
+    case ANull => null
+    case ABoolean => r.u8() == 1
+    case AInt => r.varLong().toInt
+    case ALong => r.varLong()
+    case AFloat =>
+      val b = r.take(4)
+      if (b.length < 4) null
+      else java.lang.Float.intBitsToFloat(
+        (b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24))
+    case ADouble =>
+      val b = r.take(8)
+      if (b.length < 8) null
+      else {
+        var v = 0L
+        var k = 0
+        while (k < 8) { v |= (b(k) & 0xffL) << (8 * k); k += 1 }
+        java.lang.Double.longBitsToDouble(v)
+      }
+    case ABytes => r.take(r.varLong().toInt)
+    case AString => new String(r.take(r.varLong().toInt), "UTF-8")
+  }
+
+  final case class Ocf(schema: Schema, schemaJson: String, codec: String,
+                       rows: Seq[Array[Any]],
+                       blocks: Seq[(Long, Long, Long)]) // (offset, compLen, count)
+
+  private final case class Header(schema: Schema, schemaJson: String,
+                                  codec: String, sync: Array[Byte], bodyAt: Int)
+
+  private def readHeader(bytes: Array[Byte]): Option[Header] = {
+    if (bytes.length < 4 + 16 || bytes(0) != 'O' || bytes(1) != 'b' ||
+        bytes(2) != 'j' || bytes(3) != 1) return None
+    val r = new Reader(bytes, 4, bytes.length)
+    // file metadata map: blocks of (count, pairs), possibly negative-count
+    val meta = scala.collection.mutable.LinkedHashMap.empty[String, Array[Byte]]
+    var n = r.varLong()
+    while (n != 0) {
+      val abs = math.abs(n)
+      // a crafted count cannot cost more iterations than bytes exist
+      if (abs > bytes.length) return None
+      if (n < 0) r.varLong() // byte size of the block: present, unused
+      var k = 0L
+      while (k < abs) {
+        val key = new String(r.take(r.varLong().toInt), "UTF-8")
+        val v = r.take(r.varLong().toInt)
+        if (!r.ok) return None
+        meta(key) = v
+        k += 1
+      }
+      n = r.varLong()
+    }
+    if (!r.ok) return None
+    val schemaJson = meta.get("avro.schema").map(new String(_, "UTF-8"))
+      .getOrElse(return None)
+    val codec = meta.get("avro.codec").map(new String(_, "UTF-8")).getOrElse("null")
+    if (codec != "null" && codec != "deflate" && codec != "snappy") return None
+    val schema = parseSchema(schemaJson).getOrElse(return None)
+    if (r.pos + 16 > bytes.length) return None
+    val sync = java.util.Arrays.copyOfRange(bytes, r.pos, r.pos + 16)
+    Some(Header(schema, schemaJson, codec, sync, r.pos + 16))
+  }
+
+  /** Parse just the header's embedded schema — schema inference over a
+    * file PREFIX (the header sits in the first bytes; blocks may be cut
+    * off without harm here).
+    */
+  def readOcfHeaderSchema(bytes: Array[Byte]): Option[Schema] =
+    readHeader(bytes).map(_.schema)
+
+  /** Decode a whole OCF. None on any malformation: bad magic, unsupported
+    * schema or codec, a sync-marker mismatch, a block-count/size lie, a
+    * snappy-block CRC mismatch, truncation.
+    */
+  def readOcf(bytes: Array[Byte]): Option[Ocf] = {
+    val h = readHeader(bytes).getOrElse(return None)
+    val schema = h.schema
+    val schemaJson = h.schemaJson
+    val codec = h.codec
+    val sync = h.sync
+    val r = new Reader(bytes, h.bodyAt, bytes.length)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var total = 0L
+    while (r.pos < bytes.length) {
+      val blockOff = r.pos.toLong
+      val count = r.varLong()
+      val size = r.varLong()
+      if (!r.ok || count < 0 || size < 0 || size > MaxBytes ||
+          r.pos + size + 16 > bytes.length) return None
+      val raw = java.util.Arrays.copyOfRange(bytes, r.pos, r.pos + size.toInt)
+      r.pos += size.toInt
+      val syncHere = java.util.Arrays.copyOfRange(bytes, r.pos, r.pos + 16)
+      if (!java.util.Arrays.equals(sync, syncHere)) return None
+      r.pos += 16
+      val payload: Array[Byte] = codec match {
+        case "null" => raw
+        case "deflate" =>
+          val inf = new java.util.zip.Inflater(true)
+          inf.setInput(raw)
+          val out = new java.io.ByteArrayOutputStream(raw.length * 2)
+          val buf = new Array[Byte](8192)
+          try {
+            while (!inf.finished()) {
+              val k = inf.inflate(buf)
+              if (k == 0 && inf.needsInput()) return None // truncated
+              out.write(buf, 0, k)
+              if (out.size() > MaxBytes) return None
+            }
+          } catch { case _: java.util.zip.DataFormatException => return None }
+          finally inf.end()
+          out.toByteArray
+        case "snappy" =>
+          // spec: raw snappy block + 4-byte big-endian CRC32 of the data
+          if (raw.length < 4) return None
+          Snappy.decodeBlock(raw, 0, raw.length - 4) match {
+            case Some(d) =>
+              val crc = new java.util.zip.CRC32()
+              crc.update(d, 0, d.length)
+              val want = ((raw(raw.length - 4) & 0xffL) << 24) |
+                ((raw(raw.length - 3) & 0xffL) << 16) |
+                ((raw(raw.length - 2) & 0xffL) << 8) |
+                (raw(raw.length - 1) & 0xffL)
+              if (crc.getValue != want) return None
+              d
+            case None => return None
+          }
+      }
+      total += payload.length
+      if (total > MaxBytes) return None
+      // zero-byte rows (all-null schemas) are legal, so a size-0 block
+      // could CLAIM any count — cap row materialization (memory bomb)
+      if (count > payload.length.toLong.max(1L) * 8 || rows.size + count > (1L << 26))
+        return None
+      val br = new Reader(payload, 0, payload.length)
+      var k = 0L
+      while (k < count) {
+        val row = new Array[Any](schema.fields.length)
+        var f = 0
+        while (f < schema.fields.length) {
+          val fld = schema.fields(f)
+          row(f) =
+            if (!fld.nullable) decodeValue(br, fld.tpe)
+            else {
+              val branch = br.varLong()
+              val isNull = if (fld.nullFirst) branch == 0 else branch == 1
+              if (isNull) null else decodeValue(br, fld.tpe)
+            }
+          f += 1
+        }
+        if (!br.ok) return None
+        rows += row
+        k += 1
+      }
+      if (br.pos != payload.length) return None // size lie / trailing bytes
+      blocks += ((blockOff, (r.pos - blockOff).toLong, count))
+    }
+    Some(Ocf(schema, schemaJson, codec, rows.toSeq, blocks.toSeq))
+  }
+
+  // ------------------------------------------------------------ writer twin
+
+  private def writeZigzag(out: java.io.ByteArrayOutputStream, value: Long): Unit = {
+    var v = (value << 1) ^ (value >> 63)
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  private def encodeValue(out: java.io.ByteArrayOutputStream, tpe: PrimType,
+                          v: Any): Unit = tpe match {
+    case ANull =>
+    case ABoolean => out.write(if (v.asInstanceOf[Boolean]) 1 else 0)
+    case AInt => writeZigzag(out, v.asInstanceOf[Int].toLong)
+    case ALong => writeZigzag(out, v.asInstanceOf[Long])
+    case AFloat =>
+      val b = java.lang.Float.floatToIntBits(v.asInstanceOf[Float])
+      out.write(b & 0xff); out.write((b >> 8) & 0xff)
+      out.write((b >> 16) & 0xff); out.write((b >> 24) & 0xff)
+    case ADouble =>
+      val b = java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
+      var k = 0
+      while (k < 8) { out.write(((b >> (8 * k)) & 0xff).toInt); k += 1 }
+    case ABytes =>
+      val b = v.asInstanceOf[Array[Byte]]
+      writeZigzag(out, b.length.toLong); out.write(b, 0, b.length)
+    case AString =>
+      val b = v.asInstanceOf[String].getBytes("UTF-8")
+      writeZigzag(out, b.length.toLong); out.write(b, 0, b.length)
+  }
+
+  /** Render an OCF with the null codec and a DETERMINISTIC sync marker
+    * (md5 of the schema JSON — the format only requires the marker be
+    * consistent within the file; determinism keeps fixture extents
+    * arithmetic and reruns byte-identical). `rowsPerBlock` bounds block
+    * size the way real writers do.
+    */
+  def renderOcf(schemaJson: String, rows: Seq[Array[Any]],
+                rowsPerBlock: Int = 1000): Array[Byte] = {
+    val schema = parseSchema(schemaJson).getOrElse(
+      throw new IllegalArgumentException("unsupported schema"))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('O'); out.write('b'); out.write('j'); out.write(1)
+    val metaPairs = Seq(
+      "avro.schema" -> schemaJson.getBytes("UTF-8"),
+      "avro.codec" -> "null".getBytes("UTF-8"))
+    writeZigzag(out, metaPairs.length.toLong)
+    metaPairs.foreach { case (k, v) =>
+      val kb = k.getBytes("UTF-8")
+      writeZigzag(out, kb.length.toLong); out.write(kb, 0, kb.length)
+      writeZigzag(out, v.length.toLong); out.write(v, 0, v.length)
+    }
+    writeZigzag(out, 0L)
+    val sync = java.security.MessageDigest.getInstance("MD5")
+      .digest(schemaJson.getBytes("UTF-8"))
+    out.write(sync, 0, 16)
+    rows.grouped(rowsPerBlock).foreach { block =>
+      val body = new java.io.ByteArrayOutputStream()
+      block.foreach { row =>
+        schema.fields.zipWithIndex.foreach { case (f, i) =>
+          val v = row(i)
+          if (!f.nullable) encodeValue(body, f.tpe, v)
+          else if (v == null) writeZigzag(body, if (f.nullFirst) 0L else 1L)
+          else {
+            writeZigzag(body, if (f.nullFirst) 1L else 0L)
+            encodeValue(body, f.tpe, v)
+          }
+        }
+      }
+      writeZigzag(out, block.length.toLong)
+      writeZigzag(out, body.size().toLong)
+      body.writeTo(out)
+      out.write(sync, 0, 16)
+    }
+    out.toByteArray
+  }
+}

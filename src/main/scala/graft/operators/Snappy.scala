@@ -1,0 +1,287 @@
+package graft.operators
+
+/** Snappy decoder and writer twin, dependency-free, for all three layouts
+  * a data pipeline meets (specs: google/snappy format_description.txt and
+  * framing_format.txt; the Hadoop codec's block layout from its published
+  * stream format):
+  *
+  *  - RAW BLOCK: varint uncompressed length + literal/copy elements
+  *    (2-bit tags; 1-, 2- and 4-byte copy offsets; 60..63 extended
+  *    literal lengths). The layer inside parquet pages and both framings.
+  *  - FRAMING FORMAT (`.sz`): stream identifier chunk ("sNaPpY"),
+  *    compressed (0x00) and uncompressed (0x01) data chunks carrying a
+  *    masked CRC-32C of the UNCOMPRESSED data, padding (0xfe) and
+  *    skippable (0x80..0xfd) chunks. <= 65536 content bytes per chunk.
+  *  - HADOOP BLOCK FORMAT (`.snappy`): big-endian uncompressed-length +
+  *    per-sub-block big-endian compressed-length + raw snappy block,
+  *    repeated — the SequenceFile/codec layout.
+  *
+  * Contracts as in [[Zstd]]/[[Lz4]]: malformed/truncated → None, every
+  * CRC verified, growth capped (bomb defense), copies validated (offset
+  * 0 / beyond output rejected). The writer twins emit LITERAL-ONLY raw
+  * blocks (the stored-deflate trick) so shard extents are length
+  * arithmetic: a framed stored chunk costs exactly 8 + L bytes.
+  *
+  * Interop is pinned LIVE in SnappySpec against snappy-java 1.1.10 (on
+  * the Spark classpath) at all three layers, both directions — the same
+  * independent-validator standard as lz4-java for the LZ4 door.
+  */
+object Snappy {
+
+  val MaxBytes: Int = 1 << 30
+
+  // ------------------------------------------------------------ raw block
+
+  /** Decode one raw snappy block. None on malformation; output capped. */
+  def decodeBlock(src: Array[Byte], off: Int, len: Int): Option[Array[Byte]] = {
+    val end = off + len
+    if (len <= 0 || end > src.length) return None
+    // varint32 uncompressed length
+    var i = off
+    var declared = 0L
+    var shift = 0
+    var more = true
+    while (more) {
+      if (i >= end || shift > 28) return None
+      val b = src(i) & 0xff
+      declared |= (b & 0x7fL) << shift
+      shift += 7
+      i += 1
+      more = (b & 0x80) != 0
+    }
+    if (declared > MaxBytes) return None
+    val out = new Array[Byte](declared.toInt)
+    var o = 0
+    while (i < end) {
+      val tag = src(i) & 0xff
+      i += 1
+      (tag & 3) match {
+        case 0 => // literal
+          var n = (tag >>> 2) + 1
+          if (n > 60) {
+            val extra = n - 60 // 1..4 length bytes, little-endian
+            if (i + extra > end) return None
+            var v = 0L
+            var k = 0
+            while (k < extra) { v |= (src(i + k) & 0xffL) << (8 * k); k += 1 }
+            i += extra
+            if (v > MaxBytes) return None
+            n = v.toInt + 1
+          }
+          if (i + n > end || o + n > out.length) return None
+          System.arraycopy(src, i, out, o, n)
+          i += n; o += n
+        case c =>
+          var n = 0
+          var d = 0
+          c match {
+            case 1 => // 1-byte offset, len 4..11
+              if (i >= end) return None
+              n = ((tag >>> 2) & 7) + 4
+              d = ((tag >>> 5) << 8) | (src(i) & 0xff)
+              i += 1
+            case 2 => // 2-byte LE offset
+              if (i + 2 > end) return None
+              n = (tag >>> 2) + 1
+              d = (src(i) & 0xff) | ((src(i + 1) & 0xff) << 8)
+              i += 2
+            case _ => // 4-byte LE offset
+              if (i + 4 > end) return None
+              n = (tag >>> 2) + 1
+              val dl = (src(i) & 0xffL) | ((src(i + 1) & 0xffL) << 8) |
+                ((src(i + 2) & 0xffL) << 16) | ((src(i + 3) & 0xffL) << 24)
+              if (dl > MaxBytes) return None
+              d = dl.toInt
+              i += 4
+          }
+          if (d <= 0 || d > o || o + n > out.length) return None
+          var k = 0
+          val s = o - d
+          while (k < n) { out(o + k) = out(s + k); k += 1 } // overlap-safe
+          o += n
+      }
+    }
+    if (o != out.length) return None
+    Some(out)
+  }
+
+  /** Literal-only raw block (writer twin): varint length + literals.
+    * Byte cost is `varint(L) + ceil(L / 2^32-ish)`-free: one literal
+    * element per <= 2^32 run; for L <= 59 the element header is 1 byte,
+    * else 1 + lengthBytes.
+    */
+  def encodeBlockStored(payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(payload.length + 8)
+    var v = payload.length
+    while ((v & ~0x7f) != 0) { out.write((v & 0x7f) | 0x80); v >>>= 7 }
+    out.write(v)
+    var o = 0
+    while (o < payload.length) {
+      val n = payload.length - o
+      if (n <= 60) {
+        out.write(((n - 1) << 2))
+        out.write(payload, o, n)
+        o += n
+      } else {
+        // 2-byte extended length covers 65536; our callers chunk below that
+        val take = math.min(n, 65536)
+        out.write((61 << 2))
+        out.write((take - 1) & 0xff); out.write(((take - 1) >> 8) & 0xff)
+        out.write(payload, o, take)
+        o += take
+      }
+    }
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------- framing format
+
+  private val StreamId = Array[Byte](0xff.toByte, 6, 0, 0,
+    's'.toByte, 'N'.toByte, 'a'.toByte, 'P'.toByte, 'p'.toByte, 'Y'.toByte)
+
+  /** Masked CRC-32C per the framing spec (java.util.zip.CRC32C is the
+    * JDK's Castagnoli implementation).
+    */
+  def maskedCrc(b: Array[Byte], off: Int, len: Int): Int = {
+    val c = new java.util.zip.CRC32C()
+    c.update(b, off, len)
+    val crc = c.getValue.toInt
+    ((crc >>> 15) | (crc << 17)) + 0xa282ead8
+  }
+
+  final case class FramedChunk(chunk: Int, offset: Long, compLen: Long,
+                               data: Array[Byte])
+
+  /** Walk a framed (.sz) stream: data chunks out (decoded + CRC-checked),
+    * stream identifiers / padding / skippable chunks skipped, reserved
+    * UNskippable chunk types (0x02..0x7f) and any corruption → None.
+    * A valid stream must LEAD with the identifier chunk.
+    */
+  def parseFramed(bytes: Array[Byte]): Option[Seq[FramedChunk]] = {
+    if (bytes.length < 10 ||
+        !java.util.Arrays.equals(bytes, 0, 10, StreamId, 0, 10)) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[FramedChunk]
+    var pos = 10
+    var chunk = 0
+    var total = 0L
+    while (pos < bytes.length) {
+      if (pos + 4 > bytes.length) return None
+      val typ = bytes(pos) & 0xff
+      val n = (bytes(pos + 1) & 0xff) | ((bytes(pos + 2) & 0xff) << 8) |
+        ((bytes(pos + 3) & 0xff) << 16)
+      if (pos + 4 + n > bytes.length) return None
+      typ match {
+        case 0x00 | 0x01 => // compressed | uncompressed data
+          if (n < 4) return None
+          val crc = (bytes(pos + 4) & 0xff) | ((bytes(pos + 5) & 0xff) << 8) |
+            ((bytes(pos + 6) & 0xff) << 16) | ((bytes(pos + 7) & 0xff) << 24)
+          val data =
+            if (typ == 0x01) {
+              if (n - 4 > 65536) return None
+              java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 4 + n)
+            } else decodeBlock(bytes, pos + 8, n - 4) match {
+              case Some(d) if d.length <= 65536 => d
+              case _ => return None
+            }
+          if (maskedCrc(data, 0, data.length) != crc) return None
+          total += data.length
+          if (total > MaxBytes) return None
+          out += FramedChunk(chunk, pos.toLong, (4 + n).toLong, data)
+          chunk += 1
+        case 0xff => // another stream identifier (concatenation): fine
+          if (n != 6) return None
+        case t if t >= 0x80 && t <= 0xfe => // skippable (incl. padding)
+        case _ => return None // reserved UNskippable
+      }
+      pos += 4 + n
+    }
+    Some(out.toSeq)
+  }
+
+  def decodeFramed(bytes: Array[Byte]): Option[Array[Byte]] =
+    parseFramed(bytes).map { chunks =>
+      val out = new java.io.ByteArrayOutputStream()
+      chunks.foreach(c => out.write(c.data))
+      out.toByteArray
+    }
+
+  /** Writer twin: one UNCOMPRESSED (0x01) chunk per part (<= 65536 each),
+    * real masked CRC-32C — extents are length arithmetic: part i starts
+    * at 10 + sum(8 + L_j for j < i) and costs 8 + L_i on disk
+    * (4 header + 4 crc + L).
+    */
+  def renderFramed(parts: Seq[Array[Byte]]): Array[Byte] = {
+    require(parts.forall(_.length <= 65536),
+      "framed stored chunks carry at most 65536 bytes each")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(StreamId, 0, StreamId.length)
+    parts.foreach { p =>
+      val n = p.length + 4
+      out.write(0x01)
+      out.write(n & 0xff); out.write((n >> 8) & 0xff); out.write((n >> 16) & 0xff)
+      val crc = maskedCrc(p, 0, p.length)
+      out.write(crc & 0xff); out.write((crc >> 8) & 0xff)
+      out.write((crc >> 16) & 0xff); out.write((crc >> 24) & 0xff)
+      out.write(p, 0, p.length)
+    }
+    out.toByteArray
+  }
+
+  // --------------------------------------------------- hadoop block format
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  /** Decode the Hadoop snappy codec stream: repeated [BE32 uncompressed
+    * block length, then sub-blocks of BE32 compressed length + raw snappy
+    * block] until EOF. None on malformation or a length lie.
+    */
+  def decodeHadoop(bytes: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var pos = 0
+    while (pos < bytes.length) {
+      if (pos + 4 > bytes.length) return None
+      val blockLen = be32(bytes, pos)
+      if (blockLen > MaxBytes || out.size().toLong + blockLen > MaxBytes) return None
+      pos += 4
+      var got = 0L
+      while (got < blockLen) {
+        if (pos + 4 > bytes.length) return None
+        val compLen = be32(bytes, pos)
+        pos += 4
+        if (compLen <= 0 || pos + compLen > bytes.length) return None
+        decodeBlock(bytes, pos, compLen.toInt) match {
+          case Some(d) =>
+            out.write(d, 0, d.length)
+            got += d.length
+            pos += compLen.toInt
+          case None => return None
+        }
+      }
+      if (got != blockLen) return None
+    }
+    Some(out.toByteArray)
+  }
+
+  /** Writer twin for the Hadoop layout: one block, stored sub-blocks of
+    * <= 65536 bytes.
+    */
+  def renderHadoop(payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(payload.length + 64)
+    def w32be(v: Int): Unit = {
+      out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff)
+      out.write((v >> 8) & 0xff); out.write(v & 0xff)
+    }
+    w32be(payload.length)
+    var o = 0
+    while (o < payload.length) {
+      val n = math.min(65536, payload.length - o)
+      val enc = encodeBlockStored(java.util.Arrays.copyOfRange(payload, o, o + n))
+      w32be(enc.length)
+      out.write(enc, 0, enc.length)
+      o += n
+    }
+    out.toByteArray
+  }
+}

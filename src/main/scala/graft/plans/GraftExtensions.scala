@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftBpeEncode, GraftBpeEncodeBytes, GraftCanonUrl, GraftCdcChunks, GraftExtractAnchors, GraftExtractLinks, GraftExtractText, GraftFeedEntries, GraftFixText, GraftLshBuckets, GraftLutSum, GraftMinHash, GraftNormalize, GraftPageDirectives, GraftRobotsCrawlDelay, GraftRobotsMatch, GraftRobotsRules, GraftRobotsSitemaps, GraftRobotsWildRules, GraftSimHash, GraftSimHashMd5, GraftSitemapEntries, GraftWinnow, GraftWinnowMd5}
+import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftBpeEncode, GraftBpeEncodeBytes, GraftCanonUrl, GraftCdcChunks, GraftExtractAnchors, GraftExtractLinks, GraftExtractText, GraftEtld1, GraftFeedEntries, GraftFixText, GraftHreflang, GraftJsonLd, GraftLshBuckets, GraftLutSum, GraftMetaProps, GraftMinHash, GraftNormalize, GraftPageDirectives, GraftRobotsCrawlDelay, GraftRobotsMatch, GraftRobotsRules, GraftRobotsSitemaps, GraftRobotsWildRules, GraftSimHash, GraftSimHashMd5, GraftSitemapEntries, GraftWinnow, GraftWinnowMd5}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (see [[graft.GraftSession]]): injects the engine's native expressions
@@ -89,6 +89,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_extract_anchors"),
       new ExpressionInfo(classOf[GraftExtractAnchors].getName, "graft_extract_anchors"),
       (children: Seq[Expression]) => GraftExtractAnchors(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jsonld"),
+      new ExpressionInfo(classOf[GraftJsonLd].getName, "graft_jsonld"),
+      (children: Seq[Expression]) => GraftJsonLd(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_meta_props"),
+      new ExpressionInfo(classOf[GraftMetaProps].getName, "graft_meta_props"),
+      (children: Seq[Expression]) => GraftMetaProps(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hreflang"),
+      new ExpressionInfo(classOf[GraftHreflang].getName, "graft_hreflang"),
+      (children: Seq[Expression]) => GraftHreflang(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_etld1"),
+      new ExpressionInfo(classOf[GraftEtld1].getName, "graft_etld1"),
+      (children: Seq[Expression]) => GraftEtld1(children(0))))
     ext.injectFunction((
       new FunctionIdentifier("graft_sitemap_entries"),
       new ExpressionInfo(classOf[GraftSitemapEntries].getName, "graft_sitemap_entries"),

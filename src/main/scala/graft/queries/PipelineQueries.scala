@@ -132,6 +132,42 @@ object PipelineQueries extends QuerySet {
         "WARC-Date" -> "2026-01-01T00:00:00Z"), msg)
     }
 
+  /** The charset-sniffing fixture (q229): one record per HTML5 encoding-
+    * sniffing branch — header-declared UTF-8 and windows-1252, meta-
+    * prescan windows-1252, a UTF-16LE BOM, the spec's meta-utf-16→UTF-8
+    * remap, and a UTF-8 BOM beating a lying meta. Bodies are encoded in
+    * the charset under test; the oracle restates the decoded text (and
+    * the reported charset name) from the same formulas.
+    */
+  private def charsetOracleRecords: Seq[(Seq[(String, String)], Array[Byte])] =
+    (0 until 18).map { i =>
+      val base = s"page $i café ${i % 7}"
+      val w1252 = java.nio.charset.Charset.forName("windows-1252")
+      val (ct, body) = i % 6 match {
+        case 0 => ("text/html; charset=utf-8", base.getBytes("UTF-8"))
+        case 1 => ("text/html; charset=windows-1252", base.getBytes(w1252))
+        case 2 => ("text/html",
+          s"<html><head><meta charset=windows-1252></head><body>$base</body></html>"
+            .getBytes(w1252))
+        case 3 => ("text/html",
+          Array[Byte](0xff.toByte, 0xfe.toByte) ++ base.getBytes("UTF-16LE"))
+        case 4 => ("text/html",
+          (s"""<html><head><meta http-equiv="Content-Type" content="text/html; charset=utf-16">""" +
+            s"</head><body>$base</body></html>").getBytes("UTF-8"))
+        case _ => ("text/html",
+          Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+            (s"""<html><head><meta charset="windows-1252"></head><body>$base</body></html>""")
+              .getBytes("UTF-8"))
+      }
+      val msg = graft.sources.Warc.renderHttp(200, "OK",
+        Seq("Content-Type" -> ct, "Content-Length" -> body.length.toString), body)
+      (Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:uuid:cs-$i>",
+        "WARC-Target-URI" -> s"http://example.com/cs/$i",
+        "WARC-Date" -> "2026-01-01T00:00:00Z"), msg)
+    }
+
   /** The WAT fixture (q218): Common Crawl's metadata sibling — a leading
     * `warcinfo` record, then 12 `metadata` records whose payloads are
     * the published JSON envelope (WARC-Header-Metadata target URI +
@@ -2529,6 +2565,146 @@ object PipelineQueries extends QuerySet {
         .orderBy("url")
     }),
 
+    // The structured-data layer beside q154's directives and q128's prose:
+    // JSON-LD blocks surfaced RAW and interpreted declaratively with
+    // get_json_object (the WAT-door pattern), OpenGraph/named meta
+    // properties, and hreflang alternates. Traps planted per page: a
+    // commented-out ld+json block and og:title, a typeless script holding
+    // JSON-looking text, a content-less og: meta, a stylesheet link and an
+    // RSS alternate WITHOUT hreflang — all must stay invisible. Type-attr
+    // spelling rotates double/single/unquoted and case; entities decode in
+    // meta content. The oracle rebuilds every field from the page formula.
+    "q226_structured_data" -> ((s, dir) => {
+      import s.implicits._
+      val pages = (0 until 30).map { i =>
+        val typeAttr = i % 3 match {
+          case 0 => "type=\"application/ld+json\""
+          case 1 => "type='application/LD+JSON'"
+          case _ => "type=application/ld+json"
+        }
+        val ld = s"""<script $typeAttr>{"@type":"Article","headline":"Article $i","wordCount":${100 + i * 7}}</script>"""
+        val fr = if (i % 2 == 0)
+          s"<link rel='alternate' hreflang='FR' href='https://ex.test/fr/$i'>" else ""
+        val de = if (i % 3 == 0)
+          s"""<link rel="alternate" hreflang="de" href="https://ex.test/de/$i">""" else ""
+        (i.toLong,
+          "<html><head>" + ld +
+          s"""<meta property="og:title" content="OG Title &amp; $i">""" +
+          "<meta property='og:type' content='article'>" +
+          s"""<meta name="description" content="Desc $i">""" +
+          "<meta property=\"og:ghost\">" +
+          s"""<link rel="alternate" hreflang="en" href="https://ex.test/en/$i">""" +
+          fr + de +
+          "<link rel=\"stylesheet\" href=\"/s.css\">" +
+          "<link rel='alternate' type='application/rss+xml' href='/feed.xml'>" +
+          "<!-- <script type=\"application/ld+json\">{\"@type\":\"Ghost\"}</script> -->" +
+          "<!-- <meta property=\"og:title\" content=\"ghost\"> -->" +
+          "<script>var x = '{\"@type\":\"NotLd\"}';</script>" +
+          s"</head><body><p>body $i</p></body></html>")
+      }.toDF("page_id", "html")
+      pages.select(col("page_id"),
+          expr("element_at(graft_jsonld(html), 1)").as("ld"),
+          expr("graft_meta_props(html)").as("mp"),
+          expr("graft_hreflang(html)").as("hl"))
+        .select(col("page_id"),
+          expr("get_json_object(ld, \"$['@type']\")").as("ld_type"),
+          expr("get_json_object(ld, '$.headline')").as("headline"),
+          expr("get_json_object(ld, '$.wordCount')").cast("long").as("word_count"),
+          expr("filter(mp, x -> x.key = 'og:title')[0].content").as("og_title"),
+          expr("size(filter(mp, x -> startswith(x.key, 'og:')))").as("og_count"),
+          expr("filter(mp, x -> x.key = 'description')[0].content").as("description"),
+          expr("array_join(array_sort(transform(hl, x -> x.lang)), ',')").as("alt_langs"),
+          expr("size(hl)").as("alt_count"))
+        .orderBy("page_id")
+    }),
+
+    // Registrable-domain grouping (the PSL algorithm, graft_etld1): the
+    // per-SITE aggregation a raw-host groupBy gets wrong in both
+    // directions — www/news subdomains of one bbc-style site must merge,
+    // while sibling *.blogspot.com tenants must stay apart. URL formula
+    // exercises normal rules, 2-level registries (with a port), private
+    // registries at both subdomain depths, the *.ck wildcard, and the
+    // implicit default rule for unknown TLDs; the oracle replays the rule
+    // outcomes per formula branch and re-aggregates.
+    "q227_etld_sites" -> ((s, dir) => {
+      import s.implicits._
+      val urls = (0 until 60).map { i =>
+        i % 6 match {
+          case 0 => s"https://www.site${i % 10}.com/p/$i"
+          case 1 => s"https://news.site${i % 10}.co.uk:8080/$i"
+          case 2 => s"http://a${i % 5}.blogspot.com/post"
+          case 3 => s"https://x.a${i % 5}.blogspot.com/deep/$i"
+          case 4 => s"https://www.example.ck/$i"
+          case _ => s"https://host$i.unknowntld/x"
+        }
+      }.toDF("url")
+      urls.select(expr("graft_etld1(url)").as("e"))
+        .groupBy(col("e.domain").as("domain"))
+        .agg(min(col("e.suffix")).as("suffix"),
+          count(lit(1)).as("n_urls"))
+        .orderBy("domain")
+    }),
+
+    // The snappy framing-format door (q222's shape on `.sz`): writer-twin
+    // stored chunks with REAL masked CRC-32C, read through the DSv2
+    // source at chunk grain; extents are pure length arithmetic (chunk i
+    // costs 8 + L_i after the 10-byte stream identifier). Canonical
+    // interop (snappy-java raw/framed/hadoop layers, both directions) is
+    // pinned in SnappySpec.
+    "q228_snappy_shard_ingest" -> ((s, dir) => {
+      val f = fixture("snappy_oracle.sz") {
+        graft.operators.Snappy.renderFramed((0 until 20).map { i =>
+          (s"sz chunk $i " + "s" * (160 + (i * 43) % 150)).getBytes("US-ASCII")
+        })
+      }
+      graft.sources.SnappyShards.read(s, f)
+        .select(col("chunk"), col("offset"), col("comp_len"),
+          col("size"), col("data").cast("string").as("payload_text"))
+        .orderBy("chunk")
+    }),
+
+    // The HTML5 encoding-sniffing order in the WARC HTTP layer (WHATWG
+    // HTML §13.2.3.2): BOM > Content-Type charset > meta prescan of the
+    // first 1024 body bytes > UTF-8 — without it, every page that
+    // declares its charset only in markup (the long tail of the non-UTF-8
+    // web) decodes to mojibake. One record per branch, including the
+    // spec's meta-utf-16→UTF-8 remap and a UTF-8 BOM beating a lying
+    // meta; bodies are ENCODED in the charset under test and the oracle
+    // restates the decoded texts.
+    "q229_charset_sniff" -> ((s, dir) => {
+      val f = fixture("charset_oracle.warc.gz") {
+        graft.sources.Warc.renderGzip(charsetOracleRecords)
+      }
+      graft.sources.Warc.httpResponses(graft.sources.Warc.read(s, f))
+        .select(col("ord"), col("charset"), col("text"))
+        .orderBy("ord")
+    }),
+
+    // The Avro OCF door — base Spark reads no `.avro` (spark-avro is a
+    // separate module); this source infers the table schema from the
+    // file's own embedded avro.schema and decodes the primitive-record
+    // subset (incl. both null-union branch orders). Writer-twin fixture
+    // (null codec, deterministic sync marker); values replay from the
+    // row formula — i/4 doubles are exact binary fractions, so the hash
+    // is engine-stable. Canonical interop (avro-java, all three codecs,
+    // both directions) is pinned in AvroSpec.
+    "q230_avro_ingest" -> ((s, dir) => {
+      val schemaJson =
+        """{"type":"record","name":"Ev","fields":[
+          |{"name":"id","type":"long"},
+          |{"name":"name","type":"string"},
+          |{"name":"score","type":"double"},
+          |{"name":"flag","type":"boolean"},
+          |{"name":"tag","type":["null","string"]}]}""".stripMargin
+      val f = fixture("avro_oracle.avro") {
+        graft.operators.Avro.renderOcf(schemaJson, (0 until 100).map { i =>
+          Array[Any](i.toLong, s"ev-$i", i / 4.0, i % 2 == 0,
+            if (i % 3 == 0) null else s"tag-$i")
+        }, rowsPerBlock = 32)
+      }
+      s.read.format("avroshard").load(f).orderBy("id")
+    }),
+
     // The EXIF door — capture time, camera, declared orientation: real
     // APP1/TIFF parsing (both byte orders, inline and offset value
     // fields, IFD0 + the Exif sub-IFD) on real JPEG bytes the pixel walk
@@ -4197,6 +4373,93 @@ object PipelineQueries extends QuerySet {
         |SELECT pb.url, CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS cms_count
         |FROM pb LEFT JOIN sk ON pb.d = sk.d AND pb.bucket = sk.bucket
         |GROUP BY pb.url ORDER BY pb.url""".stripMargin,
+    // structured data rebuilt from the page formula: the traps (commented
+    // blocks, typeless script, content-less meta, hreflang-less links)
+    // are invisible precisely because the oracle never mentions them
+    "q226_structured_data" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 29)) AS i)
+        |SELECT CAST(i AS BIGINT) AS page_id,
+        |  'Article' AS ld_type,
+        |  'Article ' || i AS headline,
+        |  CAST(100 + i * 7 AS BIGINT) AS word_count,
+        |  'OG Title & ' || i AS og_title,
+        |  CAST(2 AS INT) AS og_count,
+        |  'Desc ' || i AS description,
+        |  CASE WHEN i % 6 = 0 THEN 'de,en,fr'
+        |       WHEN i % 2 = 0 THEN 'en,fr'
+        |       WHEN i % 3 = 0 THEN 'de,en'
+        |       ELSE 'en' END AS alt_langs,
+        |  CAST(CASE WHEN i % 6 = 0 THEN 3
+        |            WHEN i % 2 = 0 OR i % 3 = 0 THEN 2
+        |            ELSE 1 END AS INT) AS alt_count
+        |FROM r ORDER BY page_id""".stripMargin,
+    // each formula branch's PSL outcome restated, then the same groupBy —
+    // wildcard, private-registry and default-rule branches included
+    "q227_etld_sites" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 59)) AS i),
+        |e AS (SELECT i,
+        |  CASE i % 6
+        |    WHEN 0 THEN 'site' || (i % 10) || '.com'
+        |    WHEN 1 THEN 'site' || (i % 10) || '.co.uk'
+        |    WHEN 2 THEN 'a' || (i % 5) || '.blogspot.com'
+        |    WHEN 3 THEN 'a' || (i % 5) || '.blogspot.com'
+        |    WHEN 4 THEN 'www.example.ck'
+        |    ELSE 'host' || i || '.unknowntld' END AS domain,
+        |  CASE i % 6
+        |    WHEN 0 THEN 'com'
+        |    WHEN 1 THEN 'co.uk'
+        |    WHEN 2 THEN 'blogspot.com'
+        |    WHEN 3 THEN 'blogspot.com'
+        |    WHEN 4 THEN 'example.ck'
+        |    ELSE 'unknowntld' END AS suffix
+        |FROM r)
+        |SELECT domain, MIN(suffix) AS suffix, CAST(COUNT(*) AS BIGINT) AS n_urls
+        |FROM e GROUP BY domain ORDER BY domain""".stripMargin,
+    // the snappy framed door: chunk payloads rebuilt from the string
+    // formula; comp_len pins the chunk framing (header 4 + crc 4 +
+    // payload) and offsets one cumulative sum after the 10-byte id
+    "q228_snappy_shard_ingest" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 19)) AS i),
+        |d AS (SELECT i, 'sz chunk ' || i || ' ' ||
+        |        repeat('s', 160 + (i * 43) % 150) AS payload FROM r),
+        |f AS (SELECT i, payload, length(payload) AS L,
+        |        length(payload) + 8 AS flen FROM d)
+        |SELECT CAST(i AS INT) AS chunk,
+        |  CAST(10 + COALESCE(SUM(flen) OVER (ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+        |  CAST(flen AS BIGINT) AS comp_len,
+        |  CAST(L AS BIGINT) AS size,
+        |  payload AS payload_text
+        |FROM f ORDER BY chunk""".stripMargin,
+    // every sniffing branch's decoded text and reported charset restated
+    // from the fixture formula — a wrong branch decodes mojibake (or
+    // keeps the BOM) and flips the hash
+    "q229_charset_sniff" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 17)) AS i),
+        |t AS (SELECT i, 'page ' || i || ' café ' || (i % 7) AS base FROM r)
+        |SELECT CAST(i AS BIGINT) AS ord,
+        |  CASE i % 6 WHEN 1 THEN 'windows-1252' WHEN 2 THEN 'windows-1252'
+        |             WHEN 3 THEN 'UTF-16LE' ELSE 'UTF-8' END AS charset,
+        |  CASE i % 6
+        |    WHEN 2 THEN '<html><head><meta charset=windows-1252></head><body>'
+        |      || base || '</body></html>'
+        |    WHEN 4 THEN '<html><head><meta http-equiv="Content-Type" content="text/html; charset=utf-16"></head><body>'
+        |      || base || '</body></html>'
+        |    WHEN 5 THEN '<html><head><meta charset="windows-1252"></head><body>'
+        |      || base || '</body></html>'
+        |    ELSE base
+        |  END AS text
+        |FROM t ORDER BY ord""".stripMargin,
+    // the avro door: every decoded value restated from the row formula
+    // (i/4 doubles are exact binary fractions — no rounding hazards)
+    "q230_avro_ingest" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 99)) AS i)
+        |SELECT CAST(i AS BIGINT) AS id,
+        |  'ev-' || i AS name,
+        |  CAST(i AS DOUBLE) / 4 AS score,
+        |  (i % 2 = 0) AS flag,
+        |  CASE WHEN i % 3 = 0 THEN NULL ELSE 'tag-' || i END AS tag
+        |FROM r ORDER BY id""".stripMargin,
     // the EXIF door: every surfaced field replayed from the tag formula;
     // the untagged rows pin the default path (orientation 1, NULLs)
     "q202_exif_metadata" ->

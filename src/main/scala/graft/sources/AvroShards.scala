@@ -1,0 +1,185 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.Avro
+
+/** Avro Object Container Files as a DataSource V2:
+  * `spark.read.format("avroshard").load(dir)` — the table schema is
+  * INFERRED from the first shard's embedded avro.schema (the format
+  * carries its own schema; that is the point of OCF), one task per file,
+  * column pruning projects fields out of each decoded row. Base Spark
+  * has no `.avro` reader (spark-avro is a separate module); this door
+  * covers the tabular primitive-record subset data pipelines actually
+  * ship — see [[graft.operators.Avro]] for the documented contract and
+  * the live avro-java interop pins.
+  */
+class AvroShardDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "avroshard"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    AvroShardDataSource.inferFrom(options.get("path"))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new AvroShardTable(properties.get("path"), schema)
+}
+
+object AvroShardDataSource {
+
+  private[sources] def sparkType(t: Avro.PrimType): DataType = t match {
+    case Avro.ABoolean => BooleanType
+    case Avro.AInt => IntegerType
+    case Avro.ALong => LongType
+    case Avro.AFloat => FloatType
+    case Avro.ADouble => DoubleType
+    case Avro.ABytes => BinaryType
+    case Avro.AString => StringType
+    case Avro.ANull => NullType
+  }
+
+  private[sources] def toStruct(s: Avro.Schema): StructType =
+    StructType(s.fields.map(f =>
+      StructField(f.name, sparkType(f.tpe), nullable = f.nullable)))
+
+  def listFiles(path: String, spark: SparkSession): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).filter(s => s.isFile &&
+          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        .map(s => fs.makeQualified(s.getPath).toString).sorted.toSeq
+    else Seq(fs.makeQualified(p).toString)
+  }
+
+  private[sources] def inferFrom(path: String): StructType = {
+    require(path != null, "avroshard source requires a path")
+    val spark = SparkSession.active
+    val first = listFiles(path, spark).headOption.getOrElse(
+      throw new IllegalArgumentException(s"avroshard: no files under $path"))
+    val p = new Path(first)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bytes = try {
+      val len = math.min(fs.getFileStatus(p).getLen, 1L << 20).toInt
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+    // the header (metadata map + schema) sits well inside the first MB;
+    // a failed parse here is a schema/format error worth surfacing loudly
+    Avro.readOcfHeaderSchema(bytes).map(toStruct).getOrElse(
+      throw new IllegalArgumentException(
+        s"avroshard: $first is not an OCF of the supported primitive-record subset"))
+  }
+}
+
+class AvroShardTable(path: String, schema0: StructType)
+    extends Table with SupportsRead {
+  require(path != null, "avroshard source requires a path")
+  override def name(): String = s"avroshard:$path"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new AvroShardScanBuilder(path, schema0)
+}
+
+class AvroShardScanBuilder(path: String, full: StructType) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new AvroShardScan(path, full, required)
+}
+
+class AvroShardScan(path: String, full: StructType, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  private val serConf = new SerializableHadoopConf(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    AvroShardDataSource.listFiles(path, SparkSession.active)
+      .map(f => AvroShardInputPartition(f): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AvroShardReaderFactory(full, required, serConf)
+}
+
+case class AvroShardInputPartition(file: String) extends InputPartition
+
+class AvroShardReaderFactory(full: StructType, required: StructType,
+                             conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new AvroShardPartitionReader(
+      partition.asInstanceOf[AvroShardInputPartition].file, full, required, conf)
+}
+
+class AvroShardPartitionReader(file: String, full: StructType,
+                               required: StructType, conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+
+  private val rows = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(conf.value)
+    val in = fs.open(p)
+    val bytes = try {
+      val len = fs.getFileStatus(p).getLen
+      require(len <= Int.MaxValue - 8,
+        s"avro shard $file is $len bytes; this source buffers whole shards " +
+          "(< 2 GB) — size shards for the task.")
+      val buf = new Array[Byte](len.toInt)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+    Avro.readOcf(bytes) match {
+      case Some(ocf) =>
+        require(AvroShardDataSource.toStruct(ocf.schema) == full,
+          s"avro shard $file schema differs from the inferred table schema")
+        ocf.rows.iterator
+      case None =>
+        // a malformed shard fails the TASK loudly — silently dropping a
+        // whole file's rows is the one thing a table reader may not do
+        throw new java.io.IOException(s"avro shard $file is malformed")
+    }
+  }
+
+  private val proj = UnsafeProjection.create(required)
+  private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.length)
+  private val fieldIdx = required.fields.map(f => full.fieldIndex(f.name))
+  private var current: Array[Any] = _
+
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+
+  override def get(): InternalRow = {
+    var i = 0
+    while (i < fieldIdx.length) {
+      val v = current(fieldIdx(i))
+      row.update(i, v match {
+        case s: String => UTF8String.fromString(s)
+        case other => other
+      })
+      i += 1
+    }
+    proj(row)
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,155 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Snappy framing-format shards as a DataSource V2:
+  * `spark.read.format("snappyframed").load(dir)` — one task per shard
+  * file, one row per data chunk; column pruning sizes stored chunks from
+  * headers alone. See [[SnappyShards]].
+  */
+class SnappyShardDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "snappyframed"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SnappyShardDataSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new SnappyShardTable(properties.get("path"))
+}
+
+object SnappyShardDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("chunk", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("comp_len", LongType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("data", BinaryType, nullable = true)))
+}
+
+class SnappyShardTable(path: String) extends Table with SupportsRead {
+  require(path != null, "snappyframed source requires a path")
+  override def name(): String = s"snappyframed:$path"
+  override def schema(): StructType = SnappyShardDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnappyShardScanBuilder(path)
+}
+
+/** Arriving `.sz` shards become micro-batches — the tar/zip/xz/zstd/lz4
+  * streaming parity; see [[FileSetMicroBatchStream]].
+  */
+class SnappyShardMicroBatchStream(path: String, required: StructType,
+                                  conf: SerializableHadoopConf)
+    extends FileSetMicroBatchStream(path, conf) {
+  override protected def partitionFor(file: String): InputPartition =
+    SnappyShardInputPartition(file)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnappyShardReaderFactory(required, conf)
+}
+
+class SnappyShardScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = SnappyShardDataSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new SnappyShardScan(path, required)
+}
+
+class SnappyShardScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  private val serConf = new SerializableHadoopConf(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(serConf.value)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.isFile &&
+            !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+          .map(s => fs.makeQualified(s.getPath).toString).sorted
+      else Array(fs.makeQualified(p).toString)
+    files.map(f => SnappyShardInputPartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnappyShardReaderFactory(required, serConf)
+
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new SnappyShardMicroBatchStream(path, required, serConf)
+}
+
+case class SnappyShardInputPartition(file: String) extends InputPartition
+
+class SnappyShardReaderFactory(required: StructType, conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new SnappyShardPartitionReader(
+      partition.asInstanceOf[SnappyShardInputPartition].file, required, conf)
+}
+
+class SnappyShardPartitionReader(file: String, required: StructType,
+                                 conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+
+  private val records = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(conf.value)
+    val in = fs.open(p)
+    val bytes = try {
+      val len = fs.getFileStatus(p).getLen
+      require(len <= Int.MaxValue - 8,
+        s"snappy shard $file is $len bytes; this source buffers whole shards " +
+          "(< 2 GB) — size shards for the task.")
+      val buf = new Array[Byte](len.toInt)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+    SnappyShards.parseFile(file, bytes,
+      withData = required.fieldNames.contains("data"))
+  }
+
+  private val proj = UnsafeProjection.create(required)
+  private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.length)
+  private val fieldIdx = required.fields.map(f =>
+    SnappyShardDataSource.schema.fieldIndex(f.name))
+  private var current: SnappyShards.SnappyMember = _
+
+  override def next(): Boolean =
+    if (records.hasNext) { current = records.next(); true } else false
+
+  override def get(): InternalRow = {
+    var i = 0
+    while (i < fieldIdx.length) {
+      row.update(i, fieldIdx(i) match {
+        case 0 => UTF8String.fromString(current.file)
+        case 1 => current.chunk
+        case 2 => current.offset
+        case 3 => current.compLen
+        case 4 => current.size
+        case 5 => current.data
+      })
+      i += 1
+    }
+    proj(row)
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Snappy
+
+/** Snappy framing-format (`.sz`) shard reading — the chunk-grain sibling
+  * of [[ZstdShards]]/[[Lz4Shards]]: one task per shard file, one row per
+  * DATA chunk (stream identifiers, padding and skippable chunks are
+  * invisible), and a listing fast path that sizes UNCOMPRESSED chunks
+  * from their header alone.
+  */
+object SnappyShards {
+
+  final case class SnappyMember(file: String, chunk: Int, offset: Long,
+                                compLen: Long, size: Long, data: Array[Byte])
+
+  /** Parse every data chunk of a framed shard; stops clean at the first
+    * malformed region (a shard not leading with the stream identifier
+    * yields nothing). `withData = false` still CRC-verifies compressed
+    * chunks (decode is the only way to size them) but sizes stored
+    * chunks from the header without touching their bytes.
+    */
+  def parseFile(file: String, bytes: Array[Byte],
+                withData: Boolean = true): Iterator[SnappyMember] = {
+    if (withData) {
+      Snappy.parseFramed(bytes) match {
+        case Some(chunks) => chunks.iterator.map(c =>
+          SnappyMember(file, c.chunk, c.offset, c.compLen,
+            c.data.length.toLong, c.data))
+        case None => Iterator.empty
+      }
+    } else {
+      // listing walk: stored (0x01) chunks cost zero decode work
+      val out = scala.collection.mutable.ArrayBuffer.empty[SnappyMember]
+      if (bytes.length < 10 || (bytes(0) & 0xff) != 0xff) return out.iterator
+      var pos = 0
+      var chunk = 0
+      var first = true
+      while (pos < bytes.length) {
+        if (pos + 4 > bytes.length) return out.iterator
+        val typ = bytes(pos) & 0xff
+        val n = (bytes(pos + 1) & 0xff) | ((bytes(pos + 2) & 0xff) << 8) |
+          ((bytes(pos + 3) & 0xff) << 16)
+        if (pos + 4 + n > bytes.length) return out.iterator
+        if (first && typ != 0xff) return out.iterator
+        first = false
+        typ match {
+          case 0x01 =>
+            if (n < 4 || n - 4 > 65536) return out.iterator
+            out += SnappyMember(file, chunk, pos.toLong, (4 + n).toLong,
+              (n - 4).toLong, null)
+            chunk += 1
+          case 0x00 =>
+            if (n < 4) return out.iterator
+            graft.operators.Snappy.decodeBlock(bytes, pos + 8, n - 4) match {
+              case Some(d) if d.length <= 65536 =>
+                out += SnappyMember(file, chunk, pos.toLong, (4 + n).toLong,
+                  d.length.toLong, null)
+                chunk += 1
+              case _ => return out.iterator
+            }
+          case 0xff => if (n != 6) return out.iterator
+          case t if t >= 0x80 && t <= 0xfe => // skippable
+          case _ => return out.iterator
+        }
+        pos += 4 + n
+      }
+      out.iterator
+    }
+  }
+
+  /** Full read through the DSv2 source:
+    * `spark.read.format("snappyframed").load(path)`.
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("snappyframed").load(path)
+}

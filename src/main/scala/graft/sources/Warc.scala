@@ -471,18 +471,64 @@ object Warc {
         // encoder exists in this container to pin interop — decision
         // record in COVERAGE.md, same shape as A21/Vorbis)
     }
-    // 3. charset from Content-Type (RFC 9110 §8.3); UTF-8 fallback
+    // 3. charset per the HTML5 encoding sniffing order (WHATWG HTML
+    // §13.2.3.2): BOM first, then Content-Type (RFC 9110 §8.3), then a
+    // meta prescan of the first 1024 body bytes; UTF-8 fallback (the
+    // repo's documented default — the spec's locale default is
+    // windows-1252, but a training pipeline wants the UTF-8 web's
+    // majority case when nothing is declared)
     val contentType = header("Content-Type").getOrElse("")
-    val csName = {
-      val m = java.util.regex.Pattern
-        .compile("(?i)charset\\s*=\\s*\"?([A-Za-z0-9._:\\-]+)\"?").matcher(contentType)
-      if (m.find()) m.group(1) else "UTF-8"
-    }
-    val cs = try java.nio.charset.Charset.forName(csName)
-             catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
+    val (cs, bomLen) = sniffCharset(contentType, body)
     // CharsetDecoder default REPLACE-on-malformed via new String(bytes, cs)
     Some(HttpResponse(status, headers.toSeq, contentType, cs.name(),
-      body, new String(body, cs)))
+      body, new String(body, bomLen, body.length - bomLen, cs)))
+  }
+
+  private val HeaderCharsetPat = java.util.regex.Pattern
+    .compile("(?i)charset\\s*=\\s*\"?([A-Za-z0-9._:\\-]+)\"?")
+  private val MetaCharsetPat = java.util.regex.Pattern
+    .compile("(?i)<meta[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9._:\\-]+)")
+  private val HtmlCommentPat = java.util.regex.Pattern.compile("(?s)<!--.*?-->")
+
+  /** (charset, BOM length to skip) for a body: the HTML5 sniffing order.
+    *  1. A byte-order mark wins over every declaration — UTF-8 / UTF-16LE
+    *     / UTF-16BE, and the BOM itself never reaches the text.
+    *  2. A valid Content-Type charset.
+    *  3. A meta prescan of the first 1024 bytes (read as latin-1,
+    *     comments stripped): `<meta charset=X>` and the http-equiv
+    *     `content="...; charset=X"` spelling both match; a meta-declared
+    *     utf-16 decodes as UTF-8 per the spec (bytes that prescan as
+    *     ASCII are evidently not UTF-16).
+    *  4. UTF-8.
+    */
+  private[sources] def sniffCharset(contentType: String,
+      body: Array[Byte]): (java.nio.charset.Charset, Int) = {
+    import java.nio.charset.StandardCharsets._
+    if (body.length >= 3 && (body(0) & 0xff) == 0xef &&
+        (body(1) & 0xff) == 0xbb && (body(2) & 0xff) == 0xbf)
+      return (UTF_8, 3)
+    if (body.length >= 2 && (body(0) & 0xff) == 0xff && (body(1) & 0xff) == 0xfe)
+      return (UTF_16LE, 2)
+    if (body.length >= 2 && (body(0) & 0xff) == 0xfe && (body(1) & 0xff) == 0xff)
+      return (UTF_16BE, 2)
+    val hm = HeaderCharsetPat.matcher(contentType)
+    if (hm.find()) {
+      try return (java.nio.charset.Charset.forName(hm.group(1)), 0)
+      catch { case _: Exception => () } // unknown name: fall through
+    }
+    val n = math.min(1024, body.length)
+    val prefix = HtmlCommentPat
+      .matcher(new String(body, 0, n, ISO_8859_1)).replaceAll(" ")
+    val mm = MetaCharsetPat.matcher(prefix)
+    if (mm.find()) {
+      val name = mm.group(1)
+      val mapped =
+        if (name.toLowerCase(java.util.Locale.ROOT).startsWith("utf-16")) "UTF-8"
+        else name
+      try return (java.nio.charset.Charset.forName(mapped), 0)
+      catch { case _: Exception => () }
+    }
+    (UTF_8, 0)
   }
 
   /** Remove the chunked transfer coding (RFC 9112 §7.1): hex size line

@@ -6,10 +6,10 @@ import graft.SparkSpec
 
 class IngestRunSpec extends SparkSpec {
 
-  test("nine doors, one corpus: cross-format republication collapses") {
+  test("twelve doors, one corpus: cross-format republication collapses") {
     val fx = IngestFixtures.writeAll()
     val names = Seq("warc", "wet", "tar", "zip", "pdf", "wiki", "xz",
-      "zstd", "tfrecord")
+      "zstd", "lz4", "snappy", "avro", "tfrecord")
     val doors = Seq(
       IngestRun.fromWarc(spark, fx("warc")),
       IngestRun.fromWet(spark, fx("wet")),
@@ -19,30 +19,33 @@ class IngestRunSpec extends SparkSpec {
       IngestRun.fromWiki(spark, fx("wiki")),
       IngestRun.fromXz(spark, fx("xz")),
       IngestRun.fromZstd(spark, fx("zstd")),
+      IngestRun.fromLz4(spark, fx("lz4")),
+      IngestRun.fromSnappy(spark, fx("snappy")),
+      IngestRun.fromAvro(spark, fx("avro")),
       IngestRun.fromTfRecord(spark, fx("tfrecord")))
     // every door contributes exactly its two articles
     doors.zip(names).foreach { case (d, n) =>
       assert(d.count() == 2, s"door $n")
     }
     val corpus = IngestRun.ingest(doors).cache()
-    // 10 distinct articles: article 0 through all nine doors, 1-9 once each
-    assert(corpus.count() == 10)
+    // 13 distinct articles: article 0 through all twelve doors, 1-12 once each
+    assert(corpus.count() == 13)
     val dup = corpus.where(col("n_copies") > 1).collect()
     assert(dup.length == 1)
-    assert(dup.head.getAs[Long]("n_copies") == 9L)
+    assert(dup.head.getAs[Long]("n_copies") == 12L)
     assert(dup.head.getAs[scala.collection.Seq[String]]("fmts").toSeq ==
       names.sorted)
     // the representative is the lexicographically first (fmt, locator)
-    assert(dup.head.getAs[String]("fmt") == "pdf")
+    assert(dup.head.getAs[String]("fmt") == "avro")
     // singletons each carry their own format
     val singles = corpus.where(col("n_copies") === 1)
       .select("fmts").collect().map(_.getAs[scala.collection.Seq[String]](0))
     assert(singles.forall(_.size == 1) && singles.flatten.sorted.toSeq ==
       names.sorted)
-    // and the collapse happened on EXTRACTED text: the nine raw payloads
+    // and the collapse happened on EXTRACTED text: the twelve raw payloads
     // of article 0 all differ at the byte level (html vs wikitext vs
     // container framing vs protobuf vs compression)
-    // the tenth (metadata) door: WAT link edges without any HTML parse —
+    // the metadata door: WAT link edges without any HTML parse —
     // the two fixture pages reference each other
     val edges = IngestRun.watEdges(spark, fx("wat")).collect()
       .map(r => (r.getString(0), r.getString(1))).sorted.toSeq

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The PSL matching algorithm over the embedded rule subset — cases drawn
+  * from publicsuffix.org's published checkPublicSuffix test list, limited
+  * to rules the snapshot carries (plus the URL/host plumbing).
+  */
+class EtldSpec extends AnyFunSuite {
+
+  private def d(host: String): String = Etld.split(host)._2
+  private def s(host: String): String = Etld.split(host)._1
+
+  test("normal rules: most labels win") {
+    assert(d("example.com") == "example.com")
+    assert(d("www.example.com") == "example.com")
+    assert(d("a.b.example.com") == "example.com")
+    assert(d("example.co.uk") == "example.co.uk")
+    assert(d("www.example.co.uk") == "example.co.uk")
+    assert(s("www.example.co.uk") == "co.uk")
+    assert(d("news.bbc.co.uk") == "bbc.co.uk")
+  }
+
+  test("a public suffix itself has no registrable domain") {
+    assert(d("com") == null && s("com") == "com")
+    assert(d("co.uk") == null && s("co.uk") == "co.uk")
+    assert(d("blogspot.com") == null)
+  }
+
+  test("private-registry suffixes split sites correctly") {
+    assert(d("a.blogspot.com") == "a.blogspot.com")
+    assert(d("x.a.blogspot.com") == "a.blogspot.com")
+    assert(d("user.github.io") == "user.github.io")
+    assert(d("bucket.s3.amazonaws.com") == "bucket.s3.amazonaws.com")
+  }
+
+  test("wildcard and exception rules (the ck registry)") {
+    assert(s("example.ck") == "example.ck")
+    assert(d("example.ck") == null) // *.ck: example.ck IS a suffix
+    assert(d("www.example.ck") == "www.example.ck")
+    assert(d("a.www.example.ck") == "www.example.ck")
+    assert(d("www.ck") == "www.ck") // !www.ck exception
+    assert(s("www.ck") == "ck")
+  }
+
+  test("unknown TLDs fall to the implicit * default rule") {
+    assert(d("example.unknowntld") == "example.unknowntld")
+    assert(s("example.unknowntld") == "unknowntld")
+    assert(d("a.b.example.unknowntld") == "example.unknowntld")
+  }
+
+  test("normalization, IPs, and junk") {
+    assert(d("WWW.Example.COM") == "example.com")
+    assert(d("example.com.") == "example.com") // trailing dot
+    assert(Etld.split("192.168.0.1") == (null, "192.168.0.1"))
+    assert(Etld.split("") == (null, null))
+    assert(Etld.split("a..com") == (null, null))
+  }
+
+  test("URL plumbing: scheme, port, userinfo, path, IPv6") {
+    assert(Etld.splitUrl("https://news.bbc.co.uk:8443/x?y=1")._2 == "bbc.co.uk")
+    assert(Etld.splitUrl("http://user:pw@sub.example.com/p")._2 == "example.com")
+    assert(Etld.splitUrl("sub.example.org") ==("org", "example.org"))
+    assert(Etld.splitUrl("http://[2001:db8::1]:80/x") == (null, "2001:db8::1"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured-data extraction rules: type-attr forms, container/comment
+  * invisibility, entity decoding, rel token lists, duplicate keeping.
+  */
+class HtmlMetaSpec extends AnyFunSuite {
+
+  test("JSON-LD: type attr in all quote forms and cases; raw body, no decode") {
+    val h =
+      """<script type="application/ld+json">{"a":1}</script>
+        |<script type='application/LD+JSON'> {"b":"x &amp; y"} </script>
+        |<script type=application/ld+json>{"c":3}</script>""".stripMargin
+    // raw bodies: the &amp; inside script content must NOT decode
+    assert(HtmlMeta.jsonLdList(h) ==
+      Seq("""{"a":1}""", """{"b":"x &amp; y"}""", """{"c":3}"""))
+  }
+
+  test("JSON-LD: typeless scripts, other types and commented blocks are invisible") {
+    val h =
+      """<script>var x = '{"@type":"NotLd"}';</script>
+        |<script type="text/javascript">{"d":4}</script>
+        |<!-- <script type="application/ld+json">{"ghost":1}</script> -->
+        |<script type="application/ld+json"></script>""".stripMargin
+    assert(HtmlMeta.jsonLdList(h).isEmpty) // empty body drops too
+  }
+
+  test("meta props: property wins over name, entities decode, duplicates kept") {
+    val h =
+      """<meta property="og:title" content="A &amp; B">
+        |<meta property='og:image' content='/1.png'>
+        |<meta property="og:image" content="/2.png">
+        |<meta name="Description" content="d">
+        |<meta property="og:ghost">
+        |<meta content="orphan">
+        |<noscript><meta property="og:hidden" content="x"></noscript>
+        |<!-- <meta property="og:ghost2" content="y"> -->""".stripMargin
+    assert(HtmlMeta.metaPropsList(h) == Seq(
+      ("og:title", "A & B"), ("og:image", "/1.png"), ("og:image", "/2.png"),
+      ("description", "d")))
+  }
+
+  test("hreflang: rel token list, case-normalized lang, non-alternates invisible") {
+    val h =
+      """<link rel="alternate" hreflang="EN" href="https://e/en">
+        |<link rel='alternate stylesheet' hreflang='fr' href='https://e/fr'>
+        |<link rel="stylesheet" href="/s.css">
+        |<link rel="alternate" type="application/rss+xml" href="/feed">
+        |<link rel="alternate" hreflang="de" href="">""".stripMargin
+    assert(HtmlMeta.hreflangList(h) ==
+      Seq(("en", "https://e/en"), ("fr", "https://e/fr")))
+  }
+}

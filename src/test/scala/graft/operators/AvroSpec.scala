@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Avro OCF reader + writer-twin contract, pinned LIVE against avro-java
+  * 1.12 (on the Spark classpath) in both directions and all three codecs
+  * (null / deflate / snappy — the snappy codec also exercises the
+  * [[Snappy]] raw-block kernel plus the spec's big-endian CRC32 tail).
+  */
+class AvroSpec extends AnyFunSuite {
+
+  private val schemaJson =
+    """{"type":"record","name":"Ev","fields":[
+      |{"name":"id","type":"long"},
+      |{"name":"name","type":"string"},
+      |{"name":"score","type":"double"},
+      |{"name":"flag","type":"boolean"},
+      |{"name":"payload","type":"bytes"},
+      |{"name":"tag","type":["null","string"]},
+      |{"name":"alt","type":["string","null"]}]}""".stripMargin
+
+  private def rows(n: Int): Seq[Array[Any]] = (0 until n).map { i =>
+    Array[Any](i.toLong, s"name-$i é${i % 5}", i * 1.5, i % 2 == 0,
+      Array.tabulate(3 + i % 4)(k => ((i + k) % 251).toByte),
+      if (i % 3 == 0) null else s"tag-$i",
+      if (i % 4 == 0) null else s"alt-$i")
+  }
+
+  private def writeWithAvroJava(codec: String, n: Int): Array[Byte] = {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.{CodecFactory, DataFileWriter}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema = new Schema.Parser().parse(schemaJson)
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    codec match {
+      case "null" => w.setCodec(CodecFactory.nullCodec())
+      case "deflate" => w.setCodec(CodecFactory.deflateCodec(6))
+      case "snappy" => w.setCodec(CodecFactory.snappyCodec())
+    }
+    w.create(schema, bos)
+    rows(n).foreach { r =>
+      val rec = new GenericData.Record(schema)
+      rec.put("id", r(0)); rec.put("name", r(1)); rec.put("score", r(2))
+      rec.put("flag", r(3))
+      rec.put("payload", java.nio.ByteBuffer.wrap(r(4).asInstanceOf[Array[Byte]]))
+      rec.put("tag", r(5)); rec.put("alt", r(6))
+      w.append(rec)
+    }
+    w.close()
+    bos.toByteArray
+  }
+
+  private def assertRowsEqual(got: Seq[Array[Any]], want: Seq[Array[Any]]): Unit = {
+    assert(got.length == want.length)
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g(0) == w(0) && g(1) == w(1) && g(2) == w(2) && g(3) == w(3), s"row $i")
+      assert(g(4).asInstanceOf[Array[Byte]]
+        .sameElements(w(4).asInstanceOf[Array[Byte]]), s"row $i bytes")
+      assert(g(5) == w(5) && g(6) == w(6), s"row $i unions")
+    }
+  }
+
+  test("avro-java OCFs decode here: null, deflate and snappy codecs") {
+    for (codec <- Seq("null", "deflate", "snappy")) {
+      val ocf = Avro.readOcf(writeWithAvroJava(codec, 200)).get
+      assert(ocf.codec == codec)
+      assert(ocf.schema.fields.map(_.name) ==
+        Seq("id", "name", "score", "flag", "payload", "tag", "alt"))
+      assert(ocf.schema.fields(5).nullable && ocf.schema.fields(5).nullFirst)
+      assert(ocf.schema.fields(6).nullable && !ocf.schema.fields(6).nullFirst)
+      assertRowsEqual(ocf.rows, rows(200))
+    }
+  }
+
+  test("writer-twin OCFs decode through avro-java") {
+    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val bytes = Avro.renderOcf(schemaJson, rows(150), rowsPerBlock = 40)
+    val r = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(bytes), new GenericDatumReader[GenericRecord]())
+    val got = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+    while (r.hasNext) {
+      val rec = r.next()
+      def s(x: Any): Any = x match {
+        case null => null
+        case u: org.apache.avro.util.Utf8 => u.toString
+        case b: java.nio.ByteBuffer =>
+          val a = new Array[Byte](b.remaining()); b.get(a); a
+        case other => other
+      }
+      got += Array[Any](s(rec.get("id")), s(rec.get("name")), s(rec.get("score")),
+        s(rec.get("flag")), s(rec.get("payload")), s(rec.get("tag")), s(rec.get("alt")))
+    }
+    r.close()
+    assertRowsEqual(got.toSeq, rows(150))
+    // and our own reader agrees, block extents included
+    val ocf = Avro.readOcf(bytes).get
+    assertRowsEqual(ocf.rows, rows(150))
+    assert(ocf.blocks.map(_._3).sum == 150)
+  }
+
+  test("unsupported schemas refuse: nested record, array field, bare union") {
+    val nested = """{"type":"record","name":"N","fields":[
+      {"name":"x","type":{"type":"record","name":"I","fields":[]}}]}"""
+    assert(Avro.parseSchema(nested).isEmpty)
+    val arr = """{"type":"record","name":"A","fields":[
+      {"name":"x","type":{"type":"array","items":"long"}}]}"""
+    assert(Avro.parseSchema(arr).isEmpty)
+    val tri = """{"type":"record","name":"U","fields":[
+      {"name":"x","type":["null","string","long"]}]}"""
+    assert(Avro.parseSchema(tri).isEmpty)
+    assert(Avro.parseSchema("""{"type":"enum","name":"E","symbols":["A"]}""").isEmpty)
+  }
+
+  test("hard NOs: sync mismatch, truncation, size lies, snappy CRC flip") {
+    val good = Avro.renderOcf(schemaJson, rows(50), rowsPerBlock = 20)
+    // corrupt the trailing sync marker
+    val sync = good.clone()
+    sync(sync.length - 1) = (sync(sync.length - 1) ^ 1).toByte
+    assert(Avro.readOcf(sync).isEmpty)
+    // truncation sweep across the tail
+    for (cut <- Seq(1, 5, 17))
+      assert(Avro.readOcf(java.util.Arrays.copyOf(good, good.length - cut)).isEmpty)
+    // bad magic
+    val magic = good.clone(); magic(3) = 2
+    assert(Avro.readOcf(magic).isEmpty)
+    // snappy codec with a flipped CRC byte
+    val sj = writeWithAvroJava("snappy", 50)
+    val flip = sj.clone()
+    flip(sj.length - 17) = (flip(sj.length - 17) ^ 1).toByte // inside last block's CRC/data
+    assert(Avro.readOcf(flip).isEmpty)
+  }
+
+  test("header schema reads from a file PREFIX (inference path)") {
+    val good = Avro.renderOcf(schemaJson, rows(500))
+    val prefix = java.util.Arrays.copyOf(good, 600) // header + partial block
+    val s = Avro.readOcfHeaderSchema(prefix).get
+    assert(s.recordName == "Ev" && s.fields.length == 7)
+  }
+}

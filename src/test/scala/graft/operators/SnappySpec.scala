@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Snappy raw-block / framed / hadoop-layout contracts, pinned LIVE
+  * against snappy-java 1.1.10 (raw codec, SnappyFramedOutputStream /
+  * SnappyFramedInputStream, SnappyHadoopCompatibleOutputStream) — the
+  * lz4-java standard: canonical encoder output decodes here, writer-twin
+  * output decodes there, every run.
+  */
+class SnappySpec extends AnyFunSuite {
+
+  private def detText: Array[Byte] = (0 until 4000).map { i =>
+    "w" + ((i * 7 + 3) % 97) + (if (i % 13 == 0) " the" else "")
+  }.mkString(" ").getBytes("US-ASCII")
+  private def detRle: Array[Byte] = ("A" * 50000).getBytes("US-ASCII")
+  private def detBytes(n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((i * 31 + 7) % 251).toByte)
+
+  private def payloads: Seq[Array[Byte]] =
+    Seq(Array.emptyByteArray, detBytes(1), detBytes(60), detBytes(61),
+      detBytes(65537), detText, detRle)
+
+  // ------------------------------------------------------------ raw block
+
+  test("snappy-java-compressed raw blocks (real copies) decode here") {
+    for (p <- payloads) {
+      val c = org.xerial.snappy.Snappy.compress(p)
+      assert(Snappy.decodeBlock(c, 0, c.length).get.sameElements(p),
+        s"len=${p.length}")
+    }
+  }
+
+  test("stored raw blocks decode through snappy-java") {
+    for (p <- payloads.filter(_.length <= 65536)) {
+      val enc = Snappy.encodeBlockStored(p)
+      assert(org.xerial.snappy.Snappy.uncompress(enc).sameElements(p),
+        s"len=${p.length}")
+    }
+  }
+
+  test("raw-block hard NOs: offset 0, offset past output, length lies") {
+    // declared length 4, one literal of 2 → length lie
+    assert(Snappy.decodeBlock(
+      Array[Byte](4, (1 << 2).toByte, 'a'.toByte, 'b'.toByte), 0, 4).isEmpty)
+    // copy with offset 0: declared 4, literal 'a', then 1-byte-offset copy d=0
+    assert(Snappy.decodeBlock(
+      Array[Byte](4, 0, 'a'.toByte, 1, 0), 0, 5).isEmpty)
+    // copy reaching past output start: d=5 with only 1 byte out
+    assert(Snappy.decodeBlock(
+      Array[Byte](5, 0, 'a'.toByte, 1, 5), 0, 5).isEmpty)
+    // truncated varint
+    assert(Snappy.decodeBlock(Array[Byte](0x80.toByte), 0, 1).isEmpty)
+  }
+
+  // ------------------------------------------------------------- framed
+
+  test("snappy-java framed streams (compressed chunks) decode here") {
+    for (p <- Seq(detText, detRle, detBytes(200000))) {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new org.xerial.snappy.SnappyFramedOutputStream(bos)
+      out.write(p); out.close()
+      assert(Snappy.decodeFramed(bos.toByteArray).get.sameElements(p),
+        s"len=${p.length}")
+    }
+  }
+
+  test("writer-twin framed streams decode through snappy-java") {
+    val parts = Seq(detBytes(100), detBytes(65536), detText)
+    val framed = Snappy.renderFramed(parts)
+    val in = new org.xerial.snappy.SnappyFramedInputStream(
+      new java.io.ByteArrayInputStream(framed))
+    val got = in.readAllBytes(); in.close()
+    assert(got.sameElements(parts.reduce(_ ++ _)))
+  }
+
+  test("framed extents are pure length arithmetic") {
+    val parts = Seq(detBytes(100), detBytes(250), detBytes(7))
+    val chunks = Snappy.parseFramed(Snappy.renderFramed(parts)).get
+    assert(chunks.map(_.chunk) == Seq(0, 1, 2))
+    var off = 10L
+    parts.zip(chunks).foreach { case (p, c) =>
+      assert(c.offset == off && c.compLen == 8L + p.length &&
+        c.data.sameElements(p))
+      off += 8L + p.length
+    }
+  }
+
+  test("framed hard NOs: CRC flip, reserved chunk, missing id, truncation") {
+    val good = Snappy.renderFramed(Seq(detBytes(50)))
+    val crc = good.clone(); crc(14) = (crc(14) ^ 1).toByte // crc byte
+    assert(Snappy.parseFramed(crc).isEmpty)
+    val hdr = good.clone(); hdr(0) = 0x00 // not a stream id
+    assert(Snappy.parseFramed(hdr).isEmpty)
+    for (n <- Seq(5, 12, good.length - 1))
+      assert(Snappy.parseFramed(java.util.Arrays.copyOf(good, n)).isEmpty)
+    // reserved UNskippable chunk type 0x02
+    val res = good ++ Array[Byte](0x02, 1, 0, 0, 9)
+    assert(Snappy.parseFramed(res).isEmpty)
+    // skippable + padding chunks are invisible
+    val pad = good ++ Array[Byte](0xfe.toByte, 2, 0, 0, 0, 0)
+    assert(Snappy.decodeFramed(pad).get.sameElements(detBytes(50)))
+  }
+
+  // ------------------------------------------------------------- hadoop
+
+  test("snappy-java hadoop-layout streams decode here") {
+    for (p <- Seq(detText, detRle, detBytes(200000))) {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new org.xerial.snappy.SnappyHadoopCompatibleOutputStream(bos)
+      out.write(p); out.close()
+      assert(Snappy.decodeHadoop(bos.toByteArray).get.sameElements(p),
+        s"len=${p.length}")
+    }
+  }
+
+  test("writer-twin hadoop streams round trip (and refuse length lies)") {
+    for (p <- Seq(Array.emptyByteArray, detBytes(100), detBytes(200000))) {
+      assert(Snappy.decodeHadoop(Snappy.renderHadoop(p)).get.sameElements(p))
+    }
+    val lie = Snappy.renderHadoop(detBytes(100))
+    lie(3) = (lie(3) + 1).toByte // declared block length += 1
+    assert(Snappy.decodeHadoop(lie).isEmpty)
+  }
+}

@@ -401,6 +401,44 @@ class WarcSpec extends SparkSpec {
     assert(Warc.httpDecode(http(404, "Not Found", Seq(), "gone".getBytes)).get.status == 404)
   }
 
+  test("httpDecode: HTML5 sniffing — BOM > header > meta prescan > UTF-8") {
+    val w1252 = java.nio.charset.Charset.forName("windows-1252")
+    // meta prescan when the header is silent
+    val metaBody = "<html><head><meta charset=windows-1252></head><body>café</body></html>"
+    val meta = http(200, "OK", Seq("Content-Type" -> "text/html"),
+      metaBody.getBytes(w1252))
+    assert(Warc.httpDecode(meta).get.text == metaBody)
+    assert(Warc.httpDecode(meta).get.charset == "windows-1252")
+    // the http-equiv spelling matches too
+    val equivBody = "<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=windows-1252\"></head><body>café</body></html>"
+    val equiv = http(200, "OK", Seq(), equivBody.getBytes(w1252))
+    assert(Warc.httpDecode(equiv).get.text == equivBody)
+    // a UTF-16LE BOM wins and never reaches the text
+    val bom16 = Array[Byte](0xff.toByte, 0xfe.toByte) ++ "café".getBytes("UTF-16LE")
+    val b16 = http(200, "OK", Seq("Content-Type" -> "text/html"), bom16)
+    assert(Warc.httpDecode(b16).get.text == "café")
+    assert(Warc.httpDecode(b16).get.charset == "UTF-16LE")
+    // a UTF-8 BOM beats a LYING meta declaration
+    val lie = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      "<meta charset=\"windows-1252\">café".getBytes("UTF-8")
+    val bl = http(200, "OK", Seq(), lie)
+    assert(Warc.httpDecode(bl).get.text == "<meta charset=\"windows-1252\">café")
+    assert(Warc.httpDecode(bl).get.charset == "UTF-8")
+    // meta-declared utf-16 decodes as UTF-8 (the spec's remap)
+    val m16 = http(200, "OK", Seq(),
+      "<meta charset=utf-16>plain".getBytes("UTF-8"))
+    assert(Warc.httpDecode(m16).get.charset == "UTF-8")
+    // a commented-out meta is invisible; header charset still wins over meta
+    val com = http(200, "OK", Seq("Content-Type" -> "text/html; charset=utf-8"),
+      "<!-- <meta charset=windows-1252> -->café".getBytes("UTF-8"))
+    assert(Warc.httpDecode(com).get.text == "<!-- <meta charset=windows-1252> -->café")
+    // meta beyond the first 1024 bytes is not consulted
+    val far = ("<html>" + " " * 1100 + "<meta charset=windows-1252>x")
+      .getBytes("UTF-8")
+    assert(Warc.httpDecode(http(200, "OK", Seq(), far)).get.charset == "UTF-8")
+  }
+
   test("httpDecode: malformed framing returns None, never throws") {
     // not an HTTP message at all
     assert(Warc.httpDecode("<html>bare payload</html>".getBytes("UTF-8")).isEmpty)
