@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Rule-based sentence splitting — the grain between the document and
+  * the token that chunking (q45), sequence packing (q102) and
+  * ExactSubstr-style span work want: split on sentence-final
+  * punctuation without shredding abbreviations, initials, decimals or
+  * ellipses. The SRX-shape rule list, deterministic so a fixture oracle
+  * can restate every boundary:
+  *
+  *  1. A boundary candidate is a run of `.`, `!`, `?` (so `?!` and
+  *     `...` end ONE sentence), optionally followed by closing quotes
+  *     or brackets (`" ' ” ’ ) ] »`), followed by at least one
+  *     whitespace char.
+  *  2. The candidate is SUPPRESSED when the dot run is a single `.` and
+  *     the token before it is a protected left context: a listed
+  *     abbreviation (case-insensitive; `mr mrs ms dr prof st no vs etc
+  *     e.g i.e fig al inc ltd jr sr`), a single letter (an initial,
+  *     `J. Smith`), or a digit run whose next char is a digit
+  *     (decimals/versions never reach here because no whitespace
+  *     follows — the digit rule guards enumerations like `3. Dezember`
+  *     only when the NEXT sentence starts lowercase).
+  *  3. The next sentence must start with a non-lowercase char (upper,
+  *     digit, quote, bracket — anything but a lowercase letter):
+  *     `vs. the` stays one sentence even without the abbreviation list.
+  *  4. Whitespace between sentences is consumed; sentences are
+  *     trimmed; empty pieces drop. A final piece without terminal
+  *     punctuation is still a sentence.
+  *
+  * Rules 2+3 both have to LICENSE a split — the conservative join bias
+  * a training corpus wants (a missed split costs less than a shredded
+  * abbreviation).
+  */
+object Sentences {
+
+  /** Protected abbreviations (lowercase, no trailing dot). */
+  val Abbrev: Set[String] = Set(
+    "mr", "mrs", "ms", "dr", "prof", "st", "no", "vs", "etc",
+    "e.g", "i.e", "fig", "al", "inc", "ltd", "jr", "sr")
+
+  private def isCloser(c: Char): Boolean =
+    c == '"' || c == '\'' || c == '”' || c == '’' ||
+      c == ')' || c == ']' || c == '»'
+
+  /** Token immediately before position `i` (exclusive): letters/digits/
+    * dots run, lowercased.
+    */
+  private def leftToken(s: String, i: Int): String = {
+    var b = i
+    while (b > 0 && {
+      val c = s.charAt(b - 1)
+      Character.isLetterOrDigit(c) || c == '.'
+    }) b -= 1
+    s.substring(b, i).toLowerCase(java.util.Locale.ROOT)
+  }
+
+  def split(text: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '.' || c == '!' || c == '?') {
+        val runStart = i
+        while (i < n && {
+          val x = text.charAt(i); x == '.' || x == '!' || x == '?'
+        }) i += 1
+        var j = i
+        while (j < n && isCloser(text.charAt(j))) j += 1
+        // rule 1: whitespace must follow the candidate
+        if (j < n && Character.isWhitespace(text.charAt(j))) {
+          var k = j
+          while (k < n && Character.isWhitespace(text.charAt(k))) k += 1
+          // rule 3: next sentence must not start lowercase
+          val nextOk = k >= n || !Character.isLowerCase(text.charAt(k))
+          // rule 2: single-dot candidates need an unprotected left token
+          val protectedLeft = (i - runStart == 1) && text.charAt(runStart) == '.' && {
+            val tok = leftToken(text, runStart)
+            Abbrev.contains(tok) ||
+              (tok.length == 1 && Character.isLetter(tok.charAt(0)))
+          }
+          if (nextOk && !protectedLeft) {
+            val piece = text.substring(start, j).trim
+            if (piece.nonEmpty) out += piece
+            start = k
+            i = k
+          } else i = j
+        }
+      } else i += 1
+    }
+    val last = text.substring(start).trim
+    if (last.nonEmpty) out += last
+    out.toSeq
+  }
+
+  def eval(text: UTF8String): ArrayData =
+    new GenericArrayData(split(text.toString).map(UTF8String.fromString).toArray[Any])
+}
+
+/** `graft_sentences(text: string) -> array<string>` — rule-based
+  * sentence pieces (see [[Sentences]]), codegen'd.
+  */
+case class GraftSentences(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_sentences requires string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_sentences"
+  override def nullSafeEval(text: Any): Any =
+    Sentences.eval(text.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.Sentences.eval($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WordPiece tokenization (the BERT family) — the third tokenizer beside
+  * BPE word mode and byte-level BPE: apply a PUBLISHED vocabulary by
+  * greedy longest-match-first, `##`-prefixed continuation pieces, whole
+  * word → `[UNK]` when any position has no match (Devlin et al. 2019;
+  * the algorithm as documented in the BERT reference tokenizer).
+  *
+  * Deterministic rule set:
+  *  1. Basic split: whitespace separates words; every punctuation
+  *     character (Unicode category P plus the ASCII symbol ranges the
+  *     BERT tokenizer hard-codes: 33-47, 58-64, 91-96, 123-126) is its
+  *     own word. NO case folding — normalization is the caller's
+  *     explicit step (`graft_normalize`), never an implicit one here.
+  *  2. Per word: the longest vocab entry matching at position 0 (bare
+  *     form), then the longest `##`-prefixed entry at each later
+  *     position; any position with no match → the word encodes as the
+  *     single token `[UNK]`. Words over 100 chars → `[UNK]` (the
+  *     reference guard).
+  *
+  * The vocab arrives as a plan-literal `array<string>` (the merge-table
+  * convention of `graft_bpe_encode`), parsed into a hash set once per
+  * task thread, not per row.
+  */
+object Wordpiece {
+
+  val MaxWordChars = 100
+  val Unk = "[UNK]"
+
+  private def isPunct(c: Char): Boolean = {
+    val cp = c.toInt
+    (cp >= 33 && cp <= 47) || (cp >= 58 && cp <= 64) ||
+      (cp >= 91 && cp <= 96) || (cp >= 123 && cp <= 126) || {
+        val t = Character.getType(c)
+        t == Character.CONNECTOR_PUNCTUATION || t == Character.DASH_PUNCTUATION ||
+        t == Character.START_PUNCTUATION || t == Character.END_PUNCTUATION ||
+        t == Character.INITIAL_QUOTE_PUNCTUATION ||
+        t == Character.FINAL_QUOTE_PUNCTUATION || t == Character.OTHER_PUNCTUATION
+      }
+  }
+
+  /** Whitespace words with punctuation chars isolated as words. */
+  def basicTokens(text: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new java.lang.StringBuilder()
+    def flush(): Unit = if (cur.length > 0) { out += cur.toString; cur.setLength(0) }
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isWhitespace(c)) flush()
+      else if (isPunct(c)) { flush(); out += c.toString }
+      else cur.append(c)
+      i += 1
+    }
+    flush()
+    out.toSeq
+  }
+
+  /** Greedy longest-match-first pieces of one word, or `[UNK]`. */
+  def encodeWord(word: String, vocab: java.util.HashSet[String]): Seq[String] = {
+    if (word.isEmpty) return Seq.empty
+    if (word.length > MaxWordChars) return Seq(Unk)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = 0
+    while (pos < word.length) {
+      var end = word.length
+      var hit: String = null
+      while (hit == null && end > pos) {
+        val cand = (if (pos > 0) "##" else "") + word.substring(pos, end)
+        if (vocab.contains(cand)) hit = cand else end -= 1
+      }
+      if (hit == null) return Seq(Unk)
+      out += hit
+      pos = end
+    }
+    out.toSeq
+  }
+
+  def encodeText(text: String, vocab: java.util.HashSet[String]): Seq[String] =
+    basicTokens(text).flatMap(encodeWord(_, vocab))
+
+  private val tlCache = new ThreadLocal[(ArrayData, java.util.HashSet[String])]()
+
+  private def vocabSet(vocab: ArrayData): java.util.HashSet[String] = {
+    val cached = tlCache.get()
+    if (cached != null && (cached._1 eq vocab)) return cached._2
+    val s = new java.util.HashSet[String]()
+    var i = 0
+    while (i < vocab.numElements()) {
+      s.add(vocab.getUTF8String(i).toString)
+      i += 1
+    }
+    tlCache.set((vocab, s))
+    s
+  }
+
+  def encode(text: UTF8String, vocab: ArrayData): ArrayData =
+    new GenericArrayData(encodeText(text.toString, vocabSet(vocab))
+      .map(UTF8String.fromString).toArray[Any])
+}
+
+/** `graft_wordpiece(text: string, vocab: array<string>) -> array<string>`
+  * — WordPiece tokens (see [[Wordpiece]]), codegen'd, vocab as a plan
+  * literal.
+  */
+case class GraftWordpiece(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_wordpiece requires (string, array<string>), got $other")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_wordpiece"
+  override def nullSafeEval(text: Any, vocab: Any): Any =
+    Wordpiece.encode(text.asInstanceOf[UTF8String], vocab.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, v) => s"graft.functions.Wordpiece.encode($t, $v)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}

@@ -429,34 +429,39 @@ object Avro {
       writeZigzag(out, b.length.toLong); out.write(b, 0, b.length)
   }
 
-  /** Render an OCF with the null codec and a DETERMINISTIC sync marker
-    * (md5 of the schema JSON — the format only requires the marker be
-    * consistent within the file; determinism keeps fixture extents
-    * arithmetic and reruns byte-identical). `rowsPerBlock` bounds block
-    * size the way real writers do.
+  /** Incremental OCF writer (null codec) with a DETERMINISTIC sync
+    * marker (md5 of the schema JSON — the format only requires the
+    * marker be consistent within the file; determinism keeps fixture
+    * extents arithmetic and sink reruns byte-identical). Emit [[header]]
+    * once, then one [[block]] per row group — the shard sink streams
+    * blocks without buffering the file.
     */
-  def renderOcf(schemaJson: String, rows: Seq[Array[Any]],
-                rowsPerBlock: Int = 1000): Array[Byte] = {
-    val schema = parseSchema(schemaJson).getOrElse(
+  final class BlockWriter(schemaJson: String) extends Serializable {
+    private val schema = parseSchema(schemaJson).getOrElse(
       throw new IllegalArgumentException("unsupported schema"))
-    val out = new java.io.ByteArrayOutputStream()
-    out.write('O'); out.write('b'); out.write('j'); out.write(1)
-    val metaPairs = Seq(
-      "avro.schema" -> schemaJson.getBytes("UTF-8"),
-      "avro.codec" -> "null".getBytes("UTF-8"))
-    writeZigzag(out, metaPairs.length.toLong)
-    metaPairs.foreach { case (k, v) =>
-      val kb = k.getBytes("UTF-8")
-      writeZigzag(out, kb.length.toLong); out.write(kb, 0, kb.length)
-      writeZigzag(out, v.length.toLong); out.write(v, 0, v.length)
-    }
-    writeZigzag(out, 0L)
-    val sync = java.security.MessageDigest.getInstance("MD5")
+    private val sync = java.security.MessageDigest.getInstance("MD5")
       .digest(schemaJson.getBytes("UTF-8"))
-    out.write(sync, 0, 16)
-    rows.grouped(rowsPerBlock).foreach { block =>
+
+    def header: Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write('O'); out.write('b'); out.write('j'); out.write(1)
+      val metaPairs = Seq(
+        "avro.schema" -> schemaJson.getBytes("UTF-8"),
+        "avro.codec" -> "null".getBytes("UTF-8"))
+      writeZigzag(out, metaPairs.length.toLong)
+      metaPairs.foreach { case (k, v) =>
+        val kb = k.getBytes("UTF-8")
+        writeZigzag(out, kb.length.toLong); out.write(kb, 0, kb.length)
+        writeZigzag(out, v.length.toLong); out.write(v, 0, v.length)
+      }
+      writeZigzag(out, 0L)
+      out.write(sync, 0, 16)
+      out.toByteArray
+    }
+
+    def block(rows: Seq[Array[Any]]): Array[Byte] = {
       val body = new java.io.ByteArrayOutputStream()
-      block.foreach { row =>
+      rows.foreach { row =>
         schema.fields.zipWithIndex.foreach { case (f, i) =>
           val v = row(i)
           if (!f.nullable) encodeValue(body, f.tpe, v)
@@ -467,10 +472,25 @@ object Avro {
           }
         }
       }
-      writeZigzag(out, block.length.toLong)
+      val out = new java.io.ByteArrayOutputStream(body.size() + 32)
+      writeZigzag(out, rows.length.toLong)
       writeZigzag(out, body.size().toLong)
       body.writeTo(out)
       out.write(sync, 0, 16)
+      out.toByteArray
+    }
+  }
+
+  /** Whole-buffer render over [[BlockWriter]] — fixtures and tests. */
+  def renderOcf(schemaJson: String, rows: Seq[Array[Any]],
+                rowsPerBlock: Int = 1000): Array[Byte] = {
+    val w = new BlockWriter(schemaJson)
+    val out = new java.io.ByteArrayOutputStream()
+    val h = w.header
+    out.write(h, 0, h.length)
+    rows.grouped(rowsPerBlock).foreach { g =>
+      val b = w.block(g)
+      out.write(b, 0, b.length)
     }
     out.toByteArray
   }

@@ -2705,6 +2705,31 @@ object PipelineQueries extends QuerySet {
       s.read.format("avroshard").load(f).orderBy("id")
     }),
 
+    // The write half of the Avro door (the q145/q182/q207 sink pattern):
+    // 500 documents through real sharded OCF files and back — one task
+    // per shard, deterministic block layout, tmp + atomic rename. The
+    // null-union branch is load-bearing (every 5th lang is NULL); the
+    // oracle reads the SOURCE table, so any sink/read corruption —
+    // dropped row, shard misroute, union branch flip — flips the hash.
+    "q233_avro_sink" -> ((s, dir) => {
+      val schemaJson =
+        """{"type":"record","name":"Doc","fields":[
+          |{"name":"doc_id","type":"long"},
+          |{"name":"text","type":"string"},
+          |{"name":"lang","type":["null","string"]}]}""".stripMargin
+      val docs = t(s, dir, "documents").where(col("doc_id") < 500)
+        .select(col("doc_id"), col("text"),
+          when(col("doc_id") % 5 === 0, lit(null)).otherwise(col("lang"))
+            .as("lang"),
+          (col("doc_id") % 4).cast("int").as("shard"))
+      val out = java.nio.file.Files.createTempDirectory("graft_avro_sink").toString
+      graft.sources.AvroShards.writeShards(docs, "shard", "doc_id",
+        schemaJson, Seq("doc_id", "text", "lang"), out, rowsPerBlock = 64)
+      s.read.format("avroshard").load(out)
+        .select(col("doc_id"), length(col("text")).as("n_chars"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // The EXIF door — capture time, camera, declared orientation: real
     // APP1/TIFF parsing (both byte orders, inline and offset value
     // fields, IFD0 + the Exif sub-IFD) on real JPEG bytes the pixel walk
@@ -4460,6 +4485,11 @@ object PipelineQueries extends QuerySet {
         |  (i % 2 = 0) AS flag,
         |  CASE WHEN i % 3 = 0 THEN NULL ELSE 'tag-' || i END AS tag
         |FROM r ORDER BY id""".stripMargin,
+    // the avro sink round trip oracled against the SOURCE table
+    "q233_avro_sink" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang
+        |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
     // the EXIF door: every surfaced field replayed from the tag formula;
     // the untagged rows pin the default path (orientation 1, NULLs)
     "q202_exif_metadata" ->

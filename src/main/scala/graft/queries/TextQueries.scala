@@ -555,6 +555,56 @@ object TextQueries extends QuerySet {
     // same regexp split (embedded from the shared constant), hex() byte
     // symbols, same chained-CTE merge stages. BpeSpec pins the concrete
     // divergence from the word mode on "don't  stop!!"-style input.
+    // WordPiece (the BERT family) beside BPE word/byte modes: greedy
+    // longest-match-first against a plan-literal vocab, ## continuations,
+    // whole-word [UNK] fallback, punctuation isolation, NO case folding.
+    // The fixture pins every documented behavior by hand-derived
+    // expectation — including the case where greedy is NOT optimal
+    // (longest first piece strands the tail → [UNK] even though a
+    // shorter split exists), the canonical un-aff-able example, and the
+    // 100-char guard. The oracle restates the hand expectations; the
+    // kernel rules themselves are WordpieceSpec's.
+    "q231_wordpiece" -> ((s, dir) => {
+      import s.implicits._
+      val vocab = Seq("un", "##aff", "##able", "ab", "abc", "##c", "##cd",
+        "do", "##n", "'", "t", "stop", ".", "!", "run", "##ning", "##ner",
+        "over", "##flow", "x")
+      val words = Seq("unaffable", "abc", "abcc", "abcd", "don't", "stop.",
+        "running", "runner", "overflow", "Un", "xx", "x", "unknownword",
+        "ababc", "run!stop", "x" * 120)
+      words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("wid", "w")
+        .withColumn("v", array(vocab.map(lit): _*))
+        .select(col("wid"),
+          expr("array_join(graft_wordpiece(w, v), ' ')").as("toks"))
+        .orderBy("wid")
+    }),
+
+    // Sentence splitting — the grain between document and token that
+    // chunking (q45) and packing (q102) want. The rule kernel (terminal
+    // runs, closers, abbreviation/initial suppression, lowercase-next
+    // conservative bias) is SentencesSpec's; the fixture pins each rule
+    // by a hand-derived expectation the oracle restates.
+    "q232_sentences" -> ((s, dir) => {
+      import s.implicits._
+      val texts = Seq(
+        "Hello world. Next one.",
+        "Dr. Smith arrived. He left.",
+        "Really?! Yes.",
+        "Wait... OK then.",
+        "\"Stop!\" he said. Fine.",
+        "Version 3.2 is out. Yes.",
+        "No. 5 was best. Agreed.",
+        "J. Smith wrote it.",
+        "(It works.) Next.",
+        "One two three",
+        "e.g. apples and pears. Done.")
+      texts.zipWithIndex.map { case (t0, i) => (i.toLong, t0) }.toDF("sid", "t")
+        .select(col("sid"),
+          expr("size(graft_sentences(t))").as("n_sent"),
+          expr("array_join(graft_sentences(t), '|')").as("sents"))
+        .orderBy("sid")
+    }),
+
     "q217_bpe_bytes_learned" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val merges = graft.operators.Bpe.learnBytes(docs, "text", "doc_id",
@@ -1122,6 +1172,42 @@ object TextQueries extends QuerySet {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q108_bpe_learned_oracle" -> bpeOracleSql(BpeOracleMerges, maxSample = 20000),
     "q217_bpe_bytes_learned" -> bpeBytesOracleSql(BpeOracleMerges, maxSample = 20000),
+    // hand-derived WordPiece expectations per fixture word (the honest
+    // human oracle: each row is verifiable by eye against the vocab)
+    "q231_wordpiece" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'un ##aff ##able'),
+        |  (1, 'abc'),
+        |  (2, 'abc ##c'),
+        |  (3, '[UNK]'),
+        |  (4, 'do ##n '' t'),
+        |  (5, 'stop .'),
+        |  (6, 'run ##ning'),
+        |  (7, 'run ##ner'),
+        |  (8, 'over ##flow'),
+        |  (9, '[UNK]'),
+        |  (10, '[UNK]'),
+        |  (11, 'x'),
+        |  (12, '[UNK]'),
+        |  (13, '[UNK]'),
+        |  (14, 'run ! stop'),
+        |  (15, '[UNK]')
+        |) AS t(wid, toks) ORDER BY wid""".stripMargin,
+    // hand-derived sentence boundaries per fixture row
+    "q232_sentences" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(2 AS INT), 'Hello world.|Next one.'),
+        |  (1, 2, 'Dr. Smith arrived.|He left.'),
+        |  (2, 2, 'Really?!|Yes.'),
+        |  (3, 2, 'Wait...|OK then.'),
+        |  (4, 2, '"Stop!" he said.|Fine.'),
+        |  (5, 2, 'Version 3.2 is out.|Yes.'),
+        |  (6, 2, 'No. 5 was best.|Agreed.'),
+        |  (7, 1, 'J. Smith wrote it.'),
+        |  (8, 2, '(It works.)|Next.'),
+        |  (9, 1, 'One two three'),
+        |  (10, 2, 'e.g. apples and pears.|Done.')
+        |) AS t(sid, n_sent, sents) ORDER BY sid""".stripMargin,
     // corrupted rebuilt from the oracle's own mojibake literals; fixed
     // must equal the independently derived clean text, restored TRUE
     "q220_fix_mojibake" ->

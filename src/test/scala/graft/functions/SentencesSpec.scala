@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sentence-splitting rules: terminal runs, closers, the abbreviation/
+  * initial/lowercase-next suppressions, and the conservative join bias.
+  */
+class SentencesSpec extends AnyFunSuite {
+
+  test("plain splits and the final unterminated piece") {
+    assert(Sentences.split("Hello world. Next one.") ==
+      Seq("Hello world.", "Next one."))
+    assert(Sentences.split("One two three") == Seq("One two three"))
+    assert(Sentences.split("Ends mid sentence. And then") ==
+      Seq("Ends mid sentence.", "And then"))
+    assert(Sentences.split("") == Seq.empty)
+    assert(Sentences.split("   ") == Seq.empty)
+  }
+
+  test("abbreviations, initials and enumerators do not split") {
+    assert(Sentences.split("Dr. Smith arrived.") == Seq("Dr. Smith arrived."))
+    assert(Sentences.split("J. Smith wrote it.") == Seq("J. Smith wrote it."))
+    assert(Sentences.split("No. 5 was best. Agreed.") ==
+      Seq("No. 5 was best.", "Agreed."))
+    assert(Sentences.split("e.g. apples and pears. Done.") ==
+      Seq("e.g. apples and pears.", "Done."))
+  }
+
+  test("multi-char terminal runs end ONE sentence") {
+    assert(Sentences.split("Really?! Yes.") == Seq("Really?!", "Yes."))
+    assert(Sentences.split("Wait... OK then.") == Seq("Wait...", "OK then."))
+  }
+
+  test("a lowercase continuation suppresses the split (conservative bias)") {
+    assert(Sentences.split("He got a Ph.D. in 1990. Then he left.") ==
+      Seq("He got a Ph.D. in 1990.", "Then he left."))
+    assert(Sentences.split("\"Stop!\" he said.") == Seq("\"Stop!\" he said."))
+    assert(Sentences.split("\"Stop!\" He said.") ==
+      Seq("\"Stop!\"", "He said."))
+  }
+
+  test("decimals and versions never split (no whitespace after the dot)") {
+    assert(Sentences.split("Version 3.2 is out. Yes.") ==
+      Seq("Version 3.2 is out.", "Yes."))
+  }
+
+  test("closers ride with their sentence") {
+    assert(Sentences.split("(It works.) Next.") ==
+      Seq("(It works.)", "Next."))
+  }
+}

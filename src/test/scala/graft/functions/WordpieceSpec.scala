@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WordPiece rules: greedy longest-match-first, ## continuations, [UNK]
+  * whole-word fallback, punctuation isolation, no case folding.
+  */
+class WordpieceSpec extends AnyFunSuite {
+
+  private def v(entries: String*): java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    entries.foreach(s.add)
+    s
+  }
+
+  test("the canonical example: un ##aff ##able") {
+    assert(Wordpiece.encodeWord("unaffable", v("un", "##aff", "##able")) ==
+      Seq("un", "##aff", "##able"))
+  }
+
+  test("longest match wins at every position") {
+    val vocab = v("a", "ab", "abc", "##c", "##bc")
+    assert(Wordpiece.encodeWord("abc", vocab) == Seq("abc"))
+    assert(Wordpiece.encodeWord("abcc", vocab) == Seq("abc", "##c"))
+    assert(Wordpiece.encodeWord("abcbc", vocab) == Seq("abc", "##bc"))
+  }
+
+  test("greedy is NOT optimal — pinned: the longest first piece can strand the tail") {
+    // ab + ##cd would tokenize it, but greedy takes abc and strands 'd'
+    assert(Wordpiece.encodeWord("abcd", v("ab", "abc", "##cd")) ==
+      Seq(Wordpiece.Unk))
+  }
+
+  test("[UNK] fallbacks: unknown positions, case sensitivity, length guard") {
+    assert(Wordpiece.encodeWord("zz", v("x")) == Seq(Wordpiece.Unk))
+    assert(Wordpiece.encodeWord("Un", v("un")) == Seq(Wordpiece.Unk))
+    assert(Wordpiece.encodeWord("x" * 101, v("x", "##x")) == Seq(Wordpiece.Unk))
+    assert(Wordpiece.encodeWord("x" * 100, v("x", "##x")).length == 100)
+  }
+
+  test("basic split: whitespace words, punctuation isolated") {
+    assert(Wordpiece.basicTokens("don't  stop. now!") ==
+      Seq("don", "'", "t", "stop", ".", "now", "!"))
+    assert(Wordpiece.basicTokens("a—b") == Seq("a", "—", "b")) // em dash: Pd
+    assert(Wordpiece.basicTokens("  ") == Seq.empty)
+  }
+
+  test("encodeText composes: split then per-word pieces") {
+    val vocab = v("do", "##n", "'", "t", "stop", ".")
+    assert(Wordpiece.encodeText("don't stop.", vocab) ==
+      Seq("do", "##n", "'", "t", "stop", "."))
+    assert(Wordpiece.encodeText("", vocab) == Seq.empty)
+  }
+}
