@@ -115,7 +115,8 @@ object GenScale {
         // copy 0 is exact
         """CASE WHEN copy_k = 0 THEN embedding
              ELSE transform(embedding, (x, i) ->
-                    x + cast(pmod(hash(vec_id, copy_k, i), 1000) - 500 as float) / 1000000.0f)
+                    cast(x + (pmod(hash(vec_id, copy_k, i), 1000) - 500) / 1000000.0
+                         as float))
            END as embedding""",
         "label"),
       "embeddings")
