@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unigram-LM tokenization (the SentencePiece family, Kudo 2018) — the
+  * fourth tokenizer beside BPE word/byte and WordPiece: segment each
+  * word into the VITERBI-best piece sequence under additive per-piece
+  * scores (log-probabilities). Scores are integer MICRO-UNITS (the
+  * repo's fixed-point convention — Viterbi is pure Long addition, no
+  * float-order hazards), delivered as a plan-literal
+  * `array<struct<piece, score>>`.
+  *
+  * Deterministic contract:
+  *  - dp over each whitespace word; a piece is any vocab entry, plus
+  *    EVERY single character as an implicit fallback at [[UnkScore]]
+  *    when absent from the vocab — segmentation never fails, unknown
+  *    characters surface as themselves (the byte-fallback role).
+  *  - tiebreak at equal total score: fewer pieces, then the longer
+  *    LAST piece — a local rule, so dp stays one pass.
+  *
+  * The vocab-selection learner ([[graft.operators.Unigram]]) is the
+  * SQL-replayable half; score fitting (log relative frequency) is
+  * spec-pinned — see the q234/q235 split.
+  */
+object UnigramKernel {
+
+  /** Score floor for a single character absent from the vocab. */
+  val UnkScore: Long = -20000000L
+
+  final case class Dp(score: Long, pieces: Int, lastLen: Int, from: Int)
+
+  def encodeWord(word: String, scores: java.util.HashMap[String, java.lang.Long],
+                 maxLen: Int): Seq[String] = {
+    val n = word.length
+    if (n == 0) return Seq.empty
+    val dp = new Array[Dp](n + 1)
+    dp(0) = Dp(0L, 0, 0, -1)
+    var i = 1
+    while (i <= n) {
+      var best: Dp = null
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        if (dp(j) != null) {
+          val piece = word.substring(j, i)
+          val s = scores.get(piece)
+          val sc: java.lang.Long =
+            if (s != null) s
+            else if (i - j == 1) java.lang.Long.valueOf(UnkScore)
+            else null
+          if (sc != null) {
+            val cand = Dp(dp(j).score + sc, dp(j).pieces + 1, i - j, j)
+            val better = best == null ||
+              cand.score > best.score ||
+              (cand.score == best.score && (cand.pieces < best.pieces ||
+                (cand.pieces == best.pieces && cand.lastLen > best.lastLen)))
+            if (better) best = cand
+          }
+        }
+        j += 1
+      }
+      dp(i) = best
+      i += 1
+    }
+    // reconstruct
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var at = n
+    while (at > 0) {
+      val d = dp(at)
+      out += word.substring(d.from, at)
+      at = d.from
+    }
+    out.reverse.toSeq
+  }
+
+  def encodeText(text: String, scores: java.util.HashMap[String, java.lang.Long],
+                 maxLen: Int): Seq[String] =
+    text.split("\\s+").toSeq.filter(_.nonEmpty)
+      .flatMap(encodeWord(_, scores, maxLen))
+
+  private val tlCache =
+    new ThreadLocal[(ArrayData, (java.util.HashMap[String, java.lang.Long], Int))]()
+
+  private def scoreMap(vocab: ArrayData): (java.util.HashMap[String, java.lang.Long], Int) = {
+    val cached = tlCache.get()
+    if (cached != null && (cached._1 eq vocab)) return cached._2
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    var maxLen = 1
+    var i = 0
+    while (i < vocab.numElements()) {
+      val row = vocab.getStruct(i, 2)
+      val p = row.getUTF8String(0).toString
+      m.putIfAbsent(p, row.getLong(1))
+      if (p.length > maxLen) maxLen = p.length
+      i += 1
+    }
+    tlCache.set((vocab, (m, maxLen)))
+    (m, maxLen)
+  }
+
+  def encode(text: UTF8String, vocab: ArrayData): ArrayData = {
+    val (m, maxLen) = scoreMap(vocab)
+    new GenericArrayData(encodeText(text.toString, m, maxLen)
+      .map(UTF8String.fromString).toArray[Any])
+  }
+}
+
+/** `graft_unigram_encode(text: string,
+  *   vocab: array<struct<piece: string, score: bigint>>) -> array<string>`
+  * — Viterbi-best unigram-LM tokens (see [[UnigramKernel]]), codegen'd.
+  */
+case class GraftUnigramEncode(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(s: StructType, _))
+          if s.length == 2 && s(0).dataType == StringType &&
+             s(1).dataType == LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_unigram_encode requires (string, array<struct<string, bigint>>), got $other")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_unigram_encode"
+  override def nullSafeEval(text: Any, vocab: Any): Any =
+    UnigramKernel.encode(text.asInstanceOf[UTF8String], vocab.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, v) => s"graft.functions.UnigramKernel.encode($t, $v)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}

@@ -218,7 +218,10 @@ object Avro {
 
   private final class Reader(b: Array[Byte], var pos: Int, val end: Int) {
     def ok: Boolean = pos <= end
-    def u8(): Int = { val v = b(pos) & 0xff; pos += 1; v }
+    def u8(): Int = {
+      if (pos >= end) { pos = end + 1; return 0 } // truncated: poison ok
+      val v = b(pos) & 0xff; pos += 1; v
+    }
     def varLong(): Long = {
       var v = 0L
       var shift = 0

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The vocab-selection half of the unigram-LM tokenizer
+  * ([[graft.functions.UnigramKernel]] is the Viterbi encode): candidate
+  * pieces are ALL substrings (length 1..maxPieceLen) of every whitespace
+  * word occurrence, counted across the corpus, kept at `minCount`, top
+  * `vocabSize` by (count desc, piece asc) — a deterministic total order,
+  * so the artifact is SQL-replayable exactly (q235's oracle rebuilds it
+  * substring for substring). Scores ([[scoresOf]]) are micro-unit log
+  * relative frequencies — the float `ln` makes them spec-pinned rather
+  * than cross-engine-oracled, the documented q234/q235 split.
+  *
+  * Scale shape: one explode to substring instances (corpus-linear:
+  * <= maxPieceLen * total chars) into one partial-aggregatable count;
+  * the top-K is a single ordered limit over the count relation.
+  */
+object Unigram {
+
+  def learnVocab(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
+                 vocabSize: Int = 200, minCount: Int = 2): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 16, s"maxPieceLen=$maxPieceLen")
+    docs.select(explode(split(col(textCol), "\\s+")).as("w"))
+      .where(length(col("w")) > 0)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, $maxPieceLen), l ->
+           |  CASE WHEN length(w) >= l
+           |       THEN transform(sequence(1, length(w) - l + 1),
+           |                      p -> substring(w, p, l))
+           |       ELSE cast(array() as array<string>) END))""".stripMargin))
+        .as("piece"))
+      .groupBy("piece").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .orderBy(desc("cnt"), asc("piece"))
+      .limit(vocabSize)
+  }
+
+  /** Micro-unit log relative frequencies for a (piece, cnt) vocab:
+    * floor(1e6 * ln(cnt / total)). Driver-side on the vocab-sized
+    * relation; pinned by UnigramSpec (float ln → not oracle material).
+    */
+  def scoresOf(vocab: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val total = vocab.map(_._2).sum.toDouble
+    vocab.map { case (p, c) =>
+      (p, math.floor(1e6 * math.log(c / total)).toLong)
+    }
+  }
+}

@@ -605,6 +605,37 @@ object TextQueries extends QuerySet {
         .orderBy("sid")
     }),
 
+    // Unigram-LM (SentencePiece) Viterbi encode — the fourth tokenizer.
+    // Vocab + micro-unit scores as plan literals; each fixture word's
+    // GLOBALLY best segmentation is hand-derived (incl. the case where
+    // Viterbi beats greedy: 'abc' → a+bc at -150 over ab+c at -180),
+    // plus both tiebreaks and the unknown-char fallback. The rule kernel
+    // is UnigramSpec's; the vocab-selection learner is q235's.
+    "q234_unigram_encode" -> ((s, dir) => {
+      import s.implicits._
+      val vocabSql = Seq(("ab", -100L), ("a", -60L), ("b", -60L),
+        ("c", -80L), ("bc", -90L), ("abc", -250L), ("d", -70L))
+        .map { case (p, sc) => s"named_struct('piece', '$p', 'score', ${sc}L)" }
+        .mkString("array(", ", ", ")")
+      val words = Seq("abc", "ab", "abcd", "ba", "bx", "d", "ab abc")
+      words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("wid", "w")
+        .select(col("wid"),
+          expr(s"array_join(graft_unigram_encode(w, $vocabSql), ' ')").as("toks"))
+        .orderBy("wid")
+    }),
+
+    // The unigram vocab-selection learner, replayed substring for
+    // substring: candidate pieces are all substrings (len 1..4) of every
+    // word occurrence, counted corpus-wide, kept at count >= 2, top 200
+    // by the (cnt desc, piece asc) total order — every piece and count
+    // re-derived in DuckDB. (Scores are float-ln micro-units — the
+    // spec-pinned half; see UnigramSpec.)
+    "q235_unigram_vocab" -> ((s, dir) => {
+      graft.operators.Unigram.learnVocab(t(s, dir, "documents"), "text",
+        maxPieceLen = 4, vocabSize = 200, minCount = 2)
+        .orderBy(desc("cnt"), asc("piece"))
+    }),
+
     "q217_bpe_bytes_learned" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val merges = graft.operators.Bpe.learnBytes(docs, "text", "doc_id",
@@ -1193,6 +1224,29 @@ object TextQueries extends QuerySet {
         |  (14, 'run ! stop'),
         |  (15, '[UNK]')
         |) AS t(wid, toks) ORDER BY wid""".stripMargin,
+    // hand-derived Viterbi outcomes per fixture word
+    "q234_unigram_encode" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'a bc'),
+        |  (1, 'ab'),
+        |  (2, 'a bc d'),
+        |  (3, 'b a'),
+        |  (4, 'b x'),
+        |  (5, 'd'),
+        |  (6, 'ab a bc')
+        |) AS t(wid, toks) ORDER BY wid""".stripMargin,
+    // the vocab learner replayed: substrings of every word occurrence
+    // (len 1..4), corpus-wide counts, the same threshold and total order
+    "q235_unigram_vocab" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |ww AS (SELECT w FROM w WHERE length(w) > 0),
+        |ls AS (SELECT unnest(generate_series(1, 4)) AS l),
+        |sub AS (SELECT unnest(list_transform(range(1, length(w) - l + 2),
+        |          p -> substr(w, CAST(p AS INT), CAST(l AS INT)))) AS piece
+        |        FROM ww, ls WHERE length(w) >= l),
+        |c AS (SELECT piece, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM sub GROUP BY piece HAVING COUNT(*) >= 2)
+        |SELECT piece, cnt FROM c ORDER BY cnt DESC, piece LIMIT 200""".stripMargin,
     // hand-derived sentence boundaries per fixture row
     "q232_sentences" ->
       """SELECT * FROM (VALUES

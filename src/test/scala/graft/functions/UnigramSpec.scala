@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unigram-LM Viterbi rules, tiebreaks, the unknown-char fallback, and
+  * the spec-pinned score arithmetic.
+  */
+class UnigramSpec extends AnyFunSuite {
+
+  private def m(entries: (String, Long)*): java.util.HashMap[String, java.lang.Long] = {
+    val h = new java.util.HashMap[String, java.lang.Long]()
+    entries.foreach { case (k, v) => h.put(k, v) }
+    h
+  }
+
+  private val vocab = m("ab" -> -100L, "a" -> -60L, "b" -> -60L,
+    "c" -> -80L, "bc" -> -90L, "abc" -> -250L, "d" -> -70L)
+
+  test("Viterbi picks the globally best segmentation, not the greedy one") {
+    // [a bc] = -150 beats [ab c] = -180, [abc] = -250, [a b c] = -200
+    assert(UnigramKernel.encodeWord("abc", vocab, 3) == Seq("a", "bc"))
+    assert(UnigramKernel.encodeWord("ab", vocab, 3) == Seq("ab"))
+    assert(UnigramKernel.encodeWord("abcd", vocab, 3) == Seq("a", "bc", "d"))
+  }
+
+  test("ties break to fewer pieces, then the longer last piece") {
+    // [aa] == [a a] == -120 → fewer pieces
+    assert(UnigramKernel.encodeWord("aa", m("aa" -> -120L, "a" -> -60L), 2) ==
+      Seq("aa"))
+    // [aa b] == [a ab] == -150, both 2 pieces → longer LAST piece
+    assert(UnigramKernel.encodeWord("aab",
+      m("aa" -> -100L, "a" -> -50L, "ab" -> -100L, "b" -> -50L), 2) ==
+      Seq("a", "ab"))
+  }
+
+  test("unknown characters fall back to single-char pieces, never fail") {
+    assert(UnigramKernel.encodeWord("axb", m("a" -> -50L, "b" -> -50L), 1) ==
+      Seq("a", "x", "b"))
+    assert(UnigramKernel.encodeText("  ", vocab, 3) == Seq.empty)
+    assert(UnigramKernel.encodeText("ab  ba", vocab, 3) ==
+      Seq("ab", "b", "a"))
+  }
+
+  test("scoresOf: micro-unit log relative frequency, floor semantics") {
+    val s = graft.operators.Unigram.scoresOf(Seq(("w", 3L), ("x", 1L))).toMap
+    assert(s("w") == -287683L) // floor(1e6 * ln(3/4))
+    assert(s("x") == -1386295L) // floor(1e6 * ln(1/4))
+  }
+}

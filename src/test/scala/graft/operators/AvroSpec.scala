@@ -132,6 +132,24 @@ class AvroSpec extends AnyFunSuite {
     assert(Avro.readOcf(flip).isEmpty)
   }
 
+  test("deterministic fuzz: byte soup and bit flips never throw, only None") {
+    val base = Avro.renderOcf(schemaJson, rows(30), rowsPerBlock = 10)
+    var seed = 0x452821e638d01377L
+    def next(): Long = { seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17; seed }
+    for (k <- 0 until 200) {
+      val n = 1 + (math.abs(next()) % 300).toInt
+      val buf = Array.tabulate(n)(_ => (next() & 0xff).toByte)
+      Avro.readOcf(buf)
+      Avro.readOcf(Array[Byte]('O', 'b', 'j', 1) ++ buf)
+      val mut = base.clone()
+      for (_ <- 0 to k % 5) {
+        val at = (math.abs(next()) % mut.length).toInt
+        mut(at) = (mut(at) ^ (1 << (math.abs(next()) % 8).toInt)).toByte
+      }
+      Avro.readOcf(mut) // None or a value; must not throw
+    }
+  }
+
   test("header schema reads from a file PREFIX (inference path)") {
     val good = Avro.renderOcf(schemaJson, rows(500))
     val prefix = java.util.Arrays.copyOf(good, 600) // header + partial block

@@ -332,6 +332,29 @@ class Lz4Spec extends AnyFunSuite {
     assert(full(1).offset == full(0).compLen)
   }
 
+  test("deterministic fuzz: crafted byte soup never throws, only None") {
+    // seeded pseudo-random buffers, plus mutations of a VALID frame —
+    // the decoder's contract is None-or-value, never an exception
+    val base = Lz4.renderFrame(detText)
+    var seed = 0x9e3779b97f4a7c15L
+    def next(): Long = { seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17; seed }
+    for (k <- 0 until 200) {
+      val n = 1 + (math.abs(next()) % 300).toInt
+      val buf = Array.tabulate(n)(_ => (next() & 0xff).toByte)
+      // random soup, and soup behind a real magic
+      Lz4.decode(buf)
+      Lz4.decode(Array[Byte](4, 0x22, 0x4d, 0x18) ++ buf)
+      Lz4.decode(Array[Byte](2, 0x21, 0x4c, 0x18) ++ buf)
+      // a valid frame with k scattered byte flips
+      val mut = base.clone()
+      for (_ <- 0 to k % 5) {
+        val at = (math.abs(next()) % mut.length).toInt
+        mut(at) = (mut(at) ^ (1 << (math.abs(next()) % 8).toInt)).toByte
+      }
+      Lz4.decode(mut) // None or a value; must not throw
+    }
+  }
+
   test("a malformed region stops the shard walk clean, keeping prior frames") {
     val good = Lz4.renderFrame(detTiny)
     val bad = good.clone(); bad(bad.length - 1) = (bad(bad.length - 1) ^ 1).toByte

@@ -102,6 +102,31 @@ class SnappySpec extends AnyFunSuite {
     assert(Snappy.decodeFramed(pad).get.sameElements(detBytes(50)))
   }
 
+  test("deterministic fuzz: byte soup and bit flips never throw at any layer") {
+    val framed = Snappy.renderFramed(Seq(detBytes(100), detBytes(300)))
+    val hadoop = Snappy.renderHadoop(detBytes(400))
+    val raw = Snappy.encodeBlockStored(detBytes(200))
+    var seed = 0x243f6a8885a308d3L
+    def next(): Long = { seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17; seed }
+    for (k <- 0 until 200) {
+      val n = 1 + (math.abs(next()) % 300).toInt
+      val buf = Array.tabulate(n)(_ => (next() & 0xff).toByte)
+      Snappy.parseFramed(buf)
+      Snappy.decodeHadoop(buf)
+      Snappy.decodeBlock(buf, 0, buf.length)
+      for (base <- Seq(framed, hadoop, raw)) {
+        val mut = base.clone()
+        for (_ <- 0 to k % 5) {
+          val at = (math.abs(next()) % mut.length).toInt
+          mut(at) = (mut(at) ^ (1 << (math.abs(next()) % 8).toInt)).toByte
+        }
+        Snappy.parseFramed(mut)
+        Snappy.decodeHadoop(mut)
+        Snappy.decodeBlock(mut, 0, mut.length)
+      }
+    }
+  }
+
   // ------------------------------------------------------------- hadoop
 
   test("snappy-java hadoop-layout streams decode here") {
