@@ -56,4 +56,29 @@ object Politeness extends Serializable {
       .withColumn("fetch_at_ms", col("seq").cast("long") * col("delay_ms"))
       .withColumn("worker", workerOf(col(hostCol), nWorkers))
   }
+
+  /** Per-SITE frontier budgeting — the complement to per-host delays:
+    * crawl budgets are per registrable domain ([[graft.functions.Etld]]
+    * via `graft_etld1`), so `www.`/`news.`/`m.` subdomains of one site
+    * share ONE budget while sibling `*.blogspot.com` tenants each get
+    * their own — per-HOST caps get both wrong (over-crawl multi-host
+    * sites, starve multi-tenant registries). Keeps the top `budget`
+    * URLs per site by (priority desc, url); IP literals and junk hosts
+    * budget by themselves (site = the url's own key).
+    *
+    * 100 TB shape: one shuffle on the site key (the window partition the
+    * budget semantics themselves define); the eTLD+1 split is a narrow
+    * codegen'd expression.
+    */
+  def domainBudget(frontier: DataFrame, urlCol: String, priorityCol: String,
+                   budget: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = Window.partitionBy("site")
+      .orderBy(col(priorityCol).desc, col(urlCol))
+    frontier
+      .withColumn("site",
+        coalesce(expr(s"graft_etld1($urlCol).domain"), col(urlCol)))
+      .withColumn("site_rank", row_number().over(w).cast("int"))
+      .where(col("site_rank") <= budget)
+  }
 }

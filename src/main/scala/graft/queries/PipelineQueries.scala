@@ -2926,6 +2926,26 @@ object PipelineQueries extends QuerySet {
         .orderBy("host", "seq")
     }),
 
+    // Per-SITE crawl budgets (q194's complement): the budget key is the
+    // REGISTRABLE domain, not the host — www./news./m. subdomains of one
+    // .co.uk site share one budget, while sibling blogspot tenants each
+    // keep their own. The oracle replays the eTLD+1 outcome per formula
+    // branch and the same windowed rank; a per-host implementation would
+    // emit 3x the rows on the multi-host sites and flip the hash.
+    "q236_domain_budget" -> ((s, dir) => {
+      import s.implicits._
+      val urls = (0 until 80).map { i =>
+        val url =
+          if (i % 2 == 0)
+            s"https://${Seq("www", "news", "m")(i % 3)}.site${i % 4}.co.uk/p/$i"
+          else s"https://a${i % 4}.blogspot.com/post/$i"
+        (i.toLong, url, ((i * 37) % 100).toLong)
+      }.toDF("uid", "url", "prio")
+      graft.operators.Politeness.domainBudget(urls, "url", "prio", budget = 5)
+        .select(col("site"), col("site_rank"), col("url"), col("prio"))
+        .orderBy("site", "site_rank")
+    }),
+
     // Subtitle/caption ingest (SubRip + WebVTT) — the text half of a
     // video training pair: 12 caption files alternating SRT/VTT explode
     // to per-cue rows. Comma vs dot timestamp grammars, the VTT
@@ -4485,6 +4505,26 @@ object PipelineQueries extends QuerySet {
         |  (i % 2 = 0) AS flag,
         |  CASE WHEN i % 3 = 0 THEN NULL ELSE 'tag-' || i END AS tag
         |FROM r ORDER BY id""".stripMargin,
+    // the per-site budget replayed: eTLD+1 per formula branch, the same
+    // windowed rank and cutoff
+    "q236_domain_budget" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 79)) AS i),
+        |u AS (SELECT i,
+        |  CASE WHEN i % 2 = 0
+        |       THEN 'https://' || (CASE i % 3 WHEN 0 THEN 'www'
+        |              WHEN 1 THEN 'news' ELSE 'm' END)
+        |            || '.site' || (i % 4) || '.co.uk/p/' || i
+        |       ELSE 'https://a' || (i % 4) || '.blogspot.com/post/' || i
+        |  END AS url,
+        |  CAST((i * 37) % 100 AS BIGINT) AS prio,
+        |  CASE WHEN i % 2 = 0 THEN 'site' || (i % 4) || '.co.uk'
+        |       ELSE 'a' || (i % 4) || '.blogspot.com' END AS site
+        |FROM r),
+        |k AS (SELECT site, url, prio,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY site
+        |    ORDER BY prio DESC, url) AS INT) AS site_rank FROM u)
+        |SELECT site, site_rank, url, prio FROM k
+        |WHERE site_rank <= 5 ORDER BY site, site_rank""".stripMargin,
     // the avro sink round trip oracled against the SOURCE table
     "q233_avro_sink" ->
       """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,

@@ -41,6 +41,29 @@ class PolitenessSpec extends SparkSpec {
     assert(a.head.getAs[Int]("worker") == w.toInt)
   }
 
+  test("domainBudget: subdomains share a site budget; tenants keep their own") {
+    val s = spark
+    import s.implicits._
+    val frontier = (
+      (0 until 12).map(i => (s"https://${Seq("www", "news", "m")(i % 3)}.one.co.uk/$i", i)) ++
+      (0 until 6).map(i => (s"https://a${i % 2}.blogspot.com/$i", 100 + i)) ++
+      Seq(("https://192.168.0.1/x", 999))
+    ).toDF("url", "prio")
+    val kept = Politeness.domainBudget(frontier, "url", "prio", budget = 4)
+      .collect().map(r => (r.getAs[String]("site"), r.getAs[Int]("site_rank")))
+    val bySite = kept.groupBy(_._1).view.mapValues(_.length).toMap
+    // one.co.uk: 12 candidates across THREE hosts → capped at 4 total
+    assert(bySite("one.co.uk") == 4)
+    // each blogspot tenant budgets separately (3 candidates each, under cap)
+    assert(bySite("a0.blogspot.com") == 3 && bySite("a1.blogspot.com") == 3)
+    // an IP literal budgets by itself
+    assert(bySite("192.168.0.1") == 1)
+    // ranks are 1..k within each site
+    kept.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
   test("plan shape: the delay dim joins broadcast") {
     val s = spark
     import s.implicits._
