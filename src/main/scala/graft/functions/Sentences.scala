@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -102,6 +102,72 @@ object Sentences {
 
   def eval(text: UTF8String): ArrayData =
     new GenericArrayData(split(text.toString).map(UTF8String.fromString).toArray[Any])
+
+  /** Sentence-aware chunking — the RAG/packing grain: greedily pack
+    * consecutive sentences into chunks of at most `maxTokens` whitespace
+    * tokens, never splitting a sentence across chunks; a single sentence
+    * longer than the budget becomes its own oversized chunk (dropping
+    * text is the one thing a chunker may not do silently). Deterministic
+    * left-to-right greedy — a fixture oracle can restate every boundary.
+    */
+  def chunks(text: String, maxTokens: Int): Seq[String] = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new java.lang.StringBuilder()
+    var curTokens = 0
+    def tokensOf(s: String): Int = {
+      var n = 0
+      var inTok = false
+      var i = 0
+      while (i < s.length) {
+        val ws = Character.isWhitespace(s.charAt(i))
+        if (!ws && !inTok) n += 1
+        inTok = !ws
+        i += 1
+      }
+      n
+    }
+    split(text).foreach { sent =>
+      val t = tokensOf(sent)
+      if (curTokens > 0 && curTokens + t > maxTokens) {
+        out += cur.toString
+        cur.setLength(0)
+        curTokens = 0
+      }
+      if (cur.length > 0) cur.append(' ')
+      cur.append(sent)
+      curTokens += t
+    }
+    if (cur.length > 0) out += cur.toString
+    out.toSeq
+  }
+
+  def evalChunks(text: UTF8String, maxTokens: Int): ArrayData =
+    new GenericArrayData(chunks(text.toString, maxTokens)
+      .map(UTF8String.fromString).toArray[Any])
+}
+
+/** `graft_sentence_chunks(text: string, max_tokens: int) -> array<string>`
+  * — sentence-aware greedy chunks (see [[Sentences.chunks]]), codegen'd;
+  * `max_tokens` must be a literal int.
+  */
+case class GraftSentenceChunks(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_sentence_chunks requires (string, int), got $other")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_sentence_chunks"
+  override def nullSafeEval(text: Any, max: Any): Any =
+    Sentences.evalChunks(text.asInstanceOf[UTF8String], max.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, m) => s"graft.functions.Sentences.evalChunks($t, $m)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
 /** `graft_sentences(text: string) -> array<string>` — rule-based

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftBpeEncode, GraftBpeEncodeBytes, GraftCanonUrl, GraftCdcChunks, GraftExtractAnchors, GraftExtractLinks, GraftExtractText, GraftEtld1, GraftFeedEntries, GraftFixText, GraftHreflang, GraftJsonLd, GraftLshBuckets, GraftLutSum, GraftMetaProps, GraftMinHash, GraftNormalize, GraftPageDirectives, GraftRobotsCrawlDelay, GraftRobotsMatch, GraftRobotsRules, GraftRobotsSitemaps, GraftRobotsWildRules, GraftSentences, GraftSimHash, GraftSimHashMd5, GraftSitemapEntries, GraftUnigramEncode, GraftWinnow, GraftWinnowMd5, GraftWordpiece}
+import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftBpeEncode, GraftBpeEncodeBytes, GraftCanonUrl, GraftCdcChunks, GraftExtractAnchors, GraftExtractLinks, GraftExtractText, GraftEtld1, GraftFeedEntries, GraftFixText, GraftHreflang, GraftJsonLd, GraftLshBuckets, GraftLutSum, GraftMetaProps, GraftMinHash, GraftNormalize, GraftPageDirectives, GraftRobotsCrawlDelay, GraftRobotsMatch, GraftRobotsRules, GraftRobotsSitemaps, GraftRobotsWildRules, GraftSentenceChunks, GraftSentences, GraftSimHash, GraftSimHashMd5, GraftSitemapEntries, GraftUnigramEncode, GraftWinnow, GraftWinnowMd5, GraftWordpiece}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (see [[graft.GraftSession]]): injects the engine's native expressions
@@ -117,6 +117,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_unigram_encode"),
       new ExpressionInfo(classOf[GraftUnigramEncode].getName, "graft_unigram_encode"),
       (children: Seq[Expression]) => GraftUnigramEncode(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sentence_chunks"),
+      new ExpressionInfo(classOf[GraftSentenceChunks].getName, "graft_sentence_chunks"),
+      (children: Seq[Expression]) => GraftSentenceChunks(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_sitemap_entries"),
       new ExpressionInfo(classOf[GraftSitemapEntries].getName, "graft_sitemap_entries"),

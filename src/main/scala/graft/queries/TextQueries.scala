@@ -636,6 +636,27 @@ object TextQueries extends QuerySet {
         .orderBy(desc("cnt"), asc("piece"))
     }),
 
+    // Sentence-aware chunking (graft_sentence_chunks) — the RAG/packing
+    // grain over q232's splitter: greedy fill to a token budget, never
+    // splitting a sentence; an over-budget sentence becomes its own
+    // oversized chunk rather than silently dropping text. Boundaries
+    // hand-derived per fixture; the splitter's own rules are q232's.
+    "q237_sentence_chunks" -> ((s, dir) => {
+      import s.implicits._
+      val texts = Seq(
+        "One two three. Four five. Six seven eight nine. Ten.",
+        "Alpha beta. Gamma delta. Epsilon zeta.",
+        "Longer than the budget sentence here always.",
+        "Ab. Cd. Ef. Gh. Ij. Kl.",
+        "",
+        "No punctuation at all here")
+      texts.zipWithIndex.map { case (t0, i) => (i.toLong, t0) }.toDF("tid", "t")
+        .select(col("tid"),
+          expr("size(graft_sentence_chunks(t, 5))").as("n_chunks"),
+          expr("array_join(graft_sentence_chunks(t, 5), '|')").as("chunks"))
+        .orderBy("tid")
+    }),
+
     "q217_bpe_bytes_learned" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val merges = graft.operators.Bpe.learnBytes(docs, "text", "doc_id",
@@ -1247,6 +1268,17 @@ object TextQueries extends QuerySet {
         |c AS (SELECT piece, CAST(COUNT(*) AS BIGINT) AS cnt
         |      FROM sub GROUP BY piece HAVING COUNT(*) >= 2)
         |SELECT piece, cnt FROM c ORDER BY cnt DESC, piece LIMIT 200""".stripMargin,
+    // hand-derived chunk boundaries at budget 5 per fixture row
+    "q237_sentence_chunks" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(2 AS INT),
+        |   'One two three. Four five.|Six seven eight nine. Ten.'),
+        |  (1, 2, 'Alpha beta. Gamma delta.|Epsilon zeta.'),
+        |  (2, 1, 'Longer than the budget sentence here always.'),
+        |  (3, 2, 'Ab. Cd. Ef. Gh. Ij.|Kl.'),
+        |  (4, 0, ''),
+        |  (5, 1, 'No punctuation at all here')
+        |) AS t(tid, n_chunks, chunks) ORDER BY tid""".stripMargin,
     // hand-derived sentence boundaries per fixture row
     "q232_sentences" ->
       """SELECT * FROM (VALUES

@@ -48,4 +48,17 @@ class SentencesSpec extends AnyFunSuite {
     assert(Sentences.split("(It works.) Next.") ==
       Seq("(It works.)", "Next."))
   }
+
+  test("sentence-aware chunks: greedy fill, no sentence ever splits") {
+    // sentences of 3/2/4/1 tokens; budget 5 → [3+2], [4+1]
+    val t = "One two three. Four five. Six seven eight nine. Ten."
+    assert(Sentences.chunks(t, 5) ==
+      Seq("One two three. Four five.", "Six seven eight nine. Ten."))
+    // budget 3: the 4-token sentence exceeds it → its own oversized chunk
+    assert(Sentences.chunks(t, 3) ==
+      Seq("One two three.", "Four five.", "Six seven eight nine.", "Ten."))
+    // everything fits in one chunk
+    assert(Sentences.chunks(t, 100) == Seq(t))
+    assert(Sentences.chunks("", 5) == Seq.empty)
+  }
 }
