@@ -125,8 +125,16 @@ object Etld {
     var s = url.trim
     val scheme = s.indexOf("://")
     if (scheme >= 0) s = s.substring(scheme + 3)
-    val slash = s.indexOf('/')
-    if (slash >= 0) s = s.substring(0, slash)
+    // the authority ends at the first of '/', '?' or '#' — a query or
+    // fragment can follow the host directly (https://example.com?a=1)
+    var cut = s.length
+    var i = 0
+    while (i < cut) {
+      val c = s.charAt(i)
+      if (c == '/' || c == '?' || c == '#') cut = i
+      i += 1
+    }
+    s = s.substring(0, cut)
     val at = s.lastIndexOf('@')
     if (at >= 0) s = s.substring(at + 1)
     // IPv6 literal in brackets: the address is the site

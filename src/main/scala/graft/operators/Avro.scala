@@ -237,7 +237,7 @@ object Avro {
       (v >>> 1) ^ -(v & 1) // zigzag
     }
     def take(n: Int): Array[Byte] = {
-      if (n < 0 || pos + n > end) { pos = end + 1; Array.emptyByteArray }
+      if (n < 0 || n > end - pos) { pos = end + 1; Array.emptyByteArray }
       else { val r = java.util.Arrays.copyOfRange(b, pos, pos + n); pos += n; r }
     }
   }
@@ -387,6 +387,9 @@ object Avro {
             if (!fld.nullable) decodeValue(br, fld.tpe)
             else {
               val branch = br.varLong()
+              // a 2-branch union admits indices 0 and 1 only; avro-java errors
+              // on anything else, so a lax accept would decode corrupt blocks
+              if (branch != 0L && branch != 1L) return None
               val isNull = if (fld.nullFirst) branch == 0 else branch == 1
               if (isNull) null else decodeValue(br, fld.tpe)
             }

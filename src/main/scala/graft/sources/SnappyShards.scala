@@ -55,6 +55,12 @@ object SnappyShards {
             if (n < 4) return out.iterator
             graft.operators.Snappy.decodeBlock(bytes, pos + 8, n - 4) match {
               case Some(d) if d.length <= 65536 =>
+                // the decode already paid the work; verify the masked CRC so a
+                // pruned scan reports the same rows the full data read accepts
+                val crc = (bytes(pos + 4) & 0xff) | ((bytes(pos + 5) & 0xff) << 8) |
+                  ((bytes(pos + 6) & 0xff) << 16) | ((bytes(pos + 7) & 0xff) << 24)
+                if (graft.operators.Snappy.maskedCrc(d, 0, d.length) != crc)
+                  return out.iterator
                 out += SnappyMember(file, chunk, pos.toLong, (4 + n).toLong,
                   d.length.toLong, null)
                 chunk += 1

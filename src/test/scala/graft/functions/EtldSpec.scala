@@ -63,4 +63,12 @@ class EtldSpec extends AnyFunSuite {
     assert(Etld.splitUrl("sub.example.org") ==("org", "example.org"))
     assert(Etld.splitUrl("http://[2001:db8::1]:80/x") == (null, "2001:db8::1"))
   }
+
+  test("query or fragment directly after the host (no path)") {
+    assert(Etld.splitUrl("https://example.com?a=1")._2 == "example.com")
+    assert(Etld.splitUrl("https://example.com#frag")._2 == "example.com")
+    assert(Etld.splitUrl("https://sub.example.com?x=/slash.in.query")._2 ==
+      "example.com")
+    assert(Etld.splitUrl("https://example.com:8080?a=1")._2 == "example.com")
+  }
 }

@@ -150,6 +150,31 @@ class AvroSpec extends AnyFunSuite {
     }
   }
 
+  test("crafted Int.MaxValue length must not overflow the take guard") {
+    // metadata map: count=1 (zigzag 0x02), then a key length of 2^31-1 —
+    // pos + n overflows Int if the guard adds; must poison, never throw
+    val evil = Array[Byte]('O', 'b', 'j', 1, 0x02,
+      0xFE.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0x0F)
+    assert(Avro.readOcf(evil).isEmpty)
+    assert(Avro.readOcfHeaderSchema(evil).isEmpty)
+  }
+
+  test("out-of-range union branch index rejects, matching avro-java") {
+    val sj = """{"type":"record","name":"U","fields":[
+      {"name":"x","type":["null","long"]}]}"""
+    val good = Avro.renderOcf(sj, Seq(Array[Any](5L)))
+    assert(Avro.readOcf(good).exists(_.rows.head.head == 5L))
+    // header length = file minus the one block; the block is
+    // zigzag(count)=0x02, zigzag(size), body, sync(16)
+    val w = new Avro.BlockWriter(sj)
+    val headerLen = w.header.length
+    val branchAt = headerLen + 2 // count byte + size byte, body starts here
+    assert(good(branchAt) == 0x02) // zigzag(1) = non-null branch
+    val evil = good.clone()
+    evil(branchAt) = 0x0E // zigzag(7): outside the 2-branch union
+    assert(Avro.readOcf(evil).isEmpty)
+  }
+
   test("header schema reads from a file PREFIX (inference path)") {
     val good = Avro.renderOcf(schemaJson, rows(500))
     val prefix = java.util.Arrays.copyOf(good, 600) // header + partial block

@@ -102,6 +102,28 @@ class SnappySpec extends AnyFunSuite {
     assert(Snappy.decodeFramed(pad).get.sameElements(detBytes(50)))
   }
 
+  test("listing fast path CRC-verifies compressed chunks (projection parity)") {
+    // snappy-java emits compressed (0x00) chunks for this payload
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new org.xerial.snappy.SnappyFramedOutputStream(bos)
+    out.write(detText); out.close()
+    val good = bos.toByteArray
+    val full0 = graft.sources.SnappyShards.parseFile("f", good).toSeq
+    val list0 = graft.sources.SnappyShards.parseFile("f", good, withData = false).toSeq
+    assert(full0.nonEmpty && full0.exists(m => (good(m.offset.toInt) & 0xff) == 0x00))
+    assert(list0.map(m => (m.chunk, m.offset, m.size)) ==
+      full0.map(m => (m.chunk, m.offset, m.size)))
+    // flip a CRC byte of the first compressed chunk: the full read rejects
+    // it, so the listing walk must report the identical (shorter) set
+    val at = full0.find(m => (good(m.offset.toInt) & 0xff) == 0x00).get.offset.toInt
+    val bad = good.clone()
+    bad(at + 4) = (bad(at + 4) ^ 1).toByte
+    val full = graft.sources.SnappyShards.parseFile("f", bad).toSeq
+    val list = graft.sources.SnappyShards.parseFile("f", bad, withData = false).toSeq
+    assert(list.map(m => (m.chunk, m.offset, m.size)) ==
+      full.map(m => (m.chunk, m.offset, m.size)))
+  }
+
   test("deterministic fuzz: byte soup and bit flips never throw at any layer") {
     val framed = Snappy.renderFramed(Seq(detBytes(100), detBytes(300)))
     val hadoop = Snappy.renderHadoop(detBytes(400))
