@@ -28,6 +28,12 @@ object GraftSession {
     // fires on mid-sized build sides
     .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    // bound the plan-description string built for every action's
+    // SQLExecutionStart event: a funnel that persists N stages whose joins
+    // reference the prior cached frame twice prints an O(2^N)-size tree —
+    // unbounded (the default), that string alone can OOM the driver long
+    // before the job runs. 1 MiB is plenty for any human-readable explain.
+    .config("spark.sql.maxPlanStringLength", "1048576")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")

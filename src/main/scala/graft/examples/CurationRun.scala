@@ -163,9 +163,15 @@ object CurationRun {
     val mixed = stage("mixed", Sampling.mixSources(clean, "doc_id", "source",
       Map("src1" -> 800, "src2" -> 800), defaultPerMille = 1000))
 
-    // 6. deterministic per-source weighted sample (longer docs favored)
+    // 6. validated PII redaction — the last text rewrite before release
+    // (after dedup on purpose: redaction placeholders would otherwise
+    // collapse distinct documents that differ only in their PII)
+    val redacted = stage("pii_redacted",
+      mixed.withColumn("text", expr("graft_redact_pii(text)")))
+
+    // 7. deterministic per-source weighted sample (longer docs favored)
     val sampled = stage("sampled", Sampling.weightedTopKPerGroup(
-      mixed, Seq("source"), "doc_id", "n_chars", k = samplePerSource))
+      redacted, Seq("source"), "doc_id", "n_chars", k = samplePerSource))
     // intermediate pins release here; the final frame keeps its cache
     pinned.dropRight(1).foreach(_.unpersist())
     (sampled, scala.collection.immutable.ListMap(stages.toSeq: _*))

@@ -12,8 +12,9 @@ import graft.GraftSession
   *   (pre-extracted text), WebDataset tar shards, ZIP shards, PDFs
   *   (ISO 32000 text extraction), Wikipedia multistream bz2 dumps
   *   (page split + wikitext -> prose), xz shards, zstd shards, lz4
-  *   shards, snappy-framed shards, Avro OCF shards, and
-  *   TFRecord shards (tf.Example text features) each become rows of
+  *   shards, snappy-framed shards, Avro OCF shards,
+  *   TFRecord shards (tf.Example text features), and Jupyter notebooks
+  *   (cells concatenated per notebook) each become rows of
   *   `(doc_id, fmt, locator, text)`; a union + one exact-dedup groupBy
   *   collapses the SAME article arriving through different containers —
   *   the republication case only a format-spanning door can catch (the
@@ -153,11 +154,24 @@ object IngestRun {
       .where(length(col("text")) > 0)
   }
 
-  /** The WAT metadata door — tenth door, but a METADATA door, not a text
-    * door: WAT envelopes carry head/link metadata, no body text, so it
-    * feeds the link-graph side output (the [[graft.operators.Graph]]
-    * edge shape) instead of the dedup corpus. Link-graph users read
-    * this INSTEAD of parsing the WARC's HTML.
+  /** Jupyter notebooks: one document per notebook, cells concatenated in
+    * order (raw cell sources — code corpora train on the code itself;
+    * `graft_md_text` is available downstream for the markdown share).
+    */
+  def fromIpynb(spark: SparkSession, path: String): DataFrame =
+    graft.sources.IpynbDataSource.read(spark, path)
+      .groupBy("file")
+      .agg(concat_ws("\n\n", expr(
+        "transform(array_sort(collect_list(struct(cell_idx, source))), s -> s.source)"))
+        .as("text"))
+      .select(norm("ipynb", col("file"), col("text")): _*)
+      .where(length(col("text")) > 0)
+
+  /** The WAT metadata door — a METADATA door, not a text door: WAT
+    * envelopes carry head/link metadata, no body text, so it feeds the
+    * link-graph side output (the [[graft.operators.Graph]] edge shape)
+    * instead of the dedup corpus. Link-graph users read this INSTEAD of
+    * parsing the WARC's HTML.
     */
   def watEdges(spark: SparkSession, path: String): DataFrame =
     graft.sources.Warc.watLinks(graft.sources.Warc.read(spark, path))
@@ -191,7 +205,8 @@ object IngestRun {
       fromXz(spark, fx("xz")), fromZstd(spark, fx("zstd")),
       fromLz4(spark, fx("lz4")), fromSnappy(spark, fx("snappy")),
       fromAvro(spark, fx("avro")),
-      fromTfRecord(spark, fx("tfrecord"))))
+      fromTfRecord(spark, fx("tfrecord")),
+      fromIpynb(spark, fx("ipynb"))))
     corpus.cache()
     val total = corpus.count()
     val dups = corpus.where(col("n_copies") > 1).count()
@@ -205,8 +220,9 @@ object IngestRun {
 }
 
 /** Deterministic multi-format fixture set for [[IngestRun]] and its spec:
-  * 13 distinct articles; article 0 appears through ALL twelve text doors
-  * (the cross-format republication), articles 1-12 through one door each.
+  * 14 distinct articles; article 0 appears through ALL thirteen text
+  * doors (the cross-format republication), articles 1-13 through one
+  * door each.
   */
 object IngestFixtures {
   private def article(i: Int): String =
@@ -282,6 +298,13 @@ object IngestFixtures {
       graft.sources.TfRecords.render(Seq(0, 8).map(i =>
         graft.operators.TfExample.encode(Seq(
           "text" -> graft.operators.TfExample.text(article(i)))))))
+    val nbDir = sub("ipynb")
+    Seq(0, 13).foreach { i =>
+      java.nio.file.Files.write(nbDir.resolve(s"n$i.ipynb"),
+        graft.operators.Ipynb.renderV4("python",
+          Seq(("markdown", article(i), None, 0)),
+          arraySource = i % 2 == 0).getBytes("UTF-8"))
+    }
     val watDir = sub("wat")
     java.nio.file.Files.write(watDir.resolve("a.warc.wat.gz"),
       graft.sources.Warc.renderGzip(Seq(0, 1).map { i =>
@@ -297,7 +320,7 @@ object IngestFixtures {
       "pdf" -> pdfDir.toString, "wiki" -> wikiDir.toString,
       "xz" -> xzDir.toString, "zstd" -> zstdDir.toString,
       "lz4" -> lz4Dir.toString, "snappy" -> snappyDir.toString,
-      "avro" -> avroDir.toString,
-      "tfrecord" -> tfDir.toString, "wat" -> watDir.toString)
+      "avro" -> avroDir.toString, "tfrecord" -> tfDir.toString,
+      "ipynb" -> nbDir.toString, "wat" -> watDir.toString)
   }
 }

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Markdown → training-text extraction — the README/docs counterpart of
+  * [[HtmlText]] (GitHub-scale corpora are heavily Markdown; a curation
+  * pipeline that feeds raw `#`/"```"/link syntax to a tokenizer trains
+  * on markup, and one that drops `.md` files loses the best prose in
+  * code repositories).
+  *
+  * Deterministic rule set (CommonMark-shaped, chosen so an oracle can
+  * restate outputs verbatim — NOT a full CommonMark parser, documented
+  * not hidden):
+  *
+  *  1. Fenced code blocks: a line whose first non-space chars are
+  *     ``` ``` ``` (any info string) toggles a fence; fence lines and
+  *     everything inside drop. An unterminated fence drops to EOF (a
+  *     truncated README yields no phantom code-text).
+  *  2. Per remaining line: horizontal rules (3+ of `-`/`*`/`_`, spaces
+  *     allowed, nothing else) and setext underlines (`=`-only lines)
+  *     drop; ATX `#` runs (1-6, then a space) strip; blockquote `>`
+  *     prefixes strip repeatedly; one leading list marker (`- `, `* `,
+  *     `+ `, or `1. `/`1) ` with up to 9 digits) strips after
+  *     indentation.
+  *  3. Inline, in fixed order: images `![alt](url)` → alt; links
+  *     `[text](url)` → text; autolinks `<http(s)://…>` → the URL;
+  *     inline code backtick pairs → their verbatim content; then every
+  *     `*` drops and `__` pairs drop (single `_` survives — it is
+  *     snake_case in code corpora far more often than emphasis).
+  *  4. Lines trim, internal space/tab runs collapse to one space, empty
+  *     lines drop, kept lines join with `\n`.
+  */
+object Markdown {
+
+  private val ImageRe = java.util.regex.Pattern.compile(
+    "!\\[([^\\]]*)\\]\\(([^)]*)\\)")
+  private val LinkRe = java.util.regex.Pattern.compile(
+    "\\[([^\\]]*)\\]\\(([^)]*)\\)")
+  private val AutolinkRe = java.util.regex.Pattern.compile(
+    "<(https?://[^ >]+)>")
+  private val CodeRe = java.util.regex.Pattern.compile("`([^`]*)`")
+  private val AtxRe = java.util.regex.Pattern.compile("^#{1,6} +")
+  private val ListRe = java.util.regex.Pattern.compile(
+    "^[ \\t]*(?:[-*+] |[0-9]{1,9}[.)] )")
+  private val HrRe = java.util.regex.Pattern.compile(
+    "^ {0,3}(?:(?:- *){3,}|(?:\\* *){3,}|(?:_ *){3,})$")
+  private val SetextRe = java.util.regex.Pattern.compile("^=+ *$")
+  private val SpaceRe = java.util.regex.Pattern.compile("[ \\t]+")
+
+  def extract(md: String): String = {
+    val out = new java.lang.StringBuilder(md.length)
+    var inFence = false
+    var first = true
+    md.split("\n", -1).foreach { raw =>
+      val stripped = raw.trim
+      if (stripped.startsWith("```")) inFence = !inFence
+      else if (!inFence && !HrRe.matcher(stripped).matches()
+               && !SetextRe.matcher(stripped).matches()) {
+        var line = raw
+        // block prefixes: quote markers, then heading, then one list marker
+        var quoting = true
+        while (quoting) {
+          val t = line.replaceFirst("^[ \\t]*> ?", "")
+          if (t == line) quoting = false else line = t
+        }
+        line = AtxRe.matcher(line.replaceFirst("^[ \\t]+", "")).replaceFirst("")
+        line = ListRe.matcher(line).replaceFirst("")
+        // inline, fixed order
+        line = ImageRe.matcher(line).replaceAll("$1")
+        line = LinkRe.matcher(line).replaceAll("$1")
+        line = AutolinkRe.matcher(line).replaceAll("$1")
+        line = CodeRe.matcher(line).replaceAll("$1")
+        line = line.replace("*", "").replace("__", "")
+        line = SpaceRe.matcher(line).replaceAll(" ").trim
+        if (line.nonEmpty) {
+          if (!first) out.append('\n')
+          out.append(line)
+          first = false
+        }
+      }
+    }
+    out.toString
+  }
+
+  def extractUtf8(u: UTF8String): UTF8String =
+    UTF8String.fromString(extract(u.toString))
+}
+
+/** `graft_md_text(md: string) -> string` — see [[Markdown]]. */
+case class GraftMdText(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_md_text requires string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_md_text"
+  override def nullSafeEval(s: Any): Any =
+    Markdown.extractUtf8(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.Markdown.extractUtf8($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

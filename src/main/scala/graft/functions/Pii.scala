@@ -1,0 +1,237 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Structured PII / credential detection for corpus scrubbing — the
+  * pre-release redaction stage of a training-data pipeline (the
+  * reference's curation story stops at sequence data; a text corpus must
+  * additionally ship without card numbers, SSNs and live cloud keys).
+  * Sits beside the regex-count screen of `q47_pii_redact`: that one
+  * counts SHAPES, this one validates (Luhn for cards, octet ranges for
+  * IPv4) so a 16-digit order number is not "a credit card".
+  *
+  * Deterministic rule set, chosen so an oracle can replay results:
+  *
+  *  1. Five detectors, scanned in fixed precedence: EMAIL, KEY (AWS
+  *     access-key shape `AKIA` + 16 of `[0-9A-Z]`), SSN (`ddd-dd-dddd`),
+  *     CARD, IPV4. A later candidate overlapping an earlier claimed span
+  *     is dropped (digits inside an email never double-count).
+  *  2. EMAIL matches `[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}`
+  *     (the q47 shape — maximal local/domain runs).
+  *  3. KEY and SSN require non-alphanumeric boundaries on both sides.
+  *  4. CARD considers MAXIMAL tokens of digits with single `-`/space
+  *     separators between digit groups (token starts and ends with a
+  *     digit, no two separators adjacent, digit-boundaries both sides).
+  *     A token is a card iff its digit count is 13..19 AND the digit
+  *     string passes the Luhn checksum. No sub-window search: a 16-digit
+  *     run failing Luhn is NOT re-scanned at 15 — maximal-token-or-
+  *     nothing keeps the result replayable.
+  *  5. IPV4 matches `d{1,3}.d{1,3}.d{1,3}.d{1,3}` with every octet value
+  *     <= 255 and non-digit, non-dot boundaries (so `10.2.3.4.5` and
+  *     `300.1.2.3` match nothing, not a suffix).
+  *
+  * Redaction replaces each claimed span with its typed placeholder
+  * `[EMAIL] [KEY] [SSN] [CARD] [IPV4]`; counts and redaction come from
+  * the same single scan, so they can never disagree.
+  */
+object Pii {
+
+  final val Kinds = 5 // EMAIL, KEY, SSN, CARD, IPV4 — precedence order
+  private val Placeholders =
+    Array("[EMAIL]", "[KEY]", "[SSN]", "[CARD]", "[IPV4]")
+
+  private val EmailRe = java.util.regex.Pattern.compile(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+  private val KeyRe = java.util.regex.Pattern.compile("AKIA[0-9A-Z]{16}")
+  private val SsnRe = java.util.regex.Pattern.compile(
+    "[0-9]{3}-[0-9]{2}-[0-9]{4}")
+
+  /** Luhn checksum over a pure digit string (rightmost digit is the
+    * check digit). Empty/non-digit input is simply not valid.
+    */
+  def luhnValid(digits: String): Boolean = {
+    var sum = 0
+    var pos = 0 // 0 = rightmost (check digit, undoubled)
+    var i = digits.length - 1
+    if (i < 0) return false
+    while (i >= 0) {
+      val c = digits.charAt(i)
+      if (c < '0' || c > '9') return false
+      val d = c - '0'
+      sum += (if (pos % 2 == 1) { val t = d * 2; if (t > 9) t - 9 else t }
+              else d)
+      pos += 1
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  private def alnum(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  private def digit(c: Char): Boolean = c >= '0' && c <= '9'
+
+  /** One scan: claimed spans as (start, end, kind), non-overlapping,
+    * sorted by start.
+    */
+  def spans(s: String): Seq[(Int, Int, Int)] = {
+    val n = s.length
+    val claimed = new Array[Boolean](n)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    def free(a: Int, b: Int): Boolean = {
+      var i = a; while (i < b) { if (claimed(i)) return false; i += 1 }; true
+    }
+    def claim(a: Int, b: Int, kind: Int): Unit = {
+      var i = a; while (i < b) { claimed(i) = true; i += 1 }
+      out += ((a, b, kind))
+    }
+    // 0: EMAIL — the regex is maximal already
+    val em = EmailRe.matcher(s)
+    while (em.find()) if (free(em.start, em.end)) claim(em.start, em.end, 0)
+    // 1: KEY — alnum boundaries both sides
+    val km = KeyRe.matcher(s)
+    while (km.find()) {
+      val a = km.start; val b = km.end
+      if ((a == 0 || !alnum(s.charAt(a - 1))) &&
+          (b == n || !alnum(s.charAt(b))) && free(a, b)) claim(a, b, 1)
+    }
+    // 2: SSN — digit/dash must not continue on either side
+    val sm = SsnRe.matcher(s)
+    while (sm.find()) {
+      val a = sm.start; val b = sm.end
+      def edge(i: Int): Boolean =
+        i < 0 || i >= n || (!digit(s.charAt(i)) && s.charAt(i) != '-')
+      if (edge(a - 1) && edge(b) && free(a, b)) claim(a, b, 2)
+    }
+    // 3: CARD — maximal digit[-/space]digit tokens, 13..19 digits, Luhn
+    var i = 0
+    while (i < n) {
+      if (digit(s.charAt(i)) && (i == 0 || !digit(s.charAt(i - 1)))) {
+        // token start: never extend LEFT over a separator (a preceding
+        // "5-" belongs to the text, not the candidate)
+        var j = i
+        var lastDigit = i
+        val ds = new java.lang.StringBuilder(20)
+        var okTok = true
+        var sepRun = 0
+        while (j < n && okTok) {
+          val c = s.charAt(j)
+          if (digit(c)) { ds.append(c); lastDigit = j; sepRun = 0; j += 1 }
+          else if ((c == '-' || c == ' ') && sepRun == 0) { sepRun = 1; j += 1 }
+          else okTok = false
+        }
+        val end = lastDigit + 1
+        val nd = ds.length()
+        // digits beyond the last kept one (trailing separator) are fine —
+        // the token ends at its last digit by construction
+        if (nd >= 13 && nd <= 19 && luhnValid(ds.toString) &&
+            free(i, end)) claim(i, end, 3)
+        i = end.max(i + 1)
+      } else i += 1
+    }
+    // 4: IPV4 — four 1-3 digit octets <= 255, hard boundaries
+    i = 0
+    while (i < n) {
+      if (digit(s.charAt(i)) &&
+          (i == 0 || (!digit(s.charAt(i - 1)) && s.charAt(i - 1) != '.'))) {
+        var j = i
+        var octets = 0
+        var ok = true
+        var end = -1
+        while (ok && octets < 4) {
+          var v = 0
+          var len = 0
+          while (j < n && digit(s.charAt(j)) && len < 3) {
+            v = v * 10 + (s.charAt(j) - '0'); len += 1; j += 1
+          }
+          if (len == 0 || v > 255 || (j < n && digit(s.charAt(j)))) ok = false
+          else {
+            octets += 1
+            if (octets < 4) {
+              if (j < n && s.charAt(j) == '.') j += 1 else ok = false
+            } else end = j
+          }
+        }
+        if (ok && end > 0 && (end == n || s.charAt(end) != '.') &&
+            free(i, end)) { claim(i, end, 4); i = end }
+        else i += 1
+      } else i += 1
+    }
+    out.sortBy(_._1).toSeq
+  }
+
+  def counts(s: String): Array[Int] = {
+    val c = new Array[Int](Kinds)
+    spans(s).foreach { case (_, _, k) => c(k) += 1 }
+    c
+  }
+
+  def redact(s: String): String = {
+    val sp = spans(s)
+    if (sp.isEmpty) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var at = 0
+    sp.foreach { case (a, b, k) =>
+      sb.append(s, at, a).append(Placeholders(k))
+      at = b
+    }
+    sb.append(s, at, s.length).toString
+  }
+
+  // ------------------------------------------------- expression kernels
+
+  def countsRow(u: UTF8String): InternalRow = {
+    val c = counts(u.toString)
+    InternalRow(c(0), c(1), c(2), c(3), c(4))
+  }
+
+  def redactUtf8(u: UTF8String): UTF8String =
+    UTF8String.fromString(redact(u.toString))
+}
+
+/** `graft_pii_scan(text: string) -> struct<n_email,n_key,n_ssn,n_card,
+  * n_ipv4: int>` — validated PII counts per [[Pii]].
+  */
+case class GraftPiiScan(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_pii_scan requires string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_email", IntegerType, nullable = false),
+    StructField("n_key", IntegerType, nullable = false),
+    StructField("n_ssn", IntegerType, nullable = false),
+    StructField("n_card", IntegerType, nullable = false),
+    StructField("n_ipv4", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_pii_scan"
+  override def nullSafeEval(s: Any): Any =
+    Pii.countsRow(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.Pii.countsRow($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_redact_pii(text: string) -> string` — typed-placeholder
+  * redaction from the same single scan as [[GraftPiiScan]].
+  */
+case class GraftRedactPii(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_redact_pii requires string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_redact_pii"
+  override def nullSafeEval(s: Any): Any =
+    Pii.redactUtf8(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.Pii.redactUtf8($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,166 @@
+package graft.operators
+
+/** Jupyter notebook (`.ipynb`) parsing — the code-corpus door for the
+  * notebook share of source datasets (The-Stack-style pipelines train on
+  * notebook code too; a corpus reader that skips `.ipynb` drops it).
+  * Notebooks are JSON documents (nbformat 4: a `cells` array; nbformat
+  * 3: `worksheets[*].cells`) and decode with the same zero-dependency
+  * JSON reader the Avro schema layer uses.
+  *
+  * Decoder contract (the repo's strict-door convention): malformed input
+  * → `None`, never a throw and never a half-notebook. Strictness means
+  * structural: a missing `cells`, a cell without `cell_type`, a `source`
+  * that is neither string nor all-string array, a non-integral
+  * `execution_count`, or a non-array `outputs` all reject the file.
+  * Unknown extra fields are ignored (the format grows attachments and
+  * metadata freely).
+  *
+  * Field mapping across versions:
+  *  - source text: v4 `source` (string OR list of line strings, joined
+  *    verbatim — segments carry their own newlines); v3 code cells use
+  *    `input`, other cells `source`.
+  *  - execution count: v4 `execution_count`, v3 `prompt_number`; JSON
+  *    null and absence both map to NULL.
+  *  - language: v4 `metadata.kernelspec.language`, falling back to
+  *    `metadata.language_info.name`; v3 the first per-cell `language`.
+  */
+object Ipynb {
+
+  final case class Cell(idx: Int, cellType: String, source: String,
+                        execCount: Option[Long], nOutputs: Int)
+  final case class Notebook(nbformat: Int, lang: Option[String],
+                            cells: Seq[Cell])
+
+  private def obj(v: Any): Option[scala.collection.Map[String, Any]] = v match {
+    case m: scala.collection.Map[_, _] =>
+      Some(m.asInstanceOf[scala.collection.Map[String, Any]])
+    case _ => None
+  }
+  private def arr(v: Any): Option[scala.collection.Seq[Any]] = v match {
+    case a: scala.collection.Seq[_] => Some(a.asInstanceOf[scala.collection.Seq[Any]])
+    case _ => None
+  }
+  private def str(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case _ => None
+  }
+  private def intOf(v: Any): Option[Long] = v match {
+    case d: java.lang.Double if d.doubleValue.isWhole &&
+      math.abs(d.doubleValue) < (1L << 53).toDouble => Some(d.longValue)
+    case _ => None
+  }
+
+  private def sourceText(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case a: scala.collection.Seq[_] =>
+      val sb = new java.lang.StringBuilder()
+      val it = a.iterator
+      while (it.hasNext) it.next() match {
+        case s: String => sb.append(s)
+        case _ => return None
+      }
+      Some(sb.toString)
+    case _ => None
+  }
+
+  private def parseCell(v: Any, idx: Int, v3: Boolean): Option[Cell] = {
+    val c = obj(v).getOrElse(return None)
+    val tpe = c.get("cell_type").flatMap(str).getOrElse(return None)
+    val srcField = if (v3 && tpe == "code") "input" else "source"
+    val src = c.get(srcField).flatMap(sourceText).getOrElse(return None)
+    val execField = if (v3) "prompt_number" else "execution_count"
+    val exec = c.get(execField) match {
+      case None | Some(null) => None
+      case Some(x) => Some(intOf(x).getOrElse(return None))
+    }
+    val outs = c.get("outputs") match {
+      case None => 0
+      case Some(x) => arr(x).getOrElse(return None).length
+    }
+    Some(Cell(idx, tpe, src, exec, outs))
+  }
+
+  def parse(json: String): Option[Notebook] = {
+    val root = Avro.parseJson(json).flatMap(obj).getOrElse(return None)
+    val nbformat = root.get("nbformat").flatMap(intOf).getOrElse(return None)
+    if (nbformat < 3 || nbformat > 9) return None
+    if (nbformat >= 4) {
+      val cellsJson = root.get("cells").flatMap(arr).getOrElse(return None)
+      val meta = root.get("metadata").flatMap(obj)
+      val lang = meta.flatMap(_.get("kernelspec")).flatMap(obj)
+        .flatMap(_.get("language")).flatMap(str)
+        .orElse(meta.flatMap(_.get("language_info")).flatMap(obj)
+          .flatMap(_.get("name")).flatMap(str))
+      val cells = cellsJson.zipWithIndex.map { case (c, i) =>
+        parseCell(c, i, v3 = false).getOrElse(return None)
+      }
+      Some(Notebook(nbformat.toInt, lang, cells.toSeq))
+    } else {
+      val sheets = root.get("worksheets").flatMap(arr).getOrElse(return None)
+      val cellsJson = sheets.flatMap(ws =>
+        obj(ws).getOrElse(return None)
+          .get("cells").flatMap(arr).getOrElse(return None))
+      val lang = cellsJson.iterator.flatMap(c =>
+        obj(c).flatMap(_.get("language")).flatMap(str)).nextOption()
+      val cells = cellsJson.zipWithIndex.map { case (c, i) =>
+        parseCell(c, i, v3 = true).getOrElse(return None)
+      }
+      Some(Notebook(nbformat.toInt, lang, cells.toSeq))
+    }
+  }
+
+  // ------------------------------------------------------------ writer twin
+
+  private def jstr(s: String): String = {
+    val sb = new java.lang.StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  /** Fixture / test render of an nbformat-4 notebook. `arraySource`
+    * splits each source at line boundaries into the list-of-strings
+    * shape (segments keep their trailing newline, the on-disk norm).
+    */
+  def renderV4(lang: String,
+               cells: Seq[(String, String, Option[Long], Int)],
+               arraySource: Boolean): String = {
+    val cellJson = cells.map { case (tpe, src, exec, outs) =>
+      val srcJson =
+        if (!arraySource) jstr(src)
+        else src.split("(?<=\n)", -1).filter(_.nonEmpty)
+          .map(jstr).mkString("[", ",", "]")
+      val base = s"""{"cell_type":${jstr(tpe)},"metadata":{},"source":$srcJson"""
+      val extra =
+        if (tpe == "code")
+          s""","execution_count":${exec.map(_.toString).getOrElse("null")},"outputs":[${
+            Seq.fill(outs)("""{"output_type":"stream"}""").mkString(",")}]"""
+        else ""
+      base + extra + "}"
+    }.mkString("[", ",", "]")
+    s"""{"nbformat":4,"nbformat_minor":5,"metadata":{"kernelspec":{"language":${jstr(lang)},"name":${jstr(lang)}}},"cells":$cellJson}"""
+  }
+
+  /** Fixture / test render of the legacy nbformat-3 shape (`worksheets`,
+    * `input`, `prompt_number`, per-cell `language`).
+    */
+  def renderV3(lang: String,
+               cells: Seq[(String, String, Option[Long], Int)]): String = {
+    val cellJson = cells.map { case (tpe, src, exec, outs) =>
+      if (tpe == "code")
+        s"""{"cell_type":"code","language":${jstr(lang)},"input":${jstr(src)},"prompt_number":${
+          exec.map(_.toString).getOrElse("null")},"outputs":[${
+          Seq.fill(outs)("""{"output_type":"stream"}""").mkString(",")}]}"""
+      else
+        s"""{"cell_type":${jstr(tpe)},"source":${jstr(src)}}"""
+    }.mkString("[", ",", "]")
+    s"""{"nbformat":3,"nbformat_minor":0,"metadata":{},"worksheets":[{"cells":$cellJson}]}"""
+  }
+}

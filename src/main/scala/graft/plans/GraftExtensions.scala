@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftBpeEncode, GraftBpeEncodeBytes, GraftCanonUrl, GraftCdcChunks, GraftExtractAnchors, GraftExtractLinks, GraftExtractText, GraftEtld1, GraftFeedEntries, GraftFixText, GraftHreflang, GraftJsonLd, GraftLshBuckets, GraftLutSum, GraftMetaProps, GraftMinHash, GraftNormalize, GraftPageDirectives, GraftRobotsCrawlDelay, GraftRobotsMatch, GraftRobotsRules, GraftRobotsSitemaps, GraftRobotsWildRules, GraftSentenceChunks, GraftSentences, GraftSimHash, GraftSimHashMd5, GraftSitemapEntries, GraftUnigramEncode, GraftWinnow, GraftWinnowMd5, GraftWordpiece}
+import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftBpeEncode, GraftBpeEncodeBytes, GraftCanonUrl, GraftCdcChunks, GraftExtractAnchors, GraftExtractLinks, GraftExtractText, GraftEtld1, GraftFeedEntries, GraftFixText, GraftHreflang, GraftJsonLd, GraftLshBuckets, GraftLutSum, GraftMdText, GraftMetaProps, GraftMinHash, GraftNormalize, GraftPageDirectives, GraftPiiScan, GraftRedactPii, GraftRobotsCrawlDelay, GraftRobotsMatch, GraftRobotsRules, GraftRobotsSitemaps, GraftRobotsWildRules, GraftSentenceChunks, GraftSentences, GraftSimHash, GraftSimHashMd5, GraftSitemapEntries, GraftUnigramEncode, GraftWinnow, GraftWinnowMd5, GraftWordpiece}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (see [[graft.GraftSession]]): injects the engine's native expressions
@@ -153,6 +153,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_canon_url"),
       new ExpressionInfo(classOf[GraftCanonUrl].getName, "graft_canon_url"),
       (children: Seq[Expression]) => GraftCanonUrl(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_md_text"),
+      new ExpressionInfo(classOf[GraftMdText].getName, "graft_md_text"),
+      (children: Seq[Expression]) => GraftMdText(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pii_scan"),
+      new ExpressionInfo(classOf[GraftPiiScan].getName, "graft_pii_scan"),
+      (children: Seq[Expression]) => GraftPiiScan(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_redact_pii"),
+      new ExpressionInfo(classOf[GraftRedactPii].getName, "graft_redact_pii"),
+      (children: Seq[Expression]) => GraftRedactPii(children(0))))
     // rank-filter windows -> native partial/final top-K (see GroupTopK.scala)
     ext.injectOptimizerRule(_ => GroupTopKRewrite)
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Graph, LanguageModel, Sampling, Segmentation}
+import graft.operators.{Code, Dedup, Graph, LanguageModel, Sampling, Segmentation}
 
 /** Training-data-preparation operators beyond the text/dedup basics:
   * TF-IDF term scoring, sliding-window document chunking, deterministic
@@ -329,9 +329,241 @@ object MlPrepQueries extends QuerySet {
         .where(col("rnk") <= 20)
         .select("source", "doc_id", "score_micros", "rnk")
         .orderBy("source", "rnk")
+    }),
+
+    // Validated PII detection (graft_pii_scan): Luhn-checked cards,
+    // octet-checked IPv4, SSN/key boundaries — q47 counts SHAPES, this
+    // counts validated entities and proves the validators by planting
+    // both valid and corrupted twins (check digit + 1, octet 300) that
+    // must NOT count. The corpus base is digit/@-stripped and lowercased
+    // so every count is attributable to a plant.
+    "q238_pii_scan" -> ((s, dir) => {
+      piiPlantedText(t(s, dir, "documents"))
+        .selectExpr("doc_id", "graft_pii_scan(txt) AS p",
+          "length(txt) AS n_chars")
+        .selectExpr("doc_id", "p.n_email", "p.n_key", "p.n_ssn", "p.n_card",
+          "p.n_ipv4", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // The redaction half, pinned verbatim: the whole redacted string must
+    // equal the construction with valid plants replaced by their typed
+    // placeholders and corrupted twins left untouched — any span
+    // off-by-one, wrong placeholder, or false positive flips the hash.
+    "q239_pii_redact_exact" -> ((s, dir) => {
+      piiPlantedText(t(s, dir, "documents"))
+        .selectExpr("doc_id", "graft_redact_pii(txt) AS redacted")
+        .orderBy("doc_id")
+    }),
+
+    // Source-code quality screening (operators/Code — the StarCoder
+    // shape): documents rendered as multi-line "files" with planted
+    // minified lines (i%7), over-1000 lines (i%13) and autogen markers
+    // (i%11); every stat is integer micro-units over built-in functions,
+    // so the DuckDB oracle recomputes the WHOLE screen independently —
+    // a true dual-engine differential, not a plant replay.
+    "q240_code_quality" -> ((s, dir) => {
+      codeRendered(t(s, dir, "documents"))
+        .select(col("doc_id"), Code.stats("code").as("s"))
+        .withColumn("keep", Code.keep("s"))
+        .selectExpr("doc_id", "s.n_lines", "s.max_line_len",
+          "s.avg_len_micros", "s.alnum_micros", "s.n_long_lines",
+          "s.autogen", "keep")
+        .orderBy("doc_id")
+    }),
+
+    // License detection: SPDX tags (verbatim extraction) vs fingerprint
+    // phrases vs none, planted per doc_id branch; the GPL version split
+    // and the BSD clause split are both exercised.
+    "q241_license_detect" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .selectExpr("doc_id",
+          """concat(
+            |  CASE CAST(doc_id % 7 AS INT)
+            |    WHEN 0 THEN concat('// SPDX-License-Identifier: ',
+            |      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'MIT'
+            |           WHEN 1 THEN 'Apache-2.0' ELSE 'GPL-2.0-or-later' END)
+            |    WHEN 1 THEN 'Permission is hereby granted, free of charge'
+            |    WHEN 2 THEN 'Licensed under the Apache License, Version 2.0'
+            |    WHEN 3 THEN concat('GNU General Public License',
+            |      CASE WHEN doc_id % 2 = 0 THEN ' version 3' ELSE ' version 2' END)
+            |    WHEN 4 THEN concat(
+            |      'Redistribution and use in source and binary forms',
+            |      CASE WHEN doc_id % 2 = 0 THEN ' neither the name' ELSE '' END)
+            |    WHEN 5 THEN 'Mozilla Public License'
+            |    ELSE '' END,
+            |  chr(10), substring(text, 1, 80)) AS hdr""".stripMargin)
+        .select(col("doc_id"), Code.license("hdr").as("license"))
+        .orderBy("doc_id")
     }))
 
+  /** Shared q240 construction: a deterministic multi-line "source file"
+    * per document (word-delimiter newlines + planted screen triggers).
+    */
+  private def codeRendered(docs: org.apache.spark.sql.DataFrame) =
+    docs.selectExpr("doc_id",
+      """concat(
+        |  CASE WHEN doc_id % 11 = 0
+        |       THEN concat('// auto-generated do not edit', chr(10)) ELSE '' END,
+        |  replace(replace(substring(text, 1, 240), ' value ', chr(10)),
+        |          ' table ', chr(10)),
+        |  CASE WHEN doc_id % 7 = 0
+        |       THEN concat(chr(10), repeat('ab(c);', 55)) ELSE '' END,
+        |  CASE WHEN doc_id % 13 = 0
+        |       THEN concat(chr(10), repeat('x', 1200)) ELSE '' END) AS code"""
+        .stripMargin)
+
+  /** Shared construction for q238/q239: deterministic PII plants over an
+    * inert base (digits and `@` stripped, lowercased, so the corpus text
+    * itself can never match a detector). The Luhn check digit is computed
+    * in-plan by the same doubling arithmetic the oracle restates in
+    * DuckDB lambda form.
+    */
+  private def piiPlantedText(docs: org.apache.spark.sql.DataFrame) =
+    docs
+      .selectExpr("doc_id",
+        "lower(regexp_replace(substring(text, 1, 60), '[0-9@]', '')) AS base",
+        "lpad(CAST((doc_id * 7919) % 1000000000 AS STRING), 15, '0') AS pay")
+      .selectExpr("doc_id", "base", "pay",
+        """aggregate(sequence(1, 15), 0, (acc, j) -> acc +
+          |  (CASE WHEN j % 2 = 1
+          |        THEN (CASE WHEN CAST(substring(pay, j, 1) AS INT) >= 5
+          |                   THEN 2 * CAST(substring(pay, j, 1) AS INT) - 9
+          |                   ELSE 2 * CAST(substring(pay, j, 1) AS INT) END)
+          |        ELSE CAST(substring(pay, j, 1) AS INT) END)) AS lsum"""
+          .stripMargin)
+      .selectExpr("doc_id",
+        """concat_ws(' | ', base,
+          |  CASE WHEN doc_id % 3 = 0
+          |       THEN concat('user', doc_id, '@ex', doc_id % 7, '.com') END,
+          |  CASE WHEN doc_id % 4 = 0
+          |       THEN concat(pay, (10 - lsum % 10) % 10)
+          |       WHEN doc_id % 4 = 2
+          |       THEN concat(pay, ((10 - lsum % 10) % 10 + 1) % 10) END,
+          |  CASE WHEN doc_id % 5 = 0
+          |       THEN concat(doc_id % 256, '.', (doc_id * 3) % 256, '.',
+          |                   (doc_id * 7) % 256, '.', doc_id % 200 + 1)
+          |       WHEN doc_id % 5 = 2
+          |       THEN concat('300.', doc_id % 10, '.2.3') END,
+          |  CASE WHEN doc_id % 6 = 0
+          |       THEN concat(lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-',
+          |                   lpad(CAST(doc_id % 100 AS STRING), 2, '0'), '-',
+          |                   lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) END,
+          |  CASE WHEN doc_id % 7 = 0
+          |       THEN concat('AKIA',
+          |                   upper(substring(md5(CAST(doc_id AS STRING)), 1, 16)))
+          |  END) AS txt""".stripMargin)
+
+  /** Shared q238/q239 oracle preamble: the plant construction restated in
+    * DuckDB (lambda Luhn arithmetic; regexp_replace needs the 'g' flag).
+    */
+  private val PiiOracleCtes =
+    """WITH b AS (SELECT doc_id,
+      |  lower(regexp_replace(substring(text, 1, 60), '[0-9@]', '', 'g')) AS base,
+      |  lpad(CAST((doc_id * 7919) % 1000000000 AS VARCHAR), 15, '0') AS pay
+      |  FROM documents),
+      |l AS (SELECT doc_id, base, pay,
+      |  list_sum(list_transform(range(1, 16), j ->
+      |    CASE WHEN j % 2 = 1
+      |         THEN CASE WHEN CAST(substring(pay, j, 1) AS INT) >= 5
+      |                   THEN 2 * CAST(substring(pay, j, 1) AS INT) - 9
+      |                   ELSE 2 * CAST(substring(pay, j, 1) AS INT) END
+      |         ELSE CAST(substring(pay, j, 1) AS INT) END)) AS lsum
+      |  FROM b)""".stripMargin
+
+  /** The plant pieces (valid form) — also the q239 expectation when the
+    * placeholder strings are substituted for the valid plants.
+    */
+  private def piiPieces(emailP: String, cardP: String, ipP: String,
+                        ssnP: String, keyP: String) =
+    s"""concat_ws(' | ', base,
+      |  CASE WHEN doc_id % 3 = 0 THEN $emailP END,
+      |  CASE WHEN doc_id % 4 = 0 THEN $cardP
+      |       WHEN doc_id % 4 = 2
+      |       THEN pay || CAST(((10 - lsum % 10) % 10 + 1) % 10 AS VARCHAR) END,
+      |  CASE WHEN doc_id % 5 = 0 THEN $ipP
+      |       WHEN doc_id % 5 = 2
+      |       THEN '300.' || (doc_id % 10) || '.2.3' END,
+      |  CASE WHEN doc_id % 6 = 0 THEN $ssnP END,
+      |  CASE WHEN doc_id % 7 = 0 THEN $keyP END)""".stripMargin
+
+  private val PiiValidPieces = piiPieces(
+    "'user' || doc_id || '@ex' || (doc_id % 7) || '.com'",
+    "pay || CAST((10 - lsum % 10) % 10 AS VARCHAR)",
+    """(doc_id % 256) || '.' || ((doc_id * 3) % 256) || '.' ||
+      |       ((doc_id * 7) % 256) || '.' || (doc_id % 200 + 1)""".stripMargin,
+    """lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+      |       lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' ||
+      |       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')""".stripMargin,
+    "'AKIA' || upper(substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))")
+
   val oracleSql: Map[String, String] = Map(
+    // counts restated from the plant conditions; n_chars re-derives the
+    // whole construction so the Spark-side text is pinned too
+    "q238_pii_scan" ->
+      s"""$PiiOracleCtes
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS n_email,
+        |  CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS n_key,
+        |  CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS n_ssn,
+        |  CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS n_card,
+        |  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS n_ipv4,
+        |  length($PiiValidPieces) AS n_chars
+        |FROM l ORDER BY doc_id""".stripMargin,
+    // the redacted string rebuilt literally: placeholders where the valid
+    // plants were, corrupted twins untouched, base verbatim
+    "q239_pii_redact_exact" ->
+      s"""$PiiOracleCtes
+        |SELECT doc_id,
+        |  ${piiPieces("'[EMAIL]'", "'[CARD]'", "'[IPV4]'", "'[SSN]'", "'[KEY]'")} AS redacted
+        |FROM l ORDER BY doc_id""".stripMargin,
+    // the whole code screen recomputed independently in DuckDB list
+    // functions — construction AND stats, a dual-engine differential
+    "q240_code_quality" ->
+      """WITH c AS (SELECT doc_id,
+        |  concat(
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN '// auto-generated do not edit' || chr(10) ELSE '' END,
+        |    replace(replace(substring(text, 1, 240), ' value ', chr(10)),
+        |            ' table ', chr(10)),
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN chr(10) || repeat('ab(c);', 55) ELSE '' END,
+        |    CASE WHEN doc_id % 13 = 0
+        |         THEN chr(10) || repeat('x', 1200) ELSE '' END) AS code
+        |  FROM documents),
+        |s AS (SELECT doc_id, code, string_split(code, chr(10)) AS ls,
+        |  length(code) AS n FROM c),
+        |st AS (SELECT doc_id,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(list_max(list_transform(ls, l -> length(l))) AS BIGINT) AS max_line_len,
+        |  CAST(n - len(ls) + 1 AS BIGINT) * 1000000 // len(ls) AS avg_len_micros,
+        |  CASE WHEN n > 0
+        |    THEN CAST(length(regexp_replace(code, '[^A-Za-z0-9]', '', 'g')) AS BIGINT)
+        |      * 1000000 // n ELSE 0 END AS alnum_micros,
+        |  CAST(len(list_filter(ls, l -> length(l) > 120)) AS BIGINT) AS n_long_lines,
+        |  (contains(lower(code), 'auto-generated')
+        |    OR contains(lower(code), 'generated by')
+        |    OR contains(lower(code), 'do not edit')) AS autogen
+        |  FROM s)
+        |SELECT doc_id, n_lines, max_line_len, avg_len_micros, alnum_micros,
+        |  n_long_lines, autogen,
+        |  (max_line_len <= 1000 AND avg_len_micros <= 100000000
+        |    AND alnum_micros >= 250000 AND NOT autogen) AS keep
+        |FROM st ORDER BY doc_id""".stripMargin,
+    // license expectations restated from the plant branches
+    "q241_license_detect" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 7 AS INT)
+        |    WHEN 0 THEN CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'MIT'
+        |                 WHEN 1 THEN 'Apache-2.0' ELSE 'GPL-2.0-or-later' END
+        |    WHEN 1 THEN 'MIT'
+        |    WHEN 2 THEN 'Apache-2.0'
+        |    WHEN 3 THEN CASE WHEN doc_id % 2 = 0 THEN 'GPL-3.0' ELSE 'GPL-2.0' END
+        |    WHEN 4 THEN CASE WHEN doc_id % 2 = 0 THEN 'BSD-3-Clause'
+        |                     ELSE 'BSD-2-Clause' END
+        |    WHEN 5 THEN 'MPL-2.0'
+        |    ELSE 'unknown' END AS license
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q44_tfidf" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),

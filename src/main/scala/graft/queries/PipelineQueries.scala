@@ -3613,9 +3613,113 @@ object PipelineQueries extends QuerySet {
           Segmentation.workItems(blocks, parts), numIter = 4, Seq("block_id", "source"))
         .select("block_id", "source", "iter")
         .orderBy("block_id", "source")
+    }),
+
+    // The Jupyter notebook door (`.ipynb` is JSON): 40 generated
+    // notebooks, one task per file, one row per cell — both on-disk
+    // source shapes (string for odd ids, list-of-lines for even), both
+    // nbformat generations (every 8th notebook is legacy v3 with
+    // `worksheets`/`input`/`prompt_number`), null-vs-absent execution
+    // counts, and output counts. The oracle re-derives every cell from
+    // the generator formulas; the door's strict decode contract (a
+    // malformed notebook contributes zero rows) is pinned in IpynbSpec.
+    "q242_ipynb_cells" -> ((s, dir) => {
+      graft.sources.IpynbDataSource.read(s, ipynbOracleDir())
+        .select(
+          regexp_extract(col("file"), "nb_([0-9]+)\\.ipynb", 1)
+            .cast("long").as("nb"),
+          col("cell_idx"), col("cell_type"), col("source"),
+          col("exec_count"), col("n_outputs"), col("lang"), col("nbformat"))
+        .orderBy("nb", "cell_idx")
+    }),
+
+    // Door → extraction → corpus composition over the SAME notebook
+    // fixtures: markdown cells go through graft_md_text (markup off),
+    // code cells stay verbatim, one training document per notebook in
+    // cell order — the .ipynb counterpart of the WARC→extract→corpus
+    // flow, with the whole per-notebook text pinned verbatim.
+    "q244_notebook_corpus" -> ((s, dir) => {
+      graft.sources.IpynbDataSource.read(s, ipynbOracleDir())
+        .select(
+          regexp_extract(col("file"), "nb_([0-9]+)\\.ipynb", 1)
+            .cast("long").as("nb"),
+          col("cell_idx"), col("cell_type"),
+          when(col("cell_type") === "markdown", expr("graft_md_text(source)"))
+            .otherwise(col("source")).as("txt"))
+        .groupBy("nb")
+        .agg(
+          concat_ws("\n", expr(
+            "transform(array_sort(collect_list(struct(cell_idx, txt))), s -> s.txt)"))
+            .as("text"),
+          sum(when(col("cell_type") === "code", 1).otherwise(0))
+            .cast("int").as("n_code"),
+          sum(when(col("cell_type") === "markdown", 1).otherwise(0))
+            .cast("int").as("n_md"))
+        .orderBy("nb")
     }))
 
+  /** The q242/q244 notebook fixture set: 40 generated notebooks covering
+    * both nbformat generations and both source shapes (see q242's
+    * comment); written once, atomically, under target/fixtures.
+    */
+  private def ipynbOracleDir(): String = {
+    val nbDir = java.nio.file.Paths.get("target", "fixtures", "ipynb_oracle")
+    java.nio.file.Files.createDirectories(nbDir)
+    for (i <- 0 until 40) {
+      val f = nbDir.resolve(s"nb_$i.ipynb")
+      if (!java.nio.file.Files.exists(f)) {
+        val cells = (0 until 2 + i % 4).map { j =>
+          if (j % 3 == 1) ("markdown", s"# nb $i cell $j", None, 0)
+          else ("code", s"x = $i + $j\nprint(x)",
+            if ((i + j) % 5 == 0) None else Some((i + j).toLong), j % 2)
+        }
+        val json =
+          if (i % 8 == 7) graft.operators.Ipynb.renderV3("python", cells)
+          else graft.operators.Ipynb.renderV4("python", cells,
+            arraySource = i % 2 == 0)
+        val tmp = java.nio.file.Files.createTempFile(nbDir, s".nb_$i.", ".tmp")
+        java.nio.file.Files.write(tmp,
+          json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        try java.nio.file.Files.move(tmp, f,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp) }
+      }
+    }
+    nbDir.toAbsolutePath.toString
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // every notebook cell re-derived from the generator formulas — the
+    // door never meets the oracle except through the decoded rows
+    "q242_ipynb_cells" ->
+      """WITH n AS (SELECT unnest(generate_series(0, 39)) AS i),
+        |c AS (SELECT i, unnest(generate_series(0, 1 + i % 4)) AS j FROM n)
+        |SELECT CAST(i AS BIGINT) AS nb, CAST(j AS INT) AS cell_idx,
+        |  CASE WHEN j % 3 = 1 THEN 'markdown' ELSE 'code' END AS cell_type,
+        |  CASE WHEN j % 3 = 1 THEN '# nb ' || i || ' cell ' || j
+        |       ELSE 'x = ' || i || ' + ' || j || chr(10) || 'print(x)'
+        |  END AS source,
+        |  CASE WHEN j % 3 = 1 OR (i + j) % 5 = 0 THEN NULL
+        |       ELSE CAST(i + j AS BIGINT) END AS exec_count,
+        |  CAST(CASE WHEN j % 3 = 1 THEN 0 ELSE j % 2 END AS INT) AS n_outputs,
+        |  'python' AS lang,
+        |  CAST(CASE WHEN i % 8 = 7 THEN 3 ELSE 4 END AS INT) AS nbformat
+        |FROM c ORDER BY nb, cell_idx""".stripMargin,
+    // per-notebook training text rebuilt verbatim: markdown heading
+    // markers stripped (graft_md_text), code verbatim, '\n'-joined
+    "q244_notebook_corpus" ->
+      """WITH n AS (SELECT unnest(generate_series(0, 39)) AS i),
+        |c AS (SELECT i, unnest(generate_series(0, 1 + i % 4)) AS j FROM n),
+        |t AS (SELECT i, j,
+        |  CASE WHEN j % 3 = 1 THEN 'nb ' || i || ' cell ' || j
+        |       ELSE 'x = ' || i || ' + ' || j || chr(10) || 'print(x)'
+        |  END AS txt FROM c)
+        |SELECT CAST(i AS BIGINT) AS nb,
+        |  string_agg(txt, chr(10) ORDER BY j) AS text,
+        |  CAST(SUM(CASE WHEN j % 3 = 1 THEN 0 ELSE 1 END) AS INT) AS n_code,
+        |  CAST(SUM(CASE WHEN j % 3 = 1 THEN 1 ELSE 0 END) AS INT) AS n_md
+        |FROM t GROUP BY i ORDER BY nb""".stripMargin,
     "q60_block_segmentation" ->
       s"""WITH b AS (SELECT doc_id, n_chars,
         |  CAST(FLOOR(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $BlockSize.0) AS BIGINT) AS block_id

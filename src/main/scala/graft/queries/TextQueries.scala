@@ -857,6 +857,37 @@ object TextQueries extends QuerySet {
       graft.operators.Dedup.normalizedClusters(d.unionByName(noisy), "text", "doc_id")
         .select("keep_id", "dup_cnt")
         .orderBy("keep_id")
+    }),
+
+    // Markdown → training text (graft_md_text, the HtmlText sibling for
+    // the README share of code corpora): every document wrapped in a
+    // generated markdown frame exercising one of each rule — ATX
+    // heading, bold + link, a fenced code block, list marker, quote
+    // marker, conditional image, a thematic break, inline code. The
+    // oracle restates the extracted text VERBATIM from the same
+    // formulas (the q167/q197 pattern), so a single leaked backtick,
+    // un-stripped marker, or swallowed word flips the hash.
+    "q243_md_text" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .selectExpr("doc_id",
+          "element_at(split(text, ' '), 1) AS w1",
+          "element_at(split(text, ' '), 2) AS w2",
+          "element_at(split(text, ' '), 3) AS w3")
+        .selectExpr("doc_id",
+          """concat(
+            |  '# doc ', doc_id, chr(10), chr(10),
+            |  'intro **', w1, '** and [link ', doc_id,
+            |    '](http://ex.com/', doc_id, ')', chr(10),
+            |  '```', chr(10), 'secret code', chr(10), '```', chr(10),
+            |  '- item ', w2, chr(10),
+            |  '> quote ', w3, chr(10),
+            |  CASE WHEN doc_id % 4 = 0
+            |       THEN concat('![img ', doc_id, '](x.png)', chr(10))
+            |       ELSE '' END,
+            |  '---', chr(10),
+            |  'tail `t', doc_id, '` end') AS md""".stripMargin)
+        .selectExpr("doc_id", "graft_md_text(md) AS txt")
+        .orderBy("doc_id")
     }))
 
   /** q181's oracle, generated from the SAME profile/text constants the
@@ -945,6 +976,18 @@ object TextQueries extends QuerySet {
   val oracleSql: Map[String, String] = Map(
     "q181_trigram_langid" -> langidOracleSql,
     "q221_langid_breadth" -> langidBreadthOracleSql,
+    // the extracted text rebuilt verbatim from the same word formulas
+    "q243_md_text" ->
+      """SELECT doc_id,
+        |  'doc ' || doc_id || chr(10) ||
+        |  'intro ' || string_split(text, ' ')[1] || ' and link ' || doc_id
+        |    || chr(10) ||
+        |  'item ' || string_split(text, ' ')[2] || chr(10) ||
+        |  'quote ' || string_split(text, ' ')[3] || chr(10) ||
+        |  CASE WHEN doc_id % 4 = 0
+        |       THEN 'img ' || doc_id || chr(10) ELSE '' END ||
+        |  'tail t' || doc_id || ' end' AS txt
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // identical canonicalization chain in DuckDB (nfc_normalize; RE2 needs
     // the explicit 'g' flag where Java's replaceAll is global by default)
     "q173_normalized_dedup" ->

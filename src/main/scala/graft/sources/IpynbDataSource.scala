@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.Ipynb
+
+/** Jupyter notebooks as a DataSource V2:
+  * `spark.read.format("ipynb").load(dir)` — one task per notebook file,
+  * one row per cell (see [[graft.operators.Ipynb]] for the decode
+  * contract; a structurally malformed notebook contributes zero rows).
+  * Directory listings take only `*.ipynb` (checkpoint clutter is
+  * invisible); an explicitly named file is read regardless.
+  */
+class IpynbDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "ipynb"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    IpynbDataSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new IpynbTable(properties.get("path"))
+}
+
+object IpynbDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("cell_idx", IntegerType, nullable = false),
+    StructField("cell_type", StringType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("exec_count", LongType, nullable = true),
+    StructField("n_outputs", IntegerType, nullable = false),
+    StructField("lang", StringType, nullable = true),
+    StructField("nbformat", IntegerType, nullable = false)))
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("ipynb").load(path)
+}
+
+class IpynbTable(path: String) extends Table with SupportsRead {
+  require(path != null, "ipynb source requires a path")
+  override def name(): String = s"ipynb:$path"
+  override def schema(): StructType = IpynbDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new IpynbScanBuilder(path)
+}
+
+class IpynbScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = IpynbDataSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new IpynbScan(path, required)
+}
+
+class IpynbScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  private val serConf = new SerializableHadoopConf(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(serConf.value)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.isFile &&
+            s.getPath.getName.endsWith(".ipynb") &&
+            !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+          .map(s => fs.makeQualified(s.getPath).toString).sorted
+      else Array(fs.makeQualified(p).toString)
+    files.map(f => IpynbInputPartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new IpynbReaderFactory(required, serConf)
+}
+
+case class IpynbInputPartition(file: String) extends InputPartition
+
+class IpynbReaderFactory(required: StructType, conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new IpynbPartitionReader(
+      partition.asInstanceOf[IpynbInputPartition].file, required, conf)
+}
+
+class IpynbPartitionReader(file: String, required: StructType,
+                           conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+
+  private val nb: Option[Ipynb.Notebook] = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(conf.value)
+    val in = fs.open(p)
+    val bytes = try {
+      val len = fs.getFileStatus(p).getLen
+      require(len <= (64L << 20),
+        s"notebook $file is $len bytes; real notebooks are small — a " +
+          ">64 MB 'notebook' is corrupt or hostile input")
+      val buf = new Array[Byte](len.toInt)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+    Ipynb.parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+  }
+  private val cells = nb.map(_.cells.iterator).getOrElse(Iterator.empty)
+
+  private val proj = UnsafeProjection.create(required)
+  private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.length)
+  private val fieldIdx = required.fields.map(f =>
+    IpynbDataSource.schema.fieldIndex(f.name))
+  private var current: Ipynb.Cell = _
+
+  override def next(): Boolean =
+    if (cells.hasNext) { current = cells.next(); true } else false
+
+  override def get(): InternalRow = {
+    var i = 0
+    while (i < fieldIdx.length) {
+      row.update(i, fieldIdx(i) match {
+        case 0 => UTF8String.fromString(file)
+        case 1 => current.idx
+        case 2 => UTF8String.fromString(current.cellType)
+        case 3 => UTF8String.fromString(current.source)
+        case 4 => current.execCount.map(java.lang.Long.valueOf).orNull
+        case 5 => current.nOutputs
+        case 6 => nb.flatMap(_.lang).map(UTF8String.fromString).orNull
+        case 7 => nb.map(_.nbformat).getOrElse(0)
+      })
+      i += 1
+    }
+    proj(row)
+  }
+
+  override def close(): Unit = ()
+}

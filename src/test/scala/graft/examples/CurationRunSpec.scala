@@ -26,25 +26,27 @@ class CurationRunSpec extends SparkSpec {
       // a shared cookie-banner LINE inside otherwise-unique multi-line
       // docs: the line scrub must cut the echo (107) and keep both docs
       Seq((106L, words(60, 20) + "\nACCEPT ALL COOKIES TO CONTINUE\n" + words(61, 12), "srcB")) ++
-      Seq((107L, words(62, 20) + "\nACCEPT ALL COOKIES TO CONTINUE\n" + words(63, 12), "srcB"))
+      Seq((107L, words(62, 20) + "\nACCEPT ALL COOKIES TO CONTINUE\n" + words(63, 12), "srcB")) ++
+      // a clean doc carrying PII: survives every gate, ships REDACTED
+      Seq((108L, words(70, 40) + " contact user@ex.com now", "srcA"))
     ).toDF("doc_id", "text", "source").withColumn("n_chars", length(col("text")))
     val bench = Seq((1000L, benchSentence)).toDF("doc_id", "text")
 
     val (kept, stages) = CurationRun.curate(spark, docs, bench, samplePerSource = 1000)
     val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
 
-    assert(stages("input") == 47L)
-    assert(stages("quality_gate") == 45L, s"spam/short not gated: $stages")
-    assert(stages("exact_dedup") == 44L, s"exact dup kept: $stages")
+    assert(stages("input") == 48L)
+    assert(stages("quality_gate") == 46L, s"spam/short not gated: $stages")
+    assert(stages("exact_dedup") == 45L, s"exact dup kept: $stages")
     // the banner line is cut from doc 107 (106 keeps the first instance —
     // keep-first) but BOTH documents survive the length floor
-    assert(stages("line_scrub") == 44L, s"line scrub dropped a doc: $stages")
+    assert(stages("line_scrub") == 45L, s"line scrub dropped a doc: $stages")
     // the ExactSubstr scrub cuts doc 102's 40 echoed tokens (doc 7, the
     // first occurrence, survives INTACT — keep-first semantics); the
     // leftover "tok1" shell fails the post-scrub length floor
-    assert(stages("span_scrub") == 43L, s"echo shell kept: $stages")
-    assert(stages("near_dedup") == 43L, s"near dup kept: $stages")
-    assert(stages("decontaminated") == 42L, s"leak kept: $stages")
+    assert(stages("span_scrub") == 44L, s"echo shell kept: $stages")
+    assert(stages("near_dedup") == 44L, s"near dup kept: $stages")
+    assert(stages("decontaminated") == 43L, s"leak kept: $stages")
     assert(!keptIds.exists(Set(101L, 102L, 103L, 104L, 105L)), s"bad ids kept: $keptIds")
     assert((1 to 40).map(_.toLong).toSet.subsetOf(keptIds))
     assert(Set(106L, 107L).subsetOf(keptIds), s"banner docs dropped: $keptIds")
@@ -53,6 +55,11 @@ class CurationRunSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toMap
     assert(texts(106L).contains("ACCEPT ALL COOKIES"), "keep-first violated")
     assert(!texts(107L).contains("ACCEPT ALL COOKIES"), "banner echo survived")
+    // the PII stage rewrote no row counts but did rewrite the text
+    assert(stages("pii_redacted") == 43L, s"redaction dropped rows: $stages")
+    val t108 = kept.where(col("doc_id") === 108L).select("text").head().getString(0)
+    assert(t108.contains("[EMAIL]") && !t108.contains("user@ex.com"),
+      s"pii shipped: $t108")
   }
 
   test("funnel persists stage boundaries: input partitions read once, not once per stage") {

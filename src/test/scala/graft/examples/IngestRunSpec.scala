@@ -6,10 +6,10 @@ import graft.SparkSpec
 
 class IngestRunSpec extends SparkSpec {
 
-  test("twelve doors, one corpus: cross-format republication collapses") {
+  test("thirteen doors, one corpus: cross-format republication collapses") {
     val fx = IngestFixtures.writeAll()
     val names = Seq("warc", "wet", "tar", "zip", "pdf", "wiki", "xz",
-      "zstd", "lz4", "snappy", "avro", "tfrecord")
+      "zstd", "lz4", "snappy", "avro", "tfrecord", "ipynb")
     val doors = Seq(
       IngestRun.fromWarc(spark, fx("warc")),
       IngestRun.fromWet(spark, fx("wet")),
@@ -22,17 +22,19 @@ class IngestRunSpec extends SparkSpec {
       IngestRun.fromLz4(spark, fx("lz4")),
       IngestRun.fromSnappy(spark, fx("snappy")),
       IngestRun.fromAvro(spark, fx("avro")),
-      IngestRun.fromTfRecord(spark, fx("tfrecord")))
+      IngestRun.fromTfRecord(spark, fx("tfrecord")),
+      IngestRun.fromIpynb(spark, fx("ipynb")))
     // every door contributes exactly its two articles
     doors.zip(names).foreach { case (d, n) =>
       assert(d.count() == 2, s"door $n")
     }
     val corpus = IngestRun.ingest(doors).cache()
-    // 13 distinct articles: article 0 through all twelve doors, 1-12 once each
-    assert(corpus.count() == 13)
+    // 14 distinct articles: article 0 through all thirteen doors,
+    // 1-13 once each
+    assert(corpus.count() == 14)
     val dup = corpus.where(col("n_copies") > 1).collect()
     assert(dup.length == 1)
-    assert(dup.head.getAs[Long]("n_copies") == 12L)
+    assert(dup.head.getAs[Long]("n_copies") == 13L)
     assert(dup.head.getAs[scala.collection.Seq[String]]("fmts").toSeq ==
       names.sorted)
     // the representative is the lexicographically first (fmt, locator)

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class MarkdownSpec extends AnyFunSuite {
+
+  test("headings, emphasis, inline code") {
+    assert(Markdown.extract("# Title\n\nsome **bold** and *it* and `x=1` end") ==
+      "Title\nsome bold and it and x=1 end")
+    assert(Markdown.extract("###### h6\n####### not a heading") ==
+      "h6\n####### not a heading")
+  }
+
+  test("links, images, autolinks") {
+    assert(Markdown.extract("see [docs](http://ex.com/d) now") == "see docs now")
+    assert(Markdown.extract("![alt text](img.png) tail") == "alt text tail")
+    assert(Markdown.extract("go <https://ex.org/p> there") ==
+      "go https://ex.org/p there")
+    // image before link: ![a](u) must not be eaten as a link with '!' kept
+    assert(Markdown.extract("x ![a](u) y [b](v) z") == "x a y b z")
+  }
+
+  test("fenced code drops wholesale; unterminated drops to EOF") {
+    assert(Markdown.extract("before\n```scala\nval x = 1\n```\nafter") ==
+      "before\nafter")
+    assert(Markdown.extract("before\n```\nnever closed\nstill code") == "before")
+    // fence with info string and indented fence line
+    assert(Markdown.extract("a\n  ```py\nc\n```\nb") == "a\nb")
+  }
+
+  test("block prefixes: quotes, lists, rules, setext underlines") {
+    assert(Markdown.extract("> quoted line\n> > nested") ==
+      "quoted line\nnested")
+    assert(Markdown.extract("- one\n* two\n+ three\n12. twelve\n3) three") ==
+      "one\ntwo\nthree\ntwelve\nthree")
+    assert(Markdown.extract("a\n---\nb\n* * *\nc\n___\nd") == "a\nb\nc\nd")
+    assert(Markdown.extract("Header\n======\nbody") == "Header\nbody")
+    // '--' is prose, not a rule
+    assert(Markdown.extract("a -- b") == "a -- b")
+  }
+
+  test("whitespace collapse and empty-line drop") {
+    assert(Markdown.extract("a   b\t\tc\n\n\n   \nd") == "a b c\nd")
+    assert(Markdown.extract("") == "")
+    assert(Markdown.extract("```\nonly code\n```") == "")
+  }
+
+  test("single underscore survives (snake_case), double strips") {
+    assert(Markdown.extract("call snake_case_fn here") ==
+      "call snake_case_fn here")
+    assert(Markdown.extract("__strong__ word") == "strong word")
+  }
+}

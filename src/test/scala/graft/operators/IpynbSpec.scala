@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class IpynbSpec extends AnyFunSuite {
+
+  private val cells = Seq(
+    ("code", "x = 1\nprint(x)\n", Some(3L), 2),
+    ("markdown", "# title\nprose", None, 0),
+    ("code", "y = 2", None, 0))
+
+  test("v4 round trip: string source and array source decode identically") {
+    for (arraySource <- Seq(false, true)) {
+      val nb = Ipynb.parse(Ipynb.renderV4("python", cells, arraySource)).get
+      assert(nb.nbformat == 4)
+      assert(nb.lang.contains("python"))
+      assert(nb.cells.map(c => (c.cellType, c.source, c.execCount, c.nOutputs)) ==
+        cells.map(c => (c._1, c._2, c._3, c._4)))
+      assert(nb.cells.map(_.idx) == Seq(0, 1, 2))
+    }
+  }
+
+  test("v3 worksheets: input/prompt_number/per-cell language") {
+    val nb = Ipynb.parse(Ipynb.renderV3("python", cells)).get
+    assert(nb.nbformat == 3)
+    assert(nb.lang.contains("python"))
+    assert(nb.cells.map(c => (c.cellType, c.source, c.execCount, c.nOutputs)) ==
+      cells.map(c => (c._1, c._2, c._3, c._4)))
+  }
+
+  test("language_info fallback when kernelspec is absent") {
+    val j = """{"nbformat":4,"metadata":{"language_info":{"name":"julia"}},
+      "cells":[{"cell_type":"markdown","source":"hi"}]}"""
+    assert(Ipynb.parse(j).get.lang.contains("julia"))
+    val none = """{"nbformat":4,"metadata":{},"cells":[]}"""
+    assert(Ipynb.parse(none).get.lang.isEmpty)
+  }
+
+  test("strict NOs: every structural violation rejects the whole file") {
+    val good = Ipynb.renderV4("python", cells, arraySource = false)
+    assert(Ipynb.parse(good).isDefined)
+    assert(Ipynb.parse(good.dropRight(5)).isEmpty)        // truncated
+    assert(Ipynb.parse("not json").isEmpty)
+    assert(Ipynb.parse("""{"nbformat":4}""").isEmpty)     // no cells
+    assert(Ipynb.parse("""{"cells":[]}""").isEmpty)       // no nbformat
+    assert(Ipynb.parse("""{"nbformat":2,"cells":[]}""").isEmpty)
+    assert(Ipynb.parse(                                   // cell_type missing
+      """{"nbformat":4,"cells":[{"source":"x"}]}""").isEmpty)
+    assert(Ipynb.parse(                                   // non-string source elem
+      """{"nbformat":4,"cells":[{"cell_type":"code","source":["a",1]}]}""").isEmpty)
+    assert(Ipynb.parse(                                   // fractional exec count
+      """{"nbformat":4,"cells":[{"cell_type":"code","source":"x","execution_count":1.5}]}""").isEmpty)
+    assert(Ipynb.parse(                                   // outputs not an array
+      """{"nbformat":4,"cells":[{"cell_type":"code","source":"x","outputs":3}]}""").isEmpty)
+    assert(Ipynb.parse(                                   // v3 without worksheets
+      """{"nbformat":3,"cells":[]}""").isEmpty)
+  }
+
+  test("execution_count null vs absent both map to NULL") {
+    val j = """{"nbformat":4,"cells":[
+      {"cell_type":"code","source":"a","execution_count":null},
+      {"cell_type":"code","source":"b"}]}"""
+    assert(Ipynb.parse(j).get.cells.forall(_.execCount.isEmpty))
+  }
+
+  test("deterministic fuzz: byte soup never throws, only None") {
+    var seed = 0x9e3779b97f4a7c15L
+    def next(): Long = { seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17; seed }
+    val base = Ipynb.renderV4("python", cells, arraySource = true)
+    for (k <- 0 until 200) {
+      val n = 1 + (math.abs(next()) % 200).toInt
+      Ipynb.parse(Array.tabulate(n)(_ => (32 + math.abs(next()) % 95).toChar).mkString)
+      val mut = base.toCharArray
+      for (_ <- 0 to k % 4) {
+        val at = (math.abs(next()) % mut.length).toInt
+        mut(at) = (32 + math.abs(next()) % 95).toChar
+      }
+      Ipynb.parse(new String(mut)) // None or a value; must not throw
+    }
+  }
+}
