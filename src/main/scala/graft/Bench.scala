@@ -84,8 +84,18 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"t0":$t0s,"failures":$failures,"sf":"$sfDir","runs":$runs$warn}"""
     // the stdout capture around this main truncates long tails — persist the
     // full per-query JSON to a file too, and announce its path first so the
-    // timings stay machine-readable even when the printed line is cut
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_RESULTS.json")
+    // timings stay machine-readable even when the printed line is cut.
+    // The repo-root BENCH_RESULTS.json is the COMMITTED min-of-2 sf0.1
+    // artifact; a casual contract-check (runs=1, or any other sf) must not
+    // be able to clobber it via `git add -A` — those runs default to tmp/.
+    // Override explicitly with SPARK_GRAFT_BENCH_OUT when committing.
+    val conventionRun = runs >= 2 && sfDir.endsWith("sf0.1")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (conventionRun) "BENCH_RESULTS.json" else "tmp/BENCH_SMOKE.json")
+    new java.io.File(outPath).getParentFile match {
+      case null => ()
+      case d    => d.mkdirs()
+    }
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
