@@ -1,0 +1,475 @@
+package graft.operators
+
+/** Parquet footer (file metadata) decoder, dependency-free, per the
+  * published format specification (parquet.apache.org/docs/file-format/
+  * and the parquet-format `parquet.thrift` IDL): the footer is a
+  * `FileMetaData` Thrift struct serialized with the **Thrift compact
+  * protocol**, placed before a 4-byte little-endian footer length and
+  * the trailing `PAR1` magic.
+  *
+  * Why parse footers by hand when Spark reads parquet natively: at
+  * fleet scale the footer IS the audit surface. A 100 TB corpus is
+  * ~100 k files; their footers total a few GB and carry everything a
+  * layout audit needs — row-group sizing, per-chunk codec/encodings
+  * (is the dictionary actually used?), column stats (do min/max enable
+  * file skipping for the hot predicates?), offsets (is the data
+  * contiguous?). Reading them through a full Spark scan would touch
+  * the data; this door reads 8 bytes + one footer per file, one task
+  * per file, no shuffle — see [[graft.sources.ParquetMeta]].
+  *
+  * Decoded surface (the audit subset, unknown fields skipped
+  * generically): FileMetaData(version, schema, num_rows, row_groups,
+  * created_by), SchemaElement(type, type_length, repetition, name,
+  * num_children, converted_type), RowGroup(columns, total_byte_size,
+  * num_rows, file_offset, total_compressed_size, ordinal),
+  * ColumnChunk(file_offset, ColumnMetaData(type, encodings,
+  * path_in_schema, codec, num_values, total_*_size, *_page_offset,
+  * Statistics(min/max_value, deprecated min/max, null_count,
+  * distinct_count))).
+  *
+  * Contracts as everywhere in this repo: malformed/truncated input →
+  * None (never a throw, never a partial struct); nesting depth and
+  * collection sizes bounded by the remaining bytes. Interop is pinned
+  * LIVE in ParquetFooterSpec against parquet-java 1.16 (on the Spark
+  * classpath) over both a Spark-written fixture and the harness
+  * testdata; the DuckDB oracle diffs the same fields decoded by
+  * DuckDB's own independent footer reader (`parquet_metadata()`).
+  */
+object ParquetFooter {
+
+  /** Hard cap on a footer we will buffer (a real footer for a 100k-row-
+    * group file is a few MB; 128 MB means "corrupt length word").
+    */
+  val MaxFooterBytes: Int = 1 << 27
+
+  // ------------------------------------------------------------- model
+
+  /** Flattened schema node in footer order; the root carries
+    * num_children and no type.
+    */
+  final case class SchemaEl(name: String, typ: Option[Int],
+      typeLength: Option[Int], repetition: Option[Int],
+      numChildren: Option[Int], converted: Option[Int])
+
+  final case class Stats(minValue: Option[Array[Byte]],
+      maxValue: Option[Array[Byte]], nullCount: Option[Long],
+      distinctCount: Option[Long], minDeprecated: Option[Array[Byte]],
+      maxDeprecated: Option[Array[Byte]]) {
+    /** New-style field when present, else the deprecated pair (pre-2.4
+      * writers) — the same precedence parquet-java applies.
+      */
+    def minBytes: Option[Array[Byte]] = minValue.orElse(minDeprecated)
+    def maxBytes: Option[Array[Byte]] = maxValue.orElse(maxDeprecated)
+  }
+
+  final case class Chunk(fileOffset: Option[Long], typ: Int,
+      encodings: Seq[Int], path: Seq[String], codec: Int, numValues: Long,
+      totalUncompressed: Long, totalCompressed: Long, dataPageOffset: Long,
+      indexPageOffset: Option[Long], dictPageOffset: Option[Long],
+      stats: Option[Stats])
+
+  final case class RowGroup(columns: Seq[Chunk], totalByteSize: Long,
+      numRows: Long, fileOffset: Option[Long],
+      totalCompressedSize: Option[Long], ordinal: Option[Int])
+
+  final case class FileMeta(version: Int, schema: Seq[SchemaEl],
+      numRows: Long, rowGroups: Seq[RowGroup], createdBy: Option[String])
+
+  // ----------------------------------------------- physical type names
+
+  /** parquet.thrift `Type` enum, by ordinal. */
+  private val TypeNames = Array("BOOLEAN", "INT32", "INT64", "INT96",
+    "FLOAT", "DOUBLE", "BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY")
+
+  /** parquet.thrift `CompressionCodec` enum, by ordinal. */
+  private val CodecNames = Array("UNCOMPRESSED", "SNAPPY", "GZIP", "LZO",
+    "BROTLI", "LZ4", "ZSTD", "LZ4_RAW")
+
+  /** parquet.thrift `Encoding` enum, by ordinal (1 is a hole: the
+    * GROUP_VAR_INT experiment was never released).
+    */
+  private val EncodingNames = Array("PLAIN", "?", "PLAIN_DICTIONARY",
+    "RLE", "BIT_PACKED", "DELTA_BINARY_PACKED", "DELTA_LENGTH_BYTE_ARRAY",
+    "DELTA_BYTE_ARRAY", "RLE_DICTIONARY", "BYTE_STREAM_SPLIT")
+
+  private val RepetitionNames = Array("REQUIRED", "OPTIONAL", "REPEATED")
+
+  def typeName(t: Int): String =
+    if (t >= 0 && t < TypeNames.length) TypeNames(t) else s"TYPE_$t"
+  def codecName(c: Int): String =
+    if (c >= 0 && c < CodecNames.length) CodecNames(c) else s"CODEC_$c"
+  def encodingName(e: Int): String =
+    if (e >= 0 && e < EncodingNames.length) EncodingNames(e) else s"ENC_$e"
+  def repetitionName(r: Int): String =
+    if (r >= 0 && r < RepetitionNames.length) RepetitionNames(r) else s"REP_$r"
+
+  // ------------------------------------------ compact-protocol cursor
+
+  // Thrift compact wire types (THRIFT-110 spec, "Compact protocol").
+  private final val TStop = 0
+  private final val TTrue = 1
+  private final val TFalse = 2
+  private final val TByte = 3
+  private final val TI16 = 4
+  private final val TI32 = 5
+  private final val TI64 = 6
+  private final val TDouble = 7
+  private final val TBinary = 8
+  private final val TList = 9
+  private final val TSet = 10
+  private final val TMap = 11
+  private final val TStruct = 12
+
+  private final class R(val b: Array[Byte], var pos: Int, val end: Int) {
+    def fail(): Unit = pos = end + 1
+    def bad: Boolean = pos > end
+    def u8(): Int =
+      if (pos >= end) { fail(); 0 } else { val v = b(pos) & 0xff; pos += 1; v }
+    /** Unsigned LEB128, at most 10 bytes. */
+    def varint(): Long = {
+      var shift = 0
+      var v = 0L
+      while (shift <= 63) {
+        val x = u8()
+        v |= (x & 0x7fL) << shift
+        if ((x & 0x80) == 0) return v
+        shift += 7
+      }
+      fail(); 0L
+    }
+    def zigzag(): Long = { val n = varint(); (n >>> 1) ^ -(n & 1L) }
+    /** Bounded non-negative Int from a varint (collection sizes,
+      * binary lengths) — every element costs >= 1 byte, so anything
+      * beyond the remaining bytes is corrupt.
+      */
+    def boundedSize(): Int = {
+      val n = varint()
+      if (n < 0 || n > end - pos) { fail(); 0 } else n.toInt
+    }
+    def bytes(n: Int): Array[Byte] =
+      if (n < 0 || n > end - pos) { fail(); Array.emptyByteArray }
+      else { val a = java.util.Arrays.copyOfRange(b, pos, pos + n); pos += n; a }
+    def skipN(n: Int): Unit =
+      if (n < 0 || n > end - pos) fail() else pos += n
+  }
+
+  private def skipValue(r: R, t: Int, depth: Int): Unit = {
+    if (depth > 32) { r.fail(); return }
+    t match {
+      case TTrue | TFalse => ()
+      case TByte          => r.u8()
+      case TI16 | TI32 | TI64 => r.zigzag()
+      case TDouble        => r.skipN(8)
+      case TBinary        => r.skipN(r.boundedSize())
+      case TList | TSet =>
+        val h = r.u8()
+        val et = h & 0x0f
+        var n = (h >>> 4) & 0x0f
+        if (n == 15) n = r.boundedSize()
+        if (n > r.end - r.pos && et != TTrue && et != TFalse) r.fail()
+        var i = 0
+        while (i < n && !r.bad) {
+          // bool list elements are one byte on the wire (1=true, 2=false)
+          if (et == TTrue || et == TFalse) r.u8() else skipValue(r, et, depth + 1)
+          i += 1
+        }
+      case TMap =>
+        val n = r.boundedSize()
+        if (n > 0) {
+          val kv = r.u8()
+          var i = 0
+          while (i < n && !r.bad) {
+            skipValue(r, (kv >>> 4) & 0x0f, depth + 1)
+            skipValue(r, kv & 0x0f, depth + 1)
+            i += 1
+          }
+        }
+      case TStruct =>
+        var fid = 0
+        var cont = true
+        while (cont && !r.bad) {
+          val h = r.u8()
+          if (h == TStop) cont = false
+          else {
+            val ft = h & 0x0f
+            val delta = (h >>> 4) & 0x0f
+            fid = if (delta == 0) r.zigzag().toInt else fid + delta
+            skipValue(r, ft, depth + 1)
+          }
+        }
+      case _ => r.fail()
+    }
+  }
+
+  /** Walk one struct: the callback sees (field id, wire type) and MUST
+    * consume the value (or it will be skipped when it returns false).
+    */
+  private def struct(r: R)(field: (Int, Int) => Boolean): Unit = {
+    var fid = 0
+    var cont = true
+    while (cont && !r.bad) {
+      val h = r.u8()
+      if (h == TStop) cont = false
+      else {
+        val ft = h & 0x0f
+        val delta = (h >>> 4) & 0x0f
+        fid = if (delta == 0) r.zigzag().toInt else fid + delta
+        if (!field(fid, ft)) skipValue(r, ft, 0)
+      }
+    }
+  }
+
+  private def readString(r: R): String =
+    new String(r.bytes(r.boundedSize()), java.nio.charset.StandardCharsets.UTF_8)
+
+  /** `list<i32>` of enum ordinals (encodings). */
+  private def readI32List(r: R): Seq[Int] = {
+    val h = r.u8()
+    val et = h & 0x0f
+    var n = (h >>> 4) & 0x0f
+    if (n == 15) n = r.boundedSize()
+    if (et != TI32 || n > r.end - r.pos) { r.fail(); return Nil }
+    val out = new scala.collection.mutable.ArrayBuffer[Int](n)
+    var i = 0
+    while (i < n && !r.bad) { out += r.zigzag().toInt; i += 1 }
+    out.toSeq
+  }
+
+  /** `list<string>` (path_in_schema). */
+  private def readStringList(r: R): Seq[String] = {
+    val h = r.u8()
+    val et = h & 0x0f
+    var n = (h >>> 4) & 0x0f
+    if (n == 15) n = r.boundedSize()
+    if (et != TBinary || n > r.end - r.pos) { r.fail(); return Nil }
+    val out = new scala.collection.mutable.ArrayBuffer[String](n)
+    var i = 0
+    while (i < n && !r.bad) { out += readString(r); i += 1 }
+    out.toSeq
+  }
+
+  /** Generic list-of-struct reader. */
+  private def readStructList[A](r: R)(one: R => Option[A]): Option[Seq[A]] = {
+    val h = r.u8()
+    val et = h & 0x0f
+    var n = (h >>> 4) & 0x0f
+    if (n == 15) n = r.boundedSize()
+    if (et != TStruct || n > r.end - r.pos) { r.fail(); return None }
+    val out = new scala.collection.mutable.ArrayBuffer[A](n)
+    var i = 0
+    while (i < n) {
+      if (r.bad) return None
+      one(r) match {
+        case Some(a) => out += a
+        case None    => return None
+      }
+      i += 1
+    }
+    Some(out.toSeq)
+  }
+
+  // ------------------------------------------------------ struct readers
+
+  private def readStats(r: R): Option[Stats] = {
+    var minDep: Option[Array[Byte]] = None
+    var maxDep: Option[Array[Byte]] = None
+    var nulls: Option[Long] = None
+    var distinct: Option[Long] = None
+    var minV: Option[Array[Byte]] = None
+    var maxV: Option[Array[Byte]] = None
+    struct(r) {
+      case (1, TBinary) => maxDep = Some(r.bytes(r.boundedSize())); true
+      case (2, TBinary) => minDep = Some(r.bytes(r.boundedSize())); true
+      case (3, TI64)    => nulls = Some(r.zigzag()); true
+      case (4, TI64)    => distinct = Some(r.zigzag()); true
+      case (5, TBinary) => maxV = Some(r.bytes(r.boundedSize())); true
+      case (6, TBinary) => minV = Some(r.bytes(r.boundedSize())); true
+      case _            => false
+    }
+    if (r.bad) None
+    else Some(Stats(minV, maxV, nulls, distinct, minDep, maxDep))
+  }
+
+  private def readColumnMeta(r: R): Option[Chunk] = {
+    var typ = -1
+    var encodings: Seq[Int] = Nil
+    var path: Seq[String] = Nil
+    var codec = -1
+    var numValues = -1L
+    var totUnc = -1L
+    var totComp = -1L
+    var dataOff = -1L
+    var idxOff: Option[Long] = None
+    var dictOff: Option[Long] = None
+    var stats: Option[Stats] = None
+    struct(r) {
+      case (1, TI32)     => typ = r.zigzag().toInt; true
+      case (2, TList)    => encodings = readI32List(r); true
+      case (3, TList)    => path = readStringList(r); true
+      case (4, TI32)     => codec = r.zigzag().toInt; true
+      case (5, TI64)     => numValues = r.zigzag(); true
+      case (6, TI64)     => totUnc = r.zigzag(); true
+      case (7, TI64)     => totComp = r.zigzag(); true
+      case (9, TI64)     => dataOff = r.zigzag(); true
+      case (10, TI64)    => idxOff = Some(r.zigzag()); true
+      case (11, TI64)    => dictOff = Some(r.zigzag()); true
+      case (12, TStruct) => stats = readStats(r); stats.isDefined
+      case _             => false
+    }
+    if (r.bad || typ < 0 || codec < 0 || numValues < 0 || totUnc < 0 ||
+        totComp < 0 || dataOff < 0 || path.isEmpty) None
+    else Some(Chunk(None, typ, encodings, path, codec, numValues, totUnc,
+      totComp, dataOff, idxOff, dictOff, stats))
+  }
+
+  private def readColumnChunk(r: R): Option[Chunk] = {
+    var fileOffset: Option[Long] = None
+    var meta: Option[Chunk] = None
+    var failed = false
+    struct(r) {
+      case (2, TI64)    => fileOffset = Some(r.zigzag()); true
+      case (3, TStruct) =>
+        meta = readColumnMeta(r)
+        failed = meta.isEmpty
+        !failed
+      case _            => false
+    }
+    if (r.bad || failed) None
+    // a chunk whose metadata lives in an external file (field 1
+    // file_path + meta in the column index) is out of audit scope; the
+    // flat self-contained layout every mainstream writer emits has the
+    // inline meta_data struct
+    else meta.map(_.copy(fileOffset = fileOffset))
+  }
+
+  private def readRowGroup(r: R): Option[RowGroup] = {
+    var cols: Option[Seq[Chunk]] = None
+    var totalBytes = -1L
+    var numRows = -1L
+    var fileOff: Option[Long] = None
+    var totComp: Option[Long] = None
+    var ordinal: Option[Int] = None
+    var failed = false
+    struct(r) {
+      case (1, TList) =>
+        cols = readStructList(r)(readColumnChunk)
+        failed = cols.isEmpty
+        !failed
+      case (2, TI64) => totalBytes = r.zigzag(); true
+      case (3, TI64) => numRows = r.zigzag(); true
+      case (5, TI64) => fileOff = Some(r.zigzag()); true
+      case (6, TI64) => totComp = Some(r.zigzag()); true
+      case (7, TI16) => ordinal = Some(r.zigzag().toInt); true
+      case _         => false
+    }
+    if (r.bad || failed || totalBytes < 0 || numRows < 0) None
+    else cols.map(RowGroup(_, totalBytes, numRows, fileOff, totComp, ordinal))
+  }
+
+  private def readSchemaElement(r: R): Option[SchemaEl] = {
+    var typ: Option[Int] = None
+    var typeLength: Option[Int] = None
+    var repetition: Option[Int] = None
+    var name: String = null
+    var numChildren: Option[Int] = None
+    var converted: Option[Int] = None
+    struct(r) {
+      case (1, TI32)    => typ = Some(r.zigzag().toInt); true
+      case (2, TI32)    => typeLength = Some(r.zigzag().toInt); true
+      case (3, TI32)    => repetition = Some(r.zigzag().toInt); true
+      case (4, TBinary) => name = readString(r); true
+      case (5, TI32)    => numChildren = Some(r.zigzag().toInt); true
+      case (6, TI32)    => converted = Some(r.zigzag().toInt); true
+      case _            => false
+    }
+    if (r.bad || name == null) None
+    else Some(SchemaEl(name, typ, typeLength, repetition, numChildren, converted))
+  }
+
+  /** Parse a footer byte range (the FileMetaData struct, magic and
+    * length word already stripped). Malformed → None.
+    */
+  def parse(footer: Array[Byte]): Option[FileMeta] = parse(footer, 0, footer.length)
+
+  def parse(b: Array[Byte], off: Int, end: Int): Option[FileMeta] = {
+    if (off < 0 || end > b.length || off >= end) return None
+    val r = new R(b, off, end)
+    var version = Int.MinValue
+    var schema: Option[Seq[SchemaEl]] = None
+    var numRows = -1L
+    var groups: Option[Seq[RowGroup]] = None
+    var createdBy: Option[String] = None
+    var failed = false
+    struct(r) {
+      case (1, TI32) => version = r.zigzag().toInt; true
+      case (2, TList) =>
+        schema = readStructList(r)(readSchemaElement)
+        failed = failed || schema.isEmpty
+        schema.isDefined
+      case (3, TI64) => numRows = r.zigzag(); true
+      case (4, TList) =>
+        groups = readStructList(r)(readRowGroup)
+        failed = failed || groups.isEmpty
+        groups.isDefined
+      case (6, TBinary) => createdBy = Some(readString(r)); true
+      case _            => false
+    }
+    if (r.bad || failed || version == Int.MinValue || numRows < 0 ||
+        schema.isEmpty || groups.isEmpty) None
+    else Some(FileMeta(version, schema.get, numRows, groups.get, createdBy))
+  }
+
+  /** Locate and parse the footer of a whole in-memory parquet file
+    * (leading magic, data, footer, length word, trailing magic).
+    */
+  def parseFile(b: Array[Byte]): Option[FileMeta] = {
+    val n = b.length
+    if (n < 12) return None
+    if (!(b(n - 4) == 'P' && b(n - 3) == 'A' && b(n - 2) == 'R' && b(n - 1) == '1'))
+      return None
+    val flen = (b(n - 8) & 0xff) | (b(n - 7) & 0xff) << 8 |
+      (b(n - 6) & 0xff) << 16 | (b(n - 5) & 0xff) << 24
+    // the footer sits between the 4-byte leading magic and the length word
+    if (flen <= 0 || flen > MaxFooterBytes || flen > n - 12) None
+    else parse(b, n - 8 - flen, n - 8)
+  }
+
+  // ------------------------------------------------------- stat decoding
+
+  private def le32(b: Array[Byte]): Int =
+    (b(0) & 0xff) | (b(1) & 0xff) << 8 | (b(2) & 0xff) << 16 | (b(3) & 0xff) << 24
+
+  private def le64(b: Array[Byte]): Long = {
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | (b(i) & 0xffL); i -= 1 }
+    v
+  }
+
+  /** Decode a stats value as a Long for integer physical types. */
+  def statLong(bytes: Array[Byte], typ: Int): Option[Long] = typ match {
+    case 0 if bytes.length == 1 => Some(bytes(0) & 1L)            // BOOLEAN
+    case 1 if bytes.length == 4 => Some(le32(bytes).toLong)       // INT32
+    case 2 if bytes.length == 8 => Some(le64(bytes))              // INT64
+    case _                      => None
+  }
+
+  /** Decode a stats value as a Double for floating physical types. */
+  def statDouble(bytes: Array[Byte], typ: Int): Option[Double] = typ match {
+    case 4 if bytes.length == 4 =>
+      Some(java.lang.Float.intBitsToFloat(le32(bytes)).toDouble)  // FLOAT
+    case 5 if bytes.length == 8 =>
+      Some(java.lang.Double.longBitsToDouble(le64(bytes)))        // DOUBLE
+    case _ => None
+  }
+
+  /** Decode a stats value as UTF-8 text for byte-array physical types.
+    * NOTE: writers may TRUNCATE binary min/max (parquet.thrift allows
+    * it and flags it via is_{min,max}_value_exact); callers comparing
+    * against data truth must restrict to short values.
+    */
+  def statString(bytes: Array[Byte], typ: Int): Option[String] = typ match {
+    case 6 | 7 => Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    case _     => None
+  }
+}

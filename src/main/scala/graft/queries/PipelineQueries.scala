@@ -3656,6 +3656,62 @@ object PipelineQueries extends QuerySet {
           sum(when(col("cell_type") === "markdown", 1).otherwise(0))
             .cast("int").as("n_md"))
         .orderBy("nb")
+    }),
+
+    // Parquet layout audit — the engine auditing its own storage
+    // format: every column chunk of the harness lineitem file decoded
+    // by the repo's own Thrift-compact footer reader (ParquetFooter,
+    // 8 tail bytes + one footer read, never a data page) and diffed
+    // against DuckDB's independent parquet_metadata() — two unrelated
+    // decoders over the SAME footer bytes must agree on codec,
+    // encodings, sizes, offsets and typed min/max stats. Timestamp-
+    // logical INT64 stats stay raw micros on this side; the oracle
+    // converts its formatted value back via epoch_us. At fleet scale
+    // this is the "are my files skippable / dictionary-encoded /
+    // row-group-sized right?" audit at metadata cost — see
+    // sources/ParquetMeta.scala for the one-task-per-file shape.
+    "q245_parquet_footer" -> ((s, dir) => {
+      graft.sources.ParquetMeta.chunks(s, s"$dir/lineitem.parquet")
+        .select(col("rg"), col("col_id"), col("path_in_schema"),
+          col("physical_type"), col("codec"), col("encodings"),
+          col("num_values"), col("total_compressed"),
+          col("total_uncompressed"), col("data_page_offset"),
+          col("dict_page_offset"), col("null_count"),
+          col("min_long"), col("max_long"),
+          col("min_double"), col("max_double"),
+          col("min_string"), col("max_string"))
+        .orderBy("rg", "col_id")
+    }),
+
+    // Footer stats vs data truth — the file-skipping contract: the
+    // footer-claimed num_values / null_count / min / max for the audit
+    // columns of three tables (summed / folded across row groups, the
+    // multi-row-group form) must equal aggregates DuckDB recomputes
+    // from the rows themselves. Exactly the invariant a planner trusts
+    // when it prunes a file on stats; ±0.0 is normalized on both sides
+    // (writers legally widen a 0.0 min to -0.0, PARQUET-1222).
+    "q246_footer_stats_truth" -> ((s, dir) => {
+      val keep = Seq(
+        "documents" -> Seq("doc_id", "n_chars", "lang", "source"),
+        "lineitem" -> Seq("l_orderkey", "l_quantity", "l_extendedprice",
+          "l_discount", "l_returnflag", "l_linestatus"),
+        "orders" -> Seq("o_orderkey", "o_totalprice", "o_orderstatus"))
+      keep.map { case (tbl, cols) =>
+        graft.sources.ParquetMeta.chunks(s, s"$dir/$tbl.parquet")
+          .where(col("path_in_schema").isin(cols: _*))
+          .withColumn("tbl", lit(tbl))
+      }.reduce(_ unionByName _)
+        .groupBy("tbl", "path_in_schema")
+        .agg(
+          sum("num_values").as("num_values"),
+          sum("null_count").as("null_count"),
+          (min(coalesce(col("min_double"), col("min_long").cast("double")))
+            + lit(0.0)).as("min_num"),
+          (max(coalesce(col("max_double"), col("max_long").cast("double")))
+            + lit(0.0)).as("max_num"),
+          min("min_string").as("min_str"),
+          max("max_string").as("max_str"))
+        .orderBy("tbl", "path_in_schema")
     }))
 
   /** The q242/q244 notebook fixture set: 40 generated notebooks covering
@@ -3720,6 +3776,61 @@ object PipelineQueries extends QuerySet {
         |  CAST(SUM(CASE WHEN j % 3 = 1 THEN 0 ELSE 1 END) AS INT) AS n_code,
         |  CAST(SUM(CASE WHEN j % 3 = 1 THEN 1 ELSE 0 END) AS INT) AS n_md
         |FROM t GROUP BY i ORDER BY nb""".stripMargin,
+    // DuckDB's own footer decoder over the same file the Spark side
+    // parsed with the repo's Thrift-compact reader: two independent
+    // decoders, one footer, every audit field diffed. The driver's
+    // oracle always runs at sf0.01, so the path is the sf0.01 file —
+    // the same bytes the Spark side read through `dir`.
+    "q245_parquet_footer" ->
+      """SELECT CAST(row_group_id AS INT) AS rg, CAST(column_id AS INT) AS col_id,
+        |  path_in_schema, type AS physical_type, compression AS codec, encodings,
+        |  num_values, total_compressed_size AS total_compressed,
+        |  total_uncompressed_size AS total_uncompressed, data_page_offset,
+        |  dictionary_page_offset AS dict_page_offset,
+        |  stats_null_count AS null_count,
+        |  CASE WHEN path_in_schema = 'l_shipdate'
+        |         THEN epoch_us(CAST(stats_min_value AS TIMESTAMP))
+        |       WHEN type IN ('INT32', 'INT64')
+        |         THEN CAST(stats_min_value AS BIGINT) END AS min_long,
+        |  CASE WHEN path_in_schema = 'l_shipdate'
+        |         THEN epoch_us(CAST(stats_max_value AS TIMESTAMP))
+        |       WHEN type IN ('INT32', 'INT64')
+        |         THEN CAST(stats_max_value AS BIGINT) END AS max_long,
+        |  CASE WHEN type = 'DOUBLE' THEN CAST(stats_min_value AS DOUBLE) END AS min_double,
+        |  CASE WHEN type = 'DOUBLE' THEN CAST(stats_max_value AS DOUBLE) END AS max_double,
+        |  CASE WHEN type = 'BYTE_ARRAY' THEN stats_min_value END AS min_string,
+        |  CASE WHEN type = 'BYTE_ARRAY' THEN stats_max_value END AS max_string
+        |FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+        |ORDER BY rg, col_id""".stripMargin,
+    // footer-claimed stats vs aggregates recomputed from the rows —
+    // 13 audit columns across three tables, NULL in the lanes that do
+    // not apply to the column's type
+    "q246_footer_stats_truth" -> {
+      def num(tbl: String, c: String) =
+        s"""SELECT '$tbl' AS tbl, '$c' AS path_in_schema,
+           | CAST(COUNT(*) AS BIGINT) AS num_values,
+           | CAST(COUNT(*) - COUNT($c) AS BIGINT) AS null_count,
+           | CAST(MIN($c) AS DOUBLE) + 0.0 AS min_num,
+           | CAST(MAX($c) AS DOUBLE) + 0.0 AS max_num,
+           | CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           | FROM $tbl""".stripMargin.replace("\n", "")
+      def str(tbl: String, c: String) =
+        s"""SELECT '$tbl' AS tbl, '$c' AS path_in_schema,
+           | CAST(COUNT(*) AS BIGINT) AS num_values,
+           | CAST(COUNT(*) - COUNT($c) AS BIGINT) AS null_count,
+           | CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           | MIN($c) AS min_str, MAX($c) AS max_str
+           | FROM $tbl""".stripMargin.replace("\n", "")
+      (Seq(num("documents", "doc_id"), num("documents", "n_chars"),
+        str("documents", "lang"), str("documents", "source"),
+        num("lineitem", "l_orderkey"), num("lineitem", "l_quantity"),
+        num("lineitem", "l_extendedprice"), num("lineitem", "l_discount"),
+        str("lineitem", "l_returnflag"), str("lineitem", "l_linestatus"),
+        num("orders", "o_orderkey"), num("orders", "o_totalprice"),
+        str("orders", "o_orderstatus"))
+        .mkString("SELECT * FROM (", " UNION ALL ", ")")
+        + " ORDER BY tbl, path_in_schema")
+    },
     "q60_block_segmentation" ->
       s"""WITH b AS (SELECT doc_id, n_chars,
         |  CAST(FLOOR(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $BlockSize.0) AS BIGINT) AS block_id

@@ -1,0 +1,160 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.operators.ParquetFooter
+
+/** Parquet layout audit relations: per-file, per-row-group and
+  * per-column-chunk metadata decoded from footers by the repo's own
+  * Thrift-compact reader ([[graft.operators.ParquetFooter]]).
+  *
+  * Scale shape: one task per FILE, and each task reads 8 tail bytes +
+  * one footer — never the data pages. Auditing the layout of a 100 TB /
+  * 100 k-file corpus costs a few GB of metadata reads spread over the
+  * cluster, no shuffle, no decode of any data page. That is the
+  * operation behind "are my files skippable for this predicate?",
+  * "which ingest wrote uncompressed chunks?", "are row groups sized
+  * for the reader?" — questions a full scan answers a thousand times
+  * more expensively.
+  *
+  * Unreadable or non-parquet files surface as a row with `ok=false`
+  * (and NULL metadata) rather than failing the audit job: at fleet
+  * scale SOME file is always corrupt, and finding it is the point.
+  */
+object ParquetMeta {
+
+  val filesSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("ok", BooleanType, nullable = false),
+    StructField("version", IntegerType, nullable = true),
+    StructField("num_rows", LongType, nullable = true),
+    StructField("n_row_groups", IntegerType, nullable = true),
+    StructField("n_columns", IntegerType, nullable = true),
+    StructField("created_by", StringType, nullable = true)))
+
+  val chunksSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("rg", IntegerType, nullable = false),
+    StructField("rg_num_rows", LongType, nullable = false),
+    StructField("rg_total_byte_size", LongType, nullable = false),
+    StructField("col_id", IntegerType, nullable = false),
+    StructField("path_in_schema", StringType, nullable = false),
+    StructField("physical_type", StringType, nullable = false),
+    StructField("codec", StringType, nullable = false),
+    StructField("encodings", StringType, nullable = false),
+    StructField("num_values", LongType, nullable = false),
+    StructField("total_compressed", LongType, nullable = false),
+    StructField("total_uncompressed", LongType, nullable = false),
+    StructField("data_page_offset", LongType, nullable = false),
+    StructField("dict_page_offset", LongType, nullable = true),
+    StructField("index_page_offset", LongType, nullable = true),
+    StructField("null_count", LongType, nullable = true),
+    StructField("distinct_count", LongType, nullable = true),
+    StructField("min_long", LongType, nullable = true),
+    StructField("max_long", LongType, nullable = true),
+    StructField("min_double", DoubleType, nullable = true),
+    StructField("max_double", DoubleType, nullable = true),
+    StructField("min_string", StringType, nullable = true),
+    StructField("max_string", StringType, nullable = true)))
+
+  /** Read one footer through the Hadoop FS (8 tail bytes, then the
+    * footer range). None for anything that is not a well-formed
+    * parquet file.
+    */
+  def readFooter(fs: org.apache.hadoop.fs.FileSystem, p: Path): Option[ParquetFooter.FileMeta] = {
+    try {
+      val len = fs.getFileStatus(p).getLen
+      if (len < 12) return None
+      val in = fs.open(p)
+      try {
+        val tail = new Array[Byte](8)
+        in.readFully(len - 8, tail)
+        if (!(tail(4) == 'P' && tail(5) == 'A' && tail(6) == 'R' && tail(7) == '1'))
+          return None
+        val flen = (tail(0) & 0xff) | (tail(1) & 0xff) << 8 |
+          (tail(2) & 0xff) << 16 | (tail(3) & 0xff) << 24
+        if (flen <= 0 || flen > ParquetFooter.MaxFooterBytes || flen > len - 12)
+          return None
+        val fb = new Array[Byte](flen)
+        in.readFully(len - 8 - flen, fb)
+        ParquetFooter.parse(fb)
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+  }
+
+  private def listParquet(spark: SparkSession, path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).filter(s => s.isFile &&
+          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        .map(s => fs.makeQualified(s.getPath).toString).sorted.toSeq
+    else Seq(fs.makeQualified(p).toString)
+  }
+
+  private def footerRdd(spark: SparkSession, paths: Seq[String])
+      : org.apache.spark.rdd.RDD[(String, Option[ParquetFooter.FileMeta])] = {
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val slices = math.max(1, math.min(paths.length, spark.sparkContext.defaultParallelism * 2))
+    spark.sparkContext.parallelize(paths, slices).mapPartitions { it =>
+      var fs: org.apache.hadoop.fs.FileSystem = null
+      it.map { s =>
+        val p = new Path(s)
+        if (fs == null) fs = p.getFileSystem(conf.value)
+        (s, readFooter(fs, p))
+      }
+    }
+  }
+
+  /** One row per file: shape header of the audit. */
+  def files(spark: SparkSession, path: String): DataFrame = {
+    val rows = footerRdd(spark, listParquet(spark, path)).map {
+      case (f, Some(m)) => Row(f, true, m.version, m.numRows,
+        m.rowGroups.length, m.rowGroups.headOption.map(_.columns.length).getOrElse(0),
+        m.createdBy.orNull)
+      case (f, None)    => Row(f, false, null, null, null, null, null)
+    }
+    spark.createDataFrame(rows, filesSchema)
+  }
+
+  /** One row per (row group, column chunk): the audit grain. Stats are
+    * decoded per the column's physical type into the matching typed
+    * column (ints/bools → *_long, float/double → *_double, byte arrays
+    * → *_string), NULL elsewhere.
+    */
+  def chunks(spark: SparkSession, path: String): DataFrame = {
+    val rows = footerRdd(spark, listParquet(spark, path)).flatMap {
+      case (_, None)    => Iterator.empty
+      case (f, Some(m)) =>
+        for {
+          (rg, rgi) <- m.rowGroups.iterator.zipWithIndex
+          (c, ci)   <- rg.columns.iterator.zipWithIndex
+        } yield {
+          val st = c.stats
+          def dec[A](pick: ParquetFooter.Stats => Option[Array[Byte]],
+                     f: Array[Byte] => Option[A]): Option[A] =
+            st.flatMap(pick).flatMap(f)
+          Row(f, rgi, rg.numRows, rg.totalByteSize, ci,
+            c.path.mkString("."),
+            ParquetFooter.typeName(c.typ),
+            ParquetFooter.codecName(c.codec),
+            c.encodings.map(ParquetFooter.encodingName).mkString(", "),
+            c.numValues, c.totalCompressed, c.totalUncompressed,
+            c.dataPageOffset,
+            c.dictPageOffset.map(Long.box).orNull,
+            c.indexPageOffset.map(Long.box).orNull,
+            st.flatMap(_.nullCount).map(Long.box).orNull,
+            st.flatMap(_.distinctCount).map(Long.box).orNull,
+            dec(_.minBytes, ParquetFooter.statLong(_, c.typ)).map(Long.box).orNull,
+            dec(_.maxBytes, ParquetFooter.statLong(_, c.typ)).map(Long.box).orNull,
+            dec(_.minBytes, ParquetFooter.statDouble(_, c.typ)).map(Double.box).orNull,
+            dec(_.maxBytes, ParquetFooter.statDouble(_, c.typ)).map(Double.box).orNull,
+            dec(_.minBytes, ParquetFooter.statString(_, c.typ)).orNull,
+            dec(_.maxBytes, ParquetFooter.statString(_, c.typ)).orNull)
+        }
+    }
+    spark.createDataFrame(rows, chunksSchema)
+  }
+}

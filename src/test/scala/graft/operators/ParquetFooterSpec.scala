@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+
+/** Parquet footer decoder contract, pinned LIVE against parquet-java
+  * 1.16 (the reader on the Spark classpath) over (a) a Spark-written
+  * multi-row-group fixture and (b) the harness testdata — every audit
+  * field the decoder surfaces must agree with parquet-java's own
+  * footer read byte for byte. Plus the repo-wide never-throw fuzz
+  * contract and the typed stat decode.
+  */
+class ParquetFooterSpec extends SparkSpec {
+
+  private def javaFooter(p: String): org.apache.parquet.hadoop.metadata.ParquetMetadata = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(p), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter finally r.close()
+  }
+
+  private def oursFor(p: String): ParquetFooter.FileMeta = {
+    val hp = new Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = graft.sources.ParquetMeta.readFooter(fs, hp)
+    assert(m.isDefined, s"our decoder rejected $p")
+    m.get
+  }
+
+  /** Field-by-field diff of our parse against parquet-java's. */
+  private def crossCheck(p: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val ours = oursFor(p)
+    val theirs = javaFooter(p)
+    assert(ours.createdBy === Option(theirs.getFileMetaData.getCreatedBy))
+    val blocks = theirs.getBlocks.asScala.toSeq
+    assert(ours.numRows === blocks.map(_.getRowCount).sum)
+    assert(ours.rowGroups.length === blocks.length)
+    // leaf count must match the message type's leaves
+    val leaves = theirs.getFileMetaData.getSchema.getColumns.asScala.toSeq
+    assert(ours.rowGroups.head.columns.length === leaves.length)
+    ours.rowGroups.zip(blocks).foreach { case (rg, b) =>
+      assert(rg.numRows === b.getRowCount)
+      assert(rg.totalByteSize === b.getTotalByteSize)
+      val cols = b.getColumns.asScala.toSeq
+      assert(rg.columns.length === cols.length)
+      rg.columns.zip(cols).foreach { case (c, jc) =>
+        assert(c.path.mkString(".") === jc.getPath.toDotString)
+        // parquet-java names the thrift BYTE_ARRAY type "BINARY"
+        assert(ParquetFooter.typeName(c.typ) ===
+          (jc.getPrimitiveType.getPrimitiveTypeName.name() match {
+            case "BINARY" => "BYTE_ARRAY"
+            case other    => other
+          }))
+        assert(ParquetFooter.codecName(c.codec) === jc.getCodec.name())
+        assert(c.numValues === jc.getValueCount)
+        assert(c.totalCompressed === jc.getTotalSize)
+        assert(c.totalUncompressed === jc.getTotalUncompressedSize)
+        assert(c.dataPageOffset === jc.getFirstDataPageOffset)
+        if (jc.hasDictionaryPage)
+          assert(c.dictPageOffset === Some(jc.getDictionaryPageOffset))
+        assert(c.encodings.map(ParquetFooter.encodingName).toSet ===
+          jc.getEncodings.asScala.map(_.name()).toSet)
+        val js = jc.getStatistics
+        if (js != null && !js.isEmpty) {
+          val s = c.stats.getOrElse(fail(s"missing stats for ${c.path}"))
+          assert(s.nullCount === Some(js.getNumNulls))
+          if (js.hasNonNullValue) {
+            // parquet-java post-processes float/double stats on read
+            // (min +0.0 → -0.0, max -0.0 → +0.0, PARQUET-1222), so the
+            // floating families compare by IEEE value (0.0 == -0.0),
+            // everything else by raw footer bytes
+            if (c.typ == 4 || c.typ == 5) {
+              assert(ParquetFooter.statDouble(s.minBytes.get, c.typ).get ==
+                js.genericGetMin.toString.toDouble)
+              assert(ParquetFooter.statDouble(s.maxBytes.get, c.typ).get ==
+                js.genericGetMax.toString.toDouble)
+            } else {
+              assert(s.minBytes.map(_.toSeq) === Some(js.getMinBytes.toSeq))
+              assert(s.maxBytes.map(_.toSeq) === Some(js.getMaxBytes.toSeq))
+            }
+          }
+        }
+      }
+    }
+  }
+
+  private def writeFixture(dir: String, rows: Int, blockSize: Int): String = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = spark.range(rows.toLong).select(
+      col("id").as("k_long"),
+      col("id").cast("int").as("k_int"),
+      (col("id") * 1.5).as("k_double"),
+      col("id").cast("float").as("k_float"),
+      concat(lit("s"), lpad(col("id").cast("string"), 5, "0")).as("k_str"),
+      (col("id") % 2 === 0).as("k_bool"),
+      when(col("id") % 3 === 0, col("id")).as("k_nullable"))
+    df.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", blockSize.toString)
+      .option("parquet.page.size", "4096")
+      .parquet(dir)
+    val d = new java.io.File(dir)
+    d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getPath).head
+  }
+
+  test("live parquet-java cross-check: Spark-written multi-row-group fixture") {
+    val dir = java.nio.file.Files.createTempDirectory("pqfooter").toString
+    val p = writeFixture(dir, rows = 20000, blockSize = 64 * 1024)
+    assert(oursFor(p).rowGroups.length > 1, "fixture must span row groups")
+    crossCheck(p)
+  }
+
+  test("live parquet-java cross-check: harness testdata (pyarrow-written)") {
+    crossCheck("/root/testdata/sf0.001/lineitem.parquet")
+    crossCheck("/root/testdata/sf0.001/documents.parquet")
+    crossCheck("/root/testdata/sf0.001/events.parquet")
+  }
+
+  test("typed stat decode matches data truth on the fixture") {
+    val dir = java.nio.file.Files.createTempDirectory("pqstats").toString
+    val p = writeFixture(dir, rows = 500, blockSize = 64 * 1024 * 1024)
+    val m = oursFor(p)
+    assert(m.rowGroups.length === 1)
+    val byPath = m.rowGroups.head.columns.map(c => c.path.mkString(".") -> c).toMap
+    def stat(c: ParquetFooter.Chunk) = c.stats.get
+    val kLong = byPath("k_long")
+    assert(ParquetFooter.statLong(stat(kLong).minBytes.get, kLong.typ) === Some(0L))
+    assert(ParquetFooter.statLong(stat(kLong).maxBytes.get, kLong.typ) === Some(499L))
+    val kInt = byPath("k_int")
+    assert(ParquetFooter.statLong(stat(kInt).maxBytes.get, kInt.typ) === Some(499L))
+    val kD = byPath("k_double")
+    assert(ParquetFooter.statDouble(stat(kD).maxBytes.get, kD.typ) === Some(499 * 1.5))
+    val kF = byPath("k_float")
+    assert(ParquetFooter.statDouble(stat(kF).minBytes.get, kF.typ) === Some(0.0))
+    val kS = byPath("k_str")
+    assert(ParquetFooter.statString(stat(kS).minBytes.get, kS.typ) === Some("s00000"))
+    assert(ParquetFooter.statString(stat(kS).maxBytes.get, kS.typ) === Some("s00499"))
+    val kB = byPath("k_bool")
+    assert(ParquetFooter.statLong(stat(kB).minBytes.get, kB.typ) === Some(0L))
+    assert(ParquetFooter.statLong(stat(kB).maxBytes.get, kB.typ) === Some(1L))
+    // 500 ids, every third null => 500 - 167 non-null
+    val kN = byPath("k_nullable")
+    assert(stat(kN).nullCount === Some(500L - 167L))
+    // wrong-width bytes refuse to decode rather than guessing
+    assert(ParquetFooter.statLong(Array[Byte](1, 2), 2) === None)
+    assert(ParquetFooter.statDouble(Array[Byte](1, 2, 3), 5) === None)
+    assert(ParquetFooter.statString(Array[Byte](65), 1) === None)
+  }
+
+  test("relations: files/chunks over testdata; corrupt file surfaces ok=false") {
+    val dir = java.nio.file.Files.createTempDirectory("pqrel").toString
+    writeFixture(dir, rows = 100, blockSize = 64 * 1024 * 1024)
+    // plant one corrupt sibling: truncated magic
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "junk.parquet"),
+      "not a parquet file".getBytes)
+    val files = graft.sources.ParquetMeta.files(spark, dir).collect()
+    assert(files.length === 2)
+    assert(files.count(_.getBoolean(1)) === 1)
+    assert(files.count(!_.getBoolean(1)) === 1)
+    val chunks = graft.sources.ParquetMeta.chunks(spark, dir).collect()
+    assert(chunks.nonEmpty)
+    // only the readable file contributes chunk rows
+    assert(chunks.map(_.getString(0)).distinct.length === 1)
+    // lineitem via the relation: 11 leaf columns, num_values == rows
+    val li = graft.sources.ParquetMeta
+      .chunks(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    val cnt = li.groupBy().count().collect()(0).getLong(0)
+    assert(cnt > 0 && cnt % 11 === 0)
+  }
+
+  test("fuzz: byte soup, truncations and bit flips never throw") {
+    // a real footer to mutate: extract from the fixture file bytes
+    val dir = java.nio.file.Files.createTempDirectory("pqfuzz").toString
+    val p = writeFixture(dir, rows = 50, blockSize = 64 * 1024 * 1024)
+    val whole = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    assert(ParquetFooter.parseFile(whole).isDefined)
+    val n = whole.length
+    val flen = (whole(n - 8) & 0xff) | (whole(n - 7) & 0xff) << 8 |
+      (whole(n - 6) & 0xff) << 16 | (whole(n - 5) & 0xff) << 24
+    val footer = java.util.Arrays.copyOfRange(whole, n - 8 - flen, n - 8)
+    // every sampled truncation parses to None or Some, never throws
+    var i = 0
+    while (i < footer.length) {
+      ParquetFooter.parse(footer, 0, i)
+      i += 3
+    }
+    // deterministic bit flips across the footer
+    var k = 0
+    while (k < footer.length) {
+      val mut = footer.clone()
+      mut(k) = (mut(k) ^ 0xff).toByte
+      ParquetFooter.parse(mut)
+      k += 5
+    }
+    // seeded LCG byte soup
+    var seed = 0x9e3779b97f4a7c15L
+    def nextByte(): Byte = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (seed >>> 56).toByte
+    }
+    (0 until 200).foreach { r =>
+      val len = 1 + (r * 7) % 257
+      val junk = Array.fill(len)(nextByte())
+      ParquetFooter.parse(junk)
+      ParquetFooter.parseFile(junk)
+    }
+    // truncated whole-files never throw either
+    Seq(0, 1, 4, 8, 11, n - 9, n - 1).foreach { m =>
+      ParquetFooter.parseFile(java.util.Arrays.copyOfRange(whole, 0, m))
+    }
+  }
+}
