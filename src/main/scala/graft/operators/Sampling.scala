@@ -162,6 +162,51 @@ object Sampling {
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
   }
 
+  /** Temperature-based source mixing — the multilingual/multi-source
+    * rebalancing step of training-data curation (mBERT/XLM-R style):
+    * source `s` with `n_s` rows gets mixture weight `n_s^(1/T)`, so
+    * T=1 keeps natural proportions and T→∞ approaches uniform across
+    * sources; the keep-rate for `s` is `min(1, target·w_s / (W·n_s))`,
+    * decided per row by the same content-independent md5 device as
+    * [[mixSources]] (reproducible across runs/retries/partitioning).
+    *
+    * Cross-engine determinism: weights are integerized as
+    * `floor(n^(1/T) · 1000)` and rates as per-million in DECIMAL(38,0)
+    * arithmetic, so for T=2 (the sqrt path — IEEE-correctly-rounded in
+    * every engine) the whole computation replays bit-exactly in a SQL
+    * oracle; other T are deterministic within the JVM but `pow` may
+    * differ by an ulp across engines (the [[weightedTopKPerGroup]] vs
+    * [[replicatedWeightedTopKPerGroup]] trade, same reasoning).
+    *
+    * Scale shape: one tiny per-source aggregate broadcast back onto the
+    * corpus — no second shuffle of the data; the keep decision is a
+    * per-row hash compare.
+    */
+  def temperatureMix(docs: DataFrame, idCol: String, srcCol: String,
+                     targetRows: Long, temperature: Double = 2.0): DataFrame = {
+    require(targetRows >= 0, s"targetRows must be >= 0, got $targetRows")
+    require(temperature > 0, s"temperature must be > 0, got $temperature")
+    val invT = 1.0 / temperature
+    val wExpr =
+      if (temperature == 2.0) floor(sqrt(col("_n").cast("double")) * 1000)
+      else floor(pow(col("_n").cast("double"), lit(invT)) * 1000)
+    val weights = docs.groupBy(srcCol).agg(count(lit(1)).as("_n"))
+      .withColumn("_w", wExpr.cast("decimal(38,0)"))
+    val total = weights.agg(sum("_w").as("_tw"))
+    // per-million keep-rate in exact decimal INTEGER division (DIV, not
+    // floor-of-scaled-division, whose rounding at the result scale could
+    // drift an ulp from a SQL oracle's exact `//`)
+    val rates = weights.crossJoin(broadcast(total))
+      .withColumn("_rate", least(lit(1000000L),
+        expr(s"CAST((CAST(1000000 AS DECIMAL(38,0)) * CAST($targetRows AS DECIMAL(38,0)) * _w) " +
+          s"DIV (_tw * CAST(_n AS DECIMAL(38,0))) AS BIGINT)")))
+      .select(col(srcCol), col("_rate").cast("long").as("_rate"))
+    val h = expr(s"CAST(conv(substr(md5(concat($srcCol, '|', CAST($idCol AS STRING))), 1, 13), 16, 10) AS BIGINT) % 1000000")
+    docs.join(broadcast(rates), Seq(srcCol))
+      .where(h < col("_rate"))
+      .drop("_rate")
+  }
+
   def mixSources(docs: DataFrame, idCol: String, srcCol: String,
                  ratesPerMille: Map[String, Int],
                  defaultPerMille: Int = 0): DataFrame = {

@@ -395,6 +395,84 @@ object MlPrepQueries extends QuerySet {
             |  chr(10), substring(text, 1, 80)) AS hdr""".stripMargin)
         .select(col("doc_id"), Code.license("hdr").as("license"))
         .orderBy("doc_id")
+    }),
+
+    // Chat-template assembly with loss-mask spans — the SFT data-prep
+    // grain: documents fold into 6-turn conversations (user/assistant
+    // alternating), each conversation renders to one training text
+    // under a fixed role-header template, and every assistant turn
+    // reports the [start, len) character span a trainer would unmask.
+    // The span arithmetic is proven in-plan: `slice` re-extracts each
+    // span from the ASSEMBLED text, so a one-off offset anywhere would
+    // hash-mismatch the oracle's independent reassembly. One window
+    // pass for offsets + one grouped assembly; both partition by
+    // conv_id, so the second shuffle reuses the first's partitioning.
+    "q247_chat_spans" -> ((s, dir) => {
+      val turns = t(s, dir, "documents").selectExpr(
+        "doc_id DIV 6 AS conv_id", "doc_id % 6 AS turn_idx",
+        "CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role",
+        "substring(text, 1, 120) AS content")
+        .withColumn("hdr", concat(lit("<|"), col("role"), lit("|>\n")))
+        .withColumn("turn_text", concat(col("hdr"), col("content"), lit("\n")))
+      val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withOff = turns.withColumn("off",
+        coalesce(sum(length(col("turn_text"))).over(w), lit(0L)))
+      val convs = turns.groupBy("conv_id").agg(
+        concat_ws("", expr(
+          "transform(array_sort(collect_list(struct(turn_idx, turn_text))), s -> s.turn_text)"))
+          .as("text"),
+        count(lit(1)).as("n_turns"))
+      withOff.where(col("role") === "assistant")
+        .join(convs, "conv_id")
+        .select(col("conv_id"), col("turn_idx"),
+          (col("off") + length(col("hdr")) + 1).cast("long").as("span_start"),
+          length(col("content")).cast("long").as("span_len"),
+          expr("substr(text, CAST(off + length(hdr) + 1 AS INT), length(content))")
+            .as("slice"),
+          col("n_turns"), length(col("text")).cast("long").as("conv_len"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    // Passage-level exact dedup (the Lee et al. "Deduplicating Training
+    // Data" shape at block grain): documents split into consecutive
+    // 10-word blocks, every block occurrence after the first —
+    // CORPUS-WIDE, ordered by (doc_id, block_idx) — drops, and each
+    // document reassembles from its surviving blocks. One shuffle on
+    // block text (the dedup key), one grouped reassembly; at 100 TB the
+    // block-text shuffle key is the only wide exchange and it carries
+    // ~10 words per row.
+    "q248_passage_dedup" -> ((s, dir) => {
+      val blocks = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, CAST(ceil(size(t) / 10.0) AS INT) - 1)," +
+            " i -> array_join(slice(t, i * 10 + 1, 10), ' '))")))
+        .withColumnsRenamed(Map("pos" -> "bi", "col" -> "bt"))
+      val first = blocks.withColumn("rn",
+        row_number().over(Window.partitionBy("bt").orderBy("doc_id", "bi")))
+      first.groupBy("doc_id").agg(
+          count(lit(1)).as("n_blocks"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(CASE WHEN rn = 1 THEN struct(bi, bt) END)), s -> s.bt)"))
+            .as("kept_text"))
+        .orderBy("doc_id")
+    }),
+
+    // Temperature mixing over the naturally skewed `lang` column (en is
+    // 40%+ of the corpus): T=2 upsamples the tail languages relative to
+    // their natural share — the multilingual rebalancing step. The
+    // whole rate computation (sqrt weights integerized at 1e-3, exact
+    // DECIMAL per-million rates, md5 keep device) replays bit-for-bit
+    // in the oracle.
+    "q249_temperature_mix" -> ((s, dir) => {
+      Sampling.temperatureMix(t(s, dir, "documents"),
+          "doc_id", "lang", targetRows = 300L, temperature = 2.0)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"))
+        .orderBy("lang")
     }))
 
   /** Shared q240 construction: a deterministic multi-line "source file"
@@ -498,6 +576,57 @@ object MlPrepQueries extends QuerySet {
     "'AKIA' || upper(substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))")
 
   val oracleSql: Map[String, String] = Map(
+    // independent reassembly of every conversation + span re-extraction
+    // from the oracle's OWN assembled text — the slice column equals the
+    // turn content only if both engines agree on every offset
+    "q247_chat_spans" ->
+      """WITH turns AS (SELECT doc_id // 6 AS conv_id, doc_id % 6 AS turn_idx,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |  substring(text, 1, 120) AS content FROM documents),
+        |r AS (SELECT *, '<|' || role || '|>' || chr(10) AS hdr,
+        |  '<|' || role || '|>' || chr(10) || content || chr(10) AS turn_text FROM turns),
+        |o AS (SELECT *, COALESCE(SUM(length(turn_text)) OVER (
+        |    PARTITION BY conv_id ORDER BY turn_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM r),
+        |c AS (SELECT conv_id, string_agg(turn_text, '' ORDER BY turn_idx) AS text,
+        |  COUNT(*) AS n_turns FROM r GROUP BY conv_id)
+        |SELECT o.conv_id, o.turn_idx,
+        |  CAST(o.off + length(o.hdr) + 1 AS BIGINT) AS span_start,
+        |  CAST(length(o.content) AS BIGINT) AS span_len,
+        |  substring(c.text, CAST(o.off + length(o.hdr) + 1 AS INT),
+        |    length(o.content)) AS slice,
+        |  CAST(c.n_turns AS BIGINT) AS n_turns,
+        |  CAST(length(c.text) AS BIGINT) AS conv_len
+        |FROM o JOIN c USING (conv_id) WHERE o.role = 'assistant'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+    // corpus-wide first-occurrence block dedup replayed with the same
+    // 10-word block grain and (doc_id, block_idx) keeper order
+    "q248_passage_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |e AS (SELECT doc_id, t,
+        |  unnest(generate_series(0, CAST(ceil(len(t) / 10.0) AS BIGINT) - 1)) AS i FROM d),
+        |b AS (SELECT doc_id, CAST(i AS INT) AS bi,
+        |  array_to_string(t[i*10+1 : i*10+10], ' ') AS bt FROM e),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bt ORDER BY doc_id, bi) AS rn FROM b)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  COALESCE(string_agg(CASE WHEN rn = 1 THEN bt END, ' ' ORDER BY bi), '') AS kept_text
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the full temperature-rate computation restated: sqrt weights
+    // integerized at 1e-3, exact integer per-million rates, md5 keep
+    // device — bit-for-bit with Sampling.temperatureMix at T=2
+    "q249_temperature_mix" ->
+      """WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS w FROM n),
+        |tw AS (SELECT SUM(w) AS tw FROM w),
+        |r AS (SELECT lang, n, LEAST(1000000, (1000000::HUGEINT * 300 * w) // (tw * n)) AS rate
+        |      FROM w, tw),
+        |k AS (SELECT d.lang, d.doc_id FROM documents d JOIN r USING (lang)
+        |      WHERE ('0x' || substr(md5(d.lang || '|' || CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT
+        |            % 1000000 < r.rate)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
     // counts restated from the plant conditions; n_chars re-derives the
     // whole construction so the Spark-side text is pinned too
     "q238_pii_scan" ->

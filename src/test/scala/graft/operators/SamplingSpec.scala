@@ -132,4 +132,44 @@ class SamplingSpec extends SparkSpec {
       .map(r => r.getDouble(0) -> r.getInt(1)).toMap
     assert(st2(0.5) == 0 && st2(0.9) == 3)
   }
+
+  test("temperature mix: T=1 is proportional thinning, T flattens the skew") {
+    import spark.implicits._
+    // skewed corpus: 3200 of srcA, 200 of srcB
+    val docs = (0 until 3400)
+      .map(i => (i.toLong, if (i < 3200) "srcA" else "srcB")).toDF("doc_id", "src")
+    def shares(t: Double, target: Long): Map[String, Long] =
+      Sampling.temperatureMix(docs, "doc_id", "src", target, t)
+        .groupBy("src").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // T=1: every source thinned at the same rate -> shares stay natural
+    val t1 = shares(1.0, 1700L)
+    assert(math.abs(t1("srcA") - 1600.0) < 120, s"T=1 srcA: $t1")
+    assert(math.abs(t1("srcB") - 100.0) < 40, s"T=1 srcB: $t1")
+    // T=2: tail source upsampled relative to natural share
+    // (weights 1000*sqrt(n): srcA ~56568, srcB ~14142 -> srcB gets ~20%
+    // of the budget instead of its natural ~5.9%)
+    val t2 = shares(2.0, 1700L)
+    // srcB's raw keep grows (rate caps at keep-all: 1700·w_B/(W·n_B) > 1)
+    // and its SHARE of the mixture roughly doubles vs natural
+    assert(t2("srcB") == 200L, s"T=2 srcB rate must cap at keep-all: $t2")
+    val shareT1 = t1("srcB").toDouble / (t1("srcA") + t1("srcB"))
+    val shareT2 = t2("srcB").toDouble / (t2("srcA") + t2("srcB"))
+    assert(shareT2 > 1.7 * shareT1, s"T=2 must upsample the tail share: $shareT2 vs $shareT1")
+    assert(t2("srcA") < t1("srcA"), s"T=2 must downsample the head: $t2 vs $t1")
+    // a rate can cap at 1 (keep everything of a tiny source)
+    val cap = shares(2.0, 3000L)
+    assert(cap("srcB") == 200L, s"tiny source must cap at keep-all: $cap")
+    // deterministic under repartitioning
+    val a = Sampling.temperatureMix(docs.repartition(13), "doc_id", "src", 1000L, 2.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureMix(docs, "doc_id", "src", 1000L, 2.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // guards
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMix(docs, "doc_id", "src", -1L))
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMix(docs, "doc_id", "src", 10L, temperature = 0.0))
+  }
 }
