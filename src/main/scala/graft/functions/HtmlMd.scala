@@ -1,0 +1,234 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTML → Markdown conversion kernel for [[GraftHtmlMd]] — the
+  * structure-PRESERVING sibling of [[HtmlText.extractText]]: modern
+  * web-corpus pipelines keep headings/lists/code fences in the training
+  * text (markdown is the de-facto representation) instead of flattening
+  * to plain text, because document structure is itself signal.
+  *
+  * Deterministic rule set (a single tag-event walk, chosen so an oracle
+  * can state expected output verbatim):
+  *
+  *  1. The [[HtmlText]] pre-pass: comments and the non-content
+  *     containers (`head script style noscript template svg`) drop
+  *     wholesale; unterminated containers drop to end-of-input.
+  *  2. Structure maps: `h1..h6` → `#`×n heading; `p/div/section/
+  *     article/aside/main/header/footer/nav/form/dl/dt/dd` break
+  *     paragraphs; `br` is a line break inside the paragraph; `hr` →
+  *     `---`.
+  *  3. Lists: `ul` items → `- `, `ol` items → `1. 2. …` (fresh counter
+  *     per list), nested lists indent two spaces per level.
+  *  4. `blockquote` prefixes its paragraphs with `> ` (nesting stacks
+  *     the prefix).
+  *  5. `pre` → a ``` fence with the RAW inner text (entities decoded,
+  *     whitespace preserved, inner tags kept verbatim — real pages
+  *     escape code, so markup inside `pre` is content); an unterminated
+  *     `pre` fences to end-of-input. Inline `code` → backticks.
+  *  6. Inline: `b/strong` → `**`, `i/em` → `*`, `a href` → `[text]
+  *     (href)`, `img` → `![alt](src)`; every other tag strips, content
+  *     kept.
+  *  7. Table rows render as `| c1 | c2 |` lines (cells joined in
+  *     document order — the pipe-table shape without separator-row
+  *     inference).
+  *  8. Text whitespace collapses per paragraph; entities decode AFTER
+  *     tag parsing; 3+ consecutive newlines collapse to one blank line;
+  *     the result is trimmed.
+  *
+  * Same documented regex limitation as [[HtmlText]]: a raw `>` inside
+  * an attribute value breaks that tag (real crawls escape it).
+  */
+object HtmlMd {
+
+  private val Containers = Seq("head", "script", "style", "noscript", "template", "svg")
+  private val ParaBreak: Set[String] = Set("p", "div", "section", "article",
+    "aside", "main", "header", "footer", "nav", "form", "dl", "dt", "dd",
+    "table", "thead", "tbody", "tfoot")
+  private val ManyNl = java.util.regex.Pattern.compile("\n{3,}")
+
+  private final class Walk(html: String) {
+    private val out = new java.lang.StringBuilder(html.length)
+    private val para = new java.lang.StringBuilder
+    private var quoteDepth = 0
+    /** (ordered, itemsSoFar) per open list, innermost first. */
+    private var lists = List.empty[(Boolean, Int)]
+    private var marker: String = null
+    private var inRow = false
+    private var cells = 0
+    private var anchors = List.empty[String]
+    private var i = 0
+
+    private def text(t: String): Unit = {
+      val dec = HtmlText.decodeEntities(t)
+      var k = 0
+      while (k < dec.length) {
+        val c = dec.charAt(k)
+        if (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\u00A0') {
+          val n = para.length
+          if (n > 0 && para.charAt(n - 1) != ' ' && para.charAt(n - 1) != '\n')
+            para.append(' ')
+        } else para.append(c)
+        k += 1
+      }
+    }
+
+    private def lineOut(s: String): Unit = {
+      out.append("> " * quoteDepth)
+      if (marker != null) {
+        out.append("  " * math.max(0, lists.length - 1)).append(marker)
+        marker = null
+      }
+      out.append(s).append('\n')
+    }
+
+    /** Flush the paragraph buffer; `gap` adds the blank separator line. */
+    private def flush(gap: Boolean): Unit = {
+      // trim trailing single spaces per line, keep br-induced newlines
+      val raw = para.toString
+      para.setLength(0)
+      val body = raw.split('\n').map(_.trim).mkString("\n").trim
+      if (body.nonEmpty || marker != null) {
+        if (inRow) lineOut("| " + body + " |")
+        else lineOut(body)
+        if (gap && lists.isEmpty && !inRow) out.append('\n')
+      }
+    }
+
+    private def emitPre(innerStart: Int): Unit = {
+      val lower = html.toLowerCase(java.util.Locale.ROOT)
+      val close = lower.indexOf("</pre", innerStart)
+      val end = if (close < 0) html.length else close
+      flush(gap = true)
+      out.append("> " * quoteDepth)
+      out.append("```\n")
+        .append(HtmlText.decodeEntities(html.substring(innerStart, end))
+          .stripPrefix("\n").stripSuffix("\n"))
+        .append("\n```\n\n")
+      i = if (close < 0) html.length
+      else { val gt = html.indexOf('>', close); if (gt < 0) html.length else gt + 1 }
+    }
+
+    def run(): String = {
+      while (i < html.length) {
+        val lt = html.indexOf('<', i)
+        if (lt < 0) { text(html.substring(i)); i = html.length }
+        else {
+          if (lt > i) text(html.substring(i, lt))
+          val gt = html.indexOf('>', lt)
+          if (gt < 0) { i = html.length } // truncated tag: drop to EOF
+          else {
+            val inner = html.substring(lt + 1, gt)
+            i = gt + 1
+            val closing = inner.startsWith("/")
+            val body = if (closing) inner.substring(1) else inner
+            var e = 0
+            while (e < body.length && Character.isLetterOrDigit(body.charAt(e))) e += 1
+            val name = body.substring(0, e).toLowerCase(java.util.Locale.ROOT)
+            val tag = "<" + inner + ">"
+            name match {
+              case "" => () // not a real tag ("< 5" etc. had no letters)
+              case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
+                flush(gap = true)
+                if (!closing) para.append("#" * (name.charAt(1) - '0')).append(' ')
+              case n if ParaBreak(n) =>
+                if (name == "table" || name == "thead" || name == "tbody" ||
+                    name == "tfoot") { flush(gap = true); if (closing) out.append('\n') }
+                else flush(gap = true)
+              case "br" => para.append('\n')
+              case "hr" => flush(gap = true); lineOut("---"); out.append('\n')
+              case "ul" | "ol" =>
+                flush(gap = false)
+                if (closing) {
+                  if (lists.nonEmpty) lists = lists.tail
+                  if (lists.isEmpty) out.append('\n')
+                } else lists = (name == "ol", 0) :: lists
+              case "li" =>
+                flush(gap = false)
+                if (!closing) lists match {
+                  case (ordered, k) :: rest =>
+                    lists = (ordered, k + 1) :: rest
+                    marker = if (ordered) s"${k + 1}. " else "- "
+                  case Nil => marker = "- " // li outside a list: still an item
+                }
+              case "blockquote" =>
+                flush(gap = true)
+                if (closing) { if (quoteDepth > 0) quoteDepth -= 1; out.append('\n') }
+                else quoteDepth += 1
+              case "pre" => if (!closing) emitPre(i)
+              case "code" => para.append('`')
+              case "b" | "strong" => para.append("**")
+              case "i" | "em" => para.append('*')
+              case "a" =>
+                if (closing) anchors match {
+                  case href :: rest => para.append("](").append(href).append(')'); anchors = rest
+                  case Nil => ()
+                } else {
+                  val href = Option(HtmlText.attr(tag, "href"))
+                    .map(h => HtmlText.decodeEntities(h).trim).getOrElse("")
+                  anchors = href :: anchors
+                  para.append('[')
+                }
+              case "img" =>
+                if (!closing) {
+                  val alt = Option(HtmlText.attr(tag, "alt"))
+                    .map(HtmlText.decodeEntities).getOrElse("")
+                  val src = Option(HtmlText.attr(tag, "src"))
+                    .map(h => HtmlText.decodeEntities(h).trim).getOrElse("")
+                  para.append("![").append(alt).append("](").append(src).append(')')
+                }
+              case "tr" =>
+                if (closing) { flush(gap = false); inRow = false }
+                else { flush(gap = true); inRow = true; cells = 0 }
+              case "td" | "th" =>
+                if (!closing) { if (cells > 0) para.append(" | "); cells += 1 }
+              case _ => () // unknown tag strips, content flows
+            }
+          }
+        }
+      }
+      flush(gap = false)
+      ManyNl.matcher(out.toString).replaceAll("\n\n").trim
+    }
+  }
+
+  /** Convert per the rule set above; empty input yields empty output. */
+  def toMarkdown(html: String): String = {
+    var s = HtmlText.Comment.matcher(html).replaceAll(" ")
+    Containers.foreach { c => s = HtmlText.dropContainer(s, c) }
+    new Walk(s).run()
+  }
+
+  def convert(html: UTF8String): UTF8String =
+    UTF8String.fromString(toMarkdown(html.toString))
+}
+
+/** `graft_html_md(html: string) -> string` — deterministic HTML →
+  * Markdown conversion (see [[HtmlMd]]) as a codegen'd narrow
+  * expression: the structure-preserving alternative to
+  * `graft_extract_text` on the same WARC-scan hot path.
+  */
+case class GraftHtmlMd(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_html_md requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_html_md"
+
+  override def nullSafeEval(html: Any): Any =
+    HtmlMd.convert(html.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.HtmlMd.convert($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

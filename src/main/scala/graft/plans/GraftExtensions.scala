@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftBpeEncode, GraftBpeEncodeBytes, GraftCanonUrl, GraftCdcChunks, GraftExtractAnchors, GraftExtractLinks, GraftExtractText, GraftEtld1, GraftFeedEntries, GraftFixText, GraftHreflang, GraftJsonLd, GraftLshBuckets, GraftLutSum, GraftMdText, GraftMetaProps, GraftMinHash, GraftNormalize, GraftPageDirectives, GraftPiiScan, GraftRedactPii, GraftRobotsCrawlDelay, GraftRobotsMatch, GraftRobotsRules, GraftRobotsSitemaps, GraftRobotsWildRules, GraftSentenceChunks, GraftSentences, GraftSimHash, GraftSimHashMd5, GraftSitemapEntries, GraftUnigramEncode, GraftWinnow, GraftWinnowMd5, GraftWordpiece}
+import graft.functions.{FloatDotProduct, FloatMatVec, GraftArgmax, GraftBpeEncode, GraftBpeEncodeBytes, GraftCanonUrl, GraftCdcChunks, GraftExtractAnchors, GraftExtractLinks, GraftExtractText, GraftEtld1, GraftFeedEntries, GraftFixText, GraftHreflang, GraftHtmlMd, GraftJsonLd, GraftLshBuckets, GraftLutSum, GraftMdText, GraftMetaProps, GraftMinHash, GraftNormalize, GraftPageDirectives, GraftPiiScan, GraftRedactPii, GraftRobotsCrawlDelay, GraftRobotsMatch, GraftRobotsRules, GraftRobotsSitemaps, GraftRobotsWildRules, GraftSentenceChunks, GraftSentences, GraftSimHash, GraftSimHashMd5, GraftSitemapEntries, GraftUnigramEncode, GraftWinnow, GraftWinnowMd5, GraftWordpiece}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (see [[graft.GraftSession]]): injects the engine's native expressions
@@ -157,6 +157,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_md_text"),
       new ExpressionInfo(classOf[GraftMdText].getName, "graft_md_text"),
       (children: Seq[Expression]) => GraftMdText(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_html_md"),
+      new ExpressionInfo(classOf[GraftHtmlMd].getName, "graft_html_md"),
+      (children: Seq[Expression]) => GraftHtmlMd(children(0))))
     ext.injectFunction((
       new FunctionIdentifier("graft_pii_scan"),
       new ExpressionInfo(classOf[GraftPiiScan].getName, "graft_pii_scan"),

@@ -888,6 +888,38 @@ object TextQueries extends QuerySet {
             |  'tail `t', doc_id, '` end') AS md""".stripMargin)
         .selectExpr("doc_id", "graft_md_text(md) AS txt")
         .orderBy("doc_id")
+    }),
+
+    // q243's inverse direction: HTML → MARKDOWN (graft_html_md), the
+    // structure-preserving extraction modern corpus pipelines prefer
+    // over plain text. Every document is wrapped in a one-of-each-rule
+    // HTML frame (container pre-pass, heading, bold, entity-bearing
+    // link, ul, blockquote, pre fence with entity, conditional img,
+    // table row, ol counters) and the converted markdown is pinned
+    // VERBATIM from the same word formulas.
+    "q250_html_md" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .selectExpr("doc_id",
+          "element_at(split(text, ' '), 1) AS w1",
+          "element_at(split(text, ' '), 2) AS w2",
+          "element_at(split(text, ' '), 3) AS w3")
+        .selectExpr("doc_id",
+          """concat(
+            |  '<head><title>x</title></head>',
+            |  '<h2>doc ', doc_id, '</h2>',
+            |  '<p>intro <b>', w1, '</b> see <a href="http://ex.com/',
+            |    doc_id, '?a=1&amp;b=2">ref ', doc_id, '</a></p>',
+            |  '<ul><li>', w2, '</li><li>second</li></ul>',
+            |  '<blockquote><p>say ', w3, '</p></blockquote>',
+            |  '<pre>v &lt; ', doc_id, '</pre>',
+            |  CASE WHEN doc_id % 4 = 0
+            |       THEN concat('<p><img src="i.png" alt="pic ', doc_id,
+            |                   '"></p>')
+            |       ELSE '' END,
+            |  '<table><tr><td>k</td><td>', doc_id, '</td></tr></table>',
+            |  '<ol><li>one</li><li>two</li></ol>') AS html""".stripMargin)
+        .selectExpr("doc_id", "graft_html_md(html) AS md")
+        .orderBy("doc_id")
     }))
 
   /** q181's oracle, generated from the SAME profile/text constants the
@@ -987,6 +1019,25 @@ object TextQueries extends QuerySet {
         |  CASE WHEN doc_id % 4 = 0
         |       THEN 'img ' || doc_id || chr(10) ELSE '' END ||
         |  'tail t' || doc_id || ' end' AS txt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the expected markdown restated verbatim, rule by rule, from the
+    // same word formulas the Spark side planted
+    "q250_html_md" ->
+      """SELECT doc_id,
+        |  '## doc ' || doc_id || chr(10) || chr(10) ||
+        |  'intro **' || string_split(text, ' ')[1] || '** see [ref ' ||
+        |    doc_id || '](http://ex.com/' || doc_id || '?a=1&b=2)' ||
+        |    chr(10) || chr(10) ||
+        |  '- ' || string_split(text, ' ')[2] || chr(10) || '- second' ||
+        |    chr(10) || chr(10) ||
+        |  '> say ' || string_split(text, ' ')[3] || chr(10) || chr(10) ||
+        |  '```' || chr(10) || 'v < ' || doc_id || chr(10) || '```' ||
+        |    chr(10) || chr(10) ||
+        |  CASE WHEN doc_id % 4 = 0
+        |       THEN '![pic ' || doc_id || '](i.png)' || chr(10) || chr(10)
+        |       ELSE '' END ||
+        |  '| k | ' || doc_id || ' |' || chr(10) || chr(10) ||
+        |  '1. one' || chr(10) || '2. two' AS md
         |FROM documents ORDER BY doc_id""".stripMargin,
     // identical canonicalization chain in DuckDB (nfc_normalize; RE2 needs
     // the explicit 'g' flag where Java's replaceAll is global by default)
