@@ -3712,7 +3712,86 @@ object PipelineQueries extends QuerySet {
           min("min_string").as("min_str"),
           max("max_string").as("max_str"))
         .orderBy("tbl", "path_in_schema")
+    }),
+
+    // Delta transaction-log replay (the lakehouse half of the parquet
+    // audit story): a four-commit log rendered to REAL protocol JSON —
+    // remove tombstones, a re-add resurrection, a within-commit
+    // remove-then-add (ordinal reconciliation), an unknown future
+    // action and a malformed line that must be ignored — replayed by
+    // DeltaLog.snapshot; the oracle pins the live set verbatim from
+    // the same scenario formulas. See sources/DeltaLog.scala for the
+    // replay algebra (one window over (version, ordinal), one narrow
+    // shuffle on path, log-sized never data-sized).
+    "q251_delta_snapshot" -> ((s, dir) => {
+      graft.sources.DeltaLog.snapshot(s, deltaOracleDir())
+        .orderBy("path")
+    }),
+
+    // The same log at every version — time travel as an audit query:
+    // asOf 0..3 snapshots unioned, showing tombstone/resurrect/update
+    // transitions version by version.
+    "q252_delta_time_travel" -> ((s, dir) => {
+      val tbl = deltaOracleDir()
+      (0L to 3L).map { v =>
+        graft.sources.DeltaLog.snapshot(s, tbl, Some(v))
+          .withColumn("as_of", lit(v))
+      }.reduce(_ unionByName _)
+        .select("as_of", "path", "size", "num_records", "version_added")
+        .orderBy("as_of", "path")
     }))
+
+  /** The q251/q252 Delta-log fixture: four commits exercising every
+    * reconciliation rule (see q251's comment), written once atomically
+    * under target/fixtures in the protocol's JSON-lines commit format.
+    */
+  private def deltaOracleDir(): String = {
+    val dir = java.nio.file.Paths.get("target", "fixtures", "delta_oracle")
+    val log = dir.resolve("_delta_log")
+    java.nio.file.Files.createDirectories(log)
+    def add(path: String, size: Long, recs: Long, src: String): String =
+      s"""{"add":{"path":"$path","partitionValues":{"src":"$src"},"size":$size,""" +
+        s""""modificationTime":${1700000000000L + size},"dataChange":true,""" +
+        s""""stats":"{\\"numRecords\\":$recs}"}}"""
+    def remove(path: String): String =
+      s"""{"remove":{"path":"$path","deletionTimestamp":1700000000001,"dataChange":true}}"""
+    val commits: Seq[(Long, Seq[String])] = Seq(
+      0L -> Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        """{"metaData":{"id":"t-0001","schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":["src"],"createdTime":1700000000000}}""",
+        """{"commitInfo":{"timestamp":1700000000002,"operation":"WRITE"}}""",
+        add("part-00000", 1000, 100, "s0"),
+        add("part-00001", 1017, 101, "s1"),
+        add("part-00002", 1034, 102, "s0")),
+      1L -> Seq(
+        """{"commitInfo":{"timestamp":1700000000003,"operation":"MERGE"}}""",
+        remove("part-00001"),
+        add("part-00003", 1051, 103, "s1")),
+      2L -> Seq(
+        """{"commitInfo":{"timestamp":1700000000004,"operation":"OPTIMIZE"}}""",
+        add("part-00001", 9999, 555, "s1"),
+        remove("part-00002")),
+      3L -> Seq(
+        """{"commitInfo":{"timestamp":1700000000005,"operation":"REPLACE"}}""",
+        remove("part-00000"),
+        add("part-00000", 2222, 222, "s0"),
+        add("part-00004", 1085, 105, "s1"),
+        """{"someFutureAction":{"x":1}}""",
+        "not json at all {"))
+    commits.foreach { case (v, lines) =>
+      val f = log.resolve(f"$v%020d.json")
+      if (!java.nio.file.Files.exists(f)) {
+        val tmp = java.nio.file.Files.createTempFile(log, s".c$v.", ".tmp")
+        java.nio.file.Files.write(tmp,
+          lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        try java.nio.file.Files.move(tmp, f,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp) }
+      }
+    }
+    dir.toAbsolutePath.toString
+  }
 
   /** The q242/q244 notebook fixture set: 40 generated notebooks covering
     * both nbformat generations and both source shapes (see q242's
@@ -3802,6 +3881,37 @@ object PipelineQueries extends QuerySet {
         |  CASE WHEN type = 'BYTE_ARRAY' THEN stats_max_value END AS max_string
         |FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
         |ORDER BY rg, col_id""".stripMargin,
+    // the live set pinned verbatim from the four-commit scenario
+    // (sizes/mod-times/records are the fixture formulas: mod_time =
+    // 1700000000000 + size)
+    "q251_delta_snapshot" ->
+      """SELECT * FROM (VALUES
+        |  ('part-00000', CAST(2222 AS BIGINT), CAST(1700000002222 AS BIGINT),
+        |     CAST(222 AS BIGINT), 'src=s0', CAST(3 AS BIGINT)),
+        |  ('part-00001', 9999, 1700000009999, 555, 'src=s1', 2),
+        |  ('part-00003', 1051, 1700000001051, 103, 'src=s1', 1),
+        |  ('part-00004', 1085, 1700000001085, 105, 'src=s1', 3))
+        |AS t(path, size, mod_time, num_records, "partition", version_added)
+        |ORDER BY path""".stripMargin,
+    // every version's live set: tombstone (v1), resurrect-with-update
+    // (v2), within-commit remove-then-add (v3)
+    "q252_delta_time_travel" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'part-00000', CAST(1000 AS BIGINT), CAST(100 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (0, 'part-00001', 1017, 101, 0),
+        |  (0, 'part-00002', 1034, 102, 0),
+        |  (1, 'part-00000', 1000, 100, 0),
+        |  (1, 'part-00002', 1034, 102, 0),
+        |  (1, 'part-00003', 1051, 103, 1),
+        |  (2, 'part-00000', 1000, 100, 0),
+        |  (2, 'part-00001', 9999, 555, 2),
+        |  (2, 'part-00003', 1051, 103, 1),
+        |  (3, 'part-00000', 2222, 222, 3),
+        |  (3, 'part-00001', 9999, 555, 2),
+        |  (3, 'part-00003', 1051, 103, 1),
+        |  (3, 'part-00004', 1085, 105, 3))
+        |AS t(as_of, path, size, num_records, version_added)
+        |ORDER BY as_of, path""".stripMargin,
     // footer-claimed stats vs aggregates recomputed from the rows —
     // 13 audit columns across three tables, NULL in the lanes that do
     // not apply to the column's type

@@ -1,0 +1,128 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Delta transaction-log replay contract (see [[DeltaLog]]): action
+  * reconciliation (remove tombstones, re-add resurrects, within-commit
+  * ordinal order), time travel, latest-wins metadata, and the
+  * ignore-unknown-actions discipline the protocol directs readers to.
+  */
+class DeltaLogSpec extends SparkSpec {
+
+  private def add(path: String, size: Long, recs: Long, src: String): String =
+    s"""{"add":{"path":"$path","partitionValues":{"src":"$src"},"size":$size,""" +
+      s""""modificationTime":${1700000000000L + size},"dataChange":true,""" +
+      s""""stats":"{\\"numRecords\\":$recs}"}}"""
+
+  private def remove(path: String): String =
+    s"""{"remove":{"path":"$path","deletionTimestamp":1700000000001,"dataChange":true}}"""
+
+  private val meta =
+    """{"metaData":{"id":"t-0001","schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":["src"],"createdTime":1700000000000}}"""
+  private val proto = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+  private def info(op: String) =
+    s"""{"commitInfo":{"timestamp":1700000000002,"operation":"$op"}}"""
+
+  /** v0: proto+meta+3 adds; v1: remove f1, add f3; v2: re-add f1,
+    * remove f2; v3: within-commit remove-then-re-add f0, add f4,
+    * plus unknown/malformed lines that must be ignored.
+    */
+  private def writeFixture(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("deltalog").toString
+    val log = java.nio.file.Paths.get(dir, "_delta_log")
+    java.nio.file.Files.createDirectories(log)
+    def commit(v: Long, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(log.resolve(f"$v%020d.json"),
+        lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    commit(0L, Seq(proto, meta, info("WRITE"),
+      add("part-00000", 1000, 100, "s0"),
+      add("part-00001", 1017, 101, "s1"),
+      add("part-00002", 1034, 102, "s0")))
+    commit(1L, Seq(info("MERGE"), remove("part-00001"),
+      add("part-00003", 1051, 103, "s1")))
+    commit(2L, Seq(info("OPTIMIZE"),
+      add("part-00001", 9999, 555, "s1"), remove("part-00002")))
+    commit(3L, Seq(info("REPLACE"),
+      remove("part-00000"), add("part-00000", 2222, 222, "s0"),
+      add("part-00004", 1085, 105, "s1"),
+      """{"someFutureAction":{"x":1}}""",
+      "not json at all {"))
+    // non-commit files the lister must skip
+    java.nio.file.Files.write(log.resolve("_last_checkpoint"), "{}".getBytes)
+    java.nio.file.Files.write(
+      log.resolve("00000000000000000002.checkpoint.parquet"), Array[Byte](1))
+    dir
+  }
+
+  test("snapshot: last file action per path wins; re-add resurrects") {
+    val dir = writeFixture()
+    val live = DeltaLog.snapshot(spark, dir).orderBy("path").collect()
+    assert(live.map(_.getString(0)).toSeq ===
+      Seq("part-00000", "part-00001", "part-00003", "part-00004"))
+    val byPath = live.map(r => r.getString(0) -> r).toMap
+    // within-commit remove-then-add of f0: the later ordinal wins
+    assert(byPath("part-00000").getLong(1) === 2222L)
+    assert(byPath("part-00000").getLong(5) === 3L) // version_added
+    // the v2 re-add of f1 carries the new size/stats
+    assert(byPath("part-00001").getLong(1) === 9999L)
+    assert(byPath("part-00001").getLong(3) === 555L) // num_records
+    assert(byPath("part-00001").getString(4) === "src=s1")
+  }
+
+  test("time travel: asOf replays the prefix") {
+    val dir = writeFixture()
+    def liveAt(v: Long) = DeltaLog.snapshot(spark, dir, Some(v))
+      .orderBy("path").collect().map(_.getString(0)).toSeq
+    assert(liveAt(0L) === Seq("part-00000", "part-00001", "part-00002"))
+    assert(liveAt(1L) === Seq("part-00000", "part-00002", "part-00003"))
+    assert(liveAt(2L) === Seq("part-00000", "part-00001", "part-00003"))
+    // asOf beyond the log's head: IllegalArgumentException is too harsh;
+    // versions <= asOf exist, so this is just "latest"
+    assert(liveAt(99L) ===
+      Seq("part-00000", "part-00001", "part-00003", "part-00004"))
+  }
+
+  test("history: per-version action counts and added bytes/rows") {
+    val dir = writeFixture()
+    val h = DeltaLog.history(spark, dir).collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L))
+    val v0 = h(0); val v3 = h(3)
+    assert(v0.getLong(1) === 3L && v0.getLong(2) === 0L) // adds, removes
+    assert(v0.getLong(3) === 1000L + 1017L + 1034L)      // bytes_added
+    assert(v0.getLong(4) === 100L + 101L + 102L)         // rows_added
+    assert(v0.getBoolean(5) && v0.getBoolean(6))         // metaData, protocol
+    assert(v3.getLong(1) === 2L && v3.getLong(2) === 1L)
+    assert(!v3.getBoolean(5))
+  }
+
+  test("tableMeta: latest-wins; missing metaData surfaces as None") {
+    val dir = writeFixture()
+    val Some((schema, parts, r, w)) = DeltaLog.tableMeta(spark, dir)
+    assert(schema.contains("\"type\":\"struct\""))
+    assert(parts === Seq("src") && r === 1 && w === 2)
+    // a log with no metaData action: None, not a default
+    val bare = java.nio.file.Files.createTempDirectory("deltabare").toString
+    val log = java.nio.file.Paths.get(bare, "_delta_log")
+    java.nio.file.Files.createDirectories(log)
+    java.nio.file.Files.write(log.resolve(f"${0L}%020d.json"),
+      add("p", 1, 1, "s0").getBytes)
+    assert(DeltaLog.tableMeta(spark, bare).isEmpty)
+  }
+
+  test("empty or missing log fails loud; unknown actions never poison replay") {
+    val empty = java.nio.file.Files.createTempDirectory("deltaempty").toString
+    intercept[IllegalArgumentException](DeltaLog.snapshot(spark, empty))
+    // the fixture already carries an unknown action and a malformed line
+    // in v3; snapshot/history over it succeeded above — assert the raw
+    // action reader sees them as all-null rows rather than errors
+    val dir = writeFixture()
+    val acts = DeltaLog.actions(spark, dir)
+    val nullRows = acts.where(
+      org.apache.spark.sql.functions.col("add").isNull &&
+      org.apache.spark.sql.functions.col("remove").isNull &&
+      org.apache.spark.sql.functions.col("metaData").isNull &&
+      org.apache.spark.sql.functions.col("protocol").isNull &&
+      org.apache.spark.sql.functions.col("commitInfo").isNull).count()
+    assert(nullRows === 2L) // the future action and the malformed line
+  }
+}
