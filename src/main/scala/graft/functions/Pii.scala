@@ -17,10 +17,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Deterministic rule set, chosen so an oracle can replay results:
   *
-  *  1. Five detectors, scanned in fixed precedence: EMAIL, KEY (AWS
-  *     access-key shape `AKIA` + 16 of `[0-9A-Z]`), SSN (`ddd-dd-dddd`),
-  *     CARD, IPV4. A later candidate overlapping an earlier claimed span
-  *     is dropped (digits inside an email never double-count).
+  *  1. Seven detectors, scanned in fixed precedence: EMAIL, KEY (AWS
+  *     access-key shape `AKIA` + 16 of `[0-9A-Z]`), IBAN (ISO 13616
+  *     shape gated by the ISO 7064 mod-97-10 checksum — scanned before
+  *     CARD so an IBAN's digit run is never re-read as a card), JWT
+  *     (three base64url segments, header AND payload opening with
+  *     `eyJ`), SSN (`ddd-dd-dddd`), CARD, IPV4. A later candidate
+  *     overlapping an earlier claimed span is dropped (digits inside an
+  *     email never double-count).
   *  2. EMAIL matches `[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}`
   *     (the q47 shape — maximal local/domain runs).
   *  3. KEY and SSN require non-alphanumeric boundaries on both sides.
@@ -41,15 +45,28 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Pii {
 
-  final val Kinds = 5 // EMAIL, KEY, SSN, CARD, IPV4 — precedence order
+  // kind ids are STABLE (placeholder/count positions); the SCAN order is
+  // email, key, IBAN, JWT, ssn, card, ipv4 — IBAN must claim before CARD
+  // so an IBAN's digit run can never be re-read as a card candidate
+  final val Kinds = 7 // EMAIL, KEY, SSN, CARD, IPV4, IBAN, JWT
   private val Placeholders =
-    Array("[EMAIL]", "[KEY]", "[SSN]", "[CARD]", "[IPV4]")
+    Array("[EMAIL]", "[KEY]", "[SSN]", "[CARD]", "[IPV4]", "[IBAN]", "[JWT]")
 
   private val EmailRe = java.util.regex.Pattern.compile(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
   private val KeyRe = java.util.regex.Pattern.compile("AKIA[0-9A-Z]{16}")
   private val SsnRe = java.util.regex.Pattern.compile(
     "[0-9]{3}-[0-9]{2}-[0-9]{4}")
+  // ISO 13616 shape: country, check digits, 11..30 BBAN chars, all
+  // uppercase alnum; possessive so a failed boundary check cannot
+  // backtrack into a shorter phantom match
+  private val IbanRe = java.util.regex.Pattern.compile(
+    "[A-Z]{2}[0-9]{2}[0-9A-Z]{11,30}+")
+  // JWT: three base64url segments; header AND payload must start with
+  // eyJ (base64 of '{"') — the shape real tokens have, and the screen
+  // that keeps arbitrary dotted identifiers out
+  private val JwtRe = java.util.regex.Pattern.compile(
+    "eyJ[A-Za-z0-9_-]{5,}+\\.eyJ[A-Za-z0-9_-]{5,}+\\.[A-Za-z0-9_-]{16,}+")
 
   /** Luhn checksum over a pure digit string (rightmost digit is the
     * check digit). Empty/non-digit input is simply not valid.
@@ -74,6 +91,27 @@ object Pii {
   private def alnum(c: Char): Boolean =
     (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
   private def digit(c: Char): Boolean = c >= '0' && c <= '9'
+  private def b64url(c: Char): Boolean = alnum(c) || c == '_' || c == '-'
+
+  /** ISO 13616 / ISO 7064 mod-97-10 check over an IBAN candidate: move
+    * the leading 4 chars to the end, expand letters to 10..35, and the
+    * number must be ≡ 1 (mod 97). Computed incrementally, so length is
+    * unbounded. Non-alnum input is simply not valid.
+    */
+  def ibanValid(s: String): Boolean = {
+    val n = s.length
+    if (n < 15 || n > 34) return false
+    var acc = 0L
+    var k = 0
+    while (k < n) {
+      val c = s.charAt((k + 4) % n) // rearranged: s[4..] ++ s[0..4)
+      if (c >= '0' && c <= '9') acc = (acc * 10 + (c - '0')) % 97
+      else if (c >= 'A' && c <= 'Z') acc = (acc * 100 + (c - 'A' + 10)) % 97
+      else return false
+      k += 1
+    }
+    acc == 1L
+  }
 
   /** One scan: claimed spans as (start, end, kind), non-overlapping,
     * sorted by start.
@@ -98,6 +136,23 @@ object Pii {
       val a = km.start; val b = km.end
       if ((a == 0 || !alnum(s.charAt(a - 1))) &&
           (b == n || !alnum(s.charAt(b))) && free(a, b)) claim(a, b, 1)
+    }
+    // 5: IBAN — mod-97-validated, alnum boundaries; claimed BEFORE ssn/
+    // card so its digit run is never re-read as a card candidate
+    val im = IbanRe.matcher(s)
+    while (im.find()) {
+      val a = im.start; val b = im.end
+      if ((a == 0 || !alnum(s.charAt(a - 1))) &&
+          (b == n || !alnum(s.charAt(b))) &&
+          ibanValid(s.substring(a, b)) && free(a, b)) claim(a, b, 5)
+    }
+    // 6: JWT — three base64url segments (header+payload must open with
+    // eyJ); base64url boundaries both sides
+    val jm = JwtRe.matcher(s)
+    while (jm.find()) {
+      val a = jm.start; val b = jm.end
+      if ((a == 0 || !b64url(s.charAt(a - 1))) &&
+          (b == n || !b64url(s.charAt(b))) && free(a, b)) claim(a, b, 6)
     }
     // 2: SSN — digit/dash must not continue on either side
     val sm = SsnRe.matcher(s)
@@ -186,7 +241,7 @@ object Pii {
 
   def countsRow(u: UTF8String): InternalRow = {
     val c = counts(u.toString)
-    InternalRow(c(0), c(1), c(2), c(3), c(4))
+    InternalRow(c(0), c(1), c(2), c(3), c(4), c(5), c(6))
   }
 
   def redactUtf8(u: UTF8String): UTF8String =
@@ -207,7 +262,9 @@ case class GraftPiiScan(child: Expression) extends UnaryExpression {
     StructField("n_key", IntegerType, nullable = false),
     StructField("n_ssn", IntegerType, nullable = false),
     StructField("n_card", IntegerType, nullable = false),
-    StructField("n_ipv4", IntegerType, nullable = false)))
+    StructField("n_ipv4", IntegerType, nullable = false),
+    StructField("n_iban", IntegerType, nullable = false),
+    StructField("n_jwt", IntegerType, nullable = false)))
   override def prettyName: String = "graft_pii_scan"
   override def nullSafeEval(s: Any): Any =
     Pii.countsRow(s.asInstanceOf[UTF8String])

@@ -397,6 +397,41 @@ object MlPrepQueries extends QuerySet {
         .orderBy("doc_id")
     }),
 
+    // Secret scanning beyond q238's five kinds: IBAN (ISO 13616 shape
+    // gated by the ISO 7064 mod-97-10 checksum) and JWT (three base64url
+    // segments, header AND payload opening with eyJ). Valid published
+    // IBAN examples plant on doc_id%3=1 rows, single-digit-bumped
+    // mutations (mod-97 provably catches every single-digit change) on
+    // doc_id%3=2; real-shaped JWTs on doc_id%5=1, a dotted lookalike
+    // with a non-eyJ payload on doc_id%5=3. The redacted text is pinned
+    // VERBATIM: valid plants become [IBAN]/[JWT], mutations and
+    // lookalikes survive untouched, and n_other proves no cross-claim
+    // into the five legacy detectors.
+    "q253_secret_scan" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .selectExpr("doc_id",
+          "lower(regexp_replace(substring(text, 1, 60), '[0-9@]', '')) AS base",
+          "CAST((doc_id DIV 3) % 6 AS INT) AS sel")
+        .selectExpr("doc_id",
+          s"""concat_ws(' | ', base,
+            |  CASE WHEN doc_id % 3 = 1 THEN CASE sel
+            |    $IbanValidCase END
+            |  WHEN doc_id % 3 = 2 THEN CASE sel
+            |    $IbanBumpedCase END
+            |  END,
+            |  CASE WHEN doc_id % 5 = 1
+            |    THEN concat('$JwtHead.', substring(md5(CAST(doc_id AS STRING)), 1, 20))
+            |  WHEN doc_id % 5 = 3
+            |    THEN concat('eyJhbGciOiJIUzI1NiJ9.notjson.', substring(md5(CAST(doc_id AS STRING)), 1, 20))
+            |  END) AS txt""".stripMargin)
+        .selectExpr("doc_id", "graft_pii_scan(txt) AS p",
+          "graft_redact_pii(txt) AS red")
+        .selectExpr("doc_id", "p.n_iban", "p.n_jwt",
+          "p.n_email + p.n_key + p.n_ssn + p.n_card + p.n_ipv4 AS n_other",
+          "red")
+        .orderBy("doc_id")
+    }),
+
     // Chat-template assembly with loss-mask spans — the SFT data-prep
     // grain: documents fold into 6-turn conversations (user/assistant
     // alternating), each conversation renders to one training text
@@ -490,6 +525,27 @@ object MlPrepQueries extends QuerySet {
         |  CASE WHEN doc_id % 13 = 0
         |       THEN concat(chr(10), repeat('x', 1200)) ELSE '' END) AS code"""
         .stripMargin)
+
+  /** q253 plant constants — shared verbatim between the Spark construction
+    * and the DuckDB oracle so no drifted copy can exist. The six valid
+    * IBANs are the published ISO 13616 registry examples; each "bumped"
+    * twin has its last digit incremented mod 10 (a change the mod-97
+    * check provably catches).
+    */
+  private val IbanValid = Seq(
+    "DE89370400440532013000", "GB82WEST12345698765432",
+    "FR1420041010050500013M02606", "NL91ABNA0417164300",
+    "ES9121000418450200051332", "IT60X0542811101000000123456")
+  private val IbanBumped = IbanValid.map { v =>
+    val i = v.lastIndexWhere(_.isDigit)
+    v.updated(i, ('0' + (v(i) - '0' + 1) % 10).toChar)
+  }
+  private def caseArms(xs: Seq[String]) =
+    xs.zipWithIndex.map { case (v, k) => s"WHEN $k THEN '$v'" }
+      .mkString(" ") + " ELSE NULL"
+  private val IbanValidCase = caseArms(IbanValid)
+  private val IbanBumpedCase = caseArms(IbanBumped)
+  private val JwtHead = "eyJhbGciOiJIUzI1NiJ9.eyJzdWIiOiIxMjM0In0"
 
   /** Shared construction for q238/q239: deterministic PII plants over an
     * inert base (digits and `@` stripped, lowercased, so the corpus text
@@ -627,6 +683,28 @@ object MlPrepQueries extends QuerySet {
         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    // counts from the plant conditions; the redacted text rebuilt with
+    // valid plants replaced by placeholders and mutations verbatim —
+    // the CASE arms are generated from the same IbanValid/IbanBumped
+    // constants the Spark side plants
+    "q253_secret_scan" ->
+      s"""WITH b AS (SELECT doc_id,
+        |  lower(regexp_replace(substring(text, 1, 60), '[0-9@]', '', 'g')) AS base,
+        |  CAST((doc_id // 3) % 6 AS INT) AS sel FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS INT) AS n_iban,
+        |  CAST(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END AS INT) AS n_jwt,
+        |  CAST(0 AS INT) AS n_other,
+        |  concat_ws(' | ', base,
+        |    CASE WHEN doc_id % 3 = 1 THEN '[IBAN]'
+        |         WHEN doc_id % 3 = 2 THEN CASE sel $IbanBumpedCase END
+        |    END,
+        |    CASE WHEN doc_id % 5 = 1 THEN '[JWT]'
+        |         WHEN doc_id % 5 = 3
+        |         THEN 'eyJhbGciOiJIUzI1NiJ9.notjson.' ||
+        |              substring(md5(CAST(doc_id AS VARCHAR)), 1, 20)
+        |    END) AS red
+        |FROM b ORDER BY doc_id""".stripMargin,
     // counts restated from the plant conditions; n_chars re-derives the
     // whole construction so the Spark-side text is pinned too
     "q238_pii_scan" ->
