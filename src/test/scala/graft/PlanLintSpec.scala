@@ -46,7 +46,11 @@ class PlanLintSpec extends SparkSpec {
   //   q200 — HLL estimate: broadcast 1-row exact-distinct truth crossed
   //         onto the 1-row estimate for the accuracy fact (the q82
   //         certificate pattern)
+  //   q249 — temperature mixing: broadcast 1-row total-weight scalar
+  //         crossed into the per-source rate table (the q166 pattern;
+  //         Sampling.temperatureMix)
   private val productAllowed = Set(
+    "q249_temperature_mix",
     "q200_hll_estimate",
     "q142_bm25_search", "q159_sql_bm25",
     "q166_dsir_weights", "q171_dsir_resample", "q174_truncated_recall",
