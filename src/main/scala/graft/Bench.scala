@@ -89,7 +89,8 @@ object Bench {
     // artifact; a casual contract-check (runs=1, or any other sf) must not
     // be able to clobber it via `git add -A` — those runs default to tmp/.
     // Override explicitly with SPARK_GRAFT_BENCH_OUT when committing.
-    val conventionRun = runs >= 2 && sfDir.endsWith("sf0.1")
+    val conventionRun = runs >= 2 && sfDir.endsWith("sf0.1") &&
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty // a subset is never the artifact
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (conventionRun) "BENCH_RESULTS.json" else "tmp/BENCH_SMOKE.json")
     new java.io.File(outPath).getParentFile match {
