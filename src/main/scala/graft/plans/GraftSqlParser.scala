@@ -133,6 +133,20 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val CmsEstimateStmt =
     """(?is)^\s*CMS\s+ESTIMATE\s+'([^']+)'\s+WITH\s+([\w.]+)\s*\((\w+)\)\s*;?\s*$""".r
 
+  // The storage-audit doors as statements — metadata-cost answers over
+  // lakehouse tables and raw parquet, same relations as the Dataset
+  // surface ([[graft.sources.DeltaLog]] / [[graft.sources.ParquetMeta]]):
+  //   DESCRIBE DELTA AT '<table>' [AS OF <v>] — the live file set
+  //     (snapshot / time travel)
+  //   DELTA HISTORY AT '<table>' — per-version commit summary
+  //   DESCRIBE PARQUET AT '<path>' — per-column-chunk layout + stats
+  private val DescribeDelta =
+    """(?is)^\s*DESCRIBE\s+DELTA\s+AT\s+'([^']+)'(?:\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
+  private val DeltaHistoryStmt =
+    """(?is)^\s*DELTA\s+HISTORY\s+AT\s+'([^']+)'\s*;?\s*$""".r
+  private val DescribeParquet =
+    """(?is)^\s*DESCRIBE\s+PARQUET\s+AT\s+'([^']+)'\s*;?\s*$""".r
+
   // ASOF JOIN <left> WITH <right> ON <key> BY <time> PAYLOAD (c1, c2, ...)
   // — last-right-row-at-or-before semantics ([[graft.operators.AsOfJoin
   // .asOfLeft]]) as a statement; Spark SQL has no ASOF JOIN syntax.
@@ -240,6 +254,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case CmsEstimateStmt(path, table, keyCol) =>
       graft.operators.Cms.estimateAt(session, path, session.table(table), keyCol)
         .queryExecution.logical
+    case DescribeDelta(path, asOfOpt) =>
+      graft.sources.DeltaLog.snapshot(session, path,
+        Option(asOfOpt).map(_.toLong)).queryExecution.logical
+    case DeltaHistoryStmt(path) =>
+      graft.sources.DeltaLog.history(session, path).queryExecution.logical
+    case DescribeParquet(path) =>
+      graft.sources.ParquetMeta.chunks(session, path).queryExecution.logical
     case AsOfJoinStmt(left, right, key, time, payload) =>
       graft.operators.AsOfJoin.asOfLeft(session.table(left), session.table(right),
         key, time, payload.split(',').map(_.trim).toSeq).queryExecution.logical

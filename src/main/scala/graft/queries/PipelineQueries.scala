@@ -3728,6 +3728,48 @@ object PipelineQueries extends QuerySet {
         .orderBy("path")
     }),
 
+    // The log's per-version commit summary — the "what happened when"
+    // audit: add/remove counts, bytes and rows added (from add-side
+    // stats), metaData/protocol presence flags; pinned verbatim from the
+    // same four-commit scenario.
+    "q254_delta_history" -> ((s, dir) => {
+      graft.sources.DeltaLog.history(s, deltaOracleDir())
+    }),
+
+    // File-level parquet audit over ALL ten harness tables at once:
+    // version/num_rows/row-group count/leaf-column count/created_by per
+    // file, from our Thrift-compact footer parse — diffed against
+    // DuckDB's parquet_file_metadata() glob over the same directory
+    // (the q245 two-independent-decoders pattern at file grain).
+    "q255_parquet_files" -> ((s, dir) => {
+      graft.sources.ParquetMeta.files(s, dir)
+        .selectExpr(
+          "regexp_extract(file, '([a-z]+)\\\\.parquet$', 1) AS tbl",
+          "version", "num_rows", "n_row_groups", "n_columns", "created_by")
+        .orderBy("tbl")
+    }),
+
+    // The statement surface for both audit doors (the q109 SQL-twin
+    // pattern): DESCRIBE DELTA ... AS OF plans onto DeltaLog.snapshot,
+    // DESCRIBE PARQUET onto ParquetMeta.chunks — same relations, parsed
+    // by GraftSqlParser, oracled against the same truths.
+    "q256_sql_delta" -> ((s, dir) => {
+      s.sql(s"DESCRIBE DELTA AT '${deltaOracleDir()}' AS OF 2")
+        .orderBy("path")
+    }),
+    "q257_sql_parquet_meta" -> ((s, dir) => {
+      s.sql(s"DESCRIBE PARQUET AT '$dir/lineitem.parquet'")
+        .select(col("rg"), col("col_id"), col("path_in_schema"),
+          col("physical_type"), col("codec"), col("encodings"),
+          col("num_values"), col("total_compressed"),
+          col("total_uncompressed"), col("data_page_offset"),
+          col("dict_page_offset"), col("null_count"),
+          col("min_long"), col("max_long"),
+          col("min_double"), col("max_double"),
+          col("min_string"), col("max_string"))
+        .orderBy("rg", "col_id")
+    }),
+
     // The same log at every version — time travel as an audit query:
     // asOf 0..3 snapshots unioned, showing tombstone/resurrect/update
     // transitions version by version.
@@ -3824,6 +3866,31 @@ object PipelineQueries extends QuerySet {
     nbDir.toAbsolutePath.toString
   }
 
+  /** q245/q257 shared oracle: DuckDB parquet_metadata() over the same
+    * lineitem footer the Spark side parsed.
+    */
+  private val ParquetFooterOracle: String =
+      """SELECT CAST(row_group_id AS INT) AS rg, CAST(column_id AS INT) AS col_id,
+        |  path_in_schema, type AS physical_type, compression AS codec, encodings,
+        |  num_values, total_compressed_size AS total_compressed,
+        |  total_uncompressed_size AS total_uncompressed, data_page_offset,
+        |  dictionary_page_offset AS dict_page_offset,
+        |  stats_null_count AS null_count,
+        |  CASE WHEN path_in_schema = 'l_shipdate'
+        |         THEN epoch_us(CAST(stats_min_value AS TIMESTAMP))
+        |       WHEN type IN ('INT32', 'INT64')
+        |         THEN CAST(stats_min_value AS BIGINT) END AS min_long,
+        |  CASE WHEN path_in_schema = 'l_shipdate'
+        |         THEN epoch_us(CAST(stats_max_value AS TIMESTAMP))
+        |       WHEN type IN ('INT32', 'INT64')
+        |         THEN CAST(stats_max_value AS BIGINT) END AS max_long,
+        |  CASE WHEN type = 'DOUBLE' THEN CAST(stats_min_value AS DOUBLE) END AS min_double,
+        |  CASE WHEN type = 'DOUBLE' THEN CAST(stats_max_value AS DOUBLE) END AS max_double,
+        |  CASE WHEN type = 'BYTE_ARRAY' THEN stats_min_value END AS min_string,
+        |  CASE WHEN type = 'BYTE_ARRAY' THEN stats_max_value END AS max_string
+        |FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+        |ORDER BY rg, col_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // every notebook cell re-derived from the generator formulas — the
     // door never meets the oracle except through the decoded rows
@@ -3859,28 +3926,20 @@ object PipelineQueries extends QuerySet {
     // parsed with the repo's Thrift-compact reader: two independent
     // decoders, one footer, every audit field diffed. The driver's
     // oracle always runs at sf0.01, so the path is the sf0.01 file —
-    // the same bytes the Spark side read through `dir`.
-    "q245_parquet_footer" ->
-      """SELECT CAST(row_group_id AS INT) AS rg, CAST(column_id AS INT) AS col_id,
-        |  path_in_schema, type AS physical_type, compression AS codec, encodings,
-        |  num_values, total_compressed_size AS total_compressed,
-        |  total_uncompressed_size AS total_uncompressed, data_page_offset,
-        |  dictionary_page_offset AS dict_page_offset,
-        |  stats_null_count AS null_count,
-        |  CASE WHEN path_in_schema = 'l_shipdate'
-        |         THEN epoch_us(CAST(stats_min_value AS TIMESTAMP))
-        |       WHEN type IN ('INT32', 'INT64')
-        |         THEN CAST(stats_min_value AS BIGINT) END AS min_long,
-        |  CASE WHEN path_in_schema = 'l_shipdate'
-        |         THEN epoch_us(CAST(stats_max_value AS TIMESTAMP))
-        |       WHEN type IN ('INT32', 'INT64')
-        |         THEN CAST(stats_max_value AS BIGINT) END AS max_long,
-        |  CASE WHEN type = 'DOUBLE' THEN CAST(stats_min_value AS DOUBLE) END AS min_double,
-        |  CASE WHEN type = 'DOUBLE' THEN CAST(stats_max_value AS DOUBLE) END AS max_double,
-        |  CASE WHEN type = 'BYTE_ARRAY' THEN stats_min_value END AS min_string,
-        |  CASE WHEN type = 'BYTE_ARRAY' THEN stats_max_value END AS max_string
-        |FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
-        |ORDER BY rg, col_id""".stripMargin,
+    // the same bytes the Spark side read through `dir`. Shared with
+    // q257, the DESCRIBE PARQUET statement twin.
+    "q245_parquet_footer" -> ParquetFooterOracle,
+    "q257_sql_parquet_meta" -> ParquetFooterOracle,
+    // the asOf-2 live set (resurrected part-00001, tombstoned
+    // part-00002) for the DESCRIBE DELTA ... AS OF statement
+    "q256_sql_delta" ->
+      """SELECT * FROM (VALUES
+        |  ('part-00000', CAST(1000 AS BIGINT), CAST(1700000001000 AS BIGINT),
+        |     CAST(100 AS BIGINT), 'src=s0', CAST(0 AS BIGINT)),
+        |  ('part-00001', 9999, 1700000009999, 555, 'src=s1', 2),
+        |  ('part-00003', 1051, 1700000001051, 103, 'src=s1', 1))
+        |AS t(path, size, mod_time, num_records, "partition", version_added)
+        |ORDER BY path""".stripMargin,
     // the live set pinned verbatim from the four-commit scenario
     // (sizes/mod-times/records are the fixture formulas: mod_time =
     // 1700000000000 + size)
@@ -3893,6 +3952,30 @@ object PipelineQueries extends QuerySet {
         |  ('part-00004', 1085, 1700000001085, 105, 'src=s1', 3))
         |AS t(path, size, mod_time, num_records, "partition", version_added)
         |ORDER BY path""".stripMargin,
+    // per-version commit facts restated from the scenario formulas
+    "q254_delta_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT),
+        |     CAST(3051 AS BIGINT), CAST(303 AS BIGINT), TRUE, TRUE),
+        |  (1, 1, 1, 1051, 103, FALSE, FALSE),
+        |  (2, 1, 1, 9999, 555, FALSE, FALSE),
+        |  (3, 2, 1, 3307, 327, FALSE, FALSE))
+        |AS t(version, n_adds, n_removes, bytes_added, rows_added,
+        |     has_metadata, has_protocol)
+        |ORDER BY version""".stripMargin,
+    // DuckDB's file-grain footer read over the same ten files; leaf
+    // column count re-derived from its chunk-grain function
+    "q255_parquet_files" ->
+      """WITH fm AS (SELECT * FROM
+        |    parquet_file_metadata('/root/testdata/sf0.01/*.parquet')),
+        |nc AS (SELECT file_name, COUNT(*) AS n_cols FROM
+        |    parquet_metadata('/root/testdata/sf0.01/*.parquet')
+        |  WHERE row_group_id = 0 GROUP BY file_name)
+        |SELECT regexp_extract(fm.file_name, '([a-z]+)\.parquet$', 1) AS tbl,
+        |  CAST(fm.format_version AS INT) AS version, fm.num_rows,
+        |  CAST(fm.num_row_groups AS INT) AS n_row_groups,
+        |  CAST(nc.n_cols AS INT) AS n_columns, fm.created_by
+        |FROM fm JOIN nc USING (file_name) ORDER BY tbl""".stripMargin,
     // every version's live set: tombstone (v1), resurrect-with-update
     // (v2), within-commit remove-then-add (v3)
     "q252_delta_time_travel" ->
