@@ -26,13 +26,24 @@ import org.apache.spark.sql.types._
   * UDF), and the fold is one window over (version, ordinal) — one
   * narrow shuffle on file path, independent of table size.
   *
-  * Scope contract (documented, not hidden): JSON commits only —
-  * parquet checkpoints are a read OPTIMIZATION the spec lets readers
-  * skip (the JSON log is authoritative); `_last_checkpoint`, CRC and
-  * sidecar files are ignored; lines that parse to none of the known
-  * actions (commitInfo, txn, unknown/future actions, malformed JSON)
-  * are ignored for file reconciliation, exactly as the protocol
-  * directs readers to treat unrecognized actions.
+  * Parquet CHECKPOINTS are honored: when `_last_checkpoint` names a
+  * checkpoint at version V (single-part or multi-part) and the replay
+  * target is at or past V, the baseline state is read from the
+  * checkpoint parquet and only JSON commits AFTER V are replayed — a
+  * cleaned log (expired early commits) stays readable, and a 100k-
+  * commit table costs one parquet read + the JSON tail. Checkpoint
+  * rows are normalized through `to_json`/`from_json` with the same
+  * typed action schema as the commit lines, so both paths share one
+  * decode (and its tolerance for missing/extra fields). Time travel
+  * BEFORE the checkpoint still requires the JSON commits from 0 and
+  * fails loud when the log was cleaned past them.
+  *
+  * Scope contract (documented, not hidden): CRC and sidecar files are
+  * ignored; v2 checkpoints' sidecar actions are out of scope (classic
+  * single/multi-part checkpoints only); lines that parse to none of
+  * the known actions (commitInfo, txn, unknown/future actions,
+  * malformed JSON) are ignored for file reconciliation, exactly as the
+  * protocol directs readers to treat unrecognized actions.
   */
 object DeltaLog {
 
@@ -81,20 +92,95 @@ object DeltaLog {
       .sortBy(_._1)
   }
 
+  /** `_last_checkpoint` content: (version, parts) — None when absent or
+    * unreadable (the protocol says the pointer is best-effort; a reader
+    * falls back to the JSON log).
+    */
+  def lastCheckpoint(spark: SparkSession, tableDir: String): Option[(Long, Int)] = {
+    val p = new Path(new Path(tableDir, "_delta_log"), "_last_checkpoint")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    try {
+      val in = fs.open(p)
+      val txt = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        bos.toString(java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      val vm = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+      val pm = """"parts"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+      vm.map(m => (m.group(1).toLong, pm.map(_.group(1).toInt).getOrElse(1)))
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** The checkpoint parquet file(s) for (version, parts), existing ones
+    * only — single-part `%020d.checkpoint.parquet` or multi-part
+    * `%020d.checkpoint.%010d.%010d.parquet`.
+    */
+  private def checkpointFiles(spark: SparkSession, tableDir: String,
+                              v: Long, parts: Int): Seq[String] = {
+    val logDir = new Path(tableDir, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names =
+      if (parts <= 1) Seq(f"$v%020d.checkpoint.parquet")
+      else (1 to parts).map(i => f"$v%020d.checkpoint.$i%010d.$parts%010d.parquet")
+    names.map(n => new Path(logDir, n))
+      .filter(fs.exists).map(p => fs.makeQualified(p).toString)
+  }
+
   /** Raw action rows `(version, ordinal, <action struct columns>)` up to
     * and including `asOf` (all versions when None). One task per commit
     * file; lines keep their in-file order as `ordinal` — the protocol's
-    * within-commit reconciliation order.
+    * within-commit reconciliation order. When a `_last_checkpoint` at
+    * version V is usable for the target (asOf empty or >= V), the
+    * baseline is the checkpoint parquet (as version V, ordinal 0 —
+    * checkpoints carry at most one action per path) and only JSON
+    * commits AFTER V are replayed.
     */
   def actions(spark: SparkSession, tableDir: String,
               asOf: Option[Long] = None): DataFrame = {
+    val cp = lastCheckpoint(spark, tableDir)
+      .filter { case (v, _) => asOf.forall(_ >= v) }
+      .flatMap { case (v, parts) =>
+        val files = checkpointFiles(spark, tableDir, v, parts)
+        val expect = if (parts <= 1) 1 else parts
+        if (files.length == expect) Some((v, files)) else None // torn checkpoint: fall back
+      }
     val commits0 = listCommits(spark, tableDir)
-    val commits = asOf match {
-      case Some(v) => commits0.filter(_._1 <= v)
-      case None    => commits0
+    val commits = (asOf, cp) match {
+      case (Some(v), Some((cv, _))) => commits0.filter(c => c._1 > cv && c._1 <= v)
+      case (Some(v), None)          => commits0.filter(_._1 <= v)
+      case (None, Some((cv, _)))    => commits0.filter(_._1 > cv)
+      case (None, None)             => commits0
     }
-    require(commits.nonEmpty, s"deltalog: no commits under $tableDir/_delta_log" +
-      asOf.map(v => s" at or before version $v").getOrElse(""))
+    // without a usable checkpoint baseline, the JSON replay must start at
+    // version 0 — a pre-checkpoint time travel over a CLEANED log (or any
+    // log whose early commits expired) fails loud, never silently replays
+    // a partial history
+    if (cp.isEmpty && !commits.headOption.exists(_._1 == 0L)) {
+      val laterEvidence = commits0.nonEmpty ||
+        lastCheckpoint(spark, tableDir).isDefined
+      throw new IllegalArgumentException(
+        if (laterEvidence)
+          s"deltalog: log at $tableDir was cleaned past the requested " +
+            s"version (earliest JSON commit: " +
+            s"${commits.headOption.map(_._1).getOrElse(-1L)})"
+        else
+          s"deltalog: no commits under $tableDir/_delta_log" +
+            asOf.map(v => s" at or before version $v").getOrElse(""))
+    }
+    val cpDf = cp.map { case (cv, files) =>
+      val raw = spark.read.parquet(files: _*)
+      val keep = Seq("add", "remove", "metaData", "protocol", "commitInfo")
+        .filter(raw.columns.contains(_))
+      raw.select(org.apache.spark.sql.functions.to_json(
+          org.apache.spark.sql.functions.struct(keep.map(col): _*)).as("line"))
+        .select(lit(cv).as("version"), lit(0L).as("ordinal"), col("line"))
+    }
+    if (commits.isEmpty)
+      return finishActions(cpDf.get)
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val slices = math.max(1, math.min(commits.length,
       spark.sparkContext.defaultParallelism * 2))
@@ -122,12 +208,18 @@ object DeltaLog {
       StructType(Seq(StructField("version", LongType, nullable = false),
         StructField("ordinal", LongType, nullable = false),
         StructField("line", StringType, nullable = false))))
+    finishActions(cpDf.map(_ unionByName lines).getOrElse(lines))
+  }
+
+  /** Shared decode tail for both sources of action lines (JSON commits
+    * and to_json-normalized checkpoint rows).
+    */
+  private def finishActions(lines: DataFrame): DataFrame =
     lines.withColumn("a", from_json(col("line"), actionSchema))
       .select(col("version"), col("ordinal"),
         col("a.add").as("add"), col("a.remove").as("remove"),
         col("a.metaData").as("metaData"), col("a.protocol").as("protocol"),
         col("a.commitInfo").as("commitInfo"))
-  }
 
   /** The live file set at `asOf` (or the latest version): action
     * reconciliation — last file action per path wins. Columns: `path`,

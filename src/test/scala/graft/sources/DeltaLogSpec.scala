@@ -109,6 +109,49 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.tableMeta(spark, bare).isEmpty)
   }
 
+  test("checkpoint: cleaned log replays from the parquet baseline + JSON tail") {
+    val dir = writeFixture()
+    val log = java.nio.file.Paths.get(dir, "_delta_log")
+    // the net state at v2 (what a writer would checkpoint): three live
+    // adds, one retained remove tombstone, latest metaData + protocol
+    val cpLines = Seq(
+      add("part-00000", 1000, 100, "s0"),
+      add("part-00001", 9999, 555, "s1"),
+      add("part-00003", 1051, 103, "s1"),
+      remove("part-00002"), meta, proto)
+    import spark.implicits._
+    val tmpOut = java.nio.file.Files.createTempDirectory("cpout").toString
+    spark.read.json(spark.createDataset(cpLines))
+      .coalesce(1).write.mode("overwrite").parquet(tmpOut)
+    val part = new java.io.File(tmpOut).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    java.nio.file.Files.move(part, log.resolve(f"${2L}%020d.checkpoint.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.write(log.resolve("_last_checkpoint"),
+      """{"version":2,"size":6}""".getBytes)
+    // clean the pre-checkpoint JSON commits, as VACUUM/log-retention does
+    Seq(0L, 1L, 2L).foreach(v =>
+      java.nio.file.Files.delete(log.resolve(f"$v%020d.json")))
+    // latest: checkpoint baseline + the v3 JSON tail — identical to the
+    // uncleaned replay
+    val live = DeltaLog.snapshot(spark, dir).orderBy("path").collect()
+    assert(live.map(_.getString(0)).toSeq ===
+      Seq("part-00000", "part-00001", "part-00003", "part-00004"))
+    assert(live.find(_.getString(0) == "part-00000").get.getLong(1) === 2222L)
+    assert(live.find(_.getString(0) == "part-00001").get.getLong(3) === 555L)
+    // exactly the checkpoint version: pure-baseline snapshot
+    val at2 = DeltaLog.snapshot(spark, dir, Some(2L)).orderBy("path").collect()
+    assert(at2.map(_.getString(0)).toSeq ===
+      Seq("part-00000", "part-00001", "part-00003"))
+    // tableMeta still resolves from the checkpointed metaData/protocol
+    val Some((_, parts, r, _)) = DeltaLog.tableMeta(spark, dir)
+    assert(parts === Seq("src") && r === 1)
+    // time travel BEFORE the checkpoint over the cleaned log fails loud
+    val e = intercept[IllegalArgumentException](
+      DeltaLog.snapshot(spark, dir, Some(1L)).collect())
+    assert(e.getMessage.contains("cleaned"))
+  }
+
   test("empty or missing log fails loud; unknown actions never poison replay") {
     val empty = java.nio.file.Files.createTempDirectory("deltaempty").toString
     intercept[IllegalArgumentException](DeltaLog.snapshot(spark, empty))
