@@ -3757,6 +3757,16 @@ object PipelineQueries extends QuerySet {
       s.sql(s"DESCRIBE DELTA AT '${deltaOracleDir()}' AS OF 2")
         .orderBy("path")
     }),
+    // q251 replayed through a retention-cleaned log: versions 0-2 exist
+    // only as a REAL parquet checkpoint (+ _last_checkpoint), v3 is the
+    // lone JSON commit — the snapshot lands on the SAME live set and
+    // file facts; version_added for checkpoint-baseline files reads as
+    // the checkpoint version (provenance collapse, pinned explicitly).
+    "q258_delta_checkpoint" -> ((s, dir) => {
+      graft.sources.DeltaLog.snapshot(s, deltaCheckpointDir(s))
+        .orderBy("path")
+    }),
+
     "q257_sql_parquet_meta" -> ((s, dir) => {
       s.sql(s"DESCRIBE PARQUET AT '$dir/lineitem.parquet'")
         .select(col("rg"), col("col_id"), col("path_in_schema"),
@@ -3787,16 +3797,44 @@ object PipelineQueries extends QuerySet {
     * reconciliation rule (see q251's comment), written once atomically
     * under target/fixtures in the protocol's JSON-lines commit format.
     */
+  private def deltaAdd(path: String, size: Long, recs: Long, src: String): String =
+    s"""{"add":{"path":"$path","partitionValues":{"src":"$src"},"size":$size,""" +
+      s""""modificationTime":${1700000000000L + size},"dataChange":true,""" +
+      s""""stats":"{\\"numRecords\\":$recs}"}}"""
+  private def deltaRemove(path: String): String =
+    s"""{"remove":{"path":"$path","deletionTimestamp":1700000000001,"dataChange":true}}"""
+  private val DeltaProto =
+    """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+  private val DeltaMeta =
+    """{"metaData":{"id":"t-0001","schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":["src"],"createdTime":1700000000000}}"""
+  private val DeltaV3: Seq[String] = Seq(
+    """{"commitInfo":{"timestamp":1700000000005,"operation":"REPLACE"}}""",
+    deltaRemove("part-00000"),
+    deltaAdd("part-00000", 2222, 222, "s0"),
+    deltaAdd("part-00004", 1085, 105, "s1"),
+    """{"someFutureAction":{"x":1}}""",
+    "not json at all {")
+
+  private def writeCommit(log: java.nio.file.Path, v: Long, lines: Seq[String]): Unit = {
+    val f = log.resolve(f"$v%020d.json")
+    if (!java.nio.file.Files.exists(f)) {
+      val tmp = java.nio.file.Files.createTempFile(log, s".c$v.", ".tmp")
+      java.nio.file.Files.write(tmp,
+        lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp) }
+    }
+  }
+
   private def deltaOracleDir(): String = {
     val dir = java.nio.file.Paths.get("target", "fixtures", "delta_oracle")
     val log = dir.resolve("_delta_log")
     java.nio.file.Files.createDirectories(log)
     def add(path: String, size: Long, recs: Long, src: String): String =
-      s"""{"add":{"path":"$path","partitionValues":{"src":"$src"},"size":$size,""" +
-        s""""modificationTime":${1700000000000L + size},"dataChange":true,""" +
-        s""""stats":"{\\"numRecords\\":$recs}"}}"""
-    def remove(path: String): String =
-      s"""{"remove":{"path":"$path","deletionTimestamp":1700000000001,"dataChange":true}}"""
+      deltaAdd(path, size, recs, src)
+    def remove(path: String): String = deltaRemove(path)
     val commits: Seq[(Long, Seq[String])] = Seq(
       0L -> Seq(
         """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
@@ -3813,25 +3851,53 @@ object PipelineQueries extends QuerySet {
         """{"commitInfo":{"timestamp":1700000000004,"operation":"OPTIMIZE"}}""",
         add("part-00001", 9999, 555, "s1"),
         remove("part-00002")),
-      3L -> Seq(
-        """{"commitInfo":{"timestamp":1700000000005,"operation":"REPLACE"}}""",
-        remove("part-00000"),
-        add("part-00000", 2222, 222, "s0"),
-        add("part-00004", 1085, 105, "s1"),
-        """{"someFutureAction":{"x":1}}""",
-        "not json at all {"))
-    commits.foreach { case (v, lines) =>
-      val f = log.resolve(f"$v%020d.json")
-      if (!java.nio.file.Files.exists(f)) {
-        val tmp = java.nio.file.Files.createTempFile(log, s".c$v.", ".tmp")
-        java.nio.file.Files.write(tmp,
-          lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        try java.nio.file.Files.move(tmp, f,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileAlreadyExistsException =>
-          java.nio.file.Files.deleteIfExists(tmp) }
-      }
+      3L -> DeltaV3)
+    commits.foreach { case (v, lines) => writeCommit(log, v, lines) }
+    dir.toAbsolutePath.toString
+  }
+
+  /** q258's CHECKPOINTED twin of [[deltaOracleDir]]: the same table
+    * state, but versions 0-2 exist only as a real parquet checkpoint
+    * (the net state at v2: three live adds, one retained tombstone,
+    * metaData + protocol) plus `_last_checkpoint`; the only JSON commit
+    * is v3 — exactly what a retention-cleaned production log looks
+    * like. Replay must land on the SAME live set as q251.
+    */
+  private def deltaCheckpointDir(s: org.apache.spark.sql.SparkSession): String = {
+    val dir = java.nio.file.Paths.get("target", "fixtures", "delta_oracle_cp")
+    val log = dir.resolve("_delta_log")
+    java.nio.file.Files.createDirectories(log)
+    val cpFile = log.resolve(f"${2L}%020d.checkpoint.parquet")
+    if (!java.nio.file.Files.exists(cpFile)) {
+      val cpLines = Seq(
+        deltaAdd("part-00000", 1000, 100, "s0"),
+        deltaAdd("part-00001", 9999, 555, "s1"),
+        deltaAdd("part-00003", 1051, 103, "s1"),
+        deltaRemove("part-00002"), DeltaMeta, DeltaProto)
+      import s.implicits._
+      val tmpOut = java.nio.file.Files.createTempDirectory(
+        dir, ".cpbuild").toString
+      s.read.json(s.createDataset(cpLines))
+        .coalesce(1).write.mode("overwrite").parquet(tmpOut)
+      val part = new java.io.File(tmpOut).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      try java.nio.file.Files.move(part, cpFile,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmpOut)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists)
     }
+    val lastCp = log.resolve("_last_checkpoint")
+    if (!java.nio.file.Files.exists(lastCp)) {
+      val tmp = java.nio.file.Files.createTempFile(log, ".lastcp", ".tmp")
+      java.nio.file.Files.write(tmp, """{"version":2,"size":6}""".getBytes)
+      try java.nio.file.Files.move(tmp, lastCp,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp) }
+    }
+    writeCommit(log, 3L, DeltaV3)
     dir.toAbsolutePath.toString
   }
 
@@ -3865,6 +3931,21 @@ object PipelineQueries extends QuerySet {
     }
     nbDir.toAbsolutePath.toString
   }
+
+  /** q251/q258 shared oracle: the four-commit scenario's live set
+    * (sizes/mod-times/records are the fixture formulas: mod_time =
+    * 1700000000000 + size) — identical whether replayed from the pure
+    * JSON log (q251) or from the checkpoint baseline + JSON tail (q258).
+    */
+  private val DeltaLiveSetOracle: String =
+    """SELECT * FROM (VALUES
+      |  ('part-00000', CAST(2222 AS BIGINT), CAST(1700000002222 AS BIGINT),
+      |     CAST(222 AS BIGINT), 'src=s0', CAST(3 AS BIGINT)),
+      |  ('part-00001', 9999, 1700000009999, 555, 'src=s1', 2),
+      |  ('part-00003', 1051, 1700000001051, 103, 'src=s1', 1),
+      |  ('part-00004', 1085, 1700000001085, 105, 'src=s1', 3))
+      |AS t(path, size, mod_time, num_records, "partition", version_added)
+      |ORDER BY path""".stripMargin
 
   /** q245/q257 shared oracle: DuckDB parquet_metadata() over the same
     * lineitem footer the Spark side parsed.
@@ -3943,12 +4024,17 @@ object PipelineQueries extends QuerySet {
     // the live set pinned verbatim from the four-commit scenario
     // (sizes/mod-times/records are the fixture formulas: mod_time =
     // 1700000000000 + size)
-    "q251_delta_snapshot" ->
+    "q251_delta_snapshot" -> DeltaLiveSetOracle,
+    // the checkpointed twin: identical live set and file facts, but
+    // version_added for checkpoint-baseline files is the CHECKPOINT
+    // version (2) — a checkpoint collapses per-commit provenance, the
+    // documented semantic the pin makes explicit
+    "q258_delta_checkpoint" ->
       """SELECT * FROM (VALUES
         |  ('part-00000', CAST(2222 AS BIGINT), CAST(1700000002222 AS BIGINT),
         |     CAST(222 AS BIGINT), 'src=s0', CAST(3 AS BIGINT)),
         |  ('part-00001', 9999, 1700000009999, 555, 'src=s1', 2),
-        |  ('part-00003', 1051, 1700000001051, 103, 'src=s1', 1),
+        |  ('part-00003', 1051, 1700000001051, 103, 'src=s1', 2),
         |  ('part-00004', 1085, 1700000001085, 105, 'src=s1', 3))
         |AS t(path, size, mod_time, num_records, "partition", version_added)
         |ORDER BY path""".stripMargin,
