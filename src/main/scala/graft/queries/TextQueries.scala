@@ -666,6 +666,25 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id")
     }),
 
+    // Byte-level tokenization is LOSSLESS, pinned end to end: encode
+    // every document under a LEARNED vocab, then decode in pure SQL
+    // (tokens are hex byte strings — a merge only concatenates hex, so
+    // unhex(concat(tokens)) is the document's exact UTF-8 bytes). The
+    // oracle is simply the original text: any dropped byte, pre-token
+    // gap, or hex corruption anywhere in the learn→encode chain breaks
+    // the hash on the full corpus. n_bytes cross-checks the token hex
+    // mass against the text's byte length.
+    "q259_bpe_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.learnBytes(docs, "text", "doc_id",
+        numMerges = 30)
+      graft.operators.Bpe.encodeBytes(docs, "text", merges)
+        .selectExpr("doc_id",
+          "CAST(aggregate(tokens, 0L, (a, t) -> a + length(t)) DIV 2 AS BIGINT) AS n_bytes",
+          "decode(unhex(array_join(tokens, '')), 'UTF-8') AS decoded")
+        .orderBy("doc_id")
+    }),
+
     // The persisted-tokenizer round trip under the SAME chained-CTE
     // learner oracle as q108: learn once, SAVE the merge table as a
     // parquet artifact (mtime-keyed — the codebook/params pattern), then
@@ -1400,6 +1419,12 @@ object TextQueries extends QuerySet {
     // identical oracle: the persisted-artifact round trip must not change
     // a single token count
     "q121_bpe_saved_tokenizer" -> bpeOracleSql(BpeOracleMerges, maxSample = 20000),
+    // losslessness needs no learner replay: the decoded text must BE the
+    // original text, byte for byte, and the token hex mass its byte length
+    "q259_bpe_roundtrip" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  text AS decoded
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q36_word_freq" ->
       """SELECT tok, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
