@@ -140,8 +140,13 @@ object DeltaLog {
     * commits AFTER V are replayed.
     */
   def actions(spark: SparkSession, tableDir: String,
-              asOf: Option[Long] = None): DataFrame = {
-    val cp = lastCheckpoint(spark, tableDir)
+              asOf: Option[Long] = None): DataFrame =
+    actions(spark, tableDir, asOf, useCheckpoint = true)
+
+  private[sources] def actions(spark: SparkSession, tableDir: String,
+                               asOf: Option[Long],
+                               useCheckpoint: Boolean): DataFrame = {
+    val cp = (if (useCheckpoint) lastCheckpoint(spark, tableDir) else None)
       .filter { case (v, _) => asOf.forall(_ >= v) }
       .flatMap { case (v, parts) =>
         val files = checkpointFiles(spark, tableDir, v, parts)
@@ -170,6 +175,19 @@ object DeltaLog {
         else
           s"deltalog: no commits under $tableDir/_delta_log" +
             asOf.map(v => s" at or before version $v").getOrElse(""))
+    }
+    // commit versions must form a contiguous run from the replay start
+    // (0, or checkpointVersion+1): a gap mid-log (an expired or lost
+    // commit between surviving ones) would silently replay a wrong
+    // snapshot — reference Delta readers fail loud on non-contiguity
+    val expectedStart = cp.map(_._1 + 1).getOrElse(0L)
+    commits.map(_._1).foldLeft(expectedStart) { (want, got) =>
+      if (got != want)
+        throw new IllegalArgumentException(
+          s"deltalog: non-contiguous log at $tableDir — expected commit " +
+            f"version $want%d next but found $got%d (a commit in between " +
+            "expired or is missing)")
+      got + 1
     }
     val cpDf = cp.map { case (cv, files) =>
       val raw = spark.read.parquet(files: _*)
@@ -255,9 +273,17 @@ object DeltaLog {
 
   /** Per-version commit summary: file-action counts, bytes/rows added
     * and removed (rows from add-side stats), metaData/protocol flags.
+    *
+    * When the JSON log is complete from version 0 the replay uses it
+    * directly — every commit gets its own row. The checkpoint is a
+    * FALLBACK for cleaned logs only; there, all pre-checkpoint versions
+    * necessarily collapse into one row at the checkpoint version (the
+    * per-commit grain is gone from disk — retained tombstones count as
+    * removes on that row).
     */
   def history(spark: SparkSession, tableDir: String): DataFrame = {
-    actions(spark, tableDir, None)
+    val fullJson = listCommits(spark, tableDir).headOption.exists(_._1 == 0L)
+    actions(spark, tableDir, None, useCheckpoint = !fullJson)
       .groupBy("version")
       .agg(
         sum(when(col("add.path").isNotNull, 1L).otherwise(0L)).as("n_adds"),

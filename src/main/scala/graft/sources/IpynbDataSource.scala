@@ -107,17 +107,19 @@ class IpynbPartitionReader(file: String, required: StructType,
   private val nb: Option[Ipynb.Notebook] = {
     val p = new Path(file)
     val fs = p.getFileSystem(conf.value)
-    val in = fs.open(p)
-    val bytes = try {
-      val len = fs.getFileStatus(p).getLen
-      require(len <= (64L << 20),
-        s"notebook $file is $len bytes; real notebooks are small — a " +
-          ">64 MB 'notebook' is corrupt or hostile input")
-      val buf = new Array[Byte](len.toInt)
-      in.readFully(0, buf)
-      buf
-    } finally in.close()
-    Ipynb.parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    val len = fs.getFileStatus(p).getLen
+    // door contract: malformed input contributes zero rows, never a throw —
+    // an over-cap "notebook" (output-heavy or hostile) is treated the same
+    if (len > (64L << 20)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try {
+        val buf = new Array[Byte](len.toInt)
+        in.readFully(0, buf)
+        buf
+      } finally in.close()
+      Ipynb.parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    }
   }
   private val cells = nb.map(_.cells.iterator).getOrElse(Iterator.empty)
 

@@ -111,9 +111,12 @@ object ParquetMeta {
   /** One row per file: shape header of the audit. */
   def files(spark: SparkSession, path: String): DataFrame = {
     val rows = footerRdd(spark, listParquet(spark, path)).map {
-      case (f, Some(m)) => Row(f, true, m.version, m.numRows,
-        m.rowGroups.length, m.rowGroups.headOption.map(_.columns.length).getOrElse(0),
-        m.createdBy.orNull)
+      case (f, Some(m)) =>
+        // leaf count from the SCHEMA (nodes with no children), not the
+        // first row group — a valid zero-row-group file still has columns
+        val nCols = m.schema.drop(1).count(_.numChildren.forall(_ == 0))
+        Row(f, true, m.version, m.numRows, m.rowGroups.length, nCols,
+          m.createdBy.orNull)
       case (f, None)    => Row(f, false, null, null, null, null, null)
     }
     spark.createDataFrame(rows, filesSchema)

@@ -152,6 +152,70 @@ class DeltaLogSpec extends SparkSpec {
     assert(e.getMessage.contains("cleaned"))
   }
 
+  test("non-contiguous log fails loud (gap mid-log, gap after checkpoint)") {
+    // gap mid-log: commits 0,1,3 with 2 expired — a silent replay here
+    // would produce a wrong snapshot (v2's re-add/remove never applied)
+    val dir = writeFixture()
+    val log = java.nio.file.Paths.get(dir, "_delta_log")
+    java.nio.file.Files.delete(log.resolve(f"${2L}%020d.json"))
+    val e = intercept[IllegalArgumentException](DeltaLog.snapshot(spark, dir))
+    assert(e.getMessage.contains("non-contiguous"))
+    // gap between the checkpoint version and the first JSON tail commit:
+    // checkpoint at v2, commits 0..2 cleaned, v3 ALSO missing, v4 present
+    val dir2 = writeFixture()
+    val log2 = java.nio.file.Paths.get(dir2, "_delta_log")
+    val cpLines = Seq(add("part-00000", 1000, 100, "s0"), meta, proto)
+    import spark.implicits._
+    val tmpOut = java.nio.file.Files.createTempDirectory("cpout2").toString
+    spark.read.json(spark.createDataset(cpLines))
+      .coalesce(1).write.mode("overwrite").parquet(tmpOut)
+    val part = new java.io.File(tmpOut).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    java.nio.file.Files.move(part, log2.resolve(f"${2L}%020d.checkpoint.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.write(log2.resolve("_last_checkpoint"),
+      """{"version":2,"size":3}""".getBytes)
+    java.nio.file.Files.move(log2.resolve(f"${3L}%020d.json"),
+      log2.resolve(f"${4L}%020d.json"))
+    Seq(0L, 1L, 2L).foreach(v =>
+      java.nio.file.Files.delete(log2.resolve(f"$v%020d.json")))
+    val e2 = intercept[IllegalArgumentException](DeltaLog.snapshot(spark, dir2))
+    assert(e2.getMessage.contains("non-contiguous"))
+  }
+
+  test("history: intact JSON log keeps per-commit grain even with a checkpoint") {
+    // same fixture as the checkpoint test, but WITHOUT cleaning the JSON
+    // commits — history must replay the full log (4 per-version rows),
+    // not collapse 0..2 into the checkpoint row
+    val dir = writeFixture()
+    val log = java.nio.file.Paths.get(dir, "_delta_log")
+    val cpLines = Seq(
+      add("part-00000", 1000, 100, "s0"),
+      add("part-00001", 9999, 555, "s1"),
+      add("part-00003", 1051, 103, "s1"),
+      remove("part-00002"), meta, proto)
+    import spark.implicits._
+    val tmpOut = java.nio.file.Files.createTempDirectory("cpout3").toString
+    spark.read.json(spark.createDataset(cpLines))
+      .coalesce(1).write.mode("overwrite").parquet(tmpOut)
+    val part = new java.io.File(tmpOut).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    java.nio.file.Files.move(part, log.resolve(f"${2L}%020d.checkpoint.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.write(log.resolve("_last_checkpoint"),
+      """{"version":2,"size":6}""".getBytes)
+    val h = DeltaLog.history(spark, dir).collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(h(0).getLong(1) === 3L) // v0's own adds, not a collapsed baseline
+    // cleaned log: per-commit grain for 0..2 is gone from disk — the
+    // checkpoint fallback collapses them into one row at v2 (documented)
+    Seq(0L, 1L).foreach(v =>
+      java.nio.file.Files.delete(log.resolve(f"$v%020d.json")))
+    java.nio.file.Files.delete(log.resolve(f"${2L}%020d.json"))
+    val h2 = DeltaLog.history(spark, dir).collect()
+    assert(h2.map(_.getLong(0)).toSeq === Seq(2L, 3L))
+  }
+
   test("empty or missing log fails loud; unknown actions never poison replay") {
     val empty = java.nio.file.Files.createTempDirectory("deltaempty").toString
     intercept[IllegalArgumentException](DeltaLog.snapshot(spark, empty))

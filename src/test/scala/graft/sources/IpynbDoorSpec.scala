@@ -1,0 +1,28 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Door-level contracts of the `.ipynb` DSv2 source that need a live
+  * session (the parse-layer contracts live in IpynbSpec).
+  */
+class IpynbDoorSpec extends SparkSpec {
+
+  test("door: an over-64MB 'notebook' contributes zero rows, never a throw") {
+    // door contract: malformed input (and over-cap input — output-heavy
+    // real notebooks exist) yields zero rows; other files still decode
+    val dir = java.nio.file.Files.createTempDirectory("ipynbcap")
+    val good = """{"nbformat":4,"cells":[{"cell_type":"code","source":"x=1","metadata":{},"outputs":[]}],"metadata":{}}"""
+    java.nio.file.Files.write(dir.resolve("small.ipynb"), good.getBytes)
+    val big = dir.resolve("huge.ipynb").toFile
+    val out = new java.io.FileOutputStream(big)
+    try {
+      val pad = new Array[Byte](1 << 20)
+      java.util.Arrays.fill(pad, ' '.toByte)
+      out.write('{'); (0 to 64).foreach(_ => out.write(pad)); out.write('}')
+    } finally out.close()
+    val rows = graft.sources.IpynbDataSource.read(spark, dir.toString)
+    assert(rows.count() === 1L)
+    big.delete()
+  }
+
+}
