@@ -6,13 +6,22 @@ package graft.operators
   * JSON + avro.codec), a 16-byte sync marker, then data blocks of
   * [zigzag-varint row count, byte size, payload, sync marker].
   *
-  * Schema contract (documented, not hidden): a RECORD of primitive
-  * fields — null/boolean/int/long/float/double/bytes/string — each
-  * optionally nullable via the `["null", T]` / `[T, "null"]` union
-  * idiom. Nested records/arrays/maps/enums/fixed are out of contract:
-  * the reader returns None rather than guessing (the WebP-VP8 pattern).
-  * That subset covers the tabular event/feature shards data pipelines
-  * actually exchange as `.avro`.
+  * Two decode surfaces share the container layer:
+  *
+  *  - the FLAT surface ([[readOcf]] / [[BlockWriter]]): a record of
+  *    primitive fields — null/boolean/int/long/float/double/bytes/
+  *    string — each optionally nullable via the `["null", T]` /
+  *    `[T, "null"]` union idiom. This is the tabular subset the
+  *    `avroshard` DSv2 door serves fastest, and what the shard SINK
+  *    writes.
+  *  - the GENERIC surface ([[readOcfGeneric]] / [[GenericBlockWriter]]):
+  *    the full type system — nested records, arrays, maps, enums,
+  *    fixed, arbitrary unions, named-type references (including
+  *    recursive records). This is what real Avro corpora and every
+  *    Iceberg manifest/manifest-list file carry (see
+  *    [[graft.sources.IcebergMeta]]). Logical-type annotations decode
+  *    as their underlying type, as the spec directs readers that do
+  *    not recognize a logical type.
   *
   * Codecs: `null`, `deflate` (raw RFC 1951, Inflater nowrap), and
   * `snappy` (one raw snappy block + 4-byte big-endian CRC32 of the
@@ -55,7 +64,7 @@ object Avro {
     * numbers/true/false/null) — the schema layer needs nothing more and
     * the driver keeps zero parser dependencies.
     */
-  private[operators] def parseJson(s: String): Option[Any] = {
+  private[graft] def parseJson(s: String): Option[Any] = {
     val it = new JsonCursor(s)
     val v = it.value()
     it.ws()
@@ -122,9 +131,23 @@ object Avro {
         case c if c == '-' || c.isDigit =>
           val start = i
           if (c == '-') i += 1
-          while (i < s.length && (s.charAt(i).isDigit || "+-.eE".indexOf(s.charAt(i)) >= 0)) i += 1
-          try java.lang.Double.valueOf(s.substring(start, i))
-          catch { case _: NumberFormatException => fail }
+          var integral = true
+          while (i < s.length && (s.charAt(i).isDigit || "+-.eE".indexOf(s.charAt(i)) >= 0)) {
+            if (s.charAt(i) == '.' || s.charAt(i) == 'e' || s.charAt(i) == 'E')
+              integral = false
+            i += 1
+          }
+          val text = s.substring(start, i)
+          // integral literals parse as Long: 64-bit ids (Iceberg snapshot
+          // ids, Delta timestamps) exceed Double's 53-bit mantissa
+          if (integral)
+            try java.lang.Long.valueOf(text)
+            catch { case _: NumberFormatException =>
+              try java.lang.Double.valueOf(text)
+              catch { case _: NumberFormatException => fail } }
+          else
+            try java.lang.Double.valueOf(text)
+            catch { case _: NumberFormatException => fail }
         case _ => fail
       }
     }
@@ -272,7 +295,15 @@ object Avro {
   private final case class Header(schema: Schema, schemaJson: String,
                                   codec: String, sync: Array[Byte], bodyAt: Int)
 
-  private def readHeader(bytes: Array[Byte]): Option[Header] = {
+  /** Container header independent of any schema interpretation: the
+    * full file-metadata map, the declared codec, the sync marker and
+    * the body offset.
+    */
+  private[operators] final case class RawHeader(
+      meta: Map[String, Array[Byte]], schemaJson: String, codec: String,
+      sync: Array[Byte], bodyAt: Int)
+
+  private[operators] def readRawHeader(bytes: Array[Byte]): Option[RawHeader] = {
     if (bytes.length < 4 + 16 || bytes(0) != 'O' || bytes(1) != 'b' ||
         bytes(2) != 'j' || bytes(3) != 1) return None
     val r = new Reader(bytes, 4, bytes.length)
@@ -299,11 +330,55 @@ object Avro {
       .getOrElse(return None)
     val codec = meta.get("avro.codec").map(new String(_, "UTF-8")).getOrElse("null")
     if (codec != "null" && codec != "deflate" && codec != "snappy") return None
-    val schema = parseSchema(schemaJson).getOrElse(return None)
     if (r.pos + 16 > bytes.length) return None
     val sync = java.util.Arrays.copyOfRange(bytes, r.pos, r.pos + 16)
-    Some(Header(schema, schemaJson, codec, sync, r.pos + 16))
+    Some(RawHeader(meta.toMap, schemaJson, codec, sync, r.pos + 16))
   }
+
+  private def readHeader(bytes: Array[Byte]): Option[Header] =
+    for {
+      raw <- readRawHeader(bytes)
+      schema <- parseSchema(raw.schemaJson)
+    } yield Header(schema, raw.schemaJson, raw.codec, raw.sync, raw.bodyAt)
+
+  /** One data block's payload through the declared codec — shared by the
+    * flat and generic readers. None on any malformation (truncated
+    * deflate stream, snappy CRC mismatch, growth past [[MaxBytes]]).
+    */
+  private def decompressBlock(codec: String, raw: Array[Byte]): Option[Array[Byte]] =
+    codec match {
+      case "null" => Some(raw)
+      case "deflate" =>
+        val inf = new java.util.zip.Inflater(true)
+        inf.setInput(raw)
+        val out = new java.io.ByteArrayOutputStream(raw.length * 2)
+        val buf = new Array[Byte](8192)
+        try {
+          while (!inf.finished()) {
+            val k = inf.inflate(buf)
+            if (k == 0 && inf.needsInput()) return None // truncated
+            out.write(buf, 0, k)
+            if (out.size() > MaxBytes) return None
+          }
+        } catch { case _: java.util.zip.DataFormatException => return None }
+        finally inf.end()
+        Some(out.toByteArray)
+      case "snappy" =>
+        // spec: raw snappy block + 4-byte big-endian CRC32 of the data
+        if (raw.length < 4) return None
+        Snappy.decodeBlock(raw, 0, raw.length - 4) match {
+          case Some(d) =>
+            val crc = new java.util.zip.CRC32()
+            crc.update(d, 0, d.length)
+            val want = ((raw(raw.length - 4) & 0xffL) << 24) |
+              ((raw(raw.length - 3) & 0xffL) << 16) |
+              ((raw(raw.length - 2) & 0xffL) << 8) |
+              (raw(raw.length - 1) & 0xffL)
+            if (crc.getValue != want) None else Some(d)
+          case None => None
+        }
+      case _ => None
+    }
 
   /** Parse just the header's embedded schema — schema inference over a
     * file PREFIX (the header sits in the first bytes; blocks may be cut
@@ -337,39 +412,8 @@ object Avro {
       val syncHere = java.util.Arrays.copyOfRange(bytes, r.pos, r.pos + 16)
       if (!java.util.Arrays.equals(sync, syncHere)) return None
       r.pos += 16
-      val payload: Array[Byte] = codec match {
-        case "null" => raw
-        case "deflate" =>
-          val inf = new java.util.zip.Inflater(true)
-          inf.setInput(raw)
-          val out = new java.io.ByteArrayOutputStream(raw.length * 2)
-          val buf = new Array[Byte](8192)
-          try {
-            while (!inf.finished()) {
-              val k = inf.inflate(buf)
-              if (k == 0 && inf.needsInput()) return None // truncated
-              out.write(buf, 0, k)
-              if (out.size() > MaxBytes) return None
-            }
-          } catch { case _: java.util.zip.DataFormatException => return None }
-          finally inf.end()
-          out.toByteArray
-        case "snappy" =>
-          // spec: raw snappy block + 4-byte big-endian CRC32 of the data
-          if (raw.length < 4) return None
-          Snappy.decodeBlock(raw, 0, raw.length - 4) match {
-            case Some(d) =>
-              val crc = new java.util.zip.CRC32()
-              crc.update(d, 0, d.length)
-              val want = ((raw(raw.length - 4) & 0xffL) << 24) |
-                ((raw(raw.length - 3) & 0xffL) << 16) |
-                ((raw(raw.length - 2) & 0xffL) << 8) |
-                (raw(raw.length - 1) & 0xffL)
-              if (crc.getValue != want) return None
-              d
-            case None => return None
-          }
-      }
+      val payload: Array[Byte] =
+        decompressBlock(codec, raw).getOrElse(return None)
       total += payload.length
       if (total > MaxBytes) return None
       // zero-byte rows (all-null schemas) are legal, so a size-0 block
@@ -496,6 +540,381 @@ object Avro {
     out.write(h, 0, h.length)
     rows.grouped(rowsPerBlock).foreach { g =>
       val b = w.block(g)
+      out.write(b, 0, b.length)
+    }
+    out.toByteArray
+  }
+
+  // ===================================================== generic surface
+
+  /** Full Avro type AST. Named types (record/enum/fixed) register under
+    * their FULLNAME (namespace-dotted); references — including recursive
+    * ones — appear as [[ARef]] nodes resolved through [[GSchema.named]].
+    */
+  sealed trait AType
+  final case class APrim(p: PrimType) extends AType
+  final case class ARecord(fullName: String, fieldNames: IndexedSeq[String],
+                           fieldTypes: IndexedSeq[AType]) extends AType
+  final case class AArray(items: AType) extends AType
+  final case class AMapT(values: AType) extends AType
+  final case class AEnum(fullName: String, symbols: IndexedSeq[String]) extends AType
+  final case class AFixed(fullName: String, size: Int) extends AType
+  final case class AUnion(branches: IndexedSeq[AType]) extends AType
+  final case class ARef(fullName: String) extends AType
+
+  final case class GSchema(root: AType, named: Map[String, AType]) {
+    def resolve(t: AType): AType = t match {
+      case ARef(n) => named(n)
+      case other   => other
+    }
+  }
+
+  private object BadSchema extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** Parse any spec-conformant schema document. None on malformation
+    * (undefined name reference, empty union, missing required attrs).
+    * Logical-type annotations are dropped to the underlying type.
+    */
+  def parseSchemaGeneric(json: String): Option[GSchema] =
+    parseJson(json).flatMap { v =>
+      val named = scala.collection.mutable.Map.empty[String, AType]
+      try {
+        val root = parseGType(v, None, named)
+        Some(GSchema(root, named.toMap))
+      } catch { case BadSchema => None }
+    }
+
+  private type JObj = scala.collection.mutable.LinkedHashMap[String, Any]
+
+  private def parseGType(v: Any, ns: Option[String],
+                         named: scala.collection.mutable.Map[String, AType]): AType =
+    v match {
+      case s: String =>
+        primOf(s) match {
+          case Some(p) => APrim(p)
+          case None =>
+            val full = if (s.contains('.')) s else ns.fold(s)(n => s"$n.$s")
+            if (named.contains(full)) ARef(full) else throw BadSchema
+        }
+      case a: scala.collection.mutable.ArrayBuffer[_] =>
+        if (a.isEmpty) throw BadSchema
+        AUnion(a.map(parseGType(_, ns, named)).toIndexedSeq)
+      case m: scala.collection.mutable.LinkedHashMap[_, _] =>
+        val obj = m.asInstanceOf[JObj]
+        obj.get("type") match {
+          case Some("record") | Some("error") =>
+            val (full, childNs) = fullNameOf(obj, ns)
+            named(full) = ARef(full) // placeholder: fields may self-reference
+            val fieldsJson = obj.get("fields") match {
+              case Some(fa: scala.collection.mutable.ArrayBuffer[_]) => fa
+              case _ => throw BadSchema
+            }
+            val names = IndexedSeq.newBuilder[String]
+            val types = IndexedSeq.newBuilder[AType]
+            fieldsJson.foreach {
+              case fm: scala.collection.mutable.LinkedHashMap[_, _] =>
+                val f = fm.asInstanceOf[JObj]
+                names += (f.get("name") match {
+                  case Some(s: String) => s; case _ => throw BadSchema })
+                types += parseGType(f.getOrElse("type", throw BadSchema),
+                  childNs, named)
+              case _ => throw BadSchema
+            }
+            val rec = ARecord(full, names.result(), types.result())
+            named(full) = rec
+            rec
+          case Some("enum") =>
+            val (full, _) = fullNameOf(obj, ns)
+            val syms = obj.get("symbols") match {
+              case Some(sa: scala.collection.mutable.ArrayBuffer[_]) =>
+                sa.map { case s: String => s; case _ => throw BadSchema }.toIndexedSeq
+              case _ => throw BadSchema
+            }
+            if (syms.isEmpty) throw BadSchema
+            val e = AEnum(full, syms)
+            named(full) = e
+            e
+          case Some("fixed") =>
+            val (full, _) = fullNameOf(obj, ns)
+            val size = obj.get("size") match {
+              case Some(l: java.lang.Long) if l.longValue >= 0 &&
+                l.longValue <= MaxBytes => l.intValue
+              case _ => throw BadSchema
+            }
+            val f = AFixed(full, size)
+            named(full) = f
+            f
+          case Some("array") =>
+            AArray(parseGType(obj.getOrElse("items", throw BadSchema), ns, named))
+          case Some("map") =>
+            AMapT(parseGType(obj.getOrElse("values", throw BadSchema), ns, named))
+          case Some(s: String) =>
+            // {"type":"long","logicalType":"timestamp-micros"} etc.: the
+            // underlying type per the spec's unknown-logical-type rule
+            primOf(s).map(APrim.apply).getOrElse(throw BadSchema)
+          case Some(inner) => parseGType(inner, ns, named)
+          case None => throw BadSchema
+        }
+      case _ => throw BadSchema
+    }
+
+  /** (fullname, effective child namespace) for a named-type definition. */
+  private def fullNameOf(obj: JObj, ns: Option[String]): (String, Option[String]) = {
+    val name = obj.get("name") match {
+      case Some(s: String) if s.nonEmpty => s; case _ => throw BadSchema
+    }
+    if (name.contains('.')) {
+      val dot = name.lastIndexOf('.')
+      (name, Some(name.substring(0, dot)))
+    } else {
+      val effNs = obj.get("namespace") match {
+        case Some(s: String) if s.nonEmpty => Some(s)
+        case Some(_: String)               => None // "" = null namespace
+        case _                             => ns
+      }
+      (effNs.fold(name)(n => s"$n.$name"), effNs)
+    }
+  }
+
+  // ------------------------------------------------------ generic decode
+
+  /** Decoded value shapes: record → Map[String, Any] (field name keyed),
+    * array → Seq[Any], map → Map[String, Any], enum → symbol String,
+    * fixed/bytes → Array[Byte], primitives as themselves, null for null.
+    */
+  private def decodeGeneric(r: Reader, t: AType, g: GSchema, depth: Int): Any = {
+    if (depth > 128) { r.pos = r.end + 1; return null } // recursion bomb
+    g.resolve(t) match {
+      case APrim(p) => decodeValue(r, p)
+      case ARecord(_, names, types) =>
+        val b = Map.newBuilder[String, Any]
+        var i = 0
+        while (i < names.length && r.ok) {
+          b += names(i) -> decodeGeneric(r, types(i), g, depth + 1)
+          i += 1
+        }
+        b.result()
+      case AEnum(_, syms) =>
+        val idx = r.varLong()
+        if (idx < 0 || idx >= syms.length) { r.pos = r.end + 1; null }
+        else syms(idx.toInt)
+      case AFixed(_, size) => r.take(size)
+      case AUnion(branches) =>
+        val idx = r.varLong()
+        if (idx < 0 || idx >= branches.length) { r.pos = r.end + 1; null }
+        else decodeGeneric(r, branches(idx.toInt), g, depth + 1)
+      case AArray(items) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+        var n = r.varLong()
+        while (n != 0 && r.ok) {
+          if (n < 0) { r.varLong(); n = -n } // block byte size: present, unused
+          // zero-byte items (null-typed) could claim any count: cap
+          if (n + buf.length > (1L << 26)) { r.pos = r.end + 1; return null }
+          var k = 0L
+          while (k < n && r.ok) { buf += decodeGeneric(r, items, g, depth + 1); k += 1 }
+          n = r.varLong()
+        }
+        buf.toSeq
+      case AMapT(values) =>
+        val b = Map.newBuilder[String, Any]
+        var n = r.varLong()
+        var total = 0L
+        while (n != 0 && r.ok) {
+          if (n < 0) { r.varLong(); n = -n }
+          total += n
+          if (total > (1L << 26)) { r.pos = r.end + 1; return null }
+          var k = 0L
+          while (k < n && r.ok) {
+            val key = new String(r.take(r.varLong().toInt), "UTF-8")
+            b += key -> decodeGeneric(r, values, g, depth + 1)
+            k += 1
+          }
+          n = r.varLong()
+        }
+        b.result()
+      case ARef(_) => throw new IllegalStateException("unresolved ref") // resolve() handled
+    }
+  }
+
+  /** A generically-decoded OCF: the schema AST, the raw file-metadata
+    * map (Iceberg manifests carry `schema`/`partition-spec`/... keys
+    * there), and one value per row (record schemas decode to
+    * Map[String, Any]).
+    */
+  final case class OcfG(schema: GSchema, schemaJson: String, codec: String,
+                        meta: Map[String, Array[Byte]], rows: Seq[Any])
+
+  /** Decode a whole OCF under the full type system. None on any
+    * malformation — same discipline as [[readOcf]].
+    */
+  def readOcfGeneric(bytes: Array[Byte]): Option[OcfG] = {
+    val h = readRawHeader(bytes).getOrElse(return None)
+    val g = parseSchemaGeneric(h.schemaJson).getOrElse(return None)
+    val r = new Reader(bytes, h.bodyAt, bytes.length)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var total = 0L
+    while (r.pos < bytes.length) {
+      val count = r.varLong()
+      val size = r.varLong()
+      if (!r.ok || count < 0 || size < 0 || size > MaxBytes ||
+          r.pos + size + 16 > bytes.length) return None
+      val raw = java.util.Arrays.copyOfRange(bytes, r.pos, r.pos + size.toInt)
+      r.pos += size.toInt
+      val syncHere = java.util.Arrays.copyOfRange(bytes, r.pos, r.pos + 16)
+      if (!java.util.Arrays.equals(h.sync, syncHere)) return None
+      r.pos += 16
+      val payload = decompressBlock(h.codec, raw).getOrElse(return None)
+      total += payload.length
+      if (total > MaxBytes) return None
+      if (count > payload.length.toLong.max(1L) * 8 || rows.size + count > (1L << 26))
+        return None
+      val br = new Reader(payload, 0, payload.length)
+      var k = 0L
+      while (k < count) {
+        val v = decodeGeneric(br, g.root, g, 0)
+        if (!br.ok) return None
+        rows += v
+        k += 1
+      }
+      if (br.pos != payload.length) return None // size lie / trailing bytes
+    }
+    Some(OcfG(g, h.schemaJson, h.codec, h.meta, rows.toSeq))
+  }
+
+  // ------------------------------------------------------ generic writer
+
+  /** Does runtime value `v` fit schema type `t`? Drives union branch
+    * selection on write (null → the null branch; otherwise the first
+    * branch whose shape matches).
+    */
+  private def fits(t: AType, v: Any, g: GSchema): Boolean = g.resolve(t) match {
+    case APrim(ANull)    => v == null
+    case APrim(ABoolean) => v.isInstanceOf[Boolean]
+    case APrim(AInt)     => v.isInstanceOf[Int]
+    case APrim(ALong)    => v.isInstanceOf[Long]
+    case APrim(AFloat)   => v.isInstanceOf[Float]
+    case APrim(ADouble)  => v.isInstanceOf[Double]
+    case APrim(ABytes)   => v.isInstanceOf[Array[Byte]]
+    case APrim(AString)  => v.isInstanceOf[String]
+    case AFixed(_, size) => v.isInstanceOf[Array[Byte]] &&
+      v.asInstanceOf[Array[Byte]].length == size
+    case AEnum(_, syms)  => v.isInstanceOf[String] &&
+      syms.contains(v.asInstanceOf[String])
+    case AArray(_)       => v.isInstanceOf[Seq[_]]
+    case ARecord(_, names, _) => v.isInstanceOf[Map[_, _]] &&
+      names.forall(v.asInstanceOf[Map[String, Any]].contains)
+    case AMapT(_)        => v.isInstanceOf[Map[_, _]]
+    case AUnion(bs)      => bs.exists(fits(_, v, g))
+    case ARef(_)         => false
+  }
+
+  private def encodeGeneric(out: java.io.ByteArrayOutputStream, t: AType,
+                            v: Any, g: GSchema): Unit = g.resolve(t) match {
+    case APrim(p) => encodeValue(out, p, v)
+    case ARecord(full, names, types) =>
+      val m = v match {
+        case mm: Map[_, _] => mm.asInstanceOf[Map[String, Any]]
+        case _ => throw new IllegalArgumentException(s"$full needs a Map value")
+      }
+      var i = 0
+      while (i < names.length) {
+        encodeGeneric(out, types(i), m.getOrElse(names(i),
+          throw new IllegalArgumentException(s"$full.${names(i)} missing")), g)
+        i += 1
+      }
+    case AEnum(full, syms) =>
+      val idx = syms.indexOf(v.asInstanceOf[String])
+      if (idx < 0) throw new IllegalArgumentException(s"$v is not a $full symbol")
+      writeZigzag(out, idx.toLong)
+    case AFixed(full, size) =>
+      val b = v.asInstanceOf[Array[Byte]]
+      if (b.length != size)
+        throw new IllegalArgumentException(s"$full needs exactly $size bytes")
+      out.write(b, 0, b.length)
+    case AArray(items) =>
+      val s = v.asInstanceOf[Seq[Any]]
+      if (s.nonEmpty) {
+        writeZigzag(out, s.length.toLong)
+        s.foreach(encodeGeneric(out, items, _, g))
+      }
+      writeZigzag(out, 0L)
+    case AMapT(values) =>
+      val m = v.asInstanceOf[Map[String, Any]]
+      if (m.nonEmpty) {
+        writeZigzag(out, m.size.toLong)
+        // deterministic key order: reruns stay byte-identical
+        m.toSeq.sortBy(_._1).foreach { case (k, mv) =>
+          val kb = k.getBytes("UTF-8")
+          writeZigzag(out, kb.length.toLong); out.write(kb, 0, kb.length)
+          encodeGeneric(out, values, mv, g)
+        }
+      }
+      writeZigzag(out, 0L)
+    case AUnion(branches) =>
+      val idx = branches.indexWhere(fits(_, v, g))
+      if (idx < 0)
+        throw new IllegalArgumentException(s"no union branch fits $v")
+      writeZigzag(out, idx.toLong)
+      encodeGeneric(out, branches(idx), v, g)
+    case ARef(_) => throw new IllegalStateException("unresolved ref")
+  }
+
+  /** Incremental OCF writer over the FULL type system (null codec),
+    * deterministic sync marker, optional extra file-metadata pairs
+    * (Iceberg manifests require `schema` / `partition-spec` / ... keys).
+    * Values use the decode shapes: records as Map[String, Any], arrays
+    * as Seq[Any], maps as Map[String, Any], enums as symbol Strings.
+    */
+  final class GenericBlockWriter(schemaJson: String,
+                                 extraMeta: Seq[(String, String)] = Nil)
+      extends Serializable {
+    private val g = parseSchemaGeneric(schemaJson).getOrElse(
+      throw new IllegalArgumentException("malformed avro schema"))
+    private val sync = java.security.MessageDigest.getInstance("MD5")
+      .digest(schemaJson.getBytes("UTF-8"))
+
+    def header: Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write('O'); out.write('b'); out.write('j'); out.write(1)
+      val metaPairs =
+        Seq("avro.schema" -> schemaJson.getBytes("UTF-8"),
+            "avro.codec" -> "null".getBytes("UTF-8")) ++
+          extraMeta.map { case (k, v) => k -> v.getBytes("UTF-8") }
+      writeZigzag(out, metaPairs.length.toLong)
+      metaPairs.foreach { case (k, v) =>
+        val kb = k.getBytes("UTF-8")
+        writeZigzag(out, kb.length.toLong); out.write(kb, 0, kb.length)
+        writeZigzag(out, v.length.toLong); out.write(v, 0, v.length)
+      }
+      writeZigzag(out, 0L)
+      out.write(sync, 0, 16)
+      out.toByteArray
+    }
+
+    def block(rows: Seq[Any]): Array[Byte] = {
+      val body = new java.io.ByteArrayOutputStream()
+      rows.foreach(encodeGeneric(body, g.root, _, g))
+      val out = new java.io.ByteArrayOutputStream(body.size() + 32)
+      writeZigzag(out, rows.length.toLong)
+      writeZigzag(out, body.size().toLong)
+      body.writeTo(out)
+      out.write(sync, 0, 16)
+      out.toByteArray
+    }
+  }
+
+  /** Whole-buffer render over [[GenericBlockWriter]]. */
+  def renderOcfGeneric(schemaJson: String, rows: Seq[Any],
+                       rowsPerBlock: Int = 1000,
+                       extraMeta: Seq[(String, String)] = Nil): Array[Byte] = {
+    val w = new GenericBlockWriter(schemaJson, extraMeta)
+    val out = new java.io.ByteArrayOutputStream()
+    val h = w.header
+    out.write(h, 0, h.length)
+    rows.grouped(rowsPerBlock).foreach { grp =>
+      val b = w.block(grp)
       out.write(b, 0, b.length)
     }
     out.toByteArray

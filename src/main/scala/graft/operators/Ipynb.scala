@@ -45,6 +45,7 @@ object Ipynb {
     case _ => None
   }
   private def intOf(v: Any): Option[Long] = v match {
+    case l: java.lang.Long => Some(l.longValue)
     case d: java.lang.Double if d.doubleValue.isWhole &&
       math.abs(d.doubleValue) < (1L << 53).toDouble => Some(d.longValue)
     case _ => None

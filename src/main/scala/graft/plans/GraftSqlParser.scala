@@ -146,6 +146,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)^\s*DELTA\s+HISTORY\s+AT\s+'([^']+)'\s*;?\s*$""".r
   private val DescribeParquet =
     """(?is)^\s*DESCRIBE\s+PARQUET\s+AT\s+'([^']+)'\s*;?\s*$""".r
+  //   DESCRIBE PARQUET PAGES AT '<path>' — per-PAGE locations and
+  //     min/max/null facts from the ColumnIndex/OffsetIndex structures
+  //     (the page-skipping audit grain)
+  private val DescribeParquetPages =
+    """(?is)^\s*DESCRIBE\s+PARQUET\s+PAGES\s+AT\s+'([^']+)'\s*;?\s*$""".r
+
+  //   DESCRIBE ICEBERG AT '<table>' [SNAPSHOT <id>] — the live data-file
+  //     set of the current (or named) snapshot
+  //   ICEBERG HISTORY AT '<table>' — snapshot history from metadata.json
+  //   ICEBERG MANIFESTS AT '<table>' [SNAPSHOT <id>] — per-manifest
+  //     prune stats from the manifest list
+  // (the Delta statements' lakehouse twin, [[graft.sources.IcebergMeta]])
+  private val DescribeIceberg =
+    """(?is)^\s*DESCRIBE\s+ICEBERG\s+AT\s+'([^']+)'(?:\s+SNAPSHOT\s+(\d+))?\s*;?\s*$""".r
+  private val IcebergHistoryStmt =
+    """(?is)^\s*ICEBERG\s+HISTORY\s+AT\s+'([^']+)'\s*;?\s*$""".r
+  private val IcebergManifestsStmt =
+    """(?is)^\s*ICEBERG\s+MANIFESTS\s+AT\s+'([^']+)'(?:\s+SNAPSHOT\s+(\d+))?\s*;?\s*$""".r
 
   // ASOF JOIN <left> WITH <right> ON <key> BY <time> PAYLOAD (c1, c2, ...)
   // — last-right-row-at-or-before semantics ([[graft.operators.AsOfJoin
@@ -259,8 +277,18 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         Option(asOfOpt).map(_.toLong)).queryExecution.logical
     case DeltaHistoryStmt(path) =>
       graft.sources.DeltaLog.history(session, path).queryExecution.logical
+    case DescribeParquetPages(path) =>
+      graft.sources.ParquetMeta.pages(session, path).queryExecution.logical
     case DescribeParquet(path) =>
       graft.sources.ParquetMeta.chunks(session, path).queryExecution.logical
+    case DescribeIceberg(path, snapOpt) =>
+      graft.sources.IcebergMeta.files(session, path,
+        Option(snapOpt).map(_.toLong)).queryExecution.logical
+    case IcebergHistoryStmt(path) =>
+      graft.sources.IcebergMeta.snapshots(session, path).queryExecution.logical
+    case IcebergManifestsStmt(path, snapOpt) =>
+      graft.sources.IcebergMeta.manifests(session, path,
+        Option(snapOpt).map(_.toLong)).queryExecution.logical
     case AsOfJoinStmt(left, right, key, time, payload) =>
       graft.operators.AsOfJoin.asOfLeft(session.table(left), session.table(right),
         key, time, payload.split(',').map(_.trim).toSeq).queryExecution.logical

@@ -3791,6 +3791,57 @@ object PipelineQueries extends QuerySet {
       }.reduce(_ unionByName _)
         .select("as_of", "path", "size", "num_records", "version_added")
         .orderBy("as_of", "path")
+    }),
+
+    // Iceberg metadata audit — the Delta door's lakehouse twin
+    // (sources/IcebergMeta.scala), and the first consumer of the
+    // GENERIC nested-Avro surface: metadata.json → manifest-list OCF →
+    // nested-Avro manifests, decoded at metadata cost (driver reads the
+    // json + one manifest list; one TASK per manifest; no data file
+    // ever opened). The fixture is a hand-built spec-conformant v2
+    // table: snapshot 1001 appends f1/f2/f3; snapshot 1002 rewrites
+    // the manifest (f2 deleted, f1/f3 existing), adds f4 in a second
+    // manifest and tracks one position-delete file in a third.
+    "q260_iceberg_snapshot" -> ((s, dir) => {
+      graft.sources.IcebergMeta.files(s, icebergOracleDir())
+        .orderBy("file_path")
+    }),
+
+    // files(asOf) at both snapshots — the rewrite's before/after:
+    // 1001 sees f1/f2/f3 (all freshly added), 1002 sees f1/f3/f4
+    "q261_iceberg_time_travel" -> ((s, dir) => {
+      val tbl = icebergOracleDir()
+      Seq(1001L, 1002L).map { sid =>
+        graft.sources.IcebergMeta.files(s, tbl, Some(sid))
+          .withColumn("as_of", lit(sid))
+      }.reduce(_ unionByName _)
+        .select("as_of", "file_path", "partition", "record_count", "snapshot_id")
+        .orderBy("as_of", "file_path")
+    }),
+
+    // the manifest list's per-manifest prune stats — what a planner
+    // reads to skip whole manifests before touching any entry
+    "q262_iceberg_manifests" -> ((s, dir) => {
+      graft.sources.IcebergMeta.manifests(s, icebergOracleDir())
+        .select("manifest_path", "content", "n_added_files",
+          "n_existing_files", "n_deleted_files", "added_rows",
+          "existing_rows", "deleted_rows")
+        .orderBy("manifest_path")
+    }),
+
+    // snapshot history straight from metadata.json (driver-side, KB)
+    "q263_iceberg_history" -> ((s, dir) => {
+      graft.sources.IcebergMeta.snapshots(s, icebergOracleDir())
+        .select("snapshot_id", "parent_id", "sequence_number",
+          "timestamp_ms", "operation", "is_current")
+        .orderBy("snapshot_id")
+    }),
+
+    // the statement surface (the q256 DESCRIBE DELTA pattern): time
+    // travel to the pre-rewrite snapshot through GraftSqlParser
+    "q264_sql_iceberg" -> ((s, dir) => {
+      s.sql(s"DESCRIBE ICEBERG AT '${icebergOracleDir()}' SNAPSHOT 1001")
+        .orderBy("file_path")
     }))
 
   /** The q251/q252 Delta-log fixture: four commits exercising every
@@ -3898,6 +3949,125 @@ object PipelineQueries extends QuerySet {
         java.nio.file.Files.deleteIfExists(tmp) }
     }
     writeCommit(log, 3L, DeltaV3)
+    dir.toAbsolutePath.toString
+  }
+
+  /** The q260-q264 Iceberg fixture: a spec-conformant v2 table layout
+    * (metadata.json + version-hint + manifest-list OCF + nested-Avro
+    * manifests) hand-built with the repo's generic Avro writer — byte-
+    * deterministic (MD5-of-schema sync markers), written once
+    * atomically under target/fixtures. All file/manifest paths inside
+    * the metadata are TABLE-RELATIVE so the pinned oracles hold under
+    * any working directory. Scenario: snapshot 1001 appends f1(p=a,100)
+    * f2(p=a,150) f3(p=b,200); snapshot 1002 rewrites the manifest (f2
+    * deleted, f1/f3 existing), adds f4(p=b,300) via a second manifest,
+    * and tracks one position-delete file in a delete manifest.
+    */
+  private val IcebergEntrySchema =
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"]},
+      |{"name":"sequence_number","type":["null","long"]},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int"},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"partition","type":{"type":"record","name":"r102","fields":[
+      |    {"name":"p","type":["null","string"]}]}},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin
+
+  private val IcebergListSchema =
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int"},
+      |{"name":"added_snapshot_id","type":"long"},
+      |{"name":"added_files_count","type":"int"},
+      |{"name":"existing_files_count","type":"int"},
+      |{"name":"deleted_files_count","type":"int"},
+      |{"name":"added_rows_count","type":"long"},
+      |{"name":"existing_rows_count","type":"long"},
+      |{"name":"deleted_rows_count","type":"long"}]}""".stripMargin
+
+  private def icebergOracleDir(): String = {
+    val dir = java.nio.file.Paths.get("target", "fixtures", "iceberg_oracle")
+    val meta = dir.resolve("metadata")
+    java.nio.file.Files.createDirectories(meta)
+    def install(name: String, bytes: Array[Byte]): java.nio.file.Path = {
+      val f = meta.resolve(name)
+      if (!java.nio.file.Files.exists(f)) {
+        val tmp = java.nio.file.Files.createTempFile(meta, s".$name.", ".tmp")
+        java.nio.file.Files.write(tmp, bytes)
+        try java.nio.file.Files.move(tmp, f,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp) }
+      }
+      f
+    }
+    def entry(status: Int, snapId: Long, content: Int, path: String,
+              part: String, recs: Long, size: Long): Map[String, Any] =
+      Map("status" -> status, "snapshot_id" -> snapId,
+        "sequence_number" -> null,
+        "data_file" -> Map[String, Any](
+          "content" -> content, "file_path" -> path,
+          "file_format" -> "parquet",
+          "partition" -> Map[String, Any]("p" -> part),
+          "record_count" -> recs, "file_size_in_bytes" -> size))
+    val mMeta = Seq("schema" -> "{}", "partition-spec" -> "[]",
+      "format-version" -> "2")
+    val mA = install("mA.avro", graft.operators.Avro.renderOcfGeneric(
+      IcebergEntrySchema, Seq(
+        entry(1, 1001L, 0, "data/p=a/f1.parquet", "a", 100, 1111),
+        entry(1, 1001L, 0, "data/p=a/f2.parquet", "a", 150, 1222),
+        entry(1, 1001L, 0, "data/p=b/f3.parquet", "b", 200, 1333)),
+      extraMeta = mMeta))
+    val mB = install("mB.avro", graft.operators.Avro.renderOcfGeneric(
+      IcebergEntrySchema, Seq(
+        entry(0, 1001L, 0, "data/p=a/f1.parquet", "a", 100, 1111),
+        entry(2, 1002L, 0, "data/p=a/f2.parquet", "a", 150, 1222),
+        entry(0, 1001L, 0, "data/p=b/f3.parquet", "b", 200, 1333)),
+      extraMeta = mMeta))
+    val mC = install("mC.avro", graft.operators.Avro.renderOcfGeneric(
+      IcebergEntrySchema, Seq(
+        entry(1, 1002L, 0, "data/p=b/f4.parquet", "b", 300, 1444)),
+      extraMeta = mMeta))
+    val mD = install("mD.avro", graft.operators.Avro.renderOcfGeneric(
+      IcebergEntrySchema, Seq(
+        entry(1, 1002L, 1, "data/del-1.parquet", "b", 5, 99)),
+      extraMeta = mMeta))
+    def mlRow(p: java.nio.file.Path, content: Int, snap: Long, a: Int,
+              e: Int, d: Int, ar: Long, er: Long, dr: Long): Map[String, Any] =
+      Map[String, Any](
+        "manifest_path" -> s"metadata/${p.getFileName}",
+        "manifest_length" -> java.nio.file.Files.size(p),
+        "partition_spec_id" -> 0, "content" -> content,
+        "added_snapshot_id" -> snap,
+        "added_files_count" -> a, "existing_files_count" -> e,
+        "deleted_files_count" -> d, "added_rows_count" -> ar,
+        "existing_rows_count" -> er, "deleted_rows_count" -> dr)
+    install("snap-1001.avro", graft.operators.Avro.renderOcfGeneric(
+      IcebergListSchema, Seq(mlRow(mA, 0, 1001L, 3, 0, 0, 450L, 0L, 0L))))
+    install("snap-1002.avro", graft.operators.Avro.renderOcfGeneric(
+      IcebergListSchema, Seq(
+        mlRow(mB, 0, 1002L, 0, 2, 1, 0L, 300L, 150L),
+        mlRow(mC, 0, 1002L, 1, 0, 0, 300L, 0L, 0L),
+        mlRow(mD, 1, 1002L, 1, 0, 0, 5L, 0L, 0L))))
+    val json =
+      """{"format-version":2,"table-uuid":"0000-demo","location":".",
+        |"last-sequence-number":2,"last-updated-ms":1700000000500,
+        |"current-snapshot-id":1002,
+        |"snapshots":[
+        |{"snapshot-id":1001,"sequence-number":1,"timestamp-ms":1700000000100,
+        | "summary":{"operation":"append"},
+        | "manifest-list":"metadata/snap-1001.avro","schema-id":0},
+        |{"snapshot-id":1002,"parent-snapshot-id":1001,"sequence-number":2,
+        | "timestamp-ms":1700000000200,"summary":{"operation":"overwrite"},
+        | "manifest-list":"metadata/snap-1002.avro","schema-id":0}]}""".stripMargin
+    install("v2.metadata.json", json.getBytes("UTF-8"))
+    install("version-hint.text", "2".getBytes("UTF-8"))
     dir.toAbsolutePath.toString
   }
 
@@ -4038,6 +4208,60 @@ object PipelineQueries extends QuerySet {
         |  ('part-00004', 1085, 1700000001085, 105, 'src=s1', 3))
         |AS t(path, size, mod_time, num_records, "partition", version_added)
         |ORDER BY path""".stripMargin,
+    // Iceberg fixture pins: every value restated from the hand-built
+    // scenario (table-relative paths keep the pins CWD-independent).
+    // Live set at the current snapshot (1002): f2 deleted by the
+    // rewrite, the delete FILE tracked but never in the live set.
+    "q260_iceberg_snapshot" ->
+      """SELECT * FROM (VALUES
+        |  ('data/p=a/f1.parquet', 'PARQUET', 'p=a', CAST(100 AS BIGINT),
+        |     CAST(1111 AS BIGINT), CAST(1001 AS BIGINT)),
+        |  ('data/p=b/f3.parquet', 'PARQUET', 'p=b', 200, 1333, 1001),
+        |  ('data/p=b/f4.parquet', 'PARQUET', 'p=b', 300, 1444, 1002))
+        |AS t(file_path, file_format, "partition", record_count, file_size,
+        |     snapshot_id)
+        |ORDER BY file_path""".stripMargin,
+    // the rewrite's before/after at both snapshots
+    "q261_iceberg_time_travel" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1001 AS BIGINT), 'data/p=a/f1.parquet', 'p=a',
+        |     CAST(100 AS BIGINT), CAST(1001 AS BIGINT)),
+        |  (1001, 'data/p=a/f2.parquet', 'p=a', 150, 1001),
+        |  (1001, 'data/p=b/f3.parquet', 'p=b', 200, 1001),
+        |  (1002, 'data/p=a/f1.parquet', 'p=a', 100, 1001),
+        |  (1002, 'data/p=b/f3.parquet', 'p=b', 200, 1001),
+        |  (1002, 'data/p=b/f4.parquet', 'p=b', 300, 1002))
+        |AS t(as_of, file_path, "partition", record_count, snapshot_id)
+        |ORDER BY as_of, file_path""".stripMargin,
+    // manifest-list prune stats at the current snapshot
+    "q262_iceberg_manifests" ->
+      """SELECT * FROM (VALUES
+        |  ('metadata/mB.avro', 'data', CAST(0 AS BIGINT), CAST(2 AS BIGINT),
+        |     CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(300 AS BIGINT),
+        |     CAST(150 AS BIGINT)),
+        |  ('metadata/mC.avro', 'data', 1, 0, 0, 300, 0, 0),
+        |  ('metadata/mD.avro', 'deletes', 1, 0, 0, 5, 0, 0))
+        |AS t(manifest_path, content, n_added_files, n_existing_files,
+        |     n_deleted_files, added_rows, existing_rows, deleted_rows)
+        |ORDER BY manifest_path""".stripMargin,
+    "q263_iceberg_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1001 AS BIGINT), CAST(NULL AS BIGINT), CAST(1 AS BIGINT),
+        |     CAST(1700000000100 AS BIGINT), 'append', FALSE),
+        |  (1002, 1001, 2, 1700000000200, 'overwrite', TRUE))
+        |AS t(snapshot_id, parent_id, sequence_number, timestamp_ms,
+        |     operation, is_current)
+        |ORDER BY snapshot_id""".stripMargin,
+    // DESCRIBE ICEBERG ... SNAPSHOT 1001: the pre-rewrite live set
+    "q264_sql_iceberg" ->
+      """SELECT * FROM (VALUES
+        |  ('data/p=a/f1.parquet', 'PARQUET', 'p=a', CAST(100 AS BIGINT),
+        |     CAST(1111 AS BIGINT), CAST(1001 AS BIGINT)),
+        |  ('data/p=a/f2.parquet', 'PARQUET', 'p=a', 150, 1222, 1001),
+        |  ('data/p=b/f3.parquet', 'PARQUET', 'p=b', 200, 1333, 1001))
+        |AS t(file_path, file_format, "partition", record_count, file_size,
+        |     snapshot_id)
+        |ORDER BY file_path""".stripMargin,
     // per-version commit facts restated from the scenario formulas
     "q254_delta_history" ->
       """SELECT * FROM (VALUES

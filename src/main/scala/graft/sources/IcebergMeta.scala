@@ -1,0 +1,348 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.operators.Avro
+
+/** Iceberg table-format audit relations, per the PUBLIC Apache Iceberg
+  * table spec (iceberg.apache.org/spec/): a table directory holds
+  * `metadata/vN.metadata.json` (plus `version-hint.text` for Hadoop
+  * tables); each snapshot in the metadata names a MANIFEST LIST (an
+  * Avro OCF whose rows describe manifest files with added/existing/
+  * deleted counts), and each manifest is itself an Avro OCF of
+  * `manifest_entry` rows (status + `data_file` struct: path, format,
+  * partition record, record count, size). Both v1 and v2 layouts are
+  * served; v2's `content` fields (data vs delete manifests/files) are
+  * surfaced so delete-file bookkeeping is auditable.
+  *
+  * This is the Delta-log door's twin ([[DeltaLog]]) for the other half
+  * of the lakehouse-audit story, and the first consumer of the GENERIC
+  * Avro surface ([[Avro.readOcfGeneric]]) — manifests are nested Avro
+  * (records inside records, int-keyed stat maps), unreachable from the
+  * flat subset.
+  *
+  * Scale shape: the metadata.json and the manifest list are DRIVER-side
+  * reads of a few KB (the spec caps the manifest list at one file per
+  * snapshot precisely so planners never list the filesystem). The
+  * per-manifest entry decode — the part that grows with the table — is
+  * DISTRIBUTED: one task per manifest file, no shuffle, no data-file
+  * read. Auditing a 100 TB table costs its metadata, never its data.
+  *
+  * Scope contract (documented, not hidden): no row-level delete
+  * APPLICATION (delete manifests and files are reported, not applied
+  * to data reads — this is an audit door, not a table reader);
+  * `version-hint.text` or the highest `vN.metadata.json` selects the
+  * current metadata; metadata.json compression (`.gz`) is out of scope.
+  */
+object IcebergMeta {
+
+  // ------------------------------------------------------ metadata.json
+
+  final case class Snapshot(id: Long, parentId: Option[Long],
+                            sequenceNumber: Option[Long], timestampMs: Long,
+                            operation: Option[String], manifestList: String,
+                            schemaId: Option[Long])
+
+  final case class TableMeta(formatVersion: Int, uuid: String,
+                             location: String,
+                             currentSnapshotId: Option[Long],
+                             snapshots: Seq[Snapshot],
+                             metadataFile: String)
+
+  private type JObj = scala.collection.mutable.LinkedHashMap[String, Any]
+
+  private def jLong(v: Any): Option[Long] = v match {
+    case l: java.lang.Long => Some(l.longValue)
+    case _                 => None
+  }
+
+  /** Pick the current metadata file: `version-hint.text` when present
+    * (the Hadoop-tables convention), else the highest-versioned
+    * `vN.metadata.json` / `NNNNN-<uuid>.metadata.json` under
+    * `metadata/`.
+    */
+  def currentMetadataFile(spark: SparkSession, tableDir: String): String = {
+    val metaDir = new Path(tableDir, "metadata")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(metaDir, "version-hint.text")
+    if (fs.exists(hint)) {
+      val in = fs.open(hint)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+      val p = new Path(metaDir, s"v$txt.metadata.json")
+      if (fs.exists(p)) return fs.makeQualified(p).toString
+    }
+    val VName = "v([0-9]+)\\.metadata\\.json".r
+    val SeqName = "([0-9]+)-.*\\.metadata\\.json".r
+    val candidates =
+      if (!fs.exists(metaDir)) Nil
+      else fs.listStatus(metaDir).toSeq.filter(_.isFile).flatMap { st =>
+        st.getPath.getName match {
+          case VName(n)   => Some((n.toLong, st.getPath))
+          case SeqName(n) => Some((n.toLong, st.getPath))
+          case _          => None
+        }
+      }
+    if (candidates.isEmpty)
+      throw new IllegalArgumentException(
+        s"iceberg: no metadata json under $tableDir/metadata")
+    fs.makeQualified(candidates.maxBy(_._1)._2).toString
+  }
+
+  /** Parse the current (or an explicit) metadata.json. Fails loud on a
+    * malformed document — table metadata is the root of trust; guessing
+    * here would poison every downstream relation.
+    */
+  def readTableMeta(spark: SparkSession, tableDir: String,
+                    metadataFile: Option[String] = None): TableMeta = {
+    val file = metadataFile.getOrElse(currentMetadataFile(spark, tableDir))
+    val p = new Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    val root = Avro.parseJson(txt) match {
+      case Some(m: scala.collection.mutable.LinkedHashMap[_, _]) =>
+        m.asInstanceOf[JObj]
+      case _ => throw new IllegalArgumentException(
+        s"iceberg: $file is not a JSON object")
+    }
+    val fv = root.get("format-version").flatMap(jLong).map(_.toInt).getOrElse(
+      throw new IllegalArgumentException(s"iceberg: $file has no format-version"))
+    if (fv != 1 && fv != 2)
+      throw new IllegalArgumentException(s"iceberg: unsupported format-version $fv")
+    val snaps = root.get("snapshots") match {
+      case Some(a: scala.collection.mutable.ArrayBuffer[_]) =>
+        a.toSeq.map {
+          case sm: scala.collection.mutable.LinkedHashMap[_, _] =>
+            val s = sm.asInstanceOf[JObj]
+            val summary = s.get("summary") match {
+              case Some(su: scala.collection.mutable.LinkedHashMap[_, _]) =>
+                su.asInstanceOf[JObj]
+              case _ => scala.collection.mutable.LinkedHashMap.empty[String, Any]
+            }
+            Snapshot(
+              id = s.get("snapshot-id").flatMap(jLong).getOrElse(
+                throw new IllegalArgumentException("snapshot without snapshot-id")),
+              parentId = s.get("parent-snapshot-id").flatMap(jLong),
+              sequenceNumber = s.get("sequence-number").flatMap(jLong),
+              timestampMs = s.get("timestamp-ms").flatMap(jLong).getOrElse(0L),
+              operation = summary.get("operation").collect { case x: String => x },
+              manifestList = s.get("manifest-list").collect { case x: String => x }
+                .getOrElse(throw new IllegalArgumentException(
+                  "snapshot without manifest-list (v1 'manifests' inline lists are pre-spec)")),
+              schemaId = s.get("schema-id").flatMap(jLong))
+          case _ => throw new IllegalArgumentException("malformed snapshot entry")
+        }
+      case _ => Nil
+    }
+    TableMeta(
+      formatVersion = fv,
+      uuid = root.get("table-uuid").collect { case s: String => s }.getOrElse(""),
+      location = root.get("location").collect { case s: String => s }
+        .getOrElse(tableDir),
+      currentSnapshotId = root.get("current-snapshot-id").flatMap(jLong)
+        .filter(_ != -1L),
+      snapshots = snaps,
+      metadataFile = file)
+  }
+
+  /** Resolve a path from metadata (absolute URI, absolute path, or
+    * table-relative) against the table directory.
+    */
+  private def resolvePath(tableDir: String, p: String): String =
+    if (p.contains("://") || p.startsWith("/")) p
+    else new Path(tableDir, p).toString
+
+  // ----------------------------------------------------- avro decoding
+
+  private def readOcfFile(fs: org.apache.hadoop.fs.FileSystem,
+                          p: Path): Avro.OcfG = {
+    val len = fs.getFileStatus(p).getLen
+    require(len <= Int.MaxValue - 8,
+      s"iceberg: metadata avro $p is $len bytes — not a manifest")
+    val in = fs.open(p)
+    val bytes = try {
+      val buf = new Array[Byte](len.toInt)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+    Avro.readOcfGeneric(bytes).getOrElse(
+      throw new java.io.IOException(s"iceberg: $p is not a well-formed Avro OCF"))
+  }
+
+  private def asMap(v: Any): Map[String, Any] = v match {
+    case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+    case _            => Map.empty
+  }
+
+  private def mLong(m: Map[String, Any], keys: String*): Option[Long] =
+    keys.iterator.flatMap(m.get).collectFirst {
+      case l: Long => l
+      case i: Int  => i.toLong
+    }
+
+  private def mStr(m: Map[String, Any], keys: String*): Option[String] =
+    keys.iterator.flatMap(m.get).collectFirst { case s: String => s }
+
+  // -------------------------------------------------------- relations
+
+  val snapshotsSchema: StructType = StructType(Seq(
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("parent_id", LongType, nullable = true),
+    StructField("sequence_number", LongType, nullable = true),
+    StructField("timestamp_ms", LongType, nullable = false),
+    StructField("operation", StringType, nullable = true),
+    StructField("manifest_list", StringType, nullable = false),
+    StructField("is_current", BooleanType, nullable = false)))
+
+  /** One row per snapshot in the current metadata — the table's commit
+    * history, driver-side metadata only.
+    */
+  def snapshots(spark: SparkSession, tableDir: String): DataFrame = {
+    val tm = readTableMeta(spark, tableDir)
+    val rows = tm.snapshots.map { s =>
+      Row(s.id, s.parentId.map(Long.box).orNull,
+        s.sequenceNumber.map(Long.box).orNull, s.timestampMs,
+        s.operation.orNull, s.manifestList,
+        tm.currentSnapshotId.contains(s.id))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), snapshotsSchema)
+  }
+
+  val manifestsSchema: StructType = StructType(Seq(
+    StructField("manifest_path", StringType, nullable = false),
+    StructField("manifest_length", LongType, nullable = true),
+    StructField("partition_spec_id", IntegerType, nullable = true),
+    StructField("content", StringType, nullable = false), // data | deletes
+    StructField("added_snapshot_id", LongType, nullable = true),
+    StructField("n_added_files", LongType, nullable = true),
+    StructField("n_existing_files", LongType, nullable = true),
+    StructField("n_deleted_files", LongType, nullable = true),
+    StructField("added_rows", LongType, nullable = true),
+    StructField("existing_rows", LongType, nullable = true),
+    StructField("deleted_rows", LongType, nullable = true)))
+
+  private def chooseSnapshot(tm: TableMeta, snapshotId: Option[Long]): Snapshot = {
+    val want = snapshotId.orElse(tm.currentSnapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"iceberg: table has no current snapshot (${tm.metadataFile})"))
+    tm.snapshots.find(_.id == want).getOrElse(
+      throw new IllegalArgumentException(
+        s"iceberg: snapshot $want not in ${tm.metadataFile}"))
+  }
+
+  /** The chosen snapshot's manifest list, decoded: per-manifest counts
+    * the planner uses to prune whole manifests. Field names cover both
+    * v1 (`added_data_files_count`) and v2 (`added_files_count`)
+    * spellings.
+    */
+  def manifests(spark: SparkSession, tableDir: String,
+                snapshotId: Option[Long] = None): DataFrame = {
+    val tm = readTableMeta(spark, tableDir)
+    val snap = chooseSnapshot(tm, snapshotId)
+    val mlPath = new Path(resolvePath(tableDir, snap.manifestList))
+    val fs = mlPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ocf = readOcfFile(fs, mlPath)
+    val rows = ocf.rows.map(asMap).map { m =>
+      val contentCode = mLong(m, "content").getOrElse(0L)
+      Row(
+        mStr(m, "manifest_path").getOrElse(
+          throw new java.io.IOException("manifest_file row without manifest_path")),
+        mLong(m, "manifest_length").map(Long.box).orNull,
+        mLong(m, "partition_spec_id").map(l => Int.box(l.toInt)).orNull,
+        if (contentCode == 0L) "data" else "deletes",
+        mLong(m, "added_snapshot_id").map(Long.box).orNull,
+        mLong(m, "added_files_count", "added_data_files_count").map(Long.box).orNull,
+        mLong(m, "existing_files_count", "existing_data_files_count").map(Long.box).orNull,
+        mLong(m, "deleted_files_count", "deleted_data_files_count").map(Long.box).orNull,
+        mLong(m, "added_rows_count").map(Long.box).orNull,
+        mLong(m, "existing_rows_count").map(Long.box).orNull,
+        mLong(m, "deleted_rows_count").map(Long.box).orNull)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), manifestsSchema)
+  }
+
+  val entriesSchema: StructType = StructType(Seq(
+    StructField("manifest_path", StringType, nullable = false),
+    StructField("status", IntegerType, nullable = false), // 0 existing / 1 added / 2 deleted
+    StructField("snapshot_id", LongType, nullable = true),
+    StructField("content", StringType, nullable = false), // data | position_deletes | equality_deletes
+    StructField("file_path", StringType, nullable = false),
+    StructField("file_format", StringType, nullable = true),
+    StructField("partition", StringType, nullable = false),
+    StructField("record_count", LongType, nullable = true),
+    StructField("file_size", LongType, nullable = true)))
+
+  /** Every manifest entry of the chosen snapshot — the table's file-level
+    * truth. DISTRIBUTED: one task per manifest file; each task reads and
+    * decodes one nested-Avro manifest, never a data file.
+    */
+  def entries(spark: SparkSession, tableDir: String,
+              snapshotId: Option[Long] = None): DataFrame = {
+    val tm = readTableMeta(spark, tableDir)
+    val snap = chooseSnapshot(tm, snapshotId)
+    val mlPath = new Path(resolvePath(tableDir, snap.manifestList))
+    val fs = mlPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifestPaths = readOcfFile(fs, mlPath).rows.map(asMap)
+      .map(m => mStr(m, "manifest_path").getOrElse(
+        throw new java.io.IOException("manifest_file row without manifest_path")))
+      .map(resolvePath(tableDir, _))
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val slices = math.max(1, math.min(manifestPaths.length,
+      spark.sparkContext.defaultParallelism * 2))
+    val rows = spark.sparkContext.parallelize(manifestPaths, slices)
+      .mapPartitions { it =>
+        var pfs: org.apache.hadoop.fs.FileSystem = null
+        it.flatMap { mp =>
+          val p = new Path(mp)
+          if (pfs == null) pfs = p.getFileSystem(conf.value)
+          val ocf = readOcfFile(pfs, p)
+          ocf.rows.map(asMap).map { e =>
+            val df = asMap(e.getOrElse("data_file",
+              throw new java.io.IOException(s"manifest entry without data_file in $mp")))
+            val contentCode = mLong(df, "content").getOrElse(0L)
+            val partition = asMap(df.getOrElse("partition", Map.empty[String, Any]))
+              .toSeq.sortBy(_._1)
+              .map { case (k, v) => s"$k=${Option(v).map(_.toString).getOrElse("null")}" }
+              .mkString("/")
+            Row(
+              mp,
+              mLong(e, "status").getOrElse(
+                throw new java.io.IOException(s"manifest entry without status in $mp")).toInt,
+              mLong(e, "snapshot_id").map(Long.box).orNull,
+              contentCode match {
+                case 0L => "data"
+                case 1L => "position_deletes"
+                case _  => "equality_deletes"
+              },
+              mStr(df, "file_path").getOrElse(
+                throw new java.io.IOException(s"data_file without file_path in $mp")),
+              mStr(df, "file_format").map(_.toUpperCase(java.util.Locale.ROOT)).orNull,
+              partition,
+              mLong(df, "record_count").map(Long.box).orNull,
+              mLong(df, "file_size_in_bytes").map(Long.box).orNull)
+          }
+        }
+      }
+    spark.createDataFrame(rows, entriesSchema)
+  }
+
+  /** The snapshot's LIVE data-file set: entries with status existing(0)
+    * or added(1) — deleted(2) entries are the manifest's tombstones —
+    * restricted to data files (delete files tracked separately by
+    * [[entries]]). The Iceberg twin of [[DeltaLog.snapshot]].
+    */
+  def files(spark: SparkSession, tableDir: String,
+            snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    entries(spark, tableDir, snapshotId)
+      .where(col("status") =!= 2 && col("content") === "data")
+      .select("file_path", "file_format", "partition", "record_count",
+        "file_size", "snapshot_id")
+  }
+}

@@ -1,0 +1,234 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.Avro
+
+/** Iceberg metadata-audit door contract (see [[IcebergMeta]]): a
+  * hand-built spec-conformant table layout — metadata.json + version
+  * hint, manifest-list Avro, nested-Avro manifests — exercising
+  * snapshot history, manifest pruning stats, entry statuses
+  * (added/existing/deleted), v1 vs v2 count-field spellings, and
+  * delete-manifest surfacing. Our manifest fixtures are additionally
+  * cross-read through avro-java (the live validator) to pin that the
+  * layout is real Avro, not self-consistent invention.
+  */
+class IcebergSpec extends SparkSpec {
+
+  private val manifestEntrySchema =
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"]},
+      |{"name":"sequence_number","type":["null","long"]},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int"},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"partition","type":{"type":"record","name":"r102","fields":[
+      |    {"name":"p","type":["null","string"]}]}},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"value_counts","type":["null",{"type":"array",
+      |    "items":{"type":"record","name":"k119_v120","fields":[
+      |      {"name":"key","type":"int"},{"name":"value","type":"long"}]}}]}
+      |]}}]}""".stripMargin
+
+  private def manifestListSchema(v2: Boolean) = {
+    val counts =
+      if (v2)
+        """{"name":"added_files_count","type":"int"},
+          |{"name":"existing_files_count","type":"int"},
+          |{"name":"deleted_files_count","type":"int"},""".stripMargin
+      else
+        """{"name":"added_data_files_count","type":"int"},
+          |{"name":"existing_data_files_count","type":"int"},
+          |{"name":"deleted_data_files_count","type":"int"},""".stripMargin
+    s"""{"type":"record","name":"manifest_file","fields":[
+       |{"name":"manifest_path","type":"string"},
+       |{"name":"manifest_length","type":"long"},
+       |{"name":"partition_spec_id","type":"int"},
+       |${if (v2) """{"name":"content","type":"int"},""" else ""}
+       |{"name":"added_snapshot_id","type":"long"},
+       |$counts
+       |{"name":"added_rows_count","type":"long"},
+       |{"name":"existing_rows_count","type":"long"},
+       |{"name":"deleted_rows_count","type":"long"}]}""".stripMargin
+  }
+
+  private def entry(status: Int, snapId: Long, content: Int, path: String,
+                    part: String, recs: Long, size: Long): Map[String, Any] =
+    Map("status" -> status, "snapshot_id" -> snapId,
+      "sequence_number" -> null,
+      "data_file" -> Map[String, Any](
+        "content" -> content, "file_path" -> path, "file_format" -> "parquet",
+        "partition" -> Map[String, Any]("p" -> part),
+        "record_count" -> recs, "file_size_in_bytes" -> size,
+        "value_counts" -> Seq(Map[String, Any]("key" -> 1, "value" -> recs))))
+
+  private def manifestFileRow(v2: Boolean, path: String, len: Long,
+                              content: Int, snap: Long, added: Int,
+                              existing: Int, deleted: Int, addedRows: Long,
+                              existingRows: Long, deletedRows: Long): Map[String, Any] = {
+    val base = Map[String, Any]("manifest_path" -> path,
+      "manifest_length" -> len, "partition_spec_id" -> 0,
+      "added_snapshot_id" -> snap,
+      "added_rows_count" -> addedRows, "existing_rows_count" -> existingRows,
+      "deleted_rows_count" -> deletedRows)
+    val counts =
+      if (v2) Map[String, Any]("content" -> content,
+        "added_files_count" -> added, "existing_files_count" -> existing,
+        "deleted_files_count" -> deleted)
+      else Map[String, Any]("added_data_files_count" -> added,
+        "existing_data_files_count" -> existing,
+        "deleted_data_files_count" -> deleted)
+    base ++ counts
+  }
+
+  /** Two-snapshot v2 table: snap 1001 appends f1(p=a,100) f2(p=a,150)
+    * f3(p=b,200); snap 1002 rewrites — f2 deleted, f1/f3 existing, f4
+    * (p=b,300) added via a second manifest, plus a position-delete
+    * manifest carrying one delete file. version-hint picks v2.json.
+    */
+  private def buildTable(v2Names: Boolean): String = {
+    val dir = java.nio.file.Files.createTempDirectory("iceberg").toString
+    val meta = java.nio.file.Paths.get(dir, "metadata")
+    java.nio.file.Files.createDirectories(meta)
+    def write(name: String, bytes: Array[Byte]): java.nio.file.Path = {
+      val p = meta.resolve(name)
+      java.nio.file.Files.write(p, bytes)
+      p
+    }
+    val manifestMeta = Seq("schema" -> "{}", "partition-spec" -> "[]",
+      "format-version" -> "2")
+    val mA = write("mA.avro", Avro.renderOcfGeneric(manifestEntrySchema, Seq(
+      entry(1, 1001L, 0, s"$dir/data/p=a/f1.parquet", "a", 100, 1111),
+      entry(1, 1001L, 0, s"$dir/data/p=a/f2.parquet", "a", 150, 1222),
+      entry(1, 1001L, 0, s"$dir/data/p=b/f3.parquet", "b", 200, 1333)),
+      extraMeta = manifestMeta))
+    val mB = write("mB.avro", Avro.renderOcfGeneric(manifestEntrySchema, Seq(
+      entry(0, 1001L, 0, s"$dir/data/p=a/f1.parquet", "a", 100, 1111),
+      entry(2, 1002L, 0, s"$dir/data/p=a/f2.parquet", "a", 150, 1222),
+      entry(0, 1001L, 0, s"$dir/data/p=b/f3.parquet", "b", 200, 1333)),
+      extraMeta = manifestMeta))
+    val mC = write("mC.avro", Avro.renderOcfGeneric(manifestEntrySchema, Seq(
+      entry(1, 1002L, 0, s"$dir/data/p=b/f4.parquet", "b", 300, 1444)),
+      extraMeta = manifestMeta))
+    val mD = write("mD.avro", Avro.renderOcfGeneric(manifestEntrySchema, Seq(
+      entry(1, 1002L, 1, s"$dir/data/del-1.parquet", "b", 5, 99)),
+      extraMeta = manifestMeta))
+    val mls = manifestListSchema(v2Names)
+    def mlRow(p: java.nio.file.Path, content: Int, snap: Long, a: Int, e: Int,
+              d: Int, ar: Long, er: Long, dr: Long) =
+      manifestFileRow(v2Names, p.toString, java.nio.file.Files.size(p),
+        content, snap, a, e, d, ar, er, dr)
+    val ml1 = write("snap-1001.avro", Avro.renderOcfGeneric(mls, Seq(
+      mlRow(mA, 0, 1001L, 3, 0, 0, 450L, 0L, 0L))))
+    val ml2 = write("snap-1002.avro", Avro.renderOcfGeneric(mls, Seq(
+      mlRow(mB, 0, 1002L, 0, 2, 1, 0L, 300L, 150L),
+      mlRow(mC, 0, 1002L, 1, 0, 0, 300L, 0L, 0L),
+      mlRow(mD, 1, 1002L, 1, 0, 0, 5L, 0L, 0L))))
+    val json =
+      s"""{"format-version":2,"table-uuid":"0000-demo","location":"$dir",
+         |"last-sequence-number":2,"last-updated-ms":1700000000500,
+         |"current-snapshot-id":1002,
+         |"snapshots":[
+         |{"snapshot-id":1001,"sequence-number":1,"timestamp-ms":1700000000100,
+         | "summary":{"operation":"append"},"manifest-list":"$ml1","schema-id":0},
+         |{"snapshot-id":1002,"parent-snapshot-id":1001,"sequence-number":2,
+         | "timestamp-ms":1700000000200,"summary":{"operation":"overwrite"},
+         | "manifest-list":"$ml2","schema-id":0}]}""".stripMargin
+    write("v2.metadata.json", json.getBytes("UTF-8"))
+    // a stale v1 metadata that version-hint must NOT pick blindly, plus
+    // the hint selecting v2
+    write("v1.metadata.json",
+      json.replace(""""current-snapshot-id":1002""",
+        """"current-snapshot-id":1001""").getBytes("UTF-8"))
+    write("version-hint.text", "2".getBytes("UTF-8"))
+    dir
+  }
+
+  test("snapshots: history with is_current from version-hinted metadata") {
+    val dir = buildTable(v2Names = true)
+    val snaps = IcebergMeta.snapshots(spark, dir).orderBy("snapshot_id").collect()
+    assert(snaps.map(_.getLong(0)).toSeq === Seq(1001L, 1002L))
+    assert(snaps.map(_.getString(4)).toSeq === Seq("append", "overwrite"))
+    assert(snaps.map(_.getBoolean(6)).toSeq === Seq(false, true))
+    assert(snaps(1).getLong(1) === 1001L) // parent
+  }
+
+  test("manifests: per-manifest prune stats, data vs deletes content") {
+    val dir = buildTable(v2Names = true)
+    val m = IcebergMeta.manifests(spark, dir).orderBy("manifest_path").collect()
+    assert(m.length === 3)
+    val byName = m.map(r => r.getString(0).split('/').last -> r).toMap
+    assert(byName("mB.avro").getLong(6) === 2L) // existing
+    assert(byName("mB.avro").getLong(7) === 1L) // deleted
+    assert(byName("mC.avro").getLong(5) === 1L) // added
+    assert(byName("mD.avro").getString(3) === "deletes")
+    // time travel to 1001: one manifest, three added
+    val m1 = IcebergMeta.manifests(spark, dir, Some(1001L)).collect()
+    assert(m1.length === 1 && m1.head.getLong(5) === 3L)
+  }
+
+  test("files: live set excludes deleted entries and delete files; time travel") {
+    val dir = buildTable(v2Names = true)
+    def names(snapshotId: Option[Long]) =
+      IcebergMeta.files(spark, dir, snapshotId).orderBy("file_path")
+        .collect().map(_.getString(0).split('/').last).toSeq
+    assert(names(None) === Seq("f1.parquet", "f3.parquet", "f4.parquet"))
+    assert(names(Some(1001L)) === Seq("f1.parquet", "f2.parquet", "f3.parquet"))
+    val rows = IcebergMeta.files(spark, dir, None).collect()
+    val f4 = rows.find(_.getString(0).endsWith("f4.parquet")).get
+    assert(f4.getString(2) === "p=b" && f4.getLong(3) === 300L)
+    // delete files appear in entries (content=position_deletes), not files
+    val es = IcebergMeta.entries(spark, dir, None)
+    import org.apache.spark.sql.functions.col
+    assert(es.where(col("content") === "position_deletes").count() === 1L)
+    assert(es.count() === 5L) // 3 rewritten + 1 added + 1 delete-file
+  }
+
+  test("v1 count-field spellings resolve identically") {
+    val dir = buildTable(v2Names = false)
+    val m = IcebergMeta.manifests(spark, dir).orderBy("manifest_path").collect()
+    val byName = m.map(r => r.getString(0).split('/').last -> r).toMap
+    assert(byName("mB.avro").getLong(6) === 2L && byName("mB.avro").getLong(7) === 1L)
+    assert(byName("mC.avro").getLong(5) === 1L)
+    // v1 has no content field → everything reads as a data manifest
+    assert(m.forall(_.getString(3) === "data"))
+    def names(s: Option[Long]) = IcebergMeta.files(spark, dir, s)
+      .orderBy("file_path").collect().map(_.getString(0).split('/').last).toSeq
+    assert(names(None) === Seq("f1.parquet", "f3.parquet", "f4.parquet"))
+  }
+
+  test("our manifest fixtures are real Avro: avro-java cross-read") {
+    val dir = buildTable(v2Names = true)
+    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "metadata", "mB.avro"))
+    val r = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(bytes), new GenericDatumReader[GenericRecord]())
+    val entries = Iterator.continually(r).takeWhile(_.hasNext).map(_.next()).toVector
+    r.close()
+    assert(entries.length === 3)
+    val deleted = entries.find(_.get("status").toString == "2").get
+    val df = deleted.get("data_file").asInstanceOf[GenericRecord]
+    assert(df.get("file_path").toString.endsWith("f2.parquet"))
+    assert(df.get("record_count").asInstanceOf[Long] === 150L)
+  }
+
+  test("fails loud: no metadata, unknown snapshot, malformed manifest avro") {
+    val empty = java.nio.file.Files.createTempDirectory("icebergempty").toString
+    intercept[IllegalArgumentException](IcebergMeta.snapshots(spark, empty))
+    val dir = buildTable(v2Names = true)
+    intercept[IllegalArgumentException](
+      IcebergMeta.files(spark, dir, Some(9999L)).collect())
+    // corrupt a manifest: the distributed decode surfaces an IOException
+    val mB = java.nio.file.Paths.get(dir, "metadata", "mB.avro")
+    val b = java.nio.file.Files.readAllBytes(mB)
+    java.nio.file.Files.write(mB, b.take(b.length / 2))
+    val e = intercept[org.apache.spark.SparkException](
+      IcebergMeta.files(spark, dir).collect())
+    assert(e.getMessage.contains("Avro OCF") ||
+      Option(e.getCause).exists(_.getMessage.contains("Avro OCF")))
+  }
+}
