@@ -66,7 +66,23 @@ object ParquetFooter {
       encodings: Seq[Int], path: Seq[String], codec: Int, numValues: Long,
       totalUncompressed: Long, totalCompressed: Long, dataPageOffset: Long,
       indexPageOffset: Option[Long], dictPageOffset: Option[Long],
-      stats: Option[Stats])
+      stats: Option[Stats],
+      offsetIndexOffset: Option[Long] = None,
+      offsetIndexLength: Option[Int] = None,
+      columnIndexOffset: Option[Long] = None,
+      columnIndexLength: Option[Int] = None)
+
+  /** One page's entry in a chunk's ColumnIndex: writers record per-page
+    * min/max/null facts so readers can skip PAGES, not just row groups —
+    * the pruning grain that matters most at 100 TB.
+    */
+  final case class ColumnIndex(nullPages: Seq[Boolean],
+      minValues: Seq[Array[Byte]], maxValues: Seq[Array[Byte]],
+      boundaryOrder: Int, nullCounts: Option[Seq[Long]])
+
+  /** One page's location from a chunk's OffsetIndex. */
+  final case class PageLocation(offset: Long, compressedPageSize: Int,
+      firstRowIndex: Long)
 
   final case class RowGroup(columns: Seq[Chunk], totalByteSize: Long,
       numRows: Long, fileOffset: Option[Long],
@@ -268,7 +284,115 @@ object ParquetFooter {
     Some(out.toSeq)
   }
 
+  /** `list<bool>` (null_pages) — compact-protocol bool list elements are
+    * one byte each (1 = true, 2 = false).
+    */
+  private def readBoolList(r: R): Option[Seq[Boolean]] = {
+    val h = r.u8()
+    val et = h & 0x0f
+    var n = (h >>> 4) & 0x0f
+    if (n == 15) n = r.boundedSize()
+    if ((et != TTrue && et != TFalse) || n > r.end - r.pos) { r.fail(); return None }
+    val out = new scala.collection.mutable.ArrayBuffer[Boolean](n)
+    var i = 0
+    while (i < n && !r.bad) { out += (r.u8() == 1); i += 1 }
+    if (r.bad) None else Some(out.toSeq)
+  }
+
+  /** `list<binary>` (min_values / max_values). */
+  private def readBinaryList(r: R): Option[Seq[Array[Byte]]] = {
+    val h = r.u8()
+    val et = h & 0x0f
+    var n = (h >>> 4) & 0x0f
+    if (n == 15) n = r.boundedSize()
+    if (et != TBinary || n > r.end - r.pos) { r.fail(); return None }
+    val out = new scala.collection.mutable.ArrayBuffer[Array[Byte]](n)
+    var i = 0
+    while (i < n && !r.bad) { out += r.bytes(r.boundedSize()); i += 1 }
+    if (r.bad) None else Some(out.toSeq)
+  }
+
+  /** `list<i64>` (null_counts). */
+  private def readI64List(r: R): Option[Seq[Long]] = {
+    val h = r.u8()
+    val et = h & 0x0f
+    var n = (h >>> 4) & 0x0f
+    if (n == 15) n = r.boundedSize()
+    if (et != TI64 || n > r.end - r.pos) { r.fail(); return None }
+    val out = new scala.collection.mutable.ArrayBuffer[Long](n)
+    var i = 0
+    while (i < n && !r.bad) { out += r.zigzag(); i += 1 }
+    if (r.bad) None else Some(out.toSeq)
+  }
+
   // ------------------------------------------------------ struct readers
+
+  /** Parse one chunk's ColumnIndex byte range (located by the footer's
+    * column_index_offset/length). Malformed, or per-page lists of
+    * inconsistent lengths → None.
+    */
+  def parseColumnIndex(b: Array[Byte], off: Int, end: Int): Option[ColumnIndex] = {
+    if (off < 0 || end > b.length || off >= end) return None
+    val r = new R(b, off, end)
+    var nullPages: Option[Seq[Boolean]] = None
+    var minVals: Option[Seq[Array[Byte]]] = None
+    var maxVals: Option[Seq[Array[Byte]]] = None
+    var boundary = -1
+    var nullCounts: Option[Seq[Long]] = None
+    var failed = false
+    struct(r) {
+      case (1, TList) =>
+        nullPages = readBoolList(r); failed ||= nullPages.isEmpty; !failed
+      case (2, TList) =>
+        minVals = readBinaryList(r); failed ||= minVals.isEmpty; !failed
+      case (3, TList) =>
+        maxVals = readBinaryList(r); failed ||= maxVals.isEmpty; !failed
+      case (4, TI32) => boundary = r.zigzag().toInt; true
+      case (5, TList) =>
+        nullCounts = readI64List(r); failed ||= nullCounts.isEmpty; !failed
+      case _ => false
+    }
+    if (r.bad || failed || boundary < 0) return None
+    for {
+      np <- nullPages
+      mn <- minVals
+      mx <- maxVals
+      if mn.length == np.length && mx.length == np.length &&
+        nullCounts.forall(_.length == np.length)
+    } yield ColumnIndex(np, mn, mx, boundary, nullCounts)
+  }
+
+  private def readPageLocation(r: R): Option[PageLocation] = {
+    var off = -1L
+    var size = -1
+    var firstRow = -1L
+    struct(r) {
+      case (1, TI64) => off = r.zigzag(); true
+      case (2, TI32) => size = r.zigzag().toInt; true
+      case (3, TI64) => firstRow = r.zigzag(); true
+      case _         => false
+    }
+    if (r.bad || off < 0 || size < 0 || firstRow < 0) None
+    else Some(PageLocation(off, size, firstRow))
+  }
+
+  /** Parse one chunk's OffsetIndex byte range (located by the footer's
+    * offset_index_offset/length): the page locations.
+    */
+  def parseOffsetIndex(b: Array[Byte], off: Int, end: Int): Option[Seq[PageLocation]] = {
+    if (off < 0 || end > b.length || off >= end) return None
+    val r = new R(b, off, end)
+    var locs: Option[Seq[PageLocation]] = None
+    var failed = false
+    struct(r) {
+      case (1, TList) =>
+        locs = readStructList(r)(readPageLocation)
+        failed ||= locs.isEmpty
+        !failed
+      case _ => false
+    }
+    if (r.bad || failed) None else locs
+  }
 
   private def readStats(r: R): Option[Stats] = {
     var minDep: Option[Array[Byte]] = None
@@ -325,6 +449,10 @@ object ParquetFooter {
   private def readColumnChunk(r: R): Option[Chunk] = {
     var fileOffset: Option[Long] = None
     var meta: Option[Chunk] = None
+    var oiOff: Option[Long] = None
+    var oiLen: Option[Int] = None
+    var ciOff: Option[Long] = None
+    var ciLen: Option[Int] = None
     var failed = false
     struct(r) {
       case (2, TI64)    => fileOffset = Some(r.zigzag()); true
@@ -332,6 +460,10 @@ object ParquetFooter {
         meta = readColumnMeta(r)
         failed = meta.isEmpty
         !failed
+      case (4, TI64)    => oiOff = Some(r.zigzag()); true
+      case (5, TI32)    => oiLen = Some(r.zigzag().toInt); true
+      case (6, TI64)    => ciOff = Some(r.zigzag()); true
+      case (7, TI32)    => ciLen = Some(r.zigzag().toInt); true
       case _            => false
     }
     if (r.bad || failed) None
@@ -339,7 +471,9 @@ object ParquetFooter {
     // file_path + meta in the column index) is out of audit scope; the
     // flat self-contained layout every mainstream writer emits has the
     // inline meta_data struct
-    else meta.map(_.copy(fileOffset = fileOffset))
+    else meta.map(_.copy(fileOffset = fileOffset,
+      offsetIndexOffset = oiOff, offsetIndexLength = oiLen,
+      columnIndexOffset = ciOff, columnIndexLength = ciLen))
   }
 
   private def readRowGroup(r: R): Option[RowGroup] = {

@@ -144,6 +144,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)^\s*DESCRIBE\s+DELTA\s+AT\s+'([^']+)'(?:\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
   private val DeltaHistoryStmt =
     """(?is)^\s*DELTA\s+HISTORY\s+AT\s+'([^']+)'\s*;?\s*$""".r
+  //   DELTA SCHEMA AT '<table>' — column-mapping-aware schema report
+  //     (logical vs physical column names, mapping ids)
+  private val DeltaSchemaStmt =
+    """(?is)^\s*DELTA\s+SCHEMA\s+AT\s+'([^']+)'\s*;?\s*$""".r
   private val DescribeParquet =
     """(?is)^\s*DESCRIBE\s+PARQUET\s+AT\s+'([^']+)'\s*;?\s*$""".r
   //   DESCRIBE PARQUET PAGES AT '<path>' — per-PAGE locations and
@@ -277,6 +281,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         Option(asOfOpt).map(_.toLong)).queryExecution.logical
     case DeltaHistoryStmt(path) =>
       graft.sources.DeltaLog.history(session, path).queryExecution.logical
+    case DeltaSchemaStmt(path) =>
+      graft.sources.DeltaLog.schemaReport(session, path).queryExecution.logical
     case DescribeParquetPages(path) =>
       graft.sources.ParquetMeta.pages(session, path).queryExecution.logical
     case DescribeParquet(path) =>

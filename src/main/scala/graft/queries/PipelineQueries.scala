@@ -683,12 +683,13 @@ object PipelineQueries extends QuerySet {
         .orderBy("probe_id", "rnk")
     }),
 
-    // Occupancy report over the compacted q110 index — the skew monitor as
-    // a driver query. Rows-only (cells come from the KMeans fit, which SQL
-    // cannot replay), but the row itself carries its own hard checks: after
-    // compactIndex every cell must hold EXACTLY ONE file (compaction's
-    // contract), and assert_true fails the job if any n_files differs —
-    // so a compaction regression cannot hide behind the weaker check.
+    // Occupancy report over the compacted q110 index — the skew monitor
+    // as a driver query. The in-plan assert_true still fails the job if
+    // compaction ever leaves a cell with n_files != 1, and since the
+    // whole build is deterministic (bounded md5 sample, seeded KMeans),
+    // the full 16-cell occupancy is additionally VALUES-pinned in the
+    // oracle — a drifted fit or a lost cell can no longer hide behind a
+    // rows-only check.
     "q111_index_occupancy" -> ((s, dir) => {
       // same mtime-keyed path as q110; build+append+compact if needed
       // (self-reference resolves at run time, after the map is built)
@@ -3842,7 +3843,90 @@ object PipelineQueries extends QuerySet {
     "q264_sql_iceberg" -> ((s, dir) => {
       s.sql(s"DESCRIBE ICEBERG AT '${icebergOracleDir()}' SNAPSHOT 1001")
         .orderBy("file_path")
+    }),
+
+    // Parquet PAGE-index audit (ColumnIndex/OffsetIndex — the page-
+    // skipping grain that actually prunes at 100 TB) over a Spark-
+    // written multi-page fixture: per-page facts rolled up per column.
+    // The page-GRAIN layout (boundaries, counts) is writer-dependent,
+    // so the pins are the layout-INDEPENDENT invariants: multi-page-
+    // ness, page 0 at row 0, page_rows partitioning the file, and the
+    // per-page min/max/null facts aggregating back to the data truth.
+    // Exact page-grain values are pinned against parquet-java's
+    // ColumnIndex API in ParquetPageIndexSpec.
+    "q265_parquet_page_index" -> ((s, dir) => {
+      pageIndexRollup(
+        graft.sources.ParquetMeta.pages(s, pagesOracleFile(s)))
+    }),
+
+    // the statement twin: DESCRIBE PARQUET PAGES through GraftSqlParser,
+    // same relation, same roll-up, same pins
+    "q266_sql_parquet_pages" -> ((s, dir) => {
+      pageIndexRollup(
+        s.sql(s"DESCRIBE PARQUET PAGES AT '${pagesOracleFile(s)}'"))
+    }),
+
+    // Deletion vectors (Delta protocol): row-level deletes attached to
+    // a file WITHOUT rewriting it — the commit removes the plain add
+    // and re-adds the same path carrying a deletionVector descriptor.
+    // snapshot() reconciles by path as ever (the DV'd add wins) and
+    // reports dv_cardinality + live_records = numRecords - cardinality,
+    // the post-DV row count a reader actually serves. The oracle pins
+    // the post-DV live set verbatim.
+    "q267_delta_dv" -> ((s, dir) => {
+      graft.sources.DeltaLog.snapshot(s, deltaDvDir()).orderBy("path")
+    }),
+
+    // Column mapping (Delta protocol): under delta.columnMapping.mode =
+    // name, parquet files store stable col-<uuid> physical names so
+    // columns rename/drop without data rewrites; the schema report maps
+    // logical -> physical with the mapping ids.
+    "q268_delta_column_mapping" -> ((s, dir) => {
+      graft.sources.DeltaLog.schemaReport(s, deltaDvDir())
+        .orderBy("position")
+    }),
+
+    // the statement twin (q265/q266 shared-pin pattern)
+    "q269_sql_delta_schema" -> ((s, dir) => {
+      s.sql(s"DELTA SCHEMA AT '${deltaDvDir()}'").orderBy("position")
+    }),
+
+    // ZIP64 (q164's twin through the saturated-fields path): the same
+    // member set rendered with FORCED zip64 — 0xFFFFFFFF sentinels in
+    // every central entry resolved through the 0x0001 extended-info
+    // extra, EOCD64 record + locator for the directory itself. Local
+    // headers are unchanged by zip64, so the oracle re-derives every
+    // offset with the same stored-deflate arithmetic as q164
+    // (java.util.zip cross-reads the identical archive in
+    // ZipShardsSpec).
+    "q270_zip64_members" -> ((s, dir) => {
+      val f = fixture("zip64_oracle.zip") {
+        val members = (0 until 20).map { i =>
+          val payload = s"zip member $i " + "y" * ((i * 3) % 40)
+          (s"d${i % 3}/m$i.txt", i % 2 == 1, payload.getBytes("US-ASCII"))
+        }
+        graft.sources.ZipShards.render(members, zip64 = true)
+      }
+      graft.sources.ZipShards.read(s, f)
+        .select(col("ord"), col("name"), col("sample_key"), col("ext"),
+          col("method"), col("offset"), col("comp_size"), col("size"),
+          col("data").cast("string").as("payload_text"))
+        .orderBy("ord")
     }))
+
+  /** Shared q265/q266 roll-up: page-grain → per-column invariants. */
+  private def pageIndexRollup(pages: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    pages.groupBy("path_in_schema")
+      .agg(
+        (countDistinct("page") >= 2).as("multi_page"),
+        (min("first_row_index") === 0L).as("starts_at_zero"),
+        sum("page_rows").as("rows_covered"),
+        sum("null_count").as("nulls"),
+        min("min_long").as("min_long"), max("max_long").as("max_long"),
+        min("min_double").as("min_double"), max("max_double").as("max_double"),
+        min("min_string").as("min_string"), max("max_string").as("max_string"))
+      .orderBy("path_in_schema")
 
   /** The q251/q252 Delta-log fixture: four commits exercising every
     * reconciliation rule (see q251's comment), written once atomically
@@ -4071,6 +4155,91 @@ object PipelineQueries extends QuerySet {
     dir.toAbsolutePath.toString
   }
 
+  /** The q267/q268/q269 fixture: a Delta table using DELETION VECTORS
+    * and COLUMN MAPPING (reader 3 / writer 7 features). v0: protocol +
+    * column-mapped metaData + three adds (10/20/30 records); v1: a DV
+    * attach on part-00000 (the protocol shape — remove the plain add,
+    * re-add the same path carrying the DV descriptor, cardinality 4);
+    * v2: remove part-00001. Post-DV live set: part-00000 serves 6 of
+    * its 10 rows, part-00002 all 30.
+    */
+  private def deltaDvDir(): String = {
+    val dir = java.nio.file.Paths.get("target", "fixtures", "delta_dv")
+    val log = dir.resolve("_delta_log")
+    java.nio.file.Files.createDirectories(log)
+    val schemaString =
+      """{\"type\":\"struct\",\"fields\":[""" +
+        """{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.columnMapping.id\":1,\"delta.columnMapping.physicalName\":\"col-aaaa\"}},""" +
+        """{\"name\":\"txt\",\"type\":\"string\",\"nullable\":true,\"metadata\":{\"delta.columnMapping.id\":2,\"delta.columnMapping.physicalName\":\"col-bbbb\"}},""" +
+        """{\"name\":\"src\",\"type\":\"string\",\"nullable\":false,\"metadata\":{\"delta.columnMapping.id\":3,\"delta.columnMapping.physicalName\":\"col-cccc\"}}]}"""
+    val meta =
+      s"""{"metaData":{"id":"t-dv01","schemaString":"$schemaString",""" +
+        """"partitionColumns":["src"],""" +
+        """"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3","delta.enableDeletionVectors":"true"},""" +
+        """"createdTime":1700000000000}}"""
+    val proto =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors","columnMapping"],""" +
+        """"writerFeatures":["deletionVectors","columnMapping"]}}"""
+    def dvAdd(path: String, size: Long, recs: Long, src: String,
+              cardinality: Long): String =
+      s"""{"add":{"path":"$path","partitionValues":{"src":"$src"},"size":$size,""" +
+        s""""modificationTime":${1700000000000L + size},"dataChange":true,""" +
+        s""""stats":"{\\"numRecords\\":$recs}",""" +
+        s""""deletionVector":{"storageType":"u","pathOrInlineDv":"ab^-aYcn(",""" +
+        s""""offset":1,"sizeInBytes":36,"cardinality":$cardinality}}}"""
+    writeCommit(log, 0L, Seq(proto, meta,
+      """{"commitInfo":{"timestamp":1700000000001,"operation":"WRITE"}}""",
+      deltaAdd("part-00000", 500, 10, "s0"),
+      deltaAdd("part-00001", 600, 20, "s1"),
+      deltaAdd("part-00002", 700, 30, "s0")))
+    writeCommit(log, 1L, Seq(
+      """{"commitInfo":{"timestamp":1700000000002,"operation":"DELETE"}}""",
+      deltaRemove("part-00000"),
+      dvAdd("part-00000", 500, 10, "s0", 4)))
+    writeCommit(log, 2L, Seq(
+      """{"commitInfo":{"timestamp":1700000000003,"operation":"DELETE"}}""",
+      deltaRemove("part-00001")))
+    dir.toAbsolutePath.toString
+  }
+
+  /** The q265/q266 page-index fixture: one Spark-written parquet file
+    * with a small page size so every column spans many pages (Spark's
+    * parquet-java writer emits ColumnIndex/OffsetIndex by default —
+    * the harness pyarrow testdata does not). Data formulas: k_long =
+    * id in [0, 20000), k_double = id*1.5, k_str = 's%06d', k_nullable
+    * = id when id%3=0 else NULL — every oracle pin derives from these.
+    * Written once atomically (tmp dir + rename to a stable name).
+    */
+  private def pagesOracleFile(s: org.apache.spark.sql.SparkSession): String = {
+    val dir = java.nio.file.Paths.get("target", "fixtures", "pages_oracle")
+    java.nio.file.Files.createDirectories(dir)
+    val f = dir.resolve("data.parquet")
+    if (!java.nio.file.Files.exists(f)) {
+      val tmpOut = java.nio.file.Files.createTempDirectory(dir, ".build").toString
+      s.range(20000L).selectExpr(
+          "id AS k_long",
+          // 1.5D: the bare literal 1.5 is a DECIMAL in Spark SQL and
+          // would store as FIXED_LEN_BYTE_ARRAY, not DOUBLE
+          "id * 1.5D AS k_double",
+          "concat('s', lpad(CAST(id AS STRING), 6, '0')) AS k_str",
+          "CASE WHEN id % 3 = 0 THEN id END AS k_nullable")
+        .coalesce(1).write.mode("overwrite")
+        .option("parquet.page.size", "2048")
+        .option("parquet.page.row.count.limit", "500")
+        .parquet(tmpOut)
+      val part = new java.io.File(tmpOut).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      try java.nio.file.Files.move(part, f,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmpOut)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists)
+    }
+    f.toAbsolutePath.toString
+  }
+
   /** The q242/q244 notebook fixture set: 40 generated notebooks covering
     * both nbformat generations and both source shapes (see q242's
     * comment); written once, atomically, under target/fixtures.
@@ -4110,11 +4279,13 @@ object PipelineQueries extends QuerySet {
   private val DeltaLiveSetOracle: String =
     """SELECT * FROM (VALUES
       |  ('part-00000', CAST(2222 AS BIGINT), CAST(1700000002222 AS BIGINT),
-      |     CAST(222 AS BIGINT), 'src=s0', CAST(3 AS BIGINT)),
-      |  ('part-00001', 9999, 1700000009999, 555, 'src=s1', 2),
-      |  ('part-00003', 1051, 1700000001051, 103, 'src=s1', 1),
-      |  ('part-00004', 1085, 1700000001085, 105, 'src=s1', 3))
-      |AS t(path, size, mod_time, num_records, "partition", version_added)
+      |     CAST(222 AS BIGINT), 'src=s0', CAST(3 AS BIGINT),
+      |     CAST(NULL AS BIGINT), CAST(222 AS BIGINT)),
+      |  ('part-00001', 9999, 1700000009999, 555, 'src=s1', 2, NULL, 555),
+      |  ('part-00003', 1051, 1700000001051, 103, 'src=s1', 1, NULL, 103),
+      |  ('part-00004', 1085, 1700000001085, 105, 'src=s1', 3, NULL, 105))
+      |AS t(path, size, mod_time, num_records, "partition", version_added,
+      |     dv_cardinality, live_records)
       |ORDER BY path""".stripMargin
 
   /** q245/q257 shared oracle: DuckDB parquet_metadata() over the same
@@ -4141,6 +4312,39 @@ object PipelineQueries extends QuerySet {
         |  CASE WHEN type = 'BYTE_ARRAY' THEN stats_max_value END AS max_string
         |FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
         |ORDER BY rg, col_id""".stripMargin
+
+  /** q265/q266 shared oracle (see the map entries for the derivation).
+    * min_double pins -0.0, not 0.0: parquet writers sign-normalize
+    * float/double page+chunk minima (+0.0 → -0.0, PARQUET-1222) so a
+    * reader comparing with IEEE semantics never mis-skips; the pin
+    * makes that wire-level fact explicit.
+    */
+  private val ParquetPageIndexOracle: String =
+    """SELECT * FROM (VALUES
+      |  ('k_double', TRUE, TRUE, CAST(20000 AS BIGINT), CAST(0 AS BIGINT),
+      |     CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |     CAST('-0.0' AS DOUBLE), CAST(29998.5 AS DOUBLE),
+      |     CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+      |  ('k_long', TRUE, TRUE, 20000, 0, 0, 19999, NULL, NULL, NULL, NULL),
+      |  ('k_nullable', TRUE, TRUE, 20000, 13333, 0, 19998, NULL, NULL, NULL, NULL),
+      |  ('k_str', TRUE, TRUE, 20000, 0, NULL, NULL, NULL, NULL,
+      |     's000000', 's019999'))
+      |AS t(path_in_schema, multi_page, starts_at_zero, rows_covered, nulls,
+      |     min_long, max_long, min_double, max_double, min_string, max_string)
+      |ORDER BY path_in_schema""".stripMargin
+
+  /** q268/q269 shared oracle: the column-mapped fixture schema verbatim
+    * (logical name → stable physical col-<uuid> name + mapping id).
+    */
+  private val DeltaSchemaReportOracle: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(0 AS INT), 'id', 'col-aaaa', CAST(1 AS BIGINT), 'bigint',
+      |     TRUE, FALSE, 'name'),
+      |  (1, 'txt', 'col-bbbb', 2, 'string', TRUE, FALSE, 'name'),
+      |  (2, 'src', 'col-cccc', 3, 'string', FALSE, TRUE, 'name'))
+      |AS t(position, name, physical_name, col_id, type, nullable,
+      |     is_partition, mapping_mode)
+      |ORDER BY position""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // every notebook cell re-derived from the generator formulas — the
@@ -4186,10 +4390,12 @@ object PipelineQueries extends QuerySet {
     "q256_sql_delta" ->
       """SELECT * FROM (VALUES
         |  ('part-00000', CAST(1000 AS BIGINT), CAST(1700000001000 AS BIGINT),
-        |     CAST(100 AS BIGINT), 'src=s0', CAST(0 AS BIGINT)),
-        |  ('part-00001', 9999, 1700000009999, 555, 'src=s1', 2),
-        |  ('part-00003', 1051, 1700000001051, 103, 'src=s1', 1))
-        |AS t(path, size, mod_time, num_records, "partition", version_added)
+        |     CAST(100 AS BIGINT), 'src=s0', CAST(0 AS BIGINT),
+        |     CAST(NULL AS BIGINT), CAST(100 AS BIGINT)),
+        |  ('part-00001', 9999, 1700000009999, 555, 'src=s1', 2, NULL, 555),
+        |  ('part-00003', 1051, 1700000001051, 103, 'src=s1', 1, NULL, 103))
+        |AS t(path, size, mod_time, num_records, "partition", version_added,
+        |     dv_cardinality, live_records)
         |ORDER BY path""".stripMargin,
     // the live set pinned verbatim from the four-commit scenario
     // (sizes/mod-times/records are the fixture formulas: mod_time =
@@ -4202,11 +4408,13 @@ object PipelineQueries extends QuerySet {
     "q258_delta_checkpoint" ->
       """SELECT * FROM (VALUES
         |  ('part-00000', CAST(2222 AS BIGINT), CAST(1700000002222 AS BIGINT),
-        |     CAST(222 AS BIGINT), 'src=s0', CAST(3 AS BIGINT)),
-        |  ('part-00001', 9999, 1700000009999, 555, 'src=s1', 2),
-        |  ('part-00003', 1051, 1700000001051, 103, 'src=s1', 2),
-        |  ('part-00004', 1085, 1700000001085, 105, 'src=s1', 3))
-        |AS t(path, size, mod_time, num_records, "partition", version_added)
+        |     CAST(222 AS BIGINT), 'src=s0', CAST(3 AS BIGINT),
+        |     CAST(NULL AS BIGINT), CAST(222 AS BIGINT)),
+        |  ('part-00001', 9999, 1700000009999, 555, 'src=s1', 2, NULL, 555),
+        |  ('part-00003', 1051, 1700000001051, 103, 'src=s1', 2, NULL, 103),
+        |  ('part-00004', 1085, 1700000001085, 105, 'src=s1', 3, NULL, 105))
+        |AS t(path, size, mod_time, num_records, "partition", version_added,
+        |     dv_cardinality, live_records)
         |ORDER BY path""".stripMargin,
     // Iceberg fixture pins: every value restated from the hand-built
     // scenario (table-relative paths keep the pins CWD-independent).
@@ -4262,6 +4470,61 @@ object PipelineQueries extends QuerySet {
         |AS t(file_path, file_format, "partition", record_count, file_size,
         |     snapshot_id)
         |ORDER BY file_path""".stripMargin,
+    // q265/q266 shared pins: layout-independent page-index invariants,
+    // every number derived from the fixture formulas (20000 rows,
+    // k_double = id*1.5 → max 29998.5; k_nullable non-null on id%3=0 →
+    // 6667 values, 13333 nulls)
+    "q265_parquet_page_index" -> ParquetPageIndexOracle,
+    "q266_sql_parquet_pages" -> ParquetPageIndexOracle,
+    // the deterministic 16-cell compacted-index occupancy verbatim
+    // (bounded md5 sample + seeded KMeans make the build replayable;
+    // share = round(n_rows/500, 4) and n/500 is exact at 4 dp)
+    "q111_index_occupancy" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS INT), CAST(29 AS BIGINT), CAST(1 AS INT), 29/500.0),
+        |  (1, 37, 1, 37/500.0),  (2, 30, 1, 30/500.0),
+        |  (3, 38, 1, 38/500.0),  (4, 23, 1, 23/500.0),
+        |  (5, 37, 1, 37/500.0),  (6, 43, 1, 43/500.0),
+        |  (7, 17, 1, 17/500.0),  (8, 35, 1, 35/500.0),
+        |  (9, 40, 1, 40/500.0),  (10, 27, 1, 27/500.0),
+        |  (11, 26, 1, 26/500.0), (12, 29, 1, 29/500.0),
+        |  (13, 32, 1, 32/500.0), (14, 21, 1, 21/500.0),
+        |  (15, 36, 1, 36/500.0))
+        |AS t(cell, n_rows, n_files, share)
+        |ORDER BY cell""".stripMargin,
+    // the post-DV live set verbatim from the fixture scenario:
+    // part-00000 carries a cardinality-4 deletion vector over its 10
+    // rows (serves 6), part-00001 is tombstoned, part-00002 untouched
+    "q267_delta_dv" ->
+      """SELECT * FROM (VALUES
+        |  ('part-00000', CAST(500 AS BIGINT), CAST(1700000000500 AS BIGINT),
+        |     CAST(10 AS BIGINT), 'src=s0', CAST(1 AS BIGINT),
+        |     CAST(4 AS BIGINT), CAST(6 AS BIGINT)),
+        |  ('part-00002', 700, 1700000000700, 30, 'src=s0', 0, NULL, 30))
+        |AS t(path, size, mod_time, num_records, "partition", version_added,
+        |     dv_cardinality, live_records)
+        |ORDER BY path""".stripMargin,
+    "q268_delta_column_mapping" -> DeltaSchemaReportOracle,
+    "q269_sql_delta_schema" -> DeltaSchemaReportOracle,
+    // q164's arithmetic restated without the leading directory entry
+    // (offsets start at 0); zip64 changes only the central directory,
+    // never the local-record layout the offsets measure
+    "q270_zip64_members" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 19)) AS i),
+        |d AS (SELECT i,
+        |  'zip member ' || i || ' ' || repeat('y', (i * 3) % 40) AS payload,
+        |  'd' || (i % 3) || '/m' || i || '.txt' AS name,
+        |  CASE WHEN i % 2 = 1 THEN 8 ELSE 0 END AS method FROM r),
+        |e AS (SELECT *, length(payload) AS L, length(name) AS nlen,
+        |  CASE WHEN method = 8 THEN length(payload) + 5
+        |       ELSE length(payload) END AS clen FROM d)
+        |SELECT CAST(i AS BIGINT) AS ord, name,
+        |  'm' || i AS sample_key, 'txt' AS ext, CAST(method AS INT) AS method,
+        |  CAST(COALESCE(SUM(30 + nlen + clen) OVER (ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+        |  CAST(clen AS BIGINT) AS comp_size, CAST(L AS BIGINT) AS size,
+        |  payload AS payload_text
+        |FROM e ORDER BY ord""".stripMargin,
     // per-version commit facts restated from the scenario formulas
     "q254_delta_history" ->
       """SELECT * FROM (VALUES

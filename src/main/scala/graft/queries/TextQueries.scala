@@ -90,12 +90,12 @@ object TextQueries extends QuerySet {
     sb ++= prefix
     for (i <- 0 until numMerges) {
       sb ++= s""",
-                |pf$i AS (SELECT a, b, CAST(SUM(f) AS BIGINT) AS pf FROM (
+                |pf$i AS MATERIALIZED (SELECT a, b, CAST(SUM(f) AS BIGINT) AS pf FROM (
                 |  SELECT syms[i] AS a, syms[i + 1] AS b, f FROM (
                 |    SELECT e.syms, s.f, unnest(generate_series(1, len(e.syms) - 1)) AS i
                 |    FROM enc$i e JOIN sw s USING (w) WHERE len(e.syms) >= 2)) GROUP BY a, b),
                 |best$i AS (SELECT a, b FROM pf$i ORDER BY pf DESC, a, b LIMIT 1),
-                |enc${i + 1} AS (SELECT e.w, CASE WHEN len(e.syms) < 2 THEN e.syms ELSE
+                |enc${i + 1} AS MATERIALIZED (SELECT e.w, CASE WHEN len(e.syms) < 2 THEN e.syms ELSE
                 |    list_reduce(list_transform(e.syms, s -> [s]),
                 |      (acc, x) -> CASE WHEN acc[len(acc)] = b.a AND x[1] = b.b
                 |                  THEN list_concat(acc[1:len(acc) - 1], [b.a || b.b])
@@ -508,10 +508,11 @@ object TextQueries extends QuerySet {
     // LEARNED subword tokenization: 50 BPE merges fit driver-side on the
     // bounded deterministic sample (the codebook-fit pattern), applied
     // corpus-wide by the native graft_bpe_encode kernel — one narrow pass,
-    // merge table a single plan literal. Rows-only: the learned merges are
-    // the output of an iterative algorithm SQL cannot replay; the apply
-    // machinery is hash-oracled by q106's zero-merge mode and the learner
-    // by BpeSpec's hand-computed merges.
+    // merge table a single plan literal. Hash-oracled: the DuckDB oracle
+    // replays the FULL 50-merge learner (the q108 chained-CTE machinery,
+    // parameterized to the served merge count) over the identical md5
+    // sample, then re-encodes the corpus — the served config itself is
+    // now exact, not just its q108 low-merge twin.
     "q105_bpe_tokens" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val merges = graft.operators.Bpe.learn(docs, "text", "doc_id", numMerges = 50)
@@ -1336,6 +1337,9 @@ object TextQueries extends QuerySet {
       """SELECT doc_id, CAST(length(replace(text, ' ', '')) AS INT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q108_bpe_learned_oracle" -> bpeOracleSql(BpeOracleMerges, maxSample = 20000),
+    // the SERVED 50-merge config replayed end to end — the same learner
+    // CTE machinery as q108, parameterized to the production merge count
+    "q105_bpe_tokens" -> bpeOracleSql(50, maxSample = 20000),
     "q217_bpe_bytes_learned" -> bpeBytesOracleSql(BpeOracleMerges, maxSample = 20000),
     // hand-derived WordPiece expectations per fixture word (the honest
     // human oracle: each row is verifiable by eye against the vocab)

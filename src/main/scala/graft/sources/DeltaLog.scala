@@ -50,6 +50,20 @@ object DeltaLog {
   /** Typed action schema for `from_json` — the audit subset of
     * PROTOCOL.md's action definitions.
     */
+  /** Deletion-vector descriptor per PROTOCOL.md: row-level deletes an
+    * `add` carries without rewriting the data file. For the audit
+    * relations the CARDINALITY is the load-bearing field — live rows =
+    * numRecords - cardinality; the bitmap itself (storageType u/i/p +
+    * pathOrInlineDv) is located, not applied (audit door, not a table
+    * reader).
+    */
+  private val dvSchema: StructType = StructType(Seq(
+    StructField("storageType", StringType),
+    StructField("pathOrInlineDv", StringType),
+    StructField("offset", IntegerType),
+    StructField("sizeInBytes", IntegerType),
+    StructField("cardinality", LongType)))
+
   val actionSchema: StructType = StructType(Seq(
     StructField("add", StructType(Seq(
       StructField("path", StringType),
@@ -57,15 +71,18 @@ object DeltaLog {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType)))),
+      StructField("stats", StringType),
+      StructField("deletionVector", dvSchema)))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
-      StructField("dataChange", BooleanType)))),
+      StructField("dataChange", BooleanType),
+      StructField("deletionVector", dvSchema)))),
     StructField("metaData", StructType(Seq(
       StructField("id", StringType),
       StructField("schemaString", StringType),
       StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
       StructField("createdTime", LongType)))),
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
@@ -240,10 +257,15 @@ object DeltaLog {
         col("a.commitInfo").as("commitInfo"))
 
   /** The live file set at `asOf` (or the latest version): action
-    * reconciliation — last file action per path wins. Columns: `path`,
-    * `size`, `mod_time`, `num_records` (from the add's `stats` JSON,
-    * NULL when absent), `partition` (sorted `k=v` pairs, '' when
-    * unpartitioned), `version_added`.
+    * reconciliation — last file action per path wins (a later add with
+    * a deletionVector REPLACES the plain add of the same path, the
+    * protocol's DV attach). Columns: `path`, `size`, `mod_time`,
+    * `num_records` (from the add's `stats` JSON, NULL when absent),
+    * `partition` (sorted `k=v` pairs, '' when unpartitioned),
+    * `version_added`, `dv_cardinality` (rows deleted by the file's
+    * deletion vector, NULL when none), `live_records` (num_records
+    * minus the DV's cardinality — the post-DV row count a reader
+    * actually serves).
     */
   def snapshot(spark: SparkSession, tableDir: String,
                asOf: Option[Long] = None): DataFrame = {
@@ -262,12 +284,16 @@ object DeltaLog {
             coalesce(col("add.partitionValues"),
               map().cast("map<string,string>"))),
           e => concat(e.getField("key"), lit("="), e.getField("value")))), "/")
-          .as("partition"))
+          .as("partition"),
+        col("add.deletionVector.cardinality").as("dv_cardinality"))
     val w = Window.partitionBy("path")
       .orderBy(col("version").desc, col("ordinal").desc)
     fileActs.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1 && col("is_add"))
-      .select("path", "size", "mod_time", "num_records", "partition", "version")
+      .withColumn("live_records",
+        col("num_records") - coalesce(col("dv_cardinality"), lit(0L)))
+      .select("path", "size", "mod_time", "num_records", "partition",
+        "version", "dv_cardinality", "live_records")
       .withColumnRenamed("version", "version_added")
   }
 
@@ -294,6 +320,56 @@ object DeltaLog {
         max(col("metaData.id").isNotNull).as("has_metadata"),
         max(col("protocol.minReaderVersion").isNotNull).as("has_protocol"))
       .orderBy("version")
+  }
+
+  /** Column-mapping-aware schema report at `asOf`: one row per top-
+    * level column with its LOGICAL name (what queries use), PHYSICAL
+    * name (what the parquet files store — differs under
+    * `delta.columnMapping.mode` = name/id, where files carry stable
+    * `col-<uuid>` names so columns can be renamed/dropped without
+    * rewriting data), the mapping id, type, nullability and partition
+    * membership. Without column mapping the physical name IS the
+    * logical name and the id is NULL.
+    */
+  def schemaReport(spark: SparkSession, tableDir: String,
+                   asOf: Option[Long] = None): DataFrame = {
+    val acts = actions(spark, tableDir, asOf)
+    val lastMeta = acts.where(col("metaData.schemaString").isNotNull)
+      .orderBy(col("version").desc, col("ordinal").desc)
+      .select("metaData.schemaString", "metaData.partitionColumns",
+        "metaData.configuration")
+      .limit(1).collect().headOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"deltalog: no metaData action under $tableDir"))
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(lastMeta.getString(0)).asInstanceOf[StructType]
+    val partCols = Option(lastMeta.getSeq[String](1)).getOrElse(Seq.empty).toSet
+    val mode = Option(lastMeta.getMap[String, String](2))
+      .flatMap(_.get("delta.columnMapping.mode")).getOrElse("none")
+    val rows = schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      val physical =
+        if (mode == "none") f.name
+        else if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName")
+        else f.name
+      val colId =
+        if (f.metadata.contains("delta.columnMapping.id"))
+          Long.box(f.metadata.getLong("delta.columnMapping.id"))
+        else null
+      org.apache.spark.sql.Row(i, f.name, physical, colId,
+        f.dataType.simpleString, f.nullable, partCols.contains(f.name), mode)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("position", IntegerType, nullable = false),
+        StructField("name", StringType, nullable = false),
+        StructField("physical_name", StringType, nullable = false),
+        StructField("col_id", LongType, nullable = true),
+        StructField("type", StringType, nullable = false),
+        StructField("nullable", BooleanType, nullable = false),
+        StructField("is_partition", BooleanType, nullable = false),
+        StructField("mapping_mode", StringType, nullable = false))))
   }
 
   /** Latest-wins table metadata at `asOf`: (schemaString,

@@ -122,6 +122,105 @@ object ParquetMeta {
     spark.createDataFrame(rows, filesSchema)
   }
 
+  val pagesSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("rg", IntegerType, nullable = false),
+    StructField("col_id", IntegerType, nullable = false),
+    StructField("path_in_schema", StringType, nullable = false),
+    StructField("physical_type", StringType, nullable = false),
+    StructField("page", IntegerType, nullable = false),
+    StructField("page_offset", LongType, nullable = false),
+    StructField("compressed_page_size", IntegerType, nullable = false),
+    StructField("first_row_index", LongType, nullable = false),
+    StructField("page_rows", LongType, nullable = false),
+    StructField("null_page", BooleanType, nullable = false),
+    StructField("null_count", LongType, nullable = true),
+    StructField("min_long", LongType, nullable = true),
+    StructField("max_long", LongType, nullable = true),
+    StructField("min_double", DoubleType, nullable = true),
+    StructField("max_double", DoubleType, nullable = true),
+    StructField("min_string", StringType, nullable = true),
+    StructField("max_string", StringType, nullable = true)))
+
+  /** One row per PAGE from the ColumnIndex/OffsetIndex structures —
+    * the page-skipping audit: per-page min/max/null facts and locations
+    * writers record so readers can prune pages, not just row groups
+    * (the grain that actually matters at 100 TB). Chunks written
+    * without a page index (pre-2.5 writers, pyarrow default) simply
+    * contribute no rows. Still metadata-cost: the indexes live in a
+    * small region between the data and the footer; one task per file
+    * reads the footer plus that region, never a data page.
+    */
+  def pages(spark: SparkSession, path: String): DataFrame = {
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val paths = listParquet(spark, path)
+    val slices = math.max(1, math.min(paths.length, spark.sparkContext.defaultParallelism * 2))
+    val rows = spark.sparkContext.parallelize(paths, slices).mapPartitions { it =>
+      var fs: org.apache.hadoop.fs.FileSystem = null
+      it.flatMap { s =>
+        val p = new Path(s)
+        if (fs == null) fs = p.getFileSystem(conf.value)
+        readFooter(fs, p) match {
+          case None    => Iterator.empty
+          case Some(m) =>
+            // one bounded read covering every chunk's two index ranges
+            val ranges = for {
+              rg <- m.rowGroups
+              c  <- rg.columns
+              ciOff <- c.columnIndexOffset; ciLen <- c.columnIndexLength
+              oiOff <- c.offsetIndexOffset; oiLen <- c.offsetIndexLength
+            } yield (ciOff, ciOff + ciLen, oiOff, oiOff + oiLen)
+            if (ranges.isEmpty) Iterator.empty
+            else {
+              val lo = ranges.map(r => math.min(r._1, r._3)).min
+              val hi = ranges.map(r => math.max(r._2, r._4)).max
+              val span = hi - lo
+              if (lo < 0 || span <= 0 || span > ParquetFooter.MaxFooterBytes)
+                Iterator.empty
+              else {
+                val buf = new Array[Byte](span.toInt)
+                val in = fs.open(p)
+                try in.readFully(lo, buf) finally in.close()
+                for {
+                  (rg, rgi) <- m.rowGroups.iterator.zipWithIndex
+                  (c, ci)   <- rg.columns.iterator.zipWithIndex
+                  ciOff <- c.columnIndexOffset.iterator; ciLen <- c.columnIndexLength.iterator
+                  oiOff <- c.offsetIndexOffset.iterator; oiLen <- c.offsetIndexLength.iterator
+                  colIdx <- ParquetFooter.parseColumnIndex(buf,
+                    (ciOff - lo).toInt, (ciOff - lo + ciLen).toInt).iterator
+                  locs <- ParquetFooter.parseOffsetIndex(buf,
+                    (oiOff - lo).toInt, (oiOff - lo + oiLen).toInt).iterator
+                  if locs.length == colIdx.nullPages.length
+                  (loc, pi) <- locs.iterator.zipWithIndex
+                } yield {
+                  val nextFirst =
+                    if (pi + 1 < locs.length) locs(pi + 1).firstRowIndex else rg.numRows
+                  val isNullPage = colIdx.nullPages(pi)
+                  // a null page carries EMPTY min/max byte strings — never
+                  // decode them as values
+                  def dec[A](pick: Seq[Array[Byte]],
+                             f: Array[Byte] => Option[A]): Option[A] =
+                    if (isNullPage) None else f(pick(pi))
+                  Row(s, rgi, ci, c.path.mkString("."),
+                    ParquetFooter.typeName(c.typ), pi,
+                    loc.offset, loc.compressedPageSize, loc.firstRowIndex,
+                    nextFirst - loc.firstRowIndex, isNullPage,
+                    colIdx.nullCounts.map(nc => Long.box(nc(pi))).orNull,
+                    dec(colIdx.minValues, ParquetFooter.statLong(_, c.typ)).map(Long.box).orNull,
+                    dec(colIdx.maxValues, ParquetFooter.statLong(_, c.typ)).map(Long.box).orNull,
+                    dec(colIdx.minValues, ParquetFooter.statDouble(_, c.typ)).map(Double.box).orNull,
+                    dec(colIdx.maxValues, ParquetFooter.statDouble(_, c.typ)).map(Double.box).orNull,
+                    dec(colIdx.minValues, ParquetFooter.statString(_, c.typ)).orNull,
+                    dec(colIdx.maxValues, ParquetFooter.statString(_, c.typ)).orNull)
+                }
+              }
+            }
+        }
+      }
+    }
+    spark.createDataFrame(rows, pagesSchema)
+  }
+
   /** One row per (row group, column chunk): the audit grain. Stats are
     * decoded per the column's physical type into the matching typed
     * column (ints/bools → *_long, float/double → *_double, byte arrays

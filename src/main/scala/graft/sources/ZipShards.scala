@@ -15,12 +15,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * raw-deflate inflate, CRC32 verify), no archive library.
   *
   * Contract matches [[Warc.parseFile]]: a malformed region (no EOCD,
-  * bad signature, zip64 markers, unsupported compression method, CRC or
-  * size mismatch, truncated stream) STOPS the walk cleanly and returns
-  * the members before it — never a throw, never a non-advancing cursor;
-  * every bound is checked in Long arithmetic before any `toInt`.
-  * Directory entries (name ending '/') are skipped without consuming an
-  * ord, mirroring the tar reader's typeflag-'5' handling.
+  * bad signature, unsupported compression method, CRC or size mismatch,
+  * truncated stream) STOPS the walk cleanly and returns the members
+  * before it — never a throw, never a non-advancing cursor; every bound
+  * is checked in Long arithmetic before any `toInt`. Directory entries
+  * (name ending '/') are skipped without consuming an ord, mirroring
+  * the tar reader's typeflag-'5' handling.
+  *
+  * ZIP64 (APPNOTE 4.3.14/4.3.15/4.5.3) is served: saturated EOCD fields
+  * resolve through the Zip64 locator + EOCD record, and per-entry
+  * 0xFFFFFFFF sentinels resolve through the 0x0001 extended-information
+  * extra field — real WebDataset shards exceed 4 GiB and java.util.zip
+  * emits this layout past 65535 entries (both interop-pinned in
+  * ZipShardsSpec). This reader buffers whole shards, so members beyond
+  * 2 GiB stay out of reach per task; the FORMAT no longer is.
   *
   * Scale path: one task per shard file; `offset` (local header) +
   * `comp_size` are the range-read index — a member is refetchable from an
@@ -41,6 +49,8 @@ object ZipShards {
                        compSize: Long, size: Long, data: Array[Byte])
 
   private val EocdSig = 0x06054b50L
+  private val Eocd64Sig = 0x06064b50L
+  private val Eocd64LocSig = 0x07064b50L
   private val CenSig = 0x02014b50L
   private val LocSig = 0x04034b50L
 
@@ -55,6 +65,9 @@ object ZipShards {
   private def le4(bytes: Array[Byte], off: Long): Long =
     (bytes(off.toInt) & 0xffL) | ((bytes((off + 1).toInt) & 0xffL) << 8) |
     ((bytes((off + 2).toInt) & 0xffL) << 16) | ((bytes((off + 3).toInt) & 0xffL) << 24)
+
+  private def le8(bytes: Array[Byte], off: Long): Long =
+    le4(bytes, off) | (le4(bytes, off + 4) << 32)
 
   /** Locate the End-Of-Central-Directory record: the LAST occurrence of
     * its signature whose comment-length field is consistent with the file
@@ -87,13 +100,39 @@ object ZipShards {
                 withData: Boolean = true): Iterator[ZipMember] = {
     val eocd = findEocd(bytes)
     if (eocd < 0) return Iterator.empty
-    val total = le2(bytes, eocd + 10)
-    val cenOff = le4(bytes, eocd + 16)
-    if (cenOff == 0xffffffffL || cenOff > eocd) return Iterator.empty // zip64 / bad
+    val total16 = le2(bytes, eocd + 10)
+    val cenOff32 = le4(bytes, eocd + 16)
+    // ZIP64 (APPNOTE 4.3.14/4.3.15): when the 16/32-bit EOCD fields are
+    // saturated, a locator sits immediately before the EOCD and points
+    // at the Zip64 EOCD record carrying the 64-bit truth. WebDataset
+    // shards routinely exceed 4 GiB; java.util.zip emits this layout
+    // past 65535 entries too (both interop-pinned in ZipShardsSpec).
+    val needs64 = total16 == 0xffff || cenOff32 == 0xffffffffL ||
+      le4(bytes, eocd + 12) == 0xffffffffL // central-directory size
+    val resolved: Option[(Long, Long, Long)] = // (total, cenOff, cenEnd)
+      if (!needs64) Some((total16.toLong, cenOff32, eocd))
+      else {
+        val loc = eocd - 20
+        if (loc < 0 || le4(bytes, loc) != Eocd64LocSig) None
+        else {
+          val rec = le8(bytes, loc + 8)
+          if (rec < 0 || rec + 56 > loc || le4(bytes, rec) != Eocd64Sig) None
+          else {
+            val total64 = le8(bytes, rec + 32)
+            val cenOff64 = le8(bytes, rec + 48)
+            if (total64 < 0 || cenOff64 < 0 || cenOff64 > rec) None
+            else Some((total64, cenOff64, rec)) // the cen ends at the zip64 record
+          }
+        }
+      }
+    val (total, cenOff, cenEnd) = resolved match {
+      case Some(t) if t._2 <= t._3 => t
+      case _                       => return Iterator.empty
+    }
 
     new Iterator[ZipMember] {
       private var cp = cenOff
-      private var seen = 0
+      private var seen = 0L
       private var ord = 0L
       private var nextRec: ZipMember = _
       private var done = false
@@ -121,21 +160,49 @@ object ZipShards {
       private def advance(): Unit = {
         nextRec = null
         while (!done && seen < total) {
-          if (cp + 46 > eocd || le4(bytes, cp) != CenSig) { done = true; return }
+          if (cp + 46 > cenEnd || le4(bytes, cp) != CenSig) { done = true; return }
           val method = le2(bytes, cp + 10)
           val crc = le4(bytes, cp + 16)
-          val compLen = le4(bytes, cp + 20)
-          val uncompLen = le4(bytes, cp + 24)
+          var compLen = le4(bytes, cp + 20)
+          var uncompLen = le4(bytes, cp + 24)
           val nameLen = le2(bytes, cp + 28)
           val extraLen = le2(bytes, cp + 30)
           val commentLen = le2(bytes, cp + 32)
-          val locOff = le4(bytes, cp + 42)
-          if (cp + 46 + nameLen > eocd) { done = true; return }
+          var locOff = le4(bytes, cp + 42)
+          if (cp + 46 + nameLen + extraLen > cenEnd) { done = true; return }
+          // zip64 extended-information extra field (id 0x0001): carries,
+          // in order, ONLY the 64-bit values whose 32-bit fixed fields
+          // are saturated (APPNOTE 4.5.3)
           if (compLen == 0xffffffffL || uncompLen == 0xffffffffL ||
-              locOff == 0xffffffffL) { done = true; return } // zip64
+              locOff == 0xffffffffL) {
+            var ep = cp + 46 + nameLen
+            val eEnd = ep + extraLen
+            var found = false
+            while (!found && ep + 4 <= eEnd) {
+              val id = le2(bytes, ep)
+              val sz = le2(bytes, ep + 2)
+              if (ep + 4 + sz > eEnd) { done = true; return }
+              if (id == 0x0001) {
+                var fp = ep + 4
+                val fEnd = ep + 4 + sz
+                def take8(): Long = {
+                  if (fp + 8 > fEnd) { done = true; -1L }
+                  else { val v = le8(bytes, fp); fp += 8; v }
+                }
+                if (uncompLen == 0xffffffffL) uncompLen = take8()
+                if (!done && compLen == 0xffffffffL) compLen = take8()
+                if (!done && locOff == 0xffffffffL) locOff = take8()
+                if (done || uncompLen < 0 || compLen < 0 || locOff < 0) {
+                  done = true; return
+                }
+                found = true
+              } else ep += 4 + sz
+            }
+            if (!found) { done = true; return } // sentinel without the field
+          }
           val name = new String(bytes, (cp + 46).toInt, nameLen, "UTF-8")
           val cenNext = cp + 46 + nameLen + extraLen + commentLen
-          if (cenNext <= cp || cenNext > eocd) { done = true; return }
+          if (cenNext <= cp || cenNext > cenEnd) { done = true; return }
           seen += 1
 
           if (name.endsWith("/") && uncompLen == 0L) {
@@ -204,10 +271,12 @@ object ZipShards {
     * [[parseFile]]) read them like any deflate stream. A trailing '/'
     * name writes a directory entry (empty payload, stored).
     */
-  def render(members: Seq[(String, Boolean, Array[Byte])]): Array[Byte] = {
+  def render(members: Seq[(String, Boolean, Array[Byte])],
+             zip64: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w2(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def w4(v: Long): Unit = (0 until 4).foreach(k => out.write(((v >> (8 * k)) & 0xff).toInt))
+    def w8(v: Long): Unit = (0 until 8).foreach(k => out.write(((v >> (8 * k)) & 0xff).toInt))
 
     def storedDeflate(data: Array[Byte]): Array[Byte] = {
       val o = new java.io.ByteArrayOutputStream()
@@ -243,18 +312,46 @@ object ZipShards {
     }
     val cenOff = out.size.toLong
     cens.foreach { c =>
-      w4(CenSig); w2(20); w2(20); w2(0); w2(c.method)
+      w4(CenSig); w2(if (zip64) 45 else 20); w2(if (zip64) 45 else 20)
+      w2(0); w2(c.method)
       w2(0); w2(0)
-      w4(c.crc); w4(c.compLen); w4(c.uncompLen)
-      w2(c.name.length); w2(0); w2(0)
-      w2(0); w2(0); w4(0)
-      w4(c.locOff)
-      out.write(c.name)
+      w4(c.crc)
+      if (zip64) {
+        // forced zip64: saturate the 32-bit fields, carry the truth in
+        // the 0x0001 extended-information extra (uncomp, comp, locOff)
+        w4(0xffffffffL); w4(0xffffffffL)
+        w2(c.name.length); w2(2 + 2 + 24); w2(0)
+        w2(0); w2(0); w4(0)
+        w4(0xffffffffL)
+        out.write(c.name)
+        w2(0x0001); w2(24)
+        w8(c.uncompLen); w8(c.compLen); w8(c.locOff)
+      } else {
+        w4(c.compLen); w4(c.uncompLen)
+        w2(c.name.length); w2(0); w2(0)
+        w2(0); w2(0); w4(0)
+        w4(c.locOff)
+        out.write(c.name)
+      }
     }
     val cenSize = out.size.toLong - cenOff
-    w4(EocdSig); w2(0); w2(0)
-    w2(cens.size); w2(cens.size)
-    w4(cenSize); w4(cenOff); w2(0)
+    if (zip64) {
+      // Zip64 EOCD record + locator, then a fully saturated EOCD
+      val recOff = out.size.toLong
+      w4(Eocd64Sig); w8(44)
+      w2(45); w2(45)
+      w4(0); w4(0)
+      w8(cens.size.toLong); w8(cens.size.toLong)
+      w8(cenSize); w8(cenOff)
+      w4(Eocd64LocSig); w4(0); w8(recOff); w4(1)
+      w4(EocdSig); w2(0); w2(0)
+      w2(0xffff); w2(0xffff)
+      w4(0xffffffffL); w4(0xffffffffL); w2(0)
+    } else {
+      w4(EocdSig); w2(0); w2(0)
+      w2(cens.size); w2(cens.size)
+      w4(cenSize); w4(cenOff); w2(0)
+    }
     out.toByteArray
   }
 }

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+
+/** Page-index decoder contract (ColumnIndex/OffsetIndex — the page-
+  * SKIPPING grain of the parquet audit): every per-page location,
+  * min/max, null flag and null count our Thrift-compact reader decodes
+  * must agree with parquet-java's own ColumnIndex API over a Spark-
+  * written multi-page fixture; plus the [[graft.sources.ParquetMeta
+  * .pages]] relation shape and the never-throw fuzz discipline.
+  */
+class ParquetPageIndexSpec extends SparkSpec {
+
+  private def writeFixture(dir: String, rows: Int): String = {
+    import org.apache.spark.sql.functions._
+    spark.range(rows.toLong).select(
+        col("id").as("k_long"),
+        (col("id") * 1.5).as("k_double"),
+        concat(lit("s"), lpad(col("id").cast("string"), 6, "0")).as("k_str"),
+        when(col("id") % 3 === 0, col("id")).as("k_nullable"))
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.page.size", "2048")
+      .option("parquet.page.row.count.limit", "500")
+      .parquet(dir)
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).head
+  }
+
+  private def ourIndexes(p: String)
+      : Seq[(String, ParquetFooter.ColumnIndex, Seq[ParquetFooter.PageLocation])] = {
+    val hp = new Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = graft.sources.ParquetMeta.readFooter(fs, hp).get
+    val bytes = {
+      val len = fs.getFileStatus(hp).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(hp)
+      try in.readFully(0, buf) finally in.close()
+      buf
+    }
+    for {
+      rg <- m.rowGroups
+      c  <- rg.columns
+      ciOff <- c.columnIndexOffset; ciLen <- c.columnIndexLength
+      oiOff <- c.offsetIndexOffset; oiLen <- c.offsetIndexLength
+    } yield {
+      val ci = ParquetFooter.parseColumnIndex(bytes, ciOff.toInt,
+        ciOff.toInt + ciLen).getOrElse(fail(s"columnindex reject ${c.path}"))
+      val oi = ParquetFooter.parseOffsetIndex(bytes, oiOff.toInt,
+        oiOff.toInt + oiLen).getOrElse(fail(s"offsetindex reject ${c.path}"))
+      (c.path.mkString("."), ci, oi)
+    }
+  }
+
+  test("live parquet-java cross-check: per-page locations, min/max, nulls") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("pqpages").toString
+    val p = writeFixture(dir, rows = 20000)
+    val ours = ourIndexes(p).map(t => t._1 -> (t._2, t._3)).toMap
+    assert(ours.nonEmpty, "Spark fixture must carry page indexes")
+    assert(ours("k_long")._2.length > 1, "fixture must span pages")
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new Path(p), spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val block = r.getFooter.getBlocks.asScala.head
+      block.getColumns.asScala.foreach { jc =>
+        val (ci, oi) = ours(jc.getPath.toDotString)
+        val jci = r.readColumnIndex(jc)
+        val joi = r.readOffsetIndex(jc)
+        // offset index: every page location field-for-field
+        val jlocs = (0 until joi.getPageCount).map(i =>
+          (joi.getOffset(i), joi.getCompressedPageSize(i), joi.getFirstRowIndex(i)))
+        assert(oi.map(l => (l.offset, l.compressedPageSize, l.firstRowIndex)) === jlocs)
+        // column index: null pages, null counts, raw min/max bytes
+        assert(ci.nullPages === jci.getNullPages.asScala.map(_.booleanValue).toSeq)
+        assert(ci.nullCounts.map(_.toSeq) ===
+          Option(jci.getNullCounts).map(_.asScala.map(_.longValue).toSeq))
+        val jmins = jci.getMinValues.asScala.map { bb =>
+          val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a.toSeq }
+        val jmaxs = jci.getMaxValues.asScala.map { bb =>
+          val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a.toSeq }
+        assert(ci.minValues.map(_.toSeq) === jmins.toSeq)
+        assert(ci.maxValues.map(_.toSeq) === jmaxs.toSeq)
+        assert(ci.boundaryOrder === jci.getBoundaryOrder.ordinal())
+      }
+    } finally r.close()
+  }
+
+  test("pages relation: typed per-page stats match data truth; chunk roll-up") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("pqpagesrel").toString
+    val p = writeFixture(dir, rows = 20000)
+    val pages = graft.sources.ParquetMeta.pages(spark, p).cache()
+    val kLong = pages.where(col("path_in_schema") === "k_long")
+      .orderBy("page").collect()
+    assert(kLong.length > 1)
+    // page 0 starts at row 0; first_row_index strictly increases;
+    // page_rows sums to the row-group row count
+    assert(kLong.head.getLong(8) === 0L)
+    assert(kLong.map(_.getLong(8)).toSeq === kLong.map(_.getLong(8)).toSeq.sorted)
+    assert(kLong.map(_.getLong(9)).sum === 20000L)
+    // k_long pages partition [0, 20000) in order: each page's min is its
+    // first_row_index, max is the next first_row_index - 1
+    kLong.foreach { r =>
+      assert(r.getLong(12) === r.getLong(8))               // min == first row
+      assert(r.getLong(13) === r.getLong(8) + r.getLong(9) - 1)
+    }
+    // roll-up: per-page null counts sum to the chunk's stats null count
+    val nullPages = pages.where(col("path_in_schema") === "k_nullable")
+    val pageNulls = nullPages.agg(sum("null_count")).collect().head.getLong(0)
+    val chunkNulls = graft.sources.ParquetMeta.chunks(spark, p)
+      .where(col("path_in_schema") === "k_nullable")
+      .agg(sum("null_count")).collect().head.getLong(0)
+    assert(pageNulls === chunkNulls)
+    // min over page mins / max over page maxes == chunk min/max (strings)
+    val s = pages.where(col("path_in_schema") === "k_str")
+      .agg(min("min_string"), max("max_string")).collect().head
+    assert(s.getString(0) === "s000000" && s.getString(1) === "s019999")
+    // a pyarrow file without page indexes contributes zero rows, no throw
+    assert(graft.sources.ParquetMeta
+      .pages(spark, "/root/testdata/sf0.001/lineitem.parquet").count() === 0L)
+  }
+
+  test("fuzz: truncations and bit flips of index ranges never throw") {
+    val dir = java.nio.file.Files.createTempDirectory("pqpagesfuzz").toString
+    val p = writeFixture(dir, rows = 3000)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val hp = new Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = graft.sources.ParquetMeta.readFooter(fs, hp).get
+    val c = m.rowGroups.head.columns.head
+    val (off, len) = (c.columnIndexOffset.get.toInt, c.columnIndexLength.get)
+    for (cut <- Seq(1, len / 2, len - 1))
+      ParquetFooter.parseColumnIndex(bytes, off, off + cut) // None or value
+    var seed = 0x9e3779b97f4a7c15L
+    def next(): Long = { seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17; seed }
+    for (_ <- 0 until 200) {
+      val mut = java.util.Arrays.copyOfRange(bytes, off, off + len)
+      mut((math.abs(next()) % len).toInt) = next().toByte
+      ParquetFooter.parseColumnIndex(mut, 0, len)
+      ParquetFooter.parseOffsetIndex(mut, 0, len)
+    }
+  }
+}

@@ -216,6 +216,75 @@ class DeltaLogSpec extends SparkSpec {
     assert(h2.map(_.getLong(0)).toSeq === Seq(2L, 3L))
   }
 
+  test("deletion vectors: DV'd re-add wins, live_records = rows - cardinality") {
+    val dir = writeFixture()
+    val log = java.nio.file.Paths.get(dir, "_delta_log")
+    def dvAdd(path: String, size: Long, recs: Long, card: Long): String =
+      s"""{"add":{"path":"$path","partitionValues":{"src":"s0"},"size":$size,""" +
+        s""""modificationTime":${1700000000000L + size},"dataChange":true,""" +
+        s""""stats":"{\\"numRecords\\":$recs}",""" +
+        s""""deletionVector":{"storageType":"u","pathOrInlineDv":"ab^-aYcn(",""" +
+        s""""offset":1,"sizeInBytes":36,"cardinality":$card}}}"""
+    // v4: attach a DV to part-00004 (remove plain, re-add with DV)
+    java.nio.file.Files.write(log.resolve(f"${4L}%020d.json"),
+      (remove("part-00004") + "\n" + dvAdd("part-00004", 1085, 105, 7)).getBytes)
+    val live = DeltaLog.snapshot(spark, dir).orderBy("path").collect()
+    val byPath = live.map(r => r.getString(0) -> r).toMap
+    val dvd = byPath("part-00004")
+    assert(dvd.getLong(6) === 7L)          // dv_cardinality
+    assert(dvd.getLong(7) === 105L - 7L)   // live_records
+    assert(dvd.getLong(5) === 4L)          // version_added: the DV attach
+    // files without a DV: NULL cardinality, live == num_records
+    assert(byPath("part-00000").isNullAt(6))
+    assert(byPath("part-00000").getLong(7) === 222L)
+    // v5: RESTORE shape — re-add without a DV clears it
+    java.nio.file.Files.write(log.resolve(f"${5L}%020d.json"),
+      (remove("part-00004") + "\n" + add("part-00004", 1085, 105, "s1")).getBytes)
+    val restored = DeltaLog.snapshot(spark, dir).orderBy("path").collect()
+      .find(_.getString(0) == "part-00004").get
+    assert(restored.isNullAt(6) && restored.getLong(7) === 105L)
+  }
+
+  test("schemaReport: column-mapped vs unmapped; missing metaData fails loud") {
+    val dir = java.nio.file.Files.createTempDirectory("deltamap").toString
+    val log = java.nio.file.Paths.get(dir, "_delta_log")
+    java.nio.file.Files.createDirectories(log)
+    val schemaString =
+      """{\"type\":\"struct\",\"fields\":[""" +
+        """{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.columnMapping.id\":1,\"delta.columnMapping.physicalName\":\"col-x\"}},""" +
+        """{\"name\":\"src\",\"type\":\"string\",\"nullable\":false,\"metadata\":{\"delta.columnMapping.id\":2,\"delta.columnMapping.physicalName\":\"col-y\"}}]}"""
+    val mapped =
+      s"""{"metaData":{"id":"m1","schemaString":"$schemaString",""" +
+        """"partitionColumns":["src"],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1}}"""
+    java.nio.file.Files.write(log.resolve(f"${0L}%020d.json"),
+      (proto + "\n" + mapped + "\n" + add("p0", 1, 1, "s0")).getBytes)
+    val rep = DeltaLog.schemaReport(spark, dir).orderBy("position").collect()
+    assert(rep.map(r => (r.getString(1), r.getString(2), r.getLong(3),
+      r.getBoolean(6))).toSeq ===
+      Seq(("id", "col-x", 1L, false), ("src", "col-y", 2L, true)))
+    assert(rep.forall(_.getString(7) == "name"))
+    // unmapped: physical == logical, NULL id, mode none — uses the main
+    // fixture whose metaData has an empty struct (0 rows, no throw)
+    val plain = java.nio.file.Files.createTempDirectory("deltaplain").toString
+    val plog = java.nio.file.Paths.get(plain, "_delta_log")
+    java.nio.file.Files.createDirectories(plog)
+    val pmeta =
+      """{"metaData":{"id":"m2","schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"v\",\"type\":\"integer\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"createdTime":1}}"""
+    java.nio.file.Files.write(plog.resolve(f"${0L}%020d.json"),
+      (proto + "\n" + pmeta + "\n" + add("p0", 1, 1, "s0")).getBytes)
+    val prep = DeltaLog.schemaReport(spark, plain).collect()
+    assert(prep.length === 1)
+    assert(prep.head.getString(1) === "v" && prep.head.getString(2) === "v")
+    assert(prep.head.isNullAt(3) && prep.head.getString(7) === "none")
+    // no metaData at all: loud
+    val bare = java.nio.file.Files.createTempDirectory("deltabare2").toString
+    val blog = java.nio.file.Paths.get(bare, "_delta_log")
+    java.nio.file.Files.createDirectories(blog)
+    java.nio.file.Files.write(blog.resolve(f"${0L}%020d.json"),
+      add("p", 1, 1, "s0").getBytes)
+    intercept[IllegalArgumentException](DeltaLog.schemaReport(spark, bare))
+  }
+
   test("empty or missing log fails loud; unknown actions never poison replay") {
     val empty = java.nio.file.Files.createTempDirectory("deltaempty").toString
     intercept[IllegalArgumentException](DeltaLog.snapshot(spark, empty))

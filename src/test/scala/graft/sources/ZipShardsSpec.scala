@@ -49,6 +49,78 @@ class ZipShardsSpec extends SparkSpec {
     assert(got.head.compSize < got.head.size)
   }
 
+  test("zip64: forced-zip64 render parses here AND through java.util.zip") {
+    val members = Seq(m("a/x.txt", false, "stored payload"),
+      m("a/y.bin", true, "deflated " * 200), m("z.json", true, """{"k":64}"""))
+    val bytes = ZipShards.render(members, zip64 = true)
+    // our parser resolves the locator + EOCD64 + per-entry 0x0001 extras
+    val got = ZipShards.parseFile("f64.zip", bytes).toSeq
+    assert(got.map(_.name) == members.map(_._1))
+    assert(got.map(r => new String(r.data, "US-ASCII")) ==
+      members.map(mm => new String(mm._3, "US-ASCII")))
+    // identical member facts as the classic rendering of the same input
+    val classic = ZipShards.parseFile("f.zip",
+      ZipShards.render(members)).toSeq
+    assert(got.map(r => (r.name, r.ord, r.offset, r.method, r.compSize, r.size)) ==
+      classic.map(r => (r.name, r.ord, r.offset, r.method, r.compSize, r.size)))
+    // live validator: java.util.zip.ZipFile reads the same archive
+    val tmp = java.nio.file.Files.createTempFile("zip64", ".zip")
+    java.nio.file.Files.write(tmp, bytes)
+    val zf = new java.util.zip.ZipFile(tmp.toFile)
+    try {
+      import scala.jdk.CollectionConverters._
+      val jes = zf.entries().asScala.toSeq
+      assert(jes.map(_.getName) == members.map(_._1))
+      jes.zip(members).foreach { case (je, (_, _, payload)) =>
+        assert(je.getSize === payload.length.toLong)
+        val in = zf.getInputStream(je)
+        val back = try in.readAllBytes() finally in.close()
+        assert(back.toSeq == payload.toSeq)
+      }
+    } finally zf.close()
+  }
+
+  test("zip64: java.util.zip past 65535 entries (forced EOCD64) lists here") {
+    val out = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(out)
+    val n = 70000
+    val crc = new java.util.zip.CRC32() // empty payload: crc 0, size 0
+    (0 until n).foreach { i =>
+      val e = new java.util.zip.ZipEntry(f"e$i%05d")
+      e.setMethod(java.util.zip.ZipEntry.STORED)
+      e.setSize(0); e.setCompressedSize(0); e.setCrc(crc.getValue)
+      zos.putNextEntry(e); zos.closeEntry()
+    }
+    zos.close()
+    val members = ZipShards.parseFile("big.zip", out.toByteArray,
+      withData = false).toSeq
+    assert(members.length === n)
+    assert(members.head.name === "e00000" && members.last.name === f"e${n - 1}%05d")
+    assert(members.map(_.ord) == (0L until n.toLong))
+  }
+
+  test("zip64: truncated locator/record stops cleanly, never throws") {
+    val bytes = ZipShards.render(
+      Seq(m("a.txt", false, "x")), zip64 = true)
+    // chop the zip64 EOCD record out but keep the EOCD: the locator now
+    // points past the truncation
+    for (cut <- Seq(bytes.length - 23, bytes.length - 40, 60))
+      assert(ZipShards.parseFile("t.zip", bytes.take(cut)).toSeq.nonEmpty ==
+        false || ZipShards.parseFile("t.zip", bytes.take(cut)).toSeq.isEmpty)
+    // corrupt the extra-field id so the sentinel has no zip64 field: the
+    // walk stops with zero members rather than inventing offsets
+    val mut = bytes.clone()
+    val idPos = {
+      // find the 0x0001 extra id after the central name "a.txt"
+      val cenSigAt = (0 until mut.length - 4).find(i =>
+        (mut(i) & 0xff) == 0x50 && (mut(i + 1) & 0xff) == 0x4b &&
+        (mut(i + 2) & 0xff) == 0x01 && (mut(i + 3) & 0xff) == 0x02).get
+      cenSigAt + 46 + "a.txt".length
+    }
+    mut(idPos) = 0x42
+    assert(ZipShards.parseFile("t.zip", mut).toSeq.isEmpty)
+  }
+
   test("malformed archives stop cleanly, never throw") {
     val good = ZipShards.render(Seq(m("a.txt", true, "ok payload")))
     // no EOCD at all
