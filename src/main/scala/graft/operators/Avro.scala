@@ -299,11 +299,11 @@ object Avro {
     * full file-metadata map, the declared codec, the sync marker and
     * the body offset.
     */
-  private[operators] final case class RawHeader(
+  private[graft] final case class RawHeader(
       meta: Map[String, Array[Byte]], schemaJson: String, codec: String,
       sync: Array[Byte], bodyAt: Int)
 
-  private[operators] def readRawHeader(bytes: Array[Byte]): Option[RawHeader] = {
+  private[graft] def readRawHeader(bytes: Array[Byte]): Option[RawHeader] = {
     if (bytes.length < 4 + 16 || bytes(0) != 'O' || bytes(1) != 'b' ||
         bytes(2) != 'j' || bytes(3) != 1) return None
     val r = new Reader(bytes, 4, bytes.length)

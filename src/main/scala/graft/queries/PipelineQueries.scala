@@ -2706,6 +2706,42 @@ object PipelineQueries extends QuerySet {
       s.read.format("avroshard").load(f).orderBy("id")
     }),
 
+    // The NESTED half of the Avro door (round 16, on the generic decode
+    // surface): records-in-records, arrays, maps, enums and fixed served
+    // as real Spark struct/array/map/string/binary columns — nested
+    // field access, array/map functions and hex() all run on decoded
+    // values, and every output is re-derived from the row formulas by
+    // the oracle. Recursive / multi-branch-union schemas reject loudly
+    // at inference (pinned in AvroSinkSpec).
+    "q271_avro_nested" -> ((s, dir) => {
+      val schemaJson =
+        """{"type":"record","name":"Ev","fields":[
+          |{"name":"id","type":"long"},
+          |{"name":"meta","type":{"type":"record","name":"Meta","fields":[
+          |  {"name":"lang","type":"string"},
+          |  {"name":"score","type":["null","double"]}]}},
+          |{"name":"tags","type":{"type":"array","items":"string"}},
+          |{"name":"counts","type":{"type":"map","values":"long"}},
+          |{"name":"kind","type":{"type":"enum","name":"K","symbols":["A","B","C"]}},
+          |{"name":"digest","type":{"type":"fixed","name":"F4","size":4}}]}""".stripMargin
+      val f = fixture("avro_nested_oracle.avro") {
+        graft.operators.Avro.renderOcfGeneric(schemaJson, (0 until 60).map { i =>
+          Map[String, Any]("id" -> i.toLong,
+            "meta" -> Map[String, Any]("lang" -> s"l${i % 3}",
+              "score" -> (if (i % 4 == 0) null else i * 0.5)),
+            "tags" -> (0 until i % 4).map(k => s"t$k"),
+            "counts" -> Map("k0" -> i.toLong, "k1" -> (i + 1).toLong),
+            "kind" -> Seq("A", "B", "C")(i % 3),
+            "digest" -> Array.tabulate(4)(k => (i + k).toByte))
+        }, rowsPerBlock = 16)
+      }
+      s.read.format("avroshard").load(f)
+        .selectExpr("id", "meta.lang AS lang", "meta.score AS score",
+          "size(tags) AS n_tags", "counts['k0'] AS k0", "kind",
+          "hex(digest) AS dg")
+        .orderBy("id")
+    }),
+
     // The write half of the Avro door (the q145/q182/q207 sink pattern):
     // 500 documents through real sharded OCF files and back — one task
     // per shard, deterministic block layout, tmp + atomic rename. The
@@ -5485,6 +5521,19 @@ object PipelineQueries extends QuerySet {
         |  CAST(i AS DOUBLE) / 4 AS score,
         |  (i % 2 = 0) AS flag,
         |  CASE WHEN i % 3 = 0 THEN NULL ELSE 'tag-' || i END AS tag
+        |FROM r ORDER BY id""".stripMargin,
+    // every nested value re-derived from the fixture row formulas: the
+    // struct field, the null union branch, array size, map lookup, enum
+    // symbol and the fixed bytes' hex rendering (i+3 < 256, no carries)
+    "q271_avro_nested" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 59)) AS i)
+        |SELECT CAST(i AS BIGINT) AS id,
+        |  'l' || (i % 3) AS lang,
+        |  CASE WHEN i % 4 = 0 THEN NULL ELSE CAST(i AS DOUBLE) * 0.5 END AS score,
+        |  CAST(i % 4 AS INT) AS n_tags,
+        |  CAST(i AS BIGINT) AS k0,
+        |  CASE i % 3 WHEN 0 THEN 'A' WHEN 1 THEN 'B' ELSE 'C' END AS kind,
+        |  printf('%02X%02X%02X%02X', i, i + 1, i + 2, i + 3) AS dg
         |FROM r ORDER BY id""".stripMargin,
     // the per-site budget replayed: eTLD+1 per formula branch, the same
     // windowed rank and cutoff

@@ -23,10 +23,17 @@ import graft.operators.Avro
   * INFERRED from the first shard's embedded avro.schema (the format
   * carries its own schema; that is the point of OCF), one task per file,
   * column pruning projects fields out of each decoded row. Base Spark
-  * has no `.avro` reader (spark-avro is a separate module); this door
-  * covers the tabular primitive-record subset data pipelines actually
-  * ship — see [[graft.operators.Avro]] for the documented contract and
-  * the live avro-java interop pins.
+  * has no `.avro` reader (spark-avro is a separate module).
+  *
+  * Two serving paths share the door, chosen by the file's own schema:
+  * flat primitive records take the fast path (direct field projection),
+  * everything else rides the GENERIC surface ([[Avro.readOcfGeneric]])
+  * with nested records/arrays/maps/enums/fixed mapped to Spark
+  * struct/array/map/string/binary types. Recursive schemas and
+  * multi-branch non-null unions have no Spark type — those reject
+  * LOUDLY at inference with the offending schema named (they remain
+  * decodable through the [[Avro.readOcfGeneric]] API). See
+  * [[graft.operators.Avro]] for contracts and avro-java interop pins.
   */
 class AvroShardDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "avroshard"
@@ -54,6 +61,87 @@ object AvroShardDataSource {
     StructType(s.fields.map(f =>
       StructField(f.name, sparkType(f.tpe), nullable = f.nullable)))
 
+  /** Map a generic Avro type to (Spark type, nullable). Recursion and
+    * multi-branch non-null unions reject loudly — Spark's type system
+    * cannot express either.
+    */
+  private[sources] def sparkTypeOf(t: Avro.AType, g: Avro.GSchema,
+                                   depth: Int): (DataType, Boolean) = {
+    if (depth > 24)
+      throw new IllegalArgumentException(
+        "avroshard: recursive avro schemas have no Spark type " +
+          "(use Avro.readOcfGeneric directly)")
+    g.resolve(t) match {
+      case Avro.APrim(p)   => (sparkType(p), p == Avro.ANull)
+      case Avro.AEnum(_, _) => (StringType, false)
+      case Avro.AFixed(_, _) => (BinaryType, false)
+      case Avro.AArray(items) =>
+        val (et, en) = sparkTypeOf(items, g, depth + 1)
+        (ArrayType(et, containsNull = en), false)
+      case Avro.AMapT(values) =>
+        val (vt, vn) = sparkTypeOf(values, g, depth + 1)
+        (MapType(StringType, vt, valueContainsNull = vn), false)
+      case Avro.ARecord(_, names, types) =>
+        (StructType(names.zip(types).map { case (n, ft) =>
+          val (dt, nn) = sparkTypeOf(ft, g, depth + 1)
+          StructField(n, dt, nullable = nn)
+        }), false)
+      case Avro.AUnion(branches) =>
+        val nonNull = branches.filter(b =>
+          g.resolve(b) != Avro.APrim(Avro.ANull))
+        val nullable = nonNull.length != branches.length
+        nonNull match {
+          case Seq(one) =>
+            val (dt, n) = sparkTypeOf(one, g, depth + 1)
+            (dt, n || nullable)
+          case Seq() => (NullType, true)
+          case _ => throw new IllegalArgumentException(
+            "avroshard: multi-branch non-null unions have no Spark type " +
+              "(use Avro.readOcfGeneric directly)")
+        }
+      case Avro.ARef(_) => throw new IllegalStateException("unresolved ref")
+    }
+  }
+
+  private[sources] def toStructGeneric(g: Avro.GSchema): StructType =
+    g.resolve(g.root) match {
+      case Avro.ARecord(_, names, types) =>
+        StructType(names.zip(types).map { case (n, ft) =>
+          val (dt, nn) = sparkTypeOf(ft, g, 0)
+          StructField(n, dt, nullable = nn)
+        })
+      case _ => throw new IllegalArgumentException(
+        "avroshard: the root schema must be a record")
+    }
+
+  /** Decoded generic value → the EXTERNAL Scala shape Spark's Catalyst
+    * converters accept: record Map → Row in schema field order, Seq and
+    * Map pass through with converted elements, everything else as-is.
+    */
+  private[sources] def toExternal(v: Any, t: Avro.AType, g: Avro.GSchema): Any =
+    (v, g.resolve(t)) match {
+      case (null, _) => null
+      case (m: Map[_, _], Avro.ARecord(_, names, types)) =>
+        val mm = m.asInstanceOf[Map[String, Any]]
+        org.apache.spark.sql.Row.fromSeq(names.zip(types).map { case (n, ft) =>
+          toExternal(mm.getOrElse(n, null), ft, g)
+        })
+      case (s: Seq[_], Avro.AArray(items)) =>
+        s.map(toExternal(_, items, g))
+      case (m: Map[_, _], Avro.AMapT(values)) =>
+        m.asInstanceOf[Map[String, Any]].map { case (k, mv) =>
+          k -> toExternal(mv, values, g)
+        }
+      case (x, Avro.AUnion(branches)) =>
+        // decode shape picks the branch; re-dispatch on the value's type
+        val nonNull = branches.filter(b => g.resolve(b) != Avro.APrim(Avro.ANull))
+        nonNull match {
+          case Seq(one) => toExternal(x, one, g)
+          case _        => x
+        }
+      case (x, _) => x
+    }
+
   def listFiles(path: String, spark: SparkSession): Seq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -79,10 +167,19 @@ object AvroShardDataSource {
       buf
     } finally in.close()
     // the header (metadata map + schema) sits well inside the first MB;
-    // a failed parse here is a schema/format error worth surfacing loudly
-    Avro.readOcfHeaderSchema(bytes).map(toStruct).getOrElse(
-      throw new IllegalArgumentException(
-        s"avroshard: $first is not an OCF of the supported primitive-record subset"))
+    // a failed parse here is a schema/format error worth surfacing loudly.
+    // Flat primitive records keep the fast-path struct; everything else
+    // maps through the generic surface (nested/enum/fixed → Spark types;
+    // recursion / multi-branch unions reject loudly inside sparkTypeOf).
+    Avro.readOcfHeaderSchema(bytes).map(toStruct).getOrElse {
+      val raw = Avro.readRawHeader(bytes).getOrElse(
+        throw new IllegalArgumentException(
+          s"avroshard: $first is not an Avro Object Container File"))
+      val g = Avro.parseSchemaGeneric(raw.schemaJson).getOrElse(
+        throw new IllegalArgumentException(
+          s"avroshard: $first carries a malformed avro.schema"))
+      toStructGeneric(g)
+    }
   }
 }
 
@@ -222,7 +319,14 @@ class AvroShardPartitionReader(file: String, full: StructType,
                                required: StructType, conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
-  private val rows = {
+  /** Both decode paths surface as one InternalRow iterator: flat shards
+    * keep the direct-projection fast path; anything else decodes through
+    * the generic surface and converts via Catalyst's standard external-
+    * row converter. Either way a malformed shard fails the TASK loudly —
+    * silently dropping a whole file's rows is the one thing a table
+    * reader may not do.
+    */
+  private val rows: Iterator[InternalRow] = {
     val p = new Path(file)
     val fs = p.getFileSystem(conf.value)
     val in = fs.open(p)
@@ -236,37 +340,57 @@ class AvroShardPartitionReader(file: String, full: StructType,
       buf
     } finally in.close()
     Avro.readOcf(bytes) match {
-      case Some(ocf) =>
-        require(AvroShardDataSource.toStruct(ocf.schema) == full,
+      case Some(ocf) if AvroShardDataSource.toStruct(ocf.schema) == full =>
+        val proj = UnsafeProjection.create(required)
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.length)
+        val fieldIdx = required.fields.map(f => full.fieldIndex(f.name))
+        ocf.rows.iterator.map { current =>
+          var i = 0
+          while (i < fieldIdx.length) {
+            val v = current(fieldIdx(i))
+            row.update(i, v match {
+              case s: String => UTF8String.fromString(s)
+              case other => other
+            })
+            i += 1
+          }
+          proj(row)
+        }
+      case _ =>
+        val og = Avro.readOcfGeneric(bytes).getOrElse(
+          throw new java.io.IOException(s"avro shard $file is malformed"))
+        val g = og.schema
+        val (names, types) = g.resolve(g.root) match {
+          case Avro.ARecord(_, n, t) => (n, t)
+          case _ => throw new java.io.IOException(
+            s"avro shard $file root schema is not a record")
+        }
+        require(AvroShardDataSource.toStructGeneric(g) == full,
           s"avro shard $file schema differs from the inferred table schema")
-        ocf.rows.iterator
-      case None =>
-        // a malformed shard fails the TASK loudly — silently dropping a
-        // whole file's rows is the one thing a table reader may not do
-        throw new java.io.IOException(s"avro shard $file is malformed")
+        val fieldAt = required.fields.map { f =>
+          val i = names.indexOf(f.name)
+          require(i >= 0, s"avro shard $file lacks column ${f.name}")
+          (i, types(i))
+        }
+        val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(required)
+        og.rows.iterator.map { v =>
+          val m = v.asInstanceOf[Map[String, Any]]
+          val ext = org.apache.spark.sql.Row.fromSeq(fieldAt.toSeq.map {
+            case (i, t) =>
+              AvroShardDataSource.toExternal(m.getOrElse(names(i), null), t, g)
+          })
+          conv(ext).asInstanceOf[InternalRow]
+        }
     }
   }
 
-  private val proj = UnsafeProjection.create(required)
-  private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.length)
-  private val fieldIdx = required.fields.map(f => full.fieldIndex(f.name))
-  private var current: Array[Any] = _
+  private var current: InternalRow = _
 
   override def next(): Boolean =
     if (rows.hasNext) { current = rows.next(); true } else false
 
-  override def get(): InternalRow = {
-    var i = 0
-    while (i < fieldIdx.length) {
-      val v = current(fieldIdx(i))
-      row.update(i, v match {
-        case s: String => UTF8String.fromString(s)
-        case other => other
-      })
-      i += 1
-    }
-    proj(row)
-  }
+  override def get(): InternalRow = current
 
   override def close(): Unit = ()
 }

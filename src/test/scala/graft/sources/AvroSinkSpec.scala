@@ -57,6 +57,59 @@ class AvroSinkSpec extends SparkSpec {
     assert(cnt == 67) // shard 0 holds doc_id % 3 == 0: 67 of 200
   }
 
+  test("door serves NESTED schemas: structs/arrays/maps/enum/fixed as Spark types") {
+    val nested =
+      """{"type":"record","name":"Ev","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"meta","type":{"type":"record","name":"Meta","fields":[
+        |  {"name":"lang","type":"string"},
+        |  {"name":"score","type":["null","double"]}]}},
+        |{"name":"tags","type":{"type":"array","items":"string"}},
+        |{"name":"counts","type":{"type":"map","values":"long"}},
+        |{"name":"kind","type":{"type":"enum","name":"K","symbols":["A","B"]}},
+        |{"name":"digest","type":{"type":"fixed","name":"F4","size":4}}]}""".stripMargin
+    def rows(n: Int) = (0 until n).map { i =>
+      Map[String, Any]("id" -> i.toLong,
+        "meta" -> Map[String, Any]("lang" -> s"l${i % 3}",
+          "score" -> (if (i % 2 == 0) null else i * 0.5)),
+        "tags" -> (0 until i % 3).map(k => s"t$k"),
+        "counts" -> Map(s"k${i % 2}" -> i.toLong),
+        "kind" -> (if (i % 2 == 0) "A" else "B"),
+        "digest" -> Array.tabulate(4)(k => (i + k).toByte))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("avronest")
+    java.nio.file.Files.write(dir.resolve("shard-00000.avro"),
+      graft.operators.Avro.renderOcfGeneric(nested, rows(40)))
+    val df = spark.read.format("avroshard").load(dir.toString)
+    // the inferred Spark schema carries the nesting
+    assert(df.schema("meta").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    assert(df.schema("counts").dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+    // nested field access, array/map functions, enum-as-string all work
+    val got = df.selectExpr("id", "meta.lang AS lang", "meta.score AS score",
+        "size(tags) AS n_tags", "counts['k1'] AS k1", "kind",
+        "hex(digest) AS dg")
+      .orderBy("id").collect()
+    assert(got.length === 40)
+    assert(got(3).getString(1) === "l0" && got(3).getDouble(2) === 1.5)
+    assert(got(5).getInt(3) === 2)
+    assert(got(7).getLong(4) === 7L && got(7).getString(5) === "B")
+    assert(got(1).getString(6) === "01020304")
+    assert(got(2).isNullAt(2)) // null union branch survives
+    // column pruning still plans (nested column projected out)
+    assert(df.select("id").count() === 40)
+    // recursive schema rejects LOUDLY at inference, naming the problem
+    val rec =
+      """{"type":"record","name":"Node","fields":[
+        |{"name":"v","type":"int"},{"name":"next","type":["null","Node"]}]}""".stripMargin
+    val rdir = java.nio.file.Files.createTempDirectory("avrorec")
+    java.nio.file.Files.write(rdir.resolve("shard-00000.avro"),
+      graft.operators.Avro.renderOcfGeneric(rec,
+        Seq(Map[String, Any]("v" -> 1, "next" -> null))))
+    val e = intercept[IllegalArgumentException](
+      spark.read.format("avroshard").load(rdir.toString))
+    assert(e.getMessage.contains("recursive"))
+  }
+
   test("readStream tails a shard landing directory, exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("avro_stream")
     val ckpt = java.nio.file.Files.createTempDirectory("avro_ckpt").toString
