@@ -70,7 +70,9 @@ object ParquetFooter {
       offsetIndexOffset: Option[Long] = None,
       offsetIndexLength: Option[Int] = None,
       columnIndexOffset: Option[Long] = None,
-      columnIndexLength: Option[Int] = None)
+      columnIndexLength: Option[Int] = None,
+      bloomFilterOffset: Option[Long] = None,
+      bloomFilterLength: Option[Int] = None)
 
   /** One page's entry in a chunk's ColumnIndex: writers record per-page
     * min/max/null facts so readers can skip PAGES, not just row groups —
@@ -426,6 +428,8 @@ object ParquetFooter {
     var idxOff: Option[Long] = None
     var dictOff: Option[Long] = None
     var stats: Option[Stats] = None
+    var bloomOff: Option[Long] = None
+    var bloomLen: Option[Int] = None
     struct(r) {
       case (1, TI32)     => typ = r.zigzag().toInt; true
       case (2, TList)    => encodings = readI32List(r); true
@@ -438,12 +442,15 @@ object ParquetFooter {
       case (10, TI64)    => idxOff = Some(r.zigzag()); true
       case (11, TI64)    => dictOff = Some(r.zigzag()); true
       case (12, TStruct) => stats = readStats(r); stats.isDefined
+      case (14, TI64)    => bloomOff = Some(r.zigzag()); true
+      case (15, TI32)    => bloomLen = Some(r.zigzag().toInt); true
       case _             => false
     }
     if (r.bad || typ < 0 || codec < 0 || numValues < 0 || totUnc < 0 ||
         totComp < 0 || dataOff < 0 || path.isEmpty) None
     else Some(Chunk(None, typ, encodings, path, codec, numValues, totUnc,
-      totComp, dataOff, idxOff, dictOff, stats))
+      totComp, dataOff, idxOff, dictOff, stats,
+      bloomFilterOffset = bloomOff, bloomFilterLength = bloomLen))
   }
 
   private def readColumnChunk(r: R): Option[Chunk] = {
@@ -566,6 +573,135 @@ object ParquetFooter {
     // the footer sits between the 4-byte leading magic and the length word
     if (flen <= 0 || flen > MaxFooterBytes || flen > n - 12) None
     else parse(b, n - 8 - flen, n - 8)
+  }
+
+  // -------------------------------------------------- bloom filter (SBBF)
+
+  /** xxHash64 (seed 0 unless given) per the public xxHash specification
+    * (github.com/Cyan4973/xxHash/blob/dev/doc/xxhash_spec.md) — the hash
+    * the parquet bloom-filter spec mandates over plain-encoded values.
+    */
+  def xxHash64(data: Array[Byte], seed: Long = 0L): Long = {
+    val P1 = 0x9E3779B185EBCA87L
+    val P2 = 0xC2B2AE3D27D4EB4FL
+    val P3 = 0x165667B19E3779F9L
+    val P4 = 0x85EBCA77C2B2AE63L
+    val P5 = 0x27D4EB2F165667C5L
+    val len = data.length
+    def u64(i: Int): Long = {
+      var v = 0L
+      var k = 7
+      while (k >= 0) { v = (v << 8) | (data(i + k) & 0xffL); k -= 1 }
+      v
+    }
+    def u32(i: Int): Long =
+      (data(i) & 0xffL) | (data(i + 1) & 0xffL) << 8 |
+        (data(i + 2) & 0xffL) << 16 | (data(i + 3) & 0xffL) << 24
+    def rotl(x: Long, r: Int): Long = java.lang.Long.rotateLeft(x, r)
+    def round(acc: Long, lane: Long): Long = rotl(acc + lane * P2, 31) * P1
+    var i = 0
+    var h =
+      if (len >= 32) {
+        var a1 = seed + P1 + P2
+        var a2 = seed + P2
+        var a3 = seed
+        var a4 = seed - P1
+        while (i + 32 <= len) {
+          a1 = round(a1, u64(i)); a2 = round(a2, u64(i + 8))
+          a3 = round(a3, u64(i + 16)); a4 = round(a4, u64(i + 24))
+          i += 32
+        }
+        var acc = rotl(a1, 1) + rotl(a2, 7) + rotl(a3, 12) + rotl(a4, 18)
+        def merge(acc0: Long, a: Long): Long = (acc0 ^ round(0L, a)) * P1 + P4
+        acc = merge(acc, a1); acc = merge(acc, a2)
+        acc = merge(acc, a3); acc = merge(acc, a4)
+        acc
+      } else seed + P5
+    h += len.toLong
+    while (i + 8 <= len) { h = rotl(h ^ round(0L, u64(i)), 27) * P1 + P4; i += 8 }
+    if (i + 4 <= len) { h = rotl(h ^ (u32(i) * P1), 23) * P2 + P3; i += 4 }
+    while (i < len) { h = rotl(h ^ ((data(i) & 0xffL) * P5), 11) * P1; i += 1 }
+    h ^= h >>> 33; h *= P2; h ^= h >>> 29; h *= P3; h ^= h >>> 32
+    h
+  }
+
+  private val BloomSalt = Array(0x47b6137b, 0x44974d91, 0x8824ad5b,
+    0xa2b7289d, 0x705495c7, 0x2df1424b, 0x9efc4947, 0x5c6bfb31)
+
+  /** A split-block bloom filter (parquet-format BloomFilter.md): 32-byte
+    * blocks of eight 32-bit words; the hash's upper half picks the block,
+    * its lower half salted-multiplies into one bit per word.
+    */
+  final case class BloomFilter(bits: Array[Byte]) {
+    private val numBlocks = bits.length / 32
+    def mightContain(hash: Long): Boolean = {
+      if (numBlocks == 0) return false
+      val block = (((hash >>> 32) * numBlocks.toLong) >>> 32).toInt
+      val base = block * 32
+      val key = hash.toInt
+      var i = 0
+      while (i < 8) {
+        val bit = (key * BloomSalt(i)) >>> 27
+        val w = base + 4 * i
+        val word = (bits(w) & 0xff) | (bits(w + 1) & 0xff) << 8 |
+          (bits(w + 2) & 0xff) << 16 | (bits(w + 3) & 0xff) << 24
+        if ((word & (1 << bit)) == 0) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  /** Parse a BloomFilterHeader + bitset at a chunk's bloom_filter_offset
+    * range: Thrift-compact header {numBytes, algorithm union (BLOCK),
+    * hash union (XXHASH), compression union (UNCOMPRESSED)} followed by
+    * the raw bitset. None on malformation or any non-default variant.
+    */
+  def parseBloomFilter(b: Array[Byte], off: Int, end: Int): Option[BloomFilter] = {
+    if (off < 0 || end > b.length || off >= end) return None
+    val r = new R(b, off, end)
+    var numBytes = -1
+    var algoOk, hashOk, compOk = false
+    // each union decodes as a struct with exactly one (empty-struct) field
+    def unionVariant(): Int = {
+      var variant = -1
+      struct(r) {
+        case (fid, TStruct) if variant < 0 =>
+          variant = fid
+          struct(r)((_, _) => false) // the variant struct is empty
+          true
+        case _ => false
+      }
+      variant
+    }
+    struct(r) {
+      case (1, TI32)    => numBytes = r.zigzag().toInt; true
+      case (2, TStruct) => algoOk = unionVariant() == 1; true  // BLOCK
+      case (3, TStruct) => hashOk = unionVariant() == 1; true  // XXHASH
+      case (4, TStruct) => compOk = unionVariant() == 1; true  // UNCOMPRESSED
+      case _            => false
+    }
+    if (r.bad || numBytes <= 0 || numBytes % 32 != 0 || !algoOk || !hashOk ||
+        !compOk || r.pos + numBytes > end) None
+    else Some(BloomFilter(
+      java.util.Arrays.copyOfRange(b, r.pos, r.pos + numBytes)))
+  }
+
+  /** The plain-encoded bytes the bloom spec hashes, per physical type:
+    * byte arrays raw (no length prefix), fixed raw, ints little-endian.
+    */
+  def bloomEncode(value: Any, typ: Int): Option[Array[Byte]] = value match {
+    case s: String if typ == 6 => Some(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case a: Array[Byte] if typ == 6 || typ == 7 => Some(a)
+    case i: Int if typ == 1 =>
+      Some(Array[Byte](i.toByte, (i >> 8).toByte, (i >> 16).toByte, (i >> 24).toByte))
+    case l: Long if typ == 2 =>
+      Some(Array.tabulate(8)(k => ((l >> (8 * k)) & 0xff).toByte))
+    case f: Float if typ == 4 =>
+      bloomEncode(java.lang.Float.floatToIntBits(f), 1)
+    case d: Double if typ == 5 =>
+      bloomEncode(java.lang.Double.doubleToLongBits(d), 2).map(identity)
+    case _ => None
   }
 
   // ------------------------------------------------------- stat decoding

@@ -3927,6 +3927,29 @@ object PipelineQueries extends QuerySet {
       s.sql(s"DELTA SCHEMA AT '${deltaDvDir()}'").orderBy("position")
     }),
 
+    // Parquet BLOOM-FILTER probe (the third grain of the parquet audit
+    // after footers and page indexes): our spec-implemented xxHash64 +
+    // split-block filter decode answers "can this file contain this
+    // key" from bloom bytes alone — the 100k-file point-lookup pruning
+    // primitive. 50 present probes MUST all pass (the no-false-negative
+    // law, implementation-independent) and the 200 absent probes'
+    // verdicts are a pure function of the fixture's filter bytes (the
+    // per-probe agreement with parquet-java's own BloomFilter reader is
+    // pinned in ParquetBloomSpec).
+    "q272_parquet_bloom" -> ((s, dir) => {
+      val f = bloomOracleFile(s)
+      val probes = (0 until 50).map(i => f"key-${i * 100}%05d") ++
+        (0 until 200).map(i => s"absent-$i")
+      graft.sources.ParquetMeta.bloomProbes(s, f, "k_str", probes)
+        .withColumn("probe_class",
+          when(col("value").startsWith("key-"), lit("present"))
+            .otherwise(lit("absent")))
+        .groupBy("probe_class")
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("might_contain"), 1L).otherwise(0L)).as("n_pass"))
+        .orderBy("probe_class")
+    }),
+
     // ZIP64 (q164's twin through the saturated-fields path): the same
     // member set rendered with FORCED zip64 — 0xFFFFFFFF sentinels in
     // every central entry resolved through the 0x0001 extended-info
@@ -4239,6 +4262,35 @@ object PipelineQueries extends QuerySet {
     dir.toAbsolutePath.toString
   }
 
+  /** The q272 bloom fixture: 5000 distinct string keys written with a
+    * split-block bloom filter (parquet-java's writer, NDV 5000 → ~1%
+    * FPP). Written once atomically, stable name.
+    */
+  private def bloomOracleFile(s: org.apache.spark.sql.SparkSession): String = {
+    val dir = java.nio.file.Paths.get("target", "fixtures", "bloom_oracle")
+    java.nio.file.Files.createDirectories(dir)
+    val f = dir.resolve("data.parquet")
+    if (!java.nio.file.Files.exists(f)) {
+      val tmpOut = java.nio.file.Files.createTempDirectory(dir, ".build").toString
+      s.range(5000L).selectExpr(
+          "concat('key-', lpad(CAST(id AS STRING), 5, '0')) AS k_str",
+          "id AS k_long")
+        .coalesce(1).write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#k_str", "true")
+        .option("parquet.bloom.filter.expected.ndv#k_str", "5000")
+        .parquet(tmpOut)
+      val part = new java.io.File(tmpOut).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      try java.nio.file.Files.move(part, f,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmpOut)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists)
+    }
+    f.toAbsolutePath.toString
+  }
+
   /** The q265/q266 page-index fixture: one Spark-written parquet file
     * with a small page size so every column spans many pages (Spark's
     * parquet-java writer emits ColumnIndex/OffsetIndex by default —
@@ -4542,6 +4594,16 @@ object PipelineQueries extends QuerySet {
         |ORDER BY path""".stripMargin,
     "q268_delta_column_mapping" -> DeltaSchemaReportOracle,
     "q269_sql_delta_schema" -> DeltaSchemaReportOracle,
+    // the no-false-negative law (present 50/50, implementation-
+    // independent) plus the absent-probe verdict count, a pure function
+    // of the fixture's filter bytes (1 false positive in 200 at ~1% FPP;
+    // per-probe parquet-java agreement pinned in ParquetBloomSpec)
+    "q272_parquet_bloom" ->
+      """SELECT * FROM (VALUES
+        |  ('absent', CAST(200 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('present', 50, 50))
+        |AS t(probe_class, n_probes, n_pass)
+        |ORDER BY probe_class""".stripMargin,
     // q164's arithmetic restated without the leading directory entry
     // (offsets start at 0); zip64 changes only the central directory,
     // never the local-record layout the offsets measure

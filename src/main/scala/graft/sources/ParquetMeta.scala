@@ -221,6 +221,75 @@ object ParquetMeta {
     spark.createDataFrame(rows, pagesSchema)
   }
 
+  val bloomSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("rg", IntegerType, nullable = false),
+    StructField("value", StringType, nullable = false),
+    StructField("might_contain", BooleanType, nullable = false)))
+
+  /** Probe each row group's split-block bloom filter on `column` for
+    * every probe value: one row per (file, row group, value) with the
+    * filter's verdict. The file-pruning primitive at 100 TB — "which of
+    * 100k files can contain this id" answered from bloom bytes (a few
+    * KB per chunk), never a data page. Chunks without a bloom filter
+    * contribute no rows (the caller can tell "no filter" from "filter
+    * says no"). One task per file; string probes are hashed with the
+    * spec's xxHash64 over plain encoding.
+    */
+  def bloomProbes(spark: SparkSession, path: String, column: String,
+                  values: Seq[String]): DataFrame = {
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val paths = listParquet(spark, path)
+    val slices = math.max(1, math.min(paths.length, spark.sparkContext.defaultParallelism * 2))
+    val probeList = values.toIndexedSeq
+    val rows = spark.sparkContext.parallelize(paths, slices).mapPartitions { it =>
+      var fs: org.apache.hadoop.fs.FileSystem = null
+      it.flatMap { s =>
+        val p = new Path(s)
+        if (fs == null) fs = p.getFileSystem(conf.value)
+        readFooter(fs, p) match {
+          case None    => Iterator.empty
+          case Some(m) =>
+            val targets = for {
+              (rg, rgi) <- m.rowGroups.zipWithIndex
+              c <- rg.columns
+              if c.path.mkString(".") == column
+              off <- c.bloomFilterOffset
+            } yield (rgi, c, off)
+            if (targets.isEmpty) Iterator.empty
+            else {
+              val in = fs.open(p)
+              try {
+                targets.iterator.flatMap { case (rgi, c, off) =>
+                  // length when the writer recorded it; else a bounded
+                  // window (header + bitset sit well inside 1 MB for
+                  // practical NDVs)
+                  val len = c.bloomFilterLength.getOrElse(1 << 20)
+                  val fileLen = fs.getFileStatus(p).getLen
+                  val n = math.min(len.toLong, fileLen - off).toInt
+                  if (n <= 0) Iterator.empty
+                  else {
+                    val buf = new Array[Byte](n)
+                    in.readFully(off, buf)
+                    ParquetFooter.parseBloomFilter(buf, 0, n) match {
+                      case None => Iterator.empty
+                      case Some(bf) =>
+                        probeList.iterator.map { v =>
+                          val enc = ParquetFooter.bloomEncode(v, c.typ)
+                            .getOrElse(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                          Row(s, rgi, v, bf.mightContain(ParquetFooter.xxHash64(enc)))
+                        }
+                    }
+                  }
+                }.toVector.iterator
+              } finally in.close()
+            }
+        }
+      }
+    }
+    spark.createDataFrame(rows, bloomSchema)
+  }
+
   /** One row per (row group, column chunk): the audit grain. Stats are
     * decoded per the column's physical type into the matching typed
     * column (ints/bools → *_long, float/double → *_double, byte arrays

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+
+/** Parquet split-block bloom-filter probe contract: our xxHash64 +
+  * SBBF decode must agree with parquet-java's own BloomFilter read on
+  * EVERY probe (present and absent) over a Spark-written fixture —
+  * plus the spec laws (no false negatives; absent-probe verdicts are a
+  * pure function of the file bytes) and the never-throw fuzz rule.
+  */
+class ParquetBloomSpec extends SparkSpec {
+
+  private def writeFixture(dir: String): String = {
+    import org.apache.spark.sql.functions._
+    spark.range(5000L).select(
+        concat(lit("key-"), lpad(col("id").cast("string"), 5, "0")).as("k_str"),
+        col("id").as("k_long"))
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#k_str", "true")
+      .option("parquet.bloom.filter.expected.ndv#k_str", "5000")
+      .option("parquet.bloom.filter.enabled#k_long", "true")
+      .option("parquet.bloom.filter.expected.ndv#k_long", "5000")
+      .parquet(dir)
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).head
+  }
+
+  test("xxHash64 matches the published test vectors") {
+    // vectors from the xxHash spec repository (seed 0)
+    assert(ParquetFooter.xxHash64(Array.emptyByteArray) === 0xEF46DB3751D8E999L)
+    assert(ParquetFooter.xxHash64("a".getBytes("US-ASCII")) === 0xD24EC4F1A98C6E5BL)
+    assert(ParquetFooter.xxHash64("abc".getBytes("US-ASCII")) === 0x44BC2CF5AD770999L)
+    // >32 bytes exercises the 4-lane stripe loop; cross-check against
+    // Spark's own XXH64 (an independent implementation of the same spec)
+    val long = "xxhash is a fast non-cryptographic hash".getBytes("US-ASCII")
+    assert(ParquetFooter.xxHash64(long) ===
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        long, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        long.length, 0L))
+  }
+
+  test("live parquet-java cross-check: every probe verdict identical") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("pqbloom").toString
+    val p = writeFixture(dir)
+    val hp = new Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = graft.sources.ParquetMeta.readFooter(fs, hp).get
+    val chunk = m.rowGroups.head.columns.find(_.path == Seq("k_str")).get
+    assert(chunk.bloomFilterOffset.isDefined, "fixture must carry a bloom filter")
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val ours = ParquetFooter.parseBloomFilter(bytes,
+      chunk.bloomFilterOffset.get.toInt,
+      chunk.bloomFilterOffset.get.toInt +
+        chunk.bloomFilterLength.getOrElse(1 << 20).min(
+          bytes.length - chunk.bloomFilterOffset.get.toInt)).get
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      hp, spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val block = r.getFooter.getBlocks.asScala.head
+      val jc = block.getColumns.asScala.find(_.getPath.toDotString == "k_str").get
+      val jbf = r.getBloomFilterDataReader(block).readBloomFilter(jc)
+      val probes = (0 until 5000 by 7).map(i => f"key-$i%05d") ++
+        (0 until 3000).map(i => s"absent-$i")
+      probes.foreach { v =>
+        val ourVerdict = ours.mightContain(
+          ParquetFooter.xxHash64(v.getBytes("UTF-8")))
+        val jVerdict = jbf.findHash(
+          jbf.hash(org.apache.parquet.io.api.Binary.fromString(v)))
+        assert(ourVerdict === jVerdict, s"probe $v")
+      }
+      // spec law: no false negatives on present values
+      (0 until 5000 by 7).foreach { i =>
+        assert(ours.mightContain(ParquetFooter.xxHash64(
+          f"key-$i%05d".getBytes("UTF-8"))))
+      }
+    } finally r.close()
+  }
+
+  test("bloomProbes relation: present always true, absent mostly false") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("pqbloomrel").toString
+    val p = writeFixture(dir)
+    val probes = (0 until 50).map(i => f"key-${i * 100}%05d") ++
+      (0 until 200).map(i => s"nope-$i")
+    val got = graft.sources.ParquetMeta.bloomProbes(spark, p, "k_str", probes)
+      .cache()
+    assert(got.count() === probes.length.toLong)
+    assert(got.where(col("value").startsWith("key-") && !col("might_contain"))
+      .count() === 0L) // no false negatives, ever
+    val fp = got.where(col("value").startsWith("nope-") && col("might_contain"))
+      .count()
+    assert(fp < 20L, s"false-positive count $fp out of 200 is not a 1% filter")
+    // a column without a filter (or an absent column) contributes no rows
+    assert(graft.sources.ParquetMeta.bloomProbes(spark,
+      "/root/testdata/sf0.001/lineitem.parquet", "l_comment",
+      Seq("x")).count() === 0L)
+  }
+
+  test("fuzz: header/bitset corruption never throws") {
+    val dir = java.nio.file.Files.createTempDirectory("pqbloomfuzz").toString
+    val p = writeFixture(dir)
+    val hp = new Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = graft.sources.ParquetMeta.readFooter(fs, hp).get
+    val c = m.rowGroups.head.columns.find(_.path == Seq("k_str")).get
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val off = c.bloomFilterOffset.get.toInt
+    val len = c.bloomFilterLength.getOrElse(4096)
+    for (cut <- Seq(1, 3, 10, len / 2))
+      ParquetFooter.parseBloomFilter(bytes, off, off + cut) // None or value
+    var seed = 0x6a09e667f3bcc908L
+    def next(): Long = { seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17; seed }
+    for (_ <- 0 until 200) {
+      val mut = java.util.Arrays.copyOfRange(bytes, off, off + len)
+      mut((math.abs(next()) % mut.length).toInt) = next().toByte
+      ParquetFooter.parseBloomFilter(mut, 0, mut.length).foreach { bf =>
+        bf.mightContain(next()) // a decoded filter must also probe safely
+      }
+    }
+  }
+}
