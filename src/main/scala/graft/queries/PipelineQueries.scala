@@ -3927,6 +3927,18 @@ object PipelineQueries extends QuerySet {
       s.sql(s"DELTA SCHEMA AT '${deltaDvDir()}'").orderBy("position")
     }),
 
+    // The DELETED ROW INDEXES under q267's descriptors: both deletion-
+    // vector storage forms decoded to the row grain — the inline Z85
+    // bitmap on part-00000 and the on-disk deletion_vector_<uuid>.bin
+    // (offset/size/CRC framing) on part-00002 — via the spec-implemented
+    // 64-bit portable roaring reader (org.roaringbitmap live-pinned both
+    // directions in DeltaDvSpec). "WHICH rows does this file no longer
+    // serve", answered from KBs of bitmap, never a data read.
+    "q273_delta_dv_rows" -> ((s, dir) => {
+      graft.sources.DeltaLog.deletedRows(s, deltaDvDir())
+        .orderBy("path", "row_index")
+    }),
+
     // Parquet BLOOM-FILTER probe (the third grain of the parquet audit
     // after footers and page indexes): our spec-implemented xxHash64 +
     // split-block filter decode answers "can this file contain this
@@ -4214,18 +4226,44 @@ object PipelineQueries extends QuerySet {
     dir.toAbsolutePath.toString
   }
 
-  /** The q267/q268/q269 fixture: a Delta table using DELETION VECTORS
-    * and COLUMN MAPPING (reader 3 / writer 7 features). v0: protocol +
-    * column-mapped metaData + three adds (10/20/30 records); v1: a DV
-    * attach on part-00000 (the protocol shape — remove the plain add,
-    * re-add the same path carrying the DV descriptor, cardinality 4);
-    * v2: remove part-00001. Post-DV live set: part-00000 serves 6 of
-    * its 10 rows, part-00002 all 30.
+  /** The q267/q268/q269/q273 fixture: a Delta table using DELETION
+    * VECTORS and COLUMN MAPPING (reader 3 / writer 7 features). v0:
+    * protocol + column-mapped metaData + three adds (10/20/30 records);
+    * v1: a DV attach on part-00000 (the protocol shape — remove the
+    * plain add, re-add the same path carrying the DV descriptor) with a
+    * REAL inline Z85 bitmap deleting rows {0,2,5,7}; v2: remove
+    * part-00001; v3: a FILE-based (`u`) DV on part-00002 deleting rows
+    * {10,20,30} from a real on-disk `deletion_vector_<uuid>.bin`.
+    * Post-DV live set: part-00000 serves 6 of 10 rows, part-00002
+    * serves 27 of 30.
     */
+  private val DvInlineRows = Seq(0L, 2L, 5L, 7L)
+  private val DvFileRows = Seq(10L, 20L, 30L)
+
   private def deltaDvDir(): String = {
     val dir = java.nio.file.Paths.get("target", "fixtures", "delta_dv")
     val log = dir.resolve("_delta_log")
     java.nio.file.Files.createDirectories(log)
+    val inlineData = graft.sources.DeltaDv.encodeBitmap(DvInlineRows)
+    val inlinePadded = inlineData ++
+      new Array[Byte]((4 - inlineData.length % 4) % 4)
+    val inlineZ85 = graft.sources.DeltaDv.z85Encode(inlinePadded)
+    val (dvFileBytes, dvOff, dvSize) =
+      graft.sources.DeltaDv.renderDvFile(DvFileRows)
+    val uuid = java.util.UUID.fromString("5d3f0e5a-97a4-41e6-9d3a-0b9f2e6c4d11")
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits)
+    bb.putLong(uuid.getLeastSignificantBits)
+    val uuidZ85 = graft.sources.DeltaDv.z85Encode(bb.array())
+    val dvBin = dir.resolve(s"deletion_vector_$uuid.bin")
+    if (!java.nio.file.Files.exists(dvBin)) {
+      val tmp = java.nio.file.Files.createTempFile(dir, ".dv", ".tmp")
+      java.nio.file.Files.write(tmp, dvFileBytes)
+      try java.nio.file.Files.move(tmp, dvBin,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp) }
+    }
     val schemaString =
       """{\"type\":\"struct\",\"fields\":[""" +
         """{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.columnMapping.id\":1,\"delta.columnMapping.physicalName\":\"col-aaaa\"}},""" +
@@ -4241,12 +4279,16 @@ object PipelineQueries extends QuerySet {
         """"readerFeatures":["deletionVectors","columnMapping"],""" +
         """"writerFeatures":["deletionVectors","columnMapping"]}}"""
     def dvAdd(path: String, size: Long, recs: Long, src: String,
-              cardinality: Long): String =
+              dv: String): String =
       s"""{"add":{"path":"$path","partitionValues":{"src":"$src"},"size":$size,""" +
         s""""modificationTime":${1700000000000L + size},"dataChange":true,""" +
-        s""""stats":"{\\"numRecords\\":$recs}",""" +
-        s""""deletionVector":{"storageType":"u","pathOrInlineDv":"ab^-aYcn(",""" +
-        s""""offset":1,"sizeInBytes":36,"cardinality":$cardinality}}}"""
+        s""""stats":"{\\"numRecords\\":$recs}","deletionVector":$dv}}"""
+    val inlineDv =
+      s"""{"storageType":"i","pathOrInlineDv":"$inlineZ85",""" +
+        s""""sizeInBytes":${inlineData.length},"cardinality":${DvInlineRows.length}}"""
+    val fileDv =
+      s"""{"storageType":"u","pathOrInlineDv":"$uuidZ85",""" +
+        s""""offset":$dvOff,"sizeInBytes":$dvSize,"cardinality":${DvFileRows.length}}"""
     writeCommit(log, 0L, Seq(proto, meta,
       """{"commitInfo":{"timestamp":1700000000001,"operation":"WRITE"}}""",
       deltaAdd("part-00000", 500, 10, "s0"),
@@ -4255,10 +4297,14 @@ object PipelineQueries extends QuerySet {
     writeCommit(log, 1L, Seq(
       """{"commitInfo":{"timestamp":1700000000002,"operation":"DELETE"}}""",
       deltaRemove("part-00000"),
-      dvAdd("part-00000", 500, 10, "s0", 4)))
+      dvAdd("part-00000", 500, 10, "s0", inlineDv)))
     writeCommit(log, 2L, Seq(
       """{"commitInfo":{"timestamp":1700000000003,"operation":"DELETE"}}""",
       deltaRemove("part-00001")))
+    writeCommit(log, 3L, Seq(
+      """{"commitInfo":{"timestamp":1700000000004,"operation":"DELETE"}}""",
+      deltaRemove("part-00002"),
+      dvAdd("part-00002", 700, 30, "s0", fileDv)))
     dir.toAbsolutePath.toString
   }
 
@@ -4588,10 +4634,19 @@ object PipelineQueries extends QuerySet {
         |  ('part-00000', CAST(500 AS BIGINT), CAST(1700000000500 AS BIGINT),
         |     CAST(10 AS BIGINT), 'src=s0', CAST(1 AS BIGINT),
         |     CAST(4 AS BIGINT), CAST(6 AS BIGINT)),
-        |  ('part-00002', 700, 1700000000700, 30, 'src=s0', 0, NULL, 30))
+        |  ('part-00002', 700, 1700000000700, 30, 'src=s0', 3, 3, 27))
         |AS t(path, size, mod_time, num_records, "partition", version_added,
         |     dv_cardinality, live_records)
         |ORDER BY path""".stripMargin,
+    // the decoded bitmaps verbatim: the inline Z85 DV's rows on
+    // part-00000, the on-disk DV file's rows on part-00002
+    "q273_delta_dv_rows" ->
+      """SELECT * FROM (VALUES
+        |  ('part-00000', CAST(0 AS BIGINT)), ('part-00000', 2),
+        |  ('part-00000', 5), ('part-00000', 7),
+        |  ('part-00002', 10), ('part-00002', 20), ('part-00002', 30))
+        |AS t(path, row_index)
+        |ORDER BY path, row_index""".stripMargin,
     "q268_delta_column_mapping" -> DeltaSchemaReportOracle,
     "q269_sql_delta_schema" -> DeltaSchemaReportOracle,
     // the no-false-negative law (present 50/50, implementation-

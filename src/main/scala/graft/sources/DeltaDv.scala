@@ -1,0 +1,340 @@
+package graft.sources
+
+/** Delta deletion-vector BITMAP decode — the row grain under the
+  * descriptor surfaced by [[DeltaLog.snapshot]]: which row indexes of a
+  * file a DV actually deletes.
+  *
+  * Formats, all public:
+  *  - Z85 (ZeroMQ spec 32) — the Delta protocol's encoding for inline
+  *    DV payloads and DV-file UUIDs in `pathOrInlineDv`.
+  *  - the DV bitmap itself (Delta PROTOCOL.md "Deletion Vector Format"):
+  *    a magic number (1681511377, little-endian) followed by the 64-bit
+  *    PORTABLE RoaringBitmap layout of the public RoaringFormatSpec
+  *    (github.com/RoaringBitmap/RoaringFormatSpec): an int64 LE bucket
+  *    count, then per bucket an int32 LE high-word key + one standard
+  *    32-bit roaring serialization (cookie, descriptive headers,
+  *    offsets, array/bitmap/run containers).
+  *  - the DV FILE layout (storageType `u`/`p`): a 1-byte version (1),
+  *    then per stored DV [int32 BE size][bitmap data][int32 BE CRC32 of
+  *    the data]; the descriptor's `offset` points at the size word and
+  *    `sizeInBytes` must equal it.
+  *
+  * The decoder is pinned LIVE against org.roaringbitmap 1.3.0 (on the
+  * Spark classpath): `Roaring64NavigableMap.serializePortable` produces
+  * exactly the post-magic bytes, both directions (DeltaDvSpec). The
+  * writer twin emits no-run-cookie serializations (arrays/bitmaps only)
+  * — a valid subset every conformant reader, including ours and
+  * org.roaringbitmap, accepts.
+  *
+  * Contracts as everywhere: malformed input → None, growth capped
+  * (cardinality <= 2^26 per DV — a deleted-row AUDIT, not a billion-row
+  * materialization), never a throw.
+  */
+object DeltaDv {
+
+  // ------------------------------------------------------------- Z85
+
+  private val Z85Alphabet =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+      ".-:+=^!/*?&<>()[]{}@%$#"
+  private val Z85Decode: Array[Int] = {
+    val t = Array.fill(128)(-1)
+    Z85Alphabet.zipWithIndex.foreach { case (c, i) => t(c.toInt) = i }
+    t
+  }
+
+  /** Z85 decode (spec 32/Z85): 5 chars → 4 bytes, big-endian base 85.
+    * None unless length % 5 == 0 and every char is in the alphabet.
+    */
+  def z85Decode(s: String): Option[Array[Byte]] = {
+    if (s.length % 5 != 0) return None
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0
+    var o = 0
+    while (i < s.length) {
+      var v = 0L
+      var k = 0
+      while (k < 5) {
+        val c = s.charAt(i + k)
+        if (c >= 128 || Z85Decode(c) < 0) return None
+        v = v * 85 + Z85Decode(c)
+        k += 1
+      }
+      if (v > 0xffffffffL) return None
+      out(o) = (v >> 24).toByte; out(o + 1) = (v >> 16).toByte
+      out(o + 2) = (v >> 8).toByte; out(o + 3) = v.toByte
+      i += 5
+      o += 4
+    }
+    Some(out)
+  }
+
+  /** Z85 encode — the fixture/writer twin. Length must be % 4 == 0. */
+  def z85Encode(b: Array[Byte]): String = {
+    require(b.length % 4 == 0, "z85 encodes 4-byte groups")
+    val sb = new java.lang.StringBuilder(b.length / 4 * 5)
+    var i = 0
+    while (i < b.length) {
+      var v = ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+      val chars = new Array[Char](5)
+      var k = 4
+      while (k >= 0) { chars(k) = Z85Alphabet((v % 85).toInt); v /= 85; k -= 1 }
+      sb.append(chars)
+      i += 4
+    }
+    sb.toString
+  }
+
+  // ------------------------------------------- roaring (32-bit standard)
+
+  val Magic: Int = 1681511377
+  val MaxRows: Int = 1 << 26
+
+  private val SerialCookie = 12347         // with run containers
+  private val SerialCookieNoRun = 12346
+  private val NoOffsetThreshold = 4
+
+  private final class R(b: Array[Byte], var pos: Int, val end: Int) {
+    def ok: Boolean = pos <= end
+    def fail(): Unit = pos = end + 1
+    def u8(): Int =
+      if (pos >= end) { fail(); 0 } else { val v = b(pos) & 0xff; pos += 1; v }
+    def u16(): Int = { val a = u8(); val c = u8(); a | (c << 8) }
+    def i32(): Int = { val a = u16(); val c = u16(); a | (c << 16) }
+    def i64(): Long = { val a = i32() & 0xffffffffL; val c = i32() & 0xffffffffL; a | (c << 32) }
+  }
+
+  /** One standard 32-bit roaring serialization → sorted values, appended
+    * to `out` with `base` added (the 64-bit bucket offset). False on any
+    * malformation or cap breach.
+    */
+  private def read32(r: R, base: Long,
+                     out: scala.collection.mutable.ArrayBuffer[Long]): Boolean = {
+    val cookie = r.i32()
+    if (!r.ok) return false
+    var nContainers = 0
+    var runFlags: Array[Boolean] = null
+    if ((cookie & 0xffff) == SerialCookie) {
+      nContainers = (cookie >>> 16) + 1
+      val flagBytes = (nContainers + 7) / 8
+      runFlags = new Array[Boolean](nContainers)
+      var i = 0
+      while (i < flagBytes) {
+        val byte = r.u8()
+        var k = 0
+        while (k < 8 && i * 8 + k < nContainers) {
+          runFlags(i * 8 + k) = (byte & (1 << k)) != 0
+          k += 1
+        }
+        i += 1
+      }
+    } else if (cookie == SerialCookieNoRun) {
+      nContainers = r.i32()
+      runFlags = new Array[Boolean](math.max(nContainers, 0))
+    } else return false
+    if (!r.ok || nContainers < 0 || nContainers > 65536) return false
+    val keys = new Array[Int](nContainers)
+    val cards = new Array[Int](nContainers)
+    var i = 0
+    while (i < nContainers) {
+      keys(i) = r.u16()
+      cards(i) = r.u16() + 1
+      i += 1
+    }
+    // offsets: present unless the run-cookie form has < 4 containers
+    if (cookie == SerialCookieNoRun || nContainers >= NoOffsetThreshold) {
+      var k = 0
+      while (k < nContainers) { r.i32(); k += 1 } // recomputable; unused
+    }
+    if (!r.ok) return false
+    i = 0
+    while (i < nContainers) {
+      val key = keys(i)
+      val card = cards(i)
+      if (out.size + card > MaxRows) return false
+      if (runFlags(i)) {
+        val nRuns = r.u16()
+        var rr = 0
+        var total = 0
+        while (rr < nRuns && r.ok) {
+          val start = r.u16()
+          val len = r.u16()
+          var v = 0
+          while (v <= len) {
+            out += base + (key.toLong << 16) + start + v
+            v += 1
+          }
+          total += len + 1
+          rr += 1
+        }
+        if (total > 65536 || out.size > MaxRows) return false
+      } else if (card <= 4096) {
+        var v = 0
+        while (v < card && r.ok) {
+          out += base + (key.toLong << 16) + r.u16()
+          v += 1
+        }
+      } else {
+        // 1024-word bitmap container
+        var w = 0
+        while (w < 1024 && r.ok) {
+          var word = r.i64()
+          var bit = 0
+          while (word != 0) {
+            val t = java.lang.Long.numberOfTrailingZeros(word)
+            bit += t
+            out += base + (key.toLong << 16) + w * 64 + bit
+            word = word >>> t >>> 1
+            bit += 1
+          }
+          w += 1
+        }
+      }
+      if (!r.ok) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Decode a Delta DV bitmap payload (magic + 64-bit portable roaring):
+    * the sorted deleted row indexes. None on malformation.
+    */
+  def decodeBitmap(bytes: Array[Byte]): Option[Seq[Long]] = {
+    val r = new R(bytes, 0, bytes.length)
+    if (r.i32() != Magic || !r.ok) return None
+    val nBuckets = r.i64()
+    if (!r.ok || nBuckets < 0 || nBuckets > (1L << 31)) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0L
+    while (i < nBuckets) {
+      val high = r.i32() & 0xffffffffL
+      if (!r.ok || !read32(r, high << 32, out)) return None
+      i += 1
+    }
+    if (r.pos != bytes.length) return None // trailing garbage
+    Some(out.toSeq)
+  }
+
+  /** Writer twin: sorted row indexes → magic + portable layout, no-run
+    * cookie, array/bitmap containers. Deterministic.
+    */
+  def encodeBitmap(rows: Seq[Long]): Array[Byte] = {
+    require(rows.forall(_ >= 0), "row indexes are non-negative")
+    val sorted = rows.distinct.sorted
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    def w64(v: Long): Unit = { w32(v.toInt); w32((v >>> 32).toInt) }
+    w32(Magic)
+    val buckets = sorted.groupBy(_ >>> 32).toSeq.sortBy(_._1)
+    w64(buckets.length.toLong)
+    buckets.foreach { case (high, vals32) =>
+      w32(high.toInt)
+      val containers = vals32.map(v => ((v & 0xffffffffL).toInt))
+        .groupBy(_ >>> 16).toSeq.sortBy(_._1)
+      w32(SerialCookieNoRun)
+      w32(containers.length)
+      containers.foreach { case (key, vs) => w16(key); w16(vs.length - 1) }
+      // offsets from the start of the 32-bit serialization
+      var off = 4 + 4 + 4 * containers.length + 4 * containers.length
+      containers.foreach { case (_, vs) =>
+        w32(off)
+        off += (if (vs.length <= 4096) 2 * vs.length else 8192)
+      }
+      containers.foreach { case (_, vs) =>
+        if (vs.length <= 4096) vs.map(_ & 0xffff).sorted.foreach(w16)
+        else {
+          val words = new Array[Long](1024)
+          vs.foreach { v =>
+            val low = v & 0xffff
+            words(low >>> 6) |= 1L << (low & 63)
+          }
+          words.foreach(w64)
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  // --------------------------------------------------------- descriptors
+
+  /** Resolve a DV descriptor to its bitmap's deleted row indexes.
+    * storageType `i`: the payload is inline (Z85). `u`: the file is
+    * `<tableDir>/<prefix>deletion_vector_<uuid>.bin` with the prefix and
+    * Z85 uuid packed in pathOrInlineDv. `p`: an absolute path. File
+    * forms honor [offset, sizeInBytes] framing ([int32 BE size][data]
+    * [int32 BE CRC32]) and verify both the size and the checksum.
+    * None on any malformation or a cardinality mismatch.
+    */
+  def resolve(fs: org.apache.hadoop.fs.FileSystem, tableDir: String,
+              storageType: String, pathOrInlineDv: String,
+              offset: Option[Int], sizeInBytes: Int,
+              cardinality: Long): Option[Seq[Long]] = {
+    val data: Option[Array[Byte]] = storageType match {
+      case "i" =>
+        z85Decode(pathOrInlineDv).map { d =>
+          // z85 pads to 4-byte groups; the descriptor size is the truth
+          if (sizeInBytes >= 0 && sizeInBytes <= d.length) d.take(sizeInBytes) else d
+        }
+      case "u" | "p" =>
+        val path =
+          if (storageType == "p") new org.apache.hadoop.fs.Path(pathOrInlineDv)
+          else {
+            // <random prefix><20-char z85 uuid>: the LAST 20 chars are
+            // the uuid; anything before is a directory prefix
+            if (pathOrInlineDv.length < 20) return None
+            val (prefix, enc) = pathOrInlineDv.splitAt(pathOrInlineDv.length - 20)
+            val uuidBytes = z85Decode(enc).getOrElse(return None)
+            val bb = java.nio.ByteBuffer.wrap(uuidBytes)
+            val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+            val dirPart = if (prefix.isEmpty) "" else s"$prefix"
+            new org.apache.hadoop.fs.Path(tableDir,
+              s"${dirPart}deletion_vector_$uuid.bin")
+          }
+        try {
+          val in = fs.open(path)
+          try {
+            val off = offset.getOrElse(return None)
+            val head = new Array[Byte](4)
+            in.readFully(off.toLong, head)
+            val size = ((head(0) & 0xff) << 24) | ((head(1) & 0xff) << 16) |
+              ((head(2) & 0xff) << 8) | (head(3) & 0xff)
+            if (size != sizeInBytes || size < 0 || size > (1 << 30)) return None
+            val buf = new Array[Byte](size)
+            in.readFully(off.toLong + 4, buf)
+            val crcBytes = new Array[Byte](4)
+            in.readFully(off.toLong + 4 + size, crcBytes)
+            val want = ((crcBytes(0) & 0xffL) << 24) | ((crcBytes(1) & 0xffL) << 16) |
+              ((crcBytes(2) & 0xffL) << 8) | (crcBytes(3) & 0xffL)
+            val crc = new java.util.zip.CRC32()
+            crc.update(buf)
+            if (crc.getValue != want) return None
+            Some(buf)
+          } finally in.close()
+        } catch { case _: java.io.IOException => None }
+      case _ => None
+    }
+    data.flatMap(decodeBitmap).filter(_.length.toLong == cardinality)
+  }
+
+  /** Render a DV FILE holding one bitmap (the writer twin of the `u`/`p`
+    * layout): version byte 1, [size][data][crc32]. Returns (bytes,
+    * offset, sizeInBytes) for the descriptor.
+    */
+  def renderDvFile(rows: Seq[Long]): (Array[Byte], Int, Int) = {
+    val data = encodeBitmap(rows)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(1) // format version
+    val offset = out.size()
+    out.write((data.length >> 24) & 0xff); out.write((data.length >> 16) & 0xff)
+    out.write((data.length >> 8) & 0xff); out.write(data.length & 0xff)
+    out.write(data, 0, data.length)
+    val crc = new java.util.zip.CRC32()
+    crc.update(data)
+    val c = crc.getValue
+    out.write(((c >> 24) & 0xff).toInt); out.write(((c >> 16) & 0xff).toInt)
+    out.write(((c >> 8) & 0xff).toInt); out.write((c & 0xff).toInt)
+    (out.toByteArray, offset, data.length)
+  }
+}

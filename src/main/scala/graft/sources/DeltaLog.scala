@@ -322,6 +322,61 @@ object DeltaLog {
       .orderBy("version")
   }
 
+  /** The DELETED ROW INDEXES of the live snapshot: every live file whose
+    * add carries a deletion vector, with the DV bitmap (inline Z85 or
+    * the on-disk DV-file layout) decoded to one row per deleted index —
+    * see [[DeltaDv]] for the formats and the org.roaringbitmap live
+    * pins. The row grain under snapshot()'s dv_cardinality: "WHICH rows
+    * does this file no longer serve". One task per DV-carrying file; a
+    * DV that fails to decode or whose cardinality disagrees with its
+    * descriptor fails the task loudly (a wrong deleted-set silently
+    * passing is the one inexcusable outcome for this relation).
+    */
+  def deletedRows(spark: SparkSession, tableDir: String,
+                  asOf: Option[Long] = None): DataFrame = {
+    val acts = actions(spark, tableDir, asOf)
+    val fileActs = acts
+      .where(col("add.path").isNotNull || col("remove.path").isNotNull)
+      .select(
+        coalesce(col("add.path"), col("remove.path")).as("path"),
+        col("add.path").isNotNull.as("is_add"),
+        col("version"), col("ordinal"),
+        col("add.deletionVector").as("dv"))
+    val w = Window.partitionBy("path")
+      .orderBy(col("version").desc, col("ordinal").desc)
+    val dvFiles = fileActs.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1 && col("is_add") && col("dv").isNotNull)
+      .select(col("path"), col("dv.storageType").as("storage_type"),
+        col("dv.pathOrInlineDv").as("path_or_inline"),
+        col("dv.offset").as("offset"), col("dv.sizeInBytes").as("size"),
+        col("dv.cardinality").as("cardinality"))
+      .collect() // descriptor list: metadata-sized (one row per DV'd file)
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val slices = math.max(1, math.min(dvFiles.length,
+      spark.sparkContext.defaultParallelism * 2))
+    val rows = spark.sparkContext.parallelize(dvFiles.toSeq, math.max(1, slices))
+      .mapPartitions { it =>
+        var fs: org.apache.hadoop.fs.FileSystem = null
+        it.flatMap { r =>
+          if (fs == null)
+            fs = new Path(tableDir).getFileSystem(conf.value)
+          val deleted = DeltaDv.resolve(fs, tableDir,
+            r.getString(1), r.getString(2),
+            if (r.isNullAt(3)) None else Some(r.getInt(3)),
+            if (r.isNullAt(4)) -1 else r.getInt(4),
+            r.getLong(5)).getOrElse(
+            throw new java.io.IOException(
+              s"deltalog: deletion vector for ${r.getString(0)} is malformed " +
+                "or disagrees with its descriptor"))
+          deleted.iterator.map(idx =>
+            org.apache.spark.sql.Row(r.getString(0), idx))
+        }
+      }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("row_index", LongType, nullable = false))))
+  }
+
   /** Column-mapping-aware schema report at `asOf`: one row per top-
     * level column with its LOGICAL name (what queries use), PHYSICAL
     * name (what the parquet files store — differs under

@@ -1,0 +1,152 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Deletion-vector bitmap contract (see [[DeltaDv]]): Z85 both ways,
+  * the magic + 64-bit portable roaring layout pinned LIVE against
+  * org.roaringbitmap 1.3.0 in both directions (their serializePortable
+  * bytes decode here; our writer twin's bytes load there), run-container
+  * decode, the DV-file framing with CRC, and the deletedRows relation
+  * end to end over a real log.
+  */
+class DeltaDvSpec extends SparkSpec {
+
+  test("z85: spec test vector, round trips, malformed rejects") {
+    // the ZeroMQ spec 32 test vector: 0x86 0x4F 0xD2 0x6F 0xB5 0x59 0xF7 0x5B
+    // encodes as "HelloWorld"
+    val v = Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b).map(_.toByte)
+    assert(DeltaDv.z85Encode(v) === "HelloWorld")
+    assert(DeltaDv.z85Decode("HelloWorld").get.toSeq === v.toSeq)
+    var seed = 0x1234567890abcdefL
+    def next(): Long = { seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17; seed }
+    for (n <- Seq(4, 16, 64, 256)) {
+      val b = Array.tabulate(n)(_ => next().toByte)
+      assert(DeltaDv.z85Decode(DeltaDv.z85Encode(b)).get.toSeq === b.toSeq)
+    }
+    assert(DeltaDv.z85Decode("abc").isEmpty)      // not % 5
+    assert(DeltaDv.z85Decode("ab,cd").isEmpty) // outside alphabet
+    assert(DeltaDv.z85Decode("#####").isEmpty)    // > 2^32 - 1
+  }
+
+  private def roaringPortable(rows: Seq[Long]): Array[Byte] = {
+    val rb = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+    rows.foreach(rb.addLong)
+    rb.runOptimize()
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    rb.serializePortable(dos)
+    dos.flush()
+    bos.toByteArray
+  }
+
+  private def withMagic(portable: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(DeltaDv.Magic & 0xff); out.write((DeltaDv.Magic >> 8) & 0xff)
+    out.write((DeltaDv.Magic >> 16) & 0xff); out.write((DeltaDv.Magic >> 24) & 0xff)
+    out.write(portable, 0, portable.length)
+    out.toByteArray
+  }
+
+  test("org.roaringbitmap portable bytes decode here: arrays, bitmaps, runs, 64-bit") {
+    val cases = Seq(
+      Seq(0L, 1L, 5L, 100L, 65535L),                        // array container
+      (0L until 6000L).map(_ * 2),                          // dense array→bitmap
+      (100L to 8300L),                                      // run-optimized
+      Seq(1L, (1L << 32) + 7, (1L << 33) + 9, (5L << 32)),  // multiple buckets
+      Seq.empty[Long],
+      (0L until 5000L) ++ ((1L << 32) until ((1L << 32) + 300L)))
+    cases.foreach { rows =>
+      val got = DeltaDv.decodeBitmap(withMagic(roaringPortable(rows))).get
+      assert(got === rows.distinct.sorted, s"case of ${rows.take(3)}...")
+    }
+  }
+
+  test("writer twin loads in org.roaringbitmap (both directions, self round trip)") {
+    val rows = Seq(3L, 17L, 4096L, 70000L, (1L << 32) + 12, (1L << 32) + 13) ++
+      (200000L until 210000L) // > 4096 in one chunk → bitmap container
+    val ours = DeltaDv.encodeBitmap(rows)
+    // self round trip
+    assert(DeltaDv.decodeBitmap(ours).get === rows.distinct.sorted)
+    // live validator loads our post-magic bytes
+    val rb = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+    rb.deserializePortable(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(ours.drop(4))))
+    val theirs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    rb.forEach(new org.roaringbitmap.longlong.LongConsumer {
+      override def accept(v: Long): Unit = theirs += v
+    })
+    assert(theirs.toSeq.sorted === rows.distinct.sorted)
+  }
+
+  test("malformed bitmaps reject: magic, truncation, trailing bytes, bombs") {
+    val good = DeltaDv.encodeBitmap(Seq(1L, 2L, 3L))
+    assert(DeltaDv.decodeBitmap(good).isDefined)
+    val badMagic = good.clone(); badMagic(0) = 0x42
+    assert(DeltaDv.decodeBitmap(badMagic).isEmpty)
+    for (cut <- 1 until good.length)
+      assert(DeltaDv.decodeBitmap(good.take(cut)).isEmpty)
+    assert(DeltaDv.decodeBitmap(good :+ 0x00.toByte).isEmpty)
+    var seed = 0xdeadbeefcafeL
+    def next(): Long = { seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17; seed }
+    for (_ <- 0 until 300) {
+      val mut = good.clone()
+      mut((math.abs(next()) % mut.length).toInt) = next().toByte
+      DeltaDv.decodeBitmap(mut) // None or a value; never a throw
+    }
+  }
+
+  test("deletedRows: inline AND file-based DVs over a real log, loud on corruption") {
+    val dir = java.nio.file.Files.createTempDirectory("deltadvrows").toString
+    val log = java.nio.file.Paths.get(dir, "_delta_log")
+    java.nio.file.Files.createDirectories(log)
+    // file A: inline DV deleting rows {1, 3, 64}
+    val inlineData = DeltaDv.encodeBitmap(Seq(1L, 3L, 64L))
+    val padded = inlineData ++ new Array[Byte]((4 - inlineData.length % 4) % 4)
+    val inline = DeltaDv.z85Encode(padded)
+    // file B: an on-disk DV (the `u` layout) deleting rows {0, 99}
+    val (dvBytes, off, size) = DeltaDv.renderDvFile(Seq(0L, 99L))
+    val uuid = java.util.UUID.fromString("0f538b22-4a8e-4447-a2a1-9be0cf9c7b1f")
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits); bb.putLong(uuid.getLeastSignificantBits)
+    val encUuid = DeltaDv.z85Encode(bb.array())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, s"deletion_vector_$uuid.bin"), dvBytes)
+    def add(path: String, recs: Long, dv: String): String =
+      s"""{"add":{"path":"$path","partitionValues":{},"size":100,""" +
+        s""""modificationTime":1,"dataChange":true,""" +
+        s""""stats":"{\\"numRecords\\":$recs}"$dv}}"""
+    val dvInline =
+      s""","deletionVector":{"storageType":"i","pathOrInlineDv":"$inline",""" +
+        s""""sizeInBytes":${inlineData.length},"cardinality":3}"""
+    val dvFile =
+      s""","deletionVector":{"storageType":"u","pathOrInlineDv":"$encUuid",""" +
+        s""""offset":$off,"sizeInBytes":$size,"cardinality":2}"""
+    java.nio.file.Files.write(log.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
+      """{"metaData":{"id":"t","schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"createdTime":1}}""",
+      add("fileA", 100, dvInline),
+      add("fileB", 100, dvFile),
+      add("fileC", 100, "")).mkString("\n").getBytes)
+    val got = DeltaLog.deletedRows(spark, dir).orderBy("path", "row_index").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(
+      ("fileA", 1L), ("fileA", 3L), ("fileA", 64L),
+      ("fileB", 0L), ("fileB", 99L)))
+    // snapshot agrees on the cardinalities
+    val snap = DeltaLog.snapshot(spark, dir).orderBy("path").collect()
+    assert(snap.map(r => (r.getString(0),
+      if (r.isNullAt(6)) -1L else r.getLong(6), r.getLong(7))).toSeq === Seq(
+      ("fileA", 3L, 97L), ("fileB", 2L, 98L), ("fileC", -1L, 100L)))
+    // a lying cardinality fails LOUDLY, never a silent wrong deleted-set
+    val dir2 = java.nio.file.Files.createTempDirectory("deltadvbad").toString
+    val log2 = java.nio.file.Paths.get(dir2, "_delta_log")
+    java.nio.file.Files.createDirectories(log2)
+    java.nio.file.Files.write(log2.resolve(f"${0L}%020d.json"), Seq(
+      """{"metaData":{"id":"t","schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"createdTime":1}}""",
+      add("fileA", 100, dvInline.replace("\"cardinality\":3", "\"cardinality\":7")))
+      .mkString("\n").getBytes)
+    val e = intercept[org.apache.spark.SparkException](
+      DeltaLog.deletedRows(spark, dir2).collect())
+    assert(e.getMessage.contains("deletion vector") ||
+      Option(e.getCause).exists(_.getMessage.contains("deletion vector")))
+  }
+}
