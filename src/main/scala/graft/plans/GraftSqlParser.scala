@@ -148,6 +148,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   //     (logical vs physical column names, mapping ids)
   private val DeltaSchemaStmt =
     """(?is)^\s*DELTA\s+SCHEMA\s+AT\s+'([^']+)'\s*;?\s*$""".r
+  //   READ DELTA AT '<table>' [AS OF <v>] — the TABLE itself: live
+  //     files + deletion vectors applied + column mapping unwound
+  //   READ ICEBERG AT '<table>' [SNAPSHOT <id>] — the Iceberg twin
+  //     with position deletes applied
+  private val ReadDeltaStmt =
+    """(?is)^\s*READ\s+DELTA\s+AT\s+'([^']+)'(?:\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
+  private val ReadIcebergStmt =
+    """(?is)^\s*READ\s+ICEBERG\s+AT\s+'([^']+)'(?:\s+SNAPSHOT\s+(\d+))?\s*;?\s*$""".r
   private val DescribeParquet =
     """(?is)^\s*DESCRIBE\s+PARQUET\s+AT\s+'([^']+)'\s*;?\s*$""".r
   //   DESCRIBE PARQUET PAGES AT '<path>' — per-PAGE locations and
@@ -283,6 +291,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       graft.sources.DeltaLog.history(session, path).queryExecution.logical
     case DeltaSchemaStmt(path) =>
       graft.sources.DeltaLog.schemaReport(session, path).queryExecution.logical
+    case ReadDeltaStmt(path, asOfOpt) =>
+      graft.sources.DeltaLog.readTable(session, path,
+        Option(asOfOpt).map(_.toLong)).queryExecution.logical
+    case ReadIcebergStmt(path, snapOpt) =>
+      graft.sources.IcebergMeta.readTable(session, path,
+        Option(snapOpt).map(_.toLong)).queryExecution.logical
     case DescribeParquetPages(path) =>
       graft.sources.ParquetMeta.pages(session, path).queryExecution.logical
     case DescribeParquet(path) =>

@@ -3939,6 +3939,35 @@ object PipelineQueries extends QuerySet {
         .orderBy("path", "row_index")
     }),
 
+    // The Delta door completed into a READER: the reconciled live set
+    // scanned as one parquet read, DV'd rows dropped by row_index
+    // anti-join, partition columns restored from partitionValues, and
+    // column mapping unwound (physical col-<uuid> names -> logical).
+    // A Delta-table user could switch to this call for batch reads;
+    // the oracle pins the surviving table content verbatim.
+    "q274_delta_read" -> ((s, dir) => {
+      graft.sources.DeltaLog.readTable(s, deltaReadDir(s)).orderBy("id")
+    }),
+
+    // The Iceberg reader twin (q274's lakehouse mirror): live data
+    // files as one parquet scan (Iceberg data files carry every column,
+    // identity-partition sources included) with POSITION-DELETE files
+    // applied via (file_path, pos) anti-join; live equality deletes
+    // fail loud. Same surviving content as the Delta fixture — the two
+    // formats' delete mechanisms proven equivalent on the same data.
+    "q275_iceberg_read" -> ((s, dir) => {
+      graft.sources.IcebergMeta.readTable(s, icebergReadDir(s)).orderBy("id")
+    }),
+
+    // the READ statements (q256/q264 pattern): both readers through
+    // GraftSqlParser, shared pins with q274/q275
+    "q276_sql_read_delta" -> ((s, dir) => {
+      s.sql(s"READ DELTA AT '${deltaReadDir(s)}'").orderBy("id")
+    }),
+    "q277_sql_read_iceberg" -> ((s, dir) => {
+      s.sql(s"READ ICEBERG AT '${icebergReadDir(s)}'").orderBy("id")
+    }),
+
     // Parquet BLOOM-FILTER probe (the third grain of the parquet audit
     // after footers and page indexes): our spec-implemented xxHash64 +
     // split-block filter decode answers "can this file contain this
@@ -4337,6 +4366,146 @@ object PipelineQueries extends QuerySet {
     f.toAbsolutePath.toString
   }
 
+  /** The q274 fixture: a READABLE column-mapped Delta table — two real
+    * Spark-written parquet data files carrying PHYSICAL column names
+    * (col-aaaa long, col-bbbb string), a partition column only in
+    * partitionValues, and an inline DV deleting rows {0,2} of the first
+    * file. Surviving content: ids 1,3,4 (src=s0) and 10,11,12 (src=s1).
+    */
+  private def deltaReadDir(s: org.apache.spark.sql.SparkSession): String = {
+    val dir = java.nio.file.Paths.get("target", "fixtures", "delta_read")
+    val log = dir.resolve("_delta_log")
+    java.nio.file.Files.createDirectories(log)
+    def writePart(name: String, ids: Seq[Long]): Unit = {
+      val f = dir.resolve(name)
+      if (!java.nio.file.Files.exists(f)) {
+        val tmp = java.nio.file.Files.createTempDirectory(dir, ".part").toString
+        s.createDataFrame(ids.map(i => (i, s"row-$i")))
+          .toDF("col-aaaa", "col-bbbb")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath
+        try java.nio.file.Files.move(part, f,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator()
+          .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists)
+      }
+    }
+    writePart("part-00000.parquet", 0L until 5L)
+    writePart("part-00001.parquet", 10L until 13L)
+    val schemaString =
+      """{\"type\":\"struct\",\"fields\":[""" +
+        """{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.columnMapping.id\":1,\"delta.columnMapping.physicalName\":\"col-aaaa\"}},""" +
+        """{\"name\":\"txt\",\"type\":\"string\",\"nullable\":true,\"metadata\":{\"delta.columnMapping.id\":2,\"delta.columnMapping.physicalName\":\"col-bbbb\"}},""" +
+        """{\"name\":\"src\",\"type\":\"string\",\"nullable\":false,\"metadata\":{\"delta.columnMapping.id\":3,\"delta.columnMapping.physicalName\":\"col-cccc\"}}]}"""
+    val meta =
+      s"""{"metaData":{"id":"t-read","schemaString":"$schemaString",""" +
+        """"partitionColumns":["src"],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1}}"""
+    val inline = graft.sources.DeltaDv.encodeBitmap(Seq(0L, 2L))
+    val z85 = graft.sources.DeltaDv.z85Encode(inline ++
+      new Array[Byte]((4 - inline.length % 4) % 4))
+    def add(path: String, src: String, recs: Long, dv: String): String =
+      s"""{"add":{"path":"$path","partitionValues":{"src":"$src"},"size":1,""" +
+        s""""modificationTime":1,"dataChange":true,""" +
+        s""""stats":"{\\"numRecords\\":$recs}"$dv}}"""
+    val dvJson =
+      s""","deletionVector":{"storageType":"i","pathOrInlineDv":"$z85",""" +
+        s""""sizeInBytes":${inline.length},"cardinality":2}"""
+    writeCommit(log, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""", meta,
+      add("part-00000.parquet", "s0", 5, dvJson),
+      add("part-00001.parquet", "s1", 3, "")))
+    dir.toAbsolutePath.toString
+  }
+
+  /** The q275 fixture: a READABLE Iceberg v2 table — two real parquet
+    * data files (ids 0-4 and 10-12), one position-delete parquet file
+    * removing rows 0 and 2 of the first, nested-Avro manifests (one
+    * data, one deletes) and a manifest list + metadata.json naming
+    * snapshot 2001. Survivors match the q274 Delta fixture.
+    */
+  private def icebergReadDir(s: org.apache.spark.sql.SparkSession): String = {
+    val dir = java.nio.file.Paths.get("target", "fixtures", "iceberg_read")
+    val meta = dir.resolve("metadata")
+    java.nio.file.Files.createDirectories(meta)
+    java.nio.file.Files.createDirectories(dir.resolve("data"))
+    def writeParquet(rel: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val f = dir.resolve(rel)
+      if (!java.nio.file.Files.exists(f)) {
+        val tmp = java.nio.file.Files.createTempDirectory(dir, ".part").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath
+        try java.nio.file.Files.move(part, f,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator()
+          .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists)
+      }
+    }
+    import s.implicits._
+    writeParquet("data/f1.parquet",
+      (0L until 5L).map(i => (i, s"row-$i")).toDF("id", "txt"))
+    writeParquet("data/f2.parquet",
+      (10L until 13L).map(i => (i, s"row-$i")).toDF("id", "txt"))
+    writeParquet("data/d1.parquet",
+      Seq(("data/f1.parquet", 0L), ("data/f1.parquet", 2L))
+        .toDF("file_path", "pos"))
+    def install(name: String, bytes: Array[Byte]): java.nio.file.Path = {
+      val f = meta.resolve(name)
+      if (!java.nio.file.Files.exists(f)) {
+        val tmp = java.nio.file.Files.createTempFile(meta, s".$name.", ".tmp")
+        java.nio.file.Files.write(tmp, bytes)
+        try java.nio.file.Files.move(tmp, f,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp) }
+      }
+      f
+    }
+    def entry(status: Int, snapId: Long, content: Int, path: String,
+              recs: Long, size: Long): Map[String, Any] =
+      Map("status" -> status, "snapshot_id" -> snapId,
+        "sequence_number" -> null,
+        "data_file" -> Map[String, Any](
+          "content" -> content, "file_path" -> path,
+          "file_format" -> "parquet",
+          "partition" -> Map[String, Any]("p" -> "a"),
+          "record_count" -> recs, "file_size_in_bytes" -> size))
+    val mMeta = Seq("schema" -> "{}", "partition-spec" -> "[]",
+      "format-version" -> "2")
+    val mData = install("mData.avro", graft.operators.Avro.renderOcfGeneric(
+      IcebergEntrySchema, Seq(
+        entry(1, 2001L, 0, "data/f1.parquet", 5, 1),
+        entry(1, 2001L, 0, "data/f2.parquet", 3, 1)), extraMeta = mMeta))
+    val mDel = install("mDel.avro", graft.operators.Avro.renderOcfGeneric(
+      IcebergEntrySchema, Seq(
+        entry(1, 2001L, 1, "data/d1.parquet", 2, 1)), extraMeta = mMeta))
+    def mlRow(p: java.nio.file.Path, content: Int, a: Int, ar: Long): Map[String, Any] =
+      Map[String, Any](
+        "manifest_path" -> s"metadata/${p.getFileName}",
+        "manifest_length" -> java.nio.file.Files.size(p),
+        "partition_spec_id" -> 0, "content" -> content,
+        "added_snapshot_id" -> 2001L,
+        "added_files_count" -> a, "existing_files_count" -> 0,
+        "deleted_files_count" -> 0, "added_rows_count" -> ar,
+        "existing_rows_count" -> 0L, "deleted_rows_count" -> 0L)
+    install("snap-2001.avro", graft.operators.Avro.renderOcfGeneric(
+      IcebergListSchema, Seq(mlRow(mData, 0, 2, 8L), mlRow(mDel, 1, 1, 2L))))
+    install("v1.metadata.json",
+      """{"format-version":2,"table-uuid":"0000-read","location":".",
+        |"current-snapshot-id":2001,"snapshots":[
+        |{"snapshot-id":2001,"timestamp-ms":1700000000300,
+        | "summary":{"operation":"append"},
+        | "manifest-list":"metadata/snap-2001.avro","schema-id":0}]}"""
+        .stripMargin.getBytes("UTF-8"))
+    install("version-hint.text", "1".getBytes("UTF-8"))
+    dir.toAbsolutePath.toString
+  }
+
   /** The q265/q266 page-index fixture: one Spark-written parquet file
     * with a small page size so every column spans many pages (Spark's
     * parquet-java writer emits ColumnIndex/OffsetIndex by default —
@@ -4479,6 +4648,23 @@ object PipelineQueries extends QuerySet {
       |AS t(position, name, physical_name, col_id, type, nullable,
       |     is_partition, mapping_mode)
       |ORDER BY position""".stripMargin
+
+  /** q274/q276 shared oracle: the Delta reader's surviving table. */
+  private val DeltaReadOracle: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), 'row-1', 's0'),
+      |  (3, 'row-3', 's0'), (4, 'row-4', 's0'),
+      |  (10, 'row-10', 's1'), (11, 'row-11', 's1'), (12, 'row-12', 's1'))
+      |AS t(id, txt, src)
+      |ORDER BY id""".stripMargin
+
+  /** q275/q277 shared oracle: the Iceberg reader's surviving table. */
+  private val IcebergReadOracle: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), 'row-1'), (3, 'row-3'), (4, 'row-4'),
+      |  (10, 'row-10'), (11, 'row-11'), (12, 'row-12'))
+      |AS t(id, txt)
+      |ORDER BY id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // every notebook cell re-derived from the generator formulas — the
@@ -4638,6 +4824,14 @@ object PipelineQueries extends QuerySet {
         |AS t(path, size, mod_time, num_records, "partition", version_added,
         |     dv_cardinality, live_records)
         |ORDER BY path""".stripMargin,
+    // the same surviving rows through Iceberg's position-delete path
+    "q275_iceberg_read" -> IcebergReadOracle,
+    // the surviving table content verbatim: DV'd rows 0 and 2 of the
+    // first file gone, logical column names, partition column restored
+    "q274_delta_read" -> DeltaReadOracle,
+    // the READ statements share their readers' pins
+    "q276_sql_read_delta" -> DeltaReadOracle,
+    "q277_sql_read_iceberg" -> IcebergReadOracle,
     // the decoded bitmaps verbatim: the inline Z85 DV's rows on
     // part-00000, the on-disk DV file's rows on part-00002
     "q273_delta_dv_rows" ->

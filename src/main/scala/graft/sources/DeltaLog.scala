@@ -377,6 +377,85 @@ object DeltaLog {
       StructField("row_index", LongType, nullable = false))))
   }
 
+  /** READ the table at `asOf` — the audit door completed into a
+    * functional reader: the reconciled live file set scanned as ONE
+    * parquet read (Catalyst prunes/pushes down as usual), deletion-
+    * vector rows dropped via an anti-join on `_metadata.row_index`
+    * (positions never materialize beyond the DV'd files' deleted sets),
+    * partition columns restored from `partitionValues` and cast to the
+    * table schema, and column mapping applied (physical col-<uuid>
+    * parquet names aliased back to logical names). Output columns are
+    * exactly the metaData schema in declaration order.
+    *
+    * Scope contract: files must carry the current schema's physical
+    * columns (in-flight schema evolution across files is out of scope);
+    * partition values are decoded from their canonical string form.
+    */
+  def readTable(spark: SparkSession, tableDir: String,
+                asOf: Option[Long] = None): DataFrame = {
+    val acts = actions(spark, tableDir, asOf)
+    val metaRow = acts.where(col("metaData.schemaString").isNotNull)
+      .orderBy(col("version").desc, col("ordinal").desc)
+      .select("metaData.schemaString", "metaData.partitionColumns",
+        "metaData.configuration")
+      .limit(1).collect().headOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"deltalog: no metaData action under $tableDir"))
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(metaRow.getString(0)).asInstanceOf[StructType]
+    val partCols = Option(metaRow.getSeq[String](1)).getOrElse(Seq.empty)
+    val mode = Option(metaRow.getMap[String, String](2))
+      .flatMap(_.get("delta.columnMapping.mode")).getOrElse("none")
+    def physicalOf(f: StructField): String =
+      if (mode != "none" && f.metadata.contains("delta.columnMapping.physicalName"))
+        f.metadata.getString("delta.columnMapping.physicalName")
+      else f.name
+    // live file list + per-file partition values: metadata-sized
+    val live = snapshot(spark, tableDir, asOf)
+      .select("path", "partition").collect()
+    if (live.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val fsRoot = new Path(tableDir)
+    val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mapRows = live.toSeq.map { r =>
+      val rel = r.getString(0)
+      val uriPath = fs.makeQualified(new Path(fsRoot, rel)).toUri.getPath
+      val partVals = r.getString(1).split('/').filter(_.nonEmpty)
+        .map { kv => val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1) }
+        .toMap
+      org.apache.spark.sql.Row.fromSeq(
+        uriPath +: rel +: partCols.map(c => partVals.getOrElse(c, null)))
+    }
+    val mapSchema = StructType(
+      StructField("_uri_path", StringType, nullable = false) +:
+        StructField("_rel_path", StringType, nullable = false) +:
+        partCols.map(c => StructField(s"_part_$c", StringType, nullable = true)))
+    val mapping = spark.createDataFrame(
+      spark.sparkContext.parallelize(mapRows, 1), mapSchema)
+    val dataFields = schema.fields.filterNot(f => partCols.contains(f.name))
+    val raw = spark.read
+      .parquet(live.map(r =>
+        fs.makeQualified(new Path(fsRoot, r.getString(0))).toString).distinct: _*)
+      .select(
+        dataFields.toSeq.map(f => col(s"`${physicalOf(f)}`").as(f.name)) ++
+          Seq(regexp_replace(col("_metadata.file_path"), "^[a-z0-9+.-]+:/+", "/")
+            .as("_uri_path"),
+            col("_metadata.row_index").as("_row_index")): _*)
+    val withParts = raw.join(broadcast(mapping), Seq("_uri_path"), "inner")
+    // DV application: drop (file, row_index) pairs the live DVs delete
+    val dels = deletedRows(spark, tableDir, asOf)
+      .withColumnRenamed("path", "_rel_path")
+      .withColumnRenamed("row_index", "_row_index")
+    val survivors = withParts.join(broadcast(dels),
+      Seq("_rel_path", "_row_index"), "left_anti")
+    survivors.select(schema.fields.toSeq.map { f =>
+      if (partCols.contains(f.name))
+        col(s"_part_${f.name}").cast(f.dataType).as(f.name)
+      else col(f.name)
+    }: _*)
+  }
+
   /** Column-mapping-aware schema report at `asOf`: one row per top-
     * level column with its LOGICAL name (what queries use), PHYSICAL
     * name (what the parquet files store — differs under

@@ -345,4 +345,57 @@ object IcebergMeta {
       .select("file_path", "file_format", "partition", "record_count",
         "file_size", "snapshot_id")
   }
+
+  /** READ the table at the chosen snapshot — the audit door completed
+    * into a functional reader, the Iceberg twin of
+    * [[DeltaLog.readTable]]: live data files scanned as ONE parquet
+    * read (Iceberg data files carry every column, identity-partition
+    * sources included, so no partition reconstruction is needed), and
+    * POSITION-DELETE files applied — their (file_path, pos) rows
+    * anti-joined against `_metadata.row_index`. Live EQUALITY-delete
+    * files fail LOUDLY: a reader silently ignoring them would serve
+    * deleted rows as live, the one inexcusable outcome.
+    */
+  def readTable(spark: SparkSession, tableDir: String,
+                snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val live = entries(spark, tableDir, snapshotId)
+      .where(col("status") =!= 2)
+      .select("content", "file_path").collect() // metadata-sized file list
+    if (live.exists(_.getString(0) == "equality_deletes"))
+      throw new IllegalArgumentException(
+        s"iceberg: $tableDir has live equality-delete files; this reader " +
+          "serves position deletes only (serving rows they delete would " +
+          "be silently wrong)")
+    val dataFiles = live.filter(_.getString(0) == "data").map(_.getString(1))
+    val posFiles = live.filter(_.getString(0) == "position_deletes")
+      .map(_.getString(1))
+    if (dataFiles.isEmpty)
+      throw new IllegalArgumentException(
+        s"iceberg: snapshot has no live data files under $tableDir")
+    val fsRoot = new Path(tableDir)
+    val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def abs(p: String): Path =
+      fs.makeQualified(new Path(resolvePath(tableDir, p)))
+    val raw = spark.read.parquet(dataFiles.map(abs(_).toString).distinct: _*)
+    if (posFiles.isEmpty) return raw
+    val mapping = spark.createDataFrame(
+      spark.sparkContext.parallelize(dataFiles.toSeq.map(p =>
+        org.apache.spark.sql.Row(abs(p).toUri.getPath, p)), 1),
+      StructType(Seq(
+        StructField("_uri_path", StringType, nullable = false),
+        StructField("file_path", StringType, nullable = false))))
+    // position-delete files are parquet of (file_path, pos) per the spec
+    val dels = spark.read.parquet(posFiles.map(abs(_).toString).distinct: _*)
+      .select(col("file_path"), col("pos").cast("long").as("_row_index"))
+      .join(broadcast(mapping), Seq("file_path"))
+      .select("_uri_path", "_row_index")
+    val dataCols = raw.columns.toSeq
+    raw
+      .withColumn("_uri_path",
+        regexp_replace(col("_metadata.file_path"), "^[a-z0-9+.-]+:/+", "/"))
+      .withColumn("_row_index", col("_metadata.row_index"))
+      .join(broadcast(dels), Seq("_uri_path", "_row_index"), "left_anti")
+      .select(dataCols.map(col): _*)
+  }
 }

@@ -95,6 +95,56 @@ class DeltaDvSpec extends SparkSpec {
     }
   }
 
+  test("readTable: live files + DV application + column mapping + partitions") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("deltaread").toString
+    val log = java.nio.file.Paths.get(dir, "_delta_log")
+    java.nio.file.Files.createDirectories(log)
+    // two REAL parquet data files carrying PHYSICAL column names
+    def writePart(name: String, ids: Seq[Long]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("deltareadpart").toString
+      spark.createDataFrame(ids.map(i => (i, s"row-$i")))
+        .toDF("col-aaaa", "col-bbbb")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(dir, name))
+    }
+    writePart("part-00000.parquet", 0L until 5L)
+    writePart("part-00001.parquet", 10L until 13L)
+    val schemaString =
+      """{\"type\":\"struct\",\"fields\":[""" +
+        """{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.columnMapping.id\":1,\"delta.columnMapping.physicalName\":\"col-aaaa\"}},""" +
+        """{\"name\":\"txt\",\"type\":\"string\",\"nullable\":true,\"metadata\":{\"delta.columnMapping.id\":2,\"delta.columnMapping.physicalName\":\"col-bbbb\"}},""" +
+        """{\"name\":\"src\",\"type\":\"string\",\"nullable\":false,\"metadata\":{\"delta.columnMapping.id\":3,\"delta.columnMapping.physicalName\":\"col-cccc\"}}]}"""
+    val meta =
+      s"""{"metaData":{"id":"t","schemaString":"$schemaString",""" +
+        """"partitionColumns":["src"],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1}}"""
+    val inline = DeltaDv.encodeBitmap(Seq(0L, 2L))
+    val z85 = DeltaDv.z85Encode(inline ++
+      new Array[Byte]((4 - inline.length % 4) % 4))
+    def add(path: String, src: String, recs: Long, dv: String): String =
+      s"""{"add":{"path":"$path","partitionValues":{"src":"$src"},"size":1,""" +
+        s""""modificationTime":1,"dataChange":true,""" +
+        s""""stats":"{\\"numRecords\\":$recs}"$dv}}"""
+    val dvJson =
+      s""","deletionVector":{"storageType":"i","pathOrInlineDv":"$z85",""" +
+        s""""sizeInBytes":${inline.length},"cardinality":2}"""
+    java.nio.file.Files.write(log.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""", meta,
+      add("part-00000.parquet", "s0", 5, dvJson),
+      add("part-00001.parquet", "s1", 3, "")).mkString("\n").getBytes)
+    val got = DeltaLog.readTable(spark, dir).orderBy("id").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ===
+      Seq((1L, "row-1", "s0"), (3L, "row-3", "s0"), (4L, "row-4", "s0"),
+        (10L, "row-10", "s1"), (11L, "row-11", "s1"), (12L, "row-12", "s1")))
+    // schema = the metaData schema, logical names, declaration order
+    assert(DeltaLog.readTable(spark, dir).columns.toSeq === Seq("id", "txt", "src"))
+    // predicate pushdown reaches the parquet scan through the reader
+    val one = DeltaLog.readTable(spark, dir).where(col("id") === 11L).collect()
+    assert(one.length === 1 && one.head.getString(1) === "row-11")
+  }
+
   test("deletedRows: inline AND file-based DVs over a real log, loud on corruption") {
     val dir = java.nio.file.Files.createTempDirectory("deltadvrows").toString
     val log = java.nio.file.Paths.get(dir, "_delta_log")

@@ -216,6 +216,70 @@ class IcebergSpec extends SparkSpec {
     assert(df.get("record_count").asInstanceOf[Long] === 150L)
   }
 
+  test("readTable: live data files + position-delete application; equality deletes loud") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("icebergread").toString
+    val meta = java.nio.file.Paths.get(dir, "metadata")
+    val data = java.nio.file.Paths.get(dir, "data")
+    java.nio.file.Files.createDirectories(meta)
+    java.nio.file.Files.createDirectories(data)
+    def writeParquet(rel: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("iceread").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(dir, rel))
+    }
+    import spark.implicits._
+    writeParquet("data/f1.parquet",
+      (0L until 5L).map(i => (i, s"row-$i")).toDF("id", "txt"))
+    writeParquet("data/f2.parquet",
+      (10L until 13L).map(i => (i, s"row-$i")).toDF("id", "txt"))
+    writeParquet("data/d1.parquet",
+      Seq(("data/f1.parquet", 0L), ("data/f1.parquet", 2L))
+        .toDF("file_path", "pos"))
+    val mMeta = Seq("schema" -> "{}", "partition-spec" -> "[]",
+      "format-version" -> "2")
+    val mData = meta.resolve("mData.avro")
+    java.nio.file.Files.write(mData, Avro.renderOcfGeneric(manifestEntrySchema,
+      Seq(entry(1, 2001L, 0, "data/f1.parquet", "a", 5, 1),
+        entry(1, 2001L, 0, "data/f2.parquet", "a", 3, 1)), extraMeta = mMeta))
+    val mDel = meta.resolve("mDel.avro")
+    java.nio.file.Files.write(mDel, Avro.renderOcfGeneric(manifestEntrySchema,
+      Seq(entry(1, 2001L, 1, "data/d1.parquet", "a", 2, 1)), extraMeta = mMeta))
+    val mls = manifestListSchema(v2 = true)
+    val ml = meta.resolve("snap-2001.avro")
+    java.nio.file.Files.write(ml, Avro.renderOcfGeneric(mls, Seq(
+      manifestFileRow(v2 = true, mData.toString,
+        java.nio.file.Files.size(mData), 0, 2001L, 2, 0, 0, 8L, 0L, 0L),
+      manifestFileRow(v2 = true, mDel.toString,
+        java.nio.file.Files.size(mDel), 1, 2001L, 1, 0, 0, 2L, 0L, 0L))))
+    java.nio.file.Files.write(meta.resolve("v1.metadata.json"),
+      (s"""{"format-version":2,"table-uuid":"r","location":"$dir",
+          |"current-snapshot-id":2001,"snapshots":[
+          |{"snapshot-id":2001,"timestamp-ms":1,"summary":{"operation":"append"},
+          | "manifest-list":"$ml","schema-id":0}]}""".stripMargin).getBytes)
+    java.nio.file.Files.write(meta.resolve("version-hint.text"), "1".getBytes)
+    val got = IcebergMeta.readTable(spark, dir).orderBy("id").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "row-1"), (3L, "row-3"), (4L, "row-4"),
+        (10L, "row-10"), (11L, "row-11"), (12L, "row-12")))
+    // predicate pushes through the reader
+    assert(IcebergMeta.readTable(spark, dir).where(col("id") === 3L)
+      .count() === 1L)
+    // a live EQUALITY-delete file fails loud — never silently served-wrong
+    val mEq = meta.resolve("mEq.avro")
+    java.nio.file.Files.write(mEq, Avro.renderOcfGeneric(manifestEntrySchema,
+      Seq(entry(1, 2001L, 2, "data/e1.parquet", "a", 1, 1)), extraMeta = mMeta))
+    java.nio.file.Files.write(ml, Avro.renderOcfGeneric(mls, Seq(
+      manifestFileRow(v2 = true, mData.toString,
+        java.nio.file.Files.size(mData), 0, 2001L, 2, 0, 0, 8L, 0L, 0L),
+      manifestFileRow(v2 = true, mEq.toString,
+        java.nio.file.Files.size(mEq), 1, 2001L, 1, 0, 0, 1L, 0L, 0L))))
+    val e = intercept[IllegalArgumentException](IcebergMeta.readTable(spark, dir))
+    assert(e.getMessage.contains("equality"))
+  }
+
   test("fails loud: no metadata, unknown snapshot, malformed manifest avro") {
     val empty = java.nio.file.Files.createTempDirectory("icebergempty").toString
     intercept[IllegalArgumentException](IcebergMeta.snapshots(spark, empty))
