@@ -176,6 +176,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)^\s*ICEBERG\s+HISTORY\s+AT\s+'([^']+)'\s*;?\s*$""".r
   private val IcebergManifestsStmt =
     """(?is)^\s*ICEBERG\s+MANIFESTS\s+AT\s+'([^']+)'(?:\s+SNAPSHOT\s+(\d+))?\s*;?\s*$""".r
+  //   ICEBERG SCHEMA AT '<table>' — stable field ids + rendered types
+  //     (the DELTA SCHEMA twin)
+  private val IcebergSchemaStmt =
+    """(?is)^\s*ICEBERG\s+SCHEMA\s+AT\s+'([^']+)'\s*;?\s*$""".r
 
   // ASOF JOIN <left> WITH <right> ON <key> BY <time> PAYLOAD (c1, c2, ...)
   // — last-right-row-at-or-before semantics ([[graft.operators.AsOfJoin
@@ -309,6 +313,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case IcebergManifestsStmt(path, snapOpt) =>
       graft.sources.IcebergMeta.manifests(session, path,
         Option(snapOpt).map(_.toLong)).queryExecution.logical
+    case IcebergSchemaStmt(path) =>
+      graft.sources.IcebergMeta.schemaReport(session, path)
+        .queryExecution.logical
     case AsOfJoinStmt(left, right, key, time, payload) =>
       graft.operators.AsOfJoin.asOfLeft(session.table(left), session.table(right),
         key, time, payload.split(',').map(_.trim).toSeq).queryExecution.logical

@@ -3959,6 +3959,14 @@ object PipelineQueries extends QuerySet {
       graft.sources.IcebergMeta.readTable(s, icebergReadDir(s)).orderBy("id")
     }),
 
+    // the Iceberg schema report (DELTA SCHEMA's twin, via the ICEBERG
+    // SCHEMA statement): Iceberg's stable FIELD IDS — its answer to
+    // Delta's column mapping — plus rendered nested types, straight
+    // from metadata.json
+    "q278_iceberg_schema" -> ((s, dir) => {
+      s.sql(s"ICEBERG SCHEMA AT '${icebergOracleDir()}'").orderBy("position")
+    }),
+
     // the READ statements (q256/q264 pattern): both readers through
     // GraftSqlParser, shared pins with q274/q275
     "q276_sql_read_delta" -> ((s, dir) => {
@@ -4242,6 +4250,17 @@ object PipelineQueries extends QuerySet {
     val json =
       """{"format-version":2,"table-uuid":"0000-demo","location":".",
         |"last-sequence-number":2,"last-updated-ms":1700000000500,
+        |"current-schema-id":0,
+        |"schemas":[{"type":"struct","schema-id":0,"fields":[
+        | {"id":1,"name":"id","required":true,"type":"long"},
+        | {"id":2,"name":"p","required":false,"type":"string"},
+        | {"id":3,"name":"meta","required":false,"type":{"type":"struct","fields":[
+        |   {"id":4,"name":"lang","required":false,"type":"string"}]}},
+        | {"id":5,"name":"tags","required":false,
+        |   "type":{"type":"list","element-id":6,"element":"string","element-required":false}},
+        | {"id":7,"name":"counts","required":false,
+        |   "type":{"type":"map","key-id":8,"key":"string","value-id":9,
+        |     "value":"long","value-required":false}}]}],
         |"current-snapshot-id":1002,
         |"snapshots":[
         |{"snapshot-id":1001,"sequence-number":1,"timestamp-ms":1700000000100,
@@ -4832,6 +4851,16 @@ object PipelineQueries extends QuerySet {
     // the READ statements share their readers' pins
     "q276_sql_read_delta" -> DeltaReadOracle,
     "q277_sql_read_iceberg" -> IcebergReadOracle,
+    // the fixture schema verbatim, nested types rendered
+    "q278_iceberg_schema" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS INT), CAST(1 AS BIGINT), 'id', 'long', TRUE),
+        |  (1, 2, 'p', 'string', FALSE),
+        |  (2, 3, 'meta', 'struct<lang: string>', FALSE),
+        |  (3, 5, 'tags', 'list<string>', FALSE),
+        |  (4, 7, 'counts', 'map<string, long>', FALSE))
+        |AS t(position, field_id, name, type, required)
+        |ORDER BY position""".stripMargin,
     // the decoded bitmaps verbatim: the inline Z85 DV's rows on
     // part-00000, the on-disk DV file's rows on part-00002
     "q273_delta_dv_rows" ->

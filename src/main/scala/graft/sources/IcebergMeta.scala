@@ -346,6 +346,95 @@ object IcebergMeta {
         "file_size", "snapshot_id")
   }
 
+  /** The current schema from metadata.json (`schemas` + current-schema-id,
+    * or the legacy single `schema`): one row per top-level column with
+    * Iceberg's stable FIELD ID (the rename/drop-safe identity — Iceberg's
+    * answer to Delta's column mapping), name, rendered type and the
+    * required flag. [[DeltaLog.schemaReport]]'s twin.
+    */
+  def schemaReport(spark: SparkSession, tableDir: String): DataFrame = {
+    val tmFile = currentMetadataFile(spark, tableDir)
+    val p = new Path(tmFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    val root = Avro.parseJson(txt) match {
+      case Some(m: scala.collection.mutable.LinkedHashMap[_, _]) =>
+        m.asInstanceOf[JObj]
+      case _ => throw new IllegalArgumentException(
+        s"iceberg: $tmFile is not a JSON object")
+    }
+    def renderType(v: Any): String = v match {
+      case s: String => s
+      case m: scala.collection.mutable.LinkedHashMap[_, _] =>
+        val o = m.asInstanceOf[JObj]
+        o.get("type") match {
+          case Some("struct") =>
+            val fields = o.get("fields") match {
+              case Some(a: scala.collection.mutable.ArrayBuffer[_]) =>
+                a.map {
+                  case fm: scala.collection.mutable.LinkedHashMap[_, _] =>
+                    val f = fm.asInstanceOf[JObj]
+                    s"${f.getOrElse("name", "?")}: ${renderType(f.getOrElse("type", "?"))}"
+                  case _ => "?"
+                }
+              case _ => Nil
+            }
+            s"struct<${fields.mkString(", ")}>"
+          case Some("list") =>
+            s"list<${renderType(o.getOrElse("element", "?"))}>"
+          case Some("map") =>
+            s"map<${renderType(o.getOrElse("key", "?"))}, " +
+              s"${renderType(o.getOrElse("value", "?"))}>"
+          case _ => "?"
+        }
+      case _ => "?"
+    }
+    val schemaObj: JObj = (root.get("schemas"), root.get("current-schema-id")) match {
+      case (Some(a: scala.collection.mutable.ArrayBuffer[_]), want) =>
+        val wantId = want.collect { case l: java.lang.Long => l.longValue }
+        a.collectFirst {
+          case sm: scala.collection.mutable.LinkedHashMap[_, _]
+            if wantId.forall(id => sm.asInstanceOf[JObj].get("schema-id")
+              .collect { case l: java.lang.Long => l.longValue }.contains(id)) =>
+            sm.asInstanceOf[JObj]
+        }.getOrElse(throw new IllegalArgumentException(
+          s"iceberg: current-schema-id not found in $tmFile"))
+      case _ => root.get("schema") match {
+        case Some(sm: scala.collection.mutable.LinkedHashMap[_, _]) =>
+          sm.asInstanceOf[JObj]
+        case _ => throw new IllegalArgumentException(
+          s"iceberg: $tmFile carries no schema")
+      }
+    }
+    val fields = schemaObj.get("fields") match {
+      case Some(a: scala.collection.mutable.ArrayBuffer[_]) => a.toSeq
+      case _ => throw new IllegalArgumentException(
+        s"iceberg: schema in $tmFile has no fields")
+    }
+    val rows = fields.zipWithIndex.map {
+      case (fm: scala.collection.mutable.LinkedHashMap[_, _], i) =>
+        val f = fm.asInstanceOf[JObj]
+        Row(i,
+          f.get("id").collect { case l: java.lang.Long => Long.box(l.longValue) }.orNull,
+          f.get("name").collect { case s: String => s }.getOrElse(
+            throw new IllegalArgumentException("schema field without name")),
+          renderType(f.getOrElse("type", "?")),
+          f.get("required").collect { case b: java.lang.Boolean => b.booleanValue }
+            .getOrElse(false))
+      case _ => throw new IllegalArgumentException("malformed schema field")
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("position", IntegerType, nullable = false),
+        StructField("field_id", LongType, nullable = true),
+        StructField("name", StringType, nullable = false),
+        StructField("type", StringType, nullable = false),
+        StructField("required", BooleanType, nullable = false))))
+  }
+
   /** READ the table at the chosen snapshot — the audit door completed
     * into a functional reader, the Iceberg twin of
     * [[DeltaLog.readTable]]: live data files scanned as ONE parquet
