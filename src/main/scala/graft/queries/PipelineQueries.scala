@@ -3959,6 +3959,47 @@ object PipelineQueries extends QuerySet {
       graft.sources.IcebergMeta.readTable(s, icebergReadDir(s)).orderBy("id")
     }),
 
+    // Cross-grain accounting law: the manifest-LIST's per-manifest
+    // counts (what a planner trusts to prune whole manifests without
+    // opening them) recomputed from the ENTRY grain and diffed — a
+    // writer that lies in the manifest list breaks planners silently
+    // at 100 TB, and this audit catches it at metadata cost. All three
+    // file-count and row-count pairs must agree on the fixture.
+    "q279_iceberg_accounting" -> ((s, dir) => {
+      val tbl = icebergOracleDir()
+      val tail = (c: org.apache.spark.sql.Column) =>
+        regexp_extract(c, "([^/]+)$", 1)
+      val list = graft.sources.IcebergMeta.manifests(s, tbl)
+        .select(tail(col("manifest_path")).as("manifest"), col("content"),
+          col("n_added_files"), col("n_existing_files"),
+          col("n_deleted_files"), col("added_rows"), col("existing_rows"),
+          col("deleted_rows"))
+      val fromEntries = graft.sources.IcebergMeta.entries(s, tbl)
+        .groupBy(tail(col("manifest_path")).as("manifest"))
+        .agg(
+          sum(when(col("status") === 1, 1L).otherwise(0L)).as("e_added_files"),
+          sum(when(col("status") === 0, 1L).otherwise(0L)).as("e_existing_files"),
+          sum(when(col("status") === 2, 1L).otherwise(0L)).as("e_deleted_files"),
+          sum(when(col("status") === 1, col("record_count")).otherwise(0L))
+            .as("e_added_rows"),
+          sum(when(col("status") === 0, col("record_count")).otherwise(0L))
+            .as("e_existing_rows"),
+          sum(when(col("status") === 2, col("record_count")).otherwise(0L))
+            .as("e_deleted_rows"))
+      list.join(fromEntries, Seq("manifest"))
+        .select(col("manifest"), col("content"),
+          (col("n_added_files") === col("e_added_files") &&
+            col("n_existing_files") === col("e_existing_files") &&
+            col("n_deleted_files") === col("e_deleted_files")).as("files_agree"),
+          (col("added_rows") === col("e_added_rows") &&
+            col("existing_rows") === col("e_existing_rows") &&
+            col("deleted_rows") === col("e_deleted_rows")).as("rows_agree"),
+          col("e_added_rows").as("added_rows"),
+          col("e_existing_rows").as("existing_rows"),
+          col("e_deleted_rows").as("deleted_rows"))
+        .orderBy("manifest")
+    }),
+
     // the Iceberg schema report (DELTA SCHEMA's twin, via the ICEBERG
     // SCHEMA statement): Iceberg's stable FIELD IDS — its answer to
     // Delta's column mapping — plus rendered nested types, straight
@@ -4851,6 +4892,18 @@ object PipelineQueries extends QuerySet {
     // the READ statements share their readers' pins
     "q276_sql_read_delta" -> DeltaReadOracle,
     "q277_sql_read_iceberg" -> IcebergReadOracle,
+    // both grains agree everywhere, rows restated from the fixture:
+    // mB rewrote f1/f3 as existing (100+200) and deleted f2 (150),
+    // mC added f4 (300), mD added the 5-row delete file
+    "q279_iceberg_accounting" ->
+      """SELECT * FROM (VALUES
+        |  ('mB.avro', 'data', TRUE, TRUE, CAST(0 AS BIGINT),
+        |     CAST(300 AS BIGINT), CAST(150 AS BIGINT)),
+        |  ('mC.avro', 'data', TRUE, TRUE, 300, 0, 0),
+        |  ('mD.avro', 'deletes', TRUE, TRUE, 5, 0, 0))
+        |AS t(manifest, content, files_agree, rows_agree, added_rows,
+        |     existing_rows, deleted_rows)
+        |ORDER BY manifest""".stripMargin,
     // the fixture schema verbatim, nested types rendered
     "q278_iceberg_schema" ->
       """SELECT * FROM (VALUES
