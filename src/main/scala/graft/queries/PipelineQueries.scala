@@ -3952,11 +3952,20 @@ object PipelineQueries extends QuerySet {
     // The Iceberg reader twin (q274's lakehouse mirror): live data
     // files as one parquet scan (Iceberg data files carry every column,
     // identity-partition sources included) with POSITION-DELETE files
-    // applied via (file_path, pos) anti-join; live equality deletes
-    // fail loud. Same surviving content as the Delta fixture — the two
-    // formats' delete mechanisms proven equivalent on the same data.
+    // applied via (file_path, pos) anti-join. Same surviving content as
+    // the Delta fixture — the two formats' delete mechanisms proven
+    // equivalent on the same data.
     "q275_iceberg_read" -> ((s, dir) => {
       graft.sources.IcebergMeta.readTable(s, icebergReadDir(s)).orderBy("id")
+    }),
+
+    // EQUALITY deletes under the spec's ordering rule: the delete file
+    // (sequence 2, equality_ids=[1] -> the `id` column) kills id 2 in
+    // the seq-1 data file, while id 11 — written at seq 3, AFTER the
+    // delete — survives it. The sequence-number gate is the whole
+    // correctness story for equality deletes; the pin proves it.
+    "q280_iceberg_eq_read" -> ((s, dir) => {
+      graft.sources.IcebergMeta.readTable(s, icebergEqDir(s)).orderBy("id")
     }),
 
     // Cross-grain accounting law: the manifest-LIST's per-manifest
@@ -4566,6 +4575,130 @@ object PipelineQueries extends QuerySet {
     dir.toAbsolutePath.toString
   }
 
+  /** The q280 fixture: an Iceberg v2 table with an EQUALITY-delete file
+    * and distinct data sequence numbers so the ordering gate is
+    * observable — f1 (ids 0-4) at sequence 1, the delete (ids {2,11},
+    * equality_ids=[1]) at sequence 2, f2 (ids 10-12) at sequence 3.
+    * Survivors: 0,1,3,4 and ALL of f2 (11 postdates the delete).
+    */
+  private val IcebergEqEntrySchema =
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"]},
+      |{"name":"sequence_number","type":["null","long"]},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int"},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"partition","type":{"type":"record","name":"r102","fields":[
+      |    {"name":"p","type":["null","string"]}]}},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}]}]}}]}"""
+      .stripMargin
+
+  private val IcebergSeqListSchema =
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int"},
+      |{"name":"sequence_number","type":"long"},
+      |{"name":"added_snapshot_id","type":"long"},
+      |{"name":"added_files_count","type":"int"},
+      |{"name":"existing_files_count","type":"int"},
+      |{"name":"deleted_files_count","type":"int"},
+      |{"name":"added_rows_count","type":"long"},
+      |{"name":"existing_rows_count","type":"long"},
+      |{"name":"deleted_rows_count","type":"long"}]}""".stripMargin
+
+  private def icebergEqDir(s: org.apache.spark.sql.SparkSession): String = {
+    val dir = java.nio.file.Paths.get("target", "fixtures", "iceberg_eq")
+    val meta = dir.resolve("metadata")
+    java.nio.file.Files.createDirectories(meta)
+    java.nio.file.Files.createDirectories(dir.resolve("data"))
+    def writeParquet(rel: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val f = dir.resolve(rel)
+      if (!java.nio.file.Files.exists(f)) {
+        val tmp = java.nio.file.Files.createTempDirectory(dir, ".part").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath
+        try java.nio.file.Files.move(part, f,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator()
+          .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists)
+      }
+    }
+    import s.implicits._
+    writeParquet("data/f1.parquet",
+      (0L until 5L).map(i => (i, s"row-$i")).toDF("id", "txt"))
+    writeParquet("data/f2.parquet",
+      (10L until 13L).map(i => (i, s"row-$i")).toDF("id", "txt"))
+    writeParquet("data/e1.parquet", Seq(2L, 11L).toDF("id"))
+    def install(name: String, bytes: Array[Byte]): java.nio.file.Path = {
+      val f = meta.resolve(name)
+      if (!java.nio.file.Files.exists(f)) {
+        val tmp = java.nio.file.Files.createTempFile(meta, s".$name.", ".tmp")
+        java.nio.file.Files.write(tmp, bytes)
+        try java.nio.file.Files.move(tmp, f,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp) }
+      }
+      f
+    }
+    def entry(content: Int, path: String, recs: Long,
+              eqIds: Any): Map[String, Any] =
+      Map("status" -> 1, "snapshot_id" -> 3001L, "sequence_number" -> null,
+        "data_file" -> Map[String, Any](
+          "content" -> content, "file_path" -> path,
+          "file_format" -> "parquet",
+          "partition" -> Map[String, Any]("p" -> "a"),
+          "record_count" -> recs, "file_size_in_bytes" -> 1L,
+          "equality_ids" -> eqIds))
+    val mMeta = Seq("schema" -> "{}", "partition-spec" -> "[]",
+      "format-version" -> "2")
+    val m1 = install("m1.avro", graft.operators.Avro.renderOcfGeneric(
+      IcebergEqEntrySchema, Seq(entry(0, "data/f1.parquet", 5, null)),
+      extraMeta = mMeta))
+    val m2 = install("m2.avro", graft.operators.Avro.renderOcfGeneric(
+      IcebergEqEntrySchema, Seq(entry(0, "data/f2.parquet", 3, null)),
+      extraMeta = mMeta))
+    val mE = install("mE.avro", graft.operators.Avro.renderOcfGeneric(
+      IcebergEqEntrySchema, Seq(entry(2, "data/e1.parquet", 2, Seq(1))),
+      extraMeta = mMeta))
+    def mlRow(p: java.nio.file.Path, content: Int, seq: Long, a: Int,
+              ar: Long): Map[String, Any] =
+      Map[String, Any](
+        "manifest_path" -> s"metadata/${p.getFileName}",
+        "manifest_length" -> java.nio.file.Files.size(p),
+        "partition_spec_id" -> 0, "content" -> content,
+        "sequence_number" -> seq, "added_snapshot_id" -> 3001L,
+        "added_files_count" -> a, "existing_files_count" -> 0,
+        "deleted_files_count" -> 0, "added_rows_count" -> ar,
+        "existing_rows_count" -> 0L, "deleted_rows_count" -> 0L)
+    install("snap-3001.avro", graft.operators.Avro.renderOcfGeneric(
+      IcebergSeqListSchema, Seq(
+        mlRow(m1, 0, 1L, 1, 5L), mlRow(mE, 1, 2L, 1, 2L),
+        mlRow(m2, 0, 3L, 1, 3L))))
+    install("v1.metadata.json",
+      """{"format-version":2,"table-uuid":"0000-eq","location":".",
+        |"current-schema-id":0,
+        |"schemas":[{"type":"struct","schema-id":0,"fields":[
+        | {"id":1,"name":"id","required":false,"type":"long"},
+        | {"id":2,"name":"txt","required":false,"type":"string"}]}],
+        |"current-snapshot-id":3001,"snapshots":[
+        |{"snapshot-id":3001,"timestamp-ms":1700000000400,
+        | "summary":{"operation":"overwrite"},
+        | "manifest-list":"metadata/snap-3001.avro","schema-id":0}]}"""
+        .stripMargin.getBytes("UTF-8"))
+    install("version-hint.text", "1".getBytes("UTF-8"))
+    dir.toAbsolutePath.toString
+  }
+
   /** The q265/q266 page-index fixture: one Spark-written parquet file
     * with a small page size so every column spans many pages (Spark's
     * parquet-java writer emits ColumnIndex/OffsetIndex by default —
@@ -4892,6 +5025,13 @@ object PipelineQueries extends QuerySet {
     // the READ statements share their readers' pins
     "q276_sql_read_delta" -> DeltaReadOracle,
     "q277_sql_read_iceberg" -> IcebergReadOracle,
+    // equality deletes: id 2 gone (seq 1 < 2), id 11 SURVIVES (seq 3 > 2)
+    "q280_iceberg_eq_read" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'row-0'), (1, 'row-1'), (3, 'row-3'),
+        |  (4, 'row-4'), (10, 'row-10'), (11, 'row-11'), (12, 'row-12'))
+        |AS t(id, txt)
+        |ORDER BY id""".stripMargin,
     // both grains agree everywhere, rows restated from the fixture:
     // mB rewrote f1/f3 as existing (100+200) and deleted f2 (150),
     // mC added f4 (300), mD added the 5-row delete file

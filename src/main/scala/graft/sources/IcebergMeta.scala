@@ -276,7 +276,13 @@ object IcebergMeta {
     StructField("file_format", StringType, nullable = true),
     StructField("partition", StringType, nullable = false),
     StructField("record_count", LongType, nullable = true),
-    StructField("file_size", LongType, nullable = true)))
+    StructField("file_size", LongType, nullable = true),
+    // the v2 ordering spine: an entry's data sequence number, inherited
+    // from its manifest when the entry stores null (the spec's
+    // inheritance rule for added entries)
+    StructField("sequence_number", LongType, nullable = true),
+    // equality-delete files name their match columns by schema FIELD ID
+    StructField("equality_ids", ArrayType(IntegerType), nullable = true)))
 
   /** Every manifest entry of the chosen snapshot — the table's file-level
     * truth. DISTRIBUTED: one task per manifest file; each task reads and
@@ -288,17 +294,20 @@ object IcebergMeta {
     val snap = chooseSnapshot(tm, snapshotId)
     val mlPath = new Path(resolvePath(tableDir, snap.manifestList))
     val fs = mlPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // (manifest path, the manifest's sequence number for inheritance)
     val manifestPaths = readOcfFile(fs, mlPath).rows.map(asMap)
-      .map(m => mStr(m, "manifest_path").getOrElse(
-        throw new java.io.IOException("manifest_file row without manifest_path")))
-      .map(resolvePath(tableDir, _))
+      .map { m =>
+        (resolvePath(tableDir, mStr(m, "manifest_path").getOrElse(
+          throw new java.io.IOException("manifest_file row without manifest_path"))),
+          mLong(m, "sequence_number"))
+      }
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val slices = math.max(1, math.min(manifestPaths.length,
       spark.sparkContext.defaultParallelism * 2))
     val rows = spark.sparkContext.parallelize(manifestPaths, slices)
       .mapPartitions { it =>
         var pfs: org.apache.hadoop.fs.FileSystem = null
-        it.flatMap { mp =>
+        it.flatMap { case (mp, manifestSeq) =>
           val p = new Path(mp)
           if (pfs == null) pfs = p.getFileSystem(conf.value)
           val ocf = readOcfFile(pfs, p)
@@ -310,6 +319,12 @@ object IcebergMeta {
               .toSeq.sortBy(_._1)
               .map { case (k, v) => s"$k=${Option(v).map(_.toString).getOrElse("null")}" }
               .mkString("/")
+            val eqIds = df.get("equality_ids") match {
+              case Some(s: Seq[_]) =>
+                s.collect { case i: Int => Int.box(i); case l: Long => Int.box(l.toInt) }
+                  .toArray
+              case _ => null
+            }
             Row(
               mp,
               mLong(e, "status").getOrElse(
@@ -325,7 +340,9 @@ object IcebergMeta {
               mStr(df, "file_format").map(_.toUpperCase(java.util.Locale.ROOT)).orNull,
               partition,
               mLong(df, "record_count").map(Long.box).orNull,
-              mLong(df, "file_size_in_bytes").map(Long.box).orNull)
+              mLong(df, "file_size_in_bytes").map(Long.box).orNull,
+              mLong(e, "sequence_number").orElse(manifestSeq).map(Long.box).orNull,
+              eqIds)
           }
         }
       }
@@ -439,26 +456,35 @@ object IcebergMeta {
     * into a functional reader, the Iceberg twin of
     * [[DeltaLog.readTable]]: live data files scanned as ONE parquet
     * read (Iceberg data files carry every column, identity-partition
-    * sources included, so no partition reconstruction is needed), and
-    * POSITION-DELETE files applied — their (file_path, pos) rows
-    * anti-joined against `_metadata.row_index`. Live EQUALITY-delete
-    * files fail LOUDLY: a reader silently ignoring them would serve
-    * deleted rows as live, the one inexcusable outcome.
+    * sources included, so no partition reconstruction is needed), with
+    * BOTH delete mechanisms applied:
+    *
+    *  - POSITION deletes: (file_path, pos) rows anti-joined against
+    *    `_metadata.row_index`;
+    *  - EQUALITY deletes: each delete file's rows matched null-safely
+    *    on its `equality_ids` columns (schema field ids resolved to
+    *    names through [[schemaReport]]), gated by the spec's ordering
+    *    rule — a delete applies only to data files whose data SEQUENCE
+    *    NUMBER is strictly lower than the delete file's, so rows added
+    *    after the delete survive it.
+    *
+    * An equality-delete file without equality_ids or sequence numbers
+    * fails LOUDLY — serving rows it should delete is the one
+    * inexcusable outcome.
     */
   def readTable(spark: SparkSession, tableDir: String,
                 snapshotId: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val live = entries(spark, tableDir, snapshotId)
       .where(col("status") =!= 2)
-      .select("content", "file_path").collect() // metadata-sized file list
-    if (live.exists(_.getString(0) == "equality_deletes"))
-      throw new IllegalArgumentException(
-        s"iceberg: $tableDir has live equality-delete files; this reader " +
-          "serves position deletes only (serving rows they delete would " +
-          "be silently wrong)")
-    val dataFiles = live.filter(_.getString(0) == "data").map(_.getString(1))
+      .select("content", "file_path", "sequence_number", "equality_ids")
+      .collect() // metadata-sized file list
+    def seqOf(r: Row): Option[Long] =
+      if (r.isNullAt(2)) None else Some(r.getLong(2))
+    val dataFiles = live.filter(_.getString(0) == "data")
     val posFiles = live.filter(_.getString(0) == "position_deletes")
       .map(_.getString(1))
+    val eqFiles = live.filter(_.getString(0) == "equality_deletes")
     if (dataFiles.isEmpty)
       throw new IllegalArgumentException(
         s"iceberg: snapshot has no live data files under $tableDir")
@@ -466,25 +492,57 @@ object IcebergMeta {
     val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def abs(p: String): Path =
       fs.makeQualified(new Path(resolvePath(tableDir, p)))
-    val raw = spark.read.parquet(dataFiles.map(abs(_).toString).distinct: _*)
-    if (posFiles.isEmpty) return raw
+    val raw = spark.read.parquet(
+      dataFiles.map(r => abs(r.getString(1)).toString).distinct: _*)
+    if (posFiles.isEmpty && eqFiles.isEmpty) return raw
+    val dataCols = raw.columns.toSeq
+    // (uri path, manifest file_path string, data sequence number)
     val mapping = spark.createDataFrame(
-      spark.sparkContext.parallelize(dataFiles.toSeq.map(p =>
-        org.apache.spark.sql.Row(abs(p).toUri.getPath, p)), 1),
+      spark.sparkContext.parallelize(dataFiles.toSeq.map(r =>
+        Row(abs(r.getString(1)).toUri.getPath, r.getString(1),
+          seqOf(r).map(Long.box).orNull)), 1),
       StructType(Seq(
         StructField("_uri_path", StringType, nullable = false),
-        StructField("file_path", StringType, nullable = false))))
-    // position-delete files are parquet of (file_path, pos) per the spec
-    val dels = spark.read.parquet(posFiles.map(abs(_).toString).distinct: _*)
-      .select(col("file_path"), col("pos").cast("long").as("_row_index"))
-      .join(broadcast(mapping), Seq("file_path"))
-      .select("_uri_path", "_row_index")
-    val dataCols = raw.columns.toSeq
-    raw
+        StructField("file_path", StringType, nullable = false),
+        StructField("_seq", LongType, nullable = true))))
+    var df = raw
       .withColumn("_uri_path",
         regexp_replace(col("_metadata.file_path"), "^[a-z0-9+.-]+:/+", "/"))
       .withColumn("_row_index", col("_metadata.row_index"))
-      .join(broadcast(dels), Seq("_uri_path", "_row_index"), "left_anti")
-      .select(dataCols.map(col): _*)
+      .join(broadcast(mapping), Seq("_uri_path"))
+    if (posFiles.nonEmpty) {
+      // position-delete files are parquet of (file_path, pos) per the spec
+      val dels = spark.read.parquet(posFiles.map(abs(_).toString).distinct: _*)
+        .select(col("file_path"), col("pos").cast("long").as("_row_index"))
+        .join(broadcast(mapping.select("_uri_path", "file_path")), Seq("file_path"))
+        .select("_uri_path", "_row_index")
+      df = df.join(broadcast(dels), Seq("_uri_path", "_row_index"), "left_anti")
+    }
+    if (eqFiles.nonEmpty) {
+      val idToName = schemaReport(spark, tableDir).collect()
+        .flatMap(r => if (r.isNullAt(1)) None
+                      else Some(r.getLong(1) -> r.getString(2))).toMap
+      eqFiles.foreach { ef =>
+        val eqIds = Option(ef.getSeq[Int](3)).getOrElse(
+          throw new IllegalArgumentException(
+            s"iceberg: equality-delete file ${ef.getString(1)} carries no " +
+              "equality_ids — its deletes cannot be applied"))
+        val delSeq = seqOf(ef).getOrElse(
+          throw new IllegalArgumentException(
+            s"iceberg: equality-delete file ${ef.getString(1)} has no " +
+              "sequence number — the ordering rule cannot be applied"))
+        val cols = eqIds.map(id => idToName.getOrElse(id.toLong,
+          throw new IllegalArgumentException(
+            s"iceberg: equality field id $id is not in the current schema")))
+        val delDf = spark.read.parquet(abs(ef.getString(1)).toString)
+          .select(cols.map(c => col(s"`$c`").as(s"_eq_$c")): _*)
+        // null-safe equality on every named column, applied only to data
+        // rows whose file's sequence number PRECEDES the delete's
+        val cond = cols.map(c => df(c) <=> delDf(s"_eq_$c"))
+          .reduce(_ && _) && (df("_seq") < lit(delSeq))
+        df = df.join(broadcast(delDf), cond, "left_anti")
+      }
+    }
+    df.select(dataCols.map(col): _*)
   }
 }

@@ -46,7 +46,8 @@ class IcebergSpec extends SparkSpec {
        |{"name":"manifest_path","type":"string"},
        |{"name":"manifest_length","type":"long"},
        |{"name":"partition_spec_id","type":"int"},
-       |${if (v2) """{"name":"content","type":"int"},""" else ""}
+       |${if (v2) """{"name":"content","type":"int"},
+       |{"name":"sequence_number","type":"long"},""".stripMargin else ""}
        |{"name":"added_snapshot_id","type":"long"},
        |$counts
        |{"name":"added_rows_count","type":"long"},
@@ -67,7 +68,8 @@ class IcebergSpec extends SparkSpec {
   private def manifestFileRow(v2: Boolean, path: String, len: Long,
                               content: Int, snap: Long, added: Int,
                               existing: Int, deleted: Int, addedRows: Long,
-                              existingRows: Long, deletedRows: Long): Map[String, Any] = {
+                              existingRows: Long, deletedRows: Long,
+                              seq: Long = 0L): Map[String, Any] = {
     val base = Map[String, Any]("manifest_path" -> path,
       "manifest_length" -> len, "partition_spec_id" -> 0,
       "added_snapshot_id" -> snap,
@@ -75,6 +77,7 @@ class IcebergSpec extends SparkSpec {
       "deleted_rows_count" -> deletedRows)
     val counts =
       if (v2) Map[String, Any]("content" -> content,
+        "sequence_number" -> seq,
         "added_files_count" -> added, "existing_files_count" -> existing,
         "deleted_files_count" -> deleted)
       else Map[String, Any]("added_data_files_count" -> added,
@@ -267,17 +270,89 @@ class IcebergSpec extends SparkSpec {
     // predicate pushes through the reader
     assert(IcebergMeta.readTable(spark, dir).where(col("id") === 3L)
       .count() === 1L)
-    // a live EQUALITY-delete file fails loud — never silently served-wrong
-    val mEq = meta.resolve("mEq.avro")
-    java.nio.file.Files.write(mEq, Avro.renderOcfGeneric(manifestEntrySchema,
-      Seq(entry(1, 2001L, 2, "data/e1.parquet", "a", 1, 1)), extraMeta = mMeta))
+  }
+
+  /** The manifest_entry schema variant whose data_file carries
+    * equality_ids — only equality-delete scenarios need it.
+    */
+  private val manifestEntryEqSchema =
+    manifestEntrySchema.replace(
+      """{"name":"file_size_in_bytes","type":"long"},""",
+      """{"name":"file_size_in_bytes","type":"long"},
+        |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}]},""".stripMargin)
+
+  test("readTable: EQUALITY deletes applied with the sequence-number gate") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("icebergeq").toString
+    val meta = java.nio.file.Paths.get(dir, "metadata")
+    java.nio.file.Files.createDirectories(meta)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, "data"))
+    def writeParquet(rel: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("iceeq").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(dir, rel))
+    }
+    import spark.implicits._
+    // f1 (seq 1): ids 0..4; the equality delete (seq 2) kills {2, 11};
+    // f2 (seq 3): ids 10..12 — ADDED AFTER the delete, so 11 SURVIVES
+    writeParquet("data/f1.parquet",
+      (0L until 5L).map(i => (i, s"row-$i")).toDF("id", "txt"))
+    writeParquet("data/f2.parquet",
+      (10L until 13L).map(i => (i, s"row-$i")).toDF("id", "txt"))
+    writeParquet("data/e1.parquet", Seq(2L, 11L).toDF("id"))
+    def eqEntry(content: Int, path: String, recs: Long,
+                eqIds: Any): Map[String, Any] =
+      Map("status" -> 1, "snapshot_id" -> 3001L, "sequence_number" -> null,
+        "data_file" -> Map[String, Any](
+          "content" -> content, "file_path" -> path,
+          "file_format" -> "parquet",
+          "partition" -> Map[String, Any]("p" -> "a"),
+          "record_count" -> recs, "file_size_in_bytes" -> 1L,
+          "equality_ids" -> eqIds, "value_counts" -> null))
+    val mMeta = Seq("schema" -> "{}", "partition-spec" -> "[]",
+      "format-version" -> "2")
+    def manifest(name: String, rows: Seq[Map[String, Any]]): java.nio.file.Path = {
+      val p = meta.resolve(name)
+      java.nio.file.Files.write(p, Avro.renderOcfGeneric(
+        manifestEntryEqSchema, rows, extraMeta = mMeta))
+      p
+    }
+    val m1 = manifest("m1.avro", Seq(eqEntry(0, "data/f1.parquet", 5, null)))
+    val m2 = manifest("m2.avro", Seq(eqEntry(0, "data/f2.parquet", 3, null)))
+    val mE = manifest("mE.avro", Seq(eqEntry(2, "data/e1.parquet", 2, Seq(1))))
+    val mls = manifestListSchema(v2 = true)
+    val ml = meta.resolve("snap-3001.avro")
     java.nio.file.Files.write(ml, Avro.renderOcfGeneric(mls, Seq(
-      manifestFileRow(v2 = true, mData.toString,
-        java.nio.file.Files.size(mData), 0, 2001L, 2, 0, 0, 8L, 0L, 0L),
-      manifestFileRow(v2 = true, mEq.toString,
-        java.nio.file.Files.size(mEq), 1, 2001L, 1, 0, 0, 1L, 0L, 0L))))
+      manifestFileRow(v2 = true, m1.toString, java.nio.file.Files.size(m1),
+        0, 3001L, 1, 0, 0, 5L, 0L, 0L, seq = 1L),
+      manifestFileRow(v2 = true, mE.toString, java.nio.file.Files.size(mE),
+        1, 3001L, 1, 0, 0, 2L, 0L, 0L, seq = 2L),
+      manifestFileRow(v2 = true, m2.toString, java.nio.file.Files.size(m2),
+        0, 3001L, 1, 0, 0, 3L, 0L, 0L, seq = 3L))))
+    java.nio.file.Files.write(meta.resolve("v1.metadata.json"),
+      (s"""{"format-version":2,"table-uuid":"eq","location":"$dir",
+          |"current-schema-id":0,
+          |"schemas":[{"type":"struct","schema-id":0,"fields":[
+          | {"id":1,"name":"id","required":false,"type":"long"},
+          | {"id":2,"name":"txt","required":false,"type":"string"}]}],
+          |"current-snapshot-id":3001,"snapshots":[
+          |{"snapshot-id":3001,"timestamp-ms":1,"summary":{"operation":"overwrite"},
+          | "manifest-list":"$ml","schema-id":0}]}""".stripMargin).getBytes)
+    java.nio.file.Files.write(meta.resolve("version-hint.text"), "1".getBytes)
+    val got = IcebergMeta.readTable(spark, dir).orderBy("id").collect()
+    // id 2 deleted (f1 seq 1 < delete seq 2); id 11 SURVIVES (f2 seq 3 > 2)
+    assert(got.map(_.getLong(0)).toSeq === Seq(0L, 1L, 3L, 4L, 10L, 11L, 12L))
+    // an equality delete WITHOUT equality_ids still fails loud
+    val mBad = manifest("mE.avro", Seq(eqEntry(2, "data/e1.parquet", 2, null)))
+    java.nio.file.Files.write(ml, Avro.renderOcfGeneric(mls, Seq(
+      manifestFileRow(v2 = true, m1.toString, java.nio.file.Files.size(m1),
+        0, 3001L, 1, 0, 0, 5L, 0L, 0L, seq = 1L),
+      manifestFileRow(v2 = true, mBad.toString, java.nio.file.Files.size(mBad),
+        1, 3001L, 1, 0, 0, 2L, 0L, 0L, seq = 2L))))
     val e = intercept[IllegalArgumentException](IcebergMeta.readTable(spark, dir))
-    assert(e.getMessage.contains("equality"))
+    assert(e.getMessage.contains("equality_ids"))
   }
 
   test("fails loud: no metadata, unknown snapshot, malformed manifest avro") {
