@@ -4194,6 +4194,41 @@ object PipelineQueries extends QuerySet {
     dir.toAbsolutePath.toString
   }
 
+  /** Fixture-builder primitives shared by the lakehouse fixtures:
+    * atomic build-once installs (tmp + rename, concurrent-safe) and a
+    * single-file Spark parquet write to a stable relative name.
+    */
+  private def installFixtureFile(dir: java.nio.file.Path, name: String,
+                                 bytes: => Array[Byte]): java.nio.file.Path = {
+    val f = dir.resolve(name)
+    if (!java.nio.file.Files.exists(f)) {
+      val tmp = java.nio.file.Files.createTempFile(dir, s".$name.", ".tmp")
+      java.nio.file.Files.write(tmp, bytes)
+      try java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp) }
+    }
+    f
+  }
+
+  private def installFixtureParquet(dir: java.nio.file.Path, rel: String,
+                                    df: => org.apache.spark.sql.DataFrame): Unit = {
+    val f = dir.resolve(rel)
+    if (!java.nio.file.Files.exists(f)) {
+      val tmp = java.nio.file.Files.createTempDirectory(dir, ".part").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      try java.nio.file.Files.move(part, f,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists)
+    }
+  }
+
   /** The q260-q264 Iceberg fixture: a spec-conformant v2 table layout
     * (metadata.json + version-hint + manifest-list OCF + nested-Avro
     * manifests) hand-built with the repo's generic Avro writer — byte-
@@ -4237,18 +4272,8 @@ object PipelineQueries extends QuerySet {
     val dir = java.nio.file.Paths.get("target", "fixtures", "iceberg_oracle")
     val meta = dir.resolve("metadata")
     java.nio.file.Files.createDirectories(meta)
-    def install(name: String, bytes: Array[Byte]): java.nio.file.Path = {
-      val f = meta.resolve(name)
-      if (!java.nio.file.Files.exists(f)) {
-        val tmp = java.nio.file.Files.createTempFile(meta, s".$name.", ".tmp")
-        java.nio.file.Files.write(tmp, bytes)
-        try java.nio.file.Files.move(tmp, f,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileAlreadyExistsException =>
-          java.nio.file.Files.deleteIfExists(tmp) }
-      }
-      f
-    }
+    def install(name: String, bytes: Array[Byte]): java.nio.file.Path =
+      installFixtureFile(meta, name, bytes)
     def entry(status: Int, snapId: Long, content: Int, path: String,
               part: String, recs: Long, size: Long): Map[String, Any] =
       Map("status" -> status, "snapshot_id" -> snapId,
@@ -4500,21 +4525,8 @@ object PipelineQueries extends QuerySet {
     val meta = dir.resolve("metadata")
     java.nio.file.Files.createDirectories(meta)
     java.nio.file.Files.createDirectories(dir.resolve("data"))
-    def writeParquet(rel: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      val f = dir.resolve(rel)
-      if (!java.nio.file.Files.exists(f)) {
-        val tmp = java.nio.file.Files.createTempDirectory(dir, ".part").toString
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head.toPath
-        try java.nio.file.Files.move(part, f,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator()
-          .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists)
-      }
-    }
+    def writeParquet(rel: String, df: org.apache.spark.sql.DataFrame): Unit =
+      installFixtureParquet(dir, rel, df)
     import s.implicits._
     writeParquet("data/f1.parquet",
       (0L until 5L).map(i => (i, s"row-$i")).toDF("id", "txt"))
@@ -4523,18 +4535,8 @@ object PipelineQueries extends QuerySet {
     writeParquet("data/d1.parquet",
       Seq(("data/f1.parquet", 0L), ("data/f1.parquet", 2L))
         .toDF("file_path", "pos"))
-    def install(name: String, bytes: Array[Byte]): java.nio.file.Path = {
-      val f = meta.resolve(name)
-      if (!java.nio.file.Files.exists(f)) {
-        val tmp = java.nio.file.Files.createTempFile(meta, s".$name.", ".tmp")
-        java.nio.file.Files.write(tmp, bytes)
-        try java.nio.file.Files.move(tmp, f,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileAlreadyExistsException =>
-          java.nio.file.Files.deleteIfExists(tmp) }
-      }
-      f
-    }
+    def install(name: String, bytes: Array[Byte]): java.nio.file.Path =
+      installFixtureFile(meta, name, bytes)
     def entry(status: Int, snapId: Long, content: Int, path: String,
               recs: Long, size: Long): Map[String, Any] =
       Map("status" -> status, "snapshot_id" -> snapId,
@@ -4617,39 +4619,16 @@ object PipelineQueries extends QuerySet {
     val meta = dir.resolve("metadata")
     java.nio.file.Files.createDirectories(meta)
     java.nio.file.Files.createDirectories(dir.resolve("data"))
-    def writeParquet(rel: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      val f = dir.resolve(rel)
-      if (!java.nio.file.Files.exists(f)) {
-        val tmp = java.nio.file.Files.createTempDirectory(dir, ".part").toString
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head.toPath
-        try java.nio.file.Files.move(part, f,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator()
-          .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists)
-      }
-    }
+    def writeParquet(rel: String, df: org.apache.spark.sql.DataFrame): Unit =
+      installFixtureParquet(dir, rel, df)
     import s.implicits._
     writeParquet("data/f1.parquet",
       (0L until 5L).map(i => (i, s"row-$i")).toDF("id", "txt"))
     writeParquet("data/f2.parquet",
       (10L until 13L).map(i => (i, s"row-$i")).toDF("id", "txt"))
     writeParquet("data/e1.parquet", Seq(2L, 11L).toDF("id"))
-    def install(name: String, bytes: Array[Byte]): java.nio.file.Path = {
-      val f = meta.resolve(name)
-      if (!java.nio.file.Files.exists(f)) {
-        val tmp = java.nio.file.Files.createTempFile(meta, s".$name.", ".tmp")
-        java.nio.file.Files.write(tmp, bytes)
-        try java.nio.file.Files.move(tmp, f,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileAlreadyExistsException =>
-          java.nio.file.Files.deleteIfExists(tmp) }
-      }
-      f
-    }
+    def install(name: String, bytes: Array[Byte]): java.nio.file.Path =
+      installFixtureFile(meta, name, bytes)
     def entry(content: Int, path: String, recs: Long,
               eqIds: Any): Map[String, Any] =
       Map("status" -> 1, "snapshot_id" -> 3001L, "sequence_number" -> null,
