@@ -704,6 +704,23 @@ object ParquetFooter {
     case _ => None
   }
 
+  /** Encode a TEXT probe for a column of physical type `typ`: parse the
+    * string to the column's physical value, then plain-encode it. None
+    * when the text doesn't parse as that type (or the type has no bloom
+    * filters — boolean, int96): hashing the raw UTF-8 string against a
+    * numeric column would produce a spec-invalid hash and report a
+    * FALSE NEGATIVE for a value that is present, which the bloom-filter
+    * contract forbids — no verdict beats a wrong one.
+    */
+  def bloomEncodeText(v: String, typ: Int): Option[Array[Byte]] = typ match {
+    case 1     => v.toIntOption.flatMap(bloomEncode(_, 1))
+    case 2     => v.toLongOption.flatMap(bloomEncode(_, 2))
+    case 4     => v.toFloatOption.flatMap(bloomEncode(_, 4))
+    case 5     => v.toDoubleOption.flatMap(bloomEncode(_, 5))
+    case 6 | 7 => Some(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case _     => None
+  }
+
   // ------------------------------------------------------- stat decoding
 
   private def le32(b: Array[Byte]): Int =

@@ -261,8 +261,9 @@ object DeltaDv {
 
   /** Resolve a DV descriptor to its bitmap's deleted row indexes.
     * storageType `i`: the payload is inline (Z85). `u`: the file is
-    * `<tableDir>/<prefix>deletion_vector_<uuid>.bin` with the prefix and
-    * Z85 uuid packed in pathOrInlineDv. `p`: an absolute path. File
+    * `<tableDir>/<prefix>/deletion_vector_<uuid>.bin` (the optional
+    * random prefix is a directory) with the prefix and Z85 uuid packed
+    * in pathOrInlineDv. `p`: an absolute path. File
     * forms honor [offset, sizeInBytes] framing ([int32 BE size][data]
     * [int32 BE CRC32]) and verify both the size and the checksum.
     * None on any malformation or a cardinality mismatch.
@@ -288,9 +289,13 @@ object DeltaDv {
             val uuidBytes = z85Decode(enc).getOrElse(return None)
             val bb = java.nio.ByteBuffer.wrap(uuidBytes)
             val uuid = new java.util.UUID(bb.getLong, bb.getLong)
-            val dirPart = if (prefix.isEmpty) "" else s"$prefix"
-            new org.apache.hadoop.fs.Path(tableDir,
-              s"${dirPart}deletion_vector_$uuid.bin")
+            // the random prefix is a DIRECTORY under the table root
+            // (PROTOCOL.md's assembleDeletionVectorPath):
+            // <tableDir>/<prefix>/deletion_vector_<uuid>.bin
+            val parent =
+              if (prefix.isEmpty) new org.apache.hadoop.fs.Path(tableDir)
+              else new org.apache.hadoop.fs.Path(tableDir, prefix)
+            new org.apache.hadoop.fs.Path(parent, s"deletion_vector_$uuid.bin")
           }
         try {
           val in = fs.open(path)

@@ -410,9 +410,24 @@ object DeltaLog {
       if (mode != "none" && f.metadata.contains("delta.columnMapping.physicalName"))
         f.metadata.getString("delta.columnMapping.physicalName")
       else f.name
-    // live file list + per-file partition values: metadata-sized
-    val live = snapshot(spark, tableDir, asOf)
-      .select("path", "partition").collect()
+    // live file list + per-file partition values: metadata-sized. The
+    // reconciliation fold is snapshot()'s, but the add's partitionValues
+    // MAP is carried through verbatim — round-tripping the rendered
+    // 'k=v/k=v' string would mis-split any value containing '/'
+    val live = {
+      val fileActs = acts
+        .where(col("add.path").isNotNull || col("remove.path").isNotNull)
+        .select(
+          coalesce(col("add.path"), col("remove.path")).as("path"),
+          col("add.path").isNotNull.as("is_add"),
+          col("version"), col("ordinal"),
+          col("add.partitionValues").as("pv"))
+      val w = Window.partitionBy("path")
+        .orderBy(col("version").desc, col("ordinal").desc)
+      fileActs.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1 && col("is_add"))
+        .select("path", "pv").collect()
+    }
     if (live.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -421,9 +436,9 @@ object DeltaLog {
     val mapRows = live.toSeq.map { r =>
       val rel = r.getString(0)
       val uriPath = fs.makeQualified(new Path(fsRoot, rel)).toUri.getPath
-      val partVals = r.getString(1).split('/').filter(_.nonEmpty)
-        .map { kv => val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1) }
-        .toMap
+      val partVals =
+        if (r.isNullAt(1)) Map.empty[String, String]
+        else r.getMap[String, String](1)
       org.apache.spark.sql.Row.fromSeq(
         uriPath +: rel +: partCols.map(c => partVals.getOrElse(c, null)))
     }
@@ -439,8 +454,7 @@ object DeltaLog {
         fs.makeQualified(new Path(fsRoot, r.getString(0))).toString).distinct: _*)
       .select(
         dataFields.toSeq.map(f => col(s"`${physicalOf(f)}`").as(f.name)) ++
-          Seq(regexp_replace(col("_metadata.file_path"), "^[a-z0-9+.-]+:/+", "/")
-            .as("_uri_path"),
+          Seq(UriPaths.pathOnly(col("_metadata.file_path")).as("_uri_path"),
             col("_metadata.row_index").as("_row_index")): _*)
     val withParts = raw.join(broadcast(mapping), Seq("_uri_path"), "inner")
     // DV application: drop (file, row_index) pairs the live DVs delete

@@ -483,7 +483,7 @@ object IcebergMeta {
       if (r.isNullAt(2)) None else Some(r.getLong(2))
     val dataFiles = live.filter(_.getString(0) == "data")
     val posFiles = live.filter(_.getString(0) == "position_deletes")
-      .map(_.getString(1))
+      .map(r => (r.getString(1), seqOf(r))).distinct
     val eqFiles = live.filter(_.getString(0) == "equality_deletes")
     if (dataFiles.isEmpty)
       throw new IllegalArgumentException(
@@ -506,17 +506,29 @@ object IcebergMeta {
         StructField("file_path", StringType, nullable = false),
         StructField("_seq", LongType, nullable = true))))
     var df = raw
-      .withColumn("_uri_path",
-        regexp_replace(col("_metadata.file_path"), "^[a-z0-9+.-]+:/+", "/"))
+      .withColumn("_uri_path", UriPaths.pathOnly(col("_metadata.file_path")))
       .withColumn("_row_index", col("_metadata.row_index"))
       .join(broadcast(mapping), Seq("_uri_path"))
     if (posFiles.nonEmpty) {
-      // position-delete files are parquet of (file_path, pos) per the spec
-      val dels = spark.read.parquet(posFiles.map(abs(_).toString).distinct: _*)
-        .select(col("file_path"), col("pos").cast("long").as("_row_index"))
+      // position-delete files are parquet of (file_path, pos) per the
+      // spec; each delete file's rows carry ITS sequence number so the
+      // anti-join can apply the spec's ordering gate — a position delete
+      // applies only to data files whose data sequence number is <= the
+      // delete file's (a path re-added in a LATER snapshot outlives an
+      // older delete against the same (path, pos)). Tables without
+      // sequence numbers (v1) gate vacuously on either side.
+      val dels = posFiles.toSeq.map { case (p, sq) =>
+        spark.read.parquet(abs(p).toString)
+          .select(col("file_path"), col("pos").cast("long").as("_del_index"),
+            sq.map(lit(_)).getOrElse(lit(null)).cast("long").as("_del_seq"))
+      }.reduce(_ unionByName _)
         .join(broadcast(mapping.select("_uri_path", "file_path")), Seq("file_path"))
-        .select("_uri_path", "_row_index")
-      df = df.join(broadcast(dels), Seq("_uri_path", "_row_index"), "left_anti")
+        .select(col("_uri_path").as("_del_uri"), col("_del_index"), col("_del_seq"))
+      val gate = df("_uri_path") === dels("_del_uri") &&
+        df("_row_index") === dels("_del_index") &&
+        (coalesce(df("_seq"), lit(Long.MinValue)) <=
+          coalesce(dels("_del_seq"), lit(Long.MaxValue)))
+      df = df.join(broadcast(dels), gate, "left_anti")
     }
     if (eqFiles.nonEmpty) {
       val idToName = schemaReport(spark, tableDir).collect()

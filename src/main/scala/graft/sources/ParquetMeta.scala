@@ -233,8 +233,10 @@ object ParquetMeta {
     * 100k files can contain this id" answered from bloom bytes (a few
     * KB per chunk), never a data page. Chunks without a bloom filter
     * contribute no rows (the caller can tell "no filter" from "filter
-    * says no"). One task per file; string probes are hashed with the
-    * spec's xxHash64 over plain encoding.
+    * says no"). One task per file; each text probe is parsed to the
+    * column's PHYSICAL type, plain-encoded, then hashed with the spec's
+    * xxHash64 — unparseable probes contribute no rows rather than a
+    * spec-invalid false negative.
     */
   def bloomProbes(spark: SparkSession, path: String, column: String,
                   values: Seq[String]): DataFrame = {
@@ -274,10 +276,13 @@ object ParquetMeta {
                     ParquetFooter.parseBloomFilter(buf, 0, n) match {
                       case None => Iterator.empty
                       case Some(bf) =>
-                        probeList.iterator.map { v =>
-                          val enc = ParquetFooter.bloomEncode(v, c.typ)
-                            .getOrElse(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-                          Row(s, rgi, v, bf.mightContain(ParquetFooter.xxHash64(enc)))
+                        // probes that don't parse as the column's
+                        // physical type contribute NO row — a raw-string
+                        // hash against a numeric column would report a
+                        // false negative, which the contract forbids
+                        probeList.iterator.flatMap { v =>
+                          ParquetFooter.bloomEncodeText(v, c.typ).map(enc =>
+                            Row(s, rgi, v, bf.mightContain(ParquetFooter.xxHash64(enc))))
                         }
                     }
                   }

@@ -1,0 +1,30 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.regexp_replace
+
+/** URI → absolute-path normalization shared by the lakehouse readers.
+  *
+  * The Delta/Iceberg table readers join the scanned parquet rows
+  * (keyed by Spark's `_metadata.file_path`, a fully qualified URI such
+  * as `file:///t/x`, `hdfs://nn:8020/t/x` or `s3a://bucket/t/x`) to a
+  * driver-built file mapping keyed by `Path.toUri.getPath`, which is
+  * the bare absolute path `/t/x` — no scheme, NO AUTHORITY. The two
+  * sides must normalize identically: stripping only the scheme keeps
+  * the authority (`hdfs://nn:8020/t/x` → `/nn:8020/t/x`), the join
+  * matches nothing, and the reader silently returns an empty table —
+  * the worst possible failure mode.
+  */
+private[sources] object UriPaths {
+
+  /** Strip scheme AND authority from a URI column, leaving the
+    * absolute path — equal to `Path.toUri.getPath` for the same file.
+    * Handles both the authority form (`scheme://auth/p`, including an
+    * empty authority `scheme:///p`) and the no-authority single-slash
+    * form (`scheme:/p`); a bare `/p` passes through unchanged.
+    */
+  def pathOnly(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:/", "/")
+}

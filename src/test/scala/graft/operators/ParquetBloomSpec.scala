@@ -100,6 +100,40 @@ class ParquetBloomSpec extends SparkSpec {
       Seq("x")).count() === 0L)
   }
 
+  test("typed probes: INT64 column parses text to the physical value") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("pqbloomtyped").toString
+    val p = writeFixture(dir)
+    val present = (0 until 50).map(i => (i * 100).toString)
+    val absent = (5000 until 5200).map(_.toString)
+    val unparseable = Seq("not-a-number", "12.5", "")
+    val got = graft.sources.ParquetMeta.bloomProbes(spark, p, "k_long",
+      present ++ absent ++ unparseable).cache()
+    // unparseable probes contribute NO rows — a raw-string hash against
+    // an INT64 column would be a spec-invalid false negative
+    assert(got.count() === (present.length + absent.length).toLong)
+    // the no-false-negative law through the typed encoding
+    assert(got.where(col("value").cast("long") < 5000L && !col("might_contain"))
+      .count() === 0L)
+    val fp = got.where(col("value").cast("long") >= 5000L && col("might_contain"))
+      .count()
+    assert(fp < 20L, s"false-positive count $fp out of 200 is not a ~1% filter")
+    // per-probe agreement with parquet-java's own long-typed hash
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new Path(p), spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val block = r.getFooter.getBlocks.asScala.head
+      val jc = block.getColumns.asScala.find(_.getPath.toDotString == "k_long").get
+      val jbf = r.getBloomFilterDataReader(block).readBloomFilter(jc)
+      val ours = got.collect().map(x => x.getString(2) -> x.getBoolean(3)).toMap
+      (present ++ absent).foreach { v =>
+        assert(ours(v) === jbf.findHash(jbf.hash(v.toLong)), s"probe $v")
+      }
+    } finally r.close()
+  }
+
   test("fuzz: header/bitset corruption never throws") {
     val dir = java.nio.file.Files.createTempDirectory("pqbloomfuzz").toString
     val p = writeFixture(dir)

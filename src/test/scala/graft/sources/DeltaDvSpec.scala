@@ -145,6 +145,58 @@ class DeltaDvSpec extends SparkSpec {
     assert(one.length === 1 && one.head.getString(1) === "row-11")
   }
 
+  test("file-based DV under a RANDOM PREFIX resolves as a directory") {
+    // PROTOCOL.md (assembleDeletionVectorPath): storageType 'u' with a
+    // non-empty prefix lives at <tableDir>/<prefix>/deletion_vector_
+    // <uuid>.bin — the prefix is a DIRECTORY, not a filename prefix
+    val dir = java.nio.file.Files.createTempDirectory("deltadvpfx").toString
+    val (dvBytes, off, size) = DeltaDv.renderDvFile(Seq(2L, 4L, 9L))
+    val uuid = java.util.UUID.fromString("7c1b2a30-55aa-4d2e-8e01-3f4455667788")
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits); bb.putLong(uuid.getLeastSignificantBits)
+    val prefix = "ab"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, prefix))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, prefix, s"deletion_vector_$uuid.bin"), dvBytes)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val got = DeltaDv.resolve(fs, dir, "u",
+      prefix + DeltaDv.z85Encode(bb.array()), Some(off), size, 3L)
+    assert(got.contains(Seq(2L, 4L, 9L)))
+    // and the no-prefix form still resolves at the table root
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, s"deletion_vector_$uuid.bin"), dvBytes)
+    assert(DeltaDv.resolve(fs, dir, "u", DeltaDv.z85Encode(bb.array()),
+      Some(off), size, 3L).contains(Seq(2L, 4L, 9L)))
+  }
+
+  test("readTable: a partition value containing '/' survives verbatim") {
+    // partitionValues is carried through as a MAP — the rendered
+    // 'k=v/k=v' string form would mis-split this value
+    val dir = java.nio.file.Files.createTempDirectory("deltaslash").toString
+    val log = java.nio.file.Paths.get(dir, "_delta_log")
+    java.nio.file.Files.createDirectories(log)
+    val tmp = java.nio.file.Files.createTempDirectory("deltaslashpart").toString
+    spark.createDataFrame(Seq((1L, "a"), (2L, "b"))).toDF("id", "txt")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(dir, "part-0.parquet"))
+    val schemaString =
+      """{\"type\":\"struct\",\"fields\":[""" +
+        """{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},""" +
+        """{\"name\":\"txt\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}},""" +
+        """{\"name\":\"src\",\"type\":\"string\",\"nullable\":false,\"metadata\":{}}]}"""
+    java.nio.file.Files.write(log.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"t","schemaString":"$schemaString","partitionColumns":["src"],"createdTime":1}}""",
+      """{"add":{"path":"part-0.parquet","partitionValues":{"src":"2024/07/15"},"size":1,"modificationTime":1,"dataChange":true,"stats":"{\"numRecords\":2}"}}""")
+      .mkString("\n").getBytes)
+    val got = DeltaLog.readTable(spark, dir).orderBy("id").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(2))).toSeq ===
+      Seq((1L, "2024/07/15"), (2L, "2024/07/15")))
+  }
+
   test("deletedRows: inline AND file-based DVs over a real log, loud on corruption") {
     val dir = java.nio.file.Files.createTempDirectory("deltadvrows").toString
     val log = java.nio.file.Paths.get(dir, "_delta_log")

@@ -272,6 +272,59 @@ class IcebergSpec extends SparkSpec {
       .count() === 1L)
   }
 
+  test("readTable: position deletes honor the sequence-number gate") {
+    // d1 (seq 2) names (f1, 0) AND (f2, 0); f1 sits at seq 1 so its row
+    // 0 dies, but f2 was written at seq 3 — AFTER the delete — so its
+    // row 0 (id 10) must survive. Same ordering law as equality deletes.
+    val dir = java.nio.file.Files.createTempDirectory("icebergposseq").toString
+    val meta = java.nio.file.Paths.get(dir, "metadata")
+    java.nio.file.Files.createDirectories(meta)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, "data"))
+    def writeParquet(rel: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("iceposseq").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(dir, rel))
+    }
+    import spark.implicits._
+    writeParquet("data/f1.parquet",
+      (0L until 3L).map(i => (i, s"row-$i")).toDF("id", "txt"))
+    writeParquet("data/f2.parquet",
+      (10L until 13L).map(i => (i, s"row-$i")).toDF("id", "txt"))
+    writeParquet("data/d1.parquet",
+      Seq(("data/f1.parquet", 0L), ("data/f2.parquet", 0L))
+        .toDF("file_path", "pos"))
+    val mMeta = Seq("schema" -> "{}", "partition-spec" -> "[]",
+      "format-version" -> "2")
+    def manifest(name: String, rows: Seq[Map[String, Any]]): java.nio.file.Path = {
+      val p = meta.resolve(name)
+      java.nio.file.Files.write(p, Avro.renderOcfGeneric(
+        manifestEntrySchema, rows, extraMeta = mMeta))
+      p
+    }
+    val m1 = manifest("m1.avro", Seq(entry(1, 4001L, 0, "data/f1.parquet", "a", 3, 1)))
+    val mD = manifest("mD.avro", Seq(entry(1, 4001L, 1, "data/d1.parquet", "a", 2, 1)))
+    val m2 = manifest("m2.avro", Seq(entry(1, 4001L, 0, "data/f2.parquet", "a", 3, 1)))
+    val mls = manifestListSchema(v2 = true)
+    val ml = meta.resolve("snap-4001.avro")
+    java.nio.file.Files.write(ml, Avro.renderOcfGeneric(mls, Seq(
+      manifestFileRow(v2 = true, m1.toString, java.nio.file.Files.size(m1),
+        0, 4001L, 1, 0, 0, 3L, 0L, 0L, seq = 1L),
+      manifestFileRow(v2 = true, mD.toString, java.nio.file.Files.size(mD),
+        1, 4001L, 1, 0, 0, 2L, 0L, 0L, seq = 2L),
+      manifestFileRow(v2 = true, m2.toString, java.nio.file.Files.size(m2),
+        0, 4001L, 1, 0, 0, 3L, 0L, 0L, seq = 3L))))
+    java.nio.file.Files.write(meta.resolve("v1.metadata.json"),
+      (s"""{"format-version":2,"table-uuid":"ps","location":"$dir",
+          |"current-snapshot-id":4001,"snapshots":[
+          |{"snapshot-id":4001,"timestamp-ms":1,"summary":{"operation":"overwrite"},
+          | "manifest-list":"$ml","schema-id":0}]}""".stripMargin).getBytes)
+    java.nio.file.Files.write(meta.resolve("version-hint.text"), "1".getBytes)
+    val got = IcebergMeta.readTable(spark, dir).orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L, 10L, 11L, 12L))
+  }
+
   /** The manifest_entry schema variant whose data_file carries
     * equality_ids — only equality-delete scenarios need it.
     */

@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+/** The lakehouse readers' join-key normalization (see [[UriPaths]]):
+  * the Spark-side `_metadata.file_path` strip must land on EXACTLY
+  * what `Path.toUri.getPath` produces for the same file on the driver
+  * side — scheme AND authority gone — or the readTable inner join
+  * silently matches nothing on any filesystem with an authority.
+  */
+class UriPathsSpec extends SparkSpec {
+
+  test("pathOnly strips scheme AND authority on every URI form") {
+    import spark.implicits._
+    val cases = Seq(
+      "hdfs://nn:8020/t/x"  -> "/t/x", // host:port authority
+      "s3a://bucket/t/x"    -> "/t/x", // bucket authority
+      "file:///t/x"         -> "/t/x", // empty authority
+      "file:/t/x"           -> "/t/x", // no-authority single-slash form
+      "/t/x"                -> "/t/x", // already a bare path
+      "o3fs+x://a.b:1/t/x"  -> "/t/x", // scheme with +/.; dotted authority
+      "s3a://bucket/t/p=a:b/x" -> "/t/p=a:b/x") // ':' later in the path
+    val got = cases.map(_._1).toDF("u")
+      .select(UriPaths.pathOnly(col("u"))).as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+  }
+
+  test("pathOnly agrees with Path.toUri.getPath — the join's other side") {
+    import spark.implicits._
+    val uris = Seq("hdfs://nn:8020/t/x", "s3a://bucket/t/x",
+      "file:///t/x", "file:/t/x")
+    val driverSide = uris.map(u => new org.apache.hadoop.fs.Path(u).toUri.getPath)
+    val sparkSide = uris.toDF("u")
+      .select(UriPaths.pathOnly(col("u"))).as[String].collect().toSeq
+    assert(sparkSide === driverSide)
+  }
+}
