@@ -49,7 +49,8 @@ object ParquetFooter {
     */
   final case class SchemaEl(name: String, typ: Option[Int],
       typeLength: Option[Int], repetition: Option[Int],
-      numChildren: Option[Int], converted: Option[Int])
+      numChildren: Option[Int], converted: Option[Int],
+      fieldId: Option[Int] = None)
 
   final case class Stats(minValue: Option[Array[Byte]],
       maxValue: Option[Array[Byte]], nullCount: Option[Long],
@@ -514,6 +515,7 @@ object ParquetFooter {
     var name: String = null
     var numChildren: Option[Int] = None
     var converted: Option[Int] = None
+    var fieldId: Option[Int] = None
     struct(r) {
       case (1, TI32)    => typ = Some(r.zigzag().toInt); true
       case (2, TI32)    => typeLength = Some(r.zigzag().toInt); true
@@ -521,10 +523,12 @@ object ParquetFooter {
       case (4, TBinary) => name = readString(r); true
       case (5, TI32)    => numChildren = Some(r.zigzag().toInt); true
       case (6, TI32)    => converted = Some(r.zigzag().toInt); true
+      case (9, TI32)    => fieldId = Some(r.zigzag().toInt); true
       case _            => false
     }
     if (r.bad || name == null) None
-    else Some(SchemaEl(name, typ, typeLength, repetition, numChildren, converted))
+    else Some(SchemaEl(name, typ, typeLength, repetition, numChildren,
+      converted, fieldId))
   }
 
   /** Parse a footer byte range (the FileMetaData struct, magic and
@@ -573,6 +577,31 @@ object ParquetFooter {
     // the footer sits between the 4-byte leading magic and the length word
     if (flen <= 0 || flen > MaxFooterBytes || flen > n - 12) None
     else parse(b, n - 8 - flen, n - 8)
+  }
+
+  /** The root's DIRECT children of a flattened footer schema:
+    * (name, field_id) per top-level column, in declaration order. The
+    * flat list is pre-order with each group node framing its subtree by
+    * num_children — nested nodes are skipped, never mistaken for
+    * columns. Field ids are how Iceberg names columns rename-safely;
+    * a writer that didn't record them yields (name, None) pairs.
+    */
+  def topLevelFields(schema: Seq[SchemaEl]): Seq[(String, Option[Int])] = {
+    if (schema.isEmpty) return Nil
+    val out = Seq.newBuilder[(String, Option[Int])]
+    val stack = scala.collection.mutable.Stack[Int](
+      schema.head.numChildren.getOrElse(0))
+    var i = 1
+    while (i < schema.length && stack.nonEmpty) {
+      val el = schema(i)
+      if (stack.length == 1) out += ((el.name, el.fieldId))
+      stack.push(stack.pop() - 1)
+      val kids = el.numChildren.getOrElse(0)
+      if (kids > 0) stack.push(kids)
+      while (stack.nonEmpty && stack.top == 0) stack.pop()
+      i += 1
+    }
+    out.result()
   }
 
   // -------------------------------------------------- bloom filter (SBBF)

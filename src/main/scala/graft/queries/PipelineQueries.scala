@@ -3968,6 +3968,18 @@ object PipelineQueries extends QuerySet {
       graft.sources.IcebergMeta.readTable(s, icebergEqDir(s)).orderBy("id")
     }),
 
+    // FIELD-ID projection under schema evolution: f1 predates the
+    // rename and physically stores "val_old" (field id 2, recorded in
+    // its parquet footer); the current schema names field 2 "val_new".
+    // The reader resolves every data file's columns through its own
+    // footer ids, so f1's values surface under the new name — a
+    // name-based read would silently serve NULLs for them. "score"
+    // exists only in f2 (typed null for f1); "note" is in NO file yet
+    // (typed null everywhere). The pin proves all three paths.
+    "q281_iceberg_evolution" -> ((s, dir) => {
+      graft.sources.IcebergMeta.readTable(s, icebergEvoDir(s)).orderBy("id")
+    }),
+
     // Cross-grain accounting law: the manifest-LIST's per-manifest
     // counts (what a planner trusts to prune whole manifests without
     // opening them) recomputed from the ENTRY grain and diffed — a
@@ -4678,6 +4690,80 @@ object PipelineQueries extends QuerySet {
     dir.toAbsolutePath.toString
   }
 
+  /** The q281 fixture: an Iceberg v2 table with a RENAME in its schema
+    * history. f1 was written under schema 0 — its parquet footer names
+    * the column "val_old" but records FIELD ID 2; schema 1 renames
+    * field 2 to "val_new", adds "score" (id 3) and "note" (id 4, in no
+    * data file yet); f2 was written under schema 1. Field-id projection
+    * must serve f1's values under the val_new name.
+    */
+  private def icebergEvoDir(s: org.apache.spark.sql.SparkSession): String = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, MetadataBuilder,
+      StringType, StructField, StructType}
+    val dir = java.nio.file.Paths.get("target", "fixtures", "iceberg_evo")
+    val meta = dir.resolve("metadata")
+    java.nio.file.Files.createDirectories(meta)
+    java.nio.file.Files.createDirectories(dir.resolve("data"))
+    def fid(i: Long) =
+      new MetadataBuilder().putLong("parquet.field.id", i).build()
+    installFixtureParquet(dir, "data/f1.parquet", s.createDataFrame(
+      s.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0L, "a"), org.apache.spark.sql.Row(1L, "b")), 1),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false, fid(1)),
+        StructField("val_old", StringType, nullable = true, fid(2))))))
+    installFixtureParquet(dir, "data/f2.parquet", s.createDataFrame(
+      s.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(10L, "x", 1.5),
+        org.apache.spark.sql.Row(11L, "y", 2.5)), 1),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false, fid(1)),
+        StructField("val_new", StringType, nullable = true, fid(2)),
+        StructField("score", DoubleType, nullable = true, fid(3))))))
+    def install(name: String, bytes: Array[Byte]): java.nio.file.Path =
+      installFixtureFile(meta, name, bytes)
+    def entry(path: String, recs: Long): Map[String, Any] =
+      Map("status" -> 1, "snapshot_id" -> 5001L, "sequence_number" -> null,
+        "data_file" -> Map[String, Any](
+          "content" -> 0, "file_path" -> path, "file_format" -> "parquet",
+          "partition" -> Map[String, Any]("p" -> "a"),
+          "record_count" -> recs, "file_size_in_bytes" -> 1L))
+    val mMeta = Seq("schema" -> "{}", "partition-spec" -> "[]",
+      "format-version" -> "2")
+    val m1 = install("m1.avro", graft.operators.Avro.renderOcfGeneric(
+      IcebergEntrySchema, Seq(
+        entry("data/f1.parquet", 2), entry("data/f2.parquet", 2)),
+      extraMeta = mMeta))
+    install("snap-5001.avro", graft.operators.Avro.renderOcfGeneric(
+      IcebergSeqListSchema, Seq(Map[String, Any](
+        "manifest_path" -> s"metadata/${m1.getFileName}",
+        "manifest_length" -> java.nio.file.Files.size(m1),
+        "partition_spec_id" -> 0, "content" -> 0,
+        "sequence_number" -> 1L, "added_snapshot_id" -> 5001L,
+        "added_files_count" -> 2, "existing_files_count" -> 0,
+        "deleted_files_count" -> 0, "added_rows_count" -> 4L,
+        "existing_rows_count" -> 0L, "deleted_rows_count" -> 0L))))
+    install("v1.metadata.json",
+      """{"format-version":2,"table-uuid":"0000-evo","location":".",
+        |"current-schema-id":1,
+        |"schemas":[
+        | {"type":"struct","schema-id":0,"fields":[
+        |  {"id":1,"name":"id","required":true,"type":"long"},
+        |  {"id":2,"name":"val_old","required":false,"type":"string"}]},
+        | {"type":"struct","schema-id":1,"fields":[
+        |  {"id":1,"name":"id","required":true,"type":"long"},
+        |  {"id":2,"name":"val_new","required":false,"type":"string"},
+        |  {"id":3,"name":"score","required":false,"type":"double"},
+        |  {"id":4,"name":"note","required":false,"type":"string"}]}],
+        |"current-snapshot-id":5001,"snapshots":[
+        |{"snapshot-id":5001,"sequence-number":1,"timestamp-ms":1700000000600,
+        | "summary":{"operation":"append"},
+        | "manifest-list":"metadata/snap-5001.avro","schema-id":1}]}"""
+        .stripMargin.getBytes("UTF-8"))
+    install("version-hint.text", "1".getBytes("UTF-8"))
+    dir.toAbsolutePath.toString
+  }
+
   /** The q265/q266 page-index fixture: one Spark-written parquet file
     * with a small page size so every column spans many pages (Spark's
     * parquet-java writer emits ColumnIndex/OffsetIndex by default —
@@ -5004,6 +5090,17 @@ object PipelineQueries extends QuerySet {
     // the READ statements share their readers' pins
     "q276_sql_read_delta" -> DeltaReadOracle,
     "q277_sql_read_iceberg" -> IcebergReadOracle,
+    // the rename-evolution pin: f1's pre-rename val_old VALUES surface
+    // under val_new (field-id projection), score is typed-null where the
+    // file predates it, note is typed-null everywhere (in no file yet)
+    "q281_iceberg_evolution" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'a', CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)),
+        |  (1, 'b', NULL, NULL),
+        |  (10, 'x', 1.5, NULL),
+        |  (11, 'y', 2.5, NULL))
+        |AS t(id, val_new, score, note)
+        |ORDER BY id""".stripMargin,
     // equality deletes: id 2 gone (seq 1 < 2), id 11 SURVIVES (seq 3 > 2)
     "q280_iceberg_eq_read" ->
       """SELECT * FROM (VALUES

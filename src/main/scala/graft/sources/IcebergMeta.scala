@@ -30,11 +30,18 @@ import graft.operators.Avro
   * DISTRIBUTED: one task per manifest file, no shuffle, no data-file
   * read. Auditing a 100 TB table costs its metadata, never its data.
   *
-  * Scope contract (documented, not hidden): no row-level delete
-  * APPLICATION (delete manifests and files are reported, not applied
-  * to data reads — this is an audit door, not a table reader);
-  * `version-hint.text` or the highest `vN.metadata.json` selects the
-  * current metadata; metadata.json compression (`.gz`) is out of scope.
+  * Beyond the audit relations, [[readTable]] serves the table itself:
+  * live data files as one parquet scan per projection group, columns
+  * resolved by Iceberg FIELD ID through each file's own footer (so a
+  * renamed column reads its pre-rename files correctly), and BOTH
+  * row-level delete mechanisms applied under the spec's sequence-
+  * number ordering gate.
+  *
+  * Scope contract (documented, not hidden): `version-hint.text` or the
+  * highest `vN.metadata.json` selects the current metadata;
+  * metadata.json compression (`.gz`) is out of scope; field-id
+  * projection is top-level (nested struct evolution reads by the
+  * file's own nested names).
   */
 object IcebergMeta {
 
@@ -370,6 +377,63 @@ object IcebergMeta {
     * required flag. [[DeltaLog.schemaReport]]'s twin.
     */
   def schemaReport(spark: SparkSession, tableDir: String): DataFrame = {
+    val fields = schemaFieldsOf(spark, tableDir, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"iceberg: metadata under $tableDir carries no schema"))
+    val rows = fields.zipWithIndex.map { case (f, i) =>
+      Row(i, f.id.map(Long.box).orNull, f.name, f.typeStr, f.required)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("position", IntegerType, nullable = false),
+        StructField("field_id", LongType, nullable = true),
+        StructField("name", StringType, nullable = false),
+        StructField("type", StringType, nullable = false),
+        StructField("required", BooleanType, nullable = false))))
+  }
+
+  // -------------------------------------------- schema (field-id) layer
+
+  private final case class IceField(id: Option[Long], name: String,
+                                    typeStr: String, required: Boolean)
+
+  private def renderType(v: Any): String = v match {
+    case s: String => s
+    case m: scala.collection.mutable.LinkedHashMap[_, _] =>
+      val o = m.asInstanceOf[JObj]
+      o.get("type") match {
+        case Some("struct") =>
+          val fields = o.get("fields") match {
+            case Some(a: scala.collection.mutable.ArrayBuffer[_]) =>
+              a.map {
+                case fm: scala.collection.mutable.LinkedHashMap[_, _] =>
+                  val f = fm.asInstanceOf[JObj]
+                  s"${f.getOrElse("name", "?")}: ${renderType(f.getOrElse("type", "?"))}"
+                case _ => "?"
+              }
+            case _ => Nil
+          }
+          s"struct<${fields.mkString(", ")}>"
+        case Some("list") =>
+          s"list<${renderType(o.getOrElse("element", "?"))}>"
+        case Some("map") =>
+          s"map<${renderType(o.getOrElse("key", "?"))}, " +
+            s"${renderType(o.getOrElse("value", "?"))}>"
+        case _ => "?"
+      }
+    case _ => "?"
+  }
+
+  /** The top-level fields of the schema with `schemaId` — the CURRENT
+    * schema when None — from metadata.json (`schemas` + ids, or the
+    * legacy single `schema` object). None when the metadata carries no
+    * schema at all (synthetic audit fixtures): [[readTable]] then
+    * projects by NAME. An explicitly requested schema-id that is absent
+    * fails loud.
+    */
+  private def schemaFieldsOf(spark: SparkSession, tableDir: String,
+                             schemaId: Option[Long]): Option[Seq[IceField]] = {
     val tmFile = currentMetadataFile(spark, tableDir)
     val p = new Path(tmFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -382,91 +446,121 @@ object IcebergMeta {
       case _ => throw new IllegalArgumentException(
         s"iceberg: $tmFile is not a JSON object")
     }
-    def renderType(v: Any): String = v match {
-      case s: String => s
-      case m: scala.collection.mutable.LinkedHashMap[_, _] =>
-        val o = m.asInstanceOf[JObj]
-        o.get("type") match {
-          case Some("struct") =>
-            val fields = o.get("fields") match {
-              case Some(a: scala.collection.mutable.ArrayBuffer[_]) =>
-                a.map {
-                  case fm: scala.collection.mutable.LinkedHashMap[_, _] =>
-                    val f = fm.asInstanceOf[JObj]
-                    s"${f.getOrElse("name", "?")}: ${renderType(f.getOrElse("type", "?"))}"
-                  case _ => "?"
-                }
-              case _ => Nil
-            }
-            s"struct<${fields.mkString(", ")}>"
-          case Some("list") =>
-            s"list<${renderType(o.getOrElse("element", "?"))}>"
-          case Some("map") =>
-            s"map<${renderType(o.getOrElse("key", "?"))}, " +
-              s"${renderType(o.getOrElse("value", "?"))}>"
-          case _ => "?"
-        }
-      case _ => "?"
-    }
-    val schemaObj: JObj = (root.get("schemas"), root.get("current-schema-id")) match {
-      case (Some(a: scala.collection.mutable.ArrayBuffer[_]), want) =>
-        val wantId = want.collect { case l: java.lang.Long => l.longValue }
-        a.collectFirst {
+    val schemaObj: Option[JObj] = root.get("schemas") match {
+      case Some(a: scala.collection.mutable.ArrayBuffer[_]) =>
+        val wantId = schemaId.orElse(root.get("current-schema-id").flatMap(jLong))
+        val found = a.collectFirst {
           case sm: scala.collection.mutable.LinkedHashMap[_, _]
             if wantId.forall(id => sm.asInstanceOf[JObj].get("schema-id")
-              .collect { case l: java.lang.Long => l.longValue }.contains(id)) =>
+              .flatMap(jLong).contains(id)) =>
             sm.asInstanceOf[JObj]
-        }.getOrElse(throw new IllegalArgumentException(
-          s"iceberg: current-schema-id not found in $tmFile"))
+        }
+        if (found.isEmpty)
+          throw new IllegalArgumentException(
+            s"iceberg: schema-id ${wantId.getOrElse("<current>")} not in $tmFile")
+        found
       case _ => root.get("schema") match {
         case Some(sm: scala.collection.mutable.LinkedHashMap[_, _]) =>
-          sm.asInstanceOf[JObj]
-        case _ => throw new IllegalArgumentException(
-          s"iceberg: $tmFile carries no schema")
+          Some(sm.asInstanceOf[JObj])
+        case _ => None
       }
     }
-    val fields = schemaObj.get("fields") match {
-      case Some(a: scala.collection.mutable.ArrayBuffer[_]) => a.toSeq
-      case _ => throw new IllegalArgumentException(
-        s"iceberg: schema in $tmFile has no fields")
+    schemaObj.map { so =>
+      val fields = so.get("fields") match {
+        case Some(a: scala.collection.mutable.ArrayBuffer[_]) => a.toSeq
+        case _ => throw new IllegalArgumentException(
+          s"iceberg: schema in $tmFile has no fields")
+      }
+      fields.map {
+        case fm: scala.collection.mutable.LinkedHashMap[_, _] =>
+          val f = fm.asInstanceOf[JObj]
+          IceField(
+            f.get("id").flatMap(jLong),
+            f.get("name").collect { case s: String => s }.getOrElse(
+              throw new IllegalArgumentException("schema field without name")),
+            renderType(f.getOrElse("type", "?")),
+            f.get("required").collect { case b: java.lang.Boolean => b.booleanValue }
+              .getOrElse(false))
+        case _ => throw new IllegalArgumentException("malformed schema field")
+      }
     }
-    val rows = fields.zipWithIndex.map {
-      case (fm: scala.collection.mutable.LinkedHashMap[_, _], i) =>
-        val f = fm.asInstanceOf[JObj]
-        Row(i,
-          f.get("id").collect { case l: java.lang.Long => Long.box(l.longValue) }.orNull,
-          f.get("name").collect { case s: String => s }.getOrElse(
-            throw new IllegalArgumentException("schema field without name")),
-          renderType(f.getOrElse("type", "?")),
-          f.get("required").collect { case b: java.lang.Boolean => b.booleanValue }
-            .getOrElse(false))
-      case _ => throw new IllegalArgumentException("malformed schema field")
-    }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      StructType(Seq(
-        StructField("position", IntegerType, nullable = false),
-        StructField("field_id", LongType, nullable = true),
-        StructField("name", StringType, nullable = false),
-        StructField("type", StringType, nullable = false),
-        StructField("required", BooleanType, nullable = false))))
+  }
+
+  /** Iceberg primitive type → Spark type, for casting projected columns
+    * and typing all-null columns a file predates. Nested (struct/list/
+    * map) types return None — their Spark type is taken from a file
+    * that carries the column.
+    */
+  private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+  private def icebergTypeToSpark(t: String): Option[DataType] = t match {
+    case "boolean"         => Some(BooleanType)
+    case "int"             => Some(IntegerType)
+    case "long"            => Some(LongType)
+    case "float"           => Some(FloatType)
+    case "double"          => Some(DoubleType)
+    case "date"            => Some(DateType)
+    case "string" | "uuid" => Some(StringType)
+    case "binary"          => Some(BinaryType)
+    case "timestamp"       => Some(TimestampNTZType)
+    case "timestamptz"     => Some(TimestampType)
+    case DecimalRe(p, s)   => Some(DecimalType(p.toInt, s.toInt))
+    case f if f.startsWith("fixed(") => Some(BinaryType)
+    case _                 => None
+  }
+
+  /** Per-file top-level schema facts — (column names in order,
+    * field-id → physical-name map) — decoded from the parquet FOOTERS
+    * only (metadata bytes, never a data page), distributed one task per
+    * slice of the file list. A file whose writer recorded no field ids
+    * yields an empty id map: the name-projection fallback (Iceberg's
+    * name-mapping degenerate case).
+    */
+  private def fileTopLevel(spark: SparkSession, paths: Seq[String])
+      : Map[String, (Seq[String], Map[Int, String])] = {
+    if (paths.isEmpty) return Map.empty
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val slices = math.max(1, math.min(paths.length,
+      spark.sparkContext.defaultParallelism * 2))
+    spark.sparkContext.parallelize(paths, slices).map { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf.value)
+      val meta = ParquetMeta.readFooter(fs, hp).getOrElse(
+        throw new java.io.IOException(
+          s"iceberg: $p has no readable parquet footer"))
+      val tops = graft.operators.ParquetFooter.topLevelFields(meta.schema)
+      val ids = tops.collect { case (n, Some(id)) => id -> n }.toMap
+      p -> ((tops.map(_._1), ids))
+    }.collect().toMap
   }
 
   /** READ the table at the chosen snapshot — the audit door completed
     * into a functional reader, the Iceberg twin of
-    * [[DeltaLog.readTable]]: live data files scanned as ONE parquet
-    * read (Iceberg data files carry every column, identity-partition
-    * sources included, so no partition reconstruction is needed), with
-    * BOTH delete mechanisms applied:
+    * [[DeltaLog.readTable]].
+    *
+    * COLUMN RESOLUTION is by Iceberg FIELD ID, as the spec requires:
+    * every data file's parquet footer (metadata bytes, read in one
+    * distributed pass) yields its own id → physical-name map, files are
+    * grouped by identical projection, and each group is scanned as one
+    * parquet read whose columns are aliased back to the snapshot
+    * schema's names. A table whose history renamed a column therefore
+    * reads its pre-rename files CORRECTLY — name-based projection would
+    * silently serve NULLs there. Files written without field ids fall
+    * back to name projection (Iceberg's name-mapping degenerate case),
+    * as does a table whose metadata carries no schema object at all
+    * (audit fixtures). A column present in the schema but absent from a
+    * file reads as typed NULL.
+    *
+    * BOTH row-level delete mechanisms are applied:
     *
     *  - POSITION deletes: (file_path, pos) rows anti-joined against
-    *    `_metadata.row_index`;
-    *  - EQUALITY deletes: each delete file's rows matched null-safely
-    *    on its `equality_ids` columns (schema field ids resolved to
-    *    names through [[schemaReport]]), gated by the spec's ordering
-    *    rule — a delete applies only to data files whose data SEQUENCE
-    *    NUMBER is strictly lower than the delete file's, so rows added
-    *    after the delete survive it.
+    *    `_metadata.row_index`, gated so a delete applies only to data
+    *    files at or before its sequence number;
+    *  - EQUALITY deletes: delete files grouped by their `equality_ids`
+    *    set — ONE anti-join per distinct set, not per file — matched
+    *    null-safely on the named columns (resolved through the delete
+    *    file's own field ids, then the schema name), applied only to
+    *    data files whose sequence number is strictly lower than the
+    *    delete's, so rows added after the delete survive it.
     *
     * An equality-delete file without equality_ids or sequence numbers
     * fails LOUDLY — serving rows it should delete is the one
@@ -475,6 +569,8 @@ object IcebergMeta {
   def readTable(spark: SparkSession, tableDir: String,
                 snapshotId: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions._
+    val tm = readTableMeta(spark, tableDir)
+    val snap = chooseSnapshot(tm, snapshotId)
     val live = entries(spark, tableDir, snapshotId)
       .where(col("status") =!= 2)
       .select("content", "file_path", "sequence_number", "equality_ids")
@@ -492,10 +588,59 @@ object IcebergMeta {
     val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def abs(p: String): Path =
       fs.makeQualified(new Path(resolvePath(tableDir, p)))
-    val raw = spark.read.parquet(
-      dataFiles.map(r => abs(r.getString(1)).toString).distinct: _*)
-    if (posFiles.isEmpty && eqFiles.isEmpty) return raw
-    val dataCols = raw.columns.toSeq
+    val absPaths = dataFiles.map(r => abs(r.getString(1)).toString).distinct.toSeq
+    val schemaFields = schemaFieldsOf(spark, tableDir, snap.schemaId)
+    val metaCols = Seq(
+      UriPaths.pathOnly(col("_metadata.file_path")).as("_uri_path"),
+      col("_metadata.row_index").as("_row_index"))
+    val rawAll: DataFrame = schemaFields match {
+      case None =>
+        // no schema in metadata.json: name projection over the union scan
+        spark.read.parquet(absPaths: _*).select(col("*") +: metaCols: _*)
+      case Some(flds) =>
+        val info = fileTopLevel(spark, absPaths)
+        // per file, each schema field's physical column (None = absent):
+        // by field id when the file recorded ids, by name otherwise
+        def sigOf(p: String): Vector[Option[String]] = {
+          val (names, ids) = info(p)
+          val nameSet = names.toSet
+          flds.toVector.map { f =>
+            f.id.map(_.toInt).flatMap(ids.get) match {
+              case some @ Some(_)               => some
+              case None if ids.isEmpty && nameSet.contains(f.name) =>
+                Some(f.name)
+              case None if f.id.isEmpty && nameSet.contains(f.name) =>
+                Some(f.name)
+              case None                         => None
+            }
+          }
+        }
+        val groups = absPaths.groupBy(sigOf).toSeq
+          .sortBy(_._1.map(_.getOrElse("")).mkString(" "))
+        val parts = groups.map { case (sig, files) =>
+          val cols = flds.zip(sig).flatMap { case (f, phys) =>
+            phys.map { pn =>
+              val c = col(s"`$pn`")
+              icebergTypeToSpark(f.typeStr).map(c.cast).getOrElse(c).as(f.name)
+            }
+          } ++ metaCols
+          spark.read.parquet(files: _*).select(cols: _*)
+        }
+        val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+        // schema columns no live file carries at all: typed null
+        val have = unioned.columns.toSet
+        flds.filterNot(f => have.contains(f.name)).foldLeft(unioned) { (d, f) =>
+          val t = icebergTypeToSpark(f.typeStr).getOrElse(
+            throw new IllegalArgumentException(
+              s"iceberg: column ${f.name} (${f.typeStr}) appears in no live " +
+                "data file and its nested type cannot be null-typed"))
+          d.withColumn(f.name, lit(null).cast(t))
+        }
+    }
+    val dataCols: Seq[String] = schemaFields.map(_.map(_.name)).getOrElse(
+      rawAll.columns.toSeq.filterNot(Set("_uri_path", "_row_index")))
+    if (posFiles.isEmpty && eqFiles.isEmpty)
+      return rawAll.select(dataCols.map(col): _*)
     // (uri path, manifest file_path string, data sequence number)
     val mapping = spark.createDataFrame(
       spark.sparkContext.parallelize(dataFiles.toSeq.map(r =>
@@ -505,10 +650,7 @@ object IcebergMeta {
         StructField("_uri_path", StringType, nullable = false),
         StructField("file_path", StringType, nullable = false),
         StructField("_seq", LongType, nullable = true))))
-    var df = raw
-      .withColumn("_uri_path", UriPaths.pathOnly(col("_metadata.file_path")))
-      .withColumn("_row_index", col("_metadata.row_index"))
-      .join(broadcast(mapping), Seq("_uri_path"))
+    var df = rawAll.join(broadcast(mapping), Seq("_uri_path"))
     if (posFiles.nonEmpty) {
       // position-delete files are parquet of (file_path, pos) per the
       // spec; each delete file's rows carry ITS sequence number so the
@@ -531,10 +673,12 @@ object IcebergMeta {
       df = df.join(broadcast(dels), gate, "left_anti")
     }
     if (eqFiles.nonEmpty) {
-      val idToName = schemaReport(spark, tableDir).collect()
-        .flatMap(r => if (r.isNullAt(1)) None
-                      else Some(r.getLong(1) -> r.getString(2))).toMap
-      eqFiles.foreach { ef =>
+      val idToName: Map[Long, String] = schemaFields.getOrElse(
+        throw new IllegalArgumentException(
+          s"iceberg: equality deletes need a schema in metadata.json " +
+            s"under $tableDir")).flatMap(f => f.id.map(_ -> f.name)).toMap
+      final case class EqDel(path: String, delSeq: Long, ids: Seq[Int])
+      val parsed = eqFiles.toSeq.map { ef =>
         val eqIds = Option(ef.getSeq[Int](3)).getOrElse(
           throw new IllegalArgumentException(
             s"iceberg: equality-delete file ${ef.getString(1)} carries no " +
@@ -543,16 +687,37 @@ object IcebergMeta {
           throw new IllegalArgumentException(
             s"iceberg: equality-delete file ${ef.getString(1)} has no " +
               "sequence number — the ordering rule cannot be applied"))
-        val cols = eqIds.map(id => idToName.getOrElse(id.toLong,
-          throw new IllegalArgumentException(
-            s"iceberg: equality field id $id is not in the current schema")))
-        val delDf = spark.read.parquet(abs(ef.getString(1)).toString)
-          .select(cols.map(c => col(s"`$c`").as(s"_eq_$c")): _*)
-        // null-safe equality on every named column, applied only to data
-        // rows whose file's sequence number PRECEDES the delete's
-        val cond = cols.map(c => df(c) <=> delDf(s"_eq_$c"))
-          .reduce(_ && _) && (df("_seq") < lit(delSeq))
-        df = df.join(broadcast(delDf), cond, "left_anti")
+        EqDel(abs(ef.getString(1)).toString, delSeq, eqIds.sorted)
+      }.distinct
+      val delInfo = fileTopLevel(spark, parsed.map(_.path).distinct)
+      // ONE anti-join per distinct equality_ids set — a table with
+      // hundreds of accumulated delete files no longer gets a plan
+      // linear in file count
+      parsed.groupBy(_.ids).toSeq.sortBy(_._1.mkString(",")).foreach {
+        case (ids, dels) =>
+          val cols = ids.map(id => idToName.getOrElse(id.toLong,
+            throw new IllegalArgumentException(
+              s"iceberg: equality field id $id is not in the table schema")))
+          val delDf = dels.map { ed =>
+            val (names, idm) = delInfo(ed.path)
+            val nameSet = names.toSet
+            spark.read.parquet(ed.path).select(
+              ids.zip(cols).map { case (id, cur) =>
+                // the delete file's own field ids first, its column
+                // names second — same resolution order as data files
+                val pn = idm.get(id).orElse(
+                  if (nameSet.contains(cur)) Some(cur) else None).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"iceberg: equality-delete file ${ed.path} carries " +
+                      s"neither field id $id nor column $cur"))
+                col(s"`$pn`").as(s"_eq_$cur")
+              } :+ lit(ed.delSeq).as("_del_seq"): _*)
+          }.reduce(_ unionByName _)
+          // null-safe equality on every named column, applied only to
+          // data rows whose file's sequence number PRECEDES the delete's
+          val cond = cols.map(c => df(c) <=> delDf(s"_eq_$c"))
+            .reduce(_ && _) && (df("_seq") < delDf("_del_seq"))
+          df = df.join(broadcast(delDf), cond, "left_anti")
       }
     }
     df.select(dataCols.map(col): _*)

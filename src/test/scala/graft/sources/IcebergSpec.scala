@@ -408,6 +408,87 @@ class IcebergSpec extends SparkSpec {
     assert(e.getMessage.contains("equality_ids"))
   }
 
+  test("readTable: FIELD-ID projection reads renamed columns from pre-rename files") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("icebergevo").toString
+    val meta = java.nio.file.Paths.get(dir, "metadata")
+    java.nio.file.Files.createDirectories(meta)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, "data"))
+    def writeParquet(rel: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("iceevo").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(dir, rel))
+    }
+    def fid(i: Long) =
+      new MetadataBuilder().putLong("parquet.field.id", i).build()
+    // f1: written under schema 0 — the column is physically "val_old",
+    // but carries FIELD ID 2 in its parquet footer
+    writeParquet("data/f1.parquet", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0L, "a"), org.apache.spark.sql.Row(1L, "b")), 1),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false, fid(1)),
+        StructField("val_old", StringType, nullable = true, fid(2))))))
+    // f2: written under schema 1 — "val_new" (same field id 2) + "score"
+    writeParquet("data/f2.parquet", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(10L, "x", 1.5),
+        org.apache.spark.sql.Row(11L, "y", 2.5)), 1),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false, fid(1)),
+        StructField("val_new", StringType, nullable = true, fid(2)),
+        StructField("score", DoubleType, nullable = true, fid(3))))))
+    // sanity: Spark actually recorded the ids in the footers
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f1meta = ParquetMeta.readFooter(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/data/f1.parquet")).get
+    assert(graft.operators.ParquetFooter.topLevelFields(f1meta.schema) ===
+      Seq(("id", Some(1)), ("val_old", Some(2))))
+    val mMeta = Seq("schema" -> "{}", "partition-spec" -> "[]",
+      "format-version" -> "2")
+    val m1 = meta.resolve("m1.avro")
+    java.nio.file.Files.write(m1, Avro.renderOcfGeneric(manifestEntrySchema,
+      Seq(entry(1, 5001L, 0, "data/f1.parquet", "a", 2, 1),
+        entry(1, 5001L, 0, "data/f2.parquet", "a", 2, 1)), extraMeta = mMeta))
+    val mls = manifestListSchema(v2 = true)
+    val ml = meta.resolve("snap-5001.avro")
+    java.nio.file.Files.write(ml, Avro.renderOcfGeneric(mls, Seq(
+      manifestFileRow(v2 = true, m1.toString, java.nio.file.Files.size(m1),
+        0, 5001L, 2, 0, 0, 4L, 0L, 0L, seq = 1L))))
+    // schema 0 named field 2 "val_old"; schema 1 renames it "val_new",
+    // adds "score" (3) and "note" (4, in NO data file yet)
+    java.nio.file.Files.write(meta.resolve("v1.metadata.json"),
+      (s"""{"format-version":2,"table-uuid":"evo","location":"$dir",
+          |"current-schema-id":1,
+          |"schemas":[
+          | {"type":"struct","schema-id":0,"fields":[
+          |  {"id":1,"name":"id","required":true,"type":"long"},
+          |  {"id":2,"name":"val_old","required":false,"type":"string"}]},
+          | {"type":"struct","schema-id":1,"fields":[
+          |  {"id":1,"name":"id","required":true,"type":"long"},
+          |  {"id":2,"name":"val_new","required":false,"type":"string"},
+          |  {"id":3,"name":"score","required":false,"type":"double"},
+          |  {"id":4,"name":"note","required":false,"type":"string"}]}],
+          |"current-snapshot-id":5001,"snapshots":[
+          |{"snapshot-id":5001,"timestamp-ms":1,"summary":{"operation":"append"},
+          | "manifest-list":"$ml","schema-id":1}]}""".stripMargin).getBytes)
+    java.nio.file.Files.write(meta.resolve("version-hint.text"), "1".getBytes)
+    val got = IcebergMeta.readTable(spark, dir).orderBy("id")
+    // output = the CURRENT schema, in declaration order
+    assert(got.columns.toSeq === Seq("id", "val_new", "score", "note"))
+    val rows = got.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) null else Double.box(r.getDouble(2)),
+      if (r.isNullAt(3)) null else r.getString(3)))
+    // val_new carries f1's pre-rename val_old VALUES — a name-based read
+    // would have served NULLs for them
+    assert(rows.toSeq === Seq(
+      (0L, "a", null, null), (1L, "b", null, null),
+      (10L, "x", Double.box(1.5), null), (11L, "y", Double.box(2.5), null)))
+  }
+
   test("fails loud: no metadata, unknown snapshot, malformed manifest avro") {
     val empty = java.nio.file.Files.createTempDirectory("icebergempty").toString
     intercept[IllegalArgumentException](IcebergMeta.snapshots(spark, empty))
