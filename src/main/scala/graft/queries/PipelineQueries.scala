@@ -3980,6 +3980,41 @@ object PipelineQueries extends QuerySet {
       graft.sources.IcebergMeta.readTable(s, icebergEvoDir(s)).orderBy("id")
     }),
 
+    // The Delta WRITER round trip — the lakehouse write half, judged by
+    // the repo's own protocol-validating reader plus the DuckDB oracle
+    // on the source table. nation (25 rows at every SF) is written as a
+    // real partitioned Delta table into a FRESH dir each run — the
+    // writer is exercised live, never a cached artifact — and read back
+    // through READ DELTA semantics: data first, one atomic commit,
+    // per-file footer stats, partition values restored.
+    "q282_delta_write_roundtrip" -> ((s, dir) => {
+      val t = freshTmpDir("delta_write_rt")
+      graft.sources.DeltaWrite.createTable(s,
+        graft.Tables.load(s, dir, "nation"), t,
+        partitionBy = Seq("n_regionkey"))
+      graft.sources.DeltaLog.readTable(s, t).orderBy("n_nationkey")
+    }),
+
+    // The writer's full commit grammar: CREATE -> APPEND -> OVERWRITE
+    // (remove actions) -> CHECKPOINT, then every version read back via
+    // time travel — v2 replays through the checkpoint parquet, v0/v1
+    // through the JSON log. The pin is the protocol's reconciliation
+    // law made visible: the overwrite's removes erase v0+v1 content.
+    "q283_delta_write_versions" -> ((s, dir) => {
+      import s.implicits._
+      val t = freshTmpDir("delta_write_ver")
+      graft.sources.DeltaWrite.createTable(s,
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "txt"), t)
+      graft.sources.DeltaWrite.append(s,
+        Seq((4L, "d"), (5L, "e")).toDF("id", "txt"), t)
+      graft.sources.DeltaWrite.overwrite(s,
+        Seq((6L, "x"), (7L, "y"), (8L, "z")).toDF("id", "txt"), t)
+      graft.sources.DeltaWrite.checkpoint(s, t)
+      (0L to 2L).map(v => graft.sources.DeltaLog.readTable(s, t, Some(v))
+          .withColumn("as_of", lit(v)))
+        .reduce(_ unionByName _).orderBy("as_of", "id")
+    }),
+
     // Cross-grain accounting law: the manifest-LIST's per-manifest
     // counts (what a planner trusts to prune whole manifests without
     // opening them) recomputed from the ENTRY grain and diffed — a
@@ -4203,6 +4238,21 @@ object PipelineQueries extends QuerySet {
         java.nio.file.Files.deleteIfExists(tmp) }
     }
     writeCommit(log, 3L, DeltaV3)
+    dir.toAbsolutePath.toString
+  }
+
+  /** A FRESH writable dir under target/tmp for writer queries — deleted
+    * and recreated per call so the writer runs live every time (a
+    * build-once fixture would exercise it exactly once, ever).
+    */
+  private def freshTmpDir(name: String): String = {
+    val dir = java.nio.file.Paths.get("target", "tmp", name)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists)
+    }
+    java.nio.file.Files.createDirectories(dir.getParent)
     dir.toAbsolutePath.toString
   }
 
@@ -5090,6 +5140,22 @@ object PipelineQueries extends QuerySet {
     // the READ statements share their readers' pins
     "q276_sql_read_delta" -> DeltaReadOracle,
     "q277_sql_read_iceberg" -> IcebergReadOracle,
+    // write -> read round trip equals the source table verbatim (the
+    // writer is correct iff its reader-validated output IS nation)
+    "q282_delta_write_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // the commit grammar pin: v0 = create (1-3), v1 = +append (4-5),
+    // v2 = overwrite (6-8, removes erase everything prior), v2 read
+    // through the checkpoint
+    "q283_delta_write_versions" ->
+      """SELECT CAST(id AS BIGINT) AS id, txt, CAST(as_of AS BIGINT) AS as_of
+        |FROM (VALUES
+        |  (1, 'a', 0), (2, 'b', 0), (3, 'c', 0),
+        |  (1, 'a', 1), (2, 'b', 1), (3, 'c', 1), (4, 'd', 1), (5, 'e', 1),
+        |  (6, 'x', 2), (7, 'y', 2), (8, 'z', 2))
+        |AS t(id, txt, as_of)
+        |ORDER BY as_of, id""".stripMargin,
     // the rename-evolution pin: f1's pre-rename val_old VALUES surface
     // under val_new (field-id projection), score is typed-null where the
     // file predates it, note is typed-null everywhere (in no file yet)

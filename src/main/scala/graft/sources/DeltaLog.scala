@@ -435,7 +435,10 @@ object DeltaLog {
     val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mapRows = live.toSeq.map { r =>
       val rel = r.getString(0)
-      val uriPath = fs.makeQualified(new Path(fsRoot, rel)).toUri.getPath
+      // getRawPath, not getPath: Spark's _metadata.file_path is the
+      // URL-ENCODED URI form (a '%' in a partition dir name arrives as
+      // %25), and the decoded form would never join against it
+      val uriPath = fs.makeQualified(new Path(fsRoot, rel)).toUri.getRawPath
       val partVals =
         if (r.isNullAt(1)) Map.empty[String, String]
         else r.getMap[String, String](1)

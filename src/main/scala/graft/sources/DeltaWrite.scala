@@ -1,0 +1,327 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Delta-format WRITER — the transaction-log door's other half, per the
+  * PUBLIC Delta protocol (github.com/delta-io/delta `PROTOCOL.md`). A
+  * curation pipeline's terminal sink in practice is a lakehouse commit;
+  * the reference analog is the engine owning its own output format
+  * (`mrblast.cpp:1219-1242`, the binary hit sink A16).
+  *
+  * Commit discipline: data parquet lands FIRST (unreferenced files are
+  * invisible to every reader), then ONE `_delta_log/%020d.json` appears
+  * atomically (create-temp + rename; an existing target version fails
+  * loud — the protocol's optimistic-concurrency rule). A torn write can
+  * therefore never become a half-commit. Each `add` carries the file's
+  * partitionValues map and a `stats` JSON with `numRecords` decoded
+  * from the file's own parquet footer (metadata bytes, one distributed
+  * pass — the reader's snapshot() accounting needs no data scan).
+  *
+  * [[checkpoint]] writes the classic single-part layout: the RECONCILED
+  * state at the latest version (live adds + last metaData + last
+  * protocol) as one parquet beside a `_last_checkpoint` pointer — after
+  * log cleanup a reader replays the checkpoint plus the JSON tail,
+  * exactly what [[DeltaLog.actions]] consumes.
+  *
+  * Everything written here is verified by the repo's own protocol-
+  * validating reader (contiguity, reconciliation, checkpoint replay are
+  * all loud-fail in [[DeltaLog]]) plus the DuckDB oracle over the data
+  * parquet — never by the writer against itself.
+  */
+object DeltaWrite {
+
+  // ------------------------------------------------------ JSON helpers
+
+  /** JSON string escape: quote, backslash, and all control chars. */
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case '\r'         => "\\r"
+      case '\t'         => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
+
+  private def jmap(kvs: Seq[(String, Option[String])]): String =
+    kvs.map { case (k, v) => s"${jstr(k)}:${v.map(jstr).getOrElse("null")}" }
+      .mkString("{", ",", "}")
+
+  // ------------------------------------------------------- public API
+
+  /** Create a NEW table at `tableDir` as version 0: protocol + metaData
+    * (the DataFrame's schema as Delta's schemaString) + one `add` per
+    * written parquet file. Fails loud when a log already exists — use
+    * [[append]]/[[overwrite]] against an existing table.
+    * Returns the committed version (0).
+    */
+  def createTable(spark: SparkSession, df: DataFrame, tableDir: String,
+                  partitionBy: Seq[String] = Nil): Long = {
+    val fs = fileSystem(spark, tableDir)
+    if (DeltaLog.listCommits(spark, tableDir).nonEmpty)
+      throw new IllegalArgumentException(
+        s"deltawrite: $tableDir already has a _delta_log — createTable " +
+          "refuses to shadow an existing table")
+    val schema = df.schema
+    partitionBy.foreach { c =>
+      if (!schema.fieldNames.contains(c))
+        throw new IllegalArgumentException(
+          s"deltawrite: partition column $c is not in the schema")
+    }
+    val adds = stageData(spark, fs, df, tableDir, partitionBy)
+    val now = System.currentTimeMillis()
+    val meta =
+      s"""{"metaData":{"id":${jstr(java.util.UUID.randomUUID().toString)},""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jstr(schema.json)},""" +
+        s""""partitionColumns":${partitionBy.map(jstr).mkString("[", ",", "]")},""" +
+        s""""configuration":{},"createdTime":$now}}"""
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":$now,"operation":"CREATE TABLE AS SELECT"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      meta) ++ adds.map(addLine(_, now))
+    commitAtomic(fs, tableDir, 0L, lines)
+    0L
+  }
+
+  /** Append `df` as the next version (add actions only). The table's
+    * partitioning is read from its latest metaData; the DataFrame must
+    * carry the table's columns.
+    */
+  def append(spark: SparkSession, df: DataFrame, tableDir: String): Long =
+    commitData(spark, df, tableDir, "WRITE", removeLive = false)
+
+  /** Replace the table's content with `df`: remove every live file,
+    * add the new ones — one commit, the protocol's REPLACE shape.
+    */
+  def overwrite(spark: SparkSession, df: DataFrame, tableDir: String): Long =
+    commitData(spark, df, tableDir, "OVERWRITE", removeLive = true)
+
+  private def commitData(spark: SparkSession, df: DataFrame,
+                         tableDir: String, operation: String,
+                         removeLive: Boolean): Long = {
+    val fs = fileSystem(spark, tableDir)
+    val version = DeltaLog.listCommits(spark, tableDir).lastOption
+      .map(_._1 + 1).getOrElse(throw new IllegalArgumentException(
+        s"deltawrite: no table at $tableDir — createTable first"))
+    val (schema, partCols) = tableMetaOf(spark, tableDir)
+    val tableCols = schema.fieldNames.toSet
+    if (df.schema.fieldNames.toSet != tableCols)
+      throw new IllegalArgumentException(
+        s"deltawrite: DataFrame columns ${df.schema.fieldNames.toSeq} do not " +
+          s"match the table schema ${schema.fieldNames.toSeq}")
+    val removes: Seq[String] =
+      if (!removeLive) Nil
+      else DeltaLog.snapshot(spark, tableDir).select("path").collect()
+        .map(_.getString(0)).toSeq.sorted.map { p =>
+          s"""{"remove":{"path":${jstr(p)},"deletionTimestamp":""" +
+            s"""${System.currentTimeMillis()},"dataChange":true}}"""
+        }
+    val adds = stageData(spark, fs, df.select(schema.fieldNames.map(col): _*),
+      tableDir, partCols)
+    val now = System.currentTimeMillis()
+    val lines =
+      Seq(s"""{"commitInfo":{"timestamp":$now,"operation":${jstr(operation)}}}""") ++
+        removes ++ adds.map(addLine(_, now))
+    commitAtomic(fs, tableDir, version, lines)
+    version
+  }
+
+  /** Write a classic SINGLE-PART checkpoint at the latest version: the
+    * reconciled state (live adds, last metaData, last protocol) as one
+    * parquet, then `_last_checkpoint`. Returns the checkpointed version.
+    */
+  def checkpoint(spark: SparkSession, tableDir: String): Long = {
+    val fs = fileSystem(spark, tableDir)
+    val v = DeltaLog.listCommits(spark, tableDir).lastOption.map(_._1)
+      .getOrElse(throw new IllegalArgumentException(
+        s"deltawrite: no table at $tableDir"))
+    val acts = DeltaLog.actions(spark, tableDir, Some(v))
+    def nul(field: String) =
+      lit(null).cast(DeltaLog.actionSchema(field).dataType).as(field)
+    val w = Window
+      .partitionBy(coalesce(col("add.path"), col("remove.path")))
+      .orderBy(col("version").desc, col("ordinal").desc)
+    val liveAdds = acts
+      .where(col("add.path").isNotNull || col("remove.path").isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1 && col("add.path").isNotNull)
+      .select(col("add"), nul("remove"), nul("metaData"), nul("protocol"))
+    val lastMeta = acts.where(col("metaData.id").isNotNull)
+      .orderBy(col("version").desc, col("ordinal").desc).limit(1)
+      .select(nul("add"), nul("remove"), col("metaData"), nul("protocol"))
+    val lastProto = acts.where(col("protocol.minReaderVersion").isNotNull)
+      .orderBy(col("version").desc, col("ordinal").desc).limit(1)
+      .select(nul("add"), nul("remove"), nul("metaData"), col("protocol"))
+    val state = liveAdds.unionByName(lastMeta).unionByName(lastProto)
+    val logDir = new Path(tableDir, "_delta_log")
+    val tmpOut = new Path(logDir, s".cp-${java.util.UUID.randomUUID()}")
+    state.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    val part = fs.listStatus(tmpOut).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).getOrElse(
+        throw new java.io.IOException("deltawrite: checkpoint write produced no parquet"))
+    val target = new Path(logDir, f"$v%020d.checkpoint.parquet")
+    val size = state.count()
+    if (fs.exists(target) || !fs.rename(part, target)) {
+      fs.delete(tmpOut, true)
+      throw new java.io.IOException(
+        s"deltawrite: checkpoint at version $v already exists")
+    }
+    fs.delete(tmpOut, true)
+    writeAtomic(fs, new Path(logDir, "_last_checkpoint"),
+      s"""{"version":$v,"size":$size}""", overwrite = true)
+    v
+  }
+
+  // -------------------------------------------------------- internals
+
+  private def fileSystem(spark: SparkSession, tableDir: String): FileSystem =
+    new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tableMetaOf(spark: SparkSession,
+                          tableDir: String): (StructType, Seq[String]) = {
+    val row = DeltaLog.actions(spark, tableDir)
+      .where(col("metaData.schemaString").isNotNull)
+      .orderBy(col("version").desc, col("ordinal").desc)
+      .select("metaData.schemaString", "metaData.partitionColumns")
+      .limit(1).collect().headOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"deltawrite: no metaData action under $tableDir"))
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(row.getString(0)).asInstanceOf[StructType]
+    (schema, Option(row.getSeq[String](1)).getOrElse(Seq.empty))
+  }
+
+  private final case class Staged(rel: String, size: Long, modTime: Long,
+      numRecords: Long, partitionValues: Seq[(String, Option[String])])
+
+  private def addLine(a: Staged, now: Long): String =
+    s"""{"add":{"path":${jstr(a.rel)},""" +
+      s""""partitionValues":${jmap(a.partitionValues)},""" +
+      s""""size":${a.size},"modificationTime":${a.modTime},""" +
+      s""""dataChange":true,""" +
+      s""""stats":${jstr(s"""{"numRecords":${a.numRecords}}""")}}}"""
+
+  /** Hive-style path unescape (%XX) — Spark escapes partition values
+    * this way when rendering `k=v` directory names.
+    */
+  private def unescapePath(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append(((Character.digit(s.charAt(i + 1), 16) << 4) |
+          Character.digit(s.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Write `df` under `tableDir` and return one [[Staged]] per data
+    * file: Spark writes to a hidden temp subdirectory (partitioned
+    * layout preserved), every part file is renamed into place — data
+    * first, commit later — and numRecords is decoded from each file's
+    * parquet footer in one distributed pass.
+    */
+  private def stageData(spark: SparkSession, fs: FileSystem, df: DataFrame,
+                        tableDir: String,
+                        partitionBy: Seq[String]): Seq[Staged] = {
+    val fsRoot = new Path(tableDir)
+    fs.mkdirs(fsRoot)
+    val tmp = new Path(fsRoot, s".tmp-${java.util.UUID.randomUUID()}")
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tmp.toString)
+    def walk(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+      else Nil
+    }
+    val tmpUri = fs.makeQualified(tmp).toUri.getPath
+    val moved: Seq[(String, Long, Long, Seq[(String, Option[String])])] =
+      walk(tmp).map { p =>
+        val abs = fs.makeQualified(p).toUri.getPath
+        require(abs.startsWith(tmpUri + "/"),
+          s"deltawrite: part file $abs escaped the staging dir")
+        val rel = abs.drop(tmpUri.length + 1)
+        val target = new Path(fsRoot, rel)
+        fs.mkdirs(target.getParent)
+        if (!fs.rename(p, target))
+          throw new java.io.IOException(s"deltawrite: could not stage $rel")
+        val st = fs.getFileStatus(target)
+        val partVals = rel.split('/').dropRight(1).toSeq.map { seg =>
+          val i = seg.indexOf('=')
+          require(i > 0, s"deltawrite: unexpected partition dir $seg")
+          val v = unescapePath(seg.drop(i + 1))
+          unescapePath(seg.take(i)) ->
+            (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v))
+        }
+        (rel, st.getLen, st.getModificationTime, partVals)
+      }
+    fs.delete(tmp, true)
+    if (moved.isEmpty) return Nil
+    // numRecords per staged file: footer bytes only, distributed
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val rootStr = fs.makeQualified(fsRoot).toString
+    val rels = moved.map(_._1)
+    val slices = math.max(1, math.min(rels.length,
+      spark.sparkContext.defaultParallelism * 2))
+    val counts = spark.sparkContext.parallelize(rels, slices).map { rel =>
+      val p = new Path(rootStr, rel)
+      val pfs = p.getFileSystem(conf.value)
+      val m = ParquetMeta.readFooter(pfs, p).getOrElse(
+        throw new java.io.IOException(
+          s"deltawrite: staged file $rel has no readable parquet footer"))
+      rel -> m.numRows
+    }.collect().toMap
+    moved.sortBy(_._1).map { case (rel, size, mtime, pv) =>
+      Staged(rel, size, mtime, counts(rel), pv)
+    }
+  }
+
+  /** Create-temp + rename with loud collision — the commit primitive. */
+  private def commitAtomic(fs: FileSystem, tableDir: String, version: Long,
+                           lines: Seq[String]): Unit = {
+    val logDir = new Path(tableDir, "_delta_log")
+    fs.mkdirs(logDir)
+    val target = new Path(logDir, f"$version%020d.json")
+    if (fs.exists(target))
+      throw new java.io.IOException(
+        s"deltawrite: version $version already committed at $tableDir " +
+          "(concurrent writer) — retry against the new latest version")
+    val tmp = new Path(logDir,
+      f".$version%020d.json.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(lines.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"deltawrite: lost the commit race for version $version at $tableDir")
+    }
+  }
+
+  private def writeAtomic(fs: FileSystem, target: Path, content: String,
+                          overwrite: Boolean): Unit = {
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (overwrite && fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"deltawrite: could not write $target")
+    }
+  }
+}

@@ -644,7 +644,8 @@ object IcebergMeta {
     // (uri path, manifest file_path string, data sequence number)
     val mapping = spark.createDataFrame(
       spark.sparkContext.parallelize(dataFiles.toSeq.map(r =>
-        Row(abs(r.getString(1)).toUri.getPath, r.getString(1),
+        // getRawPath: _metadata.file_path is the URL-ENCODED URI form
+        Row(abs(r.getString(1)).toUri.getRawPath, r.getString(1),
           seqOf(r).map(Long.box).orNull)), 1),
       StructType(Seq(
         StructField("_uri_path", StringType, nullable = false),

@@ -1,0 +1,101 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Delta writer contract (see [[DeltaWrite]]): everything it produces
+  * is judged by the repo's own protocol-validating READER — commit
+  * contiguity, action reconciliation, checkpoint replay and stats
+  * accounting are all loud-fail there — plus plain parquet reads of the
+  * staged data files. The writer is never verified against itself.
+  */
+class DeltaWriteSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(name)
+    java.nio.file.Files.delete(p)
+    p.toString
+  }
+
+  test("create + readTable round trip, partitioned; snapshot stats from footers") {
+    import spark.implicits._
+    val t = freshDir("deltaw_rt")
+    val df = Seq((1L, "a", "s0"), (2L, "b", "s0"), (3L, "c", "s1"))
+      .toDF("id", "txt", "src")
+    assert(DeltaWrite.createTable(spark, df, t, partitionBy = Seq("src")) === 0L)
+    val got = DeltaLog.readTable(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq === Seq((1L, "a", "s0"), (2L, "b", "s0"), (3L, "c", "s1")))
+    // schema order preserved, partition column in its declared slot
+    assert(DeltaLog.readTable(spark, t).columns.toSeq === Seq("id", "txt", "src"))
+    // per-file numRecords came from real footers: totals must agree
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.agg(sum("num_records")).head.getLong(0) === 3L)
+    assert(snap.select("partition").orderBy("partition").collect()
+      .map(_.getString(0)).toSet === Set("src=s0", "src=s1"))
+  }
+
+  test("append and overwrite: reconciliation, history grain, time travel") {
+    import spark.implicits._
+    val t = freshDir("deltaw_ver")
+    DeltaWrite.createTable(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "txt"), t)
+    assert(DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "txt"), t) === 1L)
+    assert(DeltaWrite.overwrite(spark,
+      Seq((9L, "z"), (8L, "y")).toDF("id", "txt"), t) === 2L)
+    // latest = the overwrite only
+    assert(DeltaLog.readTable(spark, t).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq === Seq(8L, 9L))
+    // time travel sees each version's content
+    assert(DeltaLog.readTable(spark, t, Some(0L)).count() === 2L)
+    assert(DeltaLog.readTable(spark, t, Some(1L)).count() === 3L)
+    // history: v2 carries the removes of everything live before it
+    val h = DeltaLog.history(spark, t).orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    assert(h(2).getLong(2) >= 1L) // n_removes on the overwrite commit
+    // a mismatched schema fails loud
+    intercept[IllegalArgumentException](
+      DeltaWrite.append(spark, Seq((1L, 2L)).toDF("id", "other"), t))
+  }
+
+  test("checkpoint: cleaned log replays from our checkpoint + JSON tail") {
+    import spark.implicits._
+    val t = freshDir("deltaw_cp")
+    DeltaWrite.createTable(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "txt"), t)
+    DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "txt"), t)
+    assert(DeltaWrite.checkpoint(spark, t) === 1L)
+    DeltaWrite.append(spark, Seq((4L, "d")).toDF("id", "txt"), t)
+    // expire the pre-checkpoint commits — production retention cleanup
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(t, "_delta_log", f"${0L}%020d.json"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(t, "_delta_log", f"${1L}%020d.json"))
+    assert(DeltaLog.readTable(spark, t).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    // pre-checkpoint time travel over the cleaned log fails loud
+    intercept[IllegalArgumentException](
+      DeltaLog.readTable(spark, t, Some(0L)).collect())
+  }
+
+  test("create refuses to shadow; partition value special chars round trip") {
+    import spark.implicits._
+    val t = freshDir("deltaw_conflict")
+    DeltaWrite.createTable(spark, Seq((1L, "a")).toDF("id", "txt"), t)
+    // a second CREATE against a live table fails loud
+    intercept[IllegalArgumentException](
+      DeltaWrite.createTable(spark, Seq((2L, "b")).toDF("id", "txt"), t))
+    // a commit another writer landed first is SEEN, not overwritten:
+    // the next append re-reads the log and takes the version after it
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_delta_log", f"${1L}%020d.json"),
+      """{"commitInfo":{"timestamp":1,"operation":"WRITE"}}""".getBytes)
+    assert(DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "txt"), t) === 2L)
+    // Hive-escaped partition values ('/', '=', ':') survive the round trip
+    val t2 = freshDir("deltaw_esc")
+    val df = Seq((1L, "2024/07=x:y"), (2L, "plain")).toDF("id", "src")
+    DeltaWrite.createTable(spark, df, t2, partitionBy = Seq("src"))
+    assert(DeltaLog.readTable(spark, t2).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "2024/07=x:y"), (2L, "plain")))
+  }
+}

@@ -27,13 +27,18 @@ class UriPathsSpec extends SparkSpec {
     assert(got === cases.map(_._2))
   }
 
-  test("pathOnly agrees with Path.toUri.getPath — the join's other side") {
+  test("pathOnly agrees with Path.toUri.getRawPath — the join's other side") {
     import spark.implicits._
     val uris = Seq("hdfs://nn:8020/t/x", "s3a://bucket/t/x",
       "file:///t/x", "file:/t/x")
-    val driverSide = uris.map(u => new org.apache.hadoop.fs.Path(u).toUri.getPath)
+    val driverSide =
+      uris.map(u => new org.apache.hadoop.fs.Path(u).toUri.getRawPath)
     val sparkSide = uris.toDF("u")
       .select(UriPaths.pathOnly(col("u"))).as[String].collect().toSeq
     assert(sparkSide === driverSide)
+    // the ENCODED form is the join currency: a literal '%' in a
+    // directory name must stay %25-encoded on both sides
+    val p = new org.apache.hadoop.fs.Path("/t/src=a%2Fb/x.parquet")
+    assert(p.toUri.getRawPath === "/t/src=a%252Fb/x.parquet")
   }
 }
