@@ -4021,39 +4021,34 @@ object PipelineQueries extends QuerySet {
     // writer that lies in the manifest list breaks planners silently
     // at 100 TB, and this audit catches it at metadata cost. All three
     // file-count and row-count pairs must agree on the fixture.
-    "q279_iceberg_accounting" -> ((s, dir) => {
-      val tbl = icebergOracleDir()
-      val tail = (c: org.apache.spark.sql.Column) =>
-        regexp_extract(c, "([^/]+)$", 1)
-      val list = graft.sources.IcebergMeta.manifests(s, tbl)
-        .select(tail(col("manifest_path")).as("manifest"), col("content"),
-          col("n_added_files"), col("n_existing_files"),
-          col("n_deleted_files"), col("added_rows"), col("existing_rows"),
-          col("deleted_rows"))
-      val fromEntries = graft.sources.IcebergMeta.entries(s, tbl)
-        .groupBy(tail(col("manifest_path")).as("manifest"))
-        .agg(
-          sum(when(col("status") === 1, 1L).otherwise(0L)).as("e_added_files"),
-          sum(when(col("status") === 0, 1L).otherwise(0L)).as("e_existing_files"),
-          sum(when(col("status") === 2, 1L).otherwise(0L)).as("e_deleted_files"),
-          sum(when(col("status") === 1, col("record_count")).otherwise(0L))
-            .as("e_added_rows"),
-          sum(when(col("status") === 0, col("record_count")).otherwise(0L))
-            .as("e_existing_rows"),
-          sum(when(col("status") === 2, col("record_count")).otherwise(0L))
-            .as("e_deleted_rows"))
-      list.join(fromEntries, Seq("manifest"))
-        .select(col("manifest"), col("content"),
-          (col("n_added_files") === col("e_added_files") &&
-            col("n_existing_files") === col("e_existing_files") &&
-            col("n_deleted_files") === col("e_deleted_files")).as("files_agree"),
-          (col("added_rows") === col("e_added_rows") &&
-            col("existing_rows") === col("e_existing_rows") &&
-            col("deleted_rows") === col("e_deleted_rows")).as("rows_agree"),
-          col("e_added_rows").as("added_rows"),
-          col("e_existing_rows").as("existing_rows"),
-          col("e_deleted_rows").as("deleted_rows"))
-        .orderBy("manifest")
+    "q279_iceberg_accounting" -> ((s, dir) =>
+      icebergAccountingRollup(s, icebergOracleDir())),
+
+    // The Iceberg WRITER round trip (q282's lakehouse twin): nation is
+    // written as a real Iceberg v2 table — data parquet with field ids
+    // in the footers, nested-Avro manifest, manifest list, metadata.json
+    // — into a fresh dir each run, then read back through the repo's
+    // protocol-validating reader. avro-java cross-reads the manifests
+    // in IcebergWriteSpec.
+    "q284_iceberg_write_roundtrip" -> ((s, dir) => {
+      val t = freshTmpDir("iceberg_write_rt")
+      graft.sources.IcebergWrite.createTable(s,
+        graft.Tables.load(s, dir, "nation"), t)
+      graft.sources.IcebergMeta.readTable(s, t).orderBy("n_nationkey")
+    }),
+
+    // q279's accounting law re-checked on a table WE wrote (create +
+    // append): the manifest list's per-manifest counts must agree with
+    // the entry grain — a writer that lies here breaks planners
+    // silently at 100 TB.
+    "q285_iceberg_write_accounting" -> ((s, dir) => {
+      import s.implicits._
+      val t = freshTmpDir("iceberg_write_acct")
+      graft.sources.IcebergWrite.createTable(s,
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "txt"), t)
+      graft.sources.IcebergWrite.append(s,
+        Seq((4L, "d"), (5L, "e")).toDF("id", "txt"), t)
+      icebergAccountingRollup(s, t)
     }),
 
     // the Iceberg schema report (DELTA SCHEMA's twin, via the ICEBERG
@@ -4118,6 +4113,47 @@ object PipelineQueries extends QuerySet {
           col("data").cast("string").as("payload_text"))
         .orderBy("ord")
     }))
+
+  /** Shared q279/q285 roll-up: the manifest-LIST's per-manifest counts
+    * (what a planner trusts to prune whole manifests without opening
+    * them) recomputed from the ENTRY grain and diffed. Joined on the
+    * manifest basename — entries() resolves paths, manifests() keeps
+    * the raw list form.
+    */
+  private def icebergAccountingRollup(s: org.apache.spark.sql.SparkSession,
+      tbl: String): org.apache.spark.sql.DataFrame = {
+    val tail = (c: org.apache.spark.sql.Column) =>
+      regexp_extract(c, "([^/]+)$", 1)
+    val list = graft.sources.IcebergMeta.manifests(s, tbl)
+      .select(tail(col("manifest_path")).as("manifest"), col("content"),
+        col("n_added_files"), col("n_existing_files"),
+        col("n_deleted_files"), col("added_rows"), col("existing_rows"),
+        col("deleted_rows"))
+    val fromEntries = graft.sources.IcebergMeta.entries(s, tbl)
+      .groupBy(tail(col("manifest_path")).as("manifest"))
+      .agg(
+        sum(when(col("status") === 1, 1L).otherwise(0L)).as("e_added_files"),
+        sum(when(col("status") === 0, 1L).otherwise(0L)).as("e_existing_files"),
+        sum(when(col("status") === 2, 1L).otherwise(0L)).as("e_deleted_files"),
+        sum(when(col("status") === 1, col("record_count")).otherwise(0L))
+          .as("e_added_rows"),
+        sum(when(col("status") === 0, col("record_count")).otherwise(0L))
+          .as("e_existing_rows"),
+        sum(when(col("status") === 2, col("record_count")).otherwise(0L))
+          .as("e_deleted_rows"))
+    list.join(fromEntries, Seq("manifest"))
+      .select(col("manifest"), col("content"),
+        (col("n_added_files") === col("e_added_files") &&
+          col("n_existing_files") === col("e_existing_files") &&
+          col("n_deleted_files") === col("e_deleted_files")).as("files_agree"),
+        (col("added_rows") === col("e_added_rows") &&
+          col("existing_rows") === col("e_existing_rows") &&
+          col("deleted_rows") === col("e_deleted_rows")).as("rows_agree"),
+        col("e_added_rows").as("added_rows"),
+        col("e_existing_rows").as("existing_rows"),
+        col("e_deleted_rows").as("deleted_rows"))
+      .orderBy("manifest")
+  }
 
   /** Shared q265/q266 roll-up: page-grain → per-column invariants. */
   private def pageIndexRollup(pages: org.apache.spark.sql.DataFrame)
@@ -5156,6 +5192,20 @@ object PipelineQueries extends QuerySet {
         |  (6, 'x', 2), (7, 'y', 2), (8, 'z', 2))
         |AS t(id, txt, as_of)
         |ORDER BY as_of, id""".stripMargin,
+    // the written Iceberg table reads back as nation verbatim
+    "q284_iceberg_write_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // accounting agrees grain-to-grain on OUR OWN written table:
+    // m-1 (create) added 3 rows, m-2 (append) added 2
+    "q285_iceberg_write_accounting" ->
+      """SELECT * FROM (VALUES
+        |  ('m-1.avro', 'data', TRUE, TRUE, CAST(3 AS BIGINT),
+        |     CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('m-2.avro', 'data', TRUE, TRUE, 2, 0, 0))
+        |AS t(manifest, content, files_agree, rows_agree, added_rows,
+        |     existing_rows, deleted_rows)
+        |ORDER BY manifest""".stripMargin,
     // the rename-evolution pin: f1's pre-rename val_old VALUES surface
     // under val_new (field-id projection), score is typed-null where the
     // file predates it, note is typed-null everywhere (in no file yet)

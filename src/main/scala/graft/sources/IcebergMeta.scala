@@ -165,7 +165,7 @@ object IcebergMeta {
 
   // ----------------------------------------------------- avro decoding
 
-  private def readOcfFile(fs: org.apache.hadoop.fs.FileSystem,
+  private[sources] def readOcfFile(fs: org.apache.hadoop.fs.FileSystem,
                           p: Path): Avro.OcfG = {
     val len = fs.getFileStatus(p).getLen
     require(len <= Int.MaxValue - 8,
@@ -395,7 +395,7 @@ object IcebergMeta {
 
   // -------------------------------------------- schema (field-id) layer
 
-  private final case class IceField(id: Option[Long], name: String,
+  private[sources] final case class IceField(id: Option[Long], name: String,
                                     typeStr: String, required: Boolean)
 
   private def renderType(v: Any): String = v match {
@@ -432,7 +432,7 @@ object IcebergMeta {
     * projects by NAME. An explicitly requested schema-id that is absent
     * fails loud.
     */
-  private def schemaFieldsOf(spark: SparkSession, tableDir: String,
+  private[sources] def schemaFieldsOf(spark: SparkSession, tableDir: String,
                              schemaId: Option[Long]): Option[Seq[IceField]] = {
     val tmFile = currentMetadataFile(spark, tableDir)
     val p = new Path(tmFile)

@@ -1,0 +1,337 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import graft.operators.Avro
+
+/** Iceberg v2 table WRITER — [[DeltaWrite]]'s lakehouse twin, per the
+  * PUBLIC Apache Iceberg table spec (iceberg.apache.org/spec/). The
+  * layout it emits is the spec's Hadoop-tables form: data parquet under
+  * `data/` (each file carrying the schema's FIELD IDS in its footer, so
+  * [[IcebergMeta.readTable]]'s id projection — and any rename that ever
+  * happens — resolves it correctly), one nested-Avro manifest per
+  * commit via the repo's generic Avro writer, a manifest LIST per
+  * snapshot, and `metadata/vN.metadata.json` + `version-hint.text`.
+  * All paths inside the metadata are TABLE-RELATIVE, so the table can
+  * be moved wholesale.
+  *
+  * Commit discipline mirrors the spec's optimistic protocol: data
+  * files, manifest, and manifest list land first (unreferenced =
+  * invisible); the commit point is the atomic create of the NEXT
+  * `vN.metadata.json` (create-temp + rename, loud when the version
+  * already exists); `version-hint.text` is advisory and updated last.
+  * Sequence numbers advance by one per commit; carried-forward
+  * manifests keep their original sequence numbers, which is exactly
+  * what the reader's delete-ordering gate consumes.
+  *
+  * Verified never against itself: the repo's protocol-validating reader
+  * replays what this writes (q284 round trip, the q279 accounting law
+  * re-checked on written tables), avro-java cross-reads the manifests,
+  * and the DuckDB oracle pins the round-tripped content.
+  *
+  * Scope: unpartitioned tables, top-level primitive columns, appends
+  * only (no delete files — those arrive via the read-side gates).
+  */
+object IcebergWrite {
+
+  private val EntrySchema =
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"]},
+      |{"name":"sequence_number","type":["null","long"]},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int"},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin
+
+  private val ListSchema =
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int"},
+      |{"name":"sequence_number","type":"long"},
+      |{"name":"added_snapshot_id","type":"long"},
+      |{"name":"added_files_count","type":"int"},
+      |{"name":"existing_files_count","type":"int"},
+      |{"name":"deleted_files_count","type":"int"},
+      |{"name":"added_rows_count","type":"long"},
+      |{"name":"existing_rows_count","type":"long"},
+      |{"name":"deleted_rows_count","type":"long"}]}""".stripMargin
+
+  // ------------------------------------------------------- public API
+
+  /** Create a NEW unpartitioned Iceberg v2 table at `tableDir`:
+    * snapshot 1 at sequence 1, metadata v1. Field ids are assigned by
+    * position (1..n) and written into both the schema JSON and every
+    * data file's parquet footer. Returns the snapshot id.
+    */
+  def createTable(spark: SparkSession, df: DataFrame, tableDir: String): Long = {
+    val fs = fileSystem(spark, tableDir)
+    if (fs.exists(new Path(new Path(tableDir, "metadata"), "version-hint.text")) ||
+        listMetadataVersions(fs, tableDir).nonEmpty)
+      throw new IllegalArgumentException(
+        s"iceberg-write: $tableDir already has table metadata — createTable " +
+          "refuses to shadow an existing table")
+    val fields = df.schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      (i + 1L, f.name, icebergType(f.dataType, f.name), f.nullable)
+    }
+    commit(spark, fs, tableDir, df, fields,
+      uuid = java.util.UUID.randomUUID().toString,
+      prevSnapshots = Nil, prevListRows = Nil, operation = "append")
+  }
+
+  /** Append `df` as a new snapshot: previous manifests are carried
+    * forward in the new manifest list with their original sequence
+    * numbers; the table's field ids are reused (schema must match by
+    * name and type).
+    */
+  def append(spark: SparkSession, df: DataFrame, tableDir: String): Long = {
+    val fs = fileSystem(spark, tableDir)
+    val tm = IcebergMeta.readTableMeta(spark, tableDir)
+    val snap = tm.currentSnapshotId.flatMap(id => tm.snapshots.find(_.id == id))
+      .getOrElse(throw new IllegalArgumentException(
+        s"iceberg-write: no current snapshot under $tableDir"))
+    val schemaFields = IcebergMeta.schemaFieldsOf(spark, tableDir, snap.schemaId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"iceberg-write: metadata under $tableDir carries no schema"))
+    val fields = schemaFields.map { f =>
+      (f.id.getOrElse(throw new IllegalArgumentException(
+        s"iceberg-write: schema field ${f.name} has no field id")),
+        f.name, f.typeStr, !f.required)
+    }
+    val want = fields.map(f => (f._2, f._3))
+    val got = df.schema.fields.toSeq.map(f =>
+      (f.name, icebergType(f.dataType, f.name)))
+    if (got != want)
+      throw new IllegalArgumentException(
+        s"iceberg-write: DataFrame schema $got does not match the table " +
+          s"schema $want")
+    // carry the previous manifest-list rows forward verbatim
+    val mlPath = new Path(resolveInTable(tableDir, snap.manifestList))
+    val prevRows = IcebergMeta.readOcfFile(fs, mlPath).rows.map {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case _ => throw new IllegalArgumentException(
+        s"iceberg-write: malformed manifest list ${snap.manifestList}")
+    }
+    commit(spark, fs, tableDir, df, fields, uuid = tm.uuid,
+      prevSnapshots = tm.snapshots, prevListRows = prevRows,
+      operation = "append")
+  }
+
+  // -------------------------------------------------------- internals
+
+  private def fileSystem(spark: SparkSession, tableDir: String): FileSystem =
+    new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def resolveInTable(tableDir: String, p: String): String =
+    if (p.contains("://") || p.startsWith("/")) p
+    else new Path(tableDir, p).toString
+
+  private def listMetadataVersions(fs: FileSystem, tableDir: String): Seq[Long] = {
+    val metaDir = new Path(tableDir, "metadata")
+    val VName = "v([0-9]+)\\.metadata\\.json".r
+    if (!fs.exists(metaDir)) Nil
+    else fs.listStatus(metaDir).toSeq.filter(_.isFile).flatMap { st =>
+      st.getPath.getName match {
+        case VName(n) => Some(n.toLong)
+        case _        => None
+      }
+    }.sorted
+  }
+
+  /** Spark type → Iceberg primitive type string; nested types fail loud
+    * (scope contract).
+    */
+  private def icebergType(dt: DataType, colName: String): String = dt match {
+    case BooleanType         => "boolean"
+    case IntegerType         => "int"
+    case LongType            => "long"
+    case FloatType           => "float"
+    case DoubleType          => "double"
+    case DateType            => "date"
+    case StringType          => "string"
+    case BinaryType          => "binary"
+    case TimestampNTZType    => "timestamp"
+    case TimestampType       => "timestamptz"
+    case d: DecimalType      => s"decimal(${d.precision}, ${d.scale})"
+    case other => throw new IllegalArgumentException(
+      s"iceberg-write: column $colName has type ${other.simpleString} — " +
+        "only top-level primitives are in scope")
+  }
+
+  private def sparkType(t: String): DataType = t match {
+    case "boolean"      => BooleanType
+    case "int"          => IntegerType
+    case "long"         => LongType
+    case "float"        => FloatType
+    case "double"       => DoubleType
+    case "date"         => DateType
+    case "string"       => StringType
+    case "binary"       => BinaryType
+    case "timestamp"    => TimestampNTZType
+    case "timestamptz"  => TimestampType
+    case other if other.startsWith("decimal(") =>
+      val m = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r.findFirstMatchIn(other)
+        .getOrElse(throw new IllegalArgumentException(
+          s"iceberg-write: unreadable decimal type $other"))
+      DecimalType(m.group(1).toInt, m.group(2).toInt)
+    case other => throw new IllegalArgumentException(
+      s"iceberg-write: cannot append to a table with type $other")
+  }
+
+  /** Stage `df` as parquet files under `data/` — each footer carrying
+    * the schema's field ids — and return (relative path, size, rows)
+    * per file, rows decoded from the staged footers in one distributed
+    * pass.
+    */
+  private def stageData(spark: SparkSession, fs: FileSystem, df: DataFrame,
+                        tableDir: String,
+                        fields: Seq[(Long, String, String, Boolean)])
+      : Seq[(String, Long, Long)] = {
+    val fsRoot = new Path(tableDir)
+    val dataDir = new Path(fsRoot, "data")
+    fs.mkdirs(dataDir)
+    // field ids ride into the parquet footers via column metadata
+    val withIds = df.select(fields.map { case (id, name, typ, _) =>
+      col(s"`$name`").cast(sparkType(typ)).as(name,
+        new MetadataBuilder().putLong("parquet.field.id", id).build())
+    }: _*)
+    val tmp = new Path(fsRoot, s".tmp-${java.util.UUID.randomUUID()}")
+    withIds.write.mode("overwrite").parquet(tmp.toString)
+    val parts = fs.listStatus(tmp).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val moved = parts.map { p =>
+      val target = new Path(dataDir, p.getName)
+      if (!fs.rename(p, target))
+        throw new java.io.IOException(s"iceberg-write: could not stage ${p.getName}")
+      (s"data/${p.getName}", fs.getFileStatus(target).getLen)
+    }
+    fs.delete(tmp, true)
+    if (moved.isEmpty) return Nil
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val rootStr = fs.makeQualified(fsRoot).toString
+    val slices = math.max(1, math.min(moved.length,
+      spark.sparkContext.defaultParallelism * 2))
+    val counts = spark.sparkContext.parallelize(moved.map(_._1), slices)
+      .map { rel =>
+        val p = new Path(rootStr, rel)
+        val pfs = p.getFileSystem(conf.value)
+        val m = ParquetMeta.readFooter(pfs, p).getOrElse(
+          throw new java.io.IOException(
+            s"iceberg-write: staged file $rel has no readable parquet footer"))
+        rel -> m.numRows
+      }.collect().toMap
+    moved.map { case (rel, size) => (rel, size, counts(rel)) }
+  }
+
+  /** The shared commit tail: stage data, write manifest + manifest
+    * list, regenerate metadata.json as the next version, atomically.
+    */
+  private def commit(spark: SparkSession, fs: FileSystem, tableDir: String,
+                     df: DataFrame,
+                     fields: Seq[(Long, String, String, Boolean)],
+                     uuid: String,
+                     prevSnapshots: Seq[IcebergMeta.Snapshot],
+                     prevListRows: Seq[Map[String, Any]],
+                     operation: String): Long = {
+    val metaDir = new Path(tableDir, "metadata")
+    fs.mkdirs(metaDir)
+    val seq = prevSnapshots.flatMap(_.sequenceNumber)
+      .maxOption.getOrElse(0L) + 1
+    val snapshotId = prevSnapshots.map(_.id).maxOption.getOrElse(0L) + 1
+    val staged = stageData(spark, fs, df, tableDir, fields)
+    // one manifest per commit — deterministic name keyed by sequence
+    val entries = staged.map { case (rel, size, rows) =>
+      Map[String, Any]("status" -> 1, "snapshot_id" -> snapshotId,
+        "sequence_number" -> null,
+        "data_file" -> Map[String, Any](
+          "content" -> 0, "file_path" -> rel, "file_format" -> "PARQUET",
+          "record_count" -> rows, "file_size_in_bytes" -> size))
+    }
+    val manifestRel = s"metadata/m-$seq.avro"
+    val manifestPath = new Path(tableDir, manifestRel)
+    writeBytesAtomic(fs, manifestPath, Avro.renderOcfGeneric(
+      EntrySchema, entries,
+      extraMeta = Seq("schema" -> "{}", "partition-spec" -> "[]",
+        "format-version" -> "2")))
+    val newRow = Map[String, Any](
+      "manifest_path" -> manifestRel,
+      "manifest_length" -> fs.getFileStatus(manifestPath).getLen,
+      "partition_spec_id" -> 0, "content" -> 0,
+      "sequence_number" -> seq, "added_snapshot_id" -> snapshotId,
+      "added_files_count" -> staged.length, "existing_files_count" -> 0,
+      "deleted_files_count" -> 0,
+      "added_rows_count" -> staged.map(_._3).sum,
+      "existing_rows_count" -> 0L, "deleted_rows_count" -> 0L)
+    val listRel = s"metadata/snap-$snapshotId.avro"
+    writeBytesAtomic(fs, new Path(tableDir, listRel),
+      Avro.renderOcfGeneric(ListSchema, prevListRows :+ newRow))
+    // metadata.json: regenerate the typed state — schema, full snapshot
+    // history, the new snapshot as current
+    val now = System.currentTimeMillis()
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val schemaJson = fields.map { case (id, name, typ, nullable) =>
+      s"""{"id":$id,"name":${jstr(name)},"required":${!nullable},""" +
+        s""""type":${jstr(typ)}}"""
+    }.mkString("""{"type":"struct","schema-id":0,"fields":[""", ",", "]}")
+    def snapJson(id: Long, parent: Option[Long], sq: Long, ts: Long,
+                 op: String, ml: String): String =
+      s"""{"snapshot-id":$id${parent.map(p => s""","parent-snapshot-id":$p""").getOrElse("")},""" +
+        s""""sequence-number":$sq,"timestamp-ms":$ts,""" +
+        s""""summary":{"operation":${jstr(op)}},""" +
+        s""""manifest-list":${jstr(ml)},"schema-id":0}"""
+    val snaps = prevSnapshots.map(s => snapJson(s.id, s.parentId,
+      s.sequenceNumber.getOrElse(0L), s.timestampMs,
+      s.operation.getOrElse("append"), s.manifestList)) :+
+      snapJson(snapshotId, prevSnapshots.map(_.id).maxOption, seq, now,
+        operation, listRel)
+    val metaJson =
+      s"""{"format-version":2,"table-uuid":${jstr(uuid)},"location":".",""" +
+        s""""last-sequence-number":$seq,"last-updated-ms":$now,""" +
+        s""""current-schema-id":0,"schemas":[$schemaJson],""" +
+        s""""current-snapshot-id":$snapshotId,""" +
+        s""""snapshots":[${snaps.mkString(",")}]}"""
+    val version = listMetadataVersions(fs, tableDir).maxOption.getOrElse(0L) + 1
+    val target = new Path(metaDir, s"v$version.metadata.json")
+    if (fs.exists(target))
+      throw new java.io.IOException(
+        s"iceberg-write: metadata v$version already exists at $tableDir " +
+          "(concurrent writer) — retry against the new latest version")
+    writeBytesAtomic(fs, target,
+      metaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      failIfExists = true)
+    // the hint is advisory — last, and overwritable
+    writeBytesAtomic(fs, new Path(metaDir, "version-hint.text"),
+      version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      overwrite = true)
+    snapshotId
+  }
+
+  private def writeBytesAtomic(fs: FileSystem, target: Path,
+                               bytes: Array[Byte],
+                               overwrite: Boolean = false,
+                               failIfExists: Boolean = false): Unit = {
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(bytes) finally out.close()
+    if (overwrite && fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        if (failIfExists)
+          s"iceberg-write: lost the commit race for $target"
+        else s"iceberg-write: could not write $target")
+    }
+  }
+}

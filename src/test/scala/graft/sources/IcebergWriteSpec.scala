@@ -1,0 +1,131 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Iceberg writer contract (see [[IcebergWrite]]): judged by the repo's
+  * own protocol-validating reader (snapshots, manifests, entries,
+  * field-id readTable), by avro-java cross-reading the written
+  * manifests (the live validator — never self-judged), and by the
+  * manifest-list accounting law the q279 audit pins.
+  */
+class IcebergWriteSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(name)
+    java.nio.file.Files.delete(p)
+    p.toString
+  }
+
+  test("create + readTable round trip; field ids land in the data footers") {
+    import spark.implicits._
+    val t = freshDir("icew_rt")
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "txt", "score")
+    val snap = IcebergWrite.createTable(spark, df, t)
+    assert(snap === 1L)
+    val got = IcebergMeta.readTable(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
+    // every data file's footer carries the schema's field ids
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = IcebergMeta.files(spark, t).select("file_path").collect()
+      .map(_.getString(0))
+    assert(dataFiles.nonEmpty)
+    dataFiles.foreach { rel =>
+      val m = ParquetMeta.readFooter(fs,
+        new org.apache.hadoop.fs.Path(t, rel)).get
+      assert(graft.operators.ParquetFooter.topLevelFields(m.schema) ===
+        Seq(("id", Some(1)), ("txt", Some(2)), ("score", Some(3))))
+    }
+    // the schema report shows the assigned ids and rendered types
+    assert(IcebergMeta.schemaReport(spark, t).orderBy("position").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getString(3))).toSeq ===
+      Seq((1L, "id", "long"), (2L, "txt", "string"), (3L, "score", "double")))
+  }
+
+  test("append: snapshot history, carried manifests, time travel, loud mismatch") {
+    import spark.implicits._
+    val t = freshDir("icew_append")
+    IcebergWrite.createTable(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "txt"), t)
+    val s2 = IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "txt"), t)
+    assert(s2 === 2L)
+    // latest sees both commits; time travel sees only the first
+    assert(IcebergMeta.readTable(spark, t).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(IcebergMeta.readTable(spark, t, Some(1L)).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    // the new manifest list carries the old manifest forward with its
+    // ORIGINAL sequence number plus the new one
+    val mls = IcebergMeta.manifests(spark, t).orderBy("manifest_path").collect()
+    assert(mls.map(r => r.getString(0).split('/').last).toSeq ===
+      Seq("m-1.avro", "m-2.avro"))
+    val snaps = IcebergMeta.snapshots(spark, t).orderBy("snapshot_id").collect()
+    assert(snaps.map(r => (r.getLong(0), r.getLong(2), r.getBoolean(6))).toSeq ===
+      Seq((1L, 1L, false), (2L, 2L, true)))
+    assert(snaps(1).getLong(1) === 1L) // parent chain
+    // schema drift fails loud
+    intercept[IllegalArgumentException](
+      IcebergWrite.append(spark, Seq((1, 2)).toDF("id", "other"), t))
+    intercept[IllegalArgumentException](
+      IcebergWrite.createTable(spark, Seq((1L, "x")).toDF("id", "txt"), t))
+  }
+
+  test("manifest-list accounting law holds on our own written table") {
+    import spark.implicits._
+    val t = freshDir("icew_acct")
+    IcebergWrite.createTable(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "txt"), t)
+    IcebergWrite.append(spark, Seq((4L, "d"), (5L, "e")).toDF("id", "txt"), t)
+    // entries() resolves manifest paths, manifests() keeps the raw list
+    // form — join on the basename, as the q279 audit does
+    val tail = (c: org.apache.spark.sql.Column) =>
+      regexp_extract(c, "([^/]+)$", 1)
+    val list = IcebergMeta.manifests(spark, t)
+      .select(tail(col("manifest_path")).as("m"),
+        col("n_added_files"), col("added_rows"))
+    val fromEntries = IcebergMeta.entries(spark, t)
+      .groupBy(tail(col("manifest_path")).as("m"))
+      .agg(sum(when(col("status") === 1, 1L).otherwise(0L)).as("e_files"),
+        sum(when(col("status") === 1, col("record_count")).otherwise(0L))
+          .as("e_rows"))
+    val joined = list.join(fromEntries, Seq("m")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getLong(1) === r.getLong(3), s"files disagree on ${r.getString(0)}")
+      assert(r.getLong(2) === r.getLong(4), s"rows disagree on ${r.getString(0)}")
+    }
+    // total row accounting equals the data
+    assert(IcebergMeta.files(spark, t).agg(sum("record_count")).head.getLong(0) === 5L)
+  }
+
+  test("written manifests and manifest lists are real Avro: avro-java cross-read") {
+    import spark.implicits._
+    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val t = freshDir("icew_avro")
+    IcebergWrite.createTable(spark,
+      Seq((7L, "x"), (8L, "y")).toDF("id", "txt"), t)
+    def readAvro(rel: String): Vector[GenericRecord] = {
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(t, "metadata", rel))
+      val r = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(bytes), new GenericDatumReader[GenericRecord]())
+      val out = Iterator.continually(r).takeWhile(_.hasNext).map(_.next()).toVector
+      r.close()
+      out
+    }
+    val entries = readAvro("m-1.avro")
+    assert(entries.forall(_.get("status").toString == "1"))
+    assert(entries.map(_.get("data_file").asInstanceOf[GenericRecord])
+      .map(_.get("record_count").asInstanceOf[Long]).sum === 2L)
+    val listRows = readAvro("snap-1.avro")
+    assert(listRows.length === 1)
+    assert(listRows.head.get("manifest_path").toString === "metadata/m-1.avro")
+    assert(listRows.head.get("added_rows_count").asInstanceOf[Long] === 2L)
+    assert(listRows.head.get("sequence_number").asInstanceOf[Long] === 1L)
+  }
+}
