@@ -562,7 +562,15 @@ object Avro {
   final case class AUnion(branches: IndexedSeq[AType]) extends AType
   final case class ARef(fullName: String) extends AType
 
-  final case class GSchema(root: AType, named: Map[String, AType]) {
+  /** A parsed schema document: the root type, every named type, plus
+    * the resolution side-tables — record-field DEFAULT values (raw JSON
+    * form, keyed by (record fullname, field name)) and enum defaults —
+    * that the spec's Schema Resolution rules consume when a reader
+    * schema differs from the writer's.
+    */
+  final case class GSchema(root: AType, named: Map[String, AType],
+                           fieldDefaults: Map[(String, String), Any] = Map.empty,
+                           enumDefaults: Map[String, String] = Map.empty) {
     def resolve(t: AType): AType = t match {
       case ARef(n) => named(n)
       case other   => other
@@ -580,16 +588,20 @@ object Avro {
   def parseSchemaGeneric(json: String): Option[GSchema] =
     parseJson(json).flatMap { v =>
       val named = scala.collection.mutable.Map.empty[String, AType]
+      val defaults = scala.collection.mutable.Map.empty[(String, String), Any]
+      val enumDefs = scala.collection.mutable.Map.empty[String, String]
       try {
-        val root = parseGType(v, None, named)
-        Some(GSchema(root, named.toMap))
+        val root = parseGType(v, None, named, defaults, enumDefs)
+        Some(GSchema(root, named.toMap, defaults.toMap, enumDefs.toMap))
       } catch { case BadSchema => None }
     }
 
   private type JObj = scala.collection.mutable.LinkedHashMap[String, Any]
 
   private def parseGType(v: Any, ns: Option[String],
-                         named: scala.collection.mutable.Map[String, AType]): AType =
+                         named: scala.collection.mutable.Map[String, AType],
+                         defaults: scala.collection.mutable.Map[(String, String), Any],
+                         enumDefs: scala.collection.mutable.Map[String, String]): AType =
     v match {
       case s: String =>
         primOf(s) match {
@@ -600,7 +612,7 @@ object Avro {
         }
       case a: scala.collection.mutable.ArrayBuffer[_] =>
         if (a.isEmpty) throw BadSchema
-        AUnion(a.map(parseGType(_, ns, named)).toIndexedSeq)
+        AUnion(a.map(parseGType(_, ns, named, defaults, enumDefs)).toIndexedSeq)
       case m: scala.collection.mutable.LinkedHashMap[_, _] =>
         val obj = m.asInstanceOf[JObj]
         obj.get("type") match {
@@ -616,10 +628,13 @@ object Avro {
             fieldsJson.foreach {
               case fm: scala.collection.mutable.LinkedHashMap[_, _] =>
                 val f = fm.asInstanceOf[JObj]
-                names += (f.get("name") match {
-                  case Some(s: String) => s; case _ => throw BadSchema })
+                val fname = f.get("name") match {
+                  case Some(s: String) => s; case _ => throw BadSchema }
+                names += fname
                 types += parseGType(f.getOrElse("type", throw BadSchema),
-                  childNs, named)
+                  childNs, named, defaults, enumDefs)
+                // the raw JSON default, kept verbatim for resolution time
+                if (f.contains("default")) defaults((full, fname)) = f("default")
               case _ => throw BadSchema
             }
             val rec = ARecord(full, names.result(), types.result())
@@ -633,6 +648,10 @@ object Avro {
               case _ => throw BadSchema
             }
             if (syms.isEmpty) throw BadSchema
+            obj.get("default").foreach {
+              case s: String if syms.contains(s) => enumDefs(full) = s
+              case _ => throw BadSchema
+            }
             val e = AEnum(full, syms)
             named(full) = e
             e
@@ -647,14 +666,16 @@ object Avro {
             named(full) = f
             f
           case Some("array") =>
-            AArray(parseGType(obj.getOrElse("items", throw BadSchema), ns, named))
+            AArray(parseGType(obj.getOrElse("items", throw BadSchema), ns,
+              named, defaults, enumDefs))
           case Some("map") =>
-            AMapT(parseGType(obj.getOrElse("values", throw BadSchema), ns, named))
+            AMapT(parseGType(obj.getOrElse("values", throw BadSchema), ns,
+              named, defaults, enumDefs))
           case Some(s: String) =>
             // {"type":"long","logicalType":"timestamp-micros"} etc.: the
             // underlying type per the spec's unknown-logical-type rule
             primOf(s).map(APrim.apply).getOrElse(throw BadSchema)
-          case Some(inner) => parseGType(inner, ns, named)
+          case Some(inner) => parseGType(inner, ns, named, defaults, enumDefs)
           case None => throw BadSchema
         }
       case _ => throw BadSchema
@@ -752,6 +773,42 @@ object Avro {
   def readOcfGeneric(bytes: Array[Byte]): Option[OcfG] = {
     val h = readRawHeader(bytes).getOrElse(return None)
     val g = parseSchemaGeneric(h.schemaJson).getOrElse(return None)
+    readOcfBlocks(bytes, h, g, (br, wg) => decodeGeneric(br, wg.root, wg, 0))
+  }
+
+  /** Decode a whole OCF RESOLVING the file's writer schema to
+    * `readerSchemaJson`, per the Avro spec's Schema Resolution rules:
+    *
+    *  - record fields matched by NAME — writer-only fields are decoded
+    *    and discarded, reader-only fields take their declared DEFAULT
+    *    (no default = irreconcilable);
+    *  - numeric and string/bytes PROMOTIONS (int → long/float/double,
+    *    long → float/double, float → double, string ↔ bytes);
+    *  - unions re-resolved on both sides (the writer's chosen branch is
+    *    matched against the first compatible reader branch);
+    *  - enum symbols missing from the reader fall back to the reader
+    *    enum's declared default.
+    *
+    * The shape of every decoded row is the READER schema's — exactly
+    * what a consumer that evolved its schema (an Iceberg manifest
+    * reader across table-format versions, say) expects. None when the
+    * schemas are irreconcilable or the data is malformed. Pinned LIVE
+    * against avro-java's resolving decoder in AvroGenericSpec.
+    */
+  def readOcfGenericAs(bytes: Array[Byte],
+                       readerSchemaJson: String): Option[OcfG] = {
+    val h = readRawHeader(bytes).getOrElse(return None)
+    val wg = parseSchemaGeneric(h.schemaJson).getOrElse(return None)
+    val rg = parseSchemaGeneric(readerSchemaJson).getOrElse(return None)
+    try readOcfBlocks(bytes, h, wg,
+        (br, w) => decodeResolved(br, w.root, rg.root, w, rg, 0))
+      .map(_.copy(schema = rg, schemaJson = readerSchemaJson))
+    catch { case BadResolution => None }
+  }
+
+  /** Shared block walk for both generic decode surfaces. */
+  private def readOcfBlocks(bytes: Array[Byte], h: RawHeader, g: GSchema,
+                            decodeRow: (Reader, GSchema) => Any): Option[OcfG] = {
     val r = new Reader(bytes, h.bodyAt, bytes.length)
     val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
     var total = 0L
@@ -773,7 +830,7 @@ object Avro {
       val br = new Reader(payload, 0, payload.length)
       var k = 0L
       while (k < count) {
-        val v = decodeGeneric(br, g.root, g, 0)
+        val v = decodeRow(br, g)
         if (!br.ok) return None
         rows += v
         k += 1
@@ -781,6 +838,239 @@ object Avro {
       if (br.pos != payload.length) return None // size lie / trailing bytes
     }
     Some(OcfG(g, h.schemaJson, h.codec, h.meta, rows.toSeq))
+  }
+
+  // --------------------------------------------------- schema resolution
+
+  private object BadResolution extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  private def unqual(n: String): String = n.substring(n.lastIndexOf('.') + 1)
+
+  private def promotable(w: PrimType, r: PrimType): Boolean = (w, r) match {
+    case (a, b) if a == b => true
+    case (AInt, ALong | AFloat | ADouble) => true
+    case (ALong, AFloat | ADouble)        => true
+    case (AFloat, ADouble)                => true
+    case (AString, ABytes)                => true
+    case (ABytes, AString)                => true
+    case _                                => false
+  }
+
+  private def promote(v: Any, w: PrimType, r: PrimType): Any =
+    if (w == r) v
+    else (w, r) match {
+      case (AInt, ALong)      => v.asInstanceOf[Int].toLong
+      case (AInt, AFloat)     => v.asInstanceOf[Int].toFloat
+      case (AInt, ADouble)    => v.asInstanceOf[Int].toDouble
+      case (ALong, AFloat)    => v.asInstanceOf[Long].toFloat
+      case (ALong, ADouble)   => v.asInstanceOf[Long].toDouble
+      case (AFloat, ADouble)  => v.asInstanceOf[Float].toDouble
+      case (AString, ABytes)  =>
+        v.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      case (ABytes, AString)  =>
+        new String(v.asInstanceOf[Array[Byte]],
+          java.nio.charset.StandardCharsets.UTF_8)
+      case _                  => throw BadResolution
+    }
+
+  /** Can writer type `w` statically resolve into reader type `r`? Drives
+    * union-branch selection; named types match on UNQUALIFIED name (the
+    * spec's record/enum/fixed match rule, namespace-lenient).
+    */
+  private def resolvable(w: AType, r: AType, wg: GSchema, rg: GSchema,
+                         depth: Int): Boolean = {
+    if (depth > 64) return true // recursive schema: structurally assumed
+    (wg.resolve(w), rg.resolve(r)) match {
+      case (APrim(wp), APrim(rp))         => promotable(wp, rp)
+      case (wr: ARecord, rr: ARecord)     =>
+        unqual(wr.fullName) == unqual(rr.fullName)
+      case (we: AEnum, re: AEnum)         =>
+        unqual(we.fullName) == unqual(re.fullName)
+      case (wf: AFixed, rf: AFixed)       => wf.size == rf.size
+      case (AArray(wi), AArray(ri))       => resolvable(wi, ri, wg, rg, depth + 1)
+      case (AMapT(wv), AMapT(rv))         => resolvable(wv, rv, wg, rg, depth + 1)
+      case (AUnion(wb), rr)               =>
+        wb.forall(resolvable(_, rr, wg, rg, depth + 1))
+      case (ww, AUnion(rb))               =>
+        rb.exists(resolvable(ww, _, wg, rg, depth + 1))
+      case _                              => false
+    }
+  }
+
+  /** Decode a value written as `w0` into the shape of reader type `rt0`.
+    * Throws [[BadResolution]] on a schema-level mismatch (caught at the
+    * file boundary → None); poisons the reader on data malformation,
+    * exactly like [[decodeGeneric]].
+    */
+  private def decodeResolved(r: Reader, w0: AType, rt0: AType,
+                             wg: GSchema, rg: GSchema, depth: Int): Any = {
+    if (depth > 128) { r.pos = r.end + 1; return null } // recursion bomb
+    (wg.resolve(w0), rg.resolve(rt0)) match {
+      case (AUnion(wb), _) =>
+        val idx = r.varLong()
+        if (idx < 0 || idx >= wb.length) { r.pos = r.end + 1; null }
+        else decodeResolved(r, wb(idx.toInt), rt0, wg, rg, depth + 1)
+      case (w, AUnion(rb)) =>
+        rb.find(b => resolvable(w, b, wg, rg, 0)) match {
+          case Some(b) => decodeResolved(r, w, b, wg, rg, depth + 1)
+          case None    => throw BadResolution
+        }
+      case (APrim(wp), APrim(rp)) =>
+        if (!promotable(wp, rp)) throw BadResolution
+        val v = decodeValue(r, wp)
+        if (!r.ok) null else promote(v, wp, rp)
+      case (wr: ARecord, rr: ARecord) =>
+        if (unqual(wr.fullName) != unqual(rr.fullName)) throw BadResolution
+        val rIdx = rr.fieldNames.zipWithIndex.toMap
+        val got = new Array[Any](rr.fieldNames.length)
+        val present = new Array[Boolean](rr.fieldNames.length)
+        var i = 0
+        while (i < wr.fieldNames.length && r.ok) {
+          rIdx.get(wr.fieldNames(i)) match {
+            case Some(j) =>
+              got(j) = decodeResolved(r, wr.fieldTypes(i), rr.fieldTypes(j),
+                wg, rg, depth + 1)
+              present(j) = true
+            case None => // writer-only field: decode, discard
+              decodeGeneric(r, wr.fieldTypes(i), wg, depth + 1)
+          }
+          i += 1
+        }
+        val b = Map.newBuilder[String, Any]
+        var j = 0
+        while (j < rr.fieldNames.length) {
+          if (present(j)) b += rr.fieldNames(j) -> got(j)
+          else rg.fieldDefaults.get((rr.fullName, rr.fieldNames(j))) match {
+            case Some(raw) =>
+              b += rr.fieldNames(j) ->
+                defaultValue(raw, rr.fieldTypes(j), rg, 0)
+            case None => throw BadResolution // reader-only field, no default
+          }
+          j += 1
+        }
+        b.result()
+      case (AEnum(wn, wsyms), re @ AEnum(rn, rsyms)) =>
+        if (unqual(wn) != unqual(rn)) throw BadResolution
+        val idx = r.varLong()
+        if (idx < 0 || idx >= wsyms.length) { r.pos = r.end + 1; null }
+        else {
+          val sym = wsyms(idx.toInt)
+          if (rsyms.contains(sym)) sym
+          else rg.enumDefaults.getOrElse(re.fullName, throw BadResolution)
+        }
+      case (AFixed(_, ws), AFixed(_, rs)) =>
+        if (ws != rs) throw BadResolution
+        r.take(ws)
+      case (AArray(wi), AArray(ri)) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+        var n = r.varLong()
+        while (n != 0 && r.ok) {
+          if (n < 0) { r.varLong(); n = -n }
+          if (n + buf.length > (1L << 26)) { r.pos = r.end + 1; return null }
+          var k = 0L
+          while (k < n && r.ok) {
+            buf += decodeResolved(r, wi, ri, wg, rg, depth + 1); k += 1
+          }
+          n = r.varLong()
+        }
+        buf.toSeq
+      case (AMapT(wv), AMapT(rv)) =>
+        val b = Map.newBuilder[String, Any]
+        var n = r.varLong()
+        var totalEntries = 0L
+        while (n != 0 && r.ok) {
+          if (n < 0) { r.varLong(); n = -n }
+          totalEntries += n
+          if (totalEntries > (1L << 26)) { r.pos = r.end + 1; return null }
+          var k = 0L
+          while (k < n && r.ok) {
+            val key = new String(r.take(r.varLong().toInt), "UTF-8")
+            b += key -> decodeResolved(r, wv, rv, wg, rg, depth + 1)
+            k += 1
+          }
+          n = r.varLong()
+        }
+        b.result()
+      case _ => throw BadResolution
+    }
+  }
+
+  /** Materialize a raw JSON default (as parsed from the reader schema)
+    * into the runtime value shape of reader type `t`. A union default
+    * conforms to the FIRST branch, bytes/fixed defaults are ISO-8859-1
+    * codepoint strings — both per the spec.
+    */
+  private def defaultValue(raw: Any, t: AType, g: GSchema, depth: Int): Any = {
+    if (depth > 64) throw BadResolution
+    g.resolve(t) match {
+      case AUnion(bs) => defaultValue(raw, bs.head, g, depth + 1)
+      case APrim(ANull) => if (raw == null) null else throw BadResolution
+      case APrim(ABoolean) => raw match {
+        case b: java.lang.Boolean => b.booleanValue
+        case _ => throw BadResolution
+      }
+      case APrim(AInt) => raw match {
+        case l: java.lang.Long => l.intValue
+        case _ => throw BadResolution
+      }
+      case APrim(ALong) => raw match {
+        case l: java.lang.Long => l.longValue
+        case _ => throw BadResolution
+      }
+      case APrim(AFloat) => raw match {
+        case l: java.lang.Long => l.floatValue
+        case d: java.lang.Double => d.floatValue
+        case _ => throw BadResolution
+      }
+      case APrim(ADouble) => raw match {
+        case l: java.lang.Long => l.doubleValue
+        case d: java.lang.Double => d.doubleValue
+        case _ => throw BadResolution
+      }
+      case APrim(AString) => raw match {
+        case s: String => s
+        case _ => throw BadResolution
+      }
+      case APrim(ABytes) => raw match {
+        case s: String => s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        case _ => throw BadResolution
+      }
+      case AFixed(_, size) => raw match {
+        case s: String =>
+          val b = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          if (b.length != size) throw BadResolution else b
+        case _ => throw BadResolution
+      }
+      case AEnum(_, syms) => raw match {
+        case s: String if syms.contains(s) => s
+        case _ => throw BadResolution
+      }
+      case AArray(items) => raw match {
+        case a: scala.collection.mutable.ArrayBuffer[_] =>
+          a.toSeq.map(defaultValue(_, items, g, depth + 1))
+        case _ => throw BadResolution
+      }
+      case AMapT(values) => raw match {
+        case m: scala.collection.mutable.LinkedHashMap[_, _] =>
+          m.asInstanceOf[JObj].toMap.map { case (k, v) =>
+            k -> defaultValue(v, values, g, depth + 1)
+          }
+        case _ => throw BadResolution
+      }
+      case rec: ARecord => raw match {
+        case m: scala.collection.mutable.LinkedHashMap[_, _] =>
+          val obj = m.asInstanceOf[JObj]
+          rec.fieldNames.zip(rec.fieldTypes).map { case (fn, ft) =>
+            val fRaw = if (obj.contains(fn)) obj(fn)
+              else g.fieldDefaults.getOrElse((rec.fullName, fn), throw BadResolution)
+            fn -> defaultValue(fRaw, ft, g, depth + 1)
+          }.toMap
+        case _ => throw BadResolution
+      }
+      case _ => throw BadResolution
+    }
   }
 
   // ------------------------------------------------------ generic writer

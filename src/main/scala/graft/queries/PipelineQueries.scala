@@ -4068,6 +4068,80 @@ object PipelineQueries extends QuerySet {
       s.sql(s"READ ICEBERG AT '${icebergReadDir(s)}'").orderBy("id")
     }),
 
+    // Avro SCHEMA RESOLUTION (reader vs writer matching, the spec's
+    // evolution rules): a manifest written by an OLDER writer — no
+    // sequence_number, no content/file_format/file_size_in_bytes —
+    // decoded under the CURRENT reader schema, reader-only fields
+    // filled from their declared defaults, matched by NAME not
+    // position. avro-java's resolving decoder pins per-row agreement
+    // in AvroGenericSpec; the oracle pins the resolved values.
+    "q286_avro_resolution" -> ((s, dir) => {
+      val f = fixture("avro_evolved_manifest.avro") {
+        graft.operators.Avro.renderOcfGeneric(
+          """{"type":"record","name":"manifest_entry","fields":[
+            |{"name":"status","type":"int"},
+            |{"name":"snapshot_id","type":["null","long"]},
+            |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+            |  {"name":"file_path","type":"string"},
+            |  {"name":"record_count","type":"long"}]}}]}""".stripMargin,
+          Seq(
+            Map[String, Any]("status" -> 1, "snapshot_id" -> 9001L,
+              "data_file" -> Map[String, Any](
+                "file_path" -> "data/old-1.parquet", "record_count" -> 11L)),
+            Map[String, Any]("status" -> 2, "snapshot_id" -> null,
+              "data_file" -> Map[String, Any](
+                "file_path" -> "data/old-2.parquet", "record_count" -> 22L))))
+      }
+      val readerSchema =
+        """{"type":"record","name":"manifest_entry","fields":[
+          |{"name":"status","type":"int"},
+          |{"name":"snapshot_id","type":["null","long"]},
+          |{"name":"sequence_number","type":["null","long"],"default":null},
+          |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+          |  {"name":"content","type":"int","default":0},
+          |  {"name":"file_path","type":"string"},
+          |  {"name":"file_format","type":"string","default":"PARQUET"},
+          |  {"name":"record_count","type":"long"},
+          |  {"name":"file_size_in_bytes","type":"long","default":0}]}}]}"""
+          .stripMargin
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+      val rows = graft.operators.Avro.readOcfGenericAs(bytes, readerSchema)
+        .getOrElse(throw new IllegalArgumentException(
+          "avro: evolved manifest is irreconcilable with the reader schema"))
+        .rows.map(_.asInstanceOf[Map[String, Any]])
+        .map { e =>
+          val df = e("data_file").asInstanceOf[Map[String, Any]]
+          org.apache.spark.sql.Row(
+            e("status").asInstanceOf[Int],
+            Option(e("snapshot_id")).map(v => Long.box(v.asInstanceOf[Long])).orNull,
+            Option(e("sequence_number")).map(v => Long.box(v.asInstanceOf[Long])).orNull,
+            df("content").asInstanceOf[Int],
+            df("file_path").asInstanceOf[String],
+            df("file_format").asInstanceOf[String],
+            df("record_count").asInstanceOf[Long],
+            df("file_size_in_bytes").asInstanceOf[Long])
+        }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("status",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("snapshot_id",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("sequence_number",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("content",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("file_path",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("file_format",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("record_count",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("file_size",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+        .orderBy("file_path")
+    }),
+
     // Parquet BLOOM-FILTER probe (the third grain of the parquet audit
     // after footers and page indexes): our spec-implemented xxHash64 +
     // split-block filter decode answers "can this file contain this
@@ -5192,6 +5266,17 @@ object PipelineQueries extends QuerySet {
         |  (6, 'x', 2), (7, 'y', 2), (8, 'z', 2))
         |AS t(id, txt, as_of)
         |ORDER BY as_of, id""".stripMargin,
+    // reader-only fields take their declared defaults, writer values
+    // pass through by NAME — restated from the fixture rows + defaults
+    "q286_avro_resolution" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS INT), CAST(9001 AS BIGINT), CAST(NULL AS BIGINT),
+        |     CAST(0 AS INT), 'data/old-1.parquet', 'PARQUET',
+        |     CAST(11 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (2, NULL, NULL, 0, 'data/old-2.parquet', 'PARQUET', 22, 0))
+        |AS t(status, snapshot_id, sequence_number, content, file_path,
+        |     file_format, record_count, file_size)
+        |ORDER BY file_path""".stripMargin,
     // the written Iceberg table reads back as nation verbatim
     "q284_iceberg_write_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey

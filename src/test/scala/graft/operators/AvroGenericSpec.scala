@@ -205,6 +205,146 @@ class AvroGenericSpec extends AnyFunSuite {
     assert(readWithAvroJava(bytes).map(canon) == vals.map(canon))
   }
 
+  // ----------------------------------------------- schema resolution
+
+  private def readWithAvroJavaAs(bytes: Array[Byte],
+                                 readerSchemaJson: String): Seq[AnyRef] = {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val rs = new Schema.Parser().parse(readerSchemaJson)
+    val r = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(bytes),
+      new GenericDatumReader[GenericRecord](null, rs))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    while (r.hasNext) buf += r.next()
+    r.close()
+    buf.toSeq
+  }
+
+  private val resWriter =
+    """{"type":"record","name":"R","fields":[
+      |{"name":"a","type":"int"},
+      |{"name":"b","type":"string"},
+      |{"name":"drop_me","type":"long"},
+      |{"name":"f","type":"float"},
+      |{"name":"u","type":["null","long"]},
+      |{"name":"k","type":{"type":"enum","name":"K","symbols":["X","Y","OLD"]}}
+      |]}""".stripMargin
+
+  private val resReader =
+    """{"type":"record","name":"R","fields":[
+      |{"name":"b","type":"bytes"},
+      |{"name":"a","type":"double"},
+      |{"name":"f","type":"double"},
+      |{"name":"u","type":["null","double"]},
+      |{"name":"k","type":{"type":"enum","name":"K","symbols":["X","Y"],"default":"X"}},
+      |{"name":"added","type":"long","default":42},
+      |{"name":"added_n","type":["null","string"],"default":null},
+      |{"name":"added_rec","type":{"type":"record","name":"Sub","fields":[
+      |  {"name":"p","type":"int","default":7}]},"default":{}}
+      |]}""".stripMargin
+
+  private def resRows(n: Int): Seq[Map[String, Any]] = (0 until n).map { i =>
+    Map[String, Any](
+      "a" -> i, "b" -> s"s$i", "drop_me" -> (i * 100L),
+      "f" -> (i * 0.25f),
+      "u" -> (if (i % 3 == 0) null else (i * 7L)),
+      "k" -> Seq("X", "Y", "OLD")(i % 3))
+  }
+
+  test("schema resolution: defaults, promotions, reorder, drop, enum default — avro-java agreement") {
+    // the same writer bytes from BOTH producers, resolved by BOTH readers
+    for (bytes <- Seq(writeWithAvroJava(resWriter, resRows(30)),
+                      Avro.renderOcfGeneric(resWriter, resRows(30)))) {
+      val ours = Avro.readOcfGenericAs(bytes, resReader).get.rows
+      val theirs = readWithAvroJavaAs(bytes, resReader)
+      assert(ours.length == 30 && theirs.length == 30)
+      ours.zip(theirs).zipWithIndex.foreach { case ((g, t), i) =>
+        assert(canon(g) == canon(t), s"row $i disagrees with avro-java")
+      }
+      // spot-pin the rules against first principles, not just agreement
+      val r0 = ours.head.asInstanceOf[Map[String, Any]]
+      assert(r0("a") == 0.0d)                       // int -> double
+      assert(canon(r0("b")) == canon("s0".getBytes("UTF-8"))) // string -> bytes
+      assert(r0("u") == null)                       // null union branch held
+      assert(r0("added") == 42L)                    // reader-only: default
+      assert(r0("added_n") == null)                 // union default null
+      assert(canon(r0("added_rec")) == canon(Map[String, Any]("p" -> 7))) // nested default
+      val r2 = ours(2).asInstanceOf[Map[String, Any]]
+      assert(r2("k") == "X")                        // writer OLD -> reader enum default
+      assert(r2("u") == 14.0d)                      // long in union -> double
+      assert(!r0.contains("drop_me"))               // writer-only field discarded
+    }
+  }
+
+  test("irreconcilable schemas resolve to None, never a wrong table") {
+    val bytes = Avro.renderOcfGeneric(resWriter, resRows(5))
+    // reader-only field WITHOUT a default
+    assert(Avro.readOcfGenericAs(bytes,
+      """{"type":"record","name":"R","fields":[
+        |{"name":"a","type":"int"},{"name":"missing","type":"long"}]}"""
+        .stripMargin).isEmpty)
+    // type clash: string field read as long
+    assert(Avro.readOcfGenericAs(bytes,
+      """{"type":"record","name":"R","fields":[
+        |{"name":"b","type":"long"}]}""".stripMargin).isEmpty)
+    // record name mismatch
+    assert(Avro.readOcfGenericAs(bytes,
+      """{"type":"record","name":"Other","fields":[
+        |{"name":"a","type":"int"}]}""".stripMargin).isEmpty)
+    // DEMOTIONS are not promotions: long read as int
+    assert(Avro.readOcfGenericAs(bytes,
+      """{"type":"record","name":"R","fields":[
+        |{"name":"drop_me","type":"int"}]}""".stripMargin).isEmpty)
+  }
+
+  test("evolved Iceberg manifest resolves green: old writer, current reader") {
+    // an OLDER writer's manifest_entry lacks sequence_number and the
+    // data_file lacks file_size_in_bytes; the CURRENT reader schema
+    // declares both with defaults — the old manifest must read green
+    // with the defaults filled in, per the spec's resolution rules
+    val oldEntry =
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"]},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"record_count","type":"long"}]}}]}""".stripMargin
+    val newEntry =
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"]},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"content","type":"int","default":0},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string","default":"PARQUET"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long","default":0}]}}]}"""
+        .stripMargin
+    val oldRows = Seq(
+      Map[String, Any]("status" -> 1, "snapshot_id" -> 9001L,
+        "data_file" -> Map[String, Any](
+          "file_path" -> "data/old-1.parquet", "record_count" -> 11L)),
+      Map[String, Any]("status" -> 2, "snapshot_id" -> null,
+        "data_file" -> Map[String, Any](
+          "file_path" -> "data/old-2.parquet", "record_count" -> 22L)))
+    val bytes = Avro.renderOcfGeneric(oldEntry, oldRows)
+    val resolved = Avro.readOcfGenericAs(bytes, newEntry).get.rows
+      .map(_.asInstanceOf[Map[String, Any]])
+    assert(resolved.length == 2)
+    assert(resolved.head("sequence_number") == null)
+    val df0 = resolved.head("data_file").asInstanceOf[Map[String, Any]]
+    assert(df0("content") == 0L || df0("content") == 0) // int default
+    assert(df0("file_format") == "PARQUET")
+    assert(df0("file_size_in_bytes") == 0L)
+    assert(df0("file_path") == "data/old-1.parquet" && df0("record_count") == 11L)
+    // avro-java's resolving reader lands on the identical rows
+    val theirs = readWithAvroJavaAs(bytes, newEntry)
+    resolved.zip(theirs).foreach { case (g, t) => assert(canon(g) == canon(t)) }
+  }
+
   test("malformed input: byte soup, truncation, bad refs → None, never a throw") {
     assert(Avro.parseSchemaGeneric("""{"type":"record","name":"R","fields":[
       {"name":"x","type":"Undefined"}]}""").isEmpty)
