@@ -3804,6 +3804,16 @@ object PipelineQueries extends QuerySet {
         .orderBy("path")
     }),
 
+    // q258 over the protocol's V2 checkpoint layout: a UUID-named main
+    // file carrying metaData/protocol/checkpointMetadata plus SIDECAR
+    // pointers, the file actions split across two parquet sidecars
+    // under _delta_log/_sidecars/ — replay unions main + sidecars and
+    // lands on the same live set as the classic checkpoint.
+    "q287_delta_v2_checkpoint" -> ((s, dir) => {
+      graft.sources.DeltaLog.snapshot(s, deltaV2CheckpointDir(s))
+        .orderBy("path")
+    }),
+
     "q257_sql_parquet_meta" -> ((s, dir) => {
       s.sql(s"DESCRIBE PARQUET AT '$dir/lineitem.parquet'")
         .select(col("rg"), col("col_id"), col("path_in_schema"),
@@ -4342,6 +4352,62 @@ object PipelineQueries extends QuerySet {
     if (!java.nio.file.Files.exists(lastCp)) {
       val tmp = java.nio.file.Files.createTempFile(log, ".lastcp", ".tmp")
       java.nio.file.Files.write(tmp, """{"version":2,"size":6}""".getBytes)
+      try java.nio.file.Files.move(tmp, lastCp,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp) }
+    }
+    writeCommit(log, 3L, DeltaV3)
+    dir.toAbsolutePath.toString
+  }
+
+  /** q287's V2-checkpoint twin of [[deltaCheckpointDir]]: the same
+    * table state, but the checkpoint is the protocol's V2 layout — a
+    * UUID-named `%020d.checkpoint.<uuid>.parquet` main file holding
+    * metaData + protocol + checkpointMetadata + two SIDECAR pointers,
+    * with the file actions split across two parquet sidecars under
+    * `_delta_log/_sidecars/`. Replay must land on the SAME live set as
+    * q258's classic checkpoint.
+    */
+  private def deltaV2CheckpointDir(s: org.apache.spark.sql.SparkSession): String = {
+    val dir = java.nio.file.Paths.get("target", "fixtures", "delta_oracle_v2cp")
+    val log = dir.resolve("_delta_log")
+    val scDir = log.resolve("_sidecars")
+    java.nio.file.Files.createDirectories(scDir)
+    def jsonParquet(target: java.nio.file.Path, lines: Seq[String]): Unit = {
+      if (!java.nio.file.Files.exists(target)) {
+        import s.implicits._
+        val tmpOut = java.nio.file.Files.createTempDirectory(
+          target.getParent, ".build").toString
+        s.read.json(s.createDataset(lines))
+          .coalesce(1).write.mode("overwrite").parquet(tmpOut)
+        val part = new java.io.File(tmpOut).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath
+        try java.nio.file.Files.move(part, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(tmpOut)).iterator()
+          .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists)
+      }
+    }
+    // file actions split across TWO sidecars — the union is the point
+    jsonParquet(scDir.resolve("sc-1.parquet"), Seq(
+      deltaAdd("part-00000", 1000, 100, "s0"),
+      deltaAdd("part-00001", 9999, 555, "s1")))
+    jsonParquet(scDir.resolve("sc-2.parquet"), Seq(
+      deltaAdd("part-00003", 1051, 103, "s1"),
+      deltaRemove("part-00002")))
+    jsonParquet(
+      log.resolve(f"${2L}%020d.checkpoint.1c2d3e4f-5a6b-4c8d-9e0f-a1b2c3d4e5f6.parquet"),
+      Seq(DeltaMeta, DeltaProto,
+        """{"checkpointMetadata":{"version":2}}""",
+        """{"sidecar":{"path":"sc-1.parquet","sizeInBytes":1,"modificationTime":1}}""",
+        """{"sidecar":{"path":"sc-2.parquet","sizeInBytes":1,"modificationTime":1}}"""))
+    val lastCp = log.resolve("_last_checkpoint")
+    if (!java.nio.file.Files.exists(lastCp)) {
+      val tmp = java.nio.file.Files.createTempFile(log, ".lastcp", ".tmp")
+      java.nio.file.Files.write(tmp, """{"version":2}""".getBytes)
       try java.nio.file.Files.move(tmp, lastCp,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.FileAlreadyExistsException =>
@@ -5144,6 +5210,19 @@ object PipelineQueries extends QuerySet {
     // version (2) — a checkpoint collapses per-commit provenance, the
     // documented semantic the pin makes explicit
     "q258_delta_checkpoint" ->
+      """SELECT * FROM (VALUES
+        |  ('part-00000', CAST(2222 AS BIGINT), CAST(1700000002222 AS BIGINT),
+        |     CAST(222 AS BIGINT), 'src=s0', CAST(3 AS BIGINT),
+        |     CAST(NULL AS BIGINT), CAST(222 AS BIGINT)),
+        |  ('part-00001', 9999, 1700000009999, 555, 'src=s1', 2, NULL, 555),
+        |  ('part-00003', 1051, 1700000001051, 103, 'src=s1', 2, NULL, 103),
+        |  ('part-00004', 1085, 1700000001085, 105, 'src=s1', 3, NULL, 105))
+        |AS t(path, size, mod_time, num_records, "partition", version_added,
+        |     dv_cardinality, live_records)
+        |ORDER BY path""".stripMargin,
+    // the V2-checkpoint twin lands on the IDENTICAL live set — main
+    // file + sidecars union to exactly the classic checkpoint's state
+    "q287_delta_v2_checkpoint" ->
       """SELECT * FROM (VALUES
         |  ('part-00000', CAST(2222 AS BIGINT), CAST(1700000002222 AS BIGINT),
         |     CAST(222 AS BIGINT), 'src=s0', CAST(3 AS BIGINT),

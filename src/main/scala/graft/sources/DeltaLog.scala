@@ -38,12 +38,19 @@ import org.apache.spark.sql.types._
   * BEFORE the checkpoint still requires the JSON commits from 0 and
   * fails loud when the log was cleaned past them.
   *
-  * Scope contract (documented, not hidden): CRC and sidecar files are
-  * ignored; v2 checkpoints' sidecar actions are out of scope (classic
-  * single/multi-part checkpoints only); lines that parse to none of
-  * the known actions (commitInfo, txn, unknown/future actions,
-  * malformed JSON) are ignored for file reconciliation, exactly as the
-  * protocol directs readers to treat unrecognized actions.
+  * V2 CHECKPOINTS (UUID-named `%020d.checkpoint.<uuid>.parquet`) are
+  * honored alongside the classic layouts: the main file carries the
+  * non-file actions and `sidecar` pointers, the file actions live in
+  * parquet sidecars under `_delta_log/_sidecars/`, and a checkpoint
+  * with any missing sidecar is torn — same JSON-log fallback as a torn
+  * multi-part.
+  *
+  * Scope contract (documented, not hidden): CRC files are ignored; the
+  * JSON flavor of v2 checkpoint mains is out of scope (parquet mains
+  * only); lines that parse to none of the known actions (commitInfo,
+  * txn, checkpointMetadata, unknown/future actions, malformed JSON)
+  * are ignored for file reconciliation, exactly as the protocol
+  * directs readers to treat unrecognized actions.
   */
 object DeltaLog {
 
@@ -147,6 +154,48 @@ object DeltaLog {
       .filter(fs.exists).map(p => fs.makeQualified(p).toString)
   }
 
+  /** A usable checkpoint baseline at version `v`: the classic layout
+    * when complete, else the V2 layout — a UUID-named
+    * `%020d.checkpoint.<uuid>.parquet` whose file actions live in
+    * SIDECAR parquet files under `_delta_log/_sidecars/`. A v2
+    * checkpoint with ANY missing sidecar is torn and yields None (the
+    * same fall-back-to-JSON discipline as a torn multi-part classic
+    * checkpoint — a partial baseline must never replay).
+    */
+  private final case class Cp(version: Long, files: Seq[String],
+                              sidecars: Seq[String])
+
+  private def findCheckpoint(spark: SparkSession, tableDir: String,
+                             v: Long, parts: Int): Option[Cp] = {
+    val classic = checkpointFiles(spark, tableDir, v, parts)
+    val expect = if (parts <= 1) 1 else parts
+    if (classic.length == expect) return Some(Cp(v, classic, Nil))
+    val logDir = new Path(tableDir, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val V2Name = (f"$v%020d" + "\\.checkpoint\\.[A-Za-z0-9-]+\\.parquet").r
+    val v2 =
+      if (!fs.exists(logDir)) None
+      else fs.listStatus(logDir).toSeq.filter(_.isFile)
+        .map(_.getPath).filter(p => V2Name.pattern.matcher(p.getName).matches())
+        .sortBy(_.getName).headOption
+    v2.flatMap { f =>
+      val main = fs.makeQualified(f).toString
+      // the sidecar list is metadata-sized; a sidecar action's path is
+      // relative to _delta_log/_sidecars/
+      val sidecarRel = {
+        val raw = spark.read.parquet(main)
+        if (!raw.columns.contains("sidecar")) Nil
+        else raw.select(col("sidecar.path").as("p"))
+          .where(col("p").isNotNull).collect().map(_.getString(0)).toSeq
+      }
+      val scDir = new Path(logDir, "_sidecars")
+      val abs = sidecarRel.map(p => new Path(scDir, p))
+      if (abs.forall(fs.exists))
+        Some(Cp(v, Seq(main), abs.map(p => fs.makeQualified(p).toString)))
+      else None // torn v2 checkpoint: fall back to the JSON log
+    }
+  }
+
   /** Raw action rows `(version, ordinal, <action struct columns>)` up to
     * and including `asOf` (all versions when None). One task per commit
     * file; lines keep their in-file order as `ordinal` — the protocol's
@@ -165,17 +214,13 @@ object DeltaLog {
                                useCheckpoint: Boolean): DataFrame = {
     val cp = (if (useCheckpoint) lastCheckpoint(spark, tableDir) else None)
       .filter { case (v, _) => asOf.forall(_ >= v) }
-      .flatMap { case (v, parts) =>
-        val files = checkpointFiles(spark, tableDir, v, parts)
-        val expect = if (parts <= 1) 1 else parts
-        if (files.length == expect) Some((v, files)) else None // torn checkpoint: fall back
-      }
+      .flatMap { case (v, parts) => findCheckpoint(spark, tableDir, v, parts) }
     val commits0 = listCommits(spark, tableDir)
     val commits = (asOf, cp) match {
-      case (Some(v), Some((cv, _))) => commits0.filter(c => c._1 > cv && c._1 <= v)
-      case (Some(v), None)          => commits0.filter(_._1 <= v)
-      case (None, Some((cv, _)))    => commits0.filter(_._1 > cv)
-      case (None, None)             => commits0
+      case (Some(v), Some(c)) => commits0.filter(x => x._1 > c.version && x._1 <= v)
+      case (Some(v), None)    => commits0.filter(_._1 <= v)
+      case (None, Some(c))    => commits0.filter(_._1 > c.version)
+      case (None, None)       => commits0
     }
     // without a usable checkpoint baseline, the JSON replay must start at
     // version 0 — a pre-checkpoint time travel over a CLEANED log (or any
@@ -197,7 +242,7 @@ object DeltaLog {
     // (0, or checkpointVersion+1): a gap mid-log (an expired or lost
     // commit between surviving ones) would silently replay a wrong
     // snapshot — reference Delta readers fail loud on non-contiguity
-    val expectedStart = cp.map(_._1 + 1).getOrElse(0L)
+    val expectedStart = cp.map(_.version + 1).getOrElse(0L)
     commits.map(_._1).foldLeft(expectedStart) { (want, got) =>
       if (got != want)
         throw new IllegalArgumentException(
@@ -206,13 +251,21 @@ object DeltaLog {
             "expired or is missing)")
       got + 1
     }
-    val cpDf = cp.map { case (cv, files) =>
-      val raw = spark.read.parquet(files: _*)
-      val keep = Seq("add", "remove", "metaData", "protocol", "commitInfo")
-        .filter(raw.columns.contains(_))
-      raw.select(org.apache.spark.sql.functions.to_json(
-          org.apache.spark.sql.functions.struct(keep.map(col): _*)).as("line"))
-        .select(lit(cv).as("version"), lit(0L).as("ordinal"), col("line"))
+    val cpDf = cp.map { c =>
+      // checkpoint rows (classic parts, a v2 main file, or v2 sidecars)
+      // all normalize through the same to_json/from_json decode; v2's
+      // own checkpointMetadata/sidecar actions fall outside `keep` and
+      // never reach file reconciliation
+      def linesOf(paths: Seq[String]): DataFrame = {
+        val raw = spark.read.parquet(paths: _*)
+        val keep = Seq("add", "remove", "metaData", "protocol", "commitInfo")
+          .filter(raw.columns.contains(_))
+        raw.select(org.apache.spark.sql.functions.to_json(
+            org.apache.spark.sql.functions.struct(keep.map(col): _*)).as("line"))
+          .select(lit(c.version).as("version"), lit(0L).as("ordinal"), col("line"))
+      }
+      val main = linesOf(c.files)
+      if (c.sidecars.isEmpty) main else main.unionByName(linesOf(c.sidecars))
     }
     if (commits.isEmpty)
       return finishActions(cpDf.get)

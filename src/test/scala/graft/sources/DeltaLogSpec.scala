@@ -152,6 +152,59 @@ class DeltaLogSpec extends SparkSpec {
     assert(e.getMessage.contains("cleaned"))
   }
 
+  test("V2 checkpoint: main + sidecars replay; torn sidecar falls back") {
+    val dir = writeFixture()
+    val log = java.nio.file.Paths.get(dir, "_delta_log")
+    // drop the fixture's decoy 1-byte classic checkpoint — this test's
+    // checkpoint at v2 is the V2 layout alone
+    java.nio.file.Files.delete(
+      log.resolve(f"${2L}%020d.checkpoint.parquet"))
+    val scDir = log.resolve("_sidecars")
+    java.nio.file.Files.createDirectories(scDir)
+    import spark.implicits._
+    def jsonParquet(target: java.nio.file.Path, lines: Seq[String]): Unit = {
+      val tmpOut = java.nio.file.Files.createTempDirectory("v2cp").toString
+      spark.read.json(spark.createDataset(lines))
+        .coalesce(1).write.mode("overwrite").parquet(tmpOut)
+      val part = new java.io.File(tmpOut).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.move(part, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // the v2 layout: file actions in TWO sidecars, non-file actions +
+    // sidecar pointers in the UUID-named main file
+    jsonParquet(scDir.resolve("sc-a.parquet"), Seq(
+      add("part-00000", 1000, 100, "s0"),
+      add("part-00001", 9999, 555, "s1")))
+    jsonParquet(scDir.resolve("sc-b.parquet"), Seq(
+      add("part-00003", 1051, 103, "s1"), remove("part-00002")))
+    jsonParquet(
+      log.resolve(f"${2L}%020d.checkpoint.0a1b2c3d-1111-4222-8333-944445555666.parquet"),
+      Seq(meta, proto, """{"checkpointMetadata":{"version":2}}""",
+        """{"sidecar":{"path":"sc-a.parquet","sizeInBytes":1,"modificationTime":1}}""",
+        """{"sidecar":{"path":"sc-b.parquet","sizeInBytes":1,"modificationTime":1}}"""))
+    java.nio.file.Files.write(log.resolve("_last_checkpoint"),
+      """{"version":2}""".getBytes)
+    // with the FULL JSON log intact, the v2 checkpoint must agree with
+    // the pure-JSON replay on the latest snapshot
+    val fromJson = DeltaLog.snapshot(spark, dir).orderBy("path").collect()
+    // clean the pre-checkpoint commits: replay = v2 main + sidecars + v3
+    Seq(0L, 1L, 2L).foreach(v =>
+      java.nio.file.Files.delete(log.resolve(f"$v%020d.json")))
+    val fromV2 = DeltaLog.snapshot(spark, dir).orderBy("path").collect()
+    assert(fromV2.map(_.getString(0)).toSeq ===
+      Seq("part-00000", "part-00001", "part-00003", "part-00004"))
+    // same live set and per-file facts modulo version_added provenance
+    // collapse (checkpoint-baseline files read as version 2)
+    assert(fromV2.map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+      === fromJson.map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq)
+    // a TORN v2 checkpoint (missing sidecar) over a cleaned log cannot
+    // fall back to JSON — it must fail loud, never replay a partial set
+    java.nio.file.Files.delete(scDir.resolve("sc-b.parquet"))
+    val e = intercept[IllegalArgumentException](DeltaLog.snapshot(spark, dir))
+    assert(e.getMessage.contains("cleaned") || e.getMessage.contains("commits"))
+  }
+
   test("non-contiguous log fails loud (gap mid-log, gap after checkpoint)") {
     // gap mid-log: commits 0,1,3 with 2 expired — a silent replay here
     // would produce a wrong snapshot (v2's re-add/remove never applied)
