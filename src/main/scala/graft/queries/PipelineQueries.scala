@@ -4061,6 +4061,41 @@ object PipelineQueries extends QuerySet {
       icebergAccountingRollup(s, t)
     }),
 
+    // DATA SKIPPING end to end: orders written as FOUR one-file range
+    // slices (a clustered table with known per-file bounds), then read
+    // through readTableWhere — the per-column stats in each add action
+    // prune 3 of the 4 files before the scan, and the answer must
+    // still hash-match DuckDB's full-scan filter. At 100 TB this is
+    // the metadata-vs-data line: the skipping decision costs the live
+    // list, never the table.
+    "q288_delta_skipping" -> ((s, dir) => {
+      val t = freshTmpDir("delta_skipping")
+      deltaClusteredOrders(s, dir, t)
+      val maxKey = graft.Tables.load(s, dir, "orders")
+        .agg(max("o_orderkey")).head.getLong(0)
+      graft.sources.DeltaLog.readTableWhere(s, t,
+        s"o_orderkey <= ${maxKey / 8} AND o_totalprice > 1000")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // The skipping DECISION itself, oracled: per-file verdicts for a
+    // range predicate rolled up to (files_total, files_kept,
+    // rows_in_kept) — DuckDB recomputes the same verdicts from each
+    // range slice's true min/max. Proves the pruning is exactly
+    // "min <= threshold", not an approximation that happens to pass.
+    "q289_delta_skipping_report" -> ((s, dir) => {
+      val t = freshTmpDir("delta_skipping_rep")
+      deltaClusteredOrders(s, dir, t)
+      val maxKey = graft.Tables.load(s, dir, "orders")
+        .agg(max("o_orderkey")).head.getLong(0)
+      graft.sources.DeltaLog.skippingReport(s, t, s"o_orderkey <= ${maxKey / 8}")
+        .agg(count(lit(1)).as("files_total"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("files_kept"),
+          sum(when(col("kept"), col("num_records")).otherwise(0L))
+            .as("rows_in_kept"))
+    }),
+
     // the Iceberg schema report (DELTA SCHEMA's twin, via the ICEBERG
     // SCHEMA statement): Iceberg's stable FIELD IDS — its answer to
     // Delta's column mapping — plus rendered nested types, straight
@@ -4421,6 +4456,21 @@ object PipelineQueries extends QuerySet {
     * and recreated per call so the writer runs live every time (a
     * build-once fixture would exercise it exactly once, ever).
     */
+  /** Write `orders` as a fresh Delta table of FOUR one-file range
+    * slices over o_orderkey (bucket = o_orderkey*4 div (max+1)) — a
+    * clustered layout whose per-file min/max bounds are known to the
+    * oracle, so skipping decisions are themselves verifiable in SQL.
+    */
+  private def deltaClusteredOrders(s: org.apache.spark.sql.SparkSession,
+                                   dir: String, t: String): Unit = {
+    val orders = graft.Tables.load(s, dir, "orders")
+    val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+    def slice(b: Int) =
+      orders.where(expr(s"o_orderkey * 4 DIV ${maxKey + 1} = $b")).coalesce(1)
+    graft.sources.DeltaWrite.createTable(s, slice(0), t)
+    (1 to 3).foreach(b => graft.sources.DeltaWrite.append(s, slice(b), t))
+  }
+
   private def freshTmpDir(name: String): String = {
     val dir = java.nio.file.Paths.get("target", "tmp", name)
     if (java.nio.file.Files.exists(dir)) {
@@ -5233,6 +5283,24 @@ object PipelineQueries extends QuerySet {
         |AS t(path, size, mod_time, num_records, "partition", version_added,
         |     dv_cardinality, live_records)
         |ORDER BY path""".stripMargin,
+    // Data skipping: the pruned read must equal the full-scan filter.
+    "q288_delta_skipping" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey <= (SELECT max(o_orderkey) // 8 FROM orders)
+        |  AND o_totalprice > 1000
+        |ORDER BY o_orderkey""".stripMargin,
+    // The skipping decision recomputed from each range slice's true
+    // bounds: a file survives "o_orderkey <= T" iff its min <= T.
+    "q289_delta_skipping_report" ->
+      """WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+        |k AS (SELECT o_orderkey * 4 // (mx + 1) AS bkt,
+        |             min(o_orderkey) AS lo, count(*) AS n
+        |      FROM orders, m GROUP BY 1)
+        |SELECT (SELECT count(*) FROM k) AS files_total,
+        |       CAST(count(*) FILTER (WHERE lo <= mx // 8) AS BIGINT) AS files_kept,
+        |       CAST(coalesce(sum(n) FILTER (WHERE lo <= mx // 8), 0) AS BIGINT)
+        |         AS rows_in_kept
+        |FROM k, m GROUP BY mx""".stripMargin,
     // Iceberg fixture pins: every value restated from the hand-built
     // scenario (table-relative paths keep the pins CWD-independent).
     // Live set at the current snapshot (1002): f2 deleted by the

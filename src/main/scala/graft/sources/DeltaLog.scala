@@ -445,7 +445,56 @@ object DeltaLog {
     * partition values are decoded from their canonical string form.
     */
   def readTable(spark: SparkSession, tableDir: String,
-                asOf: Option[Long] = None): DataFrame = {
+                asOf: Option[Long] = None): DataFrame =
+    readTableCore(spark, tableDir, asOf, None).drop("_rel_path")
+
+  /** [[readTable]] with DATA SKIPPING: `predicateSql` prunes the live
+    * file list through each add's per-column stats BEFORE the scan
+    * ([[DeltaStats.mayMatch]] — sound: only provably-non-matching files
+    * drop), then applies the same predicate to the surviving rows. At
+    * 100 TB this is the difference between scanning a clustered
+    * table's one file and scanning all of them.
+    */
+  def readTableWhere(spark: SparkSession, tableDir: String,
+                     predicateSql: String,
+                     asOf: Option[Long] = None): DataFrame =
+    readTableCore(spark, tableDir, asOf, Some(predicateSql))
+      .drop("_rel_path").where(predicateSql)
+
+  /** One row per LIVE file with the skipping verdict for
+    * `predicateSql`: `path`, `num_records`, `kept` (true = the stats
+    * cannot rule the file out). The decision input is the metadata-
+    * sized live list — no data read.
+    */
+  def skippingReport(spark: SparkSession, tableDir: String,
+                     predicateSql: String,
+                     asOf: Option[Long] = None): DataFrame = {
+    val (schema, partCols, mapping) = liveFileMapping(spark, tableDir, asOf)
+    mapping
+      .withColumn("kept", DeltaStats.mayMatch(spark, predicateSql, schema, partCols))
+      .select(col("_rel_path").as("path"),
+        col("_st.numRecords").as("num_records"), col("kept"))
+  }
+
+  /** The live-file mapping DataFrame readTable joins against: one row
+    * per live file with `_uri_path`, `_rel_path`, decoded stats struct
+    * `_st` and `_part_<c>` partition-value strings. Metadata-sized.
+    */
+  private def liveFileMapping(spark: SparkSession, tableDir: String,
+                              asOf: Option[Long])
+      : (StructType, Seq[String], DataFrame) = {
+    val (schema, partCols, _, mapping) = tableState(spark, tableDir, asOf)
+    (schema, partCols, mapping)
+  }
+
+  /** Everything a reader needs at `asOf`: schema, partition columns,
+    * column-mapping mode, and the live-file mapping DataFrame
+    * (`_uri_path`, `_rel_path`, `_abs_path`, decoded stats struct
+    * `_st`, `_part_<c>` strings) — all driver-built, metadata-sized.
+    */
+  private def tableState(spark: SparkSession, tableDir: String,
+                         asOf: Option[Long])
+      : (StructType, Seq[String], String, DataFrame) = {
     val acts = actions(spark, tableDir, asOf)
     val metaRow = acts.where(col("metaData.schemaString").isNotNull)
       .orderBy(col("version").desc, col("ordinal").desc)
@@ -459,14 +508,10 @@ object DeltaLog {
     val partCols = Option(metaRow.getSeq[String](1)).getOrElse(Seq.empty)
     val mode = Option(metaRow.getMap[String, String](2))
       .flatMap(_.get("delta.columnMapping.mode")).getOrElse("none")
-    def physicalOf(f: StructField): String =
-      if (mode != "none" && f.metadata.contains("delta.columnMapping.physicalName"))
-        f.metadata.getString("delta.columnMapping.physicalName")
-      else f.name
-    // live file list + per-file partition values: metadata-sized. The
-    // reconciliation fold is snapshot()'s, but the add's partitionValues
-    // MAP is carried through verbatim — round-tripping the rendered
-    // 'k=v/k=v' string would mis-split any value containing '/'
+    // live file list + per-file partition values + stats: metadata-
+    // sized. The reconciliation fold is snapshot()'s, but the add's
+    // partitionValues MAP is carried through verbatim — round-tripping
+    // the rendered 'k=v/k=v' string would mis-split a '/' in a value
     val live = {
       val fileActs = acts
         .where(col("add.path").isNotNull || col("remove.path").isNotNull)
@@ -474,16 +519,14 @@ object DeltaLog {
           coalesce(col("add.path"), col("remove.path")).as("path"),
           col("add.path").isNotNull.as("is_add"),
           col("version"), col("ordinal"),
-          col("add.partitionValues").as("pv"))
+          col("add.partitionValues").as("pv"),
+          col("add.stats").as("stats"))
       val w = Window.partitionBy("path")
         .orderBy(col("version").desc, col("ordinal").desc)
       fileActs.withColumn("_rn", row_number().over(w))
         .where(col("_rn") === 1 && col("is_add"))
-        .select("path", "pv").collect()
+        .select("path", "pv", "stats").collect()
     }
-    if (live.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val fsRoot = new Path(tableDir)
     val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mapRows = live.toSeq.map { r =>
@@ -491,28 +534,64 @@ object DeltaLog {
       // getRawPath, not getPath: Spark's _metadata.file_path is the
       // URL-ENCODED URI form (a '%' in a partition dir name arrives as
       // %25), and the decoded form would never join against it
-      val uriPath = fs.makeQualified(new Path(fsRoot, rel)).toUri.getRawPath
+      val q = fs.makeQualified(new Path(fsRoot, rel))
       val partVals =
         if (r.isNullAt(1)) Map.empty[String, String]
         else r.getMap[String, String](1)
       org.apache.spark.sql.Row.fromSeq(
-        uriPath +: rel +: partCols.map(c => partVals.getOrElse(c, null)))
+        q.toUri.getRawPath +: rel +: q.toString +:
+          (if (r.isNullAt(2)) null else r.getString(2)) +:
+          partCols.map(c => partVals.getOrElse(c, null)))
     }
     val mapSchema = StructType(
       StructField("_uri_path", StringType, nullable = false) +:
         StructField("_rel_path", StringType, nullable = false) +:
+        StructField("_abs_path", StringType, nullable = false) +:
+        StructField("_stats", StringType, nullable = true) +:
         partCols.map(c => StructField(s"_part_$c", StringType, nullable = true)))
+    val dataSchema = StructType(
+      schema.fields.filterNot(f => partCols.contains(f.name)))
     val mapping = spark.createDataFrame(
       spark.sparkContext.parallelize(mapRows, 1), mapSchema)
+      .withColumn("_st",
+        from_json(col("_stats"), DeltaStats.statsStructSchema(dataSchema)))
+    (schema, partCols, mode, mapping)
+  }
+
+  /** [[readTable]]'s engine, keeping `_rel_path` (which live file each
+    * row came from) for the DML rewrites in [[DeltaWrite]]. `where`
+    * prunes files through their stats before the scan; row-level
+    * filtering stays the caller's job.
+    */
+  private[sources] def readTableCore(spark: SparkSession, tableDir: String,
+                                     asOf: Option[Long],
+                                     where: Option[String]): DataFrame = {
+    val (schema, partCols, mode, mapping0) = tableState(spark, tableDir, asOf)
+    def physicalOf(f: StructField): String =
+      if (mode != "none" && f.metadata.contains("delta.columnMapping.physicalName"))
+        f.metadata.getString("delta.columnMapping.physicalName")
+      else f.name
+    val mapping = where match {
+      case Some(p) =>
+        mapping0.where(DeltaStats.mayMatch(spark, p, schema, partCols))
+      case None => mapping0
+    }
+    // the kept file list is metadata-sized (it IS the scan's path list)
+    val kept = mapping.select("_abs_path").collect().map(_.getString(0))
+    val outFields = schema.fields.toSeq :+
+      StructField("_rel_path", StringType, nullable = false)
+    if (kept.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(outFields))
     val dataFields = schema.fields.filterNot(f => partCols.contains(f.name))
-    val raw = spark.read
-      .parquet(live.map(r =>
-        fs.makeQualified(new Path(fsRoot, r.getString(0))).toString).distinct: _*)
+    val raw = spark.read.parquet(kept.distinct.toSeq: _*)
       .select(
         dataFields.toSeq.map(f => col(s"`${physicalOf(f)}`").as(f.name)) ++
           Seq(UriPaths.pathOnly(col("_metadata.file_path")).as("_uri_path"),
             col("_metadata.row_index").as("_row_index")): _*)
-    val withParts = raw.join(broadcast(mapping), Seq("_uri_path"), "inner")
+    val joinSide = mapping.drop("_abs_path", "_stats", "_st")
+    val withParts = raw.join(broadcast(joinSide), Seq("_uri_path"), "inner")
     // DV application: drop (file, row_index) pairs the live DVs delete
     val dels = deletedRows(spark, tableDir, asOf)
       .withColumnRenamed("path", "_rel_path")
@@ -523,7 +602,7 @@ object DeltaLog {
       if (partCols.contains(f.name))
         col(s"_part_${f.name}").cast(f.dataType).as(f.name)
       else col(f.name)
-    }: _*)
+    } :+ col("_rel_path"): _*)
   }
 
   /** Column-mapping-aware schema report at `asOf`: one row per top-

@@ -1,0 +1,373 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression => CExpr, _}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.ParquetFooter
+
+/** Per-file column statistics for the Delta door — the WRITE side
+  * (encode a file's footer min/max/nullCount into the add action's
+  * `stats` JSON, per the PUBLIC Delta protocol's per-column stats
+  * shape) and the READ side (translate a query predicate into a
+  * MAY-MATCH test over those stats, so [[DeltaLog.readTable]] prunes
+  * files before the scan — data skipping).
+  *
+  * Why this is the 100 TB lever: partition pruning only cuts along the
+  * partition axis; per-file min/max stats cut along EVERY indexed
+  * column, and after a clustering rewrite (Z-order) they cut along
+  * several at once. The skipping decision runs over the metadata-sized
+  * live-file list — never the data — and is SOUND by construction: a
+  * file is dropped only when the stats PROVE no row can satisfy the
+  * predicate (truncation-safe: parquet writers truncate min DOWN and
+  * max UP, so the proved range only widens).
+  *
+  * Stats are emitted for top-level scalar columns of integral, float/
+  * double, boolean, string, date and (micros/millis) timestamp type;
+  * nested, binary and decimal columns carry no stats and are never
+  * skipped on. An all-null column appears in `nullCount` only. NaN in
+  * a float/double column suppresses that column's min/max (the parquet
+  * sort-order rule readers must assume anyway).
+  */
+object DeltaStats {
+
+  // ------------------------------------------------------ WRITE side
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case '\r'         => "\\r"
+      case '\t'         => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
+
+  /** A decoded per-column bound in its JSON rendering, with the typed
+    * value kept alongside for cross-row-group min/max folding.
+    */
+  private sealed trait Bound { def json: String }
+  private final case class LongBound(v: Long, json: String) extends Bound
+  private final case class DoubleBound(v: Double, json: String) extends Bound
+  private final case class StringBound(v: String, json: String) extends Bound
+
+  private def ordMin(a: Bound, b: Bound): Bound = (a, b) match {
+    case (x: LongBound, y: LongBound)     => if (x.v <= y.v) x else y
+    case (x: DoubleBound, y: DoubleBound) => if (x.v <= y.v) x else y
+    case (x: StringBound, y: StringBound) => if (x.v <= y.v) x else y
+    case _                                => a
+  }
+  private def ordMax(a: Bound, b: Bound): Bound = (a, b) match {
+    case (x: LongBound, y: LongBound)     => if (x.v >= y.v) x else y
+    case (x: DoubleBound, y: DoubleBound) => if (x.v >= y.v) x else y
+    case (x: StringBound, y: StringBound) => if (x.v >= y.v) x else y
+    case _                                => a
+  }
+
+  /** Decode one chunk-stats value for `dt`; None when the physical
+    * bytes don't carry a usable bound for that logical type.
+    */
+  private def decode(dt: DataType, bytes: Array[Byte], physTyp: Int,
+                     converted: Option[Int]): Option[Bound] = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      ParquetFooter.statLong(bytes, physTyp).map(v => LongBound(v, v.toString))
+    case BooleanType =>
+      ParquetFooter.statLong(bytes, physTyp)
+        .map(v => LongBound(v, if (v != 0L) "true" else "false"))
+    case FloatType | DoubleType =>
+      ParquetFooter.statDouble(bytes, physTyp)
+        .filter(v => !v.isNaN && !v.isInfinite)
+        .map { v =>
+          val r = if (dt == FloatType) v.toFloat.toString else v.toString
+          DoubleBound(v, r)
+        }
+    case StringType =>
+      ParquetFooter.statString(bytes, physTyp).map(s => StringBound(s, jstr(s)))
+    case DateType =>
+      ParquetFooter.statLong(bytes, physTyp).filter(_ => physTyp == 1)
+        .map { days =>
+          LongBound(days, jstr(java.time.LocalDate.ofEpochDay(days).toString))
+        }
+    case TimestampType if physTyp == 2 =>
+      // INT64 micros (converted TIMESTAMP_MICROS=10) or millis (=9);
+      // INT96 never reaches here (physTyp 3) — its stats are unordered
+      // per the parquet spec and writers omit them
+      ParquetFooter.statLong(bytes, physTyp).flatMap { raw =>
+        val micros = converted match {
+          case Some(9) => raw * 1000L
+          case _       => raw
+        }
+        val secs = Math.floorDiv(micros, 1000000L)
+        val frac = Math.floorMod(micros, 1000000L)
+        val inst = java.time.Instant.ofEpochSecond(secs, frac * 1000L)
+        Some(LongBound(micros, jstr(
+          java.time.format.DateTimeFormatter.ISO_INSTANT.format(inst))))
+      }
+    case _ => None
+  }
+
+  /** Render the Delta `stats` JSON for one data file from its parsed
+    * footer: numRecords always; minValues/maxValues/nullCount for the
+    * supported scalar columns of `dataSchema` (the table schema minus
+    * partition columns — exactly what the file stores). Bounds fold
+    * across row groups; a column any of whose chunks lacks a bound is
+    * dropped from that bound map (conservative: no claim, no skip).
+    */
+  def statsJson(meta: ParquetFooter.FileMeta, dataSchema: StructType): String = {
+    // top-level SchemaEl per field name (root is schema(0); children of
+    // the root follow in order, each consuming its own subtree)
+    val topEls: Map[String, ParquetFooter.SchemaEl] = {
+      val els = meta.schema
+      if (els.isEmpty) Map.empty
+      else {
+        val out = scala.collection.mutable.Map.empty[String, ParquetFooter.SchemaEl]
+        var i = 1
+        def subtree(j: Int): Int = {
+          val n = els(j).numChildren.getOrElse(0)
+          var k = j + 1
+          (0 until n).foreach(_ => k = subtree(k))
+          k
+        }
+        while (i < els.length) { out(els(i).name) = els(i); i = subtree(i) }
+        out.toMap
+      }
+    }
+    val mins = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val maxs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val nulls = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    dataSchema.fields.foreach { f =>
+      val chunks = meta.rowGroups.flatMap(_.columns.filter(_.path == Seq(f.name)))
+      if (chunks.nonEmpty) {
+        val conv = topEls.get(f.name).flatMap(_.converted)
+        val stats = chunks.map(_.stats)
+        if (stats.forall(s => s.exists(_.nullCount.isDefined)))
+          nulls(f.name) = stats.map(_.get.nullCount.get).sum
+        // bounds only when EVERY non-all-null chunk carries one
+        val nonNullChunks = chunks.filterNot { c =>
+          c.stats.exists(s => s.nullCount.contains(c.numValues))
+        }
+        val lo = nonNullChunks.map(c => c.stats.flatMap(_.minBytes)
+          .flatMap(b => decode(f.dataType, b, c.typ, conv)))
+        val hi = nonNullChunks.map(c => c.stats.flatMap(_.maxBytes)
+          .flatMap(b => decode(f.dataType, b, c.typ, conv)))
+        if (nonNullChunks.nonEmpty && lo.forall(_.isDefined) && hi.forall(_.isDefined)) {
+          mins(f.name) = lo.flatten.reduce(ordMin).json
+          maxs(f.name) = hi.flatten.reduce(ordMax).json
+        }
+      }
+    }
+    def obj(m: scala.collection.Map[String, String]): String =
+      m.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val parts = Seq(s""""numRecords":${meta.numRows}""") ++
+      (if (mins.nonEmpty) Seq(s""""minValues":${obj(mins)}""") else Nil) ++
+      (if (maxs.nonEmpty) Seq(s""""maxValues":${obj(maxs)}""") else Nil) ++
+      (if (nulls.nonEmpty)
+        Seq(s""""nullCount":${obj(nulls.map { case (k, v) => k -> v.toString })}""")
+      else Nil)
+    parts.mkString("{", ",", "}")
+  }
+
+  /** Column types the stats/skipping machinery understands. */
+  def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType |
+         FloatType | DoubleType | StringType | DateType | TimestampType => true
+    case _ => false
+  }
+
+  // ------------------------------------------------------- READ side
+
+  /** The typed `from_json` schema for an add action's stats string,
+    * restricted to the supported scalar columns of `dataSchema`.
+    */
+  def statsStructSchema(dataSchema: StructType): StructType = {
+    val scalars = dataSchema.fields.filter(f => supported(f.dataType))
+    StructType(Seq(
+      StructField("numRecords", LongType),
+      StructField("minValues", StructType(scalars.map(f => StructField(f.name, f.dataType)).toSeq)),
+      StructField("maxValues", StructType(scalars.map(f => StructField(f.name, f.dataType)).toSeq)),
+      StructField("nullCount", StructType(scalars.map(f => StructField(f.name, LongType)).toSeq))))
+  }
+
+  /** Per-file bound accessors the translator closes over: min/max/
+    * nullCount/numRecords as Columns over a metadata-sized file list.
+    */
+  final case class FileBounds(minOf: String => Column, maxOf: String => Column,
+                              nullCntOf: String => Column, numRecords: Column)
+
+  /** Bounds over [[DeltaLog.readTable]]'s mapping DataFrame: `_st` is
+    * the decoded stats struct; `_part_<c>` columns carry partition
+    * values (exact per file — min = max = the value).
+    */
+  def boundsOver(schema: StructType, partCols: Seq[String]): FileBounds = {
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    def colType(c: String): Option[DataType] =
+      byName.get(c).map(_.dataType).filter(supported)
+    def statField(side: String, c: String): Column =
+      if (partCols.contains(c))
+        colType(c).map(dt => col(s"_part_$c").cast(dt)).getOrElse(lit(null))
+      else if (colType(c).isDefined) col(s"_st.$side.`$c`")
+      else lit(null)
+    FileBounds(
+      minOf = c => statField("minValues", c),
+      maxOf = c => statField("maxValues", c),
+      nullCntOf = c =>
+        if (partCols.contains(c))
+          when(col(s"_part_$c").isNull, col("_st.numRecords")).otherwise(lit(0L))
+        else col(s"_st.nullCount.`$c`"),
+      numRecords = col("_st.numRecords"))
+  }
+
+  /** Translate `predicateSql` into a MAY-MATCH Column over a file-list
+    * DataFrame carrying [[FileBounds]]: true ⇒ the file might hold a
+    * matching row (keep), false ⇒ the stats PROVE it cannot (skip).
+    * Every leaf degrades to keep when its bound is NULL (absent stats,
+    * unsupported type, unknown expression shape) — skipping is an
+    * optimization, never a filter.
+    */
+  def mayMatch(spark: SparkSession, predicateSql: String,
+               schema: StructType, partCols: Seq[String]): Column = {
+    val b = boundsOver(schema, partCols)
+    val parsed = spark.sessionState.sqlParser.parseExpression(predicateSql)
+    may(parsed, b)
+  }
+
+  private def keep(c: Column): Column = coalesce(c, lit(true))
+
+  /** MAY a value with prefix `p` exist in [min, max]? Only when `p`
+    * sits between the same-length prefixes of the two bounds.
+    */
+  private def prefixMay(c: String, p: Literal, b: FileBounds): Column = {
+    val pref = scalaLit(p)
+    val n = length(pref)
+    keep(b.minOf(c).substr(lit(1), n) <= pref &&
+      b.maxOf(c).substr(lit(1), n) >= pref)
+  }
+
+  private def scalaLit(l: Literal): Column =
+    lit(CatalystTypeConverters.convertToScala(l.value, l.dataType))
+
+  /** (column name, literal, flipped?) from a binary comparison's two
+    * sides, when one side is a bare attribute and the other foldable.
+    */
+  private def sides(l: CExpr, r: CExpr): Option[(String, Column, Boolean)] =
+    (l, r) match {
+      case (a: UnresolvedAttribute, v: Literal) if v.value != null =>
+        Some((a.nameParts.last, scalaLit(v), false))
+      case (v: Literal, a: UnresolvedAttribute) if v.value != null =>
+        Some((a.nameParts.last, scalaLit(v), true))
+      case (a: UnresolvedAttribute, Cast(v: Literal, _, _, _)) if v.value != null =>
+        Some((a.nameParts.last, scalaLit(v), false))
+      case _ => None
+    }
+
+  /** MAY the predicate hold for some row of the file? */
+  private def may(e: CExpr, b: FileBounds): Column = e match {
+    case And(l, r) => may(l, b) && may(r, b)
+    case Or(l, r)  => may(l, b) || may(r, b)
+    case Not(p)    => !must(p, b)
+    case EqualTo(l, r) => sides(l, r) match {
+      case Some((c, v, _)) => keep(b.minOf(c) <= v && b.maxOf(c) >= v)
+      case None            => lit(true)
+    }
+    case EqualNullSafe(l, r) => sides(l, r) match {
+      case Some((c, v, _)) => keep(b.minOf(c) <= v && b.maxOf(c) >= v)
+      case None            => lit(true)
+    }
+    case LessThan(l, r) => sides(l, r) match {
+      case Some((c, v, false)) => keep(b.minOf(c) < v)
+      case Some((c, v, true))  => keep(b.maxOf(c) > v)  // v < col
+      case None                => lit(true)
+    }
+    case LessThanOrEqual(l, r) => sides(l, r) match {
+      case Some((c, v, false)) => keep(b.minOf(c) <= v)
+      case Some((c, v, true))  => keep(b.maxOf(c) >= v)
+      case None                => lit(true)
+    }
+    case GreaterThan(l, r) => sides(l, r) match {
+      case Some((c, v, false)) => keep(b.maxOf(c) > v)
+      case Some((c, v, true))  => keep(b.minOf(c) < v)
+      case None                => lit(true)
+    }
+    case GreaterThanOrEqual(l, r) => sides(l, r) match {
+      case Some((c, v, false)) => keep(b.maxOf(c) >= v)
+      case Some((c, v, true))  => keep(b.minOf(c) <= v)
+      case None                => lit(true)
+    }
+    case In(a: UnresolvedAttribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      val c = a.nameParts.last
+      vs.collect { case l: Literal if l.value != null => scalaLit(l) }
+        .map(v => keep(b.minOf(c) <= v && b.maxOf(c) >= v))
+        .reduceOption(_ || _).getOrElse(lit(false))
+    case IsNull(a: UnresolvedAttribute) =>
+      keep(b.nullCntOf(a.nameParts.last) > 0L)
+    case IsNotNull(a: UnresolvedAttribute) =>
+      keep(b.nullCntOf(a.nameParts.last) < b.numRecords)
+    case StartsWith(a: UnresolvedAttribute, p: Literal) if p.value != null =>
+      prefixMay(a.nameParts.last, p, b)
+    // LIKE 'prefix%' (no other wildcards) is a prefix test; the
+    // optimizer's StartsWith rewrite hasn't run on a bare parsed
+    // expression, so recognize the pattern here
+    case Like(a: UnresolvedAttribute, p: Literal, '\\') if p.value != null =>
+      val pat = p.value.toString
+      if (pat.nonEmpty && pat.endsWith("%") &&
+          !pat.dropRight(1).exists(ch => ch == '%' || ch == '_' || ch == '\\'))
+        prefixMay(a.nameParts.last,
+          Literal(pat.dropRight(1)), b)
+      else lit(true)
+    case Literal(v, BooleanType) => lit(v != null && v == true)
+    case _ => lit(true)
+  }
+
+  /** MUST the predicate hold for EVERY row of the file? (Used only
+    * under NOT; unknown shapes answer false, which keeps the file.)
+    */
+  private def must(e: CExpr, b: FileBounds): Column = e match {
+    case And(l, r) => must(l, b) && must(r, b)
+    case Or(l, r)  => must(l, b) || must(r, b)
+    case Not(p)    => !may(p, b)
+    case EqualTo(l, r) => sides(l, r) match {
+      case Some((c, v, _)) =>
+        coalesce(b.minOf(c) === v && b.maxOf(c) === v &&
+          b.nullCntOf(c) === 0L, lit(false))
+      case None => lit(false)
+    }
+    case LessThan(l, r) => sides(l, r) match {
+      case Some((c, v, false)) =>
+        coalesce(b.maxOf(c) < v && b.nullCntOf(c) === 0L, lit(false))
+      case Some((c, v, true)) =>
+        coalesce(b.minOf(c) > v && b.nullCntOf(c) === 0L, lit(false))
+      case None => lit(false)
+    }
+    case LessThanOrEqual(l, r) => sides(l, r) match {
+      case Some((c, v, false)) =>
+        coalesce(b.maxOf(c) <= v && b.nullCntOf(c) === 0L, lit(false))
+      case Some((c, v, true)) =>
+        coalesce(b.minOf(c) >= v && b.nullCntOf(c) === 0L, lit(false))
+      case None => lit(false)
+    }
+    case GreaterThan(l, r) => sides(l, r) match {
+      case Some((c, v, false)) =>
+        coalesce(b.minOf(c) > v && b.nullCntOf(c) === 0L, lit(false))
+      case Some((c, v, true)) =>
+        coalesce(b.maxOf(c) < v && b.nullCntOf(c) === 0L, lit(false))
+      case None => lit(false)
+    }
+    case GreaterThanOrEqual(l, r) => sides(l, r) match {
+      case Some((c, v, false)) =>
+        coalesce(b.minOf(c) >= v && b.nullCntOf(c) === 0L, lit(false))
+      case Some((c, v, true)) =>
+        coalesce(b.maxOf(c) <= v && b.nullCntOf(c) === 0L, lit(false))
+      case None => lit(false)
+    }
+    case IsNull(a: UnresolvedAttribute) =>
+      coalesce(b.nullCntOf(a.nameParts.last) === b.numRecords, lit(false))
+    case IsNotNull(a: UnresolvedAttribute) =>
+      coalesce(b.nullCntOf(a.nameParts.last) === 0L, lit(false))
+    case Literal(v, BooleanType) => lit(v != null && v == true)
+    case _ => lit(false)
+  }
+}

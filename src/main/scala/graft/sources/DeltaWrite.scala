@@ -197,15 +197,16 @@ object DeltaWrite {
     (schema, Option(row.getSeq[String](1)).getOrElse(Seq.empty))
   }
 
-  private final case class Staged(rel: String, size: Long, modTime: Long,
-      numRecords: Long, partitionValues: Seq[(String, Option[String])])
+  private[sources] final case class Staged(rel: String, size: Long, modTime: Long,
+      statsJson: String, partitionValues: Seq[(String, Option[String])])
 
-  private def addLine(a: Staged, now: Long): String =
+  private def addLine(a: Staged, now: Long,
+                      dataChange: Boolean = true): String =
     s"""{"add":{"path":${jstr(a.rel)},""" +
       s""""partitionValues":${jmap(a.partitionValues)},""" +
       s""""size":${a.size},"modificationTime":${a.modTime},""" +
-      s""""dataChange":true,""" +
-      s""""stats":${jstr(s"""{"numRecords":${a.numRecords}}""")}}}"""
+      s""""dataChange":$dataChange,""" +
+      s""""stats":${jstr(a.statsJson)}}}"""
 
   /** Hive-style path unescape (%XX) — Spark escapes partition values
     * this way when rendering `k=v` directory names.
@@ -269,22 +270,25 @@ object DeltaWrite {
       }
     fs.delete(tmp, true)
     if (moved.isEmpty) return Nil
-    // numRecords per staged file: footer bytes only, distributed
+    // stats per staged file (numRecords + per-column min/max/nullCount):
+    // footer bytes only, distributed — never a data read
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val rootStr = fs.makeQualified(fsRoot).toString
     val rels = moved.map(_._1)
+    val dataSchema = StructType(
+      df.schema.fields.filterNot(f => partitionBy.contains(f.name)))
     val slices = math.max(1, math.min(rels.length,
       spark.sparkContext.defaultParallelism * 2))
-    val counts = spark.sparkContext.parallelize(rels, slices).map { rel =>
+    val stats = spark.sparkContext.parallelize(rels, slices).map { rel =>
       val p = new Path(rootStr, rel)
       val pfs = p.getFileSystem(conf.value)
       val m = ParquetMeta.readFooter(pfs, p).getOrElse(
         throw new java.io.IOException(
           s"deltawrite: staged file $rel has no readable parquet footer"))
-      rel -> m.numRows
+      rel -> DeltaStats.statsJson(m, dataSchema)
     }.collect().toMap
     moved.sortBy(_._1).map { case (rel, size, mtime, pv) =>
-      Staged(rel, size, mtime, counts(rel), pv)
+      Staged(rel, size, mtime, stats(rel), pv)
     }
   }
 

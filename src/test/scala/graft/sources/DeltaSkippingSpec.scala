@@ -1,0 +1,122 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Per-file column stats + data skipping (see [[DeltaStats]]): the
+  * writer's stats JSON is checked against DATA TRUTH (recomputed
+  * min/max/nullCount per file from the rows themselves), and every
+  * skipping path is held to the soundness law — readTableWhere must
+  * equal readTable.filter row-for-row while scanning a SUBSET of the
+  * files. A skip that changes the answer is the one inexcusable
+  * outcome for this machinery.
+  */
+class DeltaSkippingSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(name)
+    java.nio.file.Files.delete(p)
+    p.toString
+  }
+
+  /** Four one-file appends over disjoint id ranges — a clustered table
+    * whose per-file bounds are known exactly.
+    */
+  private def rangeTable(): String = {
+    import spark.implicits._
+    val t = freshDir("deltask_range")
+    def slice(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"row-$i", if (i % 7 == 0) null else s"g${i % 3}"))
+        .toDF("id", "txt", "grp").coalesce(1)
+    DeltaWrite.createTable(spark, slice(0, 100), t)
+    DeltaWrite.append(spark, slice(100, 200), t)
+    DeltaWrite.append(spark, slice(200, 300), t)
+    DeltaWrite.append(spark, slice(300, 400), t)
+    t
+  }
+
+  test("writer stats JSON matches data truth per file") {
+    val t = rangeTable()
+    val snap = DeltaLog.snapshot(spark, t).select("path").collect()
+      .map(_.getString(0))
+    assert(snap.length === 4)
+    // decode each add's stats via the reader's own typed schema
+    val rep = DeltaLog.skippingReport(spark, t, "id >= 0")
+    assert(rep.agg(sum("num_records")).head.getLong(0) === 400L)
+    // per-file min/max from the log vs recomputed from the rows
+    val byFile = DeltaLog.readTableCore(spark, t, None, None)
+      .groupBy("_rel_path")
+      .agg(min("id").as("lo"), max("id").as("hi"),
+        sum(when(col("grp").isNull, 1L).otherwise(0L)).as("nulls"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val logged = spark.read.json(s"$t/_delta_log/*.json")
+      .where(col("add.path").isNotNull)
+      .select(col("add.path"), col("add.stats")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    byFile.foreach { case (path, (lo, hi, nulls)) =>
+      val st = logged(path)
+      assert(st.contains(s""""id":$lo"""), s"$path min: $st")
+      assert(st.contains(s""""id":$hi"""), s"$path max: $st")
+      assert(st.contains(s""""grp":$nulls"""), s"$path nullCount: $st")
+      assert(st.contains(""""numRecords":100"""))
+    }
+  }
+
+  test("skipping is sound and effective across predicate shapes") {
+    val t = rangeTable()
+    val preds = Seq(
+      ("id < 100", 1L),           // one file
+      ("id >= 350", 1L),
+      ("id = 250", 1L),           // point lookup
+      ("id > 150 AND id <= 210", 2L),
+      ("id < 50 OR id >= 390", 2L),
+      ("id IN (5, 205)", 2L),
+      ("NOT (id >= 100)", 1L),    // NOT via must()
+      ("txt = 'row-42'", 1L),     // lexical bounds: only file0 spans 'row-42'
+      ("grp IS NULL", 4L),
+      ("id < 0", 0L))             // provably empty
+    preds.foreach { case (p, wantFiles) =>
+      val rep = DeltaLog.skippingReport(spark, t, p)
+      val kept = rep.where(col("kept")).count()
+      assert(kept === wantFiles, s"pred [$p] kept $kept files")
+      val viaSkip = DeltaLog.readTableWhere(spark, t, p)
+        .orderBy("id").collect().map(_.getLong(0)).toSeq
+      val full = DeltaLog.readTable(spark, t).where(p)
+        .orderBy("id").collect().map(_.getLong(0)).toSeq
+      assert(viaSkip === full, s"pred [$p] skipping changed the answer")
+    }
+  }
+
+  test("string prefix bounds and partition-column pruning") {
+    import spark.implicits._
+    val t = freshDir("deltask_part")
+    val df = (0 until 60).map(i => (i.toLong, s"name-${"%03d".format(i)}", s"p${i % 3}"))
+      .toDF("id", "nm", "bucket")
+    DeltaWrite.createTable(spark, df, t, partitionBy = Seq("bucket"))
+    // partition equality: exactly the one partition's files survive
+    val rep = DeltaLog.skippingReport(spark, t, "bucket = 'p1'")
+    val total = rep.count()
+    val kept = rep.where(col("kept")).count()
+    assert(kept < total && kept >= 1)
+    assert(DeltaLog.readTableWhere(spark, t, "bucket = 'p1'").count() === 20L)
+    // startsWith over the string column's bounds
+    val got = DeltaLog.readTableWhere(spark, t, "nm LIKE 'name-00%'")
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got === (0L to 9L))
+  }
+
+  test("unknown shapes and statless columns degrade to keep, never skip") {
+    import spark.implicits._
+    val t = freshDir("deltask_keep")
+    DeltaWrite.createTable(spark,
+      Seq((1L, Array[Byte](1)), (2L, Array[Byte](2))).toDF("id", "blob"), t)
+    DeltaWrite.append(spark,
+      Seq((3L, Array[Byte](3))).toDF("id", "blob"), t)
+    // binary column carries no stats -> both files kept, answer right
+    assert(DeltaLog.readTableWhere(spark, t, "id > 0 AND length(blob) = 1")
+      .count() === 3L)
+    val rep = DeltaLog.skippingReport(spark, t, "length(blob) = 1")
+    assert(rep.where(col("kept")).count() === rep.count())
+  }
+}
