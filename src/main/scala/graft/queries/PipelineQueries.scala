@@ -4096,6 +4096,54 @@ object PipelineQueries extends QuerySet {
             .as("rows_in_kept"))
     }),
 
+    // Row-level DELETE on a partitioned Delta table: the writer
+    // rewrites only the files holding matched rows (stats-pruned
+    // candidates, then a per-file touch test) and the survivors must
+    // hash-match DuckDB's NOT-filter — including the rows whose
+    // partition was never touched.
+    "q290_delta_delete" -> ((s, dir) => {
+      val t = freshTmpDir("delta_delete")
+      graft.sources.DeltaWrite.createTable(s,
+        graft.Tables.load(s, dir, "nation"), t,
+        partitionBy = Seq("n_regionkey"))
+      graft.sources.DeltaWrite.delete(s, t,
+        "n_regionkey = 2 OR n_nationkey = 0")
+      graft.sources.DeltaLog.readTable(s, t).orderBy("n_nationkey")
+    }),
+
+    // Row-level UPDATE over the clustered orders table: matched rows
+    // get new column values (one constant, one computed), unmatched
+    // rows and untouched files pass through byte-true. The oracle is
+    // DuckDB's CASE projection over the full table.
+    "q291_delta_update" -> ((s, dir) => {
+      val t = freshTmpDir("delta_update")
+      deltaClusteredOrders(s, dir, t)
+      graft.sources.DeltaWrite.update(s, t, "o_orderstatus = 'F'",
+        Map("o_orderpriority" -> "'0-URGENT'",
+            "o_totalprice" -> "o_totalprice * 1.1D"))
+      graft.sources.DeltaLog.readTable(s, t)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
+    // MERGE as UPSERT: matched keys replaced by the source row, new
+    // keys inserted, untouched files untouched (the single-key source
+    // RANGE additionally prunes candidates before any data read). The
+    // oracle rebuilds the post-merge table from the same source
+    // definition with anti-join + union.
+    "q292_delta_merge" -> ((s, dir) => {
+      val t = freshTmpDir("delta_merge")
+      val nation = graft.Tables.load(s, dir, "nation")
+      graft.sources.DeltaWrite.createTable(s, nation, t)
+      val src = nation.where(col("n_nationkey") < 10)
+        .withColumn("n_name", lower(col("n_name")))
+        .unionByName(nation.where(col("n_regionkey") === 4)
+          .select((col("n_nationkey") + 100).cast("int").as("n_nationkey"),
+            col("n_name"), col("n_regionkey")))
+      graft.sources.DeltaWrite.upsert(s, src, t, Seq("n_nationkey"))
+      graft.sources.DeltaLog.readTable(s, t).orderBy("n_nationkey")
+    }),
+
     // the Iceberg schema report (DELTA SCHEMA's twin, via the ICEBERG
     // SCHEMA statement): Iceberg's stable FIELD IDS — its answer to
     // Delta's column mapping — plus rendered nested types, straight
@@ -5301,6 +5349,30 @@ object PipelineQueries extends QuerySet {
         |       CAST(coalesce(sum(n) FILTER (WHERE lo <= mx // 8), 0) AS BIGINT)
         |         AS rows_in_kept
         |FROM k, m GROUP BY mx""".stripMargin,
+    // DML oracles: the post-statement table recomputed relationally.
+    "q290_delta_delete" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE NOT (n_regionkey = 2 OR n_nationkey = 0)
+        |ORDER BY n_nationkey""".stripMargin,
+    "q291_delta_update" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 1.1
+        |            ELSE o_totalprice END AS o_totalprice,
+        |       CASE WHEN o_orderstatus = 'F' THEN '0-URGENT'
+        |            ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q292_delta_merge" ->
+      """WITH src AS (
+        |  SELECT n_nationkey, lower(n_name) AS n_name, n_regionkey
+        |  FROM nation WHERE n_nationkey < 10
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey + 100 AS INT), n_name, n_regionkey
+        |  FROM nation WHERE n_regionkey = 4)
+        |SELECT * FROM src
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey NOT IN (SELECT n_nationkey FROM src)
+        |ORDER BY n_nationkey""".stripMargin,
     // Iceberg fixture pins: every value restated from the hand-built
     // scenario (table-relative paths keep the pins CWD-independent).
     // Live set at the current snapshot (1002): f2 deleted by the

@@ -132,6 +132,151 @@ object DeltaWrite {
     version
   }
 
+  // ------------------------------------------------------------- DML
+
+  /** Row-level DELETE: remove every row satisfying `condition` (SQL
+    * predicate text). Only files that might hold a matching row are
+    * even read (the stats pruner), only files that DO hold one are
+    * rewritten — survivors restage, matched rows drop, everything else
+    * is untouched metadata. Rows where the condition is NULL survive
+    * (SQL three-valued DELETE semantics). Returns the committed
+    * version, or the current version when nothing matched (no empty
+    * commit).
+    */
+  def delete(spark: SparkSession, tableDir: String, condition: String): Long =
+    rewriteTouched(spark, tableDir, condition, "DELETE") { rows =>
+      rows.where(!coalesce(expr(condition), lit(false)))
+    }
+
+  /** Row-level UPDATE: for rows satisfying `condition`, replace each
+    * column in `set` with its SQL expression (evaluated against the
+    * row's current values); all other rows and files are untouched.
+    * Updating a partition column is allowed — rewritten rows restage
+    * into their new partition directories. Returns the committed
+    * version (current version when nothing matched).
+    */
+  def update(spark: SparkSession, tableDir: String, condition: String,
+             set: Map[String, String]): Long = {
+    val (schema, _) = tableMetaOf(spark, tableDir)
+    set.keys.foreach { c =>
+      if (!schema.fieldNames.contains(c))
+        throw new IllegalArgumentException(
+          s"deltawrite: UPDATE sets unknown column $c")
+    }
+    rewriteTouched(spark, tableDir, condition, "UPDATE") { rows =>
+      val matched = coalesce(expr(condition), lit(false))
+      rows.select(schema.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(e) =>
+            when(matched, expr(e).cast(f.dataType)).otherwise(col(f.name))
+              .as(f.name)
+          case None => col(f.name)
+        }
+      } :+ col("_rel_path"): _*)
+    }
+  }
+
+  /** MERGE as UPSERT: target rows whose `keys` match a source row are
+    * replaced by that source row; source rows with no match are
+    * inserted. Only target files holding a matched key are rewritten;
+    * a single-column LONG/INT key additionally prunes candidate files
+    * through the source's key RANGE before any data is read — at
+    * 100 TB a trickle upsert touches a handful of files, not the
+    * table. A source with duplicate keys fails loud (one target row
+    * would receive two updates — the protocol's MERGE error).
+    */
+  def upsert(spark: SparkSession, source: DataFrame, tableDir: String,
+             keys: Seq[String]): Long = {
+    val fs = fileSystem(spark, tableDir)
+    val version = nextVersion(spark, tableDir)
+    val (schema, partCols) = tableMetaOf(spark, tableDir)
+    if (source.schema.fieldNames.toSet != schema.fieldNames.toSet)
+      throw new IllegalArgumentException(
+        s"deltawrite: MERGE source columns ${source.schema.fieldNames.toSeq} " +
+          s"do not match the table schema ${schema.fieldNames.toSeq}")
+    require(keys.nonEmpty && keys.forall(schema.fieldNames.contains),
+      s"deltawrite: MERGE keys $keys must be table columns")
+    val src = source.select(schema.fieldNames.map(col): _*).cache()
+    val dups = src.groupBy(keys.map(col): _*).count()
+      .where(col("count") > 1).limit(1).count()
+    if (dups > 0)
+      throw new IllegalArgumentException(
+        "deltawrite: MERGE source has duplicate keys — one target row " +
+          "would receive multiple updates")
+    // candidate pruning: a single integral key's source range bounds
+    // the files that can possibly match
+    val prune: Option[String] = keys match {
+      case Seq(k) if schema(k).dataType == org.apache.spark.sql.types.LongType ||
+                     schema(k).dataType == org.apache.spark.sql.types.IntegerType =>
+        val r = src.agg(min(col(k)), max(col(k))).head()
+        if (r.isNullAt(0)) None
+        else Some(s"$k >= ${r.get(0)} AND $k <= ${r.get(1)}")
+      case _ => None
+    }
+    val live = DeltaLog.readTableCore(spark, tableDir, None, prune)
+    val touched = live.join(broadcast(src.select(keys.map(col): _*)),
+        keys, "left_semi")
+      .select("_rel_path").distinct().collect().map(_.getString(0)).toSeq.sorted
+    val carried =
+      if (touched.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(schema.fields))
+      else live.where(col("_rel_path").isin(touched: _*))
+        .join(broadcast(src.select(keys.map(col): _*)), keys, "left_anti")
+        .select(schema.fieldNames.map(col): _*)
+    // output width ~ the touched set (plus one for pure inserts): the
+    // rewrite replaces n files with ~n, not with one-per-shuffle-task
+    val result = src.unionByName(carried)
+      .coalesce(math.max(1, touched.size))
+    val adds = stageData(spark, fs, result, tableDir, partCols)
+    commitAtomic(fs, tableDir, version, commitLines("MERGE", touched, adds))
+    src.unpersist()
+    version
+  }
+
+  /** Shared DELETE/UPDATE skeleton: find the files a predicate
+    * actually touches (stats-pruned, then a per-file match count over
+    * only the candidates), rewrite those files through `transform`
+    * (which sees the table columns + `_rel_path` and returns the same),
+    * and commit remove+add. No touched files → no commit.
+    */
+  private def rewriteTouched(spark: SparkSession, tableDir: String,
+                             condition: String, operation: String)
+                            (transform: DataFrame => DataFrame): Long = {
+    val fs = fileSystem(spark, tableDir)
+    val version = nextVersion(spark, tableDir)
+    val (schema, partCols) = tableMetaOf(spark, tableDir)
+    val candidates = DeltaLog.readTableCore(spark, tableDir, None,
+      Some(condition))
+    val touched = candidates
+      .where(coalesce(expr(condition), lit(false)))
+      .select("_rel_path").distinct().collect().map(_.getString(0)).toSeq.sorted
+    if (touched.isEmpty) return version - 1
+    val rewritten = transform(
+        candidates.where(col("_rel_path").isin(touched: _*)))
+      .select(schema.fieldNames.map(col): _*)
+      .coalesce(touched.size) // n touched files rewrite into ~n
+    val adds = stageData(spark, fs, rewritten, tableDir, partCols)
+    commitAtomic(fs, tableDir, version, commitLines(operation, touched, adds))
+    version
+  }
+
+  private def nextVersion(spark: SparkSession, tableDir: String): Long =
+    DeltaLog.listCommits(spark, tableDir).lastOption
+      .map(_._1 + 1).getOrElse(throw new IllegalArgumentException(
+        s"deltawrite: no table at $tableDir — createTable first"))
+
+  private def commitLines(operation: String, removePaths: Seq[String],
+                          adds: Seq[Staged],
+                          dataChange: Boolean = true): Seq[String] = {
+    val now = System.currentTimeMillis()
+    Seq(s"""{"commitInfo":{"timestamp":$now,"operation":${jstr(operation)}}}""") ++
+      removePaths.map { p =>
+        s"""{"remove":{"path":${jstr(p)},"deletionTimestamp":$now,""" +
+          s""""dataChange":$dataChange}}"""
+      } ++ adds.map(addLine(_, now, dataChange))
+  }
+
   /** Write a classic SINGLE-PART checkpoint at the latest version: the
     * reconciled state (live adds, last metaData, last protocol) as one
     * parquet, then `_last_checkpoint`. Returns the checkpointed version.

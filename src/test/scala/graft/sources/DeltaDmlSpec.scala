@@ -1,0 +1,146 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Delta DML (DELETE / UPDATE / MERGE-upsert, see [[DeltaWrite]]):
+  * judged by the protocol-validating reader, with the REWRITE
+  * MINIMALITY law pinned throughout — a DML statement may only touch
+  * files that actually hold affected rows; every other file's add
+  * action must survive the commit byte-identical (same path, same
+  * version_added). At 100 TB that law is the difference between a
+  * point-delete costing one file and costing the table.
+  */
+class DeltaDmlSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(name)
+    java.nio.file.Files.delete(p)
+    p.toString
+  }
+
+  /** Four one-file slices over disjoint id ranges (0-99 … 300-399). */
+  private def rangeTable(): String = {
+    import spark.implicits._
+    val t = freshDir("deltadml")
+    def slice(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"row-$i", i % 5)).toDF("id", "txt", "grp")
+        .coalesce(1)
+    DeltaWrite.createTable(spark, slice(0, 100), t)
+    DeltaWrite.append(spark, slice(100, 200), t)
+    DeltaWrite.append(spark, slice(200, 300), t)
+    DeltaWrite.append(spark, slice(300, 400), t)
+    t
+  }
+
+  test("DELETE rewrites only touched files; content exact; no-match = no commit") {
+    val t = rangeTable()
+    val before = DeltaLog.snapshot(spark, t)
+      .select("path", "version_added").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val v = DeltaWrite.delete(spark, t, "id >= 40 AND id < 60")
+    assert(v === 4L)
+    // answer: the 20 rows are gone, everything else intact
+    val got = DeltaLog.readTable(spark, t).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(got === ((0L until 40L) ++ (60L until 400L)))
+    // minimality: files 1-3 never matched -> same add, same version
+    val after = DeltaLog.snapshot(spark, t)
+      .select("path", "version_added").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val untouchedBefore = before.filter(_._2 > 0L)
+    assert(untouchedBefore.forall { case (p, v0) => after.get(p).contains(v0) })
+    // exactly one file was removed and one added
+    assert(after.size === 4 && before.keySet.intersect(after.keySet).size === 3)
+    // DELETE with no matching rows commits nothing
+    assert(DeltaWrite.delete(spark, t, "id = 99999") === 4L)
+    assert(DeltaLog.listCommits(spark, t).last._1 === 4L)
+    // NULL condition rows survive (three-valued semantics)
+    val v2 = DeltaWrite.update(spark, t, "id = 0",
+      Map("txt" -> "CAST(NULL AS STRING)"))
+    assert(v2 === 5L)
+    DeltaWrite.delete(spark, t, "txt < 'row'") // NULL txt row must survive
+    assert(DeltaLog.readTable(spark, t).where(col("id") === 0).count() === 1L)
+  }
+
+  test("UPDATE applies set expressions to matched rows only") {
+    val t = rangeTable()
+    val v = DeltaWrite.update(spark, t, "grp = 2 AND id < 100",
+      Map("txt" -> "upper(txt)", "grp" -> "grp + 10"))
+    assert(v === 4L)
+    val rows = DeltaLog.readTable(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    rows.foreach { case (id, txt, grp) =>
+      if (id < 100 && id % 5 == 2) {
+        assert(txt === s"ROW-$id".toUpperCase && grp === 12L, s"id=$id")
+      } else {
+        assert(txt === s"row-$id" && grp === id % 5, s"id=$id")
+      }
+    }
+    // unknown set column fails loud
+    intercept[IllegalArgumentException](
+      DeltaWrite.update(spark, t, "id = 1", Map("nope" -> "1")))
+  }
+
+  test("UPDATE of a partition column moves rows across partitions") {
+    import spark.implicits._
+    val t = freshDir("deltadml_part")
+    val df = (0L until 40L).map(i => (i, s"p${i % 2}")).toDF("id", "bucket")
+    DeltaWrite.createTable(spark, df, t, partitionBy = Seq("bucket"))
+    DeltaWrite.update(spark, t, "id < 10", Map("bucket" -> "'p9'"))
+    val got = DeltaLog.readTable(spark, t)
+      .groupBy("bucket").count().orderBy("bucket").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got === Seq("p0" -> 15L, "p1" -> 15L, "p9" -> 10L))
+    // the moved rows are findable via partition pruning on the new value
+    assert(DeltaLog.readTableWhere(spark, t, "bucket = 'p9'")
+      .orderBy("id").collect().map(_.getLong(0)).toSeq === (0L until 10L))
+  }
+
+  test("MERGE upsert: replace matched, insert new, touch only matched files") {
+    import spark.implicits._
+    val t = rangeTable()
+    val before = DeltaLog.snapshot(spark, t)
+      .select("path", "version_added").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // source: update ids 10..19 (file0 only), insert 1000..1004
+    val source = ((10L until 20L).map(i => (i, "updated", 99L)) ++
+      (1000L until 1005L).map(i => (i, "inserted", 7L))).toDF("id", "txt", "grp")
+    val v = DeltaWrite.upsert(spark, source, t, Seq("id"))
+    assert(v === 4L)
+    val all = DeltaLog.readTable(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(all.size === 405)
+    assert((10L until 20L).forall(all(_) == "updated"))
+    assert((1000L until 1005L).forall(all(_) == "inserted"))
+    assert(all(25L) === "row-25" && all(399L) === "row-399")
+    // minimality via the key-range prune + touch set: files 1-3 intact
+    val after = DeltaLog.snapshot(spark, t)
+      .select("path", "version_added").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(before.filter(_._2 > 0L).forall { case (p, v0) =>
+      after.get(p).contains(v0) })
+    // duplicate source keys fail loud
+    intercept[IllegalArgumentException](DeltaWrite.upsert(spark,
+      Seq((1L, "a", 0L), (1L, "b", 0L)).toDF("id", "txt", "grp"), t, Seq("id")))
+    // mismatched source schema fails loud
+    intercept[IllegalArgumentException](DeltaWrite.upsert(spark,
+      Seq((1L, "a")).toDF("id", "txt"), t, Seq("id")))
+  }
+
+  test("MERGE into an empty-overlap source only inserts") {
+    import spark.implicits._
+    val t = freshDir("deltadml_ins")
+    DeltaWrite.createTable(spark,
+      (0L until 10L).map(i => (i, s"r$i")).toDF("id", "txt"), t)
+    val v0Files = DeltaLog.snapshot(spark, t).count()
+    val v = DeltaWrite.upsert(spark,
+      Seq((100L, "new")).toDF("id", "txt"), t, Seq("id"))
+    assert(v === 1L)
+    assert(DeltaLog.readTable(spark, t).count() === 11L)
+    // no file was removed: every version-0 add is still live
+    assert(DeltaLog.snapshot(spark, t).where(col("version_added") === 0L)
+      .count() === v0Files)
+  }
+}
