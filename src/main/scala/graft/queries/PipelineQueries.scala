@@ -4144,6 +4144,39 @@ object PipelineQueries extends QuerySet {
       graft.sources.DeltaLog.readTable(s, t).orderBy("n_nationkey")
     }),
 
+    // OPTIMIZE: the 4-file clustered table bin-packs into one file and
+    // the content must be unchanged — layout-only by oracle, not by
+    // promise. The dataChange=false flag and file-count drop are
+    // pinned in DeltaOptimizeSpec.
+    "q293_delta_optimize" -> ((s, dir) => {
+      val t = freshTmpDir("delta_optimize")
+      deltaClusteredOrders(s, dir, t)
+      graft.sources.DeltaOptimize.optimize(s, t)
+      graft.sources.DeltaLog.readTable(s, t)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // Z-ORDER: re-cluster the o_orderkey-ranged table on
+    // (o_custkey, o_totalprice) — the Morton interleave of both
+    // columns' 16-bit ranks — then serve a pruned read on the NEW
+    // clustering column. Before the rewrite every file spans the full
+    // o_custkey range (skipping keeps all 4); after it the same stats
+    // machinery prunes, and the answer still hash-matches the
+    // full-scan filter.
+    "q294_delta_zorder" -> ((s, dir) => {
+      val t = freshTmpDir("delta_zorder")
+      deltaClusteredOrders(s, dir, t)
+      graft.sources.DeltaOptimize.zorder(s, t,
+        Seq("o_custkey", "o_totalprice"), numFiles = 4)
+      val maxCust = graft.Tables.load(s, dir, "orders")
+        .agg(max("o_custkey")).head.getLong(0)
+      graft.sources.DeltaLog.readTableWhere(s, t,
+        s"o_custkey <= ${maxCust / 8}")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey", "o_custkey")
+    }),
+
     // the Iceberg schema report (DELTA SCHEMA's twin, via the ICEBERG
     // SCHEMA statement): Iceberg's stable FIELD IDS — its answer to
     // Delta's column mapping — plus rendered nested types, straight
@@ -5373,6 +5406,14 @@ object PipelineQueries extends QuerySet {
         |SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_nationkey NOT IN (SELECT n_nationkey FROM src)
         |ORDER BY n_nationkey""".stripMargin,
+    // Layout-only rewrites: content must be unchanged / filter-true.
+    "q293_delta_optimize" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "q294_delta_zorder" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey <= (SELECT max(o_custkey) // 8 FROM orders)
+        |ORDER BY o_orderkey, o_custkey""".stripMargin,
     // Iceberg fixture pins: every value restated from the hand-built
     // scenario (table-relative paths keep the pins CWD-independent).
     // Live set at the current snapshot (1002): f2 deleted by the

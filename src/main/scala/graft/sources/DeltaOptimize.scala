@@ -1,0 +1,143 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table-maintenance rewrites for the Delta door: [[optimize]] (bin-
+  * packing compaction of small files) and [[zorder]] (multi-column
+  * clustering so the per-file stats in [[DeltaStats]] prune on SEVERAL
+  * columns at once). Both are layout-only — same rows, new files —
+  * and commit with `dataChange=false`, the protocol's signal that a
+  * streaming reader may skip the commit entirely.
+  *
+  * Why these are 100 TB operators: a curation pipeline's trickle
+  * appends and point DMLs shred a table into thousands of small files
+  * (per-file overhead dominates the scan) with interleaved value
+  * ranges (stats prune nothing). OPTIMIZE restores scan-sized files;
+  * Z-ORDER restores pruning power: after clustering on (a, b), a point
+  * predicate on either column keeps O(n^(1/2)) of n files instead of
+  * all of them. The decision inputs (file sizes, partitions, bounds)
+  * are the metadata-sized live list; only the rewritten bytes are
+  * ever read.
+  */
+object DeltaOptimize {
+
+  /** Bin-packing compaction: within each partition, live files smaller
+    * than `targetBytes` (or carrying a deletion vector — compaction
+    * materializes the deletes) are rewritten into ~`targetBytes`
+    * files. A partition is touched only when it has at least two
+    * such candidates or a DV to materialize; everything else keeps
+    * its original add action. Returns the committed version (current
+    * version when nothing qualified).
+    */
+  def optimize(spark: SparkSession, tableDir: String,
+               targetBytes: Long = 128L << 20): Long = {
+    require(targetBytes > 0, "deltaoptimize: targetBytes must be positive")
+    val fs = DeltaWrite.fileSystem(spark, tableDir)
+    val version = DeltaWrite.nextVersion(spark, tableDir)
+    val (schema, partCols) = DeltaWrite.tableMetaOf(spark, tableDir)
+    val files = DeltaLog.snapshot(spark, tableDir)
+      .select("path", "size", "partition", "dv_cardinality").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        !r.isNullAt(3)))
+    val touched = files.groupBy(_._3).values.flatMap { group =>
+      val cand = group.filter(f => f._2 < targetBytes || f._4)
+      if (cand.length >= 2 || cand.exists(_._4)) cand.map(_._1) else Nil
+    }.toSeq.sorted
+    if (touched.isEmpty) return version - 1
+    val touchedBytes = files.filter(f => touched.contains(f._1)).map(_._2).sum
+    val nOut = math.max(1L, (touchedBytes + targetBytes - 1) / targetBytes).toInt
+    val rows = DeltaLog.readTableCore(spark, tableDir, None, None)
+      .where(col("_rel_path").isin(touched: _*))
+      .select(schema.fieldNames.map(col): _*)
+      .coalesce(nOut)
+    val adds = DeltaWrite.stageData(spark, fs, rows, tableDir, partCols)
+    DeltaWrite.commitAtomic(fs, tableDir, version,
+      DeltaWrite.commitLines("OPTIMIZE", touched, adds, dataChange = false))
+    version
+  }
+
+  /** Z-ORDER clustering: rewrite the table's live files with rows
+    * ordered by the bit-interleave of `zCols` (each column min-max
+    * scaled to 16 bits over the table's value range), range-
+    * partitioned into `numFiles` files. Nearby rows in EVERY zCols
+    * dimension land in the same file, so each file's min/max bounds
+    * are narrow in all of them at once — the multi-column data-
+    * skipping layout. Numeric, date and timestamp columns only;
+    * partition columns are already pruned by directory and are
+    * rejected. Layout-only: `dataChange=false`.
+    */
+  def zorder(spark: SparkSession, tableDir: String, zCols: Seq[String],
+             numFiles: Int): Long = {
+    require(zCols.nonEmpty, "deltaoptimize: zorder needs at least one column")
+    require(numFiles > 0, "deltaoptimize: numFiles must be positive")
+    val fs = DeltaWrite.fileSystem(spark, tableDir)
+    val version = DeltaWrite.nextVersion(spark, tableDir)
+    val (schema, partCols) = DeltaWrite.tableMetaOf(spark, tableDir)
+    zCols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"deltaoptimize: zorder column $c is not in the schema"))
+      if (partCols.contains(c))
+        throw new IllegalArgumentException(
+          s"deltaoptimize: $c is a partition column — already pruned by directory")
+      if (asDouble(col(c), f.dataType).isEmpty)
+        throw new IllegalArgumentException(
+          s"deltaoptimize: zorder needs a numeric/date/timestamp column, " +
+            s"$c is ${f.dataType.simpleString}")
+    }
+    val touched = DeltaLog.snapshot(spark, tableDir)
+      .select("path").collect().map(_.getString(0)).toSeq.sorted
+    if (touched.isEmpty) return version - 1
+    val live = DeltaLog.readTableCore(spark, tableDir, None, None)
+      .select(schema.fieldNames.map(col): _*)
+    // per-column value ranges: one distributed agg, driver gets 2k numbers
+    val typed = zCols.map(c =>
+      c -> asDouble(col(c), schema(c).dataType).get)
+    val aggs = typed.flatMap { case (_, d) => Seq(min(d), max(d)) }
+    val boundsRow = live.agg(aggs.head, aggs.tail: _*).head()
+    val scaledBits = typed.zipWithIndex.map { case ((_, d), i) =>
+      val lo = if (boundsRow.isNullAt(2 * i)) 0.0 else boundsRow.getDouble(2 * i)
+      val hi = if (boundsRow.isNullAt(2 * i + 1)) 0.0 else boundsRow.getDouble(2 * i + 1)
+      val range = if (hi > lo) hi - lo else 1.0
+      least(lit(65535L), greatest(lit(0L),
+        floor((coalesce(d, lit(lo)) - lit(lo)) / lit(range) * 65535.0)
+          .cast(LongType)))
+    }
+    val z = interleave(scaledBits)
+    val adds = DeltaWrite.stageData(spark, fs,
+      live.withColumn("_z", z)
+        .repartitionByRange(numFiles, col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z"),
+      tableDir, partCols)
+    DeltaWrite.commitAtomic(fs, tableDir, version,
+      DeltaWrite.commitLines("OPTIMIZE ZORDER", touched, adds,
+        dataChange = false))
+    version
+  }
+
+  /** The column as a double for range scaling — None when the type
+    * has no meaningful linear order for Z-values.
+    */
+  private def asDouble(c: Column, dt: DataType): Option[Column] = dt match {
+    case _: NumericType => Some(c.cast(DoubleType))
+    case DateType       => Some(c.cast(TimestampType).cast(DoubleType))
+    case TimestampType  => Some(c.cast(DoubleType))
+    case _              => None
+  }
+
+  /** Bit-interleave k 16-bit lanes: bit j of lane i lands at position
+    * j*k + i — Morton order, built from shift/and/or terms that stay
+    * inside whole-stage codegen.
+    */
+  private def interleave(lanes: Seq[Column]): Column = {
+    val k = lanes.length
+    val terms = for {
+      j <- 0 until 16
+      (lane, i) <- lanes.zipWithIndex
+    } yield shiftleft(shiftright(lane, j).bitwiseAND(lit(1L)), j * k + i)
+    terms.reduce(_ bitwiseOR _)
+  }
+}

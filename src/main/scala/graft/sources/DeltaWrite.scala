@@ -261,12 +261,12 @@ object DeltaWrite {
     version
   }
 
-  private def nextVersion(spark: SparkSession, tableDir: String): Long =
+  private[sources] def nextVersion(spark: SparkSession, tableDir: String): Long =
     DeltaLog.listCommits(spark, tableDir).lastOption
       .map(_._1 + 1).getOrElse(throw new IllegalArgumentException(
         s"deltawrite: no table at $tableDir — createTable first"))
 
-  private def commitLines(operation: String, removePaths: Seq[String],
+  private[sources] def commitLines(operation: String, removePaths: Seq[String],
                           adds: Seq[Staged],
                           dataChange: Boolean = true): Seq[String] = {
     val now = System.currentTimeMillis()
@@ -325,10 +325,10 @@ object DeltaWrite {
 
   // -------------------------------------------------------- internals
 
-  private def fileSystem(spark: SparkSession, tableDir: String): FileSystem =
+  private[sources] def fileSystem(spark: SparkSession, tableDir: String): FileSystem =
     new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def tableMetaOf(spark: SparkSession,
+  private[sources] def tableMetaOf(spark: SparkSession,
                           tableDir: String): (StructType, Seq[String]) = {
     val row = DeltaLog.actions(spark, tableDir)
       .where(col("metaData.schemaString").isNotNull)
@@ -378,7 +378,7 @@ object DeltaWrite {
     * first, commit later — and numRecords is decoded from each file's
     * parquet footer in one distributed pass.
     */
-  private def stageData(spark: SparkSession, fs: FileSystem, df: DataFrame,
+  private[sources] def stageData(spark: SparkSession, fs: FileSystem, df: DataFrame,
                         tableDir: String,
                         partitionBy: Seq[String]): Seq[Staged] = {
     val fsRoot = new Path(tableDir)
@@ -438,7 +438,7 @@ object DeltaWrite {
   }
 
   /** Create-temp + rename with loud collision — the commit primitive. */
-  private def commitAtomic(fs: FileSystem, tableDir: String, version: Long,
+  private[sources] def commitAtomic(fs: FileSystem, tableDir: String, version: Long,
                            lines: Seq[String]): Unit = {
     val logDir = new Path(tableDir, "_delta_log")
     fs.mkdirs(logDir)

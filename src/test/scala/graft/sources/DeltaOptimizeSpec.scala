@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** OPTIMIZE + Z-ORDER (see [[DeltaOptimize]]): layout-only rewrites
+  * judged by the protocol reader — same rows before and after (the
+  * invariant), dataChange=false on every file action (the streaming-
+  * reader contract), and the LAYOUT CLAIMS proven through the skipping
+  * machinery itself: compaction reduces the live file count, Z-order
+  * measurably narrows per-file bounds on the second clustering column.
+  */
+class DeltaOptimizeSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(name)
+    java.nio.file.Files.delete(p)
+    p.toString
+  }
+
+  test("optimize: small files bin-pack, content identical, dataChange=false") {
+    import spark.implicits._
+    val t = freshDir("deltaopt")
+    def slice(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"r$i")).toDF("id", "txt").coalesce(1)
+    DeltaWrite.createTable(spark, slice(0, 50), t)
+    (1 to 5).foreach(k => DeltaWrite.append(spark, slice(k * 50, k * 50 + 50), t))
+    assert(DeltaLog.snapshot(spark, t).count() === 6L)
+    val before = DeltaLog.readTable(spark, t).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq
+    val v = DeltaOptimize.optimize(spark, t) // default 128 MB target
+    assert(v === 6L)
+    assert(DeltaLog.snapshot(spark, t).count() === 1L)
+    val after = DeltaLog.readTable(spark, t).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(after === before)
+    // the rewrite commit is flagged layout-only on BOTH action kinds
+    val acts = spark.read.json(s"$t/_delta_log/${"%020d".format(6L)}.json")
+    assert(acts.where(col("add.path").isNotNull)
+      .select("add.dataChange").collect().forall(!_.getBoolean(0)))
+    assert(acts.where(col("remove.path").isNotNull)
+      .select("remove.dataChange").collect().forall(!_.getBoolean(0)))
+    // idempotence: one big file left -> nothing qualifies, no commit
+    assert(DeltaOptimize.optimize(spark, t) === 6L)
+    assert(DeltaLog.listCommits(spark, t).last._1 === 6L)
+  }
+
+  test("optimize respects partitions and the target size") {
+    import spark.implicits._
+    val t = freshDir("deltaopt_part")
+    def slice(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"p${i % 2}")).toDF("id", "bucket").coalesce(1)
+    DeltaWrite.createTable(spark, slice(0, 40), t, partitionBy = Seq("bucket"))
+    (1 to 3).foreach(k => DeltaWrite.append(spark, slice(k * 40, k * 40 + 40), t))
+    // 2 partitions x 4 appends = 8 files
+    assert(DeltaLog.snapshot(spark, t).count() === 8L)
+    DeltaOptimize.optimize(spark, t)
+    // one compacted file per partition
+    val parts = DeltaLog.snapshot(spark, t)
+      .groupBy("partition").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(parts === Map("bucket=p0" -> 1L, "bucket=p1" -> 1L))
+    assert(DeltaLog.readTable(spark, t).count() === 160L)
+    // a tiny target leaves multi-file layouts alone only when files
+    // are already at or above it: target=1 byte -> nothing qualifies
+    assert(DeltaOptimize.optimize(spark, t, targetBytes = 1L) ===
+      DeltaLog.listCommits(spark, t).last._1)
+  }
+
+  test("zorder narrows bounds on the second column and prunes point reads") {
+    import spark.implicits._
+    val t = freshDir("deltazorder")
+    // a 64x64 grid written as 4 row-band files: y-bounds are FULL-range
+    // in every file, so a y predicate prunes nothing
+    def band(lo: Long, hi: Long) =
+      (lo until hi).flatMap(x => (0L until 64L).map(y => (x, y, x * 64 + y)))
+        .toDF("x", "y", "v").coalesce(1)
+    DeltaWrite.createTable(spark, band(0, 16), t)
+    DeltaWrite.append(spark, band(16, 32), t)
+    DeltaWrite.append(spark, band(32, 48), t)
+    DeltaWrite.append(spark, band(48, 64), t)
+    val predY = "y >= 0 AND y < 16"
+    val keptBefore = DeltaLog.skippingReport(spark, t, predY)
+      .where(col("kept")).count()
+    assert(keptBefore === 4L) // row-band layout: y prunes nothing
+    val before = DeltaLog.readTable(spark, t).orderBy("v").collect()
+      .map(_.getLong(2)).toSeq
+    val v = DeltaOptimize.zorder(spark, t, Seq("x", "y"), numFiles = 4)
+    assert(v === 4L)
+    // same rows, new layout
+    val after = DeltaLog.readTable(spark, t).orderBy("v").collect()
+      .map(_.getLong(2)).toSeq
+    assert(after === before)
+    assert(DeltaLog.snapshot(spark, t).count() === 4L)
+    // the quadrant predicate now keeps FEWER files on both axes
+    val keptY = DeltaLog.skippingReport(spark, t, predY)
+      .where(col("kept")).count()
+    assert(keptY < 4L, s"zorder did not improve y pruning (kept $keptY)")
+    val keptX = DeltaLog.skippingReport(spark, t, "x >= 0 AND x < 16")
+      .where(col("kept")).count()
+    assert(keptX < 4L, s"zorder destroyed x pruning (kept $keptX)")
+    // pruned reads still answer exactly
+    assert(DeltaLog.readTableWhere(spark, t, predY).count() === 64L * 16L)
+    // guard rails
+    intercept[IllegalArgumentException](
+      DeltaOptimize.zorder(spark, t, Seq("nope"), 2))
+    intercept[IllegalArgumentException](
+      DeltaOptimize.zorder(spark, t, Seq.empty, 2))
+  }
+
+  test("zorder rejects partition and non-orderable columns") {
+    import spark.implicits._
+    val t = freshDir("deltazorder_rej")
+    val df = (0L until 20L).map(i => (i, s"s$i", s"p${i % 2}"))
+      .toDF("id", "txt", "bucket")
+    DeltaWrite.createTable(spark, df, t, partitionBy = Seq("bucket"))
+    intercept[IllegalArgumentException](
+      DeltaOptimize.zorder(spark, t, Seq("bucket"), 2))
+    intercept[IllegalArgumentException](
+      DeltaOptimize.zorder(spark, t, Seq("txt"), 2))
+  }
+}
