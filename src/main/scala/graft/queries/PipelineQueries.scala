@@ -4177,6 +4177,59 @@ object PipelineQueries extends QuerySet {
         .orderBy("o_orderkey", "o_custkey")
     }),
 
+    // VACUUM: overwrite tombstones the original partitioned files,
+    // vacuum(0) physically deletes them, and the table must still
+    // serve exactly the overwrite's content — the "never touch a live
+    // file" law by oracle. Orphan/dryRun/retention behavior is pinned
+    // in DeltaStreamsSpec.
+    "q295_delta_vacuum" -> ((s, dir) => {
+      val t = freshTmpDir("delta_vacuum")
+      val nation = graft.Tables.load(s, dir, "nation")
+      graft.sources.DeltaWrite.createTable(s, nation, t,
+        partitionBy = Seq("n_regionkey"))
+      graft.sources.DeltaWrite.overwrite(s,
+        nation.where("n_regionkey <> 2"), t)
+      graft.sources.DeltaOptimize.vacuum(s, t, retainMs = 0L)
+      graft.sources.DeltaLog.readTable(s, t).orderBy("n_nationkey")
+    }),
+
+    // EXACTLY-ONCE streaming sink: micro-batches land through the
+    // txn-stamped append, then each batch is crash-REPLAYED — the
+    // replays must be no-ops (the high-water mark rode in the same
+    // atomic commit as the data), or the doubled rows would fail the
+    // oracle hash.
+    "q296_delta_txn_sink" -> ((s, dir) => {
+      val t = freshTmpDir("delta_txn_sink")
+      val nation = graft.Tables.load(s, dir, "nation")
+      graft.sources.DeltaWrite.createTable(s, nation.where("n_regionkey = 0"), t)
+      graft.streaming.DeltaStreams.idempotentAppend(
+        nation.where("n_regionkey = 1"), t, "ing", 0L)
+      graft.streaming.DeltaStreams.idempotentAppend(
+        nation.where("n_regionkey = 2"), t, "ing", 1L)
+      // crash replays of both batches
+      graft.streaming.DeltaStreams.idempotentAppend(
+        nation.where("n_regionkey = 1"), t, "ing", 0L)
+      graft.streaming.DeltaStreams.idempotentAppend(
+        nation.where("n_regionkey = 2"), t, "ing", 1L)
+      graft.sources.DeltaLog.readTable(s, t).orderBy("n_nationkey")
+    }),
+
+    // INCREMENTAL consumption: changes(since=1) serves only the rows
+    // commits 2 and 4 appended, each stamped with its commit version;
+    // the OPTIMIZE rewrite between them (dataChange=false) re-adds
+    // every old row and must be invisible to the tail.
+    "q297_delta_changes" -> ((s, dir) => {
+      val t = freshTmpDir("delta_changes")
+      val nation = graft.Tables.load(s, dir, "nation")
+      graft.sources.DeltaWrite.createTable(s, nation.where("n_regionkey = 0"), t)
+      graft.sources.DeltaWrite.append(s, nation.where("n_regionkey = 1"), t)
+      graft.sources.DeltaWrite.append(s, nation.where("n_regionkey = 2"), t)
+      graft.sources.DeltaOptimize.optimize(s, t)
+      graft.sources.DeltaWrite.append(s, nation.where("n_regionkey = 3"), t)
+      graft.sources.DeltaLog.changes(s, t, sinceVersion = 1L)
+        .orderBy("n_nationkey")
+    }),
+
     // the Iceberg schema report (DELTA SCHEMA's twin, via the ICEBERG
     // SCHEMA statement): Iceberg's stable FIELD IDS — its answer to
     // Delta's column mapping — plus rendered nested types, straight
@@ -5414,6 +5467,18 @@ object PipelineQueries extends QuerySet {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_custkey <= (SELECT max(o_custkey) // 8 FROM orders)
         |ORDER BY o_orderkey, o_custkey""".stripMargin,
+    "q295_delta_vacuum" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey <> 2 ORDER BY n_nationkey""".stripMargin,
+    "q296_delta_txn_sink" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey IN (0, 1, 2) ORDER BY n_nationkey""".stripMargin,
+    "q297_delta_changes" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |       CAST(CASE WHEN n_regionkey = 2 THEN 2 ELSE 4 END AS BIGINT)
+        |         AS _commit_version
+        |FROM nation WHERE n_regionkey IN (2, 3)
+        |ORDER BY n_nationkey""".stripMargin,
     // Iceberg fixture pins: every value restated from the hand-built
     // scenario (table-relative paths keep the pins CWD-independent).
     // Live set at the current snapshot (1002): f2 deleted by the

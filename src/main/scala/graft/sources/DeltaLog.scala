@@ -96,7 +96,11 @@ object DeltaLog {
       StructField("minWriterVersion", IntegerType)))),
     StructField("commitInfo", StructType(Seq(
       StructField("timestamp", LongType),
-      StructField("operation", StringType))))))
+      StructField("operation", StringType)))),
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType),
+      StructField("lastUpdated", LongType))))))
 
   private val CommitName = "([0-9]{20})\\.json".r
 
@@ -258,7 +262,7 @@ object DeltaLog {
       // never reach file reconciliation
       def linesOf(paths: Seq[String]): DataFrame = {
         val raw = spark.read.parquet(paths: _*)
-        val keep = Seq("add", "remove", "metaData", "protocol", "commitInfo")
+        val keep = Seq("add", "remove", "metaData", "protocol", "commitInfo", "txn")
           .filter(raw.columns.contains(_))
         raw.select(org.apache.spark.sql.functions.to_json(
             org.apache.spark.sql.functions.struct(keep.map(col): _*)).as("line"))
@@ -307,7 +311,7 @@ object DeltaLog {
       .select(col("version"), col("ordinal"),
         col("a.add").as("add"), col("a.remove").as("remove"),
         col("a.metaData").as("metaData"), col("a.protocol").as("protocol"),
-        col("a.commitInfo").as("commitInfo"))
+        col("a.commitInfo").as("commitInfo"), col("a.txn").as("txn"))
 
   /** The live file set at `asOf` (or the latest version): action
     * reconciliation — last file action per path wins (a later add with
@@ -653,6 +657,82 @@ object DeltaLog {
         StructField("nullable", BooleanType, nullable = false),
         StructField("is_partition", BooleanType, nullable = false),
         StructField("mapping_mode", StringType, nullable = false))))
+  }
+
+  /** The HIGH-WATER MARK an application writer left in the log: the
+    * greatest `txn.version` committed for `appId`, or None when the
+    * app never wrote. The protocol's idempotent-writer primitive — a
+    * streaming sink replaying a micro-batch asks this before
+    * committing, so a crash between commit and checkpoint can never
+    * double-append ([[graft.streaming.DeltaStreams]]).
+    */
+  def lastTxnVersion(spark: SparkSession, tableDir: String,
+                     appId: String): Option[Long] = {
+    val r = actions(spark, tableDir)
+      .where(col("txn.appId") === appId)
+      .agg(max(col("txn.version")))
+      .head()
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
+  /** The ROWS APPENDED in commits AFTER `sinceVersion` (exclusive), up
+    * to `untilVersion` when given: every `add` with `dataChange=true`
+    * in that version window, scanned as one parquet read with the
+    * commit version attached as `_commit_version`. This is the
+    * incremental-consumption door — a downstream reader tails the
+    * table by remembering its last version and asking for the delta,
+    * paying only the new files, never a snapshot diff. Layout-only
+    * rewrites (OPTIMIZE/Z-ORDER, dataChange=false) are invisible here,
+    * exactly as the protocol intends. Rows later deleted by a
+    * subsequent commit are still reported in the window that added
+    * them (append-stream semantics, not CDC reconciliation).
+    */
+  def changes(spark: SparkSession, tableDir: String, sinceVersion: Long,
+              untilVersion: Option[Long] = None): DataFrame = {
+    val (schema, partCols, _, _) = tableState(spark, tableDir, untilVersion)
+    val acts = actions(spark, tableDir, untilVersion)
+    val newAdds = acts
+      .where(col("version") > sinceVersion &&
+        col("add.path").isNotNull &&
+        coalesce(col("add.dataChange"), lit(true)))
+      .select(col("add.path").as("path"), col("version"),
+        col("add.partitionValues").as("pv"))
+      .collect()
+    val outFields = schema.fields.toSeq :+
+      StructField("_commit_version", LongType, nullable = false)
+    if (newAdds.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(outFields))
+    val fsRoot = new Path(tableDir)
+    val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mapRows = newAdds.toSeq.map { r =>
+      val q = fs.makeQualified(new Path(fsRoot, r.getString(0)))
+      val partVals =
+        if (r.isNullAt(2)) Map.empty[String, String]
+        else r.getMap[String, String](2)
+      org.apache.spark.sql.Row.fromSeq(
+        q.toUri.getRawPath +: r.getLong(1) +:
+          partCols.map(c => partVals.getOrElse(c, null)))
+    }
+    val mapSchema = StructType(
+      StructField("_uri_path", StringType, nullable = false) +:
+        StructField("_commit_version", LongType, nullable = false) +:
+        partCols.map(c => StructField(s"_part_$c", StringType, nullable = true)))
+    val mapping = spark.createDataFrame(
+      spark.sparkContext.parallelize(mapRows, 1), mapSchema)
+    val dataFields = schema.fields.filterNot(f => partCols.contains(f.name))
+    val raw = spark.read
+      .parquet(newAdds.map(r =>
+        fs.makeQualified(new Path(fsRoot, r.getString(0))).toString).distinct: _*)
+      .select(dataFields.toSeq.map(f => col(s"`${f.name}`").as(f.name)) :+
+        UriPaths.pathOnly(col("_metadata.file_path")).as("_uri_path"): _*)
+    raw.join(broadcast(mapping), Seq("_uri_path"), "inner")
+      .select(schema.fields.toSeq.map { f =>
+        if (partCols.contains(f.name))
+          col(s"_part_${f.name}").cast(f.dataType).as(f.name)
+        else col(f.name)
+      } :+ col("_commit_version"): _*)
   }
 
   /** Latest-wins table metadata at `asOf`: (schemaString,

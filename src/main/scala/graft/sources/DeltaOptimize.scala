@@ -118,6 +118,77 @@ object DeltaOptimize {
     version
   }
 
+  /** VACUUM: physically delete data files under the table directory
+    * that the LATEST version no longer references (tombstoned by
+    * remove actions, or never tracked at all — a crashed writer's
+    * orphans) and whose modification time is older than `retainMs`.
+    * The walk over partition directories and the deletes themselves
+    * are distributed; the live set comes from the metadata-sized
+    * snapshot. Time travel to versions below the horizon stops
+    * working — that is vacuum's contract, the storage-cost half of
+    * the log's retention story. Returns one row per examined
+    * non-live file: `path`, `size`, `removed` (false = retained by
+    * `retainMs`, or `dryRun`).
+    */
+  def vacuum(spark: SparkSession, tableDir: String,
+             retainMs: Long = 7L * 24 * 3600 * 1000,
+             dryRun: Boolean = false): DataFrame = {
+    val fs = DeltaWrite.fileSystem(spark, tableDir)
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    val rootUri = fs.makeQualified(root).toUri.getPath
+    val live = DeltaLog.snapshot(spark, tableDir)
+      .select("path").collect().map(_.getString(0)).toSet
+    def hidden(n: String) = n.startsWith(".") || n.startsWith("_")
+    val top = fs.listStatus(root).toSeq.filterNot(st => hidden(st.getPath.getName))
+    def rel(p: org.apache.hadoop.fs.Path): String =
+      fs.makeQualified(p).toUri.getPath.drop(rootUri.length + 1)
+    val topFiles = top.filter(_.isFile)
+      .map(st => (rel(st.getPath), st.getLen, st.getModificationTime))
+    val dirs = top.filter(_.isDirectory)
+      .map(st => fs.makeQualified(st.getPath).toString)
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val rootUriB = rootUri
+    val subFiles: Seq[(String, Long, Long)] =
+      if (dirs.isEmpty) Nil
+      else spark.sparkContext
+        .parallelize(dirs, math.max(1, math.min(dirs.length,
+          spark.sparkContext.defaultParallelism * 2)))
+        .flatMap { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          val dfs = p.getFileSystem(conf.value)
+          def walk(q: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] =
+            dfs.listStatus(q).toSeq.flatMap { st =>
+              if (st.isDirectory) walk(st.getPath)
+              else Seq((dfs.makeQualified(st.getPath).toUri.getPath
+                .drop(rootUriB.length + 1), st.getLen, st.getModificationTime))
+            }
+          walk(p)
+        }.collect().toSeq
+    val horizon = System.currentTimeMillis() - retainMs
+    val dead = (topFiles ++ subFiles)
+      .filterNot { case (r, _, _) => live.contains(r) }
+      .map { case (r, size, mtime) => (r, size, mtime < horizon && !dryRun) }
+      .sortBy(_._1)
+    val doomed = dead.filter(_._3).map(_._1)
+    if (doomed.nonEmpty) {
+      val rootStr = fs.makeQualified(root).toString
+      val failed = spark.sparkContext
+        .parallelize(doomed, math.max(1, math.min(doomed.length,
+          spark.sparkContext.defaultParallelism * 2)))
+        .map { r =>
+          val p = new org.apache.hadoop.fs.Path(rootStr, r)
+          val dfs = p.getFileSystem(conf.value)
+          r -> (dfs.delete(p, false) || !dfs.exists(p))
+        }.filter(!_._2).keys.collect()
+      if (failed.nonEmpty)
+        throw new java.io.IOException(
+          s"deltaoptimize: vacuum could not delete ${failed.length} files " +
+            s"(first: ${failed.head})")
+    }
+    import spark.implicits._
+    dead.toDF("path", "size", "removed")
+  }
+
   /** The column as a double for range scaling — None when the type
     * has no meaningful linear order for Z-values.
     */

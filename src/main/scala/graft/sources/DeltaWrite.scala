@@ -63,7 +63,8 @@ object DeltaWrite {
   def createTable(spark: SparkSession, df: DataFrame, tableDir: String,
                   partitionBy: Seq[String] = Nil): Long = {
     val fs = fileSystem(spark, tableDir)
-    if (DeltaLog.listCommits(spark, tableDir).nonEmpty)
+    if (DeltaLog.listCommits(spark, tableDir).nonEmpty ||
+        DeltaLog.lastCheckpoint(spark, tableDir).isDefined)
       throw new IllegalArgumentException(
         s"deltawrite: $tableDir already has a _delta_log — createTable " +
           "refuses to shadow an existing table")
@@ -91,24 +92,26 @@ object DeltaWrite {
 
   /** Append `df` as the next version (add actions only). The table's
     * partitioning is read from its latest metaData; the DataFrame must
-    * carry the table's columns.
+    * carry the table's columns. `txn` stamps the commit with an
+    * application transaction `(appId, version)` — the protocol's
+    * idempotent-writer marker ([[DeltaLog.lastTxnVersion]]).
     */
-  def append(spark: SparkSession, df: DataFrame, tableDir: String): Long =
-    commitData(spark, df, tableDir, "WRITE", removeLive = false)
+  def append(spark: SparkSession, df: DataFrame, tableDir: String,
+             txn: Option[(String, Long)] = None): Long =
+    commitData(spark, df, tableDir, "WRITE", removeLive = false, txn)
 
   /** Replace the table's content with `df`: remove every live file,
     * add the new ones — one commit, the protocol's REPLACE shape.
     */
   def overwrite(spark: SparkSession, df: DataFrame, tableDir: String): Long =
-    commitData(spark, df, tableDir, "OVERWRITE", removeLive = true)
+    commitData(spark, df, tableDir, "OVERWRITE", removeLive = true, None)
 
   private def commitData(spark: SparkSession, df: DataFrame,
                          tableDir: String, operation: String,
-                         removeLive: Boolean): Long = {
+                         removeLive: Boolean,
+                         txn: Option[(String, Long)]): Long = {
     val fs = fileSystem(spark, tableDir)
-    val version = DeltaLog.listCommits(spark, tableDir).lastOption
-      .map(_._1 + 1).getOrElse(throw new IllegalArgumentException(
-        s"deltawrite: no table at $tableDir — createTable first"))
+    val version = nextVersion(spark, tableDir)
     val (schema, partCols) = tableMetaOf(spark, tableDir)
     val tableCols = schema.fieldNames.toSet
     if (df.schema.fieldNames.toSet != tableCols)
@@ -125,9 +128,12 @@ object DeltaWrite {
     val adds = stageData(spark, fs, df.select(schema.fieldNames.map(col): _*),
       tableDir, partCols)
     val now = System.currentTimeMillis()
+    val txnLine = txn.map { case (appId, v) =>
+      s"""{"txn":{"appId":${jstr(appId)},"version":$v,"lastUpdated":$now}}"""
+    }
     val lines =
       Seq(s"""{"commitInfo":{"timestamp":$now,"operation":${jstr(operation)}}}""") ++
-        removes ++ adds.map(addLine(_, now))
+        txnLine ++ removes ++ adds.map(addLine(_, now))
     commitAtomic(fs, tableDir, version, lines)
     version
   }
@@ -261,10 +267,17 @@ object DeltaWrite {
     version
   }
 
-  private[sources] def nextVersion(spark: SparkSession, tableDir: String): Long =
-    DeltaLog.listCommits(spark, tableDir).lastOption
-      .map(_._1 + 1).getOrElse(throw new IllegalArgumentException(
+  /** The next commit version: after the latest JSON commit OR the
+    * latest checkpoint — a log cleaned up to its checkpoint (no JSON
+    * left) is still a live table.
+    */
+  private[sources] def nextVersion(spark: SparkSession, tableDir: String): Long = {
+    val lastJson = DeltaLog.listCommits(spark, tableDir).lastOption.map(_._1)
+    val lastCp = DeltaLog.lastCheckpoint(spark, tableDir).map(_._1)
+    (lastJson ++ lastCp).maxOption
+      .map(_ + 1).getOrElse(throw new IllegalArgumentException(
         s"deltawrite: no table at $tableDir — createTable first"))
+  }
 
   private[sources] def commitLines(operation: String, removePaths: Seq[String],
                           adds: Seq[Staged],
@@ -296,14 +309,28 @@ object DeltaWrite {
       .where(col("add.path").isNotNull || col("remove.path").isNotNull)
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1 && col("add.path").isNotNull)
-      .select(col("add"), nul("remove"), nul("metaData"), nul("protocol"))
+      .select(col("add"), nul("remove"), nul("metaData"), nul("protocol"),
+        nul("txn"))
     val lastMeta = acts.where(col("metaData.id").isNotNull)
       .orderBy(col("version").desc, col("ordinal").desc).limit(1)
-      .select(nul("add"), nul("remove"), col("metaData"), nul("protocol"))
+      .select(nul("add"), nul("remove"), col("metaData"), nul("protocol"),
+        nul("txn"))
     val lastProto = acts.where(col("protocol.minReaderVersion").isNotNull)
       .orderBy(col("version").desc, col("ordinal").desc).limit(1)
-      .select(nul("add"), nul("remove"), nul("metaData"), col("protocol"))
+      .select(nul("add"), nul("remove"), nul("metaData"), col("protocol"),
+        nul("txn"))
+    // the protocol directs checkpoints to carry each appId's LATEST
+    // txn — without it, log cleanup would reset every idempotent
+    // writer's high-water mark to "never wrote"
+    val wTxn = Window.partitionBy(col("txn.appId"))
+      .orderBy(col("version").desc, col("ordinal").desc)
+    val lastTxns = acts.where(col("txn.appId").isNotNull)
+      .withColumn("_rn", row_number().over(wTxn))
+      .where(col("_rn") === 1)
+      .select(nul("add"), nul("remove"), nul("metaData"), nul("protocol"),
+        col("txn"))
     val state = liveAdds.unionByName(lastMeta).unionByName(lastProto)
+      .unionByName(lastTxns)
     val logDir = new Path(tableDir, "_delta_log")
     val tmpOut = new Path(logDir, s".cp-${java.util.UUID.randomUUID()}")
     state.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)

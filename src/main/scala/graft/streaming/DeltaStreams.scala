@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.sources.{DeltaLog, DeltaWrite}
+
+/** Structured-Streaming glue for the Delta door: an EXACTLY-ONCE sink
+  * and an incremental (tailing) source.
+  *
+  * The sink's replay safety is STRONGER than the marker-file pattern
+  * used by [[DedupStreams]]/[[AnnStreams]]: there, the data append and
+  * the batch marker are two writes, leaving the standard residual
+  * crash window (append landed, marker didn't → one replayed batch
+  * double-appends). Here the `txn` action recording (appId, batchId)
+  * travels IN the same atomic commit as the add actions — the Delta
+  * protocol's application-transaction primitive — so a replayed
+  * micro-batch either sees its own high-water mark and skips, or the
+  * original commit never happened at all. No window.
+  *
+  * The source side tails [[DeltaLog.changes]]: a consumer remembers
+  * the last version it saw and reads only the files newer commits
+  * added — never a snapshot diff, and layout-only rewrites
+  * (dataChange=false) cost it nothing.
+  */
+object DeltaStreams {
+
+  /** Append one micro-batch to the table exactly once: skip when the
+    * table's recorded high-water mark for `appId` already covers
+    * `batchId`. Returns true when this call committed.
+    */
+  def idempotentAppend(batch: DataFrame, tableDir: String, appId: String,
+                       batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val seen = DeltaLog.lastTxnVersion(spark, tableDir, appId)
+    if (seen.exists(_ >= batchId)) false
+    else {
+      DeltaWrite.append(spark, batch, tableDir, txn = Some((appId, batchId)))
+      true
+    }
+  }
+
+  /** Attach a streaming DataFrame to an EXISTING Delta table as an
+    * exactly-once sink: each micro-batch commits through
+    * [[idempotentAppend]] keyed by (appId, batchId).
+    */
+  def deltaSinkStream(docs: DataFrame, tableDir: String, appId: String,
+                      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        idempotentAppend(batch, tableDir, appId, batchId)
+        ()
+      }
+      .start()
+}

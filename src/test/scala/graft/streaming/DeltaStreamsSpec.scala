@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.{DeltaLog, DeltaOptimize, DeltaWrite}
+
+/** Delta streaming glue (see [[DeltaStreams]]) + vacuum lifecycle:
+  * the exactly-once law is tested by REPLAYING batches — a replay
+  * must be a no-op because the txn high-water mark rode in the same
+  * atomic commit as the data (no marker-file crash window). The
+  * changes() tail is tested against hand-known commit contents, and
+  * vacuum against the full live/dead/orphan taxonomy.
+  */
+class DeltaStreamsSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(name)
+    java.nio.file.Files.delete(p)
+    p.toString
+  }
+
+  test("idempotentAppend: replays skip, out-of-order history is kept") {
+    import spark.implicits._
+    val t = freshDir("deltastr_idem")
+    DeltaWrite.createTable(spark, Seq((0L, "seed")).toDF("id", "txt"), t)
+    assert(DeltaStreams.idempotentAppend(
+      Seq((1L, "b0")).toDF("id", "txt"), t, "app", 0L))
+    assert(DeltaStreams.idempotentAppend(
+      Seq((2L, "b1")).toDF("id", "txt"), t, "app", 1L))
+    // crash-replay of batch 1: must skip
+    assert(!DeltaStreams.idempotentAppend(
+      Seq((2L, "b1")).toDF("id", "txt"), t, "app", 1L))
+    // stale replay of batch 0: must skip (high-water, not equality)
+    assert(!DeltaStreams.idempotentAppend(
+      Seq((1L, "b0")).toDF("id", "txt"), t, "app", 0L))
+    // a DIFFERENT app's batch 0 commits fine
+    assert(DeltaStreams.idempotentAppend(
+      Seq((3L, "other")).toDF("id", "txt"), t, "app2", 0L))
+    assert(DeltaLog.readTable(spark, t).count() === 4L)
+    assert(DeltaLog.lastTxnVersion(spark, t, "app").contains(1L))
+    assert(DeltaLog.lastTxnVersion(spark, t, "app2").contains(0L))
+    assert(DeltaLog.lastTxnVersion(spark, t, "ghost").isEmpty)
+  }
+
+  test("txn high-water mark survives checkpoint + log cleanup") {
+    import spark.implicits._
+    val t = freshDir("deltastr_cp")
+    DeltaWrite.createTable(spark, Seq((0L, "seed")).toDF("id", "txt"), t)
+    DeltaStreams.idempotentAppend(Seq((1L, "b0")).toDF("id", "txt"), t, "app", 0L)
+    DeltaStreams.idempotentAppend(Seq((2L, "b1")).toDF("id", "txt"), t, "app", 1L)
+    DeltaWrite.checkpoint(spark, t)
+    // expire the JSON commits the checkpoint covers
+    (0L to 2L).foreach { v =>
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(t, "_delta_log", f"$v%020d.json"))
+    }
+    // the mark must come back from the checkpoint parquet
+    assert(DeltaLog.lastTxnVersion(spark, t, "app").contains(1L))
+    assert(!DeltaStreams.idempotentAppend(
+      Seq((9L, "replay")).toDF("id", "txt"), t, "app", 1L))
+    assert(DeltaStreams.idempotentAppend(
+      Seq((3L, "b2")).toDF("id", "txt"), t, "app", 2L))
+    assert(DeltaLog.readTable(spark, t).count() === 4L)
+  }
+
+  test("deltaSinkStream delivers each micro-batch exactly once") {
+    import spark.implicits._
+    val t = freshDir("deltastr_sink")
+    val cp = freshDir("deltastr_sink_cp")
+    DeltaWrite.createTable(spark,
+      spark.emptyDataset[(Long, String)].toDF("id", "txt"), t)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = DeltaStreams.deltaSinkStream(
+      input.toDF().toDF("id", "txt"), t, "sinkapp", cp)
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(DeltaLog.readTable(spark, t).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // simulate the post-crash replay of the LAST batch the checkpoint
+    // hadn't acknowledged: same (appId, batchId) -> skipped
+    assert(!DeltaStreams.idempotentAppend(
+      Seq((3L, "c")).toDF("id", "txt"), t, "sinkapp", 1L))
+    assert(DeltaLog.readTable(spark, t).count() === 3L)
+  }
+
+  test("changes() tails appended rows by version window") {
+    import spark.implicits._
+    val t = freshDir("deltastr_chg")
+    DeltaWrite.createTable(spark, Seq((1L, "a")).toDF("id", "txt"), t) // v0
+    DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "txt"), t)      // v1
+    DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "txt"), t)      // v2
+    DeltaOptimize.optimize(spark, t)                                   // v3: layout-only
+    DeltaWrite.append(spark, Seq((4L, "d")).toDF("id", "txt"), t)      // v4
+    // tail from v1 (exclusive): v2's and v4's rows; the OPTIMIZE
+    // rewrite re-adds old rows with dataChange=false and must be invisible
+    val got = DeltaLog.changes(spark, t, sinceVersion = 1L)
+      .select("id", "_commit_version").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((3L, 2L), (4L, 4L)))
+    // bounded window
+    assert(DeltaLog.changes(spark, t, 0L, untilVersion = Some(2L))
+      .orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
+    // empty window
+    assert(DeltaLog.changes(spark, t, 4L).count() === 0L)
+  }
+
+  test("vacuum removes tombstoned + orphan files, keeps the live table") {
+    import spark.implicits._
+    val t = freshDir("deltastr_vac")
+    DeltaWrite.createTable(spark,
+      (0L until 40L).map(i => (i, s"p${i % 2}")).toDF("id", "bucket"), t,
+      partitionBy = Seq("bucket"))
+    DeltaWrite.overwrite(spark,
+      (0L until 20L).map(i => (i, s"p${i % 2}")).toDF("id", "bucket"), t)
+    // plant an orphan (a crashed writer's leftover) inside a partition dir
+    val orphan = java.nio.file.Paths.get(t, "bucket=p0", "orphan.parquet")
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+    val liveCount = DeltaLog.snapshot(spark, t).count()
+    // dryRun reports but deletes nothing
+    val dry = DeltaOptimize.vacuum(spark, t, retainMs = 0L, dryRun = true)
+    assert(dry.where(col("removed")).count() === 0L)
+    assert(java.nio.file.Files.exists(orphan))
+    // real run: every dead file goes
+    val rep = DeltaOptimize.vacuum(spark, t, retainMs = 0L)
+    assert(rep.count() > 0 && rep.where(!col("removed")).count() === 0L)
+    assert(!java.nio.file.Files.exists(orphan))
+    // live table intact, file count unchanged
+    assert(DeltaLog.snapshot(spark, t).count() === liveCount)
+    assert(DeltaLog.readTable(spark, t).count() === 20L)
+    // a second vacuum finds nothing dead
+    assert(DeltaOptimize.vacuum(spark, t, retainMs = 0L).count() === 0L)
+    // retention window: a fresh overwrite's tombstones are too young
+    DeltaWrite.overwrite(spark,
+      (0L until 10L).map(i => (i, s"p${i % 2}")).toDF("id", "bucket"), t)
+    val young = DeltaOptimize.vacuum(spark, t) // default 7-day retention
+    assert(young.count() > 0 && young.where(col("removed")).count() === 0L)
+  }
+}
