@@ -4230,6 +4230,36 @@ object PipelineQueries extends QuerySet {
         .orderBy("n_nationkey")
     }),
 
+    // Iceberg DATA SKIPPING (q288's lakehouse twin): the writer's
+    // manifests carry per-field-id lower/upper bounds decoded from the
+    // data footers; readTableWhere prunes 3 of the 4 range files
+    // through them — same may-match algebra, different stats source —
+    // and the answer must hash-match DuckDB's full-scan filter.
+    "q298_iceberg_skipping" -> ((s, dir) => {
+      val t = freshTmpDir("iceberg_skipping")
+      icebergClusteredOrders(s, dir, t)
+      val maxKey = graft.Tables.load(s, dir, "orders")
+        .agg(max("o_orderkey")).head.getLong(0)
+      graft.sources.IcebergMeta.readTableWhere(s, t,
+        s"o_orderkey <= ${maxKey / 8} AND o_totalprice > 1000")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // Snapshot EXPIRY + orphan reclamation: trim the 4-snapshot history
+    // to the current one, physically delete what no kept snapshot
+    // references (the 3 old manifest lists), and the table must still
+    // serve every row — retention must never cost the live set.
+    "q299_iceberg_expire" -> ((s, dir) => {
+      val t = freshTmpDir("iceberg_expire")
+      icebergClusteredOrders(s, dir, t)
+      graft.sources.IcebergWrite.expireSnapshots(s, t, keepLast = 1)
+      graft.sources.IcebergWrite.removeOrphanFiles(s, t)
+      graft.sources.IcebergMeta.readTable(s, t)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // the Iceberg schema report (DELTA SCHEMA's twin, via the ICEBERG
     // SCHEMA statement): Iceberg's stable FIELD IDS — its answer to
     // Delta's column mapping — plus rendered nested types, straight
@@ -4603,6 +4633,19 @@ object PipelineQueries extends QuerySet {
       orders.where(expr(s"o_orderkey * 4 DIV ${maxKey + 1} = $b")).coalesce(1)
     graft.sources.DeltaWrite.createTable(s, slice(0), t)
     (1 to 3).foreach(b => graft.sources.DeltaWrite.append(s, slice(b), t))
+  }
+
+  /** [[deltaClusteredOrders]]'s Iceberg twin: four single-file range
+    * appends, per-file bounds riding in the manifests.
+    */
+  private def icebergClusteredOrders(s: org.apache.spark.sql.SparkSession,
+                                     dir: String, t: String): Unit = {
+    val orders = graft.Tables.load(s, dir, "orders")
+    val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+    def slice(b: Int) =
+      orders.where(expr(s"o_orderkey * 4 DIV ${maxKey + 1} = $b")).coalesce(1)
+    graft.sources.IcebergWrite.createTable(s, slice(0), t)
+    (1 to 3).foreach(b => graft.sources.IcebergWrite.append(s, slice(b), t))
   }
 
   private def freshTmpDir(name: String): String = {
@@ -5479,6 +5522,14 @@ object PipelineQueries extends QuerySet {
         |         AS _commit_version
         |FROM nation WHERE n_regionkey IN (2, 3)
         |ORDER BY n_nationkey""".stripMargin,
+    "q298_iceberg_skipping" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey <= (SELECT max(o_orderkey) // 8 FROM orders)
+        |  AND o_totalprice > 1000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q299_iceberg_expire" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
     // Iceberg fixture pins: every value restated from the hand-built
     // scenario (table-relative paths keep the pins CWD-independent).
     // Live set at the current snapshot (1002): f2 deleted by the

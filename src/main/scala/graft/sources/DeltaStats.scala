@@ -229,11 +229,17 @@ object DeltaStats {
     * optimization, never a filter.
     */
   def mayMatch(spark: SparkSession, predicateSql: String,
-               schema: StructType, partCols: Seq[String]): Column = {
-    val b = boundsOver(schema, partCols)
-    val parsed = spark.sessionState.sqlParser.parseExpression(predicateSql)
-    may(parsed, b)
-  }
+               schema: StructType, partCols: Seq[String]): Column =
+    mayMatchWith(spark, predicateSql, boundsOver(schema, partCols))
+
+  /** The translator over caller-supplied [[FileBounds]] — shared by the
+    * Delta stats pruner and the Iceberg manifest-bounds pruner (the
+    * may-match algebra is format-independent; only where the bounds
+    * come from differs).
+    */
+  def mayMatchWith(spark: SparkSession, predicateSql: String,
+                   b: FileBounds): Column =
+    may(spark.sessionState.sqlParser.parseExpression(predicateSql), b)
 
   private def keep(c: Column): Column = coalesce(c, lit(true))
 

@@ -289,7 +289,50 @@ object IcebergMeta {
     // inheritance rule for added entries)
     StructField("sequence_number", LongType, nullable = true),
     // equality-delete files name their match columns by schema FIELD ID
-    StructField("equality_ids", ArrayType(IntegerType), nullable = true)))
+    StructField("equality_ids", ArrayType(IntegerType), nullable = true),
+    // per-column manifest stats, keyed by FIELD ID: counts and the
+    // spec's single-value-serialized bounds — the planner's pruning
+    // inputs, decoded from the manifest (never the data file)
+    StructField("value_counts", MapType(IntegerType, LongType), nullable = true),
+    StructField("null_value_counts", MapType(IntegerType, LongType), nullable = true),
+    StructField("lower_bounds", MapType(IntegerType, BinaryType), nullable = true),
+    StructField("upper_bounds", MapType(IntegerType, BinaryType), nullable = true)))
+
+  /** A manifest's map<int, V> field in either physical spelling: the
+    * spec's array-of-key-value records, or a string-keyed Avro map
+    * whose keys parse as ints. Unknown shapes decode to empty (no
+    * claim — the pruner then keeps the file).
+    */
+  private def intKeyed(df: Map[String, Any], key: String): Map[Int, Any] =
+    df.get(key) match {
+      case Some(s: Seq[_]) =>
+        s.flatMap {
+          case m: Map[_, _] =>
+            val mm = m.asInstanceOf[Map[String, Any]]
+            val k = mm.get("key") match {
+              case Some(i: Int)  => Some(i)
+              case Some(l: Long) => Some(l.toInt)
+              case _             => None
+            }
+            k.flatMap(kk => mm.get("value").map(kk -> _))
+          case _ => None
+        }.toMap
+      case Some(m: Map[_, _]) =>
+        m.asInstanceOf[Map[String, Any]].flatMap { case (k, v) =>
+          k.toIntOption.map(_ -> v)
+        }
+      case _ => Map.empty
+    }
+
+  private def longValued(m: Map[Int, Any]): Map[Int, Long] =
+    m.flatMap {
+      case (k, v: Long) => Some(k -> v)
+      case (k, v: Int)  => Some(k -> v.toLong)
+      case _            => None
+    }
+
+  private def bytesValued(m: Map[Int, Any]): Map[Int, Array[Byte]] =
+    m.collect { case (k, v: Array[Byte]) => k -> v }
 
   /** Every manifest entry of the chosen snapshot — the table's file-level
     * truth. DISTRIBUTED: one task per manifest file; each task reads and
@@ -349,7 +392,11 @@ object IcebergMeta {
               mLong(df, "record_count").map(Long.box).orNull,
               mLong(df, "file_size_in_bytes").map(Long.box).orNull,
               mLong(e, "sequence_number").orElse(manifestSeq).map(Long.box).orNull,
-              eqIds)
+              eqIds,
+              Some(longValued(intKeyed(df, "value_counts"))).filter(_.nonEmpty).orNull,
+              Some(longValued(intKeyed(df, "null_value_counts"))).filter(_.nonEmpty).orNull,
+              Some(bytesValued(intKeyed(df, "lower_bounds"))).filter(_.nonEmpty).orNull,
+              Some(bytesValued(intKeyed(df, "upper_bounds"))).filter(_.nonEmpty).orNull)
           }
         }
       }
@@ -567,7 +614,130 @@ object IcebergMeta {
     * inexcusable outcome.
     */
   def readTable(spark: SparkSession, tableDir: String,
-                snapshotId: Option[Long] = None): DataFrame = {
+                snapshotId: Option[Long] = None): DataFrame =
+    readTable(spark, tableDir, snapshotId, keepFiles = None)
+
+  /** [[readTable]] with MANIFEST-BOUNDS data skipping: the live file
+    * list is pruned through each entry's lower/upper bounds and null
+    * counts ([[DeltaStats.mayMatchWith]] over Iceberg's per-field-id
+    * stats — the same sound may-match algebra as the Delta pruner),
+    * then the predicate filters the surviving rows. The decision costs
+    * the manifests, never a data file.
+    */
+  def readTableWhere(spark: SparkSession, tableDir: String,
+                     predicateSql: String,
+                     snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val kept = pruneVerdicts(spark, tableDir, predicateSql, snapshotId)
+      .where(col("kept")).select("file_path").collect()
+      .map(_.getString(0)).toSet
+    readTable(spark, tableDir, snapshotId, keepFiles = Some(kept))
+      .where(predicateSql)
+  }
+
+  /** One row per live data file with the skipping verdict for
+    * `predicateSql`: `file_path`, `record_count`, `kept`.
+    */
+  def skippingReport(spark: SparkSession, tableDir: String,
+                     predicateSql: String,
+                     snapshotId: Option[Long] = None): DataFrame =
+    pruneVerdicts(spark, tableDir, predicateSql, snapshotId)
+
+  /** The verdict relation behind [[readTableWhere]]: deserialize each
+    * live entry's bounds through the schema's field ids into typed
+    * per-file min/max/nullCount columns, then evaluate the shared
+    * may-match translator over them. Absent bounds (older writers, an
+    * unsupported type) degrade to keep.
+    */
+  private def pruneVerdicts(spark: SparkSession, tableDir: String,
+                            predicateSql: String,
+                            snapshotId: Option[Long]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val flds = schemaFieldsOf(spark, tableDir, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"iceberg: data skipping needs a schema in metadata.json under $tableDir"))
+    // (field id, name, spark type) for the types the pruner understands
+    val typed = flds.flatMap { f =>
+      for {
+        id <- f.id
+        dt <- icebergTypeToSpark(f.typeStr)
+        if DeltaStats.supported(dt) && dt != TimestampNTZType
+      } yield (id.toInt, f.name, f.typeStr, dt)
+    }
+    val live = entries(spark, tableDir, snapshotId)
+      .where(col("status") =!= 2 && col("content") === "data")
+      .select("file_path", "record_count", "null_value_counts",
+        "lower_bounds", "upper_bounds")
+      .collect()
+    val rows = live.toSeq.map { r =>
+      val nulls =
+        if (r.isNullAt(2)) Map.empty[Int, Long]
+        else r.getMap[Int, Long](2).toMap
+      val lo =
+        if (r.isNullAt(3)) Map.empty[Int, Array[Byte]]
+        else r.getMap[Int, Array[Byte]](3).toMap
+      val hi =
+        if (r.isNullAt(4)) Map.empty[Int, Array[Byte]]
+        else r.getMap[Int, Array[Byte]](4).toMap
+      Row.fromSeq(
+        r.getString(0) +: (if (r.isNullAt(1)) null else Long.box(r.getLong(1))) +:
+          typed.flatMap { case (id, _, typeStr, _) =>
+            Seq(lo.get(id).flatMap(deserBound(typeStr, _)).orNull,
+              hi.get(id).flatMap(deserBound(typeStr, _)).orNull,
+              nulls.get(id).map(Long.box).orNull)
+          })
+    }
+    val schema = StructType(
+      StructField("file_path", StringType, nullable = false) +:
+        StructField("record_count", LongType, nullable = true) +:
+        typed.flatMap { case (_, name, _, dt) => Seq(
+          StructField(s"_min_$name", dt, nullable = true),
+          StructField(s"_max_$name", dt, nullable = true),
+          StructField(s"_null_$name", LongType, nullable = true))
+        })
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val names = typed.map(_._2).toSet
+    val bounds = graft.sources.DeltaStats.FileBounds(
+      minOf = c => if (names.contains(c)) col(s"`_min_$c`") else lit(null),
+      maxOf = c => if (names.contains(c)) col(s"`_max_$c`") else lit(null),
+      nullCntOf = c => if (names.contains(c)) col(s"`_null_$c`") else lit(null),
+      numRecords = col("record_count"))
+    df.withColumn("kept",
+        DeltaStats.mayMatchWith(spark, predicateSql, bounds))
+      .select(col("file_path"), col("record_count"), col("kept"))
+  }
+
+  /** Inverse of the writer's single-value serialization, to the JVM
+    * external type `lit`/Row building expects.
+    */
+  private def deserBound(typeStr: String, b: Array[Byte]): Option[Any] = {
+    def le(n: Int): Option[Long] =
+      if (b.length != n) None
+      else Some((0 until n).foldRight(0L)((i, acc) => (acc << 8) | (b(i) & 0xffL)))
+    typeStr match {
+      case "int"     => le(4).map(v => Int.box(v.toInt))
+      case "long"    => le(8).map(Long.box)
+      case "boolean" => if (b.length == 1) Some(Boolean.box(b(0) != 0)) else None
+      case "float"   => le(4).map(v => Float.box(java.lang.Float.intBitsToFloat(v.toInt)))
+      case "double"  => le(8).map(v => Double.box(java.lang.Double.longBitsToDouble(v)))
+      case "string" | "uuid" =>
+        Some(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      case "date" =>
+        le(4).map(d => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toInt)))
+      case "timestamptz" =>
+        le(8).map { micros =>
+          val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+          ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+          ts
+        }
+      case _ => None
+    }
+  }
+
+  private[sources] def readTable(spark: SparkSession, tableDir: String,
+                                 snapshotId: Option[Long],
+                                 keepFiles: Option[Set[String]]): DataFrame = {
     import org.apache.spark.sql.functions._
     val tm = readTableMeta(spark, tableDir)
     val snap = chooseSnapshot(tm, snapshotId)
@@ -578,9 +748,22 @@ object IcebergMeta {
     def seqOf(r: Row): Option[Long] =
       if (r.isNullAt(2)) None else Some(r.getLong(2))
     val dataFiles = live.filter(_.getString(0) == "data")
+      .filter(r => keepFiles.forall(_.contains(r.getString(1))))
     val posFiles = live.filter(_.getString(0) == "position_deletes")
       .map(r => (r.getString(1), seqOf(r))).distinct
     val eqFiles = live.filter(_.getString(0) == "equality_deletes")
+    if (dataFiles.isEmpty && keepFiles.isDefined) {
+      // the pruner proved no file can match: an empty table of the
+      // schema's shape, not an error
+      val flds = schemaFieldsOf(spark, tableDir, snap.schemaId).getOrElse(
+        throw new IllegalArgumentException(
+          s"iceberg: pruned-empty read needs a schema under $tableDir"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(flds.map(f => StructField(f.name,
+          icebergTypeToSpark(f.typeStr).getOrElse(StringType),
+          nullable = true))))
+    }
     if (dataFiles.isEmpty)
       throw new IllegalArgumentException(
         s"iceberg: snapshot has no live data files under $tableDir")

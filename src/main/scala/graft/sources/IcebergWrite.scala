@@ -37,6 +37,10 @@ import graft.operators.Avro
   */
 object IcebergWrite {
 
+  // the map<int, …> fields use the spec's array-of-key-value Avro form
+  // (Avro maps only take string keys); bounds values are the spec's
+  // single-value binary serialization, decoded from each staged file's
+  // own parquet footer
   private val EntrySchema =
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
@@ -47,7 +51,20 @@ object IcebergWrite {
       |  {"name":"file_path","type":"string"},
       |  {"name":"file_format","type":"string"},
       |  {"name":"record_count","type":"long"},
-      |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin
+      |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"value_counts","type":["null",{"type":"array","logicalType":"map",
+      |    "items":{"type":"record","name":"k119_v120","fields":[
+      |      {"name":"key","type":"int"},{"name":"value","type":"long"}]}}],"default":null},
+      |  {"name":"null_value_counts","type":["null",{"type":"array","logicalType":"map",
+      |    "items":{"type":"record","name":"k121_v122","fields":[
+      |      {"name":"key","type":"int"},{"name":"value","type":"long"}]}}],"default":null},
+      |  {"name":"lower_bounds","type":["null",{"type":"array","logicalType":"map",
+      |    "items":{"type":"record","name":"k126_v127","fields":[
+      |      {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],"default":null},
+      |  {"name":"upper_bounds","type":["null",{"type":"array","logicalType":"map",
+      |    "items":{"type":"record","name":"k129_v130","fields":[
+      |      {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],"default":null}
+      |]}}]}""".stripMargin
 
   private val ListSchema =
     """{"type":"record","name":"manifest_file","fields":[
@@ -124,6 +141,127 @@ object IcebergWrite {
       operation = "append")
   }
 
+  // ------------------------------------------------------ maintenance
+
+  /** EXPIRE SNAPSHOTS: commit a new metadata.json carrying only the
+    * last `keepLast` snapshots (by sequence number; the current
+    * snapshot is always among them — expiring it is refused). Time
+    * travel to the expired ids stops resolving; the files they alone
+    * referenced become orphans for [[removeOrphanFiles]]. Returns the
+    * expired snapshot ids (empty = nothing to do, no commit).
+    */
+  def expireSnapshots(spark: SparkSession, tableDir: String,
+                      keepLast: Int = 1): Seq[Long] = {
+    require(keepLast >= 1, "iceberg-write: keepLast must be >= 1")
+    val fs = fileSystem(spark, tableDir)
+    val tm = IcebergMeta.readTableMeta(spark, tableDir)
+    val current = tm.currentSnapshotId.getOrElse(
+      throw new IllegalArgumentException(
+        s"iceberg-write: no current snapshot under $tableDir"))
+    val sorted = tm.snapshots.sortBy(s => (s.sequenceNumber.getOrElse(0L), s.id))
+    val kept = sorted.takeRight(keepLast)
+    if (!kept.exists(_.id == current))
+      throw new IllegalArgumentException(
+        "iceberg-write: expireSnapshots would drop the CURRENT snapshot")
+    val expired = sorted.dropRight(keepLast)
+    if (expired.isEmpty) return Nil
+    val fields = IcebergMeta.schemaFieldsOf(spark, tableDir, None)
+      .getOrElse(throw new IllegalArgumentException(
+        s"iceberg-write: metadata under $tableDir carries no schema"))
+      .map(f => (f.id.getOrElse(throw new IllegalArgumentException(
+        s"iceberg-write: schema field ${f.name} has no field id")),
+        f.name, f.typeStr, !f.required))
+    val keptIds = kept.map(_.id).toSet
+    // a kept snapshot whose parent expired keeps no dangling pointer
+    val snaps = kept.map(s => snapJson(s.id,
+      s.parentId.filter(keptIds.contains),
+      s.sequenceNumber.getOrElse(0L), s.timestampMs,
+      s.operation.getOrElse("append"), s.manifestList))
+    writeMetadataJson(fs, tableDir, tm.uuid, fields, snaps, current,
+      sorted.flatMap(_.sequenceNumber).maxOption.getOrElse(0L),
+      System.currentTimeMillis())
+    expired.map(_.id)
+  }
+
+  /** Delete files under `data/` and manifest/list Avro under
+    * `metadata/` that NO snapshot in the current metadata references —
+    * the storage reclamation that completes [[expireSnapshots]], and
+    * the cleanup for any crashed writer's staged leftovers. The data-
+    * directory walk is distributed. Returns one row per orphan:
+    * `path`, `removed`.
+    */
+  def removeOrphanFiles(spark: SparkSession, tableDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val fs = fileSystem(spark, tableDir)
+    val tm = IcebergMeta.readTableMeta(spark, tableDir)
+    val rootUri = fs.makeQualified(new Path(tableDir)).toUri.getPath
+    def relOf(p: String): String = {
+      val abs = new Path(resolveInTable(tableDir, p))
+      val u = fs.makeQualified(abs).toUri.getPath
+      if (u.startsWith(rootUri + "/")) u.drop(rootUri.length + 1) else u
+    }
+    // referenced = every kept snapshot's manifest list, its manifests,
+    // and every data/delete file any manifest entry names (all statuses
+    // — a tombstoned entry's file may still be referenced by an older
+    // kept snapshot's live set)
+    val referenced = scala.collection.mutable.Set.empty[String]
+    tm.snapshots.foreach { s =>
+      referenced += relOf(s.manifestList)
+      val mlPath = new Path(resolveInTable(tableDir, s.manifestList))
+      IcebergMeta.readOcfFile(fs, mlPath).rows.foreach {
+        case m: Map[_, _] =>
+          val mm = m.asInstanceOf[Map[String, Any]]
+          mm.get("manifest_path").collect { case p: String =>
+            referenced += relOf(p)
+            val mp = new Path(resolveInTable(tableDir, p))
+            IcebergMeta.readOcfFile(fs, mp).rows.foreach {
+              case e: Map[_, _] =>
+                e.asInstanceOf[Map[String, Any]].get("data_file").collect {
+                  case d: Map[_, _] =>
+                    d.asInstanceOf[Map[String, Any]].get("file_path")
+                      .collect { case fp: String => referenced += relOf(fp) }
+                }
+              case _ => ()
+            }
+          }
+        case _ => ()
+      }
+    }
+    // candidates: everything under data/, plus metadata *.avro
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val dataDir = new Path(tableDir, "data")
+    val dataDirStr = fs.makeQualified(dataDir).toString
+    val dataFiles: Seq[String] =
+      if (!fs.exists(dataDir)) Nil
+      else spark.sparkContext.parallelize(Seq(dataDirStr), 1).flatMap { d =>
+        val p = new Path(d)
+        val dfs = p.getFileSystem(conf.value)
+        def walk(q: Path): Seq[String] =
+          dfs.listStatus(q).toSeq.flatMap { st =>
+            if (st.isDirectory) walk(st.getPath)
+            else Seq(dfs.makeQualified(st.getPath).toUri.getPath)
+          }
+        walk(p)
+      }.collect().toSeq.map(u => u.drop(rootUri.length + 1))
+    val metaDir = new Path(tableDir, "metadata")
+    val avroFiles =
+      if (!fs.exists(metaDir)) Nil
+      else fs.listStatus(metaDir).toSeq.filter(_.isFile)
+        .map(_.getPath.getName).filter(_.endsWith(".avro"))
+        .map(n => s"metadata/$n")
+    val orphans = (dataFiles ++ avroFiles)
+      .filterNot(r => r.split('/').last.startsWith("."))
+      .filterNot(referenced.contains).sorted
+    orphans.foreach { r =>
+      if (!fs.delete(new Path(tableDir, r), false) &&
+          fs.exists(new Path(tableDir, r)))
+        throw new java.io.IOException(
+          s"iceberg-write: could not delete orphan $r under $tableDir")
+    }
+    import spark.implicits._
+    orphans.map(r => (r, true)).toDF("path", "removed")
+  }
+
   // -------------------------------------------------------- internals
 
   private def fileSystem(spark: SparkSession, tableDir: String): FileSystem =
@@ -185,15 +323,101 @@ object IcebergWrite {
       s"iceberg-write: cannot append to a table with type $other")
   }
 
+  /** Per-column manifest facts for one staged data file: the value/
+    * null counts and the spec's single-value-serialized bounds, all
+    * decoded from the file's own parquet footer.
+    */
+  private final case class ColFacts(id: Long, valueCount: Long,
+      nullCount: Option[Long], lower: Option[Array[Byte]],
+      upper: Option[Array[Byte]])
+
+  /** One chunk-stats value as a comparable Scala value for cross-row-
+    * group folding — None when the physical bytes don't decode for the
+    * Iceberg type.
+    */
+  private def decodeCmp(typeStr: String, b: Array[Byte], t: Int): Option[Any] =
+    typeStr match {
+      case "int" | "date" if t == 1 =>
+        graft.operators.ParquetFooter.statLong(b, t)
+      case "long" | "timestamp" | "timestamptz" if t == 2 =>
+        graft.operators.ParquetFooter.statLong(b, t)
+      case "boolean" if t == 0 =>
+        graft.operators.ParquetFooter.statLong(b, t)
+      case "float" | "double" if t == 4 || t == 5 =>
+        graft.operators.ParquetFooter.statDouble(b, t)
+          .filter(v => !v.isNaN && !v.isInfinite)
+      case "string" if t == 6 =>
+        graft.operators.ParquetFooter.statString(b, t)
+      case _ => None
+    }
+
+  private def cmpLt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long)     => x < y
+    case (x: Double, y: Double) => x < y
+    case (x: String, y: String) => x < y
+    case _                      => false
+  }
+
+  /** Iceberg single-value binary serialization (table spec appendix D):
+    * ints/longs/floats/doubles little-endian, strings UTF-8, booleans
+    * one byte, dates as int days, timestamps as long micros.
+    */
+  private def serBound(typeStr: String, v: Any): Array[Byte] = {
+    def le(n: Long, bytes: Int): Array[Byte] =
+      (0 until bytes).map(i => ((n >>> (8 * i)) & 0xff).toByte).toArray
+    (typeStr, v) match {
+      case ("int" | "date", n: Long)  => le(n, 4)
+      case ("long" | "timestamp" | "timestamptz", n: Long) => le(n, 8)
+      case ("boolean", n: Long)       => Array((n & 1).toByte)
+      case ("float", d: Double)       =>
+        le(java.lang.Float.floatToIntBits(d.toFloat).toLong & 0xffffffffL, 4)
+      case ("double", d: Double)      =>
+        le(java.lang.Double.doubleToLongBits(d), 8)
+      case ("string", s: String)      =>
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      case _ => throw new IllegalStateException(
+        s"iceberg-write: unserializable bound ($typeStr, $v)")
+    }
+  }
+
+  /** All [[ColFacts]] for one parsed footer against the table fields. */
+  private def colFactsOf(m: graft.operators.ParquetFooter.FileMeta,
+                         fields: Seq[(Long, String, String, Boolean)])
+      : Seq[ColFacts] =
+    fields.flatMap { case (id, name, typeStr, _) =>
+      val chunks = m.rowGroups.flatMap(_.columns.filter(_.path == Seq(name)))
+      if (chunks.isEmpty) None
+      else {
+        val valueCount = chunks.map(_.numValues).sum
+        val nullCount =
+          if (chunks.forall(_.stats.exists(_.nullCount.isDefined)))
+            Some(chunks.map(_.stats.get.nullCount.get).sum)
+          else None
+        val nonNull = chunks.filterNot(c =>
+          c.stats.exists(s => s.nullCount.contains(c.numValues)))
+        val los = nonNull.map(c => c.stats.flatMap(_.minBytes)
+          .flatMap(decodeCmp(typeStr, _, c.typ)))
+        val his = nonNull.map(c => c.stats.flatMap(_.maxBytes)
+          .flatMap(decodeCmp(typeStr, _, c.typ)))
+        val (lower, upper) =
+          if (nonNull.nonEmpty && los.forall(_.isDefined) && his.forall(_.isDefined)) {
+            val lo = los.flatten.reduce((a, b) => if (cmpLt(b, a)) b else a)
+            val hi = his.flatten.reduce((a, b) => if (cmpLt(a, b)) b else a)
+            (Some(serBound(typeStr, lo)), Some(serBound(typeStr, hi)))
+          } else (None, None)
+        Some(ColFacts(id, valueCount, nullCount, lower, upper))
+      }
+    }
+
   /** Stage `df` as parquet files under `data/` — each footer carrying
-    * the schema's field ids — and return (relative path, size, rows)
-    * per file, rows decoded from the staged footers in one distributed
-    * pass.
+    * the schema's field ids — and return (relative path, size, rows,
+    * per-column facts) per file, all decoded from the staged footers
+    * in one distributed pass.
     */
   private def stageData(spark: SparkSession, fs: FileSystem, df: DataFrame,
                         tableDir: String,
                         fields: Seq[(Long, String, String, Boolean)])
-      : Seq[(String, Long, Long)] = {
+      : Seq[(String, Long, Long, Seq[ColFacts])] = {
     val fsRoot = new Path(tableDir)
     val dataDir = new Path(fsRoot, "data")
     fs.mkdirs(dataDir)
@@ -218,16 +442,18 @@ object IcebergWrite {
     val rootStr = fs.makeQualified(fsRoot).toString
     val slices = math.max(1, math.min(moved.length,
       spark.sparkContext.defaultParallelism * 2))
-    val counts = spark.sparkContext.parallelize(moved.map(_._1), slices)
+    val facts = spark.sparkContext.parallelize(moved.map(_._1), slices)
       .map { rel =>
         val p = new Path(rootStr, rel)
         val pfs = p.getFileSystem(conf.value)
         val m = ParquetMeta.readFooter(pfs, p).getOrElse(
           throw new java.io.IOException(
             s"iceberg-write: staged file $rel has no readable parquet footer"))
-        rel -> m.numRows
-      }.collect().toMap
-    moved.map { case (rel, size) => (rel, size, counts(rel)) }
+        (rel, m.numRows, colFactsOf(m, fields))
+      }.collect().map(x => x._1 -> (x._2, x._3)).toMap
+    moved.map { case (rel, size) =>
+      (rel, size, facts(rel)._1, facts(rel)._2)
+    }
   }
 
   /** The shared commit tail: stage data, write manifest + manifest
@@ -247,12 +473,22 @@ object IcebergWrite {
     val snapshotId = prevSnapshots.map(_.id).maxOption.getOrElse(0L) + 1
     val staged = stageData(spark, fs, df, tableDir, fields)
     // one manifest per commit — deterministic name keyed by sequence
-    val entries = staged.map { case (rel, size, rows) =>
+    def kv(facts: Seq[(Long, Any)]): Any =
+      if (facts.isEmpty) null
+      else facts.map { case (id, v) =>
+        Map[String, Any]("key" -> id.toInt, "value" -> v)
+      }
+    val entries = staged.map { case (rel, size, rows, facts) =>
       Map[String, Any]("status" -> 1, "snapshot_id" -> snapshotId,
         "sequence_number" -> null,
         "data_file" -> Map[String, Any](
           "content" -> 0, "file_path" -> rel, "file_format" -> "PARQUET",
-          "record_count" -> rows, "file_size_in_bytes" -> size))
+          "record_count" -> rows, "file_size_in_bytes" -> size,
+          "value_counts" -> kv(facts.map(c => c.id -> c.valueCount)),
+          "null_value_counts" -> kv(facts.flatMap(c =>
+            c.nullCount.map(c.id -> _))),
+          "lower_bounds" -> kv(facts.flatMap(c => c.lower.map(c.id -> _))),
+          "upper_bounds" -> kv(facts.flatMap(c => c.upper.map(c.id -> _)))))
     }
     val manifestRel = s"metadata/m-$seq.avro"
     val manifestPath = new Path(tableDir, manifestRel)
@@ -275,32 +511,48 @@ object IcebergWrite {
     // metadata.json: regenerate the typed state — schema, full snapshot
     // history, the new snapshot as current
     val now = System.currentTimeMillis()
-    def jstr(s: String) = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val schemaJson = fields.map { case (id, name, typ, nullable) =>
-      s"""{"id":$id,"name":${jstr(name)},"required":${!nullable},""" +
-        s""""type":${jstr(typ)}}"""
-    }.mkString("""{"type":"struct","schema-id":0,"fields":[""", ",", "]}")
-    def snapJson(id: Long, parent: Option[Long], sq: Long, ts: Long,
-                 op: String, ml: String): String =
-      s"""{"snapshot-id":$id${parent.map(p => s""","parent-snapshot-id":$p""").getOrElse("")},""" +
-        s""""sequence-number":$sq,"timestamp-ms":$ts,""" +
-        s""""summary":{"operation":${jstr(op)}},""" +
-        s""""manifest-list":${jstr(ml)},"schema-id":0}"""
     val snaps = prevSnapshots.map(s => snapJson(s.id, s.parentId,
       s.sequenceNumber.getOrElse(0L), s.timestampMs,
       s.operation.getOrElse("append"), s.manifestList)) :+
       snapJson(snapshotId, prevSnapshots.map(_.id).maxOption, seq, now,
         operation, listRel)
+    writeMetadataJson(fs, tableDir, uuid, fields, snaps, snapshotId, seq, now)
+    snapshotId
+  }
+
+  private def jstr(s: String) = "\"" + s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def snapJson(id: Long, parent: Option[Long], sq: Long, ts: Long,
+                       op: String, ml: String): String =
+    s"""{"snapshot-id":$id${parent.map(p => s""","parent-snapshot-id":$p""").getOrElse("")},""" +
+      s""""sequence-number":$sq,"timestamp-ms":$ts,""" +
+      s""""summary":{"operation":${jstr(op)}},""" +
+      s""""manifest-list":${jstr(ml)},"schema-id":0}"""
+
+  /** Render and atomically commit the next `vN.metadata.json`, then
+    * update the advisory hint. Returns the new metadata version.
+    */
+  private def writeMetadataJson(fs: FileSystem, tableDir: String,
+                                uuid: String,
+                                fields: Seq[(Long, String, String, Boolean)],
+                                snapsJson: Seq[String],
+                                currentSnapshotId: Long, lastSeq: Long,
+                                now: Long): Long = {
+    val metaDir = new Path(tableDir, "metadata")
+    val schemaJson = fields.map { case (id, name, typ, nullable) =>
+      s"""{"id":$id,"name":${jstr(name)},"required":${!nullable},""" +
+        s""""type":${jstr(typ)}}"""
+    }.mkString("""{"type":"struct","schema-id":0,"fields":[""", ",", "]}")
     val metaJson =
       s"""{"format-version":2,"table-uuid":${jstr(uuid)},"location":".",""" +
-        s""""last-sequence-number":$seq,"last-updated-ms":$now,""" +
+        s""""last-sequence-number":$lastSeq,"last-updated-ms":$now,""" +
         s""""current-schema-id":0,"schemas":[$schemaJson],""" +
-        s""""current-snapshot-id":$snapshotId,""" +
-        s""""snapshots":[${snaps.mkString(",")}]}"""
+        s""""current-snapshot-id":$currentSnapshotId,""" +
+        s""""snapshots":[${snapsJson.mkString(",")}]}"""
     val version = listMetadataVersions(fs, tableDir).maxOption.getOrElse(0L) + 1
     val target = new Path(metaDir, s"v$version.metadata.json")
     if (fs.exists(target))
@@ -314,7 +566,7 @@ object IcebergWrite {
     writeBytesAtomic(fs, new Path(metaDir, "version-hint.text"),
       version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       overwrite = true)
-    snapshotId
+    version
   }
 
   private def writeBytesAtomic(fs: FileSystem, target: Path,

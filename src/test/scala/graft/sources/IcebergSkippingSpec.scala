@@ -1,0 +1,141 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Iceberg manifest-bounds data skipping + snapshot lifecycle (see
+  * [[IcebergWrite]]/[[IcebergMeta]]): the writer's lower/upper bounds
+  * are checked against data truth through avro-java's independent
+  * decode, the pruner is held to the same soundness law as the Delta
+  * twin (pruned read == full-scan filter, fewer files touched), and
+  * expiry/orphan-removal must never lose a byte the current snapshot
+  * serves.
+  */
+class IcebergSkippingSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(name)
+    java.nio.file.Files.delete(p)
+    p.toString
+  }
+
+  /** Four single-file appends over disjoint id ranges. */
+  private def rangeTable(): String = {
+    import spark.implicits._
+    val t = freshDir("icesk_range")
+    def slice(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"row-$i", i.toDouble / 7.0))
+        .toDF("id", "txt", "score").coalesce(1)
+    IcebergWrite.createTable(spark, slice(0, 100), t)
+    IcebergWrite.append(spark, slice(100, 200), t)
+    IcebergWrite.append(spark, slice(200, 300), t)
+    IcebergWrite.append(spark, slice(300, 400), t)
+    t
+  }
+
+  test("written bounds match data truth (avro-java independent decode)") {
+    val t = rangeTable()
+    // read the NEWEST manifest with avro-java, not our own decoder
+    val manifest = new java.io.File(s"$t/metadata")
+      .listFiles().filter(_.getName.matches("m-\\d+\\.avro"))
+      .maxBy(_.getName.stripPrefix("m-").stripSuffix(".avro").toInt)
+    val reader = new org.apache.avro.file.DataFileReader(
+      manifest, new org.apache.avro.generic.GenericDatumReader[Any]())
+    try {
+      assert(reader.hasNext)
+      val entry = reader.next().asInstanceOf[org.apache.avro.generic.GenericRecord]
+      val df = entry.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      def kv(field: String): Map[Int, Any] = {
+        val arr = df.get(field).asInstanceOf[java.util.Collection[_]]
+        import scala.jdk.CollectionConverters._
+        arr.asScala.map { r =>
+          val rec = r.asInstanceOf[org.apache.avro.generic.GenericRecord]
+          rec.get("key").asInstanceOf[Int] -> rec.get("value")
+        }.toMap
+      }
+      def leLong(bb: Any, n: Int): Long = {
+        val b = bb.asInstanceOf[java.nio.ByteBuffer]
+        val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr)
+        assert(arr.length === n)
+        (0 until n).foldRight(0L)((i, acc) => (acc << 8) | (arr(i) & 0xffL))
+      }
+      // field 1 = id: the last append holds ids 300..399
+      assert(leLong(kv("lower_bounds")(1), 8) === 300L)
+      assert(leLong(kv("upper_bounds")(1), 8) === 399L)
+      assert(kv("value_counts")(1).asInstanceOf[Long] === 100L)
+      assert(kv("null_value_counts")(1).asInstanceOf[Long] === 0L)
+      // field 2 = txt (string UTF-8 bounds)
+      def str(bb: Any): String = {
+        val b = bb.asInstanceOf[java.nio.ByteBuffer]
+        val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr)
+        new String(arr, "UTF-8")
+      }
+      assert(str(kv("lower_bounds")(2)) === "row-300")
+      assert(str(kv("upper_bounds")(2)) === "row-399")
+    } finally reader.close()
+  }
+
+  test("skipping is sound and effective; provably-empty reads are empty") {
+    val t = rangeTable()
+    val preds = Seq(
+      ("id < 100", 1L),
+      ("id = 250", 1L),
+      ("id > 150 AND id <= 210", 2L),
+      ("txt = 'row-42'", 1L),
+      ("score > 42.0", 2L),   // 42*7=294: files 2 (294..299) and 3
+      ("id < 0", 0L))
+    preds.foreach { case (p, wantFiles) =>
+      val rep = IcebergMeta.skippingReport(spark, t, p)
+      assert(rep.count() === 4L)
+      val kept = rep.where(col("kept")).count()
+      assert(kept === wantFiles, s"pred [$p] kept $kept files")
+      val viaSkip = IcebergMeta.readTableWhere(spark, t, p)
+        .orderBy("id").collect().map(_.getLong(0)).toSeq
+      val full = IcebergMeta.readTable(spark, t).where(p)
+        .orderBy("id").collect().map(_.getLong(0)).toSeq
+      assert(viaSkip === full, s"pred [$p] skipping changed the answer")
+    }
+    // empty prune is an empty table of the right shape, not an error
+    val empty = IcebergMeta.readTableWhere(spark, t, "id < 0")
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSeq === Seq("id", "txt", "score"))
+  }
+
+  test("expireSnapshots trims history; orphan removal reclaims, table intact") {
+    val t = rangeTable()
+    val before = IcebergMeta.readTableMeta(spark, t)
+    assert(before.snapshots.length === 4)
+    val oldListCount = new java.io.File(s"$t/metadata")
+      .listFiles().count(_.getName.startsWith("snap-"))
+    assert(oldListCount === 4)
+    // refuse to expire the current snapshot
+    intercept[IllegalArgumentException](
+      IcebergWrite.expireSnapshots(spark, t, keepLast = 0))
+    val expired = IcebergWrite.expireSnapshots(spark, t, keepLast = 1)
+    assert(expired.length === 3)
+    val after = IcebergMeta.readTableMeta(spark, t)
+    assert(after.snapshots.length === 1 &&
+      after.currentSnapshotId === before.currentSnapshotId)
+    // time travel to an expired snapshot no longer resolves
+    intercept[Exception](
+      IcebergMeta.readTable(spark, t, Some(expired.head)).collect())
+    // content unchanged (manifests were carried forward across appends)
+    assert(IcebergMeta.readTable(spark, t).count() === 400L)
+    // orphan removal: the 3 expired manifest LISTS go; a planted stray
+    // goes; every manifest + data file the kept snapshot references stays
+    val stray = java.nio.file.Paths.get(t, "data", "stray.parquet")
+    java.nio.file.Files.write(stray, Array[Byte](9))
+    val removed = IcebergWrite.removeOrphanFiles(spark, t)
+      .collect().map(_.getString(0)).toSet
+    assert(removed.count(_.startsWith("metadata/snap-")) === 3)
+    assert(removed.contains("data/stray.parquet"))
+    assert(IcebergMeta.readTable(spark, t).count() === 400L)
+    // accounting law still holds on the trimmed table
+    assert(IcebergMeta.files(spark, t).count() === 4L)
+    // a second pass finds nothing
+    assert(IcebergWrite.removeOrphanFiles(spark, t).count() === 0L)
+    // expiring again is a no-op
+    assert(IcebergWrite.expireSnapshots(spark, t, keepLast = 1).isEmpty)
+  }
+}
