@@ -148,14 +148,25 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   //     (logical vs physical column names, mapping ids)
   private val DeltaSchemaStmt =
     """(?is)^\s*DELTA\s+SCHEMA\s+AT\s+'([^']+)'\s*;?\s*$""".r
-  //   READ DELTA AT '<table>' [AS OF <v>] — the TABLE itself: live
-  //     files + deletion vectors applied + column mapping unwound
-  //   READ ICEBERG AT '<table>' [SNAPSHOT <id>] — the Iceberg twin
-  //     with position deletes applied
+  //   READ DELTA AT '<table>' [AS OF <v>] [WHERE <pred>] — the TABLE
+  //     itself: live files + deletion vectors applied + column mapping
+  //     unwound; WHERE routes through the stats pruner (data skipping)
+  //     before the scan, then filters rows
+  //   READ ICEBERG AT '<table>' [SNAPSHOT <id>] [WHERE <pred>] — the
+  //     Iceberg twin: deletes applied, manifest-bounds pruning on WHERE
   private val ReadDeltaStmt =
-    """(?is)^\s*READ\s+DELTA\s+AT\s+'([^']+)'(?:\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
+    """(?is)^\s*READ\s+DELTA\s+AT\s+'([^']+)'(?:\s+AS\s+OF\s+(\d+))?(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val ReadIcebergStmt =
-    """(?is)^\s*READ\s+ICEBERG\s+AT\s+'([^']+)'(?:\s+SNAPSHOT\s+(\d+))?\s*;?\s*$""".r
+    """(?is)^\s*READ\s+ICEBERG\s+AT\s+'([^']+)'(?:\s+SNAPSHOT\s+(\d+))?(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+  //   OPTIMIZE DELTA AT '<table>' [ZORDER BY (c1, c2, …) [INTO <n> FILES]]
+  //     — bin-packing compaction, or Z-order clustering when ZORDER BY
+  //     is given; returns the post-rewrite snapshot (the new layout)
+  //   VACUUM DELTA AT '<table>' [RETAIN <n> HOURS] [DRY RUN] — returns
+  //     the per-file report (path, size, removed)
+  private val OptimizeDeltaStmt =
+    """(?is)^\s*OPTIMIZE\s+DELTA\s+AT\s+'([^']+)'(?:\s+ZORDER\s+BY\s+\(([\w\s,]+)\)(?:\s+INTO\s+(\d+)\s+FILES)?)?\s*;?\s*$""".r
+  private val VacuumDeltaStmt =
+    """(?is)^\s*VACUUM\s+DELTA\s+AT\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private val DescribeParquet =
     """(?is)^\s*DESCRIBE\s+PARQUET\s+AT\s+'([^']+)'\s*;?\s*$""".r
   //   DESCRIBE PARQUET PAGES AT '<path>' — per-PAGE locations and
@@ -295,12 +306,37 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       graft.sources.DeltaLog.history(session, path).queryExecution.logical
     case DeltaSchemaStmt(path) =>
       graft.sources.DeltaLog.schemaReport(session, path).queryExecution.logical
-    case ReadDeltaStmt(path, asOfOpt) =>
-      graft.sources.DeltaLog.readTable(session, path,
-        Option(asOfOpt).map(_.toLong)).queryExecution.logical
-    case ReadIcebergStmt(path, snapOpt) =>
-      graft.sources.IcebergMeta.readTable(session, path,
-        Option(snapOpt).map(_.toLong)).queryExecution.logical
+    case ReadDeltaStmt(path, asOfOpt, whereOpt) =>
+      (Option(whereOpt) match {
+        case Some(pred) => graft.sources.DeltaLog.readTableWhere(
+          session, path, pred, Option(asOfOpt).map(_.toLong))
+        case None => graft.sources.DeltaLog.readTable(
+          session, path, Option(asOfOpt).map(_.toLong))
+      }).queryExecution.logical
+    case ReadIcebergStmt(path, snapOpt, whereOpt) =>
+      (Option(whereOpt) match {
+        case Some(pred) => graft.sources.IcebergMeta.readTableWhere(
+          session, path, pred, Option(snapOpt).map(_.toLong))
+        case None => graft.sources.IcebergMeta.readTable(
+          session, path, Option(snapOpt).map(_.toLong))
+      }).queryExecution.logical
+    case OptimizeDeltaStmt(path, zcols, nFiles) =>
+      Option(zcols) match {
+        case Some(cs) =>
+          val cols = cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val n = Option(nFiles).map(_.toInt).getOrElse(
+            math.max(1, graft.sources.DeltaLog.snapshot(session, path)
+              .count().toInt))
+          graft.sources.DeltaOptimize.zorder(session, path, cols, n)
+        case None =>
+          graft.sources.DeltaOptimize.optimize(session, path)
+      }
+      graft.sources.DeltaLog.snapshot(session, path).queryExecution.logical
+    case VacuumDeltaStmt(path, hours, dry) =>
+      graft.sources.DeltaOptimize.vacuum(session, path,
+        retainMs = Option(hours).map(_.toLong * 3600000L)
+          .getOrElse(7L * 24 * 3600000L), // the protocol's default horizon
+        dryRun = dry != null).queryExecution.logical
     case DescribeParquetPages(path) =>
       graft.sources.ParquetMeta.pages(session, path).queryExecution.logical
     case DescribeParquet(path) =>

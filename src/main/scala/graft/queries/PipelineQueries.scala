@@ -4260,6 +4260,99 @@ object PipelineQueries extends QuerySet {
         .orderBy("o_orderkey")
     }),
 
+    // RESTORE: roll the table back to v0 AS A NEW COMMIT after a
+    // DELETE and an UPDATE mangled it — removed files come back via
+    // their original add actions replayed verbatim (metadata cost,
+    // no data touched), and the result must hash-match the untouched
+    // source. History keeps all four versions.
+    "q300_delta_restore" -> ((s, dir) => {
+      val t = freshTmpDir("delta_restore")
+      val nation = graft.Tables.load(s, dir, "nation")
+      graft.sources.DeltaWrite.createTable(s, nation, t)
+      graft.sources.DeltaWrite.delete(s, t, "n_regionkey = 2")
+      graft.sources.DeltaWrite.update(s, t, "n_nationkey < 5",
+        Map("n_name" -> "'OOPS'"))
+      graft.sources.DeltaWrite.restore(s, t, 0L)
+      graft.sources.DeltaLog.readTable(s, t).orderBy("n_nationkey")
+    }),
+
+    // the READ ... WHERE statement: the data-skipping read through the
+    // SQL door (GraftSqlParser routes the predicate into the stats
+    // pruner, then filters rows) — q288's plan reached by statement.
+    "q301_sql_read_where" -> ((s, dir) => {
+      val t = freshTmpDir("delta_sql_where")
+      deltaClusteredOrders(s, dir, t)
+      val maxKey = graft.Tables.load(s, dir, "orders")
+        .agg(max("o_orderkey")).head.getLong(0)
+      s.sql(s"READ DELTA AT '$t' WHERE o_orderkey <= ${maxKey / 8}")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // SCHEMA EVOLUTION on append: a mergeSchema write adds n_regionkey
+    // to a 2-column table in the same commit as its data; the evolved
+    // read hands the scan the EXPECTED schema, so pre-evolution files
+    // serve typed NULLs for the new column — no mergeSchema footer
+    // sampling, the 100 TB-safe path.
+    "q302_delta_schema_evolution" -> ((s, dir) => {
+      val t = freshTmpDir("delta_evolve")
+      val nation = graft.Tables.load(s, dir, "nation")
+      graft.sources.DeltaWrite.createTable(s,
+        nation.where("n_nationkey < 10").select("n_nationkey", "n_name"), t)
+      graft.sources.DeltaWrite.append(s,
+        nation.where("n_nationkey >= 10"), t, mergeSchema = true)
+      graft.sources.DeltaLog.readTable(s, t).orderBy("n_nationkey")
+    }),
+
+    // CHECK constraints: after ADD CONSTRAINT, a conforming append
+    // lands and a violating one is REFUSED before any file stages —
+    // the final table must contain exactly the conforming rows, so a
+    // constraint that silently let the bad batch through fails the
+    // oracle hash.
+    "q303_delta_constraint" -> ((s, dir) => {
+      val t = freshTmpDir("delta_constraint")
+      val nation = graft.Tables.load(s, dir, "nation")
+      graft.sources.DeltaWrite.createTable(s,
+        nation.where("n_regionkey <= 2"), t)
+      graft.sources.DeltaWrite.addConstraint(s, t,
+        "region_domain", "n_regionkey <= 3")
+      graft.sources.DeltaWrite.append(s, nation.where("n_regionkey = 3"), t)
+      val rejected =
+        try { graft.sources.DeltaWrite.append(s,
+          nation.where("n_regionkey = 4"), t); false }
+        catch { case _: IllegalArgumentException => true }
+      require(rejected, "CHECK constraint failed to reject the bad batch")
+      graft.sources.DeltaLog.readTable(s, t).orderBy("n_nationkey")
+    }),
+
+    // the maintenance statements (q293/q295 by SQL): OPTIMIZE DELTA AT
+    // compacts through the parser and returns the post-rewrite
+    // snapshot — the one-file claim is asserted in-query, the content
+    // by oracle; VACUUM ... RETAIN 0 HOURS reclaims and the table
+    // still serves the overwrite exactly.
+    "q304_sql_optimize" -> ((s, dir) => {
+      val t = freshTmpDir("delta_sql_optimize")
+      deltaClusteredOrders(s, dir, t)
+      val snap = s.sql(s"OPTIMIZE DELTA AT '$t'")
+      require(snap.count() == 1L,
+        "OPTIMIZE DELTA AT should bin-pack the 4 slices into one file")
+      graft.sources.DeltaLog.readTable(s, t)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+    "q305_sql_vacuum" -> ((s, dir) => {
+      val t = freshTmpDir("delta_sql_vacuum")
+      val nation = graft.Tables.load(s, dir, "nation")
+      graft.sources.DeltaWrite.createTable(s, nation, t,
+        partitionBy = Seq("n_regionkey"))
+      graft.sources.DeltaWrite.overwrite(s,
+        nation.where("n_regionkey <> 2"), t)
+      val rep = s.sql(s"VACUUM DELTA AT '$t' RETAIN 0 HOURS")
+      require(rep.where(!col("removed")).count() == 0L,
+        "vacuum(0) should remove every dead file")
+      graft.sources.DeltaLog.readTable(s, t).orderBy("n_nationkey")
+    }),
+
     // the Iceberg schema report (DELTA SCHEMA's twin, via the ICEBERG
     // SCHEMA statement): Iceberg's stable FIELD IDS — its answer to
     // Delta's column mapping — plus rendered nested types, straight
@@ -5511,6 +5604,29 @@ object PipelineQueries extends QuerySet {
         |WHERE o_custkey <= (SELECT max(o_custkey) // 8 FROM orders)
         |ORDER BY o_orderkey, o_custkey""".stripMargin,
     "q295_delta_vacuum" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey <> 2 ORDER BY n_nationkey""".stripMargin,
+    "q300_delta_restore" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+    "q301_sql_read_where" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey <= (SELECT max(o_orderkey) // 8 FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q302_delta_schema_evolution" ->
+      """SELECT n_nationkey, n_name, CAST(NULL AS INT) AS n_regionkey
+        |FROM nation WHERE n_nationkey < 10
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation WHERE n_nationkey >= 10
+        |ORDER BY n_nationkey""".stripMargin,
+    "q303_delta_constraint" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey <= 3 ORDER BY n_nationkey""".stripMargin,
+    "q304_sql_optimize" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "q305_sql_vacuum" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey <> 2 ORDER BY n_nationkey""".stripMargin,
     "q296_delta_txn_sink" ->

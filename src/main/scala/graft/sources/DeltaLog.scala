@@ -45,10 +45,16 @@ import org.apache.spark.sql.types._
   * with any missing sidecar is torn — same JSON-log fallback as a torn
   * multi-part.
   *
+  * Beyond replay, the door serves the READ surface: [[readTable]] (the
+  * table itself), [[readTableWhere]] (stats-based data skipping over
+  * each add's per-column bounds — see [[DeltaStats]]), [[changes]]
+  * (incremental tailing of appended rows by version window), and
+  * [[lastTxnVersion]] (the idempotent-writer high-water mark).
+  *
   * Scope contract (documented, not hidden): CRC files are ignored; the
   * JSON flavor of v2 checkpoint mains is out of scope (parquet mains
   * only); lines that parse to none of the known actions (commitInfo,
-  * txn, checkpointMetadata, unknown/future actions, malformed JSON)
+  * checkpointMetadata, unknown/future actions, malformed JSON)
   * are ignored for file reconciliation, exactly as the protocol
   * directs readers to treat unrecognized actions.
   */
@@ -589,7 +595,12 @@ object DeltaLog {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(outFields))
     val dataFields = schema.fields.filterNot(f => partCols.contains(f.name))
-    val raw = spark.read.parquet(kept.distinct.toSeq: _*)
+    // the EXPECTED physical schema is handed to the scan: a file that
+    // predates an added column serves typed NULLs for it (schema
+    // evolution), and no footer-sampling mergeSchema pass is ever paid
+    val physSchema = StructType(dataFields.toSeq.map(f =>
+      StructField(physicalOf(f), f.dataType, nullable = true)))
+    val raw = spark.read.schema(physSchema).parquet(kept.distinct.toSeq: _*)
       .select(
         dataFields.toSeq.map(f => col(s"`${physicalOf(f)}`").as(f.name)) ++
           Seq(UriPaths.pathOnly(col("_metadata.file_path")).as("_uri_path"),
@@ -723,6 +734,8 @@ object DeltaLog {
       spark.sparkContext.parallelize(mapRows, 1), mapSchema)
     val dataFields = schema.fields.filterNot(f => partCols.contains(f.name))
     val raw = spark.read
+      .schema(StructType(dataFields.toSeq.map(f =>
+        StructField(f.name, f.dataType, nullable = true))))
       .parquet(newAdds.map(r =>
         fs.makeQualified(new Path(fsRoot, r.getString(0))).toString).distinct: _*)
       .select(dataFields.toSeq.map(f => col(s"`${f.name}`").as(f.name)) :+

@@ -17,9 +17,19 @@ import org.apache.spark.sql.types.StructType
   * atomically (create-temp + rename; an existing target version fails
   * loud — the protocol's optimistic-concurrency rule). A torn write can
   * therefore never become a half-commit. Each `add` carries the file's
-  * partitionValues map and a `stats` JSON with `numRecords` decoded
-  * from the file's own parquet footer (metadata bytes, one distributed
-  * pass — the reader's snapshot() accounting needs no data scan).
+  * partitionValues map and a `stats` JSON with `numRecords` plus
+  * per-column minValues/maxValues/nullCount ([[DeltaStats.statsJson]]),
+  * all decoded from the file's own parquet footer (metadata bytes, one
+  * distributed pass — snapshot accounting and data skipping both run
+  * without a data scan).
+  *
+  * Beyond create/append/overwrite, the writer covers the DML and
+  * rollback surface: [[delete]]/[[update]]/[[upsert]] rewrite ONLY the
+  * files holding affected rows (stats-pruned candidates, then a
+  * per-file touch test), and [[restore]] rolls the table back to an
+  * earlier version as a new metadata-only commit. [[append]] takes an
+  * optional `txn` application transaction for idempotent (exactly-
+  * once) writers — see [[graft.streaming.DeltaStreams]].
   *
   * [[checkpoint]] writes the classic single-part layout: the RECONCILED
   * state at the latest version (live adds + last metaData + last
@@ -97,27 +107,47 @@ object DeltaWrite {
     * idempotent-writer marker ([[DeltaLog.lastTxnVersion]]).
     */
   def append(spark: SparkSession, df: DataFrame, tableDir: String,
-             txn: Option[(String, Long)] = None): Long =
-    commitData(spark, df, tableDir, "WRITE", removeLive = false, txn)
+             txn: Option[(String, Long)] = None,
+             mergeSchema: Boolean = false): Long =
+    commitData(spark, df, tableDir, "WRITE", removeLive = false, txn,
+      mergeSchema)
 
   /** Replace the table's content with `df`: remove every live file,
     * add the new ones — one commit, the protocol's REPLACE shape.
     */
   def overwrite(spark: SparkSession, df: DataFrame, tableDir: String): Long =
-    commitData(spark, df, tableDir, "OVERWRITE", removeLive = true, None)
+    commitData(spark, df, tableDir, "OVERWRITE", removeLive = true, None,
+      mergeSchema = false)
 
   private def commitData(spark: SparkSession, df: DataFrame,
                          tableDir: String, operation: String,
                          removeLive: Boolean,
-                         txn: Option[(String, Long)]): Long = {
+                         txn: Option[(String, Long)],
+                         mergeSchema: Boolean): Long = {
     val fs = fileSystem(spark, tableDir)
     val version = nextVersion(spark, tableDir)
-    val (schema, partCols) = tableMetaOf(spark, tableDir)
-    val tableCols = schema.fieldNames.toSet
-    if (df.schema.fieldNames.toSet != tableCols)
-      throw new IllegalArgumentException(
-        s"deltawrite: DataFrame columns ${df.schema.fieldNames.toSeq} do not " +
-          s"match the table schema ${schema.fieldNames.toSeq}")
+    val meta = fullMetaOf(spark, tableDir)
+    val partCols = meta.partCols
+    val tableCols = meta.schema.fieldNames.toSet
+    val dfCols = df.schema.fieldNames.toSet
+    // SCHEMA EVOLUTION: with mergeSchema, a DataFrame carrying every
+    // table column plus NEW ones evolves the schema in the same commit
+    // (new columns appended, nullable — old files read them as NULL);
+    // anything else is the loud mismatch it always was
+    val (schema, metaLineOpt) =
+      if (dfCols == tableCols) (meta.schema, None)
+      else if (mergeSchema && tableCols.subsetOf(dfCols)) {
+        val newFields = df.schema.fields
+          .filterNot(f => tableCols.contains(f.name))
+          .map(_.copy(nullable = true))
+        val merged = StructType(meta.schema.fields ++ newFields)
+        (merged, Some(metaLine(meta, merged, meta.configuration)))
+      } else
+        throw new IllegalArgumentException(
+          s"deltawrite: DataFrame columns ${df.schema.fieldNames.toSeq} do not " +
+            s"match the table schema ${meta.schema.fieldNames.toSeq}" +
+            (if (mergeSchema) " (mergeSchema only ADDS columns)" else ""))
+    enforceConstraints(meta, df)
     val removes: Seq[String] =
       if (!removeLive) Nil
       else DeltaLog.snapshot(spark, tableDir).select("path").collect()
@@ -133,7 +163,74 @@ object DeltaWrite {
     }
     val lines =
       Seq(s"""{"commitInfo":{"timestamp":$now,"operation":${jstr(operation)}}}""") ++
-        txnLine ++ removes ++ adds.map(addLine(_, now))
+        txnLine ++ metaLineOpt ++ removes ++ adds.map(addLine(_, now))
+    commitAtomic(fs, tableDir, version, lines)
+    version
+  }
+
+  // ----------------------------------------------- CHECK constraints
+
+  private def constraintsOf(meta: TableMeta): Seq[(String, String)] =
+    meta.configuration.toSeq.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        k.stripPrefix("delta.constraints.") -> v
+    }.sortBy(_._1)
+
+  /** The protocol's CHECK rule: a constraint is violated only when its
+    * expression is FALSE — NULL passes (SQL CHECK semantics). One
+    * limit-1 probe per constraint, only when any exist.
+    */
+  private def enforceConstraints(meta: TableMeta, df: DataFrame): Unit =
+    constraintsOf(meta).foreach { case (name, e) =>
+      if (df.where(!coalesce(expr(e), lit(true))).limit(1).count() > 0)
+        throw new IllegalArgumentException(
+          s"deltawrite: CHECK constraint $name ($e) violated by the write — " +
+            "commit refused")
+    }
+
+  /** ADD a CHECK constraint: existing rows must already satisfy it (the
+    * protocol's rule — otherwise readers could never trust it), then a
+    * metadata commit records `delta.constraints.<name>` and raises
+    * minWriterVersion to 3. Every subsequent write is gated.
+    */
+  def addConstraint(spark: SparkSession, tableDir: String, name: String,
+                    exprSql: String): Long = {
+    val fs = fileSystem(spark, tableDir)
+    val version = nextVersion(spark, tableDir)
+    val meta = fullMetaOf(spark, tableDir)
+    val key = s"delta.constraints.${name.toLowerCase(java.util.Locale.ROOT)}"
+    if (meta.configuration.contains(key))
+      throw new IllegalArgumentException(
+        s"deltawrite: constraint $name already exists at $tableDir")
+    val bad = DeltaLog.readTable(spark, tableDir)
+      .where(!coalesce(expr(exprSql), lit(true))).limit(1).count()
+    if (bad > 0)
+      throw new IllegalArgumentException(
+        s"deltawrite: existing rows violate CHECK $name ($exprSql) — " +
+          "constraint refused")
+    val now = System.currentTimeMillis()
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":$now,"operation":"ADD CONSTRAINT"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""",
+      metaLine(meta, meta.schema, meta.configuration + (key -> exprSql)))
+    commitAtomic(fs, tableDir, version, lines)
+    version
+  }
+
+  /** DROP a CHECK constraint (metadata commit; unknown name fails loud). */
+  def dropConstraint(spark: SparkSession, tableDir: String,
+                     name: String): Long = {
+    val fs = fileSystem(spark, tableDir)
+    val version = nextVersion(spark, tableDir)
+    val meta = fullMetaOf(spark, tableDir)
+    val key = s"delta.constraints.${name.toLowerCase(java.util.Locale.ROOT)}"
+    if (!meta.configuration.contains(key))
+      throw new IllegalArgumentException(
+        s"deltawrite: no constraint $name at $tableDir")
+    val now = System.currentTimeMillis()
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":$now,"operation":"DROP CONSTRAINT"}}""",
+      metaLine(meta, meta.schema, meta.configuration - key))
     commitAtomic(fs, tableDir, version, lines)
     version
   }
@@ -195,7 +292,8 @@ object DeltaWrite {
              keys: Seq[String]): Long = {
     val fs = fileSystem(spark, tableDir)
     val version = nextVersion(spark, tableDir)
-    val (schema, partCols) = tableMetaOf(spark, tableDir)
+    val meta = fullMetaOf(spark, tableDir)
+    val (schema, partCols) = (meta.schema, meta.partCols)
     if (source.schema.fieldNames.toSet != schema.fieldNames.toSet)
       throw new IllegalArgumentException(
         s"deltawrite: MERGE source columns ${source.schema.fieldNames.toSeq} " +
@@ -203,6 +301,7 @@ object DeltaWrite {
     require(keys.nonEmpty && keys.forall(schema.fieldNames.contains),
       s"deltawrite: MERGE keys $keys must be table columns")
     val src = source.select(schema.fieldNames.map(col): _*).cache()
+    enforceConstraints(meta, src) // inserted/updated rows are gated
     val dups = src.groupBy(keys.map(col): _*).count()
       .where(col("count") > 1).limit(1).count()
     if (dups > 0)
@@ -240,6 +339,51 @@ object DeltaWrite {
     version
   }
 
+  /** RESTORE the table to `toVersion`'s content as a NEW commit (the
+    * protocol's rollback-without-history-loss): files live now but not
+    * then are removed, files live then but not now are re-added with
+    * their ORIGINAL add metadata (partition values, stats, deletion
+    * vector — replayed verbatim from the log, no data touched), and
+    * history keeps every version including the mistake being undone.
+    * Purely metadata-cost; fails loud when `toVersion` predates a
+    * cleaned log. Returns the committed version (current when the
+    * live sets already agree).
+    */
+  def restore(spark: SparkSession, tableDir: String, toVersion: Long): Long = {
+    val fs = fileSystem(spark, tableDir)
+    val version = nextVersion(spark, tableDir)
+    def liveAdds(asOf: Option[Long]): Map[String, String] = {
+      val acts = DeltaLog.actions(spark, tableDir, asOf)
+      val w = Window.partitionBy(coalesce(col("add.path"), col("remove.path")))
+        .orderBy(col("version").desc, col("ordinal").desc)
+      acts.where(col("add.path").isNotNull || col("remove.path").isNotNull)
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1 && col("add.path").isNotNull)
+        .select(col("add.path"), to_json(col("add")).as("j"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    }
+    val target = liveAdds(Some(toVersion))
+    val current = liveAdds(None)
+    val removes = (current.keySet -- target.keySet).toSeq.sorted
+    // re-add when the path is gone OR its add metadata changed (a
+    // deletion vector attached since, stats rewritten, …) — the old
+    // add action replays verbatim and wins reconciliation
+    val readds = target.toSeq
+      .filter { case (p, j) => !current.get(p).contains(j) }
+      .map(_._1).sorted
+    if (removes.isEmpty && readds.isEmpty) return version - 1
+    val now = System.currentTimeMillis()
+    val lines =
+      Seq(s"""{"commitInfo":{"timestamp":$now,"operation":"RESTORE"}}""") ++
+        removes.map { p =>
+          s"""{"remove":{"path":${jstr(p)},"deletionTimestamp":$now,""" +
+            """"dataChange":true}}"""
+        } ++
+        readds.map(p => s"""{"add":${target(p)}}""")
+    commitAtomic(fs, tableDir, version, lines)
+    version
+  }
+
   /** Shared DELETE/UPDATE skeleton: find the files a predicate
     * actually touches (stats-pruned, then a per-file match count over
     * only the candidates), rewrite those files through `transform`
@@ -251,7 +395,8 @@ object DeltaWrite {
                             (transform: DataFrame => DataFrame): Long = {
     val fs = fileSystem(spark, tableDir)
     val version = nextVersion(spark, tableDir)
-    val (schema, partCols) = tableMetaOf(spark, tableDir)
+    val meta = fullMetaOf(spark, tableDir)
+    val (schema, partCols) = (meta.schema, meta.partCols)
     val candidates = DeltaLog.readTableCore(spark, tableDir, None,
       Some(condition))
     val touched = candidates
@@ -262,6 +407,7 @@ object DeltaWrite {
         candidates.where(col("_rel_path").isin(touched: _*)))
       .select(schema.fieldNames.map(col): _*)
       .coalesce(touched.size) // n touched files rewrite into ~n
+    enforceConstraints(meta, rewritten) // an UPDATE can introduce violations
     val adds = stageData(spark, fs, rewritten, tableDir, partCols)
     commitAtomic(fs, tableDir, version, commitLines(operation, touched, adds))
     version
@@ -357,17 +503,47 @@ object DeltaWrite {
 
   private[sources] def tableMetaOf(spark: SparkSession,
                           tableDir: String): (StructType, Seq[String]) = {
+    val m = fullMetaOf(spark, tableDir)
+    (m.schema, m.partCols)
+  }
+
+  private[sources] final case class TableMeta(id: String, schema: StructType,
+      partCols: Seq[String], configuration: Map[String, String],
+      createdTime: Option[Long])
+
+  private[sources] def fullMetaOf(spark: SparkSession,
+                                  tableDir: String): TableMeta = {
     val row = DeltaLog.actions(spark, tableDir)
       .where(col("metaData.schemaString").isNotNull)
       .orderBy(col("version").desc, col("ordinal").desc)
-      .select("metaData.schemaString", "metaData.partitionColumns")
+      .select("metaData.id", "metaData.schemaString",
+        "metaData.partitionColumns", "metaData.configuration",
+        "metaData.createdTime")
       .limit(1).collect().headOption.getOrElse(
         throw new IllegalArgumentException(
           s"deltawrite: no metaData action under $tableDir"))
     val schema = org.apache.spark.sql.types.DataType
-      .fromJson(row.getString(0)).asInstanceOf[StructType]
-    (schema, Option(row.getSeq[String](1)).getOrElse(Seq.empty))
+      .fromJson(row.getString(1)).asInstanceOf[StructType]
+    TableMeta(
+      Option(row.getString(0)).getOrElse(""),
+      schema,
+      Option(row.getSeq[String](2)).getOrElse(Seq.empty),
+      Option(row.getMap[String, String](3)).map(_.toMap).getOrElse(Map.empty),
+      if (row.isNullAt(4)) None else Some(row.getLong(4)))
   }
+
+  /** Render a metaData action line for the table's current identity
+    * with a (possibly evolved) schema and configuration.
+    */
+  private def metaLine(m: TableMeta, schema: StructType,
+                       configuration: Map[String, String]): String =
+    s"""{"metaData":{"id":${jstr(m.id)},""" +
+      s""""format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${jstr(schema.json)},""" +
+      s""""partitionColumns":${m.partCols.map(jstr).mkString("[", ",", "]")},""" +
+      s""""configuration":${jmap(configuration.toSeq.sortBy(_._1)
+        .map { case (k, v) => k -> Some(v) })},""" +
+      s""""createdTime":${m.createdTime.getOrElse(0L)}}}"""
 
   private[sources] final case class Staged(rel: String, size: Long, modTime: Long,
       statsJson: String, partitionValues: Seq[(String, Option[String])])

@@ -129,6 +129,42 @@ class DeltaDmlSpec extends SparkSpec {
       Seq((1L, "a")).toDF("id", "txt"), t, Seq("id")))
   }
 
+  test("RESTORE replays old add actions verbatim; history keeps the mistake") {
+    import spark.implicits._
+    val t = rangeTable()
+    val v0Rows = DeltaLog.readTable(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    DeltaWrite.delete(spark, t, "id < 150")          // v4
+    DeltaWrite.update(spark, t, "id >= 350", Map("txt" -> "'OOPS'")) // v5
+    assert(DeltaLog.readTable(spark, t).count() === 250L)
+    val v = DeltaWrite.restore(spark, t, 3L)         // back to full content
+    assert(v === 6L)
+    val got = DeltaLog.readTable(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === v0Rows)
+    // purely metadata: the restore commit staged NO new data files —
+    // every live file is one the log already knew
+    val live = DeltaLog.snapshot(spark, t).select("path").collect()
+      .map(_.getString(0)).toSet
+    val everAdded = spark.read.json(s"$t/_delta_log/*.json")
+      .where(col("add.path").isNotNull)
+      .select("add.path").collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // the re-added paths appear twice in the raw log (original + restore)
+    assert(live.forall(everAdded.contains))
+    // history keeps all versions, including the undone DELETE/UPDATE
+    assert(DeltaLog.history(spark, t).count() === 7L)
+    // no-op restore (already at the target content) commits nothing
+    assert(DeltaWrite.restore(spark, t, 6L) === 6L)
+    assert(DeltaLog.listCommits(spark, t).last._1 === 6L)
+    // time travel below a cleaned log fails loud (the restore guard)
+    intercept[IllegalArgumentException] {
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(t, "_delta_log", f"${0L}%020d.json"))
+      DeltaWrite.restore(spark, t, 1L)
+    }
+  }
+
   test("MERGE into an empty-overlap source only inserts") {
     import spark.implicits._
     val t = freshDir("deltadml_ins")

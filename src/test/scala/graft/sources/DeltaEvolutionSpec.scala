@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Schema evolution + CHECK constraints (see [[DeltaWrite]]): the
+  * mergeSchema append evolves the metaData in the SAME commit as its
+  * data, pre-evolution files serve typed NULLs through the explicit-
+  * schema scan (never a footer-sampling mergeSchema pass), and the
+  * constraint gate refuses violating writes on EVERY write path
+  * before a single file stages.
+  */
+class DeltaEvolutionSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(name)
+    java.nio.file.Files.delete(p)
+    p.toString
+  }
+
+  test("mergeSchema append: new column, old files read typed NULL") {
+    import spark.implicits._
+    val t = freshDir("deltaevo")
+    DeltaWrite.createTable(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "txt"), t)
+    // plain append with extra column still fails loud
+    intercept[IllegalArgumentException](DeltaWrite.append(spark,
+      Seq((3L, "c", 9L)).toDF("id", "txt", "score"), t))
+    // mergeSchema only ADDS: a df MISSING a table column fails loud too
+    intercept[IllegalArgumentException](DeltaWrite.append(spark,
+      Seq((3L, 9L)).toDF("id", "score"), t, mergeSchema = true))
+    DeltaWrite.append(spark,
+      Seq((3L, "c", 9L)).toDF("id", "txt", "score"), t, mergeSchema = true)
+    val got = DeltaLog.readTable(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(got.toSeq === Seq((1L, "a", -1L), (2L, "b", -1L), (3L, "c", 9L)))
+    // schema order: existing columns first, new ones appended
+    assert(DeltaLog.readTable(spark, t).columns.toSeq === Seq("id", "txt", "score"))
+    // the next plain append must carry the EVOLVED schema
+    DeltaWrite.append(spark, Seq((4L, "d", 16L)).toDF("id", "txt", "score"), t)
+    assert(DeltaLog.readTable(spark, t).count() === 4L)
+    // skipping on the new column: the pre-evolution file has no stats
+    // for it and must be KEPT (sound), never skipped
+    val viaSkip = DeltaLog.readTableWhere(spark, t, "score >= 9")
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(viaSkip === Seq(3L, 4L))
+    assert(DeltaLog.readTableWhere(spark, t, "score IS NULL").count() === 2L)
+  }
+
+  test("CHECK constraints gate every write path; NULL passes; drop re-opens") {
+    import spark.implicits._
+    val t = freshDir("deltacheck")
+    DeltaWrite.createTable(spark,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), t)
+    // adding a constraint existing rows violate is refused
+    intercept[IllegalArgumentException](
+      DeltaWrite.addConstraint(spark, t, "small", "v < 15"))
+    DeltaWrite.addConstraint(spark, t, "bounded", "v <= 100")
+    // duplicate name refused
+    intercept[IllegalArgumentException](
+      DeltaWrite.addConstraint(spark, t, "bounded", "v <= 50"))
+    // the protocol floor rose to writer version 3
+    assert(DeltaLog.tableMeta(spark, t).map(_._4).contains(3))
+    // append: conforming passes, violating is refused pre-stage
+    DeltaWrite.append(spark, Seq((3L, 100L)).toDF("id", "v"), t)
+    intercept[IllegalArgumentException](
+      DeltaWrite.append(spark, Seq((4L, 101L)).toDF("id", "v"), t))
+    // NULL passes (SQL CHECK semantics)
+    DeltaWrite.append(spark,
+      Seq((5L, Option.empty[Long])).toDF("id", "v"), t)
+    // UPDATE that would break the constraint is refused
+    intercept[IllegalArgumentException](
+      DeltaWrite.update(spark, t, "id = 1", Map("v" -> "999")))
+    // MERGE source is gated too
+    intercept[IllegalArgumentException](
+      DeltaWrite.upsert(spark, Seq((9L, 500L)).toDF("id", "v"), t, Seq("id")))
+    assert(DeltaLog.readTable(spark, t).count() === 4L)
+    // DROP re-opens the domain; unknown name fails loud
+    intercept[IllegalArgumentException](
+      DeltaWrite.dropConstraint(spark, t, "nope"))
+    DeltaWrite.dropConstraint(spark, t, "bounded")
+    DeltaWrite.append(spark, Seq((4L, 101L)).toDF("id", "v"), t)
+    assert(DeltaLog.readTable(spark, t).count() === 5L)
+  }
+
+  test("changes() across an evolution window reads old files as typed NULL") {
+    import spark.implicits._
+    val t = freshDir("deltaevo_chg")
+    DeltaWrite.createTable(spark, Seq((1L, "a")).toDF("id", "txt"), t) // v0
+    DeltaWrite.append(spark,
+      Seq((2L, "b", 4L)).toDF("id", "txt", "score"), t, mergeSchema = true) // v1
+    val got = DeltaLog.changes(spark, t, sinceVersion = -1L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq === Seq((1L, -1L, 0L), (2L, 4L, 1L)))
+  }
+}
