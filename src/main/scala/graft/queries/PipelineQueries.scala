@@ -4353,6 +4353,37 @@ object PipelineQueries extends QuerySet {
       graft.sources.DeltaLog.readTable(s, t).orderBy("n_nationkey")
     }),
 
+    // Iceberg row-level DELETE (q290's lakehouse twin, by the OTHER
+    // mechanism): matching rows become a POSITION-DELETE file — paths
+    // and row indexes, no data file rewritten — tracked by a content=1
+    // manifest in a new snapshot; the repo's reader applies it under
+    // the sequence-number gate and the survivors must hash-match
+    // DuckDB's NOT-filter.
+    "q306_iceberg_delete" -> ((s, dir) => {
+      val t = freshTmpDir("iceberg_delete")
+      icebergClusteredOrders(s, dir, t)
+      val maxKey = graft.Tables.load(s, dir, "orders")
+        .agg(max("o_orderkey")).head.getLong(0)
+      graft.sources.IcebergWrite.delete(s, t,
+        s"o_orderkey <= ${maxKey / 8}")
+      graft.sources.IcebergMeta.readTable(s, t)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // RENAME COLUMN — the operation stable field ids exist for: only
+    // metadata.json changes, and every pre-rename data file keeps
+    // serving the column through field-id projection (q281 proved the
+    // read path on hand fixtures; this closes the loop with our own
+    // writer's rename).
+    "q307_iceberg_rename" -> ((s, dir) => {
+      val t = freshTmpDir("iceberg_rename")
+      graft.sources.IcebergWrite.createTable(s,
+        graft.Tables.load(s, dir, "nation"), t)
+      graft.sources.IcebergWrite.renameColumn(s, t, "n_name", "nation_name")
+      graft.sources.IcebergMeta.readTable(s, t).orderBy("n_nationkey")
+    }),
+
     // the Iceberg schema report (DELTA SCHEMA's twin, via the ICEBERG
     // SCHEMA statement): Iceberg's stable FIELD IDS — its answer to
     // Delta's column mapping — plus rendered nested types, straight
@@ -5646,6 +5677,13 @@ object PipelineQueries extends QuerySet {
     "q299_iceberg_expire" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+    "q306_iceberg_delete" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey > (SELECT max(o_orderkey) // 8 FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q307_iceberg_rename" ->
+      """SELECT n_nationkey, n_name AS nation_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
     // Iceberg fixture pins: every value restated from the hand-built
     // scenario (table-relative paths keep the pins CWD-independent).
     // Live set at the current snapshot (1002): f2 deleted by the

@@ -141,6 +141,153 @@ object IcebergWrite {
       operation = "append")
   }
 
+  // ------------------------------------------------------------- DML
+
+  /** Row-level DELETE via a POSITION-DELETE file (the v2 mechanism the
+    * repo's reader already applies): candidate data files are pruned
+    * through the manifest bounds, matching rows become (file_path, pos)
+    * pairs — positions from `_metadata.row_index`, paths exactly as the
+    * data manifests record them — staged as one parquet under `data/`,
+    * tracked by a content=1 manifest in a new snapshot. The delete
+    * file's sequence number is the new snapshot's, so the reader's
+    * ordering gate applies it to every current data file and to none
+    * written after. No data file is rewritten. Returns the new
+    * snapshot id (the current one when nothing matched — no empty
+    * snapshot).
+    */
+  def delete(spark: SparkSession, tableDir: String, condition: String): Long = {
+    import org.apache.spark.sql.functions._
+    val fs = fileSystem(spark, tableDir)
+    val tm = IcebergMeta.readTableMeta(spark, tableDir)
+    val snap = tm.currentSnapshotId.flatMap(id => tm.snapshots.find(_.id == id))
+      .getOrElse(throw new IllegalArgumentException(
+        s"iceberg-write: no current snapshot under $tableDir"))
+    // bounds-pruned candidates (sound: only provably-unmatchable files drop)
+    val cand = IcebergMeta.skippingReport(spark, tableDir, condition)
+      .where(col("kept")).select("file_path").collect()
+      .map(_.getString(0)).toSeq.sorted
+    if (cand.isEmpty) return snap.id
+    val fsRoot = new Path(tableDir)
+    val mapping = spark.createDataFrame(
+      spark.sparkContext.parallelize(cand.map { rel =>
+        org.apache.spark.sql.Row(
+          fs.makeQualified(new Path(resolveInTable(tableDir, rel)))
+            .toUri.getRawPath, rel)
+      }, 1),
+      StructType(Seq(
+        StructField("_uri_path", StringType, nullable = false),
+        StructField("file_path", StringType, nullable = false))))
+    val matched = spark.read
+      .parquet(cand.map(rel => fs.makeQualified(
+        new Path(resolveInTable(tableDir, rel))).toString): _*)
+      .where(org.apache.spark.sql.functions.expr(condition))
+      .select(
+        graft.sources.UriPaths.pathOnly(col("_metadata.file_path"))
+          .as("_uri_path"),
+        col("_metadata.row_index").cast(LongType).as("pos"))
+      .join(broadcast(mapping), Seq("_uri_path"))
+      .select("file_path", "pos")
+      .orderBy("file_path", "pos")
+    // stage the delete parquet under data/ (spec file-naming freedom)
+    val tmp = new Path(fsRoot, s".tmp-del-${java.util.UUID.randomUUID()}")
+    matched.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).getOrElse {
+        fs.delete(tmp, true)
+        return snap.id // zero matching rows: no delete file, no snapshot
+      }
+    val meta = ParquetMeta.readFooter(fs, part).getOrElse(
+      throw new java.io.IOException(
+        "iceberg-write: staged delete file has no readable footer"))
+    if (meta.numRows == 0L) { fs.delete(tmp, true); return snap.id }
+    val seq = tm.snapshots.flatMap(_.sequenceNumber).maxOption.getOrElse(0L) + 1
+    val snapshotId = tm.snapshots.map(_.id).maxOption.getOrElse(0L) + 1
+    val delRel = s"data/delete-$seq.parquet"
+    val target = new Path(fsRoot, delRel)
+    if (!fs.rename(part, target))
+      throw new java.io.IOException(
+        s"iceberg-write: could not stage $delRel")
+    fs.delete(tmp, true)
+    val delSize = fs.getFileStatus(target).getLen
+    // content=1 manifest for the delete file
+    val entry = Map[String, Any]("status" -> 1, "snapshot_id" -> snapshotId,
+      "sequence_number" -> null,
+      "data_file" -> Map[String, Any](
+        "content" -> 1, "file_path" -> delRel, "file_format" -> "PARQUET",
+        "record_count" -> meta.numRows, "file_size_in_bytes" -> delSize,
+        "value_counts" -> null, "null_value_counts" -> null,
+        "lower_bounds" -> null, "upper_bounds" -> null))
+    val manifestRel = s"metadata/m-$seq.avro"
+    val manifestPath = new Path(tableDir, manifestRel)
+    writeBytesAtomic(fs, manifestPath, Avro.renderOcfGeneric(
+      EntrySchema, Seq(entry),
+      extraMeta = Seq("schema" -> "{}", "partition-spec" -> "[]",
+        "format-version" -> "2")))
+    val mlPath = new Path(resolveInTable(tableDir, snap.manifestList))
+    val prevRows = IcebergMeta.readOcfFile(fs, mlPath).rows.map {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case _ => throw new IllegalArgumentException(
+        s"iceberg-write: malformed manifest list ${snap.manifestList}")
+    }
+    val newRow = Map[String, Any](
+      "manifest_path" -> manifestRel,
+      "manifest_length" -> fs.getFileStatus(manifestPath).getLen,
+      "partition_spec_id" -> 0, "content" -> 1,
+      "sequence_number" -> seq, "added_snapshot_id" -> snapshotId,
+      "added_files_count" -> 1, "existing_files_count" -> 0,
+      "deleted_files_count" -> 0,
+      "added_rows_count" -> meta.numRows,
+      "existing_rows_count" -> 0L, "deleted_rows_count" -> 0L)
+    val listRel = s"metadata/snap-$snapshotId.avro"
+    writeBytesAtomic(fs, new Path(tableDir, listRel),
+      Avro.renderOcfGeneric(ListSchema, prevRows :+ newRow))
+    val fields = IcebergMeta.schemaFieldsOf(spark, tableDir, None)
+      .getOrElse(throw new IllegalArgumentException(
+        s"iceberg-write: metadata under $tableDir carries no schema"))
+      .map(f => (f.id.getOrElse(0L), f.name, f.typeStr, !f.required))
+    val now = System.currentTimeMillis()
+    val snaps = tm.snapshots.map(s => snapJson(s.id, s.parentId,
+      s.sequenceNumber.getOrElse(0L), s.timestampMs,
+      s.operation.getOrElse("append"), s.manifestList)) :+
+      snapJson(snapshotId, Some(snap.id), seq, now, "delete", listRel)
+    writeMetadataJson(fs, tableDir, tm.uuid, fields, snaps, snapshotId, seq, now)
+    snapshotId
+  }
+
+  /** RENAME a column — the operation Iceberg's stable field ids exist
+    * for: only metadata.json changes (the field keeps its id with a new
+    * name); every data file, old or new, keeps serving the column
+    * through the reader's field-id projection. Returns the new
+    * metadata version.
+    */
+  def renameColumn(spark: SparkSession, tableDir: String,
+                   from: String, to: String): Long = {
+    val fs = fileSystem(spark, tableDir)
+    val tm = IcebergMeta.readTableMeta(spark, tableDir)
+    val fields = IcebergMeta.schemaFieldsOf(spark, tableDir, None)
+      .getOrElse(throw new IllegalArgumentException(
+        s"iceberg-write: metadata under $tableDir carries no schema"))
+    if (!fields.exists(_.name == from))
+      throw new IllegalArgumentException(
+        s"iceberg-write: no column $from to rename at $tableDir")
+    if (fields.exists(_.name == to))
+      throw new IllegalArgumentException(
+        s"iceberg-write: column $to already exists at $tableDir")
+    val renamed = fields.map { f =>
+      val name = if (f.name == from) to else f.name
+      (f.id.getOrElse(throw new IllegalArgumentException(
+        s"iceberg-write: schema field ${f.name} has no field id")),
+        name, f.typeStr, !f.required)
+    }
+    val snaps = tm.snapshots.map(s => snapJson(s.id, s.parentId,
+      s.sequenceNumber.getOrElse(0L), s.timestampMs,
+      s.operation.getOrElse("append"), s.manifestList))
+    writeMetadataJson(fs, tableDir, tm.uuid, renamed, snaps,
+      tm.currentSnapshotId.getOrElse(0L),
+      tm.snapshots.flatMap(_.sequenceNumber).maxOption.getOrElse(0L),
+      System.currentTimeMillis())
+  }
+
   // ------------------------------------------------------ maintenance
 
   /** EXPIRE SNAPSHOTS: commit a new metadata.json carrying only the

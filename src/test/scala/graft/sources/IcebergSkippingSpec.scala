@@ -102,6 +102,61 @@ class IcebergSkippingSpec extends SparkSpec {
     assert(empty.columns.toSeq === Seq("id", "txt", "score"))
   }
 
+  test("DELETE writes a position-delete file; no data file rewritten") {
+    val t = rangeTable()
+    val dataFilesBefore = IcebergMeta.files(spark, t).collect()
+      .map(_.getString(0)).toSet
+    val sid = IcebergWrite.delete(spark, t, "id >= 40 AND id < 60")
+    assert(sid === 5L)
+    val got = IcebergMeta.readTable(spark, t).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(got === ((0L until 40L) ++ (60L until 400L)))
+    // every ORIGINAL data file is still live and untouched; the only new
+    // tracked file is the delete file itself (content=position_deletes)
+    val after = IcebergMeta.files(spark, t).collect().map(_.getString(0)).toSet
+    assert(after === dataFilesBefore)
+    val delEntries = IcebergMeta.entries(spark, t)
+      .where(col("content") === "position_deletes").collect()
+    assert(delEntries.length === 1)
+    assert(delEntries.head.getAs[Long]("record_count") === 20L)
+    // the gate: rows APPENDED AFTER the delete survive even at deleted ids
+    import spark.implicits._
+    IcebergWrite.append(spark,
+      Seq((45L, "resurrected", 0.0)).toDF("id", "txt", "score").coalesce(1), t)
+    val resurrected = IcebergMeta.readTable(spark, t)
+      .where(col("id") === 45L).collect()
+    assert(resurrected.map(_.getString(1)).toSeq === Seq("resurrected"))
+    // time travel BEFORE the delete still sees all 400 rows
+    assert(IcebergMeta.readTable(spark, t, Some(4L)).count() === 400L)
+    // a no-match delete commits no snapshot
+    assert(IcebergWrite.delete(spark, t, "id = 99999") === 6L)
+    assert(IcebergMeta.readTableMeta(spark, t).snapshots.length === 6)
+  }
+
+  test("renameColumn: metadata-only; old files serve the new name by field id") {
+    val t = rangeTable()
+    IcebergWrite.renameColumn(spark, t, "txt", "label")
+    val df = IcebergMeta.readTable(spark, t)
+    assert(df.columns.toSeq === Seq("id", "label", "score"))
+    assert(df.where(col("label") === "row-123").count() === 1L)
+    // schema report carries the SAME field id under the new name
+    val rep = IcebergMeta.schemaReport(spark, t).collect()
+      .map(r => r.getString(2) -> r.getLong(1)).toMap
+    assert(rep("label") === 2L)
+    // guard rails
+    intercept[IllegalArgumentException](
+      IcebergWrite.renameColumn(spark, t, "nope", "x"))
+    intercept[IllegalArgumentException](
+      IcebergWrite.renameColumn(spark, t, "label", "id"))
+    // appends after the rename must carry the new name
+    import spark.implicits._
+    intercept[IllegalArgumentException](IcebergWrite.append(spark,
+      Seq((999L, "t", 0.0)).toDF("id", "txt", "score"), t))
+    IcebergWrite.append(spark,
+      Seq((999L, "t", 0.0)).toDF("id", "label", "score").coalesce(1), t)
+    assert(IcebergMeta.readTable(spark, t).count() === 401L)
+  }
+
   test("expireSnapshots trims history; orphan removal reclaims, table intact") {
     val t = rangeTable()
     val before = IcebergMeta.readTableMeta(spark, t)
