@@ -155,7 +155,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   //   READ ICEBERG AT '<table>' [SNAPSHOT <id>] [WHERE <pred>] — the
   //     Iceberg twin: deletes applied, manifest-bounds pruning on WHERE
   private val ReadDeltaStmt =
-    """(?is)^\s*READ\s+DELTA\s+AT\s+'([^']+)'(?:\s+AS\s+OF\s+(\d+))?(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+    """(?is)^\s*READ\s+DELTA\s+AT\s+'([^']+)'(?:\s+AS\s+OF\s+(?:TIMESTAMP\s+'([^']+)'|(\d+)))?(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val ReadIcebergStmt =
     """(?is)^\s*READ\s+ICEBERG\s+AT\s+'([^']+)'(?:\s+SNAPSHOT\s+(\d+))?(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   //   OPTIMIZE DELTA AT '<table>' [ZORDER BY (c1, c2, …) [INTO <n> FILES]]
@@ -306,12 +306,22 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       graft.sources.DeltaLog.history(session, path).queryExecution.logical
     case DeltaSchemaStmt(path) =>
       graft.sources.DeltaLog.schemaReport(session, path).queryExecution.logical
-    case ReadDeltaStmt(path, asOfOpt, whereOpt) =>
+    case ReadDeltaStmt(path, tsOpt, asOfOpt, whereOpt) =>
+      // AS OF TIMESTAMP resolves to the newest commit at or before the
+      // instant ('yyyy-MM-dd HH:mm:ss[.fff]' local, or ISO-8601 with zone)
+      val asOf = Option(tsOpt) match {
+        case Some(ts) =>
+          val millis =
+            try java.sql.Timestamp.valueOf(ts).getTime
+            catch { case _: IllegalArgumentException =>
+              java.time.Instant.parse(ts).toEpochMilli }
+          Some(graft.sources.DeltaLog.versionAtTimestamp(session, path, millis))
+        case None => Option(asOfOpt).map(_.toLong)
+      }
       (Option(whereOpt) match {
         case Some(pred) => graft.sources.DeltaLog.readTableWhere(
-          session, path, pred, Option(asOfOpt).map(_.toLong))
-        case None => graft.sources.DeltaLog.readTable(
-          session, path, Option(asOfOpt).map(_.toLong))
+          session, path, pred, asOf)
+        case None => graft.sources.DeltaLog.readTable(session, path, asOf)
       }).queryExecution.logical
     case ReadIcebergStmt(path, snapOpt, whereOpt) =>
       (Option(whereOpt) match {

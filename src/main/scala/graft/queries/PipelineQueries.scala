@@ -4384,6 +4384,41 @@ object PipelineQueries extends QuerySet {
       graft.sources.IcebergMeta.readTable(s, t).orderBy("n_nationkey")
     }),
 
+    // Time travel BY WALL CLOCK: the newest version at or before v1's
+    // own commit timestamp (read back from the log, so the resolution
+    // logic runs live) must serve exactly v1's content — one
+    // millisecond of resolution error would pull v2's rows in and
+    // fail the hash.
+    "q308_delta_time_travel_ts" -> ((s, dir) => {
+      val t = freshTmpDir("delta_ts")
+      val nation = graft.Tables.load(s, dir, "nation")
+      graft.sources.DeltaWrite.createTable(s, nation.where("n_regionkey = 0"), t)
+      graft.sources.DeltaWrite.append(s, nation.where("n_regionkey = 1"), t)
+      graft.sources.DeltaWrite.append(s, nation.where("n_regionkey = 2"), t)
+      val ts1 = graft.sources.DeltaLog.actions(s, t)
+        .where(col("version") === 1 && col("commitInfo.timestamp").isNotNull)
+        .select("commitInfo.timestamp").head.getLong(0)
+      graft.sources.DeltaLog.readTableAsOfTimestamp(s, t, ts1)
+        .orderBy("n_nationkey")
+    }),
+
+    // SHALLOW CLONE: a zero-copy table whose adds point at the source's
+    // files absolutely, then a DELETE evolves the clone independently —
+    // the pruned-and-rewritten clone must hash-match the NOT-filter
+    // while the source is untouched (pinned in DeltaDmlSpec).
+    "q309_delta_clone" -> ((s, dir) => {
+      val src = freshTmpDir("delta_clone_src")
+      val dst = freshTmpDir("delta_clone_dst")
+      deltaClusteredOrders(s, dir, src)
+      graft.sources.DeltaWrite.shallowClone(s, src, dst)
+      val maxKey = graft.Tables.load(s, dir, "orders")
+        .agg(max("o_orderkey")).head.getLong(0)
+      graft.sources.DeltaWrite.delete(s, dst, s"o_orderkey <= ${maxKey / 8}")
+      graft.sources.DeltaLog.readTable(s, dst)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // the Iceberg schema report (DELTA SCHEMA's twin, via the ICEBERG
     // SCHEMA statement): Iceberg's stable FIELD IDS — its answer to
     // Delta's column mapping — plus rendered nested types, straight
@@ -5684,6 +5719,13 @@ object PipelineQueries extends QuerySet {
     "q307_iceberg_rename" ->
       """SELECT n_nationkey, n_name AS nation_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    "q308_delta_time_travel_ts" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey IN (0, 1) ORDER BY n_nationkey""".stripMargin,
+    "q309_delta_clone" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey > (SELECT max(o_orderkey) // 8 FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
     // Iceberg fixture pins: every value restated from the hand-built
     // scenario (table-relative paths keep the pins CWD-independent).
     // Live set at the current snapshot (1002): f2 deleted by the

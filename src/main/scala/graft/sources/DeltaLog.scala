@@ -670,6 +670,34 @@ object DeltaLog {
         StructField("mapping_mode", StringType, nullable = false))))
   }
 
+  /** The newest version committed AT OR BEFORE `tsMillis` (by each
+    * commit's commitInfo timestamp, the protocol's time-travel clock).
+    * Fails loud when the earliest commit is already later — "the table
+    * didn't exist yet" must never silently serve version 0.
+    */
+  def versionAtTimestamp(spark: SparkSession, tableDir: String,
+                         tsMillis: Long): Long = {
+    val row = actions(spark, tableDir)
+      .where(col("commitInfo.timestamp").isNotNull)
+      .groupBy("version")
+      .agg(max(col("commitInfo.timestamp")).as("ts"))
+      .where(col("ts") <= tsMillis)
+      .agg(max(col("version")))
+      .head()
+    if (row.isNullAt(0))
+      throw new IllegalArgumentException(
+        s"deltalog: no commit at or before timestamp $tsMillis under " +
+          s"$tableDir (the table is younger than the requested time)")
+    row.getLong(0)
+  }
+
+  /** [[readTable]] at the newest version whose commit timestamp is at
+    * or before `tsMillis` — time travel by wall clock.
+    */
+  def readTableAsOfTimestamp(spark: SparkSession, tableDir: String,
+                             tsMillis: Long): DataFrame =
+    readTable(spark, tableDir, Some(versionAtTimestamp(spark, tableDir, tsMillis)))
+
   /** The HIGH-WATER MARK an application writer left in the log: the
     * greatest `txn.version` committed for `appId`, or None when the
     * app never wrote. The protocol's idempotent-writer primitive — a

@@ -339,6 +339,73 @@ object DeltaWrite {
     version
   }
 
+  /** SHALLOW CLONE: a new table at `targetDir` whose version 0 add
+    * actions point at the SOURCE table's live data files by absolute
+    * path — stats, partition values and schema carried verbatim, zero
+    * data copied. The clone then evolves independently (its DMLs
+    * rewrite into its own directory; its VACUUM walks only its own
+    * directory, so source files are never collected). A source file
+    * carrying a non-inline deletion vector is refused: the DV path is
+    * source-relative and would silently resolve inside the clone.
+    * Returns the clone's version (0).
+    */
+  def shallowClone(spark: SparkSession, sourceDir: String,
+                   targetDir: String): Long = {
+    val fs = fileSystem(spark, targetDir)
+    if (DeltaLog.listCommits(spark, targetDir).nonEmpty ||
+        DeltaLog.lastCheckpoint(spark, targetDir).isDefined)
+      throw new IllegalArgumentException(
+        s"deltawrite: $targetDir already has a _delta_log — shallowClone " +
+          "refuses to shadow an existing table")
+    val meta = fullMetaOf(spark, sourceDir)
+    val srcRoot = new Path(sourceDir)
+    val srcFs = fileSystem(spark, sourceDir)
+    val acts = DeltaLog.actions(spark, sourceDir)
+    val w = Window.partitionBy(coalesce(col("add.path"), col("remove.path")))
+      .orderBy(col("version").desc, col("ordinal").desc)
+    val live = acts
+      .where(col("add.path").isNotNull || col("remove.path").isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1 && col("add.path").isNotNull)
+      .select(col("add.path").as("p"),
+        col("add.deletionVector.storageType").as("dvType"),
+        to_json(col("add").withField("path",
+          lit(null).cast("string"))).as("rest"))
+      .collect()
+    live.foreach { r =>
+      if (!r.isNullAt(1) && r.getString(1) != "i")
+        throw new IllegalArgumentException(
+          s"deltawrite: shallowClone refuses ${r.getString(0)} — its " +
+            "deletion vector is a source-relative file and would resolve " +
+            "inside the clone")
+    }
+    val now = System.currentTimeMillis()
+    val metaJson =
+      s"""{"metaData":{"id":${jstr(java.util.UUID.randomUUID().toString)},""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jstr(meta.schema.json)},""" +
+        s""""partitionColumns":${meta.partCols.map(jstr).mkString("[", ",", "]")},""" +
+        s""""configuration":${jmap(meta.configuration.toSeq.sortBy(_._1)
+          .map { case (k, v) => k -> Some(v) })},""" +
+        s""""createdTime":$now}}"""
+    val adds = live.toSeq.sortBy(_.getString(0)).map { r =>
+      val abs = srcFs.makeQualified(new Path(srcRoot, r.getString(0))).toString
+      // the original add re-renders with its path swapped to absolute:
+      // to_json(null path) keeps every other field verbatim
+      val rest = r.getString(2)
+      val body =
+        if (rest == "{}") s"""{"path":${jstr(abs)}}"""
+        else s"""{"path":${jstr(abs)},${rest.drop(1)}"""
+      s"""{"add":$body}"""
+    }
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":$now,"operation":"CLONE"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaJson) ++ adds
+    commitAtomic(fs, targetDir, 0L, lines)
+    0L
+  }
+
   /** RESTORE the table to `toVersion`'s content as a NEW commit (the
     * protocol's rollback-without-history-loss): files live now but not
     * then are removed, files live then but not now are re-added with

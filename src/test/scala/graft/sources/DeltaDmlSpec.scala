@@ -165,6 +165,67 @@ class DeltaDmlSpec extends SparkSpec {
     }
   }
 
+  test("shallowClone: zero copy, independent evolution, source untouched") {
+    import spark.implicits._
+    val src = rangeTable()
+    val dst = freshDir("deltadml_clone")
+    DeltaWrite.shallowClone(spark, src, dst)
+    // content identical; the clone's directory holds ONLY the log
+    assert(DeltaLog.readTable(spark, dst).count() === 400L)
+    val dstFiles = java.nio.file.Files.list(java.nio.file.Paths.get(dst))
+      .iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (dstFiles.hasNext) names += dstFiles.next().getFileName.toString
+    assert(names.toSet === Set("_delta_log"))
+    // skipping works off the carried stats without touching the source log
+    assert(DeltaLog.readTableWhere(spark, dst, "id < 100").count() === 100L)
+    // the clone evolves independently: a DELETE rewrites INTO dst
+    DeltaWrite.delete(spark, dst, "id < 100")
+    assert(DeltaLog.readTable(spark, dst).count() === 300L)
+    assert(DeltaLog.readTable(spark, src).count() === 400L)
+    // the clone's VACUUM walks only its own directory: source intact
+    DeltaOptimize.vacuum(spark, dst, retainMs = 0L)
+    assert(DeltaLog.readTable(spark, src).count() === 400L)
+    assert(DeltaLog.readTable(spark, dst).count() === 300L)
+    // refuses to shadow
+    intercept[IllegalArgumentException](DeltaWrite.shallowClone(spark, src, dst))
+    // a source file carrying a FILE-BASED deletion vector is refused
+    val v = DeltaLog.listCommits(spark, src).last._1 + 1
+    val p = DeltaLog.snapshot(spark, src).select("path").head.getString(0)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(src, "_delta_log", f"$v%020d.json"),
+      (s"""{"commitInfo":{"timestamp":1,"operation":"WRITE"}}""" + "\n" +
+        s"""{"add":{"path":"$p","partitionValues":{},"size":1,""" +
+        s""""modificationTime":1,"dataChange":true,"deletionVector":""" +
+        s"""{"storageType":"u","pathOrInlineDv":"ab<cdef","sizeInBytes":40,""" +
+        s""""cardinality":3}}}""").getBytes)
+    intercept[IllegalArgumentException](
+      DeltaWrite.shallowClone(spark, src, freshDir("deltadml_clone2")))
+  }
+
+  test("time travel by timestamp: at-or-before resolution, loud before birth") {
+    import spark.implicits._
+    val t = freshDir("deltadml_ts")
+    DeltaWrite.createTable(spark, Seq((1L, "a")).toDF("id", "txt"), t)
+    DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "txt"), t)
+    DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "txt"), t)
+    def tsOf(v: Long): Long = DeltaLog.actions(spark, t)
+      .where(col("version") === v && col("commitInfo.timestamp").isNotNull)
+      .select("commitInfo.timestamp").head.getLong(0)
+    assert(DeltaLog.versionAtTimestamp(spark, t, tsOf(1L)) === 1L)
+    assert(DeltaLog.readTableAsOfTimestamp(spark, t, tsOf(1L)).count() === 2L)
+    // far future resolves to the latest version
+    assert(DeltaLog.versionAtTimestamp(spark, t, Long.MaxValue) === 2L)
+    // before the table existed fails loud
+    intercept[IllegalArgumentException](
+      DeltaLog.versionAtTimestamp(spark, t, 0L))
+    // the SQL statement with an ISO instant
+    val iso = java.time.format.DateTimeFormatter.ISO_INSTANT
+      .format(java.time.Instant.ofEpochMilli(tsOf(1L)))
+    assert(spark.sql(s"READ DELTA AT '$t' AS OF TIMESTAMP '$iso'")
+      .count() === 2L)
+  }
+
   test("MERGE into an empty-overlap source only inserts") {
     import spark.implicits._
     val t = freshDir("deltadml_ins")

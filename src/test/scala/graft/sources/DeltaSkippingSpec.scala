@@ -86,6 +86,12 @@ class DeltaSkippingSpec extends SparkSpec {
         .orderBy("id").collect().map(_.getLong(0)).toSeq
       assert(viaSkip === full, s"pred [$p] skipping changed the answer")
     }
+    // the PHYSICAL proof: the pruned plan's scan lists only the kept
+    // files — not just the same answer from a full scan
+    assert(DeltaLog.readTableWhere(spark, t, "id < 100")
+      .inputFiles.count(_.endsWith(".parquet")) === 1)
+    assert(DeltaLog.readTable(spark, t)
+      .inputFiles.count(_.endsWith(".parquet")) === 4)
   }
 
   test("string prefix bounds and partition-column pruning") {
