@@ -53,9 +53,9 @@ object DeltaOptimize {
       .select(schema.fieldNames.map(col): _*)
       .coalesce(nOut)
     val adds = DeltaWrite.stageData(spark, fs, rows, tableDir, partCols)
-    DeltaWrite.commitAtomic(fs, tableDir, version,
-      DeltaWrite.commitLines("OPTIMIZE", touched, adds, dataChange = false))
-    version
+    DeltaWrite.commitWithRebase(spark, fs, tableDir, version, "OPTIMIZE",
+      touched, DeltaWrite.commitLines("OPTIMIZE", touched, adds,
+        dataChange = false))
   }
 
   /** Z-ORDER clustering: rewrite the table's live files with rows
@@ -112,10 +112,10 @@ object DeltaOptimize {
         .sortWithinPartitions("_z")
         .drop("_z"),
       tableDir, partCols)
-    DeltaWrite.commitAtomic(fs, tableDir, version,
+    DeltaWrite.commitWithRebase(spark, fs, tableDir, version,
+      "OPTIMIZE ZORDER", touched,
       DeltaWrite.commitLines("OPTIMIZE ZORDER", touched, adds,
         dataChange = false))
-    version
   }
 
   /** VACUUM: physically delete data files under the table directory

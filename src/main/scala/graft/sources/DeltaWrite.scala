@@ -148,13 +148,14 @@ object DeltaWrite {
             s"match the table schema ${meta.schema.fieldNames.toSeq}" +
             (if (mergeSchema) " (mergeSchema only ADDS columns)" else ""))
     enforceConstraints(meta, df)
-    val removes: Seq[String] =
+    val removePaths: Seq[String] =
       if (!removeLive) Nil
       else DeltaLog.snapshot(spark, tableDir).select("path").collect()
-        .map(_.getString(0)).toSeq.sorted.map { p =>
-          s"""{"remove":{"path":${jstr(p)},"deletionTimestamp":""" +
-            s"""${System.currentTimeMillis()},"dataChange":true}}"""
-        }
+        .map(_.getString(0)).toSeq.sorted
+    val removes = removePaths.map { p =>
+      s"""{"remove":{"path":${jstr(p)},"deletionTimestamp":""" +
+        s"""${System.currentTimeMillis()},"dataChange":true}}"""
+    }
     val adds = stageData(spark, fs, df.select(schema.fieldNames.map(col): _*),
       tableDir, partCols)
     val now = System.currentTimeMillis()
@@ -164,8 +165,10 @@ object DeltaWrite {
     val lines =
       Seq(s"""{"commitInfo":{"timestamp":$now,"operation":${jstr(operation)}}}""") ++
         txnLine ++ metaLineOpt ++ removes ++ adds.map(addLine(_, now))
-    commitAtomic(fs, tableDir, version, lines)
-    version
+    // an OVERWRITE's remove set must cover the WHOLE table, so any
+    // concurrent file action conflicts; appends rebase past anything
+    commitWithRebase(spark, fs, tableDir, version, operation, removePaths,
+      lines, conflictOnAnyFiles = removeLive)
   }
 
   // ----------------------------------------------- CHECK constraints
@@ -334,9 +337,10 @@ object DeltaWrite {
     val result = src.unionByName(carried)
       .coalesce(math.max(1, touched.size))
     val adds = stageData(spark, fs, result, tableDir, partCols)
-    commitAtomic(fs, tableDir, version, commitLines("MERGE", touched, adds))
+    val committed = commitWithRebase(spark, fs, tableDir, version, "MERGE",
+      touched, commitLines("MERGE", touched, adds))
     src.unpersist()
-    version
+    committed
   }
 
   /** SHALLOW CLONE: a new table at `targetDir` whose version 0 add
@@ -476,8 +480,8 @@ object DeltaWrite {
       .coalesce(touched.size) // n touched files rewrite into ~n
     enforceConstraints(meta, rewritten) // an UPDATE can introduce violations
     val adds = stageData(spark, fs, rewritten, tableDir, partCols)
-    commitAtomic(fs, tableDir, version, commitLines(operation, touched, adds))
-    version
+    commitWithRebase(spark, fs, tableDir, version, operation, touched,
+      commitLines(operation, touched, adds))
   }
 
   /** The next commit version: after the latest JSON commit OR the
@@ -490,6 +494,69 @@ object DeltaWrite {
     (lastJson ++ lastCp).maxOption
       .map(_ + 1).getOrElse(throw new IllegalArgumentException(
         s"deltawrite: no table at $tableDir — createTable first"))
+  }
+
+  /** Optimistic-concurrency COMMIT WITH REBASE: try `firstVersion`;
+    * when another writer landed it first, re-read the log and decide
+    * whether our commit is still valid at the new tip —
+    *
+    *  - a concurrent metaData/protocol change conflicts (our rows were
+    *    staged under the old schema/rules);
+    *  - a concurrent file action touching any path we REMOVE conflicts
+    *    (we'd tombstone something whose state we never saw);
+    *  - with `conflictOnAnyFiles` (OVERWRITE semantics), ANY concurrent
+    *    file action conflicts (our remove set no longer covers the
+    *    table).
+    *
+    * Disjoint writers — the common case on a many-writer cluster, e.g.
+    * parallel appends or DMLs on different partitions — rebase and land
+    * at the next version without re-staging a byte. Conflicts throw
+    * `ConcurrentModificationException`; the caller re-runs against the
+    * new state.
+    */
+  private[sources] def commitWithRebase(spark: SparkSession, fs: FileSystem,
+      tableDir: String, firstVersion: Long, operation: String,
+      removePaths: Seq[String], lines: Seq[String],
+      conflictOnAnyFiles: Boolean = false, maxRebase: Int = 10): Long = {
+    var v = firstVersion
+    var attempts = 0
+    while (true) {
+      try {
+        commitAtomic(fs, tableDir, v, lines)
+        return v
+      } catch {
+        case e: java.io.IOException =>
+          if (attempts >= maxRebase)
+            throw new java.util.ConcurrentModificationException(
+              s"deltawrite: $operation lost $maxRebase commit races at " +
+                s"$tableDir — giving up", e)
+          attempts += 1
+          val latest = nextVersion(spark, tableDir)
+          if (latest <= v) throw e // not a race: a real write failure
+          val news = DeltaLog.actions(spark, tableDir)
+            .where(col("version") >= v)
+          if (news.where(col("metaData.id").isNotNull ||
+              col("protocol.minReaderVersion").isNotNull).limit(1).count() > 0)
+            throw new java.util.ConcurrentModificationException(
+              s"deltawrite: $operation conflicts with a concurrent " +
+                s"metadata/protocol change at $tableDir — re-run against " +
+                "the new table state")
+          val touched = news
+            .where(col("add.path").isNotNull || col("remove.path").isNotNull)
+            .select(coalesce(col("add.path"), col("remove.path")).as("p"))
+            .collect().map(_.getString(0)).toSet
+          val clash =
+            if (conflictOnAnyFiles) touched.nonEmpty
+            else removePaths.exists(touched.contains)
+          if (clash)
+            throw new java.util.ConcurrentModificationException(
+              s"deltawrite: $operation conflicts with concurrent commits " +
+                s"touching ${removePaths.toSet.intersect(touched).take(3)
+                  .mkString(", ")} at $tableDir — re-run against the new state")
+          v = latest // disjoint: rebase and retry
+      }
+    }
+    v // unreachable
   }
 
   private[sources] def commitLines(operation: String, removePaths: Seq[String],

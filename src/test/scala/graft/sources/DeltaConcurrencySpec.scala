@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Optimistic concurrency (see [[DeltaWrite.commitWithRebase]]): a
+  * commit that loses the version race re-reads the log and REBASES
+  * when the concurrent commits are disjoint from its own claim —
+  * the many-writer cluster case — and conflicts LOUDLY when they are
+  * not. The simulation plants a competing commit at exactly the
+  * version the writer is about to take.
+  */
+class DeltaConcurrencySpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(name)
+    java.nio.file.Files.delete(p)
+    p.toString
+  }
+
+  /** Two one-file slices: file A (ids 0-9), file B (ids 10-19). */
+  private def twoFileTable(): (String, String, String) = {
+    import spark.implicits._
+    val t = freshDir("deltacc")
+    DeltaWrite.createTable(spark,
+      (0L until 10L).map(i => (i, s"r$i")).toDF("id", "txt").coalesce(1), t)
+    DeltaWrite.append(spark,
+      (10L until 20L).map(i => (i, s"r$i")).toDF("id", "txt").coalesce(1), t)
+    val paths = DeltaLog.snapshot(spark, t).orderBy("version_added")
+      .select("path").collect().map(_.getString(0))
+    (t, paths(0), paths(1))
+  }
+
+  /** Plant a concurrent commit at the NEXT version touching `path`. */
+  private def plant(t: String, line: String): Long = {
+    val v = DeltaLog.listCommits(spark, t).last._1 + 1
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_delta_log", f"$v%020d.json"),
+      (s"""{"commitInfo":{"timestamp":1,"operation":"WRITE"}}""" + "\n" + line)
+        .getBytes)
+    v
+  }
+
+  test("disjoint concurrent commits rebase; overlapping ones conflict") {
+    val (t, a, b) = twoFileTable()
+    val fs = DeltaWrite.fileSystem(spark, t)
+    // a competitor lands version 2 touching file B; our DELETE-shaped
+    // commit removes file A — disjoint, must rebase to version 3
+    plant(t, s"""{"remove":{"path":"$b","deletionTimestamp":1,"dataChange":true}}""")
+    val v = DeltaWrite.commitWithRebase(spark, fs, t, 2L, "DELETE",
+      Seq(a), DeltaWrite.commitLines("DELETE", Seq(a), Nil))
+    assert(v === 3L)
+    // both removes took effect: the table is empty now
+    assert(DeltaLog.snapshot(spark, t).count() === 0L)
+  }
+
+  test("a concurrent commit touching OUR remove set conflicts loudly") {
+    val (t, a, _) = twoFileTable()
+    val fs = DeltaWrite.fileSystem(spark, t)
+    plant(t, s"""{"remove":{"path":"$a","deletionTimestamp":1,"dataChange":true}}""")
+    intercept[java.util.ConcurrentModificationException](
+      DeltaWrite.commitWithRebase(spark, fs, t, 2L, "DELETE",
+        Seq(a), DeltaWrite.commitLines("DELETE", Seq(a), Nil)))
+    // nothing half-landed: version 3 does not exist
+    assert(DeltaLog.listCommits(spark, t).last._1 === 2L)
+  }
+
+  test("concurrent metadata/protocol changes always conflict") {
+    val (t, a, _) = twoFileTable()
+    val fs = DeltaWrite.fileSystem(spark, t)
+    plant(t, """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""")
+    intercept[java.util.ConcurrentModificationException](
+      DeltaWrite.commitWithRebase(spark, fs, t, 2L, "DELETE",
+        Seq(a), DeltaWrite.commitLines("DELETE", Seq(a), Nil)))
+  }
+
+  test("appends rebase past anything; OVERWRITE conflicts with any file action") {
+    import spark.implicits._
+    val (t, _, b) = twoFileTable()
+    // plant a competitor, then call the PUBLIC append — it computes the
+    // planted version's successor up front, so no race fires; force the
+    // race by planting between nextVersion and commit via the helper
+    val fs = DeltaWrite.fileSystem(spark, t)
+    plant(t, s"""{"remove":{"path":"$b","deletionTimestamp":1,"dataChange":true}}""")
+    // append-shaped rebase (empty remove set): lands after the competitor
+    val v = DeltaWrite.commitWithRebase(spark, fs, t, 2L, "WRITE",
+      Nil, DeltaWrite.commitLines("WRITE", Nil, Nil))
+    assert(v === 3L)
+    // OVERWRITE-shaped commit: ANY concurrent file action conflicts
+    plant(t, s"""{"remove":{"path":"$b","deletionTimestamp":1,"dataChange":true}}""")
+    intercept[java.util.ConcurrentModificationException](
+      DeltaWrite.commitWithRebase(spark, fs, t, 4L, "OVERWRITE",
+        Nil, DeltaWrite.commitLines("OVERWRITE", Nil, Nil),
+        conflictOnAnyFiles = true))
+  }
+}
