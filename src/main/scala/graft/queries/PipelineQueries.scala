@@ -4254,7 +4254,9 @@ object PipelineQueries extends QuerySet {
       val t = freshTmpDir("iceberg_expire")
       icebergClusteredOrders(s, dir, t)
       graft.sources.IcebergWrite.expireSnapshots(s, t, keepLast = 1)
-      graft.sources.IcebergWrite.removeOrphanFiles(s, t)
+      // horizon 0: the fixture's orphans are seconds old and the point
+      // IS the reclamation (production keeps the 3-day default)
+      graft.sources.IcebergWrite.removeOrphanFiles(s, t, olderThanMs = 0L)
       graft.sources.IcebergMeta.readTable(s, t)
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")

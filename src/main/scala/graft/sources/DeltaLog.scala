@@ -728,7 +728,11 @@ object DeltaLog {
     */
   def changes(spark: SparkSession, tableDir: String, sinceVersion: Long,
               untilVersion: Option[Long] = None): DataFrame = {
-    val (schema, partCols, _, _) = tableState(spark, tableDir, untilVersion)
+    val (schema, partCols, mode, _) = tableState(spark, tableDir, untilVersion)
+    def physicalOf(f: StructField): String =
+      if (mode != "none" && f.metadata.contains("delta.columnMapping.physicalName"))
+        f.metadata.getString("delta.columnMapping.physicalName")
+      else f.name
     val acts = actions(spark, tableDir, untilVersion)
     val newAdds = acts
       .where(col("version") > sinceVersion &&
@@ -761,12 +765,15 @@ object DeltaLog {
     val mapping = spark.createDataFrame(
       spark.sparkContext.parallelize(mapRows, 1), mapSchema)
     val dataFields = schema.fields.filterNot(f => partCols.contains(f.name))
+    // PHYSICAL names reach the scan — a column-mapped table's files
+    // store col-<uuid> columns, and reading logical names would serve
+    // silent NULLs for every mapped column
     val raw = spark.read
       .schema(StructType(dataFields.toSeq.map(f =>
-        StructField(f.name, f.dataType, nullable = true))))
+        StructField(physicalOf(f), f.dataType, nullable = true))))
       .parquet(newAdds.map(r =>
         fs.makeQualified(new Path(fsRoot, r.getString(0))).toString).distinct: _*)
-      .select(dataFields.toSeq.map(f => col(s"`${f.name}`").as(f.name)) :+
+      .select(dataFields.toSeq.map(f => col(s"`${physicalOf(f)}`").as(f.name)) :+
         UriPaths.pathOnly(col("_metadata.file_path")).as("_uri_path"): _*)
     raw.join(broadcast(mapping), Seq("_uri_path"), "inner")
       .select(schema.fields.toSeq.map { f =>

@@ -97,15 +97,21 @@ object DeltaOptimize {
       c -> asDouble(col(c), schema(c).dataType).get)
     val aggs = typed.flatMap { case (_, d) => Seq(min(d), max(d)) }
     val boundsRow = live.agg(aggs.head, aggs.tail: _*).head()
+    // bits per lane bounded so every interleaved position stays below
+    // the sign bit: 16 bits for <=3 columns, 63/k after (4 cols -> 15
+    // bits each; without the cap, lane 3 bit 15 would land ON the sign
+    // bit and invert the most significant Morton split)
+    val bits = math.min(16, 63 / zCols.length)
+    val maxRank = (1L << bits) - 1
     val scaledBits = typed.zipWithIndex.map { case ((_, d), i) =>
       val lo = if (boundsRow.isNullAt(2 * i)) 0.0 else boundsRow.getDouble(2 * i)
       val hi = if (boundsRow.isNullAt(2 * i + 1)) 0.0 else boundsRow.getDouble(2 * i + 1)
       val range = if (hi > lo) hi - lo else 1.0
-      least(lit(65535L), greatest(lit(0L),
-        floor((coalesce(d, lit(lo)) - lit(lo)) / lit(range) * 65535.0)
+      least(lit(maxRank), greatest(lit(0L),
+        floor((coalesce(d, lit(lo)) - lit(lo)) / lit(range) * maxRank.toDouble)
           .cast(LongType)))
     }
-    val z = interleave(scaledBits)
+    val z = interleave(scaledBits, bits)
     val adds = DeltaWrite.stageData(spark, fs,
       live.withColumn("_z", z)
         .repartitionByRange(numFiles, col("_z"))
@@ -138,7 +144,12 @@ object DeltaOptimize {
     val rootUri = fs.makeQualified(root).toUri.getPath
     val live = DeltaLog.snapshot(spark, tableDir)
       .select("path").collect().map(_.getString(0)).toSet
-    def hidden(n: String) = n.startsWith(".") || n.startsWith("_")
+    // '.tmp-*' is OUR stageData staging prefix: a crashed writer's
+    // leftovers live there and are exactly what vacuum must reclaim;
+    // every other dot/underscore entry (the log, checkpoints, foreign
+    // hidden files) stays out of scope
+    def hidden(n: String) =
+      (n.startsWith(".") && !n.startsWith(".tmp-")) || n.startsWith("_")
     val top = fs.listStatus(root).toSeq.filterNot(st => hidden(st.getPath.getName))
     def rel(p: org.apache.hadoop.fs.Path): String =
       fs.makeQualified(p).toUri.getPath.drop(rootUri.length + 1)
@@ -199,14 +210,16 @@ object DeltaOptimize {
     case _              => None
   }
 
-  /** Bit-interleave k 16-bit lanes: bit j of lane i lands at position
-    * j*k + i — Morton order, built from shift/and/or terms that stay
-    * inside whole-stage codegen.
+  /** Bit-interleave k `bits`-wide lanes: bit j of lane i lands at
+    * position j*k + i — Morton order, built from shift/and/or terms
+    * that stay inside whole-stage codegen. The caller bounds
+    * `bits * k <= 63` so no term reaches the sign bit.
     */
-  private def interleave(lanes: Seq[Column]): Column = {
+  private def interleave(lanes: Seq[Column], bits: Int): Column = {
     val k = lanes.length
+    require(bits * k <= 63, s"deltaoptimize: $k lanes x $bits bits overflow a long")
     val terms = for {
-      j <- 0 until 16
+      j <- 0 until bits
       (lane, i) <- lanes.zipWithIndex
     } yield shiftleft(shiftright(lane, j).bitwiseAND(lit(1L)), j * k + i)
     terms.reduce(_ bitwiseOR _)

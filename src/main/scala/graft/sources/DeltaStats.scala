@@ -217,7 +217,8 @@ object DeltaStats {
       nullCntOf = c =>
         if (partCols.contains(c))
           when(col(s"_part_$c").isNull, col("_st.numRecords")).otherwise(lit(0L))
-        else col(s"_st.nullCount.`$c`"),
+        else if (colType(c).isDefined) col(s"_st.nullCount.`$c`")
+        else lit(null), // unsupported type: no claim, the leaf keeps
       numRecords = col("_st.numRecords"))
   }
 

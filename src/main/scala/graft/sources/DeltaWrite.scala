@@ -167,8 +167,9 @@ object DeltaWrite {
         txnLine ++ metaLineOpt ++ removes ++ adds.map(addLine(_, now))
     // an OVERWRITE's remove set must cover the WHOLE table, so any
     // concurrent file action conflicts; appends rebase past anything
+    // (guarded by the same-appId txn check for idempotent writers)
     commitWithRebase(spark, fs, tableDir, version, operation, removePaths,
-      lines, conflictOnAnyFiles = removeLive)
+      lines, conflictOnAnyFiles = removeLive, txnAppId = txn.map(_._1))
   }
 
   // ----------------------------------------------- CHECK constraints
@@ -338,7 +339,7 @@ object DeltaWrite {
       .coalesce(math.max(1, touched.size))
     val adds = stageData(spark, fs, result, tableDir, partCols)
     val committed = commitWithRebase(spark, fs, tableDir, version, "MERGE",
-      touched, commitLines("MERGE", touched, adds))
+      touched, commitLines("MERGE", touched, adds), conflictOnAdds = true)
     src.unpersist()
     committed
   }
@@ -481,7 +482,7 @@ object DeltaWrite {
     enforceConstraints(meta, rewritten) // an UPDATE can introduce violations
     val adds = stageData(spark, fs, rewritten, tableDir, partCols)
     commitWithRebase(spark, fs, tableDir, version, operation, touched,
-      commitLines(operation, touched, adds))
+      commitLines(operation, touched, adds), conflictOnAdds = true)
   }
 
   /** The next commit version: after the latest JSON commit OR the
@@ -517,7 +518,9 @@ object DeltaWrite {
   private[sources] def commitWithRebase(spark: SparkSession, fs: FileSystem,
       tableDir: String, firstVersion: Long, operation: String,
       removePaths: Seq[String], lines: Seq[String],
-      conflictOnAnyFiles: Boolean = false, maxRebase: Int = 10): Long = {
+      conflictOnAnyFiles: Boolean = false,
+      conflictOnAdds: Boolean = false,
+      txnAppId: Option[String] = None, maxRebase: Int = 10): Long = {
     var v = firstVersion
     var attempts = 0
     while (true) {
@@ -541,18 +544,37 @@ object DeltaWrite {
               s"deltawrite: $operation conflicts with a concurrent " +
                 s"metadata/protocol change at $tableDir — re-run against " +
                 "the new table state")
-          val touched = news
-            .where(col("add.path").isNotNull || col("remove.path").isNotNull)
-            .select(coalesce(col("add.path"), col("remove.path")).as("p"))
+          // an idempotent writer racing ITSELF (zombie driver, replayed
+          // task): a concurrent txn under the same appId means the
+          // other copy may have carried this very batch — rebasing
+          // would double-append
+          txnAppId.foreach { app =>
+            if (news.where(col("txn.appId") === app).limit(1).count() > 0)
+              throw new java.util.ConcurrentModificationException(
+                s"deltawrite: $operation conflicts with a concurrent " +
+                  s"transaction for appId $app at $tableDir — re-check " +
+                  "the high-water mark and re-run")
+          }
+          val adds = news.where(col("add.path").isNotNull)
+            .select(col("add.path").as("p"))
             .collect().map(_.getString(0)).toSet
+          val removed = news.where(col("remove.path").isNotNull)
+            .select(col("remove.path").as("p"))
+            .collect().map(_.getString(0)).toSet
+          val touched = adds ++ removed
+          // a predicate DML cannot rebase past a concurrent ADD: the
+          // new file may hold rows its predicate covers, and committing
+          // after it would serialize a statement that provably did not
+          // apply to them (the protocol's ConcurrentAppend rule)
           val clash =
             if (conflictOnAnyFiles) touched.nonEmpty
-            else removePaths.exists(touched.contains)
+            else (conflictOnAdds && adds.nonEmpty) ||
+              removePaths.exists(touched.contains)
           if (clash)
             throw new java.util.ConcurrentModificationException(
               s"deltawrite: $operation conflicts with concurrent commits " +
-                s"touching ${removePaths.toSet.intersect(touched).take(3)
-                  .mkString(", ")} at $tableDir — re-run against the new state")
+                s"(${touched.take(3).mkString(", ")}) at $tableDir — " +
+                "re-run against the new state")
           v = latest // disjoint: rebase and retry
       }
     }

@@ -735,6 +735,65 @@ object IcebergMeta {
     }
   }
 
+  /** The FIELD-ID-PROJECTED scan shared by [[readTable]] and the DML
+    * writer: every file's columns resolved through its OWN footer ids
+    * (name fallback for id-less files), cast to the schema types, with
+    * `_uri_path`/`_row_index` lineage columns attached. Absent columns
+    * read as typed NULL.
+    */
+  private[sources] def projectedScan(spark: SparkSession,
+      absPaths: Seq[String],
+      schemaFields: Option[Seq[IceField]]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val metaCols = Seq(
+      UriPaths.pathOnly(col("_metadata.file_path")).as("_uri_path"),
+      col("_metadata.row_index").as("_row_index"))
+    schemaFields match {
+      case None =>
+        // no schema in metadata.json: name projection over the union scan
+        spark.read.parquet(absPaths: _*).select(col("*") +: metaCols: _*)
+      case Some(flds) =>
+        val info = fileTopLevel(spark, absPaths)
+        // per file, each schema field's physical column (None = absent):
+        // by field id when the file recorded ids, by name otherwise
+        def sigOf(p: String): Vector[Option[String]] = {
+          val (names, ids) = info(p)
+          val nameSet = names.toSet
+          flds.toVector.map { f =>
+            f.id.map(_.toInt).flatMap(ids.get) match {
+              case some @ Some(_)               => some
+              case None if ids.isEmpty && nameSet.contains(f.name) =>
+                Some(f.name)
+              case None if f.id.isEmpty && nameSet.contains(f.name) =>
+                Some(f.name)
+              case None                         => None
+            }
+          }
+        }
+        val groups = absPaths.groupBy(sigOf).toSeq
+          .sortBy(_._1.map(_.getOrElse("")).mkString(" "))
+        val parts = groups.map { case (sig, files) =>
+          val cols = flds.zip(sig).flatMap { case (f, phys) =>
+            phys.map { pn =>
+              val c = col(s"`$pn`")
+              icebergTypeToSpark(f.typeStr).map(c.cast).getOrElse(c).as(f.name)
+            }
+          } ++ metaCols
+          spark.read.parquet(files: _*).select(cols: _*)
+        }
+        val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+        // schema columns no live file carries at all: typed null
+        val have = unioned.columns.toSet
+        flds.filterNot(f => have.contains(f.name)).foldLeft(unioned) { (d, f) =>
+          val t = icebergTypeToSpark(f.typeStr).getOrElse(
+            throw new IllegalArgumentException(
+              s"iceberg: column ${f.name} (${f.typeStr}) appears in no live " +
+                "data file and its nested type cannot be null-typed"))
+          d.withColumn(f.name, lit(null).cast(t))
+        }
+    }
+  }
+
   private[sources] def readTable(spark: SparkSession, tableDir: String,
                                  snapshotId: Option[Long],
                                  keepFiles: Option[Set[String]]): DataFrame = {
@@ -773,53 +832,7 @@ object IcebergMeta {
       fs.makeQualified(new Path(resolvePath(tableDir, p)))
     val absPaths = dataFiles.map(r => abs(r.getString(1)).toString).distinct.toSeq
     val schemaFields = schemaFieldsOf(spark, tableDir, snap.schemaId)
-    val metaCols = Seq(
-      UriPaths.pathOnly(col("_metadata.file_path")).as("_uri_path"),
-      col("_metadata.row_index").as("_row_index"))
-    val rawAll: DataFrame = schemaFields match {
-      case None =>
-        // no schema in metadata.json: name projection over the union scan
-        spark.read.parquet(absPaths: _*).select(col("*") +: metaCols: _*)
-      case Some(flds) =>
-        val info = fileTopLevel(spark, absPaths)
-        // per file, each schema field's physical column (None = absent):
-        // by field id when the file recorded ids, by name otherwise
-        def sigOf(p: String): Vector[Option[String]] = {
-          val (names, ids) = info(p)
-          val nameSet = names.toSet
-          flds.toVector.map { f =>
-            f.id.map(_.toInt).flatMap(ids.get) match {
-              case some @ Some(_)               => some
-              case None if ids.isEmpty && nameSet.contains(f.name) =>
-                Some(f.name)
-              case None if f.id.isEmpty && nameSet.contains(f.name) =>
-                Some(f.name)
-              case None                         => None
-            }
-          }
-        }
-        val groups = absPaths.groupBy(sigOf).toSeq
-          .sortBy(_._1.map(_.getOrElse("")).mkString(" "))
-        val parts = groups.map { case (sig, files) =>
-          val cols = flds.zip(sig).flatMap { case (f, phys) =>
-            phys.map { pn =>
-              val c = col(s"`$pn`")
-              icebergTypeToSpark(f.typeStr).map(c.cast).getOrElse(c).as(f.name)
-            }
-          } ++ metaCols
-          spark.read.parquet(files: _*).select(cols: _*)
-        }
-        val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
-        // schema columns no live file carries at all: typed null
-        val have = unioned.columns.toSet
-        flds.filterNot(f => have.contains(f.name)).foldLeft(unioned) { (d, f) =>
-          val t = icebergTypeToSpark(f.typeStr).getOrElse(
-            throw new IllegalArgumentException(
-              s"iceberg: column ${f.name} (${f.typeStr}) appears in no live " +
-                "data file and its nested type cannot be null-typed"))
-          d.withColumn(f.name, lit(null).cast(t))
-        }
-    }
+    val rawAll: DataFrame = projectedScan(spark, absPaths, schemaFields)
     val dataCols: Seq[String] = schemaFields.map(_.map(_.name)).getOrElse(
       rawAll.columns.toSeq.filterNot(Set("_uri_path", "_row_index")))
     if (posFiles.isEmpty && eqFiles.isEmpty)

@@ -158,6 +158,8 @@ object IcebergWrite {
   def delete(spark: SparkSession, tableDir: String, condition: String): Long = {
     import org.apache.spark.sql.functions._
     val fs = fileSystem(spark, tableDir)
+    val expectVersion = listMetadataVersions(fs, tableDir)
+      .maxOption.getOrElse(0L) + 1
     val tm = IcebergMeta.readTableMeta(spark, tableDir)
     val snap = tm.currentSnapshotId.flatMap(id => tm.snapshots.find(_.id == id))
       .getOrElse(throw new IllegalArgumentException(
@@ -177,14 +179,16 @@ object IcebergWrite {
       StructType(Seq(
         StructField("_uri_path", StringType, nullable = false),
         StructField("file_path", StringType, nullable = false))))
-    val matched = spark.read
-      .parquet(cand.map(rel => fs.makeQualified(
-        new Path(resolveInTable(tableDir, rel))).toString): _*)
+    // FIELD-ID projection (readTable's own scan): a candidate file
+    // written before a column rename still evaluates the predicate on
+    // its physical column — a name-based read would see NULLs there and
+    // silently skip rows the reader reports as matching
+    val matched = IcebergMeta.projectedScan(spark,
+        cand.map(rel => fs.makeQualified(
+          new Path(resolveInTable(tableDir, rel))).toString),
+        IcebergMeta.schemaFieldsOf(spark, tableDir, None))
       .where(org.apache.spark.sql.functions.expr(condition))
-      .select(
-        graft.sources.UriPaths.pathOnly(col("_metadata.file_path"))
-          .as("_uri_path"),
-        col("_metadata.row_index").cast(LongType).as("pos"))
+      .select(col("_uri_path"), col("_row_index").cast(LongType).as("pos"))
       .join(broadcast(mapping), Seq("_uri_path"))
       .select("file_path", "pos")
       .orderBy("file_path", "pos")
@@ -250,7 +254,8 @@ object IcebergWrite {
       s.sequenceNumber.getOrElse(0L), s.timestampMs,
       s.operation.getOrElse("append"), s.manifestList)) :+
       snapJson(snapshotId, Some(snap.id), seq, now, "delete", listRel)
-    writeMetadataJson(fs, tableDir, tm.uuid, fields, snaps, snapshotId, seq, now)
+    writeMetadataJson(fs, tableDir, tm.uuid, fields, snaps, snapshotId,
+      seq, now, expectVersion)
     snapshotId
   }
 
@@ -263,6 +268,8 @@ object IcebergWrite {
   def renameColumn(spark: SparkSession, tableDir: String,
                    from: String, to: String): Long = {
     val fs = fileSystem(spark, tableDir)
+    val expectVersion = listMetadataVersions(fs, tableDir)
+      .maxOption.getOrElse(0L) + 1
     val tm = IcebergMeta.readTableMeta(spark, tableDir)
     val fields = IcebergMeta.schemaFieldsOf(spark, tableDir, None)
       .getOrElse(throw new IllegalArgumentException(
@@ -285,7 +292,7 @@ object IcebergWrite {
     writeMetadataJson(fs, tableDir, tm.uuid, renamed, snaps,
       tm.currentSnapshotId.getOrElse(0L),
       tm.snapshots.flatMap(_.sequenceNumber).maxOption.getOrElse(0L),
-      System.currentTimeMillis())
+      System.currentTimeMillis(), expectVersion)
   }
 
   // ------------------------------------------------------ maintenance
@@ -301,6 +308,8 @@ object IcebergWrite {
                       keepLast: Int = 1): Seq[Long] = {
     require(keepLast >= 1, "iceberg-write: keepLast must be >= 1")
     val fs = fileSystem(spark, tableDir)
+    val expectVersion = listMetadataVersions(fs, tableDir)
+      .maxOption.getOrElse(0L) + 1
     val tm = IcebergMeta.readTableMeta(spark, tableDir)
     val current = tm.currentSnapshotId.getOrElse(
       throw new IllegalArgumentException(
@@ -326,7 +335,7 @@ object IcebergWrite {
       s.operation.getOrElse("append"), s.manifestList))
     writeMetadataJson(fs, tableDir, tm.uuid, fields, snaps, current,
       sorted.flatMap(_.sequenceNumber).maxOption.getOrElse(0L),
-      System.currentTimeMillis())
+      System.currentTimeMillis(), expectVersion)
     expired.map(_.id)
   }
 
@@ -334,10 +343,14 @@ object IcebergWrite {
     * `metadata/` that NO snapshot in the current metadata references —
     * the storage reclamation that completes [[expireSnapshots]], and
     * the cleanup for any crashed writer's staged leftovers. The data-
-    * directory walk is distributed. Returns one row per orphan:
-    * `path`, `removed`.
+    * directory walk is distributed. `olderThanMs` (default 3 days, the
+    * reference implementation's horizon) protects a CONCURRENT writer's
+    * just-staged files — data lands before its metadata commit, and an
+    * ageless sweep would collect it mid-flight. Returns one row per
+    * unreferenced file: `path`, `removed` (false = retained by age).
     */
-  def removeOrphanFiles(spark: SparkSession, tableDir: String): DataFrame = {
+  def removeOrphanFiles(spark: SparkSession, tableDir: String,
+                        olderThanMs: Long = 3L * 24 * 3600 * 1000): DataFrame = {
     import org.apache.spark.sql.functions.col
     val fs = fileSystem(spark, tableDir)
     val tm = IcebergMeta.readTableMeta(spark, tableDir)
@@ -378,35 +391,39 @@ object IcebergWrite {
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val dataDir = new Path(tableDir, "data")
     val dataDirStr = fs.makeQualified(dataDir).toString
-    val dataFiles: Seq[String] =
+    val dataFiles: Seq[(String, Long)] =
       if (!fs.exists(dataDir)) Nil
       else spark.sparkContext.parallelize(Seq(dataDirStr), 1).flatMap { d =>
         val p = new Path(d)
         val dfs = p.getFileSystem(conf.value)
-        def walk(q: Path): Seq[String] =
+        def walk(q: Path): Seq[(String, Long)] =
           dfs.listStatus(q).toSeq.flatMap { st =>
             if (st.isDirectory) walk(st.getPath)
-            else Seq(dfs.makeQualified(st.getPath).toUri.getPath)
+            else Seq((dfs.makeQualified(st.getPath).toUri.getPath,
+              st.getModificationTime))
           }
         walk(p)
-      }.collect().toSeq.map(u => u.drop(rootUri.length + 1))
+      }.collect().toSeq.map { case (u, m) => (u.drop(rootUri.length + 1), m) }
     val metaDir = new Path(tableDir, "metadata")
     val avroFiles =
       if (!fs.exists(metaDir)) Nil
       else fs.listStatus(metaDir).toSeq.filter(_.isFile)
-        .map(_.getPath.getName).filter(_.endsWith(".avro"))
-        .map(n => s"metadata/$n")
-    val orphans = (dataFiles ++ avroFiles)
-      .filterNot(r => r.split('/').last.startsWith("."))
-      .filterNot(referenced.contains).sorted
-    orphans.foreach { r =>
-      if (!fs.delete(new Path(tableDir, r), false) &&
+        .filter(_.getPath.getName.endsWith(".avro"))
+        .map(st => (s"metadata/${st.getPath.getName}", st.getModificationTime))
+    val horizon = System.currentTimeMillis() - olderThanMs
+    val unreferenced = (dataFiles ++ avroFiles)
+      .filterNot { case (r, _) => r.split('/').last.startsWith(".") }
+      .filterNot { case (r, _) => referenced.contains(r) }
+      .map { case (r, mtime) => (r, mtime < horizon) }
+      .sortBy(_._1)
+    unreferenced.foreach { case (r, doomed) =>
+      if (doomed && !fs.delete(new Path(tableDir, r), false) &&
           fs.exists(new Path(tableDir, r)))
         throw new java.io.IOException(
           s"iceberg-write: could not delete orphan $r under $tableDir")
     }
     import spark.implicits._
-    orphans.map(r => (r, true)).toDF("path", "removed")
+    unreferenced.toDF("path", "removed")
   }
 
   // -------------------------------------------------------- internals
@@ -615,6 +632,11 @@ object IcebergWrite {
                      operation: String): Long = {
     val metaDir = new Path(tableDir, "metadata")
     fs.mkdirs(metaDir)
+    // pin the metadata version NOW — before any staging — so a
+    // concurrent commit makes ours fail loud instead of landing a
+    // metadata.json that silently omits the other writer's snapshot
+    val expectVersion = listMetadataVersions(fs, tableDir)
+      .maxOption.getOrElse(0L) + 1
     val seq = prevSnapshots.flatMap(_.sequenceNumber)
       .maxOption.getOrElse(0L) + 1
     val snapshotId = prevSnapshots.map(_.id).maxOption.getOrElse(0L) + 1
@@ -663,7 +685,8 @@ object IcebergWrite {
       s.operation.getOrElse("append"), s.manifestList)) :+
       snapJson(snapshotId, prevSnapshots.map(_.id).maxOption, seq, now,
         operation, listRel)
-    writeMetadataJson(fs, tableDir, uuid, fields, snaps, snapshotId, seq, now)
+    writeMetadataJson(fs, tableDir, uuid, fields, snaps, snapshotId, seq,
+      now, expectVersion)
     snapshotId
   }
 
@@ -688,7 +711,7 @@ object IcebergWrite {
                                 fields: Seq[(Long, String, String, Boolean)],
                                 snapsJson: Seq[String],
                                 currentSnapshotId: Long, lastSeq: Long,
-                                now: Long): Long = {
+                                now: Long, expectVersion: Long): Long = {
     val metaDir = new Path(tableDir, "metadata")
     val schemaJson = fields.map { case (id, name, typ, nullable) =>
       s"""{"id":$id,"name":${jstr(name)},"required":${!nullable},""" +
@@ -700,7 +723,10 @@ object IcebergWrite {
         s""""current-schema-id":0,"schemas":[$schemaJson],""" +
         s""""current-snapshot-id":$currentSnapshotId,""" +
         s""""snapshots":[${snapsJson.mkString(",")}]}"""
-    val version = listMetadataVersions(fs, tableDir).maxOption.getOrElse(0L) + 1
+    // the version was pinned when the operation READ the table: a
+    // concurrent commit in between makes the exists-check fire loudly
+    // instead of silently erasing that writer's snapshot from history
+    val version = expectVersion
     val target = new Path(metaDir, s"v$version.metadata.json")
     if (fs.exists(target))
       throw new java.io.IOException(
@@ -725,6 +751,15 @@ object IcebergWrite {
     val out = fs.create(tmp, false)
     try out.write(bytes) finally out.close()
     if (overwrite && fs.exists(target)) fs.delete(target, false)
+    // local-FS rename CLOBBERS an existing target: a concurrent writer
+    // landing the same deterministic name must fail loud, not silently
+    // corrupt the winner's still-referenced file
+    if (!overwrite && fs.exists(target)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"iceberg-write: $target already exists (concurrent writer) — " +
+          "retry against the new table state")
+    }
     if (!fs.rename(tmp, target)) {
       fs.delete(tmp, false)
       throw new java.io.IOException(

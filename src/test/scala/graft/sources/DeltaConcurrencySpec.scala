@@ -75,6 +75,41 @@ class DeltaConcurrencySpec extends SparkSpec {
         Seq(a), DeltaWrite.commitLines("DELETE", Seq(a), Nil)))
   }
 
+  test("an idempotent writer racing itself conflicts on the shared appId") {
+    val (t, _, b) = twoFileTable()
+    val fs = DeltaWrite.fileSystem(spark, t)
+    // the zombie copy lands batch 5 first (txn rides in its commit)
+    plant(t, """{"txn":{"appId":"ing","version":5,"lastUpdated":1}}""")
+    // our copy, which read the OLD high-water mark, must NOT rebase —
+    // rebasing would double-append the batch
+    intercept[java.util.ConcurrentModificationException](
+      DeltaWrite.commitWithRebase(spark, fs, t, 2L, "WRITE", Nil,
+        DeltaWrite.commitLines("WRITE", Nil, Nil), txnAppId = Some("ing")))
+    // a DIFFERENT appId's txn doesn't block the rebase
+    plant(t, """{"txn":{"appId":"other","version":1,"lastUpdated":1}}""")
+    assert(DeltaWrite.commitWithRebase(spark, fs, t, 3L, "WRITE", Nil,
+      DeltaWrite.commitLines("WRITE", Nil, Nil), txnAppId = Some("ing")) === 4L)
+    val _ = b
+  }
+
+  test("a predicate DML cannot rebase past a concurrent ADD") {
+    val (t, a, _) = twoFileTable()
+    val fs = DeltaWrite.fileSystem(spark, t)
+    // a competitor APPENDS a file our DELETE's predicate might cover
+    plant(t, """{"add":{"path":"part-new.parquet","partitionValues":{},""" +
+      """"size":1,"modificationTime":1,"dataChange":true}}""")
+    intercept[java.util.ConcurrentModificationException](
+      DeltaWrite.commitWithRebase(spark, fs, t, 2L, "DELETE", Seq(a),
+        DeltaWrite.commitLines("DELETE", Seq(a), Nil), conflictOnAdds = true))
+    // a concurrent REMOVE of an unrelated file still rebases fine
+    val (t2, a2, b2) = twoFileTable()
+    val fs2 = DeltaWrite.fileSystem(spark, t2)
+    plant(t2, s"""{"remove":{"path":"$b2","deletionTimestamp":1,"dataChange":true}}""")
+    assert(DeltaWrite.commitWithRebase(spark, fs2, t2, 2L, "DELETE", Seq(a2),
+      DeltaWrite.commitLines("DELETE", Seq(a2), Nil),
+      conflictOnAdds = true) === 3L)
+  }
+
   test("appends rebase past anything; OVERWRITE conflicts with any file action") {
     import spark.implicits._
     val (t, _, b) = twoFileTable()

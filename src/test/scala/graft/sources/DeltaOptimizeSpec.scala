@@ -109,6 +109,31 @@ class DeltaOptimizeSpec extends SparkSpec {
       DeltaOptimize.zorder(spark, t, Seq.empty, 2))
   }
 
+  test("4-column zorder stays below the sign bit and still prunes") {
+    import spark.implicits._
+    val t = freshDir("deltazorder4")
+    // 4 correlated dimensions over the same 0..63 grid bands
+    def band(lo: Long, hi: Long) =
+      (lo until hi).flatMap(x => (0L until 64L).map(y =>
+        (x, y, 63L - x, 63L - y))).toDF("a", "b", "c", "d").coalesce(1)
+    DeltaWrite.createTable(spark, band(0, 16), t)
+    DeltaWrite.append(spark, band(16, 32), t)
+    DeltaWrite.append(spark, band(32, 48), t)
+    DeltaWrite.append(spark, band(48, 64), t)
+    val before = DeltaLog.readTable(spark, t).count()
+    DeltaOptimize.zorder(spark, t, Seq("a", "b", "c", "d"), numFiles = 4)
+    assert(DeltaLog.readTable(spark, t).count() === before)
+    // with 15 bits x 4 lanes every position is < 63: the top Morton
+    // split is a real data split, so a half-range predicate on the
+    // FIRST lane prunes (a sign-bit landing would scramble it)
+    val kept = DeltaLog.skippingReport(spark, t, "b < 16")
+      .where(col("kept")).count()
+    assert(kept < 4L, s"4-col zorder lost pruning power (kept $kept)")
+    // 5+ lanes would overflow even reduced bits budgets gracefully
+    DeltaOptimize.zorder(spark, t, Seq("a", "b", "c", "d", "a"), 2) // 12 bits each
+    assert(DeltaLog.readTable(spark, t).count() === before)
+  }
+
   test("zorder rejects partition and non-orderable columns") {
     import spark.implicits._
     val t = freshDir("deltazorder_rej")

@@ -124,5 +124,9 @@ class DeltaSkippingSpec extends SparkSpec {
       .count() === 3L)
     val rep = DeltaLog.skippingReport(spark, t, "length(blob) = 1")
     assert(rep.where(col("kept")).count() === rep.count())
+    // IS [NOT] NULL on a statless column keeps (no nullCount claim),
+    // and NOT-wrapped comparisons on it don't crash the translator
+    assert(DeltaLog.readTableWhere(spark, t, "blob IS NOT NULL").count() === 3L)
+    assert(DeltaLog.readTableWhere(spark, t, "NOT (blob IS NULL)").count() === 3L)
   }
 }

@@ -157,6 +157,18 @@ class IcebergSkippingSpec extends SparkSpec {
     assert(IcebergMeta.readTable(spark, t).count() === 401L)
   }
 
+  test("DELETE after a rename evaluates pre-rename files by field id") {
+    val t = rangeTable()
+    IcebergWrite.renameColumn(spark, t, "txt", "label")
+    // every candidate file predates the rename and physically stores
+    // 'txt' — a name-based read would see NULL label and delete nothing
+    val sid = IcebergWrite.delete(spark, t, "label = 'row-45'")
+    assert(sid === 5L)
+    assert(IcebergMeta.readTable(spark, t).where(col("id") === 45L)
+      .count() === 0L)
+    assert(IcebergMeta.readTable(spark, t).count() === 399L)
+  }
+
   test("expireSnapshots trims history; orphan removal reclaims, table intact") {
     val t = rangeTable()
     val before = IcebergMeta.readTableMeta(spark, t)
@@ -181,15 +193,20 @@ class IcebergSkippingSpec extends SparkSpec {
     // goes; every manifest + data file the kept snapshot references stays
     val stray = java.nio.file.Paths.get(t, "data", "stray.parquet")
     java.nio.file.Files.write(stray, Array[Byte](9))
-    val removed = IcebergWrite.removeOrphanFiles(spark, t)
-      .collect().map(_.getString(0)).toSet
+    // a default-horizon pass RETAINS the fresh orphans (concurrent-
+    // writer protection), a zero-horizon pass reclaims them
+    val retained = IcebergWrite.removeOrphanFiles(spark, t)
+    assert(retained.where(col("removed")).count() === 0L)
+    val removed = IcebergWrite.removeOrphanFiles(spark, t, olderThanMs = 0L)
+      .where(col("removed")).collect().map(_.getString(0)).toSet
     assert(removed.count(_.startsWith("metadata/snap-")) === 3)
     assert(removed.contains("data/stray.parquet"))
     assert(IcebergMeta.readTable(spark, t).count() === 400L)
     // accounting law still holds on the trimmed table
     assert(IcebergMeta.files(spark, t).count() === 4L)
     // a second pass finds nothing
-    assert(IcebergWrite.removeOrphanFiles(spark, t).count() === 0L)
+    assert(IcebergWrite.removeOrphanFiles(spark, t, olderThanMs = 0L)
+      .count() === 0L)
     // expiring again is a no-op
     assert(IcebergWrite.expireSnapshots(spark, t, keepLast = 1).isEmpty)
   }

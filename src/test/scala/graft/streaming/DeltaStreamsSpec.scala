@@ -141,5 +141,15 @@ class DeltaStreamsSpec extends SparkSpec {
       (0L until 10L).map(i => (i, s"p${i % 2}")).toDF("id", "bucket"), t)
     val young = DeltaOptimize.vacuum(spark, t) // default 7-day retention
     assert(young.count() > 0 && young.where(col("removed")).count() === 0L)
+    // a crashed writer's '.tmp-*' staging tree IS reclaimed (the one
+    // dot-prefixed name vacuum owns), while _delta_log stays untouchable
+    val stage = java.nio.file.Paths.get(t, ".tmp-crashed")
+    java.nio.file.Files.createDirectories(stage)
+    java.nio.file.Files.write(stage.resolve("part-0.parquet"), Array[Byte](1))
+    val rep2 = DeltaOptimize.vacuum(spark, t, retainMs = 0L)
+    assert(rep2.collect().exists(r =>
+      r.getString(0).startsWith(".tmp-crashed/") && r.getBoolean(2)))
+    assert(!java.nio.file.Files.exists(stage.resolve("part-0.parquet")))
+    assert(DeltaLog.readTable(spark, t).count() === 10L)
   }
 }
