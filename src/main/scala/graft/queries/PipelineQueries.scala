@@ -4421,6 +4421,24 @@ object PipelineQueries extends QuerySet {
         .orderBy("o_orderkey")
     }),
 
+    // Delta RENAME COLUMN (q307's Delta twin, via column mapping):
+    // enabling mapping stamps every field with a stable physical name,
+    // the rename is a metadata-only commit, and files written before
+    // AND after it — both resolving by physical name — must serve the
+    // full table under the new logical name.
+    "q315_delta_rename" -> ((s, dir) => {
+      val t = freshTmpDir("delta_rename")
+      val nation = graft.Tables.load(s, dir, "nation")
+      graft.sources.DeltaWrite.createTable(s,
+        nation.where("n_nationkey < 10"), t)
+      graft.sources.DeltaWrite.enableColumnMapping(s, t)
+      graft.sources.DeltaWrite.renameColumn(s, t, "n_name", "nation_name")
+      graft.sources.DeltaWrite.append(s,
+        nation.where("n_nationkey >= 10")
+          .withColumnRenamed("n_name", "nation_name"), t)
+      graft.sources.DeltaLog.readTable(s, t).orderBy("n_nationkey")
+    }),
+
     // the Iceberg schema report (DELTA SCHEMA's twin, via the ICEBERG
     // SCHEMA statement): Iceberg's stable FIELD IDS — its answer to
     // Delta's column mapping — plus rendered nested types, straight
@@ -5719,6 +5737,9 @@ object PipelineQueries extends QuerySet {
         |WHERE o_orderkey > (SELECT max(o_orderkey) // 8 FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
     "q307_iceberg_rename" ->
+      """SELECT n_nationkey, n_name AS nation_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+    "q315_delta_rename" ->
       """SELECT n_nationkey, n_name AS nation_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
     "q308_delta_time_travel_ts" ->

@@ -279,10 +279,21 @@ object DeltaLog {
     }
     if (commits.isEmpty)
       return finishActions(cpDf.get)
+    val lines = commitLinesDf(spark, commits)
+    finishActions(cpDf.map(_ unionByName lines).getOrElse(lines))
+  }
+
+  /** Raw `(version, ordinal, line)` rows for an explicit commit-file
+    * list — one task per commit file, lines in file order. The replay
+    * primitive behind [[actions]] and the JSON-only windows
+    * ([[changes]], [[versionAtTimestamp]]).
+    */
+  private def commitLinesDf(spark: SparkSession,
+                            commits: Seq[(Long, String)]): DataFrame = {
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val slices = math.max(1, math.min(commits.length,
       spark.sparkContext.defaultParallelism * 2))
-    val lines = spark.createDataFrame(
+    spark.createDataFrame(
       spark.sparkContext.parallelize(commits, slices).mapPartitions { it =>
         var fs: org.apache.hadoop.fs.FileSystem = null
         it.flatMap { case (ver, p) =>
@@ -306,7 +317,37 @@ object DeltaLog {
       StructType(Seq(StructField("version", LongType, nullable = false),
         StructField("ordinal", LongType, nullable = false),
         StructField("line", StringType, nullable = false))))
-    finishActions(cpDf.map(_ unionByName lines).getOrElse(lines))
+  }
+
+  /** The parsed actions of EXACTLY the JSON commits in
+    * `(sinceVersion, untilVersion]` — no checkpoint baseline ever
+    * substitutes here. Fails loud when any version in the window has no
+    * surviving JSON commit (the log was cleaned past it): a checkpoint
+    * collapses per-commit grain, so replaying it in a version window
+    * would re-stamp every pre-checkpoint add at the checkpoint version
+    * (duplicate delivery) and lose adds removed before it.
+    */
+  private def windowActions(spark: SparkSession, tableDir: String,
+                            sinceVersion: Long,
+                            untilVersion: Long): DataFrame = {
+    val commits0 = listCommits(spark, tableDir)
+    val window = commits0.filter(c =>
+      c._1 > sinceVersion && c._1 <= untilVersion)
+    val have = window.map(_._1).toSet
+    val missing = ((sinceVersion + 1) to untilVersion).filterNot(have)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"deltalog: version window ($sinceVersion, $untilVersion] at " +
+          s"$tableDir predates the surviving JSON log — commit " +
+          s"${missing.head} expired (earliest surviving: " +
+          s"${commits0.headOption.map(_._1).getOrElse(-1L)})")
+    if (window.isEmpty)
+      return finishActions(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("version", LongType, nullable = false),
+          StructField("ordinal", LongType, nullable = false),
+          StructField("line", StringType, nullable = false)))))
+    finishActions(commitLinesDf(spark, window))
   }
 
   /** Shared decode tail for both sources of action lines (JSON commits
@@ -479,22 +520,18 @@ object DeltaLog {
   def skippingReport(spark: SparkSession, tableDir: String,
                      predicateSql: String,
                      asOf: Option[Long] = None): DataFrame = {
-    val (schema, partCols, mapping) = liveFileMapping(spark, tableDir, asOf)
+    val (schema, partCols, mode, mapping) = tableState(spark, tableDir, asOf)
     mapping
-      .withColumn("kept", DeltaStats.mayMatch(spark, predicateSql, schema, partCols))
+      .withColumn("kept", DeltaStats.mayMatch(spark, predicateSql, schema,
+        partCols, physOfIn(mode, schema)))
       .select(col("_rel_path").as("path"),
         col("_st.numRecords").as("num_records"), col("kept"))
   }
 
-  /** The live-file mapping DataFrame readTable joins against: one row
-    * per live file with `_uri_path`, `_rel_path`, decoded stats struct
-    * `_st` and `_part_<c>` partition-value strings. Metadata-sized.
-    */
-  private def liveFileMapping(spark: SparkSession, tableDir: String,
-                              asOf: Option[Long])
-      : (StructType, Seq[String], DataFrame) = {
-    val (schema, partCols, _, mapping) = tableState(spark, tableDir, asOf)
-    (schema, partCols, mapping)
+  /** Logical → physical stat-key translation for the pruner. */
+  private def physOfIn(mode: String, schema: StructType): String => String = {
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    c => byName.get(c).map(physicalName(mode, _)).getOrElse(c)
   }
 
   /** Everything a reader needs at `asOf`: schema, partition columns,
@@ -559,14 +596,27 @@ object DeltaLog {
         StructField("_abs_path", StringType, nullable = false) +:
         StructField("_stats", StringType, nullable = true) +:
         partCols.map(c => StructField(s"_part_$c", StringType, nullable = true)))
+    // stats JSON keys are PHYSICAL names under column mapping (the
+    // protocol's rule) — decode with the physical-named struct, and
+    // hand the pruner the logical→physical translation
     val dataSchema = StructType(
-      schema.fields.filterNot(f => partCols.contains(f.name)))
+      schema.fields.filterNot(f => partCols.contains(f.name)).toSeq.map(f =>
+        f.copy(name = physicalName(mode, f))))
     val mapping = spark.createDataFrame(
       spark.sparkContext.parallelize(mapRows, 1), mapSchema)
       .withColumn("_st",
         from_json(col("_stats"), DeltaStats.statsStructSchema(dataSchema)))
     (schema, partCols, mode, mapping)
   }
+
+  /** The physical (parquet/stats) name of a schema field under
+    * `delta.columnMapping.mode` — the logical name when the table
+    * doesn't map.
+    */
+  private[sources] def physicalName(mode: String, f: StructField): String =
+    if (mode != "none" && f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
 
   /** [[readTable]]'s engine, keeping `_rel_path` (which live file each
     * row came from) for the DML rewrites in [[DeltaWrite]]. `where`
@@ -583,7 +633,8 @@ object DeltaLog {
       else f.name
     val mapping = where match {
       case Some(p) =>
-        mapping0.where(DeltaStats.mayMatch(spark, p, schema, partCols))
+        mapping0.where(DeltaStats.mayMatch(spark, p, schema, partCols,
+          physOfIn(mode, schema)))
       case None => mapping0
     }
     // the kept file list is metadata-sized (it IS the scan's path list)
@@ -672,23 +723,39 @@ object DeltaLog {
 
   /** The newest version committed AT OR BEFORE `tsMillis` (by each
     * commit's commitInfo timestamp, the protocol's time-travel clock).
-    * Fails loud when the earliest commit is already later — "the table
-    * didn't exist yet" must never silently serve version 0.
+    * Resolution reads the surviving JSON COMMITS directly — a
+    * checkpoint carries no commitInfo, and replaying through it would
+    * wrongly report any post-checkpoint table as "younger than the
+    * requested time". A commit without commitInfo falls back to its
+    * commit FILE's modification time, as reference Delta does. Fails
+    * loud when the earliest surviving commit is already later —
+    * whether the table didn't exist yet or its history was cleaned
+    * past the requested time, serving a guessed version is wrong.
     */
   def versionAtTimestamp(spark: SparkSession, tableDir: String,
                          tsMillis: Long): Long = {
-    val row = actions(spark, tableDir)
-      .where(col("commitInfo.timestamp").isNotNull)
-      .groupBy("version")
-      .agg(max(col("commitInfo.timestamp")).as("ts"))
-      .where(col("ts") <= tsMillis)
-      .agg(max(col("version")))
-      .head()
-    if (row.isNullAt(0))
+    val commits = listCommits(spark, tableDir)
+    if (commits.isEmpty)
       throw new IllegalArgumentException(
-        s"deltalog: no commit at or before timestamp $tsMillis under " +
-          s"$tableDir (the table is younger than the requested time)")
-    row.getLong(0)
+        s"deltalog: no JSON commits survive under $tableDir — commit " +
+          "timestamps cannot be resolved")
+    val infoTs: Map[Long, Long] =
+      windowActions(spark, tableDir, commits.head._1 - 1, commits.last._1)
+        .where(col("commitInfo.timestamp").isNotNull)
+        .groupBy("version")
+        .agg(max(col("commitInfo.timestamp")).as("ts"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fs = new Path(tableDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val byVersion: Seq[(Long, Long)] = commits.map { case (v, p) =>
+      v -> infoTs.getOrElse(v,
+        fs.getFileStatus(new Path(p)).getModificationTime)
+    }
+    val hit = byVersion.filter(_._2 <= tsMillis).map(_._1).maxOption
+    hit.getOrElse(throw new IllegalArgumentException(
+      s"deltalog: no surviving commit at or before timestamp $tsMillis " +
+        s"under $tableDir (the table is younger than the requested time, " +
+        "or its history was cleaned past it)"))
   }
 
   /** [[readTable]] at the newest version whose commit timestamp is at
@@ -725,6 +792,12 @@ object DeltaLog {
     * exactly as the protocol intends. Rows later deleted by a
     * subsequent commit are still reported in the window that added
     * them (append-stream semantics, not CDC reconciliation).
+    *
+    * The window replays JSON COMMITS ONLY ([[windowActions]]): a
+    * checkpoint baseline stamps every live add at the checkpoint
+    * version, which would re-deliver rows committed at or before
+    * `sinceVersion` and drop adds removed before the checkpoint. A
+    * window the cleaned log no longer covers fails loud.
     */
   def changes(spark: SparkSession, tableDir: String, sinceVersion: Long,
               untilVersion: Option[Long] = None): DataFrame = {
@@ -733,10 +806,14 @@ object DeltaLog {
       if (mode != "none" && f.metadata.contains("delta.columnMapping.physicalName"))
         f.metadata.getString("delta.columnMapping.physicalName")
       else f.name
-    val acts = actions(spark, tableDir, untilVersion)
+    val latest = untilVersion.getOrElse(
+      (listCommits(spark, tableDir).lastOption.map(_._1) ++
+        lastCheckpoint(spark, tableDir).map(_._1)).maxOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"deltalog: no table at $tableDir")))
+    val acts = windowActions(spark, tableDir, sinceVersion, latest)
     val newAdds = acts
-      .where(col("version") > sinceVersion &&
-        col("add.path").isNotNull &&
+      .where(col("add.path").isNotNull &&
         coalesce(col("add.dataChange"), lit(true)))
       .select(col("add.path").as("path"), col("version"),
         col("add.partitionValues").as("pv"))

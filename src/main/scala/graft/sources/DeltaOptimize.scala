@@ -36,7 +36,8 @@ object DeltaOptimize {
     require(targetBytes > 0, "deltaoptimize: targetBytes must be positive")
     val fs = DeltaWrite.fileSystem(spark, tableDir)
     val version = DeltaWrite.nextVersion(spark, tableDir)
-    val (schema, partCols) = DeltaWrite.tableMetaOf(spark, tableDir)
+    val meta = DeltaWrite.fullMetaOf(spark, tableDir)
+    val (schema, partCols) = (meta.schema, meta.partCols)
     val files = DeltaLog.snapshot(spark, tableDir)
       .select("path", "size", "partition", "dv_cardinality").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2),
@@ -46,13 +47,15 @@ object DeltaOptimize {
       if (cand.length >= 2 || cand.exists(_._4)) cand.map(_._1) else Nil
     }.toSeq.sorted
     if (touched.isEmpty) return version - 1
-    val touchedBytes = files.filter(f => touched.contains(f._1)).map(_._2).sum
+    val touchedSet = touched.toSet
+    val touchedBytes = files.filter(f => touchedSet.contains(f._1)).map(_._2).sum
     val nOut = math.max(1L, (touchedBytes + targetBytes - 1) / targetBytes).toInt
     val rows = DeltaLog.readTableCore(spark, tableDir, None, None)
       .where(col("_rel_path").isin(touched: _*))
       .select(schema.fieldNames.map(col): _*)
       .coalesce(nOut)
-    val adds = DeltaWrite.stageData(spark, fs, rows, tableDir, partCols)
+    val adds = DeltaWrite.stageData(spark, fs,
+      DeltaWrite.toPhysical(rows, meta, schema), tableDir, partCols)
     DeltaWrite.commitWithRebase(spark, fs, tableDir, version, "OPTIMIZE",
       touched, DeltaWrite.commitLines("OPTIMIZE", touched, adds,
         dataChange = false))
@@ -74,7 +77,8 @@ object DeltaOptimize {
     require(numFiles > 0, "deltaoptimize: numFiles must be positive")
     val fs = DeltaWrite.fileSystem(spark, tableDir)
     val version = DeltaWrite.nextVersion(spark, tableDir)
-    val (schema, partCols) = DeltaWrite.tableMetaOf(spark, tableDir)
+    val meta = DeltaWrite.fullMetaOf(spark, tableDir)
+    val (schema, partCols) = (meta.schema, meta.partCols)
     zCols.foreach { c =>
       val f = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
@@ -113,10 +117,11 @@ object DeltaOptimize {
     }
     val z = interleave(scaledBits, bits)
     val adds = DeltaWrite.stageData(spark, fs,
-      live.withColumn("_z", z)
-        .repartitionByRange(numFiles, col("_z"))
-        .sortWithinPartitions("_z")
-        .drop("_z"),
+      DeltaWrite.toPhysical(
+        live.withColumn("_z", z)
+          .repartitionByRange(numFiles, col("_z"))
+          .sortWithinPartitions("_z")
+          .drop("_z"), meta, schema),
       tableDir, partCols)
     DeltaWrite.commitWithRebase(spark, fs, tableDir, version,
       "OPTIMIZE ZORDER", touched,

@@ -202,14 +202,15 @@ object DeltaStats {
     * the decoded stats struct; `_part_<c>` columns carry partition
     * values (exact per file — min = max = the value).
     */
-  def boundsOver(schema: StructType, partCols: Seq[String]): FileBounds = {
+  def boundsOver(schema: StructType, partCols: Seq[String],
+                 physOf: String => String = identity): FileBounds = {
     val byName = schema.fields.map(f => f.name -> f).toMap
     def colType(c: String): Option[DataType] =
       byName.get(c).map(_.dataType).filter(supported)
     def statField(side: String, c: String): Column =
       if (partCols.contains(c))
         colType(c).map(dt => col(s"_part_$c").cast(dt)).getOrElse(lit(null))
-      else if (colType(c).isDefined) col(s"_st.$side.`$c`")
+      else if (colType(c).isDefined) col(s"_st.$side.`${physOf(c)}`")
       else lit(null)
     FileBounds(
       minOf = c => statField("minValues", c),
@@ -217,7 +218,7 @@ object DeltaStats {
       nullCntOf = c =>
         if (partCols.contains(c))
           when(col(s"_part_$c").isNull, col("_st.numRecords")).otherwise(lit(0L))
-        else if (colType(c).isDefined) col(s"_st.nullCount.`$c`")
+        else if (colType(c).isDefined) col(s"_st.nullCount.`${physOf(c)}`")
         else lit(null), // unsupported type: no claim, the leaf keeps
       numRecords = col("_st.numRecords"))
   }
@@ -230,8 +231,9 @@ object DeltaStats {
     * optimization, never a filter.
     */
   def mayMatch(spark: SparkSession, predicateSql: String,
-               schema: StructType, partCols: Seq[String]): Column =
-    mayMatchWith(spark, predicateSql, boundsOver(schema, partCols))
+               schema: StructType, partCols: Seq[String],
+               physOf: String => String = identity): Column =
+    mayMatchWith(spark, predicateSql, boundsOver(schema, partCols, physOf))
 
   /** The translator over caller-supplied [[FileBounds]] — shared by the
     * Delta stats pruner and the Iceberg manifest-bounds pruner (the
@@ -257,17 +259,26 @@ object DeltaStats {
   private def scalaLit(l: Literal): Column =
     lit(CatalystTypeConverters.convertToScala(l.value, l.dataType))
 
+  /** A bare TOP-LEVEL column reference, or None. A dotted path like
+    * `s.x` must never bind to a same-named top-level column's stats:
+    * the bounds would be the wrong column's and could unsoundly prune
+    * files whose nested values DO match. No claim → keep.
+    */
+  private def topAttr(a: UnresolvedAttribute): Option[String] =
+    if (a.nameParts.length == 1) Some(a.nameParts.head) else None
+
   /** (column name, literal, flipped?) from a binary comparison's two
-    * sides, when one side is a bare attribute and the other foldable.
+    * sides, when one side is a bare top-level attribute and the other
+    * foldable.
     */
   private def sides(l: CExpr, r: CExpr): Option[(String, Column, Boolean)] =
     (l, r) match {
       case (a: UnresolvedAttribute, v: Literal) if v.value != null =>
-        Some((a.nameParts.last, scalaLit(v), false))
+        topAttr(a).map(c => (c, scalaLit(v), false))
       case (v: Literal, a: UnresolvedAttribute) if v.value != null =>
-        Some((a.nameParts.last, scalaLit(v), true))
+        topAttr(a).map(c => (c, scalaLit(v), true))
       case (a: UnresolvedAttribute, Cast(v: Literal, _, _, _)) if v.value != null =>
-        Some((a.nameParts.last, scalaLit(v), false))
+        topAttr(a).map(c => (c, scalaLit(v), false))
       case _ => None
     }
 
@@ -305,16 +316,20 @@ object DeltaStats {
       case None                => lit(true)
     }
     case In(a: UnresolvedAttribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      val c = a.nameParts.last
-      vs.collect { case l: Literal if l.value != null => scalaLit(l) }
-        .map(v => keep(b.minOf(c) <= v && b.maxOf(c) >= v))
-        .reduceOption(_ || _).getOrElse(lit(false))
+      topAttr(a) match {
+        case Some(c) =>
+          vs.collect { case l: Literal if l.value != null => scalaLit(l) }
+            .map(v => keep(b.minOf(c) <= v && b.maxOf(c) >= v))
+            .reduceOption(_ || _).getOrElse(lit(false))
+        case None => lit(true)
+      }
     case IsNull(a: UnresolvedAttribute) =>
-      keep(b.nullCntOf(a.nameParts.last) > 0L)
+      topAttr(a).map(c => keep(b.nullCntOf(c) > 0L)).getOrElse(lit(true))
     case IsNotNull(a: UnresolvedAttribute) =>
-      keep(b.nullCntOf(a.nameParts.last) < b.numRecords)
+      topAttr(a).map(c => keep(b.nullCntOf(c) < b.numRecords))
+        .getOrElse(lit(true))
     case StartsWith(a: UnresolvedAttribute, p: Literal) if p.value != null =>
-      prefixMay(a.nameParts.last, p, b)
+      topAttr(a).map(prefixMay(_, p, b)).getOrElse(lit(true))
     // LIKE 'prefix%' (no other wildcards) is a prefix test; the
     // optimizer's StartsWith rewrite hasn't run on a bare parsed
     // expression, so recognize the pattern here
@@ -322,8 +337,8 @@ object DeltaStats {
       val pat = p.value.toString
       if (pat.nonEmpty && pat.endsWith("%") &&
           !pat.dropRight(1).exists(ch => ch == '%' || ch == '_' || ch == '\\'))
-        prefixMay(a.nameParts.last,
-          Literal(pat.dropRight(1)), b)
+        topAttr(a).map(prefixMay(_, Literal(pat.dropRight(1)), b))
+          .getOrElse(lit(true))
       else lit(true)
     case Literal(v, BooleanType) => lit(v != null && v == true)
     case _ => lit(true)
@@ -371,9 +386,11 @@ object DeltaStats {
       case None => lit(false)
     }
     case IsNull(a: UnresolvedAttribute) =>
-      coalesce(b.nullCntOf(a.nameParts.last) === b.numRecords, lit(false))
+      topAttr(a).map(c => coalesce(b.nullCntOf(c) === b.numRecords, lit(false)))
+        .getOrElse(lit(false))
     case IsNotNull(a: UnresolvedAttribute) =>
-      coalesce(b.nullCntOf(a.nameParts.last) === 0L, lit(false))
+      topAttr(a).map(c => coalesce(b.nullCntOf(c) === 0L, lit(false)))
+        .getOrElse(lit(false))
     case Literal(v, BooleanType) => lit(v != null && v == true)
     case _ => lit(false)
   }

@@ -137,11 +137,35 @@ object DeltaWrite {
     val (schema, metaLineOpt) =
       if (dfCols == tableCols) (meta.schema, None)
       else if (mergeSchema && tableCols.subsetOf(dfCols)) {
-        val newFields = df.schema.fields
+        // under column mapping every field needs a mapping id and a
+        // physical name; appended fields get fresh ones past the
+        // table's maxColumnId high-water mark — appending them bare
+        // would make the mapped read path resolve them by logical
+        // name, inconsistent with the mode
+        val mode = meta.configuration
+          .getOrElse("delta.columnMapping.mode", "none")
+        val maxId = meta.configuration
+          .get("delta.columnMapping.maxColumnId").map(_.toLong)
+          .getOrElse(0L)
+        val newFields0 = df.schema.fields
           .filterNot(f => tableCols.contains(f.name))
           .map(_.copy(nullable = true))
+        val newFields =
+          if (mode == "none") newFields0.toSeq
+          else newFields0.toSeq.zipWithIndex.map { case (f, i) =>
+            f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong("delta.columnMapping.id", maxId + i + 1)
+              .putString("delta.columnMapping.physicalName",
+                s"col-${java.util.UUID.randomUUID()}")
+              .build())
+          }
         val merged = StructType(meta.schema.fields ++ newFields)
-        (merged, Some(metaLine(meta, merged, meta.configuration)))
+        val conf =
+          if (mode == "none") meta.configuration
+          else meta.configuration + ("delta.columnMapping.maxColumnId" ->
+            (maxId + newFields.length).toString)
+        (merged, Some(metaLine(meta, merged, conf)))
       } else
         throw new IllegalArgumentException(
           s"deltawrite: DataFrame columns ${df.schema.fieldNames.toSeq} do not " +
@@ -156,7 +180,8 @@ object DeltaWrite {
       s"""{"remove":{"path":${jstr(p)},"deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":true}}"""
     }
-    val adds = stageData(spark, fs, df.select(schema.fieldNames.map(col): _*),
+    val adds = stageData(spark, fs,
+      toPhysical(df.select(schema.fieldNames.map(col): _*), meta, schema),
       tableDir, partCols)
     val now = System.currentTimeMillis()
     val txnLine = txn.map { case (appId, v) =>
@@ -337,7 +362,8 @@ object DeltaWrite {
     // rewrite replaces n files with ~n, not with one-per-shuffle-task
     val result = src.unionByName(carried)
       .coalesce(math.max(1, touched.size))
-    val adds = stageData(spark, fs, result, tableDir, partCols)
+    val adds = stageData(spark, fs, toPhysical(result, meta, schema),
+      tableDir, partCols)
     val committed = commitWithRebase(spark, fs, tableDir, version, "MERGE",
       touched, commitLines("MERGE", touched, adds), conflictOnAdds = true)
     src.unpersist()
@@ -415,11 +441,16 @@ object DeltaWrite {
     * protocol's rollback-without-history-loss): files live now but not
     * then are removed, files live then but not now are re-added with
     * their ORIGINAL add metadata (partition values, stats, deletion
-    * vector — replayed verbatim from the log, no data touched), and
-    * history keeps every version including the mistake being undone.
-    * Purely metadata-cost; fails loud when `toVersion` predates a
-    * cleaned log. Returns the committed version (current when the
-    * live sets already agree).
+    * vector — replayed from the log, no data touched) except that
+    * `dataChange` is FORCED true — to a `changes()` consumer the
+    * restored rows ARE new data, even when the original add was an
+    * OPTIMIZE rewrite's. The commit also replays `toVersion`'s
+    * metaData when it differs from the current one, so a restore
+    * across a schema evolution or ADD CONSTRAINT rolls those back
+    * too, per the protocol's restore semantics. Purely metadata-cost;
+    * fails loud when `toVersion` predates a cleaned log. Returns the
+    * committed version (current when nothing — files or metadata —
+    * differs).
     */
   def restore(spark: SparkSession, tableDir: String, toVersion: Long): Long = {
     val fs = fileSystem(spark, tableDir)
@@ -431,7 +462,8 @@ object DeltaWrite {
       acts.where(col("add.path").isNotNull || col("remove.path").isNotNull)
         .withColumn("_rn", row_number().over(w))
         .where(col("_rn") === 1 && col("add.path").isNotNull)
-        .select(col("add.path"), to_json(col("add")).as("j"))
+        .select(col("add.path"),
+          to_json(col("add").withField("dataChange", lit(true))).as("j"))
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     }
     val target = liveAdds(Some(toVersion))
@@ -439,14 +471,20 @@ object DeltaWrite {
     val removes = (current.keySet -- target.keySet).toSeq.sorted
     // re-add when the path is gone OR its add metadata changed (a
     // deletion vector attached since, stats rewritten, …) — the old
-    // add action replays verbatim and wins reconciliation
+    // add action replays and wins reconciliation
     val readds = target.toSeq
       .filter { case (p, j) => !current.get(p).contains(j) }
       .map(_._1).sorted
-    if (removes.isEmpty && readds.isEmpty) return version - 1
+    val metaThen = fullMetaOf(spark, tableDir, Some(toVersion))
+    val metaNow = fullMetaOf(spark, tableDir)
+    val thenLine = metaLine(metaThen, metaThen.schema, metaThen.configuration)
+    val metaChanged =
+      thenLine != metaLine(metaNow, metaNow.schema, metaNow.configuration)
+    if (removes.isEmpty && readds.isEmpty && !metaChanged) return version - 1
     val now = System.currentTimeMillis()
     val lines =
       Seq(s"""{"commitInfo":{"timestamp":$now,"operation":"RESTORE"}}""") ++
+        (if (metaChanged) Seq(thenLine) else Nil) ++
         removes.map { p =>
           s"""{"remove":{"path":${jstr(p)},"deletionTimestamp":$now,""" +
             """"dataChange":true}}"""
@@ -480,7 +518,8 @@ object DeltaWrite {
       .select(schema.fieldNames.map(col): _*)
       .coalesce(touched.size) // n touched files rewrite into ~n
     enforceConstraints(meta, rewritten) // an UPDATE can introduce violations
-    val adds = stageData(spark, fs, rewritten, tableDir, partCols)
+    val adds = stageData(spark, fs, toPhysical(rewritten, meta, schema),
+      tableDir, partCols)
     commitWithRebase(spark, fs, tableDir, version, operation, touched,
       commitLines(operation, touched, adds), conflictOnAdds = true)
   }
@@ -667,9 +706,9 @@ object DeltaWrite {
       partCols: Seq[String], configuration: Map[String, String],
       createdTime: Option[Long])
 
-  private[sources] def fullMetaOf(spark: SparkSession,
-                                  tableDir: String): TableMeta = {
-    val row = DeltaLog.actions(spark, tableDir)
+  private[sources] def fullMetaOf(spark: SparkSession, tableDir: String,
+                                  asOf: Option[Long] = None): TableMeta = {
+    val row = DeltaLog.actions(spark, tableDir, asOf)
       .where(col("metaData.schemaString").isNotNull)
       .orderBy(col("version").desc, col("ordinal").desc)
       .select("metaData.id", "metaData.schemaString",
@@ -686,6 +725,109 @@ object DeltaWrite {
       Option(row.getSeq[String](2)).getOrElse(Seq.empty),
       Option(row.getMap[String, String](3)).map(_.toMap).getOrElse(Map.empty),
       if (row.isNullAt(4)) None else Some(row.getLong(4)))
+  }
+
+  /** The physical (on-disk parquet) name of a schema field — the
+    * column-mapping physicalName when the table maps, the logical name
+    * otherwise.
+    */
+  private def physNameOf(mode: String, f: org.apache.spark.sql.types.StructField): String =
+    if (mode != "none" && f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** Rename `df`'s columns logical → PHYSICAL for staging: under a
+    * column-mapping mode the data files (and therefore the stats JSON
+    * keys, per the protocol) carry the stable physical names, so a
+    * post-rename append keeps writing the same on-disk columns the
+    * pre-rename files hold. Identity when the table doesn't map.
+    * Partitioned + mapped is out of scope (partitionValues would need
+    * physical keys end to end) and fails loud.
+    */
+  private[sources] def toPhysical(df: DataFrame, meta: TableMeta,
+                         schema: StructType): DataFrame = {
+    val mode = meta.configuration.getOrElse("delta.columnMapping.mode", "none")
+    if (mode == "none") return df
+    if (meta.partCols.nonEmpty)
+      throw new IllegalArgumentException(
+        "deltawrite: writes to a PARTITIONED column-mapped table are out " +
+          "of scope (partitionValues keys would need the physical names)")
+    df.select(schema.fields.toSeq.map(f =>
+      col(s"`${f.name}`").as(physNameOf(mode, f))): _*)
+  }
+
+  /** ENABLE column mapping (mode `name`) on an existing table: every
+    * current field gets `delta.columnMapping.id` (1..n) and a
+    * `physicalName` EQUAL to its current name — the existing data
+    * files already store exactly those columns, so they keep
+    * resolving without a rewrite. New columns appended later get
+    * fresh `col-<uuid>` physical names past `maxColumnId`. The
+    * protocol floor rises to reader 2 / writer 5. Metadata-only
+    * commit; fails loud when mapping is already on.
+    */
+  def enableColumnMapping(spark: SparkSession, tableDir: String): Long = {
+    val fs = fileSystem(spark, tableDir)
+    val version = nextVersion(spark, tableDir)
+    val meta = fullMetaOf(spark, tableDir)
+    if (meta.configuration.getOrElse("delta.columnMapping.mode", "none") != "none")
+      throw new IllegalArgumentException(
+        s"deltawrite: column mapping is already enabled at $tableDir")
+    val mapped = StructType(meta.schema.fields.toSeq.zipWithIndex.map {
+      case (f, i) =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong("delta.columnMapping.id", i + 1L)
+          .putString("delta.columnMapping.physicalName", f.name)
+          .build())
+    })
+    val conf = meta.configuration +
+      ("delta.columnMapping.mode" -> "name") +
+      ("delta.columnMapping.maxColumnId" -> meta.schema.fields.length.toString)
+    val now = System.currentTimeMillis()
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":$now,"operation":"SET COLUMN MAPPING"}}""",
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaLine(meta, mapped, conf))
+    commitAtomic(fs, tableDir, version, lines)
+    version
+  }
+
+  /** RENAME a column — Delta's twin of [[IcebergWrite.renameColumn]],
+    * and the operation column mapping exists for: only the metaData
+    * changes (the field keeps its mapping id and physical name under
+    * the new logical name); every data file, old or new, keeps
+    * serving the column through the physical-name read path. Requires
+    * column mapping ([[enableColumnMapping]]) — without it the files
+    * store logical names and a rename would orphan them. Returns the
+    * committed version.
+    */
+  def renameColumn(spark: SparkSession, tableDir: String,
+                   from: String, to: String): Long = {
+    val fs = fileSystem(spark, tableDir)
+    val version = nextVersion(spark, tableDir)
+    val meta = fullMetaOf(spark, tableDir)
+    if (meta.configuration.getOrElse("delta.columnMapping.mode", "none") == "none")
+      throw new IllegalArgumentException(
+        s"deltawrite: RENAME COLUMN needs column mapping — " +
+          s"enableColumnMapping($tableDir) first")
+    if (!meta.schema.fieldNames.contains(from))
+      throw new IllegalArgumentException(
+        s"deltawrite: no column $from to rename at $tableDir")
+    if (meta.schema.fieldNames.contains(to))
+      throw new IllegalArgumentException(
+        s"deltawrite: column $to already exists at $tableDir")
+    if (meta.partCols.contains(from))
+      throw new IllegalArgumentException(
+        s"deltawrite: renaming partition column $from is out of scope")
+    val renamed = StructType(meta.schema.fields.toSeq.map { f =>
+      if (f.name == from) f.copy(name = to) else f
+    })
+    val now = System.currentTimeMillis()
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":$now,"operation":"RENAME COLUMN"}}""",
+      metaLine(meta, renamed, meta.configuration))
+    commitAtomic(fs, tableDir, version, lines)
+    version
   }
 
   /** Render a metaData action line for the table's current identity

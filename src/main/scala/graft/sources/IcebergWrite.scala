@@ -32,8 +32,12 @@ import graft.operators.Avro
   * re-checked on written tables), avro-java cross-reads the manifests,
   * and the DuckDB oracle pins the round-tripped content.
   *
-  * Scope: unpartitioned tables, top-level primitive columns, appends
-  * only (no delete files — those arrive via the read-side gates).
+  * Scope contract (documented, not hidden): top-level primitive
+  * columns; writes are appends, row-level [[delete]]/[[update]]/
+  * [[upsert]] (position-delete files — equality-delete WRITING is out;
+  * the reader applies both kinds), [[renameColumn]], snapshot expiry
+  * and orphan removal. Partitioned writes use identity/bucket/
+  * truncate/day transforms ([[PartSpec]]); other transforms are out.
   */
 object IcebergWrite {
 

@@ -1,0 +1,107 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Delta column-mapping WRITE mode ([[DeltaWrite.enableColumnMapping]] /
+  * [[DeltaWrite.renameColumn]]) — the Delta twin of Iceberg's stable
+  * field ids (q307): after enabling, data files and stats carry the
+  * PHYSICAL names, so a rename is a metadata-only commit and every
+  * file — written before or after — keeps serving its columns.
+  */
+class DeltaColumnMappingWriteSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(name)
+    java.nio.file.Files.delete(p)
+    p.toString
+  }
+
+  import spark.implicits._
+
+  private def slice(lo: Long, hi: Long) =
+    (lo until hi).map(i => (i, s"row-$i")).toDF("id", "txt").coalesce(1)
+
+  test("rename is metadata-only; pre- and post-rename files both serve") {
+    val t = freshDir("deltamap")
+    DeltaWrite.createTable(spark, slice(0, 10), t)            // v0: logical names
+    DeltaWrite.enableColumnMapping(spark, t)                  // v1
+    DeltaWrite.append(spark, slice(10, 20), t)                // v2: physical names
+    val before = DeltaLog.snapshot(spark, t)
+      .select("path", "version_added").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    DeltaWrite.renameColumn(spark, t, "id", "doc_id")         // v3: metadata only
+    val after = DeltaLog.snapshot(spark, t)
+      .select("path", "version_added").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after === before) // no file touched
+    val got = DeltaLog.readTable(spark, t).orderBy("doc_id")
+    assert(got.schema.fieldNames.toSeq === Seq("doc_id", "txt"))
+    assert(got.select("doc_id").collect().map(_.getLong(0)).toSeq ===
+      (0L until 20L))
+    // appends AFTER the rename keep writing the stable physical name
+    DeltaWrite.append(spark,
+      (20L until 30L).map(i => (i, s"row-$i")).toDF("doc_id", "txt"), t)
+    assert(DeltaLog.readTable(spark, t).count() === 30L)
+    // the schema report shows logical doc_id over physical id
+    val rep = DeltaLog.schemaReport(spark, t)
+      .where(col("name") === "doc_id").head
+    assert(rep.getAs[String]("physical_name") === "id")
+    assert(rep.getAs[String]("mapping_mode") === "name")
+  }
+
+  test("stats keep pruning through the rename (physical stat keys)") {
+    val t = freshDir("deltamap")
+    DeltaWrite.createTable(spark, slice(0, 100), t)
+    DeltaWrite.enableColumnMapping(spark, t)
+    DeltaWrite.append(spark, slice(100, 200), t)
+    DeltaWrite.renameColumn(spark, t, "id", "doc_id")
+    val rep = DeltaLog.skippingReport(spark, t, "doc_id < 50")
+    assert(rep.count() === 2L)
+    assert(rep.where(col("kept")).count() === 1L)
+    val rows = DeltaLog.readTableWhere(spark, t, "doc_id < 50")
+    assert(rows.count() === 50L)
+  }
+
+  test("mergeSchema under mapping assigns fresh ids and physical names") {
+    val t = freshDir("deltamap")
+    DeltaWrite.createTable(spark, slice(0, 10), t)
+    DeltaWrite.enableColumnMapping(spark, t)
+    DeltaWrite.append(spark,
+      (10L until 15L).map(i => (i, s"row-$i", i * 2))
+        .toDF("id", "txt", "extra"), t, mergeSchema = true)
+    val rep = DeltaLog.schemaReport(spark, t).collect()
+      .map(r => r.getAs[String]("name") ->
+        (r.getAs[String]("physical_name"), r.getAs[Long]("col_id"))).toMap
+    assert(rep("id") === (("id", 1L)))
+    assert(rep("txt") === (("txt", 2L)))
+    val (extraPhys, extraId) = rep("extra")
+    assert(extraPhys.startsWith("col-") && extraId === 3L)
+    // pre-evolution files serve typed NULL for the mapped new column
+    val got = DeltaLog.readTable(spark, t).orderBy("id").collect()
+    assert(got.take(10).forall(_.isNullAt(2)))
+    assert(got.drop(10).map(_.getLong(2)).toSeq === (10L until 15L).map(_ * 2))
+    // DMLs keep working against the mapped, evolved table
+    DeltaWrite.delete(spark, t, "extra = 20")
+    assert(DeltaLog.readTable(spark, t).count() === 14L)
+  }
+
+  test("rename without mapping, unknown/duplicate names: refused") {
+    val t = freshDir("deltamap")
+    DeltaWrite.createTable(spark, slice(0, 5), t)
+    intercept[IllegalArgumentException] {
+      DeltaWrite.renameColumn(spark, t, "id", "doc_id")
+    }
+    DeltaWrite.enableColumnMapping(spark, t)
+    intercept[IllegalArgumentException] {
+      DeltaWrite.renameColumn(spark, t, "nope", "x")
+    }
+    intercept[IllegalArgumentException] {
+      DeltaWrite.renameColumn(spark, t, "id", "txt")
+    }
+    intercept[IllegalArgumentException] {
+      DeltaWrite.enableColumnMapping(spark, t) // already on
+    }
+  }
+}

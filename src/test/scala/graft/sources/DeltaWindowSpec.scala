@@ -1,0 +1,167 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-18 regression pins for the checkpoint-adjacent read paths:
+  * [[DeltaLog.changes]] and [[DeltaLog.versionAtTimestamp]] must keep
+  * their per-commit grain AFTER a checkpoint exists (a checkpoint
+  * collapses versions — replaying it in a version window re-stamps
+  * every live add at the checkpoint version), [[DeltaWrite.restore]]
+  * must roll back METADATA with the files and re-deliver restored rows
+  * to incremental consumers, and the stats pruner must never bind a
+  * nested-field predicate to a same-named top-level column's bounds.
+  */
+class DeltaWindowSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(name)
+    java.nio.file.Files.delete(p)
+    p.toString
+  }
+
+  import spark.implicits._
+
+  private def slice(lo: Long, hi: Long) =
+    (lo until hi).map(i => (i, s"row-$i")).toDF("id", "txt").coalesce(1)
+
+  test("changes() after a checkpoint keeps the per-commit grain") {
+    val t = freshDir("deltawin")
+    DeltaWrite.createTable(spark, slice(0, 10), t)   // v0
+    DeltaWrite.append(spark, slice(10, 20), t)       // v1
+    DeltaWrite.append(spark, slice(20, 30), t)       // v2
+    DeltaWrite.checkpoint(spark, t)                  // checkpoint @ v2
+    DeltaWrite.append(spark, slice(30, 40), t)       // v3
+    // (1, 3]: exactly the v2 and v3 rows, each at its own version —
+    // the checkpoint must not re-deliver v0/v1 rows at version 2
+    val got = DeltaLog.changes(spark, t, sinceVersion = 1L)
+      .select("id", "_commit_version").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(got.map(_._1).toSeq === (20L until 40L))
+    assert(got.forall { case (id, v) => v === (if (id < 30) 2L else 3L) })
+    // an add committed in-window but removed before the checkpoint
+    // must not vanish: overwrite v4 tombstones everything, checkpoint,
+    // and (2, 4] still reports v3's adds plus v4's
+    DeltaWrite.overwrite(spark, slice(100, 105), t)  // v4
+    DeltaWrite.checkpoint(spark, t)                  // checkpoint @ v4
+    val got2 = DeltaLog.changes(spark, t, sinceVersion = 2L)
+      .select("id", "_commit_version").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(got2.map(_._1).toSeq === ((30L until 40L) ++ (100L until 105L)))
+    assert(got2.forall { case (id, v) => v === (if (id < 100) 3L else 4L) })
+  }
+
+  test("changes() window past a cleaned log fails loud; the surviving tail serves") {
+    val t = freshDir("deltawin")
+    DeltaWrite.createTable(spark, slice(0, 10), t)   // v0
+    DeltaWrite.append(spark, slice(10, 20), t)       // v1
+    DeltaWrite.append(spark, slice(20, 30), t)       // v2
+    DeltaWrite.checkpoint(spark, t)
+    // expire the pre-checkpoint JSON commits (log retention)
+    val log = java.nio.file.Paths.get(t, "_delta_log")
+    Seq(0L, 1L).foreach(v =>
+      java.nio.file.Files.delete(log.resolve(f"$v%020d.json")))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.changes(spark, t, sinceVersion = 0L).collect()
+    }
+    assert(e.getMessage.contains("predates the surviving JSON log"))
+    // the window the JSON still covers keeps working
+    val got = DeltaLog.changes(spark, t, sinceVersion = 1L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (20L until 30L))
+  }
+
+  test("versionAtTimestamp resolves from JSON commits after a checkpoint") {
+    val t = freshDir("deltawin")
+    DeltaWrite.createTable(spark, slice(0, 10), t)   // v0
+    Thread.sleep(5)
+    DeltaWrite.append(spark, slice(10, 20), t)       // v1
+    Thread.sleep(5)
+    DeltaWrite.append(spark, slice(20, 30), t)       // v2
+    DeltaWrite.checkpoint(spark, t)                  // checkpoint @ v2
+    val ts1 = DeltaLog.actions(spark, t, None, useCheckpoint = false)
+      .where(col("version") === 1 && col("commitInfo.timestamp").isNotNull)
+      .select("commitInfo.timestamp").head.getLong(0)
+    // pre-fix this threw "younger than the requested time": the
+    // checkpoint carries no commitInfo and masked every JSON commit
+    assert(DeltaLog.versionAtTimestamp(spark, t, ts1) === 1L)
+    val rows = DeltaLog.readTableAsOfTimestamp(spark, t, ts1)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows === (0L until 20L))
+    // before the first surviving commit: loud, never a guessed version
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.versionAtTimestamp(spark, t, 1L)
+    }
+    assert(e.getMessage.contains("younger than the requested time"))
+  }
+
+  test("versionAtTimestamp falls back to commit-file mtime without commitInfo") {
+    val t = freshDir("deltawin")
+    DeltaWrite.createTable(spark, slice(0, 10), t)   // v0
+    // a bare metadata commit with NO commitInfo line (foreign writers
+    // may omit it — the protocol makes commitInfo optional)
+    val fs = DeltaWrite.fileSystem(spark, t)
+    DeltaWrite.commitAtomic(fs, t, 1L,
+      Seq("""{"txn":{"appId":"x","version":7}}"""))
+    val mtime = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      s"$t/_delta_log/00000000000000000001.json")).getModificationTime
+    assert(DeltaLog.versionAtTimestamp(spark, t, mtime) === 1L)
+  }
+
+  test("restore rolls metadata back and re-delivers rows as data changes") {
+    val t = freshDir("deltawin")
+    DeltaWrite.createTable(spark, slice(0, 10), t)                // v0
+    DeltaWrite.append(spark, slice(10, 20), t)                    // v1
+    DeltaOptimize.optimize(spark, t)                              // v2 (dataChange=false)
+    DeltaWrite.overwrite(spark, slice(100, 105), t)               // v3
+    val v = DeltaWrite.restore(spark, t, 2L)                      // v4
+    assert(v === 4L)
+    // the optimize-produced file replays with dataChange FORCED true:
+    // an incremental consumer past v3 must receive the restored rows
+    val got = DeltaLog.changes(spark, t, sinceVersion = 3L)
+      .select("id", "_commit_version").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(got.map(_._1).toSeq === (0L until 20L))
+    assert(got.forall(_._2 == 4L))
+  }
+
+  test("restore across ADD CONSTRAINT and schema evolution resets metadata") {
+    val t = freshDir("deltawin")
+    DeltaWrite.createTable(spark, slice(0, 10), t)                // v0
+    DeltaWrite.addConstraint(spark, t, "small_ids", "id < 1000")  // v1
+    DeltaWrite.append(spark,
+      (10L until 15L).map(i => (i, s"row-$i", i * 2)).toDF("id", "txt", "extra"),
+      t, mergeSchema = true)                                      // v2
+    DeltaWrite.restore(spark, t, 0L)                              // v3
+    // schema is back to two columns and the constraint is gone: a
+    // violating append now lands
+    val schema = DeltaLog.readTable(spark, t).schema.fieldNames.toSeq
+    assert(schema === Seq("id", "txt"))
+    DeltaWrite.append(spark, slice(5000, 5001), t)                // v4
+    assert(DeltaLog.readTable(spark, t).count() === 11L)
+    // metadata-identical restore is still a no-commit no-op
+    assert(DeltaWrite.restore(spark, t, 4L) === 4L)
+  }
+
+  test("stats pruner never binds a nested-field predicate to top-level bounds") {
+    val t = freshDir("deltawin")
+    // two files; top-level x and nested s.x hold INVERTED ranges, so a
+    // pruner that binds s.x to x's stats would wrongly drop file 2
+    def part(xs: Range, sxs: Range) =
+      xs.zip(sxs).map { case (x, sx) => (x.toLong, sx.toLong) }
+        .toDF("x", "sx")
+        .select(col("x"), struct(col("sx").as("x")).as("s"))
+        .coalesce(1)
+    DeltaWrite.createTable(spark, part(0 until 10, 100 until 110), t)
+    DeltaWrite.append(spark, part(100 until 110, 0 until 10), t)
+    val rep = DeltaLog.skippingReport(spark, t, "s.x = 5")
+    assert(rep.where(!col("kept")).count() === 0L)
+    val rows = DeltaLog.readTableWhere(spark, t, "s.x = 5")
+      .select("x").collect().map(_.getLong(0)).toSeq
+    assert(rows === Seq(105L))
+    // top-level predicates still prune as before
+    val rep2 = DeltaLog.skippingReport(spark, t, "x = 5")
+    assert(rep2.where(col("kept")).count() === 1L)
+  }
+}
