@@ -4439,6 +4439,69 @@ object PipelineQueries extends QuerySet {
       graft.sources.DeltaLog.readTable(s, t).orderBy("n_nationkey")
     }),
 
+    // Iceberg PARTITIONED write (identity transform): the manifest
+    // entries carry each file's typed partition record, the spec lands
+    // in metadata.json, and the reader prunes files from the MANIFEST
+    // alone. The in-query require pins the pruning decision (1 of 3
+    // partition files kept); the oracle pins the served rows.
+    "q310_iceberg_partitioned_write" -> ((s, dir) => {
+      val t = freshTmpDir("iceberg_partitioned")
+      val orders = graft.Tables.load(s, dir, "orders")
+      graft.sources.IcebergWrite.createTable(s, orders.coalesce(1), t,
+        spec = Seq(graft.sources.IcebergWrite.PartField(
+          "o_orderstatus", "identity")))
+      val rep = graft.sources.IcebergMeta.skippingReport(s, t,
+        "o_orderstatus = 'F'")
+      require(rep.count() == 3L && rep.where(col("kept")).count() == 1L,
+        "identity partition pruning should keep exactly the 'F' file")
+      graft.sources.IcebergMeta.readTableWhere(s, t, "o_orderstatus = 'F'")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // Iceberg BUCKET-partitioned write: bucket[4](o_custkey) via the
+    // spec's murmur3 (appendix-B vectors pinned in the spec suite). An
+    // equality predicate hashes the literal and keeps ~1/4 of the
+    // files — the pruning lever column BOUNDS cannot express, since
+    // every bucket file spans the full o_custkey range.
+    "q316_iceberg_bucket_write" -> ((s, dir) => {
+      val t = freshTmpDir("iceberg_bucket")
+      val orders = graft.Tables.load(s, dir, "orders")
+      graft.sources.IcebergWrite.createTable(s, orders.coalesce(1), t,
+        spec = Seq(graft.sources.IcebergWrite.PartField(
+          "o_custkey", "bucket[4]")))
+      val maxCust = orders.agg(max("o_custkey")).head.getLong(0)
+      val k = maxCust / 2
+      val rep = graft.sources.IcebergMeta.skippingReport(s, t,
+        s"o_custkey = $k")
+      require(rep.count() == 4L && rep.where(col("kept")).count() == 1L,
+        "bucket pruning should keep exactly the literal's bucket file")
+      graft.sources.IcebergMeta.readTableWhere(s, t, s"o_custkey = $k")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // The q279 accounting law re-checked on a PARTITIONED table our
+    // writer built across two commits: manifest-list counts must equal
+    // the relational truth (files = distinct partition values per
+    // commit, rows = the table).
+    "q317_iceberg_partitioned_accounting" -> ((s, dir) => {
+      val t = freshTmpDir("iceberg_part_acct")
+      val orders = graft.Tables.load(s, dir, "orders")
+      val mid = orders.agg(max("o_orderkey")).head.getLong(0) / 2
+      graft.sources.IcebergWrite.createTable(s,
+        orders.where(s"o_orderkey <= $mid").coalesce(1), t,
+        spec = Seq(graft.sources.IcebergWrite.PartField(
+          "o_orderstatus", "identity")))
+      graft.sources.IcebergWrite.append(s,
+        orders.where(s"o_orderkey > $mid").coalesce(1), t)
+      graft.sources.IcebergMeta.manifests(s, t)
+        .where(col("content") === "data")
+        .agg(count(lit(1)).as("n_manifests"),
+          sum("n_added_files").as("files_added"),
+          sum("added_rows").as("rows_added"))
+    }),
+
     // the Iceberg schema report (DELTA SCHEMA's twin, via the ICEBERG
     // SCHEMA statement): Iceberg's stable FIELD IDS — its answer to
     // Delta's column mapping — plus rendered nested types, straight
@@ -5742,6 +5805,22 @@ object PipelineQueries extends QuerySet {
     "q315_delta_rename" ->
       """SELECT n_nationkey, n_name AS nation_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    "q310_iceberg_partitioned_write" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
+    "q316_iceberg_bucket_write" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey = (SELECT max(o_custkey) // 2 FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q317_iceberg_partitioned_accounting" ->
+      """WITH m AS (SELECT max(o_orderkey) // 2 AS mid FROM orders)
+        |SELECT CAST(2 AS BIGINT) AS n_manifests,
+        |       CAST((SELECT count(DISTINCT o_orderstatus) FROM orders, m
+        |              WHERE o_orderkey <= mid)
+        |          + (SELECT count(DISTINCT o_orderstatus) FROM orders, m
+        |              WHERE o_orderkey > mid) AS BIGINT) AS files_added,
+        |       CAST(count(*) AS BIGINT) AS rows_added
+        |FROM orders""".stripMargin,
     "q308_delta_time_travel_ts" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey IN (0, 1) ORDER BY n_nationkey""".stripMargin,

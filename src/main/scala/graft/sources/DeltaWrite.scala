@@ -857,7 +857,7 @@ object DeltaWrite {
   /** Hive-style path unescape (%XX) — Spark escapes partition values
     * this way when rendering `k=v` directory names.
     */
-  private def unescapePath(s: String): String = {
+  private[sources] def unescapePath(s: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {

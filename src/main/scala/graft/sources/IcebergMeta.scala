@@ -163,6 +163,61 @@ object IcebergMeta {
     if (p.contains("://") || p.startsWith("/")) p
     else new Path(tableDir, p).toString
 
+  /** One field of the table's default partition spec. */
+  final case class SpecField(name: String, transform: String,
+                             sourceId: Long, fieldId: Option[Long])
+
+  /** The DEFAULT partition spec from the current metadata.json
+    * (`partition-specs` + `default-spec-id`, or the legacy single
+    * `partition-spec` array). Empty = unpartitioned.
+    */
+  def partitionSpecOf(spark: SparkSession, tableDir: String): Seq[SpecField] = {
+    val tmFile = currentMetadataFile(spark, tableDir)
+    val p = new Path(tmFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    val root = Avro.parseJson(txt) match {
+      case Some(m: scala.collection.mutable.LinkedHashMap[_, _]) =>
+        m.asInstanceOf[JObj]
+      case _ => throw new IllegalArgumentException(
+        s"iceberg: $tmFile is not a JSON object")
+    }
+    def fieldsOf(v: Any): Seq[SpecField] = v match {
+      case a: scala.collection.mutable.ArrayBuffer[_] =>
+        a.toSeq.map {
+          case fm: scala.collection.mutable.LinkedHashMap[_, _] =>
+            val f = fm.asInstanceOf[JObj]
+            SpecField(
+              f.get("name").collect { case s: String => s }.getOrElse(
+                throw new IllegalArgumentException(
+                  s"iceberg: partition field without name in $tmFile")),
+              f.get("transform").collect { case s: String => s }.getOrElse(
+                throw new IllegalArgumentException(
+                  s"iceberg: partition field without transform in $tmFile")),
+              f.get("source-id").flatMap(jLong).getOrElse(
+                throw new IllegalArgumentException(
+                  s"iceberg: partition field without source-id in $tmFile")),
+              f.get("field-id").flatMap(jLong))
+          case _ => throw new IllegalArgumentException(
+            s"iceberg: malformed partition field in $tmFile")
+        }
+      case _ => Nil
+    }
+    root.get("partition-specs") match {
+      case Some(a: scala.collection.mutable.ArrayBuffer[_]) =>
+        val wantId = root.get("default-spec-id").flatMap(jLong).getOrElse(0L)
+        a.collectFirst {
+          case sm: scala.collection.mutable.LinkedHashMap[_, _]
+            if sm.asInstanceOf[JObj].get("spec-id").flatMap(jLong)
+              .forall(_ == wantId) =>
+            fieldsOf(sm.asInstanceOf[JObj].getOrElse("fields", Nil))
+        }.getOrElse(Nil)
+      case _ => root.get("partition-spec").map(fieldsOf).getOrElse(Nil)
+    }
+  }
+
   // ----------------------------------------------------- avro decoding
 
   private[sources] def readOcfFile(fs: org.apache.hadoop.fs.FileSystem,
@@ -296,7 +351,12 @@ object IcebergMeta {
     StructField("value_counts", MapType(IntegerType, LongType), nullable = true),
     StructField("null_value_counts", MapType(IntegerType, LongType), nullable = true),
     StructField("lower_bounds", MapType(IntegerType, BinaryType), nullable = true),
-    StructField("upper_bounds", MapType(IntegerType, BinaryType), nullable = true)))
+    StructField("upper_bounds", MapType(IntegerType, BinaryType), nullable = true),
+    // the partition record's raw values by field name (a NULL partition
+    // value is an absent key) — the rendered `partition` string's typed
+    // twin, what the transform-aware pruner consumes
+    StructField("partition_values", MapType(StringType, StringType),
+      nullable = true)))
 
   /** A manifest's map<int, V> field in either physical spelling: the
     * spec's array-of-key-value records, or a string-keyed Avro map
@@ -396,7 +456,10 @@ object IcebergMeta {
               Some(longValued(intKeyed(df, "value_counts"))).filter(_.nonEmpty).orNull,
               Some(longValued(intKeyed(df, "null_value_counts"))).filter(_.nonEmpty).orNull,
               Some(bytesValued(intKeyed(df, "lower_bounds"))).filter(_.nonEmpty).orNull,
-              Some(bytesValued(intKeyed(df, "upper_bounds"))).filter(_.nonEmpty).orNull)
+              Some(bytesValued(intKeyed(df, "upper_bounds"))).filter(_.nonEmpty).orNull,
+              Some(asMap(df.getOrElse("partition", Map.empty[String, Any]))
+                .collect { case (k, v) if v != null => k -> v.toString })
+                .filter(_.nonEmpty).orNull)
           }
         }
       }
@@ -646,8 +709,11 @@ object IcebergMeta {
   /** The verdict relation behind [[readTableWhere]]: deserialize each
     * live entry's bounds through the schema's field ids into typed
     * per-file min/max/nullCount columns, then evaluate the shared
-    * may-match translator over them. Absent bounds (older writers, an
-    * unsupported type) degrade to keep.
+    * may-match translator over them AND the partition-transform
+    * verdict ([[partitionKeep]] over the entry's `partition` record —
+    * the lever column bounds can't express: a `bucket[N]` equality
+    * keeps ~1/N of the files even when every file spans the full value
+    * range). Absent bounds and unknown shapes degrade to keep.
     */
   private def pruneVerdicts(spark: SparkSession, tableDir: String,
                             predicateSql: String,
@@ -664,10 +730,17 @@ object IcebergMeta {
         if DeltaStats.supported(dt) && dt != TimestampNTZType
       } yield (id.toInt, f.name, f.typeStr, dt)
     }
+    // the spec joined to its source columns: (source name, source type,
+    // transform, partition field name)
+    val idToField = flds.flatMap(f => f.id.map(_ -> f)).toMap
+    val specs = partitionSpecOf(spark, tableDir).flatMap { sf =>
+      idToField.get(sf.sourceId).map(f => (f.name, f.typeStr, sf.transform, sf.name))
+    }
+    val pred = spark.sessionState.sqlParser.parseExpression(predicateSql)
     val live = entries(spark, tableDir, snapshotId)
       .where(col("status") =!= 2 && col("content") === "data")
       .select("file_path", "record_count", "null_value_counts",
-        "lower_bounds", "upper_bounds")
+        "lower_bounds", "upper_bounds", "partition_values")
       .collect()
     val rows = live.toSeq.map { r =>
       val nulls =
@@ -679,8 +752,12 @@ object IcebergMeta {
       val hi =
         if (r.isNullAt(4)) Map.empty[Int, Array[Byte]]
         else r.getMap[Int, Array[Byte]](4).toMap
+      val pv =
+        if (r.isNullAt(5)) Map.empty[String, String]
+        else r.getMap[String, String](5).toMap
       Row.fromSeq(
         r.getString(0) +: (if (r.isNullAt(1)) null else Long.box(r.getLong(1))) +:
+          Boolean.box(specs.isEmpty || partitionKeep(pred, specs, pv)) +:
           typed.flatMap { case (id, _, typeStr, _) =>
             Seq(lo.get(id).flatMap(deserBound(typeStr, _)).orNull,
               hi.get(id).flatMap(deserBound(typeStr, _)).orNull,
@@ -690,6 +767,7 @@ object IcebergMeta {
     val schema = StructType(
       StructField("file_path", StringType, nullable = false) +:
         StructField("record_count", LongType, nullable = true) +:
+        StructField("_part_keep", BooleanType, nullable = false) +:
         typed.flatMap { case (_, name, _, dt) => Seq(
           StructField(s"_min_$name", dt, nullable = true),
           StructField(s"_max_$name", dt, nullable = true),
@@ -704,8 +782,149 @@ object IcebergMeta {
       nullCntOf = c => if (names.contains(c)) col(s"`_null_$c`") else lit(null),
       numRecords = col("record_count"))
     df.withColumn("kept",
-        DeltaStats.mayMatchWith(spark, predicateSql, bounds))
+        DeltaStats.mayMatchWith(spark, predicateSql, bounds) &&
+          col("_part_keep"))
       .select(col("file_path"), col("record_count"), col("kept"))
+  }
+
+  // --------------------------------------- partition-transform pruning
+
+  /** MAY a row of a file with partition values `pv` satisfy `e`?
+    * Sound by construction: every claim follows from "all rows of the
+    * file have transform(source) == pv" — an equality literal keeps
+    * the file only when its transformed value matches (ALL transforms,
+    * bucket included), a range keeps it only when the monotone
+    * transforms' projection allows (bucket makes no range claim).
+    * Unknown shapes, null partition values and transform-result
+    * mismatches keep the file.
+    */
+  private def partitionKeep(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                            specs: Seq[(String, String, String, String)],
+                            pv: Map[String, String]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    // the literal's value as the transform's input domain (long for
+    // int/long/date/timestamp internal forms, string for strings)
+    def litOf(x: Expression): Option[Any] = x match {
+      case l: Literal if l.value != null => l.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some(Long.box(l.value.asInstanceOf[Number].longValue))
+        case DateType => Some(Long.box(l.value.asInstanceOf[Int].toLong))
+        case TimestampType => Some(Long.box(l.value.asInstanceOf[Long]))
+        case StringType => Some(l.value.toString)
+        case _ => None
+      }
+      case Cast(l: Literal, _, _, _) => litOf(l)
+      case _ => None
+    }
+    def attrOf(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        Some(a.nameParts.head)
+      case _ => None
+    }
+    // transform(literal) in the partition-value comparison domain:
+    // Some(scala.Left(long)) / Some(scala.Right(string)); None = no claim
+    def tLit(transform: String, sourceType: String, v: Any)
+        : Option[scala.Either[Long, String]] = {
+      val asLong: Option[Long] = v match {
+        case l: java.lang.Long
+          if sourceType == "int" || sourceType == "long" ||
+             sourceType == "date" || sourceType == "timestamp" ||
+             sourceType == "timestamptz" => Some(l.longValue)
+        case _ => None
+      }
+      val asStr: Option[String] = v match {
+        case s: String if sourceType == "string" => Some(s)
+        case _ => None
+      }
+      transform match {
+        case "identity" =>
+          asLong.map(scala.Left(_)).orElse(asStr.map(scala.Right(_)))
+        case graft.sources.IcebergWrite.BucketRe(n) =>
+          asLong.map(l => scala.Left(IcebergWrite.bucketLong(l, n.toInt).toLong))
+            .orElse(asStr.map(s =>
+              scala.Left(IcebergWrite.bucketString(s, n.toInt).toLong)))
+        case graft.sources.IcebergWrite.TruncRe(w) =>
+          asLong.map(l => scala.Left(l - Math.floorMod(l, w.toLong)))
+            .orElse(asStr.map(s => scala.Right(s.take(w.toInt))))
+        case "day" =>
+          if (sourceType == "date") asLong.map(scala.Left(_))
+          else asLong.map(m => scala.Left(Math.floorDiv(m, 86400000000L)))
+        case _ => None
+      }
+    }
+    // the file's typed partition value in the same domain
+    def pvOf(transform: String, sourceType: String, pname: String)
+        : Option[scala.Either[Long, String]] =
+      pv.get(pname).flatMap { raw =>
+        val rt = transform match {
+          case "identity" => sourceType
+          case graft.sources.IcebergWrite.BucketRe(_) => "int"
+          case graft.sources.IcebergWrite.TruncRe(_) => sourceType
+          case "day" => "date"
+          case _ => return None
+        }
+        rt match {
+          case "int" | "long" | "date" => raw.toLongOption.map(scala.Left(_))
+          case "string" => Some(scala.Right(raw))
+          case _ => None
+        }
+      }
+    // one leaf claim: op in {eq, lt, le, gt, ge}; ANDed over every spec
+    // field whose source is the attribute
+    def leaf(c: String, v: Any, op: String): Boolean =
+      specs.filter(_._1 == c).forall { case (_, srcType, transform, pname) =>
+        val monotone = transform == "identity" ||
+          IcebergWrite.TruncRe.pattern.matcher(transform).matches() ||
+          transform == "day"
+        (pvOf(transform, srcType, pname), tLit(transform, srcType, v)) match {
+          case (Some(p), Some(t)) => op match {
+            case "eq" => p == t
+            case "lt" | "le" => !monotone || cmpLe(p, t)
+            case "gt" | "ge" => !monotone || cmpLe(t, p)
+            case _ => true
+          }
+          case _ => true
+        }
+      }
+    def cmpLe(a: scala.Either[Long, String], b: scala.Either[Long, String]): Boolean =
+      (a, b) match {
+        case (scala.Left(x), scala.Left(y))   => x <= y
+        case (scala.Right(x), scala.Right(y)) => x <= y
+        case _                    => true
+      }
+    def may(x: Expression): Boolean = x match {
+      case And(l, r) => may(l) && may(r)
+      case Or(l, r)  => may(l) || may(r)
+      case EqualTo(l, r) => (attrOf(l), litOf(r), attrOf(r), litOf(l)) match {
+        case (Some(c), Some(v), _, _) => leaf(c, v, "eq")
+        case (_, _, Some(c), Some(v)) => leaf(c, v, "eq")
+        case _ => true
+      }
+      case EqualNullSafe(l, r) => may(EqualTo(l, r))
+      case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        attrOf(a) match {
+          case Some(c) =>
+            val lits = vs.flatMap(litOf)
+            lits.nonEmpty && lits.exists(v => leaf(c, v, "eq")) ||
+              vs.exists(litOf(_).isEmpty) // an unusable literal: no claim
+          case None => true
+        }
+      case LessThan(l, r) => rangeLeaf(l, r, "lt", "gt")
+      case LessThanOrEqual(l, r) => rangeLeaf(l, r, "le", "ge")
+      case GreaterThan(l, r) => rangeLeaf(l, r, "gt", "lt")
+      case GreaterThanOrEqual(l, r) => rangeLeaf(l, r, "ge", "le")
+      case _ => true
+    }
+    def rangeLeaf(l: org.apache.spark.sql.catalyst.expressions.Expression,
+                  r: org.apache.spark.sql.catalyst.expressions.Expression,
+                  fwd: String, rev: String): Boolean =
+      (attrOf(l), litOf(r), attrOf(r), litOf(l)) match {
+        case (Some(c), Some(v), _, _) => leaf(c, v, fwd)
+        case (_, _, Some(c), Some(v)) => leaf(c, v, rev)
+        case _ => true
+      }
+    may(e)
   }
 
   /** Inverse of the writer's single-value serialization, to the JVM

@@ -41,12 +41,181 @@ import graft.operators.Avro
   */
 object IcebergWrite {
 
+  // ------------------------------------------------- partition specs
+
+  /** One partition-spec field: `transform(source)` — the spec's
+    * identity / bucket[N] / truncate[W] / day transforms. The
+    * partition field NAME follows Iceberg's conventions (identity
+    * keeps the column name; the others suffix it).
+    */
+  private[sources] val BucketRe = """bucket\[(\d+)\]""".r
+  private[sources] val TruncRe = """truncate\[(\d+)\]""".r
+
+  final case class PartField(source: String, transform: String) {
+    def name: String = transform match {
+      case "identity"   => source
+      case BucketRe(_)  => s"${source}_bucket"
+      case TruncRe(_)   => s"${source}_trunc"
+      case "day"        => s"${source}_day"
+      case other => throw new IllegalArgumentException(
+        s"iceberg-write: unsupported partition transform $other")
+    }
+  }
+
+  /** Murmur3 x86 32-bit, seed 0 — the hash the Iceberg spec names for
+    * its bucket transform (Appendix B). Int/long/date values hash as
+    * the 8-byte little-endian long; strings as UTF-8 bytes.
+    */
+  private[sources] def murmur3(data: Array[Byte]): Int = {
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    var h = 0 // seed
+    val nBlocks = data.length / 4
+    var i = 0
+    while (i < nBlocks) {
+      var k = (data(4 * i) & 0xff) | ((data(4 * i + 1) & 0xff) << 8) |
+        ((data(4 * i + 2) & 0xff) << 16) | ((data(4 * i + 3) & 0xff) << 24)
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
+      h ^= k; h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
+      i += 1
+    }
+    var k1 = 0
+    val tail = nBlocks * 4
+    (data.length & 3) match {
+      case 3 =>
+        k1 ^= (data(tail + 2) & 0xff) << 16
+        k1 ^= (data(tail + 1) & 0xff) << 8
+        k1 ^= data(tail) & 0xff
+      case 2 =>
+        k1 ^= (data(tail + 1) & 0xff) << 8
+        k1 ^= data(tail) & 0xff
+      case 1 =>
+        k1 ^= data(tail) & 0xff
+      case _ => ()
+    }
+    if ((data.length & 3) != 0) {
+      k1 *= c1; k1 = Integer.rotateLeft(k1, 15); k1 *= c2; h ^= k1
+    }
+    h ^= data.length
+    h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13; h *= 0xc2b2ae35
+    h ^= h >>> 16
+    h
+  }
+
+  private def longLe(v: Long): Array[Byte] =
+    (0 until 8).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
+
+  /** The spec's bucket value: `(murmur3(v) & Int.MaxValue) % n`. */
+  private[sources] def bucketLong(v: Long, n: Int): Int =
+    (murmur3(longLe(v)) & Int.MaxValue) % n
+
+  private[sources] def bucketString(s: String, n: Int): Int =
+    (murmur3(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)) &
+      Int.MaxValue) % n
+
+  /** The transform's RESULT type (Iceberg primitive name) over a
+    * source of `typeStr` — and the scope gate: identity partitions
+    * int/long/string/date sources, truncate int/long/string, bucket
+    * int/long/string/date, day date/timestamp/timestamptz.
+    */
+  private[sources] def resultTypeOf(pf: PartField, typeStr: String): String =
+    (pf.transform, typeStr) match {
+      case ("identity", "int" | "long" | "string" | "date") => typeStr
+      case (BucketRe(_), "int" | "long" | "string" | "date") => "int"
+      case (TruncRe(_), "int" | "long" | "string") => typeStr
+      case ("day", "date" | "timestamp" | "timestamptz") => "date"
+      case (t, s) => throw new IllegalArgumentException(
+        s"iceberg-write: partition transform $t over a $s column is out " +
+          "of scope")
+    }
+
+  private def avroTypeJson(resultType: String): String = resultType match {
+    case "int"    => "\"int\""
+    case "long"   => "\"long\""
+    case "string" => "\"string\""
+    case "date"   => """{"type":"int","logicalType":"date"}"""
+    case other => throw new IllegalStateException(
+      s"iceberg-write: no avro rendering for partition type $other")
+  }
+
+  /** The transform as a Column over the source — what staging groups
+    * files by. Each file then holds rows of exactly one partition
+    * tuple; the source columns themselves STAY in the data files (the
+    * spec permits it, and the field-id reader needs no special case).
+    */
+  private def transformCol(pf: PartField, typeStr: String,
+                           source: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val asLong: org.apache.spark.sql.Column = typeStr match {
+      case "date" => datediff(source, to_date(lit("1970-01-01"))).cast("long")
+      case _      => source.cast("long")
+    }
+    pf.transform match {
+      case "identity" => source
+      case BucketRe(n) =>
+        val nn = n.toInt
+        require(nn > 0, "iceberg-write: bucket[n] needs n > 0")
+        if (typeStr == "string") {
+          val f = udf((s: String) =>
+            if (s == null) null else Int.box(bucketString(s, nn)))
+          f(source)
+        } else {
+          val f = udf((v: java.lang.Long) =>
+            if (v == null) null else Int.box(bucketLong(v, nn)))
+          f(asLong)
+        }
+      case TruncRe(w) =>
+        val ww = w.toInt
+        require(ww > 0, "iceberg-write: truncate[w] needs w > 0")
+        if (typeStr == "string") source.substr(1, ww)
+        else {
+          val t = asLong - ((asLong % ww + ww) % ww)
+          if (typeStr == "int") t.cast("int") else t
+        }
+      case "day" =>
+        val days = typeStr match {
+          case "date" => datediff(source, to_date(lit("1970-01-01")))
+          case _ => floor(source.cast("double") / 86400d).cast("int")
+        }
+        date_add(to_date(lit("1970-01-01")), days)
+      case other => throw new IllegalArgumentException(
+        s"iceberg-write: unsupported partition transform $other")
+    }
+  }
+
+  /** Parse a Hive-style partition-directory VALUE back to the manifest
+    * record's typed value (None = null partition value).
+    */
+  private def parsePartValue(resultType: String, raw: String): Option[Any] = {
+    if (raw == "__HIVE_DEFAULT_PARTITION__") return None
+    val s = DeltaWrite.unescapePath(raw)
+    Some(resultType match {
+      case "int"    => Int.box(s.toInt)
+      case "long"   => Long.box(s.toLong)
+      case "string" => s
+      case "date"   => Int.box(java.time.LocalDate.parse(s).toEpochDay.toInt)
+      case other => throw new IllegalStateException(
+        s"iceberg-write: unparseable partition type $other")
+    })
+  }
+
   // the map<int, …> fields use the spec's array-of-key-value Avro form
   // (Avro maps only take string keys); bounds values are the spec's
   // single-value binary serialization, decoded from each staged file's
-  // own parquet footer
-  private val EntrySchema =
-    """{"type":"record","name":"manifest_entry","fields":[
+  // own parquet footer. The `partition` record is built per table spec
+  // — one optional field per partition field, typed by its transform's
+  // result type, with the spec's 1000+i field ids.
+  private def entrySchemaJson(partFields: Seq[(String, String)]): String = {
+    val partition =
+      if (partFields.isEmpty) ""
+      else partFields.zipWithIndex.map { case ((pname, resultType), i) =>
+        s"""{"name":"$pname","type":["null",${avroTypeJson(resultType)}],""" +
+          s""""default":null,"field-id":${1000 + i}}"""
+      }.mkString(
+        """{"name":"partition","type":{"type":"record","name":"r102","fields":[""",
+        ",", "]}},\n")
+    s"""{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
       |{"name":"snapshot_id","type":["null","long"]},
       |{"name":"sequence_number","type":["null","long"]},
@@ -54,7 +223,7 @@ object IcebergWrite {
       |  {"name":"content","type":"int"},
       |  {"name":"file_path","type":"string"},
       |  {"name":"file_format","type":"string"},
-      |  {"name":"record_count","type":"long"},
+      |  $partition{"name":"record_count","type":"long"},
       |  {"name":"file_size_in_bytes","type":"long"},
       |  {"name":"value_counts","type":["null",{"type":"array","logicalType":"map",
       |    "items":{"type":"record","name":"k119_v120","fields":[
@@ -69,6 +238,7 @@ object IcebergWrite {
       |    "items":{"type":"record","name":"k129_v130","fields":[
       |      {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],"default":null}
       |]}}]}""".stripMargin
+  }
 
   private val ListSchema =
     """{"type":"record","name":"manifest_file","fields":[
@@ -87,12 +257,17 @@ object IcebergWrite {
 
   // ------------------------------------------------------- public API
 
-  /** Create a NEW unpartitioned Iceberg v2 table at `tableDir`:
-    * snapshot 1 at sequence 1, metadata v1. Field ids are assigned by
-    * position (1..n) and written into both the schema JSON and every
-    * data file's parquet footer. Returns the snapshot id.
+  /** Create a NEW Iceberg v2 table at `tableDir`: snapshot 1 at
+    * sequence 1, metadata v1. Field ids are assigned by position
+    * (1..n) and written into both the schema JSON and every data
+    * file's parquet footer. `spec` partitions the table — each staged
+    * file holds exactly one partition tuple, the manifest entries
+    * carry the typed `partition` record (field ids 1000+i), and
+    * metadata.json records the spec — the pruning lever
+    * [[IcebergMeta.readTableWhere]] consumes. Returns the snapshot id.
     */
-  def createTable(spark: SparkSession, df: DataFrame, tableDir: String): Long = {
+  def createTable(spark: SparkSession, df: DataFrame, tableDir: String,
+                  spec: Seq[PartField] = Nil): Long = {
     val fs = fileSystem(spark, tableDir)
     if (fs.exists(new Path(new Path(tableDir, "metadata"), "version-hint.text")) ||
         listMetadataVersions(fs, tableDir).nonEmpty)
@@ -102,9 +277,39 @@ object IcebergWrite {
     val fields = df.schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
       (i + 1L, f.name, icebergType(f.dataType, f.name), f.nullable)
     }
+    spec.foreach { pf =>
+      val src = fields.find(_._2 == pf.source).getOrElse(
+        throw new IllegalArgumentException(
+          s"iceberg-write: partition source ${pf.source} is not in the schema"))
+      resultTypeOf(pf, src._3) // scope gate, fails loud
+    }
     commit(spark, fs, tableDir, df, fields,
       uuid = java.util.UUID.randomUUID().toString,
-      prevSnapshots = Nil, prevListRows = Nil, operation = "append")
+      prevSnapshots = Nil, prevListRows = Nil, operation = "append",
+      spec = spec)
+  }
+
+  /** The table's partition spec as [[PartField]]s, resolved from the
+    * current metadata.json (source field ids → column names). Empty =
+    * unpartitioned. An unsupported transform fails loud — writing a
+    * file whose partition tuple we can't compute would poison the
+    * manifests.
+    */
+  private def specOf(spark: SparkSession, tableDir: String,
+                     fields: Seq[(Long, String, String, Boolean)]): Seq[PartField] = {
+    val byId = fields.map(f => f._1 -> f._2).toMap
+    IcebergMeta.partitionSpecOf(spark, tableDir).map { sf =>
+      val src = byId.getOrElse(sf.sourceId,
+        throw new IllegalArgumentException(
+          s"iceberg-write: partition source field id ${sf.sourceId} is not " +
+            "in the schema"))
+      val pf = PartField(src, sf.transform)
+      if (pf.name != sf.name)
+        throw new IllegalArgumentException(
+          s"iceberg-write: partition field ${sf.name} does not follow the " +
+            s"writer's naming (${pf.name}) — foreign spec out of scope")
+      pf
+    }
   }
 
   /** Append `df` as a new snapshot: previous manifests are carried
@@ -142,7 +347,7 @@ object IcebergWrite {
     }
     commit(spark, fs, tableDir, df, fields, uuid = tm.uuid,
       prevSnapshots = tm.snapshots, prevListRows = prevRows,
-      operation = "append")
+      operation = "append", spec = specOf(spark, tableDir, fields))
   }
 
   // ------------------------------------------------------------- DML
@@ -217,19 +422,33 @@ object IcebergWrite {
         s"iceberg-write: could not stage $delRel")
     fs.delete(tmp, true)
     val delSize = fs.getFileStatus(target).getLen
-    // content=1 manifest for the delete file
+    // content=1 manifest for the delete file; on a partitioned table
+    // the schema carries the partition record (the delete file spans
+    // partitions, so its values are null — paths+positions are the
+    // delete's whole truth)
+    val tableFields = IcebergMeta.schemaFieldsOf(spark, tableDir, None)
+      .getOrElse(Nil).map(f => (f.id.getOrElse(0L), f.name, f.typeStr, !f.required))
+    val delSpec = specOf(spark, tableDir, tableFields)
+    val delTypeOf = tableFields.map(f => f._2 -> f._3).toMap
+    val delPartTypes = delSpec.map(pf =>
+      pf.name -> resultTypeOf(pf, delTypeOf(pf.source)))
+    val delFile0 = Map[String, Any](
+      "content" -> 1, "file_path" -> delRel, "file_format" -> "PARQUET",
+      "record_count" -> meta.numRows, "file_size_in_bytes" -> delSize,
+      "value_counts" -> null, "null_value_counts" -> null,
+      "lower_bounds" -> null, "upper_bounds" -> null)
     val entry = Map[String, Any]("status" -> 1, "snapshot_id" -> snapshotId,
       "sequence_number" -> null,
-      "data_file" -> Map[String, Any](
-        "content" -> 1, "file_path" -> delRel, "file_format" -> "PARQUET",
-        "record_count" -> meta.numRows, "file_size_in_bytes" -> delSize,
-        "value_counts" -> null, "null_value_counts" -> null,
-        "lower_bounds" -> null, "upper_bounds" -> null))
+      "data_file" ->
+        (if (delSpec.isEmpty) delFile0
+         else delFile0 + ("partition" ->
+           delPartTypes.map { case (n, _) => n -> null }.toMap)))
     val manifestRel = s"metadata/m-$seq.avro"
     val manifestPath = new Path(tableDir, manifestRel)
     writeBytesAtomic(fs, manifestPath, Avro.renderOcfGeneric(
-      EntrySchema, Seq(entry),
-      extraMeta = Seq("schema" -> "{}", "partition-spec" -> "[]",
+      entrySchemaJson(delPartTypes), Seq(entry),
+      extraMeta = Seq("schema" -> "{}",
+        "partition-spec" -> currentSpecJson(spark, tableDir),
         "format-version" -> "2")))
     val mlPath = new Path(resolveInTable(tableDir, snap.manifestList))
     val prevRows = IcebergMeta.readOcfFile(fs, mlPath).rows.map {
@@ -259,7 +478,7 @@ object IcebergWrite {
       s.operation.getOrElse("append"), s.manifestList)) :+
       snapJson(snapshotId, Some(snap.id), seq, now, "delete", listRel)
     writeMetadataJson(fs, tableDir, tm.uuid, fields, snaps, snapshotId,
-      seq, now, expectVersion)
+      seq, now, expectVersion, currentSpecJson(spark, tableDir))
     snapshotId
   }
 
@@ -296,7 +515,8 @@ object IcebergWrite {
     writeMetadataJson(fs, tableDir, tm.uuid, renamed, snaps,
       tm.currentSnapshotId.getOrElse(0L),
       tm.snapshots.flatMap(_.sequenceNumber).maxOption.getOrElse(0L),
-      System.currentTimeMillis(), expectVersion)
+      System.currentTimeMillis(), expectVersion,
+      currentSpecJson(spark, tableDir))
   }
 
   // ------------------------------------------------------ maintenance
@@ -339,7 +559,8 @@ object IcebergWrite {
       s.operation.getOrElse("append"), s.manifestList))
     writeMetadataJson(fs, tableDir, tm.uuid, fields, snaps, current,
       sorted.flatMap(_.sequenceNumber).maxOption.getOrElse(0L),
-      System.currentTimeMillis(), expectVersion)
+      System.currentTimeMillis(), expectVersion,
+      currentSpecJson(spark, tableDir))
     expired.map(_.id)
   }
 
@@ -579,31 +800,69 @@ object IcebergWrite {
 
   /** Stage `df` as parquet files under `data/` — each footer carrying
     * the schema's field ids — and return (relative path, size, rows,
-    * per-column facts) per file, all decoded from the staged footers
-    * in one distributed pass.
+    * per-column facts, partition record values) per file, all decoded
+    * from the staged footers in one distributed pass. With a partition
+    * `spec`, rows group by their TRANSFORMED partition tuple (staging
+    * columns `_pt_<name>`, consumed by the directory layout and never
+    * written into the files — the SOURCE columns stay, so the field-id
+    * reader serves partitioned files with no special case), and each
+    * file's partition values parse back from its directory path.
     */
   private def stageData(spark: SparkSession, fs: FileSystem, df: DataFrame,
                         tableDir: String,
-                        fields: Seq[(Long, String, String, Boolean)])
-      : Seq[(String, Long, Long, Seq[ColFacts])] = {
+                        fields: Seq[(Long, String, String, Boolean)],
+                        spec: Seq[PartField])
+      : Seq[(String, Long, Long, Seq[ColFacts], Map[String, Any])] = {
     val fsRoot = new Path(tableDir)
     val dataDir = new Path(fsRoot, "data")
     fs.mkdirs(dataDir)
+    val typeOf = fields.map(f => f._2 -> f._3).toMap
     // field ids ride into the parquet footers via column metadata
     val withIds = df.select(fields.map { case (id, name, typ, _) =>
       col(s"`$name`").cast(sparkType(typ)).as(name,
         new MetadataBuilder().putLong("parquet.field.id", id).build())
     }: _*)
-    val tmp = new Path(fsRoot, s".tmp-${java.util.UUID.randomUUID()}")
-    withIds.write.mode("overwrite").parquet(tmp.toString)
-    val parts = fs.listStatus(tmp).toSeq.map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    val moved = parts.map { p =>
-      val target = new Path(dataDir, p.getName)
-      if (!fs.rename(p, target))
-        throw new java.io.IOException(s"iceberg-write: could not stage ${p.getName}")
-      (s"data/${p.getName}", fs.getFileStatus(target).getLen)
+    val staged = spec.foldLeft(withIds) { (d, pf) =>
+      d.withColumn(s"_pt_${pf.name}",
+        transformCol(pf, typeOf(pf.source), col(s"`${pf.source}`")))
     }
+    val tmp = new Path(fsRoot, s".tmp-${java.util.UUID.randomUUID()}")
+    val w = staged.write.mode("overwrite")
+    (if (spec.isEmpty) w
+     else w.partitionBy(spec.map(pf => s"_pt_${pf.name}"): _*))
+      .parquet(tmp.toString)
+    def walk(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+      else Nil
+    }
+    val tmpUri = fs.makeQualified(tmp).toUri.getPath
+    val resultTypes = spec.map(pf => pf.name -> resultTypeOf(pf, typeOf(pf.source))).toMap
+    val moved: Seq[(String, Long, Map[String, Any])] = walk(tmp).sortBy(_.toString)
+      .map { p =>
+        val abs = fs.makeQualified(p).toUri.getPath
+        require(abs.startsWith(tmpUri + "/"),
+          s"iceberg-write: part file $abs escaped the staging dir")
+        val relInTmp = abs.drop(tmpUri.length + 1)
+        // directory segments `_pt_<name>=<v>` carry the partition tuple;
+        // the on-disk layout drops the staging prefix (cosmetic only —
+        // the manifest partition record is the truth readers use)
+        val segs = relInTmp.split('/').toSeq
+        val partVals: Map[String, Any] = segs.dropRight(1).map { seg =>
+          val i = seg.indexOf('=')
+          require(i > 0 && seg.startsWith("_pt_"),
+            s"iceberg-write: unexpected partition dir $seg")
+          val pname = seg.take(i).drop(4)
+          pname -> parsePartValue(resultTypes(pname), seg.drop(i + 1)).orNull
+        }.toMap
+        val rel = ("data" +: segs.dropRight(1).map(_.drop(4)) :+ segs.last)
+          .mkString("/")
+        val target = new Path(fsRoot, rel)
+        fs.mkdirs(target.getParent)
+        if (!fs.rename(p, target))
+          throw new java.io.IOException(s"iceberg-write: could not stage $rel")
+        (rel, fs.getFileStatus(target).getLen, partVals)
+      }
     fs.delete(tmp, true)
     if (moved.isEmpty) return Nil
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
@@ -619,8 +878,8 @@ object IcebergWrite {
             s"iceberg-write: staged file $rel has no readable parquet footer"))
         (rel, m.numRows, colFactsOf(m, fields))
       }.collect().map(x => x._1 -> (x._2, x._3)).toMap
-    moved.map { case (rel, size) =>
-      (rel, size, facts(rel)._1, facts(rel)._2)
+    moved.map { case (rel, size, pv) =>
+      (rel, size, facts(rel)._1, facts(rel)._2, pv)
     }
   }
 
@@ -633,7 +892,8 @@ object IcebergWrite {
                      uuid: String,
                      prevSnapshots: Seq[IcebergMeta.Snapshot],
                      prevListRows: Seq[Map[String, Any]],
-                     operation: String): Long = {
+                     operation: String,
+                     spec: Seq[PartField] = Nil): Long = {
     val metaDir = new Path(tableDir, "metadata")
     fs.mkdirs(metaDir)
     // pin the metadata version NOW — before any staging — so a
@@ -644,30 +904,39 @@ object IcebergWrite {
     val seq = prevSnapshots.flatMap(_.sequenceNumber)
       .maxOption.getOrElse(0L) + 1
     val snapshotId = prevSnapshots.map(_.id).maxOption.getOrElse(0L) + 1
-    val staged = stageData(spark, fs, df, tableDir, fields)
+    val staged = stageData(spark, fs, df, tableDir, fields, spec)
     // one manifest per commit — deterministic name keyed by sequence
     def kv(facts: Seq[(Long, Any)]): Any =
       if (facts.isEmpty) null
       else facts.map { case (id, v) =>
         Map[String, Any]("key" -> id.toInt, "value" -> v)
       }
-    val entries = staged.map { case (rel, size, rows, facts) =>
+    val typeOf = fields.map(f => f._2 -> f._3).toMap
+    val partFieldTypes = spec.map(pf =>
+      pf.name -> resultTypeOf(pf, typeOf(pf.source)))
+    val entries = staged.map { case (rel, size, rows, facts, pv) =>
+      val dataFile = Map[String, Any](
+        "content" -> 0, "file_path" -> rel, "file_format" -> "PARQUET",
+        "record_count" -> rows, "file_size_in_bytes" -> size,
+        "value_counts" -> kv(facts.map(c => c.id -> c.valueCount)),
+        "null_value_counts" -> kv(facts.flatMap(c =>
+          c.nullCount.map(c.id -> _))),
+        "lower_bounds" -> kv(facts.flatMap(c => c.lower.map(c.id -> _))),
+        "upper_bounds" -> kv(facts.flatMap(c => c.upper.map(c.id -> _))))
       Map[String, Any]("status" -> 1, "snapshot_id" -> snapshotId,
         "sequence_number" -> null,
-        "data_file" -> Map[String, Any](
-          "content" -> 0, "file_path" -> rel, "file_format" -> "PARQUET",
-          "record_count" -> rows, "file_size_in_bytes" -> size,
-          "value_counts" -> kv(facts.map(c => c.id -> c.valueCount)),
-          "null_value_counts" -> kv(facts.flatMap(c =>
-            c.nullCount.map(c.id -> _))),
-          "lower_bounds" -> kv(facts.flatMap(c => c.lower.map(c.id -> _))),
-          "upper_bounds" -> kv(facts.flatMap(c => c.upper.map(c.id -> _)))))
+        "data_file" ->
+          (if (spec.isEmpty) dataFile
+           else dataFile + ("partition" ->
+             partFieldTypes.map { case (n, _) => n -> pv.getOrElse(n, null) }
+               .toMap)))
     }
     val manifestRel = s"metadata/m-$seq.avro"
     val manifestPath = new Path(tableDir, manifestRel)
     writeBytesAtomic(fs, manifestPath, Avro.renderOcfGeneric(
-      EntrySchema, entries,
-      extraMeta = Seq("schema" -> "{}", "partition-spec" -> "[]",
+      entrySchemaJson(partFieldTypes), entries,
+      extraMeta = Seq("schema" -> "{}",
+        "partition-spec" -> specFieldsJson(spec, fields),
         "format-version" -> "2")))
     val newRow = Map[String, Any](
       "manifest_path" -> manifestRel,
@@ -690,7 +959,7 @@ object IcebergWrite {
       snapJson(snapshotId, prevSnapshots.map(_.id).maxOption, seq, now,
         operation, listRel)
     writeMetadataJson(fs, tableDir, uuid, fields, snaps, snapshotId, seq,
-      now, expectVersion)
+      now, expectVersion, specFieldsJson(spec, fields))
     snapshotId
   }
 
@@ -699,6 +968,28 @@ object IcebergWrite {
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   } + "\""
+
+  /** The spec's partition-fields JSON (metadata.json `partition-specs`
+    * entry and the manifest's `partition-spec` file-metadata key).
+    */
+  private def specFieldsJson(spec: Seq[PartField],
+                             fields: Seq[(Long, String, String, Boolean)]): String = {
+    val idOf = fields.map(f => f._2 -> f._1).toMap
+    spec.zipWithIndex.map { case (pf, i) =>
+      s"""{"name":${jstr(pf.name)},"transform":${jstr(pf.transform)},""" +
+        s""""source-id":${idOf(pf.source)},"field-id":${1000 + i}}"""
+    }.mkString("[", ",", "]")
+  }
+
+  /** The current spec re-rendered from metadata.json, for metadata-only
+    * commits that must carry it forward.
+    */
+  private def currentSpecJson(spark: SparkSession, tableDir: String): String =
+    IcebergMeta.partitionSpecOf(spark, tableDir).zipWithIndex.map {
+      case (sf, i) =>
+        s"""{"name":${jstr(sf.name)},"transform":${jstr(sf.transform)},""" +
+          s""""source-id":${sf.sourceId},"field-id":${sf.fieldId.getOrElse(1000L + i)}}"""
+    }.mkString("[", ",", "]")
 
   private def snapJson(id: Long, parent: Option[Long], sq: Long, ts: Long,
                        op: String, ml: String): String =
@@ -715,16 +1006,21 @@ object IcebergWrite {
                                 fields: Seq[(Long, String, String, Boolean)],
                                 snapsJson: Seq[String],
                                 currentSnapshotId: Long, lastSeq: Long,
-                                now: Long, expectVersion: Long): Long = {
+                                now: Long, expectVersion: Long,
+                                specJson: String = "[]"): Long = {
     val metaDir = new Path(tableDir, "metadata")
     val schemaJson = fields.map { case (id, name, typ, nullable) =>
       s"""{"id":$id,"name":${jstr(name)},"required":${!nullable},""" +
         s""""type":${jstr(typ)}}"""
     }.mkString("""{"type":"struct","schema-id":0,"fields":[""", ",", "]}")
+    val nSpecFields = """"field-id"""".r.findAllIn(specJson).length
     val metaJson =
       s"""{"format-version":2,"table-uuid":${jstr(uuid)},"location":".",""" +
         s""""last-sequence-number":$lastSeq,"last-updated-ms":$now,""" +
         s""""current-schema-id":0,"schemas":[$schemaJson],""" +
+        s""""default-spec-id":0,"partition-specs":[{"spec-id":0,""" +
+        s""""fields":$specJson}],""" +
+        s""""last-partition-id":${999 + nSpecFields},""" +
         s""""current-snapshot-id":$currentSnapshotId,""" +
         s""""snapshots":[${snapsJson.mkString(",")}]}"""
     // the version was pinned when the operation READ the table: a

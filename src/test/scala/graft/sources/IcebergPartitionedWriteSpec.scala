@@ -1,0 +1,170 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.IcebergWrite.PartField
+
+/** Iceberg PARTITIONED writes: per-file partition tuples in the
+  * manifests (typed `partition` record, spec field ids 1000+i), the
+  * spec recorded in metadata.json, and the reader's transform-aware
+  * pruning — identity/truncate/day by monotone projection, bucket[N]
+  * by hashing the equality literal. Bucket hashing is pinned against
+  * the Iceberg spec's published murmur3 test vectors, not against our
+  * own writer.
+  */
+class IcebergPartitionedWriteSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(name)
+    java.nio.file.Files.delete(p)
+    p.toString
+  }
+
+  import spark.implicits._
+
+  test("spec appendix-B hash vectors: bucket transforms match the published values") {
+    // iceberg.apache.org/spec/#appendix-b-32-bit-hash-requirements:
+    // hashLong(34) = 2017239379, hash(UTF-8 'iceberg') = 1210000089;
+    // ints hash as longs so bucket(34:int) == bucket(34:long)
+    assert(IcebergWrite.murmur3((0 until 8).map(i =>
+      ((34L >>> (8 * i)) & 0xff).toByte).toArray) === 2017239379)
+    assert(IcebergWrite.murmur3("iceberg".getBytes("UTF-8")) === 1210000089)
+    assert(IcebergWrite.bucketLong(34L, 16) === 2017239379 % 16)
+    assert(IcebergWrite.bucketString("iceberg", 16) === 1210000089 % 16)
+  }
+
+  test("identity-partitioned round trip: partition record, layout, pruning") {
+    val t = freshDir("icepart")
+    val df = (0L until 40L).map(i => (i, s"row-$i", (i % 4).toInt))
+      .toDF("id", "txt", "grp").coalesce(1)
+    IcebergWrite.createTable(spark, df, t, spec = Seq(PartField("grp", "identity")))
+    // round trip: every row, every column (source columns stay in files)
+    val got = IcebergMeta.readTable(spark, t).orderBy("id")
+    assert(got.schema.fieldNames.toSeq === Seq("id", "txt", "grp"))
+    assert(got.count() === 40L)
+    assert(got.select("id").collect().map(_.getLong(0)).toSeq === (0L until 40L))
+    // entries carry the typed partition record
+    val ents = IcebergMeta.entries(spark, t)
+      .select("partition", "partition_values", "file_path").collect()
+    assert(ents.map(_.getString(0)).sorted.toSeq ===
+      (0 until 4).map(g => s"grp=$g"))
+    assert(ents.forall(r => r.getMap[String, String](1).size == 1))
+    assert(ents.forall(r => r.getString(2).matches("data/grp=\\d/.*\\.parquet")))
+    // manifest-level pruning on the partition column: 1 of 4 files
+    val rep = IcebergMeta.skippingReport(spark, t, "grp = 2")
+    assert(rep.count() === 4L && rep.where(col("kept")).count() === 1L)
+    val rows = IcebergMeta.readTableWhere(spark, t, "grp = 2")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows === (0L until 40L).filter(_ % 4 == 2))
+    // append keeps the spec: new files land partitioned and pruned
+    IcebergWrite.append(spark,
+      (40L until 48L).map(i => (i, s"row-$i", (i % 4).toInt))
+        .toDF("id", "txt", "grp").coalesce(1), t)
+    val rep2 = IcebergMeta.skippingReport(spark, t, "grp = 2")
+    assert(rep2.count() === 8L && rep2.where(col("kept")).count() === 2L)
+    assert(IcebergMeta.readTable(spark, t).count() === 48L)
+  }
+
+  test("bucket[4] pruning keeps exactly the literal's bucket; ranges make no bucket claim") {
+    val t = freshDir("icepart")
+    val df = (0L until 400L).map(i => (i, i % 7)).toDF("id", "v").coalesce(1)
+    IcebergWrite.createTable(spark, df, t, spec = Seq(PartField("id", "bucket[4]")))
+    val ents = IcebergMeta.files(spark, t).collect()
+    assert(ents.length === 4) // all four buckets hit at n=400
+    val k = 123L
+    val rep = IcebergMeta.skippingReport(spark, t, s"id = $k")
+    assert(rep.where(col("kept")).count() === 1L)
+    val got = IcebergMeta.readTableWhere(spark, t, s"id = $k").collect()
+    assert(got.length === 1 && got.head.getLong(0) === k)
+    // IN list: union of the named buckets
+    val repIn = IcebergMeta.skippingReport(spark, t, "id IN (1, 2, 3)")
+    val distinctBuckets = Seq(1L, 2L, 3L)
+      .map(IcebergWrite.bucketLong(_, 4)).distinct.length
+    assert(repIn.where(col("kept")).count() === distinctBuckets.toLong)
+    // a RANGE predicate must not claim through the bucket transform
+    val repRange = IcebergMeta.skippingReport(spark, t, "id < 10")
+    assert(repRange.where(!col("kept")).count() <=
+      repRange.count() - 1) // bounds may prune, bucket must not force-drop all
+    assert(IcebergMeta.readTableWhere(spark, t, "id < 10").count() === 10L)
+  }
+
+  test("truncate[100] and day transforms prune by monotone projection") {
+    val t = freshDir("icepart")
+    val df = (0L until 400L)
+      .map(i => (i, java.sql.Date.valueOf(java.time.LocalDate
+        .of(2024, 1, 1).plusDays(i / 100))))
+      .toDF("id", "d").coalesce(1)
+    IcebergWrite.createTable(spark, df, t,
+      spec = Seq(PartField("id", "truncate[100]"), PartField("d", "day")))
+    assert(IcebergMeta.files(spark, t).count() === 4L)
+    // truncate: id = 250 lives only in the [200, 300) file
+    val rep = IcebergMeta.skippingReport(spark, t, "id = 250")
+    assert(rep.where(col("kept")).count() === 1L)
+    // monotone range projection: id < 150 keeps the first two files
+    val rep2 = IcebergMeta.skippingReport(spark, t, "id < 150")
+    assert(rep2.where(col("kept")).count() === 2L)
+    // day: one calendar day = one file
+    val rep3 = IcebergMeta.skippingReport(spark, t, "d = DATE'2024-01-03'")
+    assert(rep3.where(col("kept")).count() === 1L)
+    val got = IcebergMeta.readTableWhere(spark, t, "d = DATE'2024-01-03'")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (200L until 300L))
+    // full round trip unharmed
+    assert(IcebergMeta.readTable(spark, t).count() === 400L)
+  }
+
+  test("null partition values round trip and are never pruned on") {
+    val t = freshDir("icepart")
+    val df = Seq((1L, "a"), (2L, null), (3L, "a"), (4L, "b"))
+      .toDF("id", "grp").coalesce(1)
+    IcebergWrite.createTable(spark, df, t, spec = Seq(PartField("grp", "identity")))
+    assert(IcebergMeta.readTable(spark, t).count() === 4L)
+    val rep = IcebergMeta.skippingReport(spark, t, "grp = 'a'")
+    // the null-partition file has no claim → kept; 'b' drops
+    val kept = rep.where(col("kept")).count()
+    assert(kept === 2L)
+    assert(IcebergMeta.readTableWhere(spark, t, "grp = 'a'").count() === 2L)
+  }
+
+  test("DML on a partitioned table: position delete + accounting law hold") {
+    val t = freshDir("icepart")
+    val df = (0L until 100L).map(i => (i, (i % 4).toInt)).toDF("id", "grp")
+      .coalesce(1)
+    IcebergWrite.createTable(spark, df, t, spec = Seq(PartField("grp", "identity")))
+    IcebergWrite.delete(spark, t, "id < 10")
+    val got = IcebergMeta.readTable(spark, t)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (10L until 100L))
+    // accounting: manifest-list added_rows over data manifests == rows written
+    val m = IcebergMeta.manifests(spark, t)
+    val dataRows = m.where(col("content") === "data")
+      .agg(sum("added_rows")).head.getLong(0)
+    assert(dataRows === 100L)
+    // the delete file is tracked as its own content=1 manifest
+    assert(m.where(col("content") === "deletes").count() === 1L)
+  }
+
+  test("partitioned manifests stay real Avro: avro-java reads the partition record") {
+    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val t = freshDir("icepart")
+    val df = (0L until 20L).map(i => (i, (i % 2).toInt)).toDF("id", "grp")
+      .coalesce(1)
+    IcebergWrite.createTable(spark, df, t, spec = Seq(PartField("grp", "identity")))
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t, "metadata", "m-1.avro"))
+    val r = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(bytes), new GenericDatumReader[GenericRecord]())
+    val recs = Iterator.continually(r).takeWhile(_.hasNext).map(_.next()).toVector
+    r.close()
+    val parts = recs.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("partition").asInstanceOf[GenericRecord].get("grp")
+      .asInstanceOf[Int]).sorted
+    assert(parts === Vector(0, 1))
+    // and the spec landed in metadata.json
+    val spec = IcebergMeta.partitionSpecOf(spark, t)
+    assert(spec.map(s => (s.name, s.transform, s.sourceId)) ===
+      Seq(("grp", "identity", 2L)))
+  }
+}
