@@ -4421,6 +4421,28 @@ object PipelineQueries extends QuerySet {
         .orderBy("o_orderkey")
     }),
 
+    // Deletion-vector DELETE (q290 by the other mechanism): the point
+    // delete attaches a roaring bitmap to the touched file's add action
+    // — NO data file is rewritten (the in-query require pins the file
+    // set byte-identical), and the survivors must hash-match DuckDB's
+    // NOT-filter through the DV-applying reader.
+    "q311_delta_dv_delete" -> ((s, dir) => {
+      val t = freshTmpDir("delta_dv_delete")
+      deltaClusteredOrders(s, dir, t)
+      val before = graft.sources.DeltaLog.snapshot(s, t)
+        .select("path").collect().map(_.getString(0)).toSet
+      val maxKey = graft.Tables.load(s, dir, "orders")
+        .agg(max("o_orderkey")).head.getLong(0)
+      graft.sources.DeltaWrite.deleteDv(s, t, s"o_orderkey <= ${maxKey / 8}")
+      val after = graft.sources.DeltaLog.snapshot(s, t)
+        .select("path").collect().map(_.getString(0)).toSet
+      require(after == before,
+        "a DV delete must not rewrite or drop any data file")
+      graft.sources.DeltaLog.readTable(s, t)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // Delta RENAME COLUMN (q307's Delta twin, via column mapping):
     // enabling mapping stamps every field with a stable physical name,
     // the rename is a metadata-only commit, and files written before
@@ -5805,6 +5827,10 @@ object PipelineQueries extends QuerySet {
     "q315_delta_rename" ->
       """SELECT n_nationkey, n_name AS nation_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    "q311_delta_dv_delete" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey > (SELECT max(o_orderkey) // 8 FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
     "q310_iceberg_partitioned_write" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,

@@ -328,18 +328,32 @@ object DeltaDv {
     * offset, sizeInBytes) for the descriptor.
     */
   def renderDvFile(rows: Seq[Long]): (Array[Byte], Int, Int) = {
-    val data = encodeBitmap(rows)
+    val (bytes, offs) = renderDvFileMulti(Seq(encodeBitmap(rows)))
+    (bytes, offs.head._1, offs.head._2)
+  }
+
+  /** Render a DV FILE packing SEVERAL pre-encoded bitmaps — one commit,
+    * one DV file, many data files' descriptors (the production shape:
+    * a DML touching n files must not cost n filesystem objects).
+    * Returns (file bytes, per-bitmap (offset, sizeInBytes)) in input
+    * order; each descriptor's offset points at its own size word, per
+    * the protocol's framing.
+    */
+  def renderDvFileMulti(bitmaps: Seq[Array[Byte]]): (Array[Byte], Seq[(Int, Int)]) = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(1) // format version
-    val offset = out.size()
-    out.write((data.length >> 24) & 0xff); out.write((data.length >> 16) & 0xff)
-    out.write((data.length >> 8) & 0xff); out.write(data.length & 0xff)
-    out.write(data, 0, data.length)
-    val crc = new java.util.zip.CRC32()
-    crc.update(data)
-    val c = crc.getValue
-    out.write(((c >> 24) & 0xff).toInt); out.write(((c >> 16) & 0xff).toInt)
-    out.write(((c >> 8) & 0xff).toInt); out.write((c & 0xff).toInt)
-    (out.toByteArray, offset, data.length)
+    val offs = bitmaps.map { data =>
+      val offset = out.size()
+      out.write((data.length >> 24) & 0xff); out.write((data.length >> 16) & 0xff)
+      out.write((data.length >> 8) & 0xff); out.write(data.length & 0xff)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(data)
+      val c = crc.getValue
+      out.write(((c >> 24) & 0xff).toInt); out.write(((c >> 16) & 0xff).toInt)
+      out.write(((c >> 8) & 0xff).toInt); out.write((c & 0xff).toInt)
+      (offset, data.length)
+    }
+    (out.toByteArray, offs)
   }
 }

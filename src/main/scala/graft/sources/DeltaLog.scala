@@ -481,6 +481,46 @@ object DeltaLog {
       StructField("row_index", LongType, nullable = false))))
   }
 
+  /** The table-relative paths of every DV FILE a live add references
+    * (storageType `u`; absolute `p` paths under the table root are
+    * relativized) — the files VACUUM must treat as live alongside the
+    * data files themselves, or reclaiming storage would corrupt every
+    * DV-carrying read.
+    */
+  def liveDvPaths(spark: SparkSession, tableDir: String): Set[String] = {
+    val acts = actions(spark, tableDir)
+    val w = Window.partitionBy(coalesce(col("add.path"), col("remove.path")))
+      .orderBy(col("version").desc, col("ordinal").desc)
+    val dvs = acts
+      .where(col("add.path").isNotNull || col("remove.path").isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1 && col("add.path").isNotNull &&
+        col("add.deletionVector").isNotNull)
+      .select(col("add.deletionVector.storageType"),
+        col("add.deletionVector.pathOrInlineDv"))
+      .collect()
+    val fs = new Path(tableDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val rootUri = fs.makeQualified(new Path(tableDir)).toUri.getPath
+    dvs.toSeq.flatMap { r =>
+      (r.getString(0), r.getString(1)) match {
+        case ("u", enc) if enc.length >= 20 =>
+          val (prefix, tail) = enc.splitAt(enc.length - 20)
+          DeltaDv.z85Decode(tail).map { uuidBytes =>
+            val bb = java.nio.ByteBuffer.wrap(uuidBytes)
+            val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+            val name = s"deletion_vector_$uuid.bin"
+            if (prefix.isEmpty) name else s"$prefix/$name"
+          }
+        case ("p", abs) =>
+          val u = fs.makeQualified(new Path(abs)).toUri.getPath
+          if (u.startsWith(rootUri + "/")) Some(u.drop(rootUri.length + 1))
+          else None // outside the table: vacuum never walks there
+        case _ => None // inline: no file to protect
+      }
+    }.toSet
+  }
+
   /** READ the table at `asOf` — the audit door completed into a
     * functional reader: the reconciled live file set scanned as ONE
     * parquet read (Catalyst prunes/pushes down as usual), deletion-
@@ -497,7 +537,7 @@ object DeltaLog {
     */
   def readTable(spark: SparkSession, tableDir: String,
                 asOf: Option[Long] = None): DataFrame =
-    readTableCore(spark, tableDir, asOf, None).drop("_rel_path")
+    readTableCore(spark, tableDir, asOf, None).drop("_rel_path", "_row_index")
 
   /** [[readTable]] with DATA SKIPPING: `predicateSql` prunes the live
     * file list through each add's per-column stats BEFORE the scan
@@ -510,7 +550,7 @@ object DeltaLog {
                      predicateSql: String,
                      asOf: Option[Long] = None): DataFrame =
     readTableCore(spark, tableDir, asOf, Some(predicateSql))
-      .drop("_rel_path").where(predicateSql)
+      .drop("_rel_path", "_row_index").where(predicateSql)
 
   /** One row per LIVE file with the skipping verdict for
     * `predicateSql`: `path`, `num_records`, `kept` (true = the stats
@@ -619,7 +659,9 @@ object DeltaLog {
     else f.name
 
   /** [[readTable]]'s engine, keeping `_rel_path` (which live file each
-    * row came from) for the DML rewrites in [[DeltaWrite]]. `where`
+    * row came from) and `_row_index` (the row's position in that file,
+    * post-DV — what a deletion-vector write appends to the file's
+    * deleted set) for the DML rewrites in [[DeltaWrite]]. `where`
     * prunes files through their stats before the scan; row-level
     * filtering stays the caller's job.
     */
@@ -640,7 +682,8 @@ object DeltaLog {
     // the kept file list is metadata-sized (it IS the scan's path list)
     val kept = mapping.select("_abs_path").collect().map(_.getString(0))
     val outFields = schema.fields.toSeq :+
-      StructField("_rel_path", StringType, nullable = false)
+      StructField("_rel_path", StringType, nullable = false) :+
+      StructField("_row_index", LongType, nullable = false)
     if (kept.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -668,7 +711,7 @@ object DeltaLog {
       if (partCols.contains(f.name))
         col(s"_part_${f.name}").cast(f.dataType).as(f.name)
       else col(f.name)
-    } :+ col("_rel_path"): _*)
+    } :+ col("_rel_path") :+ col("_row_index"): _*)
   }
 
   /** Column-mapping-aware schema report at `asOf`: one row per top-

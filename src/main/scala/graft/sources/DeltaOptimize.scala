@@ -148,7 +148,8 @@ object DeltaOptimize {
     val root = new org.apache.hadoop.fs.Path(tableDir)
     val rootUri = fs.makeQualified(root).toUri.getPath
     val live = DeltaLog.snapshot(spark, tableDir)
-      .select("path").collect().map(_.getString(0)).toSet
+      .select("path").collect().map(_.getString(0)).toSet ++
+      DeltaLog.liveDvPaths(spark, tableDir) // a live add's DV file IS live
     // '.tmp-*' is OUR stageData staging prefix: a crashed writer's
     // leftovers live there and are exactly what vacuum must reclaim;
     // every other dot/underscore entry (the log, checkpoints, foreign

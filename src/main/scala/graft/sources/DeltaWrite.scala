@@ -280,6 +280,129 @@ object DeltaWrite {
       rows.where(!coalesce(expr(condition), lit(false)))
     }
 
+  /** Row-level DELETE via DELETION VECTORS — the O(bitmap) point-delete
+    * path: no data file is rewritten; instead each touched file's add
+    * action is re-committed carrying a `deletionVector` descriptor
+    * whose roaring bitmap marks the deleted row indexes (the protocol's
+    * DV attach; [[DeltaDv]] is the validating decoder). The new bitmap
+    * is the UNION of the file's existing deleted set and the fresh
+    * matches, built DISTRIBUTED (one aggregation per touched file —
+    * the driver only ever holds compressed bitmaps). Bitmaps at or
+    * under `inlineThreshold` bytes inline into the descriptor (Z85);
+    * the rest pack into ONE shared DV file per commit. A file whose
+    * deleted set reaches its row count is removed outright. At 100 TB
+    * this is the difference between a point delete costing one bitmap
+    * write and costing a file rewrite. Returns the committed version
+    * (current when nothing matched).
+    */
+  def deleteDv(spark: SparkSession, tableDir: String, condition: String,
+               inlineThreshold: Int = 512): Long = {
+    val fs = fileSystem(spark, tableDir)
+    val version = nextVersion(spark, tableDir)
+    val candidates = DeltaLog.readTableCore(spark, tableDir, None,
+      Some(condition))
+    val matched = candidates
+      .where(coalesce(expr(condition), lit(false)))
+      .select(col("_rel_path"), col("_row_index"))
+    val touched = matched.select("_rel_path").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (touched.isEmpty) return version - 1
+    // union with each touched file's EXISTING deleted set (readTableCore
+    // already excluded those rows, so matched alone would resurrect them)
+    val oldDels = DeltaLog.deletedRows(spark, tableDir)
+      .withColumnRenamed("path", "_rel_path")
+      .withColumnRenamed("row_index", "_row_index")
+      .where(col("_rel_path").isin(touched: _*))
+    import spark.implicits._
+    val bitmaps: Map[String, (Array[Byte], Long)] =
+      matched.unionByName(oldDels)
+        .groupBy("_rel_path")
+        .agg(sort_array(collect_set(col("_row_index"))).as("rows"))
+        .as[(String, Seq[Long])]
+        .map { case (p, rows) =>
+          (p, DeltaDv.encodeBitmap(rows), rows.length.toLong)
+        }
+        .collect().map(t => (t._1, (t._2, t._3))).toMap
+    // the touched files' reconciled add facts, for the re-add lines
+    val w = Window.partitionBy(coalesce(col("add.path"), col("remove.path")))
+      .orderBy(col("version").desc, col("ordinal").desc)
+    val lives = DeltaLog.actions(spark, tableDir)
+      .where(col("add.path").isNotNull || col("remove.path").isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1 && col("add.path").isNotNull &&
+        col("add.path").isin(touched: _*))
+      .select(col("add.path"), col("add.partitionValues"), col("add.size"),
+        col("add.modificationTime"), col("add.stats"),
+        get_json_object(col("add.stats"), "$.numRecords").cast("long"))
+      .collect().map { r =>
+        val pv =
+          if (r.isNullAt(1)) Seq.empty[(String, Option[String])]
+          else r.getMap[String, String](1).toSeq.sortBy(_._1)
+            .map { case (k, v) => k -> Option(v) }
+        r.getString(0) -> ((pv, r.getLong(2), r.getLong(3),
+          Option(r.getString(4)),
+          if (r.isNullAt(5)) -1L else r.getLong(5)))
+      }.toMap
+    val fullyDeleted = touched.filter { p =>
+      val numRecords = lives(p)._5
+      numRecords >= 0 && bitmaps(p)._2 >= numRecords
+    }.toSet
+    // pack the large bitmaps into ONE DV file, landed before the commit
+    val fileBacked = touched
+      .filterNot(fullyDeleted)
+      .filter(p => bitmaps(p)._1.length > inlineThreshold)
+    val fileDescr: Map[String, String] =
+      if (fileBacked.isEmpty) Map.empty
+      else {
+        val uuid = java.util.UUID.randomUUID()
+        val (bytes, offs) = DeltaDv.renderDvFileMulti(
+          fileBacked.map(p => bitmaps(p)._1))
+        val bb = java.nio.ByteBuffer.allocate(16)
+        bb.putLong(uuid.getMostSignificantBits)
+        bb.putLong(uuid.getLeastSignificantBits)
+        val enc = DeltaDv.z85Encode(bb.array())
+        val target = new Path(tableDir, s"deletion_vector_$uuid.bin")
+        val tmp = new Path(tableDir, s".dv-$uuid.tmp")
+        val out = fs.create(tmp, false)
+        try out.write(bytes) finally out.close()
+        if (!fs.rename(tmp, target)) {
+          fs.delete(tmp, false)
+          throw new java.io.IOException(
+            s"deltawrite: could not stage deletion vector $target")
+        }
+        fileBacked.zip(offs).map { case (p, (off, size)) =>
+          p -> (s"""{"storageType":"u","pathOrInlineDv":${jstr(enc)},""" +
+            s""""offset":$off,"sizeInBytes":$size,""" +
+            s""""cardinality":${bitmaps(p)._2}}""")
+        }.toMap
+      }
+    def descriptorOf(p: String): String =
+      fileDescr.getOrElse(p, {
+        val (data, card) = bitmaps(p)
+        val padded =
+          if (data.length % 4 == 0) data
+          else data ++ new Array[Byte](4 - data.length % 4)
+        s"""{"storageType":"i","pathOrInlineDv":${jstr(DeltaDv.z85Encode(padded))},""" +
+          s""""sizeInBytes":${data.length},"cardinality":${bitmaps(p)._2}}"""
+      })
+    val now = System.currentTimeMillis()
+    val lines =
+      Seq(s"""{"commitInfo":{"timestamp":$now,"operation":"DELETE"}}""") ++
+        touched.map { p =>
+          s"""{"remove":{"path":${jstr(p)},"deletionTimestamp":$now,""" +
+            """"dataChange":true}}"""
+        } ++
+        touched.filterNot(fullyDeleted).map { p =>
+          val (pv, size, mtime, stats, _) = lives(p)
+          s"""{"add":{"path":${jstr(p)},"partitionValues":${jmap(pv)},""" +
+            s""""size":$size,"modificationTime":$mtime,"dataChange":true,""" +
+            stats.map(st => s""""stats":${jstr(st)},""").getOrElse("") +
+            s""""deletionVector":${descriptorOf(p)}}}"""
+        }
+    commitWithRebase(spark, fs, tableDir, version, "DELETE", touched, lines,
+      conflictOnAdds = true)
+  }
+
   /** Row-level UPDATE: for rows satisfying `condition`, replace each
     * column in `set` with its SQL expression (evaluated against the
     * row's current values); all other rows and files are untouched.

@@ -1,0 +1,132 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Deletion-vector WRITES ([[DeltaWrite.deleteDv]]): a point delete
+  * costs a bitmap, never a file rewrite. Judged by the repo's
+  * protocol-validating DV decoder (itself pinned against
+  * org.roaringbitmap in DeltaDvSpec) and by content equality with the
+  * REWRITE-mode delete on the same fixture — never by the writer
+  * against itself.
+  */
+class DeltaDvWriteSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(name)
+    java.nio.file.Files.delete(p)
+    p.toString
+  }
+
+  import spark.implicits._
+
+  private def slice(lo: Long, hi: Long) =
+    (lo until hi).map(i => (i, s"row-$i")).toDF("id", "txt").coalesce(1)
+
+  private def rangeTable(): String = {
+    val t = freshDir("deltadvw")
+    DeltaWrite.createTable(spark, slice(0, 100), t)
+    DeltaWrite.append(spark, slice(100, 200), t)
+    DeltaWrite.append(spark, slice(200, 300), t)
+    t
+  }
+
+  test("point delete: no data file rewritten, DV decoded by the validating reader") {
+    val t = rangeTable()
+    val before = DeltaLog.snapshot(spark, t)
+      .select("path", "version_added").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val v = DeltaWrite.deleteDv(spark, t, "id >= 40 AND id < 60")
+    assert(v === 3L)
+    val after = DeltaLog.snapshot(spark, t)
+      .select("path", "version_added", "dv_cardinality", "live_records")
+      .collect()
+    // SAME file set — only metadata moved
+    assert(after.map(_.getString(0)).toSet === before.keySet)
+    val touched = after.filter(!_.isNullAt(2))
+    assert(touched.length === 1)
+    assert(touched.head.getLong(2) === 20L && touched.head.getLong(3) === 80L)
+    // the deleted set is exactly the matched row indexes (file 0 holds
+    // ids 0..99 in row order)
+    val dels = DeltaLog.deletedRows(spark, t)
+      .select("row_index").collect().map(_.getLong(0)).sorted.toSeq
+    assert(dels === (40L until 60L))
+    val got = DeltaLog.readTable(spark, t).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === ((0L until 40L) ++ (60L until 300L)))
+    // stats-pruned: files 1 and 2 never matched, their adds survive
+    assert(after.filter(_.isNullAt(2)).forall(r =>
+      before(r.getString(0)) === r.getLong(1)))
+  }
+
+  test("repeated DV deletes union into one descriptor; rewrite-mode equality") {
+    val t = rangeTable()
+    DeltaWrite.deleteDv(spark, t, "id < 5")
+    DeltaWrite.deleteDv(spark, t, "id = 7 OR id = 250")
+    val cards = DeltaLog.snapshot(spark, t)
+      .where(col("dv_cardinality").isNotNull)
+      .select("path", "dv_cardinality").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cards.values.toSeq.sorted === Seq(1L, 6L))
+    // hash-equality with the REWRITE path on an identical fixture
+    val t2 = rangeTable()
+    DeltaWrite.delete(spark, t2, "id < 5")
+    DeltaWrite.delete(spark, t2, "id = 7 OR id = 250")
+    val a = DeltaLog.readTable(spark, t).orderBy("id").collect().toSeq
+    val b = DeltaLog.readTable(spark, t2).orderBy("id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("large DVs pack into one shared file; vacuum protects it until OPTIMIZE") {
+    val t = rangeTable()
+    // ~150 scattered rows per file → bitmaps above the inline threshold
+    DeltaWrite.deleteDv(spark, t, "id % 2 = 0", inlineThreshold = 64)
+    val descr = DeltaLog.actions(spark, t)
+      .where(col("add.deletionVector").isNotNull)
+      .select("add.deletionVector.storageType", "add.deletionVector.pathOrInlineDv")
+      .collect()
+    assert(descr.length === 3 && descr.forall(_.getString(0) == "u"))
+    // ONE DV file for the whole commit
+    assert(descr.map(_.getString(1)).distinct.length === 1)
+    val dvFiles = new java.io.File(t).listFiles()
+      .filter(_.getName.startsWith("deletion_vector_"))
+    assert(dvFiles.length === 1)
+    // vacuum(0) must NOT reclaim the live DV file
+    DeltaOptimize.vacuum(spark, t, retainMs = 0L)
+    assert(new java.io.File(t).listFiles()
+      .count(_.getName.startsWith("deletion_vector_")) === 1)
+    assert(DeltaLog.readTable(spark, t).count() === 150L)
+    // OPTIMIZE materializes the DV; then the DV file is dead and reclaimable
+    DeltaOptimize.optimize(spark, t)
+    val rep = DeltaOptimize.vacuum(spark, t, retainMs = 0L)
+    assert(rep.where(col("path").startsWith("deletion_vector_") &&
+      col("removed")).count() === 1L)
+    assert(DeltaLog.readTable(spark, t).count() === 150L)
+    assert(DeltaLog.snapshot(spark, t)
+      .where(col("dv_cardinality").isNotNull).count() === 0L)
+  }
+
+  test("a fully-deleted file is removed outright; no-match commits nothing") {
+    val t = rangeTable()
+    val v = DeltaWrite.deleteDv(spark, t, "id >= 100 AND id < 200")
+    assert(v === 3L)
+    val after = DeltaLog.snapshot(spark, t).select("path").collect()
+    assert(after.length === 2) // the middle file is gone, not DV'd
+    assert(DeltaLog.readTable(spark, t).count() === 200L)
+    assert(DeltaWrite.deleteDv(spark, t, "id = 99999") === 3L)
+    assert(DeltaLog.listCommits(spark, t).last._1 === 3L)
+  }
+
+  test("incremental consumers and time travel see DV deletes correctly") {
+    val t = rangeTable()
+    DeltaWrite.deleteDv(spark, t, "id < 10")
+    // time travel: pre-delete version serves all rows
+    assert(DeltaLog.readTable(spark, t, Some(2L)).count() === 300L)
+    // the re-add is a data change: changes() reports the file's live rows
+    val ch = DeltaLog.changes(spark, t, sinceVersion = 2L)
+      .select("id", "_commit_version").collect()
+    assert(ch.forall(_.getLong(1) == 3L))
+    assert(ch.map(_.getLong(0)).sorted.toSeq === (0L until 100L))
+  }
+}
