@@ -4443,6 +4443,37 @@ object PipelineQueries extends QuerySet {
         .orderBy("o_orderkey")
     }),
 
+    // Iceberg row-level UPDATE (q291's lakehouse twin by the OTHER
+    // mechanism): matched rows become a position-delete file AND
+    // re-append with the new values in ONE snapshot at one sequence
+    // number — no data file rewritten. Same oracle as the Delta door.
+    "q312_iceberg_update" -> ((s, dir) => {
+      val t = freshTmpDir("iceberg_update")
+      icebergClusteredOrders(s, dir, t)
+      graft.sources.IcebergWrite.update(s, t, "o_orderstatus = 'F'",
+        Map("o_orderpriority" -> "'0-URGENT'",
+            "o_totalprice" -> "o_totalprice * 1.1D"))
+      graft.sources.IcebergMeta.readTable(s, t)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
+    // Iceberg MERGE as UPSERT (q292's twin): matched keys position-
+    // delete + re-insert, new keys insert, single-key source RANGE
+    // prunes candidate files through manifest bounds before any read.
+    "q318_iceberg_merge" -> ((s, dir) => {
+      val t = freshTmpDir("iceberg_merge")
+      val nation = graft.Tables.load(s, dir, "nation")
+      graft.sources.IcebergWrite.createTable(s, nation.coalesce(1), t)
+      val src = nation.where(col("n_nationkey") < 10)
+        .withColumn("n_name", lower(col("n_name")))
+        .unionByName(nation.where(col("n_regionkey") === 4)
+          .select((col("n_nationkey") + 100).cast("int").as("n_nationkey"),
+            col("n_name"), col("n_regionkey")))
+      graft.sources.IcebergWrite.upsert(s, src, t, Seq("n_nationkey"))
+      graft.sources.IcebergMeta.readTable(s, t).orderBy("n_nationkey")
+    }),
+
     // Delta RENAME COLUMN (q307's Delta twin, via column mapping):
     // enabling mapping stamps every field with a stable physical name,
     // the rename is a metadata-only commit, and files written before
@@ -5831,6 +5862,25 @@ object PipelineQueries extends QuerySet {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey > (SELECT max(o_orderkey) // 8 FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    "q312_iceberg_update" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 1.1
+        |            ELSE o_totalprice END AS o_totalprice,
+        |       CASE WHEN o_orderstatus = 'F' THEN '0-URGENT'
+        |            ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q318_iceberg_merge" ->
+      """WITH src AS (
+        |  SELECT n_nationkey, lower(n_name) AS n_name, n_regionkey
+        |  FROM nation WHERE n_nationkey < 10
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey + 100 AS INT), n_name, n_regionkey
+        |  FROM nation WHERE n_regionkey = 4)
+        |SELECT * FROM src
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey NOT IN (SELECT n_nationkey FROM src)
+        |ORDER BY n_nationkey""".stripMargin,
     "q310_iceberg_partitioned_write" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,

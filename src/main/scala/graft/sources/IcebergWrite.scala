@@ -364,21 +364,114 @@ object IcebergWrite {
     * snapshot id (the current one when nothing matched — no empty
     * snapshot).
     */
-  def delete(spark: SparkSession, tableDir: String, condition: String): Long = {
+  def delete(spark: SparkSession, tableDir: String, condition: String): Long =
+    dmlCommit(spark, tableDir, positionsOf(spark, tableDir, condition),
+      newRows = None, operation = "delete")
+
+  /** Row-level UPDATE — position-delete + append composed in ONE
+    * snapshot (the Iceberg twin of [[DeltaWrite.update]]): rows
+    * matching `condition` become (file_path, pos) tombstones AND are
+    * re-appended with each `set` column replaced by its SQL expression
+    * over the row's current values. The delete file and the new data
+    * files share the snapshot's sequence number, so the reader's
+    * ordering gate (`dataSeq <= delSeq` over OLD paths only) removes
+    * exactly the old copies. No data file is rewritten. Returns the
+    * new snapshot id (current when nothing matched).
+    */
+  def update(spark: SparkSession, tableDir: String, condition: String,
+             set: Map[String, String]): Long = {
+    import org.apache.spark.sql.functions._
+    val fields = IcebergMeta.schemaFieldsOf(spark, tableDir, None)
+      .getOrElse(throw new IllegalArgumentException(
+        s"iceberg-write: metadata under $tableDir carries no schema"))
+    set.keys.foreach { c =>
+      if (!fields.exists(_.name == c))
+        throw new IllegalArgumentException(
+          s"iceberg-write: UPDATE sets unknown column $c")
+    }
+    val pos = positionsOf(spark, tableDir, condition)
+    val updated = pos.map { case (_, matchedRows) =>
+      matchedRows.select(fields.map { f =>
+        set.get(f.name) match {
+          case Some(e) =>
+            expr(e).cast(icebergTypeToSparkPublic(f.typeStr)).as(f.name)
+          case None => col(s"`${f.name}`")
+        }
+      }: _*)
+    }
+    dmlCommit(spark, tableDir, pos, newRows = updated, operation = "overwrite")
+  }
+
+  /** MERGE as UPSERT (the Iceberg twin of [[DeltaWrite.upsert]]):
+    * target rows whose `keys` match a source row become position
+    * deletes; ALL source rows append — one snapshot, shared sequence
+    * number. Duplicate source keys fail loud (one target row would
+    * receive two updates). Returns the new snapshot id.
+    */
+  def upsert(spark: SparkSession, source: DataFrame, tableDir: String,
+             keys: Seq[String]): Long = {
+    import org.apache.spark.sql.functions._
+    val fields = IcebergMeta.schemaFieldsOf(spark, tableDir, None)
+      .getOrElse(throw new IllegalArgumentException(
+        s"iceberg-write: metadata under $tableDir carries no schema"))
+    require(keys.nonEmpty && keys.forall(k => fields.exists(_.name == k)),
+      s"iceberg-write: MERGE keys $keys must be table columns")
+    if (source.schema.fieldNames.toSet != fields.map(_.name).toSet)
+      throw new IllegalArgumentException(
+        s"iceberg-write: MERGE source columns ${source.schema.fieldNames.toSeq} " +
+          s"do not match the table schema ${fields.map(_.name)}")
+    val src = source.select(fields.map(f => col(s"`${f.name}`")): _*).cache()
+    val dups = src.groupBy(keys.map(col): _*).count()
+      .where(col("count") > 1).limit(1).count()
+    if (dups > 0)
+      throw new IllegalArgumentException(
+        "iceberg-write: MERGE source has duplicate keys — one target row " +
+          "would receive multiple updates")
+    // candidate pruning: a single integral key's source range bounds
+    // the files that can possibly match (manifest bounds + partition
+    // transforms both apply)
+    val prune: Option[String] = keys match {
+      case Seq(k) if fields.exists(f => f.name == k &&
+          (f.typeStr == "int" || f.typeStr == "long")) =>
+        val r = src.agg(min(col(s"`$k`")), max(col(s"`$k`"))).head()
+        if (r.isNullAt(0)) None
+        else Some(s"$k >= ${r.get(0)} AND $k <= ${r.get(1)}")
+      case _ => None
+    }
+    // matched target positions: key semi-join over the projected scan
+    val scan = fullScan(spark, tableDir, prune)
+    val pos = scan.map { case (mapping, rows) =>
+      val matched = rows
+        .join(broadcast(src.select(keys.map(col): _*)), keys, "left_semi")
+        .select(col("_uri_path"), col("_row_index").cast(LongType).as("pos"))
+        .join(broadcast(mapping), Seq("_uri_path"))
+        .select("file_path", "pos")
+        .orderBy("file_path", "pos")
+      (matched, rows)
+    }
+    val committed = dmlCommit(spark, tableDir,
+      pos.map { case (matched, rows) => (matched, rows) },
+      newRows = Some(src), operation = "overwrite",
+      commitEvenWithoutDeletes = true)
+    src.unpersist()
+    committed
+  }
+
+  /** The bounds-pruned, field-id-projected matched set for a DML
+    * predicate: (the (file_path, pos) tombstone relation, the matched
+    * ROWS with lineage columns). None when the pruner proves no file
+    * can match.
+    */
+  private def positionsOf(spark: SparkSession, tableDir: String,
+                          condition: String)
+      : Option[(DataFrame, DataFrame)] = {
     import org.apache.spark.sql.functions._
     val fs = fileSystem(spark, tableDir)
-    val expectVersion = listMetadataVersions(fs, tableDir)
-      .maxOption.getOrElse(0L) + 1
-    val tm = IcebergMeta.readTableMeta(spark, tableDir)
-    val snap = tm.currentSnapshotId.flatMap(id => tm.snapshots.find(_.id == id))
-      .getOrElse(throw new IllegalArgumentException(
-        s"iceberg-write: no current snapshot under $tableDir"))
     // bounds-pruned candidates (sound: only provably-unmatchable files drop)
     val cand = IcebergMeta.skippingReport(spark, tableDir, condition)
       .where(col("kept")).select("file_path").collect()
       .map(_.getString(0)).toSeq.sorted
-    if (cand.isEmpty) return snap.id
-    val fsRoot = new Path(tableDir)
+    if (cand.isEmpty) return None
     val mapping = spark.createDataFrame(
       spark.sparkContext.parallelize(cand.map { rel =>
         org.apache.spark.sql.Row(
@@ -392,93 +485,195 @@ object IcebergWrite {
     // written before a column rename still evaluates the predicate on
     // its physical column — a name-based read would see NULLs there and
     // silently skip rows the reader reports as matching
-    val matched = IcebergMeta.projectedScan(spark,
+    val matchedRows = IcebergMeta.projectedScan(spark,
         cand.map(rel => fs.makeQualified(
           new Path(resolveInTable(tableDir, rel))).toString),
         IcebergMeta.schemaFieldsOf(spark, tableDir, None))
-      .where(org.apache.spark.sql.functions.expr(condition))
+      .where(expr(condition))
+    val positions = matchedRows
       .select(col("_uri_path"), col("_row_index").cast(LongType).as("pos"))
       .join(broadcast(mapping), Seq("_uri_path"))
       .select("file_path", "pos")
       .orderBy("file_path", "pos")
-    // stage the delete parquet under data/ (spec file-naming freedom)
-    val tmp = new Path(fsRoot, s".tmp-del-${java.util.UUID.randomUUID()}")
-    matched.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = fs.listStatus(tmp).map(_.getPath)
-      .find(_.getName.endsWith(".parquet")).getOrElse {
-        fs.delete(tmp, true)
-        return snap.id // zero matching rows: no delete file, no snapshot
-      }
-    val meta = ParquetMeta.readFooter(fs, part).getOrElse(
-      throw new java.io.IOException(
-        "iceberg-write: staged delete file has no readable footer"))
-    if (meta.numRows == 0L) { fs.delete(tmp, true); return snap.id }
+    Some((positions, matchedRows))
+  }
+
+  /** The live table (bounds-pruned through `prune` when given),
+    * projected by field id, with `_uri_path` / `_row_index` lineage —
+    * the MERGE scan. Returns (uri→manifest-path mapping, rows); None
+    * when no live data file can match.
+    */
+  private def fullScan(spark: SparkSession, tableDir: String,
+                       prune: Option[String] = None)
+      : Option[(DataFrame, DataFrame)] = {
+    import org.apache.spark.sql.functions._
+    val fs = fileSystem(spark, tableDir)
+    val files = (prune match {
+      case Some(p) => IcebergMeta.skippingReport(spark, tableDir, p)
+        .where(col("kept")).select("file_path")
+      case None => IcebergMeta.files(spark, tableDir).select("file_path")
+    }).collect().map(_.getString(0)).toSeq.sorted
+    if (files.isEmpty) return None
+    val mapping = spark.createDataFrame(
+      spark.sparkContext.parallelize(files.map { rel =>
+        org.apache.spark.sql.Row(
+          fs.makeQualified(new Path(resolveInTable(tableDir, rel)))
+            .toUri.getRawPath, rel)
+      }, 1),
+      StructType(Seq(
+        StructField("_uri_path", StringType, nullable = false),
+        StructField("file_path", StringType, nullable = false))))
+    val rows = IcebergMeta.projectedScan(spark,
+      files.map(rel => fs.makeQualified(
+        new Path(resolveInTable(tableDir, rel))).toString),
+      IcebergMeta.schemaFieldsOf(spark, tableDir, None))
+    Some((mapping, rows))
+  }
+
+  /** Iceberg primitive → Spark type for UPDATE's set-expression casts. */
+  private def icebergTypeToSparkPublic(t: String): DataType = sparkType(t)
+
+  /** The shared DML commit: stage the position-delete parquet (from
+    * `positions`' tombstone relation) and/or the appended rows, track
+    * them in a content=1 and a content=0 manifest respectively —
+    * BOTH at the new snapshot's sequence number, one atomic metadata
+    * commit. No-ops (nothing matched, nothing to add) return the
+    * current snapshot id without committing.
+    */
+  private def dmlCommit(spark: SparkSession, tableDir: String,
+                        positions: Option[(DataFrame, DataFrame)],
+                        newRows: Option[DataFrame],
+                        operation: String,
+                        commitEvenWithoutDeletes: Boolean = false): Long = {
+    val fs = fileSystem(spark, tableDir)
+    val expectVersion = listMetadataVersions(fs, tableDir)
+      .maxOption.getOrElse(0L) + 1
+    val tm = IcebergMeta.readTableMeta(spark, tableDir)
+    val snap = tm.currentSnapshotId.flatMap(id => tm.snapshots.find(_.id == id))
+      .getOrElse(throw new IllegalArgumentException(
+        s"iceberg-write: no current snapshot under $tableDir"))
+    if (positions.isEmpty && !commitEvenWithoutDeletes) return snap.id
+    val fsRoot = new Path(tableDir)
+    val fields = IcebergMeta.schemaFieldsOf(spark, tableDir, None)
+      .getOrElse(throw new IllegalArgumentException(
+        s"iceberg-write: metadata under $tableDir carries no schema"))
+      .map(f => (f.id.getOrElse(0L), f.name, f.typeStr, !f.required))
+    val spec = specOf(spark, tableDir, fields)
+    val typeOf = fields.map(f => f._2 -> f._3).toMap
+    val partTypes = spec.map(pf => pf.name -> resultTypeOf(pf, typeOf(pf.source)))
     val seq = tm.snapshots.flatMap(_.sequenceNumber).maxOption.getOrElse(0L) + 1
     val snapshotId = tm.snapshots.map(_.id).maxOption.getOrElse(0L) + 1
-    val delRel = s"data/delete-$seq.parquet"
-    val target = new Path(fsRoot, delRel)
-    if (!fs.rename(part, target))
-      throw new java.io.IOException(
-        s"iceberg-write: could not stage $delRel")
-    fs.delete(tmp, true)
-    val delSize = fs.getFileStatus(target).getLen
-    // content=1 manifest for the delete file; on a partitioned table
-    // the schema carries the partition record (the delete file spans
-    // partitions, so its values are null — paths+positions are the
-    // delete's whole truth)
-    val tableFields = IcebergMeta.schemaFieldsOf(spark, tableDir, None)
-      .getOrElse(Nil).map(f => (f.id.getOrElse(0L), f.name, f.typeStr, !f.required))
-    val delSpec = specOf(spark, tableDir, tableFields)
-    val delTypeOf = tableFields.map(f => f._2 -> f._3).toMap
-    val delPartTypes = delSpec.map(pf =>
-      pf.name -> resultTypeOf(pf, delTypeOf(pf.source)))
-    val delFile0 = Map[String, Any](
-      "content" -> 1, "file_path" -> delRel, "file_format" -> "PARQUET",
-      "record_count" -> meta.numRows, "file_size_in_bytes" -> delSize,
-      "value_counts" -> null, "null_value_counts" -> null,
-      "lower_bounds" -> null, "upper_bounds" -> null)
-    val entry = Map[String, Any]("status" -> 1, "snapshot_id" -> snapshotId,
-      "sequence_number" -> null,
-      "data_file" ->
-        (if (delSpec.isEmpty) delFile0
-         else delFile0 + ("partition" ->
-           delPartTypes.map { case (n, _) => n -> null }.toMap)))
-    val manifestRel = s"metadata/m-$seq.avro"
-    val manifestPath = new Path(tableDir, manifestRel)
-    writeBytesAtomic(fs, manifestPath, Avro.renderOcfGeneric(
-      entrySchemaJson(delPartTypes), Seq(entry),
-      extraMeta = Seq("schema" -> "{}",
-        "partition-spec" -> currentSpecJson(spark, tableDir),
-        "format-version" -> "2")))
+    // stage the delete parquet under data/ (spec file-naming freedom)
+    val staged: Option[(String, Long, Long)] = positions.flatMap { case (p, _) =>
+      val tmp = new Path(fsRoot, s".tmp-del-${java.util.UUID.randomUUID()}")
+      p.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).getOrElse {
+          fs.delete(tmp, true)
+          return snap.id // zero matching rows: no delete file, no snapshot
+        }
+      val meta = ParquetMeta.readFooter(fs, part).getOrElse(
+        throw new java.io.IOException(
+          "iceberg-write: staged delete file has no readable footer"))
+      if (meta.numRows == 0L) {
+        fs.delete(tmp, true)
+        if (newRows.isEmpty || !commitEvenWithoutDeletes) return snap.id
+        None // MERGE with no matches: pure insert
+      } else {
+        val delRel = s"data/delete-$seq.parquet"
+        val target = new Path(fsRoot, delRel)
+        if (!fs.rename(part, target))
+          throw new java.io.IOException(s"iceberg-write: could not stage $delRel")
+        fs.delete(tmp, true)
+        Some((delRel, fs.getFileStatus(target).getLen, meta.numRows))
+      }
+    }
+    val addedData = newRows.map(df =>
+      stageData(spark, fs, df, tableDir, fields, spec)).getOrElse(Nil)
+    if (staged.isEmpty && addedData.isEmpty) return snap.id
+    // the delete file spans partitions, so its partition values are
+    // null — paths+positions are the delete's whole truth
+    val manifests = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Int, Int, Long)] // (rel, content, nFiles, nRows)
+    staged.foreach { case (delRel, delSize, delRows) =>
+      val delFile0 = Map[String, Any](
+        "content" -> 1, "file_path" -> delRel, "file_format" -> "PARQUET",
+        "record_count" -> delRows, "file_size_in_bytes" -> delSize,
+        "value_counts" -> null, "null_value_counts" -> null,
+        "lower_bounds" -> null, "upper_bounds" -> null)
+      val entry = Map[String, Any]("status" -> 1, "snapshot_id" -> snapshotId,
+        "sequence_number" -> null,
+        "data_file" ->
+          (if (spec.isEmpty) delFile0
+           else delFile0 + ("partition" ->
+             partTypes.map { case (n, _) => n -> null }.toMap)))
+      val rel = s"metadata/m-$seq-del.avro"
+      writeBytesAtomic(fs, new Path(tableDir, rel), Avro.renderOcfGeneric(
+        entrySchemaJson(partTypes), Seq(entry),
+        extraMeta = Seq("schema" -> "{}",
+          "partition-spec" -> specFieldsJson(spec, fields),
+          "format-version" -> "2")))
+      manifests += ((rel, 1, 1, delRows))
+    }
+    if (addedData.nonEmpty) {
+      def kv(facts: Seq[(Long, Any)]): Any =
+        if (facts.isEmpty) null
+        else facts.map { case (id, v) =>
+          Map[String, Any]("key" -> id.toInt, "value" -> v)
+        }
+      val entries = addedData.map { case (rel, size, rows, facts, pv) =>
+        val dataFile = Map[String, Any](
+          "content" -> 0, "file_path" -> rel, "file_format" -> "PARQUET",
+          "record_count" -> rows, "file_size_in_bytes" -> size,
+          "value_counts" -> kv(facts.map(c => c.id -> c.valueCount)),
+          "null_value_counts" -> kv(facts.flatMap(c =>
+            c.nullCount.map(c.id -> _))),
+          "lower_bounds" -> kv(facts.flatMap(c => c.lower.map(c.id -> _))),
+          "upper_bounds" -> kv(facts.flatMap(c => c.upper.map(c.id -> _))))
+        Map[String, Any]("status" -> 1, "snapshot_id" -> snapshotId,
+          "sequence_number" -> null,
+          "data_file" ->
+            (if (spec.isEmpty) dataFile
+             else dataFile + ("partition" ->
+               partTypes.map { case (n, _) => n -> pv.getOrElse(n, null) }
+                 .toMap)))
+      }
+      val rel = s"metadata/m-$seq.avro"
+      writeBytesAtomic(fs, new Path(tableDir, rel), Avro.renderOcfGeneric(
+        entrySchemaJson(partTypes), entries,
+        extraMeta = Seq("schema" -> "{}",
+          "partition-spec" -> specFieldsJson(spec, fields),
+          "format-version" -> "2")))
+      manifests += ((rel, 0, addedData.length, addedData.map(_._3).sum))
+    }
     val mlPath = new Path(resolveInTable(tableDir, snap.manifestList))
     val prevRows = IcebergMeta.readOcfFile(fs, mlPath).rows.map {
       case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
       case _ => throw new IllegalArgumentException(
         s"iceberg-write: malformed manifest list ${snap.manifestList}")
     }
-    val newRow = Map[String, Any](
-      "manifest_path" -> manifestRel,
-      "manifest_length" -> fs.getFileStatus(manifestPath).getLen,
-      "partition_spec_id" -> 0, "content" -> 1,
-      "sequence_number" -> seq, "added_snapshot_id" -> snapshotId,
-      "added_files_count" -> 1, "existing_files_count" -> 0,
-      "deleted_files_count" -> 0,
-      "added_rows_count" -> meta.numRows,
-      "existing_rows_count" -> 0L, "deleted_rows_count" -> 0L)
+    val newListRows = manifests.toSeq.map { case (rel, content, nFiles, nRows) =>
+      Map[String, Any](
+        "manifest_path" -> rel,
+        "manifest_length" ->
+          fs.getFileStatus(new Path(tableDir, rel)).getLen,
+        "partition_spec_id" -> 0, "content" -> content,
+        "sequence_number" -> seq, "added_snapshot_id" -> snapshotId,
+        "added_files_count" -> nFiles, "existing_files_count" -> 0,
+        "deleted_files_count" -> 0,
+        "added_rows_count" -> nRows,
+        "existing_rows_count" -> 0L, "deleted_rows_count" -> 0L)
+    }
     val listRel = s"metadata/snap-$snapshotId.avro"
     writeBytesAtomic(fs, new Path(tableDir, listRel),
-      Avro.renderOcfGeneric(ListSchema, prevRows :+ newRow))
-    val fields = IcebergMeta.schemaFieldsOf(spark, tableDir, None)
-      .getOrElse(throw new IllegalArgumentException(
-        s"iceberg-write: metadata under $tableDir carries no schema"))
-      .map(f => (f.id.getOrElse(0L), f.name, f.typeStr, !f.required))
+      Avro.renderOcfGeneric(ListSchema, prevRows ++ newListRows))
     val now = System.currentTimeMillis()
     val snaps = tm.snapshots.map(s => snapJson(s.id, s.parentId,
       s.sequenceNumber.getOrElse(0L), s.timestampMs,
       s.operation.getOrElse("append"), s.manifestList)) :+
-      snapJson(snapshotId, Some(snap.id), seq, now, "delete", listRel)
+      snapJson(snapshotId, Some(snap.id), seq, now, operation, listRel)
     writeMetadataJson(fs, tableDir, tm.uuid, fields, snaps, snapshotId,
-      seq, now, expectVersion, currentSpecJson(spark, tableDir))
+      seq, now, expectVersion, specFieldsJson(spec, fields))
     snapshotId
   }
 

@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.IcebergWrite.PartField
+
+/** Iceberg UPDATE / MERGE ([[IcebergWrite.update]] /
+  * [[IcebergWrite.upsert]]): position-delete + append composed in ONE
+  * snapshot under a shared sequence number — the reader's ordering
+  * gate removes exactly the old row copies, never the re-appended
+  * ones, and NO data file is ever rewritten. Judged against the
+  * Delta door's DML answers on identical fixtures.
+  */
+class IcebergDmlSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(name)
+    java.nio.file.Files.delete(p)
+    p.toString
+  }
+
+  import spark.implicits._
+
+  private def slice(lo: Long, hi: Long) =
+    (lo until hi).map(i => (i, s"row-$i", i % 5)).toDF("id", "txt", "grp")
+      .coalesce(1)
+
+  private def rangeTable(): String = {
+    val t = freshDir("icedml")
+    IcebergWrite.createTable(spark, slice(0, 100), t)
+    IcebergWrite.append(spark, slice(100, 200), t)
+    IcebergWrite.append(spark, slice(200, 300), t)
+    t
+  }
+
+  test("UPDATE: delete + re-append in one snapshot; old data files untouched") {
+    val t = rangeTable()
+    val before = IcebergMeta.files(spark, t)
+      .select("file_path").collect().map(_.getString(0)).toSet
+    val snapId = IcebergWrite.update(spark, t, "id >= 40 AND id < 60",
+      Map("txt" -> "'UPDATED'", "grp" -> "grp + 100"))
+    assert(snapId === 4L)
+    // one new snapshot carrying BOTH manifests at one sequence number
+    val m = IcebergMeta.manifests(spark, t)
+    assert(m.where(col("content") === "deletes").count() === 1L)
+    val live = IcebergMeta.files(spark, t)
+      .select("file_path").collect().map(_.getString(0)).toSet
+    assert(before.subsetOf(live)) // originals still live, plus the appended file
+    assert((live -- before).size === 1)
+    // content: matched rows carry the new values exactly once
+    val got = IcebergMeta.readTable(spark, t).orderBy("id").collect()
+    assert(got.length === 300)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      if (id >= 40 && id < 60) {
+        assert(r.getString(1) === "UPDATED")
+        assert(r.getLong(2) === id % 5 + 100)
+      } else {
+        assert(r.getString(1) === s"row-$id")
+        assert(r.getLong(2) === id % 5)
+      }
+    }
+    // Delta-door equality on the same fixture
+    val t2 = freshDir("icedml")
+    DeltaWrite.createTable(spark,
+      (0L until 300L).map(i => (i, s"row-$i", i % 5)).toDF("id", "txt", "grp"), t2)
+    DeltaWrite.update(spark, t2, "id >= 40 AND id < 60",
+      Map("txt" -> "'UPDATED'", "grp" -> "grp + 100"))
+    val a = got.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val b = DeltaLog.readTable(spark, t2).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(a === b)
+    // no-match UPDATE commits nothing
+    assert(IcebergWrite.update(spark, t, "id = 99999",
+      Map("txt" -> "'X'")) === 4L)
+  }
+
+  test("MERGE upsert: replace matched, insert new, prune by key range") {
+    val t = rangeTable()
+    val src = Seq(
+      (50L, "replaced-50", 0L),
+      (150L, "replaced-150", 1L),
+      (400L, "inserted-400", 2L))
+      .toDF("id", "txt", "grp")
+    val snapId = IcebergWrite.upsert(spark, src, t, Seq("id"))
+    assert(snapId === 4L)
+    val got = IcebergMeta.readTable(spark, t).orderBy("id").collect()
+    assert(got.length === 301)
+    assert(got.find(_.getLong(0) == 50L).get.getString(1) === "replaced-50")
+    assert(got.find(_.getLong(0) == 150L).get.getString(1) === "replaced-150")
+    assert(got.find(_.getLong(0) == 400L).get.getString(1) === "inserted-400")
+    assert(got.count(_.getString(1).startsWith("row-")) === 298)
+    // duplicate source keys fail loud
+    intercept[IllegalArgumentException] {
+      IcebergWrite.upsert(spark,
+        Seq((1L, "a", 0L), (1L, "b", 0L)).toDF("id", "txt", "grp"), t, Seq("id"))
+    }
+  }
+
+  test("MERGE with no matched keys is a pure insert (no delete file)") {
+    val t = rangeTable()
+    IcebergWrite.upsert(spark,
+      Seq((500L, "new", 0L)).toDF("id", "txt", "grp"), t, Seq("id"))
+    val m = IcebergMeta.manifests(spark, t)
+    assert(m.where(col("content") === "deletes").count() === 0L)
+    assert(IcebergMeta.readTable(spark, t).count() === 301L)
+  }
+
+  test("UPDATE on a partitioned table restages into the right partitions") {
+    val t = freshDir("icedml")
+    IcebergWrite.createTable(spark, slice(0, 100), t,
+      spec = Seq(PartField("grp", "identity")))
+    IcebergWrite.update(spark, t, "id < 10", Map("grp" -> "CAST(7 AS BIGINT)"))
+    val got = IcebergMeta.readTable(spark, t).orderBy("id").collect()
+    assert(got.length === 100)
+    assert(got.take(10).forall(_.getLong(2) == 7L))
+    // the re-appended rows land in the grp=7 partition, prunable
+    val rep = IcebergMeta.skippingReport(spark, t, "grp = 7")
+    val keptRows = IcebergMeta.readTableWhere(spark, t, "grp = 7")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptRows === (0L until 10L))
+    assert(rep.where(col("kept")).count() < rep.count())
+  }
+
+  test("updated rows survive snapshot expiry + orphan removal") {
+    val t = rangeTable()
+    IcebergWrite.update(spark, t, "id = 5", Map("txt" -> "'five'"))
+    IcebergWrite.expireSnapshots(spark, t, keepLast = 1)
+    IcebergWrite.removeOrphanFiles(spark, t, olderThanMs = 0L)
+    val got = IcebergMeta.readTable(spark, t).orderBy("id").collect()
+    assert(got.length === 300)
+    assert(got(5).getString(1) === "five")
+  }
+}
