@@ -4474,6 +4474,23 @@ object PipelineQueries extends QuerySet {
       graft.sources.IcebergMeta.readTable(s, t).orderBy("n_nationkey")
     }),
 
+    // Change Data Feed: DML under delta.enableChangeDataFeed emits CDC
+    // parquet (cdc actions in the same commit) and changeFeed() serves
+    // row-grain pre/post images + deletes, each stamped with its
+    // commit version — the full CDC consumption contract, oracled.
+    "q313_delta_cdf" -> ((s, dir) => {
+      val t = freshTmpDir("delta_cdf")
+      val nation = graft.Tables.load(s, dir, "nation")
+      graft.sources.DeltaWrite.createTable(s, nation, t)
+      graft.sources.DeltaWrite.setProperties(s, t,
+        Map("delta.enableChangeDataFeed" -> "true"))
+      graft.sources.DeltaWrite.update(s, t, "n_regionkey = 2",
+        Map("n_name" -> "'REDACTED'"))
+      graft.sources.DeltaWrite.delete(s, t, "n_nationkey = 0")
+      graft.sources.DeltaLog.changeFeed(s, t, sinceVersion = 1L)
+        .orderBy("_commit_version", "_change_type", "n_nationkey")
+    }),
+
     // Delta RENAME COLUMN (q307's Delta twin, via column mapping):
     // enabling mapping stamps every field with a stable physical name,
     // the rename is a metadata-only commit, and files written before
@@ -5862,6 +5879,22 @@ object PipelineQueries extends QuerySet {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey > (SELECT max(o_orderkey) // 8 FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    "q313_delta_cdf" ->
+      """SELECT * FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey,
+        |         'update_preimage' AS _change_type,
+        |         CAST(2 AS BIGINT) AS _commit_version
+        |  FROM nation WHERE n_regionkey = 2
+        |  UNION ALL
+        |  SELECT n_nationkey, 'REDACTED', n_regionkey,
+        |         'update_postimage', 2
+        |  FROM nation WHERE n_regionkey = 2
+        |  UNION ALL
+        |  SELECT n_nationkey,
+        |         CASE WHEN n_regionkey = 2 THEN 'REDACTED' ELSE n_name END,
+        |         n_regionkey, 'delete', 3
+        |  FROM nation WHERE n_nationkey = 0)
+        |ORDER BY _commit_version, _change_type, n_nationkey""".stripMargin,
     "q312_iceberg_update" ->
       """SELECT o_orderkey,
         |       CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 1.1

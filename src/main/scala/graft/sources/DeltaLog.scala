@@ -106,7 +106,15 @@ object DeltaLog {
     StructField("txn", StructType(Seq(
       StructField("appId", StringType),
       StructField("version", LongType),
-      StructField("lastUpdated", LongType))))))
+      StructField("lastUpdated", LongType)))),
+    // Change Data Feed file action (PROTOCOL.md "Add CDC File"): the
+    // per-commit row-level change parquet under _change_data/ — never
+    // part of the table's live file set
+    StructField("cdc", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("dataChange", BooleanType))))))
 
   private val CommitName = "([0-9]{20})\\.json".r
 
@@ -358,7 +366,8 @@ object DeltaLog {
       .select(col("version"), col("ordinal"),
         col("a.add").as("add"), col("a.remove").as("remove"),
         col("a.metaData").as("metaData"), col("a.protocol").as("protocol"),
-        col("a.commitInfo").as("commitInfo"), col("a.txn").as("txn"))
+        col("a.commitInfo").as("commitInfo"), col("a.txn").as("txn"),
+        col("a.cdc").as("cdc"))
 
   /** The live file set at `asOf` (or the latest version): action
     * reconciliation — last file action per path wins (a later add with
@@ -901,6 +910,134 @@ object DeltaLog {
           col(s"_part_${f.name}").cast(f.dataType).as(f.name)
         else col(f.name)
       } :+ col("_commit_version"): _*)
+  }
+
+  /** The CHANGE DATA FEED for commits in `(sinceVersion, untilVersion]`
+    * — row-grain changes with `_change_type` (insert / delete /
+    * update_preimage / update_postimage) and `_commit_version`.
+    * Commits that wrote CDC files (DML under
+    * `delta.enableChangeDataFeed`, [[DeltaWrite]]) serve them
+    * verbatim; commits without CDC fall back to the derivable cases —
+    * dataChange adds are inserts, dataChange removes are deletes (the
+    * removed files re-read) — and a commit that mixes dataChange adds
+    * AND removes with no CDC files fails loud (its row-grain truth is
+    * unrecoverable, and guessing would corrupt every downstream
+    * consumer). Layout-only commits (dataChange=false) are invisible.
+    */
+  def changeFeed(spark: SparkSession, tableDir: String, sinceVersion: Long,
+                 untilVersion: Option[Long] = None): DataFrame = {
+    val (schema, partCols, mode, _) = tableState(spark, tableDir, untilVersion)
+    def physicalOf(f: StructField): String = physicalName(mode, f)
+    val latest = untilVersion.getOrElse(
+      (listCommits(spark, tableDir).lastOption.map(_._1) ++
+        lastCheckpoint(spark, tableDir).map(_._1)).maxOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"deltalog: no table at $tableDir")))
+    val acts = windowActions(spark, tableDir, sinceVersion, latest)
+    val fileActs = acts.where(col("add.path").isNotNull ||
+        col("remove.path").isNotNull || col("cdc.path").isNotNull)
+      .select(col("version"),
+        col("add.path").as("addPath"),
+        coalesce(col("add.dataChange"), lit(true)).as("addChange"),
+        col("add.partitionValues").as("addPv"),
+        col("remove.path").as("removePath"),
+        coalesce(col("remove.dataChange"), lit(true)).as("removeChange"),
+        col("cdc.path").as("cdcPath"))
+      .collect()
+    val cdcVersions = fileActs.filter(r => !r.isNullAt(6))
+      .map(_.getLong(0)).toSet
+    // (path, version, change type, partitionValues) per scanned file
+    final case class Src(rel: String, version: Long, change: Option[String],
+                         pv: Map[String, String])
+    val sources = fileActs.toSeq.flatMap { r =>
+      val v = r.getLong(0)
+      if (cdcVersions.contains(v)) {
+        if (r.isNullAt(6)) None
+        else Some(Src(r.getString(6), v, None, Map.empty))
+      } else if (!r.isNullAt(1) && r.getBoolean(2)) {
+        val pv =
+          if (r.isNullAt(3)) Map.empty[String, String]
+          else r.getMap[String, String](3).toMap
+        Some(Src(r.getString(1), v, Some("insert"), pv))
+      } else if (!r.isNullAt(4) && r.getBoolean(5)) {
+        // a remove's partitionValues are not recorded on the action;
+        // recover them from the file's LAST add in the full log
+        Some(Src(r.getString(4), v, Some("delete"), Map.empty))
+      } else None
+    }
+    // loud on underivable commits: dataChange adds AND removes, no CDC
+    sources.groupBy(_.version).foreach { case (v, ss) =>
+      if (!cdcVersions.contains(v) &&
+          ss.exists(_.change.contains("insert")) &&
+          ss.exists(_.change.contains("delete")))
+        throw new IllegalArgumentException(
+          s"deltalog: commit $v at $tableDir mixes dataChange adds and " +
+            "removes without CDC files — its row-grain changes are not " +
+            "derivable (enable delta.enableChangeDataFeed for DML commits)")
+    }
+    val outFields = schema.fields.toSeq :+
+      StructField("_change_type", StringType, nullable = false) :+
+      StructField("_commit_version", LongType, nullable = false)
+    if (sources.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(outFields))
+    // removed files' partition values: last add in the log
+    val removedRels = sources.filter(_.change.contains("delete")).map(_.rel).toSet
+    val removedPv: Map[String, Map[String, String]] =
+      if (removedRels.isEmpty || partCols.isEmpty) Map.empty
+      else {
+        val w = Window.partitionBy(coalesce(col("add.path"), col("remove.path")))
+          .orderBy(col("version").desc, col("ordinal").desc)
+        actions(spark, tableDir)
+          .where(col("add.path").isin(removedRels.toSeq: _*))
+          .withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1)
+          .select(col("add.path"), col("add.partitionValues"))
+          .collect().map { r =>
+            r.getString(0) ->
+              (if (r.isNullAt(1)) Map.empty[String, String]
+               else r.getMap[String, String](1).toMap)
+          }.toMap
+      }
+    val fsRoot = new Path(tableDir)
+    val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mapRows = sources.map { s =>
+      val q = fs.makeQualified(new Path(fsRoot, s.rel))
+      val pv = if (s.change.contains("delete")) removedPv.getOrElse(s.rel, s.pv)
+               else s.pv
+      org.apache.spark.sql.Row.fromSeq(
+        q.toUri.getRawPath +: s.version +: s.change.orNull +:
+          partCols.map(c => pv.getOrElse(c, null)))
+    }
+    val mapSchema = StructType(
+      StructField("_uri_path", StringType, nullable = false) +:
+        StructField("_commit_version", LongType, nullable = false) +:
+        StructField("_derived_type", StringType, nullable = true) +:
+        partCols.map(c => StructField(s"_part_$c", StringType, nullable = true)))
+    val mapping = spark.createDataFrame(
+      spark.sparkContext.parallelize(mapRows, 1), mapSchema)
+    val dataFields = schema.fields.filterNot(f => partCols.contains(f.name))
+    // CDC files carry _change_type; data files don't — scan both with
+    // an optional _change_type column and coalesce with the derived type
+    val physSchema = StructType(dataFields.toSeq.map(f =>
+      StructField(physicalOf(f), f.dataType, nullable = true)) :+
+      StructField("_change_type", StringType, nullable = true))
+    val raw = spark.read.schema(physSchema)
+      .parquet(sources.map(s =>
+        fs.makeQualified(new Path(fsRoot, s.rel)).toString).distinct: _*)
+      .select(dataFields.toSeq.map(f => col(s"`${physicalOf(f)}`").as(f.name)) ++
+        Seq(col("_change_type").as("_file_change_type"),
+          UriPaths.pathOnly(col("_metadata.file_path")).as("_uri_path")): _*)
+    raw.join(broadcast(mapping), Seq("_uri_path"), "inner")
+      .select(schema.fields.toSeq.map { f =>
+        if (partCols.contains(f.name))
+          col(s"_part_${f.name}").cast(f.dataType).as(f.name)
+        else col(f.name)
+      } ++ Seq(
+        coalesce(col("_file_change_type"), col("_derived_type"))
+          .as("_change_type"),
+        col("_commit_version")): _*)
   }
 
   /** Latest-wins table metadata at `asOf`: (schemaString,

@@ -246,6 +246,63 @@ object DeltaWrite {
     version
   }
 
+  /** SET table properties (the ALTER TABLE SET TBLPROPERTIES shape): a
+    * metadata-only commit merging `props` into the configuration.
+    * `delta.enableChangeDataFeed=true` turns on CDC-file emission for
+    * every subsequent DML ([[DeltaLog.changeFeed]]).
+    */
+  def setProperties(spark: SparkSession, tableDir: String,
+                    props: Map[String, String]): Long = {
+    require(props.nonEmpty, "deltawrite: setProperties needs properties")
+    val fs = fileSystem(spark, tableDir)
+    val version = nextVersion(spark, tableDir)
+    val meta = fullMetaOf(spark, tableDir)
+    val now = System.currentTimeMillis()
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":$now,"operation":"SET TBLPROPERTIES"}}""",
+      metaLine(meta, meta.schema, meta.configuration ++ props))
+    commitAtomic(fs, tableDir, version, lines)
+    version
+  }
+
+  // -------------------------------------------------- change data feed
+
+  private def cdfEnabled(meta: TableMeta): Boolean =
+    meta.configuration.get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** Stage `changeRows` (table columns + `_change_type`) as CDC parquet
+    * under `_change_data/` and return the commit's `cdc` action lines.
+    * Data lands before the commit, like every other staged file; under
+    * column mapping the change files carry the physical names (the
+    * protocol's rule — `_change_type` itself is never mapped).
+    */
+  private def stageCdf(spark: SparkSession, fs: FileSystem, tableDir: String,
+                       meta: TableMeta, schema: StructType,
+                       changeRows: DataFrame): Seq[String] = {
+    val mode = meta.configuration.getOrElse("delta.columnMapping.mode", "none")
+    val out = changeRows.select(schema.fields.toSeq.map(f =>
+      col(s"`${f.name}`").as(physNameOf(mode, f))) :+
+      col("_change_type"): _*)
+    val fsRoot = new Path(tableDir)
+    val cdDir = new Path(fsRoot, "_change_data")
+    fs.mkdirs(cdDir)
+    val tmp = new Path(fsRoot, s".tmp-cdc-${java.util.UUID.randomUUID()}")
+    out.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val parts = fs.listStatus(tmp).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val lines = parts.zipWithIndex.map { case (p, i) =>
+      val rel = s"_change_data/cdc-${java.util.UUID.randomUUID()}-$i.parquet"
+      val target = new Path(fsRoot, rel)
+      if (!fs.rename(p, target))
+        throw new java.io.IOException(s"deltawrite: could not stage $rel")
+      s"""{"cdc":{"path":${jstr(rel)},"partitionValues":{},""" +
+        s""""size":${fs.getFileStatus(target).getLen},"dataChange":false}}"""
+    }
+    fs.delete(tmp, true)
+    lines
+  }
+
   /** DROP a CHECK constraint (metadata commit; unknown name fails loud). */
   def dropConstraint(spark: SparkSession, tableDir: String,
                      name: String): Long = {
@@ -276,9 +333,10 @@ object DeltaWrite {
     * commit).
     */
   def delete(spark: SparkSession, tableDir: String, condition: String): Long =
-    rewriteTouched(spark, tableDir, condition, "DELETE") { rows =>
-      rows.where(!coalesce(expr(condition), lit(false)))
-    }
+    rewriteTouched(spark, tableDir, condition, "DELETE")(
+      rows => rows.where(!coalesce(expr(condition), lit(false))),
+      matched => matched.drop("_rel_path", "_row_index")
+        .withColumn("_change_type", lit("delete")))
 
   /** Row-level DELETE via DELETION VECTORS — the O(bitmap) point-delete
     * path: no data file is rewritten; instead each touched file's add
@@ -376,6 +434,13 @@ object DeltaWrite {
             s""""cardinality":${bitmaps(p)._2}}""")
         }.toMap
       }
+    val meta = fullMetaOf(spark, tableDir)
+    val cdcLines =
+      if (!cdfEnabled(meta)) Nil
+      else stageCdf(spark, fs, tableDir, meta, meta.schema,
+        candidates.where(coalesce(expr(condition), lit(false)))
+          .drop("_rel_path", "_row_index")
+          .withColumn("_change_type", lit("delete")))
     def descriptorOf(p: String): String =
       fileDescr.getOrElse(p, {
         val (data, card) = bitmaps(p)
@@ -398,7 +463,7 @@ object DeltaWrite {
             s""""size":$size,"modificationTime":$mtime,"dataChange":true,""" +
             stats.map(st => s""""stats":${jstr(st)},""").getOrElse("") +
             s""""deletionVector":${descriptorOf(p)}}}"""
-        }
+        } ++ cdcLines
     commitWithRebase(spark, fs, tableDir, version, "DELETE", touched, lines,
       conflictOnAdds = true)
   }
@@ -418,17 +483,29 @@ object DeltaWrite {
         throw new IllegalArgumentException(
           s"deltawrite: UPDATE sets unknown column $c")
     }
-    rewriteTouched(spark, tableDir, condition, "UPDATE") { rows =>
-      val matched = coalesce(expr(condition), lit(false))
-      rows.select(schema.fields.toSeq.map { f =>
-        set.get(f.name) match {
-          case Some(e) =>
-            when(matched, expr(e).cast(f.dataType)).otherwise(col(f.name))
-              .as(f.name)
-          case None => col(f.name)
-        }
-      } :+ col("_rel_path"): _*)
-    }
+    rewriteTouched(spark, tableDir, condition, "UPDATE")(
+      rows => {
+        val matched = coalesce(expr(condition), lit(false))
+        rows.select(schema.fields.toSeq.map { f =>
+          set.get(f.name) match {
+            case Some(e) =>
+              when(matched, expr(e).cast(f.dataType)).otherwise(col(f.name))
+                .as(f.name)
+            case None => col(f.name)
+          }
+        } :+ col("_rel_path"): _*)
+      },
+      matched => {
+        val pre = matched.drop("_rel_path", "_row_index")
+          .withColumn("_change_type", lit("update_preimage"))
+        val post = matched.select(schema.fields.toSeq.map { f =>
+          set.get(f.name) match {
+            case Some(e) => expr(e).cast(f.dataType).as(f.name)
+            case None    => col(f.name)
+          }
+        }: _*).withColumn("_change_type", lit("update_postimage"))
+        pre.unionByName(post)
+      })
   }
 
   /** MERGE as UPSERT: target rows whose `keys` match a source row are
@@ -485,10 +562,31 @@ object DeltaWrite {
     // rewrite replaces n files with ~n, not with one-per-shuffle-task
     val result = src.unionByName(carried)
       .coalesce(math.max(1, touched.size))
+    val cdcLines =
+      if (!cdfEnabled(meta)) Nil
+      else {
+        val matchedTarget =
+          if (touched.isEmpty) spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(schema.fields))
+          else live.where(col("_rel_path").isin(touched: _*))
+            .join(broadcast(src.select(keys.map(col): _*)), keys, "left_semi")
+            .select(schema.fieldNames.map(col): _*)
+        val matchedKeys = matchedTarget.select(keys.map(col): _*)
+        val pre = matchedTarget
+          .withColumn("_change_type", lit("update_preimage"))
+        val post = src.join(broadcast(matchedKeys), keys, "left_semi")
+          .withColumn("_change_type", lit("update_postimage"))
+        val ins = src.join(broadcast(matchedKeys), keys, "left_anti")
+          .withColumn("_change_type", lit("insert"))
+        stageCdf(spark, fs, tableDir, meta, schema,
+          pre.unionByName(post).unionByName(ins))
+      }
     val adds = stageData(spark, fs, toPhysical(result, meta, schema),
       tableDir, partCols)
     val committed = commitWithRebase(spark, fs, tableDir, version, "MERGE",
-      touched, commitLines("MERGE", touched, adds), conflictOnAdds = true)
+      touched, commitLines("MERGE", touched, adds) ++ cdcLines,
+      conflictOnAdds = true)
     src.unpersist()
     committed
   }
@@ -621,11 +719,15 @@ object DeltaWrite {
     * actually touches (stats-pruned, then a per-file match count over
     * only the candidates), rewrite those files through `transform`
     * (which sees the table columns + `_rel_path` and returns the same),
-    * and commit remove+add. No touched files → no commit.
+    * and commit remove+add. With `delta.enableChangeDataFeed`,
+    * `changeRows` (over the MATCHED candidate rows) stages the CDC
+    * parquet whose cdc actions ride the same commit. No touched files
+    * → no commit.
     */
   private def rewriteTouched(spark: SparkSession, tableDir: String,
                              condition: String, operation: String)
-                            (transform: DataFrame => DataFrame): Long = {
+                            (transform: DataFrame => DataFrame,
+                             changeRows: DataFrame => DataFrame): Long = {
     val fs = fileSystem(spark, tableDir)
     val version = nextVersion(spark, tableDir)
     val meta = fullMetaOf(spark, tableDir)
@@ -636,15 +738,20 @@ object DeltaWrite {
       .where(coalesce(expr(condition), lit(false)))
       .select("_rel_path").distinct().collect().map(_.getString(0)).toSeq.sorted
     if (touched.isEmpty) return version - 1
-    val rewritten = transform(
-        candidates.where(col("_rel_path").isin(touched: _*)))
+    val inTouched = candidates.where(col("_rel_path").isin(touched: _*))
+    val rewritten = transform(inTouched)
       .select(schema.fieldNames.map(col): _*)
       .coalesce(touched.size) // n touched files rewrite into ~n
     enforceConstraints(meta, rewritten) // an UPDATE can introduce violations
+    val cdcLines =
+      if (!cdfEnabled(meta)) Nil
+      else stageCdf(spark, fs, tableDir, meta, schema,
+        changeRows(inTouched.where(coalesce(expr(condition), lit(false)))))
     val adds = stageData(spark, fs, toPhysical(rewritten, meta, schema),
       tableDir, partCols)
     commitWithRebase(spark, fs, tableDir, version, operation, touched,
-      commitLines(operation, touched, adds), conflictOnAdds = true)
+      commitLines(operation, touched, adds) ++ cdcLines,
+      conflictOnAdds = true)
   }
 
   /** The next commit version: after the latest JSON commit OR the
@@ -1056,7 +1163,14 @@ object DeltaWrite {
           s"deltawrite: staged file $rel has no readable parquet footer"))
       rel -> DeltaStats.statsJson(m, dataSchema)
     }.collect().toMap
-    moved.sortBy(_._1).map { case (rel, size, mtime, pv) =>
+    // a 0-row part file (an empty task of a rewrite whose survivors all
+    // dropped) is noise: no reader needs it, and a whole-file DELETE
+    // would otherwise commit an empty add instead of a clean remove
+    val (kept, empty) = moved.partition { case (rel, _, _, _) =>
+      !stats(rel).startsWith("""{"numRecords":0""") }
+    empty.foreach { case (rel, _, _, _) =>
+      fs.delete(new Path(fsRoot, rel), false) }
+    kept.sortBy(_._1).map { case (rel, size, mtime, pv) =>
       Staged(rel, size, mtime, stats(rel), pv)
     }
   }

@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Change Data Feed: DML under `delta.enableChangeDataFeed` emits CDC
+  * parquet under `_change_data/` (cdc actions in the same commit), and
+  * [[DeltaLog.changeFeed]] serves row-grain changes — CDC files
+  * verbatim, append commits derived as inserts, underivable mixed
+  * commits loud.
+  */
+class DeltaCdfSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(name)
+    java.nio.file.Files.delete(p)
+    p.toString
+  }
+
+  import spark.implicits._
+
+  private def slice(lo: Long, hi: Long) =
+    (lo until hi).map(i => (i, s"row-$i")).toDF("id", "txt").coalesce(1)
+
+  private def cdfTable(): String = {
+    val t = freshDir("deltacdf")
+    DeltaWrite.createTable(spark, slice(0, 100), t)           // v0
+    DeltaWrite.setProperties(spark, t,
+      Map("delta.enableChangeDataFeed" -> "true"))            // v1
+    t
+  }
+
+  test("UPDATE emits update_preimage/postimage; changeFeed serves them") {
+    val t = cdfTable()
+    DeltaWrite.update(spark, t, "id < 3", Map("txt" -> "'X'")) // v2
+    val got = DeltaLog.changeFeed(spark, t, sinceVersion = 1L)
+      .orderBy("_change_type", "id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (0L, "X", "update_postimage", 2L),
+      (1L, "X", "update_postimage", 2L),
+      (2L, "X", "update_postimage", 2L),
+      (0L, "row-0", "update_preimage", 2L),
+      (1L, "row-1", "update_preimage", 2L),
+      (2L, "row-2", "update_preimage", 2L)))
+    // the CDC files live under _change_data/ and never join the table
+    assert(new java.io.File(t, "_change_data").listFiles()
+      .count(_.getName.endsWith(".parquet")) === 1)
+    assert(DeltaLog.readTable(spark, t).count() === 100L)
+  }
+
+  test("DELETE (rewrite and DV mode) emits delete rows") {
+    val t = cdfTable()
+    DeltaWrite.delete(spark, t, "id = 7")                       // v2 rewrite
+    DeltaWrite.deleteDv(spark, t, "id = 9")                     // v3 DV
+    val got = DeltaLog.changeFeed(spark, t, sinceVersion = 1L)
+      .where(col("_change_type") === "delete")
+      .select("id", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq === Seq((7L, 2L), (9L, 3L)))
+    // the rewrite commit also re-adds survivors — CDC supersedes the
+    // derivation, so no phantom inserts appear
+    assert(DeltaLog.changeFeed(spark, t, sinceVersion = 1L)
+      .where(col("_change_type") =!= "delete").count() === 0L)
+  }
+
+  test("MERGE emits insert + update_preimage/postimage") {
+    val t = cdfTable()
+    val src = Seq((5L, "five"), (500L, "new")).toDF("id", "txt")
+    DeltaWrite.upsert(spark, src, t, Seq("id"))                 // v2
+    val got = DeltaLog.changeFeed(spark, t, sinceVersion = 1L)
+      .select("id", "txt", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(x => (x._3, x._1))
+    assert(got.toSeq === Seq(
+      (500L, "new", "insert"),
+      (5L, "five", "update_postimage"),
+      (5L, "row-5", "update_preimage")))
+  }
+
+  test("appends derive as inserts; mixed commits without CDC are loud") {
+    val t = freshDir("deltacdf")
+    DeltaWrite.createTable(spark, slice(0, 10), t)              // v0
+    DeltaWrite.append(spark, slice(10, 20), t)                  // v1
+    val ins = DeltaLog.changeFeed(spark, t, sinceVersion = 0L)
+      .select("id", "_change_type", "_commit_version").collect()
+    assert(ins.forall(r => r.getString(1) == "insert" && r.getLong(2) == 1L))
+    assert(ins.map(_.getLong(0)).sorted.toSeq === (10L until 20L))
+    // layout-only commits are invisible
+    DeltaWrite.append(spark, slice(20, 30), t)                  // v2
+    DeltaOptimize.optimize(spark, t)                            // v3
+    assert(DeltaLog.changeFeed(spark, t, sinceVersion = 2L).count() === 0L)
+    // a DML without CDF enabled mixes adds+removes: underivable, loud
+    DeltaWrite.delete(spark, t, "id = 5")                       // v4
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.changeFeed(spark, t, sinceVersion = 3L).collect()
+    }
+    assert(e.getMessage.contains("not") &&
+      e.getMessage.contains("derivable"))
+    // a remove-only commit (full-file delete) derives as deletes
+    val t2 = freshDir("deltacdf")
+    DeltaWrite.createTable(spark, slice(0, 10), t2)             // v0
+    DeltaWrite.append(spark, slice(10, 20), t2)                 // v1
+    DeltaWrite.delete(spark, t2, "id >= 10 AND id < 20")        // v2: whole file
+    val dels = DeltaLog.changeFeed(spark, t2, sinceVersion = 1L)
+      .select("id", "_change_type").collect()
+    assert(dels.forall(_.getString(1) == "delete"))
+    assert(dels.map(_.getLong(0)).sorted.toSeq === (10L until 20L))
+  }
+}
