@@ -4491,6 +4491,25 @@ object PipelineQueries extends QuerySet {
         .orderBy("_commit_version", "_change_type", "n_nationkey")
     }),
 
+    // V2 checkpoint WRITE (q287 closed the read half): our writer's
+    // UUID-named main + parquet sidecars replay the FULL table state
+    // after every JSON commit is expired — metaData, file set, and a
+    // post-cleanup append all served through the v2 baseline.
+    "q314_delta_v2_checkpoint_write" -> ((s, dir) => {
+      val t = freshTmpDir("delta_v2_write")
+      val nation = graft.Tables.load(s, dir, "nation")
+      graft.sources.DeltaWrite.createTable(s,
+        nation.where("n_regionkey <= 1"), t)
+      graft.sources.DeltaWrite.append(s, nation.where("n_regionkey = 2"), t)
+      graft.sources.DeltaWrite.delete(s, t, "n_nationkey = 0")
+      graft.sources.DeltaWrite.checkpointV2(s, t, sidecarParts = 2)
+      val log = java.nio.file.Paths.get(t, "_delta_log")
+      (0L to 2L).foreach(i =>
+        java.nio.file.Files.delete(log.resolve(f"$i%020d.json")))
+      graft.sources.DeltaWrite.append(s, nation.where("n_regionkey = 3"), t)
+      graft.sources.DeltaLog.readTable(s, t).orderBy("n_nationkey")
+    }),
+
     // Delta RENAME COLUMN (q307's Delta twin, via column mapping):
     // enabling mapping stamps every field with a stable physical name,
     // the rename is a metadata-only commit, and files written before
@@ -5879,6 +5898,10 @@ object PipelineQueries extends QuerySet {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey > (SELECT max(o_orderkey) // 8 FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    "q314_delta_v2_checkpoint_write" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey <= 3 AND n_nationkey <> 0
+        |ORDER BY n_nationkey""".stripMargin,
     "q313_delta_cdf" ->
       """SELECT * FROM (
         |  SELECT n_nationkey, n_name, n_regionkey,

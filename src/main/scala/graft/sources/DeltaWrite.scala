@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Delta-format WRITER — the transaction-log door's other half, per the
   * PUBLIC Delta protocol (github.com/delta-io/delta `PROTOCOL.md`). A
@@ -861,6 +861,60 @@ object DeltaWrite {
       } ++ adds.map(addLine(_, now, dataChange))
   }
 
+  /** The reconciled checkpoint state at version `v`: (live adds, last
+    * metaData, last protocol, latest txn per appId) — each as a one-
+    * column DataFrame of its action struct. The protocol directs
+    * checkpoints to carry each appId's LATEST txn: without it, log
+    * cleanup would reset every idempotent writer's high-water mark to
+    * "never wrote".
+    */
+  private def checkpointState(spark: SparkSession, tableDir: String, v: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val acts = DeltaLog.actions(spark, tableDir, Some(v))
+    val w = Window
+      .partitionBy(coalesce(col("add.path"), col("remove.path")))
+      .orderBy(col("version").desc, col("ordinal").desc)
+    val liveAdds = acts
+      .where(col("add.path").isNotNull || col("remove.path").isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1 && col("add.path").isNotNull)
+      .select(col("add"))
+    val lastMeta = acts.where(col("metaData.id").isNotNull)
+      .orderBy(col("version").desc, col("ordinal").desc).limit(1)
+      .select(col("metaData"))
+    val lastProto = acts.where(col("protocol.minReaderVersion").isNotNull)
+      .orderBy(col("version").desc, col("ordinal").desc).limit(1)
+      .select(col("protocol"))
+    val wTxn = Window.partitionBy(col("txn.appId"))
+      .orderBy(col("version").desc, col("ordinal").desc)
+    val lastTxns = acts.where(col("txn.appId").isNotNull)
+      .withColumn("_rn", row_number().over(wTxn))
+      .where(col("_rn") === 1)
+      .select(col("txn"))
+    (liveAdds, lastMeta, lastProto, lastTxns)
+  }
+
+  /** Spark-write a one-part parquet of `df` and move it to `target`
+    * atomically; loud when the target exists. Returns the row count.
+    */
+  private def writeParquetTo(spark: SparkSession, fs: FileSystem,
+                             df: DataFrame, target: Path): Long = {
+    val tmpOut = new Path(target.getParent,
+      s".cp-${java.util.UUID.randomUUID()}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    val part = fs.listStatus(tmpOut).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).getOrElse(
+        throw new java.io.IOException(
+          "deltawrite: checkpoint write produced no parquet"))
+    if (fs.exists(target) || !fs.rename(part, target)) {
+      fs.delete(tmpOut, true)
+      throw new java.io.IOException(
+        s"deltawrite: checkpoint target $target already exists")
+    }
+    fs.delete(tmpOut, true)
+    df.count()
+  }
+
   /** Write a classic SINGLE-PART checkpoint at the latest version: the
     * reconciled state (live adds, last metaData, last protocol) as one
     * parquet, then `_last_checkpoint`. Returns the checkpointed version.
@@ -870,54 +924,103 @@ object DeltaWrite {
     val v = DeltaLog.listCommits(spark, tableDir).lastOption.map(_._1)
       .getOrElse(throw new IllegalArgumentException(
         s"deltawrite: no table at $tableDir"))
-    val acts = DeltaLog.actions(spark, tableDir, Some(v))
+    val (liveAdds, lastMeta, lastProto, lastTxns) =
+      checkpointState(spark, tableDir, v)
     def nul(field: String) =
       lit(null).cast(DeltaLog.actionSchema(field).dataType).as(field)
-    val w = Window
-      .partitionBy(coalesce(col("add.path"), col("remove.path")))
-      .orderBy(col("version").desc, col("ordinal").desc)
-    val liveAdds = acts
-      .where(col("add.path").isNotNull || col("remove.path").isNotNull)
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1 && col("add.path").isNotNull)
+    val state = liveAdds
       .select(col("add"), nul("remove"), nul("metaData"), nul("protocol"),
         nul("txn"))
-    val lastMeta = acts.where(col("metaData.id").isNotNull)
-      .orderBy(col("version").desc, col("ordinal").desc).limit(1)
-      .select(nul("add"), nul("remove"), col("metaData"), nul("protocol"),
-        nul("txn"))
-    val lastProto = acts.where(col("protocol.minReaderVersion").isNotNull)
-      .orderBy(col("version").desc, col("ordinal").desc).limit(1)
-      .select(nul("add"), nul("remove"), nul("metaData"), col("protocol"),
-        nul("txn"))
-    // the protocol directs checkpoints to carry each appId's LATEST
-    // txn — without it, log cleanup would reset every idempotent
-    // writer's high-water mark to "never wrote"
-    val wTxn = Window.partitionBy(col("txn.appId"))
-      .orderBy(col("version").desc, col("ordinal").desc)
-    val lastTxns = acts.where(col("txn.appId").isNotNull)
-      .withColumn("_rn", row_number().over(wTxn))
-      .where(col("_rn") === 1)
-      .select(nul("add"), nul("remove"), nul("metaData"), nul("protocol"),
-        col("txn"))
-    val state = liveAdds.unionByName(lastMeta).unionByName(lastProto)
-      .unionByName(lastTxns)
+      .unionByName(lastMeta.select(nul("add"), nul("remove"), col("metaData"),
+        nul("protocol"), nul("txn")))
+      .unionByName(lastProto.select(nul("add"), nul("remove"), nul("metaData"),
+        col("protocol"), nul("txn")))
+      .unionByName(lastTxns.select(nul("add"), nul("remove"), nul("metaData"),
+        nul("protocol"), col("txn")))
     val logDir = new Path(tableDir, "_delta_log")
-    val tmpOut = new Path(logDir, s".cp-${java.util.UUID.randomUUID()}")
-    state.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
-    val part = fs.listStatus(tmpOut).map(_.getPath)
-      .find(_.getName.endsWith(".parquet")).getOrElse(
-        throw new java.io.IOException("deltawrite: checkpoint write produced no parquet"))
-    val target = new Path(logDir, f"$v%020d.checkpoint.parquet")
-    val size = state.count()
-    if (fs.exists(target) || !fs.rename(part, target)) {
-      fs.delete(tmpOut, true)
-      throw new java.io.IOException(
-        s"deltawrite: checkpoint at version $v already exists")
-    }
-    fs.delete(tmpOut, true)
+    val size = writeParquetTo(spark, fs, state,
+      new Path(logDir, f"$v%020d.checkpoint.parquet"))
     writeAtomic(fs, new Path(logDir, "_last_checkpoint"),
       s"""{"version":$v,"size":$size}""", overwrite = true)
+    v
+  }
+
+  /** Write a V2 checkpoint at the latest version: a UUID-named MAIN
+    * file (`%020d.checkpoint.<uuid>.parquet`) carrying the non-file
+    * actions plus `checkpointMetadata` and one `sidecar` pointer per
+    * sidecar, with the FILE actions in `sidecarParts` parquet sidecars
+    * under `_delta_log/_sidecars/` — the layout production tables use
+    * so a 100k-file state never rewrites as one monolith. Sidecars
+    * land first; the main file is the visibility point, exactly what
+    * [[DeltaLog.actions]]'s v2 reader consumes (a missing sidecar =
+    * torn checkpoint = JSON fallback). Returns the version.
+    */
+  def checkpointV2(spark: SparkSession, tableDir: String,
+                   sidecarParts: Int = 1): Long = {
+    require(sidecarParts >= 1, "deltawrite: sidecarParts must be >= 1")
+    val fs = fileSystem(spark, tableDir)
+    val v = DeltaLog.listCommits(spark, tableDir).lastOption.map(_._1)
+      .getOrElse(throw new IllegalArgumentException(
+        s"deltawrite: no table at $tableDir"))
+    val (liveAdds, lastMeta, lastProto, lastTxns) =
+      checkpointState(spark, tableDir, v)
+    val logDir = new Path(tableDir, "_delta_log")
+    val scDir = new Path(logDir, "_sidecars")
+    fs.mkdirs(scDir)
+    def nul(field: String) =
+      lit(null).cast(DeltaLog.actionSchema(field).dataType).as(field)
+    // sidecars first: the add actions, split across sidecarParts files
+    // — written distributed (the live-file state never collects)
+    val scTmp = new Path(logDir, s".sc-${java.util.UUID.randomUUID()}")
+    liveAdds.select(col("add"), nul("remove"))
+      .repartition(sidecarParts).write.mode("overwrite")
+      .parquet(scTmp.toString)
+    val sidecars = fs.listStatus(scTmp).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map { p =>
+        val name = s"${java.util.UUID.randomUUID()}.parquet"
+        val target = new Path(scDir, name)
+        if (!fs.rename(p, target))
+          throw new java.io.IOException(
+            s"deltawrite: could not stage checkpoint sidecar $name")
+        val st = fs.getFileStatus(target)
+        (name, st.getLen, st.getModificationTime)
+      }
+    fs.delete(scTmp, true)
+    // the main file: non-file actions + checkpointMetadata + sidecar rows
+    val cpMetaType = StructType(Seq(StructField("version", org.apache.spark.sql.types.LongType)))
+    val sidecarType = StructType(Seq(
+      StructField("path", org.apache.spark.sql.types.StringType),
+      StructField("sizeInBytes", org.apache.spark.sql.types.LongType),
+      StructField("modificationTime", org.apache.spark.sql.types.LongType)))
+    def nulT(dt: org.apache.spark.sql.types.DataType, name: String) =
+      lit(null).cast(dt).as(name)
+    val scRows = sidecars.map { case (name, len, mtime) =>
+      org.apache.spark.sql.Row(org.apache.spark.sql.Row(name, len, mtime))
+    }
+    val scDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(scRows, 1),
+        StructType(Seq(StructField("sidecar", sidecarType))))
+      .select(nul("metaData"), nul("protocol"), nul("txn"),
+        nulT(cpMetaType, "checkpointMetadata"), col("sidecar"))
+    val cpMetaDf = spark.range(1)
+      .select(nul("metaData"), nul("protocol"), nul("txn"),
+        struct(lit(2L).as("version")).as("checkpointMetadata"),
+        nulT(sidecarType, "sidecar"))
+    val main = lastMeta.select(col("metaData"), nul("protocol"), nul("txn"),
+        nulT(cpMetaType, "checkpointMetadata"), nulT(sidecarType, "sidecar"))
+      .unionByName(lastProto.select(nul("metaData"), col("protocol"),
+        nul("txn"), nulT(cpMetaType, "checkpointMetadata"),
+        nulT(sidecarType, "sidecar")))
+      .unionByName(lastTxns.select(nul("metaData"), nul("protocol"),
+        col("txn"), nulT(cpMetaType, "checkpointMetadata"),
+        nulT(sidecarType, "sidecar")))
+      .unionByName(cpMetaDf)
+      .unionByName(scDf)
+    val mainName = f"$v%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"
+    val mainRows = writeParquetTo(spark, fs, main, new Path(logDir, mainName))
+    writeAtomic(fs, new Path(logDir, "_last_checkpoint"),
+      s"""{"version":$v,"size":$mainRows}""", overwrite = true)
     v
   }
 

@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** V2 checkpoint WRITER ([[DeltaWrite.checkpointV2]]): UUID-named main
+  * + parquet sidecars under `_delta_log/_sidecars/`, consumed by the
+  * repo's own protocol-validating v2 READER (q287) after the JSON log
+  * is cleaned past it — the round trip the layout exists for.
+  */
+class DeltaV2CheckpointWriteSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(name)
+    java.nio.file.Files.delete(p)
+    p.toString
+  }
+
+  import spark.implicits._
+
+  private def slice(lo: Long, hi: Long) =
+    (lo until hi).map(i => (i, s"row-$i")).toDF("id", "txt").coalesce(1)
+
+  test("cleaned log replays from our v2 checkpoint: files, meta, txns") {
+    val t = freshDir("deltav2w")
+    DeltaWrite.createTable(spark, slice(0, 10), t)                 // v0
+    DeltaWrite.append(spark, slice(10, 20), t)                     // v1
+    DeltaWrite.append(spark, slice(20, 30), t, txn = Some(("app", 7L))) // v2
+    DeltaWrite.delete(spark, t, "id = 5")                          // v3
+    val v = DeltaWrite.checkpointV2(spark, t, sidecarParts = 2)
+    assert(v === 3L)
+    // the layout: one UUID main, >=1 sidecars
+    val log = java.nio.file.Paths.get(t, "_delta_log")
+    val main = log.toFile.listFiles()
+      .filter(_.getName.matches("\\d{20}\\.checkpoint\\.[a-f0-9-]+\\.parquet"))
+    assert(main.length === 1)
+    val sidecars = log.resolve("_sidecars").toFile.listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(sidecars.length >= 1)
+    // expire every pre-checkpoint JSON commit (log retention)
+    (0L to 3L).foreach(i =>
+      java.nio.file.Files.delete(log.resolve(f"$i%020d.json")))
+    // full state replays from the checkpoint alone
+    val got = DeltaLog.readTable(spark, t).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (0L until 30L).filterNot(_ == 5L))
+    assert(DeltaLog.lastTxnVersion(spark, t, "app") === Some(7L))
+    assert(DeltaLog.tableMeta(spark, t).isDefined)
+    // the table keeps living: append after cleanup, read both halves
+    DeltaWrite.append(spark, slice(100, 105), t)                   // v4
+    assert(DeltaLog.readTable(spark, t).count() === 34L)
+    assert(DeltaLog.snapshot(spark, t)
+      .where(col("version_added") === 4L).count() === 1L)
+  }
+
+  test("a missing sidecar tears the checkpoint: JSON fallback, loud when cleaned") {
+    val t = freshDir("deltav2w")
+    DeltaWrite.createTable(spark, slice(0, 10), t)
+    DeltaWrite.append(spark, slice(10, 20), t)
+    DeltaWrite.checkpointV2(spark, t, sidecarParts = 2)
+    val log = java.nio.file.Paths.get(t, "_delta_log")
+    val sc = log.resolve("_sidecars").toFile.listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    // with the JSON intact, a torn v2 checkpoint silently falls back
+    java.nio.file.Files.delete(sc.head.toPath)
+    assert(DeltaLog.readTable(spark, t).count() === 20L)
+    // with the JSON cleaned too, there is no truth left: loud
+    java.nio.file.Files.delete(log.resolve(f"${0L}%020d.json"))
+    intercept[IllegalArgumentException] {
+      DeltaLog.readTable(spark, t).count()
+    }
+  }
+}
