@@ -38,10 +38,10 @@ import graft.operators.Avro
   * number ordering gate.
   *
   * Scope contract (documented, not hidden): `version-hint.text` or the
-  * highest `vN.metadata.json` selects the current metadata;
-  * metadata.json compression (`.gz`) is out of scope; field-id
-  * projection is top-level (nested struct evolution reads by the
-  * file's own nested names).
+  * highest `vN.metadata.json[.gz]` selects the current metadata
+  * (gzip-compressed metadata JSON is served); field-id projection is
+  * top-level (nested struct evolution reads by the file's own nested
+  * names).
   */
 object IcebergMeta {
 
@@ -65,9 +65,24 @@ object IcebergMeta {
     case _                 => None
   }
 
+  /** Read a (possibly gzip-compressed, `.gz`-suffixed) metadata text
+    * file — production Iceberg tables often write
+    * `vN.metadata.json.gz` (`write.metadata.compression-codec=gzip`).
+    */
+  private def readTextFile(fs: org.apache.hadoop.fs.FileSystem,
+                           p: Path): String = {
+    val raw: java.io.InputStream = fs.open(p)
+    val in =
+      if (p.getName.endsWith(".gz"))
+        new java.util.zip.GZIPInputStream(raw)
+      else raw
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
   /** Pick the current metadata file: `version-hint.text` when present
     * (the Hadoop-tables convention), else the highest-versioned
-    * `vN.metadata.json` / `NNNNN-<uuid>.metadata.json` under
+    * `vN.metadata.json[.gz]` / `NNNNN-<uuid>.metadata.json[.gz]` under
     * `metadata/`.
     */
   def currentMetadataFile(spark: SparkSession, tableDir: String): String = {
@@ -75,21 +90,21 @@ object IcebergMeta {
     val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hint = new Path(metaDir, "version-hint.text")
     if (fs.exists(hint)) {
-      val in = fs.open(hint)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-                finally in.close()
+      val txt = readTextFile(fs, hint).trim
       val p = new Path(metaDir, s"v$txt.metadata.json")
       if (fs.exists(p)) return fs.makeQualified(p).toString
+      val pz = new Path(metaDir, s"v$txt.metadata.json.gz")
+      if (fs.exists(pz)) return fs.makeQualified(pz).toString
     }
-    val VName = "v([0-9]+)\\.metadata\\.json".r
-    val SeqName = "([0-9]+)-.*\\.metadata\\.json".r
+    val VName = "v([0-9]+)\\.metadata\\.json(\\.gz)?".r
+    val SeqName = "([0-9]+)-.*\\.metadata\\.json(\\.gz)?".r
     val candidates =
       if (!fs.exists(metaDir)) Nil
       else fs.listStatus(metaDir).toSeq.filter(_.isFile).flatMap { st =>
         st.getPath.getName match {
-          case VName(n)   => Some((n.toLong, st.getPath))
-          case SeqName(n) => Some((n.toLong, st.getPath))
-          case _          => None
+          case VName(n, _)   => Some((n.toLong, st.getPath))
+          case SeqName(n, _) => Some((n.toLong, st.getPath))
+          case _             => None
         }
       }
     if (candidates.isEmpty)
@@ -107,9 +122,7 @@ object IcebergMeta {
     val file = metadataFile.getOrElse(currentMetadataFile(spark, tableDir))
     val p = new Path(file)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-              finally in.close()
+    val txt = readTextFile(fs, p)
     val root = Avro.parseJson(txt) match {
       case Some(m: scala.collection.mutable.LinkedHashMap[_, _]) =>
         m.asInstanceOf[JObj]
@@ -175,9 +188,7 @@ object IcebergMeta {
     val tmFile = currentMetadataFile(spark, tableDir)
     val p = new Path(tmFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-              finally in.close()
+    val txt = readTextFile(fs, p)
     val root = Avro.parseJson(txt) match {
       case Some(m: scala.collection.mutable.LinkedHashMap[_, _]) =>
         m.asInstanceOf[JObj]
@@ -547,9 +558,7 @@ object IcebergMeta {
     val tmFile = currentMetadataFile(spark, tableDir)
     val p = new Path(tmFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-              finally in.close()
+    val txt = readTextFile(fs, p)
     val root = Avro.parseJson(txt) match {
       case Some(m: scala.collection.mutable.LinkedHashMap[_, _]) =>
         m.asInstanceOf[JObj]

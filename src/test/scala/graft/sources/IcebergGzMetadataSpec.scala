@@ -1,0 +1,42 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Gzip-compressed `vN.metadata.json.gz` (the
+  * `write.metadata.compression-codec=gzip` layout of production Iceberg
+  * tables) is served transparently by every metadata read path.
+  */
+class IcebergGzMetadataSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("a table whose metadata.json is gzipped reads identically") {
+    val t = {
+      val p = java.nio.file.Files.createTempDirectory("icegz")
+      java.nio.file.Files.delete(p)
+      p.toString
+    }
+    IcebergWrite.createTable(spark,
+      (0L until 20L).map(i => (i, s"row-$i")).toDF("id", "txt").coalesce(1), t)
+    // gzip the metadata json in place, as a gzip-writing engine would
+    val meta = java.nio.file.Paths.get(t, "metadata", "v1.metadata.json")
+    val bytes = java.nio.file.Files.readAllBytes(meta)
+    val gz = java.nio.file.Paths.get(t, "metadata", "v1.metadata.json.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gz))
+    try out.write(bytes) finally out.close()
+    java.nio.file.Files.delete(meta)
+    // version hint resolution, snapshot history, schema, and the full
+    // read all run through the compressed document
+    assert(IcebergMeta.currentMetadataFile(spark, t).endsWith(".gz"))
+    assert(IcebergMeta.snapshots(spark, t).count() === 1L)
+    assert(IcebergMeta.schemaReport(spark, t).count() === 2L)
+    val got = IcebergMeta.readTable(spark, t)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (0L until 20L))
+    // and without the version hint (highest-version listing path)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(t, "metadata", "version-hint.text"))
+    assert(IcebergMeta.readTable(spark, t).count() === 20L)
+  }
+}
