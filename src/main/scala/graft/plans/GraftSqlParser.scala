@@ -163,6 +163,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   //     is given; returns the post-rewrite snapshot (the new layout)
   //   VACUUM DELTA AT '<table>' [RETAIN <n> HOURS] [DRY RUN] — returns
   //     the per-file report (path, size, removed)
+  //   DELETE FROM DELTA AT '<table>' [USING DELETION VECTORS] WHERE <p>
+  //     — row-level delete (rewrite mode, or the O(bitmap) DV attach);
+  //     returns the post-statement table
+  //   UPDATE DELTA AT '<table>' SET c1 = e1[, c2 = e2 …] WHERE <p>
+  //   DELETE FROM ICEBERG AT '<table>' WHERE <p> — the position-delete
+  //     twin; UPDATE ICEBERG AT … SET … WHERE … composes delete+append
+  //   READ DELTA CHANGES AT '<table>' SINCE <v> [UNTIL <v>] — the
+  //     Change Data Feed window (row-grain _change_type rows)
+  private val DeleteDeltaStmt =
+    """(?is)^\s*DELETE\s+FROM\s+DELTA\s+AT\s+'([^']+)'(\s+USING\s+DELETION\s+VECTORS)?\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  private val UpdateDeltaStmt =
+    """(?is)^\s*UPDATE\s+DELTA\s+AT\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  private val DeleteIcebergStmt =
+    """(?is)^\s*DELETE\s+FROM\s+ICEBERG\s+AT\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  private val UpdateIcebergStmt =
+    """(?is)^\s*UPDATE\s+ICEBERG\s+AT\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  private val DeltaChangesStmt =
+    """(?is)^\s*READ\s+DELTA\s+CHANGES\s+AT\s+'([^']+)'\s+SINCE\s+(\d+)(?:\s+UNTIL\s+(\d+))?\s*;?\s*$""".r
   private val OptimizeDeltaStmt =
     """(?is)^\s*OPTIMIZE\s+DELTA\s+AT\s+'([^']+)'(?:\s+ZORDER\s+BY\s+\(([\w\s,]+)\)(?:\s+INTO\s+(\d+)\s+FILES)?)?\s*;?\s*$""".r
   private val VacuumDeltaStmt =
@@ -223,6 +241,36 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // <docsTable> must expose (doc_id, text).
   private val SearchStmt =
     """(?is)^\s*SEARCH\s+([\w.]+)\s+FOR\s+'([^']+)'\s+TOP\s+(\d+)\s*;?\s*$""".r
+
+  /** Split an UPDATE's SET clause into column → expression pairs:
+    * commas inside parentheses or string literals belong to the
+    * expressions, not the assignment list.
+    */
+  private def parseAssignments(setClause: String): Map[String, String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var inStr = false
+    var start = 0
+    var i = 0
+    while (i < setClause.length) {
+      setClause.charAt(i) match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
+        case ',' if !inStr && depth == 0 =>
+          parts += setClause.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    parts += setClause.substring(start)
+    parts.toSeq.map { a =>
+      val eq = a.indexOf('=')
+      require(eq > 0,
+        s"graft-sql: malformed SET assignment '${a.trim}' (want col = expr)")
+      a.take(eq).trim -> a.drop(eq + 1).trim
+    }.toMap
+  }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case SearchStmt(table, terms, k) =>
@@ -330,6 +378,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         case None => graft.sources.IcebergMeta.readTable(
           session, path, Option(snapOpt).map(_.toLong))
       }).queryExecution.logical
+    case DeleteDeltaStmt(path, dv, pred) =>
+      if (dv != null) graft.sources.DeltaWrite.deleteDv(session, path, pred)
+      else graft.sources.DeltaWrite.delete(session, path, pred)
+      graft.sources.DeltaLog.readTable(session, path).queryExecution.logical
+    case UpdateDeltaStmt(path, setClause, pred) =>
+      graft.sources.DeltaWrite.update(session, path, pred,
+        parseAssignments(setClause))
+      graft.sources.DeltaLog.readTable(session, path).queryExecution.logical
+    case DeleteIcebergStmt(path, pred) =>
+      graft.sources.IcebergWrite.delete(session, path, pred)
+      graft.sources.IcebergMeta.readTable(session, path).queryExecution.logical
+    case UpdateIcebergStmt(path, setClause, pred) =>
+      graft.sources.IcebergWrite.update(session, path, pred,
+        parseAssignments(setClause))
+      graft.sources.IcebergMeta.readTable(session, path).queryExecution.logical
+    case DeltaChangesStmt(path, since, untilOpt) =>
+      graft.sources.DeltaLog.changeFeed(session, path, since.toLong,
+        Option(untilOpt).map(_.toLong)).queryExecution.logical
     case OptimizeDeltaStmt(path, zcols, nFiles) =>
       Option(zcols) match {
         case Some(cs) =>

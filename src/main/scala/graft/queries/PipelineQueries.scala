@@ -4510,6 +4510,21 @@ object PipelineQueries extends QuerySet {
       graft.sources.DeltaLog.readTable(s, t).orderBy("n_nationkey")
     }),
 
+    // the DML statements (q290/q291 by SQL): DELETE FROM DELTA AT and
+    // UPDATE DELTA AT plan onto the same touched-file-minimal rewrites,
+    // USING DELETION VECTORS onto the bitmap path — one statement each,
+    // content oracled.
+    "q319_sql_delta_dml" -> ((s, dir) => {
+      val t = freshTmpDir("delta_sql_dml")
+      val nation = graft.Tables.load(s, dir, "nation")
+      graft.sources.DeltaWrite.createTable(s, nation, t)
+      s.sql(s"DELETE FROM DELTA AT '$t' USING DELETION VECTORS " +
+        "WHERE n_regionkey = 2")
+      s.sql(s"UPDATE DELTA AT '$t' SET n_name = upper(concat(n_name, '!')) " +
+        "WHERE n_nationkey < 5")
+      graft.sources.DeltaLog.readTable(s, t).orderBy("n_nationkey")
+    }),
+
     // Delta RENAME COLUMN (q307's Delta twin, via column mapping):
     // enabling mapping stamps every field with a stable physical name,
     // the rename is a metadata-only commit, and files written before
@@ -5901,6 +5916,13 @@ object PipelineQueries extends QuerySet {
     "q314_delta_v2_checkpoint_write" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey <= 3 AND n_nationkey <> 0
+        |ORDER BY n_nationkey""".stripMargin,
+    "q319_sql_delta_dml" ->
+      """SELECT n_nationkey,
+        |       CASE WHEN n_nationkey < 5 THEN upper(n_name || '!')
+        |            ELSE n_name END AS n_name,
+        |       n_regionkey
+        |FROM nation WHERE n_regionkey <> 2
         |ORDER BY n_nationkey""".stripMargin,
     "q313_delta_cdf" ->
       """SELECT * FROM (

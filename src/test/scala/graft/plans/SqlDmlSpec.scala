@@ -1,0 +1,86 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.{DeltaLog, DeltaWrite, IcebergMeta, IcebergWrite}
+
+/** The lakehouse DML statements: DELETE FROM / UPDATE on both doors,
+  * USING DELETION VECTORS, and READ DELTA CHANGES — each statement
+  * must plan onto the SAME operator the Scala API serves, proven by
+  * content equality with the API on an identical fixture.
+  */
+class SqlDmlSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(name)
+    java.nio.file.Files.delete(p)
+    p.toString
+  }
+
+  import spark.implicits._
+
+  private def rows(lo: Long, hi: Long) =
+    (lo until hi).map(i => (i, s"row-$i")).toDF("id", "txt").coalesce(1)
+
+  test("DELETE FROM DELTA AT ... WHERE, plain and USING DELETION VECTORS") {
+    val t = freshDir("sqldml")
+    DeltaWrite.createTable(spark, rows(0, 100), t)
+    val got = spark.sql(s"DELETE FROM DELTA AT '$t' WHERE id < 10")
+    assert(got.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      (10L until 100L))
+    val before = DeltaLog.snapshot(spark, t)
+      .select("path").collect().map(_.getString(0)).toSet
+    spark.sql(s"DELETE FROM DELTA AT '$t' USING DELETION VECTORS WHERE id = 50")
+    val after = DeltaLog.snapshot(spark, t)
+    assert(after.select("path").collect().map(_.getString(0)).toSet === before)
+    assert(after.where(col("dv_cardinality") === 1L).count() === 1L)
+    assert(DeltaLog.readTable(spark, t).count() === 89L)
+  }
+
+  test("UPDATE DELTA AT ... SET (multi-assignment, commas inside exprs) WHERE") {
+    val t = freshDir("sqldml")
+    DeltaWrite.createTable(spark, rows(0, 20), t)
+    spark.sql(s"UPDATE DELTA AT '$t' " +
+      "SET txt = concat('u-', id), id = id + 1000 WHERE id < 3")
+    val got = DeltaLog.readTable(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.take(17).forall { case (id, txt) => txt == s"row-$id" })
+    assert(got.drop(17).toSeq === Seq(
+      (1000L, "u-0"), (1001L, "u-1"), (1002L, "u-2")))
+  }
+
+  test("DELETE FROM / UPDATE ICEBERG AT plan onto the position-delete DML") {
+    val t = freshDir("sqldml")
+    IcebergWrite.createTable(spark, rows(0, 50), t)
+    val before = IcebergMeta.files(spark, t)
+      .select("file_path").collect().map(_.getString(0)).toSet
+    spark.sql(s"DELETE FROM ICEBERG AT '$t' WHERE id < 5")
+    spark.sql(s"UPDATE ICEBERG AT '$t' SET txt = 'X' WHERE id = 10")
+    val live = IcebergMeta.files(spark, t)
+      .select("file_path").collect().map(_.getString(0)).toSet
+    assert(before.subsetOf(live)) // no data file rewritten
+    val got = IcebergMeta.readTable(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.map(_._1).toSeq === (5L until 50L))
+    assert(got.find(_._1 == 10L).get._2 === "X")
+  }
+
+  test("READ DELTA CHANGES AT ... SINCE serves the change data feed") {
+    val t = freshDir("sqldml")
+    DeltaWrite.createTable(spark, rows(0, 10), t)
+    DeltaWrite.setProperties(spark, t,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    spark.sql(s"UPDATE DELTA AT '$t' SET txt = 'Y' WHERE id = 1")
+    val got = spark.sql(s"READ DELTA CHANGES AT '$t' SINCE 1")
+      .select("id", "txt", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._3)
+    assert(got.toSeq === Seq(
+      (1L, "Y", "update_postimage", 2L),
+      (1L, "row-1", "update_preimage", 2L)))
+    // UNTIL bounds the window
+    assert(spark.sql(s"READ DELTA CHANGES AT '$t' SINCE 0 UNTIL 1")
+      .count() === 0L)
+  }
+}
