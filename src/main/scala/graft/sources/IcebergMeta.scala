@@ -687,7 +687,8 @@ object IcebergMeta {
     */
   def readTable(spark: SparkSession, tableDir: String,
                 snapshotId: Option[Long] = None): DataFrame =
-    readTable(spark, tableDir, snapshotId, keepFiles = None)
+    readTable(spark, tableDir, snapshotId, keepFiles = None,
+      keepLineage = false)
 
   /** [[readTable]] with MANIFEST-BOUNDS data skipping: the live file
     * list is pruned through each entry's lower/upper bounds and null
@@ -703,7 +704,8 @@ object IcebergMeta {
     val kept = pruneVerdicts(spark, tableDir, predicateSql, snapshotId)
       .where(col("kept")).select("file_path").collect()
       .map(_.getString(0)).toSet
-    readTable(spark, tableDir, snapshotId, keepFiles = Some(kept))
+    readTable(spark, tableDir, snapshotId, keepFiles = Some(kept),
+      keepLineage = false)
       .where(predicateSql)
   }
 
@@ -1022,9 +1024,15 @@ object IcebergMeta {
     }
   }
 
+  /** `keepLineage` retains `_uri_path` / `_row_index` on the output —
+    * the DML writers' scan ([[IcebergWrite]]): positions must name rows
+    * of the DELETE-APPLIED table, or an UPDATE whose condition matches
+    * an already-deleted row would resurrect it as a fresh append.
+    */
   private[sources] def readTable(spark: SparkSession, tableDir: String,
                                  snapshotId: Option[Long],
-                                 keepFiles: Option[Set[String]]): DataFrame = {
+                                 keepFiles: Option[Set[String]],
+                                 keepLineage: Boolean): DataFrame = {
     import org.apache.spark.sql.functions._
     val tm = readTableMeta(spark, tableDir)
     val snap = chooseSnapshot(tm, snapshotId)
@@ -1049,7 +1057,11 @@ object IcebergMeta {
         spark.sparkContext.emptyRDD[Row],
         StructType(flds.map(f => StructField(f.name,
           icebergTypeToSpark(f.typeStr).getOrElse(StringType),
-          nullable = true))))
+          nullable = true)) ++
+          (if (keepLineage)
+            Seq(StructField("_uri_path", StringType, nullable = false),
+              StructField("_row_index", LongType, nullable = false))
+          else Nil)))
     }
     if (dataFiles.isEmpty)
       throw new IllegalArgumentException(
@@ -1064,7 +1076,9 @@ object IcebergMeta {
     val dataCols: Seq[String] = schemaFields.map(_.map(_.name)).getOrElse(
       rawAll.columns.toSeq.filterNot(Set("_uri_path", "_row_index")))
     if (posFiles.isEmpty && eqFiles.isEmpty)
-      return rawAll.select(dataCols.map(col): _*)
+      return rawAll.select((if (keepLineage)
+        dataCols ++ Seq("_uri_path", "_row_index") else dataCols)
+        .map(col): _*)
     // (uri path, manifest file_path string, data sequence number)
     val mapping = spark.createDataFrame(
       spark.sparkContext.parallelize(dataFiles.toSeq.map(r =>
@@ -1145,6 +1159,8 @@ object IcebergMeta {
           df = df.join(broadcast(delDf), cond, "left_anti")
       }
     }
-    df.select(dataCols.map(col): _*)
+    df.select((if (keepLineage)
+      dataCols ++ Seq("_uri_path", "_row_index") else dataCols)
+      .map(col): _*)
   }
 }

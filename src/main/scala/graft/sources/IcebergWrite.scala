@@ -481,14 +481,12 @@ object IcebergWrite {
       StructType(Seq(
         StructField("_uri_path", StringType, nullable = false),
         StructField("file_path", StringType, nullable = false))))
-    // FIELD-ID projection (readTable's own scan): a candidate file
-    // written before a column rename still evaluates the predicate on
-    // its physical column — a name-based read would see NULLs there and
-    // silently skip rows the reader reports as matching
-    val matchedRows = IcebergMeta.projectedScan(spark,
-        cand.map(rel => fs.makeQualified(
-          new Path(resolveInTable(tableDir, rel))).toString),
-        IcebergMeta.schemaFieldsOf(spark, tableDir, None))
+    // the DELETE-APPLYING, field-id-projected reader scans the
+    // candidates: positions must name rows of the CURRENT table — a
+    // raw file scan would re-match rows an earlier position delete
+    // already removed, and an UPDATE would resurrect them
+    val matchedRows = IcebergMeta.readTable(spark, tableDir, None,
+        keepFiles = Some(cand.toSet), keepLineage = true)
       .where(expr(condition))
     val positions = matchedRows
       .select(col("_uri_path"), col("_row_index").cast(LongType).as("pos"))
@@ -523,10 +521,10 @@ object IcebergWrite {
       StructType(Seq(
         StructField("_uri_path", StringType, nullable = false),
         StructField("file_path", StringType, nullable = false))))
-    val rows = IcebergMeta.projectedScan(spark,
-      files.map(rel => fs.makeQualified(
-        new Path(resolveInTable(tableDir, rel))).toString),
-      IcebergMeta.schemaFieldsOf(spark, tableDir, None))
+    // the delete-applying reader: MERGE must never match (and so
+    // never re-delete or pre-image) a row an earlier delete removed
+    val rows = IcebergMeta.readTable(spark, tableDir, None,
+      keepFiles = Some(files.toSet), keepLineage = true)
     Some((mapping, rows))
   }
 

@@ -123,6 +123,24 @@ class IcebergDmlSpec extends SparkSpec {
     assert(rep.where(col("kept")).count() < rep.count())
   }
 
+  test("UPDATE and MERGE never resurrect rows an earlier delete removed") {
+    val t = rangeTable()
+    IcebergWrite.delete(spark, t, "id < 5")
+    // the UPDATE condition COVERS the deleted rows — they must stay gone
+    IcebergWrite.update(spark, t, "id < 10", Map("txt" -> "'U'"))
+    val got = IcebergMeta.readTable(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.map(_._1).toSeq === (5L until 300L))
+    assert(got.take(5).forall(_._2 == "U"))
+    assert(got.drop(5).forall { case (id, txt) => txt == s"row-$id" })
+    // MERGE: a source keyed at a deleted row INSERTS (no match remains)
+    IcebergWrite.upsert(spark,
+      Seq((2L, "back", 0L)).toDF("id", "txt", "grp"), t, Seq("id"))
+    val ids = IcebergMeta.readTable(spark, t)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === (2L +: (5L until 300L)))
+  }
+
   test("updated rows survive snapshot expiry + orphan removal") {
     val t = rangeTable()
     IcebergWrite.update(spark, t, "id = 5", Map("txt" -> "'five'"))
