@@ -678,10 +678,7 @@ object DeltaLog {
                                      asOf: Option[Long],
                                      where: Option[String]): DataFrame = {
     val (schema, partCols, mode, mapping0) = tableState(spark, tableDir, asOf)
-    def physicalOf(f: StructField): String =
-      if (mode != "none" && f.metadata.contains("delta.columnMapping.physicalName"))
-        f.metadata.getString("delta.columnMapping.physicalName")
-      else f.name
+    def physicalOf(f: StructField): String = physicalName(mode, f)
     val mapping = where match {
       case Some(p) =>
         mapping0.where(DeltaStats.mayMatch(spark, p, schema, partCols,
@@ -841,9 +838,11 @@ object DeltaLog {
     * table by remembering its last version and asking for the delta,
     * paying only the new files, never a snapshot diff. Layout-only
     * rewrites (OPTIMIZE/Z-ORDER, dataChange=false) are invisible here,
-    * exactly as the protocol intends. Rows later deleted by a
-    * subsequent commit are still reported in the window that added
-    * them (append-stream semantics, not CDC reconciliation).
+    * exactly as the protocol intends. An add carrying a deletion
+    * vector contributes only the rows it still serves (its own DV is
+    * anti-joined). Rows later deleted by a subsequent commit are still
+    * reported in the window that added them (append-stream semantics,
+    * not CDC reconciliation — see [[changeFeed]] for that grain).
     *
     * The window replays JSON COMMITS ONLY ([[windowActions]]): a
     * checkpoint baseline stamps every live add at the checkpoint
@@ -854,10 +853,7 @@ object DeltaLog {
   def changes(spark: SparkSession, tableDir: String, sinceVersion: Long,
               untilVersion: Option[Long] = None): DataFrame = {
     val (schema, partCols, mode, _) = tableState(spark, tableDir, untilVersion)
-    def physicalOf(f: StructField): String =
-      if (mode != "none" && f.metadata.contains("delta.columnMapping.physicalName"))
-        f.metadata.getString("delta.columnMapping.physicalName")
-      else f.name
+    def physicalOf(f: StructField): String = physicalName(mode, f)
     val latest = untilVersion.getOrElse(
       (listCommits(spark, tableDir).lastOption.map(_._1) ++
         lastCheckpoint(spark, tableDir).map(_._1)).maxOption.getOrElse(
@@ -868,7 +864,12 @@ object DeltaLog {
       .where(col("add.path").isNotNull &&
         coalesce(col("add.dataChange"), lit(true)))
       .select(col("add.path").as("path"), col("version"),
-        col("add.partitionValues").as("pv"))
+        col("add.partitionValues").as("pv"),
+        col("add.deletionVector.storageType"),
+        col("add.deletionVector.pathOrInlineDv"),
+        col("add.deletionVector.offset"),
+        col("add.deletionVector.sizeInBytes"),
+        col("add.deletionVector.cardinality"))
       .collect()
     val outFields = schema.fields.toSeq :+
       StructField("_commit_version", LongType, nullable = false)
@@ -902,10 +903,54 @@ object DeltaLog {
         StructField(physicalOf(f), f.dataType, nullable = true))))
       .parquet(newAdds.map(r =>
         fs.makeQualified(new Path(fsRoot, r.getString(0))).toString).distinct: _*)
-      .select(dataFields.toSeq.map(f => col(s"`${physicalOf(f)}`").as(f.name)) :+
-        UriPaths.pathOnly(col("_metadata.file_path")).as("_uri_path"): _*)
-    raw.join(broadcast(mapping), Seq("_uri_path"), "inner")
-      .select(schema.fields.toSeq.map { f =>
+      .select(dataFields.toSeq.map(f => col(s"`${physicalOf(f)}`").as(f.name)) ++
+        Seq(UriPaths.pathOnly(col("_metadata.file_path")).as("_uri_path"),
+          col("_metadata.row_index").as("_row_index")): _*)
+    var joined = raw.join(broadcast(mapping), Seq("_uri_path"), "inner")
+    // an add carrying a deletion vector contributes only the rows it
+    // still SERVES (a deleteDv re-add must not re-deliver the deleted
+    // rows as appended data) — anti-join its own deleted set
+    val dvItems = newAdds.toSeq.filter(r => !r.isNullAt(3)).map { r =>
+      (r.getString(0), r.getLong(1),
+        (r.getString(3), r.getString(4),
+          if (r.isNullAt(5)) None else Some(r.getInt(5)),
+          if (r.isNullAt(6)) -1 else r.getInt(6),
+          r.getLong(7)))
+    }
+    if (dvItems.nonEmpty) {
+      val conf = new SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration)
+      val rootStr = tableDir
+      val delRows = spark.sparkContext
+        .parallelize(dvItems, math.max(1, math.min(dvItems.length,
+          spark.sparkContext.defaultParallelism)))
+        .mapPartitions { it =>
+          var dfs: org.apache.hadoop.fs.FileSystem = null
+          it.flatMap { case (rel, v, (st, enc, off, size, card)) =>
+            if (dfs == null)
+              dfs = new Path(rootStr).getFileSystem(conf.value)
+            val deleted = DeltaDv.resolve(dfs, rootStr, st, enc, off,
+              size, card).getOrElse(
+              throw new java.io.IOException(
+                s"deltalog: deletion vector for $rel is malformed or " +
+                  "disagrees with its descriptor"))
+            val uri = dfs.makeQualified(new Path(rootStr, rel))
+              .toUri.getRawPath
+            deleted.iterator.map(idx =>
+              org.apache.spark.sql.Row(uri, v, idx))
+          }
+        }
+      val dels = spark.createDataFrame(delRows, StructType(Seq(
+        StructField("_del_uri", StringType, nullable = false),
+        StructField("_del_version", LongType, nullable = false),
+        StructField("_del_index", LongType, nullable = false))))
+      joined = joined.join(broadcast(dels),
+        joined("_uri_path") === dels("_del_uri") &&
+          joined("_commit_version") === dels("_del_version") &&
+          joined("_row_index") === dels("_del_index"),
+        "left_anti")
+    }
+    joined.select(schema.fields.toSeq.map { f =>
         if (partCols.contains(f.name))
           col(s"_part_${f.name}").cast(f.dataType).as(f.name)
         else col(f.name)
@@ -942,7 +987,9 @@ object DeltaLog {
         col("add.partitionValues").as("addPv"),
         col("remove.path").as("removePath"),
         coalesce(col("remove.dataChange"), lit(true)).as("removeChange"),
-        col("cdc.path").as("cdcPath"))
+        col("cdc.path").as("cdcPath"),
+        col("cdc.partitionValues").as("cdcPv"),
+        col("add.deletionVector").isNotNull.as("addHasDv"))
       .collect()
     val cdcVersions = fileActs.filter(r => !r.isNullAt(6))
       .map(_.getLong(0)).toSet
@@ -953,8 +1000,19 @@ object DeltaLog {
       val v = r.getLong(0)
       if (cdcVersions.contains(v)) {
         if (r.isNullAt(6)) None
-        else Some(Src(r.getString(6), v, None, Map.empty))
+        else Some(Src(r.getString(6), v, None,
+          if (r.isNullAt(7)) Map.empty[String, String]
+          else r.getMap[String, String](7).toMap))
       } else if (!r.isNullAt(1) && r.getBoolean(2)) {
+        // a derived insert cannot see through an attached deletion
+        // vector (the raw file read would report deleted rows as
+        // inserted) — a DV-carrying dataChange add without CDC files
+        // is underivable, loud like the mixed case
+        if (r.getBoolean(8))
+          throw new IllegalArgumentException(
+            s"deltalog: commit $v at $tableDir adds ${r.getString(1)} with " +
+              "a deletion vector and no CDC files — its row-grain changes " +
+              "are not derivable (enable delta.enableChangeDataFeed)")
         val pv =
           if (r.isNullAt(3)) Map.empty[String, String]
           else r.getMap[String, String](3).toMap
@@ -982,10 +1040,13 @@ object DeltaLog {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(outFields))
-    // removed files' partition values: last add in the log
+    // removed files' partition values AND prior deletion vectors, from
+    // each file's LAST add in the log: a derived delete must not report
+    // rows the file had already DV-deleted before the remove
     val removedRels = sources.filter(_.change.contains("delete")).map(_.rel).toSet
-    val removedPv: Map[String, Map[String, String]] =
-      if (removedRels.isEmpty || partCols.isEmpty) Map.empty
+    val removedAdds: Map[String, (Map[String, String],
+        Option[(String, String, Option[Int], Int, Long)])] =
+      if (removedRels.isEmpty) Map.empty
       else {
         val w = Window.partitionBy(coalesce(col("add.path"), col("remove.path")))
           .orderBy(col("version").desc, col("ordinal").desc)
@@ -993,13 +1054,27 @@ object DeltaLog {
           .where(col("add.path").isin(removedRels.toSeq: _*))
           .withColumn("_rn", row_number().over(w))
           .where(col("_rn") === 1)
-          .select(col("add.path"), col("add.partitionValues"))
+          .select(col("add.path"), col("add.partitionValues"),
+            col("add.deletionVector.storageType"),
+            col("add.deletionVector.pathOrInlineDv"),
+            col("add.deletionVector.offset"),
+            col("add.deletionVector.sizeInBytes"),
+            col("add.deletionVector.cardinality"))
           .collect().map { r =>
-            r.getString(0) ->
-              (if (r.isNullAt(1)) Map.empty[String, String]
-               else r.getMap[String, String](1).toMap)
+            val pv =
+              if (r.isNullAt(1)) Map.empty[String, String]
+              else r.getMap[String, String](1).toMap
+            val dv =
+              if (r.isNullAt(2)) None
+              else Some((r.getString(2), r.getString(3),
+                if (r.isNullAt(4)) None else Some(r.getInt(4)),
+                if (r.isNullAt(5)) -1 else r.getInt(5),
+                r.getLong(6)))
+            r.getString(0) -> ((pv, dv))
           }.toMap
       }
+    val removedPv: Map[String, Map[String, String]] =
+      removedAdds.map { case (k, (pv, _)) => k -> pv }
     val fsRoot = new Path(tableDir)
     val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mapRows = sources.map { s =>
@@ -1028,9 +1103,48 @@ object DeltaLog {
         fs.makeQualified(new Path(fsRoot, s.rel)).toString).distinct: _*)
       .select(dataFields.toSeq.map(f => col(s"`${physicalOf(f)}`").as(f.name)) ++
         Seq(col("_change_type").as("_file_change_type"),
-          UriPaths.pathOnly(col("_metadata.file_path")).as("_uri_path")): _*)
-    raw.join(broadcast(mapping), Seq("_uri_path"), "inner")
-      .select(schema.fields.toSeq.map { f =>
+          UriPaths.pathOnly(col("_metadata.file_path")).as("_uri_path"),
+          col("_metadata.row_index").as("_row_index")): _*)
+    var joined = raw.join(broadcast(mapping), Seq("_uri_path"), "inner")
+    // a derived delete over a file carrying a prior DV reports only the
+    // rows the file still SERVED — anti-join the prior deleted set
+    val dvItems = sources.filter(_.change.contains("delete")).flatMap { s =>
+      removedAdds.get(s.rel).flatMap(_._2).map(d => (s.rel, s.version, d))
+    }
+    if (dvItems.nonEmpty) {
+      val conf = new SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration)
+      val rootStr = tableDir
+      val delRows = spark.sparkContext
+        .parallelize(dvItems, math.max(1, math.min(dvItems.length,
+          spark.sparkContext.defaultParallelism)))
+        .mapPartitions { it =>
+          var dfs: org.apache.hadoop.fs.FileSystem = null
+          it.flatMap { case (rel, v, (st, enc, off, size, card)) =>
+            if (dfs == null)
+              dfs = new Path(rootStr).getFileSystem(conf.value)
+            val deleted = DeltaDv.resolve(dfs, rootStr, st, enc, off,
+              size, card).getOrElse(
+              throw new java.io.IOException(
+                s"deltalog: deletion vector for removed file $rel is " +
+                  "malformed or disagrees with its descriptor"))
+            val uri = dfs.makeQualified(new Path(rootStr, rel))
+              .toUri.getRawPath
+            deleted.iterator.map(idx =>
+              org.apache.spark.sql.Row(uri, v, idx))
+          }
+        }
+      val dels = spark.createDataFrame(delRows, StructType(Seq(
+        StructField("_del_uri", StringType, nullable = false),
+        StructField("_del_version", LongType, nullable = false),
+        StructField("_del_index", LongType, nullable = false))))
+      joined = joined.join(broadcast(dels),
+        joined("_uri_path") === dels("_del_uri") &&
+          joined("_commit_version") === dels("_del_version") &&
+          joined("_row_index") === dels("_del_index"),
+        "left_anti")
+    }
+    joined.select(schema.fields.toSeq.map { f =>
         if (partCols.contains(f.name))
           col(s"_part_${f.name}").cast(f.dataType).as(f.name)
         else col(f.name)

@@ -273,14 +273,19 @@ object DeltaWrite {
 
   /** Stage `changeRows` (table columns + `_change_type`) as CDC parquet
     * under `_change_data/` and return the commit's `cdc` action lines.
-    * Data lands before the commit, like every other staged file; under
-    * column mapping the change files carry the physical names (the
-    * protocol's rule — `_change_type` itself is never mapped).
+    * Data lands before the commit, like every other staged file; a
+    * partitioned table's change files are partitioned the same way —
+    * partition columns live in the cdc action's `partitionValues` and
+    * the directory layout, NOT the file (the protocol's data-file
+    * discipline, so [[DeltaLog.changeFeed]] restores them exactly like
+    * table reads do). Under column mapping the change files carry the
+    * physical names (`_change_type` itself is never mapped).
     */
   private def stageCdf(spark: SparkSession, fs: FileSystem, tableDir: String,
                        meta: TableMeta, schema: StructType,
                        changeRows: DataFrame): Seq[String] = {
     val mode = meta.configuration.getOrElse("delta.columnMapping.mode", "none")
+    val partCols = meta.partCols
     val out = changeRows.select(schema.fields.toSeq.map(f =>
       col(s"`${f.name}`").as(physNameOf(mode, f))) :+
       col("_change_type"): _*)
@@ -288,15 +293,33 @@ object DeltaWrite {
     val cdDir = new Path(fsRoot, "_change_data")
     fs.mkdirs(cdDir)
     val tmp = new Path(fsRoot, s".tmp-cdc-${java.util.UUID.randomUUID()}")
-    out.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val parts = fs.listStatus(tmp).toSeq.map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    val lines = parts.zipWithIndex.map { case (p, i) =>
-      val rel = s"_change_data/cdc-${java.util.UUID.randomUUID()}-$i.parquet"
+    val w = out.coalesce(1).write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .parquet(tmp.toString)
+    def walk(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+      else Nil
+    }
+    val tmpUri = fs.makeQualified(tmp).toUri.getPath
+    val lines = walk(tmp).sortBy(_.toString).zipWithIndex.map { case (p, i) =>
+      val abs = fs.makeQualified(p).toUri.getPath
+      val segs = abs.drop(tmpUri.length + 1).split('/').toSeq
+      val partVals: Seq[(String, Option[String])] =
+        segs.dropRight(1).map { seg =>
+          val eq = seg.indexOf('=')
+          require(eq > 0, s"deltawrite: unexpected cdc partition dir $seg")
+          val v = unescapePath(seg.drop(eq + 1))
+          unescapePath(seg.take(eq)) ->
+            (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v))
+        }
+      val rel = (("_change_data" +: segs.dropRight(1)) :+
+        s"cdc-${java.util.UUID.randomUUID()}-$i.parquet").mkString("/")
       val target = new Path(fsRoot, rel)
+      fs.mkdirs(target.getParent)
       if (!fs.rename(p, target))
         throw new java.io.IOException(s"deltawrite: could not stage $rel")
-      s"""{"cdc":{"path":${jstr(rel)},"partitionValues":{},""" +
+      s"""{"cdc":{"path":${jstr(rel)},"partitionValues":${jmap(partVals)},""" +
         s""""size":${fs.getFileStatus(target).getLen},"dataChange":false}}"""
     }
     fs.delete(tmp, true)
@@ -359,12 +382,14 @@ object DeltaWrite {
     val version = nextVersion(spark, tableDir)
     val candidates = DeltaLog.readTableCore(spark, tableDir, None,
       Some(condition))
-    val matched = candidates
-      .where(coalesce(expr(condition), lit(false)))
-      .select(col("_rel_path"), col("_row_index"))
+    // ONE cached scan of the matched rows feeds the touched-file list,
+    // the bitmap aggregation AND the CDC staging
+    val matchedFull = candidates
+      .where(coalesce(expr(condition), lit(false))).cache()
+    val matched = matchedFull.select(col("_rel_path"), col("_row_index"))
     val touched = matched.select("_rel_path").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
-    if (touched.isEmpty) return version - 1
+    if (touched.isEmpty) { matchedFull.unpersist(); return version - 1 }
     // union with each touched file's EXISTING deleted set (readTableCore
     // already excluded those rows, so matched alone would resurrect them)
     val oldDels = DeltaLog.deletedRows(spark, tableDir)
@@ -420,7 +445,7 @@ object DeltaWrite {
         bb.putLong(uuid.getLeastSignificantBits)
         val enc = DeltaDv.z85Encode(bb.array())
         val target = new Path(tableDir, s"deletion_vector_$uuid.bin")
-        val tmp = new Path(tableDir, s".dv-$uuid.tmp")
+        val tmp = new Path(tableDir, s".tmp-dv-$uuid")
         val out = fs.create(tmp, false)
         try out.write(bytes) finally out.close()
         if (!fs.rename(tmp, target)) {
@@ -438,8 +463,7 @@ object DeltaWrite {
     val cdcLines =
       if (!cdfEnabled(meta)) Nil
       else stageCdf(spark, fs, tableDir, meta, meta.schema,
-        candidates.where(coalesce(expr(condition), lit(false)))
-          .drop("_rel_path", "_row_index")
+        matchedFull.drop("_rel_path", "_row_index")
           .withColumn("_change_type", lit("delete")))
     def descriptorOf(p: String): String =
       fileDescr.getOrElse(p, {
@@ -464,8 +488,10 @@ object DeltaWrite {
             stats.map(st => s""""stats":${jstr(st)},""").getOrElse("") +
             s""""deletionVector":${descriptorOf(p)}}}"""
         } ++ cdcLines
-    commitWithRebase(spark, fs, tableDir, version, "DELETE", touched, lines,
-      conflictOnAdds = true)
+    val committed = commitWithRebase(spark, fs, tableDir, version, "DELETE",
+      touched, lines, conflictOnAdds = true)
+    matchedFull.unpersist()
+    committed
   }
 
   /** Row-level UPDATE: for rows satisfying `condition`, replace each
@@ -738,7 +764,10 @@ object DeltaWrite {
       .where(coalesce(expr(condition), lit(false)))
       .select("_rel_path").distinct().collect().map(_.getString(0)).toSeq.sorted
     if (touched.isEmpty) return version - 1
+    // one cached scan of the touched files feeds the constraint probe,
+    // the CDC staging and the rewrite itself
     val inTouched = candidates.where(col("_rel_path").isin(touched: _*))
+      .cache()
     val rewritten = transform(inTouched)
       .select(schema.fieldNames.map(col): _*)
       .coalesce(touched.size) // n touched files rewrite into ~n
@@ -749,9 +778,11 @@ object DeltaWrite {
         changeRows(inTouched.where(coalesce(expr(condition), lit(false)))))
     val adds = stageData(spark, fs, toPhysical(rewritten, meta, schema),
       tableDir, partCols)
-    commitWithRebase(spark, fs, tableDir, version, operation, touched,
-      commitLines(operation, touched, adds) ++ cdcLines,
+    val committed = commitWithRebase(spark, fs, tableDir, version, operation,
+      touched, commitLines(operation, touched, adds) ++ cdcLines,
       conflictOnAdds = true)
+    inTouched.unpersist()
+    committed
   }
 
   /** The next commit version: after the latest JSON commit OR the
@@ -1005,7 +1036,7 @@ object DeltaWrite {
         nulT(cpMetaType, "checkpointMetadata"), col("sidecar"))
     val cpMetaDf = spark.range(1)
       .select(nul("metaData"), nul("protocol"), nul("txn"),
-        struct(lit(2L).as("version")).as("checkpointMetadata"),
+        struct(lit(v).as("version")).as("checkpointMetadata"),
         nulT(sidecarType, "sidecar"))
     val main = lastMeta.select(col("metaData"), nul("protocol"), nul("txn"),
         nulT(cpMetaType, "checkpointMetadata"), nulT(sidecarType, "sidecar"))
@@ -1064,10 +1095,9 @@ object DeltaWrite {
     * column-mapping physicalName when the table maps, the logical name
     * otherwise.
     */
-  private def physNameOf(mode: String, f: org.apache.spark.sql.types.StructField): String =
-    if (mode != "none" && f.metadata.contains("delta.columnMapping.physicalName"))
-      f.metadata.getString("delta.columnMapping.physicalName")
-    else f.name
+  private def physNameOf(mode: String,
+                         f: org.apache.spark.sql.types.StructField): String =
+    DeltaLog.physicalName(mode, f)
 
   /** Rename `df`'s columns logical → PHYSICAL for staging: under a
     * column-mapping mode the data files (and therefore the stats JSON

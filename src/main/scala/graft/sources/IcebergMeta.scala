@@ -180,6 +180,20 @@ object IcebergMeta {
   final case class SpecField(name: String, transform: String,
                              sourceId: Long, fieldId: Option[Long])
 
+  /** The default-spec-id of the current metadata.json (0 when absent —
+    * the spec's default and our writer's only id).
+    */
+  def defaultSpecId(spark: SparkSession, tableDir: String): Long = {
+    val tmFile = currentMetadataFile(spark, tableDir)
+    val p = new Path(tmFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Avro.parseJson(readTextFile(fs, p)) match {
+      case Some(m: scala.collection.mutable.LinkedHashMap[_, _]) =>
+        m.asInstanceOf[JObj].get("default-spec-id").flatMap(jLong).getOrElse(0L)
+      case _ => 0L
+    }
+  }
+
   /** The DEFAULT partition spec from the current metadata.json
     * (`partition-specs` + `default-spec-id`, or the legacy single
     * `partition-spec` array). Empty = unpartitioned.
@@ -365,9 +379,13 @@ object IcebergMeta {
     StructField("upper_bounds", MapType(IntegerType, BinaryType), nullable = true),
     // the partition record's raw values by field name (a NULL partition
     // value is an absent key) — the rendered `partition` string's typed
-    // twin, what the transform-aware pruner consumes
+    // twin, what the transform-aware pruner consumes — and the owning
+    // MANIFEST's spec id: partition values are only interpretable
+    // against their own spec (a table whose spec evolved carries old
+    // files under old spec ids)
     StructField("partition_values", MapType(StringType, StringType),
-      nullable = true)))
+      nullable = true),
+    StructField("partition_spec_id", IntegerType, nullable = true)))
 
   /** A manifest's map<int, V> field in either physical spelling: the
     * spec's array-of-key-value records, or a string-keyed Avro map
@@ -415,12 +433,13 @@ object IcebergMeta {
     val snap = chooseSnapshot(tm, snapshotId)
     val mlPath = new Path(resolvePath(tableDir, snap.manifestList))
     val fs = mlPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // (manifest path, the manifest's sequence number for inheritance)
+    // (manifest path, sequence number for inheritance, the manifest's
+    // partition spec id)
     val manifestPaths = readOcfFile(fs, mlPath).rows.map(asMap)
       .map { m =>
         (resolvePath(tableDir, mStr(m, "manifest_path").getOrElse(
           throw new java.io.IOException("manifest_file row without manifest_path"))),
-          mLong(m, "sequence_number"))
+          mLong(m, "sequence_number"), mLong(m, "partition_spec_id"))
       }
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val slices = math.max(1, math.min(manifestPaths.length,
@@ -428,7 +447,7 @@ object IcebergMeta {
     val rows = spark.sparkContext.parallelize(manifestPaths, slices)
       .mapPartitions { it =>
         var pfs: org.apache.hadoop.fs.FileSystem = null
-        it.flatMap { case (mp, manifestSeq) =>
+        it.flatMap { case (mp, manifestSeq, manifestSpecId) =>
           val p = new Path(mp)
           if (pfs == null) pfs = p.getFileSystem(conf.value)
           val ocf = readOcfFile(pfs, p)
@@ -470,7 +489,8 @@ object IcebergMeta {
               Some(bytesValued(intKeyed(df, "upper_bounds"))).filter(_.nonEmpty).orNull,
               Some(asMap(df.getOrElse("partition", Map.empty[String, Any]))
                 .collect { case (k, v) if v != null => k -> v.toString })
-                .filter(_.nonEmpty).orNull)
+                .filter(_.nonEmpty).orNull,
+              manifestSpecId.map(l => Int.box(l.toInt)).orNull)
           }
         }
       }
@@ -748,10 +768,12 @@ object IcebergMeta {
       idToField.get(sf.sourceId).map(f => (f.name, f.typeStr, sf.transform, sf.name))
     }
     val pred = spark.sessionState.sqlParser.parseExpression(predicateSql)
+    val wantSpecId = defaultSpecId(spark, tableDir)
     val live = entries(spark, tableDir, snapshotId)
       .where(col("status") =!= 2 && col("content") === "data")
       .select("file_path", "record_count", "null_value_counts",
-        "lower_bounds", "upper_bounds", "partition_values")
+        "lower_bounds", "upper_bounds", "partition_values",
+        "partition_spec_id")
       .collect()
     val rows = live.toSeq.map { r =>
       val nulls =
@@ -763,8 +785,11 @@ object IcebergMeta {
       val hi =
         if (r.isNullAt(4)) Map.empty[Int, Array[Byte]]
         else r.getMap[Int, Array[Byte]](4).toMap
+      // partition values are interpretable only against THEIR spec: an
+      // entry written under an older/different spec id makes no claim
       val pv =
-        if (r.isNullAt(5)) Map.empty[String, String]
+        if (r.isNullAt(5) || r.isNullAt(6) || r.getInt(6).toLong != wantSpecId)
+          Map.empty[String, String]
         else r.getMap[String, String](5).toMap
       Row.fromSeq(
         r.getString(0) +: (if (r.isNullAt(1)) null else Long.box(r.getLong(1))) +:
@@ -857,7 +882,14 @@ object IcebergMeta {
               scala.Left(IcebergWrite.bucketString(s, n.toInt).toLong)))
         case graft.sources.IcebergWrite.TruncRe(w) =>
           asLong.map(l => scala.Left(l - Math.floorMod(l, w.toLong)))
-            .orElse(asStr.map(s => scala.Right(s.take(w.toInt))))
+            .orElse(asStr.map { s =>
+              // first w CODE POINTS, not UTF-16 units — a supplementary
+              // character inside the width would otherwise mis-truncate
+              // the literal and unsoundly prune the matching file
+              val end = s.offsetByCodePoints(0,
+                math.min(w.toInt, s.codePointCount(0, s.length)))
+              scala.Right(s.substring(0, end))
+            })
         case "day" =>
           if (sourceType == "date") asLong.map(scala.Left(_))
           else asLong.map(m => scala.Left(Math.floorDiv(m, 86400000000L)))

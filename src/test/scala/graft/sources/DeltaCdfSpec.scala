@@ -78,6 +78,47 @@ class DeltaCdfSpec extends SparkSpec {
       (5L, "row-5", "update_preimage")))
   }
 
+  test("partitioned tables: CDC files are partitioned, changeFeed restores values") {
+    val t = freshDir("deltacdf")
+    DeltaWrite.createTable(spark,
+      (0L until 40L).map(i => (i, s"row-$i", i % 4)).toDF("id", "txt", "grp")
+        .coalesce(1),
+      t, partitionBy = Seq("grp"))                            // v0
+    DeltaWrite.setProperties(spark, t,
+      Map("delta.enableChangeDataFeed" -> "true"))            // v1
+    DeltaWrite.delete(spark, t, "id < 8")                     // v2: grps 0-3
+    val got = DeltaLog.changeFeed(spark, t, sinceVersion = 1L)
+      .select("id", "grp", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(got.map(_._1).toSeq === (0L until 8L))
+    // the partition column comes back with its REAL value, not NULL
+    assert(got.forall { case (id, grp, ct) => grp == id % 4 && ct == "delete" })
+    // and the cdc actions carry per-file partitionValues
+    val cdcPv = DeltaLog.actions(spark, t)
+      .where(col("cdc.path").isNotNull)
+      .select("cdc.partitionValues").collect()
+      .map(_.getMap[String, String](0).toMap)
+    assert(cdcPv.nonEmpty && cdcPv.forall(_.keySet == Set("grp")))
+  }
+
+  test("derived deletes honor the removed file's prior deletion vector") {
+    val t = freshDir("deltacdf")
+    DeltaWrite.createTable(spark, slice(0, 100), t)           // v0
+    DeltaWrite.deleteDv(spark, t, "id < 10")                  // v1 (no CDF)
+    // a DV-carrying dataChange add without CDC files is underivable
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.changeFeed(spark, t, sinceVersion = 0L).collect()
+    }
+    assert(e.getMessage.contains("deletion vector"))
+    // the whole remaining file deletes at v2: remove-only, derivable —
+    // but rows 0..9 were ALREADY deleted at v1 and must not reappear
+    DeltaWrite.deleteDv(spark, t, "id >= 0")                  // v2: fully deleted
+    val dels = DeltaLog.changeFeed(spark, t, sinceVersion = 1L)
+      .select("id", "_change_type").collect()
+    assert(dels.forall(_.getString(1) == "delete"))
+    assert(dels.map(_.getLong(0)).sorted.toSeq === (10L until 100L))
+  }
+
   test("appends derive as inserts; mixed commits without CDC are loud") {
     val t = freshDir("deltacdf")
     DeltaWrite.createTable(spark, slice(0, 10), t)              // v0

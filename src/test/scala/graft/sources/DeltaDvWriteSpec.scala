@@ -123,10 +123,11 @@ class DeltaDvWriteSpec extends SparkSpec {
     DeltaWrite.deleteDv(spark, t, "id < 10")
     // time travel: pre-delete version serves all rows
     assert(DeltaLog.readTable(spark, t, Some(2L)).count() === 300L)
-    // the re-add is a data change: changes() reports the file's live rows
+    // the re-add is a data change, but it contributes only the rows it
+    // still SERVES: the deleted ids must not be re-delivered as appends
     val ch = DeltaLog.changes(spark, t, sinceVersion = 2L)
       .select("id", "_commit_version").collect()
     assert(ch.forall(_.getLong(1) == 3L))
-    assert(ch.map(_.getLong(0)).sorted.toSeq === (0L until 100L))
+    assert(ch.map(_.getLong(0)).sorted.toSeq === (10L until 100L))
   }
 }

@@ -38,6 +38,12 @@ class DeltaV2CheckpointWriteSpec extends SparkSpec {
     val sidecars = log.resolve("_sidecars").toFile.listFiles()
       .filter(_.getName.endsWith(".parquet"))
     assert(sidecars.length >= 1)
+    // checkpointMetadata carries the CHECKPOINT version per protocol —
+    // a spec-conformant reader validates it against the file name
+    val cpMeta = spark.read.parquet(main.head.getAbsolutePath)
+      .where(col("checkpointMetadata").isNotNull)
+      .select("checkpointMetadata.version").collect()
+    assert(cpMeta.length === 1 && cpMeta.head.getLong(0) === 3L)
     // expire every pre-checkpoint JSON commit (log retention)
     (0L to 3L).foreach(i =>
       java.nio.file.Files.delete(log.resolve(f"$i%020d.json")))
