@@ -4525,6 +4525,25 @@ object PipelineQueries extends QuerySet {
       graft.sources.DeltaLog.readTable(s, t).orderBy("n_nationkey")
     }),
 
+    // EQUALITY-delete MERGE (q318 by the O(source) mechanism): the
+    // source's keys become a content=2 equality-delete file and the
+    // rows append — ONE commit that NEVER scans the target (the
+    // streaming-ingest upsert shape); the reader's strictly-lower
+    // sequence gate kills old copies and keeps the re-appends. Same
+    // oracle as the position-delete MERGE.
+    "q320_iceberg_eq_merge" -> ((s, dir) => {
+      val t = freshTmpDir("iceberg_eq_merge")
+      val nation = graft.Tables.load(s, dir, "nation")
+      graft.sources.IcebergWrite.createTable(s, nation.coalesce(1), t)
+      val src = nation.where(col("n_nationkey") < 10)
+        .withColumn("n_name", lower(col("n_name")))
+        .unionByName(nation.where(col("n_regionkey") === 4)
+          .select((col("n_nationkey") + 100).cast("int").as("n_nationkey"),
+            col("n_name"), col("n_regionkey")))
+      graft.sources.IcebergWrite.upsertEq(s, src, t, Seq("n_nationkey"))
+      graft.sources.IcebergMeta.readTable(s, t).orderBy("n_nationkey")
+    }),
+
     // Delta RENAME COLUMN (q307's Delta twin, via column mapping):
     // enabling mapping stamps every field with a stable physical name,
     // the rename is a metadata-only commit, and files written before
@@ -5947,6 +5966,18 @@ object PipelineQueries extends QuerySet {
         |       CASE WHEN o_orderstatus = 'F' THEN '0-URGENT'
         |            ELSE o_orderpriority END AS o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q320_iceberg_eq_merge" ->
+      """WITH src AS (
+        |  SELECT n_nationkey, lower(n_name) AS n_name, n_regionkey
+        |  FROM nation WHERE n_nationkey < 10
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey + 100 AS INT), n_name, n_regionkey
+        |  FROM nation WHERE n_regionkey = 4)
+        |SELECT * FROM src
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey NOT IN (SELECT n_nationkey FROM src)
+        |ORDER BY n_nationkey""".stripMargin,
     "q318_iceberg_merge" ->
       """WITH src AS (
         |  SELECT n_nationkey, lower(n_name) AS n_name, n_regionkey

@@ -225,6 +225,8 @@ object IcebergWrite {
       |  {"name":"file_format","type":"string"},
       |  $partition{"name":"record_count","type":"long"},
       |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
+      |    "default":null},
       |  {"name":"value_counts","type":["null",{"type":"array","logicalType":"map",
       |    "items":{"type":"record","name":"k119_v120","fields":[
       |      {"name":"key","type":"int"},{"name":"value","type":"long"}]}}],"default":null},
@@ -457,6 +459,49 @@ object IcebergWrite {
     committed
   }
 
+  /** MERGE as a STREAMING UPSERT via an EQUALITY-DELETE file — the
+    * O(source) commit shape: the source's key columns become a
+    * content=2 delete file (equality_ids = the key field ids) and the
+    * source rows append, both at the new snapshot's sequence number.
+    * The reader's strictly-lower gate kills every OLDER copy of a
+    * matched key and none of the re-appends. THE TARGET IS NEVER
+    * SCANNED — unlike [[upsert]] (position deletes need the matched
+    * row positions), a trickle upsert against a 100 TB table costs
+    * exactly the source: the write path a streaming ingest loop needs.
+    * The cost moves to READ time (the anti-join applies on every
+    * read) until a compaction materializes it. Duplicate source keys
+    * fail loud. Returns the new snapshot id.
+    */
+  def upsertEq(spark: SparkSession, source: DataFrame, tableDir: String,
+               keys: Seq[String]): Long = {
+    import org.apache.spark.sql.functions._
+    val fields = IcebergMeta.schemaFieldsOf(spark, tableDir, None)
+      .getOrElse(throw new IllegalArgumentException(
+        s"iceberg-write: metadata under $tableDir carries no schema"))
+    require(keys.nonEmpty && keys.forall(k => fields.exists(_.name == k)),
+      s"iceberg-write: MERGE keys $keys must be table columns")
+    if (source.schema.fieldNames.toSet != fields.map(_.name).toSet)
+      throw new IllegalArgumentException(
+        s"iceberg-write: MERGE source columns ${source.schema.fieldNames.toSeq} " +
+          s"do not match the table schema ${fields.map(_.name)}")
+    val src = source.select(fields.map(f => col(s"`${f.name}`")): _*).cache()
+    val dups = src.groupBy(keys.map(col): _*).count()
+      .where(col("count") > 1).limit(1).count()
+    if (dups > 0)
+      throw new IllegalArgumentException(
+        "iceberg-write: MERGE source has duplicate keys — one target row " +
+          "would receive multiple updates")
+    val keyIds = keys.map(k => fields.find(_.name == k).get.id.getOrElse(
+      throw new IllegalArgumentException(
+        s"iceberg-write: key column $k has no field id")))
+    val committed = dmlCommit(spark, tableDir, positions = None,
+      newRows = Some(src), operation = "overwrite",
+      commitEvenWithoutDeletes = true,
+      eqDelete = Some((src.select(keys.map(col): _*), keyIds)))
+    src.unpersist()
+    committed
+  }
+
   /** The bounds-pruned, field-id-projected matched set for a DML
     * predicate: (the (file_path, pos) tombstone relation, the matched
     * ROWS with lineage columns). None when the pruner proves no file
@@ -542,7 +587,8 @@ object IcebergWrite {
                         positions: Option[(DataFrame, DataFrame)],
                         newRows: Option[DataFrame],
                         operation: String,
-                        commitEvenWithoutDeletes: Boolean = false): Long = {
+                        commitEvenWithoutDeletes: Boolean = false,
+                        eqDelete: Option[(DataFrame, Seq[Long])] = None): Long = {
     val fs = fileSystem(spark, tableDir)
     val expectVersion = listMetadataVersions(fs, tableDir)
       .maxOption.getOrElse(0L) + 1
@@ -550,7 +596,8 @@ object IcebergWrite {
     val snap = tm.currentSnapshotId.flatMap(id => tm.snapshots.find(_.id == id))
       .getOrElse(throw new IllegalArgumentException(
         s"iceberg-write: no current snapshot under $tableDir"))
-    if (positions.isEmpty && !commitEvenWithoutDeletes) return snap.id
+    if (positions.isEmpty && eqDelete.isEmpty && !commitEvenWithoutDeletes)
+      return snap.id
     val fsRoot = new Path(tableDir)
     val fields = IcebergMeta.schemaFieldsOf(spark, tableDir, None)
       .getOrElse(throw new IllegalArgumentException(
@@ -586,9 +633,40 @@ object IcebergWrite {
         Some((delRel, fs.getFileStatus(target).getLen, meta.numRows))
       }
     }
+    // EQUALITY-delete file: the match columns (with their field ids in
+    // the footer, same resolution the reader uses), content=2 entry
+    val stagedEq: Option[(String, Long, Long, Seq[Long])] =
+      eqDelete.flatMap { case (keysDf, keyIds) =>
+        val byId = fields.map(f => f._1 -> f).toMap
+        val withIds = keysDf.select(keyIds.map { id =>
+          val (_, name, typ, _) = byId(id)
+          col(s"`$name`").cast(sparkType(typ)).as(name,
+            new MetadataBuilder().putLong("parquet.field.id", id).build())
+        }: _*)
+        val tmp = new Path(fsRoot, s".tmp-eqdel-${java.util.UUID.randomUUID()}")
+        withIds.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = fs.listStatus(tmp).map(_.getPath)
+          .find(_.getName.endsWith(".parquet")).getOrElse {
+            fs.delete(tmp, true)
+            return snap.id
+          }
+        val meta = ParquetMeta.readFooter(fs, part).getOrElse(
+          throw new java.io.IOException(
+            "iceberg-write: staged equality-delete file has no readable footer"))
+        if (meta.numRows == 0L) { fs.delete(tmp, true); None }
+        else {
+          val delRel = s"data/eq-delete-$seq.parquet"
+          val target = new Path(fsRoot, delRel)
+          if (!fs.rename(part, target))
+            throw new java.io.IOException(
+              s"iceberg-write: could not stage $delRel")
+          fs.delete(tmp, true)
+          Some((delRel, fs.getFileStatus(target).getLen, meta.numRows, keyIds))
+        }
+      }
     val addedData = newRows.map(df =>
       stageData(spark, fs, df, tableDir, fields, spec)).getOrElse(Nil)
-    if (staged.isEmpty && addedData.isEmpty) return snap.id
+    if (staged.isEmpty && stagedEq.isEmpty && addedData.isEmpty) return snap.id
     // the delete file spans partitions, so its partition values are
     // null — paths+positions are the delete's whole truth
     val manifests = scala.collection.mutable.ArrayBuffer
@@ -597,6 +675,7 @@ object IcebergWrite {
       val delFile0 = Map[String, Any](
         "content" -> 1, "file_path" -> delRel, "file_format" -> "PARQUET",
         "record_count" -> delRows, "file_size_in_bytes" -> delSize,
+        "equality_ids" -> null,
         "value_counts" -> null, "null_value_counts" -> null,
         "lower_bounds" -> null, "upper_bounds" -> null)
       val entry = Map[String, Any]("status" -> 1, "snapshot_id" -> snapshotId,
@@ -606,6 +685,27 @@ object IcebergWrite {
            else delFile0 + ("partition" ->
              partTypes.map { case (n, _) => n -> null }.toMap)))
       val rel = s"metadata/m-$seq-del.avro"
+      writeBytesAtomic(fs, new Path(tableDir, rel), Avro.renderOcfGeneric(
+        entrySchemaJson(partTypes), Seq(entry),
+        extraMeta = Seq("schema" -> "{}",
+          "partition-spec" -> specFieldsJson(spec, fields),
+          "format-version" -> "2")))
+      manifests += ((rel, 1, 1, delRows))
+    }
+    stagedEq.foreach { case (delRel, delSize, delRows, keyIds) =>
+      val delFile0 = Map[String, Any](
+        "content" -> 2, "file_path" -> delRel, "file_format" -> "PARQUET",
+        "record_count" -> delRows, "file_size_in_bytes" -> delSize,
+        "equality_ids" -> keyIds.map(_.toInt),
+        "value_counts" -> null, "null_value_counts" -> null,
+        "lower_bounds" -> null, "upper_bounds" -> null)
+      val entry = Map[String, Any]("status" -> 1, "snapshot_id" -> snapshotId,
+        "sequence_number" -> null,
+        "data_file" ->
+          (if (spec.isEmpty) delFile0
+           else delFile0 + ("partition" ->
+             partTypes.map { case (n, _) => n -> null }.toMap)))
+      val rel = s"metadata/m-$seq-eqdel.avro"
       writeBytesAtomic(fs, new Path(tableDir, rel), Avro.renderOcfGeneric(
         entrySchemaJson(partTypes), Seq(entry),
         extraMeta = Seq("schema" -> "{}",
@@ -623,6 +723,7 @@ object IcebergWrite {
         val dataFile = Map[String, Any](
           "content" -> 0, "file_path" -> rel, "file_format" -> "PARQUET",
           "record_count" -> rows, "file_size_in_bytes" -> size,
+          "equality_ids" -> null,
           "value_counts" -> kv(facts.map(c => c.id -> c.valueCount)),
           "null_value_counts" -> kv(facts.flatMap(c =>
             c.nullCount.map(c.id -> _))),
@@ -1111,6 +1212,7 @@ object IcebergWrite {
       val dataFile = Map[String, Any](
         "content" -> 0, "file_path" -> rel, "file_format" -> "PARQUET",
         "record_count" -> rows, "file_size_in_bytes" -> size,
+        "equality_ids" -> null,
         "value_counts" -> kv(facts.map(c => c.id -> c.valueCount)),
         "null_value_counts" -> kv(facts.flatMap(c =>
           c.nullCount.map(c.id -> _))),

@@ -141,6 +141,54 @@ class IcebergDmlSpec extends SparkSpec {
     assert(ids === (2L +: (5L until 300L)))
   }
 
+  test("EQUALITY-delete upsert: O(source) commit, target never rewritten") {
+    val t = rangeTable()
+    val src = Seq(
+      (50L, "replaced-50", 0L),
+      (150L, "replaced-150", 1L),
+      (400L, "inserted-400", 2L)).toDF("id", "txt", "grp")
+    val before = IcebergMeta.files(spark, t)
+      .select("file_path").collect().map(_.getString(0)).toSet
+    IcebergWrite.upsertEq(spark, src, t, Seq("id"))
+    // same answer as the position-delete MERGE on an identical fixture
+    val t2 = rangeTable()
+    IcebergWrite.upsert(spark, src, t2, Seq("id"))
+    val a = IcebergMeta.readTable(spark, t).orderBy("id").collect().toSeq
+    val b = IcebergMeta.readTable(spark, t2).orderBy("id").collect().toSeq
+    assert(a === b && a.length === 301)
+    // the equality-delete mechanism, not positions: content=2 entry
+    // with the key's field id, no position-delete file, originals live
+    val ents = IcebergMeta.entries(spark, t)
+    assert(ents.where(col("content") === "equality_deletes").count() === 1L)
+    assert(ents.where(col("content") === "position_deletes").count() === 0L)
+    val eqIds = ents.where(col("content") === "equality_deletes")
+      .select("equality_ids").head.getSeq[Int](0)
+    assert(eqIds === Seq(1))
+    assert(before.subsetOf(IcebergMeta.files(spark, t)
+      .select("file_path").collect().map(_.getString(0)).toSet))
+    // a SECOND upsert of the same key wins over the first (strictly-
+    // lower gate: each round's append outlives its own delete)
+    IcebergWrite.upsertEq(spark,
+      Seq((50L, "replaced-again", 0L)).toDF("id", "txt", "grp"), t, Seq("id"))
+    val fifty = IcebergMeta.readTable(spark, t)
+      .where(col("id") === 50L).collect()
+    assert(fifty.length === 1 && fifty.head.getString(1) === "replaced-again")
+    // avro-java still reads the eq-delete manifest
+    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val mf = java.nio.file.Files.list(java.nio.file.Paths.get(t, "metadata"))
+      .toArray.map(_.toString).filter(_.endsWith("-eqdel.avro"))
+    assert(mf.nonEmpty)
+    val r = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(mf.head))),
+      new GenericDatumReader[GenericRecord]())
+    val rec = r.next(); r.close()
+    val dataFile = rec.get("data_file").asInstanceOf[GenericRecord]
+    assert(dataFile.get("content").toString === "2")
+    assert(dataFile.get("equality_ids").toString === "[1]")
+  }
+
   test("updated rows survive snapshot expiry + orphan removal") {
     val t = rangeTable()
     IcebergWrite.update(spark, t, "id = 5", Map("txt" -> "'five'"))
