@@ -4544,6 +4544,27 @@ object PipelineQueries extends QuerySet {
       graft.sources.IcebergMeta.readTable(s, t).orderBy("n_nationkey")
     }),
 
+    // DV-mode UPDATE (q291 by the O(changed-rows) mechanism): matched
+    // positions bitmap out of their files and re-append transformed —
+    // the in-query require pins that every original data file
+    // survived. Same oracle as the rewrite-mode UPDATE.
+    "q321_delta_dv_update" -> ((s, dir) => {
+      val t = freshTmpDir("delta_dv_update")
+      deltaClusteredOrders(s, dir, t)
+      val before = graft.sources.DeltaLog.snapshot(s, t)
+        .select("path").collect().map(_.getString(0)).toSet
+      graft.sources.DeltaWrite.updateDv(s, t, "o_orderstatus = 'F'",
+        Map("o_orderpriority" -> "'0-URGENT'",
+            "o_totalprice" -> "o_totalprice * 1.1D"))
+      val after = graft.sources.DeltaLog.snapshot(s, t)
+        .select("path").collect().map(_.getString(0)).toSet
+      require(before.subsetOf(after),
+        "a DV update must not rewrite or drop any original data file")
+      graft.sources.DeltaLog.readTable(s, t)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
     // Delta RENAME COLUMN (q307's Delta twin, via column mapping):
     // enabling mapping stamps every field with a stable physical name,
     // the rename is a metadata-only commit, and files written before
@@ -5959,6 +5980,13 @@ object PipelineQueries extends QuerySet {
         |         n_regionkey, 'delete', 3
         |  FROM nation WHERE n_nationkey = 0)
         |ORDER BY _commit_version, _change_type, n_nationkey""".stripMargin,
+    "q321_delta_dv_update" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 1.1
+        |            ELSE o_totalprice END AS o_totalprice,
+        |       CASE WHEN o_orderstatus = 'F' THEN '0-URGENT'
+        |            ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q312_iceberg_update" ->
       """SELECT o_orderkey,
         |       CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 1.1

@@ -377,7 +377,55 @@ object DeltaWrite {
     * (current when nothing matched).
     */
   def deleteDv(spark: SparkSession, tableDir: String, condition: String,
-               inlineThreshold: Int = 512): Long = {
+               inlineThreshold: Int = 512): Long =
+    dvDml(spark, tableDir, condition, "DELETE", newRowsOf = None,
+      cdcOf = m => m.drop("_rel_path", "_row_index")
+        .withColumn("_change_type", lit("delete")),
+      inlineThreshold)
+
+  /** Row-level UPDATE via DELETION VECTORS — [[deleteDv]]'s update
+    * twin and [[update]]'s O(changed-rows) mode: the matched positions
+    * DV-delete out of their files (no rewrite of the untouched rows
+    * sharing those files) and the matched rows re-append with the
+    * `set` expressions applied — one commit. Where the rewrite-mode
+    * UPDATE restages every row of every touched file, this writes
+    * bitmaps plus exactly the changed rows. Returns the committed
+    * version (current when nothing matched).
+    */
+  def updateDv(spark: SparkSession, tableDir: String, condition: String,
+               set: Map[String, String], inlineThreshold: Int = 512): Long = {
+    val meta0 = fullMetaOf(spark, tableDir)
+    set.keys.foreach { c =>
+      if (!meta0.schema.fieldNames.contains(c))
+        throw new IllegalArgumentException(
+          s"deltawrite: UPDATE sets unknown column $c")
+    }
+    def applySet(m: DataFrame): DataFrame =
+      m.select(meta0.schema.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(e) => expr(e).cast(f.dataType).as(f.name)
+          case None    => col(s"`${f.name}`")
+        }
+      }: _*)
+    dvDml(spark, tableDir, condition, "UPDATE",
+      newRowsOf = Some(applySet),
+      cdcOf = m => m.drop("_rel_path", "_row_index")
+        .withColumn("_change_type", lit("update_preimage"))
+        .unionByName(applySet(m)
+          .withColumn("_change_type", lit("update_postimage"))),
+      inlineThreshold)
+  }
+
+  /** The shared deletion-vector DML core: attach DVs for the matched
+    * positions, optionally append `newRowsOf(matched rows)` in the
+    * SAME commit (the DV update), stage CDC from `cdcOf` when the
+    * table feeds changes.
+    */
+  private def dvDml(spark: SparkSession, tableDir: String, condition: String,
+                    operation: String,
+                    newRowsOf: Option[DataFrame => DataFrame],
+                    cdcOf: DataFrame => DataFrame,
+                    inlineThreshold: Int): Long = {
     val fs = fileSystem(spark, tableDir)
     val version = nextVersion(spark, tableDir)
     val candidates = DeltaLog.readTableCore(spark, tableDir, None,
@@ -460,11 +508,16 @@ object DeltaWrite {
         }.toMap
       }
     val meta = fullMetaOf(spark, tableDir)
+    // an UPDATE can introduce violations; a pure delete cannot
+    newRowsOf.foreach(f => enforceConstraints(meta, f(matchedFull)))
     val cdcLines =
       if (!cdfEnabled(meta)) Nil
-      else stageCdf(spark, fs, tableDir, meta, meta.schema,
-        matchedFull.drop("_rel_path", "_row_index")
-          .withColumn("_change_type", lit("delete")))
+      else stageCdf(spark, fs, tableDir, meta, meta.schema, cdcOf(matchedFull))
+    // the DV-update's re-appended rows land like any other data
+    val newAdds = newRowsOf.map { f =>
+      stageData(spark, fs, toPhysical(f(matchedFull), meta, meta.schema),
+        tableDir, meta.partCols)
+    }.getOrElse(Nil)
     def descriptorOf(p: String): String =
       fileDescr.getOrElse(p, {
         val (data, card) = bitmaps(p)
@@ -476,7 +529,7 @@ object DeltaWrite {
       })
     val now = System.currentTimeMillis()
     val lines =
-      Seq(s"""{"commitInfo":{"timestamp":$now,"operation":"DELETE"}}""") ++
+      Seq(s"""{"commitInfo":{"timestamp":$now,"operation":${jstr(operation)}}}""") ++
         touched.map { p =>
           s"""{"remove":{"path":${jstr(p)},"deletionTimestamp":$now,""" +
             """"dataChange":true}}"""
@@ -487,8 +540,8 @@ object DeltaWrite {
             s""""size":$size,"modificationTime":$mtime,"dataChange":true,""" +
             stats.map(st => s""""stats":${jstr(st)},""").getOrElse("") +
             s""""deletionVector":${descriptorOf(p)}}}"""
-        } ++ cdcLines
-    val committed = commitWithRebase(spark, fs, tableDir, version, "DELETE",
+        } ++ newAdds.map(addLine(_, now)) ++ cdcLines
+    val committed = commitWithRebase(spark, fs, tableDir, version, operation,
       touched, lines, conflictOnAdds = true)
     matchedFull.unpersist()
     committed

@@ -118,6 +118,40 @@ class DeltaDvWriteSpec extends SparkSpec {
     assert(DeltaLog.listCommits(spark, t).last._1 === 3L)
   }
 
+  test("updateDv: bitmaps + exactly the changed rows, no file rewritten") {
+    val t = rangeTable()
+    val before = DeltaLog.snapshot(spark, t)
+      .select("path").collect().map(_.getString(0)).toSet
+    val v = DeltaWrite.updateDv(spark, t, "id >= 40 AND id < 60",
+      Map("txt" -> "concat('u-', id)"))
+    assert(v === 3L)
+    val after = DeltaLog.snapshot(spark, t).collect()
+    // original files all survive (one with a DV); ONE new file holds
+    // exactly the 20 changed rows
+    val paths = after.map(_.getAs[String]("path")).toSet
+    assert(before.subsetOf(paths) && paths.size === 4)
+    val newFile = after.find(r => !before.contains(r.getAs[String]("path"))).get
+    assert(newFile.getAs[Long]("num_records") === 20L)
+    assert(after.count(r => !r.isNullAt(r.fieldIndex("dv_cardinality"))) === 1)
+    // content equals the rewrite-mode UPDATE on an identical fixture
+    val t2 = rangeTable()
+    DeltaWrite.update(spark, t2, "id >= 40 AND id < 60",
+      Map("txt" -> "concat('u-', id)"))
+    val a = DeltaLog.readTable(spark, t).orderBy("id").collect().toSeq
+    val b = DeltaLog.readTable(spark, t2).orderBy("id").collect().toSeq
+    assert(a === b && a.length === 300)
+    // CDF mode emits pre/post images through the DV path too
+    val t3 = rangeTable()
+    DeltaWrite.setProperties(spark, t3,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaWrite.updateDv(spark, t3, "id = 7", Map("txt" -> "'seven'"))
+    val ch = DeltaLog.changeFeed(spark, t3, sinceVersion = 3L)
+      .select("id", "txt", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._3)
+    assert(ch.toSeq === Seq(
+      (7L, "seven", "update_postimage"), (7L, "row-7", "update_preimage")))
+  }
+
   test("incremental consumers and time travel see DV deletes correctly") {
     val t = rangeTable()
     DeltaWrite.deleteDv(spark, t, "id < 10")
