@@ -830,6 +830,51 @@ object DeltaLog {
     if (r.isNullAt(0)) None else Some(r.getLong(0))
   }
 
+  /** Anti-join `joined` (rows carrying `_uri_path`, `_commit_version`,
+    * `_row_index`) against the RESOLVED deleted sets of `dvItems`
+    * (relative path, the version the rows are stamped with, DV
+    * descriptor) — the shared DV application behind [[changes]] and
+    * [[changeFeed]]: a file action carrying a deletion vector only
+    * speaks for the rows it still serves.
+    */
+  private def antiJoinDvRows(spark: SparkSession, tableDir: String,
+      joined: DataFrame,
+      dvItems: Seq[(String, Long, (String, String, Option[Int], Int, Long))])
+      : DataFrame = {
+    if (dvItems.isEmpty) return joined
+    val conf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val rootStr = tableDir
+    val delRows = spark.sparkContext
+      .parallelize(dvItems, math.max(1, math.min(dvItems.length,
+        spark.sparkContext.defaultParallelism)))
+      .mapPartitions { it =>
+        var dfs: org.apache.hadoop.fs.FileSystem = null
+        it.flatMap { case (rel, v, (st, enc, off, size, card)) =>
+          if (dfs == null)
+            dfs = new Path(rootStr).getFileSystem(conf.value)
+          val deleted = DeltaDv.resolve(dfs, rootStr, st, enc, off,
+            size, card).getOrElse(
+            throw new java.io.IOException(
+              s"deltalog: deletion vector for $rel is malformed or " +
+                "disagrees with its descriptor"))
+          val uri = dfs.makeQualified(new Path(rootStr, rel))
+            .toUri.getRawPath
+          deleted.iterator.map(idx =>
+            org.apache.spark.sql.Row(uri, v, idx))
+        }
+      }
+    val dels = spark.createDataFrame(delRows, StructType(Seq(
+      StructField("_del_uri", StringType, nullable = false),
+      StructField("_del_version", LongType, nullable = false),
+      StructField("_del_index", LongType, nullable = false))))
+    joined.join(broadcast(dels),
+      joined("_uri_path") === dels("_del_uri") &&
+        joined("_commit_version") === dels("_del_version") &&
+        joined("_row_index") === dels("_del_index"),
+      "left_anti")
+  }
+
   /** The ROWS APPENDED in commits AFTER `sinceVersion` (exclusive), up
     * to `untilVersion` when given: every `add` with `dataChange=true`
     * in that version window, scanned as one parquet read with the
@@ -917,39 +962,7 @@ object DeltaLog {
           if (r.isNullAt(6)) -1 else r.getInt(6),
           r.getLong(7)))
     }
-    if (dvItems.nonEmpty) {
-      val conf = new SerializableHadoopConf(
-        spark.sparkContext.hadoopConfiguration)
-      val rootStr = tableDir
-      val delRows = spark.sparkContext
-        .parallelize(dvItems, math.max(1, math.min(dvItems.length,
-          spark.sparkContext.defaultParallelism)))
-        .mapPartitions { it =>
-          var dfs: org.apache.hadoop.fs.FileSystem = null
-          it.flatMap { case (rel, v, (st, enc, off, size, card)) =>
-            if (dfs == null)
-              dfs = new Path(rootStr).getFileSystem(conf.value)
-            val deleted = DeltaDv.resolve(dfs, rootStr, st, enc, off,
-              size, card).getOrElse(
-              throw new java.io.IOException(
-                s"deltalog: deletion vector for $rel is malformed or " +
-                  "disagrees with its descriptor"))
-            val uri = dfs.makeQualified(new Path(rootStr, rel))
-              .toUri.getRawPath
-            deleted.iterator.map(idx =>
-              org.apache.spark.sql.Row(uri, v, idx))
-          }
-        }
-      val dels = spark.createDataFrame(delRows, StructType(Seq(
-        StructField("_del_uri", StringType, nullable = false),
-        StructField("_del_version", LongType, nullable = false),
-        StructField("_del_index", LongType, nullable = false))))
-      joined = joined.join(broadcast(dels),
-        joined("_uri_path") === dels("_del_uri") &&
-          joined("_commit_version") === dels("_del_version") &&
-          joined("_row_index") === dels("_del_index"),
-        "left_anti")
-    }
+    joined = antiJoinDvRows(spark, tableDir, joined, dvItems)
     joined.select(schema.fields.toSeq.map { f =>
         if (partCols.contains(f.name))
           col(s"_part_${f.name}").cast(f.dataType).as(f.name)
@@ -1111,39 +1124,7 @@ object DeltaLog {
     val dvItems = sources.filter(_.change.contains("delete")).flatMap { s =>
       removedAdds.get(s.rel).flatMap(_._2).map(d => (s.rel, s.version, d))
     }
-    if (dvItems.nonEmpty) {
-      val conf = new SerializableHadoopConf(
-        spark.sparkContext.hadoopConfiguration)
-      val rootStr = tableDir
-      val delRows = spark.sparkContext
-        .parallelize(dvItems, math.max(1, math.min(dvItems.length,
-          spark.sparkContext.defaultParallelism)))
-        .mapPartitions { it =>
-          var dfs: org.apache.hadoop.fs.FileSystem = null
-          it.flatMap { case (rel, v, (st, enc, off, size, card)) =>
-            if (dfs == null)
-              dfs = new Path(rootStr).getFileSystem(conf.value)
-            val deleted = DeltaDv.resolve(dfs, rootStr, st, enc, off,
-              size, card).getOrElse(
-              throw new java.io.IOException(
-                s"deltalog: deletion vector for removed file $rel is " +
-                  "malformed or disagrees with its descriptor"))
-            val uri = dfs.makeQualified(new Path(rootStr, rel))
-              .toUri.getRawPath
-            deleted.iterator.map(idx =>
-              org.apache.spark.sql.Row(uri, v, idx))
-          }
-        }
-      val dels = spark.createDataFrame(delRows, StructType(Seq(
-        StructField("_del_uri", StringType, nullable = false),
-        StructField("_del_version", LongType, nullable = false),
-        StructField("_del_index", LongType, nullable = false))))
-      joined = joined.join(broadcast(dels),
-        joined("_uri_path") === dels("_del_uri") &&
-          joined("_commit_version") === dels("_del_version") &&
-          joined("_row_index") === dels("_del_index"),
-        "left_anti")
-    }
+    joined = antiJoinDvRows(spark, tableDir, joined, dvItems)
     joined.select(schema.fields.toSeq.map { f =>
         if (partCols.contains(f.name))
           col(s"_part_${f.name}").cast(f.dataType).as(f.name)

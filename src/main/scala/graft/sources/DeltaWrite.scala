@@ -304,15 +304,10 @@ object DeltaWrite {
     val tmpUri = fs.makeQualified(tmp).toUri.getPath
     val lines = walk(tmp).sortBy(_.toString).zipWithIndex.map { case (p, i) =>
       val abs = fs.makeQualified(p).toUri.getPath
+      require(abs.startsWith(tmpUri + "/"),
+        s"deltawrite: cdc part file $abs escaped the staging dir")
       val segs = abs.drop(tmpUri.length + 1).split('/').toSeq
-      val partVals: Seq[(String, Option[String])] =
-        segs.dropRight(1).map { seg =>
-          val eq = seg.indexOf('=')
-          require(eq > 0, s"deltawrite: unexpected cdc partition dir $seg")
-          val v = unescapePath(seg.drop(eq + 1))
-          unescapePath(seg.take(eq)) ->
-            (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v))
-        }
+      val partVals = partValsOfSegs(segs.dropRight(1), "cdc")
       val rel = (("_change_data" +: segs.dropRight(1)) :+
         s"cdc-${java.util.UUID.randomUUID()}-$i.parquet").mkString("/")
       val target = new Path(fsRoot, rel)
@@ -381,7 +376,7 @@ object DeltaWrite {
     dvDml(spark, tableDir, condition, "DELETE", newRowsOf = None,
       cdcOf = m => m.drop("_rel_path", "_row_index")
         .withColumn("_change_type", lit("delete")),
-      inlineThreshold)
+      inlineThreshold, fullMetaOf(spark, tableDir))
 
   /** Row-level UPDATE via DELETION VECTORS — [[deleteDv]]'s update
     * twin and [[update]]'s O(changed-rows) mode: the matched positions
@@ -413,7 +408,7 @@ object DeltaWrite {
         .withColumn("_change_type", lit("update_preimage"))
         .unionByName(applySet(m)
           .withColumn("_change_type", lit("update_postimage"))),
-      inlineThreshold)
+      inlineThreshold, meta0)
   }
 
   /** The shared deletion-vector DML core: attach DVs for the matched
@@ -425,19 +420,22 @@ object DeltaWrite {
                     operation: String,
                     newRowsOf: Option[DataFrame => DataFrame],
                     cdcOf: DataFrame => DataFrame,
-                    inlineThreshold: Int): Long = {
+                    inlineThreshold: Int,
+                    meta: TableMeta): Long = {
     val fs = fileSystem(spark, tableDir)
     val version = nextVersion(spark, tableDir)
     val candidates = DeltaLog.readTableCore(spark, tableDir, None,
       Some(condition))
     // ONE cached scan of the matched rows feeds the touched-file list,
-    // the bitmap aggregation AND the CDC staging
+    // the bitmap aggregation AND the CDC staging; unpersist is the
+    // finally of the whole operation
     val matchedFull = candidates
       .where(coalesce(expr(condition), lit(false))).cache()
+    try {
     val matched = matchedFull.select(col("_rel_path"), col("_row_index"))
     val touched = matched.select("_rel_path").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
-    if (touched.isEmpty) { matchedFull.unpersist(); return version - 1 }
+    if (touched.isEmpty) return version - 1
     // union with each touched file's EXISTING deleted set (readTableCore
     // already excluded those rows, so matched alone would resurrect them)
     val oldDels = DeltaLog.deletedRows(spark, tableDir)
@@ -507,7 +505,6 @@ object DeltaWrite {
             s""""cardinality":${bitmaps(p)._2}}""")
         }.toMap
       }
-    val meta = fullMetaOf(spark, tableDir)
     // an UPDATE can introduce violations; a pure delete cannot
     newRowsOf.foreach(f => enforceConstraints(meta, f(matchedFull)))
     val cdcLines =
@@ -541,10 +538,9 @@ object DeltaWrite {
             stats.map(st => s""""stats":${jstr(st)},""").getOrElse("") +
             s""""deletionVector":${descriptorOf(p)}}}"""
         } ++ newAdds.map(addLine(_, now)) ++ cdcLines
-    val committed = commitWithRebase(spark, fs, tableDir, version, operation,
+    commitWithRebase(spark, fs, tableDir, version, operation,
       touched, lines, conflictOnAdds = true)
-    matchedFull.unpersist()
-    committed
+    } finally matchedFull.unpersist()
   }
 
   /** Row-level UPDATE: for rows satisfying `condition`, replace each
@@ -609,13 +605,15 @@ object DeltaWrite {
     require(keys.nonEmpty && keys.forall(schema.fieldNames.contains),
       s"deltawrite: MERGE keys $keys must be table columns")
     val src = source.select(schema.fieldNames.map(col): _*).cache()
-    enforceConstraints(meta, src) // inserted/updated rows are gated
-    val dups = src.groupBy(keys.map(col): _*).count()
-      .where(col("count") > 1).limit(1).count()
-    if (dups > 0)
-      throw new IllegalArgumentException(
-        "deltawrite: MERGE source has duplicate keys — one target row " +
-          "would receive multiple updates")
+    try {
+      enforceConstraints(meta, src) // inserted/updated rows are gated
+      val dups = src.groupBy(keys.map(col): _*).count()
+        .where(col("count") > 1).limit(1).count()
+      if (dups > 0)
+        throw new IllegalArgumentException(
+          "deltawrite: MERGE source has duplicate keys — one target row " +
+            "would receive multiple updates")
+    } catch { case t: Throwable => src.unpersist(); throw t }
     // candidate pruning: a single integral key's source range bounds
     // the files that can possibly match
     val prune: Option[String] = keys match {
@@ -663,11 +661,10 @@ object DeltaWrite {
       }
     val adds = stageData(spark, fs, toPhysical(result, meta, schema),
       tableDir, partCols)
-    val committed = commitWithRebase(spark, fs, tableDir, version, "MERGE",
+    try commitWithRebase(spark, fs, tableDir, version, "MERGE",
       touched, commitLines("MERGE", touched, adds) ++ cdcLines,
       conflictOnAdds = true)
-    src.unpersist()
-    committed
+    finally src.unpersist()
   }
 
   /** SHALLOW CLONE: a new table at `targetDir` whose version 0 add
@@ -821,21 +818,21 @@ object DeltaWrite {
     // the CDC staging and the rewrite itself
     val inTouched = candidates.where(col("_rel_path").isin(touched: _*))
       .cache()
-    val rewritten = transform(inTouched)
-      .select(schema.fieldNames.map(col): _*)
-      .coalesce(touched.size) // n touched files rewrite into ~n
-    enforceConstraints(meta, rewritten) // an UPDATE can introduce violations
-    val cdcLines =
-      if (!cdfEnabled(meta)) Nil
-      else stageCdf(spark, fs, tableDir, meta, schema,
-        changeRows(inTouched.where(coalesce(expr(condition), lit(false)))))
-    val adds = stageData(spark, fs, toPhysical(rewritten, meta, schema),
-      tableDir, partCols)
-    val committed = commitWithRebase(spark, fs, tableDir, version, operation,
-      touched, commitLines(operation, touched, adds) ++ cdcLines,
-      conflictOnAdds = true)
-    inTouched.unpersist()
-    committed
+    try {
+      val rewritten = transform(inTouched)
+        .select(schema.fieldNames.map(col): _*)
+        .coalesce(touched.size) // n touched files rewrite into ~n
+      enforceConstraints(meta, rewritten) // an UPDATE can introduce violations
+      val cdcLines =
+        if (!cdfEnabled(meta)) Nil
+        else stageCdf(spark, fs, tableDir, meta, schema,
+          changeRows(inTouched.where(coalesce(expr(condition), lit(false)))))
+      val adds = stageData(spark, fs, toPhysical(rewritten, meta, schema),
+        tableDir, partCols)
+      commitWithRebase(spark, fs, tableDir, version, operation,
+        touched, commitLines(operation, touched, adds) ++ cdcLines,
+        conflictOnAdds = true)
+    } finally inTouched.unpersist()
   }
 
   /** The next commit version: after the latest JSON commit OR the
@@ -1270,6 +1267,20 @@ object DeltaWrite {
       s""""dataChange":$dataChange,""" +
       s""""stats":${jstr(a.statsJson)}}}"""
 
+  /** Hive-style partition-directory segments → (column, value) pairs —
+    * the ONE place %XX unescaping and the __HIVE_DEFAULT_PARTITION__
+    * null sentinel are decoded (staged data and CDC files share it).
+    */
+  private def partValsOfSegs(segs: Seq[String],
+                             what: String): Seq[(String, Option[String])] =
+    segs.map { seg =>
+      val i = seg.indexOf('=')
+      require(i > 0, s"deltawrite: unexpected $what partition dir $seg")
+      val v = unescapePath(seg.drop(i + 1))
+      unescapePath(seg.take(i)) ->
+        (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v))
+    }
+
   /** Hive-style path unescape (%XX) — Spark escapes partition values
     * this way when rendering `k=v` directory names.
     */
@@ -1321,13 +1332,7 @@ object DeltaWrite {
         if (!fs.rename(p, target))
           throw new java.io.IOException(s"deltawrite: could not stage $rel")
         val st = fs.getFileStatus(target)
-        val partVals = rel.split('/').dropRight(1).toSeq.map { seg =>
-          val i = seg.indexOf('=')
-          require(i > 0, s"deltawrite: unexpected partition dir $seg")
-          val v = unescapePath(seg.drop(i + 1))
-          unescapePath(seg.take(i)) ->
-            (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v))
-        }
+        val partVals = partValsOfSegs(rel.split('/').dropRight(1).toSeq, "data")
         (rel, st.getLen, st.getModificationTime, partVals)
       }
     fs.delete(tmp, true)

@@ -181,24 +181,24 @@ object IcebergMeta {
                              sourceId: Long, fieldId: Option[Long])
 
   /** The default-spec-id of the current metadata.json (0 when absent —
-    * the spec's default and our writer's only id).
+    * the spec's default and our writer's data-spec id).
     */
-  def defaultSpecId(spark: SparkSession, tableDir: String): Long = {
-    val tmFile = currentMetadataFile(spark, tableDir)
-    val p = new Path(tmFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Avro.parseJson(readTextFile(fs, p)) match {
-      case Some(m: scala.collection.mutable.LinkedHashMap[_, _]) =>
-        m.asInstanceOf[JObj].get("default-spec-id").flatMap(jLong).getOrElse(0L)
-      case _ => 0L
-    }
-  }
+  def defaultSpecId(spark: SparkSession, tableDir: String): Long =
+    specAndDefaultId(spark, tableDir)._1
 
   /** The DEFAULT partition spec from the current metadata.json
     * (`partition-specs` + `default-spec-id`, or the legacy single
     * `partition-spec` array). Empty = unpartitioned.
     */
-  def partitionSpecOf(spark: SparkSession, tableDir: String): Seq[SpecField] = {
+  def partitionSpecOf(spark: SparkSession, tableDir: String): Seq[SpecField] =
+    specAndDefaultId(spark, tableDir)._2
+
+  /** (default-spec-id, its fields) in ONE metadata.json parse — the
+    * pruner needs both and must not pay the fetch twice.
+    */
+  private[sources] def specAndDefaultId(spark: SparkSession,
+                                        tableDir: String)
+      : (Long, Seq[SpecField]) = {
     val tmFile = currentMetadataFile(spark, tableDir)
     val p = new Path(tmFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -230,9 +230,9 @@ object IcebergMeta {
         }
       case _ => Nil
     }
-    root.get("partition-specs") match {
+    val wantId = root.get("default-spec-id").flatMap(jLong).getOrElse(0L)
+    val fields = root.get("partition-specs") match {
       case Some(a: scala.collection.mutable.ArrayBuffer[_]) =>
-        val wantId = root.get("default-spec-id").flatMap(jLong).getOrElse(0L)
         a.collectFirst {
           case sm: scala.collection.mutable.LinkedHashMap[_, _]
             if sm.asInstanceOf[JObj].get("spec-id").flatMap(jLong)
@@ -241,6 +241,7 @@ object IcebergMeta {
         }.getOrElse(Nil)
       case _ => root.get("partition-spec").map(fieldsOf).getOrElse(Nil)
     }
+    (wantId, fields)
   }
 
   // ----------------------------------------------------- avro decoding
@@ -764,11 +765,11 @@ object IcebergMeta {
     // the spec joined to its source columns: (source name, source type,
     // transform, partition field name)
     val idToField = flds.flatMap(f => f.id.map(_ -> f)).toMap
-    val specs = partitionSpecOf(spark, tableDir).flatMap { sf =>
+    val (wantSpecId, specFields) = specAndDefaultId(spark, tableDir)
+    val specs = specFields.flatMap { sf =>
       idToField.get(sf.sourceId).map(f => (f.name, f.typeStr, sf.transform, sf.name))
     }
     val pred = spark.sessionState.sqlParser.parseExpression(predicateSql)
-    val wantSpecId = defaultSpecId(spark, tableDir)
     val live = entries(spark, tableDir, snapshotId)
       .where(col("status") =!= 2 && col("content") === "data")
       .select("file_path", "record_count", "null_value_counts",

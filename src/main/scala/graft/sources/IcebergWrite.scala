@@ -404,14 +404,14 @@ object IcebergWrite {
     dmlCommit(spark, tableDir, pos, newRows = updated, operation = "overwrite")
   }
 
-  /** MERGE as UPSERT (the Iceberg twin of [[DeltaWrite.upsert]]):
-    * target rows whose `keys` match a source row become position
-    * deletes; ALL source rows append — one snapshot, shared sequence
-    * number. Duplicate source keys fail loud (one target row would
-    * receive two updates). Returns the new snapshot id.
+  /** Shared MERGE-source validation: keys are table columns, the
+    * source matches the schema, duplicate keys refused. Returns the
+    * schema fields and the CACHED, column-ordered source (the caller
+    * unpersists).
     */
-  def upsert(spark: SparkSession, source: DataFrame, tableDir: String,
-             keys: Seq[String]): Long = {
+  private def validateMergeSource(spark: SparkSession, source: DataFrame,
+                                  tableDir: String, keys: Seq[String])
+      : (Seq[IcebergMeta.IceField], DataFrame) = {
     import org.apache.spark.sql.functions._
     val fields = IcebergMeta.schemaFieldsOf(spark, tableDir, None)
       .getOrElse(throw new IllegalArgumentException(
@@ -423,12 +423,27 @@ object IcebergWrite {
         s"iceberg-write: MERGE source columns ${source.schema.fieldNames.toSeq} " +
           s"do not match the table schema ${fields.map(_.name)}")
     val src = source.select(fields.map(f => col(s"`${f.name}`")): _*).cache()
-    val dups = src.groupBy(keys.map(col): _*).count()
-      .where(col("count") > 1).limit(1).count()
-    if (dups > 0)
-      throw new IllegalArgumentException(
-        "iceberg-write: MERGE source has duplicate keys — one target row " +
-          "would receive multiple updates")
+    try {
+      val dups = src.groupBy(keys.map(col): _*).count()
+        .where(col("count") > 1).limit(1).count()
+      if (dups > 0)
+        throw new IllegalArgumentException(
+          "iceberg-write: MERGE source has duplicate keys — one target row " +
+            "would receive multiple updates")
+    } catch { case t: Throwable => src.unpersist(); throw t }
+    (fields, src)
+  }
+
+  /** MERGE as UPSERT (the Iceberg twin of [[DeltaWrite.upsert]]):
+    * target rows whose `keys` match a source row become position
+    * deletes; ALL source rows append — one snapshot, shared sequence
+    * number. Duplicate source keys fail loud (one target row would
+    * receive two updates). Returns the new snapshot id.
+    */
+  def upsert(spark: SparkSession, source: DataFrame, tableDir: String,
+             keys: Seq[String]): Long = {
+    import org.apache.spark.sql.functions._
+    val (fields, src) = validateMergeSource(spark, source, tableDir, keys)
     // candidate pruning: a single integral key's source range bounds
     // the files that can possibly match (manifest bounds + partition
     // transforms both apply)
@@ -451,12 +466,11 @@ object IcebergWrite {
         .orderBy("file_path", "pos")
       (matched, rows)
     }
-    val committed = dmlCommit(spark, tableDir,
+    try dmlCommit(spark, tableDir,
       pos.map { case (matched, rows) => (matched, rows) },
       newRows = Some(src), operation = "overwrite",
       commitEvenWithoutDeletes = true)
-    src.unpersist()
-    committed
+    finally src.unpersist()
   }
 
   /** MERGE as a STREAMING UPSERT via an EQUALITY-DELETE file — the
@@ -475,31 +489,16 @@ object IcebergWrite {
   def upsertEq(spark: SparkSession, source: DataFrame, tableDir: String,
                keys: Seq[String]): Long = {
     import org.apache.spark.sql.functions._
-    val fields = IcebergMeta.schemaFieldsOf(spark, tableDir, None)
-      .getOrElse(throw new IllegalArgumentException(
-        s"iceberg-write: metadata under $tableDir carries no schema"))
-    require(keys.nonEmpty && keys.forall(k => fields.exists(_.name == k)),
-      s"iceberg-write: MERGE keys $keys must be table columns")
-    if (source.schema.fieldNames.toSet != fields.map(_.name).toSet)
-      throw new IllegalArgumentException(
-        s"iceberg-write: MERGE source columns ${source.schema.fieldNames.toSeq} " +
-          s"do not match the table schema ${fields.map(_.name)}")
-    val src = source.select(fields.map(f => col(s"`${f.name}`")): _*).cache()
-    val dups = src.groupBy(keys.map(col): _*).count()
-      .where(col("count") > 1).limit(1).count()
-    if (dups > 0)
-      throw new IllegalArgumentException(
-        "iceberg-write: MERGE source has duplicate keys — one target row " +
-          "would receive multiple updates")
-    val keyIds = keys.map(k => fields.find(_.name == k).get.id.getOrElse(
-      throw new IllegalArgumentException(
-        s"iceberg-write: key column $k has no field id")))
-    val committed = dmlCommit(spark, tableDir, positions = None,
-      newRows = Some(src), operation = "overwrite",
-      commitEvenWithoutDeletes = true,
-      eqDelete = Some((src.select(keys.map(col): _*), keyIds)))
-    src.unpersist()
-    committed
+    val (fields, src) = validateMergeSource(spark, source, tableDir, keys)
+    try {
+      val keyIds = keys.map(k => fields.find(_.name == k).get.id.getOrElse(
+        throw new IllegalArgumentException(
+          s"iceberg-write: key column $k has no field id")))
+      dmlCommit(spark, tableDir, positions = None,
+        newRows = Some(src), operation = "overwrite",
+        commitEvenWithoutDeletes = true,
+        eqDelete = Some((src.select(keys.map(col): _*), keyIds)))
+    } finally src.unpersist()
   }
 
   /** The bounds-pruned, field-id-projected matched set for a DML
@@ -645,11 +644,16 @@ object IcebergWrite {
         }: _*)
         val tmp = new Path(fsRoot, s".tmp-eqdel-${java.util.UUID.randomUUID()}")
         withIds.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = fs.listStatus(tmp).map(_.getPath)
-          .find(_.getName.endsWith(".parquet")).getOrElse {
-            fs.delete(tmp, true)
-            return snap.id
-          }
+        val partOpt = fs.listStatus(tmp).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+        val part = partOpt.getOrElse {
+          // nothing staged = nothing to delete; the append half (a pure
+          // insert) must still commit
+          fs.delete(tmp, true)
+          null
+        }
+        if (part == null) None
+        else {
         val meta = ParquetMeta.readFooter(fs, part).getOrElse(
           throw new java.io.IOException(
             "iceberg-write: staged equality-delete file has no readable footer"))
@@ -662,6 +666,7 @@ object IcebergWrite {
               s"iceberg-write: could not stage $delRel")
           fs.delete(tmp, true)
           Some((delRel, fs.getFileStatus(target).getLen, meta.numRows, keyIds))
+        }
         }
       }
     val addedData = newRows.map(df =>
@@ -693,6 +698,9 @@ object IcebergWrite {
       manifests += ((rel, 1, 1, delRows))
     }
     stagedEq.foreach { case (delRel, delSize, delRows, keyIds) =>
+      // a GLOBAL equality delete is stored under an UNPARTITIONED spec
+      // (the table spec's rule) — a partition-scoped entry would make
+      // external readers apply it to one partition only
       val delFile0 = Map[String, Any](
         "content" -> 2, "file_path" -> delRel, "file_format" -> "PARQUET",
         "record_count" -> delRows, "file_size_in_bytes" -> delSize,
@@ -700,18 +708,13 @@ object IcebergWrite {
         "value_counts" -> null, "null_value_counts" -> null,
         "lower_bounds" -> null, "upper_bounds" -> null)
       val entry = Map[String, Any]("status" -> 1, "snapshot_id" -> snapshotId,
-        "sequence_number" -> null,
-        "data_file" ->
-          (if (spec.isEmpty) delFile0
-           else delFile0 + ("partition" ->
-             partTypes.map { case (n, _) => n -> null }.toMap)))
+        "sequence_number" -> null, "data_file" -> delFile0)
       val rel = s"metadata/m-$seq-eqdel.avro"
       writeBytesAtomic(fs, new Path(tableDir, rel), Avro.renderOcfGeneric(
-        entrySchemaJson(partTypes), Seq(entry),
-        extraMeta = Seq("schema" -> "{}",
-          "partition-spec" -> specFieldsJson(spec, fields),
+        entrySchemaJson(Nil), Seq(entry),
+        extraMeta = Seq("schema" -> "{}", "partition-spec" -> "[]",
           "format-version" -> "2")))
-      manifests += ((rel, 1, 1, delRows))
+      manifests += ((rel, if (spec.isEmpty) 1 else -1, 1, delRows))
     }
     if (addedData.nonEmpty) {
       def kv(facts: Seq[(Long, Any)]): Any =
@@ -751,12 +754,15 @@ object IcebergWrite {
       case _ => throw new IllegalArgumentException(
         s"iceberg-write: malformed manifest list ${snap.manifestList}")
     }
-    val newListRows = manifests.toSeq.map { case (rel, content, nFiles, nRows) =>
+    val newListRows = manifests.toSeq.map { case (rel, content0, nFiles, nRows) =>
+      val (content, specId) =
+        if (content0 == -1) (1, 1) // unpartitioned-spec delete manifest
+        else (content0, 0)
       Map[String, Any](
         "manifest_path" -> rel,
         "manifest_length" ->
           fs.getFileStatus(new Path(tableDir, rel)).getLen,
-        "partition_spec_id" -> 0, "content" -> content,
+        "partition_spec_id" -> specId, "content" -> content,
         "sequence_number" -> seq, "added_snapshot_id" -> snapshotId,
         "added_files_count" -> nFiles, "existing_files_count" -> 0,
         "deleted_files_count" -> 0,
@@ -1314,7 +1320,9 @@ object IcebergWrite {
         s""""last-sequence-number":$lastSeq,"last-updated-ms":$now,""" +
         s""""current-schema-id":0,"schemas":[$schemaJson],""" +
         s""""default-spec-id":0,"partition-specs":[{"spec-id":0,""" +
-        s""""fields":$specJson}],""" +
+        s""""fields":$specJson}""" +
+        (if (specJson != "[]") s""",{"spec-id":1,"fields":[]}""" else "") +
+        s"""],""" +
         s""""last-partition-id":${999 + nSpecFields},""" +
         s""""current-snapshot-id":$currentSnapshotId,""" +
         s""""snapshots":[${snapsJson.mkString(",")}]}"""

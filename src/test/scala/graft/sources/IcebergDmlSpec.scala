@@ -189,6 +189,31 @@ class IcebergDmlSpec extends SparkSpec {
     assert(dataFile.get("equality_ids").toString === "[1]")
   }
 
+  test("equality-delete upsert on a PARTITIONED table scopes globally") {
+    val t = freshDir("icedml")
+    IcebergWrite.createTable(spark, slice(0, 100), t,
+      spec = Seq(PartField("grp", "identity")))
+    // replace a key and insert one; the delete must reach the matched
+    // key in ITS partition even though the delete file is global
+    IcebergWrite.upsertEq(spark,
+      Seq((7L, "seven", 2L), (500L, "new", 0L)).toDF("id", "txt", "grp"),
+      t, Seq("id"))
+    val got = IcebergMeta.readTable(spark, t).orderBy("id").collect()
+    assert(got.length === 101)
+    assert(got.find(_.getLong(0) == 7L).get.getString(1) === "seven")
+    // the delete manifest rides the UNPARTITIONED spec (id 1), the data
+    // manifests the table spec (id 0) — the table-spec rule for global
+    // equality deletes, what external readers key their scoping on
+    val m = IcebergMeta.manifests(spark, t).collect()
+      .map(r => (r.getAs[String]("content"),
+        r.getAs[Int]("partition_spec_id"))).toSet
+    assert(m.contains(("deletes", 1)) && m.contains(("data", 0)))
+    // the reader's default spec stays the partitioned one: pruning on
+    // the partition column still works after the eq-delete commit
+    val rep = IcebergMeta.skippingReport(spark, t, "grp = 3")
+    assert(rep.where(!col("kept")).count() > 0)
+  }
+
   test("updated rows survive snapshot expiry + orphan removal") {
     val t = rangeTable()
     IcebergWrite.update(spark, t, "id = 5", Map("txt" -> "'five'"))
