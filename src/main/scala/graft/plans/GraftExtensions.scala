@@ -172,6 +172,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rank-filter windows -> native partial/final top-K (see GroupTopK.scala)
     ext.injectOptimizerRule(_ => GroupTopKRewrite)
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)
+    // lazily-executed side-effecting statements (DELETE/UPDATE/OPTIMIZE/
+    // VACUUM on the lakehouse doors) — EXPLAIN must never mutate
+    ext.injectPlannerStrategy(_ => LakehouseStatementStrategy)
     // statement-level SIMILARITY JOIN syntax -> the Dataset-API spine's plan
     ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
   }

@@ -244,7 +244,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   /** Split an UPDATE's SET clause into column → expression pairs:
     * commas inside parentheses or string literals belong to the
-    * expressions, not the assignment list.
+    * expressions, not the assignment list. A doubled quote inside a
+    * literal (`'it''s'` — SQL's escape) is content, not a string
+    * boundary: both quotes are consumed together so the string state
+    * never flips mid-literal.
     */
   private def parseAssignments(setClause: String): Map[String, String] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -254,6 +257,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     var i = 0
     while (i < setClause.length) {
       setClause.charAt(i) match {
+        case '\'' if inStr && i + 1 < setClause.length &&
+            setClause.charAt(i + 1) == '\'' =>
+          i += 1 // escaped quote: skip the pair, stay in the literal
         case '\'' => inStr = !inStr
         case '(' if !inStr => depth += 1
         case ')' if !inStr => depth -= 1
@@ -378,41 +384,72 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         case None => graft.sources.IcebergMeta.readTable(
           session, path, Option(snapOpt).map(_.toLong))
       }).queryExecution.logical
+    // The side-effecting statements plan LAZILY ([[LakehouseStatement]]):
+    // parse computes only the result schema (a metadata probe — no
+    // mutation), the statement body runs once at EXECUTION. EXPLAIN of
+    // any of these leaves the table untouched.
     case DeleteDeltaStmt(path, dv, pred) =>
-      if (dv != null) graft.sources.DeltaWrite.deleteDv(session, path, pred)
-      else graft.sources.DeltaWrite.delete(session, path, pred)
-      graft.sources.DeltaLog.readTable(session, path).queryExecution.logical
+      LakehouseStatement("DELETE DELTA", deltaTableSchema(path),
+        new StatementRunner(() => {
+          if (dv != null) graft.sources.DeltaWrite.deleteDv(session, path, pred)
+          else graft.sources.DeltaWrite.delete(session, path, pred)
+          graft.sources.DeltaLog.readTable(session, path)
+        }))
     case UpdateDeltaStmt(path, setClause, pred) =>
-      graft.sources.DeltaWrite.update(session, path, pred,
-        parseAssignments(setClause))
-      graft.sources.DeltaLog.readTable(session, path).queryExecution.logical
+      val assignments = parseAssignments(setClause) // malformed SET fails at parse
+      LakehouseStatement("UPDATE DELTA", deltaTableSchema(path),
+        new StatementRunner(() => {
+          graft.sources.DeltaWrite.update(session, path, pred, assignments)
+          graft.sources.DeltaLog.readTable(session, path)
+        }))
     case DeleteIcebergStmt(path, pred) =>
-      graft.sources.IcebergWrite.delete(session, path, pred)
-      graft.sources.IcebergMeta.readTable(session, path).queryExecution.logical
+      LakehouseStatement("DELETE ICEBERG",
+        graft.sources.IcebergMeta.tableSchema(session, path),
+        new StatementRunner(() => {
+          graft.sources.IcebergWrite.delete(session, path, pred)
+          graft.sources.IcebergMeta.readTable(session, path)
+        }))
     case UpdateIcebergStmt(path, setClause, pred) =>
-      graft.sources.IcebergWrite.update(session, path, pred,
-        parseAssignments(setClause))
-      graft.sources.IcebergMeta.readTable(session, path).queryExecution.logical
+      val assignments = parseAssignments(setClause)
+      LakehouseStatement("UPDATE ICEBERG",
+        graft.sources.IcebergMeta.tableSchema(session, path),
+        new StatementRunner(() => {
+          graft.sources.IcebergWrite.update(session, path, pred, assignments)
+          graft.sources.IcebergMeta.readTable(session, path)
+        }))
     case DeltaChangesStmt(path, since, untilOpt) =>
       graft.sources.DeltaLog.changeFeed(session, path, since.toLong,
         Option(untilOpt).map(_.toLong)).queryExecution.logical
     case OptimizeDeltaStmt(path, zcols, nFiles) =>
-      Option(zcols) match {
-        case Some(cs) =>
-          val cols = cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-          val n = Option(nFiles).map(_.toInt).getOrElse(
-            math.max(1, graft.sources.DeltaLog.snapshot(session, path)
-              .count().toInt))
-          graft.sources.DeltaOptimize.zorder(session, path, cols, n)
-        case None =>
-          graft.sources.DeltaOptimize.optimize(session, path)
-      }
-      graft.sources.DeltaLog.snapshot(session, path).queryExecution.logical
+      LakehouseStatement("OPTIMIZE DELTA",
+        graft.sources.DeltaLog.snapshot(session, path).schema,
+        new StatementRunner(() => {
+          Option(zcols) match {
+            case Some(cs) =>
+              val cols = cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+              val n = Option(nFiles).map(_.toInt).getOrElse(
+                math.max(1, graft.sources.DeltaLog.snapshot(session, path)
+                  .count().toInt))
+              graft.sources.DeltaOptimize.zorder(session, path, cols, n)
+            case None =>
+              graft.sources.DeltaOptimize.optimize(session, path)
+          }
+          graft.sources.DeltaLog.snapshot(session, path)
+        }))
     case VacuumDeltaStmt(path, hours, dry) =>
-      graft.sources.DeltaOptimize.vacuum(session, path,
-        retainMs = Option(hours).map(_.toLong * 3600000L)
-          .getOrElse(7L * 24 * 3600000L), // the protocol's default horizon
-        dryRun = dry != null).queryExecution.logical
+      LakehouseStatement("VACUUM DELTA",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path",
+            org.apache.spark.sql.types.StringType, nullable = true),
+          org.apache.spark.sql.types.StructField("size",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("removed",
+            org.apache.spark.sql.types.BooleanType, nullable = true))),
+        new StatementRunner(() =>
+          graft.sources.DeltaOptimize.vacuum(session, path,
+            retainMs = Option(hours).map(_.toLong * 3600000L)
+              .getOrElse(7L * 24 * 3600000L), // the protocol's default horizon
+            dryRun = dry != null)))
     case DescribeParquetPages(path) =>
       graft.sources.ParquetMeta.pages(session, path).queryExecution.logical
     case DescribeParquet(path) =>
@@ -448,6 +485,20 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         "vec_id", "embedding", k.toInt, nProbe = nProbe,
         rerank = rerank).queryExecution.logical
     case _ => delegate.parsePlan(sqlText)
+  }
+
+  /** The Delta table's declared schema (metaData action, logical
+    * names) — the statement planner's no-side-effect schema probe.
+    * Nullability relaxed: the read path serves parquet-nullable rows.
+    */
+  private def deltaTableSchema(path: String): StructType = {
+    val (schemaString, _, _, _) =
+      graft.sources.DeltaLog.tableMeta(session, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-sql: no Delta table metadata at $path"))
+    val parsed = org.apache.spark.sql.types.DataType.fromJson(schemaString)
+      .asInstanceOf[StructType]
+    StructType(parsed.fields.map(_.copy(nullable = true)))
   }
 
   /** Embedding width from the table's first row — the quantized methods

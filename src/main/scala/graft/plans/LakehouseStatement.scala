@@ -1,0 +1,95 @@
+package graft.plans
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, Statistics}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.StructType
+
+/** Lazily-executed side-effecting lakehouse statements (DELETE/UPDATE/
+  * OPTIMIZE/VACUUM on the Delta and Iceberg doors).
+  *
+  * The problem this solves: a statement whose side effect runs at PARSE
+  * time makes `EXPLAIN DELETE …` (or `sql("DELETE …").explain()`)
+  * mutate the table — planning must never write. So the parser returns
+  * this LEAF plan instead: its output attributes come from a
+  * metadata-only schema probe (no side effect), and the statement body
+  * is a thunk that runs exactly ONCE, at EXECUTION time (collect /
+  * write / count), producing the statement's result DataFrame whose
+  * rows the physical node then serves.
+  *
+  * The once-only discipline lives in [[StatementRunner]]: plan copies
+  * made by analyzer/optimizer rules share the runner instance, and a
+  * re-collect of the same Dataset re-reads the post-statement state
+  * without re-applying the DML (`UPDATE … SET x = x + 1` collected
+  * twice must not double-increment).
+  */
+final class StatementRunner(thunk: () => DataFrame) extends Serializable {
+  @transient private lazy val memo = new AtomicReference[DataFrame]()
+  def result(): DataFrame = {
+    val cur = memo.get()
+    if (cur != null) cur
+    else this.synchronized {
+      val again = memo.get()
+      if (again != null) again
+      else {
+        val df = thunk()
+        memo.set(df)
+        df
+      }
+    }
+  }
+}
+
+case class LakehouseStatement(name: String, output: Seq[Attribute],
+                              runner: StatementRunner) extends LeafNode {
+  // `output` is a CONSTRUCTOR field, not a computed val: optimizer
+  // rules copy plan nodes, and a recomputed output would mint fresh
+  // exprIds under parents still referencing the originals (the classic
+  // unstable-leaf bug — LocalRelation stores its attributes for the
+  // same reason)
+  // a statement result is never join-reordered against anything; the
+  // default LeafNode stats throw, so give the optimizer a safe size
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = BigInt(Long.MaxValue) / 4)
+}
+
+object LakehouseStatement {
+  def apply(name: String, schema: StructType,
+            runner: StatementRunner): LakehouseStatement =
+    new LakehouseStatement(name, schema.fields.toSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable, f.metadata)()),
+      runner)
+}
+
+case class LakehouseStatementExec(output: Seq[Attribute], name: String,
+                                  runner: StatementRunner)
+    extends LeafExecNode {
+  override protected def doExecute(): RDD[InternalRow] = {
+    // runs on the DRIVER when the statement's plan first executes: the
+    // side effect happens here (once — the runner memoizes), then the
+    // post-statement result is aligned to the declared output types
+    // and handed over as its internal rows
+    val df = runner.result()
+    require(df.schema.length == output.length,
+      s"graft-sql: $name produced ${df.schema.length} columns, " +
+        s"planned ${output.length}")
+    val aligned = df.select(df.columns.zip(output).map { case (c, a) =>
+      org.apache.spark.sql.functions.col(s"`$c`").cast(a.dataType)
+    }.toIndexedSeq: _*)
+    aligned.queryExecution.toRdd
+  }
+}
+
+/** Plans [[LakehouseStatement]] onto its exec node. */
+object LakehouseStatementStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case s: LakehouseStatement =>
+      LakehouseStatementExec(s.output, s.name, s.runner) :: Nil
+    case _ => Nil
+  }
+}

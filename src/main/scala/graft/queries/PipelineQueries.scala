@@ -4513,15 +4513,16 @@ object PipelineQueries extends QuerySet {
     // the DML statements (q290/q291 by SQL): DELETE FROM DELTA AT and
     // UPDATE DELTA AT plan onto the same touched-file-minimal rewrites,
     // USING DELETION VECTORS onto the bitmap path — one statement each,
-    // content oracled.
+    // content oracled. Statements plan LAZILY (EXPLAIN never mutates);
+    // collecting the result is what runs them.
     "q319_sql_delta_dml" -> ((s, dir) => {
       val t = freshTmpDir("delta_sql_dml")
       val nation = graft.Tables.load(s, dir, "nation")
       graft.sources.DeltaWrite.createTable(s, nation, t)
       s.sql(s"DELETE FROM DELTA AT '$t' USING DELETION VECTORS " +
-        "WHERE n_regionkey = 2")
+        "WHERE n_regionkey = 2").count()
       s.sql(s"UPDATE DELTA AT '$t' SET n_name = upper(concat(n_name, '!')) " +
-        "WHERE n_nationkey < 5")
+        "WHERE n_nationkey < 5").count()
       graft.sources.DeltaLog.readTable(s, t).orderBy("n_nationkey")
     }),
 
@@ -4644,6 +4645,97 @@ object PipelineQueries extends QuerySet {
         .agg(count(lit(1)).as("n_manifests"),
           sum("n_added_files").as("files_added"),
           sum("added_rows").as("rows_added"))
+    }),
+
+    // Iceberg COMPACTION (rewrite-data-files) — the missing half of
+    // q320's O(source) streaming upsert: two equality-delete commits
+    // accumulate, rewriteDataFiles MATERIALIZES them (touched files
+    // rewritten with deletes applied, untouched file carried as an
+    // existing entry, every delete file dropped) as one `replace`
+    // snapshot. In-query pins: 2 delete files before, 0 after; exactly
+    // one original data file survives the rewrite untouched; expire +
+    // orphan removal then reclaim the dead files and the read still
+    // serves the full table (the oracle's hash).
+    "q322_iceberg_compaction" -> ((s, dir) => {
+      val t = freshTmpDir("iceberg_compaction")
+      val nation = graft.Tables.load(s, dir, "nation")
+      graft.sources.IcebergWrite.createTable(s, nation.coalesce(1), t)
+      graft.sources.IcebergWrite.upsertEq(s,
+        nation.where("n_nationkey < 10")
+          .withColumn("n_name", lower(col("n_name"))), t, Seq("n_nationkey"))
+      graft.sources.IcebergWrite.upsertEq(s,
+        nation.where("n_nationkey >= 5 AND n_nationkey < 15")
+          .withColumn("n_name", concat(col("n_name"), lit("!"))),
+        t, Seq("n_nationkey"))
+      def delFiles() = graft.sources.IcebergMeta.entries(s, t)
+        .where(col("status") =!= 2 && col("content") =!= "data").count()
+      def dataPaths() = graft.sources.IcebergMeta.files(s, t)
+        .select("file_path").collect().map(_.getString(0)).toSet
+      val (delsBefore, pathsBefore) = (delFiles(), dataPaths())
+      require(delsBefore == 2L,
+        "two streaming upserts must have left two equality-delete files")
+      val rep = graft.sources.IcebergWrite.rewriteDataFiles(s, t).head()
+      require(rep.getLong(2) == 2L,
+        "compaction must drop both applied delete files")
+      require(delFiles() == 0L,
+        "no delete file may survive compaction in the live set")
+      require(pathsBefore.intersect(dataPaths()).size == 1,
+        "exactly the untouched data file must carry through compaction")
+      graft.sources.IcebergWrite.expireSnapshots(s, t, keepLast = 1)
+      graft.sources.IcebergWrite.removeOrphanFiles(s, t, olderThanMs = 0L)
+      graft.sources.IcebergMeta.readTable(s, t).orderBy("n_nationkey")
+    }),
+
+    // Iceberg HOUR-partitioned write (the temporal-transform family):
+    // one day of events lands as 24 hour partitions, and a timestamp
+    // RANGE predicate prunes from the manifests' partition records
+    // alone — the monotone-transform projection (bucket can't do
+    // this). In-query pin: 3 of 24 files kept for a 3-hour window.
+    "q323_iceberg_hour_write" -> ((s, dir) => {
+      val t = freshTmpDir("iceberg_hour")
+      val events = graft.Tables.events(s, dir)
+        .where("ts >= TIMESTAMP '2024-01-05 00:00:00' AND " +
+          "ts < TIMESTAMP '2024-01-06 00:00:00'")
+        .select("event_id", "ts", "event_type")
+      graft.sources.IcebergWrite.createTable(s, events.coalesce(1), t,
+        spec = Seq(graft.sources.IcebergWrite.PartField("ts", "hour")))
+      val pred = "ts >= TIMESTAMP '2024-01-05 06:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-05 09:00:00'"
+      // the pruner must keep EXACTLY the hour files the window spans —
+      // expected counts derived from the fixture so the pin holds at
+      // every scale factor (small SFs may not populate all 24 hours)
+      val nAll = events
+        .select(expr("unix_micros(ts) div 3600000000").as("h"))
+        .distinct().count()
+      val nWin = events.where(pred)
+        .select(expr("unix_micros(ts) div 3600000000").as("h"))
+        .distinct().count()
+      val rep = graft.sources.IcebergMeta.skippingReport(s, t, pred)
+      require(rep.count() == nAll && rep.where(col("kept")).count() == nWin,
+        s"hour pruning should keep exactly the window's $nWin of $nAll files")
+      graft.sources.IcebergMeta.readTableWhere(s, t, pred).orderBy("event_id")
+    }),
+
+    // Iceberg YEAR-partitioned write over a DATE source: seven order
+    // years, a half-open range keeps the top three partitions — proven
+    // from manifests (skippingReport), content oracled. (month shares
+    // the same epoch arithmetic, pinned in IcebergWriteSpec.)
+    "q324_iceberg_year_write" -> ((s, dir) => {
+      val t = freshTmpDir("iceberg_year")
+      val orders = graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_totalprice"))
+      graft.sources.IcebergWrite.createTable(s, orders.coalesce(1), t,
+        spec = Seq(graft.sources.IcebergWrite.PartField("o_orderdate", "year")))
+      val pred = "o_orderdate >= DATE '1999-01-01'"
+      val rep = graft.sources.IcebergMeta.skippingReport(s, t, pred)
+      require(rep.count() == 7L && rep.where(col("kept")).count() == 3L,
+        "year pruning should keep exactly 1999/2000/2001")
+      // (date column proven by the pruning pin; projected out of the
+      // oracle result — DATE renders differently across engines)
+      graft.sources.IcebergMeta.readTableWhere(s, t, pred)
+        .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
     }),
 
     // the Iceberg schema report (DELTA SCHEMA's twin, via the ICEBERG
@@ -6034,6 +6126,25 @@ object PipelineQueries extends QuerySet {
         |              WHERE o_orderkey > mid) AS BIGINT) AS files_added,
         |       CAST(count(*) AS BIGINT) AS rows_added
         |FROM orders""".stripMargin,
+    // compaction: the post-materialization table is the two upserts'
+    // reconciliation (the later source wins 5..9), bit-for-bit
+    "q322_iceberg_compaction" ->
+      """SELECT n_nationkey,
+        |       CASE WHEN n_nationkey >= 5 AND n_nationkey < 15
+        |              THEN n_name || '!'
+        |            WHEN n_nationkey < 5 THEN lower(n_name)
+        |            ELSE n_name END AS n_name,
+        |       n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q323_iceberg_hour_write" ->
+      """SELECT event_id, ts, event_type FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 06:00:00'
+        |  AND ts < TIMESTAMP '2024-01-05 09:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "q324_iceberg_year_write" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders WHERE o_orderdate >= DATE '1999-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
     "q308_delta_time_travel_ts" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey IN (0, 1) ORDER BY n_nationkey""".stripMargin,

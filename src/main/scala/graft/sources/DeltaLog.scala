@@ -99,7 +99,11 @@ object DeltaLog {
       StructField("createdTime", LongType)))),
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))),
+      StructField("minWriterVersion", IntegerType),
+      // table features (reader 3 / writer 7): the capability lists a
+      // conformant reader/writer must check before touching the table
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))),
     StructField("commitInfo", StructType(Seq(
       StructField("timestamp", LongType),
       StructField("operation", StringType)))),
@@ -583,6 +587,49 @@ object DeltaLog {
     c => byName.get(c).map(physicalName(mode, _)).getOrElse(c)
   }
 
+  /** The latest protocol action, table features included:
+    * (minReaderVersion, minWriterVersion, readerFeatures,
+    * writerFeatures) — (1, 1, Nil, Nil) when the log carries none.
+    */
+  def protocolOf(spark: SparkSession, tableDir: String,
+                 asOf: Option[Long] = None)
+      : (Int, Int, Seq[String], Seq[String]) = {
+    val p = actions(spark, tableDir, asOf)
+      .where(col("protocol.minReaderVersion").isNotNull)
+      .orderBy(col("version").desc, col("ordinal").desc)
+      .select("protocol.minReaderVersion", "protocol.minWriterVersion",
+        "protocol.readerFeatures", "protocol.writerFeatures")
+      .limit(1).collect().headOption
+    p.map { r =>
+      (r.getInt(0), r.getInt(1),
+        if (r.isNullAt(2)) Nil else r.getSeq[String](2).toSeq,
+        if (r.isNullAt(3)) Nil else r.getSeq[String](3).toSeq)
+    }.getOrElse((1, 1, Nil, Nil))
+  }
+
+  /** The reader capabilities THIS engine implements — the conformance
+    * gate's allowlist: a table advertising any OTHER reader feature (or
+    * a reader version above 3) must fail loud, per the protocol, since
+    * serving its rows without understanding the feature could be
+    * silently wrong.
+    */
+  private val SupportedReaderFeatures: Set[String] =
+    Set("columnMapping", "deletionVectors", "v2Checkpoint", "timestampNtz")
+
+  private def checkReaderProtocol(spark: SparkSession, tableDir: String,
+                                  asOf: Option[Long]): Unit = {
+    val (r, _, rf, _) = protocolOf(spark, tableDir, asOf)
+    if (r > 3)
+      throw new IllegalArgumentException(
+        s"deltalog: table at $tableDir requires minReaderVersion $r — " +
+          "this reader implements up to 3")
+    val unknown = rf.filterNot(SupportedReaderFeatures)
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"deltalog: table at $tableDir requires reader features " +
+          s"${unknown.mkString(", ")} this reader does not implement")
+  }
+
   /** Everything a reader needs at `asOf`: schema, partition columns,
     * column-mapping mode, and the live-file mapping DataFrame
     * (`_uri_path`, `_rel_path`, `_abs_path`, decoded stats struct
@@ -591,6 +638,7 @@ object DeltaLog {
   private def tableState(spark: SparkSession, tableDir: String,
                          asOf: Option[Long])
       : (StructType, Seq[String], String, DataFrame) = {
+    checkReaderProtocol(spark, tableDir, asOf)
     val acts = actions(spark, tableDir, asOf)
     val metaRow = acts.where(col("metaData.schemaString").isNotNull)
       .orderBy(col("version").desc, col("ordinal").desc)
@@ -922,6 +970,29 @@ object DeltaLog {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(outFields))
+    // a DV-carrying RE-ADD is a row-level DELETE dressed as an add: its
+    // path's rows were already delivered when the file first appeared,
+    // and re-serving "the surviving rows" would duplicate them for an
+    // append-stream consumer. Reference Delta streaming fails loud on
+    // such data updates — so do we, pointing at the CDC grain that can
+    // express them. (A file whose FIRST add carries the DV is fine.)
+    val dvReAdds = newAdds.filter(r => !r.isNullAt(3))
+      .map(r => (r.getString(0), r.getLong(1)))
+    if (dvReAdds.nonEmpty) {
+      val firstAdd = actions(spark, tableDir, untilVersion)
+        .where(col("add.path").isin(dvReAdds.map(_._1).distinct: _*) &&
+          coalesce(col("add.dataChange"), lit(true)))
+        .groupBy(col("add.path").as("p")).agg(min("version").as("v"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      dvReAdds.find { case (p, v) => firstAdd.get(p).exists(_ < v) }
+        .foreach { case (p, v) =>
+          throw new IllegalArgumentException(
+            s"deltalog: commit $v re-adds $p with a deletion vector — " +
+              "append-stream changes() cannot express a row-level delete " +
+              "without re-delivering rows; consume changeFeed() for " +
+              "row-grain changes")
+        }
+    }
     val fsRoot = new Path(tableDir)
     val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mapRows = newAdds.toSeq.map { r =>

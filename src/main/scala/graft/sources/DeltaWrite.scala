@@ -239,9 +239,9 @@ object DeltaWrite {
           "constraint refused")
     val now = System.currentTimeMillis()
     val lines = Seq(
-      s"""{"commitInfo":{"timestamp":$now,"operation":"ADD CONSTRAINT"}}""",
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""",
-      metaLine(meta, meta.schema, meta.configuration + (key -> exprSql)))
+      s"""{"commitInfo":{"timestamp":$now,"operation":"ADD CONSTRAINT"}}""") ++
+      ensureProtocolLine(spark, tableDir, None, "checkConstraints", (1, 3)) ++
+      Seq(metaLine(meta, meta.schema, meta.configuration + (key -> exprSql)))
     commitAtomic(fs, tableDir, version, lines)
     version
   }
@@ -258,11 +258,95 @@ object DeltaWrite {
     val version = nextVersion(spark, tableDir)
     val meta = fullMetaOf(spark, tableDir)
     val now = System.currentTimeMillis()
+    // enabling CDF gates WRITERS (protocol: changeDataFeed, legacy
+    // writer 4) — the protocol action rides the enabling commit so an
+    // external writer below the floor can never commit DML without CDC
+    val protoLine =
+      if (props.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true")))
+        ensureProtocolLine(spark, tableDir, None, "changeDataFeed", (1, 4))
+      else None
     val lines = Seq(
-      s"""{"commitInfo":{"timestamp":$now,"operation":"SET TBLPROPERTIES"}}""",
-      metaLine(meta, meta.schema, meta.configuration ++ props))
+      s"""{"commitInfo":{"timestamp":$now,"operation":"SET TBLPROPERTIES"}}""") ++
+      protoLine ++
+      Seq(metaLine(meta, meta.schema, meta.configuration ++ props))
     commitAtomic(fs, tableDir, version, lines)
     version
+  }
+
+  // ------------------------------------------------- protocol features
+
+  /** The writer features a LEGACY minWriterVersion implies (PROTOCOL.md
+    * table-features appendix) — what must be listed explicitly when a
+    * table converts to writer version 7.
+    */
+  private def legacyWriterFeatures(w: Int): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    if (w >= 2) b ++= Seq("appendOnly", "invariants")
+    if (w >= 3) b += "checkConstraints"
+    if (w >= 4) b ++= Seq("changeDataFeed", "generatedColumns")
+    if (w >= 5) b += "columnMapping"
+    if (w >= 6) b += "identityColumns"
+    b.result()
+  }
+
+  private def legacyReaderFeatures(r: Int): Seq[String] =
+    if (r >= 2) Seq("columnMapping") else Nil
+
+  /** The protocol action advertising `writerFeat` (and `readerFeat`
+    * when the feature gates readers too) — None when the current
+    * protocol already supports it. Features with no legacy version
+    * (deletionVectors, v2Checkpoint) force the table-features form
+    * (reader 3 / writer 7), converting the legacy versions' implied
+    * features into the explicit lists the protocol requires. Without
+    * this action, a conformant external reader at the old protocol
+    * would scan DV-carrying files raw and silently resurrect deleted
+    * rows — the gating is the feature's whole point.
+    */
+  private[sources] def featureProtocolLine(spark: SparkSession,
+      tableDir: String, readerFeat: Option[String],
+      writerFeat: String): Option[String] = {
+    val (r, w, rf, wf) = DeltaLog.protocolOf(spark, tableDir)
+    val writerOk =
+      if (w >= 7) wf.contains(writerFeat)
+      else legacyWriterFeatures(w).contains(writerFeat)
+    val readerOk = readerFeat.forall { f =>
+      if (r >= 3) rf.contains(f) else legacyReaderFeatures(r).contains(f)
+    }
+    if (writerOk && readerOk) None
+    else {
+      val newR = if (readerFeat.isDefined) 3 else math.max(r, 1)
+      val newRf =
+        ((if (r >= 3) rf else legacyReaderFeatures(r)) ++ readerFeat)
+          .distinct.sorted
+      val newWf =
+        ((if (w >= 7) wf else legacyWriterFeatures(w)) :+ writerFeat)
+          .distinct.sorted
+      val rfJson =
+        if (newR >= 3) s""","readerFeatures":${newRf.map(jstr).mkString("[", ",", "]")}"""
+        else ""
+      Some(s"""{"protocol":{"minReaderVersion":$newR,"minWriterVersion":7""" +
+        rfJson +
+        s""","writerFeatures":${newWf.map(jstr).mkString("[", ",", "]")}}}""")
+    }
+  }
+
+  /** [[featureProtocolLine]] for features that ALSO have a legacy
+    * protocol version: a table still on legacy protocol rises to the
+    * legacy floor (never downgrading either version); a table already
+    * on writer 7 gains the feature in its lists instead — a fixed
+    * legacy line there would silently DROP the table's existing
+    * features.
+    */
+  private[sources] def ensureProtocolLine(spark: SparkSession,
+      tableDir: String, readerFeat: Option[String], writerFeat: String,
+      legacy: (Int, Int)): Option[String] = {
+    val (r, w, _, _) = DeltaLog.protocolOf(spark, tableDir)
+    if (w < 7) {
+      val (lr, lw) = legacy
+      if (r >= lr && w >= lw) None
+      else Some(s"""{"protocol":{"minReaderVersion":${math.max(r, lr)},""" +
+        s""""minWriterVersion":${math.max(w, lw)}}}""")
+    } else featureProtocolLine(spark, tableDir, readerFeat, writerFeat)
   }
 
   // -------------------------------------------------- change data feed
@@ -443,6 +527,10 @@ object DeltaWrite {
       .withColumnRenamed("row_index", "_row_index")
       .where(col("_rel_path").isin(touched: _*))
     import spark.implicits._
+    // the per-file deleted set materializes UNCOMPRESSED in one task
+    // before encoding — bounded by rows-per-file (a ~1M-row file is a
+    // ~8 MB array), not by table size; only the encoded bitmap bytes
+    // ever reach the driver
     val bitmaps: Map[String, (Array[Byte], Long)] =
       matched.unionByName(oldDels)
         .groupBy("_rel_path")
@@ -525,8 +613,14 @@ object DeltaWrite {
           s""""sizeInBytes":${data.length},"cardinality":${bitmaps(p)._2}}"""
       })
     val now = System.currentTimeMillis()
+    // first DV write raises the protocol to the table-features form —
+    // a conformant reader at the old protocol would otherwise scan the
+    // DV-carrying files raw and resurrect every deleted row
+    val protoLine = featureProtocolLine(spark, tableDir,
+      Some("deletionVectors"), "deletionVectors")
     val lines =
       Seq(s"""{"commitInfo":{"timestamp":$now,"operation":${jstr(operation)}}}""") ++
+        protoLine ++
         touched.map { p =>
           s"""{"remove":{"path":${jstr(p)},"deletionTimestamp":$now,""" +
             """"dataChange":true}}"""
@@ -726,9 +820,21 @@ object DeltaWrite {
         else s"""{"path":${jstr(abs)},${rest.drop(1)}"""
       s"""{"add":$body}"""
     }
+    // the clone inherits the SOURCE's protocol verbatim: its adds may
+    // carry inline deletion vectors, its configuration constraints or
+    // column mapping — a fixed (1,2) here would under-gate readers
+    val (pr, pw, prf, pwf) = DeltaLog.protocolOf(spark, sourceDir)
+    val protoJson =
+      s"""{"protocol":{"minReaderVersion":$pr,"minWriterVersion":$pw""" +
+        (if (pr >= 3)
+          s""","readerFeatures":${prf.map(jstr).mkString("[", ",", "]")}"""
+        else "") +
+        (if (pw >= 7)
+          s""","writerFeatures":${pwf.map(jstr).mkString("[", ",", "]")}"""
+        else "") + "}}"
     val lines = Seq(
       s"""{"commitInfo":{"timestamp":$now,"operation":"CLONE"}}""",
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      protoJson,
       metaJson) ++ adds
     commitAtomic(fs, targetDir, 0L, lines)
     0L
@@ -1040,6 +1146,19 @@ object DeltaWrite {
                    sidecarParts: Int = 1): Long = {
     require(sidecarParts >= 1, "deltawrite: sidecarParts must be >= 1")
     val fs = fileSystem(spark, tableDir)
+    // a classic reader following _last_checkpoint cannot find the
+    // UUID-named main file — the v2Checkpoint table feature is what
+    // tells it so. When the table lacks it, a protocol-upgrade COMMIT
+    // lands first (checkpoints carry the last protocol, they don't
+    // introduce one) and the checkpoint is taken at that version.
+    featureProtocolLine(spark, tableDir, Some("v2Checkpoint"),
+        "v2Checkpoint").foreach { proto =>
+      val v = nextVersion(spark, tableDir)
+      val now = System.currentTimeMillis()
+      commitAtomic(fs, tableDir, v, Seq(
+        s"""{"commitInfo":{"timestamp":$now,"operation":"UPGRADE PROTOCOL"}}""",
+        proto))
+    }
     val v = DeltaLog.listCommits(spark, tableDir).lastOption.map(_._1)
       .getOrElse(throw new IllegalArgumentException(
         s"deltawrite: no table at $tableDir"))
@@ -1100,8 +1219,17 @@ object DeltaWrite {
       .unionByName(scDf)
     val mainName = f"$v%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"
     val mainRows = writeParquetTo(spark, fs, main, new Path(logDir, mainName))
+    // the protocol defines `size` as the TOTAL action count of the
+    // checkpoint — main-file rows plus the sidecars' file actions
+    // (external tooling sanity-checks against it); the sidecar row
+    // count comes from the staged footers, never a data re-read
+    val sidecarRows = sidecars.map { case (name, _, _) =>
+      ParquetMeta.readFooter(fs, new Path(scDir, name)).map(_.numRows)
+        .getOrElse(throw new java.io.IOException(
+          s"deltawrite: checkpoint sidecar $name has no readable footer"))
+    }.sum
     writeAtomic(fs, new Path(logDir, "_last_checkpoint"),
-      s"""{"version":$v,"size":$mainRows}""", overwrite = true)
+      s"""{"version":$v,"size":${mainRows + sidecarRows}}""", overwrite = true)
     v
   }
 
@@ -1198,9 +1326,10 @@ object DeltaWrite {
       ("delta.columnMapping.maxColumnId" -> meta.schema.fields.length.toString)
     val now = System.currentTimeMillis()
     val lines = Seq(
-      s"""{"commitInfo":{"timestamp":$now,"operation":"SET COLUMN MAPPING"}}""",
-      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-      metaLine(meta, mapped, conf))
+      s"""{"commitInfo":{"timestamp":$now,"operation":"SET COLUMN MAPPING"}}""") ++
+      ensureProtocolLine(spark, tableDir, Some("columnMapping"),
+        "columnMapping", (2, 5)) ++
+      Seq(metaLine(meta, mapped, conf))
     commitAtomic(fs, tableDir, version, lines)
     version
   }

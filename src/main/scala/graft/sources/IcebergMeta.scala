@@ -535,6 +535,24 @@ object IcebergMeta {
         StructField("required", BooleanType, nullable = false))))
   }
 
+  /** The current schema as a Spark StructType (top-level primitives;
+    * the reader's cast targets) — the statement planner's lightweight
+    * schema probe: one metadata.json read, no footer or data access,
+    * and critically NO side effect. All fields nullable (the read
+    * path's actual nullability).
+    */
+  def tableSchema(spark: SparkSession, tableDir: String): StructType = {
+    val fields = schemaFieldsOf(spark, tableDir, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"iceberg: metadata under $tableDir carries no schema"))
+    StructType(fields.map(f => StructField(f.name,
+      icebergTypeToSpark(f.typeStr).getOrElse(
+        throw new IllegalArgumentException(
+          s"iceberg: column ${f.name} (${f.typeStr}) has no statement-" +
+            "plannable Spark type")),
+      nullable = true)))
+  }
+
   // -------------------------------------------- schema (field-id) layer
 
   private[sources] final case class IceField(id: Option[Long], name: String,
@@ -655,7 +673,7 @@ object IcebergMeta {
     * yields an empty id map: the name-projection fallback (Iceberg's
     * name-mapping degenerate case).
     */
-  private def fileTopLevel(spark: SparkSession, paths: Seq[String])
+  private[sources] def fileTopLevel(spark: SparkSession, paths: Seq[String])
       : Map[String, (Seq[String], Map[Int, String])] = {
     if (paths.isEmpty) return Map.empty
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
@@ -847,7 +865,8 @@ object IcebergMeta {
         case ByteType | ShortType | IntegerType | LongType =>
           Some(Long.box(l.value.asInstanceOf[Number].longValue))
         case DateType => Some(Long.box(l.value.asInstanceOf[Int].toLong))
-        case TimestampType => Some(Long.box(l.value.asInstanceOf[Long]))
+        case TimestampType | TimestampNTZType =>
+          Some(Long.box(l.value.asInstanceOf[Long]))
         case StringType => Some(l.value.toString)
         case _ => None
       }
@@ -894,6 +913,23 @@ object IcebergMeta {
         case "day" =>
           if (sourceType == "date") asLong.map(scala.Left(_))
           else asLong.map(m => scala.Left(Math.floorDiv(m, 86400000000L)))
+        // temporal ordinals share the WRITER's epoch arithmetic
+        // (IcebergWrite.monthsFromEpochDay et al.) — the transform of a
+        // literal must land in exactly the domain the partition values
+        // were written in, or pruning would be unsound
+        case "month" =>
+          val days =
+            if (sourceType == "date") asLong
+            else asLong.map(IcebergWrite.epochDayOfMicros)
+          days.map(d => scala.Left(IcebergWrite.monthsFromEpochDay(d).toLong))
+        case "year" =>
+          val days =
+            if (sourceType == "date") asLong
+            else asLong.map(IcebergWrite.epochDayOfMicros)
+          days.map(d => scala.Left(IcebergWrite.yearsFromEpochDay(d).toLong))
+        case "hour" =>
+          if (sourceType == "date") None
+          else asLong.map(m => scala.Left(IcebergWrite.hoursOfMicros(m)))
         case _ => None
       }
     }
@@ -906,6 +942,7 @@ object IcebergMeta {
           case graft.sources.IcebergWrite.BucketRe(_) => "int"
           case graft.sources.IcebergWrite.TruncRe(_) => sourceType
           case "day" => "date"
+          case "month" | "year" | "hour" => "int"
           case _ => return None
         }
         rt match {
@@ -914,20 +951,80 @@ object IcebergMeta {
           case _ => None
         }
       }
+    // is the literal its transform BUCKET's least / greatest element?
+    // The strictness refinement for boundary literals: `row < L` only
+    // implies `T(row) <= T(L)` in general, but when L is the least
+    // element of its bucket it implies the STRICT `T(row) < T(L)` —
+    // the file sitting exactly on the boundary provably holds no
+    // matching row (symmetrically for `>` at a bucket maximum). Both
+    // flags default false: non-strict is always sound.
+    def bucketEdges(transform: String, sourceType: String, v: Any)
+        : (Boolean, Boolean) = {
+      val asLong: Option[Long] = v match {
+        case l: java.lang.Long => Some(l.longValue)
+        case _                 => None
+      }
+      def dateOf(days: Long) = java.time.LocalDate.ofEpochDay(days)
+      transform match {
+        case "identity" => (true, true)
+        case graft.sources.IcebergWrite.TruncRe(w) => v match {
+          case l: java.lang.Long =>
+            val m = Math.floorMod(l.longValue, w.toLong)
+            (m == 0L, m == w.toLong - 1)
+          case s: String =>
+            // |s| <= w means trunc(s) = s, the least string of its bucket
+            (s.codePointCount(0, s.length) <= w.toInt, false)
+          case _ => (false, false)
+        }
+        case "day" =>
+          if (sourceType == "date") (true, true)
+          else asLong.map { m =>
+            val r = Math.floorMod(m, 86400000000L)
+            (r == 0L, r == 86399999999L)
+          }.getOrElse((false, false))
+        case "hour" =>
+          asLong.map { m =>
+            val r = Math.floorMod(m, 3600000000L)
+            (r == 0L, r == 3599999999L)
+          }.getOrElse((false, false))
+        case "month" | "year" =>
+          val dayAndMicro: Option[(Long, Long)] =
+            if (sourceType == "date") asLong.map(d => (d, -1L))
+            else asLong.map(m => (IcebergWrite.epochDayOfMicros(m),
+              Math.floorMod(m, 86400000000L)))
+          dayAndMicro.map { case (days, micro) =>
+            val d = dateOf(days)
+            val (first, last) =
+              if (transform == "month")
+                (d.getDayOfMonth == 1,
+                  d.getDayOfMonth == d.lengthOfMonth)
+              else
+                (d.getDayOfYear == 1, d.getDayOfYear == d.lengthOfYear)
+            if (sourceType == "date") (first, last)
+            else (first && micro == 0L, last && micro == 86399999999L)
+          }.getOrElse((false, false))
+        case _ => (false, false)
+      }
+    }
     // one leaf claim: op in {eq, lt, le, gt, ge}; ANDed over every spec
     // field whose source is the attribute
     def leaf(c: String, v: Any, op: String): Boolean =
       specs.filter(_._1 == c).forall { case (_, srcType, transform, pname) =>
         val monotone = transform == "identity" ||
           IcebergWrite.TruncRe.pattern.matcher(transform).matches() ||
-          transform == "day"
+          transform == "day" || transform == "month" ||
+          transform == "year" || transform == "hour"
         (pvOf(transform, srcType, pname), tLit(transform, srcType, v)) match {
-          case (Some(p), Some(t)) => op match {
-            case "eq" => p == t
-            case "lt" | "le" => !monotone || cmpLe(p, t)
-            case "gt" | "ge" => !monotone || cmpLe(t, p)
-            case _ => true
-          }
+          case (Some(p), Some(t)) =>
+            lazy val (litIsMin, litIsMax) = bucketEdges(transform, srcType, v)
+            op match {
+              case "eq" => p == t
+              case "lt" => !monotone || cmpLe(p, t) && !(litIsMin && p == t)
+              case "le" => !monotone || cmpLe(p, t)
+              case "gt" => !monotone || cmpLe(t, p) && !(litIsMax && p == t)
+              case "ge" => !monotone || cmpLe(t, p)
+              case _ => true
+            }
           case _ => true
         }
       }
@@ -974,7 +1071,7 @@ object IcebergMeta {
   /** Inverse of the writer's single-value serialization, to the JVM
     * external type `lit`/Row building expects.
     */
-  private def deserBound(typeStr: String, b: Array[Byte]): Option[Any] = {
+  private[sources] def deserBound(typeStr: String, b: Array[Byte]): Option[Any] = {
     def le(n: Int): Option[Long] =
       if (b.length != n) None
       else Some((0 until n).foldRight(0L)((i, acc) => (acc << 8) | (b(i) & 0xffL)))

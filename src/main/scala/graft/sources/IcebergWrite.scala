@@ -34,19 +34,22 @@ import graft.operators.Avro
   *
   * Scope contract (documented, not hidden): top-level primitive
   * columns; writes are appends, row-level [[delete]]/[[update]]/
-  * [[upsert]] (position-delete files — equality-delete WRITING is out;
-  * the reader applies both kinds), [[renameColumn]], snapshot expiry
-  * and orphan removal. Partitioned writes use identity/bucket/
-  * truncate/day transforms ([[PartSpec]]); other transforms are out.
+  * [[upsert]] (position-delete files) and [[upsertEq]] (equality-delete
+  * files — the O(source) streaming shape; the reader applies both
+  * kinds), [[renameColumn]], [[rewriteDataFiles]] compaction, snapshot
+  * expiry and orphan removal. Partitioned writes use identity/bucket/
+  * truncate/day/month/year/hour transforms ([[PartField]]); other
+  * transforms are out.
   */
 object IcebergWrite {
 
   // ------------------------------------------------- partition specs
 
   /** One partition-spec field: `transform(source)` — the spec's
-    * identity / bucket[N] / truncate[W] / day transforms. The
-    * partition field NAME follows Iceberg's conventions (identity
-    * keeps the column name; the others suffix it).
+    * identity / bucket[N] / truncate[W] temporal day/month/year/hour
+    * transforms. The partition field NAME follows Iceberg's
+    * conventions (identity keeps the column name; the others suffix
+    * it).
     */
   private[sources] val BucketRe = """bucket\[(\d+)\]""".r
   private[sources] val TruncRe = """truncate\[(\d+)\]""".r
@@ -56,11 +59,29 @@ object IcebergWrite {
       case "identity"   => source
       case BucketRe(_)  => s"${source}_bucket"
       case TruncRe(_)   => s"${source}_trunc"
-      case "day"        => s"${source}_day"
+      case "day" | "month" | "year" | "hour" => s"${source}_$transform"
       case other => throw new IllegalArgumentException(
         s"iceberg-write: unsupported partition transform $other")
     }
   }
+
+  /** The spec's temporal-transform arithmetic over epoch units, shared
+    * by the WRITER's staging column and the PRUNER's literal transform
+    * (one definition — the two sides must never disagree): months and
+    * years count from 1970-01 (floor), hours are floorDiv of epoch
+    * micros. All are MONOTONE in their source, which is what lets the
+    * pruner project range predicates through them.
+    */
+  private[sources] def monthsFromEpochDay(epochDay: Long): Int = {
+    val d = java.time.LocalDate.ofEpochDay(epochDay)
+    (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
+  }
+  private[sources] def yearsFromEpochDay(epochDay: Long): Int =
+    java.time.LocalDate.ofEpochDay(epochDay).getYear - 1970
+  private[sources] def epochDayOfMicros(micros: Long): Long =
+    Math.floorDiv(micros, 86400000000L)
+  private[sources] def hoursOfMicros(micros: Long): Long =
+    Math.floorDiv(micros, 3600000000L)
 
   /** Murmur3 x86 32-bit, seed 0 — the hash the Iceberg spec names for
     * its bucket transform (Appendix B). Int/long/date values hash as
@@ -124,6 +145,8 @@ object IcebergWrite {
       case (BucketRe(_), "int" | "long" | "string" | "date") => "int"
       case (TruncRe(_), "int" | "long" | "string") => typeStr
       case ("day", "date" | "timestamp" | "timestamptz") => "date"
+      case ("month" | "year", "date" | "timestamp" | "timestamptz") => "int"
+      case ("hour", "timestamp" | "timestamptz") => "int"
       case (t, s) => throw new IllegalArgumentException(
         s"iceberg-write: partition transform $t over a $s column is out " +
           "of scope")
@@ -179,6 +202,22 @@ object IcebergWrite {
           case _ => floor(source.cast("double") / 86400d).cast("int")
         }
         date_add(to_date(lit("1970-01-01")), days)
+      // the temporal ordinals (spec: months/years since 1970, hours as
+      // floorDiv of epoch micros). year()/month()/unix_micros interpret
+      // timestamptz in the SESSION timezone — this engine pins UTC
+      // (GraftSession), matching the spec's UTC rule; timestamp (ntz)
+      // routes through a UTC-session-identity cast.
+      case "month" =>
+        ((year(source) - 1970) * 12 + month(source) - 1).cast("int")
+      case "year" =>
+        (year(source) - 1970).cast("int")
+      case "hour" =>
+        val micros =
+          if (typeStr == "timestamptz") unix_micros(source)
+          else unix_micros(source.cast(TimestampType))
+        val f = udf((m: java.lang.Long) =>
+          if (m == null) null else Int.box(hoursOfMicros(m.longValue).toInt))
+        f(micros)
       case other => throw new IllegalArgumentException(
         s"iceberg-write: unsupported partition transform $other")
     }
@@ -607,10 +646,19 @@ object IcebergWrite {
     val partTypes = spec.map(pf => pf.name -> resultTypeOf(pf, typeOf(pf.source)))
     val seq = tm.snapshots.flatMap(_.sequenceNumber).maxOption.getOrElse(0L) + 1
     val snapshotId = tm.snapshots.map(_.id).maxOption.getOrElse(0L) + 1
-    // stage the delete parquet under data/ (spec file-naming freedom)
+    // stage the delete parquet under data/ (spec file-naming freedom).
+    // Its columns carry Iceberg's RESERVED field ids (file_path =
+    // 2147483546, pos = 2147483545) in the footer, the same way data
+    // files carry the schema's ids — external readers resolving delete
+    // files by field id consume them directly.
     val staged: Option[(String, Long, Long)] = positions.flatMap { case (p, _) =>
       val tmp = new Path(fsRoot, s".tmp-del-${java.util.UUID.randomUUID()}")
-      p.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val withReservedIds = p.select(
+        col("file_path").as("file_path",
+          new MetadataBuilder().putLong("parquet.field.id", 2147483546L).build()),
+        col("pos").as("pos",
+          new MetadataBuilder().putLong("parquet.field.id", 2147483545L).build()))
+      withReservedIds.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = fs.listStatus(tmp).map(_.getPath)
         .find(_.getName.endsWith(".parquet")).getOrElse {
           fs.delete(tmp, true)
@@ -951,6 +999,309 @@ object IcebergWrite {
     unreferenced.toDF("path", "removed")
   }
 
+  /** COMPACTION — the spec's rewrite-data-files: MATERIALIZE every
+    * row-level delete and drop the applied delete files, as one
+    * `replace` snapshot. This is the missing half of [[upsertEq]]'s
+    * O(source) streaming story: each equality-delete commit defers its
+    * cost to read time (one anti-join per read, forever), and after N
+    * trickle upserts every read pays N-deep delete application;
+    * compaction pays that cost ONCE and resets the table to plain
+    * scans.
+    *
+    * What rewrites: only data files a delete file can actually touch —
+    * position deletes name their files outright; equality deletes
+    * bound candidates by the spec's ordering rule (dataSeq < delSeq)
+    * AND a sound bounds screen (a data file whose manifest bounds are
+    * disjoint from the delete keys' range on any key column cannot
+    * match — the same may-match discipline as the read pruner). Every
+    * other data file is CARRIED: a manifest none of whose files were
+    * touched rides into the new manifest list verbatim; a partially-
+    * touched manifest is rewritten with its survivors as
+    * status=existing entries keeping their ORIGINAL snapshot and
+    * sequence numbers (the spec's rule, so history and any future
+    * ordering stay truthful). Touched files re-stage with their
+    * deletes APPLIED (read through the full delete-applying reader)
+    * and join the new snapshot at the new sequence number. All
+    * delete manifests drop; [[expireSnapshots]] + [[removeOrphanFiles]]
+    * then reclaim the dead files.
+    *
+    * At 100 TB: the decision inputs are manifests (metadata-cost); the
+    * rewrite reads and writes only the touched files. Returns a one-row
+    * report: files before/after, delete files removed, files/rows
+    * rewritten, and the new snapshot id (-1 = nothing to do, no
+    * commit).
+    */
+  def rewriteDataFiles(spark: SparkSession, tableDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val fs = fileSystem(spark, tableDir)
+    val expectVersion = listMetadataVersions(fs, tableDir)
+      .maxOption.getOrElse(0L) + 1
+    val tm = IcebergMeta.readTableMeta(spark, tableDir)
+    val snap = tm.currentSnapshotId.flatMap(id => tm.snapshots.find(_.id == id))
+      .getOrElse(throw new IllegalArgumentException(
+        s"iceberg-write: no current snapshot under $tableDir"))
+    def report(s: SparkSession, before: Long, after: Long, delRemoved: Long,
+               rewritten: Long, rows: Long, snapId: Long): DataFrame = {
+      import s.implicits._
+      Seq((before, after, delRemoved, rewritten, rows, snapId))
+        .toDF("data_files_before", "data_files_after", "delete_files_removed",
+          "files_rewritten", "rows_rewritten", "snapshot_id")
+    }
+    val live = IcebergMeta.entries(spark, tableDir, None)
+      .where(col("status") =!= 2)
+      .select("manifest_path", "content", "file_path", "sequence_number",
+        "snapshot_id", "equality_ids", "lower_bounds", "upper_bounds")
+      .collect() // metadata-sized: the live entry list
+    def seqOf(r: org.apache.spark.sql.Row): Option[Long] =
+      if (r.isNullAt(3)) None else Some(r.getLong(3))
+    val dataEntries = live.filter(_.getString(1) == "data")
+    val posDel = live.filter(_.getString(1) == "position_deletes")
+    val eqDel = live.filter(_.getString(1) == "equality_deletes")
+    if (posDel.isEmpty && eqDel.isEmpty)
+      return report(spark, dataEntries.length.toLong, dataEntries.length.toLong,
+        0L, 0L, 0L, -1L)
+    val fields = IcebergMeta.schemaFieldsOf(spark, tableDir, None)
+      .getOrElse(throw new IllegalArgumentException(
+        s"iceberg-write: compaction needs a schema under $tableDir"))
+      .map(f => (f.id.getOrElse(0L), f.name, f.typeStr, !f.required))
+    val idToType = fields.map(f => f._1.toInt -> f._3).toMap
+    def absOf(p: String): String =
+      fs.makeQualified(new Path(resolveInTable(tableDir, p))).toString
+    // position deletes NAME their touched files
+    val posTouched: Set[String] =
+      if (posDel.isEmpty) Set.empty
+      else spark.read
+        .parquet(posDel.map(r => absOf(r.getString(2))).distinct.toIndexedSeq: _*)
+        .select("file_path").distinct()
+        .collect().map(_.getString(0)).toSet
+    // equality deletes: ordering rule + bounds screen per delete file
+    def cmpAny(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: Int, y: Int)       => Some(Integer.compare(x, y))
+      case (x: Long, y: Long)     => Some(java.lang.Long.compare(x, y))
+      case (x: Float, y: Float)   => Some(java.lang.Float.compare(x, y))
+      case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case (x: java.sql.Date, y: java.sql.Date) => Some(x.compareTo(y))
+      case (x: java.sql.Timestamp, y: java.sql.Timestamp) => Some(x.compareTo(y))
+      case _ => None
+    }
+    val eqTouched = scala.collection.mutable.Set.empty[String]
+    eqDel.foreach { e =>
+      val delSeq = seqOf(e).getOrElse(throw new IllegalArgumentException(
+        s"iceberg-write: equality-delete file ${e.getString(2)} has no " +
+          "sequence number — compaction cannot order it"))
+      val ids = Option(e.getSeq[Int](5)).getOrElse(
+        throw new IllegalArgumentException(
+          s"iceberg-write: equality-delete file ${e.getString(2)} carries " +
+            "no equality_ids")).toSeq
+      // the delete keys' [min, max] per key column (the delete file is
+      // the SOURCE-sized artifact — reading it is compaction's job)
+      val delPath = absOf(e.getString(2))
+      val (names, idm) = IcebergMeta.fileTopLevel(spark, Seq(delPath))(delPath)
+      val keyCols = ids.map { id =>
+        val schemaName = fields.find(_._1 == id.toLong).map(_._2)
+        idm.get(id).orElse(schemaName.filter(names.contains)).getOrElse(
+          throw new IllegalArgumentException(
+            s"iceberg-write: equality-delete file $delPath carries neither " +
+              s"field id $id nor its schema column"))
+      }
+      import org.apache.spark.sql.functions.{max => smax, min => smin}
+      val aggCols = keyCols.flatMap(c =>
+        Seq(smin(col(s"`$c`")), smax(col(s"`$c`"))))
+      val mm = spark.read.parquet(delPath)
+        .agg(aggCols.head, aggCols.tail: _*)
+        .head()
+      dataEntries.foreach { d =>
+        val dSeq = seqOf(d).getOrElse(Long.MinValue)
+        if (dSeq < delSeq && !eqTouched.contains(d.getString(2))) {
+          val lo = if (d.isNullAt(6)) Map.empty[Int, Array[Byte]]
+                   else d.getMap[Int, Array[Byte]](6).toMap
+          val hi = if (d.isNullAt(7)) Map.empty[Int, Array[Byte]]
+                   else d.getMap[Int, Array[Byte]](7).toMap
+          // excluded only when some key column is PROVABLY disjoint
+          val excluded = ids.zipWithIndex.exists { case (id, i) =>
+            val t = idToType.getOrElse(id, "?")
+            val fileLo = lo.get(id).flatMap(IcebergMeta.deserBound(t, _))
+            val fileHi = hi.get(id).flatMap(IcebergMeta.deserBound(t, _))
+            val delMin = if (mm.isNullAt(2 * i)) None else Some(mm.get(2 * i))
+            val delMax = if (mm.isNullAt(2 * i + 1)) None else Some(mm.get(2 * i + 1))
+            val below = (delMax, fileLo) match {
+              case (Some(dm), Some(fl)) => cmpAny(dm, fl).exists(_ < 0)
+              case _ => false
+            }
+            val above = (delMin, fileHi) match {
+              case (Some(dm), Some(fh)) => cmpAny(dm, fh).exists(_ > 0)
+              case _ => false
+            }
+            below || above
+          }
+          if (!excluded) eqTouched += d.getString(2)
+        }
+      }
+    }
+    val dataPaths = dataEntries.map(_.getString(2)).toSet
+    val touched = (posTouched ++ eqTouched).intersect(dataPaths)
+    // rewrite: the touched files read through the FULL delete-applying
+    // reader — survivors re-stage with deletes materialized
+    val staged: Seq[(String, Long, Long, Seq[ColFacts], Map[String, Any])] =
+      if (touched.isEmpty) Nil
+      else {
+        val spec = specOf(spark, tableDir, fields)
+        val survivors = IcebergMeta.readTable(spark, tableDir, None,
+          keepFiles = Some(touched), keepLineage = false)
+        val all = stageData(spark, fs, survivors, tableDir, fields, spec)
+        // an all-deleted file's rewrite can stage an empty part: drop it
+        val (keep, empty) = all.partition(_._3 > 0L)
+        empty.foreach { case (rel, _, _, _, _) =>
+          fs.delete(new Path(tableDir, rel), false) }
+        keep
+      }
+    val seq = tm.snapshots.flatMap(_.sequenceNumber).maxOption.getOrElse(0L) + 1
+    val snapshotId = tm.snapshots.map(_.id).maxOption.getOrElse(0L) + 1
+    val spec = specOf(spark, tableDir, fields)
+    val typeOf = fields.map(f => f._2 -> f._3).toMap
+    val partTypes = spec.map(pf => pf.name -> resultTypeOf(pf, typeOf(pf.source)))
+    // rebuild the manifest list: delete manifests drop; data manifests
+    // carry verbatim when untouched, rewrite to their survivors when not
+    val mlPath = new Path(resolveInTable(tableDir, snap.manifestList))
+    val prevRows = IcebergMeta.readOcfFile(fs, mlPath).rows.map {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case _ => throw new IllegalArgumentException(
+        s"iceberg-write: malformed manifest list ${snap.manifestList}")
+    }
+    def rowLong(m: Map[String, Any], k: String): Long = m.get(k) match {
+      case Some(l: Long) => l
+      case Some(i: Int)  => i.toLong
+      case _             => 0L
+    }
+    val newListRows = scala.collection.mutable.ArrayBuffer.empty[Map[String, Any]]
+    prevRows.foreach { row =>
+      val content = rowLong(row, "content")
+      val mPath = row.get("manifest_path") match {
+        case Some(s: String) => s
+        case _ => throw new IllegalArgumentException(
+          "iceberg-write: manifest-list row without manifest_path")
+      }
+      if (content != 0L) () // delete manifest: materialized, dropped
+      else {
+        val manifestSeq = rowLong(row, "sequence_number")
+        val ocf = IcebergMeta.readOcfFile(fs,
+          new Path(resolveInTable(tableDir, mPath)))
+        val entries = ocf.rows.map {
+          case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+          case _ => throw new IllegalArgumentException(
+            s"iceberg-write: malformed manifest $mPath")
+        }
+        def entryPath(e: Map[String, Any]): String =
+          e.get("data_file") match {
+            case Some(df: Map[_, _]) =>
+              df.asInstanceOf[Map[String, Any]].get("file_path") match {
+                case Some(s: String) => s
+                case _ => throw new IllegalArgumentException(
+                  s"iceberg-write: data_file without file_path in $mPath")
+              }
+            case _ => throw new IllegalArgumentException(
+              s"iceberg-write: manifest entry without data_file in $mPath")
+          }
+        val liveEntries = entries.filter(e =>
+          rowLong(e, "status") != 2L)
+        val (gone, kept) = liveEntries.partition(e =>
+          touched.contains(entryPath(e)))
+        if (gone.isEmpty) newListRows += row // untouched: carried verbatim
+        else if (kept.nonEmpty) {
+          // survivors become EXISTING entries with their original
+          // snapshot and sequence numbers made explicit (status=0 stops
+          // inheriting from the new manifest-list row)
+          val rewritten = kept.map { e =>
+            val entrySeq = e.get("sequence_number") match {
+              case Some(l: Long) => l
+              case _             => manifestSeq
+            }
+            e + ("status" -> 0) + ("sequence_number" -> entrySeq)
+          }
+          val rel = s"metadata/m-$seq-c${newListRows.length}.avro"
+          writeBytesAtomic(fs, new Path(tableDir, rel), Avro.renderOcfGeneric(
+            ocf.schemaJson, rewritten,
+            extraMeta = Seq("schema" -> "{}",
+              "partition-spec" -> specFieldsJson(spec, fields),
+              "format-version" -> "2")))
+          newListRows += Map[String, Any](
+            "manifest_path" -> rel,
+            "manifest_length" ->
+              fs.getFileStatus(new Path(tableDir, rel)).getLen,
+            "partition_spec_id" -> rowLong(row, "partition_spec_id").toInt,
+            "content" -> 0,
+            "sequence_number" -> manifestSeq,
+            "added_snapshot_id" -> snapshotId,
+            "added_files_count" -> 0, "existing_files_count" -> kept.length,
+            "deleted_files_count" -> 0,
+            "added_rows_count" -> 0L,
+            "existing_rows_count" -> kept.map(e =>
+              e.get("data_file") match {
+                case Some(df: Map[_, _]) =>
+                  rowLong(df.asInstanceOf[Map[String, Any]], "record_count")
+                case _ => 0L
+              }).sum,
+            "deleted_rows_count" -> 0L)
+        } // all touched: the whole manifest drops
+      }
+    }
+    if (staged.nonEmpty) {
+      def kv(facts: Seq[(Long, Any)]): Any =
+        if (facts.isEmpty) null
+        else facts.map { case (id, v) =>
+          Map[String, Any]("key" -> id.toInt, "value" -> v)
+        }
+      val entries = staged.map { case (rel, size, rows, facts, pv) =>
+        val dataFile = Map[String, Any](
+          "content" -> 0, "file_path" -> rel, "file_format" -> "PARQUET",
+          "record_count" -> rows, "file_size_in_bytes" -> size,
+          "equality_ids" -> null,
+          "value_counts" -> kv(facts.map(c => c.id -> c.valueCount)),
+          "null_value_counts" -> kv(facts.flatMap(c =>
+            c.nullCount.map(c.id -> _))),
+          "lower_bounds" -> kv(facts.flatMap(c => c.lower.map(c.id -> _))),
+          "upper_bounds" -> kv(facts.flatMap(c => c.upper.map(c.id -> _))))
+        Map[String, Any]("status" -> 1, "snapshot_id" -> snapshotId,
+          "sequence_number" -> null,
+          "data_file" ->
+            (if (spec.isEmpty) dataFile
+             else dataFile + ("partition" ->
+               partTypes.map { case (n, _) => n -> pv.getOrElse(n, null) }
+                 .toMap)))
+      }
+      val rel = s"metadata/m-$seq.avro"
+      writeBytesAtomic(fs, new Path(tableDir, rel), Avro.renderOcfGeneric(
+        entrySchemaJson(partTypes), entries,
+        extraMeta = Seq("schema" -> "{}",
+          "partition-spec" -> specFieldsJson(spec, fields),
+          "format-version" -> "2")))
+      newListRows += Map[String, Any](
+        "manifest_path" -> rel,
+        "manifest_length" -> fs.getFileStatus(new Path(tableDir, rel)).getLen,
+        "partition_spec_id" -> 0, "content" -> 0,
+        "sequence_number" -> seq, "added_snapshot_id" -> snapshotId,
+        "added_files_count" -> staged.length, "existing_files_count" -> 0,
+        "deleted_files_count" -> 0,
+        "added_rows_count" -> staged.map(_._3).sum,
+        "existing_rows_count" -> 0L, "deleted_rows_count" -> 0L)
+    }
+    val listRel = s"metadata/snap-$snapshotId.avro"
+    writeBytesAtomic(fs, new Path(tableDir, listRel),
+      Avro.renderOcfGeneric(ListSchema, newListRows.toSeq))
+    val now = System.currentTimeMillis()
+    val snaps = tm.snapshots.map(s => snapJson(s.id, s.parentId,
+      s.sequenceNumber.getOrElse(0L), s.timestampMs,
+      s.operation.getOrElse("append"), s.manifestList)) :+
+      snapJson(snapshotId, Some(snap.id), seq, now, "replace", listRel)
+    writeMetadataJson(fs, tableDir, tm.uuid, fields, snaps, snapshotId,
+      seq, now, expectVersion, specFieldsJson(spec, fields))
+    report(spark, dataEntries.length.toLong,
+      (dataEntries.length - touched.size + staged.length).toLong,
+      (posDel.length + eqDel.length).toLong,
+      touched.size.toLong, staged.map(_._3).sum, snapshotId)
+  }
+
   // -------------------------------------------------------- internals
 
   private def fileSystem(spark: SparkSession, tableDir: String): FileSystem =
@@ -960,14 +1311,23 @@ object IcebergWrite {
     if (p.contains("://") || p.startsWith("/")) p
     else new Path(tableDir, p).toString
 
+  /** Every metadata version visible under `metadata/`, in EVERY spelling
+    * the reader resolves — `vN.metadata.json`, its `.gz` form, and the
+    * `NNNNN-<uuid>` sequence form. The writer's expectVersion pins
+    * against this exact set: matching a subset (the plain form only)
+    * would let a commit against a gz-metadata table land a LOWER
+    * version than the one the reader serves — a silently lost update.
+    */
   private def listMetadataVersions(fs: FileSystem, tableDir: String): Seq[Long] = {
     val metaDir = new Path(tableDir, "metadata")
-    val VName = "v([0-9]+)\\.metadata\\.json".r
+    val VName = "v([0-9]+)\\.metadata\\.json(\\.gz)?".r
+    val SeqName = "([0-9]+)-.*\\.metadata\\.json(\\.gz)?".r
     if (!fs.exists(metaDir)) Nil
     else fs.listStatus(metaDir).toSeq.filter(_.isFile).flatMap { st =>
       st.getPath.getName match {
-        case VName(n) => Some(n.toLong)
-        case _        => None
+        case VName(n, _)   => Some(n.toLong)
+        case SeqName(n, _) => Some(n.toLong)
+        case _             => None
       }
     }.sorted
   }

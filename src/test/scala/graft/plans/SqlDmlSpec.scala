@@ -32,6 +32,7 @@ class SqlDmlSpec extends SparkSpec {
     val before = DeltaLog.snapshot(spark, t)
       .select("path").collect().map(_.getString(0)).toSet
     spark.sql(s"DELETE FROM DELTA AT '$t' USING DELETION VECTORS WHERE id = 50")
+      .count() // statements run when collected, never at parse
     val after = DeltaLog.snapshot(spark, t)
     assert(after.select("path").collect().map(_.getString(0)).toSet === before)
     assert(after.where(col("dv_cardinality") === 1L).count() === 1L)
@@ -42,7 +43,7 @@ class SqlDmlSpec extends SparkSpec {
     val t = freshDir("sqldml")
     DeltaWrite.createTable(spark, rows(0, 20), t)
     spark.sql(s"UPDATE DELTA AT '$t' " +
-      "SET txt = concat('u-', id), id = id + 1000 WHERE id < 3")
+      "SET txt = concat('u-', id), id = id + 1000 WHERE id < 3").count()
     val got = DeltaLog.readTable(spark, t).orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     assert(got.take(17).forall { case (id, txt) => txt == s"row-$id" })
@@ -50,13 +51,27 @@ class SqlDmlSpec extends SparkSpec {
       (1000L, "u-0"), (1001L, "u-1"), (1002L, "u-2")))
   }
 
+  test("SET splitting survives doubled quotes ('' escape) inside string literals") {
+    val t = freshDir("sqldml")
+    DeltaWrite.createTable(spark, rows(0, 5), t)
+    // the literal contains an escaped quote AND a comma: a splitter
+    // whose string state flips on the '' pair would cut the assignment
+    // list inside the literal
+    spark.sql(s"UPDATE DELTA AT '$t' " +
+      "SET txt = 'it''s, really', id = id + 100 WHERE id = 2").count()
+    val got = DeltaLog.readTable(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((0L, "row-0"), (1L, "row-1"), (3L, "row-3"),
+      (4L, "row-4"), (102L, "it's, really")))
+  }
+
   test("DELETE FROM / UPDATE ICEBERG AT plan onto the position-delete DML") {
     val t = freshDir("sqldml")
     IcebergWrite.createTable(spark, rows(0, 50), t)
     val before = IcebergMeta.files(spark, t)
       .select("file_path").collect().map(_.getString(0)).toSet
-    spark.sql(s"DELETE FROM ICEBERG AT '$t' WHERE id < 5")
-    spark.sql(s"UPDATE ICEBERG AT '$t' SET txt = 'X' WHERE id = 10")
+    spark.sql(s"DELETE FROM ICEBERG AT '$t' WHERE id < 5").count()
+    spark.sql(s"UPDATE ICEBERG AT '$t' SET txt = 'X' WHERE id = 10").count()
     val live = IcebergMeta.files(spark, t)
       .select("file_path").collect().map(_.getString(0)).toSet
     assert(before.subsetOf(live)) // no data file rewritten
@@ -71,7 +86,7 @@ class SqlDmlSpec extends SparkSpec {
     DeltaWrite.createTable(spark, rows(0, 10), t)
     DeltaWrite.setProperties(spark, t,
       Map("delta.enableChangeDataFeed" -> "true"))
-    spark.sql(s"UPDATE DELTA AT '$t' SET txt = 'Y' WHERE id = 1")
+    spark.sql(s"UPDATE DELTA AT '$t' SET txt = 'Y' WHERE id = 1").count()
     val got = spark.sql(s"READ DELTA CHANGES AT '$t' SINCE 1")
       .select("id", "txt", "_change_type", "_commit_version").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
@@ -82,5 +97,62 @@ class SqlDmlSpec extends SparkSpec {
     // UNTIL bounds the window
     assert(spark.sql(s"READ DELTA CHANGES AT '$t' SINCE 0 UNTIL 1")
       .count() === 0L)
+  }
+
+  test("DML statements are LAZY: parse/schema/EXPLAIN never mutate; collect runs once") {
+    val t = freshDir("sqldml")
+    DeltaWrite.createTable(spark, rows(0, 50), t)
+    def commits() = DeltaLog.listCommits(spark, t).size
+    val before = commits()
+    val df = spark.sql(s"DELETE FROM DELTA AT '$t' WHERE id < 10")
+    // sql() itself, the schema, and full physical planning (what
+    // EXPLAIN renders) leave the log untouched
+    assert(df.schema.fieldNames.toSeq === Seq("id", "txt"))
+    assert(df.queryExecution.executedPlan.toString.nonEmpty)
+    assert(commits() === before)
+    assert(DeltaLog.readTable(spark, t).count() === 50L)
+    // first collection applies the DELETE, exactly once
+    assert(df.count() === 40L)
+    assert(commits() === before + 1)
+    // a SECOND collection of the same Dataset re-serves, never re-runs
+    assert(df.count() === 40L)
+    assert(commits() === before + 1)
+    // non-idempotent UPDATE collected twice must apply once
+    val up = spark.sql(s"UPDATE DELTA AT '$t' SET id = id + 1000 WHERE id >= 40")
+    assert(commits() === before + 1)
+    up.collect(); up.collect()
+    assert(commits() === before + 2)
+    val ids = DeltaLog.readTable(spark, t)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === ((10L until 40L) ++ (1040L until 1050L)))
+    // OPTIMIZE / VACUUM statements share the discipline (a second
+    // small file first, so the bin-pack has something to do)
+    DeltaWrite.append(spark, rows(2000, 2010), t)
+    assert(commits() === before + 3)
+    val opt = spark.sql(s"OPTIMIZE DELTA AT '$t'")
+    assert(commits() === before + 3)
+    opt.count()
+    assert(commits() === before + 4)
+    val vac = spark.sql(s"VACUUM DELTA AT '$t' RETAIN 0 HOURS DRY RUN")
+    assert(vac.columns.toSeq === Seq("path", "size", "removed"))
+  }
+
+  test("ICEBERG DML statements are lazy too") {
+    val t = freshDir("sqldml")
+    IcebergWrite.createTable(spark, rows(0, 20), t)
+    def versions() = {
+      val md = java.nio.file.Paths.get(t, "metadata")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(md).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".metadata.json"))
+    }
+    val before = versions()
+    val df = spark.sql(s"DELETE FROM ICEBERG AT '$t' WHERE id < 5")
+    assert(df.queryExecution.executedPlan.toString.nonEmpty)
+    assert(versions() === before)
+    assert(df.count() === 15L)
+    assert(versions() === before + 1)
+    df.count()
+    assert(versions() === before + 1)
   }
 }

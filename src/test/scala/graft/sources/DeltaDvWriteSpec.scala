@@ -157,11 +157,34 @@ class DeltaDvWriteSpec extends SparkSpec {
     DeltaWrite.deleteDv(spark, t, "id < 10")
     // time travel: pre-delete version serves all rows
     assert(DeltaLog.readTable(spark, t, Some(2L)).count() === 300L)
-    // the re-add is a data change, but it contributes only the rows it
-    // still SERVES: the deleted ids must not be re-delivered as appends
-    val ch = DeltaLog.changes(spark, t, sinceVersion = 2L)
-      .select("id", "_commit_version").collect()
-    assert(ch.forall(_.getLong(1) == 3L))
-    assert(ch.map(_.getLong(0)).sorted.toSeq === (10L until 100L))
+    // an append-stream tail CANNOT express the DV re-add: the file's
+    // rows were already delivered when it was first added, and serving
+    // "the surviving rows" again would duplicate them. Reference Delta
+    // streaming fails loud on such data updates — so does changes(),
+    // routing callers to the CDC grain.
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.changes(spark, t, sinceVersion = 2L)
+    }
+    assert(e.getMessage.contains("changeFeed"))
+    // a window that PRECEDES the DV attach still tails normally
+    assert(DeltaLog.changes(spark, t, 1L, untilVersion = Some(2L))
+      .count() === 100L)
+  }
+
+  test("the first DV write raises the protocol to reader 3 / writer 7 with features") {
+    val t = rangeTable()
+    assert(DeltaLog.protocolOf(spark, t) === ((1, 2, Nil, Nil)))
+    DeltaWrite.deleteDv(spark, t, "id = 7")
+    val (r, w, rf, wf) = DeltaLog.protocolOf(spark, t)
+    assert(r === 3 && w === 7)
+    assert(rf === Seq("deletionVectors"))
+    // the legacy writer-2 implied features convert to the explicit list
+    assert(wf === Seq("appendOnly", "deletionVectors", "invariants"))
+    // a second DV write does not re-commit the protocol
+    DeltaWrite.deleteDv(spark, t, "id = 8")
+    val protoActions = DeltaLog.actions(spark, t)
+      .where(col("protocol.minReaderVersion").isNotNull).count()
+    assert(protoActions === 2L) // createTable's + the first DV write's
+    assert(DeltaLog.readTable(spark, t).count() === 298L)
   }
 }

@@ -28,8 +28,15 @@ class DeltaV2CheckpointWriteSpec extends SparkSpec {
     DeltaWrite.append(spark, slice(10, 20), t)                     // v1
     DeltaWrite.append(spark, slice(20, 30), t, txn = Some(("app", 7L))) // v2
     DeltaWrite.delete(spark, t, "id = 5")                          // v3
+    // the first v2 checkpoint lands a protocol-upgrade COMMIT (v4:
+    // reader 3 / writer 7 + v2Checkpoint) and checkpoints at it — a
+    // classic reader must learn from the protocol, not from a missing
+    // file, that it cannot follow _last_checkpoint here
     val v = DeltaWrite.checkpointV2(spark, t, sidecarParts = 2)
-    assert(v === 3L)
+    assert(v === 4L)
+    val (r, w, rf, wf) = DeltaLog.protocolOf(spark, t)
+    assert(r === 3 && w === 7)
+    assert(rf.contains("v2Checkpoint") && wf.contains("v2Checkpoint"))
     // the layout: one UUID main, >=1 sidecars
     val log = java.nio.file.Paths.get(t, "_delta_log")
     val main = log.toFile.listFiles()
@@ -43,9 +50,9 @@ class DeltaV2CheckpointWriteSpec extends SparkSpec {
     val cpMeta = spark.read.parquet(main.head.getAbsolutePath)
       .where(col("checkpointMetadata").isNotNull)
       .select("checkpointMetadata.version").collect()
-    assert(cpMeta.length === 1 && cpMeta.head.getLong(0) === 3L)
+    assert(cpMeta.length === 1 && cpMeta.head.getLong(0) === 4L)
     // expire every pre-checkpoint JSON commit (log retention)
-    (0L to 3L).foreach(i =>
+    (0L to 4L).foreach(i =>
       java.nio.file.Files.delete(log.resolve(f"$i%020d.json")))
     // full state replays from the checkpoint alone
     val got = DeltaLog.readTable(spark, t).select("id")
@@ -54,10 +61,14 @@ class DeltaV2CheckpointWriteSpec extends SparkSpec {
     assert(DeltaLog.lastTxnVersion(spark, t, "app") === Some(7L))
     assert(DeltaLog.tableMeta(spark, t).isDefined)
     // the table keeps living: append after cleanup, read both halves
-    DeltaWrite.append(spark, slice(100, 105), t)                   // v4
+    DeltaWrite.append(spark, slice(100, 105), t)                   // v5
     assert(DeltaLog.readTable(spark, t).count() === 34L)
     assert(DeltaLog.snapshot(spark, t)
-      .where(col("version_added") === 4L).count() === 1L)
+      .where(col("version_added") === 5L).count() === 1L)
+    // a SECOND v2 checkpoint re-uses the advertised feature: no new
+    // protocol commit
+    val v2 = DeltaWrite.checkpointV2(spark, t)
+    assert(v2 === 5L)
   }
 
   test("a missing sidecar tears the checkpoint: JSON fallback, loud when cleaned") {

@@ -1,0 +1,142 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.IcebergWrite.PartField
+
+/** [[IcebergWrite.rewriteDataFiles]] — materialize position/equality
+  * deletes as a `replace` snapshot: touched files rewrite with deletes
+  * applied, untouched files carry with their ORIGINAL sequence and
+  * snapshot numbers, every delete file drops from the live set, and
+  * expiry + orphan removal then reclaim the dead bytes. Content is
+  * always re-proven through the ordinary reader (never the compactor
+  * against itself).
+  */
+class IcebergCompactionSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(name)
+    java.nio.file.Files.delete(p)
+    p.toString
+  }
+
+  import spark.implicits._
+
+  private def delFileCount(t: String): Long =
+    IcebergMeta.entries(spark, t)
+      .where(col("status") =!= 2 && col("content") =!= "data").count()
+
+  private def livePaths(t: String): Set[String] =
+    IcebergMeta.files(spark, t)
+      .select("file_path").collect().map(_.getString(0)).toSet
+
+  test("position-delete compaction: touched file rewritten, deletes dropped, content intact") {
+    val t = freshDir("icecomp")
+    IcebergWrite.createTable(spark,
+      (0L until 50L).map(i => (i, s"row-$i")).toDF("id", "txt").coalesce(1), t)
+    IcebergWrite.append(spark,
+      (50L until 100L).map(i => (i, s"row-$i")).toDF("id", "txt").coalesce(1), t)
+    IcebergWrite.delete(spark, t, "id % 10 = 3 AND id < 50")
+    assert(delFileCount(t) === 1L)
+    // the staged position-delete parquet carries Iceberg's RESERVED
+    // field ids in its footer (external readers resolve by id)
+    val delPath = IcebergMeta.entries(spark, t)
+      .where(col("content") === "position_deletes")
+      .select("file_path").head.getString(0)
+    val abs = java.nio.file.Paths.get(t, delPath).toString
+    val ids = IcebergMeta.fileTopLevel(spark, Seq(abs))(abs)._2
+    assert(ids === Map(2147483546 -> "file_path", 2147483545 -> "pos"))
+    val before = livePaths(t)
+    val rep = IcebergWrite.rewriteDataFiles(spark, t).head()
+    assert(rep.getLong(2) === 1L) // one delete file removed
+    assert(rep.getLong(3) === 1L) // only the named file rewrote
+    assert(delFileCount(t) === 0L)
+    val after = livePaths(t)
+    // the second (untouched) file carried through by path
+    assert(before.intersect(after).size === 1)
+    val got = IcebergMeta.readTable(spark, t)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (0L until 100L).filterNot(i => i % 10 == 3 && i < 50))
+    // the untouched file keeps its ORIGINAL sequence number (its
+    // manifest rode the new list verbatim — nothing re-stamps it at
+    // the replace snapshot's sequence)
+    val carriedPath = before.intersect(after).head
+    val carried = IcebergMeta.entries(spark, t)
+      .where(col("file_path") === carriedPath)
+      .select("sequence_number").collect()
+    assert(carried.length === 1 && carried.head.getLong(0) === 2L)
+  }
+
+  test("equality-delete compaction: bounds screen spares disjoint files, expiry reclaims") {
+    val t = freshDir("icecomp")
+    // two key-range-disjoint files: deletes against 0..9 must never
+    // touch the 1000.. file
+    IcebergWrite.createTable(spark,
+      (0L until 20L).map(i => (i, s"row-$i")).toDF("id", "txt").coalesce(1), t)
+    IcebergWrite.append(spark,
+      (1000L until 1020L).map(i => (i, s"row-$i")).toDF("id", "txt").coalesce(1), t)
+    IcebergWrite.upsertEq(spark,
+      (0L until 5L).map(i => (i, s"u1-$i")).toDF("id", "txt").coalesce(1),
+      t, Seq("id"))
+    IcebergWrite.upsertEq(spark,
+      (3L until 8L).map(i => (i, s"u2-$i")).toDF("id", "txt").coalesce(1),
+      t, Seq("id"))
+    assert(delFileCount(t) === 2L)
+    val before = livePaths(t)
+    val rep = IcebergWrite.rewriteDataFiles(spark, t).head()
+    assert(rep.getLong(2) === 2L)
+    assert(delFileCount(t) === 0L)
+    assert(rep.getLong(3) === 2L) // the base low-range file + u1's append
+    val after = livePaths(t)
+    // the 1000.. file (bounds-disjoint from every delete key) AND u2's
+    // own append (sequence not lower than any delete) carry untouched
+    assert(before.intersect(after).size === 2)
+    val got = IcebergMeta.readTable(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = ((0L until 20L) ++ (1000L until 1020L)).map { i =>
+      if (i >= 3L && i < 8L) (i, s"u2-$i")
+      else if (i < 5L) (i, s"u1-$i")
+      else (i, s"row-$i")
+    }
+    assert(got.toSeq === want)
+    // a second compaction is a no-op (no deletes left): no commit
+    val rep2 = IcebergWrite.rewriteDataFiles(spark, t).head()
+    assert(rep2.getLong(5) === -1L)
+    // expiry + orphan removal reclaim the dead delete/data files and
+    // the read still serves the full content
+    IcebergWrite.expireSnapshots(spark, t, keepLast = 1)
+    IcebergWrite.removeOrphanFiles(spark, t, olderThanMs = 0L)
+    val again = IcebergMeta.readTable(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(again.toSeq === want)
+    // no delete parquet survives on disk
+    val dataDir = java.nio.file.Paths.get(t, "data")
+    import scala.jdk.CollectionConverters._
+    val onDisk = java.nio.file.Files.walk(dataDir).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(_.getFileName.toString).toSeq
+    assert(!onDisk.exists(_.startsWith("eq-delete-")))
+  }
+
+  test("partitioned-table compaction keeps the partition records and pruning") {
+    val t = freshDir("icecomp")
+    val df = (0L until 40L).map(i => (i, (i % 4).toInt)).toDF("id", "grp")
+      .coalesce(1)
+    IcebergWrite.createTable(spark, df, t, spec = Seq(PartField("grp", "identity")))
+    IcebergWrite.delete(spark, t, "id < 8")
+    assert(delFileCount(t) === 1L)
+    IcebergWrite.rewriteDataFiles(spark, t)
+    assert(delFileCount(t) === 0L)
+    val got = IcebergMeta.readTable(spark, t)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (8L until 40L))
+    // partition pruning still answers from the manifests alone: the
+    // rewrite re-staged per-partition, so grp=2 keeps exactly one file
+    val rep = IcebergMeta.skippingReport(spark, t, "grp = 2")
+    assert(rep.count() === 4L && rep.where(col("kept")).count() === 1L)
+    val rows = IcebergMeta.readTableWhere(spark, t, "grp = 2")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows === (8L until 40L).filter(_ % 4 == 2))
+  }
+}

@@ -39,4 +39,35 @@ class IcebergGzMetadataSpec extends SparkSpec {
       java.nio.file.Paths.get(t, "metadata", "version-hint.text"))
     assert(IcebergMeta.readTable(spark, t).count() === 20L)
   }
+
+  test("a WRITE against a gz-metadata table pins its version past the .gz set") {
+    val t = {
+      val p = java.nio.file.Files.createTempDirectory("icegzw")
+      java.nio.file.Files.delete(p)
+      p.toString
+    }
+    IcebergWrite.createTable(spark,
+      (0L until 10L).map(i => (i, s"row-$i")).toDF("id", "txt").coalesce(1), t)
+    IcebergWrite.append(spark,
+      (10L until 20L).map(i => (i, s"row-$i")).toDF("id", "txt").coalesce(1), t)
+    // gzip v2 in place — the CURRENT state now lives only in the .gz
+    val meta = java.nio.file.Paths.get(t, "metadata", "v2.metadata.json")
+    val bytes = java.nio.file.Files.readAllBytes(meta)
+    val gz = java.nio.file.Paths.get(t, "metadata", "v2.metadata.json.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gz))
+    try out.write(bytes) finally out.close()
+    java.nio.file.Files.delete(meta)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(t, "metadata", "version-hint.text"))
+    // the next commit must land as v3 (PAST the gz), not shadow-commit
+    // a lower version the reader would never serve — the lost update
+    IcebergWrite.append(spark,
+      (20L until 30L).map(i => (i, s"row-$i")).toDF("id", "txt").coalesce(1), t)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(t, "metadata", "v3.metadata.json")))
+    val got = IcebergMeta.readTable(spark, t)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (0L until 30L))
+  }
 }

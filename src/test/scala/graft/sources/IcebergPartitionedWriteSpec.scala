@@ -167,4 +167,67 @@ class IcebergPartitionedWriteSpec extends SparkSpec {
     assert(spec.map(s => (s.name, s.transform, s.sourceId)) ===
       Seq(("grp", "identity", 2L)))
   }
+
+  test("temporal-ordinal arithmetic matches the spec's epoch counting") {
+    // months/years count from 1970-01 (floor), hours floorDiv micros —
+    // including the pre-1970 side, where truncate-toward-zero would be
+    // off by one
+    assert(IcebergWrite.monthsFromEpochDay(0L) === 0)       // 1970-01-01
+    assert(IcebergWrite.monthsFromEpochDay(30L) === 0)      // 1970-01-31
+    assert(IcebergWrite.monthsFromEpochDay(31L) === 1)      // 1970-02-01
+    assert(IcebergWrite.monthsFromEpochDay(-1L) === -1)     // 1969-12-31
+    assert(IcebergWrite.yearsFromEpochDay(364L) === 0)      // 1970-12-31
+    assert(IcebergWrite.yearsFromEpochDay(365L) === 1)      // 1971-01-01
+    assert(IcebergWrite.yearsFromEpochDay(-1L) === -1)      // 1969-12-31
+    assert(IcebergWrite.hoursOfMicros(0L) === 0L)
+    assert(IcebergWrite.hoursOfMicros(3599999999L) === 0L)
+    assert(IcebergWrite.hoursOfMicros(3600000000L) === 1L)
+    assert(IcebergWrite.hoursOfMicros(-1L) === -1L)         // floor, not trunc
+  }
+
+  test("month-partitioned dates: layout, round trip, boundary-strict pruning") {
+    val t = freshDir("icepart")
+    val df = (0 until 120).map { i =>
+      (i.toLong, java.sql.Date.valueOf(java.time.LocalDate
+        .of(2023, 11, 1).plusDays(i.toLong)))
+    }.toDF("id", "d").coalesce(1)
+    IcebergWrite.createTable(spark, df, t, spec = Seq(PartField("d", "month")))
+    // 2023-11 .. 2024-02: four month partitions
+    val ents = IcebergMeta.entries(spark, t)
+      .select("partition_values").collect()
+      .map(_.getMap[String, String](0)("d_month")).sorted.toSeq
+    assert(ents === Seq("646", "647", "648", "649")) // 2023-11 .. 2024-02
+    assert(IcebergMeta.readTable(spark, t).count() === 120L)
+    // boundary literal (first of month): strict `<` drops the boundary
+    // month's file — 2 of 4 kept
+    val strict = IcebergMeta.skippingReport(spark, t, "d < DATE '2024-01-01'")
+    assert(strict.count() === 4L &&
+      strict.where(col("kept")).count() === 2L)
+    // mid-month literal: the boundary month may hold matches — 3 kept
+    val mid = IcebergMeta.skippingReport(spark, t, "d < DATE '2024-01-15'")
+    assert(mid.where(col("kept")).count() === 3L)
+    // >= at the boundary keeps exactly the months from it
+    val ge = IcebergMeta.skippingReport(spark, t, "d >= DATE '2024-01-01'")
+    assert(ge.where(col("kept")).count() === 2L)
+    // the served rows are the pruned-and-filtered truth
+    val got = IcebergMeta.readTableWhere(spark, t, "d < DATE '2024-01-01'")
+      .count()
+    assert(got === 61L) // Nov(30) + Dec(31)
+  }
+
+  test("year-partitioned timestamps round-trip and the appended spec holds") {
+    val t = freshDir("icepart")
+    val ts = (0 until 6).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(s"${1998 + i / 2}-06-15 12:00:00"))
+    }.toDF("id", "ts").coalesce(1)
+    IcebergWrite.createTable(spark, ts, t, spec = Seq(PartField("ts", "year")))
+    val pv = IcebergMeta.entries(spark, t)
+      .select("partition_values").collect()
+      .map(_.getMap[String, String](0)("ts_year")).sorted.toSeq
+    assert(pv === Seq("28", "29", "30")) // 1998..2000
+    val rep = IcebergMeta.skippingReport(spark, t,
+      "ts >= TIMESTAMP '1999-01-01 00:00:00'")
+    assert(rep.count() === 3L && rep.where(col("kept")).count() === 2L)
+    assert(IcebergMeta.readTable(spark, t).count() === 6L)
+  }
 }

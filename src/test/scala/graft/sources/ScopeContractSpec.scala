@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scope-contract drift guard. Three rounds running, a feature landed
+  * while the file's "Scope contract" scaladoc still claimed it was out
+  * (IcebergMeta r16, IcebergWrite r17, IcebergWrite again r18). This
+  * spec greps the contracts against the public surface so the pattern
+  * fails CI instead of a review.
+  */
+class ScopeContractSpec extends AnyFunSuite {
+
+  private def src(name: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/sources", name)), "UTF-8")
+
+  test("IcebergWrite's scope contract acknowledges its whole public write surface") {
+    val s = src("IcebergWrite.scala")
+    val start = s.indexOf("Scope contract")
+    assert(start >= 0, "IcebergWrite.scala lost its scope contract")
+    val contract = s.substring(start, s.indexOf("object IcebergWrite"))
+    // every shipped capability must be named IN the contract — a
+    // public method the contract is silent (or stale) about is drift
+    val must = Seq("delete", "update", "upsert", "upsertEq",
+      "renameColumn", "rewriteDataFiles", "expir", "orphan",
+      "identity", "bucket", "truncate", "day", "month", "year", "hour")
+    for (m <- must)
+      assert(contract.toLowerCase.contains(m.toLowerCase),
+        s"IcebergWrite scope contract does not mention '$m'")
+    // the specific stale sentence that recurred
+    assert(!contract.contains("equality-delete WRITING is out"),
+      "IcebergWrite scope contract still claims equality-delete writing is out")
+  }
+
+  test("scope contracts never deny a method that exists in the same file") {
+    // generic form of the r16-r18 pattern: 'X is out' while `def X` is
+    // public in the file. Checks every sources file with a contract.
+    val dir = java.nio.file.Paths.get("src/main/scala/graft/sources")
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).toSeq
+    val defRe = """(?m)^\s{2}def (\w+)""".r
+    files.foreach { f =>
+      val body = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      val ci = body.indexOf("Scope contract")
+      if (ci >= 0) {
+        val contract = body.substring(ci,
+          math.min(body.length, ci + 2000)).toLowerCase
+        val publicDefs = defRe.findAllMatchIn(body).map(_.group(1)).toSet
+        publicDefs.foreach { d =>
+          val denial = s"${d.toLowerCase} is out"
+          assert(!contract.contains(denial),
+            s"${f.getFileName}: scope contract says '$denial' but def $d exists")
+        }
+      }
+    }
+  }
+}
