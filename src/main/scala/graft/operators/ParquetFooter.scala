@@ -604,6 +604,53 @@ object ParquetFooter {
     out.result()
   }
 
+  /** [[topLevelFields]] one level deeper: each top-level column with
+    * its own DIRECT children when the column is a PLAIN struct group —
+    * (name, field_id, children). Children stay empty for leaves and
+    * for LIST/MAP-converted groups, whose inner `list`/`key_value`
+    * nodes are representation, not user fields. This is how Iceberg's
+    * field-id projection reaches a renamed struct MEMBER: the file's
+    * own nested ids name it, whatever it was called at write time.
+    */
+  def topLevelTree(schema: Seq[SchemaEl])
+      : Seq[(String, Option[Int], Seq[(String, Option[Int])])] = {
+    if (schema.isEmpty) return Nil
+    val out =
+      Seq.newBuilder[(String, Option[Int], Seq[(String, Option[Int])])]
+    var cur: (String, Option[Int]) = null
+    var curKids = Seq.newBuilder[(String, Option[Int])]
+    var curIsStruct = false
+    def flush(): Unit = if (cur != null) {
+      out += ((cur._1, cur._2, if (curIsStruct) curKids.result() else Nil))
+      cur = null
+      curKids = Seq.newBuilder[(String, Option[Int])]
+      curIsStruct = false
+    }
+    val stack = scala.collection.mutable.Stack[Int](
+      schema.head.numChildren.getOrElse(0))
+    var i = 1
+    while (i < schema.length && stack.nonEmpty) {
+      val el = schema(i)
+      if (stack.length == 1) {
+        flush()
+        cur = (el.name, el.fieldId)
+        // plain struct: a group (no physical type) whose converted type
+        // is not LIST(3) / MAP(1) / MAP_KEY_VALUE(2)
+        curIsStruct = el.typ.isEmpty && el.numChildren.exists(_ > 0) &&
+          !el.converted.exists(c => c == 1 || c == 2 || c == 3)
+      } else if (stack.length == 2 && curIsStruct) {
+        curKids += ((el.name, el.fieldId))
+      }
+      stack.push(stack.pop() - 1)
+      val kids = el.numChildren.getOrElse(0)
+      if (kids > 0) stack.push(kids)
+      while (stack.nonEmpty && stack.top == 0) stack.pop()
+      i += 1
+    }
+    flush()
+    out.result()
+  }
+
   // -------------------------------------------------- bloom filter (SBBF)
 
   /** xxHash64 (seed 0 unless given) per the public xxHash specification

@@ -4716,6 +4716,58 @@ object PipelineQueries extends QuerySet {
       graft.sources.IcebergMeta.readTableWhere(s, t, pred).orderBy("event_id")
     }),
 
+    // Iceberg v3 DELETION-VECTOR delete (q311's Iceberg twin): matched
+    // positions become roaring bitmaps in ONE puffin file, referenced
+    // from the manifest by (referenced_data_file, content_offset,
+    // content_size) — no data file rewritten (pinned in-query), no
+    // delete parquet ever scanned; the CRC-validating blob reader
+    // applies exactly the referenced bytes. Same oracle as the Delta
+    // door's DV delete.
+    "q326_iceberg_dv_delete" -> ((s, dir) => {
+      val t = freshTmpDir("iceberg_dv_delete")
+      icebergClusteredOrders(s, dir, t)
+      val before = graft.sources.IcebergMeta.files(s, t)
+        .select("file_path").collect().map(_.getString(0)).toSet
+      val maxKey = graft.Tables.load(s, dir, "orders")
+        .agg(max("o_orderkey")).head.getLong(0)
+      graft.sources.IcebergWrite.deleteDv(s, t, s"o_orderkey <= ${maxKey / 8}")
+      val after = graft.sources.IcebergMeta.files(s, t)
+        .select("file_path").collect().map(_.getString(0)).toSet
+      require(after == before,
+        "a DV delete must not rewrite or drop any data file")
+      require(graft.sources.IcebergMeta.entries(s, t)
+        .where(col("content") === "position_deletes" &&
+          col("file_format") === "PUFFIN").count() >= 1L,
+        "the delete must ride a puffin deletion vector")
+      graft.sources.IcebergMeta.readTable(s, t)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // NESTED field-id evolution (q281's struct twin, closing the
+    // IcebergMeta scope hole): a struct MEMBER renames metadata-only,
+    // and the reader resolves it through each file's NESTED footer ids
+    // — the pre-rename generation serves the member under its new name
+    // (name projection would serve NULLs there; the in-query require
+    // pins exactly that failure mode away).
+    "q325_iceberg_nested_rename" -> ((s, dir) => {
+      val t = freshTmpDir("iceberg_nested")
+      val nation = graft.Tables.load(s, dir, "nation")
+      def gen(pred: String, member: String) =
+        nation.where(pred).select(col("n_nationkey"),
+          struct(col("n_name").as("name"),
+            col("n_regionkey").as(member)).as("info")).coalesce(1)
+      graft.sources.IcebergWrite.createTable(s, gen("n_nationkey < 12", "region"), t)
+      graft.sources.IcebergWrite.renameColumn(s, t, "info.region", "zone")
+      graft.sources.IcebergWrite.append(s, gen("n_nationkey >= 12", "zone"), t)
+      val r = graft.sources.IcebergMeta.readTable(s, t)
+      require(r.where(col("info.zone").isNull).count() == 0L,
+        "nested id projection must serve the pre-rename files' member")
+      r.select(col("n_nationkey"), col("info.name").as("name"),
+          col("info.zone").as("zone"))
+        .orderBy("n_nationkey")
+    }),
+
     // Iceberg YEAR-partitioned write over a DATE source: seven order
     // years, a half-open range keeps the top three partitions — proven
     // from manifests (skippingReport), content oracled. (month shares
@@ -6144,6 +6196,13 @@ object PipelineQueries extends QuerySet {
     "q324_iceberg_year_write" ->
       """SELECT o_orderkey, o_totalprice
         |FROM orders WHERE o_orderdate >= DATE '1999-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q325_iceberg_nested_rename" ->
+      """SELECT n_nationkey, n_name AS name, n_regionkey AS zone
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q326_iceberg_dv_delete" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey > (SELECT max(o_orderkey) // 8 FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
     "q308_delta_time_travel_ts" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation

@@ -1,0 +1,161 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Iceberg v3 DELETION VECTORS in PUFFIN files, per the PUBLIC Puffin
+  * file-format spec (iceberg.apache.org/puffin-spec/) and the v3 table
+  * spec's deletion-vectors section. A puffin file is
+  *
+  *   Magic "PFA1" | blob bytes… | Magic | FooterPayload (JSON) |
+  *   FooterPayloadSize (4 LE) | Flags (4) | Magic
+  *
+  * and each `deletion-vector-v1` blob uses the SAME framing Delta's DV
+  * files use — [4-byte BE length][magic + 64-bit portable roaring
+  * bitmap][4-byte BE crc32 of the bitmap bytes] — so [[DeltaDv]]'s
+  * org.roaringbitmap-pinned codec is the shared core (the v3 spec
+  * adopted Delta's layout deliberately, for exactly this kind of
+  * reuse). The v3 manifest entry names the blob by `content_offset` /
+  * `content_size_in_bytes` and its target by `referenced_data_file`,
+  * so the READ path never parses the footer; the footer keeps the file
+  * self-describing for external tools (and is what the spec suite
+  * validates structurally).
+  */
+object IcebergDv {
+
+  private val Magic = Array[Byte](0x50, 0x46, 0x41, 0x31) // "PFA1"
+
+  final case class Blob(referencedDataFile: String, bitmap: Array[Byte],
+                        cardinality: Long, snapshotId: Long,
+                        sequenceNumber: Long)
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Render a puffin file holding one `deletion-vector-v1` blob per
+    * entry. Returns (file bytes, per-blob (offset, length)) in input
+    * order — what the manifest's content_offset/content_size record.
+    */
+  def renderPuffin(blobs: Seq[Blob]): (Array[Byte], Seq[(Long, Long)]) = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Magic, 0, 4)
+    val offs = blobs.map { b =>
+      val off = out.size().toLong
+      val data = b.bitmap
+      out.write((data.length >> 24) & 0xff)
+      out.write((data.length >> 16) & 0xff)
+      out.write((data.length >> 8) & 0xff)
+      out.write(data.length & 0xff)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(data)
+      val c = crc.getValue
+      out.write(((c >> 24) & 0xff).toInt)
+      out.write(((c >> 16) & 0xff).toInt)
+      out.write(((c >> 8) & 0xff).toInt)
+      out.write((c & 0xff).toInt)
+      (off, out.size().toLong - off)
+    }
+    out.write(Magic, 0, 4)
+    val payload = blobs.zip(offs).map { case (b, (off, len)) =>
+      s"""{"type":"deletion-vector-v1","fields":[],""" +
+        s""""snapshot-id":${b.snapshotId},""" +
+        s""""sequence-number":${b.sequenceNumber},""" +
+        s""""offset":$off,"length":$len,""" +
+        s""""properties":{"referenced-data-file":${jstr(b.referencedDataFile)},""" +
+        s""""cardinality":${jstr(b.cardinality.toString)}}}"""
+    }.mkString("""{"blobs":[""", ",", "]}")
+    val pb = payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out.write(pb, 0, pb.length)
+    // FooterPayloadSize is LITTLE-endian per the spec; flags all zero
+    out.write(pb.length & 0xff)
+    out.write((pb.length >> 8) & 0xff)
+    out.write((pb.length >> 16) & 0xff)
+    out.write((pb.length >> 24) & 0xff)
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(Magic, 0, 4)
+    (out.toByteArray, offs)
+  }
+
+  /** Read ONE deletion-vector blob at (offset, size): leading-magic
+    * check, blob framing + CRC validation, roaring decode, cardinality
+    * agreement — None on ANY disagreement (a wrong deleted-set
+    * silently passing is the inexcusable outcome).
+    */
+  def readBlob(fs: FileSystem, path: Path, offset: Long, size: Long,
+               cardinality: Long): Option[Seq[Long]] = {
+    if (offset < 4 || size < 12) return None // inside the leading magic
+    try {
+      val in = fs.open(path)
+      val (magic, buf) = try {
+        val m = new Array[Byte](4)
+        in.readFully(0L, m)
+        val b = new Array[Byte](size.toInt)
+        in.readFully(offset, b)
+        (m, b)
+      } finally in.close()
+      if (!java.util.Arrays.equals(magic, Magic)) return None
+      val len = ((buf(0) & 0xff) << 24) | ((buf(1) & 0xff) << 16) |
+        ((buf(2) & 0xff) << 8) | (buf(3) & 0xff)
+      if (len < 0 || len + 8 != size) return None
+      val data = java.util.Arrays.copyOfRange(buf, 4, 4 + len)
+      val crc = new java.util.zip.CRC32()
+      crc.update(data)
+      val want = ((buf(4 + len) & 0xffL) << 24) |
+        ((buf(5 + len) & 0xffL) << 16) |
+        ((buf(6 + len) & 0xffL) << 8) | (buf(7 + len) & 0xffL)
+      if ((crc.getValue & 0xffffffffL) != want) return None
+      DeltaDv.decodeBitmap(data).filter(_.length.toLong == cardinality)
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** The footer's blob-metadata JSON — the self-description external
+    * tools read; decoded for the spec suite's structural validation
+    * (offset, length, referenced file, cardinality per blob).
+    */
+  def readFooterBlobs(bytes: Array[Byte])
+      : Option[Seq[(String, Long, Long, Long, Long)]] = {
+    val n = bytes.length
+    if (n < 24) return None
+    if (!java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(bytes, 0, 4), Magic)) return None
+    if (!java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(bytes, n - 4, n), Magic)) return None
+    val pSize = (bytes(n - 12) & 0xff) | ((bytes(n - 11) & 0xff) << 8) |
+      ((bytes(n - 10) & 0xff) << 16) | ((bytes(n - 9) & 0xff) << 24)
+    if (pSize < 2 || pSize > n - 24) return None
+    val payload = new String(bytes, n - 12 - pSize, pSize,
+      java.nio.charset.StandardCharsets.UTF_8)
+    type JObj = scala.collection.mutable.LinkedHashMap[String, Any]
+    graft.operators.Avro.parseJson(payload).collect {
+      case m: scala.collection.mutable.LinkedHashMap[_, _] =>
+        m.asInstanceOf[JObj].get("blobs") match {
+          case Some(a: scala.collection.mutable.ArrayBuffer[_]) =>
+            a.toSeq.collect {
+              case bm: scala.collection.mutable.LinkedHashMap[_, _] =>
+                val b = bm.asInstanceOf[JObj]
+                def l(k: String): Long = b.get(k) match {
+                  case Some(v: java.lang.Long) => v.longValue
+                  case _ => -1L
+                }
+                val props = b.get("properties") match {
+                  case Some(p: scala.collection.mutable.LinkedHashMap[_, _]) =>
+                    p.asInstanceOf[JObj]
+                  case _ => scala.collection.mutable
+                    .LinkedHashMap.empty[String, Any]
+                }
+                (props.get("referenced-data-file")
+                  .collect { case s: String => s }.getOrElse(""),
+                  l("offset"), l("length"), l("sequence-number"),
+                  props.get("cardinality")
+                    .collect { case s: String => s }
+                    .flatMap(_.toLongOption).getOrElse(-1L))
+            }
+          case _ => Nil
+        }
+    }
+  }
+}

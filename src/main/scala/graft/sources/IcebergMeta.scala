@@ -39,9 +39,10 @@ import graft.operators.Avro
   *
   * Scope contract (documented, not hidden): `version-hint.text` or the
   * highest `vN.metadata.json[.gz]` selects the current metadata
-  * (gzip-compressed metadata JSON is served); field-id projection is
-  * top-level (nested struct evolution reads by the file's own nested
-  * names).
+  * (gzip-compressed metadata JSON is served); field-id projection
+  * covers top-level columns AND plain-struct members (a renamed struct
+  * member reads its pre-rename files by id); list/map element fields
+  * read by the file's own nested names.
   */
 object IcebergMeta {
 
@@ -131,7 +132,7 @@ object IcebergMeta {
     }
     val fv = root.get("format-version").flatMap(jLong).map(_.toInt).getOrElse(
       throw new IllegalArgumentException(s"iceberg: $file has no format-version"))
-    if (fv != 1 && fv != 2)
+    if (fv != 1 && fv != 2 && fv != 3)
       throw new IllegalArgumentException(s"iceberg: unsupported format-version $fv")
     val snaps = root.get("snapshots") match {
       case Some(a: scala.collection.mutable.ArrayBuffer[_]) =>
@@ -386,7 +387,12 @@ object IcebergMeta {
     // files under old spec ids)
     StructField("partition_values", MapType(StringType, StringType),
       nullable = true),
-    StructField("partition_spec_id", IntegerType, nullable = true)))
+    StructField("partition_spec_id", IntegerType, nullable = true),
+    // v3 deletion vectors: a content=1 entry whose file_format is
+    // PUFFIN names its target data file and the blob's byte range
+    StructField("referenced_data_file", StringType, nullable = true),
+    StructField("content_offset", LongType, nullable = true),
+    StructField("content_size", LongType, nullable = true)))
 
   /** A manifest's map<int, V> field in either physical spelling: the
     * spec's array-of-key-value records, or a string-keyed Avro map
@@ -491,7 +497,10 @@ object IcebergMeta {
               Some(asMap(df.getOrElse("partition", Map.empty[String, Any]))
                 .collect { case (k, v) if v != null => k -> v.toString })
                 .filter(_.nonEmpty).orNull,
-              manifestSpecId.map(l => Int.box(l.toInt)).orNull)
+              manifestSpecId.map(l => Int.box(l.toInt)).orNull,
+              mStr(df, "referenced_data_file").orNull,
+              mLong(df, "content_offset").map(Long.box).orNull,
+              mLong(df, "content_size_in_bytes").map(Long.box).orNull)
           }
         }
       }
@@ -546,7 +555,7 @@ object IcebergMeta {
       throw new IllegalArgumentException(
         s"iceberg: metadata under $tableDir carries no schema"))
     StructType(fields.map(f => StructField(f.name,
-      icebergTypeToSpark(f.typeStr).getOrElse(
+      sparkTypeOfField(f).getOrElse(
         throw new IllegalArgumentException(
           s"iceberg: column ${f.name} (${f.typeStr}) has no statement-" +
             "plannable Spark type")),
@@ -555,8 +564,32 @@ object IcebergMeta {
 
   // -------------------------------------------- schema (field-id) layer
 
+  /** One schema field; `nested` carries a plain STRUCT's direct
+    * children (with their own stable field ids — what nested rename
+    * evolution projects through); empty for primitives and for
+    * list/map types (whose members stay name-resolved, the documented
+    * scope).
+    */
   private[sources] final case class IceField(id: Option[Long], name: String,
-                                    typeStr: String, required: Boolean)
+                                    typeStr: String, required: Boolean,
+                                    nested: Seq[IceField] = Nil)
+
+  /** The field's Spark type: primitives via the name map, structs
+    * rebuilt from their nested fields. None when any member type is
+    * not mappable.
+    */
+  private[sources] def sparkTypeOfField(f: IceField): Option[DataType] =
+    if (f.nested.isEmpty) icebergTypeToSpark(f.typeStr)
+    else {
+      // members read as NULLABLE regardless of `required`: the read
+      // path serves parquet-nullable rows, and a NOT NULL member would
+      // make the struct-rebuild cast unresolvable
+      val kids = f.nested.map(nf =>
+        icebergTypeToSpark(nf.typeStr).map(t =>
+          StructField(nf.name, t, nullable = true)))
+      if (kids.forall(_.isDefined)) Some(StructType(kids.map(_.get)))
+      else None
+    }
 
   private def renderType(v: Any): String = v match {
     case s: String => s
@@ -629,16 +662,34 @@ object IcebergMeta {
         case _ => throw new IllegalArgumentException(
           s"iceberg: schema in $tmFile has no fields")
       }
+      def fieldOf(f: JObj): IceField = {
+        // a plain struct's direct children keep their ids — the nested
+        // field-id projection's input; list/map members stay rendered
+        val nested: Seq[IceField] = f.get("type") match {
+          case Some(tm: scala.collection.mutable.LinkedHashMap[_, _])
+            if tm.asInstanceOf[JObj].get("type").contains("struct") =>
+            tm.asInstanceOf[JObj].get("fields") match {
+              case Some(a: scala.collection.mutable.ArrayBuffer[_]) =>
+                a.toSeq.collect {
+                  case cm: scala.collection.mutable.LinkedHashMap[_, _] =>
+                    fieldOf(cm.asInstanceOf[JObj])
+                }
+              case _ => Nil
+            }
+          case _ => Nil
+        }
+        IceField(
+          f.get("id").flatMap(jLong),
+          f.get("name").collect { case s: String => s }.getOrElse(
+            throw new IllegalArgumentException("schema field without name")),
+          renderType(f.getOrElse("type", "?")),
+          f.get("required").collect { case b: java.lang.Boolean => b.booleanValue }
+            .getOrElse(false),
+          nested)
+      }
       fields.map {
         case fm: scala.collection.mutable.LinkedHashMap[_, _] =>
-          val f = fm.asInstanceOf[JObj]
-          IceField(
-            f.get("id").flatMap(jLong),
-            f.get("name").collect { case s: String => s }.getOrElse(
-              throw new IllegalArgumentException("schema field without name")),
-            renderType(f.getOrElse("type", "?")),
-            f.get("required").collect { case b: java.lang.Boolean => b.booleanValue }
-              .getOrElse(false))
+          fieldOf(fm.asInstanceOf[JObj])
         case _ => throw new IllegalArgumentException("malformed schema field")
       }
     }
@@ -688,6 +739,38 @@ object IcebergMeta {
       val tops = graft.operators.ParquetFooter.topLevelFields(meta.schema)
       val ids = tops.collect { case (n, Some(id)) => id -> n }.toMap
       p -> ((tops.map(_._1), ids))
+    }.collect().toMap
+  }
+
+  /** [[fileTopLevel]] plus each plain-struct column's DIRECT children
+    * (names in order, child field-id → physical child name) — the
+    * nested half of the field-id projection.
+    */
+  private[sources] final case class FileCols(
+      names: Seq[String], ids: Map[Int, String],
+      children: Map[String, (Seq[String], Map[Int, String])])
+
+  private[sources] def fileTree(spark: SparkSession, paths: Seq[String])
+      : Map[String, FileCols] = {
+    if (paths.isEmpty) return Map.empty
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val slices = math.max(1, math.min(paths.length,
+      spark.sparkContext.defaultParallelism * 2))
+    spark.sparkContext.parallelize(paths, slices).map { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf.value)
+      val meta = ParquetMeta.readFooter(fs, hp).getOrElse(
+        throw new java.io.IOException(
+          s"iceberg: $p has no readable parquet footer"))
+      val tree = graft.operators.ParquetFooter.topLevelTree(meta.schema)
+      val fc = FileCols(
+        tree.map(_._1),
+        tree.collect { case (n, Some(id), _) => id -> n }.toMap,
+        tree.collect { case (n, _, kids) if kids.nonEmpty =>
+          n -> ((kids.map(_._1),
+            kids.collect { case (kn, Some(kid)) => kid -> kn }.toMap))
+        }.toMap)
+      p -> fc
     }.collect().toMap
   }
 
@@ -1113,30 +1196,85 @@ object IcebergMeta {
         // no schema in metadata.json: name projection over the union scan
         spark.read.parquet(absPaths: _*).select(col("*") +: metaCols: _*)
       case Some(flds) =>
-        val info = fileTopLevel(spark, absPaths)
-        // per file, each schema field's physical column (None = absent):
-        // by field id when the file recorded ids, by name otherwise
-        def sigOf(p: String): Vector[Option[String]] = {
-          val (names, ids) = info(p)
-          val nameSet = names.toSet
+        val info = fileTree(spark, absPaths)
+        // per file, each schema field's physical resolution (None =
+        // absent): the TOP name by field id when the file recorded ids
+        // (by name otherwise), and — for struct fields — each MEMBER's
+        // physical child name through the file's own nested ids, so a
+        // renamed struct member reads its pre-rename files correctly
+        final case class Phys(top: String, kids: Vector[Option[String]])
+        def sigOf(p: String): Vector[Option[Phys]] = {
+          val fc = info(p)
+          val nameSet = fc.names.toSet
           flds.toVector.map { f =>
-            f.id.map(_.toInt).flatMap(ids.get) match {
-              case some @ Some(_)               => some
-              case None if ids.isEmpty && nameSet.contains(f.name) =>
+            val top = f.id.map(_.toInt).flatMap(fc.ids.get) match {
+              case some @ Some(_) => some
+              case None if fc.ids.isEmpty && nameSet.contains(f.name) =>
                 Some(f.name)
               case None if f.id.isEmpty && nameSet.contains(f.name) =>
                 Some(f.name)
-              case None                         => None
+              case None => None
+            }
+            top.map { pn =>
+              val kids =
+                if (f.nested.isEmpty) Vector.empty[Option[String]]
+                else {
+                  val (kNames, kIds) =
+                    fc.children.getOrElse(pn, (Seq.empty[String],
+                      Map.empty[Int, String]))
+                  val kSet = kNames.toSet
+                  f.nested.toVector.map { nf =>
+                    nf.id.map(_.toInt).flatMap(kIds.get) match {
+                      case some @ Some(_) => some
+                      case None if kIds.isEmpty && kSet.contains(nf.name) =>
+                        Some(nf.name)
+                      case None if nf.id.isEmpty && kSet.contains(nf.name) =>
+                        Some(nf.name)
+                      case None => None
+                    }
+                  }
+                }
+              Phys(pn, kids)
             }
           }
         }
         val groups = absPaths.groupBy(sigOf).toSeq
-          .sortBy(_._1.map(_.getOrElse("")).mkString(" "))
+          .sortBy(_._1.map(_.map(ph =>
+            (ph.top +: ph.kids.map(_.getOrElse(""))).mkString("."))
+            .getOrElse("")).mkString(" "))
         val parts = groups.map { case (sig, files) =>
           val cols = flds.zip(sig).flatMap { case (f, phys) =>
-            phys.map { pn =>
-              val c = col(s"`$pn`")
-              icebergTypeToSpark(f.typeStr).map(c.cast).getOrElse(c).as(f.name)
+            phys.map { ph =>
+              if (f.nested.isEmpty) {
+                val c = col(s"`${ph.top}`")
+                icebergTypeToSpark(f.typeStr).map(c.cast).getOrElse(c)
+                  .as(f.name)
+              } else {
+                // rebuild the struct member-by-member through the
+                // nested resolution; a NULL struct stays NULL (struct()
+                // of its members would turn it into a row of nulls)
+                val members = f.nested.zip(ph.kids).map { case (nf, kn) =>
+                  kn match {
+                    case Some(cn) =>
+                      val c = col(s"`${ph.top}`.`$cn`")
+                      icebergTypeToSpark(nf.typeStr).map(c.cast).getOrElse(c)
+                        .as(nf.name)
+                    case None =>
+                      lit(null).cast(icebergTypeToSpark(nf.typeStr)
+                        .getOrElse(throw new IllegalArgumentException(
+                          s"iceberg: struct member ${f.name}.${nf.name} " +
+                            s"(${nf.typeStr}) absent from a file cannot " +
+                            "be null-typed"))).as(nf.name)
+                  }
+                }
+                when(col(s"`${ph.top}`").isNull, lit(null))
+                  .otherwise(struct(members: _*))
+                  .cast(sparkTypeOfField(f).getOrElse(
+                    throw new IllegalArgumentException(
+                      s"iceberg: struct column ${f.name} has an " +
+                        "unmappable member type")))
+                  .as(f.name)
+              }
             }
           } ++ metaCols
           spark.read.parquet(files: _*).select(cols: _*)
@@ -1145,7 +1283,7 @@ object IcebergMeta {
         // schema columns no live file carries at all: typed null
         val have = unioned.columns.toSet
         flds.filterNot(f => have.contains(f.name)).foldLeft(unioned) { (d, f) =>
-          val t = icebergTypeToSpark(f.typeStr).getOrElse(
+          val t = sparkTypeOfField(f).getOrElse(
             throw new IllegalArgumentException(
               s"iceberg: column ${f.name} (${f.typeStr}) appears in no live " +
                 "data file and its nested type cannot be null-typed"))
@@ -1168,14 +1306,38 @@ object IcebergMeta {
     val snap = chooseSnapshot(tm, snapshotId)
     val live = entries(spark, tableDir, snapshotId)
       .where(col("status") =!= 2)
-      .select("content", "file_path", "sequence_number", "equality_ids")
+      .select("content", "file_path", "sequence_number", "equality_ids",
+        "file_format", "referenced_data_file", "content_offset",
+        "content_size", "record_count")
       .collect() // metadata-sized file list
     def seqOf(r: Row): Option[Long] =
       if (r.isNullAt(2)) None else Some(r.getLong(2))
     val dataFiles = live.filter(_.getString(0) == "data")
       .filter(r => keepFiles.forall(_.contains(r.getString(1))))
-    val posFiles = live.filter(_.getString(0) == "position_deletes")
+    def isPuffin(r: Row): Boolean =
+      !r.isNullAt(4) && r.getString(4) == "PUFFIN"
+    val posFiles = live
+      .filter(r => r.getString(0) == "position_deletes" && !isPuffin(r))
       .map(r => (r.getString(1), seqOf(r))).distinct
+    // v3 DELETION VECTORS: puffin-backed position deletes — one blob
+    // per referenced data file; when several DVs reference the same
+    // file the LATEST (highest data sequence) replaces the others, per
+    // the v3 spec's writer-merge/reader-latest rule
+    val dvEntries = live
+      .filter(r => r.getString(0) == "position_deletes" && isPuffin(r))
+      .map { r =>
+        def need[T](v: => T, isNull: Boolean, what: String): T =
+          if (isNull) throw new IllegalArgumentException(
+            s"iceberg: deletion-vector entry ${r.getString(1)} has no $what" +
+              " — its deletes cannot be applied") else v
+        (need(r.getString(5), r.isNullAt(5), "referenced_data_file"),
+          r.getString(1),
+          need(r.getLong(6), r.isNullAt(6), "content_offset"),
+          need(r.getLong(7), r.isNullAt(7), "content_size"),
+          need(r.getLong(8), r.isNullAt(8), "record_count (cardinality)"),
+          need(r.getLong(2), r.isNullAt(2), "sequence number"))
+      }
+      .groupBy(_._1).map(_._2.maxBy(_._6)).toSeq.sortBy(_._1)
     val eqFiles = live.filter(_.getString(0) == "equality_deletes")
     if (dataFiles.isEmpty && keepFiles.isDefined) {
       // the pruner proved no file can match: an empty table of the
@@ -1186,7 +1348,7 @@ object IcebergMeta {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row],
         StructType(flds.map(f => StructField(f.name,
-          icebergTypeToSpark(f.typeStr).getOrElse(StringType),
+          sparkTypeOfField(f).getOrElse(StringType),
           nullable = true)) ++
           (if (keepLineage)
             Seq(StructField("_uri_path", StringType, nullable = false),
@@ -1205,7 +1367,7 @@ object IcebergMeta {
     val rawAll: DataFrame = projectedScan(spark, absPaths, schemaFields)
     val dataCols: Seq[String] = schemaFields.map(_.map(_.name)).getOrElse(
       rawAll.columns.toSeq.filterNot(Set("_uri_path", "_row_index")))
-    if (posFiles.isEmpty && eqFiles.isEmpty)
+    if (posFiles.isEmpty && eqFiles.isEmpty && dvEntries.isEmpty)
       return rawAll.select((if (keepLineage)
         dataCols ++ Seq("_uri_path", "_row_index") else dataCols)
         .map(col): _*)
@@ -1220,19 +1382,54 @@ object IcebergMeta {
         StructField("file_path", StringType, nullable = false),
         StructField("_seq", LongType, nullable = true))))
     var df = rawAll.join(broadcast(mapping), Seq("_uri_path"))
-    if (posFiles.nonEmpty) {
-      // position-delete files are parquet of (file_path, pos) per the
-      // spec; each delete file's rows carry ITS sequence number so the
-      // anti-join can apply the spec's ordering gate — a position delete
-      // applies only to data files whose data sequence number is <= the
-      // delete file's (a path re-added in a LATER snapshot outlives an
-      // older delete against the same (path, pos)). Tables without
-      // sequence numbers (v1) gate vacuously on either side.
-      val dels = posFiles.toSeq.map { case (p, sq) =>
+    // position-delete files are parquet of (file_path, pos) per the
+    // spec; each delete file's rows carry ITS sequence number so the
+    // anti-join can apply the spec's ordering gate — a position delete
+    // applies only to data files whose data sequence number is <= the
+    // delete file's (a path re-added in a LATER snapshot outlives an
+    // older delete against the same (path, pos)). Tables without
+    // sequence numbers (v1) gate vacuously on either side.
+    val parquetDels: Option[DataFrame] =
+      if (posFiles.isEmpty) None
+      else Some(posFiles.toSeq.map { case (p, sq) =>
         spark.read.parquet(abs(p).toString)
           .select(col("file_path"), col("pos").cast("long").as("_del_index"),
             sq.map(lit(_)).getOrElse(lit(null)).cast("long").as("_del_seq"))
-      }.reduce(_ unionByName _)
+      }.reduce(_ unionByName _))
+    // v3 DVs decode DISTRIBUTED (one task per blob, the CRC-validating
+    // reader) into the same (file_path, index, seq) tombstone relation
+    val dvDels: Option[DataFrame] =
+      if (dvEntries.isEmpty) None
+      else {
+        val conf = new SerializableHadoopConf(
+          spark.sparkContext.hadoopConfiguration)
+        val items = dvEntries.map { case (ref, puffinRel, off, size, card, sq) =>
+          (ref, abs(puffinRel).toString, off, size, card, sq)
+        }
+        val rows = spark.sparkContext.parallelize(items,
+          math.max(1, math.min(items.length,
+            spark.sparkContext.defaultParallelism)))
+          .mapPartitions { it =>
+            var dfs: org.apache.hadoop.fs.FileSystem = null
+            it.flatMap { case (ref, puffin, off, size, card, sq) =>
+              val pp = new Path(puffin)
+              if (dfs == null) dfs = pp.getFileSystem(conf.value)
+              val deleted = IcebergDv.readBlob(dfs, pp, off, size, card)
+                .getOrElse(throw new java.io.IOException(
+                  s"iceberg: deletion vector for $ref in $puffin is " +
+                    "malformed or disagrees with its manifest entry"))
+              deleted.iterator.map(idx => Row(ref, idx, sq))
+            }
+          }
+        Some(spark.createDataFrame(rows, StructType(Seq(
+          StructField("file_path", StringType, nullable = false),
+          StructField("_del_index", LongType, nullable = false),
+          StructField("_del_seq", LongType, nullable = true)))))
+      }
+    val allDels = (parquetDels.toSeq ++ dvDels.toSeq)
+      .reduceOption(_ unionByName _)
+    allDels.foreach { d =>
+      val dels = d
         .join(broadcast(mapping.select("_uri_path", "file_path")), Seq("file_path"))
         .select(col("_uri_path").as("_del_uri"), col("_del_index"), col("_del_seq"))
       val gate = df("_uri_path") === dels("_del_uri") &&

@@ -33,13 +33,16 @@ import graft.operators.Avro
   * and the DuckDB oracle pins the round-tripped content.
   *
   * Scope contract (documented, not hidden): top-level primitive
-  * columns; writes are appends, row-level [[delete]]/[[update]]/
-  * [[upsert]] (position-delete files) and [[upsertEq]] (equality-delete
-  * files — the O(source) streaming shape; the reader applies both
-  * kinds), [[renameColumn]], [[rewriteDataFiles]] compaction, snapshot
-  * expiry and orphan removal. Partitioned writes use identity/bucket/
-  * truncate/day/month/year/hour transforms ([[PartField]]); other
-  * transforms are out.
+  * columns plus one level of plain STRUCT (members rename by nested
+  * field id); writes are appends, row-level [[delete]]/[[update]]/
+  * [[upsert]] (position-delete files), [[deleteDv]] (v3 puffin
+  * deletion vectors) and [[upsertEq]] (equality-delete files — the
+  * O(source) streaming shape; the reader applies all three kinds),
+  * [[renameColumn]] (top-level or `parent.member`),
+  * [[rewriteDataFiles]] compaction, snapshot expiry and orphan
+  * removal. Partitioned writes use identity/bucket/truncate/day/
+  * month/year/hour transforms ([[PartField]]); other transforms are
+  * out.
   */
 object IcebergWrite {
 
@@ -315,8 +318,23 @@ object IcebergWrite {
       throw new IllegalArgumentException(
         s"iceberg-write: $tableDir already has table metadata — createTable " +
           "refuses to shadow an existing table")
+    // field ids: top-level columns take 1..n, struct MEMBERS continue
+    // past them (unique across the whole schema, as the spec requires —
+    // the nested ids are what survives a member rename)
+    var nextId = df.schema.fields.length.toLong
     val fields = df.schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
-      (i + 1L, f.name, icebergType(f.dataType, f.name), f.nullable)
+      val typeJson = f.dataType match {
+        case st: StructType =>
+          val members = st.fields.toSeq.map { c =>
+            nextId += 1
+            s"""{"id":$nextId,"name":${jstr(c.name)},""" +
+              s""""required":${!c.nullable},""" +
+              s""""type":${jstr(icebergType(c.dataType, s"${f.name}.${c.name}"))}}"""
+          }
+          members.mkString("""{"type":"struct","fields":[""", ",", "]}")
+        case dt => icebergType(dt, f.name)
+      }
+      (i + 1L, f.name, typeJson, f.nullable)
     }
     spec.foreach { pf =>
       val src = fields.find(_._2 == pf.source).getOrElse(
@@ -370,11 +388,14 @@ object IcebergWrite {
     val fields = schemaFields.map { f =>
       (f.id.getOrElse(throw new IllegalArgumentException(
         s"iceberg-write: schema field ${f.name} has no field id")),
-        f.name, f.typeStr, !f.required)
+        f.name, typeJsonOf(f), !f.required)
     }
-    val want = fields.map(f => (f._2, f._3))
+    // match by structural SHAPE (names + primitive types): the incoming
+    // DataFrame cannot carry the table's field ids — the staging cast
+    // stamps them
+    val want = fields.map(f => (f._2, shapeOfTypeJson(f._3)))
     val got = df.schema.fields.toSeq.map(f =>
-      (f.name, icebergType(f.dataType, f.name)))
+      (f.name, shapeOfSpark(f.dataType, f.name)))
     if (got != want)
       throw new IllegalArgumentException(
         s"iceberg-write: DataFrame schema $got does not match the table " +
@@ -388,7 +409,8 @@ object IcebergWrite {
     }
     commit(spark, fs, tableDir, df, fields, uuid = tm.uuid,
       prevSnapshots = tm.snapshots, prevListRows = prevRows,
-      operation = "append", spec = specOf(spark, tableDir, fields))
+      operation = "append", spec = specOf(spark, tableDir, fields),
+      formatVersion = math.max(2, tm.formatVersion))
   }
 
   // ------------------------------------------------------------- DML
@@ -408,6 +430,141 @@ object IcebergWrite {
   def delete(spark: SparkSession, tableDir: String, condition: String): Long =
     dmlCommit(spark, tableDir, positionsOf(spark, tableDir, condition),
       newRows = None, operation = "delete")
+
+  /** The v3 DELETION-VECTOR manifest-entry schema: the base entry plus
+    * the spec's DV fields (referenced_data_file 143, content_offset
+    * 144, content_size_in_bytes 145) — used only by DV manifests, so
+    * every other manifest keeps its exact former shape.
+    */
+  private val DvEntrySchema =
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"]},
+      |{"name":"sequence_number","type":["null","long"]},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int"},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"referenced_data_file","type":["null","string"],"default":null},
+      |  {"name":"content_offset","type":["null","long"],"default":null},
+      |  {"name":"content_size_in_bytes","type":["null","long"],"default":null}
+      |]}}]}""".stripMargin
+
+  /** Row-level DELETE via a v3 DELETION VECTOR — [[DeltaWrite.deleteDv]]'s
+    * Iceberg twin and the format's successor to position-delete FILES:
+    * matched positions become one roaring bitmap per touched data file,
+    * all packed into ONE puffin file ([[IcebergDv]]) whose blobs the new
+    * content=1 manifest entries reference by (referenced_data_file,
+    * content_offset, content_size_in_bytes). No data file is rewritten
+    * and no delete PARQUET is scanned at read time — the reader decodes
+    * exactly the referenced blobs. A touched file's EXISTING deletion
+    * vector merges into the new one (the v3 writer rule: one current DV
+    * per file; readers take the latest). The table's format-version
+    * rises to 3 on first use. At 100 TB this is the same asymptotic
+    * win as the Delta door's DV path: a point delete costs one bitmap,
+    * never a rewrite. Returns the new snapshot id (current when
+    * nothing matched).
+    */
+  def deleteDv(spark: SparkSession, tableDir: String,
+               condition: String): Long = {
+    import org.apache.spark.sql.functions._
+    val fs = fileSystem(spark, tableDir)
+    val expectVersion = listMetadataVersions(fs, tableDir)
+      .maxOption.getOrElse(0L) + 1
+    val tm = IcebergMeta.readTableMeta(spark, tableDir)
+    val snap = tm.currentSnapshotId.flatMap(id => tm.snapshots.find(_.id == id))
+      .getOrElse(throw new IllegalArgumentException(
+        s"iceberg-write: no current snapshot under $tableDir"))
+    val pos = positionsOf(spark, tableDir, condition)
+    if (pos.isEmpty) return snap.id
+    import spark.implicits._
+    // per-file deleted sets: distributed aggregation, bounded by
+    // rows-per-file (the same bound as the Delta door's DV builder)
+    val newSets: Seq[(String, Seq[Long])] = pos.get._1
+      .groupBy("file_path")
+      .agg(sort_array(collect_set(col("pos"))).as("rows"))
+      .as[(String, Seq[Long])].collect().toSeq.sortBy(_._1)
+    if (newSets.isEmpty) return snap.id
+    val touched = newSets.map(_._1)
+    // v3 writer-merge: the new DV for a file carries the file's WHOLE
+    // deleted set (the read that produced `positions` already applied
+    // the existing DV, so the union is disjoint)
+    val existing: Map[String, Seq[Long]] = IcebergMeta.entries(spark, tableDir)
+      .where(col("status") =!= 2 && col("content") === "position_deletes" &&
+        col("file_format") === "PUFFIN" &&
+        col("referenced_data_file").isin(touched: _*))
+      .select("referenced_data_file", "file_path", "content_offset",
+        "content_size", "record_count", "sequence_number")
+      .collect().toSeq
+      .groupBy(_.getString(0))
+      .map { case (ref, rs) =>
+        val r = rs.maxBy(x =>
+          if (x.isNullAt(5)) Long.MinValue else x.getLong(5))
+        val p = new Path(resolveInTable(tableDir, r.getString(1)))
+        ref -> IcebergDv.readBlob(fs, p, r.getLong(2), r.getLong(3),
+          r.getLong(4)).getOrElse(throw new java.io.IOException(
+          s"iceberg-write: existing deletion vector for $ref is malformed"))
+      }
+    val seq = tm.snapshots.flatMap(_.sequenceNumber).maxOption.getOrElse(0L) + 1
+    val snapshotId = tm.snapshots.map(_.id).maxOption.getOrElse(0L) + 1
+    val blobs = newSets.map { case (ref, rows) =>
+      val all = (rows ++ existing.getOrElse(ref, Nil)).distinct.sorted
+      IcebergDv.Blob(ref, DeltaDv.encodeBitmap(all), all.length.toLong,
+        snapshotId, seq)
+    }
+    val (bytes, offs) = IcebergDv.renderPuffin(blobs)
+    val dvRel = s"data/dv-$seq.puffin"
+    writeBytesAtomic(fs, new Path(tableDir, dvRel), bytes)
+    val dvEntries = blobs.zip(offs).map { case (b, (off, len)) =>
+      Map[String, Any]("status" -> 1, "snapshot_id" -> snapshotId,
+        "sequence_number" -> null,
+        "data_file" -> Map[String, Any](
+          "content" -> 1, "file_path" -> dvRel, "file_format" -> "PUFFIN",
+          "record_count" -> b.cardinality,
+          "file_size_in_bytes" -> bytes.length.toLong,
+          "referenced_data_file" -> b.referencedDataFile,
+          "content_offset" -> off, "content_size_in_bytes" -> len))
+    }
+    val rel = s"metadata/m-$seq-dv.avro"
+    writeBytesAtomic(fs, new Path(tableDir, rel), Avro.renderOcfGeneric(
+      DvEntrySchema, dvEntries,
+      extraMeta = Seq("schema" -> "{}", "partition-spec" -> "[]",
+        "format-version" -> "3")))
+    val fields = IcebergMeta.schemaFieldsOf(spark, tableDir, None)
+      .getOrElse(throw new IllegalArgumentException(
+        s"iceberg-write: metadata under $tableDir carries no schema"))
+      .map(f => (f.id.getOrElse(0L), f.name, typeJsonOf(f), !f.required))
+    val spec = specOf(spark, tableDir, fields)
+    val mlPath = new Path(resolveInTable(tableDir, snap.manifestList))
+    val prevRows = IcebergMeta.readOcfFile(fs, mlPath).rows.map {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case _ => throw new IllegalArgumentException(
+        s"iceberg-write: malformed manifest list ${snap.manifestList}")
+    }
+    val newRow = Map[String, Any](
+      "manifest_path" -> rel,
+      "manifest_length" -> fs.getFileStatus(new Path(tableDir, rel)).getLen,
+      "partition_spec_id" -> (if (spec.isEmpty) 0 else 1), "content" -> 1,
+      "sequence_number" -> seq, "added_snapshot_id" -> snapshotId,
+      "added_files_count" -> dvEntries.length, "existing_files_count" -> 0,
+      "deleted_files_count" -> 0,
+      "added_rows_count" -> blobs.map(_.cardinality).sum,
+      "existing_rows_count" -> 0L, "deleted_rows_count" -> 0L)
+    val listRel = s"metadata/snap-$snapshotId.avro"
+    writeBytesAtomic(fs, new Path(tableDir, listRel),
+      Avro.renderOcfGeneric(ListSchema, prevRows :+ newRow))
+    val now = System.currentTimeMillis()
+    val snaps = tm.snapshots.map(s => snapJson(s.id, s.parentId,
+      s.sequenceNumber.getOrElse(0L), s.timestampMs,
+      s.operation.getOrElse("append"), s.manifestList)) :+
+      snapJson(snapshotId, Some(snap.id), seq, now, "delete", listRel)
+    writeMetadataJson(fs, tableDir, tm.uuid, fields, snaps, snapshotId,
+      seq, now, expectVersion, specFieldsJson(spec, fields),
+      formatVersion = 3)
+    snapshotId
+  }
 
   /** Row-level UPDATE — position-delete + append composed in ONE
     * snapshot (the Iceberg twin of [[DeltaWrite.update]]): rows
@@ -640,7 +797,7 @@ object IcebergWrite {
     val fields = IcebergMeta.schemaFieldsOf(spark, tableDir, None)
       .getOrElse(throw new IllegalArgumentException(
         s"iceberg-write: metadata under $tableDir carries no schema"))
-      .map(f => (f.id.getOrElse(0L), f.name, f.typeStr, !f.required))
+      .map(f => (f.id.getOrElse(0L), f.name, typeJsonOf(f), !f.required))
     val spec = specOf(spark, tableDir, fields)
     val typeOf = fields.map(f => f._2 -> f._3).toMap
     val partTypes = spec.map(pf => pf.name -> resultTypeOf(pf, typeOf(pf.source)))
@@ -826,15 +983,19 @@ object IcebergWrite {
       s.operation.getOrElse("append"), s.manifestList)) :+
       snapJson(snapshotId, Some(snap.id), seq, now, operation, listRel)
     writeMetadataJson(fs, tableDir, tm.uuid, fields, snaps, snapshotId,
-      seq, now, expectVersion, specFieldsJson(spec, fields))
+      seq, now, expectVersion, specFieldsJson(spec, fields),
+      formatVersion = math.max(2, tm.formatVersion))
     snapshotId
   }
 
   /** RENAME a column — the operation Iceberg's stable field ids exist
     * for: only metadata.json changes (the field keeps its id with a new
     * name); every data file, old or new, keeps serving the column
-    * through the reader's field-id projection. Returns the new
-    * metadata version.
+    * through the reader's field-id projection. A dotted `from`
+    * (`parent.member`) renames a STRUCT MEMBER — the nested twin: the
+    * member keeps its nested field id, and the reader's nested
+    * projection serves pre-rename files under the new name. Returns
+    * the new metadata version.
     */
   def renameColumn(spark: SparkSession, tableDir: String,
                    from: String, to: String): Long = {
@@ -845,18 +1006,43 @@ object IcebergWrite {
     val fields = IcebergMeta.schemaFieldsOf(spark, tableDir, None)
       .getOrElse(throw new IllegalArgumentException(
         s"iceberg-write: metadata under $tableDir carries no schema"))
-    if (!fields.exists(_.name == from))
-      throw new IllegalArgumentException(
-        s"iceberg-write: no column $from to rename at $tableDir")
-    if (fields.exists(_.name == to))
-      throw new IllegalArgumentException(
-        s"iceberg-write: column $to already exists at $tableDir")
-    val renamed = fields.map { f =>
-      val name = if (f.name == from) to else f.name
-      (f.id.getOrElse(throw new IllegalArgumentException(
-        s"iceberg-write: schema field ${f.name} has no field id")),
-        name, f.typeStr, !f.required)
-    }
+    require(!to.contains("."),
+      "iceberg-write: the new name is a bare identifier")
+    def idOf(f: IcebergMeta.IceField): Long =
+      f.id.getOrElse(throw new IllegalArgumentException(
+        s"iceberg-write: schema field ${f.name} has no field id"))
+    val renamed: Seq[(Long, String, String, Boolean)] =
+      if (from.contains(".")) {
+        val Array(parent, member) = from.split("\\.", 2)
+        val pf = fields.find(_.name == parent).getOrElse(
+          throw new IllegalArgumentException(
+            s"iceberg-write: no column $parent to rename under at $tableDir"))
+        if (!pf.nested.exists(_.name == member))
+          throw new IllegalArgumentException(
+            s"iceberg-write: no member $member in struct $parent at $tableDir")
+        if (pf.nested.exists(_.name == to))
+          throw new IllegalArgumentException(
+            s"iceberg-write: member $to already exists in struct $parent")
+        fields.map { f =>
+          val ff =
+            if (f.name == parent)
+              f.copy(nested = f.nested.map(nf =>
+                if (nf.name == member) nf.copy(name = to) else nf))
+            else f
+          (idOf(ff), ff.name, typeJsonOf(ff), !ff.required)
+        }
+      } else {
+        if (!fields.exists(_.name == from))
+          throw new IllegalArgumentException(
+            s"iceberg-write: no column $from to rename at $tableDir")
+        if (fields.exists(_.name == to))
+          throw new IllegalArgumentException(
+            s"iceberg-write: column $to already exists at $tableDir")
+        fields.map { f =>
+          val name = if (f.name == from) to else f.name
+          (idOf(f), name, typeJsonOf(f), !f.required)
+        }
+      }
     val snaps = tm.snapshots.map(s => snapJson(s.id, s.parentId,
       s.sequenceNumber.getOrElse(0L), s.timestampMs,
       s.operation.getOrElse("append"), s.manifestList))
@@ -864,7 +1050,8 @@ object IcebergWrite {
       tm.currentSnapshotId.getOrElse(0L),
       tm.snapshots.flatMap(_.sequenceNumber).maxOption.getOrElse(0L),
       System.currentTimeMillis(), expectVersion,
-      currentSpecJson(spark, tableDir))
+      currentSpecJson(spark, tableDir),
+      formatVersion = math.max(2, tm.formatVersion))
   }
 
   // ------------------------------------------------------ maintenance
@@ -898,7 +1085,7 @@ object IcebergWrite {
         s"iceberg-write: metadata under $tableDir carries no schema"))
       .map(f => (f.id.getOrElse(throw new IllegalArgumentException(
         s"iceberg-write: schema field ${f.name} has no field id")),
-        f.name, f.typeStr, !f.required))
+        f.name, typeJsonOf(f), !f.required))
     val keptIds = kept.map(_.id).toSet
     // a kept snapshot whose parent expired keeps no dangling pointer
     val snaps = kept.map(s => snapJson(s.id,
@@ -908,7 +1095,8 @@ object IcebergWrite {
     writeMetadataJson(fs, tableDir, tm.uuid, fields, snaps, current,
       sorted.flatMap(_.sequenceNumber).maxOption.getOrElse(0L),
       System.currentTimeMillis(), expectVersion,
-      currentSpecJson(spark, tableDir))
+      currentSpecJson(spark, tableDir),
+      formatVersion = math.max(2, tm.formatVersion))
     expired.map(_.id)
   }
 
@@ -1050,30 +1238,40 @@ object IcebergWrite {
     val live = IcebergMeta.entries(spark, tableDir, None)
       .where(col("status") =!= 2)
       .select("manifest_path", "content", "file_path", "sequence_number",
-        "snapshot_id", "equality_ids", "lower_bounds", "upper_bounds")
+        "snapshot_id", "equality_ids", "lower_bounds", "upper_bounds",
+        "file_format", "referenced_data_file")
       .collect() // metadata-sized: the live entry list
     def seqOf(r: org.apache.spark.sql.Row): Option[Long] =
       if (r.isNullAt(3)) None else Some(r.getLong(3))
+    def isPuffin(r: org.apache.spark.sql.Row): Boolean =
+      !r.isNullAt(8) && r.getString(8) == "PUFFIN"
     val dataEntries = live.filter(_.getString(1) == "data")
-    val posDel = live.filter(_.getString(1) == "position_deletes")
+    val posDel = live.filter(r =>
+      r.getString(1) == "position_deletes" && !isPuffin(r))
+    // v3 deletion vectors NAME their files in the manifest — touched
+    // without even opening the puffin
+    val dvDel = live.filter(r =>
+      r.getString(1) == "position_deletes" && isPuffin(r))
     val eqDel = live.filter(_.getString(1) == "equality_deletes")
-    if (posDel.isEmpty && eqDel.isEmpty)
+    if (posDel.isEmpty && eqDel.isEmpty && dvDel.isEmpty)
       return report(spark, dataEntries.length.toLong, dataEntries.length.toLong,
         0L, 0L, 0L, -1L)
     val fields = IcebergMeta.schemaFieldsOf(spark, tableDir, None)
       .getOrElse(throw new IllegalArgumentException(
         s"iceberg-write: compaction needs a schema under $tableDir"))
-      .map(f => (f.id.getOrElse(0L), f.name, f.typeStr, !f.required))
+      .map(f => (f.id.getOrElse(0L), f.name, typeJsonOf(f), !f.required))
     val idToType = fields.map(f => f._1.toInt -> f._3).toMap
     def absOf(p: String): String =
       fs.makeQualified(new Path(resolveInTable(tableDir, p))).toString
-    // position deletes NAME their touched files
+    // position deletes NAME their touched files; v3 DV entries name
+    // theirs in the MANIFEST itself
     val posTouched: Set[String] =
-      if (posDel.isEmpty) Set.empty
+      (if (posDel.isEmpty) Set.empty[String]
       else spark.read
         .parquet(posDel.map(r => absOf(r.getString(2))).distinct.toIndexedSeq: _*)
         .select("file_path").distinct()
-        .collect().map(_.getString(0)).toSet
+        .collect().map(_.getString(0)).toSet) ++
+        dvDel.map(_.getString(9)).toSet
     // equality deletes: ordering rule + bounds screen per delete file
     def cmpAny(a: Any, b: Any): Option[Int] = (a, b) match {
       case (x: Int, y: Int)       => Some(Integer.compare(x, y))
@@ -1295,10 +1493,11 @@ object IcebergWrite {
       s.operation.getOrElse("append"), s.manifestList)) :+
       snapJson(snapshotId, Some(snap.id), seq, now, "replace", listRel)
     writeMetadataJson(fs, tableDir, tm.uuid, fields, snaps, snapshotId,
-      seq, now, expectVersion, specFieldsJson(spec, fields))
+      seq, now, expectVersion, specFieldsJson(spec, fields),
+      formatVersion = math.max(2, tm.formatVersion))
     report(spark, dataEntries.length.toLong,
       (dataEntries.length - touched.size + staged.length).toLong,
-      (posDel.length + eqDel.length).toLong,
+      (posDel.length + eqDel.length + dvDel.length).toLong,
       touched.size.toLong, staged.map(_._3).sum, snapshotId)
   }
 
@@ -1368,8 +1567,94 @@ object IcebergWrite {
         .getOrElse(throw new IllegalArgumentException(
           s"iceberg-write: unreadable decimal type $other"))
       DecimalType(m.group(1).toInt, m.group(2).toInt)
+    case structJson if structJson.startsWith("{") =>
+      // a struct type in its raw nested-JSON form: the Spark type
+      // carries each member's field id as parquet.field.id metadata, so
+      // the staging cast stamps NESTED ids into the footers exactly
+      // like top-level columns. Members stay NULLABLE: required-ness is
+      // schema metadata, and a NOT NULL cast target would reject the
+      // reader's (nullable) output on a rewrite.
+      StructType(structFieldsOfJson(structJson).map { case (id, n, t, _) =>
+        StructField(n, sparkType(t), nullable = true,
+          metadata = new MetadataBuilder().putLong("parquet.field.id", id)
+            .build())
+      })
     case other => throw new IllegalArgumentException(
       s"iceberg-write: cannot append to a table with type $other")
+  }
+
+  /** Parse a struct type's nested JSON into (id, name, primitiveType,
+    * nullable) members — the writer's struct model.
+    */
+  private def structFieldsOfJson(json: String)
+      : Seq[(Long, String, String, Boolean)] = {
+    type JObj = scala.collection.mutable.LinkedHashMap[String, Any]
+    val root = Avro.parseJson(json) match {
+      case Some(m: scala.collection.mutable.LinkedHashMap[_, _]) =>
+        m.asInstanceOf[JObj]
+      case _ => throw new IllegalArgumentException(
+        s"iceberg-write: malformed struct type $json")
+    }
+    root.get("fields") match {
+      case Some(a: scala.collection.mutable.ArrayBuffer[_]) =>
+        a.toSeq.map {
+          case fm: scala.collection.mutable.LinkedHashMap[_, _] =>
+            val f = fm.asInstanceOf[JObj]
+            (f.get("id") match {
+              case Some(l: java.lang.Long) => l.longValue
+              case _ => throw new IllegalArgumentException(
+                s"iceberg-write: struct member without id in $json")
+            },
+              f.get("name") match {
+                case Some(s: String) => s
+                case _ => throw new IllegalArgumentException(
+                  s"iceberg-write: struct member without name in $json")
+              },
+              f.get("type") match {
+                case Some(s: String) => s
+                case _ => throw new IllegalArgumentException(
+                  "iceberg-write: struct members must be primitives " +
+                    s"(one level of nesting) in $json")
+              },
+              f.get("required") match {
+                case Some(b: java.lang.Boolean) => !b.booleanValue
+                case _ => true
+              })
+          case _ => throw new IllegalArgumentException(
+            s"iceberg-write: malformed struct member in $json")
+        }
+      case _ => throw new IllegalArgumentException(
+        s"iceberg-write: struct type without fields in $json")
+    }
+  }
+
+  /** An [[IcebergMeta.IceField]]'s type in the WRITER's string model:
+    * the primitive name, or — for structs — the raw nested JSON
+    * (re-rendered losslessly from the parsed members, ids included).
+    */
+  private def typeJsonOf(f: IcebergMeta.IceField): String =
+    if (f.nested.isEmpty) f.typeStr
+    else f.nested.map { nf =>
+      s"""{"id":${nf.id.getOrElse(throw new IllegalArgumentException(
+        s"iceberg-write: struct member ${f.name}.${nf.name} has no field id"))},""" +
+        s""""name":${jstr(nf.name)},"required":${nf.required},""" +
+        s""""type":${jstr(nf.typeStr)}}"""
+    }.mkString("""{"type":"struct","fields":[""", ",", "]}")
+
+  /** Structural type shape (names + primitive types, NO ids) — what
+    * append's schema-match compares, since an incoming DataFrame
+    * cannot know the table's nested ids.
+    */
+  private def shapeOfTypeJson(t: String): String =
+    if (!t.startsWith("{")) t
+    else structFieldsOfJson(t).map { case (_, n, tt, _) => s"$n:$tt" }
+      .mkString("struct<", ",", ">")
+
+  private def shapeOfSpark(dt: DataType, name: String): String = dt match {
+    case st: StructType =>
+      st.fields.map(c => s"${c.name}:${icebergType(c.dataType, s"$name.${c.name}")}")
+        .mkString("struct<", ",", ">")
+    case other => icebergType(other, name)
   }
 
   /** Per-column manifest facts for one staged data file: the value/
@@ -1553,7 +1838,8 @@ object IcebergWrite {
                      prevSnapshots: Seq[IcebergMeta.Snapshot],
                      prevListRows: Seq[Map[String, Any]],
                      operation: String,
-                     spec: Seq[PartField] = Nil): Long = {
+                     spec: Seq[PartField] = Nil,
+                     formatVersion: Int = 2): Long = {
     val metaDir = new Path(tableDir, "metadata")
     fs.mkdirs(metaDir)
     // pin the metadata version NOW — before any staging — so a
@@ -1620,7 +1906,8 @@ object IcebergWrite {
       snapJson(snapshotId, prevSnapshots.map(_.id).maxOption, seq, now,
         operation, listRel)
     writeMetadataJson(fs, tableDir, uuid, fields, snaps, snapshotId, seq,
-      now, expectVersion, specFieldsJson(spec, fields))
+      now, expectVersion, specFieldsJson(spec, fields),
+      formatVersion = formatVersion)
     snapshotId
   }
 
@@ -1668,15 +1955,20 @@ object IcebergWrite {
                                 snapsJson: Seq[String],
                                 currentSnapshotId: Long, lastSeq: Long,
                                 now: Long, expectVersion: Long,
-                                specJson: String = "[]"): Long = {
+                                specJson: String = "[]",
+                                formatVersion: Int = 2): Long = {
     val metaDir = new Path(tableDir, "metadata")
+    // a field's type renders as a JSON string for primitives; a STRUCT
+    // type arrives as its raw nested-JSON form (leading '{') and embeds
+    // verbatim — the nested field ids ride inside it
     val schemaJson = fields.map { case (id, name, typ, nullable) =>
+      val t = if (typ.startsWith("{")) typ else jstr(typ)
       s"""{"id":$id,"name":${jstr(name)},"required":${!nullable},""" +
-        s""""type":${jstr(typ)}}"""
+        s""""type":$t}"""
     }.mkString("""{"type":"struct","schema-id":0,"fields":[""", ",", "]}")
     val nSpecFields = """"field-id"""".r.findAllIn(specJson).length
     val metaJson =
-      s"""{"format-version":2,"table-uuid":${jstr(uuid)},"location":".",""" +
+      s"""{"format-version":$formatVersion,"table-uuid":${jstr(uuid)},"location":".",""" +
         s""""last-sequence-number":$lastSeq,"last-updated-ms":$now,""" +
         s""""current-schema-id":0,"schemas":[$schemaJson],""" +
         s""""default-spec-id":0,"partition-specs":[{"spec-id":0,""" +

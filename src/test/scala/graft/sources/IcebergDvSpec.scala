@@ -1,0 +1,128 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Iceberg v3 deletion vectors: the puffin container ([[IcebergDv]]),
+  * the blob codec pinned against org.roaringbitmap (an INDEPENDENT
+  * writer — never our codec against itself), and [[IcebergWrite
+  * .deleteDv]] end to end through the reader and the compactor.
+  */
+class IcebergDvSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(name)
+    java.nio.file.Files.delete(p)
+    p.toString
+  }
+
+  import spark.implicits._
+
+  private def roaringPortable(rows: Seq[Long]): Array[Byte] = {
+    val rb = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+    rows.foreach(rb.addLong)
+    rb.runOptimize()
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    rb.serializePortable(dos)
+    dos.flush()
+    bos.toByteArray
+  }
+
+  test("puffin container round-trips; the footer self-describes the blobs") {
+    val rows1 = Seq(1L, 5L, 7L, 100000L)
+    val rows2 = Seq(0L, 2L)
+    val (bytes, offs) = IcebergDv.renderPuffin(Seq(
+      IcebergDv.Blob("data/a.parquet", DeltaDv.encodeBitmap(rows1),
+        rows1.length.toLong, 10L, 3L),
+      IcebergDv.Blob("data/b.parquet", DeltaDv.encodeBitmap(rows2),
+        rows2.length.toLong, 10L, 3L)))
+    assert(offs.length === 2 && offs.head._1 === 4L) // past the magic
+    // footer metadata agrees with the returned offsets byte for byte
+    val footer = IcebergDv.readFooterBlobs(bytes).get
+    assert(footer.map(b => (b._1, b._2, b._3, b._5)) === Seq(
+      ("data/a.parquet", offs(0)._1, offs(0)._2, rows1.length.toLong),
+      ("data/b.parquet", offs(1)._1, offs(1)._2, rows2.length.toLong)))
+    // blobs decode through the filesystem reader
+    val t = java.nio.file.Files.createTempDirectory("puffin")
+    val f = t.resolve("dv.puffin")
+    java.nio.file.Files.write(f, bytes)
+    val fs = new org.apache.hadoop.fs.Path(f.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hp = new org.apache.hadoop.fs.Path(f.toString)
+    assert(IcebergDv.readBlob(fs, hp, offs(0)._1, offs(0)._2,
+      rows1.length.toLong).get === rows1)
+    assert(IcebergDv.readBlob(fs, hp, offs(1)._1, offs(1)._2,
+      rows2.length.toLong).get === rows2)
+    // a wrong cardinality, a flipped byte, a bad offset: all refuse
+    assert(IcebergDv.readBlob(fs, hp, offs(0)._1, offs(0)._2, 99L).isEmpty)
+    val corrupt = bytes.clone(); corrupt(8) = (corrupt(8) ^ 0x40).toByte
+    val f2 = t.resolve("bad.puffin"); java.nio.file.Files.write(f2, corrupt)
+    assert(IcebergDv.readBlob(fs,
+      new org.apache.hadoop.fs.Path(f2.toString), offs(0)._1, offs(0)._2,
+      rows1.length.toLong).isEmpty)
+    assert(IcebergDv.readBlob(fs, hp, 0L, offs(0)._2,
+      rows1.length.toLong).isEmpty) // inside the magic
+  }
+
+  test("an org.roaringbitmap-built blob decodes here (independent writer)") {
+    val rows = Seq(3L, 17L, 65536L, (1L << 33) + 5L)
+    // magic (1681511377 LE) + THEIR portable serialization = the blob data
+    val magic = Array.tabulate(4)(i =>
+      ((DeltaDv.Magic >> (8 * i)) & 0xff).toByte)
+    val data = magic ++ roaringPortable(rows)
+    val (bytes, offs) = IcebergDv.renderPuffin(Seq(
+      IcebergDv.Blob("data/x.parquet", data, rows.length.toLong, 1L, 1L)))
+    val t = java.nio.file.Files.createTempDirectory("puffin")
+    val f = t.resolve("ext.puffin")
+    java.nio.file.Files.write(f, bytes)
+    val hp = new org.apache.hadoop.fs.Path(f.toString)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(IcebergDv.readBlob(fs, hp, offs.head._1, offs.head._2,
+      rows.length.toLong).get === rows.sorted)
+  }
+
+  test("deleteDv end to end: no rewrite, v3 metadata, merge, compaction") {
+    val t = freshDir("icedv")
+    IcebergWrite.createTable(spark,
+      (0L until 100L).map(i => (i, s"row-$i")).toDF("id", "txt").coalesce(1), t)
+    IcebergWrite.append(spark,
+      (100L until 200L).map(i => (i, s"row-$i")).toDF("id", "txt").coalesce(1), t)
+    val before = IcebergMeta.files(spark, t)
+      .select("file_path").collect().map(_.getString(0)).toSet
+    IcebergWrite.deleteDv(spark, t, "id >= 10 AND id < 20")
+    // no data file rewritten; the DV rode a puffin entry
+    assert(IcebergMeta.files(spark, t)
+      .select("file_path").collect().map(_.getString(0)).toSet === before)
+    val dvs = IcebergMeta.entries(spark, t)
+      .where(col("content") === "position_deletes")
+      .select("file_format", "referenced_data_file", "record_count")
+      .collect()
+    assert(dvs.length === 1 && dvs.head.getString(0) === "PUFFIN")
+    assert(dvs.head.getLong(2) === 10L)
+    // format-version rose to 3
+    assert(IcebergMeta.readTableMeta(spark, t).formatVersion === 3)
+    assert(IcebergMeta.readTable(spark, t).count() === 190L)
+    // second DV on the SAME file merges the existing deleted set
+    IcebergWrite.deleteDv(spark, t, "id < 5")
+    val latest = IcebergMeta.entries(spark, t)
+      .where(col("content") === "position_deletes")
+      .select("record_count", "sequence_number").collect()
+      .maxBy(_.getLong(1))
+    assert(latest.getLong(0) === 15L) // 10 merged + 5 new
+    val got = IcebergMeta.readTable(spark, t)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (0L until 200L).filterNot(i => i < 5 || (i >= 10 && i < 20)))
+    // UPDATE over the DV'd table must not resurrect deleted rows
+    IcebergWrite.update(spark, t, "id = 150", Map("txt" -> "'X'"))
+    assert(IcebergMeta.readTable(spark, t).count() === 185L)
+    // compaction materializes the DVs; content unchanged, deletes gone
+    IcebergWrite.rewriteDataFiles(spark, t)
+    assert(IcebergMeta.entries(spark, t)
+      .where(col("status") =!= 2 && col("content") =!= "data").count() === 0L)
+    val after = IcebergMeta.readTable(spark, t)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after === got)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Nested-struct field-id evolution: struct columns write with nested
+  * field ids in both metadata.json and the parquet footers, and the
+  * reader projects struct MEMBERS by id — a renamed member serves its
+  * pre-rename files correctly (name projection would serve NULLs
+  * there).
+  */
+class IcebergNestedSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(name)
+    java.nio.file.Files.delete(p)
+    p.toString
+  }
+
+  import spark.implicits._
+
+  private def infoDf(lo: Long, hi: Long, member: String = "region") =
+    (lo until hi).map(i => (i, s"n-$i", (i % 3).toInt))
+      .toDF("id", "nm", "rg")
+      .select(col("id"), struct(col("nm").as("name"),
+        col("rg").as(member)).as("info"))
+      .coalesce(1)
+
+  test("struct columns round-trip; nested ids land in schema AND footers") {
+    val t = freshDir("icenest")
+    IcebergWrite.createTable(spark, infoDf(0, 20), t)
+    // metadata.json carries nested ids (3, 4 — past the 2 top-level)
+    val fields = IcebergMeta.schemaFieldsOf(spark, t, None).get
+    val info = fields.find(_.name == "info").get
+    assert(info.nested.map(n => (n.id.get, n.name)) ===
+      Seq((3L, "name"), (4L, "region")))
+    // the staged footer carries the SAME nested ids
+    val dataFile = IcebergMeta.files(spark, t)
+      .select("file_path").head.getString(0)
+    val abs = java.nio.file.Paths.get(t, dataFile).toString
+    val tree = IcebergMeta.fileTree(spark, Seq(abs))(abs)
+    assert(tree.children("info")._2 === Map(3 -> "name", 4 -> "region"))
+    // round trip
+    val got = IcebergMeta.readTable(spark, t)
+      .select(col("id"), col("info.name"), col("info.region"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(got.toSeq === (0L until 20L).map(i => (i, s"n-$i", (i % 3).toInt)))
+  }
+
+  test("renamed struct member: pre-rename files read by NESTED id") {
+    val t = freshDir("icenest")
+    IcebergWrite.createTable(spark, infoDf(0, 10), t)
+    IcebergWrite.renameColumn(spark, t, "info.region", "zone")
+    // schema now names the member 'zone', same id
+    val info = IcebergMeta.schemaFieldsOf(spark, t, None).get
+      .find(_.name == "info").get
+    assert(info.nested.map(n => (n.id.get, n.name)) ===
+      Seq((3L, "name"), (4L, "zone")))
+    // post-rename appends arrive under the NEW member name
+    IcebergWrite.append(spark, infoDf(10, 20, member = "zone"), t)
+    // BOTH generations serve `zone`: the pre-rename file resolves the
+    // member through its nested field id (4 -> physical 'region')
+    val got = IcebergMeta.readTable(spark, t)
+      .select(col("id"), col("info.zone"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSeq === (0L until 20L).map(i => (i, (i % 3).toInt)))
+    // a null never sneaks in (the name-projection failure mode)
+    assert(IcebergMeta.readTable(spark, t)
+      .where(col("info.zone").isNull).count() === 0L)
+    // renaming back collides with the live member set, loudly
+    intercept[IllegalArgumentException] {
+      IcebergWrite.renameColumn(spark, t, "info.name", "zone")
+    }
+  }
+
+  test("struct tables survive DML + compaction; NULL structs stay NULL") {
+    val t = freshDir("icenest")
+    val withNull = infoDf(0, 10)
+      .select(col("id"),
+        when(col("id") === 7L, lit(null)).otherwise(col("info")).as("info"))
+      .coalesce(1)
+    IcebergWrite.createTable(spark, withNull, t)
+    IcebergWrite.delete(spark, t, "id < 3")
+    val got = IcebergMeta.readTable(spark, t).orderBy("id")
+    assert(got.count() === 7L)
+    assert(got.where(col("info").isNull)
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(7L))
+    // compaction materializes the position delete; content intact
+    IcebergWrite.rewriteDataFiles(spark, t)
+    val after = IcebergMeta.readTable(spark, t)
+    assert(after.count() === 7L)
+    assert(after.where(col("info").isNull)
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(7L))
+    assert(after.where(col("info.name") === "n-5").count() === 1L)
+  }
+}
