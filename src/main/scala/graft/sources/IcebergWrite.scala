@@ -480,44 +480,57 @@ object IcebergWrite {
     val pos = positionsOf(spark, tableDir, condition)
     if (pos.isEmpty) return snap.id
     import spark.implicits._
-    // per-file deleted sets: distributed aggregation, bounded by
-    // rows-per-file (the same bound as the Delta door's DV builder)
-    val newSets: Seq[(String, Seq[Long])] = pos.get._1
-      .groupBy("file_path")
-      .agg(sort_array(collect_set(col("pos"))).as("rows"))
-      .as[(String, Seq[Long])].collect().toSeq.sortBy(_._1)
-    if (newSets.isEmpty) return snap.id
-    val touched = newSets.map(_._1)
-    // v3 writer-merge: the new DV for a file carries the file's WHOLE
-    // deleted set (the read that produced `positions` already applied
-    // the existing DV, so the union is disjoint)
-    val existing: Map[String, Seq[Long]] = IcebergMeta.entries(spark, tableDir)
-      .where(col("status") =!= 2 && col("content") === "position_deletes" &&
-        col("file_format") === "PUFFIN" &&
-        col("referenced_data_file").isin(touched: _*))
-      .select("referenced_data_file", "file_path", "content_offset",
-        "content_size", "record_count", "sequence_number")
-      .collect().toSeq
-      .groupBy(_.getString(0))
-      .map { case (ref, rs) =>
-        val r = rs.maxBy(x =>
-          if (x.isNullAt(5)) Long.MinValue else x.getLong(5))
-        val p = new Path(resolveInTable(tableDir, r.getString(1)))
-        ref -> IcebergDv.readBlob(fs, p, r.getLong(2), r.getLong(3),
-          r.getLong(4)).getOrElse(throw new java.io.IOException(
-          s"iceberg-write: existing deletion vector for $ref is malformed"))
-      }
+    val positions = pos.get._1.cache()
+    val blobs = try {
+      val touched = positions.select("file_path").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      if (touched.isEmpty) return snap.id
+      // v3 writer-merge: the new DV for a file carries the file's WHOLE
+      // deleted set (the read that produced `positions` already applied
+      // the existing DV, so the union is disjoint). The existing sets
+      // decode driver-side — bounded by the TOUCHED files' prior delete
+      // cardinality, never the table
+      val existing: Map[String, Seq[Long]] = IcebergMeta.entries(spark, tableDir)
+        .where(col("status") =!= 2 && col("content") === "position_deletes" &&
+          col("file_format") === "PUFFIN" &&
+          col("referenced_data_file").isin(touched: _*))
+        .select("referenced_data_file", "file_path", "content_offset",
+          "content_size", "record_count", "sequence_number")
+        .collect().toSeq
+        .groupBy(_.getString(0))
+        .map { case (ref, rs) =>
+          val r = rs.maxBy(x =>
+            if (x.isNullAt(5)) Long.MinValue else x.getLong(5))
+          val p = new Path(resolveInTable(tableDir, r.getString(1)))
+          ref -> IcebergDv.readBlob(fs, p, r.getLong(2), r.getLong(3),
+            r.getLong(4)).getOrElse(throw new java.io.IOException(
+            s"iceberg-write: existing deletion vector for $ref is malformed"))
+        }
+      val exB = spark.sparkContext.broadcast(existing)
+      // per-file bitmaps built DISTRIBUTED (one aggregation task holds
+      // one file's uncompressed set — bounded by rows-per-file, the
+      // same bound as the Delta door); the driver receives only the
+      // encoded bytes
+      positions
+        .groupBy("file_path")
+        .agg(sort_array(collect_set(col("pos"))).as("rows"))
+        .as[(String, Seq[Long])]
+        .map { case (ref, rows) =>
+          val all = (rows ++ exB.value.getOrElse(ref, Nil)).distinct.sorted
+          (ref, DeltaDv.encodeBitmap(all), all.length.toLong)
+        }
+        .collect().toSeq.sortBy(_._1)
+    } finally positions.unpersist()
+    if (blobs.isEmpty) return snap.id
     val seq = tm.snapshots.flatMap(_.sequenceNumber).maxOption.getOrElse(0L) + 1
     val snapshotId = tm.snapshots.map(_.id).maxOption.getOrElse(0L) + 1
-    val blobs = newSets.map { case (ref, rows) =>
-      val all = (rows ++ existing.getOrElse(ref, Nil)).distinct.sorted
-      IcebergDv.Blob(ref, DeltaDv.encodeBitmap(all), all.length.toLong,
-        snapshotId, seq)
+    val dvBlobs = blobs.map { case (ref, data, card) =>
+      IcebergDv.Blob(ref, data, card, snapshotId, seq)
     }
-    val (bytes, offs) = IcebergDv.renderPuffin(blobs)
+    val (bytes, offs) = IcebergDv.renderPuffin(dvBlobs)
     val dvRel = s"data/dv-$seq.puffin"
     writeBytesAtomic(fs, new Path(tableDir, dvRel), bytes)
-    val dvEntries = blobs.zip(offs).map { case (b, (off, len)) =>
+    val dvEntries = dvBlobs.zip(offs).map { case (b, (off, len)) =>
       Map[String, Any]("status" -> 1, "snapshot_id" -> snapshotId,
         "sequence_number" -> null,
         "data_file" -> Map[String, Any](
@@ -550,7 +563,7 @@ object IcebergWrite {
       "sequence_number" -> seq, "added_snapshot_id" -> snapshotId,
       "added_files_count" -> dvEntries.length, "existing_files_count" -> 0,
       "deleted_files_count" -> 0,
-      "added_rows_count" -> blobs.map(_.cardinality).sum,
+      "added_rows_count" -> dvBlobs.map(_.cardinality).sum,
       "existing_rows_count" -> 0L, "deleted_rows_count" -> 0L)
     val listRel = s"metadata/snap-$snapshotId.avro"
     writeBytesAtomic(fs, new Path(tableDir, listRel),
