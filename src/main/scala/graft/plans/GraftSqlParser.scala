@@ -175,10 +175,26 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)^\s*DELETE\s+FROM\s+DELTA\s+AT\s+'([^']+)'(\s+USING\s+DELETION\s+VECTORS)?\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val UpdateDeltaStmt =
     """(?is)^\s*UPDATE\s+DELTA\s+AT\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  //   DELETE FROM ICEBERG AT ... USING DELETION VECTORS — the v3
+  //     puffin-DV attach (IcebergWrite.deleteDv), the Delta door's
+  //     USING DELETION VECTORS twin
+  //   COMPACT ICEBERG AT '<table>' — rewrite-data-files: materialize
+  //     every row-level delete as one replace snapshot; returns the
+  //     one-row report (files before/after, deletes removed, rewritten)
+  //   EXPIRE ICEBERG SNAPSHOTS AT '<table>' KEEP <n> — snapshot expiry;
+  //     returns the expired snapshot ids
+  //   REMOVE ICEBERG ORPHANS AT '<table>' [OLDER THAN <n> HOURS] — the
+  //     storage reclamation that completes expiry; per-file report
   private val DeleteIcebergStmt =
-    """(?is)^\s*DELETE\s+FROM\s+ICEBERG\s+AT\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*$""".r
+    """(?is)^\s*DELETE\s+FROM\s+ICEBERG\s+AT\s+'([^']+)'(\s+USING\s+DELETION\s+VECTORS)?\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val UpdateIcebergStmt =
     """(?is)^\s*UPDATE\s+ICEBERG\s+AT\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  private val CompactIcebergStmt =
+    """(?is)^\s*COMPACT\s+ICEBERG\s+AT\s+'([^']+)'\s*;?\s*$""".r
+  private val ExpireIcebergStmt =
+    """(?is)^\s*EXPIRE\s+ICEBERG\s+SNAPSHOTS\s+AT\s+'([^']+)'\s+KEEP\s+(\d+)\s*;?\s*$""".r
+  private val IcebergOrphansStmt =
+    """(?is)^\s*REMOVE\s+ICEBERG\s+ORPHANS\s+AT\s+'([^']+)'(?:\s+OLDER\s+THAN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
   private val DeltaChangesStmt =
     """(?is)^\s*READ\s+DELTA\s+CHANGES\s+AT\s+'([^']+)'\s+SINCE\s+(\d+)(?:\s+UNTIL\s+(\d+))?\s*;?\s*$""".r
   private val OptimizeDeltaStmt =
@@ -402,13 +418,45 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           graft.sources.DeltaWrite.update(session, path, pred, assignments)
           graft.sources.DeltaLog.readTable(session, path)
         }))
-    case DeleteIcebergStmt(path, pred) =>
+    case DeleteIcebergStmt(path, dv, pred) =>
       LakehouseStatement("DELETE ICEBERG",
         graft.sources.IcebergMeta.tableSchema(session, path),
         new StatementRunner(() => {
-          graft.sources.IcebergWrite.delete(session, path, pred)
+          if (dv != null) graft.sources.IcebergWrite.deleteDv(session, path, pred)
+          else graft.sources.IcebergWrite.delete(session, path, pred)
           graft.sources.IcebergMeta.readTable(session, path)
         }))
+    case CompactIcebergStmt(path) =>
+      LakehouseStatement("COMPACT ICEBERG",
+        org.apache.spark.sql.types.StructType(Seq(
+          "data_files_before", "data_files_after", "delete_files_removed",
+          "files_rewritten", "rows_rewritten", "snapshot_id"
+        ).map(n => org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.LongType, nullable = false))),
+        new StatementRunner(() =>
+          graft.sources.IcebergWrite.rewriteDataFiles(session, path)))
+    case ExpireIcebergStmt(path, keep) =>
+      LakehouseStatement("EXPIRE ICEBERG SNAPSHOTS",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("expired_snapshot_id",
+            org.apache.spark.sql.types.LongType, nullable = false))),
+        new StatementRunner(() => {
+          val s = session
+          import s.implicits._
+          graft.sources.IcebergWrite.expireSnapshots(session, path, keep.toInt)
+            .toDF("expired_snapshot_id")
+        }))
+    case IcebergOrphansStmt(path, hoursOpt) =>
+      LakehouseStatement("REMOVE ICEBERG ORPHANS",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path",
+            org.apache.spark.sql.types.StringType, nullable = true),
+          org.apache.spark.sql.types.StructField("removed",
+            org.apache.spark.sql.types.BooleanType, nullable = true))),
+        new StatementRunner(() =>
+          graft.sources.IcebergWrite.removeOrphanFiles(session, path,
+            olderThanMs = Option(hoursOpt).map(_.toLong * 3600000L)
+              .getOrElse(3L * 24 * 3600000L))))
     case UpdateIcebergStmt(path, setClause, pred) =>
       val assignments = parseAssignments(setClause)
       LakehouseStatement("UPDATE ICEBERG",

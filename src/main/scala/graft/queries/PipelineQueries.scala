@@ -4744,6 +4744,29 @@ object PipelineQueries extends QuerySet {
         .orderBy("o_orderkey")
     }),
 
+    // The Iceberg MAINTENANCE lifecycle as SQL statements (all lazily
+    // planned): a puffin-DV delete via DELETE ... USING DELETION
+    // VECTORS, COMPACT materializing it (report pinned in-query),
+    // EXPIRE + REMOVE ORPHANS reclaiming, and the read still serving
+    // the oracle's truth.
+    "q327_sql_iceberg_maintenance" -> ((s, dir) => {
+      val t = freshTmpDir("iceberg_sql_maint")
+      val nation = graft.Tables.load(s, dir, "nation")
+      graft.sources.IcebergWrite.createTable(s, nation.coalesce(1), t)
+      s.sql(s"DELETE FROM ICEBERG AT '$t' USING DELETION VECTORS " +
+        "WHERE n_regionkey = 2").count()
+      require(graft.sources.IcebergMeta.entries(s, t)
+        .where(col("file_format") === "PUFFIN").count() == 1L,
+        "the SQL DV delete must ride a puffin deletion vector")
+      val rep = s.sql(s"COMPACT ICEBERG AT '$t'").head()
+      require(rep.getLong(2) == 1L && rep.getLong(3) == 1L,
+        "compaction must materialize the one DV into the one touched file")
+      require(s.sql(s"EXPIRE ICEBERG SNAPSHOTS AT '$t' KEEP 1").count() == 2L,
+        "expiry must drop the create and delete snapshots")
+      s.sql(s"REMOVE ICEBERG ORPHANS AT '$t' OLDER THAN 0 HOURS").count()
+      graft.sources.IcebergMeta.readTable(s, t).orderBy("n_nationkey")
+    }),
+
     // NESTED field-id evolution (q281's struct twin, closing the
     // IcebergMeta scope hole): a struct MEMBER renames metadata-only,
     // and the reader resolves it through each file's NESTED footer ids
@@ -6204,6 +6227,9 @@ object PipelineQueries extends QuerySet {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey > (SELECT max(o_orderkey) // 8 FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    "q327_sql_iceberg_maintenance" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey <> 2 ORDER BY n_nationkey""".stripMargin,
     "q308_delta_time_travel_ts" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey IN (0, 1) ORDER BY n_nationkey""".stripMargin,

@@ -137,6 +137,38 @@ class SqlDmlSpec extends SparkSpec {
     assert(vac.columns.toSeq === Seq("path", "size", "removed"))
   }
 
+  test("Iceberg maintenance statements: DV delete, compact, expire, orphans") {
+    val t = freshDir("sqldml")
+    IcebergWrite.createTable(spark, rows(0, 60), t)
+    val before = IcebergMeta.files(spark, t)
+      .select("file_path").collect().map(_.getString(0)).toSet
+    // USING DELETION VECTORS plans onto deleteDv: puffin, no rewrite
+    spark.sql(s"DELETE FROM ICEBERG AT '$t' USING DELETION VECTORS " +
+      "WHERE id < 10").count()
+    assert(IcebergMeta.files(spark, t)
+      .select("file_path").collect().map(_.getString(0)).toSet === before)
+    assert(IcebergMeta.entries(spark, t)
+      .where(col("file_format") === "PUFFIN").count() === 1L)
+    // COMPACT is lazy: planning leaves the DV in place, collecting
+    // materializes it
+    val compact = spark.sql(s"COMPACT ICEBERG AT '$t'")
+    assert(IcebergMeta.entries(spark, t)
+      .where(col("file_format") === "PUFFIN").count() === 1L)
+    val rep = compact.head()
+    assert(rep.getLong(2) === 1L) // delete_files_removed
+    assert(IcebergMeta.entries(spark, t)
+      .where(col("status") =!= 2 && col("content") =!= "data").count() === 0L)
+    // EXPIRE returns the dropped ids; ORPHANS reclaims the dead bytes
+    assert(spark.sql(s"EXPIRE ICEBERG SNAPSHOTS AT '$t' KEEP 1")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    val removed = spark.sql(s"REMOVE ICEBERG ORPHANS AT '$t' OLDER THAN 0 HOURS")
+      .where(col("removed")).count()
+    assert(removed >= 2L) // the old data file + the puffin at least
+    assert(IcebergMeta.readTable(spark, t)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      (10L until 60L))
+  }
+
   test("ICEBERG DML statements are lazy too") {
     val t = freshDir("sqldml")
     IcebergWrite.createTable(spark, rows(0, 20), t)
