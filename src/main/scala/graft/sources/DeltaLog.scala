@@ -616,18 +616,27 @@ object DeltaLog {
   private val SupportedReaderFeatures: Set[String] =
     Set("columnMapping", "deletionVectors", "v2Checkpoint", "timestampNtz")
 
-  private def checkReaderProtocol(spark: SparkSession, tableDir: String,
-                                  asOf: Option[Long]): Unit = {
-    val (r, _, rf, _) = protocolOf(spark, tableDir, asOf)
-    if (r > 3)
-      throw new IllegalArgumentException(
-        s"deltalog: table at $tableDir requires minReaderVersion $r — " +
-          "this reader implements up to 3")
-    val unknown = rf.filterNot(SupportedReaderFeatures)
-    if (unknown.nonEmpty)
-      throw new IllegalArgumentException(
-        s"deltalog: table at $tableDir requires reader features " +
-          s"${unknown.mkString(", ")} this reader does not implement")
+  /** The gate over an ALREADY-BUILT actions plan — tableState reuses
+    * its own log replay instead of constructing a second one.
+    */
+  private def checkReaderProtocol(acts: DataFrame, tableDir: String): Unit = {
+    val p = acts.where(col("protocol.minReaderVersion").isNotNull)
+      .orderBy(col("version").desc, col("ordinal").desc)
+      .select("protocol.minReaderVersion", "protocol.readerFeatures")
+      .limit(1).collect().headOption
+    p.foreach { row =>
+      val r = row.getInt(0)
+      if (r > 3)
+        throw new IllegalArgumentException(
+          s"deltalog: table at $tableDir requires minReaderVersion $r — " +
+            "this reader implements up to 3")
+      val rf = if (row.isNullAt(1)) Nil else row.getSeq[String](1)
+      val unknown = rf.filterNot(SupportedReaderFeatures)
+      if (unknown.nonEmpty)
+        throw new IllegalArgumentException(
+          s"deltalog: table at $tableDir requires reader features " +
+            s"${unknown.mkString(", ")} this reader does not implement")
+    }
   }
 
   /** Everything a reader needs at `asOf`: schema, partition columns,
@@ -638,8 +647,8 @@ object DeltaLog {
   private def tableState(spark: SparkSession, tableDir: String,
                          asOf: Option[Long])
       : (StructType, Seq[String], String, DataFrame) = {
-    checkReaderProtocol(spark, tableDir, asOf)
     val acts = actions(spark, tableDir, asOf)
+    checkReaderProtocol(acts, tableDir)
     val metaRow = acts.where(col("metaData.schemaString").isNotNull)
       .orderBy(col("version").desc, col("ordinal").desc)
       .select("metaData.schemaString", "metaData.partitionColumns",
@@ -979,12 +988,21 @@ object DeltaLog {
     val dvReAdds = newAdds.filter(r => !r.isNullAt(3))
       .map(r => (r.getString(0), r.getLong(1)))
     if (dvReAdds.nonEmpty) {
-      val firstAdd = actions(spark, tableDir, untilVersion)
-        .where(col("add.path").isin(dvReAdds.map(_._1).distinct: _*) &&
-          coalesce(col("add.dataChange"), lit(true)))
-        .groupBy(col("add.path").as("p")).agg(min("version").as("v"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      dvReAdds.find { case (p, v) => firstAdd.get(p).exists(_ < v) }
+      // the first-add lookup must replay JSON COMMITS ONLY: a checkpoint
+      // baseline stamps the original add at the CHECKPOINT version, and
+      // a re-add collapsed into that same version would look like a
+      // first add — exactly the duplicate delivery this guard rejects.
+      // A log cleaned past version 0 cannot prove first-add-ness, so it
+      // fails the same way (conservative, never silent).
+      val firstAdd: Map[String, Long] =
+        try {
+          actions(spark, tableDir, untilVersion, useCheckpoint = false)
+            .where(col("add.path").isin(dvReAdds.map(_._1).distinct: _*) &&
+              coalesce(col("add.dataChange"), lit(true)))
+            .groupBy(col("add.path").as("p")).agg(min("version").as("v"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        } catch { case _: IllegalArgumentException => Map.empty }
+      dvReAdds.find { case (p, v) => !firstAdd.get(p).contains(v) }
         .foreach { case (p, v) =>
           throw new IllegalArgumentException(
             s"deltalog: commit $v re-adds $p with a deletion vector — " +

@@ -87,7 +87,9 @@ object IcebergDv {
     */
   def readBlob(fs: FileSystem, path: Path, offset: Long, size: Long,
                cardinality: Long): Option[Seq[Long]] = {
-    if (offset < 4 || size < 12) return None // inside the leading magic
+    // inside the leading magic, or an insane size (a corrupt manifest's
+    // content_size must degrade to None, never overflow the buffer int)
+    if (offset < 4 || size < 12 || size > (1L << 27)) return None
     try {
       val in = fs.open(path)
       val (magic, buf) = try {

@@ -725,22 +725,8 @@ object IcebergMeta {
     * name-mapping degenerate case).
     */
   private[sources] def fileTopLevel(spark: SparkSession, paths: Seq[String])
-      : Map[String, (Seq[String], Map[Int, String])] = {
-    if (paths.isEmpty) return Map.empty
-    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
-    val slices = math.max(1, math.min(paths.length,
-      spark.sparkContext.defaultParallelism * 2))
-    spark.sparkContext.parallelize(paths, slices).map { p =>
-      val hp = new Path(p)
-      val fs = hp.getFileSystem(conf.value)
-      val meta = ParquetMeta.readFooter(fs, hp).getOrElse(
-        throw new java.io.IOException(
-          s"iceberg: $p has no readable parquet footer"))
-      val tops = graft.operators.ParquetFooter.topLevelFields(meta.schema)
-      val ids = tops.collect { case (n, Some(id)) => id -> n }.toMap
-      p -> ((tops.map(_._1), ids))
-    }.collect().toMap
-  }
+      : Map[String, (Seq[String], Map[Int, String])] =
+    fileTree(spark, paths).map { case (p, fc) => p -> ((fc.names, fc.ids)) }
 
   /** [[fileTopLevel]] plus each plain-struct column's DIRECT children
     * (names in order, child field-id → physical child name) — the
@@ -1217,7 +1203,13 @@ object IcebergMeta {
             }
             top.map { pn =>
               val kids =
-                if (f.nested.isEmpty) Vector.empty[Option[String]]
+                // the member-wise rebuild only applies when EVERY member
+                // is Spark-mappable (all primitives); a struct carrying a
+                // list/map/struct member keeps the pre-round behavior —
+                // served raw by physical name, nested names un-projected
+                // (the documented list/map scope) — rather than throwing
+                if (f.nested.isEmpty || sparkTypeOfField(f).isEmpty)
+                  Vector.empty[Option[String]]
                 else {
                   val (kNames, kIds) =
                     fc.children.getOrElse(pn, (Seq.empty[String],
@@ -1245,7 +1237,7 @@ object IcebergMeta {
         val parts = groups.map { case (sig, files) =>
           val cols = flds.zip(sig).flatMap { case (f, phys) =>
             phys.map { ph =>
-              if (f.nested.isEmpty) {
+              if (ph.kids.isEmpty) {
                 val c = col(s"`${ph.top}`")
                 icebergTypeToSpark(f.typeStr).map(c.cast).getOrElse(c)
                   .as(f.name)

@@ -551,10 +551,74 @@ object IcebergWrite {
       .map(f => (f.id.getOrElse(0L), f.name, typeJsonOf(f), !f.required))
     val spec = specOf(spark, tableDir, fields)
     val mlPath = new Path(resolveInTable(tableDir, snap.manifestList))
-    val prevRows = IcebergMeta.readOcfFile(fs, mlPath).rows.map {
+    val prevRows0 = IcebergMeta.readOcfFile(fs, mlPath).rows.map {
       case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
       case _ => throw new IllegalArgumentException(
         s"iceberg-write: malformed manifest list ${snap.manifestList}")
+    }
+    // the v3 invariant: at most ONE deletion vector per data file — a
+    // delete manifest whose PUFFIN entries the new DV supersedes is
+    // rewritten to its survivors (original sequence numbers explicit);
+    // fully-superseded manifests drop from the list
+    val touchedSet = blobs.map(_._1).toSet
+    def rowLong(m: Map[String, Any], k: String): Long = m.get(k) match {
+      case Some(l: Long) => l
+      case Some(i: Int)  => i.toLong
+      case _             => 0L
+    }
+    val prevRows = prevRows0.flatMap { row =>
+      if (rowLong(row, "content") != 1L) Some(row)
+      else {
+        val mPath = row.get("manifest_path") match {
+          case Some(s: String) => s
+          case _ => throw new IllegalArgumentException(
+            "iceberg-write: manifest-list row without manifest_path")
+        }
+        val ocf = IcebergMeta.readOcfFile(fs,
+          new Path(resolveInTable(tableDir, mPath)))
+        val entries = ocf.rows.map {
+          case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+          case _ => throw new IllegalArgumentException(
+            s"iceberg-write: malformed manifest $mPath")
+        }
+        def dataFileOf(e: Map[String, Any]): Map[String, Any] =
+          e.get("data_file") match {
+            case Some(df: Map[_, _]) => df.asInstanceOf[Map[String, Any]]
+            case _ => Map.empty
+          }
+        def superseded(e: Map[String, Any]): Boolean = {
+          val df = dataFileOf(e)
+          df.get("file_format").contains("PUFFIN") &&
+            df.get("referenced_data_file")
+              .collect { case s: String => s }.exists(touchedSet)
+        }
+        val liveEntries = entries.filter(e => rowLong(e, "status") != 2L)
+        val (gone, kept) = liveEntries.partition(superseded)
+        if (gone.isEmpty) Some(row)
+        else if (kept.isEmpty) None
+        else {
+          val manifestSeq = rowLong(row, "sequence_number")
+          val survivors = kept.map { e =>
+            val entrySeq = e.get("sequence_number") match {
+              case Some(l: Long) => l
+              case _             => manifestSeq
+            }
+            e + ("status" -> 0) + ("sequence_number" -> entrySeq)
+          }
+          val rRel = s"metadata/m-$seq-dvk${math.abs(mPath.hashCode)}.avro"
+          writeBytesAtomic(fs, new Path(tableDir, rRel),
+            Avro.renderOcfGeneric(ocf.schemaJson, survivors,
+              extraMeta = Seq("schema" -> "{}", "partition-spec" -> "[]",
+                "format-version" -> "3")))
+          Some(row + ("manifest_path" -> rRel) +
+            ("manifest_length" ->
+              fs.getFileStatus(new Path(tableDir, rRel)).getLen) +
+            ("added_snapshot_id" -> snapshotId) +
+            ("added_files_count" -> 0) +
+            ("existing_files_count" -> kept.length) +
+            ("deleted_files_count" -> 0))
+        }
+      }
     }
     val newRow = Map[String, Any](
       "manifest_path" -> rel,
@@ -1352,12 +1416,12 @@ object IcebergWrite {
     }
     val dataPaths = dataEntries.map(_.getString(2)).toSet
     val touched = (posTouched ++ eqTouched).intersect(dataPaths)
+    val spec = specOf(spark, tableDir, fields)
     // rewrite: the touched files read through the FULL delete-applying
     // reader — survivors re-stage with deletes materialized
     val staged: Seq[(String, Long, Long, Seq[ColFacts], Map[String, Any])] =
       if (touched.isEmpty) Nil
       else {
-        val spec = specOf(spark, tableDir, fields)
         val survivors = IcebergMeta.readTable(spark, tableDir, None,
           keepFiles = Some(touched), keepLineage = false)
         val all = stageData(spark, fs, survivors, tableDir, fields, spec)
@@ -1369,7 +1433,6 @@ object IcebergWrite {
       }
     val seq = tm.snapshots.flatMap(_.sequenceNumber).maxOption.getOrElse(0L) + 1
     val snapshotId = tm.snapshots.map(_.id).maxOption.getOrElse(0L) + 1
-    val spec = specOf(spark, tableDir, fields)
     val typeOf = fields.map(f => f._2 -> f._3).toMap
     val partTypes = spec.map(pf => pf.name -> resultTypeOf(pf, typeOf(pf.source)))
     // rebuild the manifest list: delete manifests drop; data manifests
