@@ -152,12 +152,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   //     itself: live files + deletion vectors applied + column mapping
   //     unwound; WHERE routes through the stats pruner (data skipping)
   //     before the scan, then filters rows
-  //   READ ICEBERG AT '<table>' [SNAPSHOT <id>] [WHERE <pred>] — the
-  //     Iceberg twin: deletes applied, manifest-bounds pruning on WHERE
+  //   READ ICEBERG AT '<table>' [SNAPSHOT <id> | AS OF TIMESTAMP '<ts>'
+  //     | REF '<name>'] [WHERE <pred>] — the Iceberg twin: deletes
+  //     applied, manifest-bounds pruning on WHERE; time travel by
+  //     snapshot id, commit timestamp (snapshot-log), or branch/tag ref
   private val ReadDeltaStmt =
     """(?is)^\s*READ\s+DELTA\s+AT\s+'([^']+)'(?:\s+AS\s+OF\s+(?:TIMESTAMP\s+'([^']+)'|(\d+)))?(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val ReadIcebergStmt =
-    """(?is)^\s*READ\s+ICEBERG\s+AT\s+'([^']+)'(?:\s+SNAPSHOT\s+(\d+))?(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+    """(?is)^\s*READ\s+ICEBERG\s+AT\s+'([^']+)'(?:\s+SNAPSHOT\s+(\d+)|\s+AS\s+OF\s+TIMESTAMP\s+'([^']+)'|\s+REF\s+'([^']+)')?(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   //   OPTIMIZE DELTA AT '<table>' [ZORDER BY (c1, c2, …) [INTO <n> FILES]]
   //     — bin-packing compaction, or Z-order clustering when ZORDER BY
   //     is given; returns the post-rewrite snapshot (the new layout)
@@ -225,6 +227,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   //     (the DELTA SCHEMA twin)
   private val IcebergSchemaStmt =
     """(?is)^\s*ICEBERG\s+SCHEMA\s+AT\s+'([^']+)'\s*;?\s*$""".r
+  //   ICEBERG REFS AT '<table>' — the named branches/tags report
+  //   ICEBERG CREATE TAG|BRANCH '<name>' AT '<table>' [SNAPSHOT <id>]
+  //     — pin a snapshot (default: current) under a name; expiry keeps
+  //     it, READ ... REF '<name>' reads it (write-audit-publish)
+  private val IcebergRefsStmt =
+    """(?is)^\s*ICEBERG\s+REFS\s+AT\s+'([^']+)'\s*;?\s*$""".r
+  private val IcebergCreateRefStmt =
+    """(?is)^\s*ICEBERG\s+CREATE\s+(TAG|BRANCH)\s+'([^']+)'\s+AT\s+'([^']+)'(?:\s+SNAPSHOT\s+(\d+))?\s*;?\s*$""".r
 
   // ASOF JOIN <left> WITH <right> ON <key> BY <time> PAYLOAD (c1, c2, ...)
   // — last-right-row-at-or-before semantics ([[graft.operators.AsOfJoin
@@ -393,12 +403,25 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           session, path, pred, asOf)
         case None => graft.sources.DeltaLog.readTable(session, path, asOf)
       }).queryExecution.logical
-    case ReadIcebergStmt(path, snapOpt, whereOpt) =>
+    case ReadIcebergStmt(path, snapOpt, tsOpt, refOpt, whereOpt) =>
+      // AS OF TIMESTAMP resolves through metadata.json's snapshot-log
+      // (same literal forms as the Delta door); REF through `refs`
+      val snap: Option[Long] = (Option(snapOpt), Option(tsOpt), Option(refOpt)) match {
+        case (Some(id), _, _) => Some(id.toLong)
+        case (_, Some(ts), _) =>
+          val millis =
+            try java.sql.Timestamp.valueOf(ts).getTime
+            catch { case _: IllegalArgumentException =>
+              java.time.Instant.parse(ts).toEpochMilli }
+          Some(graft.sources.IcebergMeta.snapshotAsOf(session, path, millis))
+        case (_, _, Some(ref)) =>
+          Some(graft.sources.IcebergMeta.snapshotAtRef(session, path, ref))
+        case _ => None
+      }
       (Option(whereOpt) match {
         case Some(pred) => graft.sources.IcebergMeta.readTableWhere(
-          session, path, pred, Option(snapOpt).map(_.toLong))
-        case None => graft.sources.IcebergMeta.readTable(
-          session, path, Option(snapOpt).map(_.toLong))
+          session, path, pred, snap)
+        case None => graft.sources.IcebergMeta.readTable(session, path, snap)
       }).queryExecution.logical
     // The side-effecting statements plan LAZILY ([[LakehouseStatement]]):
     // parse computes only the result schema (a metadata probe — no
@@ -513,6 +536,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case IcebergSchemaStmt(path) =>
       graft.sources.IcebergMeta.schemaReport(session, path)
         .queryExecution.logical
+    case IcebergRefsStmt(path) =>
+      graft.sources.IcebergMeta.refs(session, path).queryExecution.logical
+    case IcebergCreateRefStmt(kind, name, path, snapOpt) =>
+      LakehouseStatement(s"ICEBERG CREATE ${kind.toUpperCase}",
+        graft.sources.IcebergMeta.refsSchema,
+        new StatementRunner(() => {
+          val snap = Option(snapOpt).map(_.toLong)
+          if (kind.equalsIgnoreCase("TAG"))
+            graft.sources.IcebergWrite.createTag(session, path, name, snap)
+          else
+            graft.sources.IcebergWrite.createBranch(session, path, name, snap)
+          graft.sources.IcebergMeta.refs(session, path)
+        }))
     case AsOfJoinStmt(left, right, key, time, payload) =>
       graft.operators.AsOfJoin.asOfLeft(session.table(left), session.table(right),
         key, time, payload.split(',').map(_.trim).toSeq).queryExecution.logical

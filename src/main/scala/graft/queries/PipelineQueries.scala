@@ -4805,12 +4805,72 @@ object PipelineQueries extends QuerySet {
         spec = Seq(graft.sources.IcebergWrite.PartField("o_orderdate", "year")))
       val pred = "o_orderdate >= DATE '1999-01-01'"
       val rep = graft.sources.IcebergMeta.skippingReport(s, t, pred)
-      require(rep.count() == 7L && rep.where(col("kept")).count() == 3L,
-        "year pruning should keep exactly 1999/2000/2001")
+      // expected counts derived from the fixture (one file per year
+      // partition), so the pin holds at every scale factor
+      val years = orders
+        .select(org.apache.spark.sql.functions.year(col("o_orderdate")).as("y"))
+        .distinct().collect().map(_.getInt(0))
+      val expKept = years.count(_ >= 1999).toLong
+      require(rep.count() == years.length.toLong &&
+        rep.where(col("kept")).count() == expKept,
+        s"year pruning should keep exactly the $expKept years >= 1999 " +
+          s"of the fixture's ${years.length}")
       // (date column proven by the pruning pin; projected out of the
       // oracle result — DATE renders differently across engines)
       graft.sources.IcebergMeta.readTableWhere(s, t, pred)
         .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+    }),
+
+    // Iceberg AS OF TIMESTAMP time travel (q308's twin on the other
+    // format): three commits, read at the SECOND commit's snapshot-log
+    // instant through the SQL statement — regions 0 and 1 only. A
+    // timestamp before the first snapshot must fail loud (pinned).
+    "q328_iceberg_time_travel_ts" -> ((s, dir) => {
+      val t = freshTmpDir("iceberg_ts")
+      val nation = graft.Tables.load(s, dir, "nation")
+      graft.sources.IcebergWrite.createTable(
+        s, nation.where("n_regionkey = 0").coalesce(1), t)
+      Thread.sleep(5) // commit instants must be distinct milliseconds
+      graft.sources.IcebergWrite.append(
+        s, nation.where("n_regionkey = 1").coalesce(1), t)
+      Thread.sleep(5)
+      graft.sources.IcebergWrite.append(
+        s, nation.where("n_regionkey = 2").coalesce(1), t)
+      val log = graft.sources.IcebergMeta.readTableMeta(s, t).snapshotLog
+      require(log.length == 3, s"three commits must log three entries, got $log")
+      val failed =
+        try { graft.sources.IcebergMeta.snapshotAsOf(s, t, log.head._1 - 1); false }
+        catch { case _: IllegalArgumentException => true }
+      require(failed, "a timestamp before the first snapshot must fail loud")
+      val ts2 = new java.sql.Timestamp(log(1)._1)
+      s.sql(s"READ ICEBERG AT '$t' AS OF TIMESTAMP '$ts2'")
+        .orderBy("n_nationkey")
+    }),
+
+    // Named refs — the write-audit-publish pattern: tag the first
+    // state, keep writing, EXPIRE (the untagged middle drops, the
+    // tagged snapshot survives), then read AT the tag via SQL. The
+    // result hash-matches the tagged state; main tracked every commit.
+    "q329_iceberg_refs" -> ((s, dir) => {
+      val t = freshTmpDir("iceberg_refs")
+      val nation = graft.Tables.load(s, dir, "nation")
+      graft.sources.IcebergWrite.createTable(
+        s, nation.where("n_regionkey = 0").coalesce(1), t)
+      s.sql(s"ICEBERG CREATE TAG 'audit' AT '$t'").collect()
+      graft.sources.IcebergWrite.append(
+        s, nation.where("n_regionkey = 1").coalesce(1), t)
+      graft.sources.IcebergWrite.append(
+        s, nation.where("n_regionkey = 2").coalesce(1), t)
+      val before = graft.sources.IcebergMeta.readTableMeta(s, t)
+      val expired = graft.sources.IcebergWrite.expireSnapshots(s, t, keepLast = 1)
+      val after = graft.sources.IcebergMeta.readTableMeta(s, t)
+      require(expired.length == 1 &&
+        after.snapshots.map(_.id).toSet ==
+          Set(after.refs("audit").snapshotId, before.currentSnapshotId.get),
+        "expiry must drop exactly the untagged middle snapshot")
+      require(after.refs("main").snapshotId == after.currentSnapshotId.get,
+        "main must track the current snapshot")
+      s.sql(s"READ ICEBERG AT '$t' REF 'audit'").orderBy("n_nationkey")
     }),
 
     // the Iceberg schema report (DELTA SCHEMA's twin, via the ICEBERG
@@ -6230,6 +6290,12 @@ object PipelineQueries extends QuerySet {
     "q327_sql_iceberg_maintenance" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey <> 2 ORDER BY n_nationkey""".stripMargin,
+    "q328_iceberg_time_travel_ts" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey IN (0, 1) ORDER BY n_nationkey""".stripMargin,
+    "q329_iceberg_refs" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey = 0 ORDER BY n_nationkey""".stripMargin,
     "q308_delta_time_travel_ts" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey IN (0, 1) ORDER BY n_nationkey""".stripMargin,

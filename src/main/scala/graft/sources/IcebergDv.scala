@@ -88,8 +88,17 @@ object IcebergDv {
   def readBlob(fs: FileSystem, path: Path, offset: Long, size: Long,
                cardinality: Long): Option[Seq[Long]] = {
     // inside the leading magic, or an insane size (a corrupt manifest's
-    // content_size must degrade to None, never overflow the buffer int)
-    if (offset < 4 || size < 12 || size > (1L << 27)) return None
+    // content_size must degrade to None, never overflow the buffer int).
+    // The size bound is the FILE's own length — a legitimate blob ends
+    // before the trailing footer (payload-size word + flags + magic =
+    // 12 bytes at minimum), so anything reaching past `len - 12` is a
+    // lying manifest, whatever its magnitude.
+    if (offset < 4 || size < 12) return None
+    val fileLen =
+      try fs.getFileStatus(path).getLen
+      catch { case _: java.io.IOException => return None }
+    if (offset + size > fileLen - 12 || size > Int.MaxValue.toLong - 16)
+      return None
     try {
       val in = fs.open(path)
       val (magic, buf) = try {

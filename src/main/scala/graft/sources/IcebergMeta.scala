@@ -42,7 +42,10 @@ import graft.operators.Avro
   * (gzip-compressed metadata JSON is served); field-id projection
   * covers top-level columns AND plain-struct members (a renamed struct
   * member reads its pre-rename files by id); list/map element fields
-  * read by the file's own nested names.
+  * read by the file's own nested names. Time travel resolves by
+  * snapshot id, by timestamp ([[snapshotAsOf]] through `snapshot-log`,
+  * falling back to snapshot commit timestamps on pre-log metadata),
+  * or by named branch/tag ref ([[snapshotAtRef]] through `refs`).
   */
 object IcebergMeta {
 
@@ -53,10 +56,22 @@ object IcebergMeta {
                             operation: Option[String], manifestList: String,
                             schemaId: Option[Long])
 
+  /** One named ref from metadata.json's `refs` map — a BRANCH (a
+    * movable head, `main` being the table's current state) or a TAG
+    * (an immutable bookmark, the write-audit-publish promotion
+    * primitive). Retention fields ride along for snapshot expiry.
+    */
+  final case class Ref(snapshotId: Long, refType: String,
+                       minSnapshotsToKeep: Option[Long] = None,
+                       maxSnapshotAgeMs: Option[Long] = None,
+                       maxRefAgeMs: Option[Long] = None)
+
   final case class TableMeta(formatVersion: Int, uuid: String,
                              location: String,
                              currentSnapshotId: Option[Long],
                              snapshots: Seq[Snapshot],
+                             snapshotLog: Seq[(Long, Long)],
+                             refs: Map[String, Ref],
                              metadataFile: String)
 
   private type JObj = scala.collection.mutable.LinkedHashMap[String, Any]
@@ -159,6 +174,44 @@ object IcebergMeta {
         }
       case _ => Nil
     }
+    // snapshot-log: the (timestamp-ms, snapshot-id) history of when
+    // each snapshot BECAME current — the AS OF TIMESTAMP resolution
+    // table. Malformed entries fail loud; an absent log is legal
+    // (older writers) and resolution falls back to snapshot timestamps.
+    val log = root.get("snapshot-log") match {
+      case Some(a: scala.collection.mutable.ArrayBuffer[_]) =>
+        a.toSeq.map {
+          case lm: scala.collection.mutable.LinkedHashMap[_, _] =>
+            val l = lm.asInstanceOf[JObj]
+            (l.get("timestamp-ms").flatMap(jLong).getOrElse(
+              throw new IllegalArgumentException(
+                "snapshot-log entry without timestamp-ms")),
+              l.get("snapshot-id").flatMap(jLong).getOrElse(
+                throw new IllegalArgumentException(
+                  "snapshot-log entry without snapshot-id")))
+          case _ => throw new IllegalArgumentException(
+            "malformed snapshot-log entry")
+        }
+      case _ => Nil
+    }
+    val refs = root.get("refs") match {
+      case Some(rm: scala.collection.mutable.LinkedHashMap[_, _]) =>
+        rm.asInstanceOf[JObj].toSeq.map {
+          case (name, ro: scala.collection.mutable.LinkedHashMap[_, _]) =>
+            val r = ro.asInstanceOf[JObj]
+            name -> Ref(
+              r.get("snapshot-id").flatMap(jLong).getOrElse(
+                throw new IllegalArgumentException(
+                  s"ref $name without snapshot-id")),
+              r.get("type").collect { case s: String => s }.getOrElse("branch"),
+              r.get("min-snapshots-to-keep").flatMap(jLong),
+              r.get("max-snapshot-age-ms").flatMap(jLong),
+              r.get("max-ref-age-ms").flatMap(jLong))
+          case (name, _) => throw new IllegalArgumentException(
+            s"malformed ref $name")
+        }.toMap
+      case _ => Map.empty[String, Ref]
+    }
     TableMeta(
       formatVersion = fv,
       uuid = root.get("table-uuid").collect { case s: String => s }.getOrElse(""),
@@ -167,6 +220,8 @@ object IcebergMeta {
       currentSnapshotId = root.get("current-snapshot-id").flatMap(jLong)
         .filter(_ != -1L),
       snapshots = snaps,
+      snapshotLog = log,
+      refs = refs,
       metadataFile = file)
   }
 
@@ -322,6 +377,82 @@ object IcebergMeta {
     tm.snapshots.find(_.id == want).getOrElse(
       throw new IllegalArgumentException(
         s"iceberg: snapshot $want not in ${tm.metadataFile}"))
+  }
+
+  /** AS OF TIMESTAMP resolution — [[DeltaLog.versionAtTimestamp]]'s
+    * Iceberg twin: the snapshot that was CURRENT at `tsMs`, i.e. the
+    * latest `snapshot-log` entry at or before it (log entries whose
+    * snapshot has since been expired no longer resolve). A metadata
+    * file that predates the log (older writers) falls back to the
+    * snapshots' own commit timestamps. A timestamp before the table's
+    * first snapshot fails loud — there was no table to read then.
+    */
+  def snapshotAsOf(spark: SparkSession, tableDir: String, tsMs: Long): Long =
+    snapshotAsOf(readTableMeta(spark, tableDir), tsMs)
+
+  private[sources] def snapshotAsOf(tm: TableMeta, tsMs: Long): Long = {
+    val liveIds = tm.snapshots.map(_.id).toSet
+    val logged = tm.snapshotLog.filter(e => liveIds(e._2))
+    val log =
+      if (logged.nonEmpty) logged
+      else tm.snapshots
+        .sortBy(s => (s.timestampMs, s.sequenceNumber.getOrElse(0L), s.id))
+        .map(s => (s.timestampMs, s.id))
+    if (log.isEmpty)
+      throw new IllegalArgumentException(
+        s"iceberg: table has no snapshots to travel to (${tm.metadataFile})")
+    val at = log.filter(_._1 <= tsMs)
+    if (at.isEmpty)
+      throw new IllegalArgumentException(
+        s"iceberg: no snapshot at or before timestamp $tsMs — the " +
+          s"table's history starts at ${log.head._1} (${tm.metadataFile})")
+    at.last._2
+  }
+
+  /** Resolve a named ref (branch or tag) to its snapshot id. */
+  def snapshotAtRef(spark: SparkSession, tableDir: String,
+                    refName: String): Long = {
+    val tm = readTableMeta(spark, tableDir)
+    tm.refs.getOrElse(refName,
+      throw new IllegalArgumentException(
+        s"iceberg: no ref '$refName' in ${tm.metadataFile} " +
+          s"(refs: ${tm.refs.keys.toSeq.sorted.mkString(", ")})")).snapshotId
+  }
+
+  /** [[readTable]] at the snapshot that was current at `timestampMs`. */
+  def readTableAsOf(spark: SparkSession, tableDir: String,
+                    timestampMs: Long): DataFrame =
+    readTable(spark, tableDir, Some(snapshotAsOf(spark, tableDir, timestampMs)))
+
+  /** [[readTable]] at a named branch or tag — the read half of the
+    * write-audit-publish pattern (audit reads the staging tag; publish
+    * is [[IcebergWrite.createTag]] on `main`'s head).
+    */
+  def readTableAtRef(spark: SparkSession, tableDir: String,
+                     refName: String): DataFrame =
+    readTable(spark, tableDir, Some(snapshotAtRef(spark, tableDir, refName)))
+
+  val refsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("min_snapshots_to_keep", LongType, nullable = true),
+    StructField("max_snapshot_age_ms", LongType, nullable = true),
+    StructField("max_ref_age_ms", LongType, nullable = true)))
+
+  /** One row per named ref in the current metadata — branches and tags
+    * with their retention knobs. Driver-side metadata only.
+    */
+  def refs(spark: SparkSession, tableDir: String): DataFrame = {
+    val tm = readTableMeta(spark, tableDir)
+    val rows = tm.refs.toSeq.sortBy(_._1).map { case (n, r) =>
+      Row(n, r.refType, r.snapshotId,
+        r.minSnapshotsToKeep.map(Long.box).orNull,
+        r.maxSnapshotAgeMs.map(Long.box).orNull,
+        r.maxRefAgeMs.map(Long.box).orNull)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), refsSchema)
   }
 
   /** The chosen snapshot's manifest list, decoded: per-manifest counts

@@ -40,9 +40,13 @@ import graft.operators.Avro
   * O(source) streaming shape; the reader applies all three kinds),
   * [[renameColumn]] (top-level or `parent.member`),
   * [[rewriteDataFiles]] compaction, snapshot expiry and orphan
-  * removal. Partitioned writes use identity/bucket/truncate/day/
-  * month/year/hour transforms ([[PartField]]); other transforms are
-  * out.
+  * removal, and named refs — [[createTag]]/[[createBranch]] pin
+  * snapshots in metadata.json's `refs` map (expiry keeps
+  * ref-reachable snapshots; `main` advances with every commit), and
+  * every commit appends to `snapshot-log` so AS OF TIMESTAMP travel
+  * ([[IcebergMeta.snapshotAsOf]]) resolves. Partitioned writes use
+  * identity/bucket/truncate/day/month/year/hour transforms
+  * ([[PartField]]); other transforms are out.
   */
 object IcebergWrite {
 
@@ -344,7 +348,8 @@ object IcebergWrite {
     }
     commit(spark, fs, tableDir, df, fields,
       uuid = java.util.UUID.randomUUID().toString,
-      prevSnapshots = Nil, prevListRows = Nil, operation = "append",
+      prevSnapshots = Nil, prevLog = Nil, prevRefs = Map.empty,
+      prevListRows = Nil, operation = "append",
       spec = spec)
   }
 
@@ -408,7 +413,8 @@ object IcebergWrite {
         s"iceberg-write: malformed manifest list ${snap.manifestList}")
     }
     commit(spark, fs, tableDir, df, fields, uuid = tm.uuid,
-      prevSnapshots = tm.snapshots, prevListRows = prevRows,
+      prevSnapshots = tm.snapshots, prevLog = logOf(tm),
+      prevRefs = tm.refs, prevListRows = prevRows,
       operation = "append", spec = specOf(spark, tableDir, fields),
       formatVersion = math.max(2, tm.formatVersion))
   }
@@ -637,7 +643,8 @@ object IcebergWrite {
       s.sequenceNumber.getOrElse(0L), s.timestampMs,
       s.operation.getOrElse("append"), s.manifestList)) :+
       snapJson(snapshotId, Some(snap.id), seq, now, "delete", listRel)
-    writeMetadataJson(fs, tableDir, tm.uuid, fields, snaps, snapshotId,
+    writeMetadataJson(fs, tableDir, tm.uuid, fields, snaps,
+      logOf(tm), tm.refs, snapshotId,
       seq, now, expectVersion, specFieldsJson(spec, fields),
       formatVersion = 3)
     snapshotId
@@ -1059,7 +1066,8 @@ object IcebergWrite {
       s.sequenceNumber.getOrElse(0L), s.timestampMs,
       s.operation.getOrElse("append"), s.manifestList)) :+
       snapJson(snapshotId, Some(snap.id), seq, now, operation, listRel)
-    writeMetadataJson(fs, tableDir, tm.uuid, fields, snaps, snapshotId,
+    writeMetadataJson(fs, tableDir, tm.uuid, fields, snaps,
+      logOf(tm), tm.refs, snapshotId,
       seq, now, expectVersion, specFieldsJson(spec, fields),
       formatVersion = math.max(2, tm.formatVersion))
     snapshotId
@@ -1124,6 +1132,67 @@ object IcebergWrite {
       s.sequenceNumber.getOrElse(0L), s.timestampMs,
       s.operation.getOrElse("append"), s.manifestList))
     writeMetadataJson(fs, tableDir, tm.uuid, renamed, snaps,
+      logOf(tm), tm.refs,
+      tm.currentSnapshotId.getOrElse(0L),
+      tm.snapshots.flatMap(_.sequenceNumber).maxOption.getOrElse(0L),
+      System.currentTimeMillis(), expectVersion,
+      currentSpecJson(spark, tableDir),
+      formatVersion = math.max(2, tm.formatVersion))
+  }
+
+  /** CREATE TAG — an immutable named bookmark on a snapshot (default:
+    * the current one), committed into metadata.json's `refs` map. The
+    * write-audit-publish promotion primitive: audit reads the tag
+    * ([[IcebergMeta.readTableAtRef]]); [[expireSnapshots]] never drops
+    * a tagged snapshot. Only metadata.json changes — no data, manifest,
+    * or snapshot is touched. Returns the new metadata version.
+    */
+  def createTag(spark: SparkSession, tableDir: String, name: String,
+                snapshotId: Option[Long] = None): Long =
+    createRef(spark, tableDir, name, "tag", snapshotId)
+
+  /** CREATE BRANCH — a named movable head starting at a snapshot
+    * (default: the current one). This writer only ever advances `main`
+    * (every commit moves it, per the spec's main-tracks-current rule);
+    * other branches are readable pins until a branch-aware writer moves
+    * them. Returns the new metadata version.
+    */
+  def createBranch(spark: SparkSession, tableDir: String, name: String,
+                   snapshotId: Option[Long] = None): Long =
+    createRef(spark, tableDir, name, "branch", snapshotId)
+
+  private def createRef(spark: SparkSession, tableDir: String,
+                        name: String, refType: String,
+                        snapshotId: Option[Long]): Long = {
+    require(name.nonEmpty, "iceberg-write: ref name must be non-empty")
+    if (name == "main")
+      throw new IllegalArgumentException(
+        "iceberg-write: 'main' is reserved — it tracks the current snapshot")
+    val fs = fileSystem(spark, tableDir)
+    val expectVersion = listMetadataVersions(fs, tableDir)
+      .maxOption.getOrElse(0L) + 1
+    val tm = IcebergMeta.readTableMeta(spark, tableDir)
+    if (tm.refs.contains(name))
+      throw new IllegalArgumentException(
+        s"iceberg-write: ref '$name' already exists at $tableDir")
+    val target = snapshotId.orElse(tm.currentSnapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"iceberg-write: no current snapshot to ref under $tableDir"))
+    if (!tm.snapshots.exists(_.id == target))
+      throw new IllegalArgumentException(
+        s"iceberg-write: snapshot $target not in ${tm.metadataFile}")
+    val fields = IcebergMeta.schemaFieldsOf(spark, tableDir, None)
+      .getOrElse(throw new IllegalArgumentException(
+        s"iceberg-write: metadata under $tableDir carries no schema"))
+      .map(f => (f.id.getOrElse(throw new IllegalArgumentException(
+        s"iceberg-write: schema field ${f.name} has no field id")),
+        f.name, typeJsonOf(f), !f.required))
+    val snaps = tm.snapshots.map(s => snapJson(s.id, s.parentId,
+      s.sequenceNumber.getOrElse(0L), s.timestampMs,
+      s.operation.getOrElse("append"), s.manifestList))
+    writeMetadataJson(fs, tableDir, tm.uuid, fields, snaps,
+      logOf(tm),
+      tm.refs.updated(name, IcebergMeta.Ref(target, refType)),
       tm.currentSnapshotId.getOrElse(0L),
       tm.snapshots.flatMap(_.sequenceNumber).maxOption.getOrElse(0L),
       System.currentTimeMillis(), expectVersion,
@@ -1151,11 +1220,18 @@ object IcebergWrite {
       throw new IllegalArgumentException(
         s"iceberg-write: no current snapshot under $tableDir"))
     val sorted = tm.snapshots.sortBy(s => (s.sequenceNumber.getOrElse(0L), s.id))
-    val kept = sorted.takeRight(keepLast)
+    // ref-reachable snapshots are NEVER expired: a tag or branch head
+    // outside the keep-last window pins its snapshot (the
+    // write-audit-publish promotion contract — expiring a tagged
+    // snapshot would silently break every read-at-ref)
+    val refIds = tm.refs.valuesIterator.map(_.snapshotId).toSet
+    val kept = sorted.filter(s =>
+      refIds.contains(s.id) ||
+        sorted.takeRight(keepLast).exists(_.id == s.id))
     if (!kept.exists(_.id == current))
       throw new IllegalArgumentException(
         "iceberg-write: expireSnapshots would drop the CURRENT snapshot")
-    val expired = sorted.dropRight(keepLast)
+    val expired = sorted.filterNot(s => kept.exists(_.id == s.id))
     if (expired.isEmpty) return Nil
     val fields = IcebergMeta.schemaFieldsOf(spark, tableDir, None)
       .getOrElse(throw new IllegalArgumentException(
@@ -1169,7 +1245,10 @@ object IcebergWrite {
       s.parentId.filter(keptIds.contains),
       s.sequenceNumber.getOrElse(0L), s.timestampMs,
       s.operation.getOrElse("append"), s.manifestList))
-    writeMetadataJson(fs, tableDir, tm.uuid, fields, snaps, current,
+    // the snapshot-log prunes with the snapshots: an expired id must
+    // stop resolving for AS OF TIMESTAMP too
+    writeMetadataJson(fs, tableDir, tm.uuid, fields, snaps,
+      logOf(tm).filter(e => keptIds.contains(e._2)), tm.refs, current,
       sorted.flatMap(_.sequenceNumber).maxOption.getOrElse(0L),
       System.currentTimeMillis(), expectVersion,
       currentSpecJson(spark, tableDir),
@@ -1568,7 +1647,8 @@ object IcebergWrite {
       s.sequenceNumber.getOrElse(0L), s.timestampMs,
       s.operation.getOrElse("append"), s.manifestList)) :+
       snapJson(snapshotId, Some(snap.id), seq, now, "replace", listRel)
-    writeMetadataJson(fs, tableDir, tm.uuid, fields, snaps, snapshotId,
+    writeMetadataJson(fs, tableDir, tm.uuid, fields, snaps,
+      logOf(tm), tm.refs, snapshotId,
       seq, now, expectVersion, specFieldsJson(spec, fields),
       formatVersion = math.max(2, tm.formatVersion))
     report(spark, dataEntries.length.toLong,
@@ -1912,6 +1992,8 @@ object IcebergWrite {
                      fields: Seq[(Long, String, String, Boolean)],
                      uuid: String,
                      prevSnapshots: Seq[IcebergMeta.Snapshot],
+                     prevLog: Seq[(Long, Long)],
+                     prevRefs: Map[String, IcebergMeta.Ref],
                      prevListRows: Seq[Map[String, Any]],
                      operation: String,
                      spec: Seq[PartField] = Nil,
@@ -1981,7 +2063,8 @@ object IcebergWrite {
       s.operation.getOrElse("append"), s.manifestList)) :+
       snapJson(snapshotId, prevSnapshots.map(_.id).maxOption, seq, now,
         operation, listRel)
-    writeMetadataJson(fs, tableDir, uuid, fields, snaps, snapshotId, seq,
+    writeMetadataJson(fs, tableDir, uuid, fields, snaps,
+      prevLog, prevRefs, snapshotId, seq,
       now, expectVersion, specFieldsJson(spec, fields),
       formatVersion = formatVersion)
     snapshotId
@@ -2022,13 +2105,34 @@ object IcebergWrite {
       s""""summary":{"operation":${jstr(op)}},""" +
       s""""manifest-list":${jstr(ml)},"schema-id":0}"""
 
+  /** The table's snapshot-log as (timestamp-ms, snapshot-id) pairs —
+    * the file's own log when present, else backfilled from the
+    * snapshots' commit timestamps (a pre-log table gains a complete
+    * log on its next commit). Commits thread this through
+    * [[writeMetadataJson]] so AS OF TIMESTAMP survives every write.
+    */
+  private def logOf(tm: IcebergMeta.TableMeta): Seq[(Long, Long)] =
+    if (tm.snapshotLog.nonEmpty) tm.snapshotLog
+    else tm.snapshots
+      .sortBy(s => (s.sequenceNumber.getOrElse(0L), s.timestampMs, s.id))
+      .map(s => (s.timestampMs, s.id))
+
   /** Render and atomically commit the next `vN.metadata.json`, then
     * update the advisory hint. Returns the new metadata version.
+    *
+    * `prevLog`/`refs` are REQUIRED so no commit path can silently drop
+    * time-travel history or named refs: the log gains a new entry only
+    * when the current snapshot actually changed (a rename or a
+    * tag-create leaves it untouched), and the `main` branch ref is
+    * advanced to the new current automatically, per the spec's
+    * main-tracks-current rule.
     */
   private def writeMetadataJson(fs: FileSystem, tableDir: String,
                                 uuid: String,
                                 fields: Seq[(Long, String, String, Boolean)],
                                 snapsJson: Seq[String],
+                                prevLog: Seq[(Long, Long)],
+                                refs: Map[String, IcebergMeta.Ref],
                                 currentSnapshotId: Long, lastSeq: Long,
                                 now: Long, expectVersion: Long,
                                 specJson: String = "[]",
@@ -2043,6 +2147,26 @@ object IcebergWrite {
         s""""type":$t}"""
     }.mkString("""{"type":"struct","schema-id":0,"fields":[""", ",", "]}")
     val nSpecFields = """"field-id"""".r.findAllIn(specJson).length
+    val log =
+      if (currentSnapshotId <= 0L ||
+        prevLog.lastOption.exists(_._2 == currentSnapshotId)) prevLog
+      else prevLog :+ ((now, currentSnapshotId))
+    val logJson = log.map { case (t, i) =>
+      s"""{"timestamp-ms":$t,"snapshot-id":$i}"""
+    }.mkString("[", ",", "]")
+    val allRefs =
+      if (currentSnapshotId <= 0L) refs
+      else refs.updated("main", IcebergMeta.Ref(currentSnapshotId, "branch"))
+    val refsJson = allRefs.toSeq.sortBy(_._1).map { case (n, r) =>
+      s"${jstr(n)}:{" +
+        s""""snapshot-id":${r.snapshotId},"type":${jstr(r.refType)}""" +
+        r.minSnapshotsToKeep.map(v => s""","min-snapshots-to-keep":$v""")
+          .getOrElse("") +
+        r.maxSnapshotAgeMs.map(v => s""","max-snapshot-age-ms":$v""")
+          .getOrElse("") +
+        r.maxRefAgeMs.map(v => s""","max-ref-age-ms":$v""").getOrElse("") +
+        "}"
+    }.mkString("{", ",", "}")
     val metaJson =
       s"""{"format-version":$formatVersion,"table-uuid":${jstr(uuid)},"location":".",""" +
         s""""last-sequence-number":$lastSeq,"last-updated-ms":$now,""" +
@@ -2053,6 +2177,7 @@ object IcebergWrite {
         s"""],""" +
         s""""last-partition-id":${999 + nSpecFields},""" +
         s""""current-snapshot-id":$currentSnapshotId,""" +
+        s""""snapshot-log":$logJson,"refs":$refsJson,""" +
         s""""snapshots":[${snapsJson.mkString(",")}]}"""
     // the version was pinned when the operation READ the table: a
     // concurrent commit in between makes the exists-check fire loudly

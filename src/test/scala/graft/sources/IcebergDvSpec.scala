@@ -64,6 +64,13 @@ class IcebergDvSpec extends SparkSpec {
       rows1.length.toLong).isEmpty)
     assert(IcebergDv.readBlob(fs, hp, 0L, offs(0)._2,
       rows1.length.toLong).isEmpty) // inside the magic
+    // an insane content_size (reaching past the file's own footer)
+    // degrades to None — the bound is the FILE LENGTH, not a constant
+    assert(IcebergDv.readBlob(fs, hp, offs(0)._1,
+      bytes.length.toLong, rows1.length.toLong).isEmpty)
+    assert(IcebergDv.readBlob(fs, hp, offs(0)._1,
+      bytes.length.toLong - offs(0)._1 - 11L, // one byte into the footer
+      rows1.length.toLong).isEmpty)
   }
 
   test("an org.roaringbitmap-built blob decodes here (independent writer)") {

@@ -1,0 +1,156 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Timestamp time travel (metadata.json's `snapshot-log`) and named
+  * refs (branches/tags) — see [[IcebergMeta.snapshotAsOf]],
+  * [[IcebergWrite.createTag]]/[[IcebergWrite.createBranch]]. The
+  * contract under test: every commit appends to the log exactly when
+  * the current snapshot changes, `main` always tracks current, AS OF
+  * TIMESTAMP resolves with Delta's semantics (latest at-or-before,
+  * loud below the first), tags pin snapshots through expiry, and the
+  * whole surface is drivable from SQL with lazy side effects.
+  */
+class IcebergRefsSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(name)
+    java.nio.file.Files.delete(p)
+    p.toString
+  }
+
+  /** Three single-file appends over disjoint id ranges, with distinct
+    * commit timestamps (the log's resolution is a millisecond).
+    */
+  private def threeCommitTable(): String = {
+    import spark.implicits._
+    val t = freshDir("iceref")
+    def slice(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"row-$i")).toDF("id", "txt").coalesce(1)
+    IcebergWrite.createTable(spark, slice(0, 10), t)
+    Thread.sleep(5)
+    IcebergWrite.append(spark, slice(10, 20), t)
+    Thread.sleep(5)
+    IcebergWrite.append(spark, slice(20, 30), t)
+    t
+  }
+
+  test("snapshot-log: one entry per commit; AS OF resolves each state") {
+    val t = threeCommitTable()
+    val tm = IcebergMeta.readTableMeta(spark, t)
+    assert(tm.snapshotLog.length === 3)
+    assert(tm.snapshotLog.map(_._2) === tm.snapshots.map(_.id))
+    assert(tm.snapshotLog.map(_._1) === tm.snapshotLog.map(_._1).sorted)
+    // at each commit instant, the table IS that commit's state
+    val counts = tm.snapshotLog.map { case (ts, _) =>
+      IcebergMeta.readTableAsOf(spark, t, ts).count()
+    }
+    assert(counts === Seq(10L, 20L, 30L))
+    // between commits: the latest at-or-before wins
+    assert(IcebergMeta.readTableAsOf(spark, t,
+      tm.snapshotLog(1)._1 + 1).count() === 20L)
+    // far future: current
+    assert(IcebergMeta.readTableAsOf(spark, t, Long.MaxValue).count() === 30L)
+    // before the first snapshot: loud, names the history start
+    val ex = intercept[IllegalArgumentException](
+      IcebergMeta.readTableAsOf(spark, t, tm.snapshotLog.head._1 - 1))
+    assert(ex.getMessage.contains("history starts at"))
+  }
+
+  test("pre-log metadata falls back to snapshot commit timestamps") {
+    // a TableMeta whose writer predates snapshot-log: resolution uses
+    // the snapshots' own timestamp-ms
+    val tm = IcebergMeta.TableMeta(2, "u", ".", Some(2L),
+      Seq(
+        IcebergMeta.Snapshot(1L, None, Some(1L), 1000L, None, "ml1", None),
+        IcebergMeta.Snapshot(2L, Some(1L), Some(2L), 2000L, None, "ml2", None)),
+      snapshotLog = Nil, refs = Map.empty, metadataFile = "test")
+    assert(IcebergMeta.snapshotAsOf(tm, 1500L) === 1L)
+    assert(IcebergMeta.snapshotAsOf(tm, 2000L) === 2L)
+    intercept[IllegalArgumentException](IcebergMeta.snapshotAsOf(tm, 999L))
+    // a log entry whose snapshot was EXPIRED no longer resolves — an
+    // instant that only maps to a dropped id fails rather than
+    // silently serving a different state
+    val pruned = tm.copy(snapshotLog = Seq((1000L, 1L), (2000L, 2L)),
+      snapshots = tm.snapshots.filter(_.id == 2L))
+    intercept[IllegalArgumentException](
+      IcebergMeta.snapshotAsOf(pruned, 1500L))
+    assert(IcebergMeta.snapshotAsOf(pruned, 2500L) === 2L)
+  }
+
+  test("refs: main tracks current; tags pin; guard rails are loud") {
+    import spark.implicits._
+    val t = threeCommitTable()
+    val tm0 = IcebergMeta.readTableMeta(spark, t)
+    assert(tm0.refs.keySet === Set("main"))
+    assert(tm0.refs("main").snapshotId === tm0.currentSnapshotId.get)
+    // tag the CURRENT state, then keep writing
+    IcebergWrite.createTag(spark, t, "audit-v1")
+    IcebergWrite.append(spark,
+      (30L until 40L).map(i => (i, s"row-$i")).toDF("id", "txt")
+        .coalesce(1), t)
+    val tm1 = IcebergMeta.readTableMeta(spark, t)
+    assert(tm1.refs("audit-v1").refType === "tag")
+    assert(tm1.refs("audit-v1").snapshotId === tm0.currentSnapshotId.get)
+    assert(tm1.refs("main").snapshotId === tm1.currentSnapshotId.get)
+    // read-at-tag is the tagged state; main/current is the new one
+    assert(IcebergMeta.readTableAtRef(spark, t, "audit-v1").count() === 30L)
+    assert(IcebergMeta.readTableAtRef(spark, t, "main").count() === 40L)
+    // a branch at an explicit old snapshot
+    IcebergWrite.createBranch(spark, t, "backfill",
+      Some(tm0.snapshots.head.id))
+    assert(IcebergMeta.readTableAtRef(spark, t, "backfill").count() === 10L)
+    // guard rails
+    intercept[IllegalArgumentException](
+      IcebergWrite.createTag(spark, t, "audit-v1"))
+    intercept[IllegalArgumentException](
+      IcebergWrite.createBranch(spark, t, "main"))
+    intercept[IllegalArgumentException](
+      IcebergWrite.createTag(spark, t, "ghost", Some(99999L)))
+    intercept[IllegalArgumentException](
+      IcebergMeta.readTableAtRef(spark, t, "nope"))
+  }
+
+  test("expiry keeps ref-reachable snapshots and prunes the log with them") {
+    val t = threeCommitTable()
+    val tm0 = IcebergMeta.readTableMeta(spark, t)
+    val firstId = tm0.snapshots.head.id
+    IcebergWrite.createTag(spark, t, "pin-first", Some(firstId))
+    val expired = IcebergWrite.expireSnapshots(spark, t, keepLast = 1)
+    // the middle snapshot expires; the tagged first and the current stay
+    val tm1 = IcebergMeta.readTableMeta(spark, t)
+    assert(tm1.snapshots.map(_.id).toSet ===
+      Set(firstId, tm0.currentSnapshotId.get))
+    assert(expired === tm0.snapshots.map(_.id)
+      .filterNot(tm1.snapshots.map(_.id).toSet))
+    // the log pruned to the kept ids — expired instants stop resolving
+    assert(tm1.snapshotLog.map(_._2).toSet === tm1.snapshots.map(_.id).toSet)
+    // read-at-tag still serves the pinned state after orphan removal
+    IcebergWrite.removeOrphanFiles(spark, t, olderThanMs = 0L)
+    assert(IcebergMeta.readTableAtRef(spark, t, "pin-first").count() === 10L)
+    assert(IcebergMeta.readTable(spark, t).count() === 30L)
+  }
+
+  test("SQL surface: READ ... AS OF TIMESTAMP / REF, ICEBERG REFS, lazy CREATE TAG") {
+    val t = threeCommitTable()
+    val tm = IcebergMeta.readTableMeta(spark, t)
+    val ts1 = new java.sql.Timestamp(tm.snapshotLog.head._1)
+    assert(spark.sql(
+      s"READ ICEBERG AT '$t' AS OF TIMESTAMP '$ts1'").count() === 10L)
+    assert(spark.sql(
+      s"READ ICEBERG AT '$t' AS OF TIMESTAMP '$ts1' WHERE id >= 5")
+      .count() === 5L)
+    // EXPLAIN of the side-effecting statement must NOT create the tag
+    val stmt = s"ICEBERG CREATE TAG 'rel-1' AT '$t'"
+    spark.sql(stmt).explain()
+    assert(!IcebergMeta.readTableMeta(spark, t).refs.contains("rel-1"))
+    val refsAfter = spark.sql(stmt).collect() // executes ONCE here
+    assert(IcebergMeta.readTableMeta(spark, t).refs("rel-1").snapshotId ===
+      tm.currentSnapshotId.get)
+    assert(refsAfter.map(_.getString(0)).toSet === Set("main", "rel-1"))
+    assert(spark.sql(s"READ ICEBERG AT '$t' REF 'rel-1'").count() === 30L)
+    assert(spark.sql(s"ICEBERG REFS AT '$t'").count() === 2L)
+  }
+}

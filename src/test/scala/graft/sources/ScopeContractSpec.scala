@@ -23,7 +23,8 @@ class ScopeContractSpec extends AnyFunSuite {
     // public method the contract is silent (or stale) about is drift
     val must = Seq("delete", "update", "upsert", "upsertEq",
       "renameColumn", "rewriteDataFiles", "expir", "orphan",
-      "identity", "bucket", "truncate", "day", "month", "year", "hour")
+      "identity", "bucket", "truncate", "day", "month", "year", "hour",
+      "createTag", "createBranch", "snapshot-log")
     for (m <- must)
       assert(contract.toLowerCase.contains(m.toLowerCase),
         s"IcebergWrite scope contract does not mention '$m'")
