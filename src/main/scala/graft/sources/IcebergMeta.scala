@@ -1579,29 +1579,46 @@ object IcebergMeta {
         EqDel(abs(ef.getString(1)).toString, delSeq, eqIds.sorted)
       }.distinct
       val delInfo = fileTopLevel(spark, parsed.map(_.path).distinct)
-      // ONE anti-join per distinct equality_ids set — a table with
-      // hundreds of accumulated delete files no longer gets a plan
-      // linear in file count
+      // ONE anti-join per distinct equality_ids set, and within it ONE
+      // parquet read per distinct physical projection (every
+      // spark.read.parquet call costs a schema-inference job — N
+      // accumulated streaming-upsert delete files must not cost N
+      // driver job launches before the plan even builds); each delete
+      // row's sequence number rides in via a broadcast (file → seq) map
       parsed.groupBy(_.ids).toSeq.sortBy(_._1.mkString(",")).foreach {
         case (ids, dels) =>
           val cols = ids.map(id => idToName.getOrElse(id.toLong,
             throw new IllegalArgumentException(
               s"iceberg: equality field id $id is not in the table schema")))
-          val delDf = dels.map { ed =>
-            val (names, idm) = delInfo(ed.path)
+          // the delete file's own field ids first, its column names
+          // second — same resolution order as data files
+          def physOf(path: String): Seq[String] = {
+            val (names, idm) = delInfo(path)
             val nameSet = names.toSet
-            spark.read.parquet(ed.path).select(
-              ids.zip(cols).map { case (id, cur) =>
-                // the delete file's own field ids first, its column
-                // names second — same resolution order as data files
-                val pn = idm.get(id).orElse(
-                  if (nameSet.contains(cur)) Some(cur) else None).getOrElse(
-                  throw new IllegalArgumentException(
-                    s"iceberg: equality-delete file ${ed.path} carries " +
-                      s"neither field id $id nor column $cur"))
-                col(s"`$pn`").as(s"_eq_$cur")
-              } :+ lit(ed.delSeq).as("_del_seq"): _*)
-          }.reduce(_ unionByName _)
+            ids.zip(cols).map { case (id, cur) =>
+              idm.get(id).orElse(
+                if (nameSet.contains(cur)) Some(cur) else None).getOrElse(
+                throw new IllegalArgumentException(
+                  s"iceberg: equality-delete file $path carries " +
+                    s"neither field id $id nor column $cur"))
+            }
+          }
+          val delDf = dels.groupBy(ed => physOf(ed.path)).toSeq
+            .sortBy(_._1.mkString(",")).map { case (phys, group) =>
+              val seqDf = spark.createDataFrame(
+                spark.sparkContext.parallelize(group.map(ed => Row(
+                  abs(ed.path).toUri.getRawPath, ed.delSeq)).distinct, 1),
+                StructType(Seq(
+                  StructField("_del_uri", StringType, nullable = false),
+                  StructField("_del_seq", LongType, nullable = false))))
+              spark.read.parquet(group.map(_.path).distinct: _*)
+                .select(phys.zip(cols).map { case (pn, cur) =>
+                  col(s"`$pn`").as(s"_eq_$cur")
+                } :+ UriPaths.pathOnly(col("_metadata.file_path"))
+                  .as("_del_uri"): _*)
+                .join(broadcast(seqDf), Seq("_del_uri"))
+                .drop("_del_uri")
+            }.reduce(_ unionByName _)
           // null-safe equality on every named column, applied only to
           // data rows whose file's sequence number PRECEDES the delete's
           val cond = cols.map(c => df(c) <=> delDf(s"_eq_$c"))

@@ -1428,71 +1428,114 @@ object IcebergWrite {
         .select("file_path").distinct()
         .collect().map(_.getString(0)).toSet) ++
         dvDel.map(_.getString(9)).toSet
-    // equality deletes: ordering rule + bounds screen per delete file
-    def cmpAny(a: Any, b: Any): Option[Int] = (a, b) match {
-      case (x: Int, y: Int)       => Some(Integer.compare(x, y))
-      case (x: Long, y: Long)     => Some(java.lang.Long.compare(x, y))
-      case (x: Float, y: Float)   => Some(java.lang.Float.compare(x, y))
-      case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
-      case (x: String, y: String) => Some(x.compareTo(y))
-      case (x: java.sql.Date, y: java.sql.Date) => Some(x.compareTo(y))
-      case (x: java.sql.Timestamp, y: java.sql.Timestamp) => Some(x.compareTo(y))
-      case _ => None
-    }
-    val eqTouched = scala.collection.mutable.Set.empty[String]
-    eqDel.foreach { e =>
-      val delSeq = seqOf(e).getOrElse(throw new IllegalArgumentException(
-        s"iceberg-write: equality-delete file ${e.getString(2)} has no " +
-          "sequence number — compaction cannot order it"))
-      val ids = Option(e.getSeq[Int](5)).getOrElse(
-        throw new IllegalArgumentException(
-          s"iceberg-write: equality-delete file ${e.getString(2)} carries " +
-            "no equality_ids")).toSeq
-      // the delete keys' [min, max] per key column (the delete file is
-      // the SOURCE-sized artifact — reading it is compaction's job)
-      val delPath = absOf(e.getString(2))
-      val (names, idm) = IcebergMeta.fileTopLevel(spark, Seq(delPath))(delPath)
-      val keyCols = ids.map { id =>
-        val schemaName = fields.find(_._1 == id.toLong).map(_._2)
-        idm.get(id).orElse(schemaName.filter(names.contains)).getOrElse(
-          throw new IllegalArgumentException(
-            s"iceberg-write: equality-delete file $delPath carries neither " +
-              s"field id $id nor its schema column"))
-      }
-      import org.apache.spark.sql.functions.{max => smax, min => smin}
-      val aggCols = keyCols.flatMap(c =>
-        Seq(smin(col(s"`$c`")), smax(col(s"`$c`"))))
-      val mm = spark.read.parquet(delPath)
-        .agg(aggCols.head, aggCols.tail: _*)
-        .head()
-      dataEntries.foreach { d =>
-        val dSeq = seqOf(d).getOrElse(Long.MinValue)
-        if (dSeq < delSeq && !eqTouched.contains(d.getString(2))) {
-          val lo = if (d.isNullAt(6)) Map.empty[Int, Array[Byte]]
-                   else d.getMap[Int, Array[Byte]](6).toMap
-          val hi = if (d.isNullAt(7)) Map.empty[Int, Array[Byte]]
-                   else d.getMap[Int, Array[Byte]](7).toMap
-          // excluded only when some key column is PROVABLY disjoint
-          val excluded = ids.zipWithIndex.exists { case (id, i) =>
-            val t = idToType.getOrElse(id, "?")
-            val fileLo = lo.get(id).flatMap(IcebergMeta.deserBound(t, _))
-            val fileHi = hi.get(id).flatMap(IcebergMeta.deserBound(t, _))
-            val delMin = if (mm.isNullAt(2 * i)) None else Some(mm.get(2 * i))
-            val delMax = if (mm.isNullAt(2 * i + 1)) None else Some(mm.get(2 * i + 1))
-            val below = (delMax, fileLo) match {
-              case (Some(dm), Some(fl)) => cmpAny(dm, fl).exists(_ < 0)
-              case _ => false
-            }
-            val above = (delMin, fileHi) match {
-              case (Some(dm), Some(fh)) => cmpAny(dm, fh).exists(_ > 0)
-              case _ => false
-            }
-            below || above
+    // equality deletes: ordering rule + bounds screen, resolved in a
+    // CONSTANT number of Spark jobs however many delete files have
+    // accumulated — compaction exists for exactly the "N streaming
+    // upserts left N delete files" state, where per-file job launches
+    // (and an O(N × #dataFiles) driver loop) would hurt most. One
+    // distributed footer pass resolves every delete file's key
+    // columns; per distinct key signature (one, in the streaming-
+    // upsert case) ONE union-read job computes every delete file's key
+    // bounds (groupBy source file); the data-file screen is then a
+    // broadcast JOIN whose unknown-bounds cases degrade to keep — the
+    // same may-match algebra as the per-file loop it replaces.
+    val eqTouched: Set[String] =
+      if (eqDel.isEmpty) Set.empty
+      else {
+        import org.apache.spark.sql.functions.{broadcast, coalesce, lit,
+          not, max => smax, min => smin}
+        val delInfo = IcebergMeta.fileTopLevel(spark,
+          eqDel.map(r => absOf(r.getString(2))).distinct.toIndexedSeq)
+        final case class EqDel(path: String, delSeq: Long, ids: Seq[Int],
+                               keyCols: Seq[String])
+        val parsed = eqDel.toSeq.map { e =>
+          val delSeq = seqOf(e).getOrElse(throw new IllegalArgumentException(
+            s"iceberg-write: equality-delete file ${e.getString(2)} has no " +
+              "sequence number — compaction cannot order it"))
+          val ids = Option(e.getSeq[Int](5)).getOrElse(
+            throw new IllegalArgumentException(
+              s"iceberg-write: equality-delete file ${e.getString(2)} carries " +
+                "no equality_ids")).toSeq
+          val delPath = absOf(e.getString(2))
+          val (names, idm) = delInfo(delPath)
+          val keyCols = ids.map { id =>
+            val schemaName = fields.find(_._1 == id.toLong).map(_._2)
+            idm.get(id).orElse(schemaName.filter(names.contains)).getOrElse(
+              throw new IllegalArgumentException(
+                s"iceberg-write: equality-delete file $delPath carries neither " +
+                  s"field id $id nor its schema column"))
           }
-          if (!excluded) eqTouched += d.getString(2)
-        }
+          EqDel(delPath, delSeq, ids, keyCols)
+        }.distinct
+        parsed.groupBy(d => (d.ids, d.keyCols)).toSeq.flatMap {
+          case ((ids, keyCols), dels) =>
+            // the delete keys' [min, max] per key column and SOURCE
+            // FILE (the delete files are the source-sized artifacts —
+            // reading them, once, is compaction's job)
+            val aggCols = keyCols.zipWithIndex.flatMap { case (c, i) => Seq(
+              smin(col(s"`$c`")).as(s"_dmin_$i"),
+              smax(col(s"`$c`")).as(s"_dmax_$i")) }
+            val delBounds = spark.read.parquet(dels.map(_.path).distinct: _*)
+              .groupBy(UriPaths.pathOnly(col("_metadata.file_path"))
+                .as("_del_file"))
+              .agg(aggCols.head, aggCols.tail: _*)
+            val seqRows = dels.map(d => org.apache.spark.sql.Row(
+              new Path(d.path).toUri.getRawPath, d.delSeq)).distinct
+            val seqDf = spark.createDataFrame(
+              spark.sparkContext.parallelize(seqRows, 1),
+              StructType(Seq(
+                StructField("_del_file", StringType, nullable = false),
+                StructField("_del_seq", LongType, nullable = false))))
+            // per live data file: sequence + each key id's deserialized
+            // manifest bounds (null = unknown = keep), typed exactly as
+            // the delete-bounds agg so the join compares like with like
+            val boundTypes = keyCols.indices.map(i =>
+              delBounds.schema(s"_dmin_$i").dataType)
+            def fits(dt: DataType, v: Any): Any = (dt, v) match {
+              case (IntegerType, x: java.lang.Integer)        => x
+              case (LongType, x: java.lang.Long)              => x
+              case (FloatType, x: java.lang.Float)            => x
+              case (DoubleType, x: java.lang.Double)          => x
+              case (StringType, x: String)                    => x
+              case (DateType, x: java.sql.Date)               => x
+              case (TimestampType, x: java.sql.Timestamp)     => x
+              case _                                          => null
+            }
+            val dataRows = dataEntries.toIndexedSeq.map { d =>
+              val lo = if (d.isNullAt(6)) Map.empty[Int, Array[Byte]]
+                       else d.getMap[Int, Array[Byte]](6).toMap
+              val hi = if (d.isNullAt(7)) Map.empty[Int, Array[Byte]]
+                       else d.getMap[Int, Array[Byte]](7).toMap
+              val vals = ids.zipWithIndex.flatMap { case (id, i) =>
+                val t = idToType.getOrElse(id, "?")
+                Seq(lo, hi).map(side =>
+                  side.get(id).flatMap(IcebergMeta.deserBound(t, _))
+                    .map(fits(boundTypes(i), _)).getOrElse(null))
+              }
+              org.apache.spark.sql.Row.fromSeq(
+                d.getString(2) +: seqOf(d).map(Long.box).orNull +: vals)
+            }
+            val dataSchema = StructType(
+              StructField("_data_file", StringType, nullable = false) +:
+                StructField("_data_seq", LongType, nullable = true) +:
+                keyCols.indices.flatMap(i => Seq(
+                  StructField(s"_flo_$i", boundTypes(i), nullable = true),
+                  StructField(s"_fhi_$i", boundTypes(i), nullable = true))))
+            val dataDf = spark.createDataFrame(
+              spark.sparkContext.parallelize(dataRows, 1), dataSchema)
+            val db = delBounds.join(broadcast(seqDf), Seq("_del_file"))
+            // excluded only when some key column is PROVABLY disjoint
+            val disjoint = keyCols.indices.map { i =>
+              coalesce(db(s"_dmax_$i") < dataDf(s"_flo_$i"), lit(false)) ||
+                coalesce(db(s"_dmin_$i") > dataDf(s"_fhi_$i"), lit(false))
+            }.reduce(_ || _)
+            val gate = coalesce(dataDf("_data_seq"), lit(Long.MinValue)) <
+              db("_del_seq") && not(disjoint)
+            dataDf.join(broadcast(db), gate, "inner")
+              .select("_data_file").distinct()
+              .collect().map(_.getString(0)) // metadata-sized: file paths
+        }.toSet
       }
-    }
     val dataPaths = dataEntries.map(_.getString(2)).toSet
     val touched = (posTouched ++ eqTouched).intersect(dataPaths)
     val spec = specOf(spark, tableDir, fields)

@@ -139,4 +139,58 @@ class IcebergCompactionSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(rows === (8L until 40L).filter(_ % 4 == 2))
   }
+
+  test("accumulated eq-delete files resolve in one batched pass, not one job each") {
+    // the state compaction exists FOR: N streaming upserts left N
+    // equality-delete files. Resolution must be one footer pass + one
+    // bounds job + one screen join per key signature — NOT a job
+    // launch per delete file.
+    val t = freshDir("icecomp")
+    IcebergWrite.createTable(spark,
+      (0L until 20L).map(i => (i, s"row-$i")).toDF("id", "txt").coalesce(1), t)
+    IcebergWrite.append(spark,
+      (1000L until 1020L).map(i => (i, s"row-$i")).toDF("id", "txt").coalesce(1), t)
+    val nUpserts = 24
+    (1 to nUpserts).foreach { k =>
+      IcebergWrite.upsertEq(spark,
+        Seq(((k % 5).toLong, s"u$k")).toDF("id", "txt").coalesce(1),
+        t, Seq("id"))
+    }
+    assert(delFileCount(t) === nUpserts.toLong)
+    // count the Spark jobs the compaction launches (job-group scoped;
+    // the status store feeds asynchronously — poll until stable)
+    spark.sparkContext.setJobGroup("eqcomp-batch", "compaction job count")
+    val rep = try IcebergWrite.rewriteDataFiles(spark, t).head()
+    finally spark.sparkContext.clearJobGroup()
+    def stableCount(): Int = {
+      var prev = -1
+      var cur = spark.sparkContext.statusTracker
+        .getJobIdsForGroup("eqcomp-batch").length
+      while (cur != prev) {
+        prev = cur; Thread.sleep(400)
+        cur = spark.sparkContext.statusTracker
+          .getJobIdsForGroup("eqcomp-batch").length
+      }
+      cur
+    }
+    val jobs = stableCount()
+    // pre-batching this was >= 2 jobs PER delete file (a footer read
+    // and a min/max agg each) before the rewrite itself even started;
+    // now the whole run stays under one job per delete file however
+    // the fixed-cost stages (entries, rewrite staging, manifests) land
+    assert(jobs < nUpserts,
+      s"compaction launched $jobs jobs for $nUpserts delete files — " +
+        "eq-delete resolution is not batched")
+    assert(rep.getLong(2) === nUpserts.toLong) // every delete file dropped
+    assert(delFileCount(t) === 0L)
+    // content: each key 0..4 carries its LAST upsert's value
+    val got = IcebergMeta.readTable(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val lastFor = (0L until 5L).map(id =>
+      id -> (1 to nUpserts).filter(k => (k % 5).toLong == id).max).toMap
+    val want = ((0L until 20L) ++ (1000L until 1020L)).map { i =>
+      lastFor.get(i).map(k => (i, s"u$k")).getOrElse((i, s"row-$i"))
+    }
+    assert(got.toSeq === want)
+  }
 }
