@@ -235,6 +235,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)^\s*ICEBERG\s+REFS\s+AT\s+'([^']+)'\s*;?\s*$""".r
   private val IcebergCreateRefStmt =
     """(?is)^\s*ICEBERG\s+CREATE\s+(TAG|BRANCH)\s+'([^']+)'\s+AT\s+'([^']+)'(?:\s+SNAPSHOT\s+(\d+))?\s*;?\s*$""".r
+  //   ICEBERG WRITE STATS AT '<table>' [K <k>] — sketch per-column NDV
+  //     into a puffin statistics file and register it in metadata.json
+  //   ICEBERG STATS AT '<table>' — the registered NDV report
+  private val IcebergWriteStatsStmt =
+    """(?is)^\s*ICEBERG\s+WRITE\s+STATS\s+AT\s+'([^']+)'(?:\s+K\s+(\d+))?\s*;?\s*$""".r
+  private val IcebergStatsStmt =
+    """(?is)^\s*ICEBERG\s+STATS\s+AT\s+'([^']+)'\s*;?\s*$""".r
 
   // ASOF JOIN <left> WITH <right> ON <key> BY <time> PAYLOAD (c1, c2, ...)
   // — last-right-row-at-or-before semantics ([[graft.operators.AsOfJoin
@@ -538,6 +545,18 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         .queryExecution.logical
     case IcebergRefsStmt(path) =>
       graft.sources.IcebergMeta.refs(session, path).queryExecution.logical
+    case IcebergStatsStmt(path) =>
+      graft.sources.IcebergStats.ndvReport(session, path)
+        .queryExecution.logical
+    case IcebergWriteStatsStmt(path, kOpt) =>
+      LakehouseStatement("ICEBERG WRITE STATS",
+        graft.sources.IcebergStats.ndvSchema,
+        new StatementRunner(() => {
+          graft.sources.IcebergWrite.writeStats(session, path,
+            Option(kOpt).map(_.toInt)
+              .getOrElse(graft.sources.IcebergStats.DefaultK))
+          graft.sources.IcebergStats.ndvReport(session, path)
+        }))
     case IcebergCreateRefStmt(kind, name, path, snapOpt) =>
       LakehouseStatement(s"ICEBERG CREATE ${kind.toUpperCase}",
         graft.sources.IcebergMeta.refsSchema,

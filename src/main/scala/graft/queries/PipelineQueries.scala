@@ -4873,6 +4873,35 @@ object PipelineQueries extends QuerySet {
       s.sql(s"READ ICEBERG AT '$t' REF 'audit'").orderBy("n_nationkey")
     }),
 
+    // Puffin NDV statistics (IcebergStats, decision-record variant of
+    // apache-datasketches-theta-v1): sketch per-column NDV in one
+    // distributed pass, register in metadata.json, read the report
+    // back through the puffin footer. The in-query require holds every
+    // sketch estimate to the documented 4-sigma KMV error against the
+    // EXACT distinct counts, which are the oracled output.
+    "q330_iceberg_ndv_stats" -> ((s, dir) => {
+      val t = freshTmpDir("iceberg_ndv")
+      val cust = graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      graft.sources.IcebergWrite.createTable(s, cust.coalesce(2), t)
+      val rep = s.sql(s"ICEBERG WRITE STATS AT '$t'").collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      val exact = cust.agg(
+        countDistinct(col("c_custkey")).as("nd_custkey"),
+        countDistinct(col("c_nationkey")).as("nd_nationkey"),
+        countDistinct(col("c_mktsegment")).as("nd_mktsegment"))
+      val ex = exact.head()
+      Seq("c_custkey", "c_nationkey", "c_mktsegment").zipWithIndex.foreach {
+        case (c, i) =>
+          val est = rep(c).toDouble
+          val tru = ex.getLong(i).toDouble
+          require(math.abs(est - tru) / tru <
+            4.0 / math.sqrt(graft.sources.IcebergStats.DefaultK - 2),
+            s"ndv sketch for $c: $est vs exact $tru")
+      }
+      exact
+    }),
+
     // the Iceberg schema report (DELTA SCHEMA's twin, via the ICEBERG
     // SCHEMA statement): Iceberg's stable FIELD IDS — its answer to
     // Delta's column mapping — plus rendered nested types, straight
@@ -6296,6 +6325,11 @@ object PipelineQueries extends QuerySet {
     "q329_iceberg_refs" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey = 0 ORDER BY n_nationkey""".stripMargin,
+    "q330_iceberg_ndv_stats" ->
+      """SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS nd_custkey,
+        |CAST(count(DISTINCT c_nationkey) AS BIGINT) AS nd_nationkey,
+        |CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS nd_mktsegment
+        |FROM customer""".stripMargin,
     "q308_delta_time_travel_ts" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey IN (0, 1) ORDER BY n_nationkey""".stripMargin,

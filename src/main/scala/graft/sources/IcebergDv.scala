@@ -28,6 +28,17 @@ object IcebergDv {
                         cardinality: Long, snapshotId: Long,
                         sequenceNumber: Long)
 
+  /** A generic puffin blob — any type, any footer fields/properties.
+    * [[Blob]] (deletion vectors) renders through this; statistics
+    * blobs ([[IcebergStats]]) are the other producer. Data bytes get
+    * the same [len][data][crc32] framing either way, so every consumer
+    * shares the fail-closed read path ([[readBlobBytes]]).
+    */
+  final case class RawBlob(blobType: String, data: Array[Byte],
+                           fields: Seq[Long], snapshotId: Long,
+                           sequenceNumber: Long,
+                           properties: Seq[(String, String)])
+
   private def jstr(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
@@ -39,12 +50,21 @@ object IcebergDv {
     * entry. Returns (file bytes, per-blob (offset, length)) in input
     * order — what the manifest's content_offset/content_size record.
     */
-  def renderPuffin(blobs: Seq[Blob]): (Array[Byte], Seq[(Long, Long)]) = {
+  def renderPuffin(blobs: Seq[Blob]): (Array[Byte], Seq[(Long, Long)]) =
+    renderPuffinRaw(blobs.map(b => RawBlob("deletion-vector-v1", b.bitmap,
+      Nil, b.snapshotId, b.sequenceNumber,
+      Seq("referenced-data-file" -> b.referencedDataFile,
+        "cardinality" -> b.cardinality.toString))))
+
+  /** The generic renderer behind [[renderPuffin]]: any blob types,
+    * fields, and properties in the footer; the same framed blob bytes.
+    */
+  def renderPuffinRaw(blobs: Seq[RawBlob]): (Array[Byte], Seq[(Long, Long)]) = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(Magic, 0, 4)
     val offs = blobs.map { b =>
       val off = out.size().toLong
-      val data = b.bitmap
+      val data = b.data
       out.write((data.length >> 24) & 0xff)
       out.write((data.length >> 16) & 0xff)
       out.write((data.length >> 8) & 0xff)
@@ -61,12 +81,13 @@ object IcebergDv {
     }
     out.write(Magic, 0, 4)
     val payload = blobs.zip(offs).map { case (b, (off, len)) =>
-      s"""{"type":"deletion-vector-v1","fields":[],""" +
+      s"""{"type":${jstr(b.blobType)},""" +
+        s""""fields":[${b.fields.mkString(",")}],""" +
         s""""snapshot-id":${b.snapshotId},""" +
         s""""sequence-number":${b.sequenceNumber},""" +
         s""""offset":$off,"length":$len,""" +
-        s""""properties":{"referenced-data-file":${jstr(b.referencedDataFile)},""" +
-        s""""cardinality":${jstr(b.cardinality.toString)}}}"""
+        s""""properties":{${b.properties.map { case (k, v) =>
+          s"${jstr(k)}:${jstr(v)}" }.mkString(",")}}}"""
     }.mkString("""{"blobs":[""", ",", "]}")
     val pb = payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     out.write(pb, 0, pb.length)
@@ -86,7 +107,17 @@ object IcebergDv {
     * silently passing is the inexcusable outcome).
     */
   def readBlob(fs: FileSystem, path: Path, offset: Long, size: Long,
-               cardinality: Long): Option[Seq[Long]] = {
+               cardinality: Long): Option[Seq[Long]] =
+    readBlobBytes(fs, path, offset, size).flatMap(data =>
+      DeltaDv.decodeBitmap(data).filter(_.length.toLong == cardinality))
+
+  /** The shared framed-blob read: leading-magic check, bounds derived
+    * from the file's own length, [len][data][crc32] framing + CRC
+    * validation — None on ANY disagreement. Stats blobs read through
+    * this too; only the payload decode differs per blob type.
+    */
+  def readBlobBytes(fs: FileSystem, path: Path, offset: Long,
+                    size: Long): Option[Array[Byte]] = {
     // inside the leading magic, or an insane size (a corrupt manifest's
     // content_size must degrade to None, never overflow the buffer int).
     // The size bound is the FILE's own length — a legitimate blob ends
@@ -119,8 +150,72 @@ object IcebergDv {
         ((buf(5 + len) & 0xffL) << 16) |
         ((buf(6 + len) & 0xffL) << 8) | (buf(7 + len) & 0xffL)
       if ((crc.getValue & 0xffffffffL) != want) return None
-      DeltaDv.decodeBitmap(data).filter(_.length.toLong == cardinality)
+      Some(data)
     } catch { case _: java.io.IOException => None }
+  }
+
+  /** One blob's footer self-description, generically. */
+  final case class FooterBlob(blobType: String, fields: Seq[Long],
+                              offset: Long, length: Long,
+                              snapshotId: Long, sequenceNumber: Long,
+                              properties: Map[String, String])
+
+  /** The footer's blob list, generically — any blob type with its
+    * fields, placement, and properties. Statistics consumers resolve
+    * blob offsets from HERE (the table spec keeps them out of
+    * metadata.json's blob-metadata); [[readFooterBlobs]] keeps the
+    * DV-shaped view for the spec suite.
+    */
+  def readFooterRaw(bytes: Array[Byte]): Option[Seq[FooterBlob]] = {
+    type JObj = scala.collection.mutable.LinkedHashMap[String, Any]
+    footerPayload(bytes).flatMap { payload =>
+      graft.operators.Avro.parseJson(payload).collect {
+        case m: scala.collection.mutable.LinkedHashMap[_, _] =>
+          m.asInstanceOf[JObj].get("blobs") match {
+            case Some(a: scala.collection.mutable.ArrayBuffer[_]) =>
+              a.toSeq.collect {
+                case bm: scala.collection.mutable.LinkedHashMap[_, _] =>
+                  val b = bm.asInstanceOf[JObj]
+                  def l(k: String): Long = b.get(k) match {
+                    case Some(v: java.lang.Long) => v.longValue
+                    case _ => -1L
+                  }
+                  val props = b.get("properties") match {
+                    case Some(p: scala.collection.mutable.LinkedHashMap[_, _]) =>
+                      p.asInstanceOf[JObj].toSeq.collect {
+                        case (k, v: String) => k -> v
+                      }.toMap
+                    case _ => Map.empty[String, String]
+                  }
+                  val fields = b.get("fields") match {
+                    case Some(fa: scala.collection.mutable.ArrayBuffer[_]) =>
+                      fa.toSeq.collect { case v: java.lang.Long => v.longValue }
+                    case _ => Nil
+                  }
+                  FooterBlob(
+                    b.get("type").collect { case s: String => s }.getOrElse(""),
+                    fields, l("offset"), l("length"),
+                    l("snapshot-id"), l("sequence-number"), props)
+              }
+            case _ => Nil
+          }
+      }
+    }
+  }
+
+  /** Validate the container frame and extract the footer payload JSON. */
+  private def footerPayload(bytes: Array[Byte]): Option[String] = {
+    val n = bytes.length
+    if (n < 24) return None
+    if (!java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(bytes, 0, 4), Magic)) return None
+    if (!java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(bytes, n - 4, n), Magic)) return None
+    val pSize = (bytes(n - 12) & 0xff) | ((bytes(n - 11) & 0xff) << 8) |
+      ((bytes(n - 10) & 0xff) << 16) | ((bytes(n - 9) & 0xff) << 24)
+    if (pSize < 2 || pSize > n - 24) return None
+    Some(new String(bytes, n - 12 - pSize, pSize,
+      java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** The footer's blob-metadata JSON — the self-description external

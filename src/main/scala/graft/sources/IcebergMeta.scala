@@ -42,7 +42,10 @@ import graft.operators.Avro
   * (gzip-compressed metadata JSON is served); field-id projection
   * covers top-level columns AND plain-struct members (a renamed struct
   * member reads its pre-rename files by id); list/map element fields
-  * read by the file's own nested names. Time travel resolves by
+  * read by the file's own nested names, and a member rename INSIDE a
+  * struct that carries a list/map member fails loud (outside the
+  * member-wise projection envelope — serving it raw would silently
+  * present pre-rename names). Time travel resolves by
   * snapshot id, by timestamp ([[snapshotAsOf]] through `snapshot-log`,
   * falling back to snapshot commit timestamps on pre-log metadata),
   * or by named branch/tag ref ([[snapshotAtRef]] through `refs`).
@@ -1333,12 +1336,36 @@ object IcebergMeta {
               case None => None
             }
             top.map { pn =>
+              // a struct carrying a list/map member sits OUTSIDE the
+              // member-wise id projection (served raw by physical
+              // name). That is safe exactly until a member rename makes
+              // the physical and schema names disagree — then serving
+              // raw would silently present pre-rename names (or typed
+              // NULLs downstream), so the disagreement fails loud here.
+              if (f.nested.nonEmpty && sparkTypeOfField(f).isEmpty) {
+                val kIds = fc.children.get(pn).map(_._2)
+                  .getOrElse(Map.empty[Int, String])
+                f.nested.foreach { nf =>
+                  nf.id.map(_.toInt).flatMap(kIds.get).foreach { phys =>
+                    if (phys != nf.name)
+                      throw new IllegalArgumentException(
+                        s"iceberg: struct ${f.name} carries a list/map " +
+                          "member, which puts it outside the member-wise " +
+                          s"field-id projection — but member ${nf.name} " +
+                          s"(field id ${nf.id.get}) is physically named " +
+                          s"$phys in $p. A rename inside such a struct " +
+                          "cannot be served; rewrite the files under the " +
+                          "current schema or revert the rename.")
+                  }
+                }
+              }
               val kids =
                 // the member-wise rebuild only applies when EVERY member
                 // is Spark-mappable (all primitives); a struct carrying a
-                // list/map/struct member keeps the pre-round behavior —
-                // served raw by physical name, nested names un-projected
-                // (the documented list/map scope) — rather than throwing
+                // list/map/struct member is served raw by physical name,
+                // nested names un-projected (the documented list/map
+                // scope) — with the rename guard above making the one
+                // silently-wrong case loud instead
                 if (f.nested.isEmpty || sparkTypeOfField(f).isEmpty)
                   Vector.empty[Option[String]]
                 else {

@@ -1,0 +1,287 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Table STATISTICS in puffin files — the planning half of what
+  * production Iceberg stores in puffin most often: per-column NDV
+  * sketches, referenced from metadata.json's `statistics` list (table
+  * spec, "Table statistics") so an NDV-aware planner reads one
+  * metadata-sized file instead of scanning the table.
+  *
+  * The sketch is KMV ("k minimum values", the theta-sketch family's
+  * simplest member): keep the k smallest DISTINCT 64-bit hashes of a
+  * column's values; with u = the k-th smallest hash as a fraction of
+  * the hash space, NDV ≈ (k-1)/u, relative standard error
+  * ~1/sqrt(k-2) (~3.2% at the default k=1024). Under k distinct
+  * values the sketch is exact (modulo 64-bit hash collisions).
+  * Sketches merge by unioning min-sets and re-trimming to k, so
+  * per-partition build + reduce IS the distributed plan — one pass,
+  * no shuffle of data rows.
+  *
+  * DECISION RECORD (blob type `graft-kmv-theta-v1`): the spec's
+  * standard blob type is `apache-datasketches-theta-v1`, whose exact
+  * serialized form (DataSketches compact theta) cannot be
+  * independently validated in this container (no datasketches
+  * implementation to cross-read against — the same bar that closed
+  * HDF5). Rather than emit bytes we cannot prove compatible, the blob
+  * type is honestly named as a variant; the container framing, footer
+  * metadata shape, and the `ndv` property match the spec's statistics
+  * contract, and the estimate itself is validated against exact
+  * distinct counts in IcebergStatsSpec.
+  *
+  * Hash: Spark's own `xxhash64` (seed 42), computed executor-side in
+  * the scan projection — the sketch build never collects a data row.
+  * NULLs are excluded from NDV, per SQL convention.
+  */
+object IcebergStats {
+
+  val BlobType = "graft-kmv-theta-v1"
+  val DefaultK = 1024
+
+  /** A KMV sketch: `mins` holds the k smallest distinct hash values in
+    * SIGNED-FLIPPED form (h ^ Long.MinValue — monotone with the
+    * unsigned order of the raw hashes), sorted ascending, length <= k.
+    */
+  final case class KmvSketch(k: Int, mins: Array[Long]) {
+    require(k >= 8, "kmv: k must be >= 8")
+
+    def estimate: Double =
+      if (mins.length < k) mins.length.toDouble
+      else {
+        // the k-th smallest hash as a fraction of the 2^64 hash space
+        val frac = (mins.last.toDouble + 9.223372036854776e18) /
+          1.8446744073709552e19
+        (k - 1).toDouble / frac
+      }
+
+    def merge(other: KmvSketch): KmvSketch = {
+      require(other.k == k, s"kmv: cannot merge k=$k with k=${other.k}")
+      val set = new java.util.TreeSet[java.lang.Long]()
+      mins.foreach(set.add(_))
+      other.mins.foreach(set.add(_))
+      while (set.size > k) set.pollLast()
+      KmvSketch(k, set.toArray(Array.empty[java.lang.Long]).map(_.longValue))
+    }
+
+    /** Blob payload: "GKMV" | version 1 | k | n | n flipped longs, all
+      * big-endian — self-describing and fixed-width for fail-closed
+      * decode.
+      */
+    def serialize: Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(16 + 8 * mins.length)
+      bb.put("GKMV".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.putInt(1).putInt(k).putInt(mins.length)
+      mins.foreach(bb.putLong)
+      bb.array()
+    }
+  }
+
+  /** Fail-closed decode: wrong magic, version, counts, length, or an
+    * unsorted min-list all return None (a corrupt sketch silently
+    * feeding the planner a wrong NDV is the inexcusable outcome).
+    */
+  def deserialize(bytes: Array[Byte]): Option[KmvSketch] = {
+    if (bytes.length < 16) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val magic = new Array[Byte](4); bb.get(magic)
+    if (new String(magic, java.nio.charset.StandardCharsets.US_ASCII) != "GKMV")
+      return None
+    if (bb.getInt != 1) return None
+    val k = bb.getInt
+    val n = bb.getInt
+    if (k < 8 || n < 0 || n > k || bytes.length != 16 + 8L * n) return None
+    val mins = Array.fill(n)(bb.getLong)
+    if (mins.toSeq != mins.sorted.toSeq || mins.distinct.length != n)
+      return None
+    Some(KmvSketch(k, mins))
+  }
+
+  /** Bounded accumulator for the distributed build. */
+  private final class KmvAcc(val k: Int) extends Serializable {
+    val set = new java.util.TreeSet[java.lang.Long]()
+    def add(flipped: Long): Unit =
+      if (set.size < k) { set.add(flipped); () }
+      // evict the max only if this hash is NEW — a duplicate must not
+      // shrink the min-set
+      else if (flipped < set.last() && set.add(flipped)) { set.pollLast(); () }
+    def mergeIn(o: KmvAcc): KmvAcc = {
+      val it = o.set.iterator()
+      while (it.hasNext) add(it.next().longValue)
+      this
+    }
+    def toSketch: KmvSketch =
+      KmvSketch(k, set.toArray(Array.empty[java.lang.Long]).map(_.longValue))
+  }
+
+  /** Build one sketch per column in ONE distributed pass: hash
+    * executor-side (`xxhash64`, nulls excluded), bounded per-partition
+    * accumulators, tree-reduced — O(cols × k) driver state however
+    * large the table.
+    */
+  def buildSketches(df: DataFrame, columns: Seq[String],
+                    k: Int = DefaultK): Map[String, KmvSketch] = {
+    import org.apache.spark.sql.functions.{col, when, xxhash64}
+    require(columns.nonEmpty, "kmv: no columns to sketch")
+    val hashed = df.select(columns.map(c =>
+      when(col(s"`$c`").isNotNull, xxhash64(col(s"`$c`")))
+        .as(c)): _*)
+    val n = columns.length
+    val accs = hashed.rdd.treeAggregate(Array.fill(n)(new KmvAcc(k)))(
+      seqOp = (st, row) => {
+        var i = 0
+        while (i < n) {
+          if (!row.isNullAt(i)) st(i).add(row.getLong(i) ^ Long.MinValue)
+          i += 1
+        }
+        st
+      },
+      combOp = (a, b) => { var i = 0; while (i < n) { a(i).mergeIn(b(i)); i += 1 }; a })
+    columns.zip(accs.map(_.toSketch)).toMap
+  }
+
+  val ndvSchema: StructType = StructType(Seq(
+    StructField("column", StringType, nullable = false),
+    StructField("field_id", LongType, nullable = false),
+    StructField("ndv", LongType, nullable = false),
+    StructField("sketch_k", IntegerType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false)))
+
+  /** The NDV report from the CURRENT metadata's `statistics` list: one
+    * row per sketched column. Blob OFFSETS come from the puffin file's
+    * own footer (the table spec keeps them out of metadata.json);
+    * metadata's declared `ndv` property must AGREE with the decoded
+    * sketch's estimate — two independent records of the same number,
+    * checked against each other, fail-closed. Metadata-cost only — the
+    * puffin file and the metadata.json, never a data file. Fails loud
+    * when no statistics are registered (run [[IcebergWrite.writeStats]]
+    * / `ICEBERG WRITE STATS`).
+    */
+  def ndvReport(spark: SparkSession, tableDir: String): DataFrame = {
+    val tm = IcebergMeta.readTableMeta(spark, tableDir)
+    val stats = statisticsOf(spark, tableDir)
+    if (stats.isEmpty)
+      throw new IllegalArgumentException(
+        s"iceberg: no statistics registered in ${tm.metadataFile} — " +
+          "write them with IcebergWrite.writeStats / ICEBERG WRITE STATS")
+    val idToName = IcebergMeta.schemaFieldsOf(spark, tableDir, None)
+      .getOrElse(Nil).flatMap(f => f.id.map(_ -> f.name)).toMap
+    val fs = new Path(tableDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val rows = stats.flatMap { sf =>
+      val p = new Path(
+        if (sf.path.contains("://") || sf.path.startsWith("/")) sf.path
+        else new Path(tableDir, sf.path).toString)
+      val st = fs.getFileStatus(p)
+      if (sf.fileSizeInBytes >= 0 && st.getLen != sf.fileSizeInBytes)
+        throw new java.io.IOException(
+          s"iceberg: statistics file ${sf.path} is ${st.getLen} bytes; " +
+            s"metadata.json declared ${sf.fileSizeInBytes}")
+      val bytes = new Array[Byte](st.getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0L, bytes) finally in.close()
+      val footer = IcebergDv.readFooterRaw(bytes).getOrElse(
+        throw new java.io.IOException(
+          s"iceberg: statistics file ${sf.path} has no readable footer"))
+      val declaredNdv: Map[Seq[Long], String] = sf.blobs.collect {
+        case b if b.properties.contains("ndv") =>
+          b.fields -> b.properties("ndv")
+      }.toMap
+      footer.filter(_.blobType == BlobType).map { b =>
+        val sk = IcebergDv.readBlobBytes(fs, p, b.offset, b.length)
+          .flatMap(deserialize).getOrElse(
+            throw new java.io.IOException(
+              s"iceberg: statistics blob at ${sf.path}:${b.offset} is " +
+                "malformed or fails its CRC"))
+        val fid = b.fields.headOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"iceberg: statistics blob at ${sf.path}:${b.offset} names " +
+              "no field"))
+        val ndv = math.round(sk.estimate)
+        declaredNdv.get(b.fields).foreach { d =>
+          if (d != ndv.toString)
+            throw new java.io.IOException(
+              s"iceberg: metadata.json declares ndv=$d for field $fid " +
+                s"but the sketch in ${sf.path} estimates $ndv")
+        }
+        Row(idToName.getOrElse(fid, s"field-$fid"), fid, ndv, sk.k,
+          sf.snapshotId)
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), ndvSchema)
+  }
+
+  /** One registered statistics file (metadata.json side): the blob
+    * list here carries types/fields/properties only — placement lives
+    * in the puffin footer, per spec.
+    */
+  final case class StatsBlobMeta(blobType: String, fields: Seq[Long],
+                                 properties: Map[String, String])
+  final case class StatsFile(snapshotId: Long, path: String,
+                             fileSizeInBytes: Long, footerSizeInBytes: Long,
+                             blobs: Seq[StatsBlobMeta])
+
+  /** Parse the current metadata.json's `statistics` list (absent =
+    * empty — statistics are optional by spec).
+    */
+  def statisticsOf(spark: SparkSession, tableDir: String): Seq[StatsFile] = {
+    type JObj = scala.collection.mutable.LinkedHashMap[String, Any]
+    val file = IcebergMeta.currentMetadataFile(spark, tableDir)
+    val p = new Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val raw: java.io.InputStream = fs.open(p)
+    val in = if (p.getName.endsWith(".gz"))
+      new java.util.zip.GZIPInputStream(raw) else raw
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val root = graft.operators.Avro.parseJson(txt) match {
+      case Some(m: scala.collection.mutable.LinkedHashMap[_, _]) =>
+        m.asInstanceOf[JObj]
+      case _ => return Nil
+    }
+    def jLong(v: Any): Option[Long] = v match {
+      case l: java.lang.Long => Some(l.longValue)
+      case _                 => None
+    }
+    root.get("statistics") match {
+      case Some(a: scala.collection.mutable.ArrayBuffer[_]) =>
+        a.toSeq.collect {
+          case sm: scala.collection.mutable.LinkedHashMap[_, _] =>
+            val s = sm.asInstanceOf[JObj]
+            val blobs = s.get("blob-metadata") match {
+              case Some(ba: scala.collection.mutable.ArrayBuffer[_]) =>
+                ba.toSeq.collect {
+                  case bm: scala.collection.mutable.LinkedHashMap[_, _] =>
+                    val b = bm.asInstanceOf[JObj]
+                    StatsBlobMeta(
+                      b.get("type").collect { case t: String => t }
+                        .getOrElse(""),
+                      b.get("fields") match {
+                        case Some(fa: scala.collection.mutable.ArrayBuffer[_]) =>
+                          fa.toSeq.flatMap(jLong)
+                        case _ => Nil
+                      },
+                      b.get("properties") match {
+                        case Some(pm: scala.collection.mutable.LinkedHashMap[_, _]) =>
+                          pm.asInstanceOf[JObj].toSeq.collect {
+                            case (k, v: String) => k -> v
+                          }.toMap
+                        case _ => Map.empty[String, String]
+                      })
+                }
+              case _ => Nil
+            }
+            StatsFile(
+              s.get("snapshot-id").flatMap(jLong).getOrElse(-1L),
+              s.get("statistics-path").collect { case t: String => t }
+                .getOrElse(""),
+              s.get("file-size-in-bytes").flatMap(jLong).getOrElse(-1L),
+              s.get("file-footer-size-in-bytes").flatMap(jLong).getOrElse(-1L),
+              blobs)
+        }
+      case _ => Nil
+    }
+  }
+}

@@ -1200,6 +1200,83 @@ object IcebergWrite {
       formatVersion = math.max(2, tm.formatVersion))
   }
 
+  /** WRITE STATISTICS: build one NDV sketch per (atomic, id-carrying)
+    * column — or the named subset — in one distributed pass
+    * ([[IcebergStats.buildSketches]]), land them as a puffin file
+    * under `metadata/`, and commit a metadata.json whose `statistics`
+    * list registers it for the CURRENT snapshot (spec shape:
+    * snapshot-id, statistics-path, file sizes, blob-metadata with the
+    * `ndv` property; blob offsets live in the puffin footer). Any
+    * later table commit DROPS the registration — stale NDV is worse
+    * than none — so refresh after writing. Returns the new metadata
+    * version; read back with [[IcebergStats.ndvReport]].
+    */
+  def writeStats(spark: SparkSession, tableDir: String,
+                 k: Int = IcebergStats.DefaultK,
+                 columns: Option[Seq[String]] = None): Long = {
+    val fs = fileSystem(spark, tableDir)
+    val expectVersion = listMetadataVersions(fs, tableDir)
+      .maxOption.getOrElse(0L) + 1
+    val tm = IcebergMeta.readTableMeta(spark, tableDir)
+    val current = tm.currentSnapshotId.getOrElse(
+      throw new IllegalArgumentException(
+        s"iceberg-write: no current snapshot to sketch under $tableDir"))
+    val schemaFields = IcebergMeta.schemaFieldsOf(spark, tableDir, None)
+      .getOrElse(throw new IllegalArgumentException(
+        s"iceberg-write: metadata under $tableDir carries no schema"))
+    val fields = schemaFields.map(f =>
+      (f.id.getOrElse(throw new IllegalArgumentException(
+        s"iceberg-write: schema field ${f.name} has no field id")),
+        f.name, typeJsonOf(f), !f.required))
+    val idByName = fields.map(f => f._2 -> f._1).toMap
+    val df = IcebergMeta.readTable(spark, tableDir)
+    val atomic = df.schema.fields.collect {
+      case f if !f.dataType.isInstanceOf[StructType] &&
+        !f.dataType.isInstanceOf[ArrayType] &&
+        !f.dataType.isInstanceOf[MapType] => f.name
+    }.toSeq
+    val cols = columns.getOrElse(atomic)
+    cols.foreach { c =>
+      if (!atomic.contains(c)) throw new IllegalArgumentException(
+        s"iceberg-write: cannot sketch NDV for non-atomic column $c")
+      if (!idByName.contains(c)) throw new IllegalArgumentException(
+        s"iceberg-write: column $c has no field id to register stats under")
+    }
+    val sketches = IcebergStats.buildSketches(df, cols, k)
+    val lastSeq = tm.snapshots.flatMap(_.sequenceNumber).maxOption.getOrElse(0L)
+    val blobs = cols.map { c =>
+      IcebergDv.RawBlob(IcebergStats.BlobType, sketches(c).serialize,
+        Seq(idByName(c)), current, lastSeq,
+        Seq("ndv" -> math.round(sketches(c).estimate).toString))
+    }
+    val (bytes, offs) = IcebergDv.renderPuffinRaw(blobs)
+    val statsRel = s"metadata/stats-$current-v$expectVersion.puffin"
+    writeBytesAtomic(fs, new Path(tableDir, statsRel), bytes)
+    val footerSize = bytes.length.toLong -
+      offs.lastOption.map(o => o._1 + o._2).getOrElse(4L)
+    val blobMetaJson = cols.map { c =>
+      s"""{"type":${jstr(IcebergStats.BlobType)},""" +
+        s""""snapshot-id":$current,"sequence-number":$lastSeq,""" +
+        s""""fields":[${idByName(c)}],""" +
+        s""""properties":{"ndv":${jstr(
+          math.round(sketches(c).estimate).toString)}}}"""
+    }.mkString(",")
+    val statsJson =
+      s"""[{"snapshot-id":$current,"statistics-path":${jstr(statsRel)},""" +
+        s""""file-size-in-bytes":${bytes.length},""" +
+        s""""file-footer-size-in-bytes":$footerSize,""" +
+        s""""blob-metadata":[$blobMetaJson]}]"""
+    val snaps = tm.snapshots.map(s => snapJson(s.id, s.parentId,
+      s.sequenceNumber.getOrElse(0L), s.timestampMs,
+      s.operation.getOrElse("append"), s.manifestList))
+    writeMetadataJson(fs, tableDir, tm.uuid, fields, snaps,
+      logOf(tm), tm.refs, current, lastSeq,
+      System.currentTimeMillis(), expectVersion,
+      currentSpecJson(spark, tableDir),
+      formatVersion = math.max(2, tm.formatVersion),
+      statsJson = statsJson)
+  }
+
   // ------------------------------------------------------ maintenance
 
   /** EXPIRE SNAPSHOTS: commit a new metadata.json carrying only the
@@ -2179,7 +2256,8 @@ object IcebergWrite {
                                 currentSnapshotId: Long, lastSeq: Long,
                                 now: Long, expectVersion: Long,
                                 specJson: String = "[]",
-                                formatVersion: Int = 2): Long = {
+                                formatVersion: Int = 2,
+                                statsJson: String = "[]"): Long = {
     val metaDir = new Path(tableDir, "metadata")
     // a field's type renders as a JSON string for primitives; a STRUCT
     // type arrives as its raw nested-JSON form (leading '{') and embeds
@@ -2221,6 +2299,12 @@ object IcebergWrite {
         s""""last-partition-id":${999 + nSpecFields},""" +
         s""""current-snapshot-id":$currentSnapshotId,""" +
         s""""snapshot-log":$logJson,"refs":$refsJson,""" +
+        // statistics do NOT survive other commits: every write path
+        // except writeStats passes the default empty list, so a table
+        // change drops the now-stale NDV sketches rather than serving
+        // them for a snapshot they no longer describe (refresh with
+        // writeStats after writing)
+        s""""statistics":$statsJson,""" +
         s""""snapshots":[${snapsJson.mkString(",")}]}"""
     // the version was pinned when the operation READ the table: a
     // concurrent commit in between makes the exists-check fire loudly

@@ -489,6 +489,82 @@ class IcebergSpec extends SparkSpec {
       (10L, "x", Double.box(1.5), null), (11L, "y", Double.box(2.5), null)))
   }
 
+  test("struct with a list member: raw read serves matching names; a member rename fails loud") {
+    import org.apache.spark.sql.types._
+    // hand-built foreign table (our writer stays primitives-only by
+    // contract): struct `info` carries a LIST member, putting it
+    // outside the member-wise id projection — it is served RAW by
+    // physical names. Safe while schema and physical names agree; a
+    // member rename makes them disagree and the read must fail loud
+    // instead of silently presenting pre-rename names.
+    val dir = java.nio.file.Files.createTempDirectory("iceberglist").toString
+    val meta = java.nio.file.Paths.get(dir, "metadata")
+    java.nio.file.Files.createDirectories(meta)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, "data"))
+    def fid(i: Long) =
+      new MetadataBuilder().putLong("parquet.field.id", i).build()
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0L,
+          org.apache.spark.sql.Row("a", Seq("x", "y"))),
+        org.apache.spark.sql.Row(1L,
+          org.apache.spark.sql.Row("b", Seq("z")))), 1),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false, fid(1)),
+        StructField("info", StructType(Seq(
+          StructField("label", StringType, nullable = true, fid(3)),
+          StructField("tags", ArrayType(StringType), nullable = true,
+            fid(4)))), nullable = true, fid(2)))))
+    val tmp = java.nio.file.Files.createTempDirectory("icelist").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    java.nio.file.Files.move(part,
+      java.nio.file.Paths.get(dir, "data/f1.parquet"))
+    val mMeta = Seq("schema" -> "{}", "partition-spec" -> "[]",
+      "format-version" -> "2")
+    val m1 = meta.resolve("m1.avro")
+    java.nio.file.Files.write(m1, Avro.renderOcfGeneric(manifestEntrySchema,
+      Seq(entry(1, 7001L, 0, "data/f1.parquet", "a", 2, 1)),
+      extraMeta = mMeta))
+    val ml = meta.resolve("snap-7001.avro")
+    java.nio.file.Files.write(ml, Avro.renderOcfGeneric(
+      manifestListSchema(v2 = true), Seq(
+        manifestFileRow(v2 = true, m1.toString, java.nio.file.Files.size(m1),
+          0, 7001L, 1, 0, 0, 2L, 0L, 0L, seq = 1L))))
+    def metaJson(labelName: String): String =
+      s"""{"format-version":2,"table-uuid":"lst","location":"$dir",
+         |"current-schema-id":0,
+         |"schemas":[
+         | {"type":"struct","schema-id":0,"fields":[
+         |  {"id":1,"name":"id","required":true,"type":"long"},
+         |  {"id":2,"name":"info","required":false,"type":{"type":"struct","fields":[
+         |   {"id":3,"name":"$labelName","required":false,"type":"string"},
+         |   {"id":4,"name":"tags","required":false,"type":
+         |    {"type":"list","element-id":5,"element":"string","element-required":false}}]}}]}],
+         |"current-snapshot-id":7001,"snapshots":[
+         |{"snapshot-id":7001,"timestamp-ms":1,"summary":{"operation":"append"},
+         | "manifest-list":"$ml","schema-id":0}]}""".stripMargin
+    // control: names agree — the raw read serves the struct
+    java.nio.file.Files.write(meta.resolve("v1.metadata.json"),
+      metaJson("label").getBytes)
+    java.nio.file.Files.write(meta.resolve("version-hint.text"), "1".getBytes)
+    val got = IcebergMeta.readTable(spark, dir).orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    assert(got.map(_.getStruct(1).getString(0)).toSeq === Seq("a", "b"))
+    assert(got.map(_.getStruct(1).getSeq[String](1)).toSeq ===
+      Seq(Seq("x", "y"), Seq("z")))
+    // rename label → title in the schema (field id 3 unchanged): the
+    // file's physical name now disagrees and the read refuses
+    java.nio.file.Files.write(meta.resolve("v2.metadata.json"),
+      metaJson("title").getBytes)
+    java.nio.file.Files.write(meta.resolve("version-hint.text"), "2".getBytes)
+    val e = intercept[IllegalArgumentException](
+      IcebergMeta.readTable(spark, dir))
+    assert(e.getMessage.contains("outside the member-wise") &&
+      e.getMessage.contains("title") && e.getMessage.contains("label"))
+  }
+
   test("fails loud: no metadata, unknown snapshot, malformed manifest avro") {
     val empty = java.nio.file.Files.createTempDirectory("icebergempty").toString
     intercept[IllegalArgumentException](IcebergMeta.snapshots(spark, empty))

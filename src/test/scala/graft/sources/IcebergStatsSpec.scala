@@ -1,0 +1,131 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Puffin NDV statistics — [[IcebergStats]] (KMV sketch, decision
+  * record in the scaladoc + COVERAGE.md) and
+  * [[IcebergWrite.writeStats]]. The estimate is validated against
+  * EXACT distinct counts (the sketch never judges itself); the
+  * container round-trips through the generic puffin footer; corruption
+  * anywhere — blob bytes, declared sizes, declared ndv — fails loud.
+  */
+class IcebergStatsSpec extends SparkSpec {
+
+  import spark.implicits._
+  import IcebergStats._
+
+  private def freshDir(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(name)
+    java.nio.file.Files.delete(p)
+    p.toString
+  }
+
+  test("KMV math: exact under k; within documented error over it; merge law") {
+    val k = 256
+    // uniform 64-bit "hashes" from a fixed seed — the estimator's input
+    // contract (xxhash64 provides this in production)
+    val rnd = new scala.util.Random(7)
+    def sk(hashes: Seq[Long]): KmvSketch = {
+      val acc = hashes.foldLeft(KmvSketch(k, Array.empty)) { (s, h) =>
+        s.merge(KmvSketch(k, Array(h ^ Long.MinValue)))
+      }
+      acc
+    }
+    val small = Seq.fill(100)(rnd.nextLong()).distinct
+    assert(sk(small).estimate === small.length.toDouble) // exact under k
+    val big = Seq.fill(60000)(rnd.nextLong()).distinct
+    val est = sk(big).estimate
+    // RSE ~ 1/sqrt(k-2) ≈ 6.3% at k=256; assert within 4 sigma
+    assert(math.abs(est - big.length) / big.length < 4.0 / math.sqrt(k - 2),
+      s"estimate $est for ${big.length} distinct")
+    // duplicates change nothing
+    assert(sk(big ++ big.take(1000)).estimate === est)
+    // merge(A, B) == sketch(A ++ B), exactly (same min-set)
+    val (a, b) = big.splitAt(17000)
+    assert(sk(a).merge(sk(b)).mins.toSeq === sk(big).mins.toSeq)
+  }
+
+  test("serialize round-trips; corrupt bytes are refused") {
+    val s = KmvSketch(64, Array(-100L, -5L, 3L, 999L))
+    val bytes = s.serialize
+    val back = deserialize(bytes).get
+    assert(back.k === 64 && back.mins.toSeq === s.mins.toSeq)
+    assert(deserialize(bytes.take(10)).isEmpty)           // truncated
+    val wrongMagic = bytes.clone(); wrongMagic(0) = 'X'.toByte
+    assert(deserialize(wrongMagic).isEmpty)
+    val unsorted = KmvSketch(64, Array(5L, 3L)).serialize // violates order
+    assert(deserialize(unsorted).isEmpty)
+    assert(deserialize(bytes ++ Array[Byte](0)).isEmpty)  // length mismatch
+  }
+
+  test("writeStats end to end: spec-shaped registration, exact-validated report") {
+    val t = freshDir("icestats")
+    val n = 50000L
+    val df = (0L until n).map(i => (i, (i % 100).toInt, s"txt-${i % 7}"))
+      .toDF("id", "grp", "txt").coalesce(2)
+    IcebergWrite.createTable(spark, df, t)
+    val v = IcebergWrite.writeStats(spark, t)
+    assert(v === 2L)
+    // metadata registration is spec-shaped: path, sizes, blob-metadata
+    val stats = statisticsOf(spark, t)
+    assert(stats.length === 1)
+    val sf = stats.head
+    assert(sf.snapshotId === 1L && sf.path.startsWith("metadata/stats-"))
+    assert(sf.blobs.map(_.blobType).toSet === Set(BlobType))
+    assert(sf.blobs.flatMap(_.fields).sorted === Seq(1L, 2L, 3L))
+    val onDisk = java.nio.file.Files.size(
+      java.nio.file.Paths.get(t, sf.path))
+    assert(sf.fileSizeInBytes === onDisk && sf.footerSizeInBytes > 0)
+    // the report against EXACT distinct counts
+    val rep = IcebergStats.ndvReport(spark, t).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rep("grp") === 100L) // under k: exact
+    assert(rep("txt") === 7L)
+    val err = math.abs(rep("id") - n).toDouble / n
+    assert(err < 4.0 / math.sqrt(DefaultK - 2),
+      s"id ndv ${rep("id")} vs exact $n")
+    // a later commit DROPS the stale registration (documented contract)
+    IcebergWrite.append(spark,
+      Seq((n, 0, "late")).toDF("id", "grp", "txt").coalesce(1), t)
+    assert(statisticsOf(spark, t).isEmpty)
+    intercept[IllegalArgumentException](IcebergStats.ndvReport(spark, t))
+  }
+
+  test("SQL surface: lazy WRITE STATS; STATS report; K override") {
+    val t = freshDir("icestats_sql")
+    IcebergWrite.createTable(spark,
+      (0L until 5000L).map(i => (i, s"v-${i % 31}")).toDF("id", "v")
+        .coalesce(1), t)
+    val stmt = s"ICEBERG WRITE STATS AT '$t' K 512"
+    spark.sql(stmt).explain() // must not write
+    assert(statisticsOf(spark, t).isEmpty)
+    val rep = spark.sql(stmt).collect()
+    assert(rep.map(r => (r.getString(0), r.getInt(3))).toSet ===
+      Set(("id", 512), ("v", 512)))
+    val again = spark.sql(s"ICEBERG STATS AT '$t'").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(again("v") === 31L)
+  }
+
+  test("corruption fails loud: tampered blob, lying declared ndv") {
+    val t = freshDir("icestats_bad")
+    IcebergWrite.createTable(spark,
+      (0L until 1000L).map(i => (i, i % 10)).toDF("id", "m").coalesce(1), t)
+    IcebergWrite.writeStats(spark, t)
+    val rel = statisticsOf(spark, t).head.path
+    val p = java.nio.file.Paths.get(t, rel)
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    val tampered = bytes.clone()
+    tampered(30) = (tampered(30) ^ 0x11).toByte // inside a blob body
+    java.nio.file.Files.write(p, tampered)
+    intercept[java.io.IOException](IcebergStats.ndvReport(spark, t).collect())
+    java.nio.file.Files.write(p, bytes) // restore; now lie in metadata
+    val metaFile = java.nio.file.Paths.get(
+      new java.net.URI(IcebergMeta.currentMetadataFile(spark, t)).getPath)
+    val txt = new String(java.nio.file.Files.readAllBytes(metaFile), "UTF-8")
+    assert(txt.contains(""""ndv":"10""""))
+    java.nio.file.Files.write(metaFile,
+      txt.replace(""""ndv":"10"""", """"ndv":"11"""").getBytes("UTF-8"))
+    intercept[java.io.IOException](IcebergStats.ndvReport(spark, t).collect())
+  }
+}
