@@ -148,6 +148,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   //     (logical vs physical column names, mapping ids)
   private val DeltaSchemaStmt =
     """(?is)^\s*DELTA\s+SCHEMA\s+AT\s+'([^']+)'\s*;?\s*$""".r
+  //   DELTA CLUSTERING AT '<table>' — liquid-clustering recognition:
+  //     the delta.clustering domain's columns + protocol feature gate
+  private val DeltaClusteringStmt =
+    """(?is)^\s*DELTA\s+CLUSTERING\s+AT\s+'([^']+)'\s*;?\s*$""".r
   //   READ DELTA AT '<table>' [AS OF <v>] [WHERE <pred>] — the TABLE
   //     itself: live files + deletion vectors applied + column mapping
   //     unwound; WHERE routes through the stats pruner (data skipping)
@@ -393,6 +397,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       graft.sources.DeltaLog.history(session, path).queryExecution.logical
     case DeltaSchemaStmt(path) =>
       graft.sources.DeltaLog.schemaReport(session, path).queryExecution.logical
+    case DeltaClusteringStmt(path) =>
+      graft.sources.DeltaLog.clusteringReport(session, path)
+        .queryExecution.logical
     case ReadDeltaStmt(path, tsOpt, asOfOpt, whereOpt) =>
       // AS OF TIMESTAMP resolves to the newest commit at or before the
       // instant ('yyyy-MM-dd HH:mm:ss[.fff]' local, or ISO-8601 with zone)

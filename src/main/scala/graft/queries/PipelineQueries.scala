@@ -4902,6 +4902,38 @@ object PipelineQueries extends QuerySet {
       exact
     }),
 
+    // LIQUID CLUSTERING metadata (Delta PROTOCOL.md "Clustered Table"
+    // via "Domain Metadata"): clusterBy records the clustering columns
+    // under the delta.clustering domain, gated by the clusteredTable +
+    // domainMetadata writer features, and the report reads them back —
+    // HERE from a checkpoint alone (every pre-checkpoint JSON commit
+    // expired), proving domain metadata survives checkpointing. The
+    // physical clustering story stays Z-order (q294, COVERAGE.md
+    // decision); this is the metadata contract a foreign
+    // clustered-table reader/writer keys on. The report's
+    // writer_feature_present=true IS the protocol-gate pin.
+    "q331_delta_clustering" -> ((s, dir) => {
+      val t = freshTmpDir("delta_liquid")
+      val cust = graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      graft.sources.DeltaWrite.createTable(
+        s, cust.where(col("c_custkey") % 2 === 0), t)
+      graft.sources.DeltaWrite.clusterBy(
+        s, t, Seq("c_mktsegment", "c_custkey"))
+      val cpv = graft.sources.DeltaWrite.checkpoint(s, t)
+      graft.sources.DeltaWrite.append(
+        s, cust.where(col("c_custkey") % 2 === 1), t)
+      // expire the pre-checkpoint log: the domain must replay from the
+      // checkpoint, the rows from checkpoint + JSON tail
+      (0L to cpv).foreach { v =>
+        java.nio.file.Files.delete(
+          java.nio.file.Paths.get(t, "_delta_log", f"$v%020d.json"))
+      }
+      require(graft.sources.DeltaLog.readTable(s, t).count() ==
+        cust.count(), "cleaned-log table must still serve every row")
+      s.sql(s"DELTA CLUSTERING AT '$t'").orderBy("position")
+    }),
+
     // the Iceberg schema report (DELTA SCHEMA's twin, via the ICEBERG
     // SCHEMA statement): Iceberg's stable FIELD IDS — its answer to
     // Delta's column mapping — plus rendered nested types, straight
@@ -6330,6 +6362,14 @@ object PipelineQueries extends QuerySet {
         |CAST(count(DISTINCT c_nationkey) AS BIGINT) AS nd_nationkey,
         |CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS nd_mktsegment
         |FROM customer""".stripMargin,
+    // every value restated from the declared clustering: two columns in
+    // declared order, the protocol gate present
+    "q331_delta_clustering" ->
+      """SELECT * FROM (VALUES
+        |  (0, 'c_mktsegment', true),
+        |  (1, 'c_custkey', true))
+        |AS t("position", "column", writer_feature_present)
+        |ORDER BY "position"""".stripMargin,
     "q308_delta_time_travel_ts" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey IN (0, 1) ORDER BY n_nationkey""".stripMargin,

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -118,7 +118,14 @@ object DeltaLog {
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
-      StructField("dataChange", BooleanType))))))
+      StructField("dataChange", BooleanType)))),
+    // Domain metadata (PROTOCOL.md "Domain Metadata"): named
+    // configuration domains riding the log — liquid clustering records
+    // its columns under domain `delta.clustering`
+    StructField("domainMetadata", StructType(Seq(
+      StructField("domain", StringType),
+      StructField("configuration", StringType),
+      StructField("removed", BooleanType))))))
 
   private val CommitName = "([0-9]{20})\\.json".r
 
@@ -280,7 +287,8 @@ object DeltaLog {
       // never reach file reconciliation
       def linesOf(paths: Seq[String]): DataFrame = {
         val raw = spark.read.parquet(paths: _*)
-        val keep = Seq("add", "remove", "metaData", "protocol", "commitInfo", "txn")
+        val keep = Seq("add", "remove", "metaData", "protocol", "commitInfo",
+          "txn", "domainMetadata")
           .filter(raw.columns.contains(_))
         raw.select(org.apache.spark.sql.functions.to_json(
             org.apache.spark.sql.functions.struct(keep.map(col): _*)).as("line"))
@@ -371,7 +379,8 @@ object DeltaLog {
         col("a.add").as("add"), col("a.remove").as("remove"),
         col("a.metaData").as("metaData"), col("a.protocol").as("protocol"),
         col("a.commitInfo").as("commitInfo"), col("a.txn").as("txn"),
-        col("a.cdc").as("cdc"))
+        col("a.cdc").as("cdc"),
+        col("a.domainMetadata").as("domainMetadata"))
 
   /** The live file set at `asOf` (or the latest version): action
     * reconciliation — last file action per path wins (a later add with
@@ -1244,5 +1253,67 @@ object DeltaLog {
       val parts = Option(m.getSeq[String](1)).getOrElse(Seq.empty)
       (m.getString(0), parts, p.getInt(0), p.getInt(1))
     }
+  }
+
+  val clusteringSchema: StructType = StructType(Seq(
+    StructField("position", IntegerType, nullable = false),
+    StructField("column", StringType, nullable = false),
+    StructField("writer_feature_present", BooleanType, nullable = false)))
+
+  /** LIQUID CLUSTERING recognition (read-side; this writer's own
+    * clustering story stays Z-order via [[DeltaOptimize]]): the
+    * clustering columns a `clusteredTable` writer recorded, resolved
+    * from the log's `delta.clustering` DOMAIN METADATA action
+    * (latest-wins; a `removed` domain clears it) — the configuration's
+    * `clusteringColumns` is an array of physical-name paths, flattened
+    * here with '.'. One row per clustering column with whether the
+    * protocol actually gates the feature (`writerFeatures` contains
+    * `clusteredTable`); EMPTY = the table is not liquid-clustered.
+    * Log-sized cost; checkpointed domain metadata replays too.
+    */
+  def clusteringReport(spark: SparkSession, tableDir: String,
+                       asOf: Option[Long] = None): DataFrame = {
+    val acts = actions(spark, tableDir, asOf)
+    val lastDomain = acts
+      .where(col("domainMetadata.domain") === "delta.clustering")
+      .orderBy(col("version").desc, col("ordinal").desc)
+      .select(col("domainMetadata.configuration"),
+        coalesce(col("domainMetadata.removed"), lit(false)))
+      .limit(1).collect().headOption
+    val featurePresent = acts
+      .where(col("protocol.writerFeatures").isNotNull)
+      .orderBy(col("version").desc, col("ordinal").desc)
+      .select("protocol.writerFeatures")
+      .limit(1).collect().headOption
+      .exists(_.getSeq[String](0).contains("clusteredTable"))
+    val cols: Seq[String] = lastDomain match {
+      case Some(r) if !r.getBoolean(1) && !r.isNullAt(0) =>
+        type JObj = scala.collection.mutable.LinkedHashMap[String, Any]
+        val conf = graft.operators.Avro.parseJson(r.getString(0)) match {
+          case Some(m: scala.collection.mutable.LinkedHashMap[_, _]) =>
+            m.asInstanceOf[JObj]
+          case _ => throw new IllegalArgumentException(
+            s"deltalog: delta.clustering domain metadata at $tableDir " +
+              s"carries unparseable configuration: ${r.getString(0)}")
+        }
+        conf.get("clusteringColumns") match {
+          case Some(a: scala.collection.mutable.ArrayBuffer[_]) =>
+            a.toSeq.map {
+              case path: scala.collection.mutable.ArrayBuffer[_] =>
+                path.toSeq.collect { case s: String => s }.mkString(".")
+              case s: String => s // tolerated flat spelling
+              case other => throw new IllegalArgumentException(
+                s"deltalog: malformed clusteringColumns entry $other")
+            }
+          case _ => throw new IllegalArgumentException(
+            s"deltalog: delta.clustering configuration at $tableDir " +
+              "has no clusteringColumns")
+        }
+      case _ => Nil
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        cols.zipWithIndex.map { case (c, i) => Row(i, c, featurePresent) }, 1),
+      clusteringSchema)
   }
 }

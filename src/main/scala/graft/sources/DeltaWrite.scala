@@ -1056,7 +1056,7 @@ object DeltaWrite {
     * "never wrote".
     */
   private def checkpointState(spark: SparkSession, tableDir: String, v: Long)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val acts = DeltaLog.actions(spark, tableDir, Some(v))
     val w = Window
       .partitionBy(coalesce(col("add.path"), col("remove.path")))
@@ -1078,7 +1078,16 @@ object DeltaWrite {
       .withColumn("_rn", row_number().over(wTxn))
       .where(col("_rn") === 1)
       .select(col("txn"))
-    (liveAdds, lastMeta, lastProto, lastTxns)
+    // latest domain metadata per domain; removed domains' tombstones
+    // need not survive a checkpoint (protocol), so they drop here
+    val wDom = Window.partitionBy(col("domainMetadata.domain"))
+      .orderBy(col("version").desc, col("ordinal").desc)
+    val lastDomains = acts.where(col("domainMetadata.domain").isNotNull)
+      .withColumn("_rn", row_number().over(wDom))
+      .where(col("_rn") === 1 &&
+        !coalesce(col("domainMetadata.removed"), lit(false)))
+      .select(col("domainMetadata"))
+    (liveAdds, lastMeta, lastProto, lastTxns, lastDomains)
   }
 
   /** Spark-write a one-part parquet of `df` and move it to `target`
@@ -1111,19 +1120,21 @@ object DeltaWrite {
     val v = DeltaLog.listCommits(spark, tableDir).lastOption.map(_._1)
       .getOrElse(throw new IllegalArgumentException(
         s"deltawrite: no table at $tableDir"))
-    val (liveAdds, lastMeta, lastProto, lastTxns) =
+    val (liveAdds, lastMeta, lastProto, lastTxns, lastDomains) =
       checkpointState(spark, tableDir, v)
     def nul(field: String) =
       lit(null).cast(DeltaLog.actionSchema(field).dataType).as(field)
     val state = liveAdds
       .select(col("add"), nul("remove"), nul("metaData"), nul("protocol"),
-        nul("txn"))
+        nul("txn"), nul("domainMetadata"))
       .unionByName(lastMeta.select(nul("add"), nul("remove"), col("metaData"),
-        nul("protocol"), nul("txn")))
+        nul("protocol"), nul("txn"), nul("domainMetadata")))
       .unionByName(lastProto.select(nul("add"), nul("remove"), nul("metaData"),
-        col("protocol"), nul("txn")))
+        col("protocol"), nul("txn"), nul("domainMetadata")))
       .unionByName(lastTxns.select(nul("add"), nul("remove"), nul("metaData"),
-        nul("protocol"), col("txn")))
+        nul("protocol"), col("txn"), nul("domainMetadata")))
+      .unionByName(lastDomains.select(nul("add"), nul("remove"),
+        nul("metaData"), nul("protocol"), nul("txn"), col("domainMetadata")))
     val logDir = new Path(tableDir, "_delta_log")
     val size = writeParquetTo(spark, fs, state,
       new Path(logDir, f"$v%020d.checkpoint.parquet"))
@@ -1162,7 +1173,7 @@ object DeltaWrite {
     val v = DeltaLog.listCommits(spark, tableDir).lastOption.map(_._1)
       .getOrElse(throw new IllegalArgumentException(
         s"deltawrite: no table at $tableDir"))
-    val (liveAdds, lastMeta, lastProto, lastTxns) =
+    val (liveAdds, lastMeta, lastProto, lastTxns, lastDomains) =
       checkpointState(spark, tableDir, v)
     val logDir = new Path(tableDir, "_delta_log")
     val scDir = new Path(logDir, "_sidecars")
@@ -1202,19 +1213,25 @@ object DeltaWrite {
         spark.sparkContext.parallelize(scRows, 1),
         StructType(Seq(StructField("sidecar", sidecarType))))
       .select(nul("metaData"), nul("protocol"), nul("txn"),
+        nul("domainMetadata"),
         nulT(cpMetaType, "checkpointMetadata"), col("sidecar"))
     val cpMetaDf = spark.range(1)
       .select(nul("metaData"), nul("protocol"), nul("txn"),
+        nul("domainMetadata"),
         struct(lit(v).as("version")).as("checkpointMetadata"),
         nulT(sidecarType, "sidecar"))
     val main = lastMeta.select(col("metaData"), nul("protocol"), nul("txn"),
+        nul("domainMetadata"),
         nulT(cpMetaType, "checkpointMetadata"), nulT(sidecarType, "sidecar"))
       .unionByName(lastProto.select(nul("metaData"), col("protocol"),
-        nul("txn"), nulT(cpMetaType, "checkpointMetadata"),
-        nulT(sidecarType, "sidecar")))
+        nul("txn"), nul("domainMetadata"),
+        nulT(cpMetaType, "checkpointMetadata"), nulT(sidecarType, "sidecar")))
       .unionByName(lastTxns.select(nul("metaData"), nul("protocol"),
-        col("txn"), nulT(cpMetaType, "checkpointMetadata"),
-        nulT(sidecarType, "sidecar")))
+        col("txn"), nul("domainMetadata"),
+        nulT(cpMetaType, "checkpointMetadata"), nulT(sidecarType, "sidecar")))
+      .unionByName(lastDomains.select(nul("metaData"), nul("protocol"),
+        nul("txn"), col("domainMetadata"),
+        nulT(cpMetaType, "checkpointMetadata"), nulT(sidecarType, "sidecar")))
       .unionByName(cpMetaDf)
       .unionByName(scDf)
     val mainName = f"$v%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"
@@ -1230,6 +1247,60 @@ object DeltaWrite {
     }.sum
     writeAtomic(fs, new Path(logDir, "_last_checkpoint"),
       s"""{"version":$v,"size":${mainRows + sidecarRows}}""", overwrite = true)
+    v
+  }
+
+  /** LIQUID CLUSTERING declaration (PROTOCOL.md "Clustered Table" +
+    * "Domain Metadata"): records `cols` as the table's clustering
+    * columns under the `delta.clustering` domain, gated by the
+    * `clusteredTable` + `domainMetadata` writer features (one protocol
+    * upgrade commit line when the table lacks them). This writer's
+    * physical clustering story remains Z-order ([[optimize]]'s
+    * `zorderBy` — COVERAGE.md records the decision); what `clusterBy`
+    * provides is the METADATA contract a foreign clustered-table
+    * reader/writer keys on, and what [[DeltaLog.clusteringReport]]
+    * reads back. `cols` are physical-name paths (dotted for nested);
+    * EMPTY `cols` writes the `removed` tombstone — the table stops
+    * being liquid-clustered. Metadata-cost: one JSON commit, no data
+    * files touched. Returns the committed version.
+    */
+  def clusterBy(spark: SparkSession, tableDir: String,
+                cols: Seq[String]): Long = {
+    val fs = fileSystem(spark, tableDir)
+    val (r, w, rf, wf) = DeltaLog.protocolOf(spark, tableDir)
+    val have = if (w >= 7) wf else legacyWriterFeatures(w)
+    val needed = Seq("clusteredTable", "domainMetadata")
+      .filterNot(have.contains)
+    val protoLine =
+      if (needed.isEmpty || cols.isEmpty) None
+      else {
+        val newWf = (have ++ needed).distinct.sorted
+        val rfJson =
+          if (r >= 3)
+            s""","readerFeatures":${rf.map(jstr).mkString("[", ",", "]")}"""
+          else ""
+        Some(s"""{"protocol":{"minReaderVersion":${math.max(r, 1)}""" +
+          s""","minWriterVersion":7$rfJson""" +
+          s""","writerFeatures":${newWf.map(jstr).mkString("[", ",", "]")}}}""")
+      }
+    val domLine =
+      if (cols.isEmpty)
+        """{"domainMetadata":{"domain":"delta.clustering","configuration":"{}","removed":true}}"""
+      else {
+        // array-of-paths spelling: each clustering column is a physical
+        // name path (["a","b"] = nested member a.b)
+        val arr = cols.map(_.split('.').toSeq.map(jstr)
+          .mkString("[", ",", "]")).mkString("[", ",", "]")
+        val conf = s"""{"clusteringColumns":$arr}"""
+        s"""{"domainMetadata":{"domain":"delta.clustering",""" +
+          s""""configuration":${jstr(conf)},"removed":false}}"""
+      }
+    val v = nextVersion(spark, tableDir)
+    val now = System.currentTimeMillis()
+    val op = if (cols.isEmpty) "UNCLUSTER" else "CLUSTER BY"
+    commitAtomic(fs, tableDir, v,
+      Seq(s"""{"commitInfo":{"timestamp":$now,"operation":${jstr(op)}}}""") ++
+        protoLine ++ Seq(domLine))
     v
   }
 

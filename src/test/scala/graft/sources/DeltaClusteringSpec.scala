@@ -1,0 +1,110 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Liquid-clustering metadata contract: [[DeltaWrite.clusterBy]]
+  * records the `delta.clustering` domain (gated by the
+  * `clusteredTable`/`domainMetadata` writer features) and
+  * [[DeltaLog.clusteringReport]] reads it back — latest domain wins, a
+  * `removed` tombstone clears it, and the domain survives BOTH
+  * checkpoint formats over a cleaned log. A foreign table that carries
+  * the domain without the feature gate is reported with
+  * `writer_feature_present = false`, never invented.
+  */
+class DeltaClusteringSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(name)
+    java.nio.file.Files.delete(p)
+    p.toString
+  }
+
+  private def mkTable(name: String): String = {
+    import spark.implicits._
+    val t = freshDir(name)
+    DeltaWrite.createTable(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "txt"), t)
+    t
+  }
+
+  private def report(t: String): Seq[(Int, String, Boolean)] =
+    DeltaLog.clusteringReport(spark, t).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getBoolean(2))).toSeq
+
+  test("clusterBy records columns + feature gate; latest domain wins") {
+    val t = mkTable("deltaclu_rt")
+    assert(report(t) === Nil) // not clustered yet
+    DeltaWrite.clusterBy(spark, t, Seq("txt", "id"))
+    assert(report(t) ===
+      Seq((0, "txt", true), (1, "id", true)))
+    // protocol really carries both gating features
+    val (_, w, _, wf) = DeltaLog.protocolOf(spark, t)
+    assert(w === 7)
+    assert(wf.contains("clusteredTable") && wf.contains("domainMetadata"))
+    // re-cluster: latest domain metadata wins, dotted paths round-trip
+    // through the array-of-paths spelling
+    DeltaWrite.clusterBy(spark, t, Seq("id"))
+    assert(report(t) === Seq((0, "id", true)))
+    // the table stays readable by the ordinary reader
+    assert(DeltaLog.readTable(spark, t).count() === 3L)
+  }
+
+  test("removed tombstone clears clustering") {
+    val t = mkTable("deltaclu_rm")
+    DeltaWrite.clusterBy(spark, t, Seq("id"))
+    assert(report(t).map(_._2) === Seq("id"))
+    DeltaWrite.clusterBy(spark, t, Nil) // UNCLUSTER
+    assert(report(t) === Nil)
+  }
+
+  test("domain survives classic AND v2 checkpoints over a cleaned log") {
+    import spark.implicits._
+    for (v2 <- Seq(false, true)) {
+      val t = mkTable(if (v2) "deltaclu_cp2" else "deltaclu_cp1")
+      DeltaWrite.clusterBy(spark, t, Seq("txt"))
+      val cpv =
+        if (v2) DeltaWrite.checkpointV2(spark, t)
+        else DeltaWrite.checkpoint(spark, t)
+      DeltaWrite.append(spark, Seq((4L, "d")).toDF("id", "txt"), t)
+      // expire every pre-checkpoint commit: the domain must now come
+      // from the checkpoint alone
+      (0L to cpv).foreach { v =>
+        java.nio.file.Files.delete(
+          java.nio.file.Paths.get(t, "_delta_log", f"$v%020d.json"))
+      }
+      assert(report(t) === Seq((0, "txt", true)),
+        s"v2=$v2: clustering domain lost by the checkpoint")
+      assert(DeltaLog.readTable(spark, t).count() === 4L)
+    }
+  }
+
+  test("foreign domain without the feature gate reports false; malformed fails loud") {
+    val t = mkTable("deltaclu_foreign")
+    // a foreign writer's commit: domain metadata present, protocol left
+    // at the legacy (1,2) — recognition must not invent the feature
+    val line = """{"domainMetadata":{"domain":"delta.clustering",""" +
+      """"configuration":"{\"clusteringColumns\":[[\"txt\"]]}",""" +
+      """"removed":false}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_delta_log", f"${1L}%020d.json"),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(report(t) === Seq((0, "txt", false)))
+    // malformed configuration is an error, not an empty report
+    val bad = mkTable("deltaclu_bad")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(bad, "_delta_log", f"${1L}%020d.json"),
+      ("""{"domainMetadata":{"domain":"delta.clustering",""" +
+        """"configuration":"{\"other\":1}","removed":false}}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    intercept[IllegalArgumentException](report(bad))
+  }
+
+  test("SQL: DELTA CLUSTERING AT reports through the statement surface") {
+    val t = mkTable("deltaclu_sql")
+    DeltaWrite.clusterBy(spark, t, Seq("txt", "id"))
+    val got = spark.sql(s"DELTA CLUSTERING AT '$t'")
+      .orderBy("position").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(got === Seq((0, "txt", true), (1, "id", true)))
+  }
+}
