@@ -152,6 +152,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   //     the delta.clustering domain's columns + protocol feature gate
   private val DeltaClusteringStmt =
     """(?is)^\s*DELTA\s+CLUSTERING\s+AT\s+'([^']+)'\s*;?\s*$""".r
+  //   DELTA CLUSTER HEALTH AT '<table>' — per declared clustering
+  //     column, the stats-interval overlap of the live files (what
+  //     OPTIMIZE consults before/after re-clustering)
+  private val DeltaClusterHealthStmt =
+    """(?is)^\s*DELTA\s+CLUSTER\s+HEALTH\s+AT\s+'([^']+)'\s*;?\s*$""".r
   //   READ DELTA AT '<table>' [AS OF <v>] [WHERE <pred>] — the TABLE
   //     itself: live files + deletion vectors applied + column mapping
   //     unwound; WHERE routes through the stats pruner (data skipping)
@@ -399,6 +404,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       graft.sources.DeltaLog.schemaReport(session, path).queryExecution.logical
     case DeltaClusteringStmt(path) =>
       graft.sources.DeltaLog.clusteringReport(session, path)
+        .queryExecution.logical
+    case DeltaClusterHealthStmt(path) =>
+      graft.sources.DeltaLog.clusterHealth(session, path)
         .queryExecution.logical
     case ReadDeltaStmt(path, tsOpt, asOfOpt, whereOpt) =>
       // AS OF TIMESTAMP resolves to the newest commit at or before the

@@ -4934,6 +4934,42 @@ object PipelineQueries extends QuerySet {
       s.sql(s"DELTA CLUSTERING AT '$t'").orderBy("position")
     }),
 
+    // CLUSTER HEALTH (what OPTIMIZE consults on a liquid-clustered
+    // table): four interleaved files (keys ≡ i mod 4 — every file
+    // spans the whole range BY CONSTRUCTION, all 6 pairs overlap at
+    // depth 4, the in-query pin) declared clustered on c_custkey;
+    // OPTIMIZE ZORDER on the DECLARED column restores disjoint
+    // stats ranges — overlapping_pairs 0 / depth 1, the oracled
+    // report. Health is an O(n log n) sweep over the metadata-sized
+    // live list; no data read.
+    "q332_delta_cluster_health" -> ((s, dir) => {
+      val t = freshTmpDir("delta_health")
+      val cust = graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.sources.DeltaWrite.createTable(
+        s, cust.where(col("c_custkey") % 4 === 0).coalesce(1), t)
+      (1 to 3).foreach { m =>
+        graft.sources.DeltaWrite.append(
+          s, cust.where(col("c_custkey") % 4 === m).coalesce(1), t)
+      }
+      graft.sources.DeltaWrite.clusterBy(s, t, Seq("c_custkey"))
+      val before = graft.sources.DeltaLog.clusterHealth(s, t).head
+      require(before.getLong(2) == 4L && before.getLong(4) == 6L &&
+        before.getLong(5) == 4L,
+        s"interleaved 4-file layout must read fully overlapped: $before")
+      graft.sources.DeltaOptimize.zorder(s, t, Seq("c_custkey"),
+        numFiles = 4)
+      val h = s.sql(s"DELTA CLUSTER HEALTH AT '$t'")
+      // n_files is range-partitioner-dependent at tiny SF; the HEALTH
+      // verdict is not — pin files_with_stats covers every file, and
+      // oracle the overlap verdict itself
+      require(h.where(col("n_files") =!= col("files_with_stats"))
+        .isEmpty, "every zordered file must carry c_custkey stats")
+      h.select(col("position"), col("column"),
+        col("overlapping_pairs"), col("max_overlap_depth"))
+        .orderBy("position")
+    }),
+
     // the Iceberg schema report (DELTA SCHEMA's twin, via the ICEBERG
     // SCHEMA statement): Iceberg's stable FIELD IDS — its answer to
     // Delta's column mapping — plus rendered nested types, straight
@@ -6369,6 +6405,12 @@ object PipelineQueries extends QuerySet {
         |  (0, 'c_mktsegment', true),
         |  (1, 'c_custkey', true))
         |AS t("position", "column", writer_feature_present)
+        |ORDER BY "position"""".stripMargin,
+    // the post-zorder health verdict: disjoint ranges by construction
+    "q332_delta_cluster_health" ->
+      """SELECT * FROM (VALUES
+        |  (0, 'c_custkey', CAST(0 AS BIGINT), CAST(1 AS BIGINT)))
+        |AS t("position", "column", overlapping_pairs, max_overlap_depth)
         |ORDER BY "position"""".stripMargin,
     "q308_delta_time_travel_ts" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation

@@ -1316,4 +1316,97 @@ object DeltaLog {
         cols.zipWithIndex.map { case (c, i) => Row(i, c, featurePresent) }, 1),
       clusteringSchema)
   }
+
+  val clusterHealthSchema: StructType = StructType(Seq(
+    StructField("position", IntegerType, nullable = false),
+    StructField("column", StringType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("files_with_stats", LongType, nullable = false),
+    StructField("overlapping_pairs", LongType, nullable = false),
+    StructField("max_overlap_depth", LongType, nullable = false)))
+
+  /** CLUSTER HEALTH: how well the current file layout serves the
+    * DECLARED clustering columns ([[clusteringReport]]) — the report
+    * OPTIMIZE consults before/after re-clustering. Per clustering
+    * column, from the per-file min/max stats of the metadata-sized
+    * live list (no data read): `overlapping_pairs` = file pairs whose
+    * [min,max] intervals overlap (a point predicate on the column may
+    * have to open both), `max_overlap_depth` = the largest number of
+    * files any single value can hit. A perfectly clustered layout
+    * reads (0, 1); every overlap is a file data skipping cannot prune.
+    * Computed by an O(n log n) sweep over the sorted intervals —
+    * driver cost is the live-file COUNT, the same bound as the
+    * planner's path list, never pairwise materialization. Files
+    * without stats for the column are excluded from the sweep and
+    * accounted in `files_with_stats` (they can never be pruned, so a
+    * low count is itself a health signal); partition clustering
+    * columns take their exact directory value as a [v,v] interval.
+    * EMPTY = the table is not liquid-clustered.
+    */
+  def clusterHealth(spark: SparkSession, tableDir: String,
+                    asOf: Option[Long] = None): DataFrame = {
+    val declared = clusteringReport(spark, tableDir, asOf).collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    if (declared.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], clusterHealthSchema)
+    val (schema, partCols, mode, mapping) = tableState(spark, tableDir, asOf)
+    val rows = declared.map { case (pos, name) =>
+      val field = schema.fields.find(_.name == name)
+      // interval per live file, as a sortable key: numeric/date/
+      // timestamp on the double line, strings lexically (stats bounds
+      // are same-length-truncation safe for overlap: a widened max
+      // only ADDS overlap, never hides one — conservative direction)
+      def key(v: Any): Option[Either[Double, String]] = v match {
+        case null => None
+        case n: java.lang.Number => Some(Left(n.doubleValue()))
+        case d: java.sql.Date => Some(Left(d.getTime.toDouble))
+        case t: java.sql.Timestamp => Some(Left(t.getTime.toDouble))
+        case b: java.lang.Boolean => Some(Left(if (b) 1.0 else 0.0))
+        case s: String => Some(Right(s))
+        case _ => None
+      }
+      val bounds: Seq[(Any, Any)] = field match {
+        case Some(f) if partCols.contains(name) =>
+          // directory value: exact, typed through the declared type
+          mapping.select(col(s"_part_$name").cast(f.dataType))
+            .collect().map(r => (r.get(0), r.get(0))).toSeq
+        case Some(f) if DeltaStats.supported(f.dataType) =>
+          val phys = physicalName(mode, f)
+          mapping.select(col("_st.minValues").getField(phys),
+              col("_st.maxValues").getField(phys))
+            .collect().map(r => (r.get(0), r.get(1))).toSeq
+        case _ =>
+          // nested path or statless type: every file is unprunable
+          Seq.fill(mapping.count().toInt)((null, null))
+      }
+      val intervals = bounds.flatMap { case (lo, hi) =>
+        for (l <- key(lo); h <- key(hi)) yield (l, h)
+      }
+      implicit val ord: Ordering[Either[Double, String]] =
+        Ordering.fromLessThan {
+          case (Left(a), Left(b))   => a < b
+          case (Right(a), Right(b)) => a < b
+          case (a, b) => a.isLeft && b.isRight // mixed never happens in-column
+        }
+      // sweep: sorted by interval start; active = min-heap of open ends.
+      // Each interval overlaps exactly the intervals still active when
+      // it starts — summing that count visits every overlapping pair
+      // once; the active size is the depth.
+      val active = scala.collection.mutable.PriorityQueue
+        .empty[Either[Double, String]](ord.reverse)
+      var pairs = 0L
+      var depth = 0L
+      intervals.sortBy(_._1).foreach { case (lo, hi) =>
+        while (active.nonEmpty && ord.lt(active.head, lo)) active.dequeue()
+        pairs += active.size
+        active.enqueue(hi)
+        if (active.size > depth) depth = active.size.toLong
+      }
+      Row(pos, name, bounds.length.toLong, intervals.length.toLong,
+        pairs, depth)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), clusterHealthSchema)
+  }
 }

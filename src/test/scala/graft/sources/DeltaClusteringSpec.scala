@@ -1,5 +1,7 @@
 package graft.sources
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 /** Liquid-clustering metadata contract: [[DeltaWrite.clusterBy]]
@@ -97,6 +99,70 @@ class DeltaClusteringSpec extends SparkSpec {
         """"configuration":"{\"other\":1}","removed":false}}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     intercept[IllegalArgumentException](report(bad))
+  }
+
+  private def health(t: String): Seq[(String, Long, Long, Long, Long)] =
+    DeltaLog.clusterHealth(spark, t).orderBy("position").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+
+  test("clusterHealth: interleaved files fully overlap; zorder restores disjoint ranges") {
+    import spark.implicits._
+    val t = freshDir("deltaclu_health")
+    // four files, each holding ids ≡ i (mod 4): every file spans nearly
+    // the whole id range, so ALL 6 pairs overlap at depth 4 — the
+    // worst-case layout for data skipping, BY CONSTRUCTION
+    val df = (0L until 64L).map(i => (i, s"r$i")).toDF("id", "txt")
+    DeltaWrite.createTable(spark, df.where("id % 4 = 0").coalesce(1), t)
+    (1 to 3).foreach { m =>
+      DeltaWrite.append(spark, df.where(s"id % 4 = $m").coalesce(1), t)
+    }
+    assert(health(t) === Nil) // not clustered: nothing to measure
+    DeltaWrite.clusterBy(spark, t, Seq("id"))
+    assert(health(t) === Seq(("id", 4L, 4L, 6L, 4L)))
+    // OPTIMIZE ZORDER on the DECLARED column: ranges become disjoint,
+    // the report reads perfectly clustered
+    DeltaOptimize.zorder(spark, t, Seq("id"), numFiles = 4)
+    assert(health(t) === Seq(("id", 4L, 4L, 0L, 1L)))
+    // the statement surface agrees
+    val viaSql = spark.sql(s"DELTA CLUSTER HEALTH AT '$t'").collect()
+    assert(viaSql.map(_.getLong(4)).toSeq === Seq(0L))
+  }
+
+  test("clusterHealth: string column lexical sweep + multi-column positions") {
+    import spark.implicits._
+    val t = freshDir("deltaclu_health_str")
+    // file 1: a..m with even ids, file 2: n..z with odd ids — txt
+    // ranges disjoint lexically, id ranges interleaved
+    val f1 = ('a' to 'm').zipWithIndex.map { case (c, i) =>
+      (2L * i, c.toString)
+    }
+    val f2 = ('n' to 'z').zipWithIndex.map { case (c, i) =>
+      (2L * i + 1, c.toString)
+    }
+    DeltaWrite.createTable(spark, f1.toDF("id", "txt").coalesce(1), t)
+    DeltaWrite.append(spark, f2.toDF("id", "txt").coalesce(1), t)
+    DeltaWrite.clusterBy(spark, t, Seq("txt", "id"))
+    assert(health(t) === Seq(
+      ("txt", 2L, 2L, 0L, 1L),   // disjoint lexical ranges
+      ("id", 2L, 2L, 1L, 2L)))   // both files span the id range
+  }
+
+  test("clusterHealth: partition clustering column uses exact directory values") {
+    import spark.implicits._
+    val t = freshDir("deltaclu_health_part")
+    val df = Seq((1L, "s0"), (2L, "s0"), (3L, "s1"), (4L, "s1"))
+      .toDF("id", "src")
+    DeltaWrite.createTable(spark, df.repartition(col("src")), t,
+      partitionBy = Seq("src"))
+    DeltaWrite.clusterBy(spark, t, Seq("src"))
+    val h = health(t)
+    assert(h.length === 1 && h.head._1 === "src")
+    val (_, n, withStats, pairs, depth) = h.head
+    assert(n === withStats)
+    // one directory per value: [v,v] intervals of distinct values
+    // never overlap
+    assert(pairs === 0L && depth >= 1L)
   }
 
   test("SQL: DELTA CLUSTERING AT reports through the statement surface") {
