@@ -651,6 +651,28 @@ object ParquetFooter {
     out.result()
   }
 
+  /** Each top-level column's parquet PHYSICAL type code (-1 for group
+    * nodes) — the footer fact a multi-file batched read must agree on
+    * before sharing one scan (same walk as [[topLevelTree]]).
+    */
+  def topLevelTypes(schema: Seq[SchemaEl]): Map[String, Int] = {
+    if (schema.isEmpty) return Map.empty
+    val out = Map.newBuilder[String, Int]
+    val stack = scala.collection.mutable.Stack[Int](
+      schema.head.numChildren.getOrElse(0))
+    var i = 1
+    while (i < schema.length && stack.nonEmpty) {
+      val el = schema(i)
+      if (stack.length == 1) out += el.name -> el.typ.getOrElse(-1)
+      stack.push(stack.pop() - 1)
+      val kids = el.numChildren.getOrElse(0)
+      if (kids > 0) stack.push(kids)
+      while (stack.nonEmpty && stack.top == 0) stack.pop()
+      i += 1
+    }
+    out.result()
+  }
+
   // -------------------------------------------------- bloom filter (SBBF)
 
   /** xxHash64 (seed 0 unless given) per the public xxHash specification

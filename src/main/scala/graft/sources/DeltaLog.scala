@@ -1352,7 +1352,11 @@ object DeltaLog {
         spark.sparkContext.emptyRDD[Row], clusterHealthSchema)
     val (schema, partCols, mode, mapping) = tableState(spark, tableDir, asOf)
     val rows = declared.map { case (pos, name) =>
-      val field = schema.fields.find(_.name == name)
+      // the domain stores PHYSICAL column paths (what a column-mapped
+      // clustered-table writer records); resolve physically first,
+      // logically for unmapped tables where the two coincide
+      val field = schema.fields.find(f =>
+        physicalName(mode, f) == name || f.name == name)
       // interval per live file, as a sortable key: numeric/date/
       // timestamp on the double line, strings lexically (stats bounds
       // are same-length-truncation safe for overlap: a widened max
@@ -1367,9 +1371,9 @@ object DeltaLog {
         case _ => None
       }
       val bounds: Seq[(Any, Any)] = field match {
-        case Some(f) if partCols.contains(name) =>
+        case Some(f) if partCols.contains(f.name) =>
           // directory value: exact, typed through the declared type
-          mapping.select(col(s"_part_$name").cast(f.dataType))
+          mapping.select(col(s"_part_${f.name}").cast(f.dataType))
             .collect().map(r => (r.get(0), r.get(0))).toSeq
         case Some(f) if DeltaStats.supported(f.dataType) =>
           val phys = physicalName(mode, f)

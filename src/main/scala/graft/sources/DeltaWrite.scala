@@ -304,11 +304,19 @@ object DeltaWrite {
     */
   private[sources] def featureProtocolLine(spark: SparkSession,
       tableDir: String, readerFeat: Option[String],
-      writerFeat: String): Option[String] = {
+      writerFeat: String): Option[String] =
+    featureProtocolLineAll(spark, tableDir, readerFeat, Seq(writerFeat))
+
+  /** [[featureProtocolLine]] for SEVERAL writer features at once — one
+    * upgrade line instead of a commit per feature.
+    */
+  private[sources] def featureProtocolLineAll(spark: SparkSession,
+      tableDir: String, readerFeat: Option[String],
+      writerFeats: Seq[String]): Option[String] = {
     val (r, w, rf, wf) = DeltaLog.protocolOf(spark, tableDir)
-    val writerOk =
-      if (w >= 7) wf.contains(writerFeat)
-      else legacyWriterFeatures(w).contains(writerFeat)
+    val writerOk = writerFeats.forall { f =>
+      if (w >= 7) wf.contains(f) else legacyWriterFeatures(w).contains(f)
+    }
     val readerOk = readerFeat.forall { f =>
       if (r >= 3) rf.contains(f) else legacyReaderFeatures(r).contains(f)
     }
@@ -319,7 +327,7 @@ object DeltaWrite {
         ((if (r >= 3) rf else legacyReaderFeatures(r)) ++ readerFeat)
           .distinct.sorted
       val newWf =
-        ((if (w >= 7) wf else legacyWriterFeatures(w)) :+ writerFeat)
+        ((if (w >= 7) wf else legacyWriterFeatures(w)) ++ writerFeats)
           .distinct.sorted
       val rfJson =
         if (newR >= 3) s""","readerFeatures":${newRf.map(jstr).mkString("[", ",", "]")}"""
@@ -1267,22 +1275,19 @@ object DeltaWrite {
   def clusterBy(spark: SparkSession, tableDir: String,
                 cols: Seq[String]): Long = {
     val fs = fileSystem(spark, tableDir)
-    val (r, w, rf, wf) = DeltaLog.protocolOf(spark, tableDir)
-    val have = if (w >= 7) wf else legacyWriterFeatures(w)
-    val needed = Seq("clusteredTable", "domainMetadata")
-      .filterNot(have.contains)
-    val protoLine =
-      if (needed.isEmpty || cols.isEmpty) None
-      else {
-        val newWf = (have ++ needed).distinct.sorted
-        val rfJson =
-          if (r >= 3)
-            s""","readerFeatures":${rf.map(jstr).mkString("[", ",", "]")}"""
-          else ""
-        Some(s"""{"protocol":{"minReaderVersion":${math.max(r, 1)}""" +
-          s""","minWriterVersion":7$rfJson""" +
-          s""","writerFeatures":${newWf.map(jstr).mkString("[", ",", "]")}}}""")
-      }
+    if (cols.isEmpty &&
+        DeltaLog.clusteringReport(spark, tableDir).head(1).isEmpty)
+      // tombstoning a table that carries no clustering domain is a
+      // no-op — never a protocol upgrade for nothing
+      return DeltaLog.listCommits(spark, tableDir).lastOption.map(_._1)
+        .getOrElse(throw new IllegalArgumentException(
+          s"deltawrite: no table at $tableDir"))
+    // the tombstone is itself a domainMetadata action, so even
+    // UNCLUSTER needs that writer feature gated (the protocol's rule:
+    // never write an action the protocol does not authorize)
+    val protoLine = featureProtocolLineAll(spark, tableDir, None,
+      if (cols.isEmpty) Seq("domainMetadata")
+      else Seq("clusteredTable", "domainMetadata"))
     val domLine =
       if (cols.isEmpty)
         """{"domainMetadata":{"domain":"delta.clustering","configuration":"{}","removed":true}}"""

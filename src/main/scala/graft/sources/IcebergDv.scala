@@ -140,18 +140,41 @@ object IcebergDv {
         (m, b)
       } finally in.close()
       if (!java.util.Arrays.equals(magic, Magic)) return None
-      val len = ((buf(0) & 0xff) << 24) | ((buf(1) & 0xff) << 16) |
-        ((buf(2) & 0xff) << 8) | (buf(3) & 0xff)
-      if (len < 0 || len + 8 != size) return None
-      val data = java.util.Arrays.copyOfRange(buf, 4, 4 + len)
-      val crc = new java.util.zip.CRC32()
-      crc.update(data)
-      val want = ((buf(4 + len) & 0xffL) << 24) |
-        ((buf(5 + len) & 0xffL) << 16) |
-        ((buf(6 + len) & 0xffL) << 8) | (buf(7 + len) & 0xffL)
-      if ((crc.getValue & 0xffffffffL) != want) return None
-      Some(data)
+      decodeFrame(buf, size)
     } catch { case _: java.io.IOException => None }
+  }
+
+  /** The shared blob-frame validation (BE length + payload + BE crc32):
+    * None on any length or checksum lie.
+    */
+  private def decodeFrame(buf: Array[Byte], size: Long): Option[Array[Byte]] = {
+    val len = ((buf(0) & 0xff) << 24) | ((buf(1) & 0xff) << 16) |
+      ((buf(2) & 0xff) << 8) | (buf(3) & 0xff)
+    if (len < 0 || len + 8 != size) return None
+    val data = java.util.Arrays.copyOfRange(buf, 4, 4 + len)
+    val crc = new java.util.zip.CRC32()
+    crc.update(data)
+    val want = ((buf(4 + len) & 0xffL) << 24) |
+      ((buf(5 + len) & 0xffL) << 16) |
+      ((buf(6 + len) & 0xffL) << 8) | (buf(7 + len) & 0xffL)
+    if ((crc.getValue & 0xffffffffL) != want) return None
+    Some(data)
+  }
+
+  /** [[readBlobBytes]] over an ALREADY-READ puffin file — the stats
+    * reader holds the whole (small) file in memory for footer parsing,
+    * so its blob decode must not pay another open/stat/read round trip
+    * per blob. Same bound and frame validation.
+    */
+  def readBlobSlice(bytes: Array[Byte], offset: Long,
+                    size: Long): Option[Array[Byte]] = {
+    if (offset < 4 || size < 12) return None
+    if (offset + size > bytes.length.toLong - 12 ||
+        size > Int.MaxValue.toLong - 16) return None
+    if (!java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(bytes, 0, 4), Magic)) return None
+    decodeFrame(java.util.Arrays.copyOfRange(
+      bytes, offset.toInt, (offset + size).toInt), size)
   }
 
   /** One blob's footer self-description, generically. */

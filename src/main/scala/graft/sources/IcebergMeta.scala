@@ -868,7 +868,13 @@ object IcebergMeta {
     */
   private[sources] final case class FileCols(
       names: Seq[String], ids: Map[Int, String],
-      children: Map[String, (Seq[String], Map[Int, String])])
+      children: Map[String, (Seq[String], Map[Int, String])],
+      // top-level column -> parquet PHYSICAL type code (-1 for groups):
+      // batched multi-file reads must only share a spark.read with
+      // files of the SAME stored type — a promoted column (int->long)
+      // leaves older files at INT32, and one sampled footer schema
+      // applied across both blows up the vectorized reader
+      types: Map[String, Int])
 
   private[sources] def fileTree(spark: SparkSession, paths: Seq[String])
       : Map[String, FileCols] = {
@@ -889,7 +895,8 @@ object IcebergMeta {
         tree.collect { case (n, _, kids) if kids.nonEmpty =>
           n -> ((kids.map(_._1),
             kids.collect { case (kn, Some(kid)) => kid -> kn }.toMap))
-        }.toMap)
+        }.toMap,
+        graft.operators.ParquetFooter.topLevelTypes(meta.schema))
       p -> fc
     }.collect().toMap
   }
@@ -1605,7 +1612,7 @@ object IcebergMeta {
               "sequence number — the ordering rule cannot be applied"))
         EqDel(abs(ef.getString(1)).toString, delSeq, eqIds.sorted)
       }.distinct
-      val delInfo = fileTopLevel(spark, parsed.map(_.path).distinct)
+      val delInfo = fileTree(spark, parsed.map(_.path).distinct)
       // ONE anti-join per distinct equality_ids set, and within it ONE
       // parquet read per distinct physical projection (every
       // spark.read.parquet call costs a schema-inference job — N
@@ -1620,18 +1627,27 @@ object IcebergMeta {
           // the delete file's own field ids first, its column names
           // second — same resolution order as data files
           def physOf(path: String): Seq[String] = {
-            val (names, idm) = delInfo(path)
-            val nameSet = names.toSet
+            val fc = delInfo(path)
+            val nameSet = fc.names.toSet
             ids.zip(cols).map { case (id, cur) =>
-              idm.get(id).orElse(
+              fc.ids.get(id).orElse(
                 if (nameSet.contains(cur)) Some(cur) else None).getOrElse(
                 throw new IllegalArgumentException(
                   s"iceberg: equality-delete file $path carries " +
                     s"neither field id $id nor column $cur"))
             }
           }
-          val delDf = dels.groupBy(ed => physOf(ed.path)).toSeq
-            .sortBy(_._1.mkString(",")).map { case (phys, group) =>
+          // the shared-read key is the physical projection AND each
+          // projected column's stored physical type: files predating a
+          // type promotion (int->long) must not share a scan with
+          // post-promotion files — one sampled footer schema across
+          // both breaks the vectorized reader mid-scan
+          def readKey(path: String): (Seq[String], Seq[Int]) = {
+            val phys = physOf(path)
+            (phys, phys.map(delInfo(path).types.getOrElse(_, -1)))
+          }
+          val delDf = dels.groupBy(ed => readKey(ed.path)).toSeq
+            .sortBy(_._1.toString).map { case ((phys, _), group) =>
               val seqDf = spark.createDataFrame(
                 spark.sparkContext.parallelize(group.map(ed => Row(
                   abs(ed.path).toUri.getRawPath, ed.delSeq)).distinct, 1),

@@ -178,6 +178,10 @@ object IcebergStats {
         throw new java.io.IOException(
           s"iceberg: statistics file ${sf.path} is ${st.getLen} bytes; " +
             s"metadata.json declared ${sf.fileSizeInBytes}")
+      if (st.getLen > Int.MaxValue.toLong)
+        throw new java.io.IOException(
+          s"iceberg: statistics file ${sf.path} is ${st.getLen} bytes — " +
+            "not a plausible sketch registry (refusing the allocation)")
       val bytes = new Array[Byte](st.getLen.toInt)
       val in = fs.open(p)
       try in.readFully(0L, bytes) finally in.close()
@@ -189,7 +193,7 @@ object IcebergStats {
           b.fields -> b.properties("ndv")
       }.toMap
       footer.filter(_.blobType == BlobType).map { b =>
-        val sk = IcebergDv.readBlobBytes(fs, p, b.offset, b.length)
+        val sk = IcebergDv.readBlobSlice(bytes, b.offset, b.length)
           .flatMap(deserialize).getOrElse(
             throw new java.io.IOException(
               s"iceberg: statistics blob at ${sf.path}:${b.offset} is " +
@@ -218,7 +222,9 @@ object IcebergStats {
     * in the puffin footer, per spec.
     */
   final case class StatsBlobMeta(blobType: String, fields: Seq[Long],
-                                 properties: Map[String, String])
+                                 properties: Map[String, String],
+                                 snapshotId: Long = -1L,
+                                 sequenceNumber: Long = -1L)
   final case class StatsFile(snapshotId: Long, path: String,
                              fileSizeInBytes: Long, footerSizeInBytes: Long,
                              blobs: Seq[StatsBlobMeta])
@@ -269,7 +275,10 @@ object IcebergStats {
                             case (k, v: String) => k -> v
                           }.toMap
                         case _ => Map.empty[String, String]
-                      })
+                      },
+                      b.get("snapshot-id").flatMap(jLong).getOrElse(-1L),
+                      b.get("sequence-number").flatMap(jLong)
+                        .getOrElse(-1L))
                 }
               case _ => Nil
             }
@@ -283,5 +292,38 @@ object IcebergStats {
         }
       case _ => Nil
     }
+  }
+
+  /** Render a parsed `statistics` list back to its metadata.json form —
+    * the carry-through for commits that change NOTHING the sketches
+    * describe (a tag/branch create: same current snapshot, same data),
+    * where dropping a still-valid registration would contradict the
+    * "only metadata.json changes" contract. Inverse of
+    * [[statisticsOf]].
+    */
+  def renderStatistics(files: Seq[StatsFile]): String = {
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c    => c.toString
+      } + "\""
+    files.map { f =>
+      val blobMeta = f.blobs.map { b =>
+        s"""{"type":${jstr(b.blobType)},""" +
+          s""""snapshot-id":${b.snapshotId},""" +
+          s""""sequence-number":${b.sequenceNumber},""" +
+          s""""fields":[${b.fields.mkString(",")}],""" +
+          s""""properties":{${b.properties.toSeq.sortBy(_._1).map {
+            case (k, v) => s"${jstr(k)}:${jstr(v)}"
+          }.mkString(",")}}}"""
+      }.mkString(",")
+      s"""{"snapshot-id":${f.snapshotId},""" +
+        s""""statistics-path":${jstr(f.path)},""" +
+        s""""file-size-in-bytes":${f.fileSizeInBytes},""" +
+        s""""file-footer-size-in-bytes":${f.footerSizeInBytes},""" +
+        s""""blob-metadata":[$blobMeta]}"""
+    }.mkString("[", ",", "]")
   }
 }

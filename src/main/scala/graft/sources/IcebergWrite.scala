@@ -1197,7 +1197,12 @@ object IcebergWrite {
       tm.snapshots.flatMap(_.sequenceNumber).maxOption.getOrElse(0L),
       System.currentTimeMillis(), expectVersion,
       currentSpecJson(spark, tableDir),
-      formatVersion = math.max(2, tm.formatVersion))
+      formatVersion = math.max(2, tm.formatVersion),
+      // a ref create changes neither the current snapshot nor any
+      // data the sketches describe — a still-valid statistics
+      // registration carries through instead of being stale-dropped
+      statsJson = IcebergStats.renderStatistics(
+        IcebergStats.statisticsOf(spark, tableDir)))
   }
 
   /** WRITE STATISTICS: build one NDV sketch per (atomic, id-carrying)
@@ -1521,7 +1526,7 @@ object IcebergWrite {
       else {
         import org.apache.spark.sql.functions.{broadcast, coalesce, lit,
           not, max => smax, min => smin}
-        val delInfo = IcebergMeta.fileTopLevel(spark,
+        val delInfo = IcebergMeta.fileTree(spark,
           eqDel.map(r => absOf(r.getString(2))).distinct.toIndexedSeq)
         final case class EqDel(path: String, delSeq: Long, ids: Seq[Int],
                                keyCols: Seq[String])
@@ -1534,18 +1539,23 @@ object IcebergWrite {
               s"iceberg-write: equality-delete file ${e.getString(2)} carries " +
                 "no equality_ids")).toSeq
           val delPath = absOf(e.getString(2))
-          val (names, idm) = delInfo(delPath)
+          val fc = delInfo(delPath)
           val keyCols = ids.map { id =>
             val schemaName = fields.find(_._1 == id.toLong).map(_._2)
-            idm.get(id).orElse(schemaName.filter(names.contains)).getOrElse(
-              throw new IllegalArgumentException(
+            fc.ids.get(id).orElse(schemaName.filter(fc.names.contains))
+              .getOrElse(throw new IllegalArgumentException(
                 s"iceberg-write: equality-delete file $delPath carries neither " +
                   s"field id $id nor its schema column"))
           }
           EqDel(delPath, delSeq, ids, keyCols)
         }.distinct
-        parsed.groupBy(d => (d.ids, d.keyCols)).toSeq.flatMap {
-          case ((ids, keyCols), dels) =>
+        // shared-read key includes each key column's STORED physical
+        // type: delete files predating a type promotion must not share
+        // a scan with post-promotion files (one sampled footer schema
+        // across both breaks the vectorized reader)
+        parsed.groupBy(d => (d.ids, d.keyCols,
+            d.keyCols.map(delInfo(d.path).types.getOrElse(_, -1)))).toSeq
+          .flatMap { case ((ids, keyCols, _), dels) =>
             // the delete keys' [min, max] per key column and SOURCE
             // FILE (the delete files are the source-sized artifacts —
             // reading them, once, is compaction's job)
@@ -2277,7 +2287,16 @@ object IcebergWrite {
     }.mkString("[", ",", "]")
     val allRefs =
       if (currentSnapshotId <= 0L) refs
-      else refs.updated("main", IcebergMeta.Ref(currentSnapshotId, "branch"))
+      else {
+        // advance main's HEAD only — a foreign writer's retention
+        // knobs (min-snapshots-to-keep & co) are policy, not position,
+        // and must survive our commits
+        val prev = refs.get("main")
+        refs.updated("main", IcebergMeta.Ref(currentSnapshotId, "branch",
+          prev.flatMap(_.minSnapshotsToKeep),
+          prev.flatMap(_.maxSnapshotAgeMs),
+          prev.flatMap(_.maxRefAgeMs)))
+      }
     val refsJson = allRefs.toSeq.sortBy(_._1).map { case (n, r) =>
       s"${jstr(n)}:{" +
         s""""snapshot-id":${r.snapshotId},"type":${jstr(r.refType)}""" +

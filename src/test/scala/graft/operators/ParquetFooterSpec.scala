@@ -170,6 +170,28 @@ class ParquetFooterSpec extends SparkSpec {
     assert(cnt > 0 && cnt % 11 === 0)
   }
 
+  test("topLevelTypes: stored physical types distinguish promoted twins") {
+    import spark.implicits._
+    // the batched equality-delete read keys its shared scans on these:
+    // a same-named column stored INT32 in one file and INT64 in another
+    // must yield different type signatures (parquet physical codes
+    // 1=INT32, 2=INT64), while groups report -1
+    val dir = java.nio.file.Files.createTempDirectory("pqtypes")
+    def one(sub: String, df: org.apache.spark.sql.DataFrame): String = {
+      val d = dir.resolve(sub).toString
+      df.coalesce(1).write.parquet(d)
+      new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).head
+    }
+    val pInt = one("i", Seq((1, "x")).toDF("k", "s"))
+    val pLong = one("l", Seq((1L, Seq(2L))).toDF("k", "arr"))
+    val tInt = ParquetFooter.topLevelTypes(oursFor(pInt).schema)
+    val tLong = ParquetFooter.topLevelTypes(oursFor(pLong).schema)
+    assert(tInt("k") === 1 && tLong("k") === 2)
+    assert(tInt("s") === 6)     // BYTE_ARRAY
+    assert(tLong("arr") === -1) // group node
+  }
+
   test("fuzz: byte soup, truncations and bit flips never throw") {
     // a real footer to mutate: extract from the fixture file bytes
     val dir = java.nio.file.Files.createTempDirectory("pqfuzz").toString

@@ -51,12 +51,41 @@ class DeltaClusteringSpec extends SparkSpec {
     assert(DeltaLog.readTable(spark, t).count() === 3L)
   }
 
-  test("removed tombstone clears clustering") {
+  test("removed tombstone clears clustering; no-op on a never-clustered table") {
     val t = mkTable("deltaclu_rm")
+    // UNCLUSTER with no domain = no-op: no commit, no protocol upgrade
+    val v0 = DeltaLog.listCommits(spark, t).last._1
+    assert(DeltaWrite.clusterBy(spark, t, Nil) === v0)
+    assert(DeltaLog.protocolOf(spark, t)._2 < 7)
     DeltaWrite.clusterBy(spark, t, Seq("id"))
     assert(report(t).map(_._2) === Seq("id"))
     DeltaWrite.clusterBy(spark, t, Nil) // UNCLUSTER
     assert(report(t) === Nil)
+  }
+
+  test("clusterHealth resolves PHYSICAL names on a column-mapped table") {
+    import spark.implicits._
+    val t = freshDir("deltaclu_map")
+    // two disjoint-range files, then mapping + a rename: the domain
+    // records the PHYSICAL name (what a mapped clustered-table writer
+    // stores), and health must find the stats under it — not fall
+    // into the statless branch
+    DeltaWrite.createTable(spark,
+      (0L until 8L).map(i => (i, s"r$i")).toDF("id", "txt").coalesce(1), t)
+    DeltaWrite.append(spark,
+      (8L until 16L).map(i => (i, s"r$i")).toDF("id", "txt").coalesce(1), t)
+    DeltaWrite.enableColumnMapping(spark, t)
+    DeltaWrite.renameColumn(spark, t, "id", "doc_id")
+    val phys = DeltaLog.schemaReport(spark, t).collect()
+      .find(_.getString(1) == "doc_id")
+      .map(_.getString(2)).get
+    assert(phys != "doc_id") // mapping really is indirecting
+    DeltaWrite.clusterBy(spark, t, Seq(phys))
+    val h = DeltaLog.clusterHealth(spark, t).collect()
+    assert(h.length === 1)
+    assert(h.head.getLong(3) === 2L,
+      s"both files must resolve stats under physical name $phys")
+    assert(h.head.getLong(4) === 0L) // disjoint id ranges
   }
 
   test("domain survives classic AND v2 checkpoints over a cleaned log") {

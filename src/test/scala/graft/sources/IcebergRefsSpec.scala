@@ -113,6 +113,37 @@ class IcebergRefsSpec extends SparkSpec {
       IcebergMeta.readTableAtRef(spark, t, "nope"))
   }
 
+  test("a foreign main ref's retention knobs survive our commits") {
+    import spark.implicits._
+    val t = threeCommitTable()
+    // a foreign writer set retention POLICY on main — hand-edit the
+    // current metadata.json the way such a writer would have left it
+    val metaFile = java.nio.file.Paths.get(
+      new java.net.URI(IcebergMeta.currentMetadataFile(spark, t)).getPath)
+    val txt = new String(java.nio.file.Files.readAllBytes(metaFile), "UTF-8")
+    val marker = """"type":"branch""""
+    assert(txt.contains(marker))
+    java.nio.file.Files.write(metaFile, txt.replace(marker,
+      marker + ""","min-snapshots-to-keep":5,"max-snapshot-age-ms":86400000""")
+      .getBytes("UTF-8"))
+    // the java.nio edit invalidates Hadoop LocalFileSystem's checksum
+    // sidecar — drop it, as any out-of-band editor would
+    java.nio.file.Files.deleteIfExists(
+      metaFile.resolveSibling("." + metaFile.getFileName + ".crc"))
+    assert(IcebergMeta.readTableMeta(spark, t)
+      .refs("main").minSnapshotsToKeep === Some(5L))
+    // our commits advance main's HEAD but must not erase its policy
+    IcebergWrite.append(spark,
+      (30L until 35L).map(i => (i, s"row-$i")).toDF("id", "txt")
+        .coalesce(1), t)
+    IcebergWrite.createTag(spark, t, "after-edit")
+    val main = IcebergMeta.readTableMeta(spark, t).refs("main")
+    assert(main.snapshotId ===
+      IcebergMeta.readTableMeta(spark, t).currentSnapshotId.get)
+    assert(main.minSnapshotsToKeep === Some(5L))
+    assert(main.maxSnapshotAgeMs === Some(86400000L))
+  }
+
   test("expiry keeps ref-reachable snapshots and prunes the log with them") {
     val t = threeCommitTable()
     val tm0 = IcebergMeta.readTableMeta(spark, t)

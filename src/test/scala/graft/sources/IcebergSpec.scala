@@ -580,4 +580,24 @@ class IcebergSpec extends SparkSpec {
     assert(e.getMessage.contains("Avro OCF") ||
       Option(e.getCause).exists(_.getMessage.contains("Avro OCF")))
   }
+
+  test("fileTree exposes per-file stored physical types (promotion guard)") {
+    import spark.implicits._
+    // the shared-scan key of the batched equality-delete reads: a
+    // same-named key column stored INT32 in an old delete file and
+    // INT64 in a new one must yield different signatures
+    val dir = java.nio.file.Files.createTempDirectory("icetypes")
+    def one(sub: String, df: org.apache.spark.sql.DataFrame): String = {
+      val d = dir.resolve(sub).toString
+      df.coalesce(1).write.parquet(d)
+      new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).head
+    }
+    val pInt = one("i", Seq((1, "a")).toDF("k", "s"))
+    val pLong = one("l", Seq((1L, "a")).toDF("k", "s"))
+    val tree = IcebergMeta.fileTree(spark, Seq(pInt, pLong))
+    assert(tree(pInt).types("k") === 1)  // INT32
+    assert(tree(pLong).types("k") === 2) // INT64
+    assert(tree(pInt).types("s") === 6)  // BYTE_ARRAY
+  }
 }

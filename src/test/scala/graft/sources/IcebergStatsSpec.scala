@@ -128,4 +128,25 @@ class IcebergStatsSpec extends SparkSpec {
       txt.replace(""""ndv":"10"""", """"ndv":"11"""").getBytes("UTF-8"))
     intercept[java.io.IOException](IcebergStats.ndvReport(spark, t).collect())
   }
+
+  test("a ref create carries the still-valid registration through") {
+    val t = freshDir("icestats_ref")
+    IcebergWrite.createTable(spark,
+      (0L until 1000L).map(i => (i, i % 13)).toDF("id", "m").coalesce(1), t)
+    IcebergWrite.writeStats(spark, t)
+    val before = statisticsOf(spark, t)
+    // tag/branch creation changes neither the current snapshot nor any
+    // data the sketches describe: the registration must SURVIVE,
+    // bit-equal (the stale-drop contract is for table changes)
+    IcebergWrite.createTag(spark, t, "audit")
+    IcebergWrite.createBranch(spark, t, "wip")
+    assert(statisticsOf(spark, t) === before)
+    val rep = IcebergStats.ndvReport(spark, t).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rep("m") === 13L)
+    // a DATA commit after the refs still drops it (unchanged contract)
+    IcebergWrite.append(spark,
+      Seq((1000L, 0L)).toDF("id", "m").coalesce(1), t)
+    assert(statisticsOf(spark, t).isEmpty)
+  }
 }
