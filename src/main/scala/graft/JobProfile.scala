@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import scala.collection.mutable.ArrayBuffer
+
+/** Dev-only measurement main (guide §1): per-JOB wall times plus the
+  * DRIVER-SIDE gaps between jobs for selected bench queries, so that
+  * fixture-heavy queries (many actions, little data) can be attributed
+  * to "job N is slow" vs "the driver spends the time between jobs"
+  * (planning, log replay, commit I/O). Usage:
+  *   runMain graft.JobProfile <sfDir> <q1,q2,...> [repeats]
+  */
+object JobProfile {
+  private case class Ev(id: Int, desc: String, t0: Long, var t1: Long = 0L)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val names = args(1).split(',').toSeq
+    val repeats = if (args.length > 2) args(2).toInt else 2
+    val spark = GraftSession.local()
+    val jobs = ArrayBuffer.empty[Ev]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.synchronized {
+        val d = Option(j.properties.getProperty("spark.job.description"))
+          .orElse(j.stageInfos.lastOption.map(_.name)).getOrElse("")
+        jobs += Ev(j.jobId, d, System.nanoTime())
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = jobs.synchronized {
+        jobs.find(_.id == j.jobId).foreach(_.t1 = System.nanoTime())
+      }
+    })
+    // same warmup as Bench
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    val qs = SparkEntry.queries
+    for (name <- names; full = qs.keys.find(_.startsWith(name)).getOrElse(name);
+         r <- 1 to repeats) {
+      spark.sharedState.cacheManager.clearCache()
+      jobs.synchronized(jobs.clear())
+      val w0 = System.nanoTime()
+      qs(full)(spark, sfDir).count()
+      val w1 = System.nanoTime()
+      Thread.sleep(200) // let late job-end events land
+      val evs = jobs.synchronized(jobs.toSeq).sortBy(_.t0)
+      println(f"== $full run$r total ${(w1 - w0) / 1e9}%8.3f s, ${evs.size} jobs ==")
+      var prevEnd = w0
+      for (e <- evs) {
+        val gap = (e.t0 - prevEnd) / 1e9
+        val dur = (if (e.t1 == 0) w1 - e.t0 else e.t1 - e.t0) / 1e9
+        if (gap > 0.005 || dur > 0.005)
+          println(f"  job ${e.id}%4d gap $gap%7.3f run $dur%7.3f  ${e.desc.take(90)}")
+        prevEnd = math.max(prevEnd, if (e.t1 == 0) e.t0 else e.t1)
+      }
+      val tail = (w1 - prevEnd) / 1e9
+      if (tail > 0.005) println(f"  tail-after-last-job $tail%7.3f")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Dev-only: dump `.explain("formatted")` for a list of queries to
+  * plans/<tag>/<query>_<suffix>.txt — the before/after plan evidence for
+  * optimization rounds. Usage:
+  *   runMain graft.PlanDump <sfDir> <outDir> <suffix> <q1,q2,...>
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, suffix, qcsv) = args.take(4)
+    val spark = GraftSession.local()
+    val qs = SparkEntry.queries
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    for (prefix <- qcsv.split(',').toSeq;
+         name <- qs.keys.filter(_.startsWith(prefix)).toSeq.sorted) {
+      val df = qs(name)(spark, sfDir)
+      val txt = df.queryExecution.explainString(FormattedMode)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt"),
+        txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"dumped $name (${txt.length} chars)")
+    }
+    spark.stop()
+  }
+}

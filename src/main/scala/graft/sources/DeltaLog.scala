@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
 /** Delta-format transaction-log replay, per the PUBLIC Delta protocol
   * specification (github.com/delta-io/delta `PROTOCOL.md`): a table is
@@ -241,6 +242,28 @@ object DeltaLog {
   private[sources] def actions(spark: SparkSession, tableDir: String,
                                asOf: Option[Long],
                                useCheckpoint: Boolean): DataFrame = {
+    val (cp, commits) = resolveReplay(spark, tableDir, asOf, useCheckpoint)
+    localRows(spark, tableDir, cp, commits) match {
+      case Some(rows) =>
+        spark.createDataFrame(rows.asJava, actionsDfSchema)
+      case None =>
+        val cpDf = cp.map(checkpointLines(spark, _))
+        if (commits.isEmpty) finishActions(cpDf.get)
+        else {
+          val lines = commitLinesDf(spark, commits)
+          finishActions(cpDf.map(_ unionByName lines).getOrElse(lines))
+        }
+    }
+  }
+
+  /** Shared replay resolution — which checkpoint baseline (if any) and
+    * which JSON commits serve version `asOf`, with the fail-loud
+    * cleaned-log and contiguity checks. Both the distributed and the
+    * local replay paths go through here, so they cannot drift.
+    */
+  private def resolveReplay(spark: SparkSession, tableDir: String,
+                            asOf: Option[Long], useCheckpoint: Boolean)
+      : (Option[Cp], Seq[(Long, String)]) = {
     val cp = (if (useCheckpoint) lastCheckpoint(spark, tableDir) else None)
       .filter { case (v, _) => asOf.forall(_ >= v) }
       .flatMap { case (v, parts) => findCheckpoint(spark, tableDir, v, parts) }
@@ -280,27 +303,216 @@ object DeltaLog {
             "expired or is missing)")
       got + 1
     }
-    val cpDf = cp.map { c =>
-      // checkpoint rows (classic parts, a v2 main file, or v2 sidecars)
-      // all normalize through the same to_json/from_json decode; v2's
-      // own checkpointMetadata/sidecar actions fall outside `keep` and
-      // never reach file reconciliation
-      def linesOf(paths: Seq[String]): DataFrame = {
-        val raw = spark.read.parquet(paths: _*)
-        val keep = Seq("add", "remove", "metaData", "protocol", "commitInfo",
-          "txn", "domainMetadata")
-          .filter(raw.columns.contains(_))
-        raw.select(org.apache.spark.sql.functions.to_json(
-            org.apache.spark.sql.functions.struct(keep.map(col): _*)).as("line"))
-          .select(lit(c.version).as("version"), lit(0L).as("ordinal"), col("line"))
-      }
-      val main = linesOf(c.files)
-      if (c.sidecars.isEmpty) main else main.unionByName(linesOf(c.sidecars))
+    (cp, commits)
+  }
+
+  /** Checkpoint rows (classic parts, a v2 main file, or v2 sidecars)
+    * normalized to `(version, ordinal, line)` through `to_json`; v2's
+    * own checkpointMetadata/sidecar actions fall outside `keep` and
+    * never reach file reconciliation.
+    */
+  private def checkpointLines(spark: SparkSession, c: Cp): DataFrame = {
+    def linesOf(paths: Seq[String]): DataFrame = {
+      val raw = spark.read.parquet(paths: _*)
+      val keep = Seq("add", "remove", "metaData", "protocol", "commitInfo",
+        "txn", "domainMetadata")
+        .filter(raw.columns.contains(_))
+      raw.select(org.apache.spark.sql.functions.to_json(
+          org.apache.spark.sql.functions.struct(keep.map(col): _*)).as("line"))
+        .select(lit(c.version).as("version"), lit(0L).as("ordinal"), col("line"))
     }
-    if (commits.isEmpty)
-      return finishActions(cpDf.get)
-    val lines = commitLinesDf(spark, commits)
-    finishActions(cpDf.map(_ unionByName lines).getOrElse(lines))
+    val main = linesOf(c.files)
+    if (c.sidecars.isEmpty) main else main.unionByName(linesOf(c.sidecars))
+  }
+
+  // ------------------------------------------------ local replay path
+
+  /** `actions()`'s row schema — (version, ordinal) + the action structs. */
+  private[sources] val actionsDfSchema: StructType = StructType(
+    StructField("version", LongType, nullable = false) +:
+      StructField("ordinal", LongType, nullable = false) +:
+      actionSchema.fields.toSeq)
+
+  /** Field positions in [[actionsDfSchema]] rows. */
+  private[sources] object A {
+    val Version = 0; val Ordinal = 1; val Add = 2; val Remove = 3
+    val Meta = 4; val Proto = 5; val CommitInfo = 6; val Txn = 7
+    val Cdc = 8; val Domain = 9
+  }
+
+  /** A metadata-sized log replayed ON THE DRIVER: the same action rows
+    * `actions()` serves, as a local Seq. Exists because the protocol
+    * questions every table operation asks (latest metaData/protocol,
+    * the live-file fold, DV descriptors) are each a handful of KB —
+    * launching a Spark job per question costs ~100 ms of pure
+    * scheduling overhead per ask, which dominates small-table DML
+    * end-to-end (guide §1.2: fix the algorithm's pass structure first).
+    * The 100 TB path is untouched: past the byte gate every consumer
+    * falls back to the distributed replay.
+    */
+  private[sources] final case class LocalLog(rows: Seq[Row]) {
+    def toDf(spark: SparkSession): DataFrame =
+      spark.createDataFrame(rows.asJava, actionsDfSchema)
+
+    /** Latest non-null action struct at field `idx` satisfying `p` —
+      * the `orderBy(version desc, ordinal desc).limit(1)` twin (rows
+      * are in ascending replay order).
+      */
+    def lastStruct(idx: Int, p: Row => Boolean = _ => true): Option[Row] =
+      rows.reverseIterator
+        .map(_.getAs[Row](idx))
+        .find(s => s != null && p(s))
+
+    /** The reconciliation fold: full action rows of the LAST file
+      * action per path, keeping only paths whose last action is an
+      * add — the `row_number().over(path, version desc, ordinal desc)
+      * === 1 && is_add` twin.
+      */
+    def liveAddRows: Seq[Row] = {
+      val last = scala.collection.mutable.LinkedHashMap.empty[String, Row]
+      rows.foreach { r =>
+        val add = r.getAs[Row](A.Add)
+        val rem = r.getAs[Row](A.Remove)
+        val p =
+          if (add != null && !add.isNullAt(0)) add.getString(0)
+          else if (rem != null && !rem.isNullAt(0)) rem.getString(0)
+          else null
+        if (p != null) last(p) = r
+      }
+      last.valuesIterator.filter { r =>
+        val add = r.getAs[Row](A.Add)
+        add != null && !add.isNullAt(0)
+      }.toSeq
+    }
+  }
+
+  /** Byte gate for the driver-side replay: the default keeps any log a
+    * driver can parse in milliseconds local, while a 100 TB table's
+    * multi-GB log (or checkpoint) falls back to the distributed
+    * replay. Runtime-settable; `0` disables the local path outright
+    * (the equivalence specs use that to pin both paths to the same
+    * answers).
+    */
+  private def localReplayMaxBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.delta.localReplayMaxBytes")
+      .map(_.toLong).getOrElse(16L * 1024 * 1024)
+
+  /** The local-replay rows for an already-resolved (cp, commits) pair,
+    * or None past the byte gate. Commit JSON parses on the driver
+    * ([[JsonRows]], from_json-parity spec-pinned); a checkpoint
+    * baseline still arrives via ONE collect of the same normalized
+    * `to_json` lines the distributed path decodes.
+    */
+  private def localRows(spark: SparkSession, tableDir: String,
+                        cp: Option[Cp], commits: Seq[(Long, String)])
+      : Option[Seq[Row]] = {
+    val max = localReplayMaxBytes(spark)
+    if (max <= 0) return None
+    val logDir = new Path(tableDir, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def lenMap(dir: Path): Map[String, Long] =
+      if (!fs.exists(dir)) Map.empty
+      else fs.listStatus(dir).toSeq.filter(_.isFile)
+        .map(st => fs.makeQualified(st.getPath).toString -> st.getLen).toMap
+    val lens = lenMap(logDir) ++
+      (if (cp.exists(_.sidecars.nonEmpty)) lenMap(new Path(logDir, "_sidecars"))
+       else Map.empty)
+    val wanted = commits.map(_._2) ++ cp.toSeq.flatMap(c => c.files ++ c.sidecars)
+    var total = 0L
+    wanted.foreach { p =>
+      lens.get(p) match {
+        case Some(n) => total += n
+        case None    => return None // raced listing: let the cluster path read it
+      }
+    }
+    if (total > max) return None
+    val cpRows: Seq[Row] = cp match {
+      case None    => Nil
+      case Some(c) => finishActions(checkpointLines(spark, c)).collect().toSeq
+    }
+    Some(cpRows ++ parseCommitFilesLocal(fs, commits))
+  }
+
+  /** Driver-side read+parse of JSON commit files into action rows —
+    * the exact line discipline of [[commitLinesDf]] (in-file order as
+    * ordinal, blank lines dropped).
+    */
+  private def parseCommitFilesLocal(fs: org.apache.hadoop.fs.FileSystem,
+                                    commits: Seq[(Long, String)]): Seq[Row] =
+    commits.flatMap { case (ver, p) =>
+      readUtf8(fs, new Path(p)).split('\n').iterator.map(_.trim)
+        .filter(_.nonEmpty).zipWithIndex.map { case (l, i) =>
+          JsonRows.actionRow(ver, i.toLong, l, actionSchema, actionsDfSchema)
+        }.toSeq
+    }
+
+  /** [[windowActions]]'s local path: driver-parsed rows for an explicit
+    * commit window, or None past the byte gate.
+    */
+  private def localCommitRows(spark: SparkSession,
+                              commits: Seq[(Long, String)])
+      : Option[Seq[Row]] = {
+    val max = localReplayMaxBytes(spark)
+    if (max <= 0 || commits.isEmpty) return None
+    val fs = new Path(commits.head._2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var total = 0L
+    commits.foreach { case (_, p) =>
+      total +=
+        (try fs.getFileStatus(new Path(p)).getLen
+         catch { case _: java.io.IOException => return None })
+    }
+    if (total > max) return None
+    Some(parseCommitFilesLocal(fs, commits))
+  }
+
+  /** The reconciled live `add` structs at `asOf` as a ONE-COLUMN frame
+    * (`add`), locally folded when the log is metadata-sized, the window
+    * fold otherwise — for consumers that re-render adds with
+    * `to_json` (clone, restore, checkpoint writing), where the
+    * rendering must stay Catalyst's own byte-for-byte.
+    */
+  private[sources] def liveAddStructs(spark: SparkSession, tableDir: String,
+                                      asOf: Option[Long] = None): DataFrame = {
+    val addField = actionSchema("add")
+    localLog(spark, tableDir, asOf) match {
+      case Some(l) =>
+        spark.createDataFrame(
+          l.liveAddRows.map(r => Row(r.getAs[Row](A.Add))).asJava,
+          StructType(Seq(StructField("add", addField.dataType, nullable = true))))
+      case None =>
+        val w = Window.partitionBy(coalesce(col("add.path"), col("remove.path")))
+          .orderBy(col("version").desc, col("ordinal").desc)
+        actions(spark, tableDir, asOf)
+          .where(col("add.path").isNotNull || col("remove.path").isNotNull)
+          .withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1 && col("add.path").isNotNull)
+          .select("add")
+    }
+  }
+
+  /** Driver-side replay handle at `asOf`, or None when the log
+    * outgrows the byte gate — callers fall back to the distributed
+    * replay (the 100 TB path).
+    */
+  private[sources] def localLog(spark: SparkSession, tableDir: String,
+                                asOf: Option[Long] = None,
+                                useCheckpoint: Boolean = true)
+      : Option[LocalLog] = {
+    val (cp, commits) = resolveReplay(spark, tableDir, asOf, useCheckpoint)
+    localRows(spark, tableDir, cp, commits).map(LocalLog)
+  }
+
+  private def readUtf8(fs: org.apache.hadoop.fs.FileSystem,
+                       p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toString(java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
   }
 
   /** Raw `(version, ordinal, line)` rows for an explicit commit-file
@@ -367,7 +579,10 @@ object DeltaLog {
         StructType(Seq(StructField("version", LongType, nullable = false),
           StructField("ordinal", LongType, nullable = false),
           StructField("line", StringType, nullable = false)))))
-    finishActions(commitLinesDf(spark, window))
+    localCommitRows(spark, window) match {
+      case Some(rows) => spark.createDataFrame(rows.asJava, actionsDfSchema)
+      case None       => finishActions(commitLinesDf(spark, window))
+    }
   }
 
   /** Shared decode tail for both sources of action lines (JSON commits
@@ -393,8 +608,72 @@ object DeltaLog {
     * minus the DV's cardinality — the post-DV row count a reader
     * actually serves).
     */
+  private val snapshotSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = true),
+    StructField("size", LongType, nullable = true),
+    StructField("mod_time", LongType, nullable = true),
+    StructField("num_records", LongType, nullable = true),
+    StructField("partition", StringType, nullable = true),
+    StructField("version_added", LongType, nullable = false),
+    StructField("dv_cardinality", LongType, nullable = true),
+    StructField("live_records", LongType, nullable = true)))
+
+  private lazy val statsMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** `get_json_object(stats, "$.numRecords").cast("long")`, locally. */
+  private[sources] def statsNumRecordsLocal(stats: String): java.lang.Long = {
+    if (stats == null) return null
+    val node =
+      try statsMapper.readTree(stats)
+      catch { case _: Exception => null }
+    if (node == null || !node.isObject) return null
+    val v = node.get("numRecords")
+    if (v == null) null
+    else if (v.isIntegralNumber && v.canConvertToLong) v.longValue()
+    else if (v.isTextual) v.textValue().toLongOption
+      .map(java.lang.Long.valueOf).orNull
+    else null
+  }
+
+  /** snapshot()'s `partition` rendering: non-null `k=v` entries sorted
+    * and '/'-joined (array_join skips the null-valued entries, so the
+    * local form drops them before sorting — same string).
+    */
+  private def partitionString(pv: scala.collection.Map[String, String]): String =
+    if (pv == null) ""
+    else pv.iterator.collect { case (k, v) if v != null => s"$k=$v" }
+      .toSeq.sorted.mkString("/")
+
   def snapshot(spark: SparkSession, tableDir: String,
-               asOf: Option[Long] = None): DataFrame = {
+               asOf: Option[Long] = None): DataFrame =
+    localLog(spark, tableDir, asOf) match {
+      case Some(l) =>
+        val rows = l.liveAddRows.map { r =>
+          val add = r.getAs[Row](A.Add)
+          val stats = if (add.isNullAt(5)) null else add.getString(5)
+          val numRecords = statsNumRecordsLocal(stats)
+          val pv =
+            if (add.isNullAt(1)) null
+            else add.getAs[scala.collection.Map[String, String]](1)
+          val dv = add.getAs[Row](6)
+          val dvCard: java.lang.Long =
+            if (dv == null || dv.isNullAt(4)) null
+            else java.lang.Long.valueOf(dv.getLong(4))
+          val live: java.lang.Long =
+            if (numRecords == null) null
+            else java.lang.Long.valueOf(
+              numRecords.longValue() - (if (dvCard == null) 0L else dvCard.longValue()))
+          Row(add.getString(0),
+            if (add.isNullAt(2)) null else java.lang.Long.valueOf(add.getLong(2)),
+            if (add.isNullAt(3)) null else java.lang.Long.valueOf(add.getLong(3)),
+            numRecords, partitionString(pv), r.getLong(A.Version), dvCard, live)
+        }
+        spark.createDataFrame(rows.asJava, snapshotSchema)
+      case None => snapshotDistributed(spark, tableDir, asOf)
+    }
+
+  private def snapshotDistributed(spark: SparkSession, tableDir: String,
+                                  asOf: Option[Long]): DataFrame = {
     val acts = actions(spark, tableDir, asOf)
     val fileActs = acts
       .where(col("add.path").isNotNull || col("remove.path").isNotNull)
@@ -460,23 +739,36 @@ object DeltaLog {
     */
   def deletedRows(spark: SparkSession, tableDir: String,
                   asOf: Option[Long] = None): DataFrame = {
-    val acts = actions(spark, tableDir, asOf)
-    val fileActs = acts
-      .where(col("add.path").isNotNull || col("remove.path").isNotNull)
-      .select(
-        coalesce(col("add.path"), col("remove.path")).as("path"),
-        col("add.path").isNotNull.as("is_add"),
-        col("version"), col("ordinal"),
-        col("add.deletionVector").as("dv"))
-    val w = Window.partitionBy("path")
-      .orderBy(col("version").desc, col("ordinal").desc)
-    val dvFiles = fileActs.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1 && col("is_add") && col("dv").isNotNull)
-      .select(col("path"), col("dv.storageType").as("storage_type"),
-        col("dv.pathOrInlineDv").as("path_or_inline"),
-        col("dv.offset").as("offset"), col("dv.sizeInBytes").as("size"),
-        col("dv.cardinality").as("cardinality"))
-      .collect() // descriptor list: metadata-sized (one row per DV'd file)
+    // descriptor list: metadata-sized (one row per DV'd file) — from the
+    // driver-side fold when the log is small, the window fold otherwise
+    val dvFiles: Array[Row] = localLog(spark, tableDir, asOf) match {
+      case Some(l) =>
+        l.liveAddRows.flatMap { r =>
+          val add = r.getAs[Row](A.Add)
+          val dv = add.getAs[Row](6)
+          if (dv == null) None
+          else Some(Row(add.getString(0), dv.get(0), dv.get(1), dv.get(2),
+            dv.get(3), dv.get(4)))
+        }.toArray
+      case None =>
+        val acts = actions(spark, tableDir, asOf)
+        val fileActs = acts
+          .where(col("add.path").isNotNull || col("remove.path").isNotNull)
+          .select(
+            coalesce(col("add.path"), col("remove.path")).as("path"),
+            col("add.path").isNotNull.as("is_add"),
+            col("version"), col("ordinal"),
+            col("add.deletionVector").as("dv"))
+        val w = Window.partitionBy("path")
+          .orderBy(col("version").desc, col("ordinal").desc)
+        fileActs.withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1 && col("is_add") && col("dv").isNotNull)
+          .select(col("path"), col("dv.storageType").as("storage_type"),
+            col("dv.pathOrInlineDv").as("path_or_inline"),
+            col("dv.offset").as("offset"), col("dv.sizeInBytes").as("size"),
+            col("dv.cardinality").as("cardinality"))
+          .collect()
+    }
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val slices = math.max(1, math.min(dvFiles.length,
       spark.sparkContext.defaultParallelism * 2))
@@ -510,17 +802,25 @@ object DeltaLog {
     * DV-carrying read.
     */
   def liveDvPaths(spark: SparkSession, tableDir: String): Set[String] = {
-    val acts = actions(spark, tableDir)
-    val w = Window.partitionBy(coalesce(col("add.path"), col("remove.path")))
-      .orderBy(col("version").desc, col("ordinal").desc)
-    val dvs = acts
-      .where(col("add.path").isNotNull || col("remove.path").isNotNull)
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1 && col("add.path").isNotNull &&
-        col("add.deletionVector").isNotNull)
-      .select(col("add.deletionVector.storageType"),
-        col("add.deletionVector.pathOrInlineDv"))
-      .collect()
+    val dvs: Array[Row] = localLog(spark, tableDir) match {
+      case Some(l) =>
+        l.liveAddRows.flatMap { r =>
+          val dv = r.getAs[Row](A.Add).getAs[Row](6)
+          if (dv == null) None else Some(Row(dv.get(0), dv.get(1)))
+        }.toArray
+      case None =>
+        val acts = actions(spark, tableDir)
+        val w = Window.partitionBy(coalesce(col("add.path"), col("remove.path")))
+          .orderBy(col("version").desc, col("ordinal").desc)
+        acts
+          .where(col("add.path").isNotNull || col("remove.path").isNotNull)
+          .withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1 && col("add.path").isNotNull &&
+            col("add.deletionVector").isNotNull)
+          .select(col("add.deletionVector.storageType"),
+            col("add.deletionVector.pathOrInlineDv"))
+          .collect()
+    }
     val fs = new Path(tableDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val rootUri = fs.makeQualified(new Path(tableDir)).toUri.getPath
@@ -582,7 +882,7 @@ object DeltaLog {
   def skippingReport(spark: SparkSession, tableDir: String,
                      predicateSql: String,
                      asOf: Option[Long] = None): DataFrame = {
-    val (schema, partCols, mode, mapping) = tableState(spark, tableDir, asOf)
+    val (schema, partCols, mode, mapping, _) = tableState(spark, tableDir, asOf)
     mapping
       .withColumn("kept", DeltaStats.mayMatch(spark, predicateSql, schema,
         partCols, physOfIn(mode, schema)))
@@ -603,12 +903,18 @@ object DeltaLog {
   def protocolOf(spark: SparkSession, tableDir: String,
                  asOf: Option[Long] = None)
       : (Int, Int, Seq[String], Seq[String]) = {
-    val p = actions(spark, tableDir, asOf)
-      .where(col("protocol.minReaderVersion").isNotNull)
-      .orderBy(col("version").desc, col("ordinal").desc)
-      .select("protocol.minReaderVersion", "protocol.minWriterVersion",
-        "protocol.readerFeatures", "protocol.writerFeatures")
-      .limit(1).collect().headOption
+    val p: Option[Row] = localLog(spark, tableDir, asOf) match {
+      case Some(l) =>
+        l.lastStruct(A.Proto, s => !s.isNullAt(0)).map(s =>
+          Row(s.get(0), s.get(1), s.get(2), s.get(3)))
+      case None =>
+        actions(spark, tableDir, asOf)
+          .where(col("protocol.minReaderVersion").isNotNull)
+          .orderBy(col("version").desc, col("ordinal").desc)
+          .select("protocol.minReaderVersion", "protocol.minWriterVersion",
+            "protocol.readerFeatures", "protocol.writerFeatures")
+          .limit(1).collect().headOption
+    }
     p.map { r =>
       (r.getInt(0), r.getInt(1),
         if (r.isNullAt(2)) Nil else r.getSeq[String](2).toSeq,
@@ -628,11 +934,21 @@ object DeltaLog {
   /** The gate over an ALREADY-BUILT actions plan — tableState reuses
     * its own log replay instead of constructing a second one.
     */
-  private def checkReaderProtocol(acts: DataFrame, tableDir: String): Unit = {
-    val p = acts.where(col("protocol.minReaderVersion").isNotNull)
-      .orderBy(col("version").desc, col("ordinal").desc)
-      .select("protocol.minReaderVersion", "protocol.readerFeatures")
-      .limit(1).collect().headOption
+  private def checkReaderProtocol(acts: DataFrame, tableDir: String): Unit =
+    enforceReaderProtocol(
+      acts.where(col("protocol.minReaderVersion").isNotNull)
+        .orderBy(col("version").desc, col("ordinal").desc)
+        .select("protocol.minReaderVersion", "protocol.readerFeatures")
+        .limit(1).collect().headOption,
+      tableDir)
+
+  /** The local twin — same gate over a driver-side replay. */
+  private def checkReaderProtocolLocal(l: LocalLog, tableDir: String): Unit =
+    enforceReaderProtocol(
+      l.lastStruct(A.Proto, s => !s.isNullAt(0)).map(s => Row(s.get(0), s.get(2))),
+      tableDir)
+
+  private def enforceReaderProtocol(p: Option[Row], tableDir: String): Unit = {
     p.foreach { row =>
       val r = row.getInt(0)
       if (r > 3)
@@ -653,42 +969,64 @@ object DeltaLog {
     * (`_uri_path`, `_rel_path`, `_abs_path`, decoded stats struct
     * `_st`, `_part_<c>` strings) — all driver-built, metadata-sized.
     */
+  /** Driver-known facts a local replay adds to [[tableState]]: the
+    * mapping rows themselves (so the scan can ATTACH `_rel_path` and
+    * partition values through a literal-map lookup instead of a
+    * broadcast join — one fewer exchange per read) and whether the
+    * live set provably carries no deletion vectors (so the DV
+    * anti-join can be skipped outright instead of anti-joining an
+    * empty broadcast).
+    */
+  private final case class LocalState(mapRows: Seq[Row], noLiveDvs: Boolean)
+
   private def tableState(spark: SparkSession, tableDir: String,
                          asOf: Option[Long])
-      : (StructType, Seq[String], String, DataFrame) = {
-    val acts = actions(spark, tableDir, asOf)
-    checkReaderProtocol(acts, tableDir)
-    val metaRow = acts.where(col("metaData.schemaString").isNotNull)
-      .orderBy(col("version").desc, col("ordinal").desc)
-      .select("metaData.schemaString", "metaData.partitionColumns",
-        "metaData.configuration")
-      .limit(1).collect().headOption.getOrElse(
-        throw new IllegalArgumentException(
-          s"deltalog: no metaData action under $tableDir"))
+      : (StructType, Seq[String], String, DataFrame, Option[LocalState]) = {
+    // live file list + per-file partition values + stats: metadata-
+    // sized. The reconciliation fold is snapshot()'s, but the add's
+    // partitionValues MAP is carried through verbatim — round-tripping
+    // the rendered 'k=v/k=v' string would mis-split a '/' in a value
+    val local = localLog(spark, tableDir, asOf)
+    val (metaRow: Row, live: Array[Row]) = local match {
+      case Some(l) =>
+        checkReaderProtocolLocal(l, tableDir)
+        val m = l.lastStruct(A.Meta, s => !s.isNullAt(1)).getOrElse(
+          throw new IllegalArgumentException(
+            s"deltalog: no metaData action under $tableDir"))
+        (Row(m.get(1), m.get(2), m.get(3)),
+          l.liveAddRows.map { r =>
+            val add = r.getAs[Row](A.Add)
+            Row(add.get(0), add.get(1), add.get(5), add.get(6))
+          }.toArray)
+      case None =>
+        val acts = actions(spark, tableDir, asOf)
+        checkReaderProtocol(acts, tableDir)
+        val m = acts.where(col("metaData.schemaString").isNotNull)
+          .orderBy(col("version").desc, col("ordinal").desc)
+          .select("metaData.schemaString", "metaData.partitionColumns",
+            "metaData.configuration")
+          .limit(1).collect().headOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"deltalog: no metaData action under $tableDir"))
+        val fileActs = acts
+          .where(col("add.path").isNotNull || col("remove.path").isNotNull)
+          .select(
+            coalesce(col("add.path"), col("remove.path")).as("path"),
+            col("add.path").isNotNull.as("is_add"),
+            col("version"), col("ordinal"),
+            col("add.partitionValues").as("pv"),
+            col("add.stats").as("stats"))
+        val w = Window.partitionBy("path")
+          .orderBy(col("version").desc, col("ordinal").desc)
+        (m, fileActs.withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1 && col("is_add"))
+          .select("path", "pv", "stats").collect())
+    }
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(metaRow.getString(0)).asInstanceOf[StructType]
     val partCols = Option(metaRow.getSeq[String](1)).getOrElse(Seq.empty)
     val mode = Option(metaRow.getMap[String, String](2))
       .flatMap(_.get("delta.columnMapping.mode")).getOrElse("none")
-    // live file list + per-file partition values + stats: metadata-
-    // sized. The reconciliation fold is snapshot()'s, but the add's
-    // partitionValues MAP is carried through verbatim — round-tripping
-    // the rendered 'k=v/k=v' string would mis-split a '/' in a value
-    val live = {
-      val fileActs = acts
-        .where(col("add.path").isNotNull || col("remove.path").isNotNull)
-        .select(
-          coalesce(col("add.path"), col("remove.path")).as("path"),
-          col("add.path").isNotNull.as("is_add"),
-          col("version"), col("ordinal"),
-          col("add.partitionValues").as("pv"),
-          col("add.stats").as("stats"))
-      val w = Window.partitionBy("path")
-        .orderBy(col("version").desc, col("ordinal").desc)
-      fileActs.withColumn("_rn", row_number().over(w))
-        .where(col("_rn") === 1 && col("is_add"))
-        .select("path", "pv", "stats").collect()
-    }
     val fsRoot = new Path(tableDir)
     val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mapRows = live.toSeq.map { r =>
@@ -717,11 +1055,13 @@ object DeltaLog {
     val dataSchema = StructType(
       schema.fields.filterNot(f => partCols.contains(f.name)).toSeq.map(f =>
         f.copy(name = physicalName(mode, f))))
-    val mapping = spark.createDataFrame(
-      spark.sparkContext.parallelize(mapRows, 1), mapSchema)
+    val mapping = spark.createDataFrame(mapRows.asJava, mapSchema)
       .withColumn("_st",
         from_json(col("_stats"), DeltaStats.statsStructSchema(dataSchema)))
-    (schema, partCols, mode, mapping)
+    val localState = local.map { _ =>
+      LocalState(mapRows, noLiveDvs = live.forall(_.isNullAt(3)))
+    }
+    (schema, partCols, mode, mapping, localState)
   }
 
   /** The physical (parquet/stats) name of a schema field under
@@ -740,10 +1080,18 @@ object DeltaLog {
     * prunes files through their stats before the scan; row-level
     * filtering stays the caller's job.
     */
+  /** Past this many live files the `_rel_path`/partition-value attach
+    * goes back to a broadcast join — a literal map over millions of
+    * paths would bloat the plan; under it, the lookup removes one
+    * whole broadcast exchange per read.
+    */
+  private val AttachMapMaxFiles = 4096
+
   private[sources] def readTableCore(spark: SparkSession, tableDir: String,
                                      asOf: Option[Long],
                                      where: Option[String]): DataFrame = {
-    val (schema, partCols, mode, mapping0) = tableState(spark, tableDir, asOf)
+    val (schema, partCols, mode, mapping0, localState) =
+      tableState(spark, tableDir, asOf)
     def physicalOf(f: StructField): String = physicalName(mode, f)
     val mapping = where match {
       case Some(p) =>
@@ -771,14 +1119,41 @@ object DeltaLog {
         dataFields.toSeq.map(f => col(s"`${physicalOf(f)}`").as(f.name)) ++
           Seq(UriPaths.pathOnly(col("_metadata.file_path")).as("_uri_path"),
             col("_metadata.row_index").as("_row_index")): _*)
-    val joinSide = mapping.drop("_abs_path", "_stats", "_st")
-    val withParts = raw.join(broadcast(joinSide), Seq("_uri_path"), "inner")
-    // DV application: drop (file, row_index) pairs the live DVs delete
-    val dels = deletedRows(spark, tableDir, asOf)
-      .withColumnRenamed("path", "_rel_path")
-      .withColumnRenamed("row_index", "_row_index")
-    val survivors = withParts.join(broadcast(dels),
-      Seq("_rel_path", "_row_index"), "left_anti")
+    val withParts = localState match {
+      case Some(st) if st.mapRows.length <= AttachMapMaxFiles =>
+        // driver-known file metadata: attach _rel_path and the partition
+        // values by LITERAL-MAP lookup on _uri_path — same values the
+        // broadcast join produced (the inner join never dropped a row:
+        // the scan reads exactly the mapping's files), zero exchanges.
+        // Unpruned entries in the map are harmless — the scan only
+        // serves kept files, so only kept keys are ever looked up.
+        def lookup(valueAt: Row => String): org.apache.spark.sql.Column =
+          element_at(
+            typedLit(st.mapRows.map(r => r.getString(0) -> valueAt(r)).toMap),
+            col("_uri_path"))
+        val attached = raw
+          .withColumn("_rel_path", lookup(_.getString(1)))
+          .where(col("_rel_path").isNotNull) // inner-join parity
+        partCols.zipWithIndex.foldLeft(attached) { case (df, (c, i)) =>
+          df.withColumn(s"_part_$c", lookup(r =>
+            if (r.isNullAt(4 + i)) null else r.getString(4 + i)))
+        }
+      case _ =>
+        val joinSide = mapping.drop("_abs_path", "_stats", "_st")
+        raw.join(broadcast(joinSide), Seq("_uri_path"), "inner")
+    }
+    // DV application: drop (file, row_index) pairs the live DVs delete;
+    // a local replay that PROVES the live set carries no DVs skips the
+    // anti-join (and its broadcast build) outright
+    val survivors =
+      if (localState.exists(_.noLiveDvs)) withParts
+      else {
+        val dels = deletedRows(spark, tableDir, asOf)
+          .withColumnRenamed("path", "_rel_path")
+          .withColumnRenamed("row_index", "_row_index")
+        withParts.join(broadcast(dels),
+          Seq("_rel_path", "_row_index"), "left_anti")
+      }
     survivors.select(schema.fields.toSeq.map { f =>
       if (partCols.contains(f.name))
         col(s"_part_${f.name}").cast(f.dataType).as(f.name)
@@ -888,13 +1263,20 @@ object DeltaLog {
     * double-append ([[graft.streaming.DeltaStreams]]).
     */
   def lastTxnVersion(spark: SparkSession, tableDir: String,
-                     appId: String): Option[Long] = {
-    val r = actions(spark, tableDir)
-      .where(col("txn.appId") === appId)
-      .agg(max(col("txn.version")))
-      .head()
-    if (r.isNullAt(0)) None else Some(r.getLong(0))
-  }
+                     appId: String): Option[Long] =
+    localLog(spark, tableDir) match {
+      case Some(l) =>
+        l.rows.iterator.map(_.getAs[Row](A.Txn))
+          .filter(t => t != null && t.getString(0) == appId &&
+            !t.isNullAt(1))
+          .map(_.getLong(1)).maxOption
+      case None =>
+        val r = actions(spark, tableDir)
+          .where(col("txn.appId") === appId)
+          .agg(max(col("txn.version")))
+          .head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
 
   /** Anti-join `joined` (rows carrying `_uri_path`, `_commit_version`,
     * `_row_index`) against the RESOLVED deleted sets of `dvItems`
@@ -963,7 +1345,7 @@ object DeltaLog {
     */
   def changes(spark: SparkSession, tableDir: String, sinceVersion: Long,
               untilVersion: Option[Long] = None): DataFrame = {
-    val (schema, partCols, mode, _) = tableState(spark, tableDir, untilVersion)
+    val (schema, partCols, mode, _, _) = tableState(spark, tableDir, untilVersion)
     def physicalOf(f: StructField): String = physicalName(mode, f)
     val latest = untilVersion.getOrElse(
       (listCommits(spark, tableDir).lastOption.map(_._1) ++
@@ -1035,8 +1417,7 @@ object DeltaLog {
       StructField("_uri_path", StringType, nullable = false) +:
         StructField("_commit_version", LongType, nullable = false) +:
         partCols.map(c => StructField(s"_part_$c", StringType, nullable = true)))
-    val mapping = spark.createDataFrame(
-      spark.sparkContext.parallelize(mapRows, 1), mapSchema)
+    val mapping = spark.createDataFrame(mapRows.asJava, mapSchema)
     val dataFields = schema.fields.filterNot(f => partCols.contains(f.name))
     // PHYSICAL names reach the scan — a column-mapped table's files
     // store col-<uuid> columns, and reading logical names would serve
@@ -1082,7 +1463,7 @@ object DeltaLog {
     */
   def changeFeed(spark: SparkSession, tableDir: String, sinceVersion: Long,
                  untilVersion: Option[Long] = None): DataFrame = {
-    val (schema, partCols, mode, _) = tableState(spark, tableDir, untilVersion)
+    val (schema, partCols, mode, _, _) = tableState(spark, tableDir, untilVersion)
     def physicalOf(f: StructField): String = physicalName(mode, f)
     val latest = untilVersion.getOrElse(
       (listCommits(spark, tableDir).lastOption.map(_._1) ++
@@ -1201,8 +1582,7 @@ object DeltaLog {
         StructField("_commit_version", LongType, nullable = false) +:
         StructField("_derived_type", StringType, nullable = true) +:
         partCols.map(c => StructField(s"_part_$c", StringType, nullable = true)))
-    val mapping = spark.createDataFrame(
-      spark.sparkContext.parallelize(mapRows, 1), mapSchema)
+    val mapping = spark.createDataFrame(mapRows.asJava, mapSchema)
     val dataFields = schema.fields.filterNot(f => partCols.contains(f.name))
     // CDC files carry _change_type; data files don't — scan both with
     // an optional _change_type column and coalesce with the derived type
@@ -1240,15 +1620,24 @@ object DeltaLog {
     */
   def tableMeta(spark: SparkSession, tableDir: String,
                 asOf: Option[Long] = None): Option[(String, Seq[String], Int, Int)] = {
-    val acts = actions(spark, tableDir, asOf)
-    val lastMeta = acts.where(col("metaData.schemaString").isNotNull)
-      .orderBy(col("version").desc, col("ordinal").desc)
-      .select("metaData.schemaString", "metaData.partitionColumns")
-      .limit(1).collect().headOption
-    val lastProto = acts.where(col("protocol.minReaderVersion").isNotNull)
-      .orderBy(col("version").desc, col("ordinal").desc)
-      .select("protocol.minReaderVersion", "protocol.minWriterVersion")
-      .limit(1).collect().headOption
+    val (lastMeta: Option[Row], lastProto: Option[Row]) =
+      localLog(spark, tableDir, asOf) match {
+        case Some(l) =>
+          (l.lastStruct(A.Meta, s => !s.isNullAt(1))
+             .map(s => Row(s.get(1), s.get(2))),
+           l.lastStruct(A.Proto, s => !s.isNullAt(0))
+             .map(s => Row(s.get(0), s.get(1))))
+        case None =>
+          val acts = actions(spark, tableDir, asOf)
+          (acts.where(col("metaData.schemaString").isNotNull)
+             .orderBy(col("version").desc, col("ordinal").desc)
+             .select("metaData.schemaString", "metaData.partitionColumns")
+             .limit(1).collect().headOption,
+           acts.where(col("protocol.minReaderVersion").isNotNull)
+             .orderBy(col("version").desc, col("ordinal").desc)
+             .select("protocol.minReaderVersion", "protocol.minWriterVersion")
+             .limit(1).collect().headOption)
+      }
     for (m <- lastMeta; p <- lastProto) yield {
       val parts = Option(m.getSeq[String](1)).getOrElse(Seq.empty)
       (m.getString(0), parts, p.getInt(0), p.getInt(1))
@@ -1273,19 +1662,31 @@ object DeltaLog {
     */
   def clusteringReport(spark: SparkSession, tableDir: String,
                        asOf: Option[Long] = None): DataFrame = {
-    val acts = actions(spark, tableDir, asOf)
-    val lastDomain = acts
-      .where(col("domainMetadata.domain") === "delta.clustering")
-      .orderBy(col("version").desc, col("ordinal").desc)
-      .select(col("domainMetadata.configuration"),
-        coalesce(col("domainMetadata.removed"), lit(false)))
-      .limit(1).collect().headOption
-    val featurePresent = acts
-      .where(col("protocol.writerFeatures").isNotNull)
-      .orderBy(col("version").desc, col("ordinal").desc)
-      .select("protocol.writerFeatures")
-      .limit(1).collect().headOption
-      .exists(_.getSeq[String](0).contains("clusteredTable"))
+    val (lastDomain: Option[Row], featurePresent: Boolean) =
+      localLog(spark, tableDir, asOf) match {
+        case Some(l) =>
+          (l.lastStruct(A.Domain,
+             s => s.getString(0) == "delta.clustering").map { s =>
+               Row(s.get(1),
+                 java.lang.Boolean.valueOf(!s.isNullAt(2) && s.getBoolean(2)))
+             },
+           l.lastStruct(A.Proto, s => !s.isNullAt(3))
+             .exists(_.getSeq[String](3).contains("clusteredTable")))
+        case None =>
+          val acts = actions(spark, tableDir, asOf)
+          (acts
+             .where(col("domainMetadata.domain") === "delta.clustering")
+             .orderBy(col("version").desc, col("ordinal").desc)
+             .select(col("domainMetadata.configuration"),
+               coalesce(col("domainMetadata.removed"), lit(false)))
+             .limit(1).collect().headOption,
+           acts
+             .where(col("protocol.writerFeatures").isNotNull)
+             .orderBy(col("version").desc, col("ordinal").desc)
+             .select("protocol.writerFeatures")
+             .limit(1).collect().headOption
+             .exists(_.getSeq[String](0).contains("clusteredTable")))
+      }
     val cols: Seq[String] = lastDomain match {
       case Some(r) if !r.getBoolean(1) && !r.isNullAt(0) =>
         type JObj = scala.collection.mutable.LinkedHashMap[String, Any]
@@ -1312,8 +1713,7 @@ object DeltaLog {
       case _ => Nil
     }
     spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        cols.zipWithIndex.map { case (c, i) => Row(i, c, featurePresent) }, 1),
+      cols.zipWithIndex.map { case (c, i) => Row(i, c, featurePresent) }.asJava,
       clusteringSchema)
   }
 
@@ -1350,7 +1750,7 @@ object DeltaLog {
     if (declared.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], clusterHealthSchema)
-    val (schema, partCols, mode, mapping) = tableState(spark, tableDir, asOf)
+    val (schema, partCols, mode, mapping, _) = tableState(spark, tableDir, asOf)
     val rows = declared.map { case (pos, name) =>
       // the domain stores PHYSICAL column paths (what a column-mapped
       // clustered-table writer records); resolve physically first,
@@ -1410,7 +1810,6 @@ object DeltaLog {
       Row(pos, name, bounds.length.toLong, intervals.length.toLong,
         pairs, depth)
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq, 1), clusterHealthSchema)
+    spark.createDataFrame(rows.toSeq.asJava, clusterHealthSchema)
   }
 }

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType}
@@ -548,18 +548,33 @@ object DeltaWrite {
           (p, DeltaDv.encodeBitmap(rows), rows.length.toLong)
         }
         .collect().map(t => (t._1, (t._2, t._3))).toMap
-    // the touched files' reconciled add facts, for the re-add lines
-    val w = Window.partitionBy(coalesce(col("add.path"), col("remove.path")))
-      .orderBy(col("version").desc, col("ordinal").desc)
-    val lives = DeltaLog.actions(spark, tableDir)
-      .where(col("add.path").isNotNull || col("remove.path").isNotNull)
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1 && col("add.path").isNotNull &&
-        col("add.path").isin(touched: _*))
-      .select(col("add.path"), col("add.partitionValues"), col("add.size"),
-        col("add.modificationTime"), col("add.stats"),
-        get_json_object(col("add.stats"), "$.numRecords").cast("long"))
-      .collect().map { r =>
+    // the touched files' reconciled add facts, for the re-add lines —
+    // driver-side fold when the log is metadata-sized, window fold past
+    // the gate
+    val touchedSet = touched.toSet
+    val liveRows: Array[Row] = DeltaLog.localLog(spark, tableDir) match {
+      case Some(l) =>
+        l.liveAddRows.map(_.getAs[Row](DeltaLog.A.Add))
+          .filter(a => touchedSet.contains(a.getString(0)))
+          .map { a =>
+            val stats = if (a.isNullAt(5)) null else a.getString(5)
+            Row(a.get(0), a.get(1), a.get(2), a.get(3), stats,
+              DeltaLog.statsNumRecordsLocal(stats))
+          }.toArray
+      case None =>
+        val w = Window.partitionBy(coalesce(col("add.path"), col("remove.path")))
+          .orderBy(col("version").desc, col("ordinal").desc)
+        DeltaLog.actions(spark, tableDir)
+          .where(col("add.path").isNotNull || col("remove.path").isNotNull)
+          .withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1 && col("add.path").isNotNull &&
+            col("add.path").isin(touched: _*))
+          .select(col("add.path"), col("add.partitionValues"), col("add.size"),
+            col("add.modificationTime"), col("add.stats"),
+            get_json_object(col("add.stats"), "$.numRecords").cast("long"))
+          .collect()
+    }
+    val lives = liveRows.map { r =>
         val pv =
           if (r.isNullAt(1)) Seq.empty[(String, Option[String])]
           else r.getMap[String, String](1).toSeq.sortBy(_._1)
@@ -790,13 +805,7 @@ object DeltaWrite {
     val meta = fullMetaOf(spark, sourceDir)
     val srcRoot = new Path(sourceDir)
     val srcFs = fileSystem(spark, sourceDir)
-    val acts = DeltaLog.actions(spark, sourceDir)
-    val w = Window.partitionBy(coalesce(col("add.path"), col("remove.path")))
-      .orderBy(col("version").desc, col("ordinal").desc)
-    val live = acts
-      .where(col("add.path").isNotNull || col("remove.path").isNotNull)
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1 && col("add.path").isNotNull)
+    val live = DeltaLog.liveAddStructs(spark, sourceDir)
       .select(col("add.path").as("p"),
         col("add.deletionVector.storageType").as("dvType"),
         to_json(col("add").withField("path",
@@ -866,17 +875,11 @@ object DeltaWrite {
   def restore(spark: SparkSession, tableDir: String, toVersion: Long): Long = {
     val fs = fileSystem(spark, tableDir)
     val version = nextVersion(spark, tableDir)
-    def liveAdds(asOf: Option[Long]): Map[String, String] = {
-      val acts = DeltaLog.actions(spark, tableDir, asOf)
-      val w = Window.partitionBy(coalesce(col("add.path"), col("remove.path")))
-        .orderBy(col("version").desc, col("ordinal").desc)
-      acts.where(col("add.path").isNotNull || col("remove.path").isNotNull)
-        .withColumn("_rn", row_number().over(w))
-        .where(col("_rn") === 1 && col("add.path").isNotNull)
+    def liveAdds(asOf: Option[Long]): Map[String, String] =
+      DeltaLog.liveAddStructs(spark, tableDir, asOf)
         .select(col("add.path"),
           to_json(col("add").withField("dataChange", lit(true))).as("j"))
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    }
     val target = liveAdds(Some(toVersion))
     val current = liveAdds(None)
     val removes = (current.keySet -- target.keySet).toSeq.sorted
@@ -1064,6 +1067,49 @@ object DeltaWrite {
     * "never wrote".
     */
   private def checkpointState(spark: SparkSession, tableDir: String, v: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
+    DeltaLog.localLog(spark, tableDir, Some(v)) match {
+      case Some(l) =>
+        import scala.jdk.CollectionConverters._
+        val A = DeltaLog.A
+        def oneCol(name: String, idx: Int, rows: Seq[Row]): DataFrame =
+          spark.createDataFrame(
+            rows.map(r => Row(r.getAs[Row](idx))).asJava,
+            StructType(Seq(StructField(name,
+              DeltaLog.actionSchema(name).dataType, nullable = true))))
+        def lastPer(idx: Int, keyOf: Row => String): Seq[Row] = {
+          val last = scala.collection.mutable.LinkedHashMap.empty[String, Row]
+          l.rows.foreach { r =>
+            val s = r.getAs[Row](idx)
+            if (s != null) {
+              val k = keyOf(s)
+              if (k != null) last(k) = r
+            }
+          }
+          last.values.toSeq
+        }
+        def lastRowWhere(idx: Int): Seq[Row] =
+          l.rows.reverseIterator.find { r =>
+            val s = r.getAs[Row](idx); s != null && !s.isNullAt(0)
+          }.toSeq
+        val liveAdds = oneCol("add", A.Add, l.liveAddRows)
+        val lastMeta = oneCol("metaData", A.Meta, lastRowWhere(A.Meta))
+        val lastProto = oneCol("protocol", A.Proto, lastRowWhere(A.Proto))
+        val lastTxns = oneCol("txn", A.Txn,
+          lastPer(A.Txn, _.getString(0)))
+        // latest domain metadata per domain; removed domains' tombstones
+        // need not survive a checkpoint (protocol), so they drop here
+        val lastDomains = oneCol("domainMetadata", A.Domain,
+          lastPer(A.Domain, _.getString(0)).filter { r =>
+            val s = r.getAs[Row](A.Domain)
+            s.isNullAt(2) || !s.getBoolean(2)
+          })
+        (liveAdds, lastMeta, lastProto, lastTxns, lastDomains)
+      case None => checkpointStateDistributed(spark, tableDir, v)
+    }
+
+  private def checkpointStateDistributed(spark: SparkSession,
+                                         tableDir: String, v: Long)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val acts = DeltaLog.actions(spark, tableDir, Some(v))
     val w = Window
@@ -1326,15 +1372,21 @@ object DeltaWrite {
 
   private[sources] def fullMetaOf(spark: SparkSession, tableDir: String,
                                   asOf: Option[Long] = None): TableMeta = {
-    val row = DeltaLog.actions(spark, tableDir, asOf)
-      .where(col("metaData.schemaString").isNotNull)
-      .orderBy(col("version").desc, col("ordinal").desc)
-      .select("metaData.id", "metaData.schemaString",
-        "metaData.partitionColumns", "metaData.configuration",
-        "metaData.createdTime")
-      .limit(1).collect().headOption.getOrElse(
-        throw new IllegalArgumentException(
-          s"deltawrite: no metaData action under $tableDir"))
+    val row = (DeltaLog.localLog(spark, tableDir, asOf) match {
+      case Some(l) =>
+        l.lastStruct(DeltaLog.A.Meta, s => !s.isNullAt(1)).map(s =>
+          Row(s.get(0), s.get(1), s.get(2), s.get(3), s.get(4)))
+      case None =>
+        DeltaLog.actions(spark, tableDir, asOf)
+          .where(col("metaData.schemaString").isNotNull)
+          .orderBy(col("version").desc, col("ordinal").desc)
+          .select("metaData.id", "metaData.schemaString",
+            "metaData.partitionColumns", "metaData.configuration",
+            "metaData.createdTime")
+          .limit(1).collect().headOption
+    }).getOrElse(
+      throw new IllegalArgumentException(
+        s"deltawrite: no metaData action under $tableDir"))
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(row.getString(1)).asInstanceOf[StructType]
     TableMeta(
@@ -1544,21 +1596,31 @@ object DeltaWrite {
     if (moved.isEmpty) return Nil
     // stats per staged file (numRecords + per-column min/max/nullCount):
     // footer bytes only, distributed — never a data read
-    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val rootStr = fs.makeQualified(fsRoot).toString
     val rels = moved.map(_._1)
     val dataSchema = StructType(
       df.schema.fields.filterNot(f => partitionBy.contains(f.name)))
-    val slices = math.max(1, math.min(rels.length,
-      spark.sparkContext.defaultParallelism * 2))
-    val stats = spark.sparkContext.parallelize(rels, slices).map { rel =>
+    def statsOf(pfs: FileSystem, rel: String): (String, String) = {
       val p = new Path(rootStr, rel)
-      val pfs = p.getFileSystem(conf.value)
       val m = ParquetMeta.readFooter(pfs, p).getOrElse(
         throw new java.io.IOException(
           s"deltawrite: staged file $rel has no readable parquet footer"))
       rel -> DeltaStats.statsJson(m, dataSchema)
-    }.collect().toMap
+    }
+    // footer-only reads: a handful of staged files is driver work (one
+    // KB-sized read each, no job launch); a wide write's many files
+    // still fan out across the cluster
+    val stats: Map[String, String] =
+      if (rels.length <= 32) rels.map(statsOf(fs, _)).toMap
+      else {
+        val conf = new SerializableHadoopConf(
+          spark.sparkContext.hadoopConfiguration)
+        val slices = math.max(1, math.min(rels.length,
+          spark.sparkContext.defaultParallelism * 2))
+        spark.sparkContext.parallelize(rels, slices).map { rel =>
+          statsOf(new Path(rootStr, rel).getFileSystem(conf.value), rel)
+        }.collect().toMap
+      }
     // a 0-row part file (an empty task of a rewrite whose survivors all
     // dropped) is noise: no reader needs it, and a whole-file DELETE
     // would otherwise commit an empty add instead of a clean remove

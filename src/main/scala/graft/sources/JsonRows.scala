@@ -1,0 +1,107 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+import org.apache.spark.sql.types._
+
+/** Driver-side JSON-line → Row decoding for METADATA-sized inputs (the
+  * Delta log's local-replay fast path — see [[DeltaLog]]): a
+  * schema-driven mirror of `from_json`'s PERMISSIVE semantics over the
+  * action-schema subset of types (struct / array / map<string,_> /
+  * string / long / int / boolean).
+  *
+  * Faithfulness contract, pinned by DeltaLocalReplaySpec against
+  * `from_json` itself:
+  *  - a malformed line or a non-object root yields an ALL-NULL record;
+  *  - a field whose JSON value cannot convert (a string where a long is
+  *    declared, a scalar where a struct is declared) yields a null
+  *    FIELD with the rest of the record kept — PERMISSIVE with
+  *    `spark.sql.json.enablePartialResults` (default since 3.4) keeps
+  *    partial records, caught per struct field at every nesting level;
+  *  - a missing key or JSON null yields a null field;
+  *  - a STRING field accepts any JSON value, non-strings arriving as
+  *    their compact JSON text (Jackson and Catalyst render the token
+  *    stream identically for the values our logs carry) — this is how
+  *    `add.stats` (a JSON document in a string) survives;
+  *  - numeric fields convert only from integral JSON numbers that fit
+  *    the declared width.
+  *
+  * Scope: only the types above (what [[DeltaLog.actionSchema]] and the
+  * stats schemas use); any other DataType fails loud at call time
+  * rather than decoding wrongly.
+  */
+private[sources] object JsonRows {
+  private val mapper = new ObjectMapper()
+
+  private final class Unconvertible extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+  private def bad(): Nothing = throw new Unconvertible
+
+  /** Parse one JSON object line into Some(field values) of `schema`;
+    * None = the PERMISSIVE all-null record.
+    */
+  def parseLine(line: String, schema: StructType): Option[Array[Any]] = {
+    val node =
+      try mapper.readTree(line)
+      catch { case _: Exception => null }
+    if (node == null || !node.isObject) None
+    else Some(structValues(node, schema))
+  }
+
+  private def structValues(node: JsonNode, st: StructType): Array[Any] =
+    st.fields.map { f =>
+      val c = node.get(f.name)
+      if (c == null || c.isNull) null
+      else
+        try convert(c, f.dataType)
+        catch { case _: Unconvertible => null } // partial record: field-null
+    }
+
+  private def convert(n: JsonNode, dt: DataType): Any = dt match {
+    case st: StructType =>
+      if (!n.isObject) bad()
+      new GenericRowWithSchema(structValues(n, st), st)
+    case ArrayType(et, _) =>
+      if (!n.isArray) bad()
+      (0 until n.size).map { i =>
+        val c = n.get(i)
+        if (c.isNull) null else convert(c, et)
+      }
+    case MapType(StringType, vt, _) =>
+      if (!n.isObject) bad()
+      val it = n.fields()
+      val b = scala.collection.immutable.Map.newBuilder[String, Any]
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> (if (e.getValue.isNull) null
+                          else convert(e.getValue, vt))
+      }
+      b.result()
+    case StringType =>
+      if (n.isTextual) n.textValue() else n.toString
+    case LongType =>
+      if (n.isIntegralNumber && n.canConvertToLong) n.longValue() else bad()
+    case IntegerType =>
+      if (n.isIntegralNumber && n.canConvertToInt) n.intValue() else bad()
+    case BooleanType =>
+      if (n.isBoolean) n.booleanValue() else bad()
+    case other =>
+      throw new IllegalArgumentException(
+        s"jsonrows: unsupported type $other — extend the converter " +
+          "deliberately (its from_json parity is spec-pinned)")
+  }
+
+  /** Rows of `line` strings decoded against `schema`, each prefixed
+    * with the caller's (version, ordinal) — the local twin of
+    * `finishActions(commitLinesDf(...))`.
+    */
+  def actionRow(version: Long, ordinal: Long, line: String,
+                schema: StructType, fullSchema: StructType): Row = {
+    val fields = parseLine(line, schema)
+      .getOrElse(Array.fill[Any](schema.length)(null))
+    new GenericRowWithSchema(
+      (version +: ordinal +: fields.toSeq).toArray, fullSchema)
+  }
+}

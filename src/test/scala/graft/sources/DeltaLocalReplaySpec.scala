@@ -1,0 +1,156 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The driver-side log replay (DeltaLog's local path, gated by
+  * `spark.graft.delta.localReplayMaxBytes`) must be OBSERVATIONALLY
+  * IDENTICAL to the distributed replay — same action rows (incl. the
+  * PERMISSIVE all-null record for malformed lines), same snapshot,
+  * same served table, same protocol/meta answers — on a fixture that
+  * exercises adds/removes/re-adds, partition values, stats, deletion
+  * vectors, txn, domain metadata, checkpoints and junk lines. The spec
+  * runs every API twice, flipping the gate conf to 0 (local path
+  * disabled) for the distributed leg, so BOTH replay paths stay
+  * covered by the suite forever.
+  */
+class DeltaLocalReplaySpec extends SparkSpec {
+
+  private val GateKey = "spark.graft.delta.localReplayMaxBytes"
+
+  private def distributed[T](f: => T): T = {
+    spark.conf.set(GateKey, "0")
+    try f finally spark.conf.unset(GateKey)
+  }
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("delta_localreplay").toString
+
+  /** A table with versions, a DV delete, a txn commit, domain metadata
+    * and junk lines — built through the real writer plus one
+    * hand-written commit for the adversarial lines.
+    */
+  private def buildFixture(): String = {
+    val dir = freshDir()
+    val df = spark.range(0, 100).selectExpr("id", "cast(id % 7 as int) k",
+      "concat('v', id) s")
+    DeltaWrite.createTable(spark, df, dir)
+    DeltaWrite.append(spark,
+      spark.range(100, 140).selectExpr("id", "cast(id % 7 as int) k",
+        "concat('v', id) s"), dir, txn = Some(("appA", 3L)))
+    DeltaWrite.deleteDv(spark, dir, "id % 10 = 0")
+    DeltaWrite.clusterBy(spark, dir, Seq("k"))
+    // adversarial commit: unknown action, malformed line, weird types
+    val log = java.nio.file.Paths.get(dir, "_delta_log")
+    val v = DeltaLog.listCommits(spark, dir).last._1 + 1
+    java.nio.file.Files.write(log.resolve(f"$v%020d.json"),
+      Seq(
+        """{"commitInfo":{"timestamp":1700000000099,"operation":"JUNK"}}""",
+        """{"someFutureAction":{"x":1}}""",
+        "not json at all {",
+        """[1,2,3]""",
+        """{"txn":{"appId":"appB","version":9,"lastUpdated":1700000000099}}""",
+        """{"protocol":"not-a-struct"}""",
+        // pathless: partial-record decode parity without naming a file
+        // the table scan would try to open
+        """{"add":{"size":"not-a-number","dataChange":true}}"""
+      ).mkString("\n").getBytes("UTF-8"))
+    dir
+  }
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("actions(): local rows == distributed rows, junk lines included") {
+    val dir = buildFixture()
+    val local = sortedRows(DeltaLog.actions(spark, dir)
+      .selectExpr("version", "ordinal", "to_json(struct(*)) j"))
+    val dist = distributed(sortedRows(DeltaLog.actions(spark, dir)
+      .selectExpr("version", "ordinal", "to_json(struct(*)) j")))
+    assert(local === dist)
+    assert(local.nonEmpty)
+  }
+
+  test("snapshot / readTable / protocolOf / tableMeta / lastTxnVersion agree") {
+    val dir = buildFixture()
+    assert(sortedRows(DeltaLog.snapshot(spark, dir)) ===
+      distributed(sortedRows(DeltaLog.snapshot(spark, dir))))
+    assert(sortedRows(DeltaLog.readTable(spark, dir)) ===
+      distributed(sortedRows(DeltaLog.readTable(spark, dir))))
+    assert(DeltaLog.protocolOf(spark, dir) ===
+      distributed(DeltaLog.protocolOf(spark, dir)))
+    assert(DeltaLog.tableMeta(spark, dir) ===
+      distributed(DeltaLog.tableMeta(spark, dir)))
+    for (app <- Seq("appA", "appB", "absent"))
+      assert(DeltaLog.lastTxnVersion(spark, dir, app) ===
+        distributed(DeltaLog.lastTxnVersion(spark, dir, app)),
+        s"lastTxnVersion($app)")
+    assert(sortedRows(DeltaLog.deletedRows(spark, dir)) ===
+      distributed(sortedRows(DeltaLog.deletedRows(spark, dir))))
+    assert(DeltaLog.liveDvPaths(spark, dir) ===
+      distributed(DeltaLog.liveDvPaths(spark, dir)))
+    assert(sortedRows(DeltaLog.clusteringReport(spark, dir)) ===
+      distributed(sortedRows(DeltaLog.clusteringReport(spark, dir))))
+  }
+
+  test("time travel, changes and history agree across paths") {
+    val dir = buildFixture()
+    for (v <- 0L to 2L) {
+      assert(sortedRows(DeltaLog.snapshot(spark, dir, Some(v))) ===
+        distributed(sortedRows(DeltaLog.snapshot(spark, dir, Some(v)))), s"v$v")
+      assert(sortedRows(DeltaLog.readTable(spark, dir, Some(v))) ===
+        distributed(sortedRows(DeltaLog.readTable(spark, dir, Some(v)))), s"v$v")
+    }
+    assert(sortedRows(DeltaLog.changes(spark, dir, 0L, Some(1L))) ===
+      distributed(sortedRows(DeltaLog.changes(spark, dir, 0L, Some(1L)))))
+    assert(sortedRows(DeltaLog.history(spark, dir)) ===
+      distributed(sortedRows(DeltaLog.history(spark, dir))))
+    assert(DeltaLog.versionAtTimestamp(spark, dir, System.currentTimeMillis()) ===
+      distributed(DeltaLog.versionAtTimestamp(spark, dir,
+        System.currentTimeMillis())))
+  }
+
+  test("checkpointed table: local replay collects the same baseline") {
+    val dir = freshDir()
+    DeltaWrite.createTable(spark,
+      spark.range(0, 50).selectExpr("id", "concat('x', id) s"), dir)
+    DeltaWrite.append(spark,
+      spark.range(50, 70).selectExpr("id", "concat('x', id) s"), dir)
+    DeltaWrite.checkpoint(spark, dir)
+    DeltaWrite.append(spark,
+      spark.range(70, 80).selectExpr("id", "concat('x', id) s"), dir)
+    assert(sortedRows(DeltaLog.snapshot(spark, dir)) ===
+      distributed(sortedRows(DeltaLog.snapshot(spark, dir))))
+    assert(sortedRows(DeltaLog.readTable(spark, dir)) ===
+      distributed(sortedRows(DeltaLog.readTable(spark, dir))))
+    assert(sortedRows(DeltaLog.actions(spark, dir)
+        .selectExpr("version", "ordinal", "to_json(struct(*)) j")) ===
+      distributed(sortedRows(DeltaLog.actions(spark, dir)
+        .selectExpr("version", "ordinal", "to_json(struct(*)) j"))))
+  }
+
+  test("readTableWhere and skippingReport agree (stats decode parity)") {
+    val dir = freshDir()
+    val orders = spark.range(0, 1000)
+      .selectExpr("id", "cast(id % 5 as int) bucket", "id * 2 price")
+    DeltaWrite.createTable(spark, orders.where("id < 500").coalesce(1), dir)
+    DeltaWrite.append(spark, orders.where("id >= 500").coalesce(1), dir)
+    val p = "id >= 700"
+    assert(sortedRows(DeltaLog.readTableWhere(spark, dir, p)) ===
+      distributed(sortedRows(DeltaLog.readTableWhere(spark, dir, p))))
+    assert(sortedRows(DeltaLog.skippingReport(spark, dir, p)) ===
+      distributed(sortedRows(DeltaLog.skippingReport(spark, dir, p))))
+  }
+
+  test("byte gate: a log past the cap falls back (and answers identically)") {
+    val dir = freshDir()
+    DeltaWrite.createTable(spark,
+      spark.range(0, 10).selectExpr("id"), dir)
+    spark.conf.set(GateKey, "1") // one byte: everything falls back
+    try {
+      val viaFallback = sortedRows(DeltaLog.snapshot(spark, dir))
+      spark.conf.unset(GateKey)
+      assert(viaFallback === sortedRows(DeltaLog.snapshot(spark, dir)))
+    } finally spark.conf.unset(GateKey)
+  }
+}
