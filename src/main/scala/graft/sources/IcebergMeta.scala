@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
 import graft.operators.Avro
 
@@ -357,7 +358,7 @@ object IcebergMeta {
         tm.currentSnapshotId.contains(s.id))
     }
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), snapshotsSchema)
+      rows.asJava, snapshotsSchema)
   }
 
   val manifestsSchema: StructType = StructType(Seq(
@@ -455,7 +456,7 @@ object IcebergMeta {
         r.maxRefAgeMs.map(Long.box).orNull)
     }
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), refsSchema)
+      rows.asJava, refsSchema)
   }
 
   /** The chosen snapshot's manifest list, decoded: per-manifest counts
@@ -487,7 +488,7 @@ object IcebergMeta {
         mLong(m, "deleted_rows_count").map(Long.box).orNull)
     }
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), manifestsSchema)
+      rows.asJava, manifestsSchema)
   }
 
   val entriesSchema: StructType = StructType(Seq(
@@ -575,70 +576,101 @@ object IcebergMeta {
     val mlPath = new Path(resolvePath(tableDir, snap.manifestList))
     val fs = mlPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // (manifest path, sequence number for inheritance, the manifest's
-    // partition spec id)
+    // partition spec id, the manifest's declared byte length)
     val manifestPaths = readOcfFile(fs, mlPath).rows.map(asMap)
       .map { m =>
         (resolvePath(tableDir, mStr(m, "manifest_path").getOrElse(
           throw new java.io.IOException("manifest_file row without manifest_path"))),
-          mLong(m, "sequence_number"), mLong(m, "partition_spec_id"))
+          mLong(m, "sequence_number"), mLong(m, "partition_spec_id"),
+          mLong(m, "manifest_length"))
       }
-    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
-    val slices = math.max(1, math.min(manifestPaths.length,
-      spark.sparkContext.defaultParallelism * 2))
-    val rows = spark.sparkContext.parallelize(manifestPaths, slices)
-      .mapPartitions { it =>
-        var pfs: org.apache.hadoop.fs.FileSystem = null
-        it.flatMap { case (mp, manifestSeq, manifestSpecId) =>
-          val p = new Path(mp)
-          if (pfs == null) pfs = p.getFileSystem(conf.value)
-          val ocf = readOcfFile(pfs, p)
-          ocf.rows.map(asMap).map { e =>
-            val df = asMap(e.getOrElse("data_file",
-              throw new java.io.IOException(s"manifest entry without data_file in $mp")))
-            val contentCode = mLong(df, "content").getOrElse(0L)
-            val partition = asMap(df.getOrElse("partition", Map.empty[String, Any]))
-              .toSeq.sortBy(_._1)
-              .map { case (k, v) => s"$k=${Option(v).map(_.toString).getOrElse("null")}" }
-              .mkString("/")
-            val eqIds = df.get("equality_ids") match {
-              case Some(s: Seq[_]) =>
-                s.collect { case i: Int => Int.box(i); case l: Long => Int.box(l.toInt) }
-                  .toArray
-              case _ => null
-            }
-            Row(
-              mp,
-              mLong(e, "status").getOrElse(
-                throw new java.io.IOException(s"manifest entry without status in $mp")).toInt,
-              mLong(e, "snapshot_id").map(Long.box).orNull,
-              contentCode match {
-                case 0L => "data"
-                case 1L => "position_deletes"
-                case _  => "equality_deletes"
-              },
-              mStr(df, "file_path").getOrElse(
-                throw new java.io.IOException(s"data_file without file_path in $mp")),
-              mStr(df, "file_format").map(_.toUpperCase(java.util.Locale.ROOT)).orNull,
-              partition,
-              mLong(df, "record_count").map(Long.box).orNull,
-              mLong(df, "file_size_in_bytes").map(Long.box).orNull,
-              mLong(e, "sequence_number").orElse(manifestSeq).map(Long.box).orNull,
-              eqIds,
-              Some(longValued(intKeyed(df, "value_counts"))).filter(_.nonEmpty).orNull,
-              Some(longValued(intKeyed(df, "null_value_counts"))).filter(_.nonEmpty).orNull,
-              Some(bytesValued(intKeyed(df, "lower_bounds"))).filter(_.nonEmpty).orNull,
-              Some(bytesValued(intKeyed(df, "upper_bounds"))).filter(_.nonEmpty).orNull,
-              Some(asMap(df.getOrElse("partition", Map.empty[String, Any]))
-                .collect { case (k, v) if v != null => k -> v.toString })
-                .filter(_.nonEmpty).orNull,
-              manifestSpecId.map(l => Int.box(l.toInt)).orNull,
-              mStr(df, "referenced_data_file").orNull,
-              mLong(df, "content_offset").map(Long.box).orNull,
-              mLong(df, "content_size_in_bytes").map(Long.box).orNull)
+    // Local decode when the manifests are provably metadata-sized (the
+    // manifest list declares each manifest's length — no extra I/O):
+    // every downstream collect over the entries frame then folds to a
+    // LocalRelation instead of paying a job per question asked of the
+    // metadata. A missing length, or a total past the gate, keeps the
+    // distributed decode (the 100 TB path). 0 disables the local path.
+    val maxLocal = spark.conf
+      .getOption("spark.graft.iceberg.localManifestMaxBytes")
+      .map(_.toLong).getOrElse(16L * 1024 * 1024)
+    val totalLen = manifestPaths.foldLeft(Option(0L)) {
+      case (Some(acc), (_, _, _, Some(len))) => Some(acc + len)
+      case _                                 => None
+    }
+    if (maxLocal > 0 && totalLen.exists(_ <= maxLocal)) {
+      val rows = manifestPaths.flatMap { case (mp, seqN, specId, _) =>
+        manifestEntryRows(fs, mp, seqN, specId)
+      }
+      spark.createDataFrame(rows.asJava, entriesSchema)
+    } else {
+      val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+      val slices = math.max(1, math.min(manifestPaths.length,
+        spark.sparkContext.defaultParallelism * 2))
+      val rows = spark.sparkContext
+        .parallelize(manifestPaths.map(t => (t._1, t._2, t._3)), slices)
+        .mapPartitions { it =>
+          var pfs: org.apache.hadoop.fs.FileSystem = null
+          it.flatMap { case (mp, manifestSeq, manifestSpecId) =>
+            val p = new Path(mp)
+            if (pfs == null) pfs = p.getFileSystem(conf.value)
+            manifestEntryRows(pfs, mp, manifestSeq, manifestSpecId)
           }
         }
+      spark.createDataFrame(rows, entriesSchema)
+    }
+  }
+
+  /** One manifest's decoded entry rows — shared verbatim by the local
+    * (driver) and distributed decodes, so the two paths cannot drift.
+    */
+  private def manifestEntryRows(pfs: org.apache.hadoop.fs.FileSystem,
+                                mp: String, manifestSeq: Option[Long],
+                                manifestSpecId: Option[Long]): Seq[Row] = {
+    val ocf = readOcfFile(pfs, new Path(mp))
+    ocf.rows.map(asMap).map { e =>
+      val df = asMap(e.getOrElse("data_file",
+        throw new java.io.IOException(s"manifest entry without data_file in $mp")))
+      val contentCode = mLong(df, "content").getOrElse(0L)
+      val partition = asMap(df.getOrElse("partition", Map.empty[String, Any]))
+        .toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=${Option(v).map(_.toString).getOrElse("null")}" }
+        .mkString("/")
+      val eqIds = df.get("equality_ids") match {
+        case Some(s: Seq[_]) =>
+          s.collect { case i: Int => Int.box(i); case l: Long => Int.box(l.toInt) }
+            .toArray
+        case _ => null
       }
-    spark.createDataFrame(rows, entriesSchema)
+      Row(
+        mp,
+        mLong(e, "status").getOrElse(
+          throw new java.io.IOException(s"manifest entry without status in $mp")).toInt,
+        mLong(e, "snapshot_id").map(Long.box).orNull,
+        contentCode match {
+          case 0L => "data"
+          case 1L => "position_deletes"
+          case _  => "equality_deletes"
+        },
+        mStr(df, "file_path").getOrElse(
+          throw new java.io.IOException(s"data_file without file_path in $mp")),
+        mStr(df, "file_format").map(_.toUpperCase(java.util.Locale.ROOT)).orNull,
+        partition,
+        mLong(df, "record_count").map(Long.box).orNull,
+        mLong(df, "file_size_in_bytes").map(Long.box).orNull,
+        mLong(e, "sequence_number").orElse(manifestSeq).map(Long.box).orNull,
+        eqIds,
+        Some(longValued(intKeyed(df, "value_counts"))).filter(_.nonEmpty).orNull,
+        Some(longValued(intKeyed(df, "null_value_counts"))).filter(_.nonEmpty).orNull,
+        Some(bytesValued(intKeyed(df, "lower_bounds"))).filter(_.nonEmpty).orNull,
+        Some(bytesValued(intKeyed(df, "upper_bounds"))).filter(_.nonEmpty).orNull,
+        Some(asMap(df.getOrElse("partition", Map.empty[String, Any]))
+          .collect { case (k, v) if v != null => k -> v.toString })
+          .filter(_.nonEmpty).orNull,
+        manifestSpecId.map(l => Int.box(l.toInt)).orNull,
+        mStr(df, "referenced_data_file").orNull,
+        mLong(df, "content_offset").map(Long.box).orNull,
+        mLong(df, "content_size_in_bytes").map(Long.box).orNull)
+    }
   }
 
   /** The snapshot's LIVE data-file set: entries with status existing(0)
@@ -669,7 +701,7 @@ object IcebergMeta {
       Row(i, f.id.map(Long.box).orNull, f.name, f.typeStr, f.required)
     }
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
+      rows.asJava,
       StructType(Seq(
         StructField("position", IntegerType, nullable = false),
         StructField("field_id", LongType, nullable = true),
@@ -879,17 +911,13 @@ object IcebergMeta {
   private[sources] def fileTree(spark: SparkSession, paths: Seq[String])
       : Map[String, FileCols] = {
     if (paths.isEmpty) return Map.empty
-    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
-    val slices = math.max(1, math.min(paths.length,
-      spark.sparkContext.defaultParallelism * 2))
-    spark.sparkContext.parallelize(paths, slices).map { p =>
-      val hp = new Path(p)
-      val fs = hp.getFileSystem(conf.value)
-      val meta = ParquetMeta.readFooter(fs, hp).getOrElse(
+    def treeOf(fs: org.apache.hadoop.fs.FileSystem, p: String)
+        : (String, FileCols) = {
+      val meta = ParquetMeta.readFooter(fs, new Path(p)).getOrElse(
         throw new java.io.IOException(
           s"iceberg: $p has no readable parquet footer"))
       val tree = graft.operators.ParquetFooter.topLevelTree(meta.schema)
-      val fc = FileCols(
+      p -> FileCols(
         tree.map(_._1),
         tree.collect { case (n, Some(id), _) => id -> n }.toMap,
         tree.collect { case (n, _, kids) if kids.nonEmpty =>
@@ -897,8 +925,22 @@ object IcebergMeta {
             kids.collect { case (kn, Some(kid)) => kid -> kn }.toMap))
         }.toMap,
         graft.operators.ParquetFooter.topLevelTypes(meta.schema))
-      p -> fc
-    }.collect().toMap
+    }
+    // footer-only reads (KBs each): a handful is driver work, no job
+    // launch; a wide file list still fans out across the cluster
+    if (paths.length <= 32) {
+      val fs = new Path(paths.head)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      paths.map(treeOf(fs, _)).toMap
+    } else {
+      val conf = new SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration)
+      val slices = math.max(1, math.min(paths.length,
+        spark.sparkContext.defaultParallelism * 2))
+      spark.sparkContext.parallelize(paths, slices).map { p =>
+        treeOf(new Path(p).getFileSystem(conf.value), p)
+      }.collect().toMap
+    }
   }
 
   /** READ the table at the chosen snapshot — the audit door completed
@@ -1039,7 +1081,7 @@ object IcebergMeta {
           StructField(s"_null_$name", LongType, nullable = true))
         })
     val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), schema)
+      rows.asJava, schema)
     val names = typed.map(_._2).toSet
     val bounds = graft.sources.DeltaStats.FileBounds(
       minOf = c => if (names.contains(c)) col(s"`_min_$c`") else lit(null),
@@ -1530,10 +1572,10 @@ object IcebergMeta {
         .map(col): _*)
     // (uri path, manifest file_path string, data sequence number)
     val mapping = spark.createDataFrame(
-      spark.sparkContext.parallelize(dataFiles.toSeq.map(r =>
+      dataFiles.toSeq.map(r =>
         // getRawPath: _metadata.file_path is the URL-ENCODED URI form
         Row(abs(r.getString(1)).toUri.getRawPath, r.getString(1),
-          seqOf(r).map(Long.box).orNull)), 1),
+          seqOf(r).map(Long.box).orNull)).asJava,
       StructType(Seq(
         StructField("_uri_path", StringType, nullable = false),
         StructField("file_path", StringType, nullable = false),

@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
 /** Table STATISTICS in puffin files — the planning half of what
   * production Iceberg stores in puffin most often: per-column NDV
@@ -214,7 +215,7 @@ object IcebergStats {
       }
     }
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), ndvSchema)
+      rows.asJava, ndvSchema)
   }
 
   /** One registered statistics file (metadata.json side): the blob

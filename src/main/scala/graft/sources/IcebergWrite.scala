@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
 import graft.operators.Avro
 
@@ -797,11 +798,11 @@ object IcebergWrite {
       .map(_.getString(0)).toSeq.sorted
     if (cand.isEmpty) return None
     val mapping = spark.createDataFrame(
-      spark.sparkContext.parallelize(cand.map { rel =>
+      cand.map { rel =>
         org.apache.spark.sql.Row(
           fs.makeQualified(new Path(resolveInTable(tableDir, rel)))
             .toUri.getRawPath, rel)
-      }, 1),
+      }.asJava,
       StructType(Seq(
         StructField("_uri_path", StringType, nullable = false),
         StructField("file_path", StringType, nullable = false))))
@@ -837,11 +838,11 @@ object IcebergWrite {
     }).collect().map(_.getString(0)).toSeq.sorted
     if (files.isEmpty) return None
     val mapping = spark.createDataFrame(
-      spark.sparkContext.parallelize(files.map { rel =>
+      files.map { rel =>
         org.apache.spark.sql.Row(
           fs.makeQualified(new Path(resolveInTable(tableDir, rel)))
             .toUri.getRawPath, rel)
-      }, 1),
+      }.asJava,
       StructType(Seq(
         StructField("_uri_path", StringType, nullable = false),
         StructField("file_path", StringType, nullable = false))))
@@ -1569,7 +1570,7 @@ object IcebergWrite {
             val seqRows = dels.map(d => org.apache.spark.sql.Row(
               new Path(d.path).toUri.getRawPath, d.delSeq)).distinct
             val seqDf = spark.createDataFrame(
-              spark.sparkContext.parallelize(seqRows, 1),
+              seqRows.asJava,
               StructType(Seq(
                 StructField("_del_file", StringType, nullable = false),
                 StructField("_del_seq", LongType, nullable = false))))
@@ -1608,8 +1609,7 @@ object IcebergWrite {
                 keyCols.indices.flatMap(i => Seq(
                   StructField(s"_flo_$i", boundTypes(i), nullable = true),
                   StructField(s"_fhi_$i", boundTypes(i), nullable = true))))
-            val dataDf = spark.createDataFrame(
-              spark.sparkContext.parallelize(dataRows, 1), dataSchema)
+            val dataDf = spark.createDataFrame(dataRows.asJava, dataSchema)
             val db = delBounds.join(broadcast(seqDf), Seq("_del_file"))
             // excluded only when some key column is PROVABLY disjoint
             val disjoint = keyCols.indices.map { i =>
@@ -2096,19 +2096,26 @@ object IcebergWrite {
       }
     fs.delete(tmp, true)
     if (moved.isEmpty) return Nil
-    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val rootStr = fs.makeQualified(fsRoot).toString
-    val slices = math.max(1, math.min(moved.length,
-      spark.sparkContext.defaultParallelism * 2))
-    val facts = spark.sparkContext.parallelize(moved.map(_._1), slices)
-      .map { rel =>
-        val p = new Path(rootStr, rel)
-        val pfs = p.getFileSystem(conf.value)
-        val m = ParquetMeta.readFooter(pfs, p).getOrElse(
-          throw new java.io.IOException(
-            s"iceberg-write: staged file $rel has no readable parquet footer"))
-        (rel, m.numRows, colFactsOf(m, fields))
-      }.collect().map(x => x._1 -> (x._2, x._3)).toMap
+    def factsOf(pfs: org.apache.hadoop.fs.FileSystem, rel: String) = {
+      val m = ParquetMeta.readFooter(pfs, new Path(rootStr, rel)).getOrElse(
+        throw new java.io.IOException(
+          s"iceberg-write: staged file $rel has no readable parquet footer"))
+      (rel, m.numRows, colFactsOf(m, fields))
+    }
+    // footer-only reads: a handful of staged files is driver work (no
+    // job launch); a wide write's many files still fan out
+    val facts = (if (moved.length <= 32) moved.map(m => factsOf(fs, m._1))
+      else {
+        val conf = new SerializableHadoopConf(
+          spark.sparkContext.hadoopConfiguration)
+        val slices = math.max(1, math.min(moved.length,
+          spark.sparkContext.defaultParallelism * 2))
+        spark.sparkContext.parallelize(moved.map(_._1), slices)
+          .map { rel =>
+            factsOf(new Path(rootStr, rel).getFileSystem(conf.value), rel)
+          }.collect().toSeq
+      }).map(x => x._1 -> (x._2, x._3)).toMap
     moved.map { case (rel, size, pv) =>
       (rel, size, facts(rel)._1, facts(rel)._2, pv)
     }

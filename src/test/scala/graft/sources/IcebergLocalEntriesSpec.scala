@@ -1,0 +1,41 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** The driver-side manifest decode (IcebergMeta.entries' local path,
+  * gated by `spark.graft.iceberg.localManifestMaxBytes`) must answer
+  * exactly like the distributed decode — both call the same
+  * `manifestEntryRows`, so this pins the dispatch itself (gate logic,
+  * LocalRelation construction) and keeps the distributed leg covered.
+  */
+class IcebergLocalEntriesSpec extends SparkSpec {
+
+  private val GateKey = "spark.graft.iceberg.localManifestMaxBytes"
+
+  private def distributed[T](f: => T): T = {
+    spark.conf.set(GateKey, "0")
+    try f finally spark.conf.unset(GateKey)
+  }
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("entries/files/readTable agree across local and distributed decode") {
+    val dir = java.nio.file.Files.createTempDirectory("iceberg_localent").toString
+    val df = spark.range(0, 120).selectExpr("id", "cast(id % 4 as int) b",
+      "concat('s', id) s")
+    IcebergWrite.createTable(spark, df.where("id < 60").coalesce(1), dir)
+    IcebergWrite.append(spark, df.where("id >= 60").coalesce(1), dir)
+    IcebergWrite.delete(spark, dir, "id % 9 = 0") // position deletes
+    // to_json: binary bounds compare by CONTENT (base64), not identity
+    def entriesJson() = sortedRows(IcebergMeta.entries(spark, dir)
+      .selectExpr("to_json(struct(*)) j"))
+    assert(entriesJson() === distributed(entriesJson()))
+    assert(sortedRows(IcebergMeta.files(spark, dir)) ===
+      distributed(sortedRows(IcebergMeta.files(spark, dir))))
+    assert(sortedRows(IcebergMeta.readTable(spark, dir)) ===
+      distributed(sortedRows(IcebergMeta.readTable(spark, dir))))
+    assert(sortedRows(IcebergMeta.skippingReport(spark, dir, "id >= 100")) ===
+      distributed(sortedRows(IcebergMeta.skippingReport(spark, dir, "id >= 100"))))
+  }
+}
