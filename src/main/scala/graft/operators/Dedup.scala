@@ -806,6 +806,36 @@ object Dedup {
     require(threshold >= -1 && threshold <= 1, s"cosine threshold in [-1,1], got $threshold")
     require(bits >= 0 && tables >= 1, s"need bits >= 0 and tables >= 1")
     val base = emb.select(col(idCol), col(vecCol))
+    if (bits == 0) {
+      // Degenerate EXHAUSTIVE mode: one global bucket per table makes
+      // the candidate stage all pairs by construction, so the bucket
+      // machinery only added cost — a constant-key self-join
+      // materializing N²/2 candidate rows, a distinct() that shuffles
+      // them (a no-op: one bucket emits each pair once), then TWO more
+      // N²/2-row shuffles to attach the vectors by id. Generate the
+      // pairs directly instead: one broadcast nested-loop pass in which
+      // each pair's cosine computes in place and sub-threshold pairs
+      // die before ever materializing. Output identical (same cosim
+      // expression, same a_id < b_id orientation); the pair SPACE never
+      // shuffles at all. This mode is the oracle-exact verification
+      // twin and is O(N²) by contract — N is small wherever it runs;
+      // the served configurations (bits > 0) keep the scale-shaped
+      // candidate staging below.
+      // repartition the STREAMED side: the corpus is a handful of small
+      // parquet splits, and without this the O(N²) pair loop would run
+      // on as few cores as the scan has partitions — round-robin it
+      // across the session's shuffle parallelism (N rows, trivial bytes)
+      val va = base.select(col(idCol).as("a_id"), col(vecCol).as("ea"))
+        .repartition(emb.sparkSession.sessionState.conf.numShufflePartitions)
+        .withColumn("na", Similarity.norm("ea"))
+      val vb = base.select(col(idCol).as("b_id"), col(vecCol).as("eb"))
+        .withColumn("nb", Similarity.norm("eb"))
+      return va.join(broadcast(vb), col("a_id") < col("b_id"))
+        .withColumn("cosim",
+          round(Similarity.dot("ea", "eb") / (col("na") * col("nb")), 4))
+        .where(col("cosim") >= threshold)
+        .select("a_id", "b_id", "cosim")
+    }
     val planes = Similarity.hyperplanes(bits * tables, dim, seed)
     val tbs0 = Similarity.tableBuckets(base, vecCol, planes, tables, bits)
       .select(col(idCol).as("id"), explode(col("tbs")).as("tb"))
