@@ -1,0 +1,25 @@
+package graft
+import org.apache.spark.sql.functions._
+
+/** Dev-only scratch probe: q149 sub-stage timings at a given SF dir. */
+object Probe2 {
+  def t[T](l: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[probe2] $l%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+  }
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "tmp/sf1"
+    val spark = GraftSession.local()
+    val emb = Tables.load(spark, dir, "embeddings")
+    val pairs = graft.operators.Dedup.embeddingDupPairs(
+      emb, "vec_id", "embedding", threshold = 0.4, bits = 0, tables = 1)
+    val n = t("pairs.count")(pairs.count())
+    println(s"[probe2] pairs = $n")
+    val (comps, rounds) = t("components")(
+      graft.operators.Graph.componentsWithRounds(pairs, "a_id", "b_id", 50))
+    println(s"[probe2] rounds = $rounds")
+    t("comps.count")(comps.count())
+    t("q149 full")(SparkEntry.queries("q149_semantic_dedup")(spark, dir).count())
+    spark.stop()
+  }
+}

@@ -51,7 +51,15 @@ object Graph {
     // iteration and Catalyst re-optimization dominates after ~8 rounds. At
     // cluster scale with lineage-based recovery requirements, swap for
     // checkpoint() against a reliable dir — same call shape.
-    val bidir = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // ONE pass over the edge plan: a union of e with its swap would
+    // reference (and thus COMPUTE) the upstream edge plan twice — for a
+    // caller handing in an expensive uncached pair generator (q149's
+    // exhaustive cosine pass), that doubles the whole query. explode
+    // emits both directions from a single evaluation of each edge row.
+    val bidir = e.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct().localCheckpoint()
     // the fast path is gated on the id datatype as well as the edge count:
     // driverComponents orders ids via Comparable (with the UTF8String
