@@ -49,7 +49,14 @@ class PlanLintSpec extends SparkSpec {
   //   q249 — temperature mixing: broadcast 1-row total-weight scalar
   //         crossed into the per-source rate table (the q166 pattern;
   //         Sampling.temperatureMix)
+  //   q101/q149 — the oracle-exact EXHAUSTIVE embedding-dedup twins
+  //         (bits=0): all-pairs is the declared semantics, and since the
+  //         r20 optimization the pairs generate directly as one
+  //         broadcast nested-loop pass (Dedup.embeddingDupPairs'
+  //         degenerate mode) instead of through a constant-key self-join
+  //         — the served bucketed configs stay product-free
   private val productAllowed = Set(
+    "q101_dedup_embedding_full", "q149_semantic_dedup",
     "q249_temperature_mix",
     "q200_hll_estimate",
     "q142_bm25_search", "q159_sql_bm25",
