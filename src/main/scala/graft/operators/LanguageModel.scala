@@ -98,15 +98,25 @@ object LanguageModel {
       .where(col("tok") =!= "")
       .select(col("id"), col("_tgt"), expr(
         s"CAST(conv(substr(md5(tok), 1, 13), 16, 10) AS BIGINT) % $buckets").as("bk"))
-    val rawC = toks.groupBy("bk").agg(count(lit(1)).as("rc"),
-      sum(when(col("_tgt"), 1L).otherwise(0L)).as("tc"))
+    // ONE tokenize+hash pass over the corpus: the compact per-(doc,
+    // bucket) counts (<= docs x buckets rows, vs one row per token) are
+    // pinned and serve both the bucket-ratio build and the per-doc
+    // scoring join — previously each side re-ran the whole explode+md5
+    // scan. Consumed-twice pin, same rationale as Dedup's candidates.
+    val idbk = toks.groupBy("id", "_tgt", "bk")
+      .agg(count(lit(1)).as("c")).cache()
+    val rawC = idbk.groupBy("bk").agg(sum("c").as("rc"),
+      sum(when(col("_tgt"), col("c")).otherwise(0L)).as("tc"))
     val totals = rawC.agg(sum("rc").as("nr"), sum("tc").as("nt"))
     val ratio = rawC.crossJoin(broadcast(totals))
       .select(col("bk"), floor(lit(1e6) *
         (log((col("tc") + alpha) / (col("nt") + alpha * buckets)) -
          log((col("rc") + alpha) / (col("nr") + alpha * buckets)))).as("lr"))
-    toks.join(broadcast(ratio), Seq("bk"))
+    // integer micro-unit scores: sum(lr) over token rows == sum(c * lr)
+    // over the per-(doc, bucket) counts, exactly (both integer sums)
+    idbk.join(broadcast(ratio), Seq("bk"))
       .groupBy("id")
-      .agg(count(lit(1)).as("n_tokens"), sum("lr").as("score_micros"))
+      .agg(sum("c").as("n_tokens"),
+        sum(col("c") * col("lr")).as("score_micros"))
   }
 }

@@ -13,25 +13,35 @@ import org.apache.spark.sql.functions._
   * relative frequencies — the float `ln` makes them spec-pinned rather
   * than cross-engine-oracled, the documented q234/q235 split.
   *
-  * Scale shape: one explode to substring instances (corpus-linear:
-  * <= maxPieceLen * total chars) into one partial-aggregatable count;
-  * the top-K is a single ordered limit over the count relation.
+  * Scale shape: one corpus-linear word count (partial-aggregatable),
+  * then the O(len * maxPieceLen) substring explode over DISTINCT words
+  * only — Zipf-small next to the occurrence stream — into a weighted
+  * count; the top-K is a single ordered limit over the count relation.
   */
 object Unigram {
 
   def learnVocab(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
                  vocabSize: Int = 200, minCount: Int = 2): DataFrame = {
     require(maxPieceLen >= 1 && maxPieceLen <= 16, s"maxPieceLen=$maxPieceLen")
+    // two-level aggregation: count WORD occurrences first, then explode
+    // the candidate substrings of each DISTINCT word weighted by its
+    // count. A substring occurring k times inside word w (e.g. 'a' in
+    // 'aaa') still emits k rows per distinct word, each carrying the
+    // word count, so sum(wc) is exactly the per-occurrence count the
+    // single-pass explode produced — but the O(len^2) piece explosion
+    // and its hash aggregation run over the Zipf-small distinct-word
+    // set instead of every word occurrence in the corpus
     docs.select(explode(split(col(textCol), "\\s+")).as("w"))
       .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("_wc"))
       .select(explode(expr(
         s"""flatten(transform(sequence(1, $maxPieceLen), l ->
            |  CASE WHEN length(w) >= l
            |       THEN transform(sequence(1, length(w) - l + 1),
            |                      p -> substring(w, p, l))
            |       ELSE cast(array() as array<string>) END))""".stripMargin))
-        .as("piece"))
-      .groupBy("piece").agg(count(lit(1)).as("cnt"))
+        .as("piece"), col("_wc"))
+      .groupBy("piece").agg(sum(col("_wc")).as("cnt"))
       .where(col("cnt") >= minCount)
       .orderBy(desc("cnt"), asc("piece"))
       .limit(vocabSize)

@@ -212,10 +212,14 @@ object DeltaLog {
       val main = fs.makeQualified(f).toString
       // the sidecar list is metadata-sized; a sidecar action's path is
       // relative to _delta_log/_sidecars/
+      // the file's own footer schema, read on the DRIVER with Spark's
+      // converter (inference-equivalent — stored physical types and
+      // all) so no distributed inference job launches
       val sidecarRel = {
-        val raw = spark.read.parquet(main)
-        if (!raw.columns.contains("sidecar")) Nil
-        else raw.select(col("sidecar.path").as("p"))
+        val fileSchema = driverParquetSchema(spark, main)
+        if (!fileSchema.fieldNames.contains("sidecar")) Nil
+        else spark.read.schema(fileSchema).parquet(main)
+          .select(col("sidecar.path").as("p"))
           .where(col("p").isNotNull).collect().map(_.getString(0)).toSeq
       }
       val scDir = new Path(logDir, "_sidecars")
@@ -313,16 +317,45 @@ object DeltaLog {
     */
   private def checkpointLines(spark: SparkSession, c: Cp): DataFrame = {
     def linesOf(paths: Seq[String]): DataFrame = {
-      val raw = spark.read.parquet(paths: _*)
+      // the checkpoint's own footer schema, read on the DRIVER with
+      // Spark's converter — exactly what the distributed inference job
+      // produced (a FOREIGN writer's stored types, e.g. an INT64
+      // minReaderVersion, must read as stored; the JSON round-trip
+      // through finishActions' from_json is what coerces them), minus
+      // the job launch
+      val fileSchema = driverParquetSchema(spark, paths.head)
+      val raw = spark.read.schema(fileSchema).parquet(paths: _*)
       val keep = Seq("add", "remove", "metaData", "protocol", "commitInfo",
         "txn", "domainMetadata")
-        .filter(raw.columns.contains(_))
+        .filter(fileSchema.fieldNames.contains(_))
       raw.select(org.apache.spark.sql.functions.to_json(
           org.apache.spark.sql.functions.struct(keep.map(col): _*)).as("line"))
         .select(lit(c.version).as("version"), lit(0L).as("ordinal"), col("line"))
     }
     val main = linesOf(c.files)
     if (c.sidecars.isEmpty) main else main.unionByName(linesOf(c.sidecars))
+  }
+
+  /** One parquet file's Spark schema from its FOOTER, read on the
+    * driver through Spark's own `ParquetToSparkSchemaConverter` — the
+    * identical conversion the distributed inference job performs (with
+    * `mergeSchema` off it too reads a single footer), so handing the
+    * result to `spark.read.schema(...)` is inference minus the job
+    * launch. Checkpoint/sidecar files are KB-to-MB-sized metadata; the
+    * footer read is a couple of range requests.
+    */
+  private def driverParquetSchema(spark: SparkSession,
+                                  path: String): StructType = {
+    val footer =
+      org.apache.spark.sql.execution.datasources.parquet.ParquetFooterReader
+        .readFooter(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(path), spark.sessionState.newHadoopConf()),
+          org.apache.parquet.format.converter.ParquetMetadataConverter
+            .SKIP_ROW_GROUPS)
+    new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetToSparkSchemaConverter(spark.sessionState.conf)
+      .convert(footer.getFileMetaData.getSchema)
   }
 
   // ------------------------------------------------ local replay path

@@ -165,8 +165,25 @@ object DeltaOptimize {
       .map(st => fs.makeQualified(st.getPath).toString)
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val rootUriB = rootUri
+    // file-count gate for the DRIVER-side walk/delete: a table whose
+    // live set is metadata-small has a small directory tree (orphans
+    // aside), and the two parallelize jobs are pure scheduling
+    // overhead; a big table — or the gate set to 0 — walks and deletes
+    // distributed exactly as before
+    val localMax = spark.conf
+      .getOption("spark.graft.delta.localVacuumMaxFiles")
+      .map(_.toInt).getOrElse(4096)
     val subFiles: Seq[(String, Long, Long)] =
       if (dirs.isEmpty) Nil
+      else if (live.size <= localMax) {
+        def walk(q: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] =
+          fs.listStatus(q).toSeq.flatMap { st =>
+            if (st.isDirectory) walk(st.getPath)
+            else Seq((fs.makeQualified(st.getPath).toUri.getPath
+              .drop(rootUriB.length + 1), st.getLen, st.getModificationTime))
+          }
+        dirs.flatMap(d => walk(new org.apache.hadoop.fs.Path(d)))
+      }
       else spark.sparkContext
         .parallelize(dirs, math.max(1, math.min(dirs.length,
           spark.sparkContext.defaultParallelism * 2)))
@@ -189,14 +206,20 @@ object DeltaOptimize {
     val doomed = dead.filter(_._3).map(_._1)
     if (doomed.nonEmpty) {
       val rootStr = fs.makeQualified(root).toString
-      val failed = spark.sparkContext
-        .parallelize(doomed, math.max(1, math.min(doomed.length,
-          spark.sparkContext.defaultParallelism * 2)))
-        .map { r =>
-          val p = new org.apache.hadoop.fs.Path(rootStr, r)
-          val dfs = p.getFileSystem(conf.value)
-          r -> (dfs.delete(p, false) || !dfs.exists(p))
-        }.filter(!_._2).keys.collect()
+      val failed =
+        if (doomed.length <= localMax)
+          doomed.map { r =>
+            val p = new org.apache.hadoop.fs.Path(rootStr, r)
+            r -> (fs.delete(p, false) || !fs.exists(p))
+          }.filter(!_._2).map(_._1).toArray
+        else spark.sparkContext
+          .parallelize(doomed, math.max(1, math.min(doomed.length,
+            spark.sparkContext.defaultParallelism * 2)))
+          .map { r =>
+            val p = new org.apache.hadoop.fs.Path(rootStr, r)
+            val dfs = p.getFileSystem(conf.value)
+            r -> (dfs.delete(p, false) || !dfs.exists(p))
+          }.filter(!_._2).keys.collect()
       if (failed.nonEmpty)
         throw new java.io.IOException(
           s"deltaoptimize: vacuum could not delete ${failed.length} files " +

@@ -525,29 +525,24 @@ object DeltaWrite {
       .where(coalesce(expr(condition), lit(false))).cache()
     try {
     val matched = matchedFull.select(col("_rel_path"), col("_row_index"))
-    val touched = matched.select("_rel_path").distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    if (touched.isEmpty) return version - 1
-    // union with each touched file's EXISTING deleted set (readTableCore
-    // already excluded those rows, so matched alone would resurrect them)
-    val oldDels = DeltaLog.deletedRows(spark, tableDir)
-      .withColumnRenamed("path", "_rel_path")
-      .withColumnRenamed("row_index", "_row_index")
-      .where(col("_rel_path").isin(touched: _*))
     import spark.implicits._
-    // the per-file deleted set materializes UNCOMPRESSED in one task
-    // before encoding — bounded by rows-per-file (a ~1M-row file is a
-    // ~8 MB array), not by table size; only the encoded bitmap bytes
-    // ever reach the driver
-    val bitmaps: Map[String, (Array[Byte], Long)] =
-      matched.unionByName(oldDels)
-        .groupBy("_rel_path")
+    // ONE aggregation job serves both the touched-file list and the
+    // per-file bitmaps of the NEW matches (previously a distinct+collect
+    // job, then a second union+groupBy job that re-decoded EVERY live
+    // DV distributed). The per-file matched set materializes
+    // UNCOMPRESSED in one task before encoding — bounded by
+    // rows-per-file (a ~1M-row file is a ~8 MB array), not by table
+    // size; only the encoded bitmap bytes ever reach the driver
+    val newBitmaps: Map[String, (Array[Byte], Long)] =
+      matched.groupBy("_rel_path")
         .agg(sort_array(collect_set(col("_row_index"))).as("rows"))
         .as[(String, Seq[Long])]
         .map { case (p, rows) =>
           (p, DeltaDv.encodeBitmap(rows), rows.length.toLong)
         }
         .collect().map(t => (t._1, (t._2, t._3))).toMap
+    val touched = newBitmaps.keys.toSeq.sorted
+    if (touched.isEmpty) return version - 1
     // the touched files' reconciled add facts, for the re-add lines —
     // driver-side fold when the log is metadata-sized, window fold past
     // the gate
@@ -559,7 +554,7 @@ object DeltaWrite {
           .map { a =>
             val stats = if (a.isNullAt(5)) null else a.getString(5)
             Row(a.get(0), a.get(1), a.get(2), a.get(3), stats,
-              DeltaLog.statsNumRecordsLocal(stats))
+              DeltaLog.statsNumRecordsLocal(stats), a.get(6))
           }.toArray
       case None =>
         val w = Window.partitionBy(coalesce(col("add.path"), col("remove.path")))
@@ -571,7 +566,8 @@ object DeltaWrite {
             col("add.path").isin(touched: _*))
           .select(col("add.path"), col("add.partitionValues"), col("add.size"),
             col("add.modificationTime"), col("add.stats"),
-            get_json_object(col("add.stats"), "$.numRecords").cast("long"))
+            get_json_object(col("add.stats"), "$.numRecords").cast("long"),
+            col("add.deletionVector"))
           .collect()
     }
     val lives = liveRows.map { r =>
@@ -581,8 +577,34 @@ object DeltaWrite {
             .map { case (k, v) => k -> Option(v) }
         r.getString(0) -> ((pv, r.getLong(2), r.getLong(3),
           Option(r.getString(4)),
-          if (r.isNullAt(5)) -1L else r.getLong(5)))
+          if (r.isNullAt(5)) -1L else r.getLong(5),
+          Option(r.getAs[Row](6))))
       }.toMap
+    // merge in each touched file's EXISTING deleted set (readTableCore
+    // already excluded those rows — the sets are disjoint — so the new
+    // matches alone would resurrect previously-deleted rows). The
+    // descriptor comes off the reconciled add; each old set decodes,
+    // merges and re-encodes ONE FILE AT A TIME on the driver — the same
+    // per-file bound the executor encode has, touched files only (the
+    // previous distributed union re-decoded every live DV in the table)
+    val bitmaps: Map[String, (Array[Byte], Long)] = touched.map { p =>
+      val (enc, n) = newBitmaps(p)
+      lives(p)._6 match {
+        case None => p -> ((enc, n))
+        case Some(d) =>
+          val old = DeltaDv.resolve(fs, tableDir, d.getString(0), d.getString(1),
+              if (d.isNullAt(2)) None else Some(d.getInt(2)),
+              if (d.isNullAt(3)) -1 else d.getInt(3), d.getLong(4))
+            .getOrElse(throw new java.io.IOException(
+              s"deltawrite: deletion vector for $p is malformed or " +
+                "disagrees with its descriptor"))
+          val fresh = DeltaDv.decodeBitmap(enc).getOrElse(
+            throw new IllegalStateException(
+              s"deltawrite: freshly-encoded bitmap for $p failed to decode"))
+          val merged = (old ++ fresh).distinct.sorted
+          p -> ((DeltaDv.encodeBitmap(merged), merged.length.toLong))
+      }
+    }.toMap
     val fullyDeleted = touched.filter { p =>
       val numRecords = lives(p)._5
       numRecords >= 0 && bitmaps(p)._2 >= numRecords
@@ -649,7 +671,7 @@ object DeltaWrite {
             """"dataChange":true}}"""
         } ++
         touched.filterNot(fullyDeleted).map { p =>
-          val (pv, size, mtime, stats, _) = lives(p)
+          val (pv, size, mtime, stats, _, _) = lives(p)
           s"""{"add":{"path":${jstr(p)},"partitionValues":${jmap(pv)},""" +
             s""""size":$size,"modificationTime":$mtime,"dataChange":true,""" +
             stats.map(st => s""""stats":${jstr(st)},""").getOrElse("") +

@@ -1387,12 +1387,27 @@ object IcebergWrite {
         case _ => ()
       }
     }
-    // candidates: everything under data/, plus metadata *.avro
+    // candidates: everything under data/, plus metadata *.avro. The
+    // walk runs on the DRIVER when the referenced set is metadata-small
+    // (the one-task parallelize job was pure scheduling overhead); a
+    // big table — or the gate set to 0 — walks distributed as before
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val localMax = spark.conf
+      .getOption("spark.graft.iceberg.localWalkMaxFiles")
+      .map(_.toInt).getOrElse(4096)
     val dataDir = new Path(tableDir, "data")
     val dataDirStr = fs.makeQualified(dataDir).toString
     val dataFiles: Seq[(String, Long)] =
       if (!fs.exists(dataDir)) Nil
+      else if (referenced.size <= localMax) {
+        def walk(q: Path): Seq[(String, Long)] =
+          fs.listStatus(q).toSeq.flatMap { st =>
+            if (st.isDirectory) walk(st.getPath)
+            else Seq((fs.makeQualified(st.getPath).toUri.getPath,
+              st.getModificationTime))
+          }
+        walk(dataDir).map { case (u, m) => (u.drop(rootUri.length + 1), m) }
+      }
       else spark.sparkContext.parallelize(Seq(dataDirStr), 1).flatMap { d =>
         val p = new Path(d)
         val dfs = p.getFileSystem(conf.value)
@@ -1507,6 +1522,10 @@ object IcebergWrite {
     val posTouched: Set[String] =
       (if (posDel.isEmpty) Set.empty[String]
       else spark.read
+        // position deletes' column is spec-fixed (field id 2147483546,
+        // name `file_path`, string) — supplying it skips the footer-
+        // inference job
+        .schema(StructType(Seq(StructField("file_path", StringType))))
         .parquet(posDel.map(r => absOf(r.getString(2))).distinct.toIndexedSeq: _*)
         .select("file_path").distinct()
         .collect().map(_.getString(0)).toSet) ++

@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[Unigram.learnVocab]]'s two-level aggregation (word counts first,
+  * then weighted substring counts over DISTINCT words) must count
+  * exactly like the definitional one-pass explode over every word
+  * occurrence — including repeated substrings inside one word ('aaa'
+  * carries 'a' three times) and repeated words across documents.
+  */
+class UnigramVocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("weighted distinct-word counts equal per-occurrence counts") {
+    val docs = Seq("aaa ab  aaa", "ab aaa xyz", "xyz\txyz q", "")
+      .toDF("text")
+    val got = Unigram.learnVocab(docs, "text", maxPieceLen = 3,
+      vocabSize = 100, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val words = Seq("aaa", "ab", "aaa", "ab", "aaa", "xyz",
+      "xyz", "xyz", "q")
+    val naive = words.flatMap { w =>
+      for (l <- 1 to 3; p <- 0 to w.length - l) yield w.substring(p, p + l)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got === naive)
+  }
+
+  test("minCount and the (cnt desc, piece asc) limit act on summed counts") {
+    val docs = Seq("ab ab cd", "cd ab").toDF("text")
+    // ab x3, cd x2 → pieces: a3 b3 ab3 c2 d2 cd2
+    val rows = Unigram.learnVocab(docs, "text", maxPieceLen = 2,
+      vocabSize = 4, minCount = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("a", 3L), ("ab", 3L), ("b", 3L)))
+  }
+}

@@ -107,6 +107,28 @@ class DeltaDvWriteSpec extends SparkSpec {
       .where(col("dv_cardinality").isNotNull).count() === 0L)
   }
 
+  test("a second delete merges with a FILE-BACKED existing descriptor") {
+    // first delete's bitmaps exceed the inline threshold and land in a
+    // shared DV file; the second delete must resolve those old sets
+    // through the file framing and union them with its new matches —
+    // judged by content equality with the rewrite-mode twin
+    val t = rangeTable()
+    DeltaWrite.deleteDv(spark, t, "id % 2 = 0", inlineThreshold = 64)
+    DeltaWrite.deleteDv(spark, t, "id % 3 = 0", inlineThreshold = 64)
+    val got = DeltaLog.readTable(spark, t).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (0L until 300L).filter(i => i % 2 != 0 && i % 3 != 0))
+    val cards = DeltaLog.snapshot(spark, t)
+      .where(col("dv_cardinality").isNotNull)
+      .select("dv_cardinality").collect().map(_.getLong(0)).sum
+    assert(cards === (0L until 300L).count(i => i % 2 == 0 || i % 3 == 0).toLong)
+    val t2 = rangeTable()
+    DeltaWrite.delete(spark, t2, "id % 2 = 0")
+    DeltaWrite.delete(spark, t2, "id % 3 = 0")
+    assert(DeltaLog.readTable(spark, t).orderBy("id").collect().toSeq ===
+      DeltaLog.readTable(spark, t2).orderBy("id").collect().toSeq)
+  }
+
   test("a fully-deleted file is removed outright; no-match commits nothing") {
     val t = rangeTable()
     val v = DeltaWrite.deleteDv(spark, t, "id >= 100 AND id < 200")
