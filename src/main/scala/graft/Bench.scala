@@ -105,6 +105,14 @@ object Bench {
       System.err.println(s"bench: could not write $outPath: $e")
     }
     println(json)
+    // The driver keeps only a ~2000-char tail of stdout; the full JSON line
+    // above (~24 KB: 331 queries x durations + t0 maps) overflows it, which
+    // has left PERF_r*.json without a parseable total since ~r14. Emit a
+    // compact summary — no per-query maps — as the LAST line so the tail
+    // always ends with parseable JSON; per-query data lives in the full line
+    // and in BENCH_JSON_FILE. Additions/reordering only: timing unchanged.
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"runs":$runs,"sf":"$sfDir","nqueries":${results.size},"file":"$outPath"$warn}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -91,7 +91,32 @@ object LanguageModel {
     */
   def dsirWeights(docs: DataFrame, textCol: String, idCol: String,
                   isTargetCol: String, buckets: Int = 256,
-                  alpha: Double = 1.0): DataFrame = {
+                  alpha: Double = 1.0): DataFrame =
+    dsirWeightsWithCaches(docs, textCol, idCol, isTargetCol, buckets, alpha)._1
+
+  /** [[dsirWeights]] in a cache-releasing scope: the operator's pinned
+    * per-(doc, bucket) count table (see the lifetime note inside) is
+    * unpersisted when `use` returns, so an embedding caller (a
+    * long-lived multi-query session) leaks nothing past its own action.
+    * Run every action that needs the weights INSIDE the scope — the
+    * plan is lazy, and an action after release would silently recompute
+    * (and re-pin) the counts. Same house pattern as
+    * [[Dedup.withJaccardPairs]]; the declared queries return lazy plans
+    * to THEIR caller's action, so they use the plain form and the
+    * bench clears the cache manager between runs.
+    */
+  def withDsirWeights[T](docs: DataFrame, textCol: String, idCol: String,
+                         isTargetCol: String, buckets: Int = 256,
+                         alpha: Double = 1.0)(use: DataFrame => T): T = {
+    val (w, caches) = dsirWeightsWithCaches(docs, textCol, idCol,
+      isTargetCol, buckets, alpha)
+    try use(w)
+    finally caches.foreach(_.unpersist(blocking = true))
+  }
+
+  private def dsirWeightsWithCaches(
+      docs: DataFrame, textCol: String, idCol: String, isTargetCol: String,
+      buckets: Int, alpha: Double): (DataFrame, Seq[DataFrame]) = {
     require(buckets >= 2 && alpha > 0, s"need buckets >= 2, alpha > 0")
     val toks = docs.select(col(idCol).as("id"), col(isTargetCol).as("_tgt"),
         explode(split(col(textCol), " ")).as("tok"))
@@ -103,6 +128,10 @@ object LanguageModel {
     // pinned and serve both the bucket-ratio build and the per-doc
     // scoring join — previously each side re-ran the whole explode+md5
     // scan. Consumed-twice pin, same rationale as Dedup's candidates.
+    // Cache lifetime: this operator RETURNS a lazy plan, so it cannot
+    // unpersist after "the" action — there is none yet, and the caller
+    // may run several. [[withDsirWeights]] is the releasing scope for
+    // embedding callers.
     val idbk = toks.groupBy("id", "_tgt", "bk")
       .agg(count(lit(1)).as("c")).cache()
     val rawC = idbk.groupBy("bk").agg(sum("c").as("rc"),
@@ -114,9 +143,10 @@ object LanguageModel {
          log((col("rc") + alpha) / (col("nr") + alpha * buckets)))).as("lr"))
     // integer micro-unit scores: sum(lr) over token rows == sum(c * lr)
     // over the per-(doc, bucket) counts, exactly (both integer sums)
-    idbk.join(broadcast(ratio), Seq("bk"))
+    val weights = idbk.join(broadcast(ratio), Seq("bk"))
       .groupBy("id")
       .agg(sum("c").as("n_tokens"),
         sum(col("c") * col("lr")).as("score_micros"))
+    (weights, Seq(idbk))
   }
 }

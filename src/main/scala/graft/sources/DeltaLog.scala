@@ -322,8 +322,14 @@ object DeltaLog {
       // produced (a FOREIGN writer's stored types, e.g. an INT64
       // minReaderVersion, must read as stored; the JSON round-trip
       // through finishActions' from_json is what coerces them), minus
-      // the job launch
-      val fileSchema = driverParquetSchema(spark, paths.head)
+      // the job launch. Multi-part classic checkpoints / v2 sidecar
+      // sets UNION every part's footer (all driver-side, metadata-
+      // sized): a foreign writer's heterogeneous parts must not
+      // silently drop action columns absent from the head file, and a
+      // genuinely incompatible type across parts fails loud here
+      // instead of corrupting the scan
+      val fileSchema = paths.map(driverParquetSchema(spark, _))
+        .reduce(mergeFooterSchemas(_, _, paths.head))
       val raw = spark.read.schema(fileSchema).parquet(paths: _*)
       val keep = Seq("add", "remove", "metaData", "protocol", "commitInfo",
         "txn", "domainMetadata")
@@ -344,6 +350,33 @@ object DeltaLog {
     * launch. Checkpoint/sidecar files are KB-to-MB-sized metadata; the
     * footer read is a couple of range requests.
     */
+  /** Deep-union of two footer schemas from one checkpoint part group:
+    * fields present in either side survive (struct members recursively),
+    * nullability widens, and a non-struct type that differs between
+    * parts fails loud — one checkpoint's parts disagreeing on a
+    * column's physical type is corruption, not evolution.
+    */
+  private def mergeFooterSchemas(a: StructType, b: StructType,
+                                 group: String): StructType = {
+    val aNames = a.fieldNames.toSet
+    val merged = a.fields.map { f =>
+      b.fields.find(_.name == f.name) match {
+        case Some(g) => (f.dataType, g.dataType) match {
+          case (x: StructType, y: StructType) =>
+            f.copy(dataType = mergeFooterSchemas(x, y, group),
+              nullable = f.nullable || g.nullable)
+          case (x, y) if x == y =>
+            f.copy(nullable = f.nullable || g.nullable)
+          case (x, y) => throw new java.io.IOException(
+            s"deltalog: checkpoint parts of $group disagree on column " +
+              s"'${f.name}' ($x vs $y)")
+        }
+        case None => f
+      }
+    } ++ b.fields.filterNot(f => aNames.contains(f.name))
+    StructType(merged)
+  }
+
   private def driverParquetSchema(spark: SparkSession,
                                   path: String): StructType = {
     val footer =
@@ -427,8 +460,8 @@ object DeltaLog {
     * answers).
     */
   private def localReplayMaxBytes(spark: SparkSession): Long =
-    spark.conf.getOption("spark.graft.delta.localReplayMaxBytes")
-      .map(_.toLong).getOrElse(16L * 1024 * 1024)
+    RuntimeConf.long(spark, "spark.graft.delta.localReplayMaxBytes",
+      16L * 1024 * 1024)
 
   /** The local-replay rows for an already-resolved (cp, commits) pair,
     * or None past the byte gate. Commit JSON parses on the driver
@@ -771,10 +804,14 @@ object DeltaLog {
     * passing is the one inexcusable outcome for this relation).
     */
   def deletedRows(spark: SparkSession, tableDir: String,
-                  asOf: Option[Long] = None): DataFrame = {
+                  asOf: Option[Long] = None,
+                  onlyPaths: Option[Set[String]] = None): DataFrame = {
     // descriptor list: metadata-sized (one row per DV'd file) — from the
-    // driver-side fold when the log is small, the window fold otherwise
-    val dvFiles: Array[Row] = localLog(spark, tableDir, asOf) match {
+    // driver-side fold when the log is small, the window fold otherwise.
+    // `onlyPaths` restricts the DECODE (not just the output) to the named
+    // files, so a caller that needs a few files' deleted sets does not
+    // pay for re-decoding every live DV in the table.
+    val dvFilesAll: Array[Row] = localLog(spark, tableDir, asOf) match {
       case Some(l) =>
         l.liveAddRows.flatMap { r =>
           val add = r.getAs[Row](A.Add)
@@ -801,6 +838,10 @@ object DeltaLog {
             col("dv.offset").as("offset"), col("dv.sizeInBytes").as("size"),
             col("dv.cardinality").as("cardinality"))
           .collect()
+    }
+    val dvFiles = onlyPaths match {
+      case Some(keep) => dvFilesAll.filter(r => keep.contains(r.getString(0)))
+      case None       => dvFilesAll
     }
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val slices = math.max(1, math.min(dvFiles.length,

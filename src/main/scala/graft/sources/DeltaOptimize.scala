@@ -170,21 +170,33 @@ object DeltaOptimize {
     // aside), and the two parallelize jobs are pure scheduling
     // overhead; a big table — or the gate set to 0 — walks and deletes
     // distributed exactly as before
-    val localMax = spark.conf
-      .getOption("spark.graft.delta.localVacuumMaxFiles")
-      .map(_.toInt).getOrElse(4096)
-    val subFiles: Seq[(String, Long, Long)] =
-      if (dirs.isEmpty) Nil
-      else if (live.size <= localMax) {
-        def walk(q: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] =
-          fs.listStatus(q).toSeq.flatMap { st =>
+    val localMax = RuntimeConf.int(spark,
+      "spark.graft.delta.localVacuumMaxFiles", 4096)
+    // live.size only PROXIES the tree size — an orphan-heavy tree (the
+    // very state vacuum exists to clean) can dwarf a small live set —
+    // so the driver walk also aborts once it has ENUMERATED more than
+    // localMax entries and falls back to the distributed walk; the
+    // wasted local walk is bounded by the gate itself
+    val localWalk: Option[Seq[(String, Long, Long)]] =
+      if (dirs.isEmpty) Some(Nil)
+      else if (live.size > localMax || localMax <= 0) None
+      else {
+        val acc = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+        def walk(q: org.apache.hadoop.fs.Path): Boolean =
+          fs.listStatus(q).forall { st =>
             if (st.isDirectory) walk(st.getPath)
-            else Seq((fs.makeQualified(st.getPath).toUri.getPath
-              .drop(rootUriB.length + 1), st.getLen, st.getModificationTime))
+            else {
+              acc += ((fs.makeQualified(st.getPath).toUri.getPath
+                .drop(rootUriB.length + 1), st.getLen, st.getModificationTime))
+              acc.size <= localMax
+            }
           }
-        dirs.flatMap(d => walk(new org.apache.hadoop.fs.Path(d)))
+        if (dirs.forall(d => walk(new org.apache.hadoop.fs.Path(d))))
+          Some(acc.toSeq)
+        else None
       }
-      else spark.sparkContext
+    val subFiles: Seq[(String, Long, Long)] = localWalk.getOrElse(
+      spark.sparkContext
         .parallelize(dirs, math.max(1, math.min(dirs.length,
           spark.sparkContext.defaultParallelism * 2)))
         .flatMap { d =>
@@ -197,7 +209,7 @@ object DeltaOptimize {
                 .drop(rootUriB.length + 1), st.getLen, st.getModificationTime))
             }
           walk(p)
-        }.collect().toSeq
+        }.collect().toSeq)
     val horizon = System.currentTimeMillis() - retainMs
     val dead = (topFiles ++ subFiles)
       .filterNot { case (r, _, _) => live.contains(r) }

@@ -583,28 +583,52 @@ object DeltaWrite {
     // merge in each touched file's EXISTING deleted set (readTableCore
     // already excluded those rows — the sets are disjoint — so the new
     // matches alone would resurrect previously-deleted rows). The
-    // descriptor comes off the reconciled add; each old set decodes,
-    // merges and re-encodes ONE FILE AT A TIME on the driver — the same
-    // per-file bound the executor encode has, touched files only (the
-    // previous distributed union re-decoded every live DV in the table)
-    val bitmaps: Map[String, (Array[Byte], Long)] = touched.map { p =>
-      val (enc, n) = newBitmaps(p)
-      lives(p)._6 match {
-        case None => p -> ((enc, n))
-        case Some(d) =>
-          val old = DeltaDv.resolve(fs, tableDir, d.getString(0), d.getString(1),
-              if (d.isNullAt(2)) None else Some(d.getInt(2)),
-              if (d.isNullAt(3)) -1 else d.getInt(3), d.getLong(4))
-            .getOrElse(throw new java.io.IOException(
-              s"deltawrite: deletion vector for $p is malformed or " +
-                "disagrees with its descriptor"))
-          val fresh = DeltaDv.decodeBitmap(enc).getOrElse(
-            throw new IllegalStateException(
-              s"deltawrite: freshly-encoded bitmap for $p failed to decode"))
-          val merged = (old ++ fresh).distinct.sorted
-          p -> ((DeltaDv.encodeBitmap(merged), merged.length.toLong))
+    // descriptor comes off the reconciled add. Up to the file-count
+    // gate each old set decodes, merges and re-encodes ONE FILE AT A
+    // TIME on the driver — the same per-file bound the executor encode
+    // has; a wide DML touching more DV-bearing files than the gate
+    // would serialize the whole merge through the driver, so past it
+    // (or with the gate set to 0) the merge runs as ONE distributed
+    // union+groupBy job whose decode is restricted to exactly the
+    // touched files (never the table-wide re-decode the pre-gate shape
+    // paid). Both paths end in the same sorted-distinct index set fed
+    // to the same encoder, so the bitmap bytes are identical.
+    val dvTouched = touched.filter(p => lives(p)._6.isDefined)
+    val localDvMax = RuntimeConf.int(spark,
+      "spark.graft.delta.localDvMergeMaxFiles", 4096)
+    val mergedBitmaps: Map[String, (Array[Byte], Long)] =
+      if (dvTouched.isEmpty) Map.empty
+      else if (dvTouched.size <= localDvMax) dvTouched.map { p =>
+        val d = lives(p)._6.get
+        val old = DeltaDv.resolve(fs, tableDir, d.getString(0), d.getString(1),
+            if (d.isNullAt(2)) None else Some(d.getInt(2)),
+            if (d.isNullAt(3)) -1 else d.getInt(3), d.getLong(4))
+          .getOrElse(throw new java.io.IOException(
+            s"deltawrite: deletion vector for $p is malformed or " +
+              "disagrees with its descriptor"))
+        val fresh = DeltaDv.decodeBitmap(newBitmaps(p)._1).getOrElse(
+          throw new IllegalStateException(
+            s"deltawrite: freshly-encoded bitmap for $p failed to decode"))
+        val merged = (old ++ fresh).distinct.sorted
+        p -> ((DeltaDv.encodeBitmap(merged), merged.length.toLong))
+      }.toMap
+      else {
+        val dvTouchedSet = dvTouched.toSet
+        val oldDels = DeltaLog.deletedRows(spark, tableDir,
+            onlyPaths = Some(dvTouchedSet))
+          .withColumnRenamed("path", "_rel_path")
+          .withColumnRenamed("row_index", "_row_index")
+        matched.where(col("_rel_path").isin(dvTouched: _*))
+          .unionByName(oldDels)
+          .groupBy("_rel_path")
+          .agg(sort_array(collect_set(col("_row_index"))).as("rows"))
+          .as[(String, Seq[Long])]
+          .map { case (p, rows) =>
+            (p, DeltaDv.encodeBitmap(rows), rows.length.toLong)
+          }
+          .collect().map(t => (t._1, (t._2, t._3))).toMap
       }
-    }.toMap
+    val bitmaps: Map[String, (Array[Byte], Long)] = newBitmaps ++ mergedBitmaps
     val fullyDeleted = touched.filter { p =>
       val numRecords = lives(p)._5
       numRecords >= 0 && bitmaps(p)._2 >= numRecords

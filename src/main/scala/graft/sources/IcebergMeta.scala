@@ -590,9 +590,8 @@ object IcebergMeta {
     // LocalRelation instead of paying a job per question asked of the
     // metadata. A missing length, or a total past the gate, keeps the
     // distributed decode (the 100 TB path). 0 disables the local path.
-    val maxLocal = spark.conf
-      .getOption("spark.graft.iceberg.localManifestMaxBytes")
-      .map(_.toLong).getOrElse(16L * 1024 * 1024)
+    val maxLocal = RuntimeConf.long(spark,
+      "spark.graft.iceberg.localManifestMaxBytes", 16L * 1024 * 1024)
     val totalLen = manifestPaths.foldLeft(Option(0L)) {
       case (Some(acc), (_, _, _, Some(len))) => Some(acc + len)
       case _                                 => None

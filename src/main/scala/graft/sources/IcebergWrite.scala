@@ -1392,9 +1392,8 @@ object IcebergWrite {
     // (the one-task parallelize job was pure scheduling overhead); a
     // big table — or the gate set to 0 — walks distributed as before
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
-    val localMax = spark.conf
-      .getOption("spark.graft.iceberg.localWalkMaxFiles")
-      .map(_.toInt).getOrElse(4096)
+    val localMax = RuntimeConf.int(spark,
+      "spark.graft.iceberg.localWalkMaxFiles", 4096)
     val dataDir = new Path(tableDir, "data")
     val dataDirStr = fs.makeQualified(dataDir).toString
     val dataFiles: Seq[(String, Long)] =
@@ -1528,7 +1527,16 @@ object IcebergWrite {
         .schema(StructType(Seq(StructField("file_path", StringType))))
         .parquet(posDel.map(r => absOf(r.getString(2))).distinct.toIndexedSeq: _*)
         .select("file_path").distinct()
-        .collect().map(_.getString(0)).toSet) ++
+        .collect().map { r =>
+          // the supplied schema turns a missing column into silent
+          // NULLs (inference + select would have thrown loud); a
+          // spec-deviant delete file must not silently carry its
+          // touched data files un-rewritten while its deletes drop
+          if (r.isNullAt(0)) throw new java.io.IOException(
+            "iceberg-write: a position-delete file has no (or a null) " +
+              "file_path column — spec field id 2147483546 is required")
+          r.getString(0)
+        }.toSet) ++
         dvDel.map(_.getString(9)).toSet
     // equality deletes: ordering rule + bounds screen, resolved in a
     // CONSTANT number of Spark jobs however many delete files have

@@ -1,0 +1,28 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Int/Long-valued runtime confs with a loud parse failure naming the
+  * key — a bare `.toInt` on a malformed value surfaces as an
+  * uncontextualized NumberFormatException with no hint of WHICH conf
+  * was malformed.
+  */
+private[sources] object RuntimeConf {
+  def int(spark: SparkSession, key: String, default: Int): Int =
+    spark.conf.getOption(key).map { v =>
+      try v.trim.toInt
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$key must be an integer, got '$v'")
+      }
+    }.getOrElse(default)
+
+  def long(spark: SparkSession, key: String, default: Long): Long =
+    spark.conf.getOption(key).map { v =>
+      try v.trim.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$key must be an integer, got '$v'")
+      }
+    }.getOrElse(default)
+}

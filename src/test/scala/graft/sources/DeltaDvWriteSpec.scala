@@ -129,6 +129,36 @@ class DeltaDvWriteSpec extends SparkSpec {
       DeltaLog.readTable(spark, t2).orderBy("id").collect().toSeq)
   }
 
+  test("past the file-count gate the old-DV merge runs distributed, byte-identical") {
+    // descriptor bytes of the MERGE commit (version 4): inline z85
+    // payload + size + cardinality, sorted for path-name independence
+    def descriptors(t: String): Seq[(String, String, String)] =
+      DeltaLog.actions(spark, t)
+        .where(col("version") === 4L && col("add.deletionVector").isNotNull)
+        .select("add.deletionVector.pathOrInlineDv",
+          "add.deletionVector.sizeInBytes", "add.deletionVector.cardinality")
+        .collect()
+        .map(r => (r.getString(0), r.get(1).toString, r.get(2).toString))
+        .sortBy(_._1).toSeq
+    def build(): String = {
+      val t = rangeTable()
+      DeltaWrite.deleteDv(spark, t, "id % 2 = 0") // DVs on all 3 files
+      DeltaWrite.deleteDv(spark, t, "id % 3 = 0") // must merge old ∪ fresh
+      t
+    }
+    val t = build() // driver-side merge (default gate)
+    val driverDescr = descriptors(t)
+    assert(driverDescr.length === 3)
+    // gate 0 forces the distributed union+groupBy merge path
+    spark.conf.set("spark.graft.delta.localDvMergeMaxFiles", "0")
+    try {
+      val t2 = build()
+      assert(descriptors(t2) === driverDescr) // bitmap-byte parity
+      assert(DeltaLog.readTable(spark, t2).orderBy("id").collect().toSeq ===
+        DeltaLog.readTable(spark, t).orderBy("id").collect().toSeq)
+    } finally spark.conf.unset("spark.graft.delta.localDvMergeMaxFiles")
+  }
+
   test("a fully-deleted file is removed outright; no-match commits nothing") {
     val t = rangeTable()
     val v = DeltaWrite.deleteDv(spark, t, "id >= 100 AND id < 200")

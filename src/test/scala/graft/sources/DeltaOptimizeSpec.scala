@@ -46,6 +46,32 @@ class DeltaOptimizeSpec extends SparkSpec {
     assert(DeltaLog.listCommits(spark, t).last._1 === 6L)
   }
 
+  test("vacuum walk aborts past the gate on an orphan-heavy tree and still reclaims") {
+    import spark.implicits._
+    val t = freshDir("deltavacorphan")
+    val df = (0L until 40L).map(i => (i, i % 2, s"r$i")).toDF("id", "bucket", "txt")
+    DeltaWrite.createTable(spark, df.coalesce(1), t, partitionBy = Seq("bucket"))
+    // orphans >> live: the live set passes the gate but the walk must
+    // abort mid-enumeration and fall back to the distributed walk
+    val orphanDir = new java.io.File(t, "bucket=0")
+    val orphans = (0 until 12).map { k =>
+      val f = new java.io.File(orphanDir, s"orphan-$k.parquet")
+      java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+      s"bucket=0/orphan-$k.parquet"
+    }
+    val liveCount = DeltaLog.snapshot(spark, t).count()
+    spark.conf.set("spark.graft.delta.localVacuumMaxFiles",
+      (liveCount + 2).toString) // gate admits the live set, not the tree
+    try {
+      val rep = DeltaOptimize.vacuum(spark, t, retainMs = 0L)
+      val removed = rep.where(col("removed")).select("path")
+        .collect().map(_.getString(0)).toSet
+      assert(orphans.toSet.subsetOf(removed))
+      assert(orphans.forall(o => !new java.io.File(t, o).exists()))
+      assert(DeltaLog.readTable(spark, t).count() === 40L)
+    } finally spark.conf.unset("spark.graft.delta.localVacuumMaxFiles")
+  }
+
   test("optimize respects partitions and the target size") {
     import spark.implicits._
     val t = freshDir("deltaopt_part")
