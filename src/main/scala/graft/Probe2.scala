@@ -1,25 +1,91 @@
 package graft
 import org.apache.spark.sql.functions._
 
-/** Dev-only scratch probe: q149 sub-stage timings at a given SF dir. */
+/** Dev-only scratch probe: PPJoin (prefixJaccard) sub-stage timings at a
+  * given SF dir — replicates the operator's internal stages so candidate
+  * generation and verify can be timed separately, in BOTH the old
+  * (distinct + full-array verify) and new (aggregated prefix evidence +
+  * suffix verify) shapes.
+  */
 object Probe2 {
   def t[T](l: String)(f: => T): T = {
     val t0 = System.nanoTime(); val r = f
     println(f"[probe2] $l%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
   }
   def main(args: Array[String]): Unit = {
-    val dir = if (args.nonEmpty) args(0) else "tmp/sf1"
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val spark = GraftSession.local()
-    val emb = Tables.load(spark, dir, "embeddings")
-    val pairs = graft.operators.Dedup.embeddingDupPairs(
-      emb, "vec_id", "embedding", threshold = 0.4, bits = 0, tables = 1)
-    val n = t("pairs.count")(pairs.count())
-    println(s"[probe2] pairs = $n")
-    val (comps, rounds) = t("components")(
-      graft.operators.Graph.componentsWithRounds(pairs, "a_id", "b_id", 50))
-    println(s"[probe2] rounds = $rounds")
-    t("comps.count")(comps.count())
-    t("q149 full")(SparkEntry.queries("q149_semantic_dedup")(spark, dir).count())
+    spark.range(1000000).selectExpr("sum(id)").collect() // warmup
+    val docs = Tables.load(spark, dir, "documents")
+    val threshold = 0.5
+    val tFrac = threshold / (1 + threshold)
+    val hsets = graft.operators.Dedup
+      .shingleHashSets(docs, "text", "doc_id", 3).cache()
+    t("hsets build+count")(hsets.count())
+    val toks = hsets.select(col("id"), explode(col("hs")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val docArr = toks.join(freq, "tok")
+      .groupBy("id")
+      .agg(expr("transform(sort_array(collect_list(struct(df, tok))), s -> s.tok)").as("ts"))
+      .withColumn("n", size(col("ts")))
+      .withColumn("plen", col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
+      .cache()
+    t("docArr build+count")(docArr.count())
+    val pref = docArr.select(col("id"), col("n"),
+      posexplode(expr("slice(ts, 1, plen)")).as(Seq("p", "tok")))
+    val rawPairs = pref.groupBy("tok")
+      .agg(sort_array(collect_list(struct(col("id"), col("n"), col("p"))))
+        .as("xs"))
+      .where(size(col("xs")) >= 2)
+      .select(col("xs"), posexplode(col("xs")).as(Seq("i", "x")))
+      .select(col("x"), explode(expr("slice(xs, i + 2, size(xs))")).as("y"))
+      .where(expr(s"least(x.n, y.n) >= ceil($threshold * greatest(x.n, y.n))"))
+    // OLD shape
+    val candsOld = rawPairs
+      .where(expr(s"1 + least(x.n - x.p - 1, y.n - y.p - 1) >= ceil($tFrac * (x.n + y.n))"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct().cache()
+    val nOld = t("OLD cands count")(candsOld.count())
+    println(s"[probe2] OLD candidates = $nOld")
+    val candIdsOld = candsOld.select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
+    val verOld = graft.operators.Dedup.verifyJaccardSets(candsOld,
+      hsets.join(candIdsOld, Seq("id"), "left_semi"), threshold)
+    println(s"[probe2] OLD verified = " + t("OLD verify (hot)")(verOld.count()))
+    t("OLD verify again")(verOld.count())
+    // NEW shape
+    val candsNew = rawPairs
+      .groupBy(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .agg(count(lit(1)).as("o"),
+        max(struct(col("x.p").as("pa"), col("y.p").as("pb"))).as("mx"))
+      .where(col("o") + least(col("na") - 1 - col("mx.pa"),
+        col("nb") - 1 - col("mx.pb")) >=
+        ceil(lit(tFrac) * (col("na") + col("nb"))))
+      .select(col("a_id"), col("b_id"), col("na"), col("nb"), col("o"),
+        col("mx.pa").as("pa"), col("mx.pb").as("pb"))
+      .cache()
+    val nNew = t("NEW cands count")(candsNew.count())
+    println(s"[probe2] NEW candidates = $nNew")
+    val candIdsNew = candsNew.select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
+    val arr = docArr.select("id", "ts").join(candIdsNew, Seq("id"), "left_semi")
+    val j = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
+    val verNew = candsNew
+      .join(arr.select(col("id").as("a_id"), col("ts").as("ta")), "a_id")
+      .join(arr.select(col("id").as("b_id"), col("ts").as("tb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("na"), col("nb"),
+        (col("o") + size(array_intersect(
+          expr("slice(ta, pa + 2, na)"),
+          expr("slice(tb, pb + 2, nb)")))).as("inter"))
+      .where(j >= threshold)
+      .select(col("a_id"), col("b_id"), (floor(j * 10000) / 10000).as("jaccard"))
+    println(s"[probe2] NEW verified = " + t("NEW verify (hot)")(verNew.count()))
+    t("NEW verify again")(verNew.count())
+    spark.sharedState.cacheManager.clearCache()
+    t("q153 full")(SparkEntry.queries("q153_split_leakage")(spark, dir).count())
+    spark.sharedState.cacheManager.clearCache()
+    t("q158 full")(SparkEntry.queries("q158_quality_representative")(spark, dir).count())
+    spark.sharedState.cacheManager.clearCache()
+    t("q84 full")(SparkEntry.queries("q84_prefix_jaccard")(spark, dir).count())
     spark.stop()
   }
 }

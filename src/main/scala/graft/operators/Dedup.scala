@@ -393,12 +393,18 @@ object Dedup {
       else shingleHashSets(docs, textCol, idCol, shingleN)).cache()
     val toks = hsets.select(col("id"), explode(col("hs")).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    // per doc: elements sorted by (global df asc, hash) -> rarest-first array
-    val docArr = toks.join(freq, "tok")
+    val exact = maxBucketSize == Int.MaxValue
+    // per doc: elements sorted by (global df asc, hash) -> rarest-first
+    // array. The exact path pins it: the prefix stream AND both verify
+    // sides read `ts` (the verify suffixes must be slices of the SAME
+    // sorted arrays the prefixes came from), so uncached it would re-run
+    // the df join + sort three times. Released with the other caches.
+    val docArr0 = toks.join(freq, "tok")
       .groupBy("id")
       .agg(expr("transform(sort_array(collect_list(struct(df, tok))), s -> s.tok)").as("ts"))
       .withColumn("n", size(col("ts")))
       .withColumn("plen", col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
+    val docArr = if (exact) docArr0.cache() else docArr0
     // candidate generation: ONE gather shuffle per prefix token (the
     // lshCandidates/simHashPairs bucket-gather shape — O(bucket) peak
     // memory via the nested generators), with the published PPJoin
@@ -416,27 +422,81 @@ object Dedup {
       posexplode(expr("slice(ts, 1, plen)")).as(Seq("p", "tok")))
     // guard only when the caller opted in — the exact default runs no
     // count/anti-join pass at all
-    val cool = if (maxBucketSize == Int.MaxValue) pref
-               else dropHotBuckets(pref, Seq("tok"), maxBucketSize)
+    val cool = if (exact) pref else dropHotBuckets(pref, Seq("tok"), maxBucketSize)
     val tFrac = threshold / (1 + threshold)
-    val cands = cool.groupBy("tok")
+    // pair stream: every (rarest-prefix token, doc-pair) co-occurrence,
+    // with the pair-constant LENGTH filter applied per row (it drops all
+    // of a pair's rows or none, which the exact path's aggregation
+    // depends on). The positional filter moves to the aggregated form
+    // below on the exact path; the budgeted path keeps it per-row.
+    val rawPairs = cool.groupBy("tok")
       .agg(sort_array(collect_list(struct(col("id"), col("n"), col("p"))))
         .as("xs"))
       .where(size(col("xs")) >= 2)
       .select(col("xs"), posexplode(col("xs")).as(Seq("i", "x")))
       .select(col("x"), explode(expr("slice(xs, i + 2, size(xs))")).as("y"))
-      .where(expr(s"least(x.n, y.n) >= ceil($threshold * greatest(x.n, y.n))") &&
-        expr(s"1 + least(x.n - x.p - 1, y.n - y.p - 1) >= ceil($tFrac * (x.n + y.n))"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
-      .distinct()
-      .cache() // consumed twice: id-prune + verify join; pin rationale at
-               // the minHashDupPairs candidate cache (same decision)
-    // verify only the docs that appear in some candidate pair (semi-join
-    // prune, same shape as minHashDupPairs), reading the SAME cached sets
-    // the candidates were generated from
-    val candIds = cands.select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
-    (verifyJaccardSets(cands, hsets.join(candIds, Seq("id"), "left_semi"),
-      threshold), Seq(hsets, cands))
+      .where(expr(s"least(x.n, y.n) >= ceil($threshold * greatest(x.n, y.n))"))
+    if (exact) {
+      // PPJoin's aggregated prefix evidence (Xiao et al. 2008), carried
+      // through the candidate join: per pair, o = |prefix(a) ∩ prefix(b)|
+      // (complete — the stream above holds EVERY shared prefix token of a
+      // surviving pair) and (pa*, pb*) = the max shared prefix token's
+      // positions. Because both doc arrays are sorted by the same global
+      // (df, hash) order, every shared element below the max is already
+      // inside both prefixes (counted in o) and every shared element
+      // above it sits in both suffixes, so
+      //   inter(a, b) = o + |ts_a[pa*+1:] ∩ ts_b[pb*+1:]|   ...exactly.
+      // Two consequences, both pure wins:
+      //  - candidate filter: inter <= o + min(|suffix_a|, |suffix_b|),
+      //    a bound PROVABLY at least as tight as the per-row positional
+      //    filter it replaces (positions are monotone in the global
+      //    order, so o extra shared tokens cost o-1 positions), so the
+      //    verify stage sees a subset of the old candidates;
+      //  - verify re-intersects ONLY the suffixes past (pa*, pb*) — the
+      //    shared prefix evidence is never recomputed.
+      val cands = rawPairs
+        .groupBy(col("x.id").as("a_id"), col("y.id").as("b_id"),
+          col("x.n").as("na"), col("y.n").as("nb"))
+        .agg(count(lit(1)).as("o"),
+          max(struct(col("x.p").as("pa"), col("y.p").as("pb"))).as("mx"))
+        .where(col("o") + least(col("na") - 1 - col("mx.pa"),
+          col("nb") - 1 - col("mx.pb")) >=
+          ceil(lit(tFrac) * (col("na") + col("nb"))))
+        .select(col("a_id"), col("b_id"), col("na"), col("nb"), col("o"),
+          col("mx.pa").as("pa"), col("mx.pb").as("pb"))
+        .cache() // consumed twice: id-prune + verify join; pin rationale
+                 // at the minHashDupPairs candidate cache (same decision)
+      val candIds = cands
+        .select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
+      val arr = docArr.select("id", "ts").join(candIds, Seq("id"), "left_semi")
+      val j = col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter"))
+      val out = cands
+        .join(arr.select(col("id").as("a_id"), col("ts").as("ta")), "a_id")
+        .join(arr.select(col("id").as("b_id"), col("ts").as("tb")), "b_id")
+        .select(col("a_id"), col("b_id"), col("na"), col("nb"),
+          (col("o") + size(array_intersect(
+            expr("slice(ta, pa + 2, na)"),
+            expr("slice(tb, pb + 2, nb)")))).as("inter"))
+        .where(j >= threshold)
+        .select(col("a_id"), col("b_id"),
+          (floor(j * 10000) / 10000).as("jaccard"))
+      (out, Seq(hsets, docArr, cands))
+    } else {
+      val cands = rawPairs
+        .where(expr(
+          s"1 + least(x.n - x.p - 1, y.n - y.p - 1) >= ceil($tFrac * (x.n + y.n))"))
+        .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+        .distinct()
+        .cache()
+      // verify only the docs that appear in some candidate pair (semi-join
+      // prune, same shape as minHashDupPairs), reading the SAME cached sets
+      // the candidates were generated from
+      val candIds = cands
+        .select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
+      (verifyJaccardSets(cands, hsets.join(candIds, Seq("id"), "left_semi"),
+        threshold), Seq(hsets, cands))
+    }
   }
 
   /** Benchmark decontamination — the training-data hygiene step every large
