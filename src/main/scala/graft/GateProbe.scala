@@ -1,0 +1,112 @@
+package graft
+
+import graft.sources.{DeltaLog, DeltaWrite, IcebergMeta, IcebergWrite}
+
+/** Dev-only gate-crossover smoke (optimization-round evidence): times the
+  * metadata replay LOCAL (driver-side, below the byte gate) vs
+  * DISTRIBUTED (forced with the gate conf at 0) on Delta logs of growing
+  * size, straddling the 16 MiB default gate, plus an Iceberg
+  * manifest-decode pair at a real fixture size. The point is the SHAPE of
+  * the handover: both paths must answer identically (pinned by unit
+  * specs) and the crossover must be a modest constant (job-launch) delta,
+  * not a cliff.
+  *
+  * Delta logs are SYNTHESIZED at target sizes (protocol+metaData+adds
+  * replicated from a real table's commit lines): the gate governs log
+  * REPLAY only, so `snapshot()` — which never opens data files — is the
+  * honest probe, and a 32 MiB log is a few driver string-builds instead
+  * of a 100k-file write.
+  *
+  * Usage: runMain graft.GateProbe
+  */
+object GateProbe {
+  private def time[T](runs: Int)(f: => T): Double =
+    (1 to runs).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }.min
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    spark.range(1000000).selectExpr("sum(id)").collect() // warmup
+    import spark.implicits._
+
+    // template lines from a REAL table so the synthesized log is
+    // spec-shaped (schemaString, stats layout, field set all genuine)
+    val tpl = java.nio.file.Files.createTempDirectory("gateprobe_tpl")
+    java.nio.file.Files.delete(tpl)
+    DeltaWrite.createTable(spark,
+      (0L until 100L).map(i => (i, s"row-$i")).toDF("id", "txt").coalesce(1),
+      tpl.toString)
+    val v0 = java.nio.file.Paths.get(tpl.toString, "_delta_log",
+      "%020d.json".format(0L))
+    val lines = scala.io.Source.fromFile(v0.toFile, "UTF-8").getLines().toSeq
+    val protoLine = lines.find(_.contains("\"protocol\"")).get
+    val metaLine = lines.find(_.contains("\"metaData\"")).get
+    val addTpl = lines.find(_.contains("\"add\"")).get
+
+    def synthLog(targetBytes: Long): String = {
+      val d = java.nio.file.Files.createTempDirectory("gateprobe")
+      val logDir = d.resolve("_delta_log")
+      java.nio.file.Files.createDirectories(logDir)
+      val commits = 4
+      var written = 0L
+      var fileNo = 0
+      for (v <- 0 until commits) {
+        val sb = new StringBuilder()
+        if (v == 0) { sb.append(protoLine).append('\n'); sb.append(metaLine).append('\n') }
+        val share = targetBytes / commits
+        var local = 0L
+        while (local < share) {
+          // unique path per add so every add stays live in the window fold
+          val line = addTpl.replaceAll(
+            """"path":"[^"]+"""",
+            s""""path":"part-${"%06d".format(fileNo)}-synth.parquet"""")
+          fileNo += 1
+          sb.append(line).append('\n')
+          local += line.length + 1
+        }
+        written += sb.length
+        java.nio.file.Files.write(
+          logDir.resolve("%020d.json".format(v.toLong)),
+          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      println(f"[gateprobe] synthesized ${written / 1024.0 / 1024.0}%6.2f MiB, $fileNo adds -> $d")
+      d.toString
+    }
+
+    println("[gateprobe] == Delta: snapshot() local vs distributed across log sizes ==")
+    for (mb <- Seq(1, 4, 8, 15, 20, 32)) {
+      val t = synthLog(mb.toLong * 1024 * 1024)
+      spark.conf.unset("spark.graft.delta.localReplayMaxBytes")
+      val defPath = if (mb <= 16) "local" else "distributed(auto)"
+      val tDef = time(2)(DeltaLog.snapshot(spark, t).count())
+      spark.conf.set("spark.graft.delta.localReplayMaxBytes", "0")
+      val tDist = time(2)(DeltaLog.snapshot(spark, t).count())
+      // force-local even past the gate, to show the curve the gate caps
+      spark.conf.set("spark.graft.delta.localReplayMaxBytes",
+        (64L * 1024 * 1024).toString)
+      val tLoc = time(2)(DeltaLog.snapshot(spark, t).count())
+      spark.conf.unset("spark.graft.delta.localReplayMaxBytes")
+      println(f"[gateprobe] delta ${mb}%3d MiB  default($defPath%-17s)=$tDef%6.3f s  forced-local=$tLoc%6.3f s  forced-distributed=$tDist%6.3f s")
+    }
+
+    println("[gateprobe] == Iceberg: readTable() local vs distributed manifest decode ==")
+    val it = java.nio.file.Files.createTempDirectory("gateprobe_ice")
+    java.nio.file.Files.delete(it)
+    IcebergWrite.createTable(spark,
+      (0L until 2000L).map(i => (i, s"r$i")).toDF("id", "txt").repartition(8),
+      it.toString)
+    (1 to 8).foreach { k =>
+      IcebergWrite.append(spark,
+        (0L until 500L).map(i => (k * 10000L + i, s"r$i")).toDF("id", "txt")
+          .repartition(4), it.toString)
+    }
+    spark.conf.unset("spark.graft.iceberg.localManifestMaxBytes")
+    val iLoc = time(2)(IcebergMeta.readTable(spark, it.toString).count())
+    spark.conf.set("spark.graft.iceberg.localManifestMaxBytes", "0")
+    val iDist = time(2)(IcebergMeta.readTable(spark, it.toString).count())
+    spark.conf.unset("spark.graft.iceberg.localManifestMaxBytes")
+    println(f"[gateprobe] iceberg readTable (40-file snapshot)  local=$iLoc%6.3f s  forced-distributed=$iDist%6.3f s")
+    spark.stop()
+  }
+}

@@ -377,8 +377,8 @@ object DeltaLog {
     StructType(merged)
   }
 
-  private def driverParquetSchema(spark: SparkSession,
-                                  path: String): StructType = {
+  private[sources] def driverParquetSchema(spark: SparkSession,
+                                           path: String): StructType = {
     val footer =
       org.apache.spark.sql.execution.datasources.parquet.ParquetFooterReader
         .readFooter(

@@ -1590,7 +1590,23 @@ object IcebergMeta {
     val parquetDels: Option[DataFrame] =
       if (posFiles.isEmpty) None
       else Some(posFiles.toSeq.map { case (p, sq) =>
-        spark.read.parquet(abs(p).toString)
+        // the file's own footer schema, read on the DRIVER (inference
+        // minus the job launch — N accumulated delete files must not
+        // cost N schema-inference jobs before the plan even builds),
+        // validated to carry the spec's columns so a deviant file
+        // still fails loud instead of reading as silent NULLs
+        val path = abs(p).toString
+        val fileSchema = DeltaLog.driverParquetSchema(spark, path)
+        Seq("file_path", "pos").foreach { c =>
+          if (!fileSchema.fieldNames.contains(c))
+            throw new java.io.IOException(
+              s"iceberg: position-delete file $p has no '$c' column — " +
+                "the spec requires (file_path, pos)")
+        }
+        spark.read
+          .schema(StructType(fileSchema.fields.filter(f =>
+            f.name == "file_path" || f.name == "pos")))
+          .parquet(path)
           .select(col("file_path"), col("pos").cast("long").as("_del_index"),
             sq.map(lit(_)).getOrElse(lit(null)).cast("long").as("_del_seq"))
       }.reduce(_ unionByName _))
