@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding subword tokenizer — the learned counterpart of the
@@ -41,7 +41,7 @@ object Bpe {
   def learn(docs: DataFrame, textCol: String, idCol: String, numMerges: Int,
             maxSample: Int = 20000): Seq[(String, String)] = {
     learnWith(docs, textCol, idCol, numMerges, maxSample,
-      t => t.split(" ").iterator.filter(_.nonEmpty).map(w => w.map(_.toString).toList))
+      c => split(c, " "), w => w.map(_.toString).toList)
   }
 
   /** The GPT-2-family pre-tokenizer (house variant): contraction
@@ -81,44 +81,82 @@ object Bpe {
   def learnBytes(docs: DataFrame, textCol: String, idCol: String, numMerges: Int,
                  maxSample: Int = 20000): Seq[(String, String)] =
     learnWith(docs, textCol, idCol, numMerges, maxSample,
-      t => preTokens(t).iterator.map(byteSyms))
+      c => regexp_extract_all(c, lit(PreTokenRegex), lit(0)),
+      w => byteSyms(w))
 
   private def learnWith(docs: DataFrame, textCol: String, idCol: String,
                         numMerges: Int, maxSample: Int,
-                        split: String => Iterator[List[String]]): Seq[(String, String)] = {
+                        wordsOf: Column => Column,
+                        symsOf: String => List[String]): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     if (numMerges == 0) return Seq.empty
     // bounded deterministic sample (hash-ordered top-N, the codebook-fit
-    // device) -> driver-side word-frequency table
-    val sample = docs.select(col(idCol), col(textCol))
+    // device) -> word-frequency table built DISTRIBUTED: the per-doc
+    // split/regex pre-tokenization runs in executors and only the
+    // DISTINCT word table (vocabulary-sized, Zipf-small) reaches the
+    // driver — previously every sampled document's full text was
+    // collected and regex-scanned single-threaded on the driver, a
+    // multi-second between-jobs gap in the profile. Word -> symbol-list
+    // is injective for both splitters (chars of the word; UTF-8 hex
+    // pairs of the pre-token), so grouping by the word string is the
+    // same table the symbol-list key produced.
+    val wf: Array[(String, Long)] = docs.select(col(idCol), col(textCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(maxSample)
-      .select(col(textCol)).collect().map(_.getString(0))
-    val wordFreq = scala.collection.mutable.HashMap[List[String], Long]()
-    for (t <- sample; syms <- split(t) if syms.nonEmpty)
-      wordFreq.updateWith(syms)(c => Some(c.getOrElse(0L) + 1))
+      .select(explode(wordsOf(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
-    var words = wordFreq.toVector
+    // flat-array merge loop: the List/zip form allocated a tuple per
+    // adjacent pair per word PER ITERATION and rebuilt every word's
+    // list whether or not it contained the merged pair. Index loops
+    // over Array[String] count pairs allocation-free and rebuild ONLY
+    // the words that carry the pair; the argmax and the left-to-right
+    // non-overlapping merge walk are unchanged, so the merge SEQUENCE
+    // is identical (the argmax is a unique min under (-freq, a, b) —
+    // word-table order cannot matter).
+    val syms: Array[Array[String]] = wf.map(e => symsOf(e._1).toArray)
+    val freq: Array[Long] = wf.map(_._2)
     var i = 0
     var exhausted = false
     while (i < numMerges && !exhausted) {
       val pairFreq = scala.collection.mutable.HashMap[(String, String), Long]()
-      for ((syms, f) <- words; p <- syms.zip(syms.tail))
-        pairFreq.updateWith(p)(c => Some(c.getOrElse(0L) + f))
+      var w = 0
+      while (w < syms.length) {
+        val s = syms(w); val fw = freq(w)
+        var k = 0
+        while (k < s.length - 1) {
+          pairFreq.updateWith((s(k), s(k + 1)))(c => Some(c.getOrElse(0L) + fw))
+          k += 1
+        }
+        w += 1
+      }
       if (pairFreq.isEmpty) exhausted = true
       else {
         // max frequency, lexicographic tie-break: deterministic everywhere
-        val best = pairFreq.toSeq.minBy { case ((a, b), f) => (-f, a, b) }._1
+        val best = pairFreq.minBy { case ((a, b), f) => (-f, a, b) }._1
         merges += best
-        val merged = best._1 + best._2
-        words = words.map { case (syms, f) =>
-          val out = scala.collection.mutable.ListBuffer[String]()
-          var rest = syms
-          while (rest.nonEmpty) rest match {
-            case a :: b :: tail if (a, b) == best => out += merged; rest = tail
-            case a :: tail => out += a; rest = tail
-            case Nil =>
+        val (ba, bb) = best
+        val merged = ba + bb
+        w = 0
+        while (w < syms.length) {
+          val s = syms(w)
+          var k = 0; var has = false
+          while (k < s.length - 1 && !has) {
+            if (s(k) == ba && s(k + 1) == bb) has = true
+            k += 1
           }
-          (out.toList, f)
+          if (has) {
+            val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+            k = 0
+            while (k < s.length) {
+              if (k < s.length - 1 && s(k) == ba && s(k + 1) == bb) {
+                out += merged; k += 2
+              } else { out += s(k); k += 1 }
+            }
+            syms(w) = out.toArray
+          }
+          w += 1
         }
         i += 1
       }
