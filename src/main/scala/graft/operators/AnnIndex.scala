@@ -100,10 +100,10 @@ object AnnIndex {
     */
   def appendIvfPq(emb: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
     val spark = emb.sparkSession
-    val p = spark.read.parquet(s"$path/params.parquet").head()
+    val p = ArtifactParquet.read(spark, s"$path/params.parquet").head()
     val (m, cells, dim) = (p.getInt(1), p.getInt(2), p.getInt(3))
     val sub = dim / m
-    val cb = spark.read.parquet(s"$path/codebooks.parquet").collect()
+    val cb = ArtifactParquet.read(spark, s"$path/codebooks.parquet").collect()
     val ctrs = cb.filter(_.getString(0) == "coarse").sortBy(_.getInt(2))
       .map(_.getSeq[Float](3).toArray)
     val books = Array.tabulate(m) { j =>
@@ -231,10 +231,10 @@ object AnnIndex {
                       idCol: String, vecCol: String, k: Int,
                       nProbe: Int = 4, rerank: Int = 32): DataFrame = {
     require(nProbe >= 1 && rerank >= k, s"need nProbe >= 1 and rerank >= k")
-    val p = spark.read.parquet(s"$path/params.parquet").head()
+    val p = ArtifactParquet.read(spark, s"$path/params.parquet").head()
     val (nList, m, cells, dim) = (p.getInt(0), p.getInt(1), p.getInt(2), p.getInt(3))
     val sub = dim / m
-    val cb = spark.read.parquet(s"$path/codebooks.parquet").collect()
+    val cb = ArtifactParquet.read(spark, s"$path/codebooks.parquet").collect()
     val ctrs = cb.filter(_.getString(0) == "coarse").sortBy(_.getInt(2))
       .map(_.getSeq[Float](3).toArray)
     val books = Array.tabulate(m) { j =>

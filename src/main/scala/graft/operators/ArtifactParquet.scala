@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Driver-side parquet reads for KB-sized ARTIFACT relations (sketch
+  * params/registers, codebooks): `spark.read.parquet(dir)` launches a
+  * schema-inference job before the plan even builds, which for the
+  * sketch lifecycles meant one scheduled job per params/state read.
+  * The footer is read on the driver through Spark's own converter —
+  * inference minus the job launch (with `mergeSchema` off, inference
+  * too reads a single footer). Any listing/footer trouble falls back
+  * to the plain inference read, so failure modes (missing path, junk
+  * file) surface exactly as before.
+  */
+object ArtifactParquet {
+
+  private def footerSchema(spark: SparkSession, dir: String): Option[StructType] =
+    try {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(p).map(_.getPath)
+        .filter { f =>
+          val n = f.getName
+          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .sortBy(_.getName).headOption
+      part.map { f =>
+        val footer =
+          org.apache.spark.sql.execution.datasources.parquet.ParquetFooterReader
+            .readFooter(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                f, spark.sessionState.newHadoopConf()),
+              org.apache.parquet.format.converter.ParquetMetadataConverter
+                .SKIP_ROW_GROUPS)
+        new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetToSparkSchemaConverter(spark.sessionState.conf)
+          .convert(footer.getFileMetaData.getSchema)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** `spark.read.parquet(dir)` minus the inference job when the footer
+    * is driver-readable; identical behavior otherwise.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    footerSchema(spark, dir) match {
+      case Some(s) => spark.read.schema(s).parquet(dir)
+      case None    => spark.read.parquet(dir)
+    }
+}

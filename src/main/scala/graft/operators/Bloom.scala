@@ -100,7 +100,7 @@ object Bloom {
 
   private def params(spark: org.apache.spark.sql.SparkSession,
                      path: String): (Int, Long, Int) = {
-    val p = spark.read.parquet(s"$path/params.parquet").head()
+    val p = ArtifactParquet.read(spark, s"$path/params.parquet").head()
     (p.getInt(0), p.getLong(1), p.getInt(2))
   }
 
@@ -114,7 +114,7 @@ object Bloom {
     val spark = df.sparkSession
     val (s, b, k) = params(spark, path)
     val live = s"$path/words.parquet"
-    val merged = spark.read.parquet(live)
+    val merged = ArtifactParquet.read(spark, live)
       .unionByName(build(df, keyCol, s, b, k))
       .groupBy("shard", "word_idx").agg(bit_or(col("bits")).as("bits"))
     merged.write.mode("overwrite").parquet(s"$live.append.tmp")
@@ -125,6 +125,6 @@ object Bloom {
   def screenAt(spark: org.apache.spark.sql.SparkSession, path: String,
                probes: DataFrame, keyCol: String): DataFrame = {
     val (s, b, k) = params(spark, path)
-    screen(spark.read.parquet(s"$path/words.parquet"), probes, keyCol, s, b, k)
+    screen(ArtifactParquet.read(spark, s"$path/words.parquet"), probes, keyCol, s, b, k)
   }
 }

@@ -184,7 +184,7 @@ object Bpe {
     * tokenization with no error.
     */
   def load(spark: SparkSession, path: String): Seq[(String, String)] =
-    spark.read.parquet(path).orderBy("rank").select("a", "b")
+    ArtifactParquet.read(spark, path).orderBy("rank").select("a", "b")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
 
   /** Encode a text column with a learned merge table: appends

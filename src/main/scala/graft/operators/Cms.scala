@@ -98,7 +98,7 @@ object Cms {
   }
 
   private def readParams(spark: SparkSession, path: String): (Int, Int) = {
-    val r = spark.read.parquet(s"$path/params.parquet")
+    val r = ArtifactParquet.read(spark, s"$path/params.parquet")
       .select("depth", "width").head()
     (r.getInt(0), r.getInt(1))
   }
@@ -111,7 +111,7 @@ object Cms {
   def appendSketch(df: DataFrame, keyCol: String, path: String): Unit = {
     val spark = df.sparkSession
     val (depth, width) = readParams(spark, path)
-    val merged = merge(spark.read.parquet(s"$path/counters.parquet"),
+    val merged = merge(ArtifactParquet.read(spark, s"$path/counters.parquet"),
       build(df, keyCol, depth, width))
     val tmp = s"$path/counters.parquet.tmp"
     merged.write.mode("overwrite").parquet(tmp)
@@ -133,7 +133,7 @@ object Cms {
   def estimateAt(spark: SparkSession, path: String,
                  probes: DataFrame, keyCol: String): DataFrame = {
     val (depth, width) = readParams(spark, path)
-    estimate(spark.read.parquet(s"$path/counters.parquet"),
+    estimate(ArtifactParquet.read(spark, s"$path/counters.parquet"),
       probes, keyCol, depth, width)
   }
 }

@@ -83,7 +83,7 @@ object DedupIndex {
     val bI = Dedup.bandBuckets(
       Dedup.minHashSignatures(incoming, textCol, idCol, shingleN, numHashes),
       numHashes, bands)
-    val bE0 = spark.read.parquet(s"$path/buckets.parquet")
+    val bE0 = ArtifactParquet.read(spark, s"$path/buckets.parquet")
     // the skew guard drops hot buckets on the INDEXED side (same contract
     // as incrementalDupPairs: Int.MaxValue opts out and makes the output a
     // function of banding recall only)
@@ -102,7 +102,7 @@ object DedupIndex {
     // concatenation exactly as in incrementalDupPairs
     val aIds = cands.select(col("a_id").as("id")).distinct()
     val bIds = cands.select(col("b_id").as("id")).distinct()
-    val sets = spark.read.parquet(s"$path/sets.parquet")
+    val sets = ArtifactParquet.read(spark, s"$path/sets.parquet")
       .join(aIds, Seq("id"), "left_semi")
       .unionByName(
         Dedup.shingleHashSets(incoming, textCol, idCol, shingleN)
@@ -183,14 +183,14 @@ object DedupIndex {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val nFiles = fs.listStatus(new Path(s"$path/sets.parquet"))
       .count(_.getPath.getName.endsWith(".parquet"))
-    spark.read.parquet(s"$path/sets.parquet")
+    ArtifactParquet.read(spark, s"$path/sets.parquet")
       .agg(count(lit(1)).as("n_members"),
         sum(size(col("hs"))).as("n_set_entries"))
       .withColumn("n_files", lit(nFiles))
   }
 
   private def params(spark: SparkSession, path: String): (Int, Int, Int) = {
-    val p = spark.read.parquet(s"$path/params.parquet").head()
+    val p = ArtifactParquet.read(spark, s"$path/params.parquet").head()
     (p.getInt(0), p.getInt(1), p.getInt(2))
   }
 

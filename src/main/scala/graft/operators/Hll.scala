@@ -114,7 +114,7 @@ object Hll {
   }
 
   private def readP(spark: SparkSession, path: String): Int =
-    spark.read.parquet(s"$path/params.parquet").head().getInt(0)
+    ArtifactParquet.read(spark, s"$path/params.parquet").head().getInt(0)
 
   /** Merge a batch of new keys into the persisted sketch under its
     * FROZEN p: one max re-aggregation over (old ∪ delta), installed by
@@ -124,7 +124,7 @@ object Hll {
   def appendSketch(df: DataFrame, keyCol: String, path: String): Unit = {
     val spark = df.sparkSession
     val p = readP(spark, path)
-    val merged = merge(spark.read.parquet(s"$path/registers.parquet"),
+    val merged = merge(ArtifactParquet.read(spark, s"$path/registers.parquet"),
       build(df, keyCol, p))
     val tmp = s"$path/registers.parquet.tmp"
     merged.write.mode("overwrite").parquet(tmp)
@@ -144,6 +144,6 @@ object Hll {
 
   /** Estimate from the persisted sketch. */
   def estimateAt(spark: SparkSession, path: String): DataFrame =
-    estimate(spark.read.parquet(s"$path/registers.parquet"),
+    estimate(ArtifactParquet.read(spark, s"$path/registers.parquet"),
       readP(spark, path))
 }
